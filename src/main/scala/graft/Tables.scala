@@ -20,7 +20,18 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = table(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = table(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = table(s, dir, "lineitem")
-  def events(s: SparkSession, dir: String): DataFrame    = table(s, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
+    * read natively; sessions set spark.sql.legacy.parquet.nanosAsLong
+    * and we convert here (integer µs floor-division — same truncation
+    * DuckDB applies reading nanos). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = table(s, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 }

@@ -147,17 +147,308 @@ object Relational {
       |WHERE rn <= 3
       |ORDER BY o_orderpriority, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q04
+  /** LEFT OUTER join + agg over the preserved side (null-producing). */
+  def q04LeftJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val ord  = Tables.orders(s, dir)
+    cust.join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_mktsegment")
+      .agg(count($"o_orderkey").as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q04Oracle =
+    """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_mktsegment
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** LEFT SEMI join — existence without duplication. */
+  def q05SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val fOrders = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+    cust.join(fOrders, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  private val q05Oracle =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** LEFT ANTI join — customers with no orders at all. */
+  def q06AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_nationkey".cast("long").as("c_nationkey"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q06Oracle =
+    """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** FULL OUTER join (null-producing on both sides); explicit null
+    * ordering because Spark (NULLS FIRST) and DuckDB (NULLS LAST)
+    * disagree on ASC defaults. */
+  def q07FullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nat = Tables.nation(s, dir).select(
+      $"n_nationkey".cast("long").as("n_nationkey"), $"n_name")
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey".cast("long").as("s_nationkey"))
+    nat.join(sup, $"n_nationkey" === $"s_nationkey", "full")
+      .select($"n_nationkey", $"n_name", $"s_suppkey", $"s_name")
+      .orderBy($"n_nationkey".asc_nulls_first, $"s_suppkey".asc_nulls_first)
+  }
+
+  private val q07Oracle =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, s_suppkey, s_name
+      |FROM nation FULL JOIN supplier ON n_nationkey = s_nationkey
+      |ORDER BY n_nationkey ASC NULLS FIRST, s_suppkey ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Equi + range (non-equi band) join predicate: lineitem×part where
+    * the extended price falls in a band around retail price. Catalyst
+    * keeps the equi key for the hash join and applies the band as a
+    * post-join filter — the shape that scales. */
+  def q08BandJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        $"l_partkey" === $"p_partkey" &&
+        $"l_extendedprice" >= $"p_retailprice" &&
+        $"l_extendedprice" < $"p_retailprice" * lit(30.0))
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_price"))
+      .orderBy($"p_brand")
+  }
+
+  private val q08Oracle =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      | AND l_extendedprice >= p_retailprice
+      | AND l_extendedprice < p_retailprice * 30.0
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** DISTINCT aggregates (exact count-distinct shuffles by group+value
+    * under the hood — scalable; approx variant lives in TextOps). */
+  def q09AggDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_custkey").as("n_customers"),
+        countDistinct($"o_orderpriority").as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q09Oracle =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** ROLLUP hierarchy totals; sentinel-coalesced keys keep the sort
+    * total and dodge cross-engine null-ordering rules. */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty", $"n_rows")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  private val q10Oracle =
+    """SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+      |  COALESCE(l_linestatus,'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** CUBE over two dims. */
+  def q11Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("sum_price"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"sum_price")
+      .orderBy($"status", $"priority")
+  }
+
+  private val q11Oracle =
+    """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+      |  COALESCE(o_orderpriority,'ALL') AS priority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Running/window aggregates: cumulative sum, lag, lead, rank over a
+    * per-customer event sequence. Unique (date, orderkey) ordering
+    * makes RANGE==ROWS frames and the result deterministic. */
+  def q13RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" <= 100)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        sum(dec($"o_totalprice")).over(w).cast("double").as("running_total"),
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        row_number().over(w).cast("long").as("seq"))
+      .orderBy($"o_custkey", $"seq")
+  }
+
+  private val q13Oracle =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total,
+      |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS seq
+      |FROM orders WHERE o_custkey <= 100
+      |ORDER BY o_custkey, seq""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Set operations: UNION (distinct), EXCEPT — bag→set semantics
+    * identical in Spark and DuckDB. */
+  def q14SetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val building = cust.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val rich     = cust.filter($"c_acctbal" > 5000.0).select($"c_custkey")
+    val lowNat   = cust.filter($"c_nationkey" < 5).select($"c_custkey")
+    building.union(rich).distinct().except(lowNat)
+      .orderBy($"c_custkey")
+  }
+
+  private val q14Oracle =
+    """(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      | UNION
+      | SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_nationkey < 5
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** INTERSECT + UNION ALL with dedup counting. */
+  def q15IntersectAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    val a = ord.filter($"o_orderstatus" === "O").select($"o_custkey")
+    val b = ord.filter($"o_totalprice" > 100000.0).select($"o_custkey")
+    a.intersect(b).orderBy($"o_custkey")
+  }
+
+  private val q15Oracle =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Global top-k: total sort + limit (Spark runs TakeOrderedAndProject
+    * — no full sort at scale). */
+  def q16TopKGlobal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .limit(20)
+  }
+
+  private val q16Oracle =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Correlated-existence with extra predicate (semi join w/ condition)
+    * + HAVING-style post-aggregation filter. */
+  def q17ExistsHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigLine = Tables.lineitem(s, dir).filter($"l_quantity" >= 49.0)
+      .select($"l_orderkey")
+    Tables.orders(s, dir)
+      .join(bigLine, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" > 5)
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q17Oracle =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+      |GROUP BY o_orderpriority
+      |HAVING COUNT(*) > 5
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
     "q03_revenue_by_nation" -> (q03RevenueByNation _),
+    "q04_left_join_agg"   -> (q04LeftJoinAgg _),
+    "q05_semi_join"       -> (q05SemiJoin _),
+    "q06_anti_join"       -> (q06AntiJoin _),
+    "q07_full_outer_join" -> (q07FullOuterJoin _),
+    "q08_band_join"       -> (q08BandJoin _),
+    "q09_agg_distinct"    -> (q09AggDistinct _),
+    "q10_rollup"          -> (q10Rollup _),
+    "q11_cube"            -> (q11Cube _),
     "q12_topk_per_group"  -> (q12TopKPerGroup _),
+    "q13_running_window"  -> (q13RunningWindow _),
+    "q14_set_ops"         -> (q14SetOps _),
+    "q15_intersect"       -> (q15IntersectAll _),
+    "q16_topk_global"     -> (q16TopKGlobal _),
+    "q17_exists_having"   -> (q17ExistsHaving _),
   )
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Oracle,
     "q02_filter_project"  -> q02Oracle,
     "q03_revenue_by_nation" -> q03Oracle,
+    "q04_left_join_agg"   -> q04Oracle,
+    "q05_semi_join"       -> q05Oracle,
+    "q06_anti_join"       -> q06Oracle,
+    "q07_full_outer_join" -> q07Oracle,
+    "q08_band_join"       -> q08Oracle,
+    "q09_agg_distinct"    -> q09Oracle,
+    "q10_rollup"          -> q10Oracle,
+    "q11_cube"            -> q11Oracle,
     "q12_topk_per_group"  -> q12Oracle,
+    "q13_running_window"  -> q13Oracle,
+    "q14_set_ops"         -> q14Oracle,
+    "q15_intersect"       -> q15Oracle,
+    "q16_topk_global"     -> q16Oracle,
+    "q17_exists_having"   -> q17Oracle,
   )
 }

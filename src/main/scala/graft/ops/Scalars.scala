@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar-function sweep (SURVEY.md §2.2): string, date/time, math,
+  * array, and JSON functions — all `org.apache.spark.sql.functions`
+  * built-ins so everything stays inside whole-stage codegen (no UDFs
+  * anywhere on the hot path).
+  *
+  * Cross-engine determinism notes:
+  *  - int-returning Spark functions (length, size, levenshtein, year…)
+  *    are cast to long to match DuckDB's BIGINT;
+  *  - transcendental outputs (ln, pow) are rounded to 6 dp — JVM vs
+  *    libm may differ in the last ulp;
+  *  - float array elements are cast to double (exact widening) before
+  *    comparison.
+  */
+object Scalars {
+
+  // ---------------------------------------------------------------- q20
+  def q20StringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        upper($"lang").as("lang_upper"),
+        lower($"source").as("source_lower"),
+        substring($"text", 1, 12).as("prefix12"),
+        length($"text").cast("long").as("text_len"),
+        concat_ws("-", $"lang", $"source").as("tag"),
+        regexp_extract($"text", "^(\\w+)", 1).as("first_word"),
+        regexp_replace(substring($"text", 1, 20), " ", "_").as("snake20"),
+        size(split($"text", " ")).cast("long").as("n_tokens"),
+        levenshtein($"lang", $"source").cast("long").as("lev_dist"),
+        reverse($"lang").as("lang_rev"),
+        trim(lit("  pad  ")).as("trimmed"))
+      .orderBy($"doc_id")
+  }
+
+  private val q20Oracle =
+    """SELECT doc_id,
+      |  upper(lang) AS lang_upper,
+      |  lower(source) AS source_lower,
+      |  substring(text, 1, 12) AS prefix12,
+      |  length(text) AS text_len,
+      |  concat_ws('-', lang, source) AS tag,
+      |  regexp_extract(text, '^(\w+)', 1) AS first_word,
+      |  replace(substring(text, 1, 20), ' ', '_') AS snake20,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  levenshtein(lang, source) AS lev_dist,
+      |  reverse(lang) AS lang_rev,
+      |  trim('  pad  ') AS trimmed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  def q21DateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" < 500)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mon"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("ymd"),
+        unix_timestamp($"o_orderdate").as("epoch_s"),
+        datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date"))
+          .cast("long").as("days_to_2002"),
+        date_add($"o_orderdate".cast("date"), 30).as("plus30"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q21Oracle =
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS yr,
+      |  month(o_orderdate) AS mon,
+      |  day(o_orderdate) AS dom,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+      |  epoch(o_orderdate) AS epoch_s,
+      |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30
+      |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  def q22MathFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" < 300)
+      .select(
+        $"l_orderkey",
+        $"l_linenumber".cast("long").as("l_linenumber"),
+        $"l_quantity", $"l_extendedprice",
+        abs($"l_discount" - 0.05).as("disc_dev"),
+        ($"l_extendedprice" / $"l_quantity").as("unit_price"),
+        sqrt($"l_extendedprice").as("sqrt_price"),
+        round(log($"l_extendedprice"), 6).as("ln_price"),
+        pow($"l_quantity", 2).as("qty_sq"),
+        floor($"l_extendedprice" / 1000.0).cast("long").as("price_bucket"),
+        ceil($"l_quantity" / 7.0).cast("long").as("qty_bucket"),
+        ($"l_orderkey" % 7).as("key_mod"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_quantity")
+  }
+
+  private val q22Oracle =
+    """SELECT l_orderkey,
+      |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  l_quantity, l_extendedprice,
+      |  abs(l_discount - 0.05) AS disc_dev,
+      |  l_extendedprice / l_quantity AS unit_price,
+      |  sqrt(l_extendedprice) AS sqrt_price,
+      |  round(ln(l_extendedprice), 6) AS ln_price,
+      |  pow(l_quantity, 2) AS qty_sq,
+      |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_bucket,
+      |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+      |  l_orderkey % 7 AS key_mod
+      |FROM lineitem WHERE l_orderkey < 300
+      |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Array ops incl. lateral posexplode over the embedding vectors. */
+  def q23ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .filter($"vec_id" < 3)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "val")))
+      .select($"vec_id", $"pos".cast("long").as("pos"),
+        $"val".cast("double").as("val"))
+      .orderBy($"vec_id", $"pos")
+  }
+
+  private val q23Oracle =
+    """SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+      |  CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+      |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+      |WHERE vec_id < 3
+      |ORDER BY vec_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** JSON extraction from the events.props string column. */
+  def q24JsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .filter($"k" >= 50)
+      .orderBy($"event_id")
+  }
+
+  private val q24Oracle =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+      |ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_string_funcs" -> (q20StringFuncs _),
+    "q21_date_funcs"   -> (q21DateFuncs _),
+    "q22_math_funcs"   -> (q22MathFuncs _),
+    "q23_array_funcs"  -> (q23ArrayFuncs _),
+    "q24_json_funcs"   -> (q24JsonFuncs _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_string_funcs" -> q20Oracle,
+    "q21_date_funcs"   -> q21Oracle,
+    "q22_math_funcs"   -> q22Oracle,
+    "q23_array_funcs"  -> q23Oracle,
+    "q24_json_funcs"   -> q24Oracle,
+  )
+}
