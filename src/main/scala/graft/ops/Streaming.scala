@@ -1,0 +1,211 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.{LongType, StructType}
+import graft.Tables
+
+/** Structured Streaming operator sweep (SURVEY.md §2.2 streaming rows):
+  * file source, tumbling/sliding/session event-time windows, watermark
+  * + late data, streaming dedup, and arbitrary stateful processing via
+  * mapGroupsWithState.
+  *
+  * Every query runs `Trigger.AvailableNow` over the bounded events
+  * table and lands in a memory sink, so its result equals a batch
+  * computation and can be DuckDB-oracled (SURVEY.md §7.4 risk 3).
+  *
+  * Scale notes: the file source's checkpointed listing is the
+  * replacement for the reference's GCS→Pub/Sub notification chain; at
+  * 100 TB you shard the landing dir by `batch_ts=` partitions and the
+  * source lists incrementally. Watermarks bound all stateful operator
+  * state (session windows, dedup) so executors don't accumulate
+  * unbounded state at scale.
+  */
+object Streaming {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** The bounded events stream: the static parquet file re-read as a
+    * file-source stream (schema declared, never inferred — the
+    * streaming contract), with the nanos→µs conversion of
+    * Tables.events applied. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    // the file source lists a DIRECTORY (at scale: the landing dir,
+    // partitioned by batch); locally the table is a single parquet
+    // file, so expose it through a symlinked landing dir
+    val landing = java.nio.file.Files.createTempDirectory("graft_events_landing_")
+    java.nio.file.Files.createSymbolicLink(
+      landing.resolve("events.parquet"), java.nio.file.Paths.get(path))
+    val schema: StructType = s.read.parquet(path).schema
+    val raw = s.readStream.schema(schema).parquet(landing.toString)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run a streaming DataFrame into a memory sink until AvailableNow
+    * drains, then return the materialized table. */
+  private def drain(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_mem_${sinkId.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** Tumbling 1-day event-time windows (epoch-aligned, so the batch
+    * oracle is date_trunc). */
+  def q30Tumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select($"window.start".as("day"), $"event_type", $"n_events", $"sum_value")
+    drain(s, agg, OutputMode.Complete()).orderBy($"day", $"event_type")
+  }
+
+  private val q30Oracle =
+    """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Sliding windows (6h length, 3h step): every event lands in exactly
+    * two windows; the oracle materializes both shifted buckets. */
+  def q31Sliding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .groupBy(window($"ts", "6 hours", "3 hours"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".as("w_start"), $"event_type", $"n_events")
+    drain(s, agg, OutputMode.Complete()).orderBy($"w_start", $"event_type")
+  }
+
+  private val q31Oracle =
+    """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+      |b AS (
+      |  SELECT make_timestamp(us // 10800000000 * 10800000000) AS w_start, event_type FROM e
+      |  UNION ALL
+      |  SELECT make_timestamp(us // 10800000000 * 10800000000 - 10800000000) AS w_start, event_type FROM e)
+      |SELECT w_start, event_type, COUNT(*) AS n_events
+      |FROM b GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Session windows (30-min gap) per user, append mode + watermark.
+    * Append withholds sessions the watermark hasn't passed, so a
+    * far-future sentinel event (filtered back out) advances the
+    * watermark and flushes every real session — the bounded-stream
+    * idiom for exact batch equivalence. */
+  def q32SessionWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = eventsStream(s, dir).select($"user_id", $"ts", $"value")
+    // sentinel = a one-row parquet streamed alongside the real source
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_").toString
+    val maxTs = Tables.events(s, dir).agg(max($"ts")).head().getTimestamp(0)
+    val farUs = maxTs.getTime * 1000L + 30L * 24 * 3600 * 1000 * 1000
+    s.range(1).select(lit(-1L).as("user_id"),
+      timestamp_micros(lit(farUs)).as("ts"), lit(0.0).as("value"))
+      .write.mode("overwrite").parquet(tmp)
+    val sentinelStream = s.readStream
+      .schema(s.read.parquet(tmp).schema).parquet(tmp)
+    val agg = base.union(sentinelStream)
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events", $"sum_value")
+    drain(s, agg, OutputMode.Append())
+      .filter($"user_id" >= 0)
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val q32Oracle =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Streaming dedup under watermark: the stream unioned with itself
+    * simulates the reference's at-least-once redelivery duplicates
+    * (SURVEY.md §2.3); dropDuplicates restores exactly-once output.
+    * State is pruned by the watermark at scale. */
+  def q33StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val once  = eventsStream(s, dir)
+    val twice = once.union(eventsStream(s, dir)) // independent second scan
+    val deduped = twice
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select($"event_id", $"event_type", $"value")
+    drain(s, deduped, OutputMode.Append()).orderBy($"event_id")
+  }
+
+  private val q33Oracle =
+    """SELECT event_id, event_type, value FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Arbitrary stateful processing (mapGroupsWithState): per-user
+    * max inter-event gap in µs — the KeyValueGroupedDataset custom
+    * state path the built-in operators can't express. */
+  def q34StatefulGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed: Dataset[(Long, Long)] = eventsStream(s, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .as[(Long, Long)]
+    val result = typed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[Seq[Long]]) =>
+          val all = (state.getOption.getOrElse(Seq.empty) ++ rows.map(_._2)).sorted
+          state.update(all)
+          val maxGap = if (all.size < 2) 0L
+            else all.sliding(2).map(p => p(1) - p(0)).max
+          (uid, all.size.toLong, maxGap)
+      }
+      .toDF("user_id", "n_events", "max_gap_us")
+    drain(s, result, OutputMode.Update()).orderBy($"user_id")
+  }
+
+  private val q34Oracle =
+    """WITH d AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  COALESCE(MAX(gap), 0) AS max_gap_us
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_stream_tumbling" -> (q30Tumbling _),
+    "q31_stream_sliding"  -> (q31Sliding _),
+    "q32_session_windows" -> (q32SessionWindows _),
+    "q33_stream_dedup"    -> (q33StreamDedup _),
+    "q34_stateful_gaps"   -> (q34StatefulGaps _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_stream_tumbling" -> q30Oracle,
+    "q31_stream_sliding"  -> q31Oracle,
+    "q32_session_windows" -> q32Oracle,
+    "q33_stream_dedup"    -> q33Oracle,
+    "q34_stateful_gaps"   -> q34Oracle,
+  )
+}
