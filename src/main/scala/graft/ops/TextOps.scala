@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token statistics, quality scoring, language ID,
+  * and document fingerprinting. Everything is built-in-function
+  * composition (codegen'd, no UDFs) so it runs at scan speed — the
+  * only cost at 100 TB is the scan itself plus one projection.
+  */
+object TextOps {
+
+  /** Shared stopword list (must match the oracle SQL literally). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  // ---------------------------------------------------------------- q60
+  /** Per-document token statistics. */
+  def q60TextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", toks($"text"))
+      .select(
+        $"doc_id", $"lang",
+        length($"text").cast("long").as("n_chars_actual"),
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct_tokens"),
+        (length(regexp_replace($"text", " ", "")).cast("double") /
+          size($"toks")).as("avg_token_len"),
+        (size(filter($"toks", t => t.isin(stopwords: _*))).cast("double") /
+          size($"toks")).as("stopword_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  private val q60Oracle =
+    s"""SELECT doc_id, lang,
+       |  length(text) AS n_chars_actual,
+       |  len(string_split(lower(text), ' ')) AS n_tokens,
+       |  len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens,
+       |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+       |    / len(string_split(lower(text), ' ')) AS avg_token_len,
+       |  CAST(len(list_filter(string_split(lower(text), ' '),
+       |        x -> x IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+       |    / len(string_split(lower(text), ' ')) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Language ID via n-gram/stopword heuristic: CJK character ratio
+    * decides zh; otherwise the best stopword-profile overlap wins
+    * (ties → lexicographically greatest code — deterministic).
+    * No SQL oracle (profile scoring isn't reasonably expressible);
+    * accuracy is asserted on real sentences in LlmOpsSpec. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "est", "un", "une", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "ein", "eine", "zu"),
+  )
+
+  def q61LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withToks = Tables.documents(s, dir).withColumn("toks", toks($"text"))
+    val scored = langProfiles.toSeq.sortBy(_._1).foldLeft(withToks) {
+      case (df, (lang, profile)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(col("toks"), t => t.isin(profile: _*))).cast("double") /
+            size(col("toks")))
+    }
+    val cjkRatio = (length($"text") -
+      length(regexp_replace($"text", "[\\x{4e00}-\\x{9fff}]", ""))).cast("double") /
+      length($"text")
+    val best = array_max(array(langProfiles.keys.toSeq.sorted.map(l =>
+      struct(col(s"score_$l").as("score"), lit(l).as("lang"))): _*))
+    scored
+      .withColumn("cjk_ratio", cjkRatio)
+      .withColumn("best", best)
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        when($"cjk_ratio" > 0.3, "zh").otherwise($"best.lang").as("predicted_lang"),
+        when($"cjk_ratio" > 0.3, $"cjk_ratio").otherwise($"best.score").as("confidence"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- q62
+  /** Composite quality score from length, lexical diversity, and
+    * stopword balance — integer counts divided in fixed order so the
+    * double math is engine-identical. */
+  def q62QualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", toks($"text"))
+      .withColumn("len_score",
+        least(length($"text").cast("double") / 500.0, lit(1.0)))
+      .withColumn("diversity",
+        size(array_distinct($"toks")).cast("double") / size($"toks"))
+      .withColumn("stop_ratio",
+        size(filter($"toks", t => t.isin(stopwords: _*))).cast("double") /
+          size($"toks"))
+      .withColumn("quality_score",
+        $"len_score" * 0.5 + $"diversity" * 0.3 + (lit(1.0) - $"stop_ratio") * 0.2)
+      .select($"doc_id", $"len_score", $"diversity", $"stop_ratio",
+        $"quality_score", ($"quality_score" >= 0.6).as("is_quality"))
+      .orderBy($"doc_id")
+  }
+
+  private val q62Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+       |    CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+       |      / len(string_split(lower(text), ' ')) AS diversity,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |          x -> x IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+       |      / len(string_split(lower(text), ' ')) AS stop_ratio
+       |  FROM documents)
+       |SELECT doc_id, len_score, diversity, stop_ratio,
+       |  len_score * 0.5 + diversity * 0.3 + (1.0 - stop_ratio) * 0.2 AS quality_score,
+       |  len_score * 0.5 + diversity * 0.3 + (1.0 - stop_ratio) * 0.2 >= 0.6 AS is_quality
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Content fingerprint: md5 over canonicalized text (lower +
+    * whitespace collapse) — the exact-dedup key at scale. */
+  def q63Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(regexp_replace(lower($"text"), " +", " ")).as("fingerprint"),
+        length($"text").cast("long").as("n_chars_actual"))
+      .orderBy($"doc_id")
+  }
+
+  private val q63Oracle =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint,
+      |  length(text) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_text_stats"    -> (q60TextStats _),
+    "q61_lang_id"       -> (q61LangId _),
+    "q62_quality_score" -> (q62QualityScore _),
+    "q63_fingerprint"   -> (q63Fingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_text_stats"    -> q60Oracle,
+    "q62_quality_score" -> q62Oracle,
+    "q63_fingerprint"   -> q63Oracle,
+  )
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSuite
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSuite {
+
+  test("q60 text stats: counts consistent on a known sentence") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat on the mat", "en", "srcX", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.createOrReplaceTempView("docs_tiny")
+    val r = TextOps.q60TextStats(spark, sf0001).limit(0) // plan compiles on real table
+    assert(r.columns.toSet == Set("doc_id", "lang", "n_chars_actual",
+      "n_tokens", "n_distinct_tokens", "avg_token_len", "stopword_ratio"))
+    // semantics on the tiny fixture via the same expressions
+    val row = df
+      .withColumn("toks", split(lower($"text"), " "))
+      .select(
+        size($"toks").as("n_tokens"),
+        size(array_distinct($"toks")).as("n_distinct"),
+        size(filter($"toks", t => t.isin(TextOps.stopwords: _*))).as("n_stop"))
+      .head()
+    assert(row.getInt(0) == 6)
+    assert(row.getInt(1) == 5)  // "the" repeats
+    assert(row.getInt(2) == 3)  // the, on, the
+  }
+
+  test("q60/q62/q63 run on sf0.001 and return every document") {
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(TextOps.q60TextStats(spark, sf0001).count() == n)
+    assert(TextOps.q62QualityScore(spark, sf0001).count() == n)
+    assert(TextOps.q63Fingerprint(spark, sf0001).count() == n)
+  }
+
+  test("q61 language id: real sentences classified correctly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox and the lazy dog in that field it was for fun", "en"),
+      (2L, "el perro y la casa de que en un una los es grande", "es"),
+      (3L, "le chat et la maison de les des est un une que belle", "fr"),
+      (4L, "der hund und die katze das ist von den ein eine zu haus", "de"),
+      (5L, "中文文本处理测试文档内容", "zh"),
+    ).toDF("doc_id", "text", "expected")
+    // run the same expression pipeline q61 uses, over the fixture
+    val tmp = java.nio.file.Files.createTempDirectory("langid").toString
+    df.withColumn("lang", $"expected").withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.q61LangId(spark, tmp)
+      .select("doc_id", "labeled_lang", "predicted_lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    out.foreach { case (_, (expected, predicted)) => assert(predicted == expected) }
+  }
+
+  test("q63 fingerprint: whitespace-collapse canonicalization dedupes") {
+    import spark.implicits._
+    val fp = (t: String) => Seq(t).toDF("text")
+      .select(md5(regexp_replace(lower($"text"), " +", " ")).as("f"))
+      .head().getString(0)
+    assert(fp("Hello  World") == fp("hello world"))
+    assert(fp("hello world") != fp("hello there"))
+  }
+
+  test("VectorOps: dot/norm/cosine/l2sq exact on known vectors") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot($"a", $"b").as("dot"),
+      VectorOps.norm($"a").as("na"),
+      VectorOps.cosine($"a", $"b").as("cos"),
+      VectorOps.l2sq($"a", $"b").as("l2")).head()
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 27.0) < 1e-12)
+  }
+
+  test("VectorOps: cosine of identical vectors is 1") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array(0.3f, -0.7f, 0.11f))).toDF("a")
+    val r = df.select(VectorOps.cosine($"a", $"a")).head().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-9)
+  }
+}
