@@ -1,0 +1,397 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for training-data pipelines over the
+  * `documents` table — the [NS] dedup family from SURVEY.md §2.2
+  * ("Distinct / dedup"): exact fingerprint dedup, MinHash+LSH and
+  * SimHash near-dedup, and exact n-gram Jaccard similarity join.
+  *
+  * Scale notes (the design constraint is 100 TB, ~1e9 docs):
+  *  - Signature computation (fingerprint / minhash / simhash) is a
+  *    pure projection built from codegen'd higher-order functions —
+  *    zero shuffle, cost = one scan.
+  *  - Candidate generation shuffles only (key, doc_id) pairs, never
+  *    document text: LSH banding keys (q65), 16-bit simhash bands
+  *    (q69). The O(n²) all-pairs comparison is confined to within-
+  *    bucket groups, which stay tiny when bands are wide (64-bit
+  *    bucket ids here).
+  *  - The exact-Jaccard join (q66) shuffles one row per distinct
+  *    shingle per doc; it is the verification/oracle path, while
+  *    q65 is the approximate scale path over the same pairs.
+  */
+object DedupOps {
+
+  /** Canonical text: lowercase, collapsed whitespace (same canon as
+    * TextOps.q63Fingerprint). */
+  private def canon(c: Column): Column = regexp_replace(lower(c), " +", " ")
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Distinct 3-gram word shingles; empty for docs under 3 tokens
+    * (guards Spark's descending `sequence` when size-2 < 1). */
+  def shingles3(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  // ---------------------------------------------------------------- q64
+  /** Exact dedup: hash-groupBy on the canonical-text fingerprint.
+    * Output is one row per distinct content with the keeper id (min
+    * doc_id) and the duplicate count — the "keep first, count the
+    * rest" primitive. At scale this is a single hash aggregate on a
+    * 128-bit key; text never shuffles. */
+  def q64ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", md5(canon($"text")).as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"fingerprint")
+  }
+
+  private val q64Oracle =
+    """SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fingerprint,
+      |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  // ---------------------------------------------------------------- q65
+  /** MinHash + LSH near-dedup. k=32 minhashes (xxhash64 with per-
+    * function salt), b=8 bands × r=4 rows; candidate pairs share at
+    * least one band bucket; estimated Jaccard = matching-signature
+    * fraction, thresholded at 0.5.
+    *
+    * No SQL oracle (xxhash64 is Spark-specific); DedupOpsSpec checks
+    * the estimates against q66's exact Jaccard on the planted
+    * near-duplicates. */
+  val minhashK = 32
+  val lshBands = 8 // × 4 rows per band
+
+  /** (doc_id, sig array<long>[k]): explode distinct shingles, reduce
+    * k salted-hash minima with one codegen'd hash aggregate. Map-side
+    * partial agg means the shuffle carries k longs per doc, not
+    * shingles — the shape that holds at 100 TB. (A scalar fold over
+    * the shingle array works too, but optimizer inlining re-evaluates
+    * such non-trivial projections wherever they're referenced, and
+    * interpreted HOF lambdas multiply that cost — measured 10-30× on
+    * this pipeline.) */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", explode(shingles3($"text")).as("sh"))
+    val aggs = (0 until minhashK).map(seed =>
+      min(xxhash64(lit(seed), $"sh")).as(s"m$seed"))
+    sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .select($"doc_id", array((0 until minhashK).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** All i<j pairs within a doc_id-sorted bucket member array —
+    * `array<struct<doc_id,…>>` → `array<struct<a,b>>`. Caller must
+    * guarantee `size(members) >= 2` (Spark's `sequence` turns
+    * descending for start > stop). */
+  private def pairUp(members: Column): Column =
+    flatten(transform(sequence(lit(1), size(members) - 1), i =>
+      transform(sequence(i + 1, size(members)), j =>
+        struct(element_at(members, i.cast("int")).as("a"),
+          element_at(members, j.cast("int")).as("b")))))
+
+  def q65MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = minhashSignatures(s, dir)
+    val rows = minhashK / lshBands
+    // One shuffle, no self-join: explode band keys, group docs per
+    // (band, bucket), emit i<j pairs inside each bucket. Signatures
+    // are computed exactly once per document — a self-join
+    // formulation re-evaluated the signature scan per branch AND
+    // leaked the expensive key expression into scan filters via the
+    // join-key not-null predicate (25× slower at sf0.1). Skewed
+    // buckets are the known hazard at 100 TB: 64-bit bucket ids keep
+    // them rare, and a size cap would drop pathological buckets.
+    val banded = sigs.select($"doc_id", $"sig",
+      explode(transform(sequence(lit(0), lit(lshBands - 1)), j =>
+        struct(j.as("band"),
+          xxhash64(j, array_join(transform(
+            sequence(j * rows + 1, (j + 1) * rows),
+            i => element_at($"sig", i.cast("int")).cast("string")), ",")).as("bucket"))))
+        .as("bk"))
+      .select($"doc_id", $"sig", $"bk.band", $"bk.bucket")
+    banded
+      .groupBy($"band", $"bucket")
+      .agg(array_sort(collect_list(struct($"doc_id", $"sig"))).as("members"))
+      .where(size($"members") >= 2)
+      .select(explode(pairUp($"members")).as("p"))
+      .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
+        (aggregate(zip_with($"p.a.sig", $"p.b.sig",
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / minhashK)
+          .as("est_jaccard"))
+      .distinct()
+      .where($"est_jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---------------------------------------------------------------- q66
+  /** Exact n-gram Jaccard similarity join: explode distinct 3-gram
+    * shingles, self-equi-join on the shingle, count intersections,
+    * Jaccard = |∩| / (|A|+|B|-|∩|), threshold 0.5. The exact
+    * counterpart (and oracle) of q65's estimate. */
+  def q66NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", explode(shingles3($"text")).as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.alias("x"), $"doc_a" === $"x.doc_id")
+      .join(sizes.alias("y"), $"doc_b" === $"y.doc_id")
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"x.n" + $"y.n" - $"inter")).as("jaccard"))
+      .where($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q66Oracle =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+      |  FROM t),
+      |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** SimHash: 64-bit locality-sensitive signature per document.
+    * Per token, a 64-bit hash (md5 hex digits — engine-portable);
+    * per bit, sum +1/-1 over tokens; sign → bit. Emitted as a
+    * 64-char '0'/'1' string so the DuckDB oracle can reproduce it
+    * byte-for-byte. Pure projection — zero shuffle; production would
+    * pack the bits into a LONG and compare with bit_count(a ^ b). */
+  private val hexVal: Column =
+    map((0 until 16).flatMap(i => Seq(lit(f"$i%x"), lit(i))): _*)
+  private val pow4 = Seq(1, 2, 4, 8)
+
+  /** +1/-1 contribution of bit `b` (0-based) of md5-hex `h`. */
+  private def bitContrib(h: Column, b: Column): Column = {
+    val digit = element_at(hexVal, h.substr((b / 4).cast("int") + 1, lit(1)))
+    val p = element_at(array(pow4.map(lit): _*), (b % 4).cast("int") + 1)
+    when((digit / p).cast("int") % 2 === 1, 1).otherwise(-1)
+  }
+
+  /** Scalar-expression simhash over an arbitrary text Column (one
+    * row in, one 64-char '0'/'1' signature out). Handy for ad-hoc
+    * use and property tests; the relational queries use
+    * [[simhashVotes]] instead — this expression is interpreted
+    * (higher-order lambdas) and optimizer inlining re-evaluates it
+    * wherever referenced, which is exactly wrong for a multi-stage
+    * dedup plan. */
+  def simhashCol(text: Column): Column = {
+    val hashes = transform(toks(text), t => md5(t))
+    val counts = aggregate(hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), b => bitContrib(h, b)),
+        (x, y) => x + y))
+    array_join(transform(counts, c => when(c > 0, "1").otherwise("0")), "")
+  }
+
+  /** Relational simhash: explode tokens, reduce 64 per-bit ±1 votes
+    * with a codegen'd hash aggregate (map-side partial agg — at
+    * 100 TB the shuffle carries 64 ints per doc, not tokens), then
+    * derive the signature from the 64 scalar vote columns. No
+    * interpreted higher-order lambdas anywhere: the scalar-expression
+    * formulation ([[simhashCol]]) costs ~4 s per pass at sf0.1 and
+    * gets re-evaluated by optimizer inlining wherever it's
+    * referenced downstream; this one runs entirely in whole-stage
+    * codegen and is safe to build on.
+    *
+    * Output: (doc_id, c0..c63 vote sums). Bit b of token = bit
+    * `4*(3-((b div 4) mod 4)) + (b mod 4)` of the 16-bit int parsed
+    * from md5-hex chars [4j+1, 4j+4], j = b div 16 — identical bit
+    * order to [[simhashCol]]'s per-hex-digit extraction.
+    */
+  private def simhashVotes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("t"))
+      .select($"doc_id", md5($"t").as("h"))
+      .select(($"doc_id" +: (0 until 4).map(j =>
+        conv(substring($"h", 4 * j + 1, 4), 16, 10).cast("int").as(s"v$j"))): _*)
+    val votes = (0 until 64).map { b =>
+      val j = b / 16                       // which 16-bit word
+      val k = (b / 4) % 4                  // hex char within the word
+      val shift = 4 * (3 - k) + (b % 4)    // its bit within the word
+      sum(shiftright(col(s"v$j"), shift).bitwiseAND(1) * 2 - 1).as(s"c$b")
+    }
+    tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+  }
+
+  def q67Simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    simhashVotes(s, dir)
+      .select($"doc_id",
+        concat((0 until 64).map(b =>
+          when(col(s"c$b") > 0, "1").otherwise("0")): _*).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  private val q67Oracle =
+    """WITH tok AS (
+      |  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN ((strpos('0123456789abcdef',
+      |            substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+      |          // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+      |                        WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+      |      THEN 1 ELSE -1 END) AS s
+      |  FROM tok, range(0, 64) r(b)
+      |  GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** SimHash near-dedup: band the 64-bit signature into 4×16-bit
+    * blocks; candidates share a block (pigeonhole-exact for hamming
+    * ≤ 3, probabilistic above); exact hamming filter ≤ 8. Shuffles
+    * only (16-char key, doc_id) — the scale path for fuzzy dedup
+    * when shingling is too expensive. */
+  def q69SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Bands packed into 16-bit longs so the per-pair hamming is
+    // 4 × bit_count(xor) (codegen'd) instead of a 64-element
+    // interpreted string fold. Same bucket-group pattern as q65: one
+    // scan, one shuffle, signature computed once per doc.
+    val sig = simhashVotes(s, dir)
+      .select($"doc_id", array((0 until 4).map { j =>
+        (0 until 16).foldLeft(lit(0L)) { (acc, t) =>
+          acc * 2 + when(col(s"c${16 * j + t}") > 0, 1L).otherwise(0L)
+        }
+      }: _*).as("bv"))
+    val hamming = aggregate(
+      zip_with($"p.a.bv", $"p.b.bv", (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v)
+    sig
+      .select($"doc_id", $"bv", posexplode($"bv"))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      .groupBy($"band", $"key")
+      .agg(array_sort(collect_list(struct($"doc_id", $"bv"))).as("members"))
+      .where(size($"members") >= 2)
+      .select(explode(pairUp($"members")).as("p"))
+      .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
+        hamming.as("hamming"))
+      .distinct()
+      .where($"hamming" <= 8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val q69Oracle =
+    """WITH sig AS (
+      |  SELECT doc_id, simhash FROM (
+      |    WITH tok AS (
+      |      SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h
+      |      FROM documents),
+      |    bits AS (
+      |      SELECT doc_id, b,
+      |        SUM(CASE WHEN ((strpos('0123456789abcdef',
+      |                substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+      |              // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+      |                            WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+      |          THEN 1 ELSE -1 END) AS s
+      |      FROM tok, range(0, 64) r(b)
+      |      GROUP BY doc_id, b)
+      |    SELECT doc_id,
+      |      string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      |    FROM bits GROUP BY doc_id)),
+      |banded AS (
+      |  SELECT doc_id, simhash, b AS band, substr(simhash, CAST(b*16 AS INT)+1, 16) AS key
+      |  FROM sig, range(0, 4) r(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.simhash sa, b.simhash sb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  len(list_filter(range(1, 65), i -> substr(sa, CAST(i AS INT), 1) <> substr(sb, CAST(i AS INT), 1))) AS hamming
+      |FROM cand
+      |WHERE len(list_filter(range(1, 65), i -> substr(sa, CAST(i AS INT), 1) <> substr(sb, CAST(i AS INT), 1))) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** Embedding-cosine near-dedup over `embeddings`: pairs with
+    * cosine > 0.4. Brute-force O(n²) here (the oracle path); the
+    * scale path is q71's IVF bucketing in SimilarityOps. Double math
+    * is a strict left-to-right fold on both engines, so values match
+    * bit-for-bit with no rounding. */
+  def q68EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorOps
+    // Norms are computed once per row BELOW the join and carried as a
+    // column — computing them inside the pair expression would redo
+    // two 64-element folds per pair (O(n²) extra work). The streamed
+    // side is repartitioned so the nested-loop join parallelizes
+    // across cores instead of inheriting the single-file scan's one
+    // partition.
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", VectorOps.norm($"embedding").as("nrm"))
+    e.repartition(col("vec_id")).alias("a")
+      .join(e.alias("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        (VectorOps.dot($"a.embedding", $"b.embedding") /
+          ($"a.nrm" * $"b.nrm")).as("cosine"))
+      .where($"cosine" > 0.4)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  private val q68Oracle =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id vec_a, b.vec_id vec_b,
+      |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)),
+      |        (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+      |        (x, y) -> x + y))) AS cosine
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cosine FROM p WHERE cosine > 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_exact_dedup"       -> (q64ExactDedup _),
+    "q65_minhash_lsh"       -> (q65MinhashLsh _),
+    "q66_ngram_jaccard"     -> (q66NgramJaccard _),
+    "q67_simhash"           -> (q67Simhash _),
+    "q68_embedding_neardup" -> (q68EmbeddingNearDup _),
+    "q69_simhash_neardup"   -> (q69SimhashNearDup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q64_exact_dedup"       -> q64Oracle,
+    "q66_ngram_jaccard"     -> q66Oracle,
+    "q67_simhash"           -> q67Oracle,
+    "q68_embedding_neardup" -> q68Oracle,
+    "q69_simhash_neardup"   -> q69Oracle,
+  )
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSuite {
+
+  test("q64 exact dedup: planted exact duplicates collapse to one keeper") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "t", 16L),
+      (2L, "ALPHA  beta GAMMA", "en", "t", 17L), // same after canon
+      (3L, "totally different text", "en", "t", 22L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DedupOps.q64ExactDedup(spark, tmp).collect()
+    assert(r.length == 2)
+    val dupGroup = r.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 1L) // keeper = min doc_id
+  }
+
+  test("q65 minhash-lsh finds the exact-jaccard pairs and estimates well") {
+    val exact = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val est = DedupOps.q65MinhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty) // fixture has planted near-duplicates
+    // recall: every high-jaccard exact pair must surface as a candidate
+    val high = exact.filter(_._2 >= 0.8)
+    val found = high.keySet.intersect(est.keySet)
+    assert(found.size.toDouble / high.size >= 0.9,
+      s"recall ${found.size}/${high.size}")
+    // estimate quality: |est - exact| <= 0.25 on shared pairs (k=32)
+    found.foreach { p =>
+      assert(math.abs(est(p) - exact(p)) <= 0.25, s"$p est=${est(p)} exact=${exact(p)}")
+    }
+  }
+
+  test("q67 simhash: near-identical docs have small hamming; disjoint docs do not") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single day"),
+      (2L, "the quick brown fox jumps over the lazy dog every single night"), // 1 tok diff
+      (3L, "zqx wvu tsr qpo nml kji hgf edc baz yxw"),                        // disjoint
+    ).toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", DedupOps.simhashCol($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(sigs(1L).length == 64 && sigs(1L).forall(c => c == '0' || c == '1'))
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+    assert(hamming(sigs(1L), sigs(2L)) <= 12)
+  }
+
+  test("q69 simhash near-dup surfaces the planted near-duplicate pairs") {
+    val planted = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .filter(_.getDouble(2) >= 0.9).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simPairs = DedupOps.q69SimhashNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = planted.intersect(simPairs)
+    assert(found.size.toDouble / planted.size >= 0.8,
+      s"recall ${found.size}/${planted.size}")
+  }
+
+  test("q68 embedding near-dup: symmetric pairs, cosine in (0.4, 1]") {
+    val rows = DedupOps.q68EmbeddingNearDup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) > 0.4 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
+    import spark.implicits._
+    val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")
+      .select(DedupOps.shingles3($"text").as("s")).collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1).isEmpty)
+    assert(got(2).sorted == Seq("x y z", "y z x", "z x y").sorted)
+  }
+}

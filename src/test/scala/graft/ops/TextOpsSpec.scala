@@ -78,6 +78,19 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(3) - 27.0) < 1e-12)
   }
 
+  test("VectorOps: native codegen dot is bit-identical to the HOF fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val diff = df.select(
+      (VectorOps.dot($"a", $"b") - VectorOps.dotHof($"a", $"b")).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(diff.forall(_ == 0.0)) // exact, not approx: same fold order
+  }
+
   test("VectorOps: cosine of identical vectors is 1") {
     import spark.implicits._
     val df = Seq(Tuple1(Array(0.3f, -0.7f, 0.11f))).toDF("a")
