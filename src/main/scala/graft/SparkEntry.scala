@@ -18,11 +18,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ Streaming.queries ++
-      TextOps.queries ++ DedupOps.queries ++ graft.etl.EtlDemo.queries
+      TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      graft.etl.EtlDemo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ Streaming.oracles ++
-      TextOps.oracles ++ DedupOps.oracles
+      TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles
 }
