@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class MultimodalOpsSpec extends SparkSuite {
+
+  test("media view: binary payload round-trips, types cycle, metadata present") {
+    import spark.implicits._
+    val m = MultimodalOps.media(spark, sf0001)
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(m.count() == n)
+    assert(m.toDF().schema("payload").dataType.typeName == "binary")
+    val types = m.toDF().select("media_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types == Set("image", "audio", "video"))
+    // payload is the utf-8 of text — length matches for every row
+    val bad = m.toDF().alias("m")
+      .join(graft.Tables.documents(spark, sf0001).alias("d"),
+        $"m.media_id" === $"d.doc_id")
+      .where(length($"m.payload") =!= octet_length($"d.text")).count()
+    assert(bad == 0)
+  }
+
+  test("decodeFeatures: deterministic stub, checksum equals SQL md5, dims clamped") {
+    import spark.implicits._
+    val f = MultimodalOps.q75MediaFeatures(spark, sf0001)
+    // cross-check the JVM MessageDigest md5 against Spark SQL's md5
+    val mismatch = f.alias("f")
+      .join(graft.Tables.documents(spark, sf0001).alias("d"),
+        $"f.media_id" === $"d.doc_id")
+      .where($"f.checksum" =!= md5($"d.text")).count()
+    assert(mismatch == 0)
+    f.collect().foreach { r =>
+      assert(r.getInt(4) <= MultimodalOps.targetSize)
+      assert(r.getInt(5) <= MultimodalOps.targetSize)
+      assert(r.getLong(2) > 0)
+    }
+  }
+
+  test("decodeFeatures preserves partitioning (no shuffle in the decode pass)") {
+    val ds = MultimodalOps.media(spark, sf0001).repartition(7)
+    val decoded = MultimodalOps.decodeFeatures(ds)
+    assert(decoded.rdd.getNumPartitions == 7)
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"))
+  }
+
+  test("q76 frame sample: stride/len arithmetic on a known payload") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mm").toString
+    // doc_id=2 → video; 100 chars → frames at offsets 0 and 64
+    val text = ("abcdefghij" * 10)
+    Seq((2L, text, "en", "t", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = MultimodalOps.q76FrameSample(spark, tmp).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 1))
+    // frame 0 = chars 1..16, frame 1 = chars 65..80; both md5s differ
+    assert(rows(0).getString(2) != rows(1).getString(2))
+  }
+}
