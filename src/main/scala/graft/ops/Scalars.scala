@@ -157,12 +157,40 @@ object Scalars {
       |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+  /** Map functions: build a map column, list its keys, explode it to
+    * rows — over `nation` so the output is small and total-ordered. */
+  def q25MapFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, dir)
+      .select($"n_nationkey",
+        map(lit("nation_key"), $"n_nationkey".cast("double"),
+            lit("region_key"), $"n_regionkey".cast("double")).as("m"))
+      .select($"n_nationkey",
+        array_join(map_keys($"m"), ",").as("keys_csv"),
+        explode($"m"))
+      .select($"n_nationkey".cast("long").as("n_nationkey"),
+        $"keys_csv", $"key", $"value")
+      .orderBy($"n_nationkey", $"key")
+  }
+
+  private val q25Oracle =
+    """SELECT n_nationkey, keys_csv, key, value FROM (
+      |  SELECT CAST(n_nationkey AS BIGINT) n_nationkey,
+      |    'nation_key,region_key' keys_csv,
+      |    'nation_key' AS key, CAST(n_nationkey AS DOUBLE) AS value FROM nation
+      |  UNION ALL
+      |  SELECT CAST(n_nationkey AS BIGINT), 'nation_key,region_key',
+      |    'region_key', CAST(n_regionkey AS DOUBLE) FROM nation)
+      |ORDER BY n_nationkey, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_string_funcs" -> (q20StringFuncs _),
     "q21_date_funcs"   -> (q21DateFuncs _),
     "q22_math_funcs"   -> (q22MathFuncs _),
     "q23_array_funcs"  -> (q23ArrayFuncs _),
     "q24_json_funcs"   -> (q24JsonFuncs _),
+    "q25_map_funcs"    -> (q25MapFuncs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -171,5 +199,6 @@ object Scalars {
     "q22_math_funcs"   -> q22Oracle,
     "q23_array_funcs"  -> q23Oracle,
     "q24_json_funcs"   -> q24Oracle,
+    "q25_map_funcs"    -> q25Oracle,
   )
 }

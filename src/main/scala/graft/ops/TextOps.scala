@@ -139,16 +139,81 @@ object TextOps {
       |  length(text) AS n_chars_actual
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Token counting two ways: whitespace split vs a BPE-ish lexer
+    * regex (letter runs | digit runs | single punctuation) — the
+    * cheap proxy for "how many subword tokens will this cost". */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def q72TokenCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower($"text"), lit(bpeishPattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        (size(regexp_extract_all(lower($"text"), lit(bpeishPattern), lit(0))).cast("double") /
+          size(split($"text", " "))).as("bpe_per_word"))
+      .orderBy($"doc_id")
+  }
+
+  private val q72Oracle =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(text), '$bpeishPattern')) AS n_bpe_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '$bpeishPattern')) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS bpe_per_word
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q77
+  /** Rolling (Rabin-Karp) content fingerprint: polynomial hash
+    * `h = Σ c·31^i mod 1e9+7` over the printable-ascii character
+    * stream — an order-sensitive complement to q63's md5-of-canon
+    * (detects reordering that bag-of-words hashing misses). */
+  val rollMod = 1000000007L
+
+  def q77RollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asciiOnly = regexp_replace($"text", "[^\\x20-\\x7e]", "")
+    Tables.documents(s, dir)
+      .select($"doc_id", asciiOnly.as("a"))
+      .select($"doc_id",
+        when(length($"a") === 0, 0L).otherwise(
+          aggregate(split($"a", ""), lit(0L),
+            (acc, c) => (acc * 31 + ascii(c)) % rollMod)).as("roll_hash"),
+        length($"a").cast("long").as("n_ascii_chars"))
+      .orderBy($"doc_id")
+  }
+
+  private val q77Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS a
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN strlen(a) = 0 THEN 0 ELSE
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, strlen(a) + 1),
+       |          i -> CAST(ascii(substr(a, CAST(i AS INT), 1)) AS BIGINT))),
+       |      (acc, c) -> (acc * 31 + c) % $rollMod)
+       |  END AS roll_hash,
+       |  strlen(a) AS n_ascii_chars
+       |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q60_text_stats"    -> (q60TextStats _),
-    "q61_lang_id"       -> (q61LangId _),
-    "q62_quality_score" -> (q62QualityScore _),
-    "q63_fingerprint"   -> (q63Fingerprint _),
+    "q60_text_stats"          -> (q60TextStats _),
+    "q61_lang_id"             -> (q61LangId _),
+    "q62_quality_score"       -> (q62QualityScore _),
+    "q63_fingerprint"         -> (q63Fingerprint _),
+    "q72_token_counts"        -> (q72TokenCounts _),
+    "q77_rolling_fingerprint" -> (q77RollingFingerprint _),
   )
 
   val oracles: Map[String, String] = Map(
-    "q60_text_stats"    -> q60Oracle,
-    "q62_quality_score" -> q62Oracle,
-    "q63_fingerprint"   -> q63Oracle,
+    "q60_text_stats"          -> q60Oracle,
+    "q62_quality_score"       -> q62Oracle,
+    "q63_fingerprint"         -> q63Oracle,
+    "q72_token_counts"        -> q72Oracle,
+    "q77_rolling_fingerprint" -> q77Oracle,
   )
 }
