@@ -142,18 +142,28 @@ object DedupOps {
     * counterpart (and oracle) of q65's estimate. */
   def q66NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Single shingle pass: per-doc shingle counts ride along via a
+    // window, then docs group per shingle and in-group pairs explode
+    // (same pattern as q65/q69 — a self-join would re-run the
+    // explode+shingle projection once per branch). Jaccard comes
+    // straight off the pair counts: |∩| / (nA + nB - |∩|). At 100 TB
+    // the guard is shingle document-frequency: a stop-shingle in k
+    // docs yields k²/2 pairs, so production would drop
+    // high-df shingles before pairing (threshold dedup accuracy loss
+    // is negligible — those shingles carry no signal).
     val sh = Tables.documents(s, dir)
       .select($"doc_id", explode(shingles3($"text")).as("sh"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.alias("a")
-      .join(sh.alias("b"), $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+    sh.groupBy($"sh")
+      .agg(array_sort(collect_list(struct($"doc_id", $"n"))).as("members"))
+      .where(size($"members") >= 2)
+      .select(explode(pairUp($"members")).as("p"))
+      .groupBy($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
+        $"p.a.n".as("na"), $"p.b.n".as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.alias("x"), $"doc_a" === $"x.doc_id")
-      .join(sizes.alias("y"), $"doc_b" === $"y.doc_id")
       .select($"doc_a", $"doc_b",
-        ($"inter".cast("double") / ($"x.n" + $"y.n" - $"inter")).as("jaccard"))
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .where($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
