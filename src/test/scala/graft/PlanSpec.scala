@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops._
+
+/** Physical-plan assertions — the properties that matter at 100 TB,
+  * pinned as tests so a refactor can't silently regress them:
+  * filters reach the parquet scan, projections prune the read
+  * schema, dimension joins broadcast (the fact table never
+  * shuffles), and aggregates run partial (map-side) before the
+  * exchange.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02 filter/project: predicate pushed to scan, columns pruned") {
+    val p = plan(Relational.q02FilterProject(spark, sf0001))
+    assert(p.contains("PushedFilters: ["), p.take(500))
+    assert(!p.contains("PushedFilters: []"))
+    // the lineitem scan must not read all 11 columns
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length < 11, readSchema)
+  }
+
+  test("q03 star join: every dimension broadcasts, fact never shuffles for the join") {
+    val p = plan(Relational.q03RevenueByNation(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4) // orders+cust+nation+region
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q01 aggregate runs partial (map-side combine) before the exchange") {
+    val p = plan(Relational.q01PricingSummary(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(p).length >= 2) // partial + final
+  }
+
+  test("q70 kNN: query side broadcasts; corpus side is never exchanged for the join") {
+    val p = plan(SimilarityOps.q70KnnBruteForce(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q64 exact dedup: single hash-agg pair over a 128-bit key, no join") {
+    val p = plan(DedupOps.q64ExactDedup(spark, sf0001))
+    assert(!p.contains("Join"))
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+  }
+
+  test("q65/q69 candidate generation: no self-join anywhere in the plan") {
+    assert(!plan(DedupOps.q65MinhashLsh(spark, sf0001)).contains("Join"))
+    assert(!plan(DedupOps.q69SimhashNearDup(spark, sf0001)).contains("Join"))
+  }
+
+  test("whole-stage codegen covers the scan-side of the text pipeline") {
+    val df = TextOps.q63Fingerprint(spark, sf0001)
+    df.collect() // AQE finalizes stages only on execution
+    // '*(n)' prefixes mark whole-stage-codegen'd operators
+    assert(plan(df).contains("*("))
+  }
+}
