@@ -412,6 +412,79 @@ object Relational {
       |HAVING COUNT(*) > 5
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q18
+  /** As-of join: each event picks up the most recent order (by
+    * o_orderdate ≤ ts) of its user. Implemented with the scalable
+    * union + running-last-value technique: tag both sides, union,
+    * one window keyed by user ordered by time (order rows sort
+    * before events at equal timestamps to honor ≤), and
+    * `last(..., ignoreNulls)` carries the latest order forward.
+    * One shuffle on the key, linear state — no range join, no
+    * per-event probe. Orders are pre-collapsed to one row per
+    * (custkey, date) so tie-breaks are deterministic on both
+    * engines (max orderkey wins). */
+  def q18AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ord = Tables.orders(s, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_k"),
+        max_by($"o_totalprice", $"o_orderkey").as("o_p"))
+    val lhs = Tables.events(s, dir)
+      .select($"user_id".as("k"), $"ts".as("t"), $"event_id",
+        lit(null).cast("long").as("o_k"), lit(null).cast("double").as("o_p"),
+        lit(1).as("side"))
+    val rhs = ord
+      .select($"o_custkey".as("k"), $"o_orderdate".as("t"),
+        lit(null).cast("long").as("event_id"), $"o_k", $"o_p", lit(0).as("side"))
+    val w = Window.partitionBy($"k")
+      .orderBy($"t".asc, $"side".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lhs.unionByName(rhs)
+      .withColumn("last_orderkey", last($"o_k", ignoreNulls = true).over(w))
+      .withColumn("last_totalprice", last($"o_p", ignoreNulls = true).over(w))
+      .where($"side" === 1)
+      .select($"event_id", $"k".as("user_id"), $"last_orderkey", $"last_totalprice")
+      .orderBy($"event_id")
+  }
+
+  private val q18Oracle =
+    """WITH ord AS (
+      |  SELECT o_custkey AS k, o_orderdate AS t,
+      |    max(o_orderkey) AS last_orderkey,
+      |    arg_max(o_totalprice, o_orderkey) AS last_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.last_orderkey, o.last_totalprice
+      |FROM events e ASOF LEFT JOIN ord o
+      |  ON e.user_id = o.k AND e.ts >= o.t
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Exact percentiles (median / p90): value-based on the sorted
+    * multiset, so the result is partition-order-insensitive and
+    * cross-engine exact (unlike a t-digest/GK sketch, which is the
+    * right tool at 100 TB but engine-specific — percentile_approx is
+    * the scale path, pinned here to the exact spec for the oracle). */
+  def q19Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q19Oracle =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -430,6 +503,8 @@ object Relational {
     "q15_intersect"       -> (q15IntersectAll _),
     "q16_topk_global"     -> (q16TopKGlobal _),
     "q17_exists_having"   -> (q17ExistsHaving _),
+    "q18_asof_join"       -> (q18AsofJoin _),
+    "q19_percentiles"     -> (q19Percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -450,5 +525,7 @@ object Relational {
     "q15_intersect"       -> q15Oracle,
     "q16_topk_global"     -> q16Oracle,
     "q17_exists_having"   -> q17Oracle,
+    "q18_asof_join"       -> q18Oracle,
+    "q19_percentiles"     -> q19Oracle,
   )
 }
