@@ -485,6 +485,55 @@ object Relational {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q28
+  /** Pivot: order-priority counts spread across return-flag columns.
+    * Pivot values are declared explicitly — at scale an undeclared
+    * pivot forces an extra distinct-values job before planning. */
+  def q28Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select($"l_linestatus", $"A".as("n_a"), $"N".as("n_n"), $"R".as("n_r"))
+      .orderBy($"l_linestatus")
+  }
+
+  private val q28Oracle =
+    """SELECT l_linestatus,
+      |  COUNT(*) FILTER (l_returnflag = 'A') AS n_a,
+      |  COUNT(*) FILTER (l_returnflag = 'N') AS n_n,
+      |  COUNT(*) FILTER (l_returnflag = 'R') AS n_r
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  /** Null semantics end-to-end: null-safe equality (<=>), NULLIF,
+    * COALESCE, null-aware aggregation, and explicit NULLS FIRST
+    * ordering — the fine print every engine must agree on. Nulls are
+    * injected via NULLIF so both engines derive them identically. */
+  def q29NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        nullif($"o_orderpriority", lit("1-URGENT")).as("prio_or_null"))
+      .groupBy($"prio_or_null")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"prio_or_null").as("n_nonnull"), // COUNT(col) skips nulls
+        sum(when($"prio_or_null" <=> lit(null), 1L).otherwise(0L)).as("n_nullsafe_eq"),
+        max(coalesce($"prio_or_null", lit("(none)"))).as("prio_filled"))
+      .orderBy($"prio_or_null".asc_nulls_first)
+  }
+
+  private val q29Oracle =
+    """SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio_or_null,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_nonnull,
+      |  SUM(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NOT DISTINCT FROM NULL
+      |           THEN 1 ELSE 0 END) AS n_nullsafe_eq,
+      |  MAX(COALESCE(NULLIF(o_orderpriority, '1-URGENT'), '(none)')) AS prio_filled
+      |FROM orders GROUP BY 1 ORDER BY prio_or_null ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -505,6 +554,8 @@ object Relational {
     "q17_exists_having"   -> (q17ExistsHaving _),
     "q18_asof_join"       -> (q18AsofJoin _),
     "q19_percentiles"     -> (q19Percentiles _),
+    "q28_pivot"           -> (q28Pivot _),
+    "q29_null_semantics"  -> (q29NullSemantics _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -527,5 +578,7 @@ object Relational {
     "q17_exists_having"   -> q17Oracle,
     "q18_asof_join"       -> q18Oracle,
     "q19_percentiles"     -> q19Oracle,
+    "q28_pivot"           -> q28Oracle,
+    "q29_null_semantics"  -> q29Oracle,
   )
 }
