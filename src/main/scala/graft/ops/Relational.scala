@@ -534,6 +534,37 @@ object Relational {
       |  MAX(COALESCE(NULLIF(o_orderpriority, '1-URGENT'), '(none)')) AS prio_filled
       |FROM orders GROUP BY 1 ORDER BY prio_or_null ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Skew-mitigated aggregation (manual salting): l_returnflag has 3
+    * hot values, so a direct groupBy lands 600k rows on ≤3 reducers.
+    * Phase 1 fans each key across 16 salt buckets (uniform via hash
+    * of the full row key-set), phase 2 merges the partials. The sums
+    * stay in exact decimal until the final cast, so salting cannot
+    * perturb the result — identical output to the unsalted oracle.
+    * (AQE's skew handling covers joins; aggregation skew still wants
+    * this pattern at 100 TB.) */
+  val saltBuckets = 16
+
+  def q36SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salted = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(saltBuckets)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum($"l_quantity".cast("decimal(12,2)")).as("part_qty"),
+        count(lit(1)).as("part_n"))
+    salted
+      .groupBy($"l_returnflag")
+      .agg(sum($"part_qty").cast("double").as("sum_qty"),
+        sum($"part_n").as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q36Oracle =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -556,6 +587,7 @@ object Relational {
     "q19_percentiles"     -> (q19Percentiles _),
     "q28_pivot"           -> (q28Pivot _),
     "q29_null_semantics"  -> (q29NullSemantics _),
+    "q36_salted_agg"      -> (q36SaltedAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -580,5 +612,6 @@ object Relational {
     "q19_percentiles"     -> q19Oracle,
     "q28_pivot"           -> q28Oracle,
     "q29_null_semantics"  -> q29Oracle,
+    "q36_salted_agg"      -> q36Oracle,
   )
 }
