@@ -565,6 +565,48 @@ object Relational {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Window-function breadth: rank family (rank, dense_rank, ntile,
+    * percent_rank, cume_dist), nth_value, and an explicit sliding
+    * ROWS frame. The frame average is computed as exact-decimal sum
+    * over frame ÷ count over frame (both engines produce identical
+    * doubles); rank ratios are exact small-int divisions. */
+  def q37WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val frame = order.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter($"o_custkey" <= 50)
+      .select($"o_custkey", $"o_orderkey",
+        rank().over(order).cast("long").as("rnk"),
+        dense_rank().over(order).cast("long").as("drnk"),
+        ntile(4).over(order).cast("long").as("quartile"),
+        percent_rank().over(order).as("pct_rank"),
+        cume_dist().over(order).as("cume"),
+        nth_value($"o_totalprice", 2).over(order).as("second_seen_price"),
+        (sum(dec($"o_totalprice")).over(frame).cast("double") /
+          count(lit(1)).over(frame)).as("avg3"))
+      .orderBy($"o_custkey", $"rnk")
+  }
+
+  private val q37Oracle =
+    """SELECT o_custkey, o_orderkey,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  NTH_VALUE(o_totalprice, 2) OVER w AS second_seen_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg3
+      |FROM orders WHERE o_custkey <= 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -588,6 +630,7 @@ object Relational {
     "q28_pivot"           -> (q28Pivot _),
     "q29_null_semantics"  -> (q29NullSemantics _),
     "q36_salted_agg"      -> (q36SaltedAgg _),
+    "q37_window_suite"    -> (q37WindowSuite _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -613,5 +656,6 @@ object Relational {
     "q28_pivot"           -> q28Oracle,
     "q29_null_semantics"  -> q29Oracle,
     "q36_salted_agg"      -> q36Oracle,
+    "q37_window_suite"    -> q37Oracle,
   )
 }
