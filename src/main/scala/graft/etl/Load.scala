@@ -63,4 +63,26 @@ object Load {
   /** Read the sink table back with the contract schema. */
   def table(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.schema(Schemas.postsTable).parquet(tableDir)
+
+  /** Batch load into a DATE-PARTITIONED table (`load_date=YYYY-MM-DD/`
+    * directories). At 100 TB this is the difference between scanning
+    * the table and scanning a day: any `load_date` predicate becomes a
+    * PartitionFilter (directory pruning, zero data I/O for pruned
+    * days) — asserted in PartitionedLoadSpec. The reference's
+    * timestamped blob names (S2) encode the same intent; Hive-style
+    * partitioning is its queryable form. */
+  def runBatchPartitioned(spark: SparkSession, landingDir: String,
+                          tableDir: String,
+                          processedAt: Column = current_timestamp()): Unit = {
+    import org.apache.spark.sql.functions.to_date
+    Transform.conform(readLanding(spark, landingDir), processedAt)
+      .withColumn("load_date", to_date(org.apache.spark.sql.functions.col("processedAt")))
+      .write.mode("append")
+      .partitionBy("load_date")
+      .parquet(tableDir)
+  }
+
+  /** Read the partitioned table (schema grows the partition column). */
+  def partitionedTable(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir)
 }
