@@ -33,5 +33,13 @@ object Tables {
     else raw
   }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
+  /** `documents` re-spread across the cluster. The testdata table is
+    * one parquet row-group → one scan task, which serializes any
+    * CPU-heavy projection (shingling, token hashing) onto a single
+    * core. The shuffle moves only raw text once (~100 B/row) and buys
+    * full-width parallelism for the signature pipelines; real
+    * many-file inputs get this parallelism from the scan itself. */
+  def documentsSpread(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).repartition(org.apache.spark.sql.functions.col("doc_id"))
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 }

@@ -82,7 +82,7 @@ object DedupOps {
     * this pipeline.) */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.documentsSpread(s, dir)
       .select($"doc_id", explode(shingles3($"text")).as("sh"))
     val aggs = (0 until minhashK).map(seed =>
       min(xxhash64(lit(seed), $"sh")).as(s"m$seed"))
@@ -152,7 +152,7 @@ object DedupOps {
     // docs yields k²/2 pairs, so production would drop
     // high-df shingles before pairing (threshold dedup accuracy loss
     // is negligible — those shingles carry no signal).
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.documentsSpread(s, dir)
       .select($"doc_id", explode(shingles3($"text")).as("sh"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
     sh.groupBy($"sh")
@@ -239,7 +239,7 @@ object DedupOps {
     */
   private def simhashVotes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, dir)
+    val tok = Tables.documentsSpread(s, dir)
       .select($"doc_id", explode(toks($"text")).as("t"))
       .select($"doc_id", md5($"t").as("h"))
       .select(($"doc_id" +: (0 until 4).map(j =>
