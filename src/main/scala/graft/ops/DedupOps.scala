@@ -124,6 +124,8 @@ object DedupOps {
       .groupBy($"band", $"bucket")
       .agg(array_sort(collect_list(struct($"doc_id", $"sig"))).as("members"))
       .where(size($"members") >= 2)
+      // see q66: keep the pair fan-out parallel despite tiny input bytes
+      .repartition(s.sparkContext.defaultParallelism, $"band", $"bucket")
       .select(explode(pairUp($"members")).as("p"))
       .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
         (aggregate(zip_with($"p.a.sig", $"p.b.sig",
@@ -158,6 +160,12 @@ object DedupOps {
     sh.groupBy($"sh")
       .agg(array_sort(collect_list(struct($"doc_id", $"n"))).as("members"))
       .where(size($"members") >= 2)
+      // explicit partition count: the bucket rows are tiny in BYTES, so
+      // AQE coalesces this stage to ~1 partition — but each row fans
+      // out to |members|²/2 pairs of CPU-bound work. Fan-out stages
+      // must be sized by downstream work, not input bytes (measured
+      // 8 s → 100 s when coalescing struck).
+      .repartition(s.sparkContext.defaultParallelism, $"sh")
       .select(explode(pairUp($"members")).as("p"))
       .groupBy($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
         $"p.a.n".as("na"), $"p.b.n".as("nb"))
@@ -306,6 +314,8 @@ object DedupOps {
       .groupBy($"band", $"key")
       .agg(array_sort(collect_list(struct($"doc_id", $"bv"))).as("members"))
       .where(size($"members") >= 2)
+      // see q66: keep the pair fan-out parallel despite tiny input bytes
+      .repartition(s.sparkContext.defaultParallelism, $"band", $"key")
       .select(explode(pairUp($"members")).as("p"))
       .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
         hamming.as("hamming"))
