@@ -56,6 +56,24 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("SecondMax UDAF is partition-order-insensitive and exact") {
+    import graft.ops.ExtOps.SecondMax
+    (0 until 10).foreach { i =>
+      val xs = sample(Gen.listOfN(20, Gen.choose(-1000.0, 1000.0)), 400 + i)
+      val expected = xs.distinct.sorted(Ordering[Double].reverse)
+        .drop(1).headOption.getOrElse(Double.NegativeInfinity)
+      // fold in three different partition orders → same result
+      val orders = Seq(xs, xs.reverse, xs.sortBy(math.sin))
+      val results = orders.map { o =>
+        val (l, r) = o.splitAt(o.length / 2)
+        SecondMax.finish(SecondMax.merge(
+          l.foldLeft(SecondMax.zero)(SecondMax.reduce),
+          r.foldLeft(SecondMax.zero)(SecondMax.reduce)))
+      }
+      assert(results.forall(_ == expected), s"case $i: $results vs $expected")
+    }
+  }
+
   test("union conserves row counts (append-only load invariant, S8)") {
     import spark.implicits._
     (0 until 10).foreach { i =>
