@@ -200,8 +200,56 @@ object TextOps {
        |  strlen(a) AS n_ascii_chars
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q73
+  /** TF-IDF keywords: top-3 terms per document. Term frequencies and
+    * document frequencies reduce via codegen'd hash aggregates
+    * (map-side combine on (doc, term) then (term)); the df side is
+    * tiny after aggregation, so it broadcasts back onto the tf rows.
+    * Ranking uses the INTEGER key (tf desc, df asc, term asc) — the
+    * float score is display-only, so a last-ulp ln() divergence
+    * between engines can never reorder results. */
+  def q73TfIdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsSpread(s, dir)
+    val nDocs = Tables.documents(s, dir).count()
+    val tf = docs
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .where(!$"term".isin(stopwords: _*) && length($"term") > 1)
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"tf".desc, $"df".asc, $"term".asc)
+    tf.join(broadcast(df), "term")
+      .withColumn("rnk", row_number().over(w))
+      .where($"rnk" <= 3)
+      .select($"doc_id", $"rnk".cast("long").as("rnk"), $"term", $"tf", $"df",
+        round($"tf" * log(lit(nDocs.toDouble) / $"df"), 4).as("tfidf"))
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  private def q73Oracle =
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |    FROM documents)
+       |  WHERE t NOT IN (${stopwords.map(w => s"'$w'").mkString(",")})
+       |    AND length(t) > 1
+       |  GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |r AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+       |  FROM tf JOIN df USING (term))
+       |SELECT doc_id, rnk, term, tf, df,
+       |  round(tf * ln((SELECT n_docs FROM n) * 1.0 / df), 4) AS tfidf
+       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
+    "q73_tfidf"               -> (q73TfIdf _),
     "q61_lang_id"             -> (q61LangId _),
     "q62_quality_score"       -> (q62QualityScore _),
     "q63_fingerprint"         -> (q63Fingerprint _),
@@ -211,6 +259,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q60_text_stats"          -> q60Oracle,
+    "q73_tfidf"               -> q73Oracle,
     "q62_quality_score"       -> q62Oracle,
     "q63_fingerprint"         -> q63Oracle,
     "q72_token_counts"        -> q72Oracle,
