@@ -85,4 +85,27 @@ object Load {
   /** Read the partitioned table (schema grows the partition column). */
   def partitionedTable(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.parquet(tableDir)
+
+  /** Landing read with quarantine (SURVEY §1.4's deliberate upgrade
+    * over the reference, which 500s and re-delivers forever on a
+    * poison blob — §2.3 "no dead-letter queue"): PERMISSIVE parse
+    * captures malformed payloads in `_corrupt_record`; returns
+    * (good rows, quarantined raw payloads). The cache() is the
+    * documented Spark requirement for predicates on the corrupt
+    * column (the raw record exists only during parsing). */
+  def readLandingQuarantined(spark: SparkSession,
+                             landingDir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val schema = StructType(Schemas.postsSource.fields :+
+      StructField("_corrupt_record", StringType))
+    val raw = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("multiLine", "true")
+      .json(landingDir)
+      .cache()
+    (raw.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.where(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
 }
