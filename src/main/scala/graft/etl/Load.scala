@@ -108,4 +108,24 @@ object Load {
     (raw.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
       raw.where(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
   }
+
+  /** Compact a table directory: rewrite many small files (the
+    * inevitable product of per-batch appends — the reference lands
+    * one blob per 6-hour batch, a streaming sink lands one file per
+    * micro-batch per partition) into `targetFiles` larger ones.
+    * Small files are the classic silent killer at 100 TB: every file
+    * costs a listing call, a task, and a footer read, so a year of
+    * micro-batches can turn a table scan into a metadata storm.
+    * Rewrite-to-temp + atomic swap keeps readers consistent. */
+  def compact(spark: SparkSession, tableDir: String, targetFiles: Int): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = tableDir + ".compacting"
+    spark.read.schema(Schemas.postsTable).parquet(tableDir)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val old = tableDir + ".old"
+    Files.move(Paths.get(tableDir), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(tmp), Paths.get(tableDir), StandardCopyOption.ATOMIC_MOVE)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+  }
 }
