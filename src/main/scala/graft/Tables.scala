@@ -39,7 +39,14 @@ object Tables {
     * core. The shuffle moves only raw text once (~100 B/row) and buys
     * full-width parallelism for the signature pipelines; real
     * many-file inputs get this parallelism from the scan itself. */
+  /** The partition count is explicit: AQE coalesces repartitions and
+    * aggregation exchanges whose byte size looks small, but these
+    * stages fan out to CPU-heavy per-row work (shingling, hashing) —
+    * size them by downstream work, not input bytes. Explicit
+    * hash-partitioning on doc_id also lets the downstream
+    * groupBy(doc_id) aggregations run exchange-free. */
   def documentsSpread(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir).repartition(org.apache.spark.sql.functions.col("doc_id"))
+    documents(s, dir).repartition(s.sparkContext.defaultParallelism,
+      org.apache.spark.sql.functions.col("doc_id"))
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 }

@@ -157,6 +157,11 @@ object DedupOps {
     val sh = Tables.documentsSpread(s, dir)
       .select($"doc_id", explode(shingles3($"text")).as("sh"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      // explicit exchange for the shingle aggregation: the implicit
+      // ENSURE_REQUIREMENTS one is AQE-coalescible (the rows are few
+      // MBs) and a one-task collect_list over 260k rows serializes
+      // the pipeline
+      .repartition(s.sparkContext.defaultParallelism, $"sh")
     sh.groupBy($"sh")
       .agg(array_sort(collect_list(struct($"doc_id", $"n"))).as("members"))
       .where(size($"members") >= 2)
