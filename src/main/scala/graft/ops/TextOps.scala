@@ -247,9 +247,40 @@ object TextOps {
        |  round(tf * ln((SELECT n_docs FROM n) * 1.0 / df), 4) AS tfidf
        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Inverted index: sorted posting list per term (df ≥ 2, stopwords
+    * and single chars dropped). (doc, term) pairs dedupe first, then
+    * one aggregation builds the postings — at 100 TB the posting
+    * arrays are the only shuffled payload and partial aggregation
+    * combines map-side. */
+  def q78InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("term"))
+      .where(!$"term".isin(stopwords: _*) && length($"term") > 1)
+      .distinct()
+      .repartition(s.sparkContext.defaultParallelism, $"term")
+      .groupBy($"term")
+      .agg(sort_array(collect_list($"doc_id")).as("postings"),
+        count(lit(1)).as("df"))
+      .where($"df" >= 2)
+      .orderBy($"term")
+  }
+
+  private val q78Oracle =
+    s"""WITH p AS (
+       |  SELECT DISTINCT doc_id, t AS term FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |    FROM documents)
+       |  WHERE t NOT IN (${stopwords.map(w => s"'$w'").mkString(",")})
+       |    AND length(t) > 1)
+       |SELECT term, list(doc_id ORDER BY doc_id) AS postings, count(*) AS df
+       |FROM p GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
+    "q78_inverted_index"      -> (q78InvertedIndex _),
     "q61_lang_id"             -> (q61LangId _),
     "q62_quality_score"       -> (q62QualityScore _),
     "q63_fingerprint"         -> (q63Fingerprint _),
@@ -260,6 +291,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q60_text_stats"          -> q60Oracle,
     "q73_tfidf"               -> q73Oracle,
+    "q78_inverted_index"      -> q78Oracle,
     "q62_quality_score"       -> q62Oracle,
     "q63_fingerprint"         -> q63Oracle,
     "q72_token_counts"        -> q72Oracle,
