@@ -111,7 +111,9 @@ object DedupOps {
     // leaked the expensive key expression into scan filters via the
     // join-key not-null predicate (25× slower at sf0.1). Skewed
     // buckets are the known hazard at 100 TB: 64-bit bucket ids keep
-    // them rare, and a size cap would drop pathological buckets.
+    // them rare, and the maxGroupSize cap drops pathological buckets
+    // (identical boilerplate text hashing 1e6 docs into one bucket)
+    // before they can explode into k²/2 pairs.
     val banded = sigs.select($"doc_id", $"sig",
       explode(transform(sequence(lit(0), lit(lshBands - 1)), j =>
         struct(j.as("band"),
@@ -123,7 +125,7 @@ object DedupOps {
     banded
       .groupBy($"band", $"bucket")
       .agg(array_sort(collect_list(struct($"doc_id", $"sig"))).as("members"))
-      .where(size($"members") >= 2)
+      .where(size($"members") >= 2 && size($"members") <= maxGroupSize)
       // see q66: keep the pair fan-out parallel despite tiny input bytes
       .repartition(s.sparkContext.defaultParallelism, $"band", $"bucket")
       .select(explode(pairUp($"members")).as("p"))
@@ -138,6 +140,18 @@ object DedupOps {
   }
 
   // ---------------------------------------------------------------- q66
+  /** Hard ceiling on shingle document-frequency (q66) and LSH bucket
+    * size (q65): a stop-shingle or hot bucket hit by k docs fans out
+    * to k²/2 pairs, so one adversarial phrase in 1e6 docs is a
+    * task-killer at 100 TB. Groups above the cap are dropped before
+    * pairing — they carry no dedup signal (a shingle shared by
+    * thousands of docs identifies nothing). 100 is ~4× the max df
+    * observed in the synthetic corpus at sf0.1, so results at test
+    * scales are byte-identical with or without the guard; the q66
+    * oracle mirrors it so ANY scale stays green. DedupOpsSpec plants
+    * a stop-shingle across 50 docs and pins the bounded pair count. */
+  val maxGroupSize = 100
+
   /** Exact n-gram Jaccard similarity join: explode distinct 3-gram
     * shingles, self-equi-join on the shingle, count intersections,
     * Jaccard = |∩| / (|A|+|B|-|∩|), threshold 0.5. The exact
@@ -149,11 +163,8 @@ object DedupOps {
     // window, then docs group per shingle and in-group pairs explode
     // (same pattern as q65/q69 — a self-join would re-run the
     // explode+shingle projection once per branch). Jaccard comes
-    // straight off the pair counts: |∩| / (nA + nB - |∩|). At 100 TB
-    // the guard is shingle document-frequency: a stop-shingle in k
-    // docs yields k²/2 pairs, so production would drop
-    // high-df shingles before pairing (threshold dedup accuracy loss
-    // is negligible — those shingles carry no signal).
+    // straight off the pair counts: |∩| / (nA + nB - |∩|). The
+    // maxGroupSize guard drops stop-shingles before pairing.
     val sh = Tables.documentsSpread(s, dir)
       .select($"doc_id", explode(shingles3($"text")).as("sh"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
@@ -164,7 +175,7 @@ object DedupOps {
       .repartition(s.sparkContext.defaultParallelism, $"sh")
     sh.groupBy($"sh")
       .agg(array_sort(collect_list(struct($"doc_id", $"n"))).as("members"))
-      .where(size($"members") >= 2)
+      .where(size($"members") >= 2 && size($"members") <= maxGroupSize)
       // explicit partition count: the bucket rows are tiny in BYTES, so
       // AQE coalesces this stage to ~1 partition — but each row fans
       // out to |members|²/2 pairs of CPU-bound work. Fan-out stages
@@ -190,9 +201,11 @@ object DedupOps {
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
       |  FROM t),
       |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
       |p AS (
       |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  WHERE a.sh IN (SELECT sh FROM ok)
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b,
       |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard

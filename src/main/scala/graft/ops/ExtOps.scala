@@ -32,8 +32,11 @@ object ExtOps {
   /** Typed UDAF: second-largest distinct value. Buffer is (max1,
     * max2); merge is commutative+associative, comparisons only — no
     * double summation, so the result is exact under any partition
-    * order (the property that makes it safely oracle-comparable). */
-  object SecondMax extends Aggregator[Double, (Double, Double), Double] {
+    * order (the property that makes it safely oracle-comparable).
+    * A group with fewer than two distinct values yields NULL (boxed
+    * output), matching SQL's `max(x) FILTER (x < max)` — the -∞
+    * sentinel never escapes the buffer. */
+  object SecondMax extends Aggregator[Double, (Double, Double), java.lang.Double] {
     private val MinV = Double.NegativeInfinity
     def zero: (Double, Double) = (MinV, MinV)
     def reduce(b: (Double, Double), x: Double): (Double, Double) = insert(b, x)
@@ -44,9 +47,10 @@ object ExtOps {
       else if (x > b._1) (x, b._1)
       else if (x > b._2) (b._1, x)
       else b
-    def finish(b: (Double, Double)): Double = b._2
+    def finish(b: (Double, Double)): java.lang.Double =
+      if (b._2 == MinV) null else Double.box(b._2)
     def bufferEncoder: Encoder[(Double, Double)] = Encoders.product
-    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
   def q26UdfUdaf(s: SparkSession, dir: String): DataFrame = {

@@ -359,8 +359,8 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   // ---------------------------------------------------------------- q15
-  /** INTERSECT + UNION ALL with dedup counting. */
-  def q15IntersectAll(s: SparkSession, dir: String): DataFrame = {
+  /** INTERSECT (set semantics — dedups both sides). */
+  def q15Intersect(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ord = Tables.orders(s, dir)
     val a = ord.filter($"o_orderstatus" === "O").select($"o_custkey")
@@ -373,6 +373,93 @@ object Relational {
       |INTERSECT
       |SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
       |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** INTERSECT ALL — bag semantics: a customer with 3 open orders and
+    * 2 big orders survives twice. Matters for append-only pipelines
+    * where duplicates ARE data; plan-wise it is one shuffle on the
+    * value with per-side counts met by min() — no pair explosion. */
+  def q38IntersectAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    val a = ord.filter($"o_orderstatus" === "O").select($"o_custkey")
+    val b = ord.filter($"o_totalprice" > 100000.0).select($"o_custkey")
+    a.intersectAll(b).orderBy($"o_custkey")
+  }
+
+  private val q38Oracle =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |INTERSECT ALL
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** EXCEPT ALL — bag difference: each left occurrence is cancelled by
+    * at most one right occurrence (multiplicity max(la - lb, 0)). */
+  def q39ExceptAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    val a = ord.filter($"o_orderstatus" === "O").select($"o_custkey")
+    val b = ord.filter($"o_totalprice" > 150000.0).select($"o_custkey")
+    a.exceptAll(b).orderBy($"o_custkey")
+  }
+
+  private val q39Oracle =
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |EXCEPT ALL
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** approx_count_distinct (HyperLogLog++) next to the exact count.
+    * At 100 TB approximate distinct is the default: the sketch merges
+    * map-side in O(1) memory per group where COUNT(DISTINCT) must
+    * shuffle every distinct value. The sketch estimate is engine-
+    * specific, so the hashed surface carries the exact count plus a
+    * BOUNDED check (relative error ≤ 10%, ~2× the default 5% rsd);
+    * ExtOpsSpec additionally asserts the tighter observed error. */
+  def q40ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_exact"),
+        approx_count_distinct($"l_partkey").as("n_approx"))
+      .select($"l_returnflag", $"n_exact",
+        (abs($"n_approx" - $"n_exact").cast("double") / $"n_exact" <= 0.10)
+          .as("approx_within_10pct"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q40Oracle =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_exact,
+      |  TRUE AS approx_within_10pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  /** Explicit GROUPING SETS — the general form rollup (q10) and cube
+    * (q11) specialize: here (status, priority), (status), and grand
+    * total, plus grouping_id so consumers can tell a grouping NULL
+    * from a data NULL. One shuffle; Spark expands sets map-side. */
+  def q41GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"),
+        grouping_id().as("gid"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  private val q41Oracle =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- q16
   /** Global top-k: total sort + limit (Spark runs TakeOrderedAndProject
@@ -529,8 +616,8 @@ object Relational {
     """SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio_or_null,
       |  COUNT(*) AS n_rows,
       |  COUNT(NULLIF(o_orderpriority, '1-URGENT')) AS n_nonnull,
-      |  SUM(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NOT DISTINCT FROM NULL
-      |           THEN 1 ELSE 0 END) AS n_nullsafe_eq,
+      |  CAST(SUM(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NOT DISTINCT FROM NULL
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
       |  MAX(COALESCE(NULLIF(o_orderpriority, '1-URGENT'), '(none)')) AS prio_filled
       |FROM orders GROUP BY 1 ORDER BY prio_or_null ASC NULLS FIRST""".stripMargin
 
@@ -622,8 +709,12 @@ object Relational {
     "q12_topk_per_group"  -> (q12TopKPerGroup _),
     "q13_running_window"  -> (q13RunningWindow _),
     "q14_set_ops"         -> (q14SetOps _),
-    "q15_intersect"       -> (q15IntersectAll _),
+    "q15_intersect"       -> (q15Intersect _),
     "q16_topk_global"     -> (q16TopKGlobal _),
+    "q38_intersect_all"   -> (q38IntersectAll _),
+    "q39_except_all"      -> (q39ExceptAll _),
+    "q40_approx_distinct" -> (q40ApproxDistinct _),
+    "q41_grouping_sets"   -> (q41GroupingSets _),
     "q17_exists_having"   -> (q17ExistsHaving _),
     "q18_asof_join"       -> (q18AsofJoin _),
     "q19_percentiles"     -> (q19Percentiles _),
@@ -650,6 +741,10 @@ object Relational {
     "q14_set_ops"         -> q14Oracle,
     "q15_intersect"       -> q15Oracle,
     "q16_topk_global"     -> q16Oracle,
+    "q38_intersect_all"   -> q38Oracle,
+    "q39_except_all"      -> q39Oracle,
+    "q40_approx_distinct" -> q40Oracle,
+    "q41_grouping_sets"   -> q41Oracle,
     "q17_exists_having"   -> q17Oracle,
     "q18_asof_join"       -> q18Oracle,
     "q19_percentiles"     -> q19Oracle,

@@ -69,7 +69,11 @@ object Scalars {
         unix_timestamp($"o_orderdate").as("epoch_s"),
         datediff(lit("2002-01-01").cast("date"), $"o_orderdate".cast("date"))
           .cast("long").as("days_to_2002"),
-        date_add($"o_orderdate".cast("date"), 30).as("plus30"))
+        // serialized to ISO text: DATE columns round-trip through the
+        // comparison harness differently per engine (datetime.date vs
+        // datetime64); the string surface is engine-identical.
+        date_format(date_add($"o_orderdate".cast("date"), 30), "yyyy-MM-dd")
+          .as("plus30"))
       .orderBy($"o_orderkey")
   }
 
@@ -80,9 +84,9 @@ object Scalars {
       |  day(o_orderdate) AS dom,
       |  date_trunc('month', o_orderdate) AS month_start,
       |  strftime(o_orderdate, '%Y-%m-%d') AS ymd,
-      |  epoch(o_orderdate) AS epoch_s,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
       |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
-      |  CAST(o_orderdate AS DATE) + 30 AS plus30
+      |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30
       |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- q22

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -79,37 +79,61 @@ object SimilarityOps {
   // ---------------------------------------------------------------- q71
   /** IVF-Flat ANN. Centroids = every `centroidStride`-th vector
     * (deterministic; a production build would k-means refine them —
-    * same plan shape). Each corpus vector is assigned to its nearest
-    * centroid in one broadcast pass; each query probes the `nprobe`
-    * nearest cells and ranks exactly within the candidates.
+    * same plan shape). The centroid set is a tiny MODEL (C = n/stride
+    * rows), so it ships to every task as literal expressions, not as
+    * a join side: nearest-cell assignment is then a PURE PROJECTION
+    * over the corpus scan — zero Exchange, no corpus re-grouping, and
+    * embedding payloads never shuffle (the round-1 formulation
+    * exploded corpus×C rows through a cross join and re-aggregated by
+    * vec_id, shuffling every embedding — at 100 TB that one exchange
+    * is the whole job). PlanSpec pins the no-Exchange property.
+    * Each query probes the `nprobe` nearest cells (same projection,
+    * top-nprobe via sorted literal array) and ranks exactly within
+    * the candidate cells.
     *
     * No SQL oracle (cell assignment isn't reasonably expressible);
     * SimilarityOpsSpec checks recall@10 against q70. */
   val centroidStride = 125
   val nprobe = 2
 
+  /** (cid, centroid vector, centroid norm) — the IVF "model". One
+    * driver-side collect of C rows; at scale this is the output of a
+    * (sampled) k-means training job, not a full-table pass. */
+  private def centroidModel(s: SparkSession, dir: String): Array[(Long, Seq[Float], Double)] = {
+    import s.implicits._
+    corpus(s, dir).where($"vec_id" % centroidStride === 0)
+      .orderBy($"vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+  }
+
+  /** Per-centroid (cosine, -cid) score structs as one literal-driven
+    * projection — arg-max/top-k over it never touches an Exchange. */
+  private def centroidScores(cents: Array[(Long, Seq[Float], Double)],
+      v: Column, nrm: Column): Column =
+    array(cents.map { case (cid, cv, cn) =>
+      struct(
+        (VectorOps.dot(v, typedlit(cv)) / (nrm * lit(cn))).as("ccos"),
+        lit(-cid).as("negcid"))
+    }: _*)
+
   def q71KnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = corpus(s, dir)
-    val cents = c.where($"vec_id" % centroidStride === 0)
-      .select($"vec_id".as("cid"), $"embedding".as("cv"), $"nrm".as("cn"))
-    // nearest cell per corpus vector: one broadcast join + max_by
-    val cells = c.join(broadcast(cents), lit(true))
-      .select($"vec_id", $"embedding", $"nrm",
-        (VectorOps.dot($"embedding", $"cv") / ($"nrm" * $"cn")).as("ccos"), $"cid")
-      .groupBy($"vec_id")
-      .agg(first($"embedding").as("embedding"), first($"nrm").as("nrm"),
-        max_by($"cid", struct($"ccos", -$"cid")).as("cell"))
+    val cents = centroidModel(s, dir)
+    // nearest cell = arg-max over the literal score array: struct
+    // compare orders by (ccos, negcid), so ties break to smaller cid —
+    // identical semantics to the old max_by(cid, struct(ccos, -cid)).
+    val cells = c.withColumn("cell",
+      -array_max(centroidScores(cents, $"embedding", $"nrm")).getField("negcid"))
     val q = c.where($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"))
-    // nprobe nearest cells per query
-    val probes = q.join(broadcast(cents), lit(true))
-      .select($"query_id", $"qv", $"qn", $"cid",
-        (VectorOps.dot($"qv", $"cv") / ($"qn" * $"cn")).as("ccos"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"ccos".desc, $"cid".asc)))
-      .where($"r" <= nprobe)
-      .select($"query_id", $"qv", $"qn", $"cid".as("cell"))
+    // top-nprobe cells per query: descending sort of the same literal
+    // array (ccos desc, then cid asc), slice, explode — still no join.
+    val probes = q.select($"query_id", $"qv", $"qn",
+      explode(transform(
+        slice(reverse(array_sort(centroidScores(cents, $"qv", $"qn"))), 1, nprobe),
+        x => -x.getField("negcid"))).as("cell"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"vec_id".asc)
     cells.join(broadcast(probes), Seq("cell"))
@@ -120,6 +144,16 @@ object SimilarityOps {
       .where($"rank" <= topK)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"cosine")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** The zero-shuffle assignment plan, exposed for PlanSpec: scan →
+    * project(cell) with no Exchange anywhere. */
+  def ivfAssignmentPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    c.withColumn("cell",
+      -array_max(centroidScores(centroidModel(s, dir), $"embedding", $"nrm"))
+        .getField("negcid"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -164,7 +164,16 @@ object Streaming {
   // ---------------------------------------------------------------- q34
   /** Arbitrary stateful processing (mapGroupsWithState): per-user
     * max inter-event gap in µs — the KeyValueGroupedDataset custom
-    * state path the built-in operators can't express. */
+    * state path the built-in operators can't express.
+    *
+    * State is O(1) per key — `(n_events, lastTs, maxGap)` — never a
+    * growing collection: at 100 TB a per-user Seq of every timestamp
+    * is exactly the unbounded-state failure mode watermarks exist to
+    * prevent. Each batch sorts only its own rows (bounded by trigger
+    * size) and folds them into the constant-size state; events
+    * arriving in later triggers are assumed ts-ordered w.r.t. the
+    * state's lastTs (the file source delivers batches in order; an
+    * out-of-order producer would add a watermark + small buffer). */
   def q34StatefulGaps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val typed: Dataset[(Long, Long)] = eventsStream(s, dir)
@@ -173,12 +182,22 @@ object Streaming {
     val result = typed
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[Seq[Long]]) =>
-          val all = (state.getOption.getOrElse(Seq.empty) ++ rows.map(_._2)).sorted
-          state.update(all)
-          val maxGap = if (all.size < 2) 0L
-            else all.sliding(2).map(p => p(1) - p(0)).max
-          (uid, all.size.toLong, maxGap)
+        (uid: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          val batch = rows.map(_._2).toArray
+          java.util.Arrays.sort(batch)
+          val (n0, last0, gap0) = state.getOption.getOrElse((0L, Long.MinValue, 0L))
+          var last = last0
+          var gap = gap0
+          var i = 0
+          while (i < batch.length) {
+            if (last != Long.MinValue) gap = math.max(gap, batch(i) - last)
+            last = batch(i)
+            i += 1
+          }
+          val n = n0 + batch.length
+          state.update((n, last, gap))
+          (uid, n, gap)
       }
       .toDF("user_id", "n_events", "max_gap_us")
     drain(s, result, OutputMode.Update()).orderBy($"user_id")

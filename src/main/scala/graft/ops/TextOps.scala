@@ -201,10 +201,15 @@ object TextOps {
        |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q73
-  /** TF-IDF keywords: top-3 terms per document. Term frequencies and
-    * document frequencies reduce via codegen'd hash aggregates
-    * (map-side combine on (doc, term) then (term)); the df side is
-    * tiny after aggregation, so it broadcasts back onto the tf rows.
+  /** TF-IDF keywords: top-3 terms per document. Term frequencies
+    * reduce via a codegen'd hash aggregate (map-side combine on
+    * (doc, term)); document frequency is `count(*) over (partition by
+    * term)` on the SAME tf rows — the tokenize+aggregate pipeline
+    * runs exactly once (no second pipeline to build a broadcast from,
+    * no recompute). The corpus size joins in as a broadcast 1-row
+    * aggregate, so the whole query is one lazy plan with zero
+    * driver-side actions — at 100 TB there is no extra full-table
+    * scan just to learn `n_docs`.
     * Ranking uses the INTEGER key (tf desc, df asc, term asc) — the
     * float score is display-only, so a last-ulp ln() divergence
     * between engines can never reorder results. */
@@ -212,19 +217,21 @@ object TextOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documentsSpread(s, dir)
-    val nDocs = Tables.documents(s, dir).count()
     val tf = docs
       .select($"doc_id", explode(toks($"text")).as("term"))
       .where(!$"term".isin(stopwords: _*) && length($"term") > 1)
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val withDf = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"term")))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"tf".desc, $"df".asc, $"term".asc)
-    tf.join(broadcast(df), "term")
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    withDf
       .withColumn("rnk", row_number().over(w))
       .where($"rnk" <= 3)
+      .crossJoin(broadcast(n))
       .select($"doc_id", $"rnk".cast("long").as("rnk"), $"term", $"tf", $"df",
-        round($"tf" * log(lit(nDocs.toDouble) / $"df"), 4).as("tfidf"))
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 4).as("tfidf"))
       .orderBy($"doc_id", $"rnk")
   }
 
@@ -261,7 +268,11 @@ object TextOps {
       .distinct()
       .repartition(s.sparkContext.defaultParallelism, $"term")
       .groupBy($"term")
-      .agg(sort_array(collect_list($"doc_id")).as("postings"),
+      // postings serialized to CSV text (sorted numerically first):
+      // a scalar surface hashes identically across engines, where a
+      // raw array column cannot be compared by the oracle harness.
+      .agg(array_join(transform(sort_array(collect_list($"doc_id")),
+          _.cast("string")), ",").as("postings"),
         count(lit(1)).as("df"))
       .where($"df" >= 2)
       .orderBy($"term")
@@ -274,7 +285,9 @@ object TextOps {
        |    FROM documents)
        |  WHERE t NOT IN (${stopwords.map(w => s"'$w'").mkString(",")})
        |    AND length(t) > 1)
-       |SELECT term, list(doc_id ORDER BY doc_id) AS postings, count(*) AS df
+       |SELECT term,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings,
+       |  count(*) AS df
        |FROM p GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

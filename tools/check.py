@@ -44,6 +44,14 @@ def main(out_dir, sf_dir):
             import pandas as pd
             for c in g.columns:
                 a, b = g[c], e[c]
+                # the driver's hash is dtype-SENSITIVE (int64 907372800 vs
+                # float64 907372800.0 hash differently) — surface any
+                # numeric-kind mismatch as a failure, not just value diffs
+                if a.dtype.kind != b.dtype.kind and {a.dtype.kind, b.dtype.kind} <= set("ifub"):
+                    print(f"FAIL {name}: column {c} dtype kind differs: "
+                          f"spark={a.dtype} duckdb={b.dtype} (driver hash mismatch)")
+                    ok = False
+                    break
                 try:
                     pd.testing.assert_series_equal(a, b, check_dtype=False,
                                                    check_names=False, check_exact=True)
