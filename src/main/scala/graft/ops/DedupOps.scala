@@ -149,7 +149,9 @@ object DedupOps {
     * observed in the synthetic corpus at sf0.1, so results at test
     * scales are byte-identical with or without the guard; the q66
     * oracle mirrors it so ANY scale stays green. DedupOpsSpec plants
-    * a stop-shingle across 50 docs and pins the bounded pair count. */
+    * identical boilerplate across 120 docs (df above the cap) and pins
+    * that neither q65 nor q66 emits a pair from the hot group while a
+    * genuine planted near-dup pair still surfaces. */
   val maxGroupSize = 100
 
   /** Exact n-gram Jaccard similarity join: explode distinct 3-gram

@@ -5,7 +5,6 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.{LongType, StructType}
-import graft.Tables
 
 /** Structured Streaming operator sweep (SURVEY.md §2.2 streaming rows):
   * file source, tumbling/sliding/session event-time windows, watermark
@@ -27,6 +26,23 @@ object Streaming {
 
   private val sinkId = new AtomicInteger(0)
 
+  /** Scratch dirs created while BUILDING the current query (landing
+    * symlink dirs, sentinel parquet), deleted by the same query's
+    * `drain` once the stream terminates. Thread-local so parallel
+    * test suites can't delete each other's in-flight sources; a
+    * 59-query bench session leaks nothing. */
+  private val scratch = ThreadLocal.withInitial(() =>
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path])
+
+  /** Recursive delete that never follows symlinks — the landing dirs
+    * link into the read-only testdata, and only the link dies. */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists)
+  }
+
   /** The bounded events stream: the static parquet file re-read as a
     * file-source stream (schema declared, never inferred — the
     * streaming contract), with the nanos→µs conversion of
@@ -37,6 +53,7 @@ object Streaming {
     // partitioned by batch); locally the table is a single parquet
     // file, so expose it through a symlinked landing dir
     val landing = java.nio.file.Files.createTempDirectory("graft_events_landing_")
+    scratch.get() += landing
     java.nio.file.Files.createSymbolicLink(
       landing.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val schema: StructType = s.read.parquet(path).schema
@@ -47,13 +64,25 @@ object Streaming {
   }
 
   /** Run a streaming DataFrame into a memory sink until AvailableNow
-    * drains, then return the materialized table. */
+    * drains, then return the materialized table. The sink's temp view
+    * is dropped immediately (the returned DataFrame's analyzed plan
+    * already holds the sink relation, so results stay readable) and
+    * this query's scratch dirs are deleted — without this, a long
+    * bench/verify session accumulates one materialized `graft_mem_N`
+    * table plus temp dirs per streaming query for its whole life. */
   private def drain(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_mem_${sinkId.incrementAndGet()}"
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    s.table(name)
+    try q.awaitTermination()
+    finally {
+      val dirs = scratch.get()
+      dirs.foreach(rmTree)
+      dirs.clear()
+    }
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    out
   }
 
   // ---------------------------------------------------------------- q30
@@ -104,15 +133,20 @@ object Streaming {
   def q32SessionWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = eventsStream(s, dir).select($"user_id", $"ts", $"value")
-    // sentinel = a one-row parquet streamed alongside the real source
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_").toString
-    val maxTs = Tables.events(s, dir).agg(max($"ts")).head().getTimestamp(0)
-    val farUs = maxTs.getTime * 1000L + 30L * 24 * 3600 * 1000 * 1000
+    // sentinel = a one-row parquet streamed alongside the real source.
+    // Its ts is a CONSTANT beyond any fixture's events domain
+    // (TESTDATA events span Jan 2024 at every sf; this is
+    // 2100-01-01T00:00:00Z) — deriving it from max(ts) would cost a
+    // driver-side full-table pre-pass before the stream even starts,
+    // an extra scan of the whole table at 100 TB.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
+    scratch.get() += tmp
+    val farUs = 4102444800000000L
     s.range(1).select(lit(-1L).as("user_id"),
       timestamp_micros(lit(farUs)).as("ts"), lit(0.0).as("value"))
-      .write.mode("overwrite").parquet(tmp)
+      .write.mode("overwrite").parquet(tmp.toString)
     val sentinelStream = s.readStream
-      .schema(s.read.parquet(tmp).schema).parquet(tmp)
+      .schema(s.read.parquet(tmp.toString).schema).parquet(tmp.toString)
     val agg = base.union(sentinelStream)
       .withWatermark("ts", "1 minute")
       .groupBy(session_window($"ts", "30 minutes"), $"user_id")
@@ -171,9 +205,35 @@ object Streaming {
     * is exactly the unbounded-state failure mode watermarks exist to
     * prevent. Each batch sorts only its own rows (bounded by trigger
     * size) and folds them into the constant-size state; events
-    * arriving in later triggers are assumed ts-ordered w.r.t. the
-    * state's lastTs (the file source delivers batches in order; an
-    * out-of-order producer would add a watermark + small buffer). */
+    * arriving in later triggers must be ts-ordered w.r.t. the state's
+    * lastTs (the file source delivers batches in order). An
+    * out-of-order batch FAILS FAST instead of silently under-
+    * reporting gaps (negative deltas would vanish into math.max) — a
+    * producer without that guarantee needs a watermark-sized buffer.
+    * StreamingSpec unit-drives [[foldGaps]] across two ordered
+    * batches and pins both the fold and the fail-fast. */
+  private[ops] def foldGaps(uid: Long, rows: Iterator[(Long, Long)],
+      state: GroupState[(Long, Long, Long)]): (Long, Long, Long) = {
+    val batch = rows.map(_._2).toArray
+    java.util.Arrays.sort(batch)
+    val (n0, last0, gap0) = state.getOption.getOrElse((0L, Long.MinValue, 0L))
+    if (batch.nonEmpty && last0 != Long.MinValue && batch(0) < last0)
+      throw new IllegalStateException(
+        s"out-of-order batch for key $uid: batch min ${batch(0)} precedes " +
+          s"state lastTs $last0 — buffer out-of-order producers by the watermark")
+    var last = last0
+    var gap = gap0
+    var i = 0
+    while (i < batch.length) {
+      if (last != Long.MinValue) gap = math.max(gap, batch(i) - last)
+      last = batch(i)
+      i += 1
+    }
+    val n = n0 + batch.length
+    state.update((n, last, gap))
+    (uid, n, gap)
+  }
+
   def q34StatefulGaps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val typed: Dataset[(Long, Long)] = eventsStream(s, dir)
@@ -181,24 +241,7 @@ object Streaming {
       .as[(Long, Long)]
     val result = typed
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long)],
-         state: GroupState[(Long, Long, Long)]) =>
-          val batch = rows.map(_._2).toArray
-          java.util.Arrays.sort(batch)
-          val (n0, last0, gap0) = state.getOption.getOrElse((0L, Long.MinValue, 0L))
-          var last = last0
-          var gap = gap0
-          var i = 0
-          while (i < batch.length) {
-            if (last != Long.MinValue) gap = math.max(gap, batch(i) - last)
-            last = batch(i)
-            i += 1
-          }
-          val n = n0 + batch.length
-          state.update((n, last, gap))
-          (uid, n, gap)
-      }
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(foldGaps _)
       .toDF("user_id", "n_events", "max_gap_us")
     drain(s, result, OutputMode.Update()).orderBy($"user_id")
   }
@@ -212,12 +255,88 @@ object Streaming {
       |  COALESCE(MAX(gap), 0) AS max_gap_us
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** Session gap in µs shared by q35's state fold and its Scaladoc. */
+  private val sessionGapUs = 30L * 60 * 1000 * 1000
+
+  /** Batch fold for q35: split one key's sorted timestamps into
+    * gap-delimited sessions, emit one (uid, start, end, n) row per
+    * session. O(1) state (lastTs) with the same out-of-order
+    * fail-fast as [[foldGaps]]. */
+  private[ops] def foldSessions(uid: Long, rows: Iterator[(Long, Long)],
+      state: GroupState[Long]): Iterator[(Long, Long, Long, Long)] = {
+    val batch = rows.map(_._2).toArray
+    java.util.Arrays.sort(batch)
+    if (batch.nonEmpty && state.exists && batch(0) < state.get)
+      throw new IllegalStateException(
+        s"out-of-order batch for key $uid: batch min ${batch(0)} precedes " +
+          s"state lastTs ${state.get} — buffer out-of-order producers by the watermark")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var start = 0
+    var i = 1
+    while (i <= batch.length) {
+      if (i == batch.length || batch(i) - batch(i - 1) > sessionGapUs) {
+        out += ((uid, batch(start), batch(i - 1), (i - start).toLong))
+        start = i
+      }
+      i += 1
+    }
+    if (batch.nonEmpty) state.update(batch(batch.length - 1))
+    out.iterator
+  }
+
+  /** Sessionization via flatMapGroupsWithState — MULTI-row emission
+    * per group per trigger, which mapGroupsWithState (q34: exactly one
+    * row per group) cannot express. Splits each user's events into
+    * 30-minute-gap sessions: (user_id, session_start, session_end =
+    * last event ts, n_events). Same custom-state sessionization the
+    * built-in session_window runs in q32, so the oracle is the same
+    * recursive-gap SQL shape — the point here is the arbitrary-state
+    * operator surface.
+    *
+    * The bounded single-file source delivers each key's events in one
+    * batch, so every session closes within the invocation; a
+    * continuous producer would keep the open session in state and
+    * emit it on event-time timeout once the watermark passes
+    * session_end + gap. */
+  def q35FlatMapSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed: Dataset[(Long, Long)] = eventsStream(s, dir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .as[(Long, Long)]
+    val sessions = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(foldSessions _)
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .select($"user_id",
+        timestamp_micros($"start_us").as("session_start"),
+        timestamp_micros($"end_us").as("session_end"),
+        $"n_events")
+    drain(s, sessions, OutputMode.Append()).orderBy($"user_id", $"session_start")
+  }
+
+  private val q35Oracle =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
     "q32_session_windows" -> (q32SessionWindows _),
     "q33_stream_dedup"    -> (q33StreamDedup _),
     "q34_stateful_gaps"   -> (q34StatefulGaps _),
+    "q35_flatmap_sessions" -> (q35FlatMapSessions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -226,5 +345,6 @@ object Streaming {
     "q32_session_windows" -> q32Oracle,
     "q33_stream_dedup"    -> q33Oracle,
     "q34_stateful_gaps"   -> q34Oracle,
+    "q35_flatmap_sessions" -> q35Oracle,
   )
 }

@@ -51,6 +51,12 @@ class PlanSpec extends SparkSuite {
     assert(!plan(DedupOps.q69SimhashNearDup(spark, sf0001)).contains("Join"))
   }
 
+  test("q71 IVF cell assignment: pure projection over the scan, no Exchange") {
+    val p = plan(SimilarityOps.ivfAssignmentPlan(spark, sf0001))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
   test("whole-stage codegen covers the scan-side of the text pipeline") {
     val df = TextOps.q63Fingerprint(spark, sf0001)
     df.collect() // AQE finalizes stages only on execution

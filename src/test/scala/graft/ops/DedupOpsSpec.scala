@@ -71,6 +71,28 @@ class DedupOpsSpec extends SparkSuite {
     }
   }
 
+  test("maxGroupSize cap: a hot shingle/bucket above the cap emits no pairs") {
+    import spark.implicits._
+    // 120 identical boilerplate docs (every shingle df = 120 > maxGroupSize
+    // = 100) — without the cap q66 would emit 120*119/2 = 7140 jaccard-1.0
+    // pairs and q65 would pair the whole identical-signature bucket. One
+    // genuine near-dup pair (df = 2) must still surface.
+    assert(DedupOps.maxGroupSize < 120)
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_cap").toString
+    val boiler = (0L until 120L).map(i =>
+      (i, "common boilerplate footer text appears on every page"))
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = Seq((200L, words + " alpha"), (201L, words + " omega"))
+    (boiler ++ near).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val exact = DedupOps.q66NgramJaccard(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.toSeq == Seq((200L, 201L)), exact.mkString(","))
+    val est = DedupOps.q65MinhashLsh(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(est.toSeq == Seq((200L, 201L)), est.mkString(","))
+  }
+
   test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
     import spark.implicits._
     val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSuite
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+/** Unit-drives the arbitrary-stateful closures (q34/q35) through
+  * Spark's TestGroupState — no stream needed — pinning the cross-batch
+  * fold semantics and the out-of-order fail-fast that the single-batch
+  * e2e oracle can't observe.
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def freshState[S]: TestGroupState[S] =
+    TestGroupState.create[S](Optional.empty[S](), GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+
+  test("q34 foldGaps: two ordered batches fold into one O(1) state") {
+    val st = freshState[(Long, Long, Long)]
+    // batch 1: gaps 150, 150
+    val r1 = Streaming.foldGaps(7L, Iterator((7L, 100L), (7L, 250L), (7L, 400L)), st)
+    assert(r1 == ((7L, 3L, 150L)))
+    assert(st.get == ((3L, 400L, 150L)))
+    // batch 2: the cross-batch gap 400→1000 = 600 dominates
+    val r2 = Streaming.foldGaps(7L, Iterator((7L, 1000L), (7L, 1100L)), st)
+    assert(r2 == ((7L, 5L, 600L)))
+    assert(st.get == ((5L, 1100L, 600L)))
+  }
+
+  test("q34 foldGaps: a batch preceding state lastTs fails fast, never under-reports") {
+    val st = freshState[(Long, Long, Long)]
+    Streaming.foldGaps(7L, Iterator((7L, 1000L), (7L, 1100L)), st)
+    val e = intercept[IllegalStateException] {
+      Streaming.foldGaps(7L, Iterator((7L, 900L)), st)
+    }
+    assert(e.getMessage.contains("out-of-order"))
+  }
+
+  test("q35 foldSessions: splits on >30min gaps, emits one row per session") {
+    val min = 60L * 1000 * 1000
+    val st = freshState[Long]
+    val ts = Seq(0L, 10 * min, 20 * min, // session 1 (3 events)
+      60 * min,                          // session 2 (1 event: 40min gap)
+      95 * min, 100 * min)               // session 3 (2 events: 35min gap)
+    val out = Streaming.foldSessions(3L, ts.map(t => (3L, t)).iterator, st).toSeq
+    assert(out == Seq(
+      (3L, 0L, 20 * min, 3L),
+      (3L, 60 * min, 60 * min, 1L),
+      (3L, 95 * min, 100 * min, 2L)))
+    assert(st.get == 100 * min)
+    // a second batch continuing in order appends its own sessions
+    val out2 = Streaming.foldSessions(3L, Iterator((3L, 200 * min)), st).toSeq
+    assert(out2 == Seq((3L, 200 * min, 200 * min, 1L)))
+    // and an out-of-order batch fails fast
+    intercept[IllegalStateException] {
+      Streaming.foldSessions(3L, Iterator((3L, 150 * min)), st)
+    }
+  }
+}
