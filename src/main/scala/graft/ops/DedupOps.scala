@@ -160,6 +160,12 @@ object DedupOps {
     * counterpart (and oracle) of q65's estimate. */
   def q66NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    jaccardPairs(s, dir).orderBy($"doc_a", $"doc_b")
+  }
+
+  /** q66's pair set before ordering — also the edge set q79 clusters. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     // Single shingle pass: per-doc shingle counts ride along via a
     // window, then docs group per shingle and in-group pairs explode
@@ -191,29 +197,114 @@ object DedupOps {
       .select($"doc_a", $"doc_b",
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .where($"jaccard" >= 0.5)
-      .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Shared oracle CTE block yielding the exact-Jaccard pair set
+    * `jp(doc_a, doc_b, jaccard)` — used by both q66 and q79 so their
+    * oracles can never diverge from each other. `maxGroupSize` is
+    * interpolated so changing the Spark-side cap keeps the oracle in
+    * lockstep (a hardcoded copy would silently desynchronize). */
+  private val jaccardPairsCte =
+    s"""t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM t),
+       |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxGroupSize),
+       |p AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  WHERE a.sh IN (SELECT sh FROM ok)
+       |  GROUP BY 1, 2),
+       |jp AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+       |  FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5)""".stripMargin
+
   private val q66Oracle =
-    """WITH t AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
-      |sh AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, len(toks) - 1),
-      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
-      |  FROM t),
-      |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-      |ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
-      |p AS (
-      |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  WHERE a.sh IN (SELECT sh FROM ok)
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
-      |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-      |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH $jaccardPairsCte
+       |SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  /** Iteration bound for q79's component loop. Near-dup components are
+    * tiny cliques/chains (diameter rarely above 3), so min-label
+    * propagation converges in a handful of rounds; the bound turns an
+    * adversarial long-chain input into a loud failure instead of an
+    * endless job. A graph that actually hits it wants the large-star/
+    * small-star algorithm (provably O(log² n) rounds, same per-round
+    * plan shape). */
+  val maxCcIterations = 20
+
+  /** Near-dup clustering: pairs → connected components → keeper. The
+    * operator a training-data dedup pipeline actually ends with:
+    * q65/q66/q69 emit PAIRS, but a retention decision needs one keeper
+    * per transitive duplicate group (a~b, b~c ⇒ {a,b,c} dedupe
+    * together even when a~c misses the threshold). Components by
+    * min-label propagation over q66's exact pair set: every doc
+    * starts labeled with its own id; each round takes the min of its
+    * own and its neighbors' labels; at fixpoint the label is the
+    * component minimum, which doubles as the deterministic cluster_id
+    * and keeper choice.
+    *
+    * Scale shape: labels are (doc_id, lbl) longs — text never enters
+    * the loop; each round is one hash join + one hash aggregate; the
+    * edge set is localCheckpoint'd so the shingle pipeline runs ONCE,
+    * and each round's labels are localCheckpoint'd so lineage (and
+    * plan size) stays constant. Convergence = one count per round —
+    * the standard distributed-CC control loop; rounds = component
+    * diameter.
+    *
+    * Output: every document, its cluster_id, and is_keeper
+    * (singletons keep themselves). Oracle: DuckDB WITH RECURSIVE
+    * min-label reachability over the same shared pair CTE. */
+  def q79NeardupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b", $"doc_a"))
+      .toDF("dst", "src")                  // (dst = labeled side, src = receiver)
+      .localCheckpoint()
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id", $"doc_id".as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxCcIterations) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select($"src".as("doc_id"), $"lbl")
+      val next = labels.union(nbr)
+        .groupBy($"doc_id").agg(min($"lbl").as("lbl"))
+        .localCheckpoint()
+      val changed = next.withColumnRenamed("lbl", "lbl2")
+        .join(labels, "doc_id")
+        .where($"lbl2" =!= $"lbl").count()
+      converged = changed == 0
+      labels = next
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"q79 min-label propagation did not converge in $maxCcIterations rounds — " +
+        "component diameter exceeds the near-dup assumption; use large-star/small-star")
+    labels
+      .select($"doc_id", $"lbl".as("cluster_id"), ($"doc_id" === $"lbl").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  private val q79Oracle =
+    s"""WITH RECURSIVE $jaccardPairsCte,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+       |      UNION ALL SELECT doc_b, doc_a FROM jp),
+       |reach(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.doc_id)
+       |SELECT doc_id, MIN(lbl) AS cluster_id, doc_id = MIN(lbl) AS is_keeper
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q67
   /** SimHash: 64-bit locality-sensitive signature per document.
@@ -425,6 +516,7 @@ object DedupOps {
     "q67_simhash"           -> (q67Simhash _),
     "q68_embedding_neardup" -> (q68EmbeddingNearDup _),
     "q69_simhash_neardup"   -> (q69SimhashNearDup _),
+    "q79_neardup_clusters"  -> (q79NeardupClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -433,5 +525,6 @@ object DedupOps {
     "q67_simhash"           -> q67Oracle,
     "q68_embedding_neardup" -> q68Oracle,
     "q69_simhash_neardup"   -> q69Oracle,
+    "q79_neardup_clusters"  -> q79Oracle,
   )
 }

@@ -461,6 +461,47 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Controlled cross join: the dense (region × order-priority)
+    * matrix with order counts, zero cells included — the report shape
+    * that needs every combination present even when no fact row
+    * exists. `crossJoin` is the one join Catalyst requires you to ask
+    * for explicitly, and this is the legitimate use: both sides are
+    * tiny dimensions (5×5 product), and the fact side is
+    * pre-aggregated to the (region, priority) grain BEFORE the left
+    * join onto the matrix, so the cross product never multiplies
+    * against fact-table cardinality — at 100 TB the cross join stays
+    * a 25-row broadcast no matter how large orders grows. */
+  def q42CrossMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val priorities = Tables.orders(s, dir).select($"o_orderpriority").distinct()
+    val counts = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_regionkey", $"o_orderpriority".as("pr"))
+      .agg(count(lit(1)).as("cnt"))
+    Tables.region(s, dir).select($"r_regionkey", $"r_name")
+      .crossJoin(priorities)
+      .join(counts,
+        $"r_regionkey" === $"n_regionkey" && $"o_orderpriority" === $"pr", "left")
+      .select($"r_name", $"o_orderpriority",
+        coalesce($"cnt", lit(0L)).as("n_orders"))
+      .orderBy($"r_name", $"o_orderpriority")
+  }
+
+  private val q42Oracle =
+    """WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+      |c AS (
+      |  SELECT n_regionkey, o_orderpriority, COUNT(*) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, pr.o_orderpriority, COALESCE(cnt, CAST(0 AS BIGINT)) AS n_orders
+      |FROM region CROSS JOIN pr
+      |LEFT JOIN c ON r_regionkey = c.n_regionkey
+      |           AND pr.o_orderpriority = c.o_orderpriority
+      |ORDER BY r_name, pr.o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q16
   /** Global top-k: total sort + limit (Spark runs TakeOrderedAndProject
     * — no full sort at scale). */
@@ -715,6 +756,7 @@ object Relational {
     "q39_except_all"      -> (q39ExceptAll _),
     "q40_approx_distinct" -> (q40ApproxDistinct _),
     "q41_grouping_sets"   -> (q41GroupingSets _),
+    "q42_cross_matrix"    -> (q42CrossMatrix _),
     "q17_exists_having"   -> (q17ExistsHaving _),
     "q18_asof_join"       -> (q18AsofJoin _),
     "q19_percentiles"     -> (q19Percentiles _),
@@ -745,6 +787,7 @@ object Relational {
     "q39_except_all"      -> q39Oracle,
     "q40_approx_distinct" -> q40Oracle,
     "q41_grouping_sets"   -> q41Oracle,
+    "q42_cross_matrix"    -> q42Oracle,
     "q17_exists_having"   -> q17Oracle,
     "q18_asof_join"       -> q18Oracle,
     "q19_percentiles"     -> q19Oracle,

@@ -93,6 +93,28 @@ class DedupOpsSpec extends SparkSuite {
     assert(est.toSeq == Seq((200L, 201L)), est.mkString(","))
   }
 
+  test("q79 clusters transitively: a~b, b~c => one cluster even when a!~c") {
+    import spark.implicits._
+    // sliding 20-token windows over w1..w30: jaccard(a,b) = jaccard(b,c)
+    // = 13/23 ≈ 0.57 >= 0.5 but jaccard(a,c) = 8/28 ≈ 0.29 < 0.5 —
+    // only min-label propagation (not the pair set) unites {1,2,3}.
+    def windowText(from: Int): String = (from until from + 20).map(i => s"w$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_cc").toString
+    Seq(
+      (1L, windowText(1)), (2L, windowText(6)), (3L, windowText(11)),
+      (4L, "completely unrelated standalone document body"),
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = DedupOps.q66NgramJaccard(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L)), pairs)
+    val r = DedupOps.q79NeardupClusters(spark, tmp).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getBoolean(2))).toMap
+    assert(r == Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true)))
+  }
+
   test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
     import spark.implicits._
     val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")

@@ -28,7 +28,8 @@ class SimilarityOpsSpec extends SparkSuite {
       approx(q).intersect(e).size.toDouble / e.size
     }
     val mean = recalls.sum / recalls.size
-    // nprobe=2 of 4 cells at sf0.001 → expect solid but not perfect recall
+    // nprobe=4 of 8 fixed cells → ~half the corpus probed on the
+    // near-uniform synthetic vectors → solid but not perfect recall
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
