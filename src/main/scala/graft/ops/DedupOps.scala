@@ -263,6 +263,15 @@ object DedupOps {
     * min-label reachability over the same shared pair CTE. */
   def q79NeardupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    ccLabels(s, dir)
+      .select($"doc_id", $"cluster_id", ($"doc_id" === $"cluster_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  /** (doc_id, cluster_id) fixpoint labels — q79's loop, shared with
+    * q74's quality-weighted keeper selection. */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
     val edges = pairs
       .union(pairs.select($"doc_b", $"doc_a"))
@@ -290,21 +299,58 @@ object DedupOps {
     if (!converged) throw new IllegalStateException(
       s"q79 min-label propagation did not converge in $maxCcIterations rounds — " +
         "component diameter exceeds the near-dup assumption; use large-star/small-star")
-    labels
-      .select($"doc_id", $"lbl".as("cluster_id"), ($"doc_id" === $"lbl").as("is_keeper"))
-      .orderBy($"doc_id")
+    labels.select($"doc_id", $"lbl".as("cluster_id"))
   }
 
-  private val q79Oracle =
-    s"""WITH RECURSIVE $jaccardPairsCte,
+  /** Shared oracle CTE chain ending in `lab(doc_id, cluster_id)` —
+    * the WITH RECURSIVE min-label fixpoint both q79 and q74 build on. */
+  private val ccCte =
+    s"""$jaccardPairsCte,
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
        |      UNION ALL SELECT doc_b, doc_a FROM jp),
        |reach(doc_id, lbl) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.doc_id)
-       |SELECT doc_id, MIN(lbl) AS cluster_id, doc_id = MIN(lbl) AS is_keeper
-       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.doc_id),
+       |lab AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
+  private val q79Oracle =
+    s"""WITH RECURSIVE $ccCte
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper
+       |FROM lab ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Quality-weighted keeper selection: the retention decision a
+    * training-data pipeline makes AFTER clustering — within each
+    * near-dup cluster keep the highest-quality document (q62's
+    * composite score; ties break to the smaller doc_id), drop the
+    * rest. q79's min-id keeper is the determinism-first choice;
+    * this is the quality-first one. One window over the cluster —
+    * clusters are tiny, so no skew concern; labels and scores join
+    * on doc_id with text long gone from the pipeline. */
+  def q74ClusterKeepers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    ccLabels(s, dir)
+      .join(TextOps.qualityScores(s, dir), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select($"doc_id", $"cluster_id", $"quality_score", ($"rn" === 1).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private val q74Oracle =
+    s"""WITH RECURSIVE $ccCte,
+       |q AS (
+       |  ${TextOps.qualityScoresSql}),
+       |r AS (
+       |  SELECT lab.doc_id AS doc_id, cluster_id, quality_score,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |                       ORDER BY quality_score DESC, lab.doc_id ASC) AS rn
+       |  FROM lab JOIN q ON lab.doc_id = q.doc_id)
+       |SELECT doc_id, cluster_id, quality_score, rn = 1 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q67
   /** SimHash: 64-bit locality-sensitive signature per document.
@@ -516,6 +562,7 @@ object DedupOps {
     "q67_simhash"           -> (q67Simhash _),
     "q68_embedding_neardup" -> (q68EmbeddingNearDup _),
     "q69_simhash_neardup"   -> (q69SimhashNearDup _),
+    "q74_cluster_keepers"   -> (q74ClusterKeepers _),
     "q79_neardup_clusters"  -> (q79NeardupClusters _),
   )
 
@@ -525,6 +572,7 @@ object DedupOps {
     "q67_simhash"           -> q67Oracle,
     "q68_embedding_neardup" -> q68Oracle,
     "q69_simhash_neardup"   -> q69Oracle,
+    "q74_cluster_keepers"   -> q74Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
   )
 }

@@ -502,6 +502,44 @@ object Relational {
       |           AND pr.o_orderpriority = c.o_orderpriority
       |ORDER BY r_name, pr.o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** percentile_approx (a rank-error-bounded quantile sketch) beside
+    * the exact percentile — completing the sketch family q40 started
+    * for distinct counts. At 100 TB the sketch is the only option:
+    * exact percentile materializes every group's values; the sketch
+    * merges map-side in bounded memory. Like q40, the sketch estimate
+    * is engine-specific, so the hashed surface carries the exact
+    * values plus BOUNDED checks: with accuracy = 10000 the sketch's
+    * relative rank error is ≤ 1/10000, so the estimate must lie
+    * within the exact quantile envelope at q ± 0.001 (a 10× safety
+    * margin that still pins a 0.1%-tight window). */
+  def q43ApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
+        expr("percentile(l_extendedprice, 0.499)").as("p50_lo"),
+        expr("percentile(l_extendedprice, 0.501)").as("p50_hi"),
+        expr("percentile(l_extendedprice, 0.949)").as("p95_lo"),
+        expr("percentile(l_extendedprice, 0.951)").as("p95_hi"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("a50"),
+        expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("a95"))
+      .select($"l_returnflag", $"p50_exact", $"p95_exact",
+        ($"a50" >= $"p50_lo" && $"a50" <= $"p50_hi").as("approx_p50_in_bounds"),
+        ($"a95" >= $"p95_lo" && $"a95" <= $"p95_hi").as("approx_p95_in_bounds"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q43Oracle =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+      |  TRUE AS approx_p50_in_bounds,
+      |  TRUE AS approx_p95_in_bounds
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q16
   /** Global top-k: total sort + limit (Spark runs TakeOrderedAndProject
     * — no full sort at scale). */
@@ -757,6 +795,7 @@ object Relational {
     "q40_approx_distinct" -> (q40ApproxDistinct _),
     "q41_grouping_sets"   -> (q41GroupingSets _),
     "q42_cross_matrix"    -> (q42CrossMatrix _),
+    "q43_approx_percentiles" -> (q43ApproxPercentiles _),
     "q17_exists_having"   -> (q17ExistsHaving _),
     "q18_asof_join"       -> (q18AsofJoin _),
     "q19_percentiles"     -> (q19Percentiles _),
@@ -788,6 +827,7 @@ object Relational {
     "q40_approx_distinct" -> q40Oracle,
     "q41_grouping_sets"   -> q41Oracle,
     "q42_cross_matrix"    -> q42Oracle,
+    "q43_approx_percentiles" -> q43Oracle,
     "q17_exists_having"   -> q17Oracle,
     "q18_asof_join"       -> q18Oracle,
     "q19_percentiles"     -> q19Oracle,

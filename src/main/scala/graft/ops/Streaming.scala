@@ -330,6 +330,47 @@ object Streaming {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Stream-stream interval join: per-user view→purchase attribution
+    * within one hour — the two-sided-state streaming operator class
+    * (q30–q35 are all single-input). Both sides buffer rows in state;
+    * Spark derives each side's state retention from the watermark +
+    * the time-range join condition, so at 100 TB a view is evicted
+    * one hour after the watermark passes it — state is bounded by
+    * (arrival rate × interval), never by stream length. Shuffles
+    * both sides by user_id once; the bounded AvailableNow drain makes
+    * the inner-join output equal the batch interval join, which is
+    * the oracle. */
+  def q44StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val views = eventsStream(s, dir)
+      .where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      .withWatermark("view_ts", "1 minute")
+    val purchases = eventsStream(s, dir)
+      .where($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+      .withWatermark("purchase_ts", "1 minute")
+    val joined = views.join(purchases,
+      $"user_id" === $"p_uid" &&
+        $"purchase_ts" >= $"view_ts" &&
+        $"purchase_ts" <= $"view_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"view_id", $"purchase_id",
+        $"view_ts", $"purchase_ts", $"purchase_value")
+    drain(s, joined, OutputMode.Append())
+      .orderBy($"user_id", $"view_id", $"purchase_id")
+  }
+
+  private val q44Oracle =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  v.ts AS view_ts, p.ts AS purchase_ts, p.value AS purchase_value
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
@@ -337,6 +378,7 @@ object Streaming {
     "q33_stream_dedup"    -> (q33StreamDedup _),
     "q34_stateful_gaps"   -> (q34StatefulGaps _),
     "q35_flatmap_sessions" -> (q35FlatMapSessions _),
+    "q44_stream_stream_join" -> (q44StreamStreamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -346,5 +388,6 @@ object Streaming {
     "q33_stream_dedup"    -> q33Oracle,
     "q34_stateful_gaps"   -> q34Oracle,
     "q35_flatmap_sessions" -> q35Oracle,
+    "q44_stream_stream_join" -> q44Oracle,
   )
 }

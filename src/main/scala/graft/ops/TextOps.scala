@@ -121,6 +121,32 @@ object TextOps {
        |  len_score * 0.5 + diversity * 0.3 + (1.0 - stop_ratio) * 0.2 >= 0.6 AS is_quality
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** (doc_id, quality_score) — q62's composite (same expression, same
+    * evaluation order, so doubles match the oracle bit-for-bit),
+    * reused by DedupOps.q74's quality-weighted keeper selection. */
+  private[ops] def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", toks($"text"))
+      .select($"doc_id",
+        (least(length($"text").cast("double") / 500.0, lit(1.0)) * 0.5 +
+          (size(array_distinct($"toks")).cast("double") / size($"toks")) * 0.3 +
+          (lit(1.0) - size(filter($"toks", t => t.isin(stopwords: _*)))
+            .cast("double") / size($"toks")) * 0.2).as("quality_score"))
+  }
+
+  /** The matching DuckDB snippet (a full SELECT over `documents`),
+    * interpolated into q74's oracle. */
+  private[ops] val qualityScoresSql: String =
+    s"""SELECT doc_id,
+       |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+       |    + CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+       |        / len(string_split(lower(text), ' ')) * 0.3
+       |    + (1.0 - CAST(len(list_filter(string_split(lower(text), ' '),
+       |          x -> x IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+       |        / len(string_split(lower(text), ' '))) * 0.2 AS quality_score
+       |  FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- q63
   /** Content fingerprint: md5 over canonicalized text (lower +
     * whitespace collapse) — the exact-dedup key at scale. */
