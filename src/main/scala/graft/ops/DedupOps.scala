@@ -269,7 +269,17 @@ object DedupOps {
   }
 
   /** (doc_id, cluster_id) fixpoint labels — q79's loop, shared with
-    * q74's quality-weighted keeper selection. */
+    * q74's quality-weighted keeper selection.
+    *
+    * The loop runs over the WORKING SET only: docs that appear in at
+    * least one pair. At 100 TB near-dup pairs cover a small fraction
+    * of the corpus, so propagation iterates over ~|pairs| rows while
+    * the overwhelmingly-singleton remainder is attached afterwards by
+    * one left join with `coalesce(lbl, doc_id)` — iterating the whole
+    * corpus through the loop would scan a billion rows per round to
+    * relabel fifty. Each round detects its own convergence by
+    * carrying the previous label through the aggregate (max over the
+    * marker rows) — no second join per round. */
   private def ccLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
@@ -277,7 +287,7 @@ object DedupOps {
       .union(pairs.select($"doc_b", $"doc_a"))
       .toDF("dst", "src")                  // (dst = labeled side, src = receiver)
       .localCheckpoint()
-    var labels = Tables.documents(s, dir)
+    var labels = edges.select($"src".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("lbl"))
       .localCheckpoint()
     var converged = false
@@ -285,21 +295,22 @@ object DedupOps {
     while (!converged && it < maxCcIterations) {
       val nbr = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select($"src".as("doc_id"), $"lbl")
-      val next = labels.union(nbr)
-        .groupBy($"doc_id").agg(min($"lbl").as("lbl"))
+        .select($"src".as("doc_id"), $"lbl", lit(0L).as("own"))
+      val next = labels.select($"doc_id", $"lbl", lit(1L).as("own"))
+        .union(nbr)
+        .groupBy($"doc_id")
+        .agg(min($"lbl").as("lbl"), max(when($"own" === 1L, $"lbl")).as("prev"))
         .localCheckpoint()
-      val changed = next.withColumnRenamed("lbl", "lbl2")
-        .join(labels, "doc_id")
-        .where($"lbl2" =!= $"lbl").count()
-      converged = changed == 0
-      labels = next
+      converged = next.where($"lbl" =!= $"prev").count() == 0
+      labels = next.select($"doc_id", $"lbl")
       it += 1
     }
     if (!converged) throw new IllegalStateException(
       s"q79 min-label propagation did not converge in $maxCcIterations rounds — " +
         "component diameter exceeds the near-dup assumption; use large-star/small-star")
-    labels.select($"doc_id", $"lbl".as("cluster_id"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
   }
 
   /** Shared oracle CTE chain ending in `lab(doc_id, cluster_id)` —

@@ -540,6 +540,65 @@ object Relational {
       |  TRUE AS approx_p95_in_bounds
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** RIGHT OUTER join: the right side preserved, with the left-side
+    * filter applied BEFORE the join (inside the join input, not as a
+    * post-filter — a WHERE after a right join silently turns it
+    * inner). Customers with no qualifying order keep a zero count and
+    * NULL total. Catalyst canonicalizes right joins to mirrored left
+    * joins, so the same broadcast/SMJ strategies apply. */
+  def q45RightJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables.orders(s, dir).where($"o_totalprice" > 150000.0)
+    bigOrders.join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey", "right")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_big_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("big_total"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q45Oracle =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS big_total
+      |FROM (SELECT * FROM orders WHERE o_totalprice > 150000.0) o
+      |RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  /** Deterministic salted join — the skew-survival pattern for
+    * large-fact ⋈ mid-size-dim joins where a hot key would overload
+    * one task and the dim is too large to broadcast. Fact rows spread
+    * across [[nSalts]] sub-keys via a DETERMINISTIC salt (hash of
+    * non-key columns — a random salt breaks task retries and
+    * reproducibility); the dim replicates nSalts×, and the join runs
+    * on (key, salt), landing a hot key on nSalts tasks instead of
+    * one. The result is identical to the unsalted join (the oracle IS
+    * the plain join); the explode multiplies only the dim side. AQE's
+    * skew handling covers sort-merge joins adaptively — explicit
+    * salting is the portable form that also works for shuffled-hash
+    * and stateful stream-stream joins. */
+  val nSalts = 8
+
+  def q46SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = Tables.lineitem(s, dir).withColumn("salt",
+      pmod(xxhash64($"l_linenumber", $"l_partkey", $"l_suppkey"), lit(nSalts.toLong)))
+    val dim = Tables.orders(s, dir)
+      .withColumn("salt", explode(sequence(lit(0L), lit(nSalts - 1L))))
+    fact.join(dim.hint("shuffle_hash"),
+        fact("salt") === dim("salt") && $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q46Oracle =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- q16
   /** Global top-k: total sort + limit (Spark runs TakeOrderedAndProject
     * — no full sort at scale). */
@@ -796,6 +855,8 @@ object Relational {
     "q41_grouping_sets"   -> (q41GroupingSets _),
     "q42_cross_matrix"    -> (q42CrossMatrix _),
     "q43_approx_percentiles" -> (q43ApproxPercentiles _),
+    "q45_right_join"      -> (q45RightJoin _),
+    "q46_salted_join"     -> (q46SaltedJoin _),
     "q17_exists_having"   -> (q17ExistsHaving _),
     "q18_asof_join"       -> (q18AsofJoin _),
     "q19_percentiles"     -> (q19Percentiles _),
@@ -828,6 +889,8 @@ object Relational {
     "q41_grouping_sets"   -> q41Oracle,
     "q42_cross_matrix"    -> q42Oracle,
     "q43_approx_percentiles" -> q43Oracle,
+    "q45_right_join"      -> q45Oracle,
+    "q46_salted_join"     -> q46Oracle,
     "q17_exists_having"   -> q17Oracle,
     "q18_asof_join"       -> q18Oracle,
     "q19_percentiles"     -> q19Oracle,

@@ -371,6 +371,62 @@ object Streaming {
       | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Stream-stream LEFT OUTER interval join: q44's attribution with
+    * unconverted views preserved as NULL rows. Outer results can only
+    * be emitted once the watermark proves no future match can arrive,
+    * so both sides get a far-future sentinel row (q32's bounded-
+    * stream idiom — the global watermark is the MIN across inputs,
+    * hence BOTH sides need one): the watermark then passes every real
+    * view's interval and all unmatched views flush. The sentinel
+    * view/purchase are >1h apart so they can't match each other, and
+    * both filter out on user_id >= 0. Same bounded state story as
+    * q44. */
+  def q47StreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_joinsentinel_")
+    scratch.get() += tmp
+    val farUs = 4102444800000000L // 2100-01-01T00:00:00Z
+    s.range(2).select(
+      (lit(-1L) - $"id").as("event_id"),
+      // second sentinel a day later: outside the 1h join interval
+      timestamp_micros(lit(farUs) + $"id" * 86400000000L).as("ts"),
+      lit(-1L).as("user_id"),
+      element_at(array(lit("view"), lit("purchase")), ($"id" + 1).cast("int")).as("event_type"),
+      lit(0.0).as("value"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val sentinel = s.readStream
+      .schema(s.read.parquet(tmp.toString).schema).parquet(tmp.toString)
+    val all = eventsStream(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .union(sentinel.select($"event_id", $"ts", $"user_id", $"event_type", $"value"))
+    val views = all.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      .withWatermark("view_ts", "1 minute")
+    val purchases = all.where($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+      .withWatermark("purchase_ts", "1 minute")
+    val joined = views.join(purchases,
+      $"user_id" === $"p_uid" &&
+        $"purchase_ts" >= $"view_ts" &&
+        $"purchase_ts" <= $"view_ts" + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select($"user_id", $"view_id", $"purchase_id", $"purchase_value")
+    drain(s, joined, OutputMode.Append())
+      .filter($"user_id" >= 0)
+      .orderBy($"user_id", $"view_id", $"purchase_id".asc_nulls_first)
+  }
+
+  private val q47Oracle =
+    """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |  p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
@@ -379,6 +435,7 @@ object Streaming {
     "q34_stateful_gaps"   -> (q34StatefulGaps _),
     "q35_flatmap_sessions" -> (q35FlatMapSessions _),
     "q44_stream_stream_join" -> (q44StreamStreamJoin _),
+    "q47_stream_left_join"   -> (q47StreamLeftJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,5 +446,6 @@ object Streaming {
     "q34_stateful_gaps"   -> q34Oracle,
     "q35_flatmap_sessions" -> q35Oracle,
     "q44_stream_stream_join" -> q44Oracle,
+    "q47_stream_left_join"   -> q47Oracle,
   )
 }

@@ -57,6 +57,15 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("q46 salted join: shuffled join keyed on (orderkey, salt), dim never broadcast") {
+    val df = Relational.q46SaltedJoin(spark, sf0001)
+    df.collect() // AQE finalizes stages only on execution
+    val p = plan(df)
+    assert(!p.contains("BroadcastHashJoin"), p.take(600))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"))
+    assert(p.contains("salt"))
+  }
+
   test("whole-stage codegen covers the scan-side of the text pipeline") {
     val df = TextOps.q63Fingerprint(spark, sf0001)
     df.collect() // AQE finalizes stages only on execution
