@@ -599,6 +599,34 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** unionByName with allowMissingColumns: schema-tolerant append —
+    * columns align by NAME (positional `union` would silently pair
+    * mismatched columns), and a column absent on one side null-fills.
+    * This is the ingestion posture for federating feeds whose schemas
+    * drifted (the reference's frozen sink schema makes drift a hard
+    * error; this is the engine's upgrade). Customer and supplier
+    * project to a shared party shape; suppliers carry no segment. */
+  def q48UnionByName(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select($"c_custkey".as("party_key"), $"c_mktsegment".as("segment"),
+        lit("customer").as("kind"), $"c_acctbal".as("balance"))
+    val supp = Tables.supplier(s, dir)
+      .select($"s_suppkey".as("party_key"), lit("supplier").as("kind"),
+        $"s_acctbal".as("balance")) // no segment, different column order
+    cust.unionByName(supp, allowMissingColumns = true)
+      .orderBy($"kind", $"party_key")
+  }
+
+  private val q48Oracle =
+    """SELECT c_custkey AS party_key, c_mktsegment AS segment,
+      |  'customer' AS kind, c_acctbal AS balance
+      |FROM customer
+      |UNION ALL
+      |SELECT s_suppkey, NULL, 'supplier', s_acctbal FROM supplier
+      |ORDER BY kind, party_key""".stripMargin
+
   // ---------------------------------------------------------------- q16
   /** Global top-k: total sort + limit (Spark runs TakeOrderedAndProject
     * — no full sort at scale). */
@@ -857,6 +885,7 @@ object Relational {
     "q43_approx_percentiles" -> (q43ApproxPercentiles _),
     "q45_right_join"      -> (q45RightJoin _),
     "q46_salted_join"     -> (q46SaltedJoin _),
+    "q48_union_by_name"   -> (q48UnionByName _),
     "q17_exists_having"   -> (q17ExistsHaving _),
     "q18_asof_join"       -> (q18AsofJoin _),
     "q19_percentiles"     -> (q19Percentiles _),
@@ -891,6 +920,7 @@ object Relational {
     "q43_approx_percentiles" -> q43Oracle,
     "q45_right_join"      -> q45Oracle,
     "q46_salted_join"     -> q46Oracle,
+    "q48_union_by_name"   -> q48Oracle,
     "q17_exists_having"   -> q17Oracle,
     "q18_asof_join"       -> q18Oracle,
     "q19_percentiles"     -> q19Oracle,

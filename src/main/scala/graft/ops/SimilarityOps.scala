@@ -106,19 +106,48 @@ object SimilarityOps {
   val numCells = 8
   val nprobe = 4
 
+  /** Lloyd (k-means) refinement rounds applied to the strided seed
+    * centroids. Each round = one zero-Exchange assignment projection
+    * + one per-(cell, dim) mean whose partial aggregate combines
+    * map-side, so the shuffle carries O(C × dims) rows per partition
+    * — embeddings never shuffle during training either. */
+  val lloydIterations = 2
+
   /** (cid, centroid vector, centroid norm) — the IVF "model". One
-    * driver-side collect of exactly numCells rows; the count() that
-    * places the sample stride is metadata-only on parquet. At scale
-    * this is the output of a (sampled) k-means training job, not a
-    * full-table pass. */
+    * driver-side collect of exactly numCells rows per training round;
+    * the count() that places the seed stride is metadata-only on
+    * parquet. Centroid means use doubles (summation order varies with
+    * partitioning, so low bits aren't reproducible — q71 is rows-only
+    * + recall-spec'd, never hash-compared, exactly for this). A cell
+    * that goes empty keeps its previous centroid. */
   private def centroidModel(s: SparkSession, dir: String): Array[(Long, Seq[Float], Double)] = {
     import s.implicits._
     val c = corpus(s, dir)
     val stride = math.max(1L, Tables.embeddings(s, dir).count() / numCells)
-    c.where($"vec_id" % stride === 0 && $"vec_id" < stride * numCells)
+    var cents = c.where($"vec_id" % stride === 0 && $"vec_id" < stride * numCells)
       .orderBy($"vec_id")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    for (_ <- 0 until lloydIterations) {
+      val means = c
+        .select(
+          (-array_max(centroidScores(cents, $"embedding", $"nrm")).getField("negcid")).as("cell"),
+          posexplode($"embedding"))
+        .groupBy($"cell", $"pos")
+        .agg(avg($"col").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.map { case (cid, oldVec, oldNrm) =>
+        means.get(cid) match {
+          case Some(rows) =>
+            val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+            val nrm = math.sqrt(vec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+            (cid, vec, nrm)
+          case None => (cid, oldVec, oldNrm)
+        }
+      }
+    }
+    cents
   }
 
   /** Per-centroid (cosine, -cid) score structs as one literal-driven
