@@ -24,7 +24,15 @@ object Bench {
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Between queries: drop persisted RDDs (localCheckpoint
+      // artifacts of the iterative queries) and cached relations so
+      // one query's leftover memory can't skew a later query's
+      // timing — the executor-memory counterpart of drain()'s
+      // memory-sink hygiene. Outside the timed window on purpose.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      (name, elapsed, err)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""

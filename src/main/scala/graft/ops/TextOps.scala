@@ -147,6 +147,86 @@ object TextOps {
        |        / len(string_split(lower(text), ' '))) * 0.2 AS quality_score
        |  FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  /** Per-language sampling percentages (pct kept); languages absent
+    * here keep 100%. Interpolated into the oracle so query and SQL
+    * can never drift. */
+  val sampleRates: Seq[(String, Int)] = Seq("en" -> 50, "zh" -> 25)
+
+  /** Deterministic hash-based stratified sampling — mixture control
+    * for training corpora (downsample the over-represented language,
+    * keep the rest). The keep decision is a pure function of the ROW:
+    * bucket = md5("samp:" + doc_id) taken as a 16-bit int mod 100 —
+    * never an RNG stream, so the sample is reproducible across
+    * retries, repartitioning, and engines (which is also what makes
+    * it exactly oracle-able, unlike rand()/sampleBy). A salt in the
+    * hash input decorrelates this sample from any other md5-keyed
+    * logic over the same ids. Pure projection + filter: the filter
+    * evaluates at scan time, zero shuffle at any scale. */
+  def q49StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = conv(substring(md5(concat(lit("samp:"), $"doc_id".cast("string"))),
+      1, 4), 16, 10).cast("long") % 100
+    val rate = sampleRates.foldLeft(lit(100): Column) {
+      case (acc, (l, r)) => when($"lang" === l, r).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .withColumn("bucket", bucket)
+      .where($"bucket" < rate)
+      .select($"doc_id", $"lang", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  private val q49Oracle =
+    s"""SELECT doc_id, lang, bucket FROM (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+       |  FROM documents)
+       |WHERE bucket < CASE lang ${sampleRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 100 END
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  /** Chunk geometry: 16-token windows every 12 tokens (4-token
+    * overlap). Interpolated into the oracle. */
+  val chunkSize = 16
+  val chunkStride = 12
+
+  /** Fixed-size overlapping token chunking — the operator that turns
+    * documents into training-window-sized pieces. Chunks start every
+    * `chunkStride` tokens; the final start is capped at
+    * n - chunkSize + chunkStride so a tail chunk exists only when it
+    * carries tokens no earlier chunk covered (a doc shorter than one
+    * window yields exactly one chunk). Projection + explode: the
+    * fan-out is bounded by n/stride per doc and carries no state, so
+    * at 100 TB this is scan-shaped work. */
+  def q50DocChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documentsSpread(s, dir)
+      .withColumn("toks", toks($"text"))
+      .withColumn("n", size($"toks"))
+      .withColumn("start", explode(sequence(lit(1),
+        greatest(lit(1), $"n" - chunkSize + chunkStride), lit(chunkStride))))
+      .select($"doc_id",
+        expr(s"CAST((start - 1) DIV $chunkStride AS BIGINT)").as("chunk_id"),
+        concat_ws(" ", slice($"toks", $"start", lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize), $"n" - $"start" + 1).cast("long").as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private val q50Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+       |    len(string_split(lower(text), ' ')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, toks, n,
+       |    unnest(range(1, greatest(1, n - $chunkSize + $chunkStride) + 1, $chunkStride)) AS start
+       |  FROM t)
+       |SELECT doc_id, (start - 1) // $chunkStride AS chunk_id,
+       |  array_to_string(list_slice(toks, start, least(start + ${chunkSize - 1}, n)), ' ') AS chunk_text,
+       |  least($chunkSize, n - start + 1) AS n_tokens
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---------------------------------------------------------------- q63
   /** Content fingerprint: md5 over canonicalized text (lower +
     * whitespace collapse) — the exact-dedup key at scale. */
@@ -325,6 +405,8 @@ object TextOps {
     "q63_fingerprint"         -> (q63Fingerprint _),
     "q72_token_counts"        -> (q72TokenCounts _),
     "q77_rolling_fingerprint" -> (q77RollingFingerprint _),
+    "q49_stratified_sample"   -> (q49StratifiedSample _),
+    "q50_doc_chunks"          -> (q50DocChunks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -335,5 +417,7 @@ object TextOps {
     "q63_fingerprint"         -> q63Oracle,
     "q72_token_counts"        -> q72Oracle,
     "q77_rolling_fingerprint" -> q77Oracle,
+    "q49_stratified_sample"   -> q49Oracle,
+    "q50_doc_chunks"          -> q50Oracle,
   )
 }

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkSuite {
 
+  test("q50 chunking: overlap geometry, tail chunks, short docs yield one chunk") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("chunks").toString
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq((1L, words(12)), (2L, words(20)), (3L, words(30)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.q50DocChunks(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 1 (12 toks < chunkSize): exactly one, whole doc
+    assert(rows.filter(_._1 == 1L).toSeq == Seq((1L, 0L, words(12), 12L)))
+    // doc 2 (20 toks): [1..16], tail [13..20] — 4-token overlap
+    val d2 = rows.filter(_._1 == 2L).toSeq
+    assert(d2.map(x => (x._2, x._4)) == Seq((0L, 16L), (1L, 8L)))
+    assert(d2(1)._3 == (13 to 20).map(i => s"w$i").mkString(" "))
+    // doc 3 (30 toks): three chunks, final covers tokens 25..30
+    val d3 = rows.filter(_._1 == 3L).toSeq
+    assert(d3.map(x => (x._2, x._4)) == Seq((0L, 16L), (1L, 16L), (2L, 6L)))
+  }
+
   test("q60 text stats: counts consistent on a known sentence") {
     import spark.implicits._
     val df = Seq((1L, "the cat sat on the mat", "en", "srcX", 22L))
