@@ -599,6 +599,35 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** The spark.sql(...) front-end: the same ANSI SQL text drives both
+    * engines — the Spark side registers temp views and runs the query
+    * through the SQL parser instead of the DataFrame API (identical
+    * Catalyst plan downstream, so everything PlanSpec pins about the
+    * DataFrame path holds here too). One template string, two
+    * engines: the oracle is the SAME template with unprefixed table
+    * names, so the two dialects can never drift. Revenue share per
+    * region = join + group + window over the grand total. */
+  private def q51Sql(p: String): String =
+    s"""WITH rev AS (
+       |  SELECT r_name, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+       |  FROM ${p}orders
+       |  JOIN ${p}customer ON o_custkey = c_custkey
+       |  JOIN ${p}nation ON c_nationkey = n_nationkey
+       |  JOIN ${p}region ON n_regionkey = r_regionkey
+       |  GROUP BY r_name)
+       |SELECT r_name, CAST(total AS DOUBLE) AS total_rev,
+       |  CAST(total AS DOUBLE) / CAST(SUM(total) OVER () AS DOUBLE) AS rev_share
+       |FROM rev ORDER BY r_name""".stripMargin
+
+  def q51SqlFrontend(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+    Tables.nation(s, dir).createOrReplaceTempView("g_nation")
+    Tables.region(s, dir).createOrReplaceTempView("g_region")
+    s.sql(q51Sql("g_"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** unionByName with allowMissingColumns: schema-tolerant append —
     * columns align by NAME (positional `union` would silently pair
@@ -886,6 +915,7 @@ object Relational {
     "q45_right_join"      -> (q45RightJoin _),
     "q46_salted_join"     -> (q46SaltedJoin _),
     "q48_union_by_name"   -> (q48UnionByName _),
+    "q51_sql_frontend"    -> (q51SqlFrontend _),
     "q17_exists_having"   -> (q17ExistsHaving _),
     "q18_asof_join"       -> (q18AsofJoin _),
     "q19_percentiles"     -> (q19Percentiles _),
@@ -921,6 +951,7 @@ object Relational {
     "q45_right_join"      -> q45Oracle,
     "q46_salted_join"     -> q46Oracle,
     "q48_union_by_name"   -> q48Oracle,
+    "q51_sql_frontend"    -> q51Sql(""),
     "q17_exists_having"   -> q17Oracle,
     "q18_asof_join"       -> q18Oracle,
     "q19_percentiles"     -> q19Oracle,

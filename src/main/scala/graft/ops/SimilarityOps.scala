@@ -189,6 +189,73 @@ object SimilarityOps {
       .orderBy($"query_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Signed-random-projection LSH ANN — the bucket-join alternative
+    * to q71's IVF: [[lshTables]] hash tables × [[lshBits]] hyperplane
+    * sign bits each. A vector lands in one bucket per table (a pure
+    * projection over literal hyperplanes — zero Exchange, exactly
+    * like IVF assignment); a candidate is any corpus vector sharing a
+    * query's bucket in ANY table. Candidates are deduped as BARE ID
+    * PAIRS before any payload joins, so the shuffle carries
+    * (query_id, vec_id) longs — embeddings are fetched once for the
+    * surviving candidate set and ranked by exact cosine.
+    *
+    * Hyperplanes are DETERMINISTIC (Knuth multiplicative hash of
+    * (table, bit, dim), centered to [-1, 1]) — a model you could
+    * re-derive on any engine, no RNG stream. Recall/cost dial =
+    * (bits, tables): fewer bits → bigger buckets → higher recall;
+    * more tables → more probes → higher recall. On the near-uniform
+    * synthetic vectors 3 bits × 4 tables probes roughly half the
+    * corpus for ~0.6 recall@10; clustered real embeddings run far
+    * more selective settings. No SQL oracle (bucket assignment is the
+    * model); SimilarityOpsSpec checks recall vs q70. */
+  val lshTables = 4
+  val lshBits = 3
+
+  private def hyperplane(t: Int, b: Int): Seq[Float] =
+    (0 until 64).map { d =>
+      val h = (((t * 31 + b) * 131 + d).toLong * 2654435761L) >>> 16
+      ((h & 0xffffL).toDouble / 65535.0 * 2 - 1).toFloat
+    }
+
+  /** array<struct<table, bucket>> for a vector column — one literal-
+    * driven projection, no Exchange. */
+  private def lshBuckets(v: Column): Column =
+    array((0 until lshTables).map { t =>
+      val bucket = (0 until lshBits).foldLeft(lit(0L)) { (acc, b) =>
+        acc * 2 + when(VectorOps.dot(v, typedlit(hyperplane(t, b))) > 0, 1L).otherwise(0L)
+      }
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }: _*)
+
+  def q52KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    // id-only bucket postings: the only corpus-wide shuffle key
+    val postings = c.select($"vec_id", explode(lshBuckets($"embedding")).as("tb"))
+      .select($"vec_id", $"tb.table", $"tb.bucket")
+    val qBuckets = c.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), explode(lshBuckets($"embedding")).as("tb"))
+      .select($"query_id", $"tb.table", $"tb.bucket")
+    val candidates = postings.join(broadcast(qBuckets), Seq("table", "bucket"))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+      .distinct()
+    val q = c.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    candidates
+      .join(c, Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select($"query_id", $"vec_id",
+        (VectorOps.dot($"embedding", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** The zero-shuffle assignment plan, exposed for PlanSpec: scan →
     * project(cell) with no Exchange anywhere. */
   def ivfAssignmentPlan(s: SparkSession, dir: String): DataFrame = {
@@ -202,6 +269,7 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
+    "q52_knn_lsh"        -> (q52KnnLsh _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -33,6 +33,20 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("q52 lsh: usable recall@10 vs brute force, exact ranks within candidates") {
+    val exact = SimilarityOps.q70KnnBruteForce(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = SimilarityOps.q52KnnLsh(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(approx.keySet == exact.keySet)
+    val recalls = exact.map { case (q, e) =>
+      approx.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 3 bits x 4 tables probes ~half the near-uniform corpus
+    assert(mean >= 0.4, s"mean recall@10 = $mean")
+  }
+
   test("q71 ivf scans fewer candidates than brute force would") {
     // structural check: candidate set per query is bounded by the
     // probed cells, i.e. strictly fewer scored pairs than n*q

@@ -26,6 +26,26 @@ class TextOpsSpec extends SparkSuite {
     assert(d3.map(x => (x._2, x._4)) == Seq((0L, 16L), (1L, 16L), (2L, 6L)))
   }
 
+  test("q50 chunking: de-overlapped chunk concatenation reconstructs every doc") {
+    import spark.implicits._
+    val overlap = TextOps.chunkSize - TextOps.chunkStride
+    val tmp = java.nio.file.Files.createTempDirectory("chunks_inv").toString
+    val sizes = Seq(1, 2, 11, 12, 13, 16, 17, 27, 28, 29, 40, 57)
+    sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val byDoc = TextOps.q50DocChunks(spark, tmp).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val chunks = byDoc(i.toLong)
+      val rebuilt = (chunks.head +: chunks.tail.map(
+        _.split(" ").drop(overlap).mkString(" "))).filter(_.nonEmpty).mkString(" ")
+      assert(rebuilt == (1 to n).map(j => s"w$j").mkString(" "), s"n=$n")
+    }
+  }
+
   test("q60 text stats: counts consistent on a known sentence") {
     import spark.implicits._
     val df = Seq((1L, "the cat sat on the mat", "en", "srcX", 22L))
