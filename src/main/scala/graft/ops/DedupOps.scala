@@ -282,6 +282,16 @@ object DedupOps {
     * marker rows) — no second join per round. */
   private def ccLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    Tables.documents(s, dir).select($"doc_id")
+      .join(ccLabelsWorking(s, dir), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+  }
+
+  /** Fixpoint labels for the working set only: (doc_id, lbl) for docs
+    * in at least one pair. Tiny by construction — callers broadcast
+    * it against the corpus rather than shuffling the corpus. */
+  private def ccLabelsWorking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
     val edges = pairs
       .union(pairs.select($"doc_b", $"doc_a"))
@@ -308,9 +318,7 @@ object DedupOps {
     if (!converged) throw new IllegalStateException(
       s"q79 min-label propagation did not converge in $maxCcIterations rounds — " +
         "component diameter exceeds the near-dup assumption; use large-star/small-star")
-    Tables.documents(s, dir).select($"doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+    labels
   }
 
   /** Shared oracle CTE chain ending in `lab(doc_id, cluster_id)` —
@@ -336,19 +344,32 @@ object DedupOps {
     * near-dup cluster keep the highest-quality document (q62's
     * composite score; ties break to the smaller doc_id), drop the
     * rest. q79's min-id keeper is the determinism-first choice;
-    * this is the quality-first one. One window over the cluster —
-    * clusters are tiny, so no skew concern; labels and scores join
-    * on doc_id with text long gone from the pipeline. */
+    * this is the quality-first one.
+    *
+    * Plan shape: ONLY the working set (docs in a real cluster — tiny
+    * by construction) goes through the per-cluster window; it joins
+    * quality as the broadcast side, so the corpus never shuffles on
+    * cluster_id to rank overwhelmingly-singleton "clusters".
+    * Singletons take the anti-join branch and keep themselves — at
+    * 100 TB that is two corpus scans and zero corpus-wide exchanges
+    * (the final global sort exists only for the oracle's total
+    * order). */
   def q74ClusterKeepers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"cluster_id")
       .orderBy($"quality_score".desc, $"doc_id".asc)
-    ccLabels(s, dir)
-      .join(TextOps.qualityScores(s, dir), "doc_id")
+    val working = ccLabelsWorking(s, dir)
+      .select($"doc_id", $"lbl".as("cluster_id"))
+    val quality = TextOps.qualityScores(s, dir)
+    val ranked = broadcast(working).join(quality, "doc_id")
       .withColumn("rn", row_number().over(w))
       .select($"doc_id", $"cluster_id", $"quality_score", ($"rn" === 1).as("keep"))
-      .orderBy($"doc_id")
+    val singles = quality
+      .join(broadcast(working.select($"doc_id")), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("cluster_id"), $"quality_score",
+        lit(true).as("keep"))
+    ranked.union(singles).orderBy($"doc_id")
   }
 
   private val q74Oracle =
