@@ -12,6 +12,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed JVM warm-up on the smallest fixture: JIT + codegen +
+    // parquet-reader init otherwise lands on whichever query happens
+    // to run first (~5s of noise attributed to an arbitrary query).
+    // Standard benchmarking hygiene, disclosed here; every timed
+    // query still does its own full scan/plan/execute.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Optional args = query-name filter (dev: bench a subset standalone).
     val wanted = args.toSet
     val selected =

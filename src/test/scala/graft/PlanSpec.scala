@@ -57,6 +57,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("q49 sampling: the keep filter evaluates at the scan, before any exchange") {
+    val df = TextOps.q49StratifiedSample(spark, sf0001)
+    df.collect()
+    val p = plan(df)
+    // md5-bucket predicate must sit in the scan's DataFilters (scan-
+    // time evaluation, zero pre-filter shuffle); only the final
+    // oracle ORDER BY may exchange
+    assert("DataFilters: \\[[^\\]]*md5".r.findFirstIn(p).isDefined, p.take(800))
+    assert("Exchange".r.findAllIn(p).length <= 2, p.take(800)) // AQE prints initial+final
+  }
+
   test("q46 salted join: shuffled join keyed on (orderkey, salt), dim never broadcast") {
     val df = Relational.q46SaltedJoin(spark, sf0001)
     df.collect() // AQE finalizes stages only on execution
