@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Numerics are identical to the HOF formulation — a strict
   * left-to-right fold starting at 0.0 with each float widened to
   * double — so query results (and the DuckDB oracles) are
-  * bit-for-bit unchanged; VectorOpsSpec asserts the equivalence.
+  * bit-for-bit unchanged; TextOpsSpec asserts the equivalence.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {

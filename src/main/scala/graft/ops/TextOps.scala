@@ -53,7 +53,7 @@ object TextOps {
     * decides zh; otherwise the best stopword-profile overlap wins
     * (ties → lexicographically greatest code — deterministic).
     * No SQL oracle (profile scoring isn't reasonably expressible);
-    * accuracy is asserted on real sentences in LlmOpsSpec. */
+    * accuracy is asserted on real sentences in TextOpsSpec. */
   val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "es"),
