@@ -30,15 +30,18 @@ object DedupOps {
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
-  /** Distinct 3-gram word shingles; empty for docs under 3 tokens
-    * (guards Spark's descending `sequence` when size-2 < 1). */
-  def shingles3(text: Column): Column = {
+  /** Distinct n-gram word shingles; empty for docs under n tokens
+    * (guards Spark's descending `sequence` when size-n+1 < 1). */
+  def shinglesN(text: Column, n: Int): Column = {
     val t = toks(text)
-    when(size(t) >= 3,
-      array_distinct(transform(sequence(lit(1), size(t) - 2), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct 3-gram word shingles (the near-dup default). */
+  def shingles3(text: Column): Column = shinglesN(text, 3)
 
   // ---------------------------------------------------------------- q64
   /** Exact dedup: hash-groupBy on the canonical-text fingerprint.
@@ -384,6 +387,55 @@ object DedupOps {
        |SELECT doc_id, cluster_id, quality_score, rn = 1 AS keep
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Benchmark decontamination: find corpus documents that share at
+    * least [[contamMinShingles]] distinct 8-gram shingles with any
+    * benchmark document — the check every training pipeline runs so
+    * eval sets don't leak into training data. Long shingles (8-grams)
+    * make incidental phrase collisions rare, so a handful of shared
+    * shingles is strong evidence of copied text.
+    *
+    * Here the "benchmark" is a fixture proxy: docs with id below
+    * [[contamBenchmarkIds]] play the eval set and the rest the
+    * training corpus (a real pipeline reads the eval suite as its own
+    * table — identical plan). Scale shape mirrors q66: both sides
+    * explode to (shingle, id) pairs — text never shuffles — and the
+    * equi-join broadcasts the benchmark side, so per-shingle fan-out
+    * is bounded by the (small) benchmark cardinality and no q66-style
+    * df cap is needed. */
+  val contamBenchmarkIds = 10L
+  val contamMinShingles = 3L
+
+  def q53Decontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(shinglesN($"text", 8)).as("sh"))
+    val bench = sh.where($"doc_id" < contamBenchmarkIds)
+      .select($"doc_id".as("bench_doc_id"), $"sh")
+    val corpus = sh.where($"doc_id" >= contamBenchmarkIds)
+    corpus.join(broadcast(bench), Seq("sh"))
+      .groupBy($"doc_id", $"bench_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where($"n_shared" >= contamMinShingles)
+      .orderBy($"doc_id", $"bench_doc_id")
+  }
+
+  private val q53Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 6),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+       |      || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS sh
+       |  FROM t),
+       |b AS (SELECT doc_id AS bench_doc_id, sh FROM sh WHERE doc_id < $contamBenchmarkIds),
+       |c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= $contamBenchmarkIds)
+       |SELECT c.doc_id, b.bench_doc_id, count(*) AS n_shared
+       |FROM c JOIN b ON c.sh = b.sh
+       |GROUP BY 1, 2 HAVING count(*) >= $contamMinShingles
+       |ORDER BY doc_id, bench_doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q67
   /** SimHash: 64-bit locality-sensitive signature per document.
     * Per token, a 64-bit hash (md5 hex digits — engine-portable);
@@ -594,6 +646,7 @@ object DedupOps {
     "q67_simhash"           -> (q67Simhash _),
     "q68_embedding_neardup" -> (q68EmbeddingNearDup _),
     "q69_simhash_neardup"   -> (q69SimhashNearDup _),
+    "q53_decontamination"   -> (q53Decontamination _),
     "q74_cluster_keepers"   -> (q74ClusterKeepers _),
     "q79_neardup_clusters"  -> (q79NeardupClusters _),
   )
@@ -604,6 +657,7 @@ object DedupOps {
     "q67_simhash"           -> q67Oracle,
     "q68_embedding_neardup" -> q68Oracle,
     "q69_simhash_neardup"   -> q69Oracle,
+    "q53_decontamination"   -> q53Oracle,
     "q74_cluster_keepers"   -> q74Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
   )

@@ -227,6 +227,44 @@ object TextOps {
        |  least($chunkSize, n - start + 1) AS n_tokens
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** PII patterns, shared by the query and (via interpolation) the
+    * oracle. Restricted to a regex subset with identical semantics
+    * under Java regex (Spark) and RE2 (DuckDB): character classes,
+    * `+`, bounded repetition — no backrefs or lookaround. */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val longNumRe = "[0-9]{7,}"
+
+  /** PII redaction — the scrubbing pass a training pipeline runs
+    * before text is retained: mask email addresses and long digit
+    * runs (phone/account shapes) with fixed placeholders and count
+    * the replacements per document (the counts feed removal-rate
+    * monitoring). Emails are masked first so their digits can't also
+    * trip the number rule. Pure projection: scan-speed at any scale,
+    * zero shuffle except the oracle's ORDER BY. TextOpsSpec asserts
+    * the masking on planted PII; the fixture corpus is clean, so the
+    * oracle also proves the no-op path byte-identical. */
+  def q54RedactPii(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"),
+          longNumRe, "<NUM>").as("redacted_text"),
+        regexp_count($"text", lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(regexp_replace($"text", emailRe, "<EMAIL>"),
+          lit(longNumRe)).cast("long").as("n_longnums"))
+      .orderBy($"doc_id")
+  }
+
+  private val q54Oracle =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+       |    '$longNumRe', '<NUM>', 'g') AS redacted_text,
+       |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
+       |    '$longNumRe')) AS n_longnums
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q63
   /** Content fingerprint: md5 over canonicalized text (lower +
     * whitespace collapse) — the exact-dedup key at scale. */
@@ -407,6 +445,7 @@ object TextOps {
     "q77_rolling_fingerprint" -> (q77RollingFingerprint _),
     "q49_stratified_sample"   -> (q49StratifiedSample _),
     "q50_doc_chunks"          -> (q50DocChunks _),
+    "q54_redact_pii"          -> (q54RedactPii _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -419,5 +458,6 @@ object TextOps {
     "q77_rolling_fingerprint" -> q77Oracle,
     "q49_stratified_sample"   -> q49Oracle,
     "q50_doc_chunks"          -> q50Oracle,
+    "q54_redact_pii"          -> q54Oracle,
   )
 }

@@ -115,6 +115,19 @@ class DedupOpsSpec extends SparkSuite {
       4L -> (4L, true)))
   }
 
+  test("q79 converges on a 6-doc chain (diameter 5, multi-round propagation)") {
+    import spark.implicits._
+    def windowText(from: Int): String = (from until from + 20).map(i => s"w$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_chain").toString
+    // consecutive 20-token windows at stride 5: adjacent jaccard ≈ 0.57
+    // (linked), two-apart ≈ 0.29 (not linked) — a pure chain
+    (0 until 6).map(k => ((k + 1).toLong, windowText(1 + 5 * k))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DedupOps.q79NeardupClusters(spark, tmp).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r == (1L to 6L).map(d => d -> ((1L, d == 1L))).toMap, r)
+  }
+
   test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
     import spark.implicits._
     val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")

@@ -46,6 +46,22 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q54 redaction masks planted PII and counts it; clean text untouched") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pii").toString
+    Seq(
+      (1L, "contact bob.smith+x@ex-ample.co.uk or call 12345678901 now"),
+      (2L, "short 123456 id stays but 9876543 goes"),
+      (3L, "perfectly clean text with no identifiers"),
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.q54RedactPii(spark, tmp).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == (("contact <EMAIL> or call <NUM> now", 1L, 1L)))
+    assert(r(2L) == (("short 123456 id stays but <NUM> goes", 0L, 1L)))
+    assert(r(3L) == (("perfectly clean text with no identifiers", 0L, 0L)))
+  }
+
   test("q60 text stats: counts consistent on a known sentence") {
     import spark.implicits._
     val df = Seq((1L, "the cat sat on the mat", "en", "srcX", 22L))
