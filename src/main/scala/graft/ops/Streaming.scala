@@ -35,12 +35,17 @@ object Streaming {
     scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path])
 
   /** Recursive delete that never follows symlinks — the landing dirs
-    * link into the read-only testdata, and only the link dies. */
+    * link into the read-only testdata, and only the link dies. The
+    * walk stream is closed before deleting (it holds a directory
+    * handle; leaking one per scratch-dir cleanup is exactly the slow
+    * drip a long bench/verify session can't afford). */
   private def rmTree(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.deleteIfExists)
+    if (java.nio.file.Files.exists(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      val walk = java.nio.file.Files.walk(p)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists)
+    }
   }
 
   /** The bounded events stream: the static parquet file re-read as a
@@ -61,6 +66,25 @@ object Streaming {
     if (schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+  }
+
+  /** All fixture event times are Jan 2024 at every sf (TESTDATA.md);
+    * this is 2100-01-01T00:00:00Z in µs — safely beyond any of them.
+    * A CONSTANT, not max(ts)+1: deriving it from the data would cost
+    * a full-table driver-side pre-pass before the stream starts. */
+  private val sentinelUs = 4102444800000000L
+
+  /** Materialize `rows` as a one-off parquet dir and re-open it as a
+    * file-source stream — the far-future-sentinel idiom (q30–q32,
+    * q47): unioning a sentinel row past the event-time domain
+    * advances the watermark over every real window/interval, so
+    * Append mode flushes all real results on the bounded fixture.
+    * The scratch dir is registered for post-drain cleanup. */
+  private def sentinelStream(s: SparkSession, rows: DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
+    scratch.get() += tmp
+    rows.write.mode("overwrite").parquet(tmp.toString)
+    s.readStream.schema(s.read.parquet(tmp.toString).schema).parquet(tmp.toString)
   }
 
   /** Run a streaming DataFrame into a memory sink until AvailableNow
@@ -87,15 +111,30 @@ object Streaming {
 
   // ---------------------------------------------------------------- q30
   /** Tumbling 1-day event-time windows (epoch-aligned, so the batch
-    * oracle is date_trunc). */
+    * oracle is date_trunc). Append mode + watermark, never Complete:
+    * Complete re-emits the entire result every trigger and retains one
+    * state row per (window × type) for the stream's whole life —
+    * unbounded on a years-long stream. With a watermark, window state
+    * is dropped as the watermark passes it, so executor state is
+    * bounded by the watermark horizon regardless of stream length;
+    * the far-future sentinel (filtered back out — its own window never
+    * closes, belt and braces) flushes every real window on the
+    * bounded fixture so the result still equals the batch oracle. */
   def q30Tumbling(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val agg = eventsStream(s, dir)
+    val base = eventsStream(s, dir).select($"ts", $"event_type", $"value")
+    val sentinel = sentinelStream(s, s.range(1).select(
+      timestamp_micros(lit(sentinelUs)).as("ts"),
+      lit("sentinel").as("event_type"), lit(0.0).as("value")))
+    val agg = base.union(sentinel)
+      .withWatermark("ts", "1 minute")
       .groupBy(window($"ts", "1 day"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
         sum($"value".cast("decimal(12,2)")).cast("double").as("sum_value"))
       .select($"window.start".as("day"), $"event_type", $"n_events", $"sum_value")
-    drain(s, agg, OutputMode.Complete()).orderBy($"day", $"event_type")
+    drain(s, agg, OutputMode.Append())
+      .filter($"day" < timestamp_micros(lit(sentinelUs)))
+      .orderBy($"day", $"event_type")
   }
 
   private val q30Oracle =
@@ -105,14 +144,24 @@ object Streaming {
 
   // ---------------------------------------------------------------- q31
   /** Sliding windows (6h length, 3h step): every event lands in exactly
-    * two windows; the oracle materializes both shifted buckets. */
+    * two windows; the oracle materializes both shifted buckets. Same
+    * append+watermark+sentinel shape as q30 (state bounded by the
+    * watermark horizon, not stream length); the sentinel lands in TWO
+    * sliding windows, so the cutoff filter sits below both. */
   def q31Sliding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val agg = eventsStream(s, dir)
+    val base = eventsStream(s, dir).select($"ts", $"event_type")
+    val sentinel = sentinelStream(s, s.range(1).select(
+      timestamp_micros(lit(sentinelUs)).as("ts"), lit("sentinel").as("event_type")))
+    val agg = base.union(sentinel)
+      .withWatermark("ts", "1 minute")
       .groupBy(window($"ts", "6 hours", "3 hours"), $"event_type")
       .agg(count(lit(1)).as("n_events"))
       .select($"window.start".as("w_start"), $"event_type", $"n_events")
-    drain(s, agg, OutputMode.Complete()).orderBy($"w_start", $"event_type")
+    drain(s, agg, OutputMode.Append())
+      // both sentinel windows start at or after sentinelUs - 3h
+      .filter($"w_start" < timestamp_micros(lit(sentinelUs - 10800000000L)))
+      .orderBy($"w_start", $"event_type")
   }
 
   private val q31Oracle =
@@ -133,21 +182,9 @@ object Streaming {
   def q32SessionWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = eventsStream(s, dir).select($"user_id", $"ts", $"value")
-    // sentinel = a one-row parquet streamed alongside the real source.
-    // Its ts is a CONSTANT beyond any fixture's events domain
-    // (TESTDATA events span Jan 2024 at every sf; this is
-    // 2100-01-01T00:00:00Z) — deriving it from max(ts) would cost a
-    // driver-side full-table pre-pass before the stream even starts,
-    // an extra scan of the whole table at 100 TB.
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel_")
-    scratch.get() += tmp
-    val farUs = 4102444800000000L
-    s.range(1).select(lit(-1L).as("user_id"),
-      timestamp_micros(lit(farUs)).as("ts"), lit(0.0).as("value"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    val sentinelStream = s.readStream
-      .schema(s.read.parquet(tmp.toString).schema).parquet(tmp.toString)
-    val agg = base.union(sentinelStream)
+    val sentinel = sentinelStream(s, s.range(1).select(lit(-1L).as("user_id"),
+      timestamp_micros(lit(sentinelUs)).as("ts"), lit(0.0).as("value")))
+    val agg = base.union(sentinel)
       .withWatermark("ts", "1 minute")
       .groupBy(session_window($"ts", "30 minutes"), $"user_id")
       .agg(count(lit(1)).as("n_events"),
@@ -161,13 +198,14 @@ object Streaming {
 
   private val q32Oracle =
     """WITH o AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, value, event_id,
       |    CASE WHEN LAG(ts) OVER w IS NULL
       |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
-      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM o)
       |SELECT user_id, MIN(ts) AS session_start,
       |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
@@ -262,7 +300,13 @@ object Streaming {
   /** Batch fold for q35: split one key's sorted timestamps into
     * gap-delimited sessions, emit one (uid, start, end, n) row per
     * session. O(1) state (lastTs) with the same out-of-order
-    * fail-fast as [[foldGaps]]. */
+    * fail-fast as [[foldGaps]] — plus a session-continuation guard:
+    * a batch whose first event falls WITHIN the gap of state lastTs
+    * would extend a session this operator already emitted (Append
+    * mode can't retract), so that case fails fast too rather than
+    * silently splitting one session into two. A producer that can
+    * deliver mid-session batch boundaries needs the
+    * keep-open-session-in-state + event-time-timeout formulation. */
   private[ops] def foldSessions(uid: Long, rows: Iterator[(Long, Long)],
       state: GroupState[Long]): Iterator[(Long, Long, Long, Long)] = {
     val batch = rows.map(_._2).toArray
@@ -271,6 +315,11 @@ object Streaming {
       throw new IllegalStateException(
         s"out-of-order batch for key $uid: batch min ${batch(0)} precedes " +
           s"state lastTs ${state.get} — buffer out-of-order producers by the watermark")
+    if (batch.nonEmpty && state.exists && batch(0) - state.get <= sessionGapUs)
+      throw new IllegalStateException(
+        s"session-spanning batch boundary for key $uid: batch min ${batch(0)} is " +
+          s"within the session gap of state lastTs ${state.get}, but that session " +
+          "was already emitted — buffer by the gap or emit sessions on timeout")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var start = 0
     var i = 1
@@ -317,13 +366,14 @@ object Streaming {
 
   private val q35Oracle =
     """WITH o AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN LAG(ts) OVER w IS NULL
       |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sess AS (
-      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM o)
       |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
       |  COUNT(*) AS n_events
@@ -384,19 +434,13 @@ object Streaming {
     * q44. */
   def q47StreamLeftJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_joinsentinel_")
-    scratch.get() += tmp
-    val farUs = 4102444800000000L // 2100-01-01T00:00:00Z
-    s.range(2).select(
+    val sentinel = sentinelStream(s, s.range(2).select(
       (lit(-1L) - $"id").as("event_id"),
       // second sentinel a day later: outside the 1h join interval
-      timestamp_micros(lit(farUs) + $"id" * 86400000000L).as("ts"),
+      timestamp_micros(lit(sentinelUs) + $"id" * 86400000000L).as("ts"),
       lit(-1L).as("user_id"),
       element_at(array(lit("view"), lit("purchase")), ($"id" + 1).cast("int")).as("event_type"),
-      lit(0.0).as("value"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    val sentinel = s.readStream
-      .schema(s.read.parquet(tmp.toString).schema).parquet(tmp.toString)
+      lit(0.0).as("value")))
     val all = eventsStream(s, dir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .union(sentinel.select($"event_id", $"ts", $"user_id", $"event_type", $"value"))

@@ -53,8 +53,17 @@ class StreamingSpec extends SparkSuite {
     val out2 = Streaming.foldSessions(3L, Iterator((3L, 200 * min)), st).toSeq
     assert(out2 == Seq((3L, 200 * min, 200 * min, 1L)))
     // and an out-of-order batch fails fast
-    intercept[IllegalStateException] {
+    val e1 = intercept[IllegalStateException] {
       Streaming.foldSessions(3L, Iterator((3L, 150 * min)), st)
     }
+    assert(e1.getMessage.contains("out-of-order"))
+    // an in-order batch that lands WITHIN the gap of the emitted
+    // session (220 - 200 = 20min <= 30min) equally fails fast: Append
+    // mode already emitted that session, silently starting a new one
+    // would misreport — same posture as the out-of-order guard
+    val e2 = intercept[IllegalStateException] {
+      Streaming.foldSessions(3L, Iterator((3L, 220 * min)), st)
+    }
+    assert(e2.getMessage.contains("session-spanning"))
   }
 }
