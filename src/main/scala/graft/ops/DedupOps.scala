@@ -30,15 +30,20 @@ object DedupOps {
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
-  /** Distinct n-gram word shingles; empty for docs under n tokens
-    * (guards Spark's descending `sequence` when size-n+1 < 1). */
-  def shinglesN(text: Column, n: Int): Column = {
+  /** All n-gram word spans in start-position order (NOT deduped — one
+    * element per position, multiplicity preserved); empty for docs
+    * under n tokens (guards Spark's descending `sequence` when
+    * size-n+1 < 1). */
+  def spansN(text: Column, n: Int): Column = {
     val t = toks(text)
     when(size(t) >= n,
-      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))))
+      transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct n-gram word shingles ([[spansN]] deduped). */
+  def shinglesN(text: Column, n: Int): Column = array_distinct(spansN(text, n))
 
   /** Distinct 3-gram word shingles (the near-dup default). */
   def shingles3(text: Column): Column = shinglesN(text, 3)
@@ -233,13 +238,12 @@ object DedupOps {
        |SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- q79
-  /** Iteration bound for q79's component loop. Near-dup components are
-    * tiny cliques/chains (diameter rarely above 3), so min-label
-    * propagation converges in a handful of rounds; the bound turns an
-    * adversarial long-chain input into a loud failure instead of an
-    * endless job. A graph that actually hits it wants the large-star/
-    * small-star algorithm (provably O(log² n) rounds, same per-round
-    * plan shape). */
+  /** Iteration bound for q79's component loop. With pointer jumping
+    * (see [[ccLabelsWorking]]) the distance-to-root at least halves
+    * per round, so rounds ≈ log₂(component diameter): 20 rounds
+    * covers diameters up to ~a million — far beyond any real near-dup
+    * graph. The bound remains as a loud fail-fast against a logic
+    * regression, never a tuning knob. */
   val maxCcIterations = 20
 
   /** Near-dup clustering: pairs → connected components → keeper. The
@@ -292,7 +296,18 @@ object DedupOps {
 
   /** Fixpoint labels for the working set only: (doc_id, lbl) for docs
     * in at least one pair. Tiny by construction — callers broadcast
-    * it against the corpus rather than shuffling the corpus. */
+    * it against the corpus rather than shuffling the corpus.
+    *
+    * Each round does min-label propagation (take the min of own and
+    * neighbors' labels) PLUS pointer jumping: labels are themselves
+    * working-set doc ids, so one more self-join rewrites lbl(x) to
+    * lbl(lbl(x)) — path doubling. Propagation alone needs
+    * diameter-many rounds (a 1000-link boilerplate chain = 1000
+    * shuffles); with jumping the distance to the component minimum at
+    * least halves per round, so rounds ≈ log₂(diameter). This
+    * supersedes the large-star/small-star alternative (O(log² n)
+    * rounds) with a strictly simpler per-round plan: one hash join +
+    * one hash aggregate + one self-join over (long, long) label rows. */
   private def ccLabelsWorking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
@@ -309,10 +324,17 @@ object DedupOps {
       val nbr = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .select($"src".as("doc_id"), $"lbl", lit(0L).as("own"))
-      val next = labels.select($"doc_id", $"lbl", lit(1L).as("own"))
+      val propagated = labels.select($"doc_id", $"lbl", lit(1L).as("own"))
         .union(nbr)
         .groupBy($"doc_id")
         .agg(min($"lbl").as("lbl"), max(when($"own" === 1L, $"lbl")).as("prev"))
+      // pointer jumping: lbl is a working-set doc_id, so its own
+      // current label exists; following one hop per round doubles the
+      // compressed path length. Labels only ever decrease, so jumping
+      // can never overshoot the component minimum (lbl(m) = m there).
+      val next = propagated
+        .join(propagated.select($"doc_id".as("lbl"), $"lbl".as("lbl2")), Seq("lbl"), "left")
+        .select($"doc_id", coalesce($"lbl2", $"lbl").as("lbl"), $"prev")
         .localCheckpoint()
       converged = next.where($"lbl" =!= $"prev").count() == 0
       labels = next.select($"doc_id", $"lbl")
@@ -320,7 +342,8 @@ object DedupOps {
     }
     if (!converged) throw new IllegalStateException(
       s"q79 min-label propagation did not converge in $maxCcIterations rounds — " +
-        "component diameter exceeds the near-dup assumption; use large-star/small-star")
+        "rounds scale with log2(component diameter); this indicates a logic bug, " +
+        "not a plausible input")
     labels
   }
 
@@ -420,21 +443,142 @@ object DedupOps {
       .orderBy($"doc_id", $"bench_doc_id")
   }
 
-  private val q53Oracle =
-    s"""WITH t AS (
+  /** One 8-gram as a DuckDB expression over `toks` at position `i`. */
+  private val gram8Sql: String =
+    (0 until 8).map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+
+  /** Shared oracle CTE fragments for the 8-gram span family (q53, q55,
+    * q56): `t` (tokenized docs), `sp` (POSITIONAL spans — one row per
+    * start position, multiplicity preserved), `sh` (distinct shingles
+    * per doc). Interpolated into all three oracles so the span
+    * definition can never drift between them. */
+  private val span8Cte =
+    s"""t AS (
        |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
-       |sh AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(
-       |    range(1, len(toks) - 6),
-       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
-       |      || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS sh
+       |sp AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, len(toks) - 6), i -> $gram8Sql)) AS sh
        |  FROM t),
+       |sh AS (SELECT DISTINCT doc_id, sh FROM sp)""".stripMargin
+
+  private val q53Oracle =
+    s"""WITH $span8Cte,
        |b AS (SELECT doc_id AS bench_doc_id, sh FROM sh WHERE doc_id < $contamBenchmarkIds),
        |c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= $contamBenchmarkIds)
        |SELECT c.doc_id, b.bench_doc_id, count(*) AS n_shared
        |FROM c JOIN b ON c.sh = b.sh
        |GROUP BY 1, 2 HAVING count(*) >= $contamMinShingles
        |ORDER BY doc_id, bench_doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  /** Span length (tokens) for span-level dedup/decontamination — same
+    * 8-gram grain as q53's decontamination shingles. */
+  val spanN = 8
+
+  /** Span-level exact dedup: the training-data dedup mode doc-level
+    * q64/q65/q66 can't see — repeated ~8-token SPANS (boilerplate,
+    * license headers, quotes) inside otherwise-distinct documents.
+    * Per document: how many distinct 8-gram spans it has, how many of
+    * those also appear in at least one OTHER document, and the ratio —
+    * the signal a pipeline thresholds to drop or trim boilerplate-
+    * heavy docs.
+    *
+    * Scale shape: (doc_id, shingle) pairs shuffle once on the shingle
+    * to learn cross-doc document frequency (count only — no pairing,
+    * so unlike q66 there is no quadratic fan-out and no df cap
+    * needed), then once on doc_id for the per-doc rollup; text never
+    * shuffles. A pathologically hot span (df in the millions) skews
+    * one count partition, not a join — AQE's skew split handles it. */
+  def q55SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(shinglesN($"text", spanN)).as("sh"))
+    val perDoc = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"sh")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_duplicated_spans"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        coalesce($"n_duplicated_spans", lit(0L)).as("n_duplicated_spans"),
+        when(coalesce($"n_spans", lit(0L)) === 0, 0.0)
+          .otherwise(coalesce($"n_duplicated_spans", lit(0L)).cast("double") /
+            $"n_spans").as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  private val q55Oracle =
+    s"""WITH $span8Cte,
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
+       |d AS (
+       |  SELECT s.doc_id, count(*) AS n_spans,
+       |    CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |  FROM sh s JOIN df ON s.sh = df.sh GROUP BY 1)
+       |SELECT documents.doc_id AS doc_id,
+       |  coalesce(n_spans, 0) AS n_spans,
+       |  coalesce(n_dup, 0) AS n_duplicated_spans,
+       |  CASE WHEN coalesce(n_spans, 0) = 0 THEN 0.0
+       |       ELSE CAST(n_dup AS DOUBLE) / n_spans END AS dup_ratio
+       |FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q56
+  /** Span-level decontamination: q53 flags contaminated doc PAIRS;
+    * the drop-vs-trim decision needs the per-document contaminated
+    * RATIO — the share of a corpus doc's 8-gram start positions whose
+    * span appears in ANY benchmark document. Positions (not distinct
+    * shingles) are the denominator so a benchmark phrase repeated five
+    * times in a doc counts five times — the ratio approximates the
+    * fraction of tokens that would survive a trim.
+    *
+    * Scale shape mirrors q53: the benchmark side collapses to a
+    * DISTINCT shingle set and broadcasts (bounded by eval-suite
+    * size); the corpus side is a left-semi probe of that broadcast —
+    * corpus text and positions never shuffle, and the only exchange
+    * is the per-doc count rollup on doc_id. */
+  def q56SpanDecontam(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(spansN($"text", spanN)).as("sh"))
+    val bench = sp.where($"doc_id" < contamBenchmarkIds).select($"sh").distinct()
+    val contam = sp.where($"doc_id" >= contamBenchmarkIds)
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_contaminated"))
+    Tables.documents(s, dir)
+      .where($"doc_id" >= contamBenchmarkIds)
+      .select($"doc_id",
+        greatest(size(toks($"text")) - (spanN - 1), lit(0)).cast("long")
+          .as("n_positions"))
+      .join(contam, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_positions",
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+        when($"n_positions" === 0, 0.0)
+          .otherwise(coalesce($"n_contaminated", lit(0L)).cast("double") /
+            $"n_positions").as("contam_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  private val q56Oracle =
+    s"""WITH $span8Cte,
+       |b AS (SELECT DISTINCT sh FROM sp WHERE doc_id < $contamBenchmarkIds),
+       |c AS (
+       |  SELECT doc_id, count(*) AS nc FROM sp
+       |  WHERE doc_id >= $contamBenchmarkIds AND sh IN (SELECT sh FROM b)
+       |  GROUP BY 1),
+       |d AS (
+       |  SELECT doc_id,
+       |    greatest(len(string_split(lower(text), ' ')) - ${spanN - 1}, 0) AS np
+       |  FROM documents WHERE doc_id >= $contamBenchmarkIds)
+       |SELECT d.doc_id AS doc_id, np AS n_positions,
+       |  coalesce(nc, 0) AS n_contaminated,
+       |  CASE WHEN np = 0 THEN 0.0
+       |       ELSE CAST(coalesce(nc, 0) AS DOUBLE) / np END AS contam_ratio
+       |FROM d LEFT JOIN c ON d.doc_id = c.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q67
   /** SimHash: 64-bit locality-sensitive signature per document.
@@ -647,6 +791,8 @@ object DedupOps {
     "q68_embedding_neardup" -> (q68EmbeddingNearDup _),
     "q69_simhash_neardup"   -> (q69SimhashNearDup _),
     "q53_decontamination"   -> (q53Decontamination _),
+    "q55_span_dedup"        -> (q55SpanDedup _),
+    "q56_span_decontam"     -> (q56SpanDecontam _),
     "q74_cluster_keepers"   -> (q74ClusterKeepers _),
     "q79_neardup_clusters"  -> (q79NeardupClusters _),
   )
@@ -658,6 +804,8 @@ object DedupOps {
     "q68_embedding_neardup" -> q68Oracle,
     "q69_simhash_neardup"   -> q69Oracle,
     "q53_decontamination"   -> q53Oracle,
+    "q55_span_dedup"        -> q55Oracle,
+    "q56_span_decontam"     -> q56Oracle,
     "q74_cluster_keepers"   -> q74Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
   )

@@ -128,6 +128,72 @@ class DedupOpsSpec extends SparkSuite {
     assert(r == (1L to 6L).map(d => d -> ((1L, d == 1L))).toMap, r)
   }
 
+  test("q79 converges on a 64-doc chain (diameter 63 >> maxCcIterations): pointer jumping") {
+    import spark.implicits._
+    // plain min-label propagation needs diameter-many rounds (63 > the
+    // 20-round fail-fast); the pointer-jumping loop must converge in
+    // ~log2(63) ≈ 6 rounds — this spec is the regression pin for that
+    def windowText(from: Int): String = (from until from + 20).map(i => s"w$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("dedup_longchain").toString
+    (0 until 64).map(k => ((k + 1).toLong, windowText(1 + 5 * k))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DedupOps.q79NeardupClusters(spark, tmp).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r == (1L to 64L).map(d => d -> ((1L, d == 1L))).toMap)
+  }
+
+  test("q55 span dedup: planted boilerplate spans counted; short/unique docs zero") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("span_dedup").toString
+    // docs 1,2: a shared 10-token boilerplate prefix (3 fully-contained
+    // 8-gram spans) followed by 8 unique tokens each; doc 3 unique;
+    // doc 4 under 8 tokens (zero spans)
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (1L, boiler + " " + uniq("x", 8)),
+      (2L, boiler + " " + uniq("y", 8)),
+      (3L, uniq("z", 20)),
+      (4L, "too short for any span"),
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DedupOps.q55SpanDedup(spark, tmp).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // 18 tokens → 11 spans; spans at starts 1..3 stay inside the
+    // boilerplate and repeat across docs 1/2, the rest touch unique toks
+    assert(r(1L) == ((11L, 3L, 3.0 / 11)))
+    assert(r(2L) == ((11L, 3L, 3.0 / 11)))
+    assert(r(3L) == ((13L, 0L, 0.0)))
+    assert(r(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("q56 span decontamination: exact ratios for full/half/clean/short docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("span_decontam").toString
+    val bench = (1 to 16).map(i => s"b$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    assert(DedupOps.contamBenchmarkIds == 10L) // doc 0 plays the eval set
+    Seq(
+      (0L, bench),                     // benchmark doc (excluded from output)
+      (20L, bench),                    // verbatim copy: fully contaminated
+      (21L, bench + " " + uniq("u", 16)), // contaminated prefix only
+      (22L, uniq("c", 20)),            // clean
+      (23L, "a b c"),                  // under 8 tokens: zero positions
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DedupOps.q56SpanDecontam(spark, tmp).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r.keySet == Set(20L, 21L, 22L, 23L))
+    // 16 benchmark tokens → 9 span positions, all matched
+    assert(r(20L) == ((9L, 9L, 1.0)))
+    // 32 tokens → 25 positions; only starts 1..9 stay inside the prefix
+    assert(r(21L) == ((25L, 9L, 9.0 / 25)))
+    assert(r(22L) == ((13L, 0L, 0.0)))
+    assert(r(23L) == ((0L, 0L, 0.0)))
+  }
+
   test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
     import spark.implicits._
     val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")
