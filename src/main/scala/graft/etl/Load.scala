@@ -64,6 +64,61 @@ object Load {
   def table(spark: SparkSession, tableDir: String): DataFrame =
     spark.read.schema(Schemas.postsTable).parquet(tableDir)
 
+  /** Content fingerprint of the CONTRACT columns — processedAt is
+    * deliberately excluded (each delivery stamps its own time; a
+    * redelivery must still collide). JSON-encoding the struct keeps
+    * nulls and field boundaries unambiguous where a separator-join
+    * would collide ("a",NULL vs NULL,"a"). */
+  private def contentFp: Column =
+    org.apache.spark.sql.functions.md5(
+      org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.col("userId"),
+          org.apache.spark.sql.functions.col("id"),
+          org.apache.spark.sql.functions.col("title"),
+          org.apache.spark.sql.functions.col("body"))))
+
+  /** Exactly-once load PLUS content-level dedup — the operator a
+    * 6-hourly ingest pipeline actually runs. The checkpoint already
+    * makes re-processing the SAME FILE a no-op, but the reference's
+    * delivery chain can also redeliver the same content under a NEW
+    * blob name (SURVEY.md §2.3 — retries re-upload, insert ids are
+    * fresh); only content addressing catches that. Each micro-batch:
+    * conform → fingerprint → in-batch dropDuplicates → anti-join
+    * against the table's stored fingerprint column → append.
+    *
+    * The fingerprint is MATERIALIZED as a table column, so the probe
+    * side of the anti-join is a single-column pruned scan — never a
+    * recompute over the table's text. At 100 TB the table would also
+    * be bucketed/partitioned by a fingerprint prefix so the anti-join
+    * prunes to matching buckets; the contract read path is unchanged
+    * ([[table]]'s declared schema projects the extra column away). */
+  def runStreamDeduped(spark: SparkSession, landingDir: String, tableDir: String,
+                       checkpointDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val raw = spark.readStream
+      .schema(Schemas.postsSource)
+      .option("multiLine", "true")
+      .json(landingDir)
+    val q = raw.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val incoming = Transform.conform(batch)
+          .withColumn("fp", contentFp)
+          .dropDuplicates("fp")
+        val fresh =
+          if (new java.io.File(tableDir).exists())
+            incoming.join(spark.read.parquet(tableDir).select(col("fp")),
+              Seq("fp"), "left_anti")
+          else incoming
+        fresh.write.mode("append").parquet(tableDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Batch load into a DATE-PARTITIONED table (`load_date=YYYY-MM-DD/`
     * directories). At 100 TB this is the difference between scanning
     * the table and scanning a day: any `load_date` predicate becomes a

@@ -82,10 +82,11 @@ object SimilarityOps {
     * to every task as literal expressions, and literal-array codegen
     * has a method-size ceiling, so C must stay bounded no matter how
     * far the corpus scales (a stride-derived C = n/stride would grow
-    * without limit — the round-2 formulation). Centroids here =
-    * numCells evenly-strided vectors (deterministic; a production
-    * build would k-means-refine a sample — same plan shape, same
-    * fixed C). Nearest-cell assignment is then a PURE PROJECTION over
+    * without limit — the round-2 formulation). Centroids = numCells
+    * evenly-strided seed vectors, Lloyd-refined on a deterministic
+    * hash SAMPLE of the corpus ([[lloydSamplePct]] — training cost is
+    * sample-bounded, never another full-corpus scan per round).
+    * Nearest-cell assignment is then a PURE PROJECTION over
     * the corpus scan — zero Exchange, no corpus re-grouping, and
     * embedding payloads never shuffle (the round-1 formulation
     * exploded corpus×C rows through a cross join and re-aggregated by
@@ -113,6 +114,18 @@ object SimilarityOps {
     * — embeddings never shuffle during training either. */
   val lloydIterations = 2
 
+  /** Percent of the corpus the Lloyd rounds train on. Training cost
+    * is SAMPLE-bounded, not corpus-bounded: centroid quality is
+    * limited by sample noise ~1/√(rows per cell) long before it is
+    * limited by corpus size, so at 100 TB re-scanning the full corpus
+    * per round buys nothing. The sample is the same deterministic
+    * md5-bucket device as q49's stratified sampling — a pure function
+    * of vec_id, reproducible across retries/partitionings/engines,
+    * never an RNG stream. Assignment of the FULL corpus to the final
+    * centroids is unchanged (one zero-Exchange projection,
+    * PlanSpec-pinned). */
+  val lloydSamplePct = 25
+
   /** (cid, centroid vector, centroid norm) — the IVF "model". One
     * driver-side collect of exactly numCells rows per training round;
     * the count() that places the seed stride is metadata-only on
@@ -128,8 +141,13 @@ object SimilarityOps {
       .orderBy($"vec_id")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    // Lloyd rounds see only the deterministic hash sample; the filter
+    // is a pure row predicate, so it evaluates at scan time.
+    val train = c.where(
+      conv(substring(md5(concat(lit("ivf:"), $"vec_id".cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 100 < lloydSamplePct)
     for (_ <- 0 until lloydIterations) {
-      val means = c
+      val means = train
         .select(
           (-array_max(centroidScores(cents, $"embedding", $"nrm")).getField("negcid")).as("cell"),
           posexplode($"embedding"))

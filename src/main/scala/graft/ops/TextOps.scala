@@ -233,37 +233,99 @@ object TextOps {
     * under Java regex (Spark) and RE2 (DuckDB): character classes,
     * `+`, bounded repetition — no backrefs or lookaround. */
   val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val longNumRe = "[0-9]{7,}"
 
+  /** Staged redaction columns for a text column: masks applied in a
+    * FIXED order (email → separated phone → IPv4 → long digit run),
+    * each count computed on the text as masked by the previous stages
+    * so no span is double-counted (an email's digits can't also trip
+    * the number rule, a phone's groups can't read as an IPv4). Shared
+    * by q54 (real corpus) and q57 (planted PII). Pure projection —
+    * scan speed at any scale. */
+  private def redaction(text: Column): Seq[Column] = {
+    val t1 = regexp_replace(text, emailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, phoneRe, "<PHONE>")
+    val t3 = regexp_replace(t2, ipv4Re, "<IP>")
+    Seq(
+      regexp_replace(t3, longNumRe, "<NUM>").as("redacted_text"),
+      regexp_count(text, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(t2, lit(ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(t3, lit(longNumRe)).cast("long").as("n_longnums"))
+  }
+
+  /** The same staged pipeline as DuckDB CTEs over `src(doc_id, t0)`,
+    * plus the shared final projection — interpolated into both
+    * oracles so query and SQL stay in lockstep. */
+  private val redactionCtesSql =
+    s"""r1 AS (SELECT doc_id, t0,
+       |  regexp_replace(t0, '$emailRe', '<EMAIL>', 'g') AS t1 FROM src),
+       |r2 AS (SELECT *, regexp_replace(t1, '$phoneRe', '<PHONE>', 'g') AS t2 FROM r1),
+       |r3 AS (SELECT *, regexp_replace(t2, '$ipv4Re', '<IP>', 'g') AS t3 FROM r2)""".stripMargin
+  private val redactionSelectSql =
+    s"""SELECT doc_id,
+       |  regexp_replace(t3, '$longNumRe', '<NUM>', 'g') AS redacted_text,
+       |  len(regexp_extract_all(t0, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(t1, '$phoneRe')) AS n_phones,
+       |  len(regexp_extract_all(t2, '$ipv4Re')) AS n_ipv4,
+       |  len(regexp_extract_all(t3, '$longNumRe')) AS n_longnums
+       |FROM r3 ORDER BY doc_id""".stripMargin
+
   /** PII redaction — the scrubbing pass a training pipeline runs
-    * before text is retained: mask email addresses and long digit
-    * runs (phone/account shapes) with fixed placeholders and count
-    * the replacements per document (the counts feed removal-rate
-    * monitoring). Emails are masked first so their digits can't also
-    * trip the number rule. Pure projection: scan-speed at any scale,
-    * zero shuffle except the oracle's ORDER BY. TextOpsSpec asserts
-    * the masking on planted PII; the fixture corpus is clean, so the
-    * oracle also proves the no-op path byte-identical. */
+    * before text is retained: mask emails, separated phone numbers,
+    * IPv4 addresses, and long digit runs (account shapes) with fixed
+    * placeholders and count the replacements per document (the counts
+    * feed removal-rate monitoring). TextOpsSpec asserts the masking on
+    * planted PII; the fixture corpus is clean, so this oracle proves
+    * the no-op path byte-identical — q57 proves the replacement path
+    * cross-engine. */
   def q54RedactPii(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id",
-        regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"),
-          longNumRe, "<NUM>").as("redacted_text"),
-        regexp_count($"text", lit(emailRe)).cast("long").as("n_emails"),
-        regexp_count(regexp_replace($"text", emailRe, "<EMAIL>"),
-          lit(longNumRe)).cast("long").as("n_longnums"))
+      .select(($"doc_id" +: redaction($"text")): _*)
       .orderBy($"doc_id")
   }
 
   private val q54Oracle =
-    s"""SELECT doc_id,
-       |  regexp_replace(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
-       |    '$longNumRe', '<NUM>', 'g') AS redacted_text,
-       |  len(regexp_extract_all(text, '$emailRe')) AS n_emails,
-       |  len(regexp_extract_all(regexp_replace(text, '$emailRe', '<EMAIL>', 'g'),
-       |    '$longNumRe')) AS n_longnums
-       |FROM documents ORDER BY doc_id""".stripMargin
+    s"""WITH src AS (SELECT doc_id, text AS t0 FROM documents),
+       |$redactionCtesSql
+       |$redactionSelectSql""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** What q57 appends to every 5th document (identically in Spark and
+    * SQL): one of each PII shape, so the replacement branch of every
+    * pattern is exercised by the oracle's cross-engine hash compare. */
+  val plantedPiiSuffix =
+    "@example.com or 555-867-5309 from 10.20.30.40 acct 900310012345"
+
+  /** q54's redaction with PII deterministically PLANTED inside the
+    * query itself: the fixture corpus is clean, so q54's oracle only
+    * ever proves the no-op path byte-identical — a cross-engine
+    * divergence in the REPLACEMENT path (Java regex in Spark, RE2 in
+    * DuckDB) would go undetected. Here every 5th doc gets an email,
+    * a separated phone, an IPv4, and a long account number appended
+    * (same expression in the oracle SQL), so the driver's hash
+    * compare verifies actual substitutions on every pattern. */
+  def q57RedactPlanted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = when($"doc_id" % 5 === 0,
+      concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit(plantedPiiSuffix))).otherwise($"text")
+    Tables.documents(s, dir)
+      .select(($"doc_id" +: redaction(planted)): _*)
+      .orderBy($"doc_id")
+  }
+
+  private val q57Oracle =
+    s"""WITH src AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '$plantedPiiSuffix'
+       |    ELSE text END AS t0
+       |  FROM documents),
+       |$redactionCtesSql
+       |$redactionSelectSql""".stripMargin
 
   // ---------------------------------------------------------------- q63
   /** Content fingerprint: md5 over canonicalized text (lower +
@@ -446,6 +508,7 @@ object TextOps {
     "q49_stratified_sample"   -> (q49StratifiedSample _),
     "q50_doc_chunks"          -> (q50DocChunks _),
     "q54_redact_pii"          -> (q54RedactPii _),
+    "q57_redact_planted"      -> (q57RedactPlanted _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -459,5 +522,6 @@ object TextOps {
     "q49_stratified_sample"   -> q49Oracle,
     "q50_doc_chunks"          -> q50Oracle,
     "q54_redact_pii"          -> q54Oracle,
+    "q57_redact_planted"      -> q57Oracle,
   )
 }

@@ -45,6 +45,30 @@ class EtlSpec extends SparkSuite {
     assert(Load.table(spark, table).count() == 5)
   }
 
+  test("content-dedup load: a redelivered blob (same content, NEW name) adds zero rows") {
+    val root = Files.createTempDirectory("graft_etl_dedup_").toString
+    val landing = s"$root/landing"; val table = s"$root/table"
+    val cp = s"$root/cp"
+    Extract.land(() => EtlDemo.arrayPayload(3), landing,
+      Instant.parse("2024-01-01T00:00:00Z"))
+    Load.runStreamDeduped(spark, landing, table, cp)
+    assert(Load.table(spark, table).count() == 3)
+    // same CONTENT under a different blob name: the checkpoint can't
+    // catch it (genuinely new file) — only the content anti-join can
+    Extract.land(() => EtlDemo.arrayPayload(3), landing,
+      Instant.parse("2024-01-01T06:00:00Z"))
+    Load.runStreamDeduped(spark, landing, table, cp)
+    assert(Load.table(spark, table).count() == 3)
+    // genuinely new content still loads (and only the new rows)
+    Extract.land(() => EtlDemo.arrayPayload(5), landing,
+      Instant.parse("2024-01-02T00:00:00Z"))
+    Load.runStreamDeduped(spark, landing, table, cp)
+    assert(Load.table(spark, table).count() == 5)
+    // contract read path unchanged: declared schema, fp projected away
+    assert(Load.table(spark, table).schema.fieldNames.toSeq ==
+      Seq("userId", "id", "title", "body", "processedAt"))
+  }
+
   test("batch load conforms extra/missing fields to the declared contract") {
     val root = Files.createTempDirectory("graft_etl_batch_").toString
     val landing = s"$root/landing"; val table = s"$root/table"

@@ -46,20 +46,46 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
-  test("q54 redaction masks planted PII and counts it; clean text untouched") {
+  test("q54 redaction masks planted PII of every shape; clean text untouched") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("pii").toString
     Seq(
       (1L, "contact bob.smith+x@ex-ample.co.uk or call 12345678901 now"),
       (2L, "short 123456 id stays but 9876543 goes"),
       (3L, "perfectly clean text with no identifiers"),
+      (4L, "call 555-867-5309 or 555.867.5309 or 555 867 5309 today"),
+      (5L, "host 10.0.0.1 and 192.168.100.200 serve it"),
+      (6L, "phone 555-867-5309 ip 10.0.0.1 acct 12345678 mail a@b.io"),
     ).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val r = TextOps.q54RedactPii(spark, tmp).collect()
-      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
-    assert(r(1L) == (("contact <EMAIL> or call <NUM> now", 1L, 1L)))
-    assert(r(2L) == (("short 123456 id stays but <NUM> goes", 0L, 1L)))
-    assert(r(3L) == (("perfectly clean text with no identifiers", 0L, 0L)))
+      .map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // tuple = (redacted, n_emails, n_phones, n_ipv4, n_longnums)
+    assert(r(1L) == (("contact <EMAIL> or call <NUM> now", 1L, 0L, 0L, 1L)))
+    assert(r(2L) == (("short 123456 id stays but <NUM> goes", 0L, 0L, 0L, 1L)))
+    assert(r(3L) == (("perfectly clean text with no identifiers", 0L, 0L, 0L, 0L)))
+    assert(r(4L) == (("call <PHONE> or <PHONE> or <PHONE> today", 0L, 3L, 0L, 0L)))
+    assert(r(5L) == (("host <IP> and <IP> serve it", 0L, 0L, 2L, 0L)))
+    assert(r(6L) == (("phone <PHONE> ip <IP> acct <NUM> mail <EMAIL>", 1L, 1L, 1L, 1L)))
+  }
+
+  test("q57 plants PII on every 5th doc and the redaction removes all of it") {
+    import spark.implicits._
+    val out = TextOps.q57RedactPlanted(spark, sf0001)
+    // no unmasked planted PII survives anywhere
+    assert(out.where($"redacted_text".rlike(TextOps.emailRe) ||
+      $"redacted_text".rlike(TextOps.phoneRe) ||
+      $"redacted_text".rlike(TextOps.ipv4Re) ||
+      $"redacted_text".rlike(TextOps.longNumRe)).count() == 0)
+    // every planted doc counted at least one of each planted shape
+    val planted = out.where($"doc_id" % 5 === 0)
+    assert(planted.count() > 0)
+    assert(planted.where($"n_emails" < 1 || $"n_phones" < 1 ||
+      $"n_ipv4" < 1 || $"n_longnums" < 1).count() == 0)
+    // unplanted docs on the clean fixture are untouched no-ops
+    assert(out.where($"doc_id" % 5 =!= 0 &&
+      ($"n_emails" + $"n_phones" + $"n_ipv4" + $"n_longnums") =!= 0).count() == 0)
   }
 
   test("q60 text stats: counts consistent on a known sentence") {
