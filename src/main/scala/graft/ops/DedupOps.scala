@@ -526,6 +526,70 @@ object DedupOps {
        |FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Span masking — the TRIM operator q55's counts feed: rewrite each
+    * document with every token that falls inside a cross-doc-repeated
+    * 8-gram span replaced by `<DUP>` (boilerplate/license/quote
+    * removal that keeps the unique remainder of a doc instead of
+    * dropping it wholesale). The mask token is uppercase so it can
+    * never collide with the lowercased token stream.
+    *
+    * Plan shape: positional spans shuffle once on the shingle key,
+    * where ONE window computes cross-doc duplication as
+    * `min(doc_id) ≠ max(doc_id)` per shingle — counting distinct docs
+    * without a distinct aggregate, a join, or a second pipeline
+    * (multiplicity inside one doc can't fake it). Duplicated start
+    * positions roll up per doc, and one join brings the start lists
+    * back to the corpus (AQE broadcasts it while the working set is
+    * small; it degrades to a shuffle join, never a scan explosion).
+    * The token rewrite is a pure projection (indexed transform +
+    * exists over the start list). */
+  def q58SpanMask(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"sh")
+    val dupStarts = Tables.documentsSpread(s, dir)
+      .select($"doc_id", posexplode(spansN($"text", spanN)))
+      .select($"doc_id", ($"pos" + 1).as("start"), $"col".as("sh"))
+      .withColumn("dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
+      .where($"dup")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"start")).as("starts"))
+    Tables.documents(s, dir)
+      .join(dupStarts, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"starts", array().cast("array<int>")).as("starts"),
+        toks($"text").as("toks"))
+      .withColumn("masked", transform($"toks", (tok, i) =>
+        when(exists($"starts", st => st <= i + 1 && i + 1 <= st + (spanN - 1)),
+          lit("<DUP>")).otherwise(tok)))
+      .select($"doc_id",
+        concat_ws(" ", $"masked").as("masked_text"),
+        size(filter($"masked", t => t === "<DUP>")).cast("long").as("n_masked_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val q58Oracle =
+    s"""WITH $span8Cte,
+       |dup AS (SELECT sh FROM sp GROUP BY sh HAVING min(doc_id) <> max(doc_id)),
+       |pos AS (
+       |  SELECT doc_id, i, $gram8Sql AS sh FROM (
+       |    SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM t)),
+       |ds AS (
+       |  SELECT doc_id, list_sort(list(i)) AS starts
+       |  FROM pos WHERE sh IN (SELECT sh FROM dup) GROUP BY 1),
+       |m AS (
+       |  SELECT t.doc_id, toks, coalesce(starts, CAST([] AS BIGINT[])) AS starts
+       |  FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(range(1, len(toks) + 1), j ->
+       |    CASE WHEN len(list_filter(starts, s -> s <= j AND j <= s + ${spanN - 1})) > 0
+       |         THEN '<DUP>' ELSE toks[CAST(j AS INT)] END), ' ') AS masked_text,
+       |  CAST(len(list_filter(range(1, len(toks) + 1), j ->
+       |    len(list_filter(starts, s -> s <= j AND j <= s + ${spanN - 1})) > 0)) AS BIGINT)
+       |    AS n_masked_tokens
+       |FROM m ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q56
   /** Span-level decontamination: q53 flags contaminated doc PAIRS;
     * the drop-vs-trim decision needs the per-document contaminated
@@ -793,6 +857,7 @@ object DedupOps {
     "q53_decontamination"   -> (q53Decontamination _),
     "q55_span_dedup"        -> (q55SpanDedup _),
     "q56_span_decontam"     -> (q56SpanDecontam _),
+    "q58_span_mask"         -> (q58SpanMask _),
     "q74_cluster_keepers"   -> (q74ClusterKeepers _),
     "q79_neardup_clusters"  -> (q79NeardupClusters _),
   )
@@ -806,6 +871,7 @@ object DedupOps {
     "q53_decontamination"   -> q53Oracle,
     "q55_span_dedup"        -> q55Oracle,
     "q56_span_decontam"     -> q56Oracle,
+    "q58_span_mask"         -> q58Oracle,
     "q74_cluster_keepers"   -> q74Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
   )

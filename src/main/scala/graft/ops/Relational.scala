@@ -471,10 +471,15 @@ object Relational {
     * pre-aggregated to the (region, priority) grain BEFORE the left
     * join onto the matrix, so the cross product never multiplies
     * against fact-table cardinality — at 100 TB the cross join stays
-    * a 25-row broadcast no matter how large orders grows. */
+    * a 25-row broadcast no matter how large orders grows. The
+    * priority axis is a DECLARED domain ([[orderPriorities]], the
+    * TPC-H enumeration, mirrored into the oracle) — deriving it with
+    * distinct() over orders would spend a full fact-table pass to
+    * learn five constants, and a dense matrix wants declared axes
+    * anyway (a priority with zero orders anywhere must still appear). */
   def q42CrossMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val priorities = Tables.orders(s, dir).select($"o_orderpriority").distinct()
+    val priorities = orderPriorities.toDF("o_orderpriority")
     val counts = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
@@ -489,8 +494,14 @@ object Relational {
       .orderBy($"r_name", $"o_orderpriority")
   }
 
+  /** The order-priority domain (TPC-H 4.2.2.13's enumeration) — the
+    * declared axis of q42's dense matrix, interpolated into its
+    * oracle so query and SQL share one definition. */
+  val orderPriorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
   private val q42Oracle =
-    """WITH pr AS (SELECT DISTINCT o_orderpriority FROM orders),
+    s"""WITH pr AS (SELECT unnest(ARRAY[${orderPriorities.map(p => s"'$p'").mkString(", ")}]) AS o_orderpriority),
       |c AS (
       |  SELECT n_regionkey, o_orderpriority, COUNT(*) AS cnt
       |  FROM orders JOIN customer ON o_custkey = c_custkey
@@ -625,7 +636,14 @@ object Relational {
     Tables.customer(s, dir).createOrReplaceTempView("g_customer")
     Tables.nation(s, dir).createOrReplaceTempView("g_nation")
     Tables.region(s, dir).createOrReplaceTempView("g_region")
-    s.sql(q51Sql("g_"))
+    // spark.sql analyzes eagerly, so the returned plan holds the view
+    // relations directly — dropping the catalog entries right away
+    // keeps a long session's catalog clean (same hygiene as the
+    // streaming memory sinks in Streaming.drain)
+    val out = s.sql(q51Sql("g_"))
+    Seq("g_orders", "g_customer", "g_nation", "g_region")
+      .foreach(s.catalog.dropTempView(_))
+    out
   }
 
   // ---------------------------------------------------------------- q48

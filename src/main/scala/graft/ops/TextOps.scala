@@ -327,6 +327,61 @@ object TextOps {
        |$redactionCtesSql
        |$redactionSelectSql""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Intra-document repetition stats — the "repetitious text" quality
+    * rule (high duplicate-n-gram share marks template spam, keyboard
+    * mash, decoding loops): per doc, total positional 3-grams,
+    * distinct 3-grams, the hottest 3-gram's count, and
+    * repetition_ratio = 1 − distinct/total. Unlike q55 this is
+    * WITHIN-doc: a doc repeating its own phrase scores high even if
+    * no other doc shares it.
+    *
+    * Plan shape mirrors q73's tf pipeline: explode → two hash
+    * aggregates with map-side partial combine; the per-(doc, gram)
+    * counts are the only shuffled payload. */
+  def q59Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tri = Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(DedupOps.spansN($"text", 3)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_3grams"),
+        count(lit(1)).as("n_distinct_3grams"),
+        max($"c").as("max_3gram_count"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(tri, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_3grams", lit(0L)).as("n_3grams"),
+        coalesce($"n_distinct_3grams", lit(0L)).as("n_distinct_3grams"),
+        coalesce($"max_3gram_count", lit(0L)).as("max_3gram_count"),
+        when(coalesce($"n_3grams", lit(0L)) === 0, 0.0)
+          .otherwise(lit(1.0) - $"n_distinct_3grams".cast("double") / $"n_3grams")
+          .as("repetition_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  private val q59Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+       |  FROM t),
+       |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+       |d AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_3grams,
+       |    count(*) AS n_distinct_3grams, CAST(max(c) AS BIGINT) AS mx
+       |  FROM c GROUP BY 1)
+       |SELECT documents.doc_id AS doc_id,
+       |  coalesce(n_3grams, 0) AS n_3grams,
+       |  coalesce(n_distinct_3grams, 0) AS n_distinct_3grams,
+       |  coalesce(mx, 0) AS max_3gram_count,
+       |  CASE WHEN coalesce(n_3grams, 0) = 0 THEN 0.0
+       |       ELSE 1.0 - CAST(n_distinct_3grams AS DOUBLE) / n_3grams
+       |  END AS repetition_ratio
+       |FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q63
   /** Content fingerprint: md5 over canonicalized text (lower +
     * whitespace collapse) — the exact-dedup key at scale. */
@@ -509,6 +564,7 @@ object TextOps {
     "q50_doc_chunks"          -> (q50DocChunks _),
     "q54_redact_pii"          -> (q54RedactPii _),
     "q57_redact_planted"      -> (q57RedactPlanted _),
+    "q59_repetition"          -> (q59Repetition _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -523,5 +579,6 @@ object TextOps {
     "q50_doc_chunks"          -> q50Oracle,
     "q54_redact_pii"          -> q54Oracle,
     "q57_redact_planted"      -> q57Oracle,
+    "q59_repetition"          -> q59Oracle,
   )
 }

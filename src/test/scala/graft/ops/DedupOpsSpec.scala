@@ -168,6 +168,32 @@ class DedupOpsSpec extends SparkSuite {
     assert(r(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("q58 span mask: boilerplate tokens masked, unique remainder kept verbatim") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("span_mask").toString
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    def uniq(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    Seq(
+      (1L, boiler + " " + uniq("x", 8)),
+      (2L, boiler + " " + uniq("y", 8)),
+      (3L, uniq("z", 20)),
+      (4L, "too short for any span"),
+      // same 8-gram repeated TWICE in one doc but nowhere else: within-
+      // doc multiplicity must NOT count as cross-doc duplication
+      (5L, uniq("w", 8) + " " + uniq("w", 8)),
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DedupOps.q58SpanMask(spark, tmp).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    // duplicated spans start at 1..3, covering exactly tokens 1..10
+    val maskedBoiler = Seq.fill(10)("<DUP>").mkString(" ")
+    assert(r(1L) == ((maskedBoiler + " " + uniq("x", 8), 10L)))
+    assert(r(2L) == ((maskedBoiler + " " + uniq("y", 8), 10L)))
+    assert(r(3L) == ((uniq("z", 20), 0L)))
+    assert(r(4L) == (("too short for any span", 0L)))
+    assert(r(5L) == ((uniq("w", 8) + " " + uniq("w", 8), 0L)))
+  }
+
   test("q56 span decontamination: exact ratios for full/half/clean/short docs") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("span_decontam").toString

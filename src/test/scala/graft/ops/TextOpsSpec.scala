@@ -88,6 +88,23 @@ class TextOpsSpec extends SparkSuite {
       ($"n_emails" + $"n_phones" + $"n_ipv4" + $"n_longnums") =!= 0).count() == 0)
   }
 
+  test("q59 repetition: looped text scores high, unique text zero, short text empty") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("repetition").toString
+    Seq(
+      (1L, "a b a b a b a b"),                        // 6 3-grams, 2 distinct
+      (2L, (1 to 12).map(i => s"u$i").mkString(" ")), // all distinct
+      (3L, "one two"),                                // under 3 tokens
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.q59Repetition(spark, tmp).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r(1L) == ((6L, 2L, 3L, 1.0 - 2.0 / 6)))
+    assert(r(2L) == ((10L, 10L, 1L, 0.0)))
+    assert(r(3L) == ((0L, 0L, 0L, 0.0)))
+  }
+
   test("q60 text stats: counts consistent on a known sentence") {
     import spark.implicits._
     val df = Seq((1L, "the cat sat on the mat", "en", "srcX", 22L))
