@@ -51,9 +51,15 @@ object TextOps {
   // ---------------------------------------------------------------- q61
   /** Language ID via n-gram/stopword heuristic: CJK character ratio
     * decides zh; otherwise the best stopword-profile overlap wins
-    * (ties → lexicographically greatest code — deterministic).
-    * No SQL oracle (profile scoring isn't reasonably expressible);
-    * accuracy is asserted on real sentences in TextOpsSpec. */
+    * (ties → lexicographically greatest code — deterministic, which
+    * is what makes this exactly oracle-able: Spark's array_max over
+    * struct(score, lang) and the oracle's row_number ORDER BY
+    * (score DESC, lang DESC) pick the identical winner). Scores are
+    * single int/int → double divisions, bit-identical across engines;
+    * `length()` counts UTF-16 units in Spark vs code points in
+    * DuckDB, which agree on the BMP-only corpus (verified: zero
+    * non-BMP chars at every sf). Accuracy on real sentences is
+    * asserted in TextOpsSpec. */
   val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "es"),
@@ -82,6 +88,39 @@ object TextOps {
         when($"cjk_ratio" > 0.3, "zh").otherwise($"best.lang").as("predicted_lang"),
         when($"cjk_ratio" > 0.3, $"cjk_ratio").otherwise($"best.score").as("confidence"))
       .orderBy($"doc_id")
+  }
+
+  private val q61Oracle = {
+    val profiles = langProfiles.toSeq.sortBy(_._1).map { case (l, ws) =>
+      s"('$l', [${ws.map(w => s"'$w'").mkString(",")}])"
+    }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS labeled_lang, text,
+       |    string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |p AS (SELECT * FROM (VALUES $profiles) v(plang, prof)),
+       |s AS (
+       |  SELECT doc_id, plang,
+       |    CAST(len(list_filter(toks, x -> list_contains(prof, x))) AS DOUBLE)
+       |      / len(toks) AS score
+       |  FROM t CROSS JOIN p),
+       |b AS (
+       |  SELECT doc_id, plang, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, plang DESC) AS rn
+       |  FROM s),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) -
+       |         length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS cjk
+       |  FROM t)
+       |SELECT t.doc_id AS doc_id, t.labeled_lang AS labeled_lang,
+       |  CASE WHEN c.cjk > 0.3 THEN 'zh' ELSE b.plang END AS predicted_lang,
+       |  CASE WHEN c.cjk > 0.3 THEN c.cjk ELSE b.score END AS confidence
+       |FROM t JOIN b ON t.doc_id = b.doc_id AND b.rn = 1
+       |JOIN c ON t.doc_id = c.doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q62
@@ -569,6 +608,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q60_text_stats"          -> q60Oracle,
+    "q61_lang_id"             -> q61Oracle,
     "q73_tfidf"               -> q73Oracle,
     "q78_inverted_index"      -> q78Oracle,
     "q62_quality_score"       -> q62Oracle,

@@ -68,6 +68,29 @@ class PlanSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(p).length <= 2, p.take(800)) // AQE prints initial+final
   }
 
+  test("span family: count/semi/window shapes — no pair fan-out join anywhere") {
+    // executed AQE plans print "== Final Plan ==" then "== Initial
+    // Plan ==" — count nodes in the final section only
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      plan(df).split("== Initial Plan ==")(0)
+    }
+    // q55: cross-doc df via window + count; the ONLY join is the final
+    // left attach of per-doc stats to documents — never a pair join
+    val p55 = finalPlan(DedupOps.q55SpanDedup(spark, sf0001))
+    assert("Join".r.findAllIn(p55).length == 1, p55.take(800))
+    assert(p55.contains("Window"), p55.take(800))
+    // q56: the benchmark shingle set probes as a BROADCAST left-semi —
+    // corpus spans never shuffle for the membership test
+    val p56 = finalPlan(DedupOps.q56SpanDecontam(spark, sf0001))
+    assert(p56.contains("BroadcastHashJoin") && p56.contains("LeftSemi"), p56.take(800))
+    // q58: cross-doc duplication detected by one window (min!=max per
+    // shingle), then a single attach join brings start lists back
+    val p58 = finalPlan(DedupOps.q58SpanMask(spark, sf0001))
+    assert("Join".r.findAllIn(p58).length == 1, p58.take(800))
+    assert(p58.contains("Window"), p58.take(800))
+  }
+
   test("q46 salted join: shuffled join keyed on (orderkey, salt), dim never broadcast") {
     val df = Relational.q46SaltedJoin(spark, sf0001)
     df.collect() // AQE finalizes stages only on execution
