@@ -105,13 +105,40 @@ object ExtOps {
       |  CAST(n_regionkey AS BIGINT) n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** ORC source/sink round-trip — the second columnar format Spark
+    * ships natively (vectorized reader, predicate pushdown, the
+    * format a warehouse migration actually hands you). `supplier`
+    * exercises long/string/int/double fidelity; the declared-schema
+    * read mirrors q81's no-inference contract stance, and the oracle
+    * is the parquet original, so any encode/decode drift fails the
+    * hash. */
+  def q82OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    Tables.supplier(s, dir).write.mode("overwrite").orc(tmp)
+    s.read.schema(StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))))
+      .orc(tmp)
+      .orderBy($"s_suppkey")
+  }
+
+  private val q82Oracle =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
+    "q82_orc_roundtrip" -> (q82OrcRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
     "q26_udf_udaf"      -> q26Oracle,
     "q81_csv_roundtrip" -> q81Oracle,
+    "q82_orc_roundtrip" -> q82Oracle,
   )
 }
