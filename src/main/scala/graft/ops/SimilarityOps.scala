@@ -225,8 +225,13 @@ object SimilarityOps {
     * more tables → more probes → higher recall. On the near-uniform
     * synthetic vectors 3 bits × 4 tables probes roughly half the
     * corpus for ~0.6 recall@10; clustered real embeddings run far
-    * more selective settings. No SQL oracle (bucket assignment is the
-    * model); SimilarityOpsSpec checks recall vs q70. */
+    * more selective settings. Because the model is PURE ARITHMETIC
+    * (no engine hash, no RNG), the whole query is exactly
+    * oracle-able: the SQL recomputes the hyperplanes from the same
+    * integer formula (with the same float32 rounding), re-derives
+    * every bucket, and ranks identically — so the driver
+    * hash-verifies model + candidates + ranking cross-engine.
+    * SimilarityOpsSpec additionally checks recall vs q70. */
   val lshTables = 4
   val lshBits = 3
 
@@ -274,6 +279,42 @@ object SimilarityOps {
       .orderBy($"query_id", $"rank")
   }
 
+  private val q52Oracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |hp AS (
+       |  SELECT t, b, list_transform(range(0, 64), d ->
+       |    CAST(((((t*31 + b)*131 + d) * 2654435761 >> 16) & 65535)
+       |         / 65535.0 * 2 - 1 AS FLOAT)) AS w
+       |  FROM range(0, $lshTables) r1(t), range(0, $lshBits) r2(b)),
+       |sb AS (
+       |  SELECT e.vec_id, hp.t, hp.b,
+       |    CASE WHEN ${dotSql("e.embedding", "hp.w")} > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN hp),
+       |bk AS (
+       |  SELECT vec_id, t,
+       |    CAST(sum(bit * (1 << ($lshBits - 1 - b))) AS BIGINT) AS bucket
+       |  FROM sb GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+       |  FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       |co AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM e),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    ${dotSql("c.embedding", "q.embedding")} / (c.nrm * q.nrm) AS cosine
+       |  FROM cand JOIN co c ON cand.vec_id = c.vec_id
+       |            JOIN co q ON cand.query_id = q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id AS neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   /** The zero-shuffle assignment plan, exposed for PlanSpec: scan →
     * project(cell) with no Exchange anywhere. */
   def ivfAssignmentPlan(s: SparkSession, dir: String): DataFrame = {
@@ -292,5 +333,6 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "q70_knn_bruteforce" -> q70Oracle,
+    "q52_knn_lsh"        -> q52Oracle,
   )
 }
