@@ -74,6 +74,29 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("spansN/shinglesN geometry: count, width, content, dedup (span-family base)") {
+    import spark.implicits._
+    import graft.ops.DedupOps.{spansN, shinglesN}
+    // tiny alphabet forces repeated tokens/spans; every span operator
+    // (q53, q55, q56, q58, q66) builds on exactly this geometry
+    val gen = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd")))
+    (0 until 8).foreach { i =>
+      val toks = sample(gen, 500 + i)
+      val text = toks.mkString(" ")
+      Seq(3, 8).foreach { k =>
+        val row = Seq(text).toDF("text")
+          .select(spansN($"text", k).as("sp"), shinglesN($"text", k).as("sh"))
+          .head()
+        val expected =
+          if (toks.length >= k) toks.sliding(k).map(_.mkString(" ")).toSeq
+          else Seq.empty[String]
+        assert(row.getSeq[String](0) == expected, s"case $i k=$k spans")
+        assert(row.getSeq[String](1) == expected.distinct, s"case $i k=$k shingles")
+      }
+    }
+  }
+
   test("union conserves row counts (append-only load invariant, S8)") {
     import spark.implicits._
     (0 until 10).foreach { i =>
