@@ -266,6 +266,58 @@ object TextOps {
        |  least($chunkSize, n - start + 1) AS n_tokens
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q83
+  /** Tokens per packed training sequence and the number of
+    * deterministic pack streams, both interpolated into the oracle. */
+  val packBudget = 256
+  val packBuckets = 16
+
+  /** Sequence packing — the step that turns a chunked/filtered corpus
+    * into fixed-length training sequences: concatenate the token
+    * stream and slice every [[packBudget]] tokens (GPT-style packing
+    * splits documents across sequence boundaries; the emitted
+    * [seq_first, seq_last] span tells the consumer exactly which
+    * sequences each doc feeds). One global stream would serialize the
+    * prefix sum, so the corpus packs into [[packBuckets]] independent
+    * streams keyed by the q49 md5-bucket device — a pure row function,
+    * so stream membership is reproducible and each stream's running
+    * sum is an independent window partition: parallelism = buckets,
+    * and at 100 TB you raise the bucket count, not the window size.
+    * All integer math — exactly oracle-able. */
+  def q83SequencePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bucket = conv(substring(md5(concat(lit("pack:"), $"doc_id".cast("string"))),
+      1, 4), 16, 10).cast("long") % packBuckets
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", bucket.as("bucket"),
+        size(toks($"text")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"bucket", $"n_tokens", $"start_tok",
+        expr(s"start_tok DIV $packBudget").as("seq_first"),
+        expr(s"(start_tok + n_tokens - 1) DIV $packBudget").as("seq_last"))
+      .orderBy($"doc_id")
+  }
+
+  private val q83Oracle =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |      % $packBuckets AS bucket,
+       |    len(string_split(lower(text), ' ')) AS n_tokens
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+       |  FROM d)
+       |SELECT doc_id, bucket, n_tokens, start_tok,
+       |  CAST(start_tok // $packBudget AS BIGINT) AS seq_first,
+       |  CAST((start_tok + n_tokens - 1) // $packBudget AS BIGINT) AS seq_last
+       |FROM w ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q54
   /** PII patterns, shared by the query and (via interpolation) the
     * oracle. Restricted to a regex subset with identical semantics
@@ -604,6 +656,7 @@ object TextOps {
     "q54_redact_pii"          -> (q54RedactPii _),
     "q57_redact_planted"      -> (q57RedactPlanted _),
     "q59_repetition"          -> (q59Repetition _),
+    "q83_sequence_pack"       -> (q83SequencePack _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -620,5 +673,6 @@ object TextOps {
     "q54_redact_pii"          -> q54Oracle,
     "q57_redact_planted"      -> q57Oracle,
     "q59_repetition"          -> q59Oracle,
+    "q83_sequence_pack"       -> q83Oracle,
   )
 }

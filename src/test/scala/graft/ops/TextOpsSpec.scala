@@ -105,6 +105,33 @@ class TextOpsSpec extends SparkSuite {
     assert(r(3L) == ((0L, 0L, 0L, 0.0)))
   }
 
+  test("q83 sequence packing: per-stream prefix sums, boundary spans, token conservation") {
+    val rows = TextOps.q83SequencePack(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val b = TextOps.packBudget
+    // within each stream, start_tok is exactly the running sum of
+    // preceding docs' tokens in doc_id order (gapless concatenation)
+    rows.groupBy(_._2).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (_, _, n, start, first, last) =>
+        assert(start == cum)
+        assert(first == start / b && last == (start + n - 1) / b)
+        cum += n
+      }
+    }
+    // every doc lands in exactly one stream; total tokens conserved
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val totalToks = graft.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.col("text")), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sum
+    assert(rows.map(_._3).sum == totalToks)
+  }
+
   test("q60 text stats: counts consistent on a known sentence") {
     import spark.implicits._
     val df = Seq((1L, "the cat sat on the mat", "en", "srcX", 22L))
