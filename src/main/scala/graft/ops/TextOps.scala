@@ -473,6 +473,117 @@ object TextOps {
        |FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** URL pattern (RE2/Java-identical subset) and the deterministic
+    * in-query planting shared by q84/q85: the synthetic corpus has no
+    * URLs, so every 4th doc gets two planted ones (a per-doc-varying
+    * domain plus a fixed mirror host) in BOTH engines — the oracle
+    * then verifies real extraction, not just the no-op path (same
+    * device as q57's planted PII). */
+  val urlRe = "https?://[a-zA-Z0-9.-]+(/[a-zA-Z0-9./_-]*)?"
+  private val domainRe = "https?://([^/]+)"
+
+  private def plantedUrls(docId: Column, text: Column): Column =
+    when(docId % 4 === 0,
+      concat(text, lit(" see https://site"), (docId % 7).cast("string"),
+        lit(".example.org/page"), docId.cast("string"),
+        lit(" and http://mirror.example.net/x"))).otherwise(text)
+
+  // single line: interpolating a multi-line block whose continuation
+  // lines start with || into another stripMargin string would strip
+  // one pipe of the concat operator
+  private val plantedUrlsSql =
+    "CASE WHEN doc_id % 4 = 0 THEN text || ' see https://site' || " +
+      "CAST(doc_id % 7 AS VARCHAR) || '.example.org/page' || " +
+      "CAST(doc_id AS VARCHAR) || ' and http://mirror.example.net/x' " +
+      "ELSE text END"
+
+  /** Per-domain URL statistics — the first step of web-corpus
+    * curation (domain blocklists, per-domain mixture monitoring):
+    * extract every URL, roll up (n_urls, n_docs) per domain. Explode
+    * + hash aggregate with map-side combine; only (domain, doc_id)
+    * pairs shuffle. */
+  def q84UrlDomains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(regexp_extract_all(plantedUrls($"doc_id", $"text"),
+          lit(urlRe), lit(0))).as("url"))
+      .select($"doc_id", regexp_extract($"url", domainRe, 1).as("domain"))
+      .groupBy($"domain")
+      .agg(count(lit(1)).as("n_urls"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"domain")
+  }
+
+  private val q84Oracle =
+    s"""WITH p AS (SELECT doc_id, $plantedUrlsSql AS t0 FROM documents),
+       |u AS (SELECT doc_id, unnest(regexp_extract_all(t0, '$urlRe')) AS url FROM p),
+       |d AS (SELECT doc_id, regexp_extract(url, '$domainRe', 1) AS domain FROM u)
+       |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+       |FROM d GROUP BY 1 ORDER BY domain""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Docs kept per domain. */
+  val domainCap = 3
+
+  /** Per-domain capping — the RefinedWeb/C4-style retention rule that
+    * stops one prolific host from dominating the mixture: within each
+    * primary domain (the doc's first URL) keep the [[domainCap]]
+    * highest-quality docs (ties → smaller doc_id); docs with no URL
+    * bypass the rule entirely. Plan shape mirrors q74's keeper
+    * selection: ONLY the domained working set goes through the
+    * per-domain window; the URL-less majority takes the anti-join
+    * branch and never shuffles on a domain key (at web scale the
+    * domained set is the whole corpus but the window partitions are
+    * per-domain — bounded — while here the bypass keeps the synthetic
+    * corpus scan-shaped). */
+  def q85DomainCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val domained = Tables.documents(s, dir)
+      .select($"doc_id",
+        // try_element_at: ANSI mode makes element_at throw on the
+        // empty array a URL-less doc produces; NULL is the semantics
+        try_element_at(regexp_extract_all(plantedUrls($"doc_id", $"text"),
+          lit(urlRe), lit(0)), lit(1)).as("url"))
+      .where($"url".isNotNull)
+      .select($"doc_id", regexp_extract($"url", domainRe, 1).as("domain"))
+    val quality = qualityScores(s, dir)
+    val w = Window.partitionBy($"domain")
+      .orderBy($"quality_score".desc, $"doc_id".asc)
+    val ranked = domained.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select($"doc_id", $"domain", $"quality_score", $"rn",
+        ($"rn" <= domainCap).as("keep"))
+    val rest = quality
+      .join(domained.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .select($"doc_id", lit(null).cast("string").as("domain"),
+        $"quality_score", lit(0L).as("rn"), lit(true).as("keep"))
+    ranked.union(rest).orderBy($"doc_id")
+  }
+
+  private val q85Oracle =
+    s"""WITH p AS (SELECT doc_id, $plantedUrlsSql AS t0 FROM documents),
+       |u AS (
+       |  SELECT doc_id, list_extract(regexp_extract_all(t0, '$urlRe'), 1) AS url
+       |  FROM p),
+       |d AS (
+       |  SELECT doc_id, regexp_extract(url, '$domainRe', 1) AS domain
+       |  FROM u WHERE url IS NOT NULL),
+       |q AS (
+       |  $qualityScoresSql),
+       |r AS (
+       |  SELECT d.doc_id AS doc_id, domain, quality_score,
+       |    row_number() OVER (PARTITION BY domain
+       |                       ORDER BY quality_score DESC, d.doc_id ASC) AS rn
+       |  FROM d JOIN q ON d.doc_id = q.doc_id)
+       |SELECT doc_id, domain, quality_score, rn, rn <= $domainCap AS keep FROM r
+       |UNION ALL
+       |SELECT q.doc_id, CAST(NULL AS VARCHAR), quality_score,
+       |  CAST(0 AS BIGINT), true
+       |FROM q WHERE q.doc_id NOT IN (SELECT doc_id FROM d)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q63
   /** Content fingerprint: md5 over canonicalized text (lower +
     * whitespace collapse) — the exact-dedup key at scale. */
@@ -657,6 +768,8 @@ object TextOps {
     "q57_redact_planted"      -> (q57RedactPlanted _),
     "q59_repetition"          -> (q59Repetition _),
     "q83_sequence_pack"       -> (q83SequencePack _),
+    "q84_url_domains"         -> (q84UrlDomains _),
+    "q85_domain_cap"          -> (q85DomainCap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -674,5 +787,7 @@ object TextOps {
     "q57_redact_planted"      -> q57Oracle,
     "q59_repetition"          -> q59Oracle,
     "q83_sequence_pack"       -> q83Oracle,
+    "q84_url_domains"         -> q84Oracle,
+    "q85_domain_cap"          -> q85Oracle,
   )
 }

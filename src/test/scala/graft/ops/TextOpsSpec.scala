@@ -132,6 +132,33 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.map(_._3).sum == totalToks)
   }
 
+  test("q84/q85 url curation: planted domains extracted, cap keeps top-quality per domain") {
+    import spark.implicits._
+    val nPlanted = graft.Tables.documents(spark, sf0001)
+      .where($"doc_id" % 4 === 0).count()
+    assert(nPlanted > 0)
+    val doms = TextOps.q84UrlDomains(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every planted doc carries the mirror URL; every domain is one of ours
+    assert(doms("mirror.example.net") == ((nPlanted, nPlanted)))
+    assert(doms.keySet.forall(d =>
+      d == "mirror.example.net" || d.matches("site[0-6]\\.example\\.org")))
+    val rows = TextOps.q85DomainCap(spark, sf0001).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))
+    // URL-less docs bypass with keep=true; domained groups keep
+    // exactly min(cap, size), the highest-quality members
+    assert(rows.filter(_._2.isEmpty).forall(r => r._5 && r._4 == 0L))
+    rows.filter(_._2.nonEmpty).groupBy(_._2).foreach { case (_, g) =>
+      val kept = g.filter(_._5)
+      assert(kept.length == math.min(TextOps.domainCap, g.length))
+      val minKeptQ = kept.map(_._3).min
+      assert(g.filterNot(_._5).forall(_._3 <= minKeptQ))
+    }
+    // primary-domain rule: doc's first URL is the per-doc site URL
+    assert(rows.filter(_._2.nonEmpty).forall(_._2.get.startsWith("site")))
+  }
+
   test("q60 text stats: counts consistent on a known sentence") {
     import spark.implicits._
     val df = Seq((1L, "the cat sat on the mat", "en", "srcX", 22L))
