@@ -130,15 +130,131 @@ object ExtOps {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q86
+  /** Bucketed-table layout: both join sides written once with
+    * `bucketBy(8, key).sortBy(key)`, then joined WITHOUT an Exchange —
+    * the shuffle is paid at write time and amortized over every
+    * subsequent join/aggregation on that key. This is the layout move
+    * that makes a 100-TB fact⋈fact join tractable: neither side fits
+    * a broadcast, and re-shuffling 100 TB per query is the cost
+    * bucketing deletes. The `repartition(nBuckets, key)` before the
+    * write uses the same murmur3-pmod hash as the bucket assignment,
+    * so each write task holds exactly one bucket → ONE file per
+    * bucket, which is what lets the scan also honor `sortBy` and drop
+    * the per-partition Sort. `hint("merge")` keeps the demo honest at
+    * sf-test size (the fixture's lineitem would otherwise broadcast;
+    * at target scale neither side can). PlanSpec pins the join
+    * subtree Exchange-free.
+    *
+    * The bucketed tables are registered in the session catalog
+    * (bucket metadata lives there); they persist for the session
+    * because the returned plan lazily scans them. Re-runs are
+    * idempotent: DROP IF EXISTS + overwrite into a fresh scratch
+    * path. */
+  val nBuckets = 8
+
+  private[graft] def q86Join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = Files.createTempDirectory("graft_bucketed").toString
+    s.sql("DROP TABLE IF EXISTS graft_bk_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bk_lineitem")
+    Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+      .repartition(nBuckets, $"o_orderkey")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders").saveAsTable("graft_bk_orders")
+    Tables.lineitem(s, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      .repartition(nBuckets, $"l_orderkey")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem").saveAsTable("graft_bk_lineitem")
+    s.table("graft_bk_orders").hint("merge")
+      .join(s.table("graft_bk_lineitem"), $"o_orderkey" === $"l_orderkey")
+  }
+
+  def q86BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q86Join(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
+          .cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q86Oracle =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  /** Single-pass column profiling — the data-quality sweep a pipeline
+    * runs before training on a new source: per column, row count,
+    * null count, and exact distinct count, unpivoted to one row per
+    * column. All 2·k+1 aggregates ride ONE scan; Spark plans the
+    * multi-distinct via Expand (k× row fan-out in the shuffle, never
+    * a second scan). At 100 TB swap `count_distinct` for
+    * `approx_count_distinct` (q40): same single-pass plan, constant
+    * sketch memory instead of per-column hash sets. A planted all-NULL
+    * row (o_orderkey = -1, mirrored in the oracle) proves the
+    * null-counting path — the fixture itself is null-free.
+    *
+    * The column list is a shared constant interpolated into BOTH the
+    * Spark aggregation and the oracle SQL, so the two can't drift. */
+  private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  def q89ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nullRow = s.sql(
+      """SELECT CAST(-1 AS BIGINT) o_orderkey, CAST(NULL AS BIGINT) o_custkey,
+        |  CAST(NULL AS STRING) o_orderstatus, CAST(NULL AS DOUBLE) o_totalprice,
+        |  CAST(NULL AS TIMESTAMP) o_orderdate, CAST(NULL AS STRING) o_orderpriority
+        |""".stripMargin)
+    val df = Tables.orders(s, dir).unionByName(nullRow)
+    val aggs = count(lit(1)).as("n_rows") +: profileCols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__nn"), count_distinct(col(c)).as(s"${c}__nd")))
+    val stacked = s"stack(${profileCols.length}, " +
+      profileCols.map(c => s"'$c', ${c}__nn, ${c}__nd").mkString(", ") +
+      ") AS (col_name, n_nonnull, n_distinct)"
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows", stacked)
+      .select($"col_name", $"n_rows", ($"n_rows" - $"n_nonnull").as("n_null"),
+        $"n_distinct")
+      .orderBy($"col_name")
+  }
+
+  private val q89Oracle = {
+    val perCol = profileCols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows, n_rows - ${c}__nn AS n_null,
+         |  ${c}__nd AS n_distinct FROM p""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH o AS (
+       |  SELECT * FROM orders
+       |  UNION ALL
+       |  SELECT -1, NULL, NULL, NULL, NULL, NULL),
+       |p AS (SELECT count(*) AS n_rows,
+       |  ${profileCols.map(c => s"count($c) AS ${c}__nn, count(DISTINCT $c) AS ${c}__nd").mkString(",\n  ")}
+       |  FROM o)
+       |$perCol
+       |ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
     "q82_orc_roundtrip" -> (q82OrcRoundtrip _),
+    "q86_bucketed_join" -> (q86BucketedJoin _),
+    "q89_column_profile" -> (q89ColumnProfile _),
   )
 
   val oracles: Map[String, String] = Map(
     "q26_udf_udaf"      -> q26Oracle,
     "q81_csv_roundtrip" -> q81Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
+    "q86_bucketed_join" -> q86Oracle,
+    "q89_column_profile" -> q89Oracle,
   )
 }

@@ -100,6 +100,31 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("salt"))
   }
 
+  test("q86 bucketed join: sort-merge join with zero Exchange in the join subtree") {
+    val joined = ExtOps.q86Join(spark, sf0001)
+    joined.collect()
+    val p = plan(joined).split("== Initial Plan ==")(0)
+    // the whole point of the bucketed layout: the join reads both
+    // sides pre-hashed (and pre-sorted) — no shuffle, no broadcast
+    assert(p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("BroadcastHashJoin"), p.take(800))
+    // agg on TOP of the join still exchanges (different key) — only
+    // the join subtree is claimed shuffle-free
+    spark.sql("DROP TABLE IF EXISTS graft_bk_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bk_lineitem")
+  }
+
+  test("q89 profile: one scan feeds all per-column aggregates (Expand, no re-scan)") {
+    val df = ExtOps.q89ColumnProfile(spark, sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // multi-distinct goes through a single Expand over one scan — the
+    // profile must never scan the table once per column
+    assert(p.contains("Expand"), p.take(800))
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(800))
+  }
+
   test("whole-stage codegen covers the scan-side of the text pipeline") {
     val df = TextOps.q63Fingerprint(spark, sf0001)
     df.collect() // AQE finalizes stages only on execution
