@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.{LongType, StructType}
+import graft.Tables
 
 /** Structured Streaming operator sweep (SURVEY.md §2.2 streaming rows):
   * file source, tumbling/sliding/session event-time windows, watermark
@@ -471,6 +472,46 @@ object Streaming {
       | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
       |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Stream-static join: the event stream enriched against a STATIC
+    * dimension (customer → market segment) before a windowed
+    * aggregate — the standard streaming-enrichment shape (clicks ×
+    * user table, requests × model registry). The static side is
+    * `broadcast()`: stateless for the stream (nothing joins "later",
+    * so no join state at all — unlike q44/q47's two-sided interval
+    * state) and re-resolved per micro-batch, which is also how dim
+    * updates become visible. At 100 TB/day of events the stream side
+    * still only shuffles on the window-agg keys; the dim ships once
+    * per executor per batch. Same append+watermark+sentinel drain as
+    * q30, so aggregate state stays watermark-bounded. */
+  def q87StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = broadcast(Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment"))
+    val enriched = eventsStream(s, dir).select($"ts", $"user_id", $"value")
+      .join(dim, $"user_id" === $"c_custkey")
+      .select($"ts", $"c_mktsegment".as("segment"), $"value")
+    val sentinel = sentinelStream(s, s.range(1).select(
+      timestamp_micros(lit(sentinelUs)).as("ts"),
+      lit("sentinel").as("segment"), lit(0.0).as("value")))
+    val agg = enriched.union(sentinel)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "1 day"), $"segment")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select($"window.start".as("day"), $"segment", $"n_events", $"sum_value")
+    drain(s, agg, OutputMode.Append())
+      .filter($"day" < timestamp_micros(lit(sentinelUs)))
+      .orderBy($"day", $"segment")
+  }
+
+  private val q87Oracle =
+    """SELECT date_trunc('day', ts) AS day, c_mktsegment AS segment,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY day, segment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
@@ -480,6 +521,7 @@ object Streaming {
     "q35_flatmap_sessions" -> (q35FlatMapSessions _),
     "q44_stream_stream_join" -> (q44StreamStreamJoin _),
     "q47_stream_left_join"   -> (q47StreamLeftJoin _),
+    "q87_stream_static_join" -> (q87StreamStaticJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -491,5 +533,6 @@ object Streaming {
     "q35_flatmap_sessions" -> q35Oracle,
     "q44_stream_stream_join" -> q44Oracle,
     "q47_stream_left_join"   -> q47Oracle,
+    "q87_stream_static_join" -> q87Oracle,
   )
 }

@@ -160,14 +160,15 @@ object TextOps {
        |  len_score * 0.5 + diversity * 0.3 + (1.0 - stop_ratio) * 0.2 >= 0.6 AS is_quality
        |FROM t ORDER BY doc_id""".stripMargin
 
-  /** (doc_id, quality_score) — q62's composite (same expression, same
-    * evaluation order, so doubles match the oracle bit-for-bit),
-    * reused by DedupOps.q74's quality-weighted keeper selection. */
+  /** (doc_id, lang, quality_score) — q62's composite (same expression,
+    * same evaluation order, so doubles match the oracle bit-for-bit),
+    * reused by DedupOps.q74's quality-weighted keeper selection and
+    * q88's per-language trim. */
   private[ops] def qualityScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", toks($"text"))
-      .select($"doc_id",
+      .select($"doc_id", $"lang",
         (least(length($"text").cast("double") / 500.0, lit(1.0)) * 0.5 +
           (size(array_distinct($"toks")).cast("double") / size($"toks")) * 0.3 +
           (lit(1.0) - size(filter($"toks", t => t.isin(stopwords: _*)))
@@ -177,7 +178,7 @@ object TextOps {
   /** The matching DuckDB snippet (a full SELECT over `documents`),
     * interpolated into q74's oracle. */
   private[ops] val qualityScoresSql: String =
-    s"""SELECT doc_id,
+    s"""SELECT doc_id, lang,
        |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
        |    + CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
        |        / len(string_split(lower(text), ' ')) * 0.3
@@ -753,6 +754,43 @@ object TextOps {
        |  count(*) AS df
        |FROM p GROUP BY term HAVING count(*) >= 2 ORDER BY term""".stripMargin
 
+  // ---------------------------------------------------------------- q88
+  /** Per-language quality-percentile trim — "keep the top 75% of each
+    * language by quality" is the standard mixture-preserving corpus
+    * cut (a single global threshold would gut low-resource languages
+    * whose score distribution sits lower). Two aggregations, no
+    * per-language window: the cutoff dim is #langs rows, broadcast
+    * back onto the corpus, so the corpus itself never shuffles and
+    * never sorts — the per-lang `percent_rank` window formulation
+    * would funnel each language through ONE task, which is exactly
+    * the shape that dies on a 40-language 100-TB corpus.
+    *
+    * `percentile` is the exact interpolated quantile and hash-matches
+    * DuckDB's `quantile_cont` (q43 proves this cross-engine); its
+    * buffer holds each language's score list, fine at test scale —
+    * at 100 TB swap in `percentile_approx` (same plan, bounded
+    * sketch memory; q43 pins the error envelope). Ties at the cutoff
+    * are kept on both engines (`>=` on bit-identical doubles). */
+  val trimQuantile = 0.25
+
+  def q88QualityTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = qualityScores(s, dir)
+    val cutoffs = scored.groupBy($"lang")
+      .agg(expr(s"percentile(quality_score, $trimQuantile)").as("cutoff"))
+    scored.join(broadcast(cutoffs), "lang")
+      .where($"quality_score" >= $"cutoff")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  private val q88Oracle =
+    s"""WITH s AS ($qualityScoresSql),
+       |c AS (SELECT lang, quantile_cont(quality_score, $trimQuantile) AS cutoff
+       |      FROM s GROUP BY lang)
+       |SELECT s.doc_id, s.lang FROM s JOIN c ON s.lang = c.lang
+       |WHERE quality_score >= cutoff ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -770,6 +808,7 @@ object TextOps {
     "q83_sequence_pack"       -> (q83SequencePack _),
     "q84_url_domains"         -> (q84UrlDomains _),
     "q85_domain_cap"          -> (q85DomainCap _),
+    "q88_quality_trim"        -> (q88QualityTrim _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -789,5 +828,6 @@ object TextOps {
     "q83_sequence_pack"       -> q83Oracle,
     "q84_url_domains"         -> q84Oracle,
     "q85_domain_cap"          -> q85Oracle,
+    "q88_quality_trim"        -> q88Oracle,
   )
 }

@@ -66,4 +66,20 @@ class StreamingSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("session-spanning"))
   }
+
+  test("q87 stream-static join equals the batch join+aggregate (stream-batch parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Streaming.q87StreamStaticJoin(spark, sf0001).collect()
+    val want = graft.Tables.events(spark, sf0001)
+      .join(graft.Tables.customer(spark, sf0001)
+        .select($"c_custkey", $"c_mktsegment"), $"user_id" === $"c_custkey")
+      .groupBy(date_trunc("day", $"ts").as("day"), $"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy($"day", $"segment")
+      .collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
 }

@@ -250,4 +250,24 @@ class TextOpsSpec extends SparkSuite {
     val r = df.select(VectorOps.cosine($"a", $"a")).head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-9)
   }
+
+  test("q88 trim keeps ~top-75% of each language and never drops above a kept score") {
+    import spark.implicits._
+    val kept = TextOps.q88QualityTrim(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val scored = TextOps.q62QualityScore(spark, sf0001)
+      .select($"doc_id", $"quality_score")
+      .join(graft.Tables.documents(spark, sf0001).select($"doc_id", $"lang"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    scored.groupBy(_._3).foreach { case (lang, docs) =>
+      val k = docs.filter(d => kept((d._1, lang))).map(_._2)
+      val d = docs.filterNot(d => kept((d._1, lang))).map(_._2)
+      // the cutoff property: every dropped score < every kept score
+      if (k.nonEmpty && d.nonEmpty) assert(d.max < k.min, s"lang=$lang")
+      // quantile_cont(0.25) bounds: at most 25% strictly below the
+      // cutoff are dropped; ties at the cutoff are kept
+      assert(d.length <= math.ceil(docs.length * 0.25).toInt, s"lang=$lang")
+      assert(k.nonEmpty, s"lang=$lang kept nothing")
+    }
+  }
 }
