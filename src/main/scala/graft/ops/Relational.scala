@@ -907,6 +907,61 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q90
+  /** Batch MERGE (upsert): apply a change set to a snapshot —
+    * matched keys take the change row, unmatched changes insert,
+    * everything else carries over — the operation that turns the
+    * reference's append-only load into a maintainable table (CDC
+    * apply, dimension refresh). Expressed as one full-outer join +
+    * coalesce, which Catalyst plans as a single sort-merge join on
+    * the key: ONE shuffle per side, no driver loop, no per-row
+    * lookups. At 100 TB the snapshot side arrives pre-bucketed on
+    * the key (q86's layout) so only the (small) change set shuffles;
+    * combined with date-partitioned tables (q80's load) the rewrite
+    * touches only affected partitions.
+    *
+    * The change set here is derived deterministically from the
+    * snapshot itself (keys ≡ 3 mod 10 get a 10% price bump; fresh
+    * negative keys insert) so the oracle can reproduce it exactly —
+    * a real pipeline reads changes as its own table; identical
+    * plan. */
+  def q90MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = Tables.orders(s, dir)
+    val updates = snap.where($"o_orderkey" % 10 === 3)
+      .select($"o_orderkey", ($"o_totalprice" * 1.1).as("c_totalprice"),
+        lit("U").as("c_orderstatus"))
+    val inserts = snap.where($"o_orderkey" % 100 === 7)
+      .select((-$"o_orderkey" - 1).as("o_orderkey"),
+        $"o_totalprice".as("c_totalprice"), lit("N").as("c_orderstatus"))
+    val changes = updates.unionByName(inserts)
+    snap.join(changes, Seq("o_orderkey"), "full_outer")
+      .select($"o_orderkey",
+        coalesce($"c_totalprice", $"o_totalprice").as("o_totalprice"),
+        coalesce($"c_orderstatus", $"o_orderstatus").as("o_orderstatus"),
+        when($"c_totalprice".isNull, "keep")
+          .when($"o_orderdate".isNull, "insert")
+          .otherwise("update").as("action"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q90Oracle =
+    """WITH changes AS (
+      |  SELECT o_orderkey, o_totalprice * 1.1 AS c_totalprice,
+      |    'U' AS c_orderstatus
+      |  FROM orders WHERE o_orderkey % 10 = 3
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1, o_totalprice, 'N'
+      |  FROM orders WHERE o_orderkey % 100 = 7)
+      |SELECT COALESCE(o.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |  COALESCE(c_totalprice, o_totalprice) AS o_totalprice,
+      |  COALESCE(c_orderstatus, o_orderstatus) AS o_orderstatus,
+      |  CASE WHEN c_totalprice IS NULL THEN 'keep'
+      |       WHEN o.o_orderkey IS NULL THEN 'insert'
+      |       ELSE 'update' END AS action
+      |FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -941,6 +996,7 @@ object Relational {
     "q29_null_semantics"  -> (q29NullSemantics _),
     "q36_salted_agg"      -> (q36SaltedAgg _),
     "q37_window_suite"    -> (q37WindowSuite _),
+    "q90_merge_upsert"    -> (q90MergeUpsert _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -977,5 +1033,6 @@ object Relational {
     "q29_null_semantics"  -> q29Oracle,
     "q36_salted_agg"      -> q36Oracle,
     "q37_window_suite"    -> q37Oracle,
+    "q90_merge_upsert"    -> q90Oracle,
   )
 }

@@ -791,6 +791,84 @@ object TextOps {
        |SELECT s.doc_id, s.lang FROM s JOIN c ON s.lang = c.lang
        |WHERE quality_score >= cutoff ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Deterministic train/val/test split — every doc labeled by a pure
+    * hash of its id (q49's md5-bucket trick with a distinct salt, so
+    * the split is independent of the sampling decision). No RNG
+    * stream: the assignment is reproducible across retries,
+    * repartitioning, and engines, and disjoint+exhaustive by
+    * construction (one bucket, three half-open ranges). Pure
+    * projection — evaluates at the scan, zero shuffle before the
+    * oracle ORDER BY. */
+  val splitPcts: (Int, Int) = (80, 10) // train 80, val 10, test 10
+
+  def q91TrainValTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (tr, va) = splitPcts
+    val bucket = conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))),
+      1, 4), 16, 10).cast("long") % 100
+    Tables.documents(s, dir)
+      .withColumn("bucket", bucket)
+      .select($"doc_id", $"lang", $"bucket",
+        when($"bucket" < tr, "train")
+          .when($"bucket" < tr + va, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  private val q91Oracle = {
+    val (tr, va) = splitPcts
+    s"""SELECT doc_id, lang, bucket,
+       |  CASE WHEN bucket < $tr THEN 'train'
+       |       WHEN bucket < ${tr + va} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q92
+  /** Per-language trigram counts with a frequency floor — the n-gram
+    * LM corpus statistic behind contamination scoring, perplexity
+    * filters, and boilerplate detection. Explode fans each doc out to
+    * n_tokens-2 trigram rows (token text shuffles once, as short
+    * grams); the count aggregate runs partial map-side, so the
+    * exchange carries only (lang, gram, partial_n). The HAVING floor
+    * keeps the result (and at 100 TB, the LM table) bounded to grams
+    * seen at least [[trigramMinCount]] times. documentsSpread gives
+    * the explode full-core parallelism on the single-row-group
+    * fixture (real many-file inputs get it from the scan). */
+  val trigramMinCount = 3L
+
+  def q92TrigramCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documentsSpread(s, dir)
+      .withColumn("toks", toks($"text"))
+      .select($"lang", explode(expr(
+        "transform(sequence(0, greatest(size(toks) - 3, -1)), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("trigram"))
+    grams.groupBy($"lang", $"trigram")
+      .agg(count(lit(1)).as("n"))
+      .where($"n" >= trigramMinCount)
+      .orderBy($"lang", $"trigram")
+  }
+
+  private val q92Oracle =
+    s"""WITH t AS (
+       |  SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT lang, toks, unnest(range(0, greatest(len(toks) - 2, 0))) AS i
+       |  FROM t),
+       |tg AS (
+       |  SELECT lang, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS trigram
+       |  FROM g)
+       |SELECT lang, trigram, count(*) AS n
+       |FROM tg GROUP BY lang, trigram
+       |HAVING count(*) >= $trigramMinCount
+       |ORDER BY lang, trigram""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -809,6 +887,8 @@ object TextOps {
     "q84_url_domains"         -> (q84UrlDomains _),
     "q85_domain_cap"          -> (q85DomainCap _),
     "q88_quality_trim"        -> (q88QualityTrim _),
+    "q91_train_val_test"      -> (q91TrainValTest _),
+    "q92_trigram_counts"      -> (q92TrigramCounts _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -829,5 +909,7 @@ object TextOps {
     "q84_url_domains"         -> q84Oracle,
     "q85_domain_cap"          -> q85Oracle,
     "q88_quality_trim"        -> q88Oracle,
+    "q91_train_val_test"      -> q91Oracle,
+    "q92_trigram_counts"      -> q92Oracle,
   )
 }

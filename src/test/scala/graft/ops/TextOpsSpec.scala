@@ -251,6 +251,50 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(r - 1.0) < 1e-9)
   }
 
+  test("q91 split is disjoint, exhaustive, repartition-stable, and ~80/10/10") {
+    import spark.implicits._
+    val rows = TextOps.q91TrainValTest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    // exhaustive: one labeled row per doc; disjoint by construction
+    // (one bucket value → exactly one CASE branch)
+    assert(rows.length == nDocs)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (_, b, sp) =>
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(sp == expect)
+    }
+    val frac = rows.count(_._3 == "train").toDouble / rows.length
+    assert(frac > 0.7 && frac < 0.9, s"train frac $frac")
+    // determinism: the assignment is a pure function of doc_id — a
+    // different physical partitioning must not move any doc
+    val again = TextOps.q91TrainValTest(spark, sf0001)
+      .repartition(7).collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(again == rows.map(t => (t._1, t._3)).toSet)
+  }
+
+  test("q92 trigrams: floor respected, 3-token grams, counts match a direct recount") {
+    import spark.implicits._
+    val got = TextOps.q92TrigramCounts(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    assert(got.values.forall(_ >= TextOps.trigramMinCount))
+    assert(got.keys.forall(_._2.split(" ", -1).length == 3))
+    // independent recount straight off the table (driver-side fold)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"lang", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counted = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (lang, text) =>
+      val t = text.toLowerCase.split(" ", -1)
+      t.indices.dropRight(2).foreach { i =>
+        val g = (lang, s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+        counted(g) = counted.getOrElse(g, 0L) + 1
+      }
+    }
+    assert(got == counted.filter(_._2 >= TextOps.trigramMinCount).toMap)
+  }
+
   test("q88 trim keeps ~top-75% of each language and never drops above a kept score") {
     import spark.implicits._
     val kept = TextOps.q88QualityTrim(spark, sf0001)
