@@ -962,6 +962,65 @@ object Relational {
       |FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q93
+  /** Key-skew diagnostics — the report you run BEFORE choosing a join
+    * strategy (broadcast / salt q46 / AQE skew split): per-key row
+    * counts reduced to one summary row. Two hash aggregates, both
+    * map-side partial; the second input is one row per KEY, not per
+    * row, so the report costs one scan plus a key-cardinality shuffle.
+    * `percentile` over the per-key counts is exact here and
+    * cross-engine stable (q43); at 100 TB swap `percentile_approx` —
+    * same plan, sketch memory. skew_ratio ≈ 1 means uniform keys;
+    * a hot-key table pushes it toward n_rows/n_keys. */
+  def q93SkewReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_keys"), sum($"n").as("n_rows"),
+        max($"n").as("max_per_key"),
+        expr("percentile(n, 0.5)").as("p50_per_key"),
+        expr("percentile(n, 0.99)").as("p99_per_key"))
+      .select($"n_keys", $"n_rows", $"max_per_key", $"p50_per_key",
+        $"p99_per_key",
+        ($"max_per_key" * $"n_keys" / $"n_rows".cast("double")).as("skew_ratio"))
+  }
+
+  private val q93Oracle =
+    """WITH k AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+      |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+      |  max(n) AS max_per_key,
+      |  quantile_cont(n, 0.5) AS p50_per_key,
+      |  quantile_cont(n, 0.99) AS p99_per_key,
+      |  max(n) * count(*) / CAST(sum(n) AS DOUBLE) AS skew_ratio
+      |FROM k""".stripMargin
+
+  // ---------------------------------------------------------------- q94
+  /** Last-write-wins compaction: keep only the LATEST record per key —
+    * the CDC/changelog collapse every ingestion pipeline runs before
+    * serving a snapshot. One window, one shuffle on the key, with a
+    * total tie-break (ts DESC, event_id DESC) so replays and
+    * duplicate timestamps can't flap the survivor. At 100 TB this is
+    * exactly the q86 bucketed layout's home game: a table bucketed on
+    * user_id 'compacts' without any Exchange. */
+  def q94LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"user_id")
+  }
+
+  private val q94Oracle =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -997,6 +1056,8 @@ object Relational {
     "q36_salted_agg"      -> (q36SaltedAgg _),
     "q37_window_suite"    -> (q37WindowSuite _),
     "q90_merge_upsert"    -> (q90MergeUpsert _),
+    "q93_skew_report"     -> (q93SkewReport _),
+    "q94_latest_per_key"  -> (q94LatestPerKey _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1034,5 +1095,7 @@ object Relational {
     "q36_salted_agg"      -> q36Oracle,
     "q37_window_suite"    -> q37Oracle,
     "q90_merge_upsert"    -> q90Oracle,
+    "q93_skew_report"     -> q93Oracle,
+    "q94_latest_per_key"  -> q94Oracle,
   )
 }

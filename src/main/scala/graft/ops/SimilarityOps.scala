@@ -325,14 +325,70 @@ object SimilarityOps {
         .getField("negcid"))
   }
 
+  // ---------------------------------------------------------------- q95
+  /** Metadata-filtered vector search — "nearest neighbors WHERE
+    * label = X", the filter+ANN hybrid every retrieval stack needs
+    * (filter by language / license / source, then rank by cosine).
+    * The metadata predicate is applied to the CORPUS side before the
+    * broadcast join, so it pushes down to the parquet scan
+    * (PushedFilters) and the candidate set — and with it the ranking
+    * cost — shrinks by the filter's selectivity. Queries themselves
+    * are NOT label-filtered (you search ON BEHALF of a query, from
+    * anywhere). Same exact ranking + tie-break as q70, so this is
+    * oracle-exact; at 100 TB the same predicate composes with q71's
+    * IVF cells or q52's LSH buckets (filter first, then probe). */
+  val filterLabel = 3
+
+  def q95FilteredKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir).where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        VectorOps.norm($"embedding").as("qn"))
+    val c = Tables.embeddings(s, dir)
+      .where($"label" === filterLabel && $"vec_id" >= nQueries)
+      .select($"vec_id", $"embedding", VectorOps.norm($"embedding").as("nrm"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    c.join(broadcast(q))
+      .select($"query_id", $"vec_id",
+        (VectorOps.dot($"embedding", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val q95Oracle =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS qn
+       |  FROM embeddings WHERE vec_id < $nQueries),
+       |c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings WHERE label = $filterLabel AND vec_id >= $nQueries),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    ${dotSql("embedding", "qv")} / (nrm * qn) AS cosine
+       |  FROM c CROSS JOIN q),
+       |ranked AS (
+       |  SELECT query_id, vec_id AS neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
     "q52_knn_lsh"        -> (q52KnnLsh _),
+    "q95_filtered_knn"   -> (q95FilteredKnn _),
   )
 
   val oracles: Map[String, String] = Map(
     "q70_knn_bruteforce" -> q70Oracle,
     "q52_knn_lsh"        -> q52Oracle,
+    "q95_filtered_knn"   -> q95Oracle,
   )
 }

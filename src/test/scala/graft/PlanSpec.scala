@@ -100,6 +100,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("salt"))
   }
 
+  test("q95 filtered kNN: label predicate pushed to the corpus scan, queries broadcast") {
+    val df = SimilarityOps.q95FilteredKnn(spark, sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the metadata filter must reach the parquet scan — filtered ANN
+    // pays for candidates AFTER selectivity, not before
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(p).isDefined, p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+
   test("q86 bucketed join: sort-merge join with zero Exchange in the join subtree") {
     val joined = ExtOps.q86Join(spark, sf0001)
     joined.collect()

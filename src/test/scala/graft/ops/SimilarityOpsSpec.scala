@@ -47,6 +47,28 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(mean >= 0.4, s"mean recall@10 = $mean")
   }
 
+  test("q95 filtered kNN: every neighbor carries the filter label; ranking is exact within the slice") {
+    import spark.implicits._
+    val allowed = graft.Tables.embeddings(spark, sf0001)
+      .where($"label" === SimilarityOps.filterLabel &&
+        $"vec_id" >= SimilarityOps.nQueries)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val rows = SimilarityOps.q95FilteredKnn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the filter is a hard constraint, not a soft preference
+    assert(rows.forall(r => allowed(r._2)))
+    // per query: ranks are 1..k and cosine is non-increasing with rank
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length).toSeq, s"q=$q")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4, s"q=$q")
+        case _ =>
+      }
+    }
+  }
+
   test("q71 ivf scans fewer candidates than brute force would") {
     // structural check: candidate set per query is bounded by the
     // probed cells, i.e. strictly fewer scored pairs than n*q
