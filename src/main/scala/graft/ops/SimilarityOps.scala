@@ -379,16 +379,52 @@ object SimilarityOps {
        |SELECT query_id, neighbor_id, rank, cosine FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Per-vector int8 quantization (scalar max-abs scheme) — the 4×
+    * memory cut that lets a 100-TB embedding corpus live in executor
+    * memory for ANN serving (float32 → int8 + one float scale per
+    * vector). Pure projection: evaluates at the scan, zero shuffle
+    * before the oracle ORDER BY. Every step is deterministic IEEE
+    * double arithmetic + floor, so the quantized codes are
+    * bit-reproducible cross-engine — the property a re-shardable
+    * index build needs anyway. The epsilon guard keeps an all-zero
+    * vector from dividing by zero (its codes are all 0). The
+    * round-trip error bound |x − q·s/127| ≤ s/127 is spec-asserted. */
+  def q97QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .withColumn("scale", greatest(
+        expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"),
+        lit(1e-30)))
+      .select($"vec_id", $"scale",
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0d / scale) AS INT))")
+          .as("codes"))
+      .orderBy($"vec_id")
+  }
+
+  private val q97Oracle =
+    """SELECT vec_id, scale,
+      |  list_transform(embedding,
+      |    v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale) AS INTEGER)) AS codes
+      |FROM (
+      |  SELECT vec_id, embedding,
+      |    greatest(list_max(list_transform(embedding,
+      |      v -> abs(CAST(v AS DOUBLE)))), 1e-30) AS scale
+      |  FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
     "q52_knn_lsh"        -> (q52KnnLsh _),
     "q95_filtered_knn"   -> (q95FilteredKnn _),
+    "q97_quantize_int8"  -> (q97QuantizeInt8 _),
   )
 
   val oracles: Map[String, String] = Map(
     "q70_knn_bruteforce" -> q70Oracle,
     "q52_knn_lsh"        -> q52Oracle,
     "q95_filtered_knn"   -> q95Oracle,
+    "q97_quantize_int8"  -> q97Oracle,
   )
 }

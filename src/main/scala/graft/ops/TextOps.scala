@@ -869,6 +869,45 @@ object TextOps {
        |HAVING count(*) >= $trigramMinCount
        |ORDER BY lang, trigram""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Domain blocklist — drop every document that cites a blocked
+    * host (licensing, spam, PII-heavy domains): the membership test
+    * every web-corpus pipeline applies right after q84's extraction.
+    * The blocklist is a LITERAL `isin` on the exploded (doc_id,
+    * domain) pairs — no join to find offenders — and offending doc
+    * ids come back as one LEFT ANTI join on doc_id. Only (doc_id)
+    * keys shuffle; document text never does. A real pipeline reads
+    * the blocklist as a (small) table — same plan with a broadcast
+    * anti-join. Reuses q84's planted URLs so the oracle exercises
+    * real drops: docs citing a blocked domain exist at every sf. */
+  val blockedDomains: Seq[String] =
+    Seq("site1.example.org", "site4.example.org")
+
+  def q96DomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", plantedUrls($"doc_id", $"text").as("t0"))
+    val blockedIds = docs
+      .select($"doc_id",
+        explode(regexp_extract_all($"t0", lit(urlRe), lit(0))).as("url"))
+      .select($"doc_id", regexp_extract($"url", domainRe, 1).as("domain"))
+      .where($"domain".isin(blockedDomains: _*))
+      .select($"doc_id").distinct()
+    docs.join(blockedIds, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  private val q96Oracle =
+    s"""WITH p AS (SELECT doc_id, lang, $plantedUrlsSql AS t0 FROM documents),
+       |u AS (SELECT doc_id, unnest(regexp_extract_all(t0, '$urlRe')) AS url FROM p),
+       |b AS (SELECT DISTINCT doc_id FROM u
+       |      WHERE regexp_extract(url, '$domainRe', 1)
+       |        IN (${blockedDomains.map(d => s"'$d'").mkString(",")}))
+       |SELECT doc_id, lang FROM p
+       |WHERE doc_id NOT IN (SELECT doc_id FROM b)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -889,6 +928,7 @@ object TextOps {
     "q88_quality_trim"        -> (q88QualityTrim _),
     "q91_train_val_test"      -> (q91TrainValTest _),
     "q92_trigram_counts"      -> (q92TrigramCounts _),
+    "q96_domain_blocklist"    -> (q96DomainBlocklist _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -911,5 +951,6 @@ object TextOps {
     "q88_quality_trim"        -> q88Oracle,
     "q91_train_val_test"      -> q91Oracle,
     "q92_trigram_counts"      -> q92Oracle,
+    "q96_domain_blocklist"    -> q96Oracle,
   )
 }

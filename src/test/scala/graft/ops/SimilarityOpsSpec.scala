@@ -69,6 +69,26 @@ class SimilarityOpsSpec extends SparkSuite {
     }
   }
 
+  test("q97 quantization: codes fit int8, round-trip error within one step") {
+    import spark.implicits._
+    val rows = SimilarityOps.q97QuantizeInt8(spark, sf0001)
+      .join(graft.Tables.embeddings(spark, sf0001), "vec_id")
+      .select($"scale", $"codes", $"embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getDouble(0)
+      val codes = r.getSeq[Int](1)
+      val orig = r.getSeq[Float](2)
+      assert(codes.forall(c => c >= -128 && c <= 127))
+      // floor-based scheme: x*127/s ∈ [-127, 127] → codes in [-127, 127]
+      codes.zip(orig).foreach { case (c, x) =>
+        val deq = c * scale / 127.0
+        assert(math.abs(x.toDouble - deq) <= scale / 127.0 + 1e-12,
+          s"x=$x c=$c scale=$scale")
+      }
+    }
+  }
+
   test("q71 ivf scans fewer candidates than brute force would") {
     // structural check: candidate set per query is bounded by the
     // probed cells, i.e. strictly fewer scored pairs than n*q

@@ -251,6 +251,20 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(r - 1.0) < 1e-9)
   }
 
+  test("q96 blocklist drops exactly the docs citing a blocked domain") {
+    import spark.implicits._
+    val kept = TextOps.q96DomainBlocklist(spark, sf0001)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val all = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = all -- kept
+    assert(dropped.nonEmpty, "planted URLs must produce real drops")
+    // planted geometry: doc_id % 4 == 0 docs cite site{doc_id%7}.example.org;
+    // the blocklist is site1/site4 → dropped iff doc_id%4==0 && doc_id%7 ∈ {1,4}
+    val expected = all.filter(id => id % 4 == 0 && (id % 7 == 1 || id % 7 == 4))
+    assert(dropped == expected)
+  }
+
   test("q91 split is disjoint, exhaustive, repartition-stable, and ~80/10/10") {
     import spark.implicits._
     val rows = TextOps.q91TrainValTest(spark, sf0001).collect()
