@@ -242,12 +242,56 @@ object ExtOps {
        |ORDER BY col_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q98
+  /** Range-partitioned sorted layout — q86's sibling for RANGE
+    * predicates: `repartitionByRange + sortWithinPartitions` writes
+    * files whose key ranges are pairwise DISJOINT (the range
+    * partitioner keeps equal keys together), so a time-window scan
+    * can skip whole files on parquet min/max stats instead of
+    * reading everything — the layout move behind every date-sorted
+    * event table. The sort is paid once at write; every later range
+    * query gets scan locality for free. ExtOpsSpec asserts the
+    * on-disk invariant directly (per-file min/max intervals don't
+    * overlap); the oracle proves read-back fidelity through a range
+    * filter + aggregate. */
+  private[graft] def q98Write(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_sorted").toString
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_shipdate", $"l_extendedprice", $"l_returnflag")
+      .repartitionByRange(8, $"l_shipdate")
+      .sortWithinPartitions($"l_shipdate")
+      .write.mode("overwrite").parquet(tmp)
+    tmp
+  }
+
+  def q98SortedLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = q98Write(s, dir)
+    s.read.parquet(tmp)
+      .where($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
+             $"l_shipdate" <  lit("1997-09-01").cast("timestamp"))
+      .groupBy(month($"l_shipdate").cast("long").as("ship_month"))
+      .agg(count(lit(1)).as("n"),
+        sum($"l_extendedprice".cast("decimal(12,2)")).cast("double").as("revenue"))
+      .orderBy($"ship_month")
+  }
+
+  private val q98Oracle =
+    """SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month, count(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+      |GROUP BY 1 ORDER BY ship_month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
     "q82_orc_roundtrip" -> (q82OrcRoundtrip _),
     "q86_bucketed_join" -> (q86BucketedJoin _),
     "q89_column_profile" -> (q89ColumnProfile _),
+    "q98_sorted_layout" -> (q98SortedLayout _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -256,5 +300,6 @@ object ExtOps {
     "q82_orc_roundtrip" -> q82Oracle,
     "q86_bucketed_join" -> q86Oracle,
     "q89_column_profile" -> q89Oracle,
+    "q98_sorted_layout" -> q98Oracle,
   )
 }

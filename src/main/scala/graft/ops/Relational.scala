@@ -1021,6 +1021,68 @@ object Relational {
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99
+  /** Time-series gap filling (resample to a dense hourly grid): every
+    * (event_type × hour) slot in the observed span gets a row, absent
+    * slots at zero — the densification step before any rate/anomaly
+    * model that can't represent "no row". The spine is BOUNDED data:
+    * one global (min, max) row crossed with the distinct types —
+    * span×types rows regardless of corpus size — so it broadcasts
+    * onto the aggregated counts (already reduced to one row per
+    * occupied slot). The raw stream never joins the spine. */
+  def q99GapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hours = Tables.events(s, dir)
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type")
+    val counts = hours.groupBy($"h", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val bounds = hours.agg(min($"h").as("mn"), max($"h").as("mx"))
+    val spine = bounds
+      .select(explode(sequence($"mn", $"mx", expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(hours.select($"event_type").distinct())
+    spine.join(counts, Seq("h", "event_type"), "left")
+      .select($"h", $"event_type", coalesce($"n", lit(0L)).as("n"))
+      .orderBy($"h", $"event_type")
+  }
+
+  private val q99Oracle =
+    """WITH d AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+      |c AS (SELECT h, event_type, count(*) AS n FROM d GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS mn, max(h) AS mx FROM d),
+      |spine AS (
+      |  SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h, event_type
+      |  FROM b CROSS JOIN (SELECT DISTINCT event_type FROM d) t)
+      |SELECT spine.h AS h, spine.event_type AS event_type,
+      |  COALESCE(n, 0) AS n
+      |FROM spine LEFT JOIN c ON spine.h = c.h AND spine.event_type = c.event_type
+      |ORDER BY h, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q100
+  /** Fixed-width histogram — the distribution profile behind q93's
+    * skew report and every "what does this column look like" sweep.
+    * Bin id is pure arithmetic on the row (floor of a double divide,
+    * engine-identical), so binning happens at the scan and only
+    * (bin, partial agg) rows shuffle. Bin WIDTH is the fixed model
+    * constant; bin COUNT follows the data range — at 100 TB you cap
+    * ids with least() if a wild outlier could mint unbounded groups. */
+  val histBinWidth = 50000.0
+
+  def q100Histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(floor($"o_totalprice" / histBinWidth).as("bin"), $"o_totalprice")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+      .orderBy($"bin")
+  }
+
+  private val q100Oracle =
+    s"""SELECT CAST(floor(o_totalprice / $histBinWidth) AS BIGINT) AS bin,
+       |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+       |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -1058,6 +1120,8 @@ object Relational {
     "q90_merge_upsert"    -> (q90MergeUpsert _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
+    "q99_gap_fill"        -> (q99GapFill _),
+    "q100_histogram"      -> (q100Histogram _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1097,5 +1161,7 @@ object Relational {
     "q90_merge_upsert"    -> q90Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,
+    "q99_gap_fill"        -> q99Oracle,
+    "q100_histogram"      -> q100Oracle,
   )
 }

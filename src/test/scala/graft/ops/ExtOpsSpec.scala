@@ -25,6 +25,29 @@ class ExtOpsSpec extends SparkSuite {
     }
   }
 
+  test("q98 sorted layout: per-file shipdate ranges are pairwise disjoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = ExtOps.q98Write(spark, sf0001)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length > 1, "need multiple files to prove disjointness")
+    // the property a range scan skips files on: no two files' [min,
+    // max] key intervals overlap (equal keys stay in one partition)
+    // ISO timestamp strings order lexicographically == chronologically
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"l_shipdate").cast("string"), max($"l_shipdate").cast("string"))
+        .head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    assert(ranges.forall { case (lo, hi) => lo <= hi })
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlap: $a vs $b")
+      case _ =>
+    }
+  }
+
   test("SecondMax UDAF: NULL on fewer than two distinct values") {
     import spark.implicits._
     val agg = ExtOps.SecondMax.toColumn
