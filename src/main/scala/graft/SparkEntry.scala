@@ -19,12 +19,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ Streaming.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      MultimodalOps.queries ++ ExtOps.queries ++ graft.etl.EtlDemo.queries
+      MultimodalOps.queries ++ ExtOps.queries ++ EventOps.queries ++
+      graft.etl.EtlDemo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ Streaming.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-      MultimodalOps.oracles ++ ExtOps.oracles
+      MultimodalOps.oracles ++ ExtOps.oracles ++ EventOps.oracles
 }

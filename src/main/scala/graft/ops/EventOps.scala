@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream analytics over the `events` table: rolling windows on
+  * densified series, funnel staging, and cohort retention — the
+  * product-analytics queries the reference delegates to BigQuery,
+  * re-expressed as Spark plans that survive 100 TB of events.
+  *
+  * The common scale device: reduce the raw stream FIRST (per-slot /
+  * per-user aggregates shrink cardinality from rows to slots/users),
+  * then run the expensive shape (window, fold, join) on the bounded
+  * intermediate. The raw event stream shuffles at most once, on its
+  * natural key.
+  */
+object EventOps {
+
+  // ---------------------------------------------------------------- q101
+  /** 24-hour moving average per event type, composed directly on
+    * q99's gap-filled series — rolling stats are only correct on a
+    * DENSE series (a missing hour would silently stretch the window),
+    * which is exactly why q99 exists. `rowsBetween(-23, 0)` is safe
+    * here BECAUSE the series is dense: rows == hours, so the frame is
+    * the trailing day. The window partitions by event_type, but its
+    * input is the bounded spine (slots × types, independent of corpus
+    * size) — 100 TB of raw events were already reduced to per-slot
+    * counts by one shuffle in q99. avg = exact integer sum / count,
+    * then one double division: engine-identical. */
+  def q101MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"h").rowsBetween(-23, 0)
+    Relational.q99GapFill(s, dir)
+      .withColumn("ma24", avg($"n").over(w))
+      .orderBy($"h", $"event_type")
+  }
+
+  private val q101Oracle =
+    s"""WITH filled AS (${Relational.q99Oracle.replace("ORDER BY h, event_type", "")})
+       |SELECT h, event_type, n,
+       |  AVG(n) OVER (PARTITION BY event_type ORDER BY h
+       |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS ma24
+       |FROM filled ORDER BY h, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q102
+  /** Funnel staging: how far did each user get through
+    * view → click → purchase, in event-time order? One shuffle
+    * (groupBy user), then a per-user IN-GROUP fold: sort the user's
+    * events once, map to stage codes, fold "advance only on the next
+    * expected stage". No self-joins (the k-joins formulation shuffles
+    * the stream k times), no driver logic; per-group memory is
+    * bounded by per-user activity, which real pipelines bound anyway
+    * (dropDuplicates / activity caps upstream). The identical fold
+    * runs in the oracle (list_reduce with a prepended 0 seed), so
+    * the staging is hash-verified cross-engine. Ties are impossible:
+    * the sort key includes the unique event_id. */
+  /** The staging pipeline on any (user_id, ts, event_id, event_type)
+    * frame — separated so the spec can drive it with planted
+    * mis-ordered fixtures (the sf corpus takes every user to stage 3,
+    * which would leave the no-advance branches untested). */
+  private[ops] def funnelOf(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy($"user_id")
+      .agg(sort_array(collect_list(
+        struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .select($"user_id",
+        expr("""aggregate(
+            transform(evs, e -> CASE e.event_type
+              WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END),
+            0, (st, c) -> IF(c = st + 1, st + 1, st))""").as("funnel_stage"))
+  }
+
+  def q102FunnelStages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    funnelOf(Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type"))
+      .orderBy($"user_id")
+  }
+
+  private val q102Oracle =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    list_sort(list({'ts': ts, 'event_id': event_id,
+      |                    'event_type': event_type})) AS evs
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT user_id,
+      |    list_transform(evs, e -> CASE e.event_type
+      |      WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |      WHEN 'purchase' THEN 3 ELSE 0 END) AS codes
+      |  FROM u)
+      |SELECT user_id,
+      |  list_reduce(list_prepend(0, codes),
+      |    (st, c) -> CASE WHEN c = st + 1 THEN st + 1 ELSE st END) AS funnel_stage
+      |FROM c ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q103
+  /** Cohort retention: users grouped by their first-signup day, each
+    * later active day bucketed into whole weeks since signup, counted
+    * as distinct users per (cohort, offset) — the retention matrix.
+    * Phase 1 reduces the stream to one row per user (min signup ts);
+    * phase 2 joins that small dim back on user_id (broadcast here; at
+    * 100 TB both sides are user-keyed, q86's bucketed layout applies)
+    * and reduces to distinct (cohort, offset, user) before the final
+    * count. Pre-signup activity lands in negative offsets — kept, as
+    * the honest report (dropping it silently is how dashboards lie). */
+  def q103CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val cohorts = ev.where($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(date_trunc("day", min($"ts")).as("cohort_day"))
+    ev.select($"user_id", date_trunc("day", $"ts").as("act_day"))
+      .join(broadcast(cohorts), "user_id")
+      .select($"cohort_day", $"user_id",
+        expr("CAST(floor(datediff(act_day, cohort_day) / 7.0) AS BIGINT)")
+          .as("offset_weeks"))
+      .distinct()
+      .groupBy($"cohort_day", $"offset_weeks")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"offset_weeks")
+  }
+
+  private val q103Oracle =
+    """WITH c AS (
+      |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT cohort_day, e.user_id,
+      |    CAST(floor(datediff('day', cohort_day, date_trunc('day', ts)) / 7.0) AS BIGINT)
+      |      AS offset_weeks
+      |  FROM events e JOIN c ON e.user_id = c.user_id)
+      |SELECT cohort_day, offset_weeks, count(*) AS n_users
+      |FROM a GROUP BY 1, 2 ORDER BY cohort_day, offset_weeks""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_moving_avg"       -> (q101MovingAvg _),
+    "q102_funnel_stages"    -> (q102FunnelStages _),
+    "q103_cohort_retention" -> (q103CohortRetention _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q101_moving_avg"       -> q101Oracle,
+    "q102_funnel_stages"    -> q102Oracle,
+    "q103_cohort_retention" -> q103Oracle,
+  )
+}

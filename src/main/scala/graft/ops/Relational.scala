@@ -1045,7 +1045,7 @@ object Relational {
       .orderBy($"h", $"event_type")
   }
 
-  private val q99Oracle =
+  private[ops] val q99Oracle =
     """WITH d AS (
       |  SELECT date_trunc('hour', ts) AS h, event_type FROM events),
       |c AS (SELECT h, event_type, count(*) AS n FROM d GROUP BY 1, 2),

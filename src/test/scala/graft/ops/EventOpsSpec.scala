@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class EventOpsSpec extends SparkSuite {
+
+  test("q102 funnel stage matches a direct per-user event-order fold") {
+    import spark.implicits._
+    val got = EventOps.q102FunnelStages(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val events = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"ts".cast("long"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = events.groupBy(_._1).map { case (u, evs) =>
+      val stage = evs.sortBy(e => (e._2, e._3)).foldLeft(0) { (st, e) =>
+        val c = e._4 match {
+          case "view" => 1; case "click" => 2; case "purchase" => 3; case _ => 0
+        }
+        if (c == st + 1) st + 1 else st
+      }
+      u -> stage
+    }
+    assert(got == want)
+  }
+
+  test("q102 fold semantics on planted out-of-order and partial funnels") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    // (user, minute, event_id, type) → expected stage
+    val fixture = Seq(
+      (1L, 1, 10L, "view"), (1L, 2, 11L, "click"), (1L, 3, 12L, "purchase"), // 3
+      (2L, 1, 20L, "click"), (2L, 2, 21L, "view"),       // click-first: 1
+      (3L, 1, 30L, "view"), (3L, 2, 31L, "purchase"),    // skipped click: 1
+      (4L, 1, 40L, "purchase"), (4L, 2, 41L, "error"),   // never viewed: 0
+      (5L, 1, 50L, "view"), (5L, 2, 51L, "click"),       // no purchase: 2
+      // same-minute tie broken by event_id: view(id 60) < click(id 61) → 2
+      (6L, 1, 60L, "view"), (6L, 1, 61L, "click"),
+    ).map { case (u, m, id, ty) => (u, t(m), id, ty) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.funnelOf(fixture).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 2, 6L -> 2))
+  }
+
+  test("q101 moving average window never spans a gap (series is dense)") {
+    import spark.implicits._
+    val rows = EventOps.q101MovingAvg(spark, sf0001)
+      .select($"event_type", $"h".cast("long"), $"n", $"ma24").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // dense series: per type, consecutive hours differ by exactly 3600s
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val hours = rs.map(_._2).sorted
+      hours.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 3600L, s"$t gap at $a")
+        case _ =>
+      }
+      // trailing-24 recompute on the first 100 slots
+      val byHour = rs.sortBy(_._2)
+      byHour.take(100).zipWithIndex.foreach { case ((_, _, _, ma), i) =>
+        val win = byHour.slice(math.max(0, i - 23), i + 1).map(_._3)
+        val expect = win.sum.toDouble / win.length
+        assert(math.abs(ma - expect) < 1e-12, s"$t slot $i")
+      }
+    }
+  }
+}
