@@ -413,12 +413,73 @@ object SimilarityOps {
       |  FROM embeddings)
       |ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q104
+  /** kNN over the int8 codes — the serving-side payoff of q97: rank
+    * by the cosine of the QUANTIZED vectors, which is scale-free
+    * (the per-vector scales cancel algebraically), so the whole
+    * score is integer dot products + two square roots — 4× less
+    * memory traffic and SIMD-friendly integer math at 100 TB, with
+    * the float corpus needed only for an optional exact re-rank of
+    * the shortlist. Every step is deterministic (exact integer sums,
+    * then double arithmetic in a fixed order), so unlike float-sum
+    * ANN this ranking is hash-oracle-able. The spec measures
+    * recall@10 against exact q70 — the quantization error actually
+    * observed, not assumed. */
+  def q104QuantizedKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qz = q97QuantizeInt8(s, dir)
+      .select($"vec_id", $"codes",
+        expr("aggregate(transform(codes, c -> CAST(c AS BIGINT) * c), 0L, (a, v) -> a + v)")
+          .as("ii"))
+    val q = qz.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"codes".as("qc"), $"ii".as("qii"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"qcos".desc, $"vec_id".asc)
+    qz.where($"vec_id" >= nQueries).join(broadcast(q))
+      .select($"query_id", $"vec_id",
+        (expr("CAST(aggregate(zip_with(codes, qc, (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, v) -> a + v) AS DOUBLE)") /
+          (sqrt($"ii".cast("double")) * sqrt($"qii".cast("double")))).as("qcos"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"qcos")
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val q104Oracle =
+    s"""WITH z AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 /
+       |             greatest(list_max(list_transform(embedding,
+       |               u -> abs(CAST(u AS DOUBLE)))), 1e-30)) AS INTEGER)) AS codes
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, codes,
+       |    CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT) * c)) AS BIGINT) AS ii
+       |  FROM z),
+       |q AS (SELECT vec_id AS query_id, codes AS qc, ii AS qii
+       |      FROM n WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(codes) + 1),
+       |           i -> CAST(codes[i] AS BIGINT) * qc[i])) AS DOUBLE)
+       |      / (sqrt(CAST(ii AS DOUBLE)) * sqrt(CAST(qii AS DOUBLE))) AS qcos
+       |  FROM n CROSS JOIN q WHERE vec_id >= $nQueries),
+       |ranked AS (
+       |  SELECT query_id, vec_id AS neighbor_id, qcos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY qcos DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, qcos FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
     "q52_knn_lsh"        -> (q52KnnLsh _),
     "q95_filtered_knn"   -> (q95FilteredKnn _),
     "q97_quantize_int8"  -> (q97QuantizeInt8 _),
+    "q104_quantized_knn" -> (q104QuantizedKnn _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -426,5 +487,6 @@ object SimilarityOps {
     "q52_knn_lsh"        -> q52Oracle,
     "q95_filtered_knn"   -> q95Oracle,
     "q97_quantize_int8"  -> q97Oracle,
+    "q104_quantized_knn" -> q104Oracle,
   )
 }

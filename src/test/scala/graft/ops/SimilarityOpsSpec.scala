@@ -89,6 +89,21 @@ class SimilarityOpsSpec extends SparkSuite {
     }
   }
 
+  test("q104 quantized kNN: high recall@10 vs the exact float ranking") {
+    val exact = SimilarityOps.q70KnnBruteForce(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val quant = SimilarityOps.q104QuantizedKnn(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (q, e) =>
+      quant.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    // int8 keeps ~7 bits/dim: far tighter than LSH's bucket guess —
+    // expect most of the exact top-10 to survive quantization
+    assert(mean >= 0.6, s"mean recall@10 = $mean")
+  }
+
   test("q71 ivf scans fewer candidates than brute force would") {
     // structural check: candidate set per query is bounded by the
     // probed cells, i.e. strictly fewer scored pairs than n*q
