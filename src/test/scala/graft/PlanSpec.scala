@@ -111,7 +111,9 @@ class PlanSpec extends SparkSuite {
       p.take(800))
   }
 
-  test("q86 bucketed join: sort-merge join with zero Exchange in the join subtree") {
+  test("q86 bucketed layout: join AND key-grouped agg run with zero Exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
     val joined = ExtOps.q86Join(spark, sf0001)
     joined.collect()
     val p = plan(joined).split("== Initial Plan ==")(0)
@@ -120,10 +122,24 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("SortMergeJoin"), p.take(800))
     assert(!p.contains("Exchange"), p.take(800))
     assert(!p.contains("BroadcastHashJoin"), p.take(800))
-    // agg on TOP of the join still exchanges (different key) — only
-    // the join subtree is claimed shuffle-free
+    // the SAME layout also serves aggregation on the bucket key:
+    // partial and final hash-agg collapse into one exchange-free pass
+    // — one write amortizes over every query shape keyed on it
+    val agg = spark.table("graft_bk_lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)))
+    agg.collect()
+    val pa = plan(agg).split("== Initial Plan ==")(0)
+    assert(!pa.contains("Exchange"), pa.take(800))
     spark.sql("DROP TABLE IF EXISTS graft_bk_orders")
     spark.sql("DROP TABLE IF EXISTS graft_bk_lineitem")
+  }
+
+  test("q88 quality trim: cutoff dim broadcasts, the corpus is never sort-merge joined") {
+    val df = TextOps.q88QualityTrim(spark, sf0001)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
   }
 
   test("q89 profile: one scan feeds all per-column aggregates (Expand, no re-scan)") {
