@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expressions for embedding arithmetic over
   * ArrayType(FloatType) columns.
@@ -67,6 +67,57 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[FloatVecDot]] for q104's quantized codes:
+  * Σ aᵢ·bᵢ over two array<int> columns, accumulated in a primitive
+  * long — exact (no floating rounding at all), so it is trivially
+  * equal to the HOF fold and safely hash-oracle-able. Same
+  * motivation: the interpreted zip_with/aggregate lambdas cost per
+  * element in an O(n·q) ranking join; this is a tight codegen'd
+  * loop inside whole-stage codegen. */
+case class IntVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"IntVecDot needs two array<int> args, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getInt(i).toLong * y.getInt(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -74,4 +125,9 @@ object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Σ aᵢ·bᵢ over int codes as a codegen'd long (exact). */
+  def doti(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

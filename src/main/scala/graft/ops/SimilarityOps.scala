@@ -427,17 +427,17 @@ object SimilarityOps {
     * observed, not assumed. */
   def q104QuantizedKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.expr.VectorExprs
     val qz = q97QuantizeInt8(s, dir)
       .select($"vec_id", $"codes",
-        expr("aggregate(transform(codes, c -> CAST(c AS BIGINT) * c), 0L, (a, v) -> a + v)")
-          .as("ii"))
+        VectorExprs.doti($"codes", $"codes").as("ii"))
     val q = qz.where($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"codes".as("qc"), $"ii".as("qii"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"qcos".desc, $"vec_id".asc)
     qz.where($"vec_id" >= nQueries).join(broadcast(q))
       .select($"query_id", $"vec_id",
-        (expr("CAST(aggregate(zip_with(codes, qc, (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, v) -> a + v) AS DOUBLE)") /
+        (VectorExprs.doti($"codes", $"qc").cast("double") /
           (sqrt($"ii".cast("double")) * sqrt($"qii".cast("double")))).as("qcos"))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= topK)

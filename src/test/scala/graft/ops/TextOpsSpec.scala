@@ -231,6 +231,21 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(r.getDouble(3) - 27.0) < 1e-12)
   }
 
+  test("IntVecDot: codegen'd integer dot equals the HOF fold exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(50)((
+      Array.fill(64)(rnd.nextInt(255) - 127),
+      Array.fill(64)(rnd.nextInt(255) - 127)))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      graft.expr.VectorExprs.doti($"a", $"b").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS BIGINT) * y), 0L, (acc, v) -> acc + v)")
+        .as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("VectorOps: native codegen dot is bit-identical to the HOF fold") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
