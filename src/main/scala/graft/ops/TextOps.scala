@@ -842,14 +842,24 @@ object TextOps {
     * fixture (real many-file inputs get it from the scan). */
   val trigramMinCount = 3L
 
+  /** (lang, trigram) rows for any (lang, text) frame. The start-index
+    * range is guarded with CASE, not greatest(): `sequence(0, -1)`
+    * COUNTS DOWN in Spark ([0, -1]), so a sub-3-token doc would emit
+    * phantom partial grams (concat_ws silently drops the null
+    * lookups) — the guard makes short docs contribute nothing, like
+    * the oracle's `range(0, greatest(n-2, 0))` (empty when n < 3). */
+  private[ops] def trigramsOf(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.withColumn("toks", toks($"text"))
+      .select($"lang", explode(expr(
+        "transform(CASE WHEN size(toks) >= 3 THEN sequence(0, size(toks) - 3) ELSE array() END, " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("trigram"))
+  }
+
   def q92TrigramCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = Tables.documentsSpread(s, dir)
-      .withColumn("toks", toks($"text"))
-      .select($"lang", explode(expr(
-        "transform(sequence(0, greatest(size(toks) - 3, -1)), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("trigram"))
-    grams.groupBy($"lang", $"trigram")
+    trigramsOf(Tables.documentsSpread(s, dir).select($"lang", $"text"))
+      .groupBy($"lang", $"trigram")
       .agg(count(lit(1)).as("n"))
       .where($"n" >= trigramMinCount)
       .orderBy($"lang", $"trigram")

@@ -302,6 +302,14 @@ class TextOpsSpec extends SparkSuite {
     assert(again == rows.map(t => (t._1, t._3)).toSet)
   }
 
+  test("q92 trigrams: docs under 3 tokens emit nothing (no phantom partial grams)") {
+    import spark.implicits._
+    val tiny = Seq(("en", "one"), ("en", "one two"), ("en", "a b c"))
+      .toDF("lang", "text")
+    val grams = TextOps.trigramsOf(tiny).collect().map(_.getString(1))
+    assert(grams.toSeq == Seq("a b c"))
+  }
+
   test("q92 trigrams: floor respected, 3-token grams, counts match a direct recount") {
     import spark.implicits._
     val got = TextOps.q92TrigramCounts(spark, sf0001).collect()
