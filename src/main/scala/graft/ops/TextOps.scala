@@ -918,6 +918,63 @@ object TextOps {
        |WHERE doc_id NOT IN (SELECT doc_id FROM b)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q105
+  /** Vocabulary build + token-id encoding — the tokenization step
+    * between counting (q72) and packing (q83): rank the corpus's
+    * tokens by frequency (ties → lexicographic, so the vocab is
+    * deterministic), keep the top [[vocabSize]] as ids 1..V, and
+    * re-encode every document as its id sequence with 0 for
+    * out-of-vocab. Plan shape: one token count agg; the global
+    * ranking window runs on the DISTINCT-TOKEN set (vocab-sized
+    * working set, not the corpus — at web scale you'd cap it with a
+    * partial top-K first); the vocab then BROADCASTS onto the
+    * positioned tokens and each doc reassembles with one
+    * array_sort(collect_list) — corpus text shuffles once, as
+    * (doc_id, pos, tok) triples. */
+  val vocabSize = 16
+
+  def q105VocabEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val positioned = Tables.documentsSpread(s, dir)
+      .select($"doc_id", posexplode(toks($"text")))
+      .select($"doc_id", $"pos", $"col".as("tok"))
+    val vocab = positioned.groupBy($"tok")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("id",
+        row_number().over(Window.orderBy($"n".desc, $"tok".asc)).cast("long"))
+      .where($"id" <= vocabSize)
+      .select($"tok", $"id")
+    positioned.join(broadcast(vocab), Seq("tok"), "left")
+      .select($"doc_id", $"pos", coalesce($"id", lit(0L)).as("id"))
+      .groupBy($"doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, id))), x -> x.id)")
+        .as("ids"))
+      .select($"doc_id", $"ids",
+        size($"ids").cast("long").as("n_tokens"),
+        size(expr("filter(ids, i -> i = 0)")).cast("long").as("n_oov"))
+      .orderBy($"doc_id")
+  }
+
+  private val q105Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos FROM t),
+       |tok AS (SELECT doc_id, pos, toks[pos] AS tok FROM p),
+       |v AS (
+       |  SELECT tok, id FROM (
+       |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS id
+       |    FROM tok GROUP BY tok)
+       |  WHERE id <= $vocabSize),
+       |enc AS (
+       |  SELECT doc_id, pos, COALESCE(id, 0) AS id
+       |  FROM tok LEFT JOIN v ON tok.tok = v.tok)
+       |SELECT doc_id, list(id ORDER BY pos) AS ids,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) FILTER (id = 0) AS BIGINT) AS n_oov
+       |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -939,6 +996,7 @@ object TextOps {
     "q91_train_val_test"      -> (q91TrainValTest _),
     "q92_trigram_counts"      -> (q92TrigramCounts _),
     "q96_domain_blocklist"    -> (q96DomainBlocklist _),
+    "q105_vocab_encode"       -> (q105VocabEncode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -962,5 +1020,6 @@ object TextOps {
     "q91_train_val_test"      -> q91Oracle,
     "q92_trigram_counts"      -> q92Oracle,
     "q96_domain_blocklist"    -> q96Oracle,
+    "q105_vocab_encode"       -> q105Oracle,
   )
 }

@@ -266,6 +266,32 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(r - 1.0) < 1e-9)
   }
 
+  test("q105 encoding decodes back: ids follow the deterministic vocab, OOV exact") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1).toSeq))
+    // reference vocab: frequency desc, token asc — same total order
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+    val vocab = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(TextOps.vocabSize).zipWithIndex
+      .map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    val got = TextOps.q105VocabEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.length == docs.length)
+    val byId = docs.toMap
+    got.foreach { case (id, ids, nTok, nOov) =>
+      val toks = byId(id)
+      assert(ids.length == toks.length && nTok == toks.length)
+      val expect = toks.map(t => vocab.getOrElse(t, 0L))
+      assert(ids == expect, s"doc $id")
+      assert(nOov == expect.count(_ == 0L))
+    }
+    // the fixture must exercise both branches
+    assert(got.exists(_._4 > 0) && got.exists(g => g._4 < g._3))
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
