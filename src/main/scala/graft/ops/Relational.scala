@@ -962,6 +962,82 @@ object Relational {
       |FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q106
+  /** Deterministic "today" snapshot derived from orders — shared by
+    * q106 and its round-trip spec so both sides agree on ground
+    * truth: drop keys ≡1 (mod 50), bump price 5% + status 'U' on
+    * keys ≡4 (mod 10), insert fresh negative keys from keys ≡9
+    * (mod 100). A real pipeline reads two stored snapshots;
+    * identical plan. */
+  def q106NewSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+    val survivors = o.where($"o_orderkey" % 50 =!= 1)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 10 === 4, $"o_totalprice" * 1.05)
+          .otherwise($"o_totalprice").as("o_totalprice"),
+        when($"o_orderkey" % 10 === 4, lit("U"))
+          .otherwise($"o_orderstatus").as("o_orderstatus"))
+    val inserts = o.where($"o_orderkey" % 100 === 9)
+      .select((-$"o_orderkey" - 1).as("o_orderkey"),
+        $"o_totalprice", lit("N").as("o_orderstatus"))
+    survivors.unionByName(inserts)
+  }
+
+  /** Snapshot diff (CDC extract) — the inverse of q90's MERGE: given
+    * yesterday's and today's states of a table, emit the change
+    * stream (insert / update / delete with before+after values) that
+    * replays one into the other. One full-outer join on the key —
+    * one shuffle per side, and with both snapshots stored in q86's
+    * bucketed layout it is shuffle-free; unchanged rows (the
+    * overwhelming majority at 100 TB) are dropped by the codegen'd
+    * filter before anything downstream materializes. Wide tables
+    * would compare one precomputed row-hash column instead of each
+    * field — same plan, narrower compare. Round-trip invariant
+    * spec'd in RelationalSpec: MERGE-applying this diff onto the old
+    * snapshot rebuilds the new one exactly. */
+  def q106SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val old = Tables.orders(s, dir).select($"o_orderkey",
+      $"o_totalprice".as("old_price"), $"o_orderstatus".as("old_status"))
+    val neu = q106NewSnapshot(s, dir).select($"o_orderkey",
+      $"o_totalprice".as("new_price"), $"o_orderstatus".as("new_status"))
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .withColumn("action",
+        when($"old_price".isNull, "insert")
+          .when($"new_price".isNull, "delete")
+          .when(!($"old_price" <=> $"new_price") ||
+            !($"old_status" <=> $"new_status"), "update"))
+      .where($"action".isNotNull)
+      .select($"o_orderkey", $"action",
+        $"old_price", $"new_price", $"old_status", $"new_status")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q106Oracle =
+    """WITH neu AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 1.05
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    CASE WHEN o_orderkey % 10 = 4 THEN 'U'
+      |         ELSE o_orderstatus END AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 50 <> 1
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1, o_totalprice, 'N'
+      |  FROM orders WHERE o_orderkey % 100 = 9)
+      |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+      |       WHEN n.o_orderkey IS NULL THEN 'delete'
+      |       ELSE 'update' END AS action,
+      |  o.o_totalprice AS old_price, n.o_totalprice AS new_price,
+      |  o.o_orderstatus AS old_status, n.o_orderstatus AS new_status
+      |FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey
+      |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+      |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+      |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q93
   /** Key-skew diagnostics — the report you run BEFORE choosing a join
     * strategy (broadcast / salt q46 / AQE skew split): per-key row
@@ -1118,6 +1194,7 @@ object Relational {
     "q36_salted_agg"      -> (q36SaltedAgg _),
     "q37_window_suite"    -> (q37WindowSuite _),
     "q90_merge_upsert"    -> (q90MergeUpsert _),
+    "q106_snapshot_diff"  -> (q106SnapshotDiff _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
     "q99_gap_fill"        -> (q99GapFill _),
@@ -1159,6 +1236,7 @@ object Relational {
     "q36_salted_agg"      -> q36Oracle,
     "q37_window_suite"    -> q37Oracle,
     "q90_merge_upsert"    -> q90Oracle,
+    "q106_snapshot_diff"  -> q106Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,
     "q99_gap_fill"        -> q99Oracle,

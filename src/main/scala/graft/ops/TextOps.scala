@@ -975,6 +975,68 @@ object TextOps {
        |  CAST(count(*) FILTER (id = 0) AS BIGINT) AS n_oov
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q107
+  /** Gopher-style composition rules (Rae et al. 2021's public
+    * quality-filter family, complementing q59's repetition and q62's
+    * lexical score): per-doc word-shape stats (word count, mean word
+    * length) plus line-structure stats (bullet-line share,
+    * duplicate-line share) and the combined pass/fail verdict. The
+    * corpus is single-line, so line structure is planted in-query on
+    * every 3rd doc (same device as q57's PII / q84's URLs) — planted
+    * docs gain 4 footer lines (2 bullets, 1 repeated pair) and FAIL
+    * the duplicate-line rule, so the oracle exercises both verdicts,
+    * not just the no-op path. Word stats run on the real text.
+    *
+    * Pure per-row projection — no shuffle, no window, whole-stage
+    * codegen end to end; at 100 TB this is the cheap first-pass gate
+    * run before any pairwise dedup. */
+  private val plantedFooterLines =
+    Seq("- planted bullet", "- planted bullet", "repeated footer", "repeated footer")
+  private val footerLit = plantedFooterLines.map("\n" + _).mkString
+  private val footerSql = plantedFooterLines.map(l => s"chr(10)||'$l'").mkString("||")
+
+  def q107GopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documentsSpread(s, dir)
+      .withColumn("lines", split(
+        when($"doc_id" % 3 === 0, concat($"text", lit(footerLit)))
+          .otherwise($"text"), "\n"))
+      .withColumn("n_words", size(toks($"text")).cast("long"))
+      .withColumn("mean_word_len",
+        (length($"text") - $"n_words" + 1).cast("double") / $"n_words")
+      .withColumn("n_lines", size($"lines").cast("long"))
+      .withColumn("frac_bullet_lines",
+        size(filter($"lines", l => l.startsWith("- "))).cast("double") / $"n_lines")
+      .withColumn("frac_dup_lines",
+        lit(1.0) - size(array_distinct($"lines")).cast("double") / $"n_lines")
+      .select($"doc_id", $"n_words", $"mean_word_len", $"n_lines",
+        $"frac_bullet_lines", $"frac_dup_lines",
+        ($"n_words" >= 50 && $"mean_word_len" >= 3.0 && $"mean_word_len" <= 10.0 &&
+          $"frac_bullet_lines" <= 0.9 && $"frac_dup_lines" < 0.3)
+          .as("passes_gopher"))
+      .orderBy($"doc_id")
+  }
+
+  private val q107Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    string_split(CASE WHEN doc_id % 3 = 0 THEN text || $footerSql
+       |                      ELSE text END, chr(10)) AS lines,
+       |    len(string_split(text, ' ')) AS nw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(nw AS BIGINT) AS n_words,
+       |  CAST(length(text) - nw + 1 AS DOUBLE) / nw AS mean_word_len,
+       |  CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(list_filter(lines, x -> starts_with(x, '- '))) AS DOUBLE)
+       |    / len(lines) AS frac_bullet_lines,
+       |  1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+       |    AS frac_dup_lines,
+       |  (nw >= 50 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND frac_bullet_lines <= 0.9 AND frac_dup_lines < 0.3)
+       |    AS passes_gopher
+       |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -997,6 +1059,7 @@ object TextOps {
     "q92_trigram_counts"      -> (q92TrigramCounts _),
     "q96_domain_blocklist"    -> (q96DomainBlocklist _),
     "q105_vocab_encode"       -> (q105VocabEncode _),
+    "q107_gopher_rules"       -> (q107GopherRules _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1021,5 +1084,6 @@ object TextOps {
     "q92_trigram_counts"      -> q92Oracle,
     "q96_domain_blocklist"    -> q96Oracle,
     "q105_vocab_encode"       -> q105Oracle,
+    "q107_gopher_rules"       -> q107Oracle,
   )
 }

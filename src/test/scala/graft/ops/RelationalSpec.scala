@@ -36,4 +36,31 @@ class RelationalSpec extends SparkSuite {
     // every key ≡3 (mod 10) was in fact updated, none silently kept
     assert(merged.count(_._4 == "update") == snap.keys.count(_ % 10 == 3))
   }
+
+  test("q106 diff round-trips: old snapshot + diff rebuilds the new snapshot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val diff = Relational.q106SnapshotDiff(spark, sf0001)
+    // all three actions fire on the fixture, with the derived counts
+    val keys = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey").collect().map(_.getLong(0))
+    val byAction = diff.collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byAction("delete") == keys.count(_ % 50 == 1))
+    assert(byAction("insert") == keys.count(_ % 100 == 9))
+    assert(byAction("update") == keys.count(k => k % 10 == 4 && k % 50 != 1))
+    assert(byAction.keySet == Set("insert", "update", "delete"))
+
+    // MERGE-apply the diff onto the old snapshot → exactly the new one
+    val applied = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .join(diff.select($"o_orderkey", $"action", $"new_price", $"new_status"),
+        Seq("o_orderkey"), "full_outer")
+      .where($"action".isNull || $"action" =!= "delete")
+      .select($"o_orderkey",
+        coalesce($"new_price", $"o_totalprice").as("o_totalprice"),
+        coalesce($"new_status", $"o_orderstatus").as("o_orderstatus"))
+    val neu = Relational.q106NewSnapshot(spark, sf0001)
+    assert(applied.exceptAll(neu).isEmpty && neu.exceptAll(applied).isEmpty)
+  }
 }

@@ -292,6 +292,34 @@ class TextOpsSpec extends SparkSuite {
     assert(got.exists(_._4 > 0) && got.exists(g => g._4 < g._3))
   }
 
+  test("q107 gopher rules: planted docs fail the dup-line rule, clean docs don't") {
+    import spark.implicits._
+    val rows = TextOps.q107GopherRules(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.foreach { case (id, nWords, meanLen, nLines, fBullet, fDup, passes) =>
+      val toks = texts(id).split(" ", -1)
+      assert(nWords == toks.length)
+      assert(math.abs(meanLen - toks.map(_.length).sum.toDouble / toks.length) < 1e-9)
+      if (id % 3 == 0) {
+        // original line + 4 planted footer lines: 2 bullets, 3 distinct
+        assert(nLines == 5 && math.abs(fBullet - 0.4) < 1e-9 &&
+          math.abs(fDup - 0.4) < 1e-9)
+        assert(!passes, s"doc $id: dup-line rule must fail planted docs")
+      } else {
+        assert(nLines == 1 && fBullet == 0.0 && fDup == 0.0)
+        assert(passes == (nWords >= 50 && meanLen >= 3.0 && meanLen <= 10.0))
+      }
+    }
+    // fixture exercises both verdicts among CLEAN docs too (word rules bite)
+    val clean = rows.filter(_._1 % 3 != 0)
+    assert(clean.exists(_._7) && clean.exists(!_._7))
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
