@@ -285,6 +285,84 @@ object ExtOps {
       |  AND l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
       |GROUP BY 1 ORDER BY ship_month""".stripMargin
 
+  // ---------------------------------------------------------------- q108
+  /** Z-order (Morton) multi-column layout — q98's sibling for
+    * predicates on EITHER of two keys: scale both keys to 16-bit
+    * codes, interleave their bits into one Morton key z, then
+    * partition the write by z's top 3 bits (an aligned quadtree
+    * octant — partkey half × suppkey quarter) and sort files by z
+    * inside. Every written partition then covers a BOUNDED rectangle
+    * of (partkey, suppkey) space instead of a full stripe, so file
+    * skipping works for predicates on either column — the layout
+    * behind lakehouse OPTIMIZE ZORDER, expressed with stock Spark
+    * integer expressions + partitionBy. Octant dirs (not
+    * repartitionByRange) keep cell boundaries exact: a range
+    * partitioner's sampled cuts can straddle two octants, whose
+    * union is unbounded on one axis. The interleave is generated
+    * once and rendered per engine dialect; disjoint bits are summed.
+    * ExtOpsSpec asserts the per-octant rectangle bound off the real
+    * files and replays the interleave bit-for-bit; the oracle proves
+    * read-back fidelity through a two-column rectangle filter a
+    * plain lineitem scan reproduces. At 100 TB: one bounds agg
+    * (broadcast), one shuffle on the octant key, and the write —
+    * same cost shape as any partitioned write. */
+  private def zTerms(shiftL: (String, Int) => String,
+      shiftR: (String, Int) => String, x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"${shiftL(s"(${shiftR(x, i)} & 1)", 2 * i)} + " +
+        s"${shiftL(s"(${shiftR(y, i)} & 1)", 2 * i + 1)}"
+    }.mkString(" + ")
+
+  private val zSpark = zTerms(
+    (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)", "sx", "sy")
+
+  private[graft] def q108Write(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_linenumber",
+      $"l_partkey", $"l_suppkey", $"l_quantity", $"l_returnflag")
+    val bounds = li.agg(
+      min($"l_partkey").as("minp"), max($"l_partkey").as("maxp"),
+      min($"l_suppkey").as("mins"), max($"l_suppkey").as("maxs"))
+    val tmp = Files.createTempDirectory("graft_zorder").toString
+    li.crossJoin(broadcast(bounds))
+      .withColumn("sx", expr("((l_partkey - minp) * 65535) div (maxp - minp)"))
+      .withColumn("sy", expr("((l_suppkey - mins) * 65535) div (maxs - mins)"))
+      .withColumn("z", expr(zSpark))
+      .withColumn("z_oct", shiftright($"z", 29))
+      .drop("minp", "maxp", "mins", "maxs", "sx", "sy")
+      .repartition(8, $"z_oct")
+      .sortWithinPartitions($"z")
+      .write.mode("overwrite").partitionBy("z_oct").parquet(tmp)
+    tmp
+  }
+
+  def q108ZOrderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = q108Write(s, dir)
+    val bounds = Tables.lineitem(s, dir).agg(
+      min($"l_partkey").as("minp"), max($"l_partkey").as("maxp"),
+      min($"l_suppkey").as("mins"), max($"l_suppkey").as("maxs"))
+    s.read.parquet(tmp).crossJoin(broadcast(bounds))
+      .where(expr("l_partkey <= minp + (maxp - minp) div 4") &&
+             expr("l_suppkey <= mins + (maxs - mins) div 4"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity").cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q108Oracle =
+    """WITH b AS (
+      |  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+      |         min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+      |FROM lineitem, b
+      |WHERE l_partkey <= minp + (maxp - minp) // 4
+      |  AND l_suppkey <= mins + (maxs - mins) // 4
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
@@ -292,6 +370,7 @@ object ExtOps {
     "q86_bucketed_join" -> (q86BucketedJoin _),
     "q89_column_profile" -> (q89ColumnProfile _),
     "q98_sorted_layout" -> (q98SortedLayout _),
+    "q108_zorder_layout" -> (q108ZOrderLayout _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -301,5 +380,6 @@ object ExtOps {
     "q86_bucketed_join" -> q86Oracle,
     "q89_column_profile" -> q89Oracle,
     "q98_sorted_layout" -> q98Oracle,
+    "q108_zorder_layout" -> q108Oracle,
   )
 }

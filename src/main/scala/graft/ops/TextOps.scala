@@ -1037,6 +1037,59 @@ object TextOps {
        |    AS passes_gopher
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q109
+  /** PMI collocation mining — the classic phrase detector (Church &
+    * Hanks 1990; word2vec's phrase pass uses the same score): for
+    * every adjacent token pair, pmi = ln(P(xy) / (P(x)·P(y))) from
+    * exact corpus counts, min support 5, top 100 by score. Plan
+    * shape: one bigram hash-agg (map-side partial, the only
+    * corpus-sized shuffle), unigram counts are VOCAB-sized so both
+    * probability joins broadcast, corpus totals ride along as a
+    * broadcast scalar, and the top-100 is TakeOrdered — no global
+    * sort. ln() is rounded to 4 decimals (q73's device) so a
+    * last-ulp libm divergence can't flip the oracle hash. */
+  def q109PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documentsSpread(s, dir)
+    val uni = docs.select(explode(toks($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum($"c").cast("double").as("n"))
+    val bi = docs.select(explode(DedupOps.spansN($"text", 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("c_pair"))
+      .withColumn("w1", split($"g", " ").getItem(0))
+      .withColumn("w2", split($"g", " ").getItem(1))
+    val btotal = bi.agg(sum($"c_pair").cast("double").as("b"))
+    bi.where($"c_pair" >= 5)
+      .join(broadcast(uni.select($"w".as("w1"), $"c".as("c1"))), Seq("w1"))
+      .join(broadcast(uni.select($"w".as("w2"), $"c".as("c2"))), Seq("w2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(btotal))
+      .select($"w1", $"w2", $"c_pair",
+        expr("round(ln((CAST(c_pair AS DOUBLE) * n * n) / (b * c1 * c2)), 4)")
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(100)
+  }
+
+  private val q109Oracle =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |uc AS (
+      |  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM t)
+      |  GROUP BY w),
+      |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+      |bc AS (
+      |  SELECT bg['w1'] AS w1, bg['w2'] AS w2, count(*) AS c_pair FROM (
+      |    SELECT unnest(list_transform(range(1, len(toks)),
+      |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg
+      |    FROM t)
+      |  GROUP BY 1, 2),
+      |b AS (SELECT CAST(sum(c_pair) AS DOUBLE) AS b FROM bc)
+      |SELECT w1, w2, c_pair,
+      |  round(ln((CAST(c_pair AS DOUBLE) * n * n) / (b * u1.c * u2.c)), 4) AS pmi
+      |FROM bc, n, b, uc u1, uc u2
+      |WHERE c_pair >= 5 AND bc.w1 = u1.w AND bc.w2 = u2.w
+      |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1060,6 +1113,7 @@ object TextOps {
     "q96_domain_blocklist"    -> (q96DomainBlocklist _),
     "q105_vocab_encode"       -> (q105VocabEncode _),
     "q107_gopher_rules"       -> (q107GopherRules _),
+    "q109_pmi_collocations"   -> (q109PmiCollocations _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1085,5 +1139,6 @@ object TextOps {
     "q96_domain_blocklist"    -> q96Oracle,
     "q105_vocab_encode"       -> q105Oracle,
     "q107_gopher_rules"       -> q107Oracle,
+    "q109_pmi_collocations"   -> q109Oracle,
   )
 }

@@ -48,6 +48,48 @@ class ExtOpsSpec extends SparkSuite {
     }
   }
 
+  test("q108 z-order: every octant is rectangle-bounded on BOTH keys; z replays") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = ExtOps.q108Write(spark, sf0001)
+    val octDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("z_oct=")).map(_.getPath).sorted
+    assert(octDirs.length >= 4, s"expected several octants, got ${octDirs.length}")
+
+    val b = spark.read.parquet(dir)
+      .agg(min($"l_partkey"), max($"l_partkey"), min($"l_suppkey"), max($"l_suppkey"))
+      .head()
+    val (minP, maxP, minS, maxS) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+
+    // top-3-bit octant = aligned quadtree cell: partkey confined to a
+    // half, suppkey to a quarter — bounded on BOTH axes, which is what
+    // lets min/max stats skip octants for predicates on either column
+    // (a single-column sort leaves the other axis at full width ≈ 1.0)
+    octDirs.foreach { d =>
+      val r = spark.read.parquet(d)
+        .agg(min($"l_partkey"), max($"l_partkey"), min($"l_suppkey"), max($"l_suppkey"))
+        .head()
+      val widthP = (r.getLong(1) - r.getLong(0)).toDouble / (maxP - minP)
+      val widthS = (r.getLong(3) - r.getLong(2)).toDouble / (maxS - minS)
+      assert(widthP <= 0.52, s"$d partkey width $widthP")
+      assert(widthS <= 0.27, s"$d suppkey width $widthS")
+    }
+
+    // replay the interleave bit-for-bit from the stored keys
+    def morton(sx: Long, sy: Long): Long =
+      (0 until 16).map(i => (((sx >> i) & 1L) << (2 * i)) +
+        (((sy >> i) & 1L) << (2 * i + 1))).sum
+    val rows = spark.read.parquet(dir)
+      .select($"l_partkey", $"l_suppkey", $"z").limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sx = (r.getLong(0) - minP) * 65535 / (maxP - minP)
+      val sy = (r.getLong(1) - minS) * 65535 / (maxS - minS)
+      assert(r.getLong(2) == morton(sx, sy), s"z mismatch at $r")
+    }
+  }
+
   test("SecondMax UDAF: NULL on fewer than two distinct values") {
     import spark.implicits._
     val agg = ExtOps.SecondMax.toColumn

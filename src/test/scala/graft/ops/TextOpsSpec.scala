@@ -320,6 +320,35 @@ class TextOpsSpec extends SparkSuite {
     assert(clean.exists(_._7) && clean.exists(!_._7))
   }
 
+  test("q109 pmi matches a from-first-principles count model") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select($"text").collect().map(_.getString(0).toLowerCase.split(" ", -1))
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = uni.values.sum.toDouble
+    val bi = texts.flatMap(t => t.init.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val b = bi.values.sum.toDouble
+    val expect = bi.filter(_._2 >= 5).map { case ((w1, w2), c) =>
+      val pmi = BigDecimal(math.log(c * n * n / (b * uni(w1) * uni(w2))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      ((w1, w2), (c, pmi))
+    }
+    val got = TextOps.q109PmiCollocations(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == math.min(100, expect.size))
+    got.foreach { case (w1, w2, c, pmi) =>
+      val (ec, epmi) = expect((w1, w2))
+      assert(c == ec, s"count for ($w1,$w2)")
+      assert(math.abs(pmi - epmi) < 5e-4, s"pmi for ($w1,$w2): $pmi vs $epmi")
+    }
+    // descending by score, and the cut really kept the global top
+    assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
+    val kept = got.map(t => (t._1, t._2)).toSet
+    val minKept = got.map(_._4).min
+    assert(expect.forall { case (k, (_, p)) => kept(k) || p <= minKept })
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
