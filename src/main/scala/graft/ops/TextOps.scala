@@ -1090,6 +1090,151 @@ object TextOps {
       |WHERE c_pair >= 5 AND bc.w1 = u1.w AND bc.w2 = u2.w
       |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q110
+  /** Weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006) — "sample k docs proportional to length/quality", the
+    * mixture-construction primitive q49's uniform sampler can't
+    * express. Each doc draws u ~ U(0,1] from a salted md5 of its id
+    * and scores key = ln(u)/weight; the k LARGEST keys are exactly a
+    * weight-proportional sample without replacement. Deterministic:
+    * same ids → same sample on any cluster size or partitioning, so
+    * the DuckDB oracle reproduces the draw bit-for-bit (md5 → same
+    * 32-bit u → same double math). Plan: pure projection +
+    * TakeOrderedAndProject(k) — partial top-k per partition, no
+    * global sort, no shuffle beyond k rows/partition. Keys are
+    * rounded to 6 decimals WITH a doc_id tiebreak so a last-ulp ln()
+    * divergence can't reorder the cut (q73's device). */
+  val q110K = 200
+
+  def q110WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat('q110:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("es_key", expr(
+        "round(ln((CAST(h AS DOUBLE) + 1) / 4294967296.0) / n_chars, 6)"))
+      .select($"doc_id", $"source", $"n_chars", $"es_key")
+      .orderBy($"es_key".desc, $"doc_id")
+      .limit(q110K)
+  }
+
+  private val q110Oracle =
+    s"""SELECT doc_id, source, n_chars,
+       |  round(ln((CAST(('0x' || substr(md5('q110:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1)
+       |    / 4294967296.0) / n_chars, 6) AS es_key
+       |FROM documents
+       |ORDER BY es_key DESC, doc_id LIMIT $q110K""".stripMargin
+
+  // ---------------------------------------------------------------- q111
+  /** Cross-source quantile normalization — calibrate every source's
+    * length distribution onto the reference source's: each doc gets
+    * its percentile WITHIN its source (integer grid 0..100, computed
+    * with pure integer math so both engines agree exactly), and the
+    * calibrated value is the reference source's interpolated
+    * quantile at that grid point. The reference's quantile vector is
+    * ONE aggregate row (101 doubles) — broadcast — so the mapping
+    * join is free; the per-source ranking shuffles once on source.
+    * At 100 TB the exact per-source row_number becomes
+    * approx-quantile bucketing (same grid, sketch memory) — same
+    * plan shape. Exact `percentile` hash-matches DuckDB
+    * `quantile_cont` (q43's result). */
+  private val gridFracs = (0 to 100).map(i => f"${i / 100.0}%.2f").mkString(", ")
+
+  def q111QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val ranked = Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"source")))
+      .withColumn("grid_i", expr(
+        "CASE WHEN cnt = 1 THEN 100L ELSE ((rn - 1) * 100) DIV (cnt - 1) END"))
+    val ref = Tables.documents(s, dir).where($"source" === "src0")
+      .agg(expr(s"percentile(n_chars, array($gridFracs))").as("qs"))
+      .select(posexplode($"qs").as(Seq("grid_i", "calib_chars")))
+    ranked.join(broadcast(ref), Seq("grid_i"))
+      .select($"doc_id", $"source", $"n_chars",
+        $"grid_i".cast("long").as("grid_i"), $"calib_chars")
+      .orderBy($"doc_id")
+  }
+
+  private val q111Oracle =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM documents),
+       |q AS (
+       |  SELECT quantile_cont(n_chars, [$gridFracs]) AS qs
+       |  FROM documents WHERE source = 'src0'),
+       |g AS (
+       |  SELECT i, qs[i + 1] AS calib_chars
+       |  FROM q, (SELECT unnest(range(0, 101)) AS i))
+       |SELECT doc_id, source, n_chars,
+       |  CAST(CASE WHEN cnt = 1 THEN 100 ELSE ((rn - 1) * 100) // (cnt - 1) END
+       |    AS BIGINT) AS grid_i,
+       |  calib_chars
+       |FROM d JOIN g
+       |  ON (CASE WHEN cnt = 1 THEN 100 ELSE ((rn - 1) * 100) // (cnt - 1) END) = g.i
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q112
+  /** Mixture rebalance — enforce a DECLARED target source mixture on
+    * the corpus: per-source keep rate = min(1, target_share · N /
+    * n_source), applied with q49's deterministic md5 coin so the
+    * sample is reproducible on any partitioning. The target share is
+    * derived in-query from the source's numeric suffix (share_k ∝
+    * k+1, so the rebalance is genuinely non-uniform) the way q90
+    * derives its change set — a real pipeline reads a tiny declared
+    * dim table; identical plan (counts agg → broadcast rates → scan
+    * filter). Reports per-source before/after so the achieved
+    * mixture is auditable. */
+  def q112MixtureRebalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_before"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("k", expr("CAST(substring(source, 4) AS INT)"))
+      // 210.0D: a bare 210.0 literal parses as DECIMAL in Spark SQL and
+      // the division would truncate at scale 6 (DuckDB's stays double)
+      .withColumn("target_share", expr("(k + 1) / 210.0D"))
+      .withColumn("keep_rate", expr(
+        "least(1.0, target_share * CAST(n_total AS DOUBLE) / n_before)"))
+    val kept = docs.join(broadcast(rates.select($"source", $"keep_rate")), Seq("source"))
+      .where(expr(
+        "CAST(conv(substring(md5(concat('q112:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 10000" +
+          " < CAST(floor(keep_rate * 10000) AS BIGINT)"))
+      .groupBy($"source").agg(count(lit(1)).as("n_after"))
+    rates.join(kept, Seq("source"), "left")
+      .select($"source", $"n_before",
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        round($"target_share", 6).as("target_share"),
+        round($"keep_rate", 6).as("keep_rate"))
+      .orderBy($"source")
+  }
+
+  private val q112Oracle =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_before FROM documents GROUP BY source),
+      |t AS (SELECT count(*) AS n_total FROM documents),
+      |r AS (
+      |  SELECT source, n_before,
+      |    (CAST(substring(source, 4) AS INT) + 1) / 210.0 AS target_share,
+      |    least(1.0, (CAST(substring(source, 4) AS INT) + 1) / 210.0
+      |      * CAST(n_total AS DOUBLE) / n_before) AS keep_rate
+      |  FROM c, t),
+      |kept AS (
+      |  SELECT d.source, count(*) AS n_after
+      |  FROM documents d JOIN r ON d.source = r.source
+      |  WHERE ('0x' || substr(md5('q112:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000
+      |    < CAST(floor(keep_rate * 10000) AS BIGINT)
+      |  GROUP BY d.source)
+      |SELECT r.source, n_before, COALESCE(n_after, 0) AS n_after,
+      |  round(target_share, 6) AS target_share, round(keep_rate, 6) AS keep_rate
+      |FROM r LEFT JOIN kept ON r.source = kept.source
+      |ORDER BY r.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1114,6 +1259,9 @@ object TextOps {
     "q105_vocab_encode"       -> (q105VocabEncode _),
     "q107_gopher_rules"       -> (q107GopherRules _),
     "q109_pmi_collocations"   -> (q109PmiCollocations _),
+    "q110_weighted_sample"    -> (q110WeightedSample _),
+    "q111_quantile_norm"      -> (q111QuantileNorm _),
+    "q112_mixture_rebalance"  -> (q112MixtureRebalance _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1140,5 +1288,8 @@ object TextOps {
     "q105_vocab_encode"       -> q105Oracle,
     "q107_gopher_rules"       -> q107Oracle,
     "q109_pmi_collocations"   -> q109Oracle,
+    "q110_weighted_sample"    -> q110Oracle,
+    "q111_quantile_norm"      -> q111Oracle,
+    "q112_mixture_rebalance"  -> q112Oracle,
   )
 }

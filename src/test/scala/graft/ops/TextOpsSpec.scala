@@ -349,6 +349,89 @@ class TextOpsSpec extends SparkSuite {
     assert(expect.forall { case (k, (_, p)) => kept(k) || p <= minKept })
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q110 ES weighted sampling: exact replay; heavier docs overrepresented") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keys = docs.map { case (id, nc) =>
+      val u = (java.lang.Long.parseLong(md5hex(s"q110:$id").substring(0, 8), 16)
+        .toDouble + 1) / 4294967296.0
+      val k = BigDecimal(math.log(u) / nc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, nc, k)
+    }
+    val expect = keys.sortBy { case (id, _, k) => (-k, id) }
+      .take(TextOps.q110K)
+    val got = TextOps.q110WeightedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == expect.map(_._1).toSeq)
+    got.zip(expect).foreach { case ((_, k), (_, _, ek)) =>
+      assert(math.abs(k - ek) < 2e-6)
+    }
+    // weight-proportional: the sample's mean length exceeds the corpus's
+    val meanAll = docs.map(_._2).sum.toDouble / docs.length
+    val meanSel = expect.map(_._2).sum.toDouble / expect.length
+    assert(meanSel > meanAll, s"sample mean $meanSel vs corpus $meanAll")
+  }
+
+  test("q111 quantile normalization: grid and interpolated reference replay") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ref = docs.filter(_._2 == "src0").map(_._3).sorted
+    def quant(p: Double): Double = {
+      val h = p * (ref.length - 1)
+      val lo = h.toInt
+      if (lo == ref.length - 1) ref(lo).toDouble
+      else ref(lo) + (h - lo) * (ref(lo + 1) - ref(lo))
+    }
+    val rankIn = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.toSeq.sortBy(r => (r._3, r._1))
+      val n = sorted.length
+      sorted.zipWithIndex.map { case (r, i) =>
+        r._1 -> (if (n == 1) 100L else (i.toLong * 100) / (n - 1)) }
+    }.toMap
+    val got = TextOps.q111QuantileNorm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(got.length == docs.length)
+    got.foreach { case (id, gi, calib) =>
+      assert(gi == rankIn(id), s"grid for doc $id")
+      assert(math.abs(calib - quant(gi / 100.0)) < 1e-9, s"calib for doc $id")
+    }
+  }
+
+  test("q112 mixture rebalance: exact replay; both capped and thinned sources") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nBefore = docs.groupBy(_._2).view.mapValues(_.length).toMap
+    val nTotal = docs.length
+    def rate(src: String): Double = {
+      val k = src.drop(3).toInt
+      math.min(1.0, (k + 1) / 210.0 * nTotal / nBefore(src))
+    }
+    val expectAfter = docs.groupBy(_._2).view.mapValues(_.count { case (id, src) =>
+      java.lang.Long.parseLong(md5hex(s"q112:$id").substring(0, 4), 16) % 10000 <
+        math.floor(rate(src) * 10000).toLong
+    }).toMap
+    val got = TextOps.q112MixtureRebalance(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.length == nBefore.size)
+    got.foreach { case (src, before, after, kr) =>
+      assert(before == nBefore(src) && after == expectAfter(src), s"source $src")
+      assert(after <= before && math.abs(kr - rate(src)) < 1e-6)
+    }
+    // the declared mixture genuinely thins some sources and caps others
+    assert(got.exists(_._4 == 1.0) && got.exists(_._4 < 1.0))
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
