@@ -847,6 +847,104 @@ object DedupOps {
       |SELECT vec_a, vec_b, cosine FROM p WHERE cosine > 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- q113
+  /** Cross-source overlap matrix — the dedup DIAGNOSTIC a corpus
+    * curator reads before deciding which sources to drop or
+    * down-weight: aggregate q66's exact near-dup pair set by the
+    * (unordered) source pair of its endpoints. Reuses the one
+    * jaccardPairs build (pair set ≪ corpus, so the two source
+    * lookups are cheap id-keyed joins; the matrix itself is
+    * n_sources² rows). avg similarity is rounded to 4 decimals —
+    * partial-sum order over doubles is partitioning-dependent
+    * (q73's device); the pair count and max are exact. */
+  def q113SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    jaccardPairs(s, dir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+      .groupBy(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"jaccard"), 4).as("avg_jaccard"),
+        max($"jaccard").as("max_jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private val q113Oracle =
+    s"""WITH $jaccardPairsCte
+       |SELECT least(x.source, y.source) AS source_a,
+       |  greatest(x.source, y.source) AS source_b,
+       |  count(*) AS n_pairs,
+       |  round(avg(jaccard), 4) AS avg_jaccard,
+       |  max(jaccard) AS max_jaccard
+       |FROM jp
+       |JOIN documents x ON jp.doc_a = x.doc_id
+       |JOIN documents y ON jp.doc_b = y.doc_id
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
+  // ---------------------------------------------------------------- q114
+  /** Incremental batch dedup — the admission check a 6-hourly
+    * ingestion pipeline runs on every delivery: fingerprint the
+    * arriving batch (docs ≡0 mod 7 stand in for it) and give each
+    * row a verdict — `dup_of_corpus` (content already in the stored
+    * table), `dup_in_batch` (an earlier row of the same delivery has
+    * identical content), or `fresh`. This is the ETL content-dedup
+    * load (etl/Load) re-expressed as a pure query so it is
+    * oracle-checkable. The fixture corpus has no exact duplicates,
+    * so both dup branches are PLANTED in-query (q57's device):
+    * docs ≡0 mod 14 take a corpus doc's text verbatim, docs ≡0
+    * mod 21 share one constant boilerplate string; the CASE order
+    * resolves the mod-42 overlap identically in both engines. Only
+    * 128-bit fingerprints shuffle — text never does; the corpus side
+    * reduces to distinct fps before the join. */
+  def q114IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+    val batch = base.where($"doc_id" % 7 === 0)
+      .withColumn("copy_id", $"doc_id" + 1)
+      .join(base.select($"doc_id".as("copy_id"), $"text".as("copy_text")),
+        Seq("copy_id"), "left")
+      .withColumn("fp", md5(
+        when($"doc_id" % 14 === 0, coalesce($"copy_text", $"text"))
+          .when($"doc_id" % 21 === 0, lit("batch boilerplate duplicate"))
+          .otherwise($"text")))
+      .select($"doc_id", $"fp")
+    val corpusFps = base.where($"doc_id" % 7 =!= 0)
+      .select(md5($"text").as("fp")).distinct()
+      .withColumn("in_corpus", lit(true))
+    batch.join(corpusFps, Seq("fp"), "left")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"fp").orderBy($"doc_id")))
+      .select($"doc_id", $"fp",
+        when($"in_corpus".isNotNull, "dup_of_corpus")
+          .when($"rn" > 1, "dup_in_batch")
+          .otherwise("fresh").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  private val q114Oracle =
+    """WITH b0 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+      |b AS (
+      |  SELECT b0.doc_id,
+      |    md5(CASE WHEN b0.doc_id % 14 = 0 THEN COALESCE(s.text, b0.text)
+      |             WHEN b0.doc_id % 21 = 0 THEN 'batch boilerplate duplicate'
+      |             ELSE b0.text END) AS fp
+      |  FROM b0 LEFT JOIN documents s ON s.doc_id = b0.doc_id + 1),
+      |c AS (
+      |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0),
+      |r AS (
+      |  SELECT doc_id, fp, fp IN (SELECT fp FROM c) AS in_corpus,
+      |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |  FROM b)
+      |SELECT doc_id, fp,
+      |  CASE WHEN in_corpus THEN 'dup_of_corpus'
+      |       WHEN rn > 1 THEN 'dup_in_batch'
+      |       ELSE 'fresh' END AS verdict
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_exact_dedup"       -> (q64ExactDedup _),
     "q65_minhash_lsh"       -> (q65MinhashLsh _),
@@ -860,6 +958,8 @@ object DedupOps {
     "q58_span_mask"         -> (q58SpanMask _),
     "q74_cluster_keepers"   -> (q74ClusterKeepers _),
     "q79_neardup_clusters"  -> (q79NeardupClusters _),
+    "q113_source_overlap"   -> (q113SourceOverlap _),
+    "q114_incremental_dedup" -> (q114IncrementalDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -873,6 +973,8 @@ object DedupOps {
     "q56_span_decontam"     -> q56Oracle,
     "q58_span_mask"         -> q58Oracle,
     "q74_cluster_keepers"   -> q74Oracle,
+    "q113_source_overlap"   -> q113Oracle,
+    "q114_incremental_dedup" -> q114Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
   )
 }

@@ -220,6 +220,56 @@ class DedupOpsSpec extends SparkSuite {
     assert(r(23L) == ((0L, 0L, 0.0)))
   }
 
+  test("q113 overlap matrix: accounts for every q66 pair, sources normalized") {
+    import spark.implicits._
+    val pairs = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val src = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = pairs.groupBy { case (a, b, _) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.view.mapValues(_.map(_._3)).toMap
+    val got = DedupOps.q113SourceOverlap(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+    assert(got.length == expect.size && got.map(_._2._1).sum == pairs.length)
+    got.foreach { case (k, (n, avgJ, maxJ)) =>
+      val js = expect(k)
+      assert(n == js.length && math.abs(maxJ - js.max) < 1e-12)
+      assert(math.abs(avgJ - js.sum / js.length) < 1e-3)
+      assert(k._1 <= k._2)
+    }
+  }
+
+  test("q114 incremental dedup: all three verdicts, replayed from first principles") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def batchText(id: Long): String =
+      if (id % 14 == 0) texts.getOrElse(id + 1, texts(id))
+      else if (id % 21 == 0) "batch boilerplate duplicate"
+      else texts(id)
+    val batchIds = texts.keys.filter(_ % 7 == 0).toSeq.sorted
+    val corpus = texts.collect { case (id, t) if id % 7 != 0 => t }.toSet
+    val seen = scala.collection.mutable.Set[String]()
+    val expect = batchIds.map { id =>
+      val t = batchText(id)
+      val v = if (corpus(t)) "dup_of_corpus"
+        else if (seen(t)) "dup_in_batch" else "fresh"
+      seen += t
+      id -> v
+    }.toMap
+    val got = DedupOps.q114IncrementalDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(got.length == batchIds.length)
+    got.foreach { case (id, v) => assert(v == expect(id), s"doc $id") }
+    val byV = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byV.keySet == Set("fresh", "dup_of_corpus", "dup_in_batch"))
+  }
+
   test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
     import spark.implicits._
     val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")
