@@ -924,13 +924,14 @@ object TextOps {
     * tokens by frequency (ties → lexicographic, so the vocab is
     * deterministic), keep the top [[vocabSize]] as ids 1..V, and
     * re-encode every document as its id sequence with 0 for
-    * out-of-vocab. Plan shape: one token count agg; the global
-    * ranking window runs on the DISTINCT-TOKEN set (vocab-sized
-    * working set, not the corpus — at web scale you'd cap it with a
-    * partial top-K first); the vocab then BROADCASTS onto the
-    * positioned tokens and each doc reassembles with one
-    * array_sort(collect_list) — corpus text shuffles once, as
-    * (doc_id, pos, tok) triples. */
+    * out-of-vocab. Plan shape: one token count agg, then the top-V
+    * candidates are cut by TakeOrderedAndProject (per-partition
+    * partial top-k — the single-partition ranking window only ever
+    * sees V rows, never the full distinct-token set, so a web-scale
+    * 10M-token vocabulary costs no global sort); the vocab then
+    * BROADCASTS onto the positioned tokens and each doc reassembles
+    * with one array_sort(collect_list) — corpus text shuffles once,
+    * as (doc_id, pos, tok) triples. */
   val vocabSize = 16
 
   def q105VocabEncode(s: SparkSession, dir: String): DataFrame = {
@@ -941,9 +942,9 @@ object TextOps {
       .select($"doc_id", $"pos", $"col".as("tok"))
     val vocab = positioned.groupBy($"tok")
       .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok".asc).limit(vocabSize)
       .withColumn("id",
         row_number().over(Window.orderBy($"n".desc, $"tok".asc)).cast("long"))
-      .where($"id" <= vocabSize)
       .select($"tok", $"id")
     positioned.join(broadcast(vocab), Seq("tok"), "left")
       .select($"doc_id", $"pos", coalesce($"id", lit(0L)).as("id"))
