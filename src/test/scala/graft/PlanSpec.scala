@@ -152,6 +152,28 @@ class PlanSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, p.take(800))
   }
 
+  test("q105/q109/q111: vocab-sized sides broadcast; top-k cuts avoid global sorts") {
+    val p105 = plan(TextOps.q105VocabEncode(spark, sf0001))
+    // vocab candidates cut by partial top-k, vocab mapping broadcast
+    assert(p105.contains("TakeOrderedAndProject"), p105.take(800))
+    assert(p105.contains("BroadcastHashJoin") && !p105.contains("SortMergeJoin"))
+    val p109 = plan(TextOps.q109PmiCollocations(spark, sf0001))
+    // both unigram probability joins + both scalar totals broadcast;
+    // the final top-100 is a partial top-k, not a global sort
+    assert("BroadcastHashJoin".r.findAllIn(p109).length >= 2, p109.take(800))
+    assert(!p109.contains("SortMergeJoin"))
+    assert(p109.contains("TakeOrderedAndProject"))
+    val p111 = plan(TextOps.q111QuantileNorm(spark, sf0001))
+    // the 101-row reference quantile grid broadcasts onto the ranked corpus
+    assert(p111.contains("BroadcastHashJoin") && !p111.contains("SortMergeJoin"))
+  }
+
+  test("q110 weighted sample: partial top-k, no global sort before the cut") {
+    val p = plan(TextOps.q110WeightedSample(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(800))
+  }
+
   test("whole-stage codegen covers the scan-side of the text pipeline") {
     val df = TextOps.q63Fingerprint(spark, sf0001)
     df.collect() // AQE finalizes stages only on execution
