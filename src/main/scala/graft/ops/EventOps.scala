@@ -136,15 +136,82 @@ object EventOps {
       |SELECT cohort_day, offset_weeks, count(*) AS n_users
       |FROM a GROUP BY 1, 2 ORDER BY cohort_day, offset_weeks""".stripMargin
 
+  // ---------------------------------------------------------------- q117
+  /** Last-touch attribution — credit each purchase to the user's most
+    * recent click within a 7-day lookback, else mark it organic.
+    * Uses q18's scalable as-of device (union both event kinds, ONE
+    * window per user with `last(..., ignoreNulls)` carrying the
+    * latest click forward) instead of a range join — one shuffle on
+    * user_id, linear per-user state, no per-purchase probe. Equal
+    * timestamps resolve click-before-purchase (a same-instant click
+    * attributes), and event_id completes the total order so
+    * duplicate-timestamp clicks attribute identically in both
+    * engines. Gap math is exact integer microseconds
+    * (unix_micros / epoch_us — TESTDATA's µs-truncated timestamps). */
+  val attributionWindowUs: Long = 7L * 86400 * 1000000
+
+  def q117Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        when($"event_type" === "click", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"tus", $"side", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click",
+        last(when($"side" === 0, $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_us",
+        last(when($"side" === 0, $"tus"), ignoreNulls = true).over(w))
+      .where($"side" === 1)
+      .withColumn("in_window",
+        $"last_click_us".isNotNull &&
+          $"tus" - $"last_click_us" <= attributionWindowUs)
+      .select($"event_id".as("purchase_id"), $"user_id",
+        when($"in_window", $"last_click").as("attributed_click"),
+        when($"in_window", expr("(tus - last_click_us) div 1000000"))
+          .as("gap_seconds"),
+        when($"in_window", "click").otherwise("organic").as("channel"))
+      .orderBy($"purchase_id")
+  }
+
+  private val q117Oracle =
+    s"""WITH u AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+       |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |w AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+       |      OVER win AS last_click,
+       |    last_value(CASE WHEN side = 0 THEN tus END IGNORE NULLS)
+       |      OVER win AS last_click_us
+       |  FROM u
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY tus, side, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |p AS (
+       |  SELECT *, last_click_us IS NOT NULL
+       |    AND tus - last_click_us <= ${attributionWindowUs} AS in_window
+       |  FROM w WHERE side = 1)
+       |SELECT event_id AS purchase_id, user_id,
+       |  CASE WHEN in_window THEN last_click END AS attributed_click,
+       |  CASE WHEN in_window THEN (tus - last_click_us) // 1000000 END
+       |    AS gap_seconds,
+       |  CASE WHEN in_window THEN 'click' ELSE 'organic' END AS channel
+       |FROM p ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
+    "q117_attribution"      -> (q117Attribution _),
   )
 
   val oracles: Map[String, String] = Map(
     "q101_moving_avg"       -> q101Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
+    "q117_attribution"      -> q117Oracle,
   )
 }

@@ -1038,6 +1038,74 @@ object Relational {
       |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q115
+  /** Distribution drift report (PSI — population stability index,
+    * the standard snapshot-over-snapshot health check): bucket a
+    * metric into 10 equal-width bins over the OLD snapshot's range,
+    * compare the two snapshots' bin shares, and score each bin with
+    * (p₂−p₁)·ln(p₂/p₁). Composes q106: this is the report that
+    * DETECTS the price drift q106's change stream introduced. Two
+    * bounded aggregates (10 bins each) joined on a literal bin spine
+    * — the snapshots scan once, only (bin, count) rows shuffle.
+    * Empty-bin shares clamp to 1e-6 (standard PSI practice, keeps
+    * ln finite); the ln term rounds to 6 decimals (q73's device).
+    * Bin edges come from one broadcast bounds row of the OLD
+    * snapshot so both snapshots bin identically. */
+  def q115DriftReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val old = Tables.orders(s, dir).select($"o_totalprice")
+    val neu = q106NewSnapshot(s, dir).select($"o_totalprice")
+    val bounds = old.agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+    def binned(df: DataFrame, out: String): DataFrame =
+      df.crossJoin(broadcast(bounds))
+        .select(least(greatest(expr(
+          "CAST(floor((o_totalprice - mn) * 10.0D / (mx - mn)) AS BIGINT)"),
+          lit(0L)), lit(9L)).as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as(out))
+    val spine = s.range(0, 10).select($"id".as("bin"))
+    spine.join(binned(old, "n_old"), Seq("bin"), "left")
+      .join(binned(neu, "n_new"), Seq("bin"), "left")
+      .select($"bin", coalesce($"n_old", lit(0L)).as("n_old"),
+        coalesce($"n_new", lit(0L)).as("n_new"))
+      .crossJoin(broadcast(old.agg(count(lit(1)).as("t_old"))))
+      .crossJoin(broadcast(neu.agg(count(lit(1)).as("t_new"))))
+      .select($"bin", $"n_old", $"n_new",
+        expr("""round((greatest(CAST(n_new AS DOUBLE) / t_new, 1e-6)
+                 - greatest(CAST(n_old AS DOUBLE) / t_old, 1e-6))
+                * ln(greatest(CAST(n_new AS DOUBLE) / t_new, 1e-6)
+                   / greatest(CAST(n_old AS DOUBLE) / t_old, 1e-6)), 6)""")
+          .as("psi_term"))
+      .orderBy($"bin")
+  }
+
+  private val q115Oracle =
+    """WITH neu AS (
+      |  SELECT CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 1.05
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 50 <> 1
+      |  UNION ALL
+      |  SELECT o_totalprice FROM orders WHERE o_orderkey % 100 = 9),
+      |b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders),
+      |ob AS (
+      |  SELECT least(greatest(CAST(floor((o_totalprice - mn) * 10.0 / (mx - mn))
+      |    AS BIGINT), 0), 9) AS bin, count(*) AS n_old
+      |  FROM orders, b GROUP BY 1),
+      |nb AS (
+      |  SELECT least(greatest(CAST(floor((o_totalprice - mn) * 10.0 / (mx - mn))
+      |    AS BIGINT), 0), 9) AS bin, count(*) AS n_new
+      |  FROM neu, b GROUP BY 1),
+      |t AS (SELECT (SELECT count(*) FROM orders) AS t_old,
+      |             (SELECT count(*) FROM neu) AS t_new),
+      |s AS (SELECT unnest(range(0, 10)) AS bin)
+      |SELECT s.bin, COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+      |  round((greatest(CAST(COALESCE(n_new, 0) AS DOUBLE) / t_new, 1e-6)
+      |         - greatest(CAST(COALESCE(n_old, 0) AS DOUBLE) / t_old, 1e-6))
+      |        * ln(greatest(CAST(COALESCE(n_new, 0) AS DOUBLE) / t_new, 1e-6)
+      |           / greatest(CAST(COALESCE(n_old, 0) AS DOUBLE) / t_old, 1e-6)), 6)
+      |    AS psi_term
+      |FROM s LEFT JOIN ob ON s.bin = ob.bin LEFT JOIN nb ON s.bin = nb.bin, t
+      |ORDER BY s.bin""".stripMargin
+
   // ---------------------------------------------------------------- q93
   /** Key-skew diagnostics — the report you run BEFORE choosing a join
     * strategy (broadcast / salt q46 / AQE skew split): per-key row
@@ -1195,6 +1263,7 @@ object Relational {
     "q37_window_suite"    -> (q37WindowSuite _),
     "q90_merge_upsert"    -> (q90MergeUpsert _),
     "q106_snapshot_diff"  -> (q106SnapshotDiff _),
+    "q115_drift_report"   -> (q115DriftReport _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
     "q99_gap_fill"        -> (q99GapFill _),
@@ -1237,6 +1306,7 @@ object Relational {
     "q37_window_suite"    -> q37Oracle,
     "q90_merge_upsert"    -> q90Oracle,
     "q106_snapshot_diff"  -> q106Oracle,
+    "q115_drift_report"   -> q115Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,
     "q99_gap_fill"        -> q99Oracle,

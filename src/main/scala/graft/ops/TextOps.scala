@@ -1236,6 +1236,77 @@ object TextOps {
       |FROM r LEFT JOIN kept ON r.source = kept.source
       |ORDER BY r.source""".stripMargin
 
+  // ---------------------------------------------------------------- q116
+  /** URL canonicalization + canonical-URL dedup — the crawl-side
+    * twin of q114's content dedup: the same page arrives as
+    * `HTTPS://Site.Example.org/Page7/?utm=1` and
+    * `https://site.example.org/Page7#frag`, and re-crawl decisions
+    * need them to collapse. Canonical form: lowercased scheme+host,
+    * path kept case-sensitive, query/fragment stripped, trailing
+    * slashes trimmed. The corpus has no URLs, so every 4th doc gets
+    * two raw variants that canonicalize to the SAME url plus a
+    * shared cross-doc mirror link (q84's planting device, with
+    * casing/query/fragment noise so every canonicalization rule is
+    * oracle-exercised). Regexes stay in the RE2-and-Java-identical
+    * subset (no lookaround, no backrefs). Pure
+    * projection+explode, then one hash-agg on the canonical key —
+    * text never shuffles, canonical urls do. */
+  private val q116UrlRe =
+    "[hH][tT][tT][pP][sS]?://[a-zA-Z0-9.-]+(/[a-zA-Z0-9./_-]*)?([?#][a-zA-Z0-9=._-]*)?"
+
+  private def q116Planted(docId: Column, text: Column): Column =
+    when(docId % 4 === 0,
+      concat(text,
+        lit(" HTTPS://Site"), (docId % 7).cast("string"),
+        lit(".Example.org/Page"), docId.cast("string"), lit("/?utm=1"),
+        lit(" https://site"), (docId % 7).cast("string"),
+        lit(".example.org/Page"), docId.cast("string"), lit("#frag"),
+        lit(" http://Mirror.example.net/x/"))).otherwise(text)
+
+  private val q116PlantedSql =
+    "CASE WHEN doc_id % 4 = 0 THEN text" +
+      " || ' HTTPS://Site' || CAST(doc_id % 7 AS VARCHAR)" +
+      " || '.Example.org/Page' || CAST(doc_id AS VARCHAR) || '/?utm=1'" +
+      " || ' https://site' || CAST(doc_id % 7 AS VARCHAR)" +
+      " || '.example.org/Page' || CAST(doc_id AS VARCHAR) || '#frag'" +
+      " || ' http://Mirror.example.net/x/'" +
+      " ELSE text END"
+
+  def q116CanonicalUrls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documentsSpread(s, dir)
+      .select($"doc_id", q116Planted($"doc_id", $"text").as("t0"))
+      .select($"doc_id",
+        explode(expr(s"regexp_extract_all(t0, '$q116UrlRe', 0)")).as("url"))
+      .select($"doc_id", $"url",
+        concat(
+          lower(expr("regexp_extract(url, '^([a-zA-Z]+)://', 1)")), lit("://"),
+          lower(expr("regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)")),
+          expr("regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$', '')"))
+          .as("canon_url"))
+      .groupBy($"canon_url")
+      .agg(countDistinct($"url").as("n_variants"),
+        countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_mentions"))
+      .orderBy($"canon_url")
+  }
+
+  private val q116Oracle =
+    s"""WITH p AS (SELECT doc_id, $q116PlantedSql AS t0 FROM documents),
+       |u AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(t0, '$q116UrlRe', 0)) AS url
+       |  FROM p),
+       |c AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) || '://'
+       |    || lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1))
+       |    || regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$$', '')
+       |      AS canon_url
+       |  FROM u)
+       |SELECT canon_url, count(DISTINCT url) AS n_variants,
+       |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_mentions
+       |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1263,6 +1334,7 @@ object TextOps {
     "q110_weighted_sample"    -> (q110WeightedSample _),
     "q111_quantile_norm"      -> (q111QuantileNorm _),
     "q112_mixture_rebalance"  -> (q112MixtureRebalance _),
+    "q116_canonical_urls"     -> (q116CanonicalUrls _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1292,5 +1364,6 @@ object TextOps {
     "q110_weighted_sample"    -> q110Oracle,
     "q111_quantile_norm"      -> q111Oracle,
     "q112_mixture_rebalance"  -> q112Oracle,
+    "q116_canonical_urls"     -> q116Oracle,
   )
 }

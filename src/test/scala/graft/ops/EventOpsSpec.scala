@@ -65,4 +65,36 @@ class EventOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("q117 attribution: per-user last-click fold replayed; both channels occur") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf0001)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      // same total order as the query: (ts, click-before-purchase, event_id)
+      val sorted = rows.toSeq.sortBy(r => (r._2, if (r._4 == "click") 0 else 1, r._3))
+      var lastClick = Option.empty[(Long, Long)] // (event_id, tus)
+      sorted.flatMap {
+        case (_, tus, id, "click") => lastClick = Some((id, tus)); None
+        case (_, tus, id, _) =>
+          val hit = lastClick.filter(c => tus - c._2 <= EventOps.attributionWindowUs)
+          Some(id -> hit.map { case (cid, cus) => (cid, (tus - cus) / 1000000L) })
+      }
+    }.toMap
+    val got = EventOps.q117Attribution(spark, sf0001).collect().map { r =>
+      (r.getLong(0), if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))),
+        r.getString(4))
+    }
+    assert(got.length == expect.size)
+    got.foreach { case (pid, attr, channel) =>
+      assert(attr == expect(pid), s"purchase $pid")
+      assert(channel == (if (attr.isDefined) "click" else "organic"))
+    }
+    assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty),
+      "fixture must exercise both attributed and organic purchases")
+  }
 }

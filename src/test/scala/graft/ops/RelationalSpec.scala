@@ -63,4 +63,33 @@ class RelationalSpec extends SparkSuite {
     val neu = Relational.q106NewSnapshot(spark, sf0001)
     assert(applied.exceptAll(neu).isEmpty && neu.exceptAll(applied).isEmpty)
   }
+
+  test("q115 PSI: zero for identical snapshots in a bin, detects the planted drift") {
+    import spark.implicits._
+    val prices = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val (mn, mx) = (prices.map(_._2).min, prices.map(_._2).max)
+    def bin(p: Double): Int =
+      math.min(9, math.max(0, math.floor((p - mn) * 10.0 / (mx - mn)).toInt))
+    val oldB = prices.groupBy(p => bin(p._2)).view.mapValues(_.length).toMap
+    val neuPrices = prices.collect {
+      case (k, p) if k % 50 != 1 => if (k % 10 == 4) p * 1.05 else p
+    } ++ prices.collect { case (k, p) if k % 100 == 9 => p }
+    val neuB = neuPrices.groupBy(bin).view.mapValues(_.length).toMap
+    def share(m: Map[Int, Int], b: Int, t: Int): Double =
+      math.max(m.getOrElse(b, 0).toDouble / t, 1e-6)
+    val got = Relational.q115DriftReport(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 10 && got.map(_._1).toSeq == (0L to 9L))
+    got.foreach { case (b, nOld, nNew, psi) =>
+      assert(nOld == oldB.getOrElse(b.toInt, 0).toLong)
+      assert(nNew == neuB.getOrElse(b.toInt, 0).toLong)
+      val p1 = share(oldB, b.toInt, prices.length)
+      val p2 = share(neuB, b.toInt, neuPrices.length)
+      assert(math.abs(psi - (p2 - p1) * math.log(p2 / p1)) < 1e-5, s"bin $b")
+    }
+    // the 5% bump + deletes genuinely move mass: total PSI is nonzero
+    assert(got.map(_._4).map(math.abs).sum > 1e-4)
+  }
 }

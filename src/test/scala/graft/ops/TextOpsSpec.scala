@@ -432,6 +432,29 @@ class TextOpsSpec extends SparkSuite {
     assert(got.exists(_._4 == 1.0) && got.exists(_._4 < 1.0))
   }
 
+  test("q116 canonicalization collapses case/query/fragment/slash variants") {
+    import spark.implicits._
+    val ids = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id").collect().map(_.getLong(0))
+    val planted = ids.filter(_ % 4 == 0)
+    val rows = TextOps.q116CanonicalUrls(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byCanon = rows.map(r => r._1 -> r).toMap
+    // the two per-doc raw variants (HTTPS://Site...?utm=1 vs ...#frag)
+    // collapse to one canonical url per planted doc
+    planted.foreach { id =>
+      val canon = s"https://site${id % 7}.example.org/Page$id"
+      val (_, nVar, nDocs, nMent) = byCanon(canon)
+      assert(nVar == 2 && nDocs == 1 && nMent == 2, s"doc $id")
+    }
+    // the shared mirror link (trailing slash + host case trimmed) spans
+    // every planted doc under one canonical key
+    val (_, mv, md, mm) = byCanon("http://mirror.example.net/x")
+    assert(md == planted.length && mm == planted.length && mv == 1)
+    // nothing else: every canonical url is one of the planted shapes
+    assert(rows.length == planted.length + 1)
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
