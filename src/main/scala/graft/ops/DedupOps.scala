@@ -812,6 +812,13 @@ object DedupOps {
     * bit-for-bit with no rounding. */
   def q68EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    embeddingPairs(s, dir).orderBy($"vec_a", $"vec_b")
+  }
+
+  /** q68's cosine pair set (cosine > 0.4) before ordering — shared
+    * with q118's threshold calibration so the two can't diverge. */
+  private def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     import graft.functions.VectorOps
     // Norms are computed once per row BELOW the join and carried as a
     // column — computing them inside the pair expression would redo
@@ -827,11 +834,12 @@ object DedupOps {
         (VectorOps.dot($"a.embedding", $"b.embedding") /
           ($"a.nrm" * $"b.nrm")).as("cosine"))
       .where($"cosine" > 0.4)
-      .orderBy($"vec_a", $"vec_b")
   }
 
-  private val q68Oracle =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  /** Shared oracle CTE ending in the filtered pair set
+    * `cp(vec_a, vec_b, cosine)` — q68 and q118 both build on it. */
+  private val cosinePairsCte =
+    """e AS (SELECT vec_id, embedding FROM embeddings),
       |p AS (
       |  SELECT a.vec_id vec_a, b.vec_id vec_b,
       |    list_reduce(list_transform(range(1, len(a.embedding) + 1),
@@ -843,9 +851,47 @@ object DedupOps {
       |     * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
       |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
       |        (x, y) -> x + y))) AS cosine
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      |SELECT vec_a, vec_b, cosine FROM p WHERE cosine > 0.4
-      |ORDER BY vec_a, vec_b""".stripMargin
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+      |cp AS (SELECT vec_a, vec_b, cosine FROM p WHERE cosine > 0.4)""".stripMargin
+
+  private val q68Oracle =
+    s"""WITH $cosinePairsCte
+       |SELECT vec_a, vec_b, cosine FROM cp ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- q118
+  /** Similarity-threshold calibration curve — the diagnostic run
+    * BEFORE committing to a near-dup cosine cutoff: bin the pair set
+    * by similarity centile and report per-bin and
+    * cumulative-from-above pair counts, i.e. how many pairs each
+    * candidate threshold would merge. Reuses q68's pair build
+    * verbatim (shared helper + shared oracle CTE). The curve is ≤60
+    * rows, so the reverse-cumulative window is bounded — the only
+    * corpus-scale work is the pair generation itself, which at
+    * 100 TB comes from the LSH/IVF bucketed candidates (q52/q65),
+    * not the all-pairs fixture join. floor(cosine·100) is exact
+    * cross-engine because the cosines themselves hash-match (q68). */
+  def q118ThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"centile".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    embeddingPairs(s, dir)
+      .select(floor($"cosine" * 100).cast("long").as("centile"))
+      .groupBy($"centile").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_at_or_above", sum($"n_pairs").over(w))
+      .orderBy($"centile")
+  }
+
+  private val q118Oracle =
+    s"""WITH $cosinePairsCte,
+       |bins AS (
+       |  SELECT CAST(floor(cosine * 100) AS BIGINT) AS centile, count(*) AS n_pairs
+       |  FROM cp GROUP BY 1)
+       |SELECT centile, n_pairs,
+       |  CAST(SUM(n_pairs) OVER (ORDER BY centile DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS n_pairs_at_or_above
+       |FROM bins ORDER BY centile""".stripMargin
 
   // ---------------------------------------------------------------- q113
   /** Cross-source overlap matrix — the dedup DIAGNOSTIC a corpus
@@ -945,6 +991,45 @@ object DedupOps {
       |       ELSE 'fresh' END AS verdict
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q120
+  /** Leakage-safe train/val/test split — q91's split drawn on the
+    * near-dup CLUSTER id instead of the doc id, so transitive
+    * near-duplicates can never straddle train and eval (the
+    * train-on-one-copy / evaluate-on-the-other leak that inflates
+    * benchmark scores). Composes q79's connected-component fixpoint
+    * with q91's salted-md5 bucketing: every member of a cluster
+    * hashes the same cluster_id and therefore lands in the same
+    * split; singletons (cluster_id = own id) reduce exactly to
+    * q91's assignment. Same cost as q79 plus one projection. */
+  def q120LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (tr, va) = TextOps.splitPcts
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      $"cluster_id".cast("string"))), 1, 4), 16, 10).cast("long") % 100
+    ccLabels(s, dir)
+      .withColumn("bucket", bucket)
+      .select($"doc_id", $"cluster_id", $"bucket",
+        when($"bucket" < tr, "train")
+          .when($"bucket" < tr + va, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  private val q120Oracle = {
+    val (tr, va) = TextOps.splitPcts
+    s"""WITH RECURSIVE $ccCte
+       |SELECT doc_id, cluster_id, bucket,
+       |  CASE WHEN bucket < $tr THEN 'train'
+       |       WHEN bucket < ${tr + va} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, cluster_id,
+       |    ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 4))::BIGINT
+       |      % 100 AS bucket
+       |  FROM lab)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_exact_dedup"       -> (q64ExactDedup _),
     "q65_minhash_lsh"       -> (q65MinhashLsh _),
@@ -960,6 +1045,8 @@ object DedupOps {
     "q79_neardup_clusters"  -> (q79NeardupClusters _),
     "q113_source_overlap"   -> (q113SourceOverlap _),
     "q114_incremental_dedup" -> (q114IncrementalDedup _),
+    "q118_threshold_curve"  -> (q118ThresholdCurve _),
+    "q120_leakage_safe_split" -> (q120LeakageSafeSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -975,6 +1062,8 @@ object DedupOps {
     "q74_cluster_keepers"   -> q74Oracle,
     "q113_source_overlap"   -> q113Oracle,
     "q114_incremental_dedup" -> q114Oracle,
+    "q118_threshold_curve"  -> q118Oracle,
+    "q120_leakage_safe_split" -> q120Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
   )
 }

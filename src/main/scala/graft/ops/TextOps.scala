@@ -1307,6 +1307,41 @@ object TextOps {
        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_mentions
        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin
 
+  // ---------------------------------------------------------------- q119
+  /** Exact-k stratified sampling — eval-set construction: draw
+    * EXACTLY k docs from every (source, lang) stratum (q49's
+    * rate-based sampler controls the expectation, not the count).
+    * Each stratum is shuffled by a salted md5 of the doc id (hex
+    * strings compare identically in both engines) and the first k
+    * survive; doc_id completes the total order. One shuffle on the
+    * stratum key; the per-stratum sort is the honest cost — at
+    * 100 TB strata are large, and the window's sort spills rather
+    * than breaks (or pre-thin with q49 at a loose rate first, then
+    * exact-k the survivors — same plan, bounded sort). */
+  val q119K = 3
+
+  def q119ExactKSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source", $"lang")
+      .orderBy(md5(concat(lit("q119:"), $"doc_id".cast("string"))), $"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("draw", row_number().over(w).cast("long"))
+      .where($"draw" <= q119K)
+      .select($"doc_id", $"source", $"lang", $"draw")
+      .orderBy($"source", $"lang", $"draw")
+  }
+
+  private val q119Oracle =
+    s"""SELECT doc_id, source, lang, draw FROM (
+       |  SELECT doc_id, source, lang,
+       |    CAST(row_number() OVER (PARTITION BY source, lang
+       |      ORDER BY md5('q119:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+       |      AS draw
+       |  FROM documents)
+       |WHERE draw <= $q119K
+       |ORDER BY source, lang, draw""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1335,6 +1370,7 @@ object TextOps {
     "q111_quantile_norm"      -> (q111QuantileNorm _),
     "q112_mixture_rebalance"  -> (q112MixtureRebalance _),
     "q116_canonical_urls"     -> (q116CanonicalUrls _),
+    "q119_exact_k_sample"     -> (q119ExactKSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1365,5 +1401,6 @@ object TextOps {
     "q111_quantile_norm"      -> q111Oracle,
     "q112_mixture_rebalance"  -> q112Oracle,
     "q116_canonical_urls"     -> q116Oracle,
+    "q119_exact_k_sample"     -> q119Oracle,
   )
 }

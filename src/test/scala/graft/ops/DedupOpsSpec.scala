@@ -270,6 +270,43 @@ class DedupOpsSpec extends SparkSuite {
     assert(byV.keySet == Set("fresh", "dup_of_corpus", "dup_in_batch"))
   }
 
+  test("q118 threshold curve accounts for exactly q68's pair set") {
+    import spark.implicits._
+    val cosines = DedupOps.q68EmbeddingNearDup(spark, sf0001).collect()
+      .map(_.getDouble(2))
+    val expect = cosines.groupBy(c => math.floor(c * 100).toLong)
+      .view.mapValues(_.length.toLong).toMap
+    val got = DedupOps.q118ThresholdCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (c, n, _) => assert(n == expect(c), s"centile $c") }
+    // cumulative-from-above: decreasing in centile, tops out at the total
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    assert(got.map(_._2).sum == cosines.length && got.head._3 == cosines.length)
+  }
+
+  test("q120 split: near-dup pairs never straddle splits; singletons match q91") {
+    import spark.implicits._
+    val split = DedupOps.q120LeakageSafeSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val byDoc = split.map(r => r._1 -> r._3).toMap
+    // every exact near-dup pair lands in ONE split — the leakage guarantee
+    val pairs = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) straddles splits")
+    }
+    // singleton docs (cluster_id == doc_id) reduce to q91's assignment
+    val q91 = TextOps.q91TrainValTest(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val singles = split.filter { case (d, c, _) => d == c }
+    assert(singles.nonEmpty)
+    singles.foreach { case (d, _, sp) => assert(sp == q91(d), s"doc $d") }
+    // all three splits are populated
+    assert(split.map(_._3).toSet == Set("train", "val", "test"))
+  }
+
   test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
     import spark.implicits._
     val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")

@@ -455,6 +455,29 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.length == planted.length + 1)
   }
 
+  test("q119 exact-k: each stratum yields min(k, size) docs, replayed draw order") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expect = docs.groupBy(d => (d._2, d._3)).view.mapValues { rows =>
+      rows.toSeq.sortBy(d => (md5hex(s"q119:${d._1}"), d._1))
+        .take(TextOps.q119K).map(_._1)
+    }.toMap
+    val got = TextOps.q119ExactKSample(spark, sf0001).collect()
+      .map(r => ((r.getString(1), r.getString(2)), r.getLong(0), r.getLong(3)))
+    val byStratum = got.groupBy(_._1)
+    assert(byStratum.keySet == expect.keySet)
+    byStratum.foreach { case (k, rows) =>
+      // expect(k) is the replayed take(min(K, stratum size))
+      assert(rows.length == expect(k).length, s"stratum $k size")
+      assert(rows.sortBy(_._3).map(_._2).toSeq == expect(k), s"stratum $k")
+    }
+    // the fixture has both full strata (k drawn) and smaller ones
+    assert(expect.values.exists(_.length == TextOps.q119K) &&
+      expect.values.exists(_.length < TextOps.q119K))
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
