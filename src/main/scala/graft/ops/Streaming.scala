@@ -512,6 +512,68 @@ object Streaming {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1, 2 ORDER BY day, segment""".stripMargin
 
+  // ---------------------------------------------------------------- q121
+  /** Streaming admission dedup — q114's content gate as a STATEFUL
+    * STREAM: every delivery's docs are fingerprinted and checked
+    * against all previously admitted content, exactly what the
+    * 6-hourly ingestion loop runs continuously. Two identical
+    * deliveries land as separate files; `maxFilesPerTrigger=1` makes
+    * each its own micro-batch, and flatMapGroupsWithState keyed by
+    * fingerprint carries the seen-set ACROSS batches: the first
+    * delivery admits one doc per fingerprint (min doc_id; in-batch
+    * twins → `dup_in_batch`), the second is rejected wholesale as
+    * `dup_prior_delivery`. The oracle encodes that separation — if
+    * both files collapsed into one batch the second copy would
+    * classify as `dup_in_batch` and the hash would fail, so batch
+    * isolation itself is oracle-verified. In-batch duplicates are
+    * planted in-query (every 21st doc shares one boilerplate
+    * string — q114's device). State is one boolean per fingerprint;
+    * a production stream bounds it with an event-time timeout or by
+    * compacting admitted fingerprints into the stored table
+    * (etl/Load's content-dedup path). */
+  def q121StreamAdmission(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/documents.parquet"
+    val landing = java.nio.file.Files.createTempDirectory("graft_docs_landing_")
+    scratch.get() += landing
+    Seq("delivery_a.parquet", "delivery_b.parquet").foreach { n =>
+      java.nio.file.Files.createSymbolicLink(
+        landing.resolve(n), java.nio.file.Paths.get(path))
+    }
+    val schema = s.read.parquet(path).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val fps = stream.select($"doc_id",
+      md5(when($"doc_id" % 21 === 0, lit("batch boilerplate duplicate"))
+        .otherwise($"text")).as("fp")).as[(Long, String)]
+    val verdicts = fps.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          val ids = rows.map(_._1).toSeq.sorted
+          if (!state.exists) {
+            state.update(true)
+            Iterator((ids.head, "admitted")) ++
+              ids.tail.iterator.map((_, "dup_in_batch"))
+          } else ids.iterator.map((_, "dup_prior_delivery"))
+      }.toDF("doc_id", "verdict")
+    drain(s, verdicts, OutputMode.Append()).orderBy($"doc_id", $"verdict")
+  }
+
+  private val q121Oracle =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 21 = 0 THEN 'batch boilerplate duplicate'
+      |             ELSE text END) AS fp
+      |  FROM documents),
+      |m AS (SELECT fp, min(doc_id) AS keeper FROM f GROUP BY fp)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id = keeper THEN 'admitted'
+      |       ELSE 'dup_in_batch' END AS verdict
+      |FROM f JOIN m USING (fp)
+      |UNION ALL
+      |SELECT doc_id, 'dup_prior_delivery' FROM f
+      |ORDER BY doc_id, verdict""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
@@ -522,6 +584,7 @@ object Streaming {
     "q44_stream_stream_join" -> (q44StreamStreamJoin _),
     "q47_stream_left_join"   -> (q47StreamLeftJoin _),
     "q87_stream_static_join" -> (q87StreamStaticJoin _),
+    "q121_stream_admission"  -> (q121StreamAdmission _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -534,5 +597,6 @@ object Streaming {
     "q44_stream_stream_join" -> q44Oracle,
     "q47_stream_left_join"   -> q47Oracle,
     "q87_stream_static_join" -> q87Oracle,
+    "q121_stream_admission"  -> q121Oracle,
   )
 }

@@ -67,6 +67,30 @@ class StreamingSpec extends SparkSuite {
     assert(e2.getMessage.contains("session-spanning"))
   }
 
+  test("q121 admission: state spans deliveries — admit once, reject the redelivery") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val fpOf = texts.map { case (id, t) =>
+      id -> (if (id % 21 == 0) "batch boilerplate duplicate" else t)
+    }.toMap
+    val keepers = fpOf.groupBy(_._2).values.map(_.keys.min).toSet
+    val got = Streaming.q121StreamAdmission(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every doc appears exactly twice: one first-delivery verdict +
+    // one cross-delivery rejection — the state survived the batch boundary
+    assert(got.length == texts.length * 2)
+    val byDoc = got.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    byDoc.foreach { case (id, vs) =>
+      val first = if (keepers(id)) "admitted" else "dup_in_batch"
+      assert(vs == Seq(first, "dup_prior_delivery").sorted, s"doc $id: $vs")
+    }
+    // the planted boilerplate group admitted exactly its min member
+    val planted = texts.map(_._1).filter(_ % 21 == 0)
+    assert(planted.count(keepers) == 1 && keepers(planted.min))
+  }
+
   test("q87 stream-static join equals the batch join+aggregate (stream-batch parity)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
