@@ -991,6 +991,91 @@ object DedupOps {
       |       ELSE 'fresh' END AS verdict
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q122
+  /** Source-graph centrality (weighted PageRank, 5 rounds) — ranks
+    * sources by how entangled they are in the cross-source near-dup
+    * graph (q113's matrix as an adjacency): a source whose content
+    * keeps resurfacing through other high-overlap sources scores
+    * high and is the first candidate for aggressive dedup or
+    * down-weighting. Demonstrates general ITERATIVE graph analytics
+    * beyond q79's connected components. All arithmetic is
+    * FIXED-POINT INTEGER (ranks scaled by 1e12, floor division at
+    * every step) so five rounds of message-passing are bit-exact
+    * regardless of partitioning or summation order — double-based
+    * PageRank cannot be hash-oracled (summation order), integer
+    * PageRank can. The oracle unrolls the same five rounds as
+    * generated CTE stages from one shared formula. The graph is
+    * n_sources² at most — node and edge frames are broadcast-sized;
+    * the only corpus-scale work is the pair build (at 100 TB: LSH
+    * candidates, as in q118). Isolated sources keep the teleport
+    * mass only; dangling mass is dropped identically in both
+    * engines. */
+  val prScale = 1000000000000L
+  val prRounds = 5
+
+  def q122SourceCentrality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    val pairSrc = jaccardPairs(s, dir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+      .select($"sa", $"sb")
+    val edges = pairSrc.select($"sa".as("src"), $"sb".as("dst"))
+      .unionAll(pairSrc.select($"sb".as("src"), $"sa".as("dst")))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val outW = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    val nodes = src.select($"source").distinct().localCheckpoint()
+    val nCnt = nodes.agg(count(lit(1)).as("n"))
+    var rank = nodes.crossJoin(broadcast(nCnt))
+      .select($"source", expr(s"${prScale}L div n").as("rank"))
+    for (_ <- 1 to prRounds) {
+      val inflow = edges
+        .join(rank.select($"source".as("src"), $"rank"), Seq("src"))
+        .join(outW, Seq("src"))
+        .select($"dst".as("source"), expr("(rank * w) div outw").as("c"))
+        .groupBy($"source").agg(sum($"c").as("inflow"))
+      rank = nodes.join(inflow, Seq("source"), "left")
+        .crossJoin(broadcast(nCnt))
+        .select($"source", expr(
+          s"((15 * ${prScale}L) div 100) div n + (85 * coalesce(inflow, 0L)) div 100")
+          .as("rank"))
+        .localCheckpoint()
+    }
+    rank.orderBy($"source")
+  }
+
+  private val q122Oracle = {
+    val rounds = (1 to prRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT nodes.source,
+         |    ((15 * $prScale) // 100) // n
+         |      + (85 * COALESCE(c.inflow, 0)) // 100 AS rank
+         |  FROM nodes LEFT JOIN (
+         |    SELECT dst AS source,
+         |      CAST(sum((r.rank * e2.w) // ow.outw) AS BIGINT) AS inflow
+         |    FROM e2 JOIN r${i - 1} r ON e2.src = r.source
+         |    JOIN ow ON e2.src = ow.src
+         |    GROUP BY dst) c ON nodes.source = c.source, cnt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardPairsCte,
+       |ps AS (
+       |  SELECT x.source AS sa, y.source AS sb
+       |  FROM jp JOIN documents x ON jp.doc_a = x.doc_id
+       |  JOIN documents y ON jp.doc_b = y.doc_id),
+       |e2 AS (
+       |  SELECT src, dst, count(*) AS w FROM (
+       |    SELECT sa AS src, sb AS dst FROM ps
+       |    UNION ALL SELECT sb, sa FROM ps)
+       |  GROUP BY 1, 2),
+       |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM e2 GROUP BY src),
+       |nodes AS (SELECT DISTINCT source FROM documents),
+       |cnt AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT source, $prScale // n AS rank FROM nodes, cnt),
+       |$rounds
+       |SELECT source, rank FROM r$prRounds ORDER BY source""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q120
   /** Leakage-safe train/val/test split — q91's split drawn on the
     * near-dup CLUSTER id instead of the doc id, so transitive
@@ -1047,6 +1132,7 @@ object DedupOps {
     "q114_incremental_dedup" -> (q114IncrementalDedup _),
     "q118_threshold_curve"  -> (q118ThresholdCurve _),
     "q120_leakage_safe_split" -> (q120LeakageSafeSplit _),
+    "q122_source_centrality" -> (q122SourceCentrality _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1064,6 +1150,7 @@ object DedupOps {
     "q114_incremental_dedup" -> q114Oracle,
     "q118_threshold_curve"  -> q118Oracle,
     "q120_leakage_safe_split" -> q120Oracle,
+    "q122_source_centrality" -> q122Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
   )
 }

@@ -307,6 +307,42 @@ class DedupOpsSpec extends SparkSuite {
     assert(split.map(_._3).toSet == Set("train", "val", "test"))
   }
 
+  test("q122 centrality: 5 fixed-point rounds replay exactly; overlap beats isolation") {
+    import spark.implicits._
+    val srcOf = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => (srcOf(r.getLong(0)), srcOf(r.getLong(1))))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nodes = srcOf.values.toSet.toSeq.sorted
+    val n = nodes.length
+    val outW = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val S = DedupOps.prScale
+    var rank = nodes.map(_ -> S / n).toMap
+    (1 to DedupOps.prRounds).foreach { _ =>
+      val inflow = edges.toSeq.groupBy(_._1._2).view.mapValues(_.map {
+        case ((src, _), w) => rank(src) * w / outW(src)
+      }.sum).toMap
+      rank = nodes.map(s =>
+        s -> ((15 * S / 100) / n + 85 * inflow.getOrElse(s, 0L) / 100)).toMap
+    }
+    val got = DedupOps.q122SourceCentrality(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == n)
+    got.foreach { case (s, r) => assert(r == rank(s), s"source $s") }
+    // sources in the overlap graph outrank isolated (teleport-only) ones
+    val teleportOnly = (15 * S / 100) / n
+    val connected = got.filter(g => outW.contains(g._1))
+    val isolated = got.filterNot(g => outW.contains(g._1))
+    assert(connected.nonEmpty)
+    if (isolated.nonEmpty) {
+      assert(isolated.forall(_._2 == teleportOnly))
+      assert(connected.map(_._2).min > teleportOnly)
+    }
+  }
+
   test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
     import spark.implicits._
     val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")
