@@ -142,13 +142,62 @@ object MultimodalOps {
        |    AS frame_hash
        |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q123
+  /** Frame-level dedup — the multimodal twin of q64's content dedup:
+    * a frame repeated across (or within) videos marks shared footage
+    * (intros, slates, loops), and per-video duplicated-frame share is
+    * the signal a video-corpus curator drops on. Composes q76's
+    * frame extraction with the dedup family's count-then-classify
+    * shape: one hash-agg over frame hashes (16-byte keys — payloads
+    * never shuffle), a broadcast-sized hot-hash side joined back,
+    * then a per-video rollup. The 31-token corpus repeats 16-byte
+    * slices heavily, so both the dup and unique branches are
+    * exercised without planting. */
+  def q123FrameDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = q76FrameSample(s, dir)
+      .select($"media_id", $"frame_hash")
+    val occ = frames.groupBy($"frame_hash")
+      .agg(count(lit(1)).as("n_occ"))
+    frames.join(occ, Seq("frame_hash"))
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when($"n_occ" >= 2, 1L).otherwise(0L)).as("n_dup_frames"))
+      .select($"media_id", $"n_frames", $"n_dup_frames",
+        ($"n_dup_frames".cast("double") / $"n_frames").as("dup_ratio"))
+      .orderBy($"media_id")
+  }
+
+  private val q123Oracle =
+    s"""WITH v AS (
+       |  SELECT doc_id AS media_id, text AS content FROM documents
+       |  WHERE doc_id % 3 = 2 AND length(text) >= $frameLen),
+       |f AS (
+       |  SELECT media_id,
+       |    md5(substr(content, CAST(i * $frameStride AS INT) + 1, $frameLen))
+       |      AS frame_hash
+       |  FROM (
+       |    SELECT media_id, content,
+       |      unnest(range(0, (length(content) - $frameLen) // $frameStride + 1)) AS i
+       |    FROM v)),
+       |occ AS (SELECT frame_hash, count(*) AS n_occ FROM f GROUP BY 1)
+       |SELECT media_id, count(*) AS n_frames,
+       |  CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_frames,
+       |  CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+       |    AS dup_ratio
+       |FROM f JOIN occ USING (frame_hash)
+       |GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_media_features" -> (q75MediaFeatures _),
     "q76_frame_sample"   -> (q76FrameSample _),
+    "q123_frame_dedup"   -> (q123FrameDedup _),
   )
 
   val oracles: Map[String, String] = Map(
     "q75_media_features" -> q75Oracle,
     "q76_frame_sample"   -> q76Oracle,
+    "q123_frame_dedup"   -> q123Oracle,
   )
 }

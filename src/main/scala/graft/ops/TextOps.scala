@@ -1342,6 +1342,114 @@ object TextOps {
        |WHERE draw <= $q119K
        |ORDER BY source, lang, draw""".stripMargin
 
+  // ---------------------------------------------------------------- q124
+  /** Corpus curation funnel — the END-to-end keep/drop gate a
+    * training pipeline actually ships: every doc flows through the
+    * rule cascade too_short → bad_composition (q107's
+    * duplicate-line share) → repetitious (q59's 3-gram ratio) →
+    * low_quality (q62's composite) → keep, and the verdict names the
+    * FIRST failing rule so attrition is attributable per stage. All
+    * signals are computed over one shared planted view t0 (q107's
+    * footer for line structure, plus a repeated-token tail on every
+    * 25th doc so the repetition branch fires — the fixture corpus
+    * has no naturally repetitious doc that isn't already too
+    * short). One projection pass + one 3-gram aggregate (q59's
+    * shape) joined back on the primary key — the funnel adds no
+    * shuffle beyond what its signals individually cost. */
+  val q124RepTail: String = " spark" * 10
+  val q124RepThreshold = 0.05
+
+  def q124CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documentsSpread(s, dir)
+      .withColumn("t1",
+        when($"doc_id" % 25 === 1, concat($"text", lit(q124RepTail)))
+          .otherwise($"text"))
+      .withColumn("t0",
+        when($"doc_id" % 3 === 0, concat($"t1", lit(footerLit)))
+          .otherwise($"t1"))
+    val tri = base
+      .select($"doc_id", explode(DedupOps.spansN($"t0", 3)).as("g"))
+      .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg((lit(1.0) - count(lit(1)).cast("double") / sum($"c"))
+        .as("repetition_ratio"))
+    base
+      .withColumn("toks", toks($"t0"))
+      .withColumn("lines", split($"t0", "\n"))
+      .withColumn("n_chars_cur", length($"t0").cast("long"))
+      .withColumn("len_score",
+        least(length($"t0").cast("double") / 500.0, lit(1.0)))
+      .withColumn("diversity",
+        size(array_distinct($"toks")).cast("double") / size($"toks"))
+      .withColumn("stop_ratio",
+        size(filter($"toks", t => t.isin(stopwords: _*))).cast("double") /
+          size($"toks"))
+      .withColumn("quality_score",
+        $"len_score" * 0.5 + $"diversity" * 0.3 + (lit(1.0) - $"stop_ratio") * 0.2)
+      .withColumn("frac_dup_lines",
+        lit(1.0) - size(array_distinct($"lines")).cast("double") / size($"lines"))
+      .join(tri, Seq("doc_id"), "left")
+      .withColumn("repetition_ratio", coalesce($"repetition_ratio", lit(0.0)))
+      .select($"doc_id", $"n_chars_cur", $"quality_score",
+        $"repetition_ratio", $"frac_dup_lines",
+        when($"n_chars_cur" < 100, "too_short")
+          .when($"frac_dup_lines" >= 0.3, "bad_composition")
+          .when($"repetition_ratio" >= q124RepThreshold, "repetitious")
+          .when($"quality_score" < 0.6, "low_quality")
+          .otherwise("keep").as("verdict"))
+      .orderBy($"doc_id")
+  }
+
+  private val q124Oracle =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN t1 || $footerSql ELSE t1 END AS t0
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN doc_id % 25 = 1 THEN text || '$q124RepTail'
+       |           ELSE text END AS t1
+       |    FROM documents)),
+       |sv AS (
+       |  SELECT doc_id, t0, string_split(lower(t0), ' ') AS toks,
+       |    string_split(t0, chr(10)) AS lines
+       |  FROM p),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(length(t0) AS BIGINT) AS n_chars_cur,
+       |    LEAST(CAST(length(t0) AS DOUBLE) / 500.0, 1.0) AS len_score,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+       |    CAST(len(list_filter(toks,
+       |        x -> x IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+       |      / len(toks) AS stop_ratio,
+       |    1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+       |      AS frac_dup_lines
+       |  FROM sv),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+       |  FROM sv),
+       |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+       |r AS (
+       |  SELECT doc_id,
+       |    1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+       |      AS repetition_ratio
+       |  FROM c GROUP BY doc_id)
+       |SELECT q.doc_id, n_chars_cur,
+       |  len_score * 0.5 + diversity * 0.3 + (1.0 - stop_ratio) * 0.2
+       |    AS quality_score,
+       |  COALESCE(repetition_ratio, 0.0) AS repetition_ratio,
+       |  frac_dup_lines,
+       |  CASE WHEN n_chars_cur < 100 THEN 'too_short'
+       |       WHEN frac_dup_lines >= 0.3 THEN 'bad_composition'
+       |       WHEN COALESCE(repetition_ratio, 0.0) >= $q124RepThreshold
+       |         THEN 'repetitious'
+       |       WHEN len_score * 0.5 + diversity * 0.3 + (1.0 - stop_ratio) * 0.2 < 0.6
+       |         THEN 'low_quality'
+       |       ELSE 'keep' END AS verdict
+       |FROM q LEFT JOIN r ON q.doc_id = r.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1371,6 +1479,7 @@ object TextOps {
     "q112_mixture_rebalance"  -> (q112MixtureRebalance _),
     "q116_canonical_urls"     -> (q116CanonicalUrls _),
     "q119_exact_k_sample"     -> (q119ExactKSample _),
+    "q124_curation_funnel"    -> (q124CurationFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1402,5 +1511,6 @@ object TextOps {
     "q112_mixture_rebalance"  -> q112Oracle,
     "q116_canonical_urls"     -> q116Oracle,
     "q119_exact_k_sample"     -> q119Oracle,
+    "q124_curation_funnel"    -> q124Oracle,
   )
 }

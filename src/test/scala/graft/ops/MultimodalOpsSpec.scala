@@ -46,6 +46,34 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(!plan.contains("Exchange hashpartitioning"))
   }
 
+  test("q123 frame dedup: global-occurrence replay, both branches covered") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) => id % 3 == 2 && t.length >= MultimodalOps.frameLen }
+    val frames = texts.flatMap { case (id, t) =>
+      (0 to (t.length - MultimodalOps.frameLen) / MultimodalOps.frameStride).map {
+        i => id -> t.substring(i * MultimodalOps.frameStride,
+          i * MultimodalOps.frameStride + MultimodalOps.frameLen)
+      }
+    }
+    val occ = frames.groupBy(_._2).view.mapValues(_.length).toMap
+    val expect = frames.groupBy(_._1).view.mapValues { fs =>
+      (fs.length.toLong, fs.count(f => occ(f._2) >= 2).toLong)
+    }.toMap
+    val got = MultimodalOps.q123FrameDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == expect.size)
+    got.foreach { case (id, nF, nDup, ratio) =>
+      val (eF, eDup) = expect(id)
+      assert(nF == eF && nDup == eDup, s"media $id")
+      assert(math.abs(ratio - eDup.toDouble / eF) < 1e-12)
+    }
+    assert(got.exists(_._3 > 0) && got.exists(g => g._3 < g._2),
+      "need both duplicated and unique frames in the fixture")
+  }
+
   test("q76 frame sample: stride/len arithmetic on a known payload") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("mm").toString

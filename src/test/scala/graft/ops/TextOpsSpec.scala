@@ -478,6 +478,43 @@ class TextOpsSpec extends SparkSuite {
       expect.values.exists(_.length < TextOps.q119K))
   }
 
+  test("q124 funnel: cascade replayed rule by rule, every verdict fires") {
+    import spark.implicits._
+    val stop = TextOps.stopwords.toSet
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val footer = Seq("- planted bullet", "- planted bullet",
+      "repeated footer", "repeated footer")
+    val expect = texts.map { case (id, text) =>
+      val t1 = if (id % 25 == 1) text + TextOps.q124RepTail else text
+      val t0 = if (id % 3 == 0) t1 + footer.map("\n" + _).mkString else t1
+      val toks = t0.toLowerCase.split(" ", -1)
+      val lines = t0.split("\n", -1)
+      val qs = math.min(t0.length / 500.0, 1.0) * 0.5 +
+        toks.distinct.length.toDouble / toks.length * 0.3 +
+        (1.0 - toks.count(stop).toDouble / toks.length) * 0.2
+      val tris = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val rr = if (tris.isEmpty) 0.0
+        else 1.0 - tris.distinct.length.toDouble / tris.length
+      val dupLines = 1.0 - lines.distinct.length.toDouble / lines.length
+      val verdict =
+        if (t0.length < 100) "too_short"
+        else if (dupLines >= 0.3) "bad_composition"
+        else if (rr >= TextOps.q124RepThreshold) "repetitious"
+        else if (qs < 0.6) "low_quality"
+        else "keep"
+      id -> verdict
+    }.toMap
+    val got = TextOps.q124CurationFunnel(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(5)))
+    assert(got.length == expect.size)
+    got.foreach { case (id, v) => assert(v == expect(id), s"doc $id") }
+    assert(got.map(_._2).toSet == Set("too_short", "bad_composition",
+      "repetitious", "low_quality", "keep"),
+      s"verdict coverage: ${got.map(_._2).distinct.toSeq}")
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
