@@ -1450,6 +1450,66 @@ object TextOps {
        |FROM q LEFT JOIN r ON q.doc_id = r.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q125
+  /** LM-fluency scoring (perplexity-filtering, CCNet-style): score
+    * every doc by its average trigram negative log-likelihood under
+    * a corpus-trained trigram LM — rare-trigram (disfluent,
+    * garbled, off-distribution) docs score HIGH and are the drop
+    * candidates. The per-trigram NLL ln(T/c) is floored into
+    * fixed-point MICRO-NATS before the per-doc sum, so the
+    * cross-row aggregation is pure integer arithmetic —
+    * order-independent under any partitioning, hence
+    * hash-oracle-able where a double sum would not be (q122's
+    * device); all values are positive so Spark's truncating `div`
+    * and DuckDB's flooring `//` agree. Plan: one trigram-count agg
+    * (the LM), totals broadcast, one join of positioned trigrams to
+    * the LM on the trigram key, one per-doc agg. At 100 TB the LM
+    * prunes to a frequency floor + OOV default and broadcasts
+    * (q92's floor); scoring is leave-one-in on the fixture — a
+    * held-out LM is the same plan over a q91 split. */
+  def q125LmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tri = Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(DedupOps.spansN($"text", 3)).as("g"))
+    val lm = tri.groupBy($"g").agg(count(lit(1)).as("c"))
+    val total = lm.agg(sum($"c").cast("long").as("t"))
+    val scored = tri.join(lm, Seq("g")).crossJoin(broadcast(total))
+      .select($"doc_id",
+        expr("CAST(floor(ln(CAST(t AS DOUBLE) / c) * 1000000.0) AS BIGINT)")
+          .as("nll_micro"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum($"nll_micro").as("sum_nll"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_trigrams", lit(0L)).as("n_trigrams"),
+        when($"n_trigrams".isNull, 0L)
+          .otherwise(expr("sum_nll div n_trigrams")).as("avg_nll_micro"))
+      .orderBy($"doc_id")
+  }
+
+  private val q125Oracle =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      |  FROM t),
+      |lm AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM lm),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_trigrams,
+      |    CAST(sum(CAST(floor(ln(CAST(t AS DOUBLE) / c) * 1000000.0) AS BIGINT))
+      |      AS BIGINT) AS sum_nll
+      |  FROM g JOIN lm USING (g), tot
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(n_trigrams, 0) AS n_trigrams,
+      |  CASE WHEN n_trigrams IS NULL THEN 0
+      |       ELSE sum_nll // n_trigrams END AS avg_nll_micro
+      |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1480,6 +1540,7 @@ object TextOps {
     "q116_canonical_urls"     -> (q116CanonicalUrls _),
     "q119_exact_k_sample"     -> (q119ExactKSample _),
     "q124_curation_funnel"    -> (q124CurationFunnel _),
+    "q125_lm_score"           -> (q125LmScore _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1512,5 +1573,6 @@ object TextOps {
     "q116_canonical_urls"     -> q116Oracle,
     "q119_exact_k_sample"     -> q119Oracle,
     "q124_curation_funnel"    -> q124Oracle,
+    "q125_lm_score"           -> q125Oracle,
   )
 }

@@ -515,6 +515,39 @@ class TextOpsSpec extends SparkSuite {
       s"verdict coverage: ${got.map(_._2).distinct.toSeq}")
   }
 
+  test("q125 LM score: integer micro-nat replay; rare-trigram docs score higher") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1)))
+    val tris = texts.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+    }
+    val lm = tris.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val t = lm.values.sum
+    val expect = tris.map { case (id, gs) =>
+      if (gs.isEmpty) id -> (0L, 0L)
+      else {
+        val sum = gs.map(g =>
+          math.floor(math.log(t.toDouble / lm(g)) * 1000000.0).toLong).sum
+        id -> (gs.length.toLong, sum / gs.length)
+      }
+    }.toMap
+    val got = TextOps.q125LmScore(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == expect.size)
+    got.foreach { case (id, n, avg) =>
+      val (en, eavg) = expect(id)
+      assert(n == en && avg == eavg, s"doc $id: ($n,$avg) vs ($en,$eavg)")
+    }
+    // the signal discriminates: scores are not all equal, and the doc built
+    // entirely of the corpus's most common trigrams would score at the floor
+    val scores = got.filter(_._2 > 0).map(_._3)
+    assert(scores.distinct.length > 10, "LM score should spread across docs")
+    val cheapest = math.floor(math.log(t.toDouble / lm.values.max) * 1e6).toLong
+    assert(scores.forall(_ >= cheapest))
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
