@@ -1076,6 +1076,46 @@ object DedupOps {
        |SELECT source, rank FROM r$prRounds ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q126
+  /** Hard-negative mining for contrastive embedding training: for
+    * every vector, the most similar OTHER vector inside the
+    * similar-but-not-duplicate band (0.4 < cosine ≤ [[hardNegCap]])
+    * — similar enough to be informative, below the near-dup line so
+    * the pair isn't a false negative. Reuses q68's shared pair
+    * build; the symmetric expansion + per-vector top-1 is one
+    * window over the pair set ordered (cosine DESC, partner ASC) so
+    * ties break identically in both engines. At 100 TB the pair
+    * set comes from LSH/IVF candidates (q52/q71) and the window
+    * input is candidates-per-vector, not n². */
+  val hardNegCap = 0.8
+
+  def q126HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = embeddingPairs(s, dir).where($"cosine" <= hardNegCap)
+    val sym = p.select($"vec_a".as("vec_id"), $"vec_b".as("neg_id"), $"cosine")
+      .unionAll(p.select($"vec_b".as("vec_id"), $"vec_a".as("neg_id"), $"cosine"))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"cosine".desc, $"neg_id".asc)
+    sym.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"vec_id", $"neg_id".as("hard_neg_id"), $"cosine")
+      .orderBy($"vec_id")
+  }
+
+  private val q126Oracle =
+    s"""WITH $cosinePairsCte,
+       |sym AS (
+       |  SELECT vec_a AS vec_id, vec_b AS neg_id, cosine FROM cp
+       |  WHERE cosine <= $hardNegCap
+       |  UNION ALL
+       |  SELECT vec_b, vec_a, cosine FROM cp WHERE cosine <= $hardNegCap)
+       |SELECT vec_id, neg_id AS hard_neg_id, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, neg_id ASC) AS rn
+       |  FROM sym)
+       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q120
   /** Leakage-safe train/val/test split — q91's split drawn on the
     * near-dup CLUSTER id instead of the doc id, so transitive
@@ -1133,6 +1173,7 @@ object DedupOps {
     "q118_threshold_curve"  -> (q118ThresholdCurve _),
     "q120_leakage_safe_split" -> (q120LeakageSafeSplit _),
     "q122_source_centrality" -> (q122SourceCentrality _),
+    "q126_hard_negatives"   -> (q126HardNegatives _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1151,6 +1192,7 @@ object DedupOps {
     "q118_threshold_curve"  -> q118Oracle,
     "q120_leakage_safe_split" -> q120Oracle,
     "q122_source_centrality" -> q122Oracle,
+    "q126_hard_negatives"   -> q126Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
   )
 }

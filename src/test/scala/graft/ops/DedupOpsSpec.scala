@@ -343,6 +343,24 @@ class DedupOpsSpec extends SparkSuite {
     }
   }
 
+  test("q126 hard negatives: per-vector argmax inside the band, replayed") {
+    import spark.implicits._
+    val pairs = DedupOps.q68EmbeddingNearDup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 <= DedupOps.hardNegCap)
+    val sym = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val expect = sym.groupBy(_._1).view.mapValues(
+      _.minBy { case (_, n, c) => (-c, n) }).toMap
+    val got = DedupOps.q126HardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { case (v, n, c) =>
+      val (_, en, ec) = expect(v)
+      assert(n == en && c == ec, s"vec $v")
+      assert(c > 0.4 && c <= DedupOps.hardNegCap)
+    }
+  }
+
   test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
     import spark.implicits._
     val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")
