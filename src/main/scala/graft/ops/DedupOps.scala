@@ -308,9 +308,14 @@ object DedupOps {
     * supersedes the large-star/small-star alternative (O(log² n)
     * rounds) with a strictly simpler per-round plan: one hash join +
     * one hash aggregate + one self-join over (long, long) label rows. */
-  private def ccLabelsWorking(s: SparkSession, dir: String): DataFrame = {
+  private def ccLabelsWorking(s: SparkSession, dir: String): DataFrame =
+    ccFixpoint(s, jaccardPairs(s, dir).select(col("doc_a"), col("doc_b")))
+
+  /** The min-label + pointer-jumping fixpoint over an ARBITRARY
+    * undirected pair set `(doc_a, doc_b)` — shared by the full build
+    * (q79/q74/q120) and q127's contracted delta graph. */
+  private def ccFixpoint(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
-    val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
     val edges = pairs
       .union(pairs.select($"doc_b", $"doc_a"))
       .toDF("dst", "src")                  // (dst = labeled side, src = receiver)
@@ -341,11 +346,66 @@ object DedupOps {
       it += 1
     }
     if (!converged) throw new IllegalStateException(
-      s"q79 min-label propagation did not converge in $maxCcIterations rounds — " +
+      s"min-label propagation did not converge in $maxCcIterations rounds — " +
         "rounds scale with log2(component diameter); this indicates a logic bug, " +
         "not a plausible input")
     labels
   }
+
+  // ---------------------------------------------------------------- q127
+  /** Incremental cluster maintenance — the operation that makes
+    * near-dup clustering sustainable at 100 TB: when a delivery adds
+    * new documents (and therefore new similarity edges), do NOT
+    * re-cluster the corpus; CONTRACT yesterday's clusters to their
+    * representative labels (each old cluster becomes one super-node),
+    * map only the delta edges through the contraction, run the CC
+    * fixpoint on that tiny contracted graph, and compose the two
+    * label maps. Because min-label representatives are component
+    * minima, the composed labeling is PROVABLY identical to a full
+    * recompute — and the oracle is exactly the full recompute (q79's
+    * recursive CTE over all of today's edges), so the equivalence is
+    * hash-checked, not asserted. Yesterday = docs below
+    * [[incrBoundary]]; delta = every pair touching a newer doc. Cost:
+    * the old fixpoint is yesterday's (already materialized in a real
+    * pipeline), the new fixpoint runs over contracted delta edges
+    * only. */
+  val incrBoundary = 250L
+
+  def q127IncrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairs(s, dir)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val oldPairs = pairs
+      .where($"doc_a" < incrBoundary && $"doc_b" < incrBoundary)
+    val deltaEdges = pairs
+      .where($"doc_a" >= incrBoundary || $"doc_b" >= incrBoundary)
+    // yesterday's labels, contracted: every doc maps to its old
+    // cluster representative (own id if unclustered or new)
+    val oldLabels = ccFixpoint(s, oldPairs)
+    val repA = oldLabels.select($"doc_id".as("doc_a"), $"lbl".as("rep_a"))
+    val repB = oldLabels.select($"doc_id".as("doc_b"), $"lbl".as("rep_b"))
+    val contracted = deltaEdges
+      .join(repA, Seq("doc_a"), "left")
+      .join(repB, Seq("doc_b"), "left")
+      .select(coalesce($"rep_a", $"doc_a").as("doc_a"),
+        coalesce($"rep_b", $"doc_b").as("doc_b"))
+      .where($"doc_a" =!= $"doc_b")
+      .distinct()
+    val merged = ccFixpoint(s, contracted)
+    // compose: doc → old rep → merged label (falling back at each hop)
+    Tables.documents(s, dir).select($"doc_id")
+      .join(oldLabels.select($"doc_id", $"lbl".as("rep")), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"rep", $"doc_id").as("rep"))
+      .join(merged.select($"doc_id".as("rep"), $"lbl".as("merged_lbl")),
+        Seq("rep"), "left")
+      .select($"doc_id", coalesce($"merged_lbl", $"rep").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  // lazy: ccCte is declared later in the object body
+  private lazy val q127Oracle =
+    s"""WITH RECURSIVE $ccCte
+       |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin
 
   /** Shared oracle CTE chain ending in `lab(doc_id, cluster_id)` —
     * the WITH RECURSIVE min-label fixpoint both q79 and q74 build on. */
@@ -1174,6 +1234,7 @@ object DedupOps {
     "q120_leakage_safe_split" -> (q120LeakageSafeSplit _),
     "q122_source_centrality" -> (q122SourceCentrality _),
     "q126_hard_negatives"   -> (q126HardNegatives _),
+    "q127_incremental_clusters" -> (q127IncrementalClusters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1193,6 +1254,7 @@ object DedupOps {
     "q120_leakage_safe_split" -> q120Oracle,
     "q122_source_centrality" -> q122Oracle,
     "q126_hard_negatives"   -> q126Oracle,
+    "q127_incremental_clusters" -> q127Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
   )
 }

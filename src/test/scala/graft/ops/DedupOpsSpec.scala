@@ -361,6 +361,26 @@ class DedupOpsSpec extends SparkSuite {
     }
   }
 
+  test("q127 incremental == full recompute, and the delta genuinely merges") {
+    import spark.implicits._
+    val full = DedupOps.q79NeardupClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val incr = DedupOps.q127IncrementalClusters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incr == full, "incremental labels must equal the full recompute")
+    // the fixture's delta is non-trivial: pairs cross the boundary, and at
+    // least one component spans old and new docs (so contraction + the
+    // second fixpoint actually did work, not just a no-op passthrough)
+    val pairs = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = DedupOps.incrBoundary
+    assert(pairs.exists { case (x, y) => x < b && y < b }, "need old-only pairs")
+    assert(pairs.exists { case (x, y) => x >= b || y >= b }, "need delta pairs")
+    val spanning = full.groupBy(_._2).values
+      .exists(m => m.exists(_._1 < b) && m.exists(_._1 >= b) && m.size > 1)
+    assert(spanning, "need a component spanning the boundary")
+  }
+
   test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
     import spark.implicits._
     val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")
