@@ -69,16 +69,30 @@ object DedupOps {
       |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
   // ---------------------------------------------------------------- q65
-  /** MinHash + LSH near-dedup. k=32 minhashes (xxhash64 with per-
-    * function salt), b=8 bands × r=4 rows; candidate pairs share at
-    * least one band bucket; estimated Jaccard = matching-signature
-    * fraction, thresholded at 0.5.
+  /** MinHash + LSH near-dedup. k=32 minhashes, b=8 bands × r=4 rows;
+    * candidate pairs share at least one band bucket; estimated
+    * Jaccard = matching-signature fraction, thresholded at 0.5.
     *
-    * No SQL oracle (xxhash64 is Spark-specific); DedupOpsSpec checks
-    * the estimates against q66's exact Jaccard on the planted
-    * near-duplicates. */
+    * The hash family is md5-seeded universal hashing — h₀ = 28-bit
+    * truncated md5 of the shingle, permᵢ = (aᵢ·h₀ + bᵢ) mod M
+    * (Mersenne 2³¹−1, products ≤ 2⁵⁹ so 64-bit exact in BOTH
+    * engines) — chosen over xxhash64 precisely because DuckDB can
+    * reproduce it: the whole LSH pipeline (signatures → band
+    * buckets → capped candidate pairs → estimates) is therefore
+    * hash-ORACLED, not just recall-spec'd. The aᵢ/bᵢ coefficients
+    * are drawn once from a fixed-seed LCG and embedded as literals
+    * in both the Column expressions and the generated oracle SQL. */
   val minhashK = 32
   val lshBands = 8 // × 4 rows per band
+  val minhashMod = 2147483647L // Mersenne prime 2^31 - 1
+
+  /** (aᵢ, bᵢ) per minhash function: aᵢ ∈ [1, M−1], bᵢ ∈ [0, M−1]. */
+  private[graft] val minhashCoeffs: Seq[(Long, Long)] = {
+    val r = new java.util.Random(20260812L)
+    (0 until minhashK).map { _ =>
+      (1L + r.nextInt((minhashMod - 1).toInt), r.nextInt(minhashMod.toInt).toLong)
+    }
+  }
 
   /** (doc_id, sig array<long>[k]): explode distinct shingles, reduce
     * k salted-hash minima with one codegen'd hash aggregate. Map-side
@@ -92,8 +106,11 @@ object DedupOps {
     import s.implicits._
     val sh = Tables.documentsSpread(s, dir)
       .select($"doc_id", explode(shingles3($"text")).as("sh"))
-    val aggs = (0 until minhashK).map(seed =>
-      min(xxhash64(lit(seed), $"sh")).as(s"m$seed"))
+      .withColumn("h0",
+        expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
+    val aggs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(($"h0" * a + b) % minhashMod).as(s"m$i")
+    }
     sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
       .select($"doc_id", array((0 until minhashK).map(i => col(s"m$i")): _*).as("sig"))
   }
@@ -122,12 +139,16 @@ object DedupOps {
     // them rare, and the maxGroupSize cap drops pathological buckets
     // (identical boilerplate text hashing 1e6 docs into one bucket)
     // before they can explode into k²/2 pairs.
+    // bucket key = the band's minima joined as a string — directly
+    // groupable and reproducible in the oracle SQL (an engine-specific
+    // hash of it would re-break oracle-ability for no shuffle saving
+    // worth having: keys are ~40 bytes)
     val banded = sigs.select($"doc_id", $"sig",
       explode(transform(sequence(lit(0), lit(lshBands - 1)), j =>
         struct(j.as("band"),
-          xxhash64(j, array_join(transform(
+          array_join(transform(
             sequence(j * rows + 1, (j + 1) * rows),
-            i => element_at($"sig", i.cast("int")).cast("string")), ",")).as("bucket"))))
+            i => element_at($"sig", i.cast("int")).cast("string")), ",").as("bucket"))))
         .as("bk"))
       .select($"doc_id", $"sig", $"bk.band", $"bk.bucket")
     banded
@@ -145,6 +166,54 @@ object DedupOps {
       .distinct()
       .where($"est_jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Generated oracle for the full LSH pipeline — same coefficients,
+    * same band geometry, same bucket cap, interpolated from the
+    * Spark-side constants so the two can never drift. */
+  private lazy val q65Oracle = {
+    val rows = minhashK / lshBands
+    val minExprs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h0 * $a + $b) % $minhashMod) AS m$i"
+    }.mkString(",\n       |    ")
+    val bandRows = (0 until lshBands).map { j =>
+      val key = (j * rows until (j + 1) * rows)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, $key AS bucket FROM sig"
+    }.mkString("\n       |  UNION ALL\n       |  ")
+    val matches = (0 until minhashK)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+       |shd AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h0 FROM shd),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minExprs
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows),
+       |ok AS (
+       |  SELECT band, bucket FROM bands GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $maxGroupSize),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id
+       |  JOIN ok ON a.band = ok.band AND a.bucket = ok.bucket)
+       |SELECT doc_a, doc_b,
+       |  CAST($matches AS DOUBLE) / $minhashK AS est_jaccard
+       |FROM cand
+       |JOIN sig sa ON doc_a = sa.doc_id
+       |JOIN sig sb ON doc_b = sb.doc_id
+       |WHERE CAST($matches AS DOUBLE) / $minhashK >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---------------------------------------------------------------- q66
@@ -1239,6 +1308,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "q64_exact_dedup"       -> q64Oracle,
+    "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,
     "q67_simhash"           -> q67Oracle,
     "q68_embedding_neardup" -> q68Oracle,
