@@ -102,8 +102,11 @@ object SimilarityOps {
     * embedding corpora cluster, making nprobe/C ≪ 1 the operating
     * point.
     *
-    * No SQL oracle (cell assignment isn't reasonably expressible);
-    * SimilarityOpsSpec checks recall@10 against q70. */
+    * Fully ORACLE-CHECKED: Lloyd means run on a fixed-point integer
+    * grid (see [[quantScale]]), so the model — seeds, two unrolled
+    * training rounds, assignment, probes, and the exact-cosine
+    * ranking — is recomputed verbatim by the generated DuckDB SQL.
+    * SimilarityOpsSpec additionally checks recall@10 against q70. */
   val numCells = 8
   val nprobe = 4
 
@@ -126,13 +129,21 @@ object SimilarityOps {
     * PlanSpec-pinned). */
   val lloydSamplePct = 25
 
+  /** Fixed-point grid for Lloyd means: elements quantize to
+    * floor(x·2²⁰) before summation, so the per-(cell, dim) reduction
+    * is INTEGER — order-independent under any partitioning — and the
+    * centroid mean is an exact floor division. Means stay < 2²⁴, so
+    * the Float centroid representation is exact and the DuckDB
+    * oracle reproduces the whole model bit-for-bit (a double mean's
+    * low bits depend on summation order — the reason q71 was
+    * rows-only before this). Cosine against the scaled centroids is
+    * unchanged: cosine is scale-invariant per centroid. */
+  val quantScale = 1048576L // 2^20
+
   /** (cid, centroid vector, centroid norm) — the IVF "model". One
     * driver-side collect of exactly numCells rows per training round;
     * the count() that places the seed stride is metadata-only on
-    * parquet. Centroid means use doubles (summation order varies with
-    * partitioning, so low bits aren't reproducible — q71 is rows-only
-    * + recall-spec'd, never hash-compared, exactly for this). A cell
-    * that goes empty keeps its previous centroid. */
+    * parquet. A cell that goes empty keeps its previous centroid. */
   private def centroidModel(s: SparkSession, dir: String): Array[(Long, Seq[Float], Double)] = {
     import s.implicits._
     val c = corpus(s, dir)
@@ -152,13 +163,15 @@ object SimilarityOps {
           (-array_max(centroidScores(cents, $"embedding", $"nrm")).getField("negcid")).as("cell"),
           posexplode($"embedding"))
         .groupBy($"cell", $"pos")
-        .agg(avg($"col").as("m"))
+        .agg(sum(floor($"col".cast("double") * quantScale.toDouble).cast("long")).as("qs"),
+          count(lit(1)).as("n"))
         .collect()
         .groupBy(_.getLong(0))
       cents = cents.map { case (cid, oldVec, oldNrm) =>
         means.get(cid) match {
           case Some(rows) =>
-            val vec = rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+            val vec = rows.sortBy(_.getInt(1))
+              .map(r => Math.floorDiv(r.getLong(2), r.getLong(3)).toFloat).toSeq
             val nrm = math.sqrt(vec.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
             (cid, vec, nrm)
           case None => (cid, oldVec, oldNrm)
@@ -205,6 +218,97 @@ object SimilarityOps {
       .where($"rank" <= topK)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"cosine")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Generated oracle replaying the ENTIRE IVF pipeline in SQL:
+    * strided seeds → [[lloydIterations]] unrolled fixed-point Lloyd
+    * rounds over the md5 sample → zero-arg cell assignment → probe
+    * selection → exact-cosine ranking. Every constant ([[numCells]],
+    * [[nprobe]], [[quantScale]], sample predicate, tie-breaks) is
+    * interpolated from the Spark-side values. */
+  private lazy val q71Oracle = {
+    def cosSql(emb: String, nrm: String, cv: String, cn: String) =
+      s"""list_reduce(list_transform(range(1, len($emb) + 1),
+         |        i -> CAST($emb[i] AS DOUBLE) * $cv[i]), (x, y) -> x + y)
+         |      / ($nrm * $cn)""".stripMargin
+    val rounds = (1 to lloydIterations).map { k =>
+      val prev = if (k == 1) "c0" else s"c${k - 1}"
+      s"""a$k AS (
+         |  SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+         |  FROM (
+         |    SELECT t.vec_id, c.cid,
+         |      ${cosSql("t.embedding", "t.nrm", "c.cv", "c.cn")} AS cos
+         |    FROM train t, $prev c)),
+         |m$k AS (
+         |  SELECT a.cid AS cell, tq.pos,
+         |    CAST(sum(tq.q) AS BIGINT) // count(*) AS m
+         |  FROM (SELECT vec_id, cid FROM a$k WHERE rn = 1) a
+         |  JOIN tq ON a.vec_id = tq.vec_id
+         |  GROUP BY 1, 2),
+         |mv$k AS (
+         |  SELECT cell AS cid, list(CAST(m AS DOUBLE) ORDER BY pos) AS cv
+         |  FROM m$k GROUP BY 1),
+         |c$k AS (
+         |  SELECT p.cid, COALESCE(mv$k.cv, p.cv) AS cv,
+         |    sqrt(list_reduce(list_transform(COALESCE(mv$k.cv, p.cv), x -> x * x),
+         |      (x, y) -> x + y)) AS cn
+         |  FROM $prev p LEFT JOIN mv$k ON p.cid = mv$k.cid)""".stripMargin
+    }.mkString(",\n")
+    val last = s"c$lloydIterations"
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |st AS (SELECT greatest(1, count(*) // $numCells) AS stride FROM e),
+       |c0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv, nrm AS cn
+       |  FROM e, st WHERE vec_id % stride = 0 AND vec_id < stride * $numCells),
+       |train AS (
+       |  SELECT * FROM e
+       |  WHERE ('0x' || substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT
+       |    % 100 < $lloydSamplePct),
+       |tq AS (
+       |  SELECT vec_id, i AS pos,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $quantScale.0) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i
+       |        FROM train)),
+       |$rounds,
+       |sc AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${cosSql("e.embedding", "e.nrm", "c.cv", "c.cn")} AS cos
+       |  FROM e, $last c),
+       |cells AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+       |    FROM sc)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+       |    FROM sc WHERE vec_id < $nQueries)
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, ce.vec_id
+       |  FROM probes p JOIN cells ce ON p.cell = ce.cell
+       |  WHERE ce.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    ${dotSql("ce.embedding", "qe.embedding")} / (ce.nrm * qe.nrm) AS cosine
+       |  FROM cand
+       |  JOIN e ce ON cand.vec_id = ce.vec_id
+       |  JOIN e qe ON cand.query_id = qe.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id AS neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, cosine FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q52
@@ -484,6 +588,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "q70_knn_bruteforce" -> q70Oracle,
+    "q71_knn_ivf"        -> q71Oracle,
     "q52_knn_lsh"        -> q52Oracle,
     "q95_filtered_knn"   -> q95Oracle,
     "q97_quantize_int8"  -> q97Oracle,
