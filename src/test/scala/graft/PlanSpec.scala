@@ -174,6 +174,18 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange rangepartitioning"), p.take(800))
   }
 
+  test("q115/q117: bounds broadcast; attribution shuffles once on the user key") {
+    val p115 = plan(Relational.q115DriftReport(spark, sf0001))
+    // both snapshots bin against ONE broadcast bounds row — no
+    // sort-merge join anywhere in the report
+    assert(p115.contains("BroadcastExchange") && !p115.contains("SortMergeJoin"))
+    val p117 = plan(EventOps.q117Attribution(spark, sf0001))
+    // the union + running-last-value as-of device: exactly one hash
+    // exchange (the per-user window), never a join
+    assert("Exchange hashpartitioning".r.findAllIn(p117).length == 1, p117.take(900))
+    assert(!p117.contains("Join"), p117.take(900))
+  }
+
   test("whole-stage codegen covers the scan-side of the text pipeline") {
     val df = TextOps.q63Fingerprint(spark, sf0001)
     df.collect() // AQE finalizes stages only on execution
