@@ -1510,6 +1510,81 @@ object TextOps {
       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q128
+  /** BM25 retrieval — the ranked-search counterpart of q78's
+    * inverted index: score every document against a fixed query-term
+    * set with the Okapi BM25 formula (k1=1.2, b=0.75, the
+    * +1-smoothed idf that keeps all weights positive) and return the
+    * top 20. With literal query terms the per-doc term frequencies
+    * are pure scan-side projections (size(filter(toks, = term)) —
+    * no explode, no join); document frequencies and the average
+    * length are one broadcast scalar row; the top-20 is
+    * TakeOrdered. Exactly the plan you want at 100 TB for a bounded
+    * query: one scan, one tiny agg, k rows out. Scores round to 4
+    * decimals (ln in idf — q73's device). */
+  val bm25Terms: Seq[String] = Seq("spark", "window", "merge")
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  def q128Bm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val withTf = Tables.documentsSpread(s, dir)
+      .withColumn("toks", toks($"text"))
+      .withColumn("dl", size($"toks").cast("long"))
+    val tf = bm25Terms.zipWithIndex.foldLeft(withTf) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        size(filter($"toks", x => x === t)).cast("long"))
+    }
+    val statCols = Seq(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl")) ++
+      bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i"))
+    val stats = tf.agg(statCols.head, statCols.tail: _*)
+    // D-suffixed literals: bare 0.5/1.2 parse as DECIMAL in Spark SQL
+    // and would drag the whole score into truncating decimal math
+    // (the q112 lesson); DuckDB keeps the same literals double.
+    def scoreSql(lit: Double => String) = bm25Terms.indices.map { i =>
+      s"ln((n_docs - df$i + ${lit(0.5)}) / (df$i + ${lit(0.5)}) + ${lit(1.0)})" +
+        s" * (tf$i * (${lit(bm25K1)} + ${lit(1.0)}))" +
+        s" / (tf$i + ${lit(bm25K1)} * (${lit(1.0)} - ${lit(bm25B)}" +
+        s" + ${lit(bm25B)} * dl / avgdl))"
+    }.mkString(" + ")
+    tf.crossJoin(broadcast(stats))
+      .select($"doc_id", $"dl",
+        expr(s"round(${scoreSql(d => s"${d}D")}, 4)").as("bm25"))
+      .where($"bm25" > 0.0)
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+  }
+
+  private val q128Oracle = {
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfCols = bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(", ")
+    val score = bm25Terms.indices.map { i =>
+      s"ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0)" +
+        s" * (tf$i * ($bm25K1 + 1.0))" +
+        s" / (tf$i + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl))"
+    }.mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |tf AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfCols FROM t),
+       |st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl,
+       |    $dfCols
+       |  FROM tf)
+       |SELECT doc_id, dl, round($score, 4) AS bm25
+       |FROM tf, st
+       |WHERE round($score, 4) > 0.0
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1541,6 +1616,7 @@ object TextOps {
     "q119_exact_k_sample"     -> (q119ExactKSample _),
     "q124_curation_funnel"    -> (q124CurationFunnel _),
     "q125_lm_score"           -> (q125LmScore _),
+    "q128_bm25"               -> (q128Bm25 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1574,5 +1650,6 @@ object TextOps {
     "q119_exact_k_sample"     -> q119Oracle,
     "q124_curation_funnel"    -> q124Oracle,
     "q125_lm_score"           -> q125Oracle,
+    "q128_bm25"               -> q128Oracle,
   )
 }

@@ -548,6 +548,35 @@ class TextOpsSpec extends SparkSuite {
     assert(scores.forall(_ >= cheapest))
   }
 
+  test("q128 BM25: from-first-principles replay of the top-20 ranking") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1)))
+    val n = texts.length.toDouble
+    val avgdl = texts.map(_._2.length).sum.toDouble / texts.length
+    val dfs = TextOps.bm25Terms.map(t => t -> texts.count(_._2.contains(t)).toDouble).toMap
+    val (k1, b) = (TextOps.bm25K1, TextOps.bm25B)
+    val scored = texts.map { case (id, toks) =>
+      val s = TextOps.bm25Terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val df = dfs(t)
+        math.log((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * (k1 + 1.0)) /
+          (tf + k1 * (1.0 - b + b * toks.length / avgdl))
+      }.sum
+      id -> BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = scored.filter(_._2 > 0.0)
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val got = TextOps.q128Bm25(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == expect.map(_._1).toSeq,
+      s"got ${got.take(5).mkString(",")} expect ${expect.take(5).mkString(",")}")
+    got.zip(expect).foreach { case ((_, s), (_, es)) =>
+      assert(math.abs(s - es) < 2e-4)
+    }
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
