@@ -1585,6 +1585,63 @@ object TextOps {
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q129
+  /** Per-source LM divergence — KL(source ‖ corpus) over trigram
+    * distributions: how far each source's language drifts from the
+    * corpus mixture (high divergence marks machine-generated,
+    * templated, or off-domain feeds — the source-level sibling of
+    * q125's per-doc fluency). Per-trigram log-ratios are floored to
+    * integer micro-nats and weighted by EXACT integer counts before
+    * the per-source sum (q125's device — order-independent,
+    * hash-oracle-able); the single final division happens once per
+    * source on exact integers. Every source trigram occurs in the
+    * corpus by construction, so no smoothing epsilon is needed.
+    * Plan: one (source, gram) agg, the global LM derived from it by
+    * a second partial agg, two broadcast-sized scalar joins. */
+  def q129SourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = Tables.documentsSpread(s, dir)
+      .select($"source", explode(DedupOps.spansN($"text", 3)).as("g"))
+      .groupBy($"source", $"g").agg(count(lit(1)).as("cs"))
+    val gc = sc.groupBy($"g").agg(sum($"cs").as("cg"))
+    val tg = gc.agg(sum($"cg").cast("long").as("tg"))
+    val ts = sc.groupBy($"source").agg(sum($"cs").as("ts"))
+    sc.join(gc, Seq("g"))
+      .crossJoin(broadcast(tg))
+      .join(broadcast(ts), Seq("source"))
+      .select($"source", $"cs", $"ts",
+        expr("""CAST(floor(ln((CAST(cs AS DOUBLE) * tg)
+               / (CAST(ts AS DOUBLE) * cg)) * 1000000.0D) AS BIGINT)""")
+          .as("l"))
+      .groupBy($"source")
+      .agg(max($"ts").as("n_trigrams"), sum($"l" * $"cs").as("sum_micro"))
+      .select($"source", $"n_trigrams",
+        expr("round(CAST(sum_micro AS DOUBLE) / n_trigrams / 1000000.0D, 6)")
+          .as("kl_nats"))
+      .orderBy($"source")
+  }
+
+  private val q129Oracle =
+    """WITH t AS (
+      |  SELECT source, string_split(lower(text), ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      |  FROM t),
+      |sc AS (SELECT source, g, count(*) AS cs FROM g GROUP BY 1, 2),
+      |gc AS (SELECT g, CAST(sum(cs) AS BIGINT) AS cg FROM sc GROUP BY g),
+      |tg AS (SELECT CAST(sum(cg) AS BIGINT) AS tg FROM gc),
+      |ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ts FROM sc GROUP BY source),
+      |l AS (
+      |  SELECT sc.source, cs, ts.ts,
+      |    CAST(floor(ln((CAST(cs AS DOUBLE) * tg)
+      |      / (CAST(ts AS DOUBLE) * cg)) * 1000000.0) AS BIGINT) AS l
+      |  FROM sc JOIN gc USING (g) JOIN ts ON sc.source = ts.source, tg)
+      |SELECT source, max(ts) AS n_trigrams,
+      |  round(CAST(CAST(sum(l * cs) AS BIGINT) AS DOUBLE) / max(ts)
+      |    / 1000000.0, 6) AS kl_nats
+      |FROM l GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1617,6 +1674,7 @@ object TextOps {
     "q124_curation_funnel"    -> (q124CurationFunnel _),
     "q125_lm_score"           -> (q125LmScore _),
     "q128_bm25"               -> (q128Bm25 _),
+    "q129_source_divergence"  -> (q129SourceDivergence _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1651,5 +1709,6 @@ object TextOps {
     "q124_curation_funnel"    -> q124Oracle,
     "q125_lm_score"           -> q125Oracle,
     "q128_bm25"               -> q128Oracle,
+    "q129_source_divergence"  -> q129Oracle,
   )
 }

@@ -577,6 +577,37 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q129 source divergence: integer micro-nat replay; KL is near-nonnegative") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.split(" ", -1)))
+    val bySrc = texts.groupBy(_._1).view.mapValues(_.flatMap(_._2
+      .sliding(3).filter(_.length == 3).map(_.mkString(" "))).toSeq).toMap
+    val global = bySrc.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tg = global.values.sum
+    val expect = bySrc.map { case (src, grams) =>
+      val cs = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ts = grams.length.toLong
+      val sum = cs.map { case (g, c) =>
+        math.floor(math.log(c.toDouble * tg / (ts.toDouble * global(g))) * 1e6)
+          .toLong * c
+      }.sum
+      src -> (ts, BigDecimal(sum.toDouble / ts / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextOps.q129SourceDivergence(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expect.size)
+    got.foreach { case (src, n, kl) =>
+      val (en, ekl) = expect(src)
+      assert(n == en && math.abs(kl - ekl) < 2e-6, s"source $src: $kl vs $ekl")
+      // KL >= 0 up to the micro-nat flooring error (one micro-nat per gram)
+      assert(kl >= -2e-6, s"source $src negative divergence $kl")
+    }
+    assert(got.map(_._3).distinct.length > 1, "divergence should vary by source")
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
