@@ -1642,6 +1642,55 @@ object TextOps {
       |    / 1000000.0, 6) AS kl_nats
       |FROM l GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q130
+  /** Text normalization pipeline — the cleanup pass that runs before
+    * ANY fingerprinting or dedup: Unicode NFC composition (via the
+    * custom codegen'd [[graft.expr.NfcNormalize]] — Spark SQL has no
+    * normalize function, and 'é' vs 'e'+combining-acute silently
+    * splits exact dedup), control-character strip, whitespace
+    * collapse, trim. The fixture corpus is pure ASCII, so every rule
+    * is exercised by planting (q57's device): every 5th doc gains a
+    * decomposed accent, a control char, and doubled spaces — and
+    * the oracle (DuckDB `nfc_normalize` + the same RE2/Java-common
+    * regexes) must reproduce the repaired string byte-for-byte.
+    * Pure projection; whole-stage codegen end to end. */
+  // decomposed accent + a bell control char + doubled spaces: must
+  // be byte-identical to the oracle chr() concatenation
+  private val q130PlantedTail = " cafe\u0301 x\u0007y  z"
+
+  def q130Normalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documentsSpread(s, dir)
+      .withColumn("t0",
+        when($"doc_id" % 5 === 2, concat($"text", lit(q130PlantedTail)))
+          .otherwise($"text"))
+      .select($"doc_id",
+        length($"t0").cast("long").as("n_chars_raw"),
+        trim(regexp_replace(regexp_replace(
+          graft.expr.TextExprs.nfc($"t0"),
+          "[\\x01-\\x1f]", ""), " +", " ")).as("norm_text"))
+      .withColumn("n_chars_norm", length($"norm_text").cast("long"))
+      .select($"doc_id", $"norm_text", $"n_chars_raw", $"n_chars_norm")
+      .orderBy($"doc_id")
+  }
+
+  private val q130Oracle =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 2
+      |      THEN text || ' cafe' || chr(769) || ' x' || chr(7) || 'y  z'
+      |      ELSE text END AS t0
+      |  FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(
+      |    nfc_normalize(t0), '[\x01-\x1f]', '', 'g'), ' +', ' ', 'g'))
+      |    AS norm_text,
+      |  CAST(length(t0) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(trim(regexp_replace(regexp_replace(
+      |    nfc_normalize(t0), '[\x01-\x1f]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+      |    AS n_chars_norm
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1675,6 +1724,7 @@ object TextOps {
     "q125_lm_score"           -> (q125LmScore _),
     "q128_bm25"               -> (q128Bm25 _),
     "q129_source_divergence"  -> (q129SourceDivergence _),
+    "q130_normalize"          -> (q130Normalize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1710,5 +1760,6 @@ object TextOps {
     "q125_lm_score"           -> q125Oracle,
     "q128_bm25"               -> q128Oracle,
     "q129_source_divergence"  -> q129Oracle,
+    "q130_normalize"          -> q130Oracle,
   )
 }

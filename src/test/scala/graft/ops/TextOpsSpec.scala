@@ -608,6 +608,35 @@ class TextOpsSpec extends SparkSuite {
     assert(got.map(_._3).distinct.length > 1, "divergence should vary by source")
   }
 
+  test("q130 normalization: planted damage repaired; clean docs byte-identical") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.q130Normalize(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == texts.size)
+    got.foreach { case (id, norm, raw, nn) =>
+      if (id % 5 == 2) {
+        // NFC composed the accent (é is ONE char), the bell is gone,
+        // doubled spaces collapsed — 3 chars shorter than raw
+        assert(norm == texts(id) + " café xy z", s"doc $id")
+        // tail adds 13 code points raw (incl. combining mark + bell);
+        // normalization composes 1, strips 1, collapses 1 → −3
+        assert(raw == texts(id).length + 13 && nn == raw - 3, s"doc $id lengths")
+      } else {
+        assert(norm == texts(id) && nn == raw, s"doc $id must be untouched")
+      }
+    }
+    // the codegen'd expression IS the JDK normalizer
+    val probe = Seq("café", "åbc", "plain").toDF("s")
+      .select(graft.expr.TextExprs.nfc($"s")).collect().map(_.getString(0))
+    val expect = Seq("café", "åbc", "plain")
+      .map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(probe.toSeq == expect)
+    assert(probe(0) == "café" && probe(1) == "åbc")
+  }
+
   test("q96 blocklist drops exactly the docs citing a blocked domain") {
     import spark.implicits._
     val kept = TextOps.q96DomainBlocklist(spark, sf0001)
