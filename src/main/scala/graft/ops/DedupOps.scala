@@ -477,8 +477,9 @@ object DedupOps {
        |SELECT doc_id, cluster_id FROM lab ORDER BY doc_id""".stripMargin
 
   /** Shared oracle CTE chain ending in `lab(doc_id, cluster_id)` —
-    * the WITH RECURSIVE min-label fixpoint both q79 and q74 build on. */
-  private val ccCte =
+    * the WITH RECURSIVE min-label fixpoint q79/q74/q120/q127/q131
+    * build on. */
+  private[ops] val ccCte =
     s"""$jaccardPairsCte,
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
        |      UNION ALL SELECT doc_b, doc_a FROM jp),
@@ -1284,6 +1285,87 @@ object DedupOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q131
+  /** Pipeline retention ledger — the top-line report every curation
+    * run ends with: docs and tokens surviving each cumulative stage
+    * (raw → exact dedup keeper → near-dup cluster keeper → quality
+    * gate), so attrition is attributable to a stage before anyone
+    * ships the corpus. One pass computes every flag (exact keeper =
+    * min doc per content fingerprint via a window on md5(text);
+    * near-dup keeper from q79's fixpoint; quality = q62's composite
+    * ≥ 0.6 — the production gate composes q124's full funnel, same
+    * shape), ONE aggregate row carries all eight conditional sums,
+    * and `stack` unpivots it to the 4-row ledger — no per-stage
+    * re-scan. Token counts are exact integers. */
+  def q131RetentionLedger(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5($"text"))
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", $"text",
+        size(split(lower($"text"), " ")).cast("long").as("ntok"))
+      .withColumn("ex_keep", $"doc_id" === min($"doc_id").over(w))
+      .drop("text")
+    val cc = q79NeardupClusters(s, dir).select($"doc_id", $"is_keeper".as("cc_keep"))
+    val ql = TextOps.qualityScores(s, dir)
+      .select($"doc_id", ($"quality_score" >= 0.6).as("q_keep"))
+    base.join(cc, Seq("doc_id")).join(ql, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("c0"), sum($"ntok").as("t0"),
+        sum(when($"ex_keep", 1L).otherwise(0L)).as("c1"),
+        sum(when($"ex_keep", $"ntok").otherwise(0L)).as("t1"),
+        sum(when($"ex_keep" && $"cc_keep", 1L).otherwise(0L)).as("c2"),
+        sum(when($"ex_keep" && $"cc_keep", $"ntok").otherwise(0L)).as("t2"),
+        sum(when($"ex_keep" && $"cc_keep" && $"q_keep", 1L).otherwise(0L)).as("c3"),
+        sum(when($"ex_keep" && $"cc_keep" && $"q_keep", $"ntok").otherwise(0L)).as("t3"))
+      .selectExpr(
+        """stack(4,
+          |  0L, 'raw',            c0, t0,
+          |  1L, 'exact_dedup',    c1, t1,
+          |  2L, 'neardup_keeper', c2, t2,
+          |  3L, 'quality',        c3, t3)
+          |AS (stage_no, stage, n_docs, n_tokens)""".stripMargin)
+      .orderBy($"stage_no")
+  }
+
+  private lazy val q131Oracle = {
+    val stop = TextOps.stopwords.map(w => s"'$w'").mkString(",")
+    s"""WITH RECURSIVE $ccCte,
+       |ex AS (
+       |  SELECT doc_id,
+       |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS ex_keep
+       |  FROM documents),
+       |ql AS (
+       |  SELECT doc_id,
+       |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+       |    + CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+       |      / len(string_split(lower(text), ' ')) * 0.3
+       |    + (1.0 - CAST(len(list_filter(string_split(lower(text), ' '),
+       |          x -> x IN ($stop))) AS DOUBLE)
+       |        / len(string_split(lower(text), ' '))) * 0.2 >= 0.6 AS q_keep
+       |  FROM documents),
+       |fl AS (
+       |  SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS ntok,
+       |    ex.ex_keep, lab.cluster_id = d.doc_id AS cc_keep, ql.q_keep
+       |  FROM documents d
+       |  JOIN t ON d.doc_id = t.doc_id
+       |  JOIN ex ON d.doc_id = ex.doc_id
+       |  JOIN lab ON d.doc_id = lab.doc_id
+       |  JOIN ql ON d.doc_id = ql.doc_id)
+       |SELECT 0 AS stage_no, 'raw' AS stage, count(*) AS n_docs,
+       |  CAST(sum(ntok) AS BIGINT) AS n_tokens FROM fl
+       |UNION ALL
+       |SELECT 1, 'exact_dedup', count(*), CAST(sum(ntok) AS BIGINT)
+       |FROM fl WHERE ex_keep
+       |UNION ALL
+       |SELECT 2, 'neardup_keeper', count(*), CAST(sum(ntok) AS BIGINT)
+       |FROM fl WHERE ex_keep AND cc_keep
+       |UNION ALL
+       |SELECT 3, 'quality', count(*), CAST(sum(ntok) AS BIGINT)
+       |FROM fl WHERE ex_keep AND cc_keep AND q_keep
+       |ORDER BY stage_no""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_exact_dedup"       -> (q64ExactDedup _),
     "q65_minhash_lsh"       -> (q65MinhashLsh _),
@@ -1304,6 +1386,7 @@ object DedupOps {
     "q122_source_centrality" -> (q122SourceCentrality _),
     "q126_hard_negatives"   -> (q126HardNegatives _),
     "q127_incremental_clusters" -> (q127IncrementalClusters _),
+    "q131_retention_ledger" -> (q131RetentionLedger _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1325,6 +1408,7 @@ object DedupOps {
     "q122_source_centrality" -> q122Oracle,
     "q126_hard_negatives"   -> q126Oracle,
     "q127_incremental_clusters" -> q127Oracle,
+    "q131_retention_ledger" -> q131Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
   )
 }

@@ -381,6 +381,36 @@ class DedupOpsSpec extends SparkSuite {
     assert(spanning, "need a component spanning the boundary")
   }
 
+  test("q131 ledger: stage accounting recomposes from the member operators") {
+    import spark.implicits._
+    val toks = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ntok = toks.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val exKeep = toks.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val ccKeep = DedupOps.q79NeardupClusters(spark, sf0001).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val qKeep = TextOps.q62QualityScore(spark, sf0001).collect()
+      .filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+    val ids = ntok.keySet
+    val stages = Seq(
+      ("raw", ids),
+      ("exact_dedup", ids.filter(exKeep)),
+      ("neardup_keeper", ids.filter(d => exKeep(d) && ccKeep(d))),
+      ("quality", ids.filter(d => exKeep(d) && ccKeep(d) && qKeep(d))))
+    val got = DedupOps.q131RetentionLedger(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 4)
+    got.zip(stages).foreach { case ((s, nd, nt), (es, set)) =>
+      assert(s == es)
+      assert(nd == set.size, s"stage $s docs")
+      assert(nt == set.toSeq.map(ntok).sum, s"stage $s tokens")
+    }
+    // attrition is monotone and the final gate genuinely removes docs
+    assert(got.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    assert(got.last._2 < got.head._2)
+  }
+
   test("shingles3: correct 3-grams, deduped, empty under 3 tokens") {
     import spark.implicits._
     val got = Seq("a b c d", "a b", "x y z x y z x y z").toDF("text")
