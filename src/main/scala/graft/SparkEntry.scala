@@ -20,12 +20,13 @@ object SparkEntry {
     Relational.queries ++ Scalars.queries ++ Streaming.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ ExtOps.queries ++ EventOps.queries ++
-      graft.etl.EtlDemo.queries
+      LinkOps.queries ++ graft.etl.EtlDemo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ Streaming.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
-      MultimodalOps.oracles ++ ExtOps.oracles ++ EventOps.oracles
+      MultimodalOps.oracles ++ ExtOps.oracles ++ EventOps.oracles ++
+      LinkOps.oracles
 }

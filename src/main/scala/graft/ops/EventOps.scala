@@ -201,11 +201,138 @@ object EventOps {
        |  CASE WHEN in_window THEN 'click' ELSE 'organic' END AS channel
        |FROM p ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q134
+  /** Robust anomaly report per event type: median/MAD (median absolute
+    * deviation) and the count of observations beyond [[madK]]·MAD —
+    * the outlier detector that survives the outliers it hunts (mean/
+    * stddev is dragged by the very spikes it should flag; the median
+    * breaks down only past 50% contamination).
+    *
+    * Two passes by necessity (MAD is a median OF deviations from a
+    * median — not one-pass expressible), but each pass is one
+    * shuffle on event_type and the intermediates joined back are
+    * GROUP-cardinality, so both joins broadcast; the raw stream is
+    * scanned twice and never shuffled wider than its natural key.
+    * `percentile` is Spark's exact interpolated percentile =
+    * DuckDB's quantile_cont (q19's proven equivalence), and the
+    * anomaly predicate `|v − med| > k·MAD` is the same IEEE
+    * expression shape in both engines, so the report hash-matches
+    * without rounding. */
+  val madK = 5
+
+  def q134AnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    madReportOf(Tables.events(s, dir).select($"event_type", $"value"))
+  }
+
+  /** The report on any (event_type, value) frame — separated so the
+    * spec can plant a constant series (MAD = 0: ANY deviation flags,
+    * the degenerate branch the sf corpus never hits) and hand-sized
+    * spikes. */
+  private[ops] def madReportOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val med = ev.groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("ad", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(expr("percentile(ad, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(min($"med").as("med"), min($"mad").as("mad"),
+        count(lit(1)).as("n"),
+        sum(when($"ad" > lit(madK) * $"mad", 1L).otherwise(0L)).as("n_anomalies"))
+      .orderBy($"event_type")
+  }
+
+  private val q134Oracle =
+    s"""WITH med AS (
+       |  SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |dev AS (
+       |  SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+       |  FROM events e JOIN med m ON e.event_type = m.event_type),
+       |mad AS (
+       |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+       |  FROM dev GROUP BY 1)
+       |SELECT d.event_type, min(d.med) AS med, min(m.mad) AS mad,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN d.ad > $madK * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_anomalies
+       |FROM dev d JOIN mad m ON d.event_type = m.event_type
+       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q135
+  /** Per-group trend line: OLS slope/intercept of event value over
+    * time, in FIXED-POINT integer arithmetic so the result is
+    * bit-exact under any partitioning (the metric-drift monitor a
+    * pipeline alerts on — an alert threshold must not depend on
+    * which executor summed first; double covariance accumulation
+    * is partition-order-sensitive, q122's PageRank lesson).
+    *
+    * x = days since 2024-01-01 (small integers — centering keeps
+    * every closed-form term far from BIGINT range: n·Σxy peaks
+    * ~2.8e16 at sf0.01, ~2.8e18 at sf0.1, both < 9.2e18), y
+    * quantized to exact micro-units. One shuffle: the five sums are
+    * a single partial-aggregated groupBy; the closed form
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) then runs on
+    * GROUP-cardinality rows. `div` truncates toward zero in Spark
+    * exactly as DuckDB's `//` does (negative slopes — signup trends
+    * down in the fixture — exercise that). The intercept reuses the
+    * TRUNCATED slope so both engines derive it from identical
+    * integers. */
+  def q135TrendOls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trendOlsOf(Tables.events(s, dir).select($"event_type", $"ts", $"value"))
+  }
+
+  /** The regression on any (event_type, ts, value) frame — separated
+    * so the spec can plant an exact line (slope/intercept known in
+    * closed form) and a negative trend. */
+  private[ops] def trendOlsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val pts = ev.select($"event_type",
+      datediff(to_date(date_trunc("day", $"ts")), lit("2024-01-01").cast("date"))
+        .cast("long").as("x"),
+      expr("CAST(round(value * 1000000D) AS BIGINT)").as("yq"))
+    pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"yq").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"yq").as("sxy"))
+      .withColumn("slope_micro",
+        expr("(n * sxy - sx * sy) div (n * sxx - sx * sx)"))
+      .select($"event_type", $"n", $"slope_micro",
+        expr("(sy - slope_micro * sx) div n").as("intercept_micro"))
+      .orderBy($"event_type")
+  }
+
+  private val q135Oracle =
+    """WITH pts AS (
+      |  SELECT event_type,
+      |    datediff('day', DATE '2024-01-01',
+      |             CAST(date_trunc('day', ts) AS DATE)) AS x,
+      |    CAST(round(value * 1000000) AS BIGINT) AS yq
+      |  FROM events),
+      |sums AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * yq) AS BIGINT) AS sxy
+      |  FROM pts GROUP BY 1)
+      |SELECT event_type, n,
+      |  (n * sxy - sx * sy) // (n * sxx - sx * sx) AS slope_micro,
+      |  (sy - ((n * sxy - sx * sy) // (n * sxx - sx * sx)) * sx) // n
+      |    AS intercept_micro
+      |FROM sums ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
+    "q134_anomaly_mad"      -> (q134AnomalyMad _),
+    "q135_trend_ols"        -> (q135TrendOls _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -213,5 +340,7 @@ object EventOps {
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,
+    "q134_anomaly_mad"      -> q134Oracle,
+    "q135_trend_ols"        -> q135Oracle,
   )
 }

@@ -363,6 +363,67 @@ object ExtOps {
       |  AND l_suppkey <= mins + (maxs - mins) // 4
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q133
+  /** Compaction planner: assign documents to target-size output bins
+    * by greedy cumulative packing in (source, doc_id) order — the
+    * plan a small-file compactor executes (bin = output file). The
+    * greedy rule is `bin = floor(bytes_before_me / target)`: purely
+    * sequential, deterministic, and order-preserving, so compacted
+    * files keep the table's sort layout (q98/q108's property).
+    *
+    * The prefix sum is computed HIERARCHICALLY, not with one
+    * per-source window: a single `Window.partitionBy(source)` is a
+    * scale-killer (one task must sort one source's entire corpus —
+    * 100 TB sources exist). Instead: (1) an in-chunk running sum
+    * windowed over (source, chunk) where chunk = doc_id div
+    * [[compactionChunk]] — bounded partitions; (2) chunk TOTALS
+    * (corpus/chunk rows) windowed per source — the same pattern one
+    * level up, [[compactionChunk]]× smaller, and recursively
+    * collapsible if even that tier is hot; (3) a broadcast join adds
+    * each chunk's offset back. Exact integer arithmetic end-to-end,
+    * so the two-tier sum is bit-equal to the oracle's single window. */
+  val compactionTarget = 2048L
+  val compactionChunk  = 256L
+
+  def q133CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sized = Tables.table(s, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars",
+        ($"doc_id" / compactionChunk).cast("long").as("chunk"))
+    val wIn = Window.partitionBy($"source", $"chunk").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wChunk = Window.partitionBy($"source").orderBy($"chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sized.groupBy($"source", $"chunk")
+      .agg(sum($"n_chars").as("tot"))
+      .select($"source", $"chunk",
+        coalesce(sum($"tot").over(wChunk), lit(0L)).as("off"))
+    sized
+      .withColumn("cum_in", coalesce(sum($"n_chars").over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("source", "chunk"))
+      .select($"source", $"doc_id", $"n_chars",
+        expr(s"(off + cum_in) div $compactionTarget").as("bin"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("bin_chars"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"bin")
+  }
+
+  private val q133Oracle =
+    s"""WITH sized AS (
+       |  SELECT source, doc_id, n_chars,
+       |    COALESCE(CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS cum_before
+       |  FROM documents)
+       |SELECT source, cum_before // $compactionTarget AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM sized GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
@@ -371,6 +432,7 @@ object ExtOps {
     "q89_column_profile" -> (q89ColumnProfile _),
     "q98_sorted_layout" -> (q98SortedLayout _),
     "q108_zorder_layout" -> (q108ZOrderLayout _),
+    "q133_compaction_plan" -> (q133CompactionPlan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -381,5 +443,6 @@ object ExtOps {
     "q89_column_profile" -> q89Oracle,
     "q98_sorted_layout" -> q98Oracle,
     "q108_zorder_layout" -> q108Oracle,
+    "q133_compaction_plan" -> q133Oracle,
   )
 }

