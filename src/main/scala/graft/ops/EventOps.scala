@@ -326,6 +326,152 @@ object EventOps {
       |    AS intercept_micro
       |FROM sums ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q138
+  /** SCD Type-2 dimension build: collapse each user's event-type
+    * stream into validity intervals — (value, valid_from, valid_to,
+    * is_current) with consecutive equal values run-length merged —
+    * the slowly-changing-dimension history every warehouse keeps and
+    * the reference's BigQuery tables imply but never materialize.
+    *
+    * One shuffle on user_id; every window reuses that partitioning
+    * (change detection via null-safe lag compare, run ids via
+    * running sum, valid_to via lead over the already-reduced run
+    * rows). Per-user state is linear in that user's events — the
+    * same bound the q32/q35 session family documents. The run-row
+    * ORDER BY includes the run id: two adjacent runs can share a
+    * boundary timestamp (equal-µs events of different types straddle
+    * a run break), and valid_from alone would leave lead()
+    * nondeterministic there. */
+  def q138Scd2History(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    scd2Of(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id", $"event_type"))
+  }
+
+  /** The history build on any (user_id, tus, event_id, event_type)
+    * frame — separated so the spec can plant value runs with known
+    * intervals, including the equal-µs run boundary. */
+  private[ops] def scd2Of(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val wRun = Window.partitionBy($"user_id").orderBy($"valid_from", $"run")
+    ev
+      .withColumn("brk",
+        when(lag($"event_type", 1).over(w) <=> $"event_type", 0L).otherwise(1L))
+      .withColumn("run", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"run")
+      .agg(min($"event_type").as("event_type"), min($"tus").as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(wRun))
+      .select($"user_id", $"event_type", $"valid_from", $"valid_to",
+        when($"valid_to".isNull, 1).otherwise(0).as("is_current"), $"n_events")
+      .orderBy($"user_id", $"valid_from", $"event_type")
+  }
+
+  private val q138Oracle =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+      |chg AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |runs AS (
+      |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      |  FROM chg),
+      |hist AS (
+      |  SELECT user_id, run, min(event_type) AS event_type,
+      |    min(tus) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM runs GROUP BY 1, 2)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER w2 AS valid_to,
+      |  CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END
+      |    AS is_current,
+      |  n_events
+      |FROM hist
+      |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, run)
+      |ORDER BY user_id, valid_from, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q139
+  /** Interval-overlap join at scale: which pairs of users had
+    * CONCURRENT sessions, and how often? Sessions are the 30-minute-
+    * gap groupings (q32's semantics, built batch-side with the q138
+    * run machinery); the output is overlap counts per user pair.
+    *
+    * The naive plan is a θ-join on `a.st <= b.en AND b.st <= a.en` —
+    * a cross product at scale (Spark executes it as BNLJ). Instead
+    * the intervals are GRIDDED: each session explodes to the
+    * [[overlapBucketUs]] time buckets it spans (sessions are
+    * gap-bounded, so almost always 1-2 buckets), pairs join on the
+    * bucket equi-key, the exact overlap predicate re-filters, and a
+    * distinct on the session-pair key dedupes boundary-straddling
+    * matches. Work scales with Σ per-bucket-density², tunable by
+    * bucket width — the standard interval-join decomposition Spark
+    * lacks natively. */
+  val sessionGapUs2: Long = 30L * 60 * 1000 * 1000
+  val overlapBucketUs: Long = 86400L * 1000 * 1000
+
+  def q139SessionOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionOverlapOf(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id"))
+  }
+
+  /** The overlap join on any (user_id, tus, event_id) frame —
+    * separated so the spec can plant bucket-straddling sessions (the
+    * distinct-dedupe branch), touching endpoints, and disjoint
+    * sessions. */
+  private[ops] def sessionOverlapOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val sess = ev
+      .withColumn("brk", when(
+        $"tus" - lag($"tus", 1).over(w) <= sessionGapUs2, 0L).otherwise(1L))
+      .withColumn("sid", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"tus").as("st"), max($"tus").as("en"))
+    val gridded = sess.select($"user_id", $"sid", $"st", $"en",
+      explode(sequence(expr(s"st div $overlapBucketUs"),
+        expr(s"en div $overlapBucketUs"))).as("bucket"))
+    val a = gridded.select($"bucket", $"user_id".as("user_a"),
+      $"sid".as("sid_a"), $"st".as("st_a"), $"en".as("en_a"))
+    val b = gridded.select($"bucket", $"user_id".as("user_b"),
+      $"sid".as("sid_b"), $"st".as("st_b"), $"en".as("en_b"))
+    a.join(b, Seq("bucket"))
+      .where($"user_a" < $"user_b" &&
+        $"st_a" <= $"en_b" && $"st_b" <= $"en_a")
+      .select($"user_a", $"sid_a", $"user_b", $"sid_b")
+      .distinct()
+      .groupBy($"user_a", $"user_b")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy($"user_a", $"user_b")
+  }
+
+  private val q139Oracle =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+       |brk AS (
+       |  SELECT *, CASE WHEN tus - lag(tus) OVER w <= $sessionGapUs2
+       |    THEN 0 ELSE 1 END AS b
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+       |runs AS (
+       |  SELECT *, CAST(SUM(b) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+       |  FROM brk),
+       |sess AS (
+       |  SELECT user_id, sid, min(tus) AS st, max(tus) AS en
+       |  FROM runs GROUP BY 1, 2)
+       |SELECT a.user_id AS user_a, b.user_id AS user_b,
+       |  CAST(count(*) AS BIGINT) AS n_overlaps
+       |FROM sess a JOIN sess b
+       |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
@@ -333,6 +479,8 @@ object EventOps {
     "q117_attribution"      -> (q117Attribution _),
     "q134_anomaly_mad"      -> (q134AnomalyMad _),
     "q135_trend_ols"        -> (q135TrendOls _),
+    "q138_scd2_history"     -> (q138Scd2History _),
+    "q139_session_overlap"  -> (q139SessionOverlap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +490,7 @@ object EventOps {
     "q117_attribution"      -> q117Oracle,
     "q134_anomaly_mad"      -> q134Oracle,
     "q135_trend_ols"        -> q135Oracle,
+    "q138_scd2_history"     -> q138Oracle,
+    "q139_session_overlap"  -> q139Oracle,
   )
 }

@@ -577,6 +577,82 @@ object SimilarityOps {
        |SELECT query_id, neighbor_id, rank, qcos FROM ranked
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q137
+  /** Hybrid retrieval: reciprocal-rank fusion (RRF) of the lexical
+    * BM25 ranking (q128's scorer, shared verbatim) and a semantic
+    * cosine ranking against one query embedding — the standard
+    * two-tower + keyword fusion every retrieval pipeline runs, and
+    * the reason RRF exists: the two scores live on incomparable
+    * scales, but RANKS fuse cleanly.
+    *
+    * Contributions are FIXED-POINT: floor(1e9 / (rrfC + rank)) per
+    * list — integer end-to-end, so the fused ranking is bit-exact
+    * across engines and partitionings (a double 1/(60+r) sum is
+    * neither). Each ranker emits its top-[[rrfDepth]]; a doc absent
+    * from a list contributes zero from it (full outer join). Both
+    * ranker top-k cuts are TakeOrdered-shaped k-row frames, so the
+    * fusion join is trivially broadcast; at 100 TB the only heavy
+    * stages are the two rankers themselves, each already shaped for
+    * scale (q128: scan-side tf + broadcast stats; cosine: broadcast
+    * query against the corpus scan). */
+  val rrfC = 60L
+  val rrfDepth = 50
+  val rrfScale = 1000000000L
+
+  def q137HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = TextOps.bm25Scored(s, dir)
+      .where($"bm25" > 0.0)
+      .orderBy($"bm25".desc, $"doc_id").limit(rrfDepth)
+      .select($"doc_id", row_number().over(
+        Window.orderBy($"bm25".desc, $"doc_id")).cast("long").as("bm25_rank"))
+    val c = corpus(s, dir)
+    val q = c.where($"vec_id" === 0)
+      .select($"embedding".as("qv"), $"nrm".as("qn"))
+    val sem = c.crossJoin(broadcast(q))
+      .select($"vec_id".as("doc_id"),
+        (VectorOps.dot($"embedding", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .orderBy($"cosine".desc, $"doc_id").limit(rrfDepth)
+      .select($"doc_id", row_number().over(
+        Window.orderBy($"cosine".desc, $"doc_id")).cast("long").as("sem_rank"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"bm25_rank", $"sem_rank",
+        (coalesce(expr(s"$rrfScale div ($rrfC + bm25_rank)"), lit(0L)) +
+          coalesce(expr(s"$rrfScale div ($rrfC + sem_rank)"), lit(0L)))
+          .as("rrf_score"))
+      .orderBy($"rrf_score".desc, $"doc_id")
+      .limit(20)
+  }
+
+  private val q137Oracle =
+    s"""WITH ${TextOps.bm25ScoredCte},
+       |lex AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+       |    AS BIGINT) AS bm25_rank
+       |  FROM scored WHERE bm25 > 0.0
+       |  ORDER BY bm25 DESC, doc_id LIMIT $rrfDepth),
+       |c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |qv AS (SELECT embedding AS qe, nrm AS qn FROM c WHERE vec_id = 0),
+       |cos AS (
+       |  SELECT vec_id AS doc_id,
+       |    ${dotSql("embedding", "qe")} / (nrm * qn) AS cosine
+       |  FROM c CROSS JOIN qv),
+       |sem AS (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+       |    AS BIGINT) AS sem_rank
+       |  FROM cos ORDER BY cosine DESC, doc_id LIMIT $rrfDepth),
+       |fused AS (
+       |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       |    lex.bm25_rank, sem.sem_rank,
+       |    COALESCE($rrfScale // ($rrfC + bm25_rank), 0)
+       |      + COALESCE($rrfScale // ($rrfC + sem_rank), 0) AS rrf_score
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, bm25_rank, sem_rank, rrf_score FROM fused
+       |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
@@ -584,6 +660,7 @@ object SimilarityOps {
     "q95_filtered_knn"   -> (q95FilteredKnn _),
     "q97_quantize_int8"  -> (q97QuantizeInt8 _),
     "q104_quantized_knn" -> (q104QuantizedKnn _),
+    "q137_hybrid_rrf"    -> (q137HybridRrf _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -593,5 +670,6 @@ object SimilarityOps {
     "q95_filtered_knn"   -> q95Oracle,
     "q97_quantize_int8"  -> q97Oracle,
     "q104_quantized_knn" -> q104Oracle,
+    "q137_hybrid_rrf"    -> q137Oracle,
   )
 }

@@ -1528,6 +1528,17 @@ object TextOps {
 
   def q128Bm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    bm25Scored(s, dir)
+      .where($"bm25" > 0.0)
+      .orderBy($"bm25".desc, $"doc_id")
+      .limit(20)
+  }
+
+  /** The full scored set (doc_id, dl, bm25) before filter/top-k —
+    * shared with q137's hybrid fusion so both rankers score
+    * identically. */
+  private[ops] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val withTf = Tables.documentsSpread(s, dir)
       .withColumn("toks", toks($"text"))
       .withColumn("dl", size($"toks").cast("long"))
@@ -1553,12 +1564,11 @@ object TextOps {
     tf.crossJoin(broadcast(stats))
       .select($"doc_id", $"dl",
         expr(s"round(${scoreSql(d => s"${d}D")}, 4)").as("bm25"))
-      .where($"bm25" > 0.0)
-      .orderBy($"bm25".desc, $"doc_id")
-      .limit(20)
   }
 
-  private val q128Oracle = {
+  /** Oracle CTE body producing `scored(doc_id, dl, bm25)` — shared
+    * verbatim by q128's oracle and q137's fusion oracle. */
+  private[ops] val bm25ScoredCte: String = {
     val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
     }.mkString(", ")
@@ -1570,7 +1580,7 @@ object TextOps {
         s" * (tf$i * ($bm25K1 + 1.0))" +
         s" / (tf$i + $bm25K1 * (1.0 - $bm25B + $bm25B * dl / avgdl))"
     }.mkString(" + ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
        |tf AS (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, $tfCols FROM t),
@@ -1578,12 +1588,16 @@ object TextOps {
        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
        |    CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl,
        |    $dfCols
-       |  FROM tf)
-       |SELECT doc_id, dl, round($score, 4) AS bm25
-       |FROM tf, st
-       |WHERE round($score, 4) > 0.0
-       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+       |  FROM tf),
+       |scored AS (
+       |  SELECT doc_id, dl, round($score, 4) AS bm25 FROM tf, st)""".stripMargin
   }
+
+  private val q128Oracle =
+    s"""WITH $bm25ScoredCte
+       |SELECT doc_id, dl, bm25 FROM scored
+       |WHERE bm25 > 0.0
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- q129
   /** Per-source LM divergence — KL(source ‖ corpus) over trigram

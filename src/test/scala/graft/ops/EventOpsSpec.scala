@@ -128,4 +128,50 @@ class EventOpsSpec extends SparkSuite {
     assert(got("up") == ((2500000L, 7000000L)))
     assert(got("down") == ((-3000000L, 100000000L)))
   }
+
+  test("q138 SCD2 collapses runs into chained validity intervals") {
+    import spark.implicits._
+    // user 1: A A B A, with the B→A transition at the SAME µs (events
+    // 3/4) — the equal-timestamp run boundary the wRun ordering exists for
+    val ev = Seq(
+      (1L, 100L, 1L, "A"), (1L, 200L, 2L, "A"),
+      (1L, 300L, 3L, "B"), (1L, 300L, 4L, "A"),
+      (2L, 50L, 5L, "X"),
+    ).toDF("user_id", "tus", "event_id", "event_type")
+    val got = EventOps.scd2Of(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4), r.getLong(5)))
+    // output order is (user, valid_from, event_type) — at the tied µs
+    // the reopened A row sorts before the zero-width B run
+    assert(got.toSeq == Seq(
+      (1L, "A", 100L, 300L, 0, 2L),   // run A(2): [100, 300)
+      (1L, "A", 300L, -1L, 1, 1L),    // reopened A is current
+      (1L, "B", 300L, 300L, 0, 1L),   // zero-width run at the tied µs
+      (2L, "X", 50L, -1L, 1, 1L),
+    ))
+    // intervals chain: every valid_to equals the next run's valid_from
+  }
+
+  test("q139 overlap join: straddling sessions dedupe, touch counts, disjoint doesn't") {
+    import spark.implicits._
+    val D = EventOps.overlapBucketUs
+    // user 1 session spans 3 day-buckets (events < 30 min apart would
+    // be one session only if dense — plant single-event "sessions" and
+    // one long session via 20-min steps across the bucket boundary)
+    val longSess = (0 until 180).map(i =>
+      (1L, D - 1800000000L + i * 1200000000L, 1000L + i))  // 20-min steps
+    val ev = (longSess ++ Seq(
+      (2L, D + 600000000L, 1L),     // inside user 1's long session → overlap
+      (3L, D * 6, 2L),              // well after user 1 ends (~3.5 D) → disjoint
+      (4L, longSess.last._2, 3L),   // touches user 1's session END exactly → counts
+      (5L, 1L, 4L),                 // far before → disjoint
+    )).toDF("user_id", "tus", "event_id")
+    val got = EventOps.sessionOverlapOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.getOrElse((1L, 2L), 0L) == 1L,
+      "bucket-straddling session must count exactly once, not per bucket")
+    assert(got.getOrElse((1L, 4L), 0L) == 1L, "touching endpoint is an overlap")
+    assert(!got.contains((1L, 3L)) && !got.contains((1L, 5L)))
+    assert(!got.contains((2L, 4L)), "instant sessions ~3 days apart")
+  }
 }

@@ -113,4 +113,27 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(perQueryCandidates.forall(_ <= SimilarityOps.topK))
     assert(n > SimilarityOps.topK) // sanity
   }
+
+  test("q137 RRF: fixed-point contributions, ordering, and real fusion") {
+    val rows = SimilarityOps.q137HybridRrf(spark, sf0001).collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3))
+    }
+    def c(rank: Option[Long]) =
+      rank.fold(0L)(k => SimilarityOps.rrfScale / (SimilarityOps.rrfC + k))
+    // each row's score is exactly the sum of its two rank contributions
+    rows.foreach { case (id, lex, sem, score) =>
+      assert(score == c(lex) + c(sem), s"doc $id")
+      assert(lex.isDefined || sem.isDefined)
+    }
+    // descending (score, doc_id) total order
+    val keys = rows.map { case (id, _, _, sc) => (-sc, id) }
+    assert(keys.sameElements(keys.sorted))
+    // the fusion is real: the top-20 must mix docs seen by both
+    // rankers with docs only one ranker surfaced
+    assert(rows.exists { case (_, l, s0, _) => l.isDefined && s0.isDefined })
+    assert(rows.exists { case (_, l, s0, _) => l.isEmpty || s0.isEmpty })
+  }
 }
