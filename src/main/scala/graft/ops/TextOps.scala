@@ -1705,6 +1705,113 @@ object TextOps {
       |    AS n_chars_norm
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q140
+  /** BPE merge learning — the vocabulary-induction step of tokenizer
+    * training: K rounds of "count adjacent symbol pairs weighted by
+    * word frequency, merge the most frequent pair everywhere,
+    * repeat". Output: the learned merge table (round, pair, weighted
+    * count) — the artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct-word
+    * frequency table (Heaps'-law-bounded vocabulary — 100 TB of text
+    * is still ~millions of distinct words, and the full corpus is
+    * never touched again); each round is one pair-count aggregation
+    * over that working set plus a 1-row argmax collect — the same
+    * driver-coordinated fixpoint discipline as the CC/Lloyd loops
+    * (localCheckpoint per round, lineage never stacks). Real
+    * training runs ~30k rounds of this exact dataflow;
+    * [[bpeMerges]] keeps the checked artifact small.
+    *
+    * Merging is a left-to-right greedy fold over each word's symbol
+    * array (`functions.aggregate` with Column lambdas — no SQL
+    * string escaping on corpus-derived symbols). The oracle applies
+    * the SAME merge as a delimiter-wrapped string replace
+    * (chr(1)/chr(2) wraps make token boundaries unambiguous and
+    * non-overlapping), and DuckDB `replace` is left-to-right greedy
+    * exactly like the fold — equivalence the hash check proves every
+    * run. Ties on the argmax break lexicographically in both
+    * engines (binary collation). */
+  val bpeMerges = 3
+
+  def q140BpeMerges(s: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(Tables.documentsSpread(s, dir), bpeMerges)
+
+  /** The learner on any frame with a `text` column — separated so
+    * the spec can plant corpora whose merges are hand-derivable,
+    * including the overlapping-run greedy case and a merged symbol
+    * that wins a later round. */
+  private[ops] def bpeMergesOf(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    var wf = docs
+      .select(explode(toks($"text")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(split($"w", "").as("syms"), $"freq")
+      .localCheckpoint(true)
+    val learned = (1 to k).map { round =>
+      val top = wf
+        .select($"freq", explode(arrays_zip(
+          slice($"syms", lit(1), size($"syms") - 1).as("a"),
+          slice($"syms", lit(2), size($"syms") - 1).as("b"))).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b")
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      val merged = concat(lit(a), lit(b))
+      val prev = wf
+      wf = wf.select(aggregate($"syms",
+          array().cast("array<string>"),
+          (acc, x) => when(
+            try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+            .otherwise(concat(acc, array(x)))).as("syms"),
+        $"freq")
+        .localCheckpoint(true)
+      prev.unpersist(blocking = false)
+      (round, a, b, cnt)
+    }
+    wf.unpersist(blocking = false)
+    learned.toDF("round", "sym_a", "sym_b", "weighted_count")
+      .select($"round", $"sym_a", $"sym_b", $"weighted_count")
+      .orderBy($"round")
+  }
+
+  private val q140Oracle = {
+    val wrap = "chr(1) || c || chr(2)"
+    def roundCte(i: Int) =
+      s"""toks$i AS (
+         |  SELECT freq, string_split(ltrim(rtrim(seq, chr(2)), chr(1)),
+         |    chr(2) || chr(1)) AS ts
+         |  FROM wf$i),
+         |pairs$i AS (
+         |  SELECT t.a, t.b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, ts[i] AS a, ts[i + 1] AS b
+         |    FROM toks$i, unnest(range(1, len(ts))) AS u(i)) t
+         |  GROUP BY 1, 2),
+         |m$i AS (
+         |  SELECT a, b, cnt,
+         |    chr(1) || a || chr(2) || chr(1) || b || chr(2) AS pat,
+         |    chr(1) || a || b || chr(2) AS rep
+         |  FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |wf${i + 1} AS (
+         |  SELECT freq, replace(seq, pat, rep) AS seq FROM wf$i, m$i)""".stripMargin
+    val rounds = (0 until bpeMerges).map(roundCte).mkString(",\n")
+    val merges = (0 until bpeMerges).map(i =>
+      s"SELECT ${i + 1} AS round, a AS sym_a, b AS sym_b, cnt AS weighted_count FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH wf0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    list_aggregate(list_transform(split(w, ''), c -> $wrap),
+       |      'string_agg', '') AS seq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |$rounds,
+       |merges AS ($merges)
+       |SELECT round, sym_a, sym_b, weighted_count FROM merges ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1737,6 +1844,7 @@ object TextOps {
     "q124_curation_funnel"    -> (q124CurationFunnel _),
     "q125_lm_score"           -> (q125LmScore _),
     "q128_bm25"               -> (q128Bm25 _),
+    "q140_bpe_merges"         -> (q140BpeMerges _),
     "q129_source_divergence"  -> (q129SourceDivergence _),
     "q130_normalize"          -> (q130Normalize _),
   )
@@ -1773,6 +1881,7 @@ object TextOps {
     "q124_curation_funnel"    -> q124Oracle,
     "q125_lm_score"           -> q125Oracle,
     "q128_bm25"               -> q128Oracle,
+    "q140_bpe_merges"         -> q140Oracle,
     "q129_source_divergence"  -> q129Oracle,
     "q130_normalize"          -> q130Oracle,
   )

@@ -192,4 +192,23 @@ class PlanSpec extends SparkSuite {
     // '*(n)' prefixes mark whole-stage-codegen'd operators
     assert(plan(df).contains("*("))
   }
+
+  test("q132/q136: vocab pair join and both degree joins broadcast — no sort-merge") {
+    val p132 = plan(LinkOps.q132EntityMatch(spark, sf0001))
+    assert(p132.contains("BroadcastHashJoin"), p132.take(800))
+    assert(!p132.contains("SortMergeJoin"))
+    val p136 = plan(LinkOps.q136TriangleCounts(spark, sf0001))
+    // the node-sized degree table broadcasts onto the edge set twice;
+    // only the wedge self-join and closure probe may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p136).length >= 2, p136.take(800))
+  }
+
+  test("q139 gridded overlap join is an equi-join on the bucket, not a BNLJ") {
+    val p = plan(EventOps.q139SessionOverlap(spark, sf0001))
+    // the θ-join formulation would appear as BroadcastNestedLoopJoin /
+    // CartesianProduct; the grid decomposition must hash on the bucket
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
 }

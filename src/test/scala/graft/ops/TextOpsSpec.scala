@@ -722,4 +722,21 @@ class TextOpsSpec extends SparkSuite {
       assert(k.nonEmpty, s"lang=$lang kept nothing")
     }
   }
+
+  test("q140 BPE learns hand-derivable merges, greedy on overlapping runs") {
+    import spark.implicits._
+    // corpus: "aaaa" ×3, "ab" ×2. Round 1 pairs: (a,a) weight 3·3=9,
+    // (a,b) 2 → merge (a,a). Greedy left-to-right: "aaaa" → [aa, aa]
+    // (NOT [a,aa,a] or three overlapping pairs). Round 2 pairs:
+    // (aa,aa) 3, (a,b) 2 → merge (aa,aa) — the learned symbol itself
+    // pairs. Round 3: only (a,b) 2 remains.
+    val docs = (Seq.fill(3)("aaaa") ++ Seq.fill(2)("ab")).toDF("text")
+    val got = TextOps.bpeMergesOf(docs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 9L),
+      (2, "aa", "aa", 3L),
+      (3, "a", "b", 2L),
+    ))
+  }
 }
