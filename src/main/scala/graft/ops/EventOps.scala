@@ -472,6 +472,66 @@ object EventOps {
        |  ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q141
+  /** Event-transition matrix (first-order Markov): for each ordered
+    * pair of event types, how often does the second follow the first
+    * in a user's stream, and with what conditional probability —
+    * the behavior model behind next-action prediction and funnel
+    * anomaly alerts.
+    *
+    * One shuffle on user_id for the lead() window, then the pair
+    * aggregation over a TYPE²-cardinality key space (25 cells here;
+    * bounded by the schema, not the corpus). Probabilities are
+    * fixed-point parts-per-million computed by integer division of
+    * exact counts — engine-identical, no double division. The row
+    * total divides transitions FROM the type (terminal events —
+    * each user's last — have no outgoing edge and are excluded by
+    * lead()'s null, which is the standard Markov estimator). */
+  def q141TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    transitionsOf(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        $"event_type".as("from_type")))
+  }
+
+  /** The estimator on any (user_id, tus, event_id, from_type) frame —
+    * separated so the spec can plant sequences whose conditional
+    * probabilities are hand-derivable. */
+  private[ops] def transitionsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val pairs = ev
+      .withColumn("to_type", lead($"from_type", 1).over(w))
+      .where($"to_type".isNotNull)
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val wFrom = Window.partitionBy($"from_type")
+    pairs
+      .withColumn("row_total", sum($"n").over(wFrom))
+      .select($"from_type", $"to_type", $"n",
+        expr("(1000000 * n) div row_total").as("p_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  private val q141Oracle =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |    event_type AS from_type
+      |  FROM events),
+      |nxt AS (
+      |  SELECT *, lead(from_type) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id) AS to_type
+      |  FROM ev),
+      |pairs AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+      |    AS p_ppm
+      |FROM pairs ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
@@ -481,6 +541,7 @@ object EventOps {
     "q135_trend_ols"        -> (q135TrendOls _),
     "q138_scd2_history"     -> (q138Scd2History _),
     "q139_session_overlap"  -> (q139SessionOverlap _),
+    "q141_transition_matrix" -> (q141TransitionMatrix _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -492,5 +553,6 @@ object EventOps {
     "q135_trend_ols"        -> q135Oracle,
     "q138_scd2_history"     -> q138Oracle,
     "q139_session_overlap"  -> q139Oracle,
+    "q141_transition_matrix" -> q141Oracle,
   )
 }

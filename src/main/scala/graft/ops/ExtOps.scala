@@ -424,6 +424,86 @@ object ExtOps {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM sized GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 
+  // ---------------------------------------------------------------- q142
+  /** Data-contract validation report — the expectation gate (Deequ /
+    * dbt-test shape) a pipeline runs before promoting a batch: each
+    * declared constraint row reports its violation count and
+    * pass/fail. Constraints: key non-null + unique, derived-column
+    * consistency (n_chars = len(text)), categorical domain (lang ∈
+    * declared set, NULL counts as a violation), non-empty payload,
+    * and fixed embedding dimensionality.
+    *
+    * ALL constraints of a table evaluate in ONE scan: each is a
+    * conditional partial aggregate fused into the same agg node
+    * (uniqueness is the one distinct-requiring term), and the single
+    * result row unpivots via stack (q131's device) — never one scan
+    * per check, which is how naive expectation suites turn a 10-
+    * check contract into 10 reads of 100 TB. */
+  val langDomain: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+  val embeddingDim = 64
+
+  def q142ContractChecks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val langList = langDomain.map(l => lit(l))
+    val doc = Tables.table(s, dir, "documents").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when($"doc_id".isNull, 1L).otherwise(0L)).as("v1"),
+      (count(lit(1)) - countDistinct($"doc_id")).as("v2"),
+      sum(when($"n_chars" =!= length($"text"), 1L).otherwise(0L)).as("v3"),
+      sum(when(coalesce($"lang".isin(langList: _*), lit(false)), 0L)
+        .otherwise(1L)).as("v4"),
+      sum(when(length($"text") === 0, 1L).otherwise(0L)).as("v5"))
+      .select(lit("documents").as("tbl"), $"n_rows", expr(
+        """stack(5,
+          |  'doc_id_not_null', v1, 'doc_id_unique', v2,
+          |  'n_chars_consistent', v3, 'lang_in_domain', v4,
+          |  'text_nonempty', v5) AS (check_name, n_violations)""".stripMargin))
+    val emb = Tables.embeddings(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when($"vec_id".isNull, 1L).otherwise(0L)).as("v1"),
+      (count(lit(1)) - countDistinct($"vec_id")).as("v2"),
+      sum(when(size($"embedding") =!= embeddingDim, 1L).otherwise(0L)).as("v3"))
+      .select(lit("embeddings").as("tbl"), $"n_rows", expr(
+        """stack(3,
+          |  'embedding_dim', v3, 'vec_id_not_null', v1,
+          |  'vec_id_unique', v2) AS (check_name, n_violations)""".stripMargin))
+    doc.unionAll(emb)
+      .select($"tbl", $"check_name", $"n_rows", $"n_violations",
+        when($"n_violations" === 0, 1).otherwise(0).as("pass"))
+      .orderBy($"tbl", $"check_name")
+  }
+
+  private val q142Oracle = {
+    val langs = langDomain.map(l => s"'$l'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+       |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS v2,
+       |    CAST(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+       |    CAST(sum(CASE WHEN lang IN ($langs) THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+       |    CAST(sum(CASE WHEN len(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v5
+       |  FROM documents),
+       |e AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+       |    CAST(count(*) - count(DISTINCT vec_id) AS BIGINT) AS v2,
+       |    CAST(sum(CASE WHEN len(embedding) <> $embeddingDim THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS v3
+       |  FROM embeddings),
+       |rows0 AS (
+       |  SELECT 'documents' AS tbl, 'doc_id_not_null' AS check_name, n_rows, v1 AS n_violations FROM d
+       |  UNION ALL SELECT 'documents', 'doc_id_unique', n_rows, v2 FROM d
+       |  UNION ALL SELECT 'documents', 'n_chars_consistent', n_rows, v3 FROM d
+       |  UNION ALL SELECT 'documents', 'lang_in_domain', n_rows, v4 FROM d
+       |  UNION ALL SELECT 'documents', 'text_nonempty', n_rows, v5 FROM d
+       |  UNION ALL SELECT 'embeddings', 'embedding_dim', n_rows, v3 FROM e
+       |  UNION ALL SELECT 'embeddings', 'vec_id_not_null', n_rows, v1 FROM e
+       |  UNION ALL SELECT 'embeddings', 'vec_id_unique', n_rows, v2 FROM e)
+       |SELECT tbl, check_name, n_rows, n_violations,
+       |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+       |FROM rows0 ORDER BY tbl, check_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
@@ -433,6 +513,7 @@ object ExtOps {
     "q98_sorted_layout" -> (q98SortedLayout _),
     "q108_zorder_layout" -> (q108ZOrderLayout _),
     "q133_compaction_plan" -> (q133CompactionPlan _),
+    "q142_contract_checks" -> (q142ContractChecks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -444,5 +525,6 @@ object ExtOps {
     "q98_sorted_layout" -> q98Oracle,
     "q108_zorder_layout" -> q108Oracle,
     "q133_compaction_plan" -> q133Oracle,
+    "q142_contract_checks" -> q142Oracle,
   )
 }

@@ -174,4 +174,51 @@ class EventOpsSpec extends SparkSuite {
     assert(!got.contains((1L, 3L)) && !got.contains((1L, 5L)))
     assert(!got.contains((2L, 4L)), "instant sessions ~3 days apart")
   }
+
+  test("q141 transition matrix on hand-derivable planted sequences") {
+    import spark.implicits._
+    // user 1: A B A B → (A,B)×2, (B,A)×1; user 2: A A → (A,A)×1.
+    // from A: 3 outgoing → (A,A) 333333 ppm, (A,B) 666666 ppm (floor);
+    // from B: 1 outgoing → (B,A) 1000000 ppm. Terminal events drop.
+    val ev = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"),
+      (1L, 30L, 3L, "A"), (1L, 40L, 4L, "B"),
+      (2L, 10L, 5L, "A"), (2L, 20L, 6L, "A"),
+    ).toDF("user_id", "tus", "event_id", "from_type")
+    val got = EventOps.transitionsOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+    assert(got.toSeq == Seq(
+      ("A", "A") -> ((1L, 333333L)),
+      ("A", "B") -> ((2L, 666666L)),
+      ("B", "A") -> ((1L, 1000000L)),
+    ))
+  }
+
+  test("q142 contract checks flag every planted violation class") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("contract").toString
+    // planted: duplicate doc_id, n_chars drift, off-domain lang,
+    // empty text (which ALSO violates n_chars=1), and a short embedding
+    Seq(
+      (1L, "ok text", "en", 7L),
+      (2L, "dup", "de", 3L), (2L, "dup", "de", 3L),
+      (3L, "bad count", "en", 99L),
+      (4L, "bad lang", "xx", 8L),
+      (5L, "", "fr", 1L),
+    ).toDF("doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    Seq((1L, Seq.fill(64)(1.0f), 0), (2L, Seq.fill(63)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val got = ExtOps.q142ContractChecks(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(3), r.getInt(4))))
+      .toMap
+    assert(got(("documents", "doc_id_not_null")) == ((0L, 1)))
+    assert(got(("documents", "doc_id_unique")) == ((1L, 0)))
+    assert(got(("documents", "n_chars_consistent")) == ((2L, 0))) // doc 3 + doc 5
+    assert(got(("documents", "lang_in_domain")) == ((1L, 0)))
+    assert(got(("documents", "text_nonempty")) == ((1L, 0)))
+    assert(got(("embeddings", "embedding_dim")) == ((1L, 0)))
+    assert(got(("embeddings", "vec_id_unique")) == ((0L, 1)))
+  }
 }
