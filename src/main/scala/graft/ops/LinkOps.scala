@@ -110,10 +110,13 @@ object LinkOps {
     * so the spec can drive it with a planted K4-plus-path graph
     * (every sf basket yields triangles, which would leave the
     * zero-triangle branch untested). */
-  private[ops] def triangleCountsOf(items: DataFrame): DataFrame = {
+  /** Distinct undirected co-membership edges (u < v) from an
+    * (ok, pk) frame — in-array pair generation, fan-out bounded by
+    * group size; shared by q136 and q143. */
+  private[ops] def coEdges(items: DataFrame): DataFrame = {
     val s = items.sparkSession
     import s.implicits._
-    val edges = items.distinct()
+    items.distinct()
       .groupBy($"ok").agg(sort_array(collect_set($"pk")).as("ps"))
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
@@ -121,6 +124,12 @@ object LinkOps {
           |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
       .select($"e.u", $"e.v")
       .distinct()
+  }
+
+  private[ops] def triangleCountsOf(items: DataFrame): DataFrame = {
+    val s = items.sparkSession
+    import s.implicits._
+    val edges = coEdges(items)
     val deg = edges.select(explode(array($"u", $"v")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("d"))
     val or = edges
@@ -143,12 +152,17 @@ object LinkOps {
       .groupBy($"node").agg(count(lit(1)).as("n_triangles"))
   }
 
-  private val q136Oracle =
-    """WITH items AS (
+  /** Shared oracle CTE fragment: the same co-purchase edge set q136
+    * and q143 both consume. */
+  private val edgesCte =
+    """items AS (
       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       |edges AS (
       |  SELECT DISTINCT a.pk AS u, b.pk AS v
-      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin
+
+  private val q136Oracle =
+    s"""WITH $edgesCte,
       |tris AS (
       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
       |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
@@ -157,13 +171,93 @@ object LinkOps {
       |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
       |FROM credit GROUP BY 1 ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- q143
+  /** Community detection by synchronous label propagation (LPA) over
+    * the co-purchase graph — [[lpaRounds]] rounds of "adopt the most
+    * frequent label among your neighbors, ties to the smallest" from
+    * a label(v)=v start. The deterministic-tie-break synchronous
+    * variant makes an otherwise run-order-dependent heuristic
+    * hash-checkable; the asynchronous textbook version is not
+    * reproducible even against itself.
+    *
+    * Per round: one join of the direction-doubled edge list against
+    * the node-sized label table (label side broadcasts), one
+    * (node, label) count, one per-node argmax window — partitioned
+    * by node, so no global sort. The edge list is localCheckpoint'd
+    * once and reused every round; labels are node-cardinality. At
+    * 100 TB the edge join shuffles on dst each round — the same
+    * per-round cost profile as q122's PageRank, rounds fixed by
+    * parameter, not data. The oracle unrolls the identical rounds as
+    * generated CTE stages (q122's device). */
+  val lpaRounds = 3
+
+  def q143LpaCommunities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lpaOf(coEdges(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))
+      .withColumnRenamed("node", "p_partkey")
+      .orderBy($"p_partkey")
+  }
+
+  /** LPA on any (u, v) undirected edge frame — separated so the spec
+    * can drive planted two-clique graphs where the converged
+    * communities are known. */
+  private[ops] def lpaOf(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = edgesIn.select($"u", $"v")
+      .unionAll(edgesIn.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("label"))
+      .localCheckpoint(true)
+    val wNode = Window.partitionBy($"u")
+      .orderBy($"cnt".desc, $"label".asc)
+    (1 to lpaRounds).foreach { _ =>
+      val prev = labels
+      labels = edges
+        .join(broadcast(labels.withColumnRenamed("node", "v")), "v")
+        .groupBy($"u", $"label").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wNode))
+        .where($"rn" === 1)
+        .select($"u".as("node"), $"label")
+        .localCheckpoint(true)
+      prev.unpersist(blocking = false)
+    }
+    val out = labels.withColumnRenamed("label", "community")
+    labels.unpersist(blocking = false)
+    out
+  }
+
+  private val q143Oracle = {
+    val rounds = (1 to lpaRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT u AS node, label FROM (
+         |    SELECT e2.u, l.label, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY e2.u
+         |        ORDER BY count(*) DESC, l.label ASC) AS rn
+         |    FROM e2 JOIN l${i - 1} l ON e2.v = l.node
+         |    GROUP BY e2.u, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |e2 AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e2),
+       |$rounds
+       |SELECT node AS p_partkey, label AS community FROM l$lpaRounds
+       |ORDER BY p_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_entity_match"    -> (q132EntityMatch _),
     "q136_triangle_counts" -> (q136TriangleCounts _),
+    "q143_lpa_communities" -> (q143LpaCommunities _),
   )
 
   val oracles: Map[String, String] = Map(
     "q132_entity_match"    -> q132Oracle,
     "q136_triangle_counts" -> q136Oracle,
+    "q143_lpa_communities" -> q143Oracle,
   )
 }

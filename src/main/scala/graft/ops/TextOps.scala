@@ -1812,6 +1812,61 @@ object TextOps {
        |SELECT round, sym_a, sym_b, weighted_count FROM merges ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q145
+  /** Pareto frontier (skyline) for data selection: the documents no
+    * other document beats on BOTH content volume (n_chars) and
+    * lexical diversity (distinct-token ratio) — multi-objective
+    * curation without collapsing objectives into one weighted score
+    * (q62's approach; the frontier is what you keep when you refuse
+    * to pick the weights).
+    *
+    * The O(n²) dominance test never runs: for the 2-D case a point
+    * is dominated iff a strictly-longer document has ≥ its diversity
+    * (one RANGE window ordered by n_chars desc, frame ending at -1 —
+    * i.e. "all strictly larger x"), or an equal-length document has
+    * strictly higher diversity (one partition-by-x max). Two
+    * windows, one shuffle each over (x)-ordered data; at 100 TB the
+    * global range window shards by x-bucket first (q133's
+    * hierarchical-prefix device) — the sweep is associative. Doubles
+    * are only COMPARED, never accumulated, so the frontier is
+    * engine-exact. */
+  def q145ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.documentsSpread(s, dir)
+      .withColumn("toks", toks($"text"))
+      .select($"doc_id", $"n_chars",
+        (size(array_distinct($"toks")).cast("double") / size($"toks"))
+          .as("diversity"))
+    val wGt = Window.orderBy($"n_chars".desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy($"n_chars")
+    pts
+      .withColumn("best_longer", max($"diversity").over(wGt))
+      .withColumn("best_same", max($"diversity").over(wEq))
+      .where(($"best_longer".isNull || $"best_longer" < $"diversity") &&
+        $"best_same" <= $"diversity")
+      .select($"doc_id", $"n_chars", $"diversity")
+      .orderBy($"n_chars".desc, $"doc_id")
+  }
+
+  private val q145Oracle =
+    """WITH pts AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |      / len(string_split(lower(text), ' ')) AS diversity
+      |  FROM documents),
+      |sw AS (
+      |  SELECT *,
+      |    max(diversity) OVER (ORDER BY n_chars DESC
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_longer,
+      |    max(diversity) OVER (PARTITION BY n_chars) AS best_same
+      |  FROM pts)
+      |SELECT doc_id, n_chars, diversity FROM sw
+      |WHERE (best_longer IS NULL OR best_longer < diversity)
+      |  AND best_same <= diversity
+      |ORDER BY n_chars DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
@@ -1845,6 +1900,7 @@ object TextOps {
     "q125_lm_score"           -> (q125LmScore _),
     "q128_bm25"               -> (q128Bm25 _),
     "q140_bpe_merges"         -> (q140BpeMerges _),
+    "q145_pareto_frontier"    -> (q145ParetoFrontier _),
     "q129_source_divergence"  -> (q129SourceDivergence _),
     "q130_normalize"          -> (q130Normalize _),
   )
@@ -1882,6 +1938,7 @@ object TextOps {
     "q125_lm_score"           -> q125Oracle,
     "q128_bm25"               -> q128Oracle,
     "q140_bpe_merges"         -> q140Oracle,
+    "q145_pareto_frontier"    -> q145Oracle,
     "q129_source_divergence"  -> q129Oracle,
     "q130_normalize"          -> q130Oracle,
   )

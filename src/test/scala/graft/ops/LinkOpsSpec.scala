@@ -40,6 +40,21 @@ class LinkOpsSpec extends SparkSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("q143 LPA converges to one community per planted clique") {
+    import spark.implicits._
+    // two disjoint triangles; synchronous min-tie-break LPA settles
+    // each on its smallest member id within 3 rounds (hand-traced:
+    // r1 mixes, r2 floods the min, r3 confirms)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (11L, 12L), (11L, 13L), (12L, 13L),
+    ).toDF("u", "v")
+    val got = LinkOps.lpaOf(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L))
+  }
+
   test("q136 agrees with a naive all-triples count on sf0.001") {
     val got = LinkOps.q136TriangleCounts(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

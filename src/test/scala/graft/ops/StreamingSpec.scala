@@ -106,4 +106,21 @@ class StreamingSpec extends SparkSuite {
     assert(got.length == want.length && got.length > 0)
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
+
+  test("q144 incremental MV equals the batch recompute and took two merges") {
+    import spark.implicits._
+    val got = Streaming.q144IncrementalMv(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got.values.forall(_._3 == 2), "expected exactly two micro-batches")
+    val want = graft.Tables.events(spark, sf0001)
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CAST(round(value * 1000000D) AS BIGINT)")).as("sv"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == want)
+  }
 }

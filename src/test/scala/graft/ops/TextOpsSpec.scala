@@ -723,6 +723,23 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q145 frontier equals the brute-force O(n²) dominance recount") {
+    import spark.implicits._
+    val pts = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"n_chars", $"text").collect()
+      .map { r =>
+        val toks = r.getString(2).toLowerCase.split(" ")
+        (r.getLong(0), r.getLong(1), toks.distinct.length.toDouble / toks.length)
+      }
+    val want = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(p => (p._1, p._2)).toSet
+    val got = TextOps.q145ParetoFrontier(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q140 BPE learns hand-derivable merges, greedy on overlapping runs") {
     import spark.implicits._
     // corpus: "aaaa" ×3, "ab" ×2. Round 1 pairs: (a,a) weight 3·3=9,
