@@ -113,7 +113,9 @@ object LinkOps {
   /** Distinct undirected co-membership edges (u < v) from an
     * (ok, pk) frame — in-array pair generation, fan-out bounded by
     * group size; shared by q136 and q143. */
-  private[ops] def coEdges(items: DataFrame): DataFrame = {
+  /** One (u, v) row per GROUP containing the pair (u < v) — the
+    * support-counting form; [[coEdges]] is this deduped. */
+  private[ops] def pairOccurrences(items: DataFrame): DataFrame = {
     val s = items.sparkSession
     import s.implicits._
     items.distinct()
@@ -123,8 +125,10 @@ object LinkOps {
           |  transform(slice(ps, i + 2, size(ps)),
           |            y -> struct(x AS u, y AS v))))""".stripMargin)).as("e"))
       .select($"e.u", $"e.v")
-      .distinct()
   }
+
+  private[ops] def coEdges(items: DataFrame): DataFrame =
+    pairOccurrences(items).distinct()
 
   private[ops] def triangleCountsOf(items: DataFrame): DataFrame = {
     val s = items.sparkSession
@@ -249,15 +253,82 @@ object LinkOps {
        |ORDER BY p_partkey""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q146
+  /** Market-basket association rules: for every co-purchased pair
+    * with support ≥ [[minPairSupport]], both directed rules a→b with
+    * exact support, confidence, and lift — the affinity model behind
+    * recommendations and assortment planning.
+    *
+    * All three statistics are FIXED-POINT parts-per-million from
+    * exact integer counts (`conf = 1e6·n(ab) div n(a)`,
+    * `lift = 1e6·n(ab)·N div (n(a)·n(b))`) — no double ratios, so
+    * the rule table is bit-stable under any partitioning. Pair
+    * occurrences come from the in-array generator (fan-out bounded
+    * by basket size, no fact self-join); item supports are an
+    * item-cardinality table, so both enrichment joins broadcast.
+    * The support threshold prunes BEFORE the rule expansion — the
+    * standard Apriori observation that infrequent pairs can't make
+    * frequent rules. */
+  val minPairSupport = 3
+
+  def q146AssociationRules(s: SparkSession, dir: String): DataFrame =
+    associationRulesOf(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** The rule mining on any (ok, pk) membership frame — separated so
+    * the spec can plant baskets with hand-computable confidence and
+    * lift. */
+  private[ops] def associationRulesOf(itemsIn: DataFrame): DataFrame = {
+    val s = itemsIn.sparkSession
+    import s.implicits._
+    val items = itemsIn.distinct()
+    val nOrders = items.select(countDistinct($"ok").as("n_orders"))
+    val sup = items.groupBy($"pk").agg(count(lit(1)).as("s"))
+    val pairN = pairOccurrences(items)
+      .groupBy($"u", $"v").agg(count(lit(1)).as("pair_n"))
+      .where($"pair_n" >= minPairSupport)
+    val rules = pairN.select($"u".as("ante"), $"v".as("cons"), $"pair_n")
+      .unionAll(pairN.select($"v".as("ante"), $"u".as("cons"), $"pair_n"))
+    rules
+      .join(broadcast(sup.select($"pk".as("ante"), $"s".as("sup_ante"))), "ante")
+      .join(broadcast(sup.select($"pk".as("cons"), $"s".as("sup_cons"))), "cons")
+      .crossJoin(broadcast(nOrders))
+      .select($"ante", $"cons", $"pair_n", $"sup_ante", $"sup_cons",
+        expr("(1000000 * pair_n) div sup_ante").as("conf_ppm"),
+        expr("(1000000 * pair_n * n_orders) div (sup_ante * sup_cons)")
+          .as("lift_ppm"))
+      .orderBy($"ante", $"cons")
+  }
+
+  private val q146Oracle =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |po AS (
+       |  SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS pair_n
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $minPairSupport),
+       |sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+       |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+       |r AS (
+       |  SELECT u AS ante, v AS cons, pair_n FROM po
+       |  UNION ALL SELECT v, u, pair_n FROM po)
+       |SELECT ante, cons, pair_n, sa.s AS sup_ante, sb.s AS sup_cons,
+       |  (1000000 * pair_n) // sa.s AS conf_ppm,
+       |  (1000000 * pair_n * n_orders) // (sa.s * sb.s) AS lift_ppm
+       |FROM r JOIN sup sa ON r.ante = sa.pk JOIN sup sb ON r.cons = sb.pk, no
+       |ORDER BY ante, cons""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_entity_match"    -> (q132EntityMatch _),
     "q136_triangle_counts" -> (q136TriangleCounts _),
     "q143_lpa_communities" -> (q143LpaCommunities _),
+    "q146_association_rules" -> (q146AssociationRules _),
   )
 
   val oracles: Map[String, String] = Map(
     "q132_entity_match"    -> q132Oracle,
     "q136_triangle_counts" -> q136Oracle,
     "q143_lpa_communities" -> q143Oracle,
+    "q146_association_rules" -> q146Oracle,
   )
 }

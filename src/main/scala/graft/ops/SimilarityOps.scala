@@ -653,6 +653,86 @@ object SimilarityOps {
        |SELECT doc_id, bm25_rank, sem_rank, rrf_score FROM fused
        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q147
+  /** Embedding-space drift monitor: per label, the cosine similarity
+    * between the centroid of the "old" half of the corpus and the
+    * "new" half (vec_id parity stands in for the snapshot boundary —
+    * the comparison q115 runs on scalar features, lifted to vector
+    * space, where re-embedding or upstream model drift shows up
+    * first).
+    *
+    * Centroids are never materialized as doubles: per-dimension
+    * coordinate sums are EXACT integers (1e4 fixed point — |x| < 1,
+    * so 64 dims × corpus rows stays far under BIGINT), and the count
+    * denominators cancel inside cosine, so the similarity is
+    * computed from integers by one identical IEEE expression in both
+    * engines — bit-equal without rounding, which a float centroid
+    * accumulated in partition order can never be. Plan: one
+    * posexplode (64× fan-out, scan-side), one (label, half, dim)
+    * partial-agg shuffle — 2·64·labels cells — then label-cardinality
+    * arithmetic. */
+  def q147EmbeddingDrift(s: SparkSession, dir: String): DataFrame =
+    embeddingDriftOf(Tables.embeddings(s, dir))
+
+  /** The monitor on any (vec_id, embedding, label) frame — separated
+    * so the spec can plant identical halves (cos exactly 1.0) and an
+    * orthogonal drift (cos exactly 0.0). */
+  private[ops] def embeddingDriftOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val sums = emb
+      .select($"label", ($"vec_id" % 2).as("half"),
+        posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(
+        sum(when($"half" === 0,
+          expr("CAST(round(CAST(x AS DOUBLE) * 10000D) AS BIGINT)"))
+          .otherwise(0L)).as("so"),
+        sum(when($"half" === 1,
+          expr("CAST(round(CAST(x AS DOUBLE) * 10000D) AS BIGINT)"))
+          .otherwise(0L)).as("sn"))
+    val counts = emb
+      .groupBy($"label")
+      .agg(sum(when($"vec_id" % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when($"vec_id" % 2 === 1, 1L).otherwise(0L)).as("n_new"))
+    sums
+      .groupBy($"label")
+      .agg(sum($"so" * $"sn").as("dot"),
+        sum($"so" * $"so").as("no2"), sum($"sn" * $"sn").as("nn2"))
+      .join(broadcast(counts), "label")
+      .select($"label", $"n_old", $"n_new",
+        (col("dot").cast("double") /
+          (sqrt(col("no2").cast("double")) * sqrt(col("nn2").cast("double"))))
+          .as("centroid_cos"))
+      .orderBy($"label")
+  }
+
+  private val q147Oracle =
+    """WITH pts AS (
+      |  SELECT label, vec_id % 2 AS half, i AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS xq
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |sums AS (
+      |  SELECT label, dim,
+      |    CAST(sum(CASE WHEN half = 0 THEN xq ELSE 0 END) AS BIGINT) AS so,
+      |    CAST(sum(CASE WHEN half = 1 THEN xq ELSE 0 END) AS BIGINT) AS sn
+      |  FROM pts GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT label, CAST(sum(so * sn) AS BIGINT) AS dot,
+      |    CAST(sum(so * so) AS BIGINT) AS no2,
+      |    CAST(sum(sn * sn) AS BIGINT) AS nn2
+      |  FROM sums GROUP BY 1),
+      |cnt AS (
+      |  SELECT label,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+      |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM embeddings GROUP BY 1)
+      |SELECT a.label, n_old, n_new,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(no2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE)))
+      |    AS centroid_cos
+      |FROM agg a JOIN cnt c ON a.label = c.label
+      |ORDER BY a.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
@@ -661,6 +741,7 @@ object SimilarityOps {
     "q97_quantize_int8"  -> (q97QuantizeInt8 _),
     "q104_quantized_knn" -> (q104QuantizedKnn _),
     "q137_hybrid_rrf"    -> (q137HybridRrf _),
+    "q147_embedding_drift" -> (q147EmbeddingDrift _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -671,5 +752,6 @@ object SimilarityOps {
     "q97_quantize_int8"  -> q97Oracle,
     "q104_quantized_knn" -> q104Oracle,
     "q137_hybrid_rrf"    -> q137Oracle,
+    "q147_embedding_drift" -> q147Oracle,
   )
 }

@@ -55,6 +55,26 @@ class LinkOpsSpec extends SparkSuite {
       11L -> 11L, 12L -> 11L, 13L -> 11L))
   }
 
+  test("q146 rules carry hand-computed confidence and lift") {
+    import spark.implicits._
+    // baskets: {1,2}×3, {1,3}×1 → N=4; sup(1)=4, sup(2)=3, sup(3)=1;
+    // only pair (1,2) reaches support 3.
+    // 1→2: conf = 3e6 div 4 = 750000; lift = 3·4e6 div (4·3) = 1000000
+    // 2→1: conf = 1000000; lift = 1000000
+    val items = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L), (13L, 1L), (13L, 3L),
+    ).toDF("ok", "pk")
+    val got = LinkOps.associationRulesOf(items).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got == Map(
+      (1L, 2L) -> ((3L, 4L, 3L, 750000L, 1000000L)),
+      (2L, 1L) -> ((3L, 3L, 4L, 1000000L, 1000000L)),
+    ))
+  }
+
   test("q136 agrees with a naive all-triples count on sf0.001") {
     val got = LinkOps.q136TriangleCounts(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -114,6 +114,25 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(n > SimilarityOps.topK) // sanity
   }
 
+  test("q147 drift: identical halves give cos 1.0, orthogonal give 0.0") {
+    import spark.implicits._
+    // label 0: old and new halves identical → centroid_cos exactly 1.0
+    // label 1: old on axis 0, new on axis 1 → exactly 0.0
+    val emb = Seq(
+      (0L, Seq(0.5f, 0.25f, 0.0f), 0), (1L, Seq(0.5f, 0.25f, 0.0f), 0),
+      (2L, Seq(0.25f, 0.5f, 0.0f), 0), (3L, Seq(0.25f, 0.5f, 0.0f), 0),
+      (10L, Seq(1.0f, 0.0f, 0.0f), 1), (11L, Seq(0.0f, 1.0f, 0.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.embeddingDriftOf(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // sqrt(k)*sqrt(k) reconstructs k only to 1 ulp — deterministic,
+    // but not the literal 1.0; zero dot product IS exact
+    assert(got(0)._1 == 2L && got(0)._2 == 2L &&
+      math.abs(got(0)._3 - 1.0) < 1e-12)
+    assert(got(1) == ((1L, 1L, 0.0)))
+  }
+
   test("q137 RRF: fixed-point contributions, ordering, and real fusion") {
     val rows = SimilarityOps.q137HybridRrf(spark, sf0001).collect().map { r =>
       (r.getLong(0),
