@@ -733,6 +733,48 @@ object SimilarityOps {
       |FROM agg a JOIN cnt c ON a.label = c.label
       |ORDER BY a.label""".stripMargin
 
+  // ---------------------------------------------------------------- q148
+  /** Retrieval-quality evaluation: recall@k and reciprocal rank of
+    * the LSH index (q52) against exact brute force (q70), per query —
+    * the metric harness an ANN deployment gates on. Runs BOTH
+    * rankers (each already scale-shaped) and joins their k-row
+    * outputs; everything downstream of the rankers is
+    * queries×k-cardinality, i.e. free. Metrics are fixed-point ppm
+    * over exact ranks (both rankers tie-break deterministically), so
+    * the eval table is hash-stable — an eval that isn't reproducible
+    * can't gate anything. The oracle composes both rankers' full
+    * oracle SQL as CTEs: the measurement AND both measured systems
+    * re-verify in one hash. */
+  def q148RetrievalMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = q70KnnBruteForce(s, dir)
+      .select($"query_id", $"neighbor_id", $"rank".as("ex_rank"))
+    val ap = q52KnnLsh(s, dir)
+      .select($"query_id", $"neighbor_id", $"rank".as("ap_rank"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when($"ap_rank".isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        max(when($"ex_rank" === 1, $"ap_rank")).as("top1_ap_rank"))
+      .select($"query_id", $"n_matched",
+        expr("CAST((1000000 * n_matched) div k AS BIGINT)").as("recall_ppm"),
+        expr("CAST(coalesce(1000000 div top1_ap_rank, 0) AS BIGINT)").as("rr_ppm"))
+      .orderBy($"query_id")
+  }
+
+  private def q148Oracle =
+    s"""WITH ex AS ($q70Oracle),
+       |ap AS ($q52Oracle)
+       |SELECT ex.query_id, CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |  (1000000 * CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0
+       |    END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS recall_ppm,
+       |  CAST(COALESCE(1000000 // max(CASE WHEN ex.rank = 1 THEN ap.rank END), 0)
+       |    AS BIGINT) AS rr_ppm
+       |FROM ex LEFT JOIN ap
+       |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
@@ -742,6 +784,7 @@ object SimilarityOps {
     "q104_quantized_knn" -> (q104QuantizedKnn _),
     "q137_hybrid_rrf"    -> (q137HybridRrf _),
     "q147_embedding_drift" -> (q147EmbeddingDrift _),
+    "q148_retrieval_metrics" -> (q148RetrievalMetrics _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -753,5 +796,6 @@ object SimilarityOps {
     "q104_quantized_knn" -> q104Oracle,
     "q137_hybrid_rrf"    -> q137Oracle,
     "q147_embedding_drift" -> q147Oracle,
+    "q148_retrieval_metrics" -> q148Oracle,
   )
 }

@@ -133,6 +133,26 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(got(1) == ((1L, 1L, 0.0)))
   }
 
+  test("q148 metrics replay from the two rankers' own outputs") {
+    val ex = SimilarityOps.q70KnnBruteForce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ap = SimilarityOps.q52KnnLsh(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val want = ex.groupBy(_._1).map { case (q, rows) =>
+      val matched = rows.count(e => ap.contains((e._1, e._2)))
+      val rr = rows.find(_._3 == 1).flatMap(e => ap.get((e._1, e._2)))
+        .map(1000000L / _).getOrElse(0L)
+      q -> ((matched.toLong, 1000000L * matched / rows.length, rr))
+    }
+    val got = SimilarityOps.q148RetrievalMetrics(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+    // the eval must measure something non-trivial: not all queries
+    // may have perfect recall, and every recall is in (0, 1e6]
+    assert(got.values.forall(v => v._2 > 0 && v._2 <= 1000000L))
+  }
+
   test("q137 RRF: fixed-point contributions, ordering, and real fusion") {
     val rows = SimilarityOps.q137HybridRrf(spark, sf0001).collect().map { r =>
       (r.getLong(0),
