@@ -532,6 +532,173 @@ object EventOps {
       |    AS p_ppm
       |FROM pairs ORDER BY from_type, to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q149
+  /** Exact distinct-user rollup across time grains (day → week →
+    * month) WITHOUT re-counting the raw stream per grain: the stream
+    * reduces ONCE to the distinct (user, day) set — the expensive
+    * shuffle — and the coarser grains re-distinct that already-tiny
+    * set (users × active-days, orders of magnitude below the event
+    * count). Distinct users are not summable across periods (the
+    * whole reason this op exists — a user active twice a week is one
+    * weekly user), so the hierarchy must re-distinct, but never from
+    * raw. Day/week/month truncations agree between engines
+    * (ISO Monday weeks in both). */
+  def q149DistinctRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, dir)
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+      .distinct()
+    def grain(name: String, trunc: DataFrame => DataFrame): DataFrame =
+      trunc(base).distinct()
+        .groupBy($"period").agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("grain"), $"period", $"n_users")
+    grain("day",   _.select($"user_id", $"day".as("period")))
+      .unionAll(grain("week",
+        _.select($"user_id", date_trunc("week", $"day").as("period"))))
+      .unionAll(grain("month",
+        _.select($"user_id", date_trunc("month", $"day").as("period"))))
+      .orderBy($"grain", $"period")
+  }
+
+  private val q149Oracle =
+    """WITH base AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |d AS (
+      |  SELECT 'day' AS grain, day AS period,
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM base GROUP BY 2),
+      |w AS (
+      |  SELECT 'week' AS grain, period, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM (SELECT DISTINCT user_id, date_trunc('week', day) AS period
+      |        FROM base) GROUP BY 2),
+      |m AS (
+      |  SELECT 'month' AS grain, period, CAST(count(*) AS BIGINT) AS n_users
+      |  FROM (SELECT DISTINCT user_id, date_trunc('month', day) AS period
+      |        FROM base) GROUP BY 2)
+      |SELECT * FROM d UNION ALL SELECT * FROM w UNION ALL SELECT * FROM m
+      |ORDER BY grain, period""".stripMargin
+
+  // ---------------------------------------------------------------- q151
+  /** Duration-capped sessionization: a session closes on
+    * [[cappedGapUs]] of inactivity OR when it has run for
+    * [[cappedMaxUs]] — the production semantics (billing windows,
+    * abuse control) that plain gap sessionization (q32/q35) lacks.
+    * The cap makes the operator NON-window-expressible: each break
+    * depends on the session's ANCHOR, which depends on every prior
+    * break — a data-dependent fold, not a frame. Spark runs it as a
+    * per-user in-group fold (one shuffle on user_id, the q102
+    * device, state O(1) + closed-session list bounded by the user's
+    * span/cap); the oracle steps the SAME recurrence with a
+    * RECURSIVE CTE (q74/q79's device). Both the gap branch and the
+    * cap branch fire on the sf corpus (~13% of session opens are
+    * cap-splits), so the hash proves the full recurrence, not just
+    * the easy half. */
+  val cappedGapUs: Long = 12L * 3600 * 1000000
+  val cappedMaxUs: Long = 24L * 3600 * 1000000
+
+  def q151CappedSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cappedSessionsOf(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id"))
+  }
+
+  /** The fold on any (user_id, tus, event_id) frame — separated so
+    * the spec can plant a dense run that only the cap splits and a
+    * sparse run that only the gap splits. */
+  private[ops] def cappedSessionsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val folded = ev
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"tus", $"event_id"))).as("evs"))
+      .select($"user_id", expr(
+        s"""aggregate(
+           |  transform(evs, e -> e.tus),
+           |  struct(
+           |    CAST(array() AS ARRAY<STRUCT<st: BIGINT, en: BIGINT, n: BIGINT>>)
+           |      AS closed,
+           |    -1L AS cst, -1L AS cen, 0L AS cn),
+           |  (acc, t) -> CASE
+           |    WHEN acc.cst = -1L THEN
+           |      struct(acc.closed AS closed, t AS cst, t AS cen, 1L AS cn)
+           |    WHEN t - acc.cen > ${cappedGapUs}L OR t - acc.cst > ${cappedMaxUs}L
+           |      THEN struct(
+           |        concat(acc.closed,
+           |          array(struct(acc.cst AS st, acc.cen AS en, acc.cn AS n)))
+           |          AS closed,
+           |        t AS cst, t AS cen, 1L AS cn)
+           |    ELSE struct(acc.closed AS closed, acc.cst AS cst, t AS cen,
+           |      acc.cn + 1L AS cn) END,
+           |  acc -> concat(acc.closed,
+           |    array(struct(acc.cst AS st, acc.cen AS en, acc.cn AS n))))
+           |""".stripMargin).as("sessions"))
+    folded
+      .select($"user_id", posexplode($"sessions").as(Seq("pos", "sess")))
+      .select($"user_id", ($"pos" + 1).cast("long").as("sid"),
+        $"sess.st".as("session_start"), $"sess.en".as("session_end"),
+        $"sess.n".as("n_events"))
+      .orderBy($"user_id", $"sid")
+  }
+
+  private val q151Oracle =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |rec AS (
+       |  SELECT user_id, rn, tus, tus AS anchor, CAST(1 AS BIGINT) AS sid
+       |  FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.rn, e.tus,
+       |    CASE WHEN e.tus - r.tus > $cappedGapUs
+       |           OR e.tus - r.anchor > $cappedMaxUs
+       |      THEN e.tus ELSE r.anchor END,
+       |    r.sid + CASE WHEN e.tus - r.tus > $cappedGapUs
+       |              OR e.tus - r.anchor > $cappedMaxUs THEN 1 ELSE 0 END
+       |  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+       |SELECT user_id, sid, min(tus) AS session_start, max(tus) AS session_end,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM rec GROUP BY 1, 2 ORDER BY user_id, sid""".stripMargin
+
+  // ---------------------------------------------------------------- q152
+  /** Ingestion-freshness report — the operational check every feed
+    * needs: per event type, the newest event's lag behind the
+    * newest event anywhere (a stuck producer shows up as a growing
+    * lag), plus activity in the trailing 24 h window before that
+    * global high-water mark. Exact integer µs math on the already-
+    * aggregated per-type extremes; the only corpus pass is one
+    * partial-aggregated groupBy, the global max is a 1-row broadcast.
+    * (The STREAMING twin of this check is the watermark itself —
+    * this is the batch-side audit a scheduler alerts on.) */
+  def q152FreshnessReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", unix_micros($"ts").as("tus"))
+    val global = ev.agg(max($"tus").as("hwm"))
+    ev.crossJoin(broadcast(global))
+      .groupBy($"event_type")
+      .agg(max($"tus").as("max_tus"),
+        min($"hwm").as("hwm"),
+        sum(when($"tus" >= $"hwm" - 86400000000L, 1L).otherwise(0L))
+          .as("n_last_24h"))
+      .select($"event_type",
+        expr("(hwm - max_tus) div 60000000").as("lag_minutes"),
+        $"n_last_24h")
+      .orderBy($"event_type")
+  }
+
+  private val q152Oracle =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS tus FROM events),
+      |g AS (SELECT max(tus) AS hwm FROM ev)
+      |SELECT event_type,
+      |  (hwm - max(tus)) // 60000000 AS lag_minutes,
+      |  CAST(sum(CASE WHEN tus >= hwm - 86400000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_last_24h
+      |FROM ev, g GROUP BY event_type, hwm
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
@@ -542,6 +709,9 @@ object EventOps {
     "q138_scd2_history"     -> (q138Scd2History _),
     "q139_session_overlap"  -> (q139SessionOverlap _),
     "q141_transition_matrix" -> (q141TransitionMatrix _),
+    "q149_distinct_rollup"  -> (q149DistinctRollup _),
+    "q151_capped_sessions"  -> (q151CappedSessions _),
+    "q152_freshness_report" -> (q152FreshnessReport _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -554,5 +724,8 @@ object EventOps {
     "q138_scd2_history"     -> q138Oracle,
     "q139_session_overlap"  -> q139Oracle,
     "q141_transition_matrix" -> q141Oracle,
+    "q149_distinct_rollup"  -> q149Oracle,
+    "q151_capped_sessions"  -> q151Oracle,
+    "q152_freshness_report" -> q152Oracle,
   )
 }

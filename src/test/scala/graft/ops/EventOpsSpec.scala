@@ -194,6 +194,27 @@ class EventOpsSpec extends SparkSuite {
     ))
   }
 
+  test("q151 capped sessions: cap splits a dense run, gap splits a sparse one") {
+    import spark.implicits._
+    val H = 3600000000L
+    // user 1: one event per hour for 31 hours — the 12h gap NEVER
+    // fires; the 24h cap closes the session at hour 24, so the run
+    // splits [0..24h] (25 events) + [25..30h] (6 events)
+    val dense = (0 to 30).map(h => (1L, h * H, 100L + h))
+    // user 2: two events 13h apart — only the gap fires
+    val sparse = Seq((2L, 0L, 1L), (2L, 13 * H, 2L))
+    val got = EventOps.cappedSessionsOf((dense ++ sparse)
+        .toDF("user_id", "tus", "event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 24 * H, 25L),
+      (1L, 2L, 25 * H, 30 * H, 6L),
+      (2L, 1L, 0L, 0L, 1L),
+      (2L, 2L, 13 * H, 13 * H, 1L),
+    ))
+  }
+
   test("q142 contract checks flag every planted violation class") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("contract").toString
