@@ -412,7 +412,13 @@ object EventOps {
     * bucket width — the standard interval-join decomposition Spark
     * lacks natively. */
   val sessionGapUs2: Long = 30L * 60 * 1000 * 1000
-  val overlapBucketUs: Long = 86400L * 1000 * 1000
+
+  /** Grid width. Correctness is width-independent (two sessions
+    * overlap ⟺ they share the bucket of any point in the overlap),
+    * so this is purely the density dial: work ∝ Σ per-bucket count².
+    * One hour beats one day ~20× on the fixture's mostly-instant
+    * sessions; a corpus of long sessions would dial it back up. */
+  val overlapBucketUs: Long = 3600L * 1000 * 1000
 
   def q139SessionOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

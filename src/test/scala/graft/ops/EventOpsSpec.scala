@@ -154,10 +154,9 @@ class EventOpsSpec extends SparkSuite {
 
   test("q139 overlap join: straddling sessions dedupe, touch counts, disjoint doesn't") {
     import spark.implicits._
-    val D = EventOps.overlapBucketUs
-    // user 1 session spans 3 day-buckets (events < 30 min apart would
-    // be one session only if dense — plant single-event "sessions" and
-    // one long session via 20-min steps across the bucket boundary)
+    val D = 86400000000L // one day — fixture geometry, NOT the bucket width
+    // user 1's session spans ~3.5 days of 20-min-step events, i.e.
+    // MANY grid buckets at any reasonable width — the dedupe branch
     val longSess = (0 until 180).map(i =>
       (1L, D - 1800000000L + i * 1200000000L, 1000L + i))  // 20-min steps
     val ev = (longSess ++ Seq(
