@@ -1366,6 +1366,53 @@ object DedupOps {
        |ORDER BY stage_no""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q155
+  /** Boilerplate span catalog — the INSPECTION twin of q55/q58:
+    * instead of per-doc duplicated-span counts, surface WHICH spans
+    * are the boilerplate (license headers, nav chrome, quote chains)
+    * as the top-100 cross-document 8-grams with occurrence counts, a
+    * document-frequency count, and a sample doc to eyeball. This is
+    * the report a curation engineer reads before choosing q58's mask
+    * list or q55's drop threshold.
+    *
+    * Scale shape: positional spans ([[spansN]] — multiplicity kept, so
+    * n_occurrences counts repeats inside one doc too) shuffle once on
+    * the span for a single partial-agg'd groupBy; text never
+    * shuffles. The top-100 cut is a `sort+limit`, which Spark plans
+    * as TakeOrderedAndProject — per-partition partial top-k, never a
+    * global sort. The ORDER BY is a TOTAL order (count desc, df
+    * desc, span asc — span is the grouping key, hence unique), so
+    * the 100-row cut is deterministic and hash-oracle-able. */
+  val catalogTopK = 100
+
+  def q155BoilerplateCatalog(s: SparkSession, dir: String): DataFrame =
+    catalogOf(Tables.documentsSpread(s, dir))
+
+  /** The catalog on any (doc_id, text) frame — separated so the spec
+    * can plant a known shared span and single-doc repeats. */
+  private[ops] def catalogOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", explode(spansN($"text", spanN)).as("sh"))
+      .groupBy($"sh")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("sample_doc"))
+      .where($"n_docs" >= 2)
+      .orderBy($"n_occurrences".desc, $"n_docs".desc, $"sh")
+      .limit(catalogTopK)
+  }
+
+  private val q155Oracle =
+    s"""WITH $span8Cte
+       |SELECT sh, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS sample_doc
+       |FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY n_occurrences DESC, n_docs DESC, sh
+       |LIMIT $catalogTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_exact_dedup"       -> (q64ExactDedup _),
     "q65_minhash_lsh"       -> (q65MinhashLsh _),
@@ -1387,6 +1434,7 @@ object DedupOps {
     "q126_hard_negatives"   -> (q126HardNegatives _),
     "q127_incremental_clusters" -> (q127IncrementalClusters _),
     "q131_retention_ledger" -> (q131RetentionLedger _),
+    "q155_boilerplate_catalog" -> (q155BoilerplateCatalog _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1410,5 +1458,6 @@ object DedupOps {
     "q127_incremental_clusters" -> q127Oracle,
     "q131_retention_ledger" -> q131Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
+    "q155_boilerplate_catalog" -> q155Oracle,
   )
 }

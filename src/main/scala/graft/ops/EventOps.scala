@@ -705,6 +705,99 @@ object EventOps {
       |FROM ev, g GROUP BY event_type, hwm
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q154
+  /** Token-bucket admission control per user — the rate-limit /
+    * ingestion-quota operator (abuse throttling, per-tenant fairness,
+    * bounded-cost sampling of hyperactive keys). Each user's bucket
+    * holds at most [[bucketCapMicro]] micro-tokens, refills at 1
+    * token per [[bucketRefillUsPerMicro]] µs, and each event costs
+    * [[bucketCostMicro]]; an event is admitted iff the refilled
+    * balance covers the cost. Like q151, the decision is a
+    * data-dependent RECURRENCE (each admission depends on every
+    * prior admission through the balance), so no window frame
+    * expresses it: Spark runs a per-user sort-based in-group fold
+    * (one shuffle on user_id, O(1) state per user), the oracle steps
+    * the same recurrence as a RECURSIVE CTE. All arithmetic is
+    * integer µs / micro-tokens with floor division on non-negative
+    * operands, so both engines compute bit-identical balances. At
+    * sf0.01 ~6 % of events are rejected, so both branches fire on
+    * the corpus (the spec additionally plants each branch alone).
+    * Per-event verdicts stay inside the fold; only per-user totals
+    * (n_events, n_admitted, n_rejected, final balance) come out. */
+  val bucketCapMicro: Long = 2000000L     // 2 tokens
+  val bucketCostMicro: Long = 1000000L    // 1 token per event
+  val bucketRefillUsPerMicro: Long = 14400L // 1 token per 4 h
+
+  def q154TokenBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tokenBucketOf(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id"))
+  }
+
+  /** The fold on any (user_id, tus, event_id) frame — separated so
+    * the spec can plant a burst that only rejection handles and a
+    * spaced run that is fully admitted. */
+  private[ops] def tokenBucketOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val (cap, cost, refill) =
+      (bucketCapMicro, bucketCostMicro, bucketRefillUsPerMicro)
+    ev.groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"tus", $"event_id"))).as("evs"))
+      .select($"user_id", size($"evs").cast("long").as("n_events"), expr(
+        s"""aggregate(
+           |  transform(evs, e -> e.tus),
+           |  struct(-1L AS last, 0L AS tok, 0L AS adm),
+           |  (acc, t) -> CASE
+           |    WHEN acc.last = -1L THEN
+           |      struct(t AS last, ${cap - cost}L AS tok, 1L AS adm)
+           |    WHEN least(${cap}L, acc.tok + (t - acc.last) div ${refill}L)
+           |        >= ${cost}L THEN
+           |      struct(t AS last,
+           |        least(${cap}L, acc.tok + (t - acc.last) div ${refill}L)
+           |          - ${cost}L AS tok,
+           |        acc.adm + 1L AS adm)
+           |    ELSE
+           |      struct(t AS last,
+           |        least(${cap}L, acc.tok + (t - acc.last) div ${refill}L)
+           |          AS tok,
+           |        acc.adm AS adm) END,
+           |  acc -> struct(acc.tok AS tok, acc.adm AS adm))
+           |""".stripMargin).as("fin"))
+      .select($"user_id", $"n_events", $"fin.adm".as("n_admitted"),
+        ($"n_events" - $"fin.adm").as("n_rejected"),
+        $"fin.tok".as("final_balance_micro"))
+      .orderBy($"user_id")
+  }
+
+  private val q154Oracle = {
+    val (cap, cost, refill) =
+      (bucketCapMicro, bucketCostMicro, bucketRefillUsPerMicro)
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |rec AS (
+       |  SELECT user_id, rn, tus, CAST(${cap - cost} AS BIGINT) AS tok,
+       |    CAST(1 AS BIGINT) AS adm
+       |  FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.rn, e.tus,
+       |    CASE WHEN least($cap, r.tok + (e.tus - r.tus) // $refill) >= $cost
+       |      THEN least($cap, r.tok + (e.tus - r.tus) // $refill) - $cost
+       |      ELSE least($cap, r.tok + (e.tus - r.tus) // $refill) END,
+       |    r.adm + CASE
+       |      WHEN least($cap, r.tok + (e.tus - r.tus) // $refill) >= $cost
+       |      THEN 1 ELSE 0 END
+       |  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |  max(adm) AS n_admitted,
+       |  CAST(count(*) AS BIGINT) - max(adm) AS n_rejected,
+       |  arg_max(tok, rn) AS final_balance_micro
+       |FROM rec GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
@@ -718,6 +811,7 @@ object EventOps {
     "q149_distinct_rollup"  -> (q149DistinctRollup _),
     "q151_capped_sessions"  -> (q151CappedSessions _),
     "q152_freshness_report" -> (q152FreshnessReport _),
+    "q154_token_bucket"     -> (q154TokenBucket _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -733,5 +827,6 @@ object EventOps {
     "q149_distinct_rollup"  -> q149Oracle,
     "q151_capped_sessions"  -> q151Oracle,
     "q152_freshness_report" -> q152Oracle,
+    "q154_token_bucket"     -> q154Oracle,
   )
 }

@@ -504,6 +504,87 @@ object ExtOps {
        |FROM rows0 ORDER BY tbl, check_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q150
+  /** Referential-integrity audit over the warehouse FK graph — the
+    * check q142's single-table contracts can't express: does every
+    * child key resolve to a parent row? (orders→customer plus all
+    * three lineitem FKs). A naive expectation suite runs one
+    * anti-join — and therefore one full fact scan — per constraint;
+    * at 100 TB that turns a 4-constraint audit into 4 reads of the
+    * biggest table. Here every FK of a child table is audited in ONE
+    * pass: the fact scans once, left-joins each parent's key-only
+    * projection (Catalyst prunes the parents to single columns and
+    * broadcasts the small ones), and a single aggregate counts the
+    * NULL parent keys per constraint before `stack` unpivots to one
+    * row per FK (q142's device). Orphan detection needs parent
+    * EXISTENCE only, so the join side is `parent.select(key)
+    * .distinct()` — the dedup keeps the join from inflating child
+    * counts for 1:N parents and its shuffle carries bare keys. */
+  private[ops] def fkAudit(child: DataFrame,
+      parents: Seq[(String, DataFrame, String, String)]): DataFrame = {
+    val joined = parents.foldLeft(child) { case (df, (_, parent, ck, pk)) =>
+      df.join(parent.select(col(pk)).distinct(), col(ck) === col(pk), "left")
+    }
+    val orphanCols = parents.zipWithIndex.map { case ((_, _, _, pk), i) =>
+      sum(when(col(pk).isNull, 1L).otherwise(0L)).as(s"v$i")
+    }
+    val stackArgs = parents.zipWithIndex
+      .map { case ((name, _, _, _), i) => s"'$name', v$i" }.mkString(", ")
+    joined.agg(count(lit(1)).as("n_rows"), orphanCols: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${parents.size}, $stackArgs) AS (constraint_name, n_orphans)"))
+  }
+
+  def q150ReferentialAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = fkAudit(
+      Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey", $"l_suppkey"),
+      Seq(
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          Tables.orders(s, dir), "l_orderkey", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+          Tables.part(s, dir), "l_partkey", "p_partkey"),
+        ("lineitem.l_suppkey->supplier.s_suppkey",
+          Tables.supplier(s, dir), "l_suppkey", "s_suppkey")))
+    val ord = fkAudit(
+      Tables.orders(s, dir).select($"o_custkey"),
+      Seq(("orders.o_custkey->customer.c_custkey",
+        Tables.customer(s, dir), "o_custkey", "c_custkey")))
+    li.unionAll(ord)
+      .select($"constraint_name", $"n_rows".as("child_rows"), $"n_orphans",
+        when($"n_orphans" === 0, 1).otherwise(0).as("pass"))
+      .orderBy($"constraint_name")
+  }
+
+  private val q150Oracle =
+    """WITH li AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+      |    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |    CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2
+      |  FROM lineitem l
+      |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      |    ON l.l_orderkey = o.o_orderkey
+      |  LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+      |    ON l.l_partkey = p.p_partkey
+      |  LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+      |    ON l.l_suppkey = s.s_suppkey),
+      |od AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0
+      |  FROM orders o
+      |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      |    ON o.o_custkey = c.c_custkey),
+      |rows0 AS (
+      |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS constraint_name,
+      |    n_rows, v0 AS n_orphans FROM li
+      |  UNION ALL SELECT 'lineitem.l_partkey->part.p_partkey', n_rows, v1 FROM li
+      |  UNION ALL SELECT 'lineitem.l_suppkey->supplier.s_suppkey', n_rows, v2 FROM li
+      |  UNION ALL SELECT 'orders.o_custkey->customer.c_custkey', n_rows, v0 FROM od)
+      |SELECT constraint_name, n_rows AS child_rows, n_orphans,
+      |  CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS pass
+      |FROM rows0 ORDER BY constraint_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
@@ -514,6 +595,7 @@ object ExtOps {
     "q108_zorder_layout" -> (q108ZOrderLayout _),
     "q133_compaction_plan" -> (q133CompactionPlan _),
     "q142_contract_checks" -> (q142ContractChecks _),
+    "q150_referential_audit" -> (q150ReferentialAudit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -526,5 +608,6 @@ object ExtOps {
     "q108_zorder_layout" -> q108Oracle,
     "q133_compaction_plan" -> q133Oracle,
     "q142_contract_checks" -> q142Oracle,
+    "q150_referential_audit" -> q150Oracle,
   )
 }

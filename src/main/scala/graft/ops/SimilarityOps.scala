@@ -775,6 +775,121 @@ object SimilarityOps {
        |  ON ex.query_id = ap.query_id AND ex.neighbor_id = ap.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+  /** Greedy k-center (farthest-point) diversity sampling — the
+    * coreset selector a curation pipeline runs to pick a small,
+    * maximally-spread set of examples (eval seeds, annotation
+    * batches, few-shot pools) instead of a random sample that
+    * over-draws from dense regions.
+    *
+    * Geometry runs over q97's int8 codes, not the float embeddings:
+    * squared-L2 between code vectors is EXACT integer arithmetic
+    * (d·127² ≈ 10⁶ per pair, far inside Long), so the greedy
+    * selection — argmax of a running min-distance, ties to the
+    * smaller vec_id — is bit-deterministic under any partitioning
+    * and therefore hash-oracle-able, which float distances cannot
+    * give (q104's scale-free trick, reused for a different metric).
+    *
+    * Control flow is the q71/q79 shape: [[kCenters]]−1 bounded
+    * driver rounds, each broadcasting ONE new center row and folding
+    * it into the per-point running min-distance (a narrow map — the
+    * corpus never shuffles), then a TakeOrdered(1) argmax. Cost is
+    * k corpus passes; at 100 TB you run the same plan on a q49-style
+    * deterministic sample first and refine, exactly like q71's
+    * sample-trained Lloyd rounds. The oracle unrolls the k rounds as
+    * generated CTE stages (q122's device). The emitted
+    * `d2_at_selection` is the point's min squared distance to all
+    * EARLIER centers at the moment it was picked (−1 for the seed) —
+    * nonincreasing down the ranks, which the spec pins along with a
+    * planted duplicate-vs-distinct ordering. */
+  val kCenters = 8
+
+  def q157KcenterDiverse(s: SparkSession, dir: String): DataFrame =
+    kcenterOf(s, Tables.embeddings(s, dir))
+
+  private[ops] def kcenterOf(s: SparkSession, emb: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.expr.VectorExprs
+    val z = emb
+      .withColumn("scale", greatest(
+        expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"),
+        lit(1e-30)))
+      .select($"vec_id",
+        expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0d / scale) AS INT))")
+          .as("codes"))
+      .select($"vec_id", $"codes")
+      .withColumn("ii", VectorExprs.doti($"codes", $"codes"))
+    def center(id: Long) = broadcast(
+      z.where($"vec_id" === id).select($"codes".as("cc"), $"ii".as("cii")))
+    val seedId = z.agg(min($"vec_id")).head().getLong(0)
+    var picked = Vector((1L, seedId, -1L))
+    // picked points leave the candidate set each round: once every
+    // remaining distance is 0 (exact duplicates), the min-id tie-break
+    // would otherwise re-pick an old center forever
+    var cur = z.where($"vec_id" =!= seedId).crossJoin(center(seedId))
+      .select($"vec_id", $"codes", $"ii",
+        ($"ii" + $"cii" - lit(2L) * VectorExprs.doti($"codes", $"cc"))
+          .as("mind"))
+    for (r <- 2 to kCenters) {
+      val nxt = cur.orderBy($"mind".desc, $"vec_id").limit(1)
+        .select($"vec_id", $"mind").head()
+      picked = picked :+ ((r.toLong, nxt.getLong(0), nxt.getLong(1)))
+      if (r < kCenters)
+        cur = cur.where($"vec_id" =!= nxt.getLong(0))
+          .crossJoin(center(nxt.getLong(0)))
+          .select($"vec_id", $"codes", $"ii",
+            least($"mind", $"ii" + $"cii" -
+              lit(2L) * VectorExprs.doti($"codes", $"cc")).as("mind"))
+    }
+    picked.toDF("rank", "vec_id", "d2_at_selection").orderBy($"rank")
+  }
+
+  private val q157Oracle = {
+    val dot = (a: String, b: String) =>
+      s"CAST(list_sum(list_transform(range(1, len($a.codes) + 1), " +
+        s"i -> CAST($a.codes[i] AS BIGINT) * $b.codes[i])) AS BIGINT)"
+    val stages = new StringBuilder
+    stages ++=
+      s"""z AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 /
+         |             greatest(list_max(list_transform(embedding,
+         |               u -> abs(CAST(u AS DOUBLE)))), 1e-30)) AS INTEGER)) AS codes
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, codes,
+         |    CAST(list_sum(list_transform(codes, c -> CAST(c AS BIGINT) * c))
+         |      AS BIGINT) AS ii
+         |  FROM z),
+         |c1 AS (SELECT vec_id, codes, ii FROM n
+         |       WHERE vec_id = (SELECT min(vec_id) FROM n)),
+         |m1 AS (
+         |  SELECT n.vec_id, n.codes, n.ii,
+         |    n.ii + c.ii - 2 * ${dot("n", "c")} AS mind
+         |  FROM n, c1 c WHERE n.vec_id <> c.vec_id)""".stripMargin
+    for (r <- 2 until kCenters) {
+      stages ++= s""",
+         |c$r AS (SELECT vec_id, mind FROM m${r - 1}
+         |        ORDER BY mind DESC, vec_id LIMIT 1),
+         |m$r AS (
+         |  SELECT p.vec_id, p.codes, p.ii,
+         |    least(p.mind, p.ii + c.ii - 2 * ${dot("p", "c")}) AS mind
+         |  FROM m${r - 1} p,
+         |    (SELECT n.codes, n.ii FROM n JOIN c$r ON n.vec_id = c$r.vec_id) c
+         |  WHERE p.vec_id <> (SELECT vec_id FROM c$r))
+         |""".stripMargin.stripSuffix("\n")
+    }
+    stages ++= s""",
+       |c$kCenters AS (SELECT vec_id, mind FROM m${kCenters - 1}
+       |        ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+    val selects = (s"SELECT CAST(1 AS BIGINT) AS rank, vec_id, " +
+      s"CAST(-1 AS BIGINT) AS d2_at_selection FROM c1") +:
+      (2 to kCenters).map(r =>
+        s"SELECT CAST($r AS BIGINT), vec_id, mind FROM c$r")
+    s"WITH ${stages.result()}\n${selects.mkString("\nUNION ALL ")}\nORDER BY rank"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
@@ -785,6 +900,7 @@ object SimilarityOps {
     "q137_hybrid_rrf"    -> (q137HybridRrf _),
     "q147_embedding_drift" -> (q147EmbeddingDrift _),
     "q148_retrieval_metrics" -> (q148RetrievalMetrics _),
+    "q157_kcenter_diverse" -> (q157KcenterDiverse _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -797,5 +913,6 @@ object SimilarityOps {
     "q137_hybrid_rrf"    -> q137Oracle,
     "q147_embedding_drift" -> q147Oracle,
     "q148_retrieval_metrics" -> q148Oracle,
+    "q157_kcenter_diverse" -> q157Oracle,
   )
 }

@@ -647,6 +647,94 @@ object Streaming {
       |  2 AS n_batches
       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+  /** Incremental decayed trending — q144's merge loop with a decay
+    * weight, the "what's hot now" view every feed keeps: each event
+    * contributes `count >> (lastDay − eventDay)` (halving per day of
+    * age), so scores are dominated by the trailing week and old
+    * volume fades without ever re-scanning history.
+    *
+    * The design point: decay anchors to EVENT TIME against a fixed
+    * horizon, not to processing order — so each delivery's
+    * contribution is computable from that delivery alone, the merge
+    * stays commutative/associative (q144's self-merging algebra),
+    * and late or re-ordered deliveries cannot change the result.
+    * Per-batch floors are well-defined because the contribution
+    * grain is (type, day) and a day lands wholly in one weekly
+    * delivery. All integer: count then right-shift, so the merged
+    * score is bit-equal to the oracle's one-shot recompute, and the
+    * emitted per-week batch count pins that the stream really ran
+    * one micro-batch per delivery. State is group-cardinality (one
+    * row per type); history is never re-read. */
+  def q158DecayedTrending(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val ev = graft.Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"))
+    val d0 = ev.agg(min($"day")).head().getDate(0)
+    val staged = ev.select($"event_type",
+      datediff($"day", lit(d0)).as("day_idx"))
+    val dMax = staged.agg(max($"day_idx")).head().getInt(0)
+    val weeks = staged.select(($"day_idx" / 7).cast("int").as("wk"))
+      .distinct().orderBy($"wk").collect().map(_.getInt(0))
+    val landing = java.nio.file.Files.createTempDirectory("graft_trend_landing_")
+    scratch.get() += landing
+    weeks.foreach { wk =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_trend_stage_$wk")
+      scratch.get() += stage
+      staged.where($"day_idx" >= wk * 7 && $"day_idx" < (wk + 1) * 7)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      java.nio.file.Files.move(part, landing.resolve(s"delivery_$wk.parquet"))
+    }
+    val stream = s.readStream
+      .schema(s.read.parquet(landing.toString).schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    var mv: DataFrame = null
+    var nBatches = 0
+    val q = stream.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = batch.groupBy("event_type", "day_idx")
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"),
+            expr(s"shiftright(n, CAST($dMax - day_idx AS INT))")
+              .as("trend_score"))
+          .groupBy("event_type")
+          .agg(sum("trend_score").as("trend_score"))
+        mv = (if (mv == null) delta
+              else mv.unionByName(delta).groupBy("event_type")
+                .agg(sum("trend_score").as("trend_score")))
+          .localCheckpoint(true)
+        nBatches += 1
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination()
+    finally { val dirs = scratch.get(); dirs.foreach(rmTree); dirs.clear() }
+    val out = mv
+      .select($"event_type", $"trend_score", lit(nBatches).as("n_batches"))
+      .orderBy($"event_type")
+    mv.unpersist(blocking = false)
+    out
+  }
+
+  private val q158Oracle =
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+      |c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+      |      FROM d GROUP BY 1, 2),
+      |k AS (SELECT CAST(count(DISTINCT (day - d0) // 7) AS INT) AS n_batches
+      |      FROM d, b)
+      |SELECT event_type,
+      |  CAST(sum(n >> CAST(d1 - day AS INT)) AS BIGINT) AS trend_score,
+      |  (SELECT n_batches FROM k) AS n_batches
+      |FROM c, b GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
@@ -659,6 +747,7 @@ object Streaming {
     "q87_stream_static_join" -> (q87StreamStaticJoin _),
     "q121_stream_admission"  -> (q121StreamAdmission _),
     "q144_incremental_mv"    -> (q144IncrementalMv _),
+    "q158_decayed_trending"  -> (q158DecayedTrending _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -673,5 +762,6 @@ object Streaming {
     "q87_stream_static_join" -> q87Oracle,
     "q121_stream_admission"  -> q121Oracle,
     "q144_incremental_mv"    -> q144Oracle,
+    "q158_decayed_trending"  -> q158Oracle,
   )
 }

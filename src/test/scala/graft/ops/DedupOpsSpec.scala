@@ -419,4 +419,26 @@ class DedupOpsSpec extends SparkSuite {
     assert(got(1).isEmpty)
     assert(got(2).sorted == Seq("x y z", "y z x", "z x y").sorted)
   }
+
+  test("q155 catalog: planted shared span surfaces with both counts; " +
+      "single-doc repeats stay out") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"w$i").mkString(" ") // one exact 8-gram
+    val docs = Seq(
+      (10L, s"$span trailing junk one"),        // span once
+      (20L, s"leading junk $span"),             // span once, other doc
+      (30L, s"$span middle filler text $span"), // span twice, same doc
+      (40L, "a b c d e f g h a b c d e f g h a b c d e f g h"), // self-repeat only
+    ).toDF("doc_id", "text")
+    val got = DedupOps.catalogOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the planted span: 4 occurrences over docs 10/20/30, sample = min id
+    assert(got(span) == ((4L, 3L, 10L)))
+    // doc 40's "a b c d e f g h" repeats 3x but only inside ONE doc:
+    // n_docs >= 2 keeps it out of the catalog
+    assert(!got.contains("a b c d e f g h"))
+    // every surfaced span is genuinely cross-document
+    assert(got.values.forall { case (occ, nd, _) => nd >= 2 && occ >= nd })
+  }
 }

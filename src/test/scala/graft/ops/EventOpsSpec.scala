@@ -241,4 +241,36 @@ class EventOpsSpec extends SparkSuite {
     assert(got(("embeddings", "embedding_dim")) == ((1L, 0)))
     assert(got(("embeddings", "vec_id_unique")) == ((0L, 1)))
   }
+
+  test("q154 token bucket: a burst exhausts the bucket, spaced events refill it") {
+    import spark.implicits._
+    val H = 3600000000L
+    // user 1: three events at the same instant — cap is 2 tokens, so
+    // the third is rejected (admit, admit, reject; balance ends at 0)
+    val burst = Seq((1L, 0L, 1L), (1L, 0L, 2L), (1L, 0L, 3L))
+    // user 2: three events 5 h apart — refill (1 token / 4 h) covers
+    // every cost; each gap adds 1.25 tokens capped at 2, so the
+    // balance after each admission is back to 1 token
+    val spaced = Seq((2L, 0L, 1L), (2L, 5 * H, 2L), (2L, 10 * H, 3L))
+    val got = EventOps.tokenBucketOf((burst ++ spaced)
+        .toDF("user_id", "tus", "event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 2L, 1L, 0L),
+      (2L, 3L, 3L, 0L, 1000000L),
+    ))
+  }
+
+  test("q154 on the sf corpus: both branches fire, totals conserve") {
+    import spark.implicits._
+    val rows = EventOps.q154TokenBucket(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3)) // n = adm + rej
+      val bal = r.getLong(4)
+      assert(bal >= 0 && bal <= EventOps.bucketCapMicro)
+    }
+    assert(rows.map(_.getLong(2)).sum > 0, "some admissions")
+  }
 }

@@ -25,6 +25,30 @@ class ExtOpsSpec extends SparkSuite {
     }
   }
 
+  test("q150 fkAudit: planted orphans counted per constraint in one pass") {
+    import spark.implicits._
+    // child rows 1..5: keys 4 and 5 have no parent in pa; key 9 none in pb
+    val child = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 10L), (5L, 9L))
+      .toDF("ck_a", "ck_b")
+      .withColumnRenamed("ck_a", "a_key").withColumnRenamed("ck_b", "b_key")
+    val pa = Seq(1L, 2L, 3L, 3L).toDF("pa_key") // dup parent must not inflate
+    val pb = Seq(10L, 20L, 30L).toDF("pb_key")
+    val got = ExtOps.fkAudit(child, Seq(
+        ("child.a->pa", pa, "a_key", "pa_key"),
+        ("child.b->pb", pb, "b_key", "pb_key")))
+      .collect().map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2)))).toMap
+    assert(got("child.a->pa") == ((5L, 2L))) // 4, 5 orphaned
+    assert(got("child.b->pb") == ((5L, 1L))) // 9 orphaned
+  }
+
+  test("q150 on the sf corpus: every FK resolves") {
+    val rows = ExtOps.q150ReferentialAudit(spark, sf0001).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getInt(3) == 1, r.getString(0))
+    }
+  }
+
   test("q98 sorted layout: per-file shipdate ranges are pairwise disjoint") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

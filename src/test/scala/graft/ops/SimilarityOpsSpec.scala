@@ -175,4 +175,44 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(rows.exists { case (_, l, s0, _) => l.isDefined && s0.isDefined })
     assert(rows.exists { case (_, l, s0, _) => l.isEmpty || s0.isEmpty })
   }
+
+  test("q157 k-center: duplicates picked last, spread picked first, " +
+      "coverage radius nonincreasing") {
+    import spark.implicits._
+    // 4 well-separated unit axes, one exact duplicate of axis 0, and
+    // a near-duplicate: greedy farthest-point must pick all distinct
+    // axes before ever touching the duplicates
+    def axis(i: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == i) 1.0f else 0.0f)
+    val emb = Seq(
+      (0L, axis(0)), (1L, axis(1)), (2L, axis(2)), (3L, axis(3)),
+      (10L, axis(0)),               // exact duplicate of vec 0
+      (11L, axis(1)),               // exact duplicate of vec 1
+      (12L, axis(2)), (13L, axis(3)),
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.kcenterOf(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == SimilarityOps.kCenters)
+    // seed is min id with sentinel -1
+    assert(got(0) == ((1L, 0L, -1L)))
+    // the first four picks are the four DISTINCT axes (0..3 in ids)
+    assert(got.take(4).map(_._2).toSet == Set(0L, 1L, 2L, 3L))
+    // duplicates only appear once the distinct geometry is exhausted,
+    // at distance 0
+    got.drop(4).foreach { case (_, id, d2) =>
+      assert(id >= 10L && d2 == 0L)
+    }
+    // coverage radius never increases down the ranks
+    val radii = got.drop(1).map(_._3)
+    assert(radii.sameElements(radii.sorted.reverse))
+  }
+
+  test("q157 on the sf corpus: deterministic and radius-monotone") {
+    val a = SimilarityOps.q157KcenterDiverse(spark, sf0001).collect()
+    val b = SimilarityOps.q157KcenterDiverse(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val radii = a.drop(1).map(_.getLong(2))
+    assert(radii.sameElements(radii.sorted.reverse))
+    assert(a.map(_.getLong(1)).distinct.length == a.length, "unique centers")
+  }
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Sketch guarantees beyond the oracle hashes: the Count-Min
+  * one-sided error and the Bloom filter's transparency + selectivity.
+  */
+class SketchOpsSpec extends SparkSuite {
+
+  test("q153 CMS: estimates are one-sided (est >= exact, never under)") {
+    import spark.implicits._
+    val rows = SketchOps.q153CmsHeavyHitters(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"token=${r.getString(0)} undercounted")
+      assert(over == est - exact)
+    }
+    // exact counts agree with an independent recount of the stream
+    val recount = Tables.documents(spark, sf0001)
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(recount(r.getString(0)) == r.getLong(1))
+    }
+  }
+
+  test("q156 bloom prejoin: result identical to the plain semi join; " +
+      "filter passes every true match") {
+    import spark.implicits._
+    val dir = sf0001
+    val got = SketchOps.q156BloomPrejoin(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val keys = Tables.customer(spark, dir)
+      .where($"c_mktsegment" === SketchOps.bloomSegment).select($"c_custkey")
+    val want = Tables.orders(spark, dir)
+      .join(keys, $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("t"))
+      .orderBy($"o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q156 plan: bloom word-table probes broadcast; no bitmap on the driver") {
+    val plan = SketchOps.q156BloomPrejoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= SketchOps.bloomHashes,
+      s"expected >=${SketchOps.bloomHashes} broadcast word-table joins:\n$plan")
+  }
+}

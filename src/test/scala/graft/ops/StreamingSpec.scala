@@ -123,4 +123,33 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got.view.mapValues(v => (v._1, v._2)).toMap == want)
   }
+
+  test("q158 decayed trending equals the one-shot recompute; " +
+      "one micro-batch per weekly delivery") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Streaming.q158DecayedTrending(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_type", to_date($"ts").as("day"))
+    val d0 = ev.agg(min($"day")).head().getDate(0)
+    val withIdx = ev.select($"event_type", datediff($"day", lit(d0)).as("di"))
+    val dMax = withIdx.agg(max($"di")).head().getInt(0)
+    val nWeeks = withIdx.select(($"di" / 7).cast("int")).distinct().count().toInt
+    // the batch pin: the stream really ran one merge per weekly file
+    rows.foreach(r => assert(r.getInt(2) == nWeeks))
+    assert(nWeeks >= 2, "fixture must span multiple deliveries")
+    // event-time-anchored decay: incremental merge == one-shot recompute
+    val want = withIdx.groupBy($"event_type", $"di")
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type",
+        expr(s"shiftright(n, CAST($dMax - di AS INT))").as("c"))
+      .groupBy($"event_type").agg(sum($"c").as("trend"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(want(r.getString(0)) == r.getLong(1)))
+    // decay is real: a type's trend is far below its raw count
+    val raw = ev.groupBy($"event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => r.getLong(1) < raw(r.getString(0))))
+  }
 }
