@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.queries ++ Scalars.queries ++ Streaming.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ ExtOps.queries ++ EventOps.queries ++
-      LinkOps.queries ++ SketchOps.queries ++ graft.etl.EtlDemo.queries
+      LinkOps.queries ++ SketchOps.queries ++ PrivacyOps.queries ++
+      graft.etl.EtlDemo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,5 @@ object SparkEntry {
     Relational.oracles ++ Scalars.oracles ++ Streaming.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       MultimodalOps.oracles ++ ExtOps.oracles ++ EventOps.oracles ++
-      LinkOps.oracles ++ SketchOps.oracles
+      LinkOps.oracles ++ SketchOps.oracles ++ PrivacyOps.oracles
 }

@@ -240,17 +240,18 @@ object DedupOps {
     jaccardPairs(s, dir).orderBy($"doc_a", $"doc_b")
   }
 
-  /** q66's pair set before ordering — also the edge set q79 clusters. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared candidate stage for q66's Jaccard and q160's containment:
+    * (doc_a, doc_b, na, nb, inter) for every doc pair sharing at
+    * least one non-stop shingle. Single shingle pass: per-doc shingle
+    * counts ride along via a window, then docs group per shingle and
+    * in-group pairs explode (same pattern as q65/q69 — a self-join
+    * would re-run the explode+shingle projection once per branch).
+    * The maxGroupSize guard drops stop-shingles before pairing. */
+  private def shinglePairCounts(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    // Single shingle pass: per-doc shingle counts ride along via a
-    // window, then docs group per shingle and in-group pairs explode
-    // (same pattern as q65/q69 — a self-join would re-run the
-    // explode+shingle projection once per branch). Jaccard comes
-    // straight off the pair counts: |∩| / (nA + nB - |∩|). The
-    // maxGroupSize guard drops stop-shingles before pairing.
-    val sh = Tables.documentsSpread(s, dir)
+    val sh = docs
       .select($"doc_id", explode(shingles3($"text")).as("sh"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
       // explicit exchange for the shingle aggregation: the implicit
@@ -271,17 +272,26 @@ object DedupOps {
       .groupBy($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
         $"p.a.n".as("na"), $"p.b.n".as("nb"))
       .agg(count(lit(1)).as("inter"))
+  }
+
+  /** q66's pair set before ordering — also the edge set q79 clusters.
+    * Jaccard comes straight off the pair counts: |∩| / (nA+nB-|∩|). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shinglePairCounts(Tables.documentsSpread(s, dir))
       .select($"doc_a", $"doc_b",
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("jaccard"))
       .where($"jaccard" >= 0.5)
   }
 
-  /** Shared oracle CTE block yielding the exact-Jaccard pair set
-    * `jp(doc_a, doc_b, jaccard)` — used by both q66 and q79 so their
-    * oracles can never diverge from each other. `maxGroupSize` is
-    * interpolated so changing the Spark-side cap keeps the oracle in
-    * lockstep (a hardcoded copy would silently desynchronize). */
-  private val jaccardPairsCte =
+  /** Shared oracle CTE base yielding `p(doc_a, doc_b, inter)` pair
+    * intersections and `sz(doc_id, n)` shingle counts — consumed by
+    * the Jaccard (q66/q79) and containment (q160) oracles so the
+    * candidate-generation SQL can never diverge between them.
+    * `maxGroupSize` is interpolated so changing the Spark-side cap
+    * keeps the oracles in lockstep (a hardcoded copy would silently
+    * desynchronize). */
+  private val shinglePairBaseCte =
     s"""t AS (
        |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
        |sh AS (
@@ -295,7 +305,12 @@ object DedupOps {
        |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  WHERE a.sh IN (SELECT sh FROM ok)
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The exact-Jaccard pair set `jp(doc_a, doc_b, jaccard)` — used by
+    * both q66 and q79 so their oracles can never diverge. */
+  private val jaccardPairsCte =
+    s"""$shinglePairBaseCte,
        |jp AS (
        |  SELECT doc_a, doc_b,
        |    CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
@@ -305,6 +320,110 @@ object DedupOps {
   private val q66Oracle =
     s"""WITH $jaccardPairsCte
        |SELECT doc_a, doc_b, jaccard FROM jp ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q160
+  /** Emission threshold on the LARGER directional containment of a
+    * pair — 0.8 of the smaller doc's shingles appearing in the other
+    * marks subsumption even when symmetric Jaccard stays far below
+    * q66's 0.5 bar. */
+  val containmentThreshold = 0.8
+
+  /** Asymmetric containment dedup: directional shingle containment
+    * C(A→B) = |A∩B| / |A| for every candidate pair — the dup mode
+    * Jaccard structurally misses. A short doc quoted whole inside a
+    * much longer one (a license block, a syndicated article inside
+    * an aggregator page) has tiny Jaccard (the union is dominated by
+    * the long doc) but containment ≈ 1 in one direction; a dedup
+    * pipeline drops or cross-links the contained doc. Same
+    * single-pass candidate stage as q66 ([[shinglePairCounts]] —
+    * text never shuffles, stop-shingle cap bounds fan-out), so the
+    * asymmetric measure costs nothing extra at 100 TB: the pair
+    * counts already carry both per-doc sizes, and the two divisions
+    * are projections. */
+  def q160ContainmentDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    containmentPairsOf(Tables.documentsSpread(s, dir))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Containment on any (doc_id, text) frame — separated so the spec
+    * can plant a short-doc-inside-long-doc pair whose Jaccard is
+    * below q66's threshold but whose containment is ~1. */
+  private[ops] def containmentPairsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    shinglePairCounts(docs)
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / $"na").as("cont_ab"),
+        ($"inter".cast("double") / $"nb").as("cont_ba"))
+      .where(greatest($"cont_ab", $"cont_ba") >= containmentThreshold)
+  }
+
+  private val q160Oracle =
+    s"""WITH $shinglePairBaseCte,
+       |cp AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(inter AS DOUBLE) / x.n AS cont_ab,
+       |    CAST(inter AS DOUBLE) / y.n AS cont_ba
+       |  FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+       |SELECT doc_a, doc_b, cont_ab, cont_ba FROM cp
+       |WHERE greatest(cont_ab, cont_ba) >= $containmentThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q164
+  /** Per-document novelty ratio: the share of a doc's distinct
+    * 3-gram shingles whose FIRST corpus occurrence (by ingest order
+    * = doc_id) is that doc — "how much genuinely new content did
+    * this doc add when it arrived?". The curation report behind
+    * source-ordering decisions: a source whose docs trend toward
+    * zero novelty is re-serving content the corpus already has, and
+    * can be down-weighted (q112's rebalance) or cut entirely —
+    * cheaper than pairwise dedup because no pairs are ever formed.
+    *
+    * Two shuffles, both key+count-width: (shingle → min doc_id) via
+    * a partition-by-shingle window riding the same exchange as the
+    * per-doc re-group; text itself never shuffles
+    * ([[Tables.documentsSpread]] moves it once for scan-side CPU
+    * parallelism). Ratio is fixed-point ppm off exact counts. */
+  def q164NoveltyRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    noveltyOf(Tables.documentsSpread(s, dir))
+  }
+
+  /** Novelty on any (doc_id, text) frame — separated so the spec can
+    * plant an exact re-serve (novelty 0) next to a fresh doc
+    * (novelty 1) and a half-copied one. */
+  private[ops] def noveltyOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select($"doc_id", explode(shingles3($"text")).as("sh"))
+      .withColumn("first_doc", min($"doc_id").over(Window.partitionBy($"sh")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        expr("(1000000 * n_novel) div n_shingles").as("novelty_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  private val q164Oracle =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+      |  FROM t),
+      |f AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  CAST((1000000 * sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS novelty_ppm
+      |FROM sh s JOIN f ON s.sh = f.sh
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q79
   /** Iteration bound for q79's component loop. With pointer jumping
@@ -1435,6 +1554,8 @@ object DedupOps {
     "q127_incremental_clusters" -> (q127IncrementalClusters _),
     "q131_retention_ledger" -> (q131RetentionLedger _),
     "q155_boilerplate_catalog" -> (q155BoilerplateCatalog _),
+    "q160_containment_dedup" -> (q160ContainmentDedup _),
+    "q164_novelty_ratio"    -> (q164NoveltyRatio _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1459,5 +1580,7 @@ object DedupOps {
     "q131_retention_ledger" -> q131Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
     "q155_boilerplate_catalog" -> q155Oracle,
+    "q160_containment_dedup" -> q160Oracle,
+    "q164_novelty_ratio"    -> q164Oracle,
   )
 }

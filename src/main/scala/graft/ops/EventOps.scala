@@ -798,8 +798,99 @@ object EventOps {
        |FROM rec GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q163
+  /** CUSUM slack (denominator of mean): drift smaller than mean/50
+    * is absorbed, not accumulated. */
+  val cusumSlackDiv = 50
+  /** CUSUM alarm threshold (denominator of mean). */
+  val cusumAlarmDiv = 10
+
+  /** CUSUM changepoint detection over the daily revenue series — the
+    * classic sequential drift detector (Page 1954): S⁺ accumulates
+    * positive deviations beyond a slack band, S⁻ negative ones, and
+    * either statistic crossing the threshold raises an alarm. A
+    * monitoring pipeline runs this nightly to catch level shifts
+    * (pipeline regression, data loss upstream) that per-day
+    * thresholds (q134's MAD flags single outliers) miss because each
+    * individual day looks normal.
+    *
+    * All arithmetic is exact integer micro-units: daily sums quantize
+    * per ROW (q135's device), the baseline mean / slack / threshold
+    * are integer divisions of the series totals, and the recurrence
+    * `S⁺ ← max(0, S⁺ + x − μ − k)` folds in-group (q151's device —
+    * the running statistic depends on its own previous value, which
+    * no window frame expresses). Scale shape: the raw stream reduces
+    * to one row per DAY in a map-side-combining agg first, so the
+    * fold's array is calendar-bounded (a decade ≈ 3.7k elements),
+    * never event-bounded; the oracle steps the same recurrence as a
+    * RECURSIVE CTE (q154's device). */
+  def q163CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cusumOf(Tables.events(s, dir)
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(expr("CAST(round(value * 1000000D) AS BIGINT)")).as("x")))
+  }
+
+  /** The detector on any (day, x) daily frame — separated so the
+    * spec can plant a level shift at a known day and see the alarm
+    * rise there and only there. */
+  private[ops] def cusumOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    daily
+      .agg(sort_array(collect_list(struct($"day", $"x"))).as("ds"))
+      .withColumn("mu", expr("aggregate(ds, 0L, (a, d) -> a + d.x) div size(ds)"))
+      .withColumn("kk", expr(s"mu div $cusumSlackDiv"))
+      .withColumn("hh", expr(s"mu div $cusumAlarmDiv"))
+      .select(explode(expr(
+        """aggregate(ds,
+          |  struct(
+          |    CAST(array() AS
+          |      ARRAY<STRUCT<day DATE, x BIGINT, s_pos BIGINT, s_neg BIGINT>>)
+          |      AS out,
+          |    0L AS sp, 0L AS sn),
+          |  (acc, d) -> struct(
+          |    concat(acc.out, array(struct(
+          |      d.day AS day, d.x AS x,
+          |      greatest(0L, acc.sp + d.x - mu - kk) AS s_pos,
+          |      greatest(0L, acc.sn + mu - kk - d.x) AS s_neg))) AS out,
+          |    greatest(0L, acc.sp + d.x - mu - kk) AS sp,
+          |    greatest(0L, acc.sn + mu - kk - d.x) AS sn),
+          |  acc -> acc.out)""".stripMargin)).as("r"),
+        $"hh")
+      .select($"r.day", $"r.x", $"r.s_pos", $"r.s_neg",
+        ($"r.s_pos" > $"hh" || $"r.s_neg" > $"hh").as("alarm"))
+      .orderBy($"day")
+  }
+
+  private val q163Oracle =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM (
+       |    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |      CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS x
+       |    FROM events GROUP BY 1)),
+       |st AS (
+       |  SELECT CAST(sum(x) // count(*) AS BIGINT) AS mu,
+       |    CAST((sum(x) // count(*)) // $cusumSlackDiv AS BIGINT) AS kk,
+       |    CAST((sum(x) // count(*)) // $cusumAlarmDiv AS BIGINT) AS hh
+       |  FROM daily),
+       |rec AS (
+       |  SELECT d.rn, d.day, d.x,
+       |    greatest(0, d.x - st.mu - st.kk) AS sp,
+       |    greatest(0, st.mu - st.kk - d.x) AS sn
+       |  FROM daily d, st WHERE d.rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.day, d.x,
+       |    greatest(0, r.sp + d.x - st.mu - st.kk),
+       |    greatest(0, r.sn + st.mu - st.kk - d.x)
+       |  FROM daily d JOIN rec r ON d.rn = r.rn + 1, st)
+       |SELECT day, x, sp AS s_pos, sn AS s_neg,
+       |  (sp > st.hh OR sn > st.hh) AS alarm
+       |FROM rec, st ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
+    "q163_cusum_changepoint" -> (q163CusumChangepoint _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -816,6 +907,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "q101_moving_avg"       -> q101Oracle,
+    "q163_cusum_changepoint" -> q163Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

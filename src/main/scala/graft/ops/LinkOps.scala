@@ -318,11 +318,99 @@ object LinkOps {
        |FROM r JOIN sup sa ON r.ante = sa.pk JOIN sup sb ON r.cons = sb.pk, no
        |ORDER BY ante, cons""".stripMargin
 
+  // ---------------------------------------------------------------- q159
+  /** Rounds of frontier expansion for q159 — hop distances beyond
+    * this are "unreached" (absent from the output), the standard
+    * bounded-radius formulation: contamination/influence audits care
+    * about the k-hop neighborhood, not full transitive closure. */
+  val bfsMaxHops = 3
+
+  /** Seed selector: every [[bfsSeedModulus]]-th part id is "flagged".
+    * A real pipeline feeds an explicit seed table (a blocklist, a
+    * contaminated-doc set); the modulus stands in for it
+    * deterministically. */
+  val bfsSeedModulus = 97
+
+  /** Multi-source BFS hop distance over the co-purchase graph — the
+    * propagation primitive behind contamination spread ("these docs
+    * are known-bad; what is within k links of them?"), crawl-depth
+    * audits, and influence radii.
+    *
+    * Working-set iteration, the same discipline as q79's components
+    * and q143's LPA: per round, ONLY the current frontier joins the
+    * edge list — visited nodes never re-enter the join, so total
+    * work across all rounds is O(edges touched), not
+    * O(rounds × edges). The visited set (`dist`) is (node, hops)
+    * longs — no payload ever enters the loop — and new nodes are
+    * found by one anti-join against it. Each round's frontier is
+    * localCheckpoint'd (the lineage would otherwise double per
+    * round); rounds are bounded by [[bfsMaxHops]], a semantic radius
+    * rather than a convergence guess, so the 100 TB cost model is
+    * exactly `bfsMaxHops` × (one edge join + one anti-join), each
+    * shuffling node-id pairs only. The oracle unrolls the identical
+    * rounds as generated CTE stages (q143's device). */
+  def q159BfsHops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val seeds = items.select($"pk".as("node"))
+      .where($"node" % bfsSeedModulus === 0).distinct()
+    bfsHopsOf(coEdges(items), seeds)
+      .withColumnRenamed("node", "p_partkey")
+      .orderBy($"p_partkey")
+  }
+
+  /** BFS on any (u, v) undirected edge frame from a (node) seed frame
+    * — separated so the spec can drive a planted path whose hop
+    * distances are known, including the radius cutoff. */
+  private[ops] def bfsHopsOf(edgesIn: DataFrame, seeds: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.select($"u", $"v")
+      .unionAll(edgesIn.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint(true)
+    var dist = seeds.select($"node", lit(0L).as("hops")).localCheckpoint(true)
+    var frontier = dist.select($"node")
+    (1 to bfsMaxHops).foreach { h =>
+      val prev = dist
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "u"), "u")
+        .select($"v".as("node")).distinct()
+        .join(dist.select($"node"), Seq("node"), "left_anti")
+        .select($"node", lit(h.toLong).as("hops"))
+      dist = dist.unionAll(next).localCheckpoint(true)
+      frontier = next.select($"node")
+      prev.unpersist(blocking = false)
+    }
+    val out = dist
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  private val q159Oracle = {
+    val rounds = (1 to bfsMaxHops).map { i =>
+      s"""f$i AS (
+         |  SELECT DISTINCT e2.v AS node
+         |  FROM e2 JOIN f${i - 1} ON e2.u = f${i - 1}.node
+         |  WHERE e2.v NOT IN (SELECT node FROM d${i - 1})),
+         |d$i AS (SELECT * FROM d${i - 1}
+         |  UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |e2 AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+       |d0 AS (SELECT DISTINCT pk AS node, CAST(0 AS BIGINT) AS hops
+       |  FROM items WHERE pk % $bfsSeedModulus = 0),
+       |f0 AS (SELECT node FROM d0),
+       |$rounds
+       |SELECT node AS p_partkey, hops FROM d$bfsMaxHops ORDER BY p_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_entity_match"    -> (q132EntityMatch _),
     "q136_triangle_counts" -> (q136TriangleCounts _),
     "q143_lpa_communities" -> (q143LpaCommunities _),
     "q146_association_rules" -> (q146AssociationRules _),
+    "q159_bfs_hops"        -> (q159BfsHops _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -330,5 +418,6 @@ object LinkOps {
     "q136_triangle_counts" -> q136Oracle,
     "q143_lpa_communities" -> q143Oracle,
     "q146_association_rules" -> q146Oracle,
+    "q159_bfs_hops"        -> q159Oracle,
   )
 }

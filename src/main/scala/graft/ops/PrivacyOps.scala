@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Privacy-audit operators: release-gating checks a pipeline runs
+  * BEFORE publishing a derived dataset. The reference ships raw rows
+  * straight into a warehouse (reference `src/load/main.py:23-38`);
+  * an engine that exports training corpora needs the inverse
+  * discipline — prove a release is safe to hand out. Complements the
+  * content-level scrubbing family (q54/q57 PII redaction): those fix
+  * VALUES, these audit STRUCTURE (how identifying the quasi-identifier
+  * combination is).
+  */
+object PrivacyOps {
+
+  // ---------------------------------------------------------------- q161
+  /** A quasi-identifier group smaller than this re-identifies its
+    * members (the k in k-anonymity). 5 is the conventional floor in
+    * published release checklists. */
+  val kThreshold = 5
+
+  /** Generalization grain for the account-balance quasi-identifier:
+    * raw balances are near-unique (useless to audit, trivially
+    * identifying); banding is the standard generalization step. */
+  val balBand = 4000
+
+  /** k-anonymity audit over the customer table's quasi-identifiers
+    * (market segment × nation bucket × balance band): per-group size
+    * `k` and an `at_risk` flag for groups below [[kThreshold]] — the
+    * table a release gate reads to decide suppress-vs-generalize.
+    *
+    * One hash aggregate; group cardinality is bounded by the
+    * quasi-identifier DOMAIN (segments × buckets × bands), not by
+    * rows, so the result is dimension-sized no matter the corpus —
+    * the audit costs one scan + one map-side-combining shuffle at
+    * 100 TB. The flag is computed in the same projection (no second
+    * pass, no join back). A real release iterates: widen [[balBand]]
+    * until `at_risk` empties; that loop re-runs only this one agg. */
+  def q161KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kAnonymityOf(
+      Tables.customer(s, dir).select(
+        $"c_mktsegment".as("segment"),
+        ($"c_nationkey" % 5).cast("long").as("nation_bucket"),
+        floor($"c_acctbal" / balBand).cast("long").as("bal_band")))
+  }
+
+  /** The audit on any pre-generalized quasi-identifier frame —
+    * separated so the spec can plant a group of known size k <
+    * [[kThreshold]] and see exactly it flagged. */
+  private[ops] def kAnonymityOf(quasi: DataFrame): DataFrame = {
+    val s = quasi.sparkSession
+    import s.implicits._
+    quasi
+      .groupBy($"segment", $"nation_bucket", $"bal_band")
+      .agg(count(lit(1)).as("k"))
+      .withColumn("at_risk", $"k" < kThreshold)
+      .orderBy($"segment", $"nation_bucket", $"bal_band")
+  }
+
+  private val q161Oracle =
+    s"""SELECT c_mktsegment AS segment,
+       |  CAST(c_nationkey % 5 AS BIGINT) AS nation_bucket,
+       |  CAST(floor(c_acctbal / $balBand) AS BIGINT) AS bal_band,
+       |  CAST(count(*) AS BIGINT) AS k,
+       |  count(*) < $kThreshold AS at_risk
+       |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q162
+  /** Quantized CDF of a discrete-Laplace (two-sided geometric,
+    * α = 0.5 ⇒ ε = ln 2) noise distribution on support [-4, 4], in
+    * millionths: (noise value, cumulative threshold). Inverse-CDF
+    * sampling walks this table with a uniform draw. ONE source of
+    * truth — the Spark projection and the oracle SQL both interpolate
+    * these constants, so the mechanism cannot desynchronize. */
+  val noiseCdfPpm: Seq[(Int, Long)] = Seq(
+    -4 -> 21739L, -3 -> 65217L, -2 -> 152174L, -1 -> 326087L,
+    0 -> 673913L, 1 -> 847826L, 2 -> 934783L, 3 -> 978261L, 4 -> 1000000L)
+
+  /** Differential-privacy-shaped noisy-count release: the
+    * (lang × source) histogram with discrete-Laplace noise added to
+    * every cell, negatives clamped to zero, true counts never
+    * emitted — the mechanism a pipeline uses to publish corpus
+    * composition stats without certifying any exact cell.
+    *
+    * The uniform draw is md5("noise:" + cell key) reduced mod 10⁶ —
+    * deterministic per cell, so the release is reproducible across
+    * engines/retries and exactly hash-oracle-able (the documented
+    * stand-in discipline of q49's sampling: a production release
+    * swaps in a cryptographic RNG and the unquantized distribution;
+    * the operator — group, draw, invert the CDF, clamp, suppress the
+    * raw counts — is unchanged). Cost: one map-side-combining agg to
+    * domain-bounded cells; the noise is a projection. */
+  def q162NoisyRelease(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = conv(substring(md5(concat(lit("noise:"), $"lang", lit("|"), $"source")),
+      1, 5), 16, 10).cast("long") % 1000000L
+    val noise = noiseCdfPpm.init.foldRight(lit(noiseCdfPpm.last._1): Column) {
+      case ((k, thr), acc) => when($"u" < thr, k).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("c"))
+      .withColumn("u", u)
+      .select($"lang", $"source",
+        greatest(lit(0L), $"c" + noise.cast("long")).as("noisy_count"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val q162Oracle = {
+    val cases = noiseCdfPpm.init
+      .map { case (k, thr) => s"WHEN u < $thr THEN $k" }.mkString(" ")
+    s"""WITH g AS (
+       |  SELECT lang, source, count(*) AS c FROM documents GROUP BY 1, 2),
+       |n AS (
+       |  SELECT lang, source, c,
+       |    ('0x' || substr(md5('noise:' || lang || '|' || source), 1, 5))::BIGINT
+       |      % 1000000 AS u
+       |  FROM g)
+       |SELECT lang, source,
+       |  greatest(0, c + CASE $cases ELSE ${noiseCdfPpm.last._1} END) AS noisy_count
+       |FROM n ORDER BY lang, source""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_k_anonymity"  -> (q161KAnonymity _),
+    "q162_noisy_release" -> (q162NoisyRelease _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q161_k_anonymity"  -> q161Oracle,
+    "q162_noisy_release" -> q162Oracle,
+  )
+}

@@ -890,9 +890,62 @@ object SimilarityOps {
     s"WITH ${stages.result()}\n${selects.mkString("\nUNION ALL ")}\nORDER BY rank"
   }
 
+  // ---------------------------------------------------------------- q165
+  /** Fixed-point grid for q165's squared-norm audit: elements floor
+    * to 1/1024 steps (a power of two, so the double multiply is
+    * exact), making every statistic an exact integer — the same
+    * discipline as q97's codes and q71's Lloyd grid. */
+  val auditGrid = 1024
+
+  /** Embedding-hygiene audit: the QA gate an embedding pipeline runs
+    * before indexing a new batch — per label: vector count, distinct
+    * dimensionality count (anything ≠ 1 means mixed dims, which
+    * poisons every dot product downstream), zero-vector count
+    * (failed encoder outputs that cosine math divides by), and
+    * min/max/mean squared norm on the [[auditGrid]] integer grid
+    * (norm collapse or blow-up = drifting encoder). q147 watches
+    * CENTROIDS move between snapshots; this audits the raw vectors'
+    * integrity within one batch.
+    *
+    * One scan, one map-side-combining agg to label-cardinality rows;
+    * the per-vector quantized fold is a projection. Nothing but
+    * (label, counters) ever shuffles, at any corpus size. */
+  def q165EmbeddingAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", size($"embedding").as("dim"),
+        expr(s"""aggregate(embedding, 0L, (a, v) ->
+          |  a + CAST(floor(CAST(v AS DOUBLE) * ${auditGrid}D)
+          |        * floor(CAST(v AS DOUBLE) * ${auditGrid}D) AS BIGINT))"""
+          .stripMargin).as("sq"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct($"dim").as("n_dims"),
+        sum(when($"sq" === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min($"sq").as("min_sq"), max($"sq").as("max_sq"),
+        expr("sum(sq) div count(1)").as("mean_sq"))
+      .orderBy($"label")
+  }
+
+  private val q165Oracle =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, len(embedding) AS dim,
+       |    CAST(list_aggregate(list_transform(embedding,
+       |      v -> CAST(floor(CAST(v AS DOUBLE) * $auditGrid)
+       |             * floor(CAST(v AS DOUBLE) * $auditGrid) AS BIGINT)),
+       |      'sum') AS BIGINT) AS sq
+       |  FROM embeddings)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+       |  CAST(sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  min(sq) AS min_sq, max(sq) AS max_sq,
+       |  CAST(sum(sq) // count(*) AS BIGINT) AS mean_sq
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
+    "q165_embedding_audit" -> (q165EmbeddingAudit _),
     "q52_knn_lsh"        -> (q52KnnLsh _),
     "q95_filtered_knn"   -> (q95FilteredKnn _),
     "q97_quantize_int8"  -> (q97QuantizeInt8 _),
@@ -906,6 +959,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "q70_knn_bruteforce" -> q70Oracle,
     "q71_knn_ivf"        -> q71Oracle,
+    "q165_embedding_audit" -> q165Oracle,
     "q52_knn_lsh"        -> q52Oracle,
     "q95_filtered_knn"   -> q95Oracle,
     "q97_quantize_int8"  -> q97Oracle,

@@ -441,4 +441,45 @@ class DedupOpsSpec extends SparkSuite {
     // every surfaced span is genuinely cross-document
     assert(got.values.forall { case (occ, nd, _) => nd >= 2 && occ >= nd })
   }
+
+  test("q160 containment catches a quote-inclusion pair Jaccard misses") {
+    import spark.implicits._
+    // doc 1 is quoted whole at the head of doc 2 (a license block /
+    // syndicated-article shape); doc 3 shares nothing
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " " + (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, small), (2L, big),
+      (3L, "totally different words here entirely"),
+    ).toDF("doc_id", "text")
+    val got = DedupOps.containmentPairsOf(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    val (contAb, contBa) = got((1L, 2L))
+    // every shingle of the small doc appears in the big one...
+    assert(contAb == 1.0)
+    // ...while the symmetric Jaccard on the same pair (|∩|=3, |A|=3,
+    // |B|=33 → 3/33) is far below q66's 0.5 bar — the asymmetric
+    // measure is what surfaces this dup mode
+    assert(contBa == 3.0 / 33.0 && contBa < 0.5)
+  }
+
+  test("q164 novelty: fresh doc 1.0, re-serve 0.0, half-copy in between") {
+    import spark.implicits._
+    val orig = "one two three four five six"        // 4 shingles, doc 1
+    val docs = Seq(
+      (1L, orig),                                    // first occurrence of all
+      (2L, orig),                                    // exact re-serve: 0 novel
+      (3L, orig + " seven eight nine"),              // 7 shingles, 3 novel
+      (4L, "wholly fresh content never seen before"),// all novel
+    ).toDF("doc_id", "text")
+    val got = DedupOps.noveltyOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((4L, 4L, 1000000L)))
+    assert(got(2L) == ((4L, 0L, 0L)))
+    assert(got(3L) == ((7L, 3L, 428571L)))
+    assert(got(4L) == ((4L, 4L, 1000000L)))
+  }
 }

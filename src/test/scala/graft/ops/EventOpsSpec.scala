@@ -273,4 +273,50 @@ class EventOpsSpec extends SparkSuite {
     }
     assert(rows.map(_.getLong(2)).sum > 0, "some admissions")
   }
+
+  test("q163 CUSUM: alarm rises at a planted level shift, not before") {
+    import spark.implicits._
+    import java.sql.Date
+    // 10 flat days at 1000 then 10 days shifted to 1400: mean = 1200,
+    // slack k = 24, threshold h = 120. Pre-shift days drive S⁻ up
+    // (below-mean), post-shift S⁺; the +176/day post-shift ramp
+    // crosses h=120 on the FIRST shifted day
+    val daily = (1 to 20).map { i =>
+      (Date.valueOf(f"2024-01-${i}%02d"), if (i <= 10) 1000L else 1400L)
+    }.toDF("day", "x")
+    val got = EventOps.cusumOf(daily).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // day 1: S⁺=0, S⁻ = 1200-24-1000 = 176 > 120 → the low-side
+    // alarm fires immediately (flat-then-shift means BOTH regimes
+    // deviate from the overall mean; that is CUSUM semantics)
+    assert(got("2024-01-01") == ((1000L, 0L, 176L, true)))
+    // S⁻ keeps ramping through the low regime...
+    assert(got("2024-01-10")._3 == 1760L)
+    // ...then drains during the high regime while S⁺ ramps: first
+    // shifted day adds 1400-1224=176 to S⁺ and subtracts from S⁻
+    assert(got("2024-01-11")._2 == 176L)
+    assert(got("2024-01-11")._3 == 1760L - 224L)
+    // monotone ramp: S⁺ strictly increases across the shifted regime
+    val sp = (11 to 20).map(i => got(f"2024-01-$i%02d")._2)
+    assert(sp == sp.sorted && sp.distinct == sp)
+  }
+
+  test("q163 on the sf corpus: recurrence replays, both branches exist") {
+    val rows = EventOps.q163CusumChangepoint(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // replay the fold driver-side from the emitted daily values
+    val xs = rows.map(_._1)
+    val mu = xs.sum / xs.length
+    val kk = mu / EventOps.cusumSlackDiv
+    val hh = mu / EventOps.cusumAlarmDiv
+    var sp = 0L; var sn = 0L
+    rows.foreach { case (x, gsp, gsn, alarm) =>
+      sp = math.max(0L, sp + x - mu - kk)
+      sn = math.max(0L, sn + mu - kk - x)
+      assert(gsp == sp && gsn == sn)
+      assert(alarm == (sp > hh || sn > hh))
+    }
+  }
 }

@@ -98,4 +98,26 @@ class LinkOpsSpec extends SparkSuite {
     }.filter(_._2 > 0)
     assert(got == want)
   }
+
+  test("q159 BFS hops on a planted path: exact distances, radius cutoff") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus an isolated edge 10-11; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("u", "v")
+    val seeds = Seq(1L).toDF("node")
+    val got = LinkOps.bfsHopsOf(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nodes beyond bfsMaxHops (5, 6) and the disconnected edge are
+    // absent — bounded-radius semantics, not transitive closure
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("q159 seed nodes always report hop 0 even when linked to each other") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val seeds = Seq(1L, 2L).toDF("node")
+    val got = LinkOps.bfsHopsOf(edges, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.SparkSuite
+
+class PrivacyOpsSpec extends SparkSuite {
+
+  test("q161 flags exactly the sub-threshold quasi-identifier groups") {
+    import spark.implicits._
+    // planted release: one safe group of 7, one risky group of 2,
+    // one group sitting exactly AT the threshold (k = 5 is safe —
+    // the flag is strict-less-than)
+    val quasi = (Seq.fill(7)(("A", 0L, 1L)) ++
+      Seq.fill(2)(("A", 1L, 1L)) ++
+      Seq.fill(PrivacyOps.kThreshold)(("B", 0L, 2L)))
+      .toDF("segment", "nation_bucket", "bal_band")
+    val got = PrivacyOps.kAnonymityOf(quasi).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      ("A", 0L, 1L) -> ((7L, false)),
+      ("A", 1L, 1L) -> ((2L, true)),
+      ("B", 0L, 2L) -> ((PrivacyOps.kThreshold.toLong, false)),
+    ))
+  }
+
+  test("q161 on the sf fixture: k sums to the row count, flags consistent") {
+    val rows = PrivacyOps.q161KAnonymity(spark, sf0001).collect()
+    val total = graft.Tables.customer(spark, sf0001).count()
+    assert(rows.map(_.getLong(3)).sum == total)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(3) < PrivacyOps.kThreshold))
+    }
+  }
+
+  test("q162 noise: bounded by CDF support, clamped at zero, deterministic") {
+    // the CDF itself must be a valid quantized distribution
+    val thresholds = PrivacyOps.noiseCdfPpm.map(_._2)
+    assert(thresholds == thresholds.sorted && thresholds.last == 1000000L)
+    assert(PrivacyOps.noiseCdfPpm.map(_._1) == (-4 to 4))
+    val out = PrivacyOps.q162NoisyRelease(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // re-run: identical release (hash-based draws, no RNG state)
+    val again = PrivacyOps.q162NoisyRelease(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == again)
+    // every noisy count within support of the true count, never negative
+    import spark.implicits._
+    val truth = graft.Tables.documents(spark, sf0001)
+      .groupBy($"lang", $"source").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == truth.keySet)
+    out.foreach { case (k, noisy) =>
+      val c = truth(k)
+      assert(noisy >= math.max(0L, c - 4) && noisy <= c + 4,
+        s"cell $k: noisy $noisy vs true $c outside support")
+    }
+    // the mechanism genuinely perturbs: not every cell passes through
+    assert(out.exists { case (k, noisy) => noisy != truth(k) })
+  }
+}

@@ -215,4 +215,31 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(radii.sameElements(radii.sorted.reverse))
     assert(a.map(_.getLong(1)).distinct.length == a.length, "unique centers")
   }
+
+  test("q165 audit replays exactly from a driver-side fold of the raw vectors") {
+    import spark.implicits._
+    val raw = graft.Tables.embeddings(spark, sf0001)
+      .select($"label", $"embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val g = SimilarityOps.auditGrid
+    val sq = raw.map { case (l, v) =>
+      (l, v.map { x =>
+        val c = math.floor(x.toDouble * g); (c * c).toLong
+      }.sum, v.length)
+    }
+    val want = sq.groupBy(_._1).map { case (l, vs) =>
+      l -> ((vs.length.toLong, vs.map(_._3).distinct.length.toLong,
+        vs.count(_._2 == 0L).toLong,
+        vs.map(_._2).min, vs.map(_._2).max,
+        vs.map(_._2).sum / vs.length))
+    }
+    val got = SimilarityOps.q165EmbeddingAudit(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want)
+    // hygiene holds on the fixture: uniform dims, no dead vectors
+    got.values.foreach { case (_, nDims, nZero, _, _, _) =>
+      assert(nDims == 1L && nZero == 0L)
+    }
+  }
 }
