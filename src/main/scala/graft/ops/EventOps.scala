@@ -888,9 +888,66 @@ object EventOps {
        |  (sp > st.hh OR sn > st.hh) AS alarm
        |FROM rec, st ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q169
+  /** Seasonal traffic profile with residual anomalies: the
+    * (day-of-week × hour-of-day) expected-load grid every
+    * capacity-planning and alerting pipeline keeps, plus a per-cell
+    * count of observed slots that deviated beyond 2× from their
+    * cell's mean — q134 flags outliers against a GLOBAL baseline,
+    * this one against the seasonal shape (3am Sunday is not low
+    * traffic if every Sunday 3am looks like that).
+    *
+    * The stream reduces to (date, hour) slot counts first (one
+    * map-side-combining shuffle; slot cardinality is
+    * calendar-bounded), then the profile statistics ride a
+    * (dow, hour) window whose exchange the final grouping reuses —
+    * no second pass over raw events. The anomaly test is exact
+    * integer cross-multiplication (2·n·slots < total), never a
+    * float mean comparison, so the grid is hash-stable. */
+  def q169SeasonalProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val slots = Tables.events(s, dir)
+      .groupBy(to_date($"ts").as("d"), hour($"ts").cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", (dayofweek($"d") - 1).cast("long"))
+    val w = Window.partitionBy($"dow", $"hr")
+    slots
+      .withColumn("n_slots", count(lit(1)).over(w))
+      .withColumn("total", sum($"n").over(w))
+      .withColumn("anom",
+        when(lit(2) * $"n" * $"n_slots" < $"total" ||
+          $"n" * $"n_slots" > lit(2) * $"total", 1L).otherwise(0L))
+      .groupBy($"dow", $"hr")
+      .agg(max($"n_slots").as("n_slots"), max($"total").as("total"),
+        sum($"anom").as("n_anom"))
+      .select($"dow", $"hr", $"n_slots", $"total",
+        expr("(1000000 * total) div n_slots").as("mean_micro"), $"n_anom")
+      .orderBy($"dow", $"hr")
+  }
+
+  private val q169Oracle =
+    """WITH slots AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |    CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT CAST(dayofweek(d) AS BIGINT) AS dow, hr, n,
+      |    CAST(count(*) OVER w AS BIGINT) AS n_slots,
+      |    CAST(sum(n) OVER w AS BIGINT) AS total
+      |  FROM slots
+      |  WINDOW w AS (PARTITION BY dayofweek(d), hr))
+      |SELECT dow, hr, max(n_slots) AS n_slots, max(total) AS total,
+      |  CAST((1000000 * max(total)) // max(n_slots) AS BIGINT) AS mean_micro,
+      |  CAST(sum(CASE WHEN 2 * n * n_slots < total
+      |    OR n * n_slots > 2 * total THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+      |FROM g GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
+    "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -908,6 +965,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
+    "q169_seasonal_profile" -> q169Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

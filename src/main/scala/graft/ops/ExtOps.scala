@@ -585,7 +585,47 @@ object ExtOps {
       |  CASE WHEN n_orphans = 0 THEN 1 ELSE 0 END AS pass
       |FROM rows0 ORDER BY constraint_name""".stripMargin
 
+  // ---------------------------------------------------------------- q166
+  /** Schema-evolution read: two parquet snapshots of the same logical
+    * table written under DIFFERENT schemas — an early batch without
+    * `o_orderpriority`, a later batch that added it — read back as
+    * one frame via `mergeSchema`, the lakehouse answer to "a column
+    * was added mid-history; old files must not block the scan".
+    * Spark fills the missing column with NULL for old files; the
+    * merged read stays a single vectorized parquet scan per file
+    * (schema reconciliation is footer-time metadata work, so the
+    * pattern costs footer reads, not data rewrites — which is why
+    * additive evolution is free at 100 TB while type CHANGES require
+    * a q133-style rewrite plan). The oracle rebuilds the same frame
+    * relationally: priority NULLed exactly where the old-schema files
+    * held the row, so a merge that dropped rows, reordered columns,
+    * or resurrected the column for old files fails the hash.
+    * Complements q48 (unionByName reconciles two FRAMES in the plan;
+    * this reconciles FILES in the source) and q81/q82 (same-schema
+    * format round-trips). */
+  def q166SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_evo").toString
+    val orders = Tables.orders(s, dir)
+    orders.where($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/batch=1")
+    orders.where($"o_orderkey" % 2 === 1)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/batch=2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/batch=1", s"$tmp/batch=2")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q166Oracle =
+    """SELECT o_orderkey, o_totalprice,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE NULL END
+      |    AS o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_schema_evolution" -> (q166SchemaEvolution _),
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
     "q82_orc_roundtrip" -> (q82OrcRoundtrip _),
@@ -599,6 +639,7 @@ object ExtOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q166_schema_evolution" -> q166Oracle,
     "q26_udf_udaf"      -> q26Oracle,
     "q81_csv_roundtrip" -> q81Oracle,
     "q82_orc_roundtrip" -> q82Oracle,

@@ -169,12 +169,163 @@ object SketchOps {
        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = '$bloomSegment')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q170
+  /** HyperLogLog register count (2^8) — 256 longs per group, fixed
+    * regardless of cardinality. */
+  val hllRegisters = 256
+
+  /** Bits of md5-derived hash beyond the register index: 15 hex
+    * digits = 60 bits − 8 register bits = 52 payload bits; an
+    * all-zero payload yields the max rank 53. */
+  val hllMaxRho = 53
+
+  /** floor(α₂₅₆ · 10⁶) with α₂₅₆ = 0.7213 / (1 + 1.079/256) — the
+    * standard HLL bias constant, held in ppm so the estimator's
+    * integer numerator is a shared literal in both engines. */
+  val hllAlphaPpm = 718272L
+
+  /** From-scratch HyperLogLog distinct-count sketch: per event type,
+    * estimate distinct users from a 256-register relation — the
+    * third sketch family member (q153 counts frequencies, q156 sets
+    * membership, this one cardinality). q40 uses Spark's built-in
+    * `approx_count_distinct` (itself HLL++); this one is built from
+    * relational primitives with md5-derived hashes so construction
+    * is engine-reproducible and the DuckDB oracle replays the whole
+    * sketch bit-for-bit — the family's "approximate never means
+    * unverifiable" discipline.
+    *
+    * Construction: hash each (type, user) to 60 bits; low 8 bits
+    * pick a register, the rank ρ = (trailing zeros of the payload)
+    * + 1 max-aggregates per (type, register). No pre-distinct pass:
+    * max() is insert-idempotent, so duplicates cost nothing — the
+    * property that makes HLL registers mergeable across partitions,
+    * batches, and days (a daily register relation unions into a
+    * monthly one with the same max). The shuffle carries at most
+    * groups × 256 partial rows per task — never the key set, which
+    * is the entire point at 100 TB. ρ uses the lowest set bit
+    * (2^k = x & −x, recovered exactly via log2 of a power of two);
+    * direction is irrelevant since payload bits are i.i.d.
+    *
+    * Estimation: the raw estimator αm²/Σ2^−ρ with the scaled-integer
+    * harmonic sum Σ2^(53−ρ) (exact BIGINT via bit shifts), switching
+    * to linear counting m·ln(m/V) in the standard small-range regime
+    * (raw ≤ 2.5m and V = empty registers > 0 — the fixture's ~150
+    * users per type sit squarely there; the spec drives the raw
+    * branch with a planted high-cardinality stream). Exact distincts
+    * and the signed error ride along so the sketch's accuracy is
+    * visible per group, and every float step (one multiply chain,
+    * one ln) is a fixed-order expression shared with the oracle. */
+  def q170HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    hllOf(Tables.events(s, dir)
+      .select($"event_type".as("grp"), $"user_id".cast("string").as("key")))
+      .withColumnRenamed("grp", "event_type")
+  }
+
+  /** The sketch on any (grp, key) frame — separated so the spec can
+    * plant a 20k-key stream (raw-estimator branch) next to a tiny
+    * one (linear-counting branch). */
+  private[ops] def hllOf(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val m = hllRegisters
+    val hashed = rows.select($"grp",
+      conv(substring(md5(concat(lit("hll:"), $"key")), 1, 15), 16, 10)
+        .cast("long").as("hv"))
+    val regs = hashed
+      .select($"grp", ($"hv" % m).as("reg"), expr(s"hv div $m").as("w"))
+      .groupBy($"grp", $"reg")
+      .agg(max(when($"w" === 0L, hllMaxRho.toLong)
+        .otherwise(expr("CAST(round(log2(w & -w)) AS BIGINT) + 1"))).as("rho"))
+    // dense 256-register spine per group: absent registers count as
+    // rho = 0 in the harmonic sum AND as "empty" for linear counting
+    val spine = regs.select($"grp").distinct()
+      .crossJoin(s.range(m).select($"id".as("reg")))
+    val est = spine.join(regs, Seq("grp", "reg"), "left")
+      .withColumn("rho", coalesce($"rho", lit(0L)))
+      .groupBy($"grp")
+      .agg(
+        expr(s"CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST($hllMaxRho - rho AS INT))) AS BIGINT)")
+          .as("zsum"),
+        sum(when($"rho" === 0L, 1L).otherwise(0L)).as("v"))
+      .select($"grp",
+        expr(s"""CAST(floor(CAST(${hllAlphaPpm * m * m} AS DOUBLE)
+          |  * 9007199254740992.0 / CAST(zsum AS DOUBLE) / 1000000.0)
+          |  AS BIGINT)""".stripMargin).as("raw_est"), $"v")
+      .select($"grp",
+        when($"raw_est" <= lit((5L * m) / 2) && $"v" > 0L,
+          expr(s"CAST(floor(${m}.0D * ln(${m}.0D / CAST(v AS DOUBLE))) AS BIGINT)"))
+          .otherwise($"raw_est").as("hll_est"))
+    val exact = rows.groupBy($"grp")
+      .agg(countDistinct($"key").as("exact_distinct"))
+    // signed diff stays division-free: Spark's `div` truncates toward
+    // zero while DuckDB's `//` floors, so a NEGATIVE quotient would
+    // differ by one between engines — the ratio uses |diff| instead
+    exact.join(est, "grp")
+      .select($"grp", $"exact_distinct", $"hll_est",
+        ($"hll_est" - $"exact_distinct").as("diff"),
+        expr("(1000000 * abs(hll_est - exact_distinct)) div exact_distinct")
+          .as("abs_err_ppm"))
+      .orderBy($"grp")
+  }
+
+  private val q170Oracle = {
+    val m = hllRegisters
+    s"""WITH h AS (
+       |  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS key,
+       |    ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS hv
+       |  FROM events),
+       |regs AS (
+       |  SELECT grp, hv % $m AS reg,
+       |    max(CASE WHEN hv // $m = 0 THEN $hllMaxRho
+       |      ELSE CAST(round(log2((hv // $m) & -(hv // $m))) AS BIGINT) + 1 END)
+       |      AS rho
+       |  FROM h GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT grp, r.range AS reg
+       |  FROM (SELECT DISTINCT grp FROM regs), range($m) r),
+       |dense AS (
+       |  SELECT s.grp, s.reg, COALESCE(regs.rho, 0) AS rho
+       |  FROM spine s LEFT JOIN regs ON s.grp = regs.grp AND s.reg = regs.reg),
+       |agg AS (
+       |  SELECT grp,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST($hllMaxRho - rho AS INT)) AS BIGINT)
+       |      AS zsum,
+       |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+       |  FROM dense GROUP BY 1),
+       |est AS (
+       |  SELECT grp,
+       |    CAST(floor(CAST(${hllAlphaPpm * m * m} AS DOUBLE)
+       |      * 9007199254740992.0 / CAST(zsum AS DOUBLE) / 1000000.0) AS BIGINT)
+       |      AS raw_est, v
+       |  FROM agg),
+       |fin AS (
+       |  SELECT grp,
+       |    CASE WHEN raw_est <= ${(5L * m) / 2} AND v > 0
+       |      THEN CAST(floor($m.0 * ln($m.0 / CAST(v AS DOUBLE))) AS BIGINT)
+       |      ELSE raw_est END AS hll_est
+       |  FROM est),
+       |ex AS (
+       |  SELECT event_type AS grp, CAST(count(DISTINCT user_id) AS BIGINT)
+       |    AS exact_distinct
+       |  FROM events GROUP BY 1)
+       |SELECT ex.grp AS event_type, exact_distinct, hll_est,
+       |  hll_est - exact_distinct AS diff,
+       |  CAST((1000000 * abs(hll_est - exact_distinct)) // exact_distinct
+       |    AS BIGINT) AS abs_err_ppm
+       |FROM ex JOIN fin ON ex.grp = fin.grp
+       |ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_hll_distinct" -> (q170HllDistinct _),
     "q153_cms_heavy_hitters" -> (q153CmsHeavyHitters _),
     "q156_bloom_prejoin"     -> (q156BloomPrejoin _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q170_hll_distinct" -> q170Oracle,
     "q153_cms_heavy_hitters" -> q153Oracle,
     "q156_bloom_prejoin"     -> q156Oracle,
   )

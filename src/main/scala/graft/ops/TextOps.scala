@@ -1867,7 +1867,96 @@ object TextOps {
       |  AND best_same <= diversity
       |ORDER BY n_chars DESC, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+  /** CCNet-style perplexity bucketing: tag every doc `head` /
+    * `middle` / `tail` by per-LANGUAGE tertile of its q125 LM score
+    * (head = most fluent third under the trigram LM) — the curation
+    * grain CCNet popularized: train preferentially on head, sample
+    * middle, audit tail. Buckets are per-language because fluency
+    * scores are only comparable within a language's LM mass;
+    * a global cut would brand every low-resource language "tail".
+    *
+    * ntile over (score, doc_id) — the doc_id tie-break makes the
+    * tertile assignment a pure function of the data, so the bucket
+    * column is hash-stable cross-engine. The window partitions by
+    * lang (bounded fan-in per partition at any corpus size ≈ docs
+    * per language; a skew-heavy corpus would pre-aggregate to
+    * (score, count) runs first). Composes q125's scoring pipeline
+    * verbatim; its oracle embeds q125's oracle as a CTE, so the two
+    * can never diverge. */
+  def q167LmBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"avg_nll_micro", $"doc_id")
+    q125LmScore(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+      .withColumn("t", ntile(3).over(w))
+      .select($"doc_id", $"lang", $"avg_nll_micro",
+        when($"t" === 1, "head").when($"t" === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
+  private val q167Oracle =
+    s"""WITH lm_scored AS (${q125Oracle.replace("ORDER BY d.doc_id", "")}),
+       |b AS (
+       |  SELECT s.doc_id, d.lang, s.avg_nll_micro,
+       |    ntile(3) OVER (PARTITION BY d.lang
+       |      ORDER BY s.avg_nll_micro, s.doc_id) AS t
+       |  FROM lm_scored s JOIN documents d ON s.doc_id = d.doc_id)
+       |SELECT doc_id, lang, avg_nll_micro,
+       |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+       |    AS bucket
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+  /** Dataset card: the one-row release summary a corpus ships with —
+    * document/source/language counts, exact char and whitespace-token
+    * totals, distinct-content count (by 128-bit text fingerprint, so
+    * the dedup stage's headline number is reproduced independently),
+    * and the duplicate ratio in ppm. Everything is an exact integer,
+    * so the card is hash-stable — a release artifact you can diff
+    * between corpus versions to see drift at a glance (doc growth vs
+    * dup growth is the first question every dataset review asks).
+    *
+    * One pass: all counters reduce in a single map-side-combining
+    * global aggregate; distinct-text counts shuffle 16-byte md5s,
+    * never text. The global agg's single reducer sees ONE partial
+    * row per map task (not rows), which is why a one-row result is
+    * scale-safe. */
+  def q168DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang", $"n_chars",
+        size(split($"text", " ")).cast("long").as("n_toks"),
+        md5($"text").as("fp"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"),
+        sum($"n_chars").as("total_chars"),
+        sum($"n_toks").as("total_tokens"),
+        countDistinct($"fp").as("distinct_texts"))
+      .select($"n_docs", $"n_sources", $"n_langs", $"total_chars",
+        $"total_tokens", $"distinct_texts",
+        expr("(1000000 * (n_docs - distinct_texts)) div n_docs")
+          .as("dup_ratio_ppm"))
+  }
+
+  private val q168Oracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+      |  CAST((1000000 * (count(*) - count(DISTINCT md5(text)))) // count(*)
+      |    AS BIGINT) AS dup_ratio_ppm
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_lm_buckets"  -> (q167LmBuckets _),
+    "q168_dataset_card" -> (q168DatasetCard _),
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
     "q78_inverted_index"      -> (q78InvertedIndex _),
@@ -1906,6 +1995,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_lm_buckets"  -> q167Oracle,
+    "q168_dataset_card" -> q168Oracle,
     "q60_text_stats"          -> q60Oracle,
     "q61_lang_id"             -> q61Oracle,
     "q73_tfidf"               -> q73Oracle,

@@ -319,4 +319,19 @@ class EventOpsSpec extends SparkSuite {
       assert(alarm == (sp > hh || sn > hh))
     }
   }
+
+  test("q169 seasonal grid: totals conserve, bounds hold, anomalies bounded") {
+    import spark.implicits._
+    val rows = EventOps.q169SeasonalProfile(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val totalEvents = graft.Tables.events(spark, sf0001).count()
+    assert(rows.map(_._4).sum == totalEvents, "grid totals = event count")
+    rows.foreach { case (dow, hr, nSlots, total, meanMicro, nAnom) =>
+      assert(dow >= 0 && dow <= 6 && hr >= 0 && hr <= 23)
+      assert(nAnom >= 0 && nAnom <= nSlots)
+      assert(meanMicro == 1000000L * total / nSlots)
+    }
+  }
 }

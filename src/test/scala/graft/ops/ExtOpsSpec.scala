@@ -155,4 +155,18 @@ class ExtOpsSpec extends SparkSuite {
     val two = Seq(5.0, 3.0, 5.0).toDS().select(agg).head()
     assert(two == 3.0)
   }
+
+  test("q166 merged read: all rows survive, priority NULLed exactly on old-schema files") {
+    import spark.implicits._
+    val got = ExtOps.q166SchemaEvolution(spark, sf0001).collect()
+    val n = graft.Tables.orders(spark, sf0001).count()
+    assert(got.length == n)
+    got.foreach { r =>
+      val key = r.getLong(0)
+      // batch=1 (old schema, even keys) reads as NULL priority;
+      // batch=2 rows keep their written value
+      assert(r.isNullAt(2) == (key % 2 == 0), s"key $key null-pattern wrong")
+    }
+    assert(got.exists(!_.isNullAt(2)), "new-schema rows present")
+  }
 }

@@ -52,4 +52,25 @@ class SketchOpsSpec extends SparkSuite {
     assert(broadcasts >= SketchOps.bloomHashes,
       s"expected >=${SketchOps.bloomHashes} broadcast word-table joins:\n$plan")
   }
+
+  test("q170 HLL: raw branch within 10% on 20k keys; linear branch near-exact; insert-idempotent") {
+    import spark.implicits._
+    val big = (1 to 20000).map(i => ("big", s"k$i"))
+    val small = Seq(("small", "a"), ("small", "b"), ("small", "c"))
+    val rows = (big ++ small).toDF("grp", "key")
+    val got = SketchOps.hllOf(rows).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (bigExact, bigEst) = got("big")
+    assert(bigExact == 20000L)
+    // raw-estimator branch: est far above the 2.5m linear cutoff
+    assert(bigEst > (5L * SketchOps.hllRegisters) / 2)
+    assert(math.abs(bigEst - 20000L) < 2000L, s"raw est $bigEst off >10%")
+    val (smallExact, smallEst) = got("small")
+    assert(smallExact == 3L && math.abs(smallEst - 3L) <= 1L)
+    // duplicating every row changes nothing: max-register insertion
+    // is idempotent (the property that makes registers mergeable)
+    val dup = SketchOps.hllOf(rows.unionAll(rows)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dup == got)
+  }
 }

@@ -756,4 +756,39 @@ class TextOpsSpec extends SparkSuite {
       (3, "a", "b", 2L),
     ))
   }
+
+  test("q167 buckets: per-lang tertiles ordered by score, sizes within one") {
+    val rows = TextOps.q167LmBuckets(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, docs) =>
+      val byBucket = docs.groupBy(_._4).view.mapValues(_.length).toMap
+      val sizes = Seq("head", "middle", "tail").map(byBucket.getOrElse(_, 0))
+      assert(sizes.max - sizes.min <= 1, s"$lang tertiles unbalanced: $sizes")
+      // every head (score, doc_id) precedes every middle, middle every tail
+      def keys(b: String) = docs.filter(_._4 == b).map(d => (d._2, d._3))
+      val ord = Ordering[(Long, Long)]
+      if (keys("head").nonEmpty && keys("middle").nonEmpty)
+        assert(ord.lt(keys("head").max, keys("middle").min))
+      if (keys("middle").nonEmpty && keys("tail").nonEmpty)
+        assert(ord.lt(keys("middle").max, keys("tail").min))
+    }
+  }
+
+  test("q168 dataset card replays from a driver-side fold") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"source", $"lang", $"n_chars", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val nDocs = docs.length.toLong
+    val distinctTexts = docs.map(_._4).distinct.length.toLong
+    val want = (nDocs, docs.map(_._1).distinct.length.toLong,
+      docs.map(_._2).distinct.length.toLong, docs.map(_._3).sum,
+      docs.map(_._4.split(" ", -1).length.toLong).sum,
+      distinctTexts, (1000000L * (nDocs - distinctTexts)) / nDocs)
+    val r = TextOps.q168DatasetCard(spark, sf0001).collect()(0)
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(got == want)
+  }
 }
