@@ -944,10 +944,74 @@ object EventOps {
       |    OR n * n_slots > 2 * total THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
       |FROM g GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin
 
+  // ---------------------------------------------------------------- q171
+  /** Context length of the q171 training windows (context → next
+    * event). */
+  val seqContextLen = 3
+
+  /** Sequence-dataset builder: slide a ([[seqContextLen]] context,
+    * 1 target) window over every user's event-type history — the
+    * supervised next-event-prediction examples a sequential
+    * recommender / behavioral-LM trains on, built directly from the
+    * event log. Every (user, position) yields one example; users
+    * with ≤ [[seqContextLen]] events yield none (no padding — the
+    * honest variant; padded examples are a projection away).
+    *
+    * One shuffle (groupBy user), then the window slide is IN-ARRAY
+    * (q102's fold discipline): sort each user's events once, project
+    * type codes, explode positions. Fan-out is events-per-user
+    * bounded, the same bound every per-user op here relies on. The
+    * (ts, event_id) sort key is a total order, so the emitted
+    * context arrays are hash-stable cross-engine. */
+  def q171EventSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sequencesOf(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        $"event_type"))
+  }
+
+  /** The builder on any (user_id, tus, event_id, event_type) frame —
+    * separated so the spec can plant a short history (no examples)
+    * and a known sequence (hand-written examples). */
+  private[ops] def sequencesOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val k = seqContextLen
+    ev.groupBy($"user_id")
+      .agg(sort_array(collect_list(
+        struct($"tus", $"event_id", $"event_type"))).as("evs"))
+      .select($"user_id",
+        expr("transform(evs, e -> e.event_type)").as("types"))
+      .where(size($"types") > k)
+      .select($"user_id", posexplode(expr(
+        s"""transform(sequence(1, size(types) - $k), i ->
+           |  struct(slice(types, i, $k) AS context,
+           |         element_at(types, i + $k) AS target))""".stripMargin)))
+      .select($"user_id", ($"pos" + 1).cast("long").as("pos"),
+        $"col.context", $"col.target")
+      .orderBy($"user_id", $"pos")
+  }
+
+  private val q171Oracle =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    list_sort(list({'tus': epoch_us(ts), 'event_id': event_id,
+       |                    'event_type': event_type})) AS evs
+       |  FROM events GROUP BY user_id),
+       |t AS (
+       |  SELECT user_id, list_transform(evs, e -> e.event_type) AS types
+       |  FROM u)
+       |SELECT user_id, CAST(i AS BIGINT) AS pos,
+       |  types[i:i + ${seqContextLen - 1}] AS context,
+       |  types[i + $seqContextLen] AS target
+       |FROM t, unnest(range(1, len(types) - ${seqContextLen - 1})) AS r(i)
+       |ORDER BY user_id, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
+    "q171_event_sequences"  -> (q171EventSequences _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -966,6 +1030,7 @@ object EventOps {
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q169_seasonal_profile" -> q169Oracle,
+    "q171_event_sequences"  -> q171Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

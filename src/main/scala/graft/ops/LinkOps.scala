@@ -369,20 +369,24 @@ object LinkOps {
     val edges = edgesIn.select($"u", $"v")
       .unionAll(edgesIn.select($"v".as("u"), $"u".as("v")))
       .localCheckpoint(true)
-    var dist = seeds.select($"node", lit(0L).as("hops")).localCheckpoint(true)
-    var frontier = dist.select($"node")
+    // Only each round's FRONTIER is checkpointed; the visited set is
+    // the lazy union of those per-round frames, so no round pays to
+    // re-materialize the whole cumulative distance table (each
+    // checkpointed frontier is scanned once per later anti-join —
+    // bfsMaxHops small scans instead of bfsMaxHops re-writes).
+    val frontiers = scala.collection.mutable.ArrayBuffer(
+      seeds.select($"node", lit(0L).as("hops")).localCheckpoint(true))
     (1 to bfsMaxHops).foreach { h =>
-      val prev = dist
+      val visited = frontiers.map(_.select($"node")).reduce(_ unionAll _)
       val next = edges
-        .join(frontier.withColumnRenamed("node", "u"), "u")
+        .join(frontiers.last.select($"node").withColumnRenamed("node", "u"), "u")
         .select($"v".as("node")).distinct()
-        .join(dist.select($"node"), Seq("node"), "left_anti")
+        .join(visited, Seq("node"), "left_anti")
         .select($"node", lit(h.toLong).as("hops"))
-      dist = dist.unionAll(next).localCheckpoint(true)
-      frontier = next.select($"node")
-      prev.unpersist(blocking = false)
+        .localCheckpoint(true)
+      frontiers += next
     }
-    val out = dist
+    val out = frontiers.reduce(_ unionAll _)
     edges.unpersist(blocking = false)
     out
   }

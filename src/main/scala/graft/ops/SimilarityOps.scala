@@ -810,6 +810,13 @@ object SimilarityOps {
   private[ops] def kcenterOf(s: SparkSession, emb: DataFrame): DataFrame = {
     import s.implicits._
     import graft.expr.VectorExprs
+    // Quantize ONCE and pin the working set: every round reads `cur`,
+    // and without a checkpoint round r's plan would re-run the scan +
+    // quantization + all r−1 previous center folds from scratch —
+    // quadratic recompute that measured ~19 s at sf0.1 (2.4 s after).
+    // The working set is (vec_id, codes, ii, mind) — embeddings never
+    // re-enter after the first projection, and each round is one
+    // linear pass + one 1-row broadcast.
     val z = emb
       .withColumn("scale", greatest(
         expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"),
@@ -819,6 +826,7 @@ object SimilarityOps {
           .as("codes"))
       .select($"vec_id", $"codes")
       .withColumn("ii", VectorExprs.doti($"codes", $"codes"))
+      .localCheckpoint(true)
     def center(id: Long) = broadcast(
       z.where($"vec_id" === id).select($"codes".as("cc"), $"ii".as("cii")))
     val seedId = z.agg(min($"vec_id")).head().getLong(0)
@@ -830,17 +838,24 @@ object SimilarityOps {
       .select($"vec_id", $"codes", $"ii",
         ($"ii" + $"cii" - lit(2L) * VectorExprs.doti($"codes", $"cc"))
           .as("mind"))
+      .localCheckpoint(true)
     for (r <- 2 to kCenters) {
       val nxt = cur.orderBy($"mind".desc, $"vec_id").limit(1)
         .select($"vec_id", $"mind").head()
       picked = picked :+ ((r.toLong, nxt.getLong(0), nxt.getLong(1)))
-      if (r < kCenters)
+      if (r < kCenters) {
+        val prev = cur
         cur = cur.where($"vec_id" =!= nxt.getLong(0))
           .crossJoin(center(nxt.getLong(0)))
           .select($"vec_id", $"codes", $"ii",
             least($"mind", $"ii" + $"cii" -
               lit(2L) * VectorExprs.doti($"codes", $"cc")).as("mind"))
+          .localCheckpoint(true)
+        prev.unpersist(blocking = false)
+      }
     }
+    cur.unpersist(blocking = false)
+    z.unpersist(blocking = false)
     picked.toDF("rank", "vec_id", "d2_at_selection").orderBy($"rank")
   }
 
@@ -942,10 +957,100 @@ object SimilarityOps {
        |  CAST(sum(sq) // count(*) AS BIGINT) AS mean_sq
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q172
+  /** Fixed-point grid for q172's centroids (q147's 10⁴ element
+    * quantization, then an exact floor-division mean — q71's Lloyd
+    * discipline), so centroid coordinates are bounded integers and
+    * every distance is an exact BIGINT at any corpus size. */
+  val noiseGrid = 10000
+
+  /** Label-noise audit (confident-learning-lite): per label, how many
+    * vectors sit CLOSER to another label's centroid than to their
+    * own — the standard first-pass screen for mislabeled training
+    * examples before a human review queue. Each vector quantizes to
+    * the [[noiseGrid]] integer grid; per-label centroids are exact
+    * integer coordinate sums floor-divided by counts (bounded
+    * magnitude ⇒ no overflow at any scale); the predicted label is
+    * the argmin of exact integer squared distances with a
+    * smallest-label tie-break, so the verdict is hash-stable.
+    *
+    * Scale shape: centroids are one (label × dim) aggregate
+    * (map-side combining; label-domain-bounded result) collected
+    * into a LABEL-cardinality broadcast; the audit itself is a
+    * zero-shuffle projection pass — corpus × |labels| distance
+    * folds per row, embeddings never shuffle. On the synthetic
+    * near-uniform fixture disagreement is high (~60% — labels
+    * genuinely carry no geometry there, which the audit correctly
+    * reports); the spec plants clustered labels where noise ≈ 0 and
+    * one deliberately mislabeled vector is the only flag. */
+  def q172LabelNoise(s: SparkSession, dir: String): DataFrame =
+    labelNoiseOf(Tables.embeddings(s, dir))
+
+  private[ops] def labelNoiseOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val xq = emb.select($"vec_id", $"label",
+      expr(s"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * ${noiseGrid}D) AS BIGINT))")
+        .as("q"))
+    val cent = xq
+      .select($"label".as("clabel"), posexplode($"q").as(Seq("dim", "x")))
+      .groupBy($"clabel", $"dim")
+      .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+      .groupBy($"clabel")
+      // FLOOR division, not `div`: coordinate sums go NEGATIVE, where
+      // Spark's div truncates toward zero but the oracle's // floors.
+      // (sx - pmod(sx, n)) is exactly divisible, so the truncating div
+      // of the adjusted numerator IS the floor quotient.
+      .agg(expr("transform(array_sort(collect_list(struct(dim, (sx - pmod(sx, n)) div n AS c))), p -> p.c)")
+        .as("c"))
+    val best = xq.crossJoin(broadcast(cent))
+      .select($"vec_id", $"label", $"clabel",
+        expr("aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, t) -> acc + t)")
+          .as("d2"))
+      .groupBy($"vec_id", $"label")
+      .agg(min(struct($"d2", $"clabel")).getField("clabel").as("pred"))
+    best.groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"pred" =!= $"label", 1L).otherwise(0L)).as("n_misassigned"))
+      .select($"label", $"n_vecs", $"n_misassigned",
+        expr("(1000000 * n_misassigned) div n_vecs").as("mis_ppm"))
+      .orderBy($"label")
+  }
+
+  private val q172Oracle =
+    s"""WITH xq AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding,
+       |      v -> CAST(round(CAST(v AS DOUBLE) * $noiseGrid) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |pts AS (
+       |  SELECT label, i AS dim, CAST(sum(q[i]) AS BIGINT) AS sq,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM xq, unnest(range(1, len(q) + 1)) AS u(i) GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label AS clabel,
+       |    list(CAST(sq // n AS BIGINT) ORDER BY dim) AS c
+       |  FROM pts GROUP BY 1),
+       |d AS (
+       |  SELECT x.vec_id, x.label, c.clabel,
+       |    CAST(list_sum(list_transform(range(1, len(x.q) + 1),
+       |      i -> (x.q[i] - c.c[i]) * (x.q[i] - c.c[i]))) AS BIGINT) AS d2
+       |  FROM xq x, cent c),
+       |best AS (
+       |  SELECT vec_id, label, min({'d2': d2, 'cl': clabel}).cl AS pred
+       |  FROM d GROUP BY 1, 2)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(CASE WHEN pred <> label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_misassigned,
+       |  CAST((1000000 * sum(CASE WHEN pred <> label THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS mis_ppm
+       |FROM best GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
     "q165_embedding_audit" -> (q165EmbeddingAudit _),
+    "q172_label_noise"   -> (q172LabelNoise _),
     "q52_knn_lsh"        -> (q52KnnLsh _),
     "q95_filtered_knn"   -> (q95FilteredKnn _),
     "q97_quantize_int8"  -> (q97QuantizeInt8 _),
@@ -960,6 +1065,7 @@ object SimilarityOps {
     "q70_knn_bruteforce" -> q70Oracle,
     "q71_knn_ivf"        -> q71Oracle,
     "q165_embedding_audit" -> q165Oracle,
+    "q172_label_noise"   -> q172Oracle,
     "q52_knn_lsh"        -> q52Oracle,
     "q95_filtered_knn"   -> q95Oracle,
     "q97_quantize_int8"  -> q97Oracle,

@@ -222,6 +222,50 @@ object SketchOps {
       .withColumnRenamed("grp", "event_type")
   }
 
+  /** md5-derived 60-bit hash of a string key column. */
+  private def hllHash(key: Column): Column =
+    conv(substring(md5(concat(lit("hll:"), key)), 1, 15), 16, 10).cast("long")
+
+  /** Sparse (grpCols*, reg, rho) register relation for any frame
+    * carrying `key` — max-rho per register, insert-idempotent, hence
+    * mergeable: registers from disjoint slices max-combine into the
+    * registers of their union (q173 exploits exactly this). */
+  private def hllRegistersOf(rows: DataFrame, grpCols: Seq[String]): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val m = hllRegisters
+    rows.select(grpCols.map(col) :+ hllHash($"key").as("hv"): _*)
+      .select(grpCols.map(col) :+ ($"hv" % m).as("reg") :+
+        expr(s"hv div $m").as("w"): _*)
+      .groupBy(grpCols.map(col) :+ $"reg": _*)
+      .agg(max(when($"w" === 0L, hllMaxRho.toLong)
+        .otherwise(expr("CAST(round(log2(w & -w)) AS BIGINT) + 1"))).as("rho"))
+  }
+
+  /** Estimate per group from a DENSE register frame (grpCols*, rho —
+    * exactly [[hllRegisters]] rows per group, absent registers as
+    * rho = 0): exact-BIGINT harmonic sum via bit shifts, raw
+    * estimator with the standard linear-counting small-range switch. */
+  private def hllEstimateOf(dense: DataFrame, grpCols: Seq[String]): DataFrame = {
+    val s = dense.sparkSession
+    import s.implicits._
+    val m = hllRegisters
+    dense
+      .groupBy(grpCols.map(col): _*)
+      .agg(
+        expr(s"CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST($hllMaxRho - rho AS INT))) AS BIGINT)")
+          .as("zsum"),
+        sum(when($"rho" === 0L, 1L).otherwise(0L)).as("v"))
+      .select(grpCols.map(col) :+
+        expr(s"""CAST(floor(CAST(${hllAlphaPpm * m * m} AS DOUBLE)
+          |  * 9007199254740992.0 / CAST(zsum AS DOUBLE) / 1000000.0)
+          |  AS BIGINT)""".stripMargin).as("raw_est") :+ $"v": _*)
+      .select(grpCols.map(col) :+
+        when($"raw_est" <= lit((5L * m) / 2) && $"v" > 0L,
+          expr(s"CAST(floor(${m}.0D * ln(${m}.0D / CAST(v AS DOUBLE))) AS BIGINT)"))
+          .otherwise($"raw_est").as("hll_est"): _*)
+  }
+
   /** The sketch on any (grp, key) frame — separated so the spec can
     * plant a 20k-key stream (raw-estimator branch) next to a tiny
     * one (linear-counting branch). */
@@ -229,33 +273,15 @@ object SketchOps {
     val s = rows.sparkSession
     import s.implicits._
     val m = hllRegisters
-    val hashed = rows.select($"grp",
-      conv(substring(md5(concat(lit("hll:"), $"key")), 1, 15), 16, 10)
-        .cast("long").as("hv"))
-    val regs = hashed
-      .select($"grp", ($"hv" % m).as("reg"), expr(s"hv div $m").as("w"))
-      .groupBy($"grp", $"reg")
-      .agg(max(when($"w" === 0L, hllMaxRho.toLong)
-        .otherwise(expr("CAST(round(log2(w & -w)) AS BIGINT) + 1"))).as("rho"))
+    val regs = hllRegistersOf(rows, Seq("grp"))
     // dense 256-register spine per group: absent registers count as
     // rho = 0 in the harmonic sum AND as "empty" for linear counting
     val spine = regs.select($"grp").distinct()
       .crossJoin(s.range(m).select($"id".as("reg")))
-    val est = spine.join(regs, Seq("grp", "reg"), "left")
-      .withColumn("rho", coalesce($"rho", lit(0L)))
-      .groupBy($"grp")
-      .agg(
-        expr(s"CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST($hllMaxRho - rho AS INT))) AS BIGINT)")
-          .as("zsum"),
-        sum(when($"rho" === 0L, 1L).otherwise(0L)).as("v"))
-      .select($"grp",
-        expr(s"""CAST(floor(CAST(${hllAlphaPpm * m * m} AS DOUBLE)
-          |  * 9007199254740992.0 / CAST(zsum AS DOUBLE) / 1000000.0)
-          |  AS BIGINT)""".stripMargin).as("raw_est"), $"v")
-      .select($"grp",
-        when($"raw_est" <= lit((5L * m) / 2) && $"v" > 0L,
-          expr(s"CAST(floor(${m}.0D * ln(${m}.0D / CAST(v AS DOUBLE))) AS BIGINT)"))
-          .otherwise($"raw_est").as("hll_est"))
+    val est = hllEstimateOf(
+      spine.join(regs, Seq("grp", "reg"), "left")
+        .withColumn("rho", coalesce($"rho", lit(0L))),
+      Seq("grp"))
     val exact = rows.groupBy($"grp")
       .agg(countDistinct($"key").as("exact_distinct"))
     // signed diff stays division-free: Spark's `div` truncates toward
@@ -318,14 +344,137 @@ object SketchOps {
        |ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q173
+  /** Cumulative distinct-users-to-date per week from MERGED weekly
+    * HLL register snapshots — the operation that justifies keeping
+    * sketches as TABLES: exact `COUNT(DISTINCT)` cannot be rolled
+    * forward (last week's count plus this week's count double-counts
+    * returners; the raw key sets must be re-unioned every week), but
+    * HLL registers max-merge, so "distinct to date" is a running max
+    * over 256-row weekly snapshots followed by the estimator — no
+    * week ever re-reads another week's raw events.
+    *
+    * Shape: one scan → sparse per-(type, week) registers (the weekly
+    * snapshot a pipeline would persist), dense spine + running-max
+    * window = the merged to-date registers, estimator per (type,
+    * week). Window input is types × weeks × 256 rows — bounded by
+    * CALENDAR × register count, independent of event volume. Exact
+    * cumulative distincts ride along (first-seen week per key + one
+    * running sum) so the estimate's error is visible per week; a
+    * production rollup would drop that diagnostic branch and with it
+    * every touch of the raw key set. */
+  def q173HllCumulative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    hllCumulativeOf(Tables.events(s, dir).select(
+      $"event_type".as("grp"),
+      to_date(date_trunc("week", $"ts")).as("week"),
+      $"user_id".cast("string").as("key")))
+      .withColumnRenamed("grp", "event_type")
+  }
+
+  /** The rollup on any (grp, week, key) frame — separated so the
+    * spec can plant overlapping weekly populations whose returner
+    * double-count a naive per-week sum would show. */
+  private[ops] def hllCumulativeOf(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = hllRegisters
+    val regs = hllRegistersOf(rows, Seq("grp", "week"))
+    val spine = rows.select($"grp", $"week").distinct()
+      .crossJoin(s.range(m).select($"id".as("reg")))
+    val wReg = Window.partitionBy($"grp", $"reg").orderBy($"week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dense = spine.join(regs, Seq("grp", "week", "reg"), "left")
+      .withColumn("rho", max(coalesce($"rho", lit(0L))).over(wReg))
+    val est = hllEstimateOf(dense, Seq("grp", "week"))
+    val firsts = rows.groupBy($"grp", $"key").agg(min($"week").as("week"))
+      .groupBy($"grp", $"week").agg(count(lit(1)).as("n_new"))
+    val wGrp = Window.partitionBy($"grp").orderBy($"week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = rows.select($"grp", $"week").distinct()
+      .join(firsts, Seq("grp", "week"), "left")
+      .withColumn("exact_cum", sum(coalesce($"n_new", lit(0L))).over(wGrp))
+      .select($"grp", $"week", $"exact_cum")
+    exact.join(est, Seq("grp", "week"))
+      .select($"grp", $"week", $"exact_cum", $"hll_est".as("est_cum"),
+        ($"hll_est" - $"exact_cum").as("diff"),
+        expr("(1000000 * abs(hll_est - exact_cum)) div exact_cum")
+          .as("abs_err_ppm"))
+      .orderBy($"grp", $"week")
+  }
+
+  private val q173Oracle = {
+    val m = hllRegisters
+    s"""WITH r0 AS (
+       |  SELECT event_type AS grp, CAST(date_trunc('week', ts) AS DATE) AS week,
+       |    CAST(user_id AS VARCHAR) AS key
+       |  FROM events),
+       |h AS (
+       |  SELECT grp, week,
+       |    ('0x' || substr(md5('hll:' || key), 1, 15))::BIGINT AS hv
+       |  FROM r0),
+       |regs AS (
+       |  SELECT grp, week, hv % $m AS reg,
+       |    max(CASE WHEN hv // $m = 0 THEN $hllMaxRho
+       |      ELSE CAST(round(log2((hv // $m) & -(hv // $m))) AS BIGINT) + 1 END)
+       |      AS rho
+       |  FROM h GROUP BY 1, 2, 3),
+       |spine AS (
+       |  SELECT grp, week, r.range AS reg
+       |  FROM (SELECT DISTINCT grp, week FROM r0), range($m) r),
+       |dense AS (
+       |  SELECT s.grp, s.week, s.reg,
+       |    max(COALESCE(regs.rho, 0)) OVER (PARTITION BY s.grp, s.reg
+       |      ORDER BY s.week ROWS UNBOUNDED PRECEDING) AS rho
+       |  FROM spine s LEFT JOIN regs
+       |    ON s.grp = regs.grp AND s.week = regs.week AND s.reg = regs.reg),
+       |agg AS (
+       |  SELECT grp, week,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST($hllMaxRho - rho AS INT)) AS BIGINT)
+       |      AS zsum,
+       |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+       |  FROM dense GROUP BY 1, 2),
+       |est AS (
+       |  SELECT grp, week,
+       |    CAST(floor(CAST(${hllAlphaPpm * m * m} AS DOUBLE)
+       |      * 9007199254740992.0 / CAST(zsum AS DOUBLE) / 1000000.0) AS BIGINT)
+       |      AS raw_est, v
+       |  FROM agg),
+       |fin AS (
+       |  SELECT grp, week,
+       |    CASE WHEN raw_est <= ${(5L * m) / 2} AND v > 0
+       |      THEN CAST(floor($m.0 * ln($m.0 / CAST(v AS DOUBLE))) AS BIGINT)
+       |      ELSE raw_est END AS hll_est
+       |  FROM est),
+       |firsts AS (SELECT grp, key, min(week) AS week FROM r0 GROUP BY 1, 2),
+       |nnew AS (
+       |  SELECT grp, week, CAST(count(*) AS BIGINT) AS n_new
+       |  FROM firsts GROUP BY 1, 2),
+       |ex AS (
+       |  SELECT w.grp, w.week,
+       |    CAST(sum(COALESCE(n_new, 0)) OVER (PARTITION BY w.grp
+       |      ORDER BY w.week ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum
+       |  FROM (SELECT DISTINCT grp, week FROM r0) w
+       |  LEFT JOIN nnew ON w.grp = nnew.grp AND w.week = nnew.week)
+       |SELECT ex.grp AS event_type, ex.week AS week, exact_cum, hll_est AS est_cum,
+       |  hll_est - exact_cum AS diff,
+       |  CAST((1000000 * abs(hll_est - exact_cum)) // exact_cum AS BIGINT)
+       |    AS abs_err_ppm
+       |FROM ex JOIN fin ON ex.grp = fin.grp AND ex.week = fin.week
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_hll_distinct" -> (q170HllDistinct _),
+    "q173_hll_cumulative" -> (q173HllCumulative _),
     "q153_cms_heavy_hitters" -> (q153CmsHeavyHitters _),
     "q156_bloom_prejoin"     -> (q156BloomPrejoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "q170_hll_distinct" -> q170Oracle,
+    "q173_hll_cumulative" -> q173Oracle,
     "q153_cms_heavy_hitters" -> q153Oracle,
     "q156_bloom_prejoin"     -> q156Oracle,
   )

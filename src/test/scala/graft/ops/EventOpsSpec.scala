@@ -334,4 +334,26 @@ class EventOpsSpec extends SparkSuite {
       assert(meanMicro == 1000000L * total / nSlots)
     }
   }
+
+  test("q171 sequences: hand-written windows, short histories yield none") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: v c p v → windows (v,c,p)->v
+      (1L, 100L, 1L, "view"), (1L, 200L, 2L, "click"),
+      (1L, 300L, 3L, "purchase"), (1L, 400L, 4L, "view"),
+      // user 2: only 3 events → no window
+      (2L, 100L, 5L, "view"), (2L, 200L, 6L, "click"), (2L, 300L, 7L, "view"),
+      // user 3: 5 events → 2 windows; same-ts tie broken by event_id
+      (3L, 100L, 8L, "a"), (3L, 100L, 9L, "b"), (3L, 200L, 10L, "c"),
+      (3L, 300L, 11L, "d"), (3L, 400L, 12L, "e"),
+    ).toDF("user_id", "tus", "event_id", "event_type")
+    val got = EventOps.sequencesOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toList,
+        r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, List("view", "click", "purchase"), "view"),
+      (3L, 1L, List("a", "b", "c"), "d"),
+      (3L, 2L, List("b", "c", "d"), "e"),
+    ))
+  }
 }

@@ -242,4 +242,42 @@ class SimilarityOpsSpec extends SparkSuite {
       assert(nDims == 1L && nZero == 0L)
     }
   }
+
+  test("q172 label noise: clustered labels clean, the planted mislabel flagged") {
+    import spark.implicits._
+    // two tight clusters around (1,0,...) and (0,1,...); vector 99 sits
+    // in cluster B's blob but carries label 0 — the one planted error
+    def v(base: Array[Float], jitter: Float, dim: Int) =
+      base.zipWithIndex.map { case (x, i) => if (i == dim) x + jitter else x }
+    val a = Array(1f) ++ Array.fill(7)(0f)
+    val b = Array(0f, 1f) ++ Array.fill(6)(0f)
+    val rows =
+      (0 until 10).map(i => (i.toLong, v(a, 0.01f * i, 3).toSeq, 0)) ++
+      (10 until 20).map(i => (i.toLong, v(b, 0.01f * i, 4).toSeq, 1)) :+
+      ((99L, v(b, 0.05f, 5).toSeq, 0))
+    val got = SimilarityOps.labelNoiseOf(
+      rows.toDF("vec_id", "embedding", "label")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0) == ((11L, 1L)), "label 0: only the planted mislabel")
+    assert(got(1) == ((10L, 0L)), "label 1 clean")
+  }
+
+  test("q173 cumulative HLL: returners never double-count, estimates track exact") {
+    import spark.implicits._
+    import java.sql.Date
+    val w1 = Date.valueOf("2024-01-01"); val w2 = Date.valueOf("2024-01-08")
+    // week1: keys 1..50; week2: keys 26..75 → cumulative 50 then 75;
+    // a naive per-week sum would claim 100
+    val rows = ((1 to 50).map(i => ("t", w1, s"k$i")) ++
+      (26 to 75).map(i => ("t", w2, s"k$i"))).toDF("grp", "week", "key")
+    val got = SketchOps.hllCumulativeOf(rows).collect()
+      .map(r => r.getDate(1).toString -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("2024-01-01")._1 == 50L && got("2024-01-08")._1 == 75L)
+    // linear-counting regime: estimates within 15% of exact, and the
+    // merged week-2 estimate is >= week-1's (registers only grow)
+    got.values.foreach { case (exact, est) =>
+      assert(math.abs(est - exact).toDouble / exact < 0.15, s"est $est vs $exact")
+    }
+    assert(got("2024-01-08")._2 >= got("2024-01-01")._2)
+  }
 }
