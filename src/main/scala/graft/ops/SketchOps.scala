@@ -295,6 +295,35 @@ object SketchOps {
       .orderBy($"grp")
   }
 
+  /** Oracle-side twin of [[hllEstimateOf]]: emits the
+    * `<p>agg AS (…), <p>est AS (…), <p>fin AS (…)` CTE chain that
+    * turns a dense register CTE into per-key `hll_est` — ONE source
+    * for the estimator SQL, shared by the q170/q173/q174 oracles so
+    * the math can never fork between them. */
+  private def hllEstimatorCtes(p: String, denseCte: String,
+      keys: Seq[String]): String = {
+    val m = hllRegisters
+    val ks = keys.mkString(", ")
+    s"""${p}agg AS (
+       |  SELECT $ks,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST($hllMaxRho - rho AS INT)) AS BIGINT)
+       |      AS zsum,
+       |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+       |  FROM $denseCte GROUP BY $ks),
+       |${p}est AS (
+       |  SELECT $ks,
+       |    CAST(floor(CAST(${hllAlphaPpm * m * m} AS DOUBLE)
+       |      * 9007199254740992.0 / CAST(zsum AS DOUBLE) / 1000000.0) AS BIGINT)
+       |      AS raw_est, v
+       |  FROM ${p}agg),
+       |${p}fin AS (
+       |  SELECT $ks,
+       |    CASE WHEN raw_est <= ${(5L * m) / 2} AND v > 0
+       |      THEN CAST(floor($m.0 * ln($m.0 / CAST(v AS DOUBLE))) AS BIGINT)
+       |      ELSE raw_est END AS hll_est
+       |  FROM ${p}est)""".stripMargin
+  }
+
   private val q170Oracle = {
     val m = hllRegisters
     s"""WITH h AS (
@@ -314,24 +343,7 @@ object SketchOps {
        |dense AS (
        |  SELECT s.grp, s.reg, COALESCE(regs.rho, 0) AS rho
        |  FROM spine s LEFT JOIN regs ON s.grp = regs.grp AND s.reg = regs.reg),
-       |agg AS (
-       |  SELECT grp,
-       |    CAST(sum(CAST(1 AS BIGINT) << CAST($hllMaxRho - rho AS INT)) AS BIGINT)
-       |      AS zsum,
-       |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
-       |  FROM dense GROUP BY 1),
-       |est AS (
-       |  SELECT grp,
-       |    CAST(floor(CAST(${hllAlphaPpm * m * m} AS DOUBLE)
-       |      * 9007199254740992.0 / CAST(zsum AS DOUBLE) / 1000000.0) AS BIGINT)
-       |      AS raw_est, v
-       |  FROM agg),
-       |fin AS (
-       |  SELECT grp,
-       |    CASE WHEN raw_est <= ${(5L * m) / 2} AND v > 0
-       |      THEN CAST(floor($m.0 * ln($m.0 / CAST(v AS DOUBLE))) AS BIGINT)
-       |      ELSE raw_est END AS hll_est
-       |  FROM est),
+       |${hllEstimatorCtes("", "dense", Seq("grp"))},
        |ex AS (
        |  SELECT event_type AS grp, CAST(count(DISTINCT user_id) AS BIGINT)
        |    AS exact_distinct
@@ -429,24 +441,7 @@ object SketchOps {
        |      ORDER BY s.week ROWS UNBOUNDED PRECEDING) AS rho
        |  FROM spine s LEFT JOIN regs
        |    ON s.grp = regs.grp AND s.week = regs.week AND s.reg = regs.reg),
-       |agg AS (
-       |  SELECT grp, week,
-       |    CAST(sum(CAST(1 AS BIGINT) << CAST($hllMaxRho - rho AS INT)) AS BIGINT)
-       |      AS zsum,
-       |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
-       |  FROM dense GROUP BY 1, 2),
-       |est AS (
-       |  SELECT grp, week,
-       |    CAST(floor(CAST(${hllAlphaPpm * m * m} AS DOUBLE)
-       |      * 9007199254740992.0 / CAST(zsum AS DOUBLE) / 1000000.0) AS BIGINT)
-       |      AS raw_est, v
-       |  FROM agg),
-       |fin AS (
-       |  SELECT grp, week,
-       |    CASE WHEN raw_est <= ${(5L * m) / 2} AND v > 0
-       |      THEN CAST(floor($m.0 * ln($m.0 / CAST(v AS DOUBLE))) AS BIGINT)
-       |      ELSE raw_est END AS hll_est
-       |  FROM est),
+       |${hllEstimatorCtes("", "dense", Seq("grp", "week"))},
        |firsts AS (SELECT grp, key, min(week) AS week FROM r0 GROUP BY 1, 2),
        |nnew AS (
        |  SELECT grp, week, CAST(count(*) AS BIGINT) AS n_new
@@ -465,9 +460,118 @@ object SketchOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q174
+  /** Audience-overlap matrix via HLL set algebra: for every pair of
+    * event types, the estimated number of users doing BOTH, from
+    * inclusion–exclusion over register tables — |A∩B| ≈ est(A) +
+    * est(B) − est(A∪B), where A∪B's registers are just
+    * max(regA, regB). This is the sketch-algebra operation that
+    * makes overlap matrices tractable at scale: exact pairwise
+    * overlaps need a distinct-pair self-join per pair (quadratic in
+    * groups, another full pass over raw keys each time), while the
+    * sketch path touches raw data ONCE and then works entirely on
+    * groups × 256-row register tables. Inclusion–exclusion
+    * subtracts two same-sign errors, so the overlap estimate is
+    * noisier than any single estimate (can even go negative on tiny
+    * overlaps) — the diagnostic exact column makes that error
+    * visible, and the spec pins disjoint-vs-identical behavior.
+    *
+    * One scan → checkpointed register relation; singles and pair
+    * unions are both register-table-only plans (pair spine =
+    * pairs × 256 rows). Exact overlaps ride along from one distinct
+    * self-join — the cost the sketch path exists to delete; a
+    * production matrix drops that branch. */
+  def q174HllOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    hllOverlapOf(Tables.events(s, dir)
+      .select($"event_type".as("grp"), $"user_id".cast("string").as("key")))
+      .withColumnRenamed("ga", "type_a").withColumnRenamed("gb", "type_b")
+  }
+
+  /** The matrix on any (grp, key) frame — separated so the spec can
+    * plant disjoint and identical populations. */
+  private[ops] def hllOverlapOf(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val m = hllRegisters
+    val regs = hllRegistersOf(rows, Seq("grp")).localCheckpoint(true)
+    val spine = regs.select($"grp").distinct()
+      .crossJoin(s.range(m).select($"id".as("reg")))
+    val dense = spine.join(regs, Seq("grp", "reg"), "left")
+      .withColumn("rho", coalesce($"rho", lit(0L)))
+    val single = hllEstimateOf(dense, Seq("grp"))
+    val pairs = single.select($"grp".as("ga"), $"hll_est".as("est_a"))
+      .crossJoin(single.select($"grp".as("gb"), $"hll_est".as("est_b")))
+      .where($"ga" < $"gb")
+    val denseU = pairs.select($"ga", $"gb")
+      .join(dense.select($"grp".as("ga"), $"reg", $"rho".as("ra")), Seq("ga"))
+      .join(dense.select($"grp".as("gb"), $"reg", $"rho".as("rb")),
+        Seq("gb", "reg"))
+      .select($"ga", $"gb", $"reg", greatest($"ra", $"rb").as("rho"))
+    val union = hllEstimateOf(denseU, Seq("ga", "gb"))
+      .withColumnRenamed("hll_est", "est_union")
+    val exact = rows.distinct()
+    val exactOv = exact.select($"grp".as("ga"), $"key")
+      .join(exact.select($"grp".as("gb"), $"key"), Seq("key"))
+      .where($"ga" < $"gb")
+      .groupBy($"ga", $"gb").agg(count(lit(1)).as("exact_overlap"))
+    pairs.join(union, Seq("ga", "gb"))
+      .join(exactOv, Seq("ga", "gb"), "left")
+      .select($"ga", $"gb",
+        coalesce($"exact_overlap", lit(0L)).as("exact_overlap"),
+        ($"est_a" + $"est_b" - $"est_union").as("est_overlap"))
+      .withColumn("diff", $"est_overlap" - $"exact_overlap")
+      .orderBy($"ga", $"gb")
+  }
+
+  private val q174Oracle = {
+    val m = hllRegisters
+    s"""WITH r0 AS (
+       |  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS key FROM events),
+       |h AS (
+       |  SELECT grp, ('0x' || substr(md5('hll:' || key), 1, 15))::BIGINT AS hv
+       |  FROM r0),
+       |regs AS (
+       |  SELECT grp, hv % $m AS reg,
+       |    max(CASE WHEN hv // $m = 0 THEN $hllMaxRho
+       |      ELSE CAST(round(log2((hv // $m) & -(hv // $m))) AS BIGINT) + 1 END)
+       |      AS rho
+       |  FROM h GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT grp, r.range AS reg
+       |  FROM (SELECT DISTINCT grp FROM regs), range($m) r),
+       |dense AS (
+       |  SELECT s.grp, s.reg, COALESCE(regs.rho, 0) AS rho
+       |  FROM spine s LEFT JOIN regs ON s.grp = regs.grp AND s.reg = regs.reg),
+       |${hllEstimatorCtes("s_", "dense", Seq("grp"))},
+       |pr AS (
+       |  SELECT a.grp AS ga, a.hll_est AS est_a, b.grp AS gb, b.hll_est AS est_b
+       |  FROM s_fin a, s_fin b WHERE a.grp < b.grp),
+       |denseu AS (
+       |  SELECT p.ga, p.gb, da.reg, greatest(da.rho, db.rho) AS rho
+       |  FROM pr p
+       |  JOIN dense da ON da.grp = p.ga
+       |  JOIN dense db ON db.grp = p.gb AND db.reg = da.reg),
+       |${hllEstimatorCtes("u_", "denseu", Seq("ga", "gb"))},
+       |du AS (SELECT DISTINCT grp, key FROM r0),
+       |ex AS (
+       |  SELECT a.grp AS ga, b.grp AS gb, CAST(count(*) AS BIGINT)
+       |    AS exact_overlap
+       |  FROM du a JOIN du b ON a.key = b.key AND a.grp < b.grp
+       |  GROUP BY 1, 2)
+       |SELECT p.ga AS type_a, p.gb AS type_b,
+       |  COALESCE(exact_overlap, 0) AS exact_overlap,
+       |  p.est_a + p.est_b - u.hll_est AS est_overlap,
+       |  p.est_a + p.est_b - u.hll_est - COALESCE(exact_overlap, 0) AS diff
+       |FROM pr p JOIN u_fin u ON p.ga = u.ga AND p.gb = u.gb
+       |LEFT JOIN ex ON p.ga = ex.ga AND p.gb = ex.gb
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_hll_distinct" -> (q170HllDistinct _),
     "q173_hll_cumulative" -> (q173HllCumulative _),
+    "q174_hll_overlap"  -> (q174HllOverlap _),
     "q153_cms_heavy_hitters" -> (q153CmsHeavyHitters _),
     "q156_bloom_prejoin"     -> (q156BloomPrejoin _),
   )
@@ -475,6 +579,7 @@ object SketchOps {
   val oracles: Map[String, String] = Map(
     "q170_hll_distinct" -> q170Oracle,
     "q173_hll_cumulative" -> q173Oracle,
+    "q174_hll_overlap"  -> q174Oracle,
     "q153_cms_heavy_hitters" -> q153Oracle,
     "q156_bloom_prejoin"     -> q156Oracle,
   )

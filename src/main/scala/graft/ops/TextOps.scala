@@ -1954,9 +1954,113 @@ object TextOps {
       |    AS BIGINT) AS dup_ratio_ppm
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- q175
+  /** Volume-weighted median document length per language: the char
+    * count at which half the corpus BYTES sit in shorter docs — the
+    * honest "typical document" number for capacity planning and
+    * chunking policy (the plain median is dominated by the many
+    * short docs that carry almost no volume; token budgets are spent
+    * by VOLUME). Weighted-median-by-own-value via one cumulative-sum
+    * window under the (n_chars, doc_id) total order, then the first
+    * row crossing half the total — exact integers end to end, no
+    * percentile interpolation, hence hash-stable. Window fan-in is
+    * docs-per-language; the metadata column is all that shuffles
+    * (text is never read — the scan prunes to (lang, n_chars,
+    * doc_id)). */
+  def q175VolMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"lang")
+    Tables.documents(s, dir)
+      .select($"lang", $"doc_id", $"n_chars")
+      .withColumn("cum", sum($"n_chars").over(wCum))
+      .withColumn("total", sum($"n_chars").over(wAll))
+      .withColumn("n_docs", count(lit(1)).over(wAll))
+      .groupBy($"lang")
+      .agg(max($"n_docs").as("n_docs"), max($"total").as("total_chars"),
+        min(when(lit(2) * $"cum" >= $"total", $"n_chars"))
+          .as("vol_median_chars"))
+      .orderBy($"lang")
+  }
+
+  private val q175Oracle =
+    """WITH c AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(n_chars) OVER (PARTITION BY lang) AS BIGINT) AS total,
+      |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_docs
+      |  FROM documents)
+      |SELECT lang, max(n_docs) AS n_docs, max(total) AS total_chars,
+      |  CAST(min(CASE WHEN 2 * cum >= total THEN n_chars END) AS BIGINT)
+      |    AS vol_median_chars
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+  /** Corpus coverage / independence matrix over (lang × source): the
+    * full grid (cross join of OBSERVED margins), each cell's doc
+    * count, and a flag — `missing` (zero cell: a scrape gap or
+    * pipeline drop), `under`/`over` (cell deviates ≥2× from the
+    * independence expectation row·col/total, by exact integer
+    * cross-multiplication — a source that only publishes one
+    * language, a language funneled through one source), else `ok`.
+    * This is the mixture-monitoring report behind q112's rebalance
+    * decisions: rebalance needs the matrix first.
+    *
+    * One cell aggregate (domain-bounded), margins via two windows on
+    * the grid (margin-cardinality input), zero float arithmetic. */
+  def q176CoverageMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val cells = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+    val grid = docs.select($"lang").distinct()
+      .crossJoin(docs.select($"source").distinct())
+    val full = grid.join(cells, Seq("lang", "source"), "left")
+      .withColumn("n", coalesce($"n", lit(0L)))
+      .withColumn("row_total", sum($"n").over(Window.partitionBy($"lang")))
+      .withColumn("col_total", sum($"n").over(Window.partitionBy($"source")))
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+    full.select($"lang", $"source", $"n", $"row_total", $"col_total",
+      when($"n" === 0L, "missing")
+        .when(lit(2) * $"n" * $"total" < $"row_total" * $"col_total", "under")
+        .when($"n" * $"total" > lit(2) * $"row_total" * $"col_total", "over")
+        .otherwise("ok").as("flag"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val q176Oracle =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT l.lang, s.source
+      |  FROM (SELECT DISTINCT lang FROM documents) l,
+      |       (SELECT DISTINCT source FROM documents) s),
+      |f AS (
+      |  SELECT g.lang, g.source, COALESCE(n, 0) AS n
+      |  FROM grid g LEFT JOIN cells
+      |    ON g.lang = cells.lang AND g.source = cells.source),
+      |m AS (
+      |  SELECT lang, source, n,
+      |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS row_total,
+      |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS col_total,
+      |    CAST(sum(n) OVER () AS BIGINT) AS total
+      |  FROM f)
+      |SELECT lang, source, n, row_total, col_total,
+      |  CASE WHEN n = 0 THEN 'missing'
+      |       WHEN 2 * n * total < row_total * col_total THEN 'under'
+      |       WHEN n * total > 2 * row_total * col_total THEN 'over'
+      |       ELSE 'ok' END AS flag
+      |FROM m ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_lm_buckets"  -> (q167LmBuckets _),
     "q168_dataset_card" -> (q168DatasetCard _),
+    "q175_vol_median"  -> (q175VolMedian _),
+    "q176_coverage_matrix" -> (q176CoverageMatrix _),
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
     "q78_inverted_index"      -> (q78InvertedIndex _),
@@ -1997,6 +2101,8 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q167_lm_buckets"  -> q167Oracle,
     "q168_dataset_card" -> q168Oracle,
+    "q175_vol_median"  -> q175Oracle,
+    "q176_coverage_matrix" -> q176Oracle,
     "q60_text_stats"          -> q60Oracle,
     "q61_lang_id"             -> q61Oracle,
     "q73_tfidf"               -> q73Oracle,

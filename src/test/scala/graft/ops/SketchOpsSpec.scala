@@ -73,4 +73,22 @@ class SketchOpsSpec extends SparkSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(dup == got)
   }
+
+  test("q174 overlap algebra: disjoint pairs near zero, identical pairs near full") {
+    import spark.implicits._
+    // A and B share all 100 users; C is disjoint from both
+    val rows = ((1 to 100).flatMap(i => Seq(("A", s"u$i"), ("B", s"u$i"))) ++
+      (201 to 300).map(i => ("C", s"u$i"))).toDF("grp", "key")
+    val got = SketchOps.hllOverlapOf(rows).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("A", "B"))._1 == 100L)
+    assert(got(("A", "C"))._1 == 0L && got(("B", "C"))._1 == 0L)
+    // inclusion-exclusion: identical populations estimate near full
+    // overlap, disjoint ones near zero (|err| bounded by combined
+    // linear-counting noise, generous at these sizes)
+    assert(math.abs(got(("A", "B"))._2 - 100L) <= 15L)
+    assert(math.abs(got(("A", "C"))._2) <= 15L)
+    assert(math.abs(got(("B", "C"))._2) <= 15L)
+  }
 }

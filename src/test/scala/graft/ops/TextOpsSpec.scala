@@ -791,4 +791,48 @@ class TextOpsSpec extends SparkSuite {
       r.getLong(4), r.getLong(5), r.getLong(6))
     assert(got == want)
   }
+
+  test("q175 volume-weighted median sits at the byte midpoint, not the doc midpoint") {
+    val rows = TextOps.q175VolMedian(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"lang", $"n_chars", $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (lang, nDocs, total, med) =>
+      val ls = docs.filter(_._1 == lang).sortBy(d => (d._2, d._3)).map(_._2)
+      assert(ls.length.toLong == nDocs && ls.sum == total)
+      // replay: first length whose cumulative volume crosses half
+      var cum = 0L
+      val want = ls.find { x => cum += x; 2 * cum >= total }.get
+      assert(med == want, s"$lang: $med vs $want")
+      // and it is >= the plain median length (volume weighting can
+      // only shift toward longer docs)
+      assert(med >= ls(ls.length / 2) || ls.distinct.length == 1)
+    }
+  }
+
+  test("q176 matrix: margins conserve and every flag is re-derivable") {
+    val rows = TextOps.q176CoverageMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val total = rows.map(_._3).sum
+    assert(total == graft.Tables.documents(spark, sf0001).count())
+    // row/col totals equal the sum of their line's cells
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.forall(_._4 == rs.map(_._3).sum))
+    }
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.forall(_._5 == rs.map(_._3).sum))
+    }
+    rows.foreach { case (l, s2, n, rt, ct, flag) =>
+      val want =
+        if (n == 0) "missing"
+        else if (2 * n * total < rt * ct) "under"
+        else if (n * total > 2 * rt * ct) "over"
+        else "ok"
+      assert(flag == want, s"($l, $s2)")
+    }
+  }
 }
