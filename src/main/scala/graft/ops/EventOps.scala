@@ -1007,11 +1007,67 @@ object EventOps {
        |FROM t, unnest(range(1, len(types) - ${seqContextLen - 1})) AS r(i)
        |ORDER BY user_id, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q178
+  /** Linear multi-touch attribution: every purchase splits its credit
+    * EQUALLY across all of the user's clicks in the trailing 7-day
+    * window — the multi-touch counterpart of q117's last-touch (which
+    * awards winner-take-all and so systematically overpays the final
+    * channel). Per purchase: the touch count and the per-touch credit
+    * in ppm (integer division; the ≤ n_touches−1 ppm remainder is
+    * deliberately dropped rather than smeared — documented, exact,
+    * and hash-stable).
+    *
+    * NO interval join: clicks and purchases ride ONE user-partitioned
+    * window with a RANGE frame over integer microseconds
+    * (`range [-7d, 0]` counting click flags) — the trailing-window
+    * count every engine evaluates in linear per-user time, where the
+    * join formulation builds purchases × clicks pairs. Same-µs ties:
+    * a RANGE frame includes ALL peers of the current order value in
+    * both engines, so a same-instant click attributes (q117's tie
+    * rule, inherited for free). One shuffle on user_id. */
+  def q178LinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"tus")
+      .rangeBetween(-attributionWindowUs, 0)
+    Tables.events(s, dir)
+      .where($"event_type".isin("click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        $"event_type")
+      .withColumn("n_touches",
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w))
+      .where($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"n_touches",
+        when($"n_touches" > 0, expr("1000000 div n_touches")).otherwise(0L)
+          .as("credit_each_ppm"),
+        when($"n_touches" > 0, "attributed").otherwise("organic")
+          .as("channel"))
+      .orderBy($"purchase_id")
+  }
+
+  private val q178Oracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |c AS (
+       |  SELECT *, CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY tus
+       |          RANGE BETWEEN $attributionWindowUs PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS n_touches
+       |  FROM ev)
+       |SELECT event_id AS purchase_id, n_touches,
+       |  CASE WHEN n_touches > 0 THEN 1000000 // n_touches ELSE 0 END
+       |    AS credit_each_ppm,
+       |  CASE WHEN n_touches > 0 THEN 'attributed' ELSE 'organic' END
+       |    AS channel
+       |FROM c WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q171_event_sequences"  -> (q171EventSequences _),
+    "q178_linear_attribution" -> (q178LinearAttribution _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -1031,6 +1087,7 @@ object EventOps {
     "q163_cusum_changepoint" -> q163Oracle,
     "q169_seasonal_profile" -> q169Oracle,
     "q171_event_sequences"  -> q171Oracle,
+    "q178_linear_attribution" -> q178Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

@@ -3,7 +3,7 @@ package graft.ops
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.{LongType, StructType}
 import graft.Tables
 
@@ -735,7 +735,109 @@ object Streaming {
       |  (SELECT n_batches FROM k) AS n_batches
       |FROM c, b GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q177
+  /** The q177 processor: per-user running (count, micro-sum) in a
+    * typed ValueState, one emission per (user, delivery). Class-level
+    * (not an anonymous closure) so the serialized processor carries
+    * no enclosing-scope references. */
+  private class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, sv) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; sv += r._2 }
+      totals.update((n, sv))
+      Iterator((key, n, sv))
+    }
+  }
+
+  /** Cross-delivery running totals via `transformWithState` — the
+    * Spark 4 arbitrary-state API (typed `StatefulProcessor` with
+    * named state variables on the RocksDB state store), successor to
+    * q34/q35's [flat]mapGroupsWithState: state is declared per
+    * VARIABLE (value/list/map) instead of one opaque case class,
+    * which is what lets the store TTL/evict per variable and scale
+    * state beyond executor heap. Semantics here: each user's
+    * (event count, micro-value sum) accumulates across deliveries,
+    * emitting the running totals once per delivery the user appears
+    * in — q144 maintains that view RELATIONALLY in foreachBatch;
+    * this maintains it as OPERATOR STATE, the shape to reach for
+    * when per-key logic stops being an algebra (caps, resets,
+    * per-key decisions) and q144's merge stops expressing it.
+    *
+    * The fixture stages two disjoint deliveries (even/odd event_id,
+    * mtime-ordered, `maxFilesPerTrigger=1` — q144's device), so
+    * every user with events in both emits twice and the second row
+    * proves state survived the batch boundary. State is per-user
+    * (two longs); the oracle replays both emissions relationally.
+    * RocksDB is the required provider for this API — set for this
+    * query, restored after (checkpoint state lives on executors /
+    * local disk at scale, the point of the RocksDB backend). */
+  def q177TransformWithState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Files.createTempDirectory("graft_tws_landing_")
+    scratch.get() += landing
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    Seq(0, 1).foreach { par =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_tws_stage_$par")
+      scratch.get() += stage
+      ev.where($"event_id" % 2 === par).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dst = landing.resolve(s"delivery_$par.parquet")
+      java.nio.file.Files.move(part, dst)
+      // deliveries must replay oldest-first deterministically
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + par * 60000L))
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .select($"user_id", expr("CAST(round(value * 1000000D) AS BIGINT)").as("vq"))
+      .as[(Long, Long)]
+    val out = stream.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drain(s, out.toDF("user_id", "n_so_far", "sum_so_far_micro"),
+        OutputMode.Append())
+      .orderBy($"user_id", $"n_so_far")
+    finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val q177Oracle =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value * 1000000) AS BIGINT) AS vq
+      |  FROM events),
+      |e AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(vq) AS BIGINT) AS sv
+      |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+      |a AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(vq) AS BIGINT) AS sv
+      |  FROM ev GROUP BY 1),
+      |has_odd AS (SELECT DISTINCT user_id FROM ev WHERE event_id % 2 = 1)
+      |SELECT user_id, n AS n_so_far, sv AS sum_so_far_micro FROM e
+      |UNION ALL
+      |SELECT a.user_id, a.n, a.sv FROM a JOIN has_odd USING (user_id)
+      |ORDER BY user_id, n_so_far""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_transform_with_state" -> (q177TransformWithState _),
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
     "q32_session_windows" -> (q32SessionWindows _),
@@ -751,6 +853,7 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "q177_transform_with_state" -> q177Oracle,
     "q30_stream_tumbling" -> q30Oracle,
     "q31_stream_sliding"  -> q31Oracle,
     "q32_session_windows" -> q32Oracle,

@@ -356,4 +356,24 @@ class EventOpsSpec extends SparkSuite {
       (3L, 2L, List("b", "c", "d"), "e"),
     ))
   }
+
+  test("q178 linear attribution agrees with q117 on WHO attributes, splits evenly") {
+    import spark.implicits._
+    val multi = EventOps.q178LinearAttribution(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val last = EventOps.q117Attribution(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(multi.keySet == last.keySet, "same purchase universe")
+    multi.foreach { case (pid, (n, ppm, channel)) =>
+      // attributed/organic verdicts coincide with last-touch's
+      assert((channel == "attributed") == (last(pid) == "click"), s"$pid")
+      if (n > 0) {
+        assert(ppm == 1000000L / n)
+        // total credited stays within one-ppm-per-touch of unity
+        assert(n * ppm <= 1000000L && n * ppm > 1000000L - n)
+      } else assert(ppm == 0L)
+    }
+    assert(multi.values.exists(_._1 > 1), "multi-touch purchases exist")
+  }
 }

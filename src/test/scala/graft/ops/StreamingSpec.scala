@@ -152,4 +152,31 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.forall(r => r.getLong(1) < raw(r.getString(0))))
   }
+
+  test("q177 transformWithState: state survives the delivery boundary") {
+    import spark.implicits._
+    val rows = Streaming.q177TransformWithState(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val whole = graft.Tables.events(spark, sf0001)
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CAST(round(value * 1000000D) AS BIGINT)")).as("sv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // the LAST emission per user equals the whole-history totals —
+      // only possible if ValueState carried across micro-batches
+      assert((sorted.last._2, sorted.last._3) == whole(u), s"user $u")
+      // running totals strictly grow across emissions
+      assert(sorted.map(_._2).distinct.length == sorted.length)
+      // a user seen in both deliveries emits exactly twice
+      assert(sorted.length <= 2)
+    }
+    assert(rows.groupBy(_._1).values.exists(_.size == 2),
+      "at least one user spans both deliveries")
+  }
 }
