@@ -836,8 +836,145 @@ object Streaming {
       |SELECT a.user_id, a.n, a.sv FROM a JOIN has_odd USING (user_id)
       |ORDER BY user_id, n_so_far""".stripMargin
 
+  // ---------------------------------------------------------------- q179
+  /** q179's processor: open session in a ValueState, closed sessions
+    * emitted either by an in-batch gap or by an EVENT-TIME TIMER
+    * once the watermark passes session end + gap — the
+    * keep-open-session-in-state + emit-on-timeout formulation that
+    * [[foldSessions]]'s fail-fast Scaladoc names as the
+    * production-grade alternative (q35 must throw on a
+    * session-spanning batch boundary because Append cannot retract;
+    * with timers the session simply stays open until the watermark
+    * PROVES no more events can join it). Stale timers (superseded by
+    * a later event extending the session) are not deleted but
+    * guarded: the expiry handler re-checks against the CURRENT
+    * session end and emits nothing for an obsolete timer. */
+  private class TimeoutSessionProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Long, Long)]("open",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val batch = rows.map(_._2).toArray
+      java.util.Arrays.sort(batch)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var (st, en, n) = if (open.exists()) open.get() else (-1L, -1L, 0L)
+      batch.foreach { t =>
+        if (st == -1L) { st = t; en = t; n = 1L }
+        else if (t - en > sessionGapUs) {
+          out += ((key, st, en, n)); st = t; en = t; n = 1L
+        } else { en = math.max(en, t); n += 1L }
+      }
+      if (st != -1L) {
+        open.update((st, en, n))
+        getHandle.registerTimer(en / 1000L + sessionGapUs / 1000L + 1L)
+      }
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Long, Long)] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val (st, en, n) = open.get()
+        // a timer registered for an OLDER session end is obsolete if
+        // later events extended the session past it
+        if (info.getExpiryTimeInMs < en / 1000L + sessionGapUs / 1000L + 1L)
+          Iterator.empty
+        else { open.clear(); Iterator((key, st, en, n)) }
+      }
+    }
+  }
+
+  /** Timeout-emitted sessionization via `transformWithState` +
+    * event-time timers: q35's semantics WITHOUT its
+    * session-spanning-batch fail-fast — the open session waits in
+    * state and is emitted only when the watermark passes
+    * `end + gap`, so mid-session delivery boundaries are handled
+    * instead of rejected. The far-future sentinel (its own dummy
+    * key, filtered out) advances the watermark so every real
+    * session's timer fires on the bounded fixture; Spark's no-data
+    * micro-batch then flushes the tail. State per user is three
+    * longs + pending timers; at scale RocksDB holds both off-heap
+    * and the watermark bounds timer lifetime. Oracle: the identical
+    * gap-session SQL as q35 — two different streaming formulations,
+    * one batch truth. */
+  def q179TimeoutSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    timeoutSessionsOf(s, Seq(ev.select($"user_id", $"ts")))
+  }
+
+  /** The timer pipeline on explicit (user_id, ts) DELIVERIES — each
+    * staged as its own mtime-ordered file so `maxFilesPerTrigger=1`
+    * replays them as separate micro-batches. Separated so the spec
+    * can deliver a session SPLIT across two batches: the exact input
+    * [[foldSessions]] (q35) must fail fast on, and the one this
+    * formulation exists to handle. */
+  private[ops] def timeoutSessionsOf(s: SparkSession,
+      deliveries: Seq[DataFrame]): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Files.createTempDirectory("graft_tmo_landing_")
+    scratch.get() += landing
+    // TWO sentinel deliveries after the real ones: the first advances
+    // the watermark past every real session; the second exists so one
+    // more micro-batch RUNS with that advanced watermark —
+    // AvailableNow terminates after the last file, so timers made
+    // fireable by delivery N only get a chance to fire while
+    // processing delivery N+1
+    val sentinels = Seq(sentinelUs, sentinelUs + 86400L * 1000000L).map { ts =>
+      s.range(1).select(lit(-1L).as("user_id"),
+        timestamp_micros(lit(ts)).as("ts"))
+    }
+    (deliveries ++ sentinels).zipWithIndex.foreach { case (df, i) =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_tmo_stage${i}_")
+      scratch.get() += stage
+      df.select($"user_id", $"ts".cast("timestamp").as("ts")).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dst = landing.resolve(s"delivery_$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(landing.toString).schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val typed = raw
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", unix_micros($"ts").as("ts_us"))
+      .as[(Long, Long)]
+    val sessions = typed.groupByKey(_._1)
+      .transformWithState(new TimeoutSessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drain(s,
+        sessions.toDF("user_id", "start_us", "end_us", "n_events")
+          .where($"user_id" >= 0L)
+          .select($"user_id",
+            timestamp_micros($"start_us").as("session_start"),
+            timestamp_micros($"end_us").as("session_end"),
+            $"n_events"),
+        OutputMode.Append())
+      .orderBy($"user_id", $"session_start")
+    finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_transform_with_state" -> (q177TransformWithState _),
+    "q179_timeout_sessions" -> (q179TimeoutSessions _),
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
     "q32_session_windows" -> (q32SessionWindows _),
@@ -854,6 +991,7 @@ object Streaming {
 
   val oracles: Map[String, String] = Map(
     "q177_transform_with_state" -> q177Oracle,
+    "q179_timeout_sessions" -> q35Oracle,
     "q30_stream_tumbling" -> q30Oracle,
     "q31_stream_sliding"  -> q31Oracle,
     "q32_session_windows" -> q32Oracle,

@@ -179,4 +179,28 @@ class StreamingSpec extends SparkSuite {
     assert(rows.groupBy(_._1).values.exists(_.size == 2),
       "at least one user spans both deliveries")
   }
+
+  test("q179 merges a session split across deliveries - the case q35 fails fast on") {
+    import spark.implicits._
+    def t(us: Long) = org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.lit(us))
+    val M = 60L * 1000000L
+    // delivery 1 ends user 7's session at minute 10; delivery 2
+    // continues it at minute 20 (within the 30-min gap) and appends a
+    // genuinely separate session at minute 120
+    val d1 = Seq((7L, 0L), (7L, 10 * M)).toDF("user_id", "us")
+      .select($"user_id", org.apache.spark.sql.functions
+        .timestamp_micros($"us").as("ts"))
+    val d2 = Seq((7L, 20 * M), (7L, 120 * M)).toDF("user_id", "us")
+      .select($"user_id", org.apache.spark.sql.functions
+        .timestamp_micros($"us").as("ts"))
+    val got = Streaming.timeoutSessionsOf(spark, Seq(d1, d2)).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getLong(3)))
+    // ONE merged session 0-20min with all 3 events, one singleton at 120
+    assert(got.toSeq == Seq(
+      (7L, 0L, 20 * 60000L, 3L),
+      (7L, 120 * 60000L, 120 * 60000L, 1L),
+    ))
+  }
 }
