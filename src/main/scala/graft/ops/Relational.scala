@@ -1165,6 +1165,66 @@ object Relational {
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q180
+  /** Changelog compaction with DELETE tombstones — applying a CDC
+    * feed (insert / update / delete ops with a sequence number) to
+    * produce the current table: the operator behind every
+    * Debezium-style replication landing. q94 compacts last-writer-
+    * wins VALUES; this adds the two things real CDC needs on top:
+    * explicit tombstones (a deleted key must vanish, not keep its
+    * last value) and op-sequence ordering that is independent of
+    * arrival order. Per key: order by seq, keep the latest op, drop
+    * the key iff that op is a delete; `n_versions` rides along as
+    * the compaction-audit column.
+    *
+    * The fixture changelog derives from `orders` IN ONE SCAN (each
+    * row explodes to its insert + conditional update + conditional
+    * tombstone — no three-branch self-union re-reading the fact
+    * table), then one key-partitioned window does ordering, survivor
+    * choice, and version counting together — a single shuffle, the
+    * same cost profile as q94. */
+  def q180CdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emptyOps = "CAST(array() AS ARRAY<STRUCT<seq: BIGINT, op: STRING, price: DOUBLE>>)"
+    val changelog = Tables.orders(s, dir)
+      .select($"o_orderkey".as("key"), explode(expr(
+        s"""concat(
+           |  array(struct(1L AS seq, 'I' AS op, o_totalprice AS price)),
+           |  CASE WHEN o_orderkey % 3 = 0 THEN
+           |    array(struct(2L AS seq, 'U' AS op, o_totalprice + 1000.0D AS price))
+           |  ELSE $emptyOps END,
+           |  CASE WHEN o_orderkey % 5 = 0 THEN
+           |    array(struct(3L AS seq, 'D' AS op, CAST(NULL AS DOUBLE) AS price))
+           |  ELSE $emptyOps END)""".stripMargin)).as("c"))
+      .select($"key", $"c.seq", $"c.op", $"c.price")
+    val w = Window.partitionBy($"key")
+    changelog
+      .withColumn("rn", row_number().over(w.orderBy($"seq".desc)))
+      .withColumn("n_versions", count(lit(1)).over(w))
+      .where($"rn" === 1 && $"op" =!= "D")
+      .select($"key", $"price", $"seq".as("last_seq"), $"n_versions")
+      .orderBy($"key")
+  }
+
+  private val q180Oracle =
+    """WITH changelog AS (
+      |  SELECT o_orderkey AS key, 1 AS seq, 'I' AS op, o_totalprice AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', o_totalprice + 1000.0
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', NULL
+      |  FROM orders WHERE o_orderkey % 5 = 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_versions
+      |  FROM changelog)
+      |SELECT key, price, CAST(seq AS BIGINT) AS last_seq, n_versions
+      |FROM ranked WHERE rn = 1 AND op <> 'D'
+      |ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- q99
   /** Time-series gap filling (resample to a dense hourly grid): every
     * (event_type × hour) slot in the observed span gets a row, absent
@@ -1266,6 +1326,7 @@ object Relational {
     "q115_drift_report"   -> (q115DriftReport _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
+    "q180_cdc_apply"      -> (q180CdcApply _),
     "q99_gap_fill"        -> (q99GapFill _),
     "q100_histogram"      -> (q100Histogram _),
   )
@@ -1309,6 +1370,7 @@ object Relational {
     "q115_drift_report"   -> q115Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,
+    "q180_cdc_apply"      -> q180Oracle,
     "q99_gap_fill"        -> q99Oracle,
     "q100_histogram"      -> q100Oracle,
   )

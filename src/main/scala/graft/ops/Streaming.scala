@@ -3,7 +3,7 @@ package graft.ops
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.{LongType, StructType}
 import graft.Tables
 
@@ -972,9 +972,97 @@ object Streaming {
     }
   }
 
+  // ---------------------------------------------------------------- q181
+  /** q181's processor: per-user MAP state (event_type → count). The
+    * third state-variable kind (q177 Value, q179 Value+timers, here
+    * Map): map entries read/write INDIVIDUALLY against the store, so
+    * a user with a thousand counters touches only the entries a
+    * batch updates — the reason MapState exists instead of a
+    * case-class-of-everything ValueState, which deserializes whole
+    * per update. Emits the updated entries (only those) per batch. */
+  private class TypeCountsProcessor
+      extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timers: TimerValues): Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { case (_, et) =>
+        val cur = if (counts.containsKey(et)) counts.getValue(et) else 0L
+        counts.updateValue(et, cur + 1L)
+        touched += et
+      }
+      touched.iterator.map(et => (key, et, counts.getValue(et)))
+    }
+  }
+
+  /** Per-(user, event-type) running counts via MapState — the
+    * per-entry state surface: each delivery emits the updated
+    * counters only, so downstream consumers get a CHANGELOG of the
+    * profile rather than full re-emissions (the q180-compactable
+    * shape). Two parity deliveries (q177's device) prove entries
+    * accumulate across batches; the oracle replays both emission
+    * waves relationally. */
+  def q181MapStateProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Files.createTempDirectory("graft_map_landing_")
+    scratch.get() += landing
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    Seq(0, 1).foreach { par =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_map_stage_$par")
+      scratch.get() += stage
+      ev.where($"event_id" % 2 === par).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dst = landing.resolve(s"delivery_$par.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + par * 60000L))
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .select($"user_id", $"event_type").as[(Long, String)]
+    val out = stream.groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drain(s, out.toDF("user_id", "event_type", "n_so_far"),
+        OutputMode.Append())
+      .orderBy($"user_id", $"event_type", $"n_so_far")
+    finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val q181Oracle =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+      |a AS (
+      |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |has_odd AS (
+      |  SELECT DISTINCT user_id, event_type FROM events WHERE event_id % 2 = 1)
+      |SELECT user_id, event_type, n AS n_so_far FROM e
+      |UNION ALL
+      |SELECT a.user_id, a.event_type, a.n
+      |FROM a JOIN has_odd USING (user_id, event_type)
+      |ORDER BY user_id, event_type, n_so_far""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_transform_with_state" -> (q177TransformWithState _),
     "q179_timeout_sessions" -> (q179TimeoutSessions _),
+    "q181_mapstate_profile" -> (q181MapStateProfile _),
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
     "q32_session_windows" -> (q32SessionWindows _),
@@ -992,6 +1080,7 @@ object Streaming {
   val oracles: Map[String, String] = Map(
     "q177_transform_with_state" -> q177Oracle,
     "q179_timeout_sessions" -> q35Oracle,
+    "q181_mapstate_profile" -> q181Oracle,
     "q30_stream_tumbling" -> q30Oracle,
     "q31_stream_sliding"  -> q31Oracle,
     "q32_session_windows" -> q32Oracle,

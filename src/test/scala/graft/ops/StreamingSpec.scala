@@ -203,4 +203,25 @@ class StreamingSpec extends SparkSuite {
       (7L, 120 * 60000L, 120 * 60000L, 1L),
     ))
   }
+
+  test("q181 MapState: per-type entries accumulate across deliveries") {
+    import spark.implicits._
+    val rows = Streaming.q181MapStateProfile(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val whole = graft.Tables.events(spark, sf0001)
+      .groupBy($"user_id", $"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      val sorted = rs.map(_._3).sorted
+      // final emission equals whole-history count for that map entry
+      assert(sorted.last == whole(k), s"entry $k")
+      // each emission strictly grows — MapState carried the counter
+      assert(sorted.distinct.length == sorted.length && sorted.length <= 2)
+    }
+    assert(rows.groupBy(r => (r._1, r._2)).values.exists(_.size == 2),
+      "some entry updated in both deliveries")
+  }
 }
