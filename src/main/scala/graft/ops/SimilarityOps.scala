@@ -992,7 +992,12 @@ object SimilarityOps {
     val xq = emb.select($"vec_id", $"label",
       expr(s"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * ${noiseGrid}D) AS BIGINT))")
         .as("q"))
-    val cent = xq
+    // label-cardinality centroid model, collected like q71's — the
+    // audit then runs as ONE literal projection over the corpus scan
+    // (argmin via array_min over per-centroid structs), not a
+    // corpus × |labels| join+re-group; the only corpus shuffle left
+    // is the centroid training aggregate itself
+    val centRows = xq
       .select($"label".as("clabel"), posexplode($"q").as(Seq("dim", "x")))
       .groupBy($"clabel", $"dim")
       .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
@@ -1003,13 +1008,19 @@ object SimilarityOps {
       // of the adjusted numerator IS the floor quotient.
       .agg(expr("transform(array_sort(collect_list(struct(dim, (sx - pmod(sx, n)) div n AS c))), p -> p.c)")
         .as("c"))
-    val best = xq.crossJoin(broadcast(cent))
-      .select($"vec_id", $"label", $"clabel",
-        expr("aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, t) -> acc + t)")
-          .as("d2"))
-      .groupBy($"vec_id", $"label")
-      .agg(min(struct($"d2", $"clabel")).getField("clabel").as("pred"))
-    best.groupBy($"label")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .sortBy(_._1)
+    val scores = array(centRows.map { case (cl, cv) =>
+      struct(
+        aggregate(
+          zip_with($"q", typedlit(cv), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"),
+        lit(cl).as("cl"))
+    }: _*)
+    // struct min orders by (d2, cl): exact argmin, smallest-label ties
+    xq.withColumn("pred", array_min(scores).getField("cl"))
+      .groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when($"pred" =!= $"label", 1L).otherwise(0L)).as("n_misassigned"))
       .select($"label", $"n_vecs", $"n_misassigned",

@@ -211,4 +211,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"))
   }
+
+  test("q172 audit pass: literal-centroid argmin projection, no join in the plan") {
+    val p = plan(SimilarityOps.q172LabelNoise(spark, sf0001))
+    // the corpus x |labels| formulation appears as a Join + re-group;
+    // the literal-projection audit must have NO join anywhere
+    assert(!p.contains("Join"), p.take(800))
+  }
+
+  test("q175 volume median: scan prunes to the three metadata columns") {
+    val p = plan(TextOps.q175VolMedian(spark, sf0001))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("lang") &&
+      read.contains("n_chars") && !read.contains("text"), read)
+  }
 }
