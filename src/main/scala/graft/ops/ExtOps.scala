@@ -624,8 +624,64 @@ object ExtOps {
       |    AS o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q183
+  /** Sample percentage for the q183 estimator (md5-bucket, q49's
+    * deterministic device). */
+  val cardSamplePct = 5
+
+  /** Join-cardinality estimation by deterministic key sampling: scale
+    * up the row count of (sampled build side ⋈ full probe side) —
+    * the pre-flight a pipeline runs before committing cluster hours
+    * to an unfamiliar join ("will this fan out 10× or 10⁶×?").
+    * Sampling KEYS (not result rows) keeps per-key fan-out intact,
+    * which is exactly what uniform row sampling of the JOIN RESULT
+    * would get wrong; the estimator is unbiased because every key
+    * carries its full multiplicity or none. The sample is an
+    * md5-bucket of the key (q49's discipline) so the estimate is
+    * reproducible across engines — which also makes an
+    * "approximate" planning number exactly hash-checkable. The
+    * exact count rides along as the diagnostic (the cost the
+    * estimator avoids; production drops that branch); error in ppm
+    * of exact, division-free signed diff (q170's rule). */
+  def q183JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scale = 100L / cardSamplePct
+    val sampled = Tables.orders(s, dir).select($"o_orderkey")
+      .where(conv(substring(md5(concat(lit("card:"),
+        $"o_orderkey".cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 100 < cardSamplePct)
+    val li = Tables.lineitem(s, dir).select($"l_orderkey")
+    val est = sampled.join(li, $"o_orderkey" === $"l_orderkey")
+      .agg((count(lit(1)) * scale).as("est_rows"))
+    val exact = Tables.orders(s, dir).select($"o_orderkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .agg(count(lit(1)).as("exact_rows"))
+    exact.crossJoin(est)
+      .select($"exact_rows", $"est_rows",
+        ($"est_rows" - $"exact_rows").as("diff"),
+        expr("(1000000 * abs(est_rows - exact_rows)) div exact_rows")
+          .as("abs_err_ppm"))
+  }
+
+  private val q183Oracle =
+    s"""WITH s AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE ('0x' || substr(md5('card:' || CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+       |    % 100 < $cardSamplePct),
+       |est AS (
+       |  SELECT CAST(count(*) AS BIGINT) * ${100 / cardSamplePct} AS est_rows
+       |  FROM s JOIN lineitem ON o_orderkey = l_orderkey),
+       |ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS exact_rows
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+       |SELECT exact_rows, est_rows, est_rows - exact_rows AS diff,
+       |  CAST((1000000 * abs(est_rows - exact_rows)) // exact_rows AS BIGINT)
+       |    AS abs_err_ppm
+       |FROM ex, est""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_schema_evolution" -> (q166SchemaEvolution _),
+    "q183_join_cardinality" -> (q183JoinCardinality _),
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
     "q82_orc_roundtrip" -> (q82OrcRoundtrip _),
@@ -640,6 +696,7 @@ object ExtOps {
 
   val oracles: Map[String, String] = Map(
     "q166_schema_evolution" -> q166Oracle,
+    "q183_join_cardinality" -> q183Oracle,
     "q26_udf_udaf"      -> q26Oracle,
     "q81_csv_roundtrip" -> q81Oracle,
     "q82_orc_roundtrip" -> q82Oracle,

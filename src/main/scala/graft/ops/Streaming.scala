@@ -3,7 +3,7 @@ package graft.ops
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.{LongType, StructType}
 import graft.Tables
 
@@ -1059,10 +1059,118 @@ object Streaming {
       |FROM a JOIN has_odd USING (user_id, event_type)
       |ORDER BY user_id, event_type, n_so_far""".stripMargin
 
+  // ---------------------------------------------------------------- q182
+  /** How many most-recent events the q182 feature keeps per user. */
+  val recentK = 3
+
+  /** q182's processor: the user's last [[recentK]] events in a
+    * ListState — the third state-variable kind (q177 Value, q181
+    * Map): list entries APPEND without deserializing the existing
+    * list, the shape for bounded event buffers; the trim-to-k pass
+    * only runs when the key actually receives rows. */
+  private class RecentEventsProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Seq[String])] {
+    @transient private var recent: ListState[(Long, Long, String)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[(Long, Long, String)]("recent",
+        org.apache.spark.sql.Encoders.product[(Long, Long, String)],
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timers: TimerValues): Iterator[(Long, Seq[String])] = {
+      val merged = (recent.get().toSeq ++
+        rows.map(r => (r._2, r._3, r._4)).toSeq)
+        .sortBy(t => (t._1, t._2)).takeRight(recentK)
+      recent.put(merged.toArray)
+      Iterator((key, merged.map(_._3)))
+    }
+  }
+
+  /** Per-user recent-activity feature (last [[recentK]] event types,
+    * event-time ordered) maintained in ListState and re-emitted per
+    * delivery — the online feature-store shape: a serving layer
+    * reads the latest emission per user, and the per-delivery rows
+    * are its changelog. Parity deliveries (q177's device) prove the
+    * buffer carries across batches: the delivery-2 emission must
+    * interleave delivery-1 events with the new ones wherever event
+    * time dictates, which a stateless per-batch window could not
+    * produce. Oracle replays both emissions from the parity split. */
+  def q182RecentFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Files.createTempDirectory("graft_rf_landing_")
+    scratch.get() += landing
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    Seq(0, 1).foreach { par =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_rf_stage_$par")
+      scratch.get() += stage
+      ev.where($"event_id" % 2 === par).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dst = landing.resolve(s"delivery_$par.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + par * 60000L))
+    }
+    val schema = ev.schema
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val tsUs = if (schema("ts").dataType == LongType) expr("ts div 1000")
+      else unix_micros(col("ts"))
+    val stream = raw
+      .select($"user_id", tsUs.as("tus"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)]
+    val out = stream.groupByKey(_._1)
+      .transformWithState(new RecentEventsProcessor,
+        TimeMode.None(), OutputMode.Append())
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drain(s, out.toDF("user_id", "recent_types"), OutputMode.Append())
+      .orderBy($"user_id", $"recent_types")
+    finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val q182Oracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+       |  FROM events),
+       |le AS (
+       |  SELECT user_id,
+       |    list_transform(
+       |      list_sort(list({'tus': tus, 'event_id': event_id,
+       |                      'event_type': event_type})),
+       |      e -> e.event_type) AS types
+       |  FROM ev WHERE event_id % 2 = 0 GROUP BY user_id),
+       |la AS (
+       |  SELECT user_id,
+       |    list_transform(
+       |      list_sort(list({'tus': tus, 'event_id': event_id,
+       |                      'event_type': event_type})),
+       |      e -> e.event_type) AS types
+       |  FROM ev GROUP BY user_id),
+       |has_odd AS (SELECT DISTINCT user_id FROM ev WHERE event_id % 2 = 1)
+       |SELECT user_id,
+       |  types[greatest(1, len(types) - ${recentK - 1}):len(types)]
+       |    AS recent_types
+       |FROM le
+       |UNION ALL
+       |SELECT la.user_id,
+       |  types[greatest(1, len(types) - ${recentK - 1}):len(types)]
+       |FROM la JOIN has_odd USING (user_id)
+       |ORDER BY user_id, recent_types""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_transform_with_state" -> (q177TransformWithState _),
     "q179_timeout_sessions" -> (q179TimeoutSessions _),
     "q181_mapstate_profile" -> (q181MapStateProfile _),
+    "q182_recent_features"  -> (q182RecentFeatures _),
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
     "q32_session_windows" -> (q32SessionWindows _),
@@ -1081,6 +1189,7 @@ object Streaming {
     "q177_transform_with_state" -> q177Oracle,
     "q179_timeout_sessions" -> q35Oracle,
     "q181_mapstate_profile" -> q181Oracle,
+    "q182_recent_features"  -> q182Oracle,
     "q30_stream_tumbling" -> q30Oracle,
     "q31_stream_sliding"  -> q31Oracle,
     "q32_session_windows" -> q32Oracle,

@@ -169,4 +169,16 @@ class ExtOpsSpec extends SparkSuite {
     }
     assert(got.exists(!_.isNullAt(2)), "new-schema rows present")
   }
+
+  test("q183 estimator: unbiased key sampling lands within 20% on the fixture") {
+    val r = ExtOps.q183JoinCardinality(spark, sf0001).collect()(0)
+    val (exact, est, diff, errPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(exact > 0 && est > 0)
+    assert(diff == est - exact)
+    assert(errPpm == 1000000L * math.abs(diff) / exact)
+    // sf0.001 samples only ~75 keys, so the sampling stddev is ~12%;
+    // bound at 50% (4 sigma) — the sf0.01 oracle run observes ~1%
+    assert(errPpm < 500000L, s"est $est vs exact $exact")
+  }
 }

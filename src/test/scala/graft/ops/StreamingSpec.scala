@@ -224,4 +224,26 @@ class StreamingSpec extends SparkSuite {
     assert(rows.groupBy(r => (r._1, r._2)).values.exists(_.size == 2),
       "some entry updated in both deliveries")
   }
+
+  test("q182 ListState: delivery-2 buffer interleaves both deliveries by event time") {
+    import spark.implicits._
+    val rows = Streaming.q182RecentFeatures(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+    assert(rows.nonEmpty)
+    val hist = graft.Tables.events(spark, sf0001)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val wantFinal = hist.groupBy(_._1).map { case (u, evs) =>
+      u -> evs.sortBy(e => (e._2, e._3)).takeRight(Streaming.recentK)
+        .map(_._4).toList
+    }
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      // one emission per delivery the user appears in; the final one
+      // must equal the last-k of the WHOLE history — only possible if
+      // the ListState buffer merged delivery 1 into delivery 2
+      assert(rs.length <= 2)
+      assert(rs.map(_._2).contains(wantFinal(u)), s"user $u")
+    }
+  }
 }
