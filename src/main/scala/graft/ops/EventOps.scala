@@ -1062,12 +1062,98 @@ object EventOps {
        |    AS channel
        |FROM c WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+  /** Temporal (as-of) join of facts against SCD2 validity intervals:
+    * attribute each purchase to the BROWSING REGIME (the user's q138
+    * run of non-purchase activity) active at purchase time — the
+    * fact-to-versioned-dimension lookup every warehouse with SCD2
+    * dims runs ("which catalog version / price list / account tier
+    * applied to this transaction?"). Purchases before any regime
+    * resolve to 'none' (left-join honesty, q103's posture).
+    *
+    * NO interval join: dimension CHANGES and facts union into ONE
+    * user-partitioned window and the regime carries forward with
+    * `last(_, ignoreNulls)` — q18/q117's as-of device, one shuffle,
+    * linear per-user state, where the BETWEEN formulation (the
+    * oracle) probes every fact against every interval. Tie order at
+    * equal µs: changes apply BEFORE facts (a same-instant regime
+    * change governs the purchase — q117's rule), and zero-width runs
+    * (q138's equal-µs boundaries) sort by valid_to so the surviving
+    * run is what carries. */
+  def q185TemporalRegimeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    temporalRegimeOf(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        $"event_type"))
+  }
+
+  /** The lookup on any (user_id, tus, event_id, event_type) frame —
+    * separated so the spec can plant pre-regime purchases, same-µs
+    * changes, and zero-width runs. */
+  private[ops] def temporalRegimeOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dim = scd2Of(ev.where($"event_type" =!= "purchase"))
+    val changes = dim.select($"user_id", $"valid_from".as("tus"),
+      coalesce($"valid_to", lit(Long.MaxValue)).as("tie"),
+      lit(0).as("kind"), $"event_type".as("rtyp"),
+      $"valid_from".as("rfrom"), lit(null).cast("long").as("purchase_id"))
+    val facts = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"tus", lit(Long.MaxValue).as("tie"),
+        lit(1).as("kind"), lit(null).cast("string").as("rtyp"),
+        lit(null).cast("long").as("rfrom"), $"event_id".as("purchase_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"kind", $"tie")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    changes.unionByName(facts)
+      .withColumn("cur_typ", last($"rtyp", ignoreNulls = true).over(w))
+      .withColumn("cur_from", last($"rfrom", ignoreNulls = true).over(w))
+      .where($"kind" === 1)
+      .select($"purchase_id",
+        coalesce($"cur_typ", lit("none")).as("regime_type"),
+        $"cur_from".as("regime_from"))
+      .orderBy($"purchase_id")
+  }
+
+  private val q185Oracle =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+      |b AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+      |chg AS (
+      |  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+      |runs AS (
+      |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      |  FROM chg),
+      |hist AS (
+      |  SELECT user_id, run, min(event_type) AS event_type,
+      |    min(tus) AS valid_from
+      |  FROM runs GROUP BY 1, 2),
+      |d AS (
+      |  SELECT user_id, event_type, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id
+      |      ORDER BY valid_from, run) AS valid_to
+      |  FROM hist),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, tus
+      |  FROM ev WHERE event_type = 'purchase')
+      |SELECT p.purchase_id,
+      |  COALESCE(d.event_type, 'none') AS regime_type,
+      |  d.valid_from AS regime_from
+      |FROM p LEFT JOIN d
+      |  ON p.user_id = d.user_id AND d.valid_from <= p.tus
+      |  AND (d.valid_to IS NULL OR p.tus < d.valid_to)
+      |ORDER BY purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q171_event_sequences"  -> (q171EventSequences _),
     "q178_linear_attribution" -> (q178LinearAttribution _),
+    "q185_temporal_regime_join" -> (q185TemporalRegimeJoin _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -1088,6 +1174,7 @@ object EventOps {
     "q169_seasonal_profile" -> q169Oracle,
     "q171_event_sequences"  -> q171Oracle,
     "q178_linear_attribution" -> q178Oracle,
+    "q185_temporal_regime_join" -> q185Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

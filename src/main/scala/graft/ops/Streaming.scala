@@ -1166,11 +1166,99 @@ object Streaming {
        |FROM la JOIN has_odd USING (user_id)
        |ORDER BY user_id, recent_types""".stripMargin
 
+  // ---------------------------------------------------------------- q184
+  /** q184's processor: q177's running totals, but the state is SEEDED
+    * from a batch-computed dataset via handleInitialState before any
+    * stream row arrives. */
+  private class BootstrappedTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long), (Long, Long, Long), (Long, Long, Long)] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInitialState(key: Long, initial: (Long, Long, Long),
+        timers: TimerValues): Unit =
+      totals.update((initial._2, initial._3))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, sv) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; sv += r._2 }
+      totals.update((n, sv))
+      Iterator((key, n, sv))
+    }
+  }
+
+  /** State bootstrap via `transformWithState` + initial state: the
+    * migration/backfill handoff every stateful stream eventually
+    * needs — history already sits in a TABLE (or a replaced job's
+    * checkpoint can't be reused), and the new streaming query must
+    * start from those totals, not from zero, without replaying the
+    * archive through the stream. Here the even-delivery half of
+    * events is the "historical table": its per-user totals are
+    * computed in BATCH, handed to the processor as the initial-state
+    * dataset, and the stream processes ONLY the odd delivery — each
+    * user's single emission must equal whole-history totals, which
+    * is only possible if handleInitialState seeded the ValueState.
+    * Same oracle rows as q177's second emission wave. */
+  def q184BootstrappedState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Files.createTempDirectory("graft_bs_landing_")
+    scratch.get() += landing
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    // only the odd half streams; the even half is "history"
+    val stage = java.nio.file.Files.createTempDirectory("graft_bs_stage_")
+    scratch.get() += stage
+    ev.where($"event_id" % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
+    val ls = java.nio.file.Files.list(stage)
+    val part = try ls.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally ls.close()
+    java.nio.file.Files.move(part, landing.resolve("delivery_1.parquet"))
+    val history = ev.where($"event_id" % 2 === 0)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 1000000D) AS BIGINT)")).as("sv"))
+      .select($"user_id", $"n", $"sv".cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+    val stream = s.readStream.schema(ev.schema).parquet(landing.toString)
+      .select($"user_id", expr("CAST(round(value * 1000000D) AS BIGINT)").as("vq"))
+      .as[(Long, Long)]
+    val out = stream.groupByKey(_._1)
+      .transformWithState(new BootstrappedTotalsProcessor,
+        TimeMode.None(), OutputMode.Append(), history)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drain(s, out.toDF("user_id", "n_total", "sum_total_micro"),
+        OutputMode.Append())
+      .orderBy($"user_id")
+    finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val q184Oracle =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value * 1000000) AS BIGINT) AS vq
+      |  FROM events),
+      |has_odd AS (SELECT DISTINCT user_id FROM ev WHERE event_id % 2 = 1)
+      |SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(vq) AS BIGINT) AS sum_total_micro
+      |FROM ev a JOIN has_odd USING (user_id)
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_transform_with_state" -> (q177TransformWithState _),
     "q179_timeout_sessions" -> (q179TimeoutSessions _),
     "q181_mapstate_profile" -> (q181MapStateProfile _),
     "q182_recent_features"  -> (q182RecentFeatures _),
+    "q184_bootstrapped_state" -> (q184BootstrappedState _),
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
     "q32_session_windows" -> (q32SessionWindows _),
@@ -1190,6 +1278,7 @@ object Streaming {
     "q179_timeout_sessions" -> q35Oracle,
     "q181_mapstate_profile" -> q181Oracle,
     "q182_recent_features"  -> q182Oracle,
+    "q184_bootstrapped_state" -> q184Oracle,
     "q30_stream_tumbling" -> q30Oracle,
     "q31_stream_sliding"  -> q31Oracle,
     "q32_session_windows" -> q32Oracle,

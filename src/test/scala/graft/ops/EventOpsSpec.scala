@@ -376,4 +376,30 @@ class EventOpsSpec extends SparkSuite {
     }
     assert(multi.values.exists(_._1 > 1), "multi-touch purchases exist")
   }
+
+  test("q185 regime lookup: pre-regime, same-us change, zero-width runs") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: purchase BEFORE any browsing -> 'none'
+      (1L, 100L, 1L, "purchase"),
+      (1L, 200L, 2L, "view"), (1L, 300L, 3L, "purchase"),
+      // user 2: regime change at the SAME us as the purchase -> the
+      // new regime governs (changes apply before facts)
+      (2L, 100L, 10L, "view"), (2L, 500L, 11L, "click"),
+      (2L, 500L, 12L, "purchase"),
+      // user 3: zero-width run (view then click at the same us) -> the
+      // surviving click regime is what a later purchase sees
+      (3L, 100L, 20L, "view"), (3L, 100L, 21L, "click"),
+      (3L, 900L, 22L, "purchase"),
+    ).toDF("user_id", "tus", "event_id", "event_type")
+    val got = EventOps.temporalRegimeOf(ev).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "none", -1L),
+      (3L, "view", 200L),
+      (12L, "click", 500L),
+      (22L, "click", 100L),
+    ))
+  }
 }

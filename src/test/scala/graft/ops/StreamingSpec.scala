@@ -246,4 +246,23 @@ class StreamingSpec extends SparkSuite {
       assert(rs.map(_._2).contains(wantFinal(u)), s"user $u")
     }
   }
+
+  test("q184 bootstrap: single stream emission carries the batch-seeded history") {
+    import spark.implicits._
+    val rows = Streaming.q184BootstrappedState(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    val whole = graft.Tables.events(spark, sf0001)
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.expr(
+            "CAST(round(value * 1000000D) AS BIGINT)")).as("sv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every emitting user reports WHOLE-history totals although the
+    // stream only saw the odd half - the even half arrived via
+    // handleInitialState
+    rows.foreach { case (u, got) => assert(got == whole(u), s"user $u") }
+  }
 }
