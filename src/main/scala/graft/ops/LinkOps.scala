@@ -409,12 +409,78 @@ object LinkOps {
        |SELECT node AS p_partkey, hops FROM d$bfsMaxHops ORDER BY p_partkey""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q187
+  /** Support floor for q187's frequent triples (and the pair-level
+    * Apriori prune feeding it). */
+  val minTripleSupport = 2
+
+  /** Frequent triple itemsets — the level-3 Apriori step on top of
+    * q146's pairs: baskets containing all three of {a, b, c} at
+    * least [[minTripleSupport]] times. The scale discipline is the
+    * Apriori PRUNE: candidate triples pass three broadcast semi
+    * joins against the frequent-PAIR set before the counting
+    * shuffle, because support(triple) ≤ support(any sub-pair) — at
+    * 100 TB the prune is what keeps the candidate stream from being
+    * every basket's |basket|³/6 fan-out. The prune provably cannot
+    * change the answer (monotonicity), so the oracle counts triples
+    * with a plain HAVING and the hash match proves the pruned plan
+    * transparent — q156's Bloom-prejoin device at the itemset level.
+    * Triple generation itself is in-array (no fact self-join),
+    * bounded by basket size cubed. */
+  def q187FrequentTriples(s: SparkSession, dir: String): DataFrame =
+    frequentTriplesOf(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** The mining on any (ok, pk) membership frame — separated so the
+    * spec can plant a basket set with hand-countable triples and a
+    * prune-eliminated candidate. */
+  private[ops] def frequentTriplesOf(itemsIn: DataFrame): DataFrame = {
+    val s = itemsIn.sparkSession
+    import s.implicits._
+    val items = itemsIn.distinct()
+    val freqPairs = pairOccurrences(items)
+      .groupBy($"u", $"v").agg(count(lit(1)).as("n"))
+      .where($"n" >= minTripleSupport)
+      .select($"u", $"v")
+    val triples = items
+      .groupBy($"ok").agg(sort_array(collect_set($"pk")).as("ps"))
+      .where(size($"ps") >= 3)
+      .select(explode(expr(
+        """flatten(flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), (y, j) ->
+          |    transform(slice(ps, i + j + 3, size(ps)),
+          |              z -> struct(x AS u, y AS v, z AS w))))))""".stripMargin))
+        .as("t"))
+      .select($"t.u", $"t.v", $"t.w")
+    triples
+      .join(broadcast(freqPairs), Seq("u", "v"), "left_semi")
+      .join(broadcast(freqPairs.select($"u", $"v".as("w"))),
+        Seq("u", "w"), "left_semi")
+      .join(broadcast(freqPairs.select($"u".as("v"), $"v".as("w"))),
+        Seq("v", "w"), "left_semi")
+      .groupBy($"u", $"v", $"w").agg(count(lit(1)).as("support"))
+      .where($"support" >= minTripleSupport)
+      .orderBy($"u", $"v", $"w")
+  }
+
+  private val q187Oracle =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+       |SELECT a.pk AS u, b.pk AS v, c.pk AS w,
+       |  CAST(count(*) AS BIGINT) AS support
+       |FROM items a
+       |JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |JOIN items c ON a.ok = c.ok AND b.pk < c.pk
+       |GROUP BY 1, 2, 3 HAVING count(*) >= $minTripleSupport
+       |ORDER BY u, v, w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_entity_match"    -> (q132EntityMatch _),
     "q136_triangle_counts" -> (q136TriangleCounts _),
     "q143_lpa_communities" -> (q143LpaCommunities _),
     "q146_association_rules" -> (q146AssociationRules _),
     "q159_bfs_hops"        -> (q159BfsHops _),
+    "q187_frequent_triples" -> (q187FrequentTriples _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -423,5 +489,6 @@ object LinkOps {
     "q143_lpa_communities" -> q143Oracle,
     "q146_association_rules" -> q146Oracle,
     "q159_bfs_hops"        -> q159Oracle,
+    "q187_frequent_triples" -> q187Oracle,
   )
 }

@@ -568,10 +568,109 @@ object SketchOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q186
+  /** Trailing window (days) for the q186 rolling-actives metric. */
+  val rollingDays = 7
+
+  /** Rolling 7-day active users per (event type, day) from daily HLL
+    * register snapshots — THE dashboard metric (7DA/WAU), and the
+    * one a sliding exact COUNT DISTINCT makes ruinously expensive:
+    * every day re-unions seven days of raw keys (the oracle's
+    * diagnostic branch does exactly that, fanning events ×7). The
+    * sketch path touches raw events once for daily registers, then
+    * every day's window is a max-merge over 7 × 256-row register
+    * sets — q173's cumulative merge with a sliding frame, on a
+    * gap-free day spine (q99's global-span device: a ROWS frame over
+    * observed days would silently widen across missing days).
+    * Exact counts + signed diff + ppm error ride along, guarded for
+    * empty windows identically in both engines. */
+  def q186RollingActives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = hllRegisters
+    val ev = Tables.events(s, dir).select(
+      $"event_type".as("grp"), to_date($"ts").as("day"),
+      $"user_id".cast("string").as("key"))
+    val regs = hllRegistersOf(ev, Seq("grp", "day"))
+    // gap-free (grp × calendar day) spine from the global span
+    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val grid = ev.select($"grp").distinct()
+      .crossJoin(broadcast(span))
+      .select($"grp", explode(expr("sequence(d0, d1)")).as("day"))
+    val spine = grid.crossJoin(s.range(m).select($"id".as("reg")))
+    val wReg = Window.partitionBy($"grp", $"reg").orderBy($"day")
+      .rowsBetween(-(rollingDays - 1), 0)
+    val dense = spine.join(regs, Seq("grp", "day", "reg"), "left")
+      .withColumn("rho", max(coalesce($"rho", lit(0L))).over(wReg))
+    val est = hllEstimateOf(dense, Seq("grp", "day"))
+    val exact = grid.join(ev.withColumnRenamed("day", "eday"), Seq("grp"))
+      .where($"eday".between(date_sub($"day", rollingDays - 1), $"day"))
+      .groupBy($"grp", $"day")
+      .agg(countDistinct($"key").as("exact_active"))
+    grid.join(exact, Seq("grp", "day"), "left")
+      .withColumn("exact_active", coalesce($"exact_active", lit(0L)))
+      .join(est, Seq("grp", "day"))
+      .select($"grp".as("event_type"), $"day",
+        $"exact_active", $"hll_est".as("est_active"),
+        ($"hll_est" - $"exact_active").as("diff"),
+        when($"exact_active" > 0,
+          expr("(1000000 * abs(hll_est - exact_active)) div exact_active"))
+          .otherwise(0L).as("abs_err_ppm"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q186Oracle = {
+    val m = hllRegisters
+    s"""WITH r0 AS (
+       |  SELECT event_type AS grp, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    CAST(user_id AS VARCHAR) AS key
+       |  FROM events),
+       |h AS (
+       |  SELECT grp, day,
+       |    ('0x' || substr(md5('hll:' || key), 1, 15))::BIGINT AS hv
+       |  FROM r0),
+       |regs AS (
+       |  SELECT grp, day, hv % $m AS reg,
+       |    max(CASE WHEN hv // $m = 0 THEN $hllMaxRho
+       |      ELSE CAST(round(log2((hv // $m) & -(hv // $m))) AS BIGINT) + 1 END)
+       |      AS rho
+       |  FROM h GROUP BY 1, 2, 3),
+       |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM r0),
+       |grid AS (
+       |  SELECT grp, CAST(u.d AS DATE) AS day
+       |  FROM (SELECT DISTINCT grp FROM r0), span,
+       |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)),
+       |spine AS (SELECT grp, day, r.range AS reg FROM grid, range($m) r),
+       |dense AS (
+       |  SELECT s.grp, s.day, s.reg,
+       |    max(COALESCE(regs.rho, 0)) OVER (PARTITION BY s.grp, s.reg
+       |      ORDER BY s.day ROWS BETWEEN ${rollingDays - 1} PRECEDING
+       |      AND CURRENT ROW) AS rho
+       |  FROM spine s LEFT JOIN regs
+       |    ON s.grp = regs.grp AND s.day = regs.day AND s.reg = regs.reg),
+       |${hllEstimatorCtes("", "dense", Seq("grp", "day"))},
+       |ex AS (
+       |  SELECT g.grp, g.day,
+       |    CAST(count(DISTINCT e.key) AS BIGINT) AS exact_active
+       |  FROM grid g LEFT JOIN r0 e
+       |    ON g.grp = e.grp
+       |    AND e.day BETWEEN g.day - ${rollingDays - 1} AND g.day
+       |  GROUP BY 1, 2)
+       |SELECT ex.grp AS event_type, ex.day AS day, exact_active,
+       |  hll_est AS est_active, hll_est - exact_active AS diff,
+       |  CASE WHEN exact_active > 0
+       |    THEN CAST((1000000 * abs(hll_est - exact_active)) // exact_active
+       |      AS BIGINT)
+       |    ELSE 0 END AS abs_err_ppm
+       |FROM ex JOIN fin ON ex.grp = fin.grp AND ex.day = fin.day
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_hll_distinct" -> (q170HllDistinct _),
     "q173_hll_cumulative" -> (q173HllCumulative _),
     "q174_hll_overlap"  -> (q174HllOverlap _),
+    "q186_rolling_actives" -> (q186RollingActives _),
     "q153_cms_heavy_hitters" -> (q153CmsHeavyHitters _),
     "q156_bloom_prejoin"     -> (q156BloomPrejoin _),
   )
@@ -580,6 +679,7 @@ object SketchOps {
     "q170_hll_distinct" -> q170Oracle,
     "q173_hll_cumulative" -> q173Oracle,
     "q174_hll_overlap"  -> q174Oracle,
+    "q186_rolling_actives" -> q186Oracle,
     "q153_cms_heavy_hitters" -> q153Oracle,
     "q156_bloom_prejoin"     -> q156Oracle,
   )

@@ -120,4 +120,19 @@ class LinkOpsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
+
+  test("q187 triples: hand-counted support, prune-transparent") {
+    import spark.implicits._
+    // {1,2,3} appears in baskets 100, 101 -> support 2; {1,2,4} only
+    // in 102 -> support 1, out; basket 103 is a pair-only basket
+    val items = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 1L), (101L, 2L), (101L, 3L), (101L, 9L),
+      (102L, 1L), (102L, 2L), (102L, 4L),
+      (103L, 5L), (103L, 6L),
+    ).toDF("ok", "pk")
+    val got = LinkOps.frequentTriplesOf(items).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 2L)))
+  }
 }

@@ -91,4 +91,27 @@ class SketchOpsSpec extends SparkSuite {
     assert(math.abs(got(("A", "C"))._2) <= 15L)
     assert(math.abs(got(("B", "C"))._2) <= 15L)
   }
+
+  test("q186 rolling actives: exact replays driver-side, estimate tracks it") {
+    import spark.implicits._
+    val rows = SketchOps.q186RollingActives(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getLong(3))))
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_type", org.apache.spark.sql.functions.to_date($"ts"),
+        $"user_id").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    rows.foreach { case ((t, day), (exact, est)) =>
+      val d = java.time.LocalDate.parse(day)
+      val want = ev.filter { case (et, ed, _) =>
+        et == t && !ed.isAfter(d) &&
+          !ed.isBefore(d.minusDays(SketchOps.rollingDays - 1))
+      }.map(_._3).distinct.length.toLong
+      assert(exact == want, s"($t, $day)")
+      // linear-counting regime on the fixture: estimate within 15%
+      if (exact > 0)
+        assert(math.abs(est - exact).toDouble / exact < 0.15, s"($t, $day) $est/$exact")
+    }
+  }
 }
