@@ -1002,11 +1002,10 @@ object SimilarityOps {
       .groupBy($"clabel", $"dim")
       .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
       .groupBy($"clabel")
-      // FLOOR division, not `div`: coordinate sums go NEGATIVE, where
-      // Spark's div truncates toward zero but the oracle's // floors.
-      // (sx - pmod(sx, n)) is exactly divisible, so the truncating div
-      // of the adjusted numerator IS the floor quotient.
-      .agg(expr("transform(array_sort(collect_list(struct(dim, (sx - pmod(sx, n)) div n AS c))), p -> p.c)")
+      // integer-division centroids: Spark `div` and DuckDB `//` both
+      // truncate toward zero (verified on negatives), so the quotient
+      // is engine-identical even for negative coordinate sums
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sx div n AS c))), p -> p.c)")
         .as("c"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1)))
@@ -1057,11 +1056,97 @@ object SimilarityOps {
        |    // count(*) AS BIGINT) AS mis_ppm
        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q188
+  /** Power-iteration rounds for q188. Convergence rate is the
+    * eigengap ratio λ₂/λ₁ per round: the near-isotropic synthetic
+    * fixture converges slowly (documented; the hash only needs
+    * determinism), while real embedding corpora have dominant
+    * directions and converge in a few rounds — the spec plants one
+    * and proves cosine > 0.99 to the true eigenvector. */
+  val powerRounds = 3
+
+  /** Top principal component of the embedding corpus by power
+    * iteration on the NORMALIZED integer Gram matrix — the
+    * direction-of-maximum-variance primitive behind embedding
+    * whitening, drift axes (q147 watches centroids; this watches
+    * SPREAD), and all-but-the-top-component denoising.
+    *
+    * The corpus is touched EXACTLY ONCE: one pass builds
+    * G[d,e] = (Σᵢ qᵢ[d]·qᵢ[e]) div n on the q172 integer grid — a
+    * dims² cell aggregate with map-side combine (the shuffle
+    * carries ≤ 64² rows per partition, never vectors), and the
+    * div-n normalization bounds every later product independent of
+    * corpus size. Iteration then runs entirely on the 64²-row
+    * matrix: each round one broadcast join + 64-row aggregate, with
+    * the vector re-quantized to a ±2¹⁰ grid by integer division
+    * (Spark `div` and DuckDB `//` BOTH truncate toward zero, so the
+    * two engines agree on negative coordinates too) — every round
+    * is integer-exact and the oracle replays all rounds as CTEs. The
+    * iterate's sign/scale is fixed by the deterministic all-ones
+    * start and per-round max-normalization, making the component
+    * hash-comparable — classical eigenvectors are only defined up
+    * to sign. */
+  def q188PowerIteration(s: SparkSession, dir: String): DataFrame =
+    powerIterationOf(Tables.embeddings(s, dir))
+
+  /** The iteration on any (vec_id, embedding) frame — separated so
+    * the spec can plant an anisotropic corpus with a known dominant
+    * direction. */
+  private[ops] def powerIterationOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val xq = emb.select(
+      expr(s"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * ${noiseGrid}D) AS BIGINT))")
+        .as("q"))
+    val n = xq.agg(count(lit(1)).as("nn"))
+    val gram = xq
+      .select($"q", posexplode($"q").as(Seq("d0", "xd")))
+      .select($"d0", $"xd", posexplode($"q").as(Seq("e0", "xe")))
+      .groupBy(($"d0" + 1).as("d"), ($"e0" + 1).as("e"))
+      .agg(sum($"xd" * $"xe").as("sde"))
+      .crossJoin(broadcast(n))
+      .select($"d", $"e", expr("sde div nn").as("gm"))
+    var v = s.range(64).select(($"id" + 1).as("d"), lit(1024L).as("v"))
+    (1 to powerRounds).foreach { _ =>
+      val gv = gram.join(broadcast(v.select($"d".as("e"), $"v")), "e")
+        .groupBy($"d").agg(sum($"gm" * $"v").as("gv"))
+      val m = gv.agg(max(abs($"gv")).as("m"))
+      v = gv.crossJoin(broadcast(m))
+        .select($"d", expr("(gv * 1024) div m").as("v"))
+    }
+    v.select($"d".cast("long").as("dim"), $"v".as("component")).orderBy($"dim")
+  }
+
+  private val q188Oracle = {
+    val rounds = (1 to powerRounds).map { i =>
+      s"""gv$i AS (
+         |  SELECT g.d, CAST(sum(g.gm * p.v) AS BIGINT) AS gv
+         |  FROM gn g JOIN v${i - 1} p ON g.e = p.d GROUP BY 1),
+         |m$i AS (SELECT max(abs(gv)) AS m FROM gv$i),
+         |v$i AS (SELECT d, (gv * 1024) // m AS v FROM gv$i, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH xq AS (
+       |  SELECT list_transform(embedding,
+       |    v -> CAST(round(CAST(v AS DOUBLE) * $noiseGrid) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM xq),
+       |g AS (
+       |  SELECT d.i AS d, e.i AS e, CAST(sum(q[d.i] * q[e.i]) AS BIGINT) AS sde
+       |  FROM xq, unnest(range(1, len(q) + 1)) AS d(i),
+       |       unnest(range(1, len(q) + 1)) AS e(i)
+       |  GROUP BY 1, 2),
+       |gn AS (SELECT d, e, sde // nn AS gm FROM g, n),
+       |v0 AS (SELECT r.range + 1 AS d, CAST(1024 AS BIGINT) AS v FROM range(64) r),
+       |$rounds
+       |SELECT d AS dim, v AS component FROM v$powerRounds ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
     "q165_embedding_audit" -> (q165EmbeddingAudit _),
     "q172_label_noise"   -> (q172LabelNoise _),
+    "q188_power_iteration" -> (q188PowerIteration _),
     "q52_knn_lsh"        -> (q52KnnLsh _),
     "q95_filtered_knn"   -> (q95FilteredKnn _),
     "q97_quantize_int8"  -> (q97QuantizeInt8 _),
@@ -1077,6 +1162,7 @@ object SimilarityOps {
     "q71_knn_ivf"        -> q71Oracle,
     "q165_embedding_audit" -> q165Oracle,
     "q172_label_noise"   -> q172Oracle,
+    "q188_power_iteration" -> q188Oracle,
     "q52_knn_lsh"        -> q52Oracle,
     "q95_filtered_knn"   -> q95Oracle,
     "q97_quantize_int8"  -> q97Oracle,

@@ -284,9 +284,9 @@ object SketchOps {
       Seq("grp"))
     val exact = rows.groupBy($"grp")
       .agg(countDistinct($"key").as("exact_distinct"))
-    // signed diff stays division-free: Spark's `div` truncates toward
-    // zero while DuckDB's `//` floors, so a NEGATIVE quotient would
-    // differ by one between engines — the ratio uses |diff| instead
+    // signed diff stays division-free; the error ratio divides the
+    // ABSOLUTE diff so the quotient is positive and engine-identical
+    // regardless of division convention
     exact.join(est, "grp")
       .select($"grp", $"exact_distinct", $"hll_est",
         ($"hll_est" - $"exact_distinct").as("diff"),

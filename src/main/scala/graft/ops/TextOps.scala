@@ -1460,8 +1460,8 @@ object TextOps {
     * cross-row aggregation is pure integer arithmetic —
     * order-independent under any partitioning, hence
     * hash-oracle-able where a double sum would not be (q122's
-    * device); all values are positive so Spark's truncating `div`
-    * and DuckDB's flooring `//` agree. Plan: one trigram-count agg
+    * device); all values are positive, where Spark's `div` and
+    * DuckDB's `//` trivially agree. Plan: one trigram-count agg
     * (the LM), totals broadcast, one join of positioned trigrams to
     * the LM on the trigram key, one per-doc agg. At 100 TB the LM
     * prunes to a frequency floor + OOV default and broadcasts

@@ -280,4 +280,30 @@ class SimilarityOpsSpec extends SparkSuite {
     }
     assert(got("2024-01-08")._2 >= got("2024-01-01")._2)
   }
+
+  test("q188 power iteration converges on a planted dominant direction") {
+    import spark.implicits._
+    // 100 vectors along (3,4,0,...)/5 with small orthogonal jitter,
+    // plus isotropic noise: the top eigenvector is ~(0.6, 0.8, 0...)
+    val base = Array(0.6f, 0.8f) ++ Array.fill(6)(0f)
+    val rows = (0 until 100).map { i =>
+      val scale = 0.5f + (i % 10) * 0.1f
+      val v = base.map(_ * scale).zipWithIndex.map { case (x, d) =>
+        if (d == 2) x + 0.01f * (i % 7 - 3) else x
+      }
+      (i.toLong, v.toSeq)
+    }
+    val got = SimilarityOps.powerIterationOf(
+      rows.toDF("vec_id", "embedding")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = (1 to 8).map(d => got(d.toLong).toDouble)
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    val cos = math.abs(v(0) * 0.6 + v(1) * 0.8) / norm
+    assert(cos > 0.99, s"cos=$cos v=$v")
+    // determinism: a second run is bit-identical
+    val again = SimilarityOps.powerIterationOf(
+      rows.toDF("vec_id", "embedding")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }
