@@ -1147,6 +1147,55 @@ object EventOps {
       |  AND (d.valid_to IS NULL OR p.tus < d.valid_to)
       |ORDER BY purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- q189
+  /** Top-k cut for q189's path report. */
+  val pathTopK = 20
+
+  /** Frequent 3-step behavior paths: count every CONTIGUOUS
+    * (a → b → c) event-type transition across all users' event-time
+    * order and report the top [[pathTopK]] — the path-mining step
+    * behind funnel DISCOVERY (q102 measures a funnel someone already
+    * hypothesized; this surfaces which sequences actually happen) and
+    * the empirical check on q141's first-order Markov assumption
+    * (a path count far off `n(ab)·P(c|b)` marks second-order
+    * structure). Same in-array slide as q171 (one groupBy-user
+    * shuffle, per-user fan-out), then a path-cardinality count
+    * (≤ |types|³ groups) and a deterministic total-order top-k
+    * (count desc, path asc — ties can't reorder across engines). */
+  def q189FrequentPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        $"event_type")
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(
+        struct($"tus", $"event_id", $"event_type"))).as("evs"))
+      .select(explode(expr(
+        """transform(sequence(1, greatest(0, size(evs) - 2)), i ->
+          |  struct(evs[i - 1].event_type AS s1,
+          |         evs[i].event_type AS s2,
+          |         evs[i + 1].event_type AS s3))""".stripMargin)).as("p"))
+      .groupBy($"p.s1", $"p.s2", $"p.s3")
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy($"n_paths".desc, $"s1", $"s2", $"s3")
+      .limit(pathTopK)
+  }
+
+  private val q189Oracle =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    list_transform(
+       |      list_sort(list({'tus': epoch_us(ts), 'event_id': event_id,
+       |                      'event_type': event_type})),
+       |      e -> e.event_type) AS t
+       |  FROM events GROUP BY user_id),
+       |p AS (
+       |  SELECT t[i] AS s1, t[i + 1] AS s2, t[i + 2] AS s3
+       |  FROM u, unnest(range(1, len(t) - 1)) AS r(i))
+       |SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n_paths
+       |FROM p GROUP BY 1, 2, 3
+       |ORDER BY n_paths DESC, s1, s2, s3 LIMIT $pathTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -1154,6 +1203,7 @@ object EventOps {
     "q171_event_sequences"  -> (q171EventSequences _),
     "q178_linear_attribution" -> (q178LinearAttribution _),
     "q185_temporal_regime_join" -> (q185TemporalRegimeJoin _),
+    "q189_frequent_paths"   -> (q189FrequentPaths _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -1175,6 +1225,7 @@ object EventOps {
     "q171_event_sequences"  -> q171Oracle,
     "q178_linear_attribution" -> q178Oracle,
     "q185_temporal_regime_join" -> q185Oracle,
+    "q189_frequent_paths"   -> q189Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

@@ -402,4 +402,27 @@ class EventOpsSpec extends SparkSuite {
       (22L, "click", 100L),
     ))
   }
+
+  test("q189 paths: top-k counts replay from a driver-side slide") {
+    import spark.implicits._
+    val got = EventOps.q189FrequentPaths(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)), r.getLong(3)))
+    assert(got.nonEmpty && got.length <= EventOps.pathTopK)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val want = ev.groupBy(_._1).values.flatMap { evs =>
+      val t = evs.toSeq.sortBy(e => (e._2, e._3)).map(_._4)
+      t.sliding(3).filter(_.length == 3).map(w => (w(0), w(1), w(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (p, n) => assert(want(p) == n, s"path $p") }
+    // descending counts with the declared tie order
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 &&
+          Ordering[(String, String, String)].lt(a._1, b._1)))
+      case _ =>
+    }
+  }
 }
