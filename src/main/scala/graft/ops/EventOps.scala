@@ -1196,6 +1196,95 @@ object EventOps {
        |FROM p GROUP BY 1, 2, 3
        |ORDER BY n_paths DESC, s1, s2, s3 LIMIT $pathTopK""".stripMargin
 
+  // ---------------------------------------------------------------- q190
+  /** Cohort LTV curves: cumulative purchase revenue per signup
+    * cohort by week offset — the lifetime-value report that turns
+    * q103's retention MATRIX (who comes back) into money (what
+    * coming back is worth); the pair is how acquisition spend gets
+    * justified. Same cohort derivation and honest negative-offset
+    * posture as q103 (pre-signup purchases land in negative weeks,
+    * kept); revenue is per-row micro-quantized (q135's device) and
+    * the cumulative curve is one calendar-bounded window over the
+    * already-reduced (cohort × week) grid, so the raw stream
+    * shuffles once. */
+  def q190CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val cohorts = ev.where($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(to_date(date_trunc("day", min($"ts"))).as("cohort_day"))
+    val weekly = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", expr("CAST(round(value * 1000000D) AS BIGINT)").as("vq"))
+      .join(broadcast(cohorts), "user_id")
+      .select($"cohort_day",
+        expr("CAST(floor(datediff(to_date(date_trunc('day', ts)), cohort_day) / 7.0) AS BIGINT)")
+          .as("wk"), $"vq")
+      .groupBy($"cohort_day", $"wk")
+      .agg(count(lit(1)).as("n"), sum($"vq").as("rev"))
+    val w = Window.partitionBy($"cohort_day").orderBy($"wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly.withColumn("cum_rev", sum($"rev").over(w))
+      .select($"cohort_day", $"wk", $"n", $"rev", $"cum_rev")
+      .orderBy($"cohort_day", $"wk")
+  }
+
+  private val q190Oracle =
+    """WITH c AS (
+      |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, c.cohort_day,
+      |    CAST(floor(datediff('day', cohort_day,
+      |      CAST(date_trunc('day', ts) AS DATE)) / 7.0) AS BIGINT) AS wk,
+      |    CAST(round(value * 1000000) AS BIGINT) AS vq
+      |  FROM events e JOIN c USING (user_id) WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT cohort_day, wk, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(vq) AS BIGINT) AS rev
+      |  FROM p GROUP BY 1, 2)
+      |SELECT cohort_day, wk, n, rev,
+      |  CAST(sum(rev) OVER (PARTITION BY cohort_day ORDER BY wk
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev
+      |FROM w ORDER BY cohort_day, wk""".stripMargin
+
+  // ---------------------------------------------------------------- q192
+  /** Traffic burstiness per event type: the Fano factor (variance ∕
+    * mean of daily counts) in fixed-point ppm — 1.0 marks Poisson
+    * arrivals; higher means bursty/clumped traffic (capacity must be
+    * provisioned for peaks, sampling windows stratified), lower
+    * means regularized/throttled flow. Exact integers end to end:
+    * daily counts, then Var/mean = (k·Σn² − (Σn)²) ∕ (k·Σn) on raw
+    * sums — numerator non-negative by Cauchy–Schwarz, so truncating
+    * division agrees cross-engine. The stream reduces to
+    * calendar-bounded daily counts in one map-side-combining
+    * shuffle; the statistic is a type-cardinality fold. */
+  def q192BurstinessFano(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("k"), sum($"n").as("sn"),
+        sum($"n" * $"n").as("sn2"))
+      .select($"event_type", $"k", $"sn",
+        expr("(1000000 * (k * sn2 - sn * sn)) div (k * sn)").as("fano_ppm"))
+      .orderBy($"event_type")
+  }
+
+  private val q192Oracle =
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(n) AS BIGINT) AS sn, CAST(sum(n * n) AS BIGINT) AS sn2
+      |  FROM d GROUP BY 1)
+      |SELECT event_type, k, sn,
+      |  CAST((1000000 * (k * sn2 - sn * sn)) // (k * sn) AS BIGINT) AS fano_ppm
+      |FROM s ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -1204,6 +1293,8 @@ object EventOps {
     "q178_linear_attribution" -> (q178LinearAttribution _),
     "q185_temporal_regime_join" -> (q185TemporalRegimeJoin _),
     "q189_frequent_paths"   -> (q189FrequentPaths _),
+    "q190_cohort_ltv"       -> (q190CohortLtv _),
+    "q192_burstiness_fano"  -> (q192BurstinessFano _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -1226,6 +1317,8 @@ object EventOps {
     "q178_linear_attribution" -> q178Oracle,
     "q185_temporal_regime_join" -> q185Oracle,
     "q189_frequent_paths"   -> q189Oracle,
+    "q190_cohort_ltv"       -> q190Oracle,
+    "q192_burstiness_fano"  -> q192Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

@@ -226,7 +226,11 @@ object SimilarityOps {
     * selection → exact-cosine ranking. Every constant ([[numCells]],
     * [[nprobe]], [[quantScale]], sample predicate, tie-breaks) is
     * interpolated from the Spark-side values. */
-  private lazy val q71Oracle = {
+  /** Shared SQL: the full IVF model replay (seeds → sampled Lloyd
+    * rounds → full-corpus cell assignment), ending in
+    * `cells(vec_id, cell)` — used by q71's ranking oracle AND q191's
+    * balance-report oracle so the model SQL can never fork. */
+  private lazy val ivfCellsCte = {
     def cosSql(emb: String, nrm: String, cv: String, cn: String) =
       s"""list_reduce(list_transform(range(1, len($emb) + 1),
          |        i -> CAST($emb[i] AS DOUBLE) * $cv[i]), (x, y) -> x + y)
@@ -256,7 +260,7 @@ object SimilarityOps {
          |  FROM $prev p LEFT JOIN mv$k ON p.cid = mv$k.cid)""".stripMargin
     }.mkString(",\n")
     val last = s"c$lloydIterations"
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
@@ -285,7 +289,11 @@ object SimilarityOps {
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
        |    FROM sc)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val q71Oracle = {
+    s"""WITH $ivfCellsCte,
        |probes AS (
        |  SELECT vec_id AS query_id, cid AS cell FROM (
        |    SELECT vec_id, cid,
@@ -1141,12 +1149,65 @@ object SimilarityOps {
        |SELECT d AS dim, v AS component FROM v$powerRounds ORDER BY dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q191
+  /** IVF index-health report: per cell, the assigned-vector count,
+    * corpus share in ppm, and a balance flag (`empty` / 2×-deviation
+    * `under`/`over` vs the ideal total∕C by exact integer
+    * cross-multiplication — q176's device). Serving cost under
+    * nprobe-of-C probing is only predictable when cells are
+    * balanced: a hot cell makes every probe that touches it scan a
+    * disproportionate corpus slice, an empty cell wastes a probe —
+    * this is the report that decides "retrain the centroids" (q71's
+    * Lloyd rounds) before latency regresses. Same zero-Exchange
+    * literal-projection assignment as q71 (PlanSpec-pinned there),
+    * then one cell-cardinality aggregate; the oracle reuses q71's
+    * model-replay SQL verbatim ([[ivfCellsCte]]), so the report is
+    * hash-proven consistent with the index the ranking oracle
+    * checks. */
+  def q191IvfBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val cents = centroidModel(s, dir)
+    val assigned = c.withColumn("cell",
+      -array_max(centroidScores(cents, $"embedding", $"nrm")).getField("negcid"))
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+    val spine = cents.map(_._1).toSeq.toDF("cell")
+    val total = assigned.agg(sum($"n").cast("long").as("total"))
+    spine.join(assigned, Seq("cell"), "left")
+      .withColumn("n_vecs", coalesce($"n", lit(0L)))
+      .crossJoin(broadcast(total))
+      .select($"cell", $"n_vecs",
+        expr("(1000000 * n_vecs) div total").as("share_ppm"),
+        when($"n_vecs" === 0L, "empty")
+          .when(lit(2) * $"n_vecs" * numCells < $"total", "under")
+          .when($"n_vecs" * numCells > lit(2) * $"total", "over")
+          .otherwise("ok").as("flag"))
+      .orderBy($"cell")
+  }
+
+  private lazy val q191Oracle =
+    s"""WITH $ivfCellsCte,
+       |bal AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1),
+       |sp AS (SELECT cid AS cell FROM c0),
+       |f AS (
+       |  SELECT sp.cell, COALESCE(n, 0) AS n_vecs
+       |  FROM sp LEFT JOIN bal USING (cell)),
+       |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM f)
+       |SELECT f.cell, f.n_vecs,
+       |  CAST((1000000 * f.n_vecs) // t.total AS BIGINT) AS share_ppm,
+       |  CASE WHEN f.n_vecs = 0 THEN 'empty'
+       |       WHEN 2 * f.n_vecs * $numCells < t.total THEN 'under'
+       |       WHEN f.n_vecs * $numCells > 2 * t.total THEN 'over'
+       |       ELSE 'ok' END AS flag
+       |FROM f, t ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
     "q165_embedding_audit" -> (q165EmbeddingAudit _),
     "q172_label_noise"   -> (q172LabelNoise _),
     "q188_power_iteration" -> (q188PowerIteration _),
+    "q191_ivf_balance"   -> (q191IvfBalance _),
     "q52_knn_lsh"        -> (q52KnnLsh _),
     "q95_filtered_knn"   -> (q95FilteredKnn _),
     "q97_quantize_int8"  -> (q97QuantizeInt8 _),
@@ -1163,6 +1224,7 @@ object SimilarityOps {
     "q165_embedding_audit" -> q165Oracle,
     "q172_label_noise"   -> q172Oracle,
     "q188_power_iteration" -> q188Oracle,
+    "q191_ivf_balance"   -> q191Oracle,
     "q52_knn_lsh"        -> q52Oracle,
     "q95_filtered_knn"   -> q95Oracle,
     "q97_quantize_int8"  -> q97Oracle,

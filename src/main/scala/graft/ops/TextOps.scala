@@ -2056,11 +2056,66 @@ object TextOps {
       |       ELSE 'ok' END AS flag
       |FROM m ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q193
+  /** Source-concentration report: every source ranked by document
+    * count with its cumulative share banded head (first half of the
+    * corpus) / body (to 90%) / tail, plus the Herfindahl–Hirschman
+    * concentration index in ppm riding on every row — the power-law
+    * audit behind diversity requirements ("is this corpus secretly
+    * three domains?") and q112's rebalance targets. Bands and HHI
+    * are exact integer cross-multiplications (2·(cum−n) < total
+    * etc.; HHI = 10⁶·Σn² ∕ total² — Σn² ≤ total² keeps the scaled
+    * numerator in range while totals fit 10⁹, the comment a 100 TB
+    * deployment revisits with a wider grid). Source cardinality is
+    * domain-bounded, so ranking windows run on a dimension-sized
+    * frame; the corpus contributes one counting shuffle. */
+  def q193SourceConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val t = d.agg(sum($"n").cast("long").as("total"),
+      sum($"n" * $"n").cast("long").as("sq"))
+    val wRank = Window.orderBy($"n".desc, $"source")
+    d.crossJoin(broadcast(t))
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("cum", sum($"n").over(
+        wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"source", $"n", $"rnk", $"cum",
+        when(lit(2) * ($"cum" - $"n") < $"total", "head")
+          .when(lit(10) * ($"cum" - $"n") < lit(9) * $"total", "body")
+          .otherwise("tail").as("band"),
+        expr("(1000000 * sq) div (total * total)").as("hhi_ppm"))
+      .orderBy($"rnk")
+  }
+
+  private val q193Oracle =
+    """WITH d AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS total,
+      |    CAST(sum(n * n) AS BIGINT) AS sq
+      |  FROM d),
+      |r AS (
+      |  SELECT source, n,
+      |    row_number() OVER (ORDER BY n DESC, source) AS rnk,
+      |    CAST(sum(n) OVER (ORDER BY n DESC, source
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM d)
+      |SELECT r.source, r.n, CAST(r.rnk AS BIGINT) AS rnk, r.cum,
+      |  CASE WHEN 2 * (r.cum - r.n) < t.total THEN 'head'
+      |       WHEN 10 * (r.cum - r.n) < 9 * t.total THEN 'body'
+      |       ELSE 'tail' END AS band,
+      |  CAST((1000000 * t.sq) // (t.total * t.total) AS BIGINT) AS hhi_ppm
+      |FROM r, t ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_lm_buckets"  -> (q167LmBuckets _),
     "q168_dataset_card" -> (q168DatasetCard _),
     "q175_vol_median"  -> (q175VolMedian _),
     "q176_coverage_matrix" -> (q176CoverageMatrix _),
+    "q193_source_concentration" -> (q193SourceConcentration _),
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
     "q78_inverted_index"      -> (q78InvertedIndex _),
@@ -2103,6 +2158,7 @@ object TextOps {
     "q168_dataset_card" -> q168Oracle,
     "q175_vol_median"  -> q175Oracle,
     "q176_coverage_matrix" -> q176Oracle,
+    "q193_source_concentration" -> q193Oracle,
     "q60_text_stats"          -> q60Oracle,
     "q61_lang_id"             -> q61Oracle,
     "q73_tfidf"               -> q73Oracle,

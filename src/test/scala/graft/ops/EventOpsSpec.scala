@@ -425,4 +425,42 @@ class EventOpsSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("q190 LTV: cumulative curves replay; revenue conserves to purchases") {
+    import spark.implicits._
+    val rows = EventOps.q190CohortLtv(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per cohort: cum_rev is the running sum of rev in week order
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      var acc = 0L
+      rs.sortBy(_._2).foreach { case (_, _, _, rev, cum) =>
+        acc += rev; assert(cum == acc, s"cohort $c")
+      }
+    }
+    // total attributed revenue = all purchases by signed-up users
+    val ev = graft.Tables.events(spark, sf0001).collect()
+      .map(r => (r.getLong(2), r.getString(3),
+        math.round(r.getDouble(4) * 1e6)))
+    val signed = ev.filter(_._2 == "signup").map(_._1).toSet
+    val want = ev.filter(e => e._2 == "purchase" && signed(e._1)).map(_._3).sum
+    assert(rows.map(_._4).sum == want)
+  }
+
+  test("q192 Fano replays from daily counts; fixture has both regimes") {
+    import spark.implicits._
+    val got = EventOps.q192BurstinessFano(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val daily = graft.Tables.events(spark, sf0001)
+      .groupBy($"event_type", org.apache.spark.sql.functions.to_date($"ts"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, ds) =>
+      val ns = ds.map(_._2)
+      val k = ns.length.toLong; val sn = ns.sum; val sn2 = ns.map(n => n * n).sum
+      assert(got(t) == ((k, sn, 1000000L * (k * sn2 - sn * sn) / (k * sn))), t)
+    }
+  }
 }

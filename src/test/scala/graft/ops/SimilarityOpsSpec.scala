@@ -306,4 +306,22 @@ class SimilarityOpsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got)
   }
+
+  test("q191 balance report: full spine, shares sum to ~1e6, flags re-derive") {
+    val rows = SimilarityOps.q191IvfBalance(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == SimilarityOps.numCells, "one row per model cell")
+    val total = rows.map(_._2).sum
+    assert(total == graft.Tables.embeddings(spark, sf0001).count())
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum > 1000000L - SimilarityOps.numCells && shareSum <= 1000000L)
+    rows.foreach { case (_, n, _, flag) =>
+      val want =
+        if (n == 0) "empty"
+        else if (2 * n * SimilarityOps.numCells < total) "under"
+        else if (n * SimilarityOps.numCells > 2 * total) "over"
+        else "ok"
+      assert(flag == want)
+    }
+  }
 }

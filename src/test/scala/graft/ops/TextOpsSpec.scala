@@ -835,4 +835,26 @@ class TextOpsSpec extends SparkSuite {
       assert(flag == want, s"($l, $s2)")
     }
   }
+
+  test("q193 concentration: ranks/cum/bands/HHI all replay") {
+    val rows = TextOps.q193SourceConcentration(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum
+    val sq = rows.map(n => n._2 * n._2).sum
+    var cum = 0L
+    rows.sortBy(_._3).foreach { case (_, n, _, gotCum, band, hhi) =>
+      cum += n
+      assert(gotCum == cum)
+      val want =
+        if (2 * (cum - n) < total) "head"
+        else if (10 * (cum - n) < 9 * total) "body" else "tail"
+      assert(band == want)
+      assert(hhi == 1000000L * sq / (total * total))
+    }
+    // counts are non-increasing down the ranking
+    val byRank = rows.sortBy(_._3).map(_._2)
+    assert(byRank.sameElements(byRank.sorted.reverse))
+  }
 }
