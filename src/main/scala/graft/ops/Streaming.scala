@@ -234,6 +234,32 @@ object Streaming {
   private val q33Oracle =
     """SELECT event_id, event_type, value FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q194
+  /** Streaming dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only
+    * until the watermark passes its event time + delay, where q33's
+    * plain `dropDuplicates` holds every key it has ever seen for the
+    * stream's whole life — on an unbounded id-carrying stream that
+    * state grows forever, and this operator is the API Spark added
+    * (3.5+) to fix exactly that. The semantic trade is explicit:
+    * duplicates are only suppressed if redelivered WITHIN the
+    * watermark delay — the at-least-once redelivery window a real
+    * bus (the reference's Pub/Sub, SURVEY §2.3) actually guarantees —
+    * so the fixture's immediate self-union redelivery dedupes
+    * completely and the oracle is the exact distinct. A late
+    * redelivery BEYOND the delay would pass through; the downstream
+    * q114-style batch dedup is the standard second line. */
+  def q194DedupWithinWatermark(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val once  = eventsStream(s, dir)
+    val twice = once.union(eventsStream(s, dir))
+    val deduped = twice
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select($"event_id", $"event_type", $"value")
+    drain(s, deduped, OutputMode.Append()).orderBy($"event_id")
+  }
+
   // ---------------------------------------------------------------- q34
   /** Arbitrary stateful processing (mapGroupsWithState): per-user
     * max inter-event gap in µs — the KeyValueGroupedDataset custom
@@ -1259,6 +1285,7 @@ object Streaming {
     "q181_mapstate_profile" -> (q181MapStateProfile _),
     "q182_recent_features"  -> (q182RecentFeatures _),
     "q184_bootstrapped_state" -> (q184BootstrappedState _),
+    "q194_dedup_within_watermark" -> (q194DedupWithinWatermark _),
     "q30_stream_tumbling" -> (q30Tumbling _),
     "q31_stream_sliding"  -> (q31Sliding _),
     "q32_session_windows" -> (q32SessionWindows _),
@@ -1279,6 +1306,7 @@ object Streaming {
     "q181_mapstate_profile" -> q181Oracle,
     "q182_recent_features"  -> q182Oracle,
     "q184_bootstrapped_state" -> q184Oracle,
+    "q194_dedup_within_watermark" -> q33Oracle,
     "q30_stream_tumbling" -> q30Oracle,
     "q31_stream_sliding"  -> q31Oracle,
     "q32_session_windows" -> q32Oracle,

@@ -265,4 +265,16 @@ class StreamingSpec extends SparkSuite {
     // handleInitialState
     rows.foreach { case (u, got) => assert(got == whole(u), s"user $u") }
   }
+
+  test("q194 bounded-state dedup equals q33 when redelivery is inside the delay") {
+    val a = Streaming.q33StreamDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val b = Streaming.q194DedupWithinWatermark(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // the fixture redelivers immediately (self-union), well inside the
+    // 1h delay, so the bounded-state variant must match the unbounded
+    // one exactly - the semantic trade only bites on LATE redelivery
+    assert(a.toSeq == b.toSeq)
+    assert(b.map(_._1).distinct.length == b.length)
+  }
 }
