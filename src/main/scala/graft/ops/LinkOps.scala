@@ -474,6 +474,77 @@ object LinkOps {
        |GROUP BY 1, 2, 3 HAVING count(*) >= $minTripleSupport
        |ORDER BY u, v, w""".stripMargin
 
+  // ---------------------------------------------------------------- q195
+  /** Pair-support floor and per-item cut for q195. */
+  val recMinSupport = 2
+  val recTopK = 3
+
+  /** Item-item collaborative-filtering candidates: for every part,
+    * the top-[[recTopK]] most-associated parts by co-occurrence
+    * cosine — the "customers also bought" candidate generator, the
+    * first stage of every co-occurrence recommender. q146 emits
+    * thresholded RULES; a recommender needs a per-item RANKING, and
+    * ranking by raw pair count just returns global bestsellers —
+    * cosine (pn ∕ √(sup_a·sup_b)) normalizes both popularity biases
+    * away. Scored as cos² in ppm: (10⁶·pn²) div (sup_a·sup_b) —
+    * exact integers, same ORDER as cosine since cosine ≥ 0, no
+    * square root to disagree cross-engine. In-array pair generation
+    * (no fact self-join), item-cardinality broadcast enrichments,
+    * per-item ranking windows partitioned by item — bounded fan-in.
+    * Support floor [[recMinSupport]] keeps one-off co-purchases
+    * (cos² of two singletons is a perfect 10⁶) out of the recs. */
+  def q195ItemRecs(s: SparkSession, dir: String): DataFrame =
+    itemRecsOf(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+
+  /** The ranking on any (ok, pk) membership frame — separated so the
+    * spec can plant a bestseller whose raw-count rank and
+    * cosine rank disagree. */
+  private[ops] def itemRecsOf(itemsIn: DataFrame): DataFrame = {
+    val s = itemsIn.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val items = itemsIn.distinct()
+    val sup = items.groupBy($"pk").agg(count(lit(1)).as("s"))
+    val pairN = pairOccurrences(items)
+      .groupBy($"u", $"v").agg(count(lit(1)).as("pn"))
+      .where($"pn" >= recMinSupport)
+    val directed = pairN.select($"u".as("item"), $"v".as("rec"), $"pn")
+      .unionAll(pairN.select($"v".as("item"), $"u".as("rec"), $"pn"))
+    val w = Window.partitionBy($"item").orderBy($"cos2_ppm".desc, $"rec")
+    directed
+      .join(broadcast(sup.select($"pk".as("item"), $"s".as("sa"))), "item")
+      .join(broadcast(sup.select($"pk".as("rec"), $"s".as("sb"))), "rec")
+      .select($"item", $"rec", $"pn",
+        expr("(1000000 * pn * pn) div (sa * sb)").as("cos2_ppm"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= recTopK)
+      .select($"item", $"rec", $"pn", $"cos2_ppm", $"rn".cast("long").as("rnk"))
+      .orderBy($"item", $"rnk")
+  }
+
+  private val q195Oracle =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM items GROUP BY 1),
+       |po AS (
+       |  SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS pn
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= $recMinSupport),
+       |d AS (
+       |  SELECT u AS item, v AS rec, pn FROM po
+       |  UNION ALL SELECT v, u, pn FROM po),
+       |sc AS (
+       |  SELECT item, rec, pn,
+       |    CAST((1000000 * pn * pn) // (sa.s * sb.s) AS BIGINT) AS cos2_ppm
+       |  FROM d JOIN sup sa ON d.item = sa.pk JOIN sup sb ON d.rec = sb.pk),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY item
+       |    ORDER BY cos2_ppm DESC, rec) AS rn
+       |  FROM sc)
+       |SELECT item, rec, pn, cos2_ppm, CAST(rn AS BIGINT) AS rnk
+       |FROM rk WHERE rn <= $recTopK ORDER BY item, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_entity_match"    -> (q132EntityMatch _),
     "q136_triangle_counts" -> (q136TriangleCounts _),
@@ -481,6 +552,7 @@ object LinkOps {
     "q146_association_rules" -> (q146AssociationRules _),
     "q159_bfs_hops"        -> (q159BfsHops _),
     "q187_frequent_triples" -> (q187FrequentTriples _),
+    "q195_item_recs"       -> (q195ItemRecs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -490,5 +562,6 @@ object LinkOps {
     "q146_association_rules" -> q146Oracle,
     "q159_bfs_hops"        -> q159Oracle,
     "q187_frequent_triples" -> q187Oracle,
+    "q195_item_recs"       -> q195Oracle,
   )
 }

@@ -2056,6 +2056,71 @@ object TextOps {
       |       ELSE 'ok' END AS flag
       |FROM m ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q196
+  /** AUC of the q125 LM-fluency score as a detector of non-English
+    * documents — scorer evaluation INSIDE the engine, the check a
+    * filtering pipeline runs before trusting a score as a gate
+    * (q118 calibrates a similarity threshold; this evaluates a
+    * ranking). The trigram LM is trained on the mixed corpus, so
+    * majority-language text scores fluent and other languages rank
+    * high on NLL: AUC quantifies exactly how separable they are.
+    *
+    * Exact Mann–Whitney with midranks, all integers: doubled ranks
+    * `2·minrank + ties − 1` keep tie-averaged ranks integral, and
+    * AUC_ppm = 10⁶·(Σdr⁺ − n⁺(n⁺+1)) div (2·n⁺·n⁻) — a rank-sum,
+    * not a trapezoid sweep, so no float accumulation anywhere.
+    * Ranking costs one global sort of (score, label) PAIRS — eval
+    * sets are sample-bounded by design (score on the corpus, AUC on
+    * a labeled sample); per-group AUC would partition the same
+    * windows. */
+  def q196ScoreAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    aucOf(q125LmScore(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+      .select($"avg_nll_micro".as("score"),
+        when($"lang" =!= "en", 1L).otherwise(0L).as("label")))
+  }
+
+  /** Mann–Whitney AUC on any (score BIGINT, label 0/1) frame —
+    * separated so the spec can plant perfect, inverted, and random
+    * separations. */
+  private[ops] def aucOf(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("dr",
+        lit(2) * rank().over(Window.orderBy($"score")) +
+          count(lit(1)).over(Window.partitionBy($"score")) - 1)
+      .agg(
+        sum(when($"label" === 1L, $"dr").otherwise(0L)).as("sr2"),
+        sum($"label").as("np"), count(lit(1)).as("n"))
+      .select($"np".as("n_pos"), ($"n" - $"np").as("n_neg"),
+        expr("(1000000 * (sr2 - np * (np + 1))) div (2 * np * (n - np))")
+          .as("auc_ppm"))
+  }
+
+  private val q196Oracle =
+    s"""WITH lm_scored AS (${q125Oracle.replace("ORDER BY d.doc_id", "")}),
+       |sl AS (
+       |  SELECT s.avg_nll_micro AS score,
+       |    CASE WHEN d.lang <> 'en' THEN 1 ELSE 0 END AS label
+       |  FROM lm_scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT label,
+       |    CAST(2 * rank() OVER (ORDER BY score)
+       |      + count(*) OVER (PARTITION BY score) - 1 AS BIGINT) AS dr
+       |  FROM sl),
+       |agg AS (
+       |  SELECT CAST(sum(CASE WHEN label = 1 THEN dr ELSE 0 END) AS BIGINT)
+       |      AS sr2,
+       |    CAST(sum(label) AS BIGINT) AS np, CAST(count(*) AS BIGINT) AS n
+       |  FROM r)
+       |SELECT np AS n_pos, n - np AS n_neg,
+       |  CAST((1000000 * (sr2 - np * (np + 1))) // (2 * np * (n - np))
+       |    AS BIGINT) AS auc_ppm
+       |FROM agg""".stripMargin
+
   // ---------------------------------------------------------------- q193
   /** Source-concentration report: every source ranked by document
     * count with its cumulative share banded head (first half of the
@@ -2116,6 +2181,7 @@ object TextOps {
     "q175_vol_median"  -> (q175VolMedian _),
     "q176_coverage_matrix" -> (q176CoverageMatrix _),
     "q193_source_concentration" -> (q193SourceConcentration _),
+    "q196_score_auc"   -> (q196ScoreAuc _),
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
     "q78_inverted_index"      -> (q78InvertedIndex _),
@@ -2159,6 +2225,7 @@ object TextOps {
     "q175_vol_median"  -> q175Oracle,
     "q176_coverage_matrix" -> q176Oracle,
     "q193_source_concentration" -> q193Oracle,
+    "q196_score_auc"   -> q196Oracle,
     "q60_text_stats"          -> q60Oracle,
     "q61_lang_id"             -> q61Oracle,
     "q73_tfidf"               -> q73Oracle,

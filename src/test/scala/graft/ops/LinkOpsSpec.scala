@@ -135,4 +135,22 @@ class LinkOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((1L, 2L, 3L, 2L)))
   }
+
+  test("q195 recs: cosine ranking demotes the bestseller raw counts favor") {
+    import spark.implicits._
+    // item 1 pairs with bestseller 9 in 2 of many baskets, and with
+    // niche item 2 in its only 2 baskets: raw counts tie (2 = 2), but
+    // cosine prefers the niche affinity (sup(2)=2 << sup(9)=6)
+    val items = Seq(
+      (1L, 1L), (1L, 2L), (1L, 9L),
+      (2L, 1L), (2L, 2L), (2L, 9L),
+      (3L, 9L), (4L, 9L), (5L, 9L), (6L, 9L),
+    ).toDF("ok", "pk")
+    val got = LinkOps.itemRecsOf(items).collect()
+      .map(r => (r.getLong(0), r.getLong(4)) -> r.getLong(1)).toMap
+    // item 1, rank 1 must be the niche item 2, not bestseller 9:
+    // cos2(1,2) = 1e6*4/(2*2) = 1e6; cos2(1,9) = 1e6*4/(2*6) = 333333
+    assert(got((1L, 1L)) == 2L)
+    assert(got((1L, 2L)) == 9L)
+  }
 }

@@ -857,4 +857,19 @@ class TextOpsSpec extends SparkSuite {
     val byRank = rows.sortBy(_._3).map(_._2)
     assert(byRank.sameElements(byRank.sorted.reverse))
   }
+
+  test("q196 AUC: perfect, inverted, and tie-degenerate cases exact") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long)]): Long =
+      TextOps.aucOf(rows.toDF("score", "label")).collect()(0).getLong(2)
+    // positives strictly above negatives: AUC = 1
+    assert(auc(Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L))) == 1000000L)
+    // inverted scorer: AUC = 0
+    assert(auc(Seq((1L, 1L), (2L, 1L), (9L, 0L), (10L, 0L))) == 0L)
+    // all scores tied: midranks make AUC exactly 1/2
+    assert(auc(Seq((5L, 1L), (5L, 1L), (5L, 0L), (5L, 0L))) == 500000L)
+    // hand-computed mixed case: scores 1..4, labels 0,1,0,1 ->
+    // U = 3 of 4 pairs correct -> 750000
+    assert(auc(Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L))) == 750000L)
+  }
 }
