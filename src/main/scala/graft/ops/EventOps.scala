@@ -1285,6 +1285,73 @@ object EventOps {
       |  CAST((1000000 * (k * sn2 - sn * sn)) // (k * sn) AS BIGINT) AS fano_ppm
       |FROM s ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q197
+  /** Activity-interval length (µs) for q197: each event keeps its
+    * user "online" for five minutes. */
+  val activityUs: Long = 5L * 60 * 1000000
+
+  /** Interval-union coverage: each event opens a [ts, ts+5 min)
+    * activity interval; per user, merge every overlapping interval
+    * and report the merged-interval count and total COVERED time —
+    * the usage/billing metric naive `n_events × 5 min` over-counts
+    * whenever activity overlaps (it always does). This is the
+    * gaps-and-islands technique: an interval starts a new island iff
+    * its start exceeds the running MAX of all previous ends (not
+    * `lag(en)` — an interval fully inside an earlier long one must
+    * not split the island), islands = running sum of those breaks,
+    * then one aggregate per island. One shuffle on user_id; both
+    * windows and the final per-user rollup ride the same partition.
+    * Exact integer µs end to end. */
+  def q197IntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    intervalCoverageOf(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("st"),
+        (unix_micros($"ts") + activityUs).as("en")))
+  }
+
+  /** The union on any (user_id, st, en) interval frame — separated
+    * so the spec can plant nested, chained, and disjoint intervals. */
+  private[ops] def intervalCoverageOf(iv: DataFrame): DataFrame = {
+    val s = iv.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wPrev = Window.partitionBy($"user_id").orderBy($"st", $"en")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"user_id").orderBy($"st", $"en")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("brk",
+        when($"st" > max($"en").over(wPrev), 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(wRun))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"st").as("ist"), max($"en").as("ien"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"ien" - $"ist").as("covered_us"))
+      .orderBy($"user_id")
+  }
+
+  private val q197Oracle =
+    s"""WITH iv AS (
+       |  SELECT user_id, epoch_us(ts) AS st,
+       |    epoch_us(ts) + $activityUs AS en
+       |  FROM events),
+       |o AS (
+       |  SELECT *, CASE WHEN st > max(en) OVER (PARTITION BY user_id
+       |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM iv),
+       |g AS (
+       |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+       |  FROM o),
+       |m AS (
+       |  SELECT user_id, grp, min(st) AS st, max(en) AS en
+       |  FROM g GROUP BY 1, 2)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       |  CAST(sum(en - st) AS BIGINT) AS covered_us
+       |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -1295,6 +1362,7 @@ object EventOps {
     "q189_frequent_paths"   -> (q189FrequentPaths _),
     "q190_cohort_ltv"       -> (q190CohortLtv _),
     "q192_burstiness_fano"  -> (q192BurstinessFano _),
+    "q197_interval_coverage" -> (q197IntervalCoverage _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -1319,6 +1387,7 @@ object EventOps {
     "q189_frequent_paths"   -> q189Oracle,
     "q190_cohort_ltv"       -> q190Oracle,
     "q192_burstiness_fano"  -> q192Oracle,
+    "q197_interval_coverage" -> q197Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

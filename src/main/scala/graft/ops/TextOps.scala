@@ -2121,6 +2121,101 @@ object TextOps {
        |    AS BIGINT) AS auc_ppm
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- q198
+  /** Frequency floor for q198's capped vocabulary (q105's pruning
+    * discipline at a tighter budget). */
+  val oovVocabFloor = 20
+
+  /** Out-of-vocabulary coverage audit: build a frequency-capped
+    * vocabulary from the training split (even doc ids — q91's
+    * convention), then measure per-language OOV token rates on the
+    * held-out split — the tokenizer/vocab QA every multilingual
+    * pipeline runs before committing to a vocab budget, because OOV
+    * cost is never uniform across languages (the report that
+    * catches "the 32k vocab is fine on average and terrible for
+    * zh"). Training tokens reduce to a vocab relation (hash agg +
+    * HAVING); the held-out side LEFT-joins it on the token — at
+    * scale the vocab is budget-bounded and broadcasts. Exact
+    * integer counts and ppm rates. */
+  def q198OovCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documentsSpread(s, dir)
+    val vocab = docs.where($"doc_id" % 2 === 0)
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .where($"c" >= oovVocabFloor)
+      .select($"tok", lit(1).as("known"))
+    docs.where($"doc_id" % 2 === 1)
+      .select($"lang", explode(split(lower($"text"), " ")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"known".isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select($"lang", $"n_tokens", $"n_oov",
+        expr("(1000000 * n_oov) div n_tokens").as("oov_ppm"))
+      .orderBy($"lang")
+  }
+
+  private val q198Oracle =
+    s"""WITH tr AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |vocab AS (
+       |  SELECT tok FROM tr GROUP BY tok HAVING count(*) >= $oovVocabFloor),
+       |ev AS (
+       |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents WHERE doc_id % 2 = 1)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST((1000000 * sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS oov_ppm
+       |FROM ev LEFT JOIN vocab USING (tok)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q199
+  /** Calibration (reliability) bins for the q125 LM score as a
+    * non-English detector — q196 says HOW SEPARABLE (one AUC
+    * number); this says WHERE the score is trustworthy: docs
+    * bucketed into score deciles under a total order, each decile's
+    * observed positive rate in ppm. A monotone rate curve means the
+    * score orders risk correctly even where it is miscalibrated;
+    * flat segments tell a gating pipeline which score range is
+    * uninformative. Integer counts/ppm; decile cut = ntile over
+    * (score, doc_id) — the q167 hash-stable-tertile device at a
+    * finer grain. */
+  def q199CalibrationBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    q125LmScore(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"avg_nll_micro",
+        when($"lang" =!= "en", 1L).otherwise(0L).as("pos"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy($"avg_nll_micro", $"doc_id"))
+          .cast("long"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+        min($"avg_nll_micro").as("score_lo"),
+        max($"avg_nll_micro").as("score_hi"))
+      .select($"decile", $"n", $"score_lo", $"score_hi", $"n_pos",
+        expr("(1000000 * n_pos) div n").as("pos_ppm"))
+      .orderBy($"decile")
+  }
+
+  private val q199Oracle =
+    s"""WITH lm_scored AS (${q125Oracle.replace("ORDER BY d.doc_id", "")}),
+       |sl AS (
+       |  SELECT s.doc_id, s.avg_nll_micro,
+       |    CASE WHEN d.lang <> 'en' THEN 1 ELSE 0 END AS pos,
+       |    ntile(10) OVER (ORDER BY s.avg_nll_micro, s.doc_id) AS decile
+       |  FROM lm_scored s JOIN documents d ON s.doc_id = d.doc_id)
+       |SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n,
+       |  min(avg_nll_micro) AS score_lo, max(avg_nll_micro) AS score_hi,
+       |  CAST(sum(pos) AS BIGINT) AS n_pos,
+       |  CAST((1000000 * sum(pos)) // count(*) AS BIGINT) AS pos_ppm
+       |FROM sl GROUP BY decile ORDER BY decile""".stripMargin
+
   // ---------------------------------------------------------------- q193
   /** Source-concentration report: every source ranked by document
     * count with its cumulative share banded head (first half of the
@@ -2182,6 +2277,8 @@ object TextOps {
     "q176_coverage_matrix" -> (q176CoverageMatrix _),
     "q193_source_concentration" -> (q193SourceConcentration _),
     "q196_score_auc"   -> (q196ScoreAuc _),
+    "q198_oov_coverage" -> (q198OovCoverage _),
+    "q199_calibration_bins" -> (q199CalibrationBins _),
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
     "q78_inverted_index"      -> (q78InvertedIndex _),
@@ -2226,6 +2323,8 @@ object TextOps {
     "q176_coverage_matrix" -> q176Oracle,
     "q193_source_concentration" -> q193Oracle,
     "q196_score_auc"   -> q196Oracle,
+    "q198_oov_coverage" -> q198Oracle,
+    "q199_calibration_bins" -> q199Oracle,
     "q60_text_stats"          -> q60Oracle,
     "q61_lang_id"             -> q61Oracle,
     "q73_tfidf"               -> q73Oracle,

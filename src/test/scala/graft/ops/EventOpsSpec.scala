@@ -463,4 +463,36 @@ class EventOpsSpec extends SparkSuite {
       assert(got(t) == ((k, sn, 1000000L * (k * sn2 - sn * sn) / (k * sn))), t)
     }
   }
+
+  test("q197 islands: nested, chained, and disjoint intervals merge exactly") {
+    import spark.implicits._
+    val iv = Seq(
+      // user 1: [0,100) contains [10,20); [90,150) chains; [300,400) apart
+      (1L, 0L, 100L), (1L, 10L, 20L), (1L, 90L, 150L), (1L, 300L, 400L),
+      // user 2: back-to-back [0,50)[50,100) touch -> one island (st > en
+      // is strict, equality merges)
+      (2L, 0L, 50L), (2L, 50L, 100L),
+    ).toDF("user_id", "st", "en")
+    val got = EventOps.intervalCoverageOf(iv).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 250L)))  // [0,150) + [300,400)
+    assert(got(2L) == ((1L, 100L)))
+  }
+
+  test("q197 fixture: coverage never exceeds the naive event x window bound") {
+    import spark.implicits._
+    val rows = EventOps.q197IntervalCoverage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val perUser = graft.Tables.events(spark, sf0001)
+      .groupBy($"user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (u, nIv, cov) =>
+      assert(cov <= perUser(u) * EventOps.activityUs)
+      assert(cov >= EventOps.activityUs && nIv >= 1)
+      // merging implies strictly fewer intervals than events unless
+      // every event is isolated
+      assert(nIv <= perUser(u))
+    }
+  }
 }

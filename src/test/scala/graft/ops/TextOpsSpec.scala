@@ -872,4 +872,35 @@ class TextOpsSpec extends SparkSuite {
     // U = 3 of 4 pairs correct -> 750000
     assert(auc(Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L))) == 750000L)
   }
+
+  test("q198 OOV: both branches fire on the fixture and rates re-derive") {
+    val rows = TextOps.q198OovCoverage(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, oov, ppm) =>
+      assert(oov >= 0 && oov <= n)
+      assert(ppm == 1000000L * oov / n)
+    }
+    // a capped vocab must leave SOME held-out token uncovered while
+    // still covering the bulk
+    assert(rows.map(_._3).sum > 0, "no OOV at all: floor too low to test")
+    assert(rows.map(_._3).sum * 10 < rows.map(_._2).sum, "OOV majority: floor broken")
+  }
+
+  test("q199 calibration: deciles partition, rates re-derive, ranges ordered") {
+    val rows = TextOps.q199CalibrationBins(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val total = graft.Tables.documents(spark, sf0001).count()
+    assert(rows.map(_._2).sum == total)
+    rows.foreach { case (_, n, lo, hi, np, ppm) =>
+      assert(lo <= hi && np <= n && ppm == 1000000L * np / n)
+    }
+    // decile score ranges are non-decreasing across bins
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3 || a._4 <= b._4)
+      case _ =>
+    }
+  }
 }
