@@ -545,6 +545,148 @@ object LinkOps {
        |SELECT item, rec, pn, cos2_ppm, CAST(rn AS BIGINT) AS rnk
        |FROM rk WHERE rn <= $recTopK ORDER BY item, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+  /** Core order for q200: the sf0.01 co-purchase graph peels 143
+    * nodes over 5 rounds at k = 80 and keeps an 1857-node core —
+    * both branches live. */
+  val kCoreK = 80
+
+  /** Peeling rounds. The fixture reaches fixpoint in 5; the margin
+    * rounds are no-ops (peeling is idempotent at fixpoint, so extra
+    * rounds cannot change the result — which is what lets BOTH the
+    * Spark loop and the unrolled oracle run a FIXED count and stay
+    * hash-identical). A production run at unknown depth uses q79's
+    * per-round convergence count instead of a fixed budget. */
+  val kCoreRounds = 8
+
+  /** k-core decomposition by iterative peeling: repeatedly delete
+    * every node with fewer than k neighbors INSIDE the surviving
+    * set; what remains is the maximal subgraph of minimum degree k —
+    * the standard densest-region filter (spam/bot-ring isolation,
+    * community scaffolding) that a plain degree threshold gets
+    * wrong: deleting one weak node weakens its neighbors, so the
+    * filter must cascade (the spec plants a chain that a one-shot
+    * threshold keeps but peeling correctly removes).
+    *
+    * Working-set discipline: edges are built once and checkpointed;
+    * each round restricts them to the alive set with two semi joins
+    * (id-only), recounts degrees, and keeps nodes with deg ≥ k. All
+    * loop state is node-id cardinality. Output: the core's members
+    * with their in-core degrees. */
+  def q200Kcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kcoreOf(coEdges(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))), kCoreK)
+      .withColumnRenamed("node", "p_partkey")
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Peeling on any (u, v) undirected edge frame — separated so the
+    * spec can plant a clique-plus-chain where one-shot thresholding
+    * and peeling disagree. */
+  private[ops] def kcoreOf(edgesIn: DataFrame, k: Int): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.select($"u", $"v")
+      .unionAll(edgesIn.select($"v".as("u"), $"u".as("v")))
+      .localCheckpoint(true)
+    var alive = edges.select($"u".as("node")).distinct().localCheckpoint(true)
+    var deg: DataFrame = null
+    (1 to kCoreRounds).foreach { _ =>
+      val prev = alive
+      val live = edges
+        .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      deg = live.groupBy($"u".as("node")).agg(count(lit(1)).as("core_degree"))
+      alive = deg.where($"core_degree" >= k).select($"node").localCheckpoint(true)
+      prev.unpersist(blocking = false)
+    }
+    val out = deg.where($"core_degree" >= k)
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  private val q200Oracle = {
+    val rounds = (1 to kCoreRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+         |  FROM e2
+         |  WHERE u IN (SELECT node FROM a${i - 1})
+         |    AND v IN (SELECT node FROM a${i - 1})
+         |  GROUP BY 1),
+         |a$i AS (SELECT node FROM d$i WHERE core_degree >= $kCoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |e2 AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+       |a0 AS (SELECT DISTINCT u AS node FROM e2),
+       |$rounds
+       |SELECT node AS p_partkey, core_degree FROM d$kCoreRounds
+       |WHERE core_degree >= $kCoreK ORDER BY p_partkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q201
+  /** Alternating HITS rounds for q201 (each = one hub pass + one
+    * authority pass). */
+  val hitsRounds = 3
+
+  /** HITS hubs-and-authorities on the order—part BIPARTITE graph:
+    * an order is a good hub if it contains authoritative parts, a
+    * part authoritative if good hubs contain it — the mutual
+    * reinforcement that separates "appears in big diverse baskets"
+    * from raw purchase count (q122's PageRank ranks a projected
+    * unipartite graph; HITS ranks the two sides of the bipartite
+    * structure directly, with no edge-projection blowup). Scores
+    * live on a 2¹⁰ integer grid, re-normalized by the side's max
+    * after every half-step (q188's discipline) — every pass is one
+    * broadcast join + map-side-combining agg over the edge list,
+    * with score tables at node cardinality, and the whole model is
+    * integer-exact so the oracle unrolls the identical half-steps. */
+  def q201HitsAuthority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().localCheckpoint(true)
+    var auth = edges.select($"pk").distinct()
+      .select($"pk", lit(1024L).as("av"))
+    (1 to hitsRounds).foreach { _ =>
+      val h = edges.join(broadcast(auth), "pk")
+        .groupBy($"ok").agg(sum($"av").as("hv"))
+      val hm = h.agg(max($"hv").as("m"))
+      val hn = h.crossJoin(broadcast(hm))
+        .select($"ok", expr("(hv * 1024) div m").as("hv"))
+      val a = edges.join(broadcast(hn), "ok")
+        .groupBy($"pk").agg(sum($"hv").as("av"))
+      val am = a.agg(max($"av").as("m"))
+      auth = a.crossJoin(broadcast(am))
+        .select($"pk", expr("(av * 1024) div m").as("av"))
+    }
+    val out = auth.select($"pk".as("p_partkey"), $"av".as("authority_grid"))
+      .orderBy($"p_partkey")
+    edges.unpersist(blocking = false)
+    out
+  }
+
+  private val q201Oracle = {
+    val rounds = (1 to hitsRounds).map { i =>
+      s"""h$i AS (
+         |  SELECT ok, CAST(sum(av) AS BIGINT) AS hv
+         |  FROM ed JOIN a${i - 1} USING (pk) GROUP BY 1),
+         |hm$i AS (SELECT max(hv) AS m FROM h$i),
+         |hn$i AS (SELECT ok, (hv * 1024) // m AS hv FROM h$i, hm$i),
+         |ar$i AS (
+         |  SELECT pk, CAST(sum(hv) AS BIGINT) AS av
+         |  FROM ed JOIN hn$i USING (ok) GROUP BY 1),
+         |am$i AS (SELECT max(av) AS m FROM ar$i),
+         |a$i AS (SELECT pk, (av * 1024) // m AS av FROM ar$i, am$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |a0 AS (SELECT DISTINCT pk, CAST(1024 AS BIGINT) AS av FROM ed),
+       |$rounds
+       |SELECT pk AS p_partkey, CAST(av AS BIGINT) AS authority_grid
+       |FROM a$hitsRounds ORDER BY p_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q132_entity_match"    -> (q132EntityMatch _),
     "q136_triangle_counts" -> (q136TriangleCounts _),
@@ -553,6 +695,8 @@ object LinkOps {
     "q159_bfs_hops"        -> (q159BfsHops _),
     "q187_frequent_triples" -> (q187FrequentTriples _),
     "q195_item_recs"       -> (q195ItemRecs _),
+    "q200_kcore"           -> (q200Kcore _),
+    "q201_hits_authority"  -> (q201HitsAuthority _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -563,5 +707,7 @@ object LinkOps {
     "q159_bfs_hops"        -> q159Oracle,
     "q187_frequent_triples" -> q187Oracle,
     "q195_item_recs"       -> q195Oracle,
+    "q200_kcore"           -> q200Oracle,
+    "q201_hits_authority"  -> q201Oracle,
   )
 }

@@ -153,4 +153,33 @@ class LinkOpsSpec extends SparkSuite {
     assert(got((1L, 1L)) == 2L)
     assert(got((1L, 2L)) == 9L)
   }
+
+  test("q200 peeling cascades where one-shot thresholding would not") {
+    import spark.implicits._
+    // K4 clique {1,2,3,4} plus chain 4-5-6: with k=2, node 6 (deg 1)
+    // peels first, then 5 (its degree FALLS to 1) - a one-shot
+    // threshold keeps 5 (initial deg 2). Core = the clique.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L),
+    ).toDF("u", "v")
+    val got = LinkOps.kcoreOf(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("q201 HITS: determinism and the max-authority anchor") {
+    val a = LinkOps.q201HitsAuthority(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = LinkOps.q201HitsAuthority(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    // grid normalization anchors the max at exactly 1024 and keeps
+    // every score within the grid
+    assert(a.map(_._2).max == 1024L)
+    assert(a.forall { case (_, s) => s >= 0L && s <= 1024L })
+    // mutual reinforcement produces genuine spread, not a constant
+    assert(a.map(_._2).distinct.length > 10)
+  }
 }
