@@ -1352,6 +1352,105 @@ object EventOps {
        |  CAST(sum(en - st) AS BIGINT) AS covered_us
        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q202
+  /** Exact Gini coefficient of event value per type — the inequality
+    * summary behind "do a few whales carry this revenue?" (q193's
+    * HHI measures SOURCE concentration; Gini measures the VALUE
+    * distribution's own skew). Closed rank form on exact integers:
+    * G = (2·Σi·xᵢ − (n+1)·Σx) ∕ (n·Σx) over ascending-sorted values
+    * — one rank window + one aggregate, no pairwise |xᵢ−xⱼ| blowup.
+    * Values quantize to CENTS (not micros): Gini is scale-invariant,
+    * and the coarser grid keeps 10⁶·Σi·x inside BIGINT at much
+    * larger n (headroom to ~10⁷ rows/group at this value range; a
+    * bigger deployment re-grids, same property). Duplicate values
+    * get arbitrary distinct ranks — the rank SUM over a tie block is
+    * order-independent, so the statistic is deterministic anyway. */
+  def q202Gini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"x")
+    Tables.events(s, dir)
+      .select($"event_type", expr("CAST(round(value * 100D) AS BIGINT)").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"i" * $"x").as("six"))
+      .select($"event_type", $"n",
+        expr("(1000000 * (2 * six - (n + 1) * sx)) div (n * sx)").as("gini_ppm"))
+      .orderBy($"event_type")
+  }
+
+  private val q202Oracle =
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events),
+      |r AS (
+      |  SELECT event_type, x,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY x) AS BIGINT)
+      |      AS i
+      |  FROM v),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(i * x) AS BIGINT) AS six
+      |  FROM r GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST((1000000 * (2 * six - (n + 1) * sx)) // (n * sx) AS BIGINT)
+      |    AS gini_ppm
+      |FROM s ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q203
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the
+    * month's first and second half: D = max |F̂₁(x) − F̂₂(x)| in ppm
+    * — the distribution-shape drift test that catches what q115's
+    * binned PSI smooths away (PSI needs a bin grid; KS compares the
+    * FULL empirical CDFs, sensitive to any quantile shift). Exact
+    * integers end to end: both CDFs ride ONE value-ordered RANGE
+    * window (peers included, so the CDF is evaluated exactly AT each
+    * value in both engines), and the sup-difference cross-multiplies
+    * |ca·n_b − cb·n_a| instead of dividing — no float CDF anywhere.
+    * One sort-shuffle of (half, value) pairs; the two-pass
+    * alternative (per-sample CDFs then merge) shuffles twice for no
+    * benefit. */
+  def q203KsDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.events(s, dir)
+      .select(
+        when(dayofmonth($"ts") <= 15, 0L).otherwise(1L).as("half"),
+        expr("CAST(round(value * 1000000D) AS BIGINT)").as("x"))
+    val tot = v.agg(
+      sum(when($"half" === 0L, 1L).otherwise(0L)).as("na"),
+      sum(when($"half" === 1L, 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy($"x")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    v.withColumn("ca", sum(when($"half" === 0L, 1L).otherwise(0L)).over(w))
+      .withColumn("cb", sum(when($"half" === 1L, 1L).otherwise(0L)).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max($"na").as("n_a"), max($"nb").as("n_b"),
+        max(abs($"ca" * $"nb" - $"cb" * $"na")).as("dmax"))
+      .select($"n_a", $"n_b",
+        expr("(1000000 * dmax) div (n_a * n_b)").as("ks_ppm"))
+  }
+
+  private val q203Oracle =
+    """WITH v AS (
+      |  SELECT CASE WHEN extract(day FROM ts) <= 15 THEN 0 ELSE 1 END AS half,
+      |    CAST(round(value * 1000000) AS BIGINT) AS x
+      |  FROM events),
+      |n AS (
+      |  SELECT CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM v),
+      |c AS (
+      |  SELECT x,
+      |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY x RANGE UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY x RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cb
+      |  FROM v)
+      |SELECT max(n.na) AS n_a, max(n.nb) AS n_b,
+      |  CAST((1000000 * max(abs(ca * nb - cb * na))) // (max(n.na) * max(n.nb))
+      |    AS BIGINT) AS ks_ppm
+      |FROM c, n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -1363,6 +1462,8 @@ object EventOps {
     "q190_cohort_ltv"       -> (q190CohortLtv _),
     "q192_burstiness_fano"  -> (q192BurstinessFano _),
     "q197_interval_coverage" -> (q197IntervalCoverage _),
+    "q202_gini"             -> (q202Gini _),
+    "q203_ks_drift"         -> (q203KsDrift _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -1388,6 +1489,8 @@ object EventOps {
     "q190_cohort_ltv"       -> q190Oracle,
     "q192_burstiness_fano"  -> q192Oracle,
     "q197_interval_coverage" -> q197Oracle,
+    "q202_gini"             -> q202Oracle,
+    "q203_ks_drift"         -> q203Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,
