@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1451,6 +1451,154 @@ object EventOps {
       |    AS BIGINT) AS ks_ppm
       |FROM c, n""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+  /** Conversion window (µs) for q204. */
+  val conversionWindowUs: Long = 3600L * 1000000
+
+  /** View→purchase conversion rate per day: of each day's views, how
+    * many were followed by a purchase from the same user within one
+    * hour — q178/q117 attribute a purchase BACKWARD to its touches;
+    * this measures FORWARD from the exposure, which is the number an
+    * experiment reads (conversion of views, not provenance of
+    * purchases). Forward as-of without an interval join: one
+    * DESCENDING per-user window carries the nearest LATER purchase
+    * time onto every event (`last(_, ignoreNulls)` over rows
+    * strictly before the current one in the descending order — the
+    * exact mirror of q117's backward carry), then the conversion
+    * test and daily rate are projections. Same-µs purchase: the
+    * (tus, event_id) descending total order places a same-instant
+    * purchase with a HIGHER event id "later", so it converts —
+    * deterministic in both engines. */
+  def q204ConversionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .where($"event_type".isin("view", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        $"event_type", to_date($"ts").as("day"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"tus".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("next_p",
+        last(when($"event_type" === "purchase", $"tus"), ignoreNulls = true)
+          .over(w))
+      .where($"event_type" === "view")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_views"),
+        sum(when($"next_p".isNotNull &&
+          $"next_p" - $"tus" <= conversionWindowUs, 1L).otherwise(0L))
+          .as("n_converted"))
+      .select($"day", $"n_views", $"n_converted",
+        expr("(1000000 * n_converted) div n_views").as("conv_ppm"))
+      .orderBy($"day")
+  }
+
+  private val q204Oracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+       |    CAST(date_trunc('day', ts) AS DATE) AS day
+       |  FROM events WHERE event_type IN ('view', 'purchase')),
+       |c AS (
+       |  SELECT *, last(CASE WHEN event_type = 'purchase' THEN tus END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_p
+       |  FROM ev)
+       |SELECT day, CAST(count(*) AS BIGINT) AS n_views,
+       |  CAST(sum(CASE WHEN next_p IS NOT NULL
+       |    AND next_p - tus <= $conversionWindowUs THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_converted,
+       |  CAST((1000000 * sum(CASE WHEN next_p IS NOT NULL
+       |    AND next_p - tus <= $conversionWindowUs THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS conv_ppm
+       |FROM c WHERE event_type = 'view'
+       |GROUP BY day ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q205
+  /** Resample count for q205 (the 2nd/31st order statistics of 32
+    * resample means bracket a ~94% interval). */
+  val bootResamples = 32
+
+  /** Quantized Poisson(1) CDF in ppm — the per-(resample, row)
+    * weight distribution of the POISSON bootstrap, the variant that
+    * distributes: classic resampling draws n rows WITH replacement
+    * (a global, coordination-heavy operation), while Poisson(1)
+    * weights are independent per row, so every resample is a pure
+    * projection over one scan. ONE constant table interpolated into
+    * both engines (q162's discipline). */
+  val poissonCdfPpm: Seq[(Int, Long)] = Seq(
+    0 -> 367879L, 1 -> 735759L, 2 -> 919699L, 3 -> 981012L,
+    4 -> 996340L, 5 -> 999406L, 6 -> 999917L, 7 -> 1000000L)
+
+  /** Bootstrap confidence interval for mean purchase value via the
+    * Poisson bootstrap: [[bootResamples]] deterministic resamples
+    * (md5 per (resample, row) → inverse-CDF Poisson weight), each
+    * mean an exact integer-weighted ratio, the interval the 2nd and
+    * 31st order statistics of the resample means. Error bars from
+    * the data itself with NO distributional assumption — and the
+    * whole machine is hash-reproducible, so "the CI of this metric"
+    * is itself a regression-checkable artifact. Cost: resamples ×
+    * rows weight projections over one scan, reduced by a
+    * map-side-combining agg to `bootResamples` rows; no shuffle ever
+    * carries more than (resample, partial sums). */
+  def q205BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.events(s, dir).where($"event_type" === "purchase")
+      .select($"event_id", expr("CAST(round(value * 1000000D) AS BIGINT)").as("x"))
+    val point = v.agg(count(lit(1)).as("n"),
+      expr("CAST(sum(x) AS BIGINT) div count(1)").as("point_mean_micro"))
+    val wt = poissonCdfPpm.init.foldRight(lit(poissonCdfPpm.last._1): Column) {
+      case ((k, thr), acc) => when($"u" < thr, k).otherwise(acc)
+    }
+    val means = v
+      .crossJoin(s.range(bootResamples).select($"id".as("bi")))
+      .withColumn("u", conv(substring(md5(concat(lit("boot:"),
+        $"bi".cast("string"), lit(":"), $"event_id".cast("string"))),
+        1, 5), 16, 10).cast("long") % 1000000L)
+      .withColumn("wt", wt.cast("long"))
+      .groupBy($"bi")
+      .agg(expr("CAST(sum(wt * x) AS BIGINT) div CAST(sum(wt) AS BIGINT)")
+        .as("mean_micro"))
+      .withColumn("rn", row_number().over(Window.orderBy($"mean_micro")))
+    val lo = means.where($"rn" === 2).select($"mean_micro".as("ci_lo_micro"))
+    val hi = means.where($"rn" === bootResamples - 1)
+      .select($"mean_micro".as("ci_hi_micro"))
+    point.crossJoin(lo).crossJoin(hi)
+  }
+
+  private val q205Oracle = {
+    val cases = poissonCdfPpm.init
+      .map { case (k, thr) => s"WHEN u < $thr THEN $k" }.mkString(" ")
+    s"""WITH v AS (
+       |  SELECT event_id, CAST(round(value * 1000000) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase'),
+       |b AS (SELECT r.range AS bi FROM range($bootResamples) r),
+       |w AS (
+       |  SELECT bi, x, CASE $cases ELSE ${poissonCdfPpm.last._1} END AS wt
+       |  FROM (
+       |    SELECT bi, x,
+       |      ('0x' || substr(md5('boot:' || CAST(bi AS VARCHAR) || ':'
+       |        || CAST(event_id AS VARCHAR)), 1, 5))::BIGINT % 1000000 AS u
+       |    FROM v, b)),
+       |m AS (
+       |  SELECT bi, CAST(sum(wt * x) AS BIGINT) // CAST(sum(wt) AS BIGINT)
+       |    AS mean_micro
+       |  FROM w GROUP BY bi),
+       |r AS (
+       |  SELECT mean_micro, row_number() OVER (ORDER BY mean_micro) AS rn
+       |  FROM m),
+       |p AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) // count(*) AS point_mean_micro
+       |  FROM v)
+       |SELECT p.n, p.point_mean_micro,
+       |  (SELECT mean_micro FROM r WHERE rn = 2) AS ci_lo_micro,
+       |  (SELECT mean_micro FROM r WHERE rn = ${bootResamples - 1})
+       |    AS ci_hi_micro
+       |FROM p""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -1464,6 +1612,8 @@ object EventOps {
     "q197_interval_coverage" -> (q197IntervalCoverage _),
     "q202_gini"             -> (q202Gini _),
     "q203_ks_drift"         -> (q203KsDrift _),
+    "q204_conversion_window" -> (q204ConversionWindow _),
+    "q205_bootstrap_ci"     -> (q205BootstrapCi _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -1491,6 +1641,8 @@ object EventOps {
     "q197_interval_coverage" -> q197Oracle,
     "q202_gini"             -> q202Oracle,
     "q203_ks_drift"         -> q203Oracle,
+    "q204_conversion_window" -> q204Oracle,
+    "q205_bootstrap_ci"     -> q205Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

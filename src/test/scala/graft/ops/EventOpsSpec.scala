@@ -536,4 +536,40 @@ class EventOpsSpec extends SparkSuite {
     }.max
     assert(ks == 1000000L * dmax / (a.length.toLong * b.length))
   }
+
+  test("q204 conversion: planted convert/miss/same-instant cases") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val H = 3600L
+    def t(sec: Long) = new Timestamp(1704067200000L + sec * 1000L) // Jan 1 2024
+    val ev = Seq(
+      // user 1: view then purchase 30 min later -> converts
+      (1L, t(0), 1L, "view", 1.0),
+      (1L, t(1800), 2L, "purchase", 1.0),
+      // user 2: purchase 2h after the view -> no conversion
+      (2L, t(0), 3L, "view", 1.0),
+      (2L, t(2 * H), 4L, "purchase", 1.0),
+      // user 3: purchase at the SAME instant, higher event id -> converts
+      (3L, t(10), 5L, "view", 1.0),
+      (3L, t(10), 6L, "purchase", 1.0),
+      // user 4: purchase BEFORE the view only -> no conversion
+      (4L, t(100), 8L, "purchase", 1.0),
+      (4L, t(200), 9L, "view", 1.0),
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q204_").toString
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q204ConversionWindow(spark, tmp).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((4L, 2L))) // 4 views, users 1 and 3 convert
+  }
+
+  test("q205 bootstrap: CI brackets the point estimate, means replay") {
+    val r = EventOps.q205BootstrapCi(spark, sf0001).collect()(0)
+    val (n, mean, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n > 0 && lo <= hi)
+    // the ~94% interval almost surely brackets the point mean
+    assert(lo <= mean && mean <= hi, s"[$lo, $hi] vs $mean")
+    // width sanity: a few percent of the mean at n~2000, never zero
+    assert(hi - lo > 0 && (hi - lo) < mean / 2)
+  }
 }
