@@ -1599,6 +1599,80 @@ object EventOps {
        |FROM p""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q207
+  /** A/B experiment readout with χ² significance in EXACT integers:
+    * per-user success (any purchase above [[abSuccessValue]]) split
+    * by the parity arm, per-arm rates in ppm, signed lift, and a
+    * significance verdict from the 2×2 χ² test — evaluated as the
+    * cross-multiplied comparison 25·N·(ad−bc)² > 96·∏margins
+    * (χ² > 3.84 = 96∕25, the 5% critical value) so no float χ² is
+    * ever formed and the verdict is hash-stable. The parity split is
+    * a true null (no real treatment), so the expected verdict is
+    * NOT significant — which is exactly what an A/A-test readout
+    * should say; the spec plants a real effect and sees the verdict
+    * flip. Two map-side-combining aggregates (per-user, then 2×2);
+    * integer headroom to ~10⁶ users per arm at this formulation
+    * (wider deployments rescale the comparison). */
+  val abSuccessValue = 99.5
+
+  def q207AbReadout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    abReadoutOf(Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" &&
+        $"value" > abSuccessValue, 1L).otherwise(0L)).as("success"))
+      .select(($"user_id" % 2).as("arm"), $"success"))
+  }
+
+  /** The readout on any (arm 0/1, success 0/1) frame — separated so
+    * the spec can plant a genuine treatment effect. */
+  private[ops] def abReadoutOf(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    import s.implicits._
+    users
+      .agg(
+        sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0L, $"success").otherwise(0L)).as("s_a"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1L, $"success").otherwise(0L)).as("s_b"))
+      .select($"n_a", $"s_a", $"n_b", $"s_b",
+        expr("(1000000 * s_a) div n_a").as("rate_a_ppm"),
+        expr("(1000000 * s_b) div n_b").as("rate_b_ppm"),
+        (expr("(1000000 * s_b) div n_b") - expr("(1000000 * s_a) div n_a"))
+          .as("lift_ppm"),
+        expr("""25 * (n_a + n_b)
+          |  * (s_a * (n_b - s_b) - s_b * (n_a - s_a))
+          |  * (s_a * (n_b - s_b) - s_b * (n_a - s_a))
+          |  > 96 * n_a * n_b * (s_a + s_b)
+          |      * ((n_a - s_a) + (n_b - s_b))""".stripMargin)
+          .as("significant"))
+  }
+
+  private val q207Oracle =
+    s"""WITH u AS (
+       |  SELECT user_id % 2 AS arm,
+       |    max(CASE WHEN event_type = 'purchase' AND value > $abSuccessValue
+       |      THEN 1 ELSE 0 END) AS success
+       |  FROM events GROUP BY user_id),
+       |c AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN success ELSE 0 END) AS BIGINT) AS s_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN success ELSE 0 END) AS BIGINT) AS s_b
+       |  FROM u)
+       |SELECT n_a, s_a, n_b, s_b,
+       |  CAST((1000000 * s_a) // n_a AS BIGINT) AS rate_a_ppm,
+       |  CAST((1000000 * s_b) // n_b AS BIGINT) AS rate_b_ppm,
+       |  CAST((1000000 * s_b) // n_b - (1000000 * s_a) // n_a AS BIGINT)
+       |    AS lift_ppm,
+       |  25 * (n_a + n_b)
+       |    * (s_a * (n_b - s_b) - s_b * (n_a - s_a))
+       |    * (s_a * (n_b - s_b) - s_b * (n_a - s_a))
+       |  > 96 * n_a * n_b * (s_a + s_b) * ((n_a - s_a) + (n_b - s_b))
+       |    AS significant
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -1614,6 +1688,7 @@ object EventOps {
     "q203_ks_drift"         -> (q203KsDrift _),
     "q204_conversion_window" -> (q204ConversionWindow _),
     "q205_bootstrap_ci"     -> (q205BootstrapCi _),
+    "q207_ab_readout"       -> (q207AbReadout _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -1643,6 +1718,7 @@ object EventOps {
     "q203_ks_drift"         -> q203Oracle,
     "q204_conversion_window" -> q204Oracle,
     "q205_bootstrap_ci"     -> q205Oracle,
+    "q207_ab_readout"       -> q207Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

@@ -2082,22 +2082,28 @@ object TextOps {
   }
 
   /** Mann–Whitney AUC on any (score BIGINT, label 0/1) frame —
-    * separated so the spec can plant perfect, inverted, and random
-    * separations. */
-  private[ops] def aucOf(scored: DataFrame): DataFrame = {
+    * optionally PER SLICE (`grpCols`): ranking windows partition by
+    * the slice, so each slice's AUC is independent and the global
+    * sort becomes per-slice sorts. Separated so the spec can plant
+    * perfect, inverted, and random separations. */
+  private[ops] def aucOf(scored: DataFrame,
+      grpCols: Seq[String] = Nil): DataFrame = {
     val s = scored.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    scored
+    val g = grpCols.map(col)
+    val wRank = Window.partitionBy(g: _*).orderBy($"score")
+    val wTies = Window.partitionBy(g :+ $"score": _*)
+    val agged = scored
       .withColumn("dr",
-        lit(2) * rank().over(Window.orderBy($"score")) +
-          count(lit(1)).over(Window.partitionBy($"score")) - 1)
+        lit(2) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+      .groupBy(g: _*)
       .agg(
         sum(when($"label" === 1L, $"dr").otherwise(0L)).as("sr2"),
         sum($"label").as("np"), count(lit(1)).as("n"))
-      .select($"np".as("n_pos"), ($"n" - $"np").as("n_neg"),
-        expr("(1000000 * (sr2 - np * (np + 1))) div (2 * np * (n - np))")
-          .as("auc_ppm"))
+    agged.select(g ++ Seq($"np".as("n_pos"), ($"n" - $"np").as("n_neg"),
+      expr("(1000000 * (sr2 - np * (np + 1))) div (2 * np * (n - np))")
+        .as("auc_ppm")): _*)
   }
 
   private val q196Oracle =
@@ -2216,6 +2222,52 @@ object TextOps {
        |  CAST((1000000 * sum(pos)) // count(*) AS BIGINT) AS pos_ppm
        |FROM sl GROUP BY decile ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q206
+  /** Per-SOURCE AUC of the q125 LM score as a non-English detector —
+    * the slice-level evaluation that catches what q196's single
+    * corpus AUC averages away: a scorer can look fine globally while
+    * being useless (or inverted) on one source's text. Slices whose
+    * label is constant (no positives or no negatives) have no
+    * defined AUC and are reported with NULL rather than dropped —
+    * the honest posture; a dashboard needs to see WHICH slices were
+    * unevaluable. Same integer midrank machinery as q196 with
+    * per-slice ranking windows (bounded fan-in per source). */
+  def q206SliceAuc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = q125LmScore(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang", $"source"),
+        "doc_id")
+      .select($"source", $"avg_nll_micro".as("score"),
+        when($"lang" =!= "en", 1L).otherwise(0L).as("label"))
+    aucOf(scored, Seq("source"))
+      .select($"source", $"n_pos", $"n_neg",
+        when($"n_pos" > 0 && $"n_neg" > 0, $"auc_ppm").as("auc_ppm"))
+      .orderBy($"source")
+  }
+
+  private val q206Oracle =
+    s"""WITH lm_scored AS (${q125Oracle.replace("ORDER BY d.doc_id", "")}),
+       |sl AS (
+       |  SELECT d.source, s.avg_nll_micro AS score,
+       |    CASE WHEN d.lang <> 'en' THEN 1 ELSE 0 END AS label
+       |  FROM lm_scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT source, label,
+       |    CAST(2 * rank() OVER (PARTITION BY source ORDER BY score)
+       |      + count(*) OVER (PARTITION BY source, score) - 1 AS BIGINT) AS dr
+       |  FROM sl),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(sum(CASE WHEN label = 1 THEN dr ELSE 0 END) AS BIGINT) AS sr2,
+       |    CAST(sum(label) AS BIGINT) AS np, CAST(count(*) AS BIGINT) AS n
+       |  FROM r GROUP BY 1)
+       |SELECT source, np AS n_pos, n - np AS n_neg,
+       |  CASE WHEN np > 0 AND n - np > 0
+       |    THEN CAST((1000000 * (sr2 - np * (np + 1))) // (2 * np * (n - np))
+       |      AS BIGINT)
+       |    ELSE NULL END AS auc_ppm
+       |FROM agg ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- q193
   /** Source-concentration report: every source ranked by document
     * count with its cumulative share banded head (first half of the
@@ -2279,6 +2331,7 @@ object TextOps {
     "q196_score_auc"   -> (q196ScoreAuc _),
     "q198_oov_coverage" -> (q198OovCoverage _),
     "q199_calibration_bins" -> (q199CalibrationBins _),
+    "q206_slice_auc"   -> (q206SliceAuc _),
     "q60_text_stats"          -> (q60TextStats _),
     "q73_tfidf"               -> (q73TfIdf _),
     "q78_inverted_index"      -> (q78InvertedIndex _),
@@ -2325,6 +2378,7 @@ object TextOps {
     "q196_score_auc"   -> q196Oracle,
     "q198_oov_coverage" -> q198Oracle,
     "q199_calibration_bins" -> q199Oracle,
+    "q206_slice_auc"   -> q206Oracle,
     "q60_text_stats"          -> q60Oracle,
     "q61_lang_id"             -> q61Oracle,
     "q73_tfidf"               -> q73Oracle,

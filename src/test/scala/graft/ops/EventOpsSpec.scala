@@ -572,4 +572,24 @@ class EventOpsSpec extends SparkSuite {
     // width sanity: a few percent of the mean at n~2000, never zero
     assert(hi - lo > 0 && (hi - lo) < mean / 2)
   }
+
+  test("q207 A/B: null split insignificant, planted effect flips the verdict") {
+    import spark.implicits._
+    // A/A on the fixture: parity split carries no treatment
+    val r = EventOps.q207AbReadout(spark, sf0001).collect()(0)
+    assert(!r.getBoolean(7), "parity A/A must not read significant")
+    assert(r.getLong(0) > 0 && r.getLong(2) > 0)
+    // planted effect: 10% vs 30% on 500 users per arm -> chi2 ~ 62
+    val planted = ((1 to 500).map(i => (0L, if (i <= 50) 1L else 0L)) ++
+      (1 to 500).map(i => (1L, if (i <= 150) 1L else 0L)))
+      .toDF("arm", "success")
+    val p = EventOps.abReadoutOf(planted).collect()(0)
+    assert(p.getBoolean(7), "planted 3x lift must be significant")
+    assert(p.getLong(6) == 200000L) // 300000 - 100000 ppm
+    // and a no-effect planted case stays insignificant
+    val flat = ((1 to 500).map(i => (0L, if (i <= 100) 1L else 0L)) ++
+      (1 to 500).map(i => (1L, if (i <= 100) 1L else 0L)))
+      .toDF("arm", "success")
+    assert(!EventOps.abReadoutOf(flat).collect()(0).getBoolean(7))
+  }
 }
