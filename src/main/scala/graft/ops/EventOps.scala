@@ -1673,6 +1673,163 @@ object EventOps {
        |    AS significant
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- q208
+  /** Censoring horizon (hours after signup) for q208. */
+  val survivalHorizonH = 72L
+
+  /** Kaplan–Meier survival curve for time-to-first-purchase after
+    * signup, right-censored at [[survivalHorizonH]] hours — the
+    * conversion-latency analysis that a plain "72-hour conversion
+    * rate" (q204's style) flattens: KM shows WHEN conversions
+    * happen and handles users the observation window cut off
+    * without biasing the curve (dropping censored users overstates
+    * early conversion; counting them as failures understates it).
+    *
+    * The product-limit estimator Π(1 − dᵢ/nᵢ) is a float product —
+    * order-dependent and not hash-stable — so the curve is kept in
+    * LOG space: per-step `floor((ln(n−d) − ln(n))·10⁶)` micro-nats
+    * (q125's ln discipline; exact integer inputs, one fixed-form ln
+    * each) and the cumulative curve is an integer running sum. A
+    * consumer exponentiates for display; monotonicity and
+    * cross-engine equality live in the integers. One pass to
+    * per-user labels, risk-set arithmetic on the hour grid. */
+  def q208SurvivalCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val su = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("s"))
+    val fp = ev.where($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p"))
+      .join(su, "user_id").where($"p" >= $"s")
+      .groupBy($"user_id").agg(min($"p").as("p"))
+    val lab = su.join(fp, Seq("user_id"), "left")
+      .select($"user_id",
+        expr(s"""CASE WHEN p IS NOT NULL
+          |  AND (p - s) div 3600000000 <= $survivalHorizonH
+          |  THEN (p - s) div 3600000000 ELSE ${survivalHorizonH}L END""".stripMargin)
+          .as("t_h"),
+        expr(s"""CASE WHEN p IS NOT NULL
+          |  AND (p - s) div 3600000000 <= $survivalHorizonH
+          |  THEN 1L ELSE 0L END""".stripMargin).as("ev"))
+    val total = lab.agg(count(lit(1)).as("total"))
+    val grid = lab.groupBy($"t_h")
+      .agg(count(lit(1)).as("n_leave"), sum($"ev").as("n_events"))
+    val wPrev = Window.orderBy($"t_h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy($"t_h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(broadcast(total))
+      .withColumn("at_risk",
+        $"total" - coalesce(sum($"n_leave").over(wPrev), lit(0L)))
+      .withColumn("log_step",
+        when($"n_events" === 0L, 0L)
+          .when($"at_risk" > $"n_events",
+            expr("""CAST(floor((ln(CAST(at_risk - n_events AS DOUBLE))
+              |  - ln(CAST(at_risk AS DOUBLE))) * 1000000.0) AS BIGINT)"""
+              .stripMargin)))
+      .withColumn("cum_log_surv_micro", sum($"log_step").over(wCum))
+      .select($"t_h", $"at_risk", $"n_events",
+        ($"n_leave" - $"n_events").as("n_censored"), $"cum_log_surv_micro")
+      .orderBy($"t_h")
+  }
+
+  private val q208Oracle =
+    s"""WITH su AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS s FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |fp AS (
+       |  SELECT e.user_id, min(epoch_us(ts)) AS p
+       |  FROM events e JOIN su USING (user_id)
+       |  WHERE event_type = 'purchase' AND epoch_us(ts) >= su.s GROUP BY 1),
+       |lab AS (
+       |  SELECT su.user_id,
+       |    CASE WHEN fp.p IS NOT NULL
+       |      AND (fp.p - su.s) // 3600000000 <= $survivalHorizonH
+       |      THEN (fp.p - su.s) // 3600000000 ELSE $survivalHorizonH END AS t_h,
+       |    CASE WHEN fp.p IS NOT NULL
+       |      AND (fp.p - su.s) // 3600000000 <= $survivalHorizonH
+       |      THEN 1 ELSE 0 END AS ev
+       |  FROM su LEFT JOIN fp ON su.user_id = fp.user_id),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lab),
+       |grid AS (
+       |  SELECT t_h, CAST(count(*) AS BIGINT) AS n_leave,
+       |    CAST(sum(ev) AS BIGINT) AS n_events
+       |  FROM lab GROUP BY 1),
+       |km AS (
+       |  SELECT t_h, n_leave, n_events,
+       |    total - COALESCE(CAST(sum(n_leave) OVER (ORDER BY t_h
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS at_risk
+       |  FROM grid, t),
+       |lg AS (
+       |  SELECT t_h, at_risk, n_events, n_leave,
+       |    CASE WHEN n_events = 0 THEN 0
+       |      WHEN at_risk > n_events THEN
+       |        CAST(floor((ln(CAST(at_risk - n_events AS DOUBLE))
+       |          - ln(CAST(at_risk AS DOUBLE))) * 1000000.0) AS BIGINT)
+       |      ELSE NULL END AS log_step
+       |  FROM km)
+       |SELECT CAST(t_h AS BIGINT) AS t_h, at_risk, n_events,
+       |  n_leave - n_events AS n_censored,
+       |  CAST(sum(log_step) OVER (ORDER BY t_h ROWS UNBOUNDED PRECEDING)
+       |    AS BIGINT) AS cum_log_surv_micro
+       |FROM lg ORDER BY t_h""".stripMargin
+
+  // ---------------------------------------------------------------- q209
+  /** Inter-purchase cadence quantiles: the p25/p50/p75/p90 of gaps
+    * between a user's consecutive purchases, pooled across users —
+    * the repeat-purchase rhythm behind replenishment reminders and
+    * churn-risk windows ("a user 2× past their p75 gap is lapsing").
+    * Exact DISCRETE order statistics, no interpolation: the k-th
+    * quantile is the smallest gap whose rank satisfies the integer
+    * cross-inequality (4·rank ≥ n for p25, etc.) — q175's
+    * first-crossing device on ranks instead of cumulative volume,
+    * engine-identical because both sides pick an actual data value
+    * under a total order. Per-user gaps via one lag window; the
+    * pooled ranking sorts GAPS (one per purchase, far fewer than
+    * events). */
+  def q209PurchaseGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val gaps = Tables.events(s, dir)
+      .where($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id")
+      .withColumn("gap", $"tus" - lag($"tus", 1).over(wu))
+      .where($"gap".isNotNull)
+      .select($"gap")
+    gaps
+      .withColumn("rn", row_number().over(Window.orderBy($"gap")).cast("long"))
+      .crossJoin(broadcast(gaps.agg(count(lit(1)).as("n"))))
+      .agg(
+        max($"n").as("n_gaps"),
+        min(when(lit(4) * $"rn" >= $"n", $"gap")).as("p25_us"),
+        min(when(lit(2) * $"rn" >= $"n", $"gap")).as("p50_us"),
+        min(when(lit(4) * $"rn" >= lit(3) * $"n", $"gap")).as("p75_us"),
+        min(when(lit(10) * $"rn" >= lit(9) * $"n", $"gap")).as("p90_us"))
+  }
+
+  private val q209Oracle =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+      |  WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT tus - lag(tus) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id) AS gap
+      |  FROM p),
+      |gg AS (SELECT gap FROM g WHERE gap IS NOT NULL),
+      |r AS (
+      |  SELECT gap, CAST(row_number() OVER (ORDER BY gap) AS BIGINT) AS rn
+      |  FROM gg),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM gg)
+      |SELECT max(n.n) AS n_gaps,
+      |  min(CASE WHEN 4 * rn >= n THEN gap END) AS p25_us,
+      |  min(CASE WHEN 2 * rn >= n THEN gap END) AS p50_us,
+      |  min(CASE WHEN 4 * rn >= 3 * n THEN gap END) AS p75_us,
+      |  min(CASE WHEN 10 * rn >= 9 * n THEN gap END) AS p90_us
+      |FROM r, n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -1689,6 +1846,8 @@ object EventOps {
     "q204_conversion_window" -> (q204ConversionWindow _),
     "q205_bootstrap_ci"     -> (q205BootstrapCi _),
     "q207_ab_readout"       -> (q207AbReadout _),
+    "q208_survival_curve"   -> (q208SurvivalCurve _),
+    "q209_purchase_gaps"    -> (q209PurchaseGaps _),
     "q102_funnel_stages"    -> (q102FunnelStages _),
     "q103_cohort_retention" -> (q103CohortRetention _),
     "q117_attribution"      -> (q117Attribution _),
@@ -1719,6 +1878,8 @@ object EventOps {
     "q204_conversion_window" -> q204Oracle,
     "q205_bootstrap_ci"     -> q205Oracle,
     "q207_ab_readout"       -> q207Oracle,
+    "q208_survival_curve"   -> q208Oracle,
+    "q209_purchase_gaps"    -> q209Oracle,
     "q102_funnel_stages"    -> q102Oracle,
     "q103_cohort_retention" -> q103Oracle,
     "q117_attribution"      -> q117Oracle,

@@ -592,4 +592,46 @@ class EventOpsSpec extends SparkSuite {
       .toDF("arm", "success")
     assert(!EventOps.abReadoutOf(flat).collect()(0).getBoolean(7))
   }
+
+  test("q208 KM: risk sets conserve, curve monotone, both branches present") {
+    val rows = EventOps.q208SurvivalCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // at_risk chains: next at_risk = at_risk - (events + censored)
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array(a, b) => assert(b._2 == a._2 - a._3 - a._4)
+      case _ =>
+    }
+    // log-survival only ever decreases, and both event kinds occur
+    val curve = rows.sortBy(_._1).map(_._5)
+    curve.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a)
+      case _ =>
+    }
+    assert(rows.map(_._3).sum > 0, "conversions exist")
+    assert(rows.map(_._4).sum > 0, "censoring exercised")
+  }
+
+  test("q209 quantiles: exact order statistics replay; ordering holds") {
+    val r = EventOps.q209PurchaseGaps(spark, sf0001).collect()(0)
+    val (n, p25, p50, p75, p90) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n > 0 && p25 <= p50 && p50 <= p75 && p75 <= p90)
+    import spark.implicits._
+    val gaps = graft.Tables.events(spark, sf0001)
+      .where($"event_type" === "purchase")
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_id").collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+      .groupBy(_._1).values.flatMap { ps =>
+        val ts = ps.toSeq.sortBy(p => (p._2, p._3)).map(_._2)
+        ts.zip(ts.drop(1)).map { case (a, b) => b - a }
+      }.toSeq.sorted
+    def q(num: Long, den: Long) =
+      gaps(((num * gaps.length + den - 1) / den - 1).toInt max 0)
+    assert(n == gaps.length.toLong)
+    assert(p50 == gaps((gaps.length + 1) / 2 - 1))
+    assert(p25 == q(1, 4) && p75 == q(3, 4) && p90 == q(9, 10))
+  }
 }
