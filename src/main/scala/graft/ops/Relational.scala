@@ -1165,6 +1165,101 @@ object Relational {
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q210
+  /** Drill-down report with share-of-parent ratios: revenue per
+    * (region, nation) alongside each nation's share of its region
+    * and of the total, in ppm — the hierarchy-percentage columns
+    * every BI drill-down carries next to its absolutes (q10's
+    * ROLLUP emits the subtotal ROWS; dashboards need the RATIOS on
+    * the leaf rows). Revenue aggregates as exact DECIMAL cents
+    * before any ratio; parent totals ride two windows over the
+    * nation-cardinality aggregate — no second pass over facts, and
+    * the ppm shares are integer divisions of exact sums. */
+  def q210ShareOfParent(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey")), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)
+        .select($"r_regionkey", $"r_name")), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100D) AS BIGINT)"))
+        .as("rev_cents"))
+    rev
+      .withColumn("region_cents",
+        sum($"rev_cents").over(Window.partitionBy($"r_name")))
+      .withColumn("total_cents", sum($"rev_cents").over(Window.partitionBy()))
+      .select($"r_name", $"n_name", $"rev_cents",
+        expr("(1000000 * rev_cents) div region_cents").as("share_of_region_ppm"),
+        expr("(1000000 * rev_cents) div total_cents").as("share_of_total_ppm"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  private val q210Oracle =
+    """WITH rev AS (
+      |  SELECT r.r_name, n.n_name,
+      |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, rev_cents,
+      |  CAST((1000000 * rev_cents) //
+      |    CAST(sum(rev_cents) OVER (PARTITION BY r_name) AS BIGINT) AS BIGINT)
+      |    AS share_of_region_ppm,
+      |  CAST((1000000 * rev_cents) //
+      |    CAST(sum(rev_cents) OVER () AS BIGINT) AS BIGINT)
+      |    AS share_of_total_ppm
+      |FROM rev ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q211
+  /** Period-over-period deltas: weekly order revenue with the prior
+    * week's value, absolute change, and relative change in ppm —
+    * the WoW movement column every operational dashboard leads
+    * with. First week reports NULL change (no fabricated zero
+    * baseline); revenue in exact cents, relative change as an
+    * integer division against the PRIOR period (the convention that
+    * makes +100% mean "doubled"). One aggregate to the
+    * calendar-bounded week grid, one lag window. */
+  def q211PeriodOverPeriod(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"week")
+    Tables.orders(s, dir)
+      .groupBy(to_date(date_trunc("week", $"o_orderdate")).as("week"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100D) AS BIGINT)")).as("rev_cents"))
+      .withColumn("prev_cents", lag($"rev_cents", 1).over(w))
+      .select($"week", $"n_orders", $"rev_cents", $"prev_cents",
+        ($"rev_cents" - $"prev_cents").as("delta_cents"),
+        expr("(1000000 * (rev_cents - prev_cents)) div prev_cents")
+          .as("delta_ppm"))
+      .orderBy($"week")
+  }
+
+  private val q211Oracle =
+    """WITH wk AS (
+      |  SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT week, n_orders, rev_cents,
+      |  lag(rev_cents) OVER (ORDER BY week) AS prev_cents,
+      |  rev_cents - lag(rev_cents) OVER (ORDER BY week) AS delta_cents,
+      |  CAST((1000000 * (rev_cents - lag(rev_cents) OVER (ORDER BY week)))
+      |    // lag(rev_cents) OVER (ORDER BY week) AS BIGINT) AS delta_ppm
+      |FROM wk ORDER BY week""".stripMargin
+
   // ---------------------------------------------------------------- q180
   /** Changelog compaction with DELETE tombstones — applying a CDC
     * feed (insert / update / delete ops with a sequence number) to
@@ -1324,6 +1419,8 @@ object Relational {
     "q90_merge_upsert"    -> (q90MergeUpsert _),
     "q106_snapshot_diff"  -> (q106SnapshotDiff _),
     "q115_drift_report"   -> (q115DriftReport _),
+    "q210_share_of_parent" -> (q210ShareOfParent _),
+    "q211_period_over_period" -> (q211PeriodOverPeriod _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
     "q180_cdc_apply"      -> (q180CdcApply _),
@@ -1367,6 +1464,8 @@ object Relational {
     "q37_window_suite"    -> q37Oracle,
     "q90_merge_upsert"    -> q90Oracle,
     "q106_snapshot_diff"  -> q106Oracle,
+    "q210_share_of_parent" -> q210Oracle,
+    "q211_period_over_period" -> q211Oracle,
     "q115_drift_report"   -> q115Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,

@@ -92,4 +92,31 @@ class RelationalSpec extends SparkSuite {
     // the 5% bump + deletes genuinely move mass: total PSI is nonzero
     assert(got.map(_._4).map(math.abs).sum > 1e-4)
   }
+
+  test("q210 shares: region shares sum to ~1e6 per region, total shares to ~1e6") {
+    val rows = Relational.q210ShareOfParent(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (region, rs) =>
+      val s2 = rs.map(_._3).sum
+      assert(s2 > 1000000L - rs.length && s2 <= 1000000L, s"$region: $s2")
+    }
+    val st = rows.map(_._4).sum
+    assert(st > 1000000L - rows.length && st <= 1000000L)
+  }
+
+  test("q211 WoW: first week null, deltas chain exactly") {
+    val rows = Relational.q211PeriodOverPeriod(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(_._1)
+    assert(rows.head._3.isEmpty && rows.head._4.isEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3.contains(a._2))
+        assert(b._4.contains(b._2 - a._2))
+      case _ =>
+    }
+  }
 }
