@@ -370,6 +370,44 @@ object DedupOps {
        |WHERE greatest(cont_ab, cont_ba) >= $containmentThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q213
+  /** Near-duplication rate per SOURCE: which sources bring the
+    * duplicates — the acquisition-side view of the dedup family
+    * (q66 finds pairs, q79 clusters them, q113 cross-tabulates pair
+    * ENDPOINTS; this charges each source with its share of
+    * dup-involved docs so a crawl budget can be rebalanced). A doc
+    * is dup-involved if it appears in any q66 exact-Jaccard pair;
+    * rates are exact integer ppm. Reuses the shared pair CTE, so
+    * source accounting can never drift from the pair definition. */
+  def q213DupRateBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairs(s, dir)
+    val dupDocs = pairs.select($"doc_a".as("doc_id"))
+      .unionAll(pairs.select($"doc_b".as("doc_id"))).distinct()
+    Tables.documents(s, dir).select($"doc_id", $"source")
+      .join(dupDocs.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce($"dup", lit(0L))).as("n_dup_docs"))
+      .select($"source", $"n_docs", $"n_dup_docs",
+        expr("(1000000 * n_dup_docs) div n_docs").as("dup_ppm"))
+      .orderBy($"source")
+  }
+
+  private val q213Oracle =
+    s"""WITH $jaccardPairsCte,
+       |dd AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM jp
+       |    UNION ALL SELECT doc_b FROM jp))
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_docs,
+       |  CAST((1000000 * sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS dup_ppm
+       |FROM documents d LEFT JOIN dd ON d.doc_id = dd.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q164
   /** Per-document novelty ratio: the share of a doc's distinct
     * 3-gram shingles whose FIRST corpus occurrence (by ingest order
@@ -1556,6 +1594,7 @@ object DedupOps {
     "q155_boilerplate_catalog" -> (q155BoilerplateCatalog _),
     "q160_containment_dedup" -> (q160ContainmentDedup _),
     "q164_novelty_ratio"    -> (q164NoveltyRatio _),
+    "q213_dup_rate_by_source" -> (q213DupRateBySource _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1582,5 +1621,6 @@ object DedupOps {
     "q155_boilerplate_catalog" -> q155Oracle,
     "q160_containment_dedup" -> q160Oracle,
     "q164_novelty_ratio"    -> q164Oracle,
+    "q213_dup_rate_by_source" -> q213Oracle,
   )
 }

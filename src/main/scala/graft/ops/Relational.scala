@@ -1260,6 +1260,59 @@ object Relational {
       |    // lag(rev_cents) OVER (ORDER BY week) AS BIGINT) AS delta_ppm
       |FROM wk ORDER BY week""".stripMargin
 
+  // ---------------------------------------------------------------- q212
+  /** Fulfillment lead-time report per order priority: exact integer
+    * day gaps from order date to line ship date, summarized as
+    * discrete p50/p90 (q209's first-crossing rank device, per
+    * priority) plus min/max and a count of NEGATIVE lead times —
+    * ship-before-order lines, which the synthetic data genuinely
+    * contains and a real warehouse wants FLAGGED, not averaged away
+    * (the honest-report posture of q103's negative offsets). One
+    * fact join (orders side projected to two columns), per-priority
+    * ranking windows over day-gap integers. */
+  def q212LeadTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lt = Tables.lineitem(s, dir)
+      .select($"l_orderkey", to_date($"l_shipdate").as("ship"))
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority".as("priority"),
+          to_date($"o_orderdate").as("odate")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"priority", datediff($"ship", $"odate").cast("long").as("days"))
+    val w = Window.partitionBy($"priority")
+    lt
+      .withColumn("rn", row_number().over(w.orderBy($"days")).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy($"priority")
+      .agg(max($"n").as("n_lines"),
+        sum(when($"days" < 0L, 1L).otherwise(0L)).as("n_negative"),
+        min(when(lit(2) * $"rn" >= $"n", $"days")).as("p50_days"),
+        min(when(lit(10) * $"rn" >= lit(9) * $"n", $"days")).as("p90_days"),
+        min($"days").as("min_days"), max($"days").as("max_days"))
+      .orderBy($"priority")
+  }
+
+  private val q212Oracle =
+    """WITH lt AS (
+      |  SELECT o.o_orderpriority AS priority,
+      |    CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |r AS (
+      |  SELECT priority, days,
+      |    CAST(row_number() OVER (PARTITION BY priority ORDER BY days)
+      |      AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      |  FROM lt)
+      |SELECT priority, max(n) AS n_lines,
+      |  CAST(sum(CASE WHEN days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_negative,
+      |  min(CASE WHEN 2 * rn >= n THEN days END) AS p50_days,
+      |  min(CASE WHEN 10 * rn >= 9 * n THEN days END) AS p90_days,
+      |  min(days) AS min_days, max(days) AS max_days
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q180
   /** Changelog compaction with DELETE tombstones — applying a CDC
     * feed (insert / update / delete ops with a sequence number) to
@@ -1420,6 +1473,7 @@ object Relational {
     "q106_snapshot_diff"  -> (q106SnapshotDiff _),
     "q115_drift_report"   -> (q115DriftReport _),
     "q210_share_of_parent" -> (q210ShareOfParent _),
+    "q212_lead_time" -> (q212LeadTime _),
     "q211_period_over_period" -> (q211PeriodOverPeriod _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
@@ -1465,6 +1519,7 @@ object Relational {
     "q90_merge_upsert"    -> q90Oracle,
     "q106_snapshot_diff"  -> q106Oracle,
     "q210_share_of_parent" -> q210Oracle,
+    "q212_lead_time" -> q212Oracle,
     "q211_period_over_period" -> q211Oracle,
     "q115_drift_report"   -> q115Oracle,
     "q93_skew_report"     -> q93Oracle,

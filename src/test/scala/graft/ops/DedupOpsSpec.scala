@@ -482,4 +482,17 @@ class DedupOpsSpec extends SparkSuite {
     assert(got(3L) == ((7L, 3L, 428571L)))
     assert(got(4L) == ((4L, 4L, 1000000L)))
   }
+
+  test("q213 source accounting: dup docs equal the q66 pair endpoints") {
+    val pairs = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val rows = DedupOps.q213DupRateBySource(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum == pairs.size.toLong)
+    assert(rows.map(_._2).sum ==
+      graft.Tables.documents(spark, sf0001).count())
+    rows.foreach { case (_, n, d, ppm) =>
+      assert(d <= n && ppm == 1000000L * d / n)
+    }
+  }
 }

@@ -119,4 +119,31 @@ class RelationalSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("q212 lead time: quantiles replay; the negative-lead anomaly is counted") {
+    val rows = Relational.q212LeadTime(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    import spark.implicits._
+    val lt = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", org.apache.spark.sql.functions.to_date($"l_shipdate"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val od = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_orderpriority",
+        org.apache.spark.sql.functions.to_date($"o_orderdate")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDate(2).toLocalDate)))
+      .toMap
+    val byP = lt.map { case (ok, ship) =>
+      val (p, odate) = od(ok)
+      (p, java.time.temporal.ChronoUnit.DAYS.between(odate, ship))
+    }.groupBy(_._1)
+    rows.foreach { case (p, n, neg, p50, p90, mn, mx) =>
+      val ds = byP(p).map(_._2).sorted
+      assert(n == ds.length.toLong && mn == ds.min && mx == ds.max)
+      assert(neg == ds.count(_ < 0).toLong && neg > 0, "anomaly branch live")
+      assert(p50 == ds((ds.length + 1) / 2 - 1))
+      assert(p90 == ds(((9 * ds.length + 9) / 10 - 1).max(0)))
+    }
+  }
 }
