@@ -679,9 +679,67 @@ object ExtOps {
        |    AS abs_err_ppm
        |FROM ex, est""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+  /** Pipeline observability via the `Observation` API: a filter job
+    * (high-value lineitems) instrumented with `observe()` metrics —
+    * rows seen, rows kept, exact value total kept — collected as a
+    * side effect of the job's OWN single pass. The alternative every
+    * pipeline starts with is a second aggregate scan per metric
+    * batch; `observe` attaches the aggregates to the existing plan,
+    * so the metrics are free at any scale (the exact reason the API
+    * exists). The observed values are re-emitted as the query result
+    * (one metadata-sized row assembled on the driver — control
+    * plane, q71's collect discipline); the oracle recomputes the
+    * same metrics relationally, proving observation ≡ aggregation.
+    * Metrics stick to exact integers (counts + cent sums) per the
+    * house determinism rule. */
+  val observeCutoffCents = 5000000L
+
+  def q214ObservedMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = new org.apache.spark.sql.Observation("graft_q214")
+    val kept = Tables.lineitem(s, dir)
+      .select(expr("CAST(round(l_extendedprice * 100D) AS BIGINT)").as("cents"))
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(when($"cents" >= observeCutoffCents, 1L).otherwise(0L))
+          .as("rows_kept"),
+        sum(when($"cents" >= observeCutoffCents, $"cents").otherwise(0L))
+          .as("kept_cents"))
+      .where($"cents" >= observeCutoffCents)
+    // the job's real action; metrics ride along with NO second scan
+    val keptRows = kept.count()
+    val m = obs.get
+    val seen = m("rows_seen").asInstanceOf[Long]
+    val nKept = m("rows_kept").asInstanceOf[Long]
+    val cents = m("kept_cents").asInstanceOf[Long]
+    s.range(1).select(
+      lit(seen).as("rows_seen"),
+      lit(nKept).as("rows_kept"),
+      lit(keptRows).as("rows_kept_action"),
+      lit(cents).as("kept_cents"),
+      lit(1000000L * nKept / seen).as("keep_ppm"))
+  }
+
+  private val q214Oracle =
+    s"""WITH v AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       |  FROM lineitem)
+       |SELECT CAST(count(*) AS BIGINT) AS rows_seen,
+       |  CAST(sum(CASE WHEN cents >= $observeCutoffCents THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS rows_kept,
+       |  CAST(sum(CASE WHEN cents >= $observeCutoffCents THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS rows_kept_action,
+       |  CAST(sum(CASE WHEN cents >= $observeCutoffCents THEN cents ELSE 0 END)
+       |    AS BIGINT) AS kept_cents,
+       |  CAST((1000000 * sum(CASE WHEN cents >= $observeCutoffCents
+       |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS keep_ppm
+       |FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q166_schema_evolution" -> (q166SchemaEvolution _),
     "q183_join_cardinality" -> (q183JoinCardinality _),
+    "q214_observed_metrics" -> (q214ObservedMetrics _),
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
     "q82_orc_roundtrip" -> (q82OrcRoundtrip _),
@@ -697,6 +755,7 @@ object ExtOps {
   val oracles: Map[String, String] = Map(
     "q166_schema_evolution" -> q166Oracle,
     "q183_join_cardinality" -> q183Oracle,
+    "q214_observed_metrics" -> q214Oracle,
     "q26_udf_udaf"      -> q26Oracle,
     "q81_csv_roundtrip" -> q81Oracle,
     "q82_orc_roundtrip" -> q82Oracle,

@@ -225,4 +225,30 @@ class PlanSpec extends SparkSuite {
     assert(read.contains("doc_id") && read.contains("lang") &&
       read.contains("n_chars") && !read.contains("text"), read)
   }
+
+  test("q195/q146 enrichments broadcast: no sort-merge join on item supports") {
+    val p = plan(LinkOps.q195ItemRecs(spark, sf0001))
+    assert(!p.contains("SortMergeJoin"), p.take(600))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q204/q178: as-of windows, no join; exchanges bounded by grain") {
+    // q178 emits at the window grain: exactly ONE user-key exchange
+    val p178 = plan(EventOps.q178LinearAttribution(spark, sf0001))
+    assert(!p178.contains("Join"), p178.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p178).length == 1, p178.take(800))
+    // q204 re-aggregates to the day grain: the user window exchange plus
+    // ONE day exchange whose aggregate combines map-side first
+    val p204 = plan(EventOps.q204ConversionWindow(spark, sf0001))
+    assert(!p204.contains("Join"), p204.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p204).length == 2, p204.take(800))
+    assert(p204.contains("partial_count"), "day agg must combine map-side")
+  }
+
+  test("q210: fact joins broadcast the dims; ratio windows run on the aggregate") {
+    val p = plan(Relational.q210ShareOfParent(spark, sf0001))
+    // every dimension enrichment broadcasts (fact never sort-merge joins)
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+  }
 }

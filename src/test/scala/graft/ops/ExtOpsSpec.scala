@@ -181,4 +181,14 @@ class ExtOpsSpec extends SparkSuite {
     // bound at 50% (4 sigma) — the sf0.01 oracle run observes ~1%
     assert(errPpm < 500000L, s"est $est vs exact $exact")
   }
+
+  test("q214 observation: metrics equal the action's own counts") {
+    val r = ExtOps.q214ObservedMetrics(spark, sf0001).collect()(0)
+    val (seen, kept, keptAction, cents, ppm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // observed rows_kept must equal what the filter action itself saw
+    assert(kept == keptAction)
+    assert(kept <= seen && kept > 0 && kept < seen, "both branches live")
+    assert(cents > 0 && ppm == 1000000L * kept / seen)
+  }
 }
