@@ -2268,6 +2268,92 @@ object TextOps {
        |    ELSE NULL END AS auc_ppm
        |FROM agg ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q215
+  /** Top-N-plus-Other rollup: per language, the top 3 sources by doc
+    * count as named rows and everything else collapsed into one
+    * `OTHER` row — the presentation rollup every dashboard applies
+    * so a 10k-source dimension renders as four bars without lying
+    * about the tail's existence (dropping it is how "top sources"
+    * charts silently hide half the corpus). Total order (count desc,
+    * source) makes the cut deterministic; the rollup is a projection
+    * + re-aggregation of the dimension-sized counts, never a second
+    * corpus pass. */
+  val topnKeep = 3
+
+  def q215TopnOther(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"source")
+    Tables.documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .select($"lang",
+        when($"rn" <= topnKeep, $"source").otherwise("OTHER").as("source"),
+        $"n",
+        when($"rn" <= topnKeep, $"rn".cast("long")).otherwise(lit(topnKeep + 1L))
+          .as("rnk"))
+      .groupBy($"lang", $"source", $"rnk")
+      .agg(sum($"n").as("n_docs"), count(lit(1)).as("n_sources"))
+      .orderBy($"lang", $"rnk", $"source")
+  }
+
+  private val q215Oracle =
+    s"""WITH c AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |    ORDER BY n DESC, source) AS rn
+       |  FROM c),
+       |m AS (
+       |  SELECT lang,
+       |    CASE WHEN rn <= $topnKeep THEN source ELSE 'OTHER' END AS source,
+       |    CASE WHEN rn <= $topnKeep THEN CAST(rn AS BIGINT)
+       |      ELSE ${topnKeep + 1} END AS rnk,
+       |    n
+       |  FROM r)
+       |SELECT lang, source, rnk, CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_sources
+       |FROM m GROUP BY 1, 2, 3 ORDER BY lang, rnk, source""".stripMargin
+
+  // ---------------------------------------------------------------- q216
+  /** Percent-rank feature scaling in exact integer ppm: each doc's
+    * length percentile WITHIN its language — the rank-based feature
+    * transform (robust to outliers and per-group distribution shift,
+    * unlike z-scores) a downstream model consumes directly. Spark's
+    * `percent_rank` returns a double ratio; the ppm integer
+    * `10⁶·(rank−1) div (n−1)` is the same statistic made hash-exact,
+    * with single-doc groups pinned to 0 rather than NULL (the honest
+    * degenerate: one doc IS its group's minimum). Metadata-only scan
+    * (doc_id, lang, n_chars); per-language ranking windows. */
+  def q216PctRankFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"n_chars")
+      .withColumn("rk", rank().over(w.orderBy($"n_chars", $"doc_id")).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .select($"doc_id", $"lang", $"n_chars",
+        when($"n" === 1L, 0L)
+          .otherwise(expr("(1000000 * (rk - 1)) div (n - 1)"))
+          .as("len_pct_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  private val q216Oracle =
+    """WITH r AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |      AS BIGINT) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars,
+      |  CASE WHEN n = 1 THEN 0
+      |    ELSE CAST((1000000 * (rk - 1)) // (n - 1) AS BIGINT) END
+      |    AS len_pct_ppm
+      |FROM r ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q193
   /** Source-concentration report: every source ranked by document
     * count with its cumulative share banded head (first half of the
@@ -2330,6 +2416,8 @@ object TextOps {
     "q193_source_concentration" -> (q193SourceConcentration _),
     "q196_score_auc"   -> (q196ScoreAuc _),
     "q198_oov_coverage" -> (q198OovCoverage _),
+    "q215_topn_other"  -> (q215TopnOther _),
+    "q216_pct_rank_features" -> (q216PctRankFeatures _),
     "q199_calibration_bins" -> (q199CalibrationBins _),
     "q206_slice_auc"   -> (q206SliceAuc _),
     "q60_text_stats"          -> (q60TextStats _),
@@ -2377,6 +2465,8 @@ object TextOps {
     "q193_source_concentration" -> q193Oracle,
     "q196_score_auc"   -> q196Oracle,
     "q198_oov_coverage" -> q198Oracle,
+    "q215_topn_other"  -> q215Oracle,
+    "q216_pct_rank_features" -> q216Oracle,
     "q199_calibration_bins" -> q199Oracle,
     "q206_slice_auc"   -> q206Oracle,
     "q60_text_stats"          -> q60Oracle,

@@ -903,4 +903,37 @@ class TextOpsSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("q215 top-N+Other conserves the corpus and keeps the tail visible") {
+    val rows = TextOps.q215TopnOther(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._4).sum == graft.Tables.documents(spark, sf0001).count())
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val named = rs.filter(_._2 != "OTHER")
+      assert(named.length <= TextOps.topnKeep)
+      named.foreach(r => assert(r._5 == 1L))
+      // every named row outranks the OTHER bucket's biggest member:
+      // named counts are the top of the ordering by construction
+      rs.find(_._2 == "OTHER").foreach { other =>
+        assert(other._5 >= 1L && other._3 == TextOps.topnKeep + 1L,
+          s"$lang other=$other")
+      }
+    }
+  }
+
+  test("q216 percent ranks: bounds, min/max anchors, monotone with length") {
+    val rows = TextOps.q216PctRankFeatures(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3))
+      assert(sorted.head._3 == 0L, s"$lang min anchors at 0")
+      assert(sorted.last._3 == 1000000L, s"$lang max anchors at 1e6")
+      sorted.map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b)
+        case _ =>
+      }
+    }
+  }
 }
