@@ -1830,9 +1830,110 @@ object EventOps {
       |  min(CASE WHEN 10 * rn >= 9 * n THEN gap END) AS p90_us
       |FROM r, n""".stripMargin
 
+  // ---------------------------------------------------------------- q217
+  /** EWMA numerator (of 64): smoothing weight α = 13/64 ≈ 0.2. */
+  val ewmaNum = 13L
+  /** Band half-width in EW mean-absolute-deviations. */
+  val ewmaBandK = 3L
+  /** Points before the band arms (EW stats need burn-in). */
+  val ewmaWarmup = 8
+
+  /** EWMA control chart over the per-type daily event counts — the
+    * third sequential monitor in the family: q134's MAD flags single
+    * outliers against a STATIC robust center, q163's CUSUM
+    * accumulates small persistent drift, and this tracks a MOVING
+    * level so a series with a legitimate trend doesn't alarm forever
+    * (CUSUM's fixed baseline does). Each day is tested against the
+    * PREVIOUS day's smoothed state — `|x−s| > k·d` with s, d frozen
+    * before the point folds in — so a spike can't widen its own band
+    * and mask itself.
+    *
+    * Exact integer fixed point end-to-end: counts scale to ppm, the
+    * recurrences `s ← (13x + 51s) div 64`, `d ← (13|x−s| + 51d) div
+    * 64` stay in BIGINT (headroom: daily counts to ~7·10¹¹ before
+    * 13·x·10⁶ nears 2⁶³; a bigger deployment drops the ppm scale),
+    * and both engines truncate identically (operands never negative,
+    * so floor = trunc). The recurrence depends on its own previous
+    * value — no window frame expresses that — so it folds in-group
+    * (q163's device) over the calendar-bounded daily series; the raw
+    * stream reduces to one row per (type, day) in a map-side-
+    * combining agg first. Oracle steps the same recurrence as a
+    * RECURSIVE CTE partitioned by event_type. */
+  def q217EwmaBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ewmaOf(Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The chart on any (event_type, day, n) daily frame — separated so
+    * the spec can plant a constant series (band never arms a false
+    * alarm, s tracks x exactly) and a level shift (alarm exactly at
+    * the shift day). */
+  private[ops] def ewmaOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    daily
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"n"))).as("ds"))
+      .select($"event_type", explode(expr(
+        s"""aggregate(ds,
+           |  struct(
+           |    CAST(array() AS ARRAY<STRUCT<day DATE, n BIGINT,
+           |      ewma_ppm BIGINT, ewmd_ppm BIGINT, oob BOOLEAN>>) AS out,
+           |    0L AS sp, 0L AS dp, 0 AS t),
+           |  (acc, e) -> struct(
+           |    concat(acc.out, array(struct(
+           |      e.day AS day, e.n AS n,
+           |      CASE WHEN acc.t = 0 THEN e.n * 1000000L
+           |           ELSE ($ewmaNum * e.n * 1000000L
+           |                 + ${64 - ewmaNum} * acc.sp) div 64 END AS ewma_ppm,
+           |      CASE WHEN acc.t = 0 THEN 0L
+           |           ELSE ($ewmaNum * abs(e.n * 1000000L - acc.sp)
+           |                 + ${64 - ewmaNum} * acc.dp) div 64 END AS ewmd_ppm,
+           |      acc.t >= $ewmaWarmup AND
+           |        abs(e.n * 1000000L - acc.sp) > $ewmaBandK * acc.dp AS oob))) AS out,
+           |    CASE WHEN acc.t = 0 THEN e.n * 1000000L
+           |         ELSE ($ewmaNum * e.n * 1000000L
+           |               + ${64 - ewmaNum} * acc.sp) div 64 END AS sp,
+           |    CASE WHEN acc.t = 0 THEN 0L
+           |         ELSE ($ewmaNum * abs(e.n * 1000000L - acc.sp)
+           |               + ${64 - ewmaNum} * acc.dp) div 64 END AS dp,
+           |    acc.t + 1 AS t),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select($"event_type", $"r.day", $"r.n",
+        $"r.ewma_ppm", $"r.ewmd_ppm", $"r.oob")
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q217Oracle =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, day, n,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |          CAST(count(*) AS BIGINT) AS n
+       |        FROM events GROUP BY 1, 2)),
+       |rec AS (
+       |  SELECT event_type, rn, day, n,
+       |    CAST(n * 1000000 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d,
+       |    FALSE AS oob
+       |  FROM daily WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d2.event_type, d2.rn, d2.day, d2.n,
+       |    CAST(($ewmaNum * d2.n * 1000000 + ${64 - ewmaNum} * r.s) // 64
+       |      AS BIGINT),
+       |    CAST(($ewmaNum * abs(d2.n * 1000000 - r.s)
+       |          + ${64 - ewmaNum} * r.d) // 64 AS BIGINT),
+       |    d2.rn > $ewmaWarmup AND abs(d2.n * 1000000 - r.s) > $ewmaBandK * r.d
+       |  FROM daily d2 JOIN rec r
+       |    ON d2.event_type = r.event_type AND d2.rn = r.rn + 1)
+       |SELECT event_type, day, n, s AS ewma_ppm, d AS ewmd_ppm, oob
+       |FROM rec ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
+    "q217_ewma_band"        -> (q217EwmaBand _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q171_event_sequences"  -> (q171EventSequences _),
     "q178_linear_attribution" -> (q178LinearAttribution _),
@@ -1865,6 +1966,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
+    "q217_ewma_band"        -> q217Oracle,
     "q169_seasonal_profile" -> q169Oracle,
     "q171_event_sequences"  -> q171Oracle,
     "q178_linear_attribution" -> q178Oracle,

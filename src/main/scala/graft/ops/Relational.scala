@@ -1313,6 +1313,211 @@ object Relational {
       |  min(days) AS min_days, max(days) AS max_days
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q218
+  /** Decile lift / gains table for a ranking score — the standard
+    * model-targeting readout ("mail the top 3 deciles"): rank orders
+    * by o_totalprice descending, cut into population deciles, report
+    * each decile's response rate (status 'F') and the cumulative
+    * lift over the base rate. q118 sweeps a THRESHOLD curve and q199
+    * checks calibration; this is the third scorer readout, the one
+    * a campaign planner actually reads.
+    *
+    * Scale shape: orders never rank row-by-row. Scores quantize to
+    * cents and pre-aggregate to one row per distinct score (one
+    * map-side-combining shuffle) — a DOMAIN-bounded spine (price
+    * range × 100 values, independent of row count) like q215's
+    * dimension-sized re-aggregation — and the single cumulative
+    * window runs over that spine. A tie block of equal scores is
+    * never split: the whole block takes the decile of its FIRST
+    * member (`1 + 10·cum_before div n`, SAS ties=low), so both
+    * engines assign identically with no per-row tiebreak, and decile
+    * populations deviate from n/10 only where a block straddles a
+    * boundary. Lift composes from two ppm rates (rate then ratio —
+    * two divisions, mirrored exactly in the oracle) to keep every
+    * intermediate ≤ 10¹² regardless of corpus size. */
+  def q218DecileLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    liftOf(Tables.orders(s, dir)
+      .select(expr("CAST(round(o_totalprice * 100D) AS BIGINT)").as("score"),
+        ($"o_orderstatus" === "F").cast("long").as("resp")))
+  }
+
+  /** The gains table on any (score BIGINT, resp 0/1) frame —
+    * separated so the spec can plant a perfectly-ranking score
+    * (decile-1 lift = 1/base-rate) and verify conservation. */
+  private[ops] def liftOf(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spine = scored.groupBy($"score")
+      .agg(count(lit(1)).as("n"), sum($"resp").as("r"))
+    val w = Window.orderBy($"score".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    spine
+      .withColumn("cum_before", coalesce(sum($"n").over(w), lit(0L)))
+      .withColumn("total_n", sum($"n").over(wAll))
+      .withColumn("total_r", sum($"r").over(wAll))
+      .withColumn("decile",
+        expr("CAST(1 + (10 * cum_before) div total_n AS BIGINT)"))
+      .groupBy($"decile")
+      .agg(sum($"n").as("n_orders"), sum($"r").as("n_resp"),
+        max($"total_n").as("tn"), max($"total_r").as("tr"))
+      .withColumn("cum_orders", sum($"n_orders").over(
+        Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_resp", sum($"n_resp").over(
+        Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"decile", $"n_orders", $"n_resp",
+        expr("(1000000 * n_resp) div n_orders").as("resp_rate_ppm"),
+        $"cum_orders", $"cum_resp",
+        expr("""((1000000 * ((1000000 * cum_resp) div cum_orders))
+               | div ((1000000 * tr) div tn))""".stripMargin)
+          .as("cum_lift_ppm"))
+      .orderBy($"decile")
+  }
+
+  private val q218Oracle =
+    """WITH sc AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS score,
+      |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS resp
+      |  FROM orders),
+      |spine AS (
+      |  SELECT score, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(resp) AS BIGINT) AS r
+      |  FROM sc GROUP BY 1),
+      |c AS (
+      |  SELECT score, n, r,
+      |    CAST(COALESCE(sum(n) OVER (ORDER BY score DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_before,
+      |    CAST(sum(n) OVER () AS BIGINT) AS total_n,
+      |    CAST(sum(r) OVER () AS BIGINT) AS total_r
+      |  FROM spine),
+      |d AS (
+      |  SELECT CAST(1 + (10 * cum_before) // total_n AS BIGINT) AS decile,
+      |    n, r, total_n, total_r
+      |  FROM c),
+      |g AS (
+      |  SELECT decile, CAST(sum(n) AS BIGINT) AS n_orders,
+      |    CAST(sum(r) AS BIGINT) AS n_resp,
+      |    max(total_n) AS tn, max(total_r) AS tr
+      |  FROM d GROUP BY 1),
+      |cum AS (
+      |  SELECT decile, n_orders, n_resp, tn, tr,
+      |    CAST(sum(n_orders) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_orders,
+      |    CAST(sum(n_resp) OVER (ORDER BY decile
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_resp
+      |  FROM g)
+      |SELECT decile, n_orders, n_resp,
+      |  CAST((1000000 * n_resp) // n_orders AS BIGINT) AS resp_rate_ppm,
+      |  cum_orders, cum_resp,
+      |  CAST((1000000 * ((1000000 * cum_resp) // cum_orders))
+      |    // ((1000000 * tr) // tn) AS BIGINT) AS cum_lift_ppm
+      |FROM cum ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------- q219
+  /** RFM segmentation — the CRM classic: score every purchasing
+    * customer 1–5 on Recency (days since last order, vs the
+    * dataset's as-of day), Frequency (order count), and Monetary
+    * (lifetime spend), then roll the scores into named segments.
+    * q190 follows cohorts over time; this is the cross-sectional
+    * cut marketing actually targets from.
+    *
+    * Quintiles use the same integer first-member rank formula as
+    * q218 (`5 − 5·(rn−1) div n`, rn ordered best-first with custkey
+    * tiebreak so both engines rank identically); all three rank
+    * windows run over the CUSTOMER-grain aggregate — dimension-
+    * bounded input (one row per purchaser, the fact stream reduced
+    * by one map-side-combining shuffle first), the established
+    * justification for unpartitioned windows (q215). Segment rules
+    * are a first-match CASE mirrored verbatim in the oracle; spend
+    * stays in exact integer cents. */
+  def q219RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val asOf = Tables.orders(s, dir)
+      .agg(max(to_date($"o_orderdate")).as("as_of"))
+    val cust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(max(to_date($"o_orderdate")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100D) AS BIGINT)")).as("cents"))
+      .crossJoin(broadcast(asOf))
+      .select($"o_custkey", datediff($"as_of", $"last_day").cast("long")
+        .as("rec_days"), $"freq", $"cents")
+    val n = Window.partitionBy()
+    val ranked = cust
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("rr", row_number().over(
+        Window.orderBy($"rec_days".asc, $"o_custkey".asc)).cast("long"))
+      .withColumn("rf", row_number().over(
+        Window.orderBy($"freq".desc, $"o_custkey".asc)).cast("long"))
+      .withColumn("rm", row_number().over(
+        Window.orderBy($"cents".desc, $"o_custkey".asc)).cast("long"))
+      .withColumn("r_score", expr("CAST(5 - (5 * (rr - 1)) div n AS BIGINT)"))
+      .withColumn("f_score", expr("CAST(5 - (5 * (rf - 1)) div n AS BIGINT)"))
+      .withColumn("m_score", expr("CAST(5 - (5 * (rm - 1)) div n AS BIGINT)"))
+      .withColumn("segment",
+        when($"r_score" >= 4 && $"f_score" >= 4 && $"m_score" >= 4,
+          "champion")
+          .when($"r_score" >= 4 && $"f_score" <= 2, "new")
+          .when($"r_score" <= 2 && $"f_score" >= 4, "at_risk_loyal")
+          .when($"r_score" <= 2 && $"m_score" >= 4, "cant_lose")
+          .when($"r_score" <= 2, "hibernating")
+          .otherwise("core"))
+    ranked
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").as("total_monetary_cents"),
+        expr("sum(rec_days) div count(1)").as("avg_recency_days"))
+      .orderBy($"segment")
+  }
+
+  private val q219Oracle =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+      |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+      |      AS BIGINT) AS rec_days,
+      |    CAST(count(*) AS BIGINT) AS freq,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT *,
+      |    CAST(count(*) OVER () AS BIGINT) AS n,
+      |    CAST(row_number() OVER (ORDER BY rec_days ASC, o_custkey ASC)
+      |      AS BIGINT) AS rr,
+      |    CAST(row_number() OVER (ORDER BY freq DESC, o_custkey ASC)
+      |      AS BIGINT) AS rf,
+      |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+      |      AS BIGINT) AS rm
+      |  FROM cust),
+      |scored AS (
+      |  SELECT *,
+      |    CAST(5 - (5 * (rr - 1)) // n AS BIGINT) AS r_score,
+      |    CAST(5 - (5 * (rf - 1)) // n AS BIGINT) AS f_score,
+      |    CAST(5 - (5 * (rm - 1)) // n AS BIGINT) AS m_score
+      |  FROM ranked),
+      |seg AS (
+      |  SELECT *,
+      |    CASE
+      |      WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+      |        THEN 'champion'
+      |      WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+      |      WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+      |      WHEN r_score <= 2 AND m_score >= 4 THEN 'cant_lose'
+      |      WHEN r_score <= 2 THEN 'hibernating'
+      |      ELSE 'core' END AS segment
+      |  FROM scored)
+      |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(cents) AS BIGINT) AS total_monetary_cents,
+      |  CAST(sum(rec_days) // count(*) AS BIGINT) AS avg_recency_days
+      |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q180
   /** Changelog compaction with DELETE tombstones — applying a CDC
     * feed (insert / update / delete ops with a sequence number) to
@@ -1475,6 +1680,8 @@ object Relational {
     "q210_share_of_parent" -> (q210ShareOfParent _),
     "q212_lead_time" -> (q212LeadTime _),
     "q211_period_over_period" -> (q211PeriodOverPeriod _),
+    "q218_decile_lift" -> (q218DecileLift _),
+    "q219_rfm_segments" -> (q219RfmSegments _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
     "q180_cdc_apply"      -> (q180CdcApply _),
@@ -1521,6 +1728,8 @@ object Relational {
     "q210_share_of_parent" -> q210Oracle,
     "q212_lead_time" -> q212Oracle,
     "q211_period_over_period" -> q211Oracle,
+    "q218_decile_lift" -> q218Oracle,
+    "q219_rfm_segments" -> q219Oracle,
     "q115_drift_report"   -> q115Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,

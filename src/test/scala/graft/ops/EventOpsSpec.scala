@@ -634,4 +634,43 @@ class EventOpsSpec extends SparkSuite {
     assert(p50 == gaps((gaps.length + 1) / 2 - 1))
     assert(p25 == q(1, 4) && p75 == q(3, 4) && p90 == q(9, 10))
   }
+
+  test("q217 EWMA: constant series tracks exactly, band never false-alarms") {
+    import spark.implicits._
+    val days = (1 to 30).map(d => java.sql.Date.valueOf(f"2024-01-$d%02d"))
+    val fx = days.map(d => ("a", d, 42L)).toDF("event_type", "day", "n")
+    val rows = EventOps.ewmaOf(fx).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      assert(r.getLong(3) == 42L * 1000000L, "s locks to the constant level")
+      assert(r.getLong(4) == 0L, "deviation stays zero")
+      assert(!r.getBoolean(5), "no false alarm")
+    }
+  }
+
+  test("q217 EWMA: a level shift alarms at the shift; replay matches the recurrence") {
+    import spark.implicits._
+    val days = (1 to 30).map(d => java.sql.Date.valueOf(f"2024-01-$d%02d"))
+    // noisy-ish base 40/44 alternating, 5x shift at day 20
+    val ns = (1 to 30).map(d => if (d >= 20) 200L else if (d % 2 == 0) 44L else 40L)
+    val fx = days.zip(ns).map { case (d, n) => ("a", d, n) }
+      .toDF("event_type", "day", "n")
+    val got = EventOps.ewmaOf(fx).collect()
+      .map(r => (r.getDate(1).toLocalDate.getDayOfMonth, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // replay the exact integer recurrence
+    var s = 0L; var dv = 0L
+    val want = ns.zipWithIndex.map { case (n, i) =>
+      val x = n * 1000000L
+      val (s2, d2, oob) =
+        if (i == 0) (x, 0L, false)
+        else ((13 * x + 51 * s) / 64, (13 * math.abs(x - s) + 51 * dv) / 64,
+          i >= 8 && math.abs(x - s) > 3 * dv)
+      s = s2; dv = d2
+      (i + 1, n, s2, d2, oob)
+    }
+    assert(got.toSeq == want)
+    assert(got.find(_._1 == 20).get._5, "alarm fires at the shift day")
+    assert(got.filter(_._1 < 20).forall(!_._5), "quiet before the shift")
+  }
 }

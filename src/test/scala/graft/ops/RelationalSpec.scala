@@ -146,4 +146,70 @@ class RelationalSpec extends SparkSuite {
       assert(p90 == ds(((9 * ds.length + 9) / 10 - 1).max(0)))
     }
   }
+
+  test("q218 lift: perfect ranker hits 1/base-rate; deciles conserve") {
+    import spark.implicits._
+    // 100 unique scores desc = rank; top 20 respond → base rate 20%
+    val fx = (1 to 100).map(i => (i.toLong, if (i > 80) 1L else 0L))
+      .toDF("score", "resp")
+    val rows = Relational.liftOf(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    assert(rows.forall(_._2 == 10L), "equal deciles on unique scores")
+    assert(rows.map(_._3).sum == 20L, "responders conserve")
+    val d1 = rows.find(_._1 == 1L).get
+    assert(d1._4 == 1000000L && d1._7 == 5000000L,
+      "perfect top decile: rate 100%, lift 5x (=1/0.2)")
+    val d3 = rows.find(_._1 == 3L).get
+    assert(d3._6 == 20L && d3._7 == (1000000L * (1000000L * 20 / 30)) / 200000L)
+    assert(rows.map(_._5).toSeq == (1L to 10L).map(_ * 10), "cum monotone")
+  }
+
+  test("q218 lift: an all-tied score block is never split across deciles") {
+    import spark.implicits._
+    val fx = (1 to 40).map(i => (7L, if (i % 4 == 0) 1L else 0L))
+      .toDF("score", "resp")
+    val rows = Relational.liftOf(fx).collect()
+    assert(rows.length == 1, "one block, one decile")
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(1) == 40L)
+    assert(rows.head.getLong(6) == 1000000L, "lift 1x when block is the corpus")
+  }
+
+  test("q219 RFM: segments partition purchasers; replay matches a direct fold") {
+    import spark.implicits._
+    val got = Relational.q219RfmSegments(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select($"o_custkey", org.apache.spark.sql.functions.to_date($"o_orderdate"),
+        $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val asOf = orders.map(_._2).max
+    val cust = orders.groupBy(_._1).map { case (ck, os) =>
+      (ck, java.time.temporal.ChronoUnit.DAYS.between(os.map(_._2).max, asOf),
+        os.length.toLong, os.map(o => math.round(o._3 * 100)).sum)
+    }.toSeq
+    val n = cust.length.toLong
+    def rankBy[A](xs: Seq[(Long, Long)]): Map[Long, Long] =
+      xs.zipWithIndex.map { case ((ck, _), i) => ck -> (i + 1L) }.toMap
+    val rr = rankBy(cust.map(c => (c._1, c._2)).sortBy(c => (c._2, c._1)))
+    val rf = rankBy(cust.map(c => (c._1, c._3)).sortBy(c => (-c._2, c._1)))
+    val rm = rankBy(cust.map(c => (c._1, c._4)).sortBy(c => (-c._2, c._1)))
+    val want = cust.map { case (ck, rec, _, cents) =>
+      def q(rn: Long) = 5 - (5 * (rn - 1)) / n
+      val (r, f, m) = (q(rr(ck)), q(rf(ck)), q(rm(ck)))
+      val seg =
+        if (r >= 4 && f >= 4 && m >= 4) "champion"
+        else if (r >= 4 && f <= 2) "new"
+        else if (r <= 2 && f >= 4) "at_risk_loyal"
+        else if (r <= 2 && m >= 4) "cant_lose"
+        else if (r <= 2) "hibernating"
+        else "core"
+      (seg, rec, cents)
+    }.groupBy(_._1).map { case (seg, xs) =>
+      (seg, xs.size.toLong, xs.map(_._3).sum, xs.map(_._2).sum / xs.size)
+    }.toSet
+    assert(got.map(_._2).sum == n, "segments partition the purchasers")
+    assert(got.toSet == want)
+  }
 }
