@@ -1518,6 +1518,90 @@ object Relational {
       |  CAST(sum(rec_days) // count(*) AS BIGINT) AS avg_recency_days
       |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q220
+  /** Semi-additive snapshot totals — the DW measure that sums across
+    * CUSTOMERS but not across TIME (balances, inventory, "current
+    * order size"): for each month, the sum over all customers seen
+    * so far of each customer's LATEST order value as of that month.
+    * The naive shape materializes a customer × month grid (carry
+    * each balance forward) — 10⁷ customers × 120 months = 10⁹
+    * carried rows at scale, almost all of them copies. This uses the
+    * DELTA trick instead: a customer's contribution to month m
+    * changes only in months where they ORDER, by (new_latest −
+    * prev_latest); summing those per-month deltas and running a
+    * cumulative window over the calendar-bounded month spine
+    * reconstructs every snapshot total with zero carried rows.
+    *
+    * Per-(customer, month) latest order picks by max(struct(date,
+    * orderkey, cents)) — key-first lexicographic max, deterministic
+    * because (date, orderkey) is unique — mirrored in the oracle as
+    * a desc row_number. All spend is exact integer cents; avg is
+    * integer div. Shuffles: one map-side-combining agg to (customer,
+    * month) grain, one customer-partitioned lag window (activity-
+    * bounded), one month agg; the cumulative window runs on the
+    * month spine only. */
+  def q220SemiAdditive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perMonth = Tables.orders(s, dir)
+      .select($"o_custkey", date_trunc("month", $"o_orderdate").cast("date")
+        .as("month"), to_date($"o_orderdate").as("odate"), $"o_orderkey",
+        expr("CAST(round(o_totalprice * 100D) AS BIGINT)").as("cents"))
+      .groupBy($"o_custkey", $"month")
+      .agg(max(struct($"odate", $"o_orderkey", $"cents")).as("pick"))
+      .select($"o_custkey", $"month", $"pick.cents".as("last_cents"))
+    val wCust = Window.partitionBy($"o_custkey").orderBy($"month")
+    val wMonths = Window.orderBy($"month")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perMonth
+      .withColumn("prev", lag($"last_cents", 1).over(wCust))
+      .select($"month",
+        ($"last_cents" - coalesce($"prev", lit(0L))).as("delta"),
+        when($"prev".isNull, 1L).otherwise(0L).as("first"))
+      .groupBy($"month")
+      .agg(sum($"delta").as("d"), sum($"first").as("nf"))
+      .withColumn("n_customers", sum($"nf").over(wMonths))
+      .withColumn("total_last_order_cents", sum($"d").over(wMonths))
+      .select($"month", $"n_customers", $"total_last_order_cents",
+        expr("total_last_order_cents div n_customers").as("avg_cents"))
+      .orderBy($"month")
+  }
+
+  private val q220Oracle =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    CAST(o_orderdate AS DATE) AS odate, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |pm AS (
+      |  SELECT o_custkey, month, cents AS last_cents FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_custkey, month
+      |      ORDER BY odate DESC, o_orderkey DESC) AS rn
+      |    FROM o) WHERE rn = 1),
+      |dl AS (
+      |  SELECT month,
+      |    last_cents - COALESCE(lag(last_cents) OVER (
+      |      PARTITION BY o_custkey ORDER BY month), 0) AS delta,
+      |    CASE WHEN lag(last_cents) OVER (
+      |      PARTITION BY o_custkey ORDER BY month) IS NULL
+      |      THEN 1 ELSE 0 END AS first
+      |  FROM pm),
+      |ma AS (
+      |  SELECT month, CAST(sum(delta) AS BIGINT) AS d,
+      |    CAST(sum(first) AS BIGINT) AS nf
+      |  FROM dl GROUP BY 1),
+      |cum AS (
+      |  SELECT month,
+      |    CAST(sum(nf) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS n_customers,
+      |    CAST(sum(d) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS total_last_order_cents
+      |  FROM ma)
+      |SELECT month, n_customers, total_last_order_cents,
+      |  CAST(total_last_order_cents // n_customers AS BIGINT) AS avg_cents
+      |FROM cum ORDER BY month""".stripMargin
+
   // ---------------------------------------------------------------- q180
   /** Changelog compaction with DELETE tombstones — applying a CDC
     * feed (insert / update / delete ops with a sequence number) to
@@ -1682,6 +1766,7 @@ object Relational {
     "q211_period_over_period" -> (q211PeriodOverPeriod _),
     "q218_decile_lift" -> (q218DecileLift _),
     "q219_rfm_segments" -> (q219RfmSegments _),
+    "q220_semi_additive" -> (q220SemiAdditive _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
     "q180_cdc_apply"      -> (q180CdcApply _),
@@ -1730,6 +1815,7 @@ object Relational {
     "q211_period_over_period" -> q211Oracle,
     "q218_decile_lift" -> q218Oracle,
     "q219_rfm_segments" -> q219Oracle,
+    "q220_semi_additive" -> q220Oracle,
     "q115_drift_report"   -> q115Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,

@@ -1279,6 +1279,109 @@ object Streaming {
       |FROM ev a JOIN has_odd USING (user_id)
       |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q221
+  /** Per-bucket capacity of the q221 space-saving summaries. */
+  private[ops] val ssCapacity = 512
+  /** Bucket fan-out for the q221 heavy-hitter partitioning. */
+  private[ops] val ssBuckets = 8L
+
+  /** q221's processor: one space-saving summary (Metwally et al.
+    * 2005) per hash bucket in MapState[item → (count, overcount)].
+    * A new item beyond capacity REPLACES the current minimum —
+    * (min-count asc, item asc), a deterministic total order — and
+    * inherits its count as `est = min+1, err = min`: the classic
+    * guarantee est − err ≤ true ≤ est, and any item with true count
+    * > N_bucket/capacity is retained. Batch rows fold in ascending
+    * `seq` order (buffered + sorted — batch-bounded memory) so
+    * eviction sequences replay identically run to run; without
+    * eviction the fold is order-free and the sort is pure hygiene.
+    * State is CAPACITY-bounded per bucket — the point: top-k over an
+    * unbounded stream in O(buckets × capacity) state, vs q181's
+    * per-key-unbounded profile map. */
+  private class SpaceSavingProcessor(capacity: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    @transient private var counts: MapState[Long, (Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[Long, (Long, Long)]("counts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      rows.toArray.sortBy(_._3).foreach { case (_, item, _) =>
+        if (counts.containsKey(item)) {
+          val (c, e) = counts.getValue(item)
+          counts.updateValue(item, (c + 1L, e))
+        } else {
+          val entries = counts.iterator().toArray
+          if (entries.length < capacity) counts.updateValue(item, (1L, 0L))
+          else {
+            val (minItem, (minC, _)) =
+              entries.minBy { case (it, (c, _)) => (c, it) }
+            counts.removeKey(minItem)
+            counts.updateValue(item, (minC + 1L, minC))
+          }
+        }
+      }
+      counts.iterator().map { case (it, (c, e)) => (key, it, c, e) }
+    }
+  }
+
+  /** Streaming heavy hitters with BOUNDED state — the q33/q194 story
+    * told for aggregation instead of dedup: exact streaming counts
+    * (q181) hold one state entry per distinct key forever, which an
+    * unbounded id-carrying stream turns into unbounded state; the
+    * space-saving summary caps state at buckets × capacity entries
+    * while guaranteeing every sufficiently-frequent item survives
+    * with a bracketed estimate. Buckets partition items by hash so
+    * the summaries shard across executors and merge losslessly (an
+    * item lives in exactly one bucket); the final batch-side cut is
+    * the global top 10 by (est desc, item) total order.
+    *
+    * On this fixture per-bucket cardinality sits under the 512-entry
+    * capacity, so every estimate is EXACT with zero overcount and
+    * the relational top-10 is the oracle; the eviction path is
+    * regression-pinned by the spec's skewed planted stream (the cap
+    * is real, not decoration — same posture as q65's bucket cap). */
+  def q221StreamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Files.createTempDirectory("graft_ss_landing_")
+    scratch.get() += landing
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val stage = java.nio.file.Files.createTempDirectory("graft_ss_stage_")
+    scratch.get() += stage
+    ev.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val ls = java.nio.file.Files.list(stage)
+    val part = try ls.iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    finally ls.close()
+    java.nio.file.Files.move(part, landing.resolve("delivery_0.parquet"))
+    val stream = s.readStream.schema(ev.schema)
+      .parquet(landing.toString)
+      .select(($"user_id" % ssBuckets).as("bucket"), $"user_id", $"event_id")
+      .as[(Long, Long, Long)]
+    val out = stream.groupByKey(_._1)
+      .transformWithState(new SpaceSavingProcessor(ssCapacity),
+        TimeMode.None(), OutputMode.Append())
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try drain(s, out.toDF("bucket", "item", "est_count", "max_overcount"),
+        OutputMode.Append())
+      .orderBy($"est_count".desc, $"item").limit(10)
+      .select($"item", $"est_count", $"max_overcount")
+    finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private val q221Oracle =
+    """SELECT user_id AS item, CAST(count(*) AS BIGINT) AS est_count,
+      |  CAST(0 AS BIGINT) AS max_overcount
+      |FROM events GROUP BY 1
+      |ORDER BY est_count DESC, item LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_transform_with_state" -> (q177TransformWithState _),
     "q179_timeout_sessions" -> (q179TimeoutSessions _),
@@ -1298,6 +1401,7 @@ object Streaming {
     "q121_stream_admission"  -> (q121StreamAdmission _),
     "q144_incremental_mv"    -> (q144IncrementalMv _),
     "q158_decayed_trending"  -> (q158DecayedTrending _),
+    "q221_stream_heavy_hitters" -> (q221StreamHeavyHitters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1307,6 +1411,7 @@ object Streaming {
     "q182_recent_features"  -> q182Oracle,
     "q184_bootstrapped_state" -> q184Oracle,
     "q194_dedup_within_watermark" -> q33Oracle,
+    "q221_stream_heavy_hitters" -> q221Oracle,
     "q30_stream_tumbling" -> q30Oracle,
     "q31_stream_sliding"  -> q31Oracle,
     "q32_session_windows" -> q32Oracle,

@@ -2408,6 +2408,78 @@ object TextOps {
       |  CAST((1000000 * t.sq) // (t.total * t.total) AS BIGINT) AS hhi_ppm
       |FROM r, t ORDER BY rnk""".stripMargin
 
+  // ---------------------------------------------------------------- q222
+  /** Per-document unigram entropy in exact integer micro-nats — the
+    * self-information quality signal: boilerplate and keyword-stuffed
+    * docs have LOW entropy for their length, q59's repetition ratio
+    * catches only verbatim runs, and q125's LM score measures
+    * fluency against the CORPUS model rather than the doc's own
+    * distribution. H = ln N − (1/N)·Σ c_w·ln c_w over whitespace
+    * tokens (q73's tokenizer), computed with the q125/q208 ln
+    * discipline: every ln is a single fixed-form `floor(ln(exact
+    * integer)·10⁶)` both engines evaluate identically, and all
+    * combining arithmetic is BIGINT. The normalized ratio
+    * (entropy / ln N, the 0–1 "how close to maximally diverse")
+    * guards the N=1 doc explicitly — both engines would otherwise
+    * divide by L(1)=0.
+    *
+    * Scale: tokens explode to (doc_id, tok) pairs and immediately
+    * count down to (doc, distinct-tok) grain in a map-side-combining
+    * agg — the full text never shuffles; the second agg lands on
+    * doc grain. Same two-shuffle shape as q73. */
+  def q222DocEntropy(s: SparkSession, dir: String): DataFrame =
+    entropyOf(Tables.documentsSpread(s, dir))
+
+  /** The entropy pipeline on any (doc_id, text) frame — separated so
+    * the spec can verify the closed-form anchors (uniform doc →
+    * ratio 10⁶, constant doc → 0, single token → guarded 0). */
+  private[ops] def entropyOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum($"c" * expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000D) AS BIGINT)"))
+          .as("sum_clc"))
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        (expr("CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000D) AS BIGINT)")
+          - expr("sum_clc div n_tokens")).as("entropy_micro"))
+      .withColumn("entropy_ratio_ppm", expr(
+        """CASE WHEN n_tokens = 1 THEN 0L ELSE
+          |  (1000000 * entropy_micro) div
+          |    CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000D) AS BIGINT)
+          |END""".stripMargin))
+      .orderBy($"doc_id")
+  }
+
+  private val q222Oracle =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |ct AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM tk GROUP BY 1, 2),
+      |ag AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_distinct,
+      |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+      |      AS BIGINT) AS sum_clc
+      |  FROM ct GROUP BY 1),
+      |e AS (
+      |  SELECT doc_id, n_tokens, n_distinct,
+      |    CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+      |      - sum_clc // n_tokens AS entropy_micro
+      |  FROM ag)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  CAST(entropy_micro AS BIGINT) AS entropy_micro,
+      |  CAST(CASE WHEN n_tokens = 1 THEN 0 ELSE
+      |    (1000000 * entropy_micro) //
+      |      CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+      |  END AS BIGINT) AS entropy_ratio_ppm
+      |FROM e ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_lm_buckets"  -> (q167LmBuckets _),
     "q168_dataset_card" -> (q168DatasetCard _),
@@ -2415,6 +2487,7 @@ object TextOps {
     "q176_coverage_matrix" -> (q176CoverageMatrix _),
     "q193_source_concentration" -> (q193SourceConcentration _),
     "q196_score_auc"   -> (q196ScoreAuc _),
+    "q222_doc_entropy" -> (q222DocEntropy _),
     "q198_oov_coverage" -> (q198OovCoverage _),
     "q215_topn_other"  -> (q215TopnOther _),
     "q216_pct_rank_features" -> (q216PctRankFeatures _),
@@ -2467,6 +2540,7 @@ object TextOps {
     "q198_oov_coverage" -> q198Oracle,
     "q215_topn_other"  -> q215Oracle,
     "q216_pct_rank_features" -> q216Oracle,
+    "q222_doc_entropy" -> q222Oracle,
     "q199_calibration_bins" -> q199Oracle,
     "q206_slice_auc"   -> q206Oracle,
     "q60_text_stats"          -> q60Oracle,

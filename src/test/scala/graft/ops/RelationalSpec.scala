@@ -212,4 +212,28 @@ class RelationalSpec extends SparkSuite {
     assert(got.map(_._2).sum == n, "segments partition the purchasers")
     assert(got.toSet == want)
   }
+
+  test("q220 semi-additive: delta trick equals the naive carried-forward grid") {
+    import spark.implicits._
+    val got = Relational.q220SemiAdditive(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3)))
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select($"o_custkey", org.apache.spark.sql.functions.to_date($"o_orderdate"),
+        $"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+    val months = orders.map(_._2.withDayOfMonth(1)).distinct.sorted
+    val want = months.map { m =>
+      // naive: every customer's latest order (date, orderkey) up to month-end
+      val eom = m.plusMonths(1)
+      val upTo = orders.filter(_._2.isBefore(eom))
+      val latest = upTo.groupBy(_._1).map { case (_, os) =>
+        os.maxBy(o => (o._2.toEpochDay, o._3))._4
+      }
+      val n = upTo.map(_._1).distinct.size.toLong
+      val tot = latest.sum
+      (m, n, tot, tot / n)
+    }
+    assert(got.toSeq == want.toSeq)
+  }
 }

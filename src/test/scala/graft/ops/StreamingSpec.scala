@@ -277,4 +277,35 @@ class StreamingSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq)
     assert(b.map(_._1).distinct.length == b.length)
   }
+
+  test("q221 space-saving: eviction replaces the min and brackets the truth") {
+    import spark.implicits._
+    // one bucket (all user_id ≡ 0 mod 8): 513 singletons overflow the
+    // 512-entry capacity, then a planted heavy item arrives post-overflow
+    val singles = (1 to 513).map(i => (i.toLong, 8L * i))
+    val heavy = (1 to 50).map(i => (513L + i, 8000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_spec_")
+    (singles ++ heavy)
+      .map { case (seq, item) => (seq, new java.sql.Timestamp(seq * 1000),
+        item, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    try {
+      val got = Streaming.q221StreamHeavyHitters(spark, dir.toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // singleton 8 evicted by item 4104 (inherits est 2/err 1); singleton
+      // 16 evicted by the heavy item, which then counts 49 more arrivals
+      val want = Seq((8000L, 51L, 1L), (4104L, 2L, 1L)) ++
+        (3 to 10).map(i => (8L * i, 1L, 0L))
+      assert(got.toSeq == want)
+      val (item, est, err) = got.head
+      assert(item == 8000L && est - err == 50L,
+        "space-saving bracket est-err <= true <= est is tight here")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(dir)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

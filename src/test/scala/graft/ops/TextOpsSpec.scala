@@ -936,4 +936,22 @@ class TextOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("q222 entropy anchors: uniform=1e6 ratio, constant=0, singleton guarded") {
+    import spark.implicits._
+    def L(k: Long) = math.floor(math.log(k.toDouble) * 1e6).toLong
+    val fx = Seq(
+      (1L, "a b c d"),   // uniform: H = L(4), ratio 10^6
+      (2L, "a a a a"),   // constant: H = 0
+      (3L, "x"),         // N=1: guarded ratio 0 (L(1)=0 would divide by zero)
+      (4L, "a a b b"),   // H = L(4) - L(2)
+    ).toDF("doc_id", "text")
+    val got = TextOps.entropyOf(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got(0) == ((1L, 4L, 4L, L(4), 1000000L)))
+    assert(got(1) == ((2L, 4L, 1L, 0L, 0L)))
+    assert(got(2) == ((3L, 1L, 1L, 0L, 0L)))
+    assert(got(3) == ((4L, 4L, 2L, L(4) - L(2),
+      (1000000L * (L(4) - L(2))) / L(4))))
+  }
 }
