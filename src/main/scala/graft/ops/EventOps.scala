@@ -1930,10 +1930,84 @@ object EventOps {
        |SELECT event_type, day, n, s AS ewma_ppm, d AS ewmd_ppm, oob
        |FROM rec ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------- q223
+  /** LOCF (last-observation-carried-forward) backfill of the hourly
+    * per-type value series — the OTHER gap-filling semantics: q99
+    * fills missing COUNT slots with zero (correct for counts), but a
+    * level-like measure (sensor reading, price, balance) must carry
+    * the last seen value forward, tagged honestly as imputed and
+    * with its AGE, so downstream consumers can bound staleness
+    * instead of mistaking a 5-day-old carry for a fresh reading.
+    * Leading slots before a type's first observation stay NULL — no
+    * fabricated baseline (q211's posture).
+    *
+    * `last(v, ignoreNulls)` over the per-type hour window does the
+    * carry; `max(when(observed, h))` over the same frame dates the
+    * carried value; staleness is exact integer hour arithmetic on
+    * hour-aligned stamps. The window input is the q99 spine —
+    * calendar × type bounded, not event bounded; raw events reduce
+    * in one map-side-combining agg first. Oracle: DuckDB's
+    * last_value(... IGNORE NULLS) over the same frame. */
+  def q223LocfBackfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("hour", $"ts").as("h"), $"event_type",
+        expr("CAST(round(value * 1000000D) AS BIGINT)").as("vq"))
+    val agg = ev.groupBy($"h", $"event_type").agg(sum($"vq").as("v"))
+    val bounds = ev.agg(min($"h").as("mn"), max($"h").as("mx"))
+    val spine = bounds
+      .select(explode(sequence($"mn", $"mx", expr("INTERVAL 1 HOUR"))).as("h"))
+      .crossJoin(ev.select($"event_type").distinct())
+    val w = Window.partitionBy($"event_type").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(agg, Seq("h", "event_type"), "left")
+      .withColumn("v_filled", last($"v", ignoreNulls = true).over(w))
+      .withColumn("last_seen", max(when($"v".isNotNull, $"h")).over(w))
+      .select($"h", $"event_type", $"v_filled".as("vsum_micro"),
+        ($"v".isNull && $"v_filled".isNotNull).as("was_filled"),
+        expr("""CAST((CAST(h AS LONG) - CAST(last_seen AS LONG)) div 3600
+               |  AS BIGINT)""".stripMargin).as("staleness_hours"))
+      .orderBy($"h", $"event_type")
+  }
+
+  private val q223Oracle =
+    """WITH ev AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type,
+      |    CAST(round(value * 1000000) AS BIGINT) AS vq
+      |  FROM events),
+      |agg AS (
+      |  SELECT h, event_type, CAST(sum(vq) AS BIGINT) AS v
+      |  FROM ev GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT unnest(generate_series(
+      |      (SELECT min(h) FROM ev), (SELECT max(h) FROM ev),
+      |      INTERVAL 1 HOUR)) AS h,
+      |    t.event_type
+      |  FROM (SELECT DISTINCT event_type FROM ev) t),
+      |j AS (
+      |  SELECT s.h, s.event_type, a.v FROM spine s
+      |  LEFT JOIN agg a ON s.h = a.h AND s.event_type = a.event_type),
+      |f AS (
+      |  SELECT h, event_type, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+      |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS v_filled,
+      |    max(CASE WHEN v IS NOT NULL THEN h END) OVER (
+      |      PARTITION BY event_type
+      |      ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_seen
+      |  FROM j)
+      |SELECT h, event_type, v_filled AS vsum_micro,
+      |  (v IS NULL AND v_filled IS NOT NULL) AS was_filled,
+      |  CAST(date_diff('hour', last_seen, h) AS BIGINT) AS staleness_hours
+      |FROM f ORDER BY h, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
     "q217_ewma_band"        -> (q217EwmaBand _),
+    "q223_locf_backfill"    -> (q223LocfBackfill _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q171_event_sequences"  -> (q171EventSequences _),
     "q178_linear_attribution" -> (q178LinearAttribution _),
@@ -1967,6 +2041,7 @@ object EventOps {
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,
+    "q223_locf_backfill"    -> q223Oracle,
     "q169_seasonal_profile" -> q169Oracle,
     "q171_event_sequences"  -> q171Oracle,
     "q178_linear_attribution" -> q178Oracle,

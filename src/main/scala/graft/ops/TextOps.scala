@@ -2480,6 +2480,116 @@ object TextOps {
       |  END AS BIGINT) AS entropy_ratio_ppm
       |FROM e ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q224
+  /** Winsorized per-source length statistics — the robust mean the
+    * curation dashboards should quote: a handful of megadocs (or
+    * empty stubs) drag a plain mean arbitrarily far, q134's MAD
+    * FLAGS outliers, but winsorization CLIPS them to the p5/p95
+    * fences and reports how many rows hit each fence — a mean with
+    * a bounded influence function plus an honest clip count.
+    *
+    * Exact discrete fences by the first-crossing rank device (q209:
+    * smallest value whose rank satisfies 20·rn ≥ n / 20·rn ≥ 19·n),
+    * per-source ranking windows; the fence table is source-grain
+    * (dimension-bounded) and broadcast-joins back for the clip
+    * pass, so the corpus shuffles once for ranking and once for the
+    * final source aggregate. All arithmetic BIGINT. */
+  def q224WinsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select($"source", $"n_chars")
+    val w = Window.partitionBy($"source")
+    val fences = d
+      .withColumn("rn", row_number().over(w.orderBy($"n_chars")).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy($"source")
+      .agg(min(when(lit(20) * $"rn" >= $"n", $"n_chars")).as("p05"),
+        min(when(lit(20) * $"rn" >= lit(19) * $"n", $"n_chars")).as("p95"))
+    d.join(broadcast(fences), "source")
+      .select($"source", $"p05", $"p95",
+        greatest($"p05", least($"p95", $"n_chars")).as("clipped"),
+        ($"n_chars" < $"p05").cast("long").as("lo"),
+        ($"n_chars" > $"p95").cast("long").as("hi"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), max($"p05").as("p05"),
+        max($"p95").as("p95"), sum($"lo").as("n_clipped_low"),
+        sum($"hi").as("n_clipped_high"),
+        expr("sum(clipped) div count(1)").as("winsorized_mean"))
+      .orderBy($"source")
+  }
+
+  private val q224Oracle =
+    """WITH d AS (SELECT source, n_chars FROM documents),
+      |r AS (
+      |  SELECT source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars)
+      |      AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM d),
+      |f AS (
+      |  SELECT source,
+      |    min(CASE WHEN 20 * rn >= n THEN n_chars END) AS p05,
+      |    min(CASE WHEN 20 * rn >= 19 * n THEN n_chars END) AS p95
+      |  FROM r GROUP BY 1),
+      |c AS (
+      |  SELECT d.source, f.p05, f.p95,
+      |    greatest(f.p05, least(f.p95, d.n_chars)) AS clipped,
+      |    CASE WHEN d.n_chars < f.p05 THEN 1 ELSE 0 END AS lo,
+      |    CASE WHEN d.n_chars > f.p95 THEN 1 ELSE 0 END AS hi
+      |  FROM d JOIN f ON d.source = f.source)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  max(p05) AS p05, max(p95) AS p95,
+      |  CAST(sum(lo) AS BIGINT) AS n_clipped_low,
+      |  CAST(sum(hi) AS BIGINT) AS n_clipped_high,
+      |  CAST(sum(clipped) // count(*) AS BIGINT) AS winsorized_mean
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q225
+  /** Bucket count for the q225 hashing-trick encoder. */
+  val featHashBuckets = 64L
+
+  /** Feature hashing (the hashing trick) — fixed-width sparse
+    * features from unbounded categorical domains with NO vocabulary
+    * pass: each feature string maps to `md5(feature) % B`, colliding
+    * features simply add. q105 builds an explicit vocabulary (exact,
+    * two passes, needs a dictionary shuffle); this is the one-pass
+    * zero-state encoder a 100 TB featurizer starts with, traded
+    * against collisions that the rider `n_features` column lets a
+    * consumer audit (w > 1 on a doc's bucket = in-doc collision).
+    *
+    * Hashing uses the q49 md5-prefix device — engine-identical by
+    * construction, no engine-native hash() whose seeds differ.
+    * Scale: pure projection → 3-element explode → one (doc, bucket)
+    * map-side-combining agg; nothing else shuffles. */
+  def q225FeatureHashing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def h(c: Column): Column =
+      conv(substring(md5(c), 1, 4), 16, 10).cast("long") % featHashBuckets
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(array(
+        concat(lit("lang:"), $"lang"),
+        concat(lit("src:"), $"source"),
+        concat(lit("len:"), expr("CAST(n_chars div 500 AS STRING)"))))
+        .as("feat"))
+      .select($"doc_id", h($"feat").as("bucket"))
+      .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("w"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
+  private val q225Oracle =
+    s"""WITH feats AS (
+       |  SELECT doc_id, unnest([
+       |    'lang:' || lang, 'src:' || source,
+       |    'len:' || CAST(n_chars // 500 AS VARCHAR)]) AS feat
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(feat), 1, 4))::BIGINT % $featHashBuckets
+       |      AS bucket
+       |  FROM feats)
+       |SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS w
+       |FROM hashed GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_lm_buckets"  -> (q167LmBuckets _),
     "q168_dataset_card" -> (q168DatasetCard _),
@@ -2488,6 +2598,8 @@ object TextOps {
     "q193_source_concentration" -> (q193SourceConcentration _),
     "q196_score_auc"   -> (q196ScoreAuc _),
     "q222_doc_entropy" -> (q222DocEntropy _),
+    "q224_winsorized_stats" -> (q224WinsorizedStats _),
+    "q225_feature_hashing" -> (q225FeatureHashing _),
     "q198_oov_coverage" -> (q198OovCoverage _),
     "q215_topn_other"  -> (q215TopnOther _),
     "q216_pct_rank_features" -> (q216PctRankFeatures _),
@@ -2541,6 +2653,8 @@ object TextOps {
     "q215_topn_other"  -> q215Oracle,
     "q216_pct_rank_features" -> q216Oracle,
     "q222_doc_entropy" -> q222Oracle,
+    "q224_winsorized_stats" -> q224Oracle,
+    "q225_feature_hashing" -> q225Oracle,
     "q199_calibration_bins" -> q199Oracle,
     "q206_slice_auc"   -> q206Oracle,
     "q60_text_stats"          -> q60Oracle,

@@ -673,4 +673,39 @@ class EventOpsSpec extends SparkSuite {
     assert(got.find(_._1 == 20).get._5, "alarm fires at the shift day")
     assert(got.filter(_._1 < 20).forall(!_._5), "quiet before the shift")
   }
+
+  test("q223 LOCF: carries last value with honest age; leading slots stay null") {
+    import spark.implicits._
+    val got = EventOps.q223LocfBackfill(spark, sf0001).collect()
+      .map(r => ((r.getTimestamp(0).getTime, r.getString(1)),
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.date_trunc("hour", $"ts"),
+        $"event_type", $"value").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        math.round(r.getDouble(2) * 1e6)))
+    val byHour = ev.groupBy(e => (e._1, e._2))
+      .view.mapValues(_.map(_._3).sum).toMap
+    val hours = {
+      val mn = ev.map(_._1).min; val mx = ev.map(_._1).max
+      mn to mx by 3600000L
+    }
+    val types = ev.map(_._2).distinct.sorted
+    var nFilled = 0; var nLeading = 0
+    for (t <- types) {
+      var lastV: Option[Long] = None; var lastH: Option[Long] = None
+      for (h <- hours) {
+        val obs = byHour.get((h, t))
+        if (obs.isDefined) { lastV = obs; lastH = Some(h) }
+        val (v, filled, stale) = got((h, t))
+        assert(v == lastV)
+        assert(filled == (obs.isEmpty && lastV.isDefined))
+        assert(stale == lastH.map(lh => (h - lh) / 3600000L))
+        if (filled) nFilled += 1
+        if (lastV.isEmpty) nLeading += 1
+      }
+    }
+    assert(nFilled > 0, "carry branch is live at sf0.001")
+  }
 }

@@ -954,4 +954,49 @@ class TextOpsSpec extends SparkSuite {
     assert(got(3) == ((4L, 4L, 2L, L(4) - L(2),
       (1000000L * (L(4) - L(2))) / L(4))))
   }
+
+  test("q224 winsorized stats: fences, clip counts, and mean replay") {
+    import spark.implicits._
+    val got = TextOps.q224WinsorizedStats(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"source", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    got.foreach { case (src, nDocs, p05, p95, lo, hi, wmean) =>
+      val xs = docs.filter(_._1 == src).map(_._2).sorted
+      val n = xs.length
+      assert(nDocs == n.toLong)
+      val wantP05 = xs((n + 19) / 20 - 1)      // smallest rn with 20rn >= n
+      val wantP95 = xs((19 * n + 19) / 20 - 1) // smallest rn with 20rn >= 19n
+      assert(p05 == wantP05 && p95 == wantP95)
+      assert(lo == xs.count(_ < p05) && hi == xs.count(_ > p95))
+      assert(20 * lo <= n, "at most n/20 rows sit strictly below the p5 fence")
+      assert(wmean == xs.map(x => math.max(p05, math.min(p95, x))).sum / n)
+    }
+  }
+
+  test("q225 feature hashing: md5 replay, per-doc weight conservation") {
+    import spark.implicits._
+    val got = TextOps.q225FeatureHashing(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"source", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def bucket(feat: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(feat.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % 64L
+    }
+    val want = docs.flatMap { case (id, lang, src, nc) =>
+      Seq(s"lang:$lang", s"src:$src", s"len:${nc / 500}").map(f => (id, bucket(f)))
+    }.groupBy(identity).map { case ((id, b), xs) => (id, b, xs.length.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum == 3L, "every doc contributes exactly 3 features")
+    }
+    assert(got.forall(r => r._2 >= 0 && r._2 < 64))
+  }
 }
