@@ -251,4 +251,47 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(800))
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
   }
+
+  test("q217/q220: sequential folds join-free; raw stream reduces map-side first") {
+    // EWMA: events → (type, day) partial agg, then the per-type fold — no join
+    val p217 = plan(EventOps.q217EwmaBand(spark, sf0001))
+    assert(!p217.contains("Join"), p217.take(600))
+    assert(p217.contains("partial_count"), "daily agg must combine map-side")
+    // semi-additive: delta trick is windows over the reduced grain — no join,
+    // and no more than three hash exchanges (cust-month agg, cust lag window
+    // re-key, month agg)
+    val p220 = plan(Relational.q220SemiAdditive(spark, sf0001))
+    assert(!p220.contains("Join"), p220.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p220).length <= 3, p220.take(900))
+  }
+
+  test("q218 lift: deciles come from the score spine, never a per-row rank") {
+    val p = plan(Relational.q218DecileLift(spark, sf0001))
+    assert(!p.contains("Join"), p.take(600))
+    // one exchange to score grain (+ one to decile grain); the raw orders
+    // must reduce map-side before any window sees them
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p.take(900))
+    assert(p.contains("partial_count"), "score spine must combine map-side")
+  }
+
+  test("q219/q224: dimension-sized stats broadcast back; no sort-merge joins") {
+    val p219 = plan(Relational.q219RfmSegments(spark, sf0001))
+    assert(!p219.contains("SortMergeJoin"), p219.take(800))
+    val p224 = plan(TextOps.q224WinsorizedStats(spark, sf0001))
+    assert(!p224.contains("SortMergeJoin"), p224.take(800))
+    assert(p224.contains("BroadcastHashJoin"), "fence table must broadcast")
+  }
+
+  test("q222/q225: projection pipelines — bounded exchanges, no join, pruned scan") {
+    val p222 = plan(TextOps.q222DocEntropy(spark, sf0001))
+    assert(!p222.contains("Join"), p222.take(600))
+    val p225 = plan(TextOps.q225FeatureHashing(spark, sf0001))
+    assert(!p225.contains("Join"), p225.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p225).length == 1, p225.take(900))
+    assert(p225.contains("partial_count"), "(doc,bucket) agg must combine map-side")
+    // q225 reads metadata columns only — text stays out of the scan
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p225)
+      .map(_.group(1)).getOrElse("")
+    assert(!rs.contains("text"), rs)
+  }
 }
