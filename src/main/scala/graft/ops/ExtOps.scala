@@ -736,7 +736,77 @@ object ExtOps {
        |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS keep_ppm
        |FROM v""".stripMargin
 
+  // ---------------------------------------------------------------- q226
+  /** Aggregation over the library's native DataSource V2 connector
+    * (`graft.sources.SeqSourceProvider`) — the query that proves the
+    * engine owns a full Catalyst-negotiating source, not just file
+    * scans: the id-range predicate pushes INTO the source (which
+    * statically prunes generation chunks), the projection prunes
+    * generated columns, and what remains is an ordinary
+    * map-side-combining aggregate. The oracle regenerates the same
+    * rows with DuckDB's generate_series and identical Knuth-hash
+    * integer arithmetic — connector correctness is hash-checked,
+    * not trusted. PlanSpec pins the pushed range and the chunk
+    * pruning via the scan description. */
+  def q226Dsv2Source(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "100000").option("parts", "8").load()
+      .where($"id" >= 25000L && $"id" < 75000L)
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"val").as("sum_val"))
+      .orderBy($"grp")
+  }
+
+  private val q226Oracle =
+    """SELECT 'g' || CAST(id % 10 AS VARCHAR) AS grp,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum((id * 2654435761) % 1000003) AS BIGINT) AS sum_val
+      |FROM generate_series(25000, 74999) t(id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q227
+  /** The SQL front-end driving the library's NATIVE functions — q51
+    * proves spark.sql over views; this proves the extension story:
+    * `graft_dot` (the codegen'd FloatVecDot) resolves as a SQL
+    * function and plans the same tight loop the Column API gets.
+    * Functions install via GraftFunctions (post-hoc registry path
+    * here, so ANY session can run this; config path
+    * `spark.sql.extensions=graft.GraftExtensions` feeds the same
+    * descriptor list — ExtOpsSpec asserts both paths resolve).
+    * Query: top-20 most-similar pairs among the first 50 embeddings,
+    * full cosine in SQL; q70's oracle device mirrors it. Temp view
+    * dropped after planning (q51's hygiene). */
+  def q227ExtensionSql(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.install(s)
+    Tables.embeddings(s, dir).where(col("vec_id") < 50)
+      .createOrReplaceTempView("emb_ext")
+    try s.sql(
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  graft_dot(a.embedding, b.embedding) /
+        |    (sqrt(graft_dot(a.embedding, a.embedding)) *
+        |     sqrt(graft_dot(b.embedding, b.embedding))) AS cosine
+        |FROM emb_ext a JOIN emb_ext b ON a.vec_id < b.vec_id
+        |ORDER BY cosine DESC, a_id, b_id LIMIT 20""".stripMargin)
+    finally s.catalog.dropTempView("emb_ext")
+  }
+
+  private val q227Oracle = {
+    val dot = SimilarityOps.dotSql
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+       |sc AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${dot("a.embedding", "b.embedding")} /
+       |      (sqrt(${dot("a.embedding", "a.embedding")}) *
+       |       sqrt(${dot("b.embedding", "b.embedding")})) AS cosine
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT a_id, b_id, cosine FROM sc
+       |ORDER BY cosine DESC, a_id, b_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_dsv2_source" -> (q226Dsv2Source _),
+    "q227_extension_sql" -> (q227ExtensionSql _),
     "q166_schema_evolution" -> (q166SchemaEvolution _),
     "q183_join_cardinality" -> (q183JoinCardinality _),
     "q214_observed_metrics" -> (q214ObservedMetrics _),
@@ -753,6 +823,8 @@ object ExtOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q226_dsv2_source" -> q226Oracle,
+    "q227_extension_sql" -> q227Oracle,
     "q166_schema_evolution" -> q166Oracle,
     "q183_join_cardinality" -> q183Oracle,
     "q214_observed_metrics" -> q214Oracle,

@@ -53,7 +53,7 @@ object SimilarityOps {
       .orderBy($"query_id", $"rank")
   }
 
-  private val dotSql = (a: String, b: String) =>
+  private[ops] val dotSql = (a: String, b: String) =>
     s"""list_reduce(list_transform(range(1, len($a) + 1),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
 

@@ -294,4 +294,24 @@ class PlanSpec extends SparkSuite {
       .map(_.group(1)).getOrElse("")
     assert(!rs.contains("text"), rs)
   }
+
+  test("q226 DSv2: range pushed into the source, chunks pruned, columns pruned") {
+    val p = plan(ExtOps.q226Dsv2Source(spark, sf0001))
+    // the id predicate is consumed ENTIRELY by the source (no Filter node
+    // re-applies it) and narrows generation to [25000, 75000)
+    assert(p.contains("SeqScan(lo=25000, hi=75000"), p.take(900))
+    // 4 of 8 generation chunks statically pruned by the pushed range
+    assert(p.contains("chunks=4/8"), p.take(900))
+    // id is filter-only: column pruning means it is never even generated
+    assert(p.contains("cols=grp,val"), p.take(900))
+    assert(!p.contains("Filter "), "pushed range must not be re-filtered")
+    assert(p.contains("partial_count"), "agg combines map-side")
+  }
+
+  test("q227 extension SQL: graft_dot plans inside whole-stage codegen") {
+    val p = plan(ExtOps.q227ExtensionSql(spark, sf0001))
+    // the native expression appears in the plan (not a ScalaUDF shim)
+    assert(p.contains("floatvecdot") || p.contains("FloatVecDot"), p.take(900))
+    assert(!p.contains("ScalaUDF"), "must be the native expression")
+  }
 }

@@ -191,4 +191,40 @@ class ExtOpsSpec extends SparkSuite {
     assert(kept <= seen && kept > 0 && kept < seen, "both branches live")
     assert(cents > 0 && ppm == 1000000L * kept / seen)
   }
+
+  test("q226 source: residual filters re-apply; pushed bounds are exact") {
+    import spark.implicits._
+    val base = spark.read.format("graft.sources.SeqSourceProvider")
+      .option("rows", "1000").option("parts", "4").load()
+    // exact pushed range: equality pins a single row with derived columns
+    val one = base.where($"id" === 123L).collect()
+    assert(one.length == 1)
+    assert(one(0).getString(1) == "g3" &&
+      one(0).getLong(2) == (123L * 2654435761L) % 1000003L)
+    // a grp predicate is NOT pushable: the source returns it as residual
+    // and Spark re-applies it — count must still be exact
+    val g7 = base.where($"id" < 100L && $"grp" === "g7").collect()
+    assert(g7.map(_.getLong(0)).toSeq == (7L until 100L by 10L))
+    // range clamp: beyond-domain bounds yield the domain
+    assert(base.where($"id" >= 990L).count() == 10L)
+  }
+
+  test("q227 functions: both install paths share one descriptor list; SQL anchors") {
+    graft.GraftFunctions.install(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |  graft_doti(array(2, 3), array(5, 7)) AS di,
+        |  graft_nfc('é') AS nfc""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) == 31L)
+    assert(r.getString(2) == "é", "NFC composes e + combining acute")
+    // the config path (spark.sql.extensions=graft.GraftExtensions) injects
+    // the SAME descriptors — apply it to a fresh extensions container
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must accept all descriptors
+    assert(graft.GraftFunctions.all.map(_._1.funcName) ==
+      Seq("graft_dot", "graft_doti", "graft_nfc"))
+  }
 }
