@@ -2003,11 +2003,68 @@ object EventOps {
       |  CAST(date_diff('hour', last_seen, h) AS BIGINT) AS staleness_hours
       |FROM f ORDER BY h, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q230
+  /** Merged activity intervals — q197's union MATERIALIZED: where
+    * q197 reports per-user coverage totals, this emits the merged
+    * interval LIST itself (user, ordinal, start, end, event count),
+    * the shape downstream systems consume directly (billing line
+    * items, session exports, audit timelines). Same gaps-and-islands
+    * device and the same single user-key shuffle; the ordinal is a
+    * rank over the per-user ISLAND grain (bounded by islands, not
+    * events), and every column is exact integer µs. */
+  def q230MergedIntervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("st"),
+        (unix_micros($"ts") + activityUs).as("en"))
+    val wPrev = Window.partitionBy($"user_id").orderBy($"st", $"en")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"user_id").orderBy($"st", $"en")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("brk",
+        when($"st" > max($"en").over(wPrev), 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(wRun))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"st").as("start_us"), max($"en").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("iv_idx", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"start_us")).cast("long"))
+      .select($"user_id", $"iv_idx", $"start_us", $"end_us", $"n_events")
+      .orderBy($"user_id", $"iv_idx")
+  }
+
+  private val q230Oracle =
+    s"""WITH iv AS (
+       |  SELECT user_id, epoch_us(ts) AS st,
+       |    epoch_us(ts) + $activityUs AS en
+       |  FROM events),
+       |o AS (
+       |  SELECT *, CASE WHEN st > max(en) OVER (PARTITION BY user_id
+       |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM iv),
+       |g AS (
+       |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+       |  FROM o),
+       |m AS (
+       |  SELECT user_id, grp, min(st) AS start_us, max(en) AS end_us,
+       |    CAST(count(*) AS BIGINT) AS n_events
+       |  FROM g GROUP BY 1, 2)
+       |SELECT user_id,
+       |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_us)
+       |    AS BIGINT) AS iv_idx,
+       |  start_us, end_us, n_events
+       |FROM m ORDER BY user_id, iv_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
     "q217_ewma_band"        -> (q217EwmaBand _),
     "q223_locf_backfill"    -> (q223LocfBackfill _),
+    "q230_merged_intervals" -> (q230MergedIntervals _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q171_event_sequences"  -> (q171EventSequences _),
     "q178_linear_attribution" -> (q178LinearAttribution _),
@@ -2042,6 +2099,7 @@ object EventOps {
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,
     "q223_locf_backfill"    -> q223Oracle,
+    "q230_merged_intervals" -> q230Oracle,
     "q169_seasonal_profile" -> q169Oracle,
     "q171_event_sequences"  -> q171Oracle,
     "q178_linear_attribution" -> q178Oracle,

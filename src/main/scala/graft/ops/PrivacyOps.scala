@@ -123,13 +123,63 @@ object PrivacyOps {
        |FROM n ORDER BY lang, source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q229
+  /** Pseudonymized cross-dataset linkage: user ids in two extracts
+    * (browse events / purchase events) replace with a salted-md5
+    * token, and the extracts JOIN ON THE TOKEN — proving the
+    * pipeline property pseudonymization must preserve: consistent
+    * tokens keep entity linkage across datasets while raw
+    * identifiers never appear in any output column. q161 audits
+    * whether a release is identifying, q162 noises counts; this is
+    * the pseudonymize-then-share operator itself (the GDPR
+    * "pseudonymisation" Art. 4(5) shape: re-identification requires
+    * the separately-held salt).
+    *
+    * Token = 64-bit md5 prefix of salt‖id (q49's engine-identical
+    * device) computed in the SCAN projection — ids never shuffle;
+    * both sides aggregate to token grain map-side before the join.
+    * The fixture events split by type, so the join is token-to-token
+    * across genuinely different extracts. */
+  def q229PseudonymizedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def tok(c: Column): Column =
+      substring(md5(concat(lit("pseud-v1:"), c.cast("string"))), 1, 16)
+    val ev = Tables.events(s, dir)
+      .select(tok($"user_id").as("token"), $"event_type")
+    val browse = ev.where($"event_type".isin("view", "click"))
+      .groupBy($"token").agg(count(lit(1)).as("n_browse"))
+    val buys = ev.where($"event_type" === "purchase")
+      .groupBy($"token").agg(count(lit(1)).as("n_purchases"))
+    browse.join(buys, "token")
+      .select($"token", $"n_browse", $"n_purchases")
+      .orderBy($"token")
+  }
+
+  private val q229Oracle =
+    """WITH ev AS (
+      |  SELECT substr(md5('pseud-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+      |      AS token,
+      |    event_type
+      |  FROM events),
+      |browse AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS n_browse
+      |  FROM ev WHERE event_type IN ('view', 'click') GROUP BY 1),
+      |buys AS (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS n_purchases
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT b.token, b.n_browse, p.n_purchases
+      |FROM browse b JOIN buys p ON b.token = p.token
+      |ORDER BY b.token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_k_anonymity"  -> (q161KAnonymity _),
     "q162_noisy_release" -> (q162NoisyRelease _),
+    "q229_pseudonymized_join" -> (q229PseudonymizedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
     "q161_k_anonymity"  -> q161Oracle,
     "q162_noisy_release" -> q162Oracle,
+    "q229_pseudonymized_join" -> q229Oracle,
   )
 }

@@ -1602,6 +1602,73 @@ object Relational {
       |  CAST(total_last_order_cents // n_customers AS BIGINT) AS avg_cents
       |FROM cum ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------- q228
+  /** Quantile–quantile drift table between two order eras (≤1997 vs
+    * later): the d/10 decile VALUES of each period's price
+    * distribution side by side with their signed ppm gap — the
+    * distribution-shift readout that says WHERE the change lives
+    * (q203's KS gives one max-gap number; q115's PSI gives binned
+    * mass shifts; a QQ table localizes drift by quantile, the view
+    * a pricing or data-quality review actually reads).
+    *
+    * Exact discrete quantiles on the cents spine (q218's
+    * domain-bounded device): per period, one map-side-combining agg
+    * to distinct cents, a cumulative window over the spine, and the
+    * first-crossing rule `10·cum ≥ d·n` per decile — no per-row
+    * ranking anywhere. The decile fan-out is a 9-element explode on
+    * the spine; the final pivot is a 9-row conditional agg. */
+  def q228QqDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sc = Tables.orders(s, dir)
+      .select(when(year($"o_orderdate") <= 1997, "p1").otherwise("p2")
+        .as("period"),
+        expr("CAST(round(o_totalprice * 100D) AS BIGINT)").as("x"))
+    val spine = sc.groupBy($"period", $"x").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"period").orderBy($"x")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy($"period")
+    spine
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(wAll))
+      .select($"period", $"x", $"cum", $"n",
+        explode(expr("sequence(1, 9)")).as("d"))
+      .where(lit(10) * $"cum" >= $"d" * $"n")
+      .groupBy($"d".cast("long").as("d"))
+      .agg(min(when($"period" === "p1", $"x")).as("p1_cents"),
+        min(when($"period" === "p2", $"x")).as("p2_cents"))
+      .select($"d", $"p1_cents", $"p2_cents",
+        expr("(1000000 * (p2_cents - p1_cents)) div p1_cents").as("gap_ppm"))
+      .orderBy($"d")
+  }
+
+  private val q228Oracle =
+    """WITH sc AS (
+      |  SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 'p1' ELSE 'p2' END
+      |      AS period,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      |  FROM orders),
+      |spine AS (
+      |  SELECT period, x, CAST(count(*) AS BIGINT) AS c
+      |  FROM sc GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT period, x,
+      |    CAST(sum(c) OVER (PARTITION BY period ORDER BY x
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(c) OVER (PARTITION BY period) AS BIGINT) AS n
+      |  FROM spine),
+      |q AS (
+      |  SELECT d.d,
+      |    min(CASE WHEN period = 'p1' THEN x END) AS p1_cents,
+      |    min(CASE WHEN period = 'p2' THEN x END) AS p2_cents
+      |  FROM cw, (SELECT unnest(generate_series(1, 9)) AS d) d
+      |  WHERE 10 * cum >= d.d * n
+      |  GROUP BY 1)
+      |SELECT d, p1_cents, p2_cents,
+      |  CAST((1000000 * (p2_cents - p1_cents)) // p1_cents AS BIGINT)
+      |    AS gap_ppm
+      |FROM q ORDER BY d""".stripMargin
+
   // ---------------------------------------------------------------- q180
   /** Changelog compaction with DELETE tombstones — applying a CDC
     * feed (insert / update / delete ops with a sequence number) to
@@ -1767,6 +1834,7 @@ object Relational {
     "q218_decile_lift" -> (q218DecileLift _),
     "q219_rfm_segments" -> (q219RfmSegments _),
     "q220_semi_additive" -> (q220SemiAdditive _),
+    "q228_qq_drift" -> (q228QqDrift _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
     "q180_cdc_apply"      -> (q180CdcApply _),
@@ -1816,6 +1884,7 @@ object Relational {
     "q218_decile_lift" -> q218Oracle,
     "q219_rfm_segments" -> q219Oracle,
     "q220_semi_additive" -> q220Oracle,
+    "q228_qq_drift" -> q228Oracle,
     "q115_drift_report"   -> q115Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,

@@ -708,4 +708,30 @@ class EventOpsSpec extends SparkSuite {
     }
     assert(nFilled > 0, "carry branch is live at sf0.001")
   }
+
+  test("q230 merged intervals: disjoint, ordered, and consistent with q197") {
+    val ivs = EventOps.q230MergedIntervals(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val cov = EventOps.q197IntervalCoverage(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nEvents = graft.Tables.events(spark, sf0001)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivs.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 < b._3, "merged intervals are strictly disjoint")
+        case _ =>
+      }
+      val (nIv, covered) = cov(u)
+      assert(rows.length.toLong == nIv)
+      assert(rows.map(r => r._4 - r._3).sum == covered,
+        "materialized list carries exactly q197's covered time")
+      assert(rows.map(_._5).sum == nEvents(u),
+        "every event lands in exactly one merged interval")
+    }
+  }
 }

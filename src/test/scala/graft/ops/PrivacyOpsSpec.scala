@@ -58,4 +58,29 @@ class PrivacyOpsSpec extends SparkSuite {
     // the mechanism genuinely perturbs: not every cell passes through
     assert(out.exists { case (k, noisy) => noisy != truth(k) })
   }
+
+  test("q229 pseudonymization: linkage survives, raw ids do not appear") {
+    import spark.implicits._
+    val got = PrivacyOps.q229PseudonymizedJoin(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def tok(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"pseud-v1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    }
+    val browse = ev.filter(e => e._2 == "view" || e._2 == "click")
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val buys = ev.filter(_._2 == "purchase")
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val want = (browse.keySet intersect buys.keySet).toSeq
+      .map(id => (tok(id), browse(id), buys(id))).sortBy(_._1)
+    assert(got.toSeq == want)
+    // no raw identifier survives: every output key is a 16-hex token,
+    // and no token equals the decimal form of any source id
+    val ids = ev.map(_._1.toString).toSet
+    assert(got.forall(r => r._1.matches("[0-9a-f]{16}") && !ids(r._1)))
+  }
 }

@@ -236,4 +236,29 @@ class RelationalSpec extends SparkSuite {
     }
     assert(got.toSeq == want.toSeq)
   }
+
+  test("q228 QQ drift: decile values replay; monotone within each period") {
+    import spark.implicits._
+    val got = Relational.q228QqDrift(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (1L to 9L))
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select(org.apache.spark.sql.functions.year($"o_orderdate"),
+        $"o_totalprice").collect()
+      .map(r => (if (r.getInt(0) <= 1997) "p1" else "p2",
+        math.round(r.getDouble(1) * 100)))
+    // first-crossing rank: smallest x with 10*rank(x) >= d*n
+    //   = sorted(xs)[ceil(d*n/10) - 1]
+    def want(p: String): Seq[Long] = {
+      val xs = orders.filter(_._1 == p).map(_._2).sorted
+      val n = xs.length
+      (1 to 9).map(d => xs(((d * n + 9) / 10 - 1).max(0)))
+    }
+    val (w1, w2) = (want("p1"), want("p2"))
+    assert(got.map(_._2).toSeq == w1 && got.map(_._3).toSeq == w2)
+    got.foreach { case (_, p1, p2, gap) =>
+      assert(gap == (1000000L * (p2 - p1)) / p1)
+    }
+    assert(w1 == w1.sorted && w2 == w2.sorted, "deciles monotone")
+  }
 }
