@@ -2059,12 +2059,210 @@ object EventOps {
        |  start_us, end_us, n_events
        |FROM m ORDER BY user_id, iv_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q231
+  /** Half-life horizon: weekly halving, zeroed past 20 halvings. */
+  val halfLifeDays = 7L
+
+  /** Batch recency-weighted popularity — the "what's hot" ranking
+    * with a 7-day half-life, computed as exact integers: weight =
+    * 10⁶ >> (age_days div 7) (power-of-two halving buckets — the
+    * fixed-point stand-in for 2^(−age/7), deterministic in both
+    * engines), zeroed beyond 20 halvings so the shift never wraps
+    * (Java's `>>` masks the shift count at 64 — an unguarded
+    * 140-day-old event would weigh FULL again; the guard is the
+    * correctness point, and the spec plants it). q158 maintains the
+    * decayed score INCREMENTALLY in a stream; this is the one-scan
+    * batch equivalent a nightly job runs. Age anchors to the
+    * dataset's own max event time (no wall clock — reproducible).
+    * One projection + one 5-row agg; share/rank windows run on the
+    * type-grain result. */
+  def q231DecayedPopularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select($"event_type", unix_micros($"ts").as("tus"))
+    val asOf = ev.agg(max($"tus").as("as_of"))
+    val scored = ev.crossJoin(broadcast(asOf))
+      .select($"event_type",
+        expr(s"(as_of - tus) div ${86400L * 1000000L} div $halfLifeDays")
+          .as("k"))
+      .select($"event_type",
+        expr("CASE WHEN k >= 20 THEN 0L ELSE shiftright(1000000L, CAST(k AS INT)) END")
+          .as("w"))
+    val w = Window.partitionBy()
+    scored
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"w").as("score"))
+      .withColumn("share_ppm",
+        expr("(1000000 * score) div sum(score) OVER ()"))
+      .withColumn("rnk", row_number().over(
+        w.orderBy($"score".desc, $"event_type")).cast("long"))
+      .select($"event_type", $"n_events", $"score", $"share_ppm", $"rnk")
+      .orderBy($"rnk")
+  }
+
+  private val q231Oracle =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    (((SELECT max(epoch_us(ts)) FROM events) - epoch_us(ts))
+       |      // ${86400L * 1000000L}) // $halfLifeDays AS k
+       |  FROM events),
+       |sc AS (
+       |  SELECT event_type,
+       |    CASE WHEN k >= 20 THEN 0
+       |         ELSE 1000000 >> CAST(k AS INTEGER) END AS w
+       |  FROM ev),
+       |g AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(sum(w) AS BIGINT) AS score
+       |  FROM sc GROUP BY 1)
+       |SELECT event_type, n_events, score,
+       |  CAST((1000000 * score) // (sum(score) OVER ()) AS BIGINT)
+       |    AS share_ppm,
+       |  CAST(row_number() OVER (ORDER BY score DESC, event_type)
+       |    AS BIGINT) AS rnk
+       |FROM g ORDER BY rnk""".stripMargin
+
+  // ---------------------------------------------------------------- q232
+  /** Completeness gate — the "data downtime" check run before
+    * trusting a day's data: per (event_type, day), the arrived row
+    * count against the MEDIAN of the trailing 7 OBSERVED days
+    * (robust to one bad day in the baseline, unlike a mean — and a
+    * fully-missing day shortens the frame rather than polluting the
+    * median with a zero) with a ppm ratio and a
+    * first-match status band; the first 7 days report 'no_baseline'
+    * honestly instead of comparing against a fabricated one (q211's
+    * posture). q152 measures arrival LATENCY; this measures arrival
+    * VOLUME — the two halves of an ingestion SLA.
+    *
+    * The exact 7-value median is element 4 of the sorted trailing
+    * frame (collect_list over rows −7..−1 — a constant-size frame,
+    * not a growing state), computed identically in DuckDB via
+    * list() OVER. Series grain is calendar × type bounded; the raw
+    * stream reduces in one map-side-combining agg first. */
+  def q232CompletenessGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("trail", sort_array(collect_list($"n").over(w)))
+      .withColumn("med",
+        when(size($"trail") === 7, element_at($"trail", 4)))
+      .select($"event_type", $"day", $"n", $"med",
+        when($"med".isNotNull, expr("(1000000 * n) div med"))
+          .as("ratio_ppm"))
+      .withColumn("status",
+        when($"med".isNull, "no_baseline")
+          .when($"ratio_ppm" < 700000L, "alert")
+          .when($"ratio_ppm" < 900000L, "warn")
+          .otherwise("ok"))
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q232Oracle =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, day, n,
+      |    list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS trail
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, day, n,
+      |    CASE WHEN len(trail) = 7 THEN trail[4] END AS med
+      |  FROM t),
+      |r AS (
+      |  SELECT event_type, day, n, med,
+      |    CASE WHEN med IS NOT NULL
+      |      THEN CAST((1000000 * n) // med AS BIGINT) END AS ratio_ppm
+      |  FROM m)
+      |SELECT event_type, day, n, med, ratio_ppm,
+      |  CASE WHEN med IS NULL THEN 'no_baseline'
+      |       WHEN ratio_ppm < 700000 THEN 'alert'
+      |       WHEN ratio_ppm < 900000 THEN 'warn'
+      |       ELSE 'ok' END AS status
+      |FROM r ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------- q233
+  /** Burst gap: same user+type events closer than this collapse. */
+  val burstGapUs = 5L * 1000000
+
+  /** Telemetry burst collapse — near-duplicate EVENT suppression:
+    * instrumentation double-fires (retries, double-clicks, SDK
+    * re-sends with fresh ids) defeat q33's exact-id dedup because
+    * every duplicate has a NEW event id; the telemetry-cleaning
+    * convention collapses each burst of same-(user, type) events
+    * with inter-event gaps under 5 s to its FIRST event. Same
+    * gaps-and-islands shape as q197 but on point gaps (lag, not
+    * running-max — bursts chain transitively by consecutive gaps).
+    * Output is the per-type accounting a pipeline owner reads
+    * (kept/collapsed/ppm); one shuffle on the (user, type) key. */
+  def q233BurstCollapse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    burstCollapseOf(Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"event_id",
+        unix_micros($"ts").as("tus")))
+  }
+
+  /** The collapse on any (user_id, event_type, event_id, tus) frame —
+    * separated so the spec can plant chained bursts (transitivity:
+    * 3 events 4 s apart are ONE burst though first↔last is 8 s). */
+  private[ops] def burstCollapseOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wk = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"tus", $"event_id")
+    val marked = ev
+      .withColumn("gap", $"tus" - lag($"tus", 1).over(wk))
+      .withColumn("first_of_burst",
+        ($"gap".isNull || $"gap" >= burstGapUs).cast("long"))
+    marked
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_raw"),
+        sum($"first_of_burst").as("n_kept"))
+      .select($"event_type", $"n_raw", $"n_kept",
+        ($"n_raw" - $"n_kept").as("n_collapsed"),
+        expr("(1000000 * (n_raw - n_kept)) div n_raw").as("collapse_ppm"))
+      .orderBy($"event_type")
+  }
+
+  private val q233Oracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type,
+       |    tus - lag(tus) OVER (PARTITION BY user_id, event_type
+       |      ORDER BY tus, event_id) AS gap
+       |  FROM ev),
+       |k AS (
+       |  SELECT event_type,
+       |    CASE WHEN gap IS NULL OR gap >= $burstGapUs THEN 1 ELSE 0 END
+       |      AS first_of_burst
+       |  FROM g)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw,
+       |  CAST(sum(first_of_burst) AS BIGINT) AS n_kept,
+       |  CAST(count(*) - sum(first_of_burst) AS BIGINT) AS n_collapsed,
+       |  CAST((1000000 * (count(*) - sum(first_of_burst))) // count(*)
+       |    AS BIGINT) AS collapse_ppm
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
     "q217_ewma_band"        -> (q217EwmaBand _),
     "q223_locf_backfill"    -> (q223LocfBackfill _),
     "q230_merged_intervals" -> (q230MergedIntervals _),
+    "q231_decayed_popularity" -> (q231DecayedPopularity _),
+    "q232_completeness_gate" -> (q232CompletenessGate _),
+    "q233_burst_collapse"   -> (q233BurstCollapse _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q171_event_sequences"  -> (q171EventSequences _),
     "q178_linear_attribution" -> (q178LinearAttribution _),
@@ -2100,6 +2298,9 @@ object EventOps {
     "q217_ewma_band"        -> q217Oracle,
     "q223_locf_backfill"    -> q223Oracle,
     "q230_merged_intervals" -> q230Oracle,
+    "q231_decayed_popularity" -> q231Oracle,
+    "q232_completeness_gate" -> q232Oracle,
+    "q233_burst_collapse"   -> q233Oracle,
     "q169_seasonal_profile" -> q169Oracle,
     "q171_event_sequences"  -> q171Oracle,
     "q178_linear_attribution" -> q178Oracle,

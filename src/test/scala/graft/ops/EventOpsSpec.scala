@@ -734,4 +734,80 @@ class EventOpsSpec extends SparkSuite {
         "every event lands in exactly one merged interval")
     }
   }
+
+  test("q231 decayed popularity: replay; the shift-wrap guard is load-bearing") {
+    import spark.implicits._
+    val got = EventOps.q231DecayedPopularity(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_type",
+        org.apache.spark.sql.functions.unix_micros($"ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val asOf = ev.map(_._2).max
+    val scores = ev.groupBy(_._1).view.mapValues { es =>
+      (es.length.toLong, es.map { e =>
+        val k = (asOf - e._2) / 86400000000L / 7
+        if (k >= 20) 0L else 1000000L >> k
+      }.sum)
+    }.toMap
+    val total = scores.values.map(_._2).sum
+    val want = scores.toSeq
+      .sortBy { case (t, (_, sc)) => (-sc, t) }.zipWithIndex
+      .map { case ((t, (n, sc)), i) =>
+        (t, n, sc, 1000000L * sc / total, i + 1L) }
+    assert(got.toSeq == want)
+    // why the k>=20 guard exists: Java/DuckDB shifts mask the count at 64,
+    // so an unguarded 140-day (k=20 weeks? k=64) shift wraps to FULL weight
+    val wrap = spark.sql(
+      "SELECT shiftright(1000000L, CAST(64 AS INT)) AS w").collect()(0).getLong(0)
+    assert(wrap == 1000000L, "unguarded shift would resurrect ancient events")
+  }
+
+  test("q232 completeness gate: trailing-median replay; early days report no_baseline") {
+    import spark.implicits._
+    val got = EventOps.q232CompletenessGate(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getString(5)))
+    val daily = graft.Tables.events(spark, sf0001)
+      .select($"event_type", org.apache.spark.sql.functions.to_date($"ts"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.groupBy(_._1).foreach { case (t, rows) =>
+      val series = rows.sortBy(_._2.toEpochDay)
+      series.zipWithIndex.foreach { case ((_, day, n, med, status), i) =>
+        assert(n == daily((t, day)))
+        if (i < 7) {
+          assert(med.isEmpty && status == "no_baseline")
+        } else {
+          val trail = series.slice(i - 7, i).map(_._3).sorted
+          assert(med.contains(trail(3)), s"$t $day median")
+          val ratio = 1000000L * n / med.get
+          val wantStatus =
+            if (ratio < 700000) "alert" else if (ratio < 900000) "warn" else "ok"
+          assert(status == wantStatus)
+        }
+      }
+    }
+  }
+
+  test("q233 burst collapse: chained bursts are transitive; isolated events survive") {
+    import spark.implicits._
+    def us(sec: Long) = sec * 1000000L
+    val fx = Seq(
+      // burst of 3 chained at 4s gaps (first->last 8s): keep 1, drop 2
+      (1L, "click", 10L, us(100)), (1L, "click", 11L, us(104)),
+      (1L, "click", 12L, us(108)),
+      // exactly at the 5s boundary: NOT collapsed (>= gap keeps)
+      (1L, "click", 13L, us(120)), (1L, "click", 14L, us(125)),
+      // different type interleaved: never collapses across types
+      (1L, "view", 20L, us(104)),
+      // different user at identical times: never collapses across users
+      (2L, "click", 30L, us(100)), (2L, "click", 31L, us(109)),
+    ).toDF("user_id", "event_type", "event_id", "tus")
+    val got = EventOps.burstCollapseOf(fx).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(("click", 7L, 5L, 2L), ("view", 1L, 1L, 0L)))
+  }
 }
