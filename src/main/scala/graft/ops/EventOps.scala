@@ -2254,6 +2254,126 @@ object EventOps {
        |    AS BIGINT) AS collapse_ppm
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q234
+  /** Unordered checklist completion — the SET-based funnel: a user
+    * "completes" a day when they perform ALL of view, click, and
+    * purchase in that day, in ANY order (q102's staged funnel
+    * requires the order; activation checklists — "did the trial user
+    * try all three features?" — don't care). Per (user, day) the
+    * event types fold into a 3-bit mask with bit_or (one map-side-
+    * combining agg — the mask is the whole per-user state, 3 bits,
+    * vs collecting type sets), then a day-grain rollup counts
+    * completers. Exact integers; mask semantics mirrored verbatim. */
+  def q234ChecklistCompletion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id",
+        when($"event_type" === "view", 1L)
+          .when($"event_type" === "click", 2L)
+          .when($"event_type" === "purchase", 4L).otherwise(0L).as("bit"))
+      .groupBy($"day", $"user_id")
+      .agg(expr("bit_or(bit)").as("mask"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_active_users"),
+        sum(when($"mask" === 7L, 1L).otherwise(0L)).as("n_completed"))
+      .select($"day", $"n_active_users", $"n_completed",
+        expr("(1000000 * n_completed) div n_active_users")
+          .as("completion_ppm"))
+      .orderBy($"day")
+  }
+
+  private val q234Oracle =
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+      |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |      WHEN 'purchase' THEN 4 ELSE 0 END AS bit
+      |  FROM events),
+      |m AS (
+      |  SELECT day, user_id, bit_or(bit) AS mask
+      |  FROM b GROUP BY 1, 2)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n_active_users,
+      |  CAST(sum(CASE WHEN mask = 7 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_completed,
+      |  CAST((1000000 * sum(CASE WHEN mask = 7 THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS completion_ppm
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q236
+  /** Attribution model comparison — first-touch vs last-touch credit
+    * side by side per channel (view / click / signup; purchases with
+    * no 7-day touch report as 'organic'): the position-bias table
+    * that settles "does our last-touch report overpay the closing
+    * channel?" q117 IS last-touch and q178 spreads linearly; this
+    * runs both endpoint models in ONE user-partitioned pass and
+    * diffs them. First/last pick by min/max over an (instant,
+    * event_id, channel) struct in a RANGE [−7 d, 0] frame — q117's
+    * same-instant tie rule inherited, event_id completing the total
+    * order — and nulls (non-touch rows) fall out of min/max in both
+    * engines. The final fan-out is a 2-element explode at PURCHASE
+    * grain, then a channel-sized agg. One shuffle on user_id. */
+  def q236AttributionCompare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .where($"event_type".isin("view", "click", "signup", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        $"event_type")
+    val wR = Window.partitionBy($"user_id").orderBy($"tus")
+      .rangeBetween(-attributionWindowUs, 0)
+    val touch = when($"event_type" =!= "purchase",
+      struct($"tus", $"event_id", $"event_type".as("ch")))
+    ev
+      .withColumn("ft", min(touch).over(wR))
+      .withColumn("lt", max(touch).over(wR))
+      .where($"event_type" === "purchase")
+      .select(explode(array(
+        struct(lit("first").as("model"),
+          coalesce($"ft.ch", lit("organic")).as("channel")),
+        struct(lit("last").as("model"),
+          coalesce($"lt.ch", lit("organic")).as("channel")))).as("mc"))
+      .groupBy($"mc.channel".as("channel"))
+      .agg(sum(when($"mc.model" === "first", 1L).otherwise(0L))
+        .as("first_touch_convs"),
+        sum(when($"mc.model" === "last", 1L).otherwise(0L))
+          .as("last_touch_convs"))
+      .withColumn("last_minus_first",
+        $"last_touch_convs" - $"first_touch_convs")
+      .orderBy($"channel")
+  }
+
+  private val q236Oracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+       |  FROM events
+       |  WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+       |w AS (
+       |  SELECT *,
+       |    min(CASE WHEN event_type <> 'purchase'
+       |      THEN struct_pack(tus := tus, event_id := event_id,
+       |        ch := event_type) END)
+       |      OVER (PARTITION BY user_id ORDER BY tus
+       |        RANGE BETWEEN $attributionWindowUs PRECEDING AND CURRENT ROW)
+       |      AS ft,
+       |    max(CASE WHEN event_type <> 'purchase'
+       |      THEN struct_pack(tus := tus, event_id := event_id,
+       |        ch := event_type) END)
+       |      OVER (PARTITION BY user_id ORDER BY tus
+       |        RANGE BETWEEN $attributionWindowUs PRECEDING AND CURRENT ROW)
+       |      AS lt
+       |  FROM ev),
+       |p AS (
+       |  SELECT COALESCE(ft.ch, 'organic') AS fch,
+       |    COALESCE(lt.ch, 'organic') AS lch
+       |  FROM w WHERE event_type = 'purchase'),
+       |u AS (
+       |  SELECT fch AS channel, 1 AS f, 0 AS l FROM p
+       |  UNION ALL
+       |  SELECT lch AS channel, 0 AS f, 1 AS l FROM p)
+       |SELECT channel, CAST(sum(f) AS BIGINT) AS first_touch_convs,
+       |  CAST(sum(l) AS BIGINT) AS last_touch_convs,
+       |  CAST(sum(l) - sum(f) AS BIGINT) AS last_minus_first
+       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -2263,6 +2383,8 @@ object EventOps {
     "q231_decayed_popularity" -> (q231DecayedPopularity _),
     "q232_completeness_gate" -> (q232CompletenessGate _),
     "q233_burst_collapse"   -> (q233BurstCollapse _),
+    "q234_checklist_completion" -> (q234ChecklistCompletion _),
+    "q236_attribution_compare" -> (q236AttributionCompare _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q171_event_sequences"  -> (q171EventSequences _),
     "q178_linear_attribution" -> (q178LinearAttribution _),
@@ -2301,6 +2423,8 @@ object EventOps {
     "q231_decayed_popularity" -> q231Oracle,
     "q232_completeness_gate" -> q232Oracle,
     "q233_burst_collapse"   -> q233Oracle,
+    "q234_checklist_completion" -> q234Oracle,
+    "q236_attribution_compare" -> q236Oracle,
     "q169_seasonal_profile" -> q169Oracle,
     "q171_event_sequences"  -> q171Oracle,
     "q178_linear_attribution" -> q178Oracle,

@@ -1669,6 +1669,65 @@ object Relational {
       |    AS gap_ppm
       |FROM q ORDER BY d""".stripMargin
 
+  // ---------------------------------------------------------------- q235
+  /** On-time grace period for a line to count as filled. */
+  val fillGraceDays = 90
+
+  /** Order fill-rate — parent–child completeness: an order is
+    * "fully filled on time" only if EVERY line shipped within 90
+    * days of the order date; one late line disqualifies the whole
+    * parent (ALL-quantified, where q17's EXISTS/HAVING is
+    * ANY-quantified). The per-order verdict is `min(on_time)` over
+    * its lines — the standard relational encoding of a universal
+    * quantifier as an aggregate, no correlated NOT EXISTS subquery
+    * re-scanning lineitem per order. One fact join (orders projected
+    * to three columns), one (order) agg with map-side combine, one
+    * priority-grain rollup. Exact day arithmetic; negative-lead
+    * anomaly lines (q212) fail on-time honestly like any other late
+    * line... they shipped before the order existed, which is not
+    * "on time", it's a data defect the rate should surface. */
+  def q235FillRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.lineitem(s, dir)
+      .select($"l_orderkey", to_date($"l_shipdate").as("ship"))
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority".as("priority"),
+          to_date($"o_orderdate").as("odate")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"priority", $"o_orderkey",
+        (datediff($"ship", $"odate") >= 0 &&
+          datediff($"ship", $"odate") <= fillGraceDays).cast("long")
+          .as("on_time"))
+    lines
+      .groupBy($"priority", $"o_orderkey")
+      .agg(min($"on_time").as("all_on_time"), count(lit(1)).as("n_lines"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"all_on_time").as("n_fully_filled"),
+        sum($"n_lines").as("n_lines"))
+      .select($"priority", $"n_orders", $"n_fully_filled", $"n_lines",
+        expr("(1000000 * n_fully_filled) div n_orders").as("fill_ppm"))
+      .orderBy($"priority")
+  }
+
+  private val q235Oracle =
+    s"""WITH l AS (
+       |  SELECT o.o_orderpriority AS priority, o.o_orderkey,
+       |    CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+       |        CAST(li.l_shipdate AS DATE)) BETWEEN 0 AND $fillGraceDays
+       |      THEN 1 ELSE 0 END AS on_time
+       |  FROM lineitem li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+       |po AS (
+       |  SELECT priority, o_orderkey, min(on_time) AS all_on_time,
+       |    CAST(count(*) AS BIGINT) AS n_lines
+       |  FROM l GROUP BY 1, 2)
+       |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(sum(all_on_time) AS BIGINT) AS n_fully_filled,
+       |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       |  CAST((1000000 * sum(all_on_time)) // count(*) AS BIGINT)
+       |    AS fill_ppm
+       |FROM po GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q180
   /** Changelog compaction with DELETE tombstones — applying a CDC
     * feed (insert / update / delete ops with a sequence number) to
@@ -1835,6 +1894,7 @@ object Relational {
     "q219_rfm_segments" -> (q219RfmSegments _),
     "q220_semi_additive" -> (q220SemiAdditive _),
     "q228_qq_drift" -> (q228QqDrift _),
+    "q235_fill_rate" -> (q235FillRate _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
     "q180_cdc_apply"      -> (q180CdcApply _),
@@ -1885,6 +1945,7 @@ object Relational {
     "q219_rfm_segments" -> q219Oracle,
     "q220_semi_additive" -> q220Oracle,
     "q228_qq_drift" -> q228Oracle,
+    "q235_fill_rate" -> q235Oracle,
     "q115_drift_report"   -> q115Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,

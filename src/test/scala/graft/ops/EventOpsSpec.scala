@@ -810,4 +810,62 @@ class EventOpsSpec extends SparkSuite {
       .toSeq
     assert(got == Seq(("click", 7L, 5L, 2L), ("view", 1L, 1L, 0L)))
   }
+
+  test("q234 checklist: mask replay; order within the day is irrelevant") {
+    import spark.implicits._
+    val got = EventOps.q234ChecklistCompletion(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.to_date($"ts"), $"user_id",
+        $"event_type").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getString(2)))
+    val want = ev.groupBy(e => (e._1, e._2)).view.mapValues { es =>
+      val ts = es.map(_._3).toSet
+      ts("view") && ts("click") && ts("purchase")
+    }.toSeq.groupBy(_._1._1).map { case (d, us) =>
+      (d, us.size.toLong, us.count(_._2).toLong)
+    }.toSeq.sortBy(_._1.toEpochDay)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == want)
+    assert(got.map(_._3).sum > 0, "completion branch live at sf0.001")
+    assert(got.exists(t => t._3 < t._2), "non-completion branch live too")
+  }
+
+  test("q236 attribution compare: models conserve; organic is model-invariant") {
+    import spark.implicits._
+    val rows = EventOps.q236AttributionCompare(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nPurch = graft.Tables.events(spark, sf0001)
+      .where($"event_type" === "purchase").count()
+    assert(rows.map(_._2).sum == nPurch, "first-touch credits conserve")
+    assert(rows.map(_._3).sum == nPurch, "last-touch credits conserve")
+    val organic = rows.find(_._1 == "organic")
+    // no touch in window is a property of the PURCHASE, not the model
+    organic.foreach(o => assert(o._2 == o._3 && o._4 == 0L))
+    rows.foreach { case (_, f, l, d) => assert(d == l - f) }
+    // replay first/last channel per purchase directly
+    val ev = graft.Tables.events(spark, sf0001)
+      .where($"event_type".isin("view", "click", "signup", "purchase"))
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1)
+    val win = 7L * 86400 * 1000000
+    val (fts, lts) = (scala.collection.mutable.Map.empty[String, Long],
+      scala.collection.mutable.Map.empty[String, Long])
+    byUser.values.foreach { es =>
+      es.filter(_._4 == "purchase").foreach { p =>
+        val touches = es.filter(e => e._4 != "purchase" &&
+          e._2 >= p._2 - win && e._2 <= p._2)
+        val f = if (touches.isEmpty) "organic"
+          else touches.minBy(e => (e._2, e._3))._4
+        val l = if (touches.isEmpty) "organic"
+          else touches.maxBy(e => (e._2, e._3))._4
+        fts(f) = fts.getOrElse(f, 0L) + 1
+        lts(l) = lts.getOrElse(l, 0L) + 1
+      }
+    }
+    rows.foreach { case (ch, f, l, _) =>
+      assert(f == fts.getOrElse(ch, 0L) && l == lts.getOrElse(ch, 0L), ch)
+    }
+  }
 }

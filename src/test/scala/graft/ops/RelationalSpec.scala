@@ -261,4 +261,33 @@ class RelationalSpec extends SparkSuite {
     }
     assert(w1 == w1.sorted && w2 == w2.sorted, "deciles monotone")
   }
+
+  test("q235 fill rate: one late line disqualifies the parent; replay") {
+    import spark.implicits._
+    val got = Relational.q235FillRate(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val od = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_orderpriority",
+        org.apache.spark.sql.functions.to_date($"o_orderdate")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDate(2).toLocalDate)))
+      .toMap
+    val lines = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey",
+        org.apache.spark.sql.functions.to_date($"l_shipdate")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val perOrder = lines.groupBy(_._1).map { case (ok, ls) =>
+      val (p, odate) = od(ok)
+      val allOk = ls.forall { l =>
+        val d = java.time.temporal.ChronoUnit.DAYS.between(odate, l._2)
+        d >= 0 && d <= 90
+      }
+      (p, allOk, ls.length.toLong)
+    }.toSeq
+    val want = perOrder.groupBy(_._1).map { case (p, os) =>
+      (p, os.size.toLong, os.count(_._2).toLong, os.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.exists(r => r._3 < r._2), "disqualification branch live")
+    assert(got.exists(r => r._3 > 0), "fully-filled branch live")
+  }
 }
