@@ -2374,6 +2374,92 @@ object EventOps {
        |  CAST(sum(l) - sum(f) AS BIGINT) AS last_minus_first
        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q237
+  /** Daily value-percentile bands — the observability chart every
+    * latency/amount dashboard is built on: per day, the exact
+    * discrete p10/p50/p90/p99 of event value (micro-units), by the
+    * q209 first-crossing rank device with per-DAY ranking windows
+    * (each day's rank partition is day-bounded; the q212 per-slice
+    * shape). q19/q43 summarize the whole corpus; a band chart needs
+    * the time axis. All integers; min/max ride along free. */
+  def q237DailyPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"day")
+    Tables.events(s, dir)
+      .select(to_date($"ts").as("day"),
+        expr("CAST(round(value * 1000000D) AS BIGINT)").as("v"))
+      .withColumn("rn", row_number().over(w.orderBy($"v")).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .groupBy($"day")
+      .agg(max($"n").as("n"),
+        min(when(lit(10) * $"rn" >= $"n", $"v")).as("p10_micro"),
+        min(when(lit(2) * $"rn" >= $"n", $"v")).as("p50_micro"),
+        min(when(lit(10) * $"rn" >= lit(9) * $"n", $"v")).as("p90_micro"),
+        min(when(lit(100) * $"rn" >= lit(99) * $"n", $"v")).as("p99_micro"))
+      .orderBy($"day")
+  }
+
+  private val q237Oracle =
+    """WITH v AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(round(value * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |r AS (
+      |  SELECT day, v,
+      |    CAST(row_number() OVER (PARTITION BY day ORDER BY v) AS BIGINT)
+      |      AS rn,
+      |    CAST(count(*) OVER (PARTITION BY day) AS BIGINT) AS n
+      |  FROM v)
+      |SELECT day, max(n) AS n,
+      |  min(CASE WHEN 10 * rn >= n THEN v END) AS p10_micro,
+      |  min(CASE WHEN 2 * rn >= n THEN v END) AS p50_micro,
+      |  min(CASE WHEN 10 * rn >= 9 * n THEN v END) AS p90_micro,
+      |  min(CASE WHEN 100 * rn >= 99 * n THEN v END) AS p99_micro
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q238
+  /** New-vs-returning decomposition of daily actives — the first
+    * split any DAU chart gets: per day, how many active users are
+    * seen for the FIRST time vs returning (q103 follows one cohort
+    * forward; this labels every day's actives by cohort membership
+    * in place). Per-user first day is one map-side-combining agg on
+    * the user grain; the (day, user) activity grid joins against it
+    * on user_id — one shuffle each side — and rolls up to the
+    * calendar-bounded day grain. new + returning = active by
+    * construction; the spec asserts the telescoping invariant
+    * Σ new = total distinct users. */
+  def q238NewVsReturning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val act = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val first = act.groupBy($"user_id").agg(min($"day").as("first_day"))
+    act.join(first, "user_id")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("n_new"))
+      .select($"day", $"n_active", $"n_new",
+        ($"n_active" - $"n_new").as("n_returning"),
+        expr("(1000000 * n_new) div n_active").as("new_share_ppm"))
+      .orderBy($"day")
+  }
+
+  private val q238Oracle =
+    """WITH act AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, min(day) AS first_day FROM act GROUP BY 1)
+      |SELECT a.day, CAST(count(*) AS BIGINT) AS n_active,
+      |  CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(count(*) - sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_returning,
+      |  CAST((1000000 * sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS new_share_ppm
+      |FROM act a JOIN f ON a.user_id = f.user_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -2385,6 +2471,8 @@ object EventOps {
     "q233_burst_collapse"   -> (q233BurstCollapse _),
     "q234_checklist_completion" -> (q234ChecklistCompletion _),
     "q236_attribution_compare" -> (q236AttributionCompare _),
+    "q237_daily_percentiles" -> (q237DailyPercentiles _),
+    "q238_new_vs_returning" -> (q238NewVsReturning _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q171_event_sequences"  -> (q171EventSequences _),
     "q178_linear_attribution" -> (q178LinearAttribution _),
@@ -2425,6 +2513,8 @@ object EventOps {
     "q233_burst_collapse"   -> q233Oracle,
     "q234_checklist_completion" -> q234Oracle,
     "q236_attribution_compare" -> q236Oracle,
+    "q237_daily_percentiles" -> q237Oracle,
+    "q238_new_vs_returning" -> q238Oracle,
     "q169_seasonal_profile" -> q169Oracle,
     "q171_event_sequences"  -> q171Oracle,
     "q178_linear_attribution" -> q178Oracle,

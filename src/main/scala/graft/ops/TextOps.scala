@@ -2590,6 +2590,77 @@ object TextOps {
        |SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS w
        |FROM hashed GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q239
+  /** Ranks fitted by the q239 Zipf regression. */
+  val zipfTopN = 1000L
+
+  /** Zipf-slope fit — the corpus-naturalness check: natural language
+    * word frequencies follow freq ∝ rank^(−s) with s ≈ 1, and a
+    * corpus whose fitted slope is far off (too flat: synthetic /
+    * template spam; too steep: near-duplicate collapse) fails the
+    * linguistic smell test before any model sees it. OLS on the
+    * log–log points of the top-1000 words, every term exact
+    * integers: x = floor(ln rank · 10³) (milli-nats), y =
+    * floor(ln freq · 10⁶) (micro-nats — the q125 ln discipline),
+    * x INTEGER-CENTERED before the q135 closed form so n·Σxy stays
+    * ~10¹⁶ ≪ 2⁶³ (uncentered, the cross terms overflow at this
+    * scale — the documented reason for the centering step). The
+    * milli/micro unit split makes the fitted ratio land in units of
+    * 10⁻³ — slope_milli ≈ −1000 for a textbook corpus.
+    *
+    * Ranking runs on the VOCABULARY-sized word-count table (q105's
+    * justification); the corpus contributes one counting shuffle. */
+  def q239ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documentsSpread(s, dir)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    val ranked = counts
+      .withColumn("r", row_number().over(
+        Window.orderBy($"f".desc, $"w")).cast("long"))
+      .where($"r" <= zipfTopN)
+      .select(
+        expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000D) AS BIGINT)").as("x"),
+        expr("CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000D) AS BIGINT)").as("y"))
+    val stats = ranked.agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    ranked.crossJoin(broadcast(stats))
+      .select(($"x" - expr("sx div n")).as("xc"), $"y", $"n")
+      .groupBy($"n")
+      .agg(sum($"xc").as("sxc"), sum($"y").as("sy"),
+        sum($"xc" * $"xc").as("sxx"), sum($"xc" * $"y").as("sxy"))
+      .select($"n".as("n_points"),
+        expr("(n * sxy - sxc * sy) div (n * sxx - sxc * sxc)")
+          .as("slope_milli"))
+  }
+
+  private val q239Oracle =
+    s"""WITH counts AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents) GROUP BY 1),
+       |ranked AS (
+       |  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+       |  FROM (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+       |        FROM counts)
+       |  WHERE r <= $zipfTopN),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+       |  FROM ranked),
+       |c AS (
+       |  SELECT x - (st.sx // st.n) AS xc, y, st.n FROM ranked, st),
+       |a AS (
+       |  SELECT n, CAST(sum(xc) AS BIGINT) AS sxc,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(xc * xc) AS BIGINT) AS sxx,
+       |    CAST(sum(xc * y) AS BIGINT) AS sxy
+       |  FROM c GROUP BY 1)
+       |SELECT n AS n_points,
+       |  CAST((n * sxy - sxc * sy) // (n * sxx - sxc * sxc) AS BIGINT)
+       |    AS slope_milli
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_lm_buckets"  -> (q167LmBuckets _),
     "q168_dataset_card" -> (q168DatasetCard _),
@@ -2600,6 +2671,7 @@ object TextOps {
     "q222_doc_entropy" -> (q222DocEntropy _),
     "q224_winsorized_stats" -> (q224WinsorizedStats _),
     "q225_feature_hashing" -> (q225FeatureHashing _),
+    "q239_zipf_fit" -> (q239ZipfFit _),
     "q198_oov_coverage" -> (q198OovCoverage _),
     "q215_topn_other"  -> (q215TopnOther _),
     "q216_pct_rank_features" -> (q216PctRankFeatures _),
@@ -2655,6 +2727,7 @@ object TextOps {
     "q222_doc_entropy" -> q222Oracle,
     "q224_winsorized_stats" -> q224Oracle,
     "q225_feature_hashing" -> q225Oracle,
+    "q239_zipf_fit" -> q239Oracle,
     "q199_calibration_bins" -> q199Oracle,
     "q206_slice_auc"   -> q206Oracle,
     "q60_text_stats"          -> q60Oracle,

@@ -868,4 +868,39 @@ class EventOpsSpec extends SparkSuite {
       assert(f == fts.getOrElse(ch, 0L) && l == lts.getOrElse(ch, 0L), ch)
     }
   }
+
+  test("q237 daily percentiles: per-day order statistics replay") {
+    import spark.implicits._
+    val got = EventOps.q237DailyPercentiles(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val vs = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.to_date($"ts"), $"value")
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, math.round(r.getDouble(1) * 1e6)))
+      .groupBy(_._1)
+    got.foreach { case (day, n, p10, p50, p90, p99) =>
+      val xs = vs(day).map(_._2).sorted
+      def q(num: Long, den: Long) = xs(((num * xs.length + den - 1) / den - 1)
+        .toInt.max(0))
+      assert(n == xs.length.toLong)
+      assert(p10 == q(1, 10) && p50 == q(1, 2))
+      assert(p90 == q(9, 10) && p99 == q(99, 100))
+    }
+  }
+
+  test("q238 new/returning: day-1 anchor and the telescoping invariant") {
+    import spark.implicits._
+    val got = EventOps.q238NewVsReturning(spark, sf0001).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.head._2 == got.head._3 && got.head._5 == 1000000L,
+      "every first-day active is new")
+    val users = graft.Tables.events(spark, sf0001)
+      .select($"user_id").distinct().count()
+    assert(got.map(_._3).sum == users,
+      "each user is new exactly once — sum of new telescopes to the cohort")
+    got.foreach { case (_, a, nw, ret, _) => assert(a == nw + ret) }
+    assert(got.exists(_._4 > 0), "returning branch live")
+  }
 }

@@ -999,4 +999,29 @@ class TextOpsSpec extends SparkSuite {
     }
     assert(got.forall(r => r._2 >= 0 && r._2 < 64))
   }
+
+  test("q239 Zipf fit: closed-form replay; flat slope exposes the synthetic corpus") {
+    import spark.implicits._
+    val Array(row) = TextOps.q239ZipfFit(spark, sf0001).collect()
+    val (n, slope) = (row.getLong(0), row.getLong(1))
+    val words = graft.Tables.documents(spark, sf0001)
+      .select($"text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1))
+    val top = words.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (w, f) => (-f, w) }.take(1000)
+    assert(n == top.length.toLong)
+    val pts = top.zipWithIndex.map { case ((_, f), i) =>
+      (math.floor(math.log(i + 1.0) * 1e3).toLong,
+        math.floor(math.log(f.toDouble) * 1e6).toLong)
+    }
+    val sx = pts.map(_._1).sum
+    val xc = pts.map(p => (p._1 - sx / n, p._2))
+    val (sxc, sy) = (xc.map(_._1).sum, xc.map(_._2).sum)
+    val sxx = xc.map(p => p._1 * p._1).sum
+    val sxy = xc.map(p => p._1 * p._2).sum
+    assert(slope == (n * sxy - sxc * sy) / (n * sxx - sxc * sxc))
+    // the detector semantics: natural text sits near -1000 milli;
+    // this 31-word synthetic vocabulary is far flatter — and flagged
+    assert(slope > -1000L, "synthetic corpus reads as non-Zipfian (flat)")
+  }
 }
