@@ -1382,6 +1382,131 @@ object Streaming {
       |FROM events GROUP BY 1
       |ORDER BY est_count DESC, item LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- q240
+  /** q240's processor: q177's running totals with a PROCESSING-TIME
+    * TTL on the state variable — the state-hygiene knob the
+    * arbitrary-state API exists for: a key silent longer than the
+    * TTL has its state evicted by the STORE (no per-key timer code,
+    * no manual sweep), which is what keeps an unbounded-key stream's
+    * state bounded by its ACTIVE key set. TTL requires
+    * TimeMode.ProcessingTime. */
+  private class TtlTotalsProcessor(ttlMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, sv) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { r => n += 1; sv += r._2 }
+      totals.update((n, sv))
+      Iterator((key, n, sv))
+    }
+  }
+
+  /** State TTL across a stop/restart boundary — q177 proves state
+    * SURVIVES deliveries; this proves the opposite discipline: with
+    * an 800 ms TTL and a forced >1.5 s quiet period between
+    * deliveries (stop, sleep, redeliver, resume from the SAME
+    * checkpoint), every user's delivery-1 state has expired by
+    * delivery 2, so second-wave emissions restart from zero —
+    * delivery-2-only counts, which is exactly what the oracle
+    * asserts (vs q177's cumulative second wave). The restart runs
+    * through a real checkpoint (foreachBatch sink — the
+    * recovery-capable sink — RocksDB state store), i.e. the
+    * operational shape of a deployed job picking up after downtime
+    * longer than its retention. Expiry is deterministic here
+    * because the quiet period strictly exceeds the TTL; the spec
+    * pins the contrast against q177 directly. */
+  def q240TtlState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Files.createTempDirectory("graft_ttl_landing_")
+    val cp = java.nio.file.Files.createTempDirectory("graft_ttl_cp_")
+    scratch.get() += landing
+    scratch.get() += cp
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    def deliver(par: Int): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_ttl_stage_$par")
+      scratch.get() += stage
+      ev.where($"event_id" % 2 === par).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      java.nio.file.Files.move(part, landing.resolve(s"delivery_$par.parquet"))
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]
+    def runOnce(): Unit = {
+      val stream = s.readStream.schema(ev.schema).parquet(landing.toString)
+        .select($"user_id", expr("CAST(round(value * 1000000D) AS BIGINT)"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TtlTotalsProcessor(800L),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+        .toDF("user_id", "n_so_far", "sum_so_far_micro")
+      // NOT AvailableNow, and NOT processAllAvailable(): a
+      // processing-time-mode stateful operator reports "another batch
+      // required" after EVERY batch (it must keep ticking to advance
+      // the TTL clock), so both no-more-work exits never latch — the
+      // probe run committed 330+ empty ticks. Termination here is
+      // output-driven: the single delivery file is exactly one DATA
+      // batch, foreachBatch appends its rows atomically, so the first
+      // growth of `rows` marks that batch complete → stop(). A
+      // deadline turns a wedged stream into a loud failure.
+      val before = rows.synchronized(rows.size)
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val batch = df.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          rows.synchronized { rows ++= batch }
+          ()
+        }
+        .option("checkpointLocation", cp.toString)
+        .start()
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (rows.synchronized(rows.size) == before) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException("q240 delivery batch never emitted")
+        Thread.sleep(100)
+      }
+      q.stop()
+      q.awaitTermination()
+    }
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      deliver(0); runOnce()
+      Thread.sleep(1600)   // strictly exceeds the 800 ms TTL
+      deliver(1); runOnce()
+    } finally prev match {
+      case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    rows.toSeq.toDF("user_id", "n_so_far", "sum_so_far_micro")
+      .orderBy($"user_id", $"n_so_far", $"sum_so_far_micro")
+  }
+
+  private val q240Oracle =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |    CAST(round(value * 1000000) AS BIGINT) AS vq
+      |  FROM events),
+      |waves AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(vq) AS BIGINT) AS sv
+      |  FROM ev WHERE event_id % 2 = 0 GROUP BY user_id
+      |  UNION ALL
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(vq) AS BIGINT) AS sv
+      |  FROM ev WHERE event_id % 2 = 1 GROUP BY user_id)
+      |SELECT user_id, n AS n_so_far, sv AS sum_so_far_micro
+      |FROM waves ORDER BY user_id, n_so_far, sum_so_far_micro""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_transform_with_state" -> (q177TransformWithState _),
     "q179_timeout_sessions" -> (q179TimeoutSessions _),
@@ -1402,6 +1527,7 @@ object Streaming {
     "q144_incremental_mv"    -> (q144IncrementalMv _),
     "q158_decayed_trending"  -> (q158DecayedTrending _),
     "q221_stream_heavy_hitters" -> (q221StreamHeavyHitters _),
+    "q240_ttl_state" -> (q240TtlState _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1412,6 +1538,7 @@ object Streaming {
     "q184_bootstrapped_state" -> q184Oracle,
     "q194_dedup_within_watermark" -> q33Oracle,
     "q221_stream_heavy_hitters" -> q221Oracle,
+    "q240_ttl_state" -> q240Oracle,
     "q30_stream_tumbling" -> q30Oracle,
     "q31_stream_sliding"  -> q31Oracle,
     "q32_session_windows" -> q32Oracle,

@@ -2661,6 +2661,173 @@ object TextOps {
        |    AS slope_milli
        |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- q241
+  /** Shard count for the q241 rendezvous assignment. */
+  val rvShards = 8
+
+  /** Rendezvous (highest-random-weight) sharding — STABLE shard
+    * assignment: each doc hashes once per candidate shard and lands
+    * on its argmax, so adding a shard moves a doc either NOWHERE or
+    * to the NEW shard (≈1/(n+1) of docs) — where mod-hashing
+    * (q225's bucket = h % B) reshuffles nearly EVERYTHING on a
+    * resize. That stability is why real storage routers (Ceph,
+    * caches) pay n hashes per key, and the property the spec proves
+    * by re-running at 9 shards. md5-prefix weights (the
+    * engine-identical q49 device; hex strings compare identically),
+    * argmax as max(struct(weight, shard)) with the shard id
+    * completing the total order. Pure per-row projection + an
+    * 8-element explode; one shard-grain counting shuffle. */
+  def q241RendezvousSharding(s: SparkSession, dir: String): DataFrame =
+    rendezvousOf(Tables.documents(s, dir), rvShards)
+
+  /** Per-doc argmax assignment at a given shard count — separated so
+    * the spec can diff 8 vs 9 shards doc by doc. */
+  private[ops] def rendezvousAssign(docs: DataFrame, shards: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"doc_id")
+      .select($"doc_id", explode(expr(s"sequence(0, ${shards - 1})")).as("sh"))
+      .select($"doc_id", struct(
+        md5(concat(lit("rv:"), $"doc_id".cast("string"), lit(":"),
+          $"sh".cast("string"))).as("w"),
+        $"sh".cast("long").as("sh")).as("ws"))
+      .groupBy($"doc_id").agg(max($"ws").as("pick"))
+      .select($"doc_id", $"pick.sh".as("shard"))
+  }
+
+  private[ops] def rendezvousOf(docs: DataFrame, shards: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    rendezvousAssign(docs, shards)
+      .groupBy($"shard").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_ppm",
+        expr("(1000000 * n_docs) div sum(n_docs) OVER ()"))
+      .orderBy($"shard")
+  }
+
+  private val q241Oracle =
+    s"""WITH w AS (
+       |  SELECT doc_id, sh,
+       |    md5('rv:' || CAST(doc_id AS VARCHAR) || ':' ||
+       |      CAST(sh AS VARCHAR)) AS wt
+       |  FROM documents,
+       |    (SELECT unnest(generate_series(0, ${rvShards - 1})) AS sh)),
+       |pick AS (
+       |  SELECT doc_id, CAST(sh AS BIGINT) AS shard FROM (
+       |    SELECT doc_id, sh, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY wt DESC, sh DESC) AS rn
+       |    FROM w) WHERE rn = 1),
+       |g AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM pick GROUP BY 1)
+       |SELECT shard, n_docs,
+       |  CAST((1000000 * n_docs) // (sum(n_docs) OVER ()) AS BIGINT)
+       |    AS share_ppm
+       |FROM g ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------- q242
+  /** χ²₀.₀₅ critical values (×10³) by degrees of freedom, 1–24 —
+    * interpolated into BOTH engines' CASE so the verdict is shared
+    * (q162's constant-table device). */
+  val chi2CritMilli: Seq[(Int, Long)] = Seq(
+    1 -> 3841L, 2 -> 5991L, 3 -> 7815L, 4 -> 9488L, 5 -> 11070L,
+    6 -> 12592L, 7 -> 14067L, 8 -> 15507L, 9 -> 16919L, 10 -> 18307L,
+    11 -> 19675L, 12 -> 21026L, 13 -> 22362L, 14 -> 23685L, 15 -> 24996L,
+    16 -> 26296L, 17 -> 27587L, 18 -> 28869L, 19 -> 30144L, 20 -> 31410L,
+    21 -> 32671L, 22 -> 33924L, 23 -> 35172L, 24 -> 36415L)
+
+  /** R×C chi-square independence test on the lang × source
+    * contingency table — "is language mix independent of source?",
+    * the generalization of q207's 2×2 A/B readout to full
+    * categorical grids (q176 FLAGS under/over cells heuristically;
+    * this is the aggregate significance verdict). Integer-exact:
+    * each cell contributes 10³·(o·N − r·c)² div (N·r·c) milli-units
+    * (cross-multiplied so no expected-value floats exist), dof =
+    * (R−1)(C−1), and the verdict compares against the shared
+    * critical-value CASE. Bound note: (o·N)² caps the grid at ~10⁹
+    * rows per the BIGINT analysis — a 100 TB deployment re-grids to
+    * coarser counts first (q193's convention). Contingency cells
+    * are DOMAIN-bounded (langs × sources); one counting shuffle. */
+  def q242IndependenceTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+    val observed = d.groupBy($"lang", $"source").agg(count(lit(1)).as("obs"))
+    // the FULL grid: an absent (lang, source) cell has o = 0 but a
+    // positive expectation r·c/N — dropping it would understate χ²
+    val cells = d.select($"lang").distinct()
+      .crossJoin(d.select($"source").distinct())
+      .join(observed, Seq("lang", "source"), "left")
+      .select($"lang", $"source", coalesce($"obs", lit(0L)).as("o"))
+    // beyond the exact table: the classic normal approximation
+    // χ²₀.₀₅(d) ≈ d + 1.645·√(2d), in milli with a fixed-form
+    // floored sqrt both engines evaluate identically (ln discipline)
+    val critCase = chi2CritMilli
+      .map { case (d, c) => s"WHEN $d THEN ${c}L" }.mkString(" ")
+    val critApprox =
+      "1000 * dof + (1645 * CAST(floor(sqrt(CAST(2 * dof AS DOUBLE)) * 1000D) AS BIGINT)) div 1000"
+    cells
+      .withColumn("r", sum($"o").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")))
+      .withColumn("c", sum($"o").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")))
+      .withColumn("nn", sum($"o").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .agg(
+        max($"nn").as("n"),
+        countDistinct($"lang").as("r_cats"),
+        countDistinct($"source").as("c_cats"),
+        sum(expr("(1000 * (o * nn - r * c) * (o * nn - r * c)) div (nn * r * c)"))
+          .as("chi2_milli"))
+      .select($"n", $"r_cats", $"c_cats",
+        (($"r_cats" - 1) * ($"c_cats" - 1)).as("dof"), $"chi2_milli")
+      .withColumn("crit_milli",
+        expr(s"CASE dof $critCase ELSE $critApprox END"))
+      .withColumn("significant", $"chi2_milli" > $"crit_milli")
+  }
+
+  private val q242Oracle = {
+    val critCase = chi2CritMilli
+      .map { case (d, c) => s"WHEN $d THEN $c" }.mkString(" ")
+    s"""WITH obs AS (
+       |  SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+       |  FROM documents GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT g.lang, g.source, COALESCE(obs, 0) AS o
+       |  FROM (SELECT l.lang, s.source
+       |        FROM (SELECT DISTINCT lang FROM documents) l,
+       |             (SELECT DISTINCT source FROM documents) s) g
+       |  LEFT JOIN obs ON g.lang = obs.lang AND g.source = obs.source),
+       |m AS (
+       |  SELECT o,
+       |    CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+       |    CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+       |    CAST(sum(o) OVER () AS BIGINT) AS nn
+       |  FROM cells),
+       |agg AS (
+       |  SELECT max(nn) AS n,
+       |    (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents)
+       |      AS r_cats,
+       |    (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+       |      AS c_cats,
+       |    CAST(sum((1000 * (o * nn - r * c) * (o * nn - r * c))
+       |      // (nn * r * c)) AS BIGINT) AS chi2_milli
+       |  FROM m),
+       |d2 AS (
+       |  SELECT n, r_cats, c_cats,
+       |    (r_cats - 1) * (c_cats - 1) AS dof, chi2_milli
+       |  FROM agg)
+       |SELECT n, r_cats, c_cats, dof, chi2_milli,
+       |  CAST(CASE dof $critCase
+       |    ELSE 1000 * dof + (1645 *
+       |      CAST(floor(sqrt(CAST(2 * dof AS DOUBLE)) * 1000) AS BIGINT))
+       |      // 1000 END AS BIGINT) AS crit_milli,
+       |  chi2_milli > CASE dof $critCase
+       |    ELSE 1000 * dof + (1645 *
+       |      CAST(floor(sqrt(CAST(2 * dof AS DOUBLE)) * 1000) AS BIGINT))
+       |      // 1000 END AS significant
+       |FROM d2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_lm_buckets"  -> (q167LmBuckets _),
     "q168_dataset_card" -> (q168DatasetCard _),
@@ -2672,6 +2839,8 @@ object TextOps {
     "q224_winsorized_stats" -> (q224WinsorizedStats _),
     "q225_feature_hashing" -> (q225FeatureHashing _),
     "q239_zipf_fit" -> (q239ZipfFit _),
+    "q241_rendezvous_sharding" -> (q241RendezvousSharding _),
+    "q242_independence_test" -> (q242IndependenceTest _),
     "q198_oov_coverage" -> (q198OovCoverage _),
     "q215_topn_other"  -> (q215TopnOther _),
     "q216_pct_rank_features" -> (q216PctRankFeatures _),
@@ -2728,6 +2897,8 @@ object TextOps {
     "q224_winsorized_stats" -> q224Oracle,
     "q225_feature_hashing" -> q225Oracle,
     "q239_zipf_fit" -> q239Oracle,
+    "q241_rendezvous_sharding" -> q241Oracle,
+    "q242_independence_test" -> q242Oracle,
     "q199_calibration_bins" -> q199Oracle,
     "q206_slice_auc"   -> q206Oracle,
     "q60_text_stats"          -> q60Oracle,

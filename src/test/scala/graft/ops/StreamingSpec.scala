@@ -308,4 +308,35 @@ class StreamingSpec extends SparkSuite {
       paths.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("q240 TTL expiry resets the second wave that q177 accumulates") {
+    import spark.implicits._
+    val ttl = Streaming.q240TtlState(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cum = Streaming.q177TransformWithState(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+    def wave(p: Int) = ev.filter(_._2 % 2 == p).groupBy(_._1)
+      .view.mapValues(es => (es.length.toLong, es.map(_._3).sum)).toMap
+    val (even, odd) = (wave(0), wave(1))
+    // TTL pipeline: second emission is the ODD delivery alone
+    val wantTtl = (even.toSeq.map { case (u, (n, sv)) => (u, n, sv) } ++
+      odd.toSeq.map { case (u, (n, sv)) => (u, n, sv) })
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(ttl.toSeq == wantTtl)
+    // the no-TTL pipeline's second emission is CUMULATIVE — different
+    // whenever a user appears in both deliveries
+    val both = even.keySet intersect odd.keySet
+    assert(both.nonEmpty)
+    both.foreach { u =>
+      val cumSecond = cum.filter(_._1 == u).maxBy(_._2)
+      assert(cumSecond._2 == even(u)._1 + odd(u)._1,
+        "q177 accumulates across the quiet period")
+      val ttlSecondN = ttl.filter(_._1 == u).map(_._2)
+      assert(ttlSecondN.contains(odd(u)._1),
+        "q240 restarts from zero after expiry")
+    }
+  }
 }

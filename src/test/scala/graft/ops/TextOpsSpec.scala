@@ -1024,4 +1024,59 @@ class TextOpsSpec extends SparkSuite {
     // this 31-word synthetic vocabulary is far flatter — and flagged
     assert(slope > -1000L, "synthetic corpus reads as non-Zipfian (flat)")
   }
+
+  test("q241 rendezvous: adding a shard moves docs ONLY to the new shard") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val a8 = TextOps.rendezvousAssign(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a9 = TextOps.rendezvousAssign(docs, 9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a8.keySet == a9.keySet)
+    val moved = a8.keys.filter(id => a8(id) != a9(id)).toSeq
+    assert(moved.forall(id => a9(id) == 8L),
+      "the rendezvous property: a doc stays put or joins the NEW shard")
+    val frac = moved.size.toDouble / a8.size
+    assert(frac > 0.02 && frac < 0.25,
+      s"~1/9 of docs should move, got $frac")
+    // mod-hashing (the q225 shape) would NOT have this property:
+    // (md5 % 8) -> (md5 % 9) reassigns most keys
+    def modShard(id: Long, b: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rv:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16) % b
+    }
+    val ids = a8.keys.toSeq
+    val modMoved = ids.count(id => modShard(id, 8) != modShard(id, 9))
+    assert(modMoved.toDouble / ids.size > 0.5,
+      "contrast: mod-hash resize moves the majority")
+  }
+
+  test("q242 independence: chi-square replay and dof/critical lookup") {
+    import spark.implicits._
+    val Array(row) = TextOps.q242IndependenceTest(spark, sf0001).collect()
+    val (n, r, c, dof, chi2, crit, sig) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5),
+      row.getBoolean(6))
+    val cells = graft.Tables.documents(spark, sf0001)
+      .groupBy($"lang", $"source").count().collect()
+      .map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    val langs = cells.keys.map(_._1).toSeq.distinct
+    val srcs = cells.keys.map(_._2).toSeq.distinct
+    val nn = cells.values.sum
+    val rowT = langs.map(l => l -> cells.filter(_._1._1 == l).values.sum).toMap
+    val colT = srcs.map(s => s -> cells.filter(_._1._2 == s).values.sum).toMap
+    val want = (for { l <- langs; s <- srcs } yield {
+      val o = cells.getOrElse((l, s), 0L)
+      val d = o * nn - rowT(l) * colT(s)
+      (1000L * d * d) / (nn * rowT(l) * colT(s))
+    }).sum
+    assert(n == nn && r == langs.size && c == srcs.size)
+    assert(dof == (r - 1) * (c - 1) && chi2 == want)
+    val wantCrit = TextOps.chi2CritMilli.toMap.get(dof.toInt).getOrElse(
+      1000L * dof + (1645L *
+        math.floor(math.sqrt(2.0 * dof) * 1000).toLong) / 1000L)
+    assert(crit == wantCrit)
+    assert(sig == (chi2 > crit))
+  }
 }
