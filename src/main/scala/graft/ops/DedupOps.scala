@@ -1570,6 +1570,84 @@ object DedupOps {
        |ORDER BY n_occurrences DESC, n_docs DESC, sh
        |LIMIT $catalogTopK""".stripMargin
 
+  // ---------------------------------------------------------------- q243
+  /** Field-level golden record — the MDM survivorship step after
+    * clustering: q74 KEEPS one member per near-dup cluster wholesale;
+    * a master-data pipeline instead MERGES fields by rule, each
+    * column surviving from the member that wins its rule. Rules
+    * here (each a deterministic argmin/argmax): representative id =
+    * min doc_id; content from the LONGEST text (ties → smaller id);
+    * language by MAJORITY vote (ties → lexicographically first);
+    * provenance = distinct source count. Only multi-member clusters
+    * emit (singletons are their own golden record by identity — no
+    * corpus-sized echo).
+    *
+    * Plan: the working-set labels (tiny by construction) broadcast
+    * against the corpus — q74's device — so all survivorship
+    * windows/aggregates run on cluster-member rows only; the corpus
+    * never shuffles on cluster_id. Argmax picks encode as min over
+    * sign-flipped structs so both engines resolve ties identically. */
+  def q243GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val members = broadcast(ccLabelsWorking(s, dir)
+      .select($"doc_id", $"lbl".as("cluster_id")))
+      .join(Tables.documents(s, dir), "doc_id")
+    val multi = members
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")))
+      .where($"sz" > 1)
+    val langVotes = multi.groupBy($"cluster_id", $"lang")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy($"cluster_id")
+      .agg(min(struct((-$"votes").as("nv"), $"lang")).as("lv"))
+      .select($"cluster_id", $"lv.lang".as("modal_lang"))
+    multi
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min($"doc_id").as("rep_doc_id"),
+        min(struct((-$"n_chars").as("nc"), $"doc_id")).as("pick"),
+        countDistinct($"source").as("n_sources"))
+      .select($"cluster_id", $"n_members", $"rep_doc_id",
+        $"pick.doc_id".as("content_doc_id"), (-$"pick.nc").as("content_chars"),
+        $"n_sources")
+      .join(langVotes, "cluster_id")
+      .select($"cluster_id", $"n_members", $"rep_doc_id", $"content_doc_id",
+        $"content_chars", $"modal_lang", $"n_sources")
+      .orderBy($"cluster_id")
+  }
+
+  private val q243Oracle =
+    s"""WITH RECURSIVE $ccCte,
+       |m AS (
+       |  SELECT lab.doc_id, cluster_id, d.lang, d.source, d.n_chars
+       |  FROM lab JOIN documents d ON lab.doc_id = d.doc_id),
+       |msz AS (
+       |  SELECT cluster_id FROM m GROUP BY 1 HAVING count(*) > 1),
+       |mm AS (SELECT m.* FROM m JOIN msz USING (cluster_id)),
+       |lv AS (
+       |  SELECT cluster_id, lang AS modal_lang FROM (
+       |    SELECT cluster_id, lang, row_number() OVER (
+       |      PARTITION BY cluster_id
+       |      ORDER BY count(*) DESC, lang ASC) AS rn
+       |    FROM mm GROUP BY cluster_id, lang) WHERE rn = 1),
+       |pick AS (
+       |  SELECT cluster_id, doc_id AS content_doc_id,
+       |    n_chars AS content_chars FROM (
+       |    SELECT cluster_id, doc_id, n_chars, row_number() OVER (
+       |      PARTITION BY cluster_id
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |    FROM mm) WHERE rn = 1),
+       |agg AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |    min(doc_id) AS rep_doc_id,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |  FROM mm GROUP BY 1)
+       |SELECT a.cluster_id, a.n_members, a.rep_doc_id,
+       |  p.content_doc_id, p.content_chars, l.modal_lang, a.n_sources
+       |FROM agg a JOIN pick p USING (cluster_id)
+       |JOIN lv l USING (cluster_id)
+       |ORDER BY a.cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_exact_dedup"       -> (q64ExactDedup _),
     "q65_minhash_lsh"       -> (q65MinhashLsh _),
@@ -1583,6 +1661,7 @@ object DedupOps {
     "q58_span_mask"         -> (q58SpanMask _),
     "q74_cluster_keepers"   -> (q74ClusterKeepers _),
     "q79_neardup_clusters"  -> (q79NeardupClusters _),
+    "q243_golden_record"    -> (q243GoldenRecord _),
     "q113_source_overlap"   -> (q113SourceOverlap _),
     "q114_incremental_dedup" -> (q114IncrementalDedup _),
     "q118_threshold_curve"  -> (q118ThresholdCurve _),
@@ -1618,6 +1697,7 @@ object DedupOps {
     "q127_incremental_clusters" -> q127Oracle,
     "q131_retention_ledger" -> q131Oracle,
     "q79_neardup_clusters"  -> q79Oracle,
+    "q243_golden_record"    -> q243Oracle,
     "q155_boilerplate_catalog" -> q155Oracle,
     "q160_containment_dedup" -> q160Oracle,
     "q164_novelty_ratio"    -> q164Oracle,

@@ -2460,6 +2460,56 @@ object EventOps {
       |FROM act a JOIN f ON a.user_id = f.user_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q244
+  /** Time-weighted average (TWAP) per event type — the CORRECT mean
+    * for an irregularly-sampled level series: each observation
+    * holds until the next one, so it weighs by its holding DURATION
+    * (a burst of 100 readings in one minute must not dominate a
+    * quiet day at the same level — the plain mean lets it; both are
+    * emitted so the gap is visible). Durations via one lead window
+    * per type; the last observation holds to the global series end.
+    * Exact integers: seconds × micro-value per term caps terms at
+    * ~10¹¹ (bounded re-grid documented for larger spans — q202's
+    * convention), duplicate-instant readings get zero duration by
+    * the (tus, event_id) total order, deterministically. */
+  def q244Twap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select($"event_type", unix_micros($"ts").as("tus"), $"event_id",
+        expr("CAST(round(value * 1000000D) AS BIGINT)").as("v"))
+    val horizon = ev.agg(max($"tus").as("hz"))
+    val w = Window.partitionBy($"event_type").orderBy($"tus", $"event_id")
+    ev.crossJoin(broadcast(horizon))
+      .withColumn("dur_s",
+        expr("(coalesce(lead(tus, 1) OVER (PARTITION BY event_type " +
+          "ORDER BY tus, event_id), hz) - tus) div 1000000"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"dur_s").as("held_s"),
+        sum($"dur_s" * $"v").as("wsum"), sum($"v").as("vsum"))
+      .select($"event_type", $"n", $"held_s",
+        expr("wsum div held_s").as("twap_micro"),
+        expr("vsum div n").as("mean_micro"))
+      .orderBy($"event_type")
+  }
+
+  private val q244Oracle =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS tus, event_id,
+      |    CAST(round(value * 1000000) AS BIGINT) AS v
+      |  FROM events),
+      |d AS (
+      |  SELECT event_type, v,
+      |    (COALESCE(lead(tus) OVER (PARTITION BY event_type
+      |        ORDER BY tus, event_id),
+      |      (SELECT max(tus) FROM ev)) - tus) // 1000000 AS dur_s
+      |  FROM ev)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(dur_s) AS BIGINT) AS held_s,
+      |  CAST(sum(dur_s * v) // sum(dur_s) AS BIGINT) AS twap_micro,
+      |  CAST(sum(v) // count(*) AS BIGINT) AS mean_micro
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -2473,6 +2523,7 @@ object EventOps {
     "q236_attribution_compare" -> (q236AttributionCompare _),
     "q237_daily_percentiles" -> (q237DailyPercentiles _),
     "q238_new_vs_returning" -> (q238NewVsReturning _),
+    "q244_twap"             -> (q244Twap _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q171_event_sequences"  -> (q171EventSequences _),
     "q178_linear_attribution" -> (q178LinearAttribution _),
@@ -2515,6 +2566,7 @@ object EventOps {
     "q236_attribution_compare" -> q236Oracle,
     "q237_daily_percentiles" -> q237Oracle,
     "q238_new_vs_returning" -> q238Oracle,
+    "q244_twap"             -> q244Oracle,
     "q169_seasonal_profile" -> q169Oracle,
     "q171_event_sequences"  -> q171Oracle,
     "q178_linear_attribution" -> q178Oracle,

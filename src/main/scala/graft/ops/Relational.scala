@@ -1728,6 +1728,72 @@ object Relational {
        |    AS fill_ppm
        |FROM po GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q245
+  /** Quintile rank-migration matrix — "do big customers stay big?":
+    * each customer's spend quintile in the early era (≤1997) against
+    * their quintile in the late era, counted into the 5×5 mobility
+    * matrix with row-share ppm — the rank-persistence readout behind
+    * churn-of-whales analyses (q219 scores ONE cross-section; this
+    * compares two). Quintiles per era by the q219 integer formula on
+    * era-grain customer aggregates (dimension-bounded ranking); only
+    * customers active in BOTH eras migrate (the matrix row is the
+    * era-1 cohort that could move). Cents-exact spend, custkey
+    * tiebreaks, diagonal share spec'd. */
+  def q245RankMigration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def eraSpend(era: String): DataFrame = {
+      val cond =
+        if (era == "p1") year($"o_orderdate") <= 1997
+        else year($"o_orderdate") > 1997
+      Tables.orders(s, dir).where(cond)
+        .groupBy($"o_custkey")
+        .agg(sum(expr("CAST(round(o_totalprice * 100D) AS BIGINT)"))
+          .as("cents"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("rn", row_number().over(
+          Window.orderBy($"cents".desc, $"o_custkey")).cast("long"))
+        .select($"o_custkey",
+          expr("CAST(5 - (5 * (rn - 1)) div n AS BIGINT)").as(s"q_$era"))
+    }
+    eraSpend("p1").join(eraSpend("p2"), "o_custkey")
+      .groupBy($"q_p1", $"q_p2")
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("row_share_ppm", expr(
+        "(1000000 * n_customers) div sum(n_customers) OVER (PARTITION BY q_p1)"))
+      .orderBy($"q_p1", $"q_p2")
+  }
+
+  private val q245Oracle =
+    """WITH e1 AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
+      |r1 AS (
+      |  SELECT o_custkey, CAST(5 - (5 * (row_number() OVER (
+      |      ORDER BY cents DESC, o_custkey) - 1))
+      |    // (SELECT count(*) FROM e1) AS BIGINT) AS q_p1
+      |  FROM e1),
+      |e2 AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders WHERE year(o_orderdate) > 1997 GROUP BY 1),
+      |r2 AS (
+      |  SELECT o_custkey, CAST(5 - (5 * (row_number() OVER (
+      |      ORDER BY cents DESC, o_custkey) - 1))
+      |    // (SELECT count(*) FROM e2) AS BIGINT) AS q_p2
+      |  FROM e2),
+      |m AS (
+      |  SELECT q_p1, q_p2, CAST(count(*) AS BIGINT) AS n_customers
+      |  FROM r1 JOIN r2 USING (o_custkey) GROUP BY 1, 2)
+      |SELECT q_p1, q_p2, n_customers,
+      |  CAST((1000000 * n_customers) //
+      |    (sum(n_customers) OVER (PARTITION BY q_p1)) AS BIGINT)
+      |    AS row_share_ppm
+      |FROM m ORDER BY q_p1, q_p2""".stripMargin
+
   // ---------------------------------------------------------------- q180
   /** Changelog compaction with DELETE tombstones — applying a CDC
     * feed (insert / update / delete ops with a sequence number) to
@@ -1895,6 +1961,7 @@ object Relational {
     "q220_semi_additive" -> (q220SemiAdditive _),
     "q228_qq_drift" -> (q228QqDrift _),
     "q235_fill_rate" -> (q235FillRate _),
+    "q245_rank_migration" -> (q245RankMigration _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
     "q180_cdc_apply"      -> (q180CdcApply _),
@@ -1946,6 +2013,7 @@ object Relational {
     "q220_semi_additive" -> q220Oracle,
     "q228_qq_drift" -> q228Oracle,
     "q235_fill_rate" -> q235Oracle,
+    "q245_rank_migration" -> q245Oracle,
     "q115_drift_report"   -> q115Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,

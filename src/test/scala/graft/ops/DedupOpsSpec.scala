@@ -495,4 +495,31 @@ class DedupOpsSpec extends SparkSuite {
       assert(d <= n && ppm == 1000000L * d / n)
     }
   }
+
+  test("q243 golden record: survivorship rules replay against q79 clusters") {
+    import spark.implicits._
+    val golden = DedupOps.q243GoldenRecord(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6)))
+    val labels = DedupOps.q79NeardupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"source", $"n_chars").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    val clusters = labels.groupBy(_._2).filter(_._2.length > 1)
+    assert(golden.map(_._1).toSet == clusters.keySet,
+      "exactly the multi-member q79 clusters emit a golden record")
+    golden.foreach { case (cid, n, rep, cdoc, cchars, lang, nsrc) =>
+      val ms = clusters(cid).map(_._1)
+      assert(n == ms.length.toLong && rep == ms.min)
+      assert(rep == cid, "min-label cluster id IS the min member id")
+      val pick = ms.map(id => (id, docs(id)._3)).minBy(p => (-p._2, p._1))
+      assert(cdoc == pick._1 && cchars == pick._2)
+      val votes = ms.map(id => docs(id)._1).groupBy(identity)
+        .view.mapValues(_.length).toMap
+      assert(lang == votes.toSeq.minBy { case (l, v) => (-v, l) }._1)
+      assert(nsrc == ms.map(id => docs(id)._2).distinct.length.toLong)
+    }
+  }
 }

@@ -903,4 +903,30 @@ class EventOpsSpec extends SparkSuite {
     got.foreach { case (_, a, nw, ret, _) => assert(a == nw + ret) }
     assert(got.exists(_._4 > 0), "returning branch live")
   }
+
+  test("q244 TWAP: duration-weighted replay; diverges from the plain mean") {
+    import spark.implicits._
+    val got = EventOps.q244Twap(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_type", org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6)))
+    val horizon = ev.map(_._2).max
+    got.foreach { case (t, n, held, twap, mean) =>
+      val es = ev.filter(_._1 == t).sortBy(e => (e._2, e._3))
+      assert(n == es.length.toLong)
+      val durs = es.zipWithIndex.map { case (e, i) =>
+        val next = if (i + 1 < es.length) es(i + 1)._2 else horizon
+        ((next - e._2) / 1000000L, e._4)
+      }
+      assert(held == durs.map(_._1).sum)
+      assert(twap == durs.map(d => d._1 * d._2).sum / held)
+      assert(mean == es.map(_._4).sum / n)
+    }
+    assert(got.exists(r => r._4 != r._5),
+      "irregular sampling makes TWAP visibly differ from the mean")
+  }
 }

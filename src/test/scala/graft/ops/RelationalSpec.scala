@@ -290,4 +290,32 @@ class RelationalSpec extends SparkSuite {
     assert(got.exists(r => r._3 < r._2), "disqualification branch live")
     assert(got.exists(r => r._3 > 0), "fully-filled branch live")
   }
+
+  test("q245 rank migration: quintile replay; rows conserve the joint cohort") {
+    import spark.implicits._
+    val got = Relational.q245RankMigration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select($"o_custkey", org.apache.spark.sql.functions.year($"o_orderdate"),
+        $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getInt(1), math.round(r.getDouble(2) * 100)))
+    def quint(era1: Boolean): Map[Long, Long] = {
+      val spend = orders.filter(o => (o._2 <= 1997) == era1)
+        .groupBy(_._1).view.mapValues(_.map(_._3).sum).toSeq
+      val n = spend.length.toLong
+      spend.sortBy { case (ck, c) => (-c, ck) }.zipWithIndex.map {
+        case ((ck, _), i) => ck -> (5L - (5L * i) / n)
+      }.toMap
+    }
+    val (q1m, q2m) = (quint(true), quint(false))
+    val joint = q1m.keySet intersect q2m.keySet
+    val want = joint.toSeq.map(ck => (q1m(ck), q2m(ck)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(_._3).sum == joint.size.toLong)
+    got.foreach { case (a, b, n, share) =>
+      assert(n == want((a, b)))
+      val rowTotal = got.filter(_._1 == a).map(_._3).sum
+      assert(share == 1000000L * n / rowTotal)
+    }
+  }
 }
