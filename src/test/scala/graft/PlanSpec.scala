@@ -314,4 +314,43 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("floatvecdot") || p.contains("FloatVecDot"), p.take(900))
     assert(!p.contains("ScalaUDF"), "must be the native expression")
   }
+
+  test("q228/q234/q236/q237: spine-grain pipelines — join-free, bounded exchanges") {
+    for ((name, df, maxEx) <- Seq(
+      // q228: spine agg + period re-key for the cumulative window +
+      // decile agg = 3 grain-bounded exchanges
+      ("q228", Relational.q228QqDrift(spark, sf0001), 3),
+      ("q234", EventOps.q234ChecklistCompletion(spark, sf0001), 2),
+      ("q236", EventOps.q236AttributionCompare(spark, sf0001), 2),
+      ("q237", EventOps.q237DailyPercentiles(spark, sf0001), 2))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), s"$name: " + p.take(400))
+      assert("Exchange hashpartitioning".r.findAllIn(p).length <= maxEx,
+        s"$name: " + p.take(800))
+      assert(p.contains("partial_"), s"$name must combine map-side")
+    }
+  }
+
+  test("q231/q244: scalar anchors broadcast; the fact stream never sort-merges") {
+    for ((name, df) <- Seq(
+      ("q231", EventOps.q231DecayedPopularity(spark, sf0001)),
+      ("q244", EventOps.q244Twap(spark, sf0001)))) {
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin"), s"$name: " + p.take(600))
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastExchange"), s"$name anchor must broadcast")
+    }
+  }
+
+  test("q229/q233: identity columns prune out of the scan where unused") {
+    // q229 reads only (user_id, event_type); q233 only 4 columns
+    for ((name, df, banned) <- Seq(
+      ("q229", PrivacyOps.q229PseudonymizedJoin(spark, sf0001), "props"),
+      ("q233", EventOps.q233BurstCollapse(spark, sf0001), "value"))) {
+      val p = plan(df)
+      val rs = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+        .map(_.group(1)).mkString(";")
+      assert(!rs.contains(banned), s"$name reads $banned: $rs")
+    }
+  }
 }
