@@ -2510,6 +2510,95 @@ object EventOps {
       |  CAST(sum(v) // count(*) AS BIGINT) AS mean_micro
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q248
+  /** SCD2 validity audit — the release gate for any versioned
+    * dimension: per key, version intervals must CHAIN (each row's
+    * valid_to equals the next valid_from — a gap loses history, an
+    * overlap double-attributes facts) and exactly ONE version may be
+    * open. q142 gates value-level contracts; this gates the TEMPORAL
+    * structure q185's as-of joins silently depend on. Run against
+    * q138's own build the violation counts must read zero (and do —
+    * the audit is how a pipeline PROVES that); the spec drives the
+    * separated checker with planted gap/overlap/double-current
+    * fixtures to show each counter fires. One key-partitioned lead
+    * window + one rollup. */
+  def q248Scd2Audit(s: SparkSession, dir: String): DataFrame =
+    scd2AuditOf(q138Scd2History(s, dir))
+
+  /** The audit on any (user_id, event_type, valid_from, valid_to,
+    * is_current, n_events) history frame. */
+  private[ops] def scd2AuditOf(hist: DataFrame): DataFrame = {
+    val s = hist.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"valid_from")
+    hist
+      .withColumn("next_from", lead($"valid_from", 1).over(w))
+      .select($"user_id", $"valid_to", $"next_from", $"is_current")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("nv"),
+        sum(when($"next_from".isNotNull && $"valid_to" < $"next_from", 1L)
+          .otherwise(0L)).as("gaps"),
+        sum(when($"next_from".isNotNull && $"valid_to" > $"next_from", 1L)
+          .otherwise(0L)).as("overlaps"),
+        sum($"is_current".cast("long")).as("n_current"))
+      .agg(count(lit(1)).as("n_keys"), sum($"nv").as("n_versions"),
+        sum($"gaps").as("n_gaps"), sum($"overlaps").as("n_overlaps"),
+        sum(when($"n_current" =!= 1L, 1L).otherwise(0L))
+          .as("n_keys_bad_current"))
+      .withColumn("consistent",
+        $"n_gaps" === 0L && $"n_overlaps" === 0L &&
+          $"n_keys_bad_current" === 0L)
+  }
+
+  // q138's CTE chain flattened to siblings (DuckDB cannot parse a
+  // WINDOW-clause query nested as a CTE body), final select as hist0
+  private val q248Oracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type FROM events),
+       |chg AS (
+       |  SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+       |runs AS (
+       |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+       |  FROM chg),
+       |hist AS (
+       |  SELECT user_id, run, min(event_type) AS event_type,
+       |    min(tus) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+       |  FROM runs GROUP BY 1, 2),
+       |hist0 AS (
+       |  SELECT user_id, valid_from,
+       |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run)
+       |      AS valid_to,
+       |    CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+       |      ORDER BY valid_from, run) IS NULL THEN 1 ELSE 0 END AS is_current
+       |  FROM hist),
+       |nx AS (
+       |  SELECT user_id, valid_to, is_current,
+       |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+       |      AS next_from
+       |  FROM hist0),
+       |per_key AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS nv,
+       |    CAST(sum(CASE WHEN next_from IS NOT NULL AND valid_to < next_from
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS gaps,
+       |    CAST(sum(CASE WHEN next_from IS NOT NULL AND valid_to > next_from
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS ovl,
+       |    CAST(sum(is_current) AS BIGINT) AS n_current
+       |  FROM nx GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |  CAST(sum(nv) AS BIGINT) AS n_versions,
+       |  CAST(sum(gaps) AS BIGINT) AS n_gaps,
+       |  CAST(sum(ovl) AS BIGINT) AS n_overlaps,
+       |  CAST(sum(CASE WHEN n_current <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keys_bad_current,
+       |  CASE WHEN sum(gaps) = 0 AND sum(ovl) = 0
+       |    AND sum(CASE WHEN n_current <> 1 THEN 1 ELSE 0 END) = 0
+       |    THEN TRUE ELSE FALSE END AS consistent
+       |FROM per_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -2524,6 +2613,7 @@ object EventOps {
     "q237_daily_percentiles" -> (q237DailyPercentiles _),
     "q238_new_vs_returning" -> (q238NewVsReturning _),
     "q244_twap"             -> (q244Twap _),
+    "q248_scd2_audit"       -> (q248Scd2Audit _),
     "q169_seasonal_profile" -> (q169SeasonalProfile _),
     "q171_event_sequences"  -> (q171EventSequences _),
     "q178_linear_attribution" -> (q178LinearAttribution _),
@@ -2567,6 +2657,7 @@ object EventOps {
     "q237_daily_percentiles" -> q237Oracle,
     "q238_new_vs_returning" -> q238Oracle,
     "q244_twap"             -> q244Oracle,
+    "q248_scd2_audit"       -> q248Oracle,
     "q169_seasonal_profile" -> q169Oracle,
     "q171_event_sequences"  -> q171Oracle,
     "q178_linear_attribution" -> q178Oracle,

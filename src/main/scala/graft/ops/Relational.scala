@@ -1794,6 +1794,104 @@ object Relational {
       |    AS row_share_ppm
       |FROM m ORDER BY q_p1, q_p2""".stripMargin
 
+  // ---------------------------------------------------------------- q247
+  /** Exact-integer Pearson correlation matrix over the four lineitem
+    * numeric measures — the EDA table every feature-engineering pass
+    * starts from, computed deterministically: doubles accumulate
+    * partition-order-dependently (q135's lesson), so every sum here
+    * is BIGINT over integer-quantized, INTEGER-CENTERED columns.
+    * Two passes by design: pass 1 takes the four integer means,
+    * pass 2 accumulates the 4 variances + 6 cross products of the
+    * centered columns in ONE map-side-combining aggregate. The
+    * final ratio uses the fixed-form floored sqrt (ln discipline)
+    * and a two-step 10³×10³ scaling so the ppm numerator never
+    * leaves BIGINT (documented: Σxc·yc ~10¹⁵ here; 10⁶·that would
+    * overflow — divide the denominator down first). Quantization
+    * grids (qty ×100, price ×1 dollar, disc/tax ×10⁴) keep centered
+    * squares ≪2⁶³ at 10⁹ rows; a bigger corpus re-grids (q202). */
+  def q247CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.lineitem(s, dir).select(
+      expr("CAST(round(l_quantity * 100D) AS BIGINT)").as("qty"),
+      expr("CAST(round(l_extendedprice) AS BIGINT)").as("price"),
+      expr("CAST(round(l_discount * 10000D) AS BIGINT)").as("disc"),
+      expr("CAST(round(l_tax * 10000D) AS BIGINT)").as("tax"))
+    val means = q.agg(count(lit(1)).as("n"), sum($"qty").as("sq"),
+      sum($"price").as("sp"), sum($"disc").as("sd"), sum($"tax").as("st"))
+    val c = q.crossJoin(broadcast(means)).select(
+      ($"qty" - expr("sq div n")).as("q"),
+      ($"price" - expr("sp div n")).as("p"),
+      ($"disc" - expr("sd div n")).as("d"),
+      ($"tax" - expr("st div n")).as("t"))
+    val sums = c.agg(
+      sum($"q" * $"q").as("qq"), sum($"p" * $"p").as("pp"),
+      sum($"d" * $"d").as("dd"), sum($"t" * $"t").as("tt"),
+      sum($"q" * $"p").as("qp"), sum($"q" * $"d").as("qd"),
+      sum($"q" * $"t").as("qt"), sum($"p" * $"d").as("pd"),
+      sum($"p" * $"t").as("pt"), sum($"d" * $"t").as("dt"))
+    def corr(xy: String, xx: String, yy: String): Column =
+      expr(s"""(1000 * $xy) div
+              |  ((CAST(floor(sqrt(CAST($xx AS DOUBLE))) AS BIGINT)
+              |    * CAST(floor(sqrt(CAST($yy AS DOUBLE))) AS BIGINT))
+              |   div 1000)""".stripMargin)
+    sums.select(
+      corr("qp", "qq", "pp").as("qty_price_ppm"),
+      corr("qd", "qq", "dd").as("qty_disc_ppm"),
+      corr("qt", "qq", "tt").as("qty_tax_ppm"),
+      corr("pd", "pp", "dd").as("price_disc_ppm"),
+      corr("pt", "pp", "tt").as("price_tax_ppm"),
+      corr("dt", "dd", "tt").as("disc_tax_ppm"))
+  }
+
+  private val q247Oracle =
+    """WITH q0 AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty,
+      |    CAST(round(l_extendedprice) AS BIGINT) AS price,
+      |    CAST(round(l_discount * 10000) AS BIGINT) AS disc,
+      |    CAST(round(l_tax * 10000) AS BIGINT) AS tax
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(qty) AS BIGINT) AS sq, CAST(sum(price) AS BIGINT) AS sp,
+      |    CAST(sum(disc) AS BIGINT) AS sd, CAST(sum(tax) AS BIGINT) AS st
+      |  FROM q0),
+      |c AS (
+      |  SELECT qty - (m.sq // m.n) AS q, price - (m.sp // m.n) AS p,
+      |    disc - (m.sd // m.n) AS d, tax - (m.st // m.n) AS t
+      |  FROM q0, m),
+      |s AS (
+      |  SELECT CAST(sum(q * q) AS BIGINT) AS qq,
+      |    CAST(sum(p * p) AS BIGINT) AS pp,
+      |    CAST(sum(d * d) AS BIGINT) AS dd,
+      |    CAST(sum(t * t) AS BIGINT) AS tt,
+      |    CAST(sum(q * p) AS BIGINT) AS qp,
+      |    CAST(sum(q * d) AS BIGINT) AS qd,
+      |    CAST(sum(q * t) AS BIGINT) AS qt,
+      |    CAST(sum(p * d) AS BIGINT) AS pd,
+      |    CAST(sum(p * t) AS BIGINT) AS pt,
+      |    CAST(sum(d * t) AS BIGINT) AS dt
+      |  FROM c)
+      |SELECT
+      |  CAST((1000 * qp) // ((CAST(floor(sqrt(CAST(qq AS DOUBLE))) AS BIGINT)
+      |    * CAST(floor(sqrt(CAST(pp AS DOUBLE))) AS BIGINT)) // 1000)
+      |    AS BIGINT) AS qty_price_ppm,
+      |  CAST((1000 * qd) // ((CAST(floor(sqrt(CAST(qq AS DOUBLE))) AS BIGINT)
+      |    * CAST(floor(sqrt(CAST(dd AS DOUBLE))) AS BIGINT)) // 1000)
+      |    AS BIGINT) AS qty_disc_ppm,
+      |  CAST((1000 * qt) // ((CAST(floor(sqrt(CAST(qq AS DOUBLE))) AS BIGINT)
+      |    * CAST(floor(sqrt(CAST(tt AS DOUBLE))) AS BIGINT)) // 1000)
+      |    AS BIGINT) AS qty_tax_ppm,
+      |  CAST((1000 * pd) // ((CAST(floor(sqrt(CAST(pp AS DOUBLE))) AS BIGINT)
+      |    * CAST(floor(sqrt(CAST(dd AS DOUBLE))) AS BIGINT)) // 1000)
+      |    AS BIGINT) AS price_disc_ppm,
+      |  CAST((1000 * pt) // ((CAST(floor(sqrt(CAST(pp AS DOUBLE))) AS BIGINT)
+      |    * CAST(floor(sqrt(CAST(tt AS DOUBLE))) AS BIGINT)) // 1000)
+      |    AS BIGINT) AS price_tax_ppm,
+      |  CAST((1000 * dt) // ((CAST(floor(sqrt(CAST(dd AS DOUBLE))) AS BIGINT)
+      |    * CAST(floor(sqrt(CAST(tt AS DOUBLE))) AS BIGINT)) // 1000)
+      |    AS BIGINT) AS disc_tax_ppm
+      |FROM s""".stripMargin
+
   // ---------------------------------------------------------------- q180
   /** Changelog compaction with DELETE tombstones — applying a CDC
     * feed (insert / update / delete ops with a sequence number) to
@@ -1962,6 +2060,7 @@ object Relational {
     "q228_qq_drift" -> (q228QqDrift _),
     "q235_fill_rate" -> (q235FillRate _),
     "q245_rank_migration" -> (q245RankMigration _),
+    "q247_corr_matrix" -> (q247CorrMatrix _),
     "q93_skew_report"     -> (q93SkewReport _),
     "q94_latest_per_key"  -> (q94LatestPerKey _),
     "q180_cdc_apply"      -> (q180CdcApply _),
@@ -2014,6 +2113,7 @@ object Relational {
     "q228_qq_drift" -> q228Oracle,
     "q235_fill_rate" -> q235Oracle,
     "q245_rank_migration" -> q245Oracle,
+    "q247_corr_matrix" -> q247Oracle,
     "q115_drift_report"   -> q115Oracle,
     "q93_skew_report"     -> q93Oracle,
     "q94_latest_per_key"  -> q94Oracle,

@@ -2828,6 +2828,95 @@ object TextOps {
        |FROM d2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q246
+  /** Decision-stump split search — the supervised-learning primitive
+    * IN the engine: the best single threshold on doc length for
+    * predicting lang='en', found by exact integer Gini minimization
+    * over every candidate split. The shape generalizes to any
+    * (feature, label) pair and is the inner loop of tree training —
+    * per candidate, left/right class counts come from ONE cumulative
+    * window over the feature's value-domain spine (q218's device:
+    * candidates are distinct values, never rows), so the whole
+    * search is two window passes, no per-split scan.
+    *
+    * Weighted Gini in exact ppm: side impurity n²−p²−q² over n·N,
+    * truncated identically in both engines, so the argmin (tie →
+    * smaller threshold) is hash-stable. Count bound: p², n² cap a
+    * side at ~3·10⁹ rows before BIGINT — a larger corpus coarsens
+    * counts first (q193's convention). */
+  def q246DecisionStump(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.documents(s, dir)
+      .select($"n_chars".as("x"),
+        ($"lang" === "en").cast("long").as("y"))
+    val spine = pts.groupBy($"x")
+      .agg(count(lit(1)).as("n"), sum($"y").as("p"))
+    val w = Window.orderBy($"x").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    val cand = spine
+      .withColumn("nl", sum($"n").over(w))
+      .withColumn("pl", sum($"p").over(w))
+      .withColumn("nn", sum($"n").over(wAll))
+      .withColumn("pp", sum($"p").over(wAll))
+      .where($"nl" < $"nn")   // right side must be non-empty
+      .select($"x", $"nl", $"pl", ($"nn" - $"nl").as("nr"),
+        ($"pp" - $"pl").as("pr"), $"nn", $"pp")
+      .withColumn("gini_ppm", expr(
+        """(1000000 * (nl * nl - pl * pl - (nl - pl) * (nl - pl)))
+          |  div (nl * nn) +
+          |(1000000 * (nr * nr - pr * pr - (nr - pr) * (nr - pr)))
+          |  div (nr * nn)""".stripMargin))
+    cand
+      .groupBy()
+      .agg(min(struct($"gini_ppm", $"x", $"nl", $"pl", $"nr", $"pr",
+        $"nn", $"pp")).as("b"))
+      .select($"b.x".as("split_at"),
+        expr("""(1000000 * (b.nn * b.nn - b.pp * b.pp
+               |  - (b.nn - b.pp) * (b.nn - b.pp))) div (b.nn * b.nn)"""
+          .stripMargin).as("gini_before_ppm"),
+        $"b.gini_ppm".as("gini_after_ppm"),
+        $"b.nl".as("n_left"), $"b.pl".as("pos_left"),
+        $"b.nr".as("n_right"), $"b.pr".as("pos_right"))
+      .withColumn("gain_ppm", $"gini_before_ppm" - $"gini_after_ppm")
+  }
+
+  private val q246Oracle =
+    """WITH pts AS (
+      |  SELECT n_chars AS x,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |spine AS (
+      |  SELECT x, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+      |  FROM pts GROUP BY 1),
+      |c AS (
+      |  SELECT x,
+      |    CAST(sum(n) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS nl,
+      |    CAST(sum(p) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS pl,
+      |    CAST(sum(n) OVER () AS BIGINT) AS nn,
+      |    CAST(sum(p) OVER () AS BIGINT) AS pp
+      |  FROM spine),
+      |cand AS (
+      |  SELECT x, nl, pl, nn - nl AS nr, pp - pl AS pr, nn, pp,
+      |    (1000000 * (nl * nl - pl * pl - (nl - pl) * (nl - pl)))
+      |      // (nl * nn) +
+      |    (1000000 * ((nn - nl) * (nn - nl) - (pp - pl) * (pp - pl)
+      |      - ((nn - nl) - (pp - pl)) * ((nn - nl) - (pp - pl))))
+      |      // ((nn - nl) * nn) AS gini_ppm
+      |  FROM c WHERE nl < nn),
+      |best AS (
+      |  SELECT * FROM cand ORDER BY gini_ppm, x LIMIT 1)
+      |SELECT x AS split_at,
+      |  CAST((1000000 * (nn * nn - pp * pp - (nn - pp) * (nn - pp)))
+      |    // (nn * nn) AS BIGINT) AS gini_before_ppm,
+      |  CAST(gini_ppm AS BIGINT) AS gini_after_ppm,
+      |  nl AS n_left, pl AS pos_left, nr AS n_right, pr AS pos_right,
+      |  CAST((1000000 * (nn * nn - pp * pp - (nn - pp) * (nn - pp)))
+      |    // (nn * nn) - gini_ppm AS BIGINT) AS gain_ppm
+      |FROM best""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_lm_buckets"  -> (q167LmBuckets _),
     "q168_dataset_card" -> (q168DatasetCard _),
@@ -2841,6 +2930,7 @@ object TextOps {
     "q239_zipf_fit" -> (q239ZipfFit _),
     "q241_rendezvous_sharding" -> (q241RendezvousSharding _),
     "q242_independence_test" -> (q242IndependenceTest _),
+    "q246_decision_stump" -> (q246DecisionStump _),
     "q198_oov_coverage" -> (q198OovCoverage _),
     "q215_topn_other"  -> (q215TopnOther _),
     "q216_pct_rank_features" -> (q216PctRankFeatures _),
@@ -2899,6 +2989,7 @@ object TextOps {
     "q239_zipf_fit" -> q239Oracle,
     "q241_rendezvous_sharding" -> q241Oracle,
     "q242_independence_test" -> q242Oracle,
+    "q246_decision_stump" -> q246Oracle,
     "q199_calibration_bins" -> q199Oracle,
     "q206_slice_auc"   -> q206Oracle,
     "q60_text_stats"          -> q60Oracle,

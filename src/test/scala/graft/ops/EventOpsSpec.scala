@@ -929,4 +929,29 @@ class EventOpsSpec extends SparkSuite {
     assert(got.exists(r => r._4 != r._5),
       "irregular sampling makes TWAP visibly differ from the mean")
   }
+
+  test("q248 SCD2 audit: q138's build passes clean; each violation fires its counter") {
+    import spark.implicits._
+    // the real build must audit clean — that's the point of the gate
+    val Array(clean) = EventOps.q248Scd2Audit(spark, sf0001).collect()
+    assert(clean.getLong(2) == 0L && clean.getLong(3) == 0L &&
+      clean.getLong(4) == 0L && clean.getBoolean(5),
+      "q138 history chains perfectly")
+    // planted violations: (key, from, to, current)
+    def hist(rows: Seq[(Long, Long, Option[Long], Int)]) =
+      rows.map { case (u, f, t, c) => (u, "x", f, t, c, 1L) }
+        .toDF("user_id", "event_type", "valid_from", "valid_to",
+          "is_current", "n_events")
+    // key 1: gap (to=10 then from=20); key 2: overlap; key 3: two currents
+    val bad = hist(Seq(
+      (1L, 0L, Some(10L), 0), (1L, 20L, None, 1),
+      (2L, 0L, Some(15L), 0), (2L, 10L, None, 1),
+      (3L, 0L, None, 1), (3L, 5L, None, 1)))
+    val Array(r) = EventOps.scd2AuditOf(bad).collect()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 6L)
+    assert(r.getLong(2) == 1L, "gap detected")
+    assert(r.getLong(3) == 1L, "overlap detected")
+    assert(r.getLong(4) == 1L, "double-current key detected")
+    assert(!r.getBoolean(5))
+  }
 }

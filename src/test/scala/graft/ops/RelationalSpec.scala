@@ -318,4 +318,27 @@ class RelationalSpec extends SparkSuite {
       assert(share == 1000000L * n / rowTotal)
     }
   }
+
+  test("q247 correlation matrix: centered integer replay, bounded in [-1e6, 1e6]") {
+    import spark.implicits._
+    val Array(row) = Relational.q247CorrMatrix(spark, sf0001).collect()
+    val got = (0 until 6).map(row.getLong)
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+      .collect().map(r => Array(
+        math.round(r.getDouble(0) * 100), math.round(r.getDouble(1)),
+        math.round(r.getDouble(2) * 10000), math.round(r.getDouble(3) * 10000)))
+    val n = li.length.toLong
+    val means = (0 until 4).map(j => li.map(_(j)).sum / n)
+    val c = li.map(r => (0 until 4).map(j => r(j) - means(j)).toArray)
+    def s2(j: Int) = c.map(r => r(j) * r(j)).sum
+    def sxy(i: Int, j: Int) = c.map(r => r(i) * r(j)).sum
+    val pairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    pairs.zipWithIndex.foreach { case ((i, j), k) =>
+      val den = (math.floor(math.sqrt(s2(i).toDouble)).toLong *
+        math.floor(math.sqrt(s2(j).toDouble)).toLong) / 1000L
+      assert(got(k) == (1000L * sxy(i, j)) / den, s"pair $i,$j")
+      assert(got(k) >= -1000100 && got(k) <= 1000100, "ppm-bounded (+eps)")
+    }
+  }
 }

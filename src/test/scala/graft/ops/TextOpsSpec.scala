@@ -1079,4 +1079,36 @@ class TextOpsSpec extends SparkSuite {
     assert(crit == wantCrit)
     assert(sig == (chi2 > crit))
   }
+
+  test("q246 stump: exhaustive split replay finds the same argmin") {
+    import spark.implicits._
+    val Array(row) = TextOps.q246DecisionStump(spark, sf0001).collect()
+    val (at, before, after, nl, pl, nr, pr, gain) = (row.getLong(0),
+      row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4),
+      row.getLong(5), row.getLong(6), row.getLong(7))
+    val pts = graft.Tables.documents(spark, sf0001)
+      .select($"n_chars", ($"lang" === "en").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nn = pts.length.toLong
+    val ppos = pts.map(_._2).sum
+    def gini(c: Seq[(Long, Long)]): Long = {
+      val xs = c.map(_._1).distinct.sorted
+      xs.init.map { v =>
+        val l = c.filter(_._1 <= v); val r = c.filter(_._1 > v)
+        val (a, b) = (l.length.toLong, l.map(_._2).sum)
+        val (e, f) = (r.length.toLong, r.map(_._2).sum)
+        val g = (1000000L * (a * a - b * b - (a - b) * (a - b))) / (a * nn) +
+          (1000000L * (e * e - f * f - (e - f) * (e - f))) / (e * nn)
+        (g, v, a, b, e, f)
+      }.min match { case (g, v, a, b, e, f) =>
+        assert(at == v && after == g && nl == a && pl == b && nr == e && pr == f)
+        g
+      }
+    }
+    val bestG = gini(pts.toSeq)
+    val base = (1000000L * (nn * nn - ppos * ppos -
+      (nn - ppos) * (nn - ppos))) / (nn * nn)
+    assert(before == base && gain == base - bestG)
+    assert(gain >= 0, "a split can only reduce truncated weighted Gini here")
+  }
 }
