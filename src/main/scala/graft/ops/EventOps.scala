@@ -2599,6 +2599,172 @@ object EventOps {
        |    THEN TRUE ELSE FALSE END AS consistent
        |FROM per_key""".stripMargin
 
+  // ---------------------------------------------------------------- q249
+  /** Conditional entropy of the behavior Markov chain — how
+    * PREDICTABLE is the next event given the current one: per prior
+    * state, H(next|prev) over q141's transition counts in exact
+    * integer micro-nats (q222's per-group formula: L(n) −
+    * Σc·L(c) div n, fixed-form floored ln), plus each state's share
+    * of transitions. A near-zero row means that state's successor is
+    * nearly deterministic (funnel-like); the uniform-transition
+    * fixture should sit near ln(5)≈1.609e6. Transition counts are
+    * TYPE²-bounded — every window and aggregate here runs on a
+    * domain-sized frame; the stream contributes q141's one shuffle. */
+  def q249EntropyRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = q141TransitionMatrix(s, dir)
+      .select($"from_type", $"to_type", $"n")
+    t.groupBy($"from_type")
+      .agg(sum($"n").as("n_trans"),
+        sum($"n" * expr(
+          "CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000D) AS BIGINT)"))
+          .as("sum_clc"))
+      .select($"from_type", $"n_trans",
+        (expr("CAST(floor(ln(CAST(n_trans AS DOUBLE)) * 1000000D) AS BIGINT)")
+          - expr("sum_clc div n_trans")).as("h_micro"))
+      .withColumn("share_ppm",
+        expr("(1000000 * n_trans) div sum(n_trans) OVER ()"))
+      .orderBy($"from_type")
+  }
+
+  private val q249Oracle =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |    event_type AS from_type
+      |  FROM events),
+      |p AS (
+      |  SELECT from_type,
+      |    lead(from_type) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+      |      AS to_type
+      |  FROM ev),
+      |tc AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |h AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_trans,
+      |    CAST(sum(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000)
+      |      AS BIGINT)) AS BIGINT) AS sum_clc
+      |  FROM tc GROUP BY 1)
+      |SELECT from_type, n_trans,
+      |  CAST(floor(ln(CAST(n_trans AS DOUBLE)) * 1000000) AS BIGINT)
+      |    - sum_clc // n_trans AS h_micro,
+      |  CAST((1000000 * n_trans) // (sum(n_trans) OVER ()) AS BIGINT)
+      |    AS share_ppm
+      |FROM h ORDER BY from_type""".stripMargin
+
+  // ---------------------------------------------------------------- q250
+  /** Incident-exposure measure — Σ|activity ∩ incident| per user:
+    * how much of each user's active time fell inside error-storm
+    * hours (incident hours = hourly error counts at or above their
+    * own p90, the self-calibrating threshold). The billing/SLA-credit
+    * and blast-radius question, computed as a pure interval
+    * intersection: merged activity intervals (q230's islands)
+    * explode into the hour cells they touch (5-minute activity spans
+    * ≤ 2 cells — bounded fan-out, q139's gridded-join device), join
+    * the DOMAIN-bounded incident-hour spine on the hour key, and the
+    * per-cell overlap is exact integer µs clamp arithmetic. No
+    * interval×interval BNLJ anywhere. */
+  def q250IncidentExposure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
+    val errHours = Tables.events(s, dir)
+      .where($"event_type" === "error")
+      .groupBy(expr(s"unix_micros(ts) div $hourUs").as("h"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    val incidents = errHours
+      .withColumn("rn", row_number().over(Window.orderBy($"n")).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("p90", min(when(lit(10) * $"rn" >= lit(9) * $"cnt", $"n"))
+        .over(wAll))
+      .where($"n" >= $"p90")
+      .select($"h")
+    // q230's merged islands, inline
+    val iv = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("st"),
+        (unix_micros($"ts") + activityUs).as("en"))
+    val wPrev = Window.partitionBy($"user_id").orderBy($"st", $"en")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy($"user_id").orderBy($"st", $"en")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = iv
+      .withColumn("brk",
+        when($"st" > max($"en").over(wPrev), 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(wRun))
+      .groupBy($"user_id", $"grp")
+      .agg(min($"st").as("ist"), max($"en").as("ien"))
+    merged
+      .select($"user_id", $"ist", $"ien",
+        explode(expr(s"sequence(ist div $hourUs, (ien - 1) div $hourUs)"))
+          .as("h"))
+      .join(incidents, Seq("h"), "left_semi")
+      .select($"user_id", ($"ien" - $"ist").as("len"),
+        (least($"ien", ($"h" + 1) * hourUs) -
+          greatest($"ist", $"h" * hourUs)).as("ov"))
+      .groupBy($"user_id")
+      .agg(sum($"ov").as("exposed_us"))
+      .join(merged.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"ien" - $"ist").as("covered_us")), Seq("user_id"), "right")
+      .select($"user_id", $"n_intervals", $"covered_us",
+        coalesce($"exposed_us", lit(0L)).as("exposed_us"))
+      .withColumn("exposed_ppm",
+        expr("(1000000 * exposed_us) div covered_us"))
+      .orderBy($"user_id")
+  }
+
+  private val q250Oracle =
+    s"""WITH eh AS (
+       |  SELECT epoch_us(ts) // ${3600L * 1000000L} AS h,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events WHERE event_type = 'error' GROUP BY 1),
+       |thr AS (
+       |  SELECT min(CASE WHEN 10 * rn >= 9 * cnt THEN n END) AS p90 FROM (
+       |    SELECT n, CAST(row_number() OVER (ORDER BY n) AS BIGINT) AS rn,
+       |      CAST(count(*) OVER () AS BIGINT) AS cnt
+       |    FROM eh)),
+       |inc AS (SELECT h FROM eh, thr WHERE n >= p90),
+       |iv AS (
+       |  SELECT user_id, epoch_us(ts) AS st,
+       |    epoch_us(ts) + $activityUs AS en
+       |  FROM events),
+       |o AS (
+       |  SELECT *, CASE WHEN st > max(en) OVER (PARTITION BY user_id
+       |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS brk
+       |  FROM iv),
+       |g AS (
+       |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY st, en
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+       |  FROM o),
+       |m AS (
+       |  SELECT user_id, grp, min(st) AS ist, max(en) AS ien
+       |  FROM g GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT user_id, ist, ien,
+       |    unnest(generate_series(ist // ${3600L * 1000000L},
+       |      (ien - 1) // ${3600L * 1000000L})) AS h
+       |  FROM m),
+       |hit AS (
+       |  SELECT c.user_id,
+       |    least(c.ien, (c.h + 1) * ${3600L * 1000000L}) -
+       |      greatest(c.ist, c.h * ${3600L * 1000000L}) AS ov
+       |  FROM cells c JOIN inc USING (h)),
+       |ex AS (
+       |  SELECT user_id, CAST(sum(ov) AS BIGINT) AS exposed_us
+       |  FROM hit GROUP BY 1),
+       |cov AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       |    CAST(sum(ien - ist) AS BIGINT) AS covered_us
+       |  FROM m GROUP BY 1)
+       |SELECT cov.user_id, cov.n_intervals, cov.covered_us,
+       |  CAST(COALESCE(ex.exposed_us, 0) AS BIGINT) AS exposed_us,
+       |  CAST((1000000 * COALESCE(ex.exposed_us, 0)) // cov.covered_us
+       |    AS BIGINT) AS exposed_ppm
+       |FROM cov LEFT JOIN ex USING (user_id)
+       |ORDER BY cov.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
@@ -2641,9 +2807,13 @@ object EventOps {
     "q151_capped_sessions"  -> (q151CappedSessions _),
     "q152_freshness_report" -> (q152FreshnessReport _),
     "q154_token_bucket"     -> (q154TokenBucket _),
+    "q249_entropy_rate"     -> (q249EntropyRate _),
+    "q250_incident_exposure" -> (q250IncidentExposure _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q249_entropy_rate"     -> q249Oracle,
+    "q250_incident_exposure" -> q250Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

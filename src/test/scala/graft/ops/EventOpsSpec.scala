@@ -954,4 +954,68 @@ class EventOpsSpec extends SparkSuite {
     assert(r.getLong(4) == 1L, "double-current key detected")
     assert(!r.getBoolean(5))
   }
+
+  test("q249 entropy rate: exact replay from transition counts; shares telescope") {
+    val got = EventOps.q249EntropyRate(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val trans = EventOps.q141TransitionMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    def lmicro(n: Long) = math.floor(math.log(n.toDouble) * 1e6).toLong
+    val byFrom = trans.groupBy(_._1)
+    val total = trans.map(_._2).sum
+    assert(got.map(_._1).toSet == byFrom.keySet)
+    got.foreach { case (ft, nTrans, hMicro, sharePpm) =>
+      val cs = byFrom(ft).map(_._2)
+      assert(nTrans == cs.sum)
+      assert(hMicro == lmicro(nTrans) - cs.map(c => c * lmicro(c)).sum / nTrans)
+      assert(sharePpm == 1000000L * nTrans / total)
+      assert(hMicro >= 0 && hMicro <= lmicro(math.max(cs.length, 2)) + 1,
+        "entropy bounded by ln(branching factor)")
+    }
+    // uniform 5-type fixture ⇒ near ln 5; real corpus has 5 types too
+    assert(got.map(_._4).sum <= 1000000L, "floored shares never exceed one")
+  }
+
+  test("q250 incident exposure: brute-force interval∩incident replay") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val got = EventOps.q250IncidentExposure(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // incident hours: hourly error counts at/above their own p90
+    val errByHour = ev.filter(_._3 == "error").groupBy(_._2 / hourUs)
+      .map { case (h, es) => (h, es.length.toLong) }.toSeq
+    val sorted = errByHour.map(_._2).sorted
+    val p90 = sorted.zipWithIndex
+      .collectFirst { case (n, i) if 10L * (i + 1) >= 9L * sorted.length => n }
+      .get
+    val inc = errByHour.filter(_._2 >= p90).map(_._1).toSet
+    // merged activity intervals then µs-exact clamp against incident hours
+    got.foreach { case (u, nIv, covered, exposed, ppm) =>
+      val sts = ev.filter(_._1 == u).map(_._2).sorted
+      val merged = sts.foldLeft(List.empty[(Long, Long)]) { (acc, st) =>
+        val en = st + EventOps.activityUs
+        acc match {
+          case (a, b) :: rest if st <= b => (a, math.max(b, en)) :: rest
+          case _ => (st, en) :: acc
+        }
+      }.reverse
+      assert(nIv == merged.length.toLong)
+      assert(covered == merged.map(iv => iv._2 - iv._1).sum)
+      val want = merged.map { case (a, b) =>
+        (a / hourUs to (b - 1) / hourUs).filter(inc)
+          .map(h => math.min(b, (h + 1) * hourUs) - math.max(a, h * hourUs))
+          .sum
+      }.sum
+      assert(exposed == want)
+      assert(ppm == 1000000L * exposed / covered)
+    }
+    assert(got.exists(_._4 > 0), "incident overlap branch live")
+    assert(got.exists(_._4 == 0L) || got.forall(_._4 <= got.map(_._3).max),
+      "exposure never exceeds coverage")
+  }
 }
