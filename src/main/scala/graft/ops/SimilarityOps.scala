@@ -1201,7 +1201,98 @@ object SimilarityOps {
        |       ELSE 'ok' END AS flag
        |FROM f, t ORDER BY cell""".stripMargin
 
+  // ---------------------------------------------------------------- q251
+  /** Probe-set size for the leave-one-out classifier eval — FIXED,
+    * not corpus-proportional, so eval cost stays one broadcast scan
+    * (corpus × 100 distance folds) at any corpus size. */
+  val nEvalProbes = 100
+
+  /** Leave-one-out kNN classifier evaluation — the standard "is this
+    * embedding space any good for this label" health check run before
+    * committing to a labeling scheme: each probe vector is classified
+    * by the majority label of its [[topK]] nearest OTHER vectors
+    * (cosine, ties → lower vec_id; vote ties → smaller label), and
+    * per-label accuracy is reported. Complements q172's centroid
+    * screen: kNN voting sees local structure centroids smear away.
+    *
+    * Scale shape: q70's device — probes are a fixed-size broadcast,
+    * the corpus is scanned once (never self-joined), and the only
+    * shuffle is the probe-grain top-k window over corpus×probes
+    * scored rows. The majority vote is the sign-flipped-struct
+    * argmax (q243's tie idiom), mirrored in the oracle by an
+    * (cnt DESC, label ASC) row_number. On the synthetic near-uniform
+    * fixture accuracy sits near chance — the honest report, per
+    * q172's geometry note; the spec plants clustered labels where
+    * the eval must score 100% minus exactly the one mislabeled probe. */
+  def q251KnnLooEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    knnLooEvalOf(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", $"label",
+        VectorOps.norm($"embedding").as("nrm")))
+  }
+
+  /** The eval on any (vec_id, embedding, label, nrm) frame —
+    * separated so the spec can plant clustered-label geometry. */
+  private[ops] def knnLooEvalOf(c: DataFrame): DataFrame = {
+    val s = c.sparkSession
+    import s.implicits._
+    val probes = c.where($"vec_id" < nEvalProbes)
+      .select($"vec_id".as("probe_id"), $"embedding".as("pv"),
+        $"nrm".as("pn"), $"label".as("actual"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    c.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"actual", $"vec_id", $"label".as("nbr_label"),
+        (VectorOps.dot($"embedding", $"pv") / ($"nrm" * $"pn")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= topK)
+      .groupBy($"probe_id", $"actual", $"nbr_label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"probe_id", $"actual")
+      .agg(max(struct($"cnt", (-$"nbr_label").as("neg"))).as("mx"))
+      .select($"probe_id", $"actual", (-$"mx.neg").as("predicted"))
+      .groupBy($"actual".as("label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when($"predicted" === $"actual", 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("(1000000 * n_correct) div n_probes"))
+      .orderBy($"label")
+  }
+
+  private val q251Oracle =
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, embedding AS pv, nrm AS pn,
+       |        label AS actual
+       |      FROM c WHERE vec_id < $nEvalProbes),
+       |scored AS (
+       |  SELECT probe_id, actual, vec_id, label AS nbr_label,
+       |    ${dotSql("embedding", "pv")} / (nrm * pn) AS cosine
+       |  FROM c JOIN p ON vec_id <> probe_id),
+       |top AS (
+       |  SELECT * FROM (
+       |    SELECT probe_id, actual, nbr_label,
+       |      row_number() OVER (PARTITION BY probe_id
+       |                         ORDER BY cosine DESC, vec_id ASC) AS rank
+       |    FROM scored) WHERE rank <= $topK),
+       |votes AS (
+       |  SELECT probe_id, actual, nbr_label, count(*) AS cnt
+       |  FROM top GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT probe_id, actual, nbr_label AS predicted FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cnt DESC, nbr_label ASC) AS vr
+       |    FROM votes) WHERE vr = 1)
+       |SELECT actual AS label, CAST(count(*) AS BIGINT) AS n_probes,
+       |  CAST(count(*) FILTER (predicted = actual) AS BIGINT) AS n_correct,
+       |  CAST((1000000 * count(*) FILTER (predicted = actual)) // count(*)
+       |    AS BIGINT) AS acc_ppm
+       |FROM pred GROUP BY 1 ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_knn_loo_eval"  -> (q251KnnLooEval _),
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
     "q165_embedding_audit" -> (q165EmbeddingAudit _),
@@ -1219,6 +1310,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q251_knn_loo_eval"  -> q251Oracle,
     "q70_knn_bruteforce" -> q70Oracle,
     "q71_knn_ivf"        -> q71Oracle,
     "q165_embedding_audit" -> q165Oracle,

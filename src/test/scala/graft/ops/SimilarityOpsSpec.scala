@@ -324,4 +324,58 @@ class SimilarityOpsSpec extends SparkSuite {
       assert(flag == want)
     }
   }
+
+  test("q251 LOO eval: clustered labels score perfect minus the one planted mislabel") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    // two tight clusters on orthogonal axes, 60 vectors each; probe ids
+    // 0..99 < nEvalProbes cover both. vec_id 0 gets the WRONG label —
+    // its 10 nearest are all true-cluster members, so it must be the
+    // only miss; every other probe's neighborhood is pure.
+    val rows = (0 until 120).map { i =>
+      val axis = i % 2
+      val v = Array.fill(8)(0f)
+      v(axis) = 1f
+      v(4 + axis) = 0.001f * (i / 2 % 30)  // jitter inside the cluster
+      val label = if (i == 0) 1 else axis   // i=0 is truly axis-0 data
+      (i.toLong, v.toSeq, label)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", fexpr("transform(embedding, x -> CAST(x AS FLOAT))"))
+      .withColumn("nrm", graft.functions.VectorOps.norm(fexpr("embedding")))
+    val got = SimilarityOps.knnLooEvalOf(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLabel = got.map(g => g._1 -> g).toMap
+    // label 1: 50 probes of axis-1 data (odd ids 1..99) + the planted
+    // mislabel (id 0) = 51 probes, exactly one wrong
+    assert(byLabel(1)._2 == 51L && byLabel(1)._3 == 50L)
+    // label 0: the other 49 even probes, all correct
+    assert(byLabel(0)._2 == 49L && byLabel(0)._3 == 49L)
+    got.foreach { case (_, n, c, ppm) => assert(ppm == 1000000L * c / n) }
+  }
+
+  test("q251 vote tie-break: smaller label wins a split neighborhood") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr => fexpr}
+    // vec 0 sits on the exact diagonal between two MIRROR-SYMMETRIC
+    // 10-vector clusters (labels 2 and 7): its 10-NN vote is 5–5 by
+    // construction, so predicted must be 2 (< 7) — the one miss.
+    // Cluster members' own neighborhoods are 9 clustermates + vec 0,
+    // so every other probe classifies correctly.
+    val mk = (id: Long, x: Float, y: Float, lab: Int) =>
+      (id, Seq(x, y, 0f, 0f), lab)
+    val rows = mk(0L, 1f, 1f, 7) +:
+      ((1 to 10).map(i => mk(i.toLong, 1f, 0.01f * i, 2)) ++
+       (11 to 20).map(i => mk(i.toLong, 0.01f * (i - 10), 1f, 7)))
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", fexpr("transform(embedding, x -> CAST(x AS FLOAT))"))
+      .withColumn("nrm", graft.functions.VectorOps.norm(fexpr("embedding")))
+    val got = SimilarityOps.knnLooEvalOf(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // label 7: vec 0 + the 10 B-cluster probes; only vec 0 misses
+    val l7 = got.find(_._1 == 7).get
+    assert(l7._2 == 11L && l7._3 == 10L, s"tie must break to label 2: ${got.toSeq}")
+    val l2 = got.find(_._1 == 2).get
+    assert(l2._2 == 10L && l2._3 == 10L, s"pure cluster must be perfect: ${got.toSeq}")
+  }
 }
