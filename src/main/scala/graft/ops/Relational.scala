@@ -2014,7 +2014,65 @@ object Relational {
        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q253
+  /** Benford expected first-digit shares in floored ppm —
+    * floor(log10(1+1/d)·10⁶), a compile-time constant table shared
+    * verbatim with the oracle. */
+  val benfordPpm: Seq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1 + 1.0 / d) * 1e6).toLong)
+
+  /** Benford first-digit anomaly screen over order totals — the
+    * classic forensic-accounting test (fabricated or capped amounts
+    * bend the first-digit law): per digit 1–9, observed count and
+    * share vs the Benford expectation, deviation in exact ppm. The
+    * amount is floored integer cents (floor is IEEE-exact on both
+    * engines; a raw double→BIGINT cast is NOT — Spark truncates,
+    * DuckDB rounds) and the digit is the first character of the
+    * BIGINT's decimal print — no log10 on data values anywhere. The
+    * digit spine is COMPLETE (q242's zero-cell discipline: a missing
+    * digit is the loudest anomaly and must appear as n=0).
+    *
+    * Scale shape: digit extraction at the scan, one partial agg into
+    * a 9-row result, window totals over the digit spine only. */
+  def q253BenfordScreen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(s, dir)
+      .select(substring(floor($"o_totalprice" * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val spine = s.range(1, 10).select($"id".cast("int").as("digit"),
+      element_at(lit(benfordPpm.toArray), $"id".cast("int")).as("exp_ppm"))
+    val wAll = Window.partitionBy()
+    spine.join(counts, Seq("digit"), "left")
+      .select($"digit", coalesce($"n", lit(0L)).as("n"), $"exp_ppm")
+      .withColumn("obs_ppm", expr("(1000000 * n) div sum(n) OVER ()"))
+      .withColumn("dev_ppm", $"obs_ppm" - $"exp_ppm")
+      .select($"digit", $"n", $"obs_ppm", $"exp_ppm", $"dev_ppm")
+      .orderBy($"digit")
+  }
+
+  private val q253Oracle =
+    s"""WITH c AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1),
+       |spine AS (
+       |  SELECT digit, exp_ppm FROM (VALUES
+       |    ${benfordPpm.zipWithIndex.map { case (p, i) => s"(${i + 1}, ${p})" }
+           .mkString(", ")}) AS t(digit, exp_ppm))
+       |SELECT spine.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       |  CAST((1000000 * COALESCE(c.n, 0)) // (sum(COALESCE(c.n, 0)) OVER ())
+       |    AS BIGINT) AS obs_ppm,
+       |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+       |  CAST((1000000 * COALESCE(c.n, 0)) // (sum(COALESCE(c.n, 0)) OVER ())
+       |    - exp_ppm AS BIGINT) AS dev_ppm
+       |FROM spine LEFT JOIN c ON spine.digit = c.digit
+       |ORDER BY spine.digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_benford_screen" -> (q253BenfordScreen _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
     "q03_revenue_by_nation" -> (q03RevenueByNation _),
@@ -2069,6 +2127,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q253_benford_screen" -> q253Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_filter_project"  -> q02Oracle,
     "q03_revenue_by_nation" -> q03Oracle,

@@ -2917,7 +2917,201 @@ object TextOps {
       |    // (nn * nn) - gini_ppm AS BIGINT) AS gain_ppm
       |FROM best""".stripMargin
 
+  // ---------------------------------------------------------------- q252
+  /** Tokens reported per side of the log-odds ranking — fixed, so
+    * the result is two bounded-k TakeOrderedAndProjects at any
+    * vocabulary size. */
+  val logOddsK = 15
+
+  /** Dirichlet-smoothed log-odds token drift ("fightin' words",
+    * Monroe et al. 2008) — WHICH tokens mark one corpus stratum
+    * against another, the token-grain complement to q129's
+    * per-source KL (a single divergence number) and q203/q228's
+    * numeric drift stats: per token, δ = ln-odds(en) − ln-odds(rest)
+    * with Haldane ½ smoothing (2a+1 / 2(A−a)+1 keeps every operand a
+    * POSITIVE INTEGER, so δ is four fixed-form floored ln micro-nat
+    * terms — q222's device — and hash-exact), reporting the top
+    * [[logOddsK]] markers of each side. The release question this
+    * answers: "what vocabulary did this source/filter shift?"
+    *
+    * Scale shape: one explode → one token-grain partial agg (the
+    * only corpus shuffle), stratum totals as a 1-row broadcast
+    * cross join, then two TakeOrderedAndProject(k) — the vocab is
+    * never globally sorted. */
+  def q252LogOddsTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    logOddsTokensOf(Tables.documents(s, dir)
+      .select(($"lang" === "en").as("in_a"), $"text"))
+  }
+
+  /** The contrast on any (in_a, text) frame — separated so the spec
+    * can plant strata with hand-countable token tables. */
+  private[ops] def logOddsTokensOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val lm = (c: Column) =>
+      floor(log(c.cast("double")) * lit(1000000.0)).cast("long")
+    val counts = docs
+      .select($"in_a", explode(toks($"text")).as("token"))
+      .groupBy($"token")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("a"),
+        sum(when(!$"in_a", 1L).otherwise(0L)).as("b"))
+    val totals = counts.agg(sum($"a").as("ta"), sum($"b").as("tb"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .select($"token", $"a", $"b",
+        (lm($"a" * 2 + 1) - lm(($"ta" - $"a") * 2 + 1) -
+          lm($"b" * 2 + 1) + lm(($"tb" - $"b") * 2 + 1)).as("delta_micro"))
+    val top = scored.orderBy($"delta_micro".desc, $"token".asc)
+      .limit(logOddsK).withColumn("side", lit("en"))
+    val bot = scored.orderBy($"delta_micro".asc, $"token".asc)
+      .limit(logOddsK).withColumn("side", lit("rest"))
+    top.unionAll(bot)
+      .select($"side", $"token", $"a".as("n_en"), $"b".as("n_rest"),
+        $"delta_micro")
+      .orderBy($"side",
+        when($"side" === "en", -$"delta_micro").otherwise($"delta_micro"),
+        $"token")
+  }
+
+  private val q252Oracle =
+    s"""WITH tok AS (
+       |  SELECT lang = 'en' AS in_a, unnest(string_split(lower(text), ' ')) AS token
+       |  FROM documents),
+       |c AS (
+       |  SELECT token,
+       |    CAST(count(*) FILTER (in_a) AS BIGINT) AS a,
+       |    CAST(count(*) FILTER (NOT in_a) AS BIGINT) AS b
+       |  FROM tok GROUP BY 1),
+       |t AS (SELECT sum(a) AS ta, sum(b) AS tb FROM c),
+       |scored AS (
+       |  SELECT token, a, b,
+       |    CAST(floor(ln(CAST(a * 2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+       |    - CAST(floor(ln(CAST((ta - a) * 2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+       |    - CAST(floor(ln(CAST(b * 2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+       |    + CAST(floor(ln(CAST((tb - b) * 2 + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+       |      AS delta_micro
+       |  FROM c CROSS JOIN t),
+       |top AS (SELECT 'en' AS side, token, a, b, delta_micro FROM scored
+       |        ORDER BY delta_micro DESC, token ASC LIMIT $logOddsK),
+       |bot AS (SELECT 'rest' AS side, token, a, b, delta_micro FROM scored
+       |        ORDER BY delta_micro ASC, token ASC LIMIT $logOddsK)
+       |SELECT side, token, a AS n_en, b AS n_rest, delta_micro
+       |FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
+       |ORDER BY side,
+       |  CASE WHEN side = 'en' THEN -delta_micro ELSE delta_micro END,
+       |  token""".stripMargin
+
+  // ---------------------------------------------------------------- q254
+  /** Allowed languages and gate thresholds for the cascade —
+    * interpolated into the oracle so query and SQL can never drift. */
+  val gateMinChars = 100
+  val gateLangs: Seq[String] = Seq("en", "es", "fr")
+  val gateMinQuality = 0.6
+
+  /** Quality-filter cascade attrition LEDGER — the aggregate report
+    * a pipeline publishes per release. Complements q124 (which emits
+    * the per-DOC first-fail verdict over content-shape rules): this
+    * is the 4-row gate-grain ledger over the compliance gate set
+    * (too_short → bad_lang → pii_email → low_quality), and adds the
+    * two numbers q124's grain can't show — n_any_fail (what each
+    * gate would reject STANDALONE, exposing overlap that first-fail
+    * attribution hides) and survivors_after (the telescoping corpus
+    * size). quality is q62's composite, inlined with the identical
+    * expression order so doubles stay engine-exact; the PII gate is
+    * q54's email regex (RE2/Java-identical subset).
+    *
+    * Scale shape: one scan, one single-row aggregate (all gate sums
+    * in one partial-agg pass), then a GATE-cardinality literal spine
+    * cross join — the corpus is never shuffled and the report is
+    * 4 rows at any scale. On the PII gate the fixture honestly
+    * reports 0 (the synthetic corpus plants no emails); the spec
+    * plants all four violation kinds and checks first-fail
+    * attribution vs independent counts. */
+  def q254FilterCascade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    filterCascadeOf(Tables.documents(s, dir))
+  }
+
+  private[ops] def filterCascadeOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val flagged = docs
+      .withColumn("toks", toks($"text"))
+      .select(
+        ($"n_chars" < gateMinChars).as("f1"),
+        (!$"lang".isin(gateLangs: _*)).as("f2"),
+        $"text".rlike(emailRe).as("f3"),
+        (least(length($"text").cast("double") / 500.0, lit(1.0)) * 0.5 +
+          (size(array_distinct($"toks")).cast("double") / size($"toks")) * 0.3 +
+          (lit(1.0) - size(filter($"toks", t => t.isin(stopwords: _*)))
+            .cast("double") / size($"toks")) * 0.2 < gateMinQuality).as("f4"))
+    val agg = flagged.agg(
+      count(lit(1)).as("total"),
+      sum(when($"f1", 1L).otherwise(0L)).as("any1"),
+      sum(when($"f2", 1L).otherwise(0L)).as("any2"),
+      sum(when($"f3", 1L).otherwise(0L)).as("any3"),
+      sum(when($"f4", 1L).otherwise(0L)).as("any4"),
+      sum(when($"f1", 1L).otherwise(0L)).as("ff1"),
+      sum(when(!$"f1" && $"f2", 1L).otherwise(0L)).as("ff2"),
+      sum(when(!$"f1" && !$"f2" && $"f3", 1L).otherwise(0L)).as("ff3"),
+      sum(when(!$"f1" && !$"f2" && !$"f3" && $"f4", 1L).otherwise(0L)).as("ff4"))
+    val spine = s.range(1, 5).select($"id".cast("int").as("stage"))
+    agg.crossJoin(spine)
+      .select($"stage",
+        expr("CASE stage WHEN 1 THEN 'too_short' WHEN 2 THEN 'bad_lang' " +
+          "WHEN 3 THEN 'pii_email' ELSE 'low_quality' END").as("gate"),
+        expr("CASE stage WHEN 1 THEN ff1 WHEN 2 THEN ff2 WHEN 3 THEN ff3 ELSE ff4 END")
+          .as("n_first_fail"),
+        expr("CASE stage WHEN 1 THEN any1 WHEN 2 THEN any2 WHEN 3 THEN any3 ELSE any4 END")
+          .as("n_any_fail"),
+        expr("total - (CASE WHEN stage >= 1 THEN ff1 ELSE 0 END" +
+          " + CASE WHEN stage >= 2 THEN ff2 ELSE 0 END" +
+          " + CASE WHEN stage >= 3 THEN ff3 ELSE 0 END" +
+          " + CASE WHEN stage >= 4 THEN ff4 ELSE 0 END)").as("survivors_after"))
+      .orderBy($"stage")
+  }
+
+  private val q254Oracle =
+    s"""WITH f AS (
+       |  SELECT n_chars < $gateMinChars AS f1,
+       |    lang NOT IN (${gateLangs.map(l => s"'$l'").mkString(",")}) AS f2,
+       |    regexp_matches(text, '$emailRe') AS f3,
+       |    LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.5
+       |      + CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+       |        / len(string_split(lower(text), ' ')) * 0.3
+       |      + (1.0 - CAST(len(list_filter(string_split(lower(text), ' '),
+       |            x -> x IN (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)
+       |        / len(string_split(lower(text), ' '))) * 0.2 < $gateMinQuality AS f4
+       |  FROM documents),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(count(*) FILTER (f1) AS BIGINT) AS any1,
+       |    CAST(count(*) FILTER (f2) AS BIGINT) AS any2,
+       |    CAST(count(*) FILTER (f3) AS BIGINT) AS any3,
+       |    CAST(count(*) FILTER (f4) AS BIGINT) AS any4,
+       |    CAST(count(*) FILTER (f1) AS BIGINT) AS ff1,
+       |    CAST(count(*) FILTER (NOT f1 AND f2) AS BIGINT) AS ff2,
+       |    CAST(count(*) FILTER (NOT f1 AND NOT f2 AND f3) AS BIGINT) AS ff3,
+       |    CAST(count(*) FILTER (NOT f1 AND NOT f2 AND NOT f3 AND f4) AS BIGINT) AS ff4
+       |  FROM f)
+       |SELECT stage,
+       |  CASE stage WHEN 1 THEN 'too_short' WHEN 2 THEN 'bad_lang'
+       |    WHEN 3 THEN 'pii_email' ELSE 'low_quality' END AS gate,
+       |  CAST(CASE stage WHEN 1 THEN ff1 WHEN 2 THEN ff2
+       |    WHEN 3 THEN ff3 ELSE ff4 END AS BIGINT) AS n_first_fail,
+       |  CAST(CASE stage WHEN 1 THEN any1 WHEN 2 THEN any2
+       |    WHEN 3 THEN any3 ELSE any4 END AS BIGINT) AS n_any_fail,
+       |  CAST(total - (CASE WHEN stage >= 1 THEN ff1 ELSE 0 END
+       |    + CASE WHEN stage >= 2 THEN ff2 ELSE 0 END
+       |    + CASE WHEN stage >= 3 THEN ff3 ELSE 0 END
+       |    + CASE WHEN stage >= 4 THEN ff4 ELSE 0 END) AS BIGINT)
+       |    AS survivors_after
+       |FROM a CROSS JOIN (SELECT unnest(range(1, 5)) AS stage)
+       |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_log_odds" -> (q252LogOddsTokens _),
+    "q254_filter_cascade" -> (q254FilterCascade _),
     "q167_lm_buckets"  -> (q167LmBuckets _),
     "q168_dataset_card" -> (q168DatasetCard _),
     "q175_vol_median"  -> (q175VolMedian _),
@@ -2974,6 +3168,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q252_log_odds" -> q252Oracle,
+    "q254_filter_cascade" -> q254Oracle,
     "q167_lm_buckets"  -> q167Oracle,
     "q168_dataset_card" -> q168Oracle,
     "q175_vol_median"  -> q175Oracle,

@@ -341,4 +341,27 @@ class RelationalSpec extends SparkSuite {
       assert(got(k) >= -1000100 && got(k) <= 1000100, "ppm-bounded (+eps)")
     }
   }
+
+  test("q253 Benford: complete digit spine, exact replay, shares telescope") {
+    import spark.implicits._
+    val got = Relational.q253BenfordScreen(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(_._1).toSeq == (1 to 9), "all nine digits present in order")
+    val prices = graft.Tables.orders(spark, sf0001)
+      .select($"o_totalprice").collect().map(_.getDouble(0))
+    val digits = prices.map(p =>
+      math.floor(p * 100).toLong.toString.head.asDigit)
+    val total = digits.length.toLong
+    got.foreach { case (d, n, obs, exp, dev) =>
+      assert(n == digits.count(_ == d).toLong)
+      assert(obs == 1000000L * n / total)
+      assert(exp == Relational.benfordPpm(d - 1))
+      assert(dev == obs - exp)
+    }
+    assert(got.map(_._2).sum == total, "digit counts partition the orders")
+    // floored expectation table itself sums to ~1e6
+    assert(Relational.benfordPpm.sum > 999990L &&
+      Relational.benfordPpm.sum <= 1000000L)
+  }
 }

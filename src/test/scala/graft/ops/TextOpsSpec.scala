@@ -1111,4 +1111,77 @@ class TextOpsSpec extends SparkSuite {
     assert(before == base && gain == base - bestG)
     assert(gain >= 0, "a split can only reduce truncated weighted Gini here")
   }
+
+  test("q252 log-odds: planted strata replay exactly; exclusive token tops its side") {
+    import spark.implicits._
+    // stratum A: 'alpha' dominates and 'zonly'/'shared' appear;
+    // stratum B: 'beta' dominates; 'shared' appears in both equally.
+    val docs = Seq(
+      (true, "alpha alpha alpha shared zonly"),
+      (true, "alpha alpha shared"),
+      (false, "beta beta beta shared"),
+      (false, "beta beta shared shared"))
+    val got = TextOps.logOddsTokensOf(docs.toDF("in_a", "text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    def lm(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val toksAll = docs.flatMap { case (ia, t) => t.split(" ").map(ia -> _) }
+    val ta = toksAll.count(_._1).toLong
+    val tb = toksAll.count(!_._1).toLong
+    val want = toksAll.map(_._2).distinct.map { tok =>
+      val a = toksAll.count(p => p._1 && p._2 == tok).toLong
+      val b = toksAll.count(p => !p._1 && p._2 == tok).toLong
+      (tok, a, b,
+        lm(2 * a + 1) - lm(2 * (ta - a) + 1) - lm(2 * b + 1) + lm(2 * (tb - b) + 1))
+    }
+    got.foreach { case (_, tok, a, b, d) =>
+      val w = want.find(_._1 == tok).get
+      assert((a, b, d) == ((w._2, w._3, w._4)), s"token $tok")
+    }
+    // 'alpha' is the strongest en-side marker, 'beta' the strongest rest-side
+    assert(got.head._1 == "en" && got.head._2 == "alpha")
+    assert(got.find(_._1 == "rest").get._2 == "beta")
+    // a token absent from one stratum beats an equally-shared one
+    val dShared = want.find(_._1 == "shared").get._4
+    val dZonly = want.find(_._1 == "zonly").get._4
+    assert(dZonly > dShared)
+  }
+
+  test("q252 log-odds at sf0.001: sides ordered, k rows each, antisymmetric sign") {
+    val got = TextOps.q252LogOddsTokens(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    val (en, rest) = got.partition(_._1 == "en")
+    assert(en.length == TextOps.logOddsK && rest.length == TextOps.logOddsK)
+    assert(en.map(-_._2).toSeq == en.map(-_._2).sortBy(identity).toSeq,
+      "en side descends in delta")
+    assert(rest.map(_._2).toSeq == rest.map(_._2).sortBy(identity).toSeq,
+      "rest side ascends in delta")
+    assert(en.head._2 > rest.head._2, "sides point opposite ways")
+  }
+
+  test("q254 cascade: planted violations attribute to their FIRST failing gate") {
+    import spark.implicits._
+    val longClean = (1 to 80).map(i => f"word$i%04d xy").mkString(" ") // distinct, no stopwords
+    val rows = Seq(
+      // (n_chars, lang, text)
+      (50L, "zh", "short doc"),                       // gate1 (also bad lang)
+      (150L, "de", s"contact a@b.com $longClean"),    // gate2 (also pii)
+      (600L, "en", s"reach me at x@y.org $longClean"),// gate3 (quality high)
+      (110L, "en", Seq.fill(28)("the").mkString(" ")),// gate4: all stopwords
+      (600L, "en", longClean),                        // survives
+      (600L, "fr", longClean))                        // survives
+    val got = TextOps.filterCascadeOf(
+      rows.toDF("n_chars", "lang", "text")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.map(g => g._2 -> g._3).toMap ==
+      Map("too_short" -> 1L, "bad_lang" -> 1L, "pii_email" -> 1L,
+        "low_quality" -> 1L))
+    // independent counts see the overlaps first-fail hides
+    val any = got.map(g => g._2 -> g._4).toMap
+    assert(any("bad_lang") == 2L, "short zh doc also fails the lang gate")
+    assert(any("pii_email") == 2L, "de doc's email counted standalone")
+    // survivors telescope monotonically down to the 2 clean docs
+    assert(got.sortBy(_._1).map(_._5).toSeq == Seq(5L, 4L, 3L, 2L))
+  }
 }
