@@ -1648,7 +1648,53 @@ object DedupOps {
        |JOIN lv l USING (cluster_id)
        |ORDER BY a.cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- q256
+  /** Dedup ROI forecast — what running q79's near-dup dedup would
+    * actually BUY, by cluster size: for each multiplicity k, how many
+    * clusters, how many docs a keep-one policy removes (k−1 each),
+    * and the exact bytes freed (cluster bytes minus the min-id
+    * keeper's — q79's keeper rule, so the forecast matches what the
+    * dedup would do, not an average). The capacity-planning /
+    * go-no-go number a pipeline wants BEFORE paying for the full
+    * dedup+rewrite; the size histogram also fingerprints the dup
+    * generator (boilerplate families show as heavy k≥3 tails,
+    * mirrored crawls as k=2 mass).
+    *
+    * Scale shape: the working-set labels (docs in ≥1 pair — tiny by
+    * construction) broadcast-join n_chars, one cluster-grain agg,
+    * then a SIZE-cardinality agg; the corpus itself is scanned once
+    * and never shuffled. */
+  def q256DedupRoi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bytes = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val perCluster = broadcast(ccLabelsWorking(s, dir))
+      .join(bytes, "doc_id")
+      .groupBy($"lbl")
+      .agg(count(lit(1)).as("sz"), sum($"n_chars").as("bt"),
+        sum(when($"doc_id" === $"lbl", $"n_chars").otherwise(0L)).as("kb"))
+    perCluster.groupBy($"sz".as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"sz" - 1).as("n_removable"),
+        sum($"bt" - $"kb").as("bytes_saved"))
+      .orderBy($"cluster_size")
+  }
+
+  private lazy val q256Oracle =
+    s"""WITH RECURSIVE $ccCte,
+       |mult AS (
+       |  SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS sz,
+       |    CAST(sum(d.n_chars) AS BIGINT) AS bt,
+       |    CAST(sum(CASE WHEN l.doc_id = l.cluster_id THEN d.n_chars
+       |      ELSE 0 END) AS BIGINT) AS kb
+       |  FROM lab l JOIN documents d USING (doc_id)
+       |  GROUP BY 1 HAVING count(*) >= 2)
+       |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(sz - 1) AS BIGINT) AS n_removable,
+       |  CAST(sum(bt - kb) AS BIGINT) AS bytes_saved
+       |FROM mult GROUP BY 1 ORDER BY cluster_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_dedup_roi"        -> (q256DedupRoi _),
     "q64_exact_dedup"       -> (q64ExactDedup _),
     "q65_minhash_lsh"       -> (q65MinhashLsh _),
     "q66_ngram_jaccard"     -> (q66NgramJaccard _),
@@ -1677,6 +1723,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q256_dedup_roi"        -> q256Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,

@@ -2765,7 +2765,171 @@ object EventOps {
        |FROM cov LEFT JOIN ex USING (user_id)
        |ORDER BY cov.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q255
+  /** Power-iteration steps for the stationary distribution — fixed;
+    * a dense 5-state chain mixes in far fewer. */
+  val stationaryIters = 8
+
+  /** Stationary distribution of the behavior Markov chain — where a
+    * user's session settles in the long run, the one-number-per-state
+    * summary that turns q141's transition matrix into capacity /
+    * attention weights (q249 says how predictable each state is;
+    * this says how much time the chain spends there). π starts
+    * uniform and takes [[stationaryIters]] exact fixed-point steps
+    * π′ = πT: each step is Σᵢ πᵢ·p_ij in ppm·ppm summed THEN
+    * floor-divided once by 10⁶ (≤ 5·10¹² — safely BIGINT), so every
+    * iterate is engine-identical. Floored division bleeds ≤ a few
+    * ppm of mass per step (reported, spec-bounded); a state with no
+    * outgoing transitions would drain (none here — the chain is
+    * dense).
+    *
+    * Scale shape: everything after q141's one stream shuffle runs on
+    * TYPE²-bounded frames — 8 joins over 25-row inputs; the corpus
+    * is touched exactly once. */
+  def q255StationaryDist(s: SparkSession, dir: String): DataFrame =
+    stationaryOf(q141TransitionMatrix(s, dir))
+
+  /** The fixed-point iteration on any (from_type, to_type, p_ppm)
+    * matrix — separated so the spec can plant chains with
+    * closed-form stationary distributions. */
+  private[ops] def stationaryOf(matrix: DataFrame): DataFrame = {
+    val s = matrix.sparkSession
+    import s.implicits._
+    val t = matrix.select($"from_type", $"to_type", $"p_ppm")
+    val states = t.select($"from_type".as("state")).distinct()
+    var pi = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("k"))))
+      .select($"state", expr("1000000 div k").as("pi_ppm"))
+    for (_ <- 1 to stationaryIters)
+      pi = t.join(pi, t("from_type") === pi("state"))
+        .groupBy($"to_type")
+        .agg(expr("sum(pi_ppm * p_ppm) div 1000000").as("pi_ppm"))
+        .select($"to_type".as("state"), $"pi_ppm")
+    pi.orderBy($"state")
+  }
+
+  private val q255Oracle = {
+    val steps = (1 to stationaryIters).map { i =>
+      s"""p$i AS (
+         |  SELECT t.to_type AS state,
+         |    CAST(sum(p.pi_ppm * t.p_ppm) // 1000000 AS BIGINT) AS pi_ppm
+         |  FROM t JOIN p${i - 1} p ON t.from_type = p.state GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+       |    event_type AS from_type
+       |  FROM events),
+       |nxt AS (
+       |  SELECT *, lead(from_type) OVER (PARTITION BY user_id
+       |    ORDER BY tus, event_id) AS to_type
+       |  FROM ev),
+       |pairs AS (
+       |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (
+       |  SELECT from_type, to_type,
+       |    (1000000 * n) // CAST(SUM(n) OVER (PARTITION BY from_type)
+       |      AS BIGINT) AS p_ppm
+       |  FROM pairs),
+       |st AS (SELECT DISTINCT from_type AS state FROM t),
+       |p0 AS (
+       |  SELECT state, CAST(1000000 // (SELECT count(*) FROM st) AS BIGINT)
+       |    AS pi_ppm
+       |  FROM st),
+       |$steps
+       |SELECT state, pi_ppm FROM p$stationaryIters ORDER BY state""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q257
+  /** Error-budget threshold (ppm of events that may be errors) and
+    * the multi-window alert rule's burn factor — interpolated into
+    * the oracle so query and SQL can never drift. */
+  val burnBudgetPpm = 200000L
+  val burnFactor = 2L
+  val burnLongHours = 6
+
+  /** Multi-window burn-rate alerting (the SRE-workbook page rule):
+    * an hour pages when the SHORT window (that hour) burns error
+    * budget at ≥ [[burnFactor]]× AND the LONG trailing
+    * [[burnLongHours]]-hour window is also over budget — the
+    * combination that suppresses both one-spike flapping (long
+    * window gates it) and slow-burn blindness (short window ages
+    * out). Rates are exact integer ppm on the DENSE hour spine
+    * (q99's gap-fill discipline: an hour with no traffic is rate 0,
+    * not a missing row — and row-frames equal time-frames only
+    * because the spine is dense).
+    *
+    * Scale shape: one partial agg of the stream to hour grain, then
+    * every window runs on the SPINE (bounded by the time span, not
+    * the corpus). The trailing window is ROWS [[burnLongHours]]−1
+    * PRECEDING over that spine. */
+  def q257BurnRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
+    val hourly = Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $hourUs").as("h"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_errors"))
+    val spine = hourly
+      .agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("h"))
+    val wLong = Window.orderBy($"h")
+      .rowsBetween(-(burnLongHours - 1), Window.currentRow)
+    spine.join(hourly, Seq("h"), "left")
+      .select($"h", coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"n_errors", lit(0L)).as("n_errors"))
+      .withColumn("long_events", sum($"n_events").over(wLong))
+      .withColumn("long_errors", sum($"n_errors").over(wLong))
+      .select($"h", $"n_events", $"n_errors",
+        when($"n_events" === 0, 0L)
+          .otherwise(expr("(1000000 * n_errors) div n_events")).as("short_ppm"),
+        when($"long_events" === 0, 0L)
+          .otherwise(expr("(1000000 * long_errors) div long_events"))
+          .as("long_ppm"))
+      .withColumn("alert",
+        $"short_ppm" >= burnFactor * burnBudgetPpm &&
+          $"long_ppm" >= burnBudgetPpm)
+      .orderBy($"h")
+  }
+
+  private val q257Oracle =
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(ts) // ${3600L * 1000000L} AS h,
+       |    CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series(min(h), max(h))) AS h FROM hourly),
+       |base AS (
+       |  SELECT s.h, COALESCE(y.n_events, 0) AS n_events,
+       |    COALESCE(y.n_errors, 0) AS n_errors
+       |  FROM spine s LEFT JOIN hourly y USING (h)),
+       |win AS (
+       |  SELECT *,
+       |    sum(n_events) OVER (ORDER BY h ROWS BETWEEN ${burnLongHours - 1}
+       |      PRECEDING AND CURRENT ROW) AS long_events,
+       |    sum(n_errors) OVER (ORDER BY h ROWS BETWEEN ${burnLongHours - 1}
+       |      PRECEDING AND CURRENT ROW) AS long_errors
+       |  FROM base)
+       |SELECT h, n_events, n_errors,
+       |  CAST(CASE WHEN n_events = 0 THEN 0
+       |    ELSE (1000000 * n_errors) // n_events END AS BIGINT) AS short_ppm,
+       |  CAST(CASE WHEN long_events = 0 THEN 0
+       |    ELSE (1000000 * long_errors) // long_events END AS BIGINT)
+       |    AS long_ppm,
+       |  CASE WHEN n_events = 0 THEN 0
+       |    ELSE (1000000 * n_errors) // n_events END
+       |    >= $burnFactor * $burnBudgetPpm
+       |  AND CASE WHEN long_events = 0 THEN 0
+       |    ELSE (1000000 * long_errors) // long_events END
+       |    >= $burnBudgetPpm AS alert
+       |FROM win ORDER BY h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q255_stationary_dist"  -> (q255StationaryDist _),
+    "q257_burn_rate"        -> (q257BurnRate _),
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
     "q217_ewma_band"        -> (q217EwmaBand _),
@@ -2814,6 +2978,8 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q249_entropy_rate"     -> q249Oracle,
     "q250_incident_exposure" -> q250Oracle,
+    "q255_stationary_dist"  -> q255Oracle,
+    "q257_burn_rate"        -> q257Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

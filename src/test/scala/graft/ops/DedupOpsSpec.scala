@@ -522,4 +522,27 @@ class DedupOpsSpec extends SparkSuite {
       assert(nsrc == ms.map(id => docs(id)._2).distinct.length.toLong)
     }
   }
+
+  test("q256 ROI: sizes/bytes replay exactly from q79 clusters; savings match the keeper rule") {
+    import spark.implicits._
+    val got = DedupOps.q256DedupRoi(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val labels = DedupOps.q79NeardupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusters = labels.groupBy(_._2).filter(_._2.length > 1)
+    val want = clusters.toSeq.map { case (cid, ms) =>
+      val ids = ms.map(_._1)
+      (ids.length.toLong, ids.map(chars).sum - chars(cid)) // keeper = min id = cid
+    }.groupBy(_._1).toSeq.map { case (sz, cs) =>
+      (sz, cs.length.toLong, cs.length * (sz - 1), cs.map(_._2).sum)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.map(_._2).sum == clusters.size.toLong, "every cluster counted once")
+    // the forecast equals what q79's keep-one policy would actually delete
+    assert(got.map(_._3).sum ==
+      labels.count { case (id, cid) => id != cid && clusters.contains(cid) }.toLong)
+  }
 }

@@ -1018,4 +1018,66 @@ class EventOpsSpec extends SparkSuite {
     assert(got.exists(_._4 == 0L) || got.forall(_._4 <= got.map(_._3).max),
       "exposure never exceeds coverage")
   }
+
+  test("q255 stationary: exact 8-step replay; mass nearly conserved; near-fixpoint") {
+    val got = EventOps.q255StationaryDist(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val t = EventOps.q141TransitionMatrix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val states = t.map(_._1).distinct.sorted
+    var pi = states.map(_ -> 1000000L / states.length).toMap
+    def step(p: Map[String, Long]) = states.map { j =>
+      j -> t.filter(_._2 == j).map { case (i, _, ppm) => p(i) * ppm }.sum / 1000000L
+    }.toMap
+    for (_ <- 1 to EventOps.stationaryIters) pi = step(pi)
+    assert(got.toMap == pi)
+    val mass = got.map(_._2).sum
+    assert(mass <= 1000000L && mass > 999900L, s"floored mass drift: $mass")
+    // one more step moves nothing by more than flooring noise
+    val next = step(pi)
+    states.foreach(st => assert(math.abs(next(st) - pi(st)) <= 500L,
+      s"$st not settled: ${pi(st)} -> ${next(st)}"))
+  }
+
+  test("q255 planted 2-state chain converges to the closed-form stationary") {
+    import spark.implicits._
+    // p(a→a)=.9 p(a→b)=.1 p(b→a)=.5 p(b→b)=.5  ⇒  π = (5/6, 1/6)
+    val m = Seq(("a", "a", 900000L), ("a", "b", 100000L),
+      ("b", "a", 500000L), ("b", "b", 500000L))
+      .toDF("from_type", "to_type", "p_ppm")
+    val got = EventOps.stationaryOf(m).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got("a") - 833333L) < 3000L, s"pi_a=${got("a")}")
+    assert(math.abs(got("b") - 166666L) < 3000L, s"pi_b=${got("b")}")
+  }
+
+  test("q257 burn rate: brute-force replay; both alert branches live") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val got = EventOps.q257BurnRate(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.unix_micros($"ts"), $"event_type")
+      .collect().map(r => (r.getLong(0) / hourUs, r.getString(1)))
+    val lo = ev.map(_._1).min
+    val hi = ev.map(_._1).max
+    assert(got.map(_._1).toSeq == (lo to hi), "dense contiguous hour spine")
+    val byH = ev.groupBy(_._1)
+    got.foreach { case (h, n, e, sp, lp, al) =>
+      val evs = byH.getOrElse(h, Array.empty)
+      assert(n == evs.length.toLong)
+      assert(e == evs.count(_._2 == "error").toLong)
+      val (ln, le) = (math.max(lo, h - (EventOps.burnLongHours - 1)) to h)
+        .map(x => byH.getOrElse(x, Array.empty))
+        .foldLeft((0L, 0L)) { case ((a, b), w) =>
+          (a + w.length, b + w.count(_._2 == "error")) }
+      assert(sp == (if (n == 0) 0L else 1000000L * e / n))
+      assert(lp == (if (ln == 0) 0L else 1000000L * le / ln))
+      assert(al == (sp >= EventOps.burnFactor * EventOps.burnBudgetPpm &&
+        lp >= EventOps.burnBudgetPpm))
+    }
+    assert(got.exists(_._6) && got.exists(!_._6),
+      "rule must both page and stay quiet on this fixture")
+  }
 }
