@@ -2927,7 +2927,156 @@ object EventOps {
        |    >= $burnBudgetPpm AS alert
        |FROM win ORDER BY h""".stripMargin
 
+  // ---------------------------------------------------------------- q258
+  /** SPRT hypotheses and Wald boundaries, precomputed to floored
+    * micro-nats at compile time and interpolated into the oracle —
+    * the two ln-ratio increments are the ONLY transcendentals, and
+    * they never touch data. H0: success rate p0 vs H1: p1;
+    * α = β = 0.05 ⇒ boundaries ±ln(19). */
+  val sprtP0 = 0.2
+  val sprtP1 = 0.3
+  val sprtL1Micro: Long = // ln(p1/p0) per success
+    math.floor(math.log(sprtP1 / sprtP0) * 1e6).toLong
+  val sprtL0Micro: Long = // ln((1-p1)/(1-p0)) per failure
+    math.floor(math.log((1 - sprtP1) / (1 - sprtP0)) * 1e6).toLong
+  val sprtBoundMicro: Long = math.floor(math.log(19.0) * 1e6).toLong
+
+  /** Sequential probability ratio test monitor (Wald) — the
+    * peeking-safe experiment readout q207's fixed-horizon chi-square
+    * can't give: per DAY, the cumulative log-likelihood ratio of
+    * H1 (success rate [[sprtP1]]) against H0 ([[sprtP0]]) over
+    * purchase trials (success = value > [[abSuccessValue]], q207's
+    * definition), with Wald's ±ln(19) decision boundaries and the
+    * day the test first becomes decisive. Every LLR is exact
+    * integer micro-nats: trials·constant products of BIGINTs, no
+    * transcendental ever evaluated on data.
+    *
+    * Scale shape: one partial agg of the stream to day grain, then
+    * cumulative windows on the DAY spine (bounded by the time span);
+    * the first-crossing marker is a spine-grain min — no second
+    * corpus pass. */
+  def q258SprtMonitor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val daily = Tables.events(s, dir)
+      .where($"event_type" === "purchase")
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("n_trials"),
+        sum(when($"value" > abSuccessValue, 1L).otherwise(0L)).as("n_success"))
+    val wCum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    daily
+      .withColumn("cum_llr_micro",
+        sum($"n_success" * sprtL1Micro +
+          ($"n_trials" - $"n_success") * sprtL0Micro).over(wCum))
+      .withColumn("decision",
+        when($"cum_llr_micro" >= sprtBoundMicro, "reject_h0")
+          .when($"cum_llr_micro" <= -sprtBoundMicro, "accept_h0")
+          .otherwise("continue"))
+      .withColumn("first_decisive_day",
+        min(when($"decision" =!= "continue", $"day")).over(wAll))
+      .select($"day", $"n_trials", $"n_success", $"cum_llr_micro",
+        $"decision", ($"day" === $"first_decisive_day").as("is_first_cross"))
+      .orderBy($"day")
+  }
+
+  private val q258Oracle =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,
+       |    CAST(count(*) AS BIGINT) AS n_trials,
+       |    CAST(count(*) FILTER (value > $abSuccessValue) AS BIGINT)
+       |      AS n_success
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |c AS (
+       |  SELECT *, CAST(sum(n_success * ($sprtL1Micro)
+       |      + (n_trials - n_success) * ($sprtL0Micro))
+       |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS cum_llr_micro
+       |  FROM daily),
+       |d AS (
+       |  SELECT *, CASE WHEN cum_llr_micro >= $sprtBoundMicro THEN 'reject_h0'
+       |    WHEN cum_llr_micro <= -$sprtBoundMicro THEN 'accept_h0'
+       |    ELSE 'continue' END AS decision
+       |  FROM c)
+       |SELECT day, n_trials, n_success, cum_llr_micro, decision,
+       |  day = min(CASE WHEN decision <> 'continue' THEN day END) OVER ()
+       |    AS is_first_cross
+       |FROM d ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q260
+  /** Theil–Sen robust trend of daily event volume — the slope
+    * estimate one outage or traffic spike can't drag (q135's OLS
+    * line moves with every outlier; the MEDIAN of pairwise slopes
+    * has a 29% breakdown point). Slopes are exact micro-events/day:
+    * (1e6·Δcount) div Δday for every day pair, and the median is the
+    * exact lower-median order statistic via the first-crossing rank
+    * inequality (q209's device). The intercept is the median of
+    * per-day (count·1e6 − slope·day) residual levels, same device.
+    *
+    * Scale shape: the corpus reduces ONCE to the day spine; the
+    * pairwise join is SPINE², bounded by the time span squared
+    * (30 days → 435 pairs; never corpus-sized), and both medians
+    * rank spine-sized sets. */
+  def q260TheilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    theilSenOf(Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The estimator on any (day, n) frame — separated so the spec can
+    * plant a perfect line plus an outlier the median must shrug off. */
+  private[ops] def theilSenOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val a = daily.select($"day".as("da"), $"n".as("na"))
+    val b = daily.select($"day".as("db"), $"n".as("nb"))
+    val slopes = a.join(b, $"da" < $"db")
+      .select(expr("(1000000 * (nb - na)) div (db - da)").as("slope"))
+    val wS = Window.orderBy($"slope")
+    val slopeMed = slopes
+      .withColumn("rn", row_number().over(wS).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .where(lit(2) * $"rn" >= $"cnt").orderBy($"slope").limit(1)
+      .select($"slope".as("slope_micro"))
+    val wL = Window.orderBy($"level")
+    daily.crossJoin(broadcast(slopeMed))
+      .select($"slope_micro", ($"n" * 1000000L - $"slope_micro" * $"day")
+        .as("level"))
+      .withColumn("rn", row_number().over(wL).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .where(lit(2) * $"rn" >= $"cnt").orderBy($"level").limit(1)
+      .select($"slope_micro", $"level".as("intercept_micro"))
+  }
+
+  private val q260Oracle =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |sl AS (
+       |  SELECT (1000000 * (b.n - a.n)) // (b.day - a.day) AS slope
+       |  FROM daily a JOIN daily b ON a.day < b.day),
+       |sm AS (
+       |  SELECT slope AS slope_micro FROM (
+       |    SELECT slope, CAST(row_number() OVER (ORDER BY slope) AS BIGINT)
+       |      AS rn, CAST(count(*) OVER () AS BIGINT) AS cnt
+       |    FROM sl) WHERE 2 * rn >= cnt ORDER BY slope LIMIT 1),
+       |lv AS (
+       |  SELECT slope_micro, n * 1000000 - slope_micro * day AS level
+       |  FROM daily, sm)
+       |SELECT slope_micro, level AS intercept_micro FROM (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY level) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER () AS BIGINT) AS cnt
+       |  FROM lv) WHERE 2 * rn >= cnt ORDER BY level LIMIT 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_sprt_monitor"     -> (q258SprtMonitor _),
+    "q260_theil_sen"        -> (q260TheilSen _),
     "q255_stationary_dist"  -> (q255StationaryDist _),
     "q257_burn_rate"        -> (q257BurnRate _),
     "q101_moving_avg"       -> (q101MovingAvg _),
@@ -2980,6 +3129,8 @@ object EventOps {
     "q250_incident_exposure" -> q250Oracle,
     "q255_stationary_dist"  -> q255Oracle,
     "q257_burn_rate"        -> q257Oracle,
+    "q258_sprt_monitor"     -> q258Oracle,
+    "q260_theil_sen"        -> q260Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

@@ -3109,7 +3109,86 @@ object TextOps {
        |FROM a CROSS JOIN (SELECT unnest(range(1, 5)) AS stage)
        |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- q259
+  /** Highest count class reported in the frequency-of-frequencies
+    * profile. */
+  val gtMaxR = 5
+
+  /** Good–Turing frequency-of-frequencies and missing mass — "how
+    * much vocabulary have we NOT seen yet": the r = 0 row carries
+    * P₀ = f₁/N (the Good–Turing estimate of unseen-token probability
+    * mass — the number that says whether another crawl of this
+    * source still buys new vocabulary), and each count class
+    * r = 1..[[gtMaxR]] reports its type count fᵣ, its share of
+    * observed mass, and the smoothed count r* = (r+1)·f_{r+1}/fᵣ in
+    * milli (the Good–Turing discount; r* < r means class r is
+    * over-counted). Complements q239 (Zipf fits the law's slope;
+    * this prices the unseen tail) and q198 (OOV against a fixed
+    * vocab; this is vocab-free). All ratios are exact integer
+    * divisions of exact counts; −1 marks an undefined r* (empty
+    * class), no NULLs.
+    *
+    * Scale shape: one explode → one token-grain agg (the only
+    * corpus shuffle) → one count-grain agg whose result is bounded
+    * by the max token count, then an (R+1)-row literal spine. */
+  def q259GoodTuring(s: SparkSession, dir: String): DataFrame =
+    goodTuringOf(Tables.documents(s, dir))
+
+  /** The profile on any (text) frame — separated so the spec can
+    * plant a corpus with singletons (the fixture word-salad has a
+    * closed small vocabulary: every type repeats, f₁ = 0, and the
+    * query honestly reports zero unseen mass). */
+  private[ops] def goodTuringOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val freq = docs
+      .select(explode(toks($"text")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("r"))
+    val fof = freq.groupBy($"r").agg(count(lit(1)).as("f"))
+    val tot = fof.agg(sum($"r" * $"f").as("n_tokens"))
+    val spine = s.range(0, gtMaxR + 1).select($"id".as("r"))
+    spine
+      .join(fof.select($"r", $"f"), Seq("r"), "left")
+      .join(fof.select(($"r" - 1).as("r"), $"f".as("f_next")), Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"r",
+        when($"r" === 0, 0L).otherwise(coalesce($"f", lit(0L))).as("n_types"),
+        when($"r" === 0,
+          expr("(1000000 * coalesce(f_next, 0)) div n_tokens"))
+          .otherwise(expr("(1000000 * r * coalesce(f, 0)) div n_tokens"))
+          .as("mass_ppm"),
+        when($"r" === 0 || coalesce($"f", lit(0L)) === 0, -1L)
+          .otherwise(expr("(1000 * (r + 1) * coalesce(f_next, 0)) div coalesce(f, 1)"))
+          .as("rstar_milli"))
+      .orderBy($"r")
+  }
+
+  private val q259Oracle =
+    s"""WITH freq AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS r FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS token
+       |    FROM documents) GROUP BY 1),
+       |fof AS (SELECT r, CAST(count(*) AS BIGINT) AS f FROM freq GROUP BY 1),
+       |tot AS (SELECT CAST(sum(r * f) AS BIGINT) AS n_tokens FROM fof),
+       |spine AS (SELECT unnest(range(0, ${gtMaxR + 1})) AS r)
+       |SELECT s.r,
+       |  CAST(CASE WHEN s.r = 0 THEN 0 ELSE COALESCE(c.f, 0) END AS BIGINT)
+       |    AS n_types,
+       |  CAST(CASE WHEN s.r = 0
+       |    THEN (1000000 * COALESCE(nx.f, 0)) // n_tokens
+       |    ELSE (1000000 * s.r * COALESCE(c.f, 0)) // n_tokens END AS BIGINT)
+       |    AS mass_ppm,
+       |  CAST(CASE WHEN s.r = 0 OR COALESCE(c.f, 0) = 0 THEN -1
+       |    ELSE (1000 * (s.r + 1) * COALESCE(nx.f, 0)) // COALESCE(c.f, 1)
+       |    END AS BIGINT) AS rstar_milli
+       |FROM spine s
+       |LEFT JOIN fof c ON c.r = s.r
+       |LEFT JOIN fof nx ON nx.r = s.r + 1
+       |CROSS JOIN tot
+       |ORDER BY s.r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_good_turing" -> (q259GoodTuring _),
     "q252_log_odds" -> (q252LogOddsTokens _),
     "q254_filter_cascade" -> (q254FilterCascade _),
     "q167_lm_buckets"  -> (q167LmBuckets _),
@@ -3170,6 +3249,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q252_log_odds" -> q252Oracle,
     "q254_filter_cascade" -> q254Oracle,
+    "q259_good_turing" -> q259Oracle,
     "q167_lm_buckets"  -> q167Oracle,
     "q168_dataset_card" -> q168Oracle,
     "q175_vol_median"  -> q175Oracle,

@@ -1080,4 +1080,60 @@ class EventOpsSpec extends SparkSuite {
     assert(got.exists(_._6) && got.exists(!_._6),
       "rule must both page and stay quiet on this fixture")
   }
+
+  test("q258 SPRT: exact integer LLR replay; first crossing marked once") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val got = EventOps.q258SprtMonitor(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getBoolean(5)))
+    val ev = graft.Tables.events(spark, sf0001)
+      .where($"event_type" === "purchase")
+      .select(org.apache.spark.sql.functions.unix_micros($"ts"), $"value")
+      .collect().map(r => (r.getLong(0) / dayUs, r.getDouble(1)))
+    val byDay = ev.groupBy(_._1).toSeq.sortBy(_._1)
+    assert(got.map(_._1).toSeq == byDay.map(_._1))
+    var cum = 0L
+    byDay.zip(got).foreach { case ((day, es), (gd, n, x, llr, dec, _)) =>
+      assert(gd == day && n == es.length.toLong)
+      assert(x == es.count(_._2 > EventOps.abSuccessValue).toLong)
+      cum += x * EventOps.sprtL1Micro + (n - x) * EventOps.sprtL0Micro
+      assert(llr == cum)
+      val want =
+        if (llr >= EventOps.sprtBoundMicro) "reject_h0"
+        else if (llr <= -EventOps.sprtBoundMicro) "accept_h0"
+        else "continue"
+      assert(dec == want)
+    }
+    val decisive = got.filter(_._5 != "continue")
+    assert(decisive.nonEmpty, "fixture rate 0.33 > p1 must eventually reject")
+    assert(got.count(_._6) == 1 &&
+      got.find(_._6).get._1 == decisive.map(_._1).min,
+      "exactly the earliest decisive day is flagged")
+  }
+
+  test("q260 Theil–Sen: exact replay at sf0.001; outlier day cannot drag the fit") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val Array(row) = EventOps.q260TheilSen(spark, sf0001).collect()
+    val daily = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.unix_micros($"ts")).collect()
+      .map(_.getLong(0) / dayUs).groupBy(identity)
+      .map { case (d, xs) => (d, xs.length.toLong) }.toSeq
+    def lowerMedian(xs: Seq[Long]) = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
+    val slopes = for {
+      (da, na) <- daily; (db, nb) <- daily if da < db
+    } yield 1000000L * (nb - na) / (db - da) // div truncates on both engines
+    val sm = lowerMedian(slopes)
+    assert(row.getLong(0) == sm)
+    assert(row.getLong(1) == lowerMedian(daily.map { case (d, n) =>
+      n * 1000000L - sm * d }))
+    // planted: perfect line n = 100 + 5·day, one absurd outlier day
+    val line = (0L to 20L).map(d => (d, 100L + 5L * d)) :+ ((21L, 100000L))
+    val Array(p) = EventOps.theilSenOf(line.toDF("day", "n")).collect()
+    assert(p.getLong(0) == 5000000L, "median slope ignores the outlier")
+    assert(p.getLong(1) == 100000000L, "median level recovers the intercept")
+  }
 }

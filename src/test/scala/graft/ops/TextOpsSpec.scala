@@ -1159,6 +1159,48 @@ class TextOpsSpec extends SparkSuite {
     assert(en.head._2 > rest.head._2, "sides point opposite ways")
   }
 
+  test("q259 Good–Turing: exact replay; masses telescope; discount behaves") {
+    import spark.implicits._
+    val got = TextOps.q259GoodTuring(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (0L to TextOps.gtMaxR.toLong))
+    val toks = graft.Tables.documents(spark, sf0001)
+      .select($"text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1))
+    val n = toks.length.toLong
+    val fof = toks.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).map { case (r, g) => (r, g.size.toLong) }
+    got.foreach { case (r, types, mass, rstar) =>
+      val f = fof.getOrElse(r, 0L)
+      val fNext = fof.getOrElse(r + 1, 0L)
+      if (r == 0) {
+        assert(types == 0L)
+        assert(mass == 1000000L * fNext / n, "P0 = f1/N")
+        assert(rstar == -1L)
+      } else {
+        assert(types == f)
+        assert(mass == 1000000L * r * f / n)
+        assert(rstar == (if (f == 0) -1L else 1000L * (r + 1) * fNext / f))
+      }
+    }
+    // the fixture's closed vocabulary repeats every type: f1 = 0 is
+    // the HONEST report (no unseen mass) — the planted corpus below
+    // exercises the live branch
+    assert(got.head._3 == 0L && fof.getOrElse(1L, 0L) == 0L)
+    // planted: counts a=1 b=1 c=2 d=3  ⇒ N=7, f1=2, f2=1, f3=1
+    val planted = TextOps.goodTuringOf(
+      Seq("a b c d", "c d d").toDF("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byR = planted.map(p => p._1 -> p).toMap
+    assert(byR(0L)._3 == 1000000L * 2 / 7, "P0 = f1/N = 2/7")
+    assert(byR(1L) == ((1L, 2L, 1000000L * 2 / 7, 1000L * 2 * 1 / 2)),
+      "r*(1) = 2·f2/f1 = 1")
+    assert(byR(2L) == ((2L, 1L, 1000000L * 2 / 7, 1000L * 3 * 1 / 1)),
+      "r*(2) = 3·f3/f2 = 3")
+    assert(byR(3L)._2 == 1L && byR(3L)._4 == 0L, "f4 = 0 ⇒ r*(3) = 0")
+    assert(byR(4L)._4 == -1L, "empty class ⇒ sentinel")
+  }
+
   test("q254 cascade: planted violations attribute to their FIRST failing gate") {
     import spark.implicits._
     val longClean = (1 to 80).map(i => f"word$i%04d xy").mkString(" ") // distinct, no stopwords
