@@ -353,4 +353,67 @@ class PlanSpec extends SparkSuite {
       assert(!rs.contains(banned), s"$name reads $banned: $rs")
     }
   }
+
+  test("q249/q250: domain-bounded frames broadcast; incident semi-join never SMJ") {
+    val p249 = plan(EventOps.q249EntropyRate(spark, sf0001))
+    assert(!p249.contains("SortMergeJoin"), p249.take(500))
+    val p250 = plan(EventOps.q250IncidentExposure(spark, sf0001))
+    assert(p250.contains("LeftSemi"), "incident filter is a semi join")
+    assert(!"LeftSemi[^\\n]*SortMergeJoin|SortMergeJoin[^\\n]*LeftSemi".r
+      .findFirstIn(p250).isDefined || p250.contains("BroadcastHashJoin"),
+      "domain-bounded incident spine should broadcast")
+  }
+
+  test("q251 LOO eval: probes broadcast; the corpus is never sort-merge joined") {
+    val p = plan(SimilarityOps.q251KnnLooEval(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(400))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q252/q253: partial aggs, bounded top-k / spine joins — no global sorts") {
+    val p252 = plan(TextOps.q252LogOddsTokens(spark, sf0001))
+    assert("TakeOrderedAndProject".r.findAllIn(p252).length == 2,
+      "both sides of the ranking must be partial top-k, not full sorts")
+    assert("HashAggregate".r.findAllIn(p252).length >= 2, "map-side combine")
+    val p253 = plan(Relational.q253BenfordScreen(spark, sf0001))
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p253)
+      .map(_.group(1)).getOrElse("")
+    assert(rs == "o_totalprice:double", s"digit screen must read one column: $rs")
+    assert(!p253.contains("SortMergeJoin"), "9-row spine must broadcast")
+  }
+
+  test("q254 cascade: one pruned scan, single-row agg, broadcast spine") {
+    val p = plan(TextOps.q254FilterCascade(spark, sf0001))
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse("")
+    assert(!rs.contains("doc_id") && !rs.contains("source"),
+      s"cascade needs only (n_chars, lang, text): $rs")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "4-row stage spine broadcasts")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q255/q256: model-sized frames broadcast; no sort-merge anywhere") {
+    for ((name, df) <- Seq(
+      ("q255", EventOps.q255StationaryDist(spark, sf0001)),
+      ("q256", DedupOps.q256DedupRoi(spark, sf0001)))) {
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin"), s"$name: " + p.take(500))
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin"), s"$name model side broadcasts")
+    }
+  }
+
+  test("q257/q258/q260: stream reduces map-side to the time spine before windows") {
+    for ((name, df) <- Seq(
+      ("q257", EventOps.q257BurnRate(spark, sf0001)),
+      ("q258", EventOps.q258SprtMonitor(spark, sf0001)),
+      ("q260", EventOps.q260TheilSen(spark, sf0001)))) {
+      val p = plan(df)
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$name: partial agg before the exchange")
+      assert(!p.contains("SortMergeJoin"), s"$name: " + p.take(500))
+    }
+  }
 }
