@@ -3074,7 +3074,197 @@ object EventOps {
        |    CAST(count(*) OVER () AS BIGINT) AS cnt
        |  FROM lv) WHERE 2 * rn >= cnt ORDER BY level LIMIT 1""".stripMargin
 
+  // ---------------------------------------------------------------- q261
+  /** Earliest funnel-completion SPAN — the MATCH_RECOGNIZE-shaped
+    * question q102 (stage reached) can't answer: WHEN did each user
+    * first complete view→click→purchase and how long did it take.
+    * The greedy fold (first view, first click after it, first
+    * purchase after that) finds exactly the earliest completing
+    * purchase of the pattern v.*c.*p. Same in-group device as q102 —
+    * sort_array + a struct-state aggregate() (codegen'd, no UDF) —
+    * with (tv, tc, tp) micro-timestamp state and −1 sentinels, so
+    * both engines fold the identical total order (ts, event_id).
+    *
+    * Scale shape: ONE shuffle on user_id; per-user state is three
+    * BIGINTs regardless of stream length. */
+  def q261FunnelSpan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    funnelSpanOf(Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
+        $"event_type"))
+  }
+
+  /** The fold on any (user_id, tus, event_id, event_type) frame —
+    * separated so the spec can plant pattern edge cases. */
+  private[ops] def funnelSpanOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(
+        struct($"tus", $"event_id", $"event_type"))).as("evs"))
+      .select($"user_id",
+        expr("""aggregate(evs,
+            named_struct('tv', -1L, 'tc', -1L, 'tp', -1L),
+            (st, e) -> named_struct(
+              'tv', IF(st.tv = -1L AND e.event_type = 'view', e.tus, st.tv),
+              'tc', IF(st.tc = -1L AND st.tv <> -1L
+                       AND e.event_type = 'click', e.tus, st.tc),
+              'tp', IF(st.tp = -1L AND st.tc <> -1L
+                       AND e.event_type = 'purchase', e.tus, st.tp)))""")
+          .as("st"))
+      .select($"user_id", ($"st.tp" =!= -1L).as("completed"),
+        $"st.tv".as("tv_us"), $"st.tc".as("tc_us"), $"st.tp".as("tp_us"),
+        when($"st.tp" =!= -1L, $"st.tp" - $"st.tv").otherwise(-1L)
+          .as("span_us"))
+      .orderBy($"user_id")
+  }
+
+  private val q261Oracle =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    list_sort(list({'tus': epoch_us(ts), 'event_id': event_id,
+      |                    'event_type': event_type})) AS evs
+      |  FROM events GROUP BY user_id),
+      |f AS (
+      |  SELECT user_id,
+      |    list_reduce(list_prepend({'tv': CAST(-1 AS BIGINT),
+      |        'tc': CAST(-1 AS BIGINT), 'tp': CAST(-1 AS BIGINT),
+      |        'ty': 'init'},
+      |      list_transform(evs, e -> {'tv': e.tus, 'tc': e.tus,
+      |        'tp': e.tus, 'ty': e.event_type})),
+      |      (st, e) -> {
+      |        'tv': CASE WHEN st.tv = -1 AND e.ty = 'view'
+      |                THEN e.tv ELSE st.tv END,
+      |        'tc': CASE WHEN st.tc = -1 AND st.tv <> -1 AND e.ty = 'click'
+      |                THEN e.tc ELSE st.tc END,
+      |        'tp': CASE WHEN st.tp = -1 AND st.tc <> -1 AND e.ty = 'purchase'
+      |                THEN e.tp ELSE st.tp END,
+      |        'ty': 'st'}) AS st
+      |  FROM u)
+      |SELECT user_id, st.tp <> -1 AS completed,
+      |  CAST(st.tv AS BIGINT) AS tv_us, CAST(st.tc AS BIGINT) AS tc_us,
+      |  CAST(st.tp AS BIGINT) AS tp_us,
+      |  CAST(CASE WHEN st.tp <> -1 THEN st.tp - st.tv ELSE -1 END AS BIGINT)
+      |    AS span_us
+      |FROM f ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q262
+  /** CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    * the estimator production experimentation platforms actually
+    * ship: per user, the PRE-period covariate X (centi-value sum of
+    * all events before the data-derived midpoint day) soaks up
+    * between-user variance in the POST-period revenue metric Y
+    * (centi-value of purchases), θ = Cov(X,Y)/Var(X) pooled across
+    * arms (arm = user_id % 2, q207's convention). Reports θ (milli),
+    * the achieved variance reduction ρ² (ppm — CUPED's exact gain),
+    * and raw vs adjusted mean lift. All moments use q247's
+    * integer-centering discipline: centi-unit BIGINTs, mean = sum
+    * div n, products of centered values — no double accumulation
+    * anywhere.
+    *
+    * Scale shape: the stream reduces ONCE to user grain (one
+    * shuffle); every later frame is user-grain or a 1-row broadcast.
+    * Like q74's fixpoint reuse, the user frame is an independent
+    * subtree on each side of the broadcast — two passes, zero
+    * corpus-wide exchanges beyond the first. */
+  def q262Cuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select($"user_id", expr(s"unix_micros(ts) div $dayUs").as("day"),
+        $"event_type", expr("CAST(round(value * 100D) AS BIGINT)").as("cv"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val users = ev.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(sum(when($"day" < $"mid", $"cv").otherwise(0L)).as("x"),
+        sum(when($"day" >= $"mid" && $"event_type" === "purchase", $"cv")
+          .otherwise(0L)).as("y"))
+      .select(($"user_id" % 2).as("arm"), $"x", $"y")
+    cupedOf(users)
+  }
+
+  /** The estimator on any (arm 0/1, x, y) user frame — separated so
+    * the spec can plant a known covariate structure. */
+  private[ops] def cupedOf(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    import s.implicits._
+    val m = users.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+      sum($"y").as("sy"))
+    val c = users.crossJoin(broadcast(m))
+      .select($"arm", ($"x" - expr("sx div n")).as("cx"),
+        ($"y" - expr("sy div n")).as("cy"))
+    val sums = c.agg(count(lit(1)).as("n"),
+      sum($"cx" * $"cx").as("sxx"), sum($"cy" * $"cy").as("syy"),
+      sum($"cx" * $"cy").as("sxy"),
+      sum(when($"arm" === 1, $"cy").otherwise(0L)).as("syb"),
+      sum(when($"arm" === 0, $"cy").otherwise(0L)).as("sya"),
+      sum(when($"arm" === 1, $"cx").otherwise(0L)).as("sxb"),
+      sum(when($"arm" === 0, $"cx").otherwise(0L)).as("sxa"),
+      sum(when($"arm" === 1, 1L).otherwise(0L)).as("nb"))
+    sums.select($"n", $"nb",
+      expr("(1000 * sxy) div sxx").as("theta_milli"),
+      expr("""((1000 * sxy) div
+             |  ((CAST(floor(sqrt(CAST(sxx AS DOUBLE))) AS BIGINT)
+             |    * CAST(floor(sqrt(CAST(syy AS DOUBLE))) AS BIGINT))
+             |   div 1000)) AS rho""".stripMargin),
+      expr("syb div nb - sya div (n - nb)").as("raw_lift_centi"),
+      expr("""(1000 * syb - ((1000 * sxy) div sxx) * sxb) div (1000 * nb)
+             |  - (1000 * sya - ((1000 * sxy) div sxx) * sxa)
+             |    div (1000 * (n - nb))""".stripMargin)
+        .as("adj_lift_centi"))
+      .select($"n".as("n_users"), $"nb".as("n_treatment"), $"theta_milli",
+        expr("(rho * rho) div 1000000").as("rho2_ppm"),
+        $"raw_lift_centi", $"adj_lift_centi")
+  }
+
+  private val q262Oracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // ${86400L * 1000000L} AS day,
+       |    event_type, CAST(round(value * 100) AS BIGINT) AS cv
+       |  FROM events),
+       |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+       |users AS (
+       |  SELECT user_id % 2 AS arm,
+       |    CAST(sum(CASE WHEN day < mid THEN cv ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN day >= mid AND event_type = 'purchase'
+       |      THEN cv ELSE 0 END) AS BIGINT) AS y
+       |  FROM ev, mid GROUP BY user_id),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+       |      FROM users),
+       |c AS (
+       |  SELECT arm, x - (sx // n) AS cx, y - (sy // n) AS cy
+       |  FROM users, m),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(cx * cx) AS BIGINT) AS sxx,
+       |    CAST(sum(cy * cy) AS BIGINT) AS syy,
+       |    CAST(sum(cx * cy) AS BIGINT) AS sxy,
+       |    CAST(sum(CASE WHEN arm = 1 THEN cy ELSE 0 END) AS BIGINT) AS syb,
+       |    CAST(sum(CASE WHEN arm = 0 THEN cy ELSE 0 END) AS BIGINT) AS sya,
+       |    CAST(sum(CASE WHEN arm = 1 THEN cx ELSE 0 END) AS BIGINT) AS sxb,
+       |    CAST(sum(CASE WHEN arm = 0 THEN cx ELSE 0 END) AS BIGINT) AS sxa,
+       |    CAST(count(*) FILTER (arm = 1) AS BIGINT) AS nb
+       |  FROM c)
+       |SELECT n AS n_users, nb AS n_treatment,
+       |  CAST((1000 * sxy) // sxx AS BIGINT) AS theta_milli,
+       |  CAST((((1000 * sxy) //
+       |    ((CAST(floor(sqrt(CAST(sxx AS DOUBLE))) AS BIGINT)
+       |      * CAST(floor(sqrt(CAST(syy AS DOUBLE))) AS BIGINT)) // 1000))
+       |    * ((1000 * sxy) //
+       |    ((CAST(floor(sqrt(CAST(sxx AS DOUBLE))) AS BIGINT)
+       |      * CAST(floor(sqrt(CAST(syy AS DOUBLE))) AS BIGINT)) // 1000)))
+       |    // 1000000 AS BIGINT) AS rho2_ppm,
+       |  CAST(syb // nb - sya // (n - nb) AS BIGINT) AS raw_lift_centi,
+       |  CAST((1000 * syb - ((1000 * sxy) // sxx) * sxb) // (1000 * nb)
+       |    - (1000 * sya - ((1000 * sxy) // sxx) * sxa)
+       |      // (1000 * (n - nb)) AS BIGINT) AS adj_lift_centi
+       |FROM sums""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_funnel_span"      -> (q261FunnelSpan _),
+    "q262_cuped"            -> (q262Cuped _),
     "q258_sprt_monitor"     -> (q258SprtMonitor _),
     "q260_theil_sen"        -> (q260TheilSen _),
     "q255_stationary_dist"  -> (q255StationaryDist _),
@@ -3131,6 +3321,8 @@ object EventOps {
     "q257_burn_rate"        -> q257Oracle,
     "q258_sprt_monitor"     -> q258Oracle,
     "q260_theil_sen"        -> q260Oracle,
+    "q261_funnel_span"      -> q261Oracle,
+    "q262_cuped"            -> q262Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

@@ -1136,4 +1136,68 @@ class EventOpsSpec extends SparkSuite {
     assert(p.getLong(0) == 5000000L, "median slope ignores the outlier")
     assert(p.getLong(1) == 100000000L, "median level recovers the intercept")
   }
+
+  test("q261 funnel span: greedy earliest completion; pattern edge cases") {
+    import spark.implicits._
+    // (user, tus, event_id, type)
+    val rows = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      (1L, 5L, 0L, "purchase"), // pre-view purchase must NOT complete user 1 early
+      (2L, 10L, 1L, "click"), (2L, 20L, 2L, "view"), (2L, 30L, 3L, "purchase"),
+      // user 2: click precedes view — no click AFTER view, never completes
+      (3L, 10L, 1L, "view"), (3L, 20L, 2L, "purchase"),  // skipped click
+      (4L, 10L, 1L, "view"), (4L, 10L, 2L, "click"), (4L, 10L, 3L, "purchase"),
+      // user 4: same-ts chain ordered by event_id completes with span 0
+      (5L, 10L, 1L, "view"), (5L, 20L, 2L, "view"), (5L, 30L, 3L, "click"),
+      (5L, 40L, 4L, "purchase"))  // greedy anchors on the FIRST view
+    val got = EventOps.funnelSpanOf(
+      rows.toDF("user_id", "tus", "event_id", "event_type")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got(0) == ((1L, true, 10L, 20L, 30L, 20L)))
+    assert(got(1) == ((2L, false, 20L, -1L, -1L, -1L)))
+    assert(got(2) == ((3L, false, 10L, -1L, -1L, -1L)))
+    assert(got(3) == ((4L, true, 10L, 10L, 10L, 0L)))
+    assert(got(4) == ((5L, true, 10L, 30L, 40L, 30L)),
+      "span measured from the FIRST view, not the latest")
+    // corpus consistency: completion implies q102 stage 3, span ≥ 0
+    val spans = EventOps.q261FunnelSpan(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(5)))
+    val stages = EventOps.q102FunnelStages(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spans.foreach { case (u, done, span) =>
+      assert(done == (stages(u) == 3),
+        s"user $u: span completion must agree with q102's stage fold")
+      assert(!done || span >= 0)
+    }
+  }
+
+  test("q262 CUPED: planted covariate structure — exact stats, variance actually reduced") {
+    import spark.implicits._
+    // y = x + effect·arm with strong x-spread: raw lift is polluted by
+    // the arm imbalance in x; CUPED recovers ~the true effect.
+    // arm pattern alternates so x and arm are correlated on purpose.
+    val users = (0 until 40).map { i =>
+      val arm = i % 2
+      val x = 1000L + 100L * i           // wide pre-period spread
+      val y = x + (if (arm == 1) 250L else 0L)
+      (arm.toLong, x, y)
+    }
+    val Array(r) = EventOps.cupedOf(users.toDF("arm", "x", "y")).collect()
+    val (n, nb) = (r.getLong(0), r.getLong(1))
+    assert(n == 40L && nb == 20L)
+    val theta = r.getLong(2)
+    assert(math.abs(theta - 1000L) <= 5L, s"theta must be ~1.000: $theta")
+    assert(r.getLong(3) > 980000L, "y ≈ x ⇒ rho² near 1e6")
+    val raw = r.getLong(4)
+    val adj = r.getLong(5)
+    assert(math.abs(adj - 250L) <= 2L,
+      s"CUPED recovers the planted 250-centi effect: $adj")
+    assert(math.abs(raw - 250L) > math.abs(adj - 250L),
+      s"raw lift ($raw) is farther from truth than adjusted ($adj)")
+    // corpus run: replay the exact integer pipeline
+    val Array(c) = EventOps.q262Cuped(spark, sf0001).collect()
+    assert(c.getLong(0) > 0 && c.getLong(3) >= 0 &&
+      c.getLong(3) <= 1000000L, "rho² is a ppm share")
+  }
 }

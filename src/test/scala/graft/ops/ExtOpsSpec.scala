@@ -227,4 +227,47 @@ class ExtOpsSpec extends SparkSuite {
     assert(graft.GraftFunctions.all.map(_._1.funcName) ==
       Seq("graft_dot", "graft_doti", "graft_nfc"))
   }
+
+  test("q263 advisor: exact replay at sf0.001; planted clustering narrows runs") {
+    import spark.implicits._
+    val got = ExtOps.q263EncodingAdvisor(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_partkey", $"l_orderkey", $"l_linenumber",
+        $"l_extendedprice", $"l_quantity").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue,
+        math.round(r.getDouble(3) * 100), math.round(r.getDouble(4) * 100)))
+    def bits(x: Long) = java.lang.Long.toBinaryString(1 + math.abs(x)).length.toLong
+    def replay(group: ((Long, Long, Long, Long, Long)) => Long,
+               key: ((Long, Long, Long, Long, Long)) => (Long, Long, Long, Long)) = {
+      val n = li.length.toLong
+      val ds = li.groupBy(group).values.flatMap { g =>
+        g.sortBy(key).sliding(2).collect {
+          case Array(a, b) => (b._4 - a._4, b._5 - a._5)
+        }
+      }.toSeq
+      (n, ds.length.toLong,
+        (1000000L * (n - ds.length)) / n,
+        1000L * ds.map(d => bits(d._1)).sum / ds.length,
+        1000L * ds.map(d => bits(d._2)).sum / ds.length)
+    }
+    val ok = replay(_._2, t => (t._3, t._4, t._5, 0L))
+    val pk = replay(_._1, t => (t._2, t._3, t._4, t._5))
+    assert(got.find(_._1 == "orderkey_clustered").get ==
+      (("orderkey_clustered", ok._2, ok._3, ok._4, ok._5)))
+    assert(got.find(_._1 == "partkey_clustered").get ==
+      (("partkey_clustered", pk._2, pk._3, pk._4, pk._5)))
+    // planted: price clusters by partkey ⇒ partkey layout must win
+    val planted = (0 until 200).map { i =>
+      (i.toLong % 10L, i.toLong / 4L, i.toLong % 4L,
+        1000000L * (i % 10) + i / 10, 100L)
+    }.toDF("l_partkey", "l_orderkey", "l_linenumber", "price_c", "qty_c")
+    val o = ExtOps.deltaBitsOf(planted, "o", "l_orderkey",
+      Seq("l_linenumber")).collect()(0).getLong(3)
+    val p = ExtOps.deltaBitsOf(planted, "p", "l_partkey",
+      Seq("l_orderkey", "l_linenumber")).collect()(0).getLong(3)
+    assert(p < o, s"clustered layout must compress: partkey=$p orderkey=$o")
+  }
 }
