@@ -1693,8 +1693,80 @@ object DedupOps {
        |  CAST(sum(bt - kb) AS BIGINT) AS bytes_saved
        |FROM mult GROUP BY 1 ORDER BY cluster_size""".stripMargin
 
+  // ---------------------------------------------------------------- q265
+  /** Candidate (bands, rows-per-band) configs at a fixed 16-hash
+    * signature budget, and a shared expression generator: the
+    * fixed-point milli power ((…(1000·s) div 1000…) unrolled k
+    * times) is emitted for BOTH engines from one function, so the
+    * probability arithmetic can never diverge. */
+  val lshConfigs: Seq[(Int, Int)] = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+
+  private def powMilli(v: String, k: Int, divOp: String): String =
+    (1 to k).foldLeft("1000")((a, _) => s"(($a * $v) $divOp 1000)")
+
+  /** Catch probability 1 − (1 − s^r)^b in exact milli fixed-point. */
+  private def catchMilli(b: Int, r: Int, divOp: String): String =
+    s"(1000 - ${powMilli(s"(1000 - ${powMilli("sm", r, divOp)})", b, divOp)})"
+
+  /** LSH configuration advisor MEASURED on this corpus — which
+    * (bands × rows) layout of a 16-hash MinHash signature would
+    * actually catch the near-dup pairs q66 finds: for each config,
+    * the expected recall Σ (1 − (1 − s^r)^b) / |pairs| over the
+    * OBSERVED pair-similarity distribution (not the textbook S-curve
+    * at an assumed threshold — the corpus's own mix of 0.5–1.0
+    * similarities is what decides). All probability arithmetic is
+    * exact milli fixed-point on floor(1000·jaccard), engine-shared
+    * by construction. The planner's reading: more rows per band
+    * sharpens the high-sim knee but drops borderline pairs; this
+    * prices that tradeoff in expected-recall ppm before anyone
+    * re-signs the corpus.
+    *
+    * Scale shape: the pair set is the working set (tiny by
+    * construction); ONE aggregate computes all four configs'
+    * sums, then a 4-row literal spine unpivots — no per-config
+    * rescans. */
+  def q265LshAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sims = jaccardPairs(s, dir)
+      .select(floor($"jaccard" * 1000).cast("long").as("sm"))
+    val aggs = lshConfigs.zipWithIndex.map { case ((b, r), i) =>
+      sum(expr(catchMilli(b, r, "div"))).as(s"c$i")
+    }
+    val one = sims.agg(count(lit(1)).as("np"), aggs: _*)
+    val spine = s.range(0, lshConfigs.length).select($"id".as("i"))
+    val bCase = lshConfigs.zipWithIndex
+      .map { case ((b, _), i) => s"WHEN $i THEN ${b}L" }.mkString(" ")
+    val rCase = lshConfigs.zipWithIndex
+      .map { case ((_, r), i) => s"WHEN $i THEN ${r}L" }.mkString(" ")
+    val cCase = lshConfigs.indices
+      .map(i => s"WHEN $i THEN c$i").mkString(" ")
+    one.crossJoin(spine)
+      .select(expr(s"CASE i $bCase END").as("bands"),
+        expr(s"CASE i $rCase END").as("rows_per_band"),
+        expr(s"(1000 * (CASE i $cCase END)) div np")
+          .as("expected_recall_ppm"))
+      .orderBy($"rows_per_band")
+  }
+
+  private val q265Oracle = {
+    val branches = lshConfigs.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands,
+         |  CAST($r AS BIGINT) AS rows_per_band,
+         |  CAST((1000 * sum(${catchMilli(b, r, "//")})) // count(*)
+         |    AS BIGINT) AS expected_recall_ppm
+         |FROM sm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $jaccardPairsCte,
+       |sm AS (
+       |  SELECT CAST(floor(jaccard * 1000) AS BIGINT) AS sm FROM jp)
+       |SELECT * FROM (
+       |$branches)
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q256_dedup_roi"        -> (q256DedupRoi _),
+    "q265_lsh_advisor"      -> (q265LshAdvisor _),
     "q64_exact_dedup"       -> (q64ExactDedup _),
     "q65_minhash_lsh"       -> (q65MinhashLsh _),
     "q66_ngram_jaccard"     -> (q66NgramJaccard _),
@@ -1724,6 +1796,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "q256_dedup_roi"        -> q256Oracle,
+    "q265_lsh_advisor"      -> q265Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,

@@ -3262,7 +3262,161 @@ object EventOps {
        |      // (1000 * (n - nb)) AS BIGINT) AS adj_lift_centi
        |FROM sums""".stripMargin
 
+  // ---------------------------------------------------------------- q264
+  /** Difference-in-differences readout with a parallel-trends
+    * diagnostic — the quasi-experimental estimator for when
+    * treatment was NOT randomized by unit (a rollout hit arm 1 at
+    * the midpoint): effect = (B_post − B_pre) − (A_post − A_pre) on
+    * per-user-mean centi-revenue, valid only if the arms trended in
+    * parallel BEFORE the switch — so the report carries each arm's
+    * pre-period daily OLS slope (q135's exact fixed-point formula)
+    * and their gap, the number a reviewer checks before believing
+    * the estimate. Same split conventions as q262 (arm = user_id%2,
+    * data-derived midpoint day), so the two readouts triangulate.
+    *
+    * Scale shape: one partial agg to (arm × day) grain — everything
+    * after runs on spine-sized frames; per-arm user counts come from
+    * the same pass via distinct-user conditional aggs. */
+  def q264DiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select($"user_id", expr(s"unix_micros(ts) div $dayUs").as("day"),
+        $"event_type", expr("CAST(round(value * 100D) AS BIGINT)").as("cv"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val base = ev.crossJoin(broadcast(mid))
+      .select(($"user_id" % 2).as("arm"), $"user_id", $"day",
+        ($"day" >= $"mid").as("post"),
+        when($"event_type" === "purchase", $"cv").otherwise(0L).as("rev"))
+    val users = base.groupBy($"arm")
+      .agg(countDistinct($"user_id").as("nu"))
+    val cells = base.groupBy($"arm", $"post")
+      .agg(sum($"rev").as("rev"))
+    val daily = base.where(!$"post")
+      .groupBy($"arm", $"day").agg(sum($"rev").as("y"))
+    val slopes = daily.groupBy($"arm")
+      .agg(count(lit(1)).as("nd"), sum($"day").as("sx"), sum($"y").as("sy"),
+        sum($"day" * $"day").as("sxx"), sum($"day" * $"y").as("sxy"))
+      .select($"arm",
+        expr("""(1000000 * (nd * sxy - sx * sy))
+               |  div (nd * sxx - sx * sx)""".stripMargin).as("slope_micro"))
+    val w = cells.join(users, "arm")
+      .select($"arm", $"post", expr("rev div nu").as("mean_centi"))
+    val g = (arm: Int, post: Boolean) =>
+      max(when($"arm" === arm && $"post" === post, $"mean_centi"))
+    w.agg(
+      g(0, false).as("pre_a_centi"), g(0, true).as("post_a_centi"),
+      g(1, false).as("pre_b_centi"), g(1, true).as("post_b_centi"))
+      .crossJoin(broadcast(slopes.agg(
+        max(when($"arm" === 0, $"slope_micro")).as("pre_slope_a_micro"),
+        max(when($"arm" === 1, $"slope_micro")).as("pre_slope_b_micro"))))
+      .select($"pre_a_centi", $"post_a_centi", $"pre_b_centi",
+        $"post_b_centi",
+        (($"post_b_centi" - $"pre_b_centi") -
+          ($"post_a_centi" - $"pre_a_centi")).as("did_centi"),
+        $"pre_slope_a_micro", $"pre_slope_b_micro",
+        ($"pre_slope_b_micro" - $"pre_slope_a_micro").as("trend_gap_micro"))
+  }
+
+  private val q264Oracle =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // ${86400L * 1000000L} AS day,
+       |    event_type, CAST(round(value * 100) AS BIGINT) AS cv
+       |  FROM events),
+       |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+       |base AS (
+       |  SELECT user_id % 2 AS arm, user_id, day, day >= mid AS post,
+       |    CASE WHEN event_type = 'purchase' THEN cv ELSE 0 END AS rev
+       |  FROM ev, mid),
+       |users AS (
+       |  SELECT arm, CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+       |  FROM base GROUP BY 1),
+       |cells AS (
+       |  SELECT arm, post, CAST(sum(rev) AS BIGINT) AS rev
+       |  FROM base GROUP BY 1, 2),
+       |daily AS (
+       |  SELECT arm, day, CAST(sum(rev) AS BIGINT) AS y
+       |  FROM base WHERE NOT post GROUP BY 1, 2),
+       |slopes AS (
+       |  SELECT arm,
+       |    (1000000 * (count(*) * sum(day * y) - sum(day) * sum(y)))
+       |      // (count(*) * sum(day * day) - sum(day) * sum(day))
+       |      AS slope_micro
+       |  FROM daily GROUP BY 1),
+       |w AS (
+       |  SELECT c.arm, c.post, c.rev // u.nu AS mean_centi
+       |  FROM cells c JOIN users u USING (arm)),
+       |flat AS (
+       |  SELECT
+       |    max(CASE WHEN arm = 0 AND NOT post THEN mean_centi END) AS pre_a,
+       |    max(CASE WHEN arm = 0 AND post THEN mean_centi END) AS post_a,
+       |    max(CASE WHEN arm = 1 AND NOT post THEN mean_centi END) AS pre_b,
+       |    max(CASE WHEN arm = 1 AND post THEN mean_centi END) AS post_b
+       |  FROM w),
+       |sl AS (
+       |  SELECT max(CASE WHEN arm = 0 THEN slope_micro END) AS sa,
+       |    max(CASE WHEN arm = 1 THEN slope_micro END) AS sb
+       |  FROM slopes)
+       |SELECT CAST(pre_a AS BIGINT) AS pre_a_centi,
+       |  CAST(post_a AS BIGINT) AS post_a_centi,
+       |  CAST(pre_b AS BIGINT) AS pre_b_centi,
+       |  CAST(post_b AS BIGINT) AS post_b_centi,
+       |  CAST((post_b - pre_b) - (post_a - pre_a) AS BIGINT) AS did_centi,
+       |  CAST(sa AS BIGINT) AS pre_slope_a_micro,
+       |  CAST(sb AS BIGINT) AS pre_slope_b_micro,
+       |  CAST(sb - sa AS BIGINT) AS trend_gap_micro
+       |FROM flat, sl""".stripMargin
+
+  // ---------------------------------------------------------------- q266
+  /** Order-independent replica digest — "is the copy byte-identical"
+    * without moving the data: per day, the row count plus TWO
+    * salt-decorrelated XOR folds of a per-row md5-derived 60-bit
+    * integer over the full row payload. XOR is commutative/
+    * associative, so the digest is invariant to partitioning and
+    * row order (exactly what a cross-cluster comparison needs) and
+    * aggregates map-side; the second salt catches the classic
+    * single-xor blind spot (a PAIR of identical rows xors to zero —
+    * losing both would go unseen by one fold, but the salted
+    * companion hash of a duplicated row is a DIFFERENT value, so
+    * count+xor₂ still moves). No arithmetic sums, so nothing can
+    * overflow under ANSI mode at any scale.
+    *
+    * Scale shape: pure projection + one day-grain partial agg. */
+  def q266ReplicaDigest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    def h(salt: String) = expr(
+      s"""CAST(conv(substring(md5(concat_ws('|', '$salt',
+         |  CAST(user_id AS STRING), CAST(event_id AS STRING),
+         |  CAST(unix_micros(ts) AS STRING), event_type,
+         |  CAST(CAST(round(value * 1000000D) AS BIGINT) AS STRING))),
+         |  1, 15), 16, 10) AS BIGINT)""".stripMargin)
+    Tables.events(s, dir)
+      .select(expr(s"unix_micros(ts) div $dayUs").as("day"),
+        h("d1").as("h1"), h("d2").as("h2"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h1)").as("digest1"), expr("bit_xor(h2)").as("digest2"))
+      .orderBy($"day")
+  }
+
+  private val q266Oracle = {
+    def h(salt: String) =
+      s"""('0x' || substr(md5(concat_ws('|', '$salt',
+         |  CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR),
+         |  CAST(epoch_us(ts) AS VARCHAR), event_type,
+         |  CAST(CAST(round(value * 1000000) AS BIGINT) AS VARCHAR))),
+         |  1, 15))::BIGINT""".stripMargin
+    s"""SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(bit_xor(${h("d1")}) AS BIGINT) AS digest1,
+       |  CAST(bit_xor(${h("d2")}) AS BIGINT) AS digest2
+       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_diff_in_diff"     -> (q264DiffInDiff _),
+    "q266_replica_digest"   -> (q266ReplicaDigest _),
     "q261_funnel_span"      -> (q261FunnelSpan _),
     "q262_cuped"            -> (q262Cuped _),
     "q258_sprt_monitor"     -> (q258SprtMonitor _),
@@ -3323,6 +3477,8 @@ object EventOps {
     "q260_theil_sen"        -> q260Oracle,
     "q261_funnel_span"      -> q261Oracle,
     "q262_cuped"            -> q262Oracle,
+    "q264_diff_in_diff"     -> q264Oracle,
+    "q266_replica_digest"   -> q266Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

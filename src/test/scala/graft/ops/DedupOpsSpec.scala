@@ -545,4 +545,23 @@ class DedupOpsSpec extends SparkSuite {
     assert(got.map(_._3).sum ==
       labels.count { case (id, cid) => id != cid && clusters.contains(cid) }.toLong)
   }
+
+  test("q265 advisor: exact fixed-point replay; recall degrades as rows-per-band grow") {
+    val got = DedupOps.q265LshAdvisor(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sims = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => math.floor(r.getDouble(2) * 1000).toLong)
+    def pow(v: Long, k: Int) = (1 to k).foldLeft(1000L)((a, _) => a * v / 1000)
+    got.foreach { case (b, r, ppm) =>
+      val want = 1000L * sims.map(s =>
+        1000L - pow(1000L - pow(s, r.toInt), b.toInt)).sum / sims.length
+      assert(ppm == want, s"config ($b,$r)")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+    // on a ≥0.5-similarity pair set, finer bands (smaller r) catch more
+    val byR = got.sortBy(_._2).map(_._3)
+    assert(byR.toSeq == byR.sortBy(-_).toSeq,
+      s"recall must be non-increasing in rows-per-band: ${got.toSeq}")
+    assert(byR.head > byR.last, "the tradeoff must be visible on this corpus")
+  }
 }

@@ -1200,4 +1200,70 @@ class EventOpsSpec extends SparkSuite {
     assert(c.getLong(0) > 0 && c.getLong(3) >= 0 &&
       c.getLong(3) <= 1000000L, "rho² is a ppm share")
   }
+
+  test("q264 DiD: exact integer replay of cells, slopes, and the estimate") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val Array(r) = EventOps.q264DiffInDiff(spark, sf0001).collect()
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_type", $"value").collect()
+      .map(x => (x.getLong(0), x.getLong(1) / dayUs, x.getString(2),
+        math.round(x.getDouble(3) * 100)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    def nu(arm: Long) = ev.filter(_._1 % 2 == arm).map(_._1).distinct.length
+    def cell(arm: Long, post: Boolean) = ev
+      .filter(e => e._1 % 2 == arm && (e._2 >= mid) == post)
+      .collect { case e if e._3 == "purchase" => e._4 }.sum / nu(arm)
+    val (preA, postA) = (cell(0, false), cell(0, true))
+    val (preB, postB) = (cell(1, false), cell(1, true))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((preA, postA, preB, postB)))
+    assert(r.getLong(4) == (postB - preB) - (postA - preA))
+    def slope(arm: Long) = {
+      val d = ev.filter(e => e._1 % 2 == arm && e._2 < mid)
+        .groupBy(_._2).toSeq.map { case (day, es) =>
+          (day, es.collect { case e if e._3 == "purchase" => e._4 }.sum) }
+      val n = d.length.toLong
+      val (sx, sy) = (d.map(_._1).sum, d.map(_._2).sum)
+      val (sxx, sxy) = (d.map(x => x._1 * x._1).sum,
+        d.map(x => x._1 * x._2).sum)
+      1000000L * (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    assert(r.getLong(5) == slope(0) && r.getLong(6) == slope(1))
+    assert(r.getLong(7) == slope(1) - slope(0))
+  }
+
+  test("q266 digest: exact replay; order-blind; any lost row moves both folds") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val got = EventOps.q266ReplicaDigest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id",
+        org.apache.spark.sql.functions.unix_micros($"ts"), $"event_type",
+        $"value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        math.round(r.getDouble(4) * 1000000)))
+    def h(salt: String, e: (Long, Long, Long, String, Long)) = {
+      val payload = s"$salt|${e._1}|${e._2}|${e._3}|${e._4}|${e._5}"
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val byDay = ev.groupBy(_._3 / dayUs)
+    assert(got.map(_._1).toSeq == byDay.keys.toSeq.sorted)
+    got.foreach { case (day, n, d1, d2) =>
+      // fold in hash order — XOR makes arrival order irrelevant
+      val rows = byDay(day)
+      assert(n == rows.length.toLong)
+      assert(d1 == rows.map(h("d1", _)).reduce(_ ^ _))
+      assert(d2 == rows.map(h("d2", _)).reduce(_ ^ _))
+      assert(d1 != d2, "salts must decorrelate the two folds")
+      // a replica that lost any single row is caught by both folds
+      rows.take(3).foreach { lost =>
+        assert((d1 ^ h("d1", lost)) != d1 && (d2 ^ h("d2", lost)) != d2)
+      }
+    }
+  }
 }
