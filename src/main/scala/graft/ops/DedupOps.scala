@@ -1764,9 +1764,123 @@ object DedupOps {
        |ORDER BY rows_per_band""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q268
+  /** Dedup-method agreement matrix — do the family's detectors see
+    * the SAME duplicates, the diagnostic run before trusting any one
+    * of them: the pair sets of exact fingerprinting (q64's canon
+    * md5, group-capped like every pair generator here), shingle
+    * Jaccard ≥ 0.5 (q66), and asymmetric containment ≥ 0.8 (q160)
+    * are cross-tabulated pairwise — both / only-A / only-B counts
+    * and the pair-set Jaccard in ppm. The reading: exact ⊂ Jaccard
+    * ⊂ containment is the healthy nesting; a method finding pairs
+    * the others never see is either its unique value (containment's
+    * subsumption catches what symmetric Jaccard can't) or its noise.
+    *
+    * Scale shape: every input is an existing working-set pair
+    * generator; the union is pair-grain, one (doc_a, doc_b) agg,
+    * one single-row agg, and a 3-row literal spine. */
+  def q268MethodAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = Tables.documents(s, dir)
+      .select($"doc_id", md5(canon($"text")).as("fp"))
+      .groupBy($"fp")
+      .agg(array_sort(collect_list(struct($"doc_id", lit(0L).as("n"))))
+        .as("members"))
+      .where(size($"members") >= 2 && size($"members") <= maxGroupSize)
+      .select(explode(pairUp($"members")).as("p"))
+      .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"))
+    val jac = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+    val cont = containmentPairsOf(Tables.documentsSpread(s, dir))
+      .select($"doc_a", $"doc_b")
+    val tagged = exact.withColumn("m", lit("e"))
+      .unionAll(jac.withColumn("m", lit("j")))
+      .unionAll(cont.withColumn("m", lit("c")))
+    val flags = tagged.groupBy($"doc_a", $"doc_b")
+      .agg(max(when($"m" === "e", 1L).otherwise(0L)).as("e"),
+        max(when($"m" === "j", 1L).otherwise(0L)).as("j"),
+        max(when($"m" === "c", 1L).otherwise(0L)).as("c"))
+    val one = flags.agg(
+      sum($"e" * $"j").as("ej"), sum($"e" * (lit(1L) - $"j")).as("eoj"),
+      sum((lit(1L) - $"e") * $"j").as("joe"),
+      sum($"e" * $"c").as("ec"), sum($"e" * (lit(1L) - $"c")).as("eoc"),
+      sum((lit(1L) - $"e") * $"c").as("coe"),
+      sum($"j" * $"c").as("jc"), sum($"j" * (lit(1L) - $"c")).as("joc"),
+      sum((lit(1L) - $"j") * $"c").as("coj"))
+    val spine = s.range(0, 3).select($"id".as("i"))
+    one.crossJoin(spine)
+      .select(
+        expr("CASE i WHEN 0 THEN 'exact' WHEN 1 THEN 'exact' " +
+          "ELSE 'jaccard' END").as("method_a"),
+        expr("CASE i WHEN 0 THEN 'jaccard' WHEN 1 THEN 'containment' " +
+          "ELSE 'containment' END").as("method_b"),
+        expr("CASE i WHEN 0 THEN ej WHEN 1 THEN ec ELSE jc END")
+          .as("n_both"),
+        expr("CASE i WHEN 0 THEN eoj WHEN 1 THEN eoc ELSE joc END")
+          .as("n_only_a"),
+        expr("CASE i WHEN 0 THEN joe WHEN 1 THEN coe ELSE coj END")
+          .as("n_only_b"))
+      .withColumn("agreement_ppm",
+        expr("(1000000 * n_both) div (n_both + n_only_a + n_only_b)"))
+      .orderBy($"method_a", $"method_b")
+  }
+
+  /** q268's oracle re-states q160's containment body over the shared
+    * shingle base (jaccardPairsCte brings p/sz/jp into scope) —
+    * thresholds interpolated from the same constants, so the three
+    * pair definitions stay in lockstep with their home queries. */
+  private lazy val q268Oracle =
+    s"""WITH $jaccardPairsCte,
+       |cp AS (
+       |  SELECT doc_a, doc_b
+       |  FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |  WHERE greatest(CAST(inter AS DOUBLE) / x.n,
+       |                 CAST(inter AS DOUBLE) / y.n)
+       |        >= $containmentThreshold),
+       |fpg AS (
+       |  SELECT md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp,
+       |    doc_id
+       |  FROM documents),
+       |gs AS (SELECT fp, count(*) AS cnt FROM fpg GROUP BY 1),
+       |ep AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fpg a JOIN fpg b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  JOIN gs ON gs.fp = a.fp
+       |  WHERE gs.cnt BETWEEN 2 AND $maxGroupSize),
+       |tagged AS (
+       |  SELECT doc_a, doc_b, 'e' AS m FROM ep
+       |  UNION ALL SELECT doc_a, doc_b, 'j' FROM jp
+       |  UNION ALL SELECT doc_a, doc_b, 'c' FROM cp),
+       |flags AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(max(CASE WHEN m = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+       |    CAST(max(CASE WHEN m = 'j' THEN 1 ELSE 0 END) AS BIGINT) AS j,
+       |    CAST(max(CASE WHEN m = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM tagged GROUP BY 1, 2),
+       |one AS (
+       |  SELECT CAST(sum(e * j) AS BIGINT) AS ej,
+       |    CAST(sum(e * (1 - j)) AS BIGINT) AS eoj,
+       |    CAST(sum((1 - e) * j) AS BIGINT) AS joe,
+       |    CAST(sum(e * c) AS BIGINT) AS ec,
+       |    CAST(sum(e * (1 - c)) AS BIGINT) AS eoc,
+       |    CAST(sum((1 - e) * c) AS BIGINT) AS coe,
+       |    CAST(sum(j * c) AS BIGINT) AS jc,
+       |    CAST(sum(j * (1 - c)) AS BIGINT) AS joc,
+       |    CAST(sum((1 - j) * c) AS BIGINT) AS coj
+       |  FROM flags)
+       |SELECT method_a, method_b, n_both, n_only_a, n_only_b,
+       |  CAST((1000000 * n_both) // (n_both + n_only_a + n_only_b)
+       |    AS BIGINT) AS agreement_ppm
+       |FROM (
+       |  SELECT 'exact' AS method_a, 'jaccard' AS method_b,
+       |    ej AS n_both, eoj AS n_only_a, joe AS n_only_b FROM one
+       |  UNION ALL SELECT 'exact', 'containment', ec, eoc, coe FROM one
+       |  UNION ALL SELECT 'jaccard', 'containment', jc, joc, coj FROM one)
+       |ORDER BY method_a, method_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q256_dedup_roi"        -> (q256DedupRoi _),
     "q265_lsh_advisor"      -> (q265LshAdvisor _),
+    "q268_method_agreement" -> (q268MethodAgreement _),
     "q64_exact_dedup"       -> (q64ExactDedup _),
     "q65_minhash_lsh"       -> (q65MinhashLsh _),
     "q66_ngram_jaccard"     -> (q66NgramJaccard _),
@@ -1797,6 +1911,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "q256_dedup_roi"        -> q256Oracle,
     "q265_lsh_advisor"      -> q265Oracle,
+    "q268_method_agreement" -> q268Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,

@@ -3414,7 +3414,224 @@ object EventOps {
        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q267
+  /** Log-rank test between the two arms' time-to-purchase survival —
+    * the standard "are these two survival curves the same" test
+    * q208's single-arm KM can't answer (did the treatment speed up
+    * conversion, accounting for censoring — comparing raw 72 h rates
+    * throws censored users away). Same conventions as q208: time =
+    * hours from first signup to first purchase, right-censored at
+    * [[survivalHorizonH]]; arm = user_id % 2 (q207's convention).
+    * Per death-hour: observed arm-1 deaths vs the hypergeometric
+    * expectation d·n₁/n and variance d·n₁·(n−n₁)·(n−d)/(n²·(n−1)),
+    * accumulated in exact milli/micro fixed-point (every term is a
+    * floored ratio of exact BIGINT products; χ² = Δ²_milli div
+    * V_micro is exact to its printed precision — BIGINT-safe to
+    * ~10⁶ total deaths, the 10³-split (q247) applies beyond).
+    *
+    * Scale shape: one pass reduces the stream to per-user labels,
+    * a second to (hour × arm) cells; risk sets are REVERSE cumsums
+    * on the gap-filled 73×2 grid — every window is spine-grain. */
+  def q267LogRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(s, dir)
+    val su = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("s"))
+    val fp = ev.where($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p"))
+      .join(su, "user_id").where($"p" >= $"s")
+      .groupBy($"user_id").agg(min(expr(s"(p - s) div $hourUs")).as("th"))
+    val users = su.join(fp.select($"user_id", $"th"), Seq("user_id"), "left")
+      .select(($"user_id" % 2).as("arm"),
+        when($"th".isNotNull && $"th" < survivalHorizonH, $"th")
+          .otherwise(survivalHorizonH).as("t"),
+        ($"th".isNotNull && $"th" < survivalHorizonH).as("death"))
+    val cells = users.groupBy($"t", $"arm")
+      .agg(count(lit(1)).as("nc"),
+        sum(when($"death", 1L).otherwise(0L)).as("dc"))
+    val spine = s.range(0, survivalHorizonH + 1).select($"id".as("t"))
+      .crossJoin(s.range(0, 2).select($"id".as("arm")))
+    val wRisk = Window.partitionBy($"arm").orderBy($"t".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = spine.join(cells, Seq("t", "arm"), "left")
+      .select($"t", $"arm", coalesce($"nc", lit(0L)).as("nc"),
+        coalesce($"dc", lit(0L)).as("dc"))
+      .withColumn("at_risk", sum($"nc").over(wRisk))
+    val byT = grid.groupBy($"t")
+      .agg(sum($"dc").as("d"), sum($"at_risk").as("n"),
+        sum(when($"arm" === 1, $"dc").otherwise(0L)).as("d1"),
+        sum(when($"arm" === 1, $"at_risk").otherwise(0L)).as("n1"))
+      .where($"d" >= 1)
+    byT.agg(count(lit(1)).as("n_times"), sum($"d1").as("o1"),
+      sum(expr("(1000 * d * n1) div n")).as("e1_milli"),
+      sum(expr("""CASE WHEN n > 1 THEN
+        (1000000 * d * n1 * (n - n1) * (n - d)) div (n * n * (n - 1))
+        ELSE 0 END""")).as("v_micro"))
+      .select($"n_times", $"o1", $"e1_milli", $"v_micro",
+        expr("""((1000 * o1 - e1_milli) * (1000 * o1 - e1_milli))
+               |  div v_micro""".stripMargin).as("chi2_milli"))
+  }
+
+  private val q267Oracle =
+    s"""WITH su AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS s FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |fp AS (
+       |  SELECT e.user_id,
+       |    min((epoch_us(e.ts) - su.s) // ${3600L * 1000000L}) AS th
+       |  FROM events e JOIN su ON e.user_id = su.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s
+       |  GROUP BY 1),
+       |users AS (
+       |  SELECT su.user_id % 2 AS arm,
+       |    CASE WHEN fp.th IS NOT NULL AND fp.th < $survivalHorizonH
+       |      THEN fp.th ELSE $survivalHorizonH END AS t,
+       |    fp.th IS NOT NULL AND fp.th < $survivalHorizonH AS death
+       |  FROM su LEFT JOIN fp USING (user_id)),
+       |cells AS (
+       |  SELECT t, arm, CAST(count(*) AS BIGINT) AS nc,
+       |    CAST(count(*) FILTER (death) AS BIGINT) AS dc
+       |  FROM users GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT t, arm
+       |  FROM (SELECT unnest(range(0, ${survivalHorizonH + 1})) AS t),
+       |       (SELECT unnest(range(0, 2)) AS arm)),
+       |grid AS (
+       |  SELECT s.t, s.arm, COALESCE(c.nc, 0) AS nc, COALESCE(c.dc, 0) AS dc,
+       |    CAST(sum(COALESCE(c.nc, 0)) OVER (PARTITION BY s.arm
+       |      ORDER BY s.t DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS at_risk
+       |  FROM spine s LEFT JOIN cells c ON c.t = s.t AND c.arm = s.arm),
+       |byt AS (
+       |  SELECT t, CAST(sum(dc) AS BIGINT) AS d,
+       |    CAST(sum(at_risk) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN arm = 1 THEN dc ELSE 0 END) AS BIGINT) AS d1,
+       |    CAST(sum(CASE WHEN arm = 1 THEN at_risk ELSE 0 END) AS BIGINT)
+       |      AS n1
+       |  FROM grid GROUP BY 1 HAVING sum(dc) >= 1),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_times,
+       |    CAST(sum(d1) AS BIGINT) AS o1,
+       |    CAST(sum((1000 * d * n1) // n) AS BIGINT) AS e1_milli,
+       |    CAST(sum(CASE WHEN n > 1 THEN
+       |      (1000000 * d * n1 * (n - n1) * (n - d)) // (n * n * (n - 1))
+       |      ELSE 0 END) AS BIGINT) AS v_micro
+       |  FROM byt)
+       |SELECT n_times, o1, e1_milli, v_micro,
+       |  CAST(((1000 * o1 - e1_milli) * (1000 * o1 - e1_milli)) // v_micro
+       |    AS BIGINT) AS chi2_milli
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q269
+  /** Deseasonalized anomaly monitor — q134 flags raw outliers, which
+    * on traffic data just re-discovers rush hour; this one removes
+    * the weekly seasonality FIRST (expected value per week-hour cell
+    * h mod 168, exact lower median over the dense q257-style hour
+    * spine) and scores the RESIDUALS with the Iglewicz–Hoaglin
+    * modified z (0.6745·(r−med)/MAD ≥ 3.5), medians exact via the
+    * first-crossing rank device (q260's), MAD floored at 1 so a
+    * perfectly regular corpus degrades to "any deviation flags"
+    * rather than dividing by zero. What pages on-call: an hour that
+    * is odd FOR THAT HOUR OF THE WEEK, not merely a busy one.
+    *
+    * Scale shape: one partial agg to the hour spine; the 168-cell
+    * profile broadcasts back; medians and scores are spine-grain
+    * windows (bounded by the time span, never the corpus). */
+  def q269SeasonalAnomalies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourUs = 3600L * 1000000L
+    seasonalAnomaliesOfHourly(Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $hourUs").as("h"))
+      .agg(count(lit(1)).as("y")))
+  }
+
+  /** The monitor on any (h, y) hourly frame — separated so the spec
+    * can plant a spike (the sparse sf0.001 fixture is too quiet to
+    * page, which the monitor correctly reports as zero anomalies). */
+  private[ops] def seasonalAnomaliesOfHourly(hourly: DataFrame): DataFrame = {
+    val s = hourly.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spine = hourly.agg(min($"h").as("lo"), max($"h").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("h"))
+    val dense = spine.join(hourly, Seq("h"), "left")
+      .select($"h", coalesce($"y", lit(0L)).as("y"),
+        ($"h" % 168).as("cell"))
+    // per-cell LOWER-MEDIAN expectation (not the mean: one spike would
+    // contaminate its own seasonal twins' baseline and page all three)
+    val wc = Window.partitionBy($"cell").orderBy($"y")
+    val profile = dense
+      .withColumn("rn", row_number().over(wc).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"cell")))
+      .where(lit(2) * $"rn" >= $"cnt")
+      .groupBy($"cell").agg(min($"y").as("e"))
+    val res = dense.join(broadcast(profile), "cell")
+      .select($"h", $"y", $"e", ($"y" - $"e").as("r"))
+    def lowerMedian(df: DataFrame, c: String): DataFrame = {
+      val w = Window.orderBy(col(c))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+        .where(lit(2) * $"rn" >= $"cnt").orderBy(col(c)).limit(1)
+        .select(col(c))
+    }
+    val med = lowerMedian(res.select($"r"), "r")
+      .select($"r".as("med"))
+    val withMed = res.crossJoin(broadcast(med))
+    val mad = lowerMedian(
+      withMed.select(abs($"r" - $"med").as("ad")), "ad")
+      .select($"ad".as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select($"h", $"y".as("n_events"), $"e".as("expected"), $"r"
+        .as("residual"),
+        expr("(6745 * (r - med)) div (10 * greatest(mad, 1))")
+          .as("z_milli"))
+      .withColumn("is_anomaly", abs($"z_milli") >= 3500L)
+      .orderBy($"h")
+  }
+
+  private val q269Oracle =
+    s"""WITH hourly AS (
+       |  SELECT epoch_us(ts) // ${3600L * 1000000L} AS h,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series(min(h), max(h))) AS h FROM hourly),
+       |dense AS (
+       |  SELECT s.h, COALESCE(y.y, 0) AS y, s.h % 168 AS cell
+       |  FROM spine s LEFT JOIN hourly y USING (h)),
+       |profile AS (
+       |  SELECT cell, CAST(min(y) AS BIGINT) AS e FROM (
+       |    SELECT cell, y,
+       |      CAST(row_number() OVER (PARTITION BY cell ORDER BY y)
+       |        AS BIGINT) AS rn,
+       |      CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cnt
+       |    FROM dense) WHERE 2 * rn >= cnt GROUP BY cell),
+       |res AS (
+       |  SELECT d.h, d.y, p.e, d.y - p.e AS r
+       |  FROM dense d JOIN profile p USING (cell)),
+       |med AS (
+       |  SELECT r AS med FROM (
+       |    SELECT r, CAST(row_number() OVER (ORDER BY r) AS BIGINT) AS rn,
+       |      CAST(count(*) OVER () AS BIGINT) AS cnt
+       |    FROM res) WHERE 2 * rn >= cnt ORDER BY r LIMIT 1),
+       |mad AS (
+       |  SELECT ad AS mad FROM (
+       |    SELECT abs(r - med) AS ad,
+       |      CAST(row_number() OVER (ORDER BY abs(r - med)) AS BIGINT) AS rn,
+       |      CAST(count(*) OVER () AS BIGINT) AS cnt
+       |    FROM res, med) WHERE 2 * rn >= cnt ORDER BY ad LIMIT 1)
+       |SELECT h, y AS n_events, e AS expected, r AS residual,
+       |  CAST((6745 * (r - med)) // (10 * greatest(mad, 1)) AS BIGINT)
+       |    AS z_milli,
+       |  abs((6745 * (r - med)) // (10 * greatest(mad, 1))) >= 3500
+       |    AS is_anomaly
+       |FROM res, med, mad ORDER BY h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_seasonal_anomalies" -> (q269SeasonalAnomalies _),
+    "q267_log_rank"         -> (q267LogRank _),
     "q264_diff_in_diff"     -> (q264DiffInDiff _),
     "q266_replica_digest"   -> (q266ReplicaDigest _),
     "q261_funnel_span"      -> (q261FunnelSpan _),
@@ -3479,6 +3696,8 @@ object EventOps {
     "q262_cuped"            -> q262Oracle,
     "q264_diff_in_diff"     -> q264Oracle,
     "q266_replica_digest"   -> q266Oracle,
+    "q267_log_rank"         -> q267Oracle,
+    "q269_seasonal_anomalies" -> q269Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

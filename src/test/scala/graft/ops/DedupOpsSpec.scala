@@ -564,4 +564,40 @@ class DedupOpsSpec extends SparkSuite {
       s"recall must be non-increasing in rows-per-band: ${got.toSeq}")
     assert(byR.head > byR.last, "the tradeoff must be visible on this corpus")
   }
+
+  test("q268 agreement: cross-tab replays from the three home queries") {
+    import spark.implicits._
+    val got = DedupOps.q268MethodAgreement(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val jac = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cont = DedupOps.q160ContainmentDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val exact = docs.groupBy(d => md5hex(d._2.toLowerCase.replaceAll(" +", " ")))
+      .values.filter(g => g.length >= 2 && g.length <= DedupOps.maxGroupSize)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    def xt(a: Set[(Long, Long)], b: Set[(Long, Long)]) = {
+      val both = (a & b).size.toLong
+      val oa = (a -- b).size.toLong
+      val ob = (b -- a).size.toLong
+      (both, oa, ob, 1000000L * both / (both + oa + ob))
+    }
+    assert(got(("exact", "jaccard"))    == xt(exact, jac))
+    assert(got(("exact", "containment")) == xt(exact, cont))
+    assert(got(("jaccard", "containment")) == xt(jac, cont))
+    // healthy nesting on this corpus: symmetric Jaccard never finds a
+    // pair the asymmetric containment misses
+    assert(got(("jaccard", "containment"))._2 == 0L,
+      "jaccard-only pairs would mean containment under-detects")
+  }
 }

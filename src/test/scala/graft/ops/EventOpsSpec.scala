@@ -1234,6 +1234,78 @@ class EventOpsSpec extends SparkSuite {
     assert(r.getLong(7) == slope(1) - slope(0))
   }
 
+  test("q267 log-rank: hypergeometric replay over exact risk sets") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val Array(r) = EventOps.q267LogRank(spark, sf0001).collect()
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"),
+        $"event_type").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val signup = ev.filter(_._3 == "signup").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).min }
+    val users = signup.toSeq.map { case (u, s) =>
+      val p = ev.filter(e => e._1 == u && e._3 == "purchase" && e._2 >= s)
+        .map(e => (e._2 - s) / hourUs)
+      val th = if (p.nonEmpty) Some(p.min) else None
+      val death = th.exists(_ < EventOps.survivalHorizonH)
+      (u % 2, if (death) th.get else EventOps.survivalHorizonH, death)
+    }
+    val times = users.filter(_._3).map(_._2).distinct.sorted
+    var (o1, e1, v) = (0L, 0L, 0L)
+    times.foreach { t =>
+      val atRisk = users.filter(_._2 >= t)
+      val n = atRisk.length.toLong
+      val n1 = atRisk.count(_._1 == 1).toLong
+      val d = users.count(u => u._3 && u._2 == t).toLong
+      val d1 = users.count(u => u._3 && u._2 == t && u._1 == 1).toLong
+      o1 += d1
+      e1 += 1000L * d * n1 / n
+      if (n > 1) v += 1000000L * d * n1 * (n - n1) * (n - d) / (n * n * (n - 1))
+    }
+    assert(r.getLong(0) == times.length.toLong)
+    assert(r.getLong(1) == o1 && r.getLong(2) == e1 && r.getLong(3) == v)
+    assert(r.getLong(4) ==
+      (1000L * o1 - e1) * (1000L * o1 - e1) / v)
+    assert(v > 0, "variance must accumulate on a real fixture")
+  }
+
+  test("q269 seasonal anomalies: exact replay; flags match the modified-z rule") {
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val got = EventOps.q269SeasonalAnomalies(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val hs = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.unix_micros($"ts")).collect()
+      .map(_.getLong(0) / hourUs)
+    val (lo, hi) = (hs.min, hs.max)
+    val counts = hs.groupBy(identity).map { case (h, g) => h -> g.length.toLong }
+    val dense = (lo to hi).map(h => (h, counts.getOrElse(h, 0L)))
+    def lowerMedian(xs: Seq[Long]) = { val s = xs.sorted; s((s.length - 1) / 2) }
+    val prof = dense.groupBy(_._1 % 168)
+      .map { case (c, g) => c -> lowerMedian(g.map(_._2)) }
+    val res = dense.map { case (h, y) => (h, y, prof(h % 168), y - prof(h % 168)) }
+    val med = lowerMedian(res.map(_._4))
+    val mad = math.max(lowerMedian(res.map(x => math.abs(x._4 - med))), 1L)
+    assert(got.map(_._1).toSeq == (lo to hi))
+    got.zip(res).foreach { case ((h, y, e, r, z, fl), (wh, wy, we, wr)) =>
+      assert(h == wh && y == wy && e == we && r == wr)
+      assert(z == 6745L * (r - med) / (10L * mad))
+      assert(fl == (math.abs(z) >= 3500L))
+    }
+    // the sparse fixture is genuinely too quiet to page — the planted
+    // series below exercises the alarm branch
+    assert(got.forall(!_._6))
+    // planted: flat 3-week weekly rhythm, one 100× spike — exactly
+    // that hour (and no seasonal twin of it) may flag
+    val planted = (0L until 504L).map(h => (h, if (h == 250L) 1000L else 10L))
+    val p = EventOps.seasonalAnomaliesOfHourly(planted.toDF("h", "y"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(5)))
+    assert(p.filter(_._2).map(_._1).toSeq == Seq(250L),
+      "spike hour pages; its clean weekly twins do not")
+  }
+
   test("q266 digest: exact replay; order-blind; any lost row moves both folds") {
     import spark.implicits._
     val dayUs = 86400L * 1000000L
