@@ -3629,7 +3629,211 @@ object EventOps {
        |    AS is_anomaly
        |FROM res, med, mad ORDER BY h""".stripMargin
 
+  // ---------------------------------------------------------------- q270
+  /** Mann–Whitney rank-sum TEST between the two arms' per-user
+    * revenue — the significance readout for heavy-tailed metrics
+    * where q207's mean-difference is whale-hostage (one big spender
+    * moves means, not ranks) and where q196's AUC states separation
+    * without a null: doubled midranks (q196's integer device) at
+    * VALUE grain, the exact tie-corrected null variance
+    * Var(2U) = n₁n₂·((n+1)n(n−1) − Σ(t³−t)) / (3n(n−1)), and
+    * χ²₍₁₎ = (2U−n₁n₂)²/Var(2U) in milli fixed-point via a
+    * denominator-first split (divide Var's two factors down before
+    * multiplying — q247's 10³-split idea; every intermediate is a
+    * floored ratio of exact BIGINT products, emitted identically by
+    * both engines). (n+1)n(n−1) caps BIGINT at ~2×10⁶ users — a
+    * bigger experiment tests on a deterministic per-arm sample
+    * (q49's bucket trick), which is statistically all it needs.
+    * Degenerate corpora (one-armed, all-tied, or n<2) emit a −1
+    * sentinel, never NULL and never a divide-by-zero.
+    *
+    * Scale shape: one pass to user grain, one to VALUE grain; the
+    * rank device is a running count over distinct metric values, so
+    * the corpus-sized user frame is never globally sorted — only
+    * the (much smaller) distinct-value frame is. */
+  def q270MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mannWhitneyOf(Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+        expr("CAST(round(value * 1000000D) AS BIGINT)")).otherwise(0L))
+        .as("v"))
+      .select(($"user_id" % 2).as("arm"), $"v"))
+  }
+
+  /** The test on any (arm 0/1, v BIGINT) frame — separated so the
+    * spec can plant separated arms, a null corpus, and the all-tied
+    * sentinel. */
+  private[ops] def mannWhitneyOf(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = users.groupBy($"v")
+      .agg(count(lit(1)).as("t"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("t1"))
+    val wLess = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("lt", coalesce(sum($"t").over(wLess), lit(0L)))
+    ranked.agg(
+      sum($"t").as("n"), sum($"t1").as("n1"),
+      sum($"t1" * (lit(2L) * $"lt" + $"t" + 1L)).as("r1_2"),
+      sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+      .select($"n", $"n1", ($"n" - $"n1").as("n2"),
+        ($"r1_2" - $"n1" * ($"n1" + 1L)).as("u1_scaled"), $"tie_term")
+      .select($"n", $"n1", $"n2", $"u1_scaled", $"tie_term",
+        expr("""CASE
+          |  WHEN n < 2 OR n1 = 0 OR n2 = 0 THEN -1
+          |  WHEN ((n + 1) * n * (n - 1) - tie_term)
+          |       div (3 * n * (n - 1)) = 0 THEN -1
+          |  ELSE ((1000 * (u1_scaled - n1 * n2) * (u1_scaled - n1 * n2))
+          |        div (n1 * n2))
+          |       div (((n + 1) * n * (n - 1) - tie_term)
+          |            div (3 * n * (n - 1)))
+          |END""".stripMargin).as("chi2_milli"))
+  }
+
+  private val q270Oracle =
+    """WITH users AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS v
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+      |  FROM users GROUP BY 1),
+      |rk AS (
+      |  SELECT t, t1,
+      |    COALESCE(CAST(sum(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS lt
+      |  FROM cells),
+      |agg AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
+      |    CAST(sum(t1 * (2 * lt + t + 1)) AS BIGINT) AS r1_2,
+      |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+      |  FROM rk),
+      |d AS (
+      |  SELECT n, n1, n - n1 AS n2,
+      |    r1_2 - n1 * (n1 + 1) AS u1_scaled, tie_term
+      |  FROM agg)
+      |SELECT n, n1, n2, u1_scaled, tie_term,
+      |  CASE
+      |    WHEN n < 2 OR n1 = 0 OR n2 = 0 THEN -1
+      |    WHEN ((n + 1) * n * (n - 1) - tie_term)
+      |         // (3 * n * (n - 1)) = 0 THEN -1
+      |    ELSE ((1000 * (u1_scaled - n1 * n2) * (u1_scaled - n1 * n2))
+      |          // (n1 * n2))
+      |         // (((n + 1) * n * (n - 1) - tie_term)
+      |              // (3 * n * (n - 1)))
+      |  END AS chi2_milli
+      |FROM d""".stripMargin
+
+  // ---------------------------------------------------------------- q271
+  /** Autocorrelation function + Ljung–Box portmanteau of the daily
+    * event-count series — the "is there structure left" diagnostic
+    * that decides whether q135's trend or q169's seasonal profile
+    * actually explained the series, and the one q217/q163 monitors
+    * assume has been checked (their false-positive rates blow up on
+    * autocorrelated residuals). Lags 1..7 on the DENSE day spine
+    * (zero-traffic days are real observations, not gaps):
+    * r_k = Σc_t·c_{t+k} / Σc_t² in exact milli fixed-point over
+    * n-scaled centered counts c_t = n·y_t − Σy (q247's
+    * integer-centering — no float means anywhere), and the
+    * cumulative Ljung–Box Q(m) = n(n+2)·Σ_{k≤m} r_k²/(n−k) in milli
+    * from the same integers. A constant series has no defined ACF
+    * and reports NULL (q206's honest-posture convention), never a
+    * divide-by-zero. n·y keeps c² inside BIGINT to ~10⁹ events/day
+    * over ~10³ days; a bigger corpus re-grids y (q202's discipline).
+    *
+    * Scale shape: one partial agg to the day spine; everything after
+    * is day-grain — the n-scaled centering broadcasts two scalars,
+    * the 7 lag products are spine-joins, and the Q cumsum is a
+    * 7-row window. */
+  def q271AcfLjungBox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    acfOf(Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("d"))
+      .agg(count(lit(1)).as("y")))
+  }
+
+  /** ACF + Ljung–Box on any (d, y) daily frame — separated so the
+    * spec can plant an alternating series (r₁ ≈ −1000, r₂ ≈ +1000)
+    * and the constant-series NULL. */
+  private[ops] def acfOf(daily: DataFrame, maxLag: Int = 7): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spine = daily.agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("d"))
+    val dense = spine.join(daily, Seq("d"), "left")
+      .select($"d", coalesce($"y", lit(0L)).as("y"))
+    val tot = dense.agg(count(lit(1)).as("n"), sum($"y").as("sy"))
+    val cen = dense.crossJoin(broadcast(tot))
+      .select($"d", ($"n" * $"y" - $"sy").as("c"), $"n")
+    val den = cen.agg(sum($"c" * $"c").as("css"), max($"n").as("n"))
+    val lags = s.range(1, maxLag + 1L).select($"id".as("lag"))
+    val num = lags.crossJoin(cen.select($"d", $"c"))
+      .join(cen.select(($"d").as("d2"), $"c".as("c2")),
+        $"d2" === $"d" + $"lag")
+      .groupBy($"lag")
+      .agg(count(lit(1)).as("n_pairs"), sum($"c" * $"c2").as("num"))
+    val r = num.crossJoin(broadcast(den.select($"css", $"n")))
+      .select($"lag", $"n_pairs", $"n",
+        when($"css" > 0L, expr("(1000 * num) div css")).as("r_milli"))
+    val wCum = Window.orderBy($"lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.withColumn("term", expr("(r_milli * r_milli) div (n - lag)"))
+      .withColumn("cum", sum($"term").over(wCum))
+      .select($"lag", $"n_pairs", $"r_milli",
+        when($"r_milli".isNotNull,
+          expr("(n * (n + 2) * cum) div 1000")).as("lb_q_milli"))
+      .orderBy($"lag")
+  }
+
+  private val q271Oracle =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series(min(d), max(d))) AS d FROM daily),
+       |dense AS (
+       |  SELECT s.d, COALESCE(y.y, 0) AS y
+       |  FROM spine s LEFT JOIN daily y USING (d)),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+       |  FROM dense),
+       |cen AS (SELECT d, n * y - sy AS c, n FROM dense, tot),
+       |den AS (
+       |  SELECT CAST(sum(c * c) AS BIGINT) AS css, max(n) AS n FROM cen),
+       |lags AS (SELECT unnest(range(1, 8)) AS lag),
+       |num AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(a.c * b.c) AS BIGINT) AS num
+       |  FROM lags, cen a, cen b WHERE b.d = a.d + lag
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT lag, n_pairs, den.n,
+       |    CASE WHEN den.css > 0 THEN (1000 * num) // den.css END AS r_milli
+       |  FROM num, den),
+       |t AS (
+       |  SELECT lag, n_pairs, r_milli, n,
+       |    (r_milli * r_milli) // (n - lag) AS term
+       |  FROM r)
+       |SELECT lag, n_pairs, r_milli,
+       |  CASE WHEN r_milli IS NOT NULL THEN
+       |    (n * (n + 2) * CAST(sum(term) OVER (ORDER BY lag
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT)) // 1000
+       |  END AS lb_q_milli
+       |FROM t ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_mann_whitney"     -> (q270MannWhitney _),
+    "q271_acf_ljung_box"    -> (q271AcfLjungBox _),
     "q269_seasonal_anomalies" -> (q269SeasonalAnomalies _),
     "q267_log_rank"         -> (q267LogRank _),
     "q264_diff_in_diff"     -> (q264DiffInDiff _),
@@ -3698,6 +3902,8 @@ object EventOps {
     "q266_replica_digest"   -> q266Oracle,
     "q267_log_rank"         -> q267Oracle,
     "q269_seasonal_anomalies" -> q269Oracle,
+    "q270_mann_whitney"     -> q270Oracle,
+    "q271_acf_ljung_box"    -> q271Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

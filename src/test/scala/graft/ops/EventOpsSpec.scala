@@ -1306,6 +1306,84 @@ class EventOpsSpec extends SparkSuite {
       "spike hour pages; its clean weekly twins do not")
   }
 
+  test("q270 mann-whitney: independent pair-count replay; planted arms") {
+    import spark.implicits._
+    val Array(r) = EventOps.q270MannWhitney(spark, sf0001).collect()
+    val users = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type",
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 1000000D) AS BIGINT)").as("vq"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (u, es) =>
+        (u % 2, es.filter(_._2 == "purchase").map(_._3).sum) }
+    val a1 = users.filter(_._1 == 1).map(_._2)
+    val a0 = users.filter(_._1 == 0).map(_._2)
+    // U from first principles: count arm1-over-arm0 wins and ties
+    // directly — NOT the rank formula the query uses
+    val u2 = a1.map(x => a0.map(y =>
+      if (x > y) 2L else if (x == y) 1L else 0L).sum).sum
+    val tie = users.groupBy(_._2).values
+      .map(g => g.length.toLong).map(t => t * t * t - t).sum
+    val (n, n1, n2) = (users.length.toLong, a1.length.toLong, a0.length.toLong)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((n, n1, n2)))
+    assert(r.getLong(3) == u2 && r.getLong(4) == tie)
+    val w = (n + 1) * n * (n - 1) - tie
+    assert(r.getLong(5) ==
+      (1000L * (u2 - n1 * n2) * (u2 - n1 * n2) / (n1 * n2))
+        / (w / (3 * n * (n - 1))))
+    // planted total separation: 2U hits its 2·n1·n2 ceiling, test fires
+    val sep = EventOps.mannWhitneyOf(
+      Seq((1L, 100L), (1L, 200L), (1L, 300L), (0L, 1L), (0L, 2L), (0L, 3L))
+        .toDF("arm", "v")).collect()(0)
+    assert(sep.getLong(3) == 2L * 9L && sep.getLong(5) > 3841L,
+      "separated arms must exceed the 5% chi2 bar")
+    // all-tied and one-armed corpora degrade to the sentinel
+    val tied = EventOps.mannWhitneyOf(
+      Seq((1L, 5L), (0L, 5L), (1L, 5L), (0L, 5L)).toDF("arm", "v"))
+      .collect()(0)
+    assert(tied.getLong(5) == -1L)
+    val oneArm = EventOps.mannWhitneyOf(
+      Seq((1L, 5L), (1L, 7L)).toDF("arm", "v")).collect()(0)
+    assert(oneArm.getLong(5) == -1L)
+  }
+
+  test("q271 acf: exact replay; alternating series; constant-series NULL") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val got = EventOps.q271AcfLjungBox(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ds = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.unix_micros($"ts")).collect()
+      .map(_.getLong(0) / dayUs)
+    val counts = ds.groupBy(identity).map { case (d, g) => d -> g.length.toLong }
+    val dense = (ds.min to ds.max).map(d => counts.getOrElse(d, 0L))
+    val n = dense.length.toLong
+    val sy = dense.sum
+    val c = dense.map(y => n * y - sy)
+    val css = c.map(x => x * x).sum
+    var cum = 0L
+    (1 to 7).foreach { k =>
+      val pairs = c.dropRight(k).zip(c.drop(k))
+      val num = pairs.map { case (a, b) => a * b }.sum
+      val rm = 1000L * num / css
+      cum += rm * rm / (n - k)
+      val (lag, np, rMilli, lb) = got(k - 1)
+      assert(lag == k.toLong && np == pairs.length.toLong)
+      assert(rMilli == rm, s"lag $k")
+      assert(lb == n * (n + 2) * cum / 1000L, s"lb lag $k")
+    }
+    // planted alternation: strong negative r1, positive r2
+    val alt = (0L until 14L).map(d => (d, if (d % 2 == 0) 10L else 20L))
+    val a = EventOps.acfOf(alt.toDF("d", "y")).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(a(0) == ((1L, -928L)) && a(1) == ((2L, 857L)))
+    // constant series: ACF undefined, reported NULL not crash
+    val const = (0L until 10L).map(d => (d, 5L))
+    val cst = EventOps.acfOf(const.toDF("d", "y")).collect()
+    assert(cst.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+  }
+
   test("q266 digest: exact replay; order-blind; any lost row moves both folds") {
     import spark.implicits._
     val dayUs = 86400L * 1000000L
