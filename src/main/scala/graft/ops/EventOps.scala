@@ -3831,9 +3831,114 @@ object EventOps {
        |  END AS lb_q_milli
        |FROM t ORDER BY lag""".stripMargin
 
+  // ---------------------------------------------------------------- q274
+  /** Spearman rank correlation between per-user activity and
+    * revenue — the monotone-association readout q247's Pearson
+    * misses on heavy-tailed metrics (a whale's revenue drags the
+    * moments; its RANK is one step). Doubled midranks (q196's
+    * integer device) for BOTH variables, built at VALUE grain and
+    * joined back, then q247's exact centered-product machinery on
+    * the doubled ranks. Σdr = n(n+1) exactly, so the centering
+    * constant n+1 is exact — no floored mean anywhere; ρ_ppm uses
+    * q247's fixed-form floored sqrt + 10³-split. Degenerate inputs
+    * (either variable constant) report NULL (q206's honest
+    * posture). Centered rank products cap BIGINT near ~10⁶ users; a
+    * bigger corpus tests on a deterministic sample (q49's trick) —
+    * rank statistics are sample-stable.
+    *
+    * Scale shape: one pass to user grain; each rank table is a
+    * value-grain running count joined back on its value; one scalar
+    * agg ends it. The corpus-sized user frame is never globally
+    * sorted. */
+  def q274Spearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    spearmanOf(Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("x"),
+        sum(when($"event_type" === "purchase",
+          expr("CAST(round(value * 1000000D) AS BIGINT)")).otherwise(0L))
+          .as("y"))
+      .select($"x", $"y"))
+  }
+
+  /** Spearman on any (x BIGINT, y BIGINT) frame — separated so the
+    * spec can plant perfect, inverted, and constant columns. */
+  private[ops] def spearmanOf(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def drCells(df: DataFrame, c: String): DataFrame = {
+      val wLess = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.groupBy(col(c)).agg(count(lit(1)).as("t"))
+        .withColumn("lt", coalesce(sum($"t").over(wLess), lit(0L)))
+        .select(col(c), (lit(2L) * $"lt" + $"t" + 1L).as(s"dr_$c"))
+    }
+    val ranked = users
+      .join(drCells(users.select($"x"), "x"), "x")
+      .join(drCells(users.select($"y"), "y"), "y")
+    val tot = users.agg(count(lit(1)).as("n"))
+    val cen = ranked.crossJoin(broadcast(tot))
+      .select(($"dr_x" - ($"n" + 1L)).as("cx"),
+        ($"dr_y" - ($"n" + 1L)).as("cy"), $"n")
+    cen.agg(max($"n").as("n"), sum($"cx" * $"cy").as("sxy"),
+      sum($"cx" * $"cx").as("sxx"), sum($"cy" * $"cy").as("syy"))
+      .select($"n", $"sxy", $"sxx", $"syy",
+        expr("""CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+          |  WHEN (CAST(floor(sqrt(CAST(sxx AS DOUBLE))) AS BIGINT)
+          |        * CAST(floor(sqrt(CAST(syy AS DOUBLE))) AS BIGINT))
+          |       div 1000 = 0 THEN NULL
+          |  ELSE (1000 * sxy) div
+          |    ((CAST(floor(sqrt(CAST(sxx AS DOUBLE))) AS BIGINT)
+          |      * CAST(floor(sqrt(CAST(syy AS DOUBLE))) AS BIGINT))
+          |     div 1000)
+          |END""".stripMargin).as("rho_ppm"))
+  }
+
+  private val q274Oracle =
+    """WITH users AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY user_id),
+      |xc AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM users GROUP BY 1),
+      |xr AS (
+      |  SELECT x, 2 * COALESCE(CAST(sum(t) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |    + t + 1 AS dr_x
+      |  FROM xc),
+      |yc AS (SELECT y, CAST(count(*) AS BIGINT) AS t FROM users GROUP BY 1),
+      |yr AS (
+      |  SELECT y, 2 * COALESCE(CAST(sum(t) OVER (ORDER BY y
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |    + t + 1 AS dr_y
+      |  FROM yc),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
+      |cen AS (
+      |  SELECT dr_x - (n + 1) AS cx, dr_y - (n + 1) AS cy
+      |  FROM users JOIN xr USING (x) JOIN yr USING (y), tot),
+      |sums AS (
+      |  SELECT CAST(sum(cx * cy) AS BIGINT) AS sxy,
+      |    CAST(sum(cx * cx) AS BIGINT) AS sxx,
+      |    CAST(sum(cy * cy) AS BIGINT) AS syy
+      |  FROM cen)
+      |SELECT n, sxy, sxx, syy,
+      |  CASE WHEN sxx = 0 OR syy = 0 THEN NULL
+      |    WHEN (CAST(floor(sqrt(CAST(sxx AS DOUBLE))) AS BIGINT)
+      |          * CAST(floor(sqrt(CAST(syy AS DOUBLE))) AS BIGINT))
+      |         // 1000 = 0 THEN NULL
+      |    ELSE (1000 * sxy) //
+      |      ((CAST(floor(sqrt(CAST(sxx AS DOUBLE))) AS BIGINT)
+      |        * CAST(floor(sqrt(CAST(syy AS DOUBLE))) AS BIGINT))
+      |       // 1000)
+      |  END AS rho_ppm
+      |FROM sums, tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_mann_whitney"     -> (q270MannWhitney _),
     "q271_acf_ljung_box"    -> (q271AcfLjungBox _),
+    "q274_spearman"         -> (q274Spearman _),
     "q269_seasonal_anomalies" -> (q269SeasonalAnomalies _),
     "q267_log_rank"         -> (q267LogRank _),
     "q264_diff_in_diff"     -> (q264DiffInDiff _),
@@ -3904,6 +4009,7 @@ object EventOps {
     "q269_seasonal_anomalies" -> q269Oracle,
     "q270_mann_whitney"     -> q270Oracle,
     "q271_acf_ljung_box"    -> q271Oracle,
+    "q274_spearman"         -> q274Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

@@ -3187,7 +3187,176 @@ object TextOps {
        |CROSS JOIN tot
        |ORDER BY s.r""".stripMargin
 
+  // ---------------------------------------------------------------- q272
+  /** Empirical-Bayes (beta-binomial) shrinkage of per-source
+    * substantial-doc rates — the fix for the small-source lie that
+    * raw per-source rates tell (q213's dup rates, q85's domain caps:
+    * a 3-doc source at 0% or 100% is noise, not signal). Classic
+    * method-of-moments EB: the across-source mean m and variance v
+    * of the raw rates fit a beta prior strength ν = m(1−m)/v − 1,
+    * and each source reports (k + νm)/(n + ν) — big sources keep
+    * their data, small ones pool toward the corpus. All moments in
+    * exact fixed-point under q247's integer-centering discipline
+    * (G-scaled centered milli-rates, every ratio a floored BIGINT
+    * division both engines emit identically). A degenerate prior
+    * (zero across-source variance, or over-dispersion ν ≤ 0 where
+    * the beta family can't hold) reports ν = −1 and leaves rates
+    * unshrunk — disclosed, never silently wrong.
+    *
+    * Scale shape: one pass to source grain; the prior is a
+    * source-grain agg (thousands of rows at worst) broadcast back.
+    * 10⁹·k caps BIGINT at ~9×10⁹ docs/source; re-grid beyond. */
+  def q272EbShrinkage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ebShrinkOf(Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_chars" >= ebCharFloor, 1L).otherwise(0L)).as("n_good")))
+  }
+
+  /** Substantial-doc threshold: n_chars at or above this counts as
+    * a "good" doc for the q272 rate. */
+  val ebCharFloor = 300L
+
+  /** The shrinkage on any (source, n_docs, n_good) frame — separated
+    * so the spec can plant a tight prior with small-n outlier
+    * sources and watch them pool. */
+  private[ops] def ebShrinkOf(perSrc: DataFrame): DataFrame = {
+    val s = perSrc.sparkSession
+    import s.implicits._
+    val rated = perSrc.select($"source", $"n_docs", $"n_good",
+      expr("(1000 * n_good) div n_docs").as("raw_milli"))
+    val g1 = rated.agg(count(lit(1)).as("g"), sum($"raw_milli").as("sp"))
+    val cen = rated.crossJoin(broadcast(g1))
+      .select($"g", $"sp", ($"g" * $"raw_milli" - $"sp").as("c"))
+    val prior = cen.groupBy($"g", $"sp")
+      .agg(sum($"c" * $"c").as("cc"))
+      .select(expr("sp div g").as("m_milli"),
+        expr("cc div (g * g * g)").as("v_micro"))
+      .select($"m_milli", $"v_micro",
+        expr("""CASE WHEN v_micro = 0 THEN -1
+          |  WHEN (1000 * m_milli * (1000 - m_milli)) div v_micro
+          |       - 1000 <= 0 THEN -1
+          |  ELSE (1000 * m_milli * (1000 - m_milli)) div v_micro - 1000
+          |END""".stripMargin).as("nu_milli"))
+    rated.crossJoin(broadcast(prior))
+      .select($"source", $"n_docs", $"n_good", $"raw_milli",
+        $"m_milli", $"nu_milli",
+        expr("""CASE WHEN nu_milli = -1 THEN raw_milli
+          |  ELSE (1000000000 * n_good + 1000 * nu_milli * m_milli)
+          |       div (1000000 * n_docs + 1000 * nu_milli)
+          |END""".stripMargin).as("shrunk_milli"))
+      .orderBy($"source")
+  }
+
+  private val q272Oracle =
+    s"""WITH rated AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN n_chars >= $ebCharFloor THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_good,
+       |    CAST((1000 * sum(CASE WHEN n_chars >= $ebCharFloor
+       |        THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS raw_milli
+       |  FROM documents GROUP BY 1),
+       |g1 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS g,
+       |    CAST(sum(raw_milli) AS BIGINT) AS sp
+       |  FROM rated),
+       |cen AS (
+       |  SELECT g, sp, g * raw_milli - sp AS c FROM rated, g1),
+       |mo AS (
+       |  SELECT sp // g AS m_milli,
+       |    CAST(sum(c * c) AS BIGINT) // (g * g * g) AS v_micro
+       |  FROM cen GROUP BY g, sp),
+       |prior AS (
+       |  SELECT m_milli, v_micro,
+       |    CASE WHEN v_micro = 0 THEN -1
+       |      WHEN (1000 * m_milli * (1000 - m_milli)) // v_micro
+       |           - 1000 <= 0 THEN -1
+       |      ELSE (1000 * m_milli * (1000 - m_milli)) // v_micro - 1000
+       |    END AS nu_milli
+       |  FROM mo)
+       |SELECT source, n_docs, n_good, raw_milli, m_milli, nu_milli,
+       |  CASE WHEN nu_milli = -1 THEN raw_milli
+       |    ELSE (1000000000 * n_good + 1000 * nu_milli * m_milli)
+       |         // (1000000 * n_docs + 1000 * nu_milli)
+       |  END AS shrunk_milli
+       |FROM rated, prior ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q273
+  /** Isotonic (PAV) calibration of the q199 reliability bins — q199
+    * shows WHERE the score is miscalibrated; this produces the
+    * monotone calibrated rate a gating pipeline can actually apply
+    * as a threshold map. Not an iterative pool-adjacent-violators
+    * loop: the fit is the minimax closed form
+    * iso(t) = max_{i≤t} min_{j≥t} avg(i..j) over pooled-bin rates
+    * (identical to PAV's solution, e.g. Robertson et al.'s order-
+    * restricted inference), evaluated exactly on ppm-floored pooled
+    * averages — B=10 bins means a 10×10×10 spine, so "try every
+    * segment" is a literal 220-row join, deterministic on both
+    * engines. Monotonicity is guaranteed by construction; where the
+    * raw curve is already isotonic the fit returns it unchanged.
+    *
+    * Scale shape: bin-grain everything — the corpus work is q199's
+    * (one score pass + one ntile window); the fit itself touches 10
+    * rows. */
+  def q273IsotonicCalibration(s: SparkSession, dir: String): DataFrame =
+    isotonicOf(q199CalibrationBins(s, dir)
+      .select(col("decile"), col("n"), col("n_pos")))
+
+  /** The minimax fit on any (decile, n, n_pos) frame — separated so
+    * the spec can plant a violation and watch exactly the violating
+    * bins pool. */
+  private[ops] def isotonicOf(bins: DataFrame): DataFrame = {
+    val s = bins.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bins.select($"decile", $"n", $"n_pos",
+      sum($"n").over(w).as("cn"), sum($"n_pos").over(w).as("ck"))
+    val a = cum.select($"decile".as("i"), $"n".as("ni"),
+      $"n_pos".as("ki"), $"cn".as("cni"), $"ck".as("cki"))
+    val b = cum.select($"decile".as("j"), $"cn".as("cnj"), $"ck".as("ckj"))
+    val seg = a.crossJoin(b).where($"j" >= $"i")
+      .select($"i", $"j",
+        expr("(1000000 * (ckj - (cki - ki))) div (cnj - (cni - ni))")
+          .as("avg_ppm"))
+    val s1 = bins.select($"decile".as("t"))
+      .join(seg, $"i" <= $"t" && $"j" >= $"t")
+      .groupBy($"t", $"i").agg(min($"avg_ppm").as("mn"))
+    val iso = s1.groupBy($"t").agg(max($"mn").as("iso_ppm"))
+    bins.join(iso, bins("decile") === iso("t"))
+      .select($"decile", $"n", $"n_pos",
+        expr("(1000000 * n_pos) div n").as("raw_ppm"), $"iso_ppm")
+      .orderBy($"decile")
+  }
+
+  private lazy val q273Oracle =
+    s"""WITH bins AS (${q199Oracle.replace("ORDER BY decile", "")}),
+       |cum AS (
+       |  SELECT decile, n, n_pos,
+       |    CAST(sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cn,
+       |    CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS ck
+       |  FROM bins),
+       |seg AS (
+       |  SELECT a.decile AS i, b.decile AS j,
+       |    (1000000 * (b.ck - (a.ck - a.n_pos)))
+       |      // (b.cn - (a.cn - a.n)) AS avg_ppm
+       |  FROM cum a, cum b WHERE b.decile >= a.decile),
+       |s1 AS (
+       |  SELECT t.decile AS t, seg.i, min(seg.avg_ppm) AS mn
+       |  FROM bins t JOIN seg ON seg.i <= t.decile AND seg.j >= t.decile
+       |  GROUP BY 1, 2),
+       |iso AS (SELECT t, CAST(max(mn) AS BIGINT) AS iso_ppm FROM s1 GROUP BY 1)
+       |SELECT b.decile, b.n, b.n_pos,
+       |  CAST((1000000 * b.n_pos) // b.n AS BIGINT) AS raw_ppm, iso.iso_ppm
+       |FROM bins b JOIN iso ON iso.t = b.decile ORDER BY b.decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_eb_shrinkage" -> (q272EbShrinkage _),
+    "q273_isotonic_calibration" -> (q273IsotonicCalibration _),
     "q259_good_turing" -> (q259GoodTuring _),
     "q252_log_odds" -> (q252LogOddsTokens _),
     "q254_filter_cascade" -> (q254FilterCascade _),
@@ -3247,6 +3416,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q272_eb_shrinkage" -> q272Oracle,
+    "q273_isotonic_calibration" -> q273Oracle,
     "q252_log_odds" -> q252Oracle,
     "q254_filter_cascade" -> q254Oracle,
     "q259_good_turing" -> q259Oracle,

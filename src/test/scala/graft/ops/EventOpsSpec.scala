@@ -1384,6 +1384,48 @@ class EventOpsSpec extends SparkSuite {
     assert(cst.forall(r => r.isNullAt(2) && r.isNullAt(3)))
   }
 
+  test("q274 spearman: midrank replay; planted monotone, inverted, constant") {
+    import spark.implicits._
+    val Array(r) = EventOps.q274Spearman(spark, sf0001).collect()
+    val users = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type",
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 1000000D) AS BIGINT)").as("vq"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (_, es) =>
+        (es.length.toLong, es.filter(_._2 == "purchase").map(_._3).sum) }
+    def dr(vals: Seq[Long]): Map[Long, Long] = {
+      val sorted = vals.sorted
+      vals.distinct.map { v =>
+        val lt = sorted.count(_ < v).toLong
+        val t = sorted.count(_ == v).toLong
+        v -> (2L * lt + t + 1L)
+      }.toMap
+    }
+    val n = users.length.toLong
+    val (dx, dy) = (dr(users.map(_._1)), dr(users.map(_._2)))
+    val cen = users.map { case (x, y) => (dx(x) - (n + 1), dy(y) - (n + 1)) }
+    val sxy = cen.map { case (a, b) => a * b }.sum
+    val sxx = cen.map { case (a, _) => a * a }.sum
+    val syy = cen.map { case (_, b) => b * b }.sum
+    def isq(v: Long) = math.floor(math.sqrt(v.toDouble)).toLong
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n, sxy, sxx, syy)))
+    assert(r.getLong(4) == (1000L * sxy) / (isq(sxx) * isq(syy) / 1000L))
+    // planted: strict monotone ties out at +1e6-ish, inverted mirrors
+    val mono = EventOps.spearmanOf(
+      (1L to 20L).map(i => (i, i * 7L)).toDF("x", "y")).collect()(0)
+    assert(mono.getLong(4) >= 999000L, s"monotone rho ${mono.getLong(4)}")
+    val inv = EventOps.spearmanOf(
+      (1L to 20L).map(i => (i, -i * 3L)).toDF("x", "y")).collect()(0)
+    assert(inv.getLong(4) <= -999000L)
+    // a constant column has no rank variance: NULL, never a crash
+    val flat = EventOps.spearmanOf(
+      (1L to 9L).map(i => (i, 42L)).toDF("x", "y")).collect()(0)
+    assert(flat.isNullAt(4))
+  }
+
   test("q266 digest: exact replay; order-blind; any lost row moves both folds") {
     import spark.implicits._
     val dayUs = 86400L * 1000000L

@@ -1226,4 +1226,75 @@ class TextOpsSpec extends SparkSuite {
     // survivors telescope monotonically down to the 2 clean docs
     assert(got.sortBy(_._1).map(_._5).toSeq == Seq(5L, 4L, 3L, 2L))
   }
+
+  test("q272 eb shrinkage: exact replay; small outlier sources pool, big ones hold") {
+    import spark.implicits._
+    val got = TextOps.q272EbShrinkage(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"source", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val rated = docs.groupBy(_._1).toSeq.map { case (src, g) =>
+      val n = g.length.toLong
+      val k = g.count(_._2 >= TextOps.ebCharFloor).toLong
+      (src, n, k, 1000L * k / n)
+    }.sortBy(_._1)
+    val gN = rated.length.toLong
+    val sp = rated.map(_._4).sum
+    val cc = rated.map(r => gN * r._4 - sp).map(c => c * c).sum
+    val (m, v) = (sp / gN, cc / (gN * gN * gN))
+    val nu =
+      if (v == 0 || (1000 * m * (1000 - m)) / v - 1000 <= 0) -1L
+      else (1000 * m * (1000 - m)) / v - 1000
+    got.zip(rated).foreach { case ((s0, n0, k0, r0, m0, nu0, sh0), (s1, n1, k1, r1)) =>
+      assert(s0 == s1 && n0 == n1 && k0 == k1 && r0 == r1)
+      assert(m0 == m && nu0 == nu)
+      val want = if (nu == -1L) r1
+        else (1000000000L * k1 + 1000L * nu * m) /
+          (1000000L * n1 + 1000L * nu)
+      assert(sh0 == want)
+    }
+    // planted: 8 tight mid sources + two 2-doc extremes — the
+    // extremes pool hard toward the prior, the big sources hold
+    val perSrc = ((1 to 8).map(i => (s"big$i", 100L, 50L)) ++
+      Seq(("tiny0", 2L, 0L), ("tiny1", 2L, 2L)))
+    val byName = TextOps.ebShrinkOf(perSrc.toDF("source", "n_docs", "n_good"))
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(5),
+        r.getLong(6))).toMap
+    assert(byName("big1")._2 == 4000L, "MoM prior strength nu = 4")
+    assert(byName("big1")._3 == 500L, "large source holds its rate")
+    assert(byName("tiny0") == ((0L, 4000L, 333L)),
+      "2-doc zero-rate source pools two thirds of the way to the prior")
+    assert(byName("tiny1")._3 == 666L, "symmetric pull from above")
+  }
+
+  test("q273 isotonic: minimax replay; planted violation pools exactly its bins") {
+    import spark.implicits._
+    val got = TextOps.q273IsotonicCalibration(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val bins = got.map(g => (g._1, g._2, g._3)).sortBy(_._1)
+    def avg(i: Int, j: Int) = {
+      val seg = bins.slice(i, j + 1)
+      1000000L * seg.map(_._3).sum / seg.map(_._2).sum
+    }
+    got.sortBy(_._1).zipWithIndex.foreach { case ((_, n, k, raw, iso), t) =>
+      assert(raw == 1000000L * k / n)
+      val want = (0 to t).map(i =>
+        (t until bins.length).map(j => avg(i, j)).min).max
+      assert(iso == want, s"decile ${t + 1}")
+    }
+    // fitted curve is monotone by construction
+    assert(got.sortBy(_._1).map(_._5).sliding(2).forall(p =>
+      p.length < 2 || p(0) <= p(1)))
+    // planted single violation: bins 2 and 3 pool to their weighted
+    // mean, the monotone neighbours are returned untouched
+    val p = TextOps.isotonicOf(
+      Seq((1L, 10L, 1L), (2L, 10L, 3L), (3L, 10L, 2L), (4L, 10L, 4L))
+        .toDF("decile", "n", "n_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(p.toSeq == Seq((1L, 100000L), (2L, 250000L), (3L, 250000L),
+      (4L, 400000L)))
+  }
 }
