@@ -3317,15 +3317,15 @@ object TextOps {
     val a = cum.select($"decile".as("i"), $"n".as("ni"),
       $"n_pos".as("ki"), $"cn".as("cni"), $"ck".as("cki"))
     val b = cum.select($"decile".as("j"), $"cn".as("cnj"), $"ck".as("ckj"))
-    val seg = a.crossJoin(b).where($"j" >= $"i")
+    val seg = a.crossJoin(broadcast(b)).where($"j" >= $"i")
       .select($"i", $"j",
         expr("(1000000 * (ckj - (cki - ki))) div (cnj - (cni - ni))")
           .as("avg_ppm"))
     val s1 = bins.select($"decile".as("t"))
-      .join(seg, $"i" <= $"t" && $"j" >= $"t")
+      .join(broadcast(seg), $"i" <= $"t" && $"j" >= $"t")
       .groupBy($"t", $"i").agg(min($"avg_ppm").as("mn"))
     val iso = s1.groupBy($"t").agg(max($"mn").as("iso_ppm"))
-    bins.join(iso, bins("decile") === iso("t"))
+    bins.join(broadcast(iso), bins("decile") === iso("t"))
       .select($"decile", $"n", $"n_pos",
         expr("(1000000 * n_pos) div n").as("raw_ppm"), $"iso_ppm")
       .orderBy($"decile")

@@ -416,4 +416,56 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("SortMergeJoin"), s"$name: " + p.take(500))
     }
   }
+
+  test("q269/q271: monitors read ONLY ts; seasonal profile broadcasts back") {
+    for ((name, df) <- Seq(
+      ("q269", EventOps.q269SeasonalAnomalies(spark, sf0001)),
+      ("q271", EventOps.q271AcfLjungBox(spark, sf0001)))) {
+      val p = plan(df)
+      val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+        .map(_.group(1)).getOrElse("")
+      assert(rs == "ts:bigint", s"$name must scan one column: $rs")
+    }
+    val p269 = plan(EventOps.q269SeasonalAnomalies(spark, sf0001))
+    assert(p269.contains("BroadcastHashJoin"),
+      "168-cell profile joins back broadcast")
+  }
+
+  test("q270/q274: rank stats scan pruned; corpus never cartesians") {
+    for ((name, df) <- Seq(
+      ("q270", EventOps.q270MannWhitney(spark, sf0001)),
+      ("q274", EventOps.q274Spearman(spark, sf0001)))) {
+      val p = plan(df)
+      val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+        .map(_.group(1)).getOrElse("")
+      assert(!rs.contains("ts") && !rs.contains("props"),
+        s"$name rank stats need no timestamps: $rs")
+      assert(!p.contains("CartesianProduct"), s"$name: " + p.take(500))
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$name: user-grain reduce is map-side partial")
+    }
+  }
+
+  test("q272/q273: prior/bin frames broadcast; q272 never reads text") {
+    val p272 = plan(TextOps.q272EbShrinkage(spark, sf0001))
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p272)
+      .map(_.group(1)).getOrElse("")
+    assert(!rs.contains("text"), s"shrinkage is metadata-only: $rs")
+    assert(p272.contains("BroadcastNestedLoopJoin") ||
+      p272.contains("BroadcastExchange"), "prior broadcasts back")
+    assert(!p272.contains("SortMergeJoin"))
+    val p273 = plan(TextOps.q273IsotonicCalibration(spark, sf0001))
+    assert(!p273.contains("CartesianProduct"),
+      "bin-grain segment join must broadcast, not cartesian")
+  }
+
+  test("q267/q268: survival cells spine-join broadcast; agreement has no cartesian") {
+    val p267 = plan(EventOps.q267LogRank(spark, sf0001))
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p267)
+      .map(_.group(1)).getOrElse("")
+    assert(!rs.contains("value") && !rs.contains("props"),
+      s"log-rank needs no event values: $rs")
+    val p268 = plan(DedupOps.q268MethodAgreement(spark, sf0001))
+    assert(!p268.contains("CartesianProduct"), p268.take(500))
+  }
 }
