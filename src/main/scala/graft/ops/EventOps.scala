@@ -3935,10 +3935,149 @@ object EventOps {
       |  END AS rho_ppm
       |FROM sums, tot""".stripMargin
 
+  // ---------------------------------------------------------------- q275
+  /** Day-spine queue backlog under fixed service capacity — "did the
+    * pipeline keep up, and how deep did it get behind": arrivals a_t
+    * vs capacity C (the exact integer mean daily arrival — sized for
+    * average load, so bursts must queue), with
+    * backlog_t = max(0, backlog_{t−1} + a_t − C). NOT a sequential
+    * fold: the Lindley recursion has the closed form
+    * backlog_t = P_t − least(0, min_{k≤t} P_k) over net prefix sums
+    * P, so two spine-grain windows express the imperative loop
+    * exactly — the single-GLOBAL-queue complement to q154's per-key
+    * in-group fold (windows can't carry per-key state; they CAN
+    * carry this). Spec proves the closed form against a literal
+    * fold and a planted burst.
+    *
+    * Scale shape: one partial agg to the day spine; the capacity
+    * scalar broadcasts; both windows are day-grain. */
+  def q275QueueBacklog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    backlogOf(Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("d"))
+      .agg(count(lit(1)).as("y")))
+  }
+
+  /** The closed-form backlog on any (d, y) daily frame — separated
+    * so the spec can plant a burst-then-drain series. */
+  private[ops] def backlogOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spine = daily.agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("d"))
+    val dense = spine.join(daily, Seq("d"), "left")
+      .select($"d", coalesce($"y", lit(0L)).as("y"))
+    val cap = dense.agg(expr("sum(y) div count(1)").as("cap"))
+    val wCum = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.crossJoin(broadcast(cap))
+      .withColumn("p", sum($"y" - $"cap").over(wCum))
+      .withColumn("mn", min($"p").over(wCum))
+      .select($"d", $"y".as("arrivals"), $"cap".as("capacity"),
+        ($"p" - least(lit(0L), $"mn")).as("backlog"))
+      .orderBy($"d")
+  }
+
+  private val q275Oracle =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series(min(d), max(d))) AS d FROM daily),
+       |dense AS (
+       |  SELECT s.d, COALESCE(y.y, 0) AS y
+       |  FROM spine s LEFT JOIN daily y USING (d)),
+       |cap AS (
+       |  SELECT CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS cap
+       |  FROM dense),
+       |p AS (
+       |  SELECT d, y, cap,
+       |    CAST(sum(y - cap) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS p
+       |  FROM dense, cap),
+       |m AS (
+       |  SELECT d, y, cap, p,
+       |    CAST(min(p) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |      AS mn
+       |  FROM p)
+       |SELECT d, y AS arrivals, cap AS capacity,
+       |  p - least(0, mn) AS backlog
+       |FROM m ORDER BY d""".stripMargin
+
+  // ---------------------------------------------------------------- q276
+  /** Mergeable log₂-bucket percentiles of event value per type —
+    * the HdrHistogram idiom for latency-style metrics at fleet
+    * scale: each shard reduces to (type, bucket, count) cells —
+    * bucket = MSB position of 1+v via q263's length(bin(·)) device,
+    * exact integers on both engines, no transcendental on data —
+    * and cells ADD across shards (the whole point: merging exact
+    * quantiles needs the full data; merging this sketch is a
+    * count-sum). p50/p95/p99 read off the ≤64-bucket cumsum by the
+    * exact rational first-crossing 100·cum ≥ p·n (no ceil, no
+    * floats), reporting the bucket's value bounds — the honest
+    * ±bucket-width answer a log histogram gives.
+    *
+    * Scale shape: one partial agg to (type × ≤64) cells; cumsum and
+    * crossing run on the cell frame; the 3-row pct spine
+    * broadcasts. */
+  def q276LogHistPctl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(s, dir)
+      .select($"event_type",
+        expr("CAST(length(bin(1 + CAST(round(value * 1000000D) AS BIGINT)))" +
+          " AS BIGINT)").as("b"))
+      .groupBy($"event_type", $"b").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n",
+        sum($"cnt").over(Window.partitionBy($"event_type")))
+    val pcts = Seq(50L, 95L, 99L).toDF("pct")
+    cum.crossJoin(broadcast(pcts))
+      .where($"cum" * 100L >= $"pct" * $"n")
+      .groupBy($"event_type", $"pct")
+      .agg(max($"n").as("n"), min($"b").as("bucket"))
+      .select($"event_type", $"pct", $"n", $"bucket",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket - 1 AS INT)) - 1")
+          .as("lo_micro"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 2")
+          .as("hi_micro"))
+      .orderBy($"event_type", $"pct")
+  }
+
+  private val q276Oracle =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    CAST(length(bin(1 + CAST(round(value * 1000000) AS BIGINT)))
+      |      AS BIGINT) AS b,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, b, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY b
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      |  FROM cells),
+      |pcts AS (SELECT CAST(unnest([50, 95, 99]) AS BIGINT) AS pct),
+      |hit AS (
+      |  SELECT event_type, pct, max(n) AS n, min(b) AS bucket
+      |  FROM cum, pcts WHERE cum * 100 >= pct * n
+      |  GROUP BY 1, 2)
+      |SELECT event_type, pct, n, bucket,
+      |  (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) - 1 AS lo_micro,
+      |  (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 2 AS hi_micro
+      |FROM hit ORDER BY event_type, pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_mann_whitney"     -> (q270MannWhitney _),
     "q271_acf_ljung_box"    -> (q271AcfLjungBox _),
     "q274_spearman"         -> (q274Spearman _),
+    "q275_queue_backlog"    -> (q275QueueBacklog _),
+    "q276_log_hist_pctl"    -> (q276LogHistPctl _),
     "q269_seasonal_anomalies" -> (q269SeasonalAnomalies _),
     "q267_log_rank"         -> (q267LogRank _),
     "q264_diff_in_diff"     -> (q264DiffInDiff _),
@@ -4010,6 +4149,8 @@ object EventOps {
     "q270_mann_whitney"     -> q270Oracle,
     "q271_acf_ljung_box"    -> q271Oracle,
     "q274_spearman"         -> q274Oracle,
+    "q275_queue_backlog"    -> q275Oracle,
+    "q276_log_hist_pctl"    -> q276Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

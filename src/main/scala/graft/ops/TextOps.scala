@@ -3354,9 +3354,117 @@ object TextOps {
        |  CAST((1000000 * b.n_pos) // b.n AS BIGINT) AS raw_ppm, iso.iso_ppm
        |FROM bins b JOIN iso ON iso.t = b.decile ORDER BY b.decile""".stripMargin
 
+  // ---------------------------------------------------------------- q277
+  /** IPF (raking) sampling weights over the lang × source grid —
+    * the two-margin dataset-mixing calibration q112's single-margin
+    * rebalance can't do: find per-cell weights whose LANG margins
+    * hit a uniform target (balanced-language corpus) while the
+    * SOURCE margins keep their observed mix. Three unrolled
+    * row-scale/column-scale rounds in exact milli fixed-point —
+    * every scale is (w·1000·target) div marginsum on BIGINTs,
+    * identical on both engines; classical IPF converges
+    * geometrically, so 3 rounds land within integer rounding on
+    * grids like this (the spec pins the planted-grid margins).
+    * Emitted rate_milli = w/n is the per-cell sampling/repeat
+    * factor a mixture pipeline applies.
+    *
+    * Scale shape: the corpus reduces once to lang×source cells;
+    * every subsequent margin sum, join, and scale runs on the
+    * cell grid (dozens of rows) with broadcast joins. 1000·w·target
+    * caps BIGINT near ~10⁹ docs; re-grid beyond. */
+  def q277IpfWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ipfOf(Tables.documents(s, dir)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n")))
+  }
+
+  /** The raking loop on any (lang, source, n) cell grid — separated
+    * so the spec can plant a 2×2 grid with a hand-checkable
+    * fixpoint. */
+  private[ops] def ipfOf(cells0: DataFrame, rounds: Int = 3): DataFrame = {
+    val s = cells0.sparkSession
+    import s.implicits._
+    val tot = cells0.agg(sum($"n").as("tot"),
+      countDistinct($"lang").as("nl"))
+    val rowT = cells0.select($"lang").distinct()
+      .crossJoin(broadcast(tot))
+      .select($"lang", expr("tot div nl").as("tl"))
+    val colT = cells0.groupBy($"source").agg(sum($"n").as("tc"))
+    var w = cells0.select($"lang", $"source", $"n",
+      (lit(1000L) * $"n").as("w"))
+    for (_ <- 1 to rounds) {
+      val rs = w.groupBy($"lang").agg(sum($"w").as("rs"))
+      w = w.join(broadcast(rs), "lang").join(broadcast(rowT), "lang")
+        .select($"lang", $"source", $"n",
+          expr("(w * 1000 * tl) div rs").as("w"))
+      val cs = w.groupBy($"source").agg(sum($"w").as("cs"))
+      w = w.join(broadcast(cs), "source").join(broadcast(colT), "source")
+        .select($"lang", $"source", $"n",
+          expr("(w * 1000 * tc) div cs").as("w"))
+    }
+    w.select($"lang", $"source", $"n", $"w".as("w_milli"),
+      expr("w div n").as("rate_milli"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val q277Oracle =
+    """WITH cells AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS tot,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS nl
+      |  FROM cells),
+      |rowt AS (
+      |  SELECT lang, tot // nl AS tl
+      |  FROM (SELECT DISTINCT lang FROM cells), tot),
+      |colt AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS tc
+      |  FROM cells GROUP BY 1),
+      |w0 AS (SELECT lang, source, n, 1000 * n AS w FROM cells),
+      |r1 AS (
+      |  SELECT lang, source, n, (w * 1000 * tl) // rs AS w
+      |  FROM w0
+      |  JOIN (SELECT lang, CAST(sum(w) AS BIGINT) AS rs FROM w0
+      |        GROUP BY 1) USING (lang)
+      |  JOIN rowt USING (lang)),
+      |c1 AS (
+      |  SELECT lang, source, n, (w * 1000 * tc) // cs AS w
+      |  FROM r1
+      |  JOIN (SELECT source, CAST(sum(w) AS BIGINT) AS cs FROM r1
+      |        GROUP BY 1) USING (source)
+      |  JOIN colt USING (source)),
+      |r2 AS (
+      |  SELECT lang, source, n, (w * 1000 * tl) // rs AS w
+      |  FROM c1
+      |  JOIN (SELECT lang, CAST(sum(w) AS BIGINT) AS rs FROM c1
+      |        GROUP BY 1) USING (lang)
+      |  JOIN rowt USING (lang)),
+      |c2 AS (
+      |  SELECT lang, source, n, (w * 1000 * tc) // cs AS w
+      |  FROM r2
+      |  JOIN (SELECT source, CAST(sum(w) AS BIGINT) AS cs FROM r2
+      |        GROUP BY 1) USING (source)
+      |  JOIN colt USING (source)),
+      |r3 AS (
+      |  SELECT lang, source, n, (w * 1000 * tl) // rs AS w
+      |  FROM c2
+      |  JOIN (SELECT lang, CAST(sum(w) AS BIGINT) AS rs FROM c2
+      |        GROUP BY 1) USING (lang)
+      |  JOIN rowt USING (lang)),
+      |c3 AS (
+      |  SELECT lang, source, n, (w * 1000 * tc) // cs AS w
+      |  FROM r3
+      |  JOIN (SELECT source, CAST(sum(w) AS BIGINT) AS cs FROM r3
+      |        GROUP BY 1) USING (source)
+      |  JOIN colt USING (source))
+      |SELECT lang, source, n, w AS w_milli, w // n AS rate_milli
+      |FROM c3 ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q272_eb_shrinkage" -> (q272EbShrinkage _),
     "q273_isotonic_calibration" -> (q273IsotonicCalibration _),
+    "q277_ipf_weights" -> (q277IpfWeights _),
     "q259_good_turing" -> (q259GoodTuring _),
     "q252_log_odds" -> (q252LogOddsTokens _),
     "q254_filter_cascade" -> (q254FilterCascade _),
@@ -3418,6 +3526,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q272_eb_shrinkage" -> q272Oracle,
     "q273_isotonic_calibration" -> q273Oracle,
+    "q277_ipf_weights" -> q277Oracle,
     "q252_log_odds" -> q252Oracle,
     "q254_filter_cascade" -> q254Oracle,
     "q259_good_turing" -> q259Oracle,

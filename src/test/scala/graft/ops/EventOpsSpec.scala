@@ -1426,6 +1426,69 @@ class EventOpsSpec extends SparkSuite {
     assert(flat.isNullAt(4))
   }
 
+  test("q275 backlog: closed form equals the literal Lindley fold; planted burst") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val got = EventOps.q275QueueBacklog(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ds = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.unix_micros($"ts")).collect()
+      .map(_.getLong(0) / dayUs)
+    val counts = ds.groupBy(identity).map { case (d, g) => d -> g.length.toLong }
+    val dense = (ds.min to ds.max).map(d => (d, counts.getOrElse(d, 0L)))
+    val cap = dense.map(_._2).sum / dense.length
+    var b = 0L
+    dense.zip(got).foreach { case ((d, y), (gd, gy, gc, gb)) =>
+      b = math.max(0L, b + y - cap)
+      assert(gd == d && gy == y && gc == cap && gb == b, s"day $d")
+    }
+    // planted: mean-10 capacity, one burst queues then drains
+    val p = EventOps.backlogOf(
+      Seq((0L, 0L), (1L, 30L), (2L, 0L), (3L, 0L), (4L, 10L), (5L, 20L))
+        .toDF("d", "y")).collect().map(_.getLong(3)).toSeq
+    assert(p == Seq(0L, 20L, 10L, 0L, 0L, 10L))
+  }
+
+  test("q276 log-hist pctl: bucket replay; crossings monotone; bounds bracket") {
+    import spark.implicits._
+    val got = EventOps.q276LogHistPctl(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"event_type", org.apache.spark.sql.functions.expr(
+        "CAST(round(value * 1000000D) AS BIGINT)").as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def bucket(v: Long) = (64 - java.lang.Long.numberOfLeadingZeros(1L + v)).toLong
+    val types = ev.map(_._1).distinct.sorted
+    assert(got.size == types.length * 3)
+    types.foreach { ty =>
+      val bs = ev.filter(_._1 == ty).map(e => bucket(e._2)).sorted
+      val n = bs.length.toLong
+      Seq(50L, 95L, 99L).foreach { p =>
+        // independent crossing: smallest bucket whose cum count crosses
+        val byB = bs.groupBy(identity).toSeq.sortBy(_._1)
+        var cum = 0L
+        var want = -1L
+        byB.foreach { case (b, g) =>
+          if (want == -1L) {
+            cum += g.length
+            if (cum * 100L >= p * n) want = b
+          }
+        }
+        val (gn, gb, lo, hi) = got((ty, p))
+        assert(gn == n && gb == want, s"$ty p$p")
+        assert(lo == (1L << (want - 1)) - 1 && hi == (1L << want) - 2)
+        // the true exact percentile value falls inside the bucket bounds
+        val idx = ((p * n + 99L) / 100L - 1L).toInt
+        val exact = ev.filter(_._1 == ty).map(_._2).sorted.apply(idx)
+        assert(exact >= lo && exact <= hi, s"$ty p$p bracket")
+      }
+      // percentile buckets are monotone in p
+      assert(got((ty, 50L))._2 <= got((ty, 95L))._2 &&
+        got((ty, 95L))._2 <= got((ty, 99L))._2)
+    }
+  }
+
   test("q266 digest: exact replay; order-blind; any lost row moves both folds") {
     import spark.implicits._
     val dayUs = 86400L * 1000000L

@@ -1297,4 +1297,53 @@ class TextOpsSpec extends SparkSuite {
     assert(p.toSeq == Seq((1L, 100000L), (2L, 250000L), (3L, 250000L),
       (4L, 400000L)))
   }
+
+  test("q277 ipf: fold replay; lang margins converge, source margins held") {
+    import spark.implicits._
+    def replay(cells: Seq[(String, String, Long)]): Map[(String, String), Long] = {
+      val tot = cells.map(_._3).sum
+      val langs = cells.map(_._1).distinct
+      val tl = tot / langs.length
+      val tc = cells.groupBy(_._2).map { case (c, g) => c -> g.map(_._3).sum }
+      var w = cells.map { case (l, c, n) => ((l, c), 1000L * n) }.toMap
+      (1 to 3).foreach { _ =>
+        val rs = w.groupBy(_._1._1).map { case (l, g) => l -> g.values.sum }
+        w = w.map { case ((l, c), v) => ((l, c), v * 1000L * tl / rs(l)) }
+        val cs = w.groupBy(_._1._2).map { case (c, g) => c -> g.values.sum }
+        w = w.map { case ((l, c), v) => ((l, c), v * 1000L * tc(c) / cs(c)) }
+      }
+      w
+    }
+    val fixture = graft.Tables.documents(spark, sf0001)
+      .select($"lang", $"source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).toSeq
+      .map { case ((l, c), g) => (l, c, g.length.toLong) }
+    val want = replay(fixture)
+    val got = TextOps.q277IpfWeights(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(got.length == fixture.length)
+    got.foreach { case ((l, c), (n, w, rate)) =>
+      assert(w == want((l, c)), s"cell ($l,$c)")
+      assert(rate == w / n)
+    }
+    // planted 2x2: after 3 rounds lang margins sit within rounding of
+    // uniform and the final column scale holds source margins exactly
+    // (up to per-cell flooring)
+    val planted = Seq(("a", "s1", 90L), ("a", "s2", 10L),
+      ("b", "s1", 10L), ("b", "s2", 30L))
+    val pw = TextOps.ipfOf(planted.toDF("lang", "source", "n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3)))
+      .toMap
+    assert(pw == replay(planted).map { case (k, v) => k -> v })
+    val rowA = pw(("a", "s1")) + pw(("a", "s2"))
+    val rowB = pw(("b", "s1")) + pw(("b", "s2"))
+    assert(math.abs(rowA - 70000L) < 2500L && math.abs(rowB - 70000L) < 2500L,
+      s"lang margins converge toward uniform: $rowA / $rowB")
+    val colS1 = pw(("a", "s1")) + pw(("b", "s1"))
+    val colS2 = pw(("a", "s2")) + pw(("b", "s2"))
+    assert(math.abs(colS1 - 100000L) <= 2L && math.abs(colS2 - 40000L) <= 2L,
+      "source margins exact after the closing column scale")
+  }
 }
