@@ -125,10 +125,28 @@ object DedupOps {
         struct(element_at(members, i.cast("int")).as("a"),
           element_at(members, j.cast("int")).as("b")))))
 
+  /** (doc_id, sig, band, bucket): each doc exploded to its
+    * [[lshBands]] band keys. bucket key = the band's minima joined
+    * as a string — directly groupable and reproducible in the oracle
+    * SQL (an engine-specific hash of it would re-break oracle-ability
+    * for no shuffle saving worth having: keys are ~40 bytes). Shared
+    * by q65's pair generation and q280's budget advisor so the band
+    * geometry can never drift between them. */
+  private[ops] def minhashBanded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = minhashK / lshBands
+    minhashSignatures(s, dir).select($"doc_id", $"sig",
+      explode(transform(sequence(lit(0), lit(lshBands - 1)), j =>
+        struct(j.as("band"),
+          array_join(transform(
+            sequence(j * rows + 1, (j + 1) * rows),
+            i => element_at($"sig", i.cast("int")).cast("string")), ",").as("bucket"))))
+        .as("bk"))
+      .select($"doc_id", $"sig", $"bk.band", $"bk.bucket")
+  }
+
   def q65MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = minhashSignatures(s, dir)
-    val rows = minhashK / lshBands
     // One shuffle, no self-join: explode band keys, group docs per
     // (band, bucket), emit i<j pairs inside each bucket. Signatures
     // are computed exactly once per document — a self-join
@@ -139,19 +157,7 @@ object DedupOps {
     // them rare, and the maxGroupSize cap drops pathological buckets
     // (identical boilerplate text hashing 1e6 docs into one bucket)
     // before they can explode into k²/2 pairs.
-    // bucket key = the band's minima joined as a string — directly
-    // groupable and reproducible in the oracle SQL (an engine-specific
-    // hash of it would re-break oracle-ability for no shuffle saving
-    // worth having: keys are ~40 bytes)
-    val banded = sigs.select($"doc_id", $"sig",
-      explode(transform(sequence(lit(0), lit(lshBands - 1)), j =>
-        struct(j.as("band"),
-          array_join(transform(
-            sequence(j * rows + 1, (j + 1) * rows),
-            i => element_at($"sig", i.cast("int")).cast("string")), ",").as("bucket"))))
-        .as("bk"))
-      .select($"doc_id", $"sig", $"bk.band", $"bk.bucket")
-    banded
+    minhashBanded(s, dir)
       .groupBy($"band", $"bucket")
       .agg(array_sort(collect_list(struct($"doc_id", $"sig"))).as("members"))
       .where(size($"members") >= 2 && size($"members") <= maxGroupSize)
@@ -168,10 +174,11 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** Generated oracle for the full LSH pipeline — same coefficients,
-    * same band geometry, same bucket cap, interpolated from the
-    * Spark-side constants so the two can never drift. */
-  private lazy val q65Oracle = {
+  /** Shared oracle CTE chain `t/shd/h/sig/bands` — the minhash
+    * signature + band-key construction, interpolated from the
+    * Spark-side coefficients and geometry. Consumed by the q65 and
+    * q280 oracles so the band SQL can never drift between them. */
+  private lazy val minhashBandsCte = {
     val rows = minhashK / lshBands
     val minExprs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"min((h0 * $a + $b) % $minhashMod) AS m$i"
@@ -181,9 +188,7 @@ object DedupOps {
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $j AS band, $key AS bucket FROM sig"
     }.mkString("\n       |  UNION ALL\n       |  ")
-    val matches = (0 until minhashK)
-      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
        |shd AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -197,7 +202,16 @@ object DedupOps {
        |    $minExprs
        |  FROM h GROUP BY doc_id),
        |bands AS (
-       |  $bandRows),
+       |  $bandRows)""".stripMargin
+  }
+
+  /** Generated oracle for the full LSH pipeline — same coefficients,
+    * same band geometry, same bucket cap, interpolated from the
+    * Spark-side constants so the two can never drift. */
+  private lazy val q65Oracle = {
+    val matches = (0 until minhashK)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashBandsCte,
        |ok AS (
        |  SELECT band, bucket FROM bands GROUP BY 1, 2
        |  HAVING count(*) BETWEEN 2 AND $maxGroupSize),
@@ -1877,10 +1891,66 @@ object DedupOps {
        |  UNION ALL SELECT 'jaccard', 'containment', jc, joc, coj FROM one)
        |ORDER BY method_a, method_b""".stripMargin
 
+  // ---------------------------------------------------------------- q280
+  /** Candidate-pair budget advisor — the pre-flight cost read BEFORE
+    * launching a dedup pass: for each candidate generator (shingle
+    * blocks, minhash band buckets) the bucket-size histogram folded
+    * to Σ m(m−1)/2 — exactly the pair fan-out the generator would
+    * emit — split into within-cap work vs what the [[maxGroupSize]]
+    * guard would DROP (and how many hot buckets trip it). q265 tunes
+    * the LSH band geometry for recall; this prices the run and
+    * proves the cap's protection quantitatively: on adversarial
+    * boilerplate the dropped column is where the k² explosion went.
+    *
+    * Scale shape: each generator's bucket histogram is one partial
+    * agg over its existing key frame ([[minhashBanded]] /
+    * the q66 shingle explode — shared code, no drift); the fold to
+    * the 2-row report is bucket-grain. No pairs are materialized —
+    * that is the point. */
+  def q280PairBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shingleSizes = Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(shingles3($"text")).as("sh"))
+      .groupBy($"sh").agg(count(lit(1)).as("m"))
+      .select(lit("shingle").as("method"), $"m")
+    val bandSizes = minhashBanded(s, dir)
+      .groupBy($"band", $"bucket").agg(count(lit(1)).as("m"))
+      .select(lit("minhash_band").as("method"), $"m")
+    shingleSizes.unionByName(bandSizes)
+      .where($"m" >= 2)
+      .groupBy($"method")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when($"m" > maxGroupSize, 1L).otherwise(0L)).as("n_hot_buckets"),
+        sum(expr(s"CASE WHEN m <= $maxGroupSize THEN (m * (m - 1)) div 2" +
+          " ELSE 0 END")).as("pairs_within_cap"),
+        sum(expr(s"CASE WHEN m > $maxGroupSize THEN (m * (m - 1)) div 2" +
+          " ELSE 0 END")).as("pairs_dropped"))
+      .orderBy($"method")
+  }
+
+  private lazy val q280Oracle =
+    s"""WITH $minhashBandsCte,
+       |ssz AS (SELECT sh, CAST(count(*) AS BIGINT) AS m FROM shd GROUP BY 1),
+       |bsz AS (
+       |  SELECT band, bucket, CAST(count(*) AS BIGINT) AS m
+       |  FROM bands GROUP BY 1, 2),
+       |allm AS (
+       |  SELECT 'shingle' AS method, m FROM ssz
+       |  UNION ALL SELECT 'minhash_band', m FROM bsz)
+       |SELECT method, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(CASE WHEN m > $maxGroupSize THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hot_buckets,
+       |  CAST(sum(CASE WHEN m <= $maxGroupSize THEN (m * (m - 1)) // 2
+       |    ELSE 0 END) AS BIGINT) AS pairs_within_cap,
+       |  CAST(sum(CASE WHEN m > $maxGroupSize THEN (m * (m - 1)) // 2
+       |    ELSE 0 END) AS BIGINT) AS pairs_dropped
+       |FROM allm WHERE m >= 2 GROUP BY 1 ORDER BY method""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q256_dedup_roi"        -> (q256DedupRoi _),
     "q265_lsh_advisor"      -> (q265LshAdvisor _),
     "q268_method_agreement" -> (q268MethodAgreement _),
+    "q280_pair_budget"      -> (q280PairBudget _),
     "q64_exact_dedup"       -> (q64ExactDedup _),
     "q65_minhash_lsh"       -> (q65MinhashLsh _),
     "q66_ngram_jaccard"     -> (q66NgramJaccard _),
@@ -1912,6 +1982,7 @@ object DedupOps {
     "q256_dedup_roi"        -> q256Oracle,
     "q265_lsh_advisor"      -> q265Oracle,
     "q268_method_agreement" -> q268Oracle,
+    "q280_pair_budget"      -> q280Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,

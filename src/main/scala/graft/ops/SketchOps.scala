@@ -666,7 +666,109 @@ object SketchOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q278
+  /** KMV (bottom-k) sketch resemblance between source document
+    * sets — the set-OVERLAP sketch the HLL family can't give:
+    * q174 estimates |A∩B| by inclusion–exclusion over three HLL
+    * estimates (errors compound, small intersections drown); a KMV
+    * sketch supports DIRECT Jaccard estimation — keep the k
+    * smallest deterministic 60-bit content hashes per source, and
+    * for a pair the k smallest of the sketch UNION form a uniform
+    * sample of A∪B, so the fraction present in both sketches
+    * estimates J (Beyer et al. 2007; MinHash's bottom-k sibling).
+    * Mergeable by construction: union the sketch rows, keep the k
+    * smallest — a count-free, order-free combine.
+    *
+    * Scale shape: one corpus pass to (source, h) + a per-source
+    * bottom-k (value-grain window over source partitions); all
+    * pair work runs on source_pairs × k sketch rows (dozens × 64),
+    * broadcast joins only. */
+  def q278KmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmvJaccardOf(Tables.documents(s, dir)
+      .select($"source",
+        expr("CAST(conv(substring(md5(regexp_replace(lower(text)," +
+          " ' +', ' ')), 1, 15), 16, 10) AS BIGINT)").as("h")))
+  }
+
+  /** Sketch size: 64 hashes ⇒ ~1/√64 ≈ 12% relative error. */
+  val kmvK = 64L
+
+  /** The sketch + pairwise estimate on any (source, h) frame —
+    * separated so the spec can plant sets with a known true
+    * Jaccard. */
+  private[ops] def kmvJaccardOf(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wSrc = Window.partitionBy($"source").orderBy($"h")
+    val sk = rows.distinct()
+      .withColumn("rn", row_number().over(wSrc).cast("long"))
+      .where($"rn" <= kmvK).select($"source", $"h")
+    val srcs = sk.select($"source").distinct()
+    val pairs = srcs.select($"source".as("sa"))
+      .crossJoin(broadcast(srcs.select($"source".as("sb"))))
+      .where($"sa" < $"sb")
+    val aRows = pairs
+      .join(broadcast(sk.withColumnRenamed("source", "sa")), "sa")
+      .select($"sa", $"sb", $"h", lit(1L).as("ina"), lit(0L).as("inb"))
+    val bRows = pairs
+      .join(broadcast(sk.withColumnRenamed("source", "sb")), "sb")
+      .select($"sa", $"sb", $"h", lit(0L).as("ina"), lit(1L).as("inb"))
+    val union = aRows.unionByName(bRows)
+      .groupBy($"sa", $"sb", $"h")
+      .agg(max($"ina").as("ina"), max($"inb").as("inb"))
+    val wPair = Window.partitionBy($"sa", $"sb").orderBy($"h")
+    union.withColumn("rn", row_number().over(wPair).cast("long"))
+      .where($"rn" <= kmvK)
+      .groupBy($"sa", $"sb")
+      .agg(count(lit(1)).as("k_used"), sum($"ina" * $"inb").as("matches"))
+      .select($"sa".as("source_a"), $"sb".as("source_b"), $"k_used",
+        $"matches",
+        expr("(1000000 * matches) div k_used").as("est_jaccard_ppm"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private lazy val q278Oracle =
+    s"""WITH fp AS (
+       |  SELECT DISTINCT source,
+       |    ('0x' || substr(md5(regexp_replace(lower(text), ' +', ' ', 'g')),
+       |      1, 15))::BIGINT AS h
+       |  FROM documents),
+       |sk AS (
+       |  SELECT source, h FROM (
+       |    SELECT source, h,
+       |      CAST(row_number() OVER (PARTITION BY source ORDER BY h)
+       |        AS BIGINT) AS rn
+       |    FROM fp) WHERE rn <= $kmvK),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (
+       |  SELECT a.source AS sa, b.source AS sb
+       |  FROM srcs a, srcs b WHERE a.source < b.source),
+       |u AS (
+       |  SELECT sa, sb, h, CAST(max(ina) AS BIGINT) AS ina,
+       |    CAST(max(inb) AS BIGINT) AS inb
+       |  FROM (
+       |    SELECT p.sa, p.sb, s.h, 1 AS ina, 0 AS inb
+       |    FROM pairs p JOIN sk s ON s.source = p.sa
+       |    UNION ALL
+       |    SELECT p.sa, p.sb, s.h, 0, 1
+       |    FROM pairs p JOIN sk s ON s.source = p.sb)
+       |  GROUP BY 1, 2, 3),
+       |rk AS (
+       |  SELECT sa, sb, ina, inb,
+       |    CAST(row_number() OVER (PARTITION BY sa, sb ORDER BY h)
+       |      AS BIGINT) AS rn
+       |  FROM u)
+       |SELECT sa AS source_a, sb AS source_b,
+       |  CAST(count(*) AS BIGINT) AS k_used,
+       |  CAST(sum(ina * inb) AS BIGINT) AS matches,
+       |  CAST((1000000 * sum(ina * inb)) // count(*) AS BIGINT)
+       |    AS est_jaccard_ppm
+       |FROM rk WHERE rn <= $kmvK GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_kmv_jaccard" -> (q278KmvJaccard _),
     "q170_hll_distinct" -> (q170HllDistinct _),
     "q173_hll_cumulative" -> (q173HllCumulative _),
     "q174_hll_overlap"  -> (q174HllOverlap _),
@@ -676,6 +778,7 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q278_kmv_jaccard" -> q278Oracle,
     "q170_hll_distinct" -> q170Oracle,
     "q173_hll_cumulative" -> q173Oracle,
     "q174_hll_overlap"  -> q174Oracle,

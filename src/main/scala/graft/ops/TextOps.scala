@@ -3461,10 +3461,68 @@ object TextOps {
       |SELECT lang, source, n, w AS w_milli, w // n AS rate_milli
       |FROM c3 ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q279
+  /** Vocabulary coverage curve — how many word types cover 50 / 90 /
+    * 99% of token MASS: the corpus-concentration number that sizes a
+    * vocab (q198 asks "how much is OOV given a vocab"; q259 prices
+    * the unseen tail; this says how big the vocab must BE). Types
+    * ranked by frequency under the total order (freq DESC, token) —
+    * ties broken textually so both engines agree — and the crossing
+    * is the exact rational 100·cum ≥ p·N (q276's device on mass
+    * instead of counts).
+    *
+    * Scale shape: one token pass to the vocabulary (map-side
+    * partial), then vocab-grain windows — the same global
+    * vocab-sort budget q105's encoder already pays; the 3-row pct
+    * spine broadcasts. */
+  def q279VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, dir)
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+      .where($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("f"))
+    val w = Window.orderBy($"f".desc, $"tok")
+    val cum = freq
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum", sum($"f").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("nt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("n", sum($"f").over(Window.partitionBy()))
+    val pcts = Seq(50L, 90L, 99L).toDF("pct")
+    cum.crossJoin(broadcast(pcts))
+      .where($"cum" * 100L >= $"pct" * $"n")
+      .groupBy($"pct")
+      .agg(min($"rn").as("types_needed"), max($"nt").as("total_types"),
+        max($"n").as("total_tokens"))
+      .orderBy($"pct")
+  }
+
+  private val q279Oracle =
+    """WITH freq AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS f FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS tok
+      |    FROM documents) WHERE tok <> '' GROUP BY 1),
+      |cum AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT)
+      |      AS rn,
+      |    CAST(sum(f) OVER (ORDER BY f DESC, tok ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum,
+      |    CAST(count(*) OVER () AS BIGINT) AS nt,
+      |    CAST(sum(f) OVER () AS BIGINT) AS n
+      |  FROM freq),
+      |pcts AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct)
+      |SELECT pct, CAST(min(rn) AS BIGINT) AS types_needed,
+      |  CAST(max(nt) AS BIGINT) AS total_types,
+      |  CAST(max(n) AS BIGINT) AS total_tokens
+      |FROM cum, pcts WHERE cum * 100 >= pct * n
+      |GROUP BY 1 ORDER BY pct""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q272_eb_shrinkage" -> (q272EbShrinkage _),
     "q273_isotonic_calibration" -> (q273IsotonicCalibration _),
     "q277_ipf_weights" -> (q277IpfWeights _),
+    "q279_vocab_coverage" -> (q279VocabCoverage _),
     "q259_good_turing" -> (q259GoodTuring _),
     "q252_log_odds" -> (q252LogOddsTokens _),
     "q254_filter_cascade" -> (q254FilterCascade _),
@@ -3527,6 +3585,7 @@ object TextOps {
     "q272_eb_shrinkage" -> q272Oracle,
     "q273_isotonic_calibration" -> q273Oracle,
     "q277_ipf_weights" -> q277Oracle,
+    "q279_vocab_coverage" -> q279Oracle,
     "q252_log_odds" -> q252Oracle,
     "q254_filter_cascade" -> q254Oracle,
     "q259_good_turing" -> q259Oracle,

@@ -600,4 +600,38 @@ class DedupOpsSpec extends SparkSuite {
     assert(got(("jaccard", "containment"))._2 == 0L,
       "jaccard-only pairs would mean containment under-detects")
   }
+
+  test("q280 budget: histogram replay from the shared band/shingle frames") {
+    import spark.implicits._
+    val got = DedupOps.q280PairBudget(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val cap = DedupOps.maxGroupSize
+    def fold(ms: Seq[Long]) = {
+      val live = ms.filter(_ >= 2)
+      (live.length.toLong, live.count(_ > cap).toLong,
+        live.filter(_ <= cap).map(m => m * (m - 1) / 2).sum,
+        live.filter(_ > cap).map(m => m * (m - 1) / 2).sum)
+    }
+    val bandMs = DedupOps.minhashBanded(spark, sf0001)
+      .groupBy($"band", $"bucket")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("m"))
+      .collect().map(_.getLong(2)).toSeq
+    assert(got("minhash_band") == fold(bandMs))
+    // shingle histogram independently from the corpus text
+    val shMs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).toLowerCase.split(" ", -1)
+        toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+          .distinct.map(sh => (sh, r.getLong(0)))
+      }
+      .groupBy(_._1).map { case (_, g) => g.length.toLong }.toSeq
+    assert(got("shingle") == fold(shMs))
+    // the q66 pair count is bounded by the advisor's within-cap budget
+    val q66n = DedupOps.q66NgramJaccard(spark, sf0001).count()
+    assert(q66n <= got("shingle")._3,
+      "emitted pairs can never exceed the priced fan-out")
+  }
 }

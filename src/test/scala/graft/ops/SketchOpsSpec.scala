@@ -114,4 +114,39 @@ class SketchOpsSpec extends SparkSuite {
         assert(math.abs(est - exact).toDouble / exact < 0.15, s"($t, $day) $est/$exact")
     }
   }
+
+  test("q278 kmv: sketch replay on the fixture; planted overlap estimates true J") {
+    import spark.implicits._
+    val k = SketchOps.kmvK
+    val got = SketchOps.q278KmvJaccard(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent replay: exact bottom-k over collected content hashes
+    val fps = graft.Tables.documents(spark, sf0001)
+      .select($"source", org.apache.spark.sql.functions.expr(
+        "CAST(conv(substring(md5(regexp_replace(lower(text), ' +', ' '))," +
+          " 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .distinct.groupBy(_._1)
+      .map { case (src, g) => src -> g.map(_._2).sorted.take(k.toInt).toSet }
+    val srcs = fps.keys.toSeq.sorted
+    for (i <- srcs.indices; j <- i + 1 until srcs.length) {
+      val (a, b) = (fps(srcs(i)), fps(srcs(j)))
+      val union = (a ++ b).toSeq.sorted.take(k.toInt)
+      val matches = union.count(h => a.contains(h) && b.contains(h)).toLong
+      val kUsed = union.length.toLong
+      assert(got((srcs(i), srcs(j))) ==
+        ((kUsed, matches, 1000000L * matches / kUsed)), s"${srcs(i)}/${srcs(j)}")
+    }
+    // planted: two 300-element sets sharing 100 → true J = 0.2; the
+    // k=64 estimate must land within the sketch's ~4/√k band
+    val ids = (1L to 300L).map(i => ("pa", i)) ++
+      (201L to 500L).map(i => ("pb", i))
+    val planted = ids.toDF("source", "i")
+      .select($"source", org.apache.spark.sql.functions.expr(
+        "CAST(conv(substring(md5(CAST(i AS STRING)), 1, 15), 16, 10)" +
+          " AS BIGINT)").as("h"))
+    val est = SketchOps.kmvJaccardOf(planted).collect()(0).getLong(4)
+    assert(math.abs(est - 200000L) < 100000L, s"est $est vs true 200000")
+  }
 }

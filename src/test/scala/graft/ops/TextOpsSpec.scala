@@ -1346,4 +1346,25 @@ class TextOpsSpec extends SparkSuite {
     assert(math.abs(colS1 - 100000L) <= 2L && math.abs(colS2 - 40000L) <= 2L,
       "source margins exact after the closing column scale")
   }
+
+  test("q279 vocab coverage: crossing replay; curve monotone in both axes") {
+    import spark.implicits._
+    val got = TextOps.q279VocabCoverage(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val toks = graft.Tables.documents(spark, sf0001)
+      .select($"text").collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+    val freq = toks.groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+      .toSeq.sortBy { case (t, f) => (-f, t) }
+    val n = toks.length.toLong
+    val nt = freq.length.toLong
+    Seq(50L, 90L, 99L).zip(got).foreach { case (p, (gp, types, tTot, nTot)) =>
+      var cum = 0L
+      val need = freq.indexWhere { case (_, f) => cum += f; cum * 100L >= p * n } + 1L
+      assert(gp == p && types == need && tTot == nt && nTot == n, s"p$p")
+    }
+    // more mass needs more types, never more than the vocabulary
+    assert(got(0)._2 <= got(1)._2 && got(1)._2 <= got(2)._2 &&
+      got(2)._2 <= got(2)._3)
+  }
 }
