@@ -459,6 +459,44 @@ class PlanSpec extends SparkSuite {
       "bin-grain segment join must broadcast, not cartesian")
   }
 
+  test("q275/q276: monitor scans prune; sketch cells reduce map-side") {
+    val p275 = plan(EventOps.q275QueueBacklog(spark, sf0001))
+    val rs275 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p275)
+      .map(_.group(1)).getOrElse("")
+    assert(rs275 == "ts:bigint", s"backlog needs only ts: $rs275")
+    val p276 = plan(EventOps.q276LogHistPctl(spark, sf0001))
+    val rs276 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p276)
+      .map(_.group(1)).getOrElse("")
+    assert(!rs276.contains("ts") && !rs276.contains("user_id"),
+      s"log-hist needs only (event_type, value): $rs276")
+    assert("HashAggregate".r.findAllIn(p276).length >= 2,
+      "cell reduce is map-side partial")
+    assert(!p276.contains("SortMergeJoin"))
+  }
+
+  test("q277/q278/q279: cell/sketch/vocab grains — pruned scans, no sort-merge") {
+    val p277 = plan(TextOps.q277IpfWeights(spark, sf0001))
+    val rs277 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p277)
+      .map(_.group(1)).getOrElse("")
+    assert(!rs277.contains("text"), s"raking is metadata-only: $rs277")
+    assert(!p277.contains("SortMergeJoin"), "cell-grid joins broadcast")
+    val p278 = plan(SketchOps.q278KmvJaccard(spark, sf0001))
+    assert(!p278.contains("SortMergeJoin"), "sketch pair work broadcasts")
+    assert(!p278.contains("CartesianProduct"))
+    val p279 = plan(TextOps.q279VocabCoverage(spark, sf0001))
+    val rs279 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p279)
+      .map(_.group(1)).getOrElse("")
+    assert(rs279 == "text:string", s"coverage reads text alone: $rs279")
+  }
+
+  test("q280 budget: no pair fan-out anywhere — histograms only") {
+    val p = plan(DedupOps.q280PairBudget(spark, sf0001))
+    assert(!p.contains("pairUp") && !p.toLowerCase.contains("cartesian"),
+      "the advisor must price pairs without materializing them")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "both histograms reduce map-side")
+  }
+
   test("q267/q268: survival cells spine-join broadcast; agreement has no cartesian") {
     val p267 = plan(EventOps.q267LogRank(spark, sf0001))
     val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p267)
