@@ -1946,11 +1946,58 @@ object DedupOps {
        |    ELSE 0 END) AS BIGINT) AS pairs_dropped
        |FROM allm WHERE m >= 2 GROUP BY 1 ORDER BY method""".stripMargin
 
+  // ---------------------------------------------------------------- q281
+  /** Chapman capture–recapture estimate of the TOTAL near-dup pair
+    * population — q268 cross-tabs what the detectors found; this
+    * estimates what NEITHER found: treat q65's minhash-LSH catch and
+    * q69's simhash catch as two captures of the same duplicate-pair
+    * population and apply Chapman's bias-corrected Lincoln–Petersen
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (exact BIGINT here), pricing the
+    * residual risk (est_missed) a "run two detectors" pipeline still
+    * carries. Honest caveat carried in the Scaladoc: the estimator
+    * assumes independent captures; two hash families sampling the
+    * SAME similarity are positively correlated, which biases N̂ LOW —
+    * so est_missed is a floor, exactly the conservative direction a
+    * risk readout wants.
+    *
+    * Scale shape: both inputs are the existing capped generators;
+    * the overlap is one pair-grain join; the report is one row. */
+  def q281DedupRecapture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s1 = q65MinhashLsh(s, dir).select($"doc_a", $"doc_b")
+    val s2 = q69SimhashNearDup(s, dir).select($"doc_a", $"doc_b")
+    s1.agg(count(lit(1)).as("n1"))
+      .crossJoin(s2.agg(count(lit(1)).as("n2")))
+      .crossJoin(s1.join(s2, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("m")))
+      .select($"n1".as("n_minhash"), $"n2".as("n_simhash"),
+        $"m".as("n_both"), ($"n1" + $"n2" - $"m").as("n_union"),
+        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("est_total"))
+      .withColumn("est_missed",
+        greatest(lit(0L), $"est_total" - $"n_union"))
+  }
+
+  private lazy val q281Oracle =
+    s"""WITH s1 AS (SELECT doc_a, doc_b FROM ($q65Oracle)),
+       |s2 AS (SELECT doc_a, doc_b FROM ($q69Oracle)),
+       |c1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM s1),
+       |c2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM s2),
+       |cm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS m
+       |  FROM s1 JOIN s2 USING (doc_a, doc_b))
+       |SELECT n1 AS n_minhash, n2 AS n_simhash, m AS n_both,
+       |  n1 + n2 - m AS n_union,
+       |  ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS est_total,
+       |  greatest(0, ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - (n1 + n2 - m))
+       |    AS est_missed
+       |FROM c1, c2, cm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q256_dedup_roi"        -> (q256DedupRoi _),
     "q265_lsh_advisor"      -> (q265LshAdvisor _),
     "q268_method_agreement" -> (q268MethodAgreement _),
     "q280_pair_budget"      -> (q280PairBudget _),
+    "q281_dedup_recapture"  -> (q281DedupRecapture _),
     "q64_exact_dedup"       -> (q64ExactDedup _),
     "q65_minhash_lsh"       -> (q65MinhashLsh _),
     "q66_ngram_jaccard"     -> (q66NgramJaccard _),
@@ -1983,6 +2030,7 @@ object DedupOps {
     "q265_lsh_advisor"      -> q265Oracle,
     "q268_method_agreement" -> q268Oracle,
     "q280_pair_budget"      -> q280Oracle,
+    "q281_dedup_recapture"  -> q281Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,

@@ -4072,12 +4072,183 @@ object EventOps {
       |  (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 2 AS hi_micro
       |FROM hit ORDER BY event_type, pct""".stripMargin
 
+  // ---------------------------------------------------------------- q282
+  /** Mantel–Haenszel pooled odds ratio across signup-weekpart
+    * strata — the Simpson's-paradox guard for the q207-style A/B
+    * readout: if arm assignment correlates with WHEN users signed up
+    * (weekpart populations convert differently), the crude odds
+    * ratio mixes cohort effects into the treatment effect; MH pools
+    * the per-stratum 2×2 tables as Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ),
+    * weighting each stratum by its information. Outcome = purchased
+    * within 24 h of first signup (q267's su/fp conventions; "ever
+    * purchased" is degenerate on this corpus — every signup user
+    * eventually buys). Exact milli fixed-point (per-stratum floored
+    * BIGINT ratios, identically on both engines); both the crude and
+    * pooled ratios are emitted so the gap IS the confounding
+    * diagnostic. −1 sentinels where a ratio is undefined (zero
+    * denominator), never NULL or ∞.
+    *
+    * Scale shape: one pass to user grain (arm, stratum, converted),
+    * one to the 2×2×2 cell grid; everything after is cell-grain. */
+  def q282MantelHaenszel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+    val su = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("s"))
+    val fp = ev.where($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p"))
+      .join(su, "user_id").where($"p" >= $"s")
+      .groupBy($"user_id").agg(min($"p").as("p"))
+    val users = su.join(fp, Seq("user_id"), "left")
+      .select(($"user_id" % 2).as("arm"),
+        expr(s"CASE WHEN (s div $dayUs) % 7 < 4 THEN 0 ELSE 1 END")
+          .as("stratum"),
+        when($"p".isNotNull && $"p" - $"s" < dayUs, 1L).otherwise(0L)
+          .as("conv"))
+    val cells = users.groupBy($"stratum")
+      .agg(sum(when($"arm" === 1 && $"conv" === 1, 1L).otherwise(0L)).as("a"),
+        sum(when($"arm" === 1 && $"conv" === 0, 1L).otherwise(0L)).as("b"),
+        sum(when($"arm" === 0 && $"conv" === 1, 1L).otherwise(0L)).as("c"),
+        sum(when($"arm" === 0 && $"conv" === 0, 1L).otherwise(0L)).as("d"))
+      .withColumn("n", $"a" + $"b" + $"c" + $"d")
+    cells.agg(count(lit(1)).as("n_strata"),
+      sum($"a").as("ta"), sum($"b").as("tb"),
+      sum($"c").as("tc"), sum($"d").as("td"),
+      sum(expr("(1000000 * a * d) div n")).as("num"),
+      sum(expr("(1000 * b * c) div n")).as("den"))
+      .select($"n_strata",
+        expr("""CASE WHEN tb * tc = 0 THEN -1
+          |  ELSE (1000 * ta * td) div (tb * tc) END""".stripMargin)
+          .as("or_crude_milli"),
+        expr("CASE WHEN den = 0 THEN -1 ELSE num div den END")
+          .as("or_mh_milli"))
+  }
+
+  private val q282Oracle =
+    s"""WITH su AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS s FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |fp AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS p
+       |  FROM events e JOIN su ON e.user_id = su.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s
+       |  GROUP BY 1),
+       |users AS (
+       |  SELECT su.user_id % 2 AS arm,
+       |    CASE WHEN (su.s // ${86400L * 1000000L}) % 7 < 4
+       |      THEN 0 ELSE 1 END AS stratum,
+       |    CASE WHEN fp.p IS NOT NULL
+       |        AND fp.p - su.s < ${86400L * 1000000L}
+       |      THEN 1 ELSE 0 END AS conv
+       |  FROM su LEFT JOIN fp USING (user_id)),
+       |cells AS (
+       |  SELECT stratum,
+       |    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d
+       |  FROM users GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       |    CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+       |    CAST(sum(c) AS BIGINT) AS tc, CAST(sum(d) AS BIGINT) AS td,
+       |    CAST(sum((1000000 * a * d) // (a + b + c + d)) AS BIGINT) AS num,
+       |    CAST(sum((1000 * b * c) // (a + b + c + d)) AS BIGINT) AS den
+       |  FROM cells)
+       |SELECT n_strata,
+       |  CASE WHEN tb * tc = 0 THEN -1
+       |    ELSE (1000 * ta * td) // (tb * tc) END AS or_crude_milli,
+       |  CASE WHEN den = 0 THEN -1 ELSE num // den END AS or_mh_milli
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q283
+  /** McNemar's paired flip test across the corpus midpoint — the
+    * before/after readout on the SAME users that two independent
+    * proportions (q207) would get wrong (paired data: each user is
+    * their own control): split every signup user's purchases at the
+    * corpus half-time, count discordant users (converted before
+    * only, b; after only, c), and χ²₍₁₎ = (b−c)²/(b+c) in exact
+    * milli — concordant users carry no information about the change
+    * and drop out by construction. −1 sentinel when no user flipped
+    * either way.
+    *
+    * Scale shape: the midpoint is a two-scalar agg broadcast back;
+    * one pass reduces events to per-user (pre, post) flags; the
+    * test is one row. */
+  def q283McNemar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val mid = ev.agg(expr(
+      "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid"))
+    val su = ev.where($"event_type" === "signup")
+      .select($"user_id").distinct()
+    val flags = ev.where($"event_type" === "purchase")
+      .crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg(max(when(unix_micros($"ts") < $"mid", 1L).otherwise(0L))
+        .as("pre"),
+        max(when(unix_micros($"ts") >= $"mid", 1L).otherwise(0L))
+          .as("post"))
+    su.join(flags, Seq("user_id"), "left")
+      .select(coalesce($"pre", lit(0L)).as("pre"),
+        coalesce($"post", lit(0L)).as("post"))
+      .agg(count(lit(1)).as("n_users"),
+        sum($"pre" * $"post").as("n_both"),
+        sum($"pre" * (lit(1L) - $"post")).as("n_pre_only"),
+        sum((lit(1L) - $"pre") * $"post").as("n_post_only"),
+        sum((lit(1L) - $"pre") * (lit(1L) - $"post")).as("n_neither"))
+      .select($"n_users", $"n_both", $"n_pre_only", $"n_post_only",
+        $"n_neither",
+        expr("""CASE WHEN n_pre_only + n_post_only = 0 THEN -1
+          |  ELSE (1000 * (n_pre_only - n_post_only)
+          |        * (n_pre_only - n_post_only))
+          |       div (n_pre_only + n_post_only) END""".stripMargin)
+          .as("chi2_milli"))
+  }
+
+  private val q283Oracle =
+    """WITH mid AS (
+      |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+      |  FROM events),
+      |su AS (SELECT DISTINCT user_id FROM events
+      |  WHERE event_type = 'signup'),
+      |flags AS (
+      |  SELECT user_id,
+      |    CAST(max(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pre,
+      |    CAST(max(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS post
+      |  FROM events, mid WHERE event_type = 'purchase' GROUP BY 1),
+      |users AS (
+      |  SELECT COALESCE(f.pre, 0) AS pre, COALESCE(f.post, 0) AS post
+      |  FROM su LEFT JOIN flags f USING (user_id)),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(pre * post) AS BIGINT) AS n_both,
+      |    CAST(sum(pre * (1 - post)) AS BIGINT) AS n_pre_only,
+      |    CAST(sum((1 - pre) * post) AS BIGINT) AS n_post_only,
+      |    CAST(sum((1 - pre) * (1 - post)) AS BIGINT) AS n_neither
+      |  FROM users)
+      |SELECT n_users, n_both, n_pre_only, n_post_only, n_neither,
+      |  CASE WHEN n_pre_only + n_post_only = 0 THEN -1
+      |    ELSE (1000 * (n_pre_only - n_post_only)
+      |          * (n_pre_only - n_post_only))
+      |         // (n_pre_only + n_post_only) END AS chi2_milli
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_mann_whitney"     -> (q270MannWhitney _),
     "q271_acf_ljung_box"    -> (q271AcfLjungBox _),
     "q274_spearman"         -> (q274Spearman _),
     "q275_queue_backlog"    -> (q275QueueBacklog _),
     "q276_log_hist_pctl"    -> (q276LogHistPctl _),
+    "q282_mantel_haenszel"  -> (q282MantelHaenszel _),
+    "q283_mcnemar"          -> (q283McNemar _),
     "q269_seasonal_anomalies" -> (q269SeasonalAnomalies _),
     "q267_log_rank"         -> (q267LogRank _),
     "q264_diff_in_diff"     -> (q264DiffInDiff _),
@@ -4151,6 +4322,8 @@ object EventOps {
     "q274_spearman"         -> q274Oracle,
     "q275_queue_backlog"    -> q275Oracle,
     "q276_log_hist_pctl"    -> q276Oracle,
+    "q282_mantel_haenszel"  -> q282Oracle,
+    "q283_mcnemar"          -> q283Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

@@ -634,4 +634,23 @@ class DedupOpsSpec extends SparkSuite {
     assert(q66n <= got("shingle")._3,
       "emitted pairs can never exceed the priced fan-out")
   }
+
+  test("q281 recapture: Chapman replay from the two detectors' catches") {
+    import spark.implicits._
+    val Array(r) = DedupOps.q281DedupRecapture(spark, sf0001).collect()
+    val s1 = DedupOps.q65MinhashLsh(spark, sf0001).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val s2 = DedupOps.q69SimhashNearDup(spark, sf0001).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val (n1, n2, m) = (s1.size.toLong, s2.size.toLong, (s1 & s2).size.toLong)
+    val est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((n1, n2, m, n1 + n2 - m)))
+    assert(r.getLong(4) == est)
+    assert(r.getLong(5) == math.max(0L, est - (n1 + n2 - m)))
+    // the fixture detectors overlap heavily — the estimate must at
+    // least cover everything actually observed
+    assert(m > 0L, "detectors must agree on something for Chapman to mean anything")
+    assert(r.getLong(4) >= m)
+  }
 }

@@ -1449,6 +1449,67 @@ class EventOpsSpec extends SparkSuite {
     assert(p == Seq(0L, 20L, 10L, 0L, 0L, 10L))
   }
 
+  test("q282 mantel-haenszel: 2x2-per-stratum replay; crude vs pooled agree on shape") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val Array(r) = EventOps.q282MantelHaenszel(spark, sf0001).collect()
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type",
+        org.apache.spark.sql.functions.unix_micros($"ts")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val signups = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val users = signups.toSeq.map { case (u, s0) =>
+      val fp = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= s0)
+        .map(_._3)
+      val conv = if (fp.nonEmpty && fp.min - s0 < dayUs) 1L else 0L
+      (u % 2, if ((s0 / dayUs) % 7 < 4) 0L else 1L, conv) }
+    val cells = users.groupBy(_._2).map { case (st, g) =>
+      (st, g.count(x => x._1 == 1 && x._3 == 1).toLong,
+        g.count(x => x._1 == 1 && x._3 == 0).toLong,
+        g.count(x => x._1 == 0 && x._3 == 1).toLong,
+        g.count(x => x._1 == 0 && x._3 == 0).toLong) }.toSeq
+    val num = cells.map { case (_, a, b, c, d) =>
+      1000000L * a * d / (a + b + c + d) }.sum
+    val den = cells.map { case (_, a, b, c, d) =>
+      1000L * b * c / (a + b + c + d) }.sum
+    val (ta, tb, tc, td) = (cells.map(_._2).sum, cells.map(_._3).sum,
+      cells.map(_._4).sum, cells.map(_._5).sum)
+    assert(r.getLong(0) == cells.length.toLong)
+    assert(r.getLong(1) ==
+      (if (tb * tc == 0) -1L else 1000L * ta * td / (tb * tc)))
+    assert(r.getLong(2) == (if (den == 0) -1L else num / den))
+    assert(r.getLong(2) > 0L, "fixture strata all carry information")
+  }
+
+  test("q283 mcnemar: paired-flag replay; discordant cells drive the statistic") {
+    import spark.implicits._
+    val Array(r) = EventOps.q283McNemar(spark, sf0001).collect()
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type",
+        org.apache.spark.sql.functions.unix_micros($"ts")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    val su = ev.filter(_._2 == "signup").map(_._1).distinct
+    val byUser = ev.filter(_._2 == "purchase").groupBy(_._1)
+    val flags = su.map { u =>
+      val ps = byUser.getOrElse(u, Array.empty).map(_._3)
+      (if (ps.exists(_ < mid)) 1L else 0L,
+        if (ps.exists(_ >= mid)) 1L else 0L)
+    }
+    val b = flags.count(f => f._1 == 1 && f._2 == 0).toLong
+    val c = flags.count(f => f._1 == 0 && f._2 == 1).toLong
+    assert(r.getLong(0) == su.length.toLong)
+    assert(r.getLong(1) == flags.count(f => f._1 == 1 && f._2 == 1).toLong)
+    assert((r.getLong(2), r.getLong(3)) == ((b, c)))
+    assert(r.getLong(4) == flags.count(f => f._1 == 0 && f._2 == 0).toLong)
+    assert(r.getLong(5) ==
+      (if (b + c == 0) -1L else 1000L * (b - c) * (b - c) / (b + c)))
+    // the four cells partition the signup population
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)
+      == r.getLong(0))
+  }
+
   test("q276 log-hist pctl: bucket replay; crossings monotone; bounds bracket") {
     import spark.implicits._
     val got = EventOps.q276LogHistPctl(spark, sf0001).collect()
