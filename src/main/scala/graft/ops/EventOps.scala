@@ -4241,6 +4241,161 @@ object EventOps {
       |         // (n_pre_only + n_post_only) END AS chi2_milli
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- q284
+  /** Cochran–Armitage trend test — "does conversion RISE with
+    * engagement level", the ordered-dose question q282's 2×2
+    * machinery flattens away: users in activity tertiles (ntile(3)
+    * over (n_events, user_id) — q199's total-order cut) with scores
+    * w = 0,1,2, outcome = 24 h conversion (q282's convention).
+    * n-scaled integer statistic T′ = n·Σwᵢaᵢ − A·Σwᵢnᵢ and variance
+    * factors A(n−A)·[nΣwᵢ²nᵢ − (Σwᵢnᵢ)²]/n, χ² in milli via the
+    * q270 denominator-first split — exact floored BIGINT ratios on
+    * both engines. −1 sentinel when the variance degenerates (all
+    * users converted, none did, or one tertile holds everyone).
+    *
+    * Scale shape: one pass to user grain; the tertile cut is one
+    * user-grain window (same budget q199 pays); the test folds the
+    * 3-row level table to one row. */
+  def q284TrendTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+    val su = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("s"))
+    val act = ev.groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    val fp = ev.where($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p"))
+      .join(su, "user_id").where($"p" >= $"s")
+      .groupBy($"user_id").agg(min($"p").as("p"))
+    val users = su.join(act, "user_id").join(fp, Seq("user_id"), "left")
+      .select($"user_id", $"n_events",
+        when($"p".isNotNull && $"p" - $"s" < dayUs, 1L).otherwise(0L)
+          .as("conv"))
+      .withColumn("w",
+        (ntile(3).over(Window.orderBy($"n_events", $"user_id")) - 1)
+          .cast("long"))
+    val lv = users.groupBy($"w")
+      .agg(count(lit(1)).as("nw"), sum($"conv").as("aw"))
+    lv.agg(sum($"nw").as("n"), sum($"aw").as("a"),
+      sum($"w" * $"aw").as("swa"), sum($"w" * $"nw").as("swn"),
+      sum($"w" * $"w" * $"nw").as("sw2n"))
+      .select($"n", $"a",
+        ($"n" * $"swa" - $"a" * $"swn").as("t_scaled"),
+        ($"n" * $"sw2n" - $"swn" * $"swn").as("v_factor"))
+      .select($"n", $"a", $"t_scaled", $"v_factor",
+        expr("""CASE
+          |  WHEN a = 0 OR a = n OR v_factor = 0
+          |    OR (a * (n - a) * v_factor) div (n * n) = 0 THEN -1
+          |  ELSE (1000 * t_scaled * t_scaled)
+          |       div ((a * (n - a) * v_factor) div (n * n) * n)
+          |END""".stripMargin).as("chi2_milli"))
+  }
+
+  private val q284Oracle =
+    s"""WITH su AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS s FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |act AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1),
+       |fp AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS p
+       |  FROM events e JOIN su ON e.user_id = su.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s
+       |  GROUP BY 1),
+       |users AS (
+       |  SELECT CAST(ntile(3) OVER (ORDER BY act.n_events, su.user_id) - 1
+       |      AS BIGINT) AS w,
+       |    CASE WHEN fp.p IS NOT NULL
+       |        AND fp.p - su.s < ${86400L * 1000000L}
+       |      THEN 1 ELSE 0 END AS conv
+       |  FROM su JOIN act USING (user_id) LEFT JOIN fp USING (user_id)),
+       |lv AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS nw,
+       |    CAST(sum(conv) AS BIGINT) AS aw
+       |  FROM users GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(sum(nw) AS BIGINT) AS n, CAST(sum(aw) AS BIGINT) AS a,
+       |    CAST(sum(w * aw) AS BIGINT) AS swa,
+       |    CAST(sum(w * nw) AS BIGINT) AS swn,
+       |    CAST(sum(w * w * nw) AS BIGINT) AS sw2n
+       |  FROM lv),
+       |d AS (
+       |  SELECT n, a, n * swa - a * swn AS t_scaled,
+       |    n * sw2n - swn * swn AS v_factor
+       |  FROM agg)
+       |SELECT n, a, t_scaled, v_factor,
+       |  CASE
+       |    WHEN a = 0 OR a = n OR v_factor = 0
+       |      OR (a * (n - a) * v_factor) // (n * n) = 0 THEN -1
+       |    ELSE (1000 * t_scaled * t_scaled)
+       |         // ((a * (n - a) * v_factor) // (n * n) * n)
+       |  END AS chi2_milli
+       |FROM d""".stripMargin
+
+  // ---------------------------------------------------------------- q286
+  /** Quantile treatment effect — WHERE in the revenue distribution
+    * the treatment acted, the distributional readout a mean lift
+    * (q207) or rank test (q270) can't localize: per arm the exact
+    * lower decile values of per-user purchase revenue (q209's
+    * first-crossing rank device, built at VALUE grain per arm) and
+    * their per-decile differences. A whale-only effect shows at d9
+    * with flat d1–d5; a broad effect shifts every decile.
+    *
+    * Scale shape: one pass to user grain, one to (arm × value)
+    * cells; crossings run on the cell frame against a broadcast
+    * 9-row decile spine; the corpus is never globally sorted. */
+  def q286QuantileEffect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val users = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+        expr("CAST(round(value * 1000000D) AS BIGINT)")).otherwise(0L))
+        .as("v"))
+      .select(($"user_id" % 2).as("arm"), $"v")
+    val cells = users.groupBy($"arm", $"v").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"arm").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells.withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"arm")))
+    val ds = s.range(1, 10).select($"id".as("decile"))
+    cum.crossJoin(broadcast(ds))
+      .where($"cum" * 10L >= $"decile" * $"n")
+      .groupBy($"decile")
+      .agg(min(when($"arm" === 1, $"v")).as("treat_micro"),
+        min(when($"arm" === 0, $"v")).as("ctrl_micro"))
+      .select($"decile", $"treat_micro", $"ctrl_micro",
+        ($"treat_micro" - $"ctrl_micro").as("qte_micro"))
+      .orderBy($"decile")
+  }
+
+  private val q286Oracle =
+    """WITH users AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS v
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT arm, v, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM users GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT arm, v,
+      |    CAST(sum(cnt) OVER (PARTITION BY arm ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY arm) AS BIGINT) AS n
+      |  FROM cells),
+      |ds AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS decile)
+      |SELECT decile,
+      |  min(CASE WHEN arm = 1 THEN v END) AS treat_micro,
+      |  min(CASE WHEN arm = 0 THEN v END) AS ctrl_micro,
+      |  min(CASE WHEN arm = 1 THEN v END)
+      |    - min(CASE WHEN arm = 0 THEN v END) AS qte_micro
+      |FROM cum, ds WHERE cum * 10 >= decile * n
+      |GROUP BY 1 ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_mann_whitney"     -> (q270MannWhitney _),
     "q271_acf_ljung_box"    -> (q271AcfLjungBox _),
@@ -4249,6 +4404,8 @@ object EventOps {
     "q276_log_hist_pctl"    -> (q276LogHistPctl _),
     "q282_mantel_haenszel"  -> (q282MantelHaenszel _),
     "q283_mcnemar"          -> (q283McNemar _),
+    "q284_trend_test"       -> (q284TrendTest _),
+    "q286_quantile_effect"  -> (q286QuantileEffect _),
     "q269_seasonal_anomalies" -> (q269SeasonalAnomalies _),
     "q267_log_rank"         -> (q267LogRank _),
     "q264_diff_in_diff"     -> (q264DiffInDiff _),
@@ -4324,6 +4481,8 @@ object EventOps {
     "q276_log_hist_pctl"    -> q276Oracle,
     "q282_mantel_haenszel"  -> q282Oracle,
     "q283_mcnemar"          -> q283Oracle,
+    "q284_trend_test"       -> q284Oracle,
+    "q286_quantile_effect"  -> q286Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

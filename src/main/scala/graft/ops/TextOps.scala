@@ -3518,11 +3518,60 @@ object TextOps {
       |FROM cum, pcts WHERE cum * 100 >= pct * n
       |GROUP BY 1 ORDER BY pct""".stripMargin
 
+  // ---------------------------------------------------------------- q285
+  /** Source exclusivity — the leave-one-out acquisition value of
+    * each source: how many of its distinct 3-gram shingles appear in
+    * NO other source (q164 scores a batch's novelty against history;
+    * this is the cross-sectional "what do we lose if we drop source
+    * X" read a data-buying decision needs). Per source: distinct
+    * shingles, exclusive shingles, exclusivity ppm. A source whose
+    * content is all replicated elsewhere dedups away for free; a
+    * high-exclusivity source is irreplaceable.
+    *
+    * Scale shape: one shingle pass (distinct (source, shingle) —
+    * map-side combine), one shuffle on the shingle to count
+    * carrying sources, one back-join on the same key, one
+    * source-grain fold. Text never shuffles; shingles do. */
+  def q285SourceExclusivity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ss = Tables.documents(s, dir)
+      .select($"source", explode(DedupOps.shingles3($"text")).as("sh"))
+      .distinct()
+    val carriers = ss.groupBy($"sh").agg(count(lit(1)).as("ns"))
+    ss.join(carriers, "sh")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"ns" === 1L, 1L).otherwise(0L)).as("n_exclusive"))
+      .select($"source", $"n_shingles", $"n_exclusive",
+        expr("(1000000 * n_exclusive) div n_shingles")
+          .as("exclusive_ppm"))
+      .orderBy($"source")
+  }
+
+  private val q285Oracle =
+    """WITH t AS (
+      |  SELECT source, string_split(lower(text), ' ') toks FROM documents),
+      |ss AS (
+      |  SELECT DISTINCT source, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM t),
+      |carriers AS (
+      |  SELECT sh, CAST(count(*) AS BIGINT) AS ns FROM ss GROUP BY 1)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_exclusive,
+      |  CAST((1000000 * sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END))
+      |    // count(*) AS BIGINT) AS exclusive_ppm
+      |FROM ss JOIN carriers USING (sh)
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q272_eb_shrinkage" -> (q272EbShrinkage _),
     "q273_isotonic_calibration" -> (q273IsotonicCalibration _),
     "q277_ipf_weights" -> (q277IpfWeights _),
     "q279_vocab_coverage" -> (q279VocabCoverage _),
+    "q285_source_exclusivity" -> (q285SourceExclusivity _),
     "q259_good_turing" -> (q259GoodTuring _),
     "q252_log_odds" -> (q252LogOddsTokens _),
     "q254_filter_cascade" -> (q254FilterCascade _),
@@ -3586,6 +3635,7 @@ object TextOps {
     "q273_isotonic_calibration" -> q273Oracle,
     "q277_ipf_weights" -> q277Oracle,
     "q279_vocab_coverage" -> q279Oracle,
+    "q285_source_exclusivity" -> q285Oracle,
     "q252_log_odds" -> q252Oracle,
     "q254_filter_cascade" -> q254Oracle,
     "q259_good_turing" -> q259Oracle,

@@ -1510,6 +1510,68 @@ class EventOpsSpec extends SparkSuite {
       == r.getLong(0))
   }
 
+  test("q284 trend test: level-table replay over the ntile cut") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val Array(r) = EventOps.q284TrendTest(spark, sf0001).collect()
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type",
+        org.apache.spark.sql.functions.unix_micros($"ts")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val signups = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val acts = ev.groupBy(_._1).map { case (u, g) => u -> g.length.toLong }
+    val base = signups.toSeq.sortBy { case (u, _) => (acts(u), u) }
+    // ntile(3) semantics: sizes differ by at most one, larger first
+    val n = base.length
+    val sizes = (0 until 3).map(i => n / 3 + (if (i < n % 3) 1 else 0))
+    val levels = sizes.scanLeft(0)(_ + _).sliding(2).toSeq.zipWithIndex
+      .flatMap { case (Seq(lo, hi), w) => base.slice(lo, hi).map(u => (u, w.toLong)) }
+    val rows = levels.map { case ((u, s0), w) =>
+      val fp = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= s0)
+        .map(_._3)
+      (w, if (fp.nonEmpty && fp.min - s0 < dayUs) 1L else 0L)
+    }
+    val nn = rows.length.toLong
+    val a = rows.map(_._2).sum
+    val swa = rows.filter(_._2 == 1L).map(_._1).sum
+    val swn = rows.map(_._1).sum
+    val sw2n = rows.map(x => x._1 * x._1).sum
+    val t = nn * swa - a * swn
+    val v = nn * sw2n - swn * swn
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((nn, a, t, v)))
+    val d0 = a * (nn - a) * v / (nn * nn)
+    val want = if (a == 0 || a == nn || v == 0 || d0 == 0) -1L
+      else 1000L * t * t / (d0 * nn)
+    assert(r.getLong(4) == want)
+  }
+
+  test("q286 qte: per-arm first-crossing decile replay; deciles monotone") {
+    import spark.implicits._
+    val got = EventOps.q286QuantileEffect(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val users = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type",
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 1000000D) AS BIGINT)").as("vq"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1).toSeq
+      .map { case (u, es) =>
+        (u % 2, es.filter(_._2 == "purchase").map(_._3).sum) }
+    def dec(arm: Long, d: Long): Long = {
+      val vs = users.filter(_._1 == arm).map(_._2).sorted
+      val n = vs.length.toLong
+      vs(((d * n + 9L) / 10L - 1L).toInt)
+    }
+    got.foreach { case (d, t, c, q) =>
+      assert(t == dec(1L, d) && c == dec(0L, d) && q == t - c, s"decile $d")
+    }
+    // each arm's decile sequence is nondecreasing
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("q276 log-hist pctl: bucket replay; crossings monotone; bounds bracket") {
     import spark.implicits._
     val got = EventOps.q276LogHistPctl(spark, sf0001).collect()

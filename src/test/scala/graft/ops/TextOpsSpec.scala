@@ -1367,4 +1367,28 @@ class TextOpsSpec extends SparkSuite {
     assert(got(0)._2 <= got(1)._2 && got(1)._2 <= got(2)._2 &&
       got(2)._2 <= got(2)._3)
   }
+
+  test("q285 exclusivity: set replay — exclusive iff no other source carries it") {
+    import spark.implicits._
+    val got = TextOps.q285SourceExclusivity(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1).map { case (src, g) =>
+      src -> g.flatMap { case (_, text) =>
+        text.toLowerCase.split(" ", -1).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" "))
+      }.toSet
+    }
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, mine) =>
+      val others = bySrc.filter(_._1 != src).values.flatten.toSet
+      val excl = (mine -- others).size.toLong
+      val (n, e, ppm) = got(src)
+      assert(n == mine.size.toLong && e == excl, src)
+      assert(ppm == 1000000L * excl / mine.size)
+    }
+  }
 }
