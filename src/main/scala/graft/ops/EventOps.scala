@@ -4396,8 +4396,88 @@ object EventOps {
       |FROM cum, ds WHERE cum * 10 >= decile * n
       |GROUP BY 1 ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q287
+  /** Weekly growth accounting — the additivity-checked
+    * new/retained/resurrected/churned decomposition every growth
+    * dashboard runs (q238 splits new vs returning; this closes the
+    * loop with the conservation identities WAU_t = new + retained +
+    * resurrected and churned_t = WAU_{t−1} − retained_t, so the
+    * numbers can't silently double-count). Per user-week: new iff
+    * first-ever week, retained iff active the immediately previous
+    * week, resurrected iff returning after a gap ≥ 2 weeks.
+    *
+    * Scale shape: one pass to distinct (user, week), one user-key
+    * shuffle for the per-user lag window, one partial agg to the
+    * dense week spine; churn is a week-grain lag. */
+  def q287GrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wkUs = 7L * 86400L * 1000000L
+    val uw = Tables.events(s, dir)
+      .select($"user_id", expr(s"unix_micros(ts) div $wkUs").as("wk"))
+      .distinct()
+    val wUser = Window.partitionBy($"user_id").orderBy($"wk")
+    val tagged = uw
+      .withColumn("prev", lag($"wk", 1).over(wUser))
+      .select($"wk",
+        when($"prev".isNull, 1L).otherwise(0L).as("is_new"),
+        when($"prev" === $"wk" - 1L, 1L).otherwise(0L).as("is_ret"),
+        when($"prev".isNotNull && $"prev" < $"wk" - 1L, 1L).otherwise(0L)
+          .as("is_res"))
+    val weekly = tagged.groupBy($"wk")
+      .agg(count(lit(1)).as("wau"), sum($"is_new").as("n_new"),
+        sum($"is_ret").as("n_retained"), sum($"is_res").as("n_resurrected"))
+    val spine = weekly.agg(min($"wk").as("lo"), max($"wk").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("wk"))
+    val dense = spine.join(weekly, Seq("wk"), "left")
+      .select($"wk", coalesce($"wau", lit(0L)).as("wau"),
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        coalesce($"n_resurrected", lit(0L)).as("n_resurrected"))
+    dense
+      .withColumn("n_churned",
+        coalesce(lag($"wau", 1).over(Window.orderBy($"wk")), lit(0L))
+          - $"n_retained")
+      .orderBy($"wk")
+  }
+
+  private val q287Oracle =
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id,
+       |    epoch_us(ts) // ${7L * 86400L * 1000000L} AS wk
+       |  FROM events),
+       |tagged AS (
+       |  SELECT wk,
+       |    CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new,
+       |    CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END AS is_ret,
+       |    CASE WHEN prev IS NOT NULL AND prev < wk - 1 THEN 1 ELSE 0 END
+       |      AS is_res
+       |  FROM (
+       |    SELECT wk, lag(wk) OVER (PARTITION BY user_id ORDER BY wk)
+       |      AS prev
+       |    FROM uw)),
+       |weekly AS (
+       |  SELECT wk, CAST(count(*) AS BIGINT) AS wau,
+       |    CAST(sum(is_new) AS BIGINT) AS n_new,
+       |    CAST(sum(is_ret) AS BIGINT) AS n_retained,
+       |    CAST(sum(is_res) AS BIGINT) AS n_resurrected
+       |  FROM tagged GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series(min(wk), max(wk))) AS wk FROM weekly),
+       |dense AS (
+       |  SELECT s.wk, COALESCE(w.wau, 0) AS wau,
+       |    COALESCE(w.n_new, 0) AS n_new,
+       |    COALESCE(w.n_retained, 0) AS n_retained,
+       |    COALESCE(w.n_resurrected, 0) AS n_resurrected
+       |  FROM spine s LEFT JOIN weekly w USING (wk))
+       |SELECT wk, wau, n_new, n_retained, n_resurrected,
+       |  COALESCE(lag(wau) OVER (ORDER BY wk), 0) - n_retained
+       |    AS n_churned
+       |FROM dense ORDER BY wk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_mann_whitney"     -> (q270MannWhitney _),
+    "q287_growth_accounting" -> (q287GrowthAccounting _),
     "q271_acf_ljung_box"    -> (q271AcfLjungBox _),
     "q274_spearman"         -> (q274Spearman _),
     "q275_queue_backlog"    -> (q275QueueBacklog _),
@@ -4483,6 +4563,7 @@ object EventOps {
     "q283_mcnemar"          -> q283Oracle,
     "q284_trend_test"       -> q284Oracle,
     "q286_quantile_effect"  -> q286Oracle,
+    "q287_growth_accounting" -> q287Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

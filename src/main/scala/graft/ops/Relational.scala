@@ -2071,7 +2071,147 @@ object Relational {
        |FROM spine LEFT JOIN c ON spine.digit = c.digit
        |ORDER BY spine.digit""".stripMargin
 
+  // ---------------------------------------------------------------- q288
+  /** Order↔lineitem financial reconciliation — does the header total
+    * equal the sum of its lines' charges (extprice·(1−disc)·(1+tax)),
+    * the audit every billing pipeline runs before closing books.
+    * Exact integer throughout: prices quantized to cents, rates to
+    * basis points, so a line's charge is an exact product in
+    * 10⁻⁸-cent units and the header comparison is BIGINT equality —
+    * no float epsilon to hide behind. Discrepant orders land in
+    * signed log₂ magnitude buckets (q276's length(bin(·)) device on
+    * cents) so the report separates rounding-grade drift from real
+    * breakage; the synthetic corpus does NOT reconcile and the
+    * report says so honestly rather than averaging it away.
+    *
+    * Scale shape: one lineitem pass (partial agg to order grain),
+    * one broadcast-friendly header join on the order key, one fold
+    * to the ≤128-bucket report. */
+  def q288Reconciliation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = Tables.lineitem(s, dir)
+      .select($"l_orderkey",
+        (expr("CAST(round(l_extendedprice * 100D) AS BIGINT)")
+          * (lit(10000L) - expr("CAST(round(l_discount * 10000D) AS BIGINT)"))
+          * (lit(10000L) + expr("CAST(round(l_tax * 10000D) AS BIGINT)")))
+          .as("charge"))
+      .groupBy($"l_orderkey").agg(sum($"charge").as("line_total"))
+    val orders = Tables.orders(s, dir)
+      .select($"o_orderkey",
+        expr("CAST(round(o_totalprice * 100D) AS BIGINT)").as("hdr_cents"))
+    orders.join(lines, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"hdr_cents",
+        (coalesce($"line_total", lit(0L))
+          - $"hdr_cents" * lit(100000000L)).as("diff"))
+      .select(
+        expr("""CASE WHEN diff = 0 THEN 0
+          |  ELSE CAST(sign(diff) AS BIGINT)
+          |    * CAST(length(bin(1 + abs(diff) div 100000000)) AS BIGINT)
+          |END""".stripMargin).as("bucket"),
+        $"diff")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min(expr("diff div 100000000")).as("min_diff_cents"),
+        max(expr("diff div 100000000")).as("max_diff_cents"))
+      .orderBy($"bucket")
+  }
+
+  private val q288Oracle =
+    """WITH lines AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+      |      * (10000 + CAST(round(l_tax * 10000) AS BIGINT))) AS BIGINT)
+      |      AS line_total
+      |  FROM lineitem GROUP BY 1),
+      |d AS (
+      |  SELECT COALESCE(l.line_total, 0)
+      |      - CAST(round(o.o_totalprice * 100) AS BIGINT) * 100000000
+      |      AS diff
+      |  FROM orders o LEFT JOIN lines l ON o.o_orderkey = l.l_orderkey),
+      |b AS (
+      |  SELECT CASE WHEN diff = 0 THEN 0
+      |    ELSE CAST(sign(diff) AS BIGINT)
+      |      * CAST(length(bin(1 + abs(diff) // 100000000)) AS BIGINT)
+      |  END AS bucket, diff
+      |  FROM d)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(min(diff // 100000000) AS BIGINT) AS min_diff_cents,
+      |  CAST(max(diff // 100000000) AS BIGINT) AS max_diff_cents
+      |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q289
+  /** Largest-remainder allocation — split each order's header total
+    * (cents) across its lineitems proportionally to extended price
+    * so the parts sum EXACTLY to the whole: the apportionment
+    * problem naive per-row rounding gets wrong by ±(lines−1) cents
+    * per order (and which financial close actually cares about).
+    * Hamilton's method declaratively: base = floor share, then the
+    * residual R = total − Σbase cents go to the R largest
+    * remainders (window rank; remainder DESC, linenumber tie-break —
+    * duplicate synthetic lines make the per-row choice among
+    * identical twins arbitrary but the per-order allocation MULTISET
+    * deterministic, which is what the oracle hash compares). The
+    * per-order Σalloc = total invariant is spec-pinned.
+    *
+    * Scale shape: two order-key windows (sum, rank) on the lineitem
+    * stream — same key, one shuffle; no joins, no collect. */
+  def q289LargestRemainder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy($"l_orderkey")
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber",
+        expr("CAST(round(l_extendedprice * 100D) AS BIGINT)").as("p"))
+      .withColumn("pt", sum($"p").over(wOrd))
+    val withTotal = li
+      .join(Tables.orders(s, dir).select($"o_orderkey",
+        expr("CAST(round(o_totalprice * 100D) AS BIGINT)").as("total")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber", $"p", $"pt", $"total",
+        expr("(total * p) div pt").as("base"),
+        expr("(total * p) % pt").as("rem"))
+    val wRank = Window.partitionBy($"l_orderkey")
+      .orderBy($"rem".desc, $"l_linenumber")
+    withTotal
+      .withColumn("rbase", sum($"base").over(wOrd))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .select($"l_orderkey", $"l_linenumber", $"p".as("price_cents"),
+        ($"base" + when($"rn" <= $"total" - $"rbase", 1L).otherwise(0L))
+          .as("alloc_cents"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"alloc_cents")
+  }
+
+  private val q289Oracle =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      OVER (PARTITION BY l_orderkey) AS BIGINT) AS pt
+      |  FROM lineitem),
+      |wt AS (
+      |  SELECT li.l_orderkey, li.l_linenumber, li.p, li.pt,
+      |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS total,
+      |    (CAST(round(o.o_totalprice * 100) AS BIGINT) * li.p) // li.pt
+      |      AS base,
+      |    (CAST(round(o.o_totalprice * 100) AS BIGINT) * li.p) % li.pt
+      |      AS rem
+      |  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+      |rk AS (
+      |  SELECT l_orderkey, l_linenumber, p, base, total,
+      |    CAST(sum(base) OVER (PARTITION BY l_orderkey) AS BIGINT)
+      |      AS rbase,
+      |    CAST(row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY rem DESC, l_linenumber) AS BIGINT) AS rn
+      |  FROM wt)
+      |SELECT l_orderkey, l_linenumber, p AS price_cents,
+      |  base + CASE WHEN rn <= total - rbase THEN 1 ELSE 0 END
+      |    AS alloc_cents
+      |FROM rk ORDER BY l_orderkey, l_linenumber, alloc_cents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q288_reconciliation" -> (q288Reconciliation _),
+    "q289_largest_remainder" -> (q289LargestRemainder _),
     "q253_benford_screen" -> (q253BenfordScreen _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project"  -> (q02FilterProject _),
@@ -2127,6 +2267,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q288_reconciliation" -> q288Oracle,
+    "q289_largest_remainder" -> q289Oracle,
     "q253_benford_screen" -> q253Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_filter_project"  -> q02Oracle,

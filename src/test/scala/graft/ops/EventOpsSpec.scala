@@ -1572,6 +1572,33 @@ class EventOpsSpec extends SparkSuite {
     assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
   }
 
+  test("q287 growth accounting: status replay; conservation identities hold") {
+    import spark.implicits._
+    val wkUs = 7L * 86400L * 1000000L
+    val got = EventOps.q287GrowthAccounting(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val uw = graft.Tables.events(spark, sf0001)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"))
+      .collect().map(x => (x.getLong(0), x.getLong(1) / wkUs)).distinct
+    val byUser = uw.groupBy(_._1).map { case (u, g) =>
+      u -> g.map(_._2).sorted }
+    val weeks = got.map(_._1)
+    assert(weeks.toSeq == (uw.map(_._2).min to uw.map(_._2).max))
+    got.zipWithIndex.foreach { case ((wk, wau, nw, nr, ns, nc), i) =>
+      val active = byUser.filter(_._2.contains(wk))
+      assert(wau == active.size.toLong)
+      assert(nw == active.count { case (_, ws) => ws.head == wk }.toLong)
+      assert(nr == active.count { case (_, ws) => ws.contains(wk - 1) }.toLong)
+      assert(ns == active.count { case (_, ws) =>
+        ws.head < wk && !ws.contains(wk - 1) && ws.exists(_ < wk) }.toLong)
+      // identities: WAU decomposes; churn telescopes off last week's WAU
+      assert(wau == nw + nr + ns, s"wk $wk additivity")
+      val prevWau = if (i == 0) 0L else got(i - 1)._2
+      assert(nc == prevWau - nr, s"wk $wk churn identity")
+    }
+  }
+
   test("q276 log-hist pctl: bucket replay; crossings monotone; bounds bracket") {
     import spark.implicits._
     val got = EventOps.q276LogHistPctl(spark, sf0001).collect()

@@ -364,4 +364,58 @@ class RelationalSpec extends SparkSuite {
     assert(Relational.benfordPpm.sum > 999990L &&
       Relational.benfordPpm.sum <= 1000000L)
   }
+
+  test("q288 reconciliation: exact-charge replay; buckets partition the orders") {
+    import spark.implicits._
+    val got = Relational.q288Reconciliation(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lines = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount", $"l_tax")
+      .collect()
+      .map(r => (r.getLong(0),
+        math.round(r.getDouble(1) * 100) *
+          (10000L - math.round(r.getDouble(2) * 10000)) *
+          (10000L + math.round(r.getDouble(3) * 10000))))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    val diffs = orders.map { case (k, hdr) =>
+      lines.getOrElse(k, 0L) - hdr * 100000000L }
+    val want = diffs.groupBy { d =>
+      if (d == 0) 0L
+      else math.signum(d) *
+        (64 - java.lang.Long.numberOfLeadingZeros(1 + math.abs(d) / 100000000L))
+    }.map { case (b, g) =>
+      (b, g.length.toLong, g.map(_ / 100000000L).min, g.map(_ / 100000000L).max) }
+      .toSeq.sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.map(_._2).sum == orders.length.toLong,
+      "buckets partition all orders")
+  }
+
+  test("q289 largest remainder: per-order sums land exactly on the header total") {
+    import spark.implicits._
+    val got = Relational.q289LargestRemainder(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+    val totals = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100))).toMap
+    val byOrder = got.groupBy(_._1)
+    byOrder.foreach { case (ok, rows) =>
+      assert(rows.map(_._4).sum == totals(ok),
+        s"order $ok must allocate exactly its header total")
+      // every allocation is its floor share or one cent above
+      val pt = rows.map(_._3).sum
+      rows.foreach { case (_, _, p, alloc) =>
+        val base = totals(ok) * p / pt
+        assert(alloc == base || alloc == base + 1L)
+      }
+    }
+    // multiset determinism: re-running yields the identical result
+    val again = Relational.q289LargestRemainder(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(x => (x._1, x._2, x._4)).toSeq ==
+      again.sortBy(x => (x._1, x._2, x._4)).toSeq)
+  }
 }
