@@ -1992,7 +1992,53 @@ object DedupOps {
        |    AS est_missed
        |FROM c1, c2, cm""".stripMargin
 
+  // ---------------------------------------------------------------- q290
+  /** Near-dup cluster density audit — the overmerge diagnostic for
+    * transitive clustering: q79 merges by connected components, so a
+    * CHAIN A~B~C~D lands in one cluster even though A and D share
+    * nothing. Density = observed q66 edges / possible pairs per
+    * cluster: 10⁶ ppm means a clique (every member is genuinely
+    * similar to every other — safe to keep one); low density flags
+    * chaining, where the min-id keeper may be a poor representative
+    * of the far end. The number to check before trusting
+    * keep-one-per-cluster (q74/q256) at scale.
+    *
+    * Scale shape: labels and edges are both working-set frames
+    * (tiny by construction); two broadcast joins and a
+    * cluster-grain fold — the corpus is never touched. */
+  def q290ClusterDensity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = ccLabelsWorking(s, dir)
+      .select($"doc_id", $"lbl".as("cluster_id"))
+    val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("size"))
+    val edges = jaccardPairs(s, dir).select($"doc_a")
+      .join(broadcast(labels.withColumnRenamed("doc_id", "doc_a")), "doc_a")
+      .groupBy($"cluster_id").agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("cluster_id"), "left")
+      .select($"cluster_id", $"size",
+        coalesce($"n_edges", lit(0L)).as("n_edges"))
+      .withColumn("density_ppm",
+        expr("(1000000 * n_edges) div ((size * (size - 1)) div 2)"))
+      .orderBy($"cluster_id")
+  }
+
+  private lazy val q290Oracle =
+    s"""WITH RECURSIVE $ccCte,
+       |cs AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+       |  FROM lab GROUP BY 1 HAVING count(*) >= 2),
+       |ec AS (
+       |  SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+       |  FROM jp JOIN lab l ON jp.doc_a = l.doc_id
+       |  GROUP BY 1)
+       |SELECT cs.cluster_id, cs.size, COALESCE(ec.n_edges, 0) AS n_edges,
+       |  CAST((1000000 * COALESCE(ec.n_edges, 0))
+       |    // ((cs.size * (cs.size - 1)) // 2) AS BIGINT) AS density_ppm
+       |FROM cs LEFT JOIN ec USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q290_cluster_density"  -> (q290ClusterDensity _),
     "q256_dedup_roi"        -> (q256DedupRoi _),
     "q265_lsh_advisor"      -> (q265LshAdvisor _),
     "q268_method_agreement" -> (q268MethodAgreement _),
@@ -2031,6 +2077,7 @@ object DedupOps {
     "q268_method_agreement" -> q268Oracle,
     "q280_pair_budget"      -> q280Oracle,
     "q281_dedup_recapture"  -> q281Oracle,
+    "q290_cluster_density"  -> q290Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,

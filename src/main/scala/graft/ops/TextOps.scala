@@ -3566,7 +3566,100 @@ object TextOps {
       |FROM ss JOIN carriers USING (sh)
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q291
+  /** Cross-fitted quantile transform — the fit/transform separation
+    * ML preprocessing requires and q111's whole-corpus normalization
+    * skips: decile boundaries learned ONLY on the train split
+    * (doc_id parity, q198's convention), applied to the test split,
+    * and the test-side bin occupancy reported. Near-uniform
+    * occupancy certifies the transform transfers; a skewed top bin
+    * is covariate shift the pipeline must hear about BEFORE
+    * training on normalized garbage. Boundaries by the exact
+    * rational first-crossing at value grain; binning is 9 broadcast
+    * comparisons per row, join-free in spirit and shuffle-free in
+    * fact.
+    *
+    * Scale shape: train reduces to value-grain cells; the 9-row
+    * boundary frame broadcasts; test folds to a 10-row occupancy
+    * with a dense bin spine (empty bins are reported as 0 — the
+    * signal IS the emptiness). */
+  def q291CrossfitNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    crossfitBinsOf(
+      docs.where($"doc_id" % 2 === 0).select($"n_chars".as("v")),
+      docs.where($"doc_id" % 2 === 1).select($"n_chars".as("v")))
+  }
+
+  /** Fit on `train.v`, bin `test.v`, report occupancy — separated so
+    * the spec can plant identical and shifted splits. */
+  private[ops] def crossfitBinsOf(train: DataFrame,
+      test: DataFrame): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = train.groupBy($"v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy()))
+    val ds = s.range(1, 10).select($"id".as("d"))
+    val bounds = cum.crossJoin(broadcast(ds))
+      .where($"cum" * 10L >= $"d" * $"n")
+      .groupBy($"d").agg(min($"v").as("bound"))
+    // bin per test VALUE (not per row): Σ[v > bound_d] over the 9
+    // bounds, then weight by how many test rows carry that value —
+    // the corpus never widens 9×
+    val valueBins = test.groupBy($"v").agg(count(lit(1)).as("rows"))
+      .crossJoin(broadcast(bounds))
+      .groupBy($"v", $"rows")
+      .agg(sum(when($"v" > $"bound", 1L).otherwise(0L)).as("bin"))
+    val counts = valueBins.groupBy($"bin").agg(sum($"rows").as("n_test"))
+    val tot = test.agg(count(lit(1)).as("nt"))
+    val spine = s.range(0, 10).select($"id".as("bin"))
+    spine.join(counts, Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"bin", coalesce($"n_test", lit(0L)).as("n_test"),
+        expr("(1000000 * coalesce(n_test, 0)) div nt").as("share_ppm"))
+      .orderBy($"bin")
+  }
+
+  private val q291Oracle =
+    """WITH train AS (
+      |  SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+      |test AS (
+      |  SELECT n_chars AS v FROM documents WHERE doc_id % 2 = 1),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+      |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM train
+      |        GROUP BY 1)),
+      |ds AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS d),
+      |bounds AS (
+      |  SELECT d, CAST(min(v) AS BIGINT) AS bound
+      |  FROM cum, ds WHERE cum * 10 >= d * n GROUP BY 1),
+      |vb AS (
+      |  SELECT t.v, t.rows,
+      |    CAST(sum(CASE WHEN t.v > b.bound THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS bin
+      |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS rows FROM test
+      |        GROUP BY 1) t, bounds b
+      |  GROUP BY 1, 2),
+      |counts AS (
+      |  SELECT bin, CAST(sum(rows) AS BIGINT) AS n_test
+      |  FROM vb GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM test),
+      |spine AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin)
+      |SELECT s.bin, COALESCE(c.n_test, 0) AS n_test,
+      |  CAST((1000000 * COALESCE(c.n_test, 0)) // tot.nt AS BIGINT)
+      |    AS share_ppm
+      |FROM spine s LEFT JOIN counts c USING (bin), tot
+      |ORDER BY s.bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_crossfit_norm" -> (q291CrossfitNorm _),
     "q272_eb_shrinkage" -> (q272EbShrinkage _),
     "q273_isotonic_calibration" -> (q273IsotonicCalibration _),
     "q277_ipf_weights" -> (q277IpfWeights _),
@@ -3631,6 +3724,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q291_crossfit_norm" -> q291Oracle,
     "q272_eb_shrinkage" -> q272Oracle,
     "q273_isotonic_calibration" -> q273Oracle,
     "q277_ipf_weights" -> q277Oracle,

@@ -653,4 +653,28 @@ class DedupOpsSpec extends SparkSuite {
     assert(m > 0L, "detectors must agree on something for Chapman to mean anything")
     assert(r.getLong(4) >= m)
   }
+
+  test("q290 density: edges-within-cluster replay; cliques read 1e6 ppm") {
+    import spark.implicits._
+    val got = DedupOps.q290ClusterDensity(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val labels = DedupOps.q79NeardupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = labels.groupBy(_._2).filter(_._2.length >= 2)
+    assert(got.map(_._1).toSet == byCluster.keySet)
+    val lbl = labels.toMap
+    got.foreach { case (cid, size, edges, ppm) =>
+      assert(size == byCluster(cid).length.toLong)
+      val want = pairs.count(p => lbl(p._1) == cid).toLong
+      assert(edges == want, s"cluster $cid")
+      assert(ppm == 1000000L * edges / (size * (size - 1) / 2))
+      // both endpoints of every counted edge really live in the cluster
+      pairs.filter(p => lbl(p._1) == cid).foreach(p => assert(lbl(p._2) == cid))
+    }
+    // every pair is intra-cluster by construction, so a size-2
+    // cluster is necessarily a clique
+    got.filter(_._2 == 2L).foreach(g => assert(g._4 == 1000000L))
+  }
 }

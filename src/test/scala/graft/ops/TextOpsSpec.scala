@@ -1391,4 +1391,33 @@ class TextOpsSpec extends SparkSuite {
       assert(ppm == 1000000L * excl / mine.size)
     }
   }
+
+  test("q291 crossfit: occupancy replay; identical split uniform, shifted split skews") {
+    import spark.implicits._
+    val got = TextOps.q291CrossfitNorm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val train = docs.filter(_._1 % 2 == 0).map(_._2).sorted
+    val test = docs.filter(_._1 % 2 == 1).map(_._2)
+    val bounds = (1 to 9).map(d =>
+      train(((d * train.length + 9) / 10 - 1)))
+    val bins = test.map(v => bounds.count(v > _).toLong)
+    assert(got.map(_._1).toSeq == (0L to 9L))
+    got.foreach { case (b, n, ppm) =>
+      assert(n == bins.count(_ == b).toLong, s"bin $b")
+      assert(ppm == 1000000L * n / test.length)
+    }
+    assert(got.map(_._2).sum == test.length.toLong, "bins partition the test split")
+    // planted: same distribution → every bin near 10%; doubled test
+    // values → the top bin swallows (nearly) everything
+    val tr = (1L to 1000L).toDF("v")
+    val same = TextOps.crossfitBinsOf(tr, (1L to 1000L).toDF("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(same.forall { case (_, ppm) => ppm >= 90000L && ppm <= 110000L })
+    val shifted = TextOps.crossfitBinsOf(tr, (2000L to 3000L).toDF("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(shifted(9L) == 1000000L, "wholesale shift lands in the top bin")
+  }
 }
