@@ -2037,7 +2037,79 @@ object DedupOps {
        |FROM cs LEFT JOIN ec USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- q292
+  /** Prefix-filtered exact Jaccard self-join (AllPairs/PPJoin
+    * family, Bayardo et al. 2007) — the guaranteed-recall=1 scale
+    * path to the SAME pairs q66 emits from every shared shingle:
+    * shingles sorted by global rarity (df, shingle), each doc keeps
+    * only its first n − ⌈t·n⌉ + 1 tokens, and candidates come from
+    * shared PREFIX tokens alone. Sound by pigeonhole: J ≥ t forces
+    * I ≥ ⌈t·n⌉ common tokens, more than fit in either suffix, and
+    * the globally-smallest common token therefore sits in BOTH
+    * prefixes. Verification computes the exact Jaccard from the full
+    * shingle sets — the oracle is literally q66's, so the
+    * correctness gate proves the filter lossless on this corpus
+    * (both paths share the [[maxGroupSize]] cap; at adversarial df
+    * the two guards can diverge — disclosed, not hidden).
+    *
+    * Scale shape vs q66: candidate fan-out is driven by prefix
+    * (rarest-token) buckets instead of ALL shared shingles — the
+    * blocking work drops by roughly the prefix/doc-length ratio
+    * (~½ at t = 0.5, more at higher t); the verify join touches
+    * only candidates. */
+  def q292PrefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = docShingleSets(s, dir)
+    val a = sets.select($"doc_id".as("doc_a"), $"ss".as("sa"),
+      size($"ss").cast("long").as("na"))
+    val b = sets.select($"doc_id".as("doc_b"), $"ss".as("sb"),
+      size($"ss").cast("long").as("nb"))
+    prefixCandidates(s, dir)
+      .join(a, "doc_a").join(b, "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sa", $"sb")).cast("long").as("inter"),
+        $"na", $"nb")
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+          .as("jaccard"))
+      .where($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** (doc_id, ss): each doc's distinct shingle set. */
+  private def docShingleSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(shingles3($"text")).as("sh"))
+      .groupBy($"doc_id").agg(collect_set($"sh").as("ss"))
+  }
+
+  /** Candidate (doc_a, doc_b) pairs sharing ≥ 1 PREFIX token —
+    * exposed so the spec can measure the candidate reduction the
+    * filter buys over all-shingle blocking. */
+  private[ops] def prefixCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(shingles3($"text")).as("sh"))
+    val df = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
+    val prefix = sh.join(df, "sh")
+      .withColumn("pos", row_number().over(wDoc).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      // t = 0.5: prefix length n − ⌈n/2⌉ + 1 = n div 2 + 1
+      .where($"pos" <= expr("n div 2 + 1"))
+    prefix.groupBy($"sh")
+      .agg(array_sort(collect_list(struct($"doc_id", lit(0L).as("z"))))
+        .as("members"))
+      .where(size($"members") >= 2 && size($"members") <= maxGroupSize)
+      .select(explode(pairUp($"members")).as("p"))
+      .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_prefix_filter_join" -> (q292PrefixFilterJoin _),
     "q290_cluster_density"  -> (q290ClusterDensity _),
     "q256_dedup_roi"        -> (q256DedupRoi _),
     "q265_lsh_advisor"      -> (q265LshAdvisor _),
@@ -2078,6 +2150,7 @@ object DedupOps {
     "q280_pair_budget"      -> q280Oracle,
     "q281_dedup_recapture"  -> q281Oracle,
     "q290_cluster_density"  -> q290Oracle,
+    "q292_prefix_filter_join" -> q66Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,

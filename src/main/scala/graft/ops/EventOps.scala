@@ -4475,9 +4475,88 @@ object EventOps {
        |    AS n_churned
        |FROM dense ORDER BY wk""".stripMargin
 
+  // ---------------------------------------------------------------- q293
+  /** Percentile rollup gap — the measured refutation of the
+    * dashboard shortcut "average the daily p99s": percentiles do
+    * not compose, and this emits the TRUE corpus p99 of event value
+    * next to the mean and max of the daily p99s, with the relative
+    * gap in ppm. Teams page on the averaged number all the time;
+    * the honest fix (q276's mergeable sketch) is in this library,
+    * and this query prices exactly what the shortcut gets wrong on
+    * THIS corpus. All exact: per-day and global p99 via the rational
+    * first-crossing at value grain (q209's device).
+    *
+    * Scale shape: one pass to (day × value) cells serves the daily
+    * crossings; a second value-grain fold serves the global one;
+    * the report is one row. */
+  def q293PctlRollupGap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(expr(s"unix_micros(ts) div $dayUs").as("d"),
+        expr("CAST(round(value * 1000000D) AS BIGINT)").as("v"))
+    val cells = ev.groupBy($"d", $"v").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy($"d").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val daily = cells
+      .withColumn("cum", sum($"cnt").over(wCum))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy($"d")))
+      .where($"cum" * 100L >= $"n" * 99L)
+      .groupBy($"d").agg(min($"v").as("p99"))
+    val gcells = cells.groupBy($"v").agg(sum($"cnt").as("cnt"))
+    val wG = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = gcells
+      .withColumn("cum", sum($"cnt").over(wG))
+      .withColumn("n", sum($"cnt").over(Window.partitionBy()))
+      .where($"cum" * 100L >= $"n" * 99L)
+      .agg(min($"v").as("true_p99"))
+    daily.agg(count(lit(1)).as("n_days"),
+      expr("sum(p99) div count(1)").as("mean_daily_p99"),
+      max($"p99").as("max_daily_p99"))
+      .crossJoin(broadcast(global))
+      .select($"n_days", $"true_p99", $"mean_daily_p99", $"max_daily_p99",
+        expr("(1000000 * abs(mean_daily_p99 - true_p99)) div true_p99")
+          .as("gap_ppm"))
+  }
+
+  private val q293Oracle =
+    s"""WITH ev AS (
+       |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    CAST(round(value * 1000000) AS BIGINT) AS v
+       |  FROM events),
+       |cells AS (
+       |  SELECT d, v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ev GROUP BY 1, 2),
+       |daily AS (
+       |  SELECT d, CAST(min(v) AS BIGINT) AS p99 FROM (
+       |    SELECT d, v,
+       |      CAST(sum(cnt) OVER (PARTITION BY d ORDER BY v
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |      CAST(sum(cnt) OVER (PARTITION BY d) AS BIGINT) AS n
+       |    FROM cells) WHERE cum * 100 >= n * 99 GROUP BY 1),
+       |gcells AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY 1),
+       |gl AS (
+       |  SELECT CAST(min(v) AS BIGINT) AS true_p99 FROM (
+       |    SELECT v,
+       |      CAST(sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |        AS BIGINT) AS cum,
+       |      CAST(sum(cnt) OVER () AS BIGINT) AS n
+       |    FROM gcells) WHERE cum * 100 >= n * 99)
+       |SELECT CAST(count(*) AS BIGINT) AS n_days,
+       |  true_p99,
+       |  CAST(sum(p99) // count(*) AS BIGINT) AS mean_daily_p99,
+       |  CAST(max(p99) AS BIGINT) AS max_daily_p99,
+       |  CAST((1000000 * abs(sum(p99) // count(*) - true_p99)) // true_p99
+       |    AS BIGINT) AS gap_ppm
+       |FROM daily, gl GROUP BY true_p99""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_mann_whitney"     -> (q270MannWhitney _),
     "q287_growth_accounting" -> (q287GrowthAccounting _),
+    "q293_pctl_rollup_gap"  -> (q293PctlRollupGap _),
     "q271_acf_ljung_box"    -> (q271AcfLjungBox _),
     "q274_spearman"         -> (q274Spearman _),
     "q275_queue_backlog"    -> (q275QueueBacklog _),
@@ -4564,6 +4643,7 @@ object EventOps {
     "q284_trend_test"       -> q284Oracle,
     "q286_quantile_effect"  -> q286Oracle,
     "q287_growth_accounting" -> q287Oracle,
+    "q293_pctl_rollup_gap"  -> q293Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

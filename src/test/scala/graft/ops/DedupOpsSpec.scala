@@ -677,4 +677,29 @@ class DedupOpsSpec extends SparkSuite {
     // cluster is necessarily a clique
     got.filter(_._2 == 2L).foreach(g => assert(g._4 == 1000000L))
   }
+
+  test("q292 prefix filter: lossless vs q66; candidates strictly shrink") {
+    import spark.implicits._
+    val viaPrefix = DedupOps.q292PrefixFilterJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val viaBlocks = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(viaPrefix.toSeq == viaBlocks.toSeq,
+      "prefix filtering must be lossless at the threshold")
+    val cands = DedupOps.prefixCandidates(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall: every emitted pair was a candidate
+    assert(viaBlocks.forall(p => cands((p._1, p._2))))
+    // the filter buys a real reduction over all-shingle blocking
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split(" ", -1)
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet))
+    val allShared = (for {
+      i <- docs.indices; j <- i + 1 until docs.length
+      if (docs(i)._2 & docs(j)._2).nonEmpty
+    } yield 1).length
+    assert(cands.size < allShared,
+      s"prefix candidates ${cands.size} must undercut all-shingle $allShared")
+  }
 }

@@ -1599,6 +1599,30 @@ class EventOpsSpec extends SparkSuite {
     }
   }
 
+  test("q293 rollup gap: daily and global p99 replay; the gap is real here") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val Array(r) = EventOps.q293PctlRollupGap(spark, sf0001).collect()
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.unix_micros($"ts"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 1000000D) AS BIGINT)")).collect()
+      .map(x => (x.getLong(0) / dayUs, x.getLong(1)))
+    def p99(vs: Seq[Long]): Long = {
+      val s0 = vs.sorted
+      s0(((99L * s0.length + 99L) / 100L - 1L).toInt)
+    }
+    val daily = ev.groupBy(_._1).map { case (_, g) => p99(g.map(_._2)) }.toSeq
+    val truePct = p99(ev.map(_._2))
+    val mean = daily.sum / daily.length
+    assert(r.getLong(0) == daily.length.toLong)
+    assert(r.getLong(1) == truePct && r.getLong(2) == mean)
+    assert(r.getLong(3) == daily.max)
+    assert(r.getLong(4) == 1000000L * math.abs(mean - truePct) / truePct)
+    // on this corpus the shortcut really is wrong — the lesson is live
+    assert(r.getLong(4) > 0L)
+  }
+
   test("q276 log-hist pctl: bucket replay; crossings monotone; bounds bracket") {
     import spark.implicits._
     val got = EventOps.q276LogHistPctl(spark, sf0001).collect()
