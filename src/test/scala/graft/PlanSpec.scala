@@ -497,6 +497,59 @@ class PlanSpec extends SparkSuite {
       "both histograms reduce map-side")
   }
 
+  test("q282/q283/q284/q287: experiment readouts never read value/props") {
+    for ((name, df) <- Seq(
+      ("q282", EventOps.q282MantelHaenszel(spark, sf0001)),
+      ("q283", EventOps.q283McNemar(spark, sf0001)),
+      ("q284", EventOps.q284TrendTest(spark, sf0001)),
+      ("q287", EventOps.q287GrowthAccounting(spark, sf0001)))) {
+      val p = plan(df)
+      val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq
+      assert(schemas.nonEmpty &&
+        schemas.forall(rs => !rs.contains("value") && !rs.contains("props")),
+        s"$name: $schemas")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$name reduces map-side")
+    }
+  }
+
+  test("q286/q293: value-grain crossings; scans prune to what the stat needs") {
+    val p286 = plan(EventOps.q286QuantileEffect(spark, sf0001))
+    val rs286 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p286)
+      .map(_.group(1)).getOrElse("")
+    assert(!rs286.contains("ts") && !rs286.contains("props"), rs286)
+    val p293 = plan(EventOps.q293PctlRollupGap(spark, sf0001))
+    val rs293 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p293)
+      .map(_.group(1)).getOrElse("")
+    assert(!rs293.contains("user_id") && !rs293.contains("props"), rs293)
+  }
+
+  test("q288/q289: money paths — pruned scans, no cartesian anywhere") {
+    for ((name, df) <- Seq(
+      ("q288", Relational.q288Reconciliation(spark, sf0001)),
+      ("q289", Relational.q289LargestRemainder(spark, sf0001)))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name: " + p.take(400))
+      val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq
+      assert(schemas.forall(rs => !rs.contains("l_comment")
+        && !rs.contains("l_shipdate")), s"$name reads only money columns")
+    }
+  }
+
+  test("q281/q290/q292: dedup meta-ops — no cartesian, working sets broadcast") {
+    for ((name, df) <- Seq(
+      ("q281", DedupOps.q281DedupRecapture(spark, sf0001)),
+      ("q290", DedupOps.q290ClusterDensity(spark, sf0001)),
+      ("q292", DedupOps.q292PrefixFilterJoin(spark, sf0001)))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name: " + p.take(400))
+    }
+    assert(plan(DedupOps.q290ClusterDensity(spark, sf0001))
+      .contains("BroadcastHashJoin"), "q290 labels broadcast")
+  }
+
   test("q267/q268: survival cells spine-join broadcast; agreement has no cartesian") {
     val p267 = plan(EventOps.q267LogRank(spark, sf0001))
     val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p267)
