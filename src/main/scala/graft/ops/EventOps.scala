@@ -4553,10 +4553,184 @@ object EventOps {
        |    AS BIGINT) AS gap_ppm
        |FROM daily, gl GROUP BY true_p99""".stripMargin
 
+  // ---------------------------------------------------------------- q294
+  /** Forecast-baseline report (MASE) — before anyone ships a model
+    * on this series, the two no-skill baselines and their ratio:
+    * naive (ŷ_t = y_{t−1}) vs seasonal-naive (ŷ_t = y_{t−7}) MAE on
+    * the daily event counts, both evaluated on the SAME window
+    * (t ≥ lo+7 — unequal windows would bias the comparison), and
+    * MASE = MAE_snaive/MAE_naive in milli. Below 1000 means weekly
+    * seasonality carries real signal (q169's profile is then worth
+    * modeling); a model that can't beat the better of these two
+    * numbers is noise. Exact integer MAEs in milli-count units.
+    *
+    * Scale shape: one partial agg to the dense day spine; the two
+    * lag comparisons are spine self-joins; the report is one row. */
+  def q294ForecastBaselines(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val daily = Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val spine = daily.agg(min($"d").as("lo"), max($"d").as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("d"),
+        $"lo")
+    val dense = spine.join(daily, Seq("d"), "left")
+      .select($"d", $"lo", coalesce($"y", lit(0L)).as("y"))
+    val l1 = dense.select(($"d" + 1L).as("d"), $"y".as("y1"))
+    val l7 = dense.select(($"d" + 7L).as("d"), $"y".as("y7"))
+    dense.join(l1, "d").join(l7, "d")
+      .where($"d" >= $"lo" + 7L)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs($"y" - $"y1")).as("ae1"),
+        sum(abs($"y" - $"y7")).as("ae7"))
+      .select($"n_eval",
+        expr("(1000 * ae1) div n_eval").as("mae_naive_milli"),
+        expr("(1000 * ae7) div n_eval").as("mae_snaive_milli"),
+        expr("CASE WHEN ae1 = 0 THEN -1 ELSE (1000 * ae7) div ae1 END")
+          .as("mase_milli"))
+  }
+
+  private val q294Oracle =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS d,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+       |spine AS (
+       |  SELECT unnest(generate_series(lo, hi)) AS d, lo FROM bounds),
+       |dense AS (
+       |  SELECT s.d, s.lo, COALESCE(y.y, 0) AS y
+       |  FROM spine s LEFT JOIN daily y USING (d)),
+       |j AS (
+       |  SELECT a.d, a.y, b.y AS y1, c.y AS y7
+       |  FROM dense a JOIN dense b ON b.d = a.d - 1
+       |  JOIN dense c ON c.d = a.d - 7
+       |  WHERE a.d >= a.lo + 7),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+       |    CAST(sum(abs(y - y1)) AS BIGINT) AS ae1,
+       |    CAST(sum(abs(y - y7)) AS BIGINT) AS ae7
+       |  FROM j)
+       |SELECT n_eval,
+       |  (1000 * ae1) // n_eval AS mae_naive_milli,
+       |  (1000 * ae7) // n_eval AS mae_snaive_milli,
+       |  CASE WHEN ae1 = 0 THEN -1 ELSE (1000 * ae7) // ae1 END
+       |    AS mase_milli
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q295
+  /** Qini uplift curve — does targeting by engagement actually buy
+    * incremental conversions, the uplift question q218's lift curve
+    * (response only) can't answer because it ignores the control
+    * arm: users ranked by activity (ntile(10) over (n_events DESC,
+    * user_id)), per decile both arms' 24 h conversions, incremental
+    * uplift in ppm, and the cumulative Qini
+    * Q(k) = CumConvT − CumConvC·CumNT/CumNC in milli-conversions.
+    * A genuinely predictive targeting score front-loads Q; a flat
+    * random-ish score walks to the overall effect. NULL (not a
+    * crash) where a decile or prefix lacks control users.
+    *
+    * Scale shape: one pass to user grain; one global ntile window
+    * (q199's budget); decile-grain cumulative windows end it. */
+  def q295QiniCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+    val su = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("s"))
+    val act = ev.groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    val fp = ev.where($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("p"))
+      .join(su, "user_id").where($"p" >= $"s")
+      .groupBy($"user_id").agg(min($"p").as("p"))
+    val users = su.join(act, "user_id").join(fp, Seq("user_id"), "left")
+      .select($"user_id", ($"user_id" % 2).as("arm"), $"n_events",
+        when($"p".isNotNull && $"p" - $"s" < dayUs, 1L).otherwise(0L)
+          .as("conv"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy($"n_events".desc, $"user_id"))
+          .cast("long"))
+    val cells = users.groupBy($"decile")
+      .agg(sum(when($"arm" === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when($"arm" === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when($"arm" === 1, $"conv").otherwise(0L)).as("ct"),
+        sum(when($"arm" === 0, $"conv").otherwise(0L)).as("cc"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cnt", sum($"nt").over(wCum))
+      .withColumn("cnc", sum($"nc").over(wCum))
+      .withColumn("cct", sum($"ct").over(wCum))
+      .withColumn("ccc", sum($"cc").over(wCum))
+      .select($"decile", $"nt".as("n_treat"), $"nc".as("n_ctrl"),
+        $"ct".as("conv_treat"), $"cc".as("conv_ctrl"),
+        expr("""CASE WHEN nt = 0 OR nc = 0 THEN NULL
+          |  ELSE (1000000 * ct) div nt - (1000000 * cc) div nc
+          |END""".stripMargin).as("uplift_ppm"),
+        expr("""CASE WHEN cnc = 0 THEN NULL
+          |  ELSE 1000 * cct - (1000 * ccc * cnt) div cnc
+          |END""".stripMargin).as("qini_milli"))
+      .orderBy($"decile")
+  }
+
+  private val q295Oracle =
+    s"""WITH su AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS s FROM events
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |act AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1),
+       |fp AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS p
+       |  FROM events e JOIN su ON e.user_id = su.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s
+       |  GROUP BY 1),
+       |users AS (
+       |  SELECT su.user_id % 2 AS arm,
+       |    CAST(ntile(10) OVER (ORDER BY act.n_events DESC, su.user_id)
+       |      AS BIGINT) AS decile,
+       |    CASE WHEN fp.p IS NOT NULL
+       |        AND fp.p - su.s < ${86400L * 1000000L}
+       |      THEN 1 ELSE 0 END AS conv
+       |  FROM su JOIN act USING (user_id) LEFT JOIN fp USING (user_id)),
+       |cells AS (
+       |  SELECT decile,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+       |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS ct,
+       |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+       |      AS cc
+       |  FROM users GROUP BY 1),
+       |cum AS (
+       |  SELECT decile, nt, nc, ct, cc,
+       |    CAST(sum(nt) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cnt,
+       |    CAST(sum(nc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cnc,
+       |    CAST(sum(ct) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cct,
+       |    CAST(sum(cc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS ccc
+       |  FROM cells)
+       |SELECT decile, nt AS n_treat, nc AS n_ctrl, ct AS conv_treat,
+       |  cc AS conv_ctrl,
+       |  CASE WHEN nt = 0 OR nc = 0 THEN NULL
+       |    ELSE (1000000 * ct) // nt - (1000000 * cc) // nc
+       |  END AS uplift_ppm,
+       |  CASE WHEN cnc = 0 THEN NULL
+       |    ELSE 1000 * cct - (1000 * ccc * cnt) // cnc
+       |  END AS qini_milli
+       |FROM cum ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_mann_whitney"     -> (q270MannWhitney _),
     "q287_growth_accounting" -> (q287GrowthAccounting _),
     "q293_pctl_rollup_gap"  -> (q293PctlRollupGap _),
+    "q294_forecast_baselines" -> (q294ForecastBaselines _),
+    "q295_qini_curve"       -> (q295QiniCurve _),
     "q271_acf_ljung_box"    -> (q271AcfLjungBox _),
     "q274_spearman"         -> (q274Spearman _),
     "q275_queue_backlog"    -> (q275QueueBacklog _),
@@ -4644,6 +4818,8 @@ object EventOps {
     "q286_quantile_effect"  -> q286Oracle,
     "q287_growth_accounting" -> q287Oracle,
     "q293_pctl_rollup_gap"  -> q293Oracle,
+    "q294_forecast_baselines" -> q294Oracle,
+    "q295_qini_curve"       -> q295Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

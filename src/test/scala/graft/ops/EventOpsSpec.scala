@@ -1623,6 +1623,69 @@ class EventOpsSpec extends SparkSuite {
     assert(r.getLong(4) > 0L)
   }
 
+  test("q294 forecast baselines: lag replay on a common window") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val Array(r) = EventOps.q294ForecastBaselines(spark, sf0001).collect()
+    val ds = graft.Tables.events(spark, sf0001)
+      .select(org.apache.spark.sql.functions.unix_micros($"ts")).collect()
+      .map(_.getLong(0) / dayUs)
+    val counts = ds.groupBy(identity).map { case (d, g) => d -> g.length.toLong }
+    val (lo, hi) = (ds.min, ds.max)
+    val y = (lo to hi).map(d => counts.getOrElse(d, 0L))
+    val eval = (7 until y.length)
+    val ae1 = eval.map(t => math.abs(y(t) - y(t - 1))).sum
+    val ae7 = eval.map(t => math.abs(y(t) - y(t - 7))).sum
+    assert(r.getLong(0) == eval.length.toLong)
+    assert(r.getLong(1) == 1000L * ae1 / eval.length)
+    assert(r.getLong(2) == 1000L * ae7 / eval.length)
+    assert(r.getLong(3) == (if (ae1 == 0) -1L else 1000L * ae7 / ae1))
+  }
+
+  test("q295 qini: decile-cell replay; prefix Qini telescopes to the overall effect") {
+    import spark.implicits._
+    val dayUs = 86400L * 1000000L
+    val got = EventOps.q295QiniCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type",
+        org.apache.spark.sql.functions.unix_micros($"ts")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val signups = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, g) => u -> g.map(_._3).min }
+    val acts = ev.groupBy(_._1).map { case (u, g) => u -> g.length.toLong }
+    val base = signups.toSeq.sortBy { case (u, _) => (-acts(u), u) }
+    val n = base.length
+    val sizes = (0 until 10).map(i => n / 10 + (if (i < n % 10) 1 else 0))
+    val deciled = sizes.scanLeft(0)(_ + _).sliding(2).toSeq.zipWithIndex
+      .flatMap { case (Seq(a, b), i) => base.slice(a, b).map(u => (u, i + 1L)) }
+    val rows = deciled.map { case ((u, s0), dec) =>
+      val fp = ev.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= s0)
+        .map(_._3)
+      (dec, u % 2, if (fp.nonEmpty && fp.min - s0 < dayUs) 1L else 0L)
+    }
+    var (cnt_, cnc, cct, ccc) = (0L, 0L, 0L, 0L)
+    (1L to 10L).zip(got).foreach { case (d, (gd, nt, nc, ct, cc, up, qi)) =>
+      val g = rows.filter(_._1 == d)
+      val (wnt, wnc) = (g.count(_._2 == 1).toLong, g.count(_._2 == 0).toLong)
+      val wct = g.filter(_._2 == 1).map(_._3).sum
+      val wcc = g.filter(_._2 == 0).map(_._3).sum
+      assert(gd == d && nt == wnt && nc == wnc && ct == wct && cc == wcc)
+      cnt_ += wnt; cnc += wnc; cct += wct; ccc += wcc
+      if (wnt == 0 || wnc == 0) assert(up.isEmpty, s"d$d uplift null")
+      else assert(up.contains(1000000L * wct / wnt - 1000000L * wcc / wnc))
+      if (cnc == 0) assert(qi.isEmpty, s"d$d qini null")
+      else assert(qi.contains(1000L * cct - 1000L * ccc * cnt_ / cnc), s"d$d")
+    }
+    // the final prefix IS the whole experiment: Q(10) must equal the
+    // overall incremental conversions (scaled)
+    val overall = 1000L * cct - 1000L * ccc * cnt_ / cnc
+    assert(got.last._7.contains(overall))
+  }
+
   test("q276 log-hist pctl: bucket replay; crossings monotone; bounds bracket") {
     import spark.implicits._
     val got = EventOps.q276LogHistPctl(spark, sf0001).collect()
