@@ -2108,7 +2108,62 @@ object DedupOps {
       .distinct()
   }
 
+  // ---------------------------------------------------------------- q297
+  /** Dedup threshold sweep — what each Jaccard cutoff would actually
+    * do to THIS corpus: pair counts and affected-doc counts at
+    * thresholds 0.5–0.9, all from the one shinglePairCounts pass
+    * (the sweep is five INTEGER predicates 1000·I ≥ τ·(na+nb−I)
+    * over the same candidate frame — no re-shingling, no floats,
+    * and thresholds above the generator's 0.5 floor are pure
+    * filters, so the sweep is sound). The q265 advisor tunes LSH to
+    * hit a threshold; this says which threshold you should want —
+    * together they close the loop. Dense threshold spine: a cutoff
+    * that drops everything reports honest zeros.
+    *
+    * Scale shape: candidate generation is q66's (capped, bucketed);
+    * the sweep adds a 5-row spine join and a pair-grain fold. */
+  def q297DedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pc = shinglePairCounts(Tables.documentsSpread(s, dir))
+    val th = Seq(500L, 600L, 700L, 800L, 900L).toDF("thresh_milli")
+    val hits = pc.crossJoin(broadcast(th))
+      .where(lit(1000L) * $"inter" >=
+        $"thresh_milli" * ($"na" + $"nb" - $"inter"))
+      .select($"thresh_milli",
+        explode(array($"doc_a", $"doc_b")).as("doc"))
+      .groupBy($"thresh_milli")
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct($"doc").as("n_docs"))
+    th.join(hits, Seq("thresh_milli"), "left")
+      .select($"thresh_milli",
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_docs", lit(0L)).as("n_docs"))
+      .orderBy($"thresh_milli")
+  }
+
+  private lazy val q297Oracle =
+    s"""WITH $jaccardPairsCte,
+       |pairs0 AS (
+       |  SELECT doc_a, doc_b, x.n AS na, y.n AS nb, inter
+       |  FROM p JOIN sz x ON doc_a = x.doc_id
+       |  JOIN sz y ON doc_b = y.doc_id),
+       |th AS (SELECT CAST(unnest([500, 600, 700, 800, 900]) AS BIGINT)
+       |  AS thresh_milli),
+       |e AS (
+       |  SELECT thresh_milli, unnest([doc_a, doc_b]) AS doc
+       |  FROM pairs0, th
+       |  WHERE 1000 * inter >= thresh_milli * (na + nb - inter)),
+       |agg AS (
+       |  SELECT thresh_milli, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+       |    CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+       |  FROM e GROUP BY 1)
+       |SELECT th.thresh_milli, COALESCE(agg.n_pairs, 0) AS n_pairs,
+       |  COALESCE(agg.n_docs, 0) AS n_docs
+       |FROM th LEFT JOIN agg USING (thresh_milli)
+       |ORDER BY thresh_milli""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_dedup_threshold_sweep" -> (q297DedupThresholdSweep _),
     "q292_prefix_filter_join" -> (q292PrefixFilterJoin _),
     "q290_cluster_density"  -> (q290ClusterDensity _),
     "q256_dedup_roi"        -> (q256DedupRoi _),
@@ -2151,6 +2206,7 @@ object DedupOps {
     "q281_dedup_recapture"  -> q281Oracle,
     "q290_cluster_density"  -> q290Oracle,
     "q292_prefix_filter_join" -> q66Oracle,
+    "q297_dedup_threshold_sweep" -> q297Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,

@@ -4725,12 +4725,81 @@ object EventOps {
        |  END AS qini_milli
        |FROM cum ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q296
+  /** Session-gap sensitivity sweep — how much the "30-minute
+    * session" convention actually matters on THIS corpus: session
+    * counts and events-per-session at gap thresholds of 5/15/30/60/
+    * 120 minutes, all from ONE pass over the per-event gaps (a
+    * session starts where the gap to the user's previous event
+    * exceeds the threshold — so n_sessions is five conditional sums
+    * over the same lag column, unpivoted through a literal spine;
+    * the corpus is never widened 5×). A flat curve means the q32/
+    * q139 sessionizers are robust here; a steep one means the
+    * threshold IS a modeling decision and deserves a footnote.
+    *
+    * Scale shape: one user-key lag window, one 5-expression agg,
+    * a 5-row spine unpivot. */
+  def q296SessionSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wU = Window.partitionBy($"user_id").orderBy($"tus")
+    val gaps = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"))
+      .withColumn("gap", $"tus" - lag($"tus", 1).over(wU))
+    def starts(mins: Long) =
+      sum(when($"gap".isNull || $"gap" > mins * 60000000L, 1L)
+        .otherwise(0L)).as(s"s$mins")
+    val one = gaps.agg(countDistinct($"user_id").as("nu"),
+      count(lit(1)).as("ne"),
+      starts(5), starts(15), starts(30), starts(60), starts(120))
+    val spine = Seq(5L, 15L, 30L, 60L, 120L).toDF("gap_mins")
+    one.crossJoin(broadcast(spine))
+      .select($"gap_mins", $"nu".as("n_users"), $"ne".as("n_events"),
+        expr("""CASE gap_mins WHEN 5 THEN s5 WHEN 15 THEN s15
+          |  WHEN 30 THEN s30 WHEN 60 THEN s60 ELSE s120 END"""
+          .stripMargin).as("n_sessions"))
+      .withColumn("events_per_session_milli",
+        expr("(1000 * n_events) div n_sessions"))
+      .orderBy($"gap_mins")
+  }
+
+  private val q296Oracle =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts))
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+      |  FROM events),
+      |one AS (
+      |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+      |    CAST(count(*) AS BIGINT) AS ne,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap > 5 * CAST(60000000 AS BIGINT)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS s5,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap > 15 * CAST(60000000 AS BIGINT)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS s15,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap > 30 * CAST(60000000 AS BIGINT)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS s30,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap > 60 * CAST(60000000 AS BIGINT)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS s60,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap > 120 * CAST(60000000 AS BIGINT)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS s120
+      |  FROM g),
+      |spine AS (SELECT CAST(unnest([5, 15, 30, 60, 120]) AS BIGINT)
+      |  AS gap_mins)
+      |SELECT gap_mins, nu AS n_users, ne AS n_events,
+      |  CASE gap_mins WHEN 5 THEN s5 WHEN 15 THEN s15 WHEN 30 THEN s30
+      |    WHEN 60 THEN s60 ELSE s120 END AS n_sessions,
+      |  (1000 * ne) // (CASE gap_mins WHEN 5 THEN s5 WHEN 15 THEN s15
+      |    WHEN 30 THEN s30 WHEN 60 THEN s60 ELSE s120 END)
+      |    AS events_per_session_milli
+      |FROM one, spine ORDER BY gap_mins""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_mann_whitney"     -> (q270MannWhitney _),
     "q287_growth_accounting" -> (q287GrowthAccounting _),
     "q293_pctl_rollup_gap"  -> (q293PctlRollupGap _),
     "q294_forecast_baselines" -> (q294ForecastBaselines _),
     "q295_qini_curve"       -> (q295QiniCurve _),
+    "q296_session_sweep"    -> (q296SessionSweep _),
     "q271_acf_ljung_box"    -> (q271AcfLjungBox _),
     "q274_spearman"         -> (q274Spearman _),
     "q275_queue_backlog"    -> (q275QueueBacklog _),
@@ -4820,6 +4889,7 @@ object EventOps {
     "q293_pctl_rollup_gap"  -> q293Oracle,
     "q294_forecast_baselines" -> q294Oracle,
     "q295_qini_curve"       -> q295Oracle,
+    "q296_session_sweep"    -> q296Oracle,
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,

@@ -702,4 +702,22 @@ class DedupOpsSpec extends SparkSuite {
     assert(cands.size < allShared,
       s"prefix candidates ${cands.size} must undercut all-shingle $allShared")
   }
+
+  test("q297 threshold sweep: 0.5 row matches q66; counts monotone; docs bounded") {
+    import spark.implicits._
+    val got = DedupOps.q297DedupThresholdSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(500L, 600L, 700L, 800L, 900L))
+    // the 0.5 row must agree exactly with q66's emitted pair set
+    val q66p = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.head._2 == q66p.length.toLong)
+    assert(got.head._3 ==
+      q66p.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+    // tightening the threshold can only shrink both counts
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // a pair touches two docs; a doc can appear in many pairs
+    got.foreach { case (_, np, nd) => assert(nd <= 2 * np) }
+  }
 }

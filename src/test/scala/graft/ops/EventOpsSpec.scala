@@ -1686,6 +1686,30 @@ class EventOpsSpec extends SparkSuite {
     assert(got.last._7.contains(overall))
   }
 
+  test("q296 session sweep: fold replay; session counts monotone in the gap") {
+    import spark.implicits._
+    val got = EventOps.q296SessionSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ev = graft.Tables.events(spark, sf0001)
+      .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val byUser = ev.groupBy(_._1).map { case (u, g) =>
+      u -> g.map(_._2).sorted }
+    def sessions(mins: Long) = byUser.values.map { ts =>
+      1L + ts.sliding(2).count(p => p.length == 2 &&
+        p(1) - p(0) > mins * 60000000L)
+    }.sum
+    assert(got.map(_._1).toSeq == Seq(5L, 15L, 30L, 60L, 120L))
+    got.foreach { case (mins, nu, ne, ns, eps) =>
+      assert(nu == byUser.size.toLong && ne == ev.length.toLong)
+      assert(ns == sessions(mins), s"gap $mins")
+      assert(eps == 1000L * ne / ns)
+    }
+    // a looser gap can only merge sessions, never split them
+    assert(got.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("q276 log-hist pctl: bucket replay; crossings monotone; bounds bracket") {
     import spark.implicits._
     val got = EventOps.q276LogHistPctl(spark, sf0001).collect()
