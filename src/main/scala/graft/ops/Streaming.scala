@@ -1507,7 +1507,81 @@ object Streaming {
       |SELECT user_id, n AS n_so_far, sv AS sum_so_far_micro
       |FROM waves ORDER BY user_id, n_so_far, sum_so_far_micro""".stripMargin
 
+  // ---------------------------------------------------------------- q298
+  /** DYNAMIC-gap session windows — the Structured Streaming feature
+    * q32's fixed 30 minutes can't express: the gap is an expression
+    * of the event itself (a purchase "closes" its session after
+    * 5 minutes; browsing keeps it open for 30), so each event
+    * extends its session to ts + gap(event) and sessions are the
+    * merged intervals. Same append/watermark/sentinel idiom as q32;
+    * the oracle is the classic interval-island fold with per-row
+    * interval ends — MAX(ts+g) over the prefix, break when the next
+    * event starts strictly after it (touching merges, q32's pinned
+    * boundary semantics). [[dynamicSessionsOf]] runs the identical
+    * aggregation on a BATCH frame (session_window works in both
+    * modes) so the spec can pin the merge boundary planted-exactly.
+    *
+    * Scale shape: one keyed shuffle; session state is
+    * watermark-bounded per key, never stream-length. */
+  def q298DynamicSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = eventsStream(s, dir)
+      .select($"user_id", $"ts", $"event_type")
+    val sentinel = sentinelStream(s, s.range(1)
+      .select(lit(-1L).as("user_id"),
+        timestamp_micros(lit(sentinelUs)).as("ts"),
+        lit("view").as("event_type")))
+    val agg = dynamicSessionsOf(base.union(sentinel)
+      .withWatermark("ts", "1 minute"))
+    drain(s, agg, OutputMode.Append())
+      .filter($"user_id" >= 0)
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** The dynamic-gap aggregation on any (user_id, ts, event_type)
+    * frame — batch or stream. */
+  private[ops] def dynamicSessionsOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val gap = when($"event_type" === "purchase", lit("5 minutes"))
+      .otherwise(lit("30 minutes"))
+    ev.groupBy(session_window($"ts", gap), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events",
+        $"n_purchases")
+  }
+
+  private val q298Oracle =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN INTERVAL 5 MINUTE
+      |         ELSE INTERVAL 30 MINUTE END AS g
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, event_id, g,
+      |    MAX(ts + g) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM e),
+      |o AS (
+      |  SELECT *, CASE WHEN pmax IS NULL OR ts > pmax THEN 1 ELSE 0 END
+      |    AS brk
+      |  FROM m),
+      |sess AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts + g) AS session_end, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN g = INTERVAL 5 MINUTE THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_dynamic_sessions" -> (q298DynamicSessions _),
     "q177_transform_with_state" -> (q177TransformWithState _),
     "q179_timeout_sessions" -> (q179TimeoutSessions _),
     "q181_mapstate_profile" -> (q181MapStateProfile _),
@@ -1531,6 +1605,7 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "q298_dynamic_sessions" -> q298Oracle,
     "q177_transform_with_state" -> q177Oracle,
     "q179_timeout_sessions" -> q35Oracle,
     "q181_mapstate_profile" -> q181Oracle,

@@ -339,4 +339,32 @@ class StreamingSpec extends SparkSuite {
         "q240 restarts from zero after expiry")
     }
   }
+
+  test("q298 dynamic sessions: boundary semantics pinned on planted batch frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def mk(rows: Seq[(Long, Long, String)]) =
+      Streaming.dynamicSessionsOf(rows.toDF("user_id", "us", "event_type")
+        .select($"user_id", timestamp_micros($"us").as("ts"), $"event_type"))
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+        .sortBy(_._2)
+    val min = 60000000L
+    // touching merges: a view at exactly prev end joins the session
+    assert(mk(Seq((1L, 0L, "view"), (1L, 30 * min, "view"))).length == 1)
+    // one microsecond past the end starts a new session
+    assert(mk(Seq((1L, 0L, "view"), (1L, 30 * min + 1, "view"))).length == 2)
+    // a purchase closes its session after 5 minutes, not 30
+    assert(mk(Seq((1L, 0L, "purchase"), (1L, 6 * min, "view"))).length == 2)
+    assert(mk(Seq((1L, 0L, "purchase"), (1L, 5 * min, "view"))).length == 1)
+    // a long view window still swallows a later purchase, and the
+    // purchase's SHORT gap then bounds the session end
+    val sw = Streaming.dynamicSessionsOf(
+      Seq((1L, 0L, "view"), (1L, 10 * min, "purchase"))
+        .toDF("user_id", "us", "event_type")
+        .select($"user_id", timestamp_micros($"us").as("ts"), $"event_type"))
+      .collect()
+    assert(sw.length == 1 && sw(0).getLong(3) == 2L)
+    assert(sw(0).getTimestamp(2).getTime * 1000L == 30 * min,
+      "session end = max over events of ts + its OWN gap")
+  }
 }
