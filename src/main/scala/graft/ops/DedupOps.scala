@@ -2052,11 +2052,17 @@ object DedupOps {
     * (both paths share the [[maxGroupSize]] cap; at adversarial df
     * the two guards can diverge — disclosed, not hidden).
     *
-    * Scale shape vs q66: candidate fan-out is driven by prefix
-    * (rarest-token) buckets instead of ALL shared shingles — the
-    * blocking work drops by roughly the prefix/doc-length ratio
-    * (~½ at t = 0.5, more at higher t); the verify join touches
-    * only candidates. */
+    * Scale shape vs q66 — measured honestly: the win is CANDIDATE
+    * VOLUME (prefix buckets instead of all shared shingles — the
+    * pair-generation shuffle drops by ~the prefix/doc-length ratio,
+    * ½ at t = 0.5, more at higher t), but the verify step joins
+    * full shingle-set payloads per candidate, which at bench scale
+    * costs MORE than q66's count-as-you-block (14 s vs 3 s at
+    * sf0.1). The filter pays off where blocking dominates: long
+    * documents (set payloads grow linearly, candidates drop
+    * quadratically in the similarity threshold) or higher t. This
+    * query exists to prove the guaranteed-recall mechanism against
+    * the exact oracle; q66 stays the default at t = 0.5. */
   def q292PrefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sets = docShingleSets(s, dir)
