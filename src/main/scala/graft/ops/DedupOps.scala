@@ -2168,8 +2168,46 @@ object DedupOps {
        |FROM th LEFT JOIN agg USING (thresh_milli)
        |ORDER BY thresh_milli""".stripMargin
 
+  // ---------------------------------------------------------------- q299
+  /** Cross-source duplication matrix — WHERE the near-dups come
+    * from: q66's pairs mapped to their (source, source) cells, so
+    * mirror sites light up off-diagonal and within-source template
+    * reuse lights the diagonal. The acquisition counterpart of
+    * q285's exclusivity: a source pair with heavy overlap means one
+    * of them is (mostly) paying twice. Cells ordered so
+    * source_a ≤ source_b — the matrix is symmetric and one triangle
+    * is the honest grain.
+    *
+    * Scale shape: the pair set is the existing capped generator;
+    * two broadcast-friendly doc_id→source lookups (source is
+    * metadata — text never moves), one cell-grain fold. */
+  def q299CrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    jaccardPairs(s, dir)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  private lazy val q299Oracle =
+    s"""WITH $jaccardPairsCte,
+       |cells AS (
+       |  SELECT least(x.source, y.source) AS source_a,
+       |    greatest(x.source, y.source) AS source_b
+       |  FROM jp
+       |  JOIN documents x ON jp.doc_a = x.doc_id
+       |  JOIN documents y ON jp.doc_b = y.doc_id)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q297_dedup_threshold_sweep" -> (q297DedupThresholdSweep _),
+    "q299_cross_source_dups" -> (q299CrossSourceDups _),
     "q292_prefix_filter_join" -> (q292PrefixFilterJoin _),
     "q290_cluster_density"  -> (q290ClusterDensity _),
     "q256_dedup_roi"        -> (q256DedupRoi _),
@@ -2213,6 +2251,7 @@ object DedupOps {
     "q290_cluster_density"  -> q290Oracle,
     "q292_prefix_filter_join" -> q66Oracle,
     "q297_dedup_threshold_sweep" -> q297Oracle,
+    "q299_cross_source_dups" -> q299Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,

@@ -2209,7 +2209,70 @@ object Relational {
       |    AS alloc_cents
       |FROM rk ORDER BY l_orderkey, l_linenumber, alloc_cents""".stripMargin
 
+  // ---------------------------------------------------------------- q300
+  /** Accumulating-snapshot fulfillment fact (Kimball) — one row per
+    * order carrying its milestone dates and the widths between them:
+    * order date, first ship, last ship, days-to-first, days-to-last,
+    * ship span, and line totals. The table a fulfillment dashboard
+    * reads directly (q212 aggregates the same lag into per-priority
+    * quantiles; this is the row-grain fact those aggregates roll up
+    * from — the thing you ALSO need, because "which orders are stuck"
+    * is a row question, not a quantile). Orders that never shipped
+    * keep NULL milestones and −1 widths, disclosed rather than
+    * dropped.
+    *
+    * Scale shape: one lineitem partial agg to order grain, one
+    * order-key join — the same two-table shape every accumulating
+    * snapshot build has; no windows, no sorts beyond the output
+    * order. */
+  def q300AccumulatingSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ship = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(min(to_date($"l_shipdate")).as("first_ship"),
+        max(to_date($"l_shipdate")).as("last_ship"),
+        count(lit(1)).as("n_lines"),
+        sum(expr("CAST(round(l_extendedprice * 100D) AS BIGINT)"))
+          .as("lines_cents"))
+    Tables.orders(s, dir)
+      .select($"o_orderkey", to_date($"o_orderdate").as("order_date"),
+        $"o_orderstatus")
+      .join(ship, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderkey", $"order_date", $"o_orderstatus",
+        $"first_ship", $"last_ship",
+        coalesce($"n_lines", lit(0L)).as("n_lines"),
+        coalesce($"lines_cents", lit(0L)).as("lines_cents"),
+        coalesce(datediff($"first_ship", $"order_date").cast("long"),
+          lit(-1L)).as("days_to_first_ship"),
+        coalesce(datediff($"last_ship", $"order_date").cast("long"),
+          lit(-1L)).as("days_to_last_ship"),
+        coalesce(datediff($"last_ship", $"first_ship").cast("long"),
+          lit(-1L)).as("ship_span_days"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q300Oracle =
+    """WITH ship AS (
+      |  SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship,
+      |    max(CAST(l_shipdate AS DATE)) AS last_ship,
+      |    CAST(count(*) AS BIGINT) AS n_lines,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS lines_cents
+      |  FROM lineitem GROUP BY 1)
+      |SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+      |  o.o_orderstatus, s.first_ship, s.last_ship,
+      |  COALESCE(s.n_lines, 0) AS n_lines,
+      |  COALESCE(s.lines_cents, 0) AS lines_cents,
+      |  COALESCE(s.first_ship - CAST(o.o_orderdate AS DATE), -1)
+      |    AS days_to_first_ship,
+      |  COALESCE(s.last_ship - CAST(o.o_orderdate AS DATE), -1)
+      |    AS days_to_last_ship,
+      |  COALESCE(s.last_ship - s.first_ship, -1) AS ship_span_days
+      |FROM orders o LEFT JOIN ship s ON o.o_orderkey = s.l_orderkey
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_accumulating_snapshot" -> (q300AccumulatingSnapshot _),
     "q288_reconciliation" -> (q288Reconciliation _),
     "q289_largest_remainder" -> (q289LargestRemainder _),
     "q253_benford_screen" -> (q253BenfordScreen _),
@@ -2267,6 +2330,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q300_accumulating_snapshot" -> q300Oracle,
     "q288_reconciliation" -> q288Oracle,
     "q289_largest_remainder" -> q289Oracle,
     "q253_benford_screen" -> q253Oracle,

@@ -720,4 +720,23 @@ class DedupOpsSpec extends SparkSuite {
     // a pair touches two docs; a doc can appear in many pairs
     got.foreach { case (_, np, nd) => assert(nd <= 2 * np) }
   }
+
+  test("q299 cross-source matrix: cell replay; totals conserve q66's pair count") {
+    import spark.implicits._
+    val got = DedupOps.q299CrossSourceDups(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val src = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val pairs = DedupOps.q66NgramJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.map { case (k, g) => k -> g.length.toLong }
+    assert(got == want)
+    assert(got.values.sum == pairs.length.toLong,
+      "every pair lands in exactly one cell")
+    got.keys.foreach { case (a, b) => assert(a <= b, "triangle grain") }
+  }
 }

@@ -418,4 +418,38 @@ class RelationalSpec extends SparkSuite {
     assert(got.sortBy(x => (x._1, x._2, x._4)).toSeq ==
       again.sortBy(x => (x._1, x._2, x._4)).toSeq)
   }
+
+  test("q300 accumulating snapshot: milestone replay; widths chain consistently") {
+    import spark.implicits._
+    val got = Relational.q300AccumulatingSnapshot(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", org.apache.spark.sql.functions
+        .to_date($"l_shipdate"), $"l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1)
+    val od = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", org.apache.spark.sql.functions
+        .to_date($"o_orderdate")).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toLocalDate).toMap
+    assert(got.length == od.size, "one row per order")
+    got.foreach { case (ok, nLines, cents, dFirst, dLast, span) =>
+      li.get(ok) match {
+        case Some(g) =>
+          assert(nLines == g.length.toLong && cents == g.map(_._3).sum)
+          val (f, l) = (g.map(_._2).min, g.map(_._2).max)
+          import java.time.temporal.ChronoUnit.DAYS
+          assert(dFirst == DAYS.between(od(ok), f))
+          assert(dLast == DAYS.between(od(ok), l))
+          assert(span == DAYS.between(f, l))
+          assert(dLast - dFirst == span, "widths chain")
+        case None =>
+          assert(nLines == 0L && cents == 0L)
+          assert(dFirst == -1L && dLast == -1L && span == -1L,
+            "never-shipped orders disclose with sentinels")
+      }
+    }
+  }
 }
