@@ -2205,9 +2205,76 @@ object DedupOps {
        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q301
+  /** Keeper-policy divergence — does paying for quality-weighted
+    * keeper selection (q74) actually change anything vs the free
+    * min-id rule (q79): per real cluster, both keepers, whether they
+    * differ, and the quality delta the upgrade buys. The argmax is
+    * a lexicographic struct max (quality DESC, doc_id ASC tie-break
+    * — exactly q74's ordering), so the two policies are compared
+    * under their own definitions, not re-derived.
+    *
+    * Scale shape: everything runs on the working set (clustered
+    * docs only, tiny by construction) with the corpus-side quality
+    * projection joined in; cluster-grain folds end it. */
+  def q301KeeperDivergence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val working = ccLabelsWorking(s, dir)
+      .select($"doc_id", $"lbl".as("cluster_id"))
+    val scored = broadcast(working)
+      .join(TextOps.qualityScores(s, dir)
+        .select($"doc_id", $"quality_score"), "doc_id")
+    val agg = scored.groupBy($"cluster_id")
+      .agg(count(lit(1)).as("size"), min($"doc_id").as("minid_keeper"),
+        max(struct($"quality_score", (-$"doc_id").as("negid"))).as("best"))
+      .select($"cluster_id", $"size", $"minid_keeper",
+        (-$"best.negid").as("quality_keeper"),
+        $"best.quality_score".as("best_quality"))
+    agg
+      .join(scored.select($"cluster_id", $"doc_id".as("minid_keeper"),
+        $"quality_score".as("minid_quality")),
+        Seq("cluster_id", "minid_keeper"))
+      .select($"cluster_id", $"size", $"minid_keeper", $"quality_keeper",
+        ($"minid_keeper" =!= $"quality_keeper").as("differs"),
+        ($"best_quality" - $"minid_quality").as("quality_delta"))
+      .orderBy($"cluster_id")
+  }
+
+  private lazy val q301Oracle =
+    s"""WITH RECURSIVE $ccCte,
+       |q AS (
+       |  ${TextOps.qualityScoresSql}),
+       |cs AS (SELECT cluster_id FROM lab GROUP BY 1 HAVING count(*) >= 2),
+       |m2 AS (
+       |  SELECT lab.doc_id, lab.cluster_id, q.quality_score
+       |  FROM lab JOIN q ON lab.doc_id = q.doc_id
+       |  JOIN cs ON lab.cluster_id = cs.cluster_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality_score DESC, doc_id ASC) AS rn
+       |  FROM m2),
+       |best AS (
+       |  SELECT cluster_id, doc_id AS quality_keeper,
+       |    quality_score AS best_quality
+       |  FROM r WHERE rn = 1),
+       |mn AS (
+       |  SELECT cluster_id, min(doc_id) AS minid_keeper,
+       |    CAST(count(*) AS BIGINT) AS size
+       |  FROM m2 GROUP BY 1),
+       |mq AS (
+       |  SELECT m2.cluster_id, m2.quality_score AS minid_quality
+       |  FROM m2 JOIN mn ON m2.cluster_id = mn.cluster_id
+       |    AND m2.doc_id = mn.minid_keeper)
+       |SELECT mn.cluster_id, mn.size, mn.minid_keeper, best.quality_keeper,
+       |  mn.minid_keeper <> best.quality_keeper AS differs,
+       |  best.best_quality - mq.minid_quality AS quality_delta
+       |FROM mn JOIN best USING (cluster_id) JOIN mq USING (cluster_id)
+       |ORDER BY mn.cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q297_dedup_threshold_sweep" -> (q297DedupThresholdSweep _),
     "q299_cross_source_dups" -> (q299CrossSourceDups _),
+    "q301_keeper_divergence" -> (q301KeeperDivergence _),
     "q292_prefix_filter_join" -> (q292PrefixFilterJoin _),
     "q290_cluster_density"  -> (q290ClusterDensity _),
     "q256_dedup_roi"        -> (q256DedupRoi _),
@@ -2252,6 +2319,7 @@ object DedupOps {
     "q292_prefix_filter_join" -> q66Oracle,
     "q297_dedup_threshold_sweep" -> q297Oracle,
     "q299_cross_source_dups" -> q299Oracle,
+    "q301_keeper_divergence" -> q301Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,

@@ -739,4 +739,33 @@ class DedupOpsSpec extends SparkSuite {
       "every pair lands in exactly one cell")
     got.keys.foreach { case (a, b) => assert(a <= b, "triangle grain") }
   }
+
+  test("q301 keeper divergence: agrees with q74/q79's own keeper choices") {
+    import spark.implicits._
+    val got = DedupOps.q301KeeperDivergence(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5)))
+    val q79k = DedupOps.q79NeardupClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val q74k = DedupOps.q74ClusterKeepers(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val realClusters = q79k.groupBy(_._2).filter(_._2.length >= 2)
+    assert(got.map(_._1).toSet == realClusters.keySet)
+    val quality = q74k.map(k => k._1 -> k._3).toMap
+    got.foreach { case (cid, size, minid, qk, differs, delta) =>
+      assert(size == realClusters(cid).length.toLong)
+      // q79's keeper convention: the cluster label IS the min id
+      assert(minid == realClusters(cid).map(_._1).min && minid == cid)
+      // q74's kept doc in this cluster is exactly the quality keeper
+      val kept74 = q74k.filter(k => k._2 == cid && k._4).map(_._1)
+      assert(kept74.toSeq == Seq(qk), s"cluster $cid")
+      assert(differs == (minid != qk))
+      assert(math.abs(delta - (quality(qk) - quality(minid))) < 1e-12)
+      assert(delta >= 0.0, "the quality keeper can never be worse")
+    }
+    // the diagnostic is live on this corpus: at least one cluster
+    // where the two policies disagree, and at least one where they
+    // agree (min-id doc happens to be the best)
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
 }
