@@ -550,6 +550,35 @@ class PlanSpec extends SparkSuite {
       .contains("BroadcastHashJoin"), "q290 labels broadcast")
   }
 
+  test("q294/q296: monitors scan only what the series needs") {
+    val p294 = plan(EventOps.q294ForecastBaselines(spark, sf0001))
+    val rs294 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p294)
+      .map(_.group(1)).getOrElse("")
+    assert(rs294 == "ts:bigint", s"q294 reads only ts: $rs294")
+    val p296 = plan(EventOps.q296SessionSweep(spark, sf0001))
+    val rs296 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p296)
+      .map(_.group(1)).getOrElse("")
+    assert(!rs296.contains("value") && !rs296.contains("props"),
+      s"q296 needs only (ts, user_id): $rs296")
+  }
+
+  test("q295/q297/q299/q300/q301: sweeps and facts — no cartesian, pruned money scans") {
+    for ((name, df) <- Seq(
+      ("q295", EventOps.q295QiniCurve(spark, sf0001)),
+      ("q297", DedupOps.q297DedupThresholdSweep(spark, sf0001)),
+      ("q299", DedupOps.q299CrossSourceDups(spark, sf0001)),
+      ("q300", Relational.q300AccumulatingSnapshot(spark, sf0001)),
+      ("q301", DedupOps.q301KeeperDivergence(spark, sf0001)))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name: " + p.take(400))
+    }
+    val p300 = plan(Relational.q300AccumulatingSnapshot(spark, sf0001))
+    val schemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p300)
+      .map(_.group(1)).toSeq
+    assert(schemas.forall(rs => !rs.contains("comment")),
+      "accumulating snapshot never reads comments")
+  }
+
   test("q267/q268: survival cells spine-join broadcast; agreement has no cartesian") {
     val p267 = plan(EventOps.q267LogRank(spark, sf0001))
     val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p267)
