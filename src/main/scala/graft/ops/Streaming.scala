@@ -1481,7 +1481,12 @@ object Streaming {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       deliver(0); runOnce()
-      Thread.sleep(1600)   // strictly exceeds the 800 ms TTL
+      // strictly exceeds the 800 ms TTL. ~4× margin rather than 2×:
+      // the test's correctness rides on wall-clock gaps, and one
+      // full-suite run on a heavily loaded box flaked at 1600 ms —
+      // the wider quiet period keeps the expiry unambiguous under
+      // scheduler contention without meaningfully slowing the suite
+      Thread.sleep(3000)
       deliver(1); runOnce()
     } finally prev match {
       case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
