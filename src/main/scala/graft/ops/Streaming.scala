@@ -1453,11 +1453,16 @@ object Streaming {
       // required" after EVERY batch (it must keep ticking to advance
       // the TTL clock), so both no-more-work exits never latch — the
       // probe run committed 330+ empty ticks. Termination here is
-      // output-driven: the single delivery file is exactly one DATA
-      // batch, foreachBatch appends its rows atomically, so the first
-      // growth of `rows` marks that batch complete → stop(). A
-      // deadline turns a wedged stream into a loud failure.
-      val before = rows.synchronized(rows.size)
+      // COMMIT-driven, not output-driven: foreachBatch appends its
+      // rows BEFORE the checkpoint commit log records the batch, so
+      // stopping on first output can kill the query in that window —
+      // the next runOnce() then REPLAYS the delivery against fresh
+      // state (foreachBatch is at-least-once), duplicating the first
+      // wave and never reading the second (observed exactly once
+      // under heavy box load). Progress events post only after the
+      // commit lands, so a progressed batch with input rows makes
+      // stop() safe. A deadline turns a wedged stream into a loud
+      // failure.
       val q = stream.writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
           val batch = df.collect()
@@ -1468,9 +1473,9 @@ object Streaming {
         .option("checkpointLocation", cp.toString)
         .start()
       val deadline = System.nanoTime() + 120L * 1000000000L
-      while (rows.synchronized(rows.size) == before) {
+      while (!q.recentProgress.exists(_.numInputRows > 0)) {
         if (System.nanoTime() > deadline)
-          throw new IllegalStateException("q240 delivery batch never emitted")
+          throw new IllegalStateException("q240 delivery batch never committed")
         Thread.sleep(100)
       }
       q.stop()
