@@ -4793,7 +4793,252 @@ object EventOps {
       |    AS events_per_session_milli
       |FROM one, spine ORDER BY gap_mins""".stripMargin
 
+  // ---------------------------------------------------------------- q302
+  /** Number of user-cohort slices in the q302 subgroup screen. */
+  val fdrSlices = 12L
+
+  /** BH-FDR rejection level, in micro (5%). */
+  val fdrAlphaMicro = 50000L
+
+  /** Benjamini–Hochberg FDR screen over per-slice subgroup tests —
+    * the multiple-testing gate q207/q206 leave open: read out an
+    * experiment in 12 user cohorts and ~46% of null experiments show
+    * ≥1 "significant" slice at raw α=5%; BH's step-up caps the
+    * expected FALSE-DISCOVERY share among flagged slices at α
+    * (Benjamini & Hochberg 1995). Per slice (user cohort
+    * `(user_id div 2) % 12`, orthogonal to the `% 2` arm split), the
+    * 2×2 conversion table gets the exact integer χ²₁
+    * (q207's cross-product form, denominator-first split so
+    * BIGINT survives ~3·10⁵ users/slice; bigger slices sample first,
+    * q49's trick), then a DISTRIBUTION-FREE p bound via Markov on
+    * E[χ²₁]=1: p ≤ 1/χ² — conservative but exactly computable in
+    * integers, and BH under a pointwise-conservative p bound still
+    * controls FDR (rejections only shrink). The step-up itself is
+    * [[bhFdrOf]] on any (slice, p_micro) frame: rank ascending,
+    * adjusted p = suffix-min of p·m/rank (ties get equal adjusted
+    * values regardless of tie-break — the suffix-min smooths them),
+    * reject ⇔ p_adj ≤ α. Cohorts with an empty margin (no arm or
+    * all-success/all-fail) carry zero evidence: χ²=0, p=1.
+    *
+    * Scale shape: one pass to user grain, one slice-grain agg
+    * (12 rows), then the BH windows run on the 12-row frame —
+    * everything after the first agg is slice-cardinality, i.e. free;
+    * the corpus is never globally sorted. */
+  def q302BhFdr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" &&
+        $"value" > abSuccessValue, 1L).otherwise(0L)).as("success"))
+      .select(expr(s"(user_id div 2) % $fdrSlices").as("slice"),
+        ($"user_id" % 2).as("arm"), $"success")
+      .groupBy($"slice")
+      .agg(
+        sum(when($"arm" === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 0L, $"success").otherwise(0L)).as("s_a"),
+        sum(when($"arm" === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === 1L, $"success").otherwise(0L)).as("s_b"))
+      .select($"slice", $"n_a", $"s_a", $"n_b", $"s_b",
+        expr("""CASE WHEN n_a = 0 OR n_b = 0 OR s_a + s_b = 0
+          |  OR (n_a - s_a) + (n_b - s_b) = 0 THEN 0
+          |  ELSE (1000 * (n_a + n_b)
+          |    * (((s_a * (n_b - s_b) - s_b * (n_a - s_a))
+          |        * (s_a * (n_b - s_b) - s_b * (n_a - s_a)))
+          |       div (n_a * n_b)))
+          |    div ((s_a + s_b) * ((n_a - s_a) + (n_b - s_b)))
+          |END""".stripMargin).as("chi2_milli"))
+      .withColumn("p_micro",
+        expr("least(1000000L, 1000000000L div greatest(chi2_milli, 1L))"))
+    bhFdrOf(cells, fdrAlphaMicro)
+      .orderBy($"slice")
+  }
+
+  /** The BH step-up on any frame carrying (slice, p_micro) — kept
+    * separate so the spec can plant exact p vectors (the step-up
+    * rescue, tie smoothing, the all-null corpus) and so any test's p
+    * column plugs in. Appends m-scaled rank, adjusted p (suffix-min
+    * of p·m/rank, capped at 1), and the α-level verdict; all other
+    * input columns pass through. */
+  private[ops] def bhFdrOf(tests: DataFrame, alphaMicro: Long): DataFrame = {
+    val s = tests.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = Window.partitionBy()
+    val asc = Window.orderBy($"p_micro", $"slice")
+    val suffix = Window.orderBy($"p_micro".desc, $"slice".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tests
+      .withColumn("m", count(lit(1)).over(m))
+      .withColumn("p_rank", row_number().over(asc))
+      .withColumn("p_adj_micro",
+        min(expr("least(1000000L, (p_micro * m) div p_rank)")).over(suffix))
+      .withColumn("reject", $"p_adj_micro" <= alphaMicro)
+      .drop("m")
+  }
+
+  private val q302Oracle =
+    s"""WITH u AS (
+       |  SELECT (user_id // 2) % $fdrSlices AS slice, user_id % 2 AS arm,
+       |    max(CASE WHEN event_type = 'purchase' AND value > $abSuccessValue
+       |      THEN 1 ELSE 0 END) AS success
+       |  FROM events GROUP BY user_id),
+       |c AS (
+       |  SELECT slice,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 0 THEN success ELSE 0 END) AS BIGINT) AS s_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(sum(CASE WHEN arm = 1 THEN success ELSE 0 END) AS BIGINT) AS s_b
+       |  FROM u GROUP BY slice),
+       |t AS (
+       |  SELECT slice, n_a, s_a, n_b, s_b,
+       |    CAST(CASE WHEN n_a = 0 OR n_b = 0 OR s_a + s_b = 0
+       |      OR (n_a - s_a) + (n_b - s_b) = 0 THEN 0
+       |      ELSE (1000 * (n_a + n_b)
+       |        * (((s_a * (n_b - s_b) - s_b * (n_a - s_a))
+       |            * (s_a * (n_b - s_b) - s_b * (n_a - s_a)))
+       |           // (n_a * n_b)))
+       |        // ((s_a + s_b) * ((n_a - s_a) + (n_b - s_b)))
+       |    END AS BIGINT) AS chi2_milli
+       |  FROM c),
+       |p AS (
+       |  SELECT *, least(1000000, 1000000000 // greatest(chi2_milli, 1))
+       |    AS p_micro,
+       |    CAST(count(*) OVER () AS BIGINT) AS m,
+       |    CAST(row_number() OVER (ORDER BY
+       |      least(1000000, 1000000000 // greatest(chi2_milli, 1)), slice)
+       |      AS BIGINT) AS p_rank
+       |  FROM t)
+       |SELECT slice, n_a, s_a, n_b, s_b, chi2_milli, p_micro, p_rank,
+       |  CAST(min(least(1000000, (p_micro * m) // p_rank)) OVER (
+       |    ORDER BY p_micro DESC, slice DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS p_adj_micro,
+       |  min(least(1000000, (p_micro * m) // p_rank)) OVER (
+       |    ORDER BY p_micro DESC, slice DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    <= $fdrAlphaMicro AS reject
+       |FROM p ORDER BY slice""".stripMargin
+
+  // ---------------------------------------------------------------- q303
+  /** Kruskal–Wallis k-group rank test: does order value distribution
+    * differ across the five o_orderpriority classes? The k-group
+    * generalization of q270's two-arm rank-sum (q270 compares arms;
+    * this asks whether ANY of k segments differs), on ranks so the
+    * verdict is whale-proof where a k-group ANOVA on means is not.
+    * Same doubled-midrank device at VALUE grain (cents of
+    * o_totalprice — exact integers): per group g, 2·(rank sum)
+    * R2_g = Σ_cells t_g·(2·lt + t + 1); then
+    * H = [3·Σ R2_g²/n_g / (n(n+1)) − 3(n+1)] / C with the tie
+    * correction C = 1 − Σ(t³−t)/(n³−n), all in milli fixed point
+    * with mirrored floors (per-group 10³·R2_g² div n_g first, then
+    * the two outer divisions; C as a milli ratio). Truncation can
+    * leave a −ε where theory says 0, clamped to 0 in both engines.
+    * 10³·R2_g² caps BIGINT at ~2·10⁴ rows — a bigger corpus tests on
+    * a deterministic sample (q49's bucket trick), which is
+    * statistically all it needs (q270's convention). Degenerate
+    * inputs (n<2, k<2, or all-tied ⇒ C=0) emit the −1 sentinel.
+    * Verdict at α=5% against [[TextOps.chi2CritMilli]] at dof=k−1
+    * (the shared constant-table device).
+    *
+    * Scale shape: one pass to (group, value) cells; the global rank
+    * device is a window over the DISTINCT-value spine (never a
+    * corpus sort), and everything after the cell agg is
+    * k-cardinality. */
+  def q303KruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kruskalWallisOf(Tables.orders(s, dir)
+      .select($"o_orderpriority".as("g"),
+        expr("CAST(round(o_totalprice * 100D) AS BIGINT)").as("v")))
+  }
+
+  /** The test on any (g, v BIGINT) frame — separated so the spec can
+    * plant separated groups, an all-tied corpus, and a single-group
+    * frame. */
+  private[ops] def kruskalWallisOf(pts: DataFrame): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gcells = pts.groupBy($"g", $"v").agg(count(lit(1)).as("tg"))
+    val cells = gcells.groupBy($"v").agg(sum($"tg").as("t"))
+    val wLess = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("lt", coalesce(sum($"t").over(wLess), lit(0L)))
+    val groups = gcells.join(ranked, "v")
+      .groupBy($"g")
+      .agg(sum($"tg").as("ng"),
+        sum($"tg" * (lit(2L) * $"lt" + $"t" + 1L)).as("r2"))
+    val critCase = TextOps.chi2CritMilli
+      .map { case (d, c) => s"WHEN $d THEN ${c}L" }.mkString(" ")
+    groups
+      .agg(sum($"ng").as("n"), count(lit(1)).as("k"),
+        sum(expr("(1000 * r2 * r2) div ng")).as("a_milli"))
+      .crossJoin(cells.agg(
+        coalesce(sum($"t" * $"t" * $"t" - $"t"), lit(0L)).as("tie_term")))
+      .select($"n", $"k", $"tie_term",
+        expr("""CASE
+          |  WHEN n < 2 OR k < 2 THEN -1
+          |  WHEN 1000 - (1000 * tie_term) div (n * n * n - n) <= 0 THEN -1
+          |  ELSE greatest(0L,
+          |    (1000 * ((3 * a_milli) div (n * (n + 1)) - 3000 * (n + 1)))
+          |    div (1000 - (1000 * tie_term) div (n * n * n - n)))
+          |END""".stripMargin).as("h_milli"))
+      .withColumn("crit_milli",
+        expr(s"CASE k - 1 $critCase ELSE -1L END"))
+      .withColumn("significant", $"h_milli" > $"crit_milli")
+  }
+
+  private val q303Oracle = {
+    val critCase = TextOps.chi2CritMilli
+      .map { case (d, c) => s"WHEN $d THEN $c" }.mkString(" ")
+    s"""WITH pts AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders),
+       |gcells AS (
+       |  SELECT g, v, CAST(count(*) AS BIGINT) AS tg
+       |  FROM pts GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT v, CAST(sum(tg) AS BIGINT) AS t FROM gcells GROUP BY 1),
+       |rk AS (
+       |  SELECT v, t,
+       |    COALESCE(CAST(sum(t) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS lt
+       |  FROM cells),
+       |grp AS (
+       |  SELECT g, CAST(sum(tg) AS BIGINT) AS ng,
+       |    CAST(sum(tg * (2 * lt + t + 1)) AS BIGINT) AS r2
+       |  FROM gcells JOIN rk USING (v) GROUP BY g),
+       |agg AS (
+       |  SELECT CAST(sum(ng) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum((1000 * r2 * r2) // ng) AS BIGINT) AS a_milli,
+       |    (SELECT COALESCE(CAST(sum(t * t * t - t) AS BIGINT), 0)
+       |     FROM cells) AS tie_term
+       |  FROM grp)
+       |SELECT n, k, tie_term,
+       |  CAST(CASE
+       |    WHEN n < 2 OR k < 2 THEN -1
+       |    WHEN 1000 - (1000 * tie_term) // (n * n * n - n) <= 0 THEN -1
+       |    ELSE greatest(0,
+       |      (1000 * ((3 * a_milli) // (n * (n + 1)) - 3000 * (n + 1)))
+       |      // (1000 - (1000 * tie_term) // (n * n * n - n)))
+       |  END AS BIGINT) AS h_milli,
+       |  CAST(CASE k - 1 $critCase ELSE -1 END AS BIGINT) AS crit_milli,
+       |  CASE
+       |    WHEN n < 2 OR k < 2 THEN -1
+       |    WHEN 1000 - (1000 * tie_term) // (n * n * n - n) <= 0 THEN -1
+       |    ELSE greatest(0,
+       |      (1000 * ((3 * a_milli) // (n * (n + 1)) - 3000 * (n + 1)))
+       |      // (1000 - (1000 * tie_term) // (n * n * n - n)))
+       |  END > CASE k - 1 $critCase ELSE -1 END AS significant
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_bh_fdr"           -> (q302BhFdr _),
+    "q303_kruskal_wallis"   -> (q303KruskalWallis _),
     "q270_mann_whitney"     -> (q270MannWhitney _),
     "q287_growth_accounting" -> (q287GrowthAccounting _),
     "q293_pctl_rollup_gap"  -> (q293PctlRollupGap _),
@@ -4864,6 +5109,8 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q302_bh_fdr"           -> q302Oracle,
+    "q303_kruskal_wallis"   -> q303Oracle,
     "q249_entropy_rate"     -> q249Oracle,
     "q250_incident_exposure" -> q250Oracle,
     "q255_stationary_dist"  -> q255Oracle,

@@ -1782,4 +1782,117 @@ class EventOpsSpec extends SparkSuite {
       }
     }
   }
+
+  test("q302 bh-fdr: step-up replay; planted rescue, ties, all-null") {
+    import spark.implicits._
+    // sf replay from first principles: per-slice 2x2 chi2 and the BH
+    // step-up recomputed in plain Scala over collected user labels
+    val got = EventOps.q302BhFdr(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(5), r.getLong(6), r.getInt(7),
+        r.getLong(8), r.getBoolean(9)))
+    val users = graft.Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .map { case (u, es) =>
+        ((u / 2) % EventOps.fdrSlices, u % 2,
+          if (es.exists(e => e._2 == "purchase" &&
+            e._3 > EventOps.abSuccessValue)) 1L else 0L) }
+    val cells = users.groupBy(_._1).toSeq.map { case (sl, g) =>
+      val (na, sa) = (g.count(_._2 == 0L), g.filter(_._2 == 0L).map(_._3).sum)
+      val (nb, sb) = (g.count(_._2 == 1L), g.filter(_._2 == 1L).map(_._3).sum)
+      val (fa, fb) = (na - sa, nb - sb)
+      val chi2 =
+        if (na == 0 || nb == 0 || sa + sb == 0 || fa + fb == 0) 0L
+        else {
+          val cross = sa * fb - sb * fa
+          (1000L * (na + nb) * (cross * cross / (na.toLong * nb))) /
+            ((sa + sb) * (fa + fb))
+        }
+      (sl, chi2, math.min(1000000L, 1000000000L / math.max(chi2, 1L)))
+    }
+    val m = cells.length.toLong
+    val ranked = cells.sortBy(c => (c._3, c._1)).zipWithIndex
+      .map { case ((sl, chi2, p), i) => (sl, chi2, p, i + 1) }
+    // suffix-min from the largest rank down
+    val adj = ranked.reverse
+      .scanLeft(Long.MaxValue) { case (acc, (_, _, p, rk)) =>
+        math.min(acc, math.min(1000000L, p * m / rk)) }
+      .drop(1).reverse
+    val want = ranked.zip(adj).map { case ((sl, chi2, p, rk), a) =>
+      (sl, chi2, p, rk, a, a <= EventOps.fdrAlphaMicro) }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // the tiny fixture's user-id range need not hit every residue —
+    // just pin that slices are distinct and in-range
+    assert(got.map(_._1).distinct.length == got.length &&
+      got.forall(r => r._1 >= 0L && r._1 < EventOps.fdrSlices))
+    // planted exact p vector: two discoveries at alpha=5%, the cap,
+    // and monotone adjusted p
+    def bh(ps: Seq[Long]) = EventOps.bhFdrOf(
+      ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("slice", "p_micro"), EventOps.fdrAlphaMicro)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    val mixed = bh(Seq(1000L, 8000L, 40000L, 200000L, 1000000L, 1000000L))
+    assert(mixed.map(_._3).toSeq ==
+      Seq(6000L, 24000L, 80000L, 300000L, 1000000L, 1000000L))
+    assert(mixed.map(_._4).toSeq ==
+      Seq(true, true, false, false, false, false),
+      "raw p=0.04 survives no multiplicity; adjusted 0.08 must not")
+    // the classic step-up rescue: every p_i = alpha*i/m, so the
+    // LAST test pulls all six in (per-test Bonferroni keeps only #1)
+    val rescue = bh(Seq(8333L, 16666L, 25000L, 33333L, 41666L, 50000L))
+    assert(rescue.forall(_._4), "step-up rejects all at the boundary")
+    assert(rescue.map(_._3).max <= EventOps.fdrAlphaMicro)
+    // ties get identical adjusted p regardless of rank order
+    val tied = bh(Seq(20000L, 20000L, 900000L))
+    assert(tied(0)._3 == tied(1)._3 && tied(0)._4 && tied(1)._4)
+    // all-null corpus: nothing rejected, adjusted p pinned at 1
+    val nulls = bh(Seq.fill(5)(1000000L))
+    assert(nulls.forall(r => r._3 == 1000000L && !r._4))
+  }
+
+  test("q303 kruskal-wallis: direct midrank replay; planted groups") {
+    import spark.implicits._
+    val Array(r) = EventOps.q303KruskalWallis(spark, sf0001).collect()
+    val pts = graft.Tables.orders(spark, sf0001)
+      .select($"o_orderpriority",
+        org.apache.spark.sql.functions.expr(
+          "CAST(round(o_totalprice * 100D) AS BIGINT)")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    // doubled midranks per POINT (2*#less + #tied + 1) - the direct
+    // definition, not the cell-window formula the query uses
+    val n = pts.length.toLong
+    val k = pts.map(_._1).distinct.length.toLong
+    val r2 = pts.groupBy(_._1).view.mapValues(g => g.map { case (_, v) =>
+      2L * pts.count(_._2 < v) + pts.count(_._2 == v) + 1L }.sum).toMap
+    val aMilli = pts.groupBy(_._1).map { case (g, pg) =>
+      1000L * r2(g) * r2(g) / pg.length }.sum
+    val tie = pts.groupBy(_._2).values
+      .map(_.length.toLong).map(t => t * t * t - t).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((n, k, tie)))
+    val cMilli = 1000L - (1000L * tie) / (n * n * n - n)
+    val want = math.max(0L,
+      1000L * ((3L * aMilli) / (n * (n + 1)) - 3000L * (n + 1)) / cMilli)
+    assert(r.getLong(3) == want)
+    assert(r.getLong(4) == graft.ops.TextOps.chi2CritMilli
+      .find(_._1 == (k - 1).toInt).get._2)
+    assert(r.getBoolean(5) == (want > r.getLong(4)))
+    // planted full separation, 3 groups x 3: exact H = 7.2 > 5.991
+    val sep = EventOps.kruskalWallisOf(
+      Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 11L), ("b", 12L),
+        ("b", 13L), ("c", 21L), ("c", 22L), ("c", 23L)).toDF("g", "v"))
+      .collect()(0)
+    assert(sep.getLong(3) == 7200L && sep.getBoolean(5),
+      "fully separated triples: H=7.2 exactly, over the 5% bar at dof=2")
+    // all-tied corpus: C=0, sentinel
+    val tied2 = EventOps.kruskalWallisOf(
+      Seq(("a", 5L), ("b", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v"))
+      .collect()(0)
+    assert(tied2.getLong(3) == -1L)
+    // one group: no between-group question to ask
+    val one = EventOps.kruskalWallisOf(
+      Seq(("a", 1L), ("a", 2L)).toDF("g", "v")).collect()(0)
+    assert(one.getLong(3) == -1L)
+  }
 }
