@@ -1291,7 +1291,101 @@ object SimilarityOps {
        |    AS BIGINT) AS acc_ppm
        |FROM pred GROUP BY 1 ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q305
+  /** Per-rank DCG discounts 10⁶/log₂(i+1), i = 1..10, as FLOOR'd
+    * literal micro constants interpolated into BOTH engines (q242's
+    * constant-table device) — the one place a log leaves integer
+    * arithmetic, frozen so it can't leave determinism. */
+  val ndcgDiscMicro: Seq[Long] = Seq(1000000L, 630929L, 500000L,
+    430676L, 386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** NDCG@10 of the exact kNN ranking (q70) read as a same-label
+    * retriever — the POSITION-AWARE retrieval readout q148's
+    * recall@k flattens: recall counts how many relevant ids landed
+    * anywhere in the top-10; NDCG pays rank 1 ~3.5× rank 10, which
+    * is how retrieval-augmented consumers (few-shot selection,
+    * RAG context packing) actually experience the list. Binary
+    * gain = neighbor shares the query's label; DCG = Σ rel·disc(rank)
+    * over [[ndcgDiscMicro]]; the IDEAL normalizer fills ranks
+    * 1..min(10, R) where R counts the query's label twins in the
+    * WHOLE corpus (self excluded) — an ideal limited to the returned
+    * list would flatter every ranker. A twinless query has no
+    * defined ideal and reports the −1 sentinel. All integers, so the
+    * eval is hash-stable (q148's argument: an eval that isn't
+    * reproducible can't gate anything).
+    *
+    * Scale shape: both inputs are already scale-shaped (q70
+    * broadcasts queries; label counts are a label-grain agg the
+    * join broadcasts); everything past them is queries×k rows. */
+  def q305NdcgAt10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ndcgAt10Of(q70KnnBruteForce(s, dir),
+      Tables.embeddings(s, dir).select($"vec_id", $"label"))
+  }
+
+  /** The metric on any ((query_id, neighbor_id, rank) ranking,
+    * (vec_id, label) corpus) pair — separated so the spec can plant
+    * rankings with hand-computed NDCG and a twinless query. */
+  private[ops] def ndcgAt10Of(nn: DataFrame, lab: DataFrame): DataFrame = {
+    val s = nn.sparkSession
+    import s.implicits._
+    val discCase = ndcgDiscMicro.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN ${d}L" }.mkString(" ")
+    val cum = ndcgDiscMicro.scanLeft(0L)(_ + _)
+    val cumCase = cum.zipWithIndex
+      .map { case (c, m) => s"WHEN $m THEN ${c}L" }.mkString(" ")
+    val cnt = lab.groupBy($"label").agg(count(lit(1)).as("c"))
+    nn.join(lab.select($"vec_id".as("query_id"), $"label".as("q_label")),
+        "query_id")
+      .join(lab.select($"vec_id".as("neighbor_id"), $"label".as("n_label")),
+        "neighbor_id")
+      .select($"query_id", $"rank", $"q_label",
+        when($"q_label" === $"n_label", 1L).otherwise(0L).as("rel"))
+      .groupBy($"query_id", $"q_label")
+      .agg(sum($"rel").as("n_rel"),
+        sum(expr(s"rel * CASE rank $discCase END")).as("dcg_micro"))
+      .join(broadcast(cnt), $"q_label" === $"label")
+      .withColumn("idcg_micro",
+        expr(s"CASE least(10L, c - 1) $cumCase END"))
+      .select($"query_id", $"n_rel", $"dcg_micro", $"idcg_micro",
+        expr("CASE WHEN idcg_micro = 0 THEN -1 "
+          + "ELSE (1000000 * dcg_micro) div idcg_micro END").as("ndcg_ppm"))
+      .orderBy($"query_id")
+  }
+
+  private def q305Oracle = {
+    val discCase = ndcgDiscMicro.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+    val cum = ndcgDiscMicro.scanLeft(0L)(_ + _)
+    val cumCase = cum.zipWithIndex
+      .map { case (c, m) => s"WHEN $m THEN $c" }.mkString(" ")
+    s"""WITH nn AS ($q70Oracle),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS c
+       |        FROM lab GROUP BY 1),
+       |j AS (
+       |  SELECT nn.query_id, nn.rank, ql.label AS q_label,
+       |    CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel
+       |  FROM nn JOIN lab ql ON nn.query_id = ql.vec_id
+       |          JOIN lab nl ON nn.neighbor_id = nl.vec_id),
+       |per AS (
+       |  SELECT query_id, q_label, CAST(sum(rel) AS BIGINT) AS n_rel,
+       |    CAST(sum(rel * CASE rank $discCase END) AS BIGINT) AS dcg_micro
+       |  FROM j GROUP BY 1, 2),
+       |idc AS (
+       |  SELECT p.query_id, p.n_rel, p.dcg_micro,
+       |    CAST(CASE least(10, c.c - 1) $cumCase END AS BIGINT)
+       |      AS idcg_micro
+       |  FROM per p JOIN cnt c ON p.q_label = c.label)
+       |SELECT query_id, n_rel, dcg_micro, idcg_micro,
+       |  CAST(CASE WHEN idcg_micro = 0 THEN -1
+       |    ELSE (1000000 * dcg_micro) // idcg_micro END AS BIGINT)
+       |    AS ndcg_ppm
+       |FROM idc ORDER BY query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_ndcg_at_10"    -> (q305NdcgAt10 _),
     "q251_knn_loo_eval"  -> (q251KnnLooEval _),
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
@@ -1310,6 +1404,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q305_ndcg_at_10"    -> q305Oracle,
     "q251_knn_loo_eval"  -> q251Oracle,
     "q70_knn_bruteforce" -> q70Oracle,
     "q71_knn_ivf"        -> q71Oracle,

@@ -2222,6 +2222,205 @@ object TextOps {
        |  CAST((1000000 * sum(pos)) // count(*) AS BIGINT) AS pos_ppm
        |FROM sl GROUP BY decile ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q304
+  /** Average precision (PR-AUC) of the q125 LM score as a non-English
+    * detector — the ranking metric that matches how a CURATION
+    * pipeline actually consumes the score: "review/drop the top-k",
+    * where what matters is precision among the flagged, not q196's
+    * P(pos ranks above neg) over ALL pairs. Under class imbalance
+    * the two disagree badly (ROC-AUC is blind to the negative flood
+    * at the top; AP is exactly the area under precision-recall).
+    * AP = mean over positives of precision@their-rank, under the
+    * PINNED total order (score desc, doc_id) — q199's determinism
+    * device: reproducibility beats tie-neutrality, and the tie term
+    * is at most one midrank's worth. Per-positive terms are
+    * (10⁶·cum_pos) div rank, floors mirrored; headline precision@10
+    * and recall@10 come from the same cumulative window. Empty
+    * classes report −1 sentinels (q270's convention), never NULL
+    * from a division.
+    *
+    * Scale shape: AP is a rank-walk over the EVAL frame — inherently
+    * a total order over what it scores. An eval set is bounded by
+    * construction; a corpus-sized input samples first (q49's trick),
+    * exactly like q270's cap convention. One window pass, one agg. */
+  def q304AveragePrecision(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    averagePrecisionOf(q125LmScore(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"avg_nll_micro".as("score"),
+        when($"lang" =!= "en", 1L).otherwise(0L).as("label")))
+  }
+
+  /** AP on any (doc_id, score BIGINT, label 0/1) frame — separated so
+    * the spec can plant perfect, inverted, and interleaved rankings
+    * with hand-computed AP. */
+  private[ops] def averagePrecisionOf(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"score".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy($"score".desc, $"doc_id")))
+      .withColumn("cum_pos", sum($"label").over(w))
+      .agg(count(lit(1)).as("n"), sum($"label").as("n_pos"),
+        sum(when($"label" === 1L,
+          expr("(1000000 * cum_pos) div rn")).otherwise(0L)).as("term_sum"),
+        max(when($"rn" <= 10, $"cum_pos")).as("pos_at_10"))
+      .select($"n", $"n_pos",
+        expr("CASE WHEN n_pos = 0 THEN -1 ELSE term_sum div n_pos END")
+          .as("ap_ppm"),
+        expr("(1000000 * pos_at_10) div least(n, 10)").as("p_at_10_ppm"),
+        expr("CASE WHEN n_pos = 0 THEN -1 "
+          + "ELSE (1000000 * pos_at_10) div n_pos END").as("r_at_10_ppm"))
+  }
+
+  private val q304Oracle =
+    s"""WITH lm_scored AS (${q125Oracle.replace("ORDER BY d.doc_id", "")}),
+       |sl AS (
+       |  SELECT s.doc_id, s.avg_nll_micro AS score,
+       |    CASE WHEN d.lang <> 'en' THEN 1 ELSE 0 END AS label
+       |  FROM lm_scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT label,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |      AS rn,
+       |    CAST(sum(label) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_pos
+       |  FROM sl),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(label) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN label = 1
+       |      THEN (1000000 * cum_pos) // rn ELSE 0 END) AS BIGINT)
+       |      AS term_sum,
+       |    CAST(max(CASE WHEN rn <= 10 THEN cum_pos END) AS BIGINT)
+       |      AS pos_at_10
+       |  FROM r)
+       |SELECT n, n_pos,
+       |  CAST(CASE WHEN n_pos = 0 THEN -1 ELSE term_sum // n_pos END
+       |    AS BIGINT) AS ap_ppm,
+       |  CAST((1000000 * pos_at_10) // least(n, 10) AS BIGINT)
+       |    AS p_at_10_ppm,
+       |  CAST(CASE WHEN n_pos = 0 THEN -1
+       |    ELSE (1000000 * pos_at_10) // n_pos END AS BIGINT) AS r_at_10_ppm
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------- q306
+  /** Murphy decomposition of the Brier score for the per-source
+    * base-rate forecaster, CROSS-FITTED: the forecaster predicts
+    * each source's non-English rate learned on the train half (even
+    * doc_ids, q91's convention), evaluated on the held-out half —
+    * q199 draws the reliability curve for a score; this prices a
+    * categorical forecaster in one audited identity
+    * Brier = Reliability − Resolution + Uncertainty (Murphy 1973):
+    * how miscalibrated (REL, 0 = perfect), how much the grouping
+    * actually discriminates (RES), and the label noise floor no
+    * forecaster can beat (UNC = p̄(1−p̄)). In-sample evaluation would
+    * report REL≈0 by construction — the train/test split is what
+    * makes the readout honest (q291's argument at the metric level).
+    * A source with no train rows falls back to the global train rate
+    * (never NULL forecasts). All terms in micro fixed point with
+    * mirrored floors: rates are exact count ratios, squared
+    * differences divided down once per bin.
+    *
+    * Scale shape: two passes to source grain (train rates, test
+    * outcomes), a broadcast join of two source-cardinality frames,
+    * then bin-grain arithmetic — the corpus is touched twice, never
+    * sorted, never widened. */
+  def q306BrierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    brierDecompositionOf(Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        when($"lang" =!= "en", 1L).otherwise(0L).as("pos")))
+  }
+
+  /** The decomposition on any (doc_id, source, pos 0/1) frame —
+    * separated so the spec can plant a perfectly calibrated
+    * forecaster (REL = 0, identity exact) and a train-less source
+    * exercising the global-rate fallback. */
+  private[ops] def brierDecompositionOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val train = docs.where($"doc_id" % 2 === 0)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tr"), sum($"pos").as("pos_tr"))
+    val globalF = train.agg(
+      expr("(1000000 * sum(pos_tr)) div sum(n_tr)").as("f_glob"))
+    val test = docs.where($"doc_id" % 2 === 1)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_te"), sum($"pos").as("pos_te"))
+    val bins = test
+      .join(broadcast(train), Seq("source"), "left")
+      .crossJoin(broadcast(globalF))
+      .select($"n_te", $"pos_te",
+        coalesce(expr("(1000000 * pos_tr) div n_tr"), $"f_glob").as("f"),
+        expr("(1000000 * pos_te) div n_te").as("o"))
+    val tot = bins
+      .agg(sum($"n_te").as("n_test"), count(lit(1)).as("n_sources"),
+        sum($"pos_te").as("pos_test"))
+      .select($"n_test", $"n_sources",
+        expr("(1000000 * pos_test) div n_test").as("pbar_micro"))
+    bins.crossJoin(broadcast(tot))
+      .agg(max($"n_test").as("n_test"), max($"n_sources").as("n_sources"),
+        max($"pbar_micro").as("pbar_micro"),
+        sum(expr("n_te * (((f - o) * (f - o)) div 1000000)")).as("rel_num"),
+        sum(expr("n_te * (((o - pbar_micro) * (o - pbar_micro)) div 1000000)"))
+          .as("res_num"))
+      .select($"n_test", $"n_sources", $"pbar_micro",
+        expr("rel_num div n_test").as("rel_micro"),
+        expr("res_num div n_test").as("res_micro"),
+        expr("(pbar_micro * (1000000 - pbar_micro)) div 1000000")
+          .as("unc_micro"))
+      .withColumn("brier_micro",
+        $"rel_micro" - $"res_micro" + $"unc_micro")
+  }
+
+  private val q306Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |tr AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_tr,
+      |    CAST(sum(pos) AS BIGINT) AS pos_tr
+      |  FROM d WHERE doc_id % 2 = 0 GROUP BY source),
+      |gtr AS (
+      |  SELECT (1000000 * CAST(sum(pos_tr) AS BIGINT))
+      |    // CAST(sum(n_tr) AS BIGINT) AS f_glob FROM tr),
+      |te AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_te,
+      |    CAST(sum(pos) AS BIGINT) AS pos_te
+      |  FROM d WHERE doc_id % 2 = 1 GROUP BY source),
+      |bins AS (
+      |  SELECT n_te, pos_te,
+      |    COALESCE((1000000 * pos_tr) // n_tr, f_glob) AS f,
+      |    (1000000 * pos_te) // n_te AS o
+      |  FROM te LEFT JOIN tr USING (source), gtr),
+      |tot AS (
+      |  SELECT CAST(sum(n_te) AS BIGINT) AS n_test,
+      |    CAST(count(*) AS BIGINT) AS n_sources,
+      |    (1000000 * CAST(sum(pos_te) AS BIGINT))
+      |      // CAST(sum(n_te) AS BIGINT) AS pbar_micro
+      |  FROM bins),
+      |terms AS (
+      |  SELECT max(n_test) AS n_test, max(n_sources) AS n_sources,
+      |    max(pbar_micro) AS pbar_micro,
+      |    CAST(sum(n_te * (((f - o) * (f - o)) // 1000000)) AS BIGINT)
+      |      AS rel_num,
+      |    CAST(sum(n_te * (((o - pbar_micro) * (o - pbar_micro))
+      |      // 1000000)) AS BIGINT) AS res_num
+      |  FROM bins, tot)
+      |SELECT n_test, n_sources, pbar_micro,
+      |  rel_num // n_test AS rel_micro,
+      |  res_num // n_test AS res_micro,
+      |  (pbar_micro * (1000000 - pbar_micro)) // 1000000 AS unc_micro,
+      |  rel_num // n_test - res_num // n_test
+      |    + (pbar_micro * (1000000 - pbar_micro)) // 1000000 AS brier_micro
+      |FROM terms""".stripMargin
+
   // ---------------------------------------------------------------- q206
   /** Per-SOURCE AUC of the q125 LM score as a non-English detector —
     * the slice-level evaluation that catches what q196's single
@@ -3674,6 +3873,8 @@ object TextOps {
     "q176_coverage_matrix" -> (q176CoverageMatrix _),
     "q193_source_concentration" -> (q193SourceConcentration _),
     "q196_score_auc"   -> (q196ScoreAuc _),
+    "q304_average_precision" -> (q304AveragePrecision _),
+    "q306_brier_decomposition" -> (q306BrierDecomposition _),
     "q222_doc_entropy" -> (q222DocEntropy _),
     "q224_winsorized_stats" -> (q224WinsorizedStats _),
     "q225_feature_hashing" -> (q225FeatureHashing _),
@@ -3739,6 +3940,8 @@ object TextOps {
     "q176_coverage_matrix" -> q176Oracle,
     "q193_source_concentration" -> q193Oracle,
     "q196_score_auc"   -> q196Oracle,
+    "q304_average_precision" -> q304Oracle,
+    "q306_brier_decomposition" -> q306Oracle,
     "q198_oov_coverage" -> q198Oracle,
     "q215_topn_other"  -> q215Oracle,
     "q216_pct_rank_features" -> q216Oracle,

@@ -378,4 +378,51 @@ class SimilarityOpsSpec extends SparkSuite {
     val l2 = got.find(_._1 == 2).get
     assert(l2._2 == 10L && l2._3 == 10L, s"pure cluster must be perfect: ${got.toSeq}")
   }
+
+  test("q305 ndcg@10: discount table, planted ranking, twinless sentinel") {
+    import spark.implicits._
+    // the frozen table IS floor(1e6 / log2(i+1))
+    SimilarityOps.ndcgDiscMicro.zipWithIndex.foreach { case (d, i) =>
+      val exact = 1e6 / (math.log(i + 2) / math.log(2))
+      assert(d == math.floor(exact).toLong, s"rank ${i + 1}")
+    }
+    // planted: query 1 (label A, 3 corpus twins) gets (B, A, A);
+    // DCG = disc2 + disc3, IDCG = disc1 + disc2 + disc3
+    val nn = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val lab = Seq((1L, 0), (10L, 1), (11L, 0), (12L, 0), (13L, 0),
+      (2L, 9)).toDF("vec_id", "label")
+    val got = SimilarityOps.ndcgAt10Of(nn, lab).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val disc = SimilarityOps.ndcgDiscMicro
+    val dcg = disc(1) + disc(2)
+    val idcg = disc(0) + disc(1) + disc(2)
+    // query 1: label 0 has corpus count 4 -> R=3 twins; rel=(0,1,1)
+    assert(got.find(_._1 == 1L).get ==
+      ((1L, 2L, dcg, idcg, 1000000L * dcg / idcg)))
+    // query 2: label 9 is twinless -> no ideal, sentinel
+    assert(got.find(_._1 == 2L).get._5 == -1L)
+    // sf replay from first principles over the q70 ranking
+    val rank = SimilarityOps.q70KnnBruteForce(spark, sf0001)
+      .select($"query_id", $"neighbor_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val labels = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val counts = labels.values.groupBy(identity).view.mapValues(_.size).toMap
+    val want = rank.groupBy(_._1).toSeq.map { case (q, ns) =>
+      val ql = labels(q)
+      val rel = ns.sortBy(_._3).map(n => labels(n._2) == ql)
+      val dcgQ = rel.zip(disc).filter(_._1).map(_._2).sum
+      val m = math.min(10, counts(ql) - 1)
+      val idcgQ = disc.take(m).sum
+      (q, rel.count(identity).toLong, dcgQ, idcgQ,
+        if (idcgQ == 0) -1L else 1000000L * dcgQ / idcgQ)
+    }.sortBy(_._1)
+    val sf = SimilarityOps.q305NdcgAt10(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(sf.toSeq == want)
+  }
 }

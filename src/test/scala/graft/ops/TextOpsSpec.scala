@@ -1420,4 +1420,82 @@ class TextOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(shifted(9L) == 1000000L, "wholesale shift lands in the top bin")
   }
+
+  test("q304 average precision: planted rankings; sf replay") {
+    import spark.implicits._
+    def ap(rows: Seq[(Long, Long, Long)]) =
+      TextOps.averagePrecisionOf(rows.toDF("doc_id", "score", "label"))
+        .collect()(0)
+    // perfect ranking: every positive precedes every negative -> AP = 1
+    val perfect = ap(Seq((1L, 100L, 1L), (2L, 90L, 1L), (3L, 80L, 0L),
+      (4L, 70L, 0L)))
+    assert(perfect.getLong(2) == 1000000L)
+    assert(perfect.getLong(3) == 500000L, "p@10 over least(n,10)=4 rows")
+    assert(perfect.getLong(4) == 1000000L)
+    // inverted: positives at ranks 3,4 -> AP = (1/3 + 2/4) / 2
+    val inverted = ap(Seq((1L, 100L, 0L), (2L, 90L, 0L), (3L, 80L, 1L),
+      (4L, 70L, 1L)))
+    assert(inverted.getLong(2) == (333333L + 500000L) / 2)
+    // interleaved: positives at 1,3 -> AP = (1 + 2/3) / 2
+    val inter = ap(Seq((1L, 100L, 1L), (2L, 90L, 0L), (3L, 80L, 1L),
+      (4L, 70L, 0L)))
+    assert(inter.getLong(2) == (1000000L + 666666L) / 2)
+    // a score TIE is broken by doc_id - pinned, not undefined
+    val tie = ap(Seq((1L, 100L, 0L), (2L, 100L, 1L)))
+    assert(tie.getLong(2) == 500000L, "doc 1 outranks doc 2 at equal score")
+    // no positives: sentinels, never a division by zero
+    val none = ap(Seq((1L, 100L, 0L)))
+    assert(none.getLong(2) == -1L && none.getLong(4) == -1L)
+    // sf replay from first principles
+    val Array(r) = TextOps.q304AveragePrecision(spark, sf0001).collect()
+    val scored = TextOps.q125LmScore(spark, sf0001)
+      .join(graft.Tables.documents(spark, sf0001)
+        .select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"avg_nll_micro", $"lang").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.getString(2) != "en") 1L else 0L))
+      .sortBy(x => (-x._2, x._1))
+    val nPos = scored.map(_._3).sum
+    var cum = 0L
+    val terms = scored.zipWithIndex.map { case ((_, _, l), i) =>
+      cum += l; if (l == 1L) 1000000L * cum / (i + 1) else 0L }.sum
+    assert(r.getLong(0) == scored.length.toLong && r.getLong(1) == nPos)
+    assert(r.getLong(2) == terms / nPos)
+    val pos10 = scored.take(10).map(_._3).sum
+    assert(r.getLong(3) == 1000000L * pos10 / math.min(scored.length, 10))
+    assert(r.getLong(4) == 1000000L * pos10 / nPos)
+  }
+
+  test("q306 brier decomposition: identity on a planted forecaster; fallback") {
+    import spark.implicits._
+    def brier(rows: Seq[(Long, String, Long)]) =
+      TextOps.brierDecompositionOf(rows.toDF("doc_id", "source", "pos"))
+        .collect()(0)
+    // perfectly calibrated two-source forecaster: train rates equal
+    // test rates exactly -> REL = 0 and the identity is the true
+    // Brier score 0.125 in micro
+    val cal = brier(Seq(
+      (0L, "x", 1L), (2L, "x", 0L),                     // train x: f=1/2
+      (4L, "y", 0L), (6L, "y", 0L),                     // train y: f=0
+      (1L, "x", 1L), (3L, "x", 1L), (5L, "x", 0L), (7L, "x", 0L),
+      (9L, "y", 0L), (11L, "y", 0L), (13L, "y", 0L), (15L, "y", 0L)))
+    assert((cal.getLong(0), cal.getLong(1)) == ((8L, 2L)))
+    assert(cal.getLong(2) == 250000L)                   // pbar = 2/8
+    assert(cal.getLong(3) == 0L, "calibrated forecaster has zero REL")
+    assert(cal.getLong(4) == 62500L)                    // RES
+    assert(cal.getLong(5) == 187500L)                   // UNC = p(1-p)
+    assert(cal.getLong(6) == 125000L,
+      "identity REL - RES + UNC equals the true Brier score 0.125")
+    // a source with no train rows forecasts the GLOBAL train rate
+    val fb = brier(Seq(
+      (0L, "x", 1L), (2L, "x", 0L),                     // global f = 1/2
+      (1L, "z", 1L), (3L, "z", 1L)))                    // z: o=1, f=500000
+    assert(fb.getLong(1) == 1L && fb.getLong(2) == 1000000L)
+    // REL = (f-o)^2 = (1/2)^2 = 0.25
+    assert(fb.getLong(3) == 62500L * 4)
+    // sf replay of the headline identity column
+    val Array(r) = TextOps.q306BrierDecomposition(spark, sf0001).collect()
+    assert(r.getLong(6) == r.getLong(3) - r.getLong(4) + r.getLong(5))
+    assert(r.getLong(5) > 0L, "fixture labels are not constant")
+  }
 }
