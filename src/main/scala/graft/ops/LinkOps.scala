@@ -687,7 +687,171 @@ object LinkOps {
        |FROM a$hitsRounds ORDER BY p_partkey""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q307
+  /** Wedge centers with degree above this cap are skipped in q307's
+    * candidate generation: a hub's 1/deg RA contribution is ≤ 1/65 ≈
+    * noise while its wedge fan-out is deg² — the classic hub cut
+    * that bounds per-node work, DISCLOSED rather than silent. */
+  val raMaxCenterDegree = 64L
+
+  /** Link prediction over the co-purchase graph: for non-adjacent
+    * part pairs, common-neighbor count and the Resource Allocation
+    * index RA(u,v) = Σ_z 1/deg(z) over shared neighbors z (Zhou,
+    * Lü & Zhang 2009) — RA beats raw CN because a shared RARE
+    * neighbor is evidence, a shared hub is not; chosen over
+    * Adamic–Adar's 1/ln(deg) precisely because 1/deg stays EXACT in
+    * integer micro (1/ln would re-open the float door the engine
+    * keeps shut). The q195 recommender scores co-occurrence that
+    * DID happen; this ranks pairs that haven't co-occurred YET —
+    * "customers who buy u will likely buy v" for substitution/
+    * assortment questions. Wedges come only from centers with
+    * deg ≤ [[raMaxCenterDegree]] (fan-out deg², value 1/deg — the
+    * cap trades ~0 score mass for a hard per-node work bound,
+    * q65's maxGroupSize posture); candidates anti-join the edge set
+    * (canonical u<v both sides) and the top-20 by (RA, CN, u, v)
+    * bounds the report under a total order.
+    *
+    * Scale shape: adjacency + degree are one shuffle each; wedge
+    * fan-out is cap²-bounded per center; candidate agg shuffles
+    * (u,v) id pairs only — no payloads; top-20 is a
+    * TakeOrderedAndProject, never a global sort. */
+  def q307LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    linkPredictionOf(coEdges(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))
+  }
+
+  /** The scorer on any canonical (u < v) edge frame — separated so
+    * the spec can plant paths, squares, and an over-cap hub. */
+  private[ops] def linkPredictionOf(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val adj = edges.select($"u".as("z"), $"v".as("nbr"))
+      .union(edges.select($"v".as("z"), $"u".as("nbr")))
+    val deg = adj.groupBy($"z").agg(count(lit(1)).as("d"))
+    val ctr = deg.where($"d" <= raMaxCenterDegree)
+    val wedges = adj.join(adj.select($"z", $"nbr".as("nbr2")), "z")
+      .where($"nbr" < $"nbr2")
+      .join(ctr, "z")
+      .select($"nbr".as("u"), $"nbr2".as("v"), $"d")
+    wedges
+      .join(edges, Seq("u", "v"), "left_anti")
+      .groupBy($"u", $"v")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000L div d")).as("ra_micro"))
+      .orderBy($"ra_micro".desc, $"cn".desc, $"u", $"v")
+      .limit(20)
+  }
+
+  private val q307Oracle =
+    s"""WITH $edgesCte,
+       |adj AS (SELECT u AS z, v AS nbr FROM edges
+       |        UNION ALL SELECT v, u FROM edges),
+       |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d
+       |        FROM adj GROUP BY 1),
+       |wedge AS (
+       |  SELECT a.nbr AS u, b.nbr AS v, c.d
+       |  FROM adj a JOIN adj b ON a.z = b.z AND a.nbr < b.nbr
+       |  JOIN deg c ON a.z = c.z WHERE c.d <= $raMaxCenterDegree),
+       |cand AS (
+       |  SELECT w.u, w.v, CAST(count(*) AS BIGINT) AS cn,
+       |    CAST(sum(1000000 // d) AS BIGINT) AS ra_micro
+       |  FROM wedge w
+       |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+       |                    WHERE e.u = w.u AND e.v = w.v)
+       |  GROUP BY 1, 2)
+       |SELECT u, v, cn, ra_micro FROM cand
+       |ORDER BY ra_micro DESC, cn DESC, u, v LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q308
+  /** Degree assortativity of the co-purchase graph — the one-number
+    * "do hubs link to hubs?" structure readout (Newman 2002):
+    * Pearson correlation of endpoint degrees over DIRECTED edge
+    * instances (each undirected edge counted both ways, the standard
+    * symmetrization). Negative = hub-and-spoke (popular parts
+    * co-occur with niche ones — basket anchors), positive = tiered
+    * mixing; it tells a partitioner whether degree-based placement
+    * will balance. Exact q247 discipline end-to-end: integer-floored
+    * mean centering, BIGINT centered sums in one map-side-combining
+    * agg, the fixed-form floored sqrt, and a direct 10⁶ numerator
+    * (cross-sums here cap at ~9·10¹² — beyond that re-grid via
+    * q247's two-step 10³×10³ split); zero-variance frames (all
+    * degrees equal) report the ±2·10⁶ out-of-band sentinel, never a
+    * divide-by-zero. Floored-sqrt quotients can exceed |10⁶| on
+    * TINY planted graphs (disclosed; vanishing at any real scale).
+    *
+    * Scale shape: degree agg, one broadcast of a 1-row means frame,
+    * one centered-sums agg — two passes over edge ids, no sort, no
+    * payloads. */
+  def q308Assortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assortativityOf(coEdges(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))
+  }
+
+  /** The statistic on any canonical (u < v) edge frame — separated
+    * so the spec can plant a disassortative star, an assortative
+    * two-clique graph, and the equal-degree sentinel. */
+  private[ops] def assortativityOf(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val adj = edges.select($"u".as("z"), $"v".as("nbr"))
+      .union(edges.select($"v".as("z"), $"u".as("nbr")))
+    val deg = adj.groupBy($"z").agg(count(lit(1)).as("d"))
+    val dir2 = adj
+      .join(deg.select($"z", $"d".as("dx")), "z")
+      .join(deg.select($"z".as("nbr"), $"d".as("dy")), "nbr")
+      .select($"dx", $"dy")
+    val means = dir2.agg(count(lit(1)).as("n"), sum($"dx").as("sx"))
+    dir2.crossJoin(broadcast(means))
+      .select(($"dx" - expr("sx div n")).as("x"),
+        ($"dy" - expr("sx div n")).as("y"),
+        $"n")
+      .agg(max($"n").as("n_directed"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"n_directed",
+        expr("""CASE WHEN sxx = 0 OR syy = 0 THEN 2000000
+          |  ELSE (1000000 * sxy) div
+          |    (CAST(floor(sqrt(CAST(sxx AS DOUBLE))) AS BIGINT)
+          |     * CAST(floor(sqrt(CAST(syy AS DOUBLE))) AS BIGINT))
+          |END""".stripMargin).as("assortativity_ppm"))
+  }
+
+  private val q308Oracle =
+    s"""WITH $edgesCte,
+       |adj AS (SELECT u AS z, v AS nbr FROM edges
+       |        UNION ALL SELECT v, u FROM edges),
+       |deg AS (SELECT z, CAST(count(*) AS BIGINT) AS d
+       |        FROM adj GROUP BY 1),
+       |dir2 AS (
+       |  SELECT dx.d AS dx, dy.d AS dy
+       |  FROM adj a JOIN deg dx ON a.z = dx.z
+       |             JOIN deg dy ON a.nbr = dy.z),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(dx) AS BIGINT) AS sx FROM dir2),
+       |c AS (
+       |  SELECT dx - (m.sx // m.n) AS x, dy - (m.sx // m.n) AS y, m.n
+       |  FROM dir2, m),
+       |agg AS (
+       |  SELECT max(n) AS n_directed,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM c)
+       |SELECT n_directed,
+       |  CAST(CASE WHEN sxx = 0 OR syy = 0 THEN 2000000
+       |    ELSE (1000000 * sxy) //
+       |      (CAST(floor(sqrt(CAST(sxx AS DOUBLE))) AS BIGINT)
+       |       * CAST(floor(sqrt(CAST(syy AS DOUBLE))) AS BIGINT))
+       |  END AS BIGINT) AS assortativity_ppm
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_link_prediction" -> (q307LinkPrediction _),
+    "q308_assortativity"   -> (q308Assortativity _),
     "q132_entity_match"    -> (q132EntityMatch _),
     "q136_triangle_counts" -> (q136TriangleCounts _),
     "q143_lpa_communities" -> (q143LpaCommunities _),
@@ -700,6 +864,8 @@ object LinkOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q307_link_prediction" -> q307Oracle,
+    "q308_assortativity"   -> q308Oracle,
     "q132_entity_match"    -> q132Oracle,
     "q136_triangle_counts" -> q136Oracle,
     "q143_lpa_communities" -> q143Oracle,

@@ -182,4 +182,61 @@ class LinkOpsSpec extends SparkSuite {
     // mutual reinforcement produces genuine spread, not a constant
     assert(a.map(_._2).distinct.length > 10)
   }
+
+  test("q307 link prediction: path, square, cap, adjacency exclusion") {
+    import spark.implicits._
+    def lp(es: Seq[(Long, Long)]) =
+      LinkOps.linkPredictionOf(es.toDF("u", "v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // path 1-2-3: the only candidate is (1,3) through center 2
+    assert(lp(Seq((1L, 2L), (2L, 3L))).toSeq ==
+      Seq((1L, 3L, 1L, 500000L)))
+    // square: both diagonals, two centers each, RA = 2 * 1/2
+    assert(lp(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))).toSeq ==
+      Seq((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // triangle: every wedge closes - adjacency exclusion leaves nothing
+    assert(lp(Seq((1L, 2L), (2L, 3L), (1L, 3L))).isEmpty)
+    // a hub over the degree cap generates no wedges...
+    val over = (1L to 65L).map(i => (i, 100L))
+    assert(lp(over).isEmpty, "deg-65 center must be cut")
+    // ...at the cap it does, top-20 under the pinned total order
+    val at = (1L to 64L).map(i => (i, 100L))
+    val got = lp(at)
+    assert(got.length == 20)
+    assert(got.forall(r => r._3 == 1L && r._4 == 1000000L / 64L))
+    assert(got.toSeq == got.toSeq.sortBy(r => (r._1, r._2)))
+    // sf sanity: no returned pair is an existing edge, scores positive
+    val sfGot = LinkOps.q307LinkPrediction(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val items = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    assert(sfGot.nonEmpty)
+    sfGot.foreach { case (u, v, cn, ra) =>
+      assert(u < v && !edges.contains((u, v)), "candidates are non-edges")
+      assert(cn >= 1L && ra >= 1L)
+    }
+  }
+
+  test("q308 assortativity: star negative, tiered positive, sentinel") {
+    import spark.implicits._
+    def as(es: Seq[(Long, Long)]) =
+      LinkOps.assortativityOf(es.toDF("u", "v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).head
+    // K1,3 star: spokes(1) <-> hub(3); exact mirrored integers:
+    // mean=2, Sxx=Syy=6, Sxy=-6, isqrt(6)=2 -> -6e6/4 (the floored
+    // sqrt inflates |r| past 1e6 on tiny frames - disclosed)
+    assert(as(Seq((1L, 9L), (2L, 9L), (3L, 9L))) == ((6L, -1500000L)))
+    // disjoint K3 + K4: within-clique edges join equal degrees ->
+    // strongly assortative (exact: Sxy=Sxx=12, isqrt=3 -> 12e6/9)
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val k4 = for (i <- 4L to 7L; j <- i + 1 to 7L) yield (i, j)
+    assert(as(k3 ++ k4) == ((18L, 1333333L)))
+    // regular graph: zero degree variance, out-of-band sentinel
+    assert(as(k3) == ((6L, 2000000L)))
+  }
 }
