@@ -767,7 +767,88 @@ object SketchOps {
        |    AS est_jaccard_ppm
        |FROM rk WHERE rn <= $kmvK GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q309
+  /** Number of independent ±1 sketches q309 averages. */
+  val amsSketches = 16
+
+  /** AMS/Tug-of-War F2 sketch (Alon, Matias & Szegedy 1996)
+    * estimating the SELF-JOIN SIZE of lineitem on l_partkey — the
+    * optimizer statistic behind shuffle-skew and join-output
+    * prediction: F2 = Σ_v f_v² is exactly the row count a self
+    * equi-join would emit, and its ratio to n² says how skewed the
+    * key is. q183 computes the exact number with a full key-grain
+    * agg; this estimates it from [[amsSketches]] counters — the
+    * sketch a planner consults without touching key grain. Each
+    * sketch i folds σᵢ(key) = ±1 (q49's md5 device, salt `ams<i>:`)
+    * into a plain SUM; E[Xᵢ²] = F2 exactly, and the estimate is the
+    * mean of the 16 squares (relative s.d. ≈ √(2/16) ≈ 35% — the
+    * honest budget-accuracy trade, DISCLOSED next to the exact
+    * number and the observed error, q40's posture). All integer:
+    * deterministic hash, exact sums, mirrored floor on the mean.
+    * Xᵢ ∈ [−n, n] caps n at ~3·10⁹ rows before Xᵢ² risks BIGINT —
+    * beyond that, sketch per partition-range and sum (F2 of
+    * disjoint ranges adds on the cross-term-free expectation), the
+    * same re-grid convention as q202.
+    *
+    * Scale shape: the sketch is ONE map-side-combining aggregate of
+    * 16 codegen'd sums — no explode, no widening, no key-grain
+    * state; the exact side is q183's single hash agg. The pipeline
+    * answer at 100 TB is: keep the sketch, drop the exact column
+    * (it exists here to score the sketch). */
+  def q309AmsF2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    amsF2Of(Tables.lineitem(s, dir).select($"l_partkey".as("k")))
+  }
+
+  /** The sketch-vs-exact report on any (k BIGINT) frame — separated
+    * so the spec can plant a single-key corpus (sketch is EXACT:
+    * every σᵢ agrees, Xᵢ² = m²) and replay the md5 folds. */
+  private[ops] def amsF2Of(keys: DataFrame): DataFrame = {
+    val s = keys.sparkSession
+    import s.implicits._
+    val sigmaSums = (0 until amsSketches).map { i =>
+      sum(expr(s"1L - 2L * (CAST(conv(substring(md5(concat('ams$i:', " +
+        s"CAST(k AS STRING))), 1, 4), 16, 10) AS BIGINT) % 2)")).as(s"x$i")
+    }
+    val estExpr = (0 until amsSketches).map(i => s"x$i * x$i")
+      .mkString("(", " + ", s") div $amsSketches")
+    val sk = keys.agg(sigmaSums.head, sigmaSums.tail: _*)
+      .select(expr(estExpr).as("f2_est"))
+    val exact = keys.groupBy($"k").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_keys"), sum($"c").as("n_rows"),
+        sum($"c" * $"c").as("f2_exact"))
+    exact.crossJoin(broadcast(sk))
+      .select($"n_rows", $"n_keys", $"f2_exact", $"f2_est",
+        expr("(1000000 * abs(f2_est - f2_exact)) div f2_exact")
+          .as("err_ppm"))
+  }
+
+  private val q309Oracle = {
+    val sums = (0 until amsSketches).map { i =>
+      s"CAST(sum(1 - 2 * (('0x' || substr(md5('ams$i:' || " +
+        s"CAST(k AS VARCHAR)), 1, 4))::BIGINT % 2)) AS BIGINT) AS x$i"
+    }.mkString(",\n       |    ")
+    val est = (0 until amsSketches).map(i => s"x$i * x$i")
+      .mkString("(", " + ", s") // $amsSketches")
+    s"""WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+       |sk0 AS (
+       |  SELECT $sums
+       |  FROM keys),
+       |sk AS (SELECT $est AS f2_est FROM sk0),
+       |ex AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(sum(c) AS BIGINT) AS n_rows,
+       |    CAST(sum(c * c) AS BIGINT) AS f2_exact
+       |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS c
+       |        FROM keys GROUP BY k))
+       |SELECT n_rows, n_keys, f2_exact, CAST(f2_est AS BIGINT) AS f2_est,
+       |  CAST((1000000 * abs(f2_est - f2_exact)) // f2_exact AS BIGINT)
+       |    AS err_ppm
+       |FROM ex, sk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_ams_f2"      -> (q309AmsF2 _),
     "q278_kmv_jaccard" -> (q278KmvJaccard _),
     "q170_hll_distinct" -> (q170HllDistinct _),
     "q173_hll_cumulative" -> (q173HllCumulative _),
@@ -778,6 +859,7 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q309_ams_f2"      -> q309Oracle,
     "q278_kmv_jaccard" -> q278Oracle,
     "q170_hll_distinct" -> q170Oracle,
     "q173_hll_cumulative" -> q173Oracle,

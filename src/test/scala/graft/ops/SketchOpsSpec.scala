@@ -149,4 +149,34 @@ class SketchOpsSpec extends SparkSuite {
     val est = SketchOps.kmvJaccardOf(planted).collect()(0).getLong(4)
     assert(math.abs(est - 200000L) < 100000L, s"est $est vs true 200000")
   }
+
+  test("q309 ams f2: md5-fold replay; single-key exactness; error budget") {
+    import spark.implicits._
+    // sf replay from first principles: recompute the 16 tug-of-war
+    // sums with java MessageDigest and the exact F2 from key counts
+    val got = SketchOps.q309AmsF2(spark, sf0001).collect()(0)
+    val ks = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_partkey").collect().map(_.getLong(0))
+    def sigma(i: Int, k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ams$i:$k".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      1L - 2L * (java.lang.Long.parseLong(hex.take(4), 16) % 2)
+    }
+    val est = (0 until SketchOps.amsSketches).map { i =>
+      val x = ks.map(sigma(i, _)).sum; x * x
+    }.sum / SketchOps.amsSketches
+    val counts = ks.groupBy(identity).map(_._2.length.toLong)
+    val exact = counts.map(c => c * c).sum
+    assert(got.getLong(0) == ks.length.toLong)
+    assert(got.getLong(1) == counts.size.toLong)
+    assert(got.getLong(2) == exact && got.getLong(3) == est)
+    assert(got.getLong(4) == 1000000L * math.abs(est - exact) / exact)
+    // the fixture lands inside the sketch's ~35% relative s.d. budget
+    assert(got.getLong(4) < 350000L, s"observed err ${got.getLong(4)} ppm")
+    // single-key corpus: every sigma_i agrees, X_i^2 = m^2 exactly
+    val one = SketchOps.amsF2Of(
+      Seq.fill(9)(7L).toDF("k")).collect()(0)
+    assert((one.getLong(2), one.getLong(3), one.getLong(4)) ==
+      ((81L, 81L, 0L)), "degenerate skew is where the sketch is exact")
+  }
 }
