@@ -20,17 +20,23 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = table(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame    = table(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame  = table(s, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
-    * read natively; sessions set spark.sql.legacy.parquet.nanosAsLong
-    * and we convert here (integer µs floor-division — same truncation
-    * DuckDB applies reading nanos). */
+  /** `events.ts` normalization — the driver has shipped the column as
+    * parquet TIMESTAMP(NANOS) (Spark 4 refuses it natively; sessions
+    * set spark.sql.legacy.parquet.nanosAsLong and we µs-truncate, the
+    * same truncation DuckDB applies reading nanos) and as µs with no
+    * tz annotation (sessions disable inferTimestampNTZ so the scan
+    * yields TIMESTAMP directly; the NTZ branch here is the fallback
+    * for sessions without that conf — a cast above the scan, so keep
+    * ts predicates off it when pushdown matters). */
   def events(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   /** `documents` re-spread across the cluster. The testdata table is

@@ -424,7 +424,7 @@ class PlanSpec extends SparkSuite {
       val p = plan(df)
       val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
         .map(_.group(1)).getOrElse("")
-      assert(rs == "ts:bigint", s"$name must scan one column: $rs")
+      assert(rs == "ts:timestamp", s"$name must scan one column: $rs")
     }
     val p269 = plan(EventOps.q269SeasonalAnomalies(spark, sf0001))
     assert(p269.contains("BroadcastHashJoin"),
@@ -463,7 +463,7 @@ class PlanSpec extends SparkSuite {
     val p275 = plan(EventOps.q275QueueBacklog(spark, sf0001))
     val rs275 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p275)
       .map(_.group(1)).getOrElse("")
-    assert(rs275 == "ts:bigint", s"backlog needs only ts: $rs275")
+    assert(rs275 == "ts:timestamp", s"backlog needs only ts: $rs275")
     val p276 = plan(EventOps.q276LogHistPctl(spark, sf0001))
     val rs276 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p276)
       .map(_.group(1)).getOrElse("")
@@ -554,7 +554,7 @@ class PlanSpec extends SparkSuite {
     val p294 = plan(EventOps.q294ForecastBaselines(spark, sf0001))
     val rs294 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p294)
       .map(_.group(1)).getOrElse("")
-    assert(rs294 == "ts:bigint", s"q294 reads only ts: $rs294")
+    assert(rs294 == "ts:timestamp", s"q294 reads only ts: $rs294")
     val p296 = plan(EventOps.q296SessionSweep(spark, sf0001))
     val rs296 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p296)
       .map(_.group(1)).getOrElse("")

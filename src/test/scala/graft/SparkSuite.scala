@@ -23,6 +23,10 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Testdata timestamps are µs with no tz annotation; read them as
+      // TIMESTAMP (UTC session) straight off the scan — same instants
+      // DuckDB's naive read yields, and no NTZ cast blocking pushdown.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
