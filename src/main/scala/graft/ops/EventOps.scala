@@ -5036,7 +5036,183 @@ object EventOps {
        |FROM agg""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q311
+  /** Kendall tau-b between daily traffic and daily purchase revenue —
+    * the PAIR-level monotone-association readout next to q274's
+    * Spearman: tau asks "of all day pairs, what share move the same
+    * way?", which survives any monotone rescaling of either series
+    * and degrades more gracefully under ties (the -b denominator
+    * discounts them symmetrically). Exact integer counting:
+    * concordant/discordant from sign products over the day-pair
+    * join, tie corrections n1/n2 from value-grain counts, and
+    * tau_ppm = 10⁶(C−D) div floor(√((n0−n1)(n0−n2))) — ONE floored
+    * sqrt of the product (q274's two-factor split would zero out at
+    * day-grain magnitudes), NULL when either factor is 0 (a constant
+    * series has no defined tau, q274's posture).
+    *
+    * Scale shape: the pair join is DAY grain — bounded by calendar
+    * (d(d−1)/2 pairs for d days; 10 years ≈ 6.7M pairs), never by
+    * rows; the corpus reduces map-side to d rows first. BIGINT holds
+    * to ~3M days (C−D ≤ n0 ≤ 4.5·10¹² at 10⁶ ppm). */
+  def q311KendallTau(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    kendallTauOf(Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(when($"event_type" === "purchase",
+          expr("CAST(round(value * 1000000D) AS BIGINT)")).otherwise(0L))
+          .as("y")))
+  }
+
+  /** tau-b on any (day, x, y) frame — separated so the spec can plant
+    * perfect agreement, perfect inversion, ties, and a constant
+    * column. */
+  private[ops] def kendallTauOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val a = daily.select($"day".as("da"), $"x".as("xa"), $"y".as("ya"))
+    val b = daily.select($"day".as("db"), $"x".as("xb"), $"y".as("yb"))
+    val pairs = a.join(b, $"da" < $"db")
+      .select((signum(($"xb" - $"xa").cast("double")).cast("long") *
+        signum(($"yb" - $"ya").cast("double")).cast("long")).as("sgn"),
+        ($"xa" === $"xb").cast("long").as("tx"),
+        ($"ya" === $"yb").cast("long").as("ty"))
+      .agg(sum(when($"sgn" === 1L, 1L).otherwise(0L)).as("concordant"),
+        sum(when($"sgn" === -1L, 1L).otherwise(0L)).as("discordant"),
+        count(lit(1)).as("n0"), sum($"tx").as("n1"), sum($"ty").as("n2"))
+    pairs.select(
+      $"concordant", $"discordant", $"n0", $"n1", $"n2",
+      expr("""CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
+        |  ELSE (1000000 * (concordant - discordant)) div
+        |    CAST(floor(sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)))
+        |      AS BIGINT)
+        |END""".stripMargin).as("tau_ppm"))
+  }
+
+  private val q311Oracle =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,
+       |    CAST(count(*) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |p AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) = 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       |    CAST(sum(CASE WHEN sign(b.x - a.x) * sign(b.y - a.y) = -1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       |    CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM daily a JOIN daily b ON a.day < b.day)
+       |SELECT concordant, discordant, n0, n1, n2,
+       |  CASE WHEN n0 = n1 OR n0 = n2 THEN NULL
+       |    ELSE CAST((1000000 * (concordant - discordant)) //
+       |      CAST(floor(sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE)))
+       |        AS BIGINT) AS BIGINT)
+       |  END AS tau_ppm
+       |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------- q314
+  /** −ln(α/2)·10⁶ for α = 0.05, frozen into BOTH engines: the Pettitt
+    * approximation p ≈ 2·exp(−6K²/(N³+N²)) crosses α exactly when
+    * the exponent passes this constant (the ln-discipline of q242's
+    * critical-value table: the one transcendental leaves integer
+    * arithmetic as a literal, not a runtime call). */
+  val pettittCritMicro = 3688879L
+
+  /** Pettitt changepoint test on the daily event-count series — the
+    * RANK-based single-changepoint locator next to q163's CUSUM
+    * (CUSUM tracks a known baseline mean; Pettitt asks "did the
+    * distribution shift SOMEWHERE, and when?" with no baseline and
+    * no normality assumption — the monitor you run on a series whose
+    * scale you don't trust yet). U_t = 2·Σ_{i≤t} r_i − t(N+1) via
+    * doubled midranks (q196's integer device; the identity to the
+    * sign-pair definition holds exactly, ties via midranks), K =
+    * max|U_t| over t < N, changepoint = earliest argmax day, and the
+    * significance exponent 6K²·10⁶ div (N³+N²) compared against
+    * [[pettittCritMicro]].
+    *
+    * Scale shape: corpus → day grain map-side; ranks are a
+    * value-grain agg joined back (q274's device); ONE ordered
+    * cumulative window over the day spine (calendar-bounded, the
+    * accepted single-partition spine of q260/q294); one argmax pick
+    * ends it. K ≤ N²/2 caps N at ~10⁶ days before 6K²·10⁶ risks
+    * BIGINT — re-grid to weeks first (q193's convention). */
+  def q314PettittChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    pettittOf(Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The test on any (day, n) frame — separated so the spec can plant
+    * a clean level shift (argmax lands exactly on the break) and a
+    * shuffled-constant null (insignificant). */
+  private[ops] def pettittOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // doubled midranks at value grain: dr(v) = 2·(#less) + (#tied) + 1
+    val wLess = Window.orderBy($"n").rowsBetween(Window.unboundedPreceding, -1)
+    val dr = daily.groupBy($"n").agg(count(lit(1)).as("t"))
+      .withColumn("lt", coalesce(sum($"t").over(wLess), lit(0L)))
+      .select($"n", (lit(2L) * $"lt" + $"t" + 1L).as("dr"))
+    val wDay = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+    val u = daily.join(dr, "n")
+      .withColumn("cum", sum($"dr").over(wDay))
+      .withColumn("t", row_number().over(Window.orderBy($"day")).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      .where($"t" < $"nn") // U_N ≡ 0 by construction; t ranges 1..N−1
+      .select($"day", $"nn", ($"cum" - $"t" * ($"nn" + 1L)).as("u"))
+    val wPick = Window.orderBy(abs($"u").desc, $"day".asc)
+    u.withColumn("rk", row_number().over(wPick))
+      .where($"rk" === 1)
+      .select($"nn".as("n_days"), abs($"u").as("k_stat"),
+        $"day".as("cp_day"), $"u".as("u_at_cp"),
+        expr("(6000000 * u * u) div (nn * nn * nn + nn * nn)")
+          .as("exp_micro"))
+      .withColumn("significant", $"exp_micro" > pettittCritMicro)
+  }
+
+  private val q314Oracle =
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // ${86400L * 1000000L} AS day,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |dc AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY 1),
+       |dr AS (
+       |  SELECT n, 2 * COALESCE(CAST(sum(t) OVER (ORDER BY n
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |    + t + 1 AS dr
+       |  FROM dc),
+       |u AS (
+       |  SELECT day,
+       |    CAST(count(*) OVER () AS BIGINT) + 1 AS np1,
+       |    CAST(count(*) OVER () AS BIGINT) AS nn,
+       |    CAST(sum(dr) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - CAST(row_number() OVER (ORDER BY day) AS BIGINT)
+       |        * (CAST(count(*) OVER () AS BIGINT) + 1) AS uu,
+       |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+       |  FROM daily JOIN dr USING (n)),
+       |pick AS (
+       |  SELECT nn, day, uu,
+       |    row_number() OVER (ORDER BY abs(uu) DESC, day ASC) AS rk
+       |  FROM u WHERE t < nn)
+       |SELECT nn AS n_days, abs(uu) AS k_stat, day AS cp_day, uu AS u_at_cp,
+       |  (6000000 * uu * uu) // (nn * nn * nn + nn * nn) AS exp_micro,
+       |  (6000000 * uu * uu) // (nn * nn * nn + nn * nn) > $pettittCritMicro
+       |    AS significant
+       |FROM pick WHERE rk = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_kendall_tau"      -> (q311KendallTau _),
+    "q314_pettitt_changepoint" -> (q314PettittChangepoint _),
     "q302_bh_fdr"           -> (q302BhFdr _),
     "q303_kruskal_wallis"   -> (q303KruskalWallis _),
     "q270_mann_whitney"     -> (q270MannWhitney _),
@@ -5109,6 +5285,8 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q311_kendall_tau"      -> q311Oracle,
+    "q314_pettitt_changepoint" -> q314Oracle,
     "q302_bh_fdr"           -> q302Oracle,
     "q303_kruskal_wallis"   -> q303Oracle,
     "q249_entropy_rate"     -> q249Oracle,

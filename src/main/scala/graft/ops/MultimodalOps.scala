@@ -189,15 +189,152 @@ object MultimodalOps {
        |FROM f JOIN occ USING (frame_hash)
        |GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q315
+  /** Audio chunking window/hop, in payload bytes. Window > hop makes
+    * consecutive chunks OVERLAP — the frame+hop shape every audio
+    * front-end (STFT, wav2vec-style encoders) consumes, and what
+    * distinguishes this from q76's disjoint stride sampling. */
+  val chunkLen = 48
+  val chunkHop = 32
+
+  /** Overlapping audio chunking: each "audio" payload explodes to
+    * frame+hop byte windows — chunk i covers [i·hop, i·hop+len) —
+    * including a FINAL SHORT chunk so the tail of the recording is
+    * never silently dropped (no padding: the consumer sees the true
+    * chunk length and pads model-side if it wants; a padded variant
+    * is one rpad away and would bake a pad byte into the hash).
+    * Output is (media_id, chunk_idx, start_byte, n_bytes,
+    * chunk_hash) — the manifest a downstream embedding stage maps
+    * over, md5-hashed so the stub stays byte-for-byte
+    * oracle-checkable (q75's discipline).
+    *
+    * Scale shape: one scan of the audio slice, explode bounded by
+    * payload_len/hop per row, no shuffle before the oracle ORDER BY;
+    * payloads never leave their partition un-chunked. */
+  def q315AudioChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).toDF()
+      .where($"media_type" === "audio")
+      .select($"media_id", $"payload".cast("string").as("content"))
+      .where(length($"content") >= chunkLen)
+      .select($"media_id", $"content",
+        posexplode(transform(
+          sequence(lit(0), ((length($"content") - 1) / chunkHop).cast("int")),
+          i => $"content".substr(i * chunkHop + 1, lit(chunkLen)))))
+      .select($"media_id", col("pos").cast("long").as("chunk_idx"),
+        (col("pos") * chunkHop).cast("long").as("start_byte"),
+        length(col("col")).cast("long").as("n_bytes"),
+        md5(col("col")).as("chunk_hash"))
+      // substr past the end yields sub-hop fragments below a window's
+      // worth of signal; a chunk must START inside the payload
+      .where($"n_bytes" > 0)
+      .orderBy($"media_id", $"chunk_idx")
+  }
+
+  private val q315Oracle =
+    s"""WITH a AS (
+       |  SELECT doc_id AS media_id, text AS content FROM documents
+       |  WHERE doc_id % 3 = 1 AND length(text) >= $chunkLen),
+       |c AS (
+       |  SELECT media_id, content,
+       |    unnest(range(0, (length(content) - 1) // $chunkHop + 1)) AS i
+       |  FROM a)
+       |SELECT media_id, CAST(i AS BIGINT) AS chunk_idx,
+       |  CAST(i * $chunkHop AS BIGINT) AS start_byte,
+       |  CAST(length(substr(content, CAST(i * $chunkHop AS INT) + 1, $chunkLen))
+       |    AS BIGINT) AS n_bytes,
+       |  md5(substr(content, CAST(i * $chunkHop AS INT) + 1, $chunkLen))
+       |    AS chunk_hash
+       |FROM c
+       |WHERE length(substr(content, CAST(i * $chunkHop AS INT) + 1, $chunkLen)) > 0
+       |ORDER BY media_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q316
+  /** Conformance thresholds: minimum edge, max aspect ratio (w:h or
+    * h:w beyond maxAspect:1 flags), and the declared-dims → minimum
+    * payload relation (a real gate compares container header size
+    * against pixel count; the stub's stand-in is bytes ≥ w·h/4096). */
+  val minEdge = 128
+  val maxAspect = 4
+  val payloadDivisor = 4096
+
+  /** Media conformance gate — the multimodal twin of q142's tabular
+    * contract checks: per media_type, how many items violate each
+    * release rule (edge below [[minEdge]], aspect beyond
+    * [[maxAspect]]:1, payload too small for the declared dims — the
+    * truncated-file signal) and the clean share in ppm. A curator
+    * reads this BEFORE a decode fleet runs: a 30%-truncated video
+    * source is a source problem, not 10⁹ per-file retries.
+    *
+    * Scale shape: flags are a pure projection over the media scan
+    * (no decode — that's the point: header metadata is enough to
+    * gate on), then one map-side-combining agg to media_type grain
+    * (3 rows). At 100 TB this is a single scan whose read schema
+    * prunes the payload column entirely EXCEPT the length probe —
+    * which parquet answers from the column without decoding it. */
+  def q316MediaConformance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).toDF()
+      .select($"media_type",
+        when($"declared_w" < minEdge || $"declared_h" < minEdge, 1L)
+          .otherwise(0L).as("f_small"),
+        when($"declared_w" > $"declared_h" * maxAspect ||
+             $"declared_h" > $"declared_w" * maxAspect, 1L)
+          .otherwise(0L).as("f_aspect"),
+        when(length($"payload").cast("long") <
+          expr(s"(CAST(declared_w AS BIGINT) * declared_h) div $payloadDivisor"), 1L)
+          .otherwise(0L).as("f_short"))
+      .groupBy($"media_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"f_small").as("n_too_small"),
+        sum($"f_aspect").as("n_extreme_aspect"),
+        sum($"f_short").as("n_payload_short"),
+        sum(when($"f_small" + $"f_aspect" + $"f_short" === 0L, 1L)
+          .otherwise(0L)).as("n_clean"))
+      .withColumn("clean_ppm", expr("(1000000 * n_clean) div n_items"))
+      .orderBy($"media_type")
+  }
+
+  private val q316Oracle =
+    s"""WITH m AS (
+       |  SELECT
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS media_type,
+       |    CAST(64 + n_chars % 512 AS BIGINT) AS w,
+       |    CAST(64 + (n_chars * 7) % 512 AS BIGINT) AS h,
+       |    CAST(strlen(text) AS BIGINT) AS nb
+       |  FROM documents),
+       |f AS (
+       |  SELECT media_type,
+       |    CASE WHEN w < $minEdge OR h < $minEdge THEN 1 ELSE 0 END AS f_small,
+       |    CASE WHEN w > h * $maxAspect OR h > w * $maxAspect
+       |      THEN 1 ELSE 0 END AS f_aspect,
+       |    CASE WHEN nb < (w * h) // $payloadDivisor THEN 1 ELSE 0 END
+       |      AS f_short
+       |  FROM m)
+       |SELECT media_type, CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(f_small) AS BIGINT) AS n_too_small,
+       |  CAST(sum(f_aspect) AS BIGINT) AS n_extreme_aspect,
+       |  CAST(sum(f_short) AS BIGINT) AS n_payload_short,
+       |  CAST(sum(CASE WHEN f_small + f_aspect + f_short = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       |  CAST((1000000 * sum(CASE WHEN f_small + f_aspect + f_short = 0
+       |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS clean_ppm
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_media_features" -> (q75MediaFeatures _),
     "q76_frame_sample"   -> (q76FrameSample _),
     "q123_frame_dedup"   -> (q123FrameDedup _),
+    "q315_audio_chunks"  -> (q315AudioChunks _),
+    "q316_media_conformance" -> (q316MediaConformance _),
   )
 
   val oracles: Map[String, String] = Map(
     "q75_media_features" -> q75Oracle,
     "q76_frame_sample"   -> q76Oracle,
     "q123_frame_dedup"   -> q123Oracle,
+    "q315_audio_chunks"  -> q315Oracle,
+    "q316_media_conformance" -> q316Oracle,
   )
 }

@@ -171,15 +171,88 @@ object PrivacyOps {
       |FROM browse b JOIN buys p ON b.token = p.token
       |ORDER BY b.token""".stripMargin
 
+  // ---------------------------------------------------------------- q313
+  /** A quasi-identifier group whose sensitive attribute shows fewer
+    * than this many distinct values fails distinct l-diversity. 3 is
+    * the conventional published floor (Machanavajjhala et al. 2007
+    * use l=3 in their running examples). */
+  val lThreshold = 3
+
+  /** l-diversity audit — the attribute-disclosure check k-anonymity
+    * (q161) misses: a group can be comfortably large (k ≥ 5) yet
+    * give away its members' sensitive value because everyone in it
+    * SHARES that value. Per quasi-identifier group (market segment ×
+    * nation bucket, q161's generalization discipline) over the
+    * orders fact joined to its customer: group size k, distinct
+    * sensitive values l (order priority), the modal sensitive share
+    * in ppm (the recursive-(c,l) ingredient: a group can pass
+    * distinct-l yet be 99% one value), and the at_risk flag
+    * l < [[lThreshold]].
+    *
+    * Scale shape: the customer dim broadcasts into the fact scan;
+    * then ONE hash agg to (quasi × sensitive) grain — bounded by
+    * DOMAIN (segments × buckets × priorities), not rows — and a
+    * second agg to quasi grain over that dimension-sized frame. The
+    * fact table shuffles only its (quasi, sensitive) cells,
+    * map-side combined. */
+  def q313LDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lDiversityOf(
+      Tables.orders(s, dir).select($"o_custkey", $"o_orderpriority")
+        .join(broadcast(Tables.customer(s, dir).select(
+          $"c_custkey", $"c_mktsegment".as("segment"),
+          ($"c_nationkey" % 5).cast("long").as("nation_bucket"))),
+          $"o_custkey" === $"c_custkey")
+        .select($"segment", $"nation_bucket",
+          $"o_orderpriority".as("sensitive")))
+  }
+
+  /** The audit on any (segment, nation_bucket, sensitive) frame —
+    * separated so the spec can plant a large-but-uniform group (k
+    * passes, l fails) and a small diverse one. */
+  private[ops] def lDiversityOf(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    rows
+      .groupBy($"segment", $"nation_bucket", $"sensitive")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"segment", $"nation_bucket")
+      .agg(sum($"c").as("k"), count(lit(1)).as("l"),
+        max($"c").as("modal_c"))
+      .select($"segment", $"nation_bucket", $"k", $"l",
+        expr("(1000000 * modal_c) div k").as("modal_share_ppm"),
+        ($"l" < lThreshold).as("at_risk"))
+      .orderBy($"segment", $"nation_bucket")
+  }
+
+  private val q313Oracle =
+    s"""WITH rows_ AS (
+       |  SELECT c_mktsegment AS segment,
+       |    CAST(c_nationkey % 5 AS BIGINT) AS nation_bucket,
+       |    o_orderpriority AS sensitive
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |cell AS (
+       |  SELECT segment, nation_bucket, sensitive,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM rows_ GROUP BY 1, 2, 3)
+       |SELECT segment, nation_bucket,
+       |  CAST(sum(c) AS BIGINT) AS k,
+       |  CAST(count(*) AS BIGINT) AS l,
+       |  CAST((1000000 * max(c)) // sum(c) AS BIGINT) AS modal_share_ppm,
+       |  count(*) < $lThreshold AS at_risk
+       |FROM cell GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_k_anonymity"  -> (q161KAnonymity _),
     "q162_noisy_release" -> (q162NoisyRelease _),
     "q229_pseudonymized_join" -> (q229PseudonymizedJoin _),
+    "q313_l_diversity"  -> (q313LDiversity _),
   )
 
   val oracles: Map[String, String] = Map(
     "q161_k_anonymity"  -> q161Oracle,
     "q162_noisy_release" -> q162Oracle,
     "q229_pseudonymized_join" -> q229Oracle,
+    "q313_l_diversity"  -> q313Oracle,
   )
 }

@@ -1384,7 +1384,89 @@ object SimilarityOps {
        |FROM idc ORDER BY query_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q312
+  /** MRR@10 + hit-rate@{1,5,10} of the exact kNN ranking — the
+    * FIRST-HIT readout completing the retrieval-eval family: q148's
+    * recall counts relevant ids anywhere in the list, q304's AP
+    * averages precision over every hit, q305's NDCG discounts by
+    * position — MRR answers the single-answer consumer's question
+    * ("how deep until the first usable neighbor?"), which is the
+    * metric for dedup-canonical lookup and single-shot retrieval.
+    * Binary relevance = shares the query's label (q305's
+    * convention). Integer-exact: rr_ppm = 10⁶ div first_rel_rank,
+    * 0 when no hit lands in the top-10, and the −1 sentinel when
+    * the query has NO label twin in the corpus (an undefined metric
+    * reported as undefined, not as a zero that drags the mean —
+    * q305's posture). hit@k are 0/1 so the corpus mean of each
+    * column IS the hit rate.
+    *
+    * Scale shape: inherits q70's (queries broadcast, corpus never
+    * exchanged); label counts are a label-grain agg broadcast back;
+    * everything past the inputs is queries×k rows. */
+  def q312MrrAt10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mrrAt10Of(q70KnnBruteForce(s, dir),
+      Tables.embeddings(s, dir).select($"vec_id", $"label"))
+  }
+
+  /** The metric on any ((query_id, neighbor_id, rank) ranking,
+    * (vec_id, label) corpus) pair — separated so the spec can plant
+    * rankings with known first-hit positions, a no-hit query, and a
+    * twinless query. */
+  private[ops] def mrrAt10Of(nn: DataFrame, lab: DataFrame): DataFrame = {
+    val s = nn.sparkSession
+    import s.implicits._
+    val cnt = lab.groupBy($"label").agg(count(lit(1)).as("c"))
+    nn.join(lab.select($"vec_id".as("query_id"), $"label".as("q_label")),
+        "query_id")
+      .join(lab.select($"vec_id".as("neighbor_id"), $"label".as("n_label")),
+        "neighbor_id")
+      .select($"query_id", $"rank", $"q_label",
+        when($"q_label" === $"n_label", 1L).otherwise(0L).as("rel"))
+      .groupBy($"query_id", $"q_label")
+      .agg(min(when($"rel" === 1L, $"rank")).as("fr_raw"),
+        max(when($"rel" === 1L && $"rank" <= 1, 1L).otherwise(0L)).as("hit_1"),
+        max(when($"rel" === 1L && $"rank" <= 5, 1L).otherwise(0L)).as("hit_5"),
+        max(when($"rel" === 1L && $"rank" <= 10, 1L).otherwise(0L)).as("hit_10"))
+      .join(broadcast(cnt), $"q_label" === $"label")
+      .select($"query_id", ($"c" - 1L).as("n_twins"),
+        coalesce($"fr_raw".cast("long"), lit(0L)).as("first_rel_rank"),
+        expr("""CASE WHEN c - 1 = 0 THEN -1
+          |  WHEN fr_raw IS NULL THEN 0
+          |  ELSE 1000000 div CAST(fr_raw AS BIGINT) END""".stripMargin)
+          .as("rr_ppm"),
+        $"hit_1", $"hit_5", $"hit_10")
+      .orderBy($"query_id")
+  }
+
+  private def q312Oracle =
+    s"""WITH nn AS ($q70Oracle),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS c
+       |        FROM lab GROUP BY 1),
+       |per AS (
+       |  SELECT nn.query_id, ql.label AS q_label,
+       |    min(CASE WHEN nl.label = ql.label THEN nn.rank END) AS fr_raw,
+       |    CAST(max(CASE WHEN nl.label = ql.label AND nn.rank <= 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS hit_1,
+       |    CAST(max(CASE WHEN nl.label = ql.label AND nn.rank <= 5
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS hit_5,
+       |    CAST(max(CASE WHEN nl.label = ql.label AND nn.rank <= 10
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS hit_10
+       |  FROM nn JOIN lab ql ON nn.query_id = ql.vec_id
+       |          JOIN lab nl ON nn.neighbor_id = nl.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT p.query_id, c.c - 1 AS n_twins,
+       |  CAST(COALESCE(fr_raw, 0) AS BIGINT) AS first_rel_rank,
+       |  CAST(CASE WHEN c.c - 1 = 0 THEN -1
+       |    WHEN fr_raw IS NULL THEN 0
+       |    ELSE 1000000 // CAST(fr_raw AS BIGINT) END AS BIGINT) AS rr_ppm,
+       |  hit_1, hit_5, hit_10
+       |FROM per p JOIN cnt c ON p.q_label = c.label
+       |ORDER BY p.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q312_mrr_at_10"     -> (q312MrrAt10 _),
     "q305_ndcg_at_10"    -> (q305NdcgAt10 _),
     "q251_knn_loo_eval"  -> (q251KnnLooEval _),
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
@@ -1404,6 +1486,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q312_mrr_at_10"     -> q312Oracle,
     "q305_ndcg_at_10"    -> q305Oracle,
     "q251_knn_loo_eval"  -> q251Oracle,
     "q70_knn_bruteforce" -> q70Oracle,

@@ -498,6 +498,63 @@ object Streaming {
       | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
       |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q310
+  /** Stream-stream FULL OUTER interval join — the last member of the
+    * q44/q47 family: q44 keeps matches, q47 additionally preserves
+    * unconverted views; this also preserves ORPHAN PURCHASES (no
+    * view within the preceding hour) as NULL-view rows — the side a
+    * funnel auditor reads for attribution holes (purchases arriving
+    * with no recorded impression: lost telemetry, direct traffic).
+    * Mechanics are q47's with both outer directions: each side's
+    * unmatched rows flush once the watermark proves no partner can
+    * arrive, so BOTH sides need the far-future sentinel (the global
+    * watermark is the MIN across inputs); user_id coalesces across
+    * sides because either can be NULL now. Same bounded two-sided
+    * state as q44 — retention = interval, never stream length. */
+  def q310StreamFullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sentinel = sentinelStream(s, s.range(2).select(
+      (lit(-1L) - $"id").as("event_id"),
+      // second sentinel a day later: outside the 1h join interval
+      timestamp_micros(lit(sentinelUs) + $"id" * 86400000000L).as("ts"),
+      lit(-1L).as("user_id"),
+      element_at(array(lit("view"), lit("purchase")), ($"id" + 1).cast("int")).as("event_type"),
+      lit(0.0).as("value")))
+    val all = eventsStream(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .union(sentinel.select($"event_id", $"ts", $"user_id", $"event_type", $"value"))
+    val views = all.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      .withWatermark("view_ts", "1 minute")
+    val purchases = all.where($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+      .withWatermark("purchase_ts", "1 minute")
+    val joined = views.join(purchases,
+      $"user_id" === $"p_uid" &&
+        $"purchase_ts" >= $"view_ts" &&
+        $"purchase_ts" <= $"view_ts" + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(coalesce($"user_id", $"p_uid").as("uid"),
+        $"view_id", $"purchase_id", $"purchase_value")
+    drain(s, joined, OutputMode.Append())
+      .filter($"uid" >= 0)
+      .select($"uid".as("user_id"), $"view_id", $"purchase_id",
+        $"purchase_value")
+      .orderBy($"user_id", $"view_id".asc_nulls_first,
+        $"purchase_id".asc_nulls_first)
+  }
+
+  private val q310Oracle =
+    """SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+      |  v.event_id AS view_id, p.event_id AS purchase_id,
+      |  p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- q87
   /** Stream-static join: the event stream enriched against a STATIC
     * dimension (customer → market segment) before a windowed
@@ -1606,6 +1663,7 @@ object Streaming {
     "q35_flatmap_sessions" -> (q35FlatMapSessions _),
     "q44_stream_stream_join" -> (q44StreamStreamJoin _),
     "q47_stream_left_join"   -> (q47StreamLeftJoin _),
+    "q310_stream_full_outer_join" -> (q310StreamFullOuterJoin _),
     "q87_stream_static_join" -> (q87StreamStaticJoin _),
     "q121_stream_admission"  -> (q121StreamAdmission _),
     "q144_incremental_mv"    -> (q144IncrementalMv _),
@@ -1632,6 +1690,7 @@ object Streaming {
     "q35_flatmap_sessions" -> q35Oracle,
     "q44_stream_stream_join" -> q44Oracle,
     "q47_stream_left_join"   -> q47Oracle,
+    "q310_stream_full_outer_join" -> q310Oracle,
     "q87_stream_static_join" -> q87Oracle,
     "q121_stream_admission"  -> q121Oracle,
     "q144_incremental_mv"    -> q144Oracle,

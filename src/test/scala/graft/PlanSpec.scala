@@ -588,4 +588,43 @@ class PlanSpec extends SparkSuite {
     val p268 = plan(DedupOps.q268MethodAgreement(spark, sf0001))
     assert(!p268.contains("CartesianProduct"), p268.take(500))
   }
+
+  test("q311-q316: corpus reduces to its grain map-side; nothing sort-merges") {
+    // day-grain monitors: the events scan prunes to what the stat
+    // reads, the corpus reduces to day grain BEFORE any join, and
+    // the bounded day/rank frames never earn a sort-merge
+    for ((name, df, allowed) <- Seq(
+      ("q311", EventOps.q311KendallTau(spark, sf0001),
+        Set("ts", "event_type", "value")),
+      ("q314", EventOps.q314PettittChangepoint(spark, sf0001),
+        Set("ts")))) {
+      val p = plan(df)
+      val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+        .map(_.group(1)).getOrElse("")
+      val cols = rs.split(",").map(_.takeWhile(_ != ':')).toSet
+      assert(cols.subsetOf(allowed), s"$name scans $rs")
+      assert(!p.contains("SortMergeJoin"), s"$name: " + p.take(400))
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$name day agg must combine map-side")
+    }
+    // retrieval eval: inherits q70's broadcast shape, label counts
+    // broadcast back — the embedding corpus is never sort-merged
+    val p312 = plan(SimilarityOps.q312MrrAt10(spark, sf0001))
+    assert(!p312.contains("SortMergeJoin"), p312.take(400))
+    assert(p312.contains("BroadcastNestedLoopJoin")
+      || p312.contains("BroadcastHashJoin"), p312.take(400))
+    // release gates: the customer dim broadcasts into the orders
+    // fact; media conformance is a pure projection + one agg whose
+    // scan prunes to the three metadata-bearing columns
+    val p313 = plan(PrivacyOps.q313LDiversity(spark, sf0001))
+    assert(p313.contains("BroadcastHashJoin") && !p313.contains("SortMergeJoin"),
+      p313.take(400))
+    val p316 = plan(MultimodalOps.q316MediaConformance(spark, sf0001))
+    val rs316 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p316)
+      .map(_.group(1)).getOrElse("")
+    assert(rs316.split(",").length <= 3, s"q316 scans $rs316")
+    // audio chunking is join-free: explode over the scan, nothing else
+    val p315 = plan(MultimodalOps.q315AudioChunks(spark, sf0001))
+    assert(!p315.contains("Join"), p315.take(400))
+  }
 }

@@ -1895,4 +1895,57 @@ class EventOpsSpec extends SparkSuite {
       Seq(("a", 1L), ("a", 2L)).toDF("g", "v")).collect()(0)
     assert(one.getLong(3) == -1L)
   }
+
+  test("q311 kendall: perfect, inverted, constant, and a tied brute-force replay") {
+    import spark.implicits._
+    def tau(rows: Seq[(Long, Long, Long)]) =
+      EventOps.kendallTauOf(rows.toDF("day", "x", "y")).collect()(0)
+    // strictly increasing together: every pair concordant, tau = +1
+    val up = tau(Seq((0L, 1L, 10L), (1L, 2L, 20L), (2L, 3L, 30L), (3L, 4L, 40L)))
+    assert(up.getLong(0) == 6L && up.getLong(1) == 0L && up.getLong(5) == 1000000L)
+    // perfect inversion: every pair discordant, tau = −1
+    val down = tau(Seq((0L, 1L, 40L), (1L, 2L, 30L), (2L, 3L, 20L), (3L, 4L, 10L)))
+    assert(down.getLong(1) == 6L && down.getLong(5) == -1000000L)
+    // constant y: n0 = n2, tau undefined
+    assert(tau(Seq((0L, 1L, 7L), (1L, 2L, 7L), (2L, 3L, 7L))).isNullAt(5))
+    // ties in both: brute-force sign-pair replay, including n1/n2
+    val rows = Seq((0L, 1L, 5L), (1L, 2L, 5L), (2L, 2L, 9L), (3L, 4L, 1L))
+    val got = tau(rows)
+    val pairs = for (i <- rows.indices; j <- rows.indices if i < j)
+      yield (rows(i), rows(j))
+    val sgns = pairs.map { case (a, b) =>
+      math.signum(b._2 - a._2) * math.signum(b._3 - a._3) }
+    val (c, d) = (sgns.count(_ > 0).toLong, sgns.count(_ < 0).toLong)
+    val n0 = pairs.length.toLong
+    val n1 = pairs.count { case (a, b) => a._2 == b._2 }.toLong
+    val n2 = pairs.count { case (a, b) => a._3 == b._3 }.toLong
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4)) == ((c, d, n0, n1, n2)))
+    val denom = math.sqrt(((n0 - n1) * (n0 - n2)).toDouble).floor.toLong
+    assert(got.getLong(5) == 1000000L * (c - d) / denom)
+  }
+
+  test("q314 pettitt: planted level shift located; constant series null") {
+    import spark.implicits._
+    // 6 quiet days then 6 loud days: brute-force U_t replay and the
+    // break must land on the last quiet day
+    val ns = Seq.fill(6)(10L) ++ Seq.fill(6)(100L)
+    val daily = ns.zipWithIndex.map { case (n, d) => (d.toLong, n) }
+    val got = EventOps.pettittOf(daily.toDF("day", "n")).collect()(0)
+    def u(t: Int): Long = (for (i <- 0 until t; j <- t until ns.length)
+      yield math.signum(ns(j) - ns(i)).toLong).sum
+    val ks = (1 until ns.length).map(t => math.abs(u(t)))
+    val k = ks.max
+    val nn = ns.length.toLong
+    assert(got.getLong(0) == nn && got.getLong(1) == k)
+    assert(got.getLong(2) == ks.indexOf(k).toLong, "earliest argmax day")
+    val expMicro = 6000000L * k * k / (nn * nn * nn + nn * nn)
+    assert(got.getLong(4) == expMicro)
+    assert(got.getBoolean(5) == (expMicro > EventOps.pettittCritMicro))
+    assert(got.getBoolean(5), "a 10x level shift over 12 days must fire")
+    // constant series: every rank tied, U ≡ 0, never significant
+    val flat = EventOps.pettittOf(
+      (0L until 10L).map(d => (d, 42L)).toDF("day", "n")).collect()(0)
+    assert(flat.getLong(1) == 0L && !flat.getBoolean(5))
+  }
 }

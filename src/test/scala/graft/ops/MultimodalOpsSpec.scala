@@ -88,4 +88,59 @@ class MultimodalOpsSpec extends SparkSuite {
     // frame 0 = chars 1..16, frame 1 = chars 65..80; both md5s differ
     assert(rows(0).getString(2) != rows(1).getString(2))
   }
+
+  test("q315 audio chunks: frame+hop arithmetic, full tail coverage, overlap") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mm315").toString
+    // doc_id=1 → audio; 100 bytes → starts 0/32/64/96, lengths 48/48/36/4
+    val text = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
+    Seq((1L, text, "en", "t", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = MultimodalOps.q315AudioChunks(spark, tmp).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.map(c => (c._1, c._2, c._3)).toSeq ==
+      Seq((0L, 0L, 48L), (1L, 32L, 48L), (2L, 64L, 36L), (3L, 96L, 4L)))
+    // every chunk hashes its exact slice — replay md5 from the source text
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    rows.foreach { case (_, start, n, h) =>
+      assert(h == md5(text.substring(start.toInt, start.toInt + n.toInt)))
+    }
+    // coverage: chunks reach the last byte, and consecutive chunks
+    // genuinely overlap (window > hop)
+    assert(rows.map(c => c._2 + c._3).max == 100L)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => b._2 < a._2 + a._3; case _ => true })
+  }
+
+  test("q316 conformance: flag replay over the fixture, counts conserve") {
+    import spark.implicits._
+    val media = MultimodalOps.media(spark, sf0001).collect()
+    val want = media.groupBy(_.media_type).map { case (t, ms) =>
+      val small = ms.count(m =>
+        m.declared_w < MultimodalOps.minEdge || m.declared_h < MultimodalOps.minEdge)
+      val aspect = ms.count(m =>
+        m.declared_w > m.declared_h.toLong * MultimodalOps.maxAspect ||
+        m.declared_h > m.declared_w.toLong * MultimodalOps.maxAspect)
+      val short = ms.count(m => m.payload.length <
+        m.declared_w.toLong * m.declared_h / MultimodalOps.payloadDivisor)
+      val clean = ms.count(m =>
+        !(m.declared_w < MultimodalOps.minEdge || m.declared_h < MultimodalOps.minEdge) &&
+        !(m.declared_w > m.declared_h.toLong * MultimodalOps.maxAspect ||
+          m.declared_h > m.declared_w.toLong * MultimodalOps.maxAspect) &&
+        !(m.payload.length <
+          m.declared_w.toLong * m.declared_h / MultimodalOps.payloadDivisor))
+      t -> ((ms.length.toLong, small.toLong, aspect.toLong, short.toLong,
+        clean.toLong, 1000000L * clean / ms.length))
+    }
+    val got = MultimodalOps.q316MediaConformance(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == want.toMap)
+    // the gate reads three media types and conserves the corpus
+    assert(got.keySet == Set("image", "audio", "video"))
+    assert(got.values.map(_._1).sum == media.length.toLong)
+  }
 }

@@ -83,4 +83,38 @@ class PrivacyOpsSpec extends SparkSuite {
     val ids = ev.map(_._1.toString).toSet
     assert(got.forall(r => r._1.matches("[0-9a-f]{16}") && !ids(r._1)))
   }
+
+  test("q313 l-diversity catches the large-but-uniform group q161 passes") {
+    import spark.implicits._
+    // group A0: k = 9 (passes k-anonymity) but every member shares one
+    // sensitive value — l = 1, the homogeneity attack case;
+    // group B1: k = 3 only, but 3 distinct values — l passes;
+    // group C2: exactly AT the threshold (l = 3 is safe — strict <)
+    val rows = (Seq.fill(9)(("A", 0L, "URGENT")) ++
+      Seq(("B", 1L, "URGENT"), ("B", 1L, "HIGH"), ("B", 1L, "LOW")) ++
+      Seq(("C", 2L, "URGENT"), ("C", 2L, "URGENT"), ("C", 2L, "HIGH"),
+        ("C", 2L, "LOW")))
+      .toDF("segment", "nation_bucket", "sensitive")
+    val got = PrivacyOps.lDiversityOf(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got == Map(
+      ("A", 0L) -> ((9L, 1L, 1000000L, true)),
+      ("B", 1L) -> ((3L, 3L, 333333L, false)),
+      ("C", 2L) -> ((4L, 3L, 500000L, false)),
+    ))
+  }
+
+  test("q313 on the sf fixture: k sums to orders, l bounded by the domain") {
+    val rows = PrivacyOps.q313LDiversity(spark, sf0001).collect()
+    val orders = graft.Tables.orders(spark, sf0001).count()
+    val nPrio = graft.Tables.orders(spark, sf0001)
+      .select("o_orderpriority").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == orders)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= nPrio)
+      assert(r.getLong(4) >= 1000000L / r.getLong(3))  // modal >= mean share
+      assert(r.getBoolean(5) == (r.getLong(3) < PrivacyOps.lThreshold))
+    }
+  }
 }

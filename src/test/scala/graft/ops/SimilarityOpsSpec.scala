@@ -425,4 +425,52 @@ class SimilarityOpsSpec extends SparkSuite {
         r.getLong(4)))
     assert(sf.toSeq == want)
   }
+
+  test("q312 MRR: planted first hits, a no-hit query, a twinless query") {
+    import spark.implicits._
+    // qA(label 1): first twin at rank 3 → rr 333333, hit@5 only;
+    // qB(label 2): twins exist (vec 20) but none retrieved → rr 0;
+    // qC(label 3): no other vec carries label 3 → undefined, −1
+    val lab = Seq((1L, 1), (2L, 2), (3L, 3),
+      (10L, 9), (11L, 9), (12L, 1), (20L, 2))
+      .toDF("vec_id", "label")
+    val nn = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 10L, 1), (2L, 11L, 2),
+      (3L, 10L, 1), (3L, 20L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = SimilarityOps.mrrAt10Of(nn, lab).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 3L, 333333L, 0L, 1L, 1L)),
+      2L -> ((1L, 0L, 0L, 0L, 0L, 0L)),
+      3L -> ((0L, 0L, -1L, 0L, 0L, 0L)),
+    ))
+  }
+
+  test("q312 on the sf fixture: first-hit replay against q70's ranking") {
+    import spark.implicits._
+    val rank = SimilarityOps.q70KnnBruteForce(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val labels = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val counts = labels.values.groupBy(identity).view.mapValues(_.size).toMap
+    val want = rank.groupBy(_._1).toSeq.map { case (q, ns) =>
+      val ql = labels(q)
+      val hits = ns.filter(n => labels(n._2) == ql).map(_._3)
+      val fr = if (hits.isEmpty) 0L else hits.min.toLong
+      val twins = counts(ql) - 1L
+      val rr = if (twins == 0) -1L else if (fr == 0) 0L else 1000000L / fr
+      (q, twins, fr, rr,
+        if (hits.exists(_ <= 1)) 1L else 0L,
+        if (hits.exists(_ <= 5)) 1L else 0L,
+        if (hits.exists(_ <= 10)) 1L else 0L)
+    }.sortBy(_._1)
+    val sf = SimilarityOps.q312MrrAt10(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(sf.toSeq == want)
+  }
 }
