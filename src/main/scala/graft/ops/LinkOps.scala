@@ -724,16 +724,26 @@ object LinkOps {
 
   /** The scorer on any canonical (u < v) edge frame — separated so
     * the spec can plant paths, squares, and an over-cap hub. */
-  private[ops] def linkPredictionOf(edges: DataFrame): DataFrame = {
-    val s = edges.sparkSession
+  private[ops] def linkPredictionOf(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
     import s.implicits._
+    // the scorer reads the edge frame seven times (adj×2 twice for
+    // the wedge self-join, the degree pass, the anti-join) — behind
+    // it sits coEdges' order-grain self-join + global distinct, far
+    // too expensive to re-execute per reference. One cut, id pairs
+    // only (q79's localCheckpoint idiom)
+    val edges = edgesIn.localCheckpoint()
     val adj = edges.select($"u".as("z"), $"v".as("nbr"))
       .union(edges.select($"v".as("z"), $"u".as("nbr")))
     val deg = adj.groupBy($"z").agg(count(lit(1)).as("d"))
     val ctr = deg.where($"d" <= raMaxCenterDegree)
-    val wedges = adj.join(adj.select($"z", $"nbr".as("nbr2")), "z")
+    // the cap joins BELOW the wedge self-join: a hub must be dropped
+    // before it fans out deg² rows, not after — this is where the
+    // "hard per-node work bound" the cap promises actually binds
+    val adjC = adj.join(ctr, "z")
+    val wedges = adjC
+      .join(adjC.select($"z", $"nbr".as("nbr2")), "z")
       .where($"nbr" < $"nbr2")
-      .join(ctr, "z")
       .select($"nbr".as("u"), $"nbr2".as("v"), $"d")
     wedges
       .join(edges, Seq("u", "v"), "left_anti")

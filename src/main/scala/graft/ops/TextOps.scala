@@ -3505,10 +3505,16 @@ object TextOps {
   /** The minimax fit on any (decile, n, n_pos) frame — separated so
     * the spec can plant a violation and watch exactly the violating
     * bins pool. */
-  private[ops] def isotonicOf(bins: DataFrame): DataFrame = {
-    val s = bins.sparkSession
+  private[ops] def isotonicOf(binsIn: DataFrame): DataFrame = {
+    val s = binsIn.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // the fit references the bin frame five times (cum×2, the spine,
+    // both final joins); without a cut each reference re-executes the
+    // CORPUS subplan behind it (q199: full score pass + ntile). The
+    // frame is B rows by construction, so materialize it once —
+    // q79's bounded-working-set localCheckpoint idiom
+    val bins = binsIn.localCheckpoint()
     val w = Window.orderBy($"decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = bins.select($"decile", $"n", $"n_pos",
