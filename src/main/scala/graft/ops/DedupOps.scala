@@ -2065,6 +2065,11 @@ object DedupOps {
     * the exact oracle; q66 stays the default at t = 0.5. */
   def q292PrefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // measured note: checkpointing this frame is a LOSS (16s -> 29s
+    // at sf0.1) — the shingle arrays are payload-heavy, so
+    // materializing them costs more than the second shingling pass;
+    // the bounded-frame checkpoint idiom (q273/q307) is for id/grain
+    // frames, not array payloads
     val sets = docShingleSets(s, dir)
     val a = sets.select($"doc_id".as("doc_a"), $"ss".as("sa"),
       size($"ss").cast("long").as("na"))

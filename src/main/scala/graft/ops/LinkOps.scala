@@ -133,7 +133,10 @@ object LinkOps {
   private[ops] def triangleCountsOf(items: DataFrame): DataFrame = {
     val s = items.sparkSession
     import s.implicits._
-    val edges = coEdges(items)
+    // referenced by the degree pass, the orientation, and the closure
+    // probe — without a cut each re-runs coEdges' order-grain
+    // self-join + distinct (q307's fix, same reasoning)
+    val edges = coEdges(items).localCheckpoint()
     val deg = edges.select(explode(array($"u", $"v")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("d"))
     val or = edges
@@ -281,7 +284,9 @@ object LinkOps {
   private[ops] def associationRulesOf(itemsIn: DataFrame): DataFrame = {
     val s = itemsIn.sparkSession
     import s.implicits._
-    val items = itemsIn.distinct()
+    // three consumers (basket count, item support, pair counts) each
+    // re-run the de-dup shuffle otherwise; id pairs only, one cut
+    val items = itemsIn.distinct().localCheckpoint()
     val nOrders = items.select(countDistinct($"ok").as("n_orders"))
     val sup = items.groupBy($"pk").agg(count(lit(1)).as("s"))
     val pairN = pairOccurrences(items)
