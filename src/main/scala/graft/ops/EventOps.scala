@@ -5210,7 +5210,267 @@ object EventOps {
        |    AS significant
        |FROM pick WHERE rk = 1""".stripMargin
 
+  // ---------------------------------------------------------------- q318
+  /** Wilcoxon signed-rank test on per-user activity, first half vs
+    * second half of the observation window — the PAIRED rank test
+    * completing the family: q270 (Mann–Whitney) compares two
+    * INDEPENDENT arms, q283 (McNemar) pairs BINARY outcomes; this
+    * pairs a continuous-ish metric within the same user, which is
+    * the right tool for "did engagement shift?" because each user is
+    * their own control (between-user variance, the thing that
+    * swamps q270 on heavy-tailed users, cancels in the difference).
+    * Mechanics: d_u = second-half − first-half event count (the
+    * split point is the window midpoint, a broadcast scalar); zero
+    * differences drop (the standard Wilcoxon treatment); doubled
+    * midranks of |d| at VALUE grain (q196's integer device), the
+    * doubled statistic D = Σ_{d>0} r₂ with E[D] = n(n+1)/2 and the
+    * tie-corrected Var(D) = (2n(n+1)(2n+1) − Σ(t³−t))/12, and
+    * χ²₍₁₎ = (D−E)²/Var(D) in milli via the denominator-first split
+    * (both (D−E)² and Var(D) are divided by n(n+1) BEFORE the ratio
+    * — q270's discipline; every floor is mirrored by the oracle, and
+    * the magnitudes stay inside BIGINT to ~7×10⁴ pairs; a bigger
+    * cohort samples first, q49's trick, which is statistically all a
+    * rank test needs). Degenerate frames (n < 2, or the floored
+    * variance hits 0 at tiny n where the normal approximation is
+    * meaningless anyway) report the −1 sentinel.
+    *
+    * Scale shape: one pass to user grain (map-side combined), one to
+    * |d|-VALUE grain; the rank device is a running count over
+    * distinct |d| values, so no corpus-sized sort anywhere. */
+  def q318WilcoxonSignedRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", unix_micros($"ts").as("tus"))
+    val mid = ev.agg(
+      expr("(min(tus) + max(tus)) div 2").as("mid_us"))
+    wilcoxonOf(ev.crossJoin(broadcast(mid))
+      .groupBy($"user_id")
+      .agg((sum(when($"tus" >= $"mid_us", 1L).otherwise(0L)) -
+        sum(when($"tus" < $"mid_us", 1L).otherwise(0L))).as("d")))
+  }
+
+  /** The test on any (user, d BIGINT) frame — separated so the spec
+    * can plant hand-ranked differences, ties, a symmetric null, and
+    * the all-zero sentinel. */
+  private[ops] def wilcoxonOf(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val crit = TextOps.chi2CritMilli.toMap.apply(1)
+    val cells = pairs.filter($"d" =!= 0L)
+      .select(abs($"d").as("ad"), ($"d" > 0L).as("pos"))
+      .groupBy($"ad")
+      .agg(count(lit(1)).as("t"),
+        sum(when($"pos", 1L).otherwise(0L)).as("tp"))
+    val wLess = Window.orderBy($"ad")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("lt", coalesce(sum($"t").over(wLess), lit(0L)))
+      .agg(sum($"t").as("n"), sum($"tp").as("n_pos"),
+        sum($"tp" * (lit(2L) * $"lt" + $"t" + 1L)).as("w_plus_2"),
+        sum($"t" * $"t" * $"t" - $"t").as("tie_term"))
+      .select($"n", $"n_pos", ($"n" - $"n_pos").as("n_neg"),
+        $"w_plus_2", $"tie_term",
+        expr(s"""CASE
+          |  WHEN n IS NULL OR n < 2 THEN -1
+          |  WHEN ((2 * n * (n + 1) * (2 * n + 1) - tie_term) div 12)
+          |       div (n * (n + 1)) = 0 THEN -1
+          |  ELSE (1000 * (((w_plus_2 - (n * (n + 1)) div 2)
+          |                 * (w_plus_2 - (n * (n + 1)) div 2))
+          |                div (n * (n + 1))))
+          |       div (((2 * n * (n + 1) * (2 * n + 1) - tie_term) div 12)
+          |            div (n * (n + 1)))
+          |END""".stripMargin).as("chi2_milli"))
+      .withColumn("significant", $"chi2_milli" > crit)
+      .na.fill(-1L, Seq("n", "n_pos", "n_neg", "w_plus_2", "tie_term"))
+  }
+
+  private val q318Oracle = {
+    val crit = TextOps.chi2CritMilli.toMap.apply(1)
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+       |mid AS (
+       |  SELECT CAST((min(tus) + max(tus)) // 2 AS BIGINT) AS mid_us
+       |  FROM ev),
+       |pairs AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN tus >= mid_us THEN 1 ELSE 0 END)
+       |      - sum(CASE WHEN tus < mid_us THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS d
+       |  FROM ev, mid GROUP BY user_id),
+       |cells AS (
+       |  SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+       |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM pairs WHERE d <> 0 GROUP BY 1),
+       |rk AS (
+       |  SELECT t, tp,
+       |    COALESCE(CAST(sum(t) OVER (ORDER BY ad
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS lt
+       |  FROM cells),
+       |agg AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS n,
+       |    CAST(sum(tp) AS BIGINT) AS n_pos,
+       |    CAST(sum(tp * (2 * lt + t + 1)) AS BIGINT) AS w_plus_2,
+       |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+       |  FROM rk)
+       |SELECT COALESCE(n, -1) AS n, COALESCE(n_pos, -1) AS n_pos,
+       |  COALESCE(n - n_pos, -1) AS n_neg,
+       |  COALESCE(w_plus_2, -1) AS w_plus_2,
+       |  COALESCE(tie_term, -1) AS tie_term,
+       |  CASE
+       |    WHEN n IS NULL OR n < 2 THEN -1
+       |    WHEN ((2 * n * (n + 1) * (2 * n + 1) - tie_term) // 12)
+       |         // (n * (n + 1)) = 0 THEN -1
+       |    ELSE (1000 * (((w_plus_2 - (n * (n + 1)) // 2)
+       |                   * (w_plus_2 - (n * (n + 1)) // 2))
+       |                  // (n * (n + 1))))
+       |         // (((2 * n * (n + 1) * (2 * n + 1) - tie_term) // 12)
+       |              // (n * (n + 1)))
+       |  END AS chi2_milli,
+       |  CASE
+       |    WHEN n IS NULL OR n < 2 THEN -1
+       |    WHEN ((2 * n * (n + 1) * (2 * n + 1) - tie_term) // 12)
+       |         // (n * (n + 1)) = 0 THEN -1
+       |    ELSE (1000 * (((w_plus_2 - (n * (n + 1)) // 2)
+       |                   * (w_plus_2 - (n * (n + 1)) // 2))
+       |                  // (n * (n + 1))))
+       |         // (((2 * n * (n + 1) * (2 * n + 1) - tie_term) // 12)
+       |              // (n * (n + 1)))
+       |  END > $crit AS significant
+       |FROM agg""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q319
+  /** Lags probed by the cross-correlation scan, in days each side. */
+  val ccfMaxLag = 7
+
+  /** Cross-correlation lead–lag scan between daily traffic (event
+    * count) and daily purchase revenue — the DIRECTIONAL question
+    * q311/q274 can't answer: they score same-day association; this
+    * slides one series past the other (lags −7..+7) and reads WHERE
+    * the correlation peaks ("revenue trails traffic by k days" = the
+    * peak at +k), which is the lead-lag a capacity planner or a
+    * marketing-mix model actually wants. Per lag: Pearson r over the
+    * aligned day pairs in ppm, via the uncentered one-pass identity
+    * r = (nΣxy−ΣxΣy)/√((nΣxx−(Σx)²)(nΣyy−(Σy)²)) — all-BIGINT on
+    * quantized units (revenue in cents; counts raw), the 10³×10³
+    * denominator split (q247's device) and the fixed-form floored
+    * sqrt. Zero-variance sides report NULL r (q274's posture: an
+    * undefined correlation is undefined, not 0); the peak flag marks
+    * the max-r lag. Cents keep Σy² inside BIGINT to ~10⁵ days of
+    * ~10⁹-cent daily revenue; a bigger corpus re-grids to dollars
+    * (q202's discipline).
+    *
+    * Scale shape: ONE partial agg to the day grain; the lag fan-out
+    * is day-frame × 15 literal lags (calendar-bounded, never
+    * row-bounded) joined back to the day frame — everything after
+    * the first agg is arithmetic on frames the size of the calendar,
+    * and the dense spine keeps zero-traffic days as real points. */
+  def q319CcfLeadLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    val daily = Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("d"))
+      .agg(count(lit(1)).as("x"),
+        sum(when($"event_type" === "purchase",
+          expr("CAST(round(value * 100D) AS BIGINT)")).otherwise(0L))
+          .as("y"))
+    ccfOf(daily)
+  }
+
+  /** The scan on any (d, x, y) day frame — separated so the spec can
+    * plant a shifted-copy series (peak at the known lag) and a
+    * constant side (NULL posture). Densifies the spine itself so
+    * gap days count as zeros. */
+  private[ops] def ccfOf(daily0: DataFrame): DataFrame = {
+    val s = daily0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bounds = daily0.agg(min($"d").as("d0"), max($"d").as("d1"))
+    val spine = bounds.select(
+      explode(sequence($"d0", $"d1")).as("d"))
+    // Calendar-bounded and read twice (both sides of the lag join):
+    // checkpoint so the corpus agg beneath it runs once.
+    val daily = spine.join(daily0, Seq("d"), "left")
+      .na.fill(0L, Seq("x", "y"))
+      .localCheckpoint()
+    val lags = s.range(-ccfMaxLag, ccfMaxLag + 1L).toDF("lag")
+    val pairs = daily.crossJoin(broadcast(lags))
+      .join(daily.select($"d".as("d2"), $"x".as("xb"), $"y".as("yb")),
+        $"d2" === $"d" + $"lag")
+    val sums = pairs.groupBy($"lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum($"x").as("sx"), sum($"yb").as("sy"),
+      sum($"x" * $"yb").as("sxy"),
+      sum($"x" * $"x").as("sxx"), sum($"yb" * $"yb").as("syy"))
+    val r = sums.select($"lag", $"n_pairs",
+      expr("""CASE
+        |  WHEN n_pairs < 2
+        |    OR n_pairs * sxx - sx * sx = 0
+        |    OR n_pairs * syy - sy * sy = 0 THEN NULL
+        |  ELSE (1000 * (n_pairs * sxy - sx * sy)) div
+        |    ((CAST(floor(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)))
+        |        AS BIGINT)
+        |      * CAST(floor(sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+        |        AS BIGINT)) div 1000)
+        |END""".stripMargin).as("r_ppm"))
+    r.withColumn("is_peak",
+      $"r_ppm".isNotNull &&
+        $"r_ppm" === max($"r_ppm").over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .orderBy($"lag")
+  }
+
+  private val q319Oracle = {
+    val dayUs = 86400L * 1000000L
+    s"""WITH daily0 AS (
+       |  SELECT epoch_us(ts) // $dayUs AS d,
+       |    CAST(count(*) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series(min(d), max(d))) AS d FROM daily0),
+       |daily AS (
+       |  SELECT s.d, COALESCE(y0.x, 0) AS x, COALESCE(y0.y, 0) AS y
+       |  FROM spine s LEFT JOIN daily0 y0 USING (d)),
+       |lags AS (
+       |  SELECT unnest(generate_series(-$ccfMaxLag, $ccfMaxLag)) AS lag),
+       |pairs AS (
+       |  SELECT l.lag, a.x, b.y AS yb
+       |  FROM daily a CROSS JOIN lags l
+       |  JOIN daily b ON b.d = a.d + l.lag),
+       |sums AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yb) AS BIGINT) AS sy,
+       |    CAST(sum(x * yb) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(yb * yb) AS BIGINT) AS syy
+       |  FROM pairs GROUP BY 1),
+       |r AS (
+       |  SELECT lag, n_pairs,
+       |    CASE
+       |      WHEN n_pairs < 2
+       |        OR n_pairs * sxx - sx * sx = 0
+       |        OR n_pairs * syy - sy * sy = 0 THEN NULL
+       |      ELSE CAST((1000 * (n_pairs * sxy - sx * sy)) //
+       |        ((CAST(floor(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)))
+       |            AS BIGINT)
+       |          * CAST(floor(sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+       |            AS BIGINT)) // 1000) AS BIGINT)
+       |    END AS r_ppm
+       |  FROM sums)
+       |SELECT lag, n_pairs, r_ppm,
+       |  r_ppm IS NOT NULL AND r_ppm = (SELECT max(r_ppm) FROM r)
+       |    AS is_peak
+       |FROM r ORDER BY lag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q318_wilcoxon_signed_rank" -> (q318WilcoxonSignedRank _),
+    "q319_ccf_lead_lag"     -> (q319CcfLeadLag _),
     "q311_kendall_tau"      -> (q311KendallTau _),
     "q314_pettitt_changepoint" -> (q314PettittChangepoint _),
     "q302_bh_fdr"           -> (q302BhFdr _),
@@ -5285,6 +5545,8 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q318_wilcoxon_signed_rank" -> q318Oracle,
+    "q319_ccf_lead_lag"     -> q319Oracle,
     "q311_kendall_tau"      -> q311Oracle,
     "q314_pettitt_changepoint" -> q314Oracle,
     "q302_bh_fdr"           -> q302Oracle,

@@ -242,11 +242,135 @@ object PrivacyOps {
        |  count(*) < $lThreshold AS at_risk
        |FROM cell GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q317
+  /** A group whose sensitive-value distribution sits farther than
+    * this (in ppm of the ordered EMD) from the GLOBAL distribution
+    * fails t-closeness. 0.15 is the running-example threshold in Li,
+    * Li & Venkatasubramanian (ICDE 2007), who introduce the test. */
+  val tThresholdPpm = 150000L
+
+  /** t-closeness audit (Li et al. 2007) — the third rung of the
+    * release-gate ladder: q161 checks groups are LARGE, q313 checks
+    * they're VARIED, this checks their sensitive distribution isn't
+    * INFORMATIVE. A group can pass both k and l yet leak (90% URGENT
+    * where the corpus is 20% — membership alone shifts an attacker's
+    * posterior). Per quasi-identifier group: the Earth Mover's
+    * Distance between the group's order-priority distribution and
+    * the global one, under the ORDERED-attribute ground distance
+    * (Li et al. §4: EMD = (1/(m−1))·Σ_j |Σ_{i≤j}(p_i − q_i)| over
+    * the m ordered values — priorities are prefixed 1..5, so the
+    * lexicographic sort IS the ordinal sort). Shares are mirrored
+    * micro floors ((10⁶·cnt) div k), so every intermediate is exact
+    * BIGINT and both engines emit identical bits regardless of
+    * corpus size — no N²-magnitude products (the exact-rational form
+    * would overflow at warehouse N).
+    *
+    * Scale shape: q313's — broadcast customer dim into the fact
+    * scan, ONE map-side-combining agg to the (quasi × sensitive)
+    * cell grain (bounded by DOMAIN, not rows). Everything after —
+    * the dense value spine (honest zeros: a missing value still
+    * shifts mass), the global marginal, the cumulative window — is
+    * arithmetic on that dimension-sized frame; the window partitions
+    * by group over ≤ m rows each. */
+  def q317TCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tClosenessOf(
+      Tables.orders(s, dir).select($"o_custkey", $"o_orderpriority")
+        .join(broadcast(Tables.customer(s, dir).select(
+          $"c_custkey", $"c_mktsegment".as("segment"),
+          ($"c_nationkey" % 5).cast("long").as("nation_bucket"))),
+          $"o_custkey" === $"c_custkey")
+        .select($"segment", $"nation_bucket",
+          $"o_orderpriority".as("sensitive")))
+  }
+
+  /** The audit on any (segment, nation_bucket, sensitive) frame —
+    * separated so the spec can plant a global-mirroring group (t=0)
+    * and a single-value group (t = the hand-computed EMD). */
+  private[ops] def tClosenessOf(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = rows
+      .groupBy($"segment", $"nation_bucket", $"sensitive")
+      .agg(count(lit(1)).as("c"))
+    val global = cells.groupBy($"sensitive").agg(sum($"c").as("g"))
+    val tot = global.agg(sum($"g").as("n_total"),
+      count(lit(1)).as("m"))
+    val groups = cells.groupBy($"segment", $"nation_bucket")
+      .agg(sum($"c").as("k"))
+    // Dense spine: every group × every globally-seen sensitive value.
+    val spine = groups.crossJoin(broadcast(global))
+      .join(cells, Seq("segment", "nation_bucket", "sensitive"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .select($"segment", $"nation_bucket", $"sensitive", $"k", $"m",
+        (expr("(1000000 * c) div k") -
+          expr("(1000000 * g) div n_total")).as("delta_micro"))
+    val wCum = Window.partitionBy($"segment", $"nation_bucket")
+      .orderBy($"sensitive")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .withColumn("cum", sum($"delta_micro").over(wCum))
+      .groupBy($"segment", $"nation_bucket")
+      .agg(max($"k").as("k"), max($"m").as("m"),
+        sum(abs($"cum")).as("abs_cum_sum"))
+      .select($"segment", $"nation_bucket", $"k",
+        expr("CASE WHEN m = 1 THEN 0 ELSE abs_cum_sum div (m - 1) END")
+          .as("t_ppm"))
+      .withColumn("at_risk", $"t_ppm" > tThresholdPpm)
+      .orderBy($"segment", $"nation_bucket")
+  }
+
+  private val q317Oracle =
+    s"""WITH rows_ AS (
+       |  SELECT c_mktsegment AS segment,
+       |    CAST(c_nationkey % 5 AS BIGINT) AS nation_bucket,
+       |    o_orderpriority AS sensitive
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |cell AS (
+       |  SELECT segment, nation_bucket, sensitive,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM rows_ GROUP BY 1, 2, 3),
+       |gmarg AS (
+       |  SELECT sensitive, CAST(sum(c) AS BIGINT) AS g
+       |  FROM cell GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(g) AS BIGINT) AS n_total,
+       |    CAST(count(*) AS BIGINT) AS m
+       |  FROM gmarg),
+       |grp AS (
+       |  SELECT segment, nation_bucket, CAST(sum(c) AS BIGINT) AS k
+       |  FROM cell GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT gr.segment, gr.nation_bucket, gl.sensitive, gr.k, t.m,
+       |    (1000000 * COALESCE(ce.c, 0)) // gr.k
+       |      - (1000000 * gl.g) // t.n_total AS delta_micro
+       |  FROM grp gr CROSS JOIN gmarg gl CROSS JOIN tot t
+       |  LEFT JOIN cell ce ON ce.segment = gr.segment
+       |    AND ce.nation_bucket = gr.nation_bucket
+       |    AND ce.sensitive = gl.sensitive),
+       |cum AS (
+       |  SELECT segment, nation_bucket, k, m,
+       |    CAST(sum(delta_micro) OVER (
+       |      PARTITION BY segment, nation_bucket ORDER BY sensitive
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum
+       |  FROM spine)
+       |SELECT segment, nation_bucket, max(k) AS k,
+       |  CAST(CASE WHEN max(m) = 1 THEN 0
+       |    ELSE sum(abs(cum)) // (max(m) - 1) END AS BIGINT) AS t_ppm,
+       |  CAST(CASE WHEN max(m) = 1 THEN 0
+       |    ELSE sum(abs(cum)) // (max(m) - 1) END AS BIGINT)
+       |    > $tThresholdPpm AS at_risk
+       |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q161_k_anonymity"  -> (q161KAnonymity _),
     "q162_noisy_release" -> (q162NoisyRelease _),
     "q229_pseudonymized_join" -> (q229PseudonymizedJoin _),
     "q313_l_diversity"  -> (q313LDiversity _),
+    "q317_t_closeness"  -> (q317TCloseness _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +378,6 @@ object PrivacyOps {
     "q162_noisy_release" -> q162Oracle,
     "q229_pseudonymized_join" -> q229Oracle,
     "q313_l_diversity"  -> q313Oracle,
+    "q317_t_closeness"  -> q317Oracle,
   )
 }

@@ -1948,4 +1948,86 @@ class EventOpsSpec extends SparkSuite {
       (0L until 10L).map(d => (d, 42L)).toDF("day", "n")).collect()(0)
     assert(flat.getLong(1) == 0L && !flat.getBoolean(5))
   }
+
+  test("q318 Wilcoxon: hand-ranked diffs, ties, strong shift, null, sentinel") {
+    import spark.implicits._
+    def run(ds: Seq[Long]) = {
+      val got = EventOps.wilcoxonOf(
+        ds.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+          .toDF("user", "d")).collect()(0)
+      (got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+        got.getLong(4), got.getLong(5), got.getBoolean(6))
+    }
+    // diffs 1,2,3,-4,5: ranks 1..5 doubled, D = 2+4+6+10 = 22, E2 = 15,
+    // x = 7: xx_over = 49 div 30 = 1, VarD = 660/12 = 55, varid = 55
+    // div 30 = 1 -> chi2 = 1000
+    assert(run(Seq(1L, 2L, 3L, -4L, 5L)) ==
+      ((5L, 4L, 1L, 22L, 0L, 1000L, false)))
+    // ties: diffs 2,2,-2,3 -> |d| cell 2 holds t=3 (doubled midrank 4),
+    // cell 3 doubled rank 8; D = 2*4 + 8 = 16, tie_term = 24,
+    // VarD = (360-24)/12 = 28: xx_over = 36 div 20 = 1, varid = 28
+    // div 20 = 1 -> chi2 = 1000
+    assert(run(Seq(2L, 2L, -2L, 3L)) ==
+      ((4L, 3L, 1L, 16L, 24L, 1000L, false)))
+    // one-sided shift, 20 positives: D = 420, x = 210,
+    // xx_over = 44100 div 420 = 105, VarD = 4620/12... = (2*20*21*41)/12
+    // = 2870, varid = 2870 div 420 = 6 -> chi2 = 17500, significant
+    assert(run((1L to 20L)) ==
+      ((20L, 20L, 0L, 420L, 0L, 17500L, true)))
+    // perfectly symmetric: D = E2 = 55 exactly -> chi2 = 0
+    assert(run((1L to 5L).flatMap(v => Seq(v, -v))) ==
+      ((10L, 5L, 5L, 55L, 30L, 0L, false)))
+    // all-zero differences drop every pair: the -1 sentinel row
+    assert(run(Seq(0L, 0L, 0L)) ==
+      ((-1L, -1L, -1L, -1L, -1L, -1L, false)))
+  }
+
+  test("q318 on the sf fixture: one row, sane counts") {
+    val got = EventOps.q318WilcoxonSignedRank(spark, sf0001).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == r.getLong(1) + r.getLong(2))
+    assert(r.getLong(5) >= -1L)
+  }
+
+  test("q319 CCF: planted 3-day shift peaks at +3 and nowhere else") {
+    import spark.implicits._
+    // x(d) pseudo-varied, y(d) = x(d-3) (zeros before day 3): the
+    // correlation of x(d) with y(d+lag) is perfect exactly at lag +3
+    def x(d: Long): Long = (d * 37 % 11) * 1000
+    val daily = (0L to 20L).map(d =>
+      (d, x(d), if (d >= 3) x(d - 3) else 0L)).toDF("d", "x", "y")
+    val got = EventOps.ccfOf(daily).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3)))).toMap
+    assert(got.keySet == (-7L to 7L).toSet)
+    // dense 21-day spine: each lag pairs 21-|lag| days
+    got.foreach { case (lag, (n, _, _)) => assert(n == 21L - math.abs(lag)) }
+    val peak = got(3L)
+    assert(peak._3, "lag +3 must be flagged as the peak")
+    assert(peak._2.exists(_ >= 999000L), s"peak r was ${peak._2}")
+    got.filter(_._1 != 3L).foreach { case (lag, (_, r, p)) =>
+      assert(!p, s"lag $lag wrongly flagged")
+      assert(r.forall(_ < peak._2.get), s"lag $lag r $r >= peak")
+    }
+  }
+
+  test("q319 CCF: constant side reports NULL r (never a fake zero)") {
+    import spark.implicits._
+    val daily = (0L to 14L).map(d => (d, d % 5, 7000L)).toDF("d", "x", "y")
+    val got = EventOps.ccfOf(daily).collect()
+    assert(got.forall(_.isNullAt(2)))
+    assert(got.forall(!_.getBoolean(3)))
+  }
+
+  test("q319 on the sf fixture: 15 lags, bounded r, a peak exists") {
+    val got = EventOps.q319CcfLeadLag(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq == (-7L to 7L).toSeq)
+    val rs = got.filter(!_.isNullAt(2)).map(_.getLong(2))
+    assert(rs.nonEmpty)
+    // floors can push |r| marginally past 1e6; never past 1%
+    rs.foreach(r => assert(math.abs(r) <= 1010000L, s"r $r out of range"))
+    assert(got.count(_.getBoolean(3)) >= 1)
+  }
 }

@@ -105,6 +105,40 @@ class PrivacyOpsSpec extends SparkSuite {
     ))
   }
 
+  test("q317 t-closeness: mirror group scores 0, skewed groups the exact EMD") {
+    import spark.implicits._
+    // global over the planted frame: P1:10, P2:2, P3:2, P4:2 of 16
+    // → q = [625000, 125000, 125000, 125000] micro.
+    // A0 uniform (1/4 each): cum deltas −375k,−250k,−125k,0 → t = 250000
+    // B1 all-P1: cum deltas 375k,250k,125k,0 → t = 250000
+    // C2 mirrors the global exactly → t = 0
+    val rows = (Seq(("A", 0L, "P1"), ("A", 0L, "P2"),
+      ("A", 0L, "P3"), ("A", 0L, "P4")) ++
+      Seq.fill(4)(("B", 1L, "P1")) ++
+      (Seq.fill(5)(("C", 2L, "P1")) ++
+        Seq(("C", 2L, "P2"), ("C", 2L, "P3"), ("C", 2L, "P4"))))
+      .toDF("segment", "nation_bucket", "sensitive")
+    val got = PrivacyOps.tClosenessOf(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      ("A", 0L) -> ((4L, 250000L, true)),
+      ("B", 1L) -> ((4L, 250000L, true)),
+      ("C", 2L) -> ((8L, 0L, false)),
+    ))
+  }
+
+  test("q317 on the sf fixture: k sums to orders, t bounded, flag consistent") {
+    val rows = PrivacyOps.q317TCloseness(spark, sf0001).collect()
+    val orders = graft.Tables.orders(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == orders)
+    rows.foreach { r =>
+      val t = r.getLong(3)
+      assert(t >= 0L && t <= 1000000L)
+      assert(r.getBoolean(4) == (t > PrivacyOps.tThresholdPpm))
+    }
+  }
+
   test("q313 on the sf fixture: k sums to orders, l bounded by the domain") {
     val rows = PrivacyOps.q313LDiversity(spark, sf0001).collect()
     val orders = graft.Tables.orders(spark, sf0001).count()
