@@ -131,12 +131,18 @@ object LinkOps {
     pairOccurrences(items).distinct()
 
   private[ops] def triangleCountsOf(items: DataFrame): DataFrame = {
-    val s = items.sparkSession
-    import s.implicits._
     // referenced by the degree pass, the orientation, and the closure
     // probe — without a cut each re-runs coEdges' order-grain
     // self-join + distinct (q307's fix, same reasoning)
-    val edges = coEdges(items).localCheckpoint()
+    triangleCountsOnEdges(coEdges(items).localCheckpoint())
+  }
+
+  /** The oriented-wedge closure on an already-materialized canonical
+    * (u < v) edge frame — split out so q321 can compute triangles
+    * and degrees against the SAME checkpointed edge set. */
+  private[ops] def triangleCountsOnEdges(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
     val deg = edges.select(explode(array($"u", $"v")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("d"))
     val or = edges
@@ -237,7 +243,10 @@ object LinkOps {
     out
   }
 
-  private val q143Oracle = {
+  /** The unrolled synchronous-LPA CTE stages (q122's device), shared
+    * by the q143 oracle and q320's modularity readout of the same
+    * partition. */
+  private val lpaCteBody = {
     val rounds = (1 to lpaRounds).map { i =>
       s"""l$i AS (
          |  SELECT u AS node, label FROM (
@@ -248,13 +257,16 @@ object LinkOps {
          |    GROUP BY e2.u, l.label)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $edgesCte,
-       |e2 AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    s"""e2 AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
        |l0 AS (SELECT DISTINCT u AS node, u AS label FROM e2),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val q143Oracle =
+    s"""WITH $edgesCte,
+       |$lpaCteBody
        |SELECT node AS p_partkey, label AS community FROM l$lpaRounds
        |ORDER BY p_partkey""".stripMargin
-  }
 
   // ---------------------------------------------------------------- q146
   /** Market-basket association rules: for every co-purchased pair
@@ -864,7 +876,168 @@ object LinkOps {
        |  END AS BIGINT) AS assortativity_ppm
        |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------- q320
+  /** Modularity (Newman & Girvan 2004) of q143's LPA partition —
+    * the "was that clustering any good?" number the community
+    * queries have so far asserted only by spec: Q = Σ_c (e_c/m −
+    * (d_c/2m)²), the intra-community edge share minus what a
+    * degree-preserving random rewiring would put there. Q ≈ 0 means
+    * the labels explain nothing (q143's output would be noise to a
+    * partitioner); Q ≳ 0.3 is the conventional "real structure" bar.
+    * Reported per community (its additive contribution in ppm, via
+    * the exact-integer form (10⁶·(4m·e_c − d_c²)) div (4m²)) so the
+    * reader sees WHICH communities carry the structure — the sum of
+    * the column is Q. Per-community floors are mirrored by the
+    * oracle; 10⁶·d_c² stays inside BIGINT to m ≈ 1.5×10⁶ edges —
+    * a bigger graph drops the numerator to 10³ (q247's split,
+    * disclosed not silent).
+    *
+    * Scale shape: re-runs q143's LPA (independent harness entries by
+    * design, q301's precedent) on the checkpointed edge frame; then
+    * degrees (one explode + agg), intra-edge counts (two node-sized
+    * broadcast label joins), and a community-grain report — nothing
+    * after LPA touches more than edge ids. */
+  def q320Modularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    modularityOf(coEdges(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))
+  }
+
+  /** The readout on any canonical (u < v) edge frame — separated so
+    * the spec can plant two cliques joined by a bridge (strong Q,
+    * hand-computable) and a single clique (Q exactly ≤ 0: one
+    * community holds every edge AND every degree). */
+  private[ops] def modularityOf(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.localCheckpoint()
+    // node-sized, read three times (degree roll-up + both endpoint
+    // joins) — pin it so the LPA fixpoint beneath runs exactly once
+    val labels = lpaOf(edges).withColumnRenamed("community", "c")
+      .localCheckpoint()
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.select(explode(array($"u", $"v")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val dsum = deg
+      .join(broadcast(labels), "node")
+      .groupBy($"c").agg(count(lit(1)).as("n_nodes"),
+        sum($"d").as("d_sum"))
+    val intra = edges
+      .join(broadcast(labels.select($"node".as("u"), $"c".as("cu"))), "u")
+      .join(broadcast(labels.select($"node".as("v"), $"c".as("cv"))), "v")
+      .where($"cu" === $"cv")
+      .groupBy($"cu".as("c")).agg(count(lit(1)).as("e_intra"))
+    dsum.join(intra, Seq("c"), "left")
+      .na.fill(0L, Seq("e_intra"))
+      .crossJoin(broadcast(m))
+      .select($"c".as("community"), $"n_nodes", $"d_sum", $"e_intra",
+        expr("""(1000000 * (4 * m * e_intra - d_sum * d_sum))
+               |  div (4 * m * m)""".stripMargin).as("q_contrib_ppm"))
+      .orderBy($"community")
+  }
+
+  private val q320Oracle =
+    s"""WITH $edgesCte,
+       |$lpaCteBody,
+       |lab AS (SELECT node, label AS c FROM l$lpaRounds),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT unnest([u, v]) AS node FROM edges) GROUP BY 1),
+       |ds AS (
+       |  SELECT c, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d) AS BIGINT) AS d_sum
+       |  FROM deg JOIN lab USING (node) GROUP BY 1),
+       |ii AS (
+       |  SELECT cu.c, CAST(count(*) AS BIGINT) AS e_intra
+       |  FROM edges e JOIN lab cu ON e.u = cu.node
+       |               JOIN lab cv ON e.v = cv.node
+       |  WHERE cu.c = cv.c GROUP BY 1)
+       |SELECT ds.c AS community, n_nodes, d_sum,
+       |  COALESCE(e_intra, 0) AS e_intra,
+       |  CAST((1000000 * (4 * mm.m * COALESCE(e_intra, 0)
+       |                   - d_sum * d_sum))
+       |    // (4 * mm.m * mm.m) AS BIGINT) AS q_contrib_ppm
+       |FROM ds LEFT JOIN ii USING (c) CROSS JOIN mm
+       |ORDER BY community""".stripMargin
+
+  // ---------------------------------------------------------------- q321
+  /** Local clustering coefficient (Watts & Strogatz 1998) summarized
+    * by degree bucket — cc(v) = 2·tri(v)/(d(v)(d(v)−1)), the "are my
+    * neighbors neighbors?" readout, reported as the mean over
+    * log₂-degree buckets because the cc-vs-degree CURVE is the
+    * actual diagnostic (flat = random-graph-like; falling ≈ 1/d =
+    * hierarchical/modular — Ravasz & Barabási 2003). q136 gives raw
+    * triangle counts; this normalizes each node by its wedge count
+    * so hubs and leaves are comparable, and q320's one number gets
+    * its structural explanation. Degree-1 nodes have no wedges and
+    * no defined cc — excluded by grain (disclosed), not zero-filled.
+    * The bucket is length(bin(d))−1 = ⌊log₂ d⌋, EXACT integer in
+    * both engines (the ln-discipline: no float log anywhere);
+    * per-node cc_ppm = (2·10⁶·tri) div (d(d−1)) with mirrored
+    * floors, bucket mean = Σcc_ppm div n.
+    *
+    * Scale shape: one checkpointed edge frame feeds BOTH the degree
+    * agg and q136's oriented wedge closure (√m-bounded fan-out) —
+    * the expensive candidate machinery is shared, not re-derived;
+    * the per-node frame is node-sized and the output is
+    * ⌊log₂ d_max⌋ rows. */
+  def q321ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    clusteringCoeffOf(coEdges(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))
+  }
+
+  /** The curve on any canonical (u < v) edge frame — separated so
+    * the spec can plant a K4 (cc = 1 exactly), an open path
+    * (cc = 0), and a degree-1 leaf (excluded, not zeroed). */
+  private[ops] def clusteringCoeffOf(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val edges = edgesIn.localCheckpoint()
+    val deg = edges.select(explode(array($"u", $"v")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val tri = triangleCountsOnEdges(edges)
+    deg.where($"d" >= 2L)
+      .join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select((length(bin($"d")) - 1).cast("long").as("deg_bucket"),
+        $"n_triangles",
+        expr("(2000000 * n_triangles) div (d * (d - 1))").as("cc_ppm"))
+      .groupBy($"deg_bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum($"n_triangles").as("n_triangles"),
+        expr("sum(cc_ppm) div count(1)").as("mean_cc_ppm"))
+      .orderBy($"deg_bucket")
+  }
+
+  private val q321Oracle =
+    s"""WITH $edgesCte,
+       |tris AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+       |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |credit AS (SELECT unnest([a, b, c]) AS node FROM tris),
+       |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS t
+       |       FROM credit GROUP BY 1),
+       |deg AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS d
+       |  FROM (SELECT unnest([u, v]) AS node FROM edges) GROUP BY 1),
+       |per AS (
+       |  SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS deg_bucket,
+       |    COALESCE(t, 0) AS t,
+       |    (2000000 * COALESCE(t, 0)) // (d * (d - 1)) AS cc_ppm
+       |  FROM deg LEFT JOIN tn USING (node) WHERE d >= 2)
+       |SELECT deg_bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(t) AS BIGINT) AS n_triangles,
+       |  CAST(sum(cc_ppm) // count(*) AS BIGINT) AS mean_cc_ppm
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_modularity"      -> (q320Modularity _),
+    "q321_clustering_coeff" -> (q321ClusteringCoeff _),
     "q307_link_prediction" -> (q307LinkPrediction _),
     "q308_assortativity"   -> (q308Assortativity _),
     "q132_entity_match"    -> (q132EntityMatch _),
@@ -879,6 +1052,8 @@ object LinkOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q320_modularity"      -> q320Oracle,
+    "q321_clustering_coeff" -> q321Oracle,
     "q307_link_prediction" -> q307Oracle,
     "q308_assortativity"   -> q308Oracle,
     "q132_entity_match"    -> q132Oracle,

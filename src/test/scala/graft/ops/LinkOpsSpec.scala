@@ -239,4 +239,63 @@ class LinkOpsSpec extends SparkSuite {
     // regular graph: zero degree variance, out-of-band sentinel
     assert(as(k3) == ((6L, 2000000L)))
   }
+
+  test("q320 modularity: bridged cliques score the hand value, one blob 0") {
+    import spark.implicits._
+    // two triangles + one bridge: LPA (hand-traced through 3 sync
+    // rounds) lands {1,2,3}->1 and {11,12,13}->3; m=7, each side
+    // e_c=3, d_c=7: contrib = 1e6*(84-49) div 196 = 178571, Q~0.357
+    val bridged = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L),
+      (11L, 12L), (11L, 13L), (12L, 13L), (3L, 11L),
+    ).toDF("u", "v")
+    val got = LinkOps.modularityOf(bridged).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 7L, 3L, 178571L)),
+      3L -> ((3L, 7L, 3L, 178571L)),
+    ))
+    // a single clique collapses to one community: Q = 0 exactly
+    // (e_c = m and d_c = 2m make the two terms cancel)
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val one = LinkOps.modularityOf(k3).collect()
+    assert(one.length == 1)
+    assert(one(0).getLong(0) == 1L && one(0).getLong(4) == 0L)
+  }
+
+  test("q320 on the sf fixture: contributions bounded, Q in (-1, 1)") {
+    val rows = LinkOps.q320Modularity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getLong(4)) <= 1000000L))
+    val q = rows.map(_.getLong(4)).sum
+    assert(q > -1000000L && q < 1000000L)
+  }
+
+  test("q321 clustering coefficient: K4-plus-path buckets hand-verified") {
+    import spark.implicits._
+    // K4 on 1..4, path 4-5-6: cc(1,2,3)=1e6 (deg 3, bucket 1),
+    // cc(4) = 6 div 12 -> 500000 (deg 4, bucket 2), cc(5)=0 (deg 2,
+    // bucket 1), node 6 deg 1 excluded.
+    // bucket 1: n=4, tri=9, mean = 3e6 div 4 = 750000;
+    // bucket 2: n=1, tri=3, mean = 500000
+    val edges = ((for (i <- 1L to 4L; j <- i + 1 to 4L) yield (i, j)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val got = LinkOps.clusteringCoeffOf(edges).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 9L, 750000L)),
+      2L -> ((1L, 3L, 500000L)),
+    ))
+  }
+
+  test("q321 on the sf fixture: ppm-bounded means, buckets are log2 grid") {
+    val rows = LinkOps.q321ClusteringCoeff(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1L, "deg >= 2 implies bucket >= 1")
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
 }
