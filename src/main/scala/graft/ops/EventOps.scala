@@ -5366,16 +5366,22 @@ object EventOps {
     * row-bounded) joined back to the day frame — everything after
     * the first agg is arithmetic on frames the size of the calendar,
     * and the dense spine keeps zero-traffic days as real points. */
-  def q319CcfLeadLag(s: SparkSession, dir: String): DataFrame = {
+  def q319CcfLeadLag(s: SparkSession, dir: String): DataFrame =
+    ccfOf(ccfDailyProbe(s, dir))
+
+  /** The corpus→day-grain reduction feeding [[ccfOf]], exposed so
+    * PlanSpec can pin its scan pruning + map-side combine (the
+    * localCheckpoint inside ccfOf truncates the visible plan —
+    * q71's ivfAssignmentPlan device). */
+  private[graft] def ccfDailyProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dayUs = 86400L * 1000000L
-    val daily = Tables.events(s, dir)
+    Tables.events(s, dir)
       .groupBy(expr(s"unix_micros(ts) div $dayUs").as("d"))
       .agg(count(lit(1)).as("x"),
         sum(when($"event_type" === "purchase",
           expr("CAST(round(value * 100D) AS BIGINT)")).otherwise(0L))
           .as("y"))
-    ccfOf(daily)
   }
 
   /** The scan on any (d, x, y) day frame — separated so the spec can

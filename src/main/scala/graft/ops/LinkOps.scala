@@ -928,7 +928,7 @@ object LinkOps {
       .join(broadcast(labels.select($"node".as("v"), $"c".as("cv"))), "v")
       .where($"cu" === $"cv")
       .groupBy($"cu".as("c")).agg(count(lit(1)).as("e_intra"))
-    dsum.join(intra, Seq("c"), "left")
+    dsum.join(broadcast(intra), Seq("c"), "left")
       .na.fill(0L, Seq("e_intra"))
       .crossJoin(broadcast(m))
       .select($"c".as("community"), $"n_nodes", $"d_sum", $"e_intra",

@@ -291,9 +291,13 @@ object PrivacyOps {
     val s = rows.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // domain-bounded and referenced four times (global marginal,
+    // totals, group sizes, the spine join) — cut it so the corpus
+    // agg beneath runs once, not per reference
     val cells = rows
       .groupBy($"segment", $"nation_bucket", $"sensitive")
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val global = cells.groupBy($"sensitive").agg(sum($"c").as("g"))
     val tot = global.agg(sum($"g").as("n_total"),
       count(lit(1)).as("m"))
@@ -301,7 +305,8 @@ object PrivacyOps {
       .agg(sum($"c").as("k"))
     // Dense spine: every group × every globally-seen sensitive value.
     val spine = groups.crossJoin(broadcast(global))
-      .join(cells, Seq("segment", "nation_bucket", "sensitive"), "left")
+      .join(broadcast(cells),
+        Seq("segment", "nation_bucket", "sensitive"), "left")
       .na.fill(0L, Seq("c"))
       .crossJoin(broadcast(tot))
       .select($"segment", $"nation_bucket", $"sensitive", $"k", $"m",

@@ -627,4 +627,40 @@ class PlanSpec extends SparkSuite {
     val p315 = plan(MultimodalOps.q315AudioChunks(spark, sf0001))
     assert(!p315.contains("Join"), p315.take(400))
   }
+
+  test("q317-q321: pruned scans, broadcast dims/labels, no sort-merge") {
+    // t-closeness: customer dim broadcasts into the orders fact; the
+    // fact scan prunes to custkey + the sensitive column; the
+    // cell-grain arithmetic never earns a sort-merge
+    val p317 = plan(PrivacyOps.q317TCloseness(spark, sf0001))
+    assert(p317.contains("BroadcastHashJoin") && !p317.contains("SortMergeJoin"),
+      p317.take(400))
+    // rank/day-grain stats: the events scan reads only what the
+    // statistic needs, and the corpus reduces map-side first
+    for ((name, df, allowed) <- Seq(
+      ("q318", EventOps.q318WilcoxonSignedRank(spark, sf0001),
+        Set("user_id", "ts")),
+      ("q319", EventOps.ccfDailyProbe(spark, sf0001),
+        Set("ts", "event_type", "value")))) {
+      val p = plan(df)
+      val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+        .map(_.group(1)).getOrElse("")
+      val cols = rs.split(",").map(_.takeWhile(_ != ':')).toSet
+      assert(cols.subsetOf(allowed), s"$name scans $rs")
+      assert(!p.contains("SortMergeJoin"), s"$name: " + p.take(400))
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$name grain agg must combine map-side")
+    }
+    // graph readouts: node-sized label/degree frames broadcast into
+    // the edge frame — communities and coefficients never sort-merge
+    val p320 = plan(LinkOps.q320Modularity(spark, sf0001))
+    assert(p320.contains("BroadcastHashJoin") && !p320.contains("SortMergeJoin"),
+      p320.take(400))
+    // q321's deg⟕tri join is node-grain × node-grain — a shuffle
+    // join IS the honest 100-TB shape there (neither side fits an
+    // executor), so the pin is no-cartesian, not no-exchange
+    val p321 = plan(LinkOps.q321ClusteringCoeff(spark, sf0001))
+    assert(!p321.contains("CartesianProduct")
+      && !p321.contains("BroadcastNestedLoopJoin"), p321.take(400))
+  }
 }
