@@ -1465,7 +1465,197 @@ object SimilarityOps {
        |FROM per p JOIN cnt c ON p.q_label = c.label
        |ORDER BY p.query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q322
+  /** PQ geometry: 64 dims split into [[pqSubspaces]] blocks of
+    * [[pqSubDim]]; [[pqCodes]] codewords per block ⇒ a vector
+    * compresses to 16 six-bit codes = 12 bytes, a 21× cut from the
+    * 256-byte float payload — the memory arithmetic that decides
+    * whether a 100-TB corpus's index fits a cluster's RAM at all.
+    * Geometry chosen by a MEASURED sweep of recall@10 vs q70 on the
+    * fixture corpus (uniform synthetic data is PQ-hostile — cosine
+    * gaps are the size of quantization noise — so this is the
+    * honest floor, not the clustered-corpus ceiling):
+    * {{{
+    *   M= 8 d=8 K=16 (4B):  sf0.01 0.08  sf0.1 0.22
+    *   M=16 d=4 K=16 (8B):  sf0.01 0.28  sf0.1 0.20
+    *   M=16 d=4 K=32 (10B): sf0.01 0.32  sf0.1 0.34
+    *   M=16 d=4 K=64 (12B): sf0.01 0.46  sf0.1 0.34  <- chosen
+    * }}}
+    * (normalizing before gridding measured as a no-op: the fixture
+    * embeddings are already unit-norm, so grid-L2 is
+    * cosine-monotone as-is). */
+  val pqSubspaces = 16
+  val pqSubDim = 4
+  val pqCodes = 64
+
+  /** Product-quantization ADC search (Jégou, Douze & Schmid, TPAMI
+    * 2011) — the COMPRESSION member of the ANN family: q71 prunes
+    * which vectors to score (IVF), q104 shrinks scalars (int8);
+    * PQ replaces each vector by per-subspace codeword ids so the
+    * index is 4 bytes/vector, and queries rank candidates by
+    * Asymmetric Distance Computation — the query stays unquantized
+    * (on the integer grid), distances are sums of per-subspace
+    * table lookups. Codebooks here are the K strided seed rows'
+    * subvectors on the [[quantScale]] grid (q71's seed device;
+    * Lloyd refinement would reuse q71's sampled fixed-point rounds
+    * verbatim and is deliberately not duplicated — seeds keep the
+    * oracle one CTE chain, and the spec prices the recall this
+    * choice buys on THIS corpus rather than assuming it).
+    * Everything is exact BIGINT (grid diffs² ×64 terms ≈ 10¹⁴), so
+    * the whole model — seeds, encode argmin with ties to the
+    * smaller code, tables, ranking — replays bit-for-bit in DuckDB,
+    * which rebuilds it RELATIONALLY (explode × codebook join ×
+    * argmin) while Spark encodes via a literal projection:
+    * different algorithm, identical result, q136's oracle posture.
+    *
+    * Scale shape: encode is a pure literal-codebook projection over
+    * the corpus scan — zero Exchange, embeddings never shuffle
+    * (PlanSpec pins the probe); the ADC join broadcasts the query
+    * frame and moves only (vec_id, 8 codes) per corpus row — the
+    * 64×-smaller payload IS the shuffle win. */
+  def q322PqAdc(s: SparkSession, dir: String): DataFrame =
+    pqAdcOf(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
+  /** The search on any (vec_id, embedding) frame — separated so the
+    * spec can plant an exact duplicate of a query (must take rank 1
+    * with the minimal-possible ADC) and a seed-equal query (ADC 0
+    * against its duplicate). */
+  private[ops] def pqAdcOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cb = pqCodebookOf(emb)
+    val cbl = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+    val gridded = emb
+      .select($"vec_id", expr(
+        s"transform(embedding, x -> CAST(floor(x * $quantScale.0D) AS BIGINT))")
+        .as("qq"))
+      .withColumn("cbl", cbl)
+    // per-subspace argmin over the literal codebook, as compact HOFs
+    // (an unrolled per-codeword expression measured 108 s at sf0.1 —
+    // pure plan-compilation cost; the HOF form is milliseconds):
+    // named_struct (dist, code) min ⇒ smallest dist, ties to the
+    // smaller code
+    val encoded = gridded.select($"vec_id", expr(pqEncodeSql).as("codes"))
+    val q = gridded.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"qq".as("qv"))
+    val adc =
+      s"""aggregate(sequence(0, ${pqSubspaces - 1}), CAST(0 AS BIGINT),
+         |  (acc, j) -> acc + aggregate(sequence(0, ${pqSubDim - 1}),
+         |    CAST(0 AS BIGINT),
+         |    (a, d) -> a +
+         |      (element_at(qv, j * $pqSubDim + d + 1)
+         |        - element_at(element_at(element_at(cbl, j + 1),
+         |            element_at(codes, j + 1) + 1), d + 1))
+         |      * (element_at(qv, j * $pqSubDim + d + 1)
+         |        - element_at(element_at(element_at(cbl, j + 1),
+         |            element_at(codes, j + 1) + 1), d + 1))))""".stripMargin
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adc_dist".asc, $"vec_id".asc)
+    encoded.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("cbl", cbl)
+      .select($"query_id", $"vec_id", expr(adc).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"adc_dist")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** [subspace][code][dim] codewords on the integer grid — the K
+    * strided seed rows, collected once (bounded model
+    * materialization, q71's centroidModel posture). */
+  private def pqCodebookOf(emb: DataFrame): Array[Array[Array[Long]]] = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val stride = math.max(1L, emb.count() / pqCodes)
+    val seeds = emb
+      .where($"vec_id" % stride === 0 && $"vec_id" < stride * pqCodes)
+      .orderBy($"vec_id")
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0))
+    // effective K clamps to the seed rows a tiny corpus can supply
+    // (the oracle's relational derivation clamps identically)
+    Array.tabulate(pqSubspaces) { j =>
+      Array.tabulate(math.min(pqCodes, seeds.length)) { k =>
+        Array.tabulate(pqSubDim) { d =>
+          math.floor(seeds(k)(j * pqSubDim + d).toDouble * quantScale).toLong
+        }
+      }
+    }
+  }
+
+  /** The encode projection alone, for PlanSpec's zero-Exchange pin
+    * (q71's ivfAssignmentPlan device). */
+  /** The encode expression: for each subspace j, the argmin code
+    * over the literal codebook column `cbl` against the grid vector
+    * `qq`. */
+  private def pqEncodeSql: String =
+    s"""transform(sequence(0, ${pqSubspaces - 1}), j ->
+       |  array_min(transform(element_at(cbl, j + 1), (cw, k) ->
+       |    named_struct(
+       |      'd', aggregate(sequence(0, ${pqSubDim - 1}), CAST(0 AS BIGINT),
+       |        (a, d) -> a +
+       |          (element_at(qq, j * $pqSubDim + d + 1) - element_at(cw, d + 1))
+       |          * (element_at(qq, j * $pqSubDim + d + 1) - element_at(cw, d + 1))),
+       |      'k', k))).k)""".stripMargin
+
+  private[graft] def pqEncodePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cb = pqCodebookOf(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")))
+    Tables.embeddings(s, dir)
+      .select($"vec_id", expr(
+        s"transform(embedding, x -> CAST(floor(x * $quantScale.0D) AS BIGINT))")
+        .as("qq"))
+      .withColumn("cbl", typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq))
+      .select($"vec_id", expr(pqEncodeSql).as("codes"))
+  }
+
+  private val q322Oracle =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |st AS (SELECT greatest(1, count(*) // $pqCodes) AS stride FROM e),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding
+       |  FROM e, st WHERE vec_id % stride = 0 AND vec_id < stride * $pqCodes),
+       |cb AS (
+       |  SELECT s.k, j.j, d.d,
+       |    CAST(floor(CAST(s.embedding[j.j * $pqSubDim + d.d + 1] AS DOUBLE)
+       |      * $quantScale.0) AS BIGINT) AS c
+       |  FROM seeds s,
+       |    (SELECT unnest(range(0, $pqSubspaces)) AS j) j,
+       |    (SELECT unnest(range(0, $pqSubDim)) AS d) d),
+       |eq AS (
+       |  SELECT vec_id, i - 1 AS idx,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $quantScale.0)
+       |      AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM e)),
+       |dist0 AS (
+       |  SELECT eq.vec_id, cb.j, cb.k,
+       |    CAST(sum((eq.q - cb.c) * (eq.q - cb.c)) AS BIGINT) AS dist
+       |  FROM eq JOIN cb ON eq.idx = cb.j * $pqSubDim + cb.d
+       |  GROUP BY 1, 2, 3),
+       |enc AS (
+       |  SELECT vec_id, j, k AS code FROM (
+       |    SELECT vec_id, j, k, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY dist ASC, k ASC) AS rn
+       |    FROM dist0) WHERE rn = 1),
+       |qt AS (
+       |  SELECT vec_id AS query_id, j, k, dist FROM dist0
+       |  WHERE vec_id < $nQueries),
+       |adc AS (
+       |  SELECT t.query_id, c.vec_id,
+       |    CAST(sum(t.dist) AS BIGINT) AS adc_dist
+       |  FROM enc c JOIN qt t ON t.j = c.j AND t.k = c.code
+       |  WHERE c.vec_id <> t.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, vec_id AS neighbor_id, rank, adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist ASC, vec_id ASC) AS rank
+       |  FROM adc)
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_pq_adc"        -> (q322PqAdc _),
     "q312_mrr_at_10"     -> (q312MrrAt10 _),
     "q305_ndcg_at_10"    -> (q305NdcgAt10 _),
     "q251_knn_loo_eval"  -> (q251KnnLooEval _),
@@ -1486,6 +1676,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q322_pq_adc"        -> q322Oracle,
     "q312_mrr_at_10"     -> q312Oracle,
     "q305_ndcg_at_10"    -> q305Oracle,
     "q251_knn_loo_eval"  -> q251Oracle,

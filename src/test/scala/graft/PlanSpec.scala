@@ -663,4 +663,10 @@ class PlanSpec extends SparkSuite {
     assert(!p321.contains("CartesianProduct")
       && !p321.contains("BroadcastNestedLoopJoin"), p321.take(400))
   }
+
+  test("q322 PQ encode: pure literal-codebook projection, zero Exchange") {
+    val p = plan(SimilarityOps.pqEncodePlan(spark, sf0001))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
 }

@@ -33,6 +33,41 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(mean >= 0.5, s"mean recall@10 = $mean")
   }
 
+  test("q322 pq: recall@10 vs brute force clears the measured floor") {
+    val exact = SimilarityOps.q70KnnBruteForce(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = SimilarityOps.q322PqAdc(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(approx.keySet == exact.keySet)
+    val recalls = exact.map { case (q, e) =>
+      approx(q).intersect(e).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.size
+    // uniform synthetic data is PQ-hostile (cosine gaps ~ quantization
+    // noise); the geometry sweep in the Scaladoc measured 0.5 here —
+    // the bar holds the floor without overfitting the fixture
+    assert(mean >= 0.3, s"mean recall@10 = $mean")
+  }
+
+  test("q322 pq: an exact duplicate of a seed query scores ADC 0 at rank 1") {
+    import spark.implicits._
+    // 40 deterministic pseudo-vectors; vec 100 clones vec 0.  At 41
+    // rows the seed stride is 1, so vec 0 IS a codebook seed and its
+    // grid subvectors ARE codewords: the clone encodes to those codes
+    // with per-cell distance 0 and the query-0 ADC table hits 0 in
+    // every subspace.
+    def v(seed: Long): Seq[Float] =
+      (0 until 64).map(d => (((seed * 131 + d * 37) % 97).toFloat / 97f) - 0.5f)
+    val emb = ((0L until 40L).map(i => (i, v(i))) :+ ((100L, v(0))))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityOps.pqAdcOf(emb).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(2))
+    assert(got.head.getLong(1) == 100L, s"rank-1 was ${got.head.getLong(1)}")
+    assert(got.head.getLong(3) == 0L, s"dup ADC was ${got.head.getLong(3)}")
+    // and nothing else can sit below 0: distances are sums of squares
+    assert(got.forall(_.getLong(3) >= 0L))
+  }
+
   test("q52 lsh: usable recall@10 vs brute force, exact ranks within candidates") {
     val exact = SimilarityOps.q70KnnBruteForce(spark, sf0001).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
