@@ -5474,7 +5474,232 @@ object EventOps {
        |FROM r ORDER BY lag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q324
+  /** Jonckheere–Terpstra ordered-alternative trend test on order
+    * value across the five o_orderpriority classes — the question
+    * q303's Kruskal–Wallis can't pose: KW asks "do the groups
+    * differ AT ALL?"; JT asks "do values RISE with priority?" and
+    * buys real power by spending it only on the ordered alternative
+    * (q284 is its binary-outcome sibling; this is the continuous
+    * one). Doubled statistic 2J = Σ_{i<j} Σ_v t_j(v)·(2·lt_i(v) +
+    * t_i(v)) — pairwise Mann–Whitney counts summed over ordered
+    * group pairs, ties at half weight — computed from ONE window
+    * pass over the value-grain spine with per-group conditional
+    * running counts (never a corpus sort). E[2J] = (N²−Σn_i²)/2,
+    * the standard null variance Var(J) = (N²(2N+3) −
+    * Σn_i²(2n_i+3))/72, and χ²₍₁₎ in milli via the
+    * denominator-first split (q318's device; mirrored floors both
+    * engines). The no-tie variance is used and the TIE MASS IS
+    * REPORTED (tie_pairs column) so the reader can see the
+    * approximation's size — cents-grain order values make ties
+    * measure-zero here; a heavily tied metric should use q303.
+    * direction = sign(2J − E[2J]): +1 rising, −1 falling.
+    *
+    * Scale shape: one pass to order grain, one to value grain; the
+    * value spine carries 5 running counters; N³ keeps BIGINT to
+    * ~2×10⁶ orders — a bigger corpus samples first (q49, q270's
+    * posture). */
+  def q324JonckheereTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jonckheereOf(Tables.orders(s, dir).select(
+      expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("g"),
+      expr("CAST(round(o_totalprice * 100D) AS BIGINT)").as("v")))
+  }
+
+  /** The test on any (g 1..5 ordered, v BIGINT) frame — separated so
+    * the spec can plant perfectly rising, falling, and tied frames
+    * with hand-computed 2J. */
+  private[ops] def jonckheereOf(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tAggs = (1L to 5L).map(g =>
+      sum(when($"g" === g, 1L).otherwise(0L)).as(s"t$g"))
+    val cells = rows.groupBy($"v").agg(tAggs.head, tAggs.tail: _*)
+    val wLess = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = cells.select(Seq($"v") ++
+      (1L to 5L).map(g => $"t$g") ++
+      (1L to 5L).map(g =>
+        coalesce(sum(col(s"t$g")).over(wLess), lit(0L)).as(s"lt$g")): _*)
+    // 2J contribution at value v: over ordered pairs i<j,
+    // t_j(v) * (2*lt_i(v) + t_i(v)); tie_pairs counts the same-value
+    // cross-group pairs the half-weight convention touches
+    val pairs = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i, j)
+    val j2Term = pairs.map { case (i, j) =>
+      s"t$j * (2 * lt$i + t$i)" }.mkString(" + ")
+    val tieTerm = pairs.map { case (i, j) => s"t$i * t$j" }.mkString(" + ")
+    val nTerms = (1 to 5).map(g => s"sum(t$g)").mkString(" + ")
+    val n2Terms = (1 to 5).map(g => s"sum(t$g) * sum(t$g)").mkString(" + ")
+    val n3Terms = (1 to 5).map(g =>
+      s"sum(t$g) * sum(t$g) * (2 * sum(t$g) + 3)").mkString(" + ")
+    run.agg(
+      expr(s"CAST(($nTerms) AS BIGINT)").as("n"),
+      expr(s"CAST(($n2Terms) AS BIGINT)").as("sum_n2"),
+      expr(s"CAST(($n3Terms) AS BIGINT)").as("sum_n3"),
+      expr(s"CAST(sum($j2Term) AS BIGINT)").as("j2"),
+      expr(s"CAST(sum($tieTerm) AS BIGINT)").as("tie_pairs"))
+      .select($"n", $"j2", $"tie_pairs",
+        expr("(n * n - sum_n2) div 2").as("e_j2"),
+        expr("""CASE
+          |  WHEN n < 2 THEN -1
+          |  WHEN ((n * n * (2 * n + 3) - sum_n3) div 18) div n = 0 THEN -1
+          |  ELSE (1000 * (((j2 - (n * n - sum_n2) div 2)
+          |                 * (j2 - (n * n - sum_n2) div 2)) div n))
+          |       div (((n * n * (2 * n + 3) - sum_n3) div 18) div n)
+          |END""".stripMargin).as("chi2_milli"),
+        signum($"j2" - expr("(n * n - sum_n2) div 2")).cast("long")
+          .as("direction"))
+      .withColumn("significant",
+        $"chi2_milli" > TextOps.chi2CritMilli.toMap.apply(1))
+  }
+
+  private val q324Oracle = {
+    val pairs = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i, j)
+    val j2Term = pairs.map { case (i, j) =>
+      s"t$j * (2 * lt$i + t$i)" }.mkString(" + ")
+    val tieTerm = pairs.map { case (i, j) => s"t$i * t$j" }.mkString(" + ")
+    val tCols = (1 to 5).map(g =>
+      s"CAST(sum(CASE WHEN g = $g THEN 1 ELSE 0 END) AS BIGINT) AS t$g")
+      .mkString(", ")
+    val ltCols = (1 to 5).map(g =>
+      s"""COALESCE(CAST(sum(t$g) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS lt$g""".stripMargin).mkString(", ")
+    val nTerms = (1 to 5).map(g => s"sum(t$g)").mkString(" + ")
+    val n2Terms = (1 to 5).map(g => s"sum(t$g) * sum(t$g)").mkString(" + ")
+    val n3Terms = (1 to 5).map(g =>
+      s"sum(t$g) * sum(t$g) * (2 * sum(t$g) + 3)").mkString(" + ")
+    val crit = TextOps.chi2CritMilli.toMap.apply(1)
+    s"""WITH rows_ AS (
+       |  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS g,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders),
+       |cells AS (SELECT v, $tCols FROM rows_ GROUP BY 1),
+       |run AS (SELECT *, $ltCols FROM cells),
+       |agg AS (
+       |  SELECT CAST($nTerms AS BIGINT) AS n,
+       |    CAST($n2Terms AS BIGINT) AS sum_n2,
+       |    CAST($n3Terms AS BIGINT) AS sum_n3,
+       |    CAST(sum($j2Term) AS BIGINT) AS j2,
+       |    CAST(sum($tieTerm) AS BIGINT) AS tie_pairs
+       |  FROM run)
+       |SELECT n, j2, tie_pairs,
+       |  (n * n - sum_n2) // 2 AS e_j2,
+       |  CASE
+       |    WHEN n < 2 THEN -1
+       |    WHEN ((n * n * (2 * n + 3) - sum_n3) // 18) // n = 0 THEN -1
+       |    ELSE (1000 * (((j2 - (n * n - sum_n2) // 2)
+       |                   * (j2 - (n * n - sum_n2) // 2)) // n))
+       |         // (((n * n * (2 * n + 3) - sum_n3) // 18) // n)
+       |  END AS chi2_milli,
+       |  CAST(sign(j2 - (n * n - sum_n2) // 2) AS BIGINT) AS direction,
+       |  CASE
+       |    WHEN n < 2 THEN -1
+       |    WHEN ((n * n * (2 * n + 3) - sum_n3) // 18) // n = 0 THEN -1
+       |    ELSE (1000 * (((j2 - (n * n - sum_n2) // 2)
+       |                   * (j2 - (n * n - sum_n2) // 2)) // n))
+       |         // (((n * n * (2 * n + 3) - sum_n3) // 18) // n)
+       |  END > $crit AS significant
+       |FROM agg""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q325
+  /** Cliff's delta effect size between the two arms' per-user
+    * revenue — the MAGNITUDE companion q270's p-value refuses to be:
+    * δ = P(X₁ > X₀) − P(X₀ > X₁) ∈ [−1, 1], a dominance probability
+    * that survives heavy tails and means nothing can hide behind a
+    * huge n (q207's mean gap is unit-laden, q270's χ² grows with n
+    * even for trivial effects — δ is the number you compare across
+    * experiments). Exactly 2U₁/(n₁n₂) − 1 from the SAME value-grain
+    * doubled-midrank device as q270, so δ_milli = (1000·(2U₁ −
+    * n₁n₂)) div (n₁n₂) is exact BIGINT with mirrored truncation.
+    * The conventional magnitude bands (Romano et al. 2006:
+    * negligible < 0.147, small < 0.33, medium < 0.474, else large)
+    * are frozen milli literals in both engines.
+    *
+    * Scale shape: q270's — one user-grain pass, one value-grain
+    * pass, a running count over distinct values; no corpus sort. */
+  def q325CliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    cliffsDeltaOf(Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase",
+        expr("CAST(round(value * 1000000D) AS BIGINT)")).otherwise(0L))
+        .as("v"))
+      .select(($"user_id" % 2).as("arm"), $"v"))
+  }
+
+  /** The effect size on any (arm 0/1, v BIGINT) frame — separated so
+    * the spec can plant full dominance (±1000), a null interleave
+    * (0), and the one-armed sentinel. */
+  private[ops] def cliffsDeltaOf(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = users.groupBy($"v")
+      .agg(count(lit(1)).as("t"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("t1"))
+    val wLess = Window.orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("lt", coalesce(sum($"t").over(wLess), lit(0L)))
+      .agg(sum($"t").as("n"), sum($"t1").as("n1"),
+        sum($"t1" * (lit(2L) * $"lt" + $"t" + 1L)).as("r1_2"))
+      .select($"n1", ($"n" - $"n1").as("n2"),
+        ($"r1_2" - $"n1" * ($"n1" + 1L)).as("u1_2"))
+      .select($"n1", $"n2", $"u1_2",
+        expr("""CASE WHEN n1 = 0 OR n2 = 0 THEN -2000
+          |  ELSE (1000 * (u1_2 - n1 * n2)) div (n1 * n2)
+          |END""".stripMargin).as("delta_milli"))
+      .withColumn("magnitude", expr(
+        """CASE WHEN delta_milli = -2000 THEN 'undefined'
+          |  WHEN abs(delta_milli) < 147 THEN 'negligible'
+          |  WHEN abs(delta_milli) < 330 THEN 'small'
+          |  WHEN abs(delta_milli) < 474 THEN 'medium'
+          |  ELSE 'large' END""".stripMargin))
+  }
+
+  private val q325Oracle =
+    """WITH users AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 1000000) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS v
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1
+      |  FROM users GROUP BY 1),
+      |rk AS (
+      |  SELECT t, t1,
+      |    COALESCE(CAST(sum(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS lt
+      |  FROM cells),
+      |agg AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(t1) AS BIGINT) AS n1,
+      |    CAST(sum(t1 * (2 * lt + t + 1)) AS BIGINT) AS r1_2
+      |  FROM rk),
+      |d AS (
+      |  SELECT n1, n - n1 AS n2, r1_2 - n1 * (n1 + 1) AS u1_2 FROM agg),
+      |f AS (
+      |  SELECT n1, n2, u1_2,
+      |    CASE WHEN n1 = 0 OR n2 = 0 THEN -2000
+      |      ELSE (1000 * (u1_2 - n1 * n2)) // (n1 * n2)
+      |    END AS delta_milli
+      |  FROM d)
+      |SELECT n1, n2, u1_2, delta_milli,
+      |  CASE WHEN delta_milli = -2000 THEN 'undefined'
+      |    WHEN abs(delta_milli) < 147 THEN 'negligible'
+      |    WHEN abs(delta_milli) < 330 THEN 'small'
+      |    WHEN abs(delta_milli) < 474 THEN 'medium'
+      |    ELSE 'large' END AS magnitude
+      |FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_jonckheere_trend" -> (q324JonckheereTrend _),
+    "q325_cliffs_delta"     -> (q325CliffsDelta _),
     "q318_wilcoxon_signed_rank" -> (q318WilcoxonSignedRank _),
     "q319_ccf_lead_lag"     -> (q319CcfLeadLag _),
     "q311_kendall_tau"      -> (q311KendallTau _),
@@ -5551,6 +5776,8 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q324_jonckheere_trend" -> q324Oracle,
+    "q325_cliffs_delta"     -> q325Oracle,
     "q318_wilcoxon_signed_rank" -> q318Oracle,
     "q319_ccf_lead_lag"     -> q319Oracle,
     "q311_kendall_tau"      -> q311Oracle,

@@ -3863,7 +3863,70 @@ object TextOps {
       |FROM spine s LEFT JOIN counts c USING (bin), tot
       |ORDER BY s.bin""".stripMargin
 
+  // ---------------------------------------------------------------- q323
+  /** Temperature-tempered source mixture (the multilingual-training
+    * convention of mBERT/XLM-R/mT5: sample source s with probability
+    * ∝ p_s^α so head sources stop drowning tail ones) at α = 1/2 —
+    * the one exponent the integer discipline computes EXACTLY (p^0.5
+    * = the fixed-form floored sqrt; mT5's α=0.3 would need a float
+    * pow, re-opening the door the engine keeps shut — disclosed
+    * tradeoff, and 0.5 is squarely inside the published α range).
+    * Per source: n_docs, raw share, tempered weight w_ppm =
+    * isqrt-share renormalized over the source grain, and the
+    * oversample factor in milli (w/p — tail sources > 1000, head
+    * sources < 1000): the table a mixture-aware sampler (q49/q112)
+    * consumes directly.
+    *
+    * Scale shape: ONE map-side-combining agg to source grain;
+    * everything after (isqrt, window renormalization, ratios) is
+    * arithmetic on the handful of source rows. */
+  def q323TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    temperatureMixOf(Tables.documents(s, dir).select($"source"))
+  }
+
+  /** The mixture on any single-column (source) frame — separated so
+    * the spec can plant a 1:4 two-source corpus with hand-computed
+    * isqrt weights. */
+  private[ops] def temperatureMixOf(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    rows.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_total", sum($"n_docs").over(wAll))
+      .withColumn("share_ppm", expr("(1000000 * n_docs) div n_total"))
+      .withColumn("r", expr(
+        "CAST(floor(sqrt(CAST(share_ppm * 1000000 AS DOUBLE))) AS BIGINT)"))
+      .select($"source", $"n_docs", $"share_ppm",
+        expr("(1000000 * r) div (sum(r) OVER ())").as("w_ppm"))
+      .withColumn("oversample_milli",
+        expr("(1000 * w_ppm) div share_ppm"))
+      .orderBy($"source")
+  }
+
+  private val q323Oracle =
+    """WITH g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1),
+      |sh AS (
+      |  SELECT source, n_docs,
+      |    CAST((1000000 * n_docs) // (sum(n_docs) OVER ()) AS BIGINT)
+      |      AS share_ppm
+      |  FROM g),
+      |r AS (
+      |  SELECT *, CAST(floor(sqrt(CAST(share_ppm * 1000000 AS DOUBLE)))
+      |    AS BIGINT) AS r
+      |  FROM sh)
+      |SELECT source, n_docs, share_ppm,
+      |  CAST((1000000 * r) // (sum(r) OVER ()) AS BIGINT) AS w_ppm,
+      |  CAST((1000 * CAST((1000000 * r) // (sum(r) OVER ()) AS BIGINT))
+      |    // share_ppm AS BIGINT) AS oversample_milli
+      |FROM r ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_temperature_mix" -> (q323TemperatureMix _),
     "q291_crossfit_norm" -> (q291CrossfitNorm _),
     "q272_eb_shrinkage" -> (q272EbShrinkage _),
     "q273_isotonic_calibration" -> (q273IsotonicCalibration _),
@@ -3931,6 +3994,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q323_temperature_mix" -> q323Oracle,
     "q291_crossfit_norm" -> q291Oracle,
     "q272_eb_shrinkage" -> q272Oracle,
     "q273_isotonic_calibration" -> q273Oracle,

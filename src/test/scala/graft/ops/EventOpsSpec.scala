@@ -1990,6 +1990,65 @@ class EventOpsSpec extends SparkSuite {
     assert(r.getLong(5) >= -1L)
   }
 
+  test("q324 Jonckheere: rising/falling/tied frames carry hand 2J and chi2") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]) = {
+      val r = EventOps.jonckheereOf(rows.toDF("g", "v")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))
+    }
+    // perfectly rising: g1={1,2} g2={3,4} g3={5,6}: every cross-group
+    // pair ordered -> 2J = 24, E = 12, x = 12; denominator-first:
+    // xx div n = 144 div 6 = 24; varid = (540-84) div 18 div 6 = 4
+    // -> chi2 = 6000 > 3841
+    assert(run(Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L), (3L, 6L)))
+      == ((6L, 24L, 0L, 12L, 6000L, 1L, true)))
+    // perfectly falling: 2J = 0, same magnitude, direction -1
+    assert(run(Seq((1L, 5L), (1L, 6L), (2L, 3L), (2L, 4L), (3L, 1L), (3L, 2L)))
+      == ((6L, 0L, 0L, 12L, 6000L, -1L, true)))
+    // all tied at one value: half-weight ties put 2J exactly at E;
+    // tie_pairs reports the full cross-group pair mass
+    assert(run(Seq((1L, 7L), (1L, 7L), (2L, 7L), (2L, 7L), (3L, 7L), (3L, 7L)))
+      == ((6L, 12L, 12L, 12L, 0L, 0L, false)))
+  }
+
+  test("q324 on the sf fixture: n = orders, defined statistic") {
+    val r = EventOps.q324JonckheereTrend(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == graft.Tables.orders(spark, sf0001).count())
+    assert(r.getLong(4) >= -1L)
+    assert(math.abs(r.getLong(5)) <= 1L)
+  }
+
+  test("q325 Cliff's delta: dominance, null, and one-armed sentinel") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]) = {
+      val r = EventOps.cliffsDeltaOf(rows.toDF("arm", "v")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+    }
+    // arm1 fully dominates: U1 = 9, 2U = 18, delta = +1 -> large
+    assert(run(Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L), (1L, 5L), (1L, 6L)))
+      == ((3L, 3L, 18L, 1000L, "large")))
+    // fully dominated: delta = -1
+    assert(run(Seq((1L, 1L), (1L, 2L), (1L, 3L), (0L, 4L), (0L, 5L), (0L, 6L)))
+      == ((3L, 3L, 0L, -1000L, "large")))
+    // identical arms: ties split half-half, delta exactly 0
+    assert(run(Seq((0L, 5L), (0L, 9L), (1L, 5L), (1L, 9L)))
+      == ((2L, 2L, 4L, 0L, "negligible")))
+    // one-armed frame: out-of-band sentinel, never a divide-by-zero
+    assert(run(Seq((0L, 1L), (0L, 2L)))
+      == ((0L, 2L, 0L, -2000L, "undefined")))
+  }
+
+  test("q325 on the sf fixture: delta bounded, band matches the value") {
+    val r = EventOps.q325CliffsDelta(spark, sf0001).collect()(0)
+    val d = r.getLong(3)
+    assert(math.abs(d) <= 1000L)
+    val want = if (math.abs(d) < 147) "negligible"
+      else if (math.abs(d) < 330) "small"
+      else if (math.abs(d) < 474) "medium" else "large"
+    assert(r.getString(4) == want)
+  }
+
   test("q319 CCF: planted 3-day shift peaks at +3 and nowhere else") {
     import spark.implicits._
     // x(d) pseudo-varied, y(d) = x(d-3) (zeros before day 3): the

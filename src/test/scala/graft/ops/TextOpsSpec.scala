@@ -1498,4 +1498,35 @@ class TextOpsSpec extends SparkSuite {
     assert(r.getLong(6) == r.getLong(3) - r.getLong(4) + r.getLong(5))
     assert(r.getLong(5) > 0L, "fixture labels are not constant")
   }
+
+  test("q323 temperature mix: 1:4 corpus tempers to the hand isqrt weights") {
+    import spark.implicits._
+    // shares 0.2/0.8 -> r = isqrt(2e11)=447213, isqrt(8e11)=894427;
+    // w = 333333 / 666666 ppm; oversample = 1666 / 833 milli: the
+    // tail source samples 1.67x its raw share, the head 0.83x
+    val rows = (Seq.fill(2)("a") ++ Seq.fill(8)("b")).toDF("source")
+    val got = TextOps.temperatureMixOf(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 200000L, 333333L, 1666L)),
+      "b" -> ((8L, 800000L, 666666L, 833L)),
+    ))
+  }
+
+  test("q323 on the sf fixture: weights near-normalize, tempering monotone") {
+    val rows = TextOps.q323TemperatureMix(spark, sf0001).collect()
+    assert(rows.length > 1)
+    // floor-rounded weights sum to 1e6 minus at most one ppm per source
+    val wSum = rows.map(_.getLong(3)).sum
+    assert(wSum <= 1000000L && wSum >= 1000000L - rows.length)
+    // sqrt-tempering compresses: smaller shares get >= oversampling
+    val bySh = rows.sortBy(_.getLong(2))
+    assert(bySh.head.getLong(4) >= bySh.last.getLong(4))
+    // and every oversample factor straddles 1000 the right way round
+    rows.foreach { r =>
+      if (r.getLong(2) < 1000000L / rows.length)
+        assert(r.getLong(4) >= 1000L, s"tail source under-sampled: $r")
+    }
+  }
 }
