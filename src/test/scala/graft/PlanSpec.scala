@@ -669,4 +669,23 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p.take(800))
     assert(!p.contains("Join"), p.take(800))
   }
+
+  test("q323-q325: grain-reducing stats scan only their columns, no joins") {
+    for ((name, df, allowed) <- Seq(
+      ("q323", TextOps.q323TemperatureMix(spark, sf0001),
+        Set("source")),
+      ("q324", EventOps.q324JonckheereTrend(spark, sf0001),
+        Set("o_orderpriority", "o_totalprice")),
+      ("q325", EventOps.q325CliffsDelta(spark, sf0001),
+        Set("user_id", "event_type", "value")))) {
+      val p = plan(df)
+      val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+        .map(_.group(1)).getOrElse("")
+      val cols = rs.split(",").map(_.takeWhile(_ != ':')).toSet
+      assert(cols.subsetOf(allowed), s"$name scans $rs")
+      assert(!p.contains("SortMergeJoin"), s"$name: " + p.take(400))
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$name grain agg must combine map-side")
+    }
+  }
 }
