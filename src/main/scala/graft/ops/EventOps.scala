@@ -5697,7 +5697,139 @@ object EventOps {
       |    ELSE 'large' END AS magnitude
       |FROM f""".stripMargin
 
+  // ---------------------------------------------------------------- q327
+  /** Friedman test across the five order priorities, blocked by
+    * nation — the WITHIN-BLOCK k-treatment rank test closing the
+    * family: q270/q325 compare two independent arms, q303 k
+    * independent groups, q318 two paired halves; Friedman asks "do
+    * treatments differ CONSISTENTLY across blocks?" where each
+    * nation is its own control (cross-nation scale differences,
+    * which would swamp q303 here, cancel inside the block — the
+    * blocked design's whole point). Metric: priority-j revenue
+    * cents inside nation b (dense 25×5 spine, honest zeros); ranks
+    * within each block via doubled midranks (the tie device at
+    * block grain — blocks are k rows, so the per-block window is
+    * domain-sized); χ²_F = 3·ΣR₂ⱼ²·10³ div (n·k·(k+1)) −
+    * 3000·n·(k+1) with mirrored floors, verdict against the shared
+    * crit table at dof = k−1. The standard no-tie form is used and
+    * the within-block tie mass is REPORTED (cents totals make exact
+    * ties measure-zero; an all-tied block contributes identical
+    * midranks to every treatment and cancels in ΣR², so the stat
+    * degrades gracefully rather than silently inflating).
+    *
+    * Scale shape: one pass to the (block × treatment) cell grain —
+    * bounded by DOMAIN — then windows over k-row blocks and a
+    * treatment-grain agg; the corpus shuffles only its cells,
+    * map-side combined. */
+  def q327Friedman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey".as("b"))),
+        $"o_custkey" === $"c_custkey")
+      .select($"b",
+        expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)").as("j"),
+        expr("CAST(round(o_totalprice * 100D) AS BIGINT)").as("cents"))
+      .groupBy($"b", $"j").agg(sum($"cents").as("x"))
+      // domain-bounded, read twice (block list + the spine join)
+      .localCheckpoint()
+    // dense spine: every block × every treatment, zero-filled
+    val spine = cells.select($"b").distinct()
+      .crossJoin(cells.sparkSession.range(1, 6).toDF("j"))
+    friedmanOf(spine.join(cells, Seq("b", "j"), "left")
+      .na.fill(0L, Seq("x")))
+  }
+
+  /** The test on any dense (b, j, x) frame (every block carries every
+    * treatment exactly once) — separated so the spec can plant
+    * consistent orderings, a tied block, and a null shuffle. */
+  private[ops] def friedmanOf(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // RANGE, not ROWS: a ROWS frame would count earlier-sorted
+    // tie-peers and make tied midranks order-dependent
+    val wLess = Window.partitionBy($"b").orderBy($"x")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTie = Window.partitionBy($"b", $"x")
+    // doubled midrank of treatment j inside block b
+    val ranked = rows
+      .withColumn("t", count(lit(1)).over(wTie))
+      .withColumn("lt", coalesce(
+        sum(lit(1L)).over(wLess), lit(0L)))
+    val critCase = TextOps.chi2CritMilli
+      .map { case (d, c) => s"WHEN $d THEN ${c}L" }
+      .mkString("CASE k - 1 ", " ", " ELSE -1L END")
+    ranked
+      .withColumn("r2", lit(2L) * $"lt" + $"t" + 1L)
+      .withColumn("tie", $"t" - 1L)
+      .groupBy($"j")
+      .agg(sum($"r2").as("rj2"), sum($"tie").as("ties"),
+        count(lit(1)).as("nb"))
+      .agg(count(lit(1)).as("k"), max($"nb").as("n"),
+        sum($"rj2" * $"rj2").as("sum_rj2_sq"),
+        expr("sum(ties) div 2").as("tie_pairs"))
+      .select($"k", $"n", $"tie_pairs",
+        expr("""CASE WHEN n < 2 OR k < 2 THEN -1
+          |  ELSE greatest(0,
+          |    (3000 * sum_rj2_sq) div (n * k * (k + 1))
+          |    - 3000 * n * (k + 1))
+          |END""".stripMargin).as("chi2_milli"))
+      .withColumn("crit_milli", expr(critCase))
+      .withColumn("significant", $"chi2_milli" > $"crit_milli")
+  }
+
+  private val q327Oracle = {
+    val critCase = TextOps.chi2CritMilli
+      .map { case (d, c) => s"WHEN $d THEN $c" }
+      .mkString("CASE k - 1 ", " ", " ELSE -1 END")
+    s"""WITH cells0 AS (
+       |  SELECT c.c_nationkey AS b,
+       |    CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS j,
+       |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+       |      AS BIGINT) AS x
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT b, j FROM (SELECT DISTINCT b FROM cells0),
+       |    (SELECT unnest(range(1, 6)) AS j)),
+       |cells AS (
+       |  SELECT s.b, s.j, COALESCE(c.x, 0) AS x
+       |  FROM spine s LEFT JOIN cells0 c ON s.b = c.b AND s.j = c.j),
+       |rk AS (
+       |  SELECT b, j,
+       |    CAST(count(*) OVER (PARTITION BY b, x) AS BIGINT) AS t,
+       |    COALESCE(CAST(count(*) OVER (PARTITION BY b ORDER BY x
+       |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS BIGINT), 0) AS lt
+       |  FROM cells),
+       |pj AS (
+       |  SELECT j, CAST(sum(2 * lt + t + 1) AS BIGINT) AS rj2,
+       |    CAST(sum(t - 1) AS BIGINT) AS ties,
+       |    CAST(count(*) AS BIGINT) AS nb
+       |  FROM rk GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k, max(nb) AS n,
+       |    CAST(sum(rj2 * rj2) AS BIGINT) AS sum_rj2_sq,
+       |    CAST(sum(ties) // 2 AS BIGINT) AS tie_pairs
+       |  FROM pj)
+       |SELECT k, n, tie_pairs,
+       |  CASE WHEN n < 2 OR k < 2 THEN -1
+       |    ELSE greatest(0,
+       |      (3000 * sum_rj2_sq) // (n * k * (k + 1))
+       |      - 3000 * n * (k + 1))
+       |  END AS chi2_milli,
+       |  CAST($critCase AS BIGINT) AS crit_milli,
+       |  CASE WHEN n < 2 OR k < 2 THEN -1
+       |    ELSE greatest(0,
+       |      (3000 * sum_rj2_sq) // (n * k * (k + 1))
+       |      - 3000 * n * (k + 1))
+       |  END > $critCase AS significant
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_friedman"         -> (q327Friedman _),
     "q324_jonckheere_trend" -> (q324JonckheereTrend _),
     "q325_cliffs_delta"     -> (q325CliffsDelta _),
     "q318_wilcoxon_signed_rank" -> (q318WilcoxonSignedRank _),
@@ -5776,6 +5908,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q327_friedman"         -> q327Oracle,
     "q324_jonckheere_trend" -> q324Oracle,
     "q325_cliffs_delta"     -> q325Oracle,
     "q318_wilcoxon_signed_rank" -> q318Oracle,

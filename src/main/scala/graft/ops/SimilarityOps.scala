@@ -1654,7 +1654,190 @@ object SimilarityOps {
        |  FROM adc)
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q326
+  /** Grid for the PCA pass: coarser than [[quantScale]] because the
+    * covariance entries and the matrix-vector products must stay
+    * inside BIGINT through eight power-iteration rounds — 2¹⁰ on
+    * values ±0.6 keeps every intermediate ≤ ~6·10¹⁵ INDEPENDENT of
+    * corpus size (the covariance is mean-divided at cell grain), at
+    * ~10-bit precision, plenty for a variance-share diagnostic. */
+  val pcaGrid = 1024L
+  val pcaRounds = 8
+
+  /** Top principal component + anisotropy share of the embedding
+    * corpus — the "is this embedding space degenerate?" diagnostic
+    * (contextual embedding spaces are notoriously anisotropic:
+    * Ethayarajh 2019; a top component carrying most of the variance
+    * means cosine similarities are dominated by one direction and
+    * downstream kNN/dedup thresholds mislead). q165 audits norms and
+    * dims; this reads the SHAPE: exact-integer covariance on the
+    * [[pcaGrid]] grid (centered by the floored mean vector,
+    * cell-grain mean division keeps magnitudes corpus-independent),
+    * [[pcaRounds]] power-iteration rounds on the 64×64 matrix with
+    * per-round max-|component| renormalization to the grid — every
+    * operation a truncating integer op both engines replay
+    * bit-for-bit — then the Rayleigh quotient λ, trace, explained
+    * share in ppm, and the dominant dimension.
+    *
+    * Scale shape: one pass to the mean vector (64 sums), one
+    * covariance pass whose per-row fan-out is the fixed 64×64 cell
+    * grid (map-side combined — the shuffle carries 4096 rows per
+    * partition regardless of corpus size), and a 64×64
+    * control-plane iteration on the collected matrix (bounded model
+    * materialization, q71's centroidModel posture). */
+  def q326PcaAnisotropy(s: SparkSession, dir: String): DataFrame =
+    pcaAnisotropyOf(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")))
+
+  /** The diagnostic on any (vec_id, embedding) frame — separated so
+    * the spec can plant a rank-1 corpus (explained = 10⁶ exactly)
+    * and an isotropic pair of axes. */
+  private[ops] def pcaAnisotropyOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val gridded = emb.select($"vec_id", expr(
+      s"transform(embedding, x -> CAST(floor(x * $pcaGrid.0D) AS BIGINT))")
+      .as("q"))
+    val meanRows = gridded
+      .select(posexplode($"q").as(Seq("d", "v")))
+      .groupBy($"d").agg(sum($"v").as("sv"), count(lit(1)).as("n"))
+      .collect()
+    val n = if (meanRows.isEmpty) 0L else meanRows(0).getLong(2)
+    val mean = meanRows.map(r => r.getInt(0) -> r.getLong(1) / n).toMap
+    val dim = mean.size
+    val meanLit = (0 until dim).map(mean(_))
+    // Covariance via per-partition Gramian accumulation (the
+    // RowMatrix.computeGramianMatrix shape): each partition folds its
+    // rows into ONE 2080-cell upper-triangle accumulator of exact
+    // BIGINT products, and only those fixed-size accumulators move.
+    // This is the genuine per-partition-imperative case the RDD
+    // carve-out exists for: the declarative alternatives measured
+    // 26-88 s on 500 rows (explode of 2080 struct cells per row pays
+    // interpreted-HOF overhead per cell; routing through a
+    // precomputed grid array additionally re-floors the whole vector
+    // per element_at after projection collapse). This fold is ~4 ms.
+    val nCells = dim * (dim + 1) / 2
+    val meanArr = meanLit.toArray
+    val gridC = pcaGrid
+    val cellSums = emb.select($"embedding").rdd.mapPartitions { it =>
+      val acc = new Array[Long](nCells)
+      val c = new Array[Long](dim)
+      it.foreach { row =>
+        val v = row.getSeq[Float](0)
+        var d = 0
+        while (d < dim) {
+          c(d) = math.floor(v(d).toDouble * gridC).toLong - meanArr(d)
+          d += 1
+        }
+        var i = 0
+        var idx = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) {
+            acc(idx) += c(i) * c(j)
+            idx += 1; j += 1
+          }
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    val cov = Array.ofDim[Long](dim, dim)
+    var ci = 0
+    var cidx = 0
+    while (ci < dim) {
+      var cj = ci
+      while (cj < dim) {
+        val v = cellSums(cidx) / n  // truncating, mirrors div and //
+        cov(ci)(cj) = v; cov(cj)(ci) = v
+        cidx += 1; cj += 1
+      }
+      ci += 1
+    }
+    // integer power iteration: truncating division only (/ in Scala
+    // == div in Spark == // in DuckDB on these magnitudes)
+    var v = Array.fill(dim)(pcaGrid)
+    for (_ <- 1 to pcaRounds) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+      val mx = w.map(math.abs).max
+      v = if (mx == 0L) v else w.map(x => x * pcaGrid / mx)
+    }
+    val w9 = Array.tabulate(dim)(i =>
+      (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+    val num = (0 until dim).map(i => v(i) * w9(i)).sum
+    val den = (0 until dim).map(i => v(i) * v(i)).sum
+    val lambda = if (den == 0L) 0L else num / den
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val explained = if (trace == 0L) -1L else 1000000L * lambda / trace
+    val topDim = (0 until dim).maxBy(i => (math.abs(v(i)), -i)).toLong
+    Seq((n, trace, lambda, explained, topDim))
+      .toDF("n_vecs", "trace_cov", "lambda_top", "explained_ppm", "top_dim")
+  }
+
+  private val q326Oracle = {
+    val rounds = (1 to pcaRounds).map { r =>
+      s"""w$r AS MATERIALIZED (
+         |  SELECT c.i, CAST(sum(c.cov * v.v) AS BIGINT) AS w
+         |  FROM cov c JOIN v${r - 1} v ON c.j = v.i GROUP BY 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT i, CASE WHEN (SELECT max(abs(w)) FROM w$r) = 0
+         |    THEN (SELECT v FROM v${r - 1} p WHERE p.i = w$r.i)
+         |    ELSE (w * $pcaGrid) // (SELECT max(abs(w)) FROM w$r)
+         |  END AS v
+         |  FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $pcaGrid.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+       |eq AS (
+       |  SELECT vec_id, i - 1 AS d, q[i] AS v
+       |  FROM (SELECT vec_id, q, unnest(range(1, len(q) + 1)) AS i FROM g)),
+       |m AS (
+       |  SELECT d, CAST(sum(v) AS BIGINT) // (SELECT n FROM n) AS m
+       |  FROM eq GROUP BY 1),
+       |ctr AS MATERIALIZED (
+       |  SELECT eq.vec_id, eq.d, eq.v - m.m AS c
+       |  FROM eq JOIN m USING (d)),
+       |cov AS MATERIALIZED (
+       |  SELECT a.d AS i, b.d AS j,
+       |    CAST(sum(a.c * b.c) AS BIGINT) // (SELECT n FROM n) AS cov
+       |  FROM ctr a JOIN ctr b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |v0 AS MATERIALIZED (
+       |  SELECT DISTINCT i, CAST($pcaGrid AS BIGINT) AS v FROM cov),
+       |$rounds,
+       |wf AS (
+       |  SELECT c.i, CAST(sum(c.cov * v.v) AS BIGINT) AS w
+       |  FROM cov c JOIN v$pcaRounds v ON c.j = v.i GROUP BY 1),
+       |ray AS (
+       |  SELECT CAST(sum(v.v * wf.w) AS BIGINT) AS num,
+       |    CAST(sum(v.v * v.v) AS BIGINT) AS den
+       |  FROM v$pcaRounds v JOIN wf ON v.i = wf.i),
+       |tr AS (SELECT CAST(sum(cov) AS BIGINT) AS trace
+       |       FROM cov WHERE i = j),
+       |top AS (
+       |  SELECT i AS top_dim FROM v$pcaRounds
+       |  ORDER BY abs(v) DESC, i ASC LIMIT 1)
+       |SELECT (SELECT n FROM n) AS n_vecs,
+       |  (SELECT trace FROM tr) AS trace_cov,
+       |  CASE WHEN den = 0 THEN 0 ELSE num // den END AS lambda_top,
+       |  CASE WHEN (SELECT trace FROM tr) = 0 THEN -1
+       |    ELSE (1000000 * CASE WHEN den = 0 THEN 0 ELSE num // den END)
+       |      // (SELECT trace FROM tr)
+       |  END AS explained_ppm,
+       |  CAST((SELECT top_dim FROM top) AS BIGINT) AS top_dim
+       |FROM ray""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_pca_anisotropy" -> (q326PcaAnisotropy _),
     "q322_pq_adc"        -> (q322PqAdc _),
     "q312_mrr_at_10"     -> (q312MrrAt10 _),
     "q305_ndcg_at_10"    -> (q305NdcgAt10 _),
@@ -1676,6 +1859,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q326_pca_anisotropy" -> q326Oracle,
     "q322_pq_adc"        -> q322Oracle,
     "q312_mrr_at_10"     -> q312Oracle,
     "q305_ndcg_at_10"    -> q305Oracle,

@@ -2019,6 +2019,38 @@ class EventOpsSpec extends SparkSuite {
     assert(math.abs(r.getLong(5)) <= 1L)
   }
 
+  test("q327 Friedman: consistent, balanced, and tied blocks hand-checked") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long)]) = {
+      val r = EventOps.friedmanOf(rows.toDF("b", "j", "x")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))
+    }
+    // three blocks all ranking treatments 1<2<3: R2 = (6,12,18),
+    // chi2 = 3000*504/36 - 36000 = 6000, just over crit(dof 2) = 5991
+    val consistent = for (b <- 1L to 3L; j <- 1L to 3L)
+      yield (b, j, b * 100 + j)
+    assert(run(consistent) == ((3L, 3L, 0L, 6000L, 5991L, true)))
+    // two blocks with opposite orderings cancel exactly: chi2 = 0
+    val balanced = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (2L, 1L, 30L), (2L, 2L, 20L), (2L, 3L, 10L))
+    assert(run(balanced) == ((3L, 2L, 0L, 0L, 5991L, false)))
+    // an all-tied block hands every treatment the same midrank and
+    // shifts nothing but the tie report: chi2 = 3000*200/24 - 24000
+    val tied = Seq(
+      (1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 5L),
+      (2L, 1L, 10L), (2L, 2L, 20L), (2L, 3L, 30L))
+    assert(run(tied) == ((3L, 2L, 3L, 1000L, 5991L, false)))
+  }
+
+  test("q327 on the sf fixture: 25 blocks x 5 treatments, dof-4 crit") {
+    val r = EventOps.q327Friedman(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 25L)
+    assert(r.getLong(3) >= 0L)
+    assert(r.getLong(4) == 9488L)
+  }
+
   test("q325 Cliff's delta: dominance, null, and one-armed sentinel") {
     import spark.implicits._
     def run(rows: Seq[(Long, Long)]) = {

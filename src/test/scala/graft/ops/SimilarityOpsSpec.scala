@@ -68,6 +68,36 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(got.forall(_.getLong(3) >= 0L))
   }
 
+  test("q326 PCA: rank-1 corpus explains ~everything, isotropic pair splits") {
+    import spark.implicits._
+    // rank-1: every vector is a multiple of one rising direction ->
+    // the top component carries all variance (floors shave ppm)
+    val u = (0 until 64).map(d => (d + 1) / 130f)
+    val rank1 = (0L until 10L).map(i =>
+      (i, u.map(x => x * (i.toInt % 5 + 1) / 5f))).toDF("vec_id", "embedding")
+    val r1 = SimilarityOps.pcaAnisotropyOf(rank1).collect()(0)
+    assert(r1.getLong(3) >= 990000L, s"rank-1 explained ${r1.getLong(3)}")
+    assert(r1.getLong(4) == 63L, "largest loading must sit on the top dim")
+    // two equal-variance axes: the top component can only claim half
+    val zeros = Seq.fill(62)(0f)
+    val iso = Seq(
+      (0L, 0.5f +: 0f +: zeros), (1L, -0.5f +: 0f +: zeros),
+      (2L, 0f +: 0.5f +: zeros), (3L, 0f +: -0.5f +: zeros),
+    ).toDF("vec_id", "embedding")
+    val r2 = SimilarityOps.pcaAnisotropyOf(iso).collect()(0)
+    assert(r2.getLong(3) >= 450000L && r2.getLong(3) <= 550000L,
+      s"isotropic pair explained ${r2.getLong(3)}")
+  }
+
+  test("q326 on the sf fixture: bounded share, stable across reruns") {
+    val a = SimilarityOps.q326PcaAnisotropy(spark, sf0001).collect()(0)
+    val b = SimilarityOps.q326PcaAnisotropy(spark, sf0001).collect()(0)
+    assert(a.toSeq == b.toSeq, "integer pipeline must be bit-stable")
+    assert(a.getLong(1) > 0L)
+    assert(a.getLong(3) > 0L && a.getLong(3) <= 1000000L)
+    assert(a.getLong(4) >= 0L && a.getLong(4) < 64L)
+  }
+
   test("q52 lsh: usable recall@10 vs brute force, exact ranks within candidates") {
     val exact = SimilarityOps.q70KnnBruteForce(spark, sf0001).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
