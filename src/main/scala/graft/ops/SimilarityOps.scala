@@ -1524,36 +1524,19 @@ object SimilarityOps {
     val s = emb.sparkSession
     import s.implicits._
     val cb = pqCodebookOf(emb)
-    val cbl = typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
     val gridded = emb
-      .select($"vec_id", expr(
+      .select($"vec_id", $"embedding", expr(
         s"transform(embedding, x -> CAST(floor(x * $quantScale.0D) AS BIGINT))")
         .as("qq"))
-      .withColumn("cbl", cbl)
-    // per-subspace argmin over the literal codebook, as compact HOFs
-    // (an unrolled per-codeword expression measured 108 s at sf0.1 —
-    // pure plan-compilation cost; the HOF form is milliseconds):
-    // named_struct (dist, code) min ⇒ smallest dist, ties to the
-    // smaller code
-    val encoded = gridded.select($"vec_id", expr(pqEncodeSql).as("codes"))
+    val encoded = gridded.select($"vec_id",
+      pqEncodeUdf(cb)($"embedding").as("codes"))
     val q = gridded.where($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"qq".as("qv"))
-    val adc =
-      s"""aggregate(sequence(0, ${pqSubspaces - 1}), CAST(0 AS BIGINT),
-         |  (acc, j) -> acc + aggregate(sequence(0, ${pqSubDim - 1}),
-         |    CAST(0 AS BIGINT),
-         |    (a, d) -> a +
-         |      (element_at(qv, j * $pqSubDim + d + 1)
-         |        - element_at(element_at(element_at(cbl, j + 1),
-         |            element_at(codes, j + 1) + 1), d + 1))
-         |      * (element_at(qv, j * $pqSubDim + d + 1)
-         |        - element_at(element_at(element_at(cbl, j + 1),
-         |            element_at(codes, j + 1) + 1), d + 1))))""".stripMargin
     val w = Window.partitionBy($"query_id")
       .orderBy($"adc_dist".asc, $"vec_id".asc)
     encoded.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .withColumn("cbl", cbl)
-      .select($"query_id", $"vec_id", expr(adc).as("adc_dist"))
+      .select($"query_id", $"vec_id",
+        pqAdcUdf(cb)($"qv", $"codes").as("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .where($"rank" <= topK)
       .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"adc_dist")
@@ -1585,29 +1568,77 @@ object SimilarityOps {
 
   /** The encode projection alone, for PlanSpec's zero-Exchange pin
     * (q71's ivfAssignmentPlan device). */
-  /** The encode expression: for each subspace j, the argmin code
-    * over the literal codebook column `cbl` against the grid vector
-    * `qq`. */
-  private def pqEncodeSql: String =
-    s"""transform(sequence(0, ${pqSubspaces - 1}), j ->
-       |  array_min(transform(element_at(cbl, j + 1), (cw, k) ->
-       |    named_struct(
-       |      'd', aggregate(sequence(0, ${pqSubDim - 1}), CAST(0 AS BIGINT),
-       |        (a, d) -> a +
-       |          (element_at(qq, j * $pqSubDim + d + 1) - element_at(cw, d + 1))
-       |          * (element_at(qq, j * $pqSubDim + d + 1) - element_at(cw, d + 1))),
-       |      'k', k))).k)""".stripMargin
+  /** Asymmetric distance as a primitive-loop UDF (shared by q322
+    * flat and q328 IVF-pruned): the declarative form — nested
+    * aggregate lambdas over a 3-level literal codebook — measured
+    * ~25 s for 2.5k candidate pairs at sf0.1 (interpreted HOF
+    * overhead plus per-access traversal of the 4096-element nested
+    * literal); the loop is microseconds per pair. Same mirrored
+    * arithmetic, same DuckDB relational replay. */
+  private def pqAdcUdf(cb: Array[Array[Array[Long]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (qv: Seq[Long], codes: Seq[Int]) =>
+      var acc = 0L
+      var j = 0
+      while (j < pqSubspaces) {
+        val cw = cb(j)(codes(j))
+        var d = 0
+        while (d < pqSubDim) {
+          val diff = qv(j * pqSubDim + d) - cw(d)
+          acc += diff * diff
+          d += 1
+        }
+        j += 1
+      }
+      acc
+    }
+
+  /** Per-row PQ encode as a primitive-loop Scala UDF. Measured
+    * alternatives at sf0.1 (500 rows): the compact HOF form costs
+    * ~10k interpreted lambda invocations per row (16 subspaces × 64
+    * codewords × inner aggregate) ≈ 20 s; the fully unrolled
+    * per-codeword expression costs 108 s of pure plan compilation.
+    * The UDF is ~4 ms, deterministic (floor + integer compare, ties
+    * to the smaller code exactly like the array_min struct order),
+    * and the DuckDB oracle replays the identical model relationally
+    * — the documented exception to the functions-over-UDFs rule,
+    * carried by measurements. */
+  private def pqEncodeUdf(cb: Array[Array[Array[Long]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (emb: Seq[Float]) =>
+      val out = new Array[Int](pqSubspaces)
+      var j = 0
+      while (j < pqSubspaces) {
+        val cwj = cb(j)
+        var best = 0
+        var bestD = Long.MaxValue
+        var k = 0
+        while (k < cwj.length) {
+          var dsum = 0L
+          var d = 0
+          while (d < pqSubDim) {
+            val q = math.floor(
+              emb(j * pqSubDim + d).toDouble * quantScale).toLong
+            val diff = q - cwj(k)(d)
+            dsum += diff * diff
+            d += 1
+          }
+          if (dsum < bestD) { bestD = dsum; best = k }
+          k += 1
+        }
+        out(j) = best
+        j += 1
+      }
+      out
+    }
 
   private[graft] def pqEncodePlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cb = pqCodebookOf(Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding")))
     Tables.embeddings(s, dir)
-      .select($"vec_id", expr(
-        s"transform(embedding, x -> CAST(floor(x * $quantScale.0D) AS BIGINT))")
-        .as("qq"))
-      .withColumn("cbl", typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq))
-      .select($"vec_id", expr(pqEncodeSql).as("codes"))
+      .select($"vec_id", $"embedding")
+      .select($"vec_id", pqEncodeUdf(cb)($"embedding").as("codes"))
   }
 
   private val q322Oracle =
@@ -1836,7 +1867,130 @@ object SimilarityOps {
        |FROM ray""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q328
+  /** IVF-PQ combined index — the production ANN shape (FAISS's
+    * IVFPQ; Jégou et al. 2011 §IV): q71's inverted file decides
+    * WHICH vectors to score (probe nprobe of C cells), q322's
+    * product quantizer decides HOW to score them (12-byte codes,
+    * asymmetric distance) — composed here exactly as a serving
+    * stack deploys them. ONE projection over ONE corpus scan builds
+    * the whole compressed index row (cell id + PQ codes): both
+    * models are literal expressions, so the index build is
+    * zero-Exchange and the corpus's float payloads are read exactly
+    * once and never shuffled — at 100 TB the moving index is
+    * (vec_id, cell, 16 codes) ≈ 20 bytes/vector, and query cost is
+    * (nprobe/C)·n table lookups instead of n·64 float mults.
+    * Recall compounds the two stages' losses (probe miss × code
+    * noise) — the spec measures it against q70 and q322, and the
+    * oracle replays BOTH models end-to-end (IVF's sampled
+    * fixed-point Lloyd chain + PQ's relational encode) in one CTE
+    * stack. */
+  def q328IvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val cents = centroidModel(s, dir)
+    val cb = pqCodebookOf(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")))
+    // the index build: cell + codes in one pass, no Exchange
+    val indexed = c
+      .select($"vec_id",
+        (-array_max(centroidScores(cents, $"embedding", $"nrm"))
+          .getField("negcid")).as("cell"),
+        pqEncodeUdf(cb)($"embedding").as("codes"))
+    val q = c
+      .where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"),
+        expr(s"transform(embedding, x -> CAST(floor(x * $quantScale.0D) AS BIGINT))")
+          .as("qv"))
+    val probes = q.select($"query_id", $"qv",
+      explode(transform(
+        slice(reverse(array_sort(centroidScores(cents, $"qe", $"qn"))), 1, nprobe),
+        x => -x.getField("negcid"))).as("cell"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"adc_dist".asc, $"vec_id".asc)
+    indexed.join(broadcast(probes), Seq("cell"))
+      .where($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        pqAdcUdf(cb)($"qv", $"codes").as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", $"adc_dist")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The one-pass index build (cell + codes) alone, for PlanSpec's
+    * zero-Exchange pin. */
+  private[graft] def ivfPqIndexPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val cents = centroidModel(s, dir)
+    val cb = pqCodebookOf(Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding")))
+    c.select($"vec_id",
+        (-array_max(centroidScores(cents, $"embedding", $"nrm"))
+          .getField("negcid")).as("cell"),
+        pqEncodeUdf(cb)($"embedding").as("codes"))
+  }
+
+  private lazy val q328Oracle =
+    s"""WITH $ivfCellsCte,
+       |pst AS (SELECT greatest(1, count(*) // $pqCodes) AS stride FROM e),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, embedding
+       |  FROM e, pst WHERE vec_id % stride = 0 AND vec_id < stride * $pqCodes),
+       |cb AS (
+       |  SELECT s.k, j.j, d.d,
+       |    CAST(floor(CAST(s.embedding[j.j * $pqSubDim + d.d + 1] AS DOUBLE)
+       |      * $quantScale.0) AS BIGINT) AS c
+       |  FROM seeds s,
+       |    (SELECT unnest(range(0, $pqSubspaces)) AS j) j,
+       |    (SELECT unnest(range(0, $pqSubDim)) AS d) d),
+       |peq AS (
+       |  SELECT vec_id, i - 1 AS idx,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $quantScale.0)
+       |      AS BIGINT) AS q
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM e)),
+       |dist0 AS MATERIALIZED (
+       |  SELECT peq.vec_id, cb.j, cb.k,
+       |    CAST(sum((peq.q - cb.c) * (peq.q - cb.c)) AS BIGINT) AS dist
+       |  FROM peq JOIN cb ON peq.idx = cb.j * $pqSubDim + cb.d
+       |  GROUP BY 1, 2, 3),
+       |enc AS (
+       |  SELECT vec_id, j, k AS code FROM (
+       |    SELECT vec_id, j, k, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY dist ASC, k ASC) AS rn
+       |    FROM dist0) WHERE rn = 1),
+       |qt AS (
+       |  SELECT vec_id AS query_id, j, k, dist FROM dist0
+       |  WHERE vec_id < $nQueries),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY cos DESC, cid ASC) AS rn
+       |    FROM sc WHERE vec_id < $nQueries)
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, ce.vec_id
+       |  FROM probes p JOIN cells ce ON p.cell = ce.cell
+       |  WHERE ce.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    CAST(sum(t.dist) AS BIGINT) AS adc_dist
+       |  FROM cand
+       |  JOIN enc c ON cand.vec_id = c.vec_id
+       |  JOIN qt t ON t.query_id = cand.query_id
+       |    AND t.j = c.j AND t.k = c.code
+       |  GROUP BY 1, 2)
+       |SELECT query_id, vec_id AS neighbor_id, rank, adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_dist ASC, vec_id ASC) AS rank
+       |  FROM adc)
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_ivf_pq"        -> (q328IvfPq _),
     "q326_pca_anisotropy" -> (q326PcaAnisotropy _),
     "q322_pq_adc"        -> (q322PqAdc _),
     "q312_mrr_at_10"     -> (q312MrrAt10 _),
@@ -1859,6 +2013,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q328_ivf_pq"        -> q328Oracle,
     "q326_pca_anisotropy" -> q326Oracle,
     "q322_pq_adc"        -> q322Oracle,
     "q312_mrr_at_10"     -> q312Oracle,

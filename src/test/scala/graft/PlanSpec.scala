@@ -670,6 +670,12 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("q328 IVF-PQ index build: cell + codes in one pass, zero Exchange") {
+    val p = plan(SimilarityOps.ivfPqIndexPlan(spark, sf0001))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+  }
+
   test("q323-q325: grain-reducing stats scan only their columns, no joins") {
     for ((name, df, allowed) <- Seq(
       ("q323", TextOps.q323TemperatureMix(spark, sf0001),
