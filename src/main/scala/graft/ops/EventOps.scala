@@ -5828,7 +5828,123 @@ object EventOps {
        |FROM agg""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q329
+  /** Split-conformal miscoverage level: intervals target ≥ 90%
+    * marginal coverage, the guarantee level conformal papers
+    * conventionally demonstrate (Vovk et al. 2005; Lei et al. 2018). */
+  val conformalAlphaPct = 10L
+
+  /** Split-conformal prediction intervals around the seasonal-naive
+    * forecaster — the DISTRIBUTION-FREE uncertainty quantification
+    * the eval family lacks: q294 scores the forecaster's point error
+    * (MASE), q205 bootstraps a CI for a mean; conformal wraps ANY
+    * predictor's point forecasts in intervals with a finite-sample
+    * marginal-coverage guarantee that needs no distributional
+    * assumption at all — exactly the honest wrapper for the naive
+    * baselines a pipeline actually runs. Mechanics (Lei et al.
+    * 2018's split recipe): ŷ(d) = y(d−7) on the dense day spine;
+    * the PREDICTABLE days split in half by time order; calibration
+    * absolute residuals ranked; q̂ = the ⌈(1−α)(n_cal+1)⌉-th
+    * smallest (the +1 is what buys the finite-sample guarantee);
+    * test-half coverage of [ŷ−q̂, ŷ+q̂] reported in ppm against the
+    * 900 000 target. All exact integers: counts, integer ranks, one
+    * ordered pick — no quantile interpolation anywhere. k > n_cal
+    * (too few calibration days at this α) reports the −1 sentinel
+    * rather than an infinite interval.
+    *
+    * Scale shape: ONE corpus→day partial agg; everything after is
+    * calendar-bounded (spine self-join at lag 7, one ordered window
+    * over the calibration frame, one test-grain agg). */
+  def q329ConformalIntervals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    conformalOf(Tables.events(s, dir)
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("d"))
+      .agg(count(lit(1)).as("y")))
+  }
+
+  /** The recipe on any (d, y) day frame — separated so the spec can
+    * plant an exactly-periodic series (q̂ = 0, coverage 10⁶), a
+    * test-half shock (hand-exact coverage drop), and the
+    * too-few-days sentinel. Densifies the spine itself. */
+  private[ops] def conformalOf(daily0: DataFrame): DataFrame = {
+    val s = daily0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bounds = daily0.agg(min($"d").as("d0"), max($"d").as("d1"))
+    val spine = bounds.select(explode(sequence($"d0", $"d1")).as("d"))
+    val daily = spine.join(daily0, Seq("d"), "left")
+      .na.fill(0L, Seq("y"))
+      .localCheckpoint()
+    val pred = daily.join(
+      daily.select(($"d" + 7L).as("d"), $"y".as("y_hat")), Seq("d"))
+      .withColumn("r", abs($"y" - $"y_hat"))
+      .withColumn("rn", row_number().over(Window.orderBy($"d")))
+      .crossJoin(broadcast(daily.agg(
+        expr("(count(1) - 7) div 2").as("n_cal"))))
+      .localCheckpoint()
+    val k = expr(s"((100 - $conformalAlphaPct) * (n_cal + 1) + 99) div 100")
+    // always one row — NULL q_hat when k exceeds n_cal, so the test
+    // rows survive the join and the sentinel path matches the oracle
+    val qhat = pred.where($"rn" <= $"n_cal")
+      .withColumn("rr", row_number().over(Window.orderBy($"r", $"d")))
+      .where($"rr" === k)
+      .agg(max($"r").as("q_hat"))
+    val test = pred.where($"rn" > $"n_cal")
+    test.crossJoin(broadcast(qhat))
+      .agg(max($"n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        max($"q_hat").as("q_hat"),
+        sum(when($"r" <= $"q_hat", 1L).otherwise(0L)).as("n_covered"))
+      .select($"n_cal", $"n_test",
+        coalesce($"q_hat", lit(-1L)).as("q_hat"),
+        coalesce($"n_covered", lit(-1L)).as("n_covered"),
+        coalesce(expr("(1000000 * n_covered) div n_test"), lit(-1L))
+          .as("coverage_ppm"))
+      .withColumn("target_ppm", lit((100L - conformalAlphaPct) * 10000L))
+  }
+
+  private val q329Oracle = {
+    val dayUs = 86400L * 1000000L
+    s"""WITH daily0 AS (
+       |  SELECT epoch_us(ts) // $dayUs AS d,
+       |    CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT unnest(generate_series(min(d), max(d))) AS d FROM daily0),
+       |daily AS (
+       |  SELECT s.d, COALESCE(y0.y, 0) AS y
+       |  FROM spine s LEFT JOIN daily0 y0 USING (d)),
+       |nc AS (
+       |  SELECT CAST((count(*) - 7) // 2 AS BIGINT) AS n_cal FROM daily),
+       |pred AS (
+       |  SELECT a.d, abs(a.y - b.y) AS r,
+       |    row_number() OVER (ORDER BY a.d) AS rn, nc.n_cal
+       |  FROM daily a JOIN daily b ON a.d = b.d + 7, nc),
+       |qh AS (
+       |  SELECT r AS q_hat FROM (
+       |    SELECT r, row_number() OVER (ORDER BY r, d) AS rr,
+       |      ((100 - $conformalAlphaPct) * (n_cal + 1) + 99) // 100 AS k
+       |    FROM pred WHERE rn <= n_cal)
+       |  WHERE rr = k),
+       |ag AS (
+       |  SELECT max(p.n_cal) AS n_cal,
+       |    CAST(count(*) AS BIGINT) AS n_test,
+       |    max(q.q_hat) AS q_hat,
+       |    CAST(sum(CASE WHEN p.r <= q.q_hat THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_covered
+       |  FROM (SELECT * FROM pred WHERE rn > n_cal) p
+       |  LEFT JOIN qh q ON TRUE)
+       |SELECT n_cal, n_test,
+       |  COALESCE(q_hat, -1) AS q_hat,
+       |  COALESCE(n_covered, -1) AS n_covered,
+       |  COALESCE((1000000 * n_covered) // n_test, -1) AS coverage_ppm,
+       |  CAST(${(100L - conformalAlphaPct) * 10000L} AS BIGINT)
+       |    AS target_ppm
+       |FROM ag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q329_conformal_intervals" -> (q329ConformalIntervals _),
     "q327_friedman"         -> (q327Friedman _),
     "q324_jonckheere_trend" -> (q324JonckheereTrend _),
     "q325_cliffs_delta"     -> (q325CliffsDelta _),
@@ -5908,6 +6024,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q329_conformal_intervals" -> q329Oracle,
     "q327_friedman"         -> q327Oracle,
     "q324_jonckheere_trend" -> q324Oracle,
     "q325_cliffs_delta"     -> q325Oracle,

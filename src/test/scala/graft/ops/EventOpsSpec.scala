@@ -2051,6 +2051,35 @@ class EventOpsSpec extends SparkSuite {
     assert(r.getLong(4) == 9488L)
   }
 
+  test("q329 conformal: periodic series covers fully, shocks drop coverage") {
+    import spark.implicits._
+    def run(ys: Seq[(Long, Long)]) = {
+      val r = EventOps.conformalOf(ys.toDF("d", "y")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    // exactly weekly-periodic 28 days: every residual 0, n_cal = 10,
+    // k = ceil(0.9*11) = 10 -> q_hat = 0, test 11/11 covered
+    val periodic = (0L until 28L).map(d => (d, (d % 7) * 10 + 5))
+    assert(run(periodic) == ((10L, 11L, 0L, 11L, 1000000L, 900000L)))
+    // +5 shocks on two LAST-WEEK test days (their own residuals only:
+    // d+7 falls off the spine, and their lag-7 sources are untouched)
+    val shocked = periodic.map { case (d, y) =>
+      (d, if (d == 22L || d == 25L) y + 5 else y) }
+    assert(run(shocked) == ((10L, 11L, 0L, 9L, 818181L, 900000L)))
+    // 9 days: n_cal = 1, k = 2 > n_cal -> NULL q_hat -> -1 sentinel,
+    // nothing covered (a too-short calibration NEVER fakes coverage)
+    val tiny = (0L until 9L).map(d => (d, d * 3 + 1))
+    assert(run(tiny) == ((1L, 1L, -1L, 0L, 0L, 900000L)))
+  }
+
+  test("q329 on the sf fixture: coverage defined and bounded") {
+    val r = EventOps.q329ConformalIntervals(spark, sf0001).collect()(0)
+    assert(r.getLong(1) > 0L)
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+    assert(r.getLong(5) == 900000L)
+  }
+
   test("q325 Cliff's delta: dominance, null, and one-armed sentinel") {
     import spark.implicits._
     def run(rows: Seq[(Long, Long)]) = {
