@@ -965,9 +965,15 @@ object EventOps {
     * context arrays are hash-stable cross-engine. */
   def q171EventSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // context is serialized '|'-joined (always exactly seqContextLen
+    // entries, never empty): the driver's comparator hashes scalar
+    // cells, not arrays. The array-shaped core stays in sequencesOf
+    // for the spec and downstream consumers.
     sequencesOf(Tables.events(s, dir)
       .select($"user_id", unix_micros($"ts").as("tus"), $"event_id",
         $"event_type"))
+      .select($"user_id", $"pos",
+        concat_ws("|", $"context").as("context"), $"target")
   }
 
   /** The builder on any (user_id, tus, event_id, event_type) frame —
@@ -1002,7 +1008,7 @@ object EventOps {
        |  SELECT user_id, list_transform(evs, e -> e.event_type) AS types
        |  FROM u)
        |SELECT user_id, CAST(i AS BIGINT) AS pos,
-       |  types[i:i + ${seqContextLen - 1}] AS context,
+       |  array_to_string(types[i:i + ${seqContextLen - 1}], '|') AS context,
        |  types[i + $seqContextLen] AS target
        |FROM t, unnest(range(1, len(types) - ${seqContextLen - 1})) AS r(i)
        |ORDER BY user_id, pos""".stripMargin

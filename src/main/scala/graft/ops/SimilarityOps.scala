@@ -501,8 +501,15 @@ object SimilarityOps {
     * bit-reproducible cross-engine — the property a re-shardable
     * index build needs anyway. The epsilon guard keeps an all-zero
     * vector from dividing by zero (its codes are all 0). The
-    * round-trip error bound |x − q·s/127| ≤ s/127 is spec-asserted. */
-  def q97QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    * round-trip error bound |x − q·s/127| ≤ s/127 is spec-asserted.
+    *
+    * The registered query serializes `codes` to a CSV string (the
+    * driver's comparator hashes scalar cells, not arrays); the
+    * array-shaped core stays available as [[quantizeInt8Of]] for
+    * q104 and the spec. Embedding dim is fixed > 0, so the
+    * empty-array edge (where Spark and DuckDB disagree on
+    * stringification) can't occur. */
+  private[ops] def quantizeInt8Of(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .withColumn("scale", greatest(
@@ -511,13 +518,22 @@ object SimilarityOps {
       .select($"vec_id", $"scale",
         expr("transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0d / scale) AS INT))")
           .as("codes"))
+  }
+
+  def q97QuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantizeInt8Of(s, dir)
+      .select($"vec_id", $"scale",
+        expr("array_join(transform(codes, c -> CAST(c AS STRING)), ',')")
+          .as("codes"))
       .orderBy($"vec_id")
   }
 
   private val q97Oracle =
     """SELECT vec_id, scale,
-      |  list_transform(embedding,
-      |    v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale) AS INTEGER)) AS codes
+      |  array_to_string(list_transform(embedding,
+      |    v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / scale) AS INTEGER)), ',')
+      |    AS codes
       |FROM (
       |  SELECT vec_id, embedding,
       |    greatest(list_max(list_transform(embedding,
@@ -540,7 +556,7 @@ object SimilarityOps {
   def q104QuantizedKnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.expr.VectorExprs
-    val qz = q97QuantizeInt8(s, dir)
+    val qz = quantizeInt8Of(s, dir)
       .select($"vec_id", $"codes",
         VectorExprs.doti($"codes", $"codes").as("ii"))
     val q = qz.where($"vec_id" < nQueries)

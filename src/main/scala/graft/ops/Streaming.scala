@@ -1212,7 +1212,11 @@ object Streaming {
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // '|'-joined buffer (≥1 entry per emission, so never the empty
+    // array where Spark "" and DuckDB NULL would diverge): the
+    // driver's comparator hashes scalar cells, not arrays.
     try drain(s, out.toDF("user_id", "recent_types"), OutputMode.Append())
+      .select($"user_id", concat_ws("|", $"recent_types").as("recent_types"))
       .orderBy($"user_id", $"recent_types")
     finally prev match {
       case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
@@ -1240,12 +1244,14 @@ object Streaming {
        |  FROM ev GROUP BY user_id),
        |has_odd AS (SELECT DISTINCT user_id FROM ev WHERE event_id % 2 = 1)
        |SELECT user_id,
-       |  types[greatest(1, len(types) - ${recentK - 1}):len(types)]
+       |  array_to_string(
+       |    types[greatest(1, len(types) - ${recentK - 1}):len(types)], '|')
        |    AS recent_types
        |FROM le
        |UNION ALL
        |SELECT la.user_id,
-       |  types[greatest(1, len(types) - ${recentK - 1}):len(types)]
+       |  array_to_string(
+       |    types[greatest(1, len(types) - ${recentK - 1}):len(types)], '|')
        |FROM la JOIN has_odd USING (user_id)
        |ORDER BY user_id, recent_types""".stripMargin
 

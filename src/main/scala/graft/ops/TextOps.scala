@@ -951,7 +951,13 @@ object TextOps {
       .groupBy($"doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, id))), x -> x.id)")
         .as("ids"))
-      .select($"doc_id", $"ids",
+      .select($"doc_id",
+        // CSV-serialized id sequence: the driver's comparator hashes
+        // scalar cells, not arrays; ids is never empty (split of any
+        // text yields ≥1 token), so the Spark-""-vs-DuckDB-NULL
+        // empty-array divergence can't occur.
+        expr("array_join(transform(ids, i -> CAST(i AS STRING)), ',')")
+          .as("ids"),
         size($"ids").cast("long").as("n_tokens"),
         size(expr("filter(ids, i -> i = 0)")).cast("long").as("n_oov"))
       .orderBy($"doc_id")
@@ -971,7 +977,7 @@ object TextOps {
        |enc AS (
        |  SELECT doc_id, pos, COALESCE(id, 0) AS id
        |  FROM tok LEFT JOIN v ON tok.tok = v.tok)
-       |SELECT doc_id, list(id ORDER BY pos) AS ids,
+       |SELECT doc_id, array_to_string(list(id ORDER BY pos), ',') AS ids,
        |  CAST(count(*) AS BIGINT) AS n_tokens,
        |  CAST(count(*) FILTER (id = 0) AS BIGINT) AS n_oov
        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -160,7 +160,7 @@ class SimilarityOpsSpec extends SparkSuite {
 
   test("q97 quantization: codes fit int8, round-trip error within one step") {
     import spark.implicits._
-    val rows = SimilarityOps.q97QuantizeInt8(spark, sf0001)
+    val rows = SimilarityOps.quantizeInt8Of(spark, sf0001)
       .join(graft.Tables.embeddings(spark, sf0001), "vec_id")
       .select($"scale", $"codes", $"embedding").collect()
     assert(rows.nonEmpty)

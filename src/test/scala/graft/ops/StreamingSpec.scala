@@ -228,7 +228,7 @@ class StreamingSpec extends SparkSuite {
   test("q182 ListState: delivery-2 buffer interleaves both deliveries by event time") {
     import spark.implicits._
     val rows = Streaming.q182RecentFeatures(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getSeq[String](1).toList))
+      .map(r => (r.getLong(0), r.getString(1).split('|').toList))
     assert(rows.nonEmpty)
     val hist = graft.Tables.events(spark, sf0001)
       .select($"user_id", org.apache.spark.sql.functions.unix_micros($"ts"),

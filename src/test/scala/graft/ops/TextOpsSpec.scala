@@ -277,7 +277,9 @@ class TextOpsSpec extends SparkSuite {
       .take(TextOps.vocabSize).zipWithIndex
       .map { case ((t, _), i) => t -> (i + 1L) }.toMap
     val got = TextOps.q105VocabEncode(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getLong(0),
+        r.getString(1).split(",", -1).map(_.toLong).toSeq,
+        r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got.length == docs.length)
     val byId = docs.toMap
