@@ -4250,8 +4250,9 @@ object EventOps {
   // ---------------------------------------------------------------- q284
   /** Cochran–Armitage trend test — "does conversion RISE with
     * engagement level", the ordered-dose question q282's 2×2
-    * machinery flattens away: users in activity tertiles (ntile(3)
-    * over (n_events, user_id) — q199's total-order cut) with scores
+    * machinery flattens away: users in activity tertiles (exact
+    * ntile(3) under the (n_events, user_id) total order via
+    * [[Ranks.withGlobalRank]]) with scores
     * w = 0,1,2, outcome = 24 h conversion (q282's convention).
     * n-scaled integer statistic T′ = n·Σwᵢaᵢ − A·Σwᵢnᵢ and variance
     * factors A(n−A)·[nΣwᵢ²nᵢ − (Σwᵢnᵢ)²]/n, χ² in milli via the
@@ -4259,12 +4260,12 @@ object EventOps {
     * both engines. −1 sentinel when the variance degenerates (all
     * users converted, none did, or one tertile holds everyone).
     *
-    * Scale shape: one pass to user grain; the tertile cut is one
-    * user-grain window (same budget q199 pays); the test folds the
-    * 3-row level table to one row. */
+    * Scale shape: one pass to user grain; the tertile cut is the
+    * hierarchical rank (range-bucketed windows + broadcast offsets —
+    * no single-partition sort); the test folds the 3-row level table
+    * to one row. */
   def q284TrendTest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val dayUs = 86400L * 1000000L
     val ev = Tables.events(s, dir)
     val su = ev.where($"event_type" === "signup")
@@ -4274,13 +4275,13 @@ object EventOps {
       .select($"user_id", unix_micros($"ts").as("p"))
       .join(su, "user_id").where($"p" >= $"s")
       .groupBy($"user_id").agg(min($"p").as("p"))
-    val users = su.join(act, "user_id").join(fp, Seq("user_id"), "left")
+    val graded = su.join(act, "user_id").join(fp, Seq("user_id"), "left")
       .select($"user_id", $"n_events",
         when($"p".isNotNull && $"p" - $"s" < dayUs, 1L).otherwise(0L)
           .as("conv"))
-      .withColumn("w",
-        (ntile(3).over(Window.orderBy($"n_events", $"user_id")) - 1)
-          .cast("long"))
+    val users = Ranks.withGlobalRank(graded, $"n_events", $"user_id",
+        "__gr", nName = "__gn")
+      .withColumn("w", Ranks.ntileExpr(3, "__gr", "__gn") - 1)
     val lv = users.groupBy($"w")
       .agg(count(lit(1)).as("nw"), sum($"conv").as("aw"))
     lv.agg(sum($"nw").as("n"), sum($"aw").as("a"),
@@ -4629,16 +4630,20 @@ object EventOps {
   /** Qini uplift curve — does targeting by engagement actually buy
     * incremental conversions, the uplift question q218's lift curve
     * (response only) can't answer because it ignores the control
-    * arm: users ranked by activity (ntile(10) over (n_events DESC,
-    * user_id)), per decile both arms' 24 h conversions, incremental
+    * arm: users ranked by activity (exact ntile(10) under the
+    * (n_events DESC, user_id) total order via
+    * [[Ranks.withGlobalRank]]), per decile both arms' 24 h
+    * conversions, incremental
     * uplift in ppm, and the cumulative Qini
     * Q(k) = CumConvT − CumConvC·CumNT/CumNC in milli-conversions.
     * A genuinely predictive targeting score front-loads Q; a flat
     * random-ish score walks to the overall effect. NULL (not a
     * crash) where a decile or prefix lacks control users.
     *
-    * Scale shape: one pass to user grain; one global ntile window
-    * (q199's budget); decile-grain cumulative windows end it. */
+    * Scale shape: one pass to user grain; the decile cut is the
+    * hierarchical rank, and the Qini prefix sums ride a broadcast
+    * triangular join over the 10-row decile frame — no
+    * single-partition WindowExec anywhere in the plan. */
   def q295QiniCurve(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -4651,25 +4656,30 @@ object EventOps {
       .select($"user_id", unix_micros($"ts").as("p"))
       .join(su, "user_id").where($"p" >= $"s")
       .groupBy($"user_id").agg(min($"p").as("p"))
-    val users = su.join(act, "user_id").join(fp, Seq("user_id"), "left")
+    val graded = su.join(act, "user_id").join(fp, Seq("user_id"), "left")
       .select($"user_id", ($"user_id" % 2).as("arm"), $"n_events",
         when($"p".isNotNull && $"p" - $"s" < dayUs, 1L).otherwise(0L)
           .as("conv"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy($"n_events".desc, $"user_id"))
-          .cast("long"))
+    // n_events DESC = negated-key ASC under the hierarchical rank
+    val users = Ranks.withGlobalRank(graded, -$"n_events", $"user_id",
+        "__gr", nName = "__gn")
+      .withColumn("decile", Ranks.ntileExpr(10, "__gr", "__gn"))
     val cells = users.groupBy($"decile")
       .agg(sum(when($"arm" === 1, 1L).otherwise(0L)).as("nt"),
         sum(when($"arm" === 0, 1L).otherwise(0L)).as("nc"),
         sum(when($"arm" === 1, $"conv").otherwise(0L)).as("ct"),
         sum(when($"arm" === 0, $"conv").otherwise(0L)).as("cc"))
-    val wCum = Window.orderBy($"decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cells
-      .withColumn("cnt", sum($"nt").over(wCum))
-      .withColumn("cnc", sum($"nc").over(wCum))
-      .withColumn("cct", sum($"ct").over(wCum))
-      .withColumn("ccc", sum($"cc").over(wCum))
+    // cumulative prefix over the 10-row decile frame via a broadcast
+    // triangular self-join (Ranks' offsets tier) — trivially small,
+    // but keeps this plan free of single-partition WindowExec
+    val prior = cells.select($"decile".as("d2"), $"nt".as("nt2"),
+      $"nc".as("nc2"), $"ct".as("ct2"), $"cc".as("cc2"))
+    cells.join(broadcast(prior), $"d2" <= $"decile")
+      .groupBy($"decile")
+      .agg(max($"nt").as("nt"), max($"nc").as("nc"),
+        max($"ct").as("ct"), max($"cc").as("cc"),
+        sum($"nt2").as("cnt"), sum($"nc2").as("cnc"),
+        sum($"ct2").as("cct"), sum($"cc2").as("ccc"))
       .select($"decile", $"nt".as("n_treat"), $"nc".as("n_ctrl"),
         $"ct".as("conv_treat"), $"cc".as("conv_ctrl"),
         expr("""CASE WHEN nt = 0 OR nc = 0 THEN NULL

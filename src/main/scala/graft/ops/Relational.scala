@@ -1428,11 +1428,12 @@ object Relational {
     *
     * Quintiles use the same integer first-member rank formula as
     * q218 (`5 − 5·(rn−1) div n`, rn ordered best-first with custkey
-    * tiebreak so both engines rank identically); all three rank
-    * windows run over the CUSTOMER-grain aggregate — dimension-
-    * bounded input (one row per purchaser, the fact stream reduced
-    * by one map-side-combining shuffle first), the established
-    * justification for unpartitioned windows (q215). Segment rules
+    * tiebreak so both engines rank identically); the three global
+    * ranks are [[Ranks.withGlobalRank]] hierarchical ranks over the
+    * CUSTOMER-grain aggregate (the fact stream reduces by one
+    * map-side-combining shuffle first) — customer grain is still
+    * population grain at 100 TB, so none of the three may plan a
+    * single-partition sort. Segment rules
     * are a first-match CASE mirrored verbatim in the oracle; spend
     * stays in exact integer cents. */
   def q219RfmSegments(s: SparkSession, dir: String): DataFrame = {
@@ -1448,15 +1449,16 @@ object Relational {
       .crossJoin(broadcast(asOf))
       .select($"o_custkey", datediff($"as_of", $"last_day").cast("long")
         .as("rec_days"), $"freq", $"cents")
-    val n = Window.partitionBy()
-    val ranked = cust
-      .withColumn("n", count(lit(1)).over(n))
-      .withColumn("rr", row_number().over(
-        Window.orderBy($"rec_days".asc, $"o_custkey".asc)).cast("long"))
-      .withColumn("rf", row_number().over(
-        Window.orderBy($"freq".desc, $"o_custkey".asc)).cast("long"))
-      .withColumn("rm", row_number().over(
-        Window.orderBy($"cents".desc, $"o_custkey".asc)).cast("long"))
+    // three hierarchical global ranks (desc = negated key), chained;
+    // the total count rides out of the first — no single-partition
+    // WindowExec anywhere, where the bare row_number/count-over-()
+    // formulation planned four
+    val ranked = Ranks.withGlobalRank(
+      Ranks.withGlobalRank(
+        Ranks.withGlobalRank(cust, $"rec_days", $"o_custkey", "rr",
+          nName = "n"),
+        -$"freq", $"o_custkey", "rf"),
+      -$"cents", $"o_custkey", "rm")
       .withColumn("r_score", expr("CAST(5 - (5 * (rr - 1)) div n AS BIGINT)"))
       .withColumn("f_score", expr("CAST(5 - (5 * (rf - 1)) div n AS BIGINT)"))
       .withColumn("m_score", expr("CAST(5 - (5 * (rm - 1)) div n AS BIGINT)"))

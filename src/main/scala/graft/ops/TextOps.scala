@@ -2193,19 +2193,20 @@ object TextOps {
     * observed positive rate in ppm. A monotone rate curve means the
     * score orders risk correctly even where it is miscalibrated;
     * flat segments tell a gating pipeline which score range is
-    * uninformative. Integer counts/ppm; decile cut = ntile over
-    * (score, doc_id) — the q167 hash-stable-tertile device at a
-    * finer grain. */
+    * uninformative. Integer counts/ppm; decile cut = the exact
+    * ntile(10) under the (score, doc_id) total order, computed via
+    * [[Ranks.withGlobalRank]] — the hierarchical rank, so the
+    * population-grain sort never funnels through one task (the
+    * single-partition WindowExec a bare ntile window would plan). */
   def q199CalibrationBins(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    q125LmScore(s, dir)
+    val scored = q125LmScore(s, dir)
       .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
       .select($"doc_id", $"avg_nll_micro",
         when($"lang" =!= "en", 1L).otherwise(0L).as("pos"))
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy($"avg_nll_micro", $"doc_id"))
-          .cast("long"))
+    Ranks.withGlobalRank(scored, $"avg_nll_micro", $"doc_id", "__gr",
+      nName = "__gn")
+      .withColumn("decile", Ranks.ntileExpr(10, "__gr", "__gn"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
         min($"avg_nll_micro").as("score_lo"),
@@ -2248,7 +2249,8 @@ object TextOps {
     * Scale shape: AP is a rank-walk over the EVAL frame — inherently
     * a total order over what it scores. An eval set is bounded by
     * construction; a corpus-sized input samples first (q49's trick),
-    * exactly like q270's cap convention. One window pass, one agg. */
+    * exactly like q270's cap convention. One hierarchical-rank pass
+    * ([[Ranks.withGlobalRank]]), one agg. */
   def q304AveragePrecision(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     averagePrecisionOf(q125LmScore(s, dir)
@@ -2263,13 +2265,12 @@ object TextOps {
   private[ops] def averagePrecisionOf(scored: DataFrame): DataFrame = {
     val s = scored.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy($"score".desc, $"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
-      .withColumn("rn", row_number().over(
-        Window.orderBy($"score".desc, $"doc_id")))
-      .withColumn("cum_pos", sum($"label").over(w))
+    // rank + running positives via the hierarchical device (score
+    // DESC = negated-key ASC), never a single-partition window: the
+    // eval frame is bounded by construction, but the rank walk should
+    // not be the one operator that stops scaling if it isn't.
+    Ranks.withGlobalRank(scored, -$"score", $"doc_id", "rn",
+        sums = Seq(($"label", "cum_pos")))
       .agg(count(lit(1)).as("n"), sum($"label").as("n_pos"),
         sum(when($"label" === 1L,
           expr("(1000000 * cum_pos) div rn")).otherwise(0L)).as("term_sum"),

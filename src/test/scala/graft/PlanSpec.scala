@@ -676,6 +676,26 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Join"), p.take(800))
   }
 
+  test("q199/q284/q295/q304/q219: population-grain ranks plan NO single-partition window") {
+    // the hierarchical-rank device (Ranks.withGlobalRank) must leave
+    // zero WindowExec nodes with an empty partitionSpec — an empty
+    // spec means AllTuples distribution, i.e. the whole population
+    // sorts in ONE task (Spark's "No Partition Defined" warning)
+    def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }.size
+    for ((name, df) <- Seq(
+      ("q199", TextOps.q199CalibrationBins(spark, sf0001)),
+      ("q284", EventOps.q284TrendTest(spark, sf0001)),
+      ("q295", EventOps.q295QiniCurve(spark, sf0001)),
+      ("q304", TextOps.q304AveragePrecision(spark, sf0001)),
+      ("q219", Relational.q219RfmSegments(spark, sf0001))))
+      assert(unpartitionedWindows(df) == 0,
+        s"$name plans a single-partition WindowExec")
+  }
+
   test("q323-q325: grain-reducing stats scan only their columns, no joins") {
     for ((name, df, allowed) <- Seq(
       ("q323", TextOps.q323TemperatureMix(spark, sf0001),
