@@ -194,10 +194,17 @@ object LinkOps {
     * reproducible even against itself.
     *
     * Per round: one join of the direction-doubled edge list against
-    * the node-sized label table (label side broadcasts), one
-    * (node, label) count, one per-node argmax window — partitioned
-    * by node, so no global sort. The edge list is localCheckpoint'd
-    * once and reused every round; labels are node-cardinality. At
+    * the node-sized label table, one (node, label) count, one
+    * per-node argmax window — partitioned by node, so no global
+    * sort. The label join is deliberately UNHINTED: labels are
+    * node-cardinality, so Catalyst's autoBroadcastJoinThreshold is
+    * the size gate — below it (small graphs, and every local test)
+    * the label map broadcasts; above it (100-TB node cardinality,
+    * where a forced broadcast would blow the driver) the planner
+    * falls back to a shuffle join keyed on v, labels co-partitioned
+    * with edges — q159's BFS-frontier posture. PlanSpec pins the
+    * fallback by planning with the threshold forced to −1. The edge
+    * list is localCheckpoint'd once and reused every round. At
     * 100 TB the edge join shuffles on dst each round — the same
     * per-round cost profile as q122's PageRank, rounds fixed by
     * parameter, not data. The oracle unrolls the identical rounds as
@@ -218,29 +225,38 @@ object LinkOps {
   private[ops] def lpaOf(edgesIn: DataFrame): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val edges = edgesIn.select($"u", $"v")
       .unionAll(edgesIn.select($"v".as("u"), $"u".as("v")))
       .localCheckpoint(true)
     var labels = edges.select($"u".as("node")).distinct()
       .select($"node", $"node".as("label"))
       .localCheckpoint(true)
-    val wNode = Window.partitionBy($"u")
-      .orderBy($"cnt".desc, $"label".asc)
     (1 to lpaRounds).foreach { _ =>
       val prev = labels
-      labels = edges
-        .join(broadcast(labels.withColumnRenamed("node", "v")), "v")
-        .groupBy($"u", $"label").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(wNode))
-        .where($"rn" === 1)
-        .select($"u".as("node"), $"label")
-        .localCheckpoint(true)
+      labels = lpaRound(edges, labels).localCheckpoint(true)
       prev.unpersist(blocking = false)
     }
     val out = labels.withColumnRenamed("label", "community")
     labels.unpersist(blocking = false)
     out
+  }
+
+  /** One synchronous LPA round on (u, v) edges × (node, label) —
+    * separated from [[lpaOf]]'s checkpoint loop so PlanSpec can pin
+    * the round's physical join strategy (threshold-gated broadcast,
+    * shuffle fallback) directly. */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wNode = Window.partitionBy($"u")
+      .orderBy($"cnt".desc, $"label".asc)
+    edges
+      .join(labels.withColumnRenamed("node", "v"), "v")
+      .groupBy($"u", $"label").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wNode))
+      .where($"rn" === 1)
+      .select($"u".as("node"), $"label")
   }
 
   /** The unrolled synchronous-LPA CTE stages (q122's device), shared
@@ -894,9 +910,13 @@ object LinkOps {
     *
     * Scale shape: re-runs q143's LPA (independent harness entries by
     * design, q301's precedent) on the checkpointed edge frame; then
-    * degrees (one explode + agg), intra-edge counts (two node-sized
-    * broadcast label joins), and a community-grain report — nothing
-    * after LPA touches more than edge ids. */
+    * degrees (one explode + agg), intra-edge counts (two label
+    * joins), and a community-grain report — nothing after LPA
+    * touches more than edge ids. The label joins are UNHINTED like
+    * lpaOf's: node-cardinality sides broadcast only below
+    * autoBroadcastJoinThreshold and shuffle co-partitioned above it
+    * (the 100-TB posture, pinned by PlanSpec with the threshold
+    * forced to −1). */
   def q320Modularity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     modularityOf(coEdges(
@@ -920,15 +940,15 @@ object LinkOps {
     val deg = edges.select(explode(array($"u", $"v")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("d"))
     val dsum = deg
-      .join(broadcast(labels), "node")
+      .join(labels, "node")
       .groupBy($"c").agg(count(lit(1)).as("n_nodes"),
         sum($"d").as("d_sum"))
     val intra = edges
-      .join(broadcast(labels.select($"node".as("u"), $"c".as("cu"))), "u")
-      .join(broadcast(labels.select($"node".as("v"), $"c".as("cv"))), "v")
+      .join(labels.select($"node".as("u"), $"c".as("cu")), "u")
+      .join(labels.select($"node".as("v"), $"c".as("cv")), "v")
       .where($"cu" === $"cv")
       .groupBy($"cu".as("c")).agg(count(lit(1)).as("e_intra"))
-    dsum.join(broadcast(intra), Seq("c"), "left")
+    dsum.join(intra, Seq("c"), "left")
       .na.fill(0L, Seq("e_intra"))
       .crossJoin(broadcast(m))
       .select($"c".as("community"), $"n_nodes", $"d_sum", $"e_intra",

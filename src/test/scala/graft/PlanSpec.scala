@@ -651,17 +651,50 @@ class PlanSpec extends SparkSuite {
       assert("HashAggregate".r.findAllIn(p).length >= 2,
         s"$name grain agg must combine map-side")
     }
-    // graph readouts: node-sized label/degree frames broadcast into
-    // the edge frame — communities and coefficients never sort-merge
+    // graph readouts: below autoBroadcastJoinThreshold the node-sized
+    // label/degree frames broadcast into the edge frame (the
+    // small-graph plan; the 100-TB shuffle fallback is pinned in the
+    // dedicated LPA-posture test below)
     val p320 = plan(LinkOps.q320Modularity(spark, sf0001))
-    assert(p320.contains("BroadcastHashJoin") && !p320.contains("SortMergeJoin"),
-      p320.take(400))
+    assert(p320.contains("BroadcastHashJoin"), p320.take(400))
     // q321's deg⟕tri join is node-grain × node-grain — a shuffle
     // join IS the honest 100-TB shape there (neither side fits an
     // executor), so the pin is no-cartesian, not no-exchange
     val p321 = plan(LinkOps.q321ClusteringCoeff(spark, sf0001))
     assert(!p321.contains("CartesianProduct")
       && !p321.contains("BroadcastNestedLoopJoin"), p321.take(400))
+  }
+
+  test("q143/q320 LPA labels: broadcast is threshold-GATED, never a hard hint") {
+    // with the auto-broadcast threshold disabled (the stand-in for
+    // 100-TB node cardinality, where the label map cannot fit an
+    // executor), the label joins must fall back to a co-partitioned
+    // shuffle join — a hard broadcast() hint would keep broadcasting
+    // and blow the driver at scale
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // one LPA round, inspected directly (lpaOf materializes each
+      // round via localCheckpoint, so the returned frame's plan is a
+      // checkpoint scan — the join lives in the round plan)
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+      val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "label")
+      for ((name, df) <- Seq(
+        ("lpaRound", LinkOps.lpaRound(edges, labels)),
+        ("q320", LinkOps.q320Modularity(spark, sf0001)))) {
+        val p = plan(df)
+        // (q320's 1-row scalar m keeps its explicit broadcast cross
+        // join — a hinted BNLJ is fine at any scale for one row; the
+        // label joins are equi-joins and would surface as
+        // BroadcastHashJoin if still hinted)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$name still broadcasts with the threshold off: " + p.take(400))
+        assert(!p.contains("CartesianProduct"), s"$name: " + p.take(400))
+        assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+          s"$name label join must shuffle co-partitioned: " + p.take(400))
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q322 PQ encode: pure literal-codebook projection, zero Exchange") {
