@@ -29,5 +29,6 @@ object SparkEntry {
     Relational.oracles ++ Scalars.oracles ++ Streaming.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       MultimodalOps.oracles ++ ExtOps.oracles ++ EventOps.oracles ++
-      LinkOps.oracles ++ SketchOps.oracles ++ PrivacyOps.oracles
+      LinkOps.oracles ++ SketchOps.oracles ++ PrivacyOps.oracles ++
+      graft.etl.EtlDemo.oracles
 }

@@ -42,8 +42,21 @@ object EtlDemo {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_etl_posts" -> (q80EtlPosts _))
 
-  /** No oracle — fixture data is synthesized outside the sfDir tables;
-    * the driver records a rows-only check and the ScalaTest e2e spec
-    * asserts exact contents. */
-  val oracles: Map[String, String] = Map.empty
+  /** Generative oracle: the fixture is deterministic by construction
+    * (formulaic 100-post array + the fixed single-object edge case),
+    * so DuckDB can REGENERATE the expected table from pure SQL — no
+    * sfDir table involved. processedAt is wall-clock and compares as
+    * the `stamped` nullness bit, which the load path guarantees TRUE
+    * for every row (T0); exact values are spec-asserted in EtlSpec. */
+  val oracles: Map[String, String] = Map(
+    "q80_etl_posts" ->
+      """SELECT (i - 1) // 10 + 1 AS userId, CAST(i AS BIGINT) AS id,
+        |  'title ' || CAST(i AS VARCHAR) AS title,
+        |  'body text ' || CAST(i AS VARCHAR) AS body,
+        |  TRUE AS stamped
+        |FROM range(1, 101) t(i)
+        |UNION ALL
+        |SELECT CAST(99 AS BIGINT), CAST(1000 AS BIGINT), 'solo',
+        |  'single object, one row', TRUE
+        |ORDER BY id""".stripMargin)
 }
