@@ -49,7 +49,16 @@ object Bench {
       .mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line: the driver's BENCH_r{N}.json keeps only
+    // the log tail, which truncates the per-query map at 328 queries —
+    // the file makes every timing auditable round over round.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
   }
 }
