@@ -5001,7 +5001,10 @@ object EventOps {
           |END""".stripMargin).as("h_milli"))
       .withColumn("crit_milli",
         expr(s"CASE k - 1 $critCase ELSE -1L END"))
-      .withColumn("significant", $"h_milli" > $"crit_milli")
+      // an out-of-table dof (crit_milli = -1) must NOT read as
+      // significant: any non-negative h would beat the -1 sentinel
+      .withColumn("significant",
+        $"crit_milli" >= 0L && $"h_milli" > $"crit_milli")
   }
 
   private val q303Oracle = {
@@ -5042,7 +5045,7 @@ object EventOps {
        |      // (1000 - (1000 * tie_term) // (n * n * n - n)))
        |  END AS BIGINT) AS h_milli,
        |  CAST(CASE k - 1 $critCase ELSE -1 END AS BIGINT) AS crit_milli,
-       |  CASE
+       |  CASE k - 1 $critCase ELSE -1 END >= 0 AND CASE
        |    WHEN n < 2 OR k < 2 THEN -1
        |    WHEN 1000 - (1000 * tie_term) // (n * n * n - n) <= 0 THEN -1
        |    ELSE greatest(0,
@@ -5156,8 +5159,16 @@ object EventOps {
     * value-grain agg joined back (q274's device); ONE ordered
     * cumulative window over the day spine (calendar-bounded, the
     * accepted single-partition spine of q260/q294); one argmax pick
-    * ends it. K ≤ N²/2 caps N at ~10⁶ days before 6K²·10⁶ risks
-    * BIGINT — re-grid to weeks first (q193's convention). */
+    * ends it. BIGINT safety: K ≤ N²/4 under a maximal level shift,
+    * so the exponent divides K² by N FIRST (the q270
+    * denominator-first split, mirrored in the oracle) — then
+    * 6·10⁶·(K² div N) ≤ 6·10⁶·N³/16 stays in BIGINT to
+    * N ≲ 2.8×10⁴ days (~77 years daily); the naive 6·10⁶·K² form
+    * would overflow at N ≈ 2.2×10³ days (~6 years) under a strong
+    * shift. The split's extra floor costs at most
+    * 6·10⁶/(N²+N) micro-nats (≤ 6.5 milli-nats at N = 30) — both
+    * engines floor identically. Beyond ~2.8×10⁴ days, re-grid to
+    * weeks first (q193's convention). */
   def q314PettittChangepoint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dayUs = 86400L * 1000000L
@@ -5190,7 +5201,7 @@ object EventOps {
       .where($"rk" === 1)
       .select($"nn".as("n_days"), abs($"u").as("k_stat"),
         $"day".as("cp_day"), $"u".as("u_at_cp"),
-        expr("(6000000 * u * u) div (nn * nn * nn + nn * nn)")
+        expr("(6000000 * ((u * u) div nn)) div (nn * nn + nn)")
           .as("exp_micro"))
       .withColumn("significant", $"exp_micro" > pettittCritMicro)
   }
@@ -5221,8 +5232,8 @@ object EventOps {
        |    row_number() OVER (ORDER BY abs(uu) DESC, day ASC) AS rk
        |  FROM u WHERE t < nn)
        |SELECT nn AS n_days, abs(uu) AS k_stat, day AS cp_day, uu AS u_at_cp,
-       |  (6000000 * uu * uu) // (nn * nn * nn + nn * nn) AS exp_micro,
-       |  (6000000 * uu * uu) // (nn * nn * nn + nn * nn) > $pettittCritMicro
+       |  (6000000 * ((uu * uu) // nn)) // (nn * nn + nn) AS exp_micro,
+       |  (6000000 * ((uu * uu) // nn)) // (nn * nn + nn) > $pettittCritMicro
        |    AS significant
        |FROM pick WHERE rk = 1""".stripMargin
 
@@ -5512,9 +5523,11 @@ object EventOps {
     * direction = sign(2J − E[2J]): +1 rising, −1 falling.
     *
     * Scale shape: one pass to order grain, one to value grain; the
-    * value spine carries 5 running counters; N³ keeps BIGINT to
-    * ~2×10⁶ orders — a bigger corpus samples first (q49, q270's
-    * posture). */
+    * value spine carries 5 running counters. BIGINT safety: the
+    * squared numerator is never formed (see the split at the χ²
+    * projection) — the binding term is 1000·(2J−E)² div N ≈ 160·N³,
+    * safe to N ≈ 3.8×10⁵ orders; a bigger corpus samples first
+    * (q49, q270's posture). */
   def q324JonckheereTrend(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     jonckheereOf(Tables.orders(s, dir).select(
@@ -5555,17 +5568,23 @@ object EventOps {
       expr(s"CAST(($n3Terms) AS BIGINT)").as("sum_n3"),
       expr(s"CAST(sum($j2Term) AS BIGINT)").as("j2"),
       expr(s"CAST(sum($tieTerm) AS BIGINT)").as("tie_pairs"))
-      .select($"n", $"j2", $"tie_pairs",
-        expr("(n * n - sum_n2) div 2").as("e_j2"),
+      // (2J−E)² itself overflows BIGINT at N ≈ 9×10⁴ (|2J−E| reaches
+      // ~0.4·N² under a strong ordered trend), so the square is never
+      // formed: with a = |2J−E| = q·n + r, a² div n = q·a + (r·a) div n
+      // EXACTLY, and every intermediate stays ≤ ~0.4·N³ — safe to
+      // N ≈ 3.8×10⁵ orders (the 1000× milli scaling binds first).
+      // Mirrored in the oracle; a bigger corpus samples first (q49).
+      .withColumn("e_j2", expr("(n * n - sum_n2) div 2"))
+      .withColumn("a", abs($"j2" - $"e_j2"))
+      .withColumn("vn", expr(
+        "CASE WHEN n < 2 THEN 0 " +
+          "ELSE ((n * n * (2 * n + 3) - sum_n3) div 18) div n END"))
+      .select($"n", $"j2", $"tie_pairs", $"e_j2",
         expr("""CASE
-          |  WHEN n < 2 THEN -1
-          |  WHEN ((n * n * (2 * n + 3) - sum_n3) div 18) div n = 0 THEN -1
-          |  ELSE (1000 * (((j2 - (n * n - sum_n2) div 2)
-          |                 * (j2 - (n * n - sum_n2) div 2)) div n))
-          |       div (((n * n * (2 * n + 3) - sum_n3) div 18) div n)
+          |  WHEN n < 2 OR vn = 0 THEN -1
+          |  ELSE (1000 * ((a div n) * a + ((a % n) * a) div n)) div vn
           |END""".stripMargin).as("chi2_milli"),
-        signum($"j2" - expr("(n * n - sum_n2) div 2")).cast("long")
-          .as("direction"))
+        signum($"j2" - $"e_j2").cast("long").as("direction"))
       .withColumn("significant",
         $"chi2_milli" > TextOps.chi2CritMilli.toMap.apply(1))
   }
@@ -5599,25 +5618,25 @@ object EventOps {
        |    CAST($n3Terms AS BIGINT) AS sum_n3,
        |    CAST(sum($j2Term) AS BIGINT) AS j2,
        |    CAST(sum($tieTerm) AS BIGINT) AS tie_pairs
-       |  FROM run)
-       |SELECT n, j2, tie_pairs,
-       |  (n * n - sum_n2) // 2 AS e_j2,
+       |  FROM run),
+       |agg2 AS (
+       |  SELECT n, j2, tie_pairs,
+       |    (n * n - sum_n2) // 2 AS e_j2,
+       |    abs(j2 - (n * n - sum_n2) // 2) AS a,
+       |    CASE WHEN n < 2 THEN 0
+       |      ELSE ((n * n * (2 * n + 3) - sum_n3) // 18) // n END AS vn
+       |  FROM agg)
+       |SELECT n, j2, tie_pairs, e_j2,
        |  CASE
-       |    WHEN n < 2 THEN -1
-       |    WHEN ((n * n * (2 * n + 3) - sum_n3) // 18) // n = 0 THEN -1
-       |    ELSE (1000 * (((j2 - (n * n - sum_n2) // 2)
-       |                   * (j2 - (n * n - sum_n2) // 2)) // n))
-       |         // (((n * n * (2 * n + 3) - sum_n3) // 18) // n)
+       |    WHEN n < 2 OR vn = 0 THEN -1
+       |    ELSE (1000 * ((a // n) * a + ((a % n) * a) // n)) // vn
        |  END AS chi2_milli,
-       |  CAST(sign(j2 - (n * n - sum_n2) // 2) AS BIGINT) AS direction,
+       |  CAST(sign(j2 - e_j2) AS BIGINT) AS direction,
        |  CASE
-       |    WHEN n < 2 THEN -1
-       |    WHEN ((n * n * (2 * n + 3) - sum_n3) // 18) // n = 0 THEN -1
-       |    ELSE (1000 * (((j2 - (n * n - sum_n2) // 2)
-       |                   * (j2 - (n * n - sum_n2) // 2)) // n))
-       |         // (((n * n * (2 * n + 3) - sum_n3) // 18) // n)
+       |    WHEN n < 2 OR vn = 0 THEN -1
+       |    ELSE (1000 * ((a // n) * a + ((a % n) * a) // n)) // vn
        |  END > $crit AS significant
-       |FROM agg""".stripMargin
+       |FROM agg2""".stripMargin
   }
 
   // ---------------------------------------------------------------- q325
@@ -5792,7 +5811,12 @@ object EventOps {
           |    - 3000 * n * (k + 1))
           |END""".stripMargin).as("chi2_milli"))
       .withColumn("crit_milli", expr(critCase))
-      .withColumn("significant", $"chi2_milli" > $"crit_milli")
+      // same guard as q303: crit_milli = -1 (dof outside the 1–24
+      // table) must force significant = false, not "any chi2 wins" —
+      // the shipped q327 is always k = 5/dof = 4, but this private
+      // helper accepts arbitrary k
+      .withColumn("significant",
+        $"crit_milli" >= 0L && $"chi2_milli" > $"crit_milli")
   }
 
   private val q327Oracle = {
@@ -5836,7 +5860,7 @@ object EventOps {
        |      - 3000 * n * (k + 1))
        |  END AS chi2_milli,
        |  CAST($critCase AS BIGINT) AS crit_milli,
-       |  CASE WHEN n < 2 OR k < 2 THEN -1
+       |  $critCase >= 0 AND CASE WHEN n < 2 OR k < 2 THEN -1
        |    ELSE greatest(0,
        |      (3000 * sum_rj2_sq) // (n * k * (k + 1))
        |      - 3000 * n * (k + 1))

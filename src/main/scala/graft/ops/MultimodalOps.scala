@@ -202,7 +202,11 @@ object MultimodalOps {
     * including a FINAL SHORT chunk so the tail of the recording is
     * never silently dropped (no padding: the consumer sees the true
     * chunk length and pads model-side if it wants; a padded variant
-    * is one rpad away and would bake a pad byte into the hash).
+    * is one rpad away and would bake a pad byte into the hash). The
+    * same contract covers payloads SHORTER than one window: they
+    * emit a single short chunk (chunk_idx 0, n_bytes = payload
+    * length) rather than vanishing — the only rows excluded are
+    * zero-length fragments whose start falls outside the payload.
     * Output is (media_id, chunk_idx, start_byte, n_bytes,
     * chunk_hash) — the manifest a downstream embedding stage maps
     * over, md5-hashed so the stub stays byte-for-byte
@@ -216,7 +220,6 @@ object MultimodalOps {
     media(s, dir).toDF()
       .where($"media_type" === "audio")
       .select($"media_id", $"payload".cast("string").as("content"))
-      .where(length($"content") >= chunkLen)
       .select($"media_id", $"content",
         posexplode(transform(
           sequence(lit(0), ((length($"content") - 1) / chunkHop).cast("int")),
@@ -234,7 +237,7 @@ object MultimodalOps {
   private val q315Oracle =
     s"""WITH a AS (
        |  SELECT doc_id AS media_id, text AS content FROM documents
-       |  WHERE doc_id % 3 = 1 AND length(text) >= $chunkLen),
+       |  WHERE doc_id % 3 = 1),
        |c AS (
        |  SELECT media_id, content,
        |    unnest(range(0, (length(content) - 1) // $chunkHop + 1)) AS i

@@ -1413,8 +1413,10 @@ object SimilarityOps {
     * 0 when no hit lands in the top-10, and the −1 sentinel when
     * the query has NO label twin in the corpus (an undefined metric
     * reported as undefined, not as a zero that drags the mean —
-    * q305's posture). hit@k are 0/1 so the corpus mean of each
-    * column IS the hit rate.
+    * q305's posture). The sentinel is CONSISTENT across columns:
+    * twinless queries report −1 for hit@k too, so the mean of each
+    * hit column over rows with n_twins > 0 IS the hit rate — no
+    * column silently counts undefined queries as misses.
     *
     * Scale shape: inherits q70's (queries broadcast, corpus never
     * exchanged); label counts are a label-grain agg broadcast back;
@@ -1451,7 +1453,9 @@ object SimilarityOps {
           |  WHEN fr_raw IS NULL THEN 0
           |  ELSE 1000000 div CAST(fr_raw AS BIGINT) END""".stripMargin)
           .as("rr_ppm"),
-        $"hit_1", $"hit_5", $"hit_10")
+        expr("CASE WHEN c - 1 = 0 THEN -1 ELSE hit_1 END").as("hit_1"),
+        expr("CASE WHEN c - 1 = 0 THEN -1 ELSE hit_5 END").as("hit_5"),
+        expr("CASE WHEN c - 1 = 0 THEN -1 ELSE hit_10 END").as("hit_10"))
       .orderBy($"query_id")
   }
 
@@ -1477,7 +1481,9 @@ object SimilarityOps {
        |  CAST(CASE WHEN c.c - 1 = 0 THEN -1
        |    WHEN fr_raw IS NULL THEN 0
        |    ELSE 1000000 // CAST(fr_raw AS BIGINT) END AS BIGINT) AS rr_ppm,
-       |  hit_1, hit_5, hit_10
+       |  CASE WHEN c.c - 1 = 0 THEN -1 ELSE hit_1 END AS hit_1,
+       |  CASE WHEN c.c - 1 = 0 THEN -1 ELSE hit_5 END AS hit_5,
+       |  CASE WHEN c.c - 1 = 0 THEN -1 ELSE hit_10 END AS hit_10
        |FROM per p JOIN cnt c ON p.q_label = c.label
        |ORDER BY p.query_id""".stripMargin
 

@@ -2042,6 +2042,14 @@ class EventOpsSpec extends SparkSuite {
       (1L, 1L, 5L), (1L, 2L, 5L), (1L, 3L, 5L),
       (2L, 1L, 10L), (2L, 2L, 20L), (2L, 3L, 30L))
     assert(run(tied) == ((3L, 2L, 3L, 1000L, 5991L, false)))
+    // dof outside the 1–24 chi2 table: crit_milli = −1 must force
+    // significant = false — a strong effect must NOT read as
+    // significant just because any chi2 beats the −1 sentinel
+    val wide = for (b <- 1L to 3L; j <- 1L to 26L)
+      yield (b, j, b * 1000 + j)
+    val r26 = run(wide)
+    assert(r26._1 == 26L && r26._5 == -1L && r26._4 > 0L && !r26._6,
+      s"out-of-table dof must not be significant: $r26")
   }
 
   test("q327 on the sf fixture: 25 blocks x 5 treatments, dof-4 crit") {

@@ -94,11 +94,17 @@ class MultimodalOpsSpec extends SparkSuite {
     val tmp = java.nio.file.Files.createTempDirectory("mm315").toString
     // doc_id=1 → audio; 100 bytes → starts 0/32/64/96, lengths 48/48/36/4
     val text = (0 until 100).map(i => ('a' + i % 26).toChar).mkString
-    Seq((1L, text, "en", "t", 100L))
+    // doc_id=4 → audio too; 10 bytes < one window → ONE short chunk,
+    // not a silent drop (the contract the docstring promises)
+    Seq((1L, text, "en", "t", 100L), (4L, text.take(10), "en", "t", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val rows = MultimodalOps.q315AudioChunks(spark, tmp).collect()
-      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val all = MultimodalOps.q315AudioChunks(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(all.filter(_._1 == 4L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 10L)), "sub-window payload must emit one short chunk")
+    val rows = all.filter(_._1 == 1L).map(c => (c._2, c._3, c._4, c._5))
     assert(rows.map(c => (c._1, c._2, c._3)).toSeq ==
       Seq((0L, 0L, 48L), (1L, 32L, 48L), (2L, 64L, 36L), (3L, 96L, 4L)))
     // every chunk hashes its exact slice — replay md5 from the source text

@@ -531,10 +531,13 @@ class SimilarityOpsSpec extends SparkSuite {
     val got = SimilarityOps.mrrAt10Of(nn, lab).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // the −1 undefined sentinel is column-consistent: a twinless
+    // query reports −1 for rr AND every hit@k, never a 0 that would
+    // silently count as a miss in the hit-rate mean
     assert(got == Map(
       1L -> ((1L, 3L, 333333L, 0L, 1L, 1L)),
       2L -> ((1L, 0L, 0L, 0L, 0L, 0L)),
-      3L -> ((0L, 0L, -1L, 0L, 0L, 0L)),
+      3L -> ((0L, 0L, -1L, -1L, -1L, -1L)),
     ))
   }
 
@@ -552,10 +555,9 @@ class SimilarityOpsSpec extends SparkSuite {
       val fr = if (hits.isEmpty) 0L else hits.min.toLong
       val twins = counts(ql) - 1L
       val rr = if (twins == 0) -1L else if (fr == 0) 0L else 1000000L / fr
-      (q, twins, fr, rr,
-        if (hits.exists(_ <= 1)) 1L else 0L,
-        if (hits.exists(_ <= 5)) 1L else 0L,
-        if (hits.exists(_ <= 10)) 1L else 0L)
+      def hit(k: Int) =
+        if (twins == 0) -1L else if (hits.exists(_ <= k)) 1L else 0L
+      (q, twins, fr, rr, hit(1), hit(5), hit(10))
     }.sortBy(_._1)
     val sf = SimilarityOps.q312MrrAt10(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
