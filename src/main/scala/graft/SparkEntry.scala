@@ -21,7 +21,7 @@ object SparkEntry {
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       MultimodalOps.queries ++ ExtOps.queries ++ EventOps.queries ++
       LinkOps.queries ++ SketchOps.queries ++ PrivacyOps.queries ++
-      graft.etl.EtlDemo.queries
+      TableOps.queries ++ graft.etl.EtlDemo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       TextOps.oracles ++ DedupOps.oracles ++ SimilarityOps.oracles ++
       MultimodalOps.oracles ++ ExtOps.oracles ++ EventOps.oracles ++
       LinkOps.oracles ++ SketchOps.oracles ++ PrivacyOps.oracles ++
-      graft.etl.EtlDemo.oracles
+      TableOps.oracles ++ graft.etl.EtlDemo.oracles
 }

@@ -1,0 +1,425 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.tablelog.TableLog
+
+/** Transactional-table operators: the q90/q106/q133/q166/q180 table
+  * maintenance family re-landed on a real ACID abstraction
+  * ([[graft.tablelog.TableLog]]) instead of bare directories. The
+  * reference gets atomic append + snapshot reads as a managed-service
+  * property (BigQuery streaming insert, reference
+  * `src/load/main.py:40`; queryable table id
+  * `terraform/outputs.tf:13-15`); a file-based engine must supply
+  * the log itself. Each query builds a deterministic multi-commit
+  * table from `orders` slices in scratch space, so DuckDB can replay
+  * the logical state from pure SQL — the q80 generative-oracle
+  * discipline.
+  *
+  * Demo history (12 range-partitioned files live at v3):
+  * {{{
+  *   v1 create  orders where o_orderkey % 4 = 0      (4 files)
+  *   v2 append  orders where o_orderkey % 4 = 1      (4 files)
+  *   v3 append  orders where o_orderkey % 4 = 2      (4 files)
+  *   v4 delete  o_orderpriority = '1-URGENT'         (copy-on-write)
+  *   v5 compact everything into 2 files              (logical no-op)
+  * }}}
+  * The delete predicate is deliberately UNCORRELATED with the key,
+  * so key stats cannot skip any file and every file is rewritten —
+  * which is what makes v4's row accounting (and so the q333 oracle)
+  * a pure function of the data. Key-correlated deletes exercise the
+  * stats-skip path in TableLogSpec instead, where the layout is
+  * planted.
+  */
+object TableOps {
+
+  private val dataCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_orderpriority", "o_totalprice")
+
+  private def ordersSlice(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(dataCols.map(col): _*)
+
+  /** One demo table per sfDir per JVM — the five queries share the
+    * build (Verify/Bench run them all in one session; the log is
+    * deterministic, so sharing changes nothing but wall time). */
+  private val demoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[ops] def demoTable(s: SparkSession, dir: String): String =
+    demoCache.computeIfAbsent(dir, _ => {
+      val table = Files.createTempDirectory("graft_tlog_").toString
+      val o = ordersSlice(s, dir)
+      TableLog.create(o.where(col("o_orderkey") % 4 === 0), table,
+        "o_orderkey", numFiles = 4)
+      TableLog.append(o.where(col("o_orderkey") % 4 === 1), table, numFiles = 4)
+      TableLog.append(o.where(col("o_orderkey") % 4 === 2), table, numFiles = 4)
+      TableLog.deleteWhere(s, table,
+        col("o_orderpriority") === "1-URGENT", numFiles = 4)
+      TableLog.compact(s, table, numFiles = 2)
+      table
+    })
+
+  /** DECIMAL(12,2)-routed double sum — the repo-wide exact-compare
+    * discipline (q01): partial-aggregation order must not leak into
+    * the emitted bits. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(12,2)")).cast("double")
+
+  // ---------------------------------------------------------------- q330
+  /** Latest-snapshot read of the logged table: per order status, row
+    * count and exact total price over what survived the history
+    * (three slices in, URGENT rows deleted, then compacted — the
+    * compaction must be invisible here). The read is manifest replay
+    * (driver-side, file-grain) + ONE `spark.read.parquet` of the
+    * active files, so the 100-TB cost profile is identical to a bare
+    * directory scan; the log adds atomicity, not read overhead. */
+  def q330TableSnapshot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TableLog.snapshot(s, demoTable(s, dir))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q330Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority <> '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q331
+  /** Time travel: the same aggregate at EVERY version of the table —
+    * (version, n_rows, key_sum). Versions 4 and 5 must agree exactly
+    * (compaction is physical only), and the oracle states each
+    * version as the pure SQL its history implies, so the row proves
+    * snapshot isolation: committed history is immutable under later
+    * rewrites. Each version read replays the manifest and scans only
+    * that version's files — old versions stay readable because
+    * copy-on-write never mutates a data file. */
+  def q331TableTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = demoTable(s, dir)
+    (1L to TableLog.latestVersion(table)).map { v =>
+      TableLog.snapshot(s, table, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("key_sum"))
+        .select(lit(v).as("version"), $"n_rows", $"key_sum")
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+
+  private val q331Oracle =
+    """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderkey % 4 = 0
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+      |UNION ALL
+      |SELECT 4, count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority <> '1-URGENT'
+      |UNION ALL
+      |SELECT 5, count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority <> '1-URGENT'
+      |ORDER BY version""".stripMargin
+
+  // ---------------------------------------------------------------- q332
+  /** Transactional MERGE: q90's upsert semantics landed as ONE atomic
+    * copy-on-write commit — matched keys replaced, fresh keys
+    * inserted, and only the files that actually contain a matched
+    * key are rewritten (change keys broadcast into a single scan of
+    * the active set; at 100 TB a clustered change set touches a
+    * sliver of the table and the rewrite is proportional to it, not
+    * to the table). The readback is the merged table itself, so the
+    * oracle replays base − updated + changes in pure SQL. */
+  def q332TableMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = mergeCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogm_").toString
+      val base = ordersSlice(s, dir).where($"o_orderkey" % 4 === 0)
+      TableLog.create(base, t, "o_orderkey", numFiles = 4)
+      val updates = base.where($"o_orderkey" % 20 === 0)
+        .select($"o_orderkey", $"o_custkey", lit("U").as("o_orderstatus"),
+          $"o_orderpriority", ($"o_totalprice" * 1.1).as("o_totalprice"))
+      val inserts = base.where($"o_orderkey" % 100 === 44)
+        .select((-$"o_orderkey" - 1).as("o_orderkey"), $"o_custkey",
+          lit("N").as("o_orderstatus"), $"o_orderpriority", $"o_totalprice")
+      TableLog.merge(s, t, updates.unionByName(inserts), numFiles = 4)
+      t
+    })
+    TableLog.snapshot(s, table)
+      .select(dataCols.map(col): _*)
+      .orderBy($"o_orderkey")
+  }
+
+  private val q332Oracle =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |    o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 0),
+      |changes AS (
+      |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+      |    o_orderpriority, o_totalprice * 1.1 AS o_totalprice
+      |  FROM base WHERE o_orderkey % 20 = 0
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1, o_custkey, 'N', o_orderpriority, o_totalprice
+      |  FROM base WHERE o_orderkey % 100 = 44)
+      |SELECT * FROM (
+      |  SELECT * FROM base
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+      |  UNION ALL
+      |  SELECT * FROM changes)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q333
+  /** Commit history at logical grain: (version, op, rows_added,
+    * rows_removed, total_rows) straight off the manifests — history
+    * never opens a data file, so it costs O(log), not O(table).
+    * rows_removed at v4 is the WHOLE v3 row count because the
+    * uncorrelated predicate forces a full rewrite (see the object
+    * doc); v5's add = remove = total pins compaction as rewrite-
+    * without-change. File counts are layout-dependent (range-sampled
+    * boundaries) and deliberately left out of the oracle-checked
+    * projection — TableLogSpec asserts them on a planted layout. */
+  def q333TableHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TableLog.history(demoTable(s, dir))
+      .map(h => (h.version, h.op, h.rowsAdded, h.rowsRemoved, h.totalRows))
+      .toDF("version", "op", "rows_added", "rows_removed", "total_rows")
+      .orderBy($"version")
+  }
+
+  private val q333Oracle =
+    """WITH s0 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+      |  WHERE o_orderkey % 4 = 0),
+      |s1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+      |  WHERE o_orderkey % 4 = 1),
+      |s2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+      |  WHERE o_orderkey % 4 = 2),
+      |u AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+      |  WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority = '1-URGENT')
+      |SELECT CAST(1 AS BIGINT) AS version, 'create' AS op,
+      |  s0.c AS rows_added, CAST(0 AS BIGINT) AS rows_removed,
+      |  s0.c AS total_rows FROM s0
+      |UNION ALL
+      |SELECT 2, 'append', s1.c, 0, s0.c + s1.c FROM s0, s1
+      |UNION ALL
+      |SELECT 3, 'append', s2.c, 0, s0.c + s1.c + s2.c FROM s0, s1, s2
+      |UNION ALL
+      |SELECT 4, 'delete', s0.c + s1.c + s2.c - u.c, s0.c + s1.c + s2.c,
+      |  s0.c + s1.c + s2.c - u.c FROM s0, s1, s2, u
+      |UNION ALL
+      |SELECT 5, 'compact', s0.c + s1.c + s2.c - u.c,
+      |  s0.c + s1.c + s2.c - u.c, s0.c + s1.c + s2.c - u.c
+      |FROM s0, s1, s2, u
+      |ORDER BY version""".stripMargin
+
+  // ---------------------------------------------------------------- q334
+  /** Time-traveled key-range read: version 3 (twelve live files, each
+    * commit range-partitioned on the key) through manifest-level file
+    * skipping — [[TableLog.prunedFiles]] drops every file whose
+    * `[min,max]` misses [1000, 5000] BEFORE Spark plans the scan
+    * (~⅓ of files per commit survive for this range), then the
+    * residual predicate prunes row-groups inside the survivors via
+    * ordinary parquet pushdown. Two independent skipping layers; the
+    * oracle only sees the logical result. TableLogSpec pins the
+    * file-count effect on a planted layout. */
+  def q334TablePrunedRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TableLog.snapshotWhereKey(s, demoTable(s, dir), 1000L, 5000L, version = 3L)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q334Oracle =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1, 2)
+      |  AND o_orderkey BETWEEN 1000 AND 5000
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q335
+  private val streamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Land `df` as one flat parquet file the streaming file source can
+    * pick up (the Extract.land shape: stage, then move the part file
+    * into the watched dir under a stable name). */
+  private def landFile(df: DataFrame, landing: String, name: String): Unit = {
+    val scratch = Files.createTempDirectory("graft_land_")
+    df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = {
+      val s = Files.list(scratch)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      } finally s.close()
+    }
+    Files.move(part, java.nio.file.Paths.get(landing, name))
+  }
+
+  /** Exactly-once streaming ingest INTO the transactional log — the
+    * reference's event-driven load (reference `src/load/main.py:23-40`,
+    * at-least-once into BigQuery) upgraded twice over: checkpointed
+    * Structured Streaming dedups within a checkpoint lineage, and the
+    * log's txnAppId/txnVersion ledger ([[TableLog.appendTxn]]) dedups
+    * ACROSS checkpoint loss — each micro-batch commits with its batch
+    * id, and a redelivered id is dropped at the manifest, so the run
+    * here deliberately ingests three times (normal · same checkpoint ·
+    * FRESH checkpoint, which re-delivers every file) and the oracle
+    * proves the table still holds each row exactly once. The
+    * foreachBatch sink appends files only — no table rewrite in the
+    * hot ingest path, which is what keeps 100-TB ingest append-shaped;
+    * compaction (q330's v5) amortizes the small files separately. */
+  def q335TableStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = streamCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogs_").toString
+      val landing = Files.createTempDirectory("graft_tlogl_").toString
+      val slice = ordersSlice(s, dir)
+      landFile(slice.where($"o_orderkey" % 4 === 0), landing, "batch_a.parquet")
+      landFile(slice.where($"o_orderkey" % 4 === 1), landing, "batch_b.parquet")
+      TableLog.create(slice.limit(0), t, "o_orderkey", numFiles = 1)
+      def runOnce(checkpoint: String): Unit = {
+        val q = s.readStream.schema(slice.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            TableLog.appendTxn(batch, t, numFiles = 1,
+              appId = "ingest", txnVersion = id); ()
+          }
+          .option("checkpointLocation", checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce(s"$landing/_cp1")
+      runOnce(s"$landing/_cp1") // same lineage: checkpoint makes it a no-op
+      runOnce(s"$landing/_cp2") // checkpoint LOST: txn ledger drops redelivery
+      t
+    })
+    TableLog.snapshot(s, table)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q335Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q336
+  /** CDC extract straight off the log ([[TableLog.diffVersions]]):
+    * the change stream that replays demo v3 into v5. The manifest
+    * bounds the scan to files NOT shared by the two versions, so a
+    * daily diff costs the rewritten sliver, not the table; here v4
+    * rewrote everything (key-uncorrelated delete), so the diff reads
+    * both version's files and must STILL emit only the genuinely
+    * deleted rows — the compaction between them (v5) moved every
+    * surviving row to a new file, and the null-safe value compare
+    * drops them all. q106 computes the same semantics from two
+    * materialized snapshots; this reads one table's history. */
+  def q336TableCdcDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TableLog.diffVersions(s, demoTable(s, dir), vFrom = 3L, vTo = 5L)
+      .select($"o_orderkey", $"action",
+        $"old_o_orderstatus", $"old_o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q336Oracle =
+    """SELECT o_orderkey, 'delete' AS action,
+      |  o_orderstatus AS old_o_orderstatus,
+      |  o_totalprice AS old_o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority = '1-URGENT'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q337
+  private val evolveCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Additive schema evolution as a log commit
+    * ([[TableLog.appendEvolve]]): the table starts 3 columns wide,
+    * a later append arrives with a 4th (o_totalprice), the manifest
+    * records the widened DDL, and the snapshot read null-fills the
+    * pre-evolution files through the explicit-schema parquet scan —
+    * no rewrite of old data (q166 merges schemas at SCAN time across
+    * layout generations; this makes the evolution a first-class,
+    * atomically-committed table property). Readback aggregates by
+    * status × presence of the new column, so the oracle pins both
+    * the null-fill and the new values. */
+  def q337TableSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = evolveCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tloge_").toString
+      val o = Tables.orders(s, dir)
+      TableLog.create(
+        o.where($"o_orderkey" % 4 === 0)
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus"),
+        t, "o_orderkey", numFiles = 2)
+      TableLog.appendEvolve(
+        o.where($"o_orderkey" % 4 === 1)
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+            $"o_totalprice"),
+        t, numFiles = 2)
+      t
+    })
+    TableLog.snapshot(s, table)
+      .groupBy($"o_orderstatus", $"o_totalprice".isNull.as("pre_evolution"))
+      .agg(count(lit(1)).as("n_orders"),
+        coalesce(dsum($"o_totalprice"), lit(0.0)).as("sum_price"))
+      .orderBy($"o_orderstatus", $"pre_evolution")
+  }
+
+  private val q337Oracle =
+    """WITH rows_ AS (
+      |  SELECT o_orderstatus, TRUE AS pre_evolution,
+      |    CAST(NULL AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      |  UNION ALL
+      |  SELECT o_orderstatus, FALSE, o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 1)
+      |SELECT o_orderstatus, pre_evolution,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0)
+      |    AS sum_price
+      |FROM rows_ GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q330_table_snapshot"    -> (q330TableSnapshot _),
+    "q331_table_time_travel" -> (q331TableTimeTravel _),
+    "q332_table_merge"       -> (q332TableMerge _),
+    "q333_table_history"     -> (q333TableHistory _),
+    "q334_table_pruned_read" -> (q334TablePrunedRead _),
+    "q335_table_stream_ingest" -> (q335TableStreamIngest _),
+    "q336_table_cdc_diff"    -> (q336TableCdcDiff _),
+    "q337_table_schema_evolution" -> (q337TableSchemaEvolution _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q330_table_snapshot"    -> q330Oracle,
+    "q331_table_time_travel" -> q331Oracle,
+    "q332_table_merge"       -> q332Oracle,
+    "q333_table_history"     -> q333Oracle,
+    "q334_table_pruned_read" -> q334Oracle,
+    "q335_table_stream_ingest" -> q335Oracle,
+    "q336_table_cdc_diff"    -> q336Oracle,
+    "q337_table_schema_evolution" -> q337Oracle,
+  )
+}

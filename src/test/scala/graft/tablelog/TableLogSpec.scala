@@ -1,0 +1,283 @@
+package graft.tablelog
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class TableLogSpec extends SparkSuite {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("tlog_spec_").toString
+
+  private def kv(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("create + append + snapshot roundtrip; history accounts rows") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 1)
+    TableLog.append(kv((100L to 199L).map(i => (i, s"b$i"))), t, 1)
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 200 && got(0L) == "a0" && got(150L) == "b150")
+    val h = TableLog.history(t)
+    assert(h.map(x => (x.version, x.op, x.rowsAdded, x.rowsRemoved, x.totalRows))
+      == Seq((1L, "create", 100L, 0L, 100L), (2L, "append", 100L, 0L, 200L)))
+  }
+
+  test("compaction is a logical no-op and shrinks the file count") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 49L).map(i => (i, s"x$i"))), t, "k", 4)
+    TableLog.append(kv((50L to 99L).map(i => (i, s"x$i"))), t, 4)
+    val before = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val filesBefore = TableLog.state(t).active.size
+    TableLog.compact(spark, t, 2)
+    val after = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "compaction changed table contents")
+    val st = TableLog.state(t)
+    assert(st.active.size == 2 && st.active.size < filesBefore)
+    // file-grain history visible: remove = all old, add = 2 new
+    val h3 = TableLog.history(t).last
+    assert(h3.op == "compact" && h3.nRemoves == filesBefore && h3.nAdds == 2
+      && h3.rowsAdded == 100L && h3.rowsRemoved == 100L)
+  }
+
+  test("time travel: old versions are immutable under later rewrites") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "one", 2L -> "two")), t, "k", 1)
+    TableLog.deleteWhere(spark, t, col("v") === "one", 1)
+    TableLog.compact(spark, t, 1)
+    assert(TableLog.snapshot(spark, t, version = 1L).count() == 2)
+    assert(TableLog.snapshot(spark, t).collect().map(_.getString(1)).toSeq
+      == Seq("two"))
+  }
+
+  test("delete: key-pruned copy-on-write rewrites only intersecting files") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 1)
+    TableLog.append(kv((100L to 199L).map(i => (i, s"b$i"))), t, 1)
+    TableLog.deleteWhere(spark, t, col("k").between(10L, 20L), 1,
+      pruneKeys = Some((10L, 20L)))
+    val h = TableLog.history(t).last
+    // only the [0,99] file intersects: one remove, its 89 survivors re-added
+    assert(h.op == "delete" && h.nRemoves == 1 && h.rowsRemoved == 100L
+      && h.rowsAdded == 89L && h.totalRows == 189L)
+    assert(TableLog.snapshot(spark, t).where(col("k").between(10L, 20L)).count() == 0)
+    assert(TableLog.snapshot(spark, t).count() == 189)
+  }
+
+  test("delete: NULL-cond rows survive (SQL DELETE semantics)") {
+    val t = freshDir()
+    import spark.implicits._
+    val df = Seq((1L, Some("x")), (2L, Some("y")), (3L, None))
+      .toDF("k", "v")
+    TableLog.create(df, t, "k", 1)
+    TableLog.deleteWhere(spark, t, col("v") === "x", 1)
+    val left = TableLog.snapshot(spark, t).collect().map(_.getLong(0)).toSet
+    assert(left == Set(2L, 3L), "NULL-cond row must not be deleted")
+  }
+
+  test("delete with no matches is a version no-op") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    val v = TableLog.deleteWhere(spark, t, col("v") === "zzz", 1)
+    assert(v == 1L && TableLog.latestVersion(t) == 1L)
+  }
+
+  test("merge rewrites only files holding matched keys; inserts land fresh") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 1)
+    TableLog.append(kv((100L to 199L).map(i => (i, s"b$i"))), t, 1)
+    val changes = kv(Seq(150L -> "UPDATED", 500L -> "INSERTED"))
+    TableLog.merge(spark, t, changes, 1)
+    val h = TableLog.history(t).last
+    assert(h.op == "merge" && h.nRemoves == 1, // only the [100,199] file
+      s"expected exactly the matched file rewritten, got $h")
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 201 && got(150L) == "UPDATED"
+      && got(500L) == "INSERTED" && got(0L) == "a0")
+  }
+
+  test("lost commit race rebases appends, aborts conflicting rewrites") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    val f1 = TableLog.state(t).active.head
+    // writer B compacts to v2, removing f1
+    TableLog.compact(spark, t, 1)
+    assert(TableLog.latestVersion(t) == 2L)
+    // writer A staged an append against v1: rebase-safe, lands at v3
+    val v = TableLog.commit(t, expected = 1L, op = "append",
+      adds = Seq(TableLog.AddFile("data/zz/p.parquet", 1L, 9L, 9L)),
+      removes = Nil, schemaDdl = "", keyCol = "")
+    assert(v == 3L)
+    // writer A' planned a rewrite of f1 against v1: f1 is gone — abort
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.commit(t, expected = 1L, op = "delete", adds = Nil,
+        removes = Seq(f1.relPath), schemaDdl = "", keyCol = "")
+    }
+  }
+
+  test("checkpoint written on cadence; replay-from-checkpoint = full replay") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    (2 to 5).foreach(i => TableLog.append(kv(Seq(i.toLong -> s"r$i")), t, 1))
+    val ckpt = Paths.get(t, "_log", f"v${TableLog.checkpointEvery.toLong}%016d.checkpoint")
+    assert(Files.exists(ckpt), "checkpoint missing at cadence version")
+    // from-scratch fold over every manifest must agree with state()
+    val full = TableLog.commits(t).foldLeft(Map.empty[String, TableLog.AddFile]) {
+      (acc, c) => c.adds.foldLeft(acc -- c.removes)((m, a) => m + (a.relPath -> a))
+    }
+    val viaCkpt = TableLog.state(t).active.map(a => a.relPath -> a).toMap
+    assert(viaCkpt == full)
+    assert(TableLog.snapshot(spark, t).count() == 5)
+  }
+
+  test("vacuum deletes only unreferenced files; latest survives, history dies") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 9L).map(i => (i, s"a$i"))), t, "k", 2)
+    TableLog.compact(spark, t, 1)
+    val victims = TableLog.vacuumList(t)
+    assert(victims.size == 2, s"expected the 2 pre-compact files, got $victims")
+    assert(TableLog.vacuum(t) == 2)
+    assert(TableLog.snapshot(spark, t).count() == 10)
+    intercept[Exception] { TableLog.snapshot(spark, t, version = 1L).count() }
+    assert(TableLog.vacuumList(t).isEmpty)
+  }
+
+  test("empty append bumps the version without staging files") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    import spark.implicits._
+    TableLog.append(Seq.empty[(Long, String)].toDF("k", "v"), t, 1)
+    assert(TableLog.latestVersion(t) == 2L)
+    assert(TableLog.history(t).last.nAdds == 0)
+    assert(TableLog.snapshot(spark, t).count() == 1)
+  }
+
+  test("pruned key-range read skips non-intersecting files") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 1)
+    TableLog.append(kv((100L to 199L).map(i => (i, s"b$i"))), t, 1)
+    val st = TableLog.state(t)
+    val pruned = TableLog.prunedFiles(st, 120L, 150L)
+    assert(pruned.size == 1 && pruned.head.min == 100L,
+      s"expected only the [100,199] file, got $pruned")
+    val rows = TableLog.snapshotWhereKey(spark, t, 120L, 150L).collect()
+    assert(rows.length == 31 && rows.forall(r =>
+      r.getLong(0) >= 120L && r.getLong(0) <= 150L))
+  }
+
+  test("appendTxn: redelivered producer versions land exactly once") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    val batch = kv(Seq(2L -> "b"))
+    val v1 = TableLog.appendTxn(batch, t, 1, appId = "ingest", txnVersion = 0L)
+    assert(v1 == 2L && TableLog.snapshot(spark, t).count() == 2)
+    // same producer version again — checkpoint-loss redelivery: no-op
+    val v2 = TableLog.appendTxn(batch, t, 1, appId = "ingest", txnVersion = 0L)
+    assert(v2 == 2L && TableLog.latestVersion(t) == 2L)
+    assert(TableLog.snapshot(spark, t).count() == 2)
+    // next version applies; a stale one after it is still dropped
+    TableLog.appendTxn(kv(Seq(3L -> "c")), t, 1, "ingest", 1L)
+    TableLog.appendTxn(kv(Seq(99L -> "dup")), t, 1, "ingest", 0L)
+    assert(TableLog.snapshot(spark, t).count() == 3)
+    // a DIFFERENT app id has its own ledger
+    TableLog.appendTxn(kv(Seq(4L -> "d")), t, 1, "other", 0L)
+    assert(TableLog.snapshot(spark, t).count() == 4)
+    // ledger survives the checkpoint: force past cadence, then re-check
+    TableLog.append(kv(Seq(5L -> "e")), t, 1) // v5 → checkpoint at v4 exists
+    TableLog.appendTxn(kv(Seq(98L -> "dup")), t, 1, "ingest", 1L)
+    assert(TableLog.snapshot(spark, t).count() == 5)
+  }
+
+  test("appendEvolve widens the schema; old files null-fill; conflicts rejected") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a", 2L -> "b")), t, "k", 1)
+    import spark.implicits._
+    TableLog.appendEvolve(
+      Seq((3L, "c", 30L)).toDF("k", "v", "score"), t, 1)
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got == Map(1L -> -1L, 2L -> -1L, 3L -> 30L),
+      "pre-evolution rows must null-fill the new column")
+    // dropping a column is not an append
+    intercept[IllegalArgumentException] {
+      TableLog.appendEvolve(Seq(4L -> 9L).toDF("k", "score"), t, 1)
+    }
+    // changing an existing column's type is rejected
+    intercept[IllegalArgumentException] {
+      TableLog.appendEvolve(
+        Seq((4L, 5L, 9L)).toDF("k", "v", "score"), t, 1)
+    }
+  }
+
+  test("diffVersions emits insert/update/delete; unchanged movers drop out") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 1)
+    TableLog.append(kv((100L to 199L).map(i => (i, s"b$i"))), t, 1)
+    TableLog.merge(spark, t, kv(Seq(150L -> "UPD", 500L -> "INS")), 1)
+    TableLog.deleteWhere(spark, t, col("k") === 7L, 1)
+    // v2 → v3: the merge — one update, one insert, nothing else even
+    // though every row of file B moved to a rewritten file
+    val d23 = TableLog.diffVersions(spark, t, 2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d23 == Set((150L, "update"), (500L, "insert")))
+    // v3 → v4: the delete
+    val d34 = TableLog.diffVersions(spark, t, 3L, 4L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d34 == Set((7L, "delete")))
+    // old/new values carried: the update shows both sides
+    val upd = TableLog.diffVersions(spark, t, 2L, 3L)
+      .where(col("action") === "update").collect().head
+    assert(upd.getString(2) == "b150" && upd.getString(3) == "UPD")
+    // v1 → v1 diff of identical states is empty
+    assert(TableLog.diffVersions(spark, t, 1L, 1L).count() == 0)
+  }
+
+  test("q330-q334 demo family invariants on the sf fixture") {
+    import graft.ops.TableOps
+    val v331 = TableOps.queries("q331_table_time_travel")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(v331.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(v331(4L) == v331(5L), "compaction must not change the snapshot")
+    assert(v331(1L)._1 < v331(2L)._1 && v331(2L)._1 < v331(3L)._1)
+    assert(v331(4L)._1 < v331(3L)._1, "delete must shrink the table")
+    val hist = TableOps.queries("q333_table_history")(spark, sf0001).collect()
+    assert(hist.map(_.getString(1)).toSeq
+      == Seq("create", "append", "append", "delete", "compact"))
+    assert(hist.last.getLong(4) == v331(5L)._1)
+    val pruned = TableOps.queries("q334_table_pruned_read")(spark, sf0001)
+      .collect()
+    assert(pruned.nonEmpty && pruned.forall(r =>
+      r.getLong(0) >= 1000L && r.getLong(0) <= 5000L
+        && r.getLong(0) % 4 != 3))
+    val merged = TableOps.queries("q332_table_merge")(spark, sf0001).collect()
+    assert(merged.exists(_.getLong(0) < 0), "merge inserts missing")
+    assert(merged.filter(_.getLong(0) >= 0).forall(_.getLong(0) % 4 == 0))
+  }
+
+  test("q335-q337 transactional family invariants on the sf fixture") {
+    import graft.ops.TableOps
+    // q335 ingests the two slices THREE times (normal, same checkpoint,
+    // fresh checkpoint) — exactly-once means counts match one copy
+    val ing = TableOps.queries("q335_table_stream_ingest")(spark, sf0001)
+      .collect()
+    val expected = graft.Tables.orders(spark, sf0001)
+      .where(expr("o_orderkey % 4 IN (0, 1)")).count()
+    assert(ing.map(_.getLong(1)).sum == expected,
+      s"stream ingest not exactly-once: ${ing.map(_.getLong(1)).sum} vs $expected")
+    // q336: v3→v5 diff is purely the URGENT deletes, compaction invisible
+    val cdc = TableOps.queries("q336_table_cdc_diff")(spark, sf0001).collect()
+    assert(cdc.nonEmpty && cdc.forall(_.getString(1) == "delete"))
+    // q337: pre-evolution groups are null-filled (sum pinned to 0)
+    val evo = TableOps.queries("q337_table_schema_evolution")(spark, sf0001)
+      .collect()
+    assert(evo.exists(_.getBoolean(1)) && evo.exists(!_.getBoolean(1)))
+    evo.filter(_.getBoolean(1)).foreach(r => assert(r.getDouble(3) == 0.0))
+  }
+}
