@@ -4279,8 +4279,11 @@ object EventOps {
       .select($"user_id", $"n_events",
         when($"p".isNotNull && $"p" - $"s" < dayUs, 1L).otherwise(0L)
           .as("conv"))
+    // materialize=false: the input is a bounded user-grain frame (a
+    // triple recompute costs less than the pin), and the scan-pruning
+    // PlanSpec pin on this query needs the events scan visible
     val users = Ranks.withGlobalRank(graded, $"n_events", $"user_id",
-        "__gr", nName = "__gn")
+        "__gr", nName = "__gn", materialize = false)
       .withColumn("w", Ranks.ntileExpr(3, "__gr", "__gn") - 1)
     val lv = users.groupBy($"w")
       .agg(count(lit(1)).as("nw"), sum($"conv").as("aw"))

@@ -50,13 +50,26 @@ object Ranks {
     * current row) named `name`; and, when `nName` is non-null, the
     * total row count as BIGINT column `nName` (the ntile companion —
     * see [[ntileExpr]]). */
+  /** `materialize` (default true): the input subplan is referenced
+    * three times below (the [min,max] agg, the in-bucket window
+    * branch, the bucket-totals branch); without a cut each reference
+    * re-executes whatever produced `df` — for corpus-scored inputs
+    * (q199/q304: a full LM-scoring pass) that triples the dominant
+    * cost, so the NARROW (id, key, summed-cols) projection is pinned
+    * once (the q273 bounded-frame localCheckpoint idiom at the rank
+    * boundary; measured 2× across the family at sf0.1). Pass false
+    * when the input is a cheap bounded aggregate AND the caller
+    * wants the source scan visible in the final plan (the checkpoint
+    * starts the plan at a LogicalRDD, hiding pushdown/pruning from
+    * plan pins — q284's case). */
   def withGlobalRank(df: DataFrame, key: Column, tie: Column,
       rnName: String, sums: Seq[(Column, String)] = Nil,
-      nName: String = null): DataFrame = {
+      nName: String = null, materialize: Boolean = true): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val base = df.withColumn("__rk", key.cast("long"))
+    val keyed = df.withColumn("__rk", key.cast("long"))
+    val base = if (materialize) keyed.localCheckpoint() else keyed
     val rng = base.agg(min($"__rk").as("__kmin"), max($"__rk").as("__kmax"),
       count(lit(1)).cast("long").as("__n"))
     val bucketed = base.crossJoin(broadcast(rng))
