@@ -401,6 +401,84 @@ object TableOps {
       |    AS sum_price
       |FROM rows_ GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q338
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Point lookup through the table's bloom index
+    * ([[TableLog.prunedFilesBloom]]): the table declares a bloom
+    * sidecar on o_custkey at create; every later commit (here an
+    * append) builds sidecars for its new files automatically, and the
+    * lookup tests each active file's bitset BEFORE Spark plans the
+    * scan. This is the skipping layer key-range stats can't provide —
+    * a point predicate on a NON-key column (the key-range layer is
+    * q334's) — i.e. Delta's bloom-filter-index shape. Bloom absence
+    * or false positives only widen the read set; the exact `IN`
+    * predicate on the survivors (also pushed into parquet) makes the
+    * result precise, so the oracle is a plain WHERE. */
+  def q338TableBloomSkip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = bloomCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogb_").toString
+      val slice = ordersSlice(s, dir)
+      TableLog.create(slice.where($"o_orderkey" % 4 === 0), t,
+        "o_orderkey", numFiles = 4, bloomCol = Some("o_custkey"))
+      TableLog.append(slice.where($"o_orderkey" % 4 === 1), t, numFiles = 4)
+      t
+    })
+    TableLog.snapshotWhereIn(s, table, Seq(7L, 42L, 1001L))
+      .select(dataCols.map(col): _*)
+      .orderBy($"o_orderkey")
+  }
+
+  private val q338Oracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |  o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1) AND o_custkey IN (7, 42, 1001)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q339
+  /** Metadata-only aggregates: (n_rows, min_key, max_key) for EVERY
+    * version of the demo table answered purely from the manifests
+    * ([[TableLog.statsOf]]) — zero data files opened, the Iceberg
+    * metadata-table trick. EXACT, not estimated: per-file stats are
+    * true bounds computed at commit time, so their fold is the true
+    * aggregate; the oracle computes the same numbers the hard way
+    * (scanning orders) and must match bit-for-bit. At 100 TB this is
+    * the difference between a driver fold over ~10⁵ manifest entries
+    * and a full table scan for every COUNT(*)/MIN/MAX. */
+  def q339TableStatsOnly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = demoTable(s, dir)
+    (1L to TableLog.latestVersion(table)).map { v =>
+      val (n, mn, mx) = TableLog.statsOf(table, v)
+      (v, n, mn, mx)
+    }.toDF("version", "n_rows", "min_key", "max_key")
+      .orderBy($"version")
+  }
+
+  private val q339Oracle =
+    """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+      |FROM orders WHERE o_orderkey % 4 = 0
+      |UNION ALL
+      |SELECT 2, count(*), min(o_orderkey), max(o_orderkey)
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      |UNION ALL
+      |SELECT 3, count(*), min(o_orderkey), max(o_orderkey)
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+      |UNION ALL
+      |SELECT 4, count(*), min(o_orderkey), max(o_orderkey)
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority <> '1-URGENT'
+      |UNION ALL
+      |SELECT 5, count(*), min(o_orderkey), max(o_orderkey)
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority <> '1-URGENT'
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q330_table_snapshot"    -> (q330TableSnapshot _),
     "q331_table_time_travel" -> (q331TableTimeTravel _),
@@ -410,6 +488,8 @@ object TableOps {
     "q335_table_stream_ingest" -> (q335TableStreamIngest _),
     "q336_table_cdc_diff"    -> (q336TableCdcDiff _),
     "q337_table_schema_evolution" -> (q337TableSchemaEvolution _),
+    "q338_table_bloom_skip"  -> (q338TableBloomSkip _),
+    "q339_table_stats_only"  -> (q339TableStatsOnly _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -421,5 +501,7 @@ object TableOps {
     "q335_table_stream_ingest" -> q335Oracle,
     "q336_table_cdc_diff"    -> q336Oracle,
     "q337_table_schema_evolution" -> q337Oracle,
+    "q338_table_bloom_skip"  -> q338Oracle,
+    "q339_table_stats_only"  -> q339Oracle,
   )
 }

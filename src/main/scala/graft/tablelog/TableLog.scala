@@ -68,14 +68,18 @@ object TableLog {
     * makes redelivered micro-batches exactly-once. */
   final case class Commit(version: Long, op: String, adds: Seq[AddFile],
       removes: Seq[String], schemaDdl: String, keyCol: String,
-      txns: Seq[(String, Long)] = Nil)
+      txns: Seq[(String, Long)] = Nil,
+      bloom: Option[(String, Int)] = None)
 
   /** A replayed table state: active files in commit order plus the
     * metadata needed to read them. `txns` carries the highest
-    * committed producer version per application id. */
+    * committed producer version per application id; `bloom` the
+    * table's declared bloom-indexed column and filter width in bits
+    * (sidecar files carry the bitsets — see [[prunedFilesBloom]]). */
   final case class Snapshot(version: Long, active: Seq[AddFile],
       schemaDdl: String, keyCol: String,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      bloom: Option[(String, Int)] = None)
 
   /** Checkpoint cadence — small so the short demo histories exercise
     * the checkpoint replay path; a production table would use
@@ -94,11 +98,13 @@ object TableLog {
 
   private def render(op: String, adds: Seq[AddFile], removes: Seq[String],
       schemaDdl: String, keyCol: String,
-      txns: Seq[(String, Long)] = Nil): String = {
+      txns: Seq[(String, Long)] = Nil,
+      bloom: Option[(String, Int)] = None): String = {
     val sb = new StringBuilder
     sb ++= s"op $op\n"
     sb ++= s"key $keyCol\n"
     sb ++= s"schema $schemaDdl\n"
+    bloom.foreach { case (c, m) => sb ++= s"bloom $c $m\n" }
     txns.sortBy(_._1).foreach { case (app, v) =>
       require(!app.contains(' ') && !app.contains('\n'),
         s"txn app id must be token-shaped: '$app'")
@@ -113,6 +119,7 @@ object TableLog {
 
   private def parse(version: Long, text: String): Commit = {
     var op = ""; var key = ""; var ddl = ""
+    var bloom = Option.empty[(String, Int)]
     val txns = Seq.newBuilder[(String, Long)]
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
@@ -127,6 +134,9 @@ object TableLog {
         case "txn" =>
           val Array(app, v) = rest.split(" ", 2)
           txns += ((app, v.toLong))
+        case "bloom" =>
+          val Array(c, m) = rest.split(" ", 2)
+          bloom = Some((c, m.toInt))
         case "add" =>
           val Array(rows, mn, mx, path) = rest.split(" ", 4)
           adds += AddFile(path, rows.toLong, mn.toLong, mx.toLong)
@@ -135,7 +145,7 @@ object TableLog {
       }
     }
     Commit(version, op, adds.result(), removes.result(), ddl, key,
-      txns.result())
+      txns.result(), bloom)
   }
 
   /** Latest committed version, 0 if the table has no log yet. The
@@ -168,7 +178,7 @@ object TableLog {
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     base.active.foreach(a => active(a.relPath) = a)
     var ddl = base.schemaDdl; var key = base.keyCol; var v = base.version
-    var txns = base.txns
+    var txns = base.txns; var bloom = base.bloom
     tail.foreach { c =>
       c.removes.foreach { p =>
         if (active.remove(p).isEmpty) throw new IllegalStateException(
@@ -177,12 +187,13 @@ object TableLog {
       c.adds.foreach(a => active(a.relPath) = a)
       if (c.schemaDdl.nonEmpty) ddl = c.schemaDdl
       if (c.keyCol.nonEmpty) key = c.keyCol
+      if (c.bloom.nonEmpty) bloom = c.bloom
       c.txns.foreach { case (app, tv) =>
         txns += app -> math.max(tv, txns.getOrElse(app, Long.MinValue))
       }
       v = c.version
     }
-    Snapshot(v, active.values.toSeq, ddl, key, txns)
+    Snapshot(v, active.values.toSeq, ddl, key, txns, bloom)
   }
 
   /** Table state at `version` (default: latest). Replays the newest
@@ -196,7 +207,7 @@ object TableLog {
     val base = ckptV match {
       case Some(v) =>
         val c = parse(v, Files.readString(checkpointPath(table, v)))
-        Snapshot(v, c.adds, c.schemaDdl, c.keyCol, c.txns.toMap)
+        Snapshot(v, c.adds, c.schemaDdl, c.keyCol, c.txns.toMap, c.bloom)
       case None => Snapshot(0L, Nil, "", "")
     }
     val tail = ((base.version + 1L) to last).map { v =>
@@ -215,9 +226,10 @@ object TableLog {
     * the same files, and retrying would resurrect deleted rows. */
   private[tablelog] def commit(table: String, expected: Long, op: String,
       adds: Seq[AddFile], removes: Seq[String], schemaDdl: String,
-      keyCol: String, txn: Option[(String, Long)] = None): Long = {
+      keyCol: String, txn: Option[(String, Long)] = None,
+      bloom: Option[(String, Int)] = None): Long = {
     Files.createDirectories(logDir(table))
-    val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq)
+    val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq, bloom)
     var attempt = expected + 1L
     while (true) {
       val tmp = Files.createTempFile(logDir(table), s"tmp-$op-", ".inprogress")
@@ -248,7 +260,7 @@ object TableLog {
     if (v % checkpointEvery == 0L) {
       val snap = state(table, v)
       val text = render("checkpoint", snap.active, Nil, snap.schemaDdl,
-        snap.keyCol, snap.txns.toSeq)
+        snap.keyCol, snap.txns.toSeq, snap.bloom)
       val tmp = Files.createTempFile(logDir(table), "tmp-ckpt-", ".inprogress")
       try {
         Files.write(tmp, text.getBytes(UTF_8))
@@ -265,8 +277,22 @@ object TableLog {
     * [[prunedFiles]] skip anything; stats come from ONE aggregation
     * over only the staged files, grouped by `input_file_name` — cost
     * proportional to the commit, not the table. */
+  /** Hash count for the per-file bloom sidecars. */
+  val bloomHashes = 4
+
+  /** The `(0 until k)` bloom bit positions of column `c` under width
+    * `m` — ONE definition shared by the sidecar builder and the probe
+    * side, both evaluated by the same codegen'd `xxhash64`, so the
+    * two can never disagree. */
+  private def bloomPosCols(c: String, m: Int): Seq[Column] =
+    (0 until bloomHashes).map(j =>
+      pmod(xxhash64(lit(j), col(c)), lit(m.toLong)).cast("int"))
+
+  private def sidecarRel(relPath: String, c: String): String =
+    s"$relPath.$c.bloom"
+
   private def stage(df: DataFrame, table: String, keyCol: String,
-      numFiles: Int): Seq[AddFile] = {
+      numFiles: Int, bloom: Option[(String, Int)] = None): Seq[AddFile] = {
     val spark = df.sparkSession
     val stageId = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = Paths.get(table, "data", stageId)
@@ -281,6 +307,26 @@ object TableLog {
       } finally s.close()
     }
     if (partFiles.isEmpty) return Nil // empty commit: no data files staged
+    // Bloom sidecars: one distinct-(file, position) agg over ONLY the
+    // staged files — cost proportional to the commit, like the stats
+    // pass. Bits land beside the data file, NOT in the manifest (a
+    // 1 M-row file at production width is ~MBs of bitset — sidecars
+    // keep the log at file-grain metadata).
+    bloom.foreach { case (c, m) =>
+      val perFile = spark.read.parquet(partFiles: _*)
+        .select(input_file_name().as("f"),
+          explode(array(bloomPosCols(c, m): _*)).as("p"))
+        .distinct().groupBy("f")
+        .agg(collect_list(col("p")).as("ps"))
+        .collect()
+      perFile.foreach { r =>
+        val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
+          .getFileName.toString
+        val bits = new java.util.BitSet(m)
+        r.getSeq[Int](1).foreach(bits.set)
+        Files.write(stageDir.resolve(s"$name.$c.bloom"), bits.toByteArray)
+      }
+    }
     val written = spark.read.parquet(partFiles: _*)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("rows"),
@@ -308,17 +354,20 @@ object TableLog {
   /** Create the table as version 1. Fails if a log already exists —
     * create is not an upsert. */
   def create(df: DataFrame, table: String, keyCol: String,
-      numFiles: Int): Long = {
+      numFiles: Int, bloomCol: Option[String] = None,
+      bloomBits: Int = 1 << 17): Long = {
     require(latestVersion(table) == 0L, s"$table already exists")
-    val adds = stage(df, table, keyCol, numFiles)
-    commit(table, 0L, "create", adds, Nil, df.schema.toDDL, keyCol)
+    val bloom = bloomCol.map(c => (c, bloomBits))
+    val adds = stage(df, table, keyCol, numFiles, bloom)
+    commit(table, 0L, "create", adds, Nil, df.schema.toDDL, keyCol,
+      bloom = bloom)
   }
 
   /** Append-only commit — the reference's daily load shape. Never
     * conflicts: a lost race rebases onto the new latest version. */
   def append(df: DataFrame, table: String, numFiles: Int): Long = {
     val snap = state(table)
-    val adds = stage(df, table, snap.keyCol, numFiles)
+    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom)
     commit(table, snap.version, "append", adds, Nil, "", "")
   }
 
@@ -337,7 +386,7 @@ object TableLog {
       appId: String, txnVersion: Long): Long = {
     val snap = state(table)
     if (snap.txns.get(appId).exists(_ >= txnVersion)) return snap.version
-    val adds = stage(df, table, snap.keyCol, numFiles)
+    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom)
     commit(table, snap.version, "append", adds, Nil, "", "",
       txn = Some((appId, txnVersion)))
   }
@@ -365,7 +414,7 @@ object TableLog {
     }
     val oldNames = old.map(_.name).toSet
     val merged = StructType(old ++ df.schema.filterNot(f => oldNames(f.name)))
-    val adds = stage(df, table, snap.keyCol, numFiles)
+    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom)
     commit(table, snap.version, "evolve", adds, Nil, merged.toDDL, "")
   }
 
@@ -432,7 +481,7 @@ object TableLog {
     // SQL DELETE semantics: only cond=TRUE rows go; NULL-cond rows stay
     val survivors = readFiles(spark, table, snap, touched)
       .where(!coalesce(cond, lit(false)))
-    val adds = stage(survivors, table, snap.keyCol, numFiles)
+    val adds = stage(survivors, table, snap.keyCol, numFiles, snap.bloom)
     commit(table, snap.version, "delete", adds, touched.map(_.relPath), "", "")
   }
 
@@ -460,7 +509,7 @@ object TableLog {
     val rewritten = touchedRows
       .join(broadcast(changeKeys), Seq(k), "left_anti")
       .unionByName(changes)
-    val adds = stage(rewritten, table, k, numFiles)
+    val adds = stage(rewritten, table, k, numFiles, snap.bloom)
     commit(table, snap.version, "merge", adds, touched.map(_.relPath), "", "")
   }
 
@@ -473,7 +522,7 @@ object TableLog {
   def compact(spark: SparkSession, table: String, numFiles: Int): Long = {
     val snap = state(table)
     val data = readFiles(spark, table, snap, snap.active)
-    val adds = stage(data, table, snap.keyCol, numFiles)
+    val adds = stage(data, table, snap.keyCol, numFiles, snap.bloom)
     commit(table, snap.version, "compact", adds,
       snap.active.map(_.relPath), "", "")
   }
@@ -504,6 +553,69 @@ object TableLog {
     val snap = state(table, version)
     readFiles(spark, table, snap, prunedFiles(snap, lo, hi))
       .where(col(snap.keyCol).between(lo, hi))
+  }
+
+  /** The active files that MIGHT contain any of `values` in the
+    * bloom-indexed column — per-file bloom sidecars tested before
+    * Spark plans any scan, the second manifest-level skipping layer
+    * ([[prunedFiles]] skips by KEY range; this skips by a NON-key
+    * point predicate, which range stats cannot help with). A file
+    * without a sidecar is kept (bloom absence must never lose rows);
+    * false positives only widen the read set. Probe positions are
+    * computed by the SAME Spark expressions that built the sidecars
+    * (one trivial job over the probe values), so builder and prober
+    * cannot drift. Driver cost: one sidecar read per active file —
+    * file-grain, like the manifest itself; a production table folds
+    * sidecar digests into the checkpoint. */
+  def prunedFilesBloom(spark: SparkSession, table: String, snap: Snapshot,
+      values: Seq[Any]): Seq[AddFile] = snap.bloom match {
+    case None => snap.active
+    case Some((c, m)) =>
+      val field = StructType.fromDDL(snap.schemaDdl)
+        .find(_.name == c).getOrElse(throw new IllegalArgumentException(
+          s"bloom column '$c' not in table schema"))
+      import scala.jdk.CollectionConverters._
+      val probe = spark.createDataFrame(
+        values.map(v => org.apache.spark.sql.Row(v)).asJava,
+        StructType(Seq(field)))
+      // one k-position row per probe value; a file survives if ALL k
+      // bits of AT LEAST ONE value are set
+      val posPerValue = probe.select(array(bloomPosCols(c, m): _*).as("ps"))
+        .collect().map(_.getSeq[Int](0))
+      snap.active.filter { a =>
+        val sidecar = Paths.get(table, sidecarRel(a.relPath, c))
+        if (!Files.exists(sidecar)) true
+        else {
+          val bits = java.util.BitSet.valueOf(Files.readAllBytes(sidecar))
+          posPerValue.exists(ps => ps.forall(bits.get))
+        }
+      }
+  }
+
+  /** Point-lookup read on the bloom-indexed column: sidecar-pruned
+    * file set, then the exact `IN` predicate on the survivors (bloom
+    * false positives and co-resident rows filter out row-level; the
+    * predicate also pushes into the parquet scan). */
+  def snapshotWhereIn(spark: SparkSession, table: String,
+      values: Seq[Any], version: Long = Long.MaxValue): DataFrame = {
+    val snap = state(table, version)
+    val c = snap.bloom.map(_._1).getOrElse(throw new IllegalArgumentException(
+      s"$table declares no bloom-indexed column"))
+    readFiles(spark, table, snap, prunedFilesBloom(spark, table, snap, values))
+      .where(col(c).isin(values: _*))
+  }
+
+  /** (rows, minKey, maxKey) at `version`, answered PURELY from the
+    * manifest — zero data files opened. Exact, not estimated: the
+    * per-file stats are true bounds computed at commit time, so their
+    * fold is the true table aggregate (the Iceberg metadata-table
+    * trick; at 100 TB this turns a full scan into a driver fold over
+    * file-grain metadata). */
+  def statsOf(table: String, version: Long = Long.MaxValue): (Long, Long, Long) = {
+    val snap = state(table, version)
+    require(snap.active.nonEmpty, s"$table has no data at v$version")
+    (snap.active.map(_.rows).sum,
+      snap.active.map(_.min).min, snap.active.map(_.max).max)
   }
 
   /** Commit history at logical grain: per version — operation, file
@@ -538,15 +650,20 @@ object TableLog {
     val all = try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.filter(Files.isRegularFile(_))
-        // data files only — Spark's _SUCCESS markers and .crc sidecars
-        // are commit-scoped scratch, not table state
+        // data files and bloom sidecars — Spark's _SUCCESS markers and
+        // .crc droppings are commit-scoped scratch, not table state
         .filter { p =>
           val n = p.getFileName.toString
-          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+          (n.endsWith(".parquet") || n.endsWith(".bloom")) &&
+            !n.startsWith(".") && !n.startsWith("_")
         }
         .map(p => Paths.get(table).relativize(p).toString).toSeq
     } finally s.close()
-    all.filterNot(active).sorted
+    // a bloom sidecar lives and dies with its data file
+    def dataFileOf(rel: String): String =
+      if (rel.endsWith(".bloom")) rel.substring(0, rel.indexOf(".parquet") + 8)
+      else rel
+    all.filterNot(rel => active(dataFileOf(rel))).sorted
   }
 
   /** Physically delete [[vacuumList]]'s files. Returns the count. */

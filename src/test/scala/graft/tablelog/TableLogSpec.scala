@@ -239,6 +239,50 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.diffVersions(spark, t, 1L, 1L).count() == 0)
   }
 
+  test("bloom sidecars: non-key point lookup skips files, survives compaction") {
+    val t = freshDir()
+    import spark.implicits._
+    // g = k div 10: range-partitioning on k makes g file-local, so a
+    // g-probe SHOULD skip most files — exactly the layout where a
+    // non-key bloom pays
+    val df = (0L to 99L).map(i => (i, i / 10L, s"v$i")).toDF("k", "g", "v")
+    TableLog.create(df, t, "k", numFiles = 5, bloomCol = Some("g"))
+    val snap = TableLog.state(t)
+    assert(snap.bloom == Some(("g", 1 << 17)))
+    assert(snap.active.size == 5)
+    val pruned = TableLog.prunedFilesBloom(spark, t, snap, Seq(3L))
+    assert(pruned.size < snap.active.size,
+      s"bloom pruned nothing: ${pruned.size} of ${snap.active.size}")
+    val rows = TableLog.snapshotWhereIn(spark, t, Seq(3L)).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (30L to 39L))
+    // append without re-declaring: sidecars still built (declaration
+    // replays from v1)
+    TableLog.append((100L to 109L).map(i => (i, 3L, s"v$i")).toDF("k", "g", "v"),
+      t, numFiles = 1)
+    val rows2 = TableLog.snapshotWhereIn(spark, t, Seq(3L)).collect()
+    assert(rows2.length == 20)
+    // compaction rebuilds sidecars for its rewritten files and the
+    // lookup still answers; stale sidecars become vacuum candidates
+    TableLog.compact(spark, t, 2)
+    val rows3 = TableLog.snapshotWhereIn(spark, t, Seq(3L)).collect()
+    assert(rows3.map(_.getLong(0)).toSet == rows2.map(_.getLong(0)).toSet)
+    val victims = TableLog.vacuumList(t)
+    assert(victims.exists(_.endsWith(".bloom")),
+      "pre-compact bloom sidecars must be vacuumable")
+    assert(TableLog.vacuum(t) == victims.size)
+    assert(TableLog.snapshotWhereIn(spark, t, Seq(3L)).count() == 20)
+  }
+
+  test("statsOf answers rows/min/max from the manifest alone, exactly") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 3)
+    assert(TableLog.statsOf(t) == ((100L, 0L, 99L)))
+    TableLog.deleteWhere(spark, t, col("k").between(90L, 99L), 1)
+    assert(TableLog.statsOf(t) == ((90L, 0L, 89L)),
+      "rewrite must tighten the max bound — stats are true bounds, not stale")
+    assert(TableLog.statsOf(t, version = 1L) == ((100L, 0L, 99L)))
+  }
+
   test("q330-q334 demo family invariants on the sf fixture") {
     import graft.ops.TableOps
     val v331 = TableOps.queries("q331_table_time_travel")(spark, sf0001)
