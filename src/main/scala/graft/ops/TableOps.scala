@@ -479,6 +479,82 @@ object TableOps {
       |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority <> '1-URGENT'
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q340
+  /** Incremental append feed ([[TableLog.readAppendsSince]]): the
+    * rows a chained consumer reads to catch up from demo v1 to v3 —
+    * exactly the two append commits' files, no rescan of v1's data.
+    * The upTo=3 bound matters: the window must stop BEFORE v4's
+    * rewrite, where an appends-only feed would double-count and the
+    * API fails fast instead (spec'd) — the consumer switches to
+    * q336's diffVersions there. This is the reference's own daily
+    * cadence (one batch file per run, reference
+    * `src/extract/main.py:21-27`) consumed from the committed log
+    * rather than a landing bucket. */
+  def q340TableIncrementalFeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TableLog.readAppendsSince(s, demoTable(s, dir),
+      sinceVersion = 1L, upToVersion = 3L)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q340Oracle =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (1, 2)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q341
+  private val cdcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Transactional CDC apply ([[TableLog.applyCdc]]) — q336's
+    * inverse, and the log-backed upgrade of q180: the q106 change
+    * recipe (drop keys ≡1 mod 50, bump+restatus keys ≡4 mod 10,
+    * insert fresh negatives from keys ≡9 mod 100) lands as ONE
+    * atomic copy-on-write commit, so a reader sees the whole change
+    * batch or none of it. Readback is the post-apply snapshot, which
+    * must equal q106's "today" state exactly — the oracle IS that
+    * state in pure SQL. Only files holding an updated-or-deleted key
+    * rewrite; at 100 TB a clustered daily change set touches a
+    * sliver, and the insert files ride in the same commit. */
+  def q341TableCdcApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = cdcCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogc_").toString
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      TableLog.create(o, t, "o_orderkey", numFiles = 4)
+      val deletes = o.where($"o_orderkey" % 50 === 1)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus",
+          lit("delete").as("action"))
+      val updates = o.where($"o_orderkey" % 10 === 4)
+        .select($"o_orderkey", ($"o_totalprice" * 1.05).as("o_totalprice"),
+          lit("U").as("o_orderstatus"), lit("update").as("action"))
+      val inserts = o.where($"o_orderkey" % 100 === 9)
+        .select((-$"o_orderkey" - 1).as("o_orderkey"), $"o_totalprice",
+          lit("N").as("o_orderstatus"), lit("insert").as("action"))
+      TableLog.applyCdc(s, t,
+        deletes.unionByName(updates).unionByName(inserts), numFiles = 4)
+      t
+    })
+    TableLog.snapshot(s, table)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q341Oracle =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 1.05
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  CASE WHEN o_orderkey % 10 = 4 THEN 'U'
+      |       ELSE o_orderstatus END AS o_orderstatus
+      |FROM orders WHERE o_orderkey % 50 <> 1
+      |UNION ALL
+      |SELECT -o_orderkey - 1, o_totalprice, 'N'
+      |FROM orders WHERE o_orderkey % 100 = 9
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q330_table_snapshot"    -> (q330TableSnapshot _),
     "q331_table_time_travel" -> (q331TableTimeTravel _),
@@ -490,6 +566,8 @@ object TableOps {
     "q337_table_schema_evolution" -> (q337TableSchemaEvolution _),
     "q338_table_bloom_skip"  -> (q338TableBloomSkip _),
     "q339_table_stats_only"  -> (q339TableStatsOnly _),
+    "q340_table_incremental_feed" -> (q340TableIncrementalFeed _),
+    "q341_table_cdc_apply"   -> (q341TableCdcApply _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,5 +581,7 @@ object TableOps {
     "q337_table_schema_evolution" -> q337Oracle,
     "q338_table_bloom_skip"  -> q338Oracle,
     "q339_table_stats_only"  -> q339Oracle,
+    "q340_table_incremental_feed" -> q340Oracle,
+    "q341_table_cdc_apply"   -> q341Oracle,
   )
 }

@@ -456,6 +456,67 @@ object TableLog {
         cols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Incremental append feed: the rows landed by append-shaped
+    * commits in `(sinceVersion, upToVersion]` — what a downstream
+    * micro-batch consumer reads to stay current WITHOUT rescanning
+    * the table (the chained-ETL pattern; at 100 TB the feed is the
+    * day's files, not the decade's). Valid only while the window
+    * contains no rewrite: a delete/merge/compact re-adds OLD rows as
+    * new files, so an appends-only reader would double-count — that
+    * case fails fast and the consumer falls back to [[diffVersions]]
+    * (which is change-exact through rewrites). */
+  def readAppendsSince(spark: SparkSession, table: String,
+      sinceVersion: Long, upToVersion: Long = Long.MaxValue): DataFrame = {
+    val snap = state(table) // schema authority
+    val upTo = math.min(latestVersion(table), upToVersion)
+    val window = ((sinceVersion + 1L) to upTo).map { v =>
+      parse(v, Files.readString(commitPath(table, v)))
+    }
+    val appendOps = Set("create", "append", "evolve")
+    window.filterNot(c => appendOps(c.op)).foreach { c =>
+      throw new IllegalStateException(
+        s"$table: v${c.version} is a ${c.op} (rewrite) — an appends-only feed " +
+          "over this window would double-count; consume diffVersions instead")
+    }
+    val files = window.flatMap(_.adds)
+    readFiles(spark, table, snap, files)
+  }
+
+  /** Transactional CDC apply — the inverse of [[diffVersions]]: land
+    * a change stream (rows tagged `action` ∈ insert/update/delete,
+    * q106/q180's shape) as ONE atomic copy-on-write commit. Exactly
+    * the files holding an updated-or-deleted key are rewritten
+    * (change keys broadcast into one scan of the active set);
+    * inserts ride in the same staged write, so a reader sees the
+    * whole batch or none of it — the property the foreachBatch-MERGE
+    * idiom needs for exactly-once CDC pipelines. An `update` whose
+    * key is absent lands as an insert (upsert posture, disclosed).
+    * `changes` carries the table's columns plus `action`; keys must
+    * be unique within the batch. */
+  def applyCdc(spark: SparkSession, table: String, changes: DataFrame,
+      numFiles: Int): Long = {
+    val snap = state(table)
+    val k = snap.keyCol
+    val touchKeys = changes
+      .where(col("action").isin("update", "delete"))
+      .select(col(k)).distinct()
+    val scan = readFiles(spark, table, snap, snap.active)
+      .withColumn("_file", input_file_name())
+    val touchedNames = scan.join(broadcast(touchKeys), k)
+      .select("_file").distinct()
+      .collect().map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
+        .getFileName.toString).toSet
+    val touched = snap.active.filter(a =>
+      touchedNames(Paths.get(a.relPath).getFileName.toString))
+    val survivors = readFiles(spark, table, snap, touched)
+      .join(broadcast(touchKeys), Seq(k), "left_anti")
+    val incoming = changes.where(col("action") =!= "delete")
+      .drop("action")
+    val rewritten = survivors.unionByName(incoming)
+    val adds = stage(rewritten, table, k, numFiles, snap.bloom)
+    commit(table, snap.version, "cdc", adds, touched.map(_.relPath), "", "")
+  }
+
   /** Copy-on-write DELETE: rewrite exactly the files holding ≥1
     * matching row, re-adding their survivors. Touched files are
     * found with one `input_file_name` scan — with key-column

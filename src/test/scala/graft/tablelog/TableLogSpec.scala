@@ -283,6 +283,50 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.statsOf(t, version = 1L) == ((100L, 0L, 99L)))
   }
 
+  test("readAppendsSince feeds append windows, fails fast across rewrites") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    TableLog.append(kv(Seq(2L -> "b")), t, 1)
+    TableLog.append(kv(Seq(3L -> "c")), t, 1)
+    val feed = TableLog.readAppendsSince(spark, t, sinceVersion = 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(feed == Set(2L, 3L), "feed must be exactly the appended rows")
+    // empty window is an empty frame, not an error
+    assert(TableLog.readAppendsSince(spark, t, sinceVersion = 3L).count() == 0)
+    // a rewrite inside the window would double-count: fail fast
+    TableLog.compact(spark, t, 1)
+    intercept[IllegalStateException] {
+      TableLog.readAppendsSince(spark, t, sinceVersion = 1L)
+    }
+    // a window ending before the rewrite still reads
+    assert(TableLog.readAppendsSince(spark, t, 1L, upToVersion = 3L)
+      .count() == 2)
+  }
+
+  test("applyCdc lands insert/update/delete as one commit, COW-bounded") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 1)
+    TableLog.append(kv((100L to 199L).map(i => (i, s"b$i"))), t, 1)
+    import spark.implicits._
+    val changes = Seq(
+      (150L, "UPD", "update"), (7L, "", "delete"), (500L, "INS", "insert"))
+      .toDF("k", "v", "action")
+    TableLog.applyCdc(spark, t, changes, numFiles = 1)
+    val h = TableLog.history(t).last
+    assert(h.op == "cdc" && h.nRemoves == 2,
+      s"both touched files rewritten in one commit, got $h")
+    assert(TableLog.latestVersion(t) == 3L, "one atomic commit, not three")
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 200 && got(150L) == "UPD" && got(500L) == "INS"
+      && !got.contains(7L) && got(0L) == "a0")
+    // the applied batch is recoverable as a diff: v2 -> v3
+    val d = TableLog.diffVersions(spark, t, 2L, 3L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(d == Set((150L, "update"), (7L, "delete"), (500L, "insert")),
+      "applyCdc then diffVersions must round-trip the change batch")
+  }
+
   test("q330-q334 demo family invariants on the sf fixture") {
     import graft.ops.TableOps
     val v331 = TableOps.queries("q331_table_time_travel")(spark, sf0001)
