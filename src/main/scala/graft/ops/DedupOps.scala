@@ -2008,10 +2008,18 @@ object DedupOps {
     * cluster-grain fold — the corpus is never touched. */
   def q290ClusterDensity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val labels = ccLabelsWorking(s, dir)
+    // ONE shingle pass feeds both the CC fixpoint and the per-cluster
+    // edge count (previously each branch re-ran the candidate
+    // pipeline). Measured at sf0.1 the wall time is unchanged (~9.4 s
+    // either way — the fixpoint's per-round jobs dominate, not the
+    // shingle pass), but the cut is strictly less work and matters
+    // where shingling dominates: long documents, wide corpora.
+    val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+      .localCheckpoint()
+    val labels = ccFixpoint(s, pairs)
       .select($"doc_id", $"lbl".as("cluster_id"))
     val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("size"))
-    val edges = jaccardPairs(s, dir).select($"doc_a")
+    val edges = pairs.select($"doc_a")
       .join(broadcast(labels.withColumnRenamed("doc_id", "doc_a")), "doc_a")
       .groupBy($"cluster_id").agg(count(lit(1)).as("n_edges"))
     sizes.join(edges, Seq("cluster_id"), "left")
