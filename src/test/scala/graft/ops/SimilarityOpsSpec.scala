@@ -564,4 +564,36 @@ class SimilarityOpsSpec extends SparkSuite {
         r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(sf.toSeq == want)
   }
+
+  test("q342 planted cells: in-cell twin dropped, cross-cell twin missed") {
+    import spark.implicits._
+    // cell 0: v1 and its exact twin v2 (cosine 1 > tau) plus an
+    // orthogonal v3; cell 1: v4 identical to v1 — the CROSS-cell
+    // duplicate the bucketed path deliberately misses (SemDeDup's
+    // own approximation, disclosed in the Scaladoc)
+    val e1 = (Seq.fill(4)(1.0f) ++ Seq.fill(4)(0.0f))
+    val e3 = (Seq.fill(4)(0.0f) ++ Seq.fill(4)(1.0f))
+    val cells = Seq((1L, e1, 0L), (2L, e1, 0L), (3L, e3, 0L), (4L, e1, 1L))
+      .toDF("vec_id", "embedding", "cell")
+      .withColumn("nrm", graft.functions.VectorOps.norm($"embedding"))
+    val got = SimilarityOps.semanticDedupOf(cells).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
+  test("q342 on the sf fixture: bucketed drops are a subset of all-pairs drops") {
+    val sem = SimilarityOps.q342SemanticDedup(spark, sf0001).collect()
+    assert(sem.length ==
+      graft.Tables.embeddings(spark, sf0001).count().toInt,
+      "every vector must appear exactly once with a kept flag")
+    val dropped = sem.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    // q68 is the exact all-pairs baseline at the same tau: under the
+    // same keep-min rule its drop set (any vector with a smaller-id
+    // global tau-neighbor) must contain every bucketed drop
+    val globalDrops = graft.ops.DedupOps.q68EmbeddingNearDup(spark, sf0001)
+      .collect().map(_.getLong(1)).toSet
+    assert(dropped.subsetOf(globalDrops),
+      s"bucketed path dropped a vector the exact baseline would keep: " +
+        s"${dropped -- globalDrops}")
+  }
 }
