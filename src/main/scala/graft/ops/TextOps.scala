@@ -3932,7 +3932,122 @@ object TextOps {
       |    // share_ppm AS BIGINT) AS oversample_milli
       |FROM r ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q343
+  /** Hashed-feature buckets for the DSIR importance model. 1024 keeps
+    * the ratio table broadcast-trivial while the md5-16-bit prefix
+    * (q225's cross-engine device) spreads features ~64 deep per
+    * bucket at fixture scale. */
+  val dsirBuckets = 1024L
+
+  /** DSIR data selection (Xie et al., NeurIPS 2023): per-document
+    * importance weight log(p_target/p_raw) under hashed-n-gram bag
+    * models — the principled upgrade of threshold curation (q88
+    * trims by absolute quality; this RANKS raw docs by how much more
+    * they look like the target corpus than like the raw pool, which
+    * is what you actually resample by when composing a training
+    * mix). Target = the 'en' slice (stand-in; a real run points this
+    * at curated text), raw = the whole pool. Features are hashed
+    * word uni+bigrams ([[dsirBuckets]] buckets, q225's md5 device);
+    * both bucket marginals get +1 smoothing, and each document's
+    * weight is the MEAN per-feature-occurrence log-ratio in
+    * micro-nats (q125's floor(ln·10⁶) device — the one float op,
+    * floor-quantized identically in both engines; everything
+    * downstream is exact BIGINT). `selected` = weight > 0: the doc
+    * is more target-like than pool-like.
+    *
+    * Scale shape: two passes over the exploded feature stream (one
+    * map-side-combining agg to the B-bounded bucket grain; one
+    * doc-grain agg after a BROADCAST join against the B-row ratio
+    * table — re-exploding is a projection, cheaper than
+    * materializing a corpus×features frame), plus the q125-style
+    * left join attaching featureless docs with zero weight. No
+    * shuffle ever carries text. */
+  def q343DsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirOf(Tables.documentsSpread(s, dir)
+      .select(col("doc_id"), col("lang"), col("text")))
+
+  /** The weight model on any (doc_id, lang, text) frame — separated
+    * so the spec can plant disjoint-vocabulary corpora where the
+    * weight SIGNS are knowable by construction. */
+  private[ops] def dsirOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def h(c: Column): Column =
+      conv(substring(md5(c), 1, 4), 16, 10).cast("long") % dsirBuckets
+    val feats = docs
+      .select($"doc_id", $"lang",
+        explode(concat(DedupOps.spansN($"text", 1),
+          DedupOps.spansN($"text", 2))).as("g"))
+      .select($"doc_id", $"lang", h($"g").as("b"))
+    val raw = feats.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val tgt = feats.where($"lang" === "en")
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val tot = raw.agg(sum($"cr").as("nr")).crossJoin(
+      tgt.agg(coalesce(sum($"ct"), lit(0L)).as("nt")))
+    val ratios = raw.join(tgt, Seq("b"), "left").na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(tot))
+      .select($"b", expr(
+        s"""CAST(floor(ln(
+           |  (CAST(ct + 1 AS DOUBLE) * (nr + $dsirBuckets)) /
+           |  (CAST(cr + 1 AS DOUBLE) * (nt + $dsirBuckets))
+           |) * 1000000.0) AS BIGINT)""".stripMargin).as("lr"))
+    val perDoc = feats.join(broadcast(ratios), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum($"lr").as("slr"))
+    docs.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_feats", lit(0L)).as("n_feats"),
+        when($"n_feats".isNull, 0L)
+          .otherwise(expr("slr div n_feats")).as("dsir_micro"))
+      .withColumn("selected", $"dsir_micro" > 0L)
+      .orderBy($"doc_id")
+  }
+
+  private val q343Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, unnest(list_concat(
+       |    toks,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i + 1])
+       |      ELSE [] END)) AS g
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(g), 1, 4))::BIGINT % $dsirBuckets AS b
+       |  FROM f),
+       |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM h GROUP BY 1),
+       |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+       |  FROM h WHERE lang = 'en' GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+       |    (SELECT COALESCE(CAST(sum(ct) AS BIGINT), 0) FROM tgt) AS nt),
+       |r AS (
+       |  SELECT raw.b,
+       |    CAST(floor(ln(
+       |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * (nr + $dsirBuckets)) /
+       |      (CAST(cr + 1 AS DOUBLE) * (nt + $dsirBuckets))
+       |    ) * 1000000.0) AS BIGINT) AS lr
+       |  FROM raw LEFT JOIN tgt USING (b), tot),
+       |pd AS (
+       |  SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(lr) AS BIGINT) AS slr
+       |  FROM h JOIN r USING (b) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(n_feats, 0) AS n_feats,
+       |  CASE WHEN n_feats IS NULL THEN 0
+       |       ELSE slr // n_feats END AS dsir_micro,
+       |  CASE WHEN n_feats IS NULL THEN FALSE
+       |       ELSE (slr // n_feats) > 0 END AS selected
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q343_dsir_weights" -> (q343DsirWeights _),
     "q323_temperature_mix" -> (q323TemperatureMix _),
     "q291_crossfit_norm" -> (q291CrossfitNorm _),
     "q272_eb_shrinkage" -> (q272EbShrinkage _),
@@ -4001,6 +4116,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q343_dsir_weights" -> q343Oracle,
     "q323_temperature_mix" -> q323Oracle,
     "q291_crossfit_norm" -> q291Oracle,
     "q272_eb_shrinkage" -> q272Oracle,

@@ -1531,4 +1531,44 @@ class TextOpsSpec extends SparkSuite {
         assert(r.getLong(4) >= 1000L, s"tail source under-sampled: $r")
     }
   }
+
+  test("q343 planted disjoint vocab: target-like positive, pool-like negative") {
+    import spark.implicits._
+    // target 'en' docs speak only vocab A; 'xx' docs only vocab B.
+    // A-features are target-enriched (positive log-ratio), B-features
+    // appear ONLY in the raw pool (negative), so the weight signs are
+    // knowable by construction. Vocab chosen so no two features share
+    // an md5 bucket — a collision really does bleed weight across
+    // vocabularies (observed with 'gamma beta' vs 'zeta theta'),
+    // which is hashed-DSIR's documented approximation, not a bug.
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma alpha beta"),
+      (2L, "en", "beta gamma alpha gamma beta"),
+      (3L, "xx", "omega kappa sigma omega kappa"),
+      (4L, "xx", "kappa sigma omega sigma kappa"),
+      (5L, "en", "alpha gamma beta alpha gamma"),
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.dsirOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    Seq(1L, 2L, 5L).foreach { d =>
+      assert(got(d)._1 > 0 && got(d)._2, s"target-vocab doc $d: ${got(d)}")
+    }
+    Seq(3L, 4L).foreach { d =>
+      assert(got(d)._1 < 0 && !got(d)._2, s"pool-only-vocab doc $d: ${got(d)}")
+    }
+  }
+
+  test("q343 on the sf fixture: en docs average higher than non-en") {
+    import spark.implicits._
+    val w = TextOps.q343DsirWeights(spark, sf0001)
+      .join(graft.Tables.documents(spark, sf0001)
+        .select($"doc_id", $"lang"), "doc_id")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("dsir_micro")))
+    val en = w.filter(_._1 == "en").map(_._2)
+    val rest = w.filter(_._1 != "en").map(_._2)
+    assert(en.nonEmpty && rest.nonEmpty)
+    assert(en.sum.toDouble / en.length > rest.sum.toDouble / rest.length,
+      "the importance weight must rank target-language docs above the pool")
+  }
 }
