@@ -325,7 +325,154 @@ object MultimodalOps {
        |    THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS clean_ppm
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q344
+  /** Byte positions sampled per image for the content fingerprint —
+    * fixed so the probe cost is constant per image regardless of
+    * payload size. */
+  val resizeSamples = 64
+
+  /** Letterbox-resize planning + strided content probe for "image"
+    * payloads — the stage a decode fleet runs BEFORE any codec: all
+    * resize GEOMETRY (downscale-only milli scale factor against the
+    * [[targetSize]] model edge, output dims, symmetric-total padding)
+    * is integer math on declared header dims, so the planner never
+    * touches pixels; the content probe samples [[resizeSamples]]
+    * bytes at a payload-proportional stride and hashes them — the
+    * cheap stand-in for a perceptual thumbprint (and the real shape
+    * of one: fixed probe count per item, cost independent of payload
+    * size). Everything is a pure projection over the media scan —
+    * no decode, no shuffle, q316's gate-before-fleet discipline
+    * extended to the resize plan. The stub hash swaps for a real
+    * resize+phash kernel with no plan change (q75's contract). */
+  def q344ResizePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).toDF()
+      .where($"media_type" === "image")
+      .select($"media_id", $"payload".cast("string").as("content"),
+        $"declared_w".cast("long").as("w"), $"declared_h".cast("long").as("h"))
+      .withColumn("scale_milli",
+        least(lit(1000L), expr(s"(1000 * $targetSize) div w"),
+          expr(s"(1000 * $targetSize) div h")))
+      .withColumn("out_w", expr("(w * scale_milli) div 1000"))
+      .withColumn("out_h", expr("(h * scale_milli) div 1000"))
+      .withColumn("stride",
+        greatest(lit(1L), expr(s"CAST(length(content) AS BIGINT) div $resizeSamples")))
+      .select($"media_id", $"w", $"h", $"scale_milli", $"out_w", $"out_h",
+        (lit(targetSize.toLong) - $"out_w").as("pad_x"),
+        (lit(targetSize.toLong) - $"out_h").as("pad_y"),
+        md5(array_join(transform(sequence(lit(0), lit(resizeSamples - 1)),
+          i => substring($"content", (i * $"stride" + 1).cast("int"), lit(1))), ""))
+          .as("sample_hash"))
+      .orderBy($"media_id")
+  }
+
+  private val q344Oracle =
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, text AS content,
+       |    CAST(64 + n_chars % 512 AS BIGINT) AS w,
+       |    CAST(64 + (n_chars * 7) % 512 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |g AS (
+       |  SELECT media_id, content, w, h,
+       |    LEAST(1000, (1000 * $targetSize) // w, (1000 * $targetSize) // h)
+       |      AS scale_milli,
+       |    GREATEST(1, length(content) // $resizeSamples) AS stride
+       |  FROM m)
+       |SELECT media_id, w, h, scale_milli,
+       |  (w * scale_milli) // 1000 AS out_w,
+       |  (h * scale_milli) // 1000 AS out_h,
+       |  $targetSize - (w * scale_milli) // 1000 AS pad_x,
+       |  $targetSize - (h * scale_milli) // 1000 AS pad_y,
+       |  md5(list_reduce(list_transform(range(0, $resizeSamples),
+       |    i -> substr(content, CAST(i * stride AS INT) + 1, 1)),
+       |    (a, b) -> a || b)) AS sample_hash
+       |FROM g ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- q345
+  /** Token budget per packed sequence. */
+  val interleaveBudget = 512L
+  /** Token cost of one image block in an interleaved sequence (the
+    * fixed patch-token count a vision encoder contributes). */
+  val imageTokens = 64L
+  /** Parallel packing lanes — each lane packs independently. */
+  val interleaveBuckets = 8L
+
+  final case class PackUnit(doc_id: Long, bucket: Long, cost: Long)
+  final case class PackedUnit(doc_id: Long, bucket: Long, cost: Long,
+      seq_in_bucket: Long, start_tok: Long)
+
+  /** Interleaved image+text sequence packing (the MMC4/OBELICS
+    * document shape): each document is an ATOMIC unit costing its
+    * text tokens plus [[imageTokens]] when it carries an image — and
+    * atomicity is exactly what q83's splittable token-stream packing
+    * cannot express: an image block must not straddle a sequence
+    * boundary, so a unit that would overflow the open sequence
+    * CLOSES it (first-fit greedy) instead of spilling. That rule is
+    * inherently sequential, so it runs as a per-lane
+    * `flatMapGroups` fold — O(1) state per lane, docs hashed across
+    * [[interleaveBuckets]] lanes for parallelism (the packing
+    * quality loss vs one global lane is the standard shard-local
+    * greedy trade, disclosed; lanes scale with cores at 100 TB). A
+    * unit larger than the whole budget opens its own oversize
+    * sequence rather than being dropped. The oracle replays the fold
+    * as a per-lane recursive CTE — same rule, same order, bit-equal
+    * placement. */
+  def q345InterleavedPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val units = Tables.documents(s, dir)
+      .select($"doc_id",
+        (conv(substring(md5(concat(lit("ipack:"), $"doc_id".cast("string"))),
+          1, 4), 16, 10).cast("long") % interleaveBuckets).as("bucket"),
+        (size(DedupOps.spansN($"text", 1)).cast("long") +
+          when($"doc_id" % 3 === 0, imageTokens).otherwise(0L)).as("cost"))
+      .as[PackUnit]
+    units.groupByKey(_.bucket)
+      .flatMapGroups { (b: Long, it: Iterator[PackUnit]) =>
+        val lane = it.toArray.sortBy(_.doc_id)
+        var seq = 0L; var off = 0L
+        lane.iterator.map { u =>
+          if (off > 0 && off + u.cost > interleaveBudget) { seq += 1; off = 0 }
+          val placed = PackedUnit(u.doc_id, b, u.cost, seq, off)
+          off += u.cost
+          placed
+        }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  private val q345Oracle =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('ipack:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |      % $interleaveBuckets AS bucket,
+       |    CAST(len(string_split(lower(text), ' '))
+       |      + CASE WHEN doc_id % 3 = 0 THEN $imageTokens ELSE 0 END
+       |      AS BIGINT) AS cost,
+       |    row_number() OVER (PARTITION BY
+       |      ('0x' || substr(md5('ipack:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |      % $interleaveBuckets ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, bucket, cost, rn,
+       |    CAST(0 AS BIGINT) AS seq_in_bucket, CAST(0 AS BIGINT) AS start_tok,
+       |    cost AS next_off
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.doc_id, d.bucket, d.cost, d.rn,
+       |    CASE WHEN p.next_off > 0 AND p.next_off + d.cost > $interleaveBudget
+       |      THEN p.seq_in_bucket + 1 ELSE p.seq_in_bucket END,
+       |    CASE WHEN p.next_off > 0 AND p.next_off + d.cost > $interleaveBudget
+       |      THEN 0 ELSE p.next_off END,
+       |    CASE WHEN p.next_off > 0 AND p.next_off + d.cost > $interleaveBudget
+       |      THEN 0 ELSE p.next_off END + d.cost
+       |  FROM p JOIN d ON d.bucket = p.bucket AND d.rn = p.rn + 1)
+       |SELECT doc_id, bucket, cost, seq_in_bucket, start_tok
+       |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_interleaved_pack" -> (q345InterleavedPack _),
+    "q344_resize_plan"   -> (q344ResizePlan _),
     "q75_media_features" -> (q75MediaFeatures _),
     "q76_frame_sample"   -> (q76FrameSample _),
     "q123_frame_dedup"   -> (q123FrameDedup _),
@@ -334,6 +481,8 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q345_interleaved_pack" -> q345Oracle,
+    "q344_resize_plan"   -> q344Oracle,
     "q75_media_features" -> q75Oracle,
     "q76_frame_sample"   -> q76Oracle,
     "q123_frame_dedup"   -> q123Oracle,

@@ -149,4 +149,49 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(got.keySet == Set("image", "audio", "video"))
     assert(got.values.map(_._1).sum == media.length.toLong)
   }
+
+  test("q344 resize plan: downscale-only geometry, pads fill the model edge") {
+    val rows = MultimodalOps.q344ResizePlan(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, sc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (ow, oh) = (r.getLong(4), r.getLong(5))
+      val (px, py) = (r.getLong(6), r.getLong(7))
+      assert(sc <= 1000, s"upscaling forbidden: $r")
+      assert(ow <= MultimodalOps.targetSize && oh <= MultimodalOps.targetSize)
+      assert(px >= 0 && py >= 0 && px == MultimodalOps.targetSize - ow
+        && py == MultimodalOps.targetSize - oh)
+      // the larger declared edge drives the scale: after scaling it
+      // lands within rounding of the model edge (or the image was
+      // already smaller than the edge at scale 1000)
+      assert(sc == 1000 || math.max(ow, oh) >= MultimodalOps.targetSize - 1,
+        s"scale not tight: $r")
+      assert(r.getString(8).length == 32, "md5 probe hash")
+      assert(w >= ow && h >= oh)
+    }
+  }
+
+  test("q345 interleaved pack: atomic units never straddle, offsets are exact") {
+    val rows = MultimodalOps.q345InterleavedPack(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per (bucket, seq): units placed back-to-back from zero, and a
+    // unit crosses the budget only when it opened the sequence alone
+    rows.groupBy(t => (t._2, t._4)).foreach { case ((b, seq), units) =>
+      val sorted = units.sortBy(_._1)
+      var off = 0L
+      sorted.foreach { case (d, _, cost, _, start) =>
+        assert(start == off, s"bucket $b seq $seq doc $d: start $start != $off")
+        off += cost
+      }
+      sorted.foreach { case (d, _, cost, _, start) =>
+        assert(start + cost <= MultimodalOps.interleaveBudget || start == 0,
+          s"doc $d straddles a sequence boundary")
+      }
+    }
+    // image docs cost their text plus the image block
+    val img = rows.filter(_._1 % 3 == 0)
+    assert(img.nonEmpty && img.forall(_._3 > MultimodalOps.imageTokens))
+  }
 }
