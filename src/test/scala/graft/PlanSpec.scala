@@ -747,4 +747,37 @@ class PlanSpec extends SparkSuite {
         s"$name grain agg must combine map-side")
     }
   }
+
+  test("q342 semantic dedup: in-cell equi-join, never the all-pairs plan") {
+    // q68 (the exact baseline) legitimately plans a nested-loop
+    // all-pairs join; the WHOLE POINT of the bucketed path is that it
+    // must not — candidates come from an equi-join on the cell key
+    val p = plan(SimilarityOps.q342SemanticDedup(spark, sf0001))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "bucketed semantic dedup planned an all-pairs join")
+  }
+
+  test("q334 pruned table read: residual key predicate pushes into parquet") {
+    val p = plan(graft.ops.TableOps.queries("q334_table_pruned_read")(spark, sf0001))
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "the key-range residual must reach the parquet scan on the surviving files")
+    assert(p.contains("GreaterThanOrEqual(o_orderkey") ||
+      p.contains("IsNotNull(o_orderkey"), p.take(800))
+  }
+
+  test("q343 DSIR: ratio table broadcasts; both aggs combine map-side") {
+    val p = plan(TextOps.q343DsirWeights(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"),
+      "the B-row ratio join must broadcast, never shuffle the feature stream")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "bucket and doc aggs must both run partial before their exchange")
+  }
+
+  test("q345 interleaved pack: one lane exchange feeds the sequential fold") {
+    val p = plan(MultimodalOps.q345InterleavedPack(spark, sf0001))
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"),
+      "the per-lane fold must be a grouped-map operator")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
