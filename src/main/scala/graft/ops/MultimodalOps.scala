@@ -408,11 +408,16 @@ object MultimodalOps {
     * cannot express: an image block must not straddle a sequence
     * boundary, so a unit that would overflow the open sequence
     * CLOSES it (first-fit greedy) instead of spilling. That rule is
-    * inherently sequential, so it runs as a per-lane
-    * `flatMapGroups` fold — O(1) state per lane, docs hashed across
-    * [[interleaveBuckets]] lanes for parallelism (the packing
+    * inherently sequential, so it runs as a SECONDARY-SORT fold:
+    * repartition on the lane key, sortWithinPartitions by
+    * (lane, doc_id), then one streaming `mapPartitions` pass whose
+    * state resets at each lane change — genuinely O(1) state over a
+    * lazy iterator, never buffering a lane on-heap (a
+    * `flatMapGroups` formulation would `toArray` the lane:
+    * corpus/lanes rows in one task's memory at 100 TB). Docs hash
+    * across [[interleaveBuckets]] lanes for parallelism; the packing
     * quality loss vs one global lane is the standard shard-local
-    * greedy trade, disclosed; lanes scale with cores at 100 TB). A
+    * greedy trade, disclosed; lanes scale with cores at 100 TB. A
     * unit larger than the whole budget opens its own oversize
     * sequence rather than being dropped. The oracle replays the fold
     * as a per-lane recursive CTE — same rule, same order, bit-equal
@@ -426,13 +431,18 @@ object MultimodalOps {
         (size(DedupOps.spansN($"text", 1)).cast("long") +
           when($"doc_id" % 3 === 0, imageTokens).otherwise(0L)).as("cost"))
       .as[PackUnit]
-    units.groupByKey(_.bucket)
-      .flatMapGroups { (b: Long, it: Iterator[PackUnit]) =>
-        val lane = it.toArray.sortBy(_.doc_id)
-        var seq = 0L; var off = 0L
-        lane.iterator.map { u =>
+    units
+      .repartition(interleaveBuckets.toInt, $"bucket")
+      .sortWithinPartitions($"bucket", $"doc_id")
+      .mapPartitions { it =>
+        // a partition may carry several lanes (hash mod partitions);
+        // the sort groups them contiguously, so lane state resets on
+        // the bucket change — one O(1)-state pass, iterator stays lazy
+        var lane = -1L; var seq = 0L; var off = 0L
+        it.map { u =>
+          if (u.bucket != lane) { lane = u.bucket; seq = 0L; off = 0L }
           if (off > 0 && off + u.cost > interleaveBudget) { seq += 1; off = 0 }
-          val placed = PackedUnit(u.doc_id, b, u.cost, seq, off)
+          val placed = PackedUnit(u.doc_id, u.bucket, u.cost, seq, off)
           off += u.cost
           placed
         }

@@ -104,7 +104,11 @@ object TableLog {
     sb ++= s"op $op\n"
     sb ++= s"key $keyCol\n"
     sb ++= s"schema $schemaDdl\n"
-    bloom.foreach { case (c, m) => sb ++= s"bloom $c $m\n" }
+    bloom.foreach { case (c, m) =>
+      require(!c.contains(' ') && !c.contains('\n'),
+        s"bloom column name must be token-shaped: '$c'")
+      sb ++= s"bloom $c $m\n"
+    }
     txns.sortBy(_._1).foreach { case (app, v) =>
       require(!app.contains(' ') && !app.contains('\n'),
         s"txn app id must be token-shaped: '$app'")
@@ -125,6 +129,8 @@ object TableLog {
     val removes = Seq.newBuilder[String]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       val sp = line.indexOf(' ')
+      if (sp < 0) throw new IllegalStateException(
+        s"corrupt manifest v$version: operand-less line '$line'")
       val (tag, rest) = (line.substring(0, sp), line.substring(sp + 1))
       tag match {
         case "op"     => op = rest
@@ -246,6 +252,18 @@ object TableLog {
           txn.foreach { case (app, tv) =>
             if (now.txns.get(app).exists(_ >= tv)) return now.version
           }
+          // metadata-bearing commits (create, evolve) must NOT rebase:
+          // their schema/declaration was computed against the OLD
+          // snapshot, and re-publishing it would silently overwrite a
+          // concurrent winner's metadata (two creates would union
+          // datasets; two evolves would drop each other's columns).
+          // The caller re-runs the operation, recomputing against the
+          // new snapshot.
+          if (op == "create" || schemaDdl.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"$table: lost a $op race at v${now.version} — this commit " +
+                "carries snapshot-derived metadata and cannot rebase; " +
+                "re-run the operation on the new snapshot")
           val activeNow = now.active.map(_.relPath).toSet
           if (!removes.forall(activeNow)) throw new java.util.ConcurrentModificationException(
             s"$table: conflicting commit at v${now.version} rewrote files this " +
@@ -291,6 +309,13 @@ object TableLog {
   private def sidecarRel(relPath: String, c: String): String =
     s"$relPath.$c.bloom"
 
+  /** `input_file_name()` URI → bare part-file name — ONE definition
+    * for every touched-file match (stage stats/blooms, delete, merge,
+    * cdc), so a future scheme/encoding fix cannot diverge between
+    * copy-on-write paths. */
+  private def fileNameOf(uri: String): String =
+    Paths.get(new java.net.URI(uri).getPath).getFileName.toString
+
   private def stage(df: DataFrame, table: String, keyCol: String,
       numFiles: Int, bloom: Option[(String, Int)] = None): Seq[AddFile] = {
     val spark = df.sparkSession
@@ -320,8 +345,7 @@ object TableLog {
         .agg(collect_list(col("p")).as("ps"))
         .collect()
       perFile.foreach { r =>
-        val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
-          .getFileName.toString
+        val name = fileNameOf(r.getString(0))
         val bits = new java.util.BitSet(m)
         r.getSeq[Int](1).foreach(bits.set)
         Files.write(stageDir.resolve(s"$name.$c.bloom"), bits.toByteArray)
@@ -334,8 +358,7 @@ object TableLog {
         max(col(keyCol)).cast("long").as("mx"))
       .collect() // file-grain: ≤ numFiles rows
       .map { r =>
-        val name = Paths.get(new java.net.URI(r.getString(0)).getPath)
-          .getFileName.toString
+        val name = fileNameOf(r.getString(0))
         AddFile(s"data/$stageId/$name", r.getLong(1), r.getLong(2), r.getLong(3))
       }.toSeq
     written.sortBy(_.relPath)
@@ -504,8 +527,7 @@ object TableLog {
       .withColumn("_file", input_file_name())
     val touchedNames = scan.join(broadcast(touchKeys), k)
       .select("_file").distinct()
-      .collect().map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
-        .getFileName.toString).toSet
+      .collect().map(r => fileNameOf(r.getString(0))).toSet
     val touched = snap.active.filter(a =>
       touchedNames(Paths.get(a.relPath).getFileName.toString))
     val survivors = readFiles(spark, table, snap, touched)
@@ -534,8 +556,7 @@ object TableLog {
     val scan = readFiles(spark, table, snap, candidates)
       .withColumn("_file", input_file_name())
     val touchedNames = scan.where(cond).select("_file").distinct()
-      .collect().map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
-        .getFileName.toString).toSet
+      .collect().map(r => fileNameOf(r.getString(0))).toSet
     val touched = candidates.filter(a =>
       touchedNames(Paths.get(a.relPath).getFileName.toString))
     if (touched.isEmpty) return snap.version // no-op: nothing matched
@@ -561,8 +582,7 @@ object TableLog {
       .withColumn("_file", input_file_name())
     val touchedNames = scan.join(broadcast(changeKeys), k)
       .select("_file").distinct()
-      .collect().map(r => Paths.get(new java.net.URI(r.getString(0)).getPath)
-        .getFileName.toString).toSet
+      .collect().map(r => fileNameOf(r.getString(0))).toSet
     val touched = snap.active.filter(a =>
       touchedNames(Paths.get(a.relPath).getFileName.toString))
     val touchedRows = readFiles(spark, table, snap, touched)
@@ -703,10 +723,22 @@ object TableLog {
     * travel to earlier versions (a production vacuum takes a
     * retention horizon and keeps files referenced by any snapshot
     * inside it). */
-  def vacuumList(table: String): Seq[String] = {
+  /** Grace horizon before an unreferenced file becomes vacuumable —
+    * a concurrent writer's STAGED-but-not-yet-committed files look
+    * unreferenced to vacuum (the stage write precedes the manifest
+    * link), and deleting them would let the writer's subsequent
+    * commit reference missing files: the one way a torn writer CAN
+    * corrupt the table. The horizon must exceed the longest plausible
+    * stage-to-commit gap (Delta's retention check, same reasoning).
+    * Tests that own the only writer pass 0. */
+  val defaultVacuumGraceMillis: Long = 15L * 60 * 1000
+
+  def vacuumList(table: String,
+      graceMillis: Long = defaultVacuumGraceMillis): Seq[String] = {
     val active = state(table).active.map(_.relPath).toSet
     val dataDir = Paths.get(table, "data")
     if (!Files.isDirectory(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - graceMillis
     val s = Files.walk(dataDir)
     val all = try {
       import scala.jdk.CollectionConverters._
@@ -718,6 +750,8 @@ object TableLog {
           (n.endsWith(".parquet") || n.endsWith(".bloom")) &&
             !n.startsWith(".") && !n.startsWith("_")
         }
+        // in-flight stages are young by definition: age-gate first
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .map(p => Paths.get(table).relativize(p).toString).toSeq
     } finally s.close()
     // a bloom sidecar lives and dies with its data file
@@ -728,8 +762,9 @@ object TableLog {
   }
 
   /** Physically delete [[vacuumList]]'s files. Returns the count. */
-  def vacuum(table: String): Int = {
-    val victims = vacuumList(table)
+  def vacuum(table: String,
+      graceMillis: Long = defaultVacuumGraceMillis): Int = {
+    val victims = vacuumList(table, graceMillis)
     victims.foreach(p => Files.deleteIfExists(Paths.get(table, p)))
     victims.size
   }

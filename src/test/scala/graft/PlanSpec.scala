@@ -774,10 +774,14 @@ class PlanSpec extends SparkSuite {
       "bucket and doc aggs must both run partial before their exchange")
   }
 
-  test("q345 interleaved pack: one lane exchange feeds the sequential fold") {
+  test("q345 interleaved pack: secondary-sort streaming fold, no lane buffering") {
     val p = plan(MultimodalOps.q345InterleavedPack(spark, sf0001))
-    assert(p.contains("MapGroups") || p.contains("FlatMapGroups"),
-      "the per-lane fold must be a grouped-map operator")
-    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("MapPartitions"),
+      "the per-lane fold must be a streaming mapPartitions pass")
+    assert(p.contains("Sort ["),
+      "lanes must arrive contiguously via sortWithinPartitions")
+    // the O(1)-state claim: no grouped-map operator that would
+    // materialize a whole lane in one task
+    assert(!p.contains("FlatMapGroups") && !p.contains("CartesianProduct"))
   }
 }

@@ -141,12 +141,12 @@ class TableLogSpec extends SparkSuite {
     val t = freshDir()
     TableLog.create(kv((0L to 9L).map(i => (i, s"a$i"))), t, "k", 2)
     TableLog.compact(spark, t, 1)
-    val victims = TableLog.vacuumList(t)
+    val victims = TableLog.vacuumList(t, graceMillis = 0)
     assert(victims.size == 2, s"expected the 2 pre-compact files, got $victims")
-    assert(TableLog.vacuum(t) == 2)
+    assert(TableLog.vacuum(t, graceMillis = 0) == 2)
     assert(TableLog.snapshot(spark, t).count() == 10)
     intercept[Exception] { TableLog.snapshot(spark, t, version = 1L).count() }
-    assert(TableLog.vacuumList(t).isEmpty)
+    assert(TableLog.vacuumList(t, graceMillis = 0).isEmpty)
   }
 
   test("empty append bumps the version without staging files") {
@@ -266,10 +266,14 @@ class TableLogSpec extends SparkSuite {
     TableLog.compact(spark, t, 2)
     val rows3 = TableLog.snapshotWhereIn(spark, t, Seq(3L)).collect()
     assert(rows3.map(_.getLong(0)).toSet == rows2.map(_.getLong(0)).toSet)
-    val victims = TableLog.vacuumList(t)
+    val victims = TableLog.vacuumList(t, graceMillis = 0)
     assert(victims.exists(_.endsWith(".bloom")),
       "pre-compact bloom sidecars must be vacuumable")
-    assert(TableLog.vacuum(t) == victims.size)
+    // default grace protects freshly-staged files: nothing this young
+    // may be deleted (the in-flight-writer guard)
+    assert(TableLog.vacuumList(t).isEmpty,
+      "default grace must shield young unreferenced files")
+    assert(TableLog.vacuum(t, graceMillis = 0) == victims.size)
     assert(TableLog.snapshotWhereIn(spark, t, Seq(3L)).count() == 20)
   }
 
