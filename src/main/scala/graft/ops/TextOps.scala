@@ -4046,7 +4046,87 @@ object TextOps {
        |FROM documents d LEFT JOIN pd USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q346
+  /** Subword vocabulary budget for the fertility eval. */
+  val fertVocabSize = 2048L
+  /** Byte-fallback piece width: an out-of-vocabulary word costs
+    * ⌈len/4⌉ pieces — the fixed-stride stand-in for byte-level BPE
+    * fallback (disclosed simplification: a learned segmenter splits
+    * on merge boundaries; the COST MODEL — 1 piece if known, length-
+    * proportional if not — is what fertility measures either way). */
+  val fertFallbackWidth = 4L
+
+  /** Tokenizer fertility by language (the Rust et al. 2021 ACL
+    * diagnostic): pieces-per-word under a FIXED top-[[fertVocabSize]]
+    * vocabulary, per language — the number that tells you which
+    * languages a shared tokenizer serves poorly (fertility ≫ 1 means
+    * their text fragments into byte pieces, burning sequence budget
+    * and degrading that language's effective context). q198 scores
+    * OOV of a SPLIT, q279 sizes the vocab curve; this turns both
+    * into the per-language cost a multilingual mix designer reads.
+    * In-vocab words cost 1 piece; OOV words cost ⌈len/4⌉
+    * ([[fertFallbackWidth]] byte-fallback). All ratios are exact
+    * milli/ppm floors.
+    *
+    * Scale shape: one token explode into a vocab-grain agg (Heaps-
+    * bounded), the top-K cut by a window over that bounded frame
+    * (q105's vocab discipline), then the corpus re-explodes once and
+    * joins the BROADCAST K-row vocab — language-grain agg out. Text
+    * never shuffles; the only corpus-width exchange carries
+    * (lang, word-length) pairs map-side combined. */
+  def q346TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documentsSpread(s, dir)
+      .select($"lang", explode(split(lower($"text"), " ")).as("tok"))
+      .where($"tok" =!= "")
+    val vocab = words.groupBy($"tok").agg(count(lit(1)).as("f"))
+      .withColumn("r", row_number().over(Window.orderBy($"f".desc, $"tok")))
+      .where($"r" <= fertVocabSize)
+      .select($"tok", lit(1L).as("known"))
+    words.join(broadcast(vocab), Seq("tok"), "left")
+      .select($"lang", length($"tok").cast("long").as("len"),
+        when($"known".isNotNull, 1L)
+          .otherwise(expr(s"(length(tok) + ${fertFallbackWidth - 1}) div $fertFallbackWidth"))
+          .as("pieces"),
+        when($"known".isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"), sum($"pieces").as("n_pieces"),
+        sum($"len").as("n_chars"), sum($"oov").as("n_oov"))
+      .select($"lang", $"n_words", $"n_pieces",
+        expr("(1000 * n_pieces) div n_words").as("fertility_milli"),
+        expr("(1000000 * n_oov) div n_words").as("oov_ppm"),
+        expr("(1000 * n_chars) div n_pieces").as("chars_per_piece_milli"))
+      .orderBy($"lang")
+  }
+
+  private val q346Oracle =
+    s"""WITH w AS (
+       |  SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents),
+       |ww AS (SELECT lang, tok FROM w WHERE tok <> ''),
+       |v AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+       |    FROM ww GROUP BY tok)
+       |  WHERE r <= $fertVocabSize),
+       |pc AS (
+       |  SELECT ww.lang, length(ww.tok) AS len,
+       |    CASE WHEN v.tok IS NOT NULL THEN 1
+       |         ELSE (length(ww.tok) + ${fertFallbackWidth - 1}) // $fertFallbackWidth
+       |    END AS pieces,
+       |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM ww LEFT JOIN v ON ww.tok = v.tok)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(pieces) AS BIGINT) AS n_pieces,
+       |  CAST((1000 * sum(pieces)) // count(*) AS BIGINT) AS fertility_milli,
+       |  CAST((1000000 * sum(oov)) // count(*) AS BIGINT) AS oov_ppm,
+       |  CAST((1000 * sum(len)) // sum(pieces) AS BIGINT)
+       |    AS chars_per_piece_milli
+       |FROM pc GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q346_tokenizer_fertility" -> (q346TokenizerFertility _),
     "q343_dsir_weights" -> (q343DsirWeights _),
     "q323_temperature_mix" -> (q323TemperatureMix _),
     "q291_crossfit_norm" -> (q291CrossfitNorm _),
@@ -4116,6 +4196,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q346_tokenizer_fertility" -> q346Oracle,
     "q343_dsir_weights" -> q343Oracle,
     "q323_temperature_mix" -> q323Oracle,
     "q291_crossfit_norm" -> q291Oracle,

@@ -1571,4 +1571,22 @@ class TextOpsSpec extends SparkSuite {
     assert(en.sum.toDouble / en.length > rest.sum.toDouble / rest.length,
       "the importance weight must rank target-language docs above the pool")
   }
+
+  test("q346 fertility: in-vocab words cost 1 piece, OOV cost ceil(len/4)") {
+    val rows = TextOps.q346TokenizerFertility(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, pieces) = (r.getLong(1), r.getLong(2))
+      val fert = r.getLong(3)
+      assert(pieces >= words, "a word costs at least one piece")
+      assert(fert >= 1000L, s"fertility below 1.0 impossible: $r")
+      assert(fert == 1000L * pieces / words)
+      val oovPpm = r.getLong(4)
+      assert(oovPpm >= 0L && oovPpm <= 1000000L)
+      // fertility exceeds 1.0 exactly when some word fell out of vocab
+      assert((fert > 1000L) == (oovPpm > 0L) ||
+        // ...unless every OOV word is shorter than the fallback width
+        oovPpm > 0L, s"fertility/oov inconsistent: $r")
+    }
+  }
 }
