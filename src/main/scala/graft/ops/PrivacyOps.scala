@@ -370,7 +370,79 @@ object PrivacyOps {
        |    > $tThresholdPpm AS at_risk
        |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q347
+  /** Candidate balance-band widths, coarsening left to right — the
+    * generalization ladder the release search climbs. */
+  val ladderBands: Seq[Long] = Seq(2000L, 4000L, 8000L, 16000L, 32000L)
+
+  /** Generalization-ladder search — the automation of q161's manual
+    * loop ("widen [[balBand]] until at_risk empties"): ONE pass
+    * evaluates every candidate band width and reports, per rung,
+    * the group count, the number of sub-k groups, the share of rows
+    * sitting in them (what you'd have to suppress if you shipped at
+    * that rung), whether the rung passes k-anonymity outright, and
+    * `chosen` on the FINEST passing rung — maximum utility at full
+    * protection, the standard generalization-lattice objective
+    * (Samarati 2001's minimal generalization, on the one-dimensional
+    * band lattice). If no rung passes, no rung is chosen and the
+    * caller falls back to suppression (`at_risk_rows_ppm` of the
+    * coarsest rung is exactly the suppression budget).
+    *
+    * Scale shape: the corpus explodes ×|ladder| into ONE
+    * map-side-combining agg at (band × quasi) grain — bounded by
+    * |ladder| · quasi DOMAIN, not rows; everything after (per-rung
+    * rollup, the min-passing-band window) runs on the |ladder|-row
+    * frame. One scan however tall the ladder. */
+  def q347GeneralizationLadder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val groups = Tables.customer(s, dir)
+      .select($"c_mktsegment".as("segment"),
+        ($"c_nationkey" % 5).cast("long").as("nation_bucket"),
+        $"c_acctbal",
+        explode(typedLit(ladderBands)).as("band"))
+      .groupBy($"band", $"segment", $"nation_bucket",
+        floor($"c_acctbal" / $"band").cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("k"))
+    val rungs = groups.groupBy($"band")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"k" < kThreshold, 1L).otherwise(0L)).as("n_at_risk"),
+        sum(when($"k" < kThreshold, $"k").otherwise(0L)).as("risk_rows"),
+        sum($"k").as("n_rows"))
+      .select($"band", $"n_groups", $"n_at_risk",
+        expr("(1000000 * risk_rows) div n_rows").as("at_risk_rows_ppm"),
+        ($"n_at_risk" === 0L).as("passes"))
+    rungs
+      .withColumn("chosen", $"passes" &&
+        $"band" === min(when($"passes", $"band")).over(
+          Window.partitionBy()))
+      .orderBy($"band")
+  }
+
+  private val q347Oracle =
+    s"""WITH g AS (
+       |  SELECT b.band, c_mktsegment AS segment,
+       |    CAST(c_nationkey % 5 AS BIGINT) AS nation_bucket,
+       |    CAST(floor(c_acctbal / b.band) AS BIGINT) AS bal_band,
+       |    CAST(count(*) AS BIGINT) AS k
+       |  FROM customer, (SELECT CAST(unnest([${ladderBands.mkString(", ")}])
+       |    AS BIGINT) AS band) b
+       |  GROUP BY 1, 2, 3, 4),
+       |r AS (
+       |  SELECT band, CAST(count(*) AS BIGINT) AS n_groups,
+       |    CAST(sum(CASE WHEN k < $kThreshold THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_at_risk,
+       |    CAST((1000000 * sum(CASE WHEN k < $kThreshold THEN k ELSE 0 END))
+       |      // sum(k) AS BIGINT) AS at_risk_rows_ppm,
+       |    sum(CASE WHEN k < $kThreshold THEN 1 ELSE 0 END) = 0 AS passes
+       |  FROM g GROUP BY 1)
+       |SELECT band, n_groups, n_at_risk, at_risk_rows_ppm, passes,
+       |  passes AND band = min(CASE WHEN passes THEN band END) OVER ()
+       |    AS chosen
+       |FROM r ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_generalization_ladder" -> (q347GeneralizationLadder _),
     "q161_k_anonymity"  -> (q161KAnonymity _),
     "q162_noisy_release" -> (q162NoisyRelease _),
     "q229_pseudonymized_join" -> (q229PseudonymizedJoin _),
@@ -379,6 +451,7 @@ object PrivacyOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q347_generalization_ladder" -> q347Oracle,
     "q161_k_anonymity"  -> q161Oracle,
     "q162_noisy_release" -> q162Oracle,
     "q229_pseudonymized_join" -> q229Oracle,

@@ -151,4 +151,25 @@ class PrivacyOpsSpec extends SparkSuite {
       assert(r.getBoolean(5) == (r.getLong(3) < PrivacyOps.lThreshold))
     }
   }
+
+  test("q347 ladder: coarser rungs never riskier; chosen = finest passing") {
+    val rows = PrivacyOps.q347GeneralizationLadder(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.map(_._1).toSeq == PrivacyOps.ladderBands)
+    // group count is monotone non-increasing as bands coarsen
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"coarser band grew groups: $a -> $b") }
+    // passes iff zero at-risk groups; chosen implies passes
+    rows.foreach { r =>
+      assert(r._5 == (r._3 == 0L))
+      assert(!r._6 || r._5)
+    }
+    // at most one chosen rung, and it is the finest passing one
+    val chosen = rows.filter(_._6)
+    assert(chosen.length <= 1)
+    chosen.headOption.foreach { c =>
+      assert(rows.filter(_._5).map(_._1).min == c._1)
+    }
+  }
 }
