@@ -1055,7 +1055,99 @@ object LinkOps {
        |  CAST(sum(cc_ppm) // count(*) AS BIGINT) AS mean_cc_ppm
        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q348
+  /** Fellegi–Sunter field weights in micro-nats, precomputed as
+    * LITERALS so neither engine evaluates a logarithm at query time
+    * (the q125 float-op-at-build-time discipline taken to zero
+    * query-time float ops). Name field: m=0.9, u=0.1 →
+    * agree ln(9), disagree ln(1/9); balance-band field: m=0.7,
+    * u=0.2 → agree ln(3.5), disagree ln(0.3/0.8). */
+  val fsNameAgree   = 2197224L
+  val fsNameDis     = -2197224L
+  val fsBalAgree    = 1252763L
+  val fsBalDis      = -980829L
+  /** Decision thresholds (micro-nats): ≥ upper ⇒ match, ≥ lower ⇒
+    * possible (clerical review), else reject. */
+  val fsUpper = 2000000L
+  val fsLower = 0L
+
+  /** Fellegi–Sunter probabilistic record linkage (JASA 1969) over
+    * the customer vocabulary — the SCORING layer q132's
+    * edit-distance matcher lacks: each candidate pair gets a
+    * log-likelihood-ratio score summed from per-field
+    * agree/disagree weights (how much more likely this agreement
+    * pattern is under "same entity" than under "random pair"), and
+    * the score maps to match / possible / reject bands — the
+    * three-way decision rule the original paper proves optimal.
+    * Fields: name agreement = Levenshtein ≤ 1, balance agreement =
+    * same [[PrivacyOps.balBand]]-width band. Blocking on
+    * (nation, segment) bounds candidates exactly like q132 — the
+    * blocked fields agree by construction and carry no weight
+    * (disclosed; a production linker scores them from held-out
+    * m/u estimates instead of excluding them).
+    *
+    * Scale shape: pairs form INSIDE (nation × segment) blocks via a
+    * broadcast self-join of the block-keyed name vocabulary —
+    * candidate volume is Σ|block|²/2, never n²/2; weights are a pure
+    * projection; the band is a literal threshold compare. All
+    * integer micro-nats end-to-end. */
+  def q348FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fsPairsOf(Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey".cast("long").as("nat"),
+        $"c_mktsegment".as("seg"),
+        floor($"c_acctbal" / PrivacyOps.balBand).cast("long").as("bb")))
+  }
+
+  /** The scoring on any (c_custkey, c_name, nat, seg, bb) frame —
+    * separated so the spec can plant pairs whose agreement pattern
+    * puts them in each band by hand-summed weights. */
+  private[ops] def fsPairsOf(cust: DataFrame): DataFrame = {
+    val s = cust.sparkSession
+    import s.implicits._
+    val a = cust.select($"nat", $"seg", $"c_custkey".as("id_a"),
+      $"c_name".as("name_a"), $"bb".as("bb_a"))
+    val b = cust.select($"nat", $"seg", $"c_custkey".as("id_b"),
+      $"c_name".as("name_b"), $"bb".as("bb_b"))
+    a.join(broadcast(b), Seq("nat", "seg"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        (when(levenshtein($"name_a", $"name_b") <= 1, fsNameAgree)
+          .otherwise(fsNameDis) +
+         when($"bb_a" === $"bb_b", fsBalAgree).otherwise(fsBalDis))
+          .as("score_micro"))
+      .withColumn("band",
+        when($"score_micro" >= fsUpper, "match")
+          .when($"score_micro" >= fsLower, "possible")
+          .otherwise("reject"))
+      .where($"band" =!= "reject") // reject pairs are the ocean; never emit
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val q348Oracle =
+    s"""WITH c AS (
+       |  SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS nat,
+       |    c_mktsegment AS seg,
+       |    CAST(floor(c_acctbal / ${PrivacyOps.balBand}) AS BIGINT) AS bb
+       |  FROM customer),
+       |p AS (
+       |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       |    CAST(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+       |      THEN $fsNameAgree ELSE $fsNameDis END
+       |    + CASE WHEN a.bb = b.bb THEN $fsBalAgree ELSE $fsBalDis END
+       |      AS BIGINT) AS score_micro
+       |  FROM c a JOIN c b ON a.nat = b.nat AND a.seg = b.seg
+       |    AND a.c_custkey < b.c_custkey)
+       |SELECT id_a, id_b, score_micro,
+       |  CASE WHEN score_micro >= $fsUpper THEN 'match'
+       |       WHEN score_micro >= $fsLower THEN 'possible'
+       |       ELSE 'reject' END AS band
+       |FROM p
+       |WHERE score_micro >= $fsLower
+       |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q348_fellegi_sunter" -> (q348FellegiSunter _),
     "q320_modularity"      -> (q320Modularity _),
     "q321_clustering_coeff" -> (q321ClusteringCoeff _),
     "q307_link_prediction" -> (q307LinkPrediction _),
@@ -1072,6 +1164,7 @@ object LinkOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q348_fellegi_sunter" -> q348Oracle,
     "q320_modularity"      -> q320Oracle,
     "q321_clustering_coeff" -> q321Oracle,
     "q307_link_prediction" -> q307Oracle,

@@ -298,4 +298,36 @@ class LinkOpsSpec extends SparkSuite {
       assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
     }
   }
+
+  test("q348 Fellegi-Sunter: hand-summed weights land pairs in their bands") {
+    import spark.implicits._
+    // one block, three records: (1,2) near-identical names + same
+    // balance band -> match; (1,3) near name + different band ->
+    // possible; planted name "zzz" vs others -> name-disagree pairs
+    // score negative and are filtered as reject
+    val cust = Seq(
+      (1L, "Customer#01", 7L, "BUILDING", 3L),
+      (2L, "Customer#02", 7L, "BUILDING", 3L),
+      (3L, "Customer#03", 7L, "BUILDING", 9L),
+      (4L, "zzzzzzzzzzz", 7L, "BUILDING", 3L),
+    ).toDF("c_custkey", "c_name", "nat", "seg", "bb")
+    val got = LinkOps.fsPairsOf(cust).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      (1L, 2L) -> ((LinkOps.fsNameAgree + LinkOps.fsBalAgree, "match")),
+      (1L, 3L) -> ((LinkOps.fsNameAgree + LinkOps.fsBalDis, "possible")),
+      (2L, 3L) -> ((LinkOps.fsNameAgree + LinkOps.fsBalDis, "possible")),
+    ), s"got $got")
+  }
+
+  test("q348 on the sf fixture: bands partition scores at the thresholds") {
+    val rows = LinkOps.q348FellegiSunter(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sc, band) = (r.getLong(2), r.getString(3))
+      assert(sc >= LinkOps.fsLower, "reject pairs must never be emitted")
+      assert(band == (if (sc >= LinkOps.fsUpper) "match" else "possible"))
+    }
+  }
 }
