@@ -5986,7 +5986,74 @@ object EventOps {
        |FROM ag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q349
+  /** Micro-seconds per interpolation week. */
+  val interpWeekUs = 7L * 24 * 3600 * 1000000L
+
+  /** Interpolating as-of join — the enrichment q18's nearest-match
+    * as-of cannot express: each purchase event reads the corpus-wide
+    * weekly spend level AT ITS INSTANT, linearly interpolated
+    * between the bracketing week totals (the pandas
+    * merge_asof-then-interpolate composite, as one relational
+    * plan). The fraction-through-week is quantized to millesimals
+    * (`off_k = (1000·off_us) div week_us`, 0–999) so
+    * `v_w + ((v_{w+1} − v_w) · off_k) div 1000` stays exact BIGINT
+    * at ANY corpus scale — the naive `Δv·off_us` product overflows
+    * at sf0.1 already (Δv ~ 5·10⁸ cents × 6·10¹¹ µs), the quantized
+    * form is safe to |Δv| ≈ 9·10¹⁵ cents. Probes in the last
+    * observed week have no right bracket and are excluded by the
+    * inner join (interpolation needs both ends; a LOCF variant is
+    * q223's device) — disclosed, not silent: the join IS the
+    * contract.
+    *
+    * Scale shape: the weekly series is a dimension-sized agg
+    * (weeks, not rows) joined BROADCAST twice (left and right
+    * bracket); probes never shuffle. Values ride as exact cents via
+    * the DECIMAL route. */
+  def q349InterpolatedAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"event_type", unix_micros($"ts").as("ts_us"),
+        ($"value".cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val weekly = ev
+      .groupBy(expr(s"ts_us div $interpWeekUs").as("w"))
+      .agg(sum($"cents").as("v"))
+    val probes = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"ts_us",
+        expr(s"ts_us div $interpWeekUs").as("w"),
+        expr(s"(1000 * (ts_us % $interpWeekUs)) div $interpWeekUs").as("off_k"))
+    probes
+      .join(broadcast(weekly), Seq("w"))
+      .join(broadcast(weekly.select(($"w" - 1).as("w"), $"v".as("v_next"))),
+        Seq("w"))
+      .select($"event_id", $"w", $"off_k", $"v".as("week_cents"),
+        $"v_next".as("next_week_cents"),
+        ($"v" + expr("((v_next - v) * off_k) div 1000")).as("interp_cents"))
+      .orderBy($"event_id")
+  }
+
+  private val q349Oracle =
+    s"""WITH ev AS (
+       |  SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |wk AS (
+       |  SELECT ts_us // $interpWeekUs AS w, CAST(sum(cents) AS BIGINT) AS v
+       |  FROM ev GROUP BY 1),
+       |pr AS (
+       |  SELECT event_id, ts_us // $interpWeekUs AS w,
+       |    (1000 * (ts_us % $interpWeekUs)) // $interpWeekUs AS off_k
+       |  FROM ev WHERE event_type = 'purchase')
+       |SELECT pr.event_id, pr.w, pr.off_k,
+       |  a.v AS week_cents, b.v AS next_week_cents,
+       |  a.v + ((b.v - a.v) * pr.off_k) // 1000 AS interp_cents
+       |FROM pr
+       |JOIN wk a ON a.w = pr.w
+       |JOIN wk b ON b.w = pr.w + 1
+       |ORDER BY pr.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_interpolated_asof" -> (q349InterpolatedAsof _),
     "q329_conformal_intervals" -> (q329ConformalIntervals _),
     "q327_friedman"         -> (q327Friedman _),
     "q324_jonckheere_trend" -> (q324JonckheereTrend _),
@@ -6067,6 +6134,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q349_interpolated_asof" -> q349Oracle,
     "q329_conformal_intervals" -> q329Oracle,
     "q327_friedman"         -> q327Oracle,
     "q324_jonckheere_trend" -> q324Oracle,

@@ -2158,4 +2158,21 @@ class EventOpsSpec extends SparkSuite {
     rs.foreach(r => assert(math.abs(r) <= 1010000L, s"r $r out of range"))
     assert(got.count(_.getBoolean(3)) >= 1)
   }
+
+  test("q349 interpolation: endpoints exact, midpoints between brackets") {
+    val rows = EventOps.q349InterpolatedAsof(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (offK, vw, vn, interp) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(offK >= 0L && offK <= 999L)
+      val lo = math.min(vw, vn); val hi = math.max(vw, vn)
+      assert(interp >= lo - 1 && interp <= hi,
+        s"interpolant escapes its bracket: $r")
+      // Scala Long division truncates toward zero, same as SQL div
+      assert(interp == vw + ((vn - vw) * offK) / 1000,
+        s"formula mismatch: $r")
+      if (offK == 0L) assert(interp == vw, "left endpoint must be exact")
+    }
+  }
 }
