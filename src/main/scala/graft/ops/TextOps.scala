@@ -4125,7 +4125,81 @@ object TextOps {
        |    AS chars_per_piece_milli
        |FROM pc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q350
+  /** Curriculum schedule with source interleave — the ORDER a
+    * curriculum-trained run consumes the corpus in (Bengio et al.
+    * 2009's easy-first, operationalized): difficulty = q125's LM
+    * score (fluent/easy docs score low), each doc gets its
+    * easy-first rank WITHIN its source, and the global schedule
+    * round-robins across sources (`pos = (rank−1)·n_sources +
+    * source_idx`) so no source ever streams as a contiguous run —
+    * the anti-clustering property batch composition needs (a
+    * source-sorted corpus gives every batch one domain). Positions
+    * are unique by construction (source_idx distinct mod n_sources)
+    * but not contiguous when sources differ in size — the consumer
+    * sorts by pos, gaps are free (disclosed). The decile column is
+    * the curriculum PHASE annotation (pacing functions cut on it),
+    * computed by the hierarchical rank so the population-grain cut
+    * never plans a single-partition window.
+    *
+    * Scale shape: one scoring pass (q125), the decile via
+    * [[Ranks.withGlobalRank]] (checkpointed narrow frame), the
+    * in-source rank under `Window.partitionBy(source)` — real
+    * partitions, no global window — and the source index from a
+    * source-cardinality frame joined broadcast. */
+  def q350CurriculumSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = q125LmScore(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"source"), "doc_id")
+      .select($"doc_id", $"source", $"avg_nll_micro")
+    val deciled = Ranks.withGlobalRank(scored, $"avg_nll_micro", $"doc_id",
+        "__gr", nName = "__gn")
+      .withColumn("difficulty_decile", Ranks.ntileExpr(10, "__gr", "__gn"))
+      .drop("__gr", "__gn")
+    val srcIdx = scored.select($"source").distinct()
+      .withColumn("source_idx",
+        row_number().over(Window.orderBy($"source")).cast("long") - 1)
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy()))
+    val wSrc = Window.partitionBy($"source")
+      .orderBy($"avg_nll_micro", $"doc_id")
+    deciled
+      .withColumn("rank_in_source", row_number().over(wSrc).cast("long"))
+      .join(broadcast(srcIdx), "source")
+      .select($"doc_id", $"source", $"difficulty_decile",
+        $"rank_in_source",
+        (($"rank_in_source" - 1) * $"n_sources" + $"source_idx")
+          .as("schedule_pos"))
+      .orderBy($"schedule_pos")
+  }
+
+  private val q350Oracle =
+    s"""WITH lm_scored AS (${q125Oracle.replace("ORDER BY d.doc_id", "")}),
+       |sc AS (
+       |  SELECT s.doc_id, d.source, s.avg_nll_micro
+       |  FROM lm_scored s JOIN documents d ON s.doc_id = d.doc_id),
+       |dec AS (
+       |  SELECT doc_id, source, avg_nll_micro,
+       |    CAST(ntile(10) OVER (ORDER BY avg_nll_micro, doc_id) AS BIGINT)
+       |      AS difficulty_decile,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY avg_nll_micro, doc_id) AS BIGINT) AS rank_in_source
+       |  FROM sc),
+       |si AS (
+       |  SELECT source,
+       |    CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1
+       |      AS source_idx,
+       |    CAST(count(*) OVER () AS BIGINT) AS n_sources
+       |  FROM (SELECT DISTINCT source FROM sc))
+       |SELECT dec.doc_id, dec.source, dec.difficulty_decile,
+       |  dec.rank_in_source,
+       |  (dec.rank_in_source - 1) * si.n_sources + si.source_idx
+       |    AS schedule_pos
+       |FROM dec JOIN si ON dec.source = si.source
+       |ORDER BY schedule_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q350_curriculum_schedule" -> (q350CurriculumSchedule _),
     "q346_tokenizer_fertility" -> (q346TokenizerFertility _),
     "q343_dsir_weights" -> (q343DsirWeights _),
     "q323_temperature_mix" -> (q323TemperatureMix _),
@@ -4196,6 +4270,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q350_curriculum_schedule" -> q350Oracle,
     "q346_tokenizer_fertility" -> q346Oracle,
     "q343_dsir_weights" -> q343Oracle,
     "q323_temperature_mix" -> q323Oracle,

@@ -1589,4 +1589,23 @@ class TextOpsSpec extends SparkSuite {
         oovPpm > 0L, s"fertility/oov inconsistent: $r")
     }
   }
+
+  test("q350 curriculum: unique positions, easy-first within source, interleaved") {
+    val rows = TextOps.q350CurriculumSchedule(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // schedule positions are globally unique
+    assert(rows.map(_._5).distinct.length == rows.length)
+    // easy-first within each source: rank order == difficulty order
+    rows.groupBy(_._2).foreach { case (_, src) =>
+      val byRank = src.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to src.length))
+    }
+    // interleave: among the first n_sources positions, no source twice
+    val nSources = rows.map(_._2).distinct.length
+    val head = rows.sortBy(_._5).take(nSources).map(_._2)
+    assert(head.distinct.length == head.length,
+      s"schedule head repeats a source: ${head.toSeq}")
+  }
 }
