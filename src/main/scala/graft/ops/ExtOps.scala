@@ -306,14 +306,17 @@ object ExtOps {
     * plain lineitem scan reproduces. At 100 TB: one bounds agg
     * (broadcast), one shuffle on the octant key, and the write —
     * same cost shape as any partitioned write. */
-  private def zTerms(shiftL: (String, Int) => String,
+  private[graft] def zTerms(shiftL: (String, Int) => String,
       shiftR: (String, Int) => String, x: String, y: String): String =
     (0 until 16).map { i =>
       s"${shiftL(s"(${shiftR(x, i)} & 1)", 2 * i)} + " +
         s"${shiftL(s"(${shiftR(y, i)} & 1)", 2 * i + 1)}"
     }.mkString(" + ")
 
-  private val zSpark = zTerms(
+  /** 16-bit × 16-bit Morton interleave over pre-scaled `sx`/`sy`
+    * columns — shared with TableLog's OPTIMIZE-ZORDER compaction so
+    * the two layouts cannot drift. */
+  private[graft] val zSpark = zTerms(
     (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)", "sx", "sy")
 
   private[graft] def q108Write(s: SparkSession, dir: String): String = {

@@ -555,7 +555,51 @@ object TableOps {
       |FROM orders WHERE o_orderkey % 100 = 9
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q351
+  private val zorderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** OPTIMIZE ZORDER as a transactional commit
+    * ([[TableLog.compactZorder]]): the table's files re-lay along
+    * the (o_orderkey × o_custkey) Morton curve — q108 proves the
+    * layout standalone; this lands it as an atomic, time-travelable
+    * rewrite on the log (old layout still readable at the prior
+    * version). Each re-laid file covers ≈ a rectangle in the 2-D
+    * key space, so the 2-D selective readback here prunes parquet
+    * row-groups on BOTH predicates; the oracle only sees the
+    * logical result (layout must be invisible to answers — that IS
+    * the test). TableLogSpec pins the physical effect: per-file
+    * custkey spread shrinks vs the key-ranged layout, and the
+    * rewrite is a logical no-op. */
+  def q351TableZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = zorderCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogz_").toString
+      val slice = ordersSlice(s, dir)
+      TableLog.create(slice.where($"o_orderkey" % 4 === 0), t,
+        "o_orderkey", numFiles = 4)
+      TableLog.append(slice.where($"o_orderkey" % 4 === 1), t, numFiles = 4)
+      TableLog.compactZorder(s, t, "o_orderkey", "o_custkey", numFiles = 4)
+      t
+    })
+    TableLog.snapshot(s, table)
+      .where($"o_orderkey" <= 7000L && $"o_custkey" <= 700L)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q351Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1)
+      |  AND o_orderkey <= 7000 AND o_custkey <= 700
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q351_table_zorder"      -> (q351TableZorder _),
     "q330_table_snapshot"    -> (q330TableSnapshot _),
     "q331_table_time_travel" -> (q331TableTimeTravel _),
     "q332_table_merge"       -> (q332TableMerge _),
@@ -571,6 +615,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q351_table_zorder"      -> q351Oracle,
     "q330_table_snapshot"    -> q330Oracle,
     "q331_table_time_travel" -> q331Oracle,
     "q332_table_merge"       -> q332Oracle,

@@ -316,13 +316,25 @@ object TableLog {
   private def fileNameOf(uri: String): String =
     Paths.get(new java.net.URI(uri).getPath).getFileName.toString
 
+  /** `layout`: optional file-layout expression. When set, files are
+    * range-partitioned and sorted by IT instead of the key column —
+    * the OPTIMIZE-ZORDER device ([[compactZorder]]) — while key
+    * stats (and bloom sidecars) are still collected as usual, so
+    * manifest-level skipping keeps working over the re-laid files. */
   private def stage(df: DataFrame, table: String, keyCol: String,
-      numFiles: Int, bloom: Option[(String, Int)] = None): Seq[AddFile] = {
+      numFiles: Int, bloom: Option[(String, Int)] = None,
+      layout: Option[Column] = None): Seq[AddFile] = {
     val spark = df.sparkSession
     val stageId = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = Paths.get(table, "data", stageId)
-    df.repartitionByRange(numFiles, col(keyCol))
-      .write.parquet(stageDir.toString)
+    val writer = layout match {
+      case Some(expr) => df.withColumn("__layout", expr)
+        .repartitionByRange(numFiles, col("__layout"))
+        .sortWithinPartitions(col("__layout"))
+        .drop("__layout")
+      case None => df.repartitionByRange(numFiles, col(keyCol))
+    }
+    writer.write.parquet(stageDir.toString)
     val partFiles = {
       val s = Files.list(stageDir)
       try {
@@ -592,6 +604,43 @@ object TableLog {
       .unionByName(changes)
     val adds = stage(rewritten, table, k, numFiles, snap.bloom)
     commit(table, snap.version, "merge", adds, touched.map(_.relPath), "", "")
+  }
+
+  /** OPTIMIZE ZORDER: [[compact]] whose output files follow the
+    * Morton interleave of TWO columns (q108's `zTerms` device —
+    * shared, so the standalone layout and the transactional one
+    * cannot drift) instead of the key's range order. Each rewritten
+    * file covers a z-range ≈ a rectangle in (x, y) space, so
+    * predicates on EITHER column prune row-groups via ordinary
+    * parquet min/max — the locality a single-column sort gives only
+    * its own column. Key stats and bloom sidecars are still
+    * collected over the re-laid files, so manifest-level skipping
+    * keeps working (key ranges per file widen — that is the trade:
+    * z-order spends key-locality to buy second-column locality,
+    * disclosed). Logically a no-op like compact; conflicts the same
+    * way. */
+  def compactZorder(spark: SparkSession, table: String, colX: String,
+      colY: String, numFiles: Int): Long = {
+    val snap = state(table)
+    val data = readFiles(spark, table, snap, snap.active)
+    // column bounds collected once (one 4-cell row — the driver cost
+    // of the scale factors, same posture as IVF's centroid collect)
+    // and inlined as literals, so the layout is a pure expression
+    // over the data columns and the written schema stays untouched
+    val b = data.agg(
+      min(col(colX)).cast("long"), max(col(colX)).cast("long"),
+      min(col(colY)).cast("long"), max(col(colY)).cast("long")).collect().head
+    val (minx, maxx, miny, maxy) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val sx = s"((($colX) - $minx) * 65535) div ${math.max(1L, maxx - minx)}"
+    val sy = s"((($colY) - $miny) * 65535) div ${math.max(1L, maxy - miny)}"
+    val zExpr = expr(graft.ops.ExtOps.zTerms(
+      (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)",
+      s"($sx)", s"($sy)"))
+    val adds = stage(data, table, snap.keyCol, numFiles,
+      snap.bloom, layout = Some(zExpr))
+    commit(table, snap.version, "zorder", adds,
+      snap.active.map(_.relPath), "", "")
   }
 
   /** Rewrite the whole active set into `numFiles` range-partitioned

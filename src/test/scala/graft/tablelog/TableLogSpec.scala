@@ -372,4 +372,44 @@ class TableLogSpec extends SparkSuite {
     assert(evo.exists(_.getBoolean(1)) && evo.exists(!_.getBoolean(1)))
     evo.filter(_.getBoolean(1)).foreach(r => assert(r.getDouble(3) == 0.0))
   }
+
+  test("compactZorder: logical no-op that localizes the second column") {
+    val t = freshDir()
+    import spark.implicits._
+    // y correlates with nothing: under the key-range layout every file
+    // spans the full y domain; the z-order layout must shrink it
+    val df = (0L to 255L).map(i => (i, (i * 97L) % 256L, s"v$i"))
+      .toDF("k", "y", "v")
+    TableLog.create(df, t, "k", numFiles = 4)
+    def spreadPerFile(): Seq[Long] = {
+      val snap = TableLog.state(t)
+      snap.active.map { a =>
+        val f = spark.read.parquet(java.nio.file.Paths.get(t, a.relPath).toString)
+        val r = f.agg(org.apache.spark.sql.functions.min($"y"),
+          org.apache.spark.sql.functions.max($"y")).collect().head
+        r.getLong(1) - r.getLong(0)
+      }
+    }
+    val before = spreadPerFile()
+    val content = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    TableLog.compactZorder(spark, t, "k", "y", numFiles = 4)
+    assert(TableLog.history(t).last.op == "zorder")
+    // logical no-op
+    val after = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(after == content, "zorder changed table contents")
+    // physical effect: mean per-file y-spread shrinks
+    val spreadAfter = spreadPerFile()
+    assert(spreadAfter.sum.toDouble / spreadAfter.size <
+      before.sum.toDouble / before.size,
+      s"z-order did not localize y: before=$before after=$spreadAfter")
+    // key stats recomputed over the re-laid files: pruned reads still exact
+    val rows = TableLog.snapshotWhereKey(spark, t, 10L, 20L).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (10L to 20L))
+    // a rewrite: the incremental feed must refuse to cross it
+    intercept[IllegalStateException] {
+      TableLog.readAppendsSince(spark, t, sinceVersion = 0L)
+    }
+  }
 }
