@@ -4198,7 +4198,167 @@ object TextOps {
        |FROM dec JOIN si ON dec.source = si.source
        |ORDER BY schedule_pos""".stripMargin
 
+  // ---------------------------------------------------------------- q352
+  /** Gradient-descent rounds for the learned gate (round 0 = the
+    * untrained model's readout; rounds 1..K read the weights after
+    * each update). */
+  val logregRounds = 8
+  /** Integer learning rate η = 4: the weight step is
+    * η · (Σ err_milli·x_milli div n) — already in micro-real units
+    * because milli × milli = micro. */
+  val logregLr = 4L
+
+  /** Learned quality/language gate — a from-scratch DISTRIBUTED
+    * logistic-regression trainer (the shape behind every fastText /
+    * CCNet / FineWeb learned quality filter: cheap per-doc features,
+    * a linear model, batch gradient descent). The fixture task is
+    * is-this-doc-English from three content-free statistics (lexical
+    * diversity, stopword share, mean token length) — the learning
+    * PRIMITIVE is the point, not the task.
+    *
+    * Everything is exact BIGINT fixed-point so the trained model is
+    * bit-identical cross-engine: features on a milli grid, weights in
+    * micro units, and the sigmoid replaced by the hard sigmoid
+    * σ̂(z) = clamp(½ + z/4, 0, 1) in ppm — piecewise-linear, so the
+    * whole forward pass is integer multiply/divide/clamp (the one
+    * device that makes iterative TRAINING hash-oracle-able; float GD
+    * diverges across engines at the first sum reorder). Gradient =
+    * Σ (σ̂ − y)·x with the error pre-floored to milli, keeping every
+    * per-row term ≤ 2·10⁶ — BIGINT-safe to ~4·10¹² rows. Update
+    * w ← w − η·(G div n) with truncating division on both engines
+    * (verified on negatives). Per round the output reports the
+    * weights IN EFFECT and their training accuracy, so the whole
+    * trajectory — not just the final model — is oracle-checked.
+    *
+    * Scale shape: the feature projection is computed once and
+    * persisted (4 ints + a label per doc — the narrow frame K passes
+    * are cheap over); each round is ONE map-side-combining global
+    * aggregate to a single row (n, correct, 4 gradient sums) with the
+    * current weights inlined as literals — the classic
+    * broadcast-weights data-parallel GD: the model (4 longs) rides in
+    * the closure, only fixed-size partial sums move, and the driver
+    * folds K of them. The oracle unrolls the K rounds as generated
+    * CTE stages (q122's device). */
+  def q352QualityLogreg(s: SparkSession, dir: String): DataFrame =
+    logregOf(Tables.documents(s, dir))
+
+  /** Milli-grid integer features + {0,1} label for [[logregOf]].
+    * x_len is capped at 2000 (20 chars/token) purely as a disclosed
+    * BIGINT-headroom bound; the fixture's word soup sits near 500. */
+  private[ops] def logregFeatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", toks(col("text")))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_dist", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(stopwords: _*))).cast("long"))
+      .withColumn("chars_ns",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .selectExpr(
+        "doc_id",
+        "CAST(1000 AS BIGINT) AS x_bias",
+        "(1000 * n_dist) div n_toks AS x_div",
+        "(1000 * n_stop) div n_toks AS x_stop",
+        "least((100 * chars_ns) div n_toks, 2000) AS x_len",
+        "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y")
+
+  /** Shared forward-pass expressions — ONE set of strings renders
+    * into the Spark aggregate and the oracle CTEs, so the two
+    * engines cannot drift. `w*` resolve to literals (Spark) or the
+    * round CTE's columns (oracle). */
+  private def logregZ(w0: String, w1: String, w2: String, w3: String) =
+    s"(($w0 * x_bias + $w1 * x_div + $w2 * x_stop + $w3 * x_len) $IDIV 1000)"
+  private def logregForward(w0: String, w1: String, w2: String, w3: String) = {
+    val p = s"least(greatest(500000 + ${logregZ(w0, w1, w2, w3)} $IDIV 4, 0), 1000000)"
+    val e = s"(($p) - 1000000 * y) $IDIV 1000"
+    (p, e)
+  }
+  /** Integer-division sentinel in the shared expression strings,
+    * rendered to the engine keyword (Spark `div`, DuckDB `//`) at
+    * use — a plain-text `div` would collide with the `x_div` column
+    * name under string replace. */
+  private val IDIV = "#IDIV#"
+
+  private[ops] def logregOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val f = logregFeatures(docs).persist()
+    try {
+      val w = Array(0L, 0L, 0L, 0L) // bias, div, stop, len (micro units)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Long)]
+      for (r <- 0 to logregRounds) {
+        val (ps, es) = logregForward(s"${w(0)}L", s"${w(1)}L", s"${w(2)}L", s"${w(3)}L")
+        val (p, e) = (ps.replace(IDIV, "div"), es.replace(IDIV, "div"))
+        val row = f.selectExpr(
+          "count(*) AS n",
+          s"sum(CASE WHEN (($p) >= 500000) = (y = 1) THEN 1 ELSE 0 END) AS ok",
+          s"sum(($e) * x_bias) AS g0",
+          s"sum(($e) * x_div) AS g1",
+          s"sum(($e) * x_stop) AS g2",
+          s"sum(($e) * x_len) AS g3").collect()(0)
+        val n = row.getLong(0)
+        out += ((r.toLong, w(0), w(1), w(2), w(3), 1000000L * row.getLong(1) / n))
+        if (r < logregRounds)
+          for (j <- 0 until 4) w(j) -= logregLr * (row.getLong(2 + j) / n)
+      }
+      s.createDataFrame(out.toSeq)
+        .toDF("round", "w_bias", "w_div", "w_stop", "w_len", "acc_ppm")
+        .orderBy($"round")
+    } finally f.unpersist()
+  }
+
+  private val q352Oracle: String = {
+    val fSql =
+      s"""SELECT doc_id,
+         |  CAST(1000 AS BIGINT) AS x_bias,
+         |  (1000 * len(list_distinct(string_split(lower(text), ' '))))
+         |    // len(string_split(lower(text), ' ')) AS x_div,
+         |  (1000 * len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN (${stopwords.map(w => s"'$w'").mkString(",")}))))
+         |    // len(string_split(lower(text), ' ')) AS x_stop,
+         |  least((100 * length(replace(text, ' ', '')))
+         |    // len(string_split(lower(text), ' ')), 2000) AS x_len,
+         |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+         |FROM documents""".stripMargin
+    val rounds = (0 to logregRounds).map { r =>
+      val wDef =
+        if (r == 0)
+          s"""w$r AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+             |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)""".stripMargin
+        else
+          s"""w$r AS (SELECT w0 - $logregLr * (g0 // n) AS w0,
+             |  w1 - $logregLr * (g1 // n) AS w1,
+             |  w2 - $logregLr * (g2 // n) AS w2,
+             |  w3 - $logregLr * (g3 // n) AS w3 FROM s${r - 1})""".stripMargin
+      val (p, e) = logregForward("w0", "w1", "w2", "w3")
+      val (pd, ed) = (p.replace(IDIV, "//"), e.replace(IDIV, "//"))
+      val sDef =
+        s"""s$r AS (
+           |  SELECT $r AS round, w0, w1, w2, w3,
+           |    (1000000 * CAST(sum(CASE WHEN (($pd) >= 500000) = (y = 1)
+           |       THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS acc_ppm,
+           |    CAST(sum(($ed) * x_bias) AS BIGINT) AS g0,
+           |    CAST(sum(($ed) * x_div) AS BIGINT) AS g1,
+           |    CAST(sum(($ed) * x_stop) AS BIGINT) AS g2,
+           |    CAST(sum(($ed) * x_len) AS BIGINT) AS g3,
+           |    count(*) AS n
+           |  FROM f CROSS JOIN w$r GROUP BY w0, w1, w2, w3)""".stripMargin
+      wDef + ",\n" + sDef
+    }
+    val union = (0 to logregRounds)
+      .map(r => s"SELECT round, w0, w1, w2, w3, acc_ppm FROM s$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH f AS ($fSql),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(round AS BIGINT) AS round, w0 AS w_bias, w1 AS w_div,
+       |  w2 AS w_stop, w3 AS w_len, acc_ppm
+       |FROM (${union})
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q352_quality_logreg" -> (q352QualityLogreg _),
     "q350_curriculum_schedule" -> (q350CurriculumSchedule _),
     "q346_tokenizer_fertility" -> (q346TokenizerFertility _),
     "q343_dsir_weights" -> (q343DsirWeights _),
@@ -4270,6 +4430,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q352_quality_logreg" -> q352Oracle,
     "q350_curriculum_schedule" -> q350Oracle,
     "q346_tokenizer_fertility" -> q346Oracle,
     "q343_dsir_weights" -> q343Oracle,

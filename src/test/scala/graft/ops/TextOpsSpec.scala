@@ -1608,4 +1608,56 @@ class TextOpsSpec extends SparkSuite {
     assert(head.distinct.length == head.length,
       s"schedule head repeats a source: ${head.toSeq}")
   }
+
+  test("q352 logreg: planted separable corpus is learned to perfect accuracy") {
+    import spark.implicits._
+    // en docs: 20 distinct non-stopword tokens (diversity 1000, stopword 0);
+    // xx docs: 'the' x20 (diversity 50, stopword 1000) — linearly separable
+    val docs = (0 until 6).flatMap { i =>
+      Seq((2L * i, (0 until 20).map(j => s"w${j}x").mkString(" "), "en"),
+          (2L * i + 1, Seq.fill(20)("the").mkString(" "), "xx"))
+    }.toDF("doc_id", "text", "lang")
+    val rows = TextOps.logregOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == TextOps.logregRounds + 1)
+    // round 0 = untrained: zero weights, coin-flip prediction = 50% here
+    assert(rows.head == ((0L, 0L, 0L, 0L, 0L, 500000L)))
+    // trained model separates perfectly from round 1 on
+    assert(rows.tail.forall(_._6 == 1000000L),
+      s"accuracy trajectory: ${rows.map(_._6).toSeq}")
+    // and learned the right signs: diversity votes en, stopwords vote xx
+    val last = rows.last
+    assert(last._3 > 0L && last._4 < 0L,
+      s"final weights (bias, div, stop, len) = (${last._2}, ${last._3}, ${last._4}, ${last._5})")
+  }
+
+  test("q352 logreg: driver replay of the integer GD matches the query exactly") {
+    val feats = TextOps.logregFeatures(
+        graft.Tables.documents(spark, sf0001))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val w = Array(0L, 0L, 0L, 0L)
+    val expect = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    for (r <- 0 to TextOps.logregRounds) {
+      var ok = 0L
+      val g = Array(0L, 0L, 0L, 0L)
+      feats.foreach { case (xb, xd, xs, xl, y) =>
+        val z = (w(0) * xb + w(1) * xd + w(2) * xs + w(3) * xl) / 1000L
+        val p = math.max(0L, math.min(1000000L, 500000L + z / 4L))
+        if ((p >= 500000L) == (y == 1L)) ok += 1
+        val e = (p - 1000000L * y) / 1000L
+        g(0) += e * xb; g(1) += e * xd; g(2) += e * xs; g(3) += e * xl
+      }
+      val n = feats.length.toLong
+      expect += ((r.toLong, w(0), w(1), w(2), w(3), 1000000L * ok / n))
+      if (r < TextOps.logregRounds)
+        for (j <- 0 until 4) w(j) -= TextOps.logregLr * (g(j) / n)
+    }
+    val got = TextOps.q352QualityLogreg(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expect.toSeq)
+  }
 }
