@@ -2284,7 +2284,86 @@ object DedupOps {
        |FROM mn JOIN best USING (cluster_id) JOIN mq USING (cluster_id)
        |ORDER BY mn.cluster_id""".stripMargin
 
+  // ---------------------------------------------------------------- q356
+  /** Winnowing gram size (tokens per k-gram) and window size (hashes
+    * per selection window). Any shared run of ≥ w+k−1 = 8 tokens is
+    * GUARANTEED to share a fingerprint — the paper's noise/guarantee
+    * thresholds (k, w+k−1). */
+  val winnowK = 5
+  val winnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): per document, hash every
+    * [[winnowK]]-token gram (60-bit md5 prefix, the engine-portable
+    * stand-in for the paper's rolling hash — any uniform hash
+    * satisfies the scheme) and keep, for each sliding window of
+    * [[winnowW]] consecutive hashes, the minimum (rightmost on ties —
+    * plain winnowing). The selected (position, hash) set is the
+    * fingerprint index MOSS-style plagiarism/copy detection stores:
+    * expected density 2/(w+1) of all grams, with the GUARANTEE that
+    * any copied run of ≥ w+k−1 tokens is caught — the property
+    * q155's fixed-stride catalog and q64's whole-doc hash both lack.
+    * Docs with fewer than w+k−1 tokens emit nothing (disclosed: they
+    * are below the guarantee threshold by definition).
+    *
+    * Plan shape: one positional-gram projection (scan-side), the
+    * per-doc gram count from a doc-partitioned window on the SAME
+    * shuffle the selection grouping reuses, windows materialized as
+    * a bounded ×w explode of window ids (q139's gridded device — no
+    * self-join), argmin per (doc, window) via the sign-flipped
+    * struct min, then DISTINCT over selections. Everything keys on
+    * doc_id: one shuffle, text never moves after the scan. */
+  def q356WinnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowOf(Tables.documentsSpread(s, dir))
+
+  private[ops] def winnowOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select($"doc_id", posexplode(spansN($"text", winnowK)).as(Seq("pos", "gram")))
+      .withColumn("h",
+        conv(substring(md5($"gram"), 1, 15), 16, 10).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy($"doc_id")))
+      .where($"m" >= winnowW)
+      .withColumn("j", explode(expr(
+        s"sequence(greatest(0, pos - ${winnowW - 1}), least(pos, m - $winnowW))")))
+      .groupBy($"doc_id", $"j")
+      .agg(min(struct($"h", (-$"pos").as("np"))).as("sel"))
+      .select($"doc_id", (-$"sel.np").cast("long").as("pos"), $"sel.h".as("h"))
+      .distinct()
+      .orderBy($"doc_id", $"pos")
+  }
+
+  private val q356Oracle = {
+    val gram = (0 until winnowK)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, unnest(range(1, len(toks) - ${winnowK - 2})) AS i, toks
+       |  FROM t),
+       |g AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    ('0x' || substr(md5($gram), 1, 15))::BIGINT AS h,
+       |    count(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM g0),
+       |w AS (
+       |  SELECT doc_id, pos, h,
+       |    unnest(range(greatest(0, pos - ${winnowW - 1}),
+       |                 least(pos, m - $winnowW) + 1)) AS j
+       |  FROM g WHERE m >= $winnowW),
+       |sel AS (
+       |  SELECT doc_id, j, pos, h, row_number() OVER (
+       |    PARTITION BY doc_id, j ORDER BY h ASC, pos DESC) AS rn
+       |  FROM w)
+       |SELECT DISTINCT doc_id, pos, h
+       |FROM sel WHERE rn = 1 ORDER BY doc_id, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_winnow_fingerprints" -> (q356WinnowFingerprints _),
     "q297_dedup_threshold_sweep" -> (q297DedupThresholdSweep _),
     "q299_cross_source_dups" -> (q299CrossSourceDups _),
     "q301_keeper_divergence" -> (q301KeeperDivergence _),
@@ -2355,6 +2434,7 @@ object DedupOps {
     "q79_neardup_clusters"  -> q79Oracle,
     "q243_golden_record"    -> q243Oracle,
     "q155_boilerplate_catalog" -> q155Oracle,
+    "q356_winnow_fingerprints" -> q356Oracle,
     "q160_containment_dedup" -> q160Oracle,
     "q164_novelty_ratio"    -> q164Oracle,
     "q213_dup_rate_by_source" -> q213Oracle,

@@ -598,7 +598,154 @@ object TableOps {
       |  AND o_orderkey <= 7000 AND o_custkey <= 700
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q354
+  /** Incremental materialized-view maintenance over the commit log —
+    * q144's self-merging-aggregate idea upgraded with RETRACTIONS and
+    * landed on the ACID table: the per-status (count, exact sum) view
+    * follows the demo table through all five versions, and each
+    * refresh reads ONLY that version's change, never the table.
+    * Refresh routing comes off the log's own history: append-shaped
+    * commits (create/append/evolve) take the cheap
+    * [[TableLog.readAppendsSince]] path (delta rows aggregate and
+    * ADD into the view — counts and DECIMAL sums are self-merging);
+    * rewrite commits (delete/merge/cdc/compact) take
+    * [[TableLog.diffVersions]], whose (action, old, new) rows unpivot
+    * into signed contributions — delete retracts the old row, update
+    * retracts old and adds new, insert adds — so the view stays
+    * change-exact THROUGH rewrites, where an appends-only consumer
+    * must fail (q340's spec'd hole, closed here). v5's compaction
+    * diffs to zero changes (unchanged rows that merely moved files
+    * drop out of the null-safe compare), so the no-op refresh is
+    * itself oracle-checked. A group retracted to zero rows leaves
+    * the view (matching what a recompute would produce).
+    *
+    * Output = the view AFTER every refresh, (version × status) grain;
+    * the oracle states each version's view as the pure SQL its
+    * history implies — the full maintenance trajectory is
+    * hash-checked, not just the final state. Scale shape: each
+    * refresh costs O(change set) + a merge into the GROUP-BOUNDED
+    * view frame (status grain — localCheckpointed per round so the
+    * lineage stays refresh-local); the base table is scanned once at
+    * v1 and never again. */
+  def q354TableMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mvTrajectoryOf(s, demoTable(s, dir), "o_orderstatus", "o_totalprice")
+      .select($"version", $"grp".as("o_orderstatus"), $"n_orders", $"sum_price")
+      .orderBy($"version", $"o_orderstatus")
+  }
+
+  /** The maintenance fold behind q354, on any logged table: per
+    * (groupCol) count + exact DECIMAL sum of valueCol, refreshed
+    * version-by-version from the log's change feeds. Returns the
+    * view after every refresh as (version, grp, n_orders,
+    * sum_price). */
+  private[ops] def mvTrajectoryOf(s: SparkSession, table: String,
+      groupCol: String, valueCol: String): DataFrame = {
+    import s.implicits._
+    // fixed-width decimal everywhere so the append-path, diff-path, and
+    // merged frames union without implicit precision widening
+    def viewAgg(df: DataFrame): DataFrame = df
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        sum(col(valueCol).cast("decimal(12,2)"))
+          .cast("decimal(20,2)").as("sum_dec"))
+    val ops = TableLog.history(table).map(h => h.version -> h.op).toMap
+    val appendOps = Set("create", "append", "evolve")
+    var mv = viewAgg(TableLog.snapshot(s, table, 1L)).localCheckpoint()
+    val states = scala.collection.mutable.ArrayBuffer(
+      mv.select(lit(1L).as("version"), $"grp", $"n_orders", $"sum_dec"))
+    for (v <- 2L to TableLog.latestVersion(table)) {
+      val delta =
+        if (appendOps(ops(v)))
+          viewAgg(TableLog.readAppendsSince(s, table, v - 1, v))
+        else
+          TableLog.diffVersions(s, table, v - 1, v)
+            .selectExpr(
+              s"""stack(2,
+                 |  old_$groupCol,
+                 |  CASE WHEN action IN ('delete','update') THEN -1L END,
+                 |  CASE WHEN action IN ('delete','update')
+                 |       THEN -CAST(old_$valueCol AS DECIMAL(12,2)) END,
+                 |  new_$groupCol,
+                 |  CASE WHEN action IN ('insert','update') THEN 1L END,
+                 |  CASE WHEN action IN ('insert','update')
+                 |       THEN CAST(new_$valueCol AS DECIMAL(12,2)) END
+                 |) AS (grp, dn, dprice)""".stripMargin)
+            .where($"dn".isNotNull)
+            .groupBy($"grp")
+            .agg(sum($"dn").as("n_orders"),
+              sum($"dprice").cast("decimal(20,2)").as("sum_dec"))
+      mv = mv.unionByName(delta)
+        .groupBy($"grp")
+        .agg(sum($"n_orders").as("n_orders"),
+          sum($"sum_dec").cast("decimal(20,2)").as("sum_dec"))
+        .where($"n_orders" > 0L)
+        .localCheckpoint()
+      states += mv.select(lit(v).as("version"), $"grp", $"n_orders", $"sum_dec")
+    }
+    states.reduce(_ unionByName _)
+      .select($"version", $"grp", $"n_orders",
+        $"sum_dec".cast("double").as("sum_price"))
+  }
+
+  private val q354Oracle = {
+    def st(v: Int, where: String) =
+      s"""SELECT CAST($v AS BIGINT) AS version, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         |FROM orders WHERE $where GROUP BY 2""".stripMargin
+    val v123 = "o_orderkey % 4 IN (0, 1, 2)"
+    val v45 = s"$v123 AND o_orderpriority <> '1-URGENT'"
+    Seq(st(1, "o_orderkey % 4 = 0"), st(2, "o_orderkey % 4 IN (0, 1)"),
+      st(3, v123), st(4, v45), st(5, v45))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY version, o_orderstatus")
+  }
+
+  // ---------------------------------------------------------------- q355
+  private val replaceCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Atomic slice restatement ([[TableLog.replaceWhere]] — Delta's
+    * `replaceWhere` / dynamic partition overwrite): the open-order
+    * slice (status 'O') is re-delivered with corrected prices (×2 —
+    * exact in IEEE doubles, so cross-engine) and REPLACES the old
+    * slice in one commit; a reader sees either the old restatement
+    * or the new, never a mix and never a gap — the backfill shape
+    * (re-run one day/partition) that delete-then-append cannot give
+    * atomically. Incoming rows are contract-checked against the
+    * predicate (smuggling rows outside the slice is rejected —
+    * spec'd), and only files holding a matching row rewrite.
+    * Readback = the whole table, so the oracle is base rows with the
+    * O slice restated in pure SQL. */
+  def q355TableReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = replaceCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogr_").toString
+      val slice = ordersSlice(s, dir).where($"o_orderkey" % 4 <= 1)
+      TableLog.create(slice.where($"o_orderkey" % 4 === 0), t,
+        "o_orderkey", numFiles = 4)
+      TableLog.append(slice.where($"o_orderkey" % 4 === 1), t, numFiles = 4)
+      val restated = slice.where($"o_orderstatus" === "O")
+        .withColumn("o_totalprice", $"o_totalprice" * 2)
+      TableLog.replaceWhere(s, t, $"o_orderstatus" === "O", restated,
+        numFiles = 4)
+      t
+    })
+    TableLog.snapshot(s, table)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q355Oracle =
+    """SELECT o_orderkey, o_orderstatus,
+      |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_table_replace_where" -> (q355TableReplaceWhere _),
+    "q354_table_mv_refresh"  -> (q354TableMvRefresh _),
     "q351_table_zorder"      -> (q351TableZorder _),
     "q330_table_snapshot"    -> (q330TableSnapshot _),
     "q331_table_time_travel" -> (q331TableTimeTravel _),
@@ -615,6 +762,8 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q355_table_replace_where" -> q355Oracle,
+    "q354_table_mv_refresh"  -> q354Oracle,
     "q351_table_zorder"      -> q351Oracle,
     "q330_table_snapshot"    -> q330Oracle,
     "q331_table_time_travel" -> q331Oracle,

@@ -4357,7 +4357,119 @@ object TextOps {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q353
+  /** Naive Bayes language identifier, trained AND evaluated in one
+    * relational plan — the second from-scratch learner next to q352's
+    * logistic gate (langid.py's model class; generative where q352 is
+    * discriminative). Multinomial NB over word unigrams with +1
+    * smoothing: the model is the (lang × vocab) table of floored
+    * micro-nat log-likelihoods ln((c+1)/(T_l+V)) (q125's one-float-op
+    * ln discipline — everything around it exact BIGINT), priors
+    * ln(n_l/n_train), and a per-lang OOV weight ln(1/(T_l+V)) for
+    * unseen words. Train split = q49/q91's salted-md5 bucket device
+    * (salt `nb:`, buckets 0–79 train, 80–99 held out), so the split —
+    * and therefore the model — is engine-reproducible with no RNG.
+    *
+    * Scale shape: training is one token-grain count to the
+    * Heaps-bounded (lang × word) model; scoring shuffles the held-out
+    * token stream ONCE on the join key, against the model; the 5-row
+    * lang frame (priors + OOV weights) broadcasts. Scores are BIGINT
+    * sums of per-token model weights — order-independent, so argmax
+    * (score DESC, lang ASC tie-break) is deterministic cross-engine.
+    * Output = per held-out doc: truth, prediction, winning score,
+    * correctness bit — the eval a lang-ID gate reads before trusting
+    * q61's heuristic profile at scale. */
+  def q353NbLangid(s: SparkSession, dir: String): DataFrame =
+    nbLangidOf(Tables.documents(s, dir))
+
+  private[ops] def nbLangidOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bucket = conv(substring(md5(concat(lit("nb:"), $"doc_id".cast("string"))),
+      1, 4), 16, 10).cast("long") % 100
+    val base = docs.withColumn("bucket", bucket)
+    val train = base.filter($"bucket" < 80)
+    val test = base.filter($"bucket" >= 80)
+    val trainTok = train.select($"lang", explode(toks($"text")).as("word"))
+    val cw = trainTok.groupBy($"lang", $"word").agg(count(lit(1)).as("c"))
+    val tl = cw.groupBy($"lang").agg(sum($"c").as("t"))
+    val v = cw.agg(countDistinct($"word").as("v"))
+    val nl = train.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val ntr = train.agg(count(lit(1)).as("n_train"))
+    val langs = tl.join(nl, "lang")
+      .crossJoin(broadcast(ntr)).crossJoin(broadcast(v))
+      .selectExpr("lang", "t", "v",
+        "CAST(floor(ln(CAST(n AS DOUBLE) / n_train) * 1000000D) AS BIGINT) AS prior_micro",
+        "CAST(floor(ln(1.0D / (t + v)) * 1000000D) AS BIGINT) AS oov_micro")
+    val w = cw.join(tl, "lang").crossJoin(broadcast(v))
+      .selectExpr("lang", "word",
+        "CAST(floor(ln(CAST(c + 1 AS DOUBLE) / (t + v)) * 1000000D) AS BIGINT) AS w_micro")
+    val testTok = test.select($"doc_id", $"lang".as("true_lang"),
+      explode(toks($"text")).as("word"))
+    val scored = testTok
+      .crossJoin(broadcast(langs.select($"lang", $"prior_micro", $"oov_micro")))
+      .join(w.withColumnRenamed("lang", "w_lang").withColumnRenamed("word", "w_word"),
+        $"word" === $"w_word" && $"lang" === $"w_lang", "left")
+      .groupBy($"doc_id", $"true_lang", $"lang", $"prior_micro")
+      .agg(sum(coalesce($"w_micro", $"oov_micro")).as("tok_sum"))
+      .select($"doc_id", $"true_lang", $"lang",
+        ($"prior_micro" + $"tok_sum").as("score_micro"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score_micro".desc, $"lang".asc)))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"true_lang", $"lang".as("pred_lang"), $"score_micro",
+        when($"lang" === $"true_lang", 1L).otherwise(0L).as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  private val q353Oracle =
+    """WITH b AS (
+      |  SELECT doc_id, lang, text,
+      |    ('0x' || substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+      |      AS bucket
+      |  FROM documents),
+      |tr AS (SELECT * FROM b WHERE bucket < 80),
+      |te AS (SELECT * FROM b WHERE bucket >= 80),
+      |trt AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS word FROM tr),
+      |cw AS (SELECT lang, word, count(*) AS c FROM trt GROUP BY 1, 2),
+      |tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cw GROUP BY 1),
+      |v AS (SELECT count(DISTINCT word) AS v FROM cw),
+      |nl AS (SELECT lang, count(*) AS n FROM tr GROUP BY 1),
+      |ntr AS (SELECT count(*) AS n_train FROM tr),
+      |langs AS (
+      |  SELECT tl.lang, tl.t, v.v,
+      |    CAST(floor(ln(CAST(nl.n AS DOUBLE) / ntr.n_train) * 1000000.0) AS BIGINT)
+      |      AS prior_micro,
+      |    CAST(floor(ln(1.0 / (tl.t + v.v)) * 1000000.0) AS BIGINT) AS oov_micro
+      |  FROM tl JOIN nl ON tl.lang = nl.lang CROSS JOIN ntr CROSS JOIN v),
+      |w AS (
+      |  SELECT cw.lang, cw.word,
+      |    CAST(floor(ln(CAST(cw.c + 1 AS DOUBLE) / (tl.t + v.v)) * 1000000.0)
+      |      AS BIGINT) AS w_micro
+      |  FROM cw JOIN tl ON cw.lang = tl.lang CROSS JOIN v),
+      |tet AS (
+      |  SELECT doc_id, lang AS true_lang,
+      |    unnest(string_split(lower(text), ' ')) AS word
+      |  FROM te),
+      |sc AS (
+      |  SELECT tt.doc_id, tt.true_lang, l.lang,
+      |    l.prior_micro + CAST(sum(COALESCE(w.w_micro, l.oov_micro)) AS BIGINT)
+      |      AS score_micro
+      |  FROM tet tt CROSS JOIN langs l
+      |  LEFT JOIN w ON w.word = tt.word AND w.lang = l.lang
+      |  GROUP BY tt.doc_id, tt.true_lang, l.lang, l.prior_micro),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_micro DESC, lang ASC) AS rn
+      |  FROM sc)
+      |SELECT doc_id, true_lang, lang AS pred_lang, score_micro,
+      |  CAST(CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_nb_langid" -> (q353NbLangid _),
     "q352_quality_logreg" -> (q352QualityLogreg _),
     "q350_curriculum_schedule" -> (q350CurriculumSchedule _),
     "q346_tokenizer_fertility" -> (q346TokenizerFertility _),
@@ -4430,6 +4542,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q353_nb_langid" -> q353Oracle,
     "q352_quality_logreg" -> q352Oracle,
     "q350_curriculum_schedule" -> q350Oracle,
     "q346_tokenizer_fertility" -> q346Oracle,

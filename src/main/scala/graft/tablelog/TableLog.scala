@@ -579,6 +579,37 @@ object TableLog {
     commit(table, snap.version, "delete", adds, touched.map(_.relPath), "", "")
   }
 
+  /** Atomic slice restatement (Delta `replaceWhere` / dynamic
+    * partition overwrite): in ONE commit, delete every active row
+    * matching `cond` and insert `incoming` in its place — the
+    * backfill/restatement primitive (re-deliver a corrected day,
+    * re-run one partition) that two separate commits can't give a
+    * reader atomically. `incoming` must itself satisfy `cond`
+    * (checked; Delta's contract) — otherwise the "replace THIS
+    * slice" claim would silently widen into an upsert of unrelated
+    * rows. Cost profile is deleteWhere's: only files holding a
+    * matching row rewrite; the new slice lands as fresh files in the
+    * same commit. */
+  def replaceWhere(spark: SparkSession, table: String, cond: Column,
+      incoming: DataFrame, numFiles: Int): Long = {
+    val violating = incoming.where(!coalesce(cond, lit(false))).count()
+    if (violating > 0) throw new IllegalArgumentException(
+      s"replaceWhere: $violating incoming rows do not satisfy the replace " +
+        "predicate — restating a slice must not smuggle rows outside it")
+    val snap = state(table)
+    val scan = readFiles(spark, table, snap, snap.active)
+      .withColumn("_file", input_file_name())
+    val touchedNames = scan.where(cond).select("_file").distinct()
+      .collect().map(r => fileNameOf(r.getString(0))).toSet
+    val touched = snap.active.filter(a =>
+      touchedNames(Paths.get(a.relPath).getFileName.toString))
+    val survivors = readFiles(spark, table, snap, touched)
+      .where(!coalesce(cond, lit(false)))
+    val rewritten = survivors.unionByName(incoming)
+    val adds = stage(rewritten, table, snap.keyCol, numFiles, snap.bloom)
+    commit(table, snap.version, "replace", adds, touched.map(_.relPath), "", "")
+  }
+
   /** Copy-on-write MERGE (upsert): rows of `changes` whose key
     * matches an active row REPLACE it; the rest INSERT. Exactly the
     * files containing a matched key are rewritten (changes' keys

@@ -768,4 +768,41 @@ class DedupOpsSpec extends SparkSuite {
     // agree (min-id doc happens to be the best)
     assert(got.exists(_._5) && got.exists(!_._5))
   }
+
+  test("q356 winnowing: a shared run of w+k-1 tokens shares a fingerprint") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $run tail1 tail2 tail3"),
+      (2L, s"uno dos tres cuatro cinco $run seis siete")).toDF("doc_id", "text")
+    val fps = DedupOps.winnowOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val h1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    // the guarantee: both fingerprint sets caught a gram of the run
+    assert((h1 & h2).nonEmpty, "shared 8-token run produced no shared fingerprint")
+    // and the docs are otherwise disjoint, so the overlap IS the run
+    assert((h1 -- h2).nonEmpty && (h2 -- h1).nonEmpty)
+  }
+
+  test("q356 winnowing: all-tied hashes select the rightmost per window") {
+    import spark.implicits._
+    // 12 identical tokens -> 8 identical gram hashes; each of the 5
+    // windows selects its rightmost position: 3,4,5,6,7
+    val docs = Seq((1L, Seq.fill(12)("the").mkString(" "))).toDF("doc_id", "text")
+    val got = DedupOps.winnowOf(docs).collect()
+      .map(r => r.getLong(1)).sorted.toSeq
+    assert(got == Seq(3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("q356 winnowing: fingerprint density near the 2/(w+1) expectation") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val nGrams = docs.selectExpr(
+      s"size(split(lower(text), ' ')) - ${DedupOps.winnowK - 1} AS m")
+      .where(s"m >= ${DedupOps.winnowW}")
+      .agg(org.apache.spark.sql.functions.sum("m")).collect()(0).getLong(0)
+    val nFps = DedupOps.q356WinnowFingerprints(spark, sf0001).count()
+    val density = nFps.toDouble / nGrams
+    assert(density > 0.25 && density < 0.55, s"density $density")
+  }
 }

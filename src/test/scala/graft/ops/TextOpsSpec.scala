@@ -1632,6 +1632,53 @@ class TextOpsSpec extends SparkSuite {
       s"final weights (bias, div, stop, len) = (${last._2}, ${last._3}, ${last._4}, ${last._5})")
   }
 
+  test("q353 NB lang-ID: disjoint-vocab corpus classifies held-out docs perfectly") {
+    import spark.implicits._
+    // the same bucket rule the query applies, computed independently
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"nb:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    // two languages with fully disjoint vocabularies
+    val docs = (0L until 100L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val pfx = if (lang == "aa") "a" else "b"
+      (i, (0 until 12).map(j => s"$pfx${j % 5}").mkString(" "), lang)
+    }
+    val heldOut = docs.filter(d => bucket(d._1) >= 80)
+    assert(heldOut.map(_._3).distinct.size == 2, "fixture must hold out both langs")
+    val rows = TextOps.nbLangidOf(docs.toDF("doc_id", "text", "lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(rows.length == heldOut.size)
+    // disjoint vocab => every held-out doc is classified correctly
+    assert(rows.forall(r => r._2 == r._3 && r._4 == 1L),
+      s"misclassified: ${rows.filter(_._4 == 0L).toSeq}")
+  }
+
+  test("q353 NB lang-ID: all-OOV doc falls back to priors + per-lang OOV mass") {
+    import spark.implicits._
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"nb:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    val oovId = (200L until 400L).find(bucket(_) >= 80).get
+    // balanced doc counts (equal priors); lang bb docs 3x longer, so
+    // T_bb > T_aa and the OOV weight ln(1/(T+V)) favors aa
+    val base = (0L until 60L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val pfx = if (lang == "aa") "a" else "b"
+      val n = if (lang == "aa") 8 else 24
+      (i, (0 until n).map(j => s"$pfx${j % 6}").mkString(" "), lang)
+    }
+    val docs = base :+ ((oovId, "zz1 zz2 zz3 zz4", "aa"))
+    val rows = TextOps.nbLangidOf(docs.toDF("doc_id", "text", "lang")).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val oovPred = rows.find(_._1 == oovId).get._2
+    assert(oovPred == "aa", s"all-OOV doc predicted $oovPred, expected aa")
+  }
+
   test("q352 logreg: driver replay of the integer GD matches the query exactly") {
     val feats = TextOps.logregFeatures(
         graft.Tables.documents(spark, sf0001))
