@@ -31,6 +31,73 @@ object SimilarityOps {
       .select($"vec_id", $"embedding", VectorOps.norm($"embedding").as("nrm"))
   }
 
+  // ---------------------------------------------------------------- q357
+  /** Benchmark embeddings = the first [[semContamBench]] vec_ids —
+    * q53's doc_id-prefix eval-set convention on the embeddings
+    * table. */
+  val semContamBench = 50L
+  /** Cosine flag threshold. The synthetic corpus is near-uniform
+    * (max benchmark cosines span ~0.16–0.49 at sf0.01), so 0.3 keeps
+    * both branches live; a real eval-leak sits ≥ 0.95 and any τ in
+    * between catches it. */
+  val semContamTau = 0.3
+
+  /** SEMANTIC benchmark decontamination — the embedding-space
+    * complement of q53/q56's 8-gram overlap: paraphrased or
+    * re-rendered eval items share no shingle but sit next to the
+    * benchmark in embedding space. Every corpus vector reports its
+    * nearest benchmark item (max cosine, smaller bench id on ties)
+    * and a contaminated flag at [[semContamTau]]; a curator drops or
+    * audits the flagged band before training. Same scale shape as
+    * q70: the benchmark side broadcasts, the corpus never exchanges,
+    * the argmax folds per corpus vector inside one map-side
+    * aggregate (no per-vector window over the corpus). Cosines are
+    * bit-identical cross-engine (FloatVecDot sums in index order =
+    * DuckDB's sequential list_reduce), so flag and argmax hash. */
+  def q357SemanticDecontam(s: SparkSession, dir: String): DataFrame =
+    semanticDecontamOf(Tables.embeddings(s, dir))
+
+  private[ops] def semanticDecontamOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val c = emb.select($"vec_id", $"embedding",
+      VectorOps.norm($"embedding").as("nrm"))
+    val b = c.where($"vec_id" < semContamBench)
+      .select($"vec_id".as("bench_id"), $"embedding".as("bv"), $"nrm".as("bn"))
+    c.where($"vec_id" >= semContamBench)
+      .join(broadcast(b))
+      .select($"vec_id", $"bench_id",
+        (VectorOps.dot($"embedding", $"bv") / ($"nrm" * $"bn")).as("cosine"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"cosine", (-$"bench_id").as("nb"))).as("m"))
+      .select($"vec_id", (-$"m.nb").as("bench_id"),
+        $"m.cosine".as("max_cosine"),
+        when($"m.cosine" >= semContamTau, 1L).otherwise(0L).as("contaminated"))
+      .orderBy($"vec_id")
+  }
+
+  // lazy: dotSql is declared below (q70's section) and object vals
+  // initialize in declaration order
+  private lazy val q357Oracle =
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |b AS (SELECT vec_id AS bench_id, embedding AS bv, nrm AS bn
+       |      FROM c WHERE vec_id < $semContamBench),
+       |scored AS (
+       |  SELECT vec_id, bench_id,
+       |    ${dotSql("embedding", "bv")} / (nrm * bn) AS cosine
+       |  FROM c CROSS JOIN b WHERE vec_id >= $semContamBench),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, bench_id ASC) AS rn
+       |  FROM scored)
+       |SELECT vec_id, bench_id, cosine AS max_cosine,
+       |  CAST(CASE WHEN cosine >= $semContamTau THEN 1 ELSE 0 END AS BIGINT)
+       |    AS contaminated
+       |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q70
   /** Exact kNN: broadcast the query vectors against the corpus, rank
     * by cosine (ties → lower vec_id), keep top-10 per query. The
@@ -2089,6 +2156,7 @@ object SimilarityOps {
     "q305_ndcg_at_10"    -> (q305NdcgAt10 _),
     "q251_knn_loo_eval"  -> (q251KnnLooEval _),
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
+    "q357_semantic_decontam" -> (q357SemanticDecontam _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
     "q165_embedding_audit" -> (q165EmbeddingAudit _),
     "q172_label_noise"   -> (q172LabelNoise _),
@@ -2113,6 +2181,7 @@ object SimilarityOps {
     "q305_ndcg_at_10"    -> q305Oracle,
     "q251_knn_loo_eval"  -> q251Oracle,
     "q70_knn_bruteforce" -> q70Oracle,
+    "q357_semantic_decontam" -> q357Oracle,
     "q71_knn_ivf"        -> q71Oracle,
     "q165_embedding_audit" -> q165Oracle,
     "q172_label_noise"   -> q172Oracle,

@@ -555,6 +555,58 @@ object Streaming {
       | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
       |ORDER BY 1, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- q358
+  /** Stream-stream LEFT SEMI interval join — the membership form of
+    * the q44/q47/q310 family: each view that CONVERTED (≥1 purchase
+    * within the following hour) emits exactly ONCE, carrying only
+    * view columns — the "qualified leads" feed where q44 would fan a
+    * view out once per matching purchase and force a downstream
+    * dedup with per-key state. Spark's semi join marks the buffered
+    * left row matched in state and emits it a single time; state
+    * retention is the same interval-bounded story as q44 (a view is
+    * droppable one hour + delay past the watermark). Sentinels ride
+    * on both sides (q47's device — the global watermark is the min
+    * across inputs) so the bounded drain flushes everything; they
+    * filter out on user_id. The oracle is the EXISTS form — the
+    * correlated-subquery semantics this operator streams. */
+  def q358StreamSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sentinel = sentinelStream(s, s.range(2).select(
+      (lit(-1L) - $"id").as("event_id"),
+      timestamp_micros(lit(sentinelUs) + $"id" * 86400000000L).as("ts"),
+      lit(-1L).as("user_id"),
+      element_at(array(lit("view"), lit("purchase")), ($"id" + 1).cast("int")).as("event_type"),
+      lit(0.0).as("value")))
+    val all = eventsStream(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .union(sentinel.select($"event_id", $"ts", $"user_id", $"event_type", $"value"))
+    val views = all.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      .withWatermark("view_ts", "1 minute")
+    val purchases = all.where($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 minute")
+    val joined = views.join(purchases,
+      $"user_id" === $"p_uid" &&
+        $"purchase_ts" >= $"view_ts" &&
+        $"purchase_ts" <= $"view_ts" + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+    drain(s, joined, OutputMode.Append())
+      .filter($"user_id" >= 0)
+      .select($"user_id", $"view_id", $"view_ts")
+      .orderBy($"user_id", $"view_id")
+  }
+
+  private val q358Oracle =
+    """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts
+      |FROM events v
+      |WHERE v.event_type = 'view' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+      |    AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR)
+      |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q87
   /** Stream-static join: the event stream enriched against a STATIC
     * dimension (customer → market segment) before a windowed
@@ -1670,6 +1722,7 @@ object Streaming {
     "q44_stream_stream_join" -> (q44StreamStreamJoin _),
     "q47_stream_left_join"   -> (q47StreamLeftJoin _),
     "q310_stream_full_outer_join" -> (q310StreamFullOuterJoin _),
+    "q358_stream_semi_join" -> (q358StreamSemiJoin _),
     "q87_stream_static_join" -> (q87StreamStaticJoin _),
     "q121_stream_admission"  -> (q121StreamAdmission _),
     "q144_incremental_mv"    -> (q144IncrementalMv _),
@@ -1697,6 +1750,7 @@ object Streaming {
     "q44_stream_stream_join" -> q44Oracle,
     "q47_stream_left_join"   -> q47Oracle,
     "q310_stream_full_outer_join" -> q310Oracle,
+    "q358_stream_semi_join" -> q358Oracle,
     "q87_stream_static_join" -> q87Oracle,
     "q121_stream_admission"  -> q121Oracle,
     "q144_incremental_mv"    -> q144Oracle,

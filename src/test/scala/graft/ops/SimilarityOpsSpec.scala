@@ -596,4 +596,27 @@ class SimilarityOpsSpec extends SparkSuite {
       s"bucketed path dropped a vector the exact baseline would keep: " +
         s"${dropped -- globalDrops}")
   }
+
+  test("q357 semantic decontamination: planted clone flags, orthogonal stays clean") {
+    import spark.implicits._
+    def axis(d: Int): Seq[Float] = (0 until 8).map(i => if (i == d) 1f else 0f)
+    val emb = Seq(
+      (0L, axis(0)), (1L, axis(1)),       // benchmark items
+      (50L, axis(0)),                      // exact semantic clone of bench 0
+      (51L, axis(2)),                      // orthogonal to the whole benchmark
+      (52L, axis(1).zip(axis(2)).map { case (a, b) => a + b }) // 45 deg to bench 1
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticDecontamOf(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(50L, 51L, 52L))
+    val clone = got(0)
+    assert(clone._2 == 0L && math.abs(clone._3 - 1.0) < 1e-12 && clone._4 == 1L)
+    val ortho = got(1)
+    assert(math.abs(ortho._3) < 1e-12 && ortho._4 == 0L)
+    // 45-degree vector: cosine 1/sqrt(2) vs bench 1, above tau
+    val diag = got(2)
+    assert(diag._2 == 1L && math.abs(diag._3 - 1.0 / math.sqrt(2)) < 1e-12
+      && diag._4 == 1L)
+  }
 }

@@ -367,4 +367,26 @@ class StreamingSpec extends SparkSuite {
     assert(sw(0).getTimestamp(2).getTime * 1000L == 30 * min,
       "session end = max over events of ts + its OWN gap")
   }
+
+  test("q358 stream semi join: each converted view once, parity with batch EXISTS") {
+    import spark.implicits._
+    val rows = Streaming.q358StreamSemiJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once membership: a view with many purchases still emits once
+    assert(rows.map(_._2).distinct.length == rows.length,
+      "semi join emitted a view more than once")
+    val ev = graft.Tables.events(spark, sf0001)
+    val v = ev.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val p = ev.where($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"ts".as("p_ts"))
+    val batch = v.join(p,
+      $"user_id" === $"p_uid" && $"p_ts" >= $"view_ts" &&
+        $"p_ts" <= $"view_ts" +
+          org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.toSet == batch, "stream semi != batch semi")
+    // live on this corpus: some views convert, some don't
+    assert(rows.nonEmpty && rows.length < v.count())
+  }
 }
