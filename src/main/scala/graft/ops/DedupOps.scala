@@ -2362,7 +2362,81 @@ object DedupOps {
        |FROM sel WHERE rn = 1 ORDER BY doc_id, pos""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q359
+  /** Exact-substring dedup with FIRST-OCCURRENCE-KEEPS semantics
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — their ExactSubstr at 8-token granularity): any
+    * token covered only by LATER occurrences of a duplicated 8-gram
+    * span is dropped; the globally-first occurrence (lexicographic
+    * (doc_id, position) — the ingest order stand-in) survives, so the
+    * corpus retains EXACTLY ONE copy of every duplicated span. The
+    * missing member of the span family: q55 measures duplication,
+    * q58 masks EVERY occurrence (boilerplate removal — the first copy
+    * dies too); training-data dedup must keep one copy or the span's
+    * content leaves the corpus entirely.
+    *
+    * Plan shape is q58's: positional spans, one shingle-key shuffle
+    * where the first occurrence is a struct-min over the span
+    * partition, non-first starts collect per doc, and the drop is an
+    * in-array filter over the token array — text never shuffles, the
+    * rebuilt doc never moves. Output = (doc, token counts, rebuilt
+    * text). */
+  def q359ExactSubstrDedup(s: SparkSession, dir: String): DataFrame =
+    exactSubstrOf(Tables.documentsSpread(s, dir))
+
+  private[ops] def exactSubstrOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"sh")
+    val dupStarts = docs
+      .select($"doc_id", posexplode(spansN($"text", spanN)))
+      .select($"doc_id", ($"pos" + 1).as("start"), $"col".as("sh"))
+      .withColumn("first", min(struct($"doc_id", $"start")).over(w))
+      .where(!($"doc_id" === $"first.doc_id" && $"start" === $"first.start"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"start")).as("starts"))
+    docs.select($"doc_id", toks($"text").as("toks"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce($"starts", array().cast("array<int>")))
+      .withColumn("kept", filter($"toks", (tok, i) =>
+        !exists($"starts", st => st <= i + 1 && i + 1 <= st + (spanN - 1))))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        (size($"toks") - size($"kept")).cast("long").as("n_dropped"),
+        concat_ws(" ", $"kept").as("dedup_text"))
+      .orderBy($"doc_id")
+  }
+
+  private lazy val q359Oracle =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i, $gram8Sql AS sh FROM (
+       |    SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM t)),
+       |rk AS (
+       |  SELECT doc_id, i, row_number() OVER (
+       |    PARTITION BY sh ORDER BY doc_id, i) AS rn
+       |  FROM pos),
+       |ds AS (
+       |  SELECT doc_id, list_sort(list(i)) AS starts
+       |  FROM rk WHERE rn > 1 GROUP BY 1),
+       |m AS (
+       |  SELECT t.doc_id, toks, coalesce(starts, CAST([] AS BIGINT[])) AS starts
+       |  FROM t LEFT JOIN ds ON t.doc_id = ds.doc_id)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(range(1, len(toks) + 1), j ->
+       |    len(list_filter(starts, s -> s <= j AND j <= s + ${spanN - 1})) > 0))
+       |    AS BIGINT) AS n_dropped,
+       |  coalesce(array_to_string(list_transform(
+       |    list_filter(range(1, len(toks) + 1), j ->
+       |      len(list_filter(starts, s -> s <= j AND j <= s + ${spanN - 1})) = 0),
+       |    j -> toks[CAST(j AS INT)]), ' '), '') AS dedup_text
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q359_exact_substr_dedup" -> (q359ExactSubstrDedup _),
     "q356_winnow_fingerprints" -> (q356WinnowFingerprints _),
     "q297_dedup_threshold_sweep" -> (q297DedupThresholdSweep _),
     "q299_cross_source_dups" -> (q299CrossSourceDups _),
@@ -2435,6 +2509,7 @@ object DedupOps {
     "q243_golden_record"    -> q243Oracle,
     "q155_boilerplate_catalog" -> q155Oracle,
     "q356_winnow_fingerprints" -> q356Oracle,
+    "q359_exact_substr_dedup" -> q359Oracle,
     "q160_containment_dedup" -> q160Oracle,
     "q164_novelty_ratio"    -> q164Oracle,
     "q213_dup_rate_by_source" -> q213Oracle,

@@ -769,6 +769,34 @@ class DedupOpsSpec extends SparkSuite {
     assert(got.exists(_._5) && got.exists(!_._5))
   }
 
+  test("q359 exact-substring dedup: first copy survives, later copies drop") {
+    import spark.implicits._
+    def words(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val shared = words("s", 8)
+    val docs = Seq(
+      (1L, shared),                                   // first occurrence
+      (2L, shared),                                   // exact duplicate: all dropped
+      (3L, s"${words("a", 4)} $shared ${words("b", 4)}") // loses only the span
+    ).toDF("doc_id", "text")
+    val got = DedupOps.exactSubstrOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(got(0) == ((1L, 8L, 0L, shared)), "first occurrence must be intact")
+    assert(got(1) == ((2L, 8L, 8L, "")), "exact duplicate must empty out")
+    assert(got(2) == ((3L, 16L, 8L, s"${words("a", 4)} ${words("b", 4)}")))
+  }
+
+  test("q359 exact-substring dedup: same-doc repetition keeps the first run") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"r$i").mkString(" ")
+    // the run appears twice inside ONE doc, separated by unique filler
+    val docs = Seq((1L, s"$run u1 u2 u3 u4 u5 u6 u7 u8 $run"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.exactSubstrOf(docs).collect()(0)
+    assert(got.getLong(1) == 24L && got.getLong(2) == 8L)
+    assert(got.getString(3) == s"$run u1 u2 u3 u4 u5 u6 u7 u8")
+  }
+
   test("q356 winnowing: a shared run of w+k-1 tokens shares a fingerprint") {
     import spark.implicits._
     val run = (1 to 8).map(i => s"shared$i").mkString(" ")
