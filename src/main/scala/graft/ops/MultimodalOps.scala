@@ -480,7 +480,93 @@ object MultimodalOps {
        |SELECT doc_id, bucket, cost, seq_in_bucket, start_tok
        |FROM p ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q360
+  /** Hamming tolerance for perceptual near-dup. MUST stay below
+    * [[phashBandCount]]: pigeonhole — ≤ tau flipped bits cannot
+    * touch all bands, so one band always matches exactly and the
+    * banded join has guaranteed recall at the threshold. */
+  val phashTau = 3
+  val phashBandCount = 4 // 4 bands x 15 bits over the 60-bit hash
+
+  /** The planted perceptual family (q57's plant-in-query device —
+    * the synthetic corpus is perceptually uniform, min pairwise
+    * Hamming 12, so without plants the operator would never fire):
+    * A/B identical (hd 0), C = A with ONE character changed (each
+    * char feeds two gradient comparisons ⇒ hd 2 ≤ tau), D = the
+    * inverted pattern (every bit differs ⇒ never even a candidate). */
+  private[ops] val phashPlants: Seq[(Long, String)] = {
+    val a = ("ab" * 30 + "a").take(61)
+    Seq((-1L, a), (-2L, a), (-3L, a.updated(30, 'z')), (-4L, ("ba" * 30 + "b").take(61)))
+  }
+
+  /** dHash-style perceptual near-duplicate detection over media
+    * payloads — the IMAGE analogue of q67's SimHash text near-dup:
+    * a 60-bit difference hash (bit i = is byte probe i brighter than
+    * probe i+1, over 61 payload-proportional strided probes — the
+    * dHash gradient idea on the stub decode; a real codec would feed
+    * 8×8 luma here, changing no plan shape), then a banded
+    * Hamming-tolerant self-join: 4×15-bit bands generate candidates
+    * (guaranteed recall at tau < bands, the q69 pigeonhole), exact
+    * `bit_count(xor)` verifies. Only (id, hash) longs move — pair
+    * work scales with band-bucket density, never n²; payloads stay
+    * in the scan. */
+  def q360PhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = phashPlants.toDF("media_id", "text")
+    val base = Tables.documents(s, dir)
+      .select($"doc_id".as("media_id"), $"text")
+      .unionByName(planted)
+    val hashed = base.select($"media_id", expr(
+      """aggregate(sequence(0, 59), 0L, (acc, i) ->
+        |  acc + IF(ascii(substring(text, 1 + CAST((i * length(text)) div 61 AS INT), 1)) >
+        |           ascii(substring(text, 1 + CAST(((i + 1) * length(text)) div 61 AS INT), 1)),
+        |           shiftleft(1L, i), 0L))""".stripMargin).as("ph"))
+    val bands = hashed.select($"media_id", $"ph",
+        explode(sequence(lit(0), lit(phashBandCount - 1))).as("b"))
+      .withColumn("bv", expr("(ph >> (b * 15)) & 32767"))
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
+          col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("a"), col("r.media_id").as("b2"),
+        col("l.ph").as("pa"), col("r.ph").as("pb"))
+      .distinct()
+    cand.withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .where($"hamming" <= phashTau)
+      .select($"a".as("media_a"), $"b2".as("media_b"), $"hamming")
+      .orderBy($"media_a", $"media_b")
+  }
+
+  private val q360Oracle = {
+    val plants = phashPlants
+      .map { case (id, t) => s"SELECT CAST($id AS BIGINT) AS media_id, '$t' AS text" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT doc_id AS media_id, text FROM documents
+       |  UNION ALL $plants),
+       |h AS (
+       |  SELECT media_id,
+       |    (SELECT CAST(sum(CASE WHEN
+       |         ord(substr(text, 1 + ((i * length(text)) // 61), 1)) >
+       |         ord(substr(text, 1 + (((i + 1) * length(text)) // 61), 1))
+       |       THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+       |     FROM range(0, 60) t(i)) AS ph
+       |  FROM base),
+       |bands AS (
+       |  SELECT media_id, ph, b, (ph >> (CAST(b AS INT) * 15)) & 32767 AS bv
+       |  FROM h, range(0, $phashBandCount) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT l.media_id AS a, r.media_id AS b2,
+       |    l.ph AS pa, r.ph AS pb
+       |  FROM bands l JOIN bands r
+       |    ON l.b = r.b AND l.bv = r.bv AND l.media_id < r.media_id)
+       |SELECT a AS media_a, b2 AS media_b,
+       |  CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= $phashTau
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q360_phash_neardup" -> (q360PhashNeardup _),
     "q345_interleaved_pack" -> (q345InterleavedPack _),
     "q344_resize_plan"   -> (q344ResizePlan _),
     "q75_media_features" -> (q75MediaFeatures _),
@@ -491,6 +577,7 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q360_phash_neardup" -> q360Oracle,
     "q345_interleaved_pack" -> q345Oracle,
     "q344_resize_plan"   -> q344Oracle,
     "q75_media_features" -> q75Oracle,

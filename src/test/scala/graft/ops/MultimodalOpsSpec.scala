@@ -194,4 +194,17 @@ class MultimodalOpsSpec extends SparkSuite {
     val img = rows.filter(_._1 % 3 == 0)
     assert(img.nonEmpty && img.forall(_._3 > MultimodalOps.imageTokens))
   }
+
+  test("q360 perceptual near-dup: planted family fires, inverted pattern never candidates") {
+    val got = MultimodalOps.q360PhashNeardup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = got.filter(p => p._1 < 0 || p._2 < 0).toSet
+    // identical twins at hd 0; the one-char variant at hd 2 vs both
+    assert(planted == Set((-2L, -1L, 0L), (-3L, -2L, 2L), (-3L, -1L, 2L)),
+      s"planted pairs: $planted")
+    // the all-bits-flipped plant shares no band with anything
+    assert(!got.exists(p => p._1 == -4L || p._2 == -4L))
+    // every emitted pair respects the tolerance
+    assert(got.forall(_._3 <= MultimodalOps.phashTau))
+  }
 }
