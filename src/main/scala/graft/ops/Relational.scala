@@ -2273,7 +2273,171 @@ object Relational {
       |FROM orders o LEFT JOIN ship s ON o.o_orderkey = s.l_orderkey
       |ORDER BY o.o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q361
+  /** Boosting rounds (stumps added after the constant baseline). */
+  val boostRounds = 3
+
+  /** Shared exact-integer S²/n device (q324's denominator-first
+    * split): with a=|S|, q=a div n, a² div n = q·a + ((a−q·n)·a)
+    * div n exactly — every intermediate ≤ mean·|S|, so the stump
+    * score never forms S². Rendered for both engines. */
+  private def msumSql(sc: String, nc: String, idiv: String): String = {
+    val a = s"abs($sc)"
+    val q = s"($a $idiv $nc)"
+    s"($q * $a + (($a - $q * $nc) * $a) $idiv $nc)"
+  }
+
+  /** F(x) as a SQL expression for a model prefix: the constant
+    * baseline plus each committed stump's branch add. `refs` renders
+    * params as literals (Spark driver loop) or as the model-CTE's
+    * column names (oracle). */
+  private def boostFSql(f0: String, steps: Seq[(String, String, String)]): String =
+    steps.foldLeft(f0) { case (acc, (t, l, r)) =>
+      s"($acc + (CASE WHEN x <= $t THEN $l ELSE $r END))"
+    }
+
+  /** Gradient-boosted regression stumps — the ensemble upgrade of
+    * q246's single decision stump, and the third from-scratch
+    * distributed learner (q352 logistic GD, q353 Naive Bayes):
+    * predict whole-dollar order value from the customer key by a
+    * constant baseline plus [[boostRounds]] depth-1 trees fit on
+    * integer residuals under squared loss. Exact BIGINT end-to-end:
+    * the target is floor(totalprice) dollars (explicit floor — a raw
+    * double→BIGINT cast diverges between engines, q253's lesson),
+    * split scoring maximizes S_l²/n_l + S_r²/n_r via the
+    * denominator-first device (never forms S²; safe to ~10¹³ rows at
+    * this quantization, disclosed), leaf adds are truncating-division
+    * residual means, ties break to the smaller threshold. Output =
+    * the model TRAJECTORY: per round its committed stump and the
+    * training MSE, which must fall monotonically (spec-pinned).
+    *
+    * Scale shape: ONE corpus pass reduces to the feature-DOMAIN
+    * spine (x, n, Σy, Σy²) — residuals are a function of x, so every
+    * round reruns on the spine, never the corpus (the algebra that
+    * makes boosting a domain-bounded loop here). Candidate scoring
+    * is one cumulative window over the spine (q246's disclosed
+    * single-partition-on-domain posture); each round collects ONE
+    * argmax row. The oracle unrolls the rounds as generated CTEs. */
+  def q361BoostedStumps(s: SparkSession, dir: String): DataFrame =
+    boostedStumpsOf(Tables.orders(s, dir)
+      .selectExpr("o_custkey AS x", "CAST(floor(o_totalprice) AS BIGINT) AS y"))
+
+  /** The boosting fold on any (x BIGINT, y BIGINT) frame — separated
+    * so the spec can plant an exactly-learnable step function. */
+  private[ops] def boostedStumpsOf(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perx = base
+      .groupBy($"x")
+      .agg(count(lit(1)).as("n_x"), expr("sum(y)").as("sy"),
+        expr("sum(y * y)").as("sy2"))
+      .localCheckpoint()
+    val t0 = perx.selectExpr("sum(n_x) AS n", "sum(sy) AS s", "sum(sy2) AS s2")
+      .collect()(0)
+    val (n, sTot, s2Tot) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
+    val f0 = sTot / n
+    val out = scala.collection.mutable.ArrayBuffer(
+      (0L, -1L, f0, f0, (s2Tot - 2 * f0 * sTot + n * f0 * f0) / n))
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def fLit = boostFSql(s"${f0}L",
+      steps.toSeq.map { case (t, l, r) => (s"${t}L", s"${l}L", s"${r}L") })
+    for (r <- 1 to boostRounds) {
+      val f = fLit
+      val resid = perx.selectExpr("x", "n_x",
+        s"sy - n_x * $f AS sr")
+      // residual total under the CURRENT model (floored leaf means
+      // leave a nonzero remainder, so this is not simply 0)
+      val totS = resid.agg(sum($"sr")).collect()(0).getLong(0)
+      val w = Window.orderBy($"x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val best = resid
+        .withColumn("nl", sum($"n_x").over(w))
+        .withColumn("sl", sum($"sr").over(w))
+        .withColumn("nr", lit(n) - $"nl")
+        .withColumn("srr", lit(totS) - $"sl")
+        .where($"nr" > 0L)
+        .withColumn("score", expr(
+          s"${msumSql("sl", "nl", "div")} + ${msumSql("srr", "nr", "div")}"))
+        .agg(max(struct($"score", (-$"x").as("nx"), $"nl", $"sl", $"nr", $"srr")).as("b"))
+        .selectExpr("b.score", "-b.nx AS t", "b.nl", "b.sl", "b.nr", "b.srr")
+        .collect()(0)
+      val (t, nl, sl, nr, sr2) =
+        (best.getLong(1), best.getLong(2), best.getLong(3),
+          best.getLong(4), best.getLong(5))
+      steps += ((t, sl / nl, sr2 / nr))
+      val f2 = fLit
+      val mseRow = perx.selectExpr(
+        s"sum(sy2 - 2 * ($f2) * sy + n_x * ($f2) * ($f2)) AS sse").collect()(0)
+      val st = steps.last
+      out += ((r.toLong, st._1, st._2, st._3, mseRow.getLong(0) / n))
+    }
+    s.createDataFrame(out.toSeq)
+      .toDF("round", "threshold", "add_left", "add_right", "train_mse")
+      .orderBy($"round")
+  }
+
+  private val q361Oracle: String = {
+    def fRef(r: Int, xRef: String) = boostFSql("m.f0",
+      (1 to r).map(j => (s"m.t$j", s"m.l$j", s"m.r$j")))
+        .replace("x <=", s"$xRef <=")
+    val rounds = (1 to boostRounds).map { r =>
+      val f = fRef(r - 1, "p.x")
+      val fNew = fRef(r, "p.x")
+      val score = s"${msumSql("sl", "nl", "//")} + ${msumSql("srr", "nr", "//")}"
+      s"""resid$r AS (
+         |  SELECT p.x, p.n_x, p.sy - p.n_x * $f AS sr
+         |  FROM perx p CROSS JOIN m${r - 1} m),
+         |tot$r AS (
+         |  SELECT CAST(sum(n_x) AS BIGINT) AS tn, CAST(sum(sr) AS BIGINT) AS ts
+         |  FROM resid$r),
+         |cand$r AS (
+         |  SELECT x,
+         |    CAST(sum(n_x) OVER win AS BIGINT) AS nl,
+         |    CAST(sum(sr) OVER win AS BIGINT) AS sl
+         |  FROM resid$r
+         |  WINDOW win AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+         |sc$r AS (
+         |  SELECT c.x, c.nl, c.sl, t.tn - c.nl AS nr, t.ts - c.sl AS srr
+         |  FROM cand$r c CROSS JOIN tot$r t
+         |  WHERE t.tn - c.nl > 0),
+         |best$r AS (
+         |  SELECT x, nl, sl, nr, srr FROM (
+         |    SELECT *, row_number() OVER (ORDER BY ($score) DESC, x ASC) AS rn
+         |    FROM sc$r) WHERE rn = 1),
+         |m$r AS (
+         |  SELECT m.*, b.x AS t$r, b.sl // b.nl AS l$r, b.srr // b.nr AS r$r
+         |  FROM m${r - 1} m CROSS JOIN best$r b),
+         |mse$r AS (
+         |  SELECT CAST(sum(p.sy2 - 2 * ($fNew) * p.sy
+         |      + p.n_x * ($fNew) * ($fNew)) AS BIGINT) // max(m.n) AS mse
+         |  FROM perx p CROSS JOIN m$r m)""".stripMargin
+    }
+    val tail = (1 to boostRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT), t$r, l$r, r$r, (SELECT mse FROM mse$r) FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH perx AS (
+       |  SELECT x, count(*) AS n_x, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(y * y) AS BIGINT) AS sy2
+       |  FROM (SELECT o_custkey AS x, CAST(floor(o_totalprice) AS BIGINT) AS y
+       |        FROM orders)
+       |  GROUP BY 1),
+       |m0 AS (
+       |  SELECT CAST(sum(sy) AS BIGINT) // CAST(sum(n_x) AS BIGINT) AS f0,
+       |    CAST(sum(n_x) AS BIGINT) AS n, CAST(sum(sy) AS BIGINT) AS s,
+       |    CAST(sum(sy2) AS BIGINT) AS s2
+       |  FROM perx),
+       |mse0 AS (SELECT (s2 - 2 * f0 * s + n * f0 * f0) // n AS mse FROM m0),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(0 AS BIGINT) AS round, CAST(-1 AS BIGINT) AS threshold,
+       |  f0 AS add_left, f0 AS add_right, (SELECT mse FROM mse0) AS train_mse
+       |FROM m0
+       |UNION ALL $tail
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q361_boosted_stumps" -> (q361BoostedStumps _),
     "q300_accumulating_snapshot" -> (q300AccumulatingSnapshot _),
     "q288_reconciliation" -> (q288Reconciliation _),
     "q289_largest_remainder" -> (q289LargestRemainder _),
@@ -2332,6 +2496,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q361_boosted_stumps" -> q361Oracle,
     "q300_accumulating_snapshot" -> q300Oracle,
     "q288_reconciliation" -> q288Oracle,
     "q289_largest_remainder" -> q289Oracle,

@@ -452,4 +452,27 @@ class RelationalSpec extends SparkSuite {
       }
     }
   }
+
+  test("q361 boosting: an exact step function is learned in one round") {
+    import spark.implicits._
+    // y = 100 for x <= 10, 500 above: one stump away from perfect
+    val base = (1L to 20L).flatMap(x =>
+      Seq.fill(2)((x, if (x <= 10) 100L else 500L))).toDF("x", "y")
+    val got = Relational.boostedStumpsOf(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got(0) == ((0L, -1L, 300L, 300L, 40000L)))
+    // round 1 finds the true threshold and the exact leaf corrections
+    assert(got(1) == ((1L, 10L, -200L, 200L, 0L)))
+    // later rounds have nothing left to fit: zero adds, MSE stays 0
+    assert(got.drop(2).forall(r => r._3 == 0L && r._4 == 0L && r._5 == 0L))
+  }
+
+  test("q361 boosting: training MSE falls monotonically on the corpus") {
+    val mses = Relational.q361BoostedStumps(spark, sf0001).collect()
+      .map(_.getLong(4)).toSeq
+    assert(mses.length == Relational.boostRounds + 1)
+    assert(mses.zip(mses.tail).forall { case (a, b) => b <= a },
+      s"MSE trajectory not monotone: $mses")
+  }
 }
