@@ -2324,28 +2324,49 @@ object Relational {
 
   /** The boosting fold on any (x BIGINT, y BIGINT) frame — separated
     * so the spec can plant an exactly-learnable step function. */
-  private[ops] def boostedStumpsOf(base: DataFrame): DataFrame = {
-    val s = base.sparkSession
+  private[ops] def boostedStumpsOf(base: DataFrame): DataFrame =
+    boostedFold(base, None)
+
+  /** Boosting with an optional HELD-OUT frame: the model trains on
+    * `train` only; when `test` is given, every round also prices the
+    * model on the untouched test spine (test residuals are a
+    * function of x too, so the eval is spine-bounded as well). */
+  private[ops] def boostedFold(train: DataFrame,
+      test: Option[DataFrame]): DataFrame = {
+    val s = train.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val perx = base
+    def spineOf(df: DataFrame) = df
       .groupBy($"x")
       .agg(count(lit(1)).as("n_x"), expr("sum(y)").as("sy"),
         expr("sum(y * y)").as("sy2"))
       .localCheckpoint()
+    val perx = spineOf(train)
+    val testSpine = test.map(spineOf)
     val t0 = perx.selectExpr("sum(n_x) AS n", "sum(sy) AS s", "sum(sy2) AS s2")
       .collect()(0)
     val (n, sTot, s2Tot) = (t0.getLong(0), t0.getLong(1), t0.getLong(2))
+    val testN = testSpine.map(_.agg(sum($"n_x")).collect()(0).getLong(0))
     val f0 = sTot / n
-    val out = scala.collection.mutable.ArrayBuffer(
-      (0L, -1L, f0, f0, (s2Tot - 2 * f0 * sTot + n * f0 * f0) / n))
+    def mseOn(spine: DataFrame, nTot: Long, f: String): Long =
+      spine.selectExpr(
+        s"sum(sy2 - 2 * ($f) * sy + n_x * ($f) * ($f)) AS sse")
+        .collect()(0).getLong(0) / nTot
     val steps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     def fLit = boostFSql(s"${f0}L",
       steps.toSeq.map { case (t, l, r) => (s"${t}L", s"${l}L", s"${r}L") })
+    def emit(r: Long, t: Long, l: Long, rr: Long) = {
+      val f = fLit
+      val trainMse = mseOn(perx, n, f)
+      testSpine match {
+        case Some(ts) => (r, t, l, rr, trainMse, mseOn(ts, testN.get, f))
+        case None => (r, t, l, rr, trainMse, -1L)
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer(emit(0L, -1L, f0, f0))
     for (r <- 1 to boostRounds) {
       val f = fLit
-      val resid = perx.selectExpr("x", "n_x",
-        s"sy - n_x * $f AS sr")
+      val resid = perx.selectExpr("x", "n_x", s"sy - n_x * $f AS sr")
       // residual total under the CURRENT model (floored leaf means
       // leave a nonzero remainder, so this is not simply 0)
       val totS = resid.agg(sum($"sr")).collect()(0).getLong(0)
@@ -2366,15 +2387,117 @@ object Relational {
         (best.getLong(1), best.getLong(2), best.getLong(3),
           best.getLong(4), best.getLong(5))
       steps += ((t, sl / nl, sr2 / nr))
-      val f2 = fLit
-      val mseRow = perx.selectExpr(
-        s"sum(sy2 - 2 * ($f2) * sy + n_x * ($f2) * ($f2)) AS sse").collect()(0)
       val st = steps.last
-      out += ((r.toLong, st._1, st._2, st._3, mseRow.getLong(0) / n))
+      out += emit(r.toLong, st._1, st._2, st._3)
     }
-    s.createDataFrame(out.toSeq)
-      .toDF("round", "threshold", "add_left", "add_right", "train_mse")
-      .orderBy($"round")
+    val df = s.createDataFrame(out.toSeq).toDF("round", "threshold",
+      "add_left", "add_right", "train_mse", "test_mse")
+    (if (test.isEmpty) df.drop("test_mse") else df).orderBy($"round")
+  }
+
+  // ---------------------------------------------------------------- q362
+  /** Boosting with an HONEST generalization readout — q291's
+    * fit/transform separation applied to the q361 learner: rows
+    * split 80/20 by the salted-md5 bucket of the ORDER key (row
+    * grain, so held-out rows of seen x values exist on both sides),
+    * the model trains purely on the train fold, and every round also
+    * prices the CURRENT model on the untouched test spine. Train MSE
+    * falls by construction; test MSE is the number a modeler
+    * actually reads (on this noise-dominated synthetic corpus the
+    * two stay close — a widening gap is the overfit signal this
+    * report exists to catch). Same spine algebra as q361 on both
+    * folds; the test fold never influences a split. */
+  def q362BoostingHoldout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .selectExpr("o_orderkey AS id", "o_custkey AS x",
+        "CAST(floor(o_totalprice) AS BIGINT) AS y")
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("boost:"), $"id".cast("string"))),
+          1, 4), 16, 10).cast("long") % 100)
+    boostedFold(base.where($"bucket" < 80).select($"x", $"y"),
+      Some(base.where($"bucket" >= 80).select($"x", $"y")))
+  }
+
+  private val q362Oracle: String = {
+    def fRef(r: Int, xRef: String) = boostFSql("m.f0",
+      (1 to r).map(j => (s"m.t$j", s"m.l$j", s"m.r$j")))
+        .replace("x <=", s"$xRef <=")
+    def mseTe(r: Int) = {
+      val f = fRef(r, "p.x")
+      s"""msete$r AS (
+         |  SELECT CAST(sum(p.sy2 - 2 * ($f) * p.sy
+         |      + p.n_x * ($f) * ($f)) AS BIGINT) // max(t.n) AS mse
+         |  FROM perxte p CROSS JOIN m$r m CROSS JOIN nte t)""".stripMargin
+    }
+    val rounds = (1 to boostRounds).map { r =>
+      val f = fRef(r - 1, "p.x")
+      val fNew = fRef(r, "p.x")
+      val score = s"${msumSql("sl", "nl", "//")} + ${msumSql("srr", "nr", "//")}"
+      s"""resid$r AS (
+         |  SELECT p.x, p.n_x, p.sy - p.n_x * $f AS sr
+         |  FROM perx p CROSS JOIN m${r - 1} m),
+         |tot$r AS (
+         |  SELECT CAST(sum(n_x) AS BIGINT) AS tn, CAST(sum(sr) AS BIGINT) AS ts
+         |  FROM resid$r),
+         |cand$r AS (
+         |  SELECT x,
+         |    CAST(sum(n_x) OVER win AS BIGINT) AS nl,
+         |    CAST(sum(sr) OVER win AS BIGINT) AS sl
+         |  FROM resid$r
+         |  WINDOW win AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+         |sc$r AS (
+         |  SELECT c.x, c.nl, c.sl, t.tn - c.nl AS nr, t.ts - c.sl AS srr
+         |  FROM cand$r c CROSS JOIN tot$r t
+         |  WHERE t.tn - c.nl > 0),
+         |best$r AS (
+         |  SELECT x, nl, sl, nr, srr FROM (
+         |    SELECT *, row_number() OVER (ORDER BY ($score) DESC, x ASC) AS rn
+         |    FROM sc$r) WHERE rn = 1),
+         |m$r AS (
+         |  SELECT m.*, b.x AS t$r, b.sl // b.nl AS l$r, b.srr // b.nr AS r$r
+         |  FROM m${r - 1} m CROSS JOIN best$r b),
+         |mse$r AS (
+         |  SELECT CAST(sum(p.sy2 - 2 * ($fNew) * p.sy
+         |      + p.n_x * ($fNew) * ($fNew)) AS BIGINT) // max(m.n) AS mse
+         |  FROM perx p CROSS JOIN m$r m),
+         |${mseTe(r)}""".stripMargin
+    }
+    val tail = (1 to boostRounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT), t$r, l$r, r$r,
+         |  (SELECT mse FROM mse$r), (SELECT mse FROM msete$r) FROM m$r""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH b AS (
+       |  SELECT o_custkey AS x, CAST(floor(o_totalprice) AS BIGINT) AS y,
+       |    ('0x' || substr(md5('boost:' || CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+       |      % 100 AS bucket
+       |  FROM orders),
+       |perx AS (
+       |  SELECT x, count(*) AS n_x, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(y * y) AS BIGINT) AS sy2
+       |  FROM b WHERE bucket < 80 GROUP BY 1),
+       |perxte AS (
+       |  SELECT x, count(*) AS n_x, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(y * y) AS BIGINT) AS sy2
+       |  FROM b WHERE bucket >= 80 GROUP BY 1),
+       |nte AS (SELECT CAST(sum(n_x) AS BIGINT) AS n FROM perxte),
+       |m0 AS (
+       |  SELECT CAST(sum(sy) AS BIGINT) // CAST(sum(n_x) AS BIGINT) AS f0,
+       |    CAST(sum(n_x) AS BIGINT) AS n, CAST(sum(sy) AS BIGINT) AS s,
+       |    CAST(sum(sy2) AS BIGINT) AS s2
+       |  FROM perx),
+       |mse0 AS (SELECT (s2 - 2 * f0 * s + n * f0 * f0) // n AS mse FROM m0),
+       |msete0 AS (
+       |  SELECT CAST(sum(p.sy2 - 2 * m.f0 * p.sy
+       |      + p.n_x * m.f0 * m.f0) AS BIGINT) // max(t.n) AS mse
+       |  FROM perxte p CROSS JOIN m0 m CROSS JOIN nte t),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(0 AS BIGINT) AS round, CAST(-1 AS BIGINT) AS threshold,
+       |  f0 AS add_left, f0 AS add_right, (SELECT mse FROM mse0) AS train_mse,
+       |  (SELECT mse FROM msete0) AS test_mse
+       |FROM m0
+       |UNION ALL $tail
+       |ORDER BY round""".stripMargin
   }
 
   private val q361Oracle: String = {
@@ -2438,6 +2561,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q361_boosted_stumps" -> (q361BoostedStumps _),
+    "q362_boosting_holdout" -> (q362BoostingHoldout _),
     "q300_accumulating_snapshot" -> (q300AccumulatingSnapshot _),
     "q288_reconciliation" -> (q288Reconciliation _),
     "q289_largest_remainder" -> (q289LargestRemainder _),
@@ -2497,6 +2621,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q361_boosted_stumps" -> q361Oracle,
+    "q362_boosting_holdout" -> q362Oracle,
     "q300_accumulating_snapshot" -> q300Oracle,
     "q288_reconciliation" -> q288Oracle,
     "q289_largest_remainder" -> q289Oracle,

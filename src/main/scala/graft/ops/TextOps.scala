@@ -4308,7 +4308,10 @@ object TextOps {
     } finally f.unpersist()
   }
 
-  private val q352Oracle: String = {
+  /** Shared oracle CTE stack for the logistic gate: features `f`,
+    * weight CTEs w0..wK, per-round aggregates s0..sK. q352 reads the
+    * trajectory off s*, q363 applies the final weights wK. */
+  private lazy val logregOracleCtes: String = {
     val fSql =
       s"""SELECT doc_id,
          |  CAST(1000 AS BIGINT) AS x_bias,
@@ -4346,15 +4349,73 @@ object TextOps {
            |  FROM f CROSS JOIN w$r GROUP BY w0, w1, w2, w3)""".stripMargin
       wDef + ",\n" + sDef
     }
+    s"""f AS ($fSql),
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val q352Oracle: String = {
     val union = (0 to logregRounds)
       .map(r => s"SELECT round, w0, w1, w2, w3, acc_ppm FROM s$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH f AS ($fSql),
-       |${rounds.mkString(",\n")}
+    s"""WITH $logregOracleCtes
        |SELECT CAST(round AS BIGINT) AS round, w0 AS w_bias, w1 AS w_div,
        |  w2 AS w_stop, w3 AS w_len, acc_ppm
        |FROM (${union})
        |ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q363
+  /** Train-then-SERVE composition of the q352 gate: fit the same
+    * integer GD (identical passes, so the weights are bit-equal to
+    * q352's final row), then apply the frozen model to EVERY document
+    * as a pure projection — per doc the hard-sigmoid probability and
+    * the keep bit a curation pipeline actually filters on. The serve
+    * pass is one scan with four multiplies per row (the model is four
+    * literals in the closure); the oracle reuses q352's CTE stack and
+    * scores off the final weight CTE, so train and serve cannot
+    * drift. */
+  def q363LogregGateApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = logregFit(docs)
+    val (ps, _) = logregForward(s"${w(0)}L", s"${w(1)}L", s"${w(2)}L", s"${w(3)}L")
+    val p = ps.replace(IDIV, "div")
+    logregFeatures(docs).selectExpr("doc_id",
+      s"$p AS p_ppm",
+      s"CAST(CASE WHEN ($p) >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS keep")
+      .orderBy("doc_id")
+  }
+
+  /** The q352 training loop without the trajectory bookkeeping —
+    * same feature frame, same per-round aggregate, same updates, so
+    * the returned weights equal q352's round-K row bit-for-bit. */
+  private[ops] def logregFit(docs: DataFrame): Array[Long] = {
+    val f = logregFeatures(docs).persist()
+    try {
+      val w = Array(0L, 0L, 0L, 0L)
+      for (_ <- 0 until logregRounds) {
+        val (_, es) = logregForward(s"${w(0)}L", s"${w(1)}L", s"${w(2)}L", s"${w(3)}L")
+        val e = es.replace(IDIV, "div")
+        val row = f.selectExpr(
+          "count(*) AS n",
+          s"sum(($e) * x_bias) AS g0",
+          s"sum(($e) * x_div) AS g1",
+          s"sum(($e) * x_stop) AS g2",
+          s"sum(($e) * x_len) AS g3").collect()(0)
+        val n = row.getLong(0)
+        for (j <- 0 until 4) w(j) -= logregLr * (row.getLong(1 + j) / n)
+      }
+      w
+    } finally f.unpersist()
+  }
+
+  private lazy val q363Oracle = {
+    val (p, _) = logregForward("w0", "w1", "w2", "w3")
+    val pd = p.replace(IDIV, "//")
+    s"""WITH $logregOracleCtes
+       |SELECT f.doc_id, ($pd) AS p_ppm,
+       |  CAST(CASE WHEN ($pd) >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f CROSS JOIN w$logregRounds
+       |ORDER BY f.doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q353
@@ -4470,6 +4531,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q353_nb_langid" -> (q353NbLangid _),
+    "q363_logreg_gate_apply" -> (q363LogregGateApply _),
     "q352_quality_logreg" -> (q352QualityLogreg _),
     "q350_curriculum_schedule" -> (q350CurriculumSchedule _),
     "q346_tokenizer_fertility" -> (q346TokenizerFertility _),
@@ -4543,6 +4605,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q353_nb_langid" -> q353Oracle,
+    "q363_logreg_gate_apply" -> q363Oracle,
     "q352_quality_logreg" -> q352Oracle,
     "q350_curriculum_schedule" -> q350Oracle,
     "q346_tokenizer_fertility" -> q346Oracle,

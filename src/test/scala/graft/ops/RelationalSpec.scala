@@ -468,6 +468,18 @@ class RelationalSpec extends SparkSuite {
     assert(got.drop(2).forall(r => r._3 == 0L && r._4 == 0L && r._5 == 0L))
   }
 
+  test("q362 holdout boosting: learnable signal generalizes, fold is honest") {
+    import spark.implicits._
+    // same step function in both folds: test MSE must also hit 0
+    def fold(ids: Range) = ids.map(i =>
+      (i.toLong % 20 + 1, if (i % 20 + 1 <= 10) 100L else 500L)).toDF("x", "y")
+    val got = Relational.boostedFold(fold(0 until 200), Some(fold(200 until 260)))
+      .collect().map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    assert(got.head._2 == 40000L && got.head._3 == 40000L)
+    assert(got.tail.forall(r => r._2 == 0L && r._3 == 0L),
+      s"trajectory: ${got.toSeq}")
+  }
+
   test("q361 boosting: training MSE falls monotonically on the corpus") {
     val mses = Relational.q361BoostedStumps(spark, sf0001).collect()
       .map(_.getLong(4)).toSeq

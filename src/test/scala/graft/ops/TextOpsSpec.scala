@@ -1679,6 +1679,22 @@ class TextOpsSpec extends SparkSuite {
     assert(oovPred == "aa", s"all-OOV doc predicted $oovPred, expected aa")
   }
 
+  test("q363 gate apply: frozen weights equal q352's final row; keep = p >= 1/2") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val lastRow = TextOps.logregOf(docs).collect().last
+    val fitted = TextOps.logregFit(docs)
+    assert(fitted.toSeq == (1 to 4).map(lastRow.getLong),
+      s"fit ${fitted.toSeq} != trajectory ${(1 to 4).map(lastRow.getLong)}")
+    val applied = TextOps.q363LogregGateApply(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(applied.length == docs.count())
+    assert(applied.forall(r => (r._3 == 1L) == (r._2 >= 500000L)))
+    // on the content-free word soup the model settles on the majority
+    // class — probabilities spread but stay under 1/2 (keep liveness is
+    // exercised on the separable planted corpus in the q352 spec)
+    assert(applied.map(_._2).distinct.length > 1)
+  }
+
   test("q352 logreg: driver replay of the integer GD matches the query exactly") {
     val feats = TextOps.logregFeatures(
         graft.Tables.documents(spark, sf0001))
