@@ -2395,6 +2395,97 @@ object Relational {
     (if (test.isEmpty) df.drop("test_mse") else df).orderBy($"round")
   }
 
+  // ---------------------------------------------------------------- q364
+  /** SQL PIPE syntax (Spark 4's `|>` operators — the linear query
+    * form SQL:2023's proponents and GoogleSQL pipe syntax argue
+    * for): the same filter → aggregate → order chain q01 writes
+    * relationally, expressed as a pipeline the optimizer still plans
+    * as ONE logical tree (pipe stages are pure syntax — Catalyst
+    * sees the identical Aggregate/Filter/Sort plan, so pushdown and
+    * partial aggregation are unchanged). The oracle is the plain-SQL
+    * equivalent, proving the two forms are the same query. */
+  def q364SqlPipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("g_pipe_lineitem")
+    val out = s.sql(
+      """FROM g_pipe_lineitem
+        ||> WHERE l_quantity >= 30
+        ||> AGGREGATE count(*) AS n_lines,
+        |     CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |     GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n_lines > 0
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    s.catalog.dropTempView("g_pipe_lineitem")
+    out
+  }
+
+  private val q364Oracle =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem WHERE l_quantity >= 30
+      |GROUP BY 1, 2 HAVING count(*) > 0
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q365
+  /** Correlated LATERAL derived table — the top-1-per-group join
+    * written the way SQL:99 intends (each nation row drives its own
+    * ordered-limit subquery) instead of q13's window + filter.
+    * Catalyst plans the correlated LIMIT 1 via DomainJoin rewrite;
+    * semantically it is the per-group argmax, and the oracle states
+    * the same LATERAL in DuckDB. Nations whose customer set is empty
+    * drop out (inner lateral), disclosed. */
+  def q365LateralJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("g_lat_nation")
+    Tables.customer(s, dir).createOrReplaceTempView("g_lat_customer")
+    val out = s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM g_lat_nation n,
+        |LATERAL (
+        |  SELECT c_name, c_acctbal FROM g_lat_customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 1) t
+        |ORDER BY n.n_name""".stripMargin)
+    Seq("g_lat_nation", "g_lat_customer").foreach(s.catalog.dropTempView(_))
+    out
+  }
+
+  private val q365Oracle =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 1) t
+      |ORDER BY n.n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q366
+  /** VARIANT ingestion (Spark 4's open JSON storage type, the
+    * Delta/Iceberg-adopted shape for semi-structured columns):
+    * `parse_json` once at the scan, typed `variant_get` paths after —
+    * the schema-on-read idiom that replaces per-access string
+    * re-parsing (q24's get_json_object re-parses the string per
+    * expression; a VARIANT column parses once and serves many typed
+    * reads). Per event type: row count, sum and max of the typed
+    * `$.k` path. The oracle reads the same path with DuckDB's JSON
+    * extraction — results must agree exactly as BIGINTs. */
+  def q366VariantJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .selectExpr("event_type", "parse_json(props) AS v")
+      .selectExpr("event_type",
+        "variant_get(v, '$.k', 'bigint') AS k")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"k").as("sum_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  private val q366Oracle =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q362
   /** Boosting with an HONEST generalization readout — q291's
     * fit/transform separation applied to the q361 learner: rows
@@ -2562,6 +2653,9 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q361_boosted_stumps" -> (q361BoostedStumps _),
     "q362_boosting_holdout" -> (q362BoostingHoldout _),
+    "q364_sql_pipe_syntax" -> (q364SqlPipeSyntax _),
+    "q365_lateral_join" -> (q365LateralJoin _),
+    "q366_variant_json" -> (q366VariantJson _),
     "q300_accumulating_snapshot" -> (q300AccumulatingSnapshot _),
     "q288_reconciliation" -> (q288Reconciliation _),
     "q289_largest_remainder" -> (q289LargestRemainder _),
@@ -2622,6 +2716,9 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q361_boosted_stumps" -> q361Oracle,
     "q362_boosting_holdout" -> q362Oracle,
+    "q364_sql_pipe_syntax" -> q364Oracle,
+    "q365_lateral_join" -> q365Oracle,
+    "q366_variant_json" -> q366Oracle,
     "q300_accumulating_snapshot" -> q300Oracle,
     "q288_reconciliation" -> q288Oracle,
     "q289_largest_remainder" -> q289Oracle,

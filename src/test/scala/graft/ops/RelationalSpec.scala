@@ -480,6 +480,57 @@ class RelationalSpec extends SparkSuite {
       s"trajectory: ${got.toSeq}")
   }
 
+  test("q364 pipe syntax: same rows as the relational form of the query") {
+    import spark.implicits._
+    val pipe = Relational.q364SqlPipeSyntax(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val rel = graft.Tables.lineitem(spark, sf0001)
+      .where($"l_quantity" >= 30)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_lines"),
+        org.apache.spark.sql.functions.sum($"l_extendedprice".cast("decimal(12,2)"))
+          .cast("double").as("revenue"))
+      .orderBy($"l_returnflag", $"l_linestatus").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(pipe.toSeq == rel.toSeq)
+  }
+
+  test("q365 lateral join: equals the window top-1 formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lat = Relational.q365LateralJoin(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_name")
+    val win = graft.Tables.customer(spark, sf0001)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where($"rn" === 1)
+      .join(graft.Tables.nation(spark, sf0001),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_name", $"c_acctbal")
+      .orderBy($"n_name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(lat.toSeq == win.toSeq)
+  }
+
+  test("q366 variant: typed path reads agree with string get_json_object") {
+    import spark.implicits._
+    val v = Relational.q366VariantJson(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val j = graft.Tables.events(spark, sf0001)
+      .selectExpr("event_type",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS k")
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"k").as("s"),
+        org.apache.spark.sql.functions.max($"k").as("m"))
+      .orderBy($"event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(v.toSeq == j.toSeq)
+  }
+
   test("q361 boosting: training MSE falls monotonically on the corpus") {
     val mses = Relational.q361BoostedStumps(spark, sf0001).collect()
       .map(_.getLong(4)).toSeq
