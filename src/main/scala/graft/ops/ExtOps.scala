@@ -130,6 +130,68 @@ object ExtOps {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q371
+  /** Avro source/sink round-trip — the ROW interchange format next to
+    * q81 (CSV, untyped rows) and q82 (ORC, columnar): Avro is what
+    * Kafka topics, schema registries, and ingestion buses actually
+    * hand a 100-TB pipeline, and its writer embeds the schema so the
+    * read back is self-describing. This Spark distribution ships the
+    * Avro classes inside spark-sql but without the `avro` short-name
+    * registration (no DataSourceRegister entry), so the format is
+    * addressed by provider class — same engine path once resolved.
+    * `customer` exercises long/string/int/double/string fidelity;
+    * the oracle is the parquet original, so any encode/decode drift
+    * fails the hash. */
+  private val avroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def q371AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_avro").toString
+    Tables.customer(s, dir).write.mode("overwrite")
+      .format(avroProvider).save(tmp)
+    s.read.schema(StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))))
+      .format(avroProvider).load(tmp)
+      .orderBy($"c_custkey")
+  }
+
+  private val q371Oracle =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q372
+  /** XML source/sink round-trip (Spark 4's native XML data source,
+    * the spark-xml package folded into core): the format enterprise
+    * feeds, config exports, and legacy B2B interchange still arrive
+    * in. Write `nation` as row-tagged XML, read it back with a
+    * DECLARED schema (XML carries no types — inference on a contract
+    * path is q81's same no-go), prove fidelity against the parquet
+    * oracle. Scale posture: XML is a dimension/config feed format —
+    * row-tag parsing is record-splittable but pays string parsing per
+    * field, so facts stay parquet; this query keeps the XML side
+    * dimension-sized on purpose. */
+  def q372XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    Tables.nation(s, dir).write.mode("overwrite")
+      .option("rowTag", "nation").format("xml").save(tmp)
+    s.read.schema(StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType))))
+      .option("rowTag", "nation").format("xml").load(tmp)
+      .orderBy($"n_nationkey")
+  }
+
+  private val q372Oracle =
+    """SELECT CAST(n_nationkey AS BIGINT) n_nationkey, n_name,
+      |  CAST(n_regionkey AS BIGINT) n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // ---------------------------------------------------------------- q86
   /** Bucketed-table layout: both join sides written once with
     * `bucketBy(8, key).sortBy(key)`, then joined WITHOUT an Exchange —
@@ -900,6 +962,8 @@ object ExtOps {
     "q26_udf_udaf"      -> (q26UdfUdaf _),
     "q81_csv_roundtrip" -> (q81CsvRoundtrip _),
     "q82_orc_roundtrip" -> (q82OrcRoundtrip _),
+    "q371_avro_roundtrip" -> (q371AvroRoundtrip _),
+    "q372_xml_roundtrip" -> (q372XmlRoundtrip _),
     "q86_bucketed_join" -> (q86BucketedJoin _),
     "q89_column_profile" -> (q89ColumnProfile _),
     "q98_sorted_layout" -> (q98SortedLayout _),
@@ -919,6 +983,8 @@ object ExtOps {
     "q26_udf_udaf"      -> q26Oracle,
     "q81_csv_roundtrip" -> q81Oracle,
     "q82_orc_roundtrip" -> q82Oracle,
+    "q371_avro_roundtrip" -> q371Oracle,
+    "q372_xml_roundtrip" -> q372Oracle,
     "q86_bucketed_join" -> q86Oracle,
     "q89_column_profile" -> q89Oracle,
     "q98_sorted_layout" -> q98Oracle,

@@ -565,7 +565,49 @@ object MultimodalOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q373
+  /** `binaryFile` ingestion — the shape a real multimodal corpus
+    * actually arrives in: millions of image/audio objects as
+    * INDIVIDUAL FILES on an object store, not rows in a table. The
+    * media payloads land as one file per object (executor-parallel
+    * write; at scale this directory IS the input, the landing step
+    * doesn't exist), then Spark's `binaryFile` source lists and reads
+    * them — each file one row of (path, modificationTime, length,
+    * content), listing parallelized by the source, payloads read
+    * straight into the binary column with no decode. The identity is
+    * recovered from the path (the object key carries it — standard
+    * object-store layout), and the md5-of-content check proves
+    * byte-for-byte ingest fidelity against the documents-derived
+    * payload truth the oracle replays. Directory-listing cost at 10⁸
+    * files is the known pain point: the production move is fewer,
+    * larger container files (tar/parquet-packed payloads — q75's
+    * table shape), which is exactly what this ingest feeds. */
+  def q373BinaryFileIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_binmedia")
+      .toString
+    media(s, dir).foreachPartition { it: Iterator[MediaRow] =>
+      it.foreach { m =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, f"${m.media_id}%010d.bin"), m.payload)
+      }
+    }
+    s.read.format("binaryFile").load(tmp)
+      .select(
+        regexp_extract($"path", "([0-9]+)\\.bin$", 1).cast("long")
+          .as("media_id"),
+        $"length".as("n_bytes"),
+        md5($"content").as("checksum"))
+      .orderBy($"media_id")
+  }
+
+  private val q373Oracle =
+    """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum
+      |FROM documents ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q373_binaryfile_ingest" -> (q373BinaryFileIngest _),
     "q360_phash_neardup" -> (q360PhashNeardup _),
     "q345_interleaved_pack" -> (q345InterleavedPack _),
     "q344_resize_plan"   -> (q344ResizePlan _),
@@ -577,6 +619,7 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q373_binaryfile_ingest" -> q373Oracle,
     "q360_phash_neardup" -> q360Oracle,
     "q345_interleaved_pack" -> q345Oracle,
     "q344_resize_plan"   -> q344Oracle,

@@ -2486,6 +2486,168 @@ object Relational {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q367
+  /** Recursive CTE (SQL:1999 recursion, Spark 4's `WITH RECURSIVE` /
+    * UnionLoop): min-hop reachability from a seed part over the
+    * co-purchase graph, stated declaratively in BOTH engines — the
+    * language surface for iterative queries. This is deliberately the
+    * same semantics as q159's BFS so the two formulations check each
+    * other: q159's working-set frontier (visited nodes never re-enter
+    * the join) is the 100-TB execution shape; the recursive CTE here
+    * re-derives every path up to the hop bound (frontier work is
+    * Σ deg^h — fine at a bounded radius, unbounded on a deep graph),
+    * so recursion depth is capped at 2 and min-hop is taken outside
+    * the loop. Edges = distinct co-ordered part pairs; only 8-byte
+    * keys flow through the recursion.
+    *
+    * Loop-invariant MATERIALIZATION is the load-bearing detail: a
+    * plain CTE referenced inside the recursion is re-planned and
+    * re-executed on EVERY UnionLoop step (measured 10.4 s/run at
+    * sf0.1 — the edges self-join ran three times), so the edge
+    * derivation runs once as its own job, localCheckpoints, and the
+    * recursion joins the pinned result (1.1 s/run, 10×). DuckDB
+    * materializes CTEs once, so the oracle states edges as a CTE —
+    * same relation, each engine's idiomatic once-only form. */
+  def q367RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("g_rec_lineitem")
+    s.sql(
+      """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |FROM g_rec_lineitem a JOIN g_rec_lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"""
+        .stripMargin)
+      .localCheckpoint().createOrReplaceTempView("g_rec_edges")
+    val out = s.sql(
+      """WITH RECURSIVE reach(node, hops) AS (
+        |  SELECT CAST(min(l_partkey) AS BIGINT), 0 FROM g_rec_lineitem
+        |  UNION ALL
+        |  SELECT e.dst, r.hops + 1
+        |  FROM reach r JOIN g_rec_edges e ON e.src = r.node
+        |  WHERE r.hops < 2)
+        |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+    Seq("g_rec_lineitem", "g_rec_edges").foreach(s.catalog.dropTempView(_))
+    out
+  }
+
+  private val q367Oracle =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |reach(node, hops) AS (
+      |  SELECT CAST(min(l_partkey) AS BIGINT), 0 FROM lineitem
+      |  UNION ALL
+      |  SELECT e.dst, r.hops + 1
+      |  FROM reach r JOIN edges e ON e.src = r.node
+      |  WHERE r.hops < 2)
+      |SELECT node, CAST(min(hops) AS BIGINT) AS hops
+      |FROM reach GROUP BY node ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q368
+  /** UNPIVOT (SQL-standard wide→long melt, first-class in Spark 4 and
+    * DuckDB): per-returnflag sums of three lineitem measures rotated
+    * into (measure, value) rows — the normalization step every
+    * metrics-warehouse export runs before a generic charting/alerting
+    * consumer. The rotate happens AFTER aggregation, so it runs on a
+    * group-cardinality frame (3 flags × 3 measures = 9 rows), never
+    * widening the fact scan; sums are exact DECIMAL cast to DOUBLE
+    * once, on both engines. */
+  def q368UnpivotMelt(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("g_unp_lineitem")
+    val out = s.sql(
+      """SELECT l_returnflag, measure, val FROM (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity      AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+        |    CAST(sum(CAST(l_tax           AS DECIMAL(12,2))) AS DOUBLE) AS tax
+        |  FROM g_unp_lineitem GROUP BY l_returnflag)
+        |UNPIVOT (val FOR measure IN (qty, price, tax))
+        |ORDER BY l_returnflag, measure""".stripMargin)
+    s.catalog.dropTempView("g_unp_lineitem")
+    out
+  }
+
+  private val q368Oracle =
+    """SELECT l_returnflag, measure, val FROM (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity      AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+      |    CAST(sum(CAST(l_tax           AS DECIMAL(12,2))) AS DOUBLE) AS tax
+      |  FROM lineitem GROUP BY l_returnflag)
+      |UNPIVOT (val FOR measure IN (qty, price, tax))
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // ---------------------------------------------------------------- q369
+  /** GROUP BY ALL / ORDER BY ALL (the DuckDB-pioneered shorthand,
+    * adopted by Spark 4): every non-aggregate select item becomes a
+    * grouping key and the full select list the sort order — the
+    * ad-hoc-analytics ergonomics row next to q364's pipe syntax.
+    * Catalyst resolves it to the identical Aggregate/Sort tree as the
+    * explicit form (pure sugar — partial aggregation and pushdown
+    * unchanged), and the oracle runs the SAME text under DuckDB's
+    * original semantics, proving the two engines resolved the
+    * shorthand identically. */
+  def q369GroupByAll(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("g_gba_orders")
+    val out = s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM g_gba_orders
+        |GROUP BY ALL ORDER BY ALL""".stripMargin)
+    s.catalog.dropTempView("g_gba_orders")
+    out
+  }
+
+  private val q369Oracle =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY ALL ORDER BY ALL""".stripMargin
+
+  // ---------------------------------------------------------------- q370
+  /** Collation-aware grouping (Spark 4 collated strings vs DuckDB
+    * NOCASE): entity labels arriving in inconsistent case collapse
+    * under a case-insensitive collation WITHOUT a lossy lower()
+    * projection — the grouping key keeps its data, and the engine's
+    * comparator does the folding (at scale this also keeps the
+    * pushed-down dictionary filters on the original column). Case
+    * noise is planted in-query (q57's device): odd part keys upper
+    * their brand. Representative = binary min over the raw variants
+    * (deterministic on both engines), variant count emitted so the
+    * collapse is visible in the result. Cost note (measured): the
+    * FIRST collated comparison in a JVM pays ~4 s of one-time
+    * collator initialization; steady-state is 0.35 s on this frame
+    * and the overhead is corpus-size-independent — a constant, not a
+    * scale term. */
+  def q370CollatedGroup(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("g_coll_part")
+    val out = s.sql(
+      """WITH noisy AS (
+        |  SELECT CASE WHEN p_partkey % 2 = 1 THEN upper(p_brand)
+        |              ELSE p_brand END AS brand
+        |  FROM g_coll_part)
+        |SELECT min(brand) AS brand, count(*) AS n_parts,
+        |  CAST(count(DISTINCT brand) AS BIGINT) AS n_variants
+        |FROM noisy
+        |GROUP BY brand COLLATE UTF8_LCASE
+        |ORDER BY brand""".stripMargin)
+    s.catalog.dropTempView("g_coll_part")
+    out
+  }
+
+  private val q370Oracle =
+    """WITH noisy AS (
+      |  SELECT CASE WHEN p_partkey % 2 = 1 THEN upper(p_brand)
+      |              ELSE p_brand END AS brand
+      |  FROM part)
+      |SELECT min(brand) AS brand, count(*) AS n_parts,
+      |  CAST(count(DISTINCT brand) AS BIGINT) AS n_variants
+      |FROM noisy
+      |GROUP BY brand COLLATE NOCASE
+      |ORDER BY brand""".stripMargin
+
   // ---------------------------------------------------------------- q362
   /** Boosting with an HONEST generalization readout — q291's
     * fit/transform separation applied to the q361 learner: rows
@@ -2656,6 +2818,10 @@ object Relational {
     "q364_sql_pipe_syntax" -> (q364SqlPipeSyntax _),
     "q365_lateral_join" -> (q365LateralJoin _),
     "q366_variant_json" -> (q366VariantJson _),
+    "q367_recursive_cte" -> (q367RecursiveCte _),
+    "q368_unpivot_melt" -> (q368UnpivotMelt _),
+    "q369_group_by_all" -> (q369GroupByAll _),
+    "q370_collated_group" -> (q370CollatedGroup _),
     "q300_accumulating_snapshot" -> (q300AccumulatingSnapshot _),
     "q288_reconciliation" -> (q288Reconciliation _),
     "q289_largest_remainder" -> (q289LargestRemainder _),
@@ -2719,6 +2885,10 @@ object Relational {
     "q364_sql_pipe_syntax" -> q364Oracle,
     "q365_lateral_join" -> q365Oracle,
     "q366_variant_json" -> q366Oracle,
+    "q367_recursive_cte" -> q367Oracle,
+    "q368_unpivot_melt" -> q368Oracle,
+    "q369_group_by_all" -> q369Oracle,
+    "q370_collated_group" -> q370Oracle,
     "q300_accumulating_snapshot" -> q300Oracle,
     "q288_reconciliation" -> q288Oracle,
     "q289_largest_remainder" -> q289Oracle,

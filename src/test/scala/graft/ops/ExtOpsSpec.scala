@@ -270,4 +270,27 @@ class ExtOpsSpec extends SparkSuite {
       Seq("l_orderkey", "l_linenumber")).collect()(0).getLong(3)
     assert(p < o, s"clustered layout must compress: partkey=$p orderkey=$o")
   }
+
+  test("q371 avro roundtrip: byte-identical to the parquet original") {
+    import spark.implicits._
+    val back = ExtOps.q371AvroRoundtrip(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3),
+        r.getString(4)))
+    val orig = Tables.customer(spark, sf0001).orderBy($"c_custkey").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3),
+        r.getString(4)))
+    assert(back.toSeq == orig.toSeq)
+  }
+
+  test("q372 xml roundtrip: declared-schema read recovers every row") {
+    import spark.implicits._
+    val back = ExtOps.q372XmlRoundtrip(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val orig = Tables.nation(spark, sf0001)
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name",
+        "CAST(n_regionkey AS BIGINT)")
+      .orderBy($"n_nationkey").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(back.toSeq == orig.toSeq)
+  }
 }

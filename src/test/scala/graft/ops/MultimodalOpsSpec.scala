@@ -207,4 +207,16 @@ class MultimodalOpsSpec extends SparkSuite {
     // every emitted pair respects the tolerance
     assert(got.forall(_._3 <= MultimodalOps.phashTau))
   }
+
+  test("q373 binaryFile ingest: every payload lands and reads back byte-identical") {
+    import spark.implicits._
+    val got = MultimodalOps.q373BinaryFileIngest(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val truth = graft.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "CAST(octet_length(CAST(text AS BINARY)) AS BIGINT)",
+        "md5(CAST(text AS BINARY))")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == truth.toSeq)
+  }
 }

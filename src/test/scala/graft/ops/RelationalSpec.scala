@@ -531,6 +531,82 @@ class RelationalSpec extends SparkSuite {
     assert(v.toSeq == j.toSeq)
   }
 
+  test("q367 recursive CTE: hop counts agree with an iterative BFS fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{min => fmin, broadcast}
+    val rec = Relational.q367RecursiveCte(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // Iterative reference: materialize edges once, expand a frontier
+    // twice, take min hops — the q159-shaped formulation.
+    val li = graft.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+      .distinct().cache()
+    val seed = li.agg(fmin($"l_partkey")).as[Long].head()
+    var reach = Seq((seed, 0L))
+    for (h <- 1 to 2) {
+      val frontier = reach.filter(_._2 == h - 1).map(_._1).toSet
+      val next = edges.where($"src".isin(frontier.toSeq: _*))
+        .select($"dst").distinct().as[Long].collect()
+        .filterNot(n => reach.exists(_._1 == n)).map((_, h.toLong))
+      reach = reach ++ next
+    }
+    edges.unpersist()
+    assert(rec.sortBy(_._1) == reach.sortBy(_._1),
+      s"recursive=${rec.size} iterative=${reach.size}")
+  }
+
+  test("q368 unpivot: long form carries exactly the wide form's cells") {
+    val rows = Relational.q368UnpivotMelt(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val flags = rows.map(_._1).distinct
+    assert(rows.length == flags.length * 3)
+    // every (flag, measure) cell present exactly once
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    // qty sum for one flag equals the direct aggregate
+    import spark.implicits._
+    val direct = graft.Tables.lineitem(spark, sf0001)
+      .where($"l_returnflag" === flags.head)
+      .agg(org.apache.spark.sql.functions.sum(
+        $"l_quantity".cast("decimal(12,2)")).cast("double")).head().getDouble(0)
+    val cell = rows.find(t => t._1 == flags.head && t._2 == "qty").get._3
+    assert(cell == direct)
+  }
+
+  test("q369 GROUP BY ALL resolves to the explicit grouping") {
+    import spark.implicits._
+    val all = Relational.q369GroupByAll(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val explicit = graft.Tables.orders(spark, sf0001)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"o_totalprice".cast("decimal(12,2)"))
+          .cast("double").as("rev"))
+      .orderBy($"o_orderstatus", $"o_orderpriority", $"n", $"rev").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(all.toSeq == explicit.toSeq)
+  }
+
+  test("q370 collation: case variants collapse, binary grouping keeps them apart") {
+    val rows = Relational.q370CollatedGroup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // planted noise guarantees ≥1 group with both case variants alive
+    assert(rows.exists(_._3 == 2), s"no collapsed group in ${rows.toSeq}")
+    // collated group count < binary group count (the collapse is real)
+    import spark.implicits._
+    val binaryGroups = graft.Tables.part(spark, sf0001)
+      .selectExpr("CASE WHEN p_partkey % 2 = 1 THEN upper(p_brand) ELSE p_brand END AS b")
+      .select($"b").distinct().count()
+    assert(rows.length < binaryGroups)
+    // totals conserve: Σ n_parts = table size
+    assert(rows.map(_._2).sum ==
+      graft.Tables.part(spark, sf0001).count())
+  }
+
   test("q361 boosting: training MSE falls monotonically on the corpus") {
     val mses = Relational.q361BoostedStumps(spark, sf0001).collect()
       .map(_.getLong(4)).toSeq
