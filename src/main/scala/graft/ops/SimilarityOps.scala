@@ -2147,7 +2147,189 @@ object SimilarityOps {
        |FROM m LEFT JOIN dr ON m.vec_id = dr.vec_id
        |ORDER BY m.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q374
+  /** Binary (sign-bit) quantization + Hamming-candidate + exact
+    * rerank — the fourth compression axis of the ANN family (q71
+    * prunes cells, q104 shrinks scalars to int8, q322 codes
+    * subspaces; this collapses each float32 dim to ONE BIT, 32×):
+    * the binary-quantization shape modern vector stores run as their
+    * first-stage filter. Codes are two 32-bit halves packed into
+    * BIGINTs (the sign bit of a 64-bit pack would be UB-adjacent in
+    * SQL dialects; two halves keep every shift non-negative on both
+    * engines); candidate generation ranks the corpus by exact
+    * Hamming distance (two xor+popcounts — integer, deterministic,
+    * hash-oracle-able), keeps [[bqCandidates]] per query, then
+    * reranks ONLY those by true float cosine — the
+    * cheap-filter/exact-verify split that makes 100-TB retrieval
+    * affordable: 8 bytes/vector move through ranking, floats touch
+    * ≤ [[bqCandidates]] rows per query. Queries broadcast; the
+    * corpus never exchanges (q70's posture). `in_exact` joins q70's
+    * exact top-10 so the recall loss of the 32× compression is read
+    * directly off the result. */
+  val bqCandidates = 32
+
+  def q374BinaryQuantKnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bitsLo = expr(
+      """aggregate(transform(sequence(0, 31),
+        |  i -> IF(element_at(embedding, i + 1) > 0D, shiftleft(1L, i), 0L)),
+        |  0L, (a, x) -> a + x)""".stripMargin)
+    val bitsHi = expr(
+      """aggregate(transform(sequence(32, 63),
+        |  i -> IF(element_at(embedding, i + 1) > 0D, shiftleft(1L, i - 32), 0L)),
+        |  0L, (a, x) -> a + x)""".stripMargin)
+    val h = corpus(s, dir)
+      .select($"vec_id", $"embedding", $"nrm",
+        bitsLo.as("h_lo"), bitsHi.as("h_hi"))
+    val q = h.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        $"nrm".as("qn"), $"h_lo".as("q_lo"), $"h_hi".as("q_hi"))
+    val wCand = Window.partitionBy($"query_id")
+      .orderBy($"hamming".asc, $"vec_id".asc)
+    val wRank = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    val ex = q70KnnBruteForce(s, dir)
+      .select($"query_id", $"neighbor_id", lit(1L).as("in_ex"))
+    h.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"embedding", $"nrm", $"qv", $"qn",
+        expr("CAST(bit_count(h_lo ^ q_lo) + bit_count(h_hi ^ q_hi) AS BIGINT)")
+          .as("hamming"))
+      .withColumn("crank", row_number().over(wCand))
+      .where($"crank" <= bqCandidates)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"hamming",
+        (VectorOps.dot($"embedding", $"qv") / ($"nrm" * $"qn")).as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .where($"rank" <= topK)
+      .join(ex, Seq("query_id", "neighbor_id"), "left")
+      .select($"query_id", $"rank", $"neighbor_id", $"hamming", $"cosine",
+        coalesce($"in_ex", lit(0L)).as("in_exact"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  private val bqBitsSql = (lo: Int, hi: Int, shift: Int) =>
+    s"""(SELECT CAST(sum(CASE WHEN embedding[i + 1] > 0
+       |  THEN (1::BIGINT << (i - $shift)) ELSE 0 END) AS BIGINT)
+       | FROM range($lo, $hi) t(i))""".stripMargin
+
+  private lazy val q374Oracle =
+    s"""WITH h AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+       |    ${bqBitsSql(0, 32, 0)} AS h_lo,
+       |    ${bqBitsSql(32, 64, 32)} AS h_hi
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+       |        h_lo AS q_lo, h_hi AS q_hi
+       |      FROM h WHERE vec_id < $nQueries),
+       |ham AS (
+       |  SELECT query_id, vec_id, embedding, nrm, qv, qn,
+       |    CAST(bit_count(xor(h_lo, q_lo)) + bit_count(xor(h_hi, q_hi))
+       |      AS BIGINT) AS hamming
+       |  FROM h JOIN q ON vec_id <> query_id),
+       |cand AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY hamming ASC, vec_id ASC) AS crank
+       |  FROM ham),
+       |rr AS (
+       |  SELECT query_id, vec_id AS neighbor_id, hamming,
+       |    ${dotSql("embedding", "qv")} / (nrm * qn) AS cosine
+       |  FROM cand WHERE crank <= $bqCandidates),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM rr),
+       |ex AS ($q70Oracle)
+       |SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.neighbor_id,
+       |  r.hamming, r.cosine,
+       |  CAST(CASE WHEN ex.neighbor_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |    AS in_exact
+       |FROM ranked r LEFT JOIN ex
+       |  ON r.query_id = ex.query_id AND r.neighbor_id = ex.neighbor_id
+       |WHERE r.rank <= $topK
+       |ORDER BY r.query_id, r.rank""".stripMargin
+
+  // ---------------------------------------------------------------- q375
+  /** Matryoshka truncation eval (MRL, Kusupati et al. 2022): recall
+    * and reciprocal rank of the FIRST-[[mrlDims]]-dims cosine ranker
+    * against the full-width exact top-10 — the measurement behind
+    * the most common embedding cost lever (store/search a prefix of
+    * the vector, 4× cheaper at 64→16, rerank later if at all). The
+    * synthetic corpus has no MRL training, so the observed recall is
+    * the honest uninformative-prefix floor; a real matryoshka model
+    * concentrates meaning in the prefix and this same harness reads
+    * the gain. q148's harness shape verbatim: both rankers are
+    * scale-shaped (queries broadcast, corpus never exchanges),
+    * everything downstream is queries×k rows. */
+  val mrlDims = 16
+
+  def q375MatryoshkaEval(s: SparkSession, dir: String): DataFrame =
+    matryoshkaOf(s, dir, mrlDims)
+
+  private[ops] def matryoshkaOf(s: SparkSession, dir: String,
+      dims: Int): DataFrame = {
+    import s.implicits._
+    val t = Tables.embeddings(s, dir)
+      .select($"vec_id", slice($"embedding", 1, dims).as("tv"))
+      .select($"vec_id", $"tv", VectorOps.norm($"tv").as("tn"))
+    val q = t.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"tv".as("qv"), $"tn".as("qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    val trunc = t.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (VectorOps.dot($"tv", $"qv") / ($"tn" * $"qn")).as("cosine"))
+      .withColumn("tr_rank", row_number().over(w))
+      .where($"tr_rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"tr_rank")
+    val ex = q70KnnBruteForce(s, dir)
+      .select($"query_id", $"neighbor_id", $"rank".as("ex_rank"))
+    ex.join(trunc, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(when($"tr_rank".isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        max(when($"ex_rank" === 1, $"tr_rank")).as("top1_tr_rank"))
+      .select($"query_id", $"n_matched",
+        expr("CAST((1000000 * n_matched) div k AS BIGINT)").as("recall_ppm"),
+        expr("CAST(coalesce(1000000 div top1_tr_rank, 0) AS BIGINT)")
+          .as("rr_ppm"))
+      .orderBy($"query_id")
+  }
+
+  private val truncDotSql = (a: String, b: String, d: Int) =>
+    s"""list_reduce(list_transform(range(1, ${d + 1}),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+
+  private lazy val q375Oracle =
+    s"""WITH t AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${truncDotSql("embedding", "embedding", mrlDims)}) AS tn
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, tn AS qn
+       |      FROM t WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    ${truncDotSql("embedding", "qv", mrlDims)} / (tn * qn) AS cosine
+       |  FROM t JOIN q ON vec_id <> query_id),
+       |trunc AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS tr_rank
+       |  FROM scored),
+       |ex AS ($q70Oracle)
+       |SELECT ex.query_id,
+       |  CAST(sum(CASE WHEN t2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_matched,
+       |  (1000000 * CAST(sum(CASE WHEN t2.neighbor_id IS NOT NULL THEN 1
+       |    ELSE 0 END) AS BIGINT)) // CAST(count(*) AS BIGINT) AS recall_ppm,
+       |  CAST(COALESCE(1000000 // max(CASE WHEN ex.rank = 1 THEN t2.tr_rank
+       |    END), 0) AS BIGINT) AS rr_ppm
+       |FROM ex LEFT JOIN (SELECT * FROM trunc WHERE tr_rank <= $topK) t2
+       |  ON ex.query_id = t2.query_id AND ex.neighbor_id = t2.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_binary_quant_knn" -> (q374BinaryQuantKnn _),
+    "q375_matryoshka_eval" -> (q375MatryoshkaEval _),
     "q342_semantic_dedup" -> (q342SemanticDedup _),
     "q328_ivf_pq"        -> (q328IvfPq _),
     "q326_pca_anisotropy" -> (q326PcaAnisotropy _),
@@ -2173,6 +2355,8 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q374_binary_quant_knn" -> q374Oracle,
+    "q375_matryoshka_eval" -> q375Oracle,
     "q342_semantic_dedup" -> q342Oracle,
     "q328_ivf_pq"        -> q328Oracle,
     "q326_pca_anisotropy" -> q326Oracle,

@@ -619,4 +619,48 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(diag._2 == 1L && math.abs(diag._3 - 1.0 / math.sqrt(2)) < 1e-12
       && diag._4 == 1L)
   }
+
+  test("q374 binary quantization: hamming replays from driver-side sign bits") {
+    import spark.implicits._
+    val rows = SimilarityOps.q374BinaryQuantKnn(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3),
+        r.getLong(5)))
+    // shape: 10 ranked rows per query, ranks 1..10, in_exact ∈ {0,1}
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == SimilarityOps.nQueries)
+    byQ.values.foreach { qr =>
+      assert(qr.map(_._2).sorted.toSeq == (1L to 10L))
+      assert(qr.forall(t => t._5 == 0L || t._5 == 1L))
+    }
+    // hamming of a returned pair matches a driver-side popcount replay
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def code(v: Seq[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 32) if (v(i) > 0f) lo |= (1L << i)
+      for (i <- 32 until 64) if (v(i) > 0f) hi |= (1L << (i - 32))
+      (lo, hi)
+    }
+    rows.take(20).foreach { case (q, _, n, ham, _) =>
+      val (ql, qh) = code(emb(q)); val (nl, nh) = code(emb(n))
+      val expect = java.lang.Long.bitCount(ql ^ nl) +
+        java.lang.Long.bitCount(qh ^ nh)
+      assert(ham == expect, s"query $q neighbor $n: $ham != $expect")
+    }
+  }
+
+  test("q375 matryoshka: full-width truncation is the exact ranker (recall = 1)") {
+    val full = SimilarityOps.matryoshkaOf(spark, sf0001, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(full.length == SimilarityOps.nQueries)
+    assert(full.forall(t => t._2 == 1000000L && t._3 == 1000000L),
+      s"full-width must be exact: ${full.toSeq}")
+    // 16-dim truncation: well-formed, recall in [0, 1]
+    val t16 = SimilarityOps.q375MatryoshkaEval(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(t16.length == SimilarityOps.nQueries)
+    assert(t16.forall(t => t._2 >= 0 && t._2 <= 10 &&
+      t._3 == t._2 * 100000L))
+  }
 }
