@@ -1146,7 +1146,192 @@ object LinkOps {
        |WHERE score_micro >= $fsLower
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q376
+  /** HyperBall / ANF — the approximate neighborhood function (Palmer
+    * et al. 2002; Boldi & Vigna 2013): per hop radius h, how many
+    * (node, reachable-node) pairs exist within h hops, estimated with
+    * ONE 16-register HLL ball per node instead of materializing
+    * reachability sets (exact N(h) needs per-node visited sets —
+    * O(|V|²) state in the worst case; at 100-TB graph scale the
+    * sketch is the only game). The growth curve N(0)..N(3) and its
+    * per-hop ratio IS the effective-diameter readout: the h where
+    * growth flattens is where the graph ends.
+    *
+    * Mechanics: ball(n, 0) = {n} as an HLL register vector; each
+    * round max-merges every neighbor's ball into the node's own —
+    * register max is insert-idempotent and commutes, so rounds
+    * shuffle-join state co-partitioned with edges keyed on the node
+    * (q143's shuffle-not-broadcast posture; state lives in the
+    * frame, never a driver structure). The LAYOUT is the measured
+    * point: registers as 16 COLUMNS of one row per node, not 16
+    * rows — the relational (node, reg, rho) layout multiplied every
+    * propagated edge by the register count (|E|·16 rows/round,
+    * measured 18 s/round at sf0.1); the packed row moves |E| rows
+    * and merges with 16 column-maxes in one map-side-combining agg
+    * (~2 s/round, 8×). Rounds also propagate only nodes whose state
+    * CHANGED last round (Boldi & Vigna's systolic sieve at node
+    * grain — an unchanged ball was already delivered): a node-sized
+    * anti-join per round buys shrinking work as balls saturate. The
+    * oracle replays the PLAIN full row-grain max-merge recurrence
+    * (the semantics), so the hash proves both the packed layout and
+    * the delta sieve transparent — q136's naive-oracle discipline.
+    *
+    * Estimator: q170's exact-BIGINT harmonic-sum form at m = 16
+    * geometry (α₁₆ = 0.673, 56-bit payload ⇒ max rank 57), raw /
+    * linear-counting switch per node, per-node floors summed to the
+    * corpus N(h) — every float step a fixed-order expression shared
+    * with the oracle. Isolated parts (never co-ordered) carry no
+    * edge and are excluded, disclosed. */
+  val hbRegisters = 16
+  val hbMaxRho = 57
+  val hbAlphaPpm = 673000L
+  val hbRounds = 3
+
+  def q376HyperballAnf(s: SparkSession, dir: String): DataFrame =
+    hyperballOf(s, coEdges(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))
+
+  private[ops] def hyperballOf(s: SparkSession, edgesIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val m = hbRegisters
+    // pre-partition on the propagation key: localCheckpoint preserves
+    // the partitioning in the LogicalRDD, so each round's edge⋈delta
+    // join re-exchanges only the (small, shrinking) delta side
+    val dedges = edgesIn.select($"u".as("src"), $"v".as("dst"))
+      .union(edgesIn.select($"v".as("src"), $"u".as("dst")))
+      .repartition($"src")
+      .localCheckpoint(true)
+    val nodes = dedges.select($"src".as("node")).distinct()
+      .localCheckpoint(true)
+    val regCols = (0 until m).map(i => s"r$i")
+    // ball(n, 0): the node's own 60-bit hash → the packed 16-column
+    // register vector (r_i = rho if the hash lands in register i)
+    val init = nodes.select($"node",
+      conv(substring(md5(concat(lit("hb:"), $"node".cast("string"))), 1, 15),
+        16, 10).cast("long").as("hv"))
+      .select(
+        ($"node" +: regCols.zipWithIndex.map { case (c, i) =>
+          when(($"hv" % m) === i,
+            when(expr(s"hv div $m") === 0L, lit(hbMaxRho.toLong))
+              .otherwise(expr(
+                s"CAST(round(log2((hv div $m) & -(hv div $m))) AS BIGINT) + 1")))
+            .otherwise(0L).as(c)
+        }): _*)
+      .localCheckpoint(true)
+    // nf(h) = Σ_node floor(est(ball_h(node))) — a pure projection
+    // over the packed row (absent register ≡ rho 0, exactly the
+    // oracle's dense-spine zero), then one global sum
+    val zsumExpr = regCols.map(c =>
+      s"shiftleft(CAST(1 AS BIGINT), CAST($hbMaxRho - $c AS INT))")
+      .mkString(" + ")
+    val vExpr = regCols.map(c => s"(CASE WHEN $c = 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def nfOf(state: DataFrame): Long =
+      state
+        .select(expr(s"CAST($zsumExpr AS BIGINT)").as("zsum"),
+          expr(s"CAST($vExpr AS BIGINT)").as("v"))
+        .select(
+          expr(s"""CAST(floor(CAST(${hbAlphaPpm * m * m} AS DOUBLE)
+            |  * 144115188075855872.0 / CAST(zsum AS DOUBLE) / 1000000.0)
+            |  AS BIGINT)""".stripMargin).as("raw_est"), $"v")
+        .select(
+          when($"raw_est" <= lit((5L * m) / 2) && $"v" > 0L,
+            expr(s"CAST(floor(${m}.0D * ln(${m}.0D / CAST(v AS DOUBLE))) AS BIGINT)"))
+            .otherwise($"raw_est").as("est"))
+        .agg(sum($"est")).head().getLong(0)
+    var merged = init
+    var delta = init
+    val nf = scala.collection.mutable.ArrayBuffer(nfOf(init))
+    for (_ <- 1 to hbRounds) {
+      val pushed = dedges.join(
+        delta.withColumnRenamed("node", "src"), "src")
+        .select(($"dst".as("node") +: regCols.map(col)): _*)
+      val maxes = regCols.map(c => max(col(c)).as(c))
+      val next = merged.union(pushed)
+        .groupBy($"node")
+        .agg(maxes.head, maxes.tail: _*)
+        .localCheckpoint(true)
+      delta = next.join(merged, "node" +: regCols, "left_anti")
+        .localCheckpoint(true)
+      merged = next
+      nf += nfOf(merged)
+    }
+    val rows = nf.toSeq.zipWithIndex.map { case (v, h) =>
+      (h.toLong, v,
+        if (h == 0) -1L else 1000000L * v / nf(h - 1))
+    }
+    s.createDataFrame(rows).toDF("hops", "reach_est", "growth_ppm")
+      .orderBy($"hops")
+  }
+
+  private lazy val q376Oracle = {
+    val m = hbRegisters
+    // full (non-delta) max-merge recurrence, one CTE pair per round
+    val rounds = (1 to hbRounds).map { h =>
+      s"""r$h AS (
+         |  SELECT node, reg, max(rho) AS rho FROM (
+         |    SELECT node, reg, rho FROM r${h - 1}
+         |    UNION ALL
+         |    SELECT d.dst AS node, r.reg, r.rho
+         |    FROM dedges d JOIN r${h - 1} r ON r.node = d.src)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    // per-round estimator chain: dense spine → per-node est → Σ
+    val nfs = (0 to hbRounds).map { h =>
+      s"""dense$h AS (
+         |  SELECT s.node, s.reg, COALESCE(r.rho, 0) AS rho
+         |  FROM spine s LEFT JOIN r$h r ON s.node = r.node AND s.reg = r.reg),
+         |agg$h AS (
+         |  SELECT node,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST($hbMaxRho - rho AS INT)) AS BIGINT)
+         |      AS zsum,
+         |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+         |  FROM dense$h GROUP BY 1),
+         |est$h AS (
+         |  SELECT node,
+         |    CASE WHEN raw_est <= ${(5L * m) / 2} AND v > 0
+         |      THEN CAST(floor($m.0 * ln($m.0 / CAST(v AS DOUBLE))) AS BIGINT)
+         |      ELSE raw_est END AS est
+         |  FROM (SELECT node,
+         |    CAST(floor(CAST(${hbAlphaPpm * m * m} AS DOUBLE)
+         |      * 144115188075855872.0 / CAST(zsum AS DOUBLE) / 1000000.0)
+         |      AS BIGINT) AS raw_est, v
+         |    FROM agg$h)),
+         |nf$h AS (SELECT CAST(sum(est) AS BIGINT) AS nf FROM est$h)"""
+        .stripMargin
+    }.mkString(",\n")
+    val finals = (0 to hbRounds).map { h =>
+      val growth =
+        if (h == 0) "CAST(-1 AS BIGINT)"
+        else s"(1000000 * (SELECT nf FROM nf$h)) // (SELECT nf FROM nf${h - 1})"
+      s"""SELECT CAST($h AS BIGINT) AS hops,
+         |  (SELECT nf FROM nf$h) AS reach_est, $growth AS growth_ppm"""
+        .stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $edgesCte,
+       |dedges AS (
+       |  SELECT u AS src, v AS dst FROM edges
+       |  UNION ALL SELECT v AS src, u AS dst FROM edges),
+       |nodes AS (SELECT DISTINCT src AS node FROM dedges),
+       |spine AS (SELECT node, r.range AS reg FROM nodes, range($m) r),
+       |r0 AS (
+       |  SELECT node, hv % $m AS reg,
+       |    CASE WHEN hv // $m = 0 THEN $hbMaxRho
+       |      ELSE CAST(round(log2((hv // $m) & -(hv // $m))) AS BIGINT) + 1 END
+       |      AS rho
+       |  FROM (
+       |    SELECT node,
+       |      ('0x' || substr(md5('hb:' || CAST(node AS VARCHAR)), 1, 15))::BIGINT
+       |        AS hv
+       |    FROM nodes)),
+       |$rounds,
+       |$nfs
+       |$finals
+       |ORDER BY hops""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q376_hyperball_anf" -> (q376HyperballAnf _),
     "q348_fellegi_sunter" -> (q348FellegiSunter _),
     "q320_modularity"      -> (q320Modularity _),
     "q321_clustering_coeff" -> (q321ClusteringCoeff _),
@@ -1164,6 +1349,7 @@ object LinkOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q376_hyperball_anf" -> q376Oracle,
     "q348_fellegi_sunter" -> q348Oracle,
     "q320_modularity"      -> q320Oracle,
     "q321_clustering_coeff" -> q321Oracle,

@@ -330,4 +330,28 @@ class LinkOpsSpec extends SparkSuite {
       assert(band == (if (sc >= LinkOps.fsUpper) "match" else "possible"))
     }
   }
+
+  test("q376 hyperball: monotone growth, exact saturation on planted cliques") {
+    import spark.implicits._
+    // two disjoint triangles: every ball saturates at h = 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("u", "v")
+    val got = LinkOps.hyperballOf(spark, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    // h=0: six singleton balls, linear counting floor(16 ln(16/15)) = 1 each
+    assert(got(0)._2 == 6L, s"nf(0) = ${got(0)._2}")
+    // saturated: nf(1) = nf(2) = nf(3), growth exactly 1e6 after h=1
+    assert(got(1)._2 == got(2)._2 && got(2)._2 == got(3)._2)
+    assert(got(2)._3 == 1000000L && got(3)._3 == 1000000L)
+    assert(got(0)._3 == -1L)
+    // monotone nondecreasing always
+    assert(got.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    // sf graph: same invariants on real data
+    val sf = LinkOps.q376HyperballAnf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sf.length == 4)
+    assert(sf.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    assert(sf.tail.forall(_._3 >= 1000000L))
+  }
 }
