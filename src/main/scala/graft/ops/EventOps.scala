@@ -1936,6 +1936,109 @@ object EventOps {
        |SELECT event_type, day, n, s AS ewma_ppm, d AS ewmd_ppm, oob
        |FROM rec ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------- q377
+  /** Holt level numerator (of 4): α = 1/4. */
+  val holtAlphaNum = 1L
+  /** Holt trend numerator (of 8): β = 1/8. */
+  val holtBetaNum = 1L
+
+  /** Holt double exponential smoothing (level + trend) over the
+    * per-type daily counts — the FORECASTING member of the
+    * sequential family: q217's EWMA tracks a moving level but lags a
+    * trending series forever (its one-step forecast is flat); Holt
+    * carries an explicit trend state so the one-step-ahead forecast
+    * l + b extrapolates the slope. Emitted per day: the forecast
+    * made YESTERDAY for today (honest out-of-sample, NULL on day 1 —
+    * no fabricated baseline, q211's posture), the updated level and
+    * trend, and the absolute forecast error — the per-day series
+    * q294's MASE denominators summarize.
+    *
+    * Exact integer fixed point: counts in ppm, recurrences
+    * l ← (x + 3·(l+b)) div 4 and b ← ((l′−l) + 7·b) div 8 in BIGINT
+    * (α = 1/4, β = 1/8 — power-of-two numerators keep every step a
+    * shift-friendly division; trend and level deltas go NEGATIVE, and
+    * Spark `div` and DuckDB `//` both truncate toward zero — the
+    * q172-verified convention this file leans on). The recurrence
+    * reads its own previous state — not window-expressible — so it
+    * folds in-group (q163/q217's device) over the calendar-bounded
+    * daily series after the stream reduces to (type, day) grain in
+    * one map-side-combining agg. Oracle: RECURSIVE CTE stepping the
+    * identical recurrence per type. */
+  def q377HoltTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    holtOf(Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** The smoother on any (event_type, day, n) daily frame — separated
+    * so the spec can plant an exact line (trend state converges onto
+    * the true slope) and a constant series (trend pinned at 0, error
+    * 0 from day 2). */
+  private[ops] def holtOf(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    import s.implicits._
+    val lvl = s"(e.n * 1000000L + 3 * (acc.lp + acc.bp)) div 4"
+    daily
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"n"))).as("ds"))
+      .select($"event_type", explode(expr(
+        s"""aggregate(ds,
+           |  struct(
+           |    CAST(array() AS ARRAY<STRUCT<day DATE, n BIGINT,
+           |      fc_ppm BIGINT, level_ppm BIGINT, trend_ppm BIGINT,
+           |      abs_err_ppm BIGINT>>) AS out,
+           |    0L AS lp, 0L AS bp, 0 AS t),
+           |  (acc, e) -> struct(
+           |    concat(acc.out, array(struct(
+           |      e.day AS day, e.n AS n,
+           |      CASE WHEN acc.t = 0 THEN CAST(NULL AS BIGINT)
+           |           ELSE acc.lp + acc.bp END AS fc_ppm,
+           |      CASE WHEN acc.t = 0 THEN e.n * 1000000L
+           |           ELSE $lvl END AS level_ppm,
+           |      CASE WHEN acc.t = 0 THEN 0L
+           |           ELSE (($lvl) - acc.lp + 7 * acc.bp) div 8 END
+           |        AS trend_ppm,
+           |      CASE WHEN acc.t = 0 THEN CAST(NULL AS BIGINT)
+           |           ELSE abs(e.n * 1000000L - (acc.lp + acc.bp)) END
+           |        AS abs_err_ppm))) AS out,
+           |    CASE WHEN acc.t = 0 THEN e.n * 1000000L
+           |         ELSE $lvl END AS lp,
+           |    CASE WHEN acc.t = 0 THEN 0L
+           |         ELSE (($lvl) - acc.lp + 7 * acc.bp) div 8 END AS bp,
+           |    acc.t + 1 AS t),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select($"event_type", $"r.day", $"r.n", $"r.fc_ppm",
+        $"r.level_ppm", $"r.trend_ppm", $"r.abs_err_ppm")
+      .orderBy($"event_type", $"day")
+  }
+
+  private val q377Oracle =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, day, n,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |          CAST(count(*) AS BIGINT) AS n
+       |        FROM events GROUP BY 1, 2)),
+       |rec AS (
+       |  SELECT event_type, rn, day, n,
+       |    CAST(NULL AS BIGINT) AS fc,
+       |    CAST(n * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+       |    CAST(NULL AS BIGINT) AS err
+       |  FROM daily WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d2.event_type, d2.rn, d2.day, d2.n,
+       |    r.l + r.b,
+       |    CAST((d2.n * 1000000 + 3 * (r.l + r.b)) // 4 AS BIGINT),
+       |    CAST((((d2.n * 1000000 + 3 * (r.l + r.b)) // 4) - r.l + 7 * r.b) // 8
+       |      AS BIGINT),
+       |    abs(d2.n * 1000000 - (r.l + r.b))
+       |  FROM daily d2 JOIN rec r
+       |    ON d2.event_type = r.event_type AND d2.rn = r.rn + 1)
+       |SELECT event_type, day, n, fc AS fc_ppm, l AS level_ppm,
+       |  b AS trend_ppm, err AS abs_err_ppm
+       |FROM rec ORDER BY event_type, day""".stripMargin
+
   // ---------------------------------------------------------------- q223
   /** LOCF (last-observation-carried-forward) backfill of the hourly
     * per-type value series — the OTHER gap-filling semantics: q99
@@ -6091,6 +6194,7 @@ object EventOps {
     "q101_moving_avg"       -> (q101MovingAvg _),
     "q163_cusum_changepoint" -> (q163CusumChangepoint _),
     "q217_ewma_band"        -> (q217EwmaBand _),
+    "q377_holt_trend"       -> (q377HoltTrend _),
     "q223_locf_backfill"    -> (q223LocfBackfill _),
     "q230_merged_intervals" -> (q230MergedIntervals _),
     "q231_decayed_popularity" -> (q231DecayedPopularity _),
@@ -6174,6 +6278,7 @@ object EventOps {
     "q101_moving_avg"       -> q101Oracle,
     "q163_cusum_changepoint" -> q163Oracle,
     "q217_ewma_band"        -> q217Oracle,
+    "q377_holt_trend"       -> q377Oracle,
     "q223_locf_backfill"    -> q223Oracle,
     "q230_merged_intervals" -> q230Oracle,
     "q231_decayed_popularity" -> q231Oracle,

@@ -1330,7 +1330,114 @@ object LinkOps {
        |ORDER BY hops""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q378
+  /** Rank-1 ALS matrix factorization over the (user × event-type)
+    * count matrix — the collaborative-filtering primitive (Koren et
+    * al. 2009; Zhou et al. 2008's distributed-ALS shape) and the
+    * fourth from-scratch distributed learner (q352 logistic GD, q353
+    * NB, q361 boosted stumps): R ≈ u·vᵀ by alternating exact
+    * least-squares closed forms. q195 scores item pairs that
+    * co-occurred; a factor model generalizes to pairs that never did.
+    *
+    * Each half-step is ONE closed-form division per entity from one
+    * join-agg pass over the OBSERVED cells: u_j = Σ R·v / Σ v² over
+    * the items user j touched (alternating-ls on observed entries,
+    * not implicit zeros), then symmetrically for v. All arithmetic
+    * exact BIGINT in milli fixed point — u_milli = 10⁶·Σ(R·v_milli)
+    * div Σ(v_milli²) — with per-round SSE in milli² units sized so
+    * BIGINT holds at any corpus scale (headroom stated inline);
+    * truncating division is the q172-verified shared convention, so
+    * the whole trajectory is hash-oracle-able where float ALS isn't.
+    *
+    * Scale shape: the events stream reduces ONCE to (user, item)
+    * cells (map-side combining agg) and localCheckpoints; each
+    * half-step is a broadcast of the ITEM-cardinality factor table
+    * into the cell frame plus one partial agg to entity grain — the
+    * user-factor frame never broadcasts (it is corpus-sized; the
+    * item update joins it BY KEY, q143's shuffle posture). Rounds
+    * are a fixed hyperparameter, model state lives in frames.
+    * Output: the item-factor trajectory with per-round SSE (monotone
+    * nonincreasing under exact alternation up to the fixed-point
+    * floor — spec-pinned on the sf corpus). */
+  val alsRounds = 2
+
+  def q378Rank1Als(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    rank1AlsOf(Tables.events(s, dir)
+      .groupBy($"user_id".as("uid"), $"event_type".as("item"))
+      .agg(count(lit(1)).as("r")))
+  }
+
+  private[ops] def rank1AlsOf(cellsIn: DataFrame): DataFrame = {
+    val s = cellsIn.sparkSession
+    import s.implicits._
+    val cells = cellsIn.localCheckpoint(true)
+    var items = cells.select($"item").distinct()
+      .select($"item", lit(1000L).as("v"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to alsRounds) {
+      // user half-step: u = 10⁶·Σ(R·v) div Σ(v²)  [milli units]
+      val users = cells.join(broadcast(items), "item")
+        .groupBy($"uid")
+        .agg(sum($"r" * $"v").as("num"), sum($"v" * $"v").as("den"))
+        .select($"uid", expr("(1000000 * num) div den").as("u"))
+        .localCheckpoint(true)
+      // item half-step: v = 10⁶·Σ(R·u) div Σ(u²) — cells join users
+      // BY KEY (user-sized frame, never broadcast), agg to item grain
+      val withU = cells.join(users, "uid").localCheckpoint(true)
+      items = withU
+        .groupBy($"item")
+        .agg(sum($"r" * $"u").as("num"), sum($"u" * $"u").as("den"))
+        .select($"item", expr("(1000000 * num) div den").as("v"))
+        .localCheckpoint(true)
+      // SSE in milli² units: (R·10³ − (u·v) div 10³)² summed — per
+      // cell ≤ ~(10⁵)² = 10¹⁰, so BIGINT survives ~10⁸ cells
+      val sse = withU.join(broadcast(items), "item")
+        .select(expr(
+          """CAST((r * 1000 - (u * v) div 1000)
+            |  * (r * 1000 - (u * v) div 1000) AS BIGINT)""".stripMargin)
+          .as("e2"))
+        .agg(sum($"e2")).head().getLong(0)
+      out += items.select(lit(r.toLong).as("round"), $"item",
+        $"v".as("v_milli"), lit(sse).as("sse_milli2"))
+    }
+    out.reduce(_ unionByName _).orderBy($"round", $"item")
+  }
+
+  private lazy val q378Oracle = {
+    val rounds = (1 to alsRounds).map { r =>
+      val prevV = if (r == 1) "i0" else s"i${r - 1}"
+      s"""u$r AS (
+         |  SELECT uid, (1000000 * CAST(sum(c.r * v.v) AS BIGINT))
+         |    // CAST(sum(v.v * v.v) AS BIGINT) AS u
+         |  FROM cells c JOIN $prevV v USING (item) GROUP BY uid),
+         |i$r AS (
+         |  SELECT item, (1000000 * CAST(sum(c.r * u.u) AS BIGINT))
+         |    // CAST(sum(u.u * u.u) AS BIGINT) AS v
+         |  FROM cells c JOIN u$r u USING (uid) GROUP BY item),
+         |sse$r AS (
+         |  SELECT CAST(sum((c.r * 1000 - (u.u * v.v) // 1000)
+         |    * (c.r * 1000 - (u.u * v.v) // 1000)) AS BIGINT) AS sse
+         |  FROM cells c JOIN u$r u USING (uid) JOIN i$r v USING (item))"""
+        .stripMargin
+    }.mkString(",\n")
+    val finals = (1 to alsRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, item, v AS v_milli,
+         |  (SELECT sse FROM sse$r) AS sse_milli2 FROM i$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH cells AS (
+       |  SELECT user_id AS uid, event_type AS item,
+       |    CAST(count(*) AS BIGINT) AS r
+       |  FROM events GROUP BY 1, 2),
+       |i0 AS (SELECT DISTINCT item, CAST(1000 AS BIGINT) AS v FROM cells),
+       |$rounds
+       |$finals
+       |ORDER BY round, item""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q378_rank1_als" -> (q378Rank1Als _),
     "q376_hyperball_anf" -> (q376HyperballAnf _),
     "q348_fellegi_sunter" -> (q348FellegiSunter _),
     "q320_modularity"      -> (q320Modularity _),
@@ -1349,6 +1456,7 @@ object LinkOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q378_rank1_als" -> q378Oracle,
     "q376_hyperball_anf" -> q376Oracle,
     "q348_fellegi_sunter" -> q348Oracle,
     "q320_modularity"      -> q320Oracle,

@@ -2175,4 +2175,44 @@ class EventOpsSpec extends SparkSuite {
       if (offK == 0L) assert(interp == vw, "left endpoint must be exact")
     }
   }
+
+  test("q377 holt: driver replay on a planted line; constant series is exact") {
+    import spark.implicits._
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    // exact line n = 100 + 5t: replay the integer recurrence on the driver
+    val line = (0 until 40).map(t => ("line", day(t), 100L + 5L * t))
+      .toDF("event_type", "day", "n")
+    val got = EventOps.holtOf(line).collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3).asInstanceOf[Any],
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) null else r.getLong(6).asInstanceOf[Any]))
+    var l = 0L; var b = 0L
+    val expect = (0 until 40).map { t =>
+      val x = (100L + 5L * t) * 1000000L
+      if (t == 0) { l = x; b = 0L
+        (day(t).toString, 100L + 5L * t, null, l, b, null)
+      } else {
+        val fc = l + b
+        val l2 = (x + 3L * (l + b)) / 4L
+        val b2 = ((l2 - l) + 7L * b) / 8L
+        val err = math.abs(x - fc)
+        l = l2; b = b2
+        (day(t).toString, 100L + 5L * t, fc.asInstanceOf[Any], l2, b2,
+          err.asInstanceOf[Any])
+      }
+    }
+    assert(got.toSeq == expect)
+    // the trend state converges onto the true slope on a noiseless line
+    val lastTrend = got.last._5
+    assert(math.abs(lastTrend - 5000000L) < 50000L,
+      s"trend should approach 5e6, got $lastTrend")
+    // constant series: level pinned, trend 0, error 0 from day 2
+    val const = (0 until 10).map(t => ("c", day(t), 7L))
+      .toDF("event_type", "day", "n")
+    val cg = EventOps.holtOf(const).collect()
+    assert(cg.forall(r => r.getLong(4) == 7000000L && r.getLong(5) == 0L))
+    assert(cg.drop(1).forall(r => r.getLong(6) == 0L))
+  }
 }

@@ -354,4 +354,30 @@ class LinkOpsSpec extends SparkSuite {
     assert(sf.sliding(2).forall(p => p(0)._2 <= p(1)._2))
     assert(sf.tail.forall(_._3 >= 1000000L))
   }
+
+  test("q378 rank-1 ALS: recovers a planted rank-1 matrix; SSE never rises") {
+    import spark.implicits._
+    // R = a_u * b_i exactly (a = 1,2,4; b = 3,5): rank-1, noiseless
+    val cells = (for ((u, a) <- Seq((1L, 1L), (2L, 2L), (3L, 4L));
+                      (i, b) <- Seq(("x", 3L), ("y", 5L)))
+      yield (u, i, a * b)).toDF("uid", "item", "r")
+    val got = LinkOps.rank1AlsOf(cells).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // item-factor RATIO approaches b ratio 5/3 (scale itself is not
+    // identified in u*v — only the product is)
+    val last = got.filter(_._1 == LinkOps.alsRounds)
+    val vx = last.find(_._2 == "x").get._3.toDouble
+    val vy = last.find(_._2 == "y").get._3.toDouble
+    assert(math.abs(vy / vx - 5.0 / 3.0) < 0.01, s"ratio ${vy / vx}")
+    // noiseless rank-1 fits to the fixed-point floor: sse per cell < 10 milli^2... 
+    val sse2 = last.head._4
+    assert(sse2 < 6 * 100L, s"planted rank-1 SSE too high: $sse2")
+    // alternation on the sf corpus: SSE monotone nonincreasing
+    val sf = LinkOps.q378Rank1Als(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    val byRound = sf.distinct.sortBy(_._1).map(_._2)
+    assert(byRound.length == LinkOps.alsRounds)
+    assert(byRound.zip(byRound.tail).forall { case (a, b) => b <= a },
+      s"SSE rose: ${byRound.toSeq}")
+  }
 }
