@@ -192,6 +192,36 @@ object ExtOps {
       |  CAST(n_regionkey AS BIGINT) n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // ---------------------------------------------------------------- q379
+  /** Native DataSource V2 SINK round-trip — the write-side connector
+    * surface q226's SeqSource leaves uncovered: `customer` flows
+    * through `graft.sources.BlobSinkProvider`, whose per-task
+    * DataWriters land uncommitted `*.tmp` files and whose driver-side
+    * job commit renames winners and publishes ONE atomic `_MANIFEST`
+    * (readers list the manifest, never the directory — crashed
+    * attempts and foreign files are invisible; BlobSinkSpec plants
+    * both). The read-back goes through the same connector's
+    * `_SCHEMA`-self-describing scan, so the oracle row proves the
+    * whole write→commit→read path value-exact, doubles included
+    * (Double.toString/parse round-trips exactly). This is the
+    * reference's S8 append re-done with the guarantee it lacks:
+    * all-or-nothing visibility (reference `src/load/main.py:40-43`
+    * commits partial prefixes on failure). */
+  def q379Dsv2Sink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_blobsink").toString
+    Tables.customer(s, dir).write
+      .format("graft.sources.BlobSinkProvider")
+      .mode("append").option("path", tmp).save()
+    s.read.format("graft.sources.BlobSinkProvider")
+      .option("path", tmp).load()
+      .orderBy($"c_custkey")
+  }
+
+  private val q379Oracle =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- q86
   /** Bucketed-table layout: both join sides written once with
     * `bucketBy(8, key).sortBy(key)`, then joined WITHOUT an Exchange —
@@ -964,6 +994,7 @@ object ExtOps {
     "q82_orc_roundtrip" -> (q82OrcRoundtrip _),
     "q371_avro_roundtrip" -> (q371AvroRoundtrip _),
     "q372_xml_roundtrip" -> (q372XmlRoundtrip _),
+    "q379_dsv2_sink" -> (q379Dsv2Sink _),
     "q86_bucketed_join" -> (q86BucketedJoin _),
     "q89_column_profile" -> (q89ColumnProfile _),
     "q98_sorted_layout" -> (q98SortedLayout _),
@@ -985,6 +1016,7 @@ object ExtOps {
     "q82_orc_roundtrip" -> q82Oracle,
     "q371_avro_roundtrip" -> q371Oracle,
     "q372_xml_roundtrip" -> q372Oracle,
+    "q379_dsv2_sink" -> q379Oracle,
     "q86_bucketed_join" -> q86Oracle,
     "q89_column_profile" -> q89Oracle,
     "q98_sorted_layout" -> q98Oracle,
