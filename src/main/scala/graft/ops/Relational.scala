@@ -2648,6 +2648,37 @@ object Relational {
       |GROUP BY brand COLLATE NOCASE
       |ORDER BY brand""".stripMargin
 
+  // ---------------------------------------------------------------- q381
+  /** Parameterized SQL with named parameter markers (`:name` +
+    * args map — the SQL-injection-safe binding surface Spark 4
+    * ships; string-splicing user input into SQL text is the
+    * warehouse's oldest vulnerability): the markers bind as typed
+    * literals BEFORE analysis, so Catalyst plans the identical
+    * constant-folded tree as the inlined form — same pushdown, same
+    * partial aggregation — which the oracle (the literal-inlined
+    * equivalent) proves by hash. */
+  def q381ParameterizedSql(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("g_par_lineitem")
+    val out = s.sql(
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM g_par_lineitem
+        |WHERE l_quantity >= :qmin AND l_discount <= :dmax
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Map("qmin" -> 25, "dmax" -> 0.07))
+    s.catalog.dropTempView("g_par_lineitem")
+    out
+  }
+
+  private val q381Oracle =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem
+      |WHERE l_quantity >= 25 AND l_discount <= 0.07
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q362
   /** Boosting with an HONEST generalization readout — q291's
     * fit/transform separation applied to the q361 learner: rows
@@ -2822,6 +2853,7 @@ object Relational {
     "q368_unpivot_melt" -> (q368UnpivotMelt _),
     "q369_group_by_all" -> (q369GroupByAll _),
     "q370_collated_group" -> (q370CollatedGroup _),
+    "q381_parameterized_sql" -> (q381ParameterizedSql _),
     "q300_accumulating_snapshot" -> (q300AccumulatingSnapshot _),
     "q288_reconciliation" -> (q288Reconciliation _),
     "q289_largest_remainder" -> (q289LargestRemainder _),
@@ -2889,6 +2921,7 @@ object Relational {
     "q368_unpivot_melt" -> q368Oracle,
     "q369_group_by_all" -> q369Oracle,
     "q370_collated_group" -> q370Oracle,
+    "q381_parameterized_sql" -> q381Oracle,
     "q300_accumulating_snapshot" -> q300Oracle,
     "q288_reconciliation" -> q288Oracle,
     "q289_largest_remainder" -> q289Oracle,

@@ -614,4 +614,20 @@ class RelationalSpec extends SparkSuite {
     assert(mses.zip(mses.tail).forall { case (a, b) => b <= a },
       s"MSE trajectory not monotone: $mses")
   }
+
+  test("q381 parameterized sql: binds equal the inlined literals") {
+    import spark.implicits._
+    val par = Relational.q381ParameterizedSql(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val lit = graft.Tables.lineitem(spark, sf0001)
+      .where($"l_quantity" >= 25 && $"l_discount" <= 0.07)
+      .groupBy($"l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"l_extendedprice".cast("decimal(12,2)"))
+          .cast("double").as("rev"))
+      .orderBy($"l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(par.toSeq == lit.toSeq)
+  }
 }

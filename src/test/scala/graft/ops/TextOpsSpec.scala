@@ -1723,4 +1723,38 @@ class TextOpsSpec extends SparkSuite {
         r.getLong(4), r.getLong(5)))
     assert(got.toSeq == expect.toSeq)
   }
+
+  test("q380 length buckets: sorting by length strictly cuts padding waste") {
+    val rows = TextOps.q380LengthBuckets(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val arrival = rows.find(_._1 == "arrival").get
+    val sorted = rows.find(_._1 == "length_sorted").get
+    // same corpus, same batch count, same true token mass
+    assert(arrival._2 == sorted._2 && arrival._3 == sorted._3)
+    // the report's point: bucketing strictly reduces padded volume
+    assert(sorted._4 < arrival._4,
+      s"padded: sorted=${sorted._4} arrival=${arrival._4}")
+    assert(sorted._5 < arrival._5)
+    // padding never negative, waste_ppm consistent with its parts
+    rows.foreach { r =>
+      assert(r._4 >= r._3)
+      assert(r._5 == 1000000L * (r._4 - r._3) / r._4)
+    }
+  }
+
+  test("q382 loop detector: planted period-3 loop reads exactly, short doc sentinels") {
+    val got = TextOps.q382LoopDetect(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // planted loop: 90 tokens of walk/run/jump -> lag 3 matches all 87
+    val loop = got.find(_._1 == -1L).get
+    assert(loop._2 == 90L && loop._3 == 3L && loop._4 == 1000000L &&
+      loop._5 == 1L, s"planted loop row: $loop")
+    // too-short plant: honest sentinels
+    val short = got.find(_._1 == -2L).get
+    assert(short._3 == -1L && short._4 == -1L && short._5 == 0L)
+    // corpus docs are word soup: none should read as looping
+    assert(got.filter(_._1 >= 0).forall(_._5 == 0L))
+  }
 }
