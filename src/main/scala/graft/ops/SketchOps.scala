@@ -847,7 +847,105 @@ object SketchOps {
        |FROM ex, sk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q383
+  /** Keys per bitmap word — 62, not 64: DuckDB's `<<` overflow-checks
+    * a shift into the BIGINT sign bit, so the portable word keeps
+    * every mask positive on both engines. */
+  val bmpWordBits = 62L
+
+  /** EXACT bitmap-index set algebra — the dense-integer-key
+    * counterpart of the family's estimators (q174 HLL and q278 KMV
+    * approximate set overlap when keys are arbitrary; when the key
+    * space is a dense integer domain — order keys, row ids, doc
+    * serials — a plain bitmap gives EXACT intersections at 62 keys
+    * per row, the bitmap-index trick every columnar warehouse ships):
+    * per order status, (word, bits) rows built in ONE map-side-
+    * combining `bit_or` agg; every pairwise |A|, |B|, |A∩B|, |A∪B|,
+    * exact Jaccard then computes on the WORD-GRAIN frames — popcounts
+    * of AND/OR under a full-outer word join — without ever touching
+    * the key set again (an exact pairwise distinct-intersect needs a
+    * self-join per pair; the bitmap needs ⌈|universe|/62⌉ rows total).
+    * Shuffle carries universe/62 rows per set — the compression is
+    * the scale story; run-length containers (RoaringBitmap) compound
+    * it for sparse ranges, disclosed not implemented. The status
+    * partition is a DISJOINT partition of orders, so ∩ = 0 and
+    * Jaccard = 0 across statuses would be trivial — the sets instead
+    * come from two OVERLAPPING predicates each (status vs
+    * high-priority vs recent), planted so all three regions of the
+    * Venn diagram are live. */
+  def q383BitmapAlgebra(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = bmpWordBits
+    // three overlapping order sets over the same key universe
+    val tagged = Tables.orders(s, dir).select(
+      $"o_orderkey".as("k"),
+      expr("o_orderstatus = 'F'").as("s_finished"),
+      expr("o_orderpriority IN ('1-URGENT', '2-HIGH')").as("s_urgent"),
+      expr("o_totalprice >= 150000.0D").as("s_big"))
+    val sets = Seq("s_finished", "s_urgent", "s_big")
+    val bitmaps = sets.map { nm =>
+      tagged.where(col(nm))
+        .select(expr(s"k div $w").as("word"),
+          expr(s"shiftleft(1L, CAST(k % $w AS INT))").as("m"))
+        .groupBy($"word").agg(expr("bit_or(m)").as("bits"))
+        .select(lit(nm).as("s"), $"word", $"bits")
+    }.reduce(_ unionByName _).localCheckpoint()
+    val pairs = for {
+      i <- sets.indices; j <- sets.indices if i < j
+    } yield (sets(i), sets(j))
+    pairs.map { case (a, b) =>
+      bitmaps.where($"s" === a).select($"word", $"bits".as("ba"))
+        .join(bitmaps.where($"s" === b).select($"word", $"bits".as("bb")),
+          Seq("word"), "full_outer")
+        .select(coalesce($"ba", lit(0L)).as("ba"),
+          coalesce($"bb", lit(0L)).as("bb"))
+        .agg(
+          expr("CAST(sum(bit_count(ba)) AS BIGINT)").as("n_a"),
+          expr("CAST(sum(bit_count(bb)) AS BIGINT)").as("n_b"),
+          expr("CAST(sum(bit_count(ba & bb)) AS BIGINT)").as("n_and"),
+          expr("CAST(sum(bit_count(ba | bb)) AS BIGINT)").as("n_or"))
+        .select(lit(a).as("set_a"), lit(b).as("set_b"),
+          $"n_a", $"n_b", $"n_and", $"n_or",
+          expr("(1000000 * n_and) div n_or").as("jaccard_ppm"))
+    }.reduce(_ unionByName _).orderBy($"set_a", $"set_b")
+  }
+
+  private val q383Oracle = {
+    val w = bmpWordBits
+    val defs = Seq(
+      "s_finished" -> "o_orderstatus = 'F'",
+      "s_urgent"   -> "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+      "s_big"      -> "o_totalprice >= 150000.0")
+    val bm = defs.map { case (nm, pred) =>
+      s"""SELECT '$nm' AS s, o_orderkey // $w AS word,
+         |  bit_or(1::BIGINT << CAST(o_orderkey % $w AS INT)) AS bits
+         |FROM orders WHERE $pred GROUP BY 2""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val pairs = for {
+      i <- defs.indices; j <- defs.indices if i < j
+    } yield (defs(i)._1, defs(j)._1)
+    val pairSel = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS set_a, '$b' AS set_b,
+         |  CAST(sum(bit_count(ba)) AS BIGINT) AS n_a,
+         |  CAST(sum(bit_count(bb)) AS BIGINT) AS n_b,
+         |  CAST(sum(bit_count(ba & bb)) AS BIGINT) AS n_and,
+         |  CAST(sum(bit_count(ba | bb)) AS BIGINT) AS n_or
+         |FROM (
+         |  SELECT COALESCE(x.bits, 0) AS ba, COALESCE(y.bits, 0) AS bb
+         |  FROM (SELECT word, bits FROM bitmaps WHERE s = '$a') x
+         |  FULL OUTER JOIN (SELECT word, bits FROM bitmaps WHERE s = '$b') y
+         |    USING (word))""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH bitmaps AS (
+       |  $bm)
+       |SELECT set_a, set_b, n_a, n_b, n_and, n_or,
+       |  (1000000 * n_and) // n_or AS jaccard_ppm
+       |FROM ($pairSel)
+       |ORDER BY set_a, set_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q383_bitmap_algebra" -> (q383BitmapAlgebra _),
     "q309_ams_f2"      -> (q309AmsF2 _),
     "q278_kmv_jaccard" -> (q278KmvJaccard _),
     "q170_hll_distinct" -> (q170HllDistinct _),
@@ -859,6 +957,7 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q383_bitmap_algebra" -> q383Oracle,
     "q309_ams_f2"      -> q309Oracle,
     "q278_kmv_jaccard" -> q278Oracle,
     "q170_hll_distinct" -> q170Oracle,

@@ -489,6 +489,119 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q384
+  /** RE2-safe markup patterns (no lookaround/backrefs — identical
+    * semantics under Java regex and DuckDB's RE2): script/style
+    * blocks drop with their CONTENT, other tags drop tag-only. */
+  val scriptRe = "<script[^>]*>[^<]*</script>"
+  val styleRe = "<style[^>]*>[^<]*</style>"
+  val tagRe = "<[^>]*>"
+  val anchorTextRe = "<a[^>]*>([^<]*)</a>"
+  /** Link-density drop threshold (ppm) and minimum extracted chars. */
+  val htmlLinkTauPpm = 500000L
+  val htmlMinChars = 40L
+
+  /** Main-content extraction from raw HTML — the boilerplate-removal
+    * stage (jusText/trafilatura shape) every web-crawl corpus runs
+    * BEFORE the text filters this file already ships: script/style
+    * blocks drop with their payload, remaining tags strip to
+    * whitespace, runs collapse, and the page is judged on what
+    * survives — too little text, or anchor-text dominating it
+    * (link_density ≥ ½ = navigation/boilerplate page), drops with a
+    * first-fail verdict (q254's attribution discipline). Everything
+    * is scan-side regexp projection — zero joins, zero shuffles
+    * before the output order; the corpus (markup-free word soup)
+    * flows through as the no-markup baseline and three HTML pages
+    * are planted in-query (q57's device) so every verdict branch is
+    * oracle-exercised byte-for-byte. DuckDB's regexp_replace is
+    * single-match by default — the oracle passes the 'g' flag to
+    * mirror Spark's replace-all semantics. */
+  def q384HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-1L, "<html><head><script>var nav = 1</script>" +
+        "<style>p { color: red }</style></head><body>" +
+        "<h1>Deep Learning Guide</h1>" +
+        "<p>a long and genuinely informative article body with many " +
+        "plain words that survives extraction intact</p>" +
+        "<a href=/>home</a></body></html>"),
+      (-2L, "<body><a href=a>products catalog</a> <a href=b>about the " +
+        "team</a> <a href=c>contact sales</a> <a href=d>terms of " +
+        "service</a> <a href=e>privacy notice</a> menu</body>"),
+      (-3L, "<body><p>stub</p></body>"))
+      .toDF("doc_id", "text")
+    Tables.documents(s, dir).select($"doc_id", $"text")
+      .unionByName(planted)
+      .select($"doc_id",
+        length($"text").cast("long").as("raw_chars"),
+        length(trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace($"text", scriptRe, " "),
+              styleRe, " "),
+            tagRe, " "),
+          " +", " "))).cast("long").as("text_chars"),
+        length(array_join(
+          expr(s"regexp_extract_all(text, '$anchorTextRe', 1)"), ""))
+          .cast("long").as("link_chars"),
+        size(expr(s"regexp_extract_all(text, '$tagRe', 0)")).cast("long")
+          .as("n_tags"))
+      .select($"doc_id", $"raw_chars", $"text_chars", $"link_chars",
+        $"n_tags",
+        when($"text_chars" === 0L, lit(1000000L))
+          .otherwise(expr("(1000000 * link_chars) div text_chars"))
+          .as("link_density_ppm"))
+      .withColumn("verdict",
+        when($"text_chars" < htmlMinChars, "drop_short")
+          .when($"link_density_ppm" >= htmlLinkTauPpm, "drop_link_heavy")
+          .otherwise("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private val q384Oracle = {
+    val plant1 = "<html><head><script>var nav = 1</script>" +
+      "<style>p { color: red }</style></head><body>" +
+      "<h1>Deep Learning Guide</h1>" +
+      "<p>a long and genuinely informative article body with many " +
+      "plain words that survives extraction intact</p>" +
+      "<a href=/>home</a></body></html>"
+    val plant2 = "<body><a href=a>products catalog</a> <a href=b>about the " +
+      "team</a> <a href=c>contact sales</a> <a href=d>terms of " +
+      "service</a> <a href=e>privacy notice</a> menu</body>"
+    val plant3 = "<body><p>stub</p></body>"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT -1, '$plant1'
+       |  UNION ALL SELECT -2, '$plant2'
+       |  UNION ALL SELECT -3, '$plant3'),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(strlen(text) AS BIGINT) AS raw_chars,
+       |    CAST(strlen(trim(regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(regexp_replace(text, '$scriptRe', ' ', 'g'),
+       |          '$styleRe', ' ', 'g'),
+       |        '$tagRe', ' ', 'g'),
+       |      ' +', ' ', 'g'))) AS BIGINT) AS text_chars,
+       |    CAST(strlen(COALESCE(array_to_string(
+       |      regexp_extract_all(text, '$anchorTextRe', 1), ''), '')) AS BIGINT)
+       |      AS link_chars,
+       |    CAST(len(regexp_extract_all(text, '$tagRe', 0)) AS BIGINT)
+       |      AS n_tags
+       |  FROM base),
+       |d AS (
+       |  SELECT doc_id, raw_chars, text_chars, link_chars, n_tags,
+       |    CASE WHEN text_chars = 0 THEN 1000000
+       |         ELSE (1000000 * link_chars) // text_chars END
+       |      AS link_density_ppm
+       |  FROM m)
+       |SELECT doc_id, raw_chars, text_chars, link_chars, n_tags,
+       |  link_density_ppm,
+       |  CASE WHEN text_chars < $htmlMinChars THEN 'drop_short'
+       |       WHEN link_density_ppm >= $htmlLinkTauPpm THEN 'drop_link_heavy'
+       |       ELSE 'keep' END AS verdict
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q54
   /** PII patterns, shared by the query and (via interpolation) the
     * oracle. Restricted to a regex subset with identical semantics
@@ -4751,6 +4864,7 @@ object TextOps {
     "q59_repetition"          -> (q59Repetition _),
     "q83_sequence_pack"       -> (q83SequencePack _),
     "q380_length_buckets"     -> (q380LengthBuckets _),
+    "q384_html_extract"       -> (q384HtmlExtract _),
     "q382_loop_detect"        -> (q382LoopDetect _),
     "q84_url_domains"         -> (q84UrlDomains _),
     "q85_domain_cap"          -> (q85DomainCap _),
@@ -4827,6 +4941,7 @@ object TextOps {
     "q59_repetition"          -> q59Oracle,
     "q83_sequence_pack"       -> q83Oracle,
     "q380_length_buckets"     -> q380Oracle,
+    "q384_html_extract"       -> q384Oracle,
     "q382_loop_detect"        -> q382Oracle,
     "q84_url_domains"         -> q84Oracle,
     "q85_domain_cap"          -> q85Oracle,

@@ -179,4 +179,29 @@ class SketchOpsSpec extends SparkSuite {
     assert((one.getLong(2), one.getLong(3), one.getLong(4)) ==
       ((81L, 81L, 0L)), "degenerate skew is where the sketch is exact")
   }
+
+  test("q383 bitmap algebra: word-grain popcounts equal driver-side exact sets") {
+    import spark.implicits._
+    val o = graft.Tables.orders(spark, sf0001)
+      .selectExpr("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice").collect()
+    val fin = o.filter(_.getString(1) == "F").map(_.getLong(0)).toSet
+    val urg = o.filter(r => Set("1-URGENT", "2-HIGH")(r.getString(2)))
+      .map(_.getLong(0)).toSet
+    val big = o.filter(_.getDouble(3) >= 150000.0).map(_.getLong(0)).toSet
+    val sets = Map("s_finished" -> fin, "s_urgent" -> urg, "s_big" -> big)
+    val rows = SketchOps.q383BitmapAlgebra(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 3)
+    rows.foreach { case (a, b, na, nb, nAnd, nOr, j) =>
+      val (sa, sb) = (sets(a), sets(b))
+      assert(na == sa.size.toLong && nb == sb.size.toLong)
+      assert(nAnd == (sa & sb).size.toLong, s"$a ∩ $b")
+      assert(nOr == (sa | sb).size.toLong)
+      assert(j == 1000000L * nAnd / nOr)
+      // every Venn region live (the overlapping-predicate plant)
+      assert(nAnd > 0 && nAnd < na && nAnd < nb, s"$a/$b degenerate")
+    }
+  }
 }

@@ -1757,4 +1757,24 @@ class TextOpsSpec extends SparkSuite {
     // corpus docs are word soup: none should read as looping
     assert(got.filter(_._1 >= 0).forall(_._5 == 0L))
   }
+
+  test("q384 html extraction: every verdict branch fires on its plant") {
+    val rows = TextOps.q384HtmlExtract(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    val rich = rows.find(_._1 == -1L).get
+    val nav = rows.find(_._1 == -2L).get
+    val stub = rows.find(_._1 == -3L).get
+    assert(rich._7 == "keep", s"rich page: $rich")
+    // script/style payload must not leak into the extracted text
+    assert(rich._3 < rich._2)
+    assert(rich._5 > 0)
+    assert(nav._7 == "drop_link_heavy", s"nav page: $nav")
+    assert(nav._6 >= TextOps.htmlLinkTauPpm)
+    assert(stub._7 == "drop_short")
+    // markup-free corpus docs: zero tags, zero links, text = raw-ish
+    val corpus = rows.filter(_._1 >= 0)
+    assert(corpus.forall(r => r._5 == 0L && r._4 == 0L))
+    assert(corpus.forall(r => r._7 != "drop_link_heavy"))
+  }
 }
