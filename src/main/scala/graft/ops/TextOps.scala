@@ -2067,26 +2067,31 @@ object TextOps {
       .orderBy($"round")
   }
 
+  /** One BPE learning round as oracle CTEs — shared by q140 (the
+    * learner) and q385 (the serve path refits the identical model). */
+  private def bpeRoundCte(i: Int) =
+    s"""toks$i AS (
+       |  SELECT freq, string_split(ltrim(rtrim(seq, chr(2)), chr(1)),
+       |    chr(2) || chr(1)) AS ts
+       |  FROM wf$i),
+       |pairs$i AS (
+       |  SELECT t.a, t.b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, ts[i] AS a, ts[i + 1] AS b
+       |    FROM toks$i, unnest(range(1, len(ts))) AS u(i)) t
+       |  GROUP BY 1, 2),
+       |m$i AS (
+       |  SELECT a, b, cnt,
+       |    chr(1) || a || chr(2) || chr(1) || b || chr(2) AS pat,
+       |    chr(1) || a || b || chr(2) AS rep
+       |  FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1),
+       |wf${i + 1} AS (
+       |  SELECT freq, replace(seq, pat, rep) AS seq FROM wf$i, m$i)""".stripMargin
+
+  private val bpeWrapSql = "chr(1) || c || chr(2)"
+
   private val q140Oracle = {
-    val wrap = "chr(1) || c || chr(2)"
-    def roundCte(i: Int) =
-      s"""toks$i AS (
-         |  SELECT freq, string_split(ltrim(rtrim(seq, chr(2)), chr(1)),
-         |    chr(2) || chr(1)) AS ts
-         |  FROM wf$i),
-         |pairs$i AS (
-         |  SELECT t.a, t.b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-         |    SELECT freq, ts[i] AS a, ts[i + 1] AS b
-         |    FROM toks$i, unnest(range(1, len(ts))) AS u(i)) t
-         |  GROUP BY 1, 2),
-         |m$i AS (
-         |  SELECT a, b, cnt,
-         |    chr(1) || a || chr(2) || chr(1) || b || chr(2) AS pat,
-         |    chr(1) || a || b || chr(2) AS rep
-         |  FROM pairs$i ORDER BY cnt DESC, a, b LIMIT 1),
-         |wf${i + 1} AS (
-         |  SELECT freq, replace(seq, pat, rep) AS seq FROM wf$i, m$i)""".stripMargin
-    val rounds = (0 until bpeMerges).map(roundCte).mkString(",\n")
+    val rounds = (0 until bpeMerges).map(bpeRoundCte).mkString(",\n")
+    val wrap = bpeWrapSql
     val merges = (0 until bpeMerges).map(i =>
       s"SELECT ${i + 1} AS round, a AS sym_a, b AS sym_b, cnt AS weighted_count FROM m$i")
       .mkString(" UNION ALL ")
@@ -2099,6 +2104,105 @@ object TextOps {
        |$rounds,
        |merges AS ($merges)
        |SELECT round, sym_a, sym_b, weighted_count FROM merges ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q385
+  /** BPE serve-time application — q363's train-then-serve discipline
+    * for the tokenizer: the q140 learner refits on the TRAIN split
+    * (salted-md5 buckets, q91's device; identical passes ⇒ identical
+    * merge table), and the learned merges then apply IN ROUND ORDER
+    * to the untouched held-out split, reporting per-doc symbol
+    * counts before/after and the compression ratio — the
+    * generalization readout of a tokenizer (merges learned on train
+    * must compress unseen text, and a merge table that only
+    * compresses its own training words is the overfit this
+    * measures). Serving is a chain of the SAME left-to-right greedy
+    * folds the learner used — one fold per merge over each word's
+    * symbol array, no SQL-escaping of corpus-derived symbols; the
+    * oracle refits the model with q140's shared round CTEs and
+    * applies the merges as the chained delimiter-wrapped replaces,
+    * so train/serve cannot drift between engines. Per-doc chars are
+    * invariant under merging (a merge concatenates) — the
+    * denominator needs no second tokenization pass. */
+  def q385BpeApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documentsSpread(s, dir)
+    val bucket = conv(substring(md5(concat(lit("bpe:"),
+      $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long") % 100
+    bpeApplyOf(docs.where(bucket < 80), docs.where(bucket >= 80),
+      bpeMerges)
+  }
+
+  /** Refit on `train`, tokenize `serve` — separated so the spec can
+    * plant a corpus whose learned merge and serve-side compression
+    * are hand-derivable. */
+  private[ops] def bpeApplyOf(train: DataFrame, serve: DataFrame,
+      k: Int): DataFrame = {
+    val s = train.sparkSession
+    import s.implicits._
+    val merges = bpeMergesOf(train, k).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var words = serve
+      .select($"doc_id", explode(toks($"text")).as("w"))
+      .where(length($"w") > 0)
+      .select($"doc_id", split($"w", "").as("syms"))
+    for ((a, b) <- merges) {
+      words = words.select($"doc_id", aggregate($"syms",
+        array().cast("array<string>"),
+        (acc, x) => when(
+          try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(lit(a), lit(b)))))
+          .otherwise(concat(acc, array(x)))).as("syms"))
+    }
+    words
+      .groupBy($"doc_id")
+      .agg(sum(length(array_join($"syms", ""))).as("n_chars"),
+        sum(size($"syms")).cast("long").as("n_tokens"))
+      .select($"doc_id", $"n_chars", $"n_tokens",
+        expr("(1000000 * n_tokens) div n_chars").as("compression_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  private val q385Oracle = {
+    val rounds = (0 until bpeMerges).map(bpeRoundCte).mkString(",\n")
+    val applied = (0 until bpeMerges)
+      .foldLeft("seq") { (e, i) => s"replace($e, m$i.pat, m$i.rep)" }
+    val fromMs = (0 until bpeMerges).map(i => s"m$i").mkString(", ")
+    s"""WITH tagged AS (
+       |  SELECT doc_id, text,
+       |    ('0x' || substr(md5('bpe:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |      % 100 AS bucket
+       |  FROM documents),
+       |wf0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    list_aggregate(list_transform(split(w, ''), c -> $bpeWrapSql),
+       |      'string_agg', '') AS seq
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |        FROM tagged WHERE bucket < 80)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |$rounds,
+       |sw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM tagged WHERE bucket >= 80)
+       |  WHERE len(w) > 0),
+       |seqs AS (
+       |  SELECT doc_id, CAST(strlen(w) AS BIGINT) AS wl,
+       |    list_aggregate(list_transform(split(w, ''), c -> $bpeWrapSql),
+       |      'string_agg', '') AS seq
+       |  FROM sw),
+       |ap AS (
+       |  SELECT doc_id, wl, $applied AS fseq
+       |  FROM seqs, $fromMs),
+       |cnt AS (
+       |  SELECT doc_id, CAST(sum(wl) AS BIGINT) AS n_chars,
+       |    CAST(sum(len(string_split(ltrim(rtrim(fseq, chr(2)), chr(1)),
+       |      chr(2) || chr(1)))) AS BIGINT) AS n_tokens
+       |  FROM ap GROUP BY 1)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  (1000000 * n_tokens) // n_chars AS compression_ppm
+       |FROM cnt ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------- q145
@@ -4865,6 +4969,7 @@ object TextOps {
     "q83_sequence_pack"       -> (q83SequencePack _),
     "q380_length_buckets"     -> (q380LengthBuckets _),
     "q384_html_extract"       -> (q384HtmlExtract _),
+    "q385_bpe_apply"          -> (q385BpeApply _),
     "q382_loop_detect"        -> (q382LoopDetect _),
     "q84_url_domains"         -> (q84UrlDomains _),
     "q85_domain_cap"          -> (q85DomainCap _),
@@ -4942,6 +5047,7 @@ object TextOps {
     "q83_sequence_pack"       -> q83Oracle,
     "q380_length_buckets"     -> q380Oracle,
     "q384_html_extract"       -> q384Oracle,
+    "q385_bpe_apply"          -> q385Oracle,
     "q382_loop_detect"        -> q382Oracle,
     "q84_url_domains"         -> q84Oracle,
     "q85_domain_cap"          -> q85Oracle,

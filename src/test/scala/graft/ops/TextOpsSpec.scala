@@ -1777,4 +1777,25 @@ class TextOpsSpec extends SparkSuite {
     assert(corpus.forall(r => r._5 == 0L && r._4 == 0L))
     assert(corpus.forall(r => r._7 != "drop_link_heavy"))
   }
+
+  test("q385 bpe serve: planted merge compresses held-out text exactly") {
+    import spark.implicits._
+    // train: 'abab' x3 and 'ab' x2 -> round-1 merge is (a,b); with k=1
+    // the model is exactly {ab}
+    val train = Seq("abab abab abab ab ab").toDF("text")
+    val serve = Seq((1L, "abab baba"), (2L, "zz")).toDF("doc_id", "text")
+    val got = TextOps.bpeApplyOf(train, serve, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: 'abab' -> [ab, ab] (2 toks / 4 chars); 'baba' -> [b, ab, a]
+    // (greedy left-to-right: b+a no, a+b yes at pos 2) = 3 toks / 4 chars
+    assert(got.find(_._1 == 1L).get == ((1L, 8L, 5L, 625000L)))
+    // doc 2: no learned symbol applies -> chars = tokens
+    assert(got.find(_._1 == 2L).get == ((2L, 2L, 2L, 1000000L)))
+    // sf corpus: merges only ever shrink, never grow
+    val sf = TextOps.q385BpeApply(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(sf.forall { case (chars, toks) => toks <= chars })
+    assert(sf.map(_._2).sum < sf.map(_._1).sum,
+      "train-learned merges must compress held-out text somewhere")
+  }
 }
