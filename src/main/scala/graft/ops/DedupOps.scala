@@ -553,8 +553,9 @@ object DedupOps {
 
   /** The min-label + pointer-jumping fixpoint over an ARBITRARY
     * undirected pair set `(doc_a, doc_b)` — shared by the full build
-    * (q79/q74/q120) and q127's contracted delta graph. */
-  private def ccFixpoint(s: SparkSession, pairs: DataFrame): DataFrame = {
+    * (q79/q74/q120), q127's contracted delta graph, and q386's
+    * dense-cell grid graph. */
+  private[ops] def ccFixpoint(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     val edges = pairs
       .union(pairs.select($"doc_b", $"doc_a"))

@@ -2327,7 +2327,120 @@ object SimilarityOps {
        |  ON ex.query_id = t2.query_id AND ex.neighbor_id = t2.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
+  // ---------------------------------------------------------------- q386
+  /** Grid cell width reciprocal (cell side = 1/4) and the id-space
+    * offset/stride that packs a (cx, cy) cell into one BIGINT key. */
+  val gridInvEps = 4.0
+  val gridOff = 1024L
+  val gridStride = 4096L
+
+  /** Grid-density clustering (STING/CLIQUE family — the cell-grain
+    * approximation of DBSCAN): embeddings project onto their first
+    * two dims, quantize to an ε-grid, cells at-or-above the MEAN
+    * occupancy are dense, dense cells connect across the
+    * 8-neighborhood, clusters are the connected components of that
+    * cell graph, and every point inherits its cell's component (or
+    * noise −1 in a sparse cell). The scale argument IS the
+    * operator: density clustering done pairwise is O(n²) distance
+    * work; on the grid, all per-point work is one projection, and
+    * the quadratic-ish parts (neighbor edges, CC) run on the
+    * OCCUPIED-CELL frame — bounded by the grid, not the corpus. The
+    * mean-occupancy threshold keeps both branches live at any scale
+    * factor (a fixed minPts dies at sf0.001 and saturates at sf0.1).
+    * Sparse-cell points are noise even beside a dense cell — the
+    * documented border-point simplification vs true DBSCAN. CC =
+    * [[DedupOps.ccFixpoint]] (pointer jumping, rounds ≈ log₂
+    * diameter); the oracle replays the grid and closes components
+    * with a recursive CTE. Dims 1–2 are a stand-in for a learned 2-D
+    * projection (the method is dimension-count-agnostic; the grid
+    * count is exponential in grid dims, so real deployments project
+    * first). */
+  def q386GridDensity(s: SparkSession, dir: String): DataFrame =
+    gridDensityOf(Tables.embeddings(s, dir))
+
+  private[ops] def gridDensityOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val pts = emb.select($"vec_id",
+      expr(s"CAST(floor(CAST(embedding[0] AS DOUBLE) * $gridInvEps) AS BIGINT)")
+        .as("cx"),
+      expr(s"CAST(floor(CAST(embedding[1] AS DOUBLE) * $gridInvEps) AS BIGINT)")
+        .as("cy"))
+      .select($"vec_id", $"cx", $"cy",
+        (($"cx" + gridOff) * gridStride + ($"cy" + gridOff)).as("cell"))
+      .localCheckpoint()
+    val cells = pts.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = cells.agg(sum($"n").as("t"), count(lit(1)).as("o"))
+      .head()
+    val (total, occupied) = (tot.getLong(0), tot.getLong(1))
+    // dense ⇔ n ≥ mean occupancy (exact integer compare, no division)
+    val dense = cells.where($"n" * occupied >= total)
+      .select($"cell").localCheckpoint()
+    val offsets = for (dx <- -1L to 1L; dy <- -1L to 1L
+      if dx != 0L || dy != 0L) yield (dx, dy)
+    val probes = dense.select($"cell", explode(typedlit(offsets)).as("o"))
+      .select($"cell".as("a"),
+        ($"cell" + $"o._1" * gridStride + $"o._2").as("b"))
+    val edges = probes
+      .join(dense.select($"cell".as("b")), "b")
+      .where($"a" < $"b")
+      .select($"a".as("doc_a"), $"b".as("doc_b"))
+    val labels = DedupOps.ccFixpoint(s, edges)
+      .toDF("cell", "cluster")
+    // singleton dense cells never enter an edge — they are their own
+    // cluster; sparse cells are noise
+    pts.join(dense.select($"cell", lit(1L).as("is_core")), Seq("cell"), "left")
+      .join(labels, Seq("cell"), "left")
+      .select($"vec_id", $"cx", $"cy",
+        coalesce($"is_core", lit(0L)).as("is_core"),
+        when($"is_core".isNull, lit(-1L))
+          .otherwise(coalesce($"cluster", $"cell")).as("cluster"))
+      .orderBy($"vec_id")
+  }
+
+  private lazy val q386Oracle =
+    s"""WITH pts AS (
+       |  SELECT vec_id,
+       |    CAST(floor(CAST(embedding[1] AS DOUBLE) * $gridInvEps) AS BIGINT)
+       |      AS cx,
+       |    CAST(floor(CAST(embedding[2] AS DOUBLE) * $gridInvEps) AS BIGINT)
+       |      AS cy
+       |  FROM embeddings),
+       |keyed AS (
+       |  SELECT vec_id, cx, cy,
+       |    (cx + $gridOff) * $gridStride + (cy + $gridOff) AS cell
+       |  FROM pts),
+       |cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+       |          FROM keyed GROUP BY 1),
+       |stats AS (SELECT CAST(sum(n) AS BIGINT) AS t,
+       |                 CAST(count(*) AS BIGINT) AS o FROM cells),
+       |dense AS (SELECT cell FROM cells, stats WHERE n * o >= t),
+       |edges AS (
+       |  SELECT a.cell AS ca, b.cell AS cb
+       |  FROM dense a JOIN dense b
+       |    ON b.cell IN (a.cell - $gridStride - 1, a.cell - $gridStride,
+       |      a.cell - $gridStride + 1, a.cell - 1, a.cell + 1,
+       |      a.cell + $gridStride - 1, a.cell + $gridStride,
+       |      a.cell + $gridStride + 1)),
+       |closure AS (
+       |  WITH RECURSIVE reach(cell, r) AS (
+       |    SELECT cell, cell FROM dense
+       |    UNION
+       |    SELECT e.ca, r.r FROM reach r JOIN edges e ON e.cb = r.cell)
+       |  SELECT cell, min(r) AS cluster FROM reach GROUP BY 1)
+       |SELECT k.vec_id, k.cx, k.cy,
+       |  CAST(CASE WHEN d.cell IS NULL THEN 0 ELSE 1 END AS BIGINT)
+       |    AS is_core,
+       |  CASE WHEN d.cell IS NULL THEN CAST(-1 AS BIGINT)
+       |       ELSE c.cluster END AS cluster
+       |FROM keyed k
+       |LEFT JOIN dense d ON k.cell = d.cell
+       |LEFT JOIN closure c ON k.cell = c.cell
+       |ORDER BY k.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q386_grid_density" -> (q386GridDensity _),
     "q374_binary_quant_knn" -> (q374BinaryQuantKnn _),
     "q375_matryoshka_eval" -> (q375MatryoshkaEval _),
     "q342_semantic_dedup" -> (q342SemanticDedup _),
@@ -2355,6 +2468,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q386_grid_density" -> q386Oracle,
     "q374_binary_quant_knn" -> q374Oracle,
     "q375_matryoshka_eval" -> q375Oracle,
     "q342_semantic_dedup" -> q342Oracle,

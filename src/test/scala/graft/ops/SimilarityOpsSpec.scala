@@ -663,4 +663,36 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(t16.forall(t => t._2 >= 0 && t._2 <= 10 &&
       t._3 == t._2 * 100000L))
   }
+
+  test("q386 grid density: planted blobs cluster, bridge merges, strays are noise") {
+    import spark.implicits._
+    def vec(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    // blob A: 10 pts in cell (0,0); blob A2: 10 pts in cell (0,1)
+    // (adjacent -> one cluster); blob B: 10 pts in cell (4,4)
+    // (separate); 3 stray singletons -> noise
+    val rows =
+      (0 until 10).map(i => (100L + i, vec(0.05f, 0.05f))) ++
+      (0 until 10).map(i => (200L + i, vec(0.05f, 0.30f))) ++
+      (0 until 10).map(i => (300L + i, vec(1.05f, 1.05f))) ++
+      Seq((900L, vec(-0.8f, -0.8f)), (901L, vec(2.5f, -2.5f)),
+        (902L, vec(-2.6f, 2.9f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.gridDensityOf(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    def clusterOf(id: Long) = got.find(_._1 == id).get._3
+    val keyA = (0L + SimilarityOps.gridOff) * SimilarityOps.gridStride +
+      (0L + SimilarityOps.gridOff)
+    val keyB = (4L + SimilarityOps.gridOff) * SimilarityOps.gridStride +
+      (4L + SimilarityOps.gridOff)
+    // A and A2 merged under A's (smaller) cell key; B its own cluster
+    (100L until 110L).foreach(i => assert(clusterOf(i) == keyA))
+    (200L until 210L).foreach(i => assert(clusterOf(i) == keyA))
+    (300L until 310L).foreach(i => assert(clusterOf(i) == keyB))
+    // strays: sparse cells -> noise, not core
+    Seq(900L, 901L, 902L).foreach { i =>
+      val r = got.find(_._1 == i).get
+      assert(r._2 == 0L && r._3 == -1L, s"stray $i: $r")
+    }
+    assert(got.filter(_._1 < 400L).forall(_._2 == 1L))
+  }
 }
