@@ -2679,6 +2679,52 @@ object Relational {
       |WHERE l_quantity >= 25 AND l_discount <= 0.07
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q387
+  /** SQL scripting (Spark 4's BEGIN…END compound statements —
+    * DECLARE / SET / WHILE, the Teradata-BTEQ/BigQuery-script
+    * migration surface): an imperative threshold search written the
+    * way a warehouse analyst writes it — walk the quantity cutoff
+    * down in steps of 5 until at least a quarter of the lineitem
+    * rows clear it, each probe a full declarative query (so every
+    * iteration still gets pushdown + partial aggregation; scripting
+    * sequences PLANS, it does not row-loop). The loop body's count
+    * is monotone in the falling cutoff, so the script's fixpoint
+    * equals the relational form the oracle states: the LARGEST
+    * grid cutoff whose count clears the target. */
+  def q387SqlScripting(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("g_scr_lineitem")
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    val out = s.sql(
+      """BEGIN
+        |  DECLARE qty DOUBLE = 50;
+        |  DECLARE target BIGINT = 0;
+        |  DECLARE n BIGINT = 0;
+        |  SET target = (SELECT count(*) div 4 FROM g_scr_lineitem);
+        |  SET n = (SELECT count(*) FROM g_scr_lineitem
+        |           WHERE l_quantity >= qty);
+        |  WHILE n < target DO
+        |    SET qty = qty - 5;
+        |    SET n = (SELECT count(*) FROM g_scr_lineitem
+        |             WHERE l_quantity >= qty);
+        |  END WHILE;
+        |  SELECT qty AS qty, n AS n_lines, target AS target;
+        |END""".stripMargin)
+    s.catalog.dropTempView("g_scr_lineitem")
+    out
+  }
+
+  private val q387Oracle =
+    """WITH t AS (SELECT count(*) // 4 AS target FROM lineitem),
+      |grid AS (SELECT 50.0 - 5 * s AS qty FROM generate_series(0, 10) g(s)),
+      |cnt AS (
+      |  SELECT qty,
+      |    (SELECT count(*) FROM lineitem WHERE l_quantity >= qty) AS n
+      |  FROM grid)
+      |SELECT CAST(qty AS DOUBLE) AS qty, CAST(n AS BIGINT) AS n_lines,
+      |  CAST(t.target AS BIGINT) AS target
+      |FROM cnt, t WHERE n >= t.target
+      |ORDER BY qty DESC LIMIT 1""".stripMargin
+
   // ---------------------------------------------------------------- q362
   /** Boosting with an HONEST generalization readout — q291's
     * fit/transform separation applied to the q361 learner: rows
@@ -2854,6 +2900,7 @@ object Relational {
     "q369_group_by_all" -> (q369GroupByAll _),
     "q370_collated_group" -> (q370CollatedGroup _),
     "q381_parameterized_sql" -> (q381ParameterizedSql _),
+    "q387_sql_scripting" -> (q387SqlScripting _),
     "q300_accumulating_snapshot" -> (q300AccumulatingSnapshot _),
     "q288_reconciliation" -> (q288Reconciliation _),
     "q289_largest_remainder" -> (q289LargestRemainder _),
@@ -2922,6 +2969,7 @@ object Relational {
     "q369_group_by_all" -> q369Oracle,
     "q370_collated_group" -> q370Oracle,
     "q381_parameterized_sql" -> q381Oracle,
+    "q387_sql_scripting" -> q387Oracle,
     "q300_accumulating_snapshot" -> q300Oracle,
     "q288_reconciliation" -> q288Oracle,
     "q289_largest_remainder" -> q289Oracle,

@@ -630,4 +630,18 @@ class RelationalSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(par.toSeq == lit.toSeq)
   }
+
+  test("q387 sql scripting: the loop's fixpoint is the grid argmax") {
+    import spark.implicits._
+    val r = Relational.q387SqlScripting(spark, sf0001).collect()(0)
+    val (qty, n, target) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+    val li = graft.Tables.lineitem(spark, sf0001)
+    def cnt(q: Double) = li.where($"l_quantity" >= q).count()
+    assert(target == li.count() / 4)
+    // the returned cutoff clears the target...
+    assert(n == cnt(qty) && n >= target)
+    // ...and the loop genuinely iterated: one step higher fails it
+    assert(qty < 50.0, "loop never entered")
+    assert(cnt(qty + 5) < target)
+  }
 }
