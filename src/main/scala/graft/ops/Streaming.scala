@@ -775,6 +775,85 @@ object Streaming {
     out
   }
 
+  // ---------------------------------------------------------------- q388
+  /** Stream⋈dimension with PER-BATCH dimension refresh — the
+    * slowly-changing-dimension-in-flight pattern q87 cannot express:
+    * q87's stream-static join resolves the static side ONCE at plan
+    * time, so a dimension updated mid-stream keeps serving stale
+    * rows until restart. The foreachBatch formulation re-reads the
+    * dimension SNAPSHOT inside every micro-batch (one dimension-
+    * sized broadcast per batch — the production cost model: dim read
+    * amortizes over the batch, stream side never re-plans), so
+    * enrichment always reflects the dimension as-of the batch.
+    * The fixture upgrades the dimension between the two deliveries
+    * (purchase recategorizes cold → hot after batch 0 commits), and
+    * the output carries (delivery, category) so the oracle proves
+    * batch 1 joined the NEW snapshot — the exact behavior the
+    * static-join formulation fails. Emissions are batch-aggregate
+    * grain (q240's collect discipline). */
+  def q388DimRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Files.createTempDirectory("graft_dimr_landing_")
+    scratch.get() += landing
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dimr_dim_")
+    scratch.get() += dimDir
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    Seq(0, 1).foreach { par =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_dimr_stage_$par")
+      scratch.get() += stage
+      ev.where($"event_id" % 2 === par).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      val dst = landing.resolve(s"delivery_$par.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + par * 60000L))
+    }
+    val types = ev.select($"event_type").distinct()
+    def writeDim(hot: Boolean): Unit =
+      types.select($"event_type",
+        (if (hot) when($"event_type" === "purchase", "hot").otherwise("cold")
+         else lit("cold")).as("category"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir.toString)
+    writeDim(hot = false)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    val q = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+      .select($"event_type")
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val dim = s.read.parquet(dimDir.toString) // fresh snapshot
+        rows ++= batch.join(broadcast(dim), "event_type")
+          .groupBy($"event_type", $"category")
+          .agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => (id, r.getString(0), r.getString(1), r.getLong(2)))
+        if (id == 0L) writeDim(hot = true) // the mid-stream dim upgrade
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination()
+    finally { val dirs = scratch.get(); dirs.foreach(rmTree); dirs.clear() }
+    rows.toSeq.toDF("delivery", "event_type", "category", "n_events")
+      .orderBy($"delivery", $"event_type")
+  }
+
+  private val q388Oracle =
+    """SELECT CAST(0 AS BIGINT) AS delivery, event_type,
+      |  'cold' AS category, CAST(count(*) AS BIGINT) AS n_events
+      |FROM events WHERE event_id % 2 = 0 GROUP BY 2
+      |UNION ALL
+      |SELECT 1, event_type,
+      |  CASE WHEN event_type = 'purchase' THEN 'hot' ELSE 'cold' END,
+      |  count(*)
+      |FROM events WHERE event_id % 2 = 1 GROUP BY 2, 3
+      |ORDER BY delivery, event_type""".stripMargin
+
   private val q144Oracle =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
       |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
@@ -1726,6 +1805,7 @@ object Streaming {
     "q87_stream_static_join" -> (q87StreamStaticJoin _),
     "q121_stream_admission"  -> (q121StreamAdmission _),
     "q144_incremental_mv"    -> (q144IncrementalMv _),
+    "q388_dim_refresh"   -> (q388DimRefresh _),
     "q158_decayed_trending"  -> (q158DecayedTrending _),
     "q221_stream_heavy_hitters" -> (q221StreamHeavyHitters _),
     "q240_ttl_state" -> (q240TtlState _),
@@ -1754,6 +1834,7 @@ object Streaming {
     "q87_stream_static_join" -> q87Oracle,
     "q121_stream_admission"  -> q121Oracle,
     "q144_incremental_mv"    -> q144Oracle,
+    "q388_dim_refresh"   -> q388Oracle,
     "q158_decayed_trending"  -> q158Oracle,
   )
 }

@@ -389,4 +389,23 @@ class StreamingSpec extends SparkSuite {
     // live on this corpus: some views convert, some don't
     assert(rows.nonEmpty && rows.length < v.count())
   }
+
+  test("q388 dim refresh: batch 1 joins the upgraded snapshot, batch 0 the original") {
+    val rows = Streaming.q388DimRefresh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val b0 = rows.filter(_._1 == 0L)
+    val b1 = rows.filter(_._1 == 1L)
+    assert(b0.nonEmpty && b1.nonEmpty)
+    // before the upgrade everything is cold
+    assert(b0.forall(_._3 == "cold"))
+    // after: exactly the purchase rows flipped hot — the refresh is visible
+    assert(b1.filter(_._2 == "purchase").forall(_._3 == "hot"))
+    assert(b1.filter(_._2 != "purchase").forall(_._3 == "cold"))
+    assert(b1.exists(_._2 == "purchase"), "fixture must carry purchases")
+    // conservation: every event of each delivery is categorized once
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    assert(b0.map(_._4).sum == ev.where($"event_id" % 2 === 0).count())
+    assert(b1.map(_._4).sum == ev.where($"event_id" % 2 === 1).count())
+  }
 }
