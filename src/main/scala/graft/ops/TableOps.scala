@@ -249,6 +249,96 @@ object TableOps {
       |  AND o_orderkey BETWEEN 1000 AND 5000
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q389
+  /** Number of contiguous key slices in the advisor's table build. */
+  val advisorSlices = 8L
+
+  private val advisorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** What-if skipping advisor — pricing a predicate BEFORE running
+    * it, purely from the manifest (q339's metadata-only discipline
+    * turned from answering queries into planning them): for each
+    * candidate key range, how many active files its scan touches,
+    * the manifest row bound on what those files hold, the exact
+    * result rows (the pruned read itself, proving the skip lossless)
+    * and the file-skip ratio. At 100 TB this one-page report decides
+    * whether a backfill runs now or waits for an OPTIMIZE — made
+    * from O(active files) manifest rows, zero data files opened for
+    * the estimate. The table builds as [[advisorSlices]] contiguous
+    * key-range commits of one file each, so every file's [min, max]
+    * is the actual extremum of its slice — deterministic and
+    * relationally replayable, which the demo table's sampled
+    * range-partition boundaries are not (q333's spec-pinned-not-
+    * oracled lesson; this build closes that gap). Slice width derives
+    * from the manifest's own maxKey, so candidates state in W units
+    * replay exactly cross-engine. */
+  def q389SkippingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = advisorCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tloga_").toString
+      val sl = ordersSlice(s, dir)
+      val maxK = sl.agg(max($"o_orderkey")).head().getLong(0)
+      val w = maxK / advisorSlices + 1L
+      TableLog.create(sl.where($"o_orderkey" < w), t, "o_orderkey",
+        numFiles = 1)
+      (1L until advisorSlices).foreach { i =>
+        TableLog.append(sl.where($"o_orderkey" >= i * w &&
+          $"o_orderkey" < (i + 1) * w), t, numFiles = 1)
+      }
+      t
+    })
+    val snap = TableLog.state(table)
+    val (_, _, maxK) = TableLog.statsOf(table)
+    val w = maxK / advisorSlices + 1L
+    val candidates = Seq(
+      ("p1_narrow", 0L, w / 2L),
+      ("p2_mid", w, 3L * w - 1L),
+      ("p3_full", 0L, maxK))
+    val total = snap.active.size.toLong
+    candidates.map { case (name, lo, hi) =>
+      val kept = TableLog.prunedFiles(snap, lo, hi)
+      val exact = TableLog.snapshotWhereKey(s, table, lo, hi).count()
+      s.range(1).select(
+        lit(name).as("candidate"),
+        lit(total).as("files_total"),
+        lit(kept.size.toLong).as("files_scanned"),
+        lit(kept.map(_.rows).sum).as("rows_bound"),
+        lit(exact).as("rows_exact"),
+        lit(1000000L * (total - kept.size) / total).as("skip_ppm"))
+    }.reduce(_ unionByName _).orderBy($"candidate")
+  }
+
+  private val q389Oracle =
+    s"""WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+       |par AS (SELECT m, m // $advisorSlices + 1 AS w FROM mx),
+       |slices AS (
+       |  SELECT o_orderkey // w AS slice, count(*) AS n,
+       |    min(o_orderkey) AS mn, max(o_orderkey) AS mx
+       |  FROM orders, par GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS files FROM slices),
+       |cand AS (
+       |  SELECT 'p1_narrow' AS candidate, 0 AS lo, w // 2 AS hi FROM par
+       |  UNION ALL SELECT 'p2_mid', w, 3 * w - 1 FROM par
+       |  UNION ALL SELECT 'p3_full', 0, m FROM par),
+       |kept AS (
+       |  SELECT c.candidate, c.lo, c.hi,
+       |    CAST(count(s.slice) AS BIGINT) AS files_scanned,
+       |    CAST(COALESCE(sum(s.n), 0) AS BIGINT) AS rows_bound
+       |  FROM cand c LEFT JOIN slices s
+       |    ON s.mx >= c.lo AND s.mn <= c.hi
+       |  GROUP BY 1, 2, 3),
+       |ex AS (
+       |  SELECT c.candidate, CAST(count(o.o_orderkey) AS BIGINT) AS rows_exact
+       |  FROM cand c LEFT JOIN orders o
+       |    ON o.o_orderkey BETWEEN c.lo AND c.hi
+       |  GROUP BY 1)
+       |SELECT k.candidate, tot.files AS files_total, k.files_scanned,
+       |  k.rows_bound, ex.rows_exact,
+       |  (1000000 * (tot.files - k.files_scanned)) // tot.files AS skip_ppm
+       |FROM kept k JOIN ex ON k.candidate = ex.candidate, tot
+       |ORDER BY k.candidate""".stripMargin
+
   // ---------------------------------------------------------------- q335
   private val streamCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -752,6 +842,7 @@ object TableOps {
     "q332_table_merge"       -> (q332TableMerge _),
     "q333_table_history"     -> (q333TableHistory _),
     "q334_table_pruned_read" -> (q334TablePrunedRead _),
+    "q389_skipping_advisor" -> (q389SkippingAdvisor _),
     "q335_table_stream_ingest" -> (q335TableStreamIngest _),
     "q336_table_cdc_diff"    -> (q336TableCdcDiff _),
     "q337_table_schema_evolution" -> (q337TableSchemaEvolution _),
@@ -770,6 +861,7 @@ object TableOps {
     "q332_table_merge"       -> q332Oracle,
     "q333_table_history"     -> q333Oracle,
     "q334_table_pruned_read" -> q334Oracle,
+    "q389_skipping_advisor" -> q389Oracle,
     "q335_table_stream_ingest" -> q335Oracle,
     "q336_table_cdc_diff"    -> q336Oracle,
     "q337_table_schema_evolution" -> q337Oracle,

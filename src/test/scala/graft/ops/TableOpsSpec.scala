@@ -72,4 +72,24 @@ class TableOpsSpec extends SparkSuite {
       (1L, "A", 2L, 30.0), (1L, "B", 1L, 5.0),
       (2L, "A", 2L, 11.0), (2L, "B", 1L, 99.0)))
   }
+
+  test("q389 advisor: bounds bracket exact rows; narrow beats full on skips") {
+    val rows = TableOps.q389SkippingAdvisor(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 3)
+    rows.foreach { case (c, total, scanned, bound, exact, skip) =>
+      assert(scanned <= total)
+      // manifest bound can only over-count what the scan will keep
+      assert(exact <= bound, s"$c: exact $exact > bound $bound")
+      assert(skip == 1000000L * (total - scanned) / total)
+    }
+    val narrow = rows.find(_._1 == "p1_narrow").get
+    val full = rows.find(_._1 == "p3_full").get
+    // narrow range skips most files; the full range skips none
+    assert(narrow._6 > 0L, s"narrow skipped nothing: $narrow")
+    assert(full._3 == full._2 && full._6 == 0L)
+    // full-range exact equals the whole table
+    assert(full._5 == graft.Tables.orders(spark, sf0001).count())
+  }
 }
