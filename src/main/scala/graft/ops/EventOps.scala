@@ -6155,7 +6155,130 @@ object EventOps {
        |JOIN wk b ON b.w = pr.w + 1
        |ORDER BY pr.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q391
+  /** Jackknife buckets. 32 keeps every intermediate inside BIGINT by
+    * a wide margin (see the bound note on [[jackknifeOf]]) while
+    * giving the variance estimate 31 degrees of freedom — the
+    * standard delete-one-GROUP grid when the unit of randomization
+    * (a customer) is coarser than the unit of measurement (an
+    * order). */
+  val jackBuckets = 32
+
+  /** Delete-one-bucket jackknife for a RATIO metric (cents per
+    * order) — the variance device every experiment readout over a
+    * ratio needs and a naive per-row variance gets WRONG twice: a
+    * ratio of sums is not a mean of rows (no row-level variance
+    * exists), and orders of one customer are correlated (the
+    * clustered unit must leave together). Customers hash (salted md5,
+    * the q49 engine-portable draw) into [[jackBuckets]] buckets; each
+    * leave-one-out estimate θ̂₍ᵢ₎ = (S_rev − revᵢ) div (S_cnt −
+    * cntᵢ) comes from the TOTALS minus the bucket row — one
+    * bucket-grain aggregate, never a second corpus pass per
+    * replicate, which is what makes 32 replicates at 100 TB cost one
+    * shuffle of 32 rows. Variance in exact integers via the
+    * multiply-through identity Σ(θᵢ−θ̄)² = (B·Σθᵢ² − (Σθᵢ)²)/B, so
+    * var_jack = (B−1)·(B·Σθᵢ² − (Σθᵢ)²) div B² — no fractional mean
+    * ever materializes. CI = θ̂ ± 2·se, se = floored √var (the q247
+    * device).
+    *
+    * BIGINT bound (disclosed exactly, the q314 lesson): the largest
+    * intermediates are B·Σθᵢ² and (Σθᵢ)², both ≈ B²·θ̄²; with
+    * B = 32, B²·θ̄² ≤ 9.2·10¹⁸ requires θ̄ ≤ 9.5·10⁷ cents ≈ $950k
+    * mean ticket — ~600× TPC-H's ~$150k orders; re-grid to coarser
+    * money units if a corpus ever nears it. */
+  def q391JackknifeRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jackknifeOf(Tables.orders(s, dir)
+      .select(
+        (conv(substring(md5(concat(lit("jack:"), $"o_custkey".cast("string"))),
+          1, 4), 16, 10).cast("long") % jackBuckets).as("b"),
+        expr("CAST(round(o_totalprice * 100D) AS BIGINT)").as("rev")))
+  }
+
+  /** The jackknife on any (b, rev) frame — separated so the spec can
+    * plant hand-computable buckets and the degenerate single-bucket
+    * frame (B < 2 ⇒ −1 sentinels: no replicate variance exists). */
+  private[ops] def jackknifeOf(rows: DataFrame): DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val buckets = rows.groupBy($"b")
+      .agg(sum($"rev").as("brev"), count(lit(1)).as("bcnt"))
+    val tot = buckets.agg(sum($"brev").as("srev"), sum($"bcnt").as("scnt"),
+      count(lit(1)).as("nb"))
+    buckets.crossJoin(broadcast(tot))
+      .select($"nb", $"srev", $"scnt",
+        // B = 1 leaves an empty complement — θᵢ undefined; emit 0,
+        // the readout is all sentinels in that branch anyway
+        expr("""CASE WHEN nb < 2 THEN 0L
+          |  ELSE (srev - brev) div (scnt - bcnt) END""".stripMargin)
+          .as("theta_i"))
+      .groupBy($"nb", $"srev", $"scnt")
+      .agg(sum($"theta_i").as("s_theta"),
+        sum($"theta_i" * $"theta_i").as("s_theta2"))
+      // Σ(θᵢ−θ̄)² = (BΣθ² − S²)/B (multiply-through identity), so
+      // var_jack = (B−1)/B of it = (B−1)(BΣθ² − S²)/B²
+      .select(
+        $"nb".as("n_buckets"),
+        expr("srev div scnt").as("theta_cents"),
+        expr("""CASE WHEN nb < 2 THEN -1 ELSE
+          |  ((nb - 1) * (nb * s_theta2 - s_theta * s_theta))
+          |  div (nb * nb) END""".stripMargin).as("jack_var_cents2"))
+      .withColumn("jack_se_cents",
+        expr("""CASE WHEN jack_var_cents2 < 0 THEN -1 ELSE
+          |  CAST(floor(sqrt(CAST(jack_var_cents2 AS DOUBLE))) AS BIGINT)
+          |END""".stripMargin))
+      .withColumn("ci_lo_cents",
+        when($"jack_se_cents" < 0, lit(-1L))
+          .otherwise($"theta_cents" - lit(2L) * $"jack_se_cents"))
+      .withColumn("ci_hi_cents",
+        when($"jack_se_cents" < 0, lit(-1L))
+          .otherwise($"theta_cents" + lit(2L) * $"jack_se_cents"))
+  }
+
+  private val q391Oracle =
+    s"""WITH rows0 AS (
+       |  SELECT ('0x' || substr(md5('jack:' || CAST(o_custkey AS VARCHAR)),
+       |      1, 4))::BIGINT % $jackBuckets AS b,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS rev
+       |  FROM orders),
+       |bk AS (
+       |  SELECT b, CAST(sum(rev) AS BIGINT) AS brev,
+       |    CAST(count(*) AS BIGINT) AS bcnt
+       |  FROM rows0 GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(brev) AS BIGINT) AS srev,
+       |    CAST(sum(bcnt) AS BIGINT) AS scnt,
+       |    CAST(count(*) AS BIGINT) AS nb
+       |  FROM bk),
+       |th AS (
+       |  SELECT nb, srev, scnt,
+       |    CASE WHEN nb < 2 THEN 0
+       |      ELSE (srev - brev) // (scnt - bcnt) END AS theta_i
+       |  FROM bk, t),
+       |ag AS (
+       |  SELECT nb, srev, scnt,
+       |    CAST(sum(theta_i) AS BIGINT) AS s_theta,
+       |    CAST(sum(theta_i * theta_i) AS BIGINT) AS s_theta2
+       |  FROM th GROUP BY 1, 2, 3)
+       |SELECT nb AS n_buckets, srev // scnt AS theta_cents,
+       |  CASE WHEN nb < 2 THEN -1 ELSE
+       |    ((nb - 1) * (nb * s_theta2 - s_theta * s_theta))
+       |    // (nb * nb) END AS jack_var_cents2,
+       |  CASE WHEN nb < 2 THEN -1 ELSE
+       |    CAST(floor(sqrt(CAST(((nb - 1) * (nb * s_theta2 - s_theta * s_theta))
+       |      // (nb * nb) AS DOUBLE))) AS BIGINT) END AS jack_se_cents,
+       |  CASE WHEN nb < 2 THEN -1 ELSE
+       |    srev // scnt - 2 * CAST(floor(sqrt(CAST(
+       |      ((nb - 1) * (nb * s_theta2 - s_theta * s_theta))
+       |      // (nb * nb) AS DOUBLE))) AS BIGINT) END AS ci_lo_cents,
+       |  CASE WHEN nb < 2 THEN -1 ELSE
+       |    srev // scnt + 2 * CAST(floor(sqrt(CAST(
+       |      ((nb - 1) * (nb * s_theta2 - s_theta * s_theta))
+       |      // (nb * nb) AS DOUBLE))) AS BIGINT) END AS ci_hi_cents
+       |FROM ag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q391_jackknife_ratio"  -> (q391JackknifeRatio _),
     "q349_interpolated_asof" -> (q349InterpolatedAsof _),
     "q329_conformal_intervals" -> (q329ConformalIntervals _),
     "q327_friedman"         -> (q327Friedman _),
@@ -6238,6 +6361,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q391_jackknife_ratio"  -> q391Oracle,
     "q349_interpolated_asof" -> q349Oracle,
     "q329_conformal_intervals" -> q329Oracle,
     "q327_friedman"         -> q327Oracle,

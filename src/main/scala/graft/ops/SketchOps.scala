@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -944,7 +944,111 @@ object SketchOps {
        |ORDER BY set_a, set_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q390
+  /** Misra–Gries counters per partition. 64 > the fixture's 31-token
+    * vocabulary, so at sf the summary holds every token exactly and
+    * the decrement branch never fires — disclosed; the spec plants a
+    * vocabulary ≫ k stream where it does (and pins the ≤ k bound and
+    * the superset guarantee there). */
+  val mgCounters = 64
+
+  /** Report share: tokens with exact count > N div [[mgShare]]. The
+    * MG completeness guarantee covers frequency > N/(k+1) = N/65, so
+    * the N/30 report threshold sits safely inside it. */
+  val mgShare = 30
+
+  /** Misra–Gries TWO-PASS exact heavy hitters over the document token
+    * stream — the deterministic-output counterpart of q153's CMS
+    * estimates: pass 1 runs the k-counter Misra–Gries summary
+    * per partition (mapPartitions; the one sequential loop the
+    * algorithm IS) and unions the survivors; pass 2 recounts ONLY the
+    * candidates exactly and keeps count > N div [[mgShare]]. The
+    * union-of-partitions summary keeps the classic guarantee: if an
+    * item's global frequency exceeds N/(k+1), some partition has it
+    * above its local Np/(k+1) (averaging), so it survives that
+    * partition's summary — candidates are a SUPERSET of everything
+    * the threshold can select, and the final output is therefore
+    * byte-identical to the plain exact HAVING query (which is the
+    * oracle). What the two passes buy at 100 TB: the exact query
+    * shuffles a row per DISTINCT token (unbounded for URL/id-like
+    * streams); here pass 1 shuffles ≤ k rows per partition and pass 2
+    * groups on a (candidates+1)-cardinality key (non-candidates fold
+    * into one NULL bucket that also supplies N) — both passes
+    * constant-width, text never shuffles. Mergeability of MG
+    * summaries: Agarwal et al., PODS 2012. */
+  def q390MgHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documentsSpread(s, dir)
+      .select(explode(tokCol($"text")).as("tok")).as[String]
+    mgExactHeavy(toks, mgCounters, mgShare)
+  }
+
+  /** Pass 1: the per-partition k-counter summary. Emits each
+    * partition's surviving (tok, residual) pairs — ≤ k rows per
+    * partition by construction. Residuals are lower bounds (count −
+    * at most Np/(k+1) decrements), diagnostic only; the exact pass
+    * never reads them. */
+  private[ops] def mgSummary(tokens: Dataset[String], k: Int): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    tokens.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        m.get(t) match {
+          case Some(c) => m.update(t, c + 1L)
+          case None if m.size < k => m.update(t, 1L)
+          case None =>
+            // classic decrement-all step: every counter pays 1, dead
+            // counters free their slot (amortized O(1) per element)
+            val dead = List.newBuilder[String]
+            m.foreach { case (kk, c) =>
+              if (c == 1L) dead += kk else m.update(kk, c - 1L)
+            }
+            dead.result().foreach(m.remove)
+        }
+      }
+      m.iterator
+    }.toDF("tok", "mg_lb")
+  }
+
+  /** Pass 2 on any token Dataset: tag rows against the broadcast
+    * candidate set, count on the folded (candidate-or-NULL) key, and
+    * apply the exact threshold. Separated so the spec can plant a
+    * vocabulary ≫ k stream and verify output ≡ the direct exact
+    * HAVING query. */
+  private[ops] def mgExactHeavy(tokens: Dataset[String], k: Int,
+      share: Int): DataFrame = {
+    val s = tokens.sparkSession
+    import s.implicits._
+    val cand = mgSummary(tokens, k).select($"tok").distinct()
+      .withColumn("is_cand", lit(true))
+    // materialize the (candidates+1)-row count frame once: it feeds
+    // both the output rows and the N total, and without the pin the
+    // crossJoin's two branches would each rescan the token stream
+    val counts = tokens.toDF("tok")
+      .join(broadcast(cand), Seq("tok"), "left")
+      .groupBy(when($"is_cand", $"tok").as("ctok"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    counts.crossJoin(broadcast(counts.agg(sum($"cnt").as("n"))))
+      .where($"ctok".isNotNull && $"cnt" > expr(s"n div $share"))
+      .select($"ctok".as("token"), $"cnt".as("exact_n"),
+        expr("(1000000 * cnt) div n").as("share_ppm"))
+      .orderBy($"exact_n".desc, $"token")
+  }
+
+  private val q390Oracle =
+    s"""WITH tk AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+       |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+       |SELECT tok AS token, cnt AS exact_n,
+       |  (1000000 * cnt) // n AS share_ppm
+       |FROM c, t WHERE cnt > n // $mgShare
+       |ORDER BY exact_n DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q390_mg_heavy_hitters" -> (q390MgHeavyHitters _),
     "q383_bitmap_algebra" -> (q383BitmapAlgebra _),
     "q309_ams_f2"      -> (q309AmsF2 _),
     "q278_kmv_jaccard" -> (q278KmvJaccard _),
@@ -957,6 +1061,7 @@ object SketchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q390_mg_heavy_hitters" -> q390Oracle,
     "q383_bitmap_algebra" -> q383Oracle,
     "q309_ams_f2"      -> q309Oracle,
     "q278_kmv_jaccard" -> q278Oracle,

@@ -2215,4 +2215,38 @@ class EventOpsSpec extends SparkSuite {
     assert(cg.forall(r => r.getLong(4) == 7000000L && r.getLong(5) == 0L))
     assert(cg.drop(1).forall(r => r.getLong(6) == 0L))
   }
+
+  test("q391 jackknife: hand-computed replicates on planted buckets; " +
+      "zero variance when buckets are identical; single-bucket sentinel") {
+    import spark.implicits._
+    // 4 buckets: (rev-sum, order-count) chosen so every θ̂₍ᵢ₎ is exact
+    val rows = Seq(
+      (0L, 1000L), (0L, 1000L),            // b0: 2000 / 2
+      (1L, 3000L),                         // b1: 3000 / 1
+      (2L, 2000L), (2L, 2000L), (2L, 2000L), // b2: 6000 / 3
+      (3L, 5000L)).toDF("b", "rev")        // b3: 5000 / 1
+    val g = EventOps.jackknifeOf(rows).collect().head
+    // totals: S_rev=16000, S_cnt=7
+    val thetas = Seq((16000L - 2000L) / 5L, (16000L - 3000L) / 6L,
+      (16000L - 6000L) / 4L, (16000L - 5000L) / 6L)
+    val b = 4L
+    val (s1, s2) = (thetas.sum, thetas.map(t => t * t).sum)
+    val varJ = (b - 1) * (b * s2 - s1 * s1) / (b * b)
+    val se = math.sqrt(varJ.toDouble).toLong
+    assert(g.getLong(0) == 4L && g.getLong(1) == 16000L / 7L)
+    assert(g.getLong(2) == varJ && g.getLong(3) == se)
+    assert(g.getLong(4) == 16000L / 7L - 2 * se)
+    assert(g.getLong(5) == 16000L / 7L + 2 * se)
+    // identical buckets ⇒ every replicate equal ⇒ variance exactly 0
+    val flat = (0 until 8).flatMap(i => Seq((i.toLong, 500L), (i.toLong, 700L)))
+      .toDF("b", "rev")
+    val fg = EventOps.jackknifeOf(flat).collect().head
+    assert(fg.getLong(2) == 0L && fg.getLong(3) == 0L)
+    assert(fg.getLong(4) == fg.getLong(1) && fg.getLong(5) == fg.getLong(1))
+    // one bucket: no replicate variance exists — sentinels
+    val one = EventOps.jackknifeOf(Seq((0L, 100L), (0L, 200L)).toDF("b", "rev"))
+      .collect().head
+    assert(one.getLong(2) == -1L && one.getLong(3) == -1L &&
+      one.getLong(4) == -1L && one.getLong(5) == -1L)
+  }
 }

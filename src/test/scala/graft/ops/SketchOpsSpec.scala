@@ -204,4 +204,54 @@ class SketchOpsSpec extends SparkSuite {
       assert(nAnd > 0 && nAnd < na && nAnd < nb, s"$a/$b degenerate")
     }
   }
+
+  test("q390 misra-gries: vocab >> k fires decrements, summary stays <= k " +
+      "per partition, candidates cover every above-guarantee token, and " +
+      "the two-pass output equals the direct exact HAVING query") {
+    import spark.implicits._
+    val k = 16
+    // 1 heavy token (1/8 of the stream) + 7 warm + 3500 singletons:
+    // vocabulary 3508 >> 16 counters, so the decrement branch fires
+    val stream = (Seq.fill(500)("heavy") ++
+      (0 until 7).flatMap(i => Seq.fill(100)(s"warm$i")) ++
+      (0 until 2800).map(i => s"cold$i"))
+    val n = stream.size.toLong
+    val toks = spark.createDataset(stream).repartition(4)
+    val summ = SketchOps.mgSummary(toks, k)
+      .withColumn("pid", expr("spark_partition_id()"))
+      .collect()
+    val perPart = summ.groupBy(_.getInt(2)).map(_._2.size)
+    assert(perPart.forall(_ <= k), s"summary exceeded $k counters")
+    assert(summ.length < 3508, "decrement branch never fired (vocab held)")
+    // MG guarantee: every token with freq > N/(k+1) survives the union
+    val cands = summ.map(_.getString(0)).toSet
+    val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size }
+    exact.filter(_._2 > n / (k + 1)).keys
+      .foreach(t => assert(cands(t), s"guaranteed token $t missing"))
+    // two-pass output == the plain exact HAVING query (share 12: heavy
+    // at 1/8 of the stream passes, everything else fails)
+    val got = SketchOps.mgExactHeavy(toks, k, 12).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = exact.filter(_._2 > n / 12).toSeq
+      .map { case (t, c) => (t, c.toLong, 1000000L * c / n) }
+      .sortBy { case (t, c, _) => (-c, t) }
+    assert(got.toSeq == want)
+    assert(got.map(_._1).toSeq == Seq("heavy"))
+  }
+
+  test("q390 corpus run: output equals the exact recount at sf0.001") {
+    import spark.implicits._
+    val got = SketchOps.q390MgHeavyHitters(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tk = Tables.documents(spark, sf0001)
+      .select(explode(split(lower($"text"), " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = tk.map(_._2).sum
+    val want = tk.filter(_._2 > n / SketchOps.mgShare)
+      .sortBy { case (t, c) => (-c, t) }
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty && got.length < tk.length,
+      "threshold must select a nontrivial strict subset")
+  }
 }
