@@ -2439,7 +2439,93 @@ object SimilarityOps {
        |LEFT JOIN closure c ON k.cell = c.cell
        |ORDER BY k.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q392
+  /** HBOS bins per dimension. 16 over the milli-quantized [min, max]
+    * span of each dim: coarse enough that a 500-vector fixture keeps
+    * most bins populated (density estimates stay meaningful), fine
+    * enough that a far-out point lands alone. */
+  val hbosBins = 16
+
+  /** How many top outliers the readout keeps. */
+  val hbosTopK = 20
+
+  /** HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):
+    * the embarrassingly-parallel outlier detector for embedding
+    * spaces. Per dimension, an equi-width histogram over the
+    * quantized span; a vector's score is Σ_d −ln(density of its bin)
+    * — high when its coordinates sit in sparse bins. Everything an
+    * isolation forest needs trees and randomness for, HBOS gets from
+    * ONE fan-out pass at the price of assuming feature independence
+    * (disclosed; correlated-cluster outliers need q342's semantic
+    * route). Exact integers throughout: coordinates quantize to
+    * milli-units (the q147 grid), bin = (q−qmin)·B div (span+1) on
+    * integers, and the score is Σ (⌊ln N·10⁶⌋ − ⌊ln cnt·10⁶⌋)
+    * micro-nats — the per-step-floored ln device (q208), identical
+    * in both engines. A constant dimension puts everything in bin 0
+    * at density 1 and contributes exactly 0 (spec-pinned).
+    *
+    * Scale shape: the component table (N·64 rows) never joins
+    * itself — per-dim ranges (64 rows) and histograms (≤ 64·B rows)
+    * BROADCAST back onto it, then one groupBy(vec_id) sums the
+    * score. Top-k is a TakeOrdered, never a global sort. */
+  def q392HbosOutliers(s: SparkSession, dir: String): DataFrame =
+    hbosOf(Tables.embeddings(s, dir), hbosBins, hbosTopK)
+
+  /** HBOS on any (vec_id, embedding) frame — separated so the spec
+    * can plant a tight cluster + one far point (the plant must rank
+    * first), a uniform frame (all scores equal), and the
+    * constant-dimension zero-contribution pin. */
+  private[ops] def hbosOf(emb: DataFrame, bins: Int, topK: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val pts = emb.select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+      .select($"vec_id", $"dim",
+        expr("CAST(round(CAST(x AS DOUBLE) * 1000D) AS BIGINT)").as("q"))
+    val ranges = pts.groupBy($"dim")
+      .agg(min($"q").as("qmin"), max($"q").as("qmax"))
+    val binned = pts.join(broadcast(ranges), "dim")
+      .select($"vec_id", $"dim",
+        expr(s"((q - qmin) * $bins) div (qmax - qmin + 1)").as("bin"))
+    val hist = binned.groupBy($"dim", $"bin").agg(count(lit(1)).as("cnt"))
+    val n = emb.agg(count(lit(1)).as("n"))
+    binned.join(broadcast(hist), Seq("dim", "bin"))
+      .crossJoin(broadcast(n))
+      .groupBy($"vec_id")
+      .agg(sum(
+        expr("CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000D) AS BIGINT)") -
+          expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000D) AS BIGINT)"))
+        .as("hbos_micro"))
+      .orderBy($"hbos_micro".desc, $"vec_id")
+      .limit(topK)
+  }
+
+  private val q392Oracle =
+    s"""WITH pts AS (
+       |  SELECT vec_id, i AS dim,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |rg AS (
+       |  SELECT dim, CAST(min(q) AS BIGINT) AS qmin,
+       |    CAST(max(q) AS BIGINT) AS qmax
+       |  FROM pts GROUP BY 1),
+       |bn AS (
+       |  SELECT vec_id, pts.dim,
+       |    ((q - qmin) * $hbosBins) // (qmax - qmin + 1) AS bin
+       |  FROM pts JOIN rg ON pts.dim = rg.dim),
+       |h AS (
+       |  SELECT dim, bin, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bn GROUP BY 1, 2),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+       |SELECT vec_id,
+       |  CAST(sum(CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+       |    - CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT))
+       |    AS BIGINT) AS hbos_micro
+       |FROM bn JOIN h ON bn.dim = h.dim AND bn.bin = h.bin, t
+       |GROUP BY vec_id
+       |ORDER BY hbos_micro DESC, vec_id LIMIT $hbosTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q392_hbos_outliers" -> (q392HbosOutliers _),
     "q386_grid_density" -> (q386GridDensity _),
     "q374_binary_quant_knn" -> (q374BinaryQuantKnn _),
     "q375_matryoshka_eval" -> (q375MatryoshkaEval _),
@@ -2468,6 +2554,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q392_hbos_outliers" -> q392Oracle,
     "q386_grid_density" -> q386Oracle,
     "q374_binary_quant_knn" -> q374Oracle,
     "q375_matryoshka_eval" -> q375Oracle,

@@ -695,4 +695,47 @@ class SimilarityOpsSpec extends SparkSuite {
     }
     assert(got.filter(_._1 < 400L).forall(_._2 == 1L))
   }
+
+  test("q392 hbos: scores replay a driver-side histogram exactly; far " +
+      "point ranks first; constant dimension contributes zero") {
+    import spark.implicits._
+    val bins = 4
+    // 9 clustered points + 1 far outlier, 2 dims
+    val pts: Seq[(Long, Seq[Float])] =
+      (0 until 9).map(i => (i.toLong, Seq(0.01f * i, 0.02f * i))) :+
+        (99L, Seq(0.4f, 0.4f))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = SimilarityOps.hbosOf(df, bins, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side replay of the integer pipeline
+    val q = pts.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1000.0)) }
+    val dims = q.head._2.indices
+    val scores = {
+      val hist = dims.map { d =>
+        val col0 = q.map(_._2(d))
+        val (lo, hi) = (col0.min, col0.max)
+        val bin = col0.map(x => (x - lo) * bins / (hi - lo + 1))
+        d -> bin.groupBy(identity).map { case (b, xs) => b -> xs.size }
+      }.toMap
+      val binOf = dims.map { d =>
+        val col0 = q.map(_._2(d)); val (lo, hi) = (col0.min, col0.max)
+        d -> q.map { case (id, v) => id -> (v(d) - lo) * bins / (hi - lo + 1) }.toMap
+      }.toMap
+      val n = q.size
+      def lnm(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+      q.map { case (id, _) =>
+        id -> dims.map(d => lnm(n.toLong) - lnm(hist(d)(binOf(d)(id)).toLong)).sum
+      }.toMap
+    }
+    val want = scores.toSeq.sortBy { case (id, sc) => (-sc, id) }
+    assert(got.toSeq == want)
+    assert(got.head._1 == 99L, "far point must rank first")
+    // appending a constant dim changes no score (bin 0, density 1, ln 1 = 0)
+    val withConst = pts.map { case (id, v) => (id, v :+ 0.123f) }
+      .toDF("vec_id", "embedding")
+    val gotC = SimilarityOps.hbosOf(withConst, bins, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotC.toSeq == got.toSeq)
+  }
 }
