@@ -1436,7 +1436,118 @@ object LinkOps {
        |ORDER BY round, item""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q393
+  /** Truss order: every surviving edge must sit in ≥ k−2 triangles
+    * among surviving edges. 12 peels the sf0.01 co-purchase graph
+    * 115,729 → 1,127 edges with fixpoint at round 5 — both branches
+    * live with margin. */
+  val kTrussK = 12
+
+  /** Peel rounds — fixture fixpoint is 5, the margin rounds are
+    * no-ops (peeling is idempotent at fixpoint, the q200 device that
+    * lets the Spark loop and the unrolled oracle run the SAME fixed
+    * count and stay hash-identical). */
+  val kTrussRounds = 8
+
+  /** k-truss decomposition by iterative EDGE peeling — the
+    * cohesion filter one tier stronger than q200's k-core: a core
+    * survives on degree (any star qualifies), a truss requires every
+    * edge to close ≥ k−2 triangles among SURVIVING edges, so
+    * tree-like spokes can never ride along. Deletions cascade the
+    * same way (removing a weak edge removes the triangles it closed
+    * — the spec plants a triangle chain where the shared edge
+    * survives round 1 and dies in round 2, the case a one-shot
+    * support threshold gets wrong).
+    *
+    * Per round: triangles enumerate over the alive edge set via the
+    * q136 degree-oriented wedge closure (each triangle found exactly
+    * once, wedge fan-out O(√m) per node), explode to their three
+    * canonical edges, one count per edge, keep support ≥ k−2 (an
+    * edge in NO triangle never reaches the support frame — dropped
+    * by construction). All loop state is the edge-grain alive set,
+    * checkpointed per round; nothing node-quadratic ever
+    * materializes. The oracle unrolls the same rounds with the
+    * naive triple join — different enumeration, identical edges. */
+  def q393Ktruss(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ktrussOf(coEdges(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))), kTrussK)
+      .orderBy($"u", $"v")
+  }
+
+  /** Edge supports within an alive canonical (u < v) edge frame:
+    * oriented wedge closure → triangle triples → 3 canonical edges
+    * each → count. */
+  private[ops] def trussSupportsOnEdges(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val deg = edges.select(explode(array($"u", $"v")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val or = edges
+      .join(broadcast(deg.select($"node".as("u"), $"d".as("du"))), "u")
+      .join(broadcast(deg.select($"node".as("v"), $"d".as("dv"))), "v")
+      .select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+          struct($"u".as("s"), $"v".as("t")))
+          .otherwise(struct($"v".as("s"), $"u".as("t"))).as("e"))
+      .select($"e.s", $"e.t")
+    val wedges = or.select($"s", $"t".as("t1"))
+      .join(or.select($"s", $"t".as("t2")), Seq("s")).where($"t1" < $"t2")
+      .select($"s", $"t1".as("u"), $"t2".as("v"))
+    wedges.join(edges, Seq("u", "v"))
+      .select(explode(array(
+        struct($"u", $"v"),
+        struct(least($"s", $"u").as("u"), greatest($"s", $"u").as("v")),
+        struct(least($"s", $"v").as("u"), greatest($"s", $"v").as("v"))))
+        .as("e"))
+      .groupBy($"e.u", $"e.v").agg(count(lit(1)).as("support"))
+  }
+
+  /** The peel on any canonical (u < v) edge frame — separated so the
+    * spec can plant the K4-keeps / pendant-triangle-peels graph and
+    * the two-round cascade. */
+  private[ops] def ktrussOf(edgesIn: DataFrame, k: Int): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    var alive = edgesIn.select($"u", $"v").localCheckpoint(true)
+    var sup: DataFrame = null
+    (1 to kTrussRounds).foreach { _ =>
+      val prev = alive
+      sup = trussSupportsOnEdges(alive)
+      alive = sup.where($"support" >= k - 2).select($"u", $"v")
+        .localCheckpoint(true)
+      prev.unpersist(blocking = false)
+    }
+    val out = sup.where($"support" >= k - 2)
+    alive.unpersist(blocking = false)
+    out
+  }
+
+  private val q393Oracle = {
+    val k = kTrussK
+    val rounds = (1 to kTrussRounds).map { i =>
+      s"""t$i AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM a${i - 1} e1 JOIN a${i - 1} e2 ON e1.v = e2.u
+         |  JOIN a${i - 1} e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |s$i AS (
+         |  SELECT u, v, CAST(count(*) AS BIGINT) AS support
+         |  FROM (SELECT a AS u, b AS v FROM t$i
+         |        UNION ALL SELECT b, c FROM t$i
+         |        UNION ALL SELECT a, c FROM t$i)
+         |  GROUP BY 1, 2),
+         |a$i AS MATERIALIZED (
+         |  SELECT u, v FROM s$i WHERE support >= $k - 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+       |a0 AS MATERIALIZED (SELECT u, v FROM edges),
+       |$rounds
+       |SELECT u, v, support FROM s$kTrussRounds WHERE support >= $k - 2
+       |ORDER BY u, v""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q393_ktruss" -> (q393Ktruss _),
     "q378_rank1_als" -> (q378Rank1Als _),
     "q376_hyperball_anf" -> (q376HyperballAnf _),
     "q348_fellegi_sunter" -> (q348FellegiSunter _),
@@ -1456,6 +1567,7 @@ object LinkOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q393_ktruss" -> q393Oracle,
     "q378_rank1_als" -> q378Oracle,
     "q376_hyperball_anf" -> q376Oracle,
     "q348_fellegi_sunter" -> q348Oracle,

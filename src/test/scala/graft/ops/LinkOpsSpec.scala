@@ -380,4 +380,24 @@ class LinkOpsSpec extends SparkSuite {
     assert(byRound.zip(byRound.tail).forall { case (a, b) => b <= a },
       s"SSE rose: ${byRound.toSeq}")
   }
+
+  test("q393 k-truss: K4 survives, pendant triangle peels, and the " +
+      "shared edge of a triangle chain dies only via the round-2 cascade") {
+    import spark.implicits._
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    // pendant triangle off node 4 + a two-triangle chain sharing (11,12)
+    val edges = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L), (12L, 13L)))
+      .toDF("u", "v")
+    // one-shot support threshold at k=4 would KEEP (11,12): support 2
+    val sup0 = LinkOps.trussSupportsOnEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sup0((11L, 12L)) == 2L)
+    assert(sup0((1L, 2L)) == 2L && sup0((4L, 5L)) == 1L)
+    // the peel cascades it away: only K4 survives, every edge support 2
+    val got = LinkOps.ktrussOf(edges, 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keySet == k4.toSet)
+    assert(got.values.forall(_ == 2L))
+  }
 }
