@@ -188,7 +188,61 @@ object Scalars {
       |    'region_key', CAST(n_regionkey AS DOUBLE) FROM nation)
       |ORDER BY n_nationkey, key""".stripMargin
 
+  // ---------------------------------------------------------------- q395
+  /** Nested-struct surgery (`Column.withField` / `dropFields`) — the
+    * semi-structured conformance stage every ingest of nested
+    * payloads needs: add a computed field INSIDE a nested struct
+    * (charges.net_cents), overwrite an existing field in place
+    * (qty re-typed to BIGINT), and drop a deprecated one
+    * (charges.tax) — all without exploding or re-packing the struct
+    * by hand. Spark plans the three edits as ONE `update_fields`
+    * projection at scan grain (PlanSpec pins no shuffle below the
+    * final sort and the dropped field absent from the schema), which
+    * is the 100-TB point: conformance over deep structs is a
+    * column-level rewrite, never a row explosion. The readout
+    * re-extracts the surgered fields as scalars; the oracle computes
+    * them straight off the flat columns — if any edit landed in the
+    * wrong slot the values or the (spec-pinned) schema diverge. */
+  def q395StructSurgery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nestedConform(Tables.lineitem(s, dir).where($"l_orderkey" < 200L))
+      .select($"l_orderkey", $"l_linenumber",
+        $"payload.qty".as("qty"),
+        $"payload.charges.net_cents".as("net_cents"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"qty", $"net_cents")
+  }
+
+  /** Pack + surger on any lineitem-shaped frame — separated so the
+    * spec can pin the post-surgery schema (tax gone, net_cents
+    * present, qty re-typed) on a one-row plant. */
+  private[graft] def nestedConform(li: DataFrame): DataFrame = {
+    val s = li.sparkSession
+    import s.implicits._
+    li.select($"l_orderkey", $"l_linenumber",
+      struct(
+        $"l_quantity".as("qty"),
+        $"l_extendedprice".as("price"),
+        struct($"l_tax".as("tax"), $"l_discount".as("disc")).as("charges"))
+        .as("payload"))
+      .withColumn("payload", $"payload"
+        .withField("charges.net_cents",
+          expr("""CAST(round(payload.price
+            |  * (1.0D - payload.charges.disc) * 100D) AS BIGINT)"""
+            .stripMargin))
+        .withField("qty", expr("CAST(round(payload.qty) AS BIGINT)"))
+        .dropFields("charges.tax"))
+  }
+
+  private val q395Oracle =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(round(l_quantity) AS BIGINT) AS qty,
+      |  CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+      |    AS net_cents
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber, qty, net_cents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q395_struct_surgery" -> (q395StructSurgery _),
     "q20_string_funcs" -> (q20StringFuncs _),
     "q21_date_funcs"   -> (q21DateFuncs _),
     "q22_math_funcs"   -> (q22MathFuncs _),
@@ -198,6 +252,7 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "q395_struct_surgery" -> q395Oracle,
     "q20_string_funcs" -> q20Oracle,
     "q21_date_funcs"   -> q21Oracle,
     "q22_math_funcs"   -> q22Oracle,

@@ -800,4 +800,26 @@ class PlanSpec extends SparkSuite {
     // exactly one scan feeds both the metrics and the aggregation
     assert("Scan parquet".r.findAllIn(p).length == 1, p.take(600))
   }
+
+  test("q395 struct surgery: one update_fields projection at scan grain; " +
+      "post-surgery schema drops tax, adds net_cents, re-types qty") {
+    import org.apache.spark.sql.types._
+    val conformed = graft.ops.Scalars.nestedConform(
+      graft.Tables.lineitem(spark, sf0001))
+    val charges = conformed.schema("payload").dataType
+      .asInstanceOf[StructType]("charges").dataType.asInstanceOf[StructType]
+    assert(charges.fieldNames.toSeq == Seq("disc", "net_cents"),
+      s"charges fields: ${charges.fieldNames.toSeq}")
+    assert(charges("net_cents").dataType == LongType)
+    assert(conformed.schema("payload").dataType.asInstanceOf[StructType]("qty")
+      .dataType == LongType, "qty must be re-typed in place")
+    // the API plans update_fields; the optimizer then folds all three
+    // edits into ONE named_struct projection — no intermediate structs
+    assert(conformed.queryExecution.analyzed.toString.contains("update_fields"))
+    val p = conformed.queryExecution.executedPlan.toString
+    assert(p.contains("named_struct"), p.take(600))
+    assert(!p.contains("Exchange"), "struct surgery must stay scan-grain")
+    assert("Project".r.findAllIn(p).length == 1,
+      "three edits must fold into a single projection")
+  }
 }
