@@ -2889,60 +2889,7 @@ object Relational {
        |ORDER BY round""".stripMargin
   }
 
-  // ---------------------------------------------------------------- q394
-  /** Observed metrics (`Dataset.observe` + `Observation`): data-
-    * quality counters collected DURING the pipeline's own action —
-    * the Delta-Live-Tables-expectations shape, and the one plan
-    * facility (`CollectMetrics`) nothing else in the surface
-    * exercises. The scan frame is instrumented with three audit
-    * aggregates (rows scanned, returned-flag rows, quantity cents);
-    * the pipeline then filters and aggregates AS USUAL, the single
-    * action populates the observation as a side effect of the pass
-    * Spark was already making, and the readout joins the pipeline's
-    * own output grain (groups_out). At 100 TB this is the difference
-    * between auditing for free and paying a second full scan: the
-    * metrics ride the exchange before the filter, so they see every
-    * scanned row, rejected or not — which is exactly what a
-    * quarantine/acceptance report needs and a post-hoc SQL probe of
-    * the OUTPUT cannot reconstruct. PlanSpec pins `CollectMetrics`
-    * in the executed plan; the oracle recomputes all four numbers
-    * relationally. */
-  def q394ObservedMetrics(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val obs = new org.apache.spark.sql.Observation()
-    val pipe = Tables.lineitem(s, dir)
-      .observe(obs,
-        count(lit(1)).as("rows_scanned"),
-        sum(when($"l_returnflag" === "R", 1L).otherwise(0L))
-          .as("returned_rows"),
-        sum(expr("CAST(round(l_quantity * 100D) AS BIGINT)")).as("qty_cents"))
-      .where($"l_quantity" > lit(25.0))
-      .groupBy($"l_returnflag", $"l_linestatus")
-      .agg(count(lit(1)).as("n"))
-    // the one action: populates the observation while computing the
-    // pipeline's own output grain
-    val groupsOut = pipe.count()
-    val m = obs.get
-    Seq((m("rows_scanned").asInstanceOf[Long],
-      m("returned_rows").asInstanceOf[Long],
-      m("qty_cents").asInstanceOf[Long],
-      groupsOut))
-      .toDF("rows_scanned", "returned_rows", "qty_cents", "groups_out")
-  }
-
-  private val q394Oracle =
-    """SELECT
-      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS rows_scanned,
-      |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-      |   WHERE l_returnflag = 'R') AS returned_rows,
-      |  (SELECT CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
-      |   FROM lineitem) AS qty_cents,
-      |  (SELECT CAST(count(*) AS BIGINT) FROM (
-      |     SELECT l_returnflag, l_linestatus FROM lineitem
-      |     WHERE l_quantity > 25.0 GROUP BY 1, 2)) AS groups_out""".stripMargin
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q394_observed_metrics" -> (q394ObservedMetrics _),
     "q361_boosted_stumps" -> (q361BoostedStumps _),
     "q362_boosting_holdout" -> (q362BoostingHoldout _),
     "q364_sql_pipe_syntax" -> (q364SqlPipeSyntax _),
@@ -3012,7 +2959,6 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
-    "q394_observed_metrics" -> q394Oracle,
     "q361_boosted_stumps" -> q361Oracle,
     "q362_boosting_holdout" -> q362Oracle,
     "q364_sql_pipe_syntax" -> q364Oracle,

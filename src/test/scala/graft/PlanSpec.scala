@@ -785,22 +785,6 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("FlatMapGroups") && !p.contains("CartesianProduct"))
   }
 
-  test("q394 observed metrics: CollectMetrics rides the pipeline's own " +
-      "plan — the audit is not a second scan") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val obs = new org.apache.spark.sql.Observation()
-    val pipe = graft.Tables.lineitem(spark, sf0001)
-      .observe(obs, count(lit(1)).as("rows_scanned"))
-      .where($"l_quantity" > lit(25.0))
-      .groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
-    val p = pipe.queryExecution.executedPlan.toString
-    assert(p.contains("CollectMetrics"),
-      "observe() must plan a CollectMetrics node inside the pipeline")
-    // exactly one scan feeds both the metrics and the aggregation
-    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(600))
-  }
-
   test("q395 struct surgery: one update_fields projection at scan grain; " +
       "post-surgery schema drops tax, adds net_cents, re-types qty") {
     import org.apache.spark.sql.types._

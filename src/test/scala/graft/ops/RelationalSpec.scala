@@ -644,21 +644,4 @@ class RelationalSpec extends SparkSuite {
     assert(qty < 50.0, "loop never entered")
     assert(cnt(qty + 5) < target)
   }
-
-  test("q394 observed metrics equal an independent recompute; the " +
-      "counters see pre-filter rows the output grain cannot") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val r = Relational.q394ObservedMetrics(spark, sf0001).collect().head
-    val li = graft.Tables.lineitem(spark, sf0001)
-    assert(r.getLong(0) == li.count())
-    assert(r.getLong(1) == li.where($"l_returnflag" === "R").count())
-    assert(r.getLong(2) == li.agg(
-      sum(expr("CAST(round(l_quantity * 100D) AS BIGINT)")))
-      .collect().head.getLong(0))
-    assert(r.getLong(3) == li.where($"l_quantity" > 25.0)
-      .select($"l_returnflag", $"l_linestatus").distinct().count())
-    // the audit grain is wider than the output grain: scanned > kept
-    assert(r.getLong(0) > li.where($"l_quantity" > 25.0).count())
-  }
 }
