@@ -982,7 +982,93 @@ object ExtOps {
        |ORDER BY layout""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q396
+  /** Column-level lineage extracted from the ANALYZED logical plan —
+    * the governance readout every warehouse platform ships (which
+    * base columns feed each output column?) and the reference's
+    * BigQuery backend answers from its audit metadata. Here it is an
+    * engine feature: one bottom-up walk over the Catalyst plan seeds
+    * each parquet leaf's attributes with (table = path basename,
+    * column), then every Alias born in a Project/Aggregate/Window
+    * node unions the source sets of the attributes it references —
+    * expression-id arithmetic, so renames, computed columns, and
+    * multi-source expressions (greatest over two tables' keys) trace
+    * exactly and a literal-only aggregate (count(1)) traces to the
+    * ⟨none⟩ marker. Pure control-plane: the DATA is never touched —
+    * lineage of a 100-TB pipeline costs the same as lineage of a
+    * 100-row one (the plan is driver-resident either way). The probe
+    * pipeline is a 3-table join + aggregate chosen so every tracing
+    * branch fires; the oracle states the expected lineage rows. */
+  def q396ColumnLineage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_mktsegment".as("segment"), $"n_name".as("nation_name"))
+      .agg(sum($"o_totalprice").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        max(greatest($"o_orderkey", $"c_custkey")).as("max_key"))
+    lineageOf(probe)
+  }
+
+  /** The lineage walk on any DataFrame — separated so the spec can
+    * probe renames-of-renames and a union. */
+  private[graft] def lineageOf(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val s = df.sparkSession
+    import s.implicits._
+    val src = scala.collection.mutable.Map.empty[Long, Set[(String, String)]]
+    def trace(ne: NamedExpression): Unit = ne match {
+      case a: Alias =>
+        src(a.exprId.id) = a.child.references.toSeq
+          .flatMap(r => src.getOrElse(r.exprId.id, Set.empty)).toSet
+      case _ => () // bare attribute: keeps its exprId, already seeded
+    }
+    df.queryExecution.analyzed.foreachUp {
+      case lr: LogicalRelation =>
+        val table = lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.headOption
+              .map(_.getName.stripSuffix(".parquet")).getOrElse("<unknown>")
+          case _ => "<unknown>"
+        }
+        lr.output.foreach(a => src(a.exprId.id) = Set((table, a.name)))
+      case p: Project   => p.projectList.foreach(trace)
+      case a: Aggregate => a.aggregateExpressions.foreach(trace)
+      case w: Window    => w.windowExpressions.foreach(trace)
+      // Union merges positionally: output attr i draws from every
+      // child's attr i
+      case u: Union =>
+        u.output.zipWithIndex.foreach { case (out, i) =>
+          src(out.exprId.id) = u.children
+            .flatMap(c => src.getOrElse(c.output(i).exprId.id, Set.empty)).toSet
+        }
+      case _ => () // joins/filters/sorts pass attributes through unchanged
+    }
+    val rows = df.queryExecution.analyzed.output.flatMap { a =>
+      val deps = src.getOrElse(a.exprId.id, Set.empty)
+      if (deps.isEmpty) Seq((a.name, "<none>", "<none>"))
+      else deps.toSeq.map { case (t, c) => (a.name, t, c) }
+    }
+    rows.toDF("out_col", "src_table", "src_col")
+      .orderBy($"out_col", $"src_table", $"src_col")
+  }
+
+  private val q396Oracle =
+    """SELECT * FROM (VALUES
+      |  ('max_key', 'customer', 'c_custkey'),
+      |  ('max_key', 'orders', 'o_orderkey'),
+      |  ('n_orders', '<none>', '<none>'),
+      |  ('nation_name', 'nation', 'n_name'),
+      |  ('revenue', 'orders', 'o_totalprice'),
+      |  ('segment', 'customer', 'c_mktsegment'))
+      |  AS t(out_col, src_table, src_col)
+      |ORDER BY out_col, src_table, src_col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q396_column_lineage" -> (q396ColumnLineage _),
     "q263_encoding_advisor" -> (q263EncodingAdvisor _),
     "q226_dsv2_source" -> (q226Dsv2Source _),
     "q227_extension_sql" -> (q227ExtensionSql _),
@@ -1005,6 +1091,7 @@ object ExtOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q396_column_lineage" -> q396Oracle,
     "q263_encoding_advisor" -> q263Oracle,
     "q226_dsv2_source" -> q226Oracle,
     "q227_extension_sql" -> q227Oracle,

@@ -293,4 +293,29 @@ class ExtOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(back.toSeq == orig.toSeq)
   }
+
+  test("q396 lineage: renames chain, unions merge positionally, " +
+      "two-source expressions split, literals trace to <none>") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val nat = graft.Tables.nation(spark, sf0001)
+    val reg = graft.Tables.region(spark, sf0001)
+    // rename-of-rename + a union of two different base columns
+    val a = nat.select($"n_name".as("x")).select($"x".as("y"))
+    val b = reg.select($"r_name".as("y"))
+    val probe = a.unionAll(b)
+      .select($"y".as("label"), lit(1L).as("one"))
+    val rows = ExtOps.lineageOf(probe).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("label", "nation", "n_name"),
+      ("label", "region", "r_name"),
+      ("one", "<none>", "<none>")), rows.toString)
+    // a computed column referencing two tables traces to both
+    val two = nat.join(reg, $"n_regionkey" === $"r_regionkey")
+      .select((length($"n_name") + length($"r_name")).as("w"))
+    val wr = ExtOps.lineageOf(two).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(wr == Set(("nation", "n_name"), ("region", "r_name")))
+  }
 }
