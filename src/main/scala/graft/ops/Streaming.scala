@@ -1784,7 +1784,84 @@ object Streaming {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- q397
+  /** Streaming progress audit via `StreamingQueryListener` — the
+    * event-driven observability surface (SLA alerting, ingest
+    * dashboards, the replacement for the reference's Cloud Run
+    * request logs): a listener subscribes to the session's stream
+    * bus and records every micro-batch's (batchId, numInputRows) AS
+    * THE QUERY RUNS, with no second read of anything. The fixture is
+    * q144's two-delivery landing dir (even/odd event_id split,
+    * `maxFilesPerTrigger=1` → one micro-batch per delivery), so the
+    * audit must read exactly two batches whose input rows are the
+    * delivery sizes — numInputRows counts SOURCE rows, so the
+    * downstream purchase filter must not dent it (that asymmetry is
+    * the oracle's whole content). The listener bus is asynchronous;
+    * the query polls until both progress events land (bounded
+    * deadline) — the same discipline any production listener needs.
+    * Spec cross-checks the listener rows against the query's own
+    * `recentProgress`. */
+  def q397ProgressAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Files.createTempDirectory("graft_audit_landing_")
+    scratch.get() += landing
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    Seq(0, 1).foreach { par =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_audit_stage_$par")
+      scratch.get() += stage
+      ev.where($"event_id" % 2 === par).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      java.nio.file.Files.move(part, landing.resolve(s"delivery_$par.parquet"))
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val pipe = stream.where($"event_type" === "purchase")
+      .select($"event_id", $"value")
+    val name = s"graft_mem_${sinkId.incrementAndGet()}"
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == name) // other sessions' streams don't pollute
+          seen.add((e.progress.batchId, e.progress.numInputRows))
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    try {
+      val q = pipe.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the bus delivers asynchronously — poll for both data batches
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.asScala.count(_._2 > 0) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally {
+      s.streams.removeListener(listener)
+      val dirs = scratch.get()
+      dirs.foreach(rmTree)
+      dirs.clear()
+    }
+    s.catalog.dropTempView(name)
+    seen.asScala.toSeq.filter(_._2 > 0).distinct.sortBy(_._1)
+      .toDF("batch_id", "input_rows")
+  }
+
+  private val q397Oracle =
+    """SELECT CAST(0 AS BIGINT) AS batch_id,
+      |  CAST(count(*) AS BIGINT) AS input_rows
+      |FROM events WHERE event_id % 2 = 0
+      |UNION ALL
+      |SELECT 1, CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 1
+      |ORDER BY batch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q397_progress_audit" -> (q397ProgressAudit _),
     "q298_dynamic_sessions" -> (q298DynamicSessions _),
     "q177_transform_with_state" -> (q177TransformWithState _),
     "q179_timeout_sessions" -> (q179TimeoutSessions _),
@@ -1812,6 +1889,7 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "q397_progress_audit" -> q397Oracle,
     "q298_dynamic_sessions" -> q298Oracle,
     "q177_transform_with_state" -> q177Oracle,
     "q179_timeout_sessions" -> q35Oracle,

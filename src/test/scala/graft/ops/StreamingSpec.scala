@@ -408,4 +408,22 @@ class StreamingSpec extends SparkSuite {
     assert(b0.map(_._4).sum == ev.where($"event_id" % 2 === 0).count())
     assert(b1.map(_._4).sum == ev.where($"event_id" % 2 === 1).count())
   }
+
+  test("q397 progress audit: listener sees one batch per delivery with " +
+      "SOURCE row counts (filter-independent); teardown leaves no listener") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val even = ev.where($"event_id" % 2 === 0).count()
+    val odd = ev.where($"event_id" % 2 === 1).count()
+    val purchases = ev.where($"event_type" === "purchase").count()
+    val got = Streaming.q397ProgressAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, even), (1L, odd)))
+    // numInputRows counts source rows, not the filtered output
+    assert(got.map(_._2).sum != purchases)
+    // the listener was removed: a second run sees only its own events
+    val again = Streaming.q397ProgressAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq == got.toSeq)
+  }
 }
