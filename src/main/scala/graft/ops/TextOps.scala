@@ -4916,7 +4916,85 @@ object TextOps {
       |  CAST(CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
       |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q398
+  /** Mojibake marker classes — the four byte-level scars UTF-8 text
+    * carries after a wrong-codec round trip (the ftfy problem class):
+    * Latin-1-double-decoded accents ('Ã©'), Windows-1252 smart quotes
+    * ('â€™'), the U+FFFD replacement char a lossy decode leaves, and
+    * the double-decoded NBSP ('Â '+NBSP). Detection only — the repair
+    * (replace with the re-decoded char) is the trivial extension once
+    * the gate fires. */
+  private[ops] val mojibakeMarkers: Seq[(String, String)] = Seq(
+    ("latin1_double", "Ã©"),
+    ("nbsp_artifact", "Â "),
+    ("replacement",   "�"),
+    ("smart_quote",   "â€™"))
+
+  /** Encoding-artifact (mojibake) audit over the corpus — the
+    * data-quality gate an LLM corpus needs BEFORE tokenization:
+    * double-decoded bytes survive every downstream filter (they are
+    * valid UTF-8, so length/stopword/lang heuristics pass) and then
+    * poison the vocabulary with phantom tokens. Counting uses the
+    * engine-portable replace-diff device — hits = (len(text) −
+    * len(replace(text, marker, ''))) div len(marker) — characters
+    * only, no regex dialect to drift between engines. One scan-side
+    * projection computes all four classes, one explode stacks them,
+    * one class-grain aggregate (4 rows) reports affected docs +
+    * total hits. Corrupted docs are planted in-query (q57's device)
+    * so every class is live cross-engine; the corpus itself is
+    * clean, which the zero-vs-planted split proves. */
+  def q398MojibakeAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Seq(lat, nb, rep, sq) = mojibakeMarkers.map(_._2)
+    val planted = Seq(
+      (-1L, s"caf$lat au lait and another caf$lat"),
+      (-2L, s"it${sq}s the teams$sq plan"),
+      (-3L, s"lost bytes $rep$rep$rep here"),
+      (-4L, s"hard${nb}space"),
+      (-5L, "perfectly clean ascii text"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      .unionByName(planted)
+    val counted = docs.select(
+      mojibakeMarkers.map { case (name, m) =>
+        expr(s"(length(text) - length(replace(text, '$m', ''))) div ${m.length}")
+          .cast("long").as(name)
+      }: _*)
+    counted
+      .select(explode(array(mojibakeMarkers.map { case (name, _) =>
+        struct(lit(name).as("artifact"), col(name).as("hits"))
+      }: _*)).as("e"))
+      .groupBy($"e.artifact".as("artifact"))
+      .agg(sum(when($"e.hits" > 0L, 1L).otherwise(0L)).as("n_docs"),
+        sum($"e.hits").as("n_hits"))
+      .orderBy($"artifact")
+  }
+
+  private val q398Oracle = {
+    val Seq(lat, nb, rep, sq) = mojibakeMarkers.map(_._2)
+    val plants =
+      s"""SELECT * FROM (VALUES
+         |  (-1, 'caf$lat au lait and another caf$lat'),
+         |  (-2, 'it${sq}s the teams$sq plan'),
+         |  (-3, 'lost bytes $rep$rep$rep here'),
+         |  (-4, 'hard${nb}space'),
+         |  (-5, 'perfectly clean ascii text')) AS p(doc_id, text)""".stripMargin
+    val classes = mojibakeMarkers.map { case (name, m) =>
+      s"""SELECT '$name' AS artifact,
+         |  CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |  CAST(sum(h) AS BIGINT) AS n_hits
+         |FROM (SELECT (length(text) - length(replace(text, '$m', '')))
+         |        // ${m.length} AS h FROM corpus)""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL BY NAME $plants)
+       |$classes
+       |ORDER BY artifact""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q398_mojibake_audit" -> (q398MojibakeAudit _),
     "q353_nb_langid" -> (q353NbLangid _),
     "q363_logreg_gate_apply" -> (q363LogregGateApply _),
     "q352_quality_logreg" -> (q352QualityLogreg _),
@@ -4995,6 +5073,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q398_mojibake_audit" -> q398Oracle,
     "q353_nb_langid" -> q353Oracle,
     "q363_logreg_gate_apply" -> q363Oracle,
     "q352_quality_logreg" -> q352Oracle,

@@ -1798,4 +1798,16 @@ class TextOpsSpec extends SparkSuite {
     assert(sf.map(_._2).sum < sf.map(_._1).sum,
       "train-learned merges must compress held-out text somewhere")
   }
+
+  test("q398 mojibake: planted artifacts count exactly; the corpus " +
+      "itself is clean; the clean plant hits nothing") {
+    val got = TextOps.q398MojibakeAudit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // exactly the planted hits: corpus contributes zero to every class
+    assert(got == Map(
+      "latin1_double" -> ((1L, 2L)),
+      "nbsp_artifact" -> ((1L, 1L)),
+      "replacement"   -> ((1L, 3L)),
+      "smart_quote"   -> ((1L, 2L))), got.toString)
+  }
 }
