@@ -2889,7 +2889,79 @@ object Relational {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q399
+  /** Runtime bloom-filter injection (`InjectRuntimeFilter`) — the
+    * optimizer feature that rescues the one join shape q03
+    * (broadcast) and q86 (bucketing) both miss: a SELECTIVE dimension
+    * too big to broadcast joining a huge fact over a shuffle. Spark
+    * builds a bloom filter from the dimension's join keys at runtime
+    * and pushes `bloom_filter_might_contain` into the fact side
+    * BELOW its exchange, so ~97% of fact rows (here: lineitems of
+    * non-urgent/cheap orders) drop before they are ever hashed,
+    * sorted, or shuffled — at 100 TB that is the difference between
+    * shuffling the whole fact table and shuffling the 3% that can
+    * possibly match. Broadcast is disabled for the query (hint-level
+    * would defeat the demonstration) and the application-side size
+    * threshold lowered to fixture scale — at production scale the
+    * default 10 GiB gate fires on its own; both confs are restored
+    * in a finally. PlanSpec pins the injected filter on the fact
+    * side and SMJ/SHJ as the join. The oracle is the plain join-agg:
+    * the filter is one-sided (no false negatives), so the result is
+    * EXACTLY the unfiltered join's — which the hash proves. */
+  def q399RuntimeFilter(s: SparkSession, dir: String): DataFrame =
+    withRuntimeFilterConfs(s) {
+      import scala.jdk.CollectionConverters._
+      val agg = runtimeFilterJoin(s, dir)
+      // execute INSIDE the conf bracket — planning is lazy, and the
+      // injection must happen under the demonstration confs, not
+      // whatever the session restores to. Group-grain rows (3).
+      s.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
+    }
+
+  /** The join-agg under demonstration — separated so PlanSpec can pin
+    * the injected filter on exactly the plan the query executes. */
+  private[graft] def runtimeFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.orders(s, dir)
+      .where($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 250000.0)
+      .select($"o_orderkey", $"o_orderdate")
+    Tables.lineitem(s, dir).join(dim, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_extendedprice".cast("decimal(12,2)")).cast("double")
+          .as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Conf bracket for the runtime-filter demonstration — separated so
+    * PlanSpec builds the SAME plan the query runs. */
+  private[graft] def withRuntimeFilterConfs[T](s: SparkSession)(body: => T): T = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set(keys(0), "true")
+      s.conf.set(keys(1), "0")
+      s.conf.set(keys(2), "-1")
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  private val q399Oracle =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q399_runtime_filter" -> (q399RuntimeFilter _),
     "q361_boosted_stumps" -> (q361BoostedStumps _),
     "q362_boosting_holdout" -> (q362BoostingHoldout _),
     "q364_sql_pipe_syntax" -> (q364SqlPipeSyntax _),
@@ -2959,6 +3031,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q399_runtime_filter" -> q399Oracle,
     "q361_boosted_stumps" -> q361Oracle,
     "q362_boosting_holdout" -> q362Oracle,
     "q364_sql_pipe_syntax" -> q364Oracle,

@@ -806,4 +806,23 @@ class PlanSpec extends SparkSuite {
     assert("Project".r.findAllIn(p).length == 1,
       "three edits must fold into a single projection")
   }
+
+  test("q399 runtime filter: bloom probe injected on the fact side " +
+      "below its exchange; the join stays a shuffle join") {
+    val (p, bloomBeforeExchange) =
+      Relational.withRuntimeFilterConfs(spark) {
+        val df = Relational.runtimeFilterJoin(spark, sf0001)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        // the probe (might_contain over the creation side's
+        // bloom_filter_agg subquery) must guard the fact scan
+        (plan, plan.contains("might_contain") &&
+          plan.contains("bloom_filter_agg"))
+      }
+    assert(bloomBeforeExchange, p.take(1200))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "broadcast would bypass the demonstration")
+    assert(!p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }
