@@ -825,4 +825,28 @@ class PlanSpec extends SparkSuite {
       "broadcast would bypass the demonstration")
     assert(!p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("q400 analyze stats: the analyzed row count propagates into the " +
+      "optimizer's stats under CBO, and column stats exist in the catalog") {
+    val s = spark
+    graft.ops.ExtOps.withAnalyzedTable(s, sf0001, "orders", "o_orderkey") {
+      tbl =>
+        val exact = s.table(tbl).count()
+        val saved = s.conf.getOption("spark.sql.cbo.enabled")
+        try {
+          s.conf.set("spark.sql.cbo.enabled", "true")
+          val rc = s.table(tbl).queryExecution.optimizedPlan.stats.rowCount
+          assert(rc.contains(BigInt(exact)),
+            s"rowCount=$rc, exact=$exact — CBO can't see the ANALYZE")
+        } finally saved match {
+          case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+          case None    => s.conf.unset("spark.sql.cbo.enabled")
+        }
+        // the HLL++ ndv exists in the catalog (excluded from the exact
+        // contract — estimator, not a count)
+        val ndv = s.sql(s"DESCRIBE EXTENDED $tbl o_orderkey").collect()
+          .find(_.getString(0) == "distinct_count").map(_.getString(1))
+        assert(ndv.exists(_.toLong > 0L), s"ndv=$ndv")
+    }
+  }
 }
