@@ -2960,7 +2960,53 @@ object Relational {
       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q401
+  /** SQL-defined functions (Spark 4 `CREATE FUNCTION … RETURN expr`)
+    * — the reusable-logic surface q26's Scala UDF deliberately is
+    * not: a SQL UDF is INLINED at analysis (the plan carries the CASE
+    * expression itself, PlanSpec pins zero ScalaUDF/codegen-opaque
+    * nodes), so it keeps pushdown, constant folding, and whole-stage
+    * codegen — shared business logic with none of the lambda tax.
+    * Two functions compose: a scalar band classifier and a second
+    * scalar calling the FIRST (SQL UDFs nest, and both inline flat).
+    * `CREATE OR REPLACE TEMPORARY` keeps the definition
+    * session-local and idempotent across reruns. The oracle inlines
+    * the same expressions by hand — analysis-time inlining means
+    * result ≡ hand-inlined SQL, which the hash proves. */
+  def q401SqlUdf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_price_band(p DOUBLE)
+      |RETURNS STRING
+      |RETURN CASE WHEN p < 100000.0 THEN 'low'
+      |            WHEN p < 200000.0 THEN 'mid' ELSE 'high' END""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_band_rank(p DOUBLE)
+      |RETURNS BIGINT
+      |RETURN CASE graft_price_band(p)
+      |  WHEN 'low' THEN 1 WHEN 'mid' THEN 2 ELSE 3 END""".stripMargin)
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_q401")
+    s.sql("""SELECT graft_price_band(o_totalprice) AS band,
+      |  CAST(min(graft_band_rank(o_totalprice)) AS BIGINT) AS band_rank,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM graft_orders_q401 GROUP BY 1 ORDER BY band_rank""".stripMargin)
+  }
+
+  private val q401Oracle =
+    """WITH b AS (
+      |  SELECT CASE WHEN o_totalprice < 100000.0 THEN 'low'
+      |              WHEN o_totalprice < 200000.0 THEN 'mid'
+      |              ELSE 'high' END AS band,
+      |    CASE WHEN o_totalprice < 100000.0 THEN 1
+      |         WHEN o_totalprice < 200000.0 THEN 2 ELSE 3 END AS rnk,
+      |    o_totalprice
+      |  FROM orders)
+      |SELECT band, CAST(min(rnk) AS BIGINT) AS band_rank,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM b GROUP BY 1 ORDER BY band_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q401_sql_udf" -> (q401SqlUdf _),
     "q399_runtime_filter" -> (q399RuntimeFilter _),
     "q361_boosted_stumps" -> (q361BoostedStumps _),
     "q362_boosting_holdout" -> (q362BoostingHoldout _),
@@ -3031,6 +3077,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q401_sql_udf" -> q401Oracle,
     "q399_runtime_filter" -> q399Oracle,
     "q361_boosted_stumps" -> q361Oracle,
     "q362_boosting_holdout" -> q362Oracle,

@@ -849,4 +849,18 @@ class PlanSpec extends SparkSuite {
         assert(ndv.exists(_.toLong > 0L), s"ndv=$ndv")
     }
   }
+
+  test("q401 SQL UDF: both functions inline at analysis — the plan " +
+      "carries the CASE expression, never an opaque UDF node") {
+    val df = Relational.q401SqlUdf(spark, sf0001)
+    df.collect() // AQE finalizes stages (and codegen spans) on execution
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p.take(600))
+    assert(p.contains("CASE WHEN"),
+      "the SQL UDF body must be inlined into the projection")
+    // inlining preserves whole-stage codegen over the scan + aggregate
+    // (executed-plan toString marks codegen spans with "*(n)")
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(1) Project") ||
+      "\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p.take(600))
+  }
 }
