@@ -6277,7 +6277,75 @@ object EventOps {
        |      // (nb * nb) AS DOUBLE))) AS BIGINT) END AS ci_hi_cents
        |FROM ag""".stripMargin
 
+  // ---------------------------------------------------------------- q402
+  /** SRM critical value: χ²(1 dof) at α = 0.001 in milli units —
+    * Kohavi's recommended guardrail level for sample-ratio-mismatch
+    * alarms (an SRM is an ENGINEERING bug signal, so the test runs
+    * far stricter than the 5% effect-readout convention; a 5% gate
+    * would page on 1 in 20 healthy experiments). */
+  val srmCritMilli = 10828L
+
+  /** Sample-ratio-mismatch gate (Kohavi et al., "Trustworthy Online
+    * Controlled Experiments" ch. 21) — the integrity check that must
+    * pass BEFORE q207's effect readout is worth reading: under a
+    * 50/50 split, arm counts off by more than chance mean the
+    * ASSIGNMENT or LOGGING is broken (bot filtering one arm, a
+    * redirect dropping sessions) and every downstream p-value is
+    * garbage. Goodness-of-fit χ² against the intended ratio
+    * collapses, at 50/50, to (n_a−n_b)²/(n_a+n_b) — computed in
+    * exact milli integers, verdict vs [[srmCritMilli]]. Two
+    * assignments are audited side by side: the healthy parity split
+    * (a true null — must NOT alarm) and a deliberately lossy one
+    * (arm 1 users with user_id%10 < 6 dropped, the one-sided logging
+    * loss SRM exists to catch — alarms from sf0.01 up; at sf0.001
+    * the 15-user frame is under-powered, disclosed). One
+    * user-distinct pass, two 2-row aggregates. */
+  def q402SrmGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val users = Tables.events(s, dir).select($"user_id").distinct()
+      .select($"user_id", ($"user_id" % 2).as("arm"))
+    val parity = users.select(lit("parity").as("assignment"), $"arm")
+    val lossy = users
+      .where(!($"arm" === 1 && $"user_id" % 10 < 6))
+      .select(lit("lossy").as("assignment"), $"arm")
+    srmOf(parity.unionByName(lossy))
+  }
+
+  /** The gate on any (assignment, arm 0/1) frame — separated so the
+    * spec can plant exact 600/400 and 500/500 splits. */
+  private[ops] def srmOf(arms: DataFrame): DataFrame = {
+    val s = arms.sparkSession
+    import s.implicits._
+    arms.groupBy($"assignment")
+      .agg(sum(when($"arm" === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === 1, 1L).otherwise(0L)).as("n_b"))
+      .select($"assignment", $"n_a", $"n_b",
+        expr("(1000 * (n_a - n_b) * (n_a - n_b)) div (n_a + n_b)")
+          .as("chi2_milli"))
+      .withColumn("srm_detected", $"chi2_milli" > srmCritMilli)
+      .orderBy($"assignment")
+  }
+
+  private val q402Oracle =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |arms AS (
+       |  SELECT 'parity' AS assignment, user_id % 2 AS arm FROM u
+       |  UNION ALL
+       |  SELECT 'lossy', user_id % 2 FROM u
+       |  WHERE NOT (user_id % 2 = 1 AND user_id % 10 < 6)),
+       |g AS (
+       |  SELECT assignment,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+       |  FROM arms GROUP BY 1)
+       |SELECT assignment, n_a, n_b,
+       |  (1000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) AS chi2_milli,
+       |  (1000 * (n_a - n_b) * (n_a - n_b)) // (n_a + n_b) > $srmCritMilli
+       |    AS srm_detected
+       |FROM g ORDER BY assignment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q402_srm_gate" -> (q402SrmGate _),
     "q391_jackknife_ratio"  -> (q391JackknifeRatio _),
     "q349_interpolated_asof" -> (q349InterpolatedAsof _),
     "q329_conformal_intervals" -> (q329ConformalIntervals _),
@@ -6361,6 +6429,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q402_srm_gate" -> q402Oracle,
     "q391_jackknife_ratio"  -> q391Oracle,
     "q349_interpolated_asof" -> q349Oracle,
     "q329_conformal_intervals" -> q329Oracle,

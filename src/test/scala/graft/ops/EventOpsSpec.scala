@@ -2249,4 +2249,27 @@ class EventOpsSpec extends SparkSuite {
     assert(one.getLong(2) == -1L && one.getLong(3) == -1L &&
       one.getLong(4) == -1L && one.getLong(5) == -1L)
   }
+
+  test("q402 srm: balanced split silent, 600/400 alarms with the exact " +
+      "hand-computed chi-square; the alarm threshold is the 0.001 gate") {
+    import spark.implicits._
+    val planted =
+      (Seq.fill(500)(("even", 0L)) ++ Seq.fill(500)(("even", 1L)) ++
+        Seq.fill(600)(("lossy", 0L)) ++ Seq.fill(400)(("lossy", 1L)))
+        .toDF("assignment", "arm")
+    val got = EventOps.srmOf(planted).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("even", 500L, 500L, 0L, false),
+      // chi2 = 1000·(200²)/1000 = 40000 milli > 10828
+      ("lossy", 600L, 400L, 40000L, true)))
+    assert(EventOps.srmCritMilli == 10828L)
+    // a 5%-level imbalance must NOT page at the 0.001 gate:
+    // 532/468 → chi2 = 1000·64²/1000 = 4096 > 3841 (5%) but < 10828
+    val mild = (Seq.fill(532)(("m", 0L)) ++ Seq.fill(468)(("m", 1L)))
+      .toDF("assignment", "arm")
+    val m = EventOps.srmOf(mild).collect().head
+    assert(m.getLong(3) == 4096L && !m.getBoolean(4))
+  }
 }
