@@ -241,7 +241,78 @@ object Scalars {
       |FROM lineitem WHERE l_orderkey < 200
       |ORDER BY l_orderkey, l_linenumber, qty, net_cents""".stripMargin
 
+  // ---------------------------------------------------------------- q403
+  /** The `try_*` defensive-arithmetic family — the per-expression
+    * safety valves that make ANSI mode livable: the whole engine runs
+    * ANSI-strict (a bad cast or division by zero FAILS the query, the
+    * correct default for a warehouse), and `try_divide` / `try_add` /
+    * `try_cast` / `try_element_at` are the opt-in NULL-on-error
+    * escape hatches for the specific columns where dirty data is
+    * expected, not a bug. Planted rows drive each failure mode
+    * (zero denominator, BIGINT overflow at Long.MaxValue, an
+    * unparseable number, an out-of-range list index) plus one clean
+    * row proving the happy path is untouched; a corpus row counts
+    * lineitem rows whose quantity-minus-25 denominator is zero —
+    * the null count IS the dirty-row audit, no second pass. The
+    * oracle mirrors each valve with its DuckDB equivalent (TRY_CAST;
+    * guarded CASE for div/overflow; DuckDB lists already NULL on
+    * out-of-range). All scan-grain projections. */
+  def q403TryArithmetic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val maxL = Long.MaxValue
+    val planted = Seq(
+      (1L, 100L, 7L, 5L, "42", 2),
+      (2L, 100L, 0L, 5L, "42", 2),      // zero denominator
+      (3L, 100L, 7L, maxL, "42", 2),    // overflow on add
+      (4L, 100L, 7L, 5L, "12x", 2),     // unparseable cast
+      (5L, 100L, 7L, 5L, "42", 99))     // out-of-range element
+      .toDF("id", "num", "den", "big", "s", "idx")
+    val perRow = planted.select($"id",
+      expr("try_divide(num, den)").cast("double").as("div_q"),
+      expr("try_add(big, big)").as("add_q"),
+      expr("try_cast(s AS BIGINT)").as("cast_q"),
+      expr("try_element_at(array(10L, 20L, 30L), idx)").as("elem_q"))
+    val corpus = Tables.lineitem(s, dir)
+      .select(expr("try_divide(CAST(round(l_extendedprice * 100D) AS BIGINT)," +
+        " CAST(l_quantity AS BIGINT) - 25L)").as("unit"))
+      .agg(sum(when($"unit".isNull, 1L).otherwise(0L)).as("n_dirty"))
+      .select(lit(100L).as("id"), lit(null).cast("double").as("div_q"),
+        $"n_dirty".as("add_q"), lit(null).cast("long").as("cast_q"),
+        lit(null).cast("long").as("elem_q"))
+    perRow.unionByName(corpus).orderBy($"id")
+  }
+
+  private val q403Oracle = {
+    val maxL = Long.MaxValue
+    s"""WITH p AS (
+       |  SELECT * FROM (VALUES
+       |    (1, 100, 7, 5, '42', 2),
+       |    (2, 100, 0, 5, '42', 2),
+       |    (3, 100, 7, $maxL, '42', 2),
+       |    (4, 100, 7, 5, '12x', 2),
+       |    (5, 100, 7, 5, '42', 99))
+       |    AS t(id, num, den, big, s, idx)),
+       |rows0 AS (
+       |  SELECT CAST(id AS BIGINT) AS id,
+       |    CASE WHEN den = 0 THEN NULL
+       |         ELSE CAST(num AS DOUBLE) / den END AS div_q,
+       |    CASE WHEN big > $maxL - big THEN NULL
+       |         ELSE CAST(big + big AS BIGINT) END AS add_q,
+       |    TRY_CAST(s AS BIGINT) AS cast_q,
+       |    CAST(([10, 20, 30])[idx] AS BIGINT) AS elem_q
+       |  FROM p
+       |  UNION ALL
+       |  SELECT 100, NULL,
+       |    CAST(sum(CASE WHEN CAST(l_quantity AS BIGINT) = 25 THEN 1
+       |      ELSE 0 END) AS BIGINT),
+       |    NULL, NULL
+       |  FROM lineitem)
+       |SELECT id, div_q, add_q, cast_q, elem_q FROM rows0
+       |ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q403_try_arithmetic" -> (q403TryArithmetic _),
     "q395_struct_surgery" -> (q395StructSurgery _),
     "q20_string_funcs" -> (q20StringFuncs _),
     "q21_date_funcs"   -> (q21DateFuncs _),
@@ -252,6 +323,7 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "q403_try_arithmetic" -> q403Oracle,
     "q395_struct_surgery" -> q395Oracle,
     "q20_string_funcs" -> q20Oracle,
     "q21_date_funcs"   -> q21Oracle,
