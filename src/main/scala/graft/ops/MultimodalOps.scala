@@ -252,6 +252,119 @@ object MultimodalOps {
        |WHERE length(substr(content, CAST(i * $chunkHop AS INT) + 1, $chunkLen)) > 0
        |ORDER BY media_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q404
+  /** Silence threshold in milli mean-square units: a chunk whose mean
+    * squared amplitude is below this is silence. Space bytes decode
+    * to amplitude 0 (code 32 is the stub waveform's zero line);
+    * letter bytes sit at 65–90 amplitude ⇒ voiced chunks score in
+    * the millions of milli-units — four orders of magnitude of
+    * separation, so the verdict is robust to any mix with >8%
+    * letters. */
+  val silenceTauMilli = 500000L
+
+  /** VAD-style silence-trim planning over the q315 chunk grid — the
+    * stage between chunking and the embedding fleet: per recording,
+    * integer per-chunk energy (mean of squared amplitudes, amplitude
+    * = byte code − 32 on the stub waveform where space IS silence),
+    * a silent/voiced verdict per chunk, and the TRIM PLAN — the byte
+    * range [first voiced chunk start, last voiced chunk end) a
+    * decode fleet should actually process. Leading/trailing silence
+    * is the cheap 10–30% a real pipeline pays storage and GPU time
+    * for; the plan costs one scan, no decode (q316's gate-before-
+    * fleet discipline). Energy is an in-array HOF fold (aggregate
+    * over the chunk's code points) — exact integers, zero shuffles
+    * below the readout. Fully-silent recordings emit −1 sentinels
+    * (nothing to process — the drop list). Recordings with silent
+    * padding are planted in-query (q57 device) so both trim branches
+    * fire cross-engine; corpus audio is word text (never silent),
+    * living the all-voiced branch. */
+  def q404SilenceTrim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (-1L, " " * 120),                                   // all silence
+      (-2L, " " * 64 + ("voice " * 12).trim + " " * 70))  // padded speech
+      .toDF("media_id", "content")
+    val audio = media(s, dir).toDF()
+      .where($"media_type" === "audio")
+      .select($"media_id", $"payload".cast("string").as("content"))
+      .unionByName(planted)
+    silenceTrimOf(audio)
+  }
+
+  /** The trim plan on any (media_id, content) frame — separated so
+    * the spec can hand-check chunk verdicts on tiny fixtures. */
+  private[ops] def silenceTrimOf(audio: DataFrame): DataFrame = {
+    val s = audio.sparkSession
+    import s.implicits._
+    val chunks = audio
+      .select($"media_id",
+        posexplode(transform(
+          sequence(lit(0), ((length($"content") - 1) / chunkHop).cast("int")),
+          i => $"content".substr(i * chunkHop + 1, lit(chunkLen)))))
+      .where(length(col("col")) > 0)
+      .select($"media_id", col("pos").cast("long").as("chunk_idx"),
+        length(col("col")).cast("long").as("n_bytes"),
+        expr("""aggregate(
+          |  transform(sequence(1, length(col)),
+          |    i -> CAST((ascii(substring(col, i, 1)) - 32)
+          |         * (ascii(substring(col, i, 1)) - 32) AS BIGINT)),
+          |  0L, (acc, x) -> acc + x)""".stripMargin).as("sq_sum"))
+      .select($"media_id", $"chunk_idx", $"n_bytes",
+        expr("(1000 * sq_sum) div n_bytes").as("energy_milli"))
+      .withColumn("voiced", expr(s"energy_milli >= $silenceTauMilli"))
+    chunks.groupBy($"media_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(!$"voiced", 1L).otherwise(0L)).as("n_silent"),
+        min(when($"voiced", $"chunk_idx")).as("first_v"),
+        max(when($"voiced", $"chunk_idx")).as("last_v"))
+      .select($"media_id", $"n_chunks", $"n_silent",
+        coalesce($"first_v" * chunkHop, lit(-1L)).as("trim_start_byte"),
+        coalesce($"last_v" * chunkHop + chunkLen, lit(-1L))
+          .as("trim_end_byte"))
+      .orderBy($"media_id")
+  }
+
+  private val q404Oracle = {
+    s"""WITH a AS (
+       |  SELECT doc_id AS media_id, text AS content FROM documents
+       |  WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT -1, repeat(' ', 120)
+       |  UNION ALL
+       |  SELECT -2, repeat(' ', 64) || trim(repeat('voice ', 12))
+       |    || repeat(' ', 70)),
+       |ch0 AS (
+       |  SELECT media_id,
+       |    unnest(range(0, (length(content) - 1) // $chunkHop + 1)) AS i,
+       |    content
+       |  FROM a),
+       |ch AS (
+       |  SELECT media_id, CAST(i AS BIGINT) AS chunk_idx,
+       |    substr(content, CAST(i * $chunkHop AS INT) + 1, $chunkLen) AS c
+       |  FROM ch0
+       |  WHERE length(substr(content, CAST(i * $chunkHop AS INT) + 1,
+       |    $chunkLen)) > 0),
+       |en AS (
+       |  SELECT media_id, chunk_idx,
+       |    (1000 * CAST(list_sum(list_transform(range(1, length(c) + 1),
+       |       i -> CAST((ord(substr(c, CAST(i AS INT), 1)) - 32)
+       |            * (ord(substr(c, CAST(i AS INT), 1)) - 32) AS BIGINT)))
+       |       AS BIGINT))
+       |      // length(c) AS energy_milli
+       |  FROM ch),
+       |v AS (
+       |  SELECT media_id, chunk_idx,
+       |    energy_milli >= $silenceTauMilli AS voiced
+       |  FROM en)
+       |SELECT media_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN voiced THEN 0 ELSE 1 END) AS BIGINT) AS n_silent,
+       |  CAST(COALESCE(min(CASE WHEN voiced THEN chunk_idx END) * $chunkHop,
+       |    -1) AS BIGINT) AS trim_start_byte,
+       |  CAST(COALESCE(max(CASE WHEN voiced THEN chunk_idx END) * $chunkHop
+       |    + $chunkLen, -1) AS BIGINT) AS trim_end_byte
+       |FROM v GROUP BY media_id ORDER BY media_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q316
   /** Conformance thresholds: minimum edge, max aspect ratio (w:h or
     * h:w beyond maxAspect:1 flags), and the declared-dims → minimum
@@ -614,11 +727,13 @@ object MultimodalOps {
     "q75_media_features" -> (q75MediaFeatures _),
     "q76_frame_sample"   -> (q76FrameSample _),
     "q123_frame_dedup"   -> (q123FrameDedup _),
+    "q404_silence_trim"  -> (q404SilenceTrim _),
     "q315_audio_chunks"  -> (q315AudioChunks _),
     "q316_media_conformance" -> (q316MediaConformance _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q404_silence_trim"  -> q404Oracle,
     "q373_binaryfile_ingest" -> q373Oracle,
     "q360_phash_neardup" -> q360Oracle,
     "q345_interleaved_pack" -> q345Oracle,

@@ -219,4 +219,23 @@ class MultimodalOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(got.toSeq == truth.toSeq)
   }
+
+  test("q404 silence trim: hand-computed chunk energies drive the plan; " +
+      "all-silent recording gets the -1 drop sentinels") {
+    import spark.implicits._
+    // 64 spaces + 32 'z' + 64 spaces → 5 chunks (hop 32, len 48):
+    // c0 silent, c1 = 16 z of 48 → (16·8100·1000)/48 = 2.7M voiced,
+    // c2 = 32 z of 48 → 5.4M voiced, c3/c4 silent
+    val padded = " " * 64 + "z" * 32 + " " * 64
+    val rows = Seq((1L, padded), (2L, " " * 100))
+      .toDF("media_id", "content")
+    val got = MultimodalOps.silenceTrimOf(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 3L, 32L, 2L * 32 + 48),
+      (2L, 4L, 4L, -1L, -1L)), got.toSeq.toString)
+    // the energy arithmetic itself: 16 z-amplitudes in a 48-byte chunk
+    assert(16L * (122 - 32) * (122 - 32) * 1000 / 48 == 2700000L)
+  }
 }
