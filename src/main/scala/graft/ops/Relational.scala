@@ -3005,7 +3005,41 @@ object Relational {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM b GROUP BY 1 ORDER BY band_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q405
+  /** Dynamic SQL (`EXECUTE IMMEDIATE` + session variables +
+    * `IDENTIFIER(:param)`) — the last piece of the BigQuery-script
+    * migration triangle next to q381 (static parameter markers) and
+    * q387 (compound-statement control flow): the query TEXT is
+    * assembled at runtime, the grouping COLUMN arrives as a
+    * parameter (bound through IDENTIFIER, so it can never inject —
+    * it resolves as a name or fails analysis), and the threshold
+    * lives in a session variable referenced from inside the dynamic
+    * string. Statement sequencing is driver-side (control plane);
+    * the executed query is one ordinary declarative plan, so at
+    * 100 TB dynamic SQL costs exactly what its static twin costs —
+    * which the oracle is. */
+  def q405ExecuteImmediate(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_li_q405")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_qty_floor DOUBLE DEFAULT 0.0")
+    s.sql("SET VARIABLE graft_qty_floor = 35.0")
+    s.sql("""EXECUTE IMMEDIATE
+      |  'SELECT IDENTIFIER(:grp) AS grp, CAST(count(*) AS BIGINT) AS n,
+      |     CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |       AS revenue
+      |   FROM graft_li_q405 WHERE l_quantity >= graft_qty_floor
+      |   GROUP BY 1 ORDER BY 1'
+      |  USING 'l_returnflag' AS grp""".stripMargin)
+  }
+
+  private val q405Oracle =
+    """SELECT l_returnflag AS grp, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem WHERE l_quantity >= 35.0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q405_execute_immediate" -> (q405ExecuteImmediate _),
     "q401_sql_udf" -> (q401SqlUdf _),
     "q399_runtime_filter" -> (q399RuntimeFilter _),
     "q361_boosted_stumps" -> (q361BoostedStumps _),
@@ -3077,6 +3111,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q405_execute_immediate" -> q405Oracle,
     "q401_sql_udf" -> q401Oracle,
     "q399_runtime_filter" -> q399Oracle,
     "q361_boosted_stumps" -> q361Oracle,

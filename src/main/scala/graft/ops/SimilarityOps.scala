@@ -2524,7 +2524,92 @@ object SimilarityOps {
        |GROUP BY vec_id
        |ORDER BY hbos_micro DESC, vec_id LIMIT $hbosTopK""".stripMargin
 
+  // ---------------------------------------------------------------- q406
+  /** Anchors mined per run — a fixed slice, the q70 convention. */
+  val tripletAnchors = 24L
+
+  /** Hard-triplet mining for contrastive training (FaceNet, Schroff
+    * et al. 2015; the data-engineering stage of every embedding
+    * fine-tune): for each anchor, the HARDEST positive (least-similar
+    * same-label vector — the pair the model most needs to pull
+    * together is actually the standard semi-hard choice's ceiling;
+    * here: highest-cosine positive and highest-cosine negative, the
+    * margin readout curators actually gate on) and the hardest
+    * negative (most-similar other-label vector), with margin =
+    * pos_cos − neg_cos and a violation flag (negative closer than
+    * the positive — the triplets worth training on). One broadcast
+    * of the anchor slice against the corpus scan (q70's shape: the
+    * corpus is never exchanged), two per-anchor top-1 windows over
+    * anchor-grain frames. At 100 TB anchors stream in bounded
+    * slices; the corpus-side cost is one scan per slice, and the
+    * IVF route (q71) pre-filters candidates when the corpus itself
+    * is the bottleneck (disclosed, not composed here). */
+  def q406TripletMining(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tripletsOf(Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", $"label",
+        VectorOps.norm($"embedding").as("nrm")), tripletAnchors)
+  }
+
+  /** Mining on any (vec_id, embedding, label, nrm) frame — separated
+    * so the spec can plant a geometry where the violation flag and
+    * both argmaxes are hand-checkable. */
+  private[ops] def tripletsOf(emb: DataFrame, nAnchors: Long): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val anchors = emb.where($"vec_id" < nAnchors)
+      .select($"vec_id".as("anchor_id"), $"embedding".as("av"),
+        $"label".as("albl"), $"nrm".as("an"))
+    val scored = emb.join(broadcast(anchors), $"vec_id" =!= $"anchor_id")
+      .select($"anchor_id", $"albl", $"vec_id", $"label",
+        (VectorOps.dot($"embedding", $"av") / ($"nrm" * $"an")).as("cosine"))
+    def top1(sameLabel: Boolean, idName: String, cosName: String) = {
+      val side = if (sameLabel) scored.where($"label" === $"albl")
+        else scored.where($"label" =!= $"albl")
+      val w = Window.partitionBy($"anchor_id")
+        .orderBy($"cosine".desc, $"vec_id".asc)
+      side.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+        .select($"anchor_id", $"vec_id".as(idName), $"cosine".as(cosName))
+    }
+    top1(sameLabel = true, "pos_id", "pos_cos")
+      .join(top1(sameLabel = false, "neg_id", "neg_cos"), Seq("anchor_id"))
+      .select($"anchor_id", $"pos_id", $"pos_cos", $"neg_id", $"neg_cos",
+        ($"pos_cos" - $"neg_cos").as("margin"),
+        ($"pos_cos" < $"neg_cos").as("violated"))
+      .orderBy($"anchor_id")
+  }
+
+  private val q406Oracle =
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding, label,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT vec_id AS anchor_id, embedding AS av, label AS albl,
+       |    nrm AS an
+       |  FROM c WHERE vec_id < $tripletAnchors),
+       |scored AS (
+       |  SELECT anchor_id, albl, vec_id, label,
+       |    ${dotSql("embedding", "av")} / (nrm * an) AS cosine
+       |  FROM c JOIN a ON vec_id <> anchor_id),
+       |pos AS (
+       |  SELECT anchor_id, vec_id AS pos_id, cosine AS pos_cos,
+       |    row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS rn
+       |  FROM scored WHERE label = albl),
+       |neg AS (
+       |  SELECT anchor_id, vec_id AS neg_id, cosine AS neg_cos,
+       |    row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS rn
+       |  FROM scored WHERE label <> albl)
+       |SELECT anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+       |  pos_cos - neg_cos AS margin, pos_cos < neg_cos AS violated
+       |FROM pos JOIN neg USING (anchor_id)
+       |WHERE pos.rn = 1 AND neg.rn = 1
+       |ORDER BY anchor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q406_triplet_mining" -> (q406TripletMining _),
     "q392_hbos_outliers" -> (q392HbosOutliers _),
     "q386_grid_density" -> (q386GridDensity _),
     "q374_binary_quant_knn" -> (q374BinaryQuantKnn _),
@@ -2554,6 +2639,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q406_triplet_mining" -> q406Oracle,
     "q392_hbos_outliers" -> q392Oracle,
     "q386_grid_density" -> q386Oracle,
     "q374_binary_quant_knn" -> q374Oracle,

@@ -644,4 +644,31 @@ class RelationalSpec extends SparkSuite {
     assert(qty < 50.0, "loop never entered")
     assert(cnt(qty + 5) < target)
   }
+
+  test("q405 execute immediate: dynamic result equals the static twin; " +
+      "IDENTIFIER binding refuses an injection payload") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dyn = Relational.q405ExecuteImmediate(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val static0 = graft.Tables.lineitem(spark, sf0001)
+      .where($"l_quantity" >= 35.0)
+      .groupBy($"l_returnflag".as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum($"l_extendedprice".cast("decimal(12,2)")).cast("double")
+          .as("revenue"))
+      .orderBy($"grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(dyn.toSeq == static0.toSeq)
+    // a name that isn't a column fails ANALYSIS — it can never smuggle
+    // SQL through the identifier slot
+    val ex = intercept[Exception] {
+      spark.sql("""EXECUTE IMMEDIATE
+        |  'SELECT IDENTIFIER(:grp) FROM graft_li_q405 LIMIT 1'
+        |  USING 'l_returnflag; DROP TABLE x' AS grp""".stripMargin)
+        .collect()
+    }
+    val msg = ex.getMessage
+    assert(msg != null && msg.nonEmpty)
+  }
 }

@@ -738,4 +738,35 @@ class SimilarityOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(gotC.toSeq == got.toSeq)
   }
+
+  test("q406 triplets: planted geometry picks the hardest pair, flags " +
+      "the violation, and breaks cosine ties to the smaller vec_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // anchor 0 (label 0, (1,0)); positives: 1=(0.8,0.6) cos .8,
+    // 6 = identical twin of 1 (tie → id 1 wins), 2=(0,1) cos 0;
+    // negatives: 3=(0.95,0.31) cos ≈ .9507 (closer than any positive
+    // → violated), 4=(-1,0) cos -1
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.8f, 0.6f), 0),
+      (6L, Seq(0.8f, 0.6f), 0),
+      (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(0.95f, 0.31f), 1),
+      (4L, Seq(-1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+      .withColumn("nrm", graft.functions.VectorOps.norm(col("embedding")))
+    val got = SimilarityOps.tripletsOf(vecs, 1L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 1L && r.getLong(3) == 3L)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def n(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      d / (n(a) * n(b))
+    }
+    assert(math.abs(r.getDouble(2) - cos(Seq(1.0f, 0.0f), Seq(0.8f, 0.6f))) < 1e-9)
+    assert(math.abs(r.getDouble(4) - cos(Seq(1.0f, 0.0f), Seq(0.95f, 0.31f))) < 1e-9)
+    assert(r.getBoolean(6), "negative closer than positive must flag")
+    assert(r.getDouble(5) < 0.0)
+  }
 }
