@@ -1860,7 +1860,94 @@ object Streaming {
       |SELECT 1, CAST(count(*) AS BIGINT) FROM events WHERE event_id % 2 = 1
       |ORDER BY batch_id""".stripMargin
 
+  // ---------------------------------------------------------------- q407
+  /** State-store growth audit (`stateOperators` progress metrics) —
+    * q397's listener turned on the metric that actually pages at
+    * 3 am: STATE size. A streaming dedup keyed on user_id processes
+    * the two-delivery fixture; after each micro-batch the listener
+    * records the state operator's total and newly-written key counts.
+    * The numbers are exactly predictable from the fixture (batch 0:
+    * every even-side user enters state; batch 1: only users whose
+    * FIRST appearance is odd-side are new), so the audit itself is
+    * oracle-checked — and that check is the operational contract: a
+    * dedup whose state grows faster than new-key arrival is leaking
+    * (no watermark eviction), which is how unbounded-state incidents
+    * actually present. Async bus handled with the q397 polling
+    * discipline. */
+  def q407StateAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val landing = java.nio.file.Files.createTempDirectory("graft_state_landing_")
+    scratch.get() += landing
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    Seq(0, 1).foreach { par =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_state_stage_$par")
+      scratch.get() += stage
+      ev.where($"event_id" % 2 === par).coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally ls.close()
+      java.nio.file.Files.move(part, landing.resolve(s"delivery_$par.parquet"))
+    }
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val pipe = stream.select($"user_id", $"event_id")
+      .dropDuplicates("user_id")
+    val name = s"graft_mem_${sinkId.incrementAndGet()}"
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        if (e.progress.name == name && e.progress.stateOperators.nonEmpty)
+          seen.add((e.progress.batchId, e.progress.numInputRows,
+            e.progress.stateOperators(0).numRowsTotal,
+            e.progress.stateOperators(0).numRowsUpdated))
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    try {
+      val q = pipe.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val deadline = System.currentTimeMillis() + 30000
+      while (seen.asScala.count(_._2 > 0) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally {
+      s.streams.removeListener(listener)
+      val dirs = scratch.get()
+      dirs.foreach(rmTree)
+      dirs.clear()
+    }
+    s.catalog.dropTempView(name)
+    seen.asScala.toSeq.filter(_._2 > 0).distinct.sortBy(_._1)
+      .toDF("batch_id", "input_rows", "state_keys_total", "state_keys_new")
+  }
+
+  private val q407Oracle =
+    """WITH ev AS (SELECT event_id, user_id FROM events),
+      |b0 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |  FROM ev WHERE event_id % 2 = 0),
+      |b1 AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows FROM ev
+      |  WHERE event_id % 2 = 1),
+      |alltot AS (
+      |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ev)
+      |SELECT CAST(0 AS BIGINT) AS batch_id, b0.n_rows AS input_rows,
+      |  b0.n_users AS state_keys_total, b0.n_users AS state_keys_new
+      |FROM b0
+      |UNION ALL
+      |SELECT 1, b1.n_rows, alltot.n_users, alltot.n_users - b0.n_users
+      |FROM b0, b1, alltot
+      |ORDER BY batch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q407_state_audit" -> (q407StateAudit _),
     "q397_progress_audit" -> (q397ProgressAudit _),
     "q298_dynamic_sessions" -> (q298DynamicSessions _),
     "q177_transform_with_state" -> (q177TransformWithState _),
@@ -1889,6 +1976,7 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "q407_state_audit" -> q407Oracle,
     "q397_progress_audit" -> q397Oracle,
     "q298_dynamic_sessions" -> q298Oracle,
     "q177_transform_with_state" -> q177Oracle,

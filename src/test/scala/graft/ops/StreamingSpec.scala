@@ -426,4 +426,20 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(again.toSeq == got.toSeq)
   }
+
+  test("q407 state audit: dedup state grows by exactly the new keys " +
+      "per delivery — the leak detector's healthy baseline") {
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+    val evenUsers = ev.where($"event_id" % 2 === 0)
+      .select($"user_id").distinct().count()
+    val allUsers = ev.select($"user_id").distinct().count()
+    val got = Streaming.q407StateAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, evenUsers, evenUsers),
+      (1L, allUsers, allUsers - evenUsers)), got.toSeq.toString)
+    // the invariant a leaking dedup would break: total grows by new
+    assert(got(1)._2 == got(0)._2 + got(1)._3)
+  }
 }
