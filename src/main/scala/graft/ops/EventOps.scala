@@ -6344,7 +6344,122 @@ object EventOps {
        |    AS srm_detected
        |FROM g ORDER BY assignment""".stripMargin
 
+  // ---------------------------------------------------------------- q408
+  /** Activity strata for q408 — total-event-count bands (width 20,
+    * capped at 5). Fixture-calibrated grid; a production run picks
+    * domain strata (signup cohort, platform) the same way. */
+  val ipwStrataWidth = 20L
+  val ipwStrataCap = 5L
+
+  /** Observational ATE by exact post-stratification ≡ IPW with
+    * within-stratum propensities (Rosenbaum & Rubin 1983; Horvitz–
+    * Thompson/Hájek) — the estimator for when NOBODY randomized:
+    * "treatment" here is self-selected (users whose error share
+    * exceeds the uniform 1/5), and it confounds with activity (more
+    * events ⇒ more errors AND more purchase revenue), so the naive
+    * treated-vs-control difference is biased by construction. The
+    * fix: stratify on activity, difference means WITHIN each
+    * stratum, and reweight by stratum population — algebraically
+    * identical to Hájek-IPW when ê(x) is the exact within-stratum
+    * treated fraction (the identity is the docstring's proof
+    * obligation, not a claim: ŵ = t/ê + (1−t)/(1−ê) with exact ê
+    * reproduces the stratified estimator term by term). Strata with
+    * an arm missing carry no causal information and are excluded,
+    * COUNTED, and reported — silent dropping is how observational
+    * readouts lie. Exact integers: cents sums, floored per-stratum
+    * means, population-weighted recombination in micro-cents. One
+    * user-grain aggregate → stratum-grain frame (≤ 6 rows); nothing
+    * corpus-sized shuffles twice. */
+  def q408StratifiedAte(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ipwAteOf(Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_err"),
+        sum(when($"event_type" === "purchase",
+          expr("CAST(round(value * 100D) AS BIGINT)")).otherwise(0L))
+          .as("y_cents"))
+      .select(
+        least(expr(s"n_ev div $ipwStrataWidth"), lit(ipwStrataCap)).as("x"),
+        (lit(5L) * $"n_err" > $"n_ev").cast("long").as("t"),
+        $"y_cents"))
+  }
+
+  /** The estimator on any (x stratum, t 0/1, y_cents) frame —
+    * separated so the spec can plant a confound the naive difference
+    * gets wrong and the stratified estimate gets right. */
+  private[ops] def ipwAteOf(users: DataFrame): DataFrame = {
+    val s = users.sparkSession
+    import s.implicits._
+    val strata = users.groupBy($"x")
+      .agg(count(lit(1)).as("n"),
+        sum($"t").as("n1"),
+        sum(when($"t" === 1L, $"y_cents").otherwise(0L)).as("y1"),
+        sum(when($"t" === 0L, $"y_cents").otherwise(0L)).as("y0"))
+      .withColumn("kept", $"n1" > 0L && $"n1" < $"n")
+    strata.agg(
+      sum($"n").as("n_users"),
+      count(lit(1)).as("n_strata"),
+      sum(when($"kept", 1L).otherwise(0L)).as("n_strata_kept"),
+      sum(when($"kept", $"n").otherwise(0L)).as("n_kept"),
+      sum($"n1").as("n_treated"),
+      sum($"y1").as("sy1"), sum($"y0").as("sy0"),
+      sum(when($"kept",
+        $"n" * (expr("y1 div n1") - expr("y0 div (n - n1)")))
+        .otherwise(0L)).as("w_diff"))
+      .select($"n_users", $"n_strata", $"n_strata_kept", $"n_kept",
+        // naive: treated mean minus control mean, ignoring strata
+        (expr("sy1 div n_treated") -
+          expr("sy0 div (n_users - n_treated)")).as("naive_diff_cents"),
+        // stratified ≡ Hájek-IPW: population-weighted within-stratum
+        // differences over the common-support strata
+        expr("CASE WHEN n_kept = 0 THEN -1 ELSE w_diff div n_kept END")
+          .as("strat_diff_cents"))
+  }
+
+  private val q408Oracle =
+    s"""WITH u AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_err,
+       |    CAST(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+       |      AS BIGINT) AS y_cents
+       |  FROM events GROUP BY 1),
+       |pts AS (
+       |  SELECT least(n_ev // $ipwStrataWidth, $ipwStrataCap) AS x,
+       |    CASE WHEN 5 * n_err > n_ev THEN 1 ELSE 0 END AS t,
+       |    y_cents
+       |  FROM u),
+       |st AS (
+       |  SELECT x, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(t) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN t = 1 THEN y_cents ELSE 0 END) AS BIGINT) AS y1,
+       |    CAST(sum(CASE WHEN t = 0 THEN y_cents ELSE 0 END) AS BIGINT) AS y0
+       |  FROM pts GROUP BY 1),
+       |ag AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n_users,
+       |    CAST(count(*) AS BIGINT) AS n_strata,
+       |    CAST(sum(CASE WHEN n1 > 0 AND n1 < n THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_strata_kept,
+       |    CAST(sum(CASE WHEN n1 > 0 AND n1 < n THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_kept,
+       |    CAST(sum(n1) AS BIGINT) AS n_treated,
+       |    CAST(sum(y1) AS BIGINT) AS sy1,
+       |    CAST(sum(y0) AS BIGINT) AS sy0,
+       |    CAST(sum(CASE WHEN n1 > 0 AND n1 < n
+       |      THEN n * (y1 // n1 - y0 // (n - n1)) ELSE 0 END) AS BIGINT)
+       |      AS w_diff
+       |  FROM st)
+       |SELECT n_users, n_strata, n_strata_kept, n_kept,
+       |  sy1 // n_treated - sy0 // (n_users - n_treated)
+       |    AS naive_diff_cents,
+       |  CASE WHEN n_kept = 0 THEN -1
+       |       ELSE w_diff // n_kept END AS strat_diff_cents
+       |FROM ag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q408_stratified_ate" -> (q408StratifiedAte _),
     "q402_srm_gate" -> (q402SrmGate _),
     "q391_jackknife_ratio"  -> (q391JackknifeRatio _),
     "q349_interpolated_asof" -> (q349InterpolatedAsof _),
@@ -6429,6 +6544,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q408_stratified_ate" -> q408Oracle,
     "q402_srm_gate" -> q402Oracle,
     "q391_jackknife_ratio"  -> q391Oracle,
     "q349_interpolated_asof" -> q349Oracle,

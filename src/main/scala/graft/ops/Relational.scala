@@ -3038,7 +3038,73 @@ object Relational {
       |FROM lineitem WHERE l_quantity >= 35.0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q409
+  /** The `NOT IN` null trap — ANSI three-valued logic's sharpest
+    * footgun, demonstrated and defused in one readout: against a key
+    * list containing even ONE NULL, `NOT IN` returns ZERO rows (x <>
+    * NULL is UNKNOWN, so no row ever passes — silently, no error),
+    * while `NOT EXISTS`, the left-anti join, and the IS NOT NULL
+    * pre-filter all return the true complement. The four methods run
+    * over the same planted key set (every 100th key replaced by
+    * NULL, so the true complement is exactly the %100 = 0 keys) and
+    * the counts land side by side — 0 vs three agreeing answers.
+    * Both engines implement the same standard, so the oracle mirrors
+    * verbatim; the spec additionally pins the agreement identities.
+    * The 100-TB angle: anti joins and NOT EXISTS plan as left-anti
+    * hash joins (null-safe by construction); a NOT IN over a
+    * nullable column plans a null-aware anti join — correct but
+    * forced to broadcast-and-scan, which is why the rewrite is also
+    * the PERFORMANCE fix. */
+  def q409NotInTrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).createOrReplaceTempView("graft_ord_q409")
+    val sqlPart = s.sql("""WITH keys AS (
+      |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+      |              ELSE o_orderkey END AS k
+      |  FROM graft_ord_q409)
+      |SELECT 'a_not_in' AS method, CAST(count(*) AS BIGINT) AS n_rows
+      |FROM graft_ord_q409 WHERE o_orderkey NOT IN (SELECT k FROM keys)
+      |UNION ALL
+      |SELECT 'b_not_exists', CAST(count(*) AS BIGINT)
+      |FROM graft_ord_q409 o
+      |WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = o.o_orderkey)
+      |UNION ALL
+      |SELECT 'd_not_in_filtered', CAST(count(*) AS BIGINT)
+      |FROM graft_ord_q409
+      |WHERE o_orderkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)
+      |""".stripMargin)
+    val keys = Tables.orders(s, dir)
+      .select(when($"o_orderkey" % 100 === 0, lit(null))
+        .otherwise($"o_orderkey").as("k"))
+    val anti = Tables.orders(s, dir)
+      .join(keys, $"o_orderkey" === $"k", "left_anti")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("c_anti_join").as("method"), $"n_rows")
+    sqlPart.unionByName(anti).orderBy($"method")
+  }
+
+  private val q409Oracle =
+    """WITH keys AS (
+      |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+      |              ELSE o_orderkey END AS k
+      |  FROM orders)
+      |SELECT 'a_not_in' AS method, CAST(count(*) AS BIGINT) AS n_rows
+      |FROM orders WHERE o_orderkey NOT IN (SELECT k FROM keys)
+      |UNION ALL
+      |SELECT 'b_not_exists', CAST(count(*) AS BIGINT)
+      |FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = o.o_orderkey)
+      |UNION ALL
+      |SELECT 'c_anti_join', CAST(count(*) AS BIGINT)
+      |FROM orders o ANTI JOIN keys ON o.o_orderkey = keys.k
+      |UNION ALL
+      |SELECT 'd_not_in_filtered', CAST(count(*) AS BIGINT)
+      |FROM orders
+      |WHERE o_orderkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)
+      |ORDER BY method""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q409_not_in_trap" -> (q409NotInTrap _),
     "q405_execute_immediate" -> (q405ExecuteImmediate _),
     "q401_sql_udf" -> (q401SqlUdf _),
     "q399_runtime_filter" -> (q399RuntimeFilter _),
@@ -3111,6 +3177,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q409_not_in_trap" -> q409Oracle,
     "q405_execute_immediate" -> q405Oracle,
     "q401_sql_udf" -> q401Oracle,
     "q399_runtime_filter" -> q399Oracle,

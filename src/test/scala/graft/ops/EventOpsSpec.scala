@@ -2272,4 +2272,28 @@ class EventOpsSpec extends SparkSuite {
     val m = EventOps.srmOf(mild).collect().head
     assert(m.getLong(3) == 4096L && !m.getBoolean(4))
   }
+
+  test("q408 stratified ATE: the planted confound fools the naive " +
+      "difference, post-stratification recovers the true +10 effect, " +
+      "and a single-arm stratum is excluded and counted") {
+    import spark.implicits._
+    // Simpson-style: treatment concentrates in the high-revenue
+    // stratum. True within-stratum effect is +10 everywhere.
+    val rows =
+      (Seq.fill(10)((0L, 0L, 100L)) ++ Seq.fill(2)((0L, 1L, 110L)) ++
+       Seq.fill(2)((1L, 0L, 1000L)) ++ Seq.fill(10)((1L, 1L, 1010L)) ++
+       Seq.fill(3)((2L, 1L, 999L)))           // treated-only stratum
+        .toDF("x", "t", "y_cents")
+    val r = EventOps.ipwAteOf(rows).collect().head
+    assert(r.getLong(0) == 27L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 24L)
+    // naive: treated mean floor((220+10100+2997)/15)=887, control 250
+    assert(r.getLong(4) == 887L - 250L)
+    // stratified: (12*10 + 12*10) / 24 = 10 — the true effect
+    assert(r.getLong(5) == 10L)
+    // all-single-arm frame: sentinel, never a fabricated zero
+    val degenerate = Seq((0L, 1L, 5L), (0L, 1L, 7L), (1L, 0L, 3L))
+      .toDF("x", "t", "y_cents")
+    assert(EventOps.ipwAteOf(degenerate).collect().head.getLong(5) == -1L)
+  }
 }

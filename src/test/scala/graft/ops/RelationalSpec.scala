@@ -671,4 +671,18 @@ class RelationalSpec extends SparkSuite {
     val msg = ex.getMessage
     assert(msg != null && msg.nonEmpty)
   }
+
+  test("q409 null trap: NOT IN against a NULL-bearing list is empty; " +
+      "the three safe forms agree on the true complement") {
+    import spark.implicits._
+    val got = Relational.q409NotInTrap(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = graft.Tables.orders(spark, sf0001)
+      .where($"o_orderkey" % 100 === 0).count()
+    assert(got("a_not_in") == 0L, "3VL: one NULL empties NOT IN")
+    assert(got("b_not_exists") == truth)
+    assert(got("c_anti_join") == truth)
+    assert(got("d_not_in_filtered") == truth)
+    assert(truth > 0L, "fixture must have a live complement")
+  }
 }
