@@ -6458,7 +6458,202 @@ object EventOps {
        |       ELSE w_diff // n_kept END AS strat_diff_cents
        |FROM ag""".stripMargin
 
+  // ---------------------------------------------------------------- q410
+  /** Channel states for the attribution chain (every non-purchase
+    * event type) and the hop budget: the readout is the K-hop
+    * conversion probability — journeys longer than [[mkRounds]] hops
+    * contribute their first K hops (geometric tail, disclosed in the
+    * metric's definition, identical in both engines). */
+  val mkChannels = Seq("click", "error", "signup", "view")
+  val mkRounds = 12
+
+  /** Markov removal-effect attribution (Anderl et al. 2016) — the
+    * model-based credit the first/last/linear family (q117, q190,
+    * q350's comparison) cannot give: build the per-user journey
+    * chain start → channel⋯ → conv/null (cut at the FIRST purchase),
+    * estimate the transition matrix, and price each channel by how
+    * much K-hop conversion probability DISAPPEARS when that channel
+    * is deleted from the graph (its inbound edges retarget to null —
+    * the customer who would have passed through it is lost). Credit
+    * = each channel's removal effect, floor-normalized to ppm.
+    * Everything heavy is one windowed pass over the event stream
+    * (journey cut + lead transitions) and one count to the
+    * ≤ (|channels|+1)×(|channels|+3) transition grain; the chain
+    * solve itself is control-plane — a ≤36-cell integer-ppm matrix
+    * iterated [[mkRounds]] times on the driver (q71's model-bounded
+    * collect discipline), once per scenario (base + one per removed
+    * channel). The oracle replays journey extraction relationally
+    * and unrolls the SAME ppm iteration per scenario — floor
+    * arithmetic, so the replay is bit-exact. */
+  def q410MarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    markovRemovalOf(Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type"))
+  }
+
+  /** The full pipeline on any (user_id, ts, event_id, event_type)
+    * frame — separated so the spec can plant a chain where one
+    * channel is the sole gateway to conversion (removal effect 10⁶)
+    * and another is pure dead-end noise (effect 0). */
+  private[ops] def markovRemovalOf(ev: DataFrame): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val staged = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("fp", min(when($"event_type" === "purchase", $"rn"))
+        .over(Window.partitionBy($"user_id")))
+      .where($"fp".isNull || $"rn" <= $"fp")
+      .withColumn("state",
+        when($"event_type" === "purchase", "conv").otherwise($"event_type"))
+    val w2 = Window.partitionBy($"user_id").orderBy($"rn")
+    val steps = staged
+      .withColumn("nxt", lead($"state", 1).over(w2))
+      .withColumn("to",
+        coalesce($"nxt", when($"state" =!= "conv", lit("null"))))
+    val trans = steps.where($"state" =!= "conv")
+      .select($"state".as("from_s"), $"to".as("to_s"))
+      .unionByName(steps.where($"rn" === 1)
+        .select(lit("start").as("from_s"), $"state".as("to_s")))
+      .groupBy($"from_s", $"to_s").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // ---- control plane: ≤36 cells, iterated in exact ppm ----
+    val states = "start" +: mkChannels
+    def pConv(drop: Option[String]): Long = {
+      val redirected = trans.map { case (f, t, c) =>
+        (f, if (drop.contains(t)) "null" else t, c) }
+      val tot = redirected.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val p = redirected.groupBy(x => (x._1, x._2)).view
+        .mapValues(_.map(_._3).sum).toMap
+      def ppm(f: String, t: String): Long =
+        tot.get(f).filter(_ > 0L)
+          .map(n => 1000000L * p.getOrElse((f, t), 0L) / n).getOrElse(0L)
+      var v = (states.map(_ -> 0L) ++ Seq("conv" -> 1000000L, "null" -> 0L))
+        .toMap
+      (1 to mkRounds).foreach { _ =>
+        // sum the ppm·v products FIRST, divide once — the exact shape
+        // the oracle's sum(p_ppm * v) // 1e6 replays (term-wise floor
+        // would drift); terms ≤ 1e12 × 7 states, far inside BIGINT
+        val nv = states.map { f =>
+          f -> (states ++ Seq("conv", "null"))
+            .map(t => ppm(f, t) * v(t)).sum / 1000000L
+        }.toMap
+        v = nv ++ Map("conv" -> 1000000L, "null" -> 0L)
+      }
+      v("start")
+    }
+    val base = pConv(None)
+    val rows = mkChannels.map { c =>
+      val removed = pConv(Some(c))
+      val effect =
+        if (base <= 0L) -1L else 1000000L - 1000000L * removed / base
+      (c, base, removed, effect)
+    }
+    val totEffect = rows.map(_._4).filter(_ > 0L).sum
+    rows.map { case (c, b, r, e) =>
+      val credit =
+        if (totEffect <= 0L || e < 0L) -1L else 1000000L * e / totEffect
+      (c, b, r, e, credit)
+    }.toDF("channel", "p_base_ppm", "p_removed_ppm", "removal_ppm",
+      "credit_ppm")
+      .orderBy($"channel")
+  }
+
+  private val q410Oracle = {
+    val states = "start" +: mkChannels
+    val allTo = states ++ Seq("conv", "null")
+    val stateVals = states.map(st => s"('$st')").mkString(", ")
+    def scenario(tag: String, drop: Option[String]): String = {
+      val redirect = drop
+        .map(d => s"CASE WHEN to_s = '$d' THEN 'null' ELSE to_s END")
+        .getOrElse("to_s")
+      // the FIRST union branch names the columns — alias it
+      val v0 = allTo.map { st =>
+        val vv = if (st == "conv") 1000000 else 0
+        s"SELECT '$st' AS state, $vv AS v"
+      }.mkString("\n  UNION ALL ")
+      val rounds = (1 to mkRounds).map { k =>
+        s"""v_${tag}_$k AS (
+           |  SELECT st.state,
+           |    COALESCE((SELECT CAST(sum(p.p_ppm * v.v) // 1000000 AS BIGINT)
+           |      FROM p_$tag p JOIN v_${tag}_${k - 1} v ON v.state = p.to_s
+           |      WHERE p.from_s = st.state), 0) AS v
+           |  FROM st
+           |  UNION ALL SELECT 'conv', 1000000
+           |  UNION ALL SELECT 'null', 0)""".stripMargin
+      }.mkString(",\n")
+      s"""p_$tag AS (
+         |  SELECT from_s, $redirect AS to_s,
+         |    CAST((1000000 * sum(cnt)) // sum(sum(cnt)) OVER
+         |      (PARTITION BY from_s) AS BIGINT) AS p_ppm
+         |  FROM trans GROUP BY 1, 2),
+         |v_${tag}_0 AS (
+         |  $v0),
+         |$rounds""".stripMargin
+    }
+    val scenarios = (("base", None: Option[String]) +:
+      mkChannels.map(c => (c, Some(c))))
+      .map { case (t, d) => scenario(t, d) }.mkString(",\n")
+    val chanRows = mkChannels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |  (SELECT v FROM v_base_$mkRounds WHERE state = 'start')
+         |    AS p_base_ppm,
+         |  (SELECT v FROM v_${c}_$mkRounds WHERE state = 'start')
+         |    AS p_removed_ppm""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ev0 AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS rn
+       |  FROM events),
+       |cut AS (
+       |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN rn END)
+       |    OVER (PARTITION BY user_id) AS fp
+       |  FROM ev0),
+       |st0 AS (
+       |  SELECT user_id, rn,
+       |    CASE WHEN event_type = 'purchase' THEN 'conv'
+       |         ELSE event_type END AS state
+       |  FROM cut WHERE fp IS NULL OR rn <= fp),
+       |steps AS (
+       |  SELECT user_id, rn, state,
+       |    COALESCE(lead(state) OVER (PARTITION BY user_id ORDER BY rn),
+       |      CASE WHEN state <> 'conv' THEN 'null' END) AS to_s
+       |  FROM st0),
+       |trans AS (
+       |  SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT state AS from_s, to_s FROM steps WHERE state <> 'conv'
+       |    UNION ALL
+       |    SELECT 'start', state FROM steps WHERE rn = 1)
+       |  GROUP BY 1, 2),
+       |st(state) AS (VALUES $stateVals),
+       |$scenarios,
+       |ch AS (
+       |  $chanRows)
+       |SELECT channel, p_base_ppm, p_removed_ppm,
+       |  CASE WHEN p_base_ppm <= 0 THEN -1
+       |       ELSE 1000000 - (1000000 * p_removed_ppm) // p_base_ppm END
+       |    AS removal_ppm,
+       |  CAST(CASE WHEN (SELECT sum(CASE WHEN p_base_ppm > 0 AND
+       |      1000000 - (1000000 * p_removed_ppm) // p_base_ppm > 0
+       |      THEN 1000000 - (1000000 * p_removed_ppm) // p_base_ppm
+       |      ELSE 0 END) FROM ch) <= 0
+       |      OR p_base_ppm <= 0
+       |      OR 1000000 - (1000000 * p_removed_ppm) // p_base_ppm < 0
+       |    THEN -1
+       |    ELSE (1000000 * (1000000 - (1000000 * p_removed_ppm)
+       |      // p_base_ppm))
+       |      // (SELECT sum(CASE WHEN p_base_ppm > 0 AND
+       |        1000000 - (1000000 * p_removed_ppm) // p_base_ppm > 0
+       |        THEN 1000000 - (1000000 * p_removed_ppm) // p_base_ppm
+       |        ELSE 0 END) FROM ch)
+       |  END AS BIGINT) AS credit_ppm
+       |FROM ch ORDER BY channel""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q410_markov_attribution" -> (q410MarkovAttribution _),
     "q408_stratified_ate" -> (q408StratifiedAte _),
     "q402_srm_gate" -> (q402SrmGate _),
     "q391_jackknife_ratio"  -> (q391JackknifeRatio _),
@@ -6544,6 +6739,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q410_markov_attribution" -> q410Oracle,
     "q408_stratified_ate" -> q408Oracle,
     "q402_srm_gate" -> q402Oracle,
     "q391_jackknife_ratio"  -> q391Oracle,

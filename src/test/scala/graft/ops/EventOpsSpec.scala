@@ -2296,4 +2296,23 @@ class EventOpsSpec extends SparkSuite {
       .toDF("x", "t", "y_cents")
     assert(EventOps.ipwAteOf(degenerate).collect().head.getLong(5) == -1L)
   }
+
+  test("q410 markov attribution: the sole gateway earns the whole " +
+      "credit, the dead-end earns none, untouched channels stay zero") {
+    import spark.implicits._
+    // 8 users: start→view→conv; 2 users: start→error→null
+    val ev = ((1 to 8).flatMap(u => Seq(
+      (u.toLong, 1L, 1L, "view"), (u.toLong, 2L, 2L, "purchase"))) ++
+      Seq((100L, 1L, 1L, "error"), (101L, 1L, 1L, "error")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.markovRemovalOf(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // base: p(start→view)=0.8, view→conv certain ⇒ p(conv)=800000 ppm
+    assert(got("view") == ((800000L, 0L, 1000000L, 1000000L)), got.toString)
+    // error is a pure dead-end: removing it changes nothing
+    assert(got("error") == ((800000L, 800000L, 0L, 0L)))
+    // channels absent from every journey carry no effect
+    assert(got("click")._3 == 0L && got("signup")._3 == 0L)
+  }
 }
