@@ -850,6 +850,51 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("AQE: post-shuffle partitions coalesce on small exchanges, and " +
+      "a planted skew splits the hot partition under lowered thresholds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (a) coalesce: a 4-partition shuffle over tiny data folds down
+    val agg = graft.Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag").agg(count(lit(1)))
+    agg.collect()
+    val pa = plan(agg).split("== Initial Plan ==")(0)
+    assert(pa.contains("AQEShuffleRead coalesced"), pa.take(600))
+    // (b) skew split: one hot orderkey inflated 30000×, thresholds
+    // lowered to fixture scale (restored after) — AQE must mark the
+    // join's hot side skew=true instead of letting one task drag
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0), "16KB")
+      spark.conf.set(keys(1), "8KB")
+      spark.conf.set(keys(2), "2")
+      spark.conf.set(keys(3), "-1")
+      // spread across 8 map tasks first: AQE splits a skewed reduce
+      // partition along MAPPER boundaries, so a single-mapper input
+      // can never be split no matter how skewed it is
+      val hot = graft.Tables.lineitem(spark, sf0001)
+        .withColumn("k", when($"l_orderkey" === 1L, 1L).otherwise($"l_orderkey"))
+        .select($"k", explode(when($"k" === 1L,
+          sequence(lit(1), lit(30000))).otherwise(array(lit(1)))).as("rep"))
+        .repartition(8, $"rep")
+      val dim = graft.Tables.orders(spark, sf0001)
+        .select($"o_orderkey".as("k"), $"o_totalprice")
+      val j = hot.join(dim, Seq("k"))
+        .agg(count(lit(1)).as("n"))
+      j.collect()
+      val pj = plan(j).split("== Initial Plan ==")(0)
+      assert(pj.contains("skew=true"), pj.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q401 SQL UDF: both functions inline at analysis — the plan " +
       "carries the CASE expression, never an opaque UDF node") {
     val df = Relational.q401SqlUdf(spark, sf0001)
