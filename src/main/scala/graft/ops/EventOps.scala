@@ -6652,7 +6652,120 @@ object EventOps {
        |FROM ch ORDER BY channel""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q411
+  /** Slope grid for the quantile fit: −40..40 steps of 100 cents/day
+    * (fixture-calibrated span around the revenue trend; a production
+    * run seeds the grid from q273's Theil–Sen slope ± k·MAD). Taus:
+    * the quartile/median/p90 lines — divergence between them IS the
+    * heteroscedasticity readout. */
+  val qrSlopes: Seq[Long] = (-40L to 40L).map(_ * 100L)
+  val qrTausPpm: Seq[Long] = Seq(250000L, 500000L, 900000L)
+
+  /** Grid quantile regression (Koenker & Bassett 1978) — conditional
+    * QUANTILE lines where q135's OLS fits the conditional mean and
+    * q273's Theil–Sen the median pairwise slope: fit y = a + b·t at
+    * τ = .25/.50/.90 by exact pinball-loss minimization over a fixed
+    * slope grid, profiling the intercept out in closed form (for
+    * fixed b, the optimal a is the discrete τ-quantile of the
+    * residuals — the q175 first-crossing rank device). A p90 line
+    * steeper than the median line means the upper tail grows faster
+    * than the middle — the heteroscedasticity signal a single OLS
+    * line cannot show. Everything exact integers: residuals in
+    * cents, pinball loss in τ_ppm-weighted cents, argmin per tau
+    * with the smaller-slope tie-break. Plan: the day-grain frame
+    * (calendar-bounded) cross-joins the 81×3 grid — ≤ 243·D rows,
+    * one rank window per (tau, slope) group, one argmin window per
+    * tau; the corpus reduces to D rows first. */
+  def q411QuantileRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUs = 86400L * 1000000L
+    quantRegOf(Tables.events(s, dir)
+      .where($"event_type" === "purchase")
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(sum(expr("CAST(round(value * 100D) AS BIGINT)")).as("y")))
+  }
+
+  /** The fit on any (day, y cents) frame — separated so the spec can
+    * plant an exact heteroscedastic fan (known quantile slopes). */
+  private[ops] def quantRegOf(daily0: DataFrame): DataFrame = {
+    val s = daily0.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = daily0
+      .crossJoin(broadcast(daily0.agg(min($"day").as("d0"),
+        count(lit(1)).as("nd"))))
+      .select(($"day" - $"d0").as("t"), $"y", $"nd")
+    val grid = qrTausPpm.toDF("tau_ppm")
+      .crossJoin(qrSlopes.toDF("b"))
+    val res = daily.crossJoin(broadcast(grid))
+      .select($"tau_ppm", $"b", $"t", $"y", $"nd",
+        ($"y" - $"b" * $"t").as("r"))
+    val wRank = Window.partitionBy($"tau_ppm", $"b").orderBy($"r")
+    // intercept = the ⌈τ·n⌉-th smallest residual (first-crossing)
+    val icept = res
+      .withColumn("rn", row_number().over(wRank))
+      .where($"rn" === expr("(tau_ppm * nd + 999999) div 1000000"))
+      .select($"tau_ppm".as("tp"), $"b".as("bb"), $"r".as("a"))
+    val loss = res
+      .join(broadcast(icept),
+        $"tau_ppm" === $"tp" && $"b" === $"bb")
+      .groupBy($"tau_ppm", $"b", $"a")
+      .agg(sum(
+        when($"r" > $"a", $"tau_ppm" * ($"r" - $"a"))
+          .otherwise((lit(1000000L) - $"tau_ppm") * ($"a" - $"r")))
+        .as("pinball"))
+    val wBest = Window.partitionBy($"tau_ppm")
+      .orderBy($"pinball".asc, $"b".asc)
+    loss.withColumn("rk", row_number().over(wBest)).where($"rk" === 1)
+      .select($"tau_ppm", $"b".as("slope_cents_per_day"),
+        $"a".as("intercept_cents"), $"pinball")
+      .orderBy($"tau_ppm")
+  }
+
+  private val q411Oracle = {
+    val dayUs = 86400L * 1000000L
+    val slopeVals = qrSlopes.map(b => s"($b)").mkString(", ")
+    val tauVals = qrTausPpm.map(t => s"($t)").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT epoch_us(ts) // $dayUs AS day,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |base AS (
+       |  SELECT CAST(day - (SELECT min(day) FROM daily) AS BIGINT) AS t, y,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM daily) AS nd
+       |  FROM daily),
+       |taus(tau_ppm) AS (VALUES $tauVals),
+       |slopes(b) AS (VALUES $slopeVals),
+       |res AS (
+       |  SELECT tau_ppm, b, t, y, nd, y - b * t AS r
+       |  FROM base, taus, slopes),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY tau_ppm, b ORDER BY r)
+       |    AS rn
+       |  FROM res),
+       |icept AS (
+       |  SELECT tau_ppm, b, r AS a FROM rk
+       |  WHERE rn = (tau_ppm * nd + 999999) // 1000000),
+       |loss AS (
+       |  SELECT res.tau_ppm, res.b, a,
+       |    CAST(sum(CASE WHEN r > a THEN res.tau_ppm * (r - a)
+       |      ELSE (1000000 - res.tau_ppm) * (a - r) END) AS BIGINT)
+       |      AS pinball
+       |  FROM res JOIN icept ON res.tau_ppm = icept.tau_ppm
+       |    AND res.b = icept.b
+       |  GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY tau_ppm
+       |    ORDER BY pinball ASC, b ASC) AS rk2
+       |  FROM loss)
+       |SELECT CAST(tau_ppm AS BIGINT) AS tau_ppm,
+       |  CAST(b AS BIGINT) AS slope_cents_per_day,
+       |  CAST(a AS BIGINT) AS intercept_cents, pinball
+       |FROM best WHERE rk2 = 1 ORDER BY tau_ppm""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q411_quantile_regression" -> (q411QuantileRegression _),
     "q410_markov_attribution" -> (q410MarkovAttribution _),
     "q408_stratified_ate" -> (q408StratifiedAte _),
     "q402_srm_gate" -> (q402SrmGate _),
@@ -6739,6 +6852,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q411_quantile_regression" -> q411Oracle,
     "q410_markov_attribution" -> q410Oracle,
     "q408_stratified_ate" -> q408Oracle,
     "q402_srm_gate" -> q402Oracle,

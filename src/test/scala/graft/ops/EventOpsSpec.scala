@@ -2315,4 +2315,43 @@ class EventOpsSpec extends SparkSuite {
     // channels absent from every journey carry no effect
     assert(got("click")._3 == 0L && got("signup")._3 == 0L)
   }
+
+  test("q411 quantile regression: exact on-grid line fits with zero " +
+      "loss at every tau; a planted fan shows the p90 slope above the " +
+      "median slope; argmin matches an independent brute-force replay") {
+    import spark.implicits._
+    def fit(pts: Seq[(Long, Long)]) = EventOps.quantRegOf(
+      pts.toDF("day", "y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exact line on a grid slope: every tau recovers it with loss 0
+    val line = (0L until 40L).map(t => (t, 300L * t + 77L))
+    fit(line).foreach { case (_, b, a, loss) =>
+      assert(b == 300L && a == 77L && loss == 0L)
+    }
+    // one-sided fan: even days ON the 300·t envelope, odd days sag to
+    // 200·t — so the conditional quantile lines are KNOWN: q.25 = 200·t
+    // (half the mass sits on the sag line), q.9 = 300·t (the envelope)
+    val fan = (0L until 40L).map(t =>
+      (t, if (t % 2 == 0) 300L * t else 200L * t))
+    val got = fit(fan).map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // independent brute force over the same grid + same arithmetic
+    def brute(tau: Long): (Long, Long, Long) =
+      EventOps.qrSlopes.map { b =>
+        val rs = fan.map { case (t, y) => y - b * t }.sorted
+        val a = rs(((tau * fan.size + 999999L) / 1000000L - 1L).toInt)
+        val loss = fan.map { case (t, y) =>
+          val r = y - b * t
+          if (r > a) tau * (r - a) else (1000000L - tau) * (a - r)
+        }.sum
+        (b, a, loss)
+      }.minBy { case (b, _, l) => (l, b) }
+    EventOps.qrTausPpm.foreach { tau =>
+      assert(got(tau) == brute(tau), s"tau=$tau: ${got(tau)} vs ${brute(tau)}")
+    }
+    // heteroscedasticity: the fitted quantile lines recover the
+    // known envelope slopes — p25 on the sag line, p90 on the top
+    assert(got(250000L)._1 == 200L, got(250000L).toString)
+    assert(got(900000L)._1 == 300L, got(900000L).toString)
+    assert(got(900000L)._1 > got(250000L)._1)
+  }
 }
