@@ -1142,7 +1142,49 @@ object ExtOps {
       |FROM orders
       |ORDER BY table_name""".stripMargin
 
+  // ---------------------------------------------------------------- q413
+  /** Hidden file-metadata columns (`_metadata.file_path` /
+    * `file_name` / `row_index`) — the provenance surface every
+    * debugging session at 100 TB reaches for ("which FILE did this
+    * corrupt row come from?") without any schema change: the events
+    * table is re-laid-out partitioned by event_type (repartitioned
+    * by the partition column first, so each partition directory gets
+    * exactly ONE file — the layout fact the readout then proves from
+    * metadata alone), read back, and audited per type: row count,
+    * distinct files, and whether every row's file path carries its
+    * own partition tag (Hive-style `event_type=` path encoding, the
+    * contract partition pruning relies on). `row_index` pins
+    * within-file ordinal provenance: its max is rows−1 per
+    * single-file type. All of it comes from the scan's metadata
+    * struct — no join back to any manifest. */
+  def q413MetadataColumns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft_meta_q413").toString
+    Tables.events(s, dir).select($"event_type", $"event_id")
+      .repartition($"event_type")
+      .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+    s.read.parquet(tmp)
+      .select($"event_type",
+        col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("ri"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"fp").as("n_files"),
+        min(expr("CAST(contains(fp, concat('event_type=', event_type))" +
+          " AS LONG)")).as("path_tagged"),
+        (max($"ri") + 1L).as("max_row_index_plus1"))
+      .orderBy($"event_type")
+  }
+
+  private val q413Oracle =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(1 AS BIGINT) AS n_files,
+      |  CAST(1 AS BIGINT) AS path_tagged,
+      |  CAST(count(*) AS BIGINT) AS max_row_index_plus1
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q413_metadata_columns" -> (q413MetadataColumns _),
     "q400_analyze_stats" -> (q400AnalyzeStats _),
     "q396_column_lineage" -> (q396ColumnLineage _),
     "q263_encoding_advisor" -> (q263EncodingAdvisor _),
@@ -1167,6 +1209,7 @@ object ExtOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q413_metadata_columns" -> q413Oracle,
     "q400_analyze_stats" -> q400Oracle,
     "q396_column_lineage" -> q396Oracle,
     "q263_encoding_advisor" -> q263Oracle,

@@ -3103,7 +3103,61 @@ object Relational {
       |WHERE o_orderkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL)
       |ORDER BY method""".stripMargin
 
+  // ---------------------------------------------------------------- q412
+  /** `Dataset.transpose` (Spark 4) — the report-layout matrix flip
+    * next to q43's pivot (values→columns by aggregation) and q368's
+    * unpivot (columns→rows): transpose swaps the WHOLE frame's axes,
+    * turning a (region × metric) summary into a (metric × region)
+    * sheet whose column set is the index column's values. Strictly a
+    * presentation-grain operator: the input must already be tiny
+    * (here: 5 regions × 3 metrics from one star-join aggregate — the
+    * heavy work is ordinary and upstream), because the output schema
+    * is DATA-dependent — exactly why it must never appear below an
+    * aggregate at scale, which the docstring is the warning for.
+    * Metrics are cast to one common BIGINT type first (transpose
+    * requires a least common type across transposed cells). The
+    * oracle builds the transposed sheet by hand with per-region
+    * scalar subqueries. */
+  def q412Transpose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val summary = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(s, dir), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100D) AS BIGINT)"))
+          .as("revenue_cents"),
+        countDistinct($"c_custkey").as("n_customers"))
+      .select($"r_name", $"n_orders", $"revenue_cents", $"n_customers")
+      .orderBy($"r_name")
+    summary.transpose($"r_name").withColumnRenamed("key", "metric")
+      .orderBy($"metric")
+  }
+
+  private val q412Oracle = {
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    val metrics = Seq(
+      ("n_customers", "CAST(count(DISTINCT c_custkey) AS BIGINT)"),
+      ("n_orders", "CAST(count(*) AS BIGINT)"),
+      ("revenue_cents",
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)"))
+    val rows = metrics.map { case (m, exprSql) =>
+      val cells = regions.map { r =>
+        s"""(SELECT $exprSql
+           |   FROM orders JOIN customer ON o_custkey = c_custkey
+           |   JOIN nation ON c_nationkey = n_nationkey
+           |   JOIN region ON n_regionkey = r_regionkey
+           |   WHERE r_name = '$r') AS "$r"""".stripMargin
+      }.mkString(",\n  ")
+      s"SELECT '$m' AS metric,\n  $cells"
+    }.mkString("\nUNION ALL ")
+    s"""$rows
+       |ORDER BY metric""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q412_transpose" -> (q412Transpose _),
     "q409_not_in_trap" -> (q409NotInTrap _),
     "q405_execute_immediate" -> (q405ExecuteImmediate _),
     "q401_sql_udf" -> (q401SqlUdf _),
@@ -3177,6 +3231,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q412_transpose" -> q412Oracle,
     "q409_not_in_trap" -> q409Oracle,
     "q405_execute_immediate" -> q405Oracle,
     "q401_sql_udf" -> q401Oracle,
