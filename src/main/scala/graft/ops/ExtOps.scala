@@ -1183,7 +1183,63 @@ object ExtOps {
       |  CAST(count(*) AS BIGINT) AS max_row_index_plus1
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q414
+  /** Typed `cogroupSorted` reconciliation — the two-table sibling of
+    * q26's typed Aggregator and the streaming-merge answer to "join
+    * then groupBy buffers the whole group": orders and (a planted
+    * subset of) lineitems co-group on the order key, and the lambda
+    * receives BOTH sides as iterators with the line side
+    * SECONDARY-SORTED by cents — Spark plans sortWithinPartitions
+    * under the cogroup, so the merge streams with O(1) state per
+    * key, never materializing a group (the q345 discipline, now on
+    * the typed API). Each key folds to one reconciliation row:
+    * order-header cents vs line-sum cents, line count, diff, and a
+    * `sorted_ok` flag the LAMBDA ITSELF computes from the arrival
+    * order — the sorted-iterator contract is part of the
+    * oracle-checked output, not just a doc claim. Lineitems of every
+    * 7th order are withheld in-query so the no-lines branch is live
+    * (synthetic orders all have lines). */
+  def q414CogroupReconcile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey",
+        expr("CAST(round(o_totalprice * 100D) AS BIGINT)").as("cents"))
+      .as[(Long, Long)]
+    val l = Tables.lineitem(s, dir)
+      .where($"l_orderkey" % 7 =!= 0)
+      .select($"l_orderkey",
+        expr("CAST(round(l_extendedprice * 100D) AS BIGINT)").as("cents"))
+      .as[(Long, Long)]
+    o.groupByKey(_._1).cogroupSorted(l.groupByKey(_._1))($"cents")($"cents") {
+      (k, os, ls) =>
+        val orderCents = os.map(_._2).toSeq.headOption.getOrElse(-1L)
+        var sum = 0L; var n = 0L; var prev = Long.MinValue; var ok = true
+        ls.foreach { case (_, c) =>
+          if (c < prev) ok = false
+          prev = c; sum += c; n += 1L
+        }
+        Iterator((k, orderCents, sum, n, orderCents - sum, ok))
+    }.toDF("o_orderkey", "order_cents", "lines_cents", "n_lines",
+      "diff_cents", "sorted_ok")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q414Oracle =
+    """SELECT o.o_orderkey,
+      |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+      |  CAST(COALESCE(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+      |    AS BIGINT) AS lines_cents,
+      |  CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+      |  CAST(round(o.o_totalprice * 100) AS BIGINT)
+      |    - CAST(COALESCE(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
+      |      0) AS BIGINT) AS diff_cents,
+      |  true AS sorted_ok
+      |FROM orders o LEFT JOIN lineitem l
+      |  ON o.o_orderkey = l.l_orderkey AND l.l_orderkey % 7 <> 0
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q414_cogroup_reconcile" -> (q414CogroupReconcile _),
     "q413_metadata_columns" -> (q413MetadataColumns _),
     "q400_analyze_stats" -> (q400AnalyzeStats _),
     "q396_column_lineage" -> (q396ColumnLineage _),
@@ -1209,6 +1265,7 @@ object ExtOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q414_cogroup_reconcile" -> q414Oracle,
     "q413_metadata_columns" -> q413Oracle,
     "q400_analyze_stats" -> q400Oracle,
     "q396_column_lineage" -> q396Oracle,

@@ -318,4 +318,23 @@ class ExtOpsSpec extends SparkSuite {
       .map(r => (r.getString(1), r.getString(2))).toSet
     assert(wr == Set(("nation", "n_name"), ("region", "r_name")))
   }
+
+  test("q414 cogroup: lambda-observed sort order holds on every key, " +
+      "the withheld-lines branch is live, and the plan secondary-sorts " +
+      "inside partitions instead of buffering groups") {
+    import spark.implicits._
+    val df = ExtOps.q414CogroupReconcile(spark, sf0001)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getBoolean(5)))
+    assert(rows.forall(_._3), "a line iterator arrived unsorted")
+    val (noLines, withLines) = rows.partition(_._2 == 0L)
+    assert(noLines.nonEmpty && withLines.nonEmpty)
+    // the plant: every 7th order's lines are withheld (the corpus also
+    // has natively line-less orders — both sources feed the branch)
+    assert(rows.filter(_._1 % 7 == 0).forall(_._2 == 0L))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("CoGroup"), p.take(400))
+    // secondary sort = local Sort (global=false) feeding the cogroup
+    assert("Sort \\[[^\\]]*\\], false".r.findFirstIn(p).isDefined, p.take(800))
+  }
 }
