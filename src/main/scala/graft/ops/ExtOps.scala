@@ -1238,7 +1238,53 @@ object ExtOps {
       |  ON o.o_orderkey = l.l_orderkey AND l.l_orderkey % 7 <> 0
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q416
+  /** EXPLAIN-ANALYZE-style operator metrics readout — the ENGINE-side
+    * twin of q214's user-defined observe(): after the action, every
+    * physical operator's `SQLMetrics` (numOutputRows here) is read
+    * straight off the executed plan, giving the per-operator row
+    * waterfall (scan → filter) a query profiler shows. That waterfall
+    * is the cardinality-estimation ground truth — the number CBO
+    * stats (q400) try to predict — and reading it costs nothing: the
+    * accumulators were maintained during the run anyway. The filter
+    * is deliberately NON-pushable (an arithmetic predicate) so the
+    * scan/filter boundary is crisp: the scan must emit every row, the
+    * filter its survivors — both oracle-checked. AQE is bracketed off
+    * for a static plan (restored after); the walk handles the plain
+    * scan→filter→project shape this probe pins. */
+  def q416ExplainAnalyze(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec}
+    val saved = s.conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = Tables.lineitem(s, dir)
+        .where(expr("l_quantity * 2D > 50.0"))
+        .select($"l_orderkey")
+      probe.collect() // the action that populates the metrics
+      val rows = probe.queryExecution.executedPlan.collect {
+        case sc: FileSourceScanExec =>
+          ("scan_parquet", sc.metrics("numOutputRows").value)
+        case f: FilterExec =>
+          ("filter", f.metrics("numOutputRows").value)
+      }
+      rows.toDF("operator", "output_rows").orderBy($"operator")
+    } finally saved match {
+      case Some(v) => s.conf.set("spark.sql.adaptive.enabled", v)
+      case None    => s.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  private val q416Oracle =
+    """SELECT 'filter' AS operator,
+      |  CAST(count(*) AS BIGINT) AS output_rows
+      |FROM lineitem WHERE l_quantity * 2 > 50.0
+      |UNION ALL
+      |SELECT 'scan_parquet', CAST(count(*) AS BIGINT) FROM lineitem
+      |ORDER BY operator""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q416_explain_analyze" -> (q416ExplainAnalyze _),
     "q414_cogroup_reconcile" -> (q414CogroupReconcile _),
     "q413_metadata_columns" -> (q413MetadataColumns _),
     "q400_analyze_stats" -> (q400AnalyzeStats _),
@@ -1265,6 +1311,7 @@ object ExtOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q416_explain_analyze" -> q416Oracle,
     "q414_cogroup_reconcile" -> q414Oracle,
     "q413_metadata_columns" -> q413Oracle,
     "q400_analyze_stats" -> q400Oracle,

@@ -3156,7 +3156,35 @@ object Relational {
        |ORDER BY metric""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q415
+  /** `DataFrameStatFunctions.crosstab` — the contingency-table API
+    * (pair frequencies as a wide sheet) next to q43's aggregation
+    * pivot: event type × day-of-week counts in ONE call, no agg
+    * spec, column set = the second column's distinct values. The dow
+    * key is computed as Spark's `dayofweek` (1 = Sunday); DuckDB's
+    * 0-based `dayofweek` shifts by one in the oracle. Crosstab is a
+    * single groupBy under the hood (distinct-pair grain), so it
+    * scales like any pivot: fine while the column dimension stays
+    * enumerable, which a 7-value dow is by construction. */
+  def q415Crosstab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", dayofweek($"ts").as("dow"))
+      .stat.crosstab("event_type", "dow")
+      .orderBy($"event_type_dow")
+  }
+
+  private val q415Oracle = {
+    val cols = (1 to 7).map(d =>
+      s"""CAST(sum(CASE WHEN dayofweek(ts) + 1 = $d THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS "$d"""".stripMargin).mkString(",\n  ")
+    s"""SELECT event_type AS event_type_dow,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q415_crosstab" -> (q415Crosstab _),
     "q412_transpose" -> (q412Transpose _),
     "q409_not_in_trap" -> (q409NotInTrap _),
     "q405_execute_immediate" -> (q405ExecuteImmediate _),
@@ -3231,6 +3259,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q415_crosstab" -> q415Oracle,
     "q412_transpose" -> q412Oracle,
     "q409_not_in_trap" -> q409Oracle,
     "q405_execute_immediate" -> q405Oracle,
