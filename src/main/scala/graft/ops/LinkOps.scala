@@ -139,15 +139,23 @@ object LinkOps {
 
   /** The oriented-wedge closure on an already-materialized canonical
     * (u < v) edge frame — split out so q321 can compute triangles
-    * and degrees against the SAME checkpointed edge set. */
+    * and degrees against the SAME checkpointed edge set.
+    *
+    * The degree joins are deliberately UNHINTED (lpaRound's posture):
+    * deg is node-cardinality, so autoBroadcastJoinThreshold is the
+    * size gate — small graphs broadcast, 10⁹-node graphs fall back to
+    * a shuffle join keyed on the endpoint, degrees co-partitioned
+    * with edges. A forced broadcast() here would driver-materialize a
+    * multi-GB (node, degree) frame at 100-TB cardinality. PlanSpec
+    * pins the fallback by planning with the threshold forced to −1. */
   private[ops] def triangleCountsOnEdges(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val deg = edges.select(explode(array($"u", $"v")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("d"))
     val or = edges
-      .join(broadcast(deg.select($"node".as("u"), $"d".as("du"))), "u")
-      .join(broadcast(deg.select($"node".as("v"), $"d".as("dv"))), "v")
+      .join(deg.select($"node".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
       .select(
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
           struct($"u".as("s"), $"v".as("t")))
@@ -671,9 +679,16 @@ object LinkOps {
     * structure directly, with no edge-projection blowup). Scores
     * live on a 2¹⁰ integer grid, re-normalized by the side's max
     * after every half-step (q188's discipline) — every pass is one
-    * broadcast join + map-side-combining agg over the edge list,
-    * with score tables at node cardinality, and the whole model is
-    * integer-exact so the oracle unrolls the identical half-steps. */
+    * score join + map-side-combining agg over the edge list, and the
+    * whole model is integer-exact so the oracle unrolls the identical
+    * half-steps. The auth/hub score joins are UNHINTED: the score
+    * tables are node-cardinality, so autoBroadcastJoinThreshold gates
+    * them (broadcast on small graphs, shuffle join co-partitioned
+    * with edges at 10⁹-node cardinality — lpaRound's posture; a
+    * forced broadcast() per half-step would driver-materialize the
+    * full score table 6× per run). Only the 1-row max frames keep an
+    * explicit broadcast — bounded at any scale. PlanSpec pins the
+    * shuffle fallback with the threshold forced to −1. */
   def q201HitsAuthority(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = Tables.lineitem(s, dir)
@@ -682,21 +697,35 @@ object LinkOps {
     var auth = edges.select($"pk").distinct()
       .select($"pk", lit(1024L).as("av"))
     (1 to hitsRounds).foreach { _ =>
-      val h = edges.join(broadcast(auth), "pk")
-        .groupBy($"ok").agg(sum($"av").as("hv"))
-      val hm = h.agg(max($"hv").as("m"))
-      val hn = h.crossJoin(broadcast(hm))
-        .select($"ok", expr("(hv * 1024) div m").as("hv"))
-      val a = edges.join(broadcast(hn), "ok")
-        .groupBy($"pk").agg(sum($"hv").as("av"))
-      val am = a.agg(max($"av").as("m"))
-      auth = a.crossJoin(broadcast(am))
-        .select($"pk", expr("(av * 1024) div m").as("av"))
+      val h = hitsHalfStep(edges, auth, "pk", "ok", "av", "hv")
+      val hn = renormToGrid(h, "ok", "hv")
+      val a = hitsHalfStep(edges, hn, "ok", "pk", "hv", "av")
+      auth = renormToGrid(a, "pk", "av")
     }
     val out = auth.select($"pk".as("p_partkey"), $"av".as("authority_grid"))
       .orderBy($"p_partkey")
     edges.unpersist(blocking = false)
     out
+  }
+
+  /** One HITS half-step: join the edge list to the (keyCol, score)
+    * table on keyCol, sum scores per outCol. Unhinted — see
+    * [[q201HitsAuthority]]; split out so PlanSpec can pin the
+    * threshold-gated join shape directly. */
+  private[graft] def hitsHalfStep(edges: DataFrame, scores: DataFrame,
+                                  keyCol: String, outCol: String,
+                                  inScore: String, outScore: String): DataFrame =
+    edges.join(scores, keyCol)
+      .groupBy(col(outCol)).agg(sum(col(inScore)).as(outScore))
+
+  /** Re-normalize a (key, score) frame onto the 2¹⁰ grid by its max —
+    * the max is ONE row, so its broadcast cross join is bounded at
+    * any scale and keeps the explicit hint. */
+  private def renormToGrid(scores: DataFrame, keyCol: String,
+                           scoreCol: String): DataFrame = {
+    val m = scores.agg(max(col(scoreCol)).as("m"))
+    scores.crossJoin(broadcast(m))
+      .select(col(keyCol), expr(s"($scoreCol * 1024) div m").as(scoreCol))
   }
 
   private val q201Oracle = {
@@ -1477,15 +1506,17 @@ object LinkOps {
 
   /** Edge supports within an alive canonical (u < v) edge frame:
     * oriented wedge closure → triangle triples → 3 canonical edges
-    * each → count. */
+    * each → count. Degree joins are UNHINTED — threshold-gated
+    * broadcast with shuffle fallback, same reasoning as
+    * [[triangleCountsOnEdges]]. */
   private[ops] def trussSupportsOnEdges(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val deg = edges.select(explode(array($"u", $"v")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("d"))
     val or = edges
-      .join(broadcast(deg.select($"node".as("u"), $"d".as("du"))), "u")
-      .join(broadcast(deg.select($"node".as("v"), $"d".as("dv"))), "v")
+      .join(deg.select($"node".as("u"), $"d".as("du")), "u")
+      .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
       .select(
         when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
           struct($"u".as("s"), $"v".as("t")))
@@ -1512,15 +1543,18 @@ object LinkOps {
     var alive = edgesIn.select($"u", $"v").localCheckpoint(true)
     var sup: DataFrame = null
     (1 to kTrussRounds).foreach { _ =>
-      val prev = alive
       sup = trussSupportsOnEdges(alive)
       alive = sup.where($"support" >= k - 2).select($"u", $"v")
         .localCheckpoint(true)
-      prev.unpersist(blocking = false)
     }
-    val out = sup.where($"support" >= k - 2)
-    alive.unpersist(blocking = false)
-    out
+    // No per-round unpersist: Dataset.unpersist only drops
+    // cache-manager entries and does NOT free localCheckpoint RDD
+    // blocks, so calling it here would be a misleading no-op — and
+    // `sup` (read below) still references the round-7 checkpoint.
+    // The alive sets are edge-grain and bounded by the peel
+    // (monotonically shrinking); the harness's session-level
+    // getPersistentRDDs cleanup frees the blocks after the action.
+    sup.where($"support" >= k - 2)
   }
 
   private val q393Oracle = {

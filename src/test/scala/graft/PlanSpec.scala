@@ -680,9 +680,17 @@ class PlanSpec extends SparkSuite {
       // checkpoint scan — the join lives in the round plan)
       val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
       val labels = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "label")
+      val scores = Seq((1L, 1024L), (2L, 512L)).toDF("pk", "av")
       for ((name, df) <- Seq(
         ("lpaRound", LinkOps.lpaRound(edges, labels)),
-        ("q320", LinkOps.q320Modularity(spark, sf0001)))) {
+        ("q320", LinkOps.q320Modularity(spark, sf0001)),
+        // the round-5 verdict's surviving forced-broadcast class:
+        // wedge-closure degree joins and HITS score joins are
+        // node-cardinality and must also fall back to a shuffle join
+        ("triangleCountsOnEdges", LinkOps.triangleCountsOnEdges(edges)),
+        ("trussSupportsOnEdges", LinkOps.trussSupportsOnEdges(edges)),
+        ("hitsHalfStep", LinkOps.hitsHalfStep(
+          edges.toDF("ok", "pk"), scores, "pk", "ok", "av", "hv")))) {
         val p = plan(df)
         // (q320's 1-row scalar m keeps its explicit broadcast cross
         // join — a hinted BNLJ is fine at any scale for one row; the
