@@ -137,22 +137,52 @@ object LinkOps {
     triangleCountsOnEdges(coEdges(items).localCheckpoint())
   }
 
+  /** Runtime threshold gate for node-cardinality build sides.
+    *
+    * Catalyst's static size estimate for a post-aggregation frame is
+    * derived from the CHILD (the pre-agg edge explode), so the
+    * planner's own autoBroadcastJoinThreshold gate never fires for a
+    * degree table even when it is tiny, and AQE only converts after
+    * the first shuffle has already run — per round, in a peel loop.
+    * This helper measures the truth instead: localCheckpoint the
+    * frame (eager — blocks are in memory), count those blocks (a
+    * near-free RDD job, no recompute), and attach a `broadcast` hint
+    * ONLY when actual rows × a conservative bytes/row clear the
+    * session's threshold. Small graphs get the broadcast plan;
+    * 10⁹-node graphs — or a disabled threshold, the PlanSpec
+    * stand-in for 100-TB cardinality — fall back to a co-partitioned
+    * shuffle join. Unlike a hard hint, the driver never materializes
+    * a frame the gate hasn't measured as small. */
+  private[graft] def sizeGated(df: DataFrame,
+                               bytesPerRow: Long = 48L): DataFrame = {
+    val s = df.sparkSession
+    val ckpt = df.localCheckpoint(true)
+    val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val threshold =
+      if (raw.trim.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    if (threshold > 0 && ckpt.count() * bytesPerRow <= threshold)
+      broadcast(ckpt)
+    else ckpt
+  }
+
   /** The oriented-wedge closure on an already-materialized canonical
     * (u < v) edge frame — split out so q321 can compute triangles
     * and degrees against the SAME checkpointed edge set.
     *
-    * The degree joins are deliberately UNHINTED (lpaRound's posture):
-    * deg is node-cardinality, so autoBroadcastJoinThreshold is the
-    * size gate — small graphs broadcast, 10⁹-node graphs fall back to
-    * a shuffle join keyed on the endpoint, degrees co-partitioned
-    * with edges. A forced broadcast() here would driver-materialize a
-    * multi-GB (node, degree) frame at 100-TB cardinality. PlanSpec
-    * pins the fallback by planning with the threshold forced to −1. */
-  private[ops] def triangleCountsOnEdges(edges: DataFrame): DataFrame = {
+    * The degree joins are [[sizeGated]], never hard-hinted: deg is
+    * node-cardinality, so the gate measures the checkpointed frame
+    * and broadcasts only when genuinely under the session threshold —
+    * small graphs broadcast, 10⁹-node graphs fall back to a shuffle
+    * join keyed on the endpoint, degrees co-partitioned with edges.
+    * A forced broadcast() here would driver-materialize a multi-GB
+    * (node, degree) frame at 100-TB cardinality. PlanSpec pins the
+    * fallback by planning with the threshold forced to −1. */
+  private[graft] def triangleCountsOnEdges(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val deg = edges.select(explode(array($"u", $"v")).as("node"))
-      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val deg = sizeGated(edges.select(explode(array($"u", $"v")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("d")))
     val or = edges
       .join(deg.select($"node".as("u"), $"d".as("du")), "u")
       .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
@@ -1506,14 +1536,14 @@ object LinkOps {
 
   /** Edge supports within an alive canonical (u < v) edge frame:
     * oriented wedge closure → triangle triples → 3 canonical edges
-    * each → count. Degree joins are UNHINTED — threshold-gated
+    * each → count. Degree joins are [[sizeGated]] — measured
     * broadcast with shuffle fallback, same reasoning as
     * [[triangleCountsOnEdges]]. */
-  private[ops] def trussSupportsOnEdges(edges: DataFrame): DataFrame = {
+  private[graft] def trussSupportsOnEdges(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val deg = edges.select(explode(array($"u", $"v")).as("node"))
-      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val deg = sizeGated(edges.select(explode(array($"u", $"v")).as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("d")))
     val or = edges
       .join(deg.select($"node".as("u"), $"d".as("du")), "u")
       .join(deg.select($"node".as("v"), $"d".as("dv")), "v")
@@ -1541,11 +1571,26 @@ object LinkOps {
     val s = edgesIn.sparkSession
     import s.implicits._
     var alive = edgesIn.select($"u", $"v").localCheckpoint(true)
+    var aliveCount = alive.count()
     var sup: DataFrame = null
-    (1 to kTrussRounds).foreach { _ =>
+    // Fixpoint early-exit: the alive set only ever SHRINKS (round
+    // i+1 keeps a subset of round i's edges), so an unchanged count
+    // means an unchanged set — further rounds are idempotent no-ops
+    // (the q200 device the unrolled oracle relies on), and the
+    // support frame from the converged round IS the final answer.
+    // The fixture converges at round 5 of 8; at 100-TB scale this
+    // saves whole peel rounds, each of which is a full wedge
+    // closure over the surviving edges.
+    var round = 0
+    var stable = false
+    while (round < kTrussRounds && !stable) {
       sup = trussSupportsOnEdges(alive)
       alive = sup.where($"support" >= k - 2).select($"u", $"v")
         .localCheckpoint(true)
+      val next = alive.count()
+      stable = next == aliveCount
+      aliveCount = next
+      round += 1
     }
     // No per-round unpersist: Dataset.unpersist only drops
     // cache-manager entries and does NOT free localCheckpoint RDD

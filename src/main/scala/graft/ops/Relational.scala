@@ -3165,13 +3165,31 @@ object Relational {
     * 0-based `dayofweek` shifts by one in the oracle. Crosstab is a
     * single groupBy under the hood (distinct-pair grain), so it
     * scales like any pivot: fine while the column dimension stays
-    * enumerable, which a 7-value dow is by construction. */
+    * enumerable, which a 7-value dow is by construction.
+    *
+    * Crosstab's column set is the OBSERVED value set — a fixture
+    * with no Tuesday events would drop a column and fail any
+    * fixed-schema consumer (the oracle hard-codes all seven). The
+    * dow domain is known a priori, so the sheet is completed to the
+    * full 1..7 schema: absent days appear as zero-count columns, in
+    * fixed order, independent of the data. */
   def q415Crosstab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
-      .select($"event_type", dayofweek($"ts").as("dow"))
-      .stat.crosstab("event_type", "dow")
-      .orderBy($"event_type_dow")
+    dowCrosstabOf(Tables.events(s, dir)
+      .select($"event_type", dayofweek($"ts").as("dow")))
+  }
+
+  /** The completed contingency sheet on any (event_type, dow) frame —
+    * separated so the spec can drive a weekday-FREE fixture and pin
+    * the schema's data-independence. */
+  private[graft] def dowCrosstabOf(pairs: DataFrame): DataFrame = {
+    val ct = pairs.stat.crosstab("event_type", "dow")
+    val complete = (1 to 7).map(_.toString).foldLeft(ct) { (df, d) =>
+      if (df.columns.contains(d)) df else df.withColumn(d, lit(0L))
+    }
+    complete
+      .select(col("event_type_dow") +: (1 to 7).map(d => col(d.toString)): _*)
+      .orderBy(col("event_type_dow"))
   }
 
   private val q415Oracle = {

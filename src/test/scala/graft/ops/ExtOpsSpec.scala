@@ -337,4 +337,20 @@ class ExtOpsSpec extends SparkSuite {
     // secondary sort = local Sort (global=false) feeding the cogroup
     assert("Sort \\[[^\\]]*\\], false".r.findFirstIn(p).isDefined, p.take(800))
   }
+
+  test("q414 cogroup: a line-only key (dangling line-side FK) emits " +
+      "NOTHING — the lambda mirrors LEFT JOIN FROM orders, no sentinel") {
+    import spark.implicits._
+    val o = Seq((1L, 500L), (2L, 300L)).toDS()
+    val l = Seq((1L, 200L), (1L, 100L), (9L, 777L)).toDS() // key 9 orphan
+    val rows = ExtOps.cogroupReconcile(o, l).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L),
+      "orphan key 9 must not surface a row the oracle cannot express")
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == 500L && r1.getLong(2) == 300L
+      && r1.getLong(3) == 2L && r1.getLong(4) == 200L && r1.getBoolean(5))
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.getLong(2) == 0L && r2.getLong(3) == 0L
+      && r2.getLong(4) == 300L)
+  }
 }

@@ -685,4 +685,19 @@ class RelationalSpec extends SparkSuite {
     assert(got("d_not_in_filtered") == truth)
     assert(truth > 0L, "fixture must have a live complement")
   }
+
+  test("q415 crosstab: the seven dow columns are schema-fixed — a " +
+      "weekday-free fixture still emits all of 1..7, absent days zero") {
+    import spark.implicits._
+    // only Monday(2) and Thursday(5) observed; crosstab alone would
+    // emit a 2-column sheet and break any fixed-schema consumer
+    val pairs = Seq(("click", 2), ("click", 2), ("click", 5), ("view", 5))
+      .toDF("event_type", "dow")
+    val df = Relational.dowCrosstabOf(pairs)
+    assert(df.columns.toSeq == "event_type_dow" +: (1 to 7).map(_.toString))
+    val rows = df.collect().map(r => r.getString(0) ->
+      (1 to 7).map(i => r.getLong(i))).toMap
+    assert(rows("click") == Seq(0L, 2L, 0L, 0L, 1L, 0L, 0L))
+    assert(rows("view") == Seq(0L, 0L, 0L, 0L, 1L, 0L, 0L))
+  }
 }
