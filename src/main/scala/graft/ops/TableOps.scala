@@ -833,7 +833,126 @@ object TableOps {
       |FROM orders WHERE o_orderkey % 4 IN (0, 1)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q417
+  /** SQL-visible catalog read — the reference-parity surface: BQ
+    * users query the loaded table BY NAME (reference
+    * `terraform/outputs.tf:13-15`), so the TableLog user gets
+    * `SELECT … FROM graftlog.\`<path>\`` via
+    * [[graft.sources.GraftLogCatalog]] instead of the `snapshot`
+    * API. Same demo table as q330; the WHERE carries a key-range
+    * predicate so the round-trip exercises all three skipping
+    * layers: manifest file skip (per-file [min,max] vs the pushed
+    * range), parquet row-group skip (the same filters handed to
+    * Spark's own vectorized scan), and the residual row filter.
+    * PlanSpec pins the file-level skip through the ScanBuilder
+    * directly. */
+  private def withCatalog(s: SparkSession): Unit =
+    s.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+
+  def q417CatalogSql(s: SparkSession, dir: String): DataFrame = {
+    withCatalog(s)
+    val table = demoTable(s, dir)
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$table`
+         |WHERE o_orderkey BETWEEN 0 AND 29999
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q417Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority <> '1-URGENT'
+      |  AND o_orderkey BETWEEN 0 AND 29999
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q418
+  /** `VERSION AS OF` time travel through the SQL catalog — q331's
+    * snapshot-isolation proof, now on the named-table surface: one
+    * aggregate per committed version, each resolved by
+    * `TableCatalog.loadTable(ident, version)` to an immutable
+    * manifest snapshot. Versions 4 and 5 must agree exactly
+    * (compaction is physical only). Shares q331's oracle verbatim —
+    * the API read and the SQL read are the same logical operation,
+    * and hashing both against one oracle pins that. */
+  def q418CatalogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = demoTable(s, dir)
+    (1L to TableLog.latestVersion(table)).map { v =>
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+           |FROM graftlog.`$table` VERSION AS OF $v""".stripMargin)
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+
+  // ---------------------------------------------------------------- q419
+  /** Retention-windowed VACUUM ([[TableLog.vacuumRetain]]): with the
+    * last 2 versions retained, only files reachable by NO retained
+    * snapshot delete — here the v1/v2 stage files (8), orphaned by
+    * the v3 compaction; v3's compacted files survive because v3 is
+    * in the window even though v4's delete rewrote them. The readout
+    * proves both sides: reclaimed files/rows (folded from the
+    * manifests, no data I/O) AND post-vacuum reads of BOTH retained
+    * versions — in-window time travel survives the vacuum by
+    * construction. The out-of-window failure mode (v1 reads fail
+    * loudly once their exclusive files are gone) is pinned in
+    * TableLogSpec, where an expected failure belongs. History:
+    * v1 create %4=0 (4 files) · v2 append %4=1 (4) · v3 compact (2)
+    * · v4 delete URGENT (2). */
+  private val vacuumCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Long)]()
+
+  private def vacuumDemo(s: SparkSession, dir: String): (String, Int, Long) =
+    vacuumCache.computeIfAbsent(dir, _ => {
+      val table = Files.createTempDirectory("graft_tlogv_").toString
+      val o = ordersSlice(s, dir)
+      TableLog.create(o.where(col("o_orderkey") % 4 === 0), table,
+        "o_orderkey", numFiles = 4)
+      TableLog.append(o.where(col("o_orderkey") % 4 === 1), table,
+        numFiles = 4)
+      TableLog.compact(s, table, numFiles = 2)
+      TableLog.deleteWhere(s, table,
+        col("o_orderpriority") === "1-URGENT", numFiles = 2)
+      // grace 0: this fixture owns the only writer (see the
+      // defaultVacuumGraceMillis scaladoc); result cached so every
+      // invocation in the JVM reports the one vacuum that ran
+      val r = TableLog.vacuumRetain(table, retainVersions = 2,
+        graceMillis = 0L)
+      (table, r.filesDeleted, r.rowsReclaimed)
+    })
+
+  def q419VacuumRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (table, nFiles, nRows) = vacuumDemo(s, dir)
+    val v3 = TableLog.snapshot(s, table, 3L).agg(count(lit(1)).as("v3_rows"))
+    val v4 = TableLog.snapshot(s, table, 4L).agg(count(lit(1)).as("v4_rows"))
+    v3.crossJoin(v4)
+      .select(lit(nFiles.toLong).as("n_files_reclaimed"),
+        lit(nRows).as("rows_reclaimed"), $"v3_rows", $"v4_rows")
+  }
+
+  private val q419Oracle =
+    """SELECT CAST(8 AS BIGINT) AS n_files_reclaimed,
+      |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 4 IN (0, 1))
+      |    AS BIGINT) AS rows_reclaimed,
+      |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 4 IN (0, 1))
+      |    AS BIGINT) AS v3_rows,
+      |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      |        AND o_orderpriority <> '1-URGENT') AS BIGINT) AS v4_rows""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q417_catalog_sql" -> (q417CatalogSql _),
+    "q418_catalog_time_travel" -> (q418CatalogTimeTravel _),
+    "q419_vacuum_retention" -> (q419VacuumRetention _),
     "q355_table_replace_where" -> (q355TableReplaceWhere _),
     "q354_table_mv_refresh"  -> (q354TableMvRefresh _),
     "q351_table_zorder"      -> (q351TableZorder _),
@@ -853,6 +972,9 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q417_catalog_sql" -> q417Oracle,
+    "q418_catalog_time_travel" -> q331Oracle,
+    "q419_vacuum_retention" -> q419Oracle,
     "q355_table_replace_where" -> q355Oracle,
     "q354_table_mv_refresh"  -> q354Oracle,
     "q351_table_zorder"      -> q351Oracle,

@@ -814,8 +814,13 @@ object TableLog {
   val defaultVacuumGraceMillis: Long = 15L * 60 * 1000
 
   def vacuumList(table: String,
-      graceMillis: Long = defaultVacuumGraceMillis): Seq[String] = {
-    val active = state(table).active.map(_.relPath).toSet
+      graceMillis: Long = defaultVacuumGraceMillis): Seq[String] =
+    unreferencedOnDisk(table,
+      state(table).active.map(_.relPath).toSet, graceMillis)
+
+  /** On-disk data files / sidecars outside `keep`, age-gated. */
+  private def unreferencedOnDisk(table: String, keep: Set[String],
+      graceMillis: Long): Seq[String] = {
     val dataDir = Paths.get(table, "data")
     if (!Files.isDirectory(dataDir)) return Nil
     val cutoff = System.currentTimeMillis() - graceMillis
@@ -838,7 +843,7 @@ object TableLog {
     def dataFileOf(rel: String): String =
       if (rel.endsWith(".bloom")) rel.substring(0, rel.indexOf(".parquet") + 8)
       else rel
-    all.filterNot(rel => active(dataFileOf(rel))).sorted
+    all.filterNot(rel => keep(dataFileOf(rel))).sorted
   }
 
   /** Physically delete [[vacuumList]]'s files. Returns the count. */
@@ -847,5 +852,43 @@ object TableLog {
     val victims = vacuumList(table, graceMillis)
     victims.foreach(p => Files.deleteIfExists(Paths.get(table, p)))
     victims.size
+  }
+
+  /** [[vacuumList]] generalized to a RETENTION WINDOW: candidate
+    * files are those referenced by NO snapshot among the last
+    * `retainVersions` versions — a file reachable from any retained
+    * version is structurally excluded, so in-window time travel
+    * survives the vacuum by construction (the Delta retention rule;
+    * the spec proves both directions). Versions older than the
+    * window keep their manifests — history stays auditable — but
+    * their reads fail loudly once their exclusive files are gone:
+    * retention trades old-version readability for space, and says
+    * so. `retainVersions = 1` degenerates to [[vacuumList]]. */
+  def vacuumListRetain(table: String, retainVersions: Int,
+      graceMillis: Long = defaultVacuumGraceMillis): Seq[String] = {
+    require(retainVersions >= 1,
+      s"retention must keep at least the latest version, got $retainVersions")
+    val last = latestVersion(table)
+    val fromV = math.max(1L, last - retainVersions + 1)
+    val keep = (fromV to last)
+      .flatMap(v => state(table, v).active.map(_.relPath)).toSet
+    unreferencedOnDisk(table, keep, graceMillis)
+  }
+
+  final case class VacuumReport(filesDeleted: Int, rowsReclaimed: Long)
+
+  /** Execute the retention-checked vacuum. `rowsReclaimed` is folded
+    * from the commit manifests (file-grain metadata, no data I/O);
+    * a torn-writer orphan that never reached a manifest deletes as
+    * 0 rows — it never held committed data. */
+  def vacuumRetain(table: String, retainVersions: Int,
+      graceMillis: Long = defaultVacuumGraceMillis): VacuumReport = {
+    val victims = vacuumListRetain(table, retainVersions, graceMillis)
+    val rowsOf = commits(table).flatMap(_.adds)
+      .map(a => a.relPath -> a.rows).toMap
+    val rows = victims.iterator.filter(_.endsWith(".parquet"))
+      .map(p => rowsOf.getOrElse(p, 0L)).sum
+    victims.foreach(p => Files.deleteIfExists(Paths.get(table, p)))
+    VacuumReport(victims.size, rows)
   }
 }
