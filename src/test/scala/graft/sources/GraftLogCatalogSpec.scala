@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.SparkSuite
+import graft.tablelog.TableLog
+
+/** The SQL-visible commit-log catalog (q417/q418's machinery): named
+  * reads, VERSION AS OF resolution, and the manifest-level skipping
+  * the ScanBuilder performs BEFORE Spark plans a scan — pinned on the
+  * builder itself, not a plan string.
+  */
+class GraftLogCatalogSpec extends SparkSuite {
+
+  private val emptyOpts =
+    new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+
+  private def freshTable(bloom: Option[String] = None): String = {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_cat_").toString
+    val v1 = (0L to 99L).map(i => (i, s"a$i")).toDF("k", "v")
+    TableLog.create(v1, t, "k", numFiles = 4, bloomCol = bloom)
+    TableLog.append((100L to 199L).map(i => (i, s"b$i")).toDF("k", "v"),
+      t, numFiles = 4)
+    t
+  }
+
+  test("named SQL read + VERSION AS OF resolve manifest snapshots; " +
+      "pushdown reaches the parquet scan") {
+    val t = freshTable()
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    // latest: both commits visible
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 200L)
+    // time travel: v1 predates the append — snapshot isolation by name
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 1")
+      .collect().head.getLong(0) == 100L)
+    // rows through a pushed key predicate stay exact (file skip is
+    // file-grain; the residual row filter does the last mile)
+    val df = spark.sql(s"SELECT v FROM graftlog.`$t` WHERE k >= 180")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      (180L to 199L).map(i => s"b$i").sorted)
+    // the key comparison reaches the parquet scan for row-group skip
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GreaterThanOrEqual(k,180"), p.take(800))
+  }
+
+  test("ScanBuilder prunes the manifest file set from pushed filters: " +
+      "key ranges via [min,max] stats, point lookups via bloom sidecars") {
+    val t = freshTable(bloom = Some("v"))
+    val snap = TableLog.state(t)
+    assert(snap.active.size == 8)
+    // key range: only range-intersecting files survive, none lost
+    val kb = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    kb.pushFilters(Array(GreaterThanOrEqual("k", java.lang.Long.valueOf(150L))))
+    assert(kb.chosenFiles.size < snap.active.size, kb.chosenFiles.toString)
+    assert(kb.chosenFiles.forall(_.max >= 150L))
+    assert(kb.chosenFiles.map(_.rows).sum >= 50L)
+    assert(kb.pushedFilters().length == 1)
+    // bloom point predicate on the NON-key column: sidecars skip files
+    // the value cannot be in (false positives only widen, never lose)
+    val bb = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    bb.pushFilters(Array(EqualTo("v", "a5")))
+    assert(bb.chosenFiles.size < snap.active.size, bb.chosenFiles.toString)
+    assert(bb.chosenFiles.nonEmpty)
+  }
+
+  test("catalog surface: nonexistent paths miss cleanly, writes refuse") {
+    val cat = new GraftLogCatalog
+    cat.initialize("graftlog", emptyOpts)
+    val ghost = Identifier.of(Array.empty, "/nonexistent/graft/table")
+    assert(!cat.tableExists(ghost))
+    intercept[UnsupportedOperationException] { cat.dropTable(ghost) }
+    intercept[UnsupportedOperationException] {
+      cat.loadTable(Identifier.of(Array.empty, freshTable()), 12345L)
+    } // TIMESTAMP AS OF is honestly unsupported
+  }
+}

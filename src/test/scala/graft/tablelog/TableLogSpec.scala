@@ -412,4 +412,35 @@ class TableLogSpec extends SparkSuite {
       TableLog.readAppendsSince(spark, t, sinceVersion = 0L)
     }
   }
+
+  test("vacuumRetain: retained versions keep every reachable file, " +
+      "in-window time travel survives, out-of-window reads fail loudly") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 49L).map(i => (i, s"a$i"))), t, "k", 2) // v1
+    TableLog.append(kv((50L to 99L).map(i => (i, s"b$i"))), t, 2)     // v2
+    TableLog.compact(spark, t, 1)                                     // v3
+    TableLog.deleteWhere(spark, t, col("k") % 10 === 0, 1)            // v4
+    // retention must keep at least the latest version
+    intercept[IllegalArgumentException] {
+      TableLog.vacuumListRetain(t, 0, graceMillis = 0L)
+    }
+    // full retention: every on-disk file is reachable by SOME retained
+    // version — the refusal is structural, nothing lists
+    assert(TableLog.vacuumListRetain(t, 4, graceMillis = 0L).isEmpty)
+    // retain {v3, v4}: exactly the v1/v2 stage files (4) are orphans;
+    // v3's compacted file survives — v4 rewrote it, but v3 is retained
+    val victims = TableLog.vacuumListRetain(t, 2, graceMillis = 0L)
+    assert(victims.size == 4, victims.toString)
+    val r = TableLog.vacuumRetain(t, 2, graceMillis = 0L)
+    assert(r.filesDeleted == 4 && r.rowsReclaimed == 100L, r.toString)
+    // in-window time travel survives the vacuum by construction
+    assert(TableLog.snapshot(spark, t, 3L).count() == 100L)
+    assert(TableLog.snapshot(spark, t, 4L).count() == 90L)
+    // out-of-window: manifests stay (history auditable) but the read
+    // fails loudly — the disclosed retention trade
+    assert(TableLog.history(t).size == 4)
+    intercept[Exception] { TableLog.snapshot(spark, t, 1L).count() }
+    // idempotent: a second vacuum finds nothing
+    assert(TableLog.vacuumRetain(t, 2, graceMillis = 0L).filesDeleted == 0)
+  }
 }
