@@ -222,6 +222,55 @@ object ExtOps {
     """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q420
+  /** The engine-native image of the reference's extract→load pair
+    * (reference `src/extract/main.py` pulls, `src/load/main.py`
+    * appends) as ONE oracle-checked round-trip, with both ends on
+    * the library's OWN connectors: q226's DSv2 source extracts (the
+    * id-range predicate pushes INTO the source, which statically
+    * prunes generation chunks — 5 of 8 survive), a conform step
+    * derives batch/tier columns (T0's stamp shape), q379's DSv2 sink
+    * loads under an atomic `_MANIFEST` commit, and the readout
+    * aggregates THROUGH the sink's manifest-listed scan. Every hop
+    * is engine-owned: no file path is ever listed, no partial batch
+    * is ever visible, and the oracle regenerates the whole pipeline
+    * from generate_series + identical integer arithmetic — the
+    * extract→transform→load contract is hash-checked end to end.
+    * Scratch dir deleted after the readout materializes (q413's
+    * hygiene). */
+  def q420Dsv2RoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val outPath = Files.createTempDirectory("graft_rt420")
+    try {
+      val extracted = s.read.format("graft.sources.SeqSourceProvider")
+        .option("rows", "100000").option("parts", "8").load()
+        .where($"id" >= 10000L && $"id" < 60000L)
+      val conformed = extracted.select($"id", $"grp",
+        ($"val" % 97L).as("tier"), expr("id div 10000").as("batch"))
+      conformed.write.format("graft.sources.BlobSinkProvider")
+        .mode("append").option("path", outPath.toString).save()
+      s.read.format("graft.sources.BlobSinkProvider")
+        .option("path", outPath.toString).load()
+        .groupBy($"grp", $"batch")
+        .agg(count(lit(1)).as("n"), sum($"tier").as("sum_tier"))
+        .localCheckpoint(true)
+        .orderBy($"grp", $"batch")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(outPath)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(Files.deleteIfExists)
+    }
+  }
+
+  private val q420Oracle =
+    """SELECT 'g' || CAST(id % 10 AS VARCHAR) AS grp,
+      |  CAST(id // 10000 AS BIGINT) AS batch,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(((id * 2654435761) % 1000003) % 97) AS BIGINT) AS sum_tier
+      |FROM generate_series(10000, 59999) t(id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- q86
   /** Bucketed-table layout: both join sides written once with
     * `bucketBy(8, key).sortBy(key)`, then joined WITHOUT an Exchange —
@@ -1335,6 +1384,7 @@ object ExtOps {
     "q371_avro_roundtrip" -> (q371AvroRoundtrip _),
     "q372_xml_roundtrip" -> (q372XmlRoundtrip _),
     "q379_dsv2_sink" -> (q379Dsv2Sink _),
+    "q420_dsv2_roundtrip" -> (q420Dsv2RoundTrip _),
     "q86_bucketed_join" -> (q86BucketedJoin _),
     "q89_column_profile" -> (q89ColumnProfile _),
     "q98_sorted_layout" -> (q98SortedLayout _),
@@ -1362,6 +1412,7 @@ object ExtOps {
     "q371_avro_roundtrip" -> q371Oracle,
     "q372_xml_roundtrip" -> q372Oracle,
     "q379_dsv2_sink" -> q379Oracle,
+    "q420_dsv2_roundtrip" -> q420Oracle,
     "q86_bucketed_join" -> q86Oracle,
     "q89_column_profile" -> q89Oracle,
     "q98_sorted_layout" -> q98Oracle,

@@ -234,14 +234,15 @@ object LinkOps {
     * Per round: one join of the direction-doubled edge list against
     * the node-sized label table, one (node, label) count, one
     * per-node argmax window — partitioned by node, so no global
-    * sort. The label join is deliberately UNHINTED: labels are
-    * node-cardinality, so Catalyst's autoBroadcastJoinThreshold is
-    * the size gate — below it (small graphs, and every local test)
-    * the label map broadcasts; above it (100-TB node cardinality,
-    * where a forced broadcast would blow the driver) the planner
-    * falls back to a shuffle join keyed on v, labels co-partitioned
-    * with edges — q159's BFS-frontier posture. PlanSpec pins the
-    * fallback by planning with the threshold forced to −1. The edge
+    * sort. The label join is [[sizeGated]], never hard-hinted:
+    * labels are node-cardinality, so the gate measures each round's
+    * checkpointed label frame against the session threshold — below
+    * it (small graphs, and every local test) the label map
+    * broadcasts; above it (100-TB node cardinality, where a forced
+    * broadcast would blow the driver) the join falls back to a
+    * shuffle keyed on v, labels co-partitioned with edges — q159's
+    * BFS-frontier posture. PlanSpec pins the fallback by planning
+    * with the threshold forced to −1. The edge
     * list is localCheckpoint'd once and reused every round. At
     * 100 TB the edge join shuffles on dst each round — the same
     * per-round cost profile as q122's PageRank, rounds fixed by
@@ -266,12 +267,14 @@ object LinkOps {
     val edges = edgesIn.select($"u", $"v")
       .unionAll(edgesIn.select($"v".as("u"), $"u".as("v")))
       .localCheckpoint(true)
-    var labels = edges.select($"u".as("node")).distinct()
-      .select($"node", $"node".as("label"))
-      .localCheckpoint(true)
+    // label frames are [[sizeGated]]: measured broadcast below the
+    // session threshold (the doubled edge list never shuffles on a
+    // small graph), co-partitioned shuffle fallback above it
+    var labels = sizeGated(edges.select($"u".as("node")).distinct()
+      .select($"node", $"node".as("label")))
     (1 to lpaRounds).foreach { _ =>
       val prev = labels
-      labels = lpaRound(edges, labels).localCheckpoint(true)
+      labels = sizeGated(lpaRound(edges, labels))
       prev.unpersist(blocking = false)
     }
     val out = labels.withColumnRenamed("label", "community")
@@ -661,7 +664,10 @@ object LinkOps {
     val edges = edgesIn.select($"u", $"v")
       .unionAll(edgesIn.select($"v".as("u"), $"u".as("v")))
       .localCheckpoint(true)
-    var alive = edges.select($"u".as("node")).distinct().localCheckpoint(true)
+    // the alive set is [[sizeGated]]: a measured broadcast makes both
+    // per-round semi joins map-side on small graphs (the edge frame
+    // never shuffles), with the co-partitioned fallback at 10⁹ nodes
+    var alive = sizeGated(edges.select($"u".as("node")).distinct())
     var deg: DataFrame = null
     (1 to kCoreRounds).foreach { _ =>
       val prev = alive
@@ -669,7 +675,7 @@ object LinkOps {
         .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
       deg = live.groupBy($"u".as("node")).agg(count(lit(1)).as("core_degree"))
-      alive = deg.where($"core_degree" >= k).select($"node").localCheckpoint(true)
+      alive = sizeGated(deg.where($"core_degree" >= k).select($"node"))
       prev.unpersist(blocking = false)
     }
     val out = deg.where($"core_degree" >= k)
@@ -711,14 +717,18 @@ object LinkOps {
     * after every half-step (q188's discipline) — every pass is one
     * score join + map-side-combining agg over the edge list, and the
     * whole model is integer-exact so the oracle unrolls the identical
-    * half-steps. The auth/hub score joins are UNHINTED: the score
-    * tables are node-cardinality, so autoBroadcastJoinThreshold gates
-    * them (broadcast on small graphs, shuffle join co-partitioned
-    * with edges at 10⁹-node cardinality — lpaRound's posture; a
-    * forced broadcast() per half-step would driver-materialize the
-    * full score table 6× per run). Only the 1-row max frames keep an
-    * explicit broadcast — bounded at any scale. PlanSpec pins the
-    * shuffle fallback with the threshold forced to −1. */
+    * half-steps. The auth/hub score joins are [[sizeGated]], never
+    * hard-hinted: the score tables are node-cardinality, so the gate
+    * measures each checkpointed score frame and broadcasts only
+    * under the session threshold (small graphs: the edge list never
+    * shuffles; 10⁹-node cardinality: shuffle join co-partitioned
+    * with edges — lpaRound's posture; a forced broadcast() per
+    * half-step would driver-materialize the full score table 6× per
+    * run regardless of size). The per-half-step checkpoint also
+    * truncates the otherwise 6-deep nested plan. Only the 1-row max
+    * frames keep an explicit broadcast — bounded at any scale.
+    * PlanSpec pins the shuffle fallback with the threshold forced
+    * to −1. */
   def q201HitsAuthority(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val edges = Tables.lineitem(s, dir)
@@ -727,9 +737,9 @@ object LinkOps {
     var auth = edges.select($"pk").distinct()
       .select($"pk", lit(1024L).as("av"))
     (1 to hitsRounds).foreach { _ =>
-      val h = hitsHalfStep(edges, auth, "pk", "ok", "av", "hv")
+      val h = hitsHalfStep(edges, sizeGated(auth), "pk", "ok", "av", "hv")
       val hn = renormToGrid(h, "ok", "hv")
-      val a = hitsHalfStep(edges, hn, "ok", "pk", "hv", "av")
+      val a = hitsHalfStep(edges, sizeGated(hn), "ok", "pk", "hv", "av")
       auth = renormToGrid(a, "pk", "av")
     }
     val out = auth.select($"pk".as("p_partkey"), $"av".as("authority_grid"))

@@ -341,8 +341,10 @@ class ExtOpsSpec extends SparkSuite {
   test("q414 cogroup: a line-only key (dangling line-side FK) emits " +
       "NOTHING — the lambda mirrors LEFT JOIN FROM orders, no sentinel") {
     import spark.implicits._
-    val o = Seq((1L, 500L), (2L, 300L)).toDS()
-    val l = Seq((1L, 200L), (1L, 100L), (9L, 777L)).toDS() // key 9 orphan
+    val o = Seq((1L, 500L), (2L, 300L))
+      .toDF("o_orderkey", "cents").as[(Long, Long)]
+    val l = Seq((1L, 200L), (1L, 100L), (9L, 777L)) // key 9 orphan
+      .toDF("l_orderkey", "cents").as[(Long, Long)]
     val rows = ExtOps.cogroupReconcile(o, l).collect()
     assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L),
       "orphan key 9 must not surface a row the oracle cannot express")
