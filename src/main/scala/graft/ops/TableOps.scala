@@ -949,7 +949,26 @@ object TableOps {
       |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 4 IN (0, 1)
       |        AND o_orderpriority <> '1-URGENT') AS BIGINT) AS v4_rows""".stripMargin
 
+  // ---------------------------------------------------------------- q421
+  /** The commit-history METADATA table on the SQL surface
+    * (`graftlog.\`<path>#history\`` — the DESCRIBE-HISTORY shape):
+    * q333's logical-grain readout, now reachable without any API
+    * call. The rows fold from manifests on the driver (log-grain,
+    * never a data file) and ship inside the scan's single input
+    * partition — history is bounded by commit count, not data.
+    * Hashes against q333's oracle verbatim, so the API readout and
+    * the SQL metadata table cannot drift. */
+  def q421CatalogHistory(s: SparkSession, dir: String): DataFrame = {
+    withCatalog(s)
+    val table = demoTable(s, dir)
+    s.sql(
+      s"""SELECT version, op, rows_added, rows_removed, total_rows
+         |FROM graftlog.`$table#history`
+         |ORDER BY version""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q421_catalog_history" -> (q421CatalogHistory _),
     "q417_catalog_sql" -> (q417CatalogSql _),
     "q418_catalog_time_travel" -> (q418CatalogTimeTravel _),
     "q419_vacuum_retention" -> (q419VacuumRetention _),
@@ -972,6 +991,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q421_catalog_history" -> q333Oracle,
     "q417_catalog_sql" -> q417Oracle,
     "q418_catalog_time_travel" -> q331Oracle,
     "q419_vacuum_retention" -> q419Oracle,

@@ -66,21 +66,39 @@ class GraftLogCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   /** The identifier IS the table path: `graftlog.\`/tmp/t\`` parses
-    * to an empty namespace and name "/tmp/t". Nested namespaces are
-    * rejected — paths quote cleanly, dotted names would ambiguate. */
+    * to an empty namespace and name "/tmp/t". A `#history` suffix
+    * selects the table's commit-history METADATA table (the
+    * DESCRIBE-HISTORY surface) instead of its data. Nested
+    * namespaces are rejected — paths quote cleanly, dotted names
+    * would ambiguate. */
   private def pathOf(ident: Identifier): String = {
     if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
     ident.name()
   }
 
+  private val historySuffix = "#history"
+
   private def load(ident: Identifier, version: Option[Long]): Table = {
-    val path = pathOf(ident)
+    val raw = pathOf(ident)
+    if (raw.endsWith(historySuffix)) {
+      // history is log-grain and versionless — VERSION/TIMESTAMP AS OF
+      // on it would be ambiguous (truncate? stamp-filter?); refuse
+      if (version.isDefined) throw new UnsupportedOperationException(
+        s"$catalogName: time travel over $historySuffix is not defined — " +
+          "the history table already spans every version")
+      val path = raw.stripSuffix(historySuffix)
+      val hist =
+        try TableLog.history(path)
+        catch { case _: Exception => throw new NoSuchTableException(ident) }
+      if (hist.isEmpty) throw new NoSuchTableException(ident)
+      return new GraftLogHistoryTable(path, hist)
+    }
     val snap =
-      try TableLog.state(path, version.getOrElse(Long.MaxValue))
+      try TableLog.state(raw, version.getOrElse(Long.MaxValue))
       catch { case _: IllegalArgumentException =>
         throw new NoSuchTableException(ident)
       }
-    new GraftLogTable(path, snap)
+    new GraftLogTable(raw, snap)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -93,13 +111,20 @@ class GraftLogCatalog extends TableCatalog {
         throw new NoSuchTableException(ident)
       }))
 
-  /** `TIMESTAMP AS OF` — manifests carry versions, not wall-clock
-    * stamps (deterministic fixtures can't), so timestamp travel is
-    * honestly unsupported rather than approximated. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: TIMESTAMP AS OF is not supported — TableLog versions " +
-        "are logical; use VERSION AS OF <v>")
+  /** `TIMESTAMP AS OF t` — the image of the reference warehouse's
+    * `FOR SYSTEM_TIME AS OF`: Spark hands the resolved timestamp in
+    * MICROseconds; the commit manifests carry wall-clock millis, and
+    * the latest commit at-or-before the instant wins
+    * ([[TableLog.versionAtTimestamp]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    val v =
+      try TableLog.versionAtTimestamp(path, timestamp / 1000L)
+      catch { case _: IllegalArgumentException =>
+        throw new NoSuchTableException(ident)
+      }
+    load(ident, Some(v))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // tables are filesystem paths, not an enumerable namespace
@@ -134,6 +159,69 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot)
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(SparkSession.active, tablePath, snap, options)
+}
+
+/** The commit-history metadata table (`graftlog.\`<path>#history\``)
+  * — q333's logical-grain readout on the SQL surface: one row per
+  * version with operation, file and row deltas, and the running
+  * total, all folded from the manifests on the DRIVER (log-grain,
+  * ~100 B/file at 100 TB — never a data-file read). The rows ride
+  * inside the single input partition: history is bounded by commit
+  * count, not data, so shipping it in the task is the honest plan. */
+class GraftLogHistoryTable(tablePath: String,
+    hist: Seq[TableLog.HistoryRow]) extends Table with SupportsRead {
+  override def name(): String = s"graftlog.`$tablePath#history`"
+  override def schema(): StructType = GraftLogHistoryTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with org.apache.spark.sql.connector.read.Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = GraftLogHistoryTable.schema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        Array(GraftLogHistoryPartition(hist.map(h =>
+          (h.version, h.op, h.nAdds, h.nRemoves,
+            h.rowsAdded, h.rowsRemoved, h.totalRows))))
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new GraftLogHistoryReaderFactory
+    }
+}
+
+object GraftLogHistoryTable {
+  val schema: StructType = StructType.fromDDL(
+    "version BIGINT, op STRING, n_adds INT, n_removes INT, " +
+      "rows_added BIGINT, rows_removed BIGINT, total_rows BIGINT")
+}
+
+case class GraftLogHistoryPartition(
+    rows: Seq[(Long, String, Int, Int, Long, Long, Long)])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+class GraftLogHistoryReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val it = p.asInstanceOf[GraftLogHistoryPartition].rows.iterator
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (v, op, na, nr, ra, rr, tot) = it.next()
+        cur = org.apache.spark.sql.catalyst.InternalRow(
+          v, org.apache.spark.unsafe.types.UTF8String.fromString(op),
+          na, nr, ra, rr, tot)
+        true
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class GraftLogScanBuilder(spark: SparkSession, tablePath: String,

@@ -65,11 +65,15 @@ object TableLog {
     * it added and the (previously active) files it removed. `txn` is
     * the optional idempotence marker (application id → monotonic
     * producer version, the Delta txnAppId/txnVersion device) that
-    * makes redelivered micro-batches exactly-once. */
+    * makes redelivered micro-batches exactly-once. `tsMillis` is the
+    * commit wall-clock stamp backing TIMESTAMP AS OF resolution
+    * (0 for manifests written before the tag existed — those resolve
+    * as "before any timestamp", never silently as current). */
   final case class Commit(version: Long, op: String, adds: Seq[AddFile],
       removes: Seq[String], schemaDdl: String, keyCol: String,
       txns: Seq[(String, Long)] = Nil,
-      bloom: Option[(String, Int)] = None)
+      bloom: Option[(String, Int)] = None,
+      tsMillis: Long = 0L)
 
   /** A replayed table state: active files in commit order plus the
     * metadata needed to read them. `txns` carries the highest
@@ -99,9 +103,11 @@ object TableLog {
   private def render(op: String, adds: Seq[AddFile], removes: Seq[String],
       schemaDdl: String, keyCol: String,
       txns: Seq[(String, Long)] = Nil,
-      bloom: Option[(String, Int)] = None): String = {
+      bloom: Option[(String, Int)] = None,
+      tsMillis: Long = 0L): String = {
     val sb = new StringBuilder
     sb ++= s"op $op\n"
+    if (tsMillis > 0L) sb ++= s"ts $tsMillis\n"
     sb ++= s"key $keyCol\n"
     sb ++= s"schema $schemaDdl\n"
     bloom.foreach { case (c, m) =>
@@ -122,7 +128,7 @@ object TableLog {
   }
 
   private def parse(version: Long, text: String): Commit = {
-    var op = ""; var key = ""; var ddl = ""
+    var op = ""; var key = ""; var ddl = ""; var ts = 0L
     var bloom = Option.empty[(String, Int)]
     val txns = Seq.newBuilder[(String, Long)]
     val adds = Seq.newBuilder[AddFile]
@@ -134,6 +140,7 @@ object TableLog {
       val (tag, rest) = (line.substring(0, sp), line.substring(sp + 1))
       tag match {
         case "op"     => op = rest
+        case "ts"     => ts = rest.toLong
         case "key"    => key = rest
         case "schema" => ddl = rest
         case "remove" => removes += rest
@@ -151,7 +158,7 @@ object TableLog {
       }
     }
     Commit(version, op, adds.result(), removes.result(), ddl, key,
-      txns.result(), bloom)
+      txns.result(), bloom, ts)
   }
 
   /** Latest committed version, 0 if the table has no log yet. The
@@ -202,6 +209,21 @@ object TableLog {
     Snapshot(v, active.values.toSeq, ddl, key, txns, bloom)
   }
 
+  /** The latest version whose commit wall-clock stamp is ≤
+    * `epochMillis` — TIMESTAMP AS OF resolution (the image of the
+    * reference warehouse's `FOR SYSTEM_TIME AS OF`). Stamps are
+    * assigned at manifest render time and are monotone in practice
+    * (single filesystem clock); commits predating the `ts` tag carry
+    * 0 and resolve as infinitely old — visible at every timestamp,
+    * never silently as current. Throws when the timestamp predates
+    * the table entirely. */
+  def versionAtTimestamp(table: String, epochMillis: Long): Long = {
+    val stamped = commits(table).filter(c => c.tsMillis <= epochMillis)
+    require(stamped.nonEmpty,
+      s"$table has no commit at or before epoch-millis $epochMillis")
+    stamped.map(_.version).max
+  }
+
   /** Table state at `version` (default: latest). Replays the newest
     * checkpoint ≤ version plus the commits after it — O(active files
     * + recent commits), never O(full history). */
@@ -235,7 +257,8 @@ object TableLog {
       keyCol: String, txn: Option[(String, Long)] = None,
       bloom: Option[(String, Int)] = None): Long = {
     Files.createDirectories(logDir(table))
-    val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq, bloom)
+    val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq, bloom,
+      tsMillis = System.currentTimeMillis())
     var attempt = expected + 1L
     while (true) {
       val tmp = Files.createTempFile(logDir(table), s"tmp-$op-", ".inprogress")

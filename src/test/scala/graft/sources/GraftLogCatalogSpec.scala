@@ -76,8 +76,50 @@ class GraftLogCatalogSpec extends SparkSuite {
     val ghost = Identifier.of(Array.empty, "/nonexistent/graft/table")
     assert(!cat.tableExists(ghost))
     intercept[UnsupportedOperationException] { cat.dropTable(ghost) }
-    intercept[UnsupportedOperationException] {
-      cat.loadTable(Identifier.of(Array.empty, freshTable()), 12345L)
-    } // TIMESTAMP AS OF is honestly unsupported
+  }
+
+  test("TIMESTAMP AS OF resolves the latest commit at-or-before the " +
+      "instant; an instant predating the table misses") {
+    val cat = new GraftLogCatalog
+    cat.initialize("graftlog", emptyOpts)
+    val t = Files.createTempDirectory("tlog_ts_").toString
+    import spark.implicits._
+    val before = System.currentTimeMillis() - 5L
+    TableLog.create((0L to 99L).map(i => (i, s"a$i")).toDF("k", "v"), t, "k", 2)
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    TableLog.append((100L to 199L).map(i => (i, s"b$i")).toDF("k", "v"), t, 2)
+    val ident = Identifier.of(Array.empty, t)
+    def rowsAt(millis: Long): Long = {
+      val snap = TableLog.state(t,
+        TableLog.versionAtTimestamp(t, millis))
+      snap.active.map(_.rows).sum
+    }
+    assert(rowsAt(between) == 100L)
+    assert(rowsAt(System.currentTimeMillis()) == 200L)
+    // the catalog hook receives MICROseconds and lands on the same version
+    assert(cat.loadTable(ident, between * 1000L).schema().fieldNames
+      .toSeq == Seq("k", "v"))
+    intercept[Exception] { TableLog.versionAtTimestamp(t, before) }
+  }
+
+  test("#history metadata table matches TableLog.history row for row") {
+    val t = freshTable()
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val got = spark.sql(
+      s"SELECT * FROM graftlog.`$t#history` ORDER BY version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val want = TableLog.history(t).map(h =>
+      (h.version, h.op, h.nAdds, h.nRemoves,
+        h.rowsAdded, h.rowsRemoved, h.totalRows))
+    assert(got.toSeq == want)
+    // versionless: time travel over history refuses
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graftlog.`$t#history` VERSION AS OF 1")
+        .collect()
+    }
   }
 }
