@@ -967,7 +967,65 @@ object TableOps {
          |ORDER BY version""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q422
+  /** Streaming SOURCE over the commit log
+    * ([[graft.sources.GraftLogStreamProvider]]) — the inverse of
+    * q335's stream INGEST and the capability that chains logged
+    * tables into pipelines: a downstream query subscribes to the
+    * table and receives each append commit's files as a micro-batch,
+    * offset = table version (deterministic replay ⇒ exactly-once
+    * with a checkpoint). The fixture proves the INCREMENTAL path:
+    * the stream drains the create+append history, then a THIRD
+    * commit lands mid-stream and only its files flow in the next
+    * batch — nothing is rescanned. Readout aggregates the memory
+    * sink; the oracle restates the three slices in pure SQL.
+    * Rewrite-in-window fail-fast (the readAppendsSince contract,
+    * streamed) is pinned in GraftLogStreamSpec. */
+  private val sourceStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q422TableStreamSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sinkName = sourceStreamCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogsrc_").toString
+      val cp = Files.createTempDirectory("graft_tlogsrc_cp_").toString
+      val name = s"q422_feed_${Integer.toHexString(dir.hashCode)}"
+      val slice = ordersSlice(s, dir)
+      TableLog.create(slice.where(col("o_orderkey") % 4 === 0), t,
+        "o_orderkey", numFiles = 2)
+      TableLog.append(slice.where(col("o_orderkey") % 4 === 1), t,
+        numFiles = 2)
+      val q = s.readStream
+        .format("graft.sources.GraftLogStreamProvider")
+        .option("path", t).load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable()
+      // the commit that arrives while the stream is live — the next
+      // batch must carry exactly its files
+      TableLog.append(slice.where(col("o_orderkey") % 4 === 2), t,
+        numFiles = 2)
+      q.processAllAvailable()
+      q.stop()
+      name
+    })
+    s.table(sinkName)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q422Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1, 2)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q422_table_stream_source" -> (q422TableStreamSource _),
     "q421_catalog_history" -> (q421CatalogHistory _),
     "q417_catalog_sql" -> (q417CatalogSql _),
     "q418_catalog_time_travel" -> (q418CatalogTimeTravel _),
@@ -991,6 +1049,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q422_table_stream_source" -> q422Oracle,
     "q421_catalog_history" -> q333Oracle,
     "q417_catalog_sql" -> q417Oracle,
     "q418_catalog_time_travel" -> q331Oracle,

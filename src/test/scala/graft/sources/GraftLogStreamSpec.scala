@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.tablelog.TableLog
+
+/** The commit-log streaming source (q422's machinery): version
+  * offsets, incremental batches, null-filled schema evolution, and
+  * the rewrite fail-fast.
+  */
+class GraftLogStreamSpec extends SparkSuite {
+
+  private def kv(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("incremental batches: a mid-stream append flows as its own " +
+      "batch; offsets are versions; nothing is rescanned") {
+    val t = Files.createTempDirectory("tlog_stream_").toString
+    val cp = Files.createTempDirectory("tlog_stream_cp_").toString
+    TableLog.create(kv((0L to 49L).map(i => (i, s"a$i"))), t, "k", 2)
+    val q = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).load()
+      .writeStream.format("memory").queryName("tlog_stream_probe")
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tlog_stream_probe").count() == 50L)
+      TableLog.append(kv((50L to 99L).map(i => (i, s"b$i"))), t, 2)
+      q.processAllAvailable()
+      val got = spark.table("tlog_stream_probe").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size == 100 && got(0L) == "a0" && got(99L) == "b99")
+      // the second batch carried ONLY the appended version's rows
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      assert(prog.map(_.numInputRows).sum == 100L, prog.mkString("\n"))
+      assert(prog.last.numInputRows == 50L, prog.mkString("\n"))
+    } finally q.stop()
+  }
+
+  test("startingVersion replays from a chosen point; schema evolution " +
+      "null-fills pre-evolution files in the stream") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_stream2_").toString
+    val cp = Files.createTempDirectory("tlog_stream2_cp_").toString
+    TableLog.create(kv((0L to 9L).map(i => (i, s"a$i"))), t, "k", 1)
+    TableLog.appendEvolve((10L to 19L).map(i => (i, s"b$i", i * 2))
+      .toDF("k", "v", "w"), t, 1)
+    // full replay: pre-evolution rows stream with the widened schema,
+    // the missing column null-filled (the batch read's contract)
+    val q = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).load()
+      .writeStream.format("memory").queryName("tlog_stream_probe2")
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tlog_stream_probe2").collect()
+      assert(rows.length == 20, rows.length.toString)
+      val (old, young) = rows.partition(_.getLong(0) < 10L)
+      assert(old.length == 10 && old.forall(_.isNullAt(2)))
+      assert(young.forall(r => r.getLong(2) == r.getLong(0) * 2))
+    } finally q.stop()
+    // startingVersion=1 skips the create commit: only v2's rows flow
+    val cp2 = Files.createTempDirectory("tlog_stream2_cp2_").toString
+    val q2 = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).option("startingVersion", "1").load()
+      .writeStream.format("memory").queryName("tlog_stream_probe2b")
+      .option("checkpointLocation", cp2)
+      .start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("tlog_stream_probe2b").collect()
+      assert(rows.length == 10, rows.length.toString)
+      assert(rows.forall(_.getLong(0) >= 10L))
+    } finally q2.stop()
+  }
+
+  test("a rewrite commit in the window fails the stream fast — " +
+      "appends-only reads must not double-count") {
+    val t = Files.createTempDirectory("tlog_stream3_").toString
+    TableLog.create(kv((0L to 9L).map(i => (i, s"a$i"))), t, "k", 2)
+    TableLog.compact(spark, t, 1) // v2 is a rewrite
+    val stream = new GraftLogMicroBatchStream(t,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        TableLog.state(t).schemaDdl), startingVersion = 0L)
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(GraftLogVersionOffset(0L),
+        GraftLogVersionOffset(2L))
+    }
+    assert(e.getMessage.contains("rewrite"))
+    // restarting past the rewrite works: only post-compact appends flow
+    TableLog.append(kv((10L to 14L).map(i => (i, s"c$i"))), t, 1)
+    val parts = stream.planInputPartitions(GraftLogVersionOffset(2L),
+      GraftLogVersionOffset(3L))
+    assert(parts.length == 1)
+  }
+}
