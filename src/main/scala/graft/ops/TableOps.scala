@@ -1024,7 +1024,55 @@ object TableOps {
       |WHERE o_orderkey % 4 IN (0, 1, 2)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q423
+  /** Native streaming SINK into the commit log — q335's exactly-once
+    * ingest with the foreachBatch glue ABSORBED into the connector:
+    * `writeStream.format(graftlog-stream)` lands every micro-batch
+    * as one atomic append commit stamped (txnAppId, epochId) in the
+    * manifest's txn ledger, task writers stream parquet under
+    * `<table>/data/` computing the manifest's key stats as they go.
+    * Same triple-delivery torture as q335 (normal · same checkpoint
+    * · FRESH checkpoint with the explicit txnAppId): the oracle
+    * proves exactly one copy landed — dedup across checkpoint loss,
+    * which checkpointed streaming alone cannot give. Shares q335's
+    * oracle content: both surfaces state the same ingest. */
+  private val sinkStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q423TableStreamSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = sinkStreamCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogsk_").toString
+      val landing = Files.createTempDirectory("graft_tlogskl_").toString
+      val slice = ordersSlice(s, dir)
+      landFile(slice.where($"o_orderkey" % 4 === 0), landing, "batch_a.parquet")
+      landFile(slice.where($"o_orderkey" % 4 === 1), landing, "batch_b.parquet")
+      TableLog.create(slice.limit(0), t, "o_orderkey", numFiles = 1)
+      def runOnce(checkpoint: String): Unit = {
+        val q = s.readStream.schema(slice.schema)
+          .option("maxFilesPerTrigger", "1").parquet(landing)
+          .writeStream
+          .format("graft.sources.GraftLogStreamProvider")
+          .option("path", t)
+          .option("txnAppId", "native-sink")
+          .option("checkpointLocation", checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce(s"$landing/_cp1")
+      runOnce(s"$landing/_cp1") // same lineage: checkpoint makes it a no-op
+      runOnce(s"$landing/_cp2") // checkpoint LOST: txn ledger drops redelivery
+      t
+    })
+    TableLog.snapshot(s, table)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q423_table_stream_sink" -> (q423TableStreamSink _),
     "q422_table_stream_source" -> (q422TableStreamSource _),
     "q421_catalog_history" -> (q421CatalogHistory _),
     "q417_catalog_sql" -> (q417CatalogSql _),
@@ -1049,6 +1097,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q423_table_stream_sink" -> q335Oracle,
     "q422_table_stream_source" -> q422Oracle,
     "q421_catalog_history" -> q333Oracle,
     "q417_catalog_sql" -> q417Oracle,

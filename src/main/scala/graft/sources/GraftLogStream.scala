@@ -67,11 +67,13 @@ class GraftLogStreamProvider extends TableProvider {
 }
 
 class GraftLogStreamTable(path: String, tblSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graftlog_stream(`$path`)"
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
       override def build(): Scan = this
@@ -81,6 +83,171 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
         new GraftLogMicroBatchStream(path, tblSchema,
           Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
     }
+
+  /** Native streaming SINK — `writeStream.format(…).option("path",…)`
+    * lands every micro-batch as ONE atomic append commit stamped
+    * with (txnAppId, epochId) in the manifest's txn ledger, so a
+    * redelivered epoch commits zero rows: the q335 foreachBatch
+    * idiom, absorbed into the connector. `txnAppId` defaults to the
+    * streaming queryId (stable within a checkpoint lineage); pass it
+    * explicitly to keep exactly-once ACROSS checkpoint loss — the
+    * Delta txnAppId contract. Task writers stream rows to parquet
+    * files under `<table>/data/` via the public parquet-hadoop API,
+    * computing the per-file key stats the manifest needs as they go;
+    * losers of speculative races stay uncommitted on disk and the
+    * grace-gated vacuum reclaims them. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming: org.apache.spark.sql.connector.write
+              .streaming.StreamingWrite = {
+            val appId = Option(info.options.get("txnAppId"))
+              .getOrElse(s"graftlog-sink-${info.queryId()}")
+            new GraftLogStreamingWrite(path, appId, info.schema())
+          }
+        }
+    }
+}
+
+class GraftLogStreamingWrite(table: String, appId: String,
+    writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val keyCol = {
+    val snap = TableLog.state(table)
+    val declared = StructType.fromDDL(snap.schemaDdl)
+    // the sink appends: names and types must already match the table
+    // (additive evolution stays on the appendEvolve API, where the
+    // schema merge has its conflict rules)
+    declared.fields.zip(writeSchema.fields).foreach { case (t, w) =>
+      require(t.name == w.name && t.dataType == w.dataType,
+        s"graftlog sink: frame column '${w.name}: ${w.dataType.sql}' does " +
+          s"not match table column '${t.name}: ${t.dataType.sql}'")
+    }
+    require(declared.length == writeSchema.length,
+      s"graftlog sink: frame has ${writeSchema.length} columns, table " +
+        s"declares ${declared.length}")
+    snap.keyCol
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftLogSinkWriterFactory(table, writeSchema.toDDL, keyCol)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val adds = messages.collect {
+      case GraftLogSinkCommitMessage(rel, rows, mn, mx) if rows > 0L =>
+        TableLog.AddFile(rel, rows, mn, mx)
+    }.toSeq.sortBy(_.relPath)
+    // zero-row epochs still advance the txn ledger (an empty commit),
+    // so a redelivery of them stays a no-op too
+    TableLog.commitStagedAppend(table, adds, Some((appId, epochId)))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogSinkCommitMessage(rel, _, _, _) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table, rel))
+      case _ => ()
+    }
+}
+
+case class GraftLogSinkCommitMessage(relPath: String, rows: Long,
+    min: Long, max: Long)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftLogSinkWriterFactory(table: String, schemaDdl: String,
+    keyCol: String)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  import org.apache.spark.sql.connector.write.DataWriter
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val schema = StructType.fromDDL(schemaDdl)
+    val keyIdx = schema.fieldIndex(keyCol)
+    require(schema(keyIdx).dataType == LongType,
+      s"graftlog sink: key column '$keyCol' must be BIGINT")
+    val stageId = "stream-" + java.util.UUID.randomUUID().toString.take(8)
+    val relPath = f"data/$stageId/part-$epochId%05d-$partitionId%05d-$taskId.parquet"
+    val abs = java.nio.file.Paths.get(table, relPath)
+    java.nio.file.Files.createDirectories(abs.getParent)
+    val messageType = GraftLogSinkWriterFactory.messageTypeOf(schema)
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(messageType)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new HadoopPath(abs.toString))
+      .withType(messageType).withConf(new Configuration()).build()
+    new DataWriter[InternalRow] {
+      private var rows = 0L
+      private var mn = Long.MaxValue
+      private var mx = Long.MinValue
+      override def write(r: InternalRow): Unit = {
+        val g = factory.newGroup()
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (!r.isNullAt(i)) f.dataType match {
+            case LongType    => g.add(f.name, r.getLong(i))
+            case IntegerType => g.add(f.name, r.getInt(i))
+            case DoubleType  => g.add(f.name, r.getDouble(i))
+            case FloatType   => g.add(f.name, r.getFloat(i))
+            case BooleanType => g.add(f.name, r.getBoolean(i))
+            case StringType  => g.add(f.name, r.getUTF8String(i).toString)
+            case o => throw new UnsupportedOperationException(
+              s"graftlog sink: unsupported column type $o for '${f.name}'")
+          }
+        }
+        require(!r.isNullAt(keyIdx),
+          s"graftlog sink: key column '$keyCol' must not be null")
+        val k = r.getLong(keyIdx)
+        mn = math.min(mn, k); mx = math.max(mx, k)
+        rows += 1L
+        writer.write(g)
+      }
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        writer.close()
+        if (rows == 0L) java.nio.file.Files.deleteIfExists(abs)
+        GraftLogSinkCommitMessage(relPath, rows, mn, mx)
+      }
+      override def abort(): Unit = {
+        writer.close()
+        java.nio.file.Files.deleteIfExists(abs)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+object GraftLogSinkWriterFactory {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+  private[sources] def messageTypeOf(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val field = f.dataType match {
+        case LongType    => Types.optional(INT64).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
+        case DoubleType  => Types.optional(DOUBLE).named(f.name)
+        case FloatType   => Types.optional(FLOAT).named(f.name)
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
+        case StringType  => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case o => throw new UnsupportedOperationException(
+          s"graftlog sink: unsupported column type $o for '${f.name}'")
+      }
+      b.addField(field)
+    }
+    b.named("graftlog")
+  }
 }
 
 /** The stream offset IS the table version — total order for free,

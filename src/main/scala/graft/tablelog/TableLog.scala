@@ -449,6 +449,23 @@ object TableLog {
       txn = Some((appId, txnVersion)))
   }
 
+  /** Publish EXTERNALLY staged files (already written under
+    * `<table>/data/…` by a connector-layer writer that owns its own
+    * file I/O — the DSv2 streaming sink) as ONE append commit, with
+    * the same optional txn idempotence as [[appendTxn]]. The caller
+    * supplies per-file stats it computed while writing; files of a
+    * dropped duplicate delivery stay on disk as unreferenced
+    * garbage, which [[vacuumList]]'s grace-gated sweep reclaims —
+    * never as table rows. */
+  def commitStagedAppend(table: String, adds: Seq[AddFile],
+      txn: Option[(String, Long)] = None): Long = {
+    val snap = state(table)
+    txn.foreach { case (app, tv) =>
+      if (snap.txns.get(app).exists(_ >= tv)) return snap.version
+    }
+    commit(table, snap.version, "append", adds, Nil, "", "", txn = txn)
+  }
+
   /** Append with ADDITIVE schema evolution: new columns widen the
     * table schema (recorded in the manifest — readers null-fill them
     * in pre-evolution files via the explicit-schema parquet read);

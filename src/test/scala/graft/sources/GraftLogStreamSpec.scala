@@ -84,6 +84,51 @@ class GraftLogStreamSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("native sink: each micro-batch is one atomic append commit " +
+      "with manifest key stats; redelivered epochs land exactly once") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_sink_").toString
+    val landing = Files.createTempDirectory("tlog_sink_land_").toString
+    val rows = (0L to 99L).map(i => (i, s"a$i"))
+    kv(rows).coalesce(1).write.mode("overwrite")
+      .parquet(s"$landing/in")
+    TableLog.create(kv(Nil), t, "k", 1)
+    def runOnce(cp: String): Unit = {
+      val q = spark.readStream.schema(kv(Nil).schema)
+        .parquet(s"$landing/in")
+        .writeStream.format("graft.sources.GraftLogStreamProvider")
+        .option("path", t).option("txnAppId", "spec-sink")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce(s"$landing/_cp1")
+    val vAfterFirst = TableLog.latestVersion(t)
+    runOnce(s"$landing/_cp1") // same checkpoint: no new data, no commit
+    runOnce(s"$landing/_cp2") // fresh checkpoint: txn ledger drops epoch 0
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 100 && got(0L) == "a0" && got(99L) == "a99",
+      s"redelivery landed rows twice or lost rows: ${got.size}")
+    assert(TableLog.latestVersion(t) == vAfterFirst,
+      "a redelivered epoch must not even bump the version")
+    // the manifest's key stats came from the task writer, and they
+    // are the TRUE bounds: a stats-only read proves them
+    assert(TableLog.statsOf(t) == ((100L, 0L, 99L)))
+    // schema mismatch refuses at write build time
+    val bad = intercept[Exception] {
+      val q = spark.readStream.schema(
+        kv(Nil).select($"k").schema).parquet(s"$landing/in")
+        .writeStream.format("graft.sources.GraftLogStreamProvider")
+        .option("path", t).option("checkpointLocation", s"$landing/_cp3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("a rewrite commit in the window fails the stream fast — " +
       "appends-only reads must not double-count") {
     val t = Files.createTempDirectory("tlog_stream3_").toString
