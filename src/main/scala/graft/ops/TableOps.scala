@@ -1071,7 +1071,90 @@ object TableOps {
       .orderBy($"o_orderstatus")
   }
 
+  // ---------------------------------------------------------------- q424
+  /** `INSERT INTO graftlog.\`<path>\` SELECT …` — the one SQL DML an
+    * append-safe commit protocol can honor without compromise (an
+    * append never conflicts; a lost race rebases), landed as ONE
+    * atomic commit through the catalog's [[graft.sources
+    * .GraftLogBatchAppend]]: task writers stream parquet with
+    * manifest key stats, the driver publishes a single manifest.
+    * The whole INSERT is visible or none of it. Readout re-reads
+    * through the same catalog. */
+  private val insertCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q424CatalogInsert(s: SparkSession, dir: String): DataFrame = {
+    withCatalog(s)
+    val table = insertCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogi_").toString
+      val slice = ordersSlice(s, dir)
+      TableLog.create(slice.where(col("o_orderkey") % 4 === 0), t,
+        "o_orderkey", numFiles = 2)
+      val view = s"graft_ins_src_${Integer.toHexString(dir.hashCode)}"
+      slice.createOrReplaceTempView(view)
+      try s.sql(
+        s"""INSERT INTO graftlog.`$t`
+           |SELECT * FROM $view WHERE o_orderkey % 4 = 1""".stripMargin)
+      finally s.catalog.dropTempView(view)
+      t
+    })
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$table`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q424Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q425
+  /** `DELETE FROM graftlog.\`<path>\` WHERE …` — the pushed SQL image
+    * of [[TableLog.deleteWhere]]: every predicate translates to the
+    * COW delete's condition (untranslatable conditions REFUSE rather
+    * than approximate), exactly the files holding a matching row
+    * rewrite, and the whole delete is one atomic commit — old
+    * versions stay time-travelable past it. Readout proves the
+    * survivor set; the oracle restates it in pure SQL. */
+  private val deleteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q425CatalogDelete(s: SparkSession, dir: String): DataFrame = {
+    withCatalog(s)
+    val table = deleteCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogd_").toString
+      TableLog.create(ordersSlice(s, dir)
+        .where(col("o_orderkey") % 4 <= 1), t, "o_orderkey", numFiles = 4)
+      s.sql(s"DELETE FROM graftlog.`$t` WHERE o_orderstatus = 'F'")
+      t
+    })
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$table`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q425Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1) AND o_orderstatus <> 'F'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q424_catalog_insert" -> (q424CatalogInsert _),
+    "q425_catalog_delete" -> (q425CatalogDelete _),
     "q423_table_stream_sink" -> (q423TableStreamSink _),
     "q422_table_stream_source" -> (q422TableStreamSource _),
     "q421_catalog_history" -> (q421CatalogHistory _),
@@ -1097,6 +1180,8 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q424_catalog_insert" -> q424Oracle,
+    "q425_catalog_delete" -> q425Oracle,
     "q423_table_stream_sink" -> q335Oracle,
     "q422_table_stream_source" -> q422Oracle,
     "q421_catalog_history" -> q333Oracle,

@@ -98,7 +98,7 @@ class GraftLogCatalog extends TableCatalog {
       catch { case _: IllegalArgumentException =>
         throw new NoSuchTableException(ident)
       }
-    new GraftLogTable(raw, snap)
+    new GraftLogTable(raw, snap, timeTraveled = version.isDefined)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -134,9 +134,10 @@ class GraftLogCatalog extends TableCatalog {
 
   private def refuse(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$catalogName is a read surface: $op must go through the " +
-        "transactional TableLog API (create/append/merge/deleteWhere/…), " +
-        "which owns the commit protocol")
+      s"$catalogName supports reads, INSERT (rebase-safe append) and " +
+        s"DELETE WHERE (copy-on-write): $op must go through the " +
+        "transactional TableLog API (create/merge/replaceWhere/…), " +
+        "which owns the rest of the commit protocol")
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = refuse("CREATE TABLE")
@@ -150,15 +151,83 @@ class GraftLogCatalog extends TableCatalog {
 /** One resolved (path, snapshot) — immutable, like the snapshot it
   * wraps: a concurrent commit after loadTable does not move this
   * reader (snapshot isolation, the property q331 pins on the API
-  * path). */
-class GraftLogTable(tablePath: String, snap: TableLog.Snapshot)
-    extends Table with SupportsRead {
+  * path). Besides reads it carries the two SQL DML surfaces whose
+  * semantics the commit protocol supports without compromise:
+  * `INSERT INTO` (a rebase-safe atomic append,
+  * [[GraftLogBatchAppend]]) and `DELETE FROM … WHERE` (the
+  * copy-on-write delete, pushed as one transactional commit when
+  * every predicate translates). Both refuse on a time-traveled
+  * snapshot — history is immutable. */
+class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
+    timeTraveled: Boolean = false)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graftlog.`$tablePath` @v${snap.version}"
   override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(SparkSession.active, tablePath, snap, options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (timeTraveled) throw new UnsupportedOperationException(
+      s"graftlog: cannot INSERT into a time-traveled snapshot of " +
+        s"$tablePath — history is immutable")
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new GraftLogBatchAppend(tablePath, info.schema())
+        }
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !timeTraveled && filters.forall(f => GraftLogTable.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (timeTraveled) throw new UnsupportedOperationException(
+      s"graftlog: cannot DELETE from a time-traveled snapshot of " +
+        s"$tablePath — history is immutable")
+    val cond = filters.toSeq.flatMap(GraftLogTable.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    TableLog.deleteWhere(SparkSession.active, tablePath, cond,
+      numFiles = math.max(1, snap.active.size))
+    ()
+  }
+}
+
+object GraftLogTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** Best-effort `Filter` → `Column` translation for the pushed
+    * DELETE condition; `None` on any construct without an exact
+    * image fails `canDeleteWhere`, so an untranslatable DELETE is
+    * refused rather than silently over- or under-deleting. */
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r))
+      yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r))
+      yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
 }
 
 /** The commit-history metadata table (`graftlog.\`<path>#history\``)

@@ -112,18 +112,14 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
     }
 }
 
-class GraftLogStreamingWrite(table: String, appId: String,
-    writeSchema: StructType)
-    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-  import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
-  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
-
-  private val keyCol = {
+/** Shared append-write contract: the written frame must match the
+  * table's declared schema exactly (additive evolution stays on the
+  * appendEvolve API, where the schema merge has its conflict rules).
+  * Returns the table's declared key column. */
+private[sources] object GraftLogAppendContract {
+  def checkedKeyCol(table: String, writeSchema: StructType): String = {
     val snap = TableLog.state(table)
     val declared = StructType.fromDDL(snap.schemaDdl)
-    // the sink appends: names and types must already match the table
-    // (additive evolution stays on the appendEvolve API, where the
-    // schema merge has its conflict rules)
     declared.fields.zip(writeSchema.fields).foreach { case (t, w) =>
       require(t.name == w.name && t.dataType == w.dataType,
         s"graftlog sink: frame column '${w.name}: ${w.dataType.sql}' does " +
@@ -134,6 +130,16 @@ class GraftLogStreamingWrite(table: String, appId: String,
         s"declares ${declared.length}")
     snap.keyCol
   }
+}
+
+class GraftLogStreamingWrite(table: String, appId: String,
+    writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val keyCol =
+    GraftLogAppendContract.checkedKeyCol(table, writeSchema)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -164,14 +170,70 @@ case class GraftLogSinkCommitMessage(relPath: String, rows: Long,
     min: Long, max: Long)
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
+/** Batch `INSERT INTO graftlog.\`<path>\`` — the one SQL DML whose
+  * semantics the commit protocol supports without compromise: an
+  * append never conflicts (a lost race rebases), so the whole INSERT
+  * lands as ONE atomic append commit or not at all. Reuses the
+  * streaming sink's task writers (epoch 0). */
+class GraftLogBatchAppend(table: String, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private val keyCol =
+    GraftLogAppendContract.checkedKeyCol(table, writeSchema)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val adds = messages.collect {
+      case GraftLogSinkCommitMessage(rel, rows, mn, mx) if rows > 0L =>
+        TableLog.AddFile(rel, rows, mn, mx)
+    }.toSeq.sortBy(_.relPath)
+    TableLog.commitStagedAppend(table, adds)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogSinkCommitMessage(rel, _, _, _) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table, rel))
+      case _ => ()
+    }
+}
+
+class GraftLogBatchWriterFactory(table: String, schemaDdl: String,
+    keyCol: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    GraftLogSinkWriterFactory.newWriter(table, schemaDdl, keyCol,
+      epochId = 0L, partitionId, taskId)
+}
+
 class GraftLogSinkWriterFactory(table: String, schemaDdl: String,
     keyCol: String)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    GraftLogSinkWriterFactory.newWriter(table, schemaDdl, keyCol,
+      epochId, partitionId, taskId)
+}
+
+object GraftLogSinkWriterFactory {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   import org.apache.spark.sql.connector.write.DataWriter
 
-  override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] = {
+  /** One task-attempt writer: parquet file under `<table>/data/`,
+    * key min/max tracked while writing — shared by the streaming
+    * sink (epoch = micro-batch) and the catalog's batch INSERT
+    * (epoch = 0). */
+  private[sources] def newWriter(table: String, schemaDdl: String,
+      keyCol: String, epochId: Long, partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = {
     val schema = StructType.fromDDL(schemaDdl)
     val keyIdx = schema.fieldIndex(keyCol)
     require(schema(keyIdx).dataType == LongType,
@@ -180,7 +242,7 @@ class GraftLogSinkWriterFactory(table: String, schemaDdl: String,
     val relPath = f"data/$stageId/part-$epochId%05d-$partitionId%05d-$taskId.parquet"
     val abs = java.nio.file.Paths.get(table, relPath)
     java.nio.file.Files.createDirectories(abs.getParent)
-    val messageType = GraftLogSinkWriterFactory.messageTypeOf(schema)
+    val messageType = messageTypeOf(schema)
     val factory =
       new org.apache.parquet.example.data.simple.SimpleGroupFactory(messageType)
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -224,11 +286,6 @@ class GraftLogSinkWriterFactory(table: String, schemaDdl: String,
       override def close(): Unit = ()
     }
   }
-}
-
-object GraftLogSinkWriterFactory {
-  import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
-  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
   private[sources] def messageTypeOf(schema: StructType): MessageType = {
     val b = Types.buildMessage()

@@ -70,12 +70,43 @@ class GraftLogCatalogSpec extends SparkSuite {
     assert(bb.chosenFiles.nonEmpty)
   }
 
-  test("catalog surface: nonexistent paths miss cleanly, writes refuse") {
+  test("catalog surface: nonexistent paths miss cleanly, DDL refuses") {
     val cat = new GraftLogCatalog
     cat.initialize("graftlog", emptyOpts)
     val ghost = Identifier.of(Array.empty, "/nonexistent/graft/table")
     assert(!cat.tableExists(ghost))
     intercept[UnsupportedOperationException] { cat.dropTable(ghost) }
+  }
+
+  test("SQL DML: DELETE pushes to the COW delete when translatable, " +
+      "refuses when not; time-traveled snapshots refuse all DML") {
+    val t = freshTable()
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    // untranslatable condition (arithmetic): refused, nothing deleted
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graftlog.`$t` WHERE k % 2 = 0")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 200L)
+    // translatable range: one atomic COW commit; old version intact
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE k >= 150")
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 150L)
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 2")
+      .collect().head.getLong(0) == 200L)
+    assert(TableLog.history(t).last.op == "delete")
+    // history is immutable: a time-traveled snapshot refuses writes
+    val cat = new GraftLogCatalog
+    cat.initialize("graftlog", emptyOpts)
+    val versioned = cat.loadTable(Identifier.of(Array.empty, t), "1")
+      .asInstanceOf[GraftLogTable]
+    intercept[UnsupportedOperationException] {
+      versioned.newWriteBuilder(null)
+    }
+    assert(!versioned.canDeleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("k", java.lang.Long.valueOf(1L)))))
   }
 
   test("TIMESTAMP AS OF resolves the latest commit at-or-before the " +
