@@ -1152,7 +1152,53 @@ object TableOps {
       |WHERE o_orderkey % 4 IN (0, 1) AND o_orderstatus <> 'F'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q426
+  /** The full SQL lifecycle on the catalog: `CREATE TABLE` declares
+    * schema + key as an empty v1 commit (zero data files — the first
+    * INSERT brings data, which is also what makes CTAS work), the
+    * INSERT lands atomically, and the readout SELECTs it back — a
+    * logged table born, loaded and queried without ONE API call.
+    * CTAS and the DataFrame-writer append are pinned in
+    * GraftLogCatalogSpec. */
+  private val createCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q426CatalogCreate(s: SparkSession, dir: String): DataFrame = {
+    withCatalog(s)
+    val table = createCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogc_").toString + "/tbl"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$t` (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           |  o_orderpriority STRING, o_totalprice DOUBLE)
+           |TBLPROPERTIES ('key' = 'o_orderkey')""".stripMargin)
+      val view = s"graft_crt_src_${Integer.toHexString(dir.hashCode)}"
+      ordersSlice(s, dir).createOrReplaceTempView(view)
+      try s.sql(
+        s"""INSERT INTO graftlog.`$t`
+           |SELECT * FROM $view WHERE o_orderkey % 4 = 3""".stripMargin)
+      finally s.catalog.dropTempView(view)
+      t
+    })
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$table`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q426Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 = 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q426_catalog_create" -> (q426CatalogCreate _),
     "q424_catalog_insert" -> (q424CatalogInsert _),
     "q425_catalog_delete" -> (q425CatalogDelete _),
     "q423_table_stream_sink" -> (q423TableStreamSink _),
@@ -1180,6 +1226,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q426_catalog_create" -> q426Oracle,
     "q424_catalog_insert" -> q424Oracle,
     "q425_catalog_delete" -> q425Oracle,
     "q423_table_stream_sink" -> q335Oracle,

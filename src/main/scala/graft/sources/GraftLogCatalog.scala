@@ -53,10 +53,17 @@ import graft.tablelog.TableLog
   * At 100 TB the division of labor is the point: version resolution
   * and file skipping are driver-side folds over file-grain metadata
   * (~100 B/file), and the data path is untouched Spark parquet.
-  * Writes stay on the transactional API (`TableLog.append`/`merge`/
-  * …) — a SQL INSERT could not carry the commit protocol's
-  * rebase/conflict semantics, so the catalog refuses DDL/DML rather
-  * than offering a weaker copy.
+  *
+  * SQL statements are supported exactly where the commit protocol
+  * can honor them without compromise: `CREATE TABLE` (empty v1,
+  * schema+key declared — which also makes CTAS work), `INSERT INTO`
+  * (rebase-safe atomic append), `DELETE FROM … WHERE` (pushed into
+  * the transactional copy-on-write delete when every predicate
+  * translates exactly), plus the `#history` metadata table and
+  * VERSION/TIMESTAMP AS OF reads. Everything whose semantics need
+  * the full conflict rules (merge, replaceWhere, evolve, compact)
+  * stays on the `TableLog` API, refused here rather than offered as
+  * a weaker copy.
   */
 class GraftLogCatalog extends TableCatalog {
   private var catalogName: String = "graftlog"
@@ -138,9 +145,33 @@ class GraftLogCatalog extends TableCatalog {
         s"DELETE WHERE (copy-on-write): $op must go through the " +
         "transactional TableLog API (create/merge/replaceWhere/…), " +
         "which owns the rest of the commit protocol")
+  /** `CREATE TABLE graftlog.\`<path>\` (cols…) TBLPROPERTIES
+    * ('key'='<BIGINT col>')` — version 1 with zero data files; the
+    * first INSERT brings data, which also makes CTAS work (Spark
+    * creates, then writes through [[GraftLogBatchAppend]]). The key
+    * column drives the manifest's per-file [min,max] stats; without
+    * the property it defaults to the first BIGINT column. Transform
+    * partitioning is refused — the log's layout device is
+    * range-partitioned staging + Z-order compaction, not Hive
+    * directories. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = refuse("CREATE TABLE")
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty) refuse("partitioned CREATE TABLE")
+    val path = pathOf(ident)
+    if (path.endsWith(historySuffix)) refuse(s"CREATE TABLE $historySuffix")
+    val key = Option(properties.get("key"))
+      .orElse(schema.fields.find(_.dataType ==
+        org.apache.spark.sql.types.LongType).map(_.name))
+      .getOrElse(throw new IllegalArgumentException(
+        "graftlog: declare TBLPROPERTIES('key'='<BIGINT column>') — " +
+          "the schema has no BIGINT column to default to"))
+    require(schema.fields.exists(f => f.name == key &&
+        f.dataType == org.apache.spark.sql.types.LongType),
+      s"graftlog: key column '$key' must be a BIGINT column of the schema")
+    TableLog.createEmpty(path, schema.toDDL, key)
+    new GraftLogTable(path, TableLog.state(path))
+  }
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = refuse("ALTER TABLE")
   override def dropTable(ident: Identifier): Boolean = refuse("DROP TABLE")

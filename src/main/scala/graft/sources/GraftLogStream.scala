@@ -73,7 +73,7 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
   override def schema(): StructType = tblSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan {
       override def build(): Scan = this
@@ -108,6 +108,11 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
               .getOrElse(s"graftlog-sink-${info.queryId()}")
             new GraftLogStreamingWrite(path, appId, info.schema())
           }
+          // df.write.format(…).mode("append"): the same atomic
+          // append commit the catalog's INSERT uses
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new GraftLogBatchAppend(path, info.schema())
         }
     }
 }

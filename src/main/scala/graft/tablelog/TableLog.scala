@@ -421,6 +421,17 @@ object TableLog {
       bloom = bloom)
   }
 
+  /** Create as version 1 with ZERO data files — the catalog's
+    * `CREATE TABLE`: schema and key column are declared up front,
+    * the first INSERT/append brings the data. Same create-is-not-an-
+    * upsert rule as [[create]]. */
+  def createEmpty(table: String, schemaDdl: String, keyCol: String): Long = {
+    require(latestVersion(table) == 0L, s"$table already exists")
+    require(StructType.fromDDL(schemaDdl).fieldNames.contains(keyCol),
+      s"key column '$keyCol' not in schema: $schemaDdl")
+    commit(table, 0L, "create", Nil, Nil, schemaDdl, keyCol)
+  }
+
   /** Append-only commit — the reference's daily load shape. Never
     * conflicts: a lost race rebases onto the new latest version. */
   def append(df: DataFrame, table: String, numFiles: Int): Long = {

@@ -109,6 +109,32 @@ class GraftLogCatalogSpec extends SparkSuite {
         org.apache.spark.sql.sources.EqualTo("k", java.lang.Long.valueOf(1L)))))
   }
 
+  test("CTAS creates-and-loads in one statement; df.write appends " +
+      "through the connector as an atomic commit") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_ctas_").toString + "/tbl"
+    (0L to 49L).map(i => (i, s"a$i")).toDF("k", "v")
+      .createOrReplaceTempView("ctas_src")
+    try {
+      // key defaults to the first BIGINT column (k) — no property needed
+      spark.sql(s"CREATE TABLE graftlog.`$t` AS SELECT * FROM ctas_src")
+      assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+        .collect().head.getLong(0) == 50L)
+      // DataFrame-writer append via the stream provider's batch path
+      (50L to 79L).map(i => (i, s"b$i")).toDF("k", "v")
+        .write.format("graft.sources.GraftLogStreamProvider")
+        .option("path", t).mode("append").save()
+      assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+        .collect().head.getLong(0) == 80L)
+      assert(TableLog.history(t).map(_.op) ==
+        Seq("create", "append", "append"))
+      // manifest stats are true bounds across both write paths
+      assert(TableLog.statsOf(t) == ((80L, 0L, 79L)))
+    } finally spark.catalog.dropTempView("ctas_src")
+  }
+
   test("TIMESTAMP AS OF resolves the latest commit at-or-before the " +
       "instant; an instant predating the table misses") {
     val cat = new GraftLogCatalog
