@@ -78,6 +78,23 @@ object ExtOps {
       |FROM t JOIN m ON t.band = m.band
       |GROUP BY t.band ORDER BY t.band""".stripMargin
 
+  /** Run `body` against a scratch dir, eagerly materialize its
+    * result (localCheckpoint — blocks in memory), then DELETE the
+    * dir before returning: the q413 hygiene shared by every
+    * format-roundtrip query. Repeated invocations in one JVM (bench
+    * runs the whole query map) must not drip table copies into
+    * /tmp. Callers apply their final ORDER BY after the checkpoint. */
+  private def withScratch(prefix: String)(body: String => DataFrame): DataFrame = {
+    val dirPath = Files.createTempDirectory(prefix)
+    try body(dirPath.toString).localCheckpoint(true)
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(dirPath)
+      val paths = try walk.iterator().asScala.toSeq finally walk.close()
+      paths.reverse.foreach(Files.deleteIfExists)
+    }
+  }
+
   // ---------------------------------------------------------------- q81
   /** CSV source/sink round-trip: write `nation` as headered CSV,
     * read it back with a declared schema (FAILFAST — the contract
@@ -85,19 +102,19 @@ object ExtOps {
     * CSV is the interchange format; Parquet stays the table format. */
   def q81CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft_csv").toString
-    Tables.nation(s, dir)
-      .write.mode("overwrite").option("header", "true").csv(tmp)
-    val schema = StructType(Seq(
-      StructField("n_nationkey", IntegerType),
-      StructField("n_name", StringType),
-      StructField("n_regionkey", IntegerType)))
-    s.read.schema(schema)
-      .option("header", "true").option("mode", "FAILFAST")
-      .csv(tmp)
-      .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
-        $"n_regionkey".cast("long").as("n_regionkey"))
-      .orderBy($"n_nationkey")
+    withScratch("graft_csv") { tmp =>
+      Tables.nation(s, dir)
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema)
+        .option("header", "true").option("mode", "FAILFAST")
+        .csv(tmp)
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name",
+          $"n_regionkey".cast("long").as("n_regionkey"))
+    }.orderBy($"n_nationkey")
   }
 
   private val q81Oracle =
@@ -115,15 +132,15 @@ object ExtOps {
     * hash. */
   def q82OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft_orc").toString
-    Tables.supplier(s, dir).write.mode("overwrite").orc(tmp)
-    s.read.schema(StructType(Seq(
-      StructField("s_suppkey", LongType),
-      StructField("s_name", StringType),
-      StructField("s_nationkey", IntegerType),
-      StructField("s_acctbal", DoubleType))))
-      .orc(tmp)
-      .orderBy($"s_suppkey")
+    withScratch("graft_orc") { tmp =>
+      Tables.supplier(s, dir).write.mode("overwrite").orc(tmp)
+      s.read.schema(StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType))))
+        .orc(tmp)
+    }.orderBy($"s_suppkey")
   }
 
   private val q82Oracle =
@@ -146,17 +163,17 @@ object ExtOps {
 
   def q371AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft_avro").toString
-    Tables.customer(s, dir).write.mode("overwrite")
-      .format(avroProvider).save(tmp)
-    s.read.schema(StructType(Seq(
-      StructField("c_custkey", LongType),
-      StructField("c_name", StringType),
-      StructField("c_nationkey", IntegerType),
-      StructField("c_acctbal", DoubleType),
-      StructField("c_mktsegment", StringType))))
-      .format(avroProvider).load(tmp)
-      .orderBy($"c_custkey")
+    withScratch("graft_avro") { tmp =>
+      Tables.customer(s, dir).write.mode("overwrite")
+        .format(avroProvider).save(tmp)
+      s.read.schema(StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType))))
+        .format(avroProvider).load(tmp)
+    }.orderBy($"c_custkey")
   }
 
   private val q371Oracle =
@@ -176,15 +193,15 @@ object ExtOps {
     * dimension-sized on purpose. */
   def q372XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft_xml").toString
-    Tables.nation(s, dir).write.mode("overwrite")
-      .option("rowTag", "nation").format("xml").save(tmp)
-    s.read.schema(StructType(Seq(
-      StructField("n_nationkey", LongType),
-      StructField("n_name", StringType),
-      StructField("n_regionkey", LongType))))
-      .option("rowTag", "nation").format("xml").load(tmp)
-      .orderBy($"n_nationkey")
+    withScratch("graft_xml") { tmp =>
+      Tables.nation(s, dir).write.mode("overwrite")
+        .option("rowTag", "nation").format("xml").save(tmp)
+      s.read.schema(StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType))))
+        .option("rowTag", "nation").format("xml").load(tmp)
+    }.orderBy($"n_nationkey")
   }
 
   private val q372Oracle =
@@ -209,13 +226,13 @@ object ExtOps {
     * commits partial prefixes on failure). */
   def q379Dsv2Sink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft_blobsink").toString
-    Tables.customer(s, dir).write
-      .format("graft.sources.BlobSinkProvider")
-      .mode("append").option("path", tmp).save()
-    s.read.format("graft.sources.BlobSinkProvider")
-      .option("path", tmp).load()
-      .orderBy($"c_custkey")
+    withScratch("graft_blobsink") { tmp =>
+      Tables.customer(s, dir).write
+        .format("graft.sources.BlobSinkProvider")
+        .mode("append").option("path", tmp).save()
+      s.read.format("graft.sources.BlobSinkProvider")
+        .option("path", tmp).load()
+    }.orderBy($"c_custkey")
   }
 
   private val q379Oracle =
@@ -240,27 +257,19 @@ object ExtOps {
     * hygiene). */
   def q420Dsv2RoundTrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val outPath = Files.createTempDirectory("graft_rt420")
-    try {
+    withScratch("graft_rt420") { out =>
       val extracted = s.read.format("graft.sources.SeqSourceProvider")
         .option("rows", "100000").option("parts", "8").load()
         .where($"id" >= 10000L && $"id" < 60000L)
       val conformed = extracted.select($"id", $"grp",
         ($"val" % 97L).as("tier"), expr("id div 10000").as("batch"))
       conformed.write.format("graft.sources.BlobSinkProvider")
-        .mode("append").option("path", outPath.toString).save()
+        .mode("append").option("path", out).save()
       s.read.format("graft.sources.BlobSinkProvider")
-        .option("path", outPath.toString).load()
+        .option("path", out).load()
         .groupBy($"grp", $"batch")
         .agg(count(lit(1)).as("n"), sum($"tier").as("sum_tier"))
-        .localCheckpoint(true)
-        .orderBy($"grp", $"batch")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(outPath)
-      val paths = try walk.iterator().asScala.toSeq finally walk.close()
-      paths.reverse.foreach(Files.deleteIfExists)
-    }
+    }.orderBy($"grp", $"batch")
   }
 
   private val q420Oracle =
@@ -1214,9 +1223,7 @@ object ExtOps {
     * events table into /tmp per call. */
   def q413MetadataColumns(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmpPath = Files.createTempDirectory("graft_meta_q413")
-    val tmp = tmpPath.toString
-    try {
+    withScratch("graft_meta_q413") { tmp =>
       Tables.events(s, dir).select($"event_type", $"event_id")
         .repartition($"event_type")
         .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
@@ -1230,14 +1237,7 @@ object ExtOps {
           min(expr("CAST(contains(fp, concat('event_type=', event_type))" +
             " AS LONG)")).as("path_tagged"),
           (max($"ri") + 1L).as("max_row_index_plus1"))
-        .localCheckpoint(true)
-        .orderBy($"event_type")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(tmpPath)
-      val paths = try walk.iterator().asScala.toSeq finally walk.close()
-      paths.reverse.foreach(Files.deleteIfExists)
-    }
+    }.orderBy($"event_type")
   }
 
   private val q413Oracle =

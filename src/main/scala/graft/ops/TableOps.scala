@@ -42,9 +42,11 @@ object TableOps {
   private def ordersSlice(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).select(dataCols.map(col): _*)
 
-  /** One demo table per sfDir per JVM — the five queries share the
-    * build (Verify/Bench run them all in one session; the log is
-    * deterministic, so sharing changes nothing but wall time). */
+  /** One demo table per sfDir per JVM — the read-only queries
+    * (q330–q334, q417/q418/q421) share the build (Verify/Bench run
+    * them all in one session; the log is deterministic, so sharing
+    * changes nothing but wall time). Queries that MUTATE a table
+    * (q419 vacuum, q424–q426 DML) build their own scratch tables. */
   private val demoCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val mergeCache =
