@@ -1199,7 +1199,44 @@ object TableOps {
       |WHERE o_orderkey % 4 = 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q427
+  /** Manifest-stats aggregate pushdown on SQL — q339's metadata-only
+    * COUNT/MIN/MAX, now planned automatically: the catalog's
+    * ScanBuilder answers a whole-table `count(*) / min(key) /
+    * max(key)` by folding the manifest's per-file stats (true bounds
+    * written at commit time), so the query opens ZERO data files —
+    * at 100 TB, a driver fold over ~100 B/file of metadata. Composes
+    * with VERSION AS OF (one row per version here); any row filter
+    * or non-key column disqualifies the fold and the plan falls back
+    * to the real scan (spec-pinned both ways). */
+  def q427StatsPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = demoTable(s, dir)
+    Seq(2L, 5L).map { v =>
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version,
+           |  count(*) AS n_rows,
+           |  min(o_orderkey) AS min_key,
+           |  max(o_orderkey) AS max_key
+           |FROM graftlog.`$table` VERSION AS OF $v""".stripMargin)
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+
+  private val q427Oracle =
+    """SELECT CAST(2 AS BIGINT) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      |UNION ALL
+      |SELECT 5, count(*), min(o_orderkey), max(o_orderkey)
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority <> '1-URGENT'
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q427_stats_pushdown" -> (q427StatsPushdown _),
     "q426_catalog_create" -> (q426CatalogCreate _),
     "q424_catalog_insert" -> (q424CatalogInsert _),
     "q425_catalog_delete" -> (q425CatalogDelete _),
@@ -1228,6 +1265,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q427_stats_pushdown" -> q427Oracle,
     "q426_catalog_create" -> q426Oracle,
     "q424_catalog_insert" -> q424Oracle,
     "q425_catalog_delete" -> q425Oracle,

@@ -4,6 +4,7 @@ import java.util
 
 import org.apache.hadoop.fs.{Path => HadoopPath}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCapability, TableCatalog, TableChange, SupportsRead}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -327,12 +328,15 @@ class GraftLogHistoryReaderFactory
 class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     snap: TableLog.Snapshot, options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val fullSchema = StructType.fromDDL(snap.schemaDdl)
   private var files: Seq[TableLog.AddFile] = snap.active
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var pushedAgg: Option[Seq[
+    org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc]] = None
 
   /** The post-pushdown file set — exposed so the spec can pin
     * manifest-level skipping without string-matching a plan. */
@@ -399,14 +403,103 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = {
-    val paths = files
-      .map(a => new HadoopPath(
-        java.nio.file.Paths.get(tablePath, a.relPath).toUri))
-    val index = new InMemoryFileIndex(spark, paths,
-      Map.empty[String, String], Some(fullSchema))
-    ParquetScan(spark, SessionBridge.newHadoopConf(spark, Map.empty),
-      index, fullSchema, required, StructType(Nil),
-      pushedFilters = accepted, options = options)
+  /** Whole-table COUNT(*) / MIN(key) / MAX(key) fold from the
+    * manifest — per-file stats are TRUE bounds written at commit
+    * time (q339 proves bit-equality against a scan), so the
+    * aggregate is EXACT and costs a driver fold over file-grain
+    * metadata: at 100 TB, `SELECT count(*) FROM graftlog.\`t\``
+    * opens ZERO data files (the Iceberg metadata-table trick, on
+    * the SQL surface; composes with VERSION AS OF). Only the
+    * unfiltered, ungrouped form qualifies: any residual row filter
+    * invalidates file-grain stats, and Spark never offers the
+    * pushdown when a Filter survives — which, since every filter
+    * here returns as a residual, is exactly the filtered case. */
+  private def statsAnswerable(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def isKeyRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames.toSeq == Seq(snap.keyCol)
+        case _ => false
+      }
+    accepted.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min       => isKeyRef(m.column)
+        case m: Max       => isKeyRef(m.column)
+        case _            => false
+      }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = statsAnswerable(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    if (statsAnswerable(agg)) {
+      pushedAgg = Some(agg.aggregateExpressions.toSeq); true
+    } else false
+
+  override def build(): Scan = pushedAgg match {
+    case Some(funcs) =>
+      import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+      val row: Seq[Any] = funcs.map {
+        case _: CountStar => files.map(_.rows).sum
+        case _: Min => if (files.isEmpty) null else files.map(_.min).min
+        case _: Max => if (files.isEmpty) null else files.map(_.max).max
+        case o => throw new IllegalStateException(s"unpushable agg $o")
+      }
+      val schema = StructType(funcs.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          org.apache.spark.sql.types.StructField(s"agg_$i",
+            org.apache.spark.sql.types.LongType, nullable = false)
+        case (_, i) =>
+          org.apache.spark.sql.types.StructField(s"agg_$i",
+            org.apache.spark.sql.types.LongType, nullable = true)
+      })
+      new GraftLogStatsScan(schema, row, files.size)
+    case None =>
+      val paths = files
+        .map(a => new HadoopPath(
+          java.nio.file.Paths.get(tablePath, a.relPath).toUri))
+      val index = new InMemoryFileIndex(spark, paths,
+        Map.empty[String, String], Some(fullSchema))
+      ParquetScan(spark, SessionBridge.newHadoopConf(spark, Map.empty),
+        index, fullSchema, required, StructType(Nil),
+        pushedFilters = accepted, options = options)
   }
 }
+
+/** The one-row answer to a fully-pushed manifest-stats aggregate —
+  * zero data files opened; the partition carries the folded values. */
+class GraftLogStatsScan(aggSchema: StructType, row: Seq[Any], nFiles: Int)
+    extends Scan with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"GraftLogStatsScan(manifest-stats fold over $nFiles files, 0 opened)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftLogStatsPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var served = false
+          override def next(): Boolean =
+            if (served) false else { served = true; true }
+          override def get(): InternalRow = InternalRow.fromSeq(
+            p.asInstanceOf[GraftLogStatsPartition].row)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class GraftLogStatsPartition(row: Seq[Any])
+  extends org.apache.spark.sql.connector.read.InputPartition

@@ -109,6 +109,28 @@ class GraftLogCatalogSpec extends SparkSuite {
         org.apache.spark.sql.sources.EqualTo("k", java.lang.Long.valueOf(1L)))))
   }
 
+  test("whole-table count/min/max answer from the manifest fold — " +
+      "zero data files opened; filters and non-key columns fall back") {
+    val t = freshTable()
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val df = spark.sql(
+      s"SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM graftlog.`$t`")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("manifest-stats"), p.take(600))
+    assert(!p.contains("Parquet"), p.take(600))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((200L, 0L, 199L)))
+    // a row filter invalidates file-grain stats: real scan, exact rows
+    val f = spark.sql(s"SELECT count(*) FROM graftlog.`$t` WHERE k >= 100")
+    assert(!f.queryExecution.executedPlan.toString.contains("manifest-stats"))
+    assert(f.collect().head.getLong(0) == 100L)
+    // min over a NON-key column has no manifest stats: real scan
+    val nk = spark.sql(s"SELECT min(v) FROM graftlog.`$t`")
+    assert(!nk.queryExecution.executedPlan.toString.contains("manifest-stats"))
+    assert(nk.collect().head.getString(0) == "a0")
+  }
+
   test("CTAS creates-and-loads in one statement; df.write appends " +
       "through the connector as an atomic commit") {
     import spark.implicits._
