@@ -464,14 +464,94 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
       })
       new GraftLogStatsScan(schema, row, files.size)
     case None =>
-      val paths = files
-        .map(a => new HadoopPath(
-          java.nio.file.Paths.get(tablePath, a.relPath).toUri))
-      val index = new InMemoryFileIndex(spark, paths,
-        Map.empty[String, String], Some(fullSchema))
-      ParquetScan(spark, SessionBridge.newHadoopConf(spark, Map.empty),
-        index, fullSchema, required, StructType(Nil),
-        pushedFilters = accepted, options = options)
+      new GraftLogDataScan(spark, tablePath, snap, fullSchema, required,
+        accepted, files, options)
+  }
+}
+
+/** The catalog's data scan: Spark's own vectorized parquet scan over
+  * the manifest-pruned file set, wrapped to add RUNTIME file pruning
+  * (`SupportsRuntimeFiltering`): when this table is the fact side of
+  * a broadcast join on its key column, dynamic pruning hands the dim
+  * side's key set here at execution time and the file set shrinks by
+  * the per-file [min, max] stats BEFORE any task launches — DPP for
+  * a table with no Hive partitions at all. At 100 TB a selective dim
+  * join reads the handful of files whose key range the dim actually
+  * touches. The probe is sort + per-file binary search, so the cost
+  * is (files · log values) driver-side metadata work. Statistics
+  * delegate to the parquet scan so join planning sees true sizes. */
+class GraftLogDataScan(spark: SparkSession, tablePath: String,
+    snap: TableLog.Snapshot, fullSchema: StructType, required: StructType,
+    accepted: Array[Filter], initialFiles: Seq[TableLog.AddFile],
+    options: CaseInsensitiveStringMap)
+    extends Scan with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  private var files: Seq[TableLog.AddFile] = initialFiles
+  private var runtimePruned: Boolean = false
+  private var inner: ParquetScan = mkInner()
+
+  /** The post-runtime-prune file set — the spec's observation hook. */
+  private[graft] def chosenFiles: Seq[TableLog.AddFile] = files
+
+  private def mkInner(): ParquetScan = {
+    val paths = files
+      .map(a => new HadoopPath(
+        java.nio.file.Paths.get(tablePath, a.relPath).toUri))
+    val index = new InMemoryFileIndex(spark, paths,
+      Map.empty[String, String], Some(fullSchema))
+    ParquetScan(spark, SessionBridge.newHadoopConf(spark, Map.empty),
+      index, fullSchema, required, StructType(Nil),
+      pushedFilters = accepted, options = options)
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"GraftLogScan(files=${files.size}/${snap.active.size}, " +
+      s"runtimePruned=$runtimePruned) " + inner.description()
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    inner.estimateStatistics()
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(snap.keyCol))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val k = snap.keyCol
+    val inSets = filters.collect {
+      case In(`k`, vs) => vs.flatMap {
+        case l: java.lang.Long    => Some(l.longValue)
+        case i: java.lang.Integer => Some(i.longValue)
+        case _                    => None
+      }
+    }
+    // a runtime filter only ever SHRINKS the set; an unparseable one
+    // is ignored (rows are still exact — the join re-checks keys)
+    inSets.foreach { vs =>
+      val sorted = vs.sorted
+      files = files.filter { f =>
+        var lo = 0; var hi = sorted.length - 1; var hit = false
+        while (lo <= hi && !hit) {
+          val mid = (lo + hi) >>> 1
+          val v = sorted(mid)
+          if (v < f.min) lo = mid + 1
+          else if (v > f.max) hi = mid - 1
+          else hit = true
+        }
+        hit
+      }
+      runtimePruned = true
+    }
+    if (runtimePruned) inner = mkInner()
   }
 }
 

@@ -109,6 +109,31 @@ class GraftLogCatalogSpec extends SparkSuite {
         org.apache.spark.sql.sources.EqualTo("k", java.lang.Long.valueOf(1L)))))
   }
 
+  test("runtime file pruning: a join-delivered IN-set shrinks the " +
+      "file set by key range before any task launches; rows stay exact") {
+    import org.apache.spark.sql.sources.{Filter, In}
+    import spark.implicits._
+    val t = freshTable() // 8 range-partitioned files over keys 0..199
+    val snap = TableLog.state(t)
+    val scan = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+      .build().asInstanceOf[GraftLogDataScan]
+    val before = scan.planInputPartitions().length
+    scan.filter(Array[Filter](In("k",
+      Array[Any](java.lang.Long.valueOf(5L), java.lang.Long.valueOf(7L)))))
+    assert(scan.chosenFiles.size < snap.active.size,
+      s"runtime IN-set did not prune: ${scan.chosenFiles.size}")
+    assert(scan.chosenFiles.forall(f => f.min <= 7L && f.max >= 5L))
+    assert(scan.planInputPartitions().length <= before)
+    assert(scan.description().contains("runtimePruned=true"))
+    // end-to-end: the same fact side joined through SQL stays exact
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val dim = Seq(5L, 7L, 150L).toDF("k")
+    val joined = spark.sql(s"SELECT k, v FROM graftlog.`$t`")
+      .join(dim, "k").collect()
+    assert(joined.map(_.getLong(0)).sorted.toSeq == Seq(5L, 7L, 150L))
+  }
+
   test("whole-table count/min/max answer from the manifest fold — " +
       "zero data files opened; filters and non-key columns fall back") {
     val t = freshTable()
