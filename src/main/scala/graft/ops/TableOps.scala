@@ -846,7 +846,7 @@ object TableOps {
     * layers: manifest file skip (per-file [min,max] vs the pushed
     * range), parquet row-group skip (the same filters handed to
     * Spark's own vectorized scan), and the residual row filter.
-    * PlanSpec pins the file-level skip through the ScanBuilder
+    * GraftLogCatalogSpec pins the file-level skip through the ScanBuilder
     * directly. */
   private def withCatalog(s: SparkSession): Unit =
     s.conf.set("spark.sql.catalog.graftlog",

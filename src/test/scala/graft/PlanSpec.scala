@@ -916,4 +916,18 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("*(1) HashAggregate") || p.contains("*(1) Project") ||
       "\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p.take(600))
   }
+
+  test("q417 catalog read: the key predicate pushes THROUGH the " +
+      "catalog into the parquet scan; q427 aggregates never open a file") {
+    val p = plan(TableOps.q417CatalogSql(spark, sf0001))
+    // the scan is the catalog's wrapped parquet scan …
+    assert(p.contains("GraftLogScan"), p.take(800))
+    // … and the BETWEEN bounds reached it for row-group pruning
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,0)"), p.take(800))
+    assert(p.contains("LessThanOrEqual(o_orderkey,29999)"), p.take(800))
+    // the metadata-only aggregate plans the stats fold, no parquet
+    val ps = plan(TableOps.q427StatsPushdown(spark, sf0001))
+    assert(ps.contains("manifest-stats"), ps.take(800))
+    assert(!ps.contains("Parquet"), ps.take(800))
+  }
 }
