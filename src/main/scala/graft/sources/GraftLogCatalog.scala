@@ -66,12 +66,35 @@ import graft.tablelog.TableLog
   * stays on the `TableLog` API, refused here rather than offered as
   * a weaker copy.
   */
-class GraftLogCatalog extends TableCatalog {
+class GraftLogCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graftlog"
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = catalogName = name
   override def name(): String = catalogName
+
+  /** Maintenance PROCEDURES — `CALL graftlog.vacuum(...)` /
+    * `CALL graftlog.compact(...)`: the table-maintenance verbs SQL
+    * has no DML for, surfaced the way Iceberg surfaces them. Each
+    * call is one transactional TableLog operation and returns its
+    * accounting as a result row. */
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftLogProcedures.all
+        .map(p => Identifier.of(Array.empty, p.name())).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace().nonEmpty) throw new UnsupportedOperationException(
+      s"$catalogName: no procedure namespace '${ident.namespace().mkString(".")}'")
+    GraftLogProcedures.all.find(_.name() == ident.name()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$catalogName: unknown procedure '${ident.name()}' — available: " +
+          GraftLogProcedures.all.map(_.name()).mkString(", ")))
+  }
 
   /** The identifier IS the table path: `graftlog.\`/tmp/t\`` parses
     * to an empty namespace and name "/tmp/t". A `#history` suffix
@@ -583,3 +606,73 @@ class GraftLogStatsScan(aggSchema: StructType, row: Seq[Any], nFiles: Int)
 
 case class GraftLogStatsPartition(row: Seq[Any])
   extends org.apache.spark.sql.connector.read.InputPartition
+
+/** SQL-callable maintenance procedures over the commit log. Each is
+  * both unbound and bound (parameters are static — binding has
+  * nothing to infer) and returns its accounting as one result row.
+  * Side-effecting, so `isDeterministic = false` (the planner must
+  * not cache or re-run a CALL). */
+private[sources] object GraftLogProcedures {
+  import java.util.Collections
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+  private def oneRow(schemaDdl: String, row: Seq[Any]): java.util.Iterator[Scan] =
+    Collections.singletonList(
+      new GraftLogStatsScan(StructType.fromDDL(schemaDdl), row, 0)
+        : Scan).iterator()
+
+  /** `CALL graftlog.vacuum('<path>', <retain_versions>[, <grace_ms>])`
+    * — [[TableLog.vacuumRetain]]: delete data files referenced by NO
+    * snapshot among the last `retain_versions` versions; files
+    * reachable from a retained version are structurally kept, so
+    * in-window time travel survives. Returns (files_deleted,
+    * rows_reclaimed), folded from the manifests. */
+  object Vacuum extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "retention-windowed vacuum: reclaim files no retained snapshot references"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("retain_versions", IntegerType)
+        .comment("how many latest versions stay readable").build(),
+      ProcedureParameter.in("grace_ms", LongType)
+        .defaultValue(TableLog.defaultVacuumGraceMillis.toString)
+        .comment("age gate protecting in-flight stages").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val r = TableLog.vacuumRetain(input.getUTF8String(0).toString,
+        input.getInt(1), input.getLong(2))
+      oneRow("files_deleted BIGINT, rows_reclaimed BIGINT",
+        Seq(r.filesDeleted.toLong, r.rowsReclaimed))
+    }
+  }
+
+  /** `CALL graftlog.compact('<path>', <num_files>)` —
+    * [[TableLog.compact]]: rewrite the active set into `num_files`
+    * range-partitioned files as one atomic commit (logically a
+    * no-op). Returns the new (version, n_files). */
+  object Compact extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "rewrite the active set into num_files range-partitioned files"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("num_files", IntegerType)
+        .comment("target file count").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val v = TableLog.compact(SparkSession.active, table, input.getInt(1))
+      oneRow("version BIGINT, n_files BIGINT",
+        Seq(v, TableLog.state(table).active.size.toLong))
+    }
+  }
+
+  val all: Seq[UnboundProcedure] = Seq(Vacuum, Compact)
+}
