@@ -83,7 +83,13 @@ object ExtOps {
     * dir before returning: the q413 hygiene shared by every
     * format-roundtrip query. Repeated invocations in one JVM (bench
     * runs the whole query map) must not drip table copies into
-    * /tmp. Callers apply their final ORDER BY after the checkpoint. */
+    * /tmp. Callers apply their final ORDER BY after the checkpoint.
+    * LOCAL-MODE constraint: the returned frame is backed only by the
+    * checkpoint blocks — on a real cluster (dynamic allocation,
+    * executor loss) those blocks are not recomputable once the source
+    * dir is gone, so this helper is for the single-JVM bench/verify
+    * harness; a cluster deployment would keep the dir until the
+    * consumer finishes. */
   private def withScratch(prefix: String)(body: String => DataFrame): DataFrame = {
     val dirPath = Files.createTempDirectory(prefix)
     try body(dirPath.toString).localCheckpoint(true)

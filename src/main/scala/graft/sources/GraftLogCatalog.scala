@@ -124,6 +124,22 @@ class GraftLogCatalog extends TableCatalog
       if (hist.isEmpty) throw new NoSuchTableException(ident)
       return new GraftLogHistoryTable(path, hist)
     }
+    // VERSION AS OF must name a COMMITTED version: TableLog.state
+    // clamps to min(latest, v), so without this check a typo'd
+    // `VERSION AS OF 99` on a 5-version table would silently answer
+    // from current data — wrong-era results with no error (the
+    // Delta/Iceberg contract is to fail).
+    version.foreach { v =>
+      val latest =
+        try TableLog.latestVersion(raw)
+        catch { case _: Exception => throw new NoSuchTableException(ident) }
+      if (v < 1L || v > latest) throw new NoSuchTableException(
+        "TABLE_OR_VIEW_NOT_FOUND",
+        Map("relationName" ->
+          (s"$catalogName.`$raw` VERSION AS OF $v " +
+            s"(committed versions are 1..$latest)")),
+        None)
+    }
     val snap =
       try TableLog.state(raw, version.getOrElse(Long.MaxValue))
       catch { case _: IllegalArgumentException =>
@@ -357,6 +373,7 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
   private val fullSchema = StructType.fromDDL(snap.schemaDdl)
   private var files: Seq[TableLog.AddFile] = snap.active
   private var accepted: Array[Filter] = Array.empty
+  private var allFilters: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
   private var pushedAgg: Option[Seq[
     org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc]] = None
@@ -373,9 +390,11 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    allFilters = filters
     val k = snap.keyCol
     var lo = Long.MinValue
     var hi = Long.MaxValue
+    val inSets = Seq.newBuilder[Array[Long]]
     val used = Array.newBuilder[Filter]
     filters.foreach {
       case f @ GreaterThanOrEqual(`k`, v) => longOf(v).foreach { x =>
@@ -388,13 +407,20 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
         hi = math.min(hi, x - 1); used += f }
       case f @ EqualTo(`k`, v) => longOf(v).foreach { x =>
         lo = math.max(lo, x); hi = math.min(hi, x); used += f }
+      // static IN prunes EXACTLY, per value against per-file [min,max]
+      // (the same probe the runtime-filter path uses) — collapsing to
+      // the list's span would keep every file between min and max
       case f @ In(`k`, vs) if vs.nonEmpty && vs.forall(longOf(_).isDefined) =>
-        val xs = vs.map(longOf(_).get)
-        lo = math.max(lo, xs.min); hi = math.min(hi, xs.max); used += f
+        inSets += vs.map(longOf(_).get).sorted
+        used += f
       case _ => ()
     }
     if (lo != Long.MinValue || hi != Long.MaxValue)
       files = TableLog.prunedFiles(snap, lo, hi)
+    inSets.result().foreach { sorted =>
+      files = files.filter(f =>
+        GraftLogScanBuilder.anyInRange(sorted, f.min, f.max))
+    }
     // second manifest layer: point predicates on the bloom column
     // test the per-file sidecars (absence keeps the file — bloom
     // skipping must never lose rows)
@@ -488,7 +514,25 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
       new GraftLogStatsScan(schema, row, files.size)
     case None =>
       new GraftLogDataScan(spark, tablePath, snap, fullSchema, required,
-        accepted, files, options)
+        allFilters, files, options)
+  }
+}
+
+object GraftLogScanBuilder {
+  /** Does any value of `sorted` fall inside `[min, max]`? One binary
+    * search per file — the probe shared by static IN pruning and the
+    * runtime-filter path, so the two can never disagree. */
+  private[sources] def anyInRange(sorted: Array[Long], min: Long,
+      max: Long): Boolean = {
+    var lo = 0; var hi = sorted.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = sorted(mid)
+      if (v < min) lo = mid + 1
+      else if (v > max) hi = mid - 1
+      else return true
+    }
+    false
   }
 }
 
@@ -505,7 +549,7 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
   * delegate to the parquet scan so join planning sees true sizes. */
 class GraftLogDataScan(spark: SparkSession, tablePath: String,
     snap: TableLog.Snapshot, fullSchema: StructType, required: StructType,
-    accepted: Array[Filter], initialFiles: Seq[TableLog.AddFile],
+    dataFilters: Array[Filter], initialFiles: Seq[TableLog.AddFile],
     options: CaseInsensitiveStringMap)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -525,9 +569,14 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
         java.nio.file.Paths.get(tablePath, a.relPath).toUri))
     val index = new InMemoryFileIndex(spark, paths,
       Map.empty[String, String], Some(fullSchema))
+    // EVERY translatable filter feeds the parquet scan — not just the
+    // manifest-consumed key/bloom set: a predicate on any other column
+    // (`o_orderstatus = 'F'`) still earns row-group/page pruning inside
+    // the surviving files; parquet's own converter drops what it
+    // cannot express, and the residual Filter keeps rows exact.
     ParquetScan(spark, SessionBridge.newHadoopConf(spark, Map.empty),
       index, fullSchema, required, StructType(Nil),
-      pushedFilters = accepted, options = options)
+      pushedFilters = dataFilters, options = options)
   }
 
   override def readSchema(): StructType = required
@@ -561,17 +610,8 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     // is ignored (rows are still exact — the join re-checks keys)
     inSets.foreach { vs =>
       val sorted = vs.sorted
-      files = files.filter { f =>
-        var lo = 0; var hi = sorted.length - 1; var hit = false
-        while (lo <= hi && !hit) {
-          val mid = (lo + hi) >>> 1
-          val v = sorted(mid)
-          if (v < f.min) lo = mid + 1
-          else if (v > f.max) hi = mid - 1
-          else hit = true
-        }
-        hit
-      }
+      files = files.filter(f =>
+        GraftLogScanBuilder.anyInRange(sorted, f.min, f.max))
       runtimePruned = true
     }
     if (runtimePruned) inner = mkInner()

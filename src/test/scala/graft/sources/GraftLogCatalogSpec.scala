@@ -70,6 +70,63 @@ class GraftLogCatalogSpec extends SparkSuite {
     assert(bb.chosenFiles.nonEmpty)
   }
 
+  test("a NON-key predicate reaches the wrapped parquet scan's " +
+      "PushedFilters — row-group pruning is not key-only") {
+    val t = freshTable()
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val df = spark.sql(s"SELECT k FROM graftlog.`$t` WHERE v = 'a5'")
+    val p = df.queryExecution.executedPlan.toString
+    // the manifest layers consumed nothing (v is neither key nor
+    // bloom-indexed here), yet the parquet scan still gets the filter
+    assert(p.contains("EqualTo(v,a5)"), p.take(800))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // and the builder still reports only manifest-consumed filters
+    val b = new GraftLogScanBuilder(spark, t, TableLog.state(t), emptyOpts)
+    b.pushFilters(Array(EqualTo("v", "a5")))
+    assert(b.pushedFilters().isEmpty)
+  }
+
+  test("static IN on the key prunes EXACTLY per value, not by the " +
+      "list's span") {
+    import org.apache.spark.sql.sources.In
+    val t = freshTable() // 8 range-partitioned files over keys 0..199
+    val snap = TableLog.state(t)
+    val b = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    // [5, 199] spans the whole key space: a [min,max] collapse would
+    // keep all 8 files; the per-value probe keeps only the two files
+    // actually containing 5 and 199
+    b.pushFilters(Array(In("k",
+      Array[Any](java.lang.Long.valueOf(5L), java.lang.Long.valueOf(199L)))))
+    assert(b.chosenFiles.size <= 2, b.chosenFiles.toString)
+    assert(b.chosenFiles.exists(f => f.min <= 5L && f.max >= 5L))
+    assert(b.chosenFiles.exists(f => f.min <= 199L && f.max >= 199L))
+    // rows stay exact end to end
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    assert(spark.sql(s"SELECT v FROM graftlog.`$t` WHERE k IN (5, 199)")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a5", "b199"))
+  }
+
+  test("VERSION AS OF beyond the latest committed version fails " +
+      "loudly instead of clamping to current data") {
+    val t = freshTable() // versions 1..2
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 99")
+        .collect()
+    }
+    assert(e.getMessage.contains("99"), e.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 0")
+        .collect()
+    }
+    // the boundary versions still resolve
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 2")
+      .collect().head.getLong(0) == 200L)
+  }
+
   test("catalog surface: nonexistent paths miss cleanly, DDL refuses") {
     val cat = new GraftLogCatalog
     cat.initialize("graftlog", emptyOpts)
