@@ -563,21 +563,14 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
   /** The post-runtime-prune file set — the spec's observation hook. */
   private[graft] def chosenFiles: Seq[TableLog.AddFile] = files
 
-  private def mkInner(): ParquetScan = {
-    val paths = files
-      .map(a => new HadoopPath(
-        java.nio.file.Paths.get(tablePath, a.relPath).toUri))
-    val index = new InMemoryFileIndex(spark, paths,
-      Map.empty[String, String], Some(fullSchema))
-    // EVERY translatable filter feeds the parquet scan — not just the
-    // manifest-consumed key/bloom set: a predicate on any other column
-    // (`o_orderstatus = 'F'`) still earns row-group/page pruning inside
-    // the surviving files; parquet's own converter drops what it
-    // cannot express, and the residual Filter keeps rows exact.
-    ParquetScan(spark, SessionBridge.newHadoopConf(spark, Map.empty),
-      index, fullSchema, required, StructType(Nil),
-      pushedFilters = dataFilters, options = options)
-  }
+  // EVERY translatable filter feeds the parquet scan — not just the
+  // manifest-consumed key/bloom set: a predicate on any other column
+  // (`o_orderstatus = 'F'`) still earns row-group/page pruning inside
+  // the surviving files; parquet's own converter drops what it
+  // cannot express, and the residual Filter keeps rows exact.
+  private def mkInner(): ParquetScan =
+    GraftLogParquet.scan(spark, tablePath, files, fullSchema, required,
+      dataFilters, options)
 
   override def readSchema(): StructType = required
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -615,6 +608,27 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
       runtimePruned = true
     }
     if (runtimePruned) inner = mkInner()
+  }
+}
+
+/** Spark's own vectorized parquet DSv2 scan over an explicit
+  * manifest-derived file set — the ONE construction shared by the
+  * catalog's batch data scan and the commit-log streaming source, so
+  * both read paths get identical pushdown, null-filling schema
+  * evolution, and whole-stage-codegen behavior. */
+private[sources] object GraftLogParquet {
+  def scan(spark: SparkSession, tablePath: String,
+      files: Seq[TableLog.AddFile], fullSchema: StructType,
+      required: StructType, pushedFilters: Array[Filter],
+      options: CaseInsensitiveStringMap): ParquetScan = {
+    val paths = files
+      .map(a => new HadoopPath(
+        java.nio.file.Paths.get(tablePath, a.relPath).toUri))
+    val index = new InMemoryFileIndex(spark, paths,
+      Map.empty[String, String], Some(fullSchema))
+    ParquetScan(spark, SessionBridge.newHadoopConf(spark, Map.empty),
+      index, fullSchema, required, StructType(Nil),
+      pushedFilters = pushedFilters, options = options)
   }
 }
 

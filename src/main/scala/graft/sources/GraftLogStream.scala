@@ -56,14 +56,20 @@ class GraftLogStreamProvider extends TableProvider {
     * NULL in the writer's frame, yet pre-evolution files null-fill
     * it — a non-nullable read schema would silently turn those nulls
     * into zero through the unsafe projection. */
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    require(options.containsKey("path"),
+      "graftlog stream: option 'path' (the table directory) is required")
     StructType(
       StructType.fromDDL(TableLog.state(options.get("path")).schemaDdl)
         .fields.map(_.copy(nullable = true)))
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    require(properties.containsKey("path"),
+      "graftlog stream: option 'path' (the table directory) is required")
     new GraftLogStreamTable(properties.get("path"),
       StructType(schema.fields.map(_.copy(nullable = true))))
+  }
 }
 
 class GraftLogStreamTable(path: String, tblSchema: StructType)
@@ -81,7 +87,13 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream =
         new GraftLogMicroBatchStream(path, tblSchema,
-          Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+          Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+          maxFilesPerTrigger =
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+          maxBytesPerTrigger =
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+          maxRowsPerTrigger =
+            Option(options.get("maxRowsPerTrigger")).map(_.toLong))
     }
 
   /** Native streaming SINK — `writeStream.format(…).option("path",…)`
@@ -318,24 +330,128 @@ case class GraftLogVersionOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
+/** ADMISSION CONTROL ([[SupportsAdmissionControl]]): without it a
+  * backfill from `startingVersion 0` on a long table plans EVERY
+  * appended file into one micro-batch. The reference's own load path
+  * is one event per blob (reference `terraform/main.tf:260-298`) — N
+  * blobs arrive as N invocations, never one giant one — so the
+  * streamed image honors `maxFilesPerTrigger` / `maxBytesPerTrigger`
+  * / `maxRowsPerTrigger`: `latestOffset(start, limit)` walks the
+  * commit window and admits WHOLE VERSIONS (the offset is a version —
+  * batch boundaries must be commit boundaries, which also keeps each
+  * batch transactionally meaningful) until the next version would
+  * exceed the budget, always admitting at least one so a single
+  * oversized commit still drains. File counts and row counts come
+  * from the manifest; bytes are one driver-side `Files.size` per
+  * admitted-candidate file (file-grain, like the manifest itself).
+  * `SupportsTriggerAvailableNow` pins the end of an AvailableNow run
+  * to the version observed at prepare time, so the bounded-drain
+  * contract holds even while writers keep committing. */
 class GraftLogMicroBatchStream(path: String, schema: StructType,
-    startingVersion: Long) extends MicroBatchStream {
+    startingVersion: Long,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows}
+
   private val appendOps = Set("create", "append", "evolve")
+  // AvailableNow: the drain target frozen at prepare time
+  @volatile private var availableNowCap: Option[Long] = None
 
   override def initialOffset(): Offset = GraftLogVersionOffset(startingVersion)
   override def latestOffset(): Offset =
-    GraftLogVersionOffset(TableLog.latestVersion(path))
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled entry point")
   override def deserializeOffset(json: String): Offset =
     GraftLogVersionOffset(json.toLong)
   // nothing to clean: offsets are log versions, the log is the state
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(TableLog.latestVersion(path))
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxFilesPerTrigger.map(ReadLimit.maxFiles),
+      maxBytesPerTrigger.map(ReadLimit.maxBytes),
+      maxRowsPerTrigger.map(ReadLimit.maxRows)).flatten
+    limits match {
+      case Nil      => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftLogVersionOffset(math.min(
+      TableLog.latestVersion(path),
+      availableNowCap.getOrElse(Long.MaxValue)))
+
+  private def flatten(limit: ReadLimit): Seq[ReadLimit] = limit match {
+    case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+    case other                 => Seq(other)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[GraftLogVersionOffset].version
+    val hi = math.min(TableLog.latestVersion(path),
+      availableNowCap.getOrElse(Long.MaxValue))
+    if (hi <= lo) return GraftLogVersionOffset(lo)
+    val caps = flatten(limit)
+    if (caps.forall(_.isInstanceOf[ReadAllAvailable]))
+      return GraftLogVersionOffset(hi)
+    val maxFiles = caps.collect { case f: ReadMaxFiles => f.maxFiles() }
+      .minOption.getOrElse(Int.MaxValue)
+    val maxBytes = caps.collect { case b: ReadMaxBytes => b.maxBytes() }
+      .minOption.getOrElse(Long.MaxValue)
+    val maxRows = caps.collect { case r: ReadMaxRows => r.maxRows() }
+      .minOption.getOrElse(Long.MaxValue)
+    var admitted = lo
+    var files = 0L; var bytes = 0L; var rows = 0L
+    var open = true
+    // one manifest read per ADMITTED version (+1 for the refusal that
+    // closes the batch) — a long backfill under a small budget costs
+    // O(admitted) per trigger, not O(remaining window); stop BEFORE
+    // the version that would blow the budget, but always admit the
+    // first one (progress guarantee)
+    while (open && admitted < hi) {
+      val c = TableLog.commits(path, admitted + 1,
+        fromExclusive = admitted).head
+      val cFiles = c.adds.size.toLong
+      val cRows = c.adds.map(_.rows).sum
+      val cBytes =
+        if (maxBytes == Long.MaxValue) 0L
+        else c.adds.map { a =>
+          val p = java.nio.file.Paths.get(path, a.relPath)
+          if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p)
+          else 0L
+        }.sum
+      val fits = files + cFiles <= maxFiles &&
+        bytes + cBytes <= maxBytes && rows + cRows <= maxRows
+      if (fits || admitted == lo) {
+        admitted = c.version
+        files += cFiles; bytes += cBytes; rows += cRows
+      } else open = false
+    }
+    GraftLogVersionOffset(admitted)
+  }
+
+  // the current batch's vectorized reader factory: planInputPartitions
+  // and createReaderFactory are driver-side calls of the SAME
+  // micro-batch (batches execute serially within a query), so the
+  // factory built while planning serves that batch's partitions
+  @volatile private var batchFactory: PartitionReaderFactory = _
+
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[GraftLogVersionOffset].version
     val hi = end.asInstanceOf[GraftLogVersionOffset].version
-    val window = TableLog.commits(path, hi).filter(_.version > lo)
+    // only the (lo, hi] manifests are read — per-batch planning cost
+    // is bounded by the batch window, not the table's lifetime
+    val window = TableLog.commits(path, hi, fromExclusive = lo)
     window.filterNot(c => appendOps(c.op)).foreach { c =>
       throw new IllegalStateException(
         s"$path: v${c.version} is a ${c.op} (rewrite) — an appends-only " +
@@ -343,19 +459,34 @@ class GraftLogMicroBatchStream(path: String, schema: StructType,
           "diffVersions across it and restart with startingVersion > " +
           s"${c.version}")
     }
-    window.flatMap(_.adds).map(a => GraftLogStreamFilePartition(
-      java.nio.file.Paths.get(path, a.relPath).toString,
-      schema.toDDL): InputPartition).toArray
+    // batches read through Spark's OWN vectorized parquet scan (the
+    // same construction as the catalog's batch path), not a
+    // row-at-a-time Group reader: streamed backfills decode columnar
+    // with whole-stage codegen downstream, and pre-evolution files
+    // null-fill new columns through the explicit-schema read
+    val files = window.flatMap(_.adds)
+    val batch = GraftLogParquet.scan(
+      org.apache.spark.sql.SparkSession.active, path, files,
+      schema, schema, Array.empty,
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      .toBatch
+    batchFactory = batch.createReaderFactory()
+    batch.planInputPartitions()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLogStreamReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    require(batchFactory != null,
+      "createReaderFactory before planInputPartitions")
+    batchFactory
+  }
 }
 
 case class GraftLogStreamFilePartition(file: String, schemaDdl: String)
   extends InputPartition
 
 class GraftLogStreamReaderFactory extends PartitionReaderFactory {
+  import org.apache.parquet.example.data.Group
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftLogStreamFilePartition]
     val schema = StructType.fromDDL(fp.schemaDdl)
@@ -365,30 +496,47 @@ class GraftLogStreamReaderFactory extends PartitionReaderFactory {
       .withConf(new Configuration()).build()
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
+      private val width = schema.fields.length
+      // per-FILE schema resolution, hoisted out of the row loop: the
+      // group type is fixed for the whole file, so the name→index
+      // lookups and the per-type dispatch resolve ONCE into an array
+      // of primitive getters (−1 / null getter = pre-evolution file
+      // lacking the column → null-fill, the same contract as the
+      // batch read's explicit-schema scan)
+      private var getters: Array[(Group, Int) => Any] = _
+      private var idx: Array[Int] = _
+      private def resolve(gt: org.apache.parquet.schema.GroupType): Unit = {
+        idx = schema.fields.map(f =>
+          if (gt.containsField(f.name)) gt.getFieldIndex(f.name) else -1)
+        getters = schema.fields.map { f =>
+          f.dataType match {
+            case LongType    => (g: Group, i: Int) => g.getLong(i, 0)
+            case IntegerType => (g: Group, i: Int) => g.getInteger(i, 0)
+            case DoubleType  => (g: Group, i: Int) => g.getDouble(i, 0)
+            case FloatType   => (g: Group, i: Int) => g.getFloat(i, 0)
+            case BooleanType => (g: Group, i: Int) => g.getBoolean(i, 0)
+            case StringType  => (g: Group, i: Int) =>
+              UTF8String.fromString(g.getString(i, 0))
+            case o => throw new UnsupportedOperationException(
+              s"graftlog stream: unsupported column type $o for '${f.name}'")
+          }
+        }
+      }
       override def next(): Boolean = {
         val g = reader.read()
         if (g == null) return false
-        val gt = g.getType
-        val vals: Array[Any] = schema.fields.map { f =>
-          // pre-evolution files lack later columns → null-fill, the
-          // same contract as the batch read's explicit-schema scan
-          if (!gt.containsField(f.name)) null
-          else {
-            val i = gt.getFieldIndex(f.name)
-            if (g.getFieldRepetitionCount(i) == 0) null
-            else f.dataType match {
-              case LongType    => g.getLong(i, 0)
-              case IntegerType => g.getInteger(i, 0)
-              case DoubleType  => g.getDouble(i, 0)
-              case FloatType   => g.getFloat(i, 0)
-              case BooleanType => g.getBoolean(i, 0)
-              case StringType  => UTF8String.fromString(g.getString(i, 0))
-              case o => throw new UnsupportedOperationException(
-                s"graftlog stream: unsupported column type $o for '${f.name}'")
-            }
-          }
+        if (getters == null) resolve(g.getType)
+        val vals = new Array[Any](width)
+        var c = 0
+        while (c < width) {
+          val i = idx(c)
+          vals(c) =
+            if (i < 0 || g.getFieldRepetitionCount(i) == 0) null
+            else getters(c)(g, i)
+          c += 1
         }
-        cur = InternalRow.fromSeq(vals.toIndexedSeq)
+        cur = InternalRow.fromSeq(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(vals))
         true
       }
       override def get(): InternalRow = cur

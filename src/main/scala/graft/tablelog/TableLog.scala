@@ -177,12 +177,16 @@ object TableLog {
     } finally s.close()
   }
 
-  /** All commits ≤ `upTo` in version order (full-history read — used
-    * by [[history]] and the from-scratch replay the checkpoint spec
-    * compares against). */
-  def commits(table: String, upTo: Long = Long.MaxValue): Seq[Commit] = {
+  /** Commits in `(fromExclusive, upTo]` in version order. The default
+    * window is the full history (used by [[history]] and the
+    * from-scratch replay the checkpoint spec compares against); a
+    * bounded consumer — the streaming source planning one micro-batch
+    * — passes `fromExclusive` so per-batch driver work is O(window),
+    * never O(table history). */
+  def commits(table: String, upTo: Long = Long.MaxValue,
+      fromExclusive: Long = 0L): Seq[Commit] = {
     val last = math.min(latestVersion(table), upTo)
-    (1L to last).map { v =>
+    ((fromExclusive + 1L) to last).map { v =>
       parse(v, Files.readString(commitPath(table, v)))
     }
   }

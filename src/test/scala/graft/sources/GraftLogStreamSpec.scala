@@ -129,6 +129,68 @@ class GraftLogStreamSpec extends SparkSuite {
     assert(bad.getMessage != null)
   }
 
+  test("admission control: a 3-append backfill under maxFilesPerTrigger=1 " +
+      "drains in >=3 micro-batches with exact totals") {
+    val t = Files.createTempDirectory("tlog_admit_").toString
+    val cp = Files.createTempDirectory("tlog_admit_cp_").toString
+    TableLog.create(kv((0L to 9L).map(i => (i, s"a$i"))), t, "k", 1)
+    TableLog.append(kv((10L to 19L).map(i => (i, s"b$i"))), t, 1)
+    TableLog.append(kv((20L to 29L).map(i => (i, s"c$i"))), t, 1)
+    val q = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("tlog_admit_probe")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"backfill must drain in bounded batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows == 10L),
+        batches.map(_.numInputRows).mkString(","))
+      val got = spark.table("tlog_admit_probe").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got.size == 30 && got(0L) == "a0" && got(29L) == "c29")
+    } finally q.stop()
+  }
+
+  test("admission offsets: maxFiles/maxRows/maxBytes budgets admit " +
+      "whole versions, never zero progress; rewrite windows refuse") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val t = Files.createTempDirectory("tlog_admit2_").toString
+    TableLog.create(kv((0L to 9L).map(i => (i, s"a$i"))), t, "k", 1)
+    TableLog.append(kv((10L to 19L).map(i => (i, s"b$i"))), t, 1)
+    TableLog.append(kv((20L to 29L).map(i => (i, s"c$i"))), t, 1)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      TableLog.state(t).schemaDdl)
+    def off(stream: GraftLogMicroBatchStream, from: Long,
+        limit: ReadLimit): Long =
+      stream.latestOffset(GraftLogVersionOffset(from), limit)
+        .asInstanceOf[GraftLogVersionOffset].version
+    val s0 = new GraftLogMicroBatchStream(t, schema, 0L)
+    // two files per trigger = two versions (each commit staged 1 file)
+    assert(off(s0, 0L, ReadLimit.maxFiles(2)) == 2L)
+    assert(off(s0, 2L, ReadLimit.maxFiles(2)) == 3L)
+    // a budget SMALLER than the next commit still admits it (progress)
+    assert(off(s0, 0L, ReadLimit.maxRows(1L)) == 1L)
+    assert(off(s0, 1L, ReadLimit.maxRows(1L)) == 2L)
+    assert(off(s0, 0L, ReadLimit.maxBytes(1L)) == 1L)
+    // rows: 10 per commit, 20 admits two versions
+    assert(off(s0, 0L, ReadLimit.maxRows(20L)) == 2L)
+    // allAvailable jumps to the latest
+    assert(off(s0, 0L, ReadLimit.allAvailable()) == 3L)
+    assert(s0.reportLatestOffset()
+      .asInstanceOf[GraftLogVersionOffset].version == 3L)
+    // default limit derives from the options
+    assert(new GraftLogMicroBatchStream(t, schema, 0L,
+      maxFilesPerTrigger = Some(1)).getDefaultReadLimit.toString
+      .contains("1"))
+    assert(s0.getDefaultReadLimit ==
+      ReadLimit.allAvailable())
+  }
+
   test("a rewrite commit in the window fails the stream fast — " +
       "appends-only reads must not double-count") {
     val t = Files.createTempDirectory("tlog_stream3_").toString
