@@ -1235,7 +1235,54 @@ object TableOps {
       |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority <> '1-URGENT'
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q428
+  /** `ALTER TABLE … ADD COLUMN` on the SQL catalog — q337's additive
+    * evolution ([[TableLog.evolveSchema]]) without an API call and
+    * without riding on an append: CREATE 3 columns wide, INSERT a
+    * slice, ALTER adds o_totalprice as ONE metadata-only commit (zero
+    * data files — history pins it), INSERT the wide slice, and the
+    * readback groups by status × presence — pre-evolution rows
+    * null-fill through the explicit-schema scan, post-evolution rows
+    * carry values. Shares q337's oracle verbatim: the API evolution
+    * and the SQL DDL state the same logical table. */
+  private val alterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q428CatalogAlterAdd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = alterCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogalt_").toString + "/tbl"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$t` (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING)
+           |TBLPROPERTIES ('key' = 'o_orderkey')""".stripMargin)
+      val view = s"graft_alt_src_${Integer.toHexString(dir.hashCode)}"
+      Tables.orders(s, dir).createOrReplaceTempView(view)
+      try {
+        s.sql(
+          s"""INSERT INTO graftlog.`$t`
+             |SELECT o_orderkey, o_custkey, o_orderstatus
+             |FROM $view WHERE o_orderkey % 4 = 0""".stripMargin)
+        s.sql(s"ALTER TABLE graftlog.`$t` ADD COLUMN o_totalprice DOUBLE")
+        s.sql(
+          s"""INSERT INTO graftlog.`$t`
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM $view WHERE o_orderkey % 4 = 1""".stripMargin)
+      } finally s.catalog.dropTempView(view)
+      t
+    })
+    s.sql(
+      s"""SELECT o_orderstatus, o_totalprice IS NULL AS pre_evolution,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         |    AS DOUBLE), 0.0) AS sum_price
+         |FROM graftlog.`$table`
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q428_catalog_alter_add" -> (q428CatalogAlterAdd _),
     "q427_stats_pushdown" -> (q427StatsPushdown _),
     "q426_catalog_create" -> (q426CatalogCreate _),
     "q424_catalog_insert" -> (q424CatalogInsert _),
@@ -1265,6 +1312,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q428_catalog_alter_add" -> q337Oracle,
     "q427_stats_pushdown" -> q427Oracle,
     "q426_catalog_create" -> q426Oracle,
     "q424_catalog_insert" -> q424Oracle,

@@ -212,8 +212,30 @@ class GraftLogCatalog extends TableCatalog
     TableLog.createEmpty(path, schema.toDDL, key)
     new GraftLogTable(path, TableLog.state(path))
   }
+  /** `ALTER TABLE graftlog.\`<path>\` ADD COLUMN(S) …` — the SQL
+    * surface of [[TableLog.evolveSchema]]: one metadata-only commit
+    * widens the declared schema, existing files null-fill the new
+    * columns on read (q337's additive-evolution contract, without
+    * having to ride on an append). Only top-level, nullable,
+    * default-free, append-positioned adds are honored — everything
+    * else (drop/rename/retype, nested fields, defaults) is a rewrite
+    * or a conflict-rule question and stays refused. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = refuse("ALTER TABLE")
+      changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    if (path.endsWith(historySuffix)) refuse(s"ALTER TABLE $historySuffix")
+    val adds = changes.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames.length == 1 && a.isNullable &&
+            a.defaultValue == null && a.position == null =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case other => refuse(s"ALTER TABLE change $other (only plain " +
+        "top-level nullable ADD COLUMN evolves additively)")
+    }
+    TableLog.evolveSchema(path, StructType(adds))
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = refuse("DROP TABLE")
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = refuse("RENAME TABLE")

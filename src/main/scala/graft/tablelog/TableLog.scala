@@ -508,6 +508,27 @@ object TableLog {
     commit(table, snap.version, "evolve", adds, Nil, merged.toDDL, "")
   }
 
+  /** METADATA-ONLY additive schema evolution — the `ALTER TABLE ADD
+    * COLUMN` image of [[appendEvolve]]: widen the declared schema by
+    * `newCols` in one commit carrying ZERO data files. Existing files
+    * are untouched; every reader null-fills the new columns through
+    * the explicit-schema parquet scan until data arrives for them
+    * (exactly appendEvolve's contract, minus the append). New columns
+    * must not collide with existing ones, and the commit carries the
+    * merged DDL, so a concurrent evolve loses the race loudly
+    * (metadata commits never rebase — see [[commit]]). */
+  def evolveSchema(table: String, newCols: StructType): Long = {
+    val snap = state(table)
+    val old = StructType.fromDDL(snap.schemaDdl)
+    val oldNames = old.map(_.name).toSet
+    newCols.foreach { f =>
+      if (oldNames(f.name)) throw new IllegalArgumentException(
+        s"evolveSchema: column '${f.name}' already exists — evolution is additive")
+    }
+    val merged = StructType(old ++ newCols)
+    commit(table, snap.version, "evolve", Nil, Nil, merged.toDDL, "")
+  }
+
   /** CDC extract between two versions (q106's diff semantics read
     * straight off the log): emit (key, action, old_*, new_*) for
     * every row that changed. The manifest bounds the scan — files

@@ -239,6 +239,44 @@ class GraftLogCatalogSpec extends SparkSuite {
     } finally spark.catalog.dropTempView("ctas_src")
   }
 
+  test("ALTER TABLE ADD COLUMN is one metadata-only evolve commit; " +
+      "pre-evolution files null-fill; non-additive changes refuse") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_alter_").toString + "/tbl"
+    spark.sql(s"CREATE TABLE graftlog.`$t` (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    (0L to 9L).map(i => (i, s"a$i")).toDF("k", "v")
+      .write.format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).mode("append").save()
+    spark.sql(s"ALTER TABLE graftlog.`$t` ADD COLUMN w BIGINT")
+    // the evolve commit carries ZERO data files — pure metadata
+    val evolve = TableLog.history(t).last
+    assert(evolve.op == "evolve" && evolve.nAdds == 0 && evolve.nRemoves == 0)
+    (10L to 14L).map(i => (i, s"b$i", i * 2)).toDF("k", "v", "w")
+      .write.format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).mode("append").save()
+    val rows = spark.sql(s"SELECT k, w FROM graftlog.`$t` ORDER BY k")
+      .collect()
+    assert(rows.length == 15)
+    assert(rows.take(10).forall(_.isNullAt(1)), "pre-evolution must null-fill")
+    assert(rows.drop(10).forall(r => r.getLong(1) == r.getLong(0) * 2))
+    // time travel still reads the narrow schema's data
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 2")
+      .collect().head.getLong(0) == 10L)
+    // duplicate column and non-additive changes refuse
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graftlog.`$t` ADD COLUMN v STRING")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graftlog.`$t` DROP COLUMN w")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graftlog.`$t` RENAME COLUMN w TO x")
+    }
+  }
+
   test("TIMESTAMP AS OF resolves the latest commit at-or-before the " +
       "instant; an instant predating the table misses") {
     val cat = new GraftLogCatalog
