@@ -1281,7 +1281,70 @@ object TableOps {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q429
+  /** CHANGE-FEED streaming read (`option("readChangeFeed", "true")`)
+    * — q336's diffVersions semantics as a LIVE subscription that
+    * rides through rewrite commits instead of failing fast (q422's
+    * appends-only contract is the default; this is the opt-in for
+    * consumers that need delete/update visibility — Delta's CDF
+    * shape, computed from manifests, no recorded change files). The
+    * fixture replays create + append + COW-delete; the feed must emit
+    * every insert with its commit version, then EXACTLY the deleted
+    * rows at the delete commit — the delete's predicate is
+    * key-uncorrelated, so every file rewrites and the moved-but-
+    * unchanged rows must all drop out of the null-safe compare. Each
+    * rewrite's diff is key-range partitioned off the manifest stats:
+    * no shuffle, no driver data, cost bounded by the rewritten
+    * sliver ([[graft.sources.GraftLogChangeFeed]]). */
+  private val cdfStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q429ChangeFeedStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sinkName = cdfStreamCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogcdf_").toString
+      val cp = Files.createTempDirectory("graft_tlogcdf_cp_").toString
+      val name = s"q429_feed_${Integer.toHexString(dir.hashCode)}"
+      val slice = ordersSlice(s, dir)
+      TableLog.create(slice.where(col("o_orderkey") % 4 === 0), t,
+        "o_orderkey", numFiles = 2)
+      TableLog.append(slice.where(col("o_orderkey") % 4 === 1), t,
+        numFiles = 2)
+      TableLog.deleteWhere(s, t,
+        col("o_orderpriority") === "1-URGENT", numFiles = 2)
+      val q = s.readStream
+        .format("graft.sources.GraftLogStreamProvider")
+        .option("path", t).option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      name
+    })
+    s.table(sinkName)
+      .select($"o_orderkey", $"_commit_version".as("commit_version"),
+        $"action", $"old_o_totalprice".as("old_price"),
+        $"new_o_totalprice".as("new_price"))
+      .orderBy($"commit_version", $"o_orderkey")
+  }
+
+  private val q429Oracle =
+    """SELECT o_orderkey, CAST(1 AS BIGINT) AS commit_version,
+      |  'insert' AS action, CAST(NULL AS DOUBLE) AS old_price,
+      |  o_totalprice AS new_price
+      |FROM orders WHERE o_orderkey % 4 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 2, 'insert', NULL, o_totalprice
+      |FROM orders WHERE o_orderkey % 4 = 1
+      |UNION ALL
+      |SELECT o_orderkey, 3, 'delete', o_totalprice, NULL
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1) AND o_orderpriority = '1-URGENT'
+      |ORDER BY commit_version, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q429_change_feed_stream" -> (q429ChangeFeedStream _),
     "q428_catalog_alter_add" -> (q428CatalogAlterAdd _),
     "q427_stats_pushdown" -> (q427StatsPushdown _),
     "q426_catalog_create" -> (q426CatalogCreate _),
@@ -1312,6 +1375,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q429_change_feed_stream" -> q429Oracle,
     "q428_catalog_alter_add" -> q337Oracle,
     "q427_stats_pushdown" -> q427Oracle,
     "q426_catalog_create" -> q426Oracle,

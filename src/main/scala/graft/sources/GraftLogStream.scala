@@ -43,7 +43,12 @@ import graft.tablelog.TableLog
   *    duplication — the consumer falls back to [[TableLog.diffVersions]]
   *    (change-exact through rewrites) and restarts past it;
   *  - `startingVersion` option replays history from a chosen version
-  *    (default 0 = the table's beginning).
+  *    (default 0 = the table's beginning);
+  *  - `option("readChangeFeed", "true")` switches to the CHANGE-FEED
+  *    schema (key, action, old_*, new_*, _commit_version) and rides
+  *    through rewrite commits — see [[GraftLogChangeFeed]];
+  *  - `maxFilesPerTrigger` / `maxBytesPerTrigger` / `maxRowsPerTrigger`
+  *    bound each micro-batch — see [[GraftLogMicroBatchStream]].
   *
   * The per-file readers decode parquet through the public
   * parquet-hadoop API (no Spark session on executors), null-filling
@@ -56,18 +61,27 @@ class GraftLogStreamProvider extends TableProvider {
     * NULL in the writer's frame, yet pre-evolution files null-fill
     * it — a non-nullable read schema would silently turn those nulls
     * into zero through the unsafe projection. */
+  private def cdfRequested(get: String => String): Boolean =
+    Option(get("readChangeFeed")).exists(_.equalsIgnoreCase("true"))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     require(options.containsKey("path"),
       "graftlog stream: option 'path' (the table directory) is required")
-    StructType(
-      StructType.fromDDL(TableLog.state(options.get("path")).schemaDdl)
-        .fields.map(_.copy(nullable = true)))
+    val snap = TableLog.state(options.get("path"))
+    val base = StructType(StructType.fromDDL(snap.schemaDdl)
+      .fields.map(_.copy(nullable = true)))
+    if (cdfRequested(options.get))
+      GraftLogChangeFeed.schemaOf(base, snap.keyCol)
+    else base
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     require(properties.containsKey("path"),
       "graftlog stream: option 'path' (the table directory) is required")
-    new GraftLogStreamTable(properties.get("path"),
+    val path = properties.get("path")
+    if (cdfRequested(properties.get))
+      new GraftLogChangeFeedTable(path, schema)
+    else new GraftLogStreamTable(path,
       StructType(schema.fields.map(_.copy(nullable = true))))
   }
 }
@@ -455,9 +469,9 @@ class GraftLogMicroBatchStream(path: String, schema: StructType,
     window.filterNot(c => appendOps(c.op)).foreach { c =>
       throw new IllegalStateException(
         s"$path: v${c.version} is a ${c.op} (rewrite) — an appends-only " +
-          "stream over this window would double-count; consume " +
-          "diffVersions across it and restart with startingVersion > " +
-          s"${c.version}")
+          "stream over this window would double-count; consume the " +
+          "change feed (option readChangeFeed=true) across it, or " +
+          s"restart with startingVersion > ${c.version}")
     }
     // batches read through Spark's OWN vectorized parquet scan (the
     // same construction as the catalog's batch path), not a
@@ -481,51 +495,46 @@ class GraftLogMicroBatchStream(path: String, schema: StructType,
   }
 }
 
-case class GraftLogStreamFilePartition(file: String, schemaDdl: String)
-  extends InputPartition
-
-class GraftLogStreamReaderFactory extends PartitionReaderFactory {
+/** Row-at-a-time parquet decode through the public parquet-hadoop
+  * Group API, in `schema` order with null-fill for absent columns
+  * (pre-evolution files) — field-index resolution and type dispatch
+  * hoisted out of the row loop (resolved ONCE per file; the group
+  * type is constant within a file). Used by the change feed's diff
+  * partitions, whose cost is the rewritten sliver of one commit;
+  * bulk append batches ride Spark's vectorized scan instead. Strings
+  * decode as UTF8String so values compare and emit without copies. */
+private[sources] object GraftLogGroupRows {
   import org.apache.parquet.example.data.Group
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val fp = p.asInstanceOf[GraftLogStreamFilePartition]
-    val schema = StructType.fromDDL(fp.schemaDdl)
+  def foreach(file: String, schema: StructType)(f: Array[Any] => Unit): Unit = {
     @annotation.nowarn("cat=deprecation")
     val reader = ParquetReader
-      .builder(new GroupReadSupport(), new HadoopPath(fp.file))
+      .builder(new GroupReadSupport(), new HadoopPath(file))
       .withConf(new Configuration()).build()
-    new PartitionReader[InternalRow] {
-      private var cur: InternalRow = _
-      private val width = schema.fields.length
-      // per-FILE schema resolution, hoisted out of the row loop: the
-      // group type is fixed for the whole file, so the name→index
-      // lookups and the per-type dispatch resolve ONCE into an array
-      // of primitive getters (−1 / null getter = pre-evolution file
-      // lacking the column → null-fill, the same contract as the
-      // batch read's explicit-schema scan)
-      private var getters: Array[(Group, Int) => Any] = _
-      private var idx: Array[Int] = _
-      private def resolve(gt: org.apache.parquet.schema.GroupType): Unit = {
-        idx = schema.fields.map(f =>
-          if (gt.containsField(f.name)) gt.getFieldIndex(f.name) else -1)
-        getters = schema.fields.map { f =>
-          f.dataType match {
-            case LongType    => (g: Group, i: Int) => g.getLong(i, 0)
-            case IntegerType => (g: Group, i: Int) => g.getInteger(i, 0)
-            case DoubleType  => (g: Group, i: Int) => g.getDouble(i, 0)
-            case FloatType   => (g: Group, i: Int) => g.getFloat(i, 0)
-            case BooleanType => (g: Group, i: Int) => g.getBoolean(i, 0)
-            case StringType  => (g: Group, i: Int) =>
-              UTF8String.fromString(g.getString(i, 0))
-            case o => throw new UnsupportedOperationException(
-              s"graftlog stream: unsupported column type $o for '${f.name}'")
+    try {
+      val width = schema.fields.length
+      var getters: Array[(Group, Int) => Any] = null
+      var idx: Array[Int] = null
+      var g = reader.read()
+      while (g != null) {
+        if (getters == null) {
+          val gt = g.getType
+          idx = schema.fields.map(fd =>
+            if (gt.containsField(fd.name)) gt.getFieldIndex(fd.name) else -1)
+          getters = schema.fields.map { fd =>
+            fd.dataType match {
+              case LongType    => (g: Group, i: Int) => g.getLong(i, 0)
+              case IntegerType => (g: Group, i: Int) => g.getInteger(i, 0)
+              case DoubleType  => (g: Group, i: Int) => g.getDouble(i, 0)
+              case FloatType   => (g: Group, i: Int) => g.getFloat(i, 0)
+              case BooleanType => (g: Group, i: Int) => g.getBoolean(i, 0)
+              case StringType  => (g: Group, i: Int) =>
+                UTF8String.fromString(g.getString(i, 0))
+              case o => throw new UnsupportedOperationException(
+                s"graftlog stream: unsupported column type $o for '${fd.name}'")
+            }
           }
         }
-      }
-      override def next(): Boolean = {
-        val g = reader.read()
-        if (g == null) return false
-        if (getters == null) resolve(g.getType)
         val vals = new Array[Any](width)
         var c = 0
         while (c < width) {
@@ -535,12 +544,228 @@ class GraftLogStreamReaderFactory extends PartitionReaderFactory {
             else getters(c)(g, i)
           c += 1
         }
-        cur = InternalRow.fromSeq(scala.collection.immutable.ArraySeq
-          .unsafeWrapArray(vals))
-        true
+        f(vals)
+        g = reader.read()
       }
-      override def get(): InternalRow = cur
-      override def close(): Unit = reader.close()
+    } finally reader.close()
+  }
+}
+
+// ------------------------------------------------------- change feed
+
+/** CHANGE-FEED read mode (`option("readChangeFeed", "true")`) — the
+  * q336 [[TableLog.diffVersions]] semantics, streamed: each commit in
+  * the offset window emits (key, action, old_*, new_*,
+  * _commit_version) rows, so a consumer RIDES THROUGH rewrite commits
+  * (delete/merge/cdc/compact) that fail the appends-only stream fast —
+  * Delta's CDF capability, computed from the log's own manifests
+  * instead of recorded change files.
+  *
+  * Distribution is the point at 100 TB: a rewrite commit's diff is
+  * partitioned BY KEY RANGE using the per-file `[min, max]` manifest
+  * stats — range boundaries are the distinct file minima of the
+  * commit's removed+added files, each partition reads only the files
+  * intersecting its range, filters rows to the range, and hash-joins
+  * old vs new locally. No shuffle, no driver-side data; per-partition
+  * memory is bounded by a range's rows (≈ one file under the
+  * range-partitioned staging layout), and the whole diff costs the
+  * REWRITTEN SLIVER, never the table — files active in both versions
+  * cannot contribute a change and are never read (the diffVersions
+  * contract). Append-shaped commits emit pure inserts straight off
+  * their added files, one partition per file. Unchanged rows that
+  * merely moved files during a rewrite are dropped by the null-safe
+  * value compare, exactly like diffVersions. Keys are assumed unique
+  * per snapshot (the merge/CDC contract this log already carries). */
+private[sources] object GraftLogChangeFeed {
+  import org.apache.spark.sql.types.StructField
+
+  def schemaOf(base: StructType, keyCol: String): StructType = {
+    val k = base.fields.find(_.name == keyCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"change feed: key column '$keyCol' not in table schema"))
+    val rest = base.fields.filterNot(_.name == keyCol)
+    StructType(
+      k.copy(nullable = false) +:
+        StructField("action", StringType, nullable = false) +:
+        (rest.flatMap(f => Seq(
+          StructField(s"old_${f.name}", f.dataType, nullable = true),
+          StructField(s"new_${f.name}", f.dataType, nullable = true))) :+
+          StructField("_commit_version", LongType, nullable = false)))
+  }
+}
+
+class GraftLogChangeFeedTable(path: String, outSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graftlog_change_feed(`$path`)"
+  override def schema(): StructType = outSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan {
+      override def build(): Scan = this
+      override def readSchema(): StructType = outSchema
+      override def toMicroBatchStream(
+          checkpointLocation: String): MicroBatchStream =
+        new GraftLogChangeFeedStream(path,
+          Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
     }
+}
+
+class GraftLogChangeFeedStream(path: String, startingVersion: Long)
+    extends MicroBatchStream {
+  private val appendOps = Set("create", "append", "evolve")
+
+  override def initialOffset(): Offset = GraftLogVersionOffset(startingVersion)
+  override def latestOffset(): Offset =
+    GraftLogVersionOffset(TableLog.latestVersion(path))
+  override def deserializeOffset(json: String): Offset =
+    GraftLogVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftLogVersionOffset].version
+    val hi = end.asInstanceOf[GraftLogVersionOffset].version
+    // schema authority: the table as of the window's end — earlier
+    // files null-fill columns they predate (the batch read contract)
+    val authority = TableLog.state(path, hi)
+    val ddl = authority.schemaDdl
+    val k = authority.keyCol
+    def abs(rel: String): String =
+      java.nio.file.Paths.get(path, rel).toString
+    TableLog.commits(path, hi, fromExclusive = lo).flatMap { c =>
+      if (appendOps(c.op)) {
+        c.adds.map(a => GraftLogCdfInsertPartition(
+          abs(a.relPath), c.version, ddl, k): InputPartition)
+      } else {
+        val removed = c.removes.toSet
+        val oldFiles = TableLog.state(path, c.version - 1)
+          .active.filter(a => removed(a.relPath))
+        val newFiles = c.adds
+        // key-range partitions cut at the distinct file minima: every
+        // key of every involved file is >= the smallest minimum, so
+        // the ranges cover; each partition reads only intersecting
+        // files and filters rows to its range — disjoint and complete
+        val starts = (oldFiles ++ newFiles).map(_.min).distinct.sorted
+        starts.zipWithIndex.map { case (rlo, i) =>
+          val rhi =
+            if (i + 1 < starts.length) starts(i + 1) else Long.MaxValue
+          def hits(a: TableLog.AddFile): Boolean =
+            a.max >= rlo && (a.min < rhi || rhi == Long.MaxValue)
+          GraftLogCdfDiffPartition(rlo, rhi,
+            oldFiles.filter(hits).map(a => abs(a.relPath)),
+            newFiles.filter(hits).map(a => abs(a.relPath)),
+            c.version, ddl, k): InputPartition
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogCdfReaderFactory
+}
+
+/** One appended file of an append-shaped commit: every row emits as
+  * `insert` (old_* null). */
+case class GraftLogCdfInsertPartition(file: String, version: Long,
+    tableSchemaDdl: String, keyCol: String) extends InputPartition
+
+/** One key range `[loKey, hiKey)` of a rewrite commit's diff
+  * (`hiKey = Long.MaxValue` means inclusive top): reads the removed
+  * and added files intersecting the range, local hash-join by key. */
+case class GraftLogCdfDiffPartition(loKey: Long, hiKey: Long,
+    oldFiles: Seq[String], newFiles: Seq[String], version: Long,
+    tableSchemaDdl: String, keyCol: String) extends InputPartition
+
+class GraftLogCdfReaderFactory extends PartitionReaderFactory {
+  private val INSERT = UTF8String.fromString("insert")
+  private val UPDATE = UTF8String.fromString("update")
+  private val DELETE = UTF8String.fromString("delete")
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p match {
+      case ins: GraftLogCdfInsertPartition => insertRows(ins)
+      case dif: GraftLogCdfDiffPartition   => diffRows(dif)
+      case o => throw new IllegalStateException(s"unexpected partition $o")
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  /** Emit one CDF row: [key, action, (old_i, new_i)…, version]. */
+  private def emit(key: Long, action: UTF8String, old: Array[Any],
+      neu: Array[Any], keyIdx: Int, width: Int, version: Long): InternalRow = {
+    val out = new Array[Any](2 + 2 * (width - 1) + 1)
+    out(0) = key
+    out(1) = action
+    var o = 2
+    var c = 0
+    while (c < width) {
+      if (c != keyIdx) {
+        out(o) = if (old == null) null else old(c)
+        out(o + 1) = if (neu == null) null else neu(c)
+        o += 2
+      }
+      c += 1
+    }
+    out(out.length - 1) = version
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(out))
+  }
+
+  private def insertRows(p: GraftLogCdfInsertPartition): Iterator[InternalRow] = {
+    val schema = StructType.fromDDL(p.tableSchemaDdl)
+    val keyIdx = schema.fieldIndex(p.keyCol)
+    val width = schema.fields.length
+    val buf = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    GraftLogGroupRows.foreach(p.file, schema) { vals =>
+      buf += emit(vals(keyIdx).asInstanceOf[Long], INSERT, null, vals,
+        keyIdx, width, p.version)
+    }
+    buf.iterator
+  }
+
+  private def diffRows(p: GraftLogCdfDiffPartition): Iterator[InternalRow] = {
+    val schema = StructType.fromDDL(p.tableSchemaDdl)
+    val keyIdx = schema.fieldIndex(p.keyCol)
+    val width = schema.fields.length
+    def inRange(k: Long): Boolean =
+      k >= p.loKey && (k < p.hiKey || p.hiKey == Long.MaxValue)
+    def same(a: Array[Any], b: Array[Any]): Boolean = {
+      var c = 0
+      while (c < width) {
+        if (c != keyIdx && !java.util.Objects.equals(a(c), b(c))) return false
+        c += 1
+      }
+      true
+    }
+    // old side materializes per range — bounded by the range's rows
+    // (≈ one file under range-partitioned staging), never the commit
+    val old = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Any]]
+    p.oldFiles.foreach(f => GraftLogGroupRows.foreach(f, schema) { vals =>
+      val k = vals(keyIdx).asInstanceOf[Long]
+      if (inRange(k)) old(k) = vals
+    })
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    p.newFiles.foreach(f => GraftLogGroupRows.foreach(f, schema) { vals =>
+      val k = vals(keyIdx).asInstanceOf[Long]
+      if (inRange(k)) old.remove(k) match {
+        case Some(o) =>
+          if (!same(o, vals))
+            out += emit(k, UPDATE, o, vals, keyIdx, width, p.version)
+        case None =>
+          out += emit(k, INSERT, null, vals, keyIdx, width, p.version)
+      }
+    })
+    old.foreach { case (k, o) =>
+      out += emit(k, DELETE, o, null, keyIdx, width, p.version)
+    }
+    out.iterator
   }
 }

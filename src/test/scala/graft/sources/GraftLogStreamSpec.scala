@@ -191,6 +191,60 @@ class GraftLogStreamSpec extends SparkSuite {
       ReadLimit.allAvailable())
   }
 
+  test("change feed rides through rewrites: deletes, updates and " +
+      "inserts emit change-exact; moved-but-unchanged rows drop") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_cdf_").toString
+    val cp = Files.createTempDirectory("tlog_cdf_cp_").toString
+    TableLog.create(kv((0L to 19L).map(i => (i, s"a$i"))), t, "k", 2)
+    TableLog.append(kv((20L to 39L).map(i => (i, s"b$i"))), t, 2)
+    // v3: rewrite (COW delete) — the appends-only stream fails here,
+    // the change feed must ride through with exactly the deleted rows
+    TableLog.deleteWhere(spark, t, col("k").between(5L, 8L), 2)
+    // v4: merge — two updates and one fresh insert in one commit
+    TableLog.merge(spark, t,
+      Seq((30L, "B30"), (31L, "B31"), (100L, "c100")).toDF("k", "v"), 2)
+    val q = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("tlog_cdf_probe")
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tlog_cdf_probe").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) null else r.getString(3),
+          r.getLong(4)))
+      val byAction = rows.groupBy(_._2)
+      // v1+v2 inserts: all 40 created/appended rows, old_v null
+      val v12 = rows.filter(_._5 <= 2L)
+      assert(v12.length == 40 && v12.forall(r =>
+        r._2 == "insert" && r._3 == null &&
+          r._4 == (if (r._1 < 20) s"a${r._1}" else s"b${r._1}")))
+      // v3: exactly k=5..8 as deletes with old values; the other 36
+      // rows moved files but are value-identical — zero noise
+      val v3 = rows.filter(_._5 == 3L)
+      assert(v3.map(_._1).sorted.toSeq == Seq(5L, 6L, 7L, 8L), v3.mkString(","))
+      assert(v3.forall(r => r._2 == "delete" && r._3 == s"a${r._1}" &&
+        r._4 == null))
+      // v4: updates carry old AND new; the fresh key is an insert
+      val v4 = rows.filter(_._5 == 4L)
+      assert(v4.map(r => (r._1, r._2, r._3, r._4)).sortBy(_._1).toSeq == Seq(
+        (30L, "update", "b30", "B30"), (31L, "update", "b31", "B31"),
+        (100L, "insert", null, "c100")), v4.mkString(","))
+      assert(byAction("insert").length == 41)
+      // a LIVE commit keeps flowing incrementally
+      TableLog.deleteWhere(spark, t, col("k") === 100L, 2)
+      q.processAllAvailable()
+      val v5 = spark.table("tlog_cdf_probe").collect()
+        .filter(_.getLong(4) == 5L)
+      assert(v5.length == 1 && v5.head.getLong(0) == 100L &&
+        v5.head.getString(1) == "delete")
+    } finally q.stop()
+  }
+
   test("a rewrite commit in the window fails the stream fast — " +
       "appends-only reads must not double-count") {
     val t = Files.createTempDirectory("tlog_stream3_").toString
