@@ -1343,7 +1343,114 @@ object TableOps {
       |WHERE o_orderkey % 4 IN (0, 1) AND o_orderpriority = '1-URGENT'
       |ORDER BY commit_version, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q430
+  /** SQL `UPDATE … SET … WHERE` on the catalog — group-based
+    * copy-on-write row-level operation
+    * ([[graft.sources.GraftLogRowLevelOperation]]), the BQ-parity DML
+    * the reference's warehouse runs over the loaded table: Spark
+    * reads candidate rows through the manifest-backed scan, its
+    * runtime group filter prunes the rewrite to files whose key range
+    * holds a matched key, and the replacement lands as ONE atomic
+    * rewrite commit — old versions keep time-traveling past it
+    * (the readback includes the pre-update version to pin that). The
+    * ×2 price bump is exact in IEEE doubles, so the oracle replays it
+    * in pure SQL. */
+  private val updateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q430CatalogUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = updateCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogu_").toString
+      TableLog.create(ordersSlice(s, dir).where(col("o_orderkey") % 4 <= 1),
+        t, "o_orderkey", numFiles = 4)
+      s.sql(
+        s"""UPDATE graftlog.`$t`
+           |SET o_totalprice = o_totalprice * 2, o_orderstatus = 'U'
+           |WHERE pmod(o_orderkey, 10) = 4""".stripMargin)
+      t
+    })
+    val now = s.sql(
+      s"""SELECT CAST(2 AS BIGINT) AS version, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$table` GROUP BY o_orderstatus""".stripMargin)
+    val before = s.sql(
+      s"""SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$table` VERSION AS OF 1
+         |GROUP BY o_orderstatus""".stripMargin)
+    before.unionByName(now).orderBy($"version", $"o_orderstatus")
+  }
+
+  private val q430Oracle =
+    """WITH base AS (
+      |  SELECT o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+      |upd AS (
+      |  SELECT CASE WHEN o_orderkey % 10 = 4 THEN 'U'
+      |              ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 IN (0, 1))
+      |SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM base GROUP BY 2
+      |UNION ALL
+      |SELECT 2, o_orderstatus, count(*),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |FROM upd GROUP BY 2
+      |ORDER BY version, o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q431
+  /** SQL `MERGE INTO` on the catalog — q332's transactional upsert
+    * through pure SQL instead of the TableLog.merge API: matched keys
+    * take the source row, fresh keys insert, all in ONE rewrite
+    * commit whose scan only reads files holding a matched key (the
+    * runtime group filter; GraftLogRowLevelSpec pins the file
+    * counts). Same change recipe as q332, so it shares that oracle
+    * verbatim — the API merge and the SQL MERGE state the same
+    * table. */
+  private val sqlMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q431CatalogMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = sqlMergeCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogsm_").toString
+      val base = ordersSlice(s, dir).where($"o_orderkey" % 4 === 0)
+      TableLog.create(base, t, "o_orderkey", numFiles = 4)
+      val updates = base.where($"o_orderkey" % 20 === 0)
+        .select($"o_orderkey", $"o_custkey", lit("U").as("o_orderstatus"),
+          $"o_orderpriority", ($"o_totalprice" * 1.1).as("o_totalprice"))
+      val inserts = base.where($"o_orderkey" % 100 === 44)
+        .select((-$"o_orderkey" - 1).as("o_orderkey"), $"o_custkey",
+          lit("N").as("o_orderstatus"), $"o_orderpriority", $"o_totalprice")
+      val view = s"graft_sqlmerge_src_${Integer.toHexString(dir.hashCode)}"
+      updates.unionByName(inserts).createOrReplaceTempView(view)
+      try s.sql(
+        s"""MERGE INTO graftlog.`$t` t USING $view s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      finally s.catalog.dropTempView(view)
+      t
+    })
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         |  o_totalprice
+         |FROM graftlog.`$table` ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q431_catalog_merge" -> (q431CatalogMerge _),
+    "q430_catalog_update" -> (q430CatalogUpdate _),
     "q429_change_feed_stream" -> (q429ChangeFeedStream _),
     "q428_catalog_alter_add" -> (q428CatalogAlterAdd _),
     "q427_stats_pushdown" -> (q427StatsPushdown _),
@@ -1375,6 +1482,8 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q431_catalog_merge" -> q332Oracle,
+    "q430_catalog_update" -> q430Oracle,
     "q429_change_feed_stream" -> q429Oracle,
     "q428_catalog_alter_add" -> q337Oracle,
     "q427_stats_pushdown" -> q427Oracle,

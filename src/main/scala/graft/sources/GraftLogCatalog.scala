@@ -55,16 +55,18 @@ import graft.tablelog.TableLog
   * and file skipping are driver-side folds over file-grain metadata
   * (~100 B/file), and the data path is untouched Spark parquet.
   *
-  * SQL statements are supported exactly where the commit protocol
-  * can honor them without compromise: `CREATE TABLE` (empty v1,
-  * schema+key declared — which also makes CTAS work), `INSERT INTO`
-  * (rebase-safe atomic append), `DELETE FROM … WHERE` (pushed into
-  * the transactional copy-on-write delete when every predicate
-  * translates exactly), plus the `#history` metadata table and
-  * VERSION/TIMESTAMP AS OF reads. Everything whose semantics need
-  * the full conflict rules (merge, replaceWhere, evolve, compact)
-  * stays on the `TableLog` API, refused here rather than offered as
-  * a weaker copy.
+  * SQL statements supported: `CREATE TABLE` (empty v1, schema+key
+  * declared — which also makes CTAS work), `INSERT INTO` (rebase-safe
+  * atomic append), `DELETE FROM … WHERE` (pushed into the
+  * transactional copy-on-write delete when every predicate translates
+  * exactly; arbitrary predicates rewrite through the row-level path),
+  * `UPDATE` and `MERGE INTO` (group-based copy-on-write row-level
+  * operations — [[GraftLogRowLevelOperation]]), `ALTER TABLE ADD
+  * COLUMN` (metadata-only additive evolution), CALL procedures
+  * (vacuum/compact), plus the `#history` metadata table and
+  * VERSION/TIMESTAMP AS OF reads. replaceWhere stays on the
+  * `TableLog` API (SQL has no verb for slice restatement), as do
+  * DROP/RENAME — refused rather than offered as a weaker copy.
   */
 class GraftLogCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -181,9 +183,9 @@ class GraftLogCatalog extends TableCatalog
 
   private def refuse(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$catalogName supports reads, INSERT (rebase-safe append) and " +
-        s"DELETE WHERE (copy-on-write): $op must go through the " +
-        "transactional TableLog API (create/merge/replaceWhere/…), " +
+      s"$catalogName supports reads, INSERT, DELETE, UPDATE, MERGE, " +
+        s"ADD COLUMN and CALL procedures: $op must go through the " +
+        "transactional TableLog API (replaceWhere/compactZorder/…), " +
         "which owns the rest of the commit protocol")
   /** `CREATE TABLE graftlog.\`<path>\` (cols…) TBLPROPERTIES
     * ('key'='<BIGINT col>')` — version 1 with zero data files; the
@@ -244,18 +246,20 @@ class GraftLogCatalog extends TableCatalog
 /** One resolved (path, snapshot) — immutable, like the snapshot it
   * wraps: a concurrent commit after loadTable does not move this
   * reader (snapshot isolation, the property q331 pins on the API
-  * path). Besides reads it carries the two SQL DML surfaces whose
-  * semantics the commit protocol supports without compromise:
-  * `INSERT INTO` (a rebase-safe atomic append,
-  * [[GraftLogBatchAppend]]) and `DELETE FROM … WHERE` (the
-  * copy-on-write delete, pushed as one transactional commit when
-  * every predicate translates). Both refuse on a time-traveled
+  * path). Besides reads it carries the SQL DML surfaces: `INSERT
+  * INTO` (a rebase-safe atomic append, [[GraftLogBatchAppend]]),
+  * `DELETE FROM … WHERE` (the copy-on-write delete, pushed as one
+  * transactional commit when every predicate translates — arbitrary
+  * predicates fall to the row-level rewrite), and `UPDATE` / `MERGE
+  * INTO` via group-based row-level operations
+  * ([[GraftLogRowLevelOperation]]). All refuse on a time-traveled
   * snapshot — history is immutable. */
 class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     timeTraveled: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graftlog.`$tablePath` @v${snap.version}"
   override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
   override def capabilities(): util.Set[TableCapability] =
@@ -277,6 +281,28 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
             new GraftLogBatchAppend(tablePath, info.schema())
         }
     }
+  }
+
+  /** SQL UPDATE / MERGE INTO / rewriting DELETE — group-based
+    * (copy-on-write) DSv2 row-level operations, the BQ-parity DML the
+    * reference's query engine offers over the loaded table. Spark
+    * plans ReplaceData: it reads the candidate rows through the
+    * operation's scan, applies the assignments/actions itself, and
+    * writes the replacement; this connector's two jobs are (a) hand
+    * out the SAME manifest-backed scan the catalog read path uses —
+    * whose [[GraftLogDataScan.filter runtime filtering]] lets Spark's
+    * row-level group-filter rule shrink the rewrite to files whose
+    * key range contains a matched key — and (b) commit the rewrite
+    * atomically: remove exactly the files the scan read, add the
+    * staged replacements, one [[TableLog.commitStagedRewrite]]
+    * manifest. Old versions keep time-traveling past the DML. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (timeTraveled) throw new UnsupportedOperationException(
+      s"graftlog: cannot run row-level DML against a time-traveled " +
+        s"snapshot of $tablePath — history is immutable")
+    () => new GraftLogRowLevelOperation(tablePath, snap, info.command)
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
@@ -321,6 +347,52 @@ object GraftLogTable {
     case Not(c) => toColumn(c).map(!_)
     case _ => None
   }
+}
+
+/** One SQL row-level operation (UPDATE / MERGE / rewriting DELETE) —
+  * group-based copy-on-write: Spark reads candidate rows through
+  * [[newScanBuilder]]'s manifest-backed scan, computes the
+  * replacement rows itself, and writes them through
+  * [[newWriteBuilder]]; the commit removes EXACTLY the files the scan
+  * ended up reading (after Spark's runtime group filter pruned the
+  * unmatched ones through [[GraftLogDataScan.filter]]) and adds the
+  * staged replacements — one atomic manifest. The scan instance is
+  * captured at build time; scan and write of one operation live in
+  * the same driver-side plan, so the handoff is a plain field. */
+class GraftLogRowLevelOperation(tablePath: String,
+    snap: TableLog.Snapshot,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
+
+  @volatile private var builtScan: GraftLogDataScan = _
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(SparkSession.active, tablePath, snap, options) {
+      override def build(): Scan = super.build() match {
+        case d: GraftLogDataScan => builtScan = d; d
+        case other               => other
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch
+            : org.apache.spark.sql.connector.write.BatchWrite =
+          new GraftLogReplaceData(tablePath, info.schema(),
+            () => {
+              require(builtScan != null,
+                s"graftlog $cmd: replacement write before the scan was built")
+              builtScan.chosenFiles.map(_.relPath)
+            },
+            cmd.toString.toLowerCase(java.util.Locale.ROOT))
+      }
+    }
 }
 
 /** The commit-history metadata table (`graftlog.\`<path>#history\``)

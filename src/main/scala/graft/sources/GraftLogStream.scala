@@ -234,13 +234,53 @@ class GraftLogBatchAppend(table: String, writeSchema: StructType)
     }
 }
 
+/** The write side of a SQL row-level operation
+  * ([[GraftLogRowLevelOperation]]): land the replacement rows as
+  * staged files, then commit ONE copy-on-write rewrite manifest that
+  * removes the files the operation's scan read and adds these —
+  * `removesAtCommit` is evaluated at commit time, after Spark's
+  * runtime group filter has shrunk the scan to the matched sliver.
+  * A no-match operation (nothing read, nothing written) commits
+  * nothing at all. */
+class GraftLogReplaceData(table: String, writeSchema: StructType,
+    removesAtCommit: () => Seq[String], op: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private val keyCol =
+    GraftLogAppendContract.checkedKeyCol(table, writeSchema)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
+      allowOpColumn = true)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val adds = messages.collect {
+      case GraftLogSinkCommitMessage(rel, rows, mn, mx) if rows > 0L =>
+        TableLog.AddFile(rel, rows, mn, mx)
+    }.toSeq.sortBy(_.relPath)
+    val removes = removesAtCommit()
+    if (adds.nonEmpty || removes.nonEmpty)
+      TableLog.commitStagedRewrite(table, adds, removes, op)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogSinkCommitMessage(rel, _, _, _) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table, rel))
+      case _ => ()
+    }
+}
+
 class GraftLogBatchWriterFactory(table: String, schemaDdl: String,
-    keyCol: String)
+    keyCol: String, allowOpColumn: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     GraftLogSinkWriterFactory.newWriter(table, schemaDdl, keyCol,
-      epochId = 0L, partitionId, taskId)
+      epochId = 0L, partitionId, taskId, allowOpColumn)
 }
 
 class GraftLogSinkWriterFactory(table: String, schemaDdl: String,
@@ -260,11 +300,18 @@ object GraftLogSinkWriterFactory {
 
   /** One task-attempt writer: parquet file under `<table>/data/`,
     * key min/max tracked while writing — shared by the streaming
-    * sink (epoch = micro-batch) and the catalog's batch INSERT
-    * (epoch = 0). */
+    * sink (epoch = micro-batch), the catalog's batch INSERT
+    * (epoch = 0), and the row-level-operation replacement write.
+    * `allowOpColumn`: a group-based ReplaceData plan with no
+    * metadata columns hands the writer its RAW query rows, which
+    * carry Spark's internal `__row_operation` INT as a leading extra
+    * field (the row projection is only applied on the
+    * metadata-projection path — observed Spark 4.1 behavior, pinned
+    * by spec); the writer detects the one-field surplus and shifts
+    * ordinals, refusing any other width mismatch. */
   private[sources] def newWriter(table: String, schemaDdl: String,
       keyCol: String, epochId: Long, partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] = {
+      taskId: Long, allowOpColumn: Boolean = false): DataWriter[InternalRow] = {
     val schema = StructType.fromDDL(schemaDdl)
     val keyIdx = schema.fieldIndex(keyCol)
     require(schema(keyIdx).dataType == LongType,
@@ -283,9 +330,17 @@ object GraftLogSinkWriterFactory {
       private var rows = 0L
       private var mn = Long.MaxValue
       private var mx = Long.MinValue
+      private var off = -1
       override def write(r: InternalRow): Unit = {
+        if (off < 0) {
+          off = r.numFields - schema.fields.length
+          require(off == 0 || (off == 1 && allowOpColumn),
+            s"graftlog sink: row has ${r.numFields} fields, table " +
+              s"declares ${schema.fields.length}")
+        }
         val g = factory.newGroup()
-        schema.fields.zipWithIndex.foreach { case (f, i) =>
+        schema.fields.zipWithIndex.foreach { case (f, c) =>
+          val i = c + off
           if (!r.isNullAt(i)) f.dataType match {
             case LongType    => g.add(f.name, r.getLong(i))
             case IntegerType => g.add(f.name, r.getInt(i))
@@ -297,9 +352,9 @@ object GraftLogSinkWriterFactory {
               s"graftlog sink: unsupported column type $o for '${f.name}'")
           }
         }
-        require(!r.isNullAt(keyIdx),
+        require(!r.isNullAt(keyIdx + off),
           s"graftlog sink: key column '$keyCol' must not be null")
-        val k = r.getLong(keyIdx)
+        val k = r.getLong(keyIdx + off)
         mn = math.min(mn, k); mx = math.max(mx, k)
         rows += 1L
         writer.write(g)

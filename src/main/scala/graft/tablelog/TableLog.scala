@@ -481,6 +481,20 @@ object TableLog {
     commit(table, snap.version, "append", adds, Nil, "", "", txn = txn)
   }
 
+  /** Publish EXTERNALLY staged files as ONE copy-on-write REWRITE
+    * commit — the row-level-operation (SQL UPDATE / MERGE / rewriting
+    * DELETE) counterpart of [[commitStagedAppend]]: `removes` are the
+    * files the operation's scan actually read (their surviving and
+    * updated rows are in `adds`), so the commit replaces exactly the
+    * rewritten sliver. Conflict rules are [[commit]]'s: a concurrent
+    * append rebases under it; a concurrent rewrite of any removed
+    * file aborts loudly (retrying would resurrect deleted rows). */
+  def commitStagedRewrite(table: String, adds: Seq[AddFile],
+      removes: Seq[String], op: String): Long = {
+    val snap = state(table)
+    commit(table, snap.version, op, adds, removes, "", "")
+  }
+
   /** Append with ADDITIVE schema evolution: new columns widen the
     * table schema (recorded in the manifest — readers null-fill them
     * in pre-evolution files via the explicit-schema parquet read);

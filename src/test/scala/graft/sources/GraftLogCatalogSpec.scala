@@ -140,16 +140,17 @@ class GraftLogCatalogSpec extends SparkSuite {
     val t = freshTable()
     spark.conf.set("spark.sql.catalog.graftlog",
       "graft.sources.GraftLogCatalog")
-    // untranslatable condition (arithmetic): refused, nothing deleted
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM graftlog.`$t` WHERE k % 2 = 0")
-    }
+    // untranslatable condition (arithmetic): falls to the row-level
+    // COW rewrite and deletes exactly the matching rows
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE k % 2 = 0 AND k < 10")
     assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
-      .collect().head.getLong(0) == 200L)
+      .collect().head.getLong(0) == 195L)
+    assert(spark.sql(s"SELECT min(k) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 1L)
     // translatable range: one atomic COW commit; old version intact
     spark.sql(s"DELETE FROM graftlog.`$t` WHERE k >= 150")
     assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
-      .collect().head.getLong(0) == 150L)
+      .collect().head.getLong(0) == 145L)
     assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 2")
       .collect().head.getLong(0) == 200L)
     assert(TableLog.history(t).last.op == "delete")

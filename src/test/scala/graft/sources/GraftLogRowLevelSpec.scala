@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.tablelog.TableLog
+
+/** SQL row-level operations on the catalog (q430/q431's machinery):
+  * group-based copy-on-write UPDATE / MERGE INTO / rewriting DELETE,
+  * with Spark's runtime group filter shrinking the rewrite to files
+  * whose key range holds a matched key, and one atomic rewrite
+  * manifest per statement.
+  */
+class GraftLogRowLevelSpec extends SparkSuite {
+
+  private def freshTable(): String = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_rl_").toString
+    TableLog.create((0L to 99L).map(i => (i, s"a$i")).toDF("k", "v"),
+      t, "k", numFiles = 4)
+    TableLog.append((100L to 199L).map(i => (i, s"b$i")).toDF("k", "v"),
+      t, numFiles = 4)
+    t // 8 range-partitioned files, ~25 keys each
+  }
+
+  test("UPDATE rewrites ONLY files holding a matched key (runtime " +
+      "group filter through the manifest scan); one atomic commit") {
+    val t = freshTable()
+    spark.sql(s"UPDATE graftlog.`$t` SET v = 'upd' WHERE pmod(k, 50) = 1")
+    val got = spark.sql(
+      s"SELECT k FROM graftlog.`$t` WHERE v = 'upd' ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 51L, 101L, 151L), got.mkString(","))
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 200L)
+    val c = TableLog.history(t).last
+    assert(c.op == "update")
+    // the four matched keys live in four distinct files: exactly
+    // those rewrite — the other four files are untouched
+    assert(c.nRemoves == 4, s"expected matched-sliver rewrite, got $c")
+    // non-matching update commits nothing at all
+    val vBefore = TableLog.latestVersion(t)
+    spark.sql(s"UPDATE graftlog.`$t` SET v = 'x' WHERE k = -5")
+    assert(TableLog.latestVersion(t) == vBefore)
+  }
+
+  test("MERGE INTO upserts through pure SQL: matched keys update, " +
+      "fresh keys insert, one commit, time travel past it") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq((10L, "m10"), (170L, "m170"), (500L, "m500"))
+      .toDF("k", "v").createOrReplaceTempView("rl_merge_src")
+    try {
+      spark.sql(
+        s"""MERGE INTO graftlog.`$t` t USING rl_merge_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    } finally spark.catalog.dropTempView("rl_merge_src")
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 201L)
+    val got = spark.sql(s"SELECT k, v FROM graftlog.`$t` " +
+      "WHERE k IN (10, 11, 170, 500) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((10L, "m10"), (11L, "a11"), (170L, "m170"),
+      (500L, "m500")), got.mkString(","))
+    val c = TableLog.history(t).last
+    assert(c.op == "merge")
+    // matched keys 10 and 170 live in two files; only those rewrite,
+    // the insert rides in the same commit
+    assert(c.nRemoves == 2, s"expected matched-sliver rewrite, got $c")
+    // the pre-merge snapshot is immutable
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 2")
+      .collect().head.getLong(0) == 200L)
+    assert(spark.sql(s"SELECT v FROM graftlog.`$t` VERSION AS OF 2 " +
+      "WHERE k = 10").collect().head.getString(0) == "a10")
+  }
+
+  test("DELETE with an untranslatable predicate takes the row-level " +
+      "rewrite; survivors exact even when whole files die") {
+    val t = freshTable()
+    // cond matches EVERY row of the last two files (k >= 150) plus a
+    // scattering elsewhere — the dangerous shape for any connector
+    // that over-prunes its rewrite scan
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE k >= 150 OR pmod(k, 7) = 0")
+    val survivors = (0L to 149L).filterNot(k => k % 7 == 0)
+    val got = spark.sql(s"SELECT k FROM graftlog.`$t` ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == survivors, s"got ${got.size}, want ${survivors.size}")
+    assert(TableLog.history(t).last.op == "delete")
+  }
+
+  test("row-level DML refuses on a time-traveled snapshot") {
+    val t = freshTable()
+    val cat = new GraftLogCatalog
+    cat.initialize("graftlog",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    val versioned = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array.empty, t), "1")
+      .asInstanceOf[GraftLogTable]
+    intercept[UnsupportedOperationException] {
+      versioned.newRowLevelOperationBuilder(null)
+    }
+  }
+}
