@@ -1448,7 +1448,104 @@ object TableOps {
          |FROM graftlog.`$table` ORDER BY o_orderkey""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q432
+  /** Partitioned CREATE TABLE + partition-pruned read — the
+    * Hive-partitioning capability, re-landed Iceberg-style as
+    * file-grain manifest stats instead of directories: `PARTITIONED
+    * BY (o_orderpriority)` records each file's exact partition-tuple
+    * row counts ([[graft.tablelog.TableLog.PartStat]]) at write time,
+    * the INSERT's clustered write distribution
+    * ([[graft.sources.GraftLogClusteredWrite]]) keeps files
+    * tuple-pure, and a partition predicate prunes FILES on the driver
+    * before Spark plans the scan — at 100 TB, `WHERE priority = x`
+    * reads 1/5th of the table without a directory listing.
+    * GraftLogPartitionSpec pins the file-level pruning through the
+    * ScanBuilder; this query pins end-to-end correctness (two append
+    * commits, IN-filtered partition read) against the source data. */
+  private val partCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def partitionedDemo(s: SparkSession, dir: String): String =
+    partCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogpt_").toString + "/tbl"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$t` (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           |  o_orderpriority STRING, o_totalprice DOUBLE)
+           |PARTITIONED BY (o_orderpriority)
+           |TBLPROPERTIES ('key' = 'o_orderkey')""".stripMargin)
+      val view = s"graft_part_src_${Integer.toHexString(dir.hashCode)}"
+      ordersSlice(s, dir).createOrReplaceTempView(view)
+      // AQE coalescing off during the inserts: at demo scale it would
+      // merge the clustered write shuffle into one task-file holding
+      // every priority (nothing to prune); real partitions dwarf the
+      // advisory size, so off reproduces the at-scale layout
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val saved = s.conf.get(coalesceKey)
+      s.conf.set(coalesceKey, "false")
+      try {
+        s.sql(s"""INSERT INTO graftlog.`$t`
+                 |SELECT * FROM $view WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql(s"""INSERT INTO graftlog.`$t`
+                 |SELECT * FROM $view WHERE o_orderkey % 2 = 1""".stripMargin)
+      } finally {
+        s.conf.set(coalesceKey, saved)
+        s.catalog.dropTempView(view)
+      }
+      t
+    })
+
+  def q432PartitionedPrune(s: SparkSession, dir: String): DataFrame = {
+    withCatalog(s)
+    val table = partitionedDemo(s, dir)
+    s.sql(
+      s"""SELECT o_orderpriority,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$table`
+         |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q432Oracle =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q433
+  /** The partition-inventory METADATA table
+    * (`graftlog.\`<path>#partitions\`` — `SHOW PARTITIONS` as a
+    * queryable relation): one row per live partition tuple with its
+    * exact row count, folded on the DRIVER from the active files'
+    * per-tuple manifest stats — zero data files open at any scale,
+    * the same metadata-only posture as `#history` and the q427 stats
+    * fold. Exactness holds through the two-commit history because
+    * every staged file records its tuples' row counts at write time;
+    * the oracle replays the inventory as a plain GROUP BY over the
+    * source. */
+  def q433PartitionsMeta(s: SparkSession, dir: String): DataFrame = {
+    withCatalog(s)
+    val table = partitionedDemo(s, dir)
+    s.sql(
+      s"""SELECT o_orderpriority, row_count
+         |FROM graftlog.`$table#partitions`
+         |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q433Oracle =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS row_count
+      |FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q433_partitions_meta" -> (q433PartitionsMeta _),
+    "q432_partitioned_prune" -> (q432PartitionedPrune _),
     "q431_catalog_merge" -> (q431CatalogMerge _),
     "q430_catalog_update" -> (q430CatalogUpdate _),
     "q429_change_feed_stream" -> (q429ChangeFeedStream _),
@@ -1482,6 +1579,8 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q433_partitions_meta" -> q433Oracle,
+    "q432_partitioned_prune" -> q432Oracle,
     "q431_catalog_merge" -> q332Oracle,
     "q430_catalog_update" -> q430Oracle,
     "q429_change_feed_stream" -> q429Oracle,

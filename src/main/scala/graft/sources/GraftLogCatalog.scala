@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
 import org.apache.spark.sql.graftbridge.SessionBridge
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -110,9 +110,30 @@ class GraftLogCatalog extends TableCatalog
   }
 
   private val historySuffix = "#history"
+  private val partitionsSuffix = "#partitions"
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val raw = pathOf(ident)
+    if (raw.endsWith(partitionsSuffix)) {
+      // partition inventory straight off the manifest — `SHOW
+      // PARTITIONS` as a queryable table: one row per live partition
+      // tuple with its exact file and row counts, folded from the
+      // per-file [[TableLog.PartStat]]s. Zero data files open; at
+      // 100 TB this is a driver fold over file-grain metadata.
+      // Versionless like #history (time travel composes by reading
+      // `t` VERSION AS OF v through the data path instead).
+      if (version.isDefined) throw new UnsupportedOperationException(
+        s"$catalogName: time travel over $partitionsSuffix is not defined — " +
+          "read the data table VERSION AS OF instead")
+      val path = raw.stripSuffix(partitionsSuffix)
+      val snap =
+        try TableLog.state(path)
+        catch { case _: Exception => throw new NoSuchTableException(ident) }
+      if (snap.partCols.isEmpty) throw new UnsupportedOperationException(
+        s"$catalogName: `$path` is not partitioned — $partitionsSuffix " +
+          "is defined only for tables created PARTITIONED BY")
+      return new GraftLogPartitionsTable(path, snap)
+    }
     if (raw.endsWith(historySuffix)) {
       // history is log-grain and versionless — VERSION/TIMESTAMP AS OF
       // on it would be ambiguous (truncate? stamp-filter?); refuse
@@ -192,16 +213,30 @@ class GraftLogCatalog extends TableCatalog
     * first INSERT brings data, which also makes CTAS work (Spark
     * creates, then writes through [[GraftLogBatchAppend]]). The key
     * column drives the manifest's per-file [min,max] stats; without
-    * the property it defaults to the first BIGINT column. Transform
-    * partitioning is refused — the log's layout device is
-    * range-partitioned staging + Z-order compaction, not Hive
-    * directories. */
+    * the property it defaults to the first BIGINT column.
+    *
+    * `PARTITIONED BY (c, …)` takes IDENTITY transforms over
+    * STRING/BIGINT/INT columns of the schema: partition values are
+    * recorded per file in the manifest ([[TableLog.PartStat]] — the
+    * Iceberg posture of stats-based partitioning, not Hive
+    * directories), partition predicates prune FILES before Spark
+    * plans the scan, and `#partitions` folds the live inventory.
+    * Bucket/temporal transforms (`bucket(n, c)`, `days(ts)`) are
+    * refused — the log's layout devices for those needs are
+    * range-partitioned staging and Z-order compaction. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty) refuse("partitioned CREATE TABLE")
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case other => refuse(s"partition transform $other (identity only)")
+    }
     val path = pathOf(ident)
     if (path.endsWith(historySuffix)) refuse(s"CREATE TABLE $historySuffix")
+    if (path.endsWith(partitionsSuffix))
+      refuse(s"CREATE TABLE $partitionsSuffix")
     val key = Option(properties.get("key"))
       .orElse(schema.fields.find(_.dataType ==
         org.apache.spark.sql.types.LongType).map(_.name))
@@ -211,7 +246,7 @@ class GraftLogCatalog extends TableCatalog
     require(schema.fields.exists(f => f.name == key &&
         f.dataType == org.apache.spark.sql.types.LongType),
       s"graftlog: key column '$key' must be a BIGINT column of the schema")
-    TableLog.createEmpty(path, schema.toDDL, key)
+    TableLog.createEmpty(path, schema.toDDL, key, partCols)
     new GraftLogTable(path, TableLog.state(path))
   }
   /** `ALTER TABLE graftlog.\`<path>\` ADD COLUMN(S) …` — the SQL
@@ -262,6 +297,9 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graftlog.`$tablePath` @v${snap.version}"
   override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
+  override def partitioning(): Array[Transform] =
+    snap.partCols.map(c => org.apache.spark.sql.connector.expressions
+      .Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -275,7 +313,9 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
         s"$tablePath — history is immutable")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.Write {
+        new org.apache.spark.sql.connector.write.Write
+            with GraftLogClusteredWrite {
+          override def clusterTable: String = tablePath
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new GraftLogBatchAppend(tablePath, info.schema())
@@ -458,6 +498,78 @@ class GraftLogHistoryReaderFactory
   }
 }
 
+/** The partition-inventory metadata table
+  * (`graftlog.\`<path>#partitions\``) — `SHOW PARTITIONS` as a
+  * queryable relation: one row per LIVE partition tuple with its
+  * exact file and row counts, folded on the driver from the active
+  * files' [[TableLog.PartStat]]s. Values render as STRING (the
+  * `SHOW PARTITIONS` convention); a null partition value renders as
+  * SQL NULL. Zero data files open at any scale — the fold is over
+  * file-grain manifest metadata. */
+class GraftLogPartitionsTable(tablePath: String,
+    snap: TableLog.Snapshot) extends Table with SupportsRead {
+  private val outSchema = StructType.fromDDL(
+    snap.partCols.map(c => s"`$c` STRING").mkString(", ") +
+      ", file_count BIGINT, row_count BIGINT")
+  override def name(): String = s"graftlog.`$tablePath#partitions`"
+  override def schema(): StructType = outSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with org.apache.spark.sql.connector.read.Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = outSchema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        snap.active.filter(a => a.rows > 0L && a.parts.isEmpty)
+          .foreach(a => throw new IllegalStateException(
+            s"graftlog: active file ${a.relPath} of partitioned table " +
+              s"$tablePath carries no partition stats — the manifest " +
+              "is from a writer predating the partitioning"))
+        val folded = snap.active.flatMap(_.parts)
+          .groupBy(_.values)
+          .map { case (tuple, ps) => (tuple, ps.size.toLong,
+            ps.map(_.rows).sum) }
+          .toSeq.sortBy(_._1.mkString("/"))
+        Array(GraftLogPartitionsPartition(folded))
+      }
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new GraftLogPartitionsReaderFactory
+    }
+}
+
+case class GraftLogPartitionsPartition(
+    rows: Seq[(Seq[String], Long, Long)])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+class GraftLogPartitionsReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val it = p.asInstanceOf[GraftLogPartitionsPartition].rows.iterator
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (tuple, nFiles, nRows) = it.next()
+        val vals: Seq[Any] = tuple.map {
+          case TableLog.NullPartValue => null
+          case v => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+        } ++ Seq(nFiles, nRows)
+        cur = org.apache.spark.sql.catalyst.InternalRow(vals: _*)
+        true
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
 class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     snap: TableLog.Snapshot, options: CaseInsensitiveStringMap)
     extends ScanBuilder
@@ -533,6 +645,38 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
           .map(_.relPath).toSet
         files = files.filter(a => keep(a.relPath))
       }
+    }
+    // third manifest layer: partition pruning — point/set/null
+    // predicates on declared partition columns test each file's
+    // recorded tuple stats; a file survives iff SOME tuple satisfies
+    // every partition predicate at once (conjunctive per tuple, so
+    // `p1='a' AND p2='x'` drops a file holding (a,y) and (b,x)).
+    // Files without tuple stats are kept — absence must not lose rows.
+    if (snap.partCols.nonEmpty) {
+      val colIdx = snap.partCols.zipWithIndex.toMap
+      def str(v: Any): String = String.valueOf(v)
+      val preds: Seq[(Int, String => Boolean)] = filters.toSeq.flatMap {
+        case f @ EqualTo(c, v) if colIdx.contains(c) && v != null =>
+          used += f
+          Some((colIdx(c), (x: String) =>
+            x != TableLog.NullPartValue && x == str(v)))
+        case f @ In(c, vs) if colIdx.contains(c) && vs.nonEmpty =>
+          used += f
+          val set = vs.filter(_ != null).map(str).toSet
+          Some((colIdx(c), (x: String) =>
+            x != TableLog.NullPartValue && set(x)))
+        case f @ IsNull(c) if colIdx.contains(c) =>
+          used += f
+          Some((colIdx(c), (x: String) => x == TableLog.NullPartValue))
+        case f @ IsNotNull(c) if colIdx.contains(c) =>
+          used += f
+          Some((colIdx(c), (x: String) => x != TableLog.NullPartValue))
+        case _ => None
+      }
+      if (preds.nonEmpty)
+        files = files.filter(a => a.parts.isEmpty ||
+          a.parts.exists(p =>
+            preds.forall { case (i, ok) => ok(p.values(i)) }))
     }
     accepted = used.result().distinct
     // every filter comes back as a residual: file-grain skipping is

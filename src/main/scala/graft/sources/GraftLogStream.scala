@@ -127,7 +127,9 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.Write {
+        new org.apache.spark.sql.connector.write.Write
+            with GraftLogClusteredWrite {
+          override def clusterTable: String = path
           override def toStreaming: org.apache.spark.sql.connector.write
               .streaming.StreamingWrite = {
             val appId = Option(info.options.get("txnAppId"))
@@ -148,7 +150,9 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
   * appendEvolve API, where the schema merge has its conflict rules).
   * Returns the table's declared key column. */
 private[sources] object GraftLogAppendContract {
-  def checkedKeyCol(table: String, writeSchema: StructType): String = {
+  /** Returns (key column, partition columns). */
+  def checkedMeta(table: String,
+      writeSchema: StructType): (String, Seq[String]) = {
     val snap = TableLog.state(table)
     val declared = StructType.fromDDL(snap.schemaDdl)
     declared.fields.zip(writeSchema.fields).foreach { case (t, w) =>
@@ -159,8 +163,36 @@ private[sources] object GraftLogAppendContract {
     require(declared.length == writeSchema.length,
       s"graftlog sink: frame has ${writeSchema.length} columns, table " +
         s"declares ${declared.length}")
-    snap.keyCol
+    (snap.keyCol, snap.partCols)
   }
+
+  def checkedKeyCol(table: String, writeSchema: StructType): String =
+    checkedMeta(table, writeSchema)._1
+}
+
+/** Declares the shuffle a partitioned-table write wants: cluster
+  * incoming rows by the table's partition columns, so each task —
+  * hence each staged file — holds whole partition tuples and the
+  * manifest's per-file tuple stats stay tight (few tuples per file →
+  * strong pruning). Unpartitioned tables request nothing and Spark
+  * writes the rows as they arrive. */
+private[sources] trait GraftLogClusteredWrite
+    extends org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  def clusterTable: String
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    val pcs = TableLog.state(clusterTable).partCols
+    if (pcs.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        pcs.map(c => org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 }
 
 class GraftLogStreamingWrite(table: String, appId: String,
@@ -169,18 +201,18 @@ class GraftLogStreamingWrite(table: String, appId: String,
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
-  private val keyCol =
-    GraftLogAppendContract.checkedKeyCol(table, writeSchema)
+  private val (keyCol, partCols) =
+    GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftLogSinkWriterFactory(table, writeSchema.toDDL, keyCol)
+    new GraftLogSinkWriterFactory(table, writeSchema.toDDL, keyCol, partCols)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val adds = messages.collect {
-      case GraftLogSinkCommitMessage(rel, rows, mn, mx) if rows > 0L =>
-        TableLog.AddFile(rel, rows, mn, mx)
+      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts) if rows > 0L =>
+        TableLog.AddFile(rel, rows, mn, mx, parts)
     }.toSeq.sortBy(_.relPath)
     // zero-row epochs still advance the txn ledger (an empty commit),
     // so a redelivery of them stays a no-op too
@@ -190,7 +222,7 @@ class GraftLogStreamingWrite(table: String, appId: String,
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogSinkCommitMessage(rel, _, _, _) =>
+      case GraftLogSinkCommitMessage(rel, _, _, _, _) =>
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(table, rel))
       case _ => ()
@@ -198,7 +230,7 @@ class GraftLogStreamingWrite(table: String, appId: String,
 }
 
 case class GraftLogSinkCommitMessage(relPath: String, rows: Long,
-    min: Long, max: Long)
+    min: Long, max: Long, parts: Seq[TableLog.PartStat] = Nil)
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 /** Batch `INSERT INTO graftlog.\`<path>\`` — the one SQL DML whose
@@ -210,24 +242,25 @@ class GraftLogBatchAppend(table: String, writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val keyCol =
-    GraftLogAppendContract.checkedKeyCol(table, writeSchema)
+  private val (keyCol, partCols) =
+    GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol)
+    new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
+      partCols = partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = messages.collect {
-      case GraftLogSinkCommitMessage(rel, rows, mn, mx) if rows > 0L =>
-        TableLog.AddFile(rel, rows, mn, mx)
+      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts) if rows > 0L =>
+        TableLog.AddFile(rel, rows, mn, mx, parts)
     }.toSeq.sortBy(_.relPath)
     TableLog.commitStagedAppend(table, adds)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogSinkCommitMessage(rel, _, _, _) =>
+      case GraftLogSinkCommitMessage(rel, _, _, _, _) =>
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(table, rel))
       case _ => ()
@@ -247,18 +280,18 @@ class GraftLogReplaceData(table: String, writeSchema: StructType,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val keyCol =
-    GraftLogAppendContract.checkedKeyCol(table, writeSchema)
+  private val (keyCol, partCols) =
+    GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
-      allowOpColumn = true)
+      allowOpColumn = true, partCols = partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = messages.collect {
-      case GraftLogSinkCommitMessage(rel, rows, mn, mx) if rows > 0L =>
-        TableLog.AddFile(rel, rows, mn, mx)
+      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts) if rows > 0L =>
+        TableLog.AddFile(rel, rows, mn, mx, parts)
     }.toSeq.sortBy(_.relPath)
     val removes = removesAtCommit()
     if (adds.nonEmpty || removes.nonEmpty)
@@ -267,7 +300,7 @@ class GraftLogReplaceData(table: String, writeSchema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftLogSinkCommitMessage(rel, _, _, _) =>
+      case GraftLogSinkCommitMessage(rel, _, _, _, _) =>
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(table, rel))
       case _ => ()
@@ -275,22 +308,23 @@ class GraftLogReplaceData(table: String, writeSchema: StructType,
 }
 
 class GraftLogBatchWriterFactory(table: String, schemaDdl: String,
-    keyCol: String, allowOpColumn: Boolean = false)
+    keyCol: String, allowOpColumn: Boolean = false,
+    partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     GraftLogSinkWriterFactory.newWriter(table, schemaDdl, keyCol,
-      epochId = 0L, partitionId, taskId, allowOpColumn)
+      epochId = 0L, partitionId, taskId, allowOpColumn, partCols)
 }
 
 class GraftLogSinkWriterFactory(table: String, schemaDdl: String,
-    keyCol: String)
+    keyCol: String, partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     GraftLogSinkWriterFactory.newWriter(table, schemaDdl, keyCol,
-      epochId, partitionId, taskId)
+      epochId, partitionId, taskId, partCols = partCols)
 }
 
 object GraftLogSinkWriterFactory {
@@ -311,9 +345,12 @@ object GraftLogSinkWriterFactory {
     * ordinals, refusing any other width mismatch. */
   private[sources] def newWriter(table: String, schemaDdl: String,
       keyCol: String, epochId: Long, partitionId: Int,
-      taskId: Long, allowOpColumn: Boolean = false): DataWriter[InternalRow] = {
+      taskId: Long, allowOpColumn: Boolean = false,
+      partCols: Seq[String] = Nil): DataWriter[InternalRow] = {
     val schema = StructType.fromDDL(schemaDdl)
     val keyIdx = schema.fieldIndex(keyCol)
+    val partIdx = partCols.map(schema.fieldIndex).toArray
+    val partTypes = partIdx.map(schema.fields(_).dataType)
     require(schema(keyIdx).dataType == LongType,
       s"graftlog sink: key column '$keyCol' must be BIGINT")
     val stageId = "stream-" + java.util.UUID.randomUUID().toString.take(8)
@@ -331,6 +368,11 @@ object GraftLogSinkWriterFactory {
       private var mn = Long.MaxValue
       private var mx = Long.MinValue
       private var off = -1
+      // per-file partition-tuple row counts (partitioned tables only)
+      // — the same stats stage()'s aggregation collects, tracked
+      // inline so the manifest entry is exact without a re-read
+      private val tupleRows =
+        scala.collection.mutable.HashMap.empty[List[String], Long]
       override def write(r: InternalRow): Unit = {
         if (off < 0) {
           off = r.numFields - schema.fields.length
@@ -356,6 +398,26 @@ object GraftLogSinkWriterFactory {
           s"graftlog sink: key column '$keyCol' must not be null")
         val k = r.getLong(keyIdx + off)
         mn = math.min(mn, k); mx = math.max(mx, k)
+        if (partIdx.nonEmpty) {
+          val t = List.tabulate(partIdx.length) { j =>
+            val i = partIdx(j) + off
+            if (r.isNullAt(i)) TableLog.NullPartValue
+            else partTypes(j) match {
+              case StringType  => r.getUTF8String(i).toString
+              case LongType    => r.getLong(i).toString
+              case IntegerType => r.getInt(i).toString
+              case o => throw new UnsupportedOperationException(
+                s"graftlog sink: partition column type $o") // unreachable:
+                // createEmpty admits only STRING/BIGINT/INT partition cols
+            }
+          }
+          tupleRows(t) = tupleRows.getOrElse(t, 0L) + 1L
+          require(tupleRows.size <= TableLog.maxPartTuplesPerFile,
+            s"graftlog sink: task file holds > " +
+              s"${TableLog.maxPartTuplesPerFile} distinct partition " +
+              "tuples — the partition column is too high-cardinality " +
+              "to stratify at file grain")
+        }
         rows += 1L
         writer.write(g)
       }
@@ -363,7 +425,10 @@ object GraftLogSinkWriterFactory {
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
         writer.close()
         if (rows == 0L) java.nio.file.Files.deleteIfExists(abs)
-        GraftLogSinkCommitMessage(relPath, rows, mn, mx)
+        val parts = tupleRows.toSeq
+          .map { case (vs, n) => TableLog.PartStat(vs, n) }
+          .sortBy(_.values.mkString("/"))
+        GraftLogSinkCommitMessage(relPath, rows, mn, mx, parts)
       }
       override def abort(): Unit = {
         writer.close()

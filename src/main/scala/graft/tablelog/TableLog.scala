@@ -56,10 +56,35 @@ import org.apache.spark.sql.types.StructType
   */
 object TableLog {
 
+  /** One distinct partition tuple present in a data file, with its
+    * EXACT row count — file-grain partition statistics. `values` are
+    * the stringified partition-column values positionally matching
+    * [[Snapshot.partCols]]; a null value is the [[NullPartValue]]
+    * sentinel. Files need not be partition-pure (hash/range staging
+    * may co-locate a few tuples): pruning keeps a file iff ANY tuple
+    * satisfies the partition predicate, and the `#partitions`
+    * metadata table folds the per-tuple counts exactly — both from
+    * the manifest alone, zero data files opened. */
+  final case class PartStat(values: Seq[String], rows: Long)
+
+  /** In-memory marker for a NULL partition value inside
+    * [[PartStat.values]] — never a legal manifest token (manifests
+    * encode it as `~`, which URL-encoding can never emit). */
+  val NullPartValue = "\u0000"
+
+  /** Upper bound on distinct partition tuples recorded per file.
+    * Partitioning is a pruning device for LOW-cardinality columns; a
+    * file blowing this cap means the column does not stratify the
+    * data at file grain and the write fails with guidance rather
+    * than silently recording stats too weak to prune with. */
+  val maxPartTuplesPerFile = 64
+
   /** One immutable data file in the active set. `min`/`max` are the
     * key-column bounds used for file skipping; `rows` feeds history
-    * and vacuum accounting. */
-  final case class AddFile(relPath: String, rows: Long, min: Long, max: Long)
+    * and vacuum accounting; `parts` the per-tuple partition stats
+    * (empty on unpartitioned tables). */
+  final case class AddFile(relPath: String, rows: Long, min: Long, max: Long,
+      parts: Seq[PartStat] = Nil)
 
   /** One replayed commit: the version, its operation tag, the files
     * it added and the (previously active) files it removed. `txn` is
@@ -73,7 +98,8 @@ object TableLog {
       removes: Seq[String], schemaDdl: String, keyCol: String,
       txns: Seq[(String, Long)] = Nil,
       bloom: Option[(String, Int)] = None,
-      tsMillis: Long = 0L)
+      tsMillis: Long = 0L,
+      partCols: Seq[String] = Nil)
 
   /** A replayed table state: active files in commit order plus the
     * metadata needed to read them. `txns` carries the highest
@@ -83,7 +109,8 @@ object TableLog {
   final case class Snapshot(version: Long, active: Seq[AddFile],
       schemaDdl: String, keyCol: String,
       txns: Map[String, Long] = Map.empty,
-      bloom: Option[(String, Int)] = None)
+      bloom: Option[(String, Int)] = None,
+      partCols: Seq[String] = Nil)
 
   /** Checkpoint cadence — small so the short demo histories exercise
     * the checkpoint replay path; a production table would use
@@ -100,16 +127,35 @@ object TableLog {
 
   // ------------------------------------------------------------ manifest io
 
+  /** Manifest encoding of one partition value: URL-encoded (so the
+    * token never contains space, `/`, `:` or newline), with the null
+    * sentinel as `~` — a character URL-encoding can never emit, so
+    * the two alphabets are disjoint by construction. */
+  private def encPart(v: String): String =
+    if (v == NullPartValue) "~"
+    else java.net.URLEncoder.encode(v, UTF_8)
+
+  private def decPart(s: String): String =
+    if (s == "~") NullPartValue
+    else java.net.URLDecoder.decode(s, UTF_8)
+
   private def render(op: String, adds: Seq[AddFile], removes: Seq[String],
       schemaDdl: String, keyCol: String,
       txns: Seq[(String, Long)] = Nil,
       bloom: Option[(String, Int)] = None,
-      tsMillis: Long = 0L): String = {
+      tsMillis: Long = 0L,
+      partCols: Seq[String] = Nil): String = {
     val sb = new StringBuilder
     sb ++= s"op $op\n"
     if (tsMillis > 0L) sb ++= s"ts $tsMillis\n"
     sb ++= s"key $keyCol\n"
     sb ++= s"schema $schemaDdl\n"
+    if (partCols.nonEmpty) {
+      partCols.foreach(c => require(
+        !c.contains(' ') && !c.contains('\n') && !c.contains(','),
+        s"partition column name must be token-shaped: '$c'"))
+      sb ++= s"partcols ${partCols.mkString(",")}\n"
+    }
     bloom.foreach { case (c, m) =>
       require(!c.contains(' ') && !c.contains('\n'),
         s"bloom column name must be token-shaped: '$c'")
@@ -122,7 +168,18 @@ object TableLog {
     }
     removes.sorted.foreach(p => sb ++= s"remove $p\n")
     adds.sortBy(_.relPath).foreach { a =>
-      sb ++= s"add ${a.rows} ${a.min} ${a.max} ${a.relPath}\n"
+      if (a.parts.isEmpty)
+        sb ++= s"add ${a.rows} ${a.min} ${a.max} ${a.relPath}\n"
+      else {
+        // `addt`: add-with-tuples — rows/min/max as `add`, then the
+        // tuple count and one `<v1/v2…:rows>` token per tuple; the
+        // relPath stays last so both forms share a suffix parse
+        val ts = a.parts
+          .map(p => p.values.map(encPart).mkString("/") + ":" + p.rows)
+          .sorted
+        sb ++= s"addt ${a.rows} ${a.min} ${a.max} ${ts.size} " +
+          s"${ts.mkString(" ")} ${a.relPath}\n"
+      }
     }
     sb.result()
   }
@@ -130,6 +187,7 @@ object TableLog {
   private def parse(version: Long, text: String): Commit = {
     var op = ""; var key = ""; var ddl = ""; var ts = 0L
     var bloom = Option.empty[(String, Int)]
+    var partCols = Seq.empty[String]
     val txns = Seq.newBuilder[(String, Long)]
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
@@ -153,12 +211,24 @@ object TableLog {
         case "add" =>
           val Array(rows, mn, mx, path) = rest.split(" ", 4)
           adds += AddFile(path, rows.toLong, mn.toLong, mx.toLong)
+        case "partcols" =>
+          partCols = rest.split(",").toSeq
+        case "addt" =>
+          val toks = rest.split(" ")
+          val k = toks(3).toInt
+          val parts = toks.slice(4, 4 + k).map { t =>
+            val c = t.lastIndexOf(':')
+            PartStat(t.substring(0, c).split("/", -1).toSeq.map(decPart),
+              t.substring(c + 1).toLong)
+          }.toSeq
+          adds += AddFile(toks.drop(4 + k).mkString(" "),
+            toks(0).toLong, toks(1).toLong, toks(2).toLong, parts)
         case other => throw new IllegalStateException(
           s"corrupt manifest v$version: unknown tag '$other'")
       }
     }
     Commit(version, op, adds.result(), removes.result(), ddl, key,
-      txns.result(), bloom, ts)
+      txns.result(), bloom, ts, partCols)
   }
 
   /** Latest committed version, 0 if the table has no log yet. The
@@ -196,6 +266,7 @@ object TableLog {
     base.active.foreach(a => active(a.relPath) = a)
     var ddl = base.schemaDdl; var key = base.keyCol; var v = base.version
     var txns = base.txns; var bloom = base.bloom
+    var partCols = base.partCols
     tail.foreach { c =>
       c.removes.foreach { p =>
         if (active.remove(p).isEmpty) throw new IllegalStateException(
@@ -205,12 +276,13 @@ object TableLog {
       if (c.schemaDdl.nonEmpty) ddl = c.schemaDdl
       if (c.keyCol.nonEmpty) key = c.keyCol
       if (c.bloom.nonEmpty) bloom = c.bloom
+      if (c.partCols.nonEmpty) partCols = c.partCols
       c.txns.foreach { case (app, tv) =>
         txns += app -> math.max(tv, txns.getOrElse(app, Long.MinValue))
       }
       v = c.version
     }
-    Snapshot(v, active.values.toSeq, ddl, key, txns, bloom)
+    Snapshot(v, active.values.toSeq, ddl, key, txns, bloom, partCols)
   }
 
   /** The latest version whose commit wall-clock stamp is ≤
@@ -239,7 +311,8 @@ object TableLog {
     val base = ckptV match {
       case Some(v) =>
         val c = parse(v, Files.readString(checkpointPath(table, v)))
-        Snapshot(v, c.adds, c.schemaDdl, c.keyCol, c.txns.toMap, c.bloom)
+        Snapshot(v, c.adds, c.schemaDdl, c.keyCol, c.txns.toMap, c.bloom,
+          c.partCols)
       case None => Snapshot(0L, Nil, "", "")
     }
     val tail = ((base.version + 1L) to last).map { v =>
@@ -259,10 +332,11 @@ object TableLog {
   private[tablelog] def commit(table: String, expected: Long, op: String,
       adds: Seq[AddFile], removes: Seq[String], schemaDdl: String,
       keyCol: String, txn: Option[(String, Long)] = None,
-      bloom: Option[(String, Int)] = None): Long = {
+      bloom: Option[(String, Int)] = None,
+      partCols: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir(table))
     val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq, bloom,
-      tsMillis = System.currentTimeMillis())
+      tsMillis = System.currentTimeMillis(), partCols = partCols)
     var attempt = expected + 1L
     while (true) {
       val tmp = Files.createTempFile(logDir(table), s"tmp-$op-", ".inprogress")
@@ -305,7 +379,7 @@ object TableLog {
     if (v % checkpointEvery == 0L) {
       val snap = state(table, v)
       val text = render("checkpoint", snap.active, Nil, snap.schemaDdl,
-        snap.keyCol, snap.txns.toSeq, snap.bloom)
+        snap.keyCol, snap.txns.toSeq, snap.bloom, partCols = snap.partCols)
       val tmp = Files.createTempFile(logDir(table), "tmp-ckpt-", ".inprogress")
       try {
         Files.write(tmp, text.getBytes(UTF_8))
@@ -350,7 +424,8 @@ object TableLog {
     * manifest-level skipping keeps working over the re-laid files. */
   private def stage(df: DataFrame, table: String, keyCol: String,
       numFiles: Int, bloom: Option[(String, Int)] = None,
-      layout: Option[Column] = None): Seq[AddFile] = {
+      layout: Option[Column] = None,
+      partCols: Seq[String] = Nil): Seq[AddFile] = {
     val spark = df.sparkSession
     val stageId = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = Paths.get(table, "data", stageId)
@@ -359,6 +434,12 @@ object TableLog {
         .repartitionByRange(numFiles, col("__layout"))
         .sortWithinPartitions(col("__layout"))
         .drop("__layout")
+      case None if partCols.nonEmpty =>
+        // partitioned layout: range-cluster on (partition tuple, key)
+        // so each file covers a contiguous tuple run (few tuples per
+        // file → tight manifest stats) AND keeps key order within it
+        df.repartitionByRange(numFiles,
+          partCols.map(col) :+ col(keyCol): _*)
       case None => df.repartitionByRange(numFiles, col(keyCol))
     }
     writer.write.parquet(stageDir.toString)
@@ -390,16 +471,46 @@ object TableLog {
         Files.write(stageDir.resolve(s"$name.$c.bloom"), bits.toByteArray)
       }
     }
-    val written = spark.read.parquet(partFiles: _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(keyCol)).cast("long").as("mn"),
-        max(col(keyCol)).cast("long").as("mx"))
-      .collect() // file-grain: ≤ numFiles rows
-      .map { r =>
-        val name = fileNameOf(r.getString(0))
-        AddFile(s"data/$stageId/$name", r.getLong(1), r.getLong(2), r.getLong(3))
-      }.toSeq
+    val written: Seq[AddFile] =
+      if (partCols.isEmpty)
+        spark.read.parquet(partFiles: _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("rows"),
+            min(col(keyCol)).cast("long").as("mn"),
+            max(col(keyCol)).cast("long").as("mx"))
+          .collect() // file-grain: ≤ numFiles rows
+          .map { r =>
+            val name = fileNameOf(r.getString(0))
+            AddFile(s"data/$stageId/$name", r.getLong(1), r.getLong(2),
+              r.getLong(3))
+          }.toSeq
+      else {
+        // one stats pass at (file, partition-tuple) grain — the fold
+        // to file grain is driver-side over ≤ 64·numFiles cells, so
+        // partition stats cost the same single aggregation as key
+        // stats, proportional to the commit and never the table
+        val tupleExpr = array(partCols.map(c =>
+          coalesce(col(c).cast("string"), lit(NullPartValue))): _*)
+        spark.read.parquet(partFiles: _*)
+          .groupBy(input_file_name().as("f"), tupleExpr.as("t"))
+          .agg(count(lit(1)).as("rows"),
+            min(col(keyCol)).cast("long").as("mn"),
+            max(col(keyCol)).cast("long").as("mx"))
+          .collect()
+          .groupBy(r => fileNameOf(r.getString(0)))
+          .map { case (name, rs) =>
+            require(rs.length <= maxPartTuplesPerFile,
+              s"$table: staged file $name holds ${rs.length} distinct " +
+                s"partition tuples (cap $maxPartTuplesPerFile) — the " +
+                "partition column is too high-cardinality to stratify " +
+                "at file grain; raise numFiles or drop the partitioning")
+            val parts = rs.map(r =>
+                PartStat(r.getSeq[String](1).toList, r.getLong(2)))
+              .sortBy(_.values.mkString("/")).toSeq
+            AddFile(s"data/$stageId/$name", rs.map(_.getLong(2)).sum,
+              rs.map(_.getLong(3)).min, rs.map(_.getLong(4)).max, parts)
+          }.toSeq
+      }
     written.sortBy(_.relPath)
   }
 
@@ -413,34 +524,61 @@ object TableLog {
 
   // ------------------------------------------------------------ operations
 
+  /** Partition columns must exist and stringify stably — the manifest
+    * stores partition values as strings, and both the stage-time stats
+    * pass (`cast("string")`) and the DSv2 task writer must produce the
+    * SAME rendering the scan-time predicate compare uses. String and
+    * integral types do; anything else (float "1.0" vs "1", binary,
+    * timestamps under zone rules) is refused rather than risked. */
+  private def checkPartCols(schemaDdl: String, partCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{StringType, LongType, IntegerType}
+    val schema = StructType.fromDDL(schemaDdl)
+    partCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' not in schema: $schemaDdl"))
+      require(Set[org.apache.spark.sql.types.DataType](
+          StringType, LongType, IntegerType).contains(f.dataType),
+        s"partition column '$c' has type ${f.dataType.sql} — only " +
+          "STRING/BIGINT/INT partition columns stringify stably")
+    }
+    require(partCols.distinct.length == partCols.length,
+      s"duplicate partition columns: ${partCols.mkString(",")}")
+  }
+
   /** Create the table as version 1. Fails if a log already exists —
     * create is not an upsert. */
   def create(df: DataFrame, table: String, keyCol: String,
       numFiles: Int, bloomCol: Option[String] = None,
-      bloomBits: Int = 1 << 17): Long = {
+      bloomBits: Int = 1 << 17, partCols: Seq[String] = Nil): Long = {
     require(latestVersion(table) == 0L, s"$table already exists")
+    if (partCols.nonEmpty) checkPartCols(df.schema.toDDL, partCols)
     val bloom = bloomCol.map(c => (c, bloomBits))
-    val adds = stage(df, table, keyCol, numFiles, bloom)
+    val adds = stage(df, table, keyCol, numFiles, bloom, partCols = partCols)
     commit(table, 0L, "create", adds, Nil, df.schema.toDDL, keyCol,
-      bloom = bloom)
+      bloom = bloom, partCols = partCols)
   }
 
   /** Create as version 1 with ZERO data files — the catalog's
-    * `CREATE TABLE`: schema and key column are declared up front,
-    * the first INSERT/append brings the data. Same create-is-not-an-
-    * upsert rule as [[create]]. */
-  def createEmpty(table: String, schemaDdl: String, keyCol: String): Long = {
+    * `CREATE TABLE`: schema, key column and (identity) partition
+    * columns are declared up front, the first INSERT/append brings
+    * the data. Same create-is-not-an-upsert rule as [[create]]. */
+  def createEmpty(table: String, schemaDdl: String, keyCol: String,
+      partCols: Seq[String] = Nil): Long = {
     require(latestVersion(table) == 0L, s"$table already exists")
     require(StructType.fromDDL(schemaDdl).fieldNames.contains(keyCol),
       s"key column '$keyCol' not in schema: $schemaDdl")
-    commit(table, 0L, "create", Nil, Nil, schemaDdl, keyCol)
+    if (partCols.nonEmpty) checkPartCols(schemaDdl, partCols)
+    commit(table, 0L, "create", Nil, Nil, schemaDdl, keyCol,
+      partCols = partCols)
   }
 
   /** Append-only commit — the reference's daily load shape. Never
     * conflicts: a lost race rebases onto the new latest version. */
   def append(df: DataFrame, table: String, numFiles: Int): Long = {
     val snap = state(table)
-    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom)
+    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
+      partCols = snap.partCols)
     commit(table, snap.version, "append", adds, Nil, "", "")
   }
 
@@ -459,7 +597,8 @@ object TableLog {
       appId: String, txnVersion: Long): Long = {
     val snap = state(table)
     if (snap.txns.get(appId).exists(_ >= txnVersion)) return snap.version
-    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom)
+    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
+      partCols = snap.partCols)
     commit(table, snap.version, "append", adds, Nil, "", "",
       txn = Some((appId, txnVersion)))
   }
@@ -518,7 +657,8 @@ object TableLog {
     }
     val oldNames = old.map(_.name).toSet
     val merged = StructType(old ++ df.schema.filterNot(f => oldNames(f.name)))
-    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom)
+    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
+      partCols = snap.partCols)
     commit(table, snap.version, "evolve", adds, Nil, merged.toDDL, "")
   }
 
@@ -637,7 +777,8 @@ object TableLog {
     val incoming = changes.where(col("action") =!= "delete")
       .drop("action")
     val rewritten = survivors.unionByName(incoming)
-    val adds = stage(rewritten, table, k, numFiles, snap.bloom)
+    val adds = stage(rewritten, table, k, numFiles, snap.bloom,
+      partCols = snap.partCols)
     commit(table, snap.version, "cdc", adds, touched.map(_.relPath), "", "")
   }
 
@@ -665,7 +806,8 @@ object TableLog {
     // SQL DELETE semantics: only cond=TRUE rows go; NULL-cond rows stay
     val survivors = readFiles(spark, table, snap, touched)
       .where(!coalesce(cond, lit(false)))
-    val adds = stage(survivors, table, snap.keyCol, numFiles, snap.bloom)
+    val adds = stage(survivors, table, snap.keyCol, numFiles, snap.bloom,
+      partCols = snap.partCols)
     commit(table, snap.version, "delete", adds, touched.map(_.relPath), "", "")
   }
 
@@ -696,7 +838,8 @@ object TableLog {
     val survivors = readFiles(spark, table, snap, touched)
       .where(!coalesce(cond, lit(false)))
     val rewritten = survivors.unionByName(incoming)
-    val adds = stage(rewritten, table, snap.keyCol, numFiles, snap.bloom)
+    val adds = stage(rewritten, table, snap.keyCol, numFiles, snap.bloom,
+      partCols = snap.partCols)
     commit(table, snap.version, "replace", adds, touched.map(_.relPath), "", "")
   }
 
@@ -723,7 +866,8 @@ object TableLog {
     val rewritten = touchedRows
       .join(broadcast(changeKeys), Seq(k), "left_anti")
       .unionByName(changes)
-    val adds = stage(rewritten, table, k, numFiles, snap.bloom)
+    val adds = stage(rewritten, table, k, numFiles, snap.bloom,
+      partCols = snap.partCols)
     commit(table, snap.version, "merge", adds, touched.map(_.relPath), "", "")
   }
 
@@ -759,7 +903,7 @@ object TableLog {
       (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)",
       s"($sx)", s"($sy)"))
     val adds = stage(data, table, snap.keyCol, numFiles,
-      snap.bloom, layout = Some(zExpr))
+      snap.bloom, layout = Some(zExpr), partCols = snap.partCols)
     commit(table, snap.version, "zorder", adds,
       snap.active.map(_.relPath), "", "")
   }
@@ -773,7 +917,8 @@ object TableLog {
   def compact(spark: SparkSession, table: String, numFiles: Int): Long = {
     val snap = state(table)
     val data = readFiles(spark, table, snap, snap.active)
-    val adds = stage(data, table, snap.keyCol, numFiles, snap.bloom)
+    val adds = stage(data, table, snap.keyCol, numFiles, snap.bloom,
+      partCols = snap.partCols)
     commit(table, snap.version, "compact", adds,
       snap.active.map(_.relPath), "", "")
   }

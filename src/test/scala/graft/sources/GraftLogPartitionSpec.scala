@@ -1,0 +1,230 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, In, IsNotNull, IsNull}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.SparkSuite
+import graft.tablelog.TableLog
+
+/** Partitioned tables (q432/q433's machinery): identity-partition
+  * declarations recorded as per-file partition-tuple stats in the
+  * manifest, partition predicates pruning FILES on the driver, the
+  * `#partitions` metadata inventory, and stat preservation through
+  * copy-on-write rewrites. The pruning pins run on the ScanBuilder
+  * itself, not plan strings. */
+class GraftLogPartitionSpec extends SparkSuite {
+
+  private val emptyOpts =
+    new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+
+  private def useCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+
+  /** 200 rows, partition column p ∈ {a,b,c,d}, two SQL INSERT commits.
+    * AQE partition coalescing is off during the inserts: at fixture
+    * scale it would merge the clustered shuffle into ONE task (a few
+    * KB), producing one file holding every tuple — correct, but with
+    * nothing to prune. Disabling it reproduces the at-scale layout,
+    * where task files are tuple-pure because real partitions dwarf
+    * the advisory size. */
+  private def freshPartitioned(): String = {
+    useCatalog()
+    val t = Files.createTempDirectory("tlog_part_").toString + "/tbl"
+    spark.sql(
+      s"""CREATE TABLE graftlog.`$t` (k BIGINT, p STRING, v STRING)
+         |PARTITIONED BY (p) TBLPROPERTIES ('key' = 'k')""".stripMargin)
+    import spark.implicits._
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      (0L to 99L).map(i => (i, s"${('a' + (i % 4).toInt).toChar}", s"x$i"))
+        .toDF("k", "p", "v").createOrReplaceTempView("part_src_1")
+      spark.sql(s"INSERT INTO graftlog.`$t` SELECT * FROM part_src_1")
+      (100L to 199L).map(i => (i, s"${('a' + (i % 4).toInt).toChar}", s"y$i"))
+        .toDF("k", "p", "v").createOrReplaceTempView("part_src_2")
+      spark.sql(s"INSERT INTO graftlog.`$t` SELECT * FROM part_src_2")
+    } finally spark.conf.set(coalesceKey, saved)
+    t
+  }
+
+  test("SQL CREATE ... PARTITIONED BY records identity partitioning; " +
+      "partition predicates prune files on the manifest, rows stay exact") {
+    val t = freshPartitioned()
+    val snap = TableLog.state(t)
+    assert(snap.partCols == Seq("p"))
+    assert(snap.active.nonEmpty &&
+      snap.active.forall(_.parts.nonEmpty))
+    // the clustered write distribution sends ALL rows of a value to
+    // one task: each value lives in exactly 1 file per commit (hash
+    // collisions may co-locate values in a file, never split one)
+    val spread = snap.active.flatMap(a =>
+      a.parts.map(p => (p.values, a.relPath)))
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    assert(spread.values.forall(_ == 2), spread.toString) // 2 commits
+
+    // EqualTo on the partition column keeps exactly the 'b' files
+    val b = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    b.pushFilters(Array(EqualTo("p", "b")))
+    assert(b.chosenFiles.nonEmpty &&
+      b.chosenFiles.size < snap.active.size)
+    assert(b.chosenFiles.forall(_.parts.exists(_.values == Seq("b"))))
+    assert(b.pushedFilters().exists(_ == EqualTo("p", "b")))
+
+    // IN keeps the union of the named tuples' files
+    val i = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    i.pushFilters(Array(In("p", Array[Any]("a", "d"))))
+    assert(i.chosenFiles.forall(_.parts.exists(p =>
+      p.values == Seq("a") || p.values == Seq("d"))))
+    assert(i.chosenFiles.map(_.parts.filter(p =>
+      p.values == Seq("a") || p.values == Seq("d")).map(_.rows).sum)
+      .sum == 100L)
+
+    // end to end: rows through the pruned read are exact
+    val got = spark.sql(
+      s"SELECT count(*), sum(k) FROM graftlog.`$t` WHERE p = 'b'")
+      .collect().head
+    assert(got.getLong(0) == 50L)
+    assert(got.getLong(1) == (0L to 199L).filter(_ % 4 == 1).sum)
+  }
+
+  test("#partitions folds the exact live inventory from manifests") {
+    val t = freshPartitioned()
+    val rows = spark.sql(
+      s"""SELECT p, file_count, row_count
+         |FROM graftlog.`$t#partitions` ORDER BY p""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("a", "b", "c", "d"))
+    // 2 commits × 1 tuple-pure file per value; 25 rows per value per commit
+    assert(rows.forall { case (_, files, n) => files == 2L && n == 50L })
+    // and an unpartitioned table refuses the metadata suffix
+    import spark.implicits._
+    val u = Files.createTempDirectory("tlog_unpart_").toString
+    TableLog.create((0L to 9L).toDF("k"), u, "k", numFiles = 1)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graftlog.`$u#partitions`").collect())
+    assert(e.getMessage.contains("not partitioned"))
+  }
+
+  test("null partition values: IsNull finds them, EqualTo never does, " +
+      "#partitions renders SQL NULL") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_pnull_").toString
+    val df = (0L to 59L)
+      .map(i => (i, if (i % 3 == 0) null else s"g${i % 3}", i * 2))
+      .toDF("k", "p", "v")
+    TableLog.create(df, t, "k", numFiles = 3, partCols = Seq("p"))
+    val snap = TableLog.state(t)
+
+    val nb = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    nb.pushFilters(Array(IsNull("p")))
+    assert(nb.chosenFiles.nonEmpty)
+    assert(nb.chosenFiles.forall(_.parts.exists(
+      _.values == Seq(TableLog.NullPartValue))))
+
+    val eb = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    eb.pushFilters(Array(EqualTo("p", "g1")))
+    assert(eb.chosenFiles.forall(_.parts.exists(_.values == Seq("g1"))))
+
+    val inb = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    inb.pushFilters(Array(IsNotNull("p")))
+    assert(inb.chosenFiles.forall(_.parts.exists(
+      _.values != Seq(TableLog.NullPartValue))))
+
+    useCatalog()
+    val meta = spark.sql(
+      s"""SELECT p, row_count FROM graftlog.`$t#partitions`
+         |ORDER BY p NULLS FIRST""".stripMargin).collect()
+    assert(meta.head.isNullAt(0) && meta.head.getLong(1) == 20L)
+    assert(meta.map(r => Option(r.getString(0))).toSeq ==
+      Seq(None, Some("g1"), Some("g2")))
+  }
+
+  test("multi-column partitioning prunes conjunctively PER TUPLE: " +
+      "p1='a' AND p2=1 drops a file holding only (a,2) and (b,1)") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_p2_").toString
+    // one file per (p1,p2) combination via the API path
+    val df = (0L to 79L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", (i % 4) / 2 + 1, s"v$i"))
+      .toDF("k", "p1", "p2", "v")
+    TableLog.create(df, t, "k", numFiles = 8,
+      partCols = Seq("p1", "p2"))
+    val snap = TableLog.state(t)
+    assert(snap.partCols == Seq("p1", "p2"))
+    val b = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    b.pushFilters(Array(EqualTo("p1", "a"),
+      EqualTo("p2", java.lang.Integer.valueOf(1))))
+    // every survivor holds the (a,1) tuple specifically — a file with
+    // (a,2) and (b,1) tuples satisfies both predicates separately but
+    // no single tuple satisfies the conjunction
+    assert(b.chosenFiles.nonEmpty)
+    assert(b.chosenFiles.forall(_.parts.exists(_.values == Seq("a", "1"))))
+    assert(b.chosenFiles.map(_.parts.filter(_.values == Seq("a", "1"))
+      .map(_.rows).sum).sum == 20L)
+  }
+
+  test("copy-on-write rewrites preserve partition stats: delete and " +
+      "compact keep #partitions exact and pruning alive") {
+    val t = freshPartitioned()
+    useCatalog()
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE k % 10 = 1")
+    TableLog.compact(spark, t, numFiles = 2)
+    val snap = TableLog.state(t)
+    assert(snap.active.forall(_.parts.nonEmpty))
+    val meta = spark.sql(
+      s"""SELECT p, row_count FROM graftlog.`$t#partitions`
+         |ORDER BY p""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expect = (0L to 199L).filter(_ % 10 != 1)
+      .groupBy(i => s"${('a' + (i % 4).toInt).toChar}")
+      .view.mapValues(_.size.toLong).toMap
+    assert(meta == expect)
+    // pruning still works over the compacted layout (files may hold
+    // several tuples now — kept iff ANY tuple matches)
+    val b = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    b.pushFilters(Array(EqualTo("p", "c")))
+    assert(b.chosenFiles.forall(_.parts.exists(_.values == Seq("c"))))
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftlog.`$t` WHERE p = 'c'")
+      .collect().head.getLong(0) == expect("c"))
+  }
+
+  test("manifest round-trips hostile partition values (spaces, colon, " +
+      "slash, percent, tilde, unicode) through URL-encoding") {
+    import spark.implicits._
+    val vals = Seq("with space", "a:b", "x/y", "100%", "~", "naïve")
+    val t = Files.createTempDirectory("tlog_penc_").toString
+    val df = (0L to 59L).map(i => (i, vals((i % 6).toInt)))
+      .toDF("k", "p")
+    TableLog.create(df, t, "k", numFiles = 2, partCols = Seq("p"))
+    val snap = TableLog.state(t) // parsed back from the manifest text
+    val tuples = snap.active.flatMap(_.parts.map(_.values.head)).toSet
+    assert(tuples == vals.toSet)
+    val b = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    b.pushFilters(Array(EqualTo("p", "a:b")))
+    assert(b.chosenFiles.forall(_.parts.exists(_.values == Seq("a:b"))))
+    assert(b.chosenFiles.map(_.parts.filter(_.values == Seq("a:b"))
+      .map(_.rows).sum).sum == 10L)
+  }
+
+  test("misuse fails loudly: high-cardinality partition column blows " +
+      "the per-file tuple cap; non-stringifiable types refused at CREATE") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_pcap_").toString
+    val wide = (0L to 199L).map(i => (i, s"u$i")).toDF("k", "p")
+    val e = intercept[Exception](
+      TableLog.create(wide, t, "k", numFiles = 1, partCols = Seq("p")))
+    assert(e.getMessage.contains("partition tuples") ||
+      e.getMessage.contains("high-cardinality"), e.getMessage)
+    val t2 = Files.createTempDirectory("tlog_ptype_").toString
+    val dbl = (0L to 9L).map(i => (i, i / 2.0)).toDF("k", "p")
+    val e2 = intercept[IllegalArgumentException](
+      TableLog.create(dbl, t2, "k", numFiles = 1, partCols = Seq("p")))
+    assert(e2.getMessage.contains("stringify stably"), e2.getMessage)
+  }
+}
