@@ -1543,7 +1543,190 @@ object TableOps {
       |FROM orders
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q434
+  /** Static `INSERT OVERWRITE … PARTITION (p = v)` — the SQL verb for
+    * slice restatement (rounds 5–7 kept replaceWhere API-only because
+    * SQL had no verb; partitioned tables give it one): ONE commit in
+    * which the named partition's rows die (copy-on-write bounded by
+    * partition-tuple stats — only that partition's files are even
+    * scanned, GraftLogOverwriteSpec pins untouched partitions keep
+    * their exact files) and the restated slice lands. The restatement
+    * halves MEDIUM to every-third-order at double price, so the
+    * oracle replays an unmistakable delta. */
+  private val overwriteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q434InsertOverwrite(s: SparkSession, dir: String): DataFrame = {
+    withCatalog(s)
+    val table = overwriteCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogow_").toString + "/tbl"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$t` (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           |  o_orderpriority STRING, o_totalprice DOUBLE)
+           |PARTITIONED BY (o_orderpriority)
+           |TBLPROPERTIES ('key' = 'o_orderkey')""".stripMargin)
+      val view = s"graft_ow_src_${Integer.toHexString(dir.hashCode)}"
+      ordersSlice(s, dir).createOrReplaceTempView(view)
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val saved = s.conf.get(coalesceKey)
+      s.conf.set(coalesceKey, "false")
+      try {
+        s.sql(s"INSERT INTO graftlog.`$t` SELECT * FROM $view")
+        s.sql(
+          s"""INSERT OVERWRITE graftlog.`$t`
+             |PARTITION (o_orderpriority = '3-MEDIUM')
+             |SELECT o_orderkey, o_custkey, o_orderstatus,
+             |  o_totalprice * 2
+             |FROM $view
+             |WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 3 = 0
+             |""".stripMargin)
+      } finally {
+        s.conf.set(coalesceKey, saved)
+        s.catalog.dropTempView(view)
+      }
+      t
+    })
+    s.sql(
+      s"""SELECT o_orderpriority,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$table`
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q434Oracle =
+    """WITH restated AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderpriority = '3-MEDIUM'
+      |         THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  WHERE o_orderpriority <> '3-MEDIUM'
+      |     OR (o_orderpriority = '3-MEDIUM' AND o_orderkey % 3 = 0))
+      |SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM restated
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q435
+  /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`):
+    * replace exactly the partitions the incoming data touches, leave
+    * the rest alone — the daily-restatement idiom (re-deliver two
+    * corrected days without naming them in the statement). WHICH
+    * partitions die is decided from the task writers' own per-file
+    * tuple stats (driver metadata, no data scan), and the
+    * copy-on-write reads only files whose stats hold a doomed tuple.
+    * Incoming: URGENT and HIGH restated to every-fifth-order with
+    * status 'R'; the other three priorities must come through
+    * byte-identical (same files — spec-pinned). */
+  private val dynOverwriteCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q435DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    withCatalog(s)
+    val table = dynOverwriteCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogdy_").toString + "/tbl"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$t` (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           |  o_orderpriority STRING, o_totalprice DOUBLE)
+           |PARTITIONED BY (o_orderpriority)
+           |TBLPROPERTIES ('key' = 'o_orderkey')""".stripMargin)
+      val view = s"graft_dyo_src_${Integer.toHexString(dir.hashCode)}"
+      ordersSlice(s, dir).createOrReplaceTempView(view)
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val savedC = s.conf.get(coalesceKey)
+      s.conf.set(coalesceKey, "false")
+      try {
+        s.sql(s"INSERT INTO graftlog.`$t` SELECT * FROM $view")
+        s.conf.set(modeKey, "dynamic")
+        try s.sql(
+          s"""INSERT OVERWRITE graftlog.`$t`
+             |SELECT o_orderkey, o_custkey, 'R', o_orderpriority,
+             |  o_totalprice
+             |FROM $view
+             |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |  AND o_orderkey % 5 = 0""".stripMargin)
+        finally s.conf.set(modeKey, "static")
+      } finally {
+        s.conf.set(coalesceKey, savedC)
+        s.catalog.dropTempView(view)
+      }
+      t
+    })
+    s.sql(
+      s"""SELECT o_orderpriority, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$table`
+         |GROUP BY o_orderpriority, o_orderstatus
+         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
+  }
+
+  private val q435Oracle =
+    """WITH restated AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |         THEN 'R' ELSE o_orderstatus END AS o_orderstatus
+      |  FROM orders
+      |  WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |     OR o_orderkey % 5 = 0)
+      |SELECT o_orderpriority, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM restated
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q436
+  /** SQL `TRUNCATE TABLE` — the logical delete-all as ONE manifest
+    * commit removing every active file: data files untouched, so the
+    * pre-truncate version still time-travels (read back in-query);
+    * vacuum reclaims later under its retention rules. The readout is
+    * (version, rows, key_sum) for both eras. */
+  private val truncateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q436Truncate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = truncateCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogtr_").toString
+      TableLog.create(ordersSlice(s, dir).where($"o_orderkey" % 4 === 2),
+        t, "o_orderkey", numFiles = 4)
+      s.sql(s"TRUNCATE TABLE graftlog.`$t`")
+      t
+    })
+    val v1 = s.sql(
+      s"""SELECT CAST(1 AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_sum
+         |FROM graftlog.`$table` VERSION AS OF 1""".stripMargin)
+    val v2 = s.sql(
+      s"""SELECT CAST(2 AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS key_sum
+         |FROM graftlog.`$table`""".stripMargin)
+    v1.unionByName(v2).orderBy($"version")
+  }
+
+  private val q436Oracle =
+    """SELECT CAST(1 AS BIGINT) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderkey % 4 = 2
+      |UNION ALL
+      |SELECT 2, 0, 0
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q436_truncate" -> (q436Truncate _),
+    "q435_dynamic_overwrite" -> (q435DynamicOverwrite _),
+    "q434_insert_overwrite" -> (q434InsertOverwrite _),
     "q433_partitions_meta" -> (q433PartitionsMeta _),
     "q432_partitioned_prune" -> (q432PartitionedPrune _),
     "q431_catalog_merge" -> (q431CatalogMerge _),
@@ -1579,6 +1762,9 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q436_truncate" -> q436Oracle,
+    "q435_dynamic_overwrite" -> q435Oracle,
+    "q434_insert_overwrite" -> q434Oracle,
     "q433_partitions_meta" -> q433Oracle,
     "q432_partitioned_prune" -> q432Oracle,
     "q431_catalog_merge" -> q332Oracle,

@@ -294,6 +294,7 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graftlog.`$tablePath` @v${snap.version}"
   override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
@@ -301,24 +302,84 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     snap.partCols.map(c => org.apache.spark.sql.connector.expressions
       .Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(SparkSession.active, tablePath, snap, options)
 
+  /** `TRUNCATE TABLE` — one commit removing every active file; old
+    * versions keep time-traveling (files are untouched until vacuum). */
+  override def truncateTable(): Boolean = {
+    if (timeTraveled) throw new UnsupportedOperationException(
+      s"graftlog: cannot TRUNCATE a time-traveled snapshot of " +
+        s"$tablePath — history is immutable")
+    TableLog.truncateAll(tablePath)
+    true
+  }
+
+  /** Append by default; `INSERT OVERWRITE` arrives as
+    * `overwrite(filters)` (static mode — the filters are the static
+    * partition spec, or AlwaysTrue for the no-spec truncate form) or
+    * `overwriteDynamicPartitions()` (dynamic mode). Untranslatable
+    * overwrite conditions REFUSE rather than over- or under-delete
+    * (the canDeleteWhere posture on the write side). */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     if (timeTraveled) throw new UnsupportedOperationException(
       s"graftlog: cannot INSERT into a time-traveled snapshot of " +
         s"$tablePath — history is immutable")
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      // append | overwrite-by-expression | dynamic-partition-overwrite
+      private var overwriteCond: Option[Array[Filter]] = None
+      private var dynamic = false
+
+      override def overwrite(filters: Array[Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteCond = Some(filters); this
+      }
+      override def truncate()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwriteCond = Some(Array.empty); this
+      }
+      override def overwriteDynamicPartitions()
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        dynamic = true; this
+      }
+
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write
             with GraftLogClusteredWrite {
           override def clusterTable: String = tablePath
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
-            new GraftLogBatchAppend(tablePath, info.schema())
+            if (dynamic)
+              new GraftLogDynamicOverwrite(tablePath, info.schema())
+            else overwriteCond match {
+              case None =>
+                new GraftLogBatchAppend(tablePath, info.schema())
+              case Some(fs)
+                  if fs.isEmpty || fs.forall(_ ==
+                    org.apache.spark.sql.sources.AlwaysTrue) =>
+                new GraftLogOverwriteWrite(tablePath, info.schema(),
+                  cond = None, pruneCandidates = _.active)
+              case Some(fs) =>
+                val cols = fs.toSeq.map(f =>
+                  GraftLogTable.toColumn(f).getOrElse(
+                    throw new UnsupportedOperationException(
+                      s"graftlog: INSERT OVERWRITE condition $f has no " +
+                        "exact image — refusing rather than restating " +
+                        "the wrong slice")))
+                val (preds, _) = GraftLogScanBuilder.partitionPreds(
+                  snap.partCols, fs.toSeq)
+                new GraftLogOverwriteWrite(tablePath, info.schema(),
+                  cond = Some(cols.reduce(_ && _)),
+                  pruneCandidates = s => s.active.filter(
+                    GraftLogScanBuilder.partitionKeeps(_, preds)))
+            }
         }
     }
   }
@@ -653,30 +714,12 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     // `p1='a' AND p2='x'` drops a file holding (a,y) and (b,x)).
     // Files without tuple stats are kept — absence must not lose rows.
     if (snap.partCols.nonEmpty) {
-      val colIdx = snap.partCols.zipWithIndex.toMap
-      def str(v: Any): String = String.valueOf(v)
-      val preds: Seq[(Int, String => Boolean)] = filters.toSeq.flatMap {
-        case f @ EqualTo(c, v) if colIdx.contains(c) && v != null =>
-          used += f
-          Some((colIdx(c), (x: String) =>
-            x != TableLog.NullPartValue && x == str(v)))
-        case f @ In(c, vs) if colIdx.contains(c) && vs.nonEmpty =>
-          used += f
-          val set = vs.filter(_ != null).map(str).toSet
-          Some((colIdx(c), (x: String) =>
-            x != TableLog.NullPartValue && set(x)))
-        case f @ IsNull(c) if colIdx.contains(c) =>
-          used += f
-          Some((colIdx(c), (x: String) => x == TableLog.NullPartValue))
-        case f @ IsNotNull(c) if colIdx.contains(c) =>
-          used += f
-          Some((colIdx(c), (x: String) => x != TableLog.NullPartValue))
-        case _ => None
-      }
+      val (preds, consumed) =
+        GraftLogScanBuilder.partitionPreds(snap.partCols, filters.toSeq)
+      consumed.foreach(used += _)
       if (preds.nonEmpty)
-        files = files.filter(a => a.parts.isEmpty ||
-          a.parts.exists(p =>
-            preds.forall { case (i, ok) => ok(p.values(i)) }))
+        files = files.filter(
+          GraftLogScanBuilder.partitionKeeps(_, preds))
     }
     accepted = used.result().distinct
     // every filter comes back as a residual: file-grain skipping is
@@ -757,6 +800,46 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
 }
 
 object GraftLogScanBuilder {
+  /** Partition predicates extracted from pushed filters: per
+    * partition-column index, a test over the stringified tuple value
+    * (null = the manifest sentinel). Returns (predicates, consumed
+    * filters). Shared by the scan's partition pruning and the
+    * INSERT OVERWRITE write's candidate pruning, so read-side and
+    * write-side skipping can never disagree. */
+  private[sources] def partitionPreds(partCols: Seq[String],
+      filters: Seq[Filter])
+      : (Seq[(Int, String => Boolean)], Seq[Filter]) = {
+    val colIdx = partCols.zipWithIndex.toMap
+    def str(v: Any): String = String.valueOf(v)
+    val consumed = Seq.newBuilder[Filter]
+    val preds = filters.flatMap {
+      case f @ EqualTo(c, v) if colIdx.contains(c) && v != null =>
+        consumed += f
+        Some((colIdx(c), (x: String) =>
+          x != TableLog.NullPartValue && x == str(v)))
+      case f @ In(c, vs) if colIdx.contains(c) && vs.nonEmpty =>
+        consumed += f
+        val set = vs.filter(_ != null).map(str).toSet
+        Some((colIdx(c), (x: String) =>
+          x != TableLog.NullPartValue && set(x)))
+      case f @ IsNull(c) if colIdx.contains(c) =>
+        consumed += f
+        Some((colIdx(c), (x: String) => x == TableLog.NullPartValue))
+      case f @ IsNotNull(c) if colIdx.contains(c) =>
+        consumed += f
+        Some((colIdx(c), (x: String) => x != TableLog.NullPartValue))
+      case _ => None
+    }
+    (preds, consumed.result())
+  }
+
+  /** A file survives partition pruning iff SOME recorded tuple
+    * satisfies EVERY predicate; stat-less files always survive. */
+  private[sources] def partitionKeeps(a: TableLog.AddFile,
+      preds: Seq[(Int, String => Boolean)]): Boolean =
+    a.parts.isEmpty || a.parts.exists(p =>
+      preds.forall { case (i, ok) => ok(p.values(i)) })
+
   /** Does any value of `sorted` fall inside `[min, max]`? One binary
     * search per file — the probe shared by static IN pruning and the
     * runtime-filter path, so the two can never disagree. */

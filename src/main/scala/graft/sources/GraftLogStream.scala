@@ -267,6 +267,97 @@ class GraftLogBatchAppend(table: String, writeSchema: StructType)
     }
 }
 
+/** `INSERT OVERWRITE` by expression (DSv2 `SupportsOverwrite`) — the
+  * SQL verb for slice restatement: in ONE commit, rows matching the
+  * pushed condition die (copy-on-write, only matching files rewrite)
+  * and the staged incoming files publish. `cond = None` is the
+  * truncate-everything form (static-mode INSERT OVERWRITE with no
+  * partition spec): every active file is removed outright, no scan,
+  * no survivor staging. `pruneCandidates` narrows the matched-file
+  * scan via partition-tuple stats when the condition names partition
+  * columns — restating one partition reads one partition's files. */
+class GraftLogOverwriteWrite(table: String, writeSchema: StructType,
+    cond: Option[org.apache.spark.sql.Column],
+    pruneCandidates: TableLog.Snapshot => Seq[TableLog.AddFile])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private val (keyCol, partCols) =
+    GraftLogAppendContract.checkedMeta(table, writeSchema)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
+      partCols = partCols)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val adds = messages.collect {
+      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts) if rows > 0L =>
+        TableLog.AddFile(rel, rows, mn, mx, parts)
+    }.toSeq.sortBy(_.relPath)
+    cond match {
+      case Some(c) =>
+        TableLog.overwriteWhereStaged(
+          org.apache.spark.sql.SparkSession.active, table, c, adds,
+          numFiles = math.max(1, adds.size), pruneCandidates)
+      case None => // truncate form: all actives go, staged files land
+        val snap = TableLog.state(table)
+        TableLog.commitStagedRewrite(table, adds,
+          snap.active.map(_.relPath), "replace")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogSinkCommitMessage(rel, _, _, _, _) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table, rel))
+      case _ => ()
+    }
+}
+
+/** Dynamic partition overwrite (DSv2 `SupportsDynamicOverwrite` —
+  * `partitionOverwriteMode=dynamic`): replace exactly the partitions
+  * the incoming data touches. The task writers' own per-file tuple
+  * stats say WHICH partitions arrived, so the commit decides the
+  * doomed set from metadata alone and the copy-on-write reads only
+  * files whose stats hold a doomed tuple
+  * ([[TableLog.overwritePartitionsStaged]]). */
+class GraftLogDynamicOverwrite(table: String, writeSchema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+
+  private val (keyCol, partCols) =
+    GraftLogAppendContract.checkedMeta(table, writeSchema)
+  require(partCols.nonEmpty,
+    s"graftlog: $table is not partitioned — dynamic partition " +
+      "overwrite needs PARTITIONED BY")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
+      partCols = partCols)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val adds = messages.collect {
+      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts) if rows > 0L =>
+        TableLog.AddFile(rel, rows, mn, mx, parts)
+    }.toSeq.sortBy(_.relPath)
+    val incoming = adds.flatMap(_.parts.map(_.values)).toSet
+    TableLog.overwritePartitionsStaged(
+      org.apache.spark.sql.SparkSession.active, table, incoming, adds,
+      numFiles = math.max(1, adds.size))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLogSinkCommitMessage(rel, _, _, _, _) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table, rel))
+      case _ => ()
+    }
+}
+
 /** The write side of a SQL row-level operation
   * ([[GraftLogRowLevelOperation]]): land the replacement rows as
   * staged files, then commit ONE copy-on-write rewrite manifest that

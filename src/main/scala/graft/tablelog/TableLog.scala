@@ -634,6 +634,83 @@ object TableLog {
     commit(table, snap.version, op, adds, removes, "", "")
   }
 
+  /** `INSERT OVERWRITE … WHERE`-shaped commit over EXTERNALLY staged
+    * files (the DSv2 `SupportsOverwrite` write): in ONE manifest,
+    * delete every active row matching `cond` (copy-on-write — only
+    * files holding a match rewrite, their survivors re-stage) and
+    * publish `extAdds`. Spark's OverwriteByExpression contract, which
+    * unlike [[replaceWhere]] does NOT require the incoming rows to
+    * satisfy `cond`: the SQL static-partition form fills the spec
+    * value into every row anyway, and the general
+    * `df.writeTo(t).overwrite(expr)` form is delete-then-insert by
+    * definition. `pruneCandidates` narrows the matched-file scan
+    * (partition/key stats) — files outside it provably hold no match. */
+  def overwriteWhereStaged(spark: SparkSession, table: String,
+      cond: Column, extAdds: Seq[AddFile], numFiles: Int,
+      pruneCandidates: Snapshot => Seq[AddFile] = _.active): Long = {
+    val snap = state(table)
+    val candidates = pruneCandidates(snap)
+    val touched =
+      if (candidates.isEmpty) Nil
+      else {
+        val scan = readFiles(spark, table, snap, candidates)
+          .withColumn("_file", input_file_name())
+        val names = scan.where(cond).select("_file").distinct()
+          .collect().map(r => fileNameOf(r.getString(0))).toSet
+        candidates.filter(a =>
+          names(Paths.get(a.relPath).getFileName.toString))
+      }
+    val survAdds =
+      if (touched.isEmpty) Nil
+      else stage(
+        readFiles(spark, table, snap, touched)
+          .where(!coalesce(cond, lit(false))),
+        table, snap.keyCol, numFiles, snap.bloom,
+        partCols = snap.partCols)
+    commit(table, snap.version, "replace", survAdds ++ extAdds,
+      touched.map(_.relPath), "", "")
+  }
+
+  /** Dynamic partition overwrite over EXTERNALLY staged files (the
+    * DSv2 `SupportsDynamicOverwrite` write — Spark's
+    * `partitionOverwriteMode=dynamic` INSERT OVERWRITE): replace
+    * EXACTLY the partitions present in the incoming data, leave every
+    * other partition untouched. `incomingTuples` comes from the task
+    * writers' own per-file stats, so deciding WHICH partitions die is
+    * driver-side metadata work; the per-file tuple stats then bound
+    * the copy-on-write to files that provably hold a doomed tuple
+    * (a file whose stats show none is never read — at 100 TB,
+    * restating one day touches one day's files). Files without tuple
+    * stats (pre-partitioning writers) rewrite conservatively. */
+  def overwritePartitionsStaged(spark: SparkSession, table: String,
+      incomingTuples: Set[Seq[String]], extAdds: Seq[AddFile],
+      numFiles: Int): Long = {
+    val snap = state(table)
+    require(snap.partCols.nonEmpty,
+      s"$table is not partitioned — dynamic partition overwrite needs " +
+        "PARTITIONED BY; use the expression overwrite instead")
+    if (incomingTuples.isEmpty) return snap.version // empty insert: no-op
+    val doomed = (a: AddFile) => a.parts.isEmpty ||
+      a.parts.exists(p => incomingTuples(p.values))
+    val cond = incomingTuples.toSeq.sortBy(_.mkString("/")).map { t =>
+      snap.partCols.zip(t).map { case (c, v) =>
+        if (v == NullPartValue) col(c).isNull
+        else col(c).cast("string") <=> lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    overwriteWhereStaged(spark, table, cond, extAdds, numFiles,
+      pruneCandidates = s => s.active.filter(doomed))
+  }
+
+  /** `TRUNCATE TABLE`: ONE commit removing every active file — the
+    * logical delete-all, with time travel intact (data files are
+    * untouched; older versions keep reading them until vacuum). */
+  def truncateAll(table: String): Long = {
+    val snap = state(table)
+    commit(table, snap.version, "truncate", Nil,
+      snap.active.map(_.relPath), "", "")
+  }
+
   /** Append with ADDITIVE schema evolution: new columns widen the
     * table schema (recorded in the manifest — readers null-fill them
     * in pre-evolution files via the explicit-schema parquet read);
