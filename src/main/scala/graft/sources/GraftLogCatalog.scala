@@ -409,6 +409,13 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     !timeTraveled && filters.forall(f => GraftLogTable.toColumn(f).isDefined)
 
+  /** Pushed SQL DELETE: the copy-on-write delete with its candidate
+    * scan pruned by BOTH manifest stat layers the read path has —
+    * key-range [min,max] and partition-tuple stats — so
+    * `DELETE … WHERE p = 'x' AND k < n` reads only the files that
+    * could hold a match (at 100 TB, one partition's prefix, not the
+    * table). Pruning only narrows where stats PROVE absence; the row
+    * predicate stays exact on what remains. */
   override def deleteWhere(filters: Array[Filter]): Unit = {
     if (timeTraveled) throw new UnsupportedOperationException(
       s"graftlog: cannot DELETE from a time-traveled snapshot of " +
@@ -416,8 +423,19 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     val cond = filters.toSeq.flatMap(GraftLogTable.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val range = GraftLogScanBuilder.keyRange(snap.keyCol, filters.toSeq)
+    val (preds, _) =
+      GraftLogScanBuilder.partitionPreds(snap.partCols, filters.toSeq)
     TableLog.deleteWhere(SparkSession.active, tablePath, cond,
-      numFiles = math.max(1, snap.active.size))
+      numFiles = math.max(1, snap.active.size),
+      pruneCandidates = Some { s =>
+        var fs = s.active
+        range.foreach { case (lo, hi) =>
+          fs = fs.filter(a => a.max >= lo && a.min <= hi) }
+        if (preds.nonEmpty)
+          fs = fs.filter(GraftLogScanBuilder.partitionKeeps(_, preds))
+        fs
+      })
     ()
   }
 }
@@ -839,6 +857,36 @@ object GraftLogScanBuilder {
       preds: Seq[(Int, String => Boolean)]): Boolean =
     a.parts.isEmpty || a.parts.exists(p =>
       preds.forall { case (i, ok) => ok(p.values(i)) })
+
+  /** The key interval implied by pushed comparisons on `keyCol`
+    * (None = unbounded) — the same fold the scan's pushFilters
+    * performs, exposed so the DELETE path can prune its candidate
+    * files with it. */
+  private[sources] def keyRange(keyCol: String,
+      filters: Seq[Filter]): Option[(Long, Long)] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case l: java.lang.Long    => Some(l)
+      case i: java.lang.Integer => Some(i.toLong)
+      case s: java.lang.Short   => Some(s.toLong)
+      case _                    => None
+    }
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    filters.foreach {
+      case GreaterThanOrEqual(`keyCol`, v) =>
+        longOf(v).foreach(x => lo = math.max(lo, x))
+      case GreaterThan(`keyCol`, v) =>
+        longOf(v).foreach(x => lo = math.max(lo, x + 1))
+      case LessThanOrEqual(`keyCol`, v) =>
+        longOf(v).foreach(x => hi = math.min(hi, x))
+      case LessThan(`keyCol`, v) =>
+        longOf(v).foreach(x => hi = math.min(hi, x - 1))
+      case EqualTo(`keyCol`, v) =>
+        longOf(v).foreach(x => { lo = math.max(lo, x); hi = math.min(hi, x) })
+      case _ => ()
+    }
+    if (lo != Long.MinValue || hi != Long.MaxValue) Some((lo, hi)) else None
+  }
 
   /** Does any value of `sorted` fall inside `[min, max]`? One binary
     * search per file — the probe shared by static IN pruning and the

@@ -867,11 +867,13 @@ object TableLog {
     * columns scan the active set once (a production table keeps
     * stats per predicate-worthy column to skip here too). */
   def deleteWhere(spark: SparkSession, table: String, cond: Column,
-      numFiles: Int, pruneKeys: Option[(Long, Long)] = None): Long = {
+      numFiles: Int, pruneKeys: Option[(Long, Long)] = None,
+      pruneCandidates: Option[Snapshot => Seq[AddFile]] = None): Long = {
     val snap = state(table)
-    val candidates = pruneKeys match {
-      case Some((lo, hi)) => prunedFiles(snap, lo, hi)
-      case None => snap.active
+    val candidates = (pruneKeys, pruneCandidates) match {
+      case (Some((lo, hi)), _) => prunedFiles(snap, lo, hi)
+      case (None, Some(f))     => f(snap)
+      case (None, None)        => snap.active
     }
     val scan = readFiles(spark, table, snap, candidates)
       .withColumn("_file", input_file_name())

@@ -194,6 +194,30 @@ class GraftLogPartitionSpec extends SparkSuite {
       .collect().head.getLong(0) == expect("c"))
   }
 
+  test("pushed SQL DELETE prunes its candidate scan by key range AND " +
+      "partition stats; rows and untouched partitions stay exact") {
+    // the pure prune folds the DELETE path feeds from its filters
+    import org.apache.spark.sql.sources.LessThan
+    assert(GraftLogScanBuilder.keyRange("k",
+      Seq(EqualTo("p", "b"), LessThan("k", java.lang.Long.valueOf(150L))))
+      == Some((Long.MinValue, 149L)))
+    val t = freshPartitioned()
+    val before = TableLog.state(t)
+    val othersBefore = before.active.filter(a =>
+      !a.parts.exists(_.values == Seq("b"))).map(_.relPath).toSet
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE p = 'b' AND k < 150")
+    val after = TableLog.state(t)
+    val got = spark.sql(
+      s"SELECT p, count(*) AS n FROM graftlog.`$t` GROUP BY p")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // b keeps only its k >= 150 rows (101..199 step 4 → 13 of 50)
+    val bLeft = (0L to 199L).count(i => i % 4 == 1 && i >= 150)
+    assert(got == Map("a" -> 50L, "b" -> bLeft.toLong,
+      "c" -> 50L, "d" -> 50L))
+    // files of the other partitions never rewrote
+    assert(othersBefore.subsetOf(after.active.map(_.relPath).toSet))
+  }
+
   test("manifest round-trips hostile partition values (spaces, colon, " +
       "slash, percent, tilde, unicode) through URL-encoding") {
     import spark.implicits._
