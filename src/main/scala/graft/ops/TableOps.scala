@@ -1723,7 +1723,54 @@ object TableOps {
       |SELECT 2, 0, 0
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q437
+  /** Warehouse-rooted NAMED tables — the reference's actual addressing
+    * mode: BigQuery users query `project.dataset.table` (the id the
+    * reference exports, `terraform/outputs.tf:13-15`), not a
+    * filesystem path. With `spark.sql.catalog.<name>.warehouse` set,
+    * identifiers resolve `catalog.dataset.table` →
+    * `<root>/dataset/table`, `CREATE NAMESPACE` carves a dataset,
+    * CTAS lands the load, and SHOW NAMESPACES/TABLES enumerate the
+    * tree (spec-pinned) — the full BQ-shaped lifecycle with zero
+    * paths in any statement. The readback aggregates through the
+    * named table; DuckDB replays from the source. */
+  private val warehouseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  def q437NamedCatalog(s: SparkSession, dir: String): DataFrame = {
+    warehouseCache.computeIfAbsent(dir, _ => {
+      val root = Files.createTempDirectory("graft_tlogwh_").toString
+      s.conf.set("spark.sql.catalog.graftwh",
+        "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.graftwh.warehouse", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftwh.sales")
+      val view = s"graft_wh_src_${Integer.toHexString(dir.hashCode)}"
+      ordersSlice(s, dir).createOrReplaceTempView(view)
+      try s.sql(
+        s"""CREATE TABLE graftwh.sales.orders_t
+           |TBLPROPERTIES ('key' = 'o_orderkey')
+           |AS SELECT * FROM $view WHERE o_orderkey % 4 <= 1""".stripMargin)
+      finally s.catalog.dropTempView(view)
+      true
+    })
+    s.sql(
+      s"""SELECT o_orderpriority,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftwh.sales.orders_t
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val q437Oracle =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |WHERE o_orderkey % 4 <= 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q437_named_catalog" -> (q437NamedCatalog _),
     "q436_truncate" -> (q436Truncate _),
     "q435_dynamic_overwrite" -> (q435DynamicOverwrite _),
     "q434_insert_overwrite" -> (q434InsertOverwrite _),
@@ -1762,6 +1809,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q437_named_catalog" -> q437Oracle,
     "q436_truncate" -> q436Oracle,
     "q435_dynamic_overwrite" -> q435Oracle,
     "q434_insert_overwrite" -> q434Oracle,

@@ -69,11 +69,26 @@ import graft.tablelog.TableLog
   * DROP/RENAME — refused rather than offered as a weaker copy.
   */
 class GraftLogCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName: String = "graftlog"
 
+  /** Optional warehouse ROOT (`spark.sql.catalog.<name>.warehouse`):
+    * with it set, identifiers resolve BigQuery-style —
+    * `<catalog>.<dataset>.<table>` → `<root>/<dataset>/<table>` — and
+    * `SHOW TABLES` / `SHOW NAMESPACES` enumerate the directory tree
+    * (the reference's users address the loaded table as
+    * `project.dataset.table`, reference `terraform/outputs.tf:13-15`).
+    * Absolute quoted paths keep working either way; without a
+    * warehouse, paths are the only addressing mode and namespaces
+    * are not enumerable. */
+  private var warehouse: Option[String] = None
+
   override def initialize(name: String,
-      options: CaseInsensitiveStringMap): Unit = catalogName = name
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+  }
   override def name(): String = catalogName
 
   /** Maintenance PROCEDURES — `CALL graftlog.vacuum(...)` /
@@ -98,15 +113,23 @@ class GraftLogCatalog extends TableCatalog
           GraftLogProcedures.all.map(_.name()).mkString(", ")))
   }
 
-  /** The identifier IS the table path: `graftlog.\`/tmp/t\`` parses
-    * to an empty namespace and name "/tmp/t". A `#history` suffix
-    * selects the table's commit-history METADATA table (the
-    * DESCRIBE-HISTORY surface) instead of its data. Nested
-    * namespaces are rejected — paths quote cleanly, dotted names
-    * would ambiguate. */
+  /** Identifier resolution. Path mode (always available):
+    * `graftlog.\`/tmp/t\`` — empty namespace, name IS the filesystem
+    * path. Warehouse mode (when the `warehouse` option is set):
+    * `graftlog.ds.tbl` → `<root>/ds/tbl`, `graftlog.tbl` →
+    * `<root>/tbl` — at most ONE namespace level (the BigQuery
+    * dataset shape; deeper nesting refused). A `#history` /
+    * `#partitions` suffix on the table name selects the metadata
+    * table either way. */
   private def pathOf(ident: Identifier): String = {
-    if (ident.namespace().nonEmpty) throw new NoSuchTableException(ident)
-    ident.name()
+    val ns = ident.namespace()
+    if (ns.isEmpty && (warehouse.isEmpty || ident.name().startsWith("/")))
+      return ident.name()
+    warehouse match {
+      case Some(root) if ns.length <= 1 =>
+        (root +: ns.toSeq :+ ident.name()).mkString("/")
+      case _ => throw new NoSuchTableException(ident)
+    }
   }
 
   private val historySuffix = "#history"
@@ -196,8 +219,80 @@ class GraftLogCatalog extends TableCatalog
     load(ident, Some(v))
   }
 
+  /** `SHOW TABLES` — enumerable only in warehouse mode: a table is a
+    * child directory holding a `_log`. Path mode stays
+    * non-enumerable (paths are not a namespace). */
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty // tables are filesystem paths, not an enumerable namespace
+    warehouse match {
+      case Some(root) if namespace.length <= 1 =>
+        val dir = java.nio.file.Paths.get(
+          (root +: namespace.toSeq).mkString("/"))
+        if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+        else {
+          val s = java.nio.file.Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(p => java.nio.file.Files.isDirectory(p.resolve("_log")))
+              .map(p => Identifier.of(namespace, p.getFileName.toString))
+              .toArray.sortBy(_.name())
+          } finally s.close()
+        }
+      case _ => Array.empty
+    }
+
+  // ------------------------------------------------- SupportsNamespaces
+  /** Namespaces = first-level warehouse directories (the BigQuery
+    * dataset shape). CREATE NAMESPACE mkdirs; DROP refuses (datasets
+    * holding immutable history don't disappear via SQL here). */
+  override def listNamespaces(): Array[Array[String]] = warehouse match {
+    case Some(root) if java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root)) =>
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            !java.nio.file.Files.isDirectory(p.resolve("_log")))
+          .map(p => Array(p.getFileName.toString))
+          .toArray.sortBy(_.head)
+      } finally s.close()
+    case _ => Array.empty
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else Array.empty // one level deep, like BigQuery datasets
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || (namespace.length == 1 && warehouse.exists(root =>
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(root, namespace.head))))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = warehouse match {
+    case Some(root) if namespace.length == 1 =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, namespace.head))
+    case _ => refuse("CREATE NAMESPACE (set the catalog's 'warehouse' " +
+      "option; one level deep)")
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*)
+      : Unit = refuse("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = refuse("DROP NAMESPACE")
 
   override def tableExists(ident: Identifier): Boolean =
     try { loadTable(ident); true } catch { case _: NoSuchTableException => false }
