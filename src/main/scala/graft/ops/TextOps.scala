@@ -4993,7 +4993,225 @@ object TextOps {
        |ORDER BY artifact""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q438
+  /** Chat-format LINT for instruction-tuning corpora: validate
+    * conversation transcripts against the canonical shape — optional
+    * `system` head, then strict user/assistant alternation, no empty
+    * turns, ending on `assistant`. The whole structural check
+    * collapses to ONE regex over the role-letter string
+    * (`^s?(ua)+$`), so it runs scan-side with no per-turn joins —
+    * at 100 TB the lint is a projection. Transcripts are planted
+    * in-query from doc words (doc_id % 5 selects the shape), so
+    * every violation class — double-user, ends-on-user, empty turn —
+    * fires on the fixture and the oracle rebuilds byte-identical
+    * transcripts. The lint itself is generic: it parses lines, never
+    * the generator's branches. */
+  def q438ChatFormatLint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documentsSpread(s, dir)
+      .withColumn("w", toks($"text"))
+      .select($"doc_id",
+        element_at($"w", 1).as("w1"), element_at($"w", 2).as("w2"),
+        element_at($"w", 3).as("w3"), element_at($"w", 4).as("w4"))
+    def u(c: Column) = concat(lit("user: "), c)
+    def a(c: Column) = concat(lit("assistant: "), c)
+    val transcript =
+      when(pmod($"doc_id", lit(5)) === 0, concat_ws("\n",
+        lit("system: be concise"), u($"w1"), a($"w2"), u($"w3"), a($"w4")))
+      .when(pmod($"doc_id", lit(5)) === 1, concat_ws("\n", u($"w1"), a($"w2")))
+      .when(pmod($"doc_id", lit(5)) === 2, concat_ws("\n",
+        u($"w1"), u($"w2"), a($"w3")))                // double-user
+      .when(pmod($"doc_id", lit(5)) === 3, concat_ws("\n",
+        u($"w1"), a($"w2"), u($"w3")))                // ends on user
+      .otherwise(concat_ws("\n", lit("user: "), a($"w2"))) // empty turn
+    d.withColumn("lines", split(transcript, "\n"))
+      .withColumn("role_seq", concat_ws("", transform($"lines", l => {
+        val role = substring_index(l, ":", 1)
+        when(role === "system", "s").when(role === "user", "u")
+          .when(role === "assistant", "a").otherwise("x")
+      })))
+      .withColumn("n_turns", size($"lines").cast("long"))
+      .withColumn("pattern_ok", $"role_seq".rlike("^s?(ua)+$"))
+      .withColumn("has_empty", exists($"lines", l => l.rlike(": $")))
+      .select($"doc_id", $"n_turns", $"role_seq", $"pattern_ok",
+        $"has_empty", ($"pattern_ok" && !$"has_empty").as("valid"))
+      .orderBy($"doc_id")
+  }
+
+  private val q438Oracle =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |b AS (
+      |  SELECT doc_id, CASE doc_id % 5
+      |    WHEN 0 THEN 'system: be concise' || chr(10) ||
+      |      'user: ' || w[1] || chr(10) || 'assistant: ' || w[2] || chr(10) ||
+      |      'user: ' || w[3] || chr(10) || 'assistant: ' || w[4]
+      |    WHEN 1 THEN 'user: ' || w[1] || chr(10) || 'assistant: ' || w[2]
+      |    WHEN 2 THEN 'user: ' || w[1] || chr(10) || 'user: ' || w[2] ||
+      |      chr(10) || 'assistant: ' || w[3]
+      |    WHEN 3 THEN 'user: ' || w[1] || chr(10) || 'assistant: ' || w[2] ||
+      |      chr(10) || 'user: ' || w[3]
+      |    ELSE 'user: ' || chr(10) || 'assistant: ' || w[2]
+      |    END AS tr
+      |  FROM t),
+      |l AS (SELECT doc_id, string_split(tr, chr(10)) AS lines FROM b)
+      |SELECT doc_id,
+      |  CAST(len(lines) AS BIGINT) AS n_turns,
+      |  array_to_string(list_transform(lines, x ->
+      |    CASE split_part(x, ':', 1) WHEN 'system' THEN 's'
+      |         WHEN 'user' THEN 'u' WHEN 'assistant' THEN 'a'
+      |         ELSE 'x' END), '') AS role_seq,
+      |  regexp_matches(array_to_string(list_transform(lines, x ->
+      |    CASE split_part(x, ':', 1) WHEN 'system' THEN 's'
+      |         WHEN 'user' THEN 'u' WHEN 'assistant' THEN 'a'
+      |         ELSE 'x' END), ''), '^s?(ua)+$') AS pattern_ok,
+      |  len(list_filter(lines, x -> x LIKE '%: ')) > 0 AS has_empty,
+      |  (regexp_matches(array_to_string(list_transform(lines, x ->
+      |    CASE split_part(x, ':', 1) WHEN 'system' THEN 's'
+      |         WHEN 'user' THEN 'u' WHEN 'assistant' THEN 'a'
+      |         ELSE 'x' END), ''), '^s?(ua)+$')
+      |   AND NOT len(list_filter(lines, x -> x LIKE '%: ')) > 0) AS valid
+      |FROM l ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q439
+  /** Preference-pair LENGTH-BIAS audit (the RLHF reward-hacking
+    * screen): does `chosen` correlate with response length? Pairs are
+    * planted from consecutive documents with a deliberate 70/30
+    * longer-wins skew (pair_id % 10 picks the winner), and the audit
+    * reports the longer-wins rate per length-gap bucket in exact ppm
+    * integers — a flat ~700000 across buckets is the planted bias
+    * showing through. One equi-join on doc_id+1 (no shuffle beyond
+    * the pair build), counts and floor-division only, so the readout
+    * is bit-exact cross-engine. Equal-length pairs are excluded
+    * ("longer" is undefined). */
+  def q439LengthBiasAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documentsSpread(s, dir).select($"doc_id", $"n_chars")
+    val a = d.where(pmod($"doc_id", lit(2)) === 0)
+      .select($"doc_id".as("aid"), $"n_chars".as("la"))
+    val b = d.select($"doc_id".as("bid"), $"n_chars".as("lb"))
+    a.join(b, $"bid" === $"aid" + 1)
+      .where($"la" =!= $"lb")
+      .select(expr("aid div 2").as("pair_id"), $"la", $"lb")
+      .withColumn("chosen_len",
+        when(pmod($"pair_id", lit(10)) < 7, greatest($"la", $"lb"))
+          .otherwise(least($"la", $"lb")))
+      .withColumn("longer_wins",
+        ($"chosen_len" === greatest($"la", $"lb")).cast("long"))
+      .withColumn("gap_bucket",
+        least(expr("abs(la - lb) div 50"), lit(5L)).cast("long"))
+      .groupBy($"gap_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST((sum(longer_wins) * 1000000) DIV count(1) AS BIGINT)")
+          .as("longer_win_ppm"))
+      .orderBy($"gap_bucket")
+  }
+
+  private val q439Oracle =
+    """WITH p AS (
+      |  SELECT a.doc_id // 2 AS pair_id, a.n_chars AS la, b.n_chars AS lb
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 2 = 0 AND a.n_chars <> b.n_chars),
+      |w AS (
+      |  SELECT pair_id, la, lb,
+      |    CASE WHEN pair_id % 10 < 7 THEN greatest(la, lb)
+      |         ELSE least(la, lb) END AS chosen_len,
+      |    least(abs(la - lb) // 50, 5) AS gap_bucket
+      |  FROM p)
+      |SELECT CAST(gap_bucket AS BIGINT) AS gap_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST((sum(CASE WHEN chosen_len = greatest(la, lb) THEN 1 ELSE 0 END)
+      |        * 1000000) // count(*) AS BIGINT) AS longer_win_ppm
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q440
+  /** Generation-LOOP detection (the degenerate-repetition artifact
+    * filter for synthetic/model-written data): longest immediate
+    * repetition span at periods 1–3 — "loop loop loop…" (period 1),
+    * "ping pong ping pong…" (period 2) — via the gaps-and-islands
+    * run-length device over positioned tokens: a position continues a
+    * period-p loop iff its token equals the token p back, and a
+    * maximal run of r such positions is a loop span of r+p tokens.
+    * Work is per-doc windows over (doc, pos) — one shuffle on doc_id,
+    * no self-joins. Both artifact shapes are planted in-query
+    * (doc_id % 7 / % 11) so the ≥8-token verdict fires on the
+    * fixture; Gopher-style duplicate-LINE shares (q63/q107) cannot
+    * see these — the loop lives inside one line. */
+  def q440LoopDetection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val planted =
+      when(pmod($"doc_id", lit(7)) === 0,
+        concat($"text", lit(" loop loop loop loop loop loop loop loop")))
+      .when(pmod($"doc_id", lit(11)) === 0,
+        concat($"text", lit(" ping pong ping pong ping pong ping pong")))
+      .otherwise($"text")
+    val d = Tables.documentsSpread(s, dir)
+      .select($"doc_id", planted.as("text"))
+    val tok = d.select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "w")))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = (1 to 3).map { p =>
+      tok.withColumn("back", lag($"w", p).over(byPos))
+        .where($"w" === $"back")
+        .withColumn("rn", row_number().over(byPos))
+        .groupBy($"doc_id", ($"pos" - $"rn").as("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy($"doc_id")
+        .agg((max($"run") + p).cast("long").as(s"span$p"))
+    }
+    spans.foldLeft(d.select($"doc_id"))(
+        (acc, sp) => acc.join(sp, Seq("doc_id"), "left"))
+      .select($"doc_id",
+        coalesce($"span1", lit(0L)).as("span1"),
+        coalesce($"span2", lit(0L)).as("span2"),
+        coalesce($"span3", lit(0L)).as("span3"))
+      .withColumn("is_loopy",
+        greatest($"span1", $"span2", $"span3") >= 8L)
+      .orderBy($"doc_id")
+  }
+
+  private val q440Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, CASE
+      |    WHEN doc_id % 7 = 0 THEN text ||
+      |      ' loop loop loop loop loop loop loop loop'
+      |    WHEN doc_id % 11 = 0 THEN text ||
+      |      ' ping pong ping pong ping pong ping pong'
+      |    ELSE text END AS text
+      |  FROM documents),
+      |t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM d),
+      |tok AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM t),
+      |eq AS (
+      |  SELECT doc_id, pos, p
+      |  FROM tok, (VALUES (1), (2), (3)) AS pp(p)
+      |  WHERE pos - p >= 1 AND w[pos] = w[pos - p]),
+      |runs AS (
+      |  SELECT doc_id, p,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id, p ORDER BY pos) AS grp
+      |  FROM eq),
+      |mr AS (
+      |  SELECT doc_id, p, MAX(n) AS run FROM (
+      |    SELECT doc_id, p, grp, count(*) AS n FROM runs GROUP BY 1, 2, 3)
+      |  GROUP BY 1, 2),
+      |sp AS (
+      |  SELECT doc_id,
+      |    coalesce(MAX(CASE WHEN p = 1 THEN run + 1 END), 0) AS span1,
+      |    coalesce(MAX(CASE WHEN p = 2 THEN run + 2 END), 0) AS span2,
+      |    coalesce(MAX(CASE WHEN p = 3 THEN run + 3 END), 0) AS span3
+      |  FROM mr GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(sp.span1, 0) AS BIGINT) AS span1,
+      |  CAST(coalesce(sp.span2, 0) AS BIGINT) AS span2,
+      |  CAST(coalesce(sp.span3, 0) AS BIGINT) AS span3,
+      |  greatest(coalesce(sp.span1, 0), coalesce(sp.span2, 0),
+      |    coalesce(sp.span3, 0)) >= 8 AS is_loopy
+      |FROM d LEFT JOIN sp ON d.doc_id = sp.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q438_chat_format_lint" -> (q438ChatFormatLint _),
+    "q439_length_bias_audit" -> (q439LengthBiasAudit _),
+    "q440_loop_detection" -> (q440LoopDetection _),
     "q398_mojibake_audit" -> (q398MojibakeAudit _),
     "q353_nb_langid" -> (q353NbLangid _),
     "q363_logreg_gate_apply" -> (q363LogregGateApply _),
@@ -5073,6 +5291,9 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q438_chat_format_lint" -> q438Oracle,
+    "q439_length_bias_audit" -> q439Oracle,
+    "q440_loop_detection" -> q440Oracle,
     "q398_mojibake_audit" -> q398Oracle,
     "q353_nb_langid" -> q353Oracle,
     "q363_logreg_gate_apply" -> q363Oracle,

@@ -1799,6 +1799,57 @@ class TextOpsSpec extends SparkSuite {
       "train-learned merges must compress held-out text somewhere")
   }
 
+  test("q438 chat lint: every planted shape gets its exact verdict — " +
+      "valid with/without system head, double-user, ends-on-user, empty") {
+    val rows = TextOps.q438ChatFormatLint(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+    rows.foreach { case (id, nTurns, seq, patternOk, hasEmpty, valid) =>
+      (id % 5) match {
+        case 0 => assert(seq == "suaua" && nTurns == 5L &&
+          patternOk && !hasEmpty && valid)
+        case 1 => assert(seq == "ua" && patternOk && valid)
+        case 2 => assert(seq == "uua" && !patternOk && !valid)
+        case 3 => assert(seq == "uau" && !patternOk && !valid)
+        case _ => assert(seq == "ua" && patternOk && hasEmpty && !valid)
+      }
+    }
+    // exactly the two well-formed shapes are valid — the lint separates
+    assert(rows.count(_._6) == rows.count(_._1 % 5 < 2))
+  }
+
+  test("q439 length bias: the planted 70/30 longer-wins skew shows in " +
+      "every populated gap bucket; counts conserve the pair build") {
+    val rows = TextOps.q439LengthBiasAudit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    // the audit's overall rate equals the planted construction:
+    // pairs with pair_id % 10 < 7 choose the longer side
+    val longerWins = rows.map(r => r._2 * r._3 / 1000000.0).sum
+    assert(math.abs(longerWins / n - 0.7) < 0.05,
+      s"overall longer-wins ${longerWins / n}")
+    // ppm values are exact integers in [0, 1e6]
+    assert(rows.forall(r => r._3 >= 0L && r._3 <= 1000000L))
+  }
+
+  test("q440 loop detection: planted period-1 and period-2 loops flag " +
+      "with exact spans; unplanted docs keep their natural small runs") {
+    val rows = TextOps.q440LoopDetection(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    val byId = rows.map(r => r._1 -> r).toMap
+    // doc 0: %7 == 0 → " loop"×8 appended → period-1 span ≥ 8
+    assert(byId(0L)._2 >= 8L && byId(0L)._5)
+    // doc 11: %11 == 0 (and not %7) → ping-pong ×4 → period-2 span ≥ 8
+    assert(byId(11L)._3 >= 8L && byId(11L)._5)
+    // every %7 and %11 doc is loopy; they are the clear majority of flags
+    rows.foreach { case (id, _, _, _, loopy) =>
+      if (id % 7 == 0 || id % 11 == 0) assert(loopy, s"doc $id") }
+    val planted = rows.count(r => r._1 % 7 == 0 || r._1 % 11 == 0)
+    assert(rows.count(_._5) >= planted)
+  }
+
   test("q398 mojibake: planted artifacts count exactly; the corpus " +
       "itself is clean; the clean plant hits nothing") {
     val got = TextOps.q398MojibakeAudit(spark, sf0001).collect()
