@@ -1769,7 +1769,76 @@ object TableOps {
       |WHERE o_orderkey % 4 <= 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q441
+  /** Chained streaming ETL BY NAME — `readStream.table(src)` →
+    * `writeStream.toTable(dst)`: the catalog table is the ONE
+    * subscription point for batch and streaming consumers (the same
+    * commit-log micro-batch source/sink as q422/q423, reached through
+    * names instead of paths — the unification a BQ-shaped user
+    * expects). Each chain run moves ONLY the delta (offsets = table
+    * versions off the checkpoint) and lands it exactly-once
+    * (txnAppId ledger); two inserts + two chain runs here, and a
+    * third no-op run proves the checkpoint replays clean. The oracle
+    * replays the union of both slices. */
+  private val streamNameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+
+  def q441StreamByName(s: SparkSession, dir: String): DataFrame = {
+    streamNameCache.computeIfAbsent(dir, _ => {
+      val root = Files.createTempDirectory("graft_tlogsn_").toString
+      s.conf.set("spark.sql.catalog.graftwhq",
+        "graft.sources.GraftLogCatalog")
+      s.conf.set("spark.sql.catalog.graftwhq.warehouse", root)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftwhq.feed")
+      val ddl = """(o_orderkey BIGINT, o_custkey BIGINT,
+        |  o_orderstatus STRING, o_orderpriority STRING,
+        |  o_totalprice DOUBLE) TBLPROPERTIES ('key' = 'o_orderkey')
+        |""".stripMargin
+      s.sql(s"CREATE TABLE graftwhq.feed.src $ddl")
+      s.sql(s"CREATE TABLE graftwhq.feed.dst $ddl")
+      val view = s"graft_sn_src_${Integer.toHexString(dir.hashCode)}"
+      ordersSlice(s, dir).createOrReplaceTempView(view)
+      def chain(): Unit = {
+        val q = s.readStream.table("graftwhq.feed.src")
+          .writeStream
+          .option("checkpointLocation", s"$root/_cp")
+          .option("txnAppId", "q441-chain")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graftwhq.feed.dst")
+        q.awaitTermination()
+      }
+      try {
+        s.sql(s"""INSERT INTO graftwhq.feed.src
+                 |SELECT * FROM $view WHERE o_orderkey % 4 = 0""".stripMargin)
+        chain()
+        s.sql(s"""INSERT INTO graftwhq.feed.src
+                 |SELECT * FROM $view WHERE o_orderkey % 4 = 1""".stripMargin)
+        chain()
+        chain() // no new versions: replays clean, lands nothing
+      } finally s.catalog.dropTempView(view)
+      true
+    })
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftwhq.feed.dst
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q441Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 IN (0, 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q441_stream_by_name" -> (q441StreamByName _),
     "q437_named_catalog" -> (q437NamedCatalog _),
     "q436_truncate" -> (q436Truncate _),
     "q435_dynamic_overwrite" -> (q435DynamicOverwrite _),
@@ -1809,6 +1878,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q441_stream_by_name" -> q441Oracle,
     "q437_named_catalog" -> q437Oracle,
     "q436_truncate" -> q436Oracle,
     "q435_dynamic_overwrite" -> q435Oracle,

@@ -399,7 +399,8 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(SparkSession.active, tablePath, snap, options)
 
@@ -449,6 +450,22 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
         new org.apache.spark.sql.connector.write.Write
             with GraftLogClusteredWrite {
           override def clusterTable: String = tablePath
+          /** `writeStream.toTable("graftlog.\`t\`")` — the exactly-once
+            * streaming sink by name (txnAppId/epochId ledger, one
+            * atomic append per micro-batch). Append output mode only:
+            * complete/update arrive as truncate()/overwrite() on the
+            * builder and refuse — a per-epoch table rewrite is not
+            * this sink's contract. */
+          override def toStreaming: org.apache.spark.sql.connector
+              .write.streaming.StreamingWrite = {
+            if (dynamic || overwriteCond.isDefined)
+              throw new UnsupportedOperationException(
+                "graftlog: streaming writes are append-mode only — " +
+                  "complete/update would rewrite the table every epoch")
+            val appId = Option(info.options.get("txnAppId"))
+              .getOrElse(s"graftlog-sink-${info.queryId()}")
+            new GraftLogStreamingWrite(tablePath, appId, info.schema())
+          }
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             if (dynamic)
@@ -1038,6 +1055,33 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
 
   override def readSchema(): StructType = required
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  /** `spark.readStream.table("graftlog.\`t\`")` — the SAME micro-batch
+    * stream the format provider serves (offsets = table versions,
+    * admission control, vectorized batches), reached by NAME: the
+    * catalog table is the one subscription point for batch and
+    * streaming consumers. Column pruning flows through (`required`
+    * becomes the stream's projection). The change-feed schema differs
+    * from the table's, so `readChangeFeed` stays on the format
+    * provider where the schema is negotiated up front. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    if (Option(options.get("readChangeFeed")).exists(_.equalsIgnoreCase("true")))
+      throw new UnsupportedOperationException(
+        "graftlog: readChangeFeed through the catalog is not defined " +
+          "(the change feed has its own schema) — use " +
+          "readStream.format(\"graft.sources.GraftLogStreamProvider\")")
+    new GraftLogMicroBatchStream(tablePath,
+      StructType(required.fields.map(_.copy(nullable = true))),
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger =
+        Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      maxRowsPerTrigger =
+        Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+  }
+
   override def description(): String =
     s"GraftLogScan(files=${files.size}/${snap.active.size}, " +
       s"runtimePruned=$runtimePruned) " + inner.description()

@@ -63,4 +63,60 @@ class GraftLogWarehouseSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("not") ||
       e.getMessage.toLowerCase.contains("found"), e.getMessage)
   }
+
+  test("streaming by name: readStream.table chains into " +
+      "writeStream.toTable with exactly-once incremental batches") {
+    val root = Files.createTempDirectory("tlog_whs_").toString
+    spark.conf.set("spark.sql.catalog.graftwh_s",
+      "graft.sources.GraftLogCatalog")
+    spark.conf.set("spark.sql.catalog.graftwh_s.warehouse", root)
+    spark.sql("CREATE NAMESPACE graftwh_s.feed")
+    spark.sql("CREATE TABLE graftwh_s.feed.src (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("CREATE TABLE graftwh_s.feed.dst (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    import spark.implicits._
+    (0L to 49L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("whs_src")
+    spark.sql("INSERT INTO graftwh_s.feed.src SELECT * FROM whs_src")
+    val cp = s"$root/_cp"
+    def chainOnce(): Unit = {
+      val q = spark.readStream.table("graftwh_s.feed.src")
+        .writeStream
+        .option("checkpointLocation", cp)
+        .option("txnAppId", "wh-chain")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graftwh_s.feed.dst")
+      q.awaitTermination()
+    }
+    chainOnce()
+    assert(spark.sql("SELECT count(*) FROM graftwh_s.feed.dst")
+      .collect().head.getLong(0) == 50L)
+    // re-run from the same checkpoint: nothing new, nothing duplicated
+    chainOnce()
+    assert(spark.sql("SELECT count(*) FROM graftwh_s.feed.dst")
+      .collect().head.getLong(0) == 50L)
+    // a fresh append flows through incrementally — only the delta moves
+    spark.sql(
+      "INSERT INTO graftwh_s.feed.src SELECT k + 100, v FROM whs_src")
+    chainOnce()
+    val got = spark.sql(
+      "SELECT count(*), sum(k) FROM graftwh_s.feed.dst").collect().head
+    assert(got.getLong(0) == 100L)
+    assert(got.getLong(1) == (0L to 49L).sum + (100L to 149L).sum)
+    // complete-mode streaming writes refuse (append-only sink)
+    val agg = spark.readStream.table("graftwh_s.feed.src")
+      .groupBy($"v").count()
+    val e = intercept[Exception] {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/_cp2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graftwh_s.feed.dst2")
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("append-mode only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-mode only")),
+      e.toString.take(300))
+  }
 }
