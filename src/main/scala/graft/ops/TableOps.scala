@@ -1837,7 +1837,55 @@ object TableOps {
       |WHERE o_orderkey % 4 IN (0, 1)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q442
+  /** `CALL graftlog.restore(table, version)` — the Delta-lineage
+    * RESTORE verb over the commit log: create (v1) → append (v2) →
+    * SQL DELETE rewrite (v3) → restore to v2 (v4). History moves
+    * FORWARD — the restore is its own auditable commit, old versions
+    * still time-travel (v3's deleted era is read back in-query), and
+    * only the file-set delta re-lists (files alive in both versions
+    * never appear in the restore manifest). The readback proves
+    * v4 ≡ v2 while v3 differs; DuckDB replays all three eras from
+    * the source rows. */
+  private val restoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q442CatalogRestore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = restoreCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogre_").toString
+      TableLog.create(ordersSlice(s, dir).where($"o_orderkey" % 4 === 2),
+        t, "o_orderkey", numFiles = 4)
+      TableLog.append(ordersSlice(s, dir).where($"o_orderkey" % 4 === 3),
+        t, numFiles = 4)
+      s.sql(s"DELETE FROM graftlog.`$t` WHERE o_orderkey % 10 < 5")
+      s.sql(s"CALL graftlog.restore('$t', 2)")
+      t
+    })
+    def era(v: Long): DataFrame = s.sql(
+      s"""SELECT CAST($v AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$table` VERSION AS OF $v""".stripMargin)
+    era(2).unionByName(era(3)).unionByName(era(4)).orderBy($"version")
+  }
+
+  private val q442Oracle =
+    """WITH v2 AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 4 IN (2, 3)),
+      |v3 AS (SELECT o_orderkey FROM v2 WHERE o_orderkey % 10 >= 5)
+      |SELECT CAST(2 AS BIGINT) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM v2
+      |UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(sum(o_orderkey) AS BIGINT) FROM v3
+      |UNION ALL SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(sum(o_orderkey) AS BIGINT) FROM v2
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q442_catalog_restore" -> (q442CatalogRestore _),
     "q441_stream_by_name" -> (q441StreamByName _),
     "q437_named_catalog" -> (q437NamedCatalog _),
     "q436_truncate" -> (q436Truncate _),
@@ -1878,6 +1926,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q442_catalog_restore" -> q442Oracle,
     "q441_stream_by_name" -> q441Oracle,
     "q437_named_catalog" -> q437Oracle,
     "q436_truncate" -> q436Oracle,

@@ -5208,7 +5208,161 @@ object TextOps {
       |FROM d LEFT JOIN sp ON d.doc_id = sp.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q443
+  /** Bradley–Terry strength fit over pairwise preference judgments —
+    * the model-vs-model (here: source-vs-source) leaderboard device
+    * behind chat-arena ELO tables and RLHF annotator calibration
+    * (Hunter 2004's MM algorithm, public). Pairs are q439's planted
+    * judgments (consecutive docs, 70/30 longer-wins), competitors are
+    * the two docs' SOURCES (same-source pairs drop — no information);
+    * three unrolled MM rounds, p_i ← w_i / Σ_j n_ij/(p_i+p_j),
+    * renormalized to mean 1.0 each round, all in exact micro
+    * fixed-point BIGINTs (every div is a floor-div on integers, every
+    * sum order-independent) so the readout is bit-identical
+    * cross-engine. MM converges geometrically on dense grids like
+    * this; the spec pins a planted 3-player grid against hand
+    * arithmetic.
+    *
+    * Scale shape: one equi-join builds pairs (shuffle on doc_id),
+    * then everything folds to the #sources² cell grid — iterations
+    * join broadcast strength vectors against that grid, never the
+    * corpus. n·10¹² caps BIGINT near ~10⁶ pairs per cell; re-scale
+    * the fixed point beyond. */
+  def q443BradleyTerry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val a = d.where(pmod($"doc_id", lit(2)) === 0)
+      .select($"doc_id".as("aid"), $"source".as("sa"), $"n_chars".as("la"))
+    val b = d.select($"doc_id".as("bid"), $"source".as("sb"),
+      $"n_chars".as("lb"))
+    val pairs = a.join(b, $"bid" === $"aid" + 1)
+      .where($"sa" =!= $"sb" && $"la" =!= $"lb")
+      .select(expr("aid div 2").as("pair_id"), $"sa", $"sb", $"la", $"lb")
+      .withColumn("a_wins",
+        when(pmod($"pair_id", lit(10)) < 7, $"la" > $"lb")
+          .otherwise($"la" < $"lb").cast("long"))
+    btStrengths(pairs.select(
+      least($"sa", $"sb").as("lo"), greatest($"sa", $"sb").as("hi"),
+      when($"sa" < $"sb", $"a_wins").otherwise(lit(1L) - $"a_wins")
+        .as("lo_wins")))
+  }
+
+  /** The MM loop on any (lo, hi, lo_wins) judgment stream — separated
+    * so the spec can plant a 3-player grid with hand-checked
+    * strengths. */
+  private[ops] def btStrengths(pw: DataFrame, rounds: Int = 3): DataFrame = {
+    val s = pw.sparkSession
+    import s.implicits._
+    val cells = pw
+      .groupBy($"lo", $"hi")
+      .agg(count(lit(1)).as("n"), sum($"lo_wins").as("wl"))
+      .withColumn("wh", $"n" - $"wl")
+      .localCheckpoint(true) // the grid re-reads every MM round
+    val tallies = cells.select($"lo".as("source"), $"n", $"wl".as("w"))
+      .unionByName(cells.select($"hi".as("source"), $"n", $"wh".as("w")))
+      .groupBy($"source")
+      .agg(sum($"n").as("games"), sum($"w").as("wins"))
+    var p = tallies.select($"source", lit(1000000L).as("p"))
+    for (_ <- 1 to rounds) {
+      val t = cells
+        .join(broadcast(p.select($"source".as("lo"), $"p".as("pl"))), "lo")
+        .join(broadcast(p.select($"source".as("hi"), $"p".as("ph"))), "hi")
+        .withColumn("t",
+          expr("(n * 1000000000000) div greatest(pl + ph, 1)"))
+      val den = t.select($"lo".as("source"), $"t")
+        .unionByName(t.select($"hi".as("source"), $"t"))
+        .groupBy($"source").agg(sum($"t").as("den"))
+      val raw = tallies.join(den, "source")
+        .select($"source",
+          expr("(wins * 1000000000000) div greatest(den, 1)").as("praw"))
+      val norm = raw.agg(sum($"praw").as("sp"), count(lit(1)).as("np"))
+      p = raw.crossJoin(broadcast(norm))
+        .select($"source",
+          expr("(praw * np * 1000000) div greatest(sp, 1)").as("p"))
+    }
+    tallies.join(p, "source")
+      .select($"source", $"games", $"wins", $"p".as("strength_micro"))
+      .orderBy($"source")
+  }
+
+  private val q443Oracle =
+    """WITH p0 AS (
+      |  SELECT a.doc_id // 2 AS pair_id, a.source AS sa, b.source AS sb,
+      |    a.n_chars AS la, b.n_chars AS lb
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id % 2 = 0 AND a.source <> b.source
+      |    AND a.n_chars <> b.n_chars),
+      |pw AS (
+      |  SELECT least(sa, sb) AS lo, greatest(sa, sb) AS hi,
+      |    CASE WHEN sa < sb THEN aw ELSE 1 - aw END AS lw
+      |  FROM (SELECT *, CASE WHEN pair_id % 10 < 7
+      |          THEN CASE WHEN la > lb THEN 1 ELSE 0 END
+      |          ELSE CASE WHEN la < lb THEN 1 ELSE 0 END END AS aw
+      |        FROM p0)),
+      |cells AS (
+      |  SELECT lo, hi, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(lw) AS BIGINT) AS wl,
+      |    CAST(count(*) - sum(lw) AS BIGINT) AS wh
+      |  FROM pw GROUP BY 1, 2),
+      |tall AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS games,
+      |    CAST(sum(w) AS BIGINT) AS wins
+      |  FROM (SELECT lo AS source, n, wl AS w FROM cells
+      |        UNION ALL SELECT hi, n, wh FROM cells)
+      |  GROUP BY 1),
+      |s0 AS (SELECT source, CAST(1000000 AS BIGINT) AS p FROM tall),
+      |t1 AS (
+      |  SELECT c.lo, c.hi,
+      |    (c.n * 1000000000000) // greatest(pl.p + ph.p, 1) AS t
+      |  FROM cells c JOIN s0 pl ON pl.source = c.lo
+      |  JOIN s0 ph ON ph.source = c.hi),
+      |d1 AS (SELECT source, CAST(sum(t) AS BIGINT) AS den FROM
+      |  (SELECT lo AS source, t FROM t1 UNION ALL SELECT hi, t FROM t1)
+      |  GROUP BY 1),
+      |r1 AS (SELECT tall.source,
+      |    (wins * 1000000000000) // greatest(den, 1) AS praw
+      |  FROM tall JOIN d1 ON d1.source = tall.source),
+      |n1 AS (SELECT CAST(sum(praw) AS BIGINT) AS sp,
+      |    CAST(count(*) AS BIGINT) AS np FROM r1),
+      |s1 AS (SELECT source,
+      |    (praw * np * 1000000) // greatest(sp, 1) AS p FROM r1, n1),
+      |t2 AS (
+      |  SELECT c.lo, c.hi,
+      |    (c.n * 1000000000000) // greatest(pl.p + ph.p, 1) AS t
+      |  FROM cells c JOIN s1 pl ON pl.source = c.lo
+      |  JOIN s1 ph ON ph.source = c.hi),
+      |d2 AS (SELECT source, CAST(sum(t) AS BIGINT) AS den FROM
+      |  (SELECT lo AS source, t FROM t2 UNION ALL SELECT hi, t FROM t2)
+      |  GROUP BY 1),
+      |r2 AS (SELECT tall.source,
+      |    (wins * 1000000000000) // greatest(den, 1) AS praw
+      |  FROM tall JOIN d2 ON d2.source = tall.source),
+      |n2 AS (SELECT CAST(sum(praw) AS BIGINT) AS sp,
+      |    CAST(count(*) AS BIGINT) AS np FROM r2),
+      |s2 AS (SELECT source,
+      |    (praw * np * 1000000) // greatest(sp, 1) AS p FROM r2, n2),
+      |t3 AS (
+      |  SELECT c.lo, c.hi,
+      |    (c.n * 1000000000000) // greatest(pl.p + ph.p, 1) AS t
+      |  FROM cells c JOIN s2 pl ON pl.source = c.lo
+      |  JOIN s2 ph ON ph.source = c.hi),
+      |d3 AS (SELECT source, CAST(sum(t) AS BIGINT) AS den FROM
+      |  (SELECT lo AS source, t FROM t3 UNION ALL SELECT hi, t FROM t3)
+      |  GROUP BY 1),
+      |r3 AS (SELECT tall.source,
+      |    (wins * 1000000000000) // greatest(den, 1) AS praw
+      |  FROM tall JOIN d3 ON d3.source = tall.source),
+      |n3 AS (SELECT CAST(sum(praw) AS BIGINT) AS sp,
+      |    CAST(count(*) AS BIGINT) AS np FROM r3),
+      |s3 AS (SELECT source,
+      |    (praw * np * 1000000) // greatest(sp, 1) AS p FROM r3, n3)
+      |SELECT tall.source, games, wins, s3.p AS strength_micro
+      |FROM tall JOIN s3 ON s3.source = tall.source
+      |ORDER BY tall.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q443_bradley_terry" -> (q443BradleyTerry _),
     "q438_chat_format_lint" -> (q438ChatFormatLint _),
     "q439_length_bias_audit" -> (q439LengthBiasAudit _),
     "q440_loop_detection" -> (q440LoopDetection _),
@@ -5291,6 +5445,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q443_bradley_terry" -> q443Oracle,
     "q438_chat_format_lint" -> q438Oracle,
     "q439_length_bias_audit" -> q439Oracle,
     "q440_loop_detection" -> q440Oracle,

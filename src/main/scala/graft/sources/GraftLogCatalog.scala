@@ -1180,10 +1180,20 @@ private[sources] object GraftLogProcedures {
   import org.apache.spark.sql.connector.read.Scan
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
-  private def oneRow(schemaDdl: String, row: Seq[Any]): java.util.Iterator[Scan] =
+  /** Procedure accounting rows are driver-computed — Spark's CALL
+    * planner requires a [[org.apache.spark.sql.connector.read.LocalScan]]
+    * (no task launch) for procedure output, and one row of counters
+    * is exactly that. */
+  private def oneRow(schemaDdl: String, row: Seq[Any]): java.util.Iterator[Scan] = {
+    val schema = StructType.fromDDL(schemaDdl)
     Collections.singletonList(
-      new GraftLogStatsScan(StructType.fromDDL(schemaDdl), row, 0)
-        : Scan).iterator()
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] =
+          Array(InternalRow.fromSeq(row))
+        override def description(): String = "GraftLogProcedureResult"
+      }: Scan).iterator()
+  }
 
   /** `CALL graftlog.vacuum('<path>', <retain_versions>[, <grace_ms>])`
     * — [[TableLog.vacuumRetain]]: delete data files referenced by NO
@@ -1236,5 +1246,31 @@ private[sources] object GraftLogProcedures {
     }
   }
 
-  val all: Seq[UnboundProcedure] = Seq(Vacuum, Compact)
+  /** `CALL graftlog.restore('<path>', <version>)` —
+    * [[TableLog.restore]]: move the table BACK to `version`'s state
+    * as one NEW forward commit (data files, schema, key and
+    * partition declaration all return; history keeps growing, so
+    * the restore itself is auditable and restorable). Fails fast if
+    * vacuum already reclaimed a file the target version needs.
+    * Returns (version, files_added, files_removed). */
+  object Restore extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "restore"
+    override def description(): String =
+      "restore the table to an earlier version as one new commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("version to restore to").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (v, added, removed) = TableLog.restore(
+        input.getUTF8String(0).toString, input.getLong(1))
+      oneRow("version BIGINT, files_added BIGINT, files_removed BIGINT",
+        Seq(v, added.toLong, removed.toLong))
+    }
+  }
+
+  val all: Seq[UnboundProcedure] = Seq(Vacuum, Compact, Restore)
 }

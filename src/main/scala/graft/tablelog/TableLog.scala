@@ -711,6 +711,37 @@ object TableLog {
       snap.active.map(_.relPath), "", "")
   }
 
+  /** RESTORE the table to the state of `toVersion` as ONE NEW
+    * commit — the Delta-lineage `RESTORE TABLE … TO VERSION AS OF`
+    * verb: history moves FORWARD (the restore is itself a version,
+    * auditable and itself restorable), only the file-set delta is
+    * touched (files active in both versions are not re-listed), and
+    * the old schema/key/partition declaration comes back with the
+    * data. Metadata-bearing, so a concurrent commit aborts the
+    * restore loudly instead of rebasing under it (see [[commit]]).
+    * Fails fast — before committing anything — if vacuum already
+    * reclaimed a data file the target version needs. Returns
+    * (newVersion, filesAdded, filesRemoved). */
+  def restore(table: String, toVersion: Long): (Long, Int, Int) = {
+    val latest = latestVersion(table)
+    require(toVersion >= 1 && toVersion <= latest,
+      s"$table: cannot restore to v$toVersion — history is v1..v$latest")
+    val old = state(table, toVersion)
+    val cur = state(table)
+    val curPaths = cur.active.map(_.relPath).toSet
+    val oldPaths = old.active.map(_.relPath).toSet
+    val adds = old.active.filterNot(a => curPaths(a.relPath))
+    val removes = cur.active.map(_.relPath).filterNot(oldPaths)
+    val gone = adds.map(_.relPath)
+      .filterNot(p => Files.exists(Paths.get(table, p)))
+    require(gone.isEmpty,
+      s"$table: cannot restore to v$toVersion — vacuum reclaimed " +
+        s"${gone.size} file(s) it needs: ${gone.take(3).mkString(", ")}")
+    val v = commit(table, cur.version, "restore", adds, removes,
+      old.schemaDdl, old.keyCol, bloom = old.bloom, partCols = old.partCols)
+    (v, adds.size, removes.size)
+  }
+
   /** Append with ADDITIVE schema evolution: new columns widen the
     * table schema (recorded in the manifest — readers null-fill them
     * in pre-evolution files via the explicit-schema parquet read);

@@ -1349,6 +1349,36 @@ class TextOpsSpec extends SparkSuite {
       "source margins exact after the closing column scale")
   }
 
+  test("q443 Bradley-Terry: planted 3-player grid matches hand MM arithmetic; " +
+    "fit is normalized and order-correct") {
+    import spark.implicits._
+    // A beats B 3/4, A beats C 2/4, B beats C 3/4 → wins A=5 B=4 C=3
+    val judgments = (
+      Seq.fill(3)(("A", "B", 1L)) ++ Seq.fill(1)(("A", "B", 0L)) ++
+      Seq.fill(2)(("A", "C", 1L)) ++ Seq.fill(2)(("A", "C", 0L)) ++
+      Seq.fill(3)(("B", "C", 1L)) ++ Seq.fill(1)(("B", "C", 0L))
+    ).toDF("lo", "hi", "lo_wins")
+    // one MM round from uniform: every t_ij = 4e12 div 2e6 = 2e6,
+    // den_i = 4e6, praw_i = w_i*250000, already mean-1e6 normalized
+    val r1 = TextOps.btStrengths(judgments, rounds = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(r1("A") == ((8L, 5L, 1250000L)))
+    assert(r1("B") == ((8L, 4L, 1000000L)))
+    assert(r1("C") == ((8L, 3L, 750000L)))
+    // three rounds: strengths stay normalized (mean 1.0 up to per-player
+    // flooring) and order the planted skill A > B > C
+    val r3 = TextOps.btStrengths(judgments).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(r3("A") > r3("B") && r3("B") > r3("C"))
+    assert(math.abs(r3.values.sum - 3000000L) <= 3L,
+      s"mean-1 normalization drifted: ${r3.values.sum}")
+    // the fixture run emits one row per source, all positive strengths
+    val fx = TextOps.q443BradleyTerry(spark, sf0001).collect()
+    assert(fx.nonEmpty && fx.forall(_.getLong(3) > 0L))
+    assert(fx.map(_.getString(0)).distinct.length == fx.length)
+  }
+
   test("q279 vocab coverage: crossing replay; curve monotone in both axes") {
     import spark.implicits._
     val got = TextOps.q279VocabCoverage(spark, sf0001).collect()

@@ -322,4 +322,26 @@ class GraftLogCatalogSpec extends SparkSuite {
         .collect()
     }
   }
+
+  test("SQL CALL runs each procedure end-to-end and returns its " +
+      "accounting row (LocalScan output, no task launch)") {
+    val t = freshTable()
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    // compact 8 files -> 2 (v3), returns (version, n_files)
+    val c = spark.sql(s"CALL graftlog.compact('$t', 2)").collect()
+    assert(c.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 2L)))
+    // restore to pre-compaction v2 (v4): physical layout returns,
+    // rows unchanged; accounting row names the new version
+    val r = spark.sql(s"CALL graftlog.restore('$t', 2)").collect()
+    assert(r.head.getLong(0) == 4L && r.head.getLong(1) == 8L)
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 200L)
+    // vacuum keeping only the latest version reclaims v3's files
+    val v = spark.sql(s"CALL graftlog.vacuum('$t', 1, 0)").collect()
+    assert(v.head.getLong(0) >= 2L) // at least the compacted pair
+    // table still reads after vacuum
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 200L)
+  }
 }

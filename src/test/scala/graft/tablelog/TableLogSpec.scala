@@ -149,6 +149,37 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.vacuumList(t, graceMillis = 0).isEmpty)
   }
 
+  test("restore: forward commit reproduces the old state; delta-only manifest; " +
+    "refuses unknown versions and vacuumed targets") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 9L).map(i => (i, s"a$i"))), t, "k", 2)      // v1
+    TableLog.append(kv((10L to 19L).map(i => (i, s"b$i"))), t, 2)         // v2
+    TableLog.deleteWhere(spark, t, col("k") < 5, numFiles = 1)            // v3
+    val (v, added, removed) = TableLog.restore(t, 2L)                     // v4
+    assert(v == 4L)
+    // delta-only: v3 rewrote only the one file holding k<5; restore
+    // re-adds that file and drops the rewrite's survivor file — the
+    // untouched files never appear in the restore manifest
+    assert(added < TableLog.state(t, 2L).active.size,
+      s"restore re-listed the whole table ($added adds)")
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 20 && got(0L) == "a0" && got(19L) == "b19")
+    // v3's deleted era still time-travels
+    assert(TableLog.snapshot(spark, t, version = 3L).count() == 15)
+    // restore is itself restorable: back to the post-delete state
+    TableLog.restore(t, 3L)
+    assert(TableLog.snapshot(spark, t).count() == 15)
+    intercept[IllegalArgumentException] { TableLog.restore(t, 99L) }
+    intercept[IllegalArgumentException] { TableLog.restore(t, 0L) }
+    // vacuum under a 1-version retention kills v1's files → restore to
+    // v1 must fail fast without committing anything
+    TableLog.vacuumRetain(t, retainVersions = 1, graceMillis = 0)
+    val before = TableLog.latestVersion(t)
+    intercept[IllegalArgumentException] { TableLog.restore(t, 1L) }
+    assert(TableLog.latestVersion(t) == before)
+  }
+
   test("empty append bumps the version without staging files") {
     val t = freshDir()
     TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
