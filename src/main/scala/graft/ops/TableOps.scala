@@ -1884,7 +1884,81 @@ object TableOps {
       |  CAST(sum(o_orderkey) AS BIGINT) FROM v2
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q444
+  /** Tri-clause SQL `MERGE INTO` — the FULL merge grammar BigQuery
+    * (the reference's query engine) and Delta both serve, one step
+    * past q431's upsert: conditional `WHEN MATCHED AND … UPDATE`,
+    * unconditional `WHEN MATCHED DELETE`, `WHEN NOT MATCHED INSERT`,
+    * plus BOTH `WHEN NOT MATCHED BY SOURCE` arms (conditional DELETE,
+    * fallback UPDATE) in ONE statement = one rewrite commit. The
+    * NOT-MATCHED-BY-SOURCE arms make every target row a candidate —
+    * Spark correctly plans the full-table copy-on-write instead of a
+    * matched-group filter (the price of touch-everything semantics;
+    * q431 stays the selective fast path). Readout replays the whole
+    * surviving table; DuckDB rebuilds it from the five arms. */
+  private val triMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q444MergeTriClause(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = triMergeCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogtm_").toString
+      val base = ordersSlice(s, dir).where($"o_orderkey" % 4 === 1)
+      TableLog.create(base, t, "o_orderkey", numFiles = 4)
+      val updates = base.where($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_orderpriority", ($"o_totalprice" * 2).as("o_totalprice"))
+      val inserts = base.where($"o_orderkey" % 100 === 45)
+        .select((-$"o_orderkey" - 1).as("o_orderkey"), $"o_custkey",
+          lit("N").as("o_orderstatus"), $"o_orderpriority", $"o_totalprice")
+      val view = s"graft_trimerge_src_${Integer.toHexString(dir.hashCode)}"
+      updates.unionByName(inserts).createOrReplaceTempView(view)
+      try s.sql(
+        s"""MERGE INTO graftlog.`$t` t USING $view s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND t.o_custkey % 2 = 0 THEN
+           |  UPDATE SET o_orderstatus = 'M', o_totalprice = s.o_totalprice
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 5 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN
+           |  UPDATE SET o_orderstatus = 'S'""".stripMargin)
+      finally s.catalog.dropTempView(view)
+      t
+    })
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         |  o_totalprice
+         |FROM graftlog.`$table` ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val q444Oracle =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |    o_totalprice
+      |  FROM orders WHERE o_orderkey % 4 = 1),
+      |msrc AS (
+      |  SELECT o_orderkey, o_totalprice * 2 AS sp
+      |  FROM base WHERE o_orderkey % 3 = 0)
+      |SELECT * FROM (
+      |  SELECT b.o_orderkey, b.o_custkey, 'M' AS o_orderstatus,
+      |    b.o_orderpriority, m.sp AS o_totalprice
+      |  FROM base b JOIN msrc m ON m.o_orderkey = b.o_orderkey
+      |  WHERE b.o_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT b.o_orderkey, b.o_custkey, 'S', b.o_orderpriority,
+      |    b.o_totalprice
+      |  FROM base b LEFT JOIN msrc m ON m.o_orderkey = b.o_orderkey
+      |  WHERE m.o_orderkey IS NULL AND b.o_orderkey % 10 <> 5
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1, o_custkey, 'N', o_orderpriority,
+      |    o_totalprice
+      |  FROM base WHERE o_orderkey % 100 = 45)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q444_merge_tri_clause" -> (q444MergeTriClause _),
     "q442_catalog_restore" -> (q442CatalogRestore _),
     "q441_stream_by_name" -> (q441StreamByName _),
     "q437_named_catalog" -> (q437NamedCatalog _),
@@ -1926,6 +2000,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q444_merge_tri_clause" -> q444Oracle,
     "q442_catalog_restore" -> q442Oracle,
     "q441_stream_by_name" -> q441Oracle,
     "q437_named_catalog" -> q437Oracle,

@@ -77,6 +77,41 @@ class GraftLogRowLevelSpec extends SparkSuite {
       "WHERE k = 10").collect().head.getString(0) == "a10")
   }
 
+  test("tri-clause MERGE: conditional matched update, matched delete, " +
+      "insert, and both NOT MATCHED BY SOURCE arms in one commit") {
+    import spark.implicits._
+    val t = freshTable() // keys 0..199, v = a<k>/b<k>
+    Seq((10L, "s10"), (11L, "s11"), (500L, "s500"))
+      .toDF("k", "v").createOrReplaceTempView("rl_tri_src")
+    try {
+      spark.sql(
+        s"""MERGE INTO graftlog.`$t` t USING rl_tri_src s ON t.k = s.k
+           |WHEN MATCHED AND t.k % 2 = 0 THEN UPDATE SET v = s.v
+           |WHEN MATCHED THEN DELETE
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND t.k >= 198 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'untouched'
+           |""".stripMargin)
+    } finally spark.catalog.dropTempView("rl_tri_src")
+    val got = spark.sql(s"SELECT k, v FROM graftlog.`$t` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // k=10 matched+even -> s10; k=11 matched+odd -> deleted;
+    // k=500 fresh -> inserted; k=198,199 unmatched -> deleted;
+    // everything else unmatched -> v='untouched'
+    val want = ((0L to 197L).filter(_ != 11L).map(k =>
+      if (k == 10L) (k, "s10") else (k, "untouched")) :+ (500L, "s500"))
+    assert(got == want,
+      s"got ${got.size} rows; head=${got.take(3)}, last=${got.last}")
+    val c = TableLog.history(t).last
+    assert(c.op == "merge")
+    // NOT MATCHED BY SOURCE touches every row: the whole 8-file table
+    // rewrites (no matched-group sliver is legal here)
+    assert(c.nRemoves == 8, s"expected full-table rewrite, got $c")
+    // snapshot isolation: pre-merge version intact
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 2")
+      .collect().head.getLong(0) == 200L)
+  }
+
   test("DELETE with an untranslatable predicate takes the row-level " +
       "rewrite; survivors exact even when whole files die") {
     val t = freshTable()
