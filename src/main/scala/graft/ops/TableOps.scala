@@ -1206,9 +1206,12 @@ object TableOps {
     * max(key)` by folding the manifest's per-file stats (true bounds
     * written at commit time), so the query opens ZERO data files —
     * at 100 TB, a driver fold over ~100 B/file of metadata. Composes
-    * with VERSION AS OF (one row per version here); any row filter
-    * or non-key column disqualifies the fold and the plan falls back
-    * to the real scan (spec-pinned both ways). */
+    * with VERSION AS OF (one row per version here). NON-key integral
+    * columns fold too when every active file carries their column
+    * stat (o_custkey below — the generalized data-skipping stats
+    * doubling as aggregate answers); a row filter, a string/double
+    * column, or any stat-less file disqualifies the fold and the
+    * plan falls back to the real scan (spec-pinned both ways). */
   def q427StatsPushdown(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     withCatalog(s)
@@ -1218,7 +1221,9 @@ object TableOps {
         s"""SELECT CAST($v AS BIGINT) AS version,
            |  count(*) AS n_rows,
            |  min(o_orderkey) AS min_key,
-           |  max(o_orderkey) AS max_key
+           |  max(o_orderkey) AS max_key,
+           |  min(o_custkey) AS min_cust,
+           |  max(o_custkey) AS max_cust
            |FROM graftlog.`$table` VERSION AS OF $v""".stripMargin)
     }.reduce(_ unionByName _).orderBy($"version")
   }
@@ -1227,10 +1232,13 @@ object TableOps {
     """SELECT CAST(2 AS BIGINT) AS version,
       |  CAST(count(*) AS BIGINT) AS n_rows,
       |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
-      |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+      |  CAST(min(o_custkey) AS BIGINT) AS min_cust,
+      |  CAST(max(o_custkey) AS BIGINT) AS max_cust
       |FROM orders WHERE o_orderkey % 4 IN (0, 1)
       |UNION ALL
-      |SELECT 5, count(*), min(o_orderkey), max(o_orderkey)
+      |SELECT 5, count(*), min(o_orderkey), max(o_orderkey),
+      |  min(o_custkey), max(o_custkey)
       |FROM orders
       |WHERE o_orderkey % 4 IN (0, 1, 2) AND o_orderpriority <> '1-URGENT'
       |ORDER BY version""".stripMargin
@@ -1957,7 +1965,129 @@ object TableOps {
       |  FROM base WHERE o_orderkey % 100 = 45)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q445
+  /** Storage-partitioned join — the 100-TB shuffle eliminator: two
+    * catalog tables partitioned on the same column join on it with
+    * ZERO exchange under `spark.sql.sources.v2.bucketing.enabled`,
+    * because the scan reports `KeyGroupedPartitioning` (one input
+    * partition per live tuple; the sink's concurrent per-tuple file
+    * writers make every file tuple-pure by construction, so the
+    * report is always sound). Fact side: an orders slice partitioned
+    * by o_orderpriority; joined side: a per-priority weight table in
+    * the same layout. The readout keys sums by priority in exact
+    * BIGINTs; GraftLogPartitionSpec pins the exchange-free plan, this
+    * query pins values cross-engine. */
+  private val spjCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def q445StoragePartitionedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val (fact, dim) = spjCache.computeIfAbsent(dir, _ => {
+      val f = Files.createTempDirectory("graft_tlogsp_").toString + "/fact"
+      val d = Files.createTempDirectory("graft_tlogsp_").toString + "/dim"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$f` (
+           |  o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+           |PARTITIONED BY (o_orderpriority)
+           |TBLPROPERTIES ('key' = 'o_orderkey')""".stripMargin)
+      s.sql(
+        s"""CREATE TABLE graftlog.`$d` (
+           |  w_key BIGINT, o_orderpriority STRING, weight BIGINT)
+           |PARTITIONED BY (o_orderpriority)
+           |TBLPROPERTIES ('key' = 'w_key')""".stripMargin)
+      val fv = s"graft_spj_fact_${Integer.toHexString(dir.hashCode)}"
+      val dv = s"graft_spj_dim_${Integer.toHexString(dir.hashCode)}"
+      ordersSlice(s, dir).where($"o_orderkey" % 4 === 2)
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .createOrReplaceTempView(fv)
+      ordersSlice(s, dir).select($"o_orderpriority").distinct()
+        .select(ascii(substring($"o_orderpriority", 1, 1)).cast("long")
+            .as("w_key"),
+          $"o_orderpriority",
+          (ascii(substring($"o_orderpriority", 1, 1)) % 7 + 1).cast("long")
+            .as("weight"))
+        .createOrReplaceTempView(dv)
+      try {
+        s.sql(s"INSERT INTO graftlog.`$f` SELECT * FROM $fv")
+        s.sql(s"INSERT INTO graftlog.`$d` SELECT * FROM $dv")
+      } finally { s.catalog.dropTempView(fv); s.catalog.dropTempView(dv) }
+      (f, d)
+    })
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val saved = s.conf.get(key)
+    s.conf.set(key, "true")
+    try s.sql(
+      s"""SELECT f.o_orderpriority,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(f.o_orderkey * d.weight) AS BIGINT) AS weighted_keys
+         |FROM graftlog.`$fact` f JOIN graftlog.`$dim` d
+         |  ON f.o_orderpriority = d.o_orderpriority
+         |GROUP BY f.o_orderpriority ORDER BY f.o_orderpriority""".stripMargin)
+      .localCheckpoint(true)
+    finally s.conf.set(key, saved)
+  }
+
+  private val q445Oracle =
+    """WITH fact AS (
+      |  SELECT o_orderkey, o_orderpriority FROM orders
+      |  WHERE o_orderkey % 4 = 2),
+      |dim AS (
+      |  SELECT o_orderpriority,
+      |    CAST(ascii(substring(o_orderpriority, 1, 1)) % 7 + 1 AS BIGINT)
+      |      AS weight
+      |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
+      |SELECT f.o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(f.o_orderkey * d.weight) AS BIGINT) AS weighted_keys
+      |FROM fact f JOIN dim d ON f.o_orderpriority = d.o_orderpriority
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q446
+  /** Non-key data skipping (the Delta/Iceberg column-stats device):
+    * every commit records per-file min/max for up to 32 non-key
+    * columns (integral/double/string; strings bounded at 32 chars
+    * with the upper bound rounded up), and comparison predicates on
+    * ANY such column prune FILES from the manifest alone — before
+    * this layer, only key/bloom/partition predicates skipped files,
+    * and `WHERE o_totalprice > x` opened everything. The demo table
+    * z-orders its files on (o_custkey, o_orderkey) — q351's layout
+    * verb — so a custkey range predicate, NOT the key, skips files
+    * via the recorded custkey bounds; the catalog spec pins the file
+    * counts, this query pins rows cross-engine. */
+  private val cstatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q446ColumnStatsSkip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = cstatCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogcs_").toString
+      TableLog.create(ordersSlice(s, dir).where($"o_orderkey" % 4 === 3),
+        t, "o_orderkey", numFiles = 8)
+      TableLog.compactZorder(s, t, "o_custkey", "o_orderkey", numFiles = 8)
+      t
+    })
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$table`
+         |WHERE o_custkey > 300 AND o_custkey <= 600
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q446Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |WHERE o_orderkey % 4 = 3 AND o_custkey > 300 AND o_custkey <= 600
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q446_column_stats_skip" -> (q446ColumnStatsSkip _),
+    "q445_storage_partitioned_join" -> (q445StoragePartitionedJoin _),
     "q444_merge_tri_clause" -> (q444MergeTriClause _),
     "q442_catalog_restore" -> (q442CatalogRestore _),
     "q441_stream_by_name" -> (q441StreamByName _),
@@ -2000,6 +2130,8 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q446_column_stats_skip" -> q446Oracle,
+    "q445_storage_partitioned_join" -> q445Oracle,
     "q444_merge_tri_clause" -> q444Oracle,
     "q442_catalog_restore" -> q442Oracle,
     "q441_stream_by_name" -> q441Oracle,

@@ -5361,7 +5361,165 @@ object TextOps {
       |FROM tall JOIN s3 ON s3.source = tall.source
       |ORDER BY tall.source""".stripMargin
 
+  // ---------------------------------------------------------------- q447
+  /** Annotator-reliability weighted relabeling — one Dawid–Skene-style
+    * EM round with linear competence weights (truth inference for
+    * crowd/RLHF label aggregation; Dawid & Skene 1979 is the public
+    * lineage): three planted annotators with distinct error rates
+    * label every doc, majority vote seeds the truth estimate, each
+    * annotator's competence w = 2·agree_ppm − 10⁶ (random guessing
+    * → 0, perfect → 10⁶), and a weighted re-vote relabels items —
+    * flipping exactly the items where the two weaker annotators
+    * outvoted the stronger one. All arithmetic in exact ppm BIGINTs;
+    * the readout is per-annotator (items, majority agreement,
+    * competence, post-reweight agreement).
+    *
+    * Scale shape: labels are scan-side projections; both voting
+    * rounds are one groupBy(doc) plus a 3-row competence table
+    * broadcast back — the corpus shuffles once on doc_id. */
+  def q447AnnotatorReliability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documentsSpread(s, dir).select($"doc_id")
+      .withColumn("t", pmod($"doc_id", lit(2)))
+    // annotator j flips the planted label at rate e_j/10
+    def lbl(j: Int, e: Int) = when(
+      pmod($"doc_id" * 31 + lit(j * 17), lit(10)) < e,
+      lit(1) - $"t").otherwise($"t").cast("long").as(s"l$j")
+    val labeled = d.select($"doc_id", lbl(0, 1), lbl(1, 2), lbl(2, 4))
+      .withColumn("maj",
+        ($"l0" + $"l1" + $"l2" >= 2).cast("long"))
+      .localCheckpoint(true) // both rounds re-read the label grid
+    val votes = labeled.select($"doc_id", $"maj",
+      explode(array(
+        struct(lit(0L).as("annotator"), $"l0".as("l")),
+        struct(lit(1L).as("annotator"), $"l1".as("l")),
+        struct(lit(2L).as("annotator"), $"l2".as("l")))).as("v"))
+      .select($"doc_id", $"maj", $"v.annotator", $"v.l")
+    val comp = votes.groupBy($"annotator")
+      .agg(count(lit(1)).as("n_items"),
+        sum(($"l" === $"maj").cast("long")).as("agree_majority"))
+      .withColumn("competence",
+        expr("2 * ((agree_majority * 1000000) div n_items) - 1000000"))
+    // weighted re-vote: Σ w over 1-voters vs 0-voters, ties stay 0
+    val w = comp.select($"annotator".as("w_ann"), $"competence".as("w"))
+    val rel = votes.join(broadcast(w), $"annotator" === $"w_ann")
+      .groupBy($"doc_id")
+      .agg(sum(when($"l" === 1L, $"w").otherwise(0L)).as("w1"),
+        sum(when($"l" === 0L, $"w").otherwise(0L)).as("w0"))
+      .select($"doc_id", ($"w1" > $"w0").cast("long").as("rl"))
+    val agree2 = votes.join(rel, "doc_id")
+      .groupBy($"annotator")
+      .agg(sum(($"l" === $"rl").cast("long")).as("agree_weighted"))
+    comp.join(agree2, "annotator")
+      .select($"annotator", $"n_items", $"agree_majority",
+        $"competence", $"agree_weighted")
+      .orderBy($"annotator")
+  }
+
+  private val q447Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 2 AS t FROM documents),
+      |lab AS (
+      |  SELECT doc_id,
+      |    CASE WHEN (doc_id * 31 + 0) % 10 < 1 THEN 1 - t ELSE t END AS l0,
+      |    CASE WHEN (doc_id * 31 + 17) % 10 < 2 THEN 1 - t ELSE t END AS l1,
+      |    CASE WHEN (doc_id * 31 + 34) % 10 < 4 THEN 1 - t ELSE t END AS l2
+      |  FROM d),
+      |m AS (SELECT *, CASE WHEN l0 + l1 + l2 >= 2 THEN 1 ELSE 0 END AS maj
+      |      FROM lab),
+      |v AS (
+      |  SELECT doc_id, maj, 0 AS annotator, l0 AS l FROM m
+      |  UNION ALL SELECT doc_id, maj, 1, l1 FROM m
+      |  UNION ALL SELECT doc_id, maj, 2, l2 FROM m),
+      |comp AS (
+      |  SELECT annotator, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(sum(CASE WHEN l = maj THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS agree_majority
+      |  FROM v GROUP BY 1),
+      |cw AS (
+      |  SELECT *, 2 * ((agree_majority * 1000000) // n_items) - 1000000
+      |    AS competence FROM comp),
+      |rel AS (
+      |  SELECT v.doc_id,
+      |    CASE WHEN sum(CASE WHEN l = 1 THEN cw.competence ELSE 0 END)
+      |       > sum(CASE WHEN l = 0 THEN cw.competence ELSE 0 END)
+      |    THEN 1 ELSE 0 END AS rl
+      |  FROM v JOIN cw ON cw.annotator = v.annotator
+      |  GROUP BY 1),
+      |a2 AS (
+      |  SELECT v.annotator,
+      |    CAST(sum(CASE WHEN v.l = rel.rl THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS agree_weighted
+      |  FROM v JOIN rel ON rel.doc_id = v.doc_id GROUP BY 1)
+      |SELECT CAST(cw.annotator AS BIGINT) AS annotator, n_items,
+      |  agree_majority, CAST(competence AS BIGINT) AS competence,
+      |  agree_weighted
+      |FROM cw JOIN a2 ON a2.annotator = cw.annotator
+      |ORDER BY annotator""".stripMargin
+
+  // ---------------------------------------------------------------- q448
+  /** Fill-in-the-middle transform (the FIM pretraining objective's
+    * data prep — Bavarian et al. 2022, public): each doc splits at
+    * deterministic third-points into (prefix, middle, suffix) and
+    * re-serializes in PSM or SPM order (by doc parity) with sentinel
+    * tokens, the exact shape an infilling-capable code/text model
+    * trains on. Pure scan-side string surgery — zero joins, zero
+    * shuffles beyond the final order; substr cut points are CHARACTER
+    * positions so the transform is engine-portable (both engines
+    * count chars, not bytes). Short docs (< 30 chars) pass through
+    * untransformed with mode 'raw' — an infilling split of a tweet-
+    * sized doc wastes the sentinel budget (disclosed heuristic). */
+  def q448FimTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", length($"text").as("n"))
+      .withColumn("a", expr("n div 3"))
+      .withColumn("b", expr("(2 * n) div 3"))
+      .withColumn("mode",
+        when($"n" < 30, lit("raw"))
+          .when(pmod($"doc_id", lit(2)) === 0, lit("psm"))
+          .otherwise(lit("spm")))
+      .withColumn("fim_text",
+        when($"mode" === "raw", $"text")
+          .when($"mode" === "psm",
+            concat(lit("<PRE>"), expr("substr(text, 1, a)"),
+              lit("<SUF>"), expr("substr(text, b + 1)"),
+              lit("<MID>"), expr("substr(text, a + 1, b - a)")))
+          .otherwise(
+            concat(lit("<SUF>"), expr("substr(text, b + 1)"),
+              lit("<PRE>"), expr("substr(text, 1, a)"),
+              lit("<MID>"), expr("substr(text, a + 1, b - a)"))))
+      .select($"doc_id", $"mode",
+        length($"fim_text").cast("long").as("fim_len"), $"fim_text")
+      .orderBy($"doc_id")
+  }
+
+  private val q448Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    length(text) // 3 AS a, (2 * length(text)) // 3 AS b
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n < 30 THEN 'raw'
+      |         WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode,
+      |    CASE WHEN n < 30 THEN text
+      |         WHEN doc_id % 2 = 0 THEN
+      |           '<PRE>' || substr(text, 1, a) || '<SUF>' ||
+      |           substr(text, b + 1) || '<MID>' ||
+      |           substr(text, a + 1, b - a)
+      |         ELSE
+      |           '<SUF>' || substr(text, b + 1) || '<PRE>' ||
+      |           substr(text, 1, a) || '<MID>' ||
+      |           substr(text, a + 1, b - a) END AS fim_text
+      |  FROM d)
+      |SELECT doc_id, mode, CAST(length(fim_text) AS BIGINT) AS fim_len,
+      |  fim_text
+      |FROM t ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q447_annotator_reliability" -> (q447AnnotatorReliability _),
+    "q448_fim_transform" -> (q448FimTransform _),
     "q443_bradley_terry" -> (q443BradleyTerry _),
     "q438_chat_format_lint" -> (q438ChatFormatLint _),
     "q439_length_bias_audit" -> (q439LengthBiasAudit _),
@@ -5445,6 +5603,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q447_annotator_reliability" -> q447Oracle,
+    "q448_fim_transform" -> q448Oracle,
     "q443_bradley_terry" -> q443Oracle,
     "q438_chat_format_lint" -> q438Oracle,
     "q439_length_bias_audit" -> q439Oracle,

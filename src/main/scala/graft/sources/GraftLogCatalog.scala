@@ -851,6 +851,21 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
         files = files.filter(
           GraftLogScanBuilder.partitionKeeps(_, preds))
     }
+    // fourth manifest layer: NON-KEY column min/max skipping (the
+    // Delta/Iceberg data-skipping device) — comparison predicates on
+    // any stats-carrying column drop files whose recorded range
+    // cannot match. A file lacking the stat survives (absence never
+    // loses rows), and since min/max ignore nulls while no comparison
+    // matches a null row, range skipping alone stays exact.
+    val statCarrying = files.iterator
+      .flatMap(_.cols.iterator.map(_.col)).toSet
+    val cFlt = filters.filter(flt =>
+      GraftLogScanBuilder.colStatFilterCol(flt).exists(statCarrying))
+    if (cFlt.nonEmpty) {
+      cFlt.foreach(used += _)
+      files = files.filter(a =>
+        cFlt.forall(GraftLogScanBuilder.colStatKeep(a, _)))
+    }
     accepted = used.result().distinct
     // every filter comes back as a residual: file-grain skipping is
     // not row-exact, and the parquet scan's row-group pruning (fed
@@ -874,22 +889,48 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     * invalidates file-grain stats, and Spark never offers the
     * pushdown when a Filter survives — which, since every filter
     * here returns as a residual, is exactly the filtered case. */
+  private def isKeyRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames.toSeq == Seq(snap.keyCol)
+      case _ => false
+    }
+
+  /** A NON-key integral column whose min/max folds exactly from the
+    * manifest: every active file must carry its stat (a file without
+    * one might be a pre-stats manifest whose rows would go missing;
+    * all-null evolution files fold correctly because reads null-fill
+    * them and min/max ignore nulls — but the manifest can't tell the
+    * two apart, so absence refuses). Integral only: string bounds may
+    * be truncated and double bounds carry canonicalized zeros —
+    * exactness, not plausibility, is the pushdown contract (q339's
+    * bit-equality proof extends to these). */
+  private def statColRef(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.types.StructField] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        val c = nr.fieldNames.head
+        fullSchema.fields.find(_.name == c).filter(f =>
+          f.name != snap.keyCol &&
+            (f.dataType == org.apache.spark.sql.types.LongType ||
+             f.dataType == org.apache.spark.sql.types.IntegerType) &&
+            files.forall(_.cols.exists(s => s.col == c && s.typ == 'l')))
+      case _ => None
+    }
+
   private def statsAnswerable(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    def isKeyRef(e: org.apache.spark.sql.connector.expressions.Expression) =
-      e match {
-        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
-          nr.fieldNames.toSeq == Seq(snap.keyCol)
-        case _ => false
-      }
     accepted.isEmpty && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
-        case m: Min       => isKeyRef(m.column)
-        case m: Max       => isKeyRef(m.column)
+        case m: Min       => isKeyRef(m.column) || statColRef(m.column).isDefined
+        case m: Max       => isKeyRef(m.column) || statColRef(m.column).isDefined
         case _            => false
       }
   }
@@ -908,16 +949,37 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
   override def build(): Scan = pushedAgg match {
     case Some(funcs) =>
       import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+      // fold one stat-col bound across files, typed to the column
+      def statFold(f: org.apache.spark.sql.types.StructField,
+          lowSide: Boolean): Any = {
+        if (files.isEmpty) return null
+        val vs = files.map(a =>
+          a.cols.find(_.col == f.name).get)
+          .map(s => (if (lowSide) s.min else s.max).toLong)
+        val v = if (lowSide) vs.min else vs.max
+        if (f.dataType == org.apache.spark.sql.types.IntegerType) v.toInt
+        else v
+      }
       val row: Seq[Any] = funcs.map {
         case _: CountStar => files.map(_.rows).sum
-        case _: Min => if (files.isEmpty) null else files.map(_.min).min
-        case _: Max => if (files.isEmpty) null else files.map(_.max).max
+        case m: Min if isKeyRef(m.column) =>
+          if (files.isEmpty) null else files.map(_.min).min
+        case m: Max if isKeyRef(m.column) =>
+          if (files.isEmpty) null else files.map(_.max).max
+        case m: Min => statFold(statColRef(m.column).get, lowSide = true)
+        case m: Max => statFold(statColRef(m.column).get, lowSide = false)
         case o => throw new IllegalStateException(s"unpushable agg $o")
       }
       val schema = StructType(funcs.zipWithIndex.map {
         case (_: CountStar, i) =>
           org.apache.spark.sql.types.StructField(s"agg_$i",
             org.apache.spark.sql.types.LongType, nullable = false)
+        case (m: Min, i) if !isKeyRef(m.column) =>
+          org.apache.spark.sql.types.StructField(s"agg_$i",
+            statColRef(m.column).get.dataType, nullable = true)
+        case (m: Max, i) if !isKeyRef(m.column) =>
+          org.apache.spark.sql.types.StructField(s"agg_$i",
+            statColRef(m.column).get.dataType, nullable = true)
         case (_, i) =>
           org.apache.spark.sql.types.StructField(s"agg_$i",
             org.apache.spark.sql.types.LongType, nullable = true)
@@ -1000,6 +1062,66 @@ object GraftLogScanBuilder {
     if (lo != Long.MinValue || hi != Long.MaxValue) Some((lo, hi)) else None
   }
 
+  /** The column a comparison filter probes, if BOTH the shape and the
+    * value's type are within the column-stats contract (integral /
+    * double / string domains; IN of such values). */
+  private[sources] def colStatFilterCol(flt: Filter): Option[String] = {
+    def ok(v: Any): Boolean = v match {
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Double | _: java.lang.Float | _: String => true
+      case _ => false
+    }
+    flt match {
+      case EqualTo(c, v) if ok(v)            => Some(c)
+      case GreaterThan(c, v) if ok(v)        => Some(c)
+      case GreaterThanOrEqual(c, v) if ok(v) => Some(c)
+      case LessThan(c, v) if ok(v)           => Some(c)
+      case LessThanOrEqual(c, v) if ok(v)    => Some(c)
+      case In(c, vs) if vs.nonEmpty && vs.forall(ok) => Some(c)
+      case _ => None
+    }
+  }
+
+  /** May `a` hold rows matching `flt`, judging by its recorded column
+    * stats? Missing stat → true. String bounds honor truncation: the
+    * stored min is a PREFIX (≤ true min), the stored max is rounded
+    * UP (≥ true max, or unbounded) — every verdict below stays sound
+    * under those over-approximations. */
+  private[sources] def colStatKeep(a: TableLog.AddFile,
+      flt: Filter): Boolean = {
+    import TableLog.{cmpStat, ColStatUnbounded}
+    def eval(col: String, test: (TableLog.ColStat) => Boolean): Boolean =
+      a.cols.find(_.col == col).forall(test)
+    def statMin(s: TableLog.ColStat): Any = s.typ match {
+      case 'l' => s.min.toLong
+      case 'd' => s.min.toDouble
+      case _   => s.min
+    }
+    def statMax(s: TableLog.ColStat): Option[Any] =
+      if (s.typ == 's' && s.max == ColStatUnbounded) None
+      else Some(s.typ match {
+        case 'l' => s.max.toLong
+        case 'd' => s.max.toDouble
+        case _   => s.max
+      })
+    def eqKeep(s: TableLog.ColStat, v: Any): Boolean =
+      cmpStat(s.typ, v, statMin(s)) >= 0 &&
+        statMax(s).forall(mx => cmpStat(s.typ, v, mx) <= 0)
+    flt match {
+      case EqualTo(c, v) => eval(c, s => eqKeep(s, v))
+      case In(c, vs)     => eval(c, s => vs.exists(eqKeep(s, _)))
+      case GreaterThan(c, v) =>
+        eval(c, s => statMax(s).forall(mx => cmpStat(s.typ, mx, v) > 0))
+      case GreaterThanOrEqual(c, v) =>
+        eval(c, s => statMax(s).forall(mx => cmpStat(s.typ, mx, v) >= 0))
+      case LessThan(c, v) =>
+        eval(c, s => cmpStat(s.typ, statMin(s), v) < 0)
+      case LessThanOrEqual(c, v) =>
+        eval(c, s => cmpStat(s.typ, statMin(s), v) <= 0)
+      case _ => true
+    }
+  }
+
   /** Does any value of `sorted` fall inside `[min, max]`? One binary
     * search per file — the probe shared by static IN pruning and the
     * runtime-filter path, so the two can never disagree. */
@@ -1034,7 +1156,8 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     options: CaseInsensitiveStringMap)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
   private var files: Seq[TableLog.AddFile] = initialFiles
@@ -1085,18 +1208,92 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
   override def description(): String =
     s"GraftLogScan(files=${files.size}/${snap.active.size}, " +
       s"runtimePruned=$runtimePruned) " + inner.description()
-  override def planInputPartitions(): Array[InputPartition] =
-    inner.toBatch.planInputPartitions()
+
+  // ---- storage-partitioned execution (Spark's v2 bucketing) --------
+  // When the table declares partition columns AND every chosen file is
+  // tuple-PURE (one partition tuple per file — the clustered write's
+  // layout), the scan reports KeyGroupedPartitioning and plans ONE
+  // input partition per live tuple: under
+  // spark.sql.sources.v2.bucketing.enabled, a join of two tables
+  // partitioned on the same columns — or an aggregation keyed on them —
+  // runs with ZERO shuffle, because storage already clusters the rows.
+  // At 100 TB this deletes the dominant exchange of a co-partitioned
+  // fact-to-fact join. A mixed-tuple file (hash/range staging can
+  // co-locate a few tuples) makes key-grouping unsound, so the scan
+  // falls back to plain file partitions — correctness never depends on
+  // the layout, only the shuffle elision does.
+  private def pureGroups: Option[Seq[(Seq[String], Seq[TableLog.AddFile])]] =
+    if (snap.partCols.isEmpty || files.isEmpty ||
+        files.exists(_.parts.size != 1)) None
+    else Some(files.groupBy(_.parts.head.values).toSeq
+      .sortBy(_._1.mkString("/")))
+
+  /** Manifest partition values are strings (STRING/BIGINT/INT cols
+    * only, enforced at write); the key row Spark groups on must carry
+    * the column's true type. */
+  private def typedKey(values: Seq[String]): InternalRow =
+    InternalRow.fromSeq(snap.partCols.zip(values).map { case (c, v) =>
+      if (v == TableLog.NullPartValue) null
+      else fullSchema(c).dataType match {
+        case org.apache.spark.sql.types.LongType    => v.toLong
+        case org.apache.spark.sql.types.IntegerType => v.toInt
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      }
+    })
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    pureGroups match {
+      case Some(gs) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            snap.partCols.map(c => org.apache.spark.sql.connector
+              .expressions.Expressions.identity(c)
+                : org.apache.spark.sql.connector.expressions.Expression)
+              .toArray, gs.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val base = inner.toBatch.planInputPartitions()
+    pureGroups match {
+      case None => base
+      case Some(gs) =>
+        import org.apache.spark.sql.execution.datasources.FilePartition
+        val tupleOf = files.map(f =>
+          f.relPath.substring(f.relPath.lastIndexOf('/') + 1) ->
+            f.parts.head.values).toMap
+        val splits = base.flatMap(_.asInstanceOf[FilePartition].files)
+        val byTuple = splits.groupBy { pf =>
+          val p = pf.filePath.toString
+          tupleOf(p.substring(p.lastIndexOf('/') + 1))
+        }
+        gs.zipWithIndex.map { case ((tuple, _), i) =>
+          new GraftLogKeyedFilePartition(i,
+            byTuple.getOrElse(tuple, Array.empty), typedKey(tuple))
+            : InputPartition
+        }.toArray
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     inner.toBatch.createReaderFactory()
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     inner.estimateStatistics()
 
+  // Runtime filtering is offered on the key column ONLY when column
+  // pruning kept it in the scan output: Spark resolves these refs
+  // against the scan's output attributes and THROWS (not skips) on a
+  // miss — a key-free projection must advertise nothing.
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(snap.keyCol))
+    if (required.fieldNames.contains(snap.keyCol))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(snap.keyCol))
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit = {
     val k = snap.keyCol
@@ -1117,6 +1314,20 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     }
     if (runtimePruned) inner = mkInner()
   }
+}
+
+/** One storage-partition group: ALL splits of the files holding one
+  * partition tuple, keyed for Spark's key-grouped execution. Extends
+  * [[org.apache.spark.sql.execution.datasources.FilePartition]] so the
+  * wrapped ParquetScan's vectorized reader factory consumes it
+  * unchanged — the key rides alongside, the read path is untouched. */
+class GraftLogKeyedFilePartition(idx: Int,
+    groupFiles: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: InternalRow)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(
+    idx, groupFiles)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** Spark's own vectorized parquet DSv2 scan over an explicit

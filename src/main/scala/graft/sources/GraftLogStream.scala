@@ -210,10 +210,7 @@ class GraftLogStreamingWrite(table: String, appId: String,
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val adds = messages.collect {
-      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts) if rows > 0L =>
-        TableLog.AddFile(rel, rows, mn, mx, parts)
-    }.toSeq.sortBy(_.relPath)
+    val adds = GraftLogSinkCommitMessage.adds(messages)
     // zero-row epochs still advance the txn ledger (an empty commit),
     // so a redelivery of them stays a no-op too
     TableLog.commitStagedAppend(table, adds, Some((appId, epochId)))
@@ -221,17 +218,49 @@ class GraftLogStreamingWrite(table: String, appId: String,
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftLogSinkCommitMessage(rel, _, _, _, _) =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(table, rel))
-      case _ => ()
-    }
+    GraftLogSinkCommitMessage.deleteStaged(table, messages)
 }
 
 case class GraftLogSinkCommitMessage(relPath: String, rows: Long,
-    min: Long, max: Long, parts: Seq[TableLog.PartStat] = Nil)
+    min: Long, max: Long, parts: Seq[TableLog.PartStat] = Nil,
+    cols: Seq[TableLog.ColStat] = Nil)
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** One task attempt's staged files. Unpartitioned writes stage one
+  * file; partitioned writes ROLL a new file on every partition-tuple
+  * change (Spark's dynamic-partition-write shape), so task files are
+  * tuple-PURE by construction — the invariant the storage-partitioned
+  * scan ([[GraftLogDataScan.outputPartitioning]]) needs to elide
+  * shuffles, guaranteed here rather than hoped for from hash-clustered
+  * distribution (two tuples CAN share a cluster bucket). */
+case class GraftLogSinkCommitBundle(files: Seq[GraftLogSinkCommitMessage])
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+object GraftLogSinkCommitMessage {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+  private def flatten(messages: Array[WriterCommitMessage])
+      : Seq[GraftLogSinkCommitMessage] = messages.toSeq.flatMap {
+    case m: GraftLogSinkCommitMessage => Seq(m)
+    case GraftLogSinkCommitBundle(fs)  => fs
+    case _                             => Nil
+  }
+
+  /** The manifest entries a set of task messages stages. */
+  def adds(messages: Array[WriterCommitMessage]): Seq[TableLog.AddFile] =
+    flatten(messages).collect {
+      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts, cols)
+          if rows > 0L =>
+        TableLog.AddFile(rel, rows, mn, mx, parts, cols)
+    }.sortBy(_.relPath)
+
+  /** Abort cleanup: delete every staged file named by the messages. */
+  def deleteStaged(table: String,
+      messages: Array[WriterCommitMessage]): Unit =
+    flatten(messages).foreach(m =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(table, m.relPath)))
+}
 
 /** Batch `INSERT INTO graftlog.\`<path>\`` — the one SQL DML whose
   * semantics the commit protocol supports without compromise: an
@@ -251,20 +280,12 @@ class GraftLogBatchAppend(table: String, writeSchema: StructType)
       partCols = partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val adds = messages.collect {
-      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts) if rows > 0L =>
-        TableLog.AddFile(rel, rows, mn, mx, parts)
-    }.toSeq.sortBy(_.relPath)
+    val adds = GraftLogSinkCommitMessage.adds(messages)
     TableLog.commitStagedAppend(table, adds)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftLogSinkCommitMessage(rel, _, _, _, _) =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(table, rel))
-      case _ => ()
-    }
+    GraftLogSinkCommitMessage.deleteStaged(table, messages)
 }
 
 /** `INSERT OVERWRITE` by expression (DSv2 `SupportsOverwrite`) — the
@@ -291,10 +312,7 @@ class GraftLogOverwriteWrite(table: String, writeSchema: StructType,
       partCols = partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val adds = messages.collect {
-      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts) if rows > 0L =>
-        TableLog.AddFile(rel, rows, mn, mx, parts)
-    }.toSeq.sortBy(_.relPath)
+    val adds = GraftLogSinkCommitMessage.adds(messages)
     cond match {
       case Some(c) =>
         TableLog.overwriteWhereStaged(
@@ -308,12 +326,7 @@ class GraftLogOverwriteWrite(table: String, writeSchema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftLogSinkCommitMessage(rel, _, _, _, _) =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(table, rel))
-      case _ => ()
-    }
+    GraftLogSinkCommitMessage.deleteStaged(table, messages)
 }
 
 /** Dynamic partition overwrite (DSv2 `SupportsDynamicOverwrite` —
@@ -339,10 +352,7 @@ class GraftLogDynamicOverwrite(table: String, writeSchema: StructType)
       partCols = partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val adds = messages.collect {
-      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts) if rows > 0L =>
-        TableLog.AddFile(rel, rows, mn, mx, parts)
-    }.toSeq.sortBy(_.relPath)
+    val adds = GraftLogSinkCommitMessage.adds(messages)
     val incoming = adds.flatMap(_.parts.map(_.values)).toSet
     TableLog.overwritePartitionsStaged(
       org.apache.spark.sql.SparkSession.active, table, incoming, adds,
@@ -350,12 +360,7 @@ class GraftLogDynamicOverwrite(table: String, writeSchema: StructType)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftLogSinkCommitMessage(rel, _, _, _, _) =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(table, rel))
-      case _ => ()
-    }
+    GraftLogSinkCommitMessage.deleteStaged(table, messages)
 }
 
 /** The write side of a SQL row-level operation
@@ -380,22 +385,14 @@ class GraftLogReplaceData(table: String, writeSchema: StructType,
       allowOpColumn = true, partCols = partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val adds = messages.collect {
-      case GraftLogSinkCommitMessage(rel, rows, mn, mx, parts) if rows > 0L =>
-        TableLog.AddFile(rel, rows, mn, mx, parts)
-    }.toSeq.sortBy(_.relPath)
+    val adds = GraftLogSinkCommitMessage.adds(messages)
     val removes = removesAtCommit()
     if (adds.nonEmpty || removes.nonEmpty)
       TableLog.commitStagedRewrite(table, adds, removes, op)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftLogSinkCommitMessage(rel, _, _, _, _) =>
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(table, rel))
-      case _ => ()
-    }
+    GraftLogSinkCommitMessage.deleteStaged(table, messages)
 }
 
 class GraftLogBatchWriterFactory(table: String, schemaDdl: String,
@@ -423,10 +420,20 @@ object GraftLogSinkWriterFactory {
   import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   import org.apache.spark.sql.connector.write.DataWriter
 
-  /** One task-attempt writer: parquet file under `<table>/data/`,
+  /** One task-attempt writer: parquet files under `<table>/data/`,
     * key min/max tracked while writing — shared by the streaming
     * sink (epoch = micro-batch), the catalog's batch INSERT
     * (epoch = 0), and the row-level-operation replacement write.
+    *
+    * PARTITIONED tables keep one open file PER partition tuple
+    * (Spark's concurrent dynamic-partition-write shape, bounded by
+    * the [[TableLog.maxPartTuplesPerFile]] cardinality cap): every
+    * staged file is tuple-PURE by construction — the invariant the
+    * storage-partitioned scan needs to elide shuffles — with no
+    * ordering requirement on the incoming rows and exactly one file
+    * per tuple per task. Files open lazily on first row — a zero-row
+    * task stages nothing.
+    *
     * `allowOpColumn`: a group-based ReplaceData plan with no
     * metadata columns hands the writer its RAW query rows, which
     * carry Spark's internal `__row_operation` INT as a leading extra
@@ -445,25 +452,68 @@ object GraftLogSinkWriterFactory {
     require(schema(keyIdx).dataType == LongType,
       s"graftlog sink: key column '$keyCol' must be BIGINT")
     val stageId = "stream-" + java.util.UUID.randomUUID().toString.take(8)
-    val relPath = f"data/$stageId/part-$epochId%05d-$partitionId%05d-$taskId.parquet"
-    val abs = java.nio.file.Paths.get(table, relPath)
-    java.nio.file.Files.createDirectories(abs.getParent)
     val messageType = messageTypeOf(schema)
     val factory =
       new org.apache.parquet.example.data.simple.SimpleGroupFactory(messageType)
-    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
-      .builder(new HadoopPath(abs.toString))
-      .withType(messageType).withConf(new Configuration()).build()
+    // stats-indexed columns: (name, domain) + schema ordinal
+    val sCols: Seq[(String, Char)] =
+      TableLog.statCols(schema, keyCol, partCols)
+    val sIdx: Array[Int] = sCols.map(c => schema.fieldIndex(c._1)).toArray
+    val sTypes: Array[org.apache.spark.sql.types.DataType] =
+      sIdx.map(schema.fields(_).dataType)
+
     new DataWriter[InternalRow] {
-      private var rows = 0L
-      private var mn = Long.MaxValue
-      private var mx = Long.MinValue
+      import org.apache.parquet.hadoop.ParquetWriter
+
+      final class FileState(val relPath: String) {
+        val abs: java.nio.file.Path = java.nio.file.Paths.get(table, relPath)
+        java.nio.file.Files.createDirectories(abs.getParent)
+        val writer: ParquetWriter[org.apache.parquet.example.data.Group] =
+          org.apache.parquet.hadoop.example.ExampleParquetWriter
+            .builder(new HadoopPath(abs.toString))
+            .withType(messageType).withConf(new Configuration()).build()
+        var rows = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        // per-column min/max observations (null = all-null so far),
+        // same stat domains and ordering the stage() path records
+        val cMin = new Array[Any](sCols.length)
+        val cMax = new Array[Any](sCols.length)
+        def observe(j: Int, typ: Char, v: Any): Unit = {
+          if (cMin(j) == null || TableLog.cmpStat(typ, v, cMin(j)) < 0)
+            cMin(j) = v
+          if (cMax(j) == null || TableLog.cmpStat(typ, v, cMax(j)) > 0)
+            cMax(j) = v
+        }
+        def colStats: Seq[TableLog.ColStat] =
+          sCols.zipWithIndex.flatMap { case ((c, t), j) =>
+            TableLog.mkColStat(c, t, cMin(j), cMax(j)) }
+      }
+
+      // one open file per live partition tuple (key null = the single
+      // file of an unpartitioned write); insertion-ordered so commit
+      // messages are deterministic per task
+      private val open = new java.util.LinkedHashMap[List[String], FileState]()
+      private var fileSeq = 0
       private var off = -1
-      // per-file partition-tuple row counts (partitioned tables only)
-      // — the same stats stage()'s aggregation collects, tracked
-      // inline so the manifest entry is exact without a re-read
-      private val tupleRows =
-        scala.collection.mutable.HashMap.empty[List[String], Long]
+
+      private def stateFor(tuple: List[String]): FileState = {
+        var st = open.get(tuple)
+        if (st == null) {
+          require(open.size < TableLog.maxPartTuplesPerFile,
+            s"graftlog sink: task saw > " +
+              s"${TableLog.maxPartTuplesPerFile} distinct partition " +
+              "tuples — the partition column is too high-cardinality " +
+              "to stratify at file grain")
+          st = new FileState(
+            f"data/$stageId/part-$epochId%05d-$partitionId%05d-" +
+              f"$taskId-$fileSeq%04d.parquet")
+          fileSeq += 1
+          open.put(tuple, st)
+        }
+        st
+      }
+
       override def write(r: InternalRow): Unit = {
         if (off < 0) {
           off = r.numFields - schema.fields.length
@@ -471,6 +521,21 @@ object GraftLogSinkWriterFactory {
             s"graftlog sink: row has ${r.numFields} fields, table " +
               s"declares ${schema.fields.length}")
         }
+        val tuple: List[String] =
+          if (partIdx.isEmpty) null
+          else List.tabulate(partIdx.length) { j =>
+            val i = partIdx(j) + off
+            if (r.isNullAt(i)) TableLog.NullPartValue
+            else partTypes(j) match {
+              case StringType  => r.getUTF8String(i).toString
+              case LongType    => r.getLong(i).toString
+              case IntegerType => r.getInt(i).toString
+              case o => throw new UnsupportedOperationException(
+                s"graftlog sink: partition column type $o") // unreachable:
+                // createEmpty admits only STRING/BIGINT/INT partition cols
+            }
+          }
+        val st = stateFor(tuple)
         val g = factory.newGroup()
         schema.fields.zipWithIndex.foreach { case (f, c) =>
           val i = c + off
@@ -488,42 +553,46 @@ object GraftLogSinkWriterFactory {
         require(!r.isNullAt(keyIdx + off),
           s"graftlog sink: key column '$keyCol' must not be null")
         val k = r.getLong(keyIdx + off)
-        mn = math.min(mn, k); mx = math.max(mx, k)
-        if (partIdx.nonEmpty) {
-          val t = List.tabulate(partIdx.length) { j =>
-            val i = partIdx(j) + off
-            if (r.isNullAt(i)) TableLog.NullPartValue
-            else partTypes(j) match {
-              case StringType  => r.getUTF8String(i).toString
-              case LongType    => r.getLong(i).toString
-              case IntegerType => r.getInt(i).toString
-              case o => throw new UnsupportedOperationException(
-                s"graftlog sink: partition column type $o") // unreachable:
-                // createEmpty admits only STRING/BIGINT/INT partition cols
-            }
-          }
-          tupleRows(t) = tupleRows.getOrElse(t, 0L) + 1L
-          require(tupleRows.size <= TableLog.maxPartTuplesPerFile,
-            s"graftlog sink: task file holds > " +
-              s"${TableLog.maxPartTuplesPerFile} distinct partition " +
-              "tuples — the partition column is too high-cardinality " +
-              "to stratify at file grain")
+        st.mn = math.min(st.mn, k); st.mx = math.max(st.mx, k)
+        var j = 0
+        while (j < sIdx.length) {
+          val i = sIdx(j) + off
+          if (!r.isNullAt(i)) st.observe(j, sCols(j)._2,
+            sTypes(j) match {
+              case LongType    => r.getLong(i)
+              case IntegerType => r.getInt(i)
+              case DoubleType  => r.getDouble(i)
+              case FloatType   => r.getFloat(i)
+              case _           => r.getUTF8String(i).clone()
+            })
+          j += 1
         }
-        rows += 1L
-        writer.write(g)
+        st.rows += 1L
+        st.writer.write(g)
       }
+
       override def commit()
           : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-        writer.close()
-        if (rows == 0L) java.nio.file.Files.deleteIfExists(abs)
-        val parts = tupleRows.toSeq
-          .map { case (vs, n) => TableLog.PartStat(vs, n) }
-          .sortBy(_.values.mkString("/"))
-        GraftLogSinkCommitMessage(relPath, rows, mn, mx, parts)
+        import scala.jdk.CollectionConverters._
+        val msgs = open.entrySet().iterator().asScala.map { e =>
+          val (tuple, st) = (e.getKey, e.getValue)
+          st.writer.close()
+          val parts =
+            if (tuple == null) Nil
+            else Seq(TableLog.PartStat(tuple, st.rows))
+          GraftLogSinkCommitMessage(st.relPath, st.rows, st.mn, st.mx,
+            parts, st.colStats)
+        }.toSeq
+        open.clear()
+        GraftLogSinkCommitBundle(msgs)
       }
       override def abort(): Unit = {
-        writer.close()
-        java.nio.file.Files.deleteIfExists(abs)
+        import scala.jdk.CollectionConverters._
+        open.values().iterator().asScala.foreach { st =>
+          st.writer.close()
+          java.nio.file.Files.deleteIfExists(st.abs)
+        }
+        open.clear()
       }
       override def close(): Unit = ()
     }

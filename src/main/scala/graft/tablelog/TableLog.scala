@@ -79,12 +79,38 @@ object TableLog {
     * than silently recording stats too weak to prune with. */
   val maxPartTuplesPerFile = 64
 
+  /** Per-file min/max of ONE non-key column — the generalized
+    * data-skipping layer (Delta/Iceberg keep the same stats): a
+    * predicate on ANY stats-carrying column prunes files from the
+    * manifest alone, not just the key. `typ` is the comparison
+    * domain ('l' integral, 'd' double, 's' string); `min`/`max` are
+    * rendered values compared in that domain — strings in BINARY
+    * UTF-8 order (Spark's own string ordering), truncated to
+    * [[colStatMaxLen]] chars with the upper bound rounded UP (so a
+    * truncated bound is still a bound; an un-roundable max renders
+    * as the unbounded sentinel). Nulls are not counted: a file whose
+    * column is all null carries no stat and survives every prune —
+    * and since no comparison predicate matches null rows, skipping
+    * on min/max alone stays exact. */
+  final case class ColStat(col: String, typ: Char, min: String, max: String)
+
+  /** Stored-string cap for [[ColStat]] bounds — long text columns
+    * must not bloat the manifest. */
+  val colStatMaxLen = 32
+
+  /** Sentinel for "no upper bound" after an un-roundable truncation.
+    * `~` never appears in an encoded value (URL-encoding's alphabet
+    * excludes it), mirroring the [[NullPartValue]] device. */
+  val ColStatUnbounded = ""
+
   /** One immutable data file in the active set. `min`/`max` are the
     * key-column bounds used for file skipping; `rows` feeds history
     * and vacuum accounting; `parts` the per-tuple partition stats
-    * (empty on unpartitioned tables). */
+    * (empty on unpartitioned tables); `cols` the non-key column
+    * min/max stats (empty on manifests written before they existed —
+    * such files simply never prune on non-key predicates). */
   final case class AddFile(relPath: String, rows: Long, min: Long, max: Long,
-      parts: Seq[PartStat] = Nil)
+      parts: Seq[PartStat] = Nil, cols: Seq[ColStat] = Nil)
 
   /** One replayed commit: the version, its operation tag, the files
     * it added and the (previously active) files it removed. `txn` is
@@ -180,9 +206,122 @@ object TableLog {
         sb ++= s"addt ${a.rows} ${a.min} ${a.max} ${ts.size} " +
           s"${ts.mkString(" ")} ${a.relPath}\n"
       }
+      if (a.cols.nonEmpty) {
+        // `cstat`: the add's non-key column min/max — one
+        // `<col:typ:min:max>` token per column (values URL-encoded,
+        // unbounded max as `~`), relPath last like the add forms
+        val cs = a.cols.map(c => s"${encCol(c.col)}:${c.typ}:" +
+          s"${encCol(c.min)}:" +
+          (if (c.max == ColStatUnbounded) "~" else encCol(c.max)))
+          .sorted
+        sb ++= s"cstat ${cs.size} ${cs.mkString(" ")} ${a.relPath}\n"
+      }
     }
     sb.result()
   }
+
+  private def encCol(v: String): String =
+    java.net.URLEncoder.encode(v, UTF_8)
+  private def decCol(s: String): String =
+    java.net.URLDecoder.decode(s, UTF_8)
+
+  // ------------------------------------------------------- column stats
+
+  /** Cap on the number of stats-indexed columns per table (the Delta
+    * `dataSkippingNumIndexedCols` convention): wide tables must not
+    * turn the manifest into a statistics database — the first
+    * [[colStatMaxCols]] eligible schema columns are indexed, the rest
+    * simply never file-skip. */
+  val colStatMaxCols = 32
+
+  /** Comparison domain of an eligible column, None = not indexed. */
+  private[graft] def colStatTyp(
+      dt: org.apache.spark.sql.types.DataType): Option[Char] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType => Some('l')
+      case DoubleType | FloatType => Some('d')
+      case StringType             => Some('s')
+      case _                      => None
+    }
+  }
+
+  /** The stats-indexed (column, domain) list of a schema: eligible
+    * types, minus the key (it has dedicated bounds) and partition
+    * columns (they have tuple stats), first [[colStatMaxCols]] kept. */
+  private[graft] def statCols(schema: StructType, keyCol: String,
+      partCols: Seq[String]): Seq[(String, Char)] =
+    schema.fields.iterator
+      .filter(f => f.name != keyCol && !partCols.contains(f.name))
+      .flatMap(f => colStatTyp(f.dataType).map(t => (f.name, t)))
+      .take(colStatMaxCols).toSeq
+
+  /** Lower string bound after truncation: a prefix is ≤ the original
+    * in binary UTF-8 order. */
+  private[graft] def truncMin(v: String): String =
+    if (v.length <= colStatMaxLen) v else v.substring(0, colStatMaxLen)
+
+  /** Upper string bound after truncation: round the prefix UP by
+    * incrementing its rightmost non-surrogate char (UTF-8 preserves
+    * code-point order, so the result exceeds every string sharing the
+    * prefix); if no char is incrementable, the bound is unbounded. */
+  private[graft] def truncMax(v: String): String =
+    if (v.length <= colStatMaxLen) v
+    else {
+      val p = v.substring(0, colStatMaxLen)
+      var i = p.length - 1
+      while (i >= 0 && p.charAt(i) >= 0xD7FF.toChar) i -= 1
+      if (i < 0) ColStatUnbounded
+      else p.substring(0, i) + (p.charAt(i) + 1).toChar
+    }
+
+  private[graft] def toStatL(v: Any): Long = v match {
+    case l: java.lang.Long    => l.longValue
+    case i: java.lang.Integer => i.longValue
+    case o                    => o.toString.toLong
+  }
+  private[graft] def toStatD(v: Any): Double = v match {
+    case d: java.lang.Double => d.doubleValue
+    case f: java.lang.Float  => f.doubleValue
+    case o                   => o.toString.toDouble
+  }
+
+  /** Canonical double rendering for a stored bound: zeros carry the
+    * SIGN that makes the bound valid under `Double.compare` (min side
+    * −0.0, max side +0.0 — SQL treats the zeros as equal, the
+    * comparator does not), NaN renders as itself (greatest, matching
+    * Spark's ordering). */
+  private[graft] def dStr(v: Double, low: Boolean): String =
+    java.lang.Double.toString(
+      if (v == 0.0d) { if (low) -0.0d else 0.0d } else v)
+
+  /** Compare two values in a stat domain — the ONE ordering both
+    * write paths and the prune path share (strings binary UTF-8). */
+  private[graft] def cmpStat(typ: Char, a: Any, b: Any): Int = typ match {
+    case 'l' => java.lang.Long.compare(toStatL(a), toStatL(b))
+    case 'd' => java.lang.Double.compare(toStatD(a), toStatD(b))
+    case _   => (a, b) match {
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y)
+      case _ => org.apache.spark.unsafe.types.UTF8String
+        .fromString(a.toString)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b.toString))
+    }
+  }
+
+  /** Render a typed (min, max) observation into a manifest stat;
+    * None when the column was all-null in the file. */
+  private[graft] def mkColStat(col: String, typ: Char,
+      mn: Any, mx: Any): Option[ColStat] =
+    if (mn == null || mx == null) None
+    else Some(typ match {
+      case 'l' => ColStat(col, 'l', toStatL(mn).toString, toStatL(mx).toString)
+      case 'd' => ColStat(col, 'd', dStr(toStatD(mn), low = true),
+        dStr(toStatD(mx), low = false))
+      case _   => ColStat(col, 's', truncMin(mn.toString),
+        truncMax(mx.toString))
+    })
 
   private def parse(version: Long, text: String): Commit = {
     var op = ""; var key = ""; var ddl = ""; var ts = 0L
@@ -191,6 +330,8 @@ object TableLog {
     val txns = Seq.newBuilder[(String, Long)]
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
+    val colStats = scala.collection.mutable.HashMap
+      .empty[String, Seq[ColStat]]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       val sp = line.indexOf(' ')
       if (sp < 0) throw new IllegalStateException(
@@ -223,11 +364,22 @@ object TableLog {
           }.toSeq
           adds += AddFile(toks.drop(4 + k).mkString(" "),
             toks(0).toLong, toks(1).toLong, toks(2).toLong, parts)
+        case "cstat" =>
+          val toks = rest.split(" ")
+          val k = toks(0).toInt
+          val cs = toks.slice(1, 1 + k).map { t =>
+            val Array(c, ty, mn, mx) = t.split(":", -1)
+            ColStat(decCol(c), ty.head, decCol(mn),
+              if (mx == "~") ColStatUnbounded else decCol(mx))
+          }.toSeq
+          colStats(toks.drop(1 + k).mkString(" ")) = cs
         case other => throw new IllegalStateException(
           s"corrupt manifest v$version: unknown tag '$other'")
       }
     }
-    Commit(version, op, adds.result(), removes.result(), ddl, key,
+    val withCols = adds.result().map(a =>
+      colStats.get(a.relPath).fold(a)(cs => a.copy(cols = cs)))
+    Commit(version, op, withCols, removes.result(), ddl, key,
       txns.result(), bloom, ts, partCols)
   }
 
@@ -471,18 +623,27 @@ object TableLog {
         Files.write(stageDir.resolve(s"$name.$c.bloom"), bits.toByteArray)
       }
     }
+    // non-key column min/max ride the SAME stats aggregation (two
+    // extra agg cells per indexed column — still one pass over only
+    // the staged files, proportional to the commit, never the table)
+    val sCols = statCols(df.schema, keyCol, partCols)
+    val statExprs = sCols.flatMap { case (c, _) =>
+      Seq(min(col(c)), max(col(c))) }
+    def colsOf(r: org.apache.spark.sql.Row, base: Int): Seq[ColStat] =
+      sCols.zipWithIndex.flatMap { case ((c, t), j) =>
+        mkColStat(c, t, r.get(base + 2 * j), r.get(base + 2 * j + 1)) }
     val written: Seq[AddFile] =
       if (partCols.isEmpty)
         spark.read.parquet(partFiles: _*)
           .groupBy(input_file_name().as("f"))
           .agg(count(lit(1)).as("rows"),
-            min(col(keyCol)).cast("long").as("mn"),
-            max(col(keyCol)).cast("long").as("mx"))
+            Seq(min(col(keyCol)).cast("long").as("mn"),
+              max(col(keyCol)).cast("long").as("mx")) ++ statExprs: _*)
           .collect() // file-grain: ≤ numFiles rows
           .map { r =>
             val name = fileNameOf(r.getString(0))
             AddFile(s"data/$stageId/$name", r.getLong(1), r.getLong(2),
-              r.getLong(3))
+              r.getLong(3), cols = colsOf(r, 4))
           }.toSeq
       else {
         // one stats pass at (file, partition-tuple) grain — the fold
@@ -494,8 +655,8 @@ object TableLog {
         spark.read.parquet(partFiles: _*)
           .groupBy(input_file_name().as("f"), tupleExpr.as("t"))
           .agg(count(lit(1)).as("rows"),
-            min(col(keyCol)).cast("long").as("mn"),
-            max(col(keyCol)).cast("long").as("mx"))
+            Seq(min(col(keyCol)).cast("long").as("mn"),
+              max(col(keyCol)).cast("long").as("mx")) ++ statExprs: _*)
           .collect()
           .groupBy(r => fileNameOf(r.getString(0)))
           .map { case (name, rs) =>
@@ -507,8 +668,19 @@ object TableLog {
             val parts = rs.map(r =>
                 PartStat(r.getSeq[String](1).toList, r.getLong(2)))
               .sortBy(_.values.mkString("/")).toSeq
+            // fold the per-tuple column observations to file grain in
+            // the shared stat ordering, skipping all-null tuple cells
+            val cols = sCols.zipWithIndex.flatMap { case ((c, t), j) =>
+              val mns = rs.map(_.get(5 + 2 * j)).filter(_ != null)
+              val mxs = rs.map(_.get(5 + 2 * j + 1)).filter(_ != null)
+              if (mns.isEmpty || mxs.isEmpty) None
+              else mkColStat(c, t,
+                mns.reduce((a, b) => if (cmpStat(t, a, b) <= 0) a else b),
+                mxs.reduce((a, b) => if (cmpStat(t, a, b) >= 0) a else b))
+            }
             AddFile(s"data/$stageId/$name", rs.map(_.getLong(2)).sum,
-              rs.map(_.getLong(3)).min, rs.map(_.getLong(4)).max, parts)
+              rs.map(_.getLong(3)).min, rs.map(_.getLong(4)).max, parts,
+              cols = cols)
           }.toSeq
       }
     written.sortBy(_.relPath)

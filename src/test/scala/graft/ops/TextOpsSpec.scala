@@ -1379,6 +1379,55 @@ class TextOpsSpec extends SparkSuite {
     assert(fx.map(_.getString(0)).distinct.length == fx.length)
   }
 
+  test("q447 annotator reliability: competence orders by planted error " +
+    "rate; reweighted vote never hurts the strongest annotator") {
+    val got = TextOps.q447AnnotatorReliability(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    // same item count for every annotator
+    assert(got.values.map(_._1).toSet.size == 1)
+    // planted error rates 1/10 < 2/10 < 4/10 → competence must order
+    assert(got(0L)._3 > got(1L)._3 && got(1L)._3 > got(2L)._3, got)
+    // competence is a ppm affine of agreement: spot-check the formula
+    val (n, ag, comp, _) = got(0L)
+    assert(comp == 2L * ((ag * 1000000L) / n) - 1000000L)
+    // the weighted re-vote sides with the strongest annotator at least
+    // as often as majority did (it can only reweight TOWARD it)
+    assert(got(0L)._4 >= got(0L)._2, got)
+  }
+
+  test("q448 FIM transform: segments reassemble to the original text; " +
+    "modes split by parity with the short-doc passthrough") {
+    val src = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.q448FimTransform(spark, sf0001).collect()
+    assert(got.length == src.size)
+    got.foreach { r =>
+      val (id, mode, len, fim) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))
+      val orig = src(id)
+      assert(len == fim.length)
+      mode match {
+        case "raw" =>
+          assert(orig.length < 30 && fim == orig)
+        case "psm" =>
+          assert(id % 2 == 0 && orig.length >= 30)
+          val Array(_, rest)  = fim.split("<PRE>", 2)
+          val Array(p, rest2) = rest.split("<SUF>", 2)
+          val Array(sfx, mid) = rest2.split("<MID>", 2)
+          assert(p + mid + sfx == orig, s"doc $id PSM reassembly")
+        case "spm" =>
+          assert(id % 2 == 1 && orig.length >= 30)
+          val Array(_, rest)  = fim.split("<SUF>", 2)
+          val Array(sfx, rest2) = rest.split("<PRE>", 2)
+          val Array(p, mid)   = rest2.split("<MID>", 2)
+          assert(p + mid + sfx == orig, s"doc $id SPM reassembly")
+      }
+    }
+  }
+
   test("q279 vocab coverage: crossing replay; curve monotone in both axes") {
     import spark.implicits._
     val got = TextOps.q279VocabCoverage(spark, sf0001).collect()

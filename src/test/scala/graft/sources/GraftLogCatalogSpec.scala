@@ -77,14 +77,16 @@ class GraftLogCatalogSpec extends SparkSuite {
       "graft.sources.GraftLogCatalog")
     val df = spark.sql(s"SELECT k FROM graftlog.`$t` WHERE v = 'a5'")
     val p = df.queryExecution.executedPlan.toString
-    // the manifest layers consumed nothing (v is neither key nor
-    // bloom-indexed here), yet the parquet scan still gets the filter
+    // the parquet scan gets the filter for row-group/page pruning...
     assert(p.contains("EqualTo(v,a5)"), p.take(800))
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(5L))
-    // and the builder still reports only manifest-consumed filters
+    // ...AND the manifest's column-stats layer consumes it too: the
+    // point lookup lands on exactly the one file whose recorded
+    // string range holds 'a5' (binary UTF-8 bounds)
     val b = new GraftLogScanBuilder(spark, t, TableLog.state(t), emptyOpts)
     b.pushFilters(Array(EqualTo("v", "a5")))
-    assert(b.pushedFilters().isEmpty)
+    assert(b.pushedFilters().toSeq == Seq(EqualTo("v", "a5")))
+    assert(b.chosenFiles.size == 1, b.chosenFiles.toString)
   }
 
   test("static IN on the key prunes EXACTLY per value, not by the " +
@@ -208,10 +210,23 @@ class GraftLogCatalogSpec extends SparkSuite {
     val f = spark.sql(s"SELECT count(*) FROM graftlog.`$t` WHERE k >= 100")
     assert(!f.queryExecution.executedPlan.toString.contains("manifest-stats"))
     assert(f.collect().head.getLong(0) == 100L)
-    // min over a NON-key column has no manifest stats: real scan
+    // min over a STRING column refuses — its stored bounds may be
+    // truncated, and the pushdown contract is exactness: real scan
     val nk = spark.sql(s"SELECT min(v) FROM graftlog.`$t`")
     assert(!nk.queryExecution.executedPlan.toString.contains("manifest-stats"))
     assert(nk.collect().head.getString(0) == "a0")
+    // a NON-key INTEGRAL column folds from its column stats when
+    // every active file carries them — zero files opened
+    import spark.implicits._
+    val t2 = Files.createTempDirectory("tlog_aggc_").toString
+    TableLog.create((0L to 99L).map(i => (i, 1000L - i)).toDF("k", "amt"),
+      t2, "k", numFiles = 4)
+    val ik = spark.sql(
+      s"SELECT min(amt) AS mn, max(amt) AS mx FROM graftlog.`$t2`")
+    assert(ik.queryExecution.executedPlan.toString.contains("manifest-stats"))
+    assert(ik.collect().head match {
+      case r => (r.getLong(0), r.getLong(1)) == ((901L, 1000L))
+    })
   }
 
   test("CTAS creates-and-loads in one statement; df.write appends " +
@@ -321,6 +336,49 @@ class GraftLogCatalogSpec extends SparkSuite {
       spark.sql(s"SELECT * FROM graftlog.`$t#history` VERSION AS OF 1")
         .collect()
     }
+  }
+
+  test("column-stats file skipping: comparison predicates on NON-KEY " +
+      "columns prune files from the manifest; stat-less files survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{GreaterThan, In => SIn, LessThan}
+    val t = Files.createTempDirectory("tlog_cst_").toString
+    // k-range staging → amt/tag ranges align per file: 4 files of 50
+    val df = (0L to 199L).map(i => (i, i * 3L, f"t$i%03d")).toDF("k", "amt", "tag")
+    TableLog.create(df, t, "k", numFiles = 4)
+    val snap = TableLog.state(t)
+    assert(snap.active.size == 4)
+    def chosen(fs: org.apache.spark.sql.sources.Filter*): Int = {
+      val b = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+      b.pushFilters(fs.toArray)
+      b.chosenFiles.size
+    }
+    // amt = k*3: a point, a range edge, an IN set, a string range
+    assert(chosen(EqualTo("amt", java.lang.Long.valueOf(300L))) == 1)
+    assert(chosen(GreaterThan("amt", java.lang.Long.valueOf(450L))) == 1)
+    assert(chosen(LessThan("tag", "t050")) == 1)
+    assert(chosen(SIn("amt", Array[Any](java.lang.Long.valueOf(3L),
+      java.lang.Long.valueOf(597L)))) == 2)
+    // impossible predicate prunes everything; rows stay exact end-to-end
+    assert(chosen(EqualTo("amt", java.lang.Long.valueOf(-5L))) == 0)
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftlog.`$t` WHERE amt >= 450 AND amt < 600")
+      .collect().head.getLong(0) == 50L)
+    // the DSv2 INSERT write path records the same stats inline
+    val t2 = Files.createTempDirectory("tlog_cst2_").toString + "/tbl"
+    spark.sql(
+      s"""CREATE TABLE graftlog.`$t2` (k BIGINT, amt BIGINT, tag STRING)
+         |TBLPROPERTIES ('key' = 'k')""".stripMargin)
+    df.createOrReplaceTempView("cst_src")
+    spark.sql(s"INSERT INTO graftlog.`$t2` SELECT * FROM cst_src")
+    val ins = TableLog.state(t2).active
+    assert(ins.nonEmpty && ins.forall(a =>
+      a.cols.map(_.col).toSet == Set("amt", "tag")), ins.map(_.cols))
+    // inserted stats are true bounds: fold of per-file ranges = global
+    assert(ins.map(_.cols.find(_.col == "amt").get.min.toLong).min == 0L)
+    assert(ins.map(_.cols.find(_.col == "amt").get.max.toLong).max == 597L)
   }
 
   test("SQL CALL runs each procedure end-to-end and returns its " +

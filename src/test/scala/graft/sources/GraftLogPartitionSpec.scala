@@ -236,6 +236,49 @@ class GraftLogPartitionSpec extends SparkSuite {
       .map(_.rows).sum).sum == 10L)
   }
 
+  test("storage-partitioned join: co-partitioned tables join with ZERO " +
+      "shuffle under v2 bucketing; keyed aggregation skips its exchange") {
+    import spark.implicits._
+    val t1 = freshPartitioned()
+    val t2 = freshPartitioned()
+    // fixture files are tuple-pure -> the scan reports key grouping
+    assert(TableLog.state(t1).active.forall(_.parts.size == 1))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.sql(
+        s"""SELECT a.p, count(*) AS n
+           |FROM graftlog.`$t1` a JOIN graftlog.`$t2` b ON a.p = b.p
+           |GROUP BY a.p ORDER BY a.p""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free storage-partitioned join:\n${plan.take(2000)}")
+      // 100+100 rows per table, 50 per tuple per table -> 100*100 pairs/4...
+      // per tuple: 50 rows in a, 50 in b -> 2500 pairs
+      assert(j.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq("a", "b", "c", "d").map(p => (p, 2500L)))
+      // keyed aggregation alone: one scan, no exchange before the agg
+      val g = spark.sql(
+        s"SELECT p, count(*) AS n FROM graftlog.`$t1` GROUP BY p")
+      val gPlan = g.queryExecution.executedPlan.toString
+      assert(!gPlan.contains("Exchange hashpartitioning"),
+        s"expected exchange-free keyed agg:\n${gPlan.take(2000)}")
+      assert(g.collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).toSeq ===
+        Seq("a", "b", "c", "d").map(p => (p, 50L)))
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    // with bucketing off, the same join shuffles (the fallback shape)
+    val j2 = spark.sql(
+      s"""SELECT a.p, count(*) AS n
+         |FROM graftlog.`$t1` a JOIN graftlog.`$t2` b ON a.p = b.p
+         |GROUP BY a.p""".stripMargin)
+    assert(j2.collect().map(_.getLong(1)).sum == 10000L)
+  }
+
   test("misuse fails loudly: high-cardinality partition column blows " +
       "the per-file tuple cap; non-stringifiable types refused at CREATE") {
     import spark.implicits._

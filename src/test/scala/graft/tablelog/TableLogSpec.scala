@@ -180,6 +180,59 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.latestVersion(t) == before)
   }
 
+  test("column stats: non-key min/max recorded per file, manifest " +
+      "round-trips them; all-null and truncated-string columns behave") {
+    import spark.implicits._
+    val t = freshDir()
+    val longTail = "z" * 40 // > colStatMaxLen: bounds must truncate soundly
+    val df = (0L to 99L).map { i =>
+      (i, i * 10L, i / 4.0,
+        if (i == 99L) longTail else f"s$i%03d",
+        null.asInstanceOf[java.lang.Long])
+    }.toDF("k", "amt", "ratio", "tag", "hole")
+    TableLog.create(df, t, "k", numFiles = 4)
+    val files = TableLog.state(t).active
+    assert(files.size == 4)
+    // every file carries stats for amt/ratio/tag; none for the
+    // all-null column, none for the key (it has dedicated bounds)
+    files.foreach { a =>
+      val byCol = a.cols.map(c => c.col -> c).toMap
+      assert(byCol.keySet == Set("amt", "ratio", "tag"), a.cols)
+      assert(byCol("amt").typ == 'l' && byCol("ratio").typ == 'd' &&
+        byCol("tag").typ == 's')
+      // key-derived truth: amt = k*10 so file bounds align with key's
+      assert(byCol("amt").min.toLong == a.min * 10)
+      assert(byCol("amt").max.toLong == a.max * 10)
+      assert(byCol("ratio").min.toDouble == a.min / 4.0)
+    }
+    // the 40-char string bound truncated: min is a 32-prefix, max
+    // rounded up above the true value
+    val last = files.maxBy(_.max)
+    val tag = last.cols.find(_.col == "tag").get
+    assert(tag.max.length <= TableLog.colStatMaxLen)
+    assert(TableLog.cmpStat('s', tag.max, longTail) > 0 ||
+      tag.max == TableLog.ColStatUnbounded)
+    // a rewrite (compact) recomputes stats for the new layout
+    TableLog.compact(spark, t, 1)
+    val one = TableLog.state(t).active
+    assert(one.size == 1 &&
+      one.head.cols.find(_.col == "amt").get.max.toLong == 990L)
+  }
+
+  test("truncMin/truncMax: prefix lower bound, rounded-up upper bound, " +
+      "unbounded when nothing increments") {
+    val v = "abc" + ("x" * 40)
+    assert(TableLog.truncMin(v) == "abc" + "x" * 29)
+    val up = TableLog.truncMax(v)
+    assert(up.length <= TableLog.colStatMaxLen)
+    assert(TableLog.cmpStat('s', up, v) > 0)
+    // short values pass through exactly
+    assert(TableLog.truncMin("ab") == "ab" && TableLog.truncMax("ab") == "ab")
+    // a prefix of un-incrementable chars yields the unbounded sentinel
+    val high = "\uD7FF" * 40
+    assert(TableLog.truncMax(high) == TableLog.ColStatUnbounded)
+  }
+
   test("empty append bumps the version without staging files") {
     val t = freshDir()
     TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
