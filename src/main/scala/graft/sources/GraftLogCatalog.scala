@@ -604,6 +604,9 @@ class GraftLogRowLevelOperation(tablePath: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(SparkSession.active, tablePath, snap, options) {
+      // the group filter must stay a single-column key IN — see
+      // GraftLogScanBuilder.runtimeFilterKeyOnly
+      override protected def runtimeFilterKeyOnly: Boolean = true
       override def build(): Scan = super.build() match {
         case d: GraftLogDataScan => builtScan = d; d
         case other               => other
@@ -987,8 +990,17 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
       new GraftLogStatsScan(schema, row, files.size)
     case None =>
       new GraftLogDataScan(spark, tablePath, snap, fullSchema, required,
-        allFilters, files, options)
+        allFilters, files, options,
+        keyOnlyRuntimeFilter = runtimeFilterKeyOnly)
   }
+
+  /** Row-level operations override this: Spark's runtime GROUP
+    * filtering structs ALL advertised filter attributes into one
+    * multi-column IN-subquery, which no source filter can express —
+    * advertising anything beyond the key would silently disable the
+    * matched-group sliver rewrite. Plain reads keep the full set
+    * (DPP probes attributes individually). */
+  protected def runtimeFilterKeyOnly: Boolean = false
 }
 
 object GraftLogScanBuilder {
@@ -1153,7 +1165,8 @@ object GraftLogScanBuilder {
 class GraftLogDataScan(spark: SparkSession, tablePath: String,
     snap: TableLog.Snapshot, fullSchema: StructType, required: StructType,
     dataFilters: Array[Filter], initialFiles: Seq[TableLog.AddFile],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    keyOnlyRuntimeFilter: Boolean = false)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1284,33 +1297,48 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
       : org.apache.spark.sql.connector.read.Statistics =
     inner.estimateStatistics()
 
-  // Runtime filtering is offered on the key column ONLY when column
-  // pruning kept it in the scan output: Spark resolves these refs
-  // against the scan's output attributes and THROWS (not skips) on a
-  // miss — a key-free projection must advertise nothing.
+  // Runtime filtering is offered on the key column AND every column
+  // the chosen files carry min/max stats for — a dim-side join on ANY
+  // indexed column shrinks the file set at execution time, not just a
+  // key join. Only columns surviving column pruning are advertised:
+  // Spark resolves these refs against the scan's output attributes
+  // and THROWS (not skips) on a miss.
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (required.fieldNames.contains(snap.keyCol))
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column(snap.keyCol))
-    else Array.empty
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val statCols =
+      if (keyOnlyRuntimeFilter) Set.empty[String]
+      else files.iterator.flatMap(_.cols.iterator.map(_.col)).toSet
+    required.fieldNames
+      .filter(c => c == snap.keyCol || statCols(c))
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .column(c)
+        : org.apache.spark.sql.connector.expressions.NamedReference)
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
     val k = snap.keyCol
-    val inSets = filters.collect {
-      case In(`k`, vs) => vs.flatMap {
-        case l: java.lang.Long    => Some(l.longValue)
-        case i: java.lang.Integer => Some(i.longValue)
-        case _                    => None
-      }
-    }
     // a runtime filter only ever SHRINKS the set; an unparseable one
     // is ignored (rows are still exact — the join re-checks keys)
-    inSets.foreach { vs =>
-      val sorted = vs.sorted
-      files = files.filter(f =>
-        GraftLogScanBuilder.anyInRange(sorted, f.min, f.max))
-      runtimePruned = true
+    filters.foreach {
+      case In(`k`, vs) =>
+        val longs = vs.flatMap {
+          case l: java.lang.Long    => Some(l.longValue)
+          case i: java.lang.Integer => Some(i.longValue)
+          case _                    => None
+        }
+        if (longs.nonEmpty) {
+          val sorted = longs.sorted
+          files = files.filter(f =>
+            GraftLogScanBuilder.anyInRange(sorted, f.min, f.max))
+          runtimePruned = true
+        }
+      case flt @ In(_, _)
+          if GraftLogScanBuilder.colStatFilterCol(flt).isDefined =>
+        // non-key runtime IN: probe each value against the column's
+        // recorded range — same soundness as the static cstat layer
+        files = files.filter(a => GraftLogScanBuilder.colStatKeep(a, flt))
+        runtimePruned = true
+      case _ => ()
     }
     if (runtimePruned) inner = mkInner()
   }
