@@ -2085,7 +2085,61 @@ object TableOps {
       |WHERE o_orderkey % 4 = 3 AND o_custkey > 300 AND o_custkey <= 600
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q449
+  /** `CALL graftlog.clone(src, dst)` — shallow clone, the zero-copy
+    * table fork (Delta's CLONE lineage): dst's v1 references src's
+    * files by relative path, no data bytes move (at 100 TB a clone is
+    * one driver-side manifest write), then the two histories DIVERGE —
+    * the clone deletes a slice and appends fresh rows while the source
+    * stays byte-identical (read back in-query to prove isolation), and
+    * the clone's own rewrites land in its own data dir. DuckDB replays
+    * both lineages from the source rows. */
+  private val cloneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def q449ShallowClone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val (src, dst) = cloneCache.computeIfAbsent(dir, _ => {
+      val a = Files.createTempDirectory("graft_tlogcl_").toString + "/src"
+      val b = Files.createTempDirectory("graft_tlogcl_").toString + "/dst"
+      TableLog.create(ordersSlice(s, dir).where($"o_orderkey" % 8 === 6),
+        a, "o_orderkey", numFiles = 4)
+      s.sql(s"CALL graftlog.clone('$a', '$b')")
+      s.sql(s"DELETE FROM graftlog.`$b` WHERE o_orderkey % 10 < 3")
+      val v = s"graft_clone_ins_${Integer.toHexString(dir.hashCode)}"
+      ordersSlice(s, dir).where($"o_orderkey" % 8 === 6)
+        .select((-$"o_orderkey" - 1).as("o_orderkey"), $"o_custkey",
+          $"o_orderstatus", $"o_orderpriority", $"o_totalprice")
+        .where($"o_custkey" % 5 === 0)
+        .createOrReplaceTempView(v)
+      try s.sql(s"INSERT INTO graftlog.`$b` SELECT * FROM $v")
+      finally s.catalog.dropTempView(v)
+      (a, b)
+    })
+    def era(tag: String, t: String): DataFrame = s.sql(
+      s"""SELECT '$tag' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$t`""".stripMargin)
+    era("clone", dst).unionByName(era("source", src)).orderBy($"side")
+  }
+
+  private val q449Oracle =
+    """WITH src AS (
+      |  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 8 = 6),
+      |cl AS (
+      |  SELECT o_orderkey FROM src WHERE o_orderkey % 10 >= 3
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1 FROM src WHERE o_custkey % 5 = 0)
+      |SELECT 'clone' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM cl
+      |UNION ALL
+      |SELECT 'source', CAST(count(*) AS BIGINT),
+      |  CAST(sum(o_orderkey) AS BIGINT) FROM src
+      |ORDER BY side""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q449_shallow_clone" -> (q449ShallowClone _),
     "q446_column_stats_skip" -> (q446ColumnStatsSkip _),
     "q445_storage_partitioned_join" -> (q445StoragePartitionedJoin _),
     "q444_merge_tri_clause" -> (q444MergeTriClause _),
@@ -2130,6 +2184,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q449_shallow_clone" -> q449Oracle,
     "q446_column_stats_skip" -> q446Oracle,
     "q445_storage_partitioned_join" -> q445Oracle,
     "q444_merge_tri_clause" -> q444Oracle,

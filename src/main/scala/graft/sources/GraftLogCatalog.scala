@@ -1511,5 +1511,28 @@ private[sources] object GraftLogProcedures {
     }
   }
 
-  val all: Seq[UnboundProcedure] = Seq(Vacuum, Compact, Restore)
+  /** `CALL graftlog.clone('<src>', '<dst>')` —
+    * [[TableLog.shallowClone]]: zero-copy table fork. The new table's
+    * v1 references the source's current files by relative path
+    * (schema/key/bloom/partitions and all file stats come along);
+    * no data bytes move. Returns (version, n_files). */
+  object Clone extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "shallow-clone a table: metadata-only fork of the current snapshot"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType)
+        .comment("source table path").build(),
+      ProcedureParameter.in("target", StringType)
+        .comment("new table path (must not exist)").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (v, n) = TableLog.shallowClone(
+        input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+      oneRow("version BIGINT, n_files BIGINT", Seq(v, n.toLong))
+    }
+  }
+
+  val all: Seq[UnboundProcedure] = Seq(Vacuum, Compact, Restore, Clone)
 }

@@ -914,6 +914,33 @@ object TableLog {
     (v, adds.size, removes.size)
   }
 
+  /** SHALLOW clone — the zero-copy table fork (Delta's CLONE verb):
+    * `dst`'s v1 manifest references `src`'s CURRENT active files by
+    * relative path, copying schema/key/bloom/partition declarations
+    * and every file-grain stat, moving ZERO data bytes — at 100 TB a
+    * clone is a driver-side metadata write. The clone then lives its
+    * own life: appends/rewrites/compactions land in its OWN data dir,
+    * and its vacuum can never reclaim source files structurally (the
+    * reclaim walk is rooted at the clone's `data/`, where external
+    * references never live). The one shared-fate hazard is the
+    * lineage-standard one: vacuuming the SOURCE can reclaim files a
+    * clone still references (src knows nothing of its clones — Delta
+    * documents the same); clone reads then fail loudly. Deep-copy via
+    * CTAS when lifetime independence matters. Returns (v1, nFiles). */
+  def shallowClone(src: String, dst: String): (Long, Int) = {
+    require(latestVersion(dst) == 0L, s"$dst already exists")
+    val s = state(src)
+    Files.createDirectories(Paths.get(dst))
+    val dstP = Paths.get(dst).toAbsolutePath.normalize
+    val adds = s.active.map { a =>
+      val abs = Paths.get(src, a.relPath).toAbsolutePath.normalize
+      a.copy(relPath = dstP.relativize(abs).toString)
+    }
+    val v = commit(dst, 0L, "clone", adds, Nil, s.schemaDdl, s.keyCol,
+      bloom = s.bloom, partCols = s.partCols)
+    (v, adds.size)
+  }
+
   /** Append with ADDITIVE schema evolution: new columns widen the
     * table schema (recorded in the manifest — readers null-fill them
     * in pre-evolution files via the explicit-schema parquet read);

@@ -233,6 +233,44 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.truncMax(high) == TableLog.ColStatUnbounded)
   }
 
+  test("shallow clone: zero-copy fork, histories diverge, clone vacuum " +
+      "can never reclaim source files") {
+    import spark.implicits._
+    val src = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), src, "k", 4)
+    val dst = freshDir() + "/clone"
+    val (v, n) = TableLog.shallowClone(src, dst)
+    assert(v == 1L && n == 4)
+    // no data bytes moved: the clone's data dir does not exist yet
+    assert(!Files.isDirectory(Paths.get(dst, "data")))
+    // reads equal; stats (key bounds, column stats) came along
+    assert(TableLog.snapshot(spark, dst).count() == 100)
+    assert(TableLog.state(dst).active.forall(_.cols.nonEmpty))
+    // clone diverges without touching src
+    TableLog.deleteWhere(spark, dst, col("k") < 50, numFiles = 1)
+    TableLog.append((500L to 509L).map(i => (i, s"c$i")).toDF("k", "v"),
+      dst, 1)
+    assert(TableLog.snapshot(spark, dst).count() == 60)
+    assert(TableLog.snapshot(spark, src).count() == 100)
+    // the clone's vacuum walks ITS data dir only: the rewrite dropped
+    // every external reference, yet no source file is a candidate
+    val victims = TableLog.vacuumList(dst, graceMillis = 0)
+    assert(victims.forall(!_.contains("..")), victims)
+    TableLog.vacuum(dst, graceMillis = 0)
+    assert(TableLog.snapshot(spark, src).count() == 100,
+      "clone vacuum must never touch source data")
+    // cloning over an existing table refuses
+    intercept[IllegalArgumentException] { TableLog.shallowClone(src, dst) }
+    // source vacuum reclaiming a cloned file is the disclosed hazard:
+    // compact src (drops the originals) then vacuum — the PRE-rewrite
+    // clone version now fails loudly instead of silently missing rows
+    val dst2 = freshDir() + "/clone2"
+    TableLog.shallowClone(src, dst2)
+    TableLog.compact(spark, src, 1)
+    TableLog.vacuum(src, graceMillis = 0)
+    intercept[Exception] { TableLog.snapshot(spark, dst2).collect() }
+  }
+
   test("empty append bumps the version without staging files") {
     val t = freshDir()
     TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
