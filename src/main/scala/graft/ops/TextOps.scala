@@ -5517,7 +5517,82 @@ object TextOps {
       |  fim_text
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q450
+  /** Data-constrained mixing plan (the multi-epoch budget allocator —
+    * Muennighoff et al. 2023's finding that ~4 epochs of repeated data
+    * are near-free is the public lineage): given a token budget of
+    * 2× the corpus, allocate per-source TARGET tokens by doc-count
+    * share with largest-remainder exactness (q289's device — targets
+    * sum to the budget exactly), convert to micro-epochs capped at
+    * 4.0 (beyond that, repetition stops buying loss), and report the
+    * sampled token yield. Whitespace token counts (q72's convention);
+    * everything integer, one corpus scan, then all arithmetic on the
+    * #sources grid. */
+  def q450DataConstrainedMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documentsSpread(s, dir)
+      .select($"source", size(split($"text", lit(" "))).cast("long").as("n"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("tokens"))
+    val tot = per.agg(sum($"n_docs").as("d"), sum($"tokens").as("t"))
+    val whole = Window.partitionBy()
+    per.crossJoin(broadcast(tot))
+      .withColumn("budget", $"t" * 2)
+      .withColumn("base", expr("(budget * n_docs) div d"))
+      .withColumn("rem", expr("(budget * n_docs) % d"))
+      .withColumn("leftover",
+        ($"budget" - sum($"base").over(whole)).cast("long"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"rem".desc, $"source".asc))
+          .cast("long"))
+      .withColumn("target_tokens",
+        $"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+      .withColumn("epochs_micro",
+        least(lit(4000000L),
+          expr("(target_tokens * 1000000) div greatest(tokens, 1)")))
+      .withColumn("sampled_tokens",
+        expr("(tokens * epochs_micro) div 1000000"))
+      .select($"source", $"n_docs", $"tokens", $"target_tokens",
+        $"epochs_micro", $"sampled_tokens")
+      .orderBy($"source")
+  }
+
+  private val q450Oracle =
+    """WITH per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS d,
+      |  CAST(sum(tokens) AS BIGINT) AS t FROM per),
+      |g AS (
+      |  SELECT per.*, t * 2 AS budget,
+      |    (t * 2 * n_docs) // d AS base,
+      |    (t * 2 * n_docs) % d AS rem
+      |  FROM per, tot),
+      |r AS (
+      |  SELECT *, budget - sum(base) OVER () AS leftover,
+      |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+      |  FROM g),
+      |f AS (
+      |  SELECT source, n_docs, tokens,
+      |    base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+      |      AS target_tokens
+      |  FROM r),
+      |e AS (
+      |  SELECT *, least(4000000,
+      |    (target_tokens * 1000000) // greatest(tokens, 1))
+      |    AS epochs_micro
+      |  FROM f)
+      |SELECT source, n_docs, tokens, CAST(target_tokens AS BIGINT)
+      |    AS target_tokens,
+      |  CAST(epochs_micro AS BIGINT) AS epochs_micro,
+      |  CAST((tokens * epochs_micro) // 1000000 AS BIGINT)
+      |    AS sampled_tokens
+      |FROM e ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q450_data_constrained_mix" -> (q450DataConstrainedMix _),
     "q447_annotator_reliability" -> (q447AnnotatorReliability _),
     "q448_fim_transform" -> (q448FimTransform _),
     "q443_bradley_terry" -> (q443BradleyTerry _),
@@ -5603,6 +5678,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q450_data_constrained_mix" -> q450Oracle,
     "q447_annotator_reliability" -> q447Oracle,
     "q448_fim_transform" -> q448Oracle,
     "q443_bradley_terry" -> q443Oracle,

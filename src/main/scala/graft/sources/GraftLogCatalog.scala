@@ -1534,5 +1534,36 @@ private[sources] object GraftLogProcedures {
     }
   }
 
-  val all: Seq[UnboundProcedure] = Seq(Vacuum, Compact, Restore, Clone)
+  /** `CALL graftlog.zorder('<path>', '<colX>', '<colY>', <num_files>)`
+    * — [[TableLog.compactZorder]]: re-lay the table's files along the
+    * interleaved (colX, colY) curve so BOTH columns get tight per-file
+    * ranges for manifest skipping (q351's layout verb, SQL-callable
+    * like Delta's OPTIMIZE ZORDER BY). Logically a no-op; one rewrite
+    * commit. Returns (version, n_files). */
+  object ZOrder extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "rewrite the table z-ordered on two columns for two-axis file skipping"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("col_x", StringType)
+        .comment("first z-order column").build(),
+      ProcedureParameter.in("col_y", StringType)
+        .comment("second z-order column").build(),
+      ProcedureParameter.in("num_files", IntegerType)
+        .comment("target file count").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = TableLog.compactZorder(SparkSession.active,
+        input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString, input.getInt(3))
+      oneRow("version BIGINT, n_files BIGINT",
+        Seq(v, input.getInt(3).toLong))
+    }
+  }
+
+  val all: Seq[UnboundProcedure] =
+    Seq(Vacuum, Compact, Restore, Clone, ZOrder)
 }

@@ -1428,6 +1428,25 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q450 data-constrained mix: targets sum to the budget exactly; " +
+    "epochs cap at 4.0; sampled tokens honor the epoch fraction") {
+    val got = TextOps.q450DataConstrainedMix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    val totTokens = got.map(_._3).sum
+    // largest-remainder exactness: allocated budget = 2x corpus, to the token
+    assert(got.map(_._4).sum == 2 * totTokens,
+      s"${got.map(_._4).sum} != ${2 * totTokens}")
+    got.foreach { case (src, _, tokens, target, epochs, sampled) =>
+      assert(epochs <= 4000000L, s"$src epochs $epochs")
+      assert(epochs == math.min(4000000L, target * 1000000L / tokens))
+      assert(sampled == tokens * epochs / 1000000L, s"$src sampled")
+      // a capped source samples at most 4 epochs of itself
+      assert(sampled <= 4 * tokens)
+    }
+  }
+
   test("q279 vocab coverage: crossing replay; curve monotone in both axes") {
     import spark.implicits._
     val got = TextOps.q279VocabCoverage(spark, sf0001).collect()

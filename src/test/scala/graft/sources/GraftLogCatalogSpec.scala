@@ -401,5 +401,15 @@ class GraftLogCatalogSpec extends SparkSuite {
     // table still reads after vacuum
     assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
       .collect().head.getLong(0) == 200L)
+    // zorder re-lays the files; logical no-op, both axes get stats
+    val z = spark.sql(s"CALL graftlog.zorder('$t', 'k', 'k', 2)").collect()
+    assert(z.head.getLong(1) == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 200L)
+    // clone procedure: zero-copy fork readable by name
+    val c2 = Files.createTempDirectory("tlog_callcl_").toString + "/c"
+    spark.sql(s"CALL graftlog.clone('$t', '$c2')")
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$c2`")
+      .collect().head.getLong(0) == 200L)
   }
 }
