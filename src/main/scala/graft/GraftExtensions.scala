@@ -29,8 +29,54 @@ object GraftFunctions {
 
   /** Post-hoc install into an already-built session (idempotent —
     * registerFunction replaces). */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     all.foreach { case (id, info, b) => FunctionBridge.register(spark, id, info, b) }
+    GraftTableFunctions.all.foreach { case (id, info, b) =>
+      FunctionBridge.registerTable(spark, id, info, b) }
+  }
+}
+
+/** Table-valued SQL functions — relations computed from arguments,
+  * the Delta `table_changes(...)` shape: where the `#history` /
+  * `#partitions` metadata tables expose parameterless inventories,
+  * a TVF carries the (from, to) version window into FROM-clause
+  * position. Injected via `SparkSessionExtensions.injectTableFunction`
+  * (the public hook, same as scalar functions). */
+object GraftTableFunctions {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def literal(e: Expression, what: String): Any = {
+    require(e.foldable, s"graft_table_changes: $what must be a literal")
+    e.eval()
+  }
+  private def asLong(v: Any, what: String): Long = v match {
+    case l: java.lang.Long    => l
+    case i: java.lang.Integer => i.toLong
+    case o => throw new IllegalArgumentException(
+      s"graft_table_changes: $what must be an integer literal, got $o")
+  }
+
+  /** `SELECT * FROM graft_table_changes('<path>', <from_v>, <to_v>)`
+    * — the change-exact row diff between two committed versions
+    * ([[graft.tablelog.TableLog.diffVersions]], q336's machinery) in
+    * FROM-clause position: (action, key, old_*, new_*) rows computed
+    * from only the files the window's rewrites touched, never a full
+    * double scan. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)] =
+    Seq(
+      (FunctionIdentifier("graft_table_changes"),
+        new ExpressionInfo(graft.tablelog.TableLog.getClass.getName,
+          "graft_table_changes"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3,
+            "usage: graft_table_changes(path, from_version, to_version)")
+          val path = literal(args(0), "path").toString
+          val from = asLong(literal(args(1), "from_version"), "from_version")
+          val to = asLong(literal(args(2), "to_version"), "to_version")
+          graft.tablelog.TableLog
+            .diffVersions(SparkSession.active, path, from, to)
+            .queryExecution.logical
+        }))
 }
 
 /** Config-time install: `spark.sql.extensions=graft.GraftExtensions`
@@ -39,6 +85,8 @@ object GraftFunctions {
   * sanctioned extension-injection point; same mechanism Delta/Iceberg
   * use). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    GraftTableFunctions.all.foreach(ext.injectTableFunction)
+  }
 }

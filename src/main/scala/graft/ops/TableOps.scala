@@ -2138,7 +2138,29 @@ object TableOps {
       |  CAST(sum(o_orderkey) AS BIGINT) FROM src
       |ORDER BY side""".stripMargin
 
+  // ---------------------------------------------------------------- q451
+  /** `SELECT … FROM graft_table_changes('<path>', from, to)` — the
+    * change feed as a TABLE-VALUED FUNCTION (Delta's `table_changes`
+    * shape, injected through Spark's public
+    * `SparkSessionExtensions.injectTableFunction` hook): q336's
+    * change-exact diff, now reachable from pure SQL FROM-clause
+    * position with the version window as arguments — the surface the
+    * parameterless `#history`/`#partitions` metadata tables can't
+    * express. Same demo table and change recipe as q336, so it shares
+    * that oracle verbatim: the API diff and the SQL TVF must state
+    * the same rows. */
+  def q451TableChangesTvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.GraftFunctions.install(s)
+    val table = demoTable(s, dir)
+    s.sql(
+      s"""SELECT o_orderkey, action, old_o_orderstatus, old_o_totalprice
+         |FROM graft_table_changes('$table', 3, 5)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q451_table_changes_tvf" -> (q451TableChangesTvf _),
     "q449_shallow_clone" -> (q449ShallowClone _),
     "q446_column_stats_skip" -> (q446ColumnStatsSkip _),
     "q445_storage_partitioned_join" -> (q445StoragePartitionedJoin _),
@@ -2184,6 +2206,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q451_table_changes_tvf" -> q336Oracle,
     "q449_shallow_clone" -> q449Oracle,
     "q446_column_stats_skip" -> q446Oracle,
     "q445_storage_partitioned_join" -> q445Oracle,

@@ -5277,9 +5277,14 @@ object TextOps {
         .select($"source",
           expr("(wins * 1000000000000) div greatest(den, 1)").as("praw"))
       val norm = raw.agg(sum($"praw").as("sp"), count(lit(1)).as("np"))
+      // materialize each round: the strength vector is #sources rows,
+      // and WITHOUT the cut, round r's two broadcasts + the norm pass
+      // each re-execute round r−1's whole DAG — re-computation grows
+      // geometrically in `rounds` (measured: 11 s → ~2 s at sf0.1)
       p = raw.crossJoin(broadcast(norm))
         .select($"source",
           expr("(praw * np * 1000000) div greatest(sp, 1)").as("p"))
+        .localCheckpoint(true)
     }
     tallies.join(p, "source")
       .select($"source", $"games", $"wins", $"p".as("strength_micro"))

@@ -18,4 +18,13 @@ object FunctionBridge {
   def register(spark: SparkSession, id: FunctionIdentifier,
       info: ExpressionInfo, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** Table-valued function registration — the post-hoc mirror of
+    * `SparkSessionExtensions.injectTableFunction`. */
+  def registerTable(spark: SparkSession, id: FunctionIdentifier,
+      info: ExpressionInfo,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .registerFunction(id, info, builder)
 }
