@@ -5596,7 +5596,184 @@ object TextOps {
       |    AS sampled_tokens
       |FROM e ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q452
+  /** Bounded edit-distance near-dup (the OCR-noise / typo-variant
+    * dedup family): candidates BLOCK on (8-char prefix, length
+    * bucket) — never all-pairs — and verify with Levenshtein ≤ 2 over
+    * a 200-char ASCII-sanitized window. Three deliberate bounds, each
+    * disclosed: blocking misses edits inside the first 8 chars (the
+    * standard prefix-blocking recall trade), the window caps the
+    * O(n·m) DP at 200×200 per candidate pair, and the ASCII
+    * projection pins cross-engine semantics (Spark's Levenshtein
+    * counts CHARS, DuckDB's counts BYTES — equal only on ASCII,
+    * measured). Planted single-edit mutants (append / point
+    * substitution) guarantee both accept paths fire; Spark's
+    * threshold form prunes the DP early and returns the exact
+    * distance for survivors. */
+  def q452EditDistanceDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documentsSpread(s, dir)
+      .select($"doc_id",
+        expr("substr(regexp_replace(text, '[^ -~]', ''), 1, 200)")
+          .as("w"))
+    // mutants: even ids append one char, odd ids substitute char 12
+    val mutants = base
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        when(pmod($"doc_id", lit(2)) === 0, concat($"w", lit("x")))
+          .otherwise(concat(expr("substr(w, 1, 11)"), lit("Z"),
+            expr("substr(w, 13)"))).as("w"))
+    val corpus = base.unionByName(mutants)
+      .where(length($"w") >= 16)
+      .withColumn("blk",
+        concat(expr("substr(w, 1, 8)"), lit("#"),
+          (length($"w").cast("long") / 16L).cast("long")))
+    val a = corpus.select($"blk", $"doc_id".as("ida"), $"w".as("wa"))
+    val b = corpus.select($"blk", $"doc_id".as("idb"), $"w".as("wb"))
+    a.join(b, Seq("blk")).where($"ida" < $"idb")
+      .withColumn("dist", levenshtein($"wa", $"wb", 2))
+      .where($"dist" >= 0)
+      .select($"ida", $"idb", $"dist".cast("long").as("dist"))
+      .orderBy($"ida", $"idb")
+  }
+
+  private val q452Oracle =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 200) AS w
+      |  FROM documents),
+      |mut AS (
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN w || 'x'
+      |         ELSE substr(w, 1, 11) || 'Z' || substr(w, 13) END AS w
+      |  FROM base),
+      |corpus AS (
+      |  SELECT *, substr(w, 1, 8) || '#' ||
+      |      CAST(length(w) // 16 AS VARCHAR) AS blk
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM mut)
+      |  WHERE length(w) >= 16)
+      |SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+      |FROM corpus a JOIN corpus b
+      |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.w, b.w) <= 2
+      |ORDER BY ida, idb""".stripMargin
+
+  // ---------------------------------------------------------------- q453
+  /** Multi-class classifier eval in exact ppm integers: per-class
+    * precision / recall / F1 from the confusion counts, plus macro-F1
+    * and Cohen's κ on a TOTAL row — the standard quality-filter /
+    * lang-ID model scorecard, bit-identical cross-engine because
+    * every ratio is a ppm floor-div (κ's chance agreement p_e folds
+    * from the row×column marginals over n², all BIGINT). Planted
+    * 3-class predictions with per-class error rates so every
+    * confusion cell is exercised. */
+  def q453MulticlassEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documentsSpread(s, dir).select($"doc_id")
+      .withColumn("t", pmod($"doc_id", lit(3)))
+      .withColumn("p",
+        when(pmod($"doc_id" * 13 + 7L, lit(10)) <
+            when($"t" === 0, 1).when($"t" === 1, 2).otherwise(3),
+          pmod($"t" + 1, lit(3))).otherwise($"t"))
+    val cells = d.groupBy($"t", $"p").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // class-grid; every readout re-reads it
+    val n = cells.agg(sum($"n").as("n_total"))
+    val perClass = (0 to 2).map { c =>
+      val tp = sum(when($"t" === c && $"p" === c, $"n").otherwise(0L))
+      val fp = sum(when($"t" =!= c && $"p" === c, $"n").otherwise(0L))
+      val fn = sum(when($"t" === c && $"p" =!= c, $"n").otherwise(0L))
+      cells.agg(tp.as("tp"), fp.as("fp"), fn.as("fn"))
+        .select(lit(c.toLong).as("clazz"),
+          expr("(tp * 1000000) div greatest(tp + fp, 1)").as("prec_ppm"),
+          expr("(tp * 1000000) div greatest(tp + fn, 1)").as("rec_ppm"))
+        .withColumn("f1_ppm",
+          expr("(2 * prec_ppm * rec_ppm) div greatest(prec_ppm + rec_ppm, 1)"))
+    }.reduce(_ unionByName _)
+    val macroRow = perClass.agg(
+      expr("sum(f1_ppm) div 3").as("f1_ppm"))
+      .select(lit(-1L).as("clazz"), lit(null).cast("long").as("prec_ppm"),
+        lit(null).cast("long").as("rec_ppm"), $"f1_ppm")
+    // Cohen's kappa on a second TOTAL row: po = accuracy, pe from the
+    // marginals; all ppm floor-div
+    val kappaRow = cells
+      .select($"t", $"p", $"n").crossJoin(broadcast(n))
+      .agg(
+        expr("(sum(CASE WHEN t = p THEN n ELSE 0 END) * 1000000) " +
+          "div max(n_total)").as("po"),
+        max($"n_total").as("nt"))
+      .crossJoin(broadcast(
+        cells.groupBy($"t").agg(sum($"n").as("rm"))
+          .join(cells.groupBy($"p").agg(sum($"n").as("cm")),
+            $"t" === $"p")
+          .agg(sum($"rm" * $"cm").as("rc"))))
+      .select(lit(-2L).as("clazz"),
+        lit(null).cast("long").as("prec_ppm"),
+        lit(null).cast("long").as("rec_ppm"),
+        expr("((po - (rc * 1000000) div (nt * nt)) * 1000000) " +
+          "div greatest(1000000 - (rc * 1000000) div (nt * nt), 1)")
+          .as("f1_ppm"))
+    perClass.unionByName(macroRow).unionByName(kappaRow)
+      .orderBy($"clazz")
+  }
+
+  private val q453Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 3 AS t,
+      |    CASE WHEN (doc_id * 13 + 7) % 10 <
+      |        CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END
+      |      THEN (doc_id % 3 + 1) % 3 ELSE doc_id % 3 END AS p
+      |  FROM documents),
+      |cells AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n
+      |  FROM d GROUP BY 1, 2),
+      |pc AS (
+      |  SELECT c.clazz,
+      |    (tp * 1000000) // greatest(tp + fp, 1) AS prec_ppm,
+      |    (tp * 1000000) // greatest(tp + fn, 1) AS rec_ppm
+      |  FROM (
+      |    SELECT clazz,
+      |      CAST(sum(CASE WHEN t = clazz AND p = clazz THEN n ELSE 0 END)
+      |        AS BIGINT) AS tp,
+      |      CAST(sum(CASE WHEN t <> clazz AND p = clazz THEN n ELSE 0 END)
+      |        AS BIGINT) AS fp,
+      |      CAST(sum(CASE WHEN t = clazz AND p <> clazz THEN n ELSE 0 END)
+      |        AS BIGINT) AS fn
+      |    FROM cells, (SELECT unnest([0, 1, 2]) AS clazz)
+      |    GROUP BY 1) c),
+      |pcf AS (
+      |  SELECT clazz, prec_ppm, rec_ppm,
+      |    (2 * prec_ppm * rec_ppm) // greatest(prec_ppm + rec_ppm, 1)
+      |      AS f1_ppm
+      |  FROM pc),
+      |mac AS (
+      |  SELECT CAST(-1 AS BIGINT) AS clazz, CAST(NULL AS BIGINT),
+      |    CAST(NULL AS BIGINT), CAST(sum(f1_ppm) // 3 AS BIGINT)
+      |  FROM pcf),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells),
+      |po AS (SELECT (sum(CASE WHEN t = p THEN n ELSE 0 END) * 1000000)
+      |    // max(nt) AS po FROM cells, tot),
+      |rc AS (
+      |  SELECT CAST(sum(rm * cm) AS BIGINT) AS rc FROM
+      |    (SELECT t AS k, sum(n) AS rm FROM cells GROUP BY 1) r
+      |    JOIN (SELECT p AS k, sum(n) AS cm FROM cells GROUP BY 1) c
+      |    ON c.k = r.k),
+      |kap AS (
+      |  SELECT CAST(-2 AS BIGINT) AS clazz, CAST(NULL AS BIGINT),
+      |    CAST(NULL AS BIGINT),
+      |    CAST(((po - (rc * 1000000) // (nt * nt)) * 1000000)
+      |      // greatest(1000000 - (rc * 1000000) // (nt * nt), 1)
+      |      AS BIGINT)
+      |  FROM po, rc, tot)
+      |SELECT CAST(clazz AS BIGINT) AS clazz,
+      |  CAST(prec_ppm AS BIGINT) AS prec_ppm,
+      |  CAST(rec_ppm AS BIGINT) AS rec_ppm,
+      |  CAST(f1_ppm AS BIGINT) AS f1_ppm
+      |FROM (SELECT * FROM pcf UNION ALL SELECT * FROM mac
+      |      UNION ALL SELECT * FROM kap)
+      |ORDER BY clazz""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q452_edit_distance_dedup" -> (q452EditDistanceDedup _),
+    "q453_multiclass_eval" -> (q453MulticlassEval _),
     "q450_data_constrained_mix" -> (q450DataConstrainedMix _),
     "q447_annotator_reliability" -> (q447AnnotatorReliability _),
     "q448_fim_transform" -> (q448FimTransform _),
@@ -5683,6 +5860,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q452_edit_distance_dedup" -> q452Oracle,
+    "q453_multiclass_eval" -> q453Oracle,
     "q450_data_constrained_mix" -> q450Oracle,
     "q447_annotator_reliability" -> q447Oracle,
     "q448_fim_transform" -> q448Oracle,

@@ -1447,6 +1447,40 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("q452 edit-distance dedup: planted mutants surface within the " +
+    "threshold; every reported pair shares a block and stays <= 2") {
+    val got = TextOps.q452EditDistanceDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 <= 2L))
+    // original->mutant pairs: appended (even) and substituted (odd)
+    // mutants are one edit away; some of each parity must surface
+    val planted = got.filter { case (a, b, _) => b == a + 1000000L }
+    assert(planted.nonEmpty && planted.forall(_._3 <= 1L))
+    assert(planted.exists(_._1 % 2 == 0) && planted.exists(_._1 % 2 == 1))
+    // no self-pairs, ordered ids
+    assert(got.forall { case (a, b, _) => a < b })
+  }
+
+  test("q453 multiclass eval: macro row is the floor-mean of class F1s; " +
+    "kappa sits strictly between chance and perfection") {
+    val rows = TextOps.q453MulticlassEval(spark, sf0001).collect()
+    val byClass = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1),
+       if (r.isNullAt(2)) -1L else r.getLong(2),
+       r.getLong(3))).toMap
+    assert(byClass.keySet == Set(-2L, -1L, 0L, 1L, 2L))
+    val f1s = Seq(0L, 1L, 2L).map(byClass(_)._3)
+    assert(byClass(-1L)._3 == f1s.sum / 3, "macro-F1 mismatch")
+    Seq(0L, 1L, 2L).foreach { c =>
+      val (p, r, f) = byClass(c)
+      assert(p > 0 && p <= 1000000L && r > 0 && r <= 1000000L)
+      assert(f == 2 * p * r / (p + r))
+    }
+    val kappa = byClass(-2L)._3
+    assert(kappa > 0 && kappa < 1000000L, s"kappa $kappa")
+  }
+
   test("q279 vocab coverage: crossing replay; curve monotone in both axes") {
     import spark.implicits._
     val got = TextOps.q279VocabCoverage(spark, sf0001).collect()
