@@ -2159,7 +2159,63 @@ object TableOps {
          |ORDER BY o_orderkey""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q454
+  /** DELETION VECTORS — merge-on-read delete (Delta/Iceberg-v2's DV
+    * lineage) through `CALL graftlog.delete_dv`: two successive
+    * deletes record dead row POSITIONS in bitset sidecars (the second
+    * unions into a fresh token), data files never rewrite, named
+    * reads subtract the dead set via one broadcast anti-join on
+    * parquet's row index, `count(*)` still folds exactly from the
+    * manifest (live rows), and the pre-delete era still time-travels.
+    * At 100 TB: a 0.1% GDPR/dedup-kill-list delete costs one candidate
+    * scan + KB sidecars instead of rewriting every touched file. The
+    * readout replays all three eras; DuckDB rebuilds them from the
+    * source rows. */
+  private val dvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q454DeletionVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = dvCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogdv_").toString
+      TableLog.create(ordersSlice(s, dir).where($"o_orderkey" % 8 === 1),
+        t, "o_orderkey", numFiles = 4)
+      s.sql(s"CALL graftlog.delete_dv('$t', 'o_custkey % 7 = 0')")
+      s.sql(
+        s"CALL graftlog.delete_dv('$t', \"o_orderstatus = 'F' AND " +
+          "o_orderkey % 5 = 1\")")
+      t
+    })
+    def era(v: Long): DataFrame = s.sql(
+      s"""SELECT CAST($v AS BIGINT) AS version, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$table` VERSION AS OF $v
+         |GROUP BY o_orderstatus""".stripMargin)
+    era(1).unionByName(era(2)).unionByName(era(3))
+      .orderBy($"version", $"o_orderstatus")
+  }
+
+  private val q454Oracle =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 8 = 1),
+      |v2 AS (SELECT * FROM v1 WHERE o_custkey % 7 <> 0),
+      |v3 AS (SELECT * FROM v2
+      |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 1))
+      |SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM v1 GROUP BY 2
+      |UNION ALL SELECT 2, o_orderstatus, CAST(count(*) AS BIGINT),
+      |  CAST(sum(o_orderkey) AS BIGINT) FROM v2 GROUP BY 2
+      |UNION ALL SELECT 3, o_orderstatus, CAST(count(*) AS BIGINT),
+      |  CAST(sum(o_orderkey) AS BIGINT) FROM v3 GROUP BY 2
+      |ORDER BY version, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q454_deletion_vectors" -> (q454DeletionVectors _),
     "q451_table_changes_tvf" -> (q451TableChangesTvf _),
     "q449_shallow_clone" -> (q449ShallowClone _),
     "q446_column_stats_skip" -> (q446ColumnStatsSkip _),
@@ -2206,6 +2262,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q454_deletion_vectors" -> q454Oracle,
     "q451_table_changes_tvf" -> q336Oracle,
     "q449_shallow_clone" -> q449Oracle,
     "q446_column_stats_skip" -> q446Oracle,

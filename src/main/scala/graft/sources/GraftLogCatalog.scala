@@ -928,13 +928,18 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    // count(*) subtracts deletion vectors and stays exact; min/max
+    // refuse DV'd files — a dead row may have carried the bound
+    def noDv = files.forall(_.dv.isEmpty)
     accepted.isEmpty && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
-        case m: Min       => isKeyRef(m.column) || statColRef(m.column).isDefined
-        case m: Max       => isKeyRef(m.column) || statColRef(m.column).isDefined
-        case _            => false
+        case m: Min => noDv &&
+          (isKeyRef(m.column) || statColRef(m.column).isDefined)
+        case m: Max => noDv &&
+          (isKeyRef(m.column) || statColRef(m.column).isDefined)
+        case _ => false
       }
   }
 
@@ -964,7 +969,7 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
         else v
       }
       val row: Seq[Any] = funcs.map {
-        case _: CountStar => files.map(_.rows).sum
+        case _: CountStar => files.map(_.liveRows).sum
         case m: Min if isKeyRef(m.column) =>
           if (files.isEmpty) null else files.map(_.min).min
         case m: Max if isKeyRef(m.column) =>
@@ -1269,7 +1274,45 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
           .UnknownPartitioning(0)
     }
 
+  // Deletion-vector read dispatch: clean files keep the fully-pushed
+  // vectorized scan; DV'd files plan as WHOLE-file partitions from a
+  // scan with NO pushed filters (row-group skipping would break
+  // position accounting) and read row-based with a position counter
+  // skipping dead bits. DVs are refused on partitioned tables at
+  // write, so this never interacts with key-grouped planning.
+  private def dvSplit: (Seq[TableLog.AddFile], Seq[TableLog.AddFile]) =
+    files.partition(_.dv.isDefined)
+
+  private def dvPartitions(dvFiles: Seq[TableLog.AddFile])
+      : Array[InputPartition] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val scan = GraftLogParquet.scan(spark, tablePath, dvFiles, fullSchema,
+      required, Array.empty, options)
+    val splits = scan.toBatch.planInputPartitions()
+      .flatMap(_.asInstanceOf[FilePartition].files)
+    val deadByName = dvFiles.map { a =>
+      val bits = java.util.BitSet.valueOf(java.nio.file.Files
+        .readAllBytes(TableLog.dvSidecar(tablePath, a)))
+      a.relPath.substring(a.relPath.lastIndexOf('/') + 1) ->
+        bits.toLongArray
+    }.toMap
+    splits.groupBy(_.filePath.toString).toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((path, fs), i) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        new GraftLogDvFilePartition(i, fs.sortBy(_.start),
+          deadByName(name)): InputPartition
+      }.toArray
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val (dvF, cleanF) = dvSplit
+    if (dvF.nonEmpty) {
+      val cp =
+        if (cleanF.isEmpty) Array.empty[InputPartition]
+        else GraftLogParquet.scan(spark, tablePath, cleanF, fullSchema,
+          required, dataFilters, options).toBatch.planInputPartitions()
+      return cp ++ dvPartitions(dvF)
+    }
     val base = inner.toBatch.planInputPartitions()
     pureGroups match {
       case None => base
@@ -1291,8 +1334,17 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    inner.toBatch.createReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (dvF, cleanF) = dvSplit
+    if (dvF.isEmpty) inner.toBatch.createReaderFactory()
+    else new GraftLogDvDispatchFactory(
+      GraftLogParquet.scan(spark, tablePath,
+        if (cleanF.isEmpty) dvF else cleanF, // factory needs a scan even when no clean files exist
+        fullSchema, required, dataFilters, options)
+        .toBatch.createReaderFactory(),
+      GraftLogParquet.scan(spark, tablePath, dvF, fullSchema, required,
+        Array.empty, options).toBatch.createReaderFactory())
+  }
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     inner.estimateStatistics()
@@ -1342,6 +1394,57 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     }
     if (runtimePruned) inner = mkInner()
   }
+}
+
+/** One DV'd file's whole read: ALL its splits ordered by start (so
+  * rows stream in file order 0..n−1) plus the deletion bitset's words.
+  * Extends FilePartition so the filter-free ParquetScan's reader
+  * factory consumes it unchanged. */
+class GraftLogDvFilePartition(idx: Int,
+    orderedSplits: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    val deadWords: Array[Long])
+  extends org.apache.spark.sql.execution.datasources.FilePartition(
+    idx, orderedSplits)
+
+/** Per-partition read dispatch: DV'd partitions read ROW-BASED with a
+  * position counter skipping dead bits (their scan pushed no filters,
+  * so positions are exactly the stream order); everything else keeps
+  * the fully-pushed vectorized path. */
+class GraftLogDvDispatchFactory(
+    clean: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    dv: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+
+  override def supportColumnarReads(p: InputPartition): Boolean = p match {
+    case _: GraftLogDvFilePartition => false
+    case _                          => clean.supportColumnarReads(p)
+  }
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case d: GraftLogDvFilePartition =>
+      val underlying = dv.createReader(d)
+      val bits = java.util.BitSet.valueOf(d.deadWords)
+      new PartitionReader[InternalRow] {
+        private var pos = -1L
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          while (underlying.next()) {
+            pos += 1
+            if (!bits.get(pos.toInt)) { cur = underlying.get(); return true }
+          }
+          false
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = underlying.close()
+      }
+    case _ => clean.createReader(p)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    clean.createColumnarReader(p)
 }
 
 /** One storage-partition group: ALL splits of the files holding one
@@ -1564,6 +1667,33 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** `CALL graftlog.delete_dv('<path>', '<condition sql>')` —
+    * [[TableLog.deleteWhereDv]]: merge-on-read delete via deletion
+    * vectors. Matching rows' positions land in per-file bitset
+    * sidecars; no data file rewrites. Returns
+    * (version, rows_deleted). */
+  object DeleteDv extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "delete_dv"
+    override def description(): String =
+      "merge-on-read delete: record dead row positions, rewrite nothing"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("condition", StringType)
+        .comment("SQL predicate selecting rows to delete").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val before = TableLog.liveRowsOf(table)
+      val v = TableLog.deleteWhereDv(SparkSession.active, table,
+        org.apache.spark.sql.functions.expr(
+          input.getUTF8String(1).toString))
+      oneRow("version BIGINT, rows_deleted BIGINT",
+        Seq(v, before - TableLog.liveRowsOf(table)))
+    }
+  }
+
   val all: Seq[UnboundProcedure] =
-    Seq(Vacuum, Compact, Restore, Clone, ZOrder)
+    Seq(Vacuum, Compact, Restore, Clone, ZOrder, DeleteDv)
 }

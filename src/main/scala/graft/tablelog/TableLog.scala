@@ -108,9 +108,25 @@ object TableLog {
     * and vacuum accounting; `parts` the per-tuple partition stats
     * (empty on unpartitioned tables); `cols` the non-key column
     * min/max stats (empty on manifests written before they existed —
-    * such files simply never prune on non-key predicates). */
+    * such files simply never prune on non-key predicates); `dv` the
+    * DELETION VECTOR (merge-on-read delete): `(token, deadRows)`
+    * where `<relPath>.<token>` is a bitset sidecar of dead row
+    * POSITIONS — the file's bytes never rewrite, readers subtract the
+    * dead rows, and `liveRows = rows − deadRows` is the effective
+    * count. Key/column min/max stay valid as OVER-approximations
+    * (pruning keeps its soundness; exact-aggregate answering refuses
+    * DV'd files). */
   final case class AddFile(relPath: String, rows: Long, min: Long, max: Long,
-      parts: Seq[PartStat] = Nil, cols: Seq[ColStat] = Nil)
+      parts: Seq[PartStat] = Nil, cols: Seq[ColStat] = Nil,
+      dv: Option[(String, Long)] = None) {
+    def liveRows: Long = rows - dv.fold(0L)(_._2)
+    /** Identity for set-diff purposes: the same file under a new
+      * deletion vector IS a different logical content. */
+    def contentId: (String, Option[String]) = (relPath, dv.map(_._1))
+  }
+
+  private[graft] def dvSidecar(table: String, a: AddFile): Path =
+    Paths.get(table, a.relPath + "." + a.dv.get._1)
 
   /** One replayed commit: the version, its operation tag, the files
     * it added and the (previously active) files it removed. `txn` is
@@ -215,6 +231,12 @@ object TableLog {
           (if (c.max == ColStatUnbounded) "~" else encCol(c.max)))
           .sorted
         sb ++= s"cstat ${cs.size} ${cs.mkString(" ")} ${a.relPath}\n"
+      }
+      a.dv.foreach { case (token, dead) =>
+        // `dvat`: the add's deletion vector — dead-row count and the
+        // sidecar token (`<relPath>.<token>` holds the position
+        // bitset), relPath last like the other per-add lines
+        sb ++= s"dvat $dead $token ${a.relPath}\n"
       }
     }
     sb.result()
@@ -332,6 +354,8 @@ object TableLog {
     val removes = Seq.newBuilder[String]
     val colStats = scala.collection.mutable.HashMap
       .empty[String, Seq[ColStat]]
+    val dvStats = scala.collection.mutable.HashMap
+      .empty[String, (String, Long)]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       val sp = line.indexOf(' ')
       if (sp < 0) throw new IllegalStateException(
@@ -373,12 +397,17 @@ object TableLog {
               if (mx == "~") ColStatUnbounded else decCol(mx))
           }.toSeq
           colStats(toks.drop(1 + k).mkString(" ")) = cs
+        case "dvat" =>
+          val toks = rest.split(" ")
+          dvStats(toks.drop(2).mkString(" ")) = (toks(1), toks(0).toLong)
         case other => throw new IllegalStateException(
           s"corrupt manifest v$version: unknown tag '$other'")
       }
     }
-    val withCols = adds.result().map(a =>
-      colStats.get(a.relPath).fold(a)(cs => a.copy(cols = cs)))
+    val withCols = adds.result().map { a0 =>
+      val a1 = colStats.get(a0.relPath).fold(a0)(cs => a0.copy(cols = cs))
+      dvStats.get(a1.relPath).fold(a1)(d => a1.copy(dv = Some(d)))
+    }
     Commit(version, op, withCols, removes.result(), ddl, key,
       txns.result(), bloom, ts, partCols)
   }
@@ -691,8 +720,41 @@ object TableLog {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(snap.schemaDdl))
-    else spark.read.schema(StructType.fromDDL(snap.schemaDdl))
-      .parquet(files.map(a => Paths.get(table, a.relPath).toString): _*)
+    else {
+      val base = spark.read.schema(StructType.fromDDL(snap.schemaDdl))
+        .parquet(files.map(a => Paths.get(table, a.relPath).toString): _*)
+      val dvFiles = files.filter(_.dv.isDefined)
+      if (dvFiles.isEmpty) base
+      else {
+        // merge-on-read: subtract each DV'd file's dead positions via
+        // parquet's row-index metadata column and one broadcast
+        // anti-join — DVs suit SMALL deletes (the dead set rides the
+        // driver and the broadcast), which is exactly when they beat
+        // copy-on-write; big deletes should take deleteWhere
+        base
+          .withColumn("__graft_f",
+            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__graft_p", col("_metadata.row_index"))
+          .join(broadcast(deadPositionsDf(spark, table, dvFiles)),
+            col("__graft_f") === col("__graft_dv_file") &&
+              col("__graft_p") === col("__graft_dv_pos"), "left_anti")
+          .drop("__graft_f", "__graft_p")
+      }
+    }
+
+  /** The (file name, dead position) rows of a set of DV'd files —
+    * folded driver-side from the bitset sidecars. */
+  private[graft] def deadPositionsDf(spark: SparkSession, table: String,
+      dvFiles: Seq[AddFile]): DataFrame = {
+    import spark.implicits._
+    dvFiles.flatMap { a =>
+      val bits = java.util.BitSet.valueOf(
+        Files.readAllBytes(dvSidecar(table, a)))
+      val name = Paths.get(a.relPath).getFileName.toString
+      Iterator.iterate(bits.nextSetBit(0))(i => bits.nextSetBit(i + 1))
+        .takeWhile(_ >= 0).map(p => (name, p.toLong)).toSeq
+    }.toDF("__graft_dv_file", "__graft_dv_pos")
+  }
 
   // ------------------------------------------------------------ operations
 
@@ -900,11 +962,15 @@ object TableLog {
       s"$table: cannot restore to v$toVersion — history is v1..v$latest")
     val old = state(table, toVersion)
     val cur = state(table)
-    val curPaths = cur.active.map(_.relPath).toSet
-    val oldPaths = old.active.map(_.relPath).toSet
-    val adds = old.active.filterNot(a => curPaths(a.relPath))
-    val removes = cur.active.map(_.relPath).filterNot(oldPaths)
-    val gone = adds.map(_.relPath)
+    // identity includes the deletion-vector token: the same file under
+    // a different DV is different logical content and must re-list
+    val curIds = cur.active.map(_.contentId).toSet
+    val oldIds = old.active.map(_.contentId).toSet
+    val adds = old.active.filterNot(a => curIds(a.contentId))
+    val removes = cur.active.filterNot(a => oldIds(a.contentId))
+      .map(_.relPath)
+    val gone = adds
+      .flatMap(a => a.relPath +: a.dv.map(d => a.relPath + "." + d._1).toSeq)
       .filterNot(p => Files.exists(Paths.get(table, p)))
     require(gone.isEmpty,
       s"$table: cannot restore to v$toVersion — vacuum reclaimed " +
@@ -1003,10 +1069,14 @@ object TableLog {
       vTo: Long): DataFrame = {
     val from = state(table, vFrom)
     val to = state(table, vTo)
-    val fromSet = from.active.map(_.relPath).toSet
-    val toSet = to.active.map(_.relPath).toSet
-    val onlyFrom = from.active.filterNot(a => toSet(a.relPath))
-    val onlyTo = to.active.filterNot(a => fromSet(a.relPath))
+    // identity includes the deletion-vector token: a DV-only delete
+    // keeps the relPath but changes the file's logical content, and
+    // the diff must read both sides of it (each side's read applies
+    // its OWN deletion vector, so only genuinely dead rows surface)
+    val fromSet = from.active.map(_.contentId).toSet
+    val toSet = to.active.map(_.contentId).toSet
+    val onlyFrom = from.active.filterNot(a => toSet(a.contentId))
+    val onlyTo = to.active.filterNot(a => fromSet(a.contentId))
     val k = from.keyCol
     val cols = StructType.fromDDL(from.schemaDdl).map(_.name)
       .filter(c => c != k && StructType.fromDDL(to.schemaDdl).fieldNames.contains(c))
@@ -1118,6 +1188,73 @@ object TableLog {
     val adds = stage(survivors, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols)
     commit(table, snap.version, "delete", adds, touched.map(_.relPath), "", "")
+  }
+
+  /** MERGE-ON-READ delete via DELETION VECTORS (Delta/Iceberg-v2's
+    * DV lineage): instead of rewriting every touched file, record the
+    * matching rows' POSITIONS in a per-file bitset sidecar and commit
+    * new manifest entries pointing at them — the data bytes never
+    * move, so deleting 0.1% of a 100-TB table costs one scan of the
+    * candidate files plus KB-scale sidecar writes, not a rewrite.
+    * Readers subtract dead positions (one broadcast anti-join on
+    * parquet's row-index metadata); a file whose rows ALL die leaves
+    * the active set outright. Sidecars are immutable and uniquely
+    * tokened — a re-delete unions the old bitset into a NEW sidecar,
+    * and losing a concurrent-commit race leaves only an orphan
+    * sidecar for vacuum. The dead set rides the driver: DVs suit
+    * SMALL deletes (their real-world niche — GDPR erasure, dedup
+    * kill-lists); bulk deletes should stay copy-on-write
+    * ([[deleteWhere]]). Refused on partitioned tables — per-tuple
+    * row stats would go stale (COW keeps them exact there). Key
+    * min/max stats survive as over-approximations: pruning stays
+    * sound, exact stats-answering refuses DV'd files. */
+  def deleteWhereDv(spark: SparkSession, table: String,
+      cond: Column): Long = {
+    val snap = state(table)
+    require(snap.partCols.isEmpty,
+      s"$table is partitioned — deletion vectors would let the " +
+        "per-tuple partition row stats go stale; use the " +
+        "copy-on-write deleteWhere, which keeps them exact")
+    val base = spark.read.schema(StructType.fromDDL(snap.schemaDdl))
+      .parquet(snap.active.map(a =>
+        Paths.get(table, a.relPath).toString): _*)
+      .withColumn("__graft_f",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_p", col("_metadata.row_index"))
+    val priorDv = snap.active.filter(_.dv.isDefined)
+    val live =
+      if (priorDv.isEmpty) base
+      else base.join(broadcast(deadPositionsDf(spark, table, priorDv)),
+        col("__graft_f") === col("__graft_dv_file") &&
+          col("__graft_p") === col("__graft_dv_pos"), "left_anti")
+    val hits = live.where(cond)
+      .select(col("__graft_f"), col("__graft_p"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2) }
+    if (hits.isEmpty) return snap.version
+    val byName = snap.active
+      .map(a => Paths.get(a.relPath).getFileName.toString -> a).toMap
+    val (removes, adds) = hits.toSeq.sortBy(_._1).map { case (name, ps) =>
+      val a = byName(name)
+      val bits = a.dv match {
+        case Some(_) => java.util.BitSet.valueOf(
+          Files.readAllBytes(dvSidecar(table, a)))
+        case None => new java.util.BitSet()
+      }
+      require(ps.forall(_ <= Int.MaxValue),
+        s"$table: $name holds > 2^31 rows — beyond the DV bitset's " +
+          "position domain; use the copy-on-write deleteWhere")
+      ps.foreach(p => bits.set(p.toInt))
+      val dead = bits.cardinality().toLong
+      if (dead >= a.rows) (a.relPath, None) // fully dead: drop the file
+      else {
+        val token = "dv" + java.util.UUID.randomUUID().toString.take(8)
+        val updated = a.copy(dv = Some((token, dead)))
+        Files.write(dvSidecar(table, updated), bits.toByteArray)
+        (a.relPath, Some(updated))
+      }
+    }.unzip
+    commit(table, snap.version, "delete", adds.flatten, removes, "", "")
   }
 
   /** Atomic slice restatement (Delta `replaceWhere` / dynamic
@@ -1319,22 +1456,36 @@ object TableLog {
   def statsOf(table: String, version: Long = Long.MaxValue): (Long, Long, Long) = {
     val snap = state(table, version)
     require(snap.active.nonEmpty, s"$table has no data at v$version")
-    (snap.active.map(_.rows).sum,
+    // rows subtract deletion vectors and stay EXACT; min/max refuse
+    // DV'd snapshots — a dead row may have carried the bound, and the
+    // stats contract here is exactness, not plausibility
+    require(snap.active.forall(_.dv.isEmpty),
+      s"$table v$version carries deletion vectors — key bounds are " +
+        "over-approximations; compact to materialize them exactly")
+    (snap.active.map(_.liveRows).sum,
       snap.active.map(_.min).min, snap.active.map(_.max).max)
   }
+
+  /** Exact live row count of a snapshot from the manifest alone —
+    * physical rows minus deletion-vector dead rows. */
+  def liveRowsOf(table: String, version: Long = Long.MaxValue): Long =
+    state(table, version).active.map(_.liveRows).sum
 
   /** Commit history at logical grain: per version — operation, file
     * and row deltas, and running totals. Row counts come from the
     * manifests (removes are resolved against the replayed active
     * set), so history never touches data files. */
   def history(table: String): Seq[HistoryRow] = {
+    // per-path LIVE rows (physical minus DV dead): a deletion-vector
+    // commit re-adds the same path with a higher dead count, and the
+    // ledger nets out to exactly the killed rows
     val rowsOf = scala.collection.mutable.Map.empty[String, Long]
     commits(table).map { c =>
       val removedRows = c.removes.map(rowsOf).sum
       c.removes.foreach(rowsOf -= _)
-      c.adds.foreach(a => rowsOf(a.relPath) = a.rows)
+      c.adds.foreach(a => rowsOf(a.relPath) = a.liveRows)
       HistoryRow(c.version, c.op, c.adds.size, c.removes.size,
-        c.adds.map(_.rows).sum, removedRows, rowsOf.values.sum)
+        c.adds.map(_.liveRows).sum, removedRows, rowsOf.values.sum)
     }
   }
 
@@ -1357,10 +1508,17 @@ object TableLog {
     * Tests that own the only writer pass 0. */
   val defaultVacuumGraceMillis: Long = 15L * 60 * 1000
 
+  /** A snapshot's on-disk footprint: data files plus their ACTIVE
+    * deletion-vector sidecars (superseded DV generations are fair
+    * vacuum game — each re-delete tokens a fresh sidecar). */
+  private def footprint(active: Seq[AddFile]): Set[String] =
+    active.flatMap(a =>
+      a.relPath +: a.dv.map(d => a.relPath + "." + d._1).toSeq).toSet
+
   def vacuumList(table: String,
       graceMillis: Long = defaultVacuumGraceMillis): Seq[String] =
     unreferencedOnDisk(table,
-      state(table).active.map(_.relPath).toSet, graceMillis)
+      footprint(state(table).active), graceMillis)
 
   /** On-disk data files / sidecars outside `keep`, age-gated. */
   private def unreferencedOnDisk(table: String, keep: Set[String],
@@ -1376,18 +1534,22 @@ object TableLog {
         // .crc droppings are commit-scoped scratch, not table state
         .filter { p =>
           val n = p.getFileName.toString
-          (n.endsWith(".parquet") || n.endsWith(".bloom")) &&
+          (n.endsWith(".parquet") || n.endsWith(".bloom") ||
+            n.contains(".parquet.dv")) &&
             !n.startsWith(".") && !n.startsWith("_")
         }
         // in-flight stages are young by definition: age-gate first
         .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .map(p => Paths.get(table).relativize(p).toString).toSeq
     } finally s.close()
-    // a bloom sidecar lives and dies with its data file
-    def dataFileOf(rel: String): String =
-      if (rel.endsWith(".bloom")) rel.substring(0, rel.indexOf(".parquet") + 8)
+    // a bloom sidecar lives and dies with its data file; a DV sidecar
+    // is its own keep entity (only the ACTIVE generation is kept)
+    def keepEntity(rel: String): String =
+      if (rel.contains(".parquet.dv")) rel
+      else if (rel.endsWith(".bloom"))
+        rel.substring(0, rel.indexOf(".parquet") + 8)
       else rel
-    all.filterNot(rel => keep(dataFileOf(rel))).sorted
+    all.filterNot(rel => keep(keepEntity(rel))).sorted
   }
 
   /** Physically delete [[vacuumList]]'s files. Returns the count. */
@@ -1415,7 +1577,7 @@ object TableLog {
     val last = latestVersion(table)
     val fromV = math.max(1L, last - retainVersions + 1)
     val keep = (fromV to last)
-      .flatMap(v => state(table, v).active.map(_.relPath)).toSet
+      .flatMap(v => footprint(state(table, v).active)).toSet
     unreferencedOnDisk(table, keep, graceMillis)
   }
 

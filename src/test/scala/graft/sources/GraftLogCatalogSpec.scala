@@ -381,6 +381,39 @@ class GraftLogCatalogSpec extends SparkSuite {
     assert(ins.map(_.cols.find(_.col == "amt").get.max.toLong).max == 597L)
   }
 
+  test("deletion vectors through the catalog: named reads subtract " +
+      "dead rows; count(*) folds exactly; min/max falls back to scan") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_dvcat_").toString
+    TableLog.create((0L to 199L).map(i => (i, i * 2L)).toDF("k", "amt"),
+      t, "k", numFiles = 4)
+    // merge-on-read delete through SQL CALL, including the current min
+    val r = spark.sql(
+      s"CALL graftlog.delete_dv('$t', 'k % 10 = 0 OR k = 199')").collect()
+    assert(r.head.getLong(1) == 21L, r.toSeq)
+    // named read: dead rows subtracted, predicates stay exact
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t` WHERE k < 100")
+      .collect().head.getLong(0) == 90L)
+    val got = spark.sql(
+      s"SELECT k FROM graftlog.`$t` ORDER BY k").collect().map(_.getLong(0))
+    assert(got.length == 179 && !got.exists(k => k % 10 == 0 || k == 199L))
+    // count(*) still answers from the manifest (live rows fold)
+    val c = spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+    assert(c.queryExecution.executedPlan.toString.contains("manifest-stats"))
+    assert(c.collect().head.getLong(0) == 179L)
+    // min/max must NOT answer from stats (a dead row carried the min
+    // and the max): real scan, live-exact values
+    val mm = spark.sql(s"SELECT min(k) AS mn, max(k) AS mx FROM graftlog.`$t`")
+    assert(!mm.queryExecution.executedPlan.toString.contains("manifest-stats"))
+    val row = mm.collect().head
+    assert((row.getLong(0), row.getLong(1)) == ((1L, 198L)))
+    // time travel composes: pre-delete version reads all physical rows
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 1")
+      .collect().head.getLong(0) == 200L)
+  }
+
   test("SQL CALL runs each procedure end-to-end and returns its " +
       "accounting row (LocalScan output, no task launch)") {
     val t = freshTable()

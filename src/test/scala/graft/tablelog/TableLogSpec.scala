@@ -271,6 +271,69 @@ class TableLogSpec extends SparkSuite {
     intercept[Exception] { TableLog.snapshot(spark, dst2).collect() }
   }
 
+  test("deletion vectors: merge-on-read delete rewrites NOTHING, reads " +
+      "subtract dead rows, history nets exactly, compact materializes") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 4)
+    def parquetCount: Int = {
+      val s = Files.walk(Paths.get(t, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+    val filesBefore = parquetCount
+    TableLog.deleteWhereDv(spark, t, pmod(col("k"), lit(10)) < 2) // v2
+    // zero data files written or rewritten — only sidecars landed
+    assert(parquetCount == filesBefore, "DV delete must not rewrite data")
+    val got = TableLog.snapshot(spark, t).collect().map(_.getLong(0)).toSet
+    assert(got.size == 80 && !got.exists(_ % 10 < 2))
+    // accounting: live rows net out; physical min/max refuse
+    assert(TableLog.liveRowsOf(t) == 80L)
+    val h = TableLog.history(t).last
+    assert(h.op == "delete" && h.totalRows == 80L, h)
+    intercept[IllegalArgumentException] { TableLog.statsOf(t) }
+    // time travel: v1 unaffected
+    assert(TableLog.snapshot(spark, t, version = 1L).count() == 100)
+    // change feed across the DV commit: exactly the dead rows
+    val diff = TableLog.diffVersions(spark, t, 1L, 2L).collect()
+    assert(diff.length == 20 && diff.forall(_.getString(1) == "delete"))
+    // re-delete unions into a NEW sidecar; the old one vacuums away
+    val oldSidecars = TableLog.state(t).active.flatMap(_.dv).map(_._1)
+    TableLog.deleteWhereDv(spark, t, col("k") === 55L) // v3
+    assert(TableLog.snapshot(spark, t).count() == 79)
+    val victims = TableLog.vacuumList(t, graceMillis = 0)
+    assert(oldSidecars.exists(tok => victims.exists(_.endsWith(tok))),
+      s"superseded sidecar not reclaimed: $victims")
+    assert(TableLog.vacuum(t, graceMillis = 0) == victims.size)
+    assert(TableLog.snapshot(spark, t).count() == 79)
+    // a fully-dead file leaves the active set outright
+    val target = TableLog.state(t).active.head
+    TableLog.deleteWhereDv(spark, t,
+      col("k").between(target.min, target.max)) // v4
+    assert(!TableLog.state(t).active.map(_.relPath).contains(target.relPath))
+    // restore across DV states reproduces v3's exact rows (v2's
+    // superseded sidecars were vacuumed above, so restore(2) must
+    // fail fast — the designed vacuum/restore interlock)
+    intercept[IllegalArgumentException] { TableLog.restore(t, 2L) }
+    TableLog.restore(t, 3L) // v5
+    assert(TableLog.snapshot(spark, t).count() == 79)
+    // compaction materializes the DVs away: no dv entries, rows stable
+    TableLog.compact(spark, t, 2) // v6
+    val st = TableLog.state(t)
+    assert(st.active.forall(_.dv.isEmpty) && st.active.size == 2)
+    assert(TableLog.snapshot(spark, t).count() == 79)
+    assert(TableLog.statsOf(t)._1 == 79L) // exact stats return
+    // partitioned tables refuse DV deletes
+    import spark.implicits._
+    val tp = freshDir()
+    TableLog.create((0L to 9L).map(i => (i, s"p${i % 2}")).toDF("k", "p"),
+      tp, "k", 1, partCols = Seq("p"))
+    intercept[IllegalArgumentException] {
+      TableLog.deleteWhereDv(spark, tp, col("k") === 1L)
+    }
+  }
+
   test("empty append bumps the version without staging files") {
     val t = freshDir()
     TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
