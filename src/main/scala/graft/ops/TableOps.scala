@@ -2214,7 +2214,60 @@ object TableOps {
       |  CAST(sum(o_orderkey) AS BIGINT) FROM v3 GROUP BY 2
       |ORDER BY version, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q455
+  /** Merge-on-read UPDATE ([[TableLog.updateWhereDv]]) — deletion
+    * vectors + fresh-file append in ONE atomic commit, Iceberg v2's
+    * position-delete update shape: the matched slice's old images die
+    * by position (their files never rewrite), the updated images land
+    * as new files, and total rows conserve. The readout replays both
+    * eras; the oracle rebuilds them from source rows. */
+  private val morUpdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q455MorUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = morUpdCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogmu_").toString
+      TableLog.create(ordersSlice(s, dir).where($"o_orderkey" % 8 === 5),
+        t, "o_orderkey", numFiles = 4)
+      TableLog.updateWhereDv(s, t, $"o_custkey" % 9 === 2,
+        Map("o_orderstatus" -> lit("U"),
+          "o_totalprice" -> ($"o_totalprice" * 3)), numFiles = 2)
+      t
+    })
+    def era(v: Long): DataFrame = s.sql(
+      s"""SELECT CAST($v AS BIGINT) AS version, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$table` VERSION AS OF $v
+         |GROUP BY o_orderstatus""".stripMargin)
+    era(1).unionByName(era(2)).orderBy($"version", $"o_orderstatus")
+  }
+
+  private val q455Oracle =
+    """WITH v1 AS (
+      |  SELECT o_custkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 8 = 5),
+      |v2 AS (
+      |  SELECT CASE WHEN o_custkey % 9 = 2 THEN 'U'
+      |              ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_custkey % 9 = 2 THEN o_totalprice * 3
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM v1)
+      |SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM v1 GROUP BY 2
+      |UNION ALL SELECT 2, o_orderstatus, CAST(count(*) AS BIGINT),
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |FROM v2 GROUP BY 2
+      |ORDER BY version, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q455_mor_update" -> (q455MorUpdate _),
     "q454_deletion_vectors" -> (q454DeletionVectors _),
     "q451_table_changes_tvf" -> (q451TableChangesTvf _),
     "q449_shallow_clone" -> (q449ShallowClone _),
@@ -2262,6 +2315,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q455_mor_update" -> q455Oracle,
     "q454_deletion_vectors" -> q454Oracle,
     "q451_table_changes_tvf" -> q336Oracle,
     "q449_shallow_clone" -> q449Oracle,

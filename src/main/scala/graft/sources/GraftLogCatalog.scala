@@ -1406,20 +1406,21 @@ class GraftLogDvFilePartition(idx: Int,
   extends org.apache.spark.sql.execution.datasources.FilePartition(
     idx, orderedSplits)
 
-/** Per-partition read dispatch: DV'd partitions read ROW-BASED with a
-  * position counter skipping dead bits (their scan pushed no filters,
-  * so positions are exactly the stream order); everything else keeps
-  * the fully-pushed vectorized path. */
+/** Per-partition read dispatch for a scan touching DV'd files: DV'd
+  * partitions read with a position counter skipping dead bits (their
+  * scan pushed no filters, so positions are exactly the stream
+  * order); clean partitions keep their fully-pushed scan. The WHOLE
+  * scan runs row-based — Spark refuses mixed columnar/row partition
+  * sets — so a DV'd snapshot trades vectorization for rewrite-free
+  * deletes until compaction materializes the DVs away (the
+  * merge-on-read read-tax, same trade Delta documents). */
 class GraftLogDvDispatchFactory(
     clean: org.apache.spark.sql.connector.read.PartitionReaderFactory,
     dv: org.apache.spark.sql.connector.read.PartitionReaderFactory)
   extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
 
-  override def supportColumnarReads(p: InputPartition): Boolean = p match {
-    case _: GraftLogDvFilePartition => false
-    case _                          => clean.supportColumnarReads(p)
-  }
+  override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = p match {

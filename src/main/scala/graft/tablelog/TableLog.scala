@@ -1257,6 +1257,68 @@ object TableLog {
     commit(table, snap.version, "delete", adds.flatten, removes, "", "")
   }
 
+  /** MERGE-ON-READ update — deletion vectors + fresh-file append in
+    * ONE commit (Iceberg v2's position-delete update shape): the
+    * matched rows' positions die via DV sidecars (their files never
+    * rewrite) and the updated images land as new files in the same
+    * atomic commit — an update of 0.1% of a 100-TB table writes KB of
+    * sidecars plus only the changed rows. Same niche and same refusals
+    * as [[deleteWhereDv]] (small slices; unpartitioned tables). */
+  def updateWhereDv(spark: SparkSession, table: String, cond: Column,
+      set: Map[String, Column], numFiles: Int = 1): Long = {
+    val snap = state(table)
+    require(snap.partCols.isEmpty,
+      s"$table is partitioned — use copy-on-write DML there")
+    val base = spark.read.schema(StructType.fromDDL(snap.schemaDdl))
+      .parquet(snap.active.map(a =>
+        Paths.get(table, a.relPath).toString): _*)
+      .withColumn("__graft_f",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_p", col("_metadata.row_index"))
+    val priorDv = snap.active.filter(_.dv.isDefined)
+    val live =
+      if (priorDv.isEmpty) base
+      else base.join(broadcast(deadPositionsDf(spark, table, priorDv)),
+        col("__graft_f") === col("__graft_dv_file") &&
+          col("__graft_p") === col("__graft_dv_pos"), "left_anti")
+    val matched = live.where(cond).localCheckpoint(true)
+    val hits = matched
+      .select(col("__graft_f"), col("__graft_p"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2) }
+    if (hits.isEmpty) return snap.version
+    val schemaCols = StructType.fromDDL(snap.schemaDdl).fieldNames.toSeq
+    val updated = set.foldLeft(
+      matched.drop("__graft_f", "__graft_p")
+        .drop("__graft_dv_file", "__graft_dv_pos")) {
+      case (df, (c, v)) => df.withColumn(c, v)
+    }.select(schemaCols.map(col): _*)
+    val staged = stage(updated, table, snap.keyCol, numFiles, snap.bloom)
+    val byName = snap.active
+      .map(a => Paths.get(a.relPath).getFileName.toString -> a).toMap
+    val (removes, dvAdds) = hits.toSeq.sortBy(_._1).map { case (name, ps) =>
+      val a = byName(name)
+      val bits = a.dv match {
+        case Some(_) => java.util.BitSet.valueOf(
+          Files.readAllBytes(dvSidecar(table, a)))
+        case None => new java.util.BitSet()
+      }
+      require(ps.forall(_ <= Int.MaxValue),
+        s"$table: $name holds > 2^31 rows — use copy-on-write DML")
+      ps.foreach(p => bits.set(p.toInt))
+      val dead = bits.cardinality().toLong
+      if (dead >= a.rows) (a.relPath, None)
+      else {
+        val token = "dv" + java.util.UUID.randomUUID().toString.take(8)
+        val u = a.copy(dv = Some((token, dead)))
+        Files.write(dvSidecar(table, u), bits.toByteArray)
+        (a.relPath, Some(u))
+      }
+    }.unzip
+    commit(table, snap.version, "update",
+      dvAdds.flatten ++ staged, removes, "", "")
+  }
+
   /** Atomic slice restatement (Delta `replaceWhere` / dynamic
     * partition overwrite): in ONE commit, delete every active row
     * matching `cond` and insert `incoming` in its place — the

@@ -334,6 +334,35 @@ class TableLogSpec extends SparkSuite {
     }
   }
 
+  test("merge-on-read update: DV + fresh-file append in one commit; " +
+      "originals never rewrite, total rows conserved") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 4)
+    val origFiles = TableLog.state(t).active.map(_.relPath).toSet
+    TableLog.updateWhereDv(spark, t, pmod(col("k"), lit(20)) === 3,
+      Map("v" -> concat(lit("UPD"), col("k").cast("string"))))
+    val st = TableLog.state(t)
+    // original files still active (DV'd), updated rows in fresh files
+    assert(origFiles.subsetOf(st.active.map(_.relPath).toSet))
+    assert(st.active.exists(a => !origFiles(a.relPath)), "no staged file")
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 100)
+    assert(got(3L) == "UPD3" && got(23L) == "UPD23" && got(4L) == "a4")
+    assert(TableLog.history(t).last.totalRows == 100L)
+    // update on already-updated rows: unions DVs, stays exact
+    TableLog.updateWhereDv(spark, t, col("k") === 3L,
+      Map("v" -> lit("UPD3b")))
+    val got2 = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2.size == 100 && got2(3L) == "UPD3b" && got2(23L) == "UPD23")
+    // no-op update commits nothing
+    val v = TableLog.latestVersion(t)
+    TableLog.updateWhereDv(spark, t, col("k") === -1L,
+      Map("v" -> lit("x")))
+    assert(TableLog.latestVersion(t) == v)
+  }
+
   test("empty append bumps the version without staging files") {
     val t = freshDir()
     TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
