@@ -2266,7 +2266,40 @@ object TableOps {
       |FROM v2 GROUP BY 2
       |ORDER BY version, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q456
+  /** `#detail` — the one-row table card (Delta's DESCRIBE DETAIL
+    * shape) folded from the manifest alone, composing with VERSION AS
+    * OF: reading it across q454's three eras pins that live/dead row
+    * accounting tracks the deletion vectors exactly, with zero data
+    * files opened at any version. The oracle replays the live counts
+    * from the source rows; file counts and declared columns are
+    * spec-pinned (DuckDB cannot see manifests). */
+  def q456TableDetail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q454DeletionVectors(s, dir).count() // ensure the DV table exists
+    val table = dvCache.get(dir)
+    (1L to 3L).map { v =>
+      s.sql(
+        s"""SELECT version, live_rows
+           |FROM graftlog.`$table#detail` VERSION AS OF $v""".stripMargin)
+    }.reduce(_ unionByName _).orderBy($"version")
+  }
+
+  private val q456Oracle =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 8 = 1),
+      |v2 AS (SELECT * FROM v1 WHERE o_custkey % 7 <> 0),
+      |v3 AS (SELECT * FROM v2
+      |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 1))
+      |SELECT CAST(1 AS BIGINT) AS version,
+      |  CAST(count(*) AS BIGINT) AS live_rows FROM v1
+      |UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM v2
+      |UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM v3
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q456_table_detail" -> (q456TableDetail _),
     "q455_mor_update" -> (q455MorUpdate _),
     "q454_deletion_vectors" -> (q454DeletionVectors _),
     "q451_table_changes_tvf" -> (q451TableChangesTvf _),
@@ -2315,6 +2348,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q456_table_detail" -> q456Oracle,
     "q455_mor_update" -> q455Oracle,
     "q454_deletion_vectors" -> q454Oracle,
     "q451_table_changes_tvf" -> q336Oracle,

@@ -134,9 +134,22 @@ class GraftLogCatalog extends TableCatalog
 
   private val historySuffix = "#history"
   private val partitionsSuffix = "#partitions"
+  private val detailSuffix = "#detail"
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val raw = pathOf(ident)
+    if (raw.endsWith(detailSuffix)) {
+      // one-row table card (Delta's DESCRIBE DETAIL shape) straight
+      // off the manifest: snapshot version, file count, live/dead row
+      // counts (deletion vectors netted), and the declared key /
+      // partition / bloom columns. Composes with VERSION AS OF — the
+      // card describes that era's snapshot. Zero data files open.
+      val path = raw.stripSuffix(detailSuffix)
+      val snap =
+        try TableLog.state(path, version.getOrElse(Long.MaxValue))
+        catch { case _: Exception => throw new NoSuchTableException(ident) }
+      return new GraftLogDetailTable(path, snap)
+    }
     if (raw.endsWith(partitionsSuffix)) {
       // partition inventory straight off the manifest — `SHOW
       // PARTITIONS` as a queryable table: one row per live partition
@@ -737,6 +750,34 @@ class GraftLogPartitionsTable(tablePath: String,
 case class GraftLogPartitionsPartition(
     rows: Seq[(Seq[String], Long, Long)])
   extends org.apache.spark.sql.connector.read.InputPartition
+
+/** The one-row table card (`graftlog.\`<path>#detail\``) — Delta's
+  * DESCRIBE DETAIL shape, folded from the manifest alone: snapshot
+  * version, file count, live/dead rows (deletion vectors netted),
+  * declared key/partition/bloom columns. Composes with VERSION AS OF. */
+class GraftLogDetailTable(tablePath: String, snap: TableLog.Snapshot)
+    extends Table with SupportsRead {
+  private val outSchema = StructType.fromDDL(
+    "version BIGINT, n_files BIGINT, live_rows BIGINT, dead_rows BIGINT, " +
+      "key_col STRING, part_cols STRING, bloom_col STRING")
+  override def name(): String = s"graftlog.`$tablePath#detail`"
+  override def schema(): StructType = outSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => {
+      import org.apache.spark.unsafe.types.UTF8String
+      new GraftLogStatsScan(outSchema, Seq(
+        snap.version,
+        snap.active.size.toLong,
+        snap.active.map(_.liveRows).sum,
+        snap.active.map(a => a.rows - a.liveRows).sum,
+        UTF8String.fromString(snap.keyCol),
+        UTF8String.fromString(snap.partCols.mkString(",")),
+        UTF8String.fromString(snap.bloom.map(_._1).getOrElse(""))),
+        snap.active.size)
+    }
+}
 
 class GraftLogPartitionsReaderFactory
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {

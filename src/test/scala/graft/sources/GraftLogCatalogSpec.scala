@@ -414,6 +414,27 @@ class GraftLogCatalogSpec extends SparkSuite {
       .collect().head.getLong(0) == 200L)
   }
 
+  test("#detail: one-row manifest card with live/dead accounting; " +
+      "VERSION AS OF composes; zero files opened") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_det_").toString
+    TableLog.create((0L to 99L).map(i => (i, s"a$i")).toDF("k", "v"),
+      t, "k", numFiles = 4, bloomCol = Some("v"))
+    TableLog.deleteWhereDv(spark, t, $"k" < 10L)
+    val df = spark.sql(s"SELECT * FROM graftlog.`$t#detail`")
+    assert(df.queryExecution.executedPlan.toString.contains("manifest-stats"))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4), r.getString(6)) == ((2L, 4L, 90L, 10L, "k", "v")))
+    // time travel: the pre-delete card
+    val r1 = spark.sql(
+      s"SELECT version, live_rows, dead_rows FROM graftlog.`$t#detail` " +
+        "VERSION AS OF 1").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((1L, 100L, 0L)))
+  }
+
   test("SQL CALL runs each procedure end-to-end and returns its " +
       "accounting row (LocalScan output, no task launch)") {
     val t = freshTable()
