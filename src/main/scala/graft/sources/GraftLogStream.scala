@@ -928,14 +928,21 @@ class GraftLogChangeFeedStream(path: String, startingVersion: Long)
         // the ranges cover; each partition reads only intersecting
         // files and filters rows to its range — disjoint and complete
         val starts = (oldFiles ++ newFiles).map(_.min).distinct.sorted
+        // each side's DV bitset rides into the partition so dead
+        // positions subtract before the compare (driver-side read:
+        // sidecars are KB-scale by the DV contract)
+        def withDv(a: TableLog.AddFile): (String, Array[Long]) =
+          (abs(a.relPath), a.dv.fold(Array.empty[Long])(_ =>
+            java.util.BitSet.valueOf(java.nio.file.Files.readAllBytes(
+              TableLog.dvSidecar(path, a))).toLongArray))
         starts.zipWithIndex.map { case (rlo, i) =>
           val rhi =
             if (i + 1 < starts.length) starts(i + 1) else Long.MaxValue
           def hits(a: TableLog.AddFile): Boolean =
             a.max >= rlo && (a.min < rhi || rhi == Long.MaxValue)
           GraftLogCdfDiffPartition(rlo, rhi,
-            oldFiles.filter(hits).map(a => abs(a.relPath)),
-            newFiles.filter(hits).map(a => abs(a.relPath)),
+            oldFiles.filter(hits).map(withDv),
+            newFiles.filter(hits).map(withDv),
             c.version, ddl, k): InputPartition
         }
       }
@@ -954,8 +961,12 @@ case class GraftLogCdfInsertPartition(file: String, version: Long,
 /** One key range `[loKey, hiKey)` of a rewrite commit's diff
   * (`hiKey = Long.MaxValue` means inclusive top): reads the removed
   * and added files intersecting the range, local hash-join by key. */
+/** Diff-side file: absolute path plus its deletion vector's bitset
+  * words (empty = no DV) — dead positions must subtract BEFORE the
+  * old-vs-new compare, or a DV-only commit diffs to nothing. */
 case class GraftLogCdfDiffPartition(loKey: Long, hiKey: Long,
-    oldFiles: Seq[String], newFiles: Seq[String], version: Long,
+    oldFiles: Seq[(String, Array[Long])],
+    newFiles: Seq[(String, Array[Long])], version: Long,
     tableSchemaDdl: String, keyCol: String) extends InputPartition
 
 class GraftLogCdfReaderFactory extends PartitionReaderFactory {
@@ -1025,15 +1036,26 @@ class GraftLogCdfReaderFactory extends PartitionReaderFactory {
       }
       true
     }
+    // live rows only: each side's deletion vector subtracts by row
+    // position before the compare (reads are whole-file sequential,
+    // so the ordinal IS the position)
+    def eachLive(f: (String, Array[Long]))(fn: Array[Any] => Unit): Unit = {
+      val bits = java.util.BitSet.valueOf(f._2)
+      var pos = -1
+      GraftLogGroupRows.foreach(f._1, schema) { vals =>
+        pos += 1
+        if (!bits.get(pos)) fn(vals)
+      }
+    }
     // old side materializes per range — bounded by the range's rows
     // (≈ one file under range-partitioned staging), never the commit
     val old = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Any]]
-    p.oldFiles.foreach(f => GraftLogGroupRows.foreach(f, schema) { vals =>
+    p.oldFiles.foreach(f => eachLive(f) { vals =>
       val k = vals(keyIdx).asInstanceOf[Long]
       if (inRange(k)) old(k) = vals
     })
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-    p.newFiles.foreach(f => GraftLogGroupRows.foreach(f, schema) { vals =>
+    p.newFiles.foreach(f => eachLive(f) { vals =>
       val k = vals(keyIdx).asInstanceOf[Long]
       if (inRange(k)) old.remove(k) match {
         case Some(o) =>

@@ -245,6 +245,41 @@ class GraftLogStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("change feed rides through DELETION-VECTOR commits: a DV " +
+      "delete emits exactly the dead rows, no file ever rewrote") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_cdfdv_").toString
+    val cp = Files.createTempDirectory("tlog_cdfdv_cp_").toString
+    TableLog.create(kv((0L to 19L).map(i => (i, s"a$i"))), t, "k", 2)
+    TableLog.deleteWhereDv(spark, t, col("k").between(3L, 6L)) // v2: DV
+    TableLog.updateWhereDv(spark, t, col("k") === 10L,
+      Map("v" -> lit("A10"))) // v3: MoR update
+    val q = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("tlog_cdfdv_probe")
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("tlog_cdfdv_probe").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) null else r.getString(3),
+          r.getLong(4)))
+      // v2: the DV commit changes no relPath, yet the feed sees the
+      // dead rows — content identity includes the DV token
+      val v2 = rows.filter(_._5 == 2L)
+      assert(v2.map(_._1).sorted.toSeq == Seq(3L, 4L, 5L, 6L),
+        v2.mkString(","))
+      assert(v2.forall(r => r._2 == "delete" && r._3 == s"a${r._1}"))
+      // v3: the MoR update emits old AND new images of k=10 only
+      val v3 = rows.filter(_._5 == 3L)
+      assert(v3.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+        Seq((10L, "update", "a10", "A10")), v3.mkString(","))
+    } finally q.stop()
+  }
+
   test("a rewrite commit in the window fails the stream fast — " +
       "appends-only reads must not double-count") {
     val t = Files.createTempDirectory("tlog_stream3_").toString
