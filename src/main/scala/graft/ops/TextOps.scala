@@ -5771,7 +5771,89 @@ object TextOps {
       |      UNION ALL SELECT * FROM kap)
       |ORDER BY clazz""".stripMargin
 
+  // ---------------------------------------------------------------- q457
+  /** Group-fairness audit of a classifier gate in exact ppm integers —
+    * the filter-bias screen a curation pipeline runs before shipping a
+    * quality gate (Hardt et al. 2016's equalized-odds framing, public):
+    * per group (source-derived), selection rate, TPR and FPR; plus
+    * TOTAL rows carrying the max pairwise GAPS — demographic-parity
+    * gap (max |sel_i − sel_j|) and equalized-odds gap
+    * (max over TPR/FPR gaps). Planted group-correlated errors make the
+    * gaps non-zero and deterministic. Everything folds from one
+    * (group, label, pred) cell grid; all division is ppm floor-div so
+    * the audit is bit-identical cross-engine. */
+  def q457FairnessAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documentsSpread(s, dir).select($"doc_id")
+      .withColumn("grp", pmod($"doc_id", lit(4)))
+      .withColumn("y", (pmod($"doc_id" * 7 + 3, lit(10)) < 5).cast("int"))
+      // planted bias: group g flips the decision at rate ~(g+1)/19 —
+      // modulus 19 is coprime to the group period 4, so the flip hash
+      // decorrelates from group membership (a mod-20 hash would share
+      // factor 4 with it and starve some groups of flips entirely)
+      .withColumn("pred",
+        when(pmod($"doc_id" * 13 + 7, lit(19)) < $"grp" + 1,
+          lit(1) - $"y").otherwise($"y"))
+    val cells = d.groupBy($"grp", $"y", $"pred")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val per = cells.groupBy($"grp").agg(
+      sum($"n").as("n_total"),
+      sum(when($"pred" === 1, $"n").otherwise(0L)).as("n_sel"),
+      sum(when($"y" === 1, $"n").otherwise(0L)).as("n_pos"),
+      sum(when($"y" === 1 && $"pred" === 1, $"n").otherwise(0L)).as("tp"),
+      sum(when($"y" === 0 && $"pred" === 1, $"n").otherwise(0L)).as("fp"))
+      .select($"grp",
+        expr("(n_sel * 1000000) div n_total").as("sel_ppm"),
+        expr("(tp * 1000000) div greatest(n_pos, 1)").as("tpr_ppm"),
+        expr("(fp * 1000000) div greatest(n_total - n_pos, 1)")
+          .as("fpr_ppm"))
+    val gaps = per.agg(
+      (max($"sel_ppm") - min($"sel_ppm")).as("dp_gap"),
+      greatest(max($"tpr_ppm") - min($"tpr_ppm"),
+        max($"fpr_ppm") - min($"fpr_ppm")).as("eo_gap"))
+    per.unionByName(gaps.select(lit(-1L).as("grp"), $"dp_gap".as("sel_ppm"),
+        $"eo_gap".as("tpr_ppm"), lit(null).cast("long").as("fpr_ppm")))
+      .orderBy($"grp")
+  }
+
+  private val q457Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 4 AS grp,
+      |    CASE WHEN (doc_id * 7 + 3) % 10 < 5 THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |p AS (
+      |  SELECT *, CASE WHEN (doc_id * 13 + 7) % 19 < grp + 1
+      |    THEN 1 - y ELSE y END AS pred FROM d),
+      |per AS (
+      |  SELECT grp,
+      |    (CAST(sum(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      * 1000000) // count(*) AS sel_ppm,
+      |    (CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) * 1000000)
+      |      // greatest(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END), 1)
+      |      AS tpr_ppm,
+      |    (CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) * 1000000)
+      |      // greatest(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END), 1)
+      |      AS fpr_ppm
+      |  FROM p GROUP BY 1),
+      |gaps AS (
+      |  SELECT CAST(-1 AS BIGINT) AS grp,
+      |    max(sel_ppm) - min(sel_ppm) AS sel_ppm,
+      |    greatest(max(tpr_ppm) - min(tpr_ppm),
+      |      max(fpr_ppm) - min(fpr_ppm)) AS tpr_ppm,
+      |    CAST(NULL AS BIGINT) AS fpr_ppm
+      |  FROM per)
+      |SELECT CAST(grp AS BIGINT) AS grp, CAST(sel_ppm AS BIGINT)
+      |    AS sel_ppm,
+      |  CAST(tpr_ppm AS BIGINT) AS tpr_ppm, CAST(fpr_ppm AS BIGINT)
+      |    AS fpr_ppm
+      |FROM (SELECT * FROM per UNION ALL SELECT * FROM gaps)
+      |ORDER BY grp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q457_fairness_audit" -> (q457FairnessAudit _),
     "q452_edit_distance_dedup" -> (q452EditDistanceDedup _),
     "q453_multiclass_eval" -> (q453MulticlassEval _),
     "q450_data_constrained_mix" -> (q450DataConstrainedMix _),
@@ -5860,6 +5942,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q457_fairness_audit" -> q457Oracle,
     "q452_edit_distance_dedup" -> q452Oracle,
     "q453_multiclass_eval" -> q453Oracle,
     "q450_data_constrained_mix" -> q450Oracle,

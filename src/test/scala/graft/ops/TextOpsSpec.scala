@@ -1481,6 +1481,25 @@ class TextOpsSpec extends SparkSuite {
     assert(kappa > 0 && kappa < 1000000L, s"kappa $kappa")
   }
 
+  test("q457 fairness audit: planted group-correlated flips produce " +
+    "ordered error rates; gap rows fold from the per-group values") {
+    val rows = TextOps.q457FairnessAudit(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(rows.keySet == Set(-1L, 0L, 1L, 2L, 3L))
+    val per = Seq(0L, 1L, 2L, 3L).map(rows)
+    // flip rate grows with the group index: group 3 is most distorted —
+    // its FPR must exceed group 0's (flips of true negatives into 1s)
+    assert(rows(3L)._3 > rows(0L)._3,
+      s"planted bias not visible: ${rows.mkString(", ")}")
+    // gap rows are exact folds of the per-group values
+    val (dpGap, eoGap, _) = rows(-1L)
+    assert(dpGap == per.map(_._1).max - per.map(_._1).min)
+    assert(eoGap == math.max(
+      per.map(_._2).max - per.map(_._2).min,
+      per.map(_._3).max - per.map(_._3).min))
+  }
+
   test("q279 vocab coverage: crossing replay; curve monotone in both axes") {
     import spark.implicits._
     val got = TextOps.q279VocabCoverage(spark, sf0001).collect()
