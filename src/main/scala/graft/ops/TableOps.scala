@@ -2298,7 +2298,61 @@ object TableOps {
       |UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM v3
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q458
+  /** Persistent TBLPROPERTIES gating DML behavior — the Delta/Iceberg
+    * table-property convention on this log: CREATE declares
+    * `'delete.mode' = 'merge-on-read'` (persisted in the manifest,
+    * SHOW TBLPROPERTIES reads it back), and a PLAIN SQL `DELETE FROM`
+    * then takes the deletion-vector path — dead positions in sidecars,
+    * zero file rewrites — while partitioned or un-gated tables keep
+    * copy-on-write. The readout replays both eras through time travel;
+    * the spec pins the no-rewrite physics and the UNSET round-trip. */
+  private val morSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q458MorDeleteSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val table = morSqlCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogms_").toString + "/tbl"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$t` (
+           |  o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+           |  o_orderpriority STRING, o_totalprice DOUBLE)
+           |TBLPROPERTIES ('key' = 'o_orderkey',
+           |  'delete.mode' = 'merge-on-read')""".stripMargin)
+      val v = s"graft_mor_src_${Integer.toHexString(dir.hashCode)}"
+      ordersSlice(s, dir).where($"o_orderkey" % 8 === 7)
+        .createOrReplaceTempView(v)
+      try s.sql(s"INSERT INTO graftlog.`$t` SELECT * FROM $v")
+      finally s.catalog.dropTempView(v)
+      s.sql(s"DELETE FROM graftlog.`$t` WHERE o_custkey % 6 = 1")
+      t
+    })
+    def era(v: Long): DataFrame = s.sql(
+      s"""SELECT CAST($v AS BIGINT) AS version, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$table` VERSION AS OF $v
+         |GROUP BY o_orderstatus""".stripMargin)
+    era(2).unionByName(era(3)).orderBy($"version", $"o_orderstatus")
+  }
+
+  private val q458Oracle =
+    """WITH v2 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 8 = 7),
+      |v3 AS (SELECT * FROM v2 WHERE o_custkey % 6 <> 1)
+      |SELECT CAST(2 AS BIGINT) AS version, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM v2 GROUP BY 2
+      |UNION ALL SELECT 3, o_orderstatus, CAST(count(*) AS BIGINT),
+      |  CAST(sum(o_orderkey) AS BIGINT) FROM v3 GROUP BY 2
+      |ORDER BY version, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q458_mor_delete_sql" -> (q458MorDeleteSql _),
     "q456_table_detail" -> (q456TableDetail _),
     "q455_mor_update" -> (q455MorUpdate _),
     "q454_deletion_vectors" -> (q454DeletionVectors _),
@@ -2348,6 +2402,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q458_mor_delete_sql" -> q458Oracle,
     "q456_table_detail" -> q456Oracle,
     "q455_mor_update" -> q455Oracle,
     "q454_deletion_vectors" -> q454Oracle,

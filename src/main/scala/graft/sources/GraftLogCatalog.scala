@@ -354,7 +354,14 @@ class GraftLogCatalog extends TableCatalog
     require(schema.fields.exists(f => f.name == key &&
         f.dataType == org.apache.spark.sql.types.LongType),
       s"graftlog: key column '$key' must be a BIGINT column of the schema")
-    TableLog.createEmpty(path, schema.toDDL, key, partCols)
+    // persist user table properties (minus the reserved key and the
+    // engine-internal markers Spark injects) — SHOW TBLPROPERTIES and
+    // behavior gates like 'delete.mode' read them back off the log
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap -
+      "key" -- Seq("provider", "location", "owner", "comment")
+        .filter(properties.containsKey)
+    TableLog.createEmpty(path, schema.toDDL, key, partCols, userProps)
     new GraftLogTable(path, TableLog.state(path))
   }
   /** `ALTER TABLE graftlog.\`<path>\` ADD COLUMN(S) …` — the SQL
@@ -369,7 +376,31 @@ class GraftLogCatalog extends TableCatalog
       changes: TableChange*): Table = {
     val path = pathOf(ident)
     if (path.endsWith(historySuffix)) refuse(s"ALTER TABLE $historySuffix")
-    val adds = changes.map {
+    // property changes fold into ONE metadata commit; column adds keep
+    // their additive-evolution path — mixing the two in one statement
+    // is refused for auditability (each commit states one thing)
+    val (propChanges, rest) = changes.partition {
+      case _: TableChange.SetProperty    => true
+      case _: TableChange.RemoveProperty => true
+      case _                             => false
+    }
+    if (propChanges.nonEmpty) {
+      require(rest.isEmpty,
+        "graftlog: mix of property and schema changes in one ALTER — " +
+          "issue them as separate statements")
+      val cur = TableLog.state(path).props
+      val next = propChanges.foldLeft(cur) {
+        case (m, sp: TableChange.SetProperty) =>
+          require(sp.property != "key",
+            "graftlog: the key column declaration is immutable")
+          m + (sp.property -> sp.value)
+        case (m, rp: TableChange.RemoveProperty) => m - rp.property
+        case (m, _) => m
+      }
+      TableLog.setProps(path, next)
+      return loadTable(ident)
+    }
+    val adds = rest.map {
       case a: TableChange.AddColumn
           if a.fieldNames.length == 1 && a.isNullable &&
             a.defaultValue == null && a.position == null =>
@@ -406,6 +437,14 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graftlog.`$tablePath` @v${snap.version}"
   override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
+  /** The persisted property map (plus the key declaration) — SHOW
+    * TBLPROPERTIES reads this straight off the manifest. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("key", snap.keyCol)
+    snap.props.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
   override def partitioning(): Array[Transform] =
     snap.partCols.map(c => org.apache.spark.sql.connector.expressions
       .Expressions.identity(c)).toArray
@@ -548,6 +587,16 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     val cond = filters.toSeq.flatMap(GraftLogTable.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
+    // merge-on-read routing: under TBLPROPERTIES('delete.mode' =
+    // 'merge-on-read'), a plain SQL DELETE takes the deletion-vector
+    // path — dead positions in sidecars, zero file rewrites (the
+    // Delta/Iceberg table-property gate; partitioned tables keep COW
+    // so their tuple stats stay exact)
+    if (snap.props.get("delete.mode").contains("merge-on-read") &&
+        snap.partCols.isEmpty) {
+      TableLog.deleteWhereDv(SparkSession.active, tablePath, cond)
+      return
+    }
     val range = GraftLogScanBuilder.keyRange(snap.keyCol, filters.toSeq)
     val (preds, _) =
       GraftLogScanBuilder.partitionPreds(snap.partCols, filters.toSeq)

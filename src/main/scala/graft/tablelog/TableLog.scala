@@ -141,7 +141,8 @@ object TableLog {
       txns: Seq[(String, Long)] = Nil,
       bloom: Option[(String, Int)] = None,
       tsMillis: Long = 0L,
-      partCols: Seq[String] = Nil)
+      partCols: Seq[String] = Nil,
+      props: Option[Map[String, String]] = None)
 
   /** A replayed table state: active files in commit order plus the
     * metadata needed to read them. `txns` carries the highest
@@ -152,7 +153,8 @@ object TableLog {
       schemaDdl: String, keyCol: String,
       txns: Map[String, Long] = Map.empty,
       bloom: Option[(String, Int)] = None,
-      partCols: Seq[String] = Nil)
+      partCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty)
 
   /** Checkpoint cadence — small so the short demo histories exercise
     * the checkpoint replay path; a production table would use
@@ -186,7 +188,8 @@ object TableLog {
       txns: Seq[(String, Long)] = Nil,
       bloom: Option[(String, Int)] = None,
       tsMillis: Long = 0L,
-      partCols: Seq[String] = Nil): String = {
+      partCols: Seq[String] = Nil,
+      props: Option[Map[String, String]] = None): String = {
     val sb = new StringBuilder
     sb ++= s"op $op\n"
     if (tsMillis > 0L) sb ++= s"ts $tsMillis\n"
@@ -202,6 +205,12 @@ object TableLog {
       require(!c.contains(' ') && !c.contains('\n'),
         s"bloom column name must be token-shaped: '$c'")
       sb ++= s"bloom $c $m\n"
+    }
+    props.foreach { m =>
+      // one line, full-map REPLACEMENT semantics (n = 0 clears all)
+      val ts = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${encCol(k)}:${encCol(v)}" }
+      sb ++= s"props ${ts.size} ${ts.mkString(" ")}\n"
     }
     txns.sortBy(_._1).foreach { case (app, v) =>
       require(!app.contains(' ') && !app.contains('\n'),
@@ -349,6 +358,7 @@ object TableLog {
     var op = ""; var key = ""; var ddl = ""; var ts = 0L
     var bloom = Option.empty[(String, Int)]
     var partCols = Seq.empty[String]
+    var props = Option.empty[Map[String, String]]
     val txns = Seq.newBuilder[(String, Long)]
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
@@ -400,6 +410,12 @@ object TableLog {
         case "dvat" =>
           val toks = rest.split(" ")
           dvStats(toks.drop(2).mkString(" ")) = (toks(1), toks(0).toLong)
+        case "props" =>
+          val toks = rest.split(" ").filter(_.nonEmpty)
+          props = Some(toks.drop(1).map { t =>
+            val Array(k, v) = t.split(":", -1)
+            decCol(k) -> decCol(v)
+          }.toMap)
         case other => throw new IllegalStateException(
           s"corrupt manifest v$version: unknown tag '$other'")
       }
@@ -409,7 +425,7 @@ object TableLog {
       dvStats.get(a1.relPath).fold(a1)(d => a1.copy(dv = Some(d)))
     }
     Commit(version, op, withCols, removes.result(), ddl, key,
-      txns.result(), bloom, ts, partCols)
+      txns.result(), bloom, ts, partCols, props)
   }
 
   /** Latest committed version, 0 if the table has no log yet. The
@@ -448,6 +464,7 @@ object TableLog {
     var ddl = base.schemaDdl; var key = base.keyCol; var v = base.version
     var txns = base.txns; var bloom = base.bloom
     var partCols = base.partCols
+    var props = base.props
     tail.foreach { c =>
       c.removes.foreach { p =>
         if (active.remove(p).isEmpty) throw new IllegalStateException(
@@ -458,12 +475,14 @@ object TableLog {
       if (c.keyCol.nonEmpty) key = c.keyCol
       if (c.bloom.nonEmpty) bloom = c.bloom
       if (c.partCols.nonEmpty) partCols = c.partCols
+      c.props.foreach(p => props = p)
       c.txns.foreach { case (app, tv) =>
         txns += app -> math.max(tv, txns.getOrElse(app, Long.MinValue))
       }
       v = c.version
     }
-    Snapshot(v, active.values.toSeq, ddl, key, txns, bloom, partCols)
+    Snapshot(v, active.values.toSeq, ddl, key, txns, bloom, partCols,
+      props)
   }
 
   /** The latest version whose commit wall-clock stamp is ≤
@@ -493,7 +512,7 @@ object TableLog {
       case Some(v) =>
         val c = parse(v, Files.readString(checkpointPath(table, v)))
         Snapshot(v, c.adds, c.schemaDdl, c.keyCol, c.txns.toMap, c.bloom,
-          c.partCols)
+          c.partCols, c.props.getOrElse(Map.empty))
       case None => Snapshot(0L, Nil, "", "")
     }
     val tail = ((base.version + 1L) to last).map { v =>
@@ -514,10 +533,12 @@ object TableLog {
       adds: Seq[AddFile], removes: Seq[String], schemaDdl: String,
       keyCol: String, txn: Option[(String, Long)] = None,
       bloom: Option[(String, Int)] = None,
-      partCols: Seq[String] = Nil): Long = {
+      partCols: Seq[String] = Nil,
+      props: Option[Map[String, String]] = None): Long = {
     Files.createDirectories(logDir(table))
     val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq, bloom,
-      tsMillis = System.currentTimeMillis(), partCols = partCols)
+      tsMillis = System.currentTimeMillis(), partCols = partCols,
+      props = props)
     var attempt = expected + 1L
     while (true) {
       val tmp = Files.createTempFile(logDir(table), s"tmp-$op-", ".inprogress")
@@ -541,7 +562,7 @@ object TableLog {
           // datasets; two evolves would drop each other's columns).
           // The caller re-runs the operation, recomputing against the
           // new snapshot.
-          if (op == "create" || schemaDdl.nonEmpty)
+          if (op == "create" || schemaDdl.nonEmpty || props.isDefined)
             throw new java.util.ConcurrentModificationException(
               s"$table: lost a $op race at v${now.version} — this commit " +
                 "carries snapshot-derived metadata and cannot rebase; " +
@@ -560,7 +581,8 @@ object TableLog {
     if (v % checkpointEvery == 0L) {
       val snap = state(table, v)
       val text = render("checkpoint", snap.active, Nil, snap.schemaDdl,
-        snap.keyCol, snap.txns.toSeq, snap.bloom, partCols = snap.partCols)
+        snap.keyCol, snap.txns.toSeq, snap.bloom, partCols = snap.partCols,
+        props = Some(snap.props))
       val tmp = Files.createTempFile(logDir(table), "tmp-ckpt-", ".inprogress")
       try {
         Files.write(tmp, text.getBytes(UTF_8))
@@ -798,13 +820,26 @@ object TableLog {
     * columns are declared up front, the first INSERT/append brings
     * the data. Same create-is-not-an-upsert rule as [[create]]. */
   def createEmpty(table: String, schemaDdl: String, keyCol: String,
-      partCols: Seq[String] = Nil): Long = {
+      partCols: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): Long = {
     require(latestVersion(table) == 0L, s"$table already exists")
     require(StructType.fromDDL(schemaDdl).fieldNames.contains(keyCol),
       s"key column '$keyCol' not in schema: $schemaDdl")
     if (partCols.nonEmpty) checkPartCols(schemaDdl, partCols)
     commit(table, 0L, "create", Nil, Nil, schemaDdl, keyCol,
-      partCols = partCols)
+      partCols = partCols,
+      props = if (props.isEmpty) None else Some(props))
+  }
+
+  /** Replace the table's PROPERTY MAP as one metadata-only commit
+    * (the ALTER TABLE SET/UNSET TBLPROPERTIES backend): full-map
+    * replacement semantics, auditable in history like any commit,
+    * refuses to rebase under a concurrent writer (snapshot-derived
+    * metadata must not silently overwrite a race winner's). */
+  def setProps(table: String, props: Map[String, String]): Long = {
+    val snap = state(table)
+    commit(table, snap.version, "setprops", Nil, Nil, "", "",
+      props = Some(props))
   }
 
   /** Append-only commit — the reference's daily load shape. Never

@@ -435,6 +435,52 @@ class GraftLogCatalogSpec extends SparkSuite {
     assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((1L, 100L, 0L)))
   }
 
+  test("TBLPROPERTIES persist in the log; delete.mode=merge-on-read " +
+      "routes SQL DELETE to deletion vectors; UNSET returns to COW") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_props_").toString + "/tbl"
+    spark.sql(
+      s"""CREATE TABLE graftlog.`$t` (k BIGINT, v STRING)
+         |TBLPROPERTIES ('key' = 'k', 'team' = 'data-eng')""".stripMargin)
+    (0L to 99L).map(i => (i, s"a$i")).toDF("k", "v")
+      .createOrReplaceTempView("props_src")
+    spark.sql(s"INSERT INTO graftlog.`$t` SELECT * FROM props_src")
+    // persisted props read back via SHOW TBLPROPERTIES
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graftlog.`$t`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("team").contains("data-eng") &&
+      shown.get("key").contains("k"), shown)
+    // flip the delete mode via ALTER ... SET TBLPROPERTIES
+    spark.sql(s"ALTER TABLE graftlog.`$t` " +
+      "SET TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    def parquetCount: Int = {
+      val s = Files.walk(java.nio.file.Paths.get(t, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally s.close()
+    }
+    val before = parquetCount
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE k < 10")
+    assert(parquetCount == before, "MoR DELETE must not rewrite files")
+    assert(TableLog.state(t).active.exists(_.dv.isDefined))
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 90L)
+    // UNSET returns the next DELETE to copy-on-write
+    spark.sql(s"ALTER TABLE graftlog.`$t` " +
+      "UNSET TBLPROPERTIES ('delete.mode')")
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE k >= 90")
+    assert(parquetCount > before, "COW DELETE should have staged files")
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 80L)
+    // the key declaration is immutable
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graftlog.`$t` SET TBLPROPERTIES ('key'='v')")
+    }
+  }
+
   test("SQL CALL runs each procedure end-to-end and returns its " +
       "accounting row (LocalScan output, no task launch)") {
     val t = freshTable()
