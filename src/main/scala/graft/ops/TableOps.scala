@@ -2351,7 +2351,59 @@ object TableOps {
       |  CAST(sum(o_orderkey) AS BIGINT) FROM v3 GROUP BY 2
       |ORDER BY version, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q459
+  /** `option("skipChangeCommits", "true")` on the appends-only stream
+    * (Delta's option, same name and contract): rewrite commits DROP
+    * from the feed wholesale instead of failing it — the consumer
+    * accepts missing the rewrites' row changes to keep a long-lived
+    * subscription alive across maintenance DML. Here the window holds
+    * create → COW delete → append: the stream emits v1's and v3's
+    * rows exactly (v2's rewritten survivors never double-count), and
+    * the oracle replays that contract — deleted rows still appear
+    * (their insert predates the skipped delete), fresh rows follow. */
+  private val skipCcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q459SkipChangeCommits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sinkName = skipCcCache.computeIfAbsent(dir, _ => {
+      val t = Files.createTempDirectory("graft_tlogsc_").toString
+      val cp = Files.createTempDirectory("graft_tlogsc_cp_").toString
+      val name = s"q459_skipcc_${Integer.toHexString(dir.hashCode)}"
+      val slice = ordersSlice(s, dir)
+      TableLog.create(slice.where(col("o_orderkey") % 8 === 3), t,
+        "o_orderkey", numFiles = 2)                                    // v1
+      TableLog.deleteWhere(s, t,
+        col("o_orderpriority") === "5-LOW", numFiles = 2)              // v2
+      TableLog.append(slice.where(col("o_orderkey") % 8 === 4)
+        .select((-$"o_orderkey" - 1).as("o_orderkey"), $"o_custkey",
+          $"o_orderstatus", $"o_orderpriority", $"o_totalprice"), t,
+        numFiles = 2)                                                  // v3
+      val q = s.readStream
+        .format("graft.sources.GraftLogStreamProvider")
+        .option("path", t).option("skipChangeCommits", "true").load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      name
+    })
+    s.table(sinkName)
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q459Oracle =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority
+      |FROM orders WHERE o_orderkey % 8 = 3
+      |UNION ALL
+      |SELECT -o_orderkey - 1, o_orderstatus, o_orderpriority
+      |FROM orders WHERE o_orderkey % 8 = 4
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q459_skip_change_commits" -> (q459SkipChangeCommits _),
     "q458_mor_delete_sql" -> (q458MorDeleteSql _),
     "q456_table_detail" -> (q456TableDetail _),
     "q455_mor_update" -> (q455MorUpdate _),
@@ -2402,6 +2454,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q459_skip_change_commits" -> q459Oracle,
     "q458_mor_delete_sql" -> q458Oracle,
     "q456_table_detail" -> q456Oracle,
     "q455_mor_update" -> q455Oracle,

@@ -1310,7 +1310,9 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
       maxBytesPerTrigger =
         Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       maxRowsPerTrigger =
-        Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+        Option(options.get("maxRowsPerTrigger")).map(_.toLong),
+      skipChangeCommits = Option(options.get("skipChangeCommits"))
+        .exists(_.toBoolean))
   }
 
   override def description(): String =

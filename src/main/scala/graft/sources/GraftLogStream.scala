@@ -107,7 +107,9 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
           maxBytesPerTrigger =
             Option(options.get("maxBytesPerTrigger")).map(_.toLong),
           maxRowsPerTrigger =
-            Option(options.get("maxRowsPerTrigger")).map(_.toLong))
+            Option(options.get("maxRowsPerTrigger")).map(_.toLong),
+          skipChangeCommits = Option(options.get("skipChangeCommits"))
+            .exists(_.toBoolean))
     }
 
   /** Native streaming SINK — `writeStream.format(…).option("path",…)`
@@ -645,7 +647,8 @@ class GraftLogMicroBatchStream(path: String, schema: StructType,
     startingVersion: Long,
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    maxRowsPerTrigger: Option[Long] = None) extends MicroBatchStream
+    maxRowsPerTrigger: Option[Long] = None,
+    skipChangeCommits: Boolean = false) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows}
@@ -745,12 +748,20 @@ class GraftLogMicroBatchStream(path: String, schema: StructType,
     val hi = end.asInstanceOf[GraftLogVersionOffset].version
     // only the (lo, hi] manifests are read — per-batch planning cost
     // is bounded by the batch window, not the table's lifetime
-    val window = TableLog.commits(path, hi, fromExclusive = lo)
+    val window0 = TableLog.commits(path, hi, fromExclusive = lo)
+    // `skipChangeCommits` (Delta's escape hatch, same name): rewrite
+    // commits DROP from the feed wholesale instead of failing it —
+    // the consumer sees appends only and accepts missing the
+    // rewrites' row changes (the option's documented contract)
+    val window =
+      if (skipChangeCommits) window0.filter(c => appendOps(c.op))
+      else window0
     window.filterNot(c => appendOps(c.op)).foreach { c =>
       throw new IllegalStateException(
         s"$path: v${c.version} is a ${c.op} (rewrite) — an appends-only " +
           "stream over this window would double-count; consume the " +
-          "change feed (option readChangeFeed=true) across it, or " +
+          "change feed (option readChangeFeed=true) across it, skip " +
+          "rewrites wholesale (option skipChangeCommits=true), or " +
           s"restart with startingVersion > ${c.version}")
     }
     // batches read through Spark's OWN vectorized parquet scan (the

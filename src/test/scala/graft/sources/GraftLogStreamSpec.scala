@@ -280,6 +280,31 @@ class GraftLogStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("skipChangeCommits drops rewrite commits wholesale: appends " +
+      "flow, DV and COW deletes never fail or double-count the stream") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_skipcc_").toString
+    val cp = Files.createTempDirectory("tlog_skipcc_cp_").toString
+    TableLog.create(kv((0L to 9L).map(i => (i, s"a$i"))), t, "k", 2)  // v1
+    TableLog.deleteWhereDv(spark, t, col("k") < 3L)                   // v2
+    TableLog.deleteWhere(spark, t, col("k") === 5L, 1)                // v3
+    TableLog.append(kv((10L to 14L).map(i => (i, s"b$i"))), t, 1)     // v4
+    val q = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).option("skipChangeCommits", "true").load()
+      .writeStream.format("memory").queryName("tlog_skipcc_probe")
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("tlog_skipcc_probe").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      // v1's rows once (v3's rewritten survivors skipped — no
+      // double-count), v2's DV adds skipped, v4's appends flow
+      assert(got == (0L to 14L), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("a rewrite commit in the window fails the stream fast — " +
       "appends-only reads must not double-count") {
     val t = Files.createTempDirectory("tlog_stream3_").toString
