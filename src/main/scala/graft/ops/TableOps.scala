@@ -2402,7 +2402,77 @@ object TableOps {
       |FROM orders WHERE o_orderkey % 8 = 4
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q460
+  /** BUCKETED storage-partitioned join — zero-shuffle joins ON THE
+    * KEY itself (the Iceberg bucket-SPJ shape, one step past q445's
+    * partition-column joins): both tables declare
+    * `TBLPROPERTIES('bucket.count'='8')`, the write path routes every
+    * row to its key-bucket file (files are bucket-pure by
+    * construction, `__bucket` purity stats prove it), the scans report
+    * `KeyGroupedPartitioning(bucket(8, key))` resolved through the
+    * catalog's own `bucket` function, and under v2 bucketing the
+    * fact-to-fact key join plans with NO exchange — at 100 TB this
+    * deletes the single most expensive shuffle there is. Plan pinned
+    * by spec; this query pins values cross-engine. */
+  private val bktCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def q460BucketedKeyJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val (t1, t2) = bktCache.computeIfAbsent(dir, _ => {
+      val a = Files.createTempDirectory("graft_tlogbk_").toString + "/a"
+      val b = Files.createTempDirectory("graft_tlogbk_").toString + "/b"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$a` (o_orderkey BIGINT,
+           |  o_totalprice DOUBLE)
+           |TBLPROPERTIES ('key' = 'o_orderkey', 'bucket.count' = '8')
+           |""".stripMargin)
+      s.sql(
+        s"""CREATE TABLE graftlog.`$b` (o_orderkey BIGINT,
+           |  o_custkey BIGINT, o_orderstatus STRING)
+           |TBLPROPERTIES ('key' = 'o_orderkey', 'bucket.count' = '8')
+           |""".stripMargin)
+      val va = s"graft_bkt_a_${Integer.toHexString(dir.hashCode)}"
+      val vb = s"graft_bkt_b_${Integer.toHexString(dir.hashCode)}"
+      ordersSlice(s, dir).where($"o_orderkey" % 4 === 2)
+        .select($"o_orderkey", $"o_totalprice")
+        .createOrReplaceTempView(va)
+      ordersSlice(s, dir).where($"o_orderkey" % 8 === 2)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+        .createOrReplaceTempView(vb)
+      try {
+        s.sql(s"INSERT INTO graftlog.`$a` SELECT * FROM $va")
+        s.sql(s"INSERT INTO graftlog.`$b` SELECT * FROM $vb")
+      } finally { s.catalog.dropTempView(va); s.catalog.dropTempView(vb) }
+      (a, b)
+    })
+    val k = "spark.sql.sources.v2.bucketing.enabled"
+    val saved = s.conf.get(k)
+    s.conf.set(k, "true")
+    try s.sql(
+      s"""SELECT b.o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(a.o_orderkey * b.o_custkey) AS BIGINT) AS cross_sum
+         |FROM graftlog.`$t1` a JOIN graftlog.`$t2` b
+         |  ON a.o_orderkey = b.o_orderkey
+         |GROUP BY b.o_orderstatus ORDER BY b.o_orderstatus""".stripMargin)
+      .localCheckpoint(true)
+    finally s.conf.set(k, saved)
+  }
+
+  private val q460Oracle =
+    """SELECT b.o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(a.o_orderkey * b.o_custkey) AS BIGINT) AS cross_sum
+      |FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 2) a
+      |JOIN (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |      WHERE o_orderkey % 8 = 2) b
+      |  ON a.o_orderkey = b.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q460_bucketed_key_join" -> (q460BucketedKeyJoin _),
     "q459_skip_change_commits" -> (q459SkipChangeCommits _),
     "q458_mor_delete_sql" -> (q458MorDeleteSql _),
     "q456_table_detail" -> (q456TableDetail _),
@@ -2454,6 +2524,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q460_bucketed_key_join" -> q460Oracle,
     "q459_skip_change_commits" -> q459Oracle,
     "q458_mor_delete_sql" -> q458Oracle,
     "q456_table_detail" -> q456Oracle,

@@ -70,8 +70,26 @@ import graft.tablelog.TableLog
   */
 class GraftLogCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName: String = "graftlog"
+
+  /** The catalog's SQL-visible functions — currently the ONE bucket
+    * hash the engine uses everywhere (write routing, storage-
+    * partitioned scan reports, and this resolution path Spark's SPJ
+    * planner takes for `bucket(n, key)` transforms — Iceberg's
+    * FunctionCatalog device). */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    if (ident.name() != "bucket")
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    GraftLogBucketFunction
+  }
 
   /** Optional warehouse ROOT (`spark.sql.catalog.<name>.warehouse`):
     * with it set, identifiers resolve BigQuery-style —
@@ -1246,6 +1264,40 @@ object GraftLogScanBuilder {
   }
 }
 
+/** `bucket(numBuckets, key)` — the engine's one bucket hash (Spark's
+  * Murmur3 long hash, seed 42, floor-mod), exposed through the DSv2
+  * FunctionCatalog so Spark's storage-partitioned-join planner can
+  * resolve the transform the bucketed scan reports (and so SQL can
+  * compute a row's bucket directly). Same function object the write
+  * path routes with ([[GraftLogAppendContract.bucketOf]]) — one
+  * implementation, zero drift. */
+object GraftLogBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets INT, key BIGINT): murmur3-based bucket id"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == LongType,
+      s"bucket(numBuckets INT, key BIGINT), got ${inputType.sql}")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, LongType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graftlog.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer =
+        GraftLogAppendContract.bucketOf(input.getLong(1), input.getInt(0))
+    }
+  }
+}
+
 /** The catalog's data scan: Spark's own vectorized parquet scan over
   * the manifest-pruned file set, wrapped to add RUNTIME file pruning
   * (`SupportsRuntimeFiltering`): when this table is the fact side of
@@ -1338,6 +1390,29 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     else Some(files.groupBy(_.parts.head.values).toSeq
       .sortBy(_._1.mkString("/")))
 
+  /** Bucketed-table key grouping: when TBLPROPERTIES declares
+    * `bucket.count` and every chosen file carries the writer's
+    * `__bucket` purity stat (min = max = id), report
+    * `KeyGroupedPartitioning(bucket(n, key))` — two graftlog tables
+    * bucketed the same way JOIN ON THE KEY with zero shuffle (the
+    * Iceberg bucket-SPJ shape; both sides share the one engine hash,
+    * exposed as the catalog's `bucket` SQL function). Files written
+    * outside the bucket-routing path (API staging, rewrites) lack
+    * the stat and the gate falls back — soundness never rests on
+    * the layout. */
+  private def bucketGroups: Option[(Int, Seq[(Int, Seq[TableLog.AddFile])])] =
+    GraftLogAppendContract.bucketCountOf(snap.props).flatMap { n =>
+      if (snap.partCols.nonEmpty || files.isEmpty ||
+          files.exists(_.dv.isDefined)) None
+      else {
+        val ids = files.map(_.cols.find(_.col == "__bucket")
+          .filter(s => s.min == s.max).map(_.min.toInt))
+        if (ids.exists(_.isEmpty)) None
+        else Some((n, files.zip(ids.map(_.get)).groupBy(_._2).toSeq
+          .sortBy(_._1).map { case (id, fs) => (id, fs.map(_._1)) }))
+      }
+    }
+
   /** Manifest partition values are strings (STRING/BIGINT/INT cols
     * only, enforced at write); the key row Spark groups on must carry
     * the column's true type. */
@@ -1361,9 +1436,18 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
               .expressions.Expressions.identity(c)
                 : org.apache.spark.sql.connector.expressions.Expression)
               .toArray, gs.size)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning
-          .UnknownPartitioning(0)
+      case None => bucketGroups match {
+        case Some((n, gs)) =>
+          new org.apache.spark.sql.connector.read.partitioning
+            .KeyGroupedPartitioning(
+              Array(org.apache.spark.sql.connector.expressions.Expressions
+                .bucket(n, snap.keyCol)
+                  : org.apache.spark.sql.connector.expressions.Expression),
+              gs.size)
+        case None =>
+          new org.apache.spark.sql.connector.read.partitioning
+            .UnknownPartitioning(0)
+      }
     }
 
   // Deletion-vector read dispatch: clean files keep the fully-pushed
@@ -1406,23 +1490,30 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
       return cp ++ dvPartitions(dvF)
     }
     val base = inner.toBatch.planInputPartitions()
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    def regroup[K](groups: Seq[(K, Seq[TableLog.AddFile])],
+        keyRow: K => InternalRow): Array[InputPartition] = {
+      val groupOf = groups.flatMap { case (k, fs) =>
+        fs.map(f =>
+          f.relPath.substring(f.relPath.lastIndexOf('/') + 1) -> k)
+      }.toMap
+      val splits = base.flatMap(_.asInstanceOf[FilePartition].files)
+      val bySide = splits.groupBy { pf =>
+        val p = pf.filePath.toString
+        groupOf(p.substring(p.lastIndexOf('/') + 1))
+      }
+      groups.zipWithIndex.map { case ((k, _), i) =>
+        new GraftLogKeyedFilePartition(i,
+          bySide.getOrElse(k, Array.empty), keyRow(k)): InputPartition
+      }.toArray
+    }
     pureGroups match {
-      case None => base
-      case Some(gs) =>
-        import org.apache.spark.sql.execution.datasources.FilePartition
-        val tupleOf = files.map(f =>
-          f.relPath.substring(f.relPath.lastIndexOf('/') + 1) ->
-            f.parts.head.values).toMap
-        val splits = base.flatMap(_.asInstanceOf[FilePartition].files)
-        val byTuple = splits.groupBy { pf =>
-          val p = pf.filePath.toString
-          tupleOf(p.substring(p.lastIndexOf('/') + 1))
-        }
-        gs.zipWithIndex.map { case ((tuple, _), i) =>
-          new GraftLogKeyedFilePartition(i,
-            byTuple.getOrElse(tuple, Array.empty), typedKey(tuple))
-            : InputPartition
-        }.toArray
+      case Some(gs) => regroup(gs, typedKey)
+      case None => bucketGroups match {
+        case Some((_, gs)) =>
+          regroup(gs, (id: Int) => InternalRow(id))
+        case None => base
+      }
     }
   }
 

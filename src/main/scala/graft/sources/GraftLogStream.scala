@@ -152,9 +152,32 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
   * appendEvolve API, where the schema merge has its conflict rules).
   * Returns the table's declared key column. */
 private[sources] object GraftLogAppendContract {
-  /** Returns (key column, partition columns). */
+  /** Bucket count declared via TBLPROPERTIES('bucket.count'='n') —
+    * the write path routes rows to one file per bucket per task so
+    * every staged file is bucket-PURE, the storage-partitioned
+    * scan's precondition for zero-shuffle KEY joins. */
+  def bucketCountOf(props: Map[String, String]): Option[Int] =
+    props.get("bucket.count").map { v =>
+      val n = v.toInt
+      require(n >= 2 && n <= 4096,
+        s"graftlog: bucket.count must be in [2, 4096], got $n")
+      n
+    }
+
+  /** The engine's ONE bucket function: Spark's Murmur3 long hash
+    * (seed 42 — the same value `hash(col)` computes for a BIGINT),
+    * floor-mod the bucket count. Write routing, the catalog's
+    * SQL-visible `bucket` function, and the scan's reported transform
+    * all share it, so they can never disagree. */
+  def bucketOf(key: Long, n: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashLong(key, 42)
+    ((h % n) + n) % n
+  }
+
+  /** Returns (key column, partition columns, bucket count). */
   def checkedMeta(table: String,
-      writeSchema: StructType): (String, Seq[String]) = {
+      writeSchema: StructType): (String, Seq[String], Option[Int]) = {
     val snap = TableLog.state(table)
     val declared = StructType.fromDDL(snap.schemaDdl)
     declared.fields.zip(writeSchema.fields).foreach { case (t, w) =>
@@ -165,7 +188,7 @@ private[sources] object GraftLogAppendContract {
     require(declared.length == writeSchema.length,
       s"graftlog sink: frame has ${writeSchema.length} columns, table " +
         s"declares ${declared.length}")
-    (snap.keyCol, snap.partCols)
+    (snap.keyCol, snap.partCols, bucketCountOf(snap.props))
   }
 
   def checkedKeyCol(table: String, writeSchema: StructType): String =
@@ -203,12 +226,13 @@ class GraftLogStreamingWrite(table: String, appId: String,
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
-  private val (keyCol, partCols) =
+  private val (keyCol, partCols, bucketN) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftLogSinkWriterFactory(table, writeSchema.toDDL, keyCol, partCols)
+    new GraftLogSinkWriterFactory(table, writeSchema.toDDL, keyCol, partCols,
+      bucketN)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -273,13 +297,13 @@ class GraftLogBatchAppend(table: String, writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols) =
+  private val (keyCol, partCols, bucketN) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
-      partCols = partCols)
+      partCols = partCols, bucketN = bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = GraftLogSinkCommitMessage.adds(messages)
@@ -305,13 +329,13 @@ class GraftLogOverwriteWrite(table: String, writeSchema: StructType,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols) =
+  private val (keyCol, partCols, bucketN) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
-      partCols = partCols)
+      partCols = partCols, bucketN = bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = GraftLogSinkCommitMessage.adds(messages)
@@ -342,7 +366,7 @@ class GraftLogDynamicOverwrite(table: String, writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols) =
+  private val (keyCol, partCols, bucketN) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
   require(partCols.nonEmpty,
     s"graftlog: $table is not partitioned — dynamic partition " +
@@ -351,7 +375,7 @@ class GraftLogDynamicOverwrite(table: String, writeSchema: StructType)
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
-      partCols = partCols)
+      partCols = partCols, bucketN = bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = GraftLogSinkCommitMessage.adds(messages)
@@ -378,13 +402,13 @@ class GraftLogReplaceData(table: String, writeSchema: StructType,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols) =
+  private val (keyCol, partCols, bucketN) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
-      allowOpColumn = true, partCols = partCols)
+      allowOpColumn = true, partCols = partCols, bucketN = bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = GraftLogSinkCommitMessage.adds(messages)
@@ -399,22 +423,23 @@ class GraftLogReplaceData(table: String, writeSchema: StructType,
 
 class GraftLogBatchWriterFactory(table: String, schemaDdl: String,
     keyCol: String, allowOpColumn: Boolean = false,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     GraftLogSinkWriterFactory.newWriter(table, schemaDdl, keyCol,
-      epochId = 0L, partitionId, taskId, allowOpColumn, partCols)
+      epochId = 0L, partitionId, taskId, allowOpColumn, partCols, bucketN)
 }
 
 class GraftLogSinkWriterFactory(table: String, schemaDdl: String,
-    keyCol: String, partCols: Seq[String] = Nil)
+    keyCol: String, partCols: Seq[String] = Nil,
+    bucketN: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     GraftLogSinkWriterFactory.newWriter(table, schemaDdl, keyCol,
-      epochId, partitionId, taskId, partCols = partCols)
+      epochId, partitionId, taskId, partCols = partCols, bucketN = bucketN)
 }
 
 object GraftLogSinkWriterFactory {
@@ -446,7 +471,8 @@ object GraftLogSinkWriterFactory {
   private[sources] def newWriter(table: String, schemaDdl: String,
       keyCol: String, epochId: Long, partitionId: Int,
       taskId: Long, allowOpColumn: Boolean = false,
-      partCols: Seq[String] = Nil): DataWriter[InternalRow] = {
+      partCols: Seq[String] = Nil,
+      bucketN: Option[Int] = None): DataWriter[InternalRow] = {
     val schema = StructType.fromDDL(schemaDdl)
     val keyIdx = schema.fieldIndex(keyCol)
     val partIdx = partCols.map(schema.fieldIndex).toArray
@@ -523,9 +549,13 @@ object GraftLogSinkWriterFactory {
             s"graftlog sink: row has ${r.numFields} fields, table " +
               s"declares ${schema.fields.length}")
         }
+        require(!r.isNullAt(keyIdx + off),
+          s"graftlog sink: key column '$keyCol' must not be null")
+        val k = r.getLong(keyIdx + off)
+        // the routing tuple: partition values, OR the key's bucket id
+        // (bucketed tables), OR null (one plain file per task)
         val tuple: List[String] =
-          if (partIdx.isEmpty) null
-          else List.tabulate(partIdx.length) { j =>
+          if (partIdx.nonEmpty) List.tabulate(partIdx.length) { j =>
             val i = partIdx(j) + off
             if (r.isNullAt(i)) TableLog.NullPartValue
             else partTypes(j) match {
@@ -536,6 +566,11 @@ object GraftLogSinkWriterFactory {
                 s"graftlog sink: partition column type $o") // unreachable:
                 // createEmpty admits only STRING/BIGINT/INT partition cols
             }
+          }
+          else bucketN match {
+            case Some(n) =>
+              List(GraftLogAppendContract.bucketOf(k, n).toString)
+            case None => null
           }
         val st = stateFor(tuple)
         val g = factory.newGroup()
@@ -552,9 +587,6 @@ object GraftLogSinkWriterFactory {
               s"graftlog sink: unsupported column type $o for '${f.name}'")
           }
         }
-        require(!r.isNullAt(keyIdx + off),
-          s"graftlog sink: key column '$keyCol' must not be null")
-        val k = r.getLong(keyIdx + off)
         st.mn = math.min(st.mn, k); st.mx = math.max(st.mx, k)
         var j = 0
         while (j < sIdx.length) {
@@ -579,11 +611,19 @@ object GraftLogSinkWriterFactory {
         val msgs = open.entrySet().iterator().asScala.map { e =>
           val (tuple, st) = (e.getKey, e.getValue)
           st.writer.close()
+          // partitioned tables record tuple stats; bucketed tables
+          // record the bucket id as a synthetic `__bucket` column
+          // stat (min = max = id proves file purity to the scan)
           val parts =
-            if (tuple == null) Nil
+            if (tuple == null || partCols.isEmpty) Nil
             else Seq(TableLog.PartStat(tuple, st.rows))
+          val cols =
+            if (tuple != null && partCols.isEmpty)
+              st.colStats :+ TableLog.ColStat("__bucket", 'l',
+                tuple.head, tuple.head)
+            else st.colStats
           GraftLogSinkCommitMessage(st.relPath, st.rows, st.mn, st.mx,
-            parts, st.colStats)
+            parts, cols)
         }.toSeq
         open.clear()
         GraftLogSinkCommitBundle(msgs)

@@ -279,6 +279,55 @@ class GraftLogPartitionSpec extends SparkSuite {
     assert(j2.collect().map(_.getLong(1)).sum == 10000L)
   }
 
+  test("bucketed tables: co-bucketed KEY join runs with zero shuffle " +
+      "under v2 bucketing; rewrites drop purity and the gate falls back") {
+    import spark.implicits._
+    useCatalog()
+    def freshBucketed(mod: Long): String = {
+      val t = Files.createTempDirectory("tlog_bkt_").toString + "/tbl"
+      spark.sql(
+        s"""CREATE TABLE graftlog.`$t` (k BIGINT, v STRING)
+           |TBLPROPERTIES ('key' = 'k', 'bucket.count' = '4')""".stripMargin)
+      (0L to 199L).filter(_ % 2 == mod).map(i => (i, s"x$i"))
+        .toDF("k", "v").createOrReplaceTempView(s"bkt_src_$mod")
+      spark.sql(s"INSERT INTO graftlog.`$t` SELECT * FROM bkt_src_$mod")
+      t
+    }
+    val t1 = freshBucketed(0) // even keys
+    val t2 = freshBucketed(0) // same keys — co-bucketed by construction
+    // every staged file carries the writer's __bucket purity stat
+    assert(TableLog.state(t1).active.forall(a =>
+      a.cols.exists(s => s.col == "__bucket" && s.min == s.max)))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (c, _) => c -> spark.conf.get(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val j = spark.sql(
+        s"""SELECT count(*) AS n, sum(a.k) AS s
+           |FROM graftlog.`$t1` a JOIN graftlog.`$t2` b ON a.k = b.k
+           |""".stripMargin)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed key join:\n${plan.take(2000)}")
+      val r = j.collect().head
+      assert((r.getLong(0), r.getLong(1)) ==
+        ((100L, (0L to 199L).filter(_ % 2 == 0).sum)))
+      // a compaction rewrites without bucket routing: purity stats
+      // drop, the gate falls back to a shuffled (still exact) join
+      TableLog.compact(spark, t2, 1)
+      val j2 = spark.sql(
+        s"""SELECT count(*) FROM graftlog.`$t1` a
+           |JOIN graftlog.`$t2` b ON a.k = b.k""".stripMargin)
+      assert(j2.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "post-compact join should shuffle (purity gone)")
+      assert(j2.collect().head.getLong(0) == 100L)
+    } finally saved.foreach { case (c, v) => spark.conf.set(c, v) }
+  }
+
   test("misuse fails loudly: high-cardinality partition column blows " +
       "the per-file tuple cap; non-stringifiable types refused at CREATE") {
     import spark.implicits._
