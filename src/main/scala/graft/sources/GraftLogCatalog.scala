@@ -520,6 +520,10 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
         new org.apache.spark.sql.connector.write.Write
             with GraftLogClusteredWrite {
           override def clusterTable: String = tablePath
+          // catalog-path writes resolve `bucket` through this
+          // catalog's own FunctionCatalog, so bucketed tables can
+          // request bucket-clustered input (≈ one file per bucket)
+          override def canResolveBucket: Boolean = true
           /** `writeStream.toTable("graftlog.\`t\`")` — the exactly-once
             * streaming sink by name (txnAppId/epochId ledger, one
             * atomic append per micro-batch). Append output mode only:
@@ -534,7 +538,9 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
                   "complete/update would rewrite the table every epoch")
             val appId = Option(info.options.get("txnAppId"))
               .getOrElse(s"graftlog-sink-${info.queryId()}")
-            new GraftLogStreamingWrite(tablePath, appId, info.schema())
+            new GraftLogStreamingWrite(tablePath, appId, info.schema(),
+              autoCompact =
+                Option(info.options.get("autoCompact")).map(_.toInt))
           }
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
@@ -610,24 +616,29 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     // path — dead positions in sidecars, zero file rewrites (the
     // Delta/Iceberg table-property gate; partitioned tables keep COW
     // so their tuple stats stay exact)
-    if (snap.props.get("delete.mode").contains("merge-on-read") &&
-        snap.partCols.isEmpty) {
-      TableLog.deleteWhereDv(SparkSession.active, tablePath, cond)
-      return
-    }
     val range = GraftLogScanBuilder.keyRange(snap.keyCol, filters.toSeq)
     val (preds, _) =
       GraftLogScanBuilder.partitionPreds(snap.partCols, filters.toSeq)
+    val prune: TableLog.Snapshot => Seq[TableLog.AddFile] = { s =>
+      var fs = s.active
+      range.foreach { case (lo, hi) =>
+        fs = fs.filter(a => a.max >= lo && a.min <= hi) }
+      if (preds.nonEmpty)
+        fs = fs.filter(GraftLogScanBuilder.partitionKeeps(_, preds))
+      fs
+    }
+    if (snap.props.get("delete.mode").contains("merge-on-read") &&
+        snap.partCols.isEmpty) {
+      // the DV route prunes its candidate scan with the SAME manifest
+      // stat layers as the COW route — a key-ranged merge-on-read
+      // delete reads the intersecting sliver, never the active set
+      TableLog.deleteWhereDv(SparkSession.active, tablePath, cond,
+        pruneCandidates = Some(prune))
+      return
+    }
     TableLog.deleteWhere(SparkSession.active, tablePath, cond,
       numFiles = math.max(1, snap.active.size),
-      pruneCandidates = Some { s =>
-        var fs = s.active
-        range.foreach { case (lo, hi) =>
-          fs = fs.filter(a => a.max >= lo && a.min <= hi) }
-        if (preds.nonEmpty)
-          fs = fs.filter(GraftLogScanBuilder.partitionKeeps(_, preds))
-        fs
-      })
+      pruneCandidates = Some(prune))
     ()
   }
 }
@@ -1466,17 +1477,19 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
       required, Array.empty, options)
     val splits = scan.toBatch.planInputPartitions()
       .flatMap(_.asInstanceOf[FilePartition].files)
-    val deadByName = dvFiles.map { a =>
+    // keyed by the collision-proof (stage, name) file id — part-file
+    // BASENAMES can repeat across the active set (sink task ids reset
+    // across app restarts), and a collision here would subtract one
+    // file's dead positions from another's rows
+    val deadById = dvFiles.map { a =>
       val bits = java.util.BitSet.valueOf(java.nio.file.Files
         .readAllBytes(TableLog.dvSidecar(tablePath, a)))
-      a.relPath.substring(a.relPath.lastIndexOf('/') + 1) ->
-        bits.toLongArray
+      TableLog.fileIdOf(a.relPath) -> bits.toLongArray
     }.toMap
     splits.groupBy(_.filePath.toString).toSeq.sortBy(_._1).zipWithIndex
       .map { case ((path, fs), i) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
         new GraftLogDvFilePartition(i, fs.sortBy(_.start),
-          deadByName(name)): InputPartition
+          deadById(TableLog.fileIdOf(path))): InputPartition
       }.toArray
   }
 
@@ -1493,14 +1506,15 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     import org.apache.spark.sql.execution.datasources.FilePartition
     def regroup[K](groups: Seq[(K, Seq[TableLog.AddFile])],
         keyRow: K => InternalRow): Array[InputPartition] = {
+      // key-group assignment keys on the (stage, name) file id, not
+      // the bare basename — a collision would assign a file to the
+      // wrong storage-partition group and silently break SPJ results
       val groupOf = groups.flatMap { case (k, fs) =>
-        fs.map(f =>
-          f.relPath.substring(f.relPath.lastIndexOf('/') + 1) -> k)
+        fs.map(f => TableLog.fileIdOf(f.relPath) -> k)
       }.toMap
       val splits = base.flatMap(_.asInstanceOf[FilePartition].files)
       val bySide = splits.groupBy { pf =>
-        val p = pf.filePath.toString
-        groupOf(p.substring(p.lastIndexOf('/') + 1))
+        groupOf(TableLog.fileIdOf(pf.filePath.toString))
       }
       groups.zipWithIndex.map { case ((k, _), i) =>
         new GraftLogKeyedFilePartition(i,
@@ -1528,9 +1542,23 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
       GraftLogParquet.scan(spark, tablePath, dvF, fullSchema, required,
         Array.empty, options).toBatch.createReaderFactory())
   }
+  /** CBO statistics: sizes from the parquet scan (true listed bytes),
+    * ROW COUNT from the manifest — the per-file counts are exact at
+    * commit time (deletion vectors netted), so join reordering and
+    * build-side choice on graftlog-to-graftlog joins see truth
+    * without an ANALYZE TABLE pass, folded from file-grain metadata
+    * over exactly the chosen (pruned) file set. */
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics =
-    inner.estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val delegate = inner.estimateStatistics()
+    val manifestRows = files.map(_.liveRows).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        delegate.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(manifestRows)
+    }
+  }
 
   // Runtime filtering is offered on the key column AND every column
   // the chosen files carry min/max stats for — a dim-side join on ANY
@@ -1616,7 +1644,13 @@ class GraftLogDvDispatchFactory(
         override def next(): Boolean = {
           while (underlying.next()) {
             pos += 1
-            if (!bits.get(pos.toInt)) { cur = underlying.get(); return true }
+            // positions beyond Int.MaxValue can carry no dead bit (DV
+            // creation refuses files with > 2^31 rows; this guard
+            // keeps the read side safe against pre-guard manifests —
+            // an unguarded toInt would overflow negative and throw)
+            if (pos > Int.MaxValue || !bits.get(pos.toInt)) {
+              cur = underlying.get(); return true
+            }
           }
           false
         }

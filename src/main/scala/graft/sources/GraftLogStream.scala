@@ -136,7 +136,9 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
               .streaming.StreamingWrite = {
             val appId = Option(info.options.get("txnAppId"))
               .getOrElse(s"graftlog-sink-${info.queryId()}")
-            new GraftLogStreamingWrite(path, appId, info.schema())
+            new GraftLogStreamingWrite(path, appId, info.schema(),
+              autoCompact =
+                Option(info.options.get("autoCompact")).map(_.toInt))
           }
           // df.write.format(…).mode("append"): the same atomic
           // append commit the catalog's INSERT uses
@@ -199,21 +201,39 @@ private[sources] object GraftLogAppendContract {
   * incoming rows by the table's partition columns, so each task —
   * hence each staged file — holds whole partition tuples and the
   * manifest's per-file tuple stats stay tight (few tuples per file →
-  * strong pruning). Unpartitioned tables request nothing and Spark
-  * writes the rows as they arrive. */
+  * strong pruning). BUCKETED tables (TBLPROPERTIES 'bucket.count')
+  * cluster by `bucket(n, key)` instead — each bucket lands on exactly
+  * one task, so an INSERT stages at most n bucket-pure files total
+  * rather than n PER TASK — but only where the transform can resolve:
+  * the `bucket` function lives in the table's FunctionCatalog, which
+  * Spark consults only on the catalog path ([[canResolveBucket]];
+  * the format-provider path has no function catalog and falls back to
+  * unclustered input, which the writer's per-bucket file routing
+  * still handles correctly). Unpartitioned, unbucketed tables request
+  * nothing and Spark writes the rows as they arrive. */
 private[sources] trait GraftLogClusteredWrite
     extends org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   def clusterTable: String
+  /** True only where Spark can resolve `bucket` against the table's
+    * catalog (DSv2 resolves distribution transforms through the
+    * relation's FunctionCatalog — absent on the provider path). */
+  def canResolveBucket: Boolean = false
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution = {
-    val pcs = TableLog.state(clusterTable).partCols
-    if (pcs.isEmpty)
-      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
-    else
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+    val snap = TableLog.state(clusterTable)
+    if (snap.partCols.nonEmpty)
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        pcs.map(c => org.apache.spark.sql.connector.expressions.Expressions
-            .identity(c)
-            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+        snap.partCols.map(c =>
+          Expressions.identity(c): Expression).toArray)
+    else GraftLogAppendContract.bucketCountOf(snap.props) match {
+      case Some(n) if canResolveBucket =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(Expressions.bucket(n, snap.keyCol): Expression))
+      case _ =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+    }
   }
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
@@ -221,7 +241,7 @@ private[sources] trait GraftLogClusteredWrite
 }
 
 class GraftLogStreamingWrite(table: String, appId: String,
-    writeSchema: StructType)
+    writeSchema: StructType, autoCompact: Option[Int] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
@@ -240,6 +260,22 @@ class GraftLogStreamingWrite(table: String, appId: String,
     // zero-row epochs still advance the txn ledger (an empty commit),
     // so a redelivery of them stays a no-op too
     TableLog.commitStagedAppend(table, adds, Some((appId, epochId)))
+    // AUTO-COMPACTION (`option("autoCompact", threshold)`): a
+    // long-lived micro-batch sink lands one commit per epoch and
+    // accrues small-file debt; when the live file count crosses the
+    // threshold, fold the active set back down as its OWN post-batch
+    // commit (the data commit above already published — compaction is
+    // logically a no-op and best-effort: losing a race to a
+    // concurrent rewrite skips this cycle, the next epoch re-arms).
+    autoCompact.foreach { threshold =>
+      require(threshold >= 2, s"graftlog sink: autoCompact threshold " +
+        s"must be >= 2, got $threshold")
+      val live = TableLog.state(table).active.size
+      if (live >= threshold)
+        try TableLog.compact(org.apache.spark.sql.SparkSession.active,
+          table, numFiles = math.max(1, threshold / 4))
+        catch { case _: java.util.ConcurrentModificationException => () }
+    }
   }
 
   override def abort(epochId: Long,
@@ -525,14 +561,23 @@ object GraftLogSinkWriterFactory {
       private var fileSeq = 0
       private var off = -1
 
+      // open-file cap: partition routing is bounded by the tuple-stat
+      // cap; BUCKET routing legitimately sees up to bucket.count
+      // distinct ids per task when the input arrives unclustered (the
+      // provider path requests no distribution), so its cap is the
+      // declared bucket count — capping it at 64 would make any
+      // bucket.count above 64 unusable on unclustered input
+      private val tupleCap =
+        if (partIdx.isEmpty && bucketN.isDefined) bucketN.get
+        else TableLog.maxPartTuplesPerFile
+
       private def stateFor(tuple: List[String]): FileState = {
         var st = open.get(tuple)
         if (st == null) {
-          require(open.size < TableLog.maxPartTuplesPerFile,
-            s"graftlog sink: task saw > " +
-              s"${TableLog.maxPartTuplesPerFile} distinct partition " +
-              "tuples — the partition column is too high-cardinality " +
-              "to stratify at file grain")
+          require(open.size < tupleCap,
+            s"graftlog sink: task saw > $tupleCap distinct " +
+              "partition tuples — the partition column is too " +
+              "high-cardinality to stratify at file grain")
           st = new FileState(
             f"data/$stageId/part-$epochId%05d-$partitionId%05d-" +
               f"$taskId-$fileSeq%04d.parquet")

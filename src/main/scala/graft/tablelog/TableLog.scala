@@ -620,6 +620,37 @@ object TableLog {
   private def fileNameOf(uri: String): String =
     Paths.get(new java.net.URI(uri).getPath).getFileName.toString
 
+  /** Collision-proof file identity: the LAST TWO path components,
+    * `<stage>/<name>`. Part-file BASENAMES are not unique across the
+    * active set — the DSv2 sink names files
+    * `part-<epoch>-<partition>-<taskId>-<seq>.parquet` with no
+    * per-file UUID, and task ids reset across Spark application
+    * restarts — but every writer stages into a UUID-fresh directory,
+    * so (stage dir, name) is unique by construction (shallow-cloned
+    * paths keep the SOURCE's trailing (stage, name)). Every join or
+    * lookup that attributes per-file state (deletion-vector
+    * positions, touched-file matching, key-group assignment) keys on
+    * THIS, never the bare name — a basename collision there would
+    * silently attribute one file's dead rows to another. */
+  private[graft] def fileIdOf(relPath: String): String = {
+    val i = relPath.lastIndexOf('/')
+    val j = if (i <= 0) -1 else relPath.lastIndexOf('/', i - 1)
+    relPath.substring(j + 1)
+  }
+
+  /** [[fileIdOf]] over an `input_file_name()`/`file_path` URI. */
+  private def fileIdOfUri(uri: String): String = {
+    val p = Paths.get(new java.net.URI(uri).getPath)
+    p.getParent.getFileName.toString + "/" + p.getFileName.toString
+  }
+
+  /** [[fileIdOf]] as a Column over parquet's `_metadata.file_path` —
+    * the scan-side half of every DV-position join. */
+  private def fileIdCol: Column = {
+    val parts = split(col("_metadata.file_path"), "/")
+    concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+  }
+
   /** `layout`: optional file-layout expression. When set, files are
     * range-partitioned and sorted by IT instead of the key column —
     * the OPTIMIZE-ZORDER device ([[compactZorder]]) — while key
@@ -754,8 +785,7 @@ object TableLog {
         // driver and the broadcast), which is exactly when they beat
         // copy-on-write; big deletes should take deleteWhere
         base
-          .withColumn("__graft_f",
-            element_at(split(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__graft_f", fileIdCol)
           .withColumn("__graft_p", col("_metadata.row_index"))
           .join(broadcast(deadPositionsDf(spark, table, dvFiles)),
             col("__graft_f") === col("__graft_dv_file") &&
@@ -764,17 +794,18 @@ object TableLog {
       }
     }
 
-  /** The (file name, dead position) rows of a set of DV'd files —
-    * folded driver-side from the bitset sidecars. */
+  /** The (file id, dead position) rows of a set of DV'd files —
+    * folded driver-side from the bitset sidecars, keyed by
+    * [[fileIdOf]] (basenames can collide across the active set). */
   private[graft] def deadPositionsDf(spark: SparkSession, table: String,
       dvFiles: Seq[AddFile]): DataFrame = {
     import spark.implicits._
     dvFiles.flatMap { a =>
       val bits = java.util.BitSet.valueOf(
         Files.readAllBytes(dvSidecar(table, a)))
-      val name = Paths.get(a.relPath).getFileName.toString
+      val id = fileIdOf(a.relPath)
       Iterator.iterate(bits.nextSetBit(0))(i => bits.nextSetBit(i + 1))
-        .takeWhile(_ >= 0).map(p => (name, p.toLong)).toSeq
+        .takeWhile(_ >= 0).map(p => (id, p.toLong)).toSeq
     }.toDF("__graft_dv_file", "__graft_dv_pos")
   }
 
@@ -925,9 +956,8 @@ object TableLog {
         val scan = readFiles(spark, table, snap, candidates)
           .withColumn("_file", input_file_name())
         val names = scan.where(cond).select("_file").distinct()
-          .collect().map(r => fileNameOf(r.getString(0))).toSet
-        candidates.filter(a =>
-          names(Paths.get(a.relPath).getFileName.toString))
+          .collect().map(r => fileIdOfUri(r.getString(0))).toSet
+        candidates.filter(a => names(fileIdOf(a.relPath)))
       }
     val survAdds =
       if (touched.isEmpty) Nil
@@ -1010,8 +1040,12 @@ object TableLog {
     require(gone.isEmpty,
       s"$table: cannot restore to v$toVersion — vacuum reclaimed " +
         s"${gone.size} file(s) it needs: ${gone.take(3).mkString(", ")}")
+    // full metadata returns with the data — including the PROPERTY
+    // MAP (behavior gates like 'delete.mode' are part of the
+    // restored state, the Delta RESTORE contract)
     val v = commit(table, cur.version, "restore", adds, removes,
-      old.schemaDdl, old.keyCol, bloom = old.bloom, partCols = old.partCols)
+      old.schemaDdl, old.keyCol, bloom = old.bloom, partCols = old.partCols,
+      props = Some(old.props))
     (v, adds.size, removes.size)
   }
 
@@ -1181,9 +1215,8 @@ object TableLog {
       .withColumn("_file", input_file_name())
     val touchedNames = scan.join(broadcast(touchKeys), k)
       .select("_file").distinct()
-      .collect().map(r => fileNameOf(r.getString(0))).toSet
-    val touched = snap.active.filter(a =>
-      touchedNames(Paths.get(a.relPath).getFileName.toString))
+      .collect().map(r => fileIdOfUri(r.getString(0))).toSet
+    val touched = snap.active.filter(a => touchedNames(fileIdOf(a.relPath)))
     val survivors = readFiles(spark, table, snap, touched)
       .join(broadcast(touchKeys), Seq(k), "left_anti")
     val incoming = changes.where(col("action") =!= "delete")
@@ -1213,9 +1246,8 @@ object TableLog {
     val scan = readFiles(spark, table, snap, candidates)
       .withColumn("_file", input_file_name())
     val touchedNames = scan.where(cond).select("_file").distinct()
-      .collect().map(r => fileNameOf(r.getString(0))).toSet
-    val touched = candidates.filter(a =>
-      touchedNames(Paths.get(a.relPath).getFileName.toString))
+      .collect().map(r => fileIdOfUri(r.getString(0))).toSet
+    val touched = candidates.filter(a => touchedNames(fileIdOf(a.relPath)))
     if (touched.isEmpty) return snap.version // no-op: nothing matched
     // SQL DELETE semantics: only cond=TRUE rows go; NULL-cond rows stay
     val survivors = readFiles(spark, table, snap, touched)
@@ -1244,19 +1276,37 @@ object TableLog {
     * min/max stats survive as over-approximations: pruning stays
     * sound, exact stats-answering refuses DV'd files. */
   def deleteWhereDv(spark: SparkSession, table: String,
-      cond: Column): Long = {
+      cond: Column, pruneKeys: Option[(Long, Long)] = None,
+      pruneCandidates: Option[Snapshot => Seq[AddFile]] = None): Long = {
     val snap = state(table)
     require(snap.partCols.isEmpty,
       s"$table is partitioned — deletion vectors would let the " +
         "per-tuple partition row stats go stale; use the " +
         "copy-on-write deleteWhere, which keeps them exact")
+    // candidate pruning — the SAME manifest stat layers the COW
+    // delete takes: a key-ranged GDPR delete on a 100-TB table scans
+    // the intersecting sliver, never the active set
+    val candidates = (pruneKeys, pruneCandidates) match {
+      case (Some((lo, hi)), _) => prunedFiles(snap, lo, hi)
+      case (None, Some(f))     => f(snap)
+      case (None, None)        => snap.active
+    }
+    if (candidates.isEmpty) return snap.version
+    // the DV bitset's position domain is Int: refuse files whose ROW
+    // COUNT exceeds it up front (not just the matched positions —
+    // the read path indexes the bitset by running position, which
+    // must stay in range for every live row of a DV'd file)
+    candidates.find(_.rows > Int.MaxValue).foreach(a =>
+      throw new IllegalArgumentException(
+        s"$table: ${a.relPath} holds ${a.rows} rows — beyond the DV " +
+          "bitset's 2^31 position domain; use the copy-on-write " +
+          "deleteWhere"))
     val base = spark.read.schema(StructType.fromDDL(snap.schemaDdl))
-      .parquet(snap.active.map(a =>
+      .parquet(candidates.map(a =>
         Paths.get(table, a.relPath).toString): _*)
-      .withColumn("__graft_f",
-        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_f", fileIdCol)
       .withColumn("__graft_p", col("_metadata.row_index"))
-    val priorDv = snap.active.filter(_.dv.isDefined)
+    val priorDv = candidates.filter(_.dv.isDefined)
     val live =
       if (priorDv.isEmpty) base
       else base.join(broadcast(deadPositionsDf(spark, table, priorDv)),
@@ -1267,18 +1317,14 @@ object TableLog {
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2) }
     if (hits.isEmpty) return snap.version
-    val byName = snap.active
-      .map(a => Paths.get(a.relPath).getFileName.toString -> a).toMap
-    val (removes, adds) = hits.toSeq.sortBy(_._1).map { case (name, ps) =>
-      val a = byName(name)
+    val byId = candidates.map(a => fileIdOf(a.relPath) -> a).toMap
+    val (removes, adds) = hits.toSeq.sortBy(_._1).map { case (id, ps) =>
+      val a = byId(id)
       val bits = a.dv match {
         case Some(_) => java.util.BitSet.valueOf(
           Files.readAllBytes(dvSidecar(table, a)))
         case None => new java.util.BitSet()
       }
-      require(ps.forall(_ <= Int.MaxValue),
-        s"$table: $name holds > 2^31 rows — beyond the DV bitset's " +
-          "position domain; use the copy-on-write deleteWhere")
       ps.foreach(p => bits.set(p.toInt))
       val dead = bits.cardinality().toLong
       if (dead >= a.rows) (a.relPath, None) // fully dead: drop the file
@@ -1300,17 +1346,29 @@ object TableLog {
     * sidecars plus only the changed rows. Same niche and same refusals
     * as [[deleteWhereDv]] (small slices; unpartitioned tables). */
   def updateWhereDv(spark: SparkSession, table: String, cond: Column,
-      set: Map[String, Column], numFiles: Int = 1): Long = {
+      set: Map[String, Column], numFiles: Int = 1,
+      pruneKeys: Option[(Long, Long)] = None,
+      pruneCandidates: Option[Snapshot => Seq[AddFile]] = None): Long = {
     val snap = state(table)
     require(snap.partCols.isEmpty,
       s"$table is partitioned — use copy-on-write DML there")
+    // same candidate pruning + position-domain guard as deleteWhereDv
+    val candidates = (pruneKeys, pruneCandidates) match {
+      case (Some((lo, hi)), _) => prunedFiles(snap, lo, hi)
+      case (None, Some(f))     => f(snap)
+      case (None, None)        => snap.active
+    }
+    if (candidates.isEmpty) return snap.version
+    candidates.find(_.rows > Int.MaxValue).foreach(a =>
+      throw new IllegalArgumentException(
+        s"$table: ${a.relPath} holds ${a.rows} rows — beyond the DV " +
+          "bitset's 2^31 position domain; use copy-on-write DML"))
     val base = spark.read.schema(StructType.fromDDL(snap.schemaDdl))
-      .parquet(snap.active.map(a =>
+      .parquet(candidates.map(a =>
         Paths.get(table, a.relPath).toString): _*)
-      .withColumn("__graft_f",
-        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_f", fileIdCol)
       .withColumn("__graft_p", col("_metadata.row_index"))
-    val priorDv = snap.active.filter(_.dv.isDefined)
+    val priorDv = candidates.filter(_.dv.isDefined)
     val live =
       if (priorDv.isEmpty) base
       else base.join(broadcast(deadPositionsDf(spark, table, priorDv)),
@@ -1329,17 +1387,14 @@ object TableLog {
       case (df, (c, v)) => df.withColumn(c, v)
     }.select(schemaCols.map(col): _*)
     val staged = stage(updated, table, snap.keyCol, numFiles, snap.bloom)
-    val byName = snap.active
-      .map(a => Paths.get(a.relPath).getFileName.toString -> a).toMap
-    val (removes, dvAdds) = hits.toSeq.sortBy(_._1).map { case (name, ps) =>
-      val a = byName(name)
+    val byId = candidates.map(a => fileIdOf(a.relPath) -> a).toMap
+    val (removes, dvAdds) = hits.toSeq.sortBy(_._1).map { case (id, ps) =>
+      val a = byId(id)
       val bits = a.dv match {
         case Some(_) => java.util.BitSet.valueOf(
           Files.readAllBytes(dvSidecar(table, a)))
         case None => new java.util.BitSet()
       }
-      require(ps.forall(_ <= Int.MaxValue),
-        s"$table: $name holds > 2^31 rows — use copy-on-write DML")
       ps.foreach(p => bits.set(p.toInt))
       val dead = bits.cardinality().toLong
       if (dead >= a.rows) (a.relPath, None)
@@ -1375,9 +1430,8 @@ object TableLog {
     val scan = readFiles(spark, table, snap, snap.active)
       .withColumn("_file", input_file_name())
     val touchedNames = scan.where(cond).select("_file").distinct()
-      .collect().map(r => fileNameOf(r.getString(0))).toSet
-    val touched = snap.active.filter(a =>
-      touchedNames(Paths.get(a.relPath).getFileName.toString))
+      .collect().map(r => fileIdOfUri(r.getString(0))).toSet
+    val touched = snap.active.filter(a => touchedNames(fileIdOf(a.relPath)))
     val survivors = readFiles(spark, table, snap, touched)
       .where(!coalesce(cond, lit(false)))
     val rewritten = survivors.unionByName(incoming)
@@ -1401,9 +1455,8 @@ object TableLog {
       .withColumn("_file", input_file_name())
     val touchedNames = scan.join(broadcast(changeKeys), k)
       .select("_file").distinct()
-      .collect().map(r => fileNameOf(r.getString(0))).toSet
-    val touched = snap.active.filter(a =>
-      touchedNames(Paths.get(a.relPath).getFileName.toString))
+      .collect().map(r => fileIdOfUri(r.getString(0))).toSet
+    val touched = snap.active.filter(a => touchedNames(fileIdOf(a.relPath)))
     val touchedRows = readFiles(spark, table, snap, touched)
     // survivors of touched files + every change row (replaces + inserts)
     val rewritten = touchedRows
