@@ -5600,16 +5600,26 @@ object TextOps {
   /** Bounded edit-distance near-dup (the OCR-noise / typo-variant
     * dedup family): candidates BLOCK on (8-char prefix, length
     * bucket) — never all-pairs — and verify with Levenshtein ≤ 2 over
-    * a 200-char ASCII-sanitized window. Three deliberate bounds, each
+    * a 200-char ASCII-sanitized window. FOUR deliberate bounds, each
     * disclosed: blocking misses edits inside the first 8 chars (the
-    * standard prefix-blocking recall trade), the window caps the
-    * O(n·m) DP at 200×200 per candidate pair, and the ASCII
-    * projection pins cross-engine semantics (Spark's Levenshtein
-    * counts CHARS, DuckDB's counts BYTES — equal only on ASCII,
-    * measured). Planted single-edit mutants (append / point
+    * standard prefix-blocking recall trade); the window caps the
+    * O(n·m) DP at 200×200 per candidate pair; the ASCII projection
+    * pins cross-engine semantics (Spark's Levenshtein counts CHARS,
+    * DuckDB's counts BYTES — equal only on ASCII, measured); and a
+    * HOT-BLOCK CAP ([[q452BlockCap]], the q66 `maxGroupSize`
+    * discipline) drops blocks whose membership exceeds it — on a real
+    * web corpus, boilerplate openings ("Copyright", "Subject:",
+    * template headers) concentrate millions of docs into one block
+    * and the in-block pair count is quadratic; a capped block is a
+    * disclosed recall loss, an uncapped one is a job-killer. Pairs
+    * emit by in-group explosion of the capped member lists (q66's
+    * shape), so the candidate volume is Σ min(|block|, cap)² by
+    * construction. Planted single-edit mutants (append / point
     * substitution) guarantee both accept paths fire; Spark's
     * threshold form prunes the DP early and returns the exact
     * distance for survivors. */
+  val q452BlockCap = 64
+
   def q452EditDistanceDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = Tables.documentsSpread(s, dir)
@@ -5627,17 +5637,26 @@ object TextOps {
       .withColumn("blk",
         concat(expr("substr(w, 1, 8)"), lit("#"),
           (length($"w").cast("long") / 16L).cast("long")))
-    val a = corpus.select($"blk", $"doc_id".as("ida"), $"w".as("wa"))
-    val b = corpus.select($"blk", $"doc_id".as("idb"), $"w".as("wb"))
-    a.join(b, Seq("blk")).where($"ida" < $"idb")
-      .withColumn("dist", levenshtein($"wa", $"wb", 2))
+    val blocks = corpus
+      .groupBy($"blk")
+      .agg(collect_list(struct($"doc_id", $"w")).as("members"))
+      .where(size($"members") >= 2 && size($"members") <= q452BlockCap)
+    blocks
+      .select(explode($"members").as("a"), $"members")
+      .select($"a.doc_id".as("ida"), $"a.w".as("wa"),
+        explode($"members").as("b"))
+      .where($"ida" < $"b.doc_id")
+      .withColumn("dist", levenshtein($"wa", $"b.w", 2))
       .where($"dist" >= 0)
-      .select($"ida", $"idb", $"dist".cast("long").as("dist"))
+      .select($"ida", $"b.doc_id".as("idb"),
+        $"dist".cast("long").as("dist"))
       .orderBy($"ida", $"idb")
   }
 
+  // `q452BlockCap` is interpolated so changing the Spark-side cap
+  // cannot silently diverge from the oracle's
   private val q452Oracle =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT doc_id,
       |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 200) AS w
       |  FROM documents),
@@ -5650,11 +5669,14 @@ object TextOps {
       |  SELECT *, substr(w, 1, 8) || '#' ||
       |      CAST(length(w) // 16 AS VARCHAR) AS blk
       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM mut)
-      |  WHERE length(w) >= 16)
+      |  WHERE length(w) >= 16),
+      |ok AS (SELECT blk FROM corpus GROUP BY blk
+      |  HAVING count(*) BETWEEN 2 AND $q452BlockCap)
       |SELECT a.doc_id AS ida, b.doc_id AS idb,
       |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
       |FROM corpus a JOIN corpus b
       |  ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |JOIN ok ON ok.blk = a.blk
       |WHERE levenshtein(a.w, b.w) <= 2
       |ORDER BY ida, idb""".stripMargin
 

@@ -1462,6 +1462,40 @@ class TextOpsSpec extends SparkSuite {
     assert(got.forall { case (a, b, _) => a < b })
   }
 
+  test("q452 hot-block cap fires: a planted shared-prefix group above " +
+    "q452BlockCap emits ZERO pairs while a small block still dedups") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q452hot").toString
+    // hot block: boilerplate openings — > cap docs sharing the 8-char
+    // prefix AND the length bucket, pairwise ONE edit apart (without
+    // the cap this block alone would emit ~n^2/2 pairs)
+    val n = TextOps.q452BlockCap + 6
+    val hot = (1 to n).map { i =>
+      val c = ('a' + (i % 26)).toChar
+      (i.toLong, s"COPYRIGHT boilerplate head 20${c}4 tail")
+    }
+    // good block: 3 docs with a shared prefix, pairwise FAR apart —
+    // only their planted mutants (one edit) may pair with them
+    val good = (101 to 103).map { i =>
+      (i.toLong, s"GOODBLK-$i " + ("uvwxyz".charAt(i % 6).toString * 24))
+    }
+    (hot ++ good).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q452EditDistanceDedup(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // nothing from the hot block: base ids AND their mutants live in
+    // the capped block (same prefix, same length bucket), so no pair
+    // may touch a hot id or its mutant image
+    def inHot(id: Long): Boolean =
+      (if (id >= 1000000L) id - 1000000L else id) <= n
+    assert(got.forall { case (a, b, _) => !inHot(a) && !inHot(b) },
+      s"hot-block pair leaked: ${got.take(5).mkString(", ")}")
+    // the small block still dedups: each good doc finds its mutant
+    val planted = got.filter { case (a, b, _) => b == a + 1000000L }
+    assert(planted.map(_._1).toSet == Set(101L, 102L, 103L),
+      s"expected the 3 good mutant pairs, got ${got.mkString(", ")}")
+  }
+
   test("q453 multiclass eval: macro row is the floor-mean of class F1s; " +
     "kappa sits strictly between chance and perfection") {
     val rows = TextOps.q453MulticlassEval(spark, sf0001).collect()
