@@ -2471,7 +2471,59 @@ object TableOps {
       |  ON a.o_orderkey = b.o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q461
+  /** HIDDEN temporal partitioning — `PARTITIONED BY (days(ts))`
+    * (Iceberg's transform partitioning, the standard layout for the
+    * reference's own ever-growing timestamped table shape, reference
+    * `terraform/main.tf:63-102`): partition values are the UTC days
+    * of the raw timestamp, recorded per file in the manifest; a raw
+    * `WHERE ts >= … AND ts < …` range — no materialized date column
+    * anywhere — prunes files THROUGH the transform before Spark plans
+    * the scan (GraftLogPartitionSpec pins the file counts; this query
+    * pins values cross-engine). At 100 TB restating or scanning ten
+    * days of an events table reads ten days' files, not the table. */
+  private val daysCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q461DaysPartitionedEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = daysCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogdy_").toString + "/ev"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$path` (event_id BIGINT, ts TIMESTAMP,
+           |  event_type STRING, value DOUBLE)
+           |PARTITIONED BY (days(ts))
+           |TBLPROPERTIES ('key' = 'event_id')""".stripMargin)
+      val v = s"graft_days_ev_${Integer.toHexString(dir.hashCode)}"
+      Tables.events(s, dir)
+        .select($"event_id", $"ts", $"event_type", $"value")
+        .createOrReplaceTempView(v)
+      try s.sql(s"INSERT INTO graftlog.`$path` SELECT * FROM $v")
+      finally s.catalog.dropTempView(v)
+      path
+    })
+    s.sql(
+      s"""SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM graftlog.`$t`
+         |WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP'2024-01-20 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val q461Oracle =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q461_days_partitioned_events" -> (q461DaysPartitionedEvents _),
     "q460_bucketed_key_join" -> (q460BucketedKeyJoin _),
     "q459_skip_change_commits" -> (q459SkipChangeCommits _),
     "q458_mor_delete_sql" -> (q458MorDeleteSql _),
@@ -2524,6 +2576,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q461_days_partitioned_events" -> q461Oracle,
     "q460_bucketed_key_join" -> q460Oracle,
     "q459_skip_change_commits" -> q459Oracle,
     "q458_mor_delete_sql" -> q458Oracle,

@@ -74,22 +74,26 @@ class GraftLogCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName: String = "graftlog"
 
-  /** The catalog's SQL-visible functions — currently the ONE bucket
-    * hash the engine uses everywhere (write routing, storage-
-    * partitioned scan reports, and this resolution path Spark's SPJ
-    * planner takes for `bucket(n, key)` transforms — Iceberg's
-    * FunctionCatalog device). */
+  /** The catalog's SQL-visible functions — the engine's partition
+    * transforms, resolvable the way Iceberg's FunctionCatalog exposes
+    * its own: `bucket` (the ONE hash the write routing, the
+    * storage-partitioned scan reports, and Spark's SPJ planner all
+    * share) and `days`/`months` (the UTC temporal bucketing the
+    * `PARTITIONED BY (days(ts))` write distribution clusters on). */
   override def listFunctions(namespace: Array[String])
       : Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array("bucket", "days", "months")
+      .map(Identifier.of(namespace, _))
 
   override def loadFunction(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
-    if (ident.name() != "bucket")
-      throw new org.apache.spark.sql.catalyst.analysis
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => GraftLogBucketFunction
+      case "days"   => GraftLogDaysFunction
+      case "months" => GraftLogMonthsFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
-    GraftLogBucketFunction
-  }
+    }
 
   /** Optional warehouse ROOT (`spark.sql.catalog.<name>.warehouse`):
     * with it set, identifiers resolve BigQuery-style —
@@ -341,23 +345,53 @@ class GraftLogCatalog extends TableCatalog
     * column drives the manifest's per-file [min,max] stats; without
     * the property it defaults to the first BIGINT column.
     *
-    * `PARTITIONED BY (c, …)` takes IDENTITY transforms over
-    * STRING/BIGINT/INT columns of the schema: partition values are
+    * `PARTITIONED BY (…)` takes IDENTITY transforms over
+    * STRING/BIGINT/INT columns, the TEMPORAL transforms `days(ts)` /
+    * `months(ts)` over TIMESTAMP/DATE columns (Iceberg's hidden
+    * partitioning — the standard layout for an ever-growing
+    * timestamped table, the reference's own shape: partition values
+    * render as UTC day/month strings, raw `WHERE ts` range predicates
+    * prune files THROUGH the transform), and `bucket(n, c)` over the
+    * table's KEY column — which maps onto the engine's one bucket
+    * routing device (`TBLPROPERTIES('bucket.count')`): bucket-pure
+    * files, `KeyGroupedPartitioning(bucket(n, key))` scans, and
+    * zero-shuffle key joins under v2 bucketing. Partition values are
     * recorded per file in the manifest ([[TableLog.PartStat]] — the
     * Iceberg posture of stats-based partitioning, not Hive
     * directories), partition predicates prune FILES before Spark
     * plans the scan, and `#partitions` folds the live inventory.
-    * Bucket/temporal transforms (`bucket(n, c)`, `days(ts)`) are
-    * refused — the log's layout devices for those needs are
-    * range-partitioned staging and Z-order compaction. */
+    * `bucket` over a non-key column is refused (the engine buckets on
+    * the declared key, where the join-elision payoff lives), as is
+    * mixing bucket with other partitioning. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val partCols = partitions.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1 =>
-        t.references.head.fieldNames.head
-      case other => refuse(s"partition transform $other (identity only)")
+    def oneCol(t: Transform): String = {
+      require(t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"graftlog: partition transform $t must reference one " +
+          "top-level column")
+      t.references.head.fieldNames.head
+    }
+    var bucketProp = Option.empty[(Int, String)]
+    val partCols = partitions.toSeq.flatMap {
+      case t if t.name == "identity" => Some(oneCol(t))
+      case t if t.name == "days"     => Some(s"days:${oneCol(t)}")
+      case t if t.name == "months"   => Some(s"months:${oneCol(t)}")
+      case t if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+              if lit.value().isInstanceOf[Number] =>
+            lit.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graftlog: bucket transform $t carries no bucket count"))
+        require(partitions.length == 1,
+          "graftlog: bucket(n, col) does not compose with other " +
+            "partition transforms")
+        bucketProp = Some((n, oneCol(t)))
+        None // routes via bucket.count, not a partition column
+      case other => refuse(s"partition transform $other " +
+        "(identity, days, months, bucket only)")
     }
     val path = pathOf(ident)
     if (path.endsWith(historySuffix)) refuse(s"CREATE TABLE $historySuffix")
@@ -376,9 +410,18 @@ class GraftLogCatalog extends TableCatalog
     // engine-internal markers Spark injects) — SHOW TBLPROPERTIES and
     // behavior gates like 'delete.mode' read them back off the log
     import scala.jdk.CollectionConverters._
+    // a bucket transform must target the declared key — the engine's
+    // one bucket hash routes on it, and that is where the
+    // zero-shuffle key-join payoff lives
+    bucketProp.foreach { case (_, c) =>
+      require(c == key,
+        s"graftlog: bucket transform must target the key column " +
+          s"'$key', got '$c'")
+    }
     val userProps = properties.asScala.toMap -
       "key" -- Seq("provider", "location", "owner", "comment")
-        .filter(properties.containsKey)
+        .filter(properties.containsKey) ++
+      bucketProp.map { case (n, _) => "bucket.count" -> n.toString }
     TableLog.createEmpty(path, schema.toDDL, key, partCols, userProps)
     new GraftLogTable(path, TableLog.state(path))
   }
@@ -463,9 +506,14 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     snap.props.foreach { case (k, v) => m.put(k, v) }
     m
   }
-  override def partitioning(): Array[Transform] =
-    snap.partCols.map(c => org.apache.spark.sql.connector.expressions
-      .Expressions.identity(c)).toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    snap.partCols.map(spec => TableLog.partTransformOf(spec) match {
+      case TableLog.PIdentity(c) => Expressions.identity(c)
+      case TableLog.PDays(c)     => Expressions.days(c)
+      case TableLog.PMonths(c)   => Expressions.months(c)
+    }).toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
@@ -794,8 +842,8 @@ class GraftLogHistoryReaderFactory
 class GraftLogPartitionsTable(tablePath: String,
     snap: TableLog.Snapshot) extends Table with SupportsRead {
   private val outSchema = StructType.fromDDL(
-    snap.partCols.map(c => s"`$c` STRING").mkString(", ") +
-      ", file_count BIGINT, row_count BIGINT")
+    snap.partCols.map(c => s"`${TableLog.partPretty(c)}` STRING")
+      .mkString(", ") + ", file_count BIGINT, row_count BIGINT")
   override def name(): String = s"graftlog.`$tablePath#partitions`"
   override def schema(): StructType = outSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -851,7 +899,8 @@ class GraftLogDetailTable(tablePath: String, snap: TableLog.Snapshot)
         snap.active.map(_.liveRows).sum,
         snap.active.map(a => a.rows - a.liveRows).sum,
         UTF8String.fromString(snap.keyCol),
-        UTF8String.fromString(snap.partCols.mkString(",")),
+        UTF8String.fromString(
+          snap.partCols.map(TableLog.partPretty).mkString(",")),
         UTF8String.fromString(snap.bloom.map(_._1).getOrElse(""))),
         snap.active.size)
     }
@@ -1133,29 +1182,122 @@ object GraftLogScanBuilder {
     * (null = the manifest sentinel). Returns (predicates, consumed
     * filters). Shared by the scan's partition pruning and the
     * INSERT OVERWRITE write's candidate pruning, so read-side and
-    * write-side skipping can never disagree. */
+    * write-side skipping can never disagree.
+    *
+    * IDENTITY specs consume point/set/null predicates on the column.
+    * TEMPORAL specs (`days:c` / `months:c`) consume predicates on the
+    * RAW source column — Iceberg's hidden-partitioning contract: a
+    * `WHERE ts >= T` range maps to a string comparison against the
+    * UTC day/month rendering, which is chronologically ordered for
+    * 4-digit years (zero-padded). Every verdict is a KEEP test, so
+    * all approximations stay sound: day-grain equality keeps a
+    * superset of timestamp-grain; out-of-range years (< 0, > 9999)
+    * render non-lexicographically and are kept unconditionally
+    * rather than risked; comparison predicates never match null rows,
+    * so a null tuple fails them exactly like the identity case. */
   private[sources] def partitionPreds(partCols: Seq[String],
       filters: Seq[Filter])
       : (Seq[(Int, String => Boolean)], Seq[Filter]) = {
-    val colIdx = partCols.zipWithIndex.toMap
+    val bySrc: Map[String, (Int, TableLog.PartTransform)] =
+      partCols.zipWithIndex.map { case (spec, i) =>
+        TableLog.partSourceCol(spec) ->
+          (i, TableLog.partTransformOf(spec))
+      }.toMap
     def str(v: Any): String = String.valueOf(v)
+    // a stored rendering is lexicographically comparable only with a
+    // 4-digit year; anything else keeps the file
+    def lexSafe(x: String): Boolean =
+      x.length >= 4 && x.charAt(0).isDigit
+    def epochDayOf(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(Math.floorDiv(t.getTime, 86400000L))
+      case i: java.time.Instant =>
+        Some(Math.floorDiv(i.toEpochMilli, 86400000L))
+      case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case _ => None
+    }
+    // the probe value's rendering under the spec's transform, when
+    // it lands in the lexicographically safe year range
+    def renderProbe(t: TableLog.PartTransform, v: Any): Option[String] = {
+      val r = t match {
+        case TableLog.PDays(_)   => epochDayOf(v).map(TableLog.renderDay)
+        case TableLog.PMonths(_) => epochDayOf(v).map(TableLog.renderMonth)
+        case TableLog.PIdentity(_) => None
+      }
+      r.filter(lexSafe)
+    }
     val consumed = Seq.newBuilder[Filter]
+    def temporal(c: String): Option[(Int, TableLog.PartTransform)] =
+      bySrc.get(c).filterNot(_._2.isInstanceOf[TableLog.PIdentity])
+    def identityIdx(c: String): Option[Int] =
+      bySrc.get(c).collect { case (i, TableLog.PIdentity(_)) => i }
     val preds = filters.flatMap {
-      case f @ EqualTo(c, v) if colIdx.contains(c) && v != null =>
+      // ---- identity specs: exact stringified point/set/null tests
+      case f @ EqualTo(c, v) if identityIdx(c).isDefined && v != null =>
         consumed += f
-        Some((colIdx(c), (x: String) =>
+        Some((identityIdx(c).get, (x: String) =>
           x != TableLog.NullPartValue && x == str(v)))
-      case f @ In(c, vs) if colIdx.contains(c) && vs.nonEmpty =>
+      case f @ In(c, vs) if identityIdx(c).isDefined && vs.nonEmpty =>
         consumed += f
         val set = vs.filter(_ != null).map(str).toSet
-        Some((colIdx(c), (x: String) =>
+        Some((identityIdx(c).get, (x: String) =>
           x != TableLog.NullPartValue && set(x)))
-      case f @ IsNull(c) if colIdx.contains(c) =>
+      // ---- temporal specs: raw predicates map through the transform
+      case f @ EqualTo(c, v) if temporal(c).isDefined && v != null =>
+        val (i, t) = temporal(c).get
+        renderProbe(t, v).map { p =>
+          consumed += f
+          (i, (x: String) => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || x == p))
+        }
+      case f @ In(c, vs) if temporal(c).isDefined && vs.nonEmpty =>
+        val (i, t) = temporal(c).get
+        val ps = vs.filter(_ != null).map(renderProbe(t, _))
+        if (ps.exists(_.isEmpty)) None // an untranslatable value keeps all
+        else {
+          consumed += f
+          val set = ps.flatten.toSet
+          Some((i, (x: String) => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || set(x))))
+        }
+      case f @ GreaterThanOrEqual(c, v) if temporal(c).isDefined =>
+        val (i, t) = temporal(c).get
+        renderProbe(t, v).map { p =>
+          consumed += f
+          (i, (x: String) => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || x >= p))
+        }
+      case f @ GreaterThan(c, v) if temporal(c).isDefined =>
+        // strict > at row grain is >= at day grain (the boundary
+        // day can still hold later-in-day rows)
+        val (i, t) = temporal(c).get
+        renderProbe(t, v).map { p =>
+          consumed += f
+          (i, (x: String) => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || x >= p))
+        }
+      case f @ LessThanOrEqual(c, v) if temporal(c).isDefined =>
+        val (i, t) = temporal(c).get
+        renderProbe(t, v).map { p =>
+          consumed += f
+          (i, (x: String) => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || x <= p))
+        }
+      case f @ LessThan(c, v) if temporal(c).isDefined =>
+        val (i, t) = temporal(c).get
+        renderProbe(t, v).map { p =>
+          consumed += f
+          (i, (x: String) => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || x <= p))
+        }
+      // ---- null tests work identically under every transform
+      case f @ IsNull(c) if bySrc.contains(c) =>
         consumed += f
-        Some((colIdx(c), (x: String) => x == TableLog.NullPartValue))
-      case f @ IsNotNull(c) if colIdx.contains(c) =>
+        Some((bySrc(c)._1, (x: String) => x == TableLog.NullPartValue))
+      case f @ IsNotNull(c) if bySrc.contains(c) =>
         consumed += f
-        Some((colIdx(c), (x: String) => x != TableLog.NullPartValue))
+        Some((bySrc(c)._1, (x: String) => x != TableLog.NullPartValue))
       case _ => None
     }
     (preds, consumed.result())
@@ -1309,6 +1451,56 @@ object GraftLogBucketFunction
   }
 }
 
+/** `days(ts)` / `months(ts)` — the engine's UTC temporal bucketing as
+  * DSv2 scalar functions (Iceberg exposes its transforms the same
+  * way): `days` returns the epoch day of the instant's UTC wall
+  * clock, `months` the UTC month index (year·12 + month − 1). The
+  * write path's per-row rendering derives from the SAME epoch-day
+  * arithmetic ([[TableLog.epochDayOfMicros]]), so clustering and
+  * manifest values can never disagree. DATE inputs pass through
+  * (a date IS an epoch day). */
+private[sources] abstract class GraftLogTemporalFunction(fn: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, DateType, IntegerType, TimestampType}
+
+  protected def ofEpochDay(day: Long): Int
+
+  override def name(): String = fn
+  override def description(): String =
+    s"$fn(ts TIMESTAMP | d DATE): UTC temporal partition bucket"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+        (inputType.fields(0).dataType == TimestampType ||
+         inputType.fields(0).dataType == DateType),
+      s"$fn(TIMESTAMP | DATE), got ${inputType.sql}")
+    val fromTs = inputType.fields(0).dataType == TimestampType
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        Array(if (fromTs) TimestampType else DateType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = fn
+      override def canonicalName(): String = s"graftlog.$fn"
+      override def produceResult(input: InternalRow): Integer =
+        ofEpochDay(
+          if (fromTs) TableLog.epochDayOfMicros(input.getLong(0))
+          else input.getInt(0).toLong)
+    }
+  }
+}
+
+object GraftLogDaysFunction extends GraftLogTemporalFunction("days") {
+  override protected def ofEpochDay(day: Long): Int = day.toInt
+}
+
+object GraftLogMonthsFunction extends GraftLogTemporalFunction("months") {
+  override protected def ofEpochDay(day: Long): Int = {
+    val d = java.time.LocalDate.ofEpochDay(day)
+    d.getYear * 12 + d.getMonthValue - 1
+  }
+}
+
 /** The catalog's data scan: Spark's own vectorized parquet scan over
   * the manifest-pruned file set, wrapped to add RUNTIME file pruning
   * (`SupportsRuntimeFiltering`): when this table is the fact side of
@@ -1396,8 +1588,12 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
   // falls back to plain file partitions — correctness never depends on
   // the layout, only the shuffle elision does.
   private def pureGroups: Option[Seq[(Seq[String], Seq[TableLog.AddFile])]] =
-    if (snap.partCols.isEmpty || files.isEmpty ||
-        files.exists(_.parts.size != 1)) None
+    // identity transforms only: a transformed tuple value is not a
+    // column value, so Spark cannot key-group rows on it — temporal
+    // partitioning keeps its pruning layers and falls back to plain
+    // file partitions here
+    if (snap.partCols.isEmpty || snap.partCols.exists(_.contains(':')) ||
+        files.isEmpty || files.exists(_.parts.size != 1)) None
     else Some(files.groupBy(_.parts.head.values).toSeq
       .sortBy(_._1.mkString("/")))
 

@@ -220,19 +220,31 @@ private[sources] trait GraftLogClusteredWrite
   def canResolveBucket: Boolean = false
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution = {
+    import org.apache.spark.sql.connector.distributions.Distributions
     import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
     val snap = TableLog.state(clusterTable)
-    if (snap.partCols.nonEmpty)
-      org.apache.spark.sql.connector.distributions.Distributions.clustered(
-        snap.partCols.map(c =>
-          Expressions.identity(c): Expression).toArray)
-    else GraftLogAppendContract.bucketCountOf(snap.props) match {
+    if (snap.partCols.nonEmpty) {
+      // identity specs cluster by the column (resolvable on every
+      // path); temporal specs cluster by the transform, which — like
+      // bucket — resolves only through the table's FunctionCatalog
+      val exprs = snap.partCols.map(spec =>
+        TableLog.partTransformOf(spec) match {
+          case TableLog.PIdentity(c) =>
+            Some(Expressions.identity(c): Expression)
+          case TableLog.PDays(c) if canResolveBucket =>
+            Some(Expressions.days(c): Expression)
+          case TableLog.PMonths(c) if canResolveBucket =>
+            Some(Expressions.months(c): Expression)
+          case _ => None
+        })
+      if (exprs.forall(_.isDefined))
+        Distributions.clustered(exprs.flatten.toArray)
+      else Distributions.unspecified()
+    } else GraftLogAppendContract.bucketCountOf(snap.props) match {
       case Some(n) if canResolveBucket =>
-        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Distributions.clustered(
           Array(Expressions.bucket(n, snap.keyCol): Expression))
-      case _ =>
-        org.apache.spark.sql.connector.distributions.Distributions
-          .unspecified()
+      case _ => Distributions.unspecified()
     }
   }
   override def requiredOrdering()
@@ -511,8 +523,46 @@ object GraftLogSinkWriterFactory {
       bucketN: Option[Int] = None): DataWriter[InternalRow] = {
     val schema = StructType.fromDDL(schemaDdl)
     val keyIdx = schema.fieldIndex(keyCol)
-    val partIdx = partCols.map(schema.fieldIndex).toArray
-    val partTypes = partIdx.map(schema.fields(_).dataType)
+    // partCols are SPECS (`c` / `days:c` / `months:c`): resolve each
+    // to its source ordinal and a per-row value renderer — identity
+    // stringification or the transform's UTC day/month rendering,
+    // the same bucketing TableLog.partValueCol computes SQL-side
+    val partIdx = partCols
+      .map(s => schema.fieldIndex(TableLog.partSourceCol(s))).toArray
+    val partRender: Array[(InternalRow, Int) => String] =
+      partCols.toArray.map { spec =>
+        val dt = schema(TableLog.partSourceCol(spec)).dataType
+        import org.apache.spark.sql.types.{DateType, TimestampType}
+        TableLog.partTransformOf(spec) match {
+          case TableLog.PIdentity(c) => dt match {
+            case StringType  => (r: InternalRow, i: Int) =>
+              r.getUTF8String(i).toString
+            case LongType    => (r: InternalRow, i: Int) =>
+              r.getLong(i).toString
+            case IntegerType => (r: InternalRow, i: Int) =>
+              r.getInt(i).toString
+            case o => throw new UnsupportedOperationException(
+              s"graftlog sink: partition column type $o for '$c'")
+              // unreachable: createEmpty admits only STRING/BIGINT/INT
+          }
+          case TableLog.PDays(c) => dt match {
+            case TimestampType => (r: InternalRow, i: Int) =>
+              TableLog.renderDay(TableLog.epochDayOfMicros(r.getLong(i)))
+            case DateType => (r: InternalRow, i: Int) =>
+              TableLog.renderDay(r.getInt(i).toLong)
+            case o => throw new UnsupportedOperationException(
+              s"graftlog sink: days($c) over $o") // unreachable
+          }
+          case TableLog.PMonths(c) => dt match {
+            case TimestampType => (r: InternalRow, i: Int) =>
+              TableLog.renderMonth(TableLog.epochDayOfMicros(r.getLong(i)))
+            case DateType => (r: InternalRow, i: Int) =>
+              TableLog.renderMonth(r.getInt(i).toLong)
+            case o => throw new UnsupportedOperationException(
+              s"graftlog sink: months($c) over $o") // unreachable
+          }
+        }
+      }
     require(schema(keyIdx).dataType == LongType,
       s"graftlog sink: key column '$keyCol' must be BIGINT")
     val stageId = "stream-" + java.util.UUID.randomUUID().toString.take(8)
@@ -603,14 +653,7 @@ object GraftLogSinkWriterFactory {
           if (partIdx.nonEmpty) List.tabulate(partIdx.length) { j =>
             val i = partIdx(j) + off
             if (r.isNullAt(i)) TableLog.NullPartValue
-            else partTypes(j) match {
-              case StringType  => r.getUTF8String(i).toString
-              case LongType    => r.getLong(i).toString
-              case IntegerType => r.getInt(i).toString
-              case o => throw new UnsupportedOperationException(
-                s"graftlog sink: partition column type $o") // unreachable:
-                // createEmpty admits only STRING/BIGINT/INT partition cols
-            }
+            else partRender(j)(r, i)
           }
           else bucketN match {
             case Some(n) =>
@@ -628,6 +671,10 @@ object GraftLogSinkWriterFactory {
             case FloatType   => g.add(f.name, r.getFloat(i))
             case BooleanType => g.add(f.name, r.getBoolean(i))
             case StringType  => g.add(f.name, r.getUTF8String(i).toString)
+            case org.apache.spark.sql.types.TimestampType =>
+              g.add(f.name, r.getLong(i))
+            case org.apache.spark.sql.types.DateType =>
+              g.add(f.name, r.getInt(i))
             case o => throw new UnsupportedOperationException(
               s"graftlog sink: unsupported column type $o for '${f.name}'")
           }
@@ -686,6 +733,7 @@ object GraftLogSinkWriterFactory {
   }
 
   private[sources] def messageTypeOf(schema: StructType): MessageType = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
       val field = f.dataType match {
@@ -696,6 +744,13 @@ object GraftLogSinkWriterFactory {
         case BooleanType => Types.optional(BOOLEAN).named(f.name)
         case StringType  => Types.optional(BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        // instant semantics, micros — exactly Spark's own TIMESTAMP
+        // parquet encoding, so the vectorized read round-trips
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case DateType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
         case o => throw new UnsupportedOperationException(
           s"graftlog sink: unsupported column type $o for '${f.name}'")
       }
@@ -906,6 +961,10 @@ private[sources] object GraftLogGroupRows {
               case BooleanType => (g: Group, i: Int) => g.getBoolean(i, 0)
               case StringType  => (g: Group, i: Int) =>
                 UTF8String.fromString(g.getString(i, 0))
+              case org.apache.spark.sql.types.TimestampType =>
+                (g: Group, i: Int) => g.getLong(i, 0)
+              case org.apache.spark.sql.types.DateType =>
+                (g: Group, i: Int) => g.getInteger(i, 0)
               case o => throw new UnsupportedOperationException(
                 s"graftlog stream: unsupported column type $o for '${fd.name}'")
             }

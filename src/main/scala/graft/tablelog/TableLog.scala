@@ -281,11 +281,13 @@ object TableLog {
     * types, minus the key (it has dedicated bounds) and partition
     * columns (they have tuple stats), first [[colStatMaxCols]] kept. */
   private[graft] def statCols(schema: StructType, keyCol: String,
-      partCols: Seq[String]): Seq[(String, Char)] =
+      partCols: Seq[String]): Seq[(String, Char)] = {
+    val partSrc = partCols.map(partSourceCol).toSet
     schema.fields.iterator
-      .filter(f => f.name != keyCol && !partCols.contains(f.name))
+      .filter(f => f.name != keyCol && !partSrc(f.name))
       .flatMap(f => colStatTyp(f.dataType).map(t => (f.name, t)))
       .take(colStatMaxCols).toSeq
+  }
 
   /** Lower string bound after truncation: a prefix is ≤ the original
     * in binary UTF-8 order. */
@@ -671,9 +673,11 @@ object TableLog {
       case None if partCols.nonEmpty =>
         // partitioned layout: range-cluster on (partition tuple, key)
         // so each file covers a contiguous tuple run (few tuples per
-        // file → tight manifest stats) AND keeps key order within it
+        // file → tight manifest stats) AND keeps key order within it;
+        // the tuple is the spec's RENDERED value, so temporal
+        // transforms cluster by day/month, not raw timestamp
         df.repartitionByRange(numFiles,
-          partCols.map(col) :+ col(keyCol): _*)
+          partCols.map(partValueCol(_, df.schema)) :+ col(keyCol): _*)
       case None => df.repartitionByRange(numFiles, col(keyCol))
     }
     writer.write.parquet(stageDir.toString)
@@ -733,7 +737,7 @@ object TableLog {
         // partition stats cost the same single aggregation as key
         // stats, proportional to the commit and never the table
         val tupleExpr = array(partCols.map(c =>
-          coalesce(col(c).cast("string"), lit(NullPartValue))): _*)
+          coalesce(partValueCol(c, df.schema), lit(NullPartValue))): _*)
         spark.read.parquet(partFiles: _*)
           .groupBy(input_file_name().as("f"), tupleExpr.as("t"))
           .agg(count(lit(1)).as("rows"),
@@ -809,27 +813,116 @@ object TableLog {
     }.toDF("__graft_dv_file", "__graft_dv_pos")
   }
 
+  // ----------------------------------------------------- partition specs
+
+  /** A partition-column SPEC as stored in the manifest's `partcols`
+    * line: `c` (identity), `days:c`, or `months:c` — Iceberg's hidden
+    * temporal partitioning (`PARTITIONED BY (days(ts))`): the table
+    * partitions on a TRANSFORM of a timestamp/date column, partition
+    * values render as UTC `yyyy-MM-dd` / `yyyy-MM` strings (zero-
+    * padded, so LEXICOGRAPHIC order is chronological — the property
+    * the raw-predicate range mapping in the scan builder relies on),
+    * and a raw `WHERE ts >= …` range predicate prunes files through
+    * the transform without the user ever materializing a date column.
+    * The colon encoding keeps old manifests (bare names = identity)
+    * parsing unchanged. `bucket(n, col)` does NOT land here — it maps
+    * onto the table's `bucket.count` routing device at CREATE. */
+  sealed trait PartTransform { def col: String }
+  final case class PIdentity(col: String) extends PartTransform
+  final case class PDays(col: String) extends PartTransform
+  final case class PMonths(col: String) extends PartTransform
+
+  private[graft] def partTransformOf(spec: String): PartTransform =
+    spec.indexOf(':') match {
+      case -1 => PIdentity(spec)
+      case i => (spec.substring(0, i), spec.substring(i + 1)) match {
+        case ("days", c)   => PDays(c)
+        case ("months", c) => PMonths(c)
+        case (t, _) => throw new IllegalArgumentException(
+          s"unknown partition transform '$t' in spec '$spec'")
+      }
+    }
+
+  /** The SOURCE column a spec partitions over. */
+  private[graft] def partSourceCol(spec: String): String =
+    partTransformOf(spec).col
+
+  /** Human rendering for metadata tables: `c` / `days(c)`. */
+  private[graft] def partPretty(spec: String): String =
+    partTransformOf(spec) match {
+      case PIdentity(c) => c
+      case PDays(c)     => s"days($c)"
+      case PMonths(c)   => s"months($c)"
+    }
+
+  /** UTC day of a timestamp in MICROseconds since the epoch — the ONE
+    * temporal bucketing both write paths (SQL expression and the DSv2
+    * task writer) and the scan-side predicate mapping share. */
+  private[graft] def epochDayOfMicros(micros: Long): Long =
+    Math.floorDiv(micros, 86_400_000_000L)
+
+  private[graft] def renderDay(epochDay: Long): String =
+    java.time.LocalDate.ofEpochDay(epochDay).toString
+
+  private[graft] def renderMonth(epochDay: Long): String = {
+    val d = java.time.LocalDate.ofEpochDay(epochDay)
+    f"${d.getYear}%04d-${d.getMonthValue}%02d"
+  }
+
+  /** The rendered partition value of `spec` as a Column — identity
+    * stringification, or the transform's UTC rendering. The
+    * `to_utc_timestamp(col, current_timezone())` trick re-renders the
+    * instant's UTC wall clock regardless of the session time zone, so
+    * the stored value equals the task writer's
+    * `LocalDate.ofEpochDay(floorDiv(micros, 86.4e9))` exactly. */
+  private[graft] def partValueCol(spec: String,
+      schema: StructType): Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    def fmt(c: String, pattern: String): Column =
+      schema(c).dataType match {
+        case TimestampType => date_format(
+          to_utc_timestamp(col(c), expr("current_timezone()")), pattern)
+        case DateType => date_format(col(c), pattern)
+        case o => throw new IllegalArgumentException(
+          s"temporal partition transform over ${o.sql} column '$c'")
+      }
+    partTransformOf(spec) match {
+      case PIdentity(c) => col(c).cast("string")
+      case PDays(c)     => fmt(c, "yyyy-MM-dd")
+      case PMonths(c)   => fmt(c, "yyyy-MM")
+    }
+  }
+
   // ------------------------------------------------------------ operations
 
-  /** Partition columns must exist and stringify stably — the manifest
-    * stores partition values as strings, and both the stage-time stats
-    * pass (`cast("string")`) and the DSv2 task writer must produce the
-    * SAME rendering the scan-time predicate compare uses. String and
-    * integral types do; anything else (float "1.0" vs "1", binary,
-    * timestamps under zone rules) is refused rather than risked. */
+  /** Partition specs must name schema columns and render stably — the
+    * manifest stores partition values as strings, and the stage-time
+    * stats pass, the DSv2 task writer, and the scan-time predicate
+    * compare must all produce the SAME rendering. Identity keeps the
+    * STRING/BIGINT/INT restriction (floats/binary don't stringify
+    * stably); days/months require TIMESTAMP or DATE source columns
+    * (rendered in UTC, zone-independent). */
   private def checkPartCols(schemaDdl: String, partCols: Seq[String]): Unit = {
-    import org.apache.spark.sql.types.{StringType, LongType, IntegerType}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampType}
     val schema = StructType.fromDDL(schemaDdl)
-    partCols.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(
+    partCols.foreach { spec =>
+      val t = partTransformOf(spec)
+      val f = schema.fields.find(_.name == t.col).getOrElse(
         throw new IllegalArgumentException(
-          s"partition column '$c' not in schema: $schemaDdl"))
-      require(Set[org.apache.spark.sql.types.DataType](
-          StringType, LongType, IntegerType).contains(f.dataType),
-        s"partition column '$c' has type ${f.dataType.sql} — only " +
-          "STRING/BIGINT/INT partition columns stringify stably")
+          s"partition column '${t.col}' not in schema: $schemaDdl"))
+      t match {
+        case PIdentity(c) =>
+          require(Set[org.apache.spark.sql.types.DataType](
+              StringType, LongType, IntegerType).contains(f.dataType),
+            s"partition column '$c' has type ${f.dataType.sql} — only " +
+              "STRING/BIGINT/INT partition columns stringify stably")
+        case _ =>
+          require(f.dataType == TimestampType || f.dataType == DateType,
+            s"temporal partition transform '${partPretty(spec)}' needs a " +
+              s"TIMESTAMP or DATE column, '${t.col}' is ${f.dataType.sql}")
+      }
     }
-    require(partCols.distinct.length == partCols.length,
+    require(partCols.map(partSourceCol).distinct.length == partCols.length,
       s"duplicate partition columns: ${partCols.mkString(",")}")
   }
 
@@ -989,12 +1082,13 @@ object TableLog {
       s"$table is not partitioned — dynamic partition overwrite needs " +
         "PARTITIONED BY; use the expression overwrite instead")
     if (incomingTuples.isEmpty) return snap.version // empty insert: no-op
+    val schema = StructType.fromDDL(snap.schemaDdl)
     val doomed = (a: AddFile) => a.parts.isEmpty ||
       a.parts.exists(p => incomingTuples(p.values))
     val cond = incomingTuples.toSeq.sortBy(_.mkString("/")).map { t =>
       snap.partCols.zip(t).map { case (c, v) =>
-        if (v == NullPartValue) col(c).isNull
-        else col(c).cast("string") <=> lit(v)
+        if (v == NullPartValue) col(partSourceCol(c)).isNull
+        else partValueCol(c, schema) <=> lit(v)
       }.reduce(_ && _)
     }.reduce(_ || _)
     overwriteWhereStaged(spark, table, cond, extAdds, numFiles,

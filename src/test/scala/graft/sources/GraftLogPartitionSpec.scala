@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{EqualTo, In, IsNotNull, IsNull}
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.SparkSuite
@@ -342,5 +342,172 @@ class GraftLogPartitionSpec extends SparkSuite {
     val e2 = intercept[IllegalArgumentException](
       TableLog.create(dbl, t2, "k", numFiles = 1, partCols = Seq("p")))
     assert(e2.getMessage.contains("stringify stably"), e2.getMessage)
+  }
+
+  /** 100 rows over 4 UTC days (25 each), timestamps pinned in micros
+    * so the session zone is irrelevant to the expected layout. */
+  private def freshDaysPartitioned(): String = {
+    useCatalog()
+    val t = Files.createTempDirectory("tlog_days_").toString + "/tbl"
+    spark.sql(
+      s"""CREATE TABLE graftlog.`$t` (k BIGINT, ts TIMESTAMP, v STRING)
+         |PARTITIONED BY (days(ts)) TBLPROPERTIES ('key' = 'k')""".stripMargin)
+    import spark.implicits._
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val base = java.time.Instant.parse("2024-03-10T00:00:00Z")
+        .toEpochMilli * 1000L
+      (0L to 99L).map(i =>
+          (i, base + (i % 4) * 86_400_000_000L + i * 1_000_000L, s"x$i"))
+        .toDF("k", "us", "v")
+        .selectExpr("k", "timestamp_micros(us) AS ts", "v")
+        .createOrReplaceTempView("days_src")
+      spark.sql(s"INSERT INTO graftlog.`$t` SELECT * FROM days_src")
+    } finally spark.conf.set(coalesceKey, saved)
+    t
+  }
+
+  test("days(ts) hidden partitioning: tuples render as UTC days, a raw " +
+      "WHERE ts range prunes files through the transform, rows stay exact") {
+    val t = freshDaysPartitioned()
+    val snap = TableLog.state(t)
+    assert(snap.partCols == Seq("days:ts"))
+    val allDays = snap.active.flatMap(_.parts.map(_.values.head)).toSet
+    assert(allDays == Set("2024-03-10", "2024-03-11", "2024-03-12",
+      "2024-03-13"), allDays.toString)
+    // raw-timestamp range predicate: days >= 2024-03-12 must prune
+    // (the probe arrives as the external Timestamp value Spark pushes)
+    val probe = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-12T00:00:00Z"))
+    val b = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    b.pushFilters(Array(GreaterThanOrEqual("ts", probe), IsNotNull("ts")))
+    assert(b.chosenFiles.nonEmpty &&
+      b.chosenFiles.size < snap.active.size,
+      s"${b.chosenFiles.size} of ${snap.active.size} files")
+    assert(b.chosenFiles.forall(_.parts.exists(_.values.head >= "2024-03-12")))
+    // and a LessThan on the other side
+    val b2 = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    b2.pushFilters(Array(LessThan("ts", probe), IsNotNull("ts")))
+    assert(b2.chosenFiles.size < snap.active.size)
+    assert(b2.chosenFiles.forall(_.parts.exists(_.values.head <= "2024-03-12")))
+    // rows exact through SQL: i%4 in {2,3} → 50 rows, known key sum
+    val got = spark.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n, sum(k) AS s
+         |FROM graftlog.`$t`
+         |WHERE ts >= TIMESTAMP'2024-03-12 00:00:00'""".stripMargin)
+      .collect().head
+    val keys = (0L to 99L).filter(i => i % 4 >= 2)
+    assert((got.getLong(0), got.getLong(1)) == ((keys.size.toLong, keys.sum)))
+    // #partitions renders the transform name and the day values
+    val parts = spark.sql(s"SELECT * FROM graftlog.`$t#partitions`")
+    assert(parts.columns.head == "days(ts)")
+    assert(parts.collect().map(_.getString(0)).toSet == allDays)
+    assert(parts.selectExpr("sum(row_count)").collect().head.getLong(0) == 100L)
+  }
+
+  test("months(ts) partitioning: tuples render as UTC months and a raw " +
+      "ts range prunes at month grain") {
+    useCatalog()
+    val t = Files.createTempDirectory("tlog_months_").toString + "/tbl"
+    spark.sql(
+      s"""CREATE TABLE graftlog.`$t` (k BIGINT, ts TIMESTAMP)
+         |PARTITIONED BY (months(ts)) TBLPROPERTIES ('key' = 'k')""".stripMargin)
+    import spark.implicits._
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val base = java.time.Instant.parse("2023-11-15T12:00:00Z")
+        .toEpochMilli * 1000L
+      // 3 months: Nov 2023, Jan 2024, Mar 2024 (62-day strides)
+      (0L to 59L).map(i => (i, base + (i % 3) * 62L * 86_400_000_000L))
+        .toDF("k", "us").selectExpr("k", "timestamp_micros(us) AS ts")
+        .createOrReplaceTempView("months_src")
+      spark.sql(s"INSERT INTO graftlog.`$t` SELECT * FROM months_src")
+    } finally spark.conf.set(coalesceKey, saved)
+    val snap = TableLog.state(t)
+    assert(snap.partCols == Seq("months:ts"))
+    val months = snap.active.flatMap(_.parts.map(_.values.head)).toSet
+    assert(months == Set("2023-11", "2024-01", "2024-03"), months.toString)
+    val probe = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    val b = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    b.pushFilters(Array(GreaterThanOrEqual("ts", probe), IsNotNull("ts")))
+    assert(b.chosenFiles.nonEmpty && b.chosenFiles.size < snap.active.size)
+    assert(b.chosenFiles.forall(_.parts.exists(_.values.head >= "2024-01")))
+  }
+
+  test("PARTITIONED BY (bucket(4, k)) maps onto the bucket routing " +
+      "device: bucket-pure files and a zero-shuffle co-bucketed key join") {
+    import spark.implicits._
+    useCatalog()
+    def freshBucketTransform(): String = {
+      val t = Files.createTempDirectory("tlog_bktt_").toString + "/tbl"
+      spark.sql(
+        s"""CREATE TABLE graftlog.`$t` (k BIGINT, v STRING)
+           |PARTITIONED BY (bucket(4, k))
+           |TBLPROPERTIES ('key' = 'k')""".stripMargin)
+      (0L to 199L).filter(_ % 2 == 0).map(i => (i, s"x$i"))
+        .toDF("k", "v").createOrReplaceTempView("bktt_src")
+      spark.sql(s"INSERT INTO graftlog.`$t` SELECT * FROM bktt_src")
+      t
+    }
+    val t1 = freshBucketTransform()
+    val t2 = freshBucketTransform()
+    // the transform became the bucket.count property, NOT a partition
+    // column — same device as q460's TBLPROPERTIES form
+    assert(TableLog.state(t1).props.get("bucket.count").contains("4"))
+    assert(TableLog.state(t1).partCols.isEmpty)
+    assert(TableLog.state(t1).active.forall(a =>
+      a.cols.exists(s => s.col == "__bucket" && s.min == s.max)))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (c, _) => c -> spark.conf.get(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val j = spark.sql(
+        s"""SELECT count(*) AS n, sum(a.k) AS s
+           |FROM graftlog.`$t1` a JOIN graftlog.`$t2` b ON a.k = b.k""".stripMargin)
+      assert(!j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "expected shuffle-free bucket-transform key join")
+      val r = j.collect().head
+      assert((r.getLong(0), r.getLong(1)) ==
+        ((100L, (0L to 199L).filter(_ % 2 == 0).sum)))
+    } finally saved.foreach { case (c, v) => spark.conf.set(c, v) }
+    // bucket over a non-key column is refused at CREATE
+    val bad = Files.createTempDirectory("tlog_bktbad_").toString + "/tbl"
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE graftlog.`$bad` (k BIGINT, o BIGINT)
+         |PARTITIONED BY (bucket(4, o))
+         |TBLPROPERTIES ('key' = 'k')""".stripMargin))
+    assert(e.getMessage.contains("key column"), e.getMessage)
+  }
+
+  test("temporal partitioning misuse fails loudly: days over a non-" +
+      "temporal column refused; DML keeps day tuples exact") {
+    useCatalog()
+    val bad = Files.createTempDirectory("tlog_daysbad_").toString + "/tbl"
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE graftlog.`$bad` (k BIGINT, s STRING)
+         |PARTITIONED BY (days(s)) TBLPROPERTIES ('key' = 'k')""".stripMargin))
+    assert(e.getMessage.contains("TIMESTAMP or DATE"), e.getMessage)
+    // copy-on-write DELETE on a days-partitioned table keeps the
+    // tuple inventory exact: day = k%4, so deleting odd keys kills
+    // days 1 and 3 OUTRIGHT and leaves days 0 and 2 at half strength
+    val t = freshDaysPartitioned()
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE k % 2 = 1")
+    val parts = spark.sql(
+      s"SELECT * FROM graftlog.`$t#partitions`").collect()
+    assert(parts.map(_.getString(0)).toSet ==
+      Set("2024-03-10", "2024-03-12"))
+    assert(parts.map(_.getLong(2)).sum == 50L)
+    val n = spark.sql(s"SELECT count(*) FROM graftlog.`$t` " +
+      "WHERE ts >= TIMESTAMP'2024-03-12 00:00:00'").collect().head.getLong(0)
+    assert(n == (0L to 99L).count(i => i % 4 == 2 && i % 2 == 0))
   }
 }
