@@ -2522,7 +2522,131 @@ object TableOps {
       |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q462
+  /** `ALTER TABLE … RENAME COLUMN` through the COLUMN MAPPING (the
+    * Delta column-mapping lineage): one metadata commit renames the
+    * logical schema and points the new name at the old PHYSICAL name —
+    * zero data files rewrite at any table size. The query reads BOTH
+    * eras: VERSION AS OF 1 answers under the old name (the old map
+    * replays with the old schema), the latest snapshot under the new
+    * one, and an INSERT + DELETE after the rename prove DML composes
+    * with the mapping. The oracle replays each era as the pure SQL
+    * its history implies. */
+  private val renameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q462RenameColumn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = renameCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogrn_").toString + "/t"
+      val slice = ordersSlice(s, dir)
+      TableLog.create(slice.where($"o_orderkey" % 4 === 0)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"),
+        path, "o_orderkey", numFiles = 2)                            // v1
+      s.sql(s"ALTER TABLE graftlog.`$path` " +
+        "RENAME COLUMN o_totalprice TO price")                       // v2
+      val v = s"graft_rn_src_${Integer.toHexString(dir.hashCode)}"
+      slice.where($"o_orderkey" % 8 === 1)
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".as("price"))
+        .createOrReplaceTempView(v)
+      try s.sql(s"INSERT INTO graftlog.`$path` SELECT * FROM $v")    // v3
+      finally s.catalog.dropTempView(v)
+      s.sql(s"DELETE FROM graftlog.`$path` WHERE price < 1000.0")    // v4
+      path
+    })
+    val now = s.sql(
+      s"""SELECT CAST(2 AS BIGINT) AS era, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(price AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         |FROM graftlog.`$t` GROUP BY o_orderstatus""".stripMargin)
+    val era1 = s.sql(
+      s"""SELECT CAST(1 AS BIGINT) AS era, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$t` VERSION AS OF 1
+         |GROUP BY o_orderstatus""".stripMargin)
+    era1.unionByName(now).orderBy($"era", $"o_orderstatus")
+  }
+
+  private val q462Oracle =
+    """SELECT CAST(1 AS BIGINT) AS era, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders WHERE o_orderkey % 4 = 0
+      |GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS era, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |WHERE (o_orderkey % 4 = 0 OR o_orderkey % 8 = 1)
+      |  AND o_totalprice >= 1000.0
+      |GROUP BY o_orderstatus
+      |ORDER BY era, o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q463
+  /** `ALTER TABLE … DROP COLUMN` through the column mapping: one
+    * metadata commit narrows the logical schema; the physical column
+    * stays in the old files UNREAD (its name tombstoned against
+    * resurrection), and a later ADD COLUMN of a fresh name null-fills
+    * — the full BigQuery-style evolve-narrow-evolve cycle without a
+    * single rewrite. VERSION AS OF 1 still reads the dropped column:
+    * history is immutable under metadata evolution too. */
+  private val dropCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q463DropColumn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = dropCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogdc_").toString + "/t"
+      val slice = ordersSlice(s, dir)
+      TableLog.create(slice.where($"o_orderkey" % 4 === 2)
+        .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority",
+          $"o_totalprice"),
+        path, "o_orderkey", numFiles = 2)                            // v1
+      s.sql(s"ALTER TABLE graftlog.`$path` DROP COLUMN o_orderpriority")
+      s.sql(s"ALTER TABLE graftlog.`$path` ADD COLUMN note STRING")  // v3
+      path
+    })
+    val now = s.sql(
+      s"""SELECT CAST(2 AS BIGINT) AS era, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(count(note) AS BIGINT) AS n_notes
+         |FROM graftlog.`$t` GROUP BY o_orderstatus""".stripMargin)
+    val era1 = s.sql(
+      s"""SELECT CAST(1 AS BIGINT) AS era, o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+         |    AS BIGINT) AS n_notes
+         |FROM graftlog.`$t` VERSION AS OF 1
+         |GROUP BY o_orderstatus""".stripMargin)
+    era1.unionByName(now).orderBy($"era", $"o_orderstatus")
+  }
+
+  private val q463Oracle =
+    """SELECT CAST(1 AS BIGINT) AS era, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+      |    AS BIGINT) AS n_notes
+      |FROM orders WHERE o_orderkey % 4 = 2
+      |GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS era, o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(0 AS BIGINT) AS n_notes
+      |FROM orders WHERE o_orderkey % 4 = 2
+      |GROUP BY o_orderstatus
+      |ORDER BY era, o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q463_drop_column" -> (q463DropColumn _),
+    "q462_rename_column" -> (q462RenameColumn _),
     "q461_days_partitioned_events" -> (q461DaysPartitionedEvents _),
     "q460_bucketed_key_join" -> (q460BucketedKeyJoin _),
     "q459_skip_change_commits" -> (q459SkipChangeCommits _),
@@ -2576,6 +2700,8 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q463_drop_column" -> q463Oracle,
+    "q462_rename_column" -> q462Oracle,
     "q461_days_partitioned_events" -> q461Oracle,
     "q460_bucketed_key_join" -> q460Oracle,
     "q459_skip_change_commits" -> q459Oracle,

@@ -461,6 +461,23 @@ class GraftLogCatalog extends TableCatalog
       TableLog.setProps(path, next)
       return loadTable(ident)
     }
+    // RENAME/DROP COLUMN — metadata commits through the column
+    // mapping (logical→physical name indirection in the manifest):
+    // data files never rewrite, old eras time-travel correctly
+    rest match {
+      case Seq(rn: TableChange.RenameColumn) if rn.fieldNames.length == 1 =>
+        TableLog.renameColumn(path, rn.fieldNames.head, rn.newName)
+        return loadTable(ident)
+      case Seq(dc: TableChange.DeleteColumn) if dc.fieldNames.length == 1 =>
+        val exists = TableLog.state(path).physSchema != null &&
+          org.apache.spark.sql.types.StructType
+            .fromDDL(TableLog.state(path).schemaDdl)
+            .fieldNames.contains(dc.fieldNames.head)
+        if (!exists && dc.ifExists()) return loadTable(ident)
+        TableLog.dropColumn(path, dc.fieldNames.head)
+        return loadTable(ident)
+      case _ => ()
+    }
     val adds = rest.map {
       case a: TableChange.AddColumn
           if a.fieldNames.length == 1 && a.isNullable &&
@@ -468,7 +485,8 @@ class GraftLogCatalog extends TableCatalog
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
       case other => refuse(s"ALTER TABLE change $other (only plain " +
-        "top-level nullable ADD COLUMN evolves additively)")
+        "top-level nullable ADD COLUMN evolves additively; RENAME/DROP " +
+        "COLUMN go one per statement)")
     }
     TableLog.evolveSchema(path, StructType(adds))
     loadTable(ident)
@@ -1028,14 +1046,18 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     // cannot match. A file lacking the stat survives (absence never
     // loses rows), and since min/max ignore nulls while no comparison
     // matches a null row, range skipping alone stays exact.
+    // column stats are recorded under PHYSICAL names — filters arrive
+    // logical and translate through the snapshot's column mapping
     val statCarrying = files.iterator
       .flatMap(_.cols.iterator.map(_.col)).toSet
     val cFlt = filters.filter(flt =>
-      GraftLogScanBuilder.colStatFilterCol(flt).exists(statCarrying))
+      GraftLogScanBuilder.colStatFilterCol(flt)
+        .map(snap.physName).exists(statCarrying))
     if (cFlt.nonEmpty) {
       cFlt.foreach(used += _)
+      val physFlt = cFlt.map(GraftLogScanBuilder.physFilter(_, snap.colMap))
       files = files.filter(a =>
-        cFlt.forall(GraftLogScanBuilder.colStatKeep(a, _)))
+        physFlt.forall(GraftLogScanBuilder.colStatKeep(a, _)))
     }
     accepted = used.result().distinct
     // every filter comes back as a residual: file-grain skipping is
@@ -1084,11 +1106,12 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
           if nr.fieldNames.length == 1 =>
         val c = nr.fieldNames.head
+        val p = snap.physName(c) // stats live under physical names
         fullSchema.fields.find(_.name == c).filter(f =>
           f.name != snap.keyCol &&
             (f.dataType == org.apache.spark.sql.types.LongType ||
              f.dataType == org.apache.spark.sql.types.IntegerType) &&
-            files.forall(_.cols.exists(s => s.col == c && s.typ == 'l')))
+            files.forall(_.cols.exists(s => s.col == p && s.typ == 'l')))
       case _ => None
     }
 
@@ -1130,7 +1153,7 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
           lowSide: Boolean): Any = {
         if (files.isEmpty) return null
         val vs = files.map(a =>
-          a.cols.find(_.col == f.name).get)
+          a.cols.find(_.col == snap.physName(f.name)).get)
           .map(s => (if (lowSide) s.min else s.max).toLong)
         val v = if (lowSide) vs.min else vs.max
         if (f.dataType == org.apache.spark.sql.types.IntegerType) v.toInt
@@ -1400,6 +1423,36 @@ object GraftLogScanBuilder {
     }
   }
 
+  /** Rewrite a pushed filter's attribute references from LOGICAL to
+    * PHYSICAL names (column mapping): the parquet converter and the
+    * manifest's column stats both speak physical. Unknown filter
+    * shapes pass through unchanged — an unresolvable reference is
+    * simply dropped by parquet's own converter, never mis-bound. */
+  private[sources] def physFilter(f: Filter,
+      m: Map[String, String]): Filter = {
+    if (m.isEmpty) return f
+    import org.apache.spark.sql.sources._
+    def r(c: String): String = m.getOrElse(c, c)
+    f match {
+      case EqualTo(a, v)            => EqualTo(r(a), v)
+      case EqualNullSafe(a, v)      => EqualNullSafe(r(a), v)
+      case GreaterThan(a, v)        => GreaterThan(r(a), v)
+      case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(r(a), v)
+      case LessThan(a, v)           => LessThan(r(a), v)
+      case LessThanOrEqual(a, v)    => LessThanOrEqual(r(a), v)
+      case In(a, vs)                => In(r(a), vs)
+      case IsNull(a)                => IsNull(r(a))
+      case IsNotNull(a)             => IsNotNull(r(a))
+      case StringStartsWith(a, v)   => StringStartsWith(r(a), v)
+      case StringEndsWith(a, v)     => StringEndsWith(r(a), v)
+      case StringContains(a, v)     => StringContains(r(a), v)
+      case And(l, rr)               => And(physFilter(l, m), physFilter(rr, m))
+      case Or(l, rr)                => Or(physFilter(l, m), physFilter(rr, m))
+      case Not(c)                   => Not(physFilter(c, m))
+      case other                    => other
+    }
+  }
+
   /** Does any value of `sorted` fall inside `[min, max]`? One binary
     * search per file — the probe shared by static IN pruning and the
     * runtime-filter path, so the two can never disagree. */
@@ -1525,6 +1578,19 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
 
   private var files: Seq[TableLog.AddFile] = initialFiles
   private var runtimePruned: Boolean = false
+
+  // COLUMN MAPPING: the wrapped parquet scan speaks PHYSICAL names
+  // (what the data files carry); the scan's own readSchema stays
+  // LOGICAL. InternalRows are positional, so renaming fields leaves
+  // the data path untouched — only name resolution shifts.
+  private def physStruct(st: StructType): StructType =
+    if (snap.colMap.isEmpty) st
+    else StructType(st.fields.map(f => f.copy(name = snap.physName(f.name))))
+  private val physFull = physStruct(fullSchema)
+  private val physRequired = physStruct(required)
+  private val physFilters =
+    dataFilters.map(GraftLogScanBuilder.physFilter(_, snap.colMap))
+
   private var inner: ParquetScan = mkInner()
 
   /** The post-runtime-prune file set — the spec's observation hook. */
@@ -1536,8 +1602,8 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
   // the surviving files; parquet's own converter drops what it
   // cannot express, and the residual Filter keeps rows exact.
   private def mkInner(): ParquetScan =
-    GraftLogParquet.scan(spark, tablePath, files, fullSchema, required,
-      dataFilters, options)
+    GraftLogParquet.scan(spark, tablePath, files, physFull, physRequired,
+      physFilters, options)
 
   override def readSchema(): StructType = required
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
@@ -1669,8 +1735,8 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
   private def dvPartitions(dvFiles: Seq[TableLog.AddFile])
       : Array[InputPartition] = {
     import org.apache.spark.sql.execution.datasources.FilePartition
-    val scan = GraftLogParquet.scan(spark, tablePath, dvFiles, fullSchema,
-      required, Array.empty, options)
+    val scan = GraftLogParquet.scan(spark, tablePath, dvFiles, physFull,
+      physRequired, Array.empty, options)
     val splits = scan.toBatch.planInputPartitions()
       .flatMap(_.asInstanceOf[FilePartition].files)
     // keyed by the collision-proof (stage, name) file id — part-file
@@ -1694,8 +1760,8 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     if (dvF.nonEmpty) {
       val cp =
         if (cleanF.isEmpty) Array.empty[InputPartition]
-        else GraftLogParquet.scan(spark, tablePath, cleanF, fullSchema,
-          required, dataFilters, options).toBatch.planInputPartitions()
+        else GraftLogParquet.scan(spark, tablePath, cleanF, physFull,
+          physRequired, physFilters, options).toBatch.planInputPartitions()
       return cp ++ dvPartitions(dvF)
     }
     val base = inner.toBatch.planInputPartitions()
@@ -1733,9 +1799,9 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     else new GraftLogDvDispatchFactory(
       GraftLogParquet.scan(spark, tablePath,
         if (cleanF.isEmpty) dvF else cleanF, // factory needs a scan even when no clean files exist
-        fullSchema, required, dataFilters, options)
+        physFull, physRequired, physFilters, options)
         .toBatch.createReaderFactory(),
-      GraftLogParquet.scan(spark, tablePath, dvF, fullSchema, required,
+      GraftLogParquet.scan(spark, tablePath, dvF, physFull, physRequired,
         Array.empty, options).toBatch.createReaderFactory())
   }
   /** CBO statistics: sizes from the parquet scan (true listed bytes),
@@ -1795,7 +1861,9 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
           if GraftLogScanBuilder.colStatFilterCol(flt).isDefined =>
         // non-key runtime IN: probe each value against the column's
         // recorded range — same soundness as the static cstat layer
-        files = files.filter(a => GraftLogScanBuilder.colStatKeep(a, flt))
+        // (stats speak physical names; translate first)
+        val pf = GraftLogScanBuilder.physFilter(flt, snap.colMap)
+        files = files.filter(a => GraftLogScanBuilder.colStatKeep(a, pf))
         runtimePruned = true
       case _ => ()
     }

@@ -177,9 +177,13 @@ private[sources] object GraftLogAppendContract {
     ((h % n) + n) % n
   }
 
-  /** Returns (key column, partition columns, bucket count). */
-  def checkedMeta(table: String,
-      writeSchema: StructType): (String, Seq[String], Option[Int]) = {
+  /** Returns (key column, partition columns, bucket count, PHYSICAL
+    * write DDL): the frame is validated against the LOGICAL declared
+    * schema, but task writers stage files under the column mapping's
+    * physical names so new files stay name-compatible with the
+    * active set. */
+  def checkedMeta(table: String, writeSchema: StructType)
+      : (String, Seq[String], Option[Int], String) = {
     val snap = TableLog.state(table)
     val declared = StructType.fromDDL(snap.schemaDdl)
     declared.fields.zip(writeSchema.fields).foreach { case (t, w) =>
@@ -190,7 +194,8 @@ private[sources] object GraftLogAppendContract {
     require(declared.length == writeSchema.length,
       s"graftlog sink: frame has ${writeSchema.length} columns, table " +
         s"declares ${declared.length}")
-    (snap.keyCol, snap.partCols, bucketCountOf(snap.props))
+    (snap.keyCol, snap.partCols, bucketCountOf(snap.props),
+      snap.physSchema.toDDL)
   }
 
   def checkedKeyCol(table: String, writeSchema: StructType): String =
@@ -258,12 +263,12 @@ class GraftLogStreamingWrite(table: String, appId: String,
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
-  private val (keyCol, partCols, bucketN) =
+  private val (keyCol, partCols, bucketN, physDdl) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftLogSinkWriterFactory(table, writeSchema.toDDL, keyCol, partCols,
+    new GraftLogSinkWriterFactory(table, physDdl, keyCol, partCols,
       bucketN)
 
   override def commit(epochId: Long,
@@ -345,12 +350,12 @@ class GraftLogBatchAppend(table: String, writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols, bucketN) =
+  private val (keyCol, partCols, bucketN, physDdl) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
+    new GraftLogBatchWriterFactory(table, physDdl, keyCol,
       partCols = partCols, bucketN = bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -377,12 +382,12 @@ class GraftLogOverwriteWrite(table: String, writeSchema: StructType,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols, bucketN) =
+  private val (keyCol, partCols, bucketN, physDdl) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
+    new GraftLogBatchWriterFactory(table, physDdl, keyCol,
       partCols = partCols, bucketN = bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -414,7 +419,7 @@ class GraftLogDynamicOverwrite(table: String, writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols, bucketN) =
+  private val (keyCol, partCols, bucketN, physDdl) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
   require(partCols.nonEmpty,
     s"graftlog: $table is not partitioned — dynamic partition " +
@@ -422,7 +427,7 @@ class GraftLogDynamicOverwrite(table: String, writeSchema: StructType)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
+    new GraftLogBatchWriterFactory(table, physDdl, keyCol,
       partCols = partCols, bucketN = bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -450,12 +455,12 @@ class GraftLogReplaceData(table: String, writeSchema: StructType,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols, bucketN) =
+  private val (keyCol, partCols, bucketN, physDdl) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftLogBatchWriterFactory(table, writeSchema.toDDL, keyCol,
+    new GraftLogBatchWriterFactory(table, physDdl, keyCol,
       allowOpColumn = true, partCols = partCols, bucketN = bucketN)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -908,11 +913,19 @@ class GraftLogMicroBatchStream(path: String, schema: StructType,
     // same construction as the catalog's batch path), not a
     // row-at-a-time Group reader: streamed backfills decode columnar
     // with whole-stage codegen downstream, and pre-evolution files
-    // null-fill new columns through the explicit-schema read
+    // null-fill new columns through the explicit-schema read. Under a
+    // column mapping the scan requests PHYSICAL names (the window-end
+    // era's map — physical names are stable under rename); rows are
+    // positional, so the stream's logical schema is untouched.
     val files = window.flatMap(_.adds)
+    val m = TableLog.state(path, hi).colMap
+    val physSchema =
+      if (m.isEmpty) schema
+      else StructType(schema.fields.map(f =>
+        f.copy(name = m.getOrElse(f.name, f.name))))
     val batch = GraftLogParquet.scan(
       org.apache.spark.sql.SparkSession.active, path, files,
-      schema, schema, Array.empty,
+      physSchema, physSchema, Array.empty,
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
       .toBatch
     batchFactory = batch.createReaderFactory()
@@ -1063,9 +1076,11 @@ class GraftLogChangeFeedStream(path: String, startingVersion: Long)
     val lo = start.asInstanceOf[GraftLogVersionOffset].version
     val hi = end.asInstanceOf[GraftLogVersionOffset].version
     // schema authority: the table as of the window's end — earlier
-    // files null-fill columns they predate (the batch read contract)
+    // files null-fill columns they predate (the batch read contract).
+    // Partitions carry the PHYSICAL ddl (what files hold; the key
+    // never renames, and CDF rows emit positionally)
     val authority = TableLog.state(path, hi)
-    val ddl = authority.schemaDdl
+    val ddl = authority.physSchema.toDDL
     val k = authority.keyCol
     def abs(rel: String): String =
       java.nio.file.Paths.get(path, rel).toString

@@ -142,19 +142,43 @@ object TableLog {
       bloom: Option[(String, Int)] = None,
       tsMillis: Long = 0L,
       partCols: Seq[String] = Nil,
-      props: Option[Map[String, String]] = None)
+      props: Option[Map[String, String]] = None,
+      colMap: Option[(Map[String, String], Set[String])] = None)
 
   /** A replayed table state: active files in commit order plus the
     * metadata needed to read them. `txns` carries the highest
     * committed producer version per application id; `bloom` the
     * table's declared bloom-indexed column and filter width in bits
     * (sidecar files carry the bitsets — see [[prunedFilesBloom]]). */
+  /** `colMap` is the COLUMN-MAPPING indirection (Delta's
+    * column-mapping lineage): logical schema name → PHYSICAL name as
+    * written in the data files. RENAME COLUMN is then one metadata
+    * commit (old files keep their physical names; reads project
+    * through the map) and DROP COLUMN likewise (the physical column
+    * stays in old files, unread). `droppedPhys` tombstones physical
+    * names still present in active files so a later ADD COLUMN cannot
+    * silently resurrect their bytes; a full-rewrite compaction
+    * materializes logical names physically and clears both. Empty on
+    * every never-renamed table — the zero-cost common case. */
   final case class Snapshot(version: Long, active: Seq[AddFile],
       schemaDdl: String, keyCol: String,
       txns: Map[String, Long] = Map.empty,
       bloom: Option[(String, Int)] = None,
       partCols: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      colMap: Map[String, String] = Map.empty,
+      droppedPhys: Set[String] = Set.empty) {
+    /** The PHYSICAL name of a logical column — identity when unmapped. */
+    def physName(logical: String): String =
+      colMap.getOrElse(logical, logical)
+    /** The declared schema with PHYSICAL field names (the shape the
+      * data files actually carry). */
+    def physSchema: StructType = {
+      val s = StructType.fromDDL(schemaDdl)
+      if (colMap.isEmpty) s
+      else StructType(s.fields.map(f => f.copy(name = physName(f.name))))
+    }
+  }
 
   /** Checkpoint cadence — small so the short demo histories exercise
     * the checkpoint replay path; a production table would use
@@ -189,7 +213,8 @@ object TableLog {
       bloom: Option[(String, Int)] = None,
       tsMillis: Long = 0L,
       partCols: Seq[String] = Nil,
-      props: Option[Map[String, String]] = None): String = {
+      props: Option[Map[String, String]] = None,
+      colMap: Option[(Map[String, String], Set[String])] = None): String = {
     val sb = new StringBuilder
     sb ++= s"op $op\n"
     if (tsMillis > 0L) sb ++= s"ts $tsMillis\n"
@@ -211,6 +236,14 @@ object TableLog {
       val ts = m.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${encCol(k)}:${encCol(v)}" }
       sb ++= s"props ${ts.size} ${ts.mkString(" ")}\n"
+    }
+    colMap.foreach { case (m, dropped) =>
+      // full-map replacement like props: `l:p` mappings plus `!p`
+      // tombstones (a raw `!` never leads a URL-encoded token)
+      val ts = m.toSeq.sortBy(_._1)
+        .map { case (l, p) => s"${encCol(l)}:${encCol(p)}" } ++
+        dropped.toSeq.sorted.map(p => s"!${encCol(p)}")
+      sb ++= s"colmap ${ts.size} ${ts.mkString(" ")}\n"
     }
     txns.sortBy(_._1).foreach { case (app, v) =>
       require(!app.contains(' ') && !app.contains('\n'),
@@ -361,6 +394,7 @@ object TableLog {
     var bloom = Option.empty[(String, Int)]
     var partCols = Seq.empty[String]
     var props = Option.empty[Map[String, String]]
+    var colMap = Option.empty[(Map[String, String], Set[String])]
     val txns = Seq.newBuilder[(String, Long)]
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
@@ -418,6 +452,15 @@ object TableLog {
             val Array(k, v) = t.split(":", -1)
             decCol(k) -> decCol(v)
           }.toMap)
+        case "colmap" =>
+          val toks = rest.split(" ").filter(_.nonEmpty).drop(1)
+          val (tomb, maps) = toks.partition(_.startsWith("!"))
+          colMap = Some((
+            maps.map { t =>
+              val Array(l, p) = t.split(":", -1)
+              decCol(l) -> decCol(p)
+            }.toMap,
+            tomb.map(t => decCol(t.substring(1))).toSet))
         case other => throw new IllegalStateException(
           s"corrupt manifest v$version: unknown tag '$other'")
       }
@@ -427,7 +470,7 @@ object TableLog {
       dvStats.get(a1.relPath).fold(a1)(d => a1.copy(dv = Some(d)))
     }
     Commit(version, op, withCols, removes.result(), ddl, key,
-      txns.result(), bloom, ts, partCols, props)
+      txns.result(), bloom, ts, partCols, props, colMap)
   }
 
   /** Latest committed version, 0 if the table has no log yet. The
@@ -467,6 +510,8 @@ object TableLog {
     var txns = base.txns; var bloom = base.bloom
     var partCols = base.partCols
     var props = base.props
+    var colMap = base.colMap
+    var dropped = base.droppedPhys
     tail.foreach { c =>
       c.removes.foreach { p =>
         if (active.remove(p).isEmpty) throw new IllegalStateException(
@@ -478,13 +523,14 @@ object TableLog {
       if (c.bloom.nonEmpty) bloom = c.bloom
       if (c.partCols.nonEmpty) partCols = c.partCols
       c.props.foreach(p => props = p)
+      c.colMap.foreach { case (m, d) => colMap = m; dropped = d }
       c.txns.foreach { case (app, tv) =>
         txns += app -> math.max(tv, txns.getOrElse(app, Long.MinValue))
       }
       v = c.version
     }
     Snapshot(v, active.values.toSeq, ddl, key, txns, bloom, partCols,
-      props)
+      props, colMap, dropped)
   }
 
   /** The latest version whose commit wall-clock stamp is ≤
@@ -514,7 +560,9 @@ object TableLog {
       case Some(v) =>
         val c = parse(v, Files.readString(checkpointPath(table, v)))
         Snapshot(v, c.adds, c.schemaDdl, c.keyCol, c.txns.toMap, c.bloom,
-          c.partCols, c.props.getOrElse(Map.empty))
+          c.partCols, c.props.getOrElse(Map.empty),
+          c.colMap.map(_._1).getOrElse(Map.empty),
+          c.colMap.map(_._2).getOrElse(Set.empty))
       case None => Snapshot(0L, Nil, "", "")
     }
     val tail = ((base.version + 1L) to last).map { v =>
@@ -536,11 +584,12 @@ object TableLog {
       keyCol: String, txn: Option[(String, Long)] = None,
       bloom: Option[(String, Int)] = None,
       partCols: Seq[String] = Nil,
-      props: Option[Map[String, String]] = None): Long = {
+      props: Option[Map[String, String]] = None,
+      colMap: Option[(Map[String, String], Set[String])] = None): Long = {
     Files.createDirectories(logDir(table))
     val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq, bloom,
       tsMillis = System.currentTimeMillis(), partCols = partCols,
-      props = props)
+      props = props, colMap = colMap)
     var attempt = expected + 1L
     while (true) {
       val tmp = Files.createTempFile(logDir(table), s"tmp-$op-", ".inprogress")
@@ -564,7 +613,8 @@ object TableLog {
           // datasets; two evolves would drop each other's columns).
           // The caller re-runs the operation, recomputing against the
           // new snapshot.
-          if (op == "create" || schemaDdl.nonEmpty || props.isDefined)
+          if (op == "create" || schemaDdl.nonEmpty || props.isDefined ||
+              colMap.isDefined)
             throw new java.util.ConcurrentModificationException(
               s"$table: lost a $op race at v${now.version} — this commit " +
                 "carries snapshot-derived metadata and cannot rebase; " +
@@ -584,7 +634,10 @@ object TableLog {
       val snap = state(table, v)
       val text = render("checkpoint", snap.active, Nil, snap.schemaDdl,
         snap.keyCol, snap.txns.toSeq, snap.bloom, partCols = snap.partCols,
-        props = Some(snap.props))
+        props = Some(snap.props),
+        colMap =
+          if (snap.colMap.isEmpty && snap.droppedPhys.isEmpty) None
+          else Some((snap.colMap, snap.droppedPhys)))
       val tmp = Files.createTempFile(logDir(table), "tmp-ckpt-", ".inprogress")
       try {
         Files.write(tmp, text.getBytes(UTF_8))
@@ -658,10 +711,18 @@ object TableLog {
     * the OPTIMIZE-ZORDER device ([[compactZorder]]) — while key
     * stats (and bloom sidecars) are still collected as usual, so
     * manifest-level skipping keeps working over the re-laid files. */
-  private def stage(df: DataFrame, table: String, keyCol: String,
+  private def stage(df0: DataFrame, table: String, keyCol: String,
       numFiles: Int, bloom: Option[(String, Int)] = None,
       layout: Option[Column] = None,
-      partCols: Seq[String] = Nil): Seq[AddFile] = {
+      partCols: Seq[String] = Nil,
+      colMap: Map[String, String] = Map.empty): Seq[AddFile] = {
+    // data files carry PHYSICAL names: under a column mapping the
+    // incoming logical frame renames before anything is written, so
+    // new files stay name-compatible with the active set (key,
+    // partition and bloom columns never rename — see renameColumn)
+    val df =
+      if (colMap.isEmpty) df0
+      else df0.toDF(df0.columns.map(c => colMap.getOrElse(c, c)): _*)
     val spark = df.sparkSession
     val stageId = java.util.UUID.randomUUID().toString.take(8)
     val stageDir = Paths.get(table, "data", stageId)
@@ -778,11 +839,17 @@ object TableLog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(snap.schemaDdl))
     else {
-      val base = spark.read.schema(StructType.fromDDL(snap.schemaDdl))
+      // scan with PHYSICAL names (what the files carry), project back
+      // to logical at the end — a renamed column reads its old bytes
+      val logicalNames = StructType.fromDDL(snap.schemaDdl).fieldNames
+      def toLogical(df: DataFrame): DataFrame =
+        if (snap.colMap.isEmpty) df
+        else df.toDF(logicalNames.toIndexedSeq: _*)
+      val base = spark.read.schema(snap.physSchema)
         .parquet(files.map(a => Paths.get(table, a.relPath).toString): _*)
       val dvFiles = files.filter(_.dv.isDefined)
-      if (dvFiles.isEmpty) base
-      else {
+      if (dvFiles.isEmpty) toLogical(base)
+      else toLogical {
         // merge-on-read: subtract each DV'd file's dead positions via
         // parquet's row-index metadata column and one broadcast
         // anti-join — DVs suit SMALL deletes (the dead set rides the
@@ -971,7 +1038,7 @@ object TableLog {
   def append(df: DataFrame, table: String, numFiles: Int): Long = {
     val snap = state(table)
     val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols)
+      partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "append", adds, Nil, "", "")
   }
 
@@ -991,7 +1058,7 @@ object TableLog {
     val snap = state(table)
     if (snap.txns.get(appId).exists(_ >= txnVersion)) return snap.version
     val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols)
+      partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "append", adds, Nil, "", "",
       txn = Some((appId, txnVersion)))
   }
@@ -1058,7 +1125,7 @@ object TableLog {
         readFiles(spark, table, snap, touched)
           .where(!coalesce(cond, lit(false))),
         table, snap.keyCol, numFiles, snap.bloom,
-        partCols = snap.partCols)
+        partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "replace", survAdds ++ extAdds,
       touched.map(_.relPath), "", "")
   }
@@ -1139,7 +1206,8 @@ object TableLog {
     // restored state, the Delta RESTORE contract)
     val v = commit(table, cur.version, "restore", adds, removes,
       old.schemaDdl, old.keyCol, bloom = old.bloom, partCols = old.partCols,
-      props = Some(old.props))
+      props = Some(old.props),
+      colMap = Some((old.colMap, old.droppedPhys)))
     (v, adds.size, removes.size)
   }
 
@@ -1166,7 +1234,11 @@ object TableLog {
       a.copy(relPath = dstP.relativize(abs).toString)
     }
     val v = commit(dst, 0L, "clone", adds, Nil, s.schemaDdl, s.keyCol,
-      bloom = s.bloom, partCols = s.partCols)
+      bloom = s.bloom, partCols = s.partCols,
+      props = if (s.props.isEmpty) None else Some(s.props),
+      colMap =
+        if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
+        else Some((s.colMap, s.droppedPhys)))
     (v, adds.size)
   }
 
@@ -1192,9 +1264,11 @@ object TableLog {
       }
     }
     val oldNames = old.map(_.name).toSet
+    df.schema.filterNot(f => oldNames(f.name)).foreach(f =>
+      checkPhysCollision(snap, f.name, "appendEvolve"))
     val merged = StructType(old ++ df.schema.filterNot(f => oldNames(f.name)))
     val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols)
+      partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "evolve", adds, Nil, merged.toDDL, "")
   }
 
@@ -1214,9 +1288,88 @@ object TableLog {
     newCols.foreach { f =>
       if (oldNames(f.name)) throw new IllegalArgumentException(
         s"evolveSchema: column '${f.name}' already exists — evolution is additive")
+      checkPhysCollision(snap, f.name, "evolveSchema")
     }
     val merged = StructType(old ++ newCols)
     commit(table, snap.version, "evolve", Nil, Nil, merged.toDDL, "")
+  }
+
+  /** A new logical name must not collide with a PHYSICAL name still
+    * present in active files (a rename's old name, or a dropped
+    * column's) — the explicit-schema read resolves by physical name,
+    * so a collision would silently resurrect the old bytes. */
+  private def checkPhysCollision(snap: Snapshot, name: String,
+      op: String): Unit = {
+    val physTaken = StructType.fromDDL(snap.schemaDdl).fieldNames
+      .map(snap.physName).toSet ++ snap.droppedPhys
+    if (physTaken(name)) throw new IllegalArgumentException(
+      s"$op: '$name' is still a PHYSICAL column name of active files " +
+        "(renamed-away or dropped) — choose another name, or compact " +
+        "the table to materialize the column mapping away first")
+  }
+
+  /** RENAME COLUMN as ONE metadata commit (the Delta column-mapping
+    * verb): the logical schema renames, a `colmap` entry points the
+    * new name at the OLD physical name, and every data file stays
+    * untouched — reads at this and later versions project through the
+    * map; time travel before the rename replays the old map and reads
+    * the old name. The key, partition-source and bloom columns are
+    * structural (manifest stats, write routing and sidecar naming key
+    * on them) and refuse to rename. */
+  def renameColumn(table: String, from: String, to: String): Long = {
+    val snap = state(table)
+    val old = StructType.fromDDL(snap.schemaDdl)
+    require(old.fieldNames.contains(from),
+      s"renameColumn: no column '$from' in ${snap.schemaDdl}")
+    require(!old.fieldNames.contains(to),
+      s"renameColumn: column '$to' already exists")
+    require(from != snap.keyCol,
+      s"renameColumn: '$from' is the table's key column — the " +
+        "manifest's file stats key on it; refusing")
+    require(!snap.partCols.map(partSourceCol).contains(from),
+      s"renameColumn: '$from' is a partition source column; refusing")
+    require(!snap.bloom.map(_._1).contains(from),
+      s"renameColumn: '$from' is the bloom-indexed column; refusing")
+    // collision check EXCLUDES the renamed column's own physical name:
+    // renaming back to it collapses the mapping, which is legal
+    val physTaken = old.fieldNames.filterNot(_ == from)
+      .map(snap.physName).toSet ++ snap.droppedPhys
+    if (physTaken(to)) throw new IllegalArgumentException(
+      s"renameColumn: '$to' is still a PHYSICAL column name of active " +
+        "files (renamed-away or dropped) — choose another name, or " +
+        "compact the table to materialize the column mapping away first")
+    val phys = snap.physName(from)
+    val newMap = (snap.colMap - from) ++
+      (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+    val renamed = StructType(old.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    commit(table, snap.version, "rename", Nil, Nil, renamed.toDDL, "",
+      colMap = Some((newMap, snap.droppedPhys)))
+  }
+
+  /** DROP COLUMN as ONE metadata commit: the logical schema narrows,
+    * the physical column stays in old files (unread — the explicit-
+    * schema scan never requests it) and its physical name is
+    * TOMBSTONED so a later ADD COLUMN cannot resurrect the bytes;
+    * compaction materializes the drop and clears the tombstone. Key,
+    * partition-source and bloom columns refuse, as does dropping the
+    * last non-key column (a table of only its key is still a table —
+    * but the refusals guard the structural columns, not arity). */
+  def dropColumn(table: String, name: String): Long = {
+    val snap = state(table)
+    val old = StructType.fromDDL(snap.schemaDdl)
+    require(old.fieldNames.contains(name),
+      s"dropColumn: no column '$name' in ${snap.schemaDdl}")
+    require(name != snap.keyCol,
+      s"dropColumn: '$name' is the table's key column; refusing")
+    require(!snap.partCols.map(partSourceCol).contains(name),
+      s"dropColumn: '$name' is a partition source column; refusing")
+    require(!snap.bloom.map(_._1).contains(name),
+      s"dropColumn: '$name' is the bloom-indexed column; refusing")
+    val phys = snap.physName(name)
+    val narrowed = StructType(old.fields.filterNot(_.name == name))
+    commit(table, snap.version, "drop", Nil, Nil, narrowed.toDDL, "",
+      colMap = Some((snap.colMap - name, snap.droppedPhys + phys)))
   }
 
   /** CDC extract between two versions (q106's diff semantics read
@@ -1317,7 +1470,7 @@ object TableLog {
       .drop("action")
     val rewritten = survivors.unionByName(incoming)
     val adds = stage(rewritten, table, k, numFiles, snap.bloom,
-      partCols = snap.partCols)
+      partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "cdc", adds, touched.map(_.relPath), "", "")
   }
 
@@ -1347,7 +1500,7 @@ object TableLog {
     val survivors = readFiles(spark, table, snap, touched)
       .where(!coalesce(cond, lit(false)))
     val adds = stage(survivors, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols)
+      partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "delete", adds, touched.map(_.relPath), "", "")
   }
 
@@ -1395,11 +1548,18 @@ object TableLog {
         s"$table: ${a.relPath} holds ${a.rows} rows — beyond the DV " +
           "bitset's 2^31 position domain; use the copy-on-write " +
           "deleteWhere"))
-    val base = spark.read.schema(StructType.fromDDL(snap.schemaDdl))
-      .parquet(candidates.map(a =>
-        Paths.get(table, a.relPath).toString): _*)
-      .withColumn("__graft_f", fileIdCol)
-      .withColumn("__graft_p", col("_metadata.row_index"))
+    val base = {
+      val b = spark.read.schema(snap.physSchema)
+        .parquet(candidates.map(a =>
+          Paths.get(table, a.relPath).toString): _*)
+        .withColumn("__graft_f", fileIdCol)
+        .withColumn("__graft_p", col("_metadata.row_index"))
+      if (snap.colMap.isEmpty) b
+      else b.select(snap.physSchema.fieldNames
+        .zip(StructType.fromDDL(snap.schemaDdl).fieldNames)
+        .map { case (p, l) => col(p).as(l) } :+
+        col("__graft_f") :+ col("__graft_p"): _*)
+    }
     val priorDv = candidates.filter(_.dv.isDefined)
     val live =
       if (priorDv.isEmpty) base
@@ -1457,11 +1617,18 @@ object TableLog {
       throw new IllegalArgumentException(
         s"$table: ${a.relPath} holds ${a.rows} rows — beyond the DV " +
           "bitset's 2^31 position domain; use copy-on-write DML"))
-    val base = spark.read.schema(StructType.fromDDL(snap.schemaDdl))
-      .parquet(candidates.map(a =>
-        Paths.get(table, a.relPath).toString): _*)
-      .withColumn("__graft_f", fileIdCol)
-      .withColumn("__graft_p", col("_metadata.row_index"))
+    val base = {
+      val b = spark.read.schema(snap.physSchema)
+        .parquet(candidates.map(a =>
+          Paths.get(table, a.relPath).toString): _*)
+        .withColumn("__graft_f", fileIdCol)
+        .withColumn("__graft_p", col("_metadata.row_index"))
+      if (snap.colMap.isEmpty) b
+      else b.select(snap.physSchema.fieldNames
+        .zip(StructType.fromDDL(snap.schemaDdl).fieldNames)
+        .map { case (p, l) => col(p).as(l) } :+
+        col("__graft_f") :+ col("__graft_p"): _*)
+    }
     val priorDv = candidates.filter(_.dv.isDefined)
     val live =
       if (priorDv.isEmpty) base
@@ -1480,7 +1647,8 @@ object TableLog {
         .drop("__graft_dv_file", "__graft_dv_pos")) {
       case (df, (c, v)) => df.withColumn(c, v)
     }.select(schemaCols.map(col): _*)
-    val staged = stage(updated, table, snap.keyCol, numFiles, snap.bloom)
+    val staged = stage(updated, table, snap.keyCol, numFiles, snap.bloom,
+      colMap = snap.colMap)
     val byId = candidates.map(a => fileIdOf(a.relPath) -> a).toMap
     val (removes, dvAdds) = hits.toSeq.sortBy(_._1).map { case (id, ps) =>
       val a = byId(id)
@@ -1530,7 +1698,7 @@ object TableLog {
       .where(!coalesce(cond, lit(false)))
     val rewritten = survivors.unionByName(incoming)
     val adds = stage(rewritten, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols)
+      partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "replace", adds, touched.map(_.relPath), "", "")
   }
 
@@ -1557,7 +1725,7 @@ object TableLog {
       .join(broadcast(changeKeys), Seq(k), "left_anti")
       .unionByName(changes)
     val adds = stage(rewritten, table, k, numFiles, snap.bloom,
-      partCols = snap.partCols)
+      partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "merge", adds, touched.map(_.relPath), "", "")
   }
 
@@ -1595,8 +1763,20 @@ object TableLog {
     val adds = stage(data, table, snap.keyCol, numFiles,
       snap.bloom, layout = Some(zExpr), partCols = snap.partCols)
     commit(table, snap.version, "zorder", adds,
-      snap.active.map(_.relPath), "", "")
+      snap.active.map(_.relPath), "", "", colMap = colMapReset(snap))
   }
+
+  /** A FULL rewrite (compact/zorder replaces every active file) writes
+    * logical names physically, so it also MATERIALIZES the column
+    * mapping away: the commit clears map and tombstones, after which
+    * re-using a renamed-away or dropped name becomes legal again.
+    * None (not an empty replacement) when no mapping is active, so
+    * plain compactions keep their rebase-over-appends behavior —
+    * mapping-carrying commits never rebase (see [[commit]]). */
+  private def colMapReset(
+      snap: Snapshot): Option[(Map[String, String], Set[String])] =
+    if (snap.colMap.isEmpty && snap.droppedPhys.isEmpty) None
+    else Some((Map.empty, Set.empty))
 
   /** Rewrite the whole active set into `numFiles` range-partitioned
     * files — logically a no-op (the spec pins snapshot equality),
@@ -1610,7 +1790,7 @@ object TableLog {
     val adds = stage(data, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols)
     commit(table, snap.version, "compact", adds,
-      snap.active.map(_.relPath), "", "")
+      snap.active.map(_.relPath), "", "", colMap = colMapReset(snap))
   }
 
   // ------------------------------------------------------------ reads

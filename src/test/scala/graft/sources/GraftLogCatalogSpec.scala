@@ -281,16 +281,17 @@ class GraftLogCatalogSpec extends SparkSuite {
     // time travel still reads the narrow schema's data
     assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 2")
       .collect().head.getLong(0) == 10L)
-    // duplicate column and non-additive changes refuse
+    // duplicate columns refuse; DROP/RENAME are no longer refusals —
+    // they ride the column mapping (dedicated spec below); pin here
+    // that a rename keeps the evolve-era null-fill behavior intact
     intercept[Exception] {
       spark.sql(s"ALTER TABLE graftlog.`$t` ADD COLUMN v STRING")
     }
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE graftlog.`$t` DROP COLUMN w")
-    }
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE graftlog.`$t` RENAME COLUMN w TO x")
-    }
+    spark.sql(s"ALTER TABLE graftlog.`$t` RENAME COLUMN w TO w2")
+    val renamed = spark.sql(
+      s"SELECT k, w2 FROM graftlog.`$t` ORDER BY k").collect()
+    assert(renamed.take(10).forall(_.isNullAt(1)))
+    assert(renamed.drop(10).forall(r => r.getLong(1) == r.getLong(0) * 2))
   }
 
   test("TIMESTAMP AS OF resolves the latest commit at-or-before the " +
@@ -511,5 +512,41 @@ class GraftLogCatalogSpec extends SparkSuite {
     spark.sql(s"CALL graftlog.clone('$t', '$c2')")
     assert(spark.sql(s"SELECT count(*) FROM graftlog.`$c2`")
       .collect().head.getLong(0) == 200L)
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN: metadata commits through the " +
+      "column mapping; SQL readback, DML and time travel all line up") {
+    val t = freshTable()
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    spark.sql(s"ALTER TABLE graftlog.`$t` RENAME COLUMN v TO label")
+    // readback under the new name, filtered on it (pushed through the
+    // mapping to the physical parquet column)
+    val got = spark.sql(
+      s"SELECT k, label FROM graftlog.`$t` WHERE label = 'a7'").collect()
+    assert(got.length == 1 && got.head.getLong(0) == 7L)
+    // INSERT with the new name lands and reads back
+    spark.sql(s"INSERT INTO graftlog.`$t` VALUES (500, 'fresh')")
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftlog.`$t` WHERE label = 'fresh'")
+      .collect().head.getLong(0) == 1L)
+    // DELETE keyed on the renamed column stays exact
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE label = 'a7'")
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 200L)
+    // time travel BEFORE the rename answers under the OLD name
+    val era = spark.sql(
+      s"SELECT k, v FROM graftlog.`$t` VERSION AS OF 2 WHERE v = 'a7'")
+      .collect()
+    assert(era.length == 1 && era.head.getString(1) == "a7")
+    // DROP COLUMN narrows; the physical name stays refused for re-add
+    spark.sql(s"ALTER TABLE graftlog.`$t` DROP COLUMN label")
+    assert(spark.table(s"graftlog.`$t`").columns.toSeq == Seq("k"))
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE graftlog.`$t` ADD COLUMN v STRING"))
+    assert(e.getMessage.contains("PHYSICAL"), e.getMessage)
+    // a DIFFERENT name adds fine
+    spark.sql(s"ALTER TABLE graftlog.`$t` ADD COLUMN note STRING")
+    assert(spark.table(s"graftlog.`$t`").columns.toSeq == Seq("k", "note"))
   }
 }

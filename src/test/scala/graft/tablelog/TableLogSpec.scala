@@ -657,4 +657,162 @@ class TableLogSpec extends SparkSuite {
     // idempotent: a second vacuum finds nothing
     assert(TableLog.vacuumRetain(t, 2, graceMillis = 0L).filesDeleted == 0)
   }
+
+  test("renameColumn: metadata-only rename reads old bytes under the " +
+      "new name; appends keep working; time travel reads the old era") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 49L).map(i => (i, s"a$i"))), t, "k", 2) // v1
+    TableLog.renameColumn(t, "v", "label")                            // v2
+    val snap = TableLog.state(t)
+    assert(snap.schemaDdl.contains("label") && !snap.schemaDdl.contains("`v`"))
+    assert(snap.colMap == Map("label" -> "v"))
+    val got = TableLog.snapshot(spark, t)
+    assert(got.columns.toSeq == Seq("k", "label"))
+    assert(got.collect().map(r => r.getLong(0) -> r.getString(1))
+      .toMap.apply(7L) == "a7")
+    // appends AFTER the rename present the logical name, land under
+    // the physical one, and read back seamlessly
+    import spark.implicits._
+    TableLog.append((50L to 59L).map(i => (i, s"b$i")).toDF("k", "label"),
+      t, 1)                                                           // v3
+    val all = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all.size == 60 && all(55L) == "b55" && all(3L) == "a3")
+    // time travel BEFORE the rename reads the old schema and name
+    val era1 = TableLog.snapshot(spark, t, 1L)
+    assert(era1.columns.toSeq == Seq("k", "v"))
+    assert(era1.count() == 50)
+    // chained rename back to the original name collapses the mapping
+    TableLog.renameColumn(t, "label", "v")
+    assert(TableLog.state(t).colMap.isEmpty)
+    assert(TableLog.snapshot(spark, t).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("dropColumn: metadata-only narrow; re-adding the physical name " +
+      "refused until compaction materializes the mapping away") {
+    import spark.implicits._
+    val t = freshDir()
+    TableLog.create((0L to 29L).map(i => (i, s"a$i", i * 2))
+      .toDF("k", "v", "w"), t, "k", 2)
+    TableLog.dropColumn(t, "w")
+    val snap = TableLog.state(t)
+    assert(snap.droppedPhys == Set("w"))
+    val got = TableLog.snapshot(spark, t)
+    assert(got.columns.toSeq == Seq("k", "v"))
+    assert(got.count() == 30)
+    // the bytes are still in the files; resurrecting them via ADD
+    // COLUMN of the same name is refused
+    val e = intercept[IllegalArgumentException](TableLog.evolveSchema(t,
+      org.apache.spark.sql.types.StructType.fromDDL("w BIGINT")))
+    assert(e.getMessage.contains("PHYSICAL"), e.getMessage)
+    // a rename to the dropped physical name is refused the same way
+    val e2 = intercept[IllegalArgumentException](
+      TableLog.renameColumn(t, "v", "w"))
+    assert(e2.getMessage.contains("PHYSICAL"), e2.getMessage)
+    // compaction rewrites every file under logical names: the
+    // mapping and tombstones clear, and the name is free again
+    TableLog.compact(spark, t, 1)
+    assert(TableLog.state(t).colMap.isEmpty &&
+      TableLog.state(t).droppedPhys.isEmpty)
+    TableLog.evolveSchema(t,
+      org.apache.spark.sql.types.StructType.fromDDL("w STRING"))
+    val after = TableLog.snapshot(spark, t)
+    assert(after.columns.toSeq == Seq("k", "v", "w"))
+    // the re-added w is null-filled, NOT the old bytes
+    assert(after.where(col("w").isNotNull).count() == 0)
+    // time travel to the pre-drop era still reads the old column
+    assert(TableLog.snapshot(spark, t, 1L)
+      .where(col("w") === 14L).count() == 1)
+  }
+
+  test("rename/drop refuse structural columns; restore crosses a " +
+      "rename with the old mapping intact") {
+    import spark.implicits._
+    val t = freshDir()
+    TableLog.create((0L to 19L).map(i => (i, s"g${i % 3}", s"a$i"))
+      .toDF("k", "p", "v"), t, "k", 1, bloomCol = Some("p"),
+      partCols = Seq("p"))
+    intercept[IllegalArgumentException](TableLog.renameColumn(t, "k", "kk"))
+    intercept[IllegalArgumentException](TableLog.renameColumn(t, "p", "pp"))
+    intercept[IllegalArgumentException](TableLog.dropColumn(t, "k"))
+    intercept[IllegalArgumentException](TableLog.dropColumn(t, "p"))
+    // restore to the pre-rename version brings the old name back
+    TableLog.renameColumn(t, "v", "txt")                               // v2
+    assert(TableLog.snapshot(spark, t).columns.contains("txt"))
+    TableLog.restore(t, 1L)                                            // v3
+    val snap = TableLog.state(t)
+    assert(snap.colMap.isEmpty &&
+      TableLog.snapshot(spark, t).columns.toSeq == Seq("k", "p", "v"))
+    // DML after the round trip stays exact
+    TableLog.deleteWhere(spark, t, col("v") === "a5", 1)
+    assert(TableLog.snapshot(spark, t).count() == 19)
+  }
+
+  test("column stats and key pruning survive a rename: predicates on " +
+      "the NEW name skip files via stats recorded under the old one") {
+    import spark.implicits._
+    val t = freshDir()
+    // two well-separated files on a non-key long column
+    TableLog.create((0L to 99L).map(i => (i, i * 10))
+      .toDF("k", "metric"), t, "k", 2)
+    TableLog.renameColumn(t, "metric", "score")
+    val snap = TableLog.state(t)
+    // the manifest stats still speak the physical name
+    assert(snap.active.forall(_.cols.exists(_.col == "metric")))
+    assert(snap.physName("score") == "metric")
+    // a read filtered on the logical name is exact
+    val n = TableLog.snapshot(spark, t).where(col("score") >= 500L).count()
+    assert(n == 50)
+  }
+
+  test("file-disjoint concurrent rewrites both commit; overlapping " +
+      "removals abort — the Delta conflict rule at file grain") {
+    val t = freshDir()
+    // two partition-like slices in separate files via planted layout
+    TableLog.create(kv((0L to 49L).map(i => (i, s"a$i"))), t, "k", 1)  // f1
+    TableLog.append(kv((100L to 149L).map(i => (i, s"b$i"))), t, 1)    // f2
+    val snap = TableLog.state(t)                                       // v2
+    val Seq(f1, f2) = snap.active.sortBy(_.min).toList.toSeq
+    // both rewrites are computed against the SAME snapshot (v2) and
+    // race at the commit step: A wins v3; B collides, sees its
+    // removed file still active, rebases, and lands v4
+    def rewrite(doomed: TableLog.AddFile, keepAbove: Long): Seq[TableLog.AddFile] = {
+      import spark.implicits._
+      val survivors = TableLog.snapshot(spark, t)
+        .where(col("k") >= doomed.min && col("k") <= doomed.max &&
+          col("k") % 2 === 0)
+      // stage survivors as external files (the commitStagedRewrite shape)
+      val stageDir = Paths.get(t, "data",
+        "race-" + java.util.UUID.randomUUID().toString.take(8))
+      survivors.coalesce(1).write.parquet(stageDir.toString)
+      val part = Files.list(stageDir).iterator()
+      val file = Iterator.continually(part)
+        .takeWhile(_.hasNext).flatMap(_ => Iterator(part.next()))
+        .map(_.toString).find(_.endsWith(".parquet")).get
+      val rows = spark.read.parquet(file).count()
+      Seq(TableLog.AddFile(
+        Paths.get(t).relativize(Paths.get(file)).toString,
+        rows, doomed.min, doomed.max))
+    }
+    val addsA = rewrite(f1, 0L)
+    val addsB = rewrite(f2, 100L)
+    // commit A at expected v2 → v3
+    val vA = TableLog.commit(t, snap.version, "delete", addsA,
+      Seq(f1.relPath), "", "")
+    assert(vA == 3L)
+    // commit B ALSO at expected v2: the link at v3 is taken, B's
+    // removed file (f2) is still active → rebase lands v4
+    val vB = TableLog.commit(t, snap.version, "delete", addsB,
+      Seq(f2.relPath), "", "")
+    assert(vB == 4L)
+    // readback exact: evens of both slices
+    val keys = TableLog.snapshot(spark, t).collect().map(_.getLong(0)).toSet
+    assert(keys == ((0L to 49L) ++ (100L to 149L)).filter(_ % 2 == 0).toSet)
+    // OVERLAPPING removals: a third rewrite computed against v2 that
+    // removes f1 (already rewritten by A) must abort loudly
+    val e = intercept[java.util.ConcurrentModificationException](
+      TableLog.commit(t, snap.version, "delete", Nil, Seq(f1.relPath),
+        "", ""))
+    assert(e.getMessage.contains("rewrote files"), e.getMessage)
+  }
 }
