@@ -24,33 +24,65 @@ object Bench {
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }
+    // NOISE PROTOCOL (BASELINE.md): a small cluster of token-grain
+    // shuffle queries has moved ±2x between idle runs with unchanged
+    // code (in-run JVM/GC interaction, adjudicated r7/r8). Those run
+    // TWICE and record the MIN — the minimum of two runs estimates
+    // the code's cost, the max-min gap estimates the noise, and both
+    // runs land in the JSON so the gap stays auditable.
+    val noisy = Set("q109", "q129", "q143", "q155", "q199", "q281",
+      "q304", "q350")
+    def prefixOf(name: String): String = name.takeWhile(_ != '_')
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
     // A failed query records its elapsed-until-failure time AND lands in
     // the errors map — never a sentinel that reads as a fast success.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Between queries: drop persisted RDDs (localCheckpoint
-      // artifacts of the iterative queries) and cached relations so
-      // one query's leftover memory can't skew a later query's
-      // timing — the executor-memory counterpart of drain()'s
-      // memory-sink hygiene. Outside the timed window on purpose.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      (name, elapsed, err)
+      def once(): (Double, Option[String], Long) = {
+        val g0 = gcMillis
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}") }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Between queries: drop persisted RDDs (localCheckpoint
+        // artifacts of the iterative queries) and cached relations so
+        // one query's leftover memory can't skew a later query's
+        // timing — the executor-memory counterpart of drain()'s
+        // memory-sink hygiene. Outside the timed window on purpose.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
+        (elapsed, err, gcMillis - g0)
+      }
+      val (e1, err1, gc1) = once()
+      if (err1.isEmpty && noisy(prefixOf(name))) {
+        val (e2, _, gc2) = once()
+        (name, math.min(e1, e2), err1, Seq(e1, e2),
+          if (e1 <= e2) gc1 else gc2)
+      } else (name, e1, err1, Seq(e1), gc1)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, v, _, _, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+    val errs = results.collect { case (k, _, Some(e), _, _) =>
+      jstr(k) + ":" + jstr(e) }.mkString("{", ",", "}")
+    // per-query GC time (ms) of the KEPT run, plus both raw timings of
+    // the double-run cluster — the audit trail the noise protocol needs
+    val gcs = results.map { case (k, _, _, _, gc) => jstr(k) + ":" + gc }
+      .mkString("{", ",", "}")
+    val reps = results.collect { case (k, _, _, rs, _) if rs.size > 1 =>
+      jstr(k) + ":" + rs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"gc_ms":$gcs,"repeats":$reps,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line: the driver's BENCH_r{N}.json keeps only
     // the log tail, which truncates the per-query map at 328 queries —

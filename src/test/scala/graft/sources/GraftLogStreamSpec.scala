@@ -129,6 +129,62 @@ class GraftLogStreamSpec extends SparkSuite {
     assert(bad.getMessage != null)
   }
 
+  test("autoCompact sink option: small-file debt stays bounded across " +
+      "micro-batches, totals exact, history shows the compact commits") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_ac_").toString
+    val landing = Files.createTempDirectory("tlog_ac_land_").toString
+    TableLog.create(kv(Nil), t, "k", 1)
+    // 8 single-row drops → 8 micro-batches under maxFilesPerTrigger=1,
+    // one append commit each; without compaction the table would hold
+    // 8 live files at the end
+    (0L to 7L).foreach(i => kv(Seq((i, s"a$i"))).coalesce(1)
+      .write.parquet(s"$landing/in/batch$i"))
+    val q = spark.readStream.schema(kv(Nil).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$landing/in/*")
+      .writeStream.format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).option("txnAppId", "spec-ac")
+      .option("autoCompact", "4")
+      .option("checkpointLocation", s"$landing/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // bounded: the threshold re-folds debt each time it crosses 4
+    val live = TableLog.state(t).active.size
+    assert(live <= 4, s"small-file debt unbounded: $live live files")
+    // exact: every row exactly once despite the interleaved rewrites
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == (0L to 7L).map(i => i -> s"a$i").toMap, got.toString)
+    // audited: the compactions are ordinary commits in the history
+    val ops = TableLog.history(t).map(_.op)
+    assert(ops.count(_ == "compact") >= 1, ops.toString)
+    assert(ops.count(_ == "append") >= 8, ops.toString)
+  }
+
+  test("bucket.count above the partition-tuple cap: an unclustered " +
+      "single-task insert routes to >64 bucket files and commits") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_bigbkt_").toString
+    TableLog.createEmpty(t, "k BIGINT, v STRING", "k",
+      props = Map("bucket.count" -> "128"))
+    // provider path: no clustered distribution — ONE task sees ~128
+    // distinct buckets, which the old 64-tuple cap refused outright
+    (0L to 199L).map(i => (i, s"x$i")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).mode("append").save()
+    val snap = TableLog.state(t)
+    assert(snap.active.size > 64, s"expected >64 bucket files, " +
+      s"got ${snap.active.size}")
+    // every staged file is bucket-pure (the SPJ gate's precondition)
+    assert(snap.active.forall(a =>
+      a.cols.exists(s => s.col == "__bucket" && s.min == s.max)))
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 200 && got(137L) == "x137")
+  }
+
   test("admission control: a 3-append backfill under maxFilesPerTrigger=1 " +
       "drains in >=3 micro-batches with exact totals") {
     val t = Files.createTempDirectory("tlog_admit_").toString
