@@ -5874,7 +5874,156 @@ object TextOps {
       |FROM (SELECT * FROM per UNION ALL SELECT * FROM gaps)
       |ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------------- q464
+  /** [NS] T5-style SPAN CORRUPTION transform (Raffel et al., JMLR
+    * 2020): the denoising-objective data prep — mask token spans,
+    * replace each with an incrementing sentinel in the INPUTS, emit
+    * `sentinel + masked tokens` as the TARGETS. Deterministic span
+    * choice (every 7th 3-token group) replaces the paper's RNG so the
+    * oracle is exact: rate = 1/7 ≈ 14.3%, mean span 3 — the paper's
+    * defaults' shape. Pure scan-side projection at any corpus size:
+    * tokens never shuffle beyond the per-doc fold, sentinel ranks are
+    * a per-doc window over masked GROUPS (≤ tokens/21 rows), and the
+    * emitted strings rebuild with one ordered fold. Both engines
+    * produce bit-identical inputs/targets strings (ASCII-sanitized
+    * whitespace tokens, 40-token cap). */
+  def q464SpanCorruption(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val toks = Tables.documentsSpread(s, dir)
+      .select($"doc_id", expr(
+        "slice(split(trim(regexp_replace(text, '[^ -~]', ' ')), " +
+          "'\\\\s+'), 1, 40)").as("ts"))
+      .select($"doc_id", posexplode($"ts").as(Seq("pos", "tok")))
+      .where($"tok" =!= "")
+      .withColumn("grp", floor($"pos" / 3))
+      .withColumn("masked", pmod($"grp", lit(7)) === 0)
+    // sentinel id = rank of the masked group within the doc (0-based)
+    val spanIds = toks.where($"masked")
+      .select($"doc_id", $"grp").distinct()
+      .withColumn("k", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"grp")) - 1)
+    val tagged = toks.join(spanIds, Seq("doc_id", "grp"), "left")
+      .withColumn("istr",
+        when(!$"masked", $"tok")
+          .when(pmod($"pos", lit(3)) === 0,
+            concat(lit("<extra_id_"), $"k", lit(">"))))
+      .withColumn("tstr",
+        when($"masked",
+          when(pmod($"pos", lit(3)) === 0,
+            concat(lit("<extra_id_"), $"k", lit("> "), $"tok"))
+            .otherwise($"tok")))
+    def joined(c: Column): Column = array_join(
+      transform(array_sort(collect_list(c)), x => x.getField("s")), " ")
+    tagged.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(when($"masked", $"grp")).as("n_spans"),
+      sum(when($"masked", 1L).otherwise(0L)).as("n_masked"),
+      joined(when($"istr".isNotNull,
+        struct($"pos", $"istr".as("s")))).as("inputs"),
+      joined(when($"tstr".isNotNull,
+        struct($"pos", $"tstr".as("s")))).as("targets"))
+      .orderBy($"doc_id")
+  }
+
+  private val q464Oracle =
+    """WITH toks AS (
+      |  SELECT doc_id, tok, pos FROM (
+      |    SELECT doc_id, unnest(l) AS tok,
+      |      CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos
+      |    FROM (
+      |      SELECT doc_id, list_slice(regexp_split_to_array(
+      |        trim(regexp_replace(text, '[^ -~]', ' ', 'g')), '\s+'),
+      |        1, 40) AS l
+      |      FROM documents) d)
+      |  WHERE tok <> ''),
+      |g AS (
+      |  SELECT *, pos // 3 AS grp, (pos // 3) % 7 = 0 AS masked
+      |  FROM toks),
+      |ks AS (
+      |  SELECT doc_id, grp,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY grp) - 1 AS k
+      |  FROM (SELECT DISTINCT doc_id, grp FROM g WHERE masked)),
+      |t AS (SELECT g.*, ks.k FROM g LEFT JOIN ks USING (doc_id, grp))
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT CASE WHEN masked THEN grp END) AS BIGINT)
+      |    AS n_spans,
+      |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_masked,
+      |  string_agg(CASE WHEN NOT masked THEN tok
+      |    WHEN pos % 3 = 0 THEN '<extra_id_' || k || '>' END,
+      |    ' ' ORDER BY pos) AS inputs,
+      |  string_agg(CASE WHEN masked THEN
+      |      CASE WHEN pos % 3 = 0 THEN '<extra_id_' || k || '> ' || tok
+      |           ELSE tok END END,
+      |    ' ' ORDER BY pos) AS targets
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q465
+  /** [NS] Best-of-n REJECTION-SAMPLING yield accounting (the RLHF /
+    * RFT data-factory readout — Nakano et al. 2021's best-of-n,
+    * Yuan et al. 2023's rejection-tuning): per prompt, n candidate
+    * generations score against a threshold; the factory needs, per
+    * source, the SOLVE RATE (any candidate accepted), the EXPECTED
+    * GENERATION COST (candidates drawn until first accept, n when
+    * none — the early-exit sampling discipline), and the kept-token
+    * yield. Deterministic planted scores (mixed-radix residue) stand
+    * in for the reward model so both engines agree bit-exactly; all
+    * ratios are ppm/milli floor-divs. One explode + one two-level
+    * fold — scan-side at any corpus size, the n=4 fan-out never
+    * shuffles raw text. */
+  def q465BestOfNYield(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source",
+        expr("size(split(trim(text), '\\\\s+'))").cast("long").as("toks"))
+      .select($"doc_id", $"source", $"toks",
+        explode(sequence(lit(0L), lit(3L))).as("cand"))
+      .withColumn("score", pmod($"doc_id" * 37L + $"cand" * 101L, lit(1000)))
+      .withColumn("accepted", $"score" >= 700L)
+    val perPrompt = cand.groupBy($"doc_id", $"source", $"toks").agg(
+      max(when($"accepted", lit(1L)).otherwise(0L)).as("solved"),
+      // candidates drawn until the FIRST accept; all 4 when none
+      coalesce(min(when($"accepted", $"cand" + 1L)), lit(4L)).as("cost"))
+    perPrompt.groupBy($"source").agg(
+      count(lit(1)).as("n_prompts"),
+      sum($"solved").as("n_solved"),
+      expr("(sum(solved) * 1000000) div count(1)").as("yield_ppm"),
+      sum($"cost").as("gens_total"),
+      expr("(sum(cost) * 1000) div count(1)").as("cost_milli"),
+      sum(when($"solved" === 1L, $"toks").otherwise(0L))
+        .as("kept_tokens"))
+      .orderBy($"source")
+  }
+
+  private val q465Oracle =
+    """WITH cand AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS toks, u.cand AS cand
+      |  FROM documents, unnest([0, 1, 2, 3]) AS u(cand)),
+      |scored AS (
+      |  SELECT *, (doc_id * 37 + cand * 101) % 1000 AS score FROM cand),
+      |per AS (
+      |  SELECT doc_id, source, toks,
+      |    max(CASE WHEN score >= 700 THEN 1 ELSE 0 END) AS solved,
+      |    coalesce(min(CASE WHEN score >= 700 THEN cand + 1 END), 4)
+      |      AS cost
+      |  FROM scored GROUP BY 1, 2, 3)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_prompts,
+      |  CAST(sum(solved) AS BIGINT) AS n_solved,
+      |  CAST((sum(solved) * 1000000) // count(*) AS BIGINT) AS yield_ppm,
+      |  CAST(sum(cost) AS BIGINT) AS gens_total,
+      |  CAST((sum(cost) * 1000) // count(*) AS BIGINT) AS cost_milli,
+      |  CAST(sum(CASE WHEN solved = 1 THEN toks ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q465_best_of_n_yield" -> (q465BestOfNYield _),
+    "q464_span_corruption" -> (q464SpanCorruption _),
     "q457_fairness_audit" -> (q457FairnessAudit _),
     "q452_edit_distance_dedup" -> (q452EditDistanceDedup _),
     "q453_multiclass_eval" -> (q453MulticlassEval _),
@@ -5964,6 +6113,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q465_best_of_n_yield" -> q465Oracle,
+    "q464_span_corruption" -> q464Oracle,
     "q457_fairness_audit" -> q457Oracle,
     "q452_edit_distance_dedup" -> q452Oracle,
     "q453_multiclass_eval" -> q453Oracle,

@@ -1496,6 +1496,58 @@ class TextOpsSpec extends SparkSuite {
       s"expected the 3 good mutant pairs, got ${got.mkString(", ")}")
   }
 
+  test("q464 span corruption: planted 25-token doc masks groups 0 and 7, " +
+    "sentinels increment, inputs+targets reconstruct the original") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q464").toString
+    val words = (0 to 24).map(i => s"t$i")
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.q464SpanCorruption(spark, tmp).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((25L, 2L, 6L)))
+    val expIn = "<extra_id_0> " + (3 to 20).map(i => s"t$i").mkString(" ") +
+      " <extra_id_1> t24"
+    val expTg = "<extra_id_0> t0 t1 t2 <extra_id_1> t21 t22 t23"
+    assert(r.getString(4) == expIn, r.getString(4))
+    assert(r.getString(5) == expTg, r.getString(5))
+    // reconstruction: substituting each sentinel's target span back
+    // into the inputs yields the original token stream
+    val spans = expTg.split("<extra_id_\\d+> ").filter(_.nonEmpty)
+      .map(_.trim)
+    val rebuilt = spans.zipWithIndex.foldLeft(expIn) { case (acc, (sp, k)) =>
+      acc.replace(s"<extra_id_$k>", sp)
+    }
+    assert(rebuilt == words.mkString(" "))
+  }
+
+  test("q465 best-of-n yield: per-prompt solve/cost fold matches the " +
+    "planted score arithmetic; source aggregates are exact floor-divs") {
+    val rows = TextOps.q465BestOfNYield(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, solved, ppm, gens, milli, kept) =>
+      assert(solved <= n && ppm == solved * 1000000L / n, src)
+      assert(gens >= n && gens <= 4 * n, s"$src gens=$gens n=$n")
+      assert(milli == gens * 1000L / n)
+      assert(kept >= 0)
+    }
+    // acceptance is (37*id + 101*c) % 1000 >= 700: ids 0..3 give
+    // known first-accept candidates — pin one small planted case
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q465").toString
+    Seq((0L, "s", "a b"), (1L, "s", "c"), (19L, "s", "d e f"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // id 0: scores 0,101,202,303 → never ≥700 → cost 4, unsolved
+    // id 1: 37,138,239,340 → unsolved, cost 4
+    // id 19: 703,804,905,6 → first cand 0 accepts → cost 1, solved
+    val got = TextOps.q465BestOfNYield(spark, tmp).collect().head
+    assert(got.getLong(1) == 3L && got.getLong(2) == 1L)
+    assert(got.getLong(4) == 4L + 4L + 1L)
+    assert(got.getLong(6) == 3L) // only id 19's 3 tokens kept
+  }
+
   test("q453 multiclass eval: macro row is the floor-mean of class F1s; " +
     "kappa sits strictly between chance and perfection") {
     val rows = TextOps.q453MulticlassEval(spark, sf0001).collect()
