@@ -2644,7 +2644,68 @@ object TableOps {
       |GROUP BY o_orderstatus
       |ORDER BY era, o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q466
+  /** STREAMING ingest into a HIDDEN-partitioned table — q423's
+    * exactly-once sink landing on q461's `days(ts)` layout: the DSv2
+    * task writers route every row to its UTC-day file as it streams
+    * (one open file per live day per task, tuple-pure by
+    * construction), the manifest records day-grain tuple stats per
+    * micro-batch commit, and a raw `WHERE ts` range on the result
+    * prunes files with no date column ever materialized — the
+    * reference's own cadence (timestamped batches appended forever,
+    * `terraform/cloud_scheduler.tf:4`) landed in the layout a 100-TB
+    * events table actually needs. Exactly-once via the txn ledger;
+    * the oracle replays the streamed slice from the source parquet. */
+  private val daysStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q466DaysStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = daysStreamCache.computeIfAbsent(dir, _ => {
+      val root = Files.createTempDirectory("graft_tlogds_").toString
+      val path = s"$root/ev"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$path` (event_id BIGINT, ts TIMESTAMP,
+           |  event_type STRING, value DOUBLE)
+           |PARTITIONED BY (days(ts))
+           |TBLPROPERTIES ('key' = 'event_id')""".stripMargin)
+      val landing = s"$root/land"
+      val src = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"event_type", $"value")
+        .where($"event_id" % 2 === 0)
+      src.write.parquet(landing)
+      val q = s.readStream.schema(src.schema).parquet(landing)
+        .writeStream.format("graft.sources.GraftLogStreamProvider")
+        .option("path", path).option("txnAppId", "q466-ingest")
+        .option("checkpointLocation", s"$root/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      path
+    })
+    s.sql(
+      s"""SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM graftlog.`$t`
+         |WHERE ts >= TIMESTAMP'2024-01-05 00:00:00'
+         |  AND ts < TIMESTAMP'2024-01-12 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val q466Oracle =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_id % 2 = 0
+      |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q466_days_stream_ingest" -> (q466DaysStreamIngest _),
     "q463_drop_column" -> (q463DropColumn _),
     "q462_rename_column" -> (q462RenameColumn _),
     "q461_days_partitioned_events" -> (q461DaysPartitionedEvents _),
@@ -2700,6 +2761,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q466_days_stream_ingest" -> q466Oracle,
     "q463_drop_column" -> q463Oracle,
     "q462_rename_column" -> q462Oracle,
     "q461_days_partitioned_events" -> q461Oracle,

@@ -6021,7 +6021,74 @@ object TextOps {
       |    AS kept_tokens
       |FROM per GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q467
+  /** [NS] Train/test SPLIT-LEAKAGE audit — the composite check every
+    * eval pipeline needs before trusting a benchmark number: exact
+    * duplicates (q64's cluster notion) that STRADDLE the q91 split
+    * rule leak training text into the test set (Dodge et al. 2021's
+    * C4 contamination finding, at the split boundary instead of the
+    * benchmark boundary). A re-crawl image (same text, shifted ids —
+    * the standard way duplicates enter a corpus) is planted so the
+    * leak branch provably fires; the audit reports, per source, the
+    * test-doc leak rate in ppm. Clusters key on md5(text): only
+    * 32-char hashes and split labels shuffle, never document text;
+    * the cluster→test attribution is one broadcast-sized semi-join at
+    * any corpus scale (clusters with a train member ≤ distinct
+    * texts). */
+  def q467SplitLeakAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (tr, va) = splitPcts
+    val base = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source", $"text")
+    val corpus = base.unionByName(
+      base.select(($"doc_id" + 2000000L).as("doc_id"), $"source", $"text"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit("split:"),
+          $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when($"bucket" < tr, "train")
+          .when($"bucket" < tr + va, "val").otherwise("test"))
+      .select($"doc_id", $"source", $"split", md5($"text").as("ckey"))
+    val trainKeys = corpus.where($"split" === "train")
+      .select($"ckey").distinct()
+    val tests = corpus.where($"split" === "test")
+      .join(trainKeys.withColumn("leaked", lit(1L)), Seq("ckey"), "left")
+    tests.groupBy($"source").agg(
+      count(lit(1)).as("n_test"),
+      sum(coalesce($"leaked", lit(0L))).as("n_leaked"),
+      expr("(sum(coalesce(leaked, 0)) * 1000000) div count(1)")
+        .as("leak_ppm"))
+      .orderBy($"source")
+  }
+
+  private val q467Oracle = {
+    val (tr, va) = splitPcts
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, md5(text) AS ckey FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, source, md5(text) FROM documents),
+       |split AS (
+       |  SELECT *, CASE
+       |    WHEN b < $tr THEN 'train'
+       |    WHEN b < ${tr + va} THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |    ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+       |      1, 4))::BIGINT % 100 AS b
+       |    FROM corpus)),
+       |tk AS (SELECT DISTINCT ckey FROM split WHERE split = 'train')
+       |SELECT s.source,
+       |  CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(sum(CASE WHEN tk.ckey IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_leaked,
+       |  CAST((sum(CASE WHEN tk.ckey IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000000) // count(*) AS BIGINT) AS leak_ppm
+       |FROM split s LEFT JOIN tk ON s.ckey = tk.ckey
+       |WHERE s.split = 'test'
+       |GROUP BY s.source ORDER BY s.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q467_split_leak_audit" -> (q467SplitLeakAudit _),
     "q465_best_of_n_yield" -> (q465BestOfNYield _),
     "q464_span_corruption" -> (q464SpanCorruption _),
     "q457_fairness_audit" -> (q457FairnessAudit _),
@@ -6113,6 +6180,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q467_split_leak_audit" -> q467Oracle,
     "q465_best_of_n_yield" -> q465Oracle,
     "q464_span_corruption" -> q464Oracle,
     "q457_fairness_audit" -> q457Oracle,

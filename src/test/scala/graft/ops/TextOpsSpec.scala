@@ -1548,6 +1548,42 @@ class TextOpsSpec extends SparkSuite {
     assert(got.getLong(6) == 3L) // only id 19's 3 tokens kept
   }
 
+  test("q467 split leak audit: a planted re-crawl image leaks exactly " +
+    "the clusters whose copies straddle the train/test boundary") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q467").toString
+    val ids = (1L to 60L)
+    ids.map(i => (i, "s", s"unique document text $i"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // replicate the split arithmetic in the JVM: bucket = first 4 md5
+    // hex chars of "split:<id>" mod 100; <80 train, <90 val, else test
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 100
+    }
+    def split(id: Long): String = {
+      val b = bucket(id)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val all = ids.map(i => (i, split(i))) ++
+      ids.map(i => (i + 2000000L, split(i + 2000000L)))
+    def clusterOf(id: Long) = if (id >= 2000000L) id - 2000000L else id
+    val trainClusters = all.collect { case (i, "train") => clusterOf(i) }.toSet
+    val testDocs = all.filter(_._2 == "test")
+    val expLeak = testDocs.count(x => trainClusters(clusterOf(x._1)))
+    assert(expLeak >= 1, "fixture must plant at least one leak")
+    val got = TextOps.q467SplitLeakAudit(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 1)
+    val (_, nTest, nLeaked, ppm) = got.head
+    assert(nTest == testDocs.size.toLong, s"n_test $nTest")
+    assert(nLeaked == expLeak.toLong, s"n_leaked $nLeaked vs $expLeak")
+    assert(ppm == nLeaked * 1000000L / nTest)
+  }
+
   test("q453 multiclass eval: macro row is the floor-mean of class F1s; " +
     "kappa sits strictly between chance and perfection") {
     val rows = TextOps.q453MulticlassEval(spark, sf0001).collect()
