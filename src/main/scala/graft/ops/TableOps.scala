@@ -2704,7 +2704,70 @@ object TableOps {
       |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q468
+  /** GDPR RIGHT-TO-BE-FORGOTTEN erasure, end to end — the composite
+    * every data-subject-request pipeline runs: a user-keyed DELETE on
+    * a BLOOM-INDEXED non-key column, routed merge-on-read
+    * (`delete.mode`), with the candidate scan pruned by the bloom
+    * sidecars ([[GraftLogTable.deletePrune]] — at 100 TB the erasure
+    * reads only files that might hold the user, writes KB-scale
+    * deletion vectors, rewrites nothing), and the CHANGE FEED as the
+    * compliance audit trail: the diff across the erasure commit
+    * enumerates exactly the erased rows. The readout pins both sides
+    * — the surviving table and the `__erased` audit row — against an
+    * oracle that replays the erasure in pure SQL. */
+  private val gdprCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q468GdprErasure(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = gdprCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tloggd_").toString + "/t"
+      val slice = ordersSlice(s, dir).where($"o_orderkey" % 4 === 1)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+      TableLog.create(slice, path, "o_orderkey", numFiles = 4,
+        bloomCol = Some("o_custkey"))                                // v1
+      TableLog.setProps(path, Map("delete.mode" -> "merge-on-read")) // v2
+      // the data subject: deterministic, SQL-expressible (min custkey)
+      val victim = slice.agg(min($"o_custkey")).collect().head.getLong(0)
+      s.sql(s"DELETE FROM graftlog.`$path` WHERE o_custkey = $victim") // v3
+      path
+    })
+    val now = s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$t` GROUP BY o_orderstatus""".stripMargin)
+    // audit trail: the change feed across the erasure commit IS the
+    // compliance record — exactly the erased rows, nothing else
+    val audit = TableLog.diffVersions(s, t, 2L, 3L)
+      .where($"action" === "delete")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_orderkey").as("key_sum"))
+      .select(lit("__erased").as("o_orderstatus"),
+        $"n_orders", $"key_sum")
+    now.unionByName(audit).orderBy($"o_orderstatus")
+  }
+
+  private val q468Oracle =
+    """WITH sl AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 4 = 1),
+      |v AS (SELECT min(o_custkey) AS victim FROM sl)
+      |SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM sl, v WHERE o_custkey <> victim
+      |GROUP BY o_orderstatus
+      |UNION ALL
+      |SELECT '__erased',
+      |  CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+      |FROM sl, v WHERE o_custkey = victim
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q468_gdpr_erasure" -> (q468GdprErasure _),
     "q466_days_stream_ingest" -> (q466DaysStreamIngest _),
     "q463_drop_column" -> (q463DropColumn _),
     "q462_rename_column" -> (q462RenameColumn _),
@@ -2761,6 +2824,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q468_gdpr_erasure" -> q468Oracle,
     "q466_days_stream_ingest" -> q466Oracle,
     "q463_drop_column" -> q463Oracle,
     "q462_rename_column" -> q462Oracle,

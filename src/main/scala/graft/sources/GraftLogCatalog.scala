@@ -682,17 +682,8 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     // path — dead positions in sidecars, zero file rewrites (the
     // Delta/Iceberg table-property gate; partitioned tables keep COW
     // so their tuple stats stay exact)
-    val range = GraftLogScanBuilder.keyRange(snap.keyCol, filters.toSeq)
-    val (preds, _) =
-      GraftLogScanBuilder.partitionPreds(snap.partCols, filters.toSeq)
-    val prune: TableLog.Snapshot => Seq[TableLog.AddFile] = { s =>
-      var fs = s.active
-      range.foreach { case (lo, hi) =>
-        fs = fs.filter(a => a.max >= lo && a.min <= hi) }
-      if (preds.nonEmpty)
-        fs = fs.filter(GraftLogScanBuilder.partitionKeeps(_, preds))
-      fs
-    }
+    val prune = GraftLogTable.deletePrune(
+      SparkSession.active, tablePath, snap, filters.toSeq)
     if (snap.props.get("delete.mode").contains("merge-on-read") &&
         snap.partCols.isEmpty) {
       // the DV route prunes its candidate scan with the SAME manifest
@@ -713,6 +704,51 @@ object GraftLogTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
+
+  /** The pushed-DELETE candidate pruner — EVERY manifest skipping
+    * layer the read path has, composed for the delete's file scan:
+    * key-range [min,max], partition-tuple stats (incl. temporal
+    * transforms), non-key column stats, and BLOOM sidecars for point
+    * predicates on the bloom-indexed column — the GDPR shape
+    * (`DELETE … WHERE user_id = x` on a bloom-indexed user column)
+    * reads only the files that might hold the user, not the table.
+    * Shared by the COW and merge-on-read routes so the two can never
+    * disagree; factored for the spec to pin layer composition. */
+  private[sources] def deletePrune(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, snap: graft.tablelog.TableLog.Snapshot,
+      filters: Seq[Filter])
+      : graft.tablelog.TableLog.Snapshot => Seq[graft.tablelog.TableLog.AddFile] = {
+    val range = GraftLogScanBuilder.keyRange(snap.keyCol, filters)
+    val (preds, _) =
+      GraftLogScanBuilder.partitionPreds(snap.partCols, filters)
+    val physFlt = filters
+      .map(GraftLogScanBuilder.physFilter(_, snap.colMap))
+      .filter(f => GraftLogScanBuilder.colStatFilterCol(f).isDefined)
+    val bloomProbes: Seq[Any] = snap.bloom.map(_._1) match {
+      case Some(bc) => filters.collect {
+        case EqualTo(`bc`, v) => Seq(v)
+        case In(`bc`, vs)     => vs.toSeq
+      }.flatten
+      case None => Nil
+    }
+    s => {
+      var fs = s.active
+      range.foreach { case (lo, hi) =>
+        fs = fs.filter(a => a.max >= lo && a.min <= hi) }
+      if (preds.nonEmpty)
+        fs = fs.filter(GraftLogScanBuilder.partitionKeeps(_, preds))
+      if (physFlt.nonEmpty)
+        fs = fs.filter(a =>
+          physFlt.forall(GraftLogScanBuilder.colStatKeep(a, _)))
+      if (bloomProbes.nonEmpty) {
+        val keep = graft.tablelog.TableLog
+          .prunedFilesBloom(spark, tablePath, s, bloomProbes)
+          .map(_.relPath).toSet
+        fs = fs.filter(a => keep(a.relPath))
+      }
+      fs
+    }
+  }
 
   /** Best-effort `Filter` → `Column` translation for the pushed
     * DELETE condition; `None` on any construct without an exact

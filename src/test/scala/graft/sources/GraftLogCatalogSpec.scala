@@ -514,6 +514,41 @@ class GraftLogCatalogSpec extends SparkSuite {
       .collect().head.getLong(0) == 200L)
   }
 
+  test("deletePrune composes every skipping layer: a bloom point " +
+      "predicate on a non-key column narrows the DELETE candidate scan") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_delpr_").toString
+    // custkeys cluster with the key ranges (cust = k / 10), so each
+    // of the 8 range-staged files holds few custkeys and the bloom
+    // sidecars separate them — and cust=3 (keys 30-39) lands INSIDE
+    // one file (keys 25-49), so the merge-on-read delete must leave a
+    // DV'd survivor, not drop a fully-dead file
+    val df = (0L to 199L).map(i => (i, i / 10L, s"v$i"))
+      .toDF("k", "cust", "v")
+    TableLog.create(df, t, "k", numFiles = 8, bloomCol = Some("cust"))
+    val snap = TableLog.state(t)
+    val prune = GraftLogTable.deletePrune(spark, t, snap,
+      Seq(EqualTo("cust", java.lang.Long.valueOf(3L))))
+    val kept = prune(snap)
+    assert(kept.nonEmpty && kept.size < snap.active.size,
+      s"bloom layer did not narrow: ${kept.size} of ${snap.active.size}")
+    // soundness: every file actually holding cust=3 survived
+    val holding = TableLog.snapshot(spark, t).where($"cust" === 3L)
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(kept.size.toLong >= holding)
+    // and the merge-on-read route through SQL stays exact
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    TableLog.setProps(t, Map("delete.mode" -> "merge-on-read"))
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE cust = 3")
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 190L)
+    assert(TableLog.history(t).last.op == "delete")
+    // merge-on-read: no data file was rewritten, only DV sidecars
+    assert(TableLog.state(t).active.count(_.dv.isDefined) >= 1)
+  }
+
   test("ALTER TABLE RENAME/DROP COLUMN: metadata commits through the " +
       "column mapping; SQL readback, DML and time travel all line up") {
     val t = freshTable()
