@@ -514,6 +514,25 @@ class GraftLogCatalogSpec extends SparkSuite {
       .collect().head.getLong(0) == 200L)
   }
 
+  test("estimateStatistics reports the manifest's EXACT live row " +
+      "count to CBO — whole table and pruned file set alike") {
+    val t = freshTable() // 200 rows over 8 files
+    val snap = TableLog.state(t)
+    val full = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+      .build().asInstanceOf[GraftLogDataScan]
+    val st = full.estimateStatistics()
+    assert(st.numRows().isPresent && st.numRows().getAsLong == 200L)
+    assert(st.sizeInBytes().isPresent && st.sizeInBytes().getAsLong > 0L)
+    // after key-range pushdown the count follows the PRUNED set's fold
+    val pruned = new GraftLogScanBuilder(spark, t, snap, emptyOpts)
+    pruned.pushFilters(
+      Array(GreaterThanOrEqual("k", java.lang.Long.valueOf(150L))))
+    val ps = pruned.build().asInstanceOf[GraftLogDataScan]
+    val expected = ps.chosenFiles.map(_.liveRows).sum
+    assert(expected < 200L)
+    assert(ps.estimateStatistics().numRows().getAsLong == expected)
+  }
+
   test("deletePrune composes every skipping layer: a bloom point " +
       "predicate on a non-key column narrows the DELETE candidate scan") {
     import spark.implicits._
