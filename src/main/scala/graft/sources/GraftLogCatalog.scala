@@ -82,7 +82,7 @@ class GraftLogCatalog extends TableCatalog
     * `PARTITIONED BY (days(ts))` write distribution clusters on). */
   override def listFunctions(namespace: Array[String])
       : Array[Identifier] =
-    Array("bucket", "days", "months")
+    Array("bucket", "days", "months", "years", "hours")
       .map(Identifier.of(namespace, _))
 
   override def loadFunction(ident: Identifier)
@@ -91,6 +91,8 @@ class GraftLogCatalog extends TableCatalog
       case "bucket" => GraftLogBucketFunction
       case "days"   => GraftLogDaysFunction
       case "months" => GraftLogMonthsFunction
+      case "years"  => GraftLogYearsFunction
+      case "hours"  => GraftLogHoursFunction
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
@@ -378,6 +380,8 @@ class GraftLogCatalog extends TableCatalog
       case t if t.name == "identity" => Some(oneCol(t))
       case t if t.name == "days"     => Some(s"days:${oneCol(t)}")
       case t if t.name == "months"   => Some(s"months:${oneCol(t)}")
+      case t if t.name == "years"    => Some(s"years:${oneCol(t)}")
+      case t if t.name == "hours"    => Some(s"hours:${oneCol(t)}")
       case t if t.name == "bucket" =>
         val n = t.arguments.collectFirst {
           case lit: org.apache.spark.sql.connector.expressions.Literal[_]
@@ -391,7 +395,7 @@ class GraftLogCatalog extends TableCatalog
         bucketProp = Some((n, oneCol(t)))
         None // routes via bucket.count, not a partition column
       case other => refuse(s"partition transform $other " +
-        "(identity, days, months, bucket only)")
+        "(identity, years/months/days/hours, bucket only)")
     }
     val path = pathOf(ident)
     if (path.endsWith(historySuffix)) refuse(s"CREATE TABLE $historySuffix")
@@ -530,6 +534,8 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
       case TableLog.PIdentity(c) => Expressions.identity(c)
       case TableLog.PDays(c)     => Expressions.days(c)
       case TableLog.PMonths(c)   => Expressions.months(c)
+      case TableLog.PYears(c)    => Expressions.years(c)
+      case TableLog.PHours(c)    => Expressions.hours(c)
     }).toArray
   }
   override def capabilities(): util.Set[TableCapability] =
@@ -1278,10 +1284,19 @@ object GraftLogScanBuilder {
     }
     // the probe value's rendering under the spec's transform, when
     // it lands in the lexicographically safe year range
+    def epochHourOf(v: Any): Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(Math.floorDiv(t.getTime, 3600000L))
+      case i: java.time.Instant =>
+        Some(Math.floorDiv(i.toEpochMilli, 3600000L))
+      case _ => None // dates carry no hour; hours() refuses them at CREATE
+    }
     def renderProbe(t: TableLog.PartTransform, v: Any): Option[String] = {
       val r = t match {
         case TableLog.PDays(_)   => epochDayOf(v).map(TableLog.renderDay)
         case TableLog.PMonths(_) => epochDayOf(v).map(TableLog.renderMonth)
+        case TableLog.PYears(_)  => epochDayOf(v).map(TableLog.renderYear)
+        case TableLog.PHours(_)  => epochHourOf(v).map(TableLog.renderHour)
         case TableLog.PIdentity(_) => None
       }
       r.filter(lexSafe)
@@ -1587,6 +1602,36 @@ object GraftLogMonthsFunction extends GraftLogTemporalFunction("months") {
   override protected def ofEpochDay(day: Long): Int = {
     val d = java.time.LocalDate.ofEpochDay(day)
     d.getYear * 12 + d.getMonthValue - 1
+  }
+}
+
+object GraftLogYearsFunction extends GraftLogTemporalFunction("years") {
+  override protected def ofEpochDay(day: Long): Int =
+    java.time.LocalDate.ofEpochDay(day).getYear
+}
+
+/** `hours(ts)` — TIMESTAMP-only (a date carries no hour): the UTC
+  * epoch-hour index, the write distribution's clustering value for
+  * hour-partitioned tables. */
+object GraftLogHoursFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, IntegerType, TimestampType}
+  override def name(): String = "hours"
+  override def description(): String =
+    "hours(ts TIMESTAMP): UTC epoch-hour partition bucket"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == TimestampType,
+      s"hours(TIMESTAMP), got ${inputType.sql}")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(TimestampType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "hours"
+      override def canonicalName(): String = "graftlog.hours"
+      override def produceResult(input: InternalRow): Integer =
+        TableLog.epochHourOfMicros(input.getLong(0)).toInt
+    }
   }
 }
 

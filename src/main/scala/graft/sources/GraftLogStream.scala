@@ -240,6 +240,10 @@ private[sources] trait GraftLogClusteredWrite
             Some(Expressions.days(c): Expression)
           case TableLog.PMonths(c) if canResolveBucket =>
             Some(Expressions.months(c): Expression)
+          case TableLog.PYears(c) if canResolveBucket =>
+            Some(Expressions.years(c): Expression)
+          case TableLog.PHours(c) if canResolveBucket =>
+            Some(Expressions.hours(c): Expression)
           case _ => None
         })
       if (exprs.forall(_.isDefined))
@@ -565,6 +569,20 @@ object GraftLogSinkWriterFactory {
               TableLog.renderMonth(r.getInt(i).toLong)
             case o => throw new UnsupportedOperationException(
               s"graftlog sink: months($c) over $o") // unreachable
+          }
+          case TableLog.PYears(c) => dt match {
+            case TimestampType => (r: InternalRow, i: Int) =>
+              TableLog.renderYear(TableLog.epochDayOfMicros(r.getLong(i)))
+            case DateType => (r: InternalRow, i: Int) =>
+              TableLog.renderYear(r.getInt(i).toLong)
+            case o => throw new UnsupportedOperationException(
+              s"graftlog sink: years($c) over $o") // unreachable
+          }
+          case TableLog.PHours(c) => dt match {
+            case TimestampType => (r: InternalRow, i: Int) =>
+              TableLog.renderHour(TableLog.epochHourOfMicros(r.getLong(i)))
+            case o => throw new UnsupportedOperationException(
+              s"graftlog sink: hours($c) over $o") // unreachable
           }
         }
       }
@@ -1055,21 +1073,110 @@ class GraftLogChangeFeedTable(path: String, outSchema: StructType)
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream =
         new GraftLogChangeFeedStream(path,
-          Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+          Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+          maxFilesPerTrigger =
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+          maxBytesPerTrigger =
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+          maxRowsPerTrigger =
+            Option(options.get("maxRowsPerTrigger")).map(_.toLong))
     }
 }
 
-class GraftLogChangeFeedStream(path: String, startingVersion: Long)
-    extends MicroBatchStream {
+/** ADMISSION CONTROL mirrors the appends-only source: a change-feed
+  * BACKFILL from `startingVersion 0` on a deep table would otherwise
+  * diff EVERY commit into one micro-batch. Budgets admit WHOLE
+  * versions (batch boundaries must stay commit boundaries); a rewrite
+  * commit's cost counts BOTH sides of its diff — the added and the
+  * removed files are all read — with rows/files from the manifest and
+  * bytes from one driver-side `Files.size` per candidate file. Always
+  * admits at least one version (progress guarantee). */
+class GraftLogChangeFeedStream(path: String, startingVersion: Long,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None,
+    maxRowsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows}
+
   private val appendOps = Set("create", "append", "evolve")
+  @volatile private var availableNowCap: Option[Long] = None
 
   override def initialOffset(): Offset = GraftLogVersionOffset(startingVersion)
   override def latestOffset(): Offset =
-    GraftLogVersionOffset(TableLog.latestVersion(path))
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled entry point")
   override def deserializeOffset(json: String): Offset =
     GraftLogVersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(TableLog.latestVersion(path))
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      maxFilesPerTrigger.map(ReadLimit.maxFiles),
+      maxBytesPerTrigger.map(ReadLimit.maxBytes),
+      maxRowsPerTrigger.map(ReadLimit.maxRows)).flatten
+    limits match {
+      case Nil      => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftLogVersionOffset(math.min(
+      TableLog.latestVersion(path),
+      availableNowCap.getOrElse(Long.MaxValue)))
+
+  private def flatten(limit: ReadLimit): Seq[ReadLimit] = limit match {
+    case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+    case other                 => Seq(other)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[GraftLogVersionOffset].version
+    val hi = math.min(TableLog.latestVersion(path),
+      availableNowCap.getOrElse(Long.MaxValue))
+    if (hi <= lo) return GraftLogVersionOffset(lo)
+    val caps = flatten(limit)
+    if (caps.forall(_.isInstanceOf[ReadAllAvailable]))
+      return GraftLogVersionOffset(hi)
+    val maxFiles = caps.collect { case f: ReadMaxFiles => f.maxFiles() }
+      .minOption.getOrElse(Int.MaxValue)
+    val maxBytes = caps.collect { case b: ReadMaxBytes => b.maxBytes() }
+      .minOption.getOrElse(Long.MaxValue)
+    val maxRows = caps.collect { case r: ReadMaxRows => r.maxRows() }
+      .minOption.getOrElse(Long.MaxValue)
+    var admitted = lo
+    var files = 0L; var bytes = 0L; var rows = 0L
+    var open = true
+    while (open && admitted < hi) {
+      val c = TableLog.commits(path, admitted + 1,
+        fromExclusive = admitted).head
+      // a rewrite's diff reads removed AND added files; removed files
+      // are still on disk (vacuum-gated), so sizes resolve the same way
+      val cFiles = (c.adds.size + c.removes.size).toLong
+      val cRows = c.adds.map(_.rows).sum
+      val cBytes =
+        if (maxBytes == Long.MaxValue) 0L
+        else (c.adds.map(_.relPath) ++ c.removes).map { rel =>
+          val p = java.nio.file.Paths.get(path, rel)
+          if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p)
+          else 0L
+        }.sum
+      val fits = files + cFiles <= maxFiles &&
+        bytes + cBytes <= maxBytes && rows + cRows <= maxRows
+      if (fits || admitted == lo) {
+        admitted = c.version
+        files += cFiles; bytes += cBytes; rows += cRows
+      } else open = false
+    }
+    GraftLogVersionOffset(admitted)
+  }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {

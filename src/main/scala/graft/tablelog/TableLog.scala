@@ -898,6 +898,8 @@ object TableLog {
   final case class PIdentity(col: String) extends PartTransform
   final case class PDays(col: String) extends PartTransform
   final case class PMonths(col: String) extends PartTransform
+  final case class PYears(col: String) extends PartTransform
+  final case class PHours(col: String) extends PartTransform
 
   private[graft] def partTransformOf(spec: String): PartTransform =
     spec.indexOf(':') match {
@@ -905,6 +907,8 @@ object TableLog {
       case i => (spec.substring(0, i), spec.substring(i + 1)) match {
         case ("days", c)   => PDays(c)
         case ("months", c) => PMonths(c)
+        case ("years", c)  => PYears(c)
+        case ("hours", c)  => PHours(c)
         case (t, _) => throw new IllegalArgumentException(
           s"unknown partition transform '$t' in spec '$spec'")
       }
@@ -920,6 +924,8 @@ object TableLog {
       case PIdentity(c) => c
       case PDays(c)     => s"days($c)"
       case PMonths(c)   => s"months($c)"
+      case PYears(c)    => s"years($c)"
+      case PHours(c)    => s"hours($c)"
     }
 
   /** UTC day of a timestamp in MICROseconds since the epoch — the ONE
@@ -934,6 +940,20 @@ object TableLog {
   private[graft] def renderMonth(epochDay: Long): String = {
     val d = java.time.LocalDate.ofEpochDay(epochDay)
     f"${d.getYear}%04d-${d.getMonthValue}%02d"
+  }
+
+  private[graft] def renderYear(epochDay: Long): String =
+    f"${java.time.LocalDate.ofEpochDay(epochDay).getYear}%04d"
+
+  /** UTC hour bucket as `yyyy-MM-dd-HH` (zero-padded → lexicographic
+    * = chronological, like the day/month renderings). */
+  private[graft] def epochHourOfMicros(micros: Long): Long =
+    Math.floorDiv(micros, 3_600_000_000L)
+
+  private[graft] def renderHour(epochHour: Long): String = {
+    val day = Math.floorDiv(epochHour, 24L)
+    val hod = Math.floorMod(epochHour, 24L)
+    f"${java.time.LocalDate.ofEpochDay(day)}-$hod%02d"
   }
 
   /** The rendered partition value of `spec` as a Column — identity
@@ -957,6 +977,8 @@ object TableLog {
       case PIdentity(c) => col(c).cast("string")
       case PDays(c)     => fmt(c, "yyyy-MM-dd")
       case PMonths(c)   => fmt(c, "yyyy-MM")
+      case PYears(c)    => fmt(c, "yyyy")
+      case PHours(c)    => fmt(c, "yyyy-MM-dd-HH")
     }
   }
 
@@ -983,6 +1005,10 @@ object TableLog {
               StringType, LongType, IntegerType).contains(f.dataType),
             s"partition column '$c' has type ${f.dataType.sql} — only " +
               "STRING/BIGINT/INT partition columns stringify stably")
+        case PHours(c) =>
+          require(f.dataType == TimestampType,
+            s"hours($c) needs a TIMESTAMP column (dates carry no " +
+              s"hour), got ${f.dataType.sql}")
         case _ =>
           require(f.dataType == TimestampType || f.dataType == DateType,
             s"temporal partition transform '${partPretty(spec)}' needs a " +

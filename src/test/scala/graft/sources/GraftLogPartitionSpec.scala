@@ -488,6 +488,72 @@ class GraftLogPartitionSpec extends SparkSuite {
     assert(e.getMessage.contains("key column"), e.getMessage)
   }
 
+  test("years(ts) and hours(ts) complete the temporal family: tuples " +
+      "render zero-padded UTC, raw ranges prune at each grain") {
+    useCatalog()
+    import spark.implicits._
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    // years: 3 years at 365-day strides from mid-2021
+    val ty = Files.createTempDirectory("tlog_years_").toString + "/tbl"
+    spark.sql(
+      s"""CREATE TABLE graftlog.`$ty` (k BIGINT, ts TIMESTAMP)
+         |PARTITIONED BY (years(ts)) TBLPROPERTIES ('key' = 'k')""".stripMargin)
+    try {
+      val base = java.time.Instant.parse("2021-07-01T00:00:00Z")
+        .toEpochMilli * 1000L
+      (0L to 59L).map(i => (i, base + (i % 3) * 365L * 86_400_000_000L))
+        .toDF("k", "us").selectExpr("k", "timestamp_micros(us) AS ts")
+        .createOrReplaceTempView("years_src")
+      spark.sql(s"INSERT INTO graftlog.`$ty` SELECT * FROM years_src")
+    } finally spark.conf.set(coalesceKey, saved)
+    val ysnap = TableLog.state(ty)
+    assert(ysnap.partCols == Seq("years:ts"))
+    assert(ysnap.active.flatMap(_.parts.map(_.values.head)).toSet ==
+      Set("2021", "2022", "2023"))
+    val yb = new GraftLogScanBuilder(spark, ty, ysnap, emptyOpts)
+    yb.pushFilters(Array(GreaterThanOrEqual("ts", java.sql.Timestamp.from(
+      java.time.Instant.parse("2022-06-01T00:00:00Z"))), IsNotNull("ts")))
+    assert(yb.chosenFiles.nonEmpty &&
+      yb.chosenFiles.size < ysnap.active.size)
+    assert(yb.chosenFiles.forall(_.parts.exists(_.values.head >= "2022")))
+    // hours: 4 hours on one day; pruning at hour grain; DATE refused
+    spark.conf.set(coalesceKey, "false")
+    val th = Files.createTempDirectory("tlog_hours_").toString + "/tbl"
+    spark.sql(
+      s"""CREATE TABLE graftlog.`$th` (k BIGINT, ts TIMESTAMP)
+         |PARTITIONED BY (hours(ts)) TBLPROPERTIES ('key' = 'k')""".stripMargin)
+    try {
+      val base = java.time.Instant.parse("2024-03-10T06:00:00Z")
+        .toEpochMilli * 1000L
+      (0L to 39L).map(i => (i, base + (i % 4) * 3_600_000_000L))
+        .toDF("k", "us").selectExpr("k", "timestamp_micros(us) AS ts")
+        .createOrReplaceTempView("hours_src")
+      spark.sql(s"INSERT INTO graftlog.`$th` SELECT * FROM hours_src")
+    } finally spark.conf.set(coalesceKey, saved)
+    val hsnap = TableLog.state(th)
+    assert(hsnap.active.flatMap(_.parts.map(_.values.head)).toSet ==
+      (6 to 9).map(h => f"2024-03-10-$h%02d").toSet)
+    val hb = new GraftLogScanBuilder(spark, th, hsnap, emptyOpts)
+    hb.pushFilters(Array(GreaterThanOrEqual("ts", java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-10T08:00:00Z"))), IsNotNull("ts")))
+    assert(hb.chosenFiles.nonEmpty &&
+      hb.chosenFiles.size < hsnap.active.size)
+    assert(hb.chosenFiles.forall(
+      _.parts.exists(_.values.head >= "2024-03-10-08")))
+    // rows exact through the pruned read
+    val n = spark.sql(s"SELECT count(*) FROM graftlog.`$th` " +
+      "WHERE ts >= TIMESTAMP'2024-03-10 08:00:00'").collect().head.getLong(0)
+    assert(n == (0L to 39L).count(_ % 4 >= 2))
+    // hours over DATE refused at CREATE
+    val bad = Files.createTempDirectory("tlog_hbad_").toString + "/tbl"
+    val e = intercept[Exception](spark.sql(
+      s"""CREATE TABLE graftlog.`$bad` (k BIGINT, d DATE)
+         |PARTITIONED BY (hours(d)) TBLPROPERTIES ('key' = 'k')""".stripMargin))
+    assert(e.getMessage.contains("TIMESTAMP"), e.getMessage)
+  }
+
   test("temporal partitioning misuse fails loudly: days over a non-" +
       "temporal column refused; DML keeps day tuples exact") {
     useCatalog()

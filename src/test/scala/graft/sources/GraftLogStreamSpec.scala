@@ -129,6 +129,45 @@ class GraftLogStreamSpec extends SparkSuite {
     assert(bad.getMessage != null)
   }
 
+  test("change-feed admission control: a multi-commit backfill under " +
+      "maxFilesPerTrigger drains in bounded batches, change-exact") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("tlog_cdfadm_").toString
+    TableLog.create(kv((0L to 19L).map(i => (i, s"a$i"))), t, "k", 2) // v1
+    TableLog.append(kv((20L to 39L).map(i => (i, s"b$i"))), t, 2)    // v2
+    TableLog.deleteWhere(spark, t, col("k") < 5L, 2)                 // v3
+    TableLog.append(kv((40L to 49L).map(i => (i, s"c$i"))), t, 2)    // v4
+    val cp = Files.createTempDirectory("tlog_cdfadm_cp_").toString
+    val q = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).option("readChangeFeed", "true")
+      .option("maxFilesPerTrigger", "2")
+      .load()
+      .writeStream.format("memory").queryName("cdf_admit_probe")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("cdf_admit_probe")
+      .select($"k", $"action", $"_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // change-exact across the bounded drain: 50 inserts + 5 deletes,
+    // each exactly once, versions intact
+    assert(rows.count(_._2 == "insert") == 50, rows.length.toString)
+    assert(rows.filter(_._2 == "delete").map(_._1).sorted.toSeq ==
+      (0L to 4L))
+    assert(rows.filter(_._3 == 4L).forall(_._2 == "insert"))
+    // the budget actually split the drain: v1 alone holds 2 files, so
+    // at maxFiles=2 the 4-version window cannot land as one batch —
+    // multiple batch directories exist in the checkpoint's offsets
+    val offs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(cp, "offsets"))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(offs.iterator().asScala.size >= 2, "expected >= 2 batches")
+    } finally offs.close()
+  }
+
   test("autoCompact sink option: small-file debt stays bounded across " +
       "micro-batches, totals exact, history shows the compact commits") {
     import spark.implicits._
