@@ -2436,7 +2436,84 @@ object DedupOps {
        |    j -> toks[CAST(j AS INT)]), ' '), '') AS dedup_text
        |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q469
+  /** [NS] Dedup-pipeline QUALITY EVAL — the precision/recall readout
+    * every production near-dup pipeline tunes its thresholds with: a
+    * PLANTED ground truth (each doc gets a 2-token-appended mutant —
+    * the re-crawl-with-boilerplate shape) runs through the EXACT
+    * 3-gram Jaccard pipeline (q66's candidate machinery verbatim,
+    * hot-shingle cap included), and the eval scores predicted pairs
+    * against truth in exact ppm: TP = planted pairs recovered, FP =
+    * emitted pairs outside the plant (natural near-dups count as FP
+    * against THIS truth set — the standard benchmark convention,
+    * disclosed), FN = planted pairs below the 0.5 threshold (short
+    * docs legitimately fall under — that recall loss is exactly what
+    * the eval exists to expose). One row; both engines replay the
+    * identical shingle recipe, so the verdict is bit-exact. */
+  def q469DedupQualityEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documentsSpread(s, dir).select($"doc_id", $"text")
+    val corpus = base.unionByName(base.select(
+      ($"doc_id" + 1000000L).as("doc_id"),
+      concat($"text", lit(" zq0 zq1")).as("text")))
+    val predicted = shinglePairCounts(corpus)
+      .select($"doc_a", $"doc_b",
+        ($"inter".cast("double") / ($"na" + $"nb" - $"inter")).as("j"))
+      .where($"j" >= 0.5)
+      .select($"doc_a", $"doc_b",
+        ($"doc_b" === $"doc_a" + 1000000L && $"doc_a" < 1000000L)
+          .cast("long").as("is_tp"))
+    val nTruth = base.count() // planted pairs = one per doc
+    predicted.agg(
+      sum($"is_tp").as("tp"),
+      sum(lit(1L) - $"is_tp").as("fp"))
+      .select(lit(nTruth).as("n_truth"), $"tp", $"fp",
+        (lit(nTruth) - $"tp").as("fn"),
+        expr("(tp * 1000000) div greatest(tp + fp, 1)")
+          .as("precision_ppm"),
+        expr(s"(tp * 1000000) div greatest($nTruth, 1)")
+          .as("recall_ppm"))
+  }
+
+  private val q469Oracle =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' zq0 zq1' FROM documents),
+       |t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') toks FROM corpus),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
+       |  FROM t),
+       |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |ok AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $maxGroupSize),
+       |p AS (
+       |  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  WHERE a.sh IN (SELECT sh FROM ok)
+       |  GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |    CASE WHEN p.doc_b = p.doc_a + 1000000 AND p.doc_a < 1000000
+       |      THEN 1 ELSE 0 END AS is_tp
+       |  FROM p JOIN sz sa ON sa.doc_id = p.doc_a
+       |         JOIN sz sb ON sb.doc_id = p.doc_b
+       |  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.5),
+       |nt AS (SELECT count(*) AS n_truth FROM documents)
+       |SELECT CAST(nt.n_truth AS BIGINT) AS n_truth,
+       |  CAST(sum(is_tp) AS BIGINT) AS tp,
+       |  CAST(sum(1 - is_tp) AS BIGINT) AS fp,
+       |  CAST(nt.n_truth - sum(is_tp) AS BIGINT) AS fn,
+       |  CAST((sum(is_tp) * 1000000) // greatest(sum(is_tp) +
+       |    sum(1 - is_tp), 1) AS BIGINT) AS precision_ppm,
+       |  CAST((sum(is_tp) * 1000000) // greatest(nt.n_truth, 1)
+       |    AS BIGINT) AS recall_ppm
+       |FROM pred, nt GROUP BY nt.n_truth""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q469_dedup_quality_eval" -> (q469DedupQualityEval _),
     "q359_exact_substr_dedup" -> (q359ExactSubstrDedup _),
     "q356_winnow_fingerprints" -> (q356WinnowFingerprints _),
     "q297_dedup_threshold_sweep" -> (q297DedupThresholdSweep _),
@@ -2489,6 +2566,7 @@ object DedupOps {
     "q301_keeper_divergence" -> q301Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
+    "q469_dedup_quality_eval" -> q469Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,
     "q67_simhash"           -> q67Oracle,
     "q68_embedding_neardup" -> q68Oracle,

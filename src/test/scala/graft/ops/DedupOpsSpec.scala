@@ -833,4 +833,24 @@ class DedupOpsSpec extends SparkSuite {
     val density = nFps.toDouble / nGrams
     assert(density > 0.25 && density < 0.55, s"density $density")
   }
+
+  test("q469 dedup quality eval: planted TP/FP/FN arithmetic — a short " +
+    "doc's mutant falls below threshold (FN), a natural dup counts FP") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q469").toString
+    val long = (1 to 12).map(i => s"w$i").mkString(" ")
+    Seq((1L, "alpha beta gamma"), // 1 shingle: its mutant dives to J=1/3
+        (2L, long), (3L, long))   // natural exact dup: an FP vs truth
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DedupOps.q469DedupQualityEval(spark, tmp).collect().head
+    val (nT, tp, fp, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nT == 3L && tp == 2L && fn == 1L, s"($nT, $tp, $fn)")
+    // FP set: (2,3) the natural dup, cross mutant pairs (2,1000003),
+    // (3,1000002), and the mutant-mutant dup (1000002,1000003)
+    assert(fp == 4L, s"fp $fp")
+    assert(r.getLong(4) == 2000000L / 6L)  // precision_ppm
+    assert(r.getLong(5) == 2000000L / 3L)  // recall_ppm
+  }
 }
