@@ -284,17 +284,20 @@ class GraftLogStreamingWrite(table: String, appId: String,
     // AUTO-COMPACTION (`option("autoCompact", threshold)`): a
     // long-lived micro-batch sink lands one commit per epoch and
     // accrues small-file debt; when the live file count crosses the
-    // threshold, fold the active set back down as its OWN post-batch
-    // commit (the data commit above already published — compaction is
-    // logically a no-op and best-effort: losing a race to a
-    // concurrent rewrite skips this cycle, the next epoch re-arms).
+    // threshold, fold ONLY the small files back down
+    // ([[TableLog.compactSmall]] — priced at the debt, never the
+    // table: the already-compacted bulk above the size floor is
+    // untouched) as its own post-batch commit. Best-effort: losing a
+    // race to a concurrent rewrite skips this cycle, the next epoch
+    // re-arms.
     autoCompact.foreach { threshold =>
       require(threshold >= 2, s"graftlog sink: autoCompact threshold " +
         s"must be >= 2, got $threshold")
       val live = TableLog.state(table).active.size
       if (live >= threshold)
-        try TableLog.compact(org.apache.spark.sql.SparkSession.active,
-          table, numFiles = math.max(1, threshold / 4))
+        try TableLog.compactSmall(org.apache.spark.sql.SparkSession.active,
+          table, smallBytes = GraftLogStreamingWrite.autoCompactSmallBytes,
+          targetFiles = math.max(1, threshold / 4))
         catch { case _: java.util.ConcurrentModificationException => () }
     }
   }
@@ -302,6 +305,13 @@ class GraftLogStreamingWrite(table: String, appId: String,
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     GraftLogSinkCommitMessage.deleteStaged(table, messages)
+}
+
+object GraftLogStreamingWrite {
+  /** Files at or above this size are "done" — auto-compaction never
+    * re-folds them (Delta's optimize.maxFileSize convention, sized so
+    * micro-batch debris folds while the compacted bulk rests). */
+  val autoCompactSmallBytes: Long = 128L * 1024 * 1024
 }
 
 case class GraftLogSinkCommitMessage(relPath: String, rows: Long,

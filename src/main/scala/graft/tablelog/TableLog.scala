@@ -1804,6 +1804,34 @@ object TableLog {
     if (snap.colMap.isEmpty && snap.droppedPhys.isEmpty) None
     else Some((Map.empty, Set.empty))
 
+  /** PARTIAL small-file compaction — Delta OPTIMIZE's binpack shape:
+    * rewrite ONLY the active files below `smallBytes` into
+    * `targetFiles` range-partitioned files, leaving the already-
+    * compacted bulk untouched. At 100 TB this is the difference
+    * between folding a day's small-file debt and rewriting the table:
+    * the full [[compact]] is a table rewrite, correct but priced at
+    * the table; this one is priced at the debt. Partial, so it keeps
+    * the column mapping (only a FULL rewrite may clear it) and only
+    * conflicts with rewrites touching ITS files — two disjoint
+    * small-file folds commit concurrently under the file-disjoint
+    * rule. DV'd small files materialize their deletion vectors in
+    * the rewrite (their survivors re-stage without the dead rows).
+    * No-op when the debt is at or below the target. */
+  def compactSmall(spark: SparkSession, table: String,
+      smallBytes: Long, targetFiles: Int): Long = {
+    val snap = state(table)
+    val small = snap.active.filter { a =>
+      val p = Paths.get(table, a.relPath)
+      Files.exists(p) && Files.size(p) < smallBytes
+    }
+    if (small.size <= math.max(1, targetFiles)) return snap.version
+    val data = readFiles(spark, table, snap, small)
+    val adds = stage(data, table, snap.keyCol, targetFiles, snap.bloom,
+      partCols = snap.partCols, colMap = snap.colMap)
+    commit(table, snap.version, "compact", adds,
+      small.map(_.relPath), "", "")
+  }
+
   /** Rewrite the whole active set into `numFiles` range-partitioned
     * files — logically a no-op (the spec pins snapshot equality),
     * physically the small-file compaction a streaming-ingest table

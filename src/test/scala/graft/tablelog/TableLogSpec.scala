@@ -658,6 +658,29 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.vacuumRetain(t, 2, graceMillis = 0L).filesDeleted == 0)
   }
 
+  test("compactSmall folds only the small-file debt: big files rest " +
+      "untouched, totals exact, repeat run is a no-op") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 4999L).map(i => (i, s"a$i"))), t, "k", 1) // big
+    (0 until 6).foreach(j =>
+      TableLog.append(kv(Seq((5000L + j, s"t$j"))), t, 1)) // 6 tiny files
+    val before = TableLog.state(t)
+    assert(before.active.size == 7)
+    val bigPath = before.active.maxBy(_.rows).relPath
+    val bigSize = Files.size(Paths.get(t, bigPath))
+    TableLog.compactSmall(spark, t, smallBytes = bigSize, targetFiles = 1)
+    val after = TableLog.state(t)
+    // the big file is still the SAME file — never rewritten
+    assert(after.active.exists(_.relPath == bigPath), "big file rewritten")
+    assert(after.active.size == 2, after.active.map(_.relPath).toString)
+    assert(TableLog.snapshot(spark, t).count() == 5006L)
+    assert(TableLog.snapshot(spark, t)
+      .where(col("k") === 5003L).collect().head.getString(1) == "t3")
+    // debt at/below target: version does not move
+    val v = TableLog.latestVersion(t)
+    assert(TableLog.compactSmall(spark, t, bigSize, 1) == v)
+  }
+
   test("renameColumn: metadata-only rename reads old bytes under the " +
       "new name; appends keep working; time travel reads the old era") {
     val t = freshDir()
