@@ -2766,7 +2766,65 @@ object TableOps {
       |FROM sl, v WHERE o_custkey = victim
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q470
+  /** `CALL graftlog.compact_small` — OPTIMIZE's binpack shape on the
+    * SQL surface: after a create (one well-sized file) plus a run of
+    * tiny appends (the streaming-debt shape), the fold rewrites ONLY
+    * the debt; the original file survives BY IDENTITY (pinned via
+    * `#detail`'s file count: 1 big + 1 folded), and the logical
+    * contents are untouched — the oracle replays them as the pure SQL
+    * the history implies, compaction invisible. At 100 TB this verb
+    * is the housekeeping loop: daily debt folds daily, the bulk is
+    * never re-priced. */
+  private val compactSmallCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q470CompactSmallSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = compactSmallCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogcs_").toString + "/t"
+      val slice = ordersSlice(s, dir)
+      TableLog.create(slice.where($"o_orderkey" % 4 === 3)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"),
+        path, "o_orderkey", numFiles = 1)                            // v1 big
+      (0 until 5).foreach { j =>                                     // debt
+        TableLog.append(slice.where($"o_orderkey" % 32 === (j * 4).toLong)
+          .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+            $"o_orderstatus", $"o_totalprice"), path, numFiles = 1)
+      }
+      val big = java.nio.file.Files.size(java.nio.file.Paths.get(path,
+        TableLog.state(path).active.maxBy(_.rows).relPath))
+      s.sql(s"CALL graftlog.compact_small('$path', ${big}L, 1)")
+      path
+    })
+    // the fold is physical only: 2 live files, logical rows exact
+    val files = s.sql(s"SELECT n_files FROM graftlog.`$t#detail`")
+      .collect().head.getLong(0)
+    require(files == 2L, s"expected 1 big + 1 folded file, got $files")
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$t`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q470Oracle =
+    """WITH rows_all AS (
+      |  SELECT o_orderkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 4 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_orderstatus FROM orders, (
+      |    SELECT unnest([0, 4, 8, 12, 16]) AS m)
+      |  WHERE o_orderkey % 32 = m)
+      |SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM rows_all GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q470_compact_small_sql" -> (q470CompactSmallSql _),
     "q468_gdpr_erasure" -> (q468GdprErasure _),
     "q466_days_stream_ingest" -> (q466DaysStreamIngest _),
     "q463_drop_column" -> (q463DropColumn _),
@@ -2824,6 +2882,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q470_compact_small_sql" -> q470Oracle,
     "q468_gdpr_erasure" -> q468Oracle,
     "q466_days_stream_ingest" -> q466Oracle,
     "q463_drop_column" -> q463Oracle,

@@ -2257,6 +2257,33 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** `CALL graftlog.compact_small('<path>', <small_bytes>, <target>)`
+    * — [[TableLog.compactSmall]]: fold ONLY the active files below
+    * `small_bytes` into `target` files; the compacted bulk rests
+    * untouched (the OPTIMIZE-binpack shape — priced at the debt,
+    * never the table). Returns the new (version, n_files). */
+  object CompactSmall extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact_small"
+    override def description(): String =
+      "fold only sub-threshold files; big files are never rewritten"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("small_bytes", LongType)
+        .comment("files below this size fold").build(),
+      ProcedureParameter.in("target_files", IntegerType)
+        .comment("target file count for the folded debt").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val v = TableLog.compactSmall(SparkSession.active, table,
+        input.getLong(1), input.getInt(2))
+      oneRow("version BIGINT, n_files BIGINT",
+        Seq(v, TableLog.state(table).active.size.toLong))
+    }
+  }
+
   val all: Seq[UnboundProcedure] =
-    Seq(Vacuum, Compact, Restore, Clone, ZOrder, DeleteDv)
+    Seq(Vacuum, Compact, CompactSmall, Restore, Clone, ZOrder, DeleteDv)
 }
