@@ -6087,7 +6087,68 @@ object TextOps {
        |GROUP BY s.source ORDER BY s.source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q471
+  /** [NS] VLM INTERLEAVED image-text sequence packing (the
+    * Flamingo/MMC4/OBELICS data shape): multimodal documents pack
+    * into fixed context windows under a MODALITY-AWARE cost — each
+    * image slot costs a fixed [[vlmImageTokens]] visual-token budget
+    * on top of the text tokens — so the packer must bin by COST, not
+    * length. Same shelf-packing device as q83 (per-bucket cumulative
+    * cost, window div budget — one window over pre-bucketed rows,
+    * scan-shaped at any corpus size; a doc wider than the budget
+    * spans windows, seq_first < seq_last, the disclosed shelf trade).
+    * Image counts are planted deterministically (doc_id mod 4 — the
+    * multimodal fixture convention of MultimodalOps) so both engines
+    * replay the identical interleave. */
+  val vlmImageTokens = 64L
+  val vlmPackBudget = 512L
+
+  def q471VlmInterleavedPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val bucket = conv(substring(md5(concat(lit("vpack:"),
+      $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long") % packBuckets
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select($"doc_id", bucket.as("bucket"),
+        size(toks($"text")).cast("long").as("text_tokens"),
+        pmod($"doc_id", lit(4)).as("n_images"))
+      .withColumn("cost",
+        $"text_tokens" + lit(vlmImageTokens) * $"n_images")
+      .withColumn("start_tok", coalesce(sum($"cost").over(w), lit(0L)))
+      .select($"doc_id", $"bucket", $"text_tokens", $"n_images", $"cost",
+        $"start_tok",
+        expr(s"start_tok DIV $vlmPackBudget").as("seq_first"),
+        expr(s"(start_tok + cost - 1) DIV $vlmPackBudget").as("seq_last"))
+      .orderBy($"doc_id")
+  }
+
+  private val q471Oracle =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('vpack:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |      % $packBuckets AS bucket,
+       |    len(string_split(lower(text), ' ')) AS text_tokens,
+       |    doc_id % 4 AS n_images
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, text_tokens + $vlmImageTokens * n_images AS cost FROM d),
+       |w AS (
+       |  SELECT *, CAST(COALESCE(SUM(cost) OVER (PARTITION BY bucket
+       |    ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS start_tok
+       |  FROM c)
+       |SELECT doc_id, bucket, CAST(text_tokens AS BIGINT) AS text_tokens,
+       |  CAST(n_images AS BIGINT) AS n_images, CAST(cost AS BIGINT) AS cost,
+       |  start_tok,
+       |  CAST(start_tok // $vlmPackBudget AS BIGINT) AS seq_first,
+       |  CAST((start_tok + cost - 1) // $vlmPackBudget AS BIGINT) AS seq_last
+       |FROM w ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q471_vlm_interleaved_pack" -> (q471VlmInterleavedPack _),
     "q467_split_leak_audit" -> (q467SplitLeakAudit _),
     "q465_best_of_n_yield" -> (q465BestOfNYield _),
     "q464_span_corruption" -> (q464SpanCorruption _),
@@ -6180,6 +6241,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q471_vlm_interleaved_pack" -> q471Oracle,
     "q467_split_leak_audit" -> q467Oracle,
     "q465_best_of_n_yield" -> q465Oracle,
     "q464_span_corruption" -> q464Oracle,
