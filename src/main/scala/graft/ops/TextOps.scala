@@ -6147,7 +6147,72 @@ object TextOps {
        |  CAST((start_tok + cost - 1) // $vlmPackBudget AS BIGINT) AS seq_last
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q472
+  /** [NS] RECIPROCAL-RANK FUSION of two retrieval runs (Cormack et
+    * al., SIGIR 2009 — the hybrid-search primitive every RAG data
+    * pipeline runs to merge BM25 and dense rankings): per query,
+    * RRF(d) = Σ_runs 1/(k + rank_run(d)) with k = 60, top-3 fused
+    * docs emitted. Exact-integer discipline: the reciprocal scales to
+    * 10⁹ floor-div (ties broken by doc id), so both engines emit
+    * identical fused scores. Two planted deterministic score
+    * functions stand in for the retrievers (mixed-radix residues, the
+    * house convention); candidates bound per query by a residue class
+    * — the fusion is rank-grain, never corpus × corpus. */
+  val rrfK = 60L
+
+  def q472RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id")
+    val queries = docs.where($"doc_id" < 20L).select($"doc_id".as("q"))
+    val cand = queries.join(docs.select($"doc_id".as("d")),
+      pmod($"d", lit(20)) === $"q")
+      .select($"q", $"d",
+        pmod($"d" * 31L + $"q" * 7L, lit(1000)).as("sa"),
+        pmod($"d" * 17L + $"q" * 13L, lit(1000)).as("sb"))
+    def rank(score: Column): Column = row_number().over(
+      Window.partitionBy($"q").orderBy(score.desc, $"d".asc))
+    val fused = cand
+      .withColumn("ra", rank($"sa").cast("long"))
+      .withColumn("rb", rank($"sb").cast("long"))
+      .withColumn("rrf",
+        expr(s"(1000000000 div ($rrfK + ra)) + " +
+          s"(1000000000 div ($rrfK + rb))"))
+    fused.withColumn("fr", row_number().over(
+        Window.partitionBy($"q").orderBy($"rrf".desc, $"d".asc)))
+      .where($"fr" <= 3)
+      .select($"q", $"fr".cast("long").as("fused_rank"), $"d", $"rrf")
+      .orderBy($"q", $"fused_rank")
+  }
+
+  private val q472Oracle =
+    s"""WITH docs AS (SELECT doc_id FROM documents),
+       |cand AS (
+       |  SELECT q.doc_id AS q, d.doc_id AS d,
+       |    (d.doc_id * 31 + q.doc_id * 7) % 1000 AS sa,
+       |    (d.doc_id * 17 + q.doc_id * 13) % 1000 AS sb
+       |  FROM docs q JOIN docs d ON d.doc_id % 20 = q.doc_id
+       |  WHERE q.doc_id < 20),
+       |r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY q ORDER BY sa DESC, d ASC) AS ra,
+       |    row_number() OVER (PARTITION BY q ORDER BY sb DESC, d ASC) AS rb
+       |  FROM cand),
+       |f AS (
+       |  SELECT q, d,
+       |    (1000000000 // ($rrfK + ra)) + (1000000000 // ($rrfK + rb))
+       |      AS rrf
+       |  FROM r),
+       |t AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q
+       |    ORDER BY rrf DESC, d ASC) AS fr
+       |  FROM f)
+       |SELECT q, CAST(fr AS BIGINT) AS fused_rank, d,
+       |  CAST(rrf AS BIGINT) AS rrf
+       |FROM t WHERE fr <= 3 ORDER BY q, fused_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q472_rrf_fusion" -> (q472RrfFusion _),
     "q471_vlm_interleaved_pack" -> (q471VlmInterleavedPack _),
     "q467_split_leak_audit" -> (q467SplitLeakAudit _),
     "q465_best_of_n_yield" -> (q465BestOfNYield _),
@@ -6241,6 +6306,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q472_rrf_fusion" -> q472Oracle,
     "q471_vlm_interleaved_pack" -> q471Oracle,
     "q467_split_leak_audit" -> q467Oracle,
     "q465_best_of_n_yield" -> q465Oracle,
