@@ -159,6 +159,7 @@ class GraftLogCatalog extends TableCatalog
   private val historySuffix = "#history"
   private val partitionsSuffix = "#partitions"
   private val detailSuffix = "#detail"
+  private val filesSuffix = "#files"
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val raw = pathOf(ident)
@@ -173,6 +174,18 @@ class GraftLogCatalog extends TableCatalog
         try TableLog.state(path, version.getOrElse(Long.MaxValue))
         catch { case _: Exception => throw new NoSuchTableException(ident) }
       return new GraftLogDetailTable(path, snap)
+    }
+    if (raw.endsWith(filesSuffix)) {
+      // file inventory off the manifest — Iceberg's `files` metadata
+      // table: one row per ACTIVE file with its full file-grain stats
+      // (rows, dead rows, key bounds, partition-tuple and column-stat
+      // counts, on-disk bytes). Composes with VERSION AS OF; zero
+      // data files open — `Files.size` per row is the only I/O.
+      val path = raw.stripSuffix(filesSuffix)
+      val snap =
+        try TableLog.state(path, version.getOrElse(Long.MaxValue))
+        catch { case _: Exception => throw new NoSuchTableException(ident) }
+      return new GraftLogFilesTable(path, snap)
     }
     if (raw.endsWith(partitionsSuffix)) {
       // partition inventory straight off the manifest — `SHOW
@@ -401,6 +414,8 @@ class GraftLogCatalog extends TableCatalog
     if (path.endsWith(historySuffix)) refuse(s"CREATE TABLE $historySuffix")
     if (path.endsWith(partitionsSuffix))
       refuse(s"CREATE TABLE $partitionsSuffix")
+    if (path.endsWith(detailSuffix)) refuse(s"CREATE TABLE $detailSuffix")
+    if (path.endsWith(filesSuffix)) refuse(s"CREATE TABLE $filesSuffix")
     val key = Option(properties.get("key"))
       .orElse(schema.fields.find(_.dataType ==
         org.apache.spark.sql.types.LongType).map(_.name))
@@ -936,6 +951,70 @@ class GraftLogPartitionsTable(tablePath: String,
 case class GraftLogPartitionsPartition(
     rows: Seq[(Seq[String], Long, Long)])
   extends org.apache.spark.sql.connector.read.InputPartition
+
+/** The file-inventory metadata table (`graftlog.\`<path>#files\``) —
+  * Iceberg's `files` table: one row per ACTIVE file straight off the
+  * manifest (rows, deletion-vector dead rows, key bounds, stat
+  * counts) plus its on-disk bytes. Composes with VERSION AS OF (that
+  * era's active set). Driver-side fold at file grain — the same cost
+  * class as the manifest itself. */
+class GraftLogFilesTable(tablePath: String, snap: TableLog.Snapshot)
+    extends Table with SupportsRead {
+  private val outSchema = StructType.fromDDL(
+    "rel_path STRING, rows BIGINT, live_rows BIGINT, min_key BIGINT, " +
+      "max_key BIGINT, n_part_tuples INT, n_col_stats INT, " +
+      "size_bytes BIGINT")
+  override def name(): String = s"graftlog.`$tablePath#files`"
+  override def schema(): StructType = outSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with org.apache.spark.sql.connector.read.Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = outSchema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        val rows = snap.active.sortBy(_.relPath).map { a =>
+          val p = java.nio.file.Paths.get(tablePath, a.relPath)
+          (a.relPath, a.rows, a.liveRows, a.min, a.max,
+            a.parts.size, a.cols.size,
+            if (java.nio.file.Files.exists(p))
+              java.nio.file.Files.size(p) else 0L)
+        }
+        Array(GraftLogFilesPartition(rows))
+      }
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new GraftLogFilesReaderFactory
+    }
+}
+
+case class GraftLogFilesPartition(
+    rows: Seq[(String, Long, Long, Long, Long, Int, Int, Long)])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+class GraftLogFilesReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val it = p.asInstanceOf[GraftLogFilesPartition].rows.iterator
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (rel, rows, live, mn, mx, np, nc, bytes) = it.next()
+        cur = InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(rel),
+          rows, live, mn, mx, np, nc, bytes)
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
 
 /** The one-row table card (`graftlog.\`<path>#detail\``) — Delta's
   * DESCRIBE DETAIL shape, folded from the manifest alone: snapshot

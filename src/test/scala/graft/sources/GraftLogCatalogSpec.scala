@@ -514,6 +514,37 @@ class GraftLogCatalogSpec extends SparkSuite {
       .collect().head.getLong(0) == 200L)
   }
 
+  test("#files metadata table: one row per active file off the " +
+      "manifest, folds agree with #detail, VERSION AS OF composes") {
+    val t = freshTable() // 200 rows, 8 files over 2 commits
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val rows = spark.sql(
+      s"""SELECT rel_path, rows, live_rows, min_key, max_key, size_bytes
+         |FROM graftlog.`$t#files` ORDER BY rel_path""".stripMargin)
+      .collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).sum == 200L)
+    assert(rows.forall(r => r.getLong(5) > 0L), "size_bytes missing")
+    assert(rows.map(_.getLong(3)).min == 0L &&
+      rows.map(_.getLong(4)).max == 199L)
+    // folds agree with #detail exactly
+    val d = spark.sql(s"SELECT n_files, live_rows FROM graftlog.`$t#detail`")
+      .collect().head
+    assert(d.getLong(0) == 8L && d.getLong(1) == 200L)
+    // VERSION AS OF composes: v1's active set only
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftlog.`$t#files` VERSION AS OF 1")
+      .collect().head.getLong(0) == 4L)
+    // a DV'd file reports dead rows through live_rows
+    TableLog.deleteWhereDv(spark, t,
+      org.apache.spark.sql.functions.expr("k IN (3, 7)"))
+    val dv = spark.sql(
+      s"""SELECT sum(rows) - sum(live_rows) FROM graftlog.`$t#files`""")
+      .collect().head.getLong(0)
+    assert(dv == 2L)
+  }
+
   test("estimateStatistics reports the manifest's EXACT live row " +
       "count to CBO — whole table and pruned file set alike") {
     val t = freshTable() // 200 rows over 8 files
