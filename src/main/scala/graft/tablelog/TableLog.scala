@@ -1818,9 +1818,15 @@ object TableLog {
     * the rewrite (their survivors re-stage without the dead rows).
     * No-op when the debt is at or below the target. */
   def compactSmall(spark: SparkSession, table: String,
-      smallBytes: Long, targetFiles: Int): Long = {
+      smallBytes: Long, targetFiles: Int,
+      scope: Seq[AddFile] => Seq[AddFile] = identity): Long = {
     val snap = state(table)
-    val small = snap.active.filter { a =>
+    // `scope` narrows the candidate set BEFORE the size filter — the
+    // `OPTIMIZE ... WHERE` shape: on a partitioned 100-TB table the
+    // daily housekeeping folds ONE partition's debt (candidates chosen
+    // from tuple stats), and two scopes over disjoint partitions
+    // commit concurrently under the file-disjoint conflict rule
+    val small = scope(snap.active).filter { a =>
       val p = Paths.get(table, a.relPath)
       Files.exists(p) && Files.size(p) < smallBytes
     }

@@ -554,6 +554,35 @@ class GraftLogPartitionSpec extends SparkSuite {
     assert(e.getMessage.contains("TIMESTAMP"), e.getMessage)
   }
 
+  test("partition-scoped compactSmall: folding one day's debt leaves " +
+      "other partitions' files untouched; disjoint scopes race-commit") {
+    val t = freshDaysPartitioned() // 4 UTC days, tuple-pure files
+    val before = TableLog.state(t)
+    val day0 = "2024-03-10"
+    def inDay(d: String)(a: TableLog.AddFile): Boolean =
+      a.parts.exists(_.values.head == d)
+    val day0Before = before.active.filter(inDay(day0)).map(_.relPath).toSet
+    val otherBefore = before.active.filterNot(inDay(day0))
+      .map(_.relPath).toSet
+    // seed extra day-0 debt so there is something to fold
+    import spark.implicits._
+    spark.sql(s"INSERT INTO graftlog.`$t` SELECT k + 1000, ts, v " +
+      s"FROM graftlog.`$t` WHERE ts < TIMESTAMP'2024-03-11 00:00:00'")
+    val mid = TableLog.state(t)
+    assert(mid.active.count(inDay(day0)) >= 2)
+    TableLog.compactSmall(spark, t, smallBytes = Long.MaxValue,
+      targetFiles = 1, scope = _.filter(inDay(day0)))
+    val after = TableLog.state(t)
+    // other days' files survive BY IDENTITY; day 0 folded to one
+    assert(after.active.filterNot(inDay(day0)).map(_.relPath).toSet ==
+      otherBefore)
+    assert(after.active.count(inDay(day0)) == 1)
+    assert(after.active.filter(inDay(day0))
+      .forall(a => !day0Before(a.relPath)))
+    // totals exact: 100 original + 25 duplicated day-0 rows
+    assert(TableLog.snapshot(spark, t).count() == 125L)
+  }
+
   test("temporal partitioning misuse fails loudly: days over a non-" +
       "temporal column refused; DML keeps day tuples exact") {
     useCatalog()
