@@ -6211,7 +6211,146 @@ object TextOps {
        |  CAST(rrf AS BIGINT) AS rrf
        |FROM t WHERE fr <= 3 ORDER BY q, fused_rank""".stripMargin
 
+  // ---------------------------------------------------------------- q473
+  /** [NS] MEMORIZATION probe over model generations (Carlini et al.
+    * 2021/2023's extraction audit, at the data-pipeline grain): what
+    * fraction of GENERATED sequences reproduce a verbatim 8-gram run
+    * of the training corpus? Planted generations make both branches
+    * deterministic — for every ≥16-token doc, one generation copies
+    * tokens 5–12 verbatim (memorized by construction) and one emits
+    * them REVERSED (novel unless the corpus happens to contain the
+    * reversal — the audit answers exactly that). The training 8-gram
+    * index is ONE distinct over exploded grams (md5 keys — only
+    * 32-char hashes shuffle, q53's decontamination discipline); the
+    * audit is a broadcast-shaped semi-join of generations against it.
+    * Per source: generations, memorized count, rate in ppm. */
+  def q473MemorizationProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source", $"text")
+    val train8 = docs
+      .select(explode(DedupOps.shinglesN($"text", 8)).as("g"))
+      .select(md5($"g").as("gh")).distinct()
+    val tk = split(lower($"text"), " ")
+    val eligible = docs.where(size(tk) >= 16)
+      .select($"doc_id", $"source", slice(tk, 5, 8).as("w"))
+    val gens = eligible
+      .select($"doc_id", $"source", lit("mem").as("kind"),
+        concat_ws(" ", $"w").as("gen"))
+      .unionByName(eligible
+        .select($"doc_id", $"source", lit("nov").as("kind"),
+          concat_ws(" ", reverse($"w")).as("gen")))
+    gens.join(train8.withColumn("hit", lit(1L)),
+        md5($"gen") === $"gh", "left")
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_gens"),
+        sum(coalesce($"hit", lit(0L))).as("n_memorized"),
+        expr("(sum(coalesce(hit, 0)) * 1000000) div count(1)")
+          .as("mem_ppm"))
+      .orderBy($"source")
+  }
+
+  private val q473Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |t8 AS (
+      |  SELECT DISTINCT md5(g) AS gh FROM (
+      |    SELECT unnest(list_distinct(list_transform(
+      |      range(1, len(toks) - 6),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+      |        toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+      |        toks[i+6] || ' ' || toks[i+7]))) AS g
+      |    FROM d WHERE len(toks) >= 8)),
+      |gens AS (
+      |  SELECT doc_id, source,
+      |    array_to_string(toks[5:12], ' ') AS gen
+      |  FROM d WHERE len(toks) >= 16
+      |  UNION ALL
+      |  SELECT doc_id, source,
+      |    array_to_string(list_reverse(toks[5:12]), ' ')
+      |  FROM d WHERE len(toks) >= 16)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_gens,
+      |  CAST(sum(CASE WHEN t8.gh IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_memorized,
+      |  CAST((sum(CASE WHEN t8.gh IS NOT NULL THEN 1 ELSE 0 END)
+      |    * 1000000) // count(*) AS BIGINT) AS mem_ppm
+      |FROM gens LEFT JOIN t8 ON md5(gens.gen) = t8.gh
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q474
+  /** [NS] LICENSE-COMPLIANCE audit (The Stack's corpus-construction
+    * rule — Kocetkov et al. 2022: keep permissive, drop copyleft,
+    * quarantine unknown): SPDX headers are planted in-query (q57's
+    * device — four license ids rotate over doc_id mod 7, the rest
+    * stay headerless) and the DETECTOR re-extracts them with the
+    * anchored SPDX regex, so extraction and classification are both
+    * exercised, not assumed. Per license: docs, distinct sources,
+    * corpus share in ppm, and the keep/drop/quarantine verdict the
+    * downstream filter applies. Pure scan-side projection + one
+    * license-grain fold. */
+  def q474LicenseAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lics = array(lit("mit"), lit("apache-2.0"), lit("gpl-3.0"),
+      lit("bsd-3-clause"))
+    val docs = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source",
+        when(pmod($"doc_id", lit(7)) < 4,
+          concat(lit("spdx-license-identifier: "),
+            element_at(lics, pmod($"doc_id", lit(7)).cast("int") + 1),
+            lit("\n"), $"text"))
+          .otherwise($"text").as("t2"))
+      .withColumn("lic0", regexp_extract($"t2",
+        "^spdx-license-identifier: ([a-z0-9.\\-]+)", 1))
+      .withColumn("license",
+        when($"lic0" === "", "none").otherwise($"lic0"))
+      .withColumn("verdict",
+        when($"license".isin("mit", "apache-2.0", "bsd-3-clause"), "keep")
+          .when($"license" === "gpl-3.0", "drop")
+          .otherwise("quarantine"))
+    val total = docs.count()
+    docs.groupBy($"license", $"verdict").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct($"source").as("n_sources"),
+      expr(s"(count(1) * 1000000) div $total").as("share_ppm"))
+      .orderBy($"license")
+  }
+
+  private val q474Oracle =
+    """WITH lic AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 7 < 4 THEN
+      |      'spdx-license-identifier: ' ||
+      |      (['mit', 'apache-2.0', 'gpl-3.0', 'bsd-3-clause'])
+      |        [CAST(doc_id % 7 AS INT) + 1] || chr(10) || text
+      |    ELSE text END AS t2
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN regexp_extract(t2,
+      |        '^spdx-license-identifier: ([a-z0-9.\-]+)', 1) = ''
+      |      THEN 'none'
+      |      ELSE regexp_extract(t2,
+      |        '^spdx-license-identifier: ([a-z0-9.\-]+)', 1) END AS license
+      |  FROM lic),
+      |v AS (
+      |  SELECT *, CASE
+      |    WHEN license IN ('mit', 'apache-2.0', 'bsd-3-clause') THEN 'keep'
+      |    WHEN license = 'gpl-3.0' THEN 'drop'
+      |    ELSE 'quarantine' END AS verdict
+      |  FROM x),
+      |t AS (SELECT count(*) AS n FROM v)
+      |SELECT license, verdict,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST((count(*) * 1000000) // t.n AS BIGINT) AS share_ppm
+      |FROM v, t GROUP BY license, verdict, t.n
+      |ORDER BY license""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q474_license_audit" -> (q474LicenseAudit _),
+    "q473_memorization_probe" -> (q473MemorizationProbe _),
     "q472_rrf_fusion" -> (q472RrfFusion _),
     "q471_vlm_interleaved_pack" -> (q471VlmInterleavedPack _),
     "q467_split_leak_audit" -> (q467SplitLeakAudit _),
@@ -6306,6 +6445,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q474_license_audit" -> q474Oracle,
+    "q473_memorization_probe" -> q473Oracle,
     "q472_rrf_fusion" -> q472Oracle,
     "q471_vlm_interleaved_pack" -> q471Oracle,
     "q467_split_leak_audit" -> q467Oracle,
