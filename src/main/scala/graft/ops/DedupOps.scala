@@ -178,16 +178,12 @@ object DedupOps {
     * signature + band-key construction, interpolated from the
     * Spark-side coefficients and geometry. Consumed by the q65 and
     * q280 oracles so the band SQL can never drift between them. */
-  private lazy val minhashBandsCte = {
-    val rows = minhashK / lshBands
+  /** The t/shd/h/sig signature sub-chain alone — shared with q475's
+    * banding sweep, which re-bands the SAME signatures per config. */
+  private lazy val minhashSigCte = {
     val minExprs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"min((h0 * $a + $b) % $minhashMod) AS m$i"
     }.mkString(",\n       |    ")
-    val bandRows = (0 until lshBands).map { j =>
-      val key = (j * rows until (j + 1) * rows)
-        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
-      s"SELECT doc_id, $j AS band, $key AS bucket FROM sig"
-    }.mkString("\n       |  UNION ALL\n       |  ")
     s"""t AS (
        |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
        |shd AS (
@@ -200,10 +196,22 @@ object DedupOps {
        |sig AS (
        |  SELECT doc_id,
        |    $minExprs
-       |  FROM h GROUP BY doc_id),
-       |bands AS (
-       |  $bandRows)""".stripMargin
+       |  FROM h GROUP BY doc_id)""".stripMargin
   }
+
+  /** One banding geometry's `SELECT doc_id, band, bucket` arms over
+    * `sig` — `bands × rowsPerBand` must cover the signature. */
+  private def bandRowsSql(bands: Int, rowsPerBand: Int): String =
+    (0 until bands).map { j =>
+      val key = (j * rowsPerBand until (j + 1) * rowsPerBand)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $j AS band, $key AS bucket FROM sig"
+    }.mkString("\n       |  UNION ALL\n       |  ")
+
+  private lazy val minhashBandsCte =
+    s"""$minhashSigCte,
+       |bands AS (
+       |  ${bandRowsSql(lshBands, minhashK / lshBands)})""".stripMargin
 
   /** Generated oracle for the full LSH pipeline — same coefficients,
     * same band geometry, same bucket cap, interpolated from the
@@ -2512,7 +2520,68 @@ object DedupOps {
        |    AS BIGINT) AS recall_ppm
        |FROM pred, nt GROUP BY nt.n_truth""".stripMargin
 
+  // ---------------------------------------------------------------- q475
+  /** [NS] LSH BANDING-SENSITIVITY sweep — the (bands × rows) tuning
+    * table behind every MinHash deployment (Leskovec et al., MMDS
+    * ch.3: the S-curve's threshold ≈ (1/b)^(1/r)): the SAME 32-minima
+    * signatures re-band under three geometries — (32,1) recall-heavy,
+    * (8,4) the production default, (4,8) precision-heavy — and each
+    * config reports its candidate volume Σ C(bucket, 2) over capped
+    * buckets, active buckets, and hot buckets the q65 cap would drop.
+    * Candidate counts fold from bucket SIZES (n·(n−1)/2) — no pair
+    * ever materializes, so the sweep costs three bucket-grain
+    * aggregations over one signature pass regardless of how hot a
+    * config runs. The table IS the tuning decision: candidates grow
+    * monotonically as rows-per-band shrinks. */
+  def q475BandingSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = minhashSignatures(s, dir).localCheckpoint(true)
+    Seq((32, 1), (8, 4), (4, 8)).map { case (bands, rowsPer) =>
+      sigs.select($"doc_id",
+        explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+          struct(j.as("band"),
+            array_join(transform(
+              sequence(j * rowsPer + 1, (j + 1) * rowsPer),
+              i => element_at($"sig", i.cast("int")).cast("string")), ",")
+              .as("bucket")))).as("bk"))
+        .select($"bk.band", $"bk.bucket")
+        .groupBy($"band", $"bucket").agg(count(lit(1)).as("n"))
+        .agg(
+          coalesce(sum(when($"n" >= 2 && $"n" <= maxGroupSize,
+            expr("(n * (n - 1)) div 2"))), lit(0L)).as("candidate_pairs"),
+          coalesce(sum(when($"n" >= 2 && $"n" <= maxGroupSize, 1L)),
+            lit(0L)).as("active_buckets"),
+          coalesce(sum(when($"n" > maxGroupSize, 1L)), lit(0L))
+            .as("hot_buckets_dropped"))
+        .select(lit(bands.toLong).as("bands"),
+          lit(rowsPer.toLong).as("rows_per_band"),
+          $"candidate_pairs", $"active_buckets", $"hot_buckets_dropped")
+    }.reduce(_ unionByName _).orderBy($"bands".desc)
+  }
+
+  private lazy val q475Oracle = {
+    def cfg(bands: Int, rowsPer: Int): String =
+      s"""SELECT CAST($bands AS BIGINT) AS bands,
+         |  CAST($rowsPer AS BIGINT) AS rows_per_band,
+         |  CAST(coalesce(sum(CASE WHEN n BETWEEN 2 AND $maxGroupSize
+         |    THEN n * (n - 1) // 2 END), 0) AS BIGINT) AS candidate_pairs,
+         |  CAST(coalesce(sum(CASE WHEN n BETWEEN 2 AND $maxGroupSize
+         |    THEN 1 END), 0) AS BIGINT) AS active_buckets,
+         |  CAST(coalesce(sum(CASE WHEN n > $maxGroupSize THEN 1 END), 0)
+         |    AS BIGINT) AS hot_buckets_dropped
+         |FROM (SELECT band, bucket, count(*) n FROM (
+         |  ${bandRowsSql(bands, rowsPer)}) GROUP BY 1, 2)""".stripMargin
+    s"""WITH $minhashSigCte
+       |${cfg(32, 1)}
+       |UNION ALL
+       |${cfg(8, 4)}
+       |UNION ALL
+       |${cfg(4, 8)}
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q475_banding_sweep" -> (q475BandingSweep _),
     "q469_dedup_quality_eval" -> (q469DedupQualityEval _),
     "q359_exact_substr_dedup" -> (q359ExactSubstrDedup _),
     "q356_winnow_fingerprints" -> (q356WinnowFingerprints _),
@@ -2566,6 +2635,7 @@ object DedupOps {
     "q301_keeper_divergence" -> q301Oracle,
     "q64_exact_dedup"       -> q64Oracle,
     "q65_minhash_lsh"       -> q65Oracle,
+    "q475_banding_sweep" -> q475Oracle,
     "q469_dedup_quality_eval" -> q469Oracle,
     "q66_ngram_jaccard"     -> q66Oracle,
     "q67_simhash"           -> q67Oracle,
