@@ -2823,7 +2823,52 @@ object TableOps {
       |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
       |FROM rows_all GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q476
+  /** [NS] JOIN-SKEW advisor — q389's advisory discipline turned on
+    * the OTHER scale killer: a shuffle key whose share exceeds 1/P of
+    * the rows starves the stage (one task owns the key's whole
+    * partition regardless of cluster size — AQE's skew-join split
+    * handles sort-merge joins, but aggregations and stateful stages
+    * still need SALTING). The advisor reports every key whose exact
+    * count exceeds rows/P, with the salt factor that levels it:
+    * ceil(count × P / total) sub-keys bring the hottest partition
+    * back to the average. A hot key is planted (every third user
+    * folds into key 0 — the power-law head every event stream has)
+    * so the advisory provably fires; exact integer shares, one
+    * key-grain aggregation. */
+  val skewParallelism = 32L
+
+  def q476SkewAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.events(s, dir)
+      .select(when(pmod($"user_id", lit(3)) === 0, 0L)
+        .otherwise($"user_id").as("user_key"))
+    val total = keyed.count()
+    val p = skewParallelism
+    keyed.groupBy($"user_key").agg(count(lit(1)).as("n_rows"))
+      .where($"n_rows" * p > total)
+      .select($"user_key", $"n_rows",
+        expr(s"(n_rows * 1000000) div $total").as("share_ppm"),
+        expr(s"(n_rows * $p + $total - 1) div $total").as("salt_factor"))
+      .orderBy($"user_key")
+  }
+
+  private val q476Oracle =
+    s"""WITH keyed AS (
+       |  SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END
+       |    AS user_key
+       |  FROM events),
+       |t AS (SELECT count(*) AS total FROM keyed)
+       |SELECT user_key, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST((count(*) * 1000000) // t.total AS BIGINT) AS share_ppm,
+       |  CAST((count(*) * $skewParallelism + t.total - 1) // t.total
+       |    AS BIGINT) AS salt_factor
+       |FROM keyed, t GROUP BY user_key, t.total
+       |HAVING count(*) * $skewParallelism > t.total
+       |ORDER BY user_key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q476_skew_advisor" -> (q476SkewAdvisor _),
     "q470_compact_small_sql" -> (q470CompactSmallSql _),
     "q468_gdpr_erasure" -> (q468GdprErasure _),
     "q466_days_stream_ingest" -> (q466DaysStreamIngest _),
@@ -2882,6 +2927,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q476_skew_advisor" -> q476Oracle,
     "q470_compact_small_sql" -> q470Oracle,
     "q468_gdpr_erasure" -> q468Oracle,
     "q466_days_stream_ingest" -> q466Oracle,
