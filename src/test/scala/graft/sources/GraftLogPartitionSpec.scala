@@ -392,12 +392,19 @@ class GraftLogPartitionSpec extends SparkSuite {
     b2.pushFilters(Array(LessThan("ts", probe), IsNotNull("ts")))
     assert(b2.chosenFiles.size < snap.active.size)
     assert(b2.chosenFiles.forall(_.parts.exists(_.values.head <= "2024-03-12")))
-    // rows exact through SQL: i%4 in {2,3} → 50 rows, known key sum
-    val got = spark.sql(
+    // rows exact through SQL: i%4 in {2,3} → 50 rows, known key sum —
+    // and the EXECUTED plan's scan shows the pruned file count (the
+    // end-to-end wiring, not just the builder-grain pin above)
+    val q = spark.sql(
       s"""SELECT CAST(count(*) AS BIGINT) AS n, sum(k) AS s
          |FROM graftlog.`$t`
          |WHERE ts >= TIMESTAMP'2024-03-12 00:00:00'""".stripMargin)
-      .collect().head
+    val got = q.collect().head
+    val desc = q.queryExecution.executedPlan.toString
+    val m = "GraftLogScan\\(files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(m.isDefined, desc.take(600))
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"SQL path did not prune: ${m.get.matched}")
     val keys = (0L to 99L).filter(i => i % 4 >= 2)
     assert((got.getLong(0), got.getLong(1)) == ((keys.size.toLong, keys.sum)))
     // #partitions renders the transform name and the day values
