@@ -2867,7 +2867,66 @@ object TableOps {
        |HAVING count(*) * $skewParallelism > t.total
        |ORDER BY user_key""".stripMargin
 
+  // ---------------------------------------------------------------- q477
+  /** CHECK CONSTRAINTS (Spark 4.1 DSv2 constraints + the Delta CHECK
+    * lineage): `ALTER TABLE … ADD CONSTRAINT … CHECK (expr)` persists
+    * in the manifest, existing rows validate ONCE at declaration, and
+    * every later INSERT/UPDATE/MERGE validates through Spark's own
+    * enforcement rule — a violating INSERT throws BEFORE a row lands
+    * and the version does not move (pinned in-query: the bad insert
+    * is attempted and must fail). The oracle replays only the
+    * surviving writes. Data quality as a TABLE property, not a
+    * pipeline convention — the gate travels with the table. */
+  private val constraintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q477CheckConstraint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = constraintCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogck_").toString + "/t"
+      val slice = ordersSlice(s, dir)
+      TableLog.create(slice.where($"o_orderkey" % 4 === 0)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"),
+        path, "o_orderkey", numFiles = 2)                            // v1
+      s.sql(s"ALTER TABLE graftlog.`$path` ADD CONSTRAINT " +
+        "price_positive CHECK (o_totalprice > 0.0)")                 // v2
+      val v = s"graft_ck_src_${Integer.toHexString(dir.hashCode)}"
+      slice.where($"o_orderkey" % 8 === 1)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .createOrReplaceTempView(v)
+      try s.sql(s"INSERT INTO graftlog.`$path` SELECT * FROM $v")    // v3
+      finally s.catalog.dropTempView(v)
+      val before = TableLog.latestVersion(path)
+      val bad = try {
+        s.sql(s"INSERT INTO graftlog.`$path` " +
+          "VALUES (999999999, 'X', -1.0)")
+        false
+      } catch { case _: Exception => true }
+      require(bad && TableLog.latestVersion(path) == before,
+        "violating insert must fail without committing")
+      path
+    })
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$t`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q477Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 = 0 OR o_orderkey % 8 = 1
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q477_check_constraint" -> (q477CheckConstraint _),
     "q476_skew_advisor" -> (q476SkewAdvisor _),
     "q470_compact_small_sql" -> (q470CompactSmallSql _),
     "q468_gdpr_erasure" -> (q468GdprErasure _),
@@ -2927,6 +2986,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q477_check_constraint" -> q477Oracle,
     "q476_skew_advisor" -> q476Oracle,
     "q470_compact_small_sql" -> q470Oracle,
     "q468_gdpr_erasure" -> q468Oracle,

@@ -115,6 +115,14 @@ class GraftLogCatalog extends TableCatalog
   }
   override def name(): String = catalogName
 
+  /** CHECK constraints are a first-class capability ([[GraftLogTable
+    * .constraints]]); without this flag Spark refuses `ALTER TABLE …
+    * ADD CONSTRAINT` before the catalog ever sees it. */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   /** Maintenance PROCEDURES — `CALL graftlog.vacuum(...)` /
     * `CALL graftlog.compact(...)`: the table-maintenance verbs SQL
     * has no DML for, surfaced the way Iceberg surfaces them. Each
@@ -480,6 +488,44 @@ class GraftLogCatalog extends TableCatalog
       TableLog.setProps(path, next)
       return loadTable(ident)
     }
+    // ADD/DROP CONSTRAINT — CHECK constraints persist as
+    // `constraint.<name>` properties; existing rows validate ONCE at
+    // ADD time (the Delta posture: a constraint that the table
+    // already violates must not be declarable), writes thereafter
+    // validate through Spark's own constraint rule
+    rest match {
+      case Seq(ac: TableChange.AddConstraint) => ac.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          val snap = TableLog.state(path)
+          require(!snap.props.contains(s"constraint.${c.name()}"),
+            s"graftlog: constraint '${c.name()}' already exists")
+          val violations = TableLog.snapshot(SparkSession.active, path)
+            .where(org.apache.spark.sql.functions
+              .not(org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.expr(c.predicateSql()),
+                org.apache.spark.sql.functions.lit(false))))
+            .count()
+          require(violations == 0L,
+            s"graftlog: $violations existing row(s) violate CHECK " +
+              s"(${c.predicateSql()}) — a constraint the table already " +
+              "breaks must not be declared")
+          TableLog.setProps(path, snap.props +
+            (s"constraint.${c.name()}" -> c.predicateSql()))
+          return loadTable(ident)
+        case other => refuse(s"constraint $other (CHECK only)")
+      }
+      case Seq(dc: TableChange.DropConstraint) =>
+        val snap = TableLog.state(path)
+        val key = s"constraint.${dc.name()}"
+        if (!snap.props.contains(key)) {
+          if (dc.ifExists()) return loadTable(ident)
+          throw new IllegalArgumentException(
+            s"graftlog: no constraint '${dc.name()}' on $path")
+        }
+        TableLog.setProps(path, snap.props - key)
+        return loadTable(ident)
+      case _ => ()
+    }
     // RENAME/DROP COLUMN — metadata commits through the column
     // mapping (logical→physical name indirection in the manifest):
     // data files never rewrite, old eras time-travel correctly
@@ -553,6 +599,27 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
       case TableLog.PHours(c)    => Expressions.hours(c)
     }).toArray
   }
+
+  /** CHECK constraints (Spark 4.1's DSv2 constraint surface, the
+    * Delta CHECK lineage): declared via `ALTER TABLE … ADD CONSTRAINT
+    * name CHECK (expr)`, persisted as `constraint.<name>` properties
+    * in the manifest, reported ENFORCED — Spark's own
+    * ResolveTableConstraints rule then wraps every write with the
+    * validation, so a violating INSERT/UPDATE/MERGE fails before one
+    * row lands; existing rows validate once at ADD time. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snap.props.toSeq
+      .collect { case (k, sql) if k.startsWith("constraint.") =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix("constraint."))
+          .predicateSql(sql)
+          .enforced(true)
+          .build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+      }
+      .sortBy(_.name())
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,

@@ -514,6 +514,38 @@ class GraftLogCatalogSpec extends SparkSuite {
       .collect().head.getLong(0) == 200L)
   }
 
+  test("CHECK constraints: ADD validates existing rows, violating " +
+      "INSERTs refuse through Spark's enforcement, DROP re-opens") {
+    val t = freshTable() // k in 0..199
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    // a constraint the table already violates must not be declarable
+    val e0 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graftlog.`$t` ADD CONSTRAINT k_small CHECK (k < 100)"))
+    assert(e0.getMessage.contains("violate"), e0.getMessage)
+    // a satisfiable one lands as a metadata commit
+    spark.sql(
+      s"ALTER TABLE graftlog.`$t` ADD CONSTRAINT k_bound CHECK (k < 1000)")
+    assert(TableLog.state(t).props.get("constraint.k_bound")
+      .exists(_.contains("k < 1000")))
+    // valid insert passes, violating insert refuses BEFORE landing
+    spark.sql(s"INSERT INTO graftlog.`$t` VALUES (500, 'ok')")
+    val vBefore = TableLog.latestVersion(t)
+    val e1 = intercept[Exception](spark.sql(
+      s"INSERT INTO graftlog.`$t` VALUES (5000, 'nope')"))
+    assert(e1.getMessage.toLowerCase.contains("check") ||
+      e1.getMessage.contains("k_bound"), e1.getMessage)
+    assert(TableLog.latestVersion(t) == vBefore,
+      "violating insert must not commit")
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 201L)
+    // DROP CONSTRAINT re-opens the gate
+    spark.sql(s"ALTER TABLE graftlog.`$t` DROP CONSTRAINT k_bound")
+    spark.sql(s"INSERT INTO graftlog.`$t` VALUES (5000, 'now ok')")
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 202L)
+  }
+
   test("#files metadata table: one row per active file off the " +
       "manifest, folds agree with #detail, VERSION AS OF composes") {
     val t = freshTable() // 200 rows, 8 files over 2 commits
