@@ -6348,7 +6348,123 @@ object TextOps {
       |FROM v, t GROUP BY license, verdict, t.n
       |ORDER BY license""".stripMargin
 
+  // ---------------------------------------------------------------- q478
+  /** [NS] PREFIX-CACHE sharing analysis (the vLLM/SGLang prefix-
+    * caching payoff estimate, run over the prompt corpus before
+    * serving): documents sharing a 16-token prefix re-use each
+    * other's KV cache, so per source the report folds shared-prefix
+    * groups, the docs that would hit a warm cache (group size − 1
+    * per group), and the cacheable-token savings (hits × 16) as a
+    * share of the corpus prefix tokens in ppm. Grouping keys on the
+    * md5 of the joined prefix — 32-char hashes shuffle, never text;
+    * one groupBy + one source-grain fold. Boilerplate-heavy corpora
+    * (chat templates, system prompts) are exactly where this report
+    * decides whether prefix caching pays. */
+  val prefixCacheToks = 16
+
+  def q478PrefixCacheSharing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = split(lower($"text"), " ")
+    val docs = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source", tk.as("toks"))
+      .where(size($"toks") >= prefixCacheToks)
+      .select($"doc_id", $"source",
+        md5(concat_ws(" ", slice($"toks", 1, prefixCacheToks)))
+          .as("pfx"))
+    val groups = docs.groupBy($"source", $"pfx")
+      .agg(count(lit(1)).as("n"))
+    groups.groupBy($"source").agg(
+      sum($"n").as("n_docs"),
+      coalesce(sum(when($"n" >= 2, lit(1L))), lit(0L))
+        .as("shared_groups"),
+      coalesce(sum(when($"n" >= 2, $"n" - 1L)), lit(0L))
+        .as("warm_hits"))
+      .select($"source", $"n_docs", $"shared_groups", $"warm_hits",
+        expr(s"(warm_hits * $prefixCacheToks * 1000000) div " +
+          s"greatest(n_docs * $prefixCacheToks, 1)").as("savings_ppm"))
+      .orderBy($"source")
+  }
+
+  private val q478Oracle =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    string_split(lower(text), ' ') AS toks
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, source,
+       |    md5(array_to_string(toks[1:$prefixCacheToks], ' ')) AS pfx
+       |  FROM d WHERE len(toks) >= $prefixCacheToks),
+       |g AS (SELECT source, pfx, count(*) n FROM p GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(sum(n) AS BIGINT) AS n_docs,
+       |  CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 END), 0) AS BIGINT)
+       |    AS shared_groups,
+       |  CAST(coalesce(sum(CASE WHEN n >= 2 THEN n - 1 END), 0) AS BIGINT)
+       |    AS warm_hits,
+       |  CAST((coalesce(sum(CASE WHEN n >= 2 THEN n - 1 END), 0)
+       |    * $prefixCacheToks * 1000000) //
+       |    greatest(sum(n) * $prefixCacheToks, 1) AS BIGINT)
+       |    AS savings_ppm
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q479
+  /** [NS] Context-window UTILIZATION report — q471's packed layout
+    * audited per bucket: windows consumed (the last window index + 1
+    * under the shelf discipline), fill rate in ppm of the window
+    * budget, and cross-window straddlers (docs whose cost spans a
+    * boundary — the packing loss a trainer pays in attention-mask
+    * resets). The numbers a packing config review actually reads;
+    * same one-window-per-bucket cost as q471 itself. */
+  def q479PackUtilization(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q471VlmInterleavedPack(s, dir)
+      .groupBy($"bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"cost").as("packed_cost"),
+        (max($"seq_last") + 1L).as("windows"),
+        coalesce(sum(when($"seq_first" =!= $"seq_last", lit(1L))),
+          lit(0L)).as("straddlers"))
+      .select($"bucket", $"n_docs", $"packed_cost", $"windows",
+        $"straddlers",
+        expr(s"(packed_cost * 1000000) div (windows * $vlmPackBudget)")
+          .as("fill_ppm"))
+      .orderBy($"bucket")
+  }
+
+  private val q479Oracle =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('vpack:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+       |      % $packBuckets AS bucket,
+       |    len(string_split(lower(text), ' ')) AS text_tokens,
+       |    doc_id % 4 AS n_images
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, text_tokens + $vlmImageTokens * n_images AS cost FROM d),
+       |w AS (
+       |  SELECT *, CAST(COALESCE(SUM(cost) OVER (PARTITION BY bucket
+       |    ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS start_tok
+       |  FROM c),
+       |x AS (
+       |  SELECT bucket, cost,
+       |    start_tok // $vlmPackBudget AS seq_first,
+       |    (start_tok + cost - 1) // $vlmPackBudget AS seq_last
+       |  FROM w)
+       |SELECT bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(cost) AS BIGINT) AS packed_cost,
+       |  CAST(max(seq_last) + 1 AS BIGINT) AS windows,
+       |  CAST(coalesce(sum(CASE WHEN seq_first <> seq_last THEN 1 END), 0)
+       |    AS BIGINT) AS straddlers,
+       |  CAST((sum(cost) * 1000000) // ((max(seq_last) + 1) * $vlmPackBudget)
+       |    AS BIGINT) AS fill_ppm
+       |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q479_pack_utilization" -> (q479PackUtilization _),
+    "q478_prefix_cache_sharing" -> (q478PrefixCacheSharing _),
     "q474_license_audit" -> (q474LicenseAudit _),
     "q473_memorization_probe" -> (q473MemorizationProbe _),
     "q472_rrf_fusion" -> (q472RrfFusion _),
@@ -6445,6 +6561,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q479_pack_utilization" -> q479Oracle,
+    "q478_prefix_cache_sharing" -> q478Oracle,
     "q474_license_audit" -> q474Oracle,
     "q473_memorization_probe" -> q473Oracle,
     "q472_rrf_fusion" -> q472Oracle,
