@@ -6462,7 +6462,78 @@ object TextOps {
        |    AS BIGINT) AS fill_ppm
        |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q480
+  /** [NS] The training-data pipeline CAPSTONE — the four stages every
+    * corpus walks, composed in ONE query with exact accounting at
+    * each gate: (1) exact dedup over a planted re-crawl (md5 keeper =
+    * min doc_id — the q64 notion; the duplicates provably exist),
+    * (2) a deterministic quality gate (≥ 8 tokens), (3) the q91
+    * hash-split into train/val/test, (4) per-split doc and token
+    * accounting, with `__dedup_dropped` and `__quality_dropped` audit
+    * rows so the funnel CONSERVES: every input doc lands in exactly
+    * one output row. The conservation property is the point — a
+    * pipeline that cannot account for every document cannot be
+    * audited at 100 TB. Each stage is the scan-shaped primitive its
+    * standalone operator uses; text never shuffles (dedup keys on
+    * md5, splits on id hashes). */
+  def q480PipelineCapstone(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val base = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"text")
+    val corpus = base.unionByName(
+      base.select(($"doc_id" + 3000000L).as("doc_id"), $"text"))
+      .withColumn("n_toks", size(split(lower($"text"), " ")).cast("long"))
+      .withColumn("fp", md5($"text"))
+    // stage 1: exact dedup — keeper = min doc_id per fingerprint
+    val keeper = corpus.withColumn("keep_id",
+      min($"doc_id").over(Window.partitionBy($"fp")))
+    val stage = keeper
+      .withColumn("gate",
+        when($"doc_id" =!= $"keep_id", "__dedup_dropped")
+          .when($"n_toks" < 8L, "__quality_dropped")
+          .otherwise(
+            // stage 3: the q91 split rule over survivors
+            when(conv(substring(md5(concat(lit("split:"),
+              $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long")
+              % 100 < 80, "train")
+              .when(conv(substring(md5(concat(lit("split:"),
+                $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long")
+                % 100 < 90, "val")
+              .otherwise("test")))
+    stage.groupBy($"gate").agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_toks").as("n_tokens"))
+      .orderBy($"gate")
+  }
+
+  private val q480Oracle =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text FROM documents),
+      |c AS (
+      |  SELECT doc_id, md5(text) AS fp,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_toks
+      |  FROM corpus),
+      |k AS (
+      |  SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM c),
+      |g AS (
+      |  SELECT n_toks, CASE
+      |    WHEN doc_id <> keep_id THEN '__dedup_dropped'
+      |    WHEN n_toks < 8 THEN '__quality_dropped'
+      |    WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+      |      1, 4))::BIGINT % 100 < 80 THEN 'train'
+      |    WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+      |      1, 4))::BIGINT % 100 < 90 THEN 'val'
+      |    ELSE 'test' END AS gate
+      |  FROM k)
+      |SELECT gate, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM g GROUP BY gate ORDER BY gate""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q480_pipeline_capstone" -> (q480PipelineCapstone _),
     "q479_pack_utilization" -> (q479PackUtilization _),
     "q478_prefix_cache_sharing" -> (q478PrefixCacheSharing _),
     "q474_license_audit" -> (q474LicenseAudit _),
@@ -6561,6 +6632,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q480_pipeline_capstone" -> q480Oracle,
     "q479_pack_utilization" -> q479Oracle,
     "q478_prefix_cache_sharing" -> q478Oracle,
     "q474_license_audit" -> q474Oracle,

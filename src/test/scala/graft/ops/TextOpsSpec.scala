@@ -1548,6 +1548,28 @@ class TextOpsSpec extends SparkSuite {
     assert(got.getLong(6) == 3L) // only id 19's 3 tokens kept
   }
 
+  test("q480 pipeline capstone: the funnel CONSERVES — every input doc " +
+    "lands in exactly one gate; planted dupes and shorties route right") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("q480").toString
+    val long = (1 to 12).map(i => s"w$i").mkString(" ")
+    Seq((1L, "tiny doc"), (2L, long), (3L, long + " tail"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextOps.q480PipelineCapstone(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 3 docs + 3 planted copies = 6 total, conserved across gates
+    assert(rows.values.map(_._1).sum == 6L, rows.toString)
+    // every planted copy is an exact dupe of its original → 3 dropped
+    assert(rows("__dedup_dropped")._1 == 3L)
+    // doc 1 ("tiny doc", 2 tokens) fails the quality gate
+    assert(rows("__quality_dropped")._1 == 1L)
+    // survivors (docs 2, 3) land in splits, tokens accounted exactly
+    val splitDocs = rows.filterKeys(!_.startsWith("__")).values
+    assert(splitDocs.map(_._1).sum == 2L)
+    assert(splitDocs.map(_._2).sum == 12L + 13L)
+  }
+
   test("q467 split leak audit: a planted re-crawl image leaks exactly " +
     "the clusters whose copies straddle the train/test boundary") {
     import spark.implicits._
