@@ -1145,7 +1145,15 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val fullSchema = StructType.fromDDL(snap.schemaDdl)
-  private var files: Seq[TableLog.AddFile] = snap.active
+  // file resolution is DEFERRED: on a chunk-checkpointed table,
+  // pushFilters resolves through the chunk-pruned path (parsing only
+  // stats-matching manifest chunks); forcing `snap.active` here would
+  // parse every chunk before one predicate arrived
+  private var filesOpt: Option[Seq[TableLog.AddFile]] = None
+  private def files: Seq[TableLog.AddFile] = {
+    if (filesOpt.isEmpty) filesOpt = Some(snap.active)
+    filesOpt.get
+  }
   private var accepted: Array[Filter] = Array.empty
   private var allFilters: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
@@ -1155,6 +1163,10 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
   /** The post-pushdown file set — exposed so the spec can pin
     * manifest-level skipping without string-matching a plan. */
   private[graft] def chosenFiles: Seq[TableLog.AddFile] = files
+  /** (chunks parsed, chunks total) of the snapshot's checkpoint —
+    * (0, 0) on an unchunked table; the spec's chunk-pruning pin. */
+  private[graft] def chunksReadOfTotal: (Int, Int) =
+    snap.chunkIndex.fold((0, 0))(ix => (ix.chunksParsed, ix.chunksTotal))
 
   private def longOf(v: Any): Option[Long] = v match {
     case l: java.lang.Long    => Some(l)
@@ -1168,7 +1180,7 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     val k = snap.keyCol
     var lo = Long.MinValue
     var hi = Long.MaxValue
-    val inSets = Seq.newBuilder[Array[Long]]
+    val inSetsB = Seq.newBuilder[Array[Long]]
     val used = Array.newBuilder[Filter]
     filters.foreach {
       case f @ GreaterThanOrEqual(`k`, v) => longOf(v).foreach { x =>
@@ -1185,14 +1197,36 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
       // (the same probe the runtime-filter path uses) — collapsing to
       // the list's span would keep every file between min and max
       case f @ In(`k`, vs) if vs.nonEmpty && vs.forall(longOf(_).isDefined) =>
-        inSets += vs.map(longOf(_).get).sorted
+        inSetsB += vs.map(longOf(_).get).sorted
         used += f
       case _ => ()
     }
-    if (lo != Long.MinValue || hi != Long.MaxValue)
-      files = TableLog.prunedFiles(snap, lo, hi)
-    inSets.result().foreach { sorted =>
-      files = files.filter(f =>
+    val inSets = inSetsB.result()
+    val range =
+      if (lo != Long.MinValue || hi != Long.MaxValue) Some((lo, hi)) else None
+    // partition predicates (point/set/null on declared partition
+    // columns, raw temporal ranges through the transform) — extracted
+    // up front because they feed BOTH the chunk layer and the
+    // per-file layer below
+    val (pPreds, pConsumed) =
+      if (snap.partCols.nonEmpty)
+        GraftLogScanBuilder.partitionPreds(snap.partCols, filters.toSeq)
+      else (Nil, Nil)
+    pConsumed.foreach(used += _)
+    // ZEROTH manifest layer — CHUNK pruning: on a chunk-checkpointed
+    // table, key-range/IN and partition predicates test each chunk's
+    // stats envelope from the manifest LIST, and only surviving
+    // chunks' file entries are parsed at all — planning cost
+    // O(matching chunks), the property that keeps a 1M-file table's
+    // driver work bounded. Falls through to the full set when
+    // unchunked or predicate-free.
+    var fs = snap.activePruned(r =>
+      GraftLogScanBuilder.chunkKeeps(r, range, inSets, pPreds))
+    // first per-file layer: key-range [min, max] stats
+    range.foreach { case (l, h) =>
+      fs = fs.filter(a => a.max >= l && a.min <= h) }
+    inSets.foreach { sorted =>
+      fs = fs.filter(f =>
         GraftLogScanBuilder.anyInRange(sorted, f.min, f.max))
     }
     // second manifest layer: point predicates on the bloom column
@@ -1211,23 +1245,16 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
         val keep = TableLog
           .prunedFilesBloom(spark, tablePath, snap, probes)
           .map(_.relPath).toSet
-        files = files.filter(a => keep(a.relPath))
+        fs = fs.filter(a => keep(a.relPath))
       }
     }
-    // third manifest layer: partition pruning — point/set/null
-    // predicates on declared partition columns test each file's
-    // recorded tuple stats; a file survives iff SOME tuple satisfies
-    // every partition predicate at once (conjunctive per tuple, so
-    // `p1='a' AND p2='x'` drops a file holding (a,y) and (b,x)).
-    // Files without tuple stats are kept — absence must not lose rows.
-    if (snap.partCols.nonEmpty) {
-      val (preds, consumed) =
-        GraftLogScanBuilder.partitionPreds(snap.partCols, filters.toSeq)
-      consumed.foreach(used += _)
-      if (preds.nonEmpty)
-        files = files.filter(
-          GraftLogScanBuilder.partitionKeeps(_, preds))
-    }
+    // third manifest layer: partition pruning — a file survives iff
+    // SOME recorded tuple satisfies every partition predicate at once
+    // (conjunctive per tuple, so `p1='a' AND p2='x'` drops a file
+    // holding (a,y) and (b,x)). Files without tuple stats are kept —
+    // absence must not lose rows.
+    if (pPreds.nonEmpty)
+      fs = fs.filter(GraftLogScanBuilder.partitionKeeps(_, pPreds))
     // fourth manifest layer: NON-KEY column min/max skipping (the
     // Delta/Iceberg data-skipping device) — comparison predicates on
     // any stats-carrying column drop files whose recorded range
@@ -1236,7 +1263,7 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     // matches a null row, range skipping alone stays exact.
     // column stats are recorded under PHYSICAL names — filters arrive
     // logical and translate through the snapshot's column mapping
-    val statCarrying = files.iterator
+    val statCarrying = fs.iterator
       .flatMap(_.cols.iterator.map(_.col)).toSet
     val cFlt = filters.filter(flt =>
       GraftLogScanBuilder.colStatFilterCol(flt)
@@ -1244,9 +1271,10 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     if (cFlt.nonEmpty) {
       cFlt.foreach(used += _)
       val physFlt = cFlt.map(GraftLogScanBuilder.physFilter(_, snap.colMap))
-      files = files.filter(a =>
+      fs = fs.filter(a =>
         physFlt.forall(GraftLogScanBuilder.colStatKeep(a, _)))
     }
+    filesOpt = Some(fs)
     accepted = used.result().distinct
     // every filter comes back as a residual: file-grain skipping is
     // not row-exact, and the parquet scan's row-group pruning (fed
@@ -1406,9 +1434,22 @@ object GraftLogScanBuilder {
     * render non-lexicographically and are kept unconditionally
     * rather than risked; comparison predicates never match null rows,
     * so a null tuple fails them exactly like the identity case. */
+  /** One consumed partition predicate: `row` is the per-tuple keep
+    * test (file grain); `env` the CHUNK-grain keep test over a
+    * checkpoint chunk's lexicographic value envelope [min, max] —
+    * called only on BOUNDED envelopes (an unbounded envelope always
+    * keeps), and sound because the envelope is folded in the same
+    * lexicographic order the probes compare in (equality under any
+    * domain; ranges only for temporal renderings, where zero-padding
+    * makes lexicographic chronological). A bounded envelope also
+    * proves the chunk holds no null tuple values, so IsNull prunes it
+    * outright. */
+  private[sources] final case class PartPred(idx: Int,
+      row: String => Boolean, env: (String, String) => Boolean)
+
   private[sources] def partitionPreds(partCols: Seq[String],
       filters: Seq[Filter])
-      : (Seq[(Int, String => Boolean)], Seq[Filter]) = {
+      : (Seq[PartPred], Seq[Filter]) = {
     val bySrc: Map[String, (Int, TableLog.PartTransform)] =
       partCols.zipWithIndex.map { case (spec, i) =>
         TableLog.partSourceCol(spec) ->
@@ -1452,24 +1493,27 @@ object GraftLogScanBuilder {
       bySrc.get(c).filterNot(_._2.isInstanceOf[TableLog.PIdentity])
     def identityIdx(c: String): Option[Int] =
       bySrc.get(c).collect { case (i, TableLog.PIdentity(_)) => i }
+    def inEnv(p: String): (String, String) => Boolean =
+      (mn, mx) => mn <= p && p <= mx
     val preds = filters.flatMap {
       // ---- identity specs: exact stringified point/set/null tests
       case f @ EqualTo(c, v) if identityIdx(c).isDefined && v != null =>
         consumed += f
-        Some((identityIdx(c).get, (x: String) =>
-          x != TableLog.NullPartValue && x == str(v)))
+        Some(PartPred(identityIdx(c).get, x =>
+          x != TableLog.NullPartValue && x == str(v), inEnv(str(v))))
       case f @ In(c, vs) if identityIdx(c).isDefined && vs.nonEmpty =>
         consumed += f
         val set = vs.filter(_ != null).map(str).toSet
-        Some((identityIdx(c).get, (x: String) =>
-          x != TableLog.NullPartValue && set(x)))
+        Some(PartPred(identityIdx(c).get, x =>
+          x != TableLog.NullPartValue && set(x),
+          (mn, mx) => set.exists(p => mn <= p && p <= mx)))
       // ---- temporal specs: raw predicates map through the transform
       case f @ EqualTo(c, v) if temporal(c).isDefined && v != null =>
         val (i, t) = temporal(c).get
         renderProbe(t, v).map { p =>
           consumed += f
-          (i, (x: String) => x != TableLog.NullPartValue &&
-            (!lexSafe(x) || x == p))
+          PartPred(i, x => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || x == p), inEnv(p))
         }
       case f @ In(c, vs) if temporal(c).isDefined && vs.nonEmpty =>
         val (i, t) = temporal(c).get
@@ -1478,15 +1522,16 @@ object GraftLogScanBuilder {
         else {
           consumed += f
           val set = ps.flatten.toSet
-          Some((i, (x: String) => x != TableLog.NullPartValue &&
-            (!lexSafe(x) || set(x))))
+          Some(PartPred(i, x => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || set(x)),
+            (mn, mx) => set.exists(p => mn <= p && p <= mx)))
         }
       case f @ GreaterThanOrEqual(c, v) if temporal(c).isDefined =>
         val (i, t) = temporal(c).get
         renderProbe(t, v).map { p =>
           consumed += f
-          (i, (x: String) => x != TableLog.NullPartValue &&
-            (!lexSafe(x) || x >= p))
+          PartPred(i, x => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || x >= p), (_, mx) => mx >= p)
         }
       case f @ GreaterThan(c, v) if temporal(c).isDefined =>
         // strict > at row grain is >= at day grain (the boundary
@@ -1494,30 +1539,34 @@ object GraftLogScanBuilder {
         val (i, t) = temporal(c).get
         renderProbe(t, v).map { p =>
           consumed += f
-          (i, (x: String) => x != TableLog.NullPartValue &&
-            (!lexSafe(x) || x >= p))
+          PartPred(i, x => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || x >= p), (_, mx) => mx >= p)
         }
       case f @ LessThanOrEqual(c, v) if temporal(c).isDefined =>
         val (i, t) = temporal(c).get
         renderProbe(t, v).map { p =>
           consumed += f
-          (i, (x: String) => x != TableLog.NullPartValue &&
-            (!lexSafe(x) || x <= p))
+          PartPred(i, x => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || x <= p), (mn, _) => mn <= p)
         }
       case f @ LessThan(c, v) if temporal(c).isDefined =>
         val (i, t) = temporal(c).get
         renderProbe(t, v).map { p =>
           consumed += f
-          (i, (x: String) => x != TableLog.NullPartValue &&
-            (!lexSafe(x) || x <= p))
+          PartPred(i, x => x != TableLog.NullPartValue &&
+            (!lexSafe(x) || x <= p), (mn, _) => mn <= p)
         }
       // ---- null tests work identically under every transform
       case f @ IsNull(c) if bySrc.contains(c) =>
         consumed += f
-        Some((bySrc(c)._1, (x: String) => x == TableLog.NullPartValue))
+        // a bounded chunk envelope proves no member file records a
+        // null tuple value — IsNull prunes the whole chunk
+        Some(PartPred(bySrc(c)._1,
+          x => x == TableLog.NullPartValue, (_, _) => false))
       case f @ IsNotNull(c) if bySrc.contains(c) =>
         consumed += f
-        Some((bySrc(c)._1, (x: String) => x != TableLog.NullPartValue))
+        Some(PartPred(bySrc(c)._1,
+          x => x != TableLog.NullPartValue, (_, _) => true))
       case _ => None
     }
     (preds, consumed.result())
@@ -1526,9 +1575,24 @@ object GraftLogScanBuilder {
   /** A file survives partition pruning iff SOME recorded tuple
     * satisfies EVERY predicate; stat-less files always survive. */
   private[sources] def partitionKeeps(a: TableLog.AddFile,
-      preds: Seq[(Int, String => Boolean)]): Boolean =
+      preds: Seq[PartPred]): Boolean =
     a.parts.isEmpty || a.parts.exists(p =>
-      preds.forall { case (i, ok) => ok(p.values(i)) })
+      preds.forall(pr => pr.row(p.values(pr.idx))))
+
+  /** A checkpoint chunk survives iff its stats envelope might hold a
+    * matching file: key range/IN vs [minKey, maxKey], partition
+    * predicates vs the per-column value envelope (unbounded always
+    * keeps). The chunk-grain mirror of the per-file layers — called
+    * BEFORE any file entry is parsed. */
+  private[sources] def chunkKeeps(r: TableLog.ChunkRef,
+      range: Option[(Long, Long)], inSets: Seq[Array[Long]],
+      preds: Seq[PartPred]): Boolean =
+    range.forall { case (lo, hi) => r.maxKey >= lo && r.minKey <= hi } &&
+      inSets.forall(sorted => anyInRange(sorted, r.minKey, r.maxKey)) &&
+      preds.forall(pr => r.env(pr.idx) match {
+        case None           => true
+        case Some((mn, mx)) => pr.env(mn, mx)
+      })
 
   /** The key interval implied by pushed comparisons on `keyCol`
     * (None = unbounded) — the same fold the scan's pushFilters

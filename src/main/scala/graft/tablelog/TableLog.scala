@@ -149,8 +149,9 @@ object TableLog {
     * metadata needed to read them. `txns` carries the highest
     * committed producer version per application id; `bloom` the
     * table's declared bloom-indexed column and filter width in bits
-    * (sidecar files carry the bitsets — see [[prunedFilesBloom]]). */
-  /** `colMap` is the COLUMN-MAPPING indirection (Delta's
+    * (sidecar files carry the bitsets — see [[prunedFilesBloom]]).
+    *
+    * `colMap` is the COLUMN-MAPPING indirection (Delta's
     * column-mapping lineage): logical schema name → PHYSICAL name as
     * written in the data files. RENAME COLUMN is then one metadata
     * commit (old files keep their physical names; reads project
@@ -159,15 +160,28 @@ object TableLog {
     * names still present in active files so a later ADD COLUMN cannot
     * silently resurrect their bytes; a full-rewrite compaction
     * materializes logical names physically and clears both. Empty on
-    * every never-renamed table — the zero-cost common case. */
-  final case class Snapshot(version: Long, active: Seq[AddFile],
-      schemaDdl: String, keyCol: String,
-      txns: Map[String, Long] = Map.empty,
-      bloom: Option[(String, Int)] = None,
-      partCols: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty,
-      colMap: Map[String, String] = Map.empty,
-      droppedPhys: Set[String] = Set.empty) {
+    * every never-renamed table — the zero-cost common case.
+    *
+    * `active` is LAZY: on a chunk-checkpointed table the metadata
+    * (schema, key, props — everything `loadTable` needs) folds from
+    * the checkpoint HEADER plus the commit tail without parsing one
+    * file entry; the full file listing parses on first touch, and
+    * [[activePruned]] parses ONLY the manifest chunks whose stats
+    * envelope survives the caller's predicate — planning cost
+    * O(matching chunks), never O(active files) on the driver. */
+  final class Snapshot private[tablelog] (
+      val version: Long,
+      activeThunk: () => Seq[AddFile],
+      val schemaDdl: String, val keyCol: String,
+      val txns: Map[String, Long],
+      val bloom: Option[(String, Int)],
+      val partCols: Seq[String],
+      val props: Map[String, String],
+      val colMap: Map[String, String],
+      val droppedPhys: Set[String],
+      private[graft] val chunkIndex: Option[ChunkIndex])
+      extends Serializable {
+    lazy val active: Seq[AddFile] = activeThunk()
     /** The PHYSICAL name of a logical column — identity when unmapped. */
     def physName(logical: String): String =
       colMap.getOrElse(logical, logical)
@@ -177,6 +191,78 @@ object TableLog {
       val s = StructType.fromDDL(schemaDdl)
       if (colMap.isEmpty) s
       else StructType(s.fields.map(f => f.copy(name = physName(f.name))))
+    }
+    /** The active set pruned at CHUNK grain: only checkpoint chunks
+      * passing `keep` are parsed (commit-tail files always included —
+      * the tail is not chunked). `keep` must be conservative against
+      * the chunk's stats envelope; falls back to the full set on an
+      * unchunked table. Per-file stat layers still apply downstream —
+      * this layer only bounds what the driver PARSES. */
+    private[graft] def activePruned(keep: ChunkRef => Boolean): Seq[AddFile] =
+      chunkIndex match {
+        case Some(ix) => ix.load(keep, strict = false)
+        case None     => active
+      }
+  }
+
+  object Snapshot {
+    def apply(version: Long, active: Seq[AddFile],
+        schemaDdl: String, keyCol: String,
+        txns: Map[String, Long] = Map.empty,
+        bloom: Option[(String, Int)] = None,
+        partCols: Seq[String] = Nil,
+        props: Map[String, String] = Map.empty,
+        colMap: Map[String, String] = Map.empty,
+        droppedPhys: Set[String] = Set.empty): Snapshot =
+      new Snapshot(version, () => active, schemaDdl, keyCol, txns, bloom,
+        partCols, props, colMap, droppedPhys, None)
+  }
+
+  /** One checkpoint chunk's MANIFEST-LIST entry (Iceberg's
+    * manifest-list shape): file count, live rows, the chunk-wide key
+    * envelope `[minKey, maxKey]`, a per-partition-column value
+    * envelope (None = unprunable: a member file lacks tuple stats,
+    * holds a null value, or — for temporal transforms — renders
+    * outside the lexicographically safe year range), and the set of
+    * stage dirs its files live in (the checkpoint writer's dirtiness
+    * test: a commit names relPaths, so a chunk whose stages none of
+    * the tail's touched paths hit is provably byte-identical and is
+    * re-referenced WITHOUT being parsed or rewritten). */
+  final case class ChunkRef(relName: String, nFiles: Int, rows: Long,
+      minKey: Long, maxKey: Long, env: Seq[Option[(String, String)]],
+      stages: Set[String])
+
+  /** Lazily-parsed chunk set of one checkpoint plus the commit tail
+    * after it. Parsed chunks cache (a scan builder probes once, the
+    * full `active` force reuses them); `chunksParsed` instruments the
+    * spec's pruning pin. */
+  final class ChunkIndex private[tablelog] (table: String,
+      private[graft] val refs: Seq[ChunkRef], tail: Seq[Commit])
+      extends Serializable {
+    @transient private lazy val parsed =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[AddFile]]()
+    private[graft] def chunksTotal: Int = refs.size
+    private[graft] def chunksParsed: Int = parsed.size
+    private def filesOf(r: ChunkRef): Seq[AddFile] =
+      parsed.computeIfAbsent(r.relName, rel =>
+        parse(0L, Files.readString(logDir(table).resolve(rel))).adds)
+    private[tablelog] def load(keep: ChunkRef => Boolean,
+        strict: Boolean): Seq[AddFile] = {
+      val act = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+      refs.withFilter(keep).foreach(r =>
+        filesOf(r).foreach(a => act(a.relPath) = a))
+      tail.foreach { c =>
+        c.removes.foreach { p =>
+          // under pruning a remove may target a file in a skipped
+          // chunk — fine, it was never included; on a FULL load a
+          // miss is log corruption and throws like replay does
+          if (act.remove(p).isEmpty && strict)
+            throw new IllegalStateException(
+              s"corrupt log: v${c.version} removes inactive file $p")
+        }
+        c.adds.foreach(a => act(a.relPath) = a)
+      }
+      act.values.toSeq
     }
   }
 
@@ -190,7 +276,7 @@ object TableLog {
   private def logDir(table: String): Path = Paths.get(table, logDirName)
   private def commitPath(table: String, v: Long): Path =
     logDir(table).resolve(f"v$v%016d.commit")
-  private def checkpointPath(table: String, v: Long): Path =
+  private[tablelog] def checkpointPath(table: String, v: Long): Path =
     logDir(table).resolve(f"v$v%016d.checkpoint")
 
   // ------------------------------------------------------------ manifest io
@@ -503,34 +589,46 @@ object TableLog {
     }
   }
 
+  /** Non-file snapshot metadata, folded over a commit tail with the
+    * SAME override rules replay uses — shared by the strict replay
+    * and the chunked-checkpoint path, so the two cannot drift. */
+  private final case class Meta(ddl: String, key: String,
+      txns: Map[String, Long], bloom: Option[(String, Int)],
+      partCols: Seq[String], props: Map[String, String],
+      colMap: Map[String, String], dropped: Set[String])
+
+  private def metaOf(s: Snapshot): Meta =
+    Meta(s.schemaDdl, s.keyCol, s.txns, s.bloom, s.partCols, s.props,
+      s.colMap, s.droppedPhys)
+
+  private def foldMeta(m0: Meta, tail: Seq[Commit]): Meta =
+    tail.foldLeft(m0) { (m, c) =>
+      Meta(
+        if (c.schemaDdl.nonEmpty) c.schemaDdl else m.ddl,
+        if (c.keyCol.nonEmpty) c.keyCol else m.key,
+        c.txns.foldLeft(m.txns) { case (t, (app, tv)) =>
+          t + (app -> math.max(tv, t.getOrElse(app, Long.MinValue))) },
+        if (c.bloom.nonEmpty) c.bloom else m.bloom,
+        if (c.partCols.nonEmpty) c.partCols else m.partCols,
+        c.props.getOrElse(m.props),
+        c.colMap.map(_._1).getOrElse(m.colMap),
+        c.colMap.map(_._2).getOrElse(m.dropped))
+    }
+
   private def replay(base: Snapshot, tail: Seq[Commit]): Snapshot = {
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     base.active.foreach(a => active(a.relPath) = a)
-    var ddl = base.schemaDdl; var key = base.keyCol; var v = base.version
-    var txns = base.txns; var bloom = base.bloom
-    var partCols = base.partCols
-    var props = base.props
-    var colMap = base.colMap
-    var dropped = base.droppedPhys
     tail.foreach { c =>
       c.removes.foreach { p =>
         if (active.remove(p).isEmpty) throw new IllegalStateException(
           s"corrupt log: v${c.version} removes inactive file $p")
       }
       c.adds.foreach(a => active(a.relPath) = a)
-      if (c.schemaDdl.nonEmpty) ddl = c.schemaDdl
-      if (c.keyCol.nonEmpty) key = c.keyCol
-      if (c.bloom.nonEmpty) bloom = c.bloom
-      if (c.partCols.nonEmpty) partCols = c.partCols
-      c.props.foreach(p => props = p)
-      c.colMap.foreach { case (m, d) => colMap = m; dropped = d }
-      c.txns.foreach { case (app, tv) =>
-        txns += app -> math.max(tv, txns.getOrElse(app, Long.MinValue))
-      }
-      v = c.version
     }
-    Snapshot(v, active.values.toSeq, ddl, key, txns, bloom, partCols,
-      props, colMap, dropped)
+    val m = foldMeta(metaOf(base), tail)
+    val v = tail.lastOption.map(_.version).getOrElse(base.version)
+    Snapshot(v, active.values.toSeq, m.ddl, m.key, m.txns, m.bloom,
+      m.partCols, m.props, m.colMap, m.dropped)
   }
 
   /** The latest version whose commit wall-clock stamp is ≤
@@ -548,27 +646,46 @@ object TableLog {
     stamped.map(_.version).max
   }
 
-  /** Table state at `version` (default: latest). Replays the newest
-    * checkpoint ≤ version plus the commits after it — O(active files
-    * + recent commits), never O(full history). */
+  /** Table state at `version` (default: latest). Resolves the newest
+    * checkpoint ≤ version plus the commits after it. On a CHUNKED
+    * checkpoint the returned snapshot is metadata-eager but
+    * file-LAZY: schema/key/props fold from the checkpoint header +
+    * tail (O(tail) driver work — `loadTable` never parses a file
+    * entry), the full `active` parses all chunks on first touch, and
+    * [[Snapshot.activePruned]] parses only stats-matching chunks —
+    * the planning path a 1M-file table needs. Legacy monolithic
+    * checkpoints replay strictly as before. */
   def state(table: String, version: Long = Long.MaxValue): Snapshot = {
     val last = math.min(latestVersion(table), version)
     require(last > 0, s"$table has no committed version ≤ $version")
     val ckptV = (last to 1L by -1L)
       .find(v => Files.exists(checkpointPath(table, v)))
-    val base = ckptV match {
-      case Some(v) =>
-        val c = parse(v, Files.readString(checkpointPath(table, v)))
-        Snapshot(v, c.adds, c.schemaDdl, c.keyCol, c.txns.toMap, c.bloom,
-          c.partCols, c.props.getOrElse(Map.empty),
-          c.colMap.map(_._1).getOrElse(Map.empty),
-          c.colMap.map(_._2).getOrElse(Set.empty))
-      case None => Snapshot(0L, Nil, "", "")
+    ckptV match {
+      case Some(cv) =>
+        val (hdr, refs) = parseCheckpointList(table, cv)
+        val tail = ((cv + 1L) to last).map { v =>
+          parse(v, Files.readString(commitPath(table, v)))
+        }
+        val base = Snapshot(cv, hdr.adds, hdr.schemaDdl, hdr.keyCol,
+          hdr.txns.toMap, hdr.bloom, hdr.partCols,
+          hdr.props.getOrElse(Map.empty),
+          hdr.colMap.map(_._1).getOrElse(Map.empty),
+          hdr.colMap.map(_._2).getOrElse(Set.empty))
+        refs match {
+          case None => replay(base, tail) // legacy monolith: strict
+          case Some(rs) =>
+            val m = foldMeta(metaOf(base), tail)
+            val ix = new ChunkIndex(table, rs, tail)
+            new Snapshot(last, () => ix.load(_ => true, strict = true),
+              m.ddl, m.key, m.txns, m.bloom, m.partCols, m.props,
+              m.colMap, m.dropped, Some(ix))
+        }
+      case None =>
+        val tail = (1L to last).map { v =>
+          parse(v, Files.readString(commitPath(table, v)))
+        }
+        replay(Snapshot(0L, Nil, "", ""), tail)
     }
-    val tail = ((base.version + 1L) to last).map { v =>
-      parse(v, Files.readString(commitPath(table, v)))
-    }
-    replay(base, tail)
   }
 
   // ------------------------------------------------------------ committing
@@ -629,15 +746,168 @@ object TableLog {
     attempt // unreachable
   }
 
+  /** Files per checkpoint chunk — small so the demo-scale histories
+    * exercise multi-chunk checkpoints and chunk-grain pruning; a
+    * production table would use O(10⁴) (≈1 MB of entries per chunk at
+    * ~100 B/file: a 1M-file 100-TB table is ~100 chunks, a ~10 KB
+    * manifest list). */
+  val checkpointChunkFiles = 8
+
+  /** The stage-dir component of a table-relative data path — the
+    * grain of the checkpoint writer's chunk dirtiness test. */
+  private def stageOfRel(rel: String): String =
+    fileIdOf(rel).takeWhile(_ != '/')
+
+  /** Chunk-wide partition-value envelope, per partition column:
+    * lexicographic [min, max] over every member file's recorded tuple
+    * values — None (unprunable) as soon as one file lacks tuple stats,
+    * holds a null value, or (temporal transforms only) renders outside
+    * the lexicographically-safe year range. Lexicographic bounds are
+    * sound for EQUALITY probes under any value domain (the probe
+    * renders through the same total order) and for RANGE probes on
+    * temporal renderings (zero-padded → lexicographic is
+    * chronological — the same property the file-grain layer relies
+    * on). */
+  private def chunkEnv(partCols: Seq[String],
+      files: Seq[AddFile]): Seq[Option[(String, String)]] =
+    partCols.zipWithIndex.map { case (spec, i) =>
+      val temporal = !partTransformOf(spec).isInstanceOf[PIdentity]
+      var mn: String = null; var mx: String = null; var ok = true
+      files.foreach { a =>
+        if (a.parts.isEmpty) ok = false
+        else a.parts.foreach { p =>
+          val x = p.values(i)
+          if (x == NullPartValue) ok = false
+          else if (temporal && !(x.length >= 4 && x.charAt(0).isDigit))
+            ok = false
+          else {
+            if (mn == null || x < mn) mn = x
+            if (mx == null || x > mx) mx = x
+          }
+        }
+      }
+      if (ok && mn != null) Some((mn, mx)) else None
+    }
+
+  private def renderChunkLine(r: ChunkRef): String = {
+    val env = r.env.map {
+      case None            => "~"
+      case Some((mn, mx))  => s"${encCol(mn)}:${encCol(mx)}"
+    }
+    val stages = r.stages.toSeq.sorted.map(encCol)
+    s"chunk ${r.relName} ${r.nFiles} ${r.rows} ${r.minKey} ${r.maxKey} " +
+      s"${env.size} ${env.mkString(" ")} ${stages.size} " +
+      stages.mkString(" ")
+  }
+
+  private def parseChunkLine(line: String): ChunkRef = {
+    val t = line.split(" ").filter(_.nonEmpty)
+    // chunk relName nFiles rows minKey maxKey nEnv env* nStages stage*
+    val nEnv = t(6).toInt
+    val env = t.slice(7, 7 + nEnv).toSeq.map {
+      case "~" => None
+      case tok =>
+        val c = tok.indexOf(':')
+        Some((decCol(tok.substring(0, c)), decCol(tok.substring(c + 1))))
+    }
+    val nStages = t(7 + nEnv).toInt
+    ChunkRef(t(1), t(2).toInt, t(3).toLong, t(4).toLong, t(5).toLong,
+      env, t.slice(8 + nEnv, 8 + nEnv + nStages).map(decCol).toSet)
+  }
+
+  /** A checkpoint file split into its header commit and (for chunked
+    * checkpoints) the manifest list; None refs = legacy monolith whose
+    * file entries ride the header itself. */
+  private[tablelog] def parseCheckpointList(table: String,
+      v: Long): (Commit, Option[Seq[ChunkRef]]) = {
+    val lines = Files.readString(checkpointPath(table, v))
+      .linesIterator.filter(_.nonEmpty).toSeq
+    val (chunkLines, rest) = lines.partition(_.startsWith("chunk "))
+    val hdr = parse(v, rest.mkString("\n"))
+    if (chunkLines.isEmpty) (hdr, None)
+    else (hdr, Some(chunkLines.map(parseChunkLine)))
+  }
+
+  /** Write the periodic checkpoint as a STATS-CARRYING MANIFEST LIST
+    * plus bounded chunk files (the Iceberg manifest-list shape;
+    * Delta's multi-part checkpoints are the other public lineage):
+    * the `.checkpoint` file holds only the table metadata and one
+    * `chunk` line per chunk — file count, live rows, key envelope,
+    * per-partition-column value envelope, stage dirs — and each chunk
+    * file holds ≤ [[checkpointChunkFiles]] file entries.
+    *
+    * INCREMENTAL by construction: a chunk none of whose stage dirs
+    * was touched by any commit since the previous checkpoint is
+    * provably byte-identical and is RE-REFERENCED without being read
+    * or rewritten, so bytes written per checkpoint are O(touched
+    * files + list), never O(active files) — the property that keeps
+    * commit cost flat as a 100-TB table's file count grows. Readers
+    * prune whole chunks against pushed predicates via the envelopes
+    * BEFORE parsing any file entry ([[Snapshot.activePruned]]). */
   private def maybeCheckpoint(table: String, v: Long): Unit =
     if (v % checkpointEvery == 0L) {
-      val snap = state(table, v)
-      val text = render("checkpoint", snap.active, Nil, snap.schemaDdl,
-        snap.keyCol, snap.txns.toSeq, snap.bloom, partCols = snap.partCols,
-        props = Some(snap.props),
+      val prevV = ((v - 1L) to 1L by -1L)
+        .find(x => Files.exists(checkpointPath(table, x)))
+      val (prevHdr, prevRefs) = prevV match {
+        case Some(pv) =>
+          val (h, r) = parseCheckpointList(table, pv)
+          (Some(h), r.getOrElse(Nil))
+        case None => (None, Nil)
+      }
+      val base = prevV.getOrElse(0L)
+      val tail = ((base + 1L) to v).map { x =>
+        parse(x, Files.readString(commitPath(table, x)))
+      }
+      val changedStages = tail
+        .flatMap(c => c.removes ++ c.adds.map(_.relPath))
+        .map(stageOfRel).toSet
+      val (cleanRefs, dirtyRefs) = prevRefs
+        .partition(r => !r.stages.exists(changedStages))
+      // leftovers = everything not covered by a clean chunk: dirty
+      // chunks' files, a legacy monolith's files, and the tail's adds
+      // — replayed against the tail's removes (a remove can only name
+      // a path whose stage is dirty, so clean chunks stay untouched)
+      val act = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+      prevHdr.foreach(_.adds.foreach(a => act(a.relPath) = a))
+      dirtyRefs.foreach { r =>
+        parse(0L, Files.readString(logDir(table).resolve(r.relName))).adds
+          .foreach(a => act(a.relPath) = a)
+      }
+      tail.foreach { c =>
+        c.removes.foreach { p =>
+          if (act.remove(p).isEmpty) throw new IllegalStateException(
+            s"corrupt log: v${c.version} removes file $p outside every " +
+              "dirty checkpoint chunk")
+        }
+        c.adds.foreach(a => act(a.relPath) = a)
+      }
+      val m = foldMeta(prevHdr.fold(
+        Meta("", "", Map.empty, None, Nil, Map.empty, Map.empty, Set.empty))(
+        h => Meta(h.schemaDdl, h.keyCol, h.txns.toMap, h.bloom, h.partCols,
+          h.props.getOrElse(Map.empty),
+          h.colMap.map(_._1).getOrElse(Map.empty),
+          h.colMap.map(_._2).getOrElse(Set.empty))), tail)
+      // cluster leftovers by (partition tuple, key) so fresh chunk
+      // envelopes are tight — the same ordering instinct stage() uses
+      val ordered = act.values.toSeq.sortBy(a =>
+        (if (a.parts.nonEmpty) a.parts.head.values.mkString("/") else "",
+          a.min))
+      val newRefs = ordered.grouped(checkpointChunkFiles).map { fs =>
+        val relName = s"c-${java.util.UUID.randomUUID().toString.take(12)}.chunk"
+        Files.write(logDir(table).resolve(relName),
+          render("chunk", fs, Nil, "", "").getBytes(UTF_8))
+        ChunkRef(relName, fs.size, fs.map(_.liveRows).sum,
+          fs.map(_.min).min, fs.map(_.max).max,
+          chunkEnv(m.partCols, fs), fs.map(a => stageOfRel(a.relPath)).toSet)
+      }.toSeq
+      val header = render("checkpoint", Nil, Nil, m.ddl, m.key,
+        m.txns.toSeq, m.bloom, partCols = m.partCols,
+        props = Some(m.props),
         colMap =
-          if (snap.colMap.isEmpty && snap.droppedPhys.isEmpty) None
-          else Some((snap.colMap, snap.droppedPhys)))
+          if (m.colMap.isEmpty && m.dropped.isEmpty) None
+          else Some((m.colMap, m.dropped)))
+      val text = header +
+        (cleanRefs ++ newRefs).map(renderChunkLine).mkString("\n") + "\n"
       val tmp = Files.createTempFile(logDir(table), "tmp-ckpt-", ".inprogress")
       try {
         Files.write(tmp, text.getBytes(UTF_8))
@@ -957,28 +1227,56 @@ object TableLog {
   }
 
   /** The rendered partition value of `spec` as a Column — identity
-    * stringification, or the transform's UTC rendering. The
-    * `to_utc_timestamp(col, current_timezone())` trick re-renders the
-    * instant's UTC wall clock regardless of the session time zone, so
-    * the stored value equals the task writer's
-    * `LocalDate.ofEpochDay(floorDiv(micros, 86.4e9))` exactly. */
+    * stringification, or the transform's UTC rendering derived from
+    * the instant's MICROS with the same `floorDiv` arithmetic as
+    * [[epochDayOfMicros]]/[[epochHourOfMicros]], so the SQL write
+    * path, the DSv2 task writer and the scan-side predicate probes
+    * share ONE bucketing that is zone-free by construction. (The
+    * previous `date_format(to_utc_timestamp(col, current_timezone()))`
+    * rendering round-tripped through the session zone: an instant
+    * whose UTC wall clock falls inside the session zone's DST gap
+    * rendered shifted by an hour — a silently mis-bucketed tuple a
+    * temporal range predicate could then prune wrongly.) Spark's
+    * `CAST(date AS STRING)` renders `yyyy-MM-dd` zero-padded,
+    * matching `LocalDate.ofEpochDay(...).toString` exactly. */
   private[graft] def partValueCol(spec: String,
       schema: StructType): Column = {
     import org.apache.spark.sql.types.{DateType, TimestampType}
-    def fmt(c: String, pattern: String): Column =
+    // floorDiv in pure integer SQL (div truncates toward zero; the
+    // CASE corrects the pre-epoch remainder) — micros stay in BIGINT
+    // end to end, no double rounding at 2^63-scale values
+    def floorDivSql(x: String, d: Long): String =
+      s"($x div ${d}L - (CASE WHEN $x % ${d}L < 0 THEN 1 ELSE 0 END))"
+    def dayStrSql(edSql: String): String =
+      s"CAST(date_add(DATE'1970-01-01', CAST($edSql AS INT)) AS STRING)"
+    def tempo(c: String)(
+        onTs: String => String, onDate: String => String): Column =
       schema(c).dataType match {
-        case TimestampType => date_format(
-          to_utc_timestamp(col(c), expr("current_timezone()")), pattern)
-        case DateType => date_format(col(c), pattern)
+        case TimestampType => expr(onTs(s"unix_micros(`$c`)"))
+        case DateType      => expr(onDate(s"CAST(`$c` AS STRING)"))
         case o => throw new IllegalArgumentException(
           s"temporal partition transform over ${o.sql} column '$c'")
       }
     partTransformOf(spec) match {
       case PIdentity(c) => col(c).cast("string")
-      case PDays(c)     => fmt(c, "yyyy-MM-dd")
-      case PMonths(c)   => fmt(c, "yyyy-MM")
-      case PYears(c)    => fmt(c, "yyyy")
-      case PHours(c)    => fmt(c, "yyyy-MM-dd-HH")
+      case PDays(c) => tempo(c)(
+        m => dayStrSql(floorDivSql(m, 86_400_000_000L)),
+        d => d)
+      case PMonths(c) => tempo(c)(
+        m => s"substring(${dayStrSql(floorDivSql(m, 86_400_000_000L))}, 1, 7)",
+        d => s"substring($d, 1, 7)")
+      case PYears(c) => tempo(c)(
+        m => s"substring(${dayStrSql(floorDivSql(m, 86_400_000_000L))}, 1, 4)",
+        d => s"substring($d, 1, 4)")
+      case PHours(c) => tempo(c)(
+        { m =>
+          val eh = floorDivSql(m, 3_600_000_000L)
+          val day = floorDivSql(eh, 24L)
+          s"concat(${dayStrSql(day)}, '-', " +
+            s"lpad(CAST(($eh - ($day) * 24) AS STRING), 2, '0'))"
+        },
+        _ => throw new IllegalArgumentException(
+          s"hours($c) over a DATE column — refused at CREATE"))
     }
   }
 
