@@ -2843,13 +2843,18 @@ object TableOps {
     val keyed = Tables.events(s, dir)
       .select(when(pmod($"user_id", lit(3)) === 0, 0L)
         .otherwise($"user_id").as("user_key"))
-    val total = keyed.count()
     val p = skewParallelism
-    keyed.groupBy($"user_key").agg(count(lit(1)).as("n_rows"))
-      .where($"n_rows" * p > total)
+    // ONE corpus pass: the total folds from the already-aggregated
+    // key-grain frame (sum of per-key counts ≡ row count) and rides a
+    // 1-row broadcast — the q152 device; both branches share the same
+    // groupBy exchange, so the corpus scan is not repeated
+    val grouped = keyed.groupBy($"user_key").agg(count(lit(1)).as("n_rows"))
+    val total = grouped.agg(sum($"n_rows").as("total"))
+    grouped.crossJoin(broadcast(total))
+      .where($"n_rows" * p > $"total")
       .select($"user_key", $"n_rows",
-        expr(s"(n_rows * 1000000) div $total").as("share_ppm"),
-        expr(s"(n_rows * $p + $total - 1) div $total").as("salt_factor"))
+        expr("(n_rows * 1000000) div total").as("share_ppm"),
+        expr(s"(n_rows * $p + total - 1) div total").as("salt_factor"))
       .orderBy($"user_key")
   }
 

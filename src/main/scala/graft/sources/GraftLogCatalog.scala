@@ -606,7 +606,13 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     * in the manifest, reported ENFORCED — Spark's own
     * ResolveTableConstraints rule then wraps every write with the
     * validation, so a violating INSERT/UPDATE/MERGE fails before one
-    * row lands; existing rows validate once at ADD time. */
+    * row lands; existing rows validate once at ADD time. ENFORCED is
+    * honest on EVERY path: writes outside the catalog rule — the
+    * direct TableLog API (append/appendTxn/merge/applyCdc/
+    * replaceWhere) and the DSv2 provider/streaming sinks — validate
+    * through [[graft.tablelog.TableLog.validateChecks]] before their
+    * manifest commit (one batch-proportional aggregation on
+    * constrained tables only). */
   override def constraints()
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     snap.props.toSeq
@@ -2100,16 +2106,25 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     * commit time (deletion vectors netted), so join reordering and
     * build-side choice on graftlog-to-graftlog joins see truth
     * without an ANALYZE TABLE pass, folded from file-grain metadata
-    * over exactly the chosen (pruned) file set. */
+    * over exactly the chosen (pruned) file set. The manifest count is
+    * pinned only on UNFILTERED scans: with residual data filters the
+    * file-set sum ignores row-level selectivity and would overstate a
+    * selective scan to the CBO (flipping broadcast/build-side choices
+    * the wrong way), so filtered scans keep the delegate's
+    * selectivity-aware estimate and only backstop it when the
+    * delegate has none. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val delegate = inner.estimateStatistics()
     val manifestRows = files.map(_.liveRows).sum
+    val filtered = dataFilters.nonEmpty
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         delegate.sizeInBytes()
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(manifestRows)
+        if (!filtered) java.util.OptionalLong.of(manifestRows)
+        else if (delegate.numRows().isPresent) delegate.numRows()
+        else java.util.OptionalLong.of(manifestRows)
     }
   }
 

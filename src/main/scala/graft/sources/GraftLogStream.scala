@@ -138,7 +138,13 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
               .getOrElse(s"graftlog-sink-${info.queryId()}")
             new GraftLogStreamingWrite(path, appId, info.schema(),
               autoCompact =
-                Option(info.options.get("autoCompact")).map(_.toInt))
+                Option(info.options.get("autoCompact")).map { v =>
+                  try v.toInt
+                  catch { case _: NumberFormatException =>
+                    throw new IllegalArgumentException("graftlog sink: " +
+                      s"autoCompact must be an integer >= 2, got '$v'")
+                  }
+                })
           }
           // df.write.format(…).mode("append"): the same atomic
           // append commit the catalog's INSERT uses
@@ -200,6 +206,24 @@ private[sources] object GraftLogAppendContract {
 
   def checkedKeyCol(table: String, writeSchema: StructType): String =
     checkedMeta(table, writeSchema)._1
+
+  /** Commit-time CHECK validation of externally staged files — the
+    * provider/streaming sinks' constraint gate (Spark's catalog
+    * constraint rule never sees these writes). Reads ONLY the staged
+    * files (cost proportional to the batch) through the logical
+    * projection, so constraint SQL written against logical names
+    * evaluates correctly under a column mapping; nothing on
+    * unconstrained tables. Throws before the manifest moves: the
+    * batch fails whole, staged files stay as vacuumable orphans. */
+  def validateStaged(table: String, adds: Seq[TableLog.AddFile],
+      op: String): Unit = {
+    val snap = TableLog.state(table)
+    val checks = TableLog.checksOf(snap.props)
+    if (checks.nonEmpty && adds.nonEmpty)
+      TableLog.validateChecks(
+        TableLog.readFiles(org.apache.spark.sql.SparkSession.active,
+          table, snap, adds), checks, op)
+  }
 }
 
 /** Declares the shuffle a partitioned-table write wants: cluster
@@ -270,6 +294,12 @@ class GraftLogStreamingWrite(table: String, appId: String,
   private val (keyCol, partCols, bucketN, physDdl) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
+  // validate the autoCompact option at WRITE-BUILD time: a
+  // misconfigured threshold must fail before the first micro-batch
+  // runs, not after an epoch's data commit already succeeded
+  autoCompact.foreach(threshold => require(threshold >= 2,
+    s"graftlog sink: autoCompact threshold must be >= 2, got $threshold"))
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftLogSinkWriterFactory(table, physDdl, keyCol, partCols,
@@ -278,6 +308,12 @@ class GraftLogStreamingWrite(table: String, appId: String,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val adds = GraftLogSinkCommitMessage.adds(messages)
+    // CHECK constraints hold on THIS path too (the sink never rides
+    // Spark's catalog constraint rule): the staged files validate
+    // before the manifest moves — a violating epoch fails the query
+    // with zero rows landed, its files left as vacuumable orphans
+    GraftLogAppendContract.validateStaged(table, adds,
+      s"graftlog sink epoch $epochId into $table")
     // zero-row epochs still advance the txn ledger (an empty commit),
     // so a redelivery of them stays a no-op too
     TableLog.commitStagedAppend(table, adds, Some((appId, epochId)))
@@ -291,8 +327,6 @@ class GraftLogStreamingWrite(table: String, appId: String,
     // race to a concurrent rewrite skips this cycle, the next epoch
     // re-arms.
     autoCompact.foreach { threshold =>
-      require(threshold >= 2, s"graftlog sink: autoCompact threshold " +
-        s"must be >= 2, got $threshold")
       val live = TableLog.state(table).active.size
       if (live >= threshold)
         try TableLog.compactSmall(org.apache.spark.sql.SparkSession.active,
@@ -374,6 +408,12 @@ class GraftLogBatchAppend(table: String, writeSchema: StructType)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = GraftLogSinkCommitMessage.adds(messages)
+    // provider-path batch appends (df.write.format("graftlog")) never
+    // meet Spark's catalog constraint rule — validate staged files
+    // here; the catalog INSERT path validates rows up front through
+    // constraints(), so this re-check only costs on constrained tables
+    GraftLogAppendContract.validateStaged(table, adds,
+      s"graftlog append into $table")
     TableLog.commitStagedAppend(table, adds)
   }
 
@@ -942,15 +982,30 @@ class GraftLogMicroBatchStream(path: String, schema: StructType,
     // row-at-a-time Group reader: streamed backfills decode columnar
     // with whole-stage codegen downstream, and pre-evolution files
     // null-fill new columns through the explicit-schema read. Under a
-    // column mapping the scan requests PHYSICAL names (the window-end
-    // era's map — physical names are stable under rename); rows are
-    // positional, so the stream's logical schema is untouched.
+    // column mapping the scan requests PHYSICAL names, resolved
+    // POSITIONALLY against the window-end era (rename keeps ordinals,
+    // evolve only appends — so the stream's fields are a positional
+    // prefix of the hi-era schema even after the stream's own logical
+    // names were renamed AGAIN mid-stream; a by-name lookup through
+    // the current map would miss such a twice-renamed column and
+    // silently null-fill it). A mid-stream DROP breaks the prefix
+    // invariant and fails loudly rather than misattribute bytes —
+    // the positional datatype check is the alignment witness.
     val files = window.flatMap(_.adds)
-    val m = TableLog.state(path, hi).colMap
+    val cur = TableLog.state(path, hi)
     val physSchema =
-      if (m.isEmpty) schema
-      else StructType(schema.fields.map(f =>
-        f.copy(name = m.getOrElse(f.name, f.name))))
+      if (cur.colMap.isEmpty) schema
+      else {
+        val curPhys = cur.physSchema
+        require(curPhys.length >= schema.length &&
+            schema.fields.indices.forall(i =>
+              curPhys.fields(i).dataType == schema.fields(i).dataType),
+          s"$path: the v$hi schema no longer positionally covers this " +
+            "stream's start-era schema (a column was dropped " +
+            "mid-stream) — restart the stream from the current schema")
+        StructType(schema.fields.indices.map(i =>
+          schema.fields(i).copy(name = curPhys.fields(i).name)))
+      }
     val batch = GraftLogParquet.scan(
       org.apache.spark.sql.SparkSession.active, path, files,
       physSchema, physSchema, Array.empty,

@@ -1103,7 +1103,36 @@ object TableLog {
     written.sortBy(_.relPath)
   }
 
-  private def readFiles(spark: SparkSession, table: String,
+  /** Declared CHECK constraints of a property map: (name, SQL). */
+  private[graft] def checksOf(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect { case (k, sql) if k.startsWith("constraint.") =>
+      (k.stripPrefix("constraint."), sql) }.sortBy(_._1)
+
+  /** Validate a batch against declared CHECK constraints — the
+    * enforcement gate for write paths OUTSIDE Spark's catalog
+    * constraint rule (the direct TableLog API and the DSv2
+    * provider/streaming sinks), so a table whose metadata reports
+    * ENFORCED cannot be violated through a side door. SQL CHECK
+    * semantics: NULL passes, only FALSE violates. Cost: ONE
+    * aggregation over the incoming batch per constrained table
+    * (nothing at all on unconstrained ones), proportional to the
+    * commit and never the table; throws before any manifest moves. */
+  private[graft] def validateChecks(df: DataFrame,
+      checks: Seq[(String, String)], op: String): Unit =
+    if (checks.nonEmpty) {
+      val cells = checks.map { case (n, sql) =>
+        sum(when(!coalesce(expr(sql), lit(true)), 1L).otherwise(0L))
+          .as(s"v_$n") }
+      val row = df.agg(cells.head, cells.tail: _*).collect().head
+      checks.zipWithIndex.foreach { case ((n, sql), i) =>
+        if (!row.isNullAt(i) && row.getLong(i) > 0L)
+          throw new IllegalArgumentException(
+            s"$op: ${row.getLong(i)} row(s) violate CHECK constraint " +
+              s"$n ($sql) — nothing was committed")
+      }
+    }
+
+  private[graft] def readFiles(spark: SparkSession, table: String,
       snap: Snapshot, files: Seq[AddFile]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1361,6 +1390,7 @@ object TableLog {
     * conflicts: a lost race rebases onto the new latest version. */
   def append(df: DataFrame, table: String, numFiles: Int): Long = {
     val snap = state(table)
+    validateChecks(df, checksOf(snap.props), s"append into $table")
     val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "append", adds, Nil, "", "")
@@ -1381,6 +1411,7 @@ object TableLog {
       appId: String, txnVersion: Long): Long = {
     val snap = state(table)
     if (snap.txns.get(appId).exists(_ >= txnVersion)) return snap.version
+    validateChecks(df, checksOf(snap.props), s"appendTxn into $table")
     val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "append", adds, Nil, "", "",
@@ -1591,6 +1622,7 @@ object TableLog {
     df.schema.filterNot(f => oldNames(f.name)).foreach(f =>
       checkPhysCollision(snap, f.name, "appendEvolve"))
     val merged = StructType(old ++ df.schema.filterNot(f => oldNames(f.name)))
+    validateChecks(df, checksOf(snap.props), s"appendEvolve into $table")
     val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "evolve", adds, Nil, merged.toDDL, "")
@@ -1779,6 +1811,8 @@ object TableLog {
       numFiles: Int): Long = {
     val snap = state(table)
     val k = snap.keyCol
+    validateChecks(changes.where(col("action") =!= "delete").drop("action"),
+      checksOf(snap.props), s"cdc apply into $table")
     val touchKeys = changes
       .where(col("action").isin("update", "delete"))
       .select(col(k)).distinct()
@@ -2013,6 +2047,7 @@ object TableLog {
       s"replaceWhere: $violating incoming rows do not satisfy the replace " +
         "predicate — restating a slice must not smuggle rows outside it")
     val snap = state(table)
+    validateChecks(incoming, checksOf(snap.props), s"replaceWhere into $table")
     val scan = readFiles(spark, table, snap, snap.active)
       .withColumn("_file", input_file_name())
     val touchedNames = scan.where(cond).select("_file").distinct()
@@ -2036,6 +2071,7 @@ object TableLog {
       numFiles: Int): Long = {
     val snap = state(table)
     val k = snap.keyCol
+    validateChecks(changes, checksOf(snap.props), s"merge into $table")
     val changeKeys = changes.select(col(k)).distinct()
     val scan = readFiles(spark, table, snap, snap.active)
       .withColumn("_file", input_file_name())
