@@ -2077,9 +2077,17 @@ object DedupOps {
     * costs MORE than q66's count-as-you-block (14 s vs 3 s at
     * sf0.1). The filter pays off where blocking dominates: long
     * documents (set payloads grow linearly, candidates drop
-    * quadratically in the similarity threshold) or higher t. This
-    * query exists to prove the guaranteed-recall mechanism against
-    * the exact oracle; q66 stays the default at t = 0.5. */
+    * quadratically in the similarity threshold) or higher t.
+    *
+    * **BENCHMARK BASELINE ONLY — not for production corpora.** This
+    * query exists to prove the guaranteed-recall prefix-filter
+    * mechanism against the exact oracle and to price it honestly in
+    * the bench; q66's blocked pipeline is the production default at
+    * t = 0.5, and NO production operator routes through this
+    * full-payload verify join (every other near-dup consumer takes
+    * the capped [[shinglePairCounts]] path — spec-pinned, and the
+    * candidate stage here carries the same [[maxGroupSize]] hot-block
+    * cap, so even the baseline cannot go quadratic on a hot token). */
   def q292PrefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // measured note: checkpointing this frame is a LOSS (16s -> 29s
@@ -2114,7 +2122,9 @@ object DedupOps {
 
   /** Candidate (doc_a, doc_b) pairs sharing ≥ 1 PREFIX token —
     * exposed so the spec can measure the candidate reduction the
-    * filter buys over all-shingle blocking. */
+    * filter buys over all-shingle blocking, and pin the
+    * [[maxGroupSize]] cap on the BASELINE's candidate stage with a
+    * planted hot-shingle corpus. */
   private[ops] def prefixCandidates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

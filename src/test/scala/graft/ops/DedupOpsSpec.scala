@@ -703,6 +703,38 @@ class DedupOpsSpec extends SparkSuite {
       s"prefix candidates ${cands.size} must undercut all-shingle $allShared")
   }
 
+  test("q292 is a FENCED baseline: its candidate stage carries the " +
+      "hot-block cap, and the production path stays the blocked pipeline") {
+    import spark.implicits._
+    // plant a corpus where 120 identical docs share every shingle
+    // (df = 120 > maxGroupSize): an uncapped AllPairs candidate stage
+    // would emit (120 choose 2) pairs from that block alone; the cap
+    // drops the hot block outright, so only the two cold near-dup
+    // docs pair up — even the disclosed baseline cannot go quadratic
+    // on a hot token
+    assert(DedupOps.maxGroupSize < 120)
+    val tmp = java.nio.file.Files.createTempDirectory("q292_cap").toString
+    val hot = (0L until 120L).map(i =>
+      (i, "common boilerplate footer text appears on every page"))
+    val words = (1 to 30).map(i => s"w$i").mkString(" ")
+    val cold = Seq((900L, words + " alpha"), (901L, words + " omega"))
+    (hot ++ cold).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cands = DedupOps.prefixCandidates(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!cands.exists { case (a, b) => a < 900L && b < 900L },
+      "the over-cap hot block leaked candidate pairs into the baseline")
+    assert(cands((900L, 901L)), "cold blocks must still pair")
+    // the baseline's full verify agrees with the PRODUCTION default
+    // (q66's capped blocked pipeline) on the planted corpus — the
+    // default path emits the same fenced result
+    val base = DedupOps.q292PrefixFilterJoin(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val prod = DedupOps.q66NgramJaccard(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(base == Seq((900L, 901L)) && prod == base)
+  }
+
   test("q297 threshold sweep: 0.5 row matches q66; counts monotone; docs bounded") {
     import spark.implicits._
     val got = DedupOps.q297DedupThresholdSweep(spark, sf0001).collect()
