@@ -2930,7 +2930,76 @@ object TableOps {
       |WHERE o_orderkey % 4 = 0 OR o_orderkey % 8 = 1
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q481
+  /** `ALTER TABLE … ADD COLUMN x DEFAULT lit` + `ALTER COLUMN … TYPE
+    * BIGINT` — metadata-only schema evolution beyond nullable adds
+    * (the Delta/Iceberg initial-default + type-widening shapes,
+    * [[TableLog.evolveSchemaDefault]] / [[TableLog.widenColumn]]):
+    * CREATE narrow with an INT column, INSERT a slice, ADD a
+    * defaulted BIGINT column (ZERO files move — pre-declaration rows
+    * answer the default through the parquet readers' EXISTS_DEFAULT
+    * resolution), WIDEN the INT column to BIGINT (ZERO files move —
+    * old INT32 bytes read widened through Spark's reader promotions),
+    * INSERT a second slice with explicit values beyond INT range, and
+    * fold by the default column. The oracle replays both eras'
+    * semantics literally. At 100 TB both ALTERs cost one manifest
+    * line each — the schema change a real warehouse makes without a
+    * backfill. */
+  private val defaultWidenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q481DefaultWiden(s: SparkSession, dir: String): DataFrame = {
+    withCatalog(s)
+    val t = defaultWidenCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogdw_").toString + "/tbl"
+      s.sql(
+        s"""CREATE TABLE graftlog.`$path` (o_orderkey BIGINT, ship INT)
+           |TBLPROPERTIES ('key' = 'o_orderkey')""".stripMargin)       // v1
+      val view = s"graft_dw_src_${Integer.toHexString(dir.hashCode)}"
+      Tables.orders(s, dir).createOrReplaceTempView(view)
+      try {
+        s.sql(
+          s"""INSERT INTO graftlog.`$path`
+             |SELECT o_orderkey, CAST(o_custkey % 100 AS INT)
+             |FROM $view WHERE o_orderkey % 4 = 0""".stripMargin)      // v2
+        s.sql(s"ALTER TABLE graftlog.`$path` " +
+          "ADD COLUMN bonus BIGINT DEFAULT 7")                         // v3
+        s.sql(s"ALTER TABLE graftlog.`$path` " +
+          "ALTER COLUMN ship TYPE BIGINT")                             // v4
+        s.sql(
+          s"""INSERT INTO graftlog.`$path`
+             |SELECT o_orderkey, o_custkey % 100 + 3000000000,
+             |  o_orderkey % 5
+             |FROM $view WHERE o_orderkey % 4 = 1""".stripMargin)      // v5
+      } finally s.catalog.dropTempView(view)
+      // both ALTERs were metadata-only: zero files added
+      val h = TableLog.history(path)
+      require(h.count(x => x.nAdds == 0 && x.nRemoves == 0) >= 2,
+        s"expected two metadata-only commits, history: $h")
+      path
+    })
+    s.sql(
+      s"""SELECT bonus, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(ship) AS BIGINT) AS ship_sum
+         |FROM graftlog.`$t`
+         |GROUP BY bonus ORDER BY bonus""".stripMargin)
+  }
+
+  private val q481Oracle =
+    """WITH rows_all AS (
+      |  SELECT CAST(o_custkey % 100 AS BIGINT) AS ship,
+      |    CAST(7 AS BIGINT) AS bonus
+      |  FROM orders WHERE o_orderkey % 4 = 0
+      |  UNION ALL
+      |  SELECT CAST(o_custkey % 100 + 3000000000 AS BIGINT),
+      |    CAST(o_orderkey % 5 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 4 = 1)
+      |SELECT bonus, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(ship) AS BIGINT) AS ship_sum
+      |FROM rows_all GROUP BY bonus ORDER BY bonus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q481_default_widen" -> (q481DefaultWiden _),
     "q477_check_constraint" -> (q477CheckConstraint _),
     "q476_skew_advisor" -> (q476SkewAdvisor _),
     "q470_compact_small_sql" -> (q470CompactSmallSql _),
@@ -2991,6 +3060,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q481_default_widen" -> q481Oracle,
     "q477_check_constraint" -> q477Oracle,
     "q476_skew_advisor" -> q476Oracle,
     "q470_compact_small_sql" -> q470Oracle,

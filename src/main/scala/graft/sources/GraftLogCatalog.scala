@@ -115,13 +115,18 @@ class GraftLogCatalog extends TableCatalog
   }
   override def name(): String = catalogName
 
-  /** CHECK constraints are a first-class capability ([[GraftLogTable
-    * .constraints]]); without this flag Spark refuses `ALTER TABLE …
-    * ADD CONSTRAINT` before the catalog ever sees it. */
+  /** CHECK constraints and column DEFAULTs are first-class
+    * capabilities ([[GraftLogTable.constraints]],
+    * [[graft.tablelog.TableLog.evolveSchemaDefault]]); without these
+    * flags Spark refuses `ALTER TABLE … ADD CONSTRAINT` / `ADD COLUMN
+    * … DEFAULT` before the catalog ever sees them. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** Maintenance PROCEDURES — `CALL graftlog.vacuum(...)` /
     * `CALL graftlog.compact(...)`: the table-maintenance verbs SQL
@@ -419,6 +424,15 @@ class GraftLogCatalog extends TableCatalog
         "(identity, years/months/days/hours, bucket only)")
     }
     val path = pathOf(ident)
+    // CREATE-time column DEFAULTs are refused loudly (schema.toDDL
+    // would silently drop them): at create there are no old files for
+    // an initial default to cover — declare the column plain, or add
+    // it later via ALTER TABLE ADD COLUMN ... DEFAULT
+    schema.fields.foreach(f => require(
+      !f.metadata.contains("CURRENT_DEFAULT") &&
+        !f.metadata.contains("EXISTS_DEFAULT"),
+      s"graftlog: column '${f.name}' declares a DEFAULT at CREATE — " +
+        "add defaults via ALTER TABLE ADD COLUMN ... DEFAULT instead"))
     if (path.endsWith(historySuffix)) refuse(s"CREATE TABLE $historySuffix")
     if (path.endsWith(partitionsSuffix))
       refuse(s"CREATE TABLE $partitionsSuffix")
@@ -543,15 +557,33 @@ class GraftLogCatalog extends TableCatalog
         return loadTable(ident)
       case _ => ()
     }
+    // ADD COLUMN … DEFAULT <literal> — a metadata-only commit: old
+    // files answer the default at read (initial-default), new writes
+    // materialize it; and ALTER COLUMN … TYPE — metadata-only type
+    // WIDENING (INT→BIGINT, FLOAT→DOUBLE) through Spark 4's parquet
+    // reader promotions. One per statement, like RENAME/DROP.
+    rest match {
+      case Seq(a: TableChange.AddColumn)
+          if a.fieldNames.length == 1 && a.isNullable &&
+            a.defaultValue != null && a.position == null =>
+        TableLog.evolveSchemaDefault(path, a.fieldNames.head,
+          a.dataType, a.defaultValue.getSql)
+        return loadTable(ident)
+      case Seq(ut: TableChange.UpdateColumnType)
+          if ut.fieldNames.length == 1 =>
+        TableLog.widenColumn(path, ut.fieldNames.head, ut.newDataType)
+        return loadTable(ident)
+      case _ => ()
+    }
     val adds = rest.map {
       case a: TableChange.AddColumn
           if a.fieldNames.length == 1 && a.isNullable &&
             a.defaultValue == null && a.position == null =>
         org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
-      case other => refuse(s"ALTER TABLE change $other (only plain " +
-        "top-level nullable ADD COLUMN evolves additively; RENAME/DROP " +
-        "COLUMN go one per statement)")
+      case other => refuse(s"ALTER TABLE change $other (only top-level " +
+        "nullable ADD COLUMN [DEFAULT literal] evolves additively; " +
+        "RENAME/DROP COLUMN and ALTER COLUMN TYPE go one per statement)")
     }
     TableLog.evolveSchema(path, StructType(adds))
     loadTable(ident)
@@ -580,7 +612,23 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graftlog.`$tablePath` @v${snap.version}"
-  override def schema(): StructType = StructType.fromDDL(snap.schemaDdl)
+  /** Logical schema; defaulted columns carry CURRENT_DEFAULT (the
+    * analyzer fills them when an INSERT's column list omits them) and
+    * EXISTS_DEFAULT (pre-declaration files answer it at read). */
+  override def schema(): StructType = {
+    val s = StructType.fromDDL(snap.schemaDdl)
+    if (snap.defaults.isEmpty) s
+    else StructType(s.fields.map { f =>
+      snap.defaults.get(f.name) match {
+        case Some((sql, _)) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql).build())
+        case None => f
+      }
+    })
+  }
   /** The persisted property map (plus the key declaration) — SHOW
     * TBLPROPERTIES reads this straight off the manifest. */
   override def properties(): util.Map[String, String] = {
@@ -1879,10 +1927,22 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
   // COLUMN MAPPING: the wrapped parquet scan speaks PHYSICAL names
   // (what the data files carry); the scan's own readSchema stays
   // LOGICAL. InternalRows are positional, so renaming fields leaves
-  // the data path untouched — only name resolution shifts.
+  // the data path untouched — only name resolution shifts. Columns
+  // added with a DEFAULT carry EXISTS_DEFAULT metadata (resolved by
+  // the snapshot's physSchema): the parquet reader answers the
+  // default for files that physically lack the column — the
+  // initial-default read path, on the SQL scan like every other.
   private def physStruct(st: StructType): StructType =
-    if (snap.colMap.isEmpty) st
-    else StructType(st.fields.map(f => f.copy(name = snap.physName(f.name))))
+    if (snap.colMap.isEmpty && snap.defaults.isEmpty) st
+    else {
+      val byName = snap.physSchema.fields
+        .map(f => f.name -> f).toMap
+      StructType(st.fields.map { f =>
+        val phys = byName.getOrElse(snap.physName(f.name),
+          f.copy(name = snap.physName(f.name)))
+        f.copy(name = phys.name, metadata = phys.metadata)
+      })
+    }
   private val physFull = physStruct(fullSchema)
   private val physRequired = physStruct(required)
   private val physFilters =

@@ -143,7 +143,8 @@ object TableLog {
       tsMillis: Long = 0L,
       partCols: Seq[String] = Nil,
       props: Option[Map[String, String]] = None,
-      colMap: Option[(Map[String, String], Set[String])] = None)
+      colMap: Option[(Map[String, String], Set[String])] = None,
+      defaults: Option[Map[String, (String, Long)]] = None)
 
   /** A replayed table state: active files in commit order plus the
     * metadata needed to read them. `txns` carries the highest
@@ -179,6 +180,7 @@ object TableLog {
       val props: Map[String, String],
       val colMap: Map[String, String],
       val droppedPhys: Set[String],
+      val defaults: Map[String, (String, Long)],
       private[graft] val chunkIndex: Option[ChunkIndex])
       extends Serializable {
     lazy val active: Seq[AddFile] = activeThunk()
@@ -186,11 +188,29 @@ object TableLog {
     def physName(logical: String): String =
       colMap.getOrElse(logical, logical)
     /** The declared schema with PHYSICAL field names (the shape the
-      * data files actually carry). */
+      * data files actually carry). Columns added with a DEFAULT carry
+      * Spark's `EXISTS_DEFAULT` field metadata: the parquet readers
+      * (vectorized AND row-based — spec-pinned on both) fill the
+      * default for files that physically LACK the column, which is
+      * exactly the set written before the declaration — Iceberg v3's
+      * initial-default semantics with zero per-file bookkeeping, on
+      * every scan path (batch, DV merge-on-read, streaming) since all
+      * of them read through this schema. Files written after the
+      * declaration carry real values (explicit NULLs included) and
+      * read untouched. */
     def physSchema: StructType = {
       val s = StructType.fromDDL(schemaDdl)
-      if (colMap.isEmpty) s
-      else StructType(s.fields.map(f => f.copy(name = physName(f.name))))
+      StructType(s.fields.map { f =>
+        val named =
+          if (colMap.isEmpty) f else f.copy(name = physName(f.name))
+        defaults.get(f.name) match {
+          case Some((sql, _)) => named.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(named.metadata)
+              .putString("EXISTS_DEFAULT", sql).build())
+          case None => named
+        }
+      })
     }
     /** The active set pruned at CHUNK grain: only checkpoint chunks
       * passing `keep` are parsed (commit-tail files always included —
@@ -213,9 +233,10 @@ object TableLog {
         partCols: Seq[String] = Nil,
         props: Map[String, String] = Map.empty,
         colMap: Map[String, String] = Map.empty,
-        droppedPhys: Set[String] = Set.empty): Snapshot =
+        droppedPhys: Set[String] = Set.empty,
+        defaults: Map[String, (String, Long)] = Map.empty): Snapshot =
       new Snapshot(version, () => active, schemaDdl, keyCol, txns, bloom,
-        partCols, props, colMap, droppedPhys, None)
+        partCols, props, colMap, droppedPhys, defaults, None)
   }
 
   /** One checkpoint chunk's MANIFEST-LIST entry (Iceberg's
@@ -300,7 +321,8 @@ object TableLog {
       tsMillis: Long = 0L,
       partCols: Seq[String] = Nil,
       props: Option[Map[String, String]] = None,
-      colMap: Option[(Map[String, String], Set[String])] = None): String = {
+      colMap: Option[(Map[String, String], Set[String])] = None,
+      defaults: Option[Map[String, (String, Long)]] = None): String = {
     val sb = new StringBuilder
     sb ++= s"op $op\n"
     if (tsMillis > 0L) sb ++= s"ts $tsMillis\n"
@@ -322,6 +344,13 @@ object TableLog {
       val ts = m.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${encCol(k)}:${encCol(v)}" }
       sb ++= s"props ${ts.size} ${ts.mkString(" ")}\n"
+    }
+    defaults.foreach { m =>
+      // full-map replacement like props: `col:sql:sinceVersion`
+      // triples, both string halves URL-encoded
+      val ts = m.toSeq.sortBy(_._1).map { case (c, (sql, since)) =>
+        s"${encCol(c)}:${encCol(sql)}:$since" }
+      sb ++= s"defaults ${ts.size} ${ts.mkString(" ")}\n"
     }
     colMap.foreach { case (m, dropped) =>
       // full-map replacement like props: `l:p` mappings plus `!p`
@@ -481,6 +510,7 @@ object TableLog {
     var partCols = Seq.empty[String]
     var props = Option.empty[Map[String, String]]
     var colMap = Option.empty[(Map[String, String], Set[String])]
+    var defaults = Option.empty[Map[String, (String, Long)]]
     val txns = Seq.newBuilder[(String, Long)]
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
@@ -532,6 +562,12 @@ object TableLog {
         case "dvat" =>
           val toks = rest.split(" ")
           dvStats(toks.drop(2).mkString(" ")) = (toks(1), toks(0).toLong)
+        case "defaults" =>
+          val toks = rest.split(" ").filter(_.nonEmpty)
+          defaults = Some(toks.drop(1).map { t =>
+            val Array(c, sql, since) = t.split(":", -1)
+            decCol(c) -> ((decCol(sql), since.toLong))
+          }.toMap)
         case "props" =>
           val toks = rest.split(" ").filter(_.nonEmpty)
           props = Some(toks.drop(1).map { t =>
@@ -556,7 +592,7 @@ object TableLog {
       dvStats.get(a1.relPath).fold(a1)(d => a1.copy(dv = Some(d)))
     }
     Commit(version, op, withCols, removes.result(), ddl, key,
-      txns.result(), bloom, ts, partCols, props, colMap)
+      txns.result(), bloom, ts, partCols, props, colMap, defaults)
   }
 
   /** Latest committed version, 0 if the table has no log yet. The
@@ -595,11 +631,12 @@ object TableLog {
   private final case class Meta(ddl: String, key: String,
       txns: Map[String, Long], bloom: Option[(String, Int)],
       partCols: Seq[String], props: Map[String, String],
-      colMap: Map[String, String], dropped: Set[String])
+      colMap: Map[String, String], dropped: Set[String],
+      defaults: Map[String, (String, Long)])
 
   private def metaOf(s: Snapshot): Meta =
     Meta(s.schemaDdl, s.keyCol, s.txns, s.bloom, s.partCols, s.props,
-      s.colMap, s.droppedPhys)
+      s.colMap, s.droppedPhys, s.defaults)
 
   private def foldMeta(m0: Meta, tail: Seq[Commit]): Meta =
     tail.foldLeft(m0) { (m, c) =>
@@ -612,7 +649,8 @@ object TableLog {
         if (c.partCols.nonEmpty) c.partCols else m.partCols,
         c.props.getOrElse(m.props),
         c.colMap.map(_._1).getOrElse(m.colMap),
-        c.colMap.map(_._2).getOrElse(m.dropped))
+        c.colMap.map(_._2).getOrElse(m.dropped),
+        c.defaults.getOrElse(m.defaults))
     }
 
   private def replay(base: Snapshot, tail: Seq[Commit]): Snapshot = {
@@ -628,7 +666,7 @@ object TableLog {
     val m = foldMeta(metaOf(base), tail)
     val v = tail.lastOption.map(_.version).getOrElse(base.version)
     Snapshot(v, active.values.toSeq, m.ddl, m.key, m.txns, m.bloom,
-      m.partCols, m.props, m.colMap, m.dropped)
+      m.partCols, m.props, m.colMap, m.dropped, m.defaults)
   }
 
   /** The latest version whose commit wall-clock stamp is ≤
@@ -670,7 +708,8 @@ object TableLog {
           hdr.txns.toMap, hdr.bloom, hdr.partCols,
           hdr.props.getOrElse(Map.empty),
           hdr.colMap.map(_._1).getOrElse(Map.empty),
-          hdr.colMap.map(_._2).getOrElse(Set.empty))
+          hdr.colMap.map(_._2).getOrElse(Set.empty),
+          hdr.defaults.getOrElse(Map.empty))
         refs match {
           case None => replay(base, tail) // legacy monolith: strict
           case Some(rs) =>
@@ -678,7 +717,7 @@ object TableLog {
             val ix = new ChunkIndex(table, rs, tail)
             new Snapshot(last, () => ix.load(_ => true, strict = true),
               m.ddl, m.key, m.txns, m.bloom, m.partCols, m.props,
-              m.colMap, m.dropped, Some(ix))
+              m.colMap, m.dropped, m.defaults, Some(ix))
         }
       case None =>
         val tail = (1L to last).map { v =>
@@ -702,11 +741,12 @@ object TableLog {
       bloom: Option[(String, Int)] = None,
       partCols: Seq[String] = Nil,
       props: Option[Map[String, String]] = None,
-      colMap: Option[(Map[String, String], Set[String])] = None): Long = {
+      colMap: Option[(Map[String, String], Set[String])] = None,
+      defaults: Option[Map[String, (String, Long)]] = None): Long = {
     Files.createDirectories(logDir(table))
     val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq, bloom,
       tsMillis = System.currentTimeMillis(), partCols = partCols,
-      props = props, colMap = colMap)
+      props = props, colMap = colMap, defaults = defaults)
     var attempt = expected + 1L
     while (true) {
       val tmp = Files.createTempFile(logDir(table), s"tmp-$op-", ".inprogress")
@@ -731,7 +771,7 @@ object TableLog {
           // The caller re-runs the operation, recomputing against the
           // new snapshot.
           if (op == "create" || schemaDdl.nonEmpty || props.isDefined ||
-              colMap.isDefined)
+              colMap.isDefined || defaults.isDefined)
             throw new java.util.ConcurrentModificationException(
               s"$table: lost a $op race at v${now.version} — this commit " +
                 "carries snapshot-derived metadata and cannot rebase; " +
@@ -882,11 +922,13 @@ object TableLog {
         c.adds.foreach(a => act(a.relPath) = a)
       }
       val m = foldMeta(prevHdr.fold(
-        Meta("", "", Map.empty, None, Nil, Map.empty, Map.empty, Set.empty))(
+        Meta("", "", Map.empty, None, Nil, Map.empty, Map.empty, Set.empty,
+          Map.empty))(
         h => Meta(h.schemaDdl, h.keyCol, h.txns.toMap, h.bloom, h.partCols,
           h.props.getOrElse(Map.empty),
           h.colMap.map(_._1).getOrElse(Map.empty),
-          h.colMap.map(_._2).getOrElse(Set.empty))), tail)
+          h.colMap.map(_._2).getOrElse(Set.empty),
+          h.defaults.getOrElse(Map.empty))), tail)
       // cluster leftovers by (partition tuple, key) so fresh chunk
       // envelopes are tight — the same ordering instinct stage() uses
       val ordered = act.values.toSeq.sortBy(a =>
@@ -905,7 +947,8 @@ object TableLog {
         props = Some(m.props),
         colMap =
           if (m.colMap.isEmpty && m.dropped.isEmpty) None
-          else Some((m.colMap, m.dropped)))
+          else Some((m.colMap, m.dropped)),
+        defaults = if (m.defaults.isEmpty) None else Some(m.defaults))
       val text = header +
         (cleanRefs ++ newRefs).map(renderChunkLine).mkString("\n") + "\n"
       val tmp = Files.createTempFile(logDir(table), "tmp-ckpt-", ".inprogress")
@@ -1390,8 +1433,9 @@ object TableLog {
     * conflicts: a lost race rebases onto the new latest version. */
   def append(df: DataFrame, table: String, numFiles: Int): Long = {
     val snap = state(table)
-    validateChecks(df, checksOf(snap.props), s"append into $table")
-    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
+    val df1 = withWriteDefaults(df, snap)
+    validateChecks(df1, checksOf(snap.props), s"append into $table")
+    val adds = stage(df1, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "append", adds, Nil, "", "")
   }
@@ -1411,8 +1455,9 @@ object TableLog {
       appId: String, txnVersion: Long): Long = {
     val snap = state(table)
     if (snap.txns.get(appId).exists(_ >= txnVersion)) return snap.version
-    validateChecks(df, checksOf(snap.props), s"appendTxn into $table")
-    val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
+    val df1 = withWriteDefaults(df, snap)
+    validateChecks(df1, checksOf(snap.props), s"appendTxn into $table")
+    val adds = stage(df1, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap)
     commit(table, snap.version, "append", adds, Nil, "", "",
       txn = Some((appId, txnVersion)))
@@ -1562,7 +1607,9 @@ object TableLog {
     val v = commit(table, cur.version, "restore", adds, removes,
       old.schemaDdl, old.keyCol, bloom = old.bloom, partCols = old.partCols,
       props = Some(old.props),
-      colMap = Some((old.colMap, old.droppedPhys)))
+      colMap = Some((old.colMap, old.droppedPhys)),
+      defaults = if (old.defaults.isEmpty && cur.defaults.isEmpty) None
+        else Some(old.defaults))
     (v, adds.size, removes.size)
   }
 
@@ -1593,7 +1640,8 @@ object TableLog {
       props = if (s.props.isEmpty) None else Some(s.props),
       colMap =
         if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
-        else Some((s.colMap, s.droppedPhys)))
+        else Some((s.colMap, s.droppedPhys)),
+      defaults = if (s.defaults.isEmpty) None else Some(s.defaults))
     (v, adds.size)
   }
 
@@ -1649,6 +1697,101 @@ object TableLog {
     val merged = StructType(old ++ newCols)
     commit(table, snap.version, "evolve", Nil, Nil, merged.toDDL, "")
   }
+
+  /** `ALTER TABLE … ADD COLUMN x T DEFAULT <literal>` as ONE
+    * metadata-only commit (the Iceberg v3 initial-default shape;
+    * Delta's metadata defaults are the same lineage): the schema
+    * widens, the default SQL and its declaration version land in the
+    * manifest's `defaults` map, and ZERO data files move. Files that
+    * physically LACK the column — exactly those written before the
+    * declaration — answer the default on every scan path via the
+    * `EXISTS_DEFAULT` field metadata [[Snapshot.physSchema]] attaches
+    * (Spark's parquet readers resolve it natively); new writes
+    * MATERIALIZE the value (the append paths fill a missing column
+    * with it, and explicit values — including NULL — are stored as
+    * given). Time travel is era-exact: a snapshot before the
+    * declaration replays without the `defaults` entry and reads
+    * nulls. The default must be a non-null constant expression of the
+    * column type, evaluated once at declaration to fail fast. */
+  def evolveSchemaDefault(table: String, name: String,
+      dt: org.apache.spark.sql.types.DataType, defaultSql: String): Long = {
+    val snap = state(table)
+    val old = StructType.fromDDL(snap.schemaDdl)
+    if (old.fieldNames.contains(name)) throw new IllegalArgumentException(
+      s"evolveSchemaDefault: column '$name' already exists")
+    checkPhysCollision(snap, name, "evolveSchemaDefault")
+    val spark = SparkSession.active
+    val v = try spark.range(1)
+        .select(expr(defaultSql).cast(dt)).head.get(0)
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"evolveSchemaDefault: default '$defaultSql' does not " +
+            s"evaluate as ${dt.sql}: ${e.getMessage}") }
+    require(v != null,
+      s"evolveSchemaDefault: default '$defaultSql' evaluates to NULL — " +
+        "add a plain nullable column instead")
+    val merged = StructType(old :+
+      org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    // metadata commits never rebase (see commit), so the declaration
+    // version is exactly expected + 1 — the era boundary readers use
+    commit(table, snap.version, "evolve", Nil, Nil, merged.toDDL, "",
+      defaults = Some(snap.defaults + (name -> ((defaultSql, snap.version + 1L)))))
+  }
+
+  /** `ALTER TABLE … ALTER COLUMN x TYPE BIGINT` — TYPE WIDENING as
+    * ONE metadata-only commit (the Delta type-widening feature,
+    * riding Spark 4's parquet reader promotions): INT→BIGINT and
+    * FLOAT→DOUBLE re-declare the column; existing files keep their
+    * narrow physical bytes and every scan — batch, DV'd, streaming —
+    * reads them widened through the explicit-schema parquet scan
+    * (vectorized; spec-pinned), while new writes store the wide type.
+    * Both widths share a stats domain ('l' / 'd'), so all recorded
+    * column stats stay valid and file skipping keeps working across
+    * mixed-width files. The key column refuses (its manifest stats
+    * and DDL are the pruning contract) and the bloom column refuses
+    * (hash domains differ by width — stale sidecars could then prune
+    * wrongly); identity partition columns widen fine (both widths
+    * stringify identically). */
+  def widenColumn(table: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val snap = state(table)
+    val old = StructType.fromDDL(snap.schemaDdl)
+    val f = old.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumn: no column '$name' in ${snap.schemaDdl}"))
+    val ok = (f.dataType, to) match {
+      case (IntegerType, LongType)  => true
+      case (FloatType, DoubleType)  => true
+      case _                        => false
+    }
+    require(ok, s"widenColumn: ${f.dataType.sql} → ${to.sql} is not a " +
+      "supported widening (INT→BIGINT, FLOAT→DOUBLE)")
+    require(name != snap.keyCol,
+      s"widenColumn: '$name' is the table's key column; refusing")
+    require(!snap.bloom.map(_._1).contains(name),
+      s"widenColumn: '$name' is the bloom-indexed column — sidecar " +
+        "hashes are width-specific; refusing")
+    val widened = StructType(old.fields.map(x =>
+      if (x.name == name) x.copy(dataType = to) else x))
+    commit(table, snap.version, "widen", Nil, Nil, widened.toDDL, "")
+  }
+
+  /** Materialize write-defaults into an incoming batch: a defaulted
+    * column ABSENT from the frame fills with its declared value (the
+    * write half of the initial-default contract); present columns —
+    * explicit NULLs included — pass through untouched. */
+  private def withWriteDefaults(df: DataFrame, snap: Snapshot): DataFrame =
+    if (snap.defaults.isEmpty) df
+    else {
+      val schema = StructType.fromDDL(snap.schemaDdl)
+      val present = df.columns.toSet
+      snap.defaults.toSeq.sortBy(_._1).foldLeft(df) {
+        case (d, (c, (sql, _))) =>
+          if (present(c)) d
+          else d.withColumn(c, expr(sql).cast(schema(c).dataType))
+      }
+    }
 
   /** A new logical name must not collide with a PHYSICAL name still
     * present in active files (a rename's old name, or a dropped
