@@ -2998,7 +2998,80 @@ object TableOps {
       |  CAST(sum(ship) AS BIGINT) AS ship_sum
       |FROM rows_all GROUP BY bonus ORDER BY bonus""".stripMargin
 
+  // ---------------------------------------------------------------- q482
+  /** WRITE-AUDIT-PUBLISH ([[TableLog.branch]]/[[TableLog.publish]],
+    * the Iceberg WAP lineage): a corpus drop stages on a ZERO-COPY
+    * branch (main unmoved and serving reads), the per-batch CHECK
+    * gate is dropped on the branch for the bulk load, planted
+    * violating rows land there freely — and the PUBLISH audit gate
+    * (union of main's and the branch's declared constraints, one
+    * branch-priced scan) BLOCKS the fast-forward, pinned in-query:
+    * the dirty publish must throw and main must not move. Cleaning
+    * the branch (one COW delete) lets the second publish land as ONE
+    * atomic main commit whose branch-born files hard-link into main's
+    * own data dir. The oracle replays only the surviving rows. At
+    * 100 TB this is the staging workflow every production training-
+    * corpus ingestion runs: audit a multi-TB drop in place, publish
+    * by metadata. */
+  private val wapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q482BranchWap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = wapCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogwap_").toString + "/t"
+      val slice = ordersSlice(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      TableLog.create(slice.where($"o_orderkey" % 4 === 0),
+        path, "o_orderkey", numFiles = 2)                              // v1
+      s.sql(s"ALTER TABLE graftlog.`$path` ADD CONSTRAINT " +
+        "price_positive CHECK (o_totalprice > 0.0)")                   // v2
+      val br = TableLog.branch(path, "drop1")
+      // bulk-load posture: drop the per-batch gate ON THE BRANCH ONLY
+      TableLog.setProps(br, TableLog.state(br).props - "constraint.price_positive")
+      // the drop: a clean slice plus planted NEGATIVE prices
+      TableLog.append(slice.where($"o_orderkey" % 8 === 1)
+        .select($"o_orderkey", $"o_orderstatus",
+          when($"o_orderkey" % 5 === 0, -$"o_totalprice")
+            .otherwise($"o_totalprice").as("o_totalprice")),
+        br, numFiles = 2)
+      // AUDIT gate: the dirty publish must throw; main must not move
+      val before = TableLog.latestVersion(path)
+      val blocked = try {
+        s.sql(s"CALL graftlog.publish('$path', 'drop1')"); false
+      } catch { case _: Exception => true }
+      require(blocked && TableLog.latestVersion(path) == before,
+        "a violating branch published — the WAP audit gate is broken")
+      // fix the drop on the branch, publish again: ONE main commit
+      TableLog.deleteWhere(s, br, $"o_totalprice" <= 0.0, numFiles = 2)
+      s.sql(s"CALL graftlog.publish('$path', 'drop1')")
+      require(TableLog.history(path).last.op == "publish" &&
+        TableLog.latestVersion(path) == before + 1,
+        "publish must land as exactly one fast-forward commit")
+      path
+    })
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$t`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q482Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |WHERE o_orderkey % 4 = 0
+      |   OR (o_orderkey % 8 = 1 AND o_orderkey % 5 <> 0)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q482_branch_wap" -> (q482BranchWap _),
     "q481_default_widen" -> (q481DefaultWiden _),
     "q477_check_constraint" -> (q477CheckConstraint _),
     "q476_skew_advisor" -> (q476SkewAdvisor _),
@@ -3060,6 +3133,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q482_branch_wap" -> q482Oracle,
     "q481_default_widen" -> q481Oracle,
     "q477_check_constraint" -> q477Oracle,
     "q476_skew_advisor" -> q476Oracle,

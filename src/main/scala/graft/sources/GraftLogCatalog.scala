@@ -2569,6 +2569,55 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** `CALL graftlog.branch('<path>', '<name>')` — [[TableLog.branch]]:
+    * zero-copy staging fork under `<path>/_branches/<name>` (the
+    * write side of write-audit-publish). Returns (branch_path,
+    * n_files). */
+  object Branch extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "branch"
+    override def description(): String =
+      "fork the current snapshot to a zero-copy staging branch"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("branch name").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dst = TableLog.branch(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString)
+      oneRow("branch_path STRING, n_files BIGINT",
+        Seq(org.apache.spark.unsafe.types.UTF8String.fromString(dst),
+          TableLog.state(dst).active.size.toLong))
+    }
+  }
+
+  /** `CALL graftlog.publish('<path>', '<name>')` —
+    * [[TableLog.publish]]: audit-gated atomic fast-forward of main to
+    * the branch head (fails loudly when main moved or a CHECK gate is
+    * violated; branch-born files hard-link into main's data dir).
+    * Returns (version, files_added, files_removed). */
+  object Publish extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "publish"
+    override def description(): String =
+      "audit-gated atomic fast-forward publish of a staging branch"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("branch name").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (v, added, removed) = TableLog.publish(SparkSession.active,
+        input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+      oneRow("version BIGINT, files_added BIGINT, files_removed BIGINT",
+        Seq(v, added.toLong, removed.toLong))
+    }
+  }
+
   val all: Seq[UnboundProcedure] =
-    Seq(Vacuum, Compact, CompactSmall, Restore, Clone, ZOrder, DeleteDv)
+    Seq(Vacuum, Compact, CompactSmall, Restore, Clone, ZOrder, DeleteDv,
+      Branch, Publish)
 }

@@ -1645,6 +1645,127 @@ object TableLog {
     (v, adds.size)
   }
 
+  // ------------------------------------------------- write-audit-publish
+
+  private def branchPath(table: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}"),
+      s"branch name must be token-shaped: '$name'")
+    Paths.get(table, "_branches", name).toString
+  }
+
+  /** Create BRANCH `name` — a zero-copy fork of the table's current
+    * snapshot under `<table>/_branches/<name>` (the [[shallowClone]]
+    * mechanics, plus `branch.of`/`branch.base` fork-point markers in
+    * the branch's props). The STAGING side of WRITE-AUDIT-PUBLISH
+    * (Iceberg's WAP lineage): a corpus drop ingests onto the branch
+    * through any write path, audits run there (the branch is an
+    * ordinary table — SQL, time travel, constraints all work), and
+    * [[publish]] fast-forwards main atomically iff the branch head
+    * passes the declared CHECK gates. Main stays readable and
+    * unmoved throughout; an abandoned drop is one directory delete.
+    * Returns the branch table path. Caveat (disclosed, the clone
+    * shared-fate rule): vacuuming MAIN can reclaim files an open
+    * branch still references — keep branch lifetimes inside the
+    * vacuum retention window. */
+  def branch(table: String, name: String): String = {
+    val dst = branchPath(table, name)
+    require(latestVersion(dst) == 0L, s"branch '$name' already exists")
+    val s = state(table)
+    Files.createDirectories(Paths.get(dst))
+    val dstP = Paths.get(dst).toAbsolutePath.normalize
+    val adds = s.active.map { a =>
+      val abs = Paths.get(table, a.relPath).toAbsolutePath.normalize
+      a.copy(relPath = dstP.relativize(abs).toString)
+    }
+    commit(dst, 0L, "branch", adds, Nil, s.schemaDdl, s.keyCol,
+      bloom = s.bloom, partCols = s.partCols,
+      props = Some(s.props +
+        ("branch.of" -> table, "branch.base" -> s.version.toString)),
+      colMap =
+        if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
+        else Some((s.colMap, s.droppedPhys)),
+      defaults = if (s.defaults.isEmpty) None else Some(s.defaults))
+    dst
+  }
+
+  /** PUBLISH branch `name` onto main as ONE atomic commit — the
+    * audit-gated fast-forward of write-audit-publish:
+    *
+    *  1. **Fast-forward only**: main must still be at the branch's
+    *     fork version — a moved main aborts loudly (re-branch and
+    *     replay; silently merging would publish unaudited state).
+    *     The commit itself is metadata-bearing, so even a race inside
+    *     the publish window aborts rather than rebases.
+    *  2. **Audit gate**: the branch head must pass every CHECK
+    *     constraint declared on EITHER side (union of main's and the
+    *     branch's `constraint.*` props) — the standard WAP shape
+    *     where bulk ingest drops the per-batch gate on the branch and
+    *     the publish re-audits the whole drop at once; one scan of
+    *     the branch, priced at the corpus drop.
+    *  3. **File adoption**: branch-born files HARD-LINK into main's
+    *     own `data/` dir (same filesystem, zero copy) with their
+    *     bloom/DV sidecars, so published state never references the
+    *     branch directory — main's vacuum discipline owns every file
+    *     it can reach, and the branch dir is deletable afterwards.
+    *     Inherited untouched files normalize back to their original
+    *     main paths and are not re-listed.
+    *
+    * Publishes the branch's schema/props/column-mapping/defaults with
+    * the data (a schema evolved on the branch travels; the dropped
+    * per-batch constraint stays dropped — the metadata change is in
+    * history like any commit). Returns (mainVersion, filesAdded,
+    * filesRemoved). */
+  def publish(spark: SparkSession, table: String, name: String)
+      : (Long, Int, Int) = {
+    val dst = branchPath(table, name)
+    val b = state(dst)
+    val base = b.props.getOrElse("branch.base",
+      throw new IllegalArgumentException(
+        s"$dst carries no branch.base marker — not a branch"))
+    val m = state(table)
+    if (m.version != base.toLong)
+      throw new java.util.ConcurrentModificationException(
+        s"$table moved to v${m.version} since branch '$name' forked at " +
+          s"v$base — publish is fast-forward only; re-branch and replay")
+    validateChecks(readFiles(spark, dst, b, b.active),
+      checksOf(m.props ++ b.props), s"publish of branch '$name' into $table")
+    val mainP = Paths.get(table).toAbsolutePath.normalize
+    // rewrite to main-relative, adopting branch-born files by hard link
+    val rewritten = b.active.map { a =>
+      val rel = mainP.relativize(
+        Paths.get(dst, a.relPath).toAbsolutePath.normalize).toString
+      if (!rel.startsWith("_branches/")) a.copy(relPath = rel)
+      else {
+        val id = fileIdOf(rel) // <stage>/<name> — stages are UUID-fresh
+        val target = Paths.get(table, "data", id)
+        Files.createDirectories(target.getParent)
+        def link(suffix: String): Unit = {
+          val src = Paths.get(table, rel + suffix)
+          if (Files.exists(src) &&
+              !Files.exists(Paths.get(target.toString + suffix)))
+            Files.createLink(Paths.get(target.toString + suffix), src)
+        }
+        link("")
+        b.bloom.foreach { case (c, _) => link(s".$c.bloom") }
+        a.dv.foreach { case (token, _) => link(s".$token") }
+        a.copy(relPath = s"data/$id")
+      }
+    }
+    val mainIds = m.active.map(_.contentId).toSet
+    val branchIds = rewritten.map(_.contentId).toSet
+    val adds = rewritten.filterNot(a => mainIds(a.contentId))
+    val removes = m.active.filterNot(a => branchIds(a.contentId))
+      .map(_.relPath)
+    val v = commit(table, m.version, "publish", adds, removes,
+      b.schemaDdl, b.keyCol, bloom = b.bloom, partCols = b.partCols,
+      props = Some(b.props - "branch.of" - "branch.base"),
+      colMap = Some((b.colMap, b.droppedPhys)),
+      defaults =
+        if (b.defaults.isEmpty && m.defaults.isEmpty) None
+        else Some(b.defaults))
+    (v, adds.size, removes.size)
+  }
+
   /** Append with ADDITIVE schema evolution: new columns widen the
     * table schema (recorded in the manifest — readers null-fill them
     * in pre-evolution files via the explicit-schema parquet read);
