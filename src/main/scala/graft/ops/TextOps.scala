@@ -6532,8 +6532,240 @@ object TextOps {
       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens
       |FROM g GROUP BY gate ORDER BY gate""".stripMargin
 
+
+  // ---------------------------------------------------------------- q483
+  /** [NS] NAIVE-BAYES quality classifier, train + apply — the
+    * CCNet/GPT-3 discriminative quality-filter lineage (Wenzek et
+    * al. 2020 trained curated-vs-crawl; Brown et al. 2020 kept
+    * documents a curated-vs-random classifier scored curated-like):
+    * per-token log-likelihood ratios learn on a labeled TRAIN split
+    * and gate the HELD-OUT split, in the suite's exact-integer
+    * micro-nat discipline (q125's floored-ln device) so every
+    * aggregate is order-independent and hash-oracle-able.
+    *
+    * The curated-vs-random strata are PLANTED deterministically (the
+    * corpus's own languages share one token pool, so a label must be
+    * constructed): "curated" is every document as-is; "random" is a
+    * noise twin per document in which each odd-salted token position
+    * (md5 parity on (doc_id, pos) — reproducible in both engines)
+    * mangles to an md5-fragment garbage token. Half of each noise
+    * doc's mass is out-of-distribution by construction — separable,
+    * but not trivially disjoint.
+    *
+    * Train (even source doc_ids, q91's split convention): ONE token
+    * pass folds per-token class counts, class totals and vocab size
+    * ride one 3-cell broadcast row, and the add-one-smoothed LLR
+    * floors to micro-nats:
+    * `floor((ln((c⁺+1)/(T⁺+V)) − ln((c⁻+1)/(T⁻+V)))·10⁶)`.
+    * Apply (odd doc_ids): per-doc LLR sum over in-vocabulary tokens
+    * (OOV contributes nothing — unseen in both classes), keep iff
+    * the sum is positive (the posterior-ratio sign; no division, so
+    * the negative-operand div/floor-div trap never arises). The
+    * model is vocabulary-sized and BROADCASTS — at 100 TB the corpus
+    * scans once for counts and once for scoring, and nothing
+    * corpus-sized ever shuffles. Output: held-out keep rates per
+    * (source, class) — the confusion table a curation pipeline acts
+    * on (curated keep_ppm high, random low; the spec pins AUC ≥ 0.95
+    * via q196's Mann–Whitney machinery). */
+  def q483NbQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    q483Gate(s, dir)
+      .groupBy($"source", $"curated")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"sum_llr" > 0L, 1L).otherwise(0L)).as("n_keep"))
+      .select($"source", $"curated", $"n_docs", $"n_keep",
+        expr("(n_keep * 1000000) div n_docs").as("keep_ppm"))
+      .orderBy($"source", $"curated")
+  }
+
+  /** Held-out (doc, class) LLR sums — shared by the report and the
+    * spec's AUC pin so the two can never diverge. */
+  private[ops] def q483Gate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tk = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source",
+        posexplode(toks($"text")).as(Seq("pos0", "tok")))
+      .select($"doc_id", $"source", ($"pos0" + 1).as("pos"), $"tok")
+    // the planted noise twin: odd md5 parity on (doc_id, pos) mangles
+    // the token to a 6-hex garbage fragment
+    val mangle = when(
+      conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+        $"pos".cast("string"))), 1, 4), 16, 10).cast("long") % 2 === 0,
+      $"tok").otherwise(substring(md5($"tok"), 1, 6))
+    val all = tk.select($"doc_id", $"source", lit(1L).as("curated"), $"tok")
+      .unionByName(tk.select(($"doc_id" + 1000000L).as("doc_id"),
+        $"source", lit(0L).as("curated"), mangle.as("tok")))
+    val counts = all.where(pmod($"doc_id" % 1000000L, lit(2)) === 0)
+      .groupBy($"tok")
+      .agg(sum($"curated").as("cpos"),
+        sum(lit(1L) - $"curated").as("cneg"))
+    val totals = counts.agg(sum($"cpos").cast("long").as("tpos"),
+      sum($"cneg").cast("long").as("tneg"), count(lit(1)).as("v"))
+    val llr = counts.crossJoin(broadcast(totals))
+      .select($"tok", expr(
+        "CAST(floor((ln((CAST(cpos AS DOUBLE) + 1.0) / " +
+          "(CAST(tpos AS DOUBLE) + CAST(v AS DOUBLE))) - " +
+          "ln((CAST(cneg AS DOUBLE) + 1.0) / " +
+          "(CAST(tneg AS DOUBLE) + CAST(v AS DOUBLE)))) * 1000000.0) " +
+          "AS BIGINT)").as("llr_micro"))
+    all.where(pmod($"doc_id" % 1000000L, lit(2)) === 1)
+      .join(broadcast(llr), Seq("tok"))
+      .groupBy($"doc_id", $"source", $"curated")
+      .agg(sum($"llr_micro").as("sum_llr"))
+  }
+
+  private val q483Oracle =
+    """WITH tk AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split(lower(text), ' ')) AS tok,
+      |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      |  FROM documents),
+      |allr AS (
+      |  SELECT doc_id, source, CAST(1 AS BIGINT) AS curated, tok FROM tk
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, 0,
+      |    CASE WHEN ('0x' || substr(md5(doc_id || ':' || pos), 1, 4))
+      |        ::BIGINT % 2 = 0
+      |      THEN tok ELSE substr(md5(tok), 1, 6) END
+      |  FROM tk),
+      |counts AS (
+      |  SELECT tok, CAST(sum(curated) AS BIGINT) AS cpos,
+      |    CAST(sum(1 - curated) AS BIGINT) AS cneg
+      |  FROM allr WHERE (doc_id % 1000000) % 2 = 0 GROUP BY tok),
+      |tot AS (
+      |  SELECT CAST(sum(cpos) AS BIGINT) AS tpos,
+      |    CAST(sum(cneg) AS BIGINT) AS tneg,
+      |    CAST(count(*) AS BIGINT) AS v
+      |  FROM counts),
+      |llr AS (
+      |  SELECT tok,
+      |    CAST(floor((ln((CAST(cpos AS DOUBLE) + 1.0) /
+      |        (CAST(tpos AS DOUBLE) + CAST(v AS DOUBLE))) -
+      |      ln((CAST(cneg AS DOUBLE) + 1.0) /
+      |        (CAST(tneg AS DOUBLE) + CAST(v AS DOUBLE)))) * 1000000.0)
+      |      AS BIGINT) AS llr_micro
+      |  FROM counts, tot),
+      |sc AS (
+      |  SELECT a.doc_id, a.source, a.curated,
+      |    CAST(sum(l.llr_micro) AS BIGINT) AS sum_llr
+      |  FROM allr a JOIN llr l USING (tok)
+      |  WHERE (a.doc_id % 1000000) % 2 = 1
+      |  GROUP BY a.doc_id, a.source, a.curated)
+      |SELECT source, curated, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN sum_llr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_keep,
+      |  CAST((sum(CASE WHEN sum_llr > 0 THEN 1 ELSE 0 END) * 1000000)
+      |    // count(*) AS BIGINT) AS keep_ppm
+      |FROM sc GROUP BY source, curated ORDER BY source, curated""".stripMargin
+
+  // ---------------------------------------------------------------- q484
+  /** [NS] TOKENIZER FERTILITY AUDIT — per-language tokens-per-1000-
+    * chars and bytes-per-token under the q140-learned merges, applied
+    * through q385's serve path: the number that decides whether a
+    * vocabulary STARVES a language (an under-served script gets few
+    * merges, so its text costs more tokens per character — the
+    * context-window and compute tax multilingual models pay where
+    * the tokenizer was trained on someone else's distribution).
+    *
+    * The under-served language is PLANTED causally, not labeled: the
+    * fixture's languages share one token pool, so `zh` text derives
+    * as the per-token REVERSAL of its words (deterministic in both
+    * engines) — a minority "script" the train split barely teaches
+    * the learner, exactly how a real under-represented script starves.
+    * Merges learn on the q385 train bucket of the transformed corpus
+    * and apply to the serve bucket; fertility folds per language in
+    * exact integer milli-units (all operands positive). The report
+    * MUST surface the plant: zh's tokens-per-kchar strictly tops
+    * every other language (spec-pinned). Bytes count via
+    * octet_length — equal to chars on this ASCII fixture, the
+    * distinction that matters on real multibyte scripts. */
+  def q484TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documentsSpread(s, dir)
+    // the planted minority script: zh words reverse, everything else
+    // lowercases as usual (toks() lowercases — transform first)
+    val text2 = when($"lang" === "zh",
+      array_join(transform(split(lower($"text"), " "),
+        w => reverse(w)), " "))
+      .otherwise(lower($"text"))
+    val corpus = docs.select($"doc_id", $"lang", text2.as("text"))
+    val bucket = conv(substring(md5(concat(lit("bpe:"),
+      $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long") % 100
+    val perDoc = bpeApplyOf(corpus.where(bucket < 80),
+      corpus.where(bucket >= 80), bpeMerges)
+    val bytes = corpus.where(bucket >= 80)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .where(length($"w") > 0)
+      .groupBy($"doc_id").agg(sum(octet_length($"w")).as("n_bytes"))
+    perDoc.join(bytes, Seq("doc_id"))
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"), sum($"n_chars").as("n_chars"),
+        sum($"n_bytes").as("n_bytes"))
+      .select($"lang", $"n_docs", $"n_tokens", $"n_chars", $"n_bytes",
+        expr("(1000 * n_tokens) div n_chars").as("toks_per_kchar"),
+        expr("(1000 * n_bytes) div n_tokens").as("bytes_per_ktok"))
+      .orderBy($"lang")
+  }
+
+  private val q484Oracle = {
+    val rounds = (0 until bpeMerges).map(bpeRoundCte).mkString(",\n")
+    val applied = (0 until bpeMerges)
+      .foldLeft("seq") { (e, i) => s"replace($e, m$i.pat, m$i.rep)" }
+    val fromMs = (0 until bpeMerges).map(i => s"m$i").mkString(", ")
+    s"""WITH tagged AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN lang = 'zh' THEN list_aggregate(list_transform(
+       |        string_split(lower(text), ' '), w -> reverse(w)),
+       |        'string_agg', ' ')
+       |      ELSE lower(text) END AS text,
+       |    ('0x' || substr(md5('bpe:' || CAST(doc_id AS VARCHAR)), 1, 4))
+       |      ::BIGINT % 100 AS bucket
+       |  FROM documents),
+       |wf0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS freq,
+       |    list_aggregate(list_transform(split(w, ''), c -> $bpeWrapSql),
+       |      'string_agg', '') AS seq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |        FROM tagged WHERE bucket < 80)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |$rounds,
+       |sw AS (
+       |  SELECT doc_id, lang, w FROM (
+       |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+       |    FROM tagged WHERE bucket >= 80)
+       |  WHERE len(w) > 0),
+       |seqs AS (
+       |  SELECT doc_id, lang, CAST(length(w) AS BIGINT) AS wl,
+       |    CAST(strlen(w) AS BIGINT) AS wb,
+       |    list_aggregate(list_transform(split(w, ''), c -> $bpeWrapSql),
+       |      'string_agg', '') AS seq
+       |  FROM sw),
+       |ap AS (
+       |  SELECT doc_id, lang, wl, wb, $applied AS fseq
+       |  FROM seqs, $fromMs),
+       |cnt AS (
+       |  SELECT doc_id, lang, CAST(sum(wl) AS BIGINT) AS n_chars,
+       |    CAST(sum(wb) AS BIGINT) AS n_bytes,
+       |    CAST(sum(len(string_split(ltrim(rtrim(fseq, chr(2)), chr(1)),
+       |      chr(2) || chr(1)))) AS BIGINT) AS n_tokens
+       |  FROM ap GROUP BY 1, 2)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+       |  CAST((1000 * sum(n_tokens)) // sum(n_chars) AS BIGINT)
+       |    AS toks_per_kchar,
+       |  CAST((1000 * sum(n_bytes)) // sum(n_tokens) AS BIGINT)
+       |    AS bytes_per_ktok
+       |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q480_pipeline_capstone" -> (q480PipelineCapstone _),
+    "q483_nb_quality_classifier" -> (q483NbQualityClassifier _),
+    "q484_tokenizer_fertility" -> (q484TokenizerFertility _),
     "q479_pack_utilization" -> (q479PackUtilization _),
     "q478_prefix_cache_sharing" -> (q478PrefixCacheSharing _),
     "q474_license_audit" -> (q474LicenseAudit _),
@@ -6633,6 +6865,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q480_pipeline_capstone" -> q480Oracle,
+    "q483_nb_quality_classifier" -> q483Oracle,
+    "q484_tokenizer_fertility" -> q484Oracle,
     "q479_pack_utilization" -> q479Oracle,
     "q478_prefix_cache_sharing" -> q478Oracle,
     "q474_license_audit" -> q474Oracle,

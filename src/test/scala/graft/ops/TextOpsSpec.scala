@@ -2156,4 +2156,48 @@ class TextOpsSpec extends SparkSuite {
       "replacement"   -> ((1L, 3L)),
       "smart_quote"   -> ((1L, 2L))), got.toString)
   }
+
+  test("q483 NB quality classifier separates the planted strata: " +
+      "held-out AUC >= 0.95; curated keeps, noise drops") {
+    import org.apache.spark.sql.functions._
+    val auc = TextOps.aucOf(TextOps.q483Gate(spark, sf0001)
+      .select(col("sum_llr").as("score"), col("curated").as("label")))
+      .collect().head
+    val aucPpm = auc.getLong(2)
+    assert(aucPpm >= 950000L,
+      s"NB classifier failed to separate curated from noise: $aucPpm ppm")
+    val rates = TextOps.q483NbQualityClassifier(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rates.nonEmpty)
+    rates.foreach { case (src, cur, n, keep, ppm) =>
+      assert(keep <= n && ppm >= 0L && ppm <= 1000000L, s"$src/$cur: $keep/$n")
+      assert(ppm == keep * 1000000L / n)
+    }
+    // the gate must actually gate: curated keep rate far above noise
+    val curKeep = rates.filter(_._2 == 1L).map(_._4).sum.toDouble /
+      rates.filter(_._2 == 1L).map(_._3).sum
+    val noiseKeep = rates.filter(_._2 == 0L).map(_._4).sum.toDouble /
+      rates.filter(_._2 == 0L).map(_._3).sum
+    assert(curKeep >= 0.9 && noiseKeep <= 0.1,
+      s"keep rates curated=$curKeep noise=$noiseKeep")
+  }
+
+  test("q484 fertility audit surfaces the planted under-served " +
+      "language: zh tokens-per-kchar strictly tops every other lang") {
+    val got = TextOps.q484TokenizerFertility(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(5), r.getLong(6)))
+    assert(got.map(_._1).contains("zh"), got.mkString(","))
+    val zh = got.find(_._1 == "zh").get._3
+    got.filter(_._1 != "zh").foreach { case (l, _, fert, _) =>
+      assert(zh > fert,
+        s"planted skew not surfaced: zh=$zh vs $l=$fert toks/kchar")
+    }
+    // merges really compress the served majority: fertility < 1000
+    // (1000 = one token per char, the unmerged ceiling)
+    assert(got.filter(_._1 != "zh").forall(_._3 < 1000L), got.mkString(","))
+    got.foreach { case (l, n, fert, bpt) =>
+      assert(n > 0 && fert > 0 && bpt >= 1000L, s"$l: $n/$fert/$bpt")
+    }
+  }
 }
