@@ -874,7 +874,11 @@ object GraftLogTable {
       case None => Nil
     }
     s => {
-      var fs = s.active
+      // chunk-grain first (the read path's zeroth layer): on a
+      // chunk-checkpointed table a key/partition-bounded DELETE never
+      // parses the non-matching chunks' file entries at all
+      var fs = s.activePruned(r =>
+        GraftLogScanBuilder.chunkKeeps(r, range, Nil, preds))
       range.foreach { case (lo, hi) =>
         fs = fs.filter(a => a.max >= lo && a.min <= hi) }
       if (preds.nonEmpty)
@@ -882,12 +886,9 @@ object GraftLogTable {
       if (physFlt.nonEmpty)
         fs = fs.filter(a =>
           physFlt.forall(GraftLogScanBuilder.colStatKeep(a, _)))
-      if (bloomProbes.nonEmpty) {
-        val keep = graft.tablelog.TableLog
-          .prunedFilesBloom(spark, tablePath, s, bloomProbes)
-          .map(_.relPath).toSet
-        fs = fs.filter(a => keep(a.relPath))
-      }
+      if (bloomProbes.nonEmpty)
+        fs = graft.tablelog.TableLog
+          .prunedFilesBloomOf(spark, tablePath, s, bloomProbes, fs)
       fs
     }
   }
@@ -1296,10 +1297,9 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
           case f @ (EqualTo(`bc`, _) | In(`bc`, _)) => used += f
           case _ => ()
         }
-        val keep = TableLog
-          .prunedFilesBloom(spark, tablePath, snap, probes)
-          .map(_.relPath).toSet
-        fs = fs.filter(a => keep(a.relPath))
+        // candidate-scoped: a bloom probe must not force the full
+        // chunk parse the zeroth layer just avoided
+        fs = TableLog.prunedFilesBloomOf(spark, tablePath, snap, probes, fs)
       }
     }
     // third manifest layer: partition pruning — a file survives iff

@@ -2492,8 +2492,16 @@ object TableLog {
     * file-grain, like the manifest itself; a production table folds
     * sidecar digests into the checkpoint. */
   def prunedFilesBloom(spark: SparkSession, table: String, snap: Snapshot,
-      values: Seq[Any]): Seq[AddFile] = snap.bloom match {
-    case None => snap.active
+      values: Seq[Any]): Seq[AddFile] =
+    prunedFilesBloomOf(spark, table, snap, values, snap.active)
+
+  /** [[prunedFilesBloom]] over an explicit candidate set — composes
+    * AFTER the chunk/key/partition layers so a bloom probe never
+    * forces the full chunk parse those layers just avoided. */
+  def prunedFilesBloomOf(spark: SparkSession, table: String,
+      snap: Snapshot, values: Seq[Any],
+      candidates: Seq[AddFile]): Seq[AddFile] = snap.bloom match {
+    case None => candidates
     case Some((c, m)) =>
       val field = StructType.fromDDL(snap.schemaDdl)
         .find(_.name == c).getOrElse(throw new IllegalArgumentException(
@@ -2506,7 +2514,7 @@ object TableLog {
       // bits of AT LEAST ONE value are set
       val posPerValue = probe.select(array(bloomPosCols(c, m): _*).as("ps"))
         .collect().map(_.getSeq[Int](0))
-      snap.active.filter { a =>
+      candidates.filter { a =>
         val sidecar = Paths.get(table, sidecarRel(a.relPath, c))
         if (!Files.exists(sidecar)) true
         else {

@@ -666,4 +666,27 @@ class GraftLogCatalogSpec extends SparkSuite {
     spark.sql(s"ALTER TABLE graftlog.`$t` ADD COLUMN note STRING")
     assert(spark.table(s"graftlog.`$t`").columns.toSeq == Seq("k", "note"))
   }
+
+  test("the pushed-DELETE candidate pruner prunes at chunk grain: a " +
+      "partition-bounded delete never parses non-matching chunks") {
+    import spark.implicits._
+    import graft.tablelog.TableLog
+    val t = java.nio.file.Files.createTempDirectory("cat_delchunk_")
+      .toString + "/t"
+    def slice(p: String, base: Long) =
+      (0L until 64L).map(i => (base + i, p)).toDF("k", "part")
+    TableLog.create(slice("a", 0L), t, "k", numFiles = 8,
+      partCols = Seq("part"))
+    TableLog.append(slice("b", 100L), t, numFiles = 8)
+    TableLog.append(slice("c", 200L), t, numFiles = 8)
+    TableLog.append(slice("d", 300L), t, numFiles = 8)  // v4 checkpoints
+    val snap = TableLog.state(t)
+    val prune = GraftLogTable.deletePrune(spark, t, snap,
+      Seq(org.apache.spark.sql.sources.EqualTo("part", "d")))
+    val fs = prune(snap)
+    assert(fs.nonEmpty && fs.forall(_.parts.forall(_.values == Seq("d"))))
+    val ix = snap.chunkIndex.get
+    assert(ix.chunksParsed < ix.chunksTotal,
+      s"delete pruning parsed ${ix.chunksParsed}/${ix.chunksTotal} chunks")
+  }
 }
