@@ -3070,8 +3070,58 @@ object TableOps {
       |   OR (o_orderkey % 8 = 1 AND o_orderkey % 5 <> 0)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q486
+  /** `#branches` metadata table — the operational dashboard of
+    * in-flight write-audit-publish drops ([[TableLog.listBranches]]):
+    * one row per staging branch with its fork version, head version
+    * and manifest-folded file/live-row counts, zero data files open.
+    * The fixture forks two branches at v1, ingests a slice onto one
+    * and publishes it (main moves to v2) while the other stays idle —
+    * the inventory must show both, the published branch's advanced
+    * head included (publishing does not consume the branch; its
+    * lifecycle is the operator's to end). Every count in the oracle
+    * derives from the same orders slices. */
+  private val branchesMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q486BranchesMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = branchesMetaCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogbrm_").toString + "/t"
+      val slice = ordersSlice(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      TableLog.create(slice.where($"o_orderkey" % 4 === 0),
+        path, "o_orderkey", numFiles = 2)                              // v1
+      val b1 = TableLog.branch(path, "drop_a")
+      TableLog.branch(path, "idle_b")
+      TableLog.append(slice.where($"o_orderkey" % 8 === 1), b1,
+        numFiles = 2)
+      TableLog.publish(s, path, "drop_a")                              // v2
+      path
+    })
+    s.sql(s"SELECT branch_name, base_version, head_version, n_files, " +
+      s"live_rows FROM graftlog.`$t#branches` ORDER BY branch_name")
+  }
+
+  private val q486Oracle =
+    """WITH a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+      |  WHERE o_orderkey % 4 = 0),
+      |b AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS c FROM orders
+      |  WHERE o_orderkey % 8 = 1)
+      |SELECT 'drop_a' AS branch_name, CAST(1 AS BIGINT) AS base_version,
+      |  CAST(2 AS BIGINT) AS head_version, CAST(4 AS BIGINT) AS n_files,
+      |  CAST(a.c + b.c AS BIGINT) AS live_rows
+      |FROM a, b
+      |UNION ALL
+      |SELECT 'idle_b', 1, 1, 2, a.c FROM a, b
+      |ORDER BY branch_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q482_branch_wap" -> (q482BranchWap _),
+    "q486_branches_meta" -> (q486BranchesMeta _),
     "q481_default_widen" -> (q481DefaultWiden _),
     "q477_check_constraint" -> (q477CheckConstraint _),
     "q476_skew_advisor" -> (q476SkewAdvisor _),
@@ -3134,6 +3184,7 @@ object TableOps {
 
   val oracles: Map[String, String] = Map(
     "q482_branch_wap" -> q482Oracle,
+    "q486_branches_meta" -> q486Oracle,
     "q481_default_widen" -> q481Oracle,
     "q477_check_constraint" -> q477Oracle,
     "q476_skew_advisor" -> q476Oracle,

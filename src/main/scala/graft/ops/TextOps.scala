@@ -6762,10 +6762,95 @@ object TextOps {
        |FROM cnt GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q485
+  /** [NS] DOREMI-style domain-mixture reweighting (Xie et al. 2023):
+    * one multiplicative-weights round over per-source EXCESS LM loss
+    * — the LOSS-DRIVEN mixer the declared-target rebalancers (q112
+    * single-margin, q277 IPF) cannot express: domains the current
+    * model finds HARD (above-average loss) upweight, easy domains
+    * downweight, which is how DoReMi picked the Pile weights that
+    * beat its default mix.
+    *
+    * All arithmetic rides the suite's exact-integer discipline:
+    * per-source average trigram NLL folds in micro-nats (q125's
+    * floored-ln device — order-independent, hash-comparable), the
+    * global reference is one integer div over the SAME folded cells,
+    * excess = src − global stays a BIGINT (possibly negative; it is
+    * never divided, so the div/floor-div sign trap never arises),
+    * and the softmax lands as per-source floor(exp(excess)·10⁶) on
+    * the SOURCE GRID (≤ dozens of rows — the only doubles touch
+    * grid-sized relations, never corpus rows) followed by an integer
+    * ppm normalization. Scale shape: one corpus trigram pass, one
+    * broadcast total, one source-grain fold; everything after is
+    * grid-sized. Spec pins Σweights ≈ 10⁶ and the monotone
+    * excess→weight order. */
+  def q485DoremiWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tri = Tables.documentsSpread(s, dir)
+      .select($"source", explode(DedupOps.spansN($"text", 3)).as("g"))
+    val lm = tri.groupBy($"g").agg(count(lit(1)).as("c"))
+    val total = lm.agg(sum($"c").cast("long").as("t"))
+    val perSrc = tri.join(lm, Seq("g")).crossJoin(broadcast(total))
+      .select($"source",
+        expr("CAST(floor(ln(CAST(t AS DOUBLE) / c) * 1000000.0) AS BIGINT)")
+          .as("nll_micro"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_trigrams"), sum($"nll_micro").as("sum_nll"))
+    val global = perSrc.agg(sum($"sum_nll").cast("long").as("tot_nll"),
+      sum($"n_trigrams").cast("long").as("tot_tri"))
+    val excess = perSrc.crossJoin(broadcast(global))
+      .select($"source", $"n_trigrams",
+        expr("sum_nll div n_trigrams").as("avg_nll_micro"),
+        expr("sum_nll div n_trigrams - tot_nll div tot_tri")
+          .as("excess_micro"))
+      .withColumn("e", expr("CAST(floor(exp(CAST(excess_micro AS DOUBLE)" +
+        " / 1000000.0) * 1000000.0) AS BIGINT)"))
+    val norm = excess.agg(sum($"e").cast("long").as("se"))
+    excess.crossJoin(broadcast(norm))
+      .select($"source", $"n_trigrams", $"avg_nll_micro", $"excess_micro",
+        expr("(e * 1000000) div se").as("weight_ppm"))
+      .orderBy($"source")
+  }
+
+  private val q485Oracle =
+    """WITH t AS (
+      |  SELECT source, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      |  FROM t),
+      |lm AS (SELECT g, count(*) AS c FROM g GROUP BY g),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM lm),
+      |sc AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |    CAST(sum(CAST(floor(ln(CAST(t AS DOUBLE) / c) * 1000000.0)
+      |      AS BIGINT)) AS BIGINT) AS sum_nll
+      |  FROM g JOIN lm USING (g), tot
+      |  GROUP BY source),
+      |gl AS (
+      |  SELECT CAST(sum(sum_nll) AS BIGINT) AS tot_nll,
+      |    CAST(sum(n_trigrams) AS BIGINT) AS tot_tri
+      |  FROM sc),
+      |x AS (
+      |  SELECT source, n_trigrams,
+      |    sum_nll // n_trigrams AS avg_nll_micro,
+      |    sum_nll // n_trigrams - tot_nll // tot_tri AS excess_micro
+      |  FROM sc, gl),
+      |e AS (
+      |  SELECT x.*, CAST(floor(exp(CAST(excess_micro AS DOUBLE)
+      |    / 1000000.0) * 1000000.0) AS BIGINT) AS e
+      |  FROM x),
+      |n AS (SELECT CAST(sum(e) AS BIGINT) AS se FROM e)
+      |SELECT source, n_trigrams, avg_nll_micro, excess_micro,
+      |  CAST((e * 1000000) // se AS BIGINT) AS weight_ppm
+      |FROM e, n ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q480_pipeline_capstone" -> (q480PipelineCapstone _),
     "q483_nb_quality_classifier" -> (q483NbQualityClassifier _),
     "q484_tokenizer_fertility" -> (q484TokenizerFertility _),
+    "q485_doremi_weights" -> (q485DoremiWeights _),
     "q479_pack_utilization" -> (q479PackUtilization _),
     "q478_prefix_cache_sharing" -> (q478PrefixCacheSharing _),
     "q474_license_audit" -> (q474LicenseAudit _),
@@ -6867,6 +6952,7 @@ object TextOps {
     "q480_pipeline_capstone" -> q480Oracle,
     "q483_nb_quality_classifier" -> q483Oracle,
     "q484_tokenizer_fertility" -> q484Oracle,
+    "q485_doremi_weights" -> q485Oracle,
     "q479_pack_utilization" -> q479Oracle,
     "q478_prefix_cache_sharing" -> q478Oracle,
     "q474_license_audit" -> q474Oracle,

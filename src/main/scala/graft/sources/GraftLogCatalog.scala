@@ -173,6 +173,7 @@ class GraftLogCatalog extends TableCatalog
   private val partitionsSuffix = "#partitions"
   private val detailSuffix = "#detail"
   private val filesSuffix = "#files"
+  private val branchesSuffix = "#branches"
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val raw = pathOf(ident)
@@ -219,6 +220,19 @@ class GraftLogCatalog extends TableCatalog
         s"$catalogName: `$path` is not partitioned — $partitionsSuffix " +
           "is defined only for tables created PARTITIONED BY")
       return new GraftLogPartitionsTable(path, snap)
+    }
+    if (raw.endsWith(branchesSuffix)) {
+      // staging-branch inventory — the operational view of in-flight
+      // write-audit-publish drops: one row per branch with its fork
+      // version, head version and manifest-folded file/row counts.
+      // Versionless like #history (branches are not part of any main
+      // snapshot); zero data files open.
+      if (version.isDefined) throw new UnsupportedOperationException(
+        s"$catalogName: time travel over $branchesSuffix is not defined")
+      val path = raw.stripSuffix(branchesSuffix)
+      if (TableLog.latestVersion(path) == 0L)
+        throw new NoSuchTableException(ident)
+      return new GraftLogBranchesTable(path, TableLog.listBranches(path))
     }
     if (raw.endsWith(historySuffix)) {
       // history is log-grain and versionless — VERSION/TIMESTAMP AS OF
@@ -438,6 +452,8 @@ class GraftLogCatalog extends TableCatalog
       refuse(s"CREATE TABLE $partitionsSuffix")
     if (path.endsWith(detailSuffix)) refuse(s"CREATE TABLE $detailSuffix")
     if (path.endsWith(filesSuffix)) refuse(s"CREATE TABLE $filesSuffix")
+    if (path.endsWith(branchesSuffix))
+      refuse(s"CREATE TABLE $branchesSuffix")
     val key = Option(properties.get("key"))
       .orElse(schema.fields.find(_.dataType ==
         org.apache.spark.sql.types.LongType).map(_.name))
@@ -1020,6 +1036,67 @@ class GraftLogHistoryReaderFactory
         cur = org.apache.spark.sql.catalyst.InternalRow(
           v, org.apache.spark.unsafe.types.UTF8String.fromString(op),
           na, nr, ra, rr, tot)
+        true
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The staging-branch inventory metadata table
+  * (`graftlog.\`<path>#branches\``) — one row per branch under
+  * `<path>/_branches/` with its fork version, head version and
+  * manifest-folded file/live-row counts; the operational dashboard of
+  * in-flight write-audit-publish drops, answered entirely from branch
+  * manifests. */
+class GraftLogBranchesTable(tablePath: String,
+    branches: Seq[(String, Long, Long, Int, Long)])
+    extends Table with SupportsRead {
+  override def name(): String = s"graftlog.`$tablePath#branches`"
+  override def schema(): StructType = GraftLogBranchesTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with org.apache.spark.sql.connector.read.Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = GraftLogBranchesTable.schema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        Array(GraftLogBranchesPartition(branches))
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new GraftLogBranchesReaderFactory
+    }
+}
+
+object GraftLogBranchesTable {
+  val schema: StructType = StructType.fromDDL(
+    "branch_name STRING, base_version BIGINT, head_version BIGINT, " +
+      "n_files BIGINT, live_rows BIGINT")
+}
+
+case class GraftLogBranchesPartition(
+    rows: Seq[(String, Long, Long, Int, Long)])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+class GraftLogBranchesReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val it = p.asInstanceOf[GraftLogBranchesPartition].rows.iterator
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (n, base, head, nf, rows) = it.next()
+        cur = org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          base, head, nf.toLong, rows)
         true
       }
       override def get(): org.apache.spark.sql.catalyst.InternalRow = cur

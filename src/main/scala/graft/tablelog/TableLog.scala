@@ -1766,6 +1766,30 @@ object TableLog {
     (v, adds.size, removes.size)
   }
 
+  /** The table's staging branches, name-sorted: (name, forkVersion,
+    * headVersion, nFiles, liveRows) — folded from each branch's own
+    * manifest, zero data files open (the `#branches` metadata table's
+    * backing; the operational view of in-flight corpus drops). */
+  def listBranches(table: String): Seq[(String, Long, Long, Int, Long)] = {
+    val dir = Paths.get(table, "_branches")
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+    } finally s.close()
+    names.sorted.flatMap { n =>
+      val bp = dir.resolve(n).toString
+      if (latestVersion(bp) == 0L) None
+      else {
+        val b = state(bp)
+        Some((n, b.props.get("branch.base").fold(0L)(_.toLong),
+          b.version, b.active.size, b.active.map(_.liveRows).sum))
+      }
+    }
+  }
+
   /** Append with ADDITIVE schema evolution: new columns widen the
     * table schema (recorded in the manifest — readers null-fill them
     * in pre-evolution files via the explicit-schema parquet read);

@@ -2200,4 +2200,27 @@ class TextOpsSpec extends SparkSuite {
       assert(n > 0 && fert > 0 && bpt >= 1000L, s"$l: $n/$fert/$bpt")
     }
   }
+
+  test("q485 DoReMi weights: ppm shares normalize, order tracks excess " +
+      "loss monotonically, hard domains upweight") {
+    val got = TextOps.q485DoremiWeights(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(got.length >= 2)
+    val total = got.map(_._3).sum
+    // integer floors lose < 1 ppm per source
+    assert(total <= 1000000L && total >= 1000000L - got.length,
+      s"weights sum to $total ppm")
+    // multiplicative weights are monotone in excess loss
+    got.sortBy(_._2).sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3,
+        s"${a._1}(excess=${a._2}) got ${a._3} > ${b._1}(${b._2}) ${b._3}")
+    }
+    // above-average-loss domains sit above the uniform share,
+    // below-average below it (the DoReMi direction)
+    val uniform = 1000000L / got.length
+    got.foreach { case (src, ex, w) =>
+      if (ex > 20000L) assert(w > uniform, s"$src hard but not upweighted")
+      if (ex < -20000L) assert(w < uniform, s"$src easy but not downweighted")
+    }
+  }
 }
