@@ -2608,6 +2608,143 @@ object SimilarityOps {
        |WHERE pos.rn = 1 AND neg.rn = 1
        |ORDER BY anchor_id""".stripMargin
 
+  // ---------------------------------------------------------------- q487
+  /** MMR diversity reranking (Carbonell & Goldstein 1998 — maximal
+    * marginal relevance, the rerank every RAG retrieval stack runs so
+    * the k slots aren't k near-duplicates): greedily select
+    * [[mmrK]] of each query's top-[[topK]] exact candidates, each
+    * step maximizing λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s) — the
+    * relevance-minus-redundancy tradeoff, λ = 0.5 (exact in binary,
+    * so both engines' literals agree bit-for-bit; doubles are only
+    * COMPARED, never accumulated across rows).
+    *
+    * Scale shape: candidate generation is q70's broadcast scan (the
+    * corpus never exchanges); everything after runs on the
+    * (queries × topK) CANDIDATE GRID — pairwise candidate cosines are
+    * topK² per query by construction, and the K greedy rounds are
+    * grid-sized joins (checkpointed — bounded frames, lineage never
+    * stacks). The same unrolled-rounds discipline as the IPF/BPE
+    * fixpoints; the oracle replays each round as CTEs so the greedy
+    * trajectories cannot diverge. Spec pins redundancy actually
+    * drops: planted near-duplicate candidates de-select. */
+  val mmrK = 5
+  val mmrLambda = 0.5 // 1 − λ must be exact in binary — see Scaladoc
+
+  def q487MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val q = c.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        $"nrm".as("qn"))
+    val wCos = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    val cand = c.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"embedding", $"nrm",
+        (VectorOps.dot($"embedding", $"qv") / ($"nrm" * $"qn"))
+          .as("cosine"))
+      .withColumn("rn", row_number().over(wCos))
+      .where($"rn" <= topK).drop("rn")
+      .localCheckpoint(true) // grid-sized: nQueries × topK rows
+    val pairs = cand
+      .select($"query_id", $"vec_id".as("a_id"),
+        $"embedding".as("av"), $"nrm".as("an"))
+      .join(cand.select($"query_id", $"vec_id".as("b_id"),
+        $"embedding".as("bv"), $"nrm".as("bn")), Seq("query_id"))
+      .where($"a_id" =!= $"b_id")
+      .select($"query_id", $"a_id", $"b_id",
+        (VectorOps.dot($"av", $"bv") / ($"an" * $"bn")).as("cosab"))
+      .localCheckpoint(true) // topK² per query
+    val base = cand.select($"query_id", $"vec_id", $"cosine")
+    val wPick = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"vec_id".asc)
+    var selAll = base
+      .withColumn("score", lit(mmrLambda) * $"cosine")
+      .withColumn("rn", row_number().over(wPick)).where($"rn" === 1)
+      .select($"query_id", $"vec_id", lit(1).as("rank"),
+        $"score".as("mmr"))
+      .localCheckpoint(true)
+    for (t <- 2 to mmrK) {
+      val pen = pairs
+        .join(selAll.select($"query_id", $"vec_id".as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy($"query_id", $"a_id".as("vec_id"))
+        .agg(max($"cosab").as("pen"))
+      val pick = base
+        .join(selAll.select($"query_id", $"vec_id"),
+          Seq("query_id", "vec_id"), "left_anti")
+        .join(pen, Seq("query_id", "vec_id"))
+        .withColumn("score",
+          lit(mmrLambda) * $"cosine" - lit(1.0 - mmrLambda) * $"pen")
+        .withColumn("rn", row_number().over(wPick)).where($"rn" === 1)
+        .select($"query_id", $"vec_id", lit(t).as("rank"),
+          $"score".as("mmr"))
+      selAll = selAll.unionByName(pick).localCheckpoint(true)
+    }
+    selAll.select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+      $"mmr").orderBy($"query_id", $"rank")
+  }
+
+  private lazy val q487Oracle = {
+    def selUnion(t: Int) =
+      (1 to t).map(i => s"SELECT query_id, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+    val rounds = (2 to mmrK).map { t =>
+      s"""sel${t - 1} AS (${selUnion(t - 1)}),
+         |pen$t AS (
+         |  SELECT p.query_id, p.a_id AS vec_id, max(p.cosab) AS pen
+         |  FROM pr p JOIN sel${t - 1} sel
+         |    ON sel.query_id = p.query_id AND sel.vec_id = p.b_id
+         |  GROUP BY 1, 2),
+         |sc$t AS (
+         |  SELECT r.query_id, r.vec_id,
+         |    $mmrLambda * r.cosine - ${1.0 - mmrLambda} * pen$t.pen AS score
+         |  FROM cand r
+         |  JOIN pen$t USING (query_id, vec_id)
+         |  LEFT JOIN sel${t - 1} sl
+         |    ON sl.query_id = r.query_id AND sl.vec_id = r.vec_id
+         |  WHERE sl.vec_id IS NULL),
+         |s$t AS (
+         |  SELECT query_id, vec_id, $t AS rank, score AS mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, vec_id ASC) AS rn FROM sc$t)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to mmrK)
+      .map(i => s"SELECT query_id, vec_id, rank, mmr FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+       |      FROM c WHERE vec_id < $nQueries),
+       |cand AS (
+       |  SELECT query_id, vec_id, embedding, nrm, cosine FROM (
+       |    SELECT query_id, vec_id, embedding, nrm,
+       |      ${dotSql("embedding", "qv")} / (nrm * qn) AS cosine,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ${dotSql("embedding", "qv")} / (nrm * qn) DESC,
+       |          vec_id ASC) AS rn
+       |    FROM c JOIN q ON vec_id <> query_id)
+       |  WHERE rn <= $topK),
+       |pr AS (
+       |  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+       |      AS cosab
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT query_id, vec_id, 1 AS rank, $mmrLambda * cosine AS mmr
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY $mmrLambda * cosine DESC, vec_id ASC) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, vec_id AS neighbor_id, rank, mmr FROM ($out)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q406_triplet_mining" -> (q406TripletMining _),
     "q392_hbos_outliers" -> (q392HbosOutliers _),
@@ -2622,6 +2759,7 @@ object SimilarityOps {
     "q305_ndcg_at_10"    -> (q305NdcgAt10 _),
     "q251_knn_loo_eval"  -> (q251KnnLooEval _),
     "q70_knn_bruteforce" -> (q70KnnBruteForce _),
+    "q487_mmr_rerank" -> (q487MmrRerank _),
     "q357_semantic_decontam" -> (q357SemanticDecontam _),
     "q71_knn_ivf"        -> (q71KnnIvf _),
     "q165_embedding_audit" -> (q165EmbeddingAudit _),
@@ -2652,6 +2790,7 @@ object SimilarityOps {
     "q305_ndcg_at_10"    -> q305Oracle,
     "q251_knn_loo_eval"  -> q251Oracle,
     "q70_knn_bruteforce" -> q70Oracle,
+    "q487_mmr_rerank" -> q487Oracle,
     "q357_semantic_decontam" -> q357Oracle,
     "q71_knn_ivf"        -> q71Oracle,
     "q165_embedding_audit" -> q165Oracle,

@@ -769,4 +769,41 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(r.getBoolean(6), "negative closer than positive must flag")
     assert(r.getDouble(5) < 0.0)
   }
+
+  test("q487 MMR rerank: planted near-duplicate candidates de-select " +
+      "after the first pick; pure relevance would keep all three") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mmr_spec").toString
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    Seq(
+      (0L, v(1.0, 0, 0, 0), 0),        // the query under test
+      (1L, v(0, 1.0, 0, 0), 0),        // other query slots (ids < nQueries)
+      (2L, v(0, 0, 1.0, 0), 0),
+      (3L, v(0, 0, 0, 1.0), 0),
+      (4L, v(0.1, 0.1, 0.1, 0.1), 0),
+      (5L, v(0.90, 0.4359, 0, 0), 0),  // near-duplicate trio: cos≈0.9 to q,
+      (6L, v(0.90, 0.4358, 0.001, 0), 0), // ≈1.0 to each other
+      (7L, v(0.90, 0.4357, 0.002, 0), 0),
+      (8L, v(0.75, 0, 0.6614, 0), 0),  // diverse: cos 0.75 to q,
+      (9L, v(0.75, 0, 0, 0.6614), 0),  // ≈0.56 to each other
+    ).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val got = SimilarityOps.q487MmrRerank(spark, tmp).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(2), r.getLong(1)))
+      .sortBy(_._1)
+    val first3 = got.take(3).map(_._2).toSet
+    // rank 1 is the most relevant near-dup; ranks 2-3 jump to the
+    // DIVERSE candidates even though the other two dups have higher
+    // raw cosine — the redundancy penalty at work
+    assert(got.head._2 == 5L || got.head._2 == 6L || got.head._2 == 7L, got.mkString(","))
+    assert((first3 & Set(5L, 6L, 7L)).size == 1,
+      s"near-dup trio not de-selected: $first3")
+    assert(Set(8L, 9L).subsetOf(first3), s"diverse picks missing: $first3")
+    // contrast: relevance-only top-3 would be exactly the trio
+    val rel = SimilarityOps.q70KnnBruteForce(spark, tmp).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(2)).take(3)
+      .map(_.getLong(1)).toSet
+    assert(rel == Set(5L, 6L, 7L), rel.toString)
+  }
 }
