@@ -6846,11 +6846,79 @@ object TextOps {
       |  CAST((e * 1000000) // se AS BIGINT) AS weight_ppm
       |FROM e, n ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q488
+  /** [NS] DETERMINISTIC EPOCH SHUFFLE — the training-order generator
+    * every large-scale data loader runs (the SlimPajama/Megatron
+    * shape: per epoch, documents land in a shard and a position
+    * inside it, derived from a SEEDED hash so any worker can
+    * reconstruct any shard's order independently, with no global
+    * shuffle service and no stored permutation): shard =
+    * md5("shard:epoch:doc") mod S, position = rank of
+    * md5("pos:epoch:doc") within the (epoch, shard) group. Different
+    * epochs provably produce different orders (the spec pins the
+    * order checksums apart), identical inputs reproduce bit-identical
+    * orders on any partitioning.
+    *
+    * The report folds each (epoch, shard) to its size, its first
+    * document and an ORDER CHECKSUM Σ doc_id·position — an exact
+    * BIGINT that encodes the permutation (any swap of two docs
+    * changes it) while summing order-independently, so the full
+    * 3-epoch plan is one explode-free projection + one rank window +
+    * one fold; at 100 TB each epoch is one hash-partitioned window
+    * over its shards, embarrassingly parallel by construction. */
+  val shuffleEpochs = 3
+  val shuffleShards = 4
+
+  def q488EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val epochs = (0 until shuffleEpochs)
+      .map(e => lit(e.toLong)).toArray
+    val base = Tables.documentsSpread(s, dir)
+      .select($"doc_id", explode(array(epochs: _*)).as("epoch"))
+    val keyed = base.select($"doc_id", $"epoch",
+      (conv(substring(md5(concat(lit("shard:"), $"epoch".cast("string"),
+        lit(":"), $"doc_id".cast("string"))), 1, 4), 16, 10).cast("long")
+        % shuffleShards).as("shard"),
+      md5(concat(lit("pos:"), $"epoch".cast("string"), lit(":"),
+        $"doc_id".cast("string"))).as("ok"))
+    val w = Window.partitionBy($"epoch", $"shard")
+      .orderBy($"ok".asc, $"doc_id".asc)
+    keyed.withColumn("position", row_number().over(w).cast("long"))
+      .groupBy($"epoch", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min(when($"position" === 1L, $"doc_id")).as("first_doc"),
+        sum($"doc_id" * $"position").as("order_checksum"))
+      .orderBy($"epoch", $"shard")
+  }
+
+  private val q488Oracle =
+    s"""WITH e AS (
+       |  SELECT doc_id, unnest(range(0, $shuffleEpochs)) AS epoch
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, epoch,
+       |    ('0x' || substr(md5('shard:' || epoch || ':' || doc_id), 1, 4))
+       |      ::BIGINT % $shuffleShards AS shard,
+       |    md5('pos:' || epoch || ':' || doc_id) AS ok
+       |  FROM e),
+       |p AS (
+       |  SELECT doc_id, epoch, shard,
+       |    CAST(row_number() OVER (PARTITION BY epoch, shard
+       |      ORDER BY ok ASC, doc_id ASC) AS BIGINT) AS position
+       |  FROM k)
+       |SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(min(CASE WHEN position = 1 THEN doc_id END) AS BIGINT)
+       |    AS first_doc,
+       |  CAST(sum(doc_id * position) AS BIGINT) AS order_checksum
+       |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q480_pipeline_capstone" -> (q480PipelineCapstone _),
     "q483_nb_quality_classifier" -> (q483NbQualityClassifier _),
     "q484_tokenizer_fertility" -> (q484TokenizerFertility _),
     "q485_doremi_weights" -> (q485DoremiWeights _),
+    "q488_epoch_shuffle" -> (q488EpochShuffle _),
     "q479_pack_utilization" -> (q479PackUtilization _),
     "q478_prefix_cache_sharing" -> (q478PrefixCacheSharing _),
     "q474_license_audit" -> (q474LicenseAudit _),
@@ -6953,6 +7021,7 @@ object TextOps {
     "q483_nb_quality_classifier" -> q483Oracle,
     "q484_tokenizer_fertility" -> q484Oracle,
     "q485_doremi_weights" -> q485Oracle,
+    "q488_epoch_shuffle" -> q488Oracle,
     "q479_pack_utilization" -> q479Oracle,
     "q478_prefix_cache_sharing" -> q478Oracle,
     "q474_license_audit" -> q474Oracle,

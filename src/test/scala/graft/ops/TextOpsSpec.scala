@@ -2223,4 +2223,28 @@ class TextOpsSpec extends SparkSuite {
       if (ex < -20000L) assert(w < uniform, s"$src easy but not downweighted")
     }
   }
+
+  test("q488 epoch shuffle: orders are reproducible, conserve docs, " +
+      "and genuinely differ across epochs") {
+    val a = TextOps.q488EpochShuffle(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val b = TextOps.q488EpochShuffle(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(a == b, "the shuffle must be bit-reproducible")
+    val total = graft.Tables.documents(spark, sf0001).count()
+    (0L until TextOps.shuffleEpochs.toLong).foreach { e =>
+      val shards = a.filter(_._1._1 == e)
+      assert(shards.values.map(_._1).sum == total,
+        s"epoch $e loses or duplicates documents")
+    }
+    // different epochs must produce genuinely different orders: the
+    // per-epoch checksum vectors differ pairwise
+    val sums = (0L until TextOps.shuffleEpochs.toLong).map(e =>
+      a.filter(_._1._1 == e).toSeq.sortBy(_._1._2).map(_._2._3))
+    sums.combinations(2).foreach { case Seq(x, y) =>
+      assert(x != y, "two epochs shuffled identically")
+    }
+  }
 }
