@@ -598,16 +598,30 @@ object TableLog {
   /** Latest committed version, 0 if the table has no log yet. The
     * listing is the only O(log-size) driver step; object stores
     * serve it as one LIST call on the `_log/` prefix. */
-  def latestVersion(table: String): Long = {
+  def latestVersion(table: String): Long = logListing(table)._1
+
+  /** ONE `_log/` listing answering both resolution questions —
+    * (latest commit version, checkpoint versions ascending). Snapshot
+    * resolution asks "newest checkpoint ≤ v" against this instead of
+    * probing `v, v−1, …` for existence: one LIST call, not O(history)
+    * stat calls (at 1M commits the descending probe was a million
+    * round-trips on an object store). */
+  private def logListing(table: String): (Long, Seq[Long]) = {
     val dir = logDir(table)
-    if (!Files.isDirectory(dir)) return 0L
+    if (!Files.isDirectory(dir)) return (0L, Nil)
     val s = Files.list(dir)
     try {
       import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".commit"))
-        .map(n => n.stripPrefix("v").stripSuffix(".commit").toLong)
-        .foldLeft(0L)(math.max)
+      var latest = 0L
+      val ckpts = Seq.newBuilder[Long]
+      s.iterator().asScala.map(_.getFileName.toString).foreach { n =>
+        if (n.endsWith(".commit"))
+          latest = math.max(latest,
+            n.stripPrefix("v").stripSuffix(".commit").toLong)
+        else if (n.endsWith(".checkpoint"))
+          ckpts += n.stripPrefix("v").stripSuffix(".checkpoint").toLong
+      }
+      (latest, ckpts.result().sorted)
     } finally s.close()
   }
 
@@ -678,10 +692,21 @@ object TableLog {
     * never silently as current. Throws when the timestamp predates
     * the table entirely. */
   def versionAtTimestamp(table: String, epochMillis: Long): Long = {
-    val stamped = commits(table).filter(c => c.tsMillis <= epochMillis)
-    require(stamped.nonEmpty,
+    // commit stamps are monotone (single filesystem clock, assigned at
+    // render; pre-tag manifests carry 0 = infinitely old), so the
+    // latest version with ts ≤ epoch binary-searches in O(log history)
+    // manifest reads instead of parsing every commit
+    def tsOf(v: Long): Long =
+      parse(v, Files.readString(commitPath(table, v))).tsMillis
+    val last = latestVersion(table)
+    require(last > 0 && tsOf(1L) <= epochMillis,
       s"$table has no commit at or before epoch-millis $epochMillis")
-    stamped.map(_.version).max
+    var lo = 1L; var hi = last
+    while (lo < hi) { // invariant: ts(lo) ≤ epoch; answer in [lo, hi]
+      val mid = lo + (hi - lo + 1) / 2
+      if (tsOf(mid) <= epochMillis) lo = mid else hi = mid - 1
+    }
+    lo
   }
 
   /** Table state at `version` (default: latest). Resolves the newest
@@ -694,10 +719,10 @@ object TableLog {
     * the planning path a 1M-file table needs. Legacy monolithic
     * checkpoints replay strictly as before. */
   def state(table: String, version: Long = Long.MaxValue): Snapshot = {
-    val last = math.min(latestVersion(table), version)
+    val (latest, ckpts) = logListing(table)
+    val last = math.min(latest, version)
     require(last > 0, s"$table has no committed version ≤ $version")
-    val ckptV = (last to 1L by -1L)
-      .find(v => Files.exists(checkpointPath(table, v)))
+    val ckptV = ckpts.filter(_ <= last).lastOption
     ckptV match {
       case Some(cv) =>
         val (hdr, refs) = parseCheckpointList(table, cv)
@@ -886,8 +911,7 @@ object TableLog {
     * BEFORE parsing any file entry ([[Snapshot.activePruned]]). */
   private def maybeCheckpoint(table: String, v: Long): Unit =
     if (v % checkpointEvery == 0L) {
-      val prevV = ((v - 1L) to 1L by -1L)
-        .find(x => Files.exists(checkpointPath(table, x)))
+      val prevV = logListing(table)._2.filter(_ < v).lastOption
       val (prevHdr, prevRefs) = prevV match {
         case Some(pv) =>
           val (h, r) = parseCheckpointList(table, pv)
