@@ -88,4 +88,23 @@ class BranchWapSpec extends SparkSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
     assert(got.toSeq == Seq((1L, -1L), (2L, 9L)))
   }
+
+  test("a publish is rewrite-shaped to downstream consumers: the " +
+      "appends-only stream fails loudly across it, the version diff " +
+      "reads the published rows as inserts") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)             // v1
+    val br = TableLog.branch(t, "drop")
+    TableLog.append(kv(Seq(2L -> "b", 3L -> "c")), br, 1)
+    TableLog.publish(spark, t, "drop")                          // v2
+    // an appends-only incremental feed over the publish would
+    // double-count through a rewrite — it must refuse
+    intercept[IllegalStateException] {
+      TableLog.readAppendsSince(spark, t, sinceVersion = 1L).count()
+    }
+    // the change-exact diff reads exactly the published rows
+    val diff = TableLog.diffVersions(spark, t, 1L, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(diff.toSeq == Seq((2L, "insert"), (3L, "insert")))
+  }
 }

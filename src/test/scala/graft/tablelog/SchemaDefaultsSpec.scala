@@ -134,4 +134,16 @@ class SchemaDefaultsSpec extends SparkSuite {
         "(k BIGINT, y INT DEFAULT 5) TBLPROPERTIES ('key' = 'k')") }
     assert(err.getMessage.contains("DEFAULT"))
   }
+
+  test("widenColumn FLOAT→DOUBLE: narrow float bytes read widened; " +
+      "post-widening appends store DOUBLE") {
+    import spark.implicits._
+    val t = freshDir()
+    TableLog.create(Seq((1L, 1.5f), (2L, 2.5f)).toDF("k", "x"), t, "k", 1)
+    TableLog.widenColumn(t, "x", DoubleType)
+    TableLog.append(Seq((3L, 3.25)).toDF("k", "x"), t, 1)
+    val got = TableLog.snapshot(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.25)))
+  }
 }
