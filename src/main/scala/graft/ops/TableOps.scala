@@ -3119,9 +3119,61 @@ object TableOps {
       |SELECT 'idle_b', 1, 1, 2, a.c FROM a, b
       |ORDER BY branch_name""".stripMargin
 
+  // ---------------------------------------------------------------- q489
+  /** PARTITION SPEC EVOLUTION ([[TableLog.setPartitionSpec]],
+    * Iceberg's spec-evolution lineage): the table starts
+    * UNPARTITIONED, loads half the events, then
+    * `CALL graftlog.set_partition_spec(t, 'days:ts')` changes the
+    * layout for FUTURE writes as one metadata commit — the second
+    * half lands day-partitioned while the first half keeps its
+    * spec-0 stats and prunes conservatively (each file interprets
+    * its tuples under its OWN spec era, never positionally
+    * reinterpreted — the spec pins the mixed-era file counts and the
+    * reinterpretation guard). A raw ts range then reads exactly the
+    * right rows across both eras; a full compact migrates the whole
+    * layout to the current spec, after which the same query prunes
+    * everything and `#partitions` becomes exact again. At 100 TB
+    * this is how a table adopts partitioning YEARS into its life
+    * without a stop-the-world rewrite: the old data migrates when
+    * housekeeping touches it anyway. */
+  private val specEvoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q489PartitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = specEvoCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogpse_").toString + "/ev"
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"event_type", $"value")
+      TableLog.create(ev.where($"event_id" % 2 === 0), path,
+        "event_id", numFiles = 4)                                      // v1
+      s.sql(s"CALL graftlog.set_partition_spec('$path', 'days:ts')")   // v2
+      TableLog.append(ev.where($"event_id" % 2 === 1), path,
+        numFiles = 4)                                                  // v3
+      // both eras coexist: spec-0 files keep, spec-1 files carry
+      // day tuples (the spec pins pruning); a compact migrates all
+      s.sql(s"CALL graftlog.compact('$path', 4)")                      // v4
+      require(TableLog.state(path).active.forall(_.specId == 1),
+        "compact must migrate every file to the current spec")
+      path
+    })
+    s.sql(
+      s"""SELECT event_type,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM graftlog.`$t`
+         |WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP'2024-01-20 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val q489Oracle = q461Oracle
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q482_branch_wap" -> (q482BranchWap _),
     "q486_branches_meta" -> (q486BranchesMeta _),
+    "q489_partition_evolution" -> (q489PartitionEvolution _),
     "q481_default_widen" -> (q481DefaultWiden _),
     "q477_check_constraint" -> (q477CheckConstraint _),
     "q476_skew_advisor" -> (q476SkewAdvisor _),
@@ -3185,6 +3237,7 @@ object TableOps {
   val oracles: Map[String, String] = Map(
     "q482_branch_wap" -> q482Oracle,
     "q486_branches_meta" -> q486Oracle,
+    "q489_partition_evolution" -> q489Oracle,
     "q481_default_widen" -> q481Oracle,
     "q477_check_constraint" -> q477Oracle,
     "q476_skew_advisor" -> q476Oracle,

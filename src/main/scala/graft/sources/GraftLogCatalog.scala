@@ -790,7 +790,7 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
                 new GraftLogOverwriteWrite(tablePath, info.schema(),
                   cond = Some(cols.reduce(_ && _)),
                   pruneCandidates = s => s.active.filter(
-                    GraftLogScanBuilder.partitionKeeps(_, preds)))
+                    GraftLogScanBuilder.partitionKeeps(_, preds, s.specId)))
             }
         }
     }
@@ -894,11 +894,13 @@ object GraftLogTable {
       // chunk-checkpointed table a key/partition-bounded DELETE never
       // parses the non-matching chunks' file entries at all
       var fs = s.activePruned(r =>
-        GraftLogScanBuilder.chunkKeeps(r, range, Nil, preds))
+        GraftLogScanBuilder.chunkKeeps(r, range, Nil,
+          if (s.chunkEnvOk) preds else Nil))
       range.foreach { case (lo, hi) =>
         fs = fs.filter(a => a.max >= lo && a.min <= hi) }
       if (preds.nonEmpty)
-        fs = fs.filter(GraftLogScanBuilder.partitionKeeps(_, preds))
+        fs = fs.filter(
+          GraftLogScanBuilder.partitionKeeps(_, preds, s.specId))
       if (physFlt.nonEmpty)
         fs = fs.filter(a =>
           physFlt.forall(GraftLogScanBuilder.colStatKeep(a, _)))
@@ -1129,6 +1131,16 @@ class GraftLogPartitionsTable(tablePath: String,
       override def toBatch: org.apache.spark.sql.connector.read.Batch = this
       override def planInputPartitions()
           : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        // under PARTITION SPEC EVOLUTION, files from older eras carry
+        // tuples positional to THEIR spec — folding them under the
+        // current labels would silently mislabel rows: refuse loudly
+        // until a rewrite migrates the layout
+        snap.active.filter(a => a.specId != snap.specId)
+          .foreach(a => throw new IllegalStateException(
+            s"graftlog: active file ${a.relPath} of $tablePath was " +
+              s"written under partition-spec era ${a.specId} (current " +
+              s"is ${snap.specId}) — #partitions is exact only on a " +
+              "single-spec layout; CALL graftlog.compact to migrate"))
         snap.active.filter(a => a.rows > 0L && a.parts.isEmpty)
           .foreach(a => throw new IllegalStateException(
             s"graftlog: active file ${a.relPath} of partitioned table " +
@@ -1352,8 +1364,9 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     // O(matching chunks), the property that keeps a 1M-file table's
     // driver work bounded. Falls through to the full set when
     // unchunked or predicate-free.
+    val envPreds = if (snap.chunkEnvOk) pPreds else Nil
     var fs = snap.activePruned(r =>
-      GraftLogScanBuilder.chunkKeeps(r, range, inSets, pPreds))
+      GraftLogScanBuilder.chunkKeeps(r, range, inSets, envPreds))
     // first per-file layer: key-range [min, max] stats
     range.foreach { case (l, h) =>
       fs = fs.filter(a => a.max >= l && a.min <= h) }
@@ -1385,7 +1398,8 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
     // holding (a,y) and (b,x)). Files without tuple stats are kept —
     // absence must not lose rows.
     if (pPreds.nonEmpty)
-      fs = fs.filter(GraftLogScanBuilder.partitionKeeps(_, pPreds))
+      fs = fs.filter(
+        GraftLogScanBuilder.partitionKeeps(_, pPreds, snap.specId))
     // fourth manifest layer: NON-KEY column min/max skipping (the
     // Delta/Iceberg data-skipping device) — comparison predicates on
     // any stats-carrying column drop files whose recorded range
@@ -1704,10 +1718,14 @@ object GraftLogScanBuilder {
   }
 
   /** A file survives partition pruning iff SOME recorded tuple
-    * satisfies EVERY predicate; stat-less files always survive. */
+    * satisfies EVERY predicate; stat-less files always survive, and
+    * so do files written under a DIFFERENT partition-spec era — their
+    * tuples are positional under THEIR spec and must not be
+    * reinterpreted under the current one (Iceberg's spec-evolution
+    * rule; a rewrite migrates them). */
   private[sources] def partitionKeeps(a: TableLog.AddFile,
-      preds: Seq[PartPred]): Boolean =
-    a.parts.isEmpty || a.parts.exists(p =>
+      preds: Seq[PartPred], curSpecId: Int): Boolean =
+    a.specId != curSpecId || a.parts.isEmpty || a.parts.exists(p =>
       preds.forall(pr => pr.row(p.values(pr.idx))))
 
   /** A checkpoint chunk survives iff its stats envelope might hold a
@@ -2694,7 +2712,38 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** `CALL graftlog.set_partition_spec('<path>', '<spec>')` —
+    * [[TableLog.setPartitionSpec]]: evolve the table's partitioning
+    * for FUTURE writes as one metadata commit (Iceberg's
+    * spec-evolution shape). `spec` is a comma list of `col`,
+    * `days:col`, `months:col`, `years:col`, `hours:col`; '' makes
+    * future writes unpartitioned. Existing files keep their own
+    * spec's stats and prune conservatively until a rewrite migrates
+    * them. Returns (version, spec_id). */
+  object SetPartitionSpec extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "set_partition_spec"
+    override def description(): String =
+      "evolve the partition spec for future writes (metadata-only)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("spec", StringType)
+        .comment("comma list of partition transforms; '' = none").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val raw = input.getUTF8String(1).toString.trim
+      val specs =
+        if (raw.isEmpty) Nil
+        else raw.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val v = TableLog.setPartitionSpec(table, specs)
+      oneRow("version BIGINT, spec_id BIGINT",
+        Seq(v, TableLog.state(table).specId.toLong))
+    }
+  }
+
   val all: Seq[UnboundProcedure] =
     Seq(Vacuum, Compact, CompactSmall, Restore, Clone, ZOrder, DeleteDv,
-      Branch, Publish)
+      Branch, Publish, SetPartitionSpec)
 }

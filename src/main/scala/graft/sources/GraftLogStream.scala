@@ -189,7 +189,7 @@ private[sources] object GraftLogAppendContract {
     * physical names so new files stay name-compatible with the
     * active set. */
   def checkedMeta(table: String, writeSchema: StructType)
-      : (String, Seq[String], Option[Int], String) = {
+      : (String, Seq[String], Option[Int], String, Int) = {
     val snap = TableLog.state(table)
     val declared = StructType.fromDDL(snap.schemaDdl)
     declared.fields.zip(writeSchema.fields).foreach { case (t, w) =>
@@ -201,7 +201,7 @@ private[sources] object GraftLogAppendContract {
       s"graftlog sink: frame has ${writeSchema.length} columns, table " +
         s"declares ${declared.length}")
     (snap.keyCol, snap.partCols, bucketCountOf(snap.props),
-      snap.physSchema.toDDL)
+      snap.physSchema.toDDL, snap.specId)
   }
 
   def checkedKeyCol(table: String, writeSchema: StructType): String =
@@ -291,7 +291,7 @@ class GraftLogStreamingWrite(table: String, appId: String,
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
-  private val (keyCol, partCols, bucketN, physDdl) =
+  private val (keyCol, partCols, bucketN, physDdl, writeSpecId) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   // validate the autoCompact option at WRITE-BUILD time: a
@@ -315,8 +315,10 @@ class GraftLogStreamingWrite(table: String, appId: String,
     GraftLogAppendContract.validateStaged(table, adds,
       s"graftlog sink epoch $epochId into $table")
     // zero-row epochs still advance the txn ledger (an empty commit),
-    // so a redelivery of them stays a no-op too
-    TableLog.commitStagedAppend(table, adds, Some((appId, epochId)))
+    // so a redelivery of them stays a no-op too; the writer's
+    // partition-spec era labels the staged files
+    TableLog.commitStagedAppend(table, adds, Some((appId, epochId)),
+      specId = writeSpecId)
     // AUTO-COMPACTION (`option("autoCompact", threshold)`): a
     // long-lived micro-batch sink lands one commit per epoch and
     // accrues small-file debt; when the live file count crosses the
@@ -398,7 +400,7 @@ class GraftLogBatchAppend(table: String, writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols, bucketN, physDdl) =
+  private val (keyCol, partCols, bucketN, physDdl, writeSpecId) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
@@ -414,7 +416,7 @@ class GraftLogBatchAppend(table: String, writeSchema: StructType)
     // constraints(), so this re-check only costs on constrained tables
     GraftLogAppendContract.validateStaged(table, adds,
       s"graftlog append into $table")
-    TableLog.commitStagedAppend(table, adds)
+    TableLog.commitStagedAppend(table, adds, specId = writeSpecId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -436,7 +438,7 @@ class GraftLogOverwriteWrite(table: String, writeSchema: StructType,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols, bucketN, physDdl) =
+  private val (keyCol, partCols, bucketN, physDdl, writeSpecId) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
@@ -450,11 +452,12 @@ class GraftLogOverwriteWrite(table: String, writeSchema: StructType,
       case Some(c) =>
         TableLog.overwriteWhereStaged(
           org.apache.spark.sql.SparkSession.active, table, c, adds,
-          numFiles = math.max(1, adds.size), pruneCandidates)
+          numFiles = math.max(1, adds.size), pruneCandidates,
+          extSpecId = writeSpecId)
       case None => // truncate form: all actives go, staged files land
         val snap = TableLog.state(table)
         TableLog.commitStagedRewrite(table, adds,
-          snap.active.map(_.relPath), "replace")
+          snap.active.map(_.relPath), "replace", specId = writeSpecId)
     }
   }
 
@@ -473,7 +476,7 @@ class GraftLogDynamicOverwrite(table: String, writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols, bucketN, physDdl) =
+  private val (keyCol, partCols, bucketN, physDdl, writeSpecId) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
   require(partCols.nonEmpty,
     s"graftlog: $table is not partitioned — dynamic partition " +
@@ -489,7 +492,7 @@ class GraftLogDynamicOverwrite(table: String, writeSchema: StructType)
     val incoming = adds.flatMap(_.parts.map(_.values)).toSet
     TableLog.overwritePartitionsStaged(
       org.apache.spark.sql.SparkSession.active, table, incoming, adds,
-      numFiles = math.max(1, adds.size))
+      numFiles = math.max(1, adds.size), extSpecId = writeSpecId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -509,7 +512,7 @@ class GraftLogReplaceData(table: String, writeSchema: StructType,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
-  private val (keyCol, partCols, bucketN, physDdl) =
+  private val (keyCol, partCols, bucketN, physDdl, writeSpecId) =
     GraftLogAppendContract.checkedMeta(table, writeSchema)
 
   override def createBatchWriterFactory(
@@ -521,7 +524,8 @@ class GraftLogReplaceData(table: String, writeSchema: StructType,
     val adds = GraftLogSinkCommitMessage.adds(messages)
     val removes = removesAtCommit()
     if (adds.nonEmpty || removes.nonEmpty)
-      TableLog.commitStagedRewrite(table, adds, removes, op)
+      TableLog.commitStagedRewrite(table, adds, removes, op,
+        specId = writeSpecId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

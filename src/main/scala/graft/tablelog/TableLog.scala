@@ -116,9 +116,15 @@ object TableLog {
     * count. Key/column min/max stay valid as OVER-approximations
     * (pruning keeps its soundness; exact-aggregate answering refuses
     * DV'd files). */
+  /** `specId` names the PARTITION SPEC the file's tuple stats were
+    * recorded under — an index into [[Snapshot.partSpecs]] (0 on
+    * never-evolved tables, the zero-cost common case). Partition
+    * pruning interprets a file's tuples ONLY under its own spec;
+    * files from older spec eras are kept conservatively until a
+    * rewrite migrates them (Iceberg's spec-evolution contract). */
   final case class AddFile(relPath: String, rows: Long, min: Long, max: Long,
       parts: Seq[PartStat] = Nil, cols: Seq[ColStat] = Nil,
-      dv: Option[(String, Long)] = None) {
+      dv: Option[(String, Long)] = None, specId: Int = 0) {
     def liveRows: Long = rows - dv.fold(0L)(_._2)
     /** Identity for set-diff purposes: the same file under a new
       * deletion vector IS a different logical content. */
@@ -144,7 +150,8 @@ object TableLog {
       partCols: Seq[String] = Nil,
       props: Option[Map[String, String]] = None,
       colMap: Option[(Map[String, String], Set[String])] = None,
-      defaults: Option[Map[String, (String, Long)]] = None)
+      defaults: Option[Map[String, (String, Long)]] = None,
+      pspecs: Option[Seq[Seq[String]]] = None)
 
   /** A replayed table state: active files in commit order plus the
     * metadata needed to read them. `txns` carries the highest
@@ -181,9 +188,20 @@ object TableLog {
       val colMap: Map[String, String],
       val droppedPhys: Set[String],
       val defaults: Map[String, (String, Long)],
-      private[graft] val chunkIndex: Option[ChunkIndex])
+      /** Partition-spec HISTORY (index = [[AddFile.specId]]); the last
+        * entry is the CURRENT spec and always equals [[partCols]].
+        * Singleton on never-evolved tables. */
+      val partSpecs: Seq[Seq[String]],
+      private[graft] val chunkIndex: Option[ChunkIndex],
+      /** False when the partition spec evolved AFTER the snapshot's
+        * checkpoint was written: the chunk partition-value envelopes
+        * were folded under the old spec and must not prune under the
+        * new one (key envelopes stay valid — they are spec-free). */
+      private[graft] val chunkEnvOk: Boolean = true)
       extends Serializable {
     lazy val active: Seq[AddFile] = activeThunk()
+    /** The CURRENT spec's id — what fresh writes stamp. */
+    def specId: Int = partSpecs.length - 1
     /** The PHYSICAL name of a logical column — identity when unmapped. */
     def physName(logical: String): String =
       colMap.getOrElse(logical, logical)
@@ -234,9 +252,11 @@ object TableLog {
         props: Map[String, String] = Map.empty,
         colMap: Map[String, String] = Map.empty,
         droppedPhys: Set[String] = Set.empty,
-        defaults: Map[String, (String, Long)] = Map.empty): Snapshot =
+        defaults: Map[String, (String, Long)] = Map.empty,
+        partSpecs: Seq[Seq[String]] = Nil): Snapshot =
       new Snapshot(version, () => active, schemaDdl, keyCol, txns, bloom,
-        partCols, props, colMap, droppedPhys, defaults, None)
+        partCols, props, colMap, droppedPhys, defaults,
+        if (partSpecs.isEmpty) Seq(partCols) else partSpecs, None)
   }
 
   /** One checkpoint chunk's MANIFEST-LIST entry (Iceberg's
@@ -322,7 +342,8 @@ object TableLog {
       partCols: Seq[String] = Nil,
       props: Option[Map[String, String]] = None,
       colMap: Option[(Map[String, String], Set[String])] = None,
-      defaults: Option[Map[String, (String, Long)]] = None): String = {
+      defaults: Option[Map[String, (String, Long)]] = None,
+      pspecs: Option[Seq[Seq[String]]] = None): String = {
     val sb = new StringBuilder
     sb ++= s"op $op\n"
     if (tsMillis > 0L) sb ++= s"ts $tsMillis\n"
@@ -344,6 +365,13 @@ object TableLog {
       val ts = m.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${encCol(k)}:${encCol(v)}" }
       sb ++= s"props ${ts.size} ${ts.mkString(" ")}\n"
+    }
+    pspecs.foreach { sp =>
+      // full-history replacement; each spec comma-joined, the empty
+      // (unpartitioned) spec as `~`; the LAST entry is current
+      val ts = sp.map(cols =>
+        if (cols.isEmpty) "~" else cols.mkString(","))
+      sb ++= s"pspecs ${ts.size} ${ts.mkString(" ")}\n"
     }
     defaults.foreach { m =>
       // full-map replacement like props: `col:sql:sinceVersion`
@@ -395,6 +423,8 @@ object TableLog {
         // bitset), relPath last like the other per-add lines
         sb ++= s"dvat $dead $token ${a.relPath}\n"
       }
+      // `psid`: the add's partition-spec era (0 = default, unwritten)
+      if (a.specId > 0) sb ++= s"psid ${a.specId} ${a.relPath}\n"
     }
     sb.result()
   }
@@ -511,6 +541,7 @@ object TableLog {
     var props = Option.empty[Map[String, String]]
     var colMap = Option.empty[(Map[String, String], Set[String])]
     var defaults = Option.empty[Map[String, (String, Long)]]
+    var pspecs = Option.empty[Seq[Seq[String]]]
     val txns = Seq.newBuilder[(String, Long)]
     val adds = Seq.newBuilder[AddFile]
     val removes = Seq.newBuilder[String]
@@ -518,6 +549,7 @@ object TableLog {
       .empty[String, Seq[ColStat]]
     val dvStats = scala.collection.mutable.HashMap
       .empty[String, (String, Long)]
+    val specIds = scala.collection.mutable.HashMap.empty[String, Int]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       val sp = line.indexOf(' ')
       if (sp < 0) throw new IllegalStateException(
@@ -562,6 +594,13 @@ object TableLog {
         case "dvat" =>
           val toks = rest.split(" ")
           dvStats(toks.drop(2).mkString(" ")) = (toks(1), toks(0).toLong)
+        case "psid" =>
+          val sp2 = rest.indexOf(' ')
+          specIds(rest.substring(sp2 + 1)) = rest.substring(0, sp2).toInt
+        case "pspecs" =>
+          val toks = rest.split(" ").filter(_.nonEmpty)
+          pspecs = Some(toks.drop(1).toSeq.map(t =>
+            if (t == "~") Nil else t.split(",").toSeq))
         case "defaults" =>
           val toks = rest.split(" ").filter(_.nonEmpty)
           defaults = Some(toks.drop(1).map { t =>
@@ -589,10 +628,11 @@ object TableLog {
     }
     val withCols = adds.result().map { a0 =>
       val a1 = colStats.get(a0.relPath).fold(a0)(cs => a0.copy(cols = cs))
-      dvStats.get(a1.relPath).fold(a1)(d => a1.copy(dv = Some(d)))
+      val a2 = dvStats.get(a1.relPath).fold(a1)(d => a1.copy(dv = Some(d)))
+      specIds.get(a2.relPath).fold(a2)(i => a2.copy(specId = i))
     }
     Commit(version, op, withCols, removes.result(), ddl, key,
-      txns.result(), bloom, ts, partCols, props, colMap, defaults)
+      txns.result(), bloom, ts, partCols, props, colMap, defaults, pspecs)
   }
 
   /** Latest committed version, 0 if the table has no log yet. The
@@ -646,25 +686,35 @@ object TableLog {
       txns: Map[String, Long], bloom: Option[(String, Int)],
       partCols: Seq[String], props: Map[String, String],
       colMap: Map[String, String], dropped: Set[String],
-      defaults: Map[String, (String, Long)])
+      defaults: Map[String, (String, Long)],
+      pspecs: Seq[Seq[String]])
 
   private def metaOf(s: Snapshot): Meta =
     Meta(s.schemaDdl, s.keyCol, s.txns, s.bloom, s.partCols, s.props,
-      s.colMap, s.droppedPhys, s.defaults)
+      s.colMap, s.droppedPhys, s.defaults, s.partSpecs)
 
   private def foldMeta(m0: Meta, tail: Seq[Commit]): Meta =
     tail.foldLeft(m0) { (m, c) =>
+      // a pspecs line replaces the spec HISTORY and pins the current
+      // spec to its last entry (the only way to EVOLVE the spec);
+      // bare partcols lines are the single-spec create path, where
+      // the singleton history simply tracks partCols
+      val partColsNew = c.pspecs.map(_.last).getOrElse(
+        if (c.partCols.nonEmpty) c.partCols else m.partCols)
+      val pspecs = c.pspecs.getOrElse(
+        if (m.pspecs.length <= 1) Seq(partColsNew) else m.pspecs)
       Meta(
         if (c.schemaDdl.nonEmpty) c.schemaDdl else m.ddl,
         if (c.keyCol.nonEmpty) c.keyCol else m.key,
         c.txns.foldLeft(m.txns) { case (t, (app, tv)) =>
           t + (app -> math.max(tv, t.getOrElse(app, Long.MinValue))) },
         if (c.bloom.nonEmpty) c.bloom else m.bloom,
-        if (c.partCols.nonEmpty) c.partCols else m.partCols,
+        partColsNew,
         c.props.getOrElse(m.props),
         c.colMap.map(_._1).getOrElse(m.colMap),
         c.colMap.map(_._2).getOrElse(m.dropped),
-        c.defaults.getOrElse(m.defaults))
+        c.defaults.getOrElse(m.defaults),
+        pspecs)
     }
 
   private def replay(base: Snapshot, tail: Seq[Commit]): Snapshot = {
@@ -680,7 +730,8 @@ object TableLog {
     val m = foldMeta(metaOf(base), tail)
     val v = tail.lastOption.map(_.version).getOrElse(base.version)
     Snapshot(v, active.values.toSeq, m.ddl, m.key, m.txns, m.bloom,
-      m.partCols, m.props, m.colMap, m.dropped, m.defaults)
+      m.partCols, m.props, m.colMap, m.dropped, m.defaults,
+      if (m.pspecs.isEmpty) Seq(m.partCols) else m.pspecs)
   }
 
   /** The latest version whose commit wall-clock stamp is ≤
@@ -729,20 +780,27 @@ object TableLog {
         val tail = ((cv + 1L) to last).map { v =>
           parse(v, Files.readString(commitPath(table, v)))
         }
+        val hdrPartCols = hdr.pspecs.map(_.last).getOrElse(hdr.partCols)
         val base = Snapshot(cv, hdr.adds, hdr.schemaDdl, hdr.keyCol,
-          hdr.txns.toMap, hdr.bloom, hdr.partCols,
+          hdr.txns.toMap, hdr.bloom, hdrPartCols,
           hdr.props.getOrElse(Map.empty),
           hdr.colMap.map(_._1).getOrElse(Map.empty),
           hdr.colMap.map(_._2).getOrElse(Set.empty),
-          hdr.defaults.getOrElse(Map.empty))
+          hdr.defaults.getOrElse(Map.empty),
+          hdr.pspecs.getOrElse(Seq(hdr.partCols)))
         refs match {
           case None => replay(base, tail) // legacy monolith: strict
           case Some(rs) =>
             val m = foldMeta(metaOf(base), tail)
             val ix = new ChunkIndex(table, rs, tail)
+            val pspecs = if (m.pspecs.isEmpty) Seq(m.partCols) else m.pspecs
             new Snapshot(last, () => ix.load(_ => true, strict = true),
               m.ddl, m.key, m.txns, m.bloom, m.partCols, m.props,
-              m.colMap, m.dropped, m.defaults, Some(ix))
+              m.colMap, m.dropped, m.defaults, pspecs, Some(ix),
+              // envelopes fold under the CHECKPOINT-era spec: a spec
+              // evolved in the tail invalidates them (key envelopes
+              // stay usable — they are spec-free)
+              chunkEnvOk = hdrPartCols == m.partCols)
         }
       case None =>
         val tail = (1L to last).map { v =>
@@ -767,11 +825,12 @@ object TableLog {
       partCols: Seq[String] = Nil,
       props: Option[Map[String, String]] = None,
       colMap: Option[(Map[String, String], Set[String])] = None,
-      defaults: Option[Map[String, (String, Long)]] = None): Long = {
+      defaults: Option[Map[String, (String, Long)]] = None,
+      pspecs: Option[Seq[Seq[String]]] = None): Long = {
     Files.createDirectories(logDir(table))
     val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq, bloom,
       tsMillis = System.currentTimeMillis(), partCols = partCols,
-      props = props, colMap = colMap, defaults = defaults)
+      props = props, colMap = colMap, defaults = defaults, pspecs = pspecs)
     var attempt = expected + 1L
     while (true) {
       val tmp = Files.createTempFile(logDir(table), s"tmp-$op-", ".inprogress")
@@ -796,7 +855,7 @@ object TableLog {
           // The caller re-runs the operation, recomputing against the
           // new snapshot.
           if (op == "create" || schemaDdl.nonEmpty || props.isDefined ||
-              colMap.isDefined || defaults.isDefined)
+              colMap.isDefined || defaults.isDefined || pspecs.isDefined)
             throw new java.util.ConcurrentModificationException(
               s"$table: lost a $op race at v${now.version} — this commit " +
                 "carries snapshot-derived metadata and cannot rebase; " +
@@ -834,12 +893,12 @@ object TableLog {
     * chronological — the same property the file-grain layer relies
     * on). */
   private def chunkEnv(partCols: Seq[String],
-      files: Seq[AddFile]): Seq[Option[(String, String)]] =
+      files: Seq[AddFile], curSpecId: Int): Seq[Option[(String, String)]] =
     partCols.zipWithIndex.map { case (spec, i) =>
       val temporal = !partTransformOf(spec).isInstanceOf[PIdentity]
       var mn: String = null; var mx: String = null; var ok = true
       files.foreach { a =>
-        if (a.parts.isEmpty) ok = false
+        if (a.parts.isEmpty || a.specId != curSpecId) ok = false
         else a.parts.foreach { p =>
           val x = p.values(i)
           if (x == NullPartValue) ok = false
@@ -947,12 +1006,14 @@ object TableLog {
       }
       val m = foldMeta(prevHdr.fold(
         Meta("", "", Map.empty, None, Nil, Map.empty, Map.empty, Set.empty,
-          Map.empty))(
-        h => Meta(h.schemaDdl, h.keyCol, h.txns.toMap, h.bloom, h.partCols,
+          Map.empty, Nil))(
+        h => Meta(h.schemaDdl, h.keyCol, h.txns.toMap, h.bloom,
+          h.pspecs.map(_.last).getOrElse(h.partCols),
           h.props.getOrElse(Map.empty),
           h.colMap.map(_._1).getOrElse(Map.empty),
           h.colMap.map(_._2).getOrElse(Set.empty),
-          h.defaults.getOrElse(Map.empty))), tail)
+          h.defaults.getOrElse(Map.empty),
+          h.pspecs.getOrElse(Seq(h.partCols)))), tail)
       // cluster leftovers by (partition tuple, key) so fresh chunk
       // envelopes are tight — the same ordering instinct stage() uses
       val ordered = act.values.toSeq.sortBy(a =>
@@ -964,7 +1025,9 @@ object TableLog {
           render("chunk", fs, Nil, "", "").getBytes(UTF_8))
         ChunkRef(relName, fs.size, fs.map(_.liveRows).sum,
           fs.map(_.min).min, fs.map(_.max).max,
-          chunkEnv(m.partCols, fs), fs.map(a => stageOfRel(a.relPath)).toSet)
+          chunkEnv(m.partCols, fs,
+            (if (m.pspecs.isEmpty) Seq(m.partCols) else m.pspecs).length - 1),
+          fs.map(a => stageOfRel(a.relPath)).toSet)
       }.toSeq
       val header = render("checkpoint", Nil, Nil, m.ddl, m.key,
         m.txns.toSeq, m.bloom, partCols = m.partCols,
@@ -972,7 +1035,8 @@ object TableLog {
         colMap =
           if (m.colMap.isEmpty && m.dropped.isEmpty) None
           else Some((m.colMap, m.dropped)),
-        defaults = if (m.defaults.isEmpty) None else Some(m.defaults))
+        defaults = if (m.defaults.isEmpty) None else Some(m.defaults),
+        pspecs = if (m.pspecs.length > 1) Some(m.pspecs) else None)
       val text = header +
         (cleanRefs ++ newRefs).map(renderChunkLine).mkString("\n") + "\n"
       val tmp = Files.createTempFile(logDir(table), "tmp-ckpt-", ".inprogress")
@@ -1052,7 +1116,8 @@ object TableLog {
       numFiles: Int, bloom: Option[(String, Int)] = None,
       layout: Option[Column] = None,
       partCols: Seq[String] = Nil,
-      colMap: Map[String, String] = Map.empty): Seq[AddFile] = {
+      colMap: Map[String, String] = Map.empty,
+      specId: Int = 0): Seq[AddFile] = {
     // data files carry PHYSICAL names: under a column mapping the
     // incoming logical frame renames before anything is written, so
     // new files stay name-compatible with the active set (key,
@@ -1127,7 +1192,7 @@ object TableLog {
           .map { r =>
             val name = fileNameOf(r.getString(0))
             AddFile(s"data/$stageId/$name", r.getLong(1), r.getLong(2),
-              r.getLong(3), cols = colsOf(r, 4))
+              r.getLong(3), cols = colsOf(r, 4), specId = specId)
           }.toSeq
       else {
         // one stats pass at (file, partition-tuple) grain — the fold
@@ -1164,7 +1229,7 @@ object TableLog {
             }
             AddFile(s"data/$stageId/$name", rs.map(_.getLong(2)).sum,
               rs.map(_.getLong(3)).min, rs.map(_.getLong(4)).max, parts,
-              cols = cols)
+              cols = cols, specId = specId)
           }.toSeq
       }
     written.sortBy(_.relPath)
@@ -1460,7 +1525,8 @@ object TableLog {
     val df1 = withWriteDefaults(df, snap)
     validateChecks(df1, checksOf(snap.props), s"append into $table")
     val adds = stage(df1, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols, colMap = snap.colMap)
+      partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
     commit(table, snap.version, "append", adds, Nil, "", "")
   }
 
@@ -1482,7 +1548,8 @@ object TableLog {
     val df1 = withWriteDefaults(df, snap)
     validateChecks(df1, checksOf(snap.props), s"appendTxn into $table")
     val adds = stage(df1, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols, colMap = snap.colMap)
+      partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
     commit(table, snap.version, "append", adds, Nil, "", "",
       txn = Some((appId, txnVersion)))
   }
@@ -1496,12 +1563,16 @@ object TableLog {
     * garbage, which [[vacuumList]]'s grace-gated sweep reclaims —
     * never as table rows. */
   def commitStagedAppend(table: String, adds: Seq[AddFile],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None, specId: Int = 0): Long = {
     val snap = state(table)
     txn.foreach { case (app, tv) =>
       if (snap.txns.get(app).exists(_ >= tv)) return snap.version
     }
-    commit(table, snap.version, "append", adds, Nil, "", "", txn = txn)
+    // specId is the WRITER's era (read when its partCols were) — a
+    // rebase over a concurrent spec change keeps the honest label
+    commit(table, snap.version, "append",
+      adds.map(a => if (a.specId == specId) a else a.copy(specId = specId)),
+      Nil, "", "", txn = txn)
   }
 
   /** Publish EXTERNALLY staged files as ONE copy-on-write REWRITE
@@ -1513,9 +1584,11 @@ object TableLog {
     * append rebases under it; a concurrent rewrite of any removed
     * file aborts loudly (retrying would resurrect deleted rows). */
   def commitStagedRewrite(table: String, adds: Seq[AddFile],
-      removes: Seq[String], op: String): Long = {
+      removes: Seq[String], op: String, specId: Int = 0): Long = {
     val snap = state(table)
-    commit(table, snap.version, op, adds, removes, "", "")
+    commit(table, snap.version, op,
+      adds.map(a => if (a.specId == specId) a else a.copy(specId = specId)),
+      removes, "", "")
   }
 
   /** `INSERT OVERWRITE … WHERE`-shaped commit over EXTERNALLY staged
@@ -1531,8 +1604,11 @@ object TableLog {
     * (partition/key stats) — files outside it provably hold no match. */
   def overwriteWhereStaged(spark: SparkSession, table: String,
       cond: Column, extAdds: Seq[AddFile], numFiles: Int,
-      pruneCandidates: Snapshot => Seq[AddFile] = _.active): Long = {
+      pruneCandidates: Snapshot => Seq[AddFile] = _.active,
+      extSpecId: Int = 0): Long = {
     val snap = state(table)
+    val stamped = extAdds.map(a =>
+      if (a.specId == extSpecId) a else a.copy(specId = extSpecId))
     val candidates = pruneCandidates(snap)
     val touched =
       if (candidates.isEmpty) Nil
@@ -1549,8 +1625,9 @@ object TableLog {
         readFiles(spark, table, snap, touched)
           .where(!coalesce(cond, lit(false))),
         table, snap.keyCol, numFiles, snap.bloom,
-        partCols = snap.partCols, colMap = snap.colMap)
-    commit(table, snap.version, "replace", survAdds ++ extAdds,
+        partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
+    commit(table, snap.version, "replace", survAdds ++ stamped,
       touched.map(_.relPath), "", "")
   }
 
@@ -1567,7 +1644,7 @@ object TableLog {
     * stats (pre-partitioning writers) rewrite conservatively. */
   def overwritePartitionsStaged(spark: SparkSession, table: String,
       incomingTuples: Set[Seq[String]], extAdds: Seq[AddFile],
-      numFiles: Int): Long = {
+      numFiles: Int, extSpecId: Int = 0): Long = {
     val snap = state(table)
     require(snap.partCols.nonEmpty,
       s"$table is not partitioned — dynamic partition overwrite needs " +
@@ -1575,6 +1652,7 @@ object TableLog {
     if (incomingTuples.isEmpty) return snap.version // empty insert: no-op
     val schema = StructType.fromDDL(snap.schemaDdl)
     val doomed = (a: AddFile) => a.parts.isEmpty ||
+      a.specId != snap.specId || // other-era stats: rewrite conservatively
       a.parts.exists(p => incomingTuples(p.values))
     val cond = incomingTuples.toSeq.sortBy(_.mkString("/")).map { t =>
       snap.partCols.zip(t).map { case (c, v) =>
@@ -1583,7 +1661,8 @@ object TableLog {
       }.reduce(_ && _)
     }.reduce(_ || _)
     overwriteWhereStaged(spark, table, cond, extAdds, numFiles,
-      pruneCandidates = s => s.active.filter(doomed))
+      pruneCandidates = s => s.active.filter(doomed),
+      extSpecId = extSpecId)
   }
 
   /** `TRUNCATE TABLE`: ONE commit removing every active file — the
@@ -1633,7 +1712,9 @@ object TableLog {
       props = Some(old.props),
       colMap = Some((old.colMap, old.droppedPhys)),
       defaults = if (old.defaults.isEmpty && cur.defaults.isEmpty) None
-        else Some(old.defaults))
+        else Some(old.defaults),
+      pspecs = if (old.partSpecs.length > 1 || cur.partSpecs.length > 1)
+        Some(old.partSpecs) else None)
     (v, adds.size, removes.size)
   }
 
@@ -1665,7 +1746,8 @@ object TableLog {
       colMap =
         if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
         else Some((s.colMap, s.droppedPhys)),
-      defaults = if (s.defaults.isEmpty) None else Some(s.defaults))
+      defaults = if (s.defaults.isEmpty) None else Some(s.defaults),
+      pspecs = if (s.partSpecs.length > 1) Some(s.partSpecs) else None)
     (v, adds.size)
   }
 
@@ -1708,7 +1790,8 @@ object TableLog {
       colMap =
         if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
         else Some((s.colMap, s.droppedPhys)),
-      defaults = if (s.defaults.isEmpty) None else Some(s.defaults))
+      defaults = if (s.defaults.isEmpty) None else Some(s.defaults),
+      pspecs = if (s.partSpecs.length > 1) Some(s.partSpecs) else None)
     dst
   }
 
@@ -1786,7 +1869,9 @@ object TableLog {
       colMap = Some((b.colMap, b.droppedPhys)),
       defaults =
         if (b.defaults.isEmpty && m.defaults.isEmpty) None
-        else Some(b.defaults))
+        else Some(b.defaults),
+      pspecs = if (b.partSpecs.length > 1 || m.partSpecs.length > 1)
+        Some(b.partSpecs) else None)
     (v, adds.size, removes.size)
   }
 
@@ -1812,6 +1897,27 @@ object TableLog {
           b.version, b.active.size, b.active.map(_.liveRows).sum))
       }
     }
+  }
+
+  /** PARTITION SPEC EVOLUTION (Iceberg's spec-evolution lineage) as
+    * ONE metadata commit: the table's partitioning changes for FUTURE
+    * writes while every existing file keeps its tuple stats under the
+    * spec it was written with ([[AddFile.specId]] indexes the history
+    * in [[Snapshot.partSpecs]]). Partition pruning interprets each
+    * file under its OWN spec — old-era files are kept conservatively
+    * against current-spec predicates (their stats cannot be
+    * positionally reinterpreted) until a rewrite ([[compact]], any
+    * COW op) migrates them to the current layout, which is exactly
+    * the Iceberg migration story. An empty spec un-partitions future
+    * writes. Metadata-bearing: a concurrent commit aborts loudly
+    * rather than rebasing under the spec change. */
+  def setPartitionSpec(table: String, newSpecs: Seq[String]): Long = {
+    val snap = state(table)
+    if (newSpecs.nonEmpty) checkPartCols(snap.schemaDdl, newSpecs)
+    require(newSpecs != snap.partCols,
+      s"$table already partitions by ${newSpecs.mkString(",")}")
+    commit(table, snap.version, "partspec", Nil, Nil, "", "",
+      pspecs = Some(snap.partSpecs :+ newSpecs))
   }
 
   /** Append with ADDITIVE schema evolution: new columns widen the
@@ -1841,7 +1947,8 @@ object TableLog {
     val merged = StructType(old ++ df.schema.filterNot(f => oldNames(f.name)))
     validateChecks(df, checksOf(snap.props), s"appendEvolve into $table")
     val adds = stage(df, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols, colMap = snap.colMap)
+      partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
     commit(table, snap.version, "evolve", adds, Nil, merged.toDDL, "")
   }
 
@@ -2140,7 +2247,8 @@ object TableLog {
       .drop("action")
     val rewritten = survivors.unionByName(incoming)
     val adds = stage(rewritten, table, k, numFiles, snap.bloom,
-      partCols = snap.partCols, colMap = snap.colMap)
+      partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
     commit(table, snap.version, "cdc", adds, touched.map(_.relPath), "", "")
   }
 
@@ -2170,7 +2278,8 @@ object TableLog {
     val survivors = readFiles(spark, table, snap, touched)
       .where(!coalesce(cond, lit(false)))
     val adds = stage(survivors, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols, colMap = snap.colMap)
+      partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
     commit(table, snap.version, "delete", adds, touched.map(_.relPath), "", "")
   }
 
@@ -2318,7 +2427,7 @@ object TableLog {
       case (df, (c, v)) => df.withColumn(c, v)
     }.select(schemaCols.map(col): _*)
     val staged = stage(updated, table, snap.keyCol, numFiles, snap.bloom,
-      colMap = snap.colMap)
+      colMap = snap.colMap, specId = snap.specId)
     val byId = candidates.map(a => fileIdOf(a.relPath) -> a).toMap
     val (removes, dvAdds) = hits.toSeq.sortBy(_._1).map { case (id, ps) =>
       val a = byId(id)
@@ -2369,7 +2478,8 @@ object TableLog {
       .where(!coalesce(cond, lit(false)))
     val rewritten = survivors.unionByName(incoming)
     val adds = stage(rewritten, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols, colMap = snap.colMap)
+      partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
     commit(table, snap.version, "replace", adds, touched.map(_.relPath), "", "")
   }
 
@@ -2397,7 +2507,8 @@ object TableLog {
       .join(broadcast(changeKeys), Seq(k), "left_anti")
       .unionByName(changes)
     val adds = stage(rewritten, table, k, numFiles, snap.bloom,
-      partCols = snap.partCols, colMap = snap.colMap)
+      partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
     commit(table, snap.version, "merge", adds, touched.map(_.relPath), "", "")
   }
 
@@ -2433,7 +2544,8 @@ object TableLog {
       (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)",
       s"($sx)", s"($sy)"))
     val adds = stage(data, table, snap.keyCol, numFiles,
-      snap.bloom, layout = Some(zExpr), partCols = snap.partCols)
+      snap.bloom, layout = Some(zExpr), partCols = snap.partCols,
+      specId = snap.specId)
     commit(table, snap.version, "zorder", adds,
       snap.active.map(_.relPath), "", "", colMap = colMapReset(snap))
   }
@@ -2479,7 +2591,8 @@ object TableLog {
     if (small.size <= math.max(1, targetFiles)) return snap.version
     val data = readFiles(spark, table, snap, small)
     val adds = stage(data, table, snap.keyCol, targetFiles, snap.bloom,
-      partCols = snap.partCols, colMap = snap.colMap)
+      partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
     commit(table, snap.version, "compact", adds,
       small.map(_.relPath), "", "")
   }
@@ -2494,7 +2607,7 @@ object TableLog {
     val snap = state(table)
     val data = readFiles(spark, table, snap, snap.active)
     val adds = stage(data, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols)
+      partCols = snap.partCols, specId = snap.specId)
     commit(table, snap.version, "compact", adds,
       snap.active.map(_.relPath), "", "", colMap = colMapReset(snap))
   }
