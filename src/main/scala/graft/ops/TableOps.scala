@@ -2972,10 +2972,12 @@ object TableOps {
              |  o_orderkey % 5
              |FROM $view WHERE o_orderkey % 4 = 1""".stripMargin)      // v5
       } finally s.catalog.dropTempView(view)
-      // both ALTERs were metadata-only: zero files added
+      // both ALTERs were metadata-only: zero files moved — the CREATE
+      // (v1) is excluded so the pin cannot be satisfied by it alone
       val h = TableLog.history(path)
-      require(h.count(x => x.nAdds == 0 && x.nRemoves == 0) >= 2,
-        s"expected two metadata-only commits, history: $h")
+      require(h.count(x => x.version > 1L && x.nAdds == 0 &&
+          x.nRemoves == 0) >= 2,
+        s"expected two metadata-only ALTER commits, history: $h")
       path
     })
     s.sql(

@@ -1738,10 +1738,14 @@ object GraftLogScanBuilder {
       preds: Seq[PartPred]): Boolean =
     range.forall { case (lo, hi) => r.maxKey >= lo && r.minKey <= hi } &&
       inSets.forall(sorted => anyInRange(sorted, r.minKey, r.maxKey)) &&
-      preds.forall(pr => r.env(pr.idx) match {
-        case None           => true
-        case Some((mn, mx)) => pr.env(mn, mx)
-      })
+      preds.forall(pr =>
+        // an index beyond the recorded envelope (spec-era arity
+        // drift) is unbounded — keep, never throw
+        if (pr.idx >= r.env.length) true
+        else r.env(pr.idx) match {
+          case None           => true
+          case Some((mn, mx)) => pr.env(mn, mx)
+        })
 
   /** The key interval implied by pushed comparisons on `keyCol`
     * (None = unbounded) — the same fold the scan's pushFilters

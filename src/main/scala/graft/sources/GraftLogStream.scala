@@ -1001,12 +1001,24 @@ class GraftLogMicroBatchStream(path: String, schema: StructType,
       if (cur.colMap.isEmpty) schema
       else {
         val curPhys = cur.physSchema
+        val curLogical = StructType.fromDDL(cur.schemaDdl)
+        val curNames = curLogical.fieldNames.toSet
+        // positional alignment witness: ordinals match (length +
+        // datatype), AND a stream column name still present in the
+        // hi-era schema sits at the SAME ordinal (a renamed-away name
+        // is absent entirely; a name present elsewhere means a
+        // drop+add reshuffled ordinals under identical datatypes —
+        // the false-witness case that would misattribute bytes)
         require(curPhys.length >= schema.length &&
-            schema.fields.indices.forall(i =>
-              curPhys.fields(i).dataType == schema.fields(i).dataType),
+            schema.fields.indices.forall { i =>
+              curPhys.fields(i).dataType == schema.fields(i).dataType &&
+                (curLogical.fields(i).name == schema.fields(i).name ||
+                  !curNames(schema.fields(i).name))
+            },
           s"$path: the v$hi schema no longer positionally covers this " +
-            "stream's start-era schema (a column was dropped " +
-            "mid-stream) — restart the stream from the current schema")
+            "stream's start-era schema (a column was dropped or " +
+            "reordered mid-stream) — restart the stream from the " +
+            "current schema")
         StructType(schema.fields.indices.map(i =>
           schema.fields(i).copy(name = curPhys.fields(i).name)))
       }

@@ -828,11 +828,17 @@ object TableLog {
       defaults: Option[Map[String, (String, Long)]] = None,
       pspecs: Option[Seq[Seq[String]]] = None): Long = {
     Files.createDirectories(logDir(table))
-    val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq, bloom,
-      tsMillis = System.currentTimeMillis(), partCols = partCols,
-      props = props, colMap = colMap, defaults = defaults, pspecs = pspecs)
     var attempt = expected + 1L
     while (true) {
+      // rendered PER ATTEMPT: the wall-clock stamp must be taken after
+      // any lost race, or a rebased commit would land at a later
+      // version with an EARLIER stamp than the racing winner — and
+      // TIMESTAMP AS OF's binary search (and its monotonicity
+      // contract) would resolve to a stale version
+      val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq,
+        bloom, tsMillis = System.currentTimeMillis(), partCols = partCols,
+        props = props, colMap = colMap, defaults = defaults,
+        pspecs = pspecs)
       val tmp = Files.createTempFile(logDir(table), s"tmp-$op-", ".inprogress")
       try {
         Files.write(tmp, text.getBytes(UTF_8))
@@ -984,7 +990,7 @@ object TableLog {
       val changedStages = tail
         .flatMap(c => c.removes ++ c.adds.map(_.relPath))
         .map(stageOfRel).toSet
-      val (cleanRefs, dirtyRefs) = prevRefs
+      val (cleanRefs0, dirtyRefs) = prevRefs
         .partition(r => !r.stages.exists(changedStages))
       // leftovers = everything not covered by a clean chunk: dirty
       // chunks' files, a legacy monolith's files, and the tail's adds
@@ -1014,6 +1020,21 @@ object TableLog {
           h.colMap.map(_._2).getOrElse(Set.empty),
           h.defaults.getOrElse(Map.empty),
           h.pspecs.getOrElse(Seq(h.partCols)))), tail)
+      // clean chunks re-reference their FILES unrewritten, but their
+      // partition-value envelopes were folded under the PREVIOUS
+      // header's spec era: if the covered tail evolved the spec, the
+      // new checkpoint must not republish them as current-spec
+      // envelopes (state() would compute chunkEnvOk = true against
+      // the NEW header and prune with stale bounds — silent row
+      // loss). Blank them to unbounded; key envelopes are spec-free
+      // and stay. (Envelope arity can also differ across eras —
+      // blanking sidesteps that too.)
+      val prevEraCols = prevHdr.map(h =>
+        h.pspecs.map(_.last).getOrElse(h.partCols))
+      val cleanRefs =
+        if (prevEraCols.contains(m.partCols)) cleanRefs0
+        else cleanRefs0.map(r =>
+          r.copy(env = Seq.fill(m.partCols.length)(None)))
       // cluster leftovers by (partition tuple, key) so fresh chunk
       // envelopes are tight — the same ordering instinct stage() uses
       val ordered = act.values.toSeq.sortBy(a =>
@@ -1818,10 +1839,11 @@ object TableLog {
     *     main paths and are not re-listed.
     *
     * Publishes the branch's schema/props/column-mapping/defaults with
-    * the data (a schema evolved on the branch travels; the dropped
-    * per-batch constraint stays dropped — the metadata change is in
-    * history like any commit). Returns (mainVersion, filesAdded,
-    * filesRemoved). */
+    * the data (a schema evolved on the branch travels), EXCEPT that
+    * main's `constraint.*` properties always survive the publish — a
+    * staging branch that dropped its per-batch gate for the bulk load
+    * must not strip main's governance on landing. Returns
+    * (mainVersion, filesAdded, filesRemoved). */
   def publish(spark: SparkSession, table: String, name: String)
       : (Long, Int, Int) = {
     val dst = branchPath(table, name)
@@ -1863,9 +1885,17 @@ object TableLog {
     val adds = rewritten.filterNot(a => mainIds(a.contentId))
     val removes = m.active.filterNot(a => branchIds(a.contentId))
       .map(_.relPath)
+    // published props are the branch's MINUS the branch markers,
+    // PLUS main's constraint.* entries: the documented bulk-load
+    // posture drops the per-batch gate ON THE BRANCH, and the gate
+    // must return with the publish — main's governance must never be
+    // strippable through a staging branch (branch-ADDED constraints
+    // land too; the audit above validated the union)
+    val pubProps = (b.props - "branch.of" - "branch.base") ++
+      m.props.filter(_._1.startsWith("constraint."))
     val v = commit(table, m.version, "publish", adds, removes,
       b.schemaDdl, b.keyCol, bloom = b.bloom, partCols = b.partCols,
-      props = Some(b.props - "branch.of" - "branch.base"),
+      props = Some(pubProps),
       colMap = Some((b.colMap, b.droppedPhys)),
       defaults =
         if (b.defaults.isEmpty && m.defaults.isEmpty) None
@@ -1997,8 +2027,21 @@ object TableLog {
       s"evolveSchemaDefault: column '$name' already exists")
     checkPhysCollision(snap, name, "evolveSchemaDefault")
     val spark = SparkSession.active
-    val v = try spark.range(1)
-        .select(expr(defaultSql).cast(dt)).head.get(0)
+    val probe = try spark.range(1).select(expr(defaultSql).cast(dt))
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"evolveSchemaDefault: default '$defaultSql' does not " +
+            s"evaluate as ${dt.sql}: ${e.getMessage}") }
+    // the default re-evaluates at every read and write — a
+    // non-deterministic expression (rand(), now()) would make
+    // pre-declaration rows answer DIFFERENT values per query, on a
+    // format whose whole contract is deterministic replay (the SQL
+    // path is guarded by Spark's analyzer; the API must guard itself)
+    require(probe.queryExecution.analyzed.expressions
+        .forall(_.deterministic),
+      s"evolveSchemaDefault: default '$defaultSql' is " +
+        "non-deterministic — defaults must be constant expressions")
+    val v = try probe.head.get(0)
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
           s"evolveSchemaDefault: default '$defaultSql' does not " +
@@ -2118,8 +2161,14 @@ object TableLog {
       (if (phys == to) Map.empty[String, String] else Map(to -> phys))
     val renamed = StructType(old.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
+    // an initial default follows its column's NEW name — the defaults
+    // map keys logical names, and a stale key would both lose the
+    // default at read and inject a spurious old-name column at write
+    val defaults =
+      if (!snap.defaults.contains(from)) None
+      else Some(snap.defaults - from + (to -> snap.defaults(from)))
     commit(table, snap.version, "rename", Nil, Nil, renamed.toDDL, "",
-      colMap = Some((newMap, snap.droppedPhys)))
+      colMap = Some((newMap, snap.droppedPhys)), defaults = defaults)
   }
 
   /** DROP COLUMN as ONE metadata commit: the logical schema narrows,
@@ -2143,8 +2192,14 @@ object TableLog {
       s"dropColumn: '$name' is the bloom-indexed column; refusing")
     val phys = snap.physName(name)
     val narrowed = StructType(old.fields.filterNot(_.name == name))
+    // the dropped column's initial default dies with it — a stale
+    // entry would resurrect on a later plain ADD COLUMN of the name
+    val defaults =
+      if (!snap.defaults.contains(name)) None
+      else Some(snap.defaults - name)
     commit(table, snap.version, "drop", Nil, Nil, narrowed.toDDL, "",
-      colMap = Some((snap.colMap - name, snap.droppedPhys + phys)))
+      colMap = Some((snap.colMap - name, snap.droppedPhys + phys)),
+      defaults = defaults)
   }
 
   /** CDC extract between two versions (q106's diff semantics read
@@ -2830,6 +2885,36 @@ object TableLog {
     val keep = (fromV to last)
       .flatMap(v => footprint(state(table, v).active)).toSet
     unreferencedOnDisk(table, keep, graceMillis)
+  }
+
+  /** Reclaim checkpoint CHUNK files in `_log/` referenced by NO
+    * on-disk checkpoint list — losers of checkpoint races and
+    * generations superseded once a later checkpoint rewrote their
+    * dirty chunks (checkpoint LISTS themselves are never deleted:
+    * they are the recovery spine, file-grain small). Age-gated like
+    * the data vacuum — an in-flight checkpoint writes its chunks
+    * BEFORE linking its list. A separate verb from [[vacuum]] so
+    * data-file accounting stays exact; run it on the same cadence.
+    * Returns the count deleted. */
+  def vacuumLogChunks(table: String,
+      graceMillis: Long = defaultVacuumGraceMillis): Int = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return 0
+    val referenced = logListing(table)._2.flatMap { v =>
+      parseCheckpointList(table, v)._2.getOrElse(Nil).map(_.relName)
+    }.toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val s = Files.list(dir)
+    val victims = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("c-") && n.endsWith(".chunk") && !referenced(n) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }.toSeq
+    } finally s.close()
+    victims.foreach(Files.deleteIfExists(_))
+    victims.size
   }
 
   final case class VacuumReport(filesDeleted: Int, rowsReclaimed: Long)

@@ -107,4 +107,22 @@ class BranchWapSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).sorted
     assert(diff.toSeq == Seq((2L, "insert"), (3L, "insert")))
   }
+
+  test("publish never strips main's governance: the per-batch gate " +
+      "dropped on the branch returns with the landing") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    TableLog.setProps(t, TableLog.state(t).props +
+      ("constraint.v_nonempty" -> "length(v) > 0"))
+    val br = TableLog.branch(t, "bulk")
+    TableLog.setProps(br, TableLog.state(br).props - "constraint.v_nonempty")
+    TableLog.append(kv(Seq(2L -> "b")), br, 1)
+    TableLog.publish(spark, t, "bulk")
+    assert(TableLog.state(t).props.contains("constraint.v_nonempty"),
+      "the branch's dropped per-batch gate stripped main's constraint")
+    // and the returned gate actually enforces again
+    intercept[IllegalArgumentException] {
+      TableLog.append(kv(Seq(3L -> "")), t, 1)
+    }
+  }
 }

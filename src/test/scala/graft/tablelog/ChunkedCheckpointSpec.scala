@@ -178,4 +178,53 @@ class ChunkedCheckpointSpec extends SparkSuite {
       }
     } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
   }
+
+  test("a spec evolution between checkpoints must not republish stale " +
+      "envelopes: reused chunks blank theirs and results stay exact") {
+    import spark.implicits._
+    val t = mkPartitioned() // v4 checkpoints under identity 'part'
+    TableLog.setPartitionSpec(t, Nil)                    // v5: evolve
+    (0 until 3).foreach(j => TableLog.append(
+      Seq((5000L + j, "e")).toDF("k", "part"), t, numFiles = 1)) // v8 ckpt
+    val (hdr8, Some(refs8)) =
+      TableLog.parseCheckpointList(t, 8L): @unchecked
+    // the v8 header carries the evolved spec; every REUSED chunk's
+    // envelope must be unbounded (their bounds were folded under the
+    // old spec and must not prune under the new header)
+    assert(hdr8.pspecs.exists(_.last == Nil))
+    val (_, Some(refs4)) = TableLog.parseCheckpointList(t, 4L): @unchecked
+    val reused = refs4.map(_.relName).toSet
+    refs8.filter(r => reused(r.relName)).foreach(r =>
+      assert(r.env.forall(_.isEmpty),
+        s"reused chunk ${r.relName} republished a stale envelope: ${r.env}"))
+    // and the rows of every old partition are still all there
+    assert(TableLog.snapshot(spark, t).where($"part" === "c").count() == 64L)
+    assert(TableLog.snapshot(spark, t).count() == 259L)
+  }
+
+  test("vacuumLogChunks reclaims chunk generations no checkpoint " +
+      "references; referenced chunks survive and reads stay exact") {
+    import spark.implicits._
+    val t = mkPartitioned()                               // ckpt v4
+    // dirty one chunk and pad to the next checkpoint: v8's list drops
+    // one v4 chunk, whose file becomes an orphan generation
+    TableLog.deleteWhere(spark, t, $"part" === "b", numFiles = 1)
+    (0 until 3).foreach(j => TableLog.append(
+      Seq((6000L + j, "f")).toDF("k", "part"), t, numFiles = 1))
+    val (_, Some(refs4)) = TableLog.parseCheckpointList(t, 4L): @unchecked
+    val (_, Some(refs8)) = TableLog.parseCheckpointList(t, 8L): @unchecked
+    val superseded = refs4.map(_.relName).toSet -- refs8.map(_.relName).toSet
+    assert(superseded.size == 1,
+      s"the delete should supersede exactly b's chunk, got $superseded")
+    // superseded chunks stay referenced BY V4's OWN list (checkpoint
+    // lists are never deleted) — nothing reclaims
+    val n0 = TableLog.vacuumLogChunks(t, graceMillis = 0L)
+    assert(n0 == 0, s"all chunks referenced, got $n0 reclaimed")
+    // orphan a fake raced chunk file and reclaim exactly it
+    val orphan = java.nio.file.Paths.get(t, "_log", "c-deadbeef0000.chunk")
+    java.nio.file.Files.writeString(orphan, "op chunk\nkey \nschema \n")
+    assert(TableLog.vacuumLogChunks(t, graceMillis = 0L) == 1)
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(TableLog.snapshot(spark, t).count() == 64L * 3 + 3)
+  }
 }

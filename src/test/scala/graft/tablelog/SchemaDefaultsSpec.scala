@@ -146,4 +146,33 @@ class SchemaDefaultsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.25)))
   }
+
+  test("defaults track renames, die with drops, and refuse " +
+      "non-deterministic expressions") {
+    import spark.implicits._
+    val t = freshDir()
+    TableLog.create(Seq((1L, "a")).toDF("k", "v"), t, "k", 1)
+    TableLog.evolveSchemaDefault(t, "bonus", LongType, "7")
+    // rename: the default follows the NEW name on read and write
+    TableLog.renameColumn(t, "bonus", "bonus2")
+    assert(TableLog.state(t).defaults.keySet == Set("bonus2"))
+    assert(TableLog.snapshot(spark, t).select("bonus2")
+      .collect().head.getLong(0) == 7L)
+    TableLog.append(Seq((2L, "b")).toDF("k", "v"), t, 1) // omits bonus2
+    assert(TableLog.snapshot(spark, t).orderBy("k").collect()
+      .map(_.getLong(2)).toSeq == Seq(7L, 7L))
+    // drop: the default dies and a later plain re-add reads NULL,
+    // never the stale 7
+    TableLog.dropColumn(t, "bonus2")
+    assert(TableLog.state(t).defaults.isEmpty)
+    TableLog.evolveSchema(t, StructType(Seq(
+      StructField("bonus3", LongType))))
+    assert(TableLog.snapshot(spark, t).collect()
+      .forall(_.isNullAt(2)), "a dropped default resurrected")
+    // non-deterministic defaults refuse at declaration
+    val err = intercept[IllegalArgumentException] {
+      TableLog.evolveSchemaDefault(t, "r", DoubleType, "rand()")
+    }
+    assert(err.getMessage.contains("non-deterministic"))
+  }
 }
