@@ -3040,9 +3040,18 @@ object TableOps {
         br, numFiles = 2)
       // AUDIT gate: the dirty publish must throw; main must not move
       val before = TableLog.latestVersion(path)
+      // the pin must fire on the AUDIT gate itself, not any incidental
+      // pre-audit failure: require the violated constraint's name in
+      // the message, not just "something threw"
       val blocked = try {
         s.sql(s"CALL graftlog.publish('$path', 'drop1')"); false
-      } catch { case _: Exception => true }
+      } catch {
+        case e: Exception =>
+          val m = Option(e.getMessage).getOrElse("")
+          require(m.contains("price_positive"),
+            s"publish threw, but not from the CHECK audit gate: $m")
+          true
+      }
       require(blocked && TableLog.latestVersion(path) == before,
         "a violating branch published — the WAP audit gate is broken")
       // fix the drop on the branch, publish again: ONE main commit

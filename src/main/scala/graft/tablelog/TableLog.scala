@@ -271,7 +271,13 @@ object TableLog {
     * re-referenced WITHOUT being parsed or rewritten). */
   final case class ChunkRef(relName: String, nFiles: Int, rows: Long,
       minKey: Long, maxKey: Long, env: Seq[Option[(String, String)]],
-      stages: Set[String])
+      stages: Set[String],
+      /** Path prefix prepended to every member file's relPath at parse
+        * time — how a BRANCH's checkpoint re-references its base
+        * table's chunk files verbatim (entries are base-relative; the
+        * branch reads them as `../../<entry>`) without rewriting one
+        * byte. Empty on every chunk a table wrote for itself. */
+      prefix: String = "")
 
   /** Lazily-parsed chunk set of one checkpoint plus the commit tail
     * after it. Parsed chunks cache (a scan builder probes once, the
@@ -285,8 +291,7 @@ object TableLog {
     private[graft] def chunksTotal: Int = refs.size
     private[graft] def chunksParsed: Int = parsed.size
     private def filesOf(r: ChunkRef): Seq[AddFile] =
-      parsed.computeIfAbsent(r.relName, rel =>
-        parse(0L, Files.readString(logDir(table).resolve(rel))).adds)
+      parsed.computeIfAbsent(r.relName, _ => chunkAdds(table, r))
     private[tablelog] def load(keep: ChunkRef => Boolean,
         strict: Boolean): Seq[AddFile] = {
       val act = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
@@ -743,10 +748,12 @@ object TableLog {
     * never silently as current. Throws when the timestamp predates
     * the table entirely. */
   def versionAtTimestamp(table: String, epochMillis: Long): Long = {
-    // commit stamps are monotone (single filesystem clock, assigned at
-    // render; pre-tag manifests carry 0 = infinitely old), so the
-    // latest version with ts ≤ epoch binary-searches in O(log history)
-    // manifest reads instead of parsing every commit
+    // commit stamps are monotone BY CONSTRUCTION — [[commit]] clamps
+    // each stamp against the previous commit's (max(now, prevTs)), so
+    // NTP step-back or cross-process clock skew cannot produce a
+    // decreasing pair; pre-tag manifests carry 0 = infinitely old.
+    // Hence the latest version with ts ≤ epoch binary-searches in
+    // O(log history) manifest reads instead of parsing every commit
     def tsOf(v: Long): Long =
       parse(v, Files.readString(commitPath(table, v))).tsMillis
     val last = latestVersion(table)
@@ -834,9 +841,19 @@ object TableLog {
       // any lost race, or a rebased commit would land at a later
       // version with an EARLIER stamp than the racing winner — and
       // TIMESTAMP AS OF's binary search (and its monotonicity
-      // contract) would resolve to a stale version
+      // contract) would resolve to a stale version. Clamped against
+      // the previous commit's stamp because currentTimeMillis is NOT
+      // monotonic (NTP step-back, clock drift across writer
+      // processes): the log's ts sequence must stay non-decreasing or
+      // the binary search silently returns the wrong version (Delta's
+      // timestamp-adjustment invariant, enforced at write).
+      val prevTs =
+        if (attempt <= 1L) 0L
+        else parse(attempt - 1L,
+          Files.readString(commitPath(table, attempt - 1L))).tsMillis
       val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq,
-        bloom, tsMillis = System.currentTimeMillis(), partCols = partCols,
+        bloom, tsMillis = math.max(System.currentTimeMillis(), prevTs),
+        partCols = partCols,
         props = props, colMap = colMap, defaults = defaults,
         pspecs = pspecs)
       val tmp = Files.createTempFile(logDir(table), s"tmp-$op-", ".inprogress")
@@ -927,12 +944,15 @@ object TableLog {
     val stages = r.stages.toSeq.sorted.map(encCol)
     s"chunk ${r.relName} ${r.nFiles} ${r.rows} ${r.minKey} ${r.maxKey} " +
       s"${env.size} ${env.mkString(" ")} ${stages.size} " +
-      stages.mkString(" ")
+      stages.mkString(" ") +
+      (if (r.prefix.isEmpty) "" else s" ${encCol(r.prefix)}")
   }
 
   private def parseChunkLine(line: String): ChunkRef = {
     val t = line.split(" ").filter(_.nonEmpty)
     // chunk relName nFiles rows minKey maxKey nEnv env* nStages stage*
+    // [prefix] — the optional trailing token is a branch checkpoint's
+    // base-table path prefix (see [[ChunkRef.prefix]])
     val nEnv = t(6).toInt
     val env = t.slice(7, 7 + nEnv).toSeq.map {
       case "~" => None
@@ -942,7 +962,20 @@ object TableLog {
     }
     val nStages = t(7 + nEnv).toInt
     ChunkRef(t(1), t(2).toInt, t(3).toLong, t(4).toLong, t(5).toLong,
-      env, t.slice(8 + nEnv, 8 + nEnv + nStages).map(decCol).toSet)
+      env, t.slice(8 + nEnv, 8 + nEnv + nStages).map(decCol).toSet,
+      prefix = t.drop(8 + nEnv + nStages).headOption.fold("")(decCol))
+  }
+
+  /** Parse one checkpoint chunk's file entries, applying the chunk's
+    * base-table prefix (empty on self-written chunks — the common
+    * case). The single seam every chunk consumer reads through, so a
+    * branch's re-referenced base chunks resolve identically on the
+    * scan, checkpoint-writer and vacuum paths. */
+  private def chunkAdds(table: String, r: ChunkRef): Seq[AddFile] = {
+    val adds = parse(0L,
+      Files.readString(logDir(table).resolve(r.relName))).adds
+    if (r.prefix.isEmpty) adds
+    else adds.map(a => a.copy(relPath = r.prefix + a.relPath))
   }
 
   /** A checkpoint file split into its header commit and (for chunked
@@ -998,10 +1031,8 @@ object TableLog {
       // a path whose stage is dirty, so clean chunks stay untouched)
       val act = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
       prevHdr.foreach(_.adds.foreach(a => act(a.relPath) = a))
-      dirtyRefs.foreach { r =>
-        parse(0L, Files.readString(logDir(table).resolve(r.relName))).adds
-          .foreach(a => act(a.relPath) = a)
-      }
+      dirtyRefs.foreach(r =>
+        chunkAdds(table, r).foreach(a => act(a.relPath) = a))
       tail.foreach { c =>
         c.removes.foreach { p =>
           if (act.remove(p).isEmpty) throw new IllegalStateException(
@@ -1670,6 +1701,15 @@ object TableLog {
     require(snap.partCols.nonEmpty,
       s"$table is not partitioned — dynamic partition overwrite needs " +
         "PARTITIONED BY; use the expression overwrite instead")
+    // incomingTuples are POSITIONAL under the writer-era spec; if a
+    // set_partition_spec landed between the DSv2 write build and this
+    // commit, zipping them with the CURRENT partCols would silently
+    // reinterpret the values and overwrite the wrong partitions. Abort
+    // loudly instead (same posture as metadata-bearing commit rebases).
+    require(extSpecId == snap.specId,
+      s"$table: dynamic partition overwrite was built under partition " +
+        s"spec $extSpecId but the table is now at spec ${snap.specId} — " +
+        "a spec evolution raced this write; re-run the overwrite")
     if (incomingTuples.isEmpty) return snap.version // empty insert: no-op
     val schema = StructType.fromDDL(snap.schemaDdl)
     val doomed = (a: AddFile) => a.parts.isEmpty ||
@@ -1800,19 +1840,109 @@ object TableLog {
     val s = state(table)
     Files.createDirectories(Paths.get(dst))
     val dstP = Paths.get(dst).toAbsolutePath.normalize
-    val adds = s.active.map { a =>
-      val abs = Paths.get(table, a.relPath).toAbsolutePath.normalize
-      a.copy(relPath = dstP.relativize(abs).toString)
+    val tabP = Paths.get(table).toAbsolutePath.normalize
+    // every base-relative path reads from the branch through this
+    // prefix ("../../" for a first-level branch)
+    val dataPrefix = dstP.relativize(tabP).toString + "/"
+    def rebase(a: AddFile): AddFile =
+      a.copy(relPath = dataPrefix + a.relPath)
+    val bprops = s.props +
+      ("branch.of" -> table, "branch.base" -> s.version.toString)
+    val colMapOpt =
+      if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
+      else Some((s.colMap, s.droppedPhys))
+    val defaultsOpt = if (s.defaults.isEmpty) None else Some(s.defaults)
+    val pspecsOpt =
+      if (s.partSpecs.length > 1) Some(s.partSpecs) else None
+    val ckpt = logListing(table)._2.filter(_ <= s.version).lastOption
+      .flatMap { cv =>
+        val (hdr, refs) = parseCheckpointList(table, cv)
+        refs.map(r => (cv, hdr, r))
+      }
+    ckpt match {
+      case Some((cv, hdr, refs)) =>
+        // O(chunks + tail) fork: write the branch's v1 AS a chunked
+        // checkpoint that RE-REFERENCES the base's clean chunk files
+        // through [[ChunkRef.prefix]] — never re-listing the active
+        // set (the Iceberg branch-is-a-ref shape; the previous fork
+        // wrote an O(active-files) v1 manifest and re-parsed it on
+        // every branch state() until the branch's own first
+        // checkpoint). Only chunks the base's commit TAIL dirtied,
+        // plus the tail's own adds, materialize as fresh branch-local
+        // chunks — the exact incremental algorithm [[maybeCheckpoint]]
+        // uses. Base-chunk longevity: a chunk referenced by any
+        // on-disk checkpoint list is never vacuumed and lists are
+        // never deleted, so the fork-time references stay resolvable;
+        // DATA files remain under the disclosed clone shared-fate
+        // rule (keep branch lifetimes inside the vacuum window).
+        val tail = ((cv + 1L) to s.version).map(v =>
+          parse(v, Files.readString(commitPath(table, v))))
+        val changedStages = tail
+          .flatMap(c => c.removes ++ c.adds.map(_.relPath))
+          .map(stageOfRel).toSet
+        val (clean0, dirtyRefs) = refs
+          .partition(r => !r.stages.exists(changedStages))
+        // envelopes were folded under the base CHECKPOINT's spec era:
+        // blank them if the tail evolved the spec (same rule as the
+        // incremental checkpoint writer)
+        val hdrPartCols = hdr.pspecs.map(_.last).getOrElse(hdr.partCols)
+        val clean1 =
+          if (hdrPartCols == s.partCols) clean0
+          else clean0.map(r => r.copy(env = Seq.fill(s.partCols.length)(None)))
+        val branchLog = logDir(dst).toAbsolutePath.normalize
+        val clean = clean1.map { r =>
+          val chunkAbs = logDir(table).resolve(r.relName)
+            .toAbsolutePath.normalize
+          r.copy(relName = branchLog.relativize(chunkAbs).toString,
+            prefix = dataPrefix + r.prefix) // composes across nesting
+        }
+        val act = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+        dirtyRefs.foreach(r =>
+          chunkAdds(table, r).foreach(a => act(a.relPath) = a))
+        tail.foreach { c =>
+          c.removes.foreach { p =>
+            if (act.remove(p).isEmpty) throw new IllegalStateException(
+              s"corrupt log: v${c.version} removes file $p outside " +
+                "every dirty checkpoint chunk")
+          }
+          c.adds.foreach(a => act(a.relPath) = a)
+        }
+        val leftovers = act.values.toSeq.map(rebase)
+        Files.createDirectories(logDir(dst))
+        val newRefs = leftovers.sortBy(a =>
+          (if (a.parts.nonEmpty) a.parts.head.values.mkString("/") else "",
+            a.min)).grouped(checkpointChunkFiles).map { fs =>
+          val relName =
+            s"c-${java.util.UUID.randomUUID().toString.take(12)}.chunk"
+          Files.write(logDir(dst).resolve(relName),
+            render("chunk", fs, Nil, "", "").getBytes(UTF_8))
+          ChunkRef(relName, fs.size, fs.map(_.liveRows).sum,
+            fs.map(_.min).min, fs.map(_.max).max,
+            chunkEnv(s.partCols, fs, s.specId),
+            fs.map(a => stageOfRel(a.relPath)).toSet)
+        }.toSeq
+        val header = render("checkpoint", Nil, Nil, s.schemaDdl,
+          s.keyCol, Nil, s.bloom, partCols = s.partCols,
+          props = Some(bprops), colMap = colMapOpt,
+          defaults = defaultsOpt, pspecs = pspecsOpt)
+        val text = header +
+          (clean ++ newRefs).map(renderChunkLine).mkString("\n") + "\n"
+        // checkpoint FIRST (an orphan list without its commit is
+        // unreadable — state() requires a committed version), then the
+        // v1 commit carrying only metadata
+        Files.write(checkpointPath(dst, 1L), text.getBytes(UTF_8))
+        commit(dst, 0L, "branch", Nil, Nil, s.schemaDdl, s.keyCol,
+          bloom = s.bloom, partCols = s.partCols, props = Some(bprops),
+          colMap = colMapOpt, defaults = defaultsOpt, pspecs = pspecsOpt)
+      case None =>
+        // base has no chunked checkpoint yet (young or legacy-monolith
+        // table): the fork re-lists the active set — bounded by the
+        // checkpoint cadence, so never the 1M-file shape
+        commit(dst, 0L, "branch", s.active.map(rebase), Nil,
+          s.schemaDdl, s.keyCol, bloom = s.bloom, partCols = s.partCols,
+          props = Some(bprops), colMap = colMapOpt,
+          defaults = defaultsOpt, pspecs = pspecsOpt)
     }
-    commit(dst, 0L, "branch", adds, Nil, s.schemaDdl, s.keyCol,
-      bloom = s.bloom, partCols = s.partCols,
-      props = Some(s.props +
-        ("branch.of" -> table, "branch.base" -> s.version.toString)),
-      colMap =
-        if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
-        else Some((s.colMap, s.droppedPhys)),
-      defaults = if (s.defaults.isEmpty) None else Some(s.defaults),
-      pspecs = if (s.partSpecs.length > 1) Some(s.partSpecs) else None)
     dst
   }
 
@@ -1828,8 +1958,10 @@ object TableLog {
     *     constraint declared on EITHER side (union of main's and the
     *     branch's `constraint.*` props) — the standard WAP shape
     *     where bulk ingest drops the per-batch gate on the branch and
-    *     the publish re-audits the whole drop at once; one scan of
-    *     the branch, priced at the corpus drop.
+    *     the publish re-audits the whole drop at once. Scope is the
+    *     branch DELTA, not the table ([[publishAuditScope]]): files
+    *     inherited unchanged from main already passed main's gates
+    *     and are skipped unless the branch declares a NEW constraint.
     *  3. **File adoption**: branch-born files HARD-LINK into main's
     *     own `data/` dir (same filesystem, zero copy) with their
     *     bloom/DV sidecars, so published state never references the
@@ -1844,6 +1976,34 @@ object TableLog {
     * staging branch that dropped its per-batch gate for the bulk load
     * must not strip main's governance on landing. Returns
     * (mainVersion, filesAdded, filesRemoved). */
+  /** The PUBLISH audit's file scope — priced at the CORPUS DROP, not
+    * the table. Files inherited UNCHANGED from main (same contentId —
+    * deletion-vector token included) already passed main's constraints
+    * on their own write path, and `ADD CONSTRAINT` validated existing
+    * rows once at declaration, so when the branch declares no
+    * constraint main lacks, only branch-born and rewritten files need
+    * the audit scan: a 0.1% drop onto a 100-TB table audits 0.1%.
+    * A branch-ADDED constraint (new name, or a changed predicate under
+    * an existing name) was never checked against inherited files —
+    * that publish audits the full branch head. DV-edited files are in
+    * the delta by contentId; their surviving rows are a subset of
+    * already-valid rows, so auditing them is conservative, never
+    * wrong. */
+  private[graft] def publishAuditScope(table: String, dst: String,
+      m: Snapshot, b: Snapshot): Seq[AddFile] = {
+    val branchNew = checksOf(b.props).toSet -- checksOf(m.props).toSet
+    if (branchNew.nonEmpty) b.active
+    else {
+      val mainP = Paths.get(table).toAbsolutePath.normalize
+      val mainIds = m.active.map(_.contentId).toSet
+      b.active.filter { a =>
+        val rel = mainP.relativize(
+          Paths.get(dst, a.relPath).toAbsolutePath.normalize).toString
+        rel.startsWith("_branches/") || !mainIds((rel, a.dv.map(_._1)))
+      }
+    }
+  }
+
   def publish(spark: SparkSession, table: String, name: String)
       : (Long, Int, Int) = {
     val dst = branchPath(table, name)
@@ -1856,8 +2016,11 @@ object TableLog {
       throw new java.util.ConcurrentModificationException(
         s"$table moved to v${m.version} since branch '$name' forked at " +
           s"v$base — publish is fast-forward only; re-branch and replay")
-    validateChecks(readFiles(spark, dst, b, b.active),
-      checksOf(m.props ++ b.props), s"publish of branch '$name' into $table")
+    val audit = publishAuditScope(table, dst, m, b)
+    if (audit.nonEmpty)
+      validateChecks(readFiles(spark, dst, b, audit),
+        checksOf(m.props ++ b.props),
+        s"publish of branch '$name' into $table")
     val mainP = Paths.get(table).toAbsolutePath.normalize
     // rewrite to main-relative, adopting branch-born files by hard link
     val rewritten = b.active.map { a =>
@@ -1956,8 +2119,14 @@ object TableLog {
     * existing columns must keep their exact type, and dropping
     * columns is rejected — renames/drops are a rewrite, not an
     * append (the Delta mergeSchema posture). */
-  def appendEvolve(df: DataFrame, table: String, numFiles: Int): Long = {
+  def appendEvolve(df0: DataFrame, table: String, numFiles: Int): Long = {
     val snap = state(table)
+    // materialize write-defaults FIRST (same as append/appendTxn): a
+    // frame omitting a defaulted column must stage files that
+    // physically CARRY the default — post-declaration rows reading the
+    // EXISTS_DEFAULT fill would break the era contract (they'd read as
+    // the default even if the writer meant null)
+    val df = withWriteDefaults(df0, snap)
     val old = StructType.fromDDL(snap.schemaDdl)
     val byName = df.schema.map(f => f.name -> f).toMap
     old.foreach { f =>
@@ -2481,6 +2650,11 @@ object TableLog {
         .drop("__graft_dv_file", "__graft_dv_pos")) {
       case (df, (c, v)) => df.withColumn(c, v)
     }.select(schemaCols.map(col): _*)
+    // The set-expressions produce NEW row images; a table that reports
+    // ENFORCED CHECK constraints must gate them like every other write
+    // path (append/merge/replaceWhere) — a DV update is not a side door.
+    validateChecks(updated, checksOf(snap.props),
+      s"updateWhereDv into $table")
     val staged = stage(updated, table, snap.keyCol, numFiles, snap.bloom,
       colMap = snap.colMap, specId = snap.specId)
     val byId = candidates.map(a => fileIdOf(a.relPath) -> a).toMap

@@ -108,6 +108,101 @@ class BranchWapSpec extends SparkSuite {
     assert(diff.toSeq == Seq((2L, "insert"), (3L, "insert")))
   }
 
+  test("publish audits the branch DELTA when the branch adds no " +
+      "constraint, and the full head when it does") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 19L).map(i => (i, s"x$i"))), t, "k", 4) // v1
+    TableLog.setProps(t, TableLog.state(t).props +
+      ("constraint.v_nonempty" -> "length(v) > 0"))                   // v2
+    val br = TableLog.branch(t, "drop")
+    TableLog.append(kv(Seq(100L -> "new")), br, 1)
+    val m = TableLog.state(t)
+    val b = TableLog.state(br)
+    // same constraint set → only the branch-born file is audited,
+    // never the 4 files inherited unchanged from main
+    val delta = TableLog.publishAuditScope(t, br, m, b)
+    assert(delta.size == 1 && b.active.size == 5,
+      s"delta audit should price 1 branch-born file of ${b.active.size}, " +
+        s"got ${delta.size}")
+    // a branch-ADDED constraint was never checked against inherited
+    // files → the audit must scan the full branch head
+    TableLog.setProps(br, TableLog.state(br).props +
+      ("constraint.k_small" -> "k < 1000"))
+    val b2 = TableLog.state(br)
+    val full = TableLog.publishAuditScope(t, br, m, b2)
+    assert(full.size == b2.active.size,
+      s"constraint-adding publish must audit all ${b2.active.size} " +
+        s"files, got ${full.size}")
+    // and the delta-scoped gate still BLOCKS a dirty drop: violating
+    // rows live in the branch-born file, which IS in scope
+    TableLog.setProps(br, TableLog.state(br).props - "constraint.k_small"
+      - "constraint.v_nonempty")
+    TableLog.append(kv(Seq(101L -> "")), br, 1)
+    val before = TableLog.latestVersion(t)
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.publish(spark, t, "drop")
+    }
+    assert(ex.getMessage.contains("v_nonempty"))
+    assert(TableLog.latestVersion(t) == before)
+  }
+
+  test("branch forks O(chunks): the v1 manifest re-references main's " +
+      "checkpoint chunks instead of re-listing every active file") {
+    val t = freshDir()
+    // enough commits past a checkpoint for chunked refs + a tail
+    TableLog.create(kv((0L to 7L).map(i => (i, s"x$i"))), t, "k", 4)  // v1
+    (1 to 4).foreach(i =>                                             // v2..v5
+      TableLog.append(kv(Seq((100L + i) -> s"y$i")), t, 2))
+    // checkpointEvery = 4 → chunked checkpoint at v4, tail v5
+    val br = TableLog.branch(t, "fork")
+    val v1 = Files.readString(
+      Paths.get(br, "_log", f"v${1L}%016d.commit"))
+    assert(!v1.linesIterator.exists(l =>
+      l.startsWith("add ") || l.startsWith("addt ")),
+      s"O(chunks) fork must not re-list files in the v1 commit:\n$v1")
+    val ck = Files.readString(
+      Paths.get(br, "_log", f"v${1L}%016d.checkpoint"))
+    val chunkLines = ck.linesIterator.filter(_.startsWith("chunk ")).toSeq
+    assert(chunkLines.exists(_.contains("../")),
+      s"fork checkpoint should re-reference main's chunks:\n$ck")
+    // the fork is exact: branch state == main state, and both keep
+    // working through branch-side writes and a publish
+    val bGot = TableLog.snapshot(spark, br).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val mGot = TableLog.snapshot(spark, t).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(bGot == mGot, s"forked state diverges: $bGot vs $mGot")
+    TableLog.deleteWhere(spark, br, col("k") === 3L, numFiles = 1)
+    TableLog.append(kv(Seq(200L -> "z")), br, 1)
+    TableLog.publish(spark, t, "fork")
+    val pub = TableLog.snapshot(spark, t).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(pub == (mGot.filterNot(_ == 3L) :+ 200L).sorted,
+      s"post-publish state wrong: $pub")
+  }
+
+  test("a forked branch's own later checkpoint stays incremental and " +
+      "its reads stay exact across inherited-file rewrites") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 7L).map(i => (i, s"x$i"))), t, "k", 4)  // v1
+    (1 to 3).foreach(i =>
+      TableLog.append(kv(Seq((100L + i) -> s"y$i")), t, 1))          // v2..v4
+    val br = TableLog.branch(t, "long")                               // ckpt@v1
+    // push the branch past its own checkpoint cadence, including a
+    // rewrite of inherited files (dirty-chunk path)
+    TableLog.deleteWhere(spark, br, col("k") === 1L, numFiles = 1)    // v2
+    TableLog.append(kv(Seq(201L -> "a")), br, 1)                      // v3
+    TableLog.append(kv(Seq(202L -> "b")), br, 1)                      // v4 → ckpt
+    TableLog.append(kv(Seq(203L -> "c")), br, 1)                      // v5
+    assert(Files.exists(Paths.get(br, "_log", f"v${4L}%016d.checkpoint")),
+      "branch should checkpoint on its own cadence")
+    val got = TableLog.snapshot(spark, br).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = ((0L to 7L).filterNot(_ == 1L) ++
+      Seq(101L, 102L, 103L, 201L, 202L, 203L)).sorted
+    assert(got == want, s"branch reads diverged after own checkpoint: $got")
+  }
+
   test("publish never strips main's governance: the per-batch gate " +
       "dropped on the branch returns with the landing") {
     val t = freshDir()
