@@ -88,5 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     GraftTableFunctions.all.foreach(ext.injectTableFunction)
+    // persistent-view DDL + resolution ([[graft.sources.GraftViewRule]]);
+    // the HINTS batch runs before Resolution, so CREATE/DROP/SHOW VIEW
+    // statements are claimed before ResolveSessionCatalog refuses them
+    // for a non-session catalog, and view references expand before
+    // relation resolution reports them missing
+    ext.injectHintResolutionRule(s => new graft.sources.GraftViewRule(s))
   }
 }

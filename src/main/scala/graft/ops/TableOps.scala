@@ -3181,7 +3181,79 @@ object TableOps {
 
   private val q489Oracle = q461Oracle
 
+  // ---------------------------------------------------------------- q490
+  /** PERSISTENT SQL VIEWS ([[graft.sources.GraftViewRule]], the
+    * queryable-surface parity of the reference warehouse: its loaded
+    * table is exported as a queryable id — `terraform/outputs.tf:13-15`
+    * — and its IAM includes view DDL, `terraform/main.tf:127-133`).
+    * The fixture runs the full lifecycle: CREATE VIEW over the base
+    * table, read it, CREATE OR REPLACE with a narrower definition,
+    * append to the BASE — the next view read sees the new rows (the
+    * BigQuery logical-view contract: stored text, re-analyzed per
+    * query) — and a second view stacked on the first proves
+    * composition. A view is one ~100-byte `_views/<n>.sql` sidecar:
+    * O(1) at any table scale, and the final SELECT's filters push
+    * through both view layers into the base table's manifest-pruned
+    * scan — a view costs nothing the underlying query didn't. The
+    * oracle replays the surviving definition inline as CTEs. */
+  private val viewCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q490PersistentView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = viewCache.computeIfAbsent(dir, _ => {
+      val base = Files.createTempDirectory("graft_tlogview_").toString
+      val path = base + "/orders_t"
+      val slice = ordersSlice(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      TableLog.create(slice.where($"o_orderkey" % 3 === 0),
+        path, "o_orderkey", numFiles = 2)
+      s.sql(s"CREATE VIEW graftlog.`$base/v_big` AS " +
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM graftlog.`$path` WHERE o_totalprice > 1000.0")
+      require(s.sql(s"SELECT count(*) FROM graftlog.`$base/v_big`")
+        .head().getLong(0) > 0L, "fresh view must read")
+      // REPLACE narrows the definition; the old text must be gone
+      s.sql(s"CREATE OR REPLACE VIEW graftlog.`$base/v_big` AS " +
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM graftlog.`$path` WHERE o_totalprice > 50000.0")
+      // base-table commits are visible through the stored text
+      TableLog.append(slice.where($"o_orderkey" % 3 === 1),
+        path, numFiles = 2)
+      // a view OVER the view (composition; both expand per query)
+      s.sql(s"CREATE VIEW graftlog.`$base/v_counts` AS " +
+        s"SELECT o_orderstatus, count(*) AS n_orders, " +
+        s"sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_dec " +
+        s"FROM graftlog.`$base/v_big` GROUP BY o_orderstatus")
+      base
+    })
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(n_orders AS BIGINT) AS n_orders,
+         |  CAST(sum_dec AS DOUBLE) AS sum_price
+         |FROM graftlog.`$t/v_counts`
+         |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q490Oracle =
+    """WITH v_big AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE (o_orderkey % 3 = 0 OR o_orderkey % 3 = 1)
+      |    AND o_totalprice > 50000.0
+      |), v_counts AS (
+      |  SELECT o_orderstatus, count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_dec
+      |  FROM v_big GROUP BY o_orderstatus
+      |)
+      |SELECT o_orderstatus,
+      |  CAST(n_orders AS BIGINT) AS n_orders,
+      |  CAST(sum_dec AS DOUBLE) AS sum_price
+      |FROM v_counts
+      |ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q490_persistent_view" -> (q490PersistentView _),
     "q482_branch_wap" -> (q482BranchWap _),
     "q486_branches_meta" -> (q486BranchesMeta _),
     "q489_partition_evolution" -> (q489PartitionEvolution _),
@@ -3246,6 +3318,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q490_persistent_view" -> q490Oracle,
     "q482_branch_wap" -> q482Oracle,
     "q486_branches_meta" -> q486Oracle,
     "q489_partition_evolution" -> q489Oracle,

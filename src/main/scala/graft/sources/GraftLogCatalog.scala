@@ -169,6 +169,46 @@ class GraftLogCatalog extends TableCatalog
     }
   }
 
+  /** The sidecar file backing a PERSISTENT VIEW at `parts` (the
+    * identifier minus the catalog name): warehouse mode stores
+    * `<root>/<ns…>/_views/<name>.sql` (the BigQuery dataset-scoped
+    * view shape — views live beside their dataset's tables), path
+    * mode `<dir>/_views/<name>.sql`. None when the identifier can't
+    * address this catalog. Resolution/DDL live in
+    * [[graft.sources.GraftViewRule]]. */
+  private[graft] def viewFile(parts: Seq[String])
+      : Option[java.nio.file.Path] = {
+    if (parts.isEmpty) return None
+    if (parts.length == 1 && (warehouse.isEmpty || parts.head.startsWith("/"))) {
+      val p = java.nio.file.Paths.get(parts.head)
+      return Option(p.getParent)
+        .map(_.resolve("_views").resolve(p.getFileName.toString + ".sql"))
+    }
+    warehouse match {
+      case Some(root) if parts.length <= 2 =>
+        Some(java.nio.file.Paths.get(
+          (root +: parts.init).mkString("/"), "_views", parts.last + ".sql"))
+      case _ => None
+    }
+  }
+
+  /** The TABLE path the same identifier would address — the create
+    * path uses it to refuse a view shadowing an existing table. */
+  private[graft] def tablePathOf(parts: Seq[String]): Option[String] =
+    try Some(pathOf(Identifier.of(parts.init.toArray, parts.last)))
+    catch { case _: Exception => None }
+
+  /** The `_views` directory of a namespace (SHOW VIEWS backing). */
+  private[graft] def viewsDir(ns: Seq[String])
+      : Option[java.nio.file.Path] =
+    if (ns.length == 1 && (warehouse.isEmpty || ns.head.startsWith("/")))
+      Some(java.nio.file.Paths.get(ns.head, "_views"))
+    else warehouse match {
+      case Some(root) if ns.length <= 1 =>
+        Some(java.nio.file.Paths.get((root +: ns).mkString("/"), "_views"))
+      case _ => None
+    }
+
   private val historySuffix = "#history"
   private val partitionsSuffix = "#partitions"
   private val detailSuffix = "#detail"
