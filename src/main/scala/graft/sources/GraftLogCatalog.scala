@@ -2312,11 +2312,21 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     * the wrong way), so filtered scans keep the delegate's
     * selectivity-aware estimate and only backstop it when the
     * delegate has none. */
+  /** Plus DISTINCT COUNTS from the manifest's per-file NDV sketches
+    * ([[TableLog.ndvEstimate]] — register-max union over exactly the
+    * chosen file set, zero data I/O): the channel CBO join-cardinality
+    * estimation reads for build-side and reorder decisions
+    * (|A ⋈ B| ≈ |A|·|B| / max(ndv); Spark's `transformV2Stats`
+    * translates `columnStats` into catalyst attribute stats when CBO
+    * is on). Reported only for columns where EVERY chosen file
+    * carries a sketch; the ±9% sketch error is disclosed at
+    * [[TableLog.ndvLgK]]. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val delegate = inner.estimateStatistics()
     val manifestRows = files.map(_.liveRows).sum
     val filtered = dataFilters.nonEmpty
+    val chosen = files
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         delegate.sizeInBytes()
@@ -2324,6 +2334,64 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
         if (!filtered) java.util.OptionalLong.of(manifestRows)
         else if (delegate.numRows().isPresent) delegate.numRows()
         else java.util.OptionalLong.of(manifestRows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        required.fieldNames.foreach { c =>
+          TableLog.ndvAndNulls(chosen, snap.physName(c)).foreach {
+            case (n, nulls) =>
+              // the sketch can overshoot the row count (±9% RSE);
+              // NDV > rows is impossible and inconsistent stats derail
+              // the estimator — clamp to the manifest's exact count
+              val ndv = math.min(n, math.max(1L, manifestRows - nulls))
+              // numeric columns also need [min, max]: the estimator
+              // models a numeric column with no bounds as an EMPTY
+              // value interval (join cardinality 0). The key's bounds
+              // are the manifest's exact per-file envelope; stat
+              // columns fold their recorded cstat bounds — reported
+              // only when EVERY chosen file carries one.
+              val p = snap.physName(c)
+              val (mnO, mxO): (Option[AnyRef], Option[AnyRef]) =
+                if (p == snap.keyCol)
+                  (Some(Long.box(chosen.map(_.min).min)),
+                    Some(Long.box(chosen.map(_.max).max)))
+                else {
+                  val per = chosen.map(_.cols.find(_.col == p))
+                  if (per.exists(_.isEmpty)) (None, None)
+                  else {
+                    val cs = per.flatten
+                    cs.head.typ match {
+                      case 'l' if cs.forall(_.max != TableLog.ColStatUnbounded) =>
+                        (Some(Long.box(cs.map(_.min.toLong).min)),
+                          Some(Long.box(cs.map(_.max.toLong).max)))
+                      case 'd' if cs.forall(_.max != TableLog.ColStatUnbounded) =>
+                        (Some(Double.box(cs.map(_.min.toDouble).min)),
+                          Some(Double.box(cs.map(_.max.toDouble).max)))
+                      case _ => (None, None) // strings: intervals unused
+                    }
+                  }
+                }
+              m.put(
+                org.apache.spark.sql.connector.expressions.Expressions.column(c),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(nulls)
+                  override def min(): java.util.Optional[Object] =
+                    mnO.fold(java.util.Optional.empty[Object]())(v =>
+                      java.util.Optional.of(v))
+                  override def max(): java.util.Optional[Object] =
+                    mxO.fold(java.util.Optional.empty[Object]())(v =>
+                      java.util.Optional.of(v))
+                })
+          }
+        }
+        m
+      }
     }
   }
 

@@ -98,6 +98,49 @@ object TableLog {
     * must not bloat the manifest. */
   val colStatMaxLen = 32
 
+  /** lgK of the per-file NDV sketches: 2^7 = 128 registers ≈ ±9%
+    * relative standard error, tens of manifest bytes per (file,
+    * column) — the CBO wants ORDER-OF-MAGNITUDE distinct counts for
+    * build-side/reorder choices, not exactness, and this size keeps
+    * a 1M-file manifest's sketch channel in the tens of MB (riding
+    * the chunked checkpoint like every other per-file stat). */
+  val ndvLgK = 7
+
+  /** Snapshot-level approximate NDV of physical column `col` over
+    * `files`: the register-max UNION of the per-file sketches —
+    * file-grain metadata only, no data I/O, O(files · registers)
+    * driver work. None unless EVERY file carries the sketch (a
+    * partial union would silently UNDERSTATE distinct counts and
+    * mislead the CBO toward too-small join estimates — the unsound
+    * direction); deletion vectors make it an over-approximation of
+    * the live rows' NDV (dead rows stay counted until their file
+    * rewrites), which for CBO selectivity is the conservative side.
+    * The ±9% sketch error is the disclosed exactness contract —
+    * callers needing exact counts aggregate the data. */
+  def ndvEstimate(files: Seq[AddFile], col: String): Option[Long] =
+    ndvAndNulls(files, col).map(_._1)
+
+  /** (approximate NDV, EXACT null count) of `col` over `files` — the
+    * pair Spark's join-cardinality estimator demands (its
+    * `hasCountStats` gate wants both). Null counts are exact and
+    * additive across files; the manifest token is `<b64sketch>:<nulls>`. */
+  def ndvAndNulls(files: Seq[AddFile], col: String): Option[(Long, Long)] = {
+    if (files.isEmpty) return None
+    val vs = files.map(_.ndvs.collectFirst { case (c, v) if c == col => v })
+    if (vs.exists(_.isEmpty)) return None
+    val u = new org.apache.datasketches.hll.Union(ndvLgK)
+    var nulls = 0L
+    vs.flatten.foreach { v =>
+      val cut = v.lastIndexOf(':')
+      val (b64, n) =
+        if (cut < 0) (v, 0L) else (v.substring(0, cut), v.substring(cut + 1).toLong)
+      nulls += n
+      u.update(org.apache.datasketches.hll.HllSketch
+        .heapify(java.util.Base64.getDecoder.decode(b64)))
+    }
+    Some((math.round(u.getEstimate), nulls))
+  }
+
   /** Sentinel for "no upper bound" after an un-roundable truncation.
     * `~` never appears in an encoded value (URL-encoding's alphabet
     * excludes it), mirroring the [[NullPartValue]] device. */
@@ -122,9 +165,21 @@ object TableLog {
     * pruning interprets a file's tuples ONLY under its own spec;
     * files from older spec eras are kept conservatively until a
     * rewrite migrates them (Iceberg's spec-evolution contract). */
+  /** `ndvs` carries the file's per-column DISTINCT-COUNT SKETCHES —
+    * compact HLL_4 registers (datasketches, lgK = [[ndvLgK]]:
+    * 2^[[ndvLgK]] 4-bit registers ≈ tens of bytes serialized, base64
+    * in the manifest) for the key and the integral/string stat
+    * columns. Sketches UNION across files by register max, so a
+    * snapshot-level NDV folds from file-grain metadata with no data
+    * I/O — the channel the CBO's join-cardinality estimate reads
+    * (Iceberg keeps the same per-file theta/HLL sketches). Empty on
+    * files written before the channel existed; the fold is
+    * all-or-nothing per column (a partial union would silently
+    * understate NDV). */
   final case class AddFile(relPath: String, rows: Long, min: Long, max: Long,
       parts: Seq[PartStat] = Nil, cols: Seq[ColStat] = Nil,
-      dv: Option[(String, Long)] = None, specId: Int = 0) {
+      dv: Option[(String, Long)] = None, specId: Int = 0,
+      ndvs: Seq[(String, String)] = Nil) {
     def liveRows: Long = rows - dv.fold(0L)(_._2)
     /** Identity for set-diff purposes: the same file under a new
       * deletion vector IS a different logical content. */
@@ -422,6 +477,13 @@ object TableLog {
           .sorted
         sb ++= s"cstat ${cs.size} ${cs.mkString(" ")} ${a.relPath}\n"
       }
+      if (a.ndvs.nonEmpty) {
+        // `hll`: the add's per-column NDV sketches — one
+        // `<col:b64>` token per column (base64 never holds space or
+        // colon), relPath last like the other per-add lines
+        val hs = a.ndvs.map { case (c, b64) => s"${encCol(c)}:$b64" }.sorted
+        sb ++= s"hll ${hs.size} ${hs.mkString(" ")} ${a.relPath}\n"
+      }
       a.dv.foreach { case (token, dead) =>
         // `dvat`: the add's deletion vector — dead-row count and the
         // sidecar token (`<relPath>.<token>` holds the position
@@ -554,6 +616,8 @@ object TableLog {
       .empty[String, Seq[ColStat]]
     val dvStats = scala.collection.mutable.HashMap
       .empty[String, (String, Long)]
+    val ndvStats = scala.collection.mutable.HashMap
+      .empty[String, Seq[(String, String)]]
     val specIds = scala.collection.mutable.HashMap.empty[String, Int]
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       val sp = line.indexOf(' ')
@@ -599,6 +663,14 @@ object TableLog {
         case "dvat" =>
           val toks = rest.split(" ")
           dvStats(toks.drop(2).mkString(" ")) = (toks(1), toks(0).toLong)
+        case "hll" =>
+          val toks = rest.split(" ")
+          val k = toks(0).toInt
+          val hs = toks.slice(1, 1 + k).map { t =>
+            val c = t.indexOf(':')
+            (decCol(t.substring(0, c)), t.substring(c + 1))
+          }.toSeq
+          ndvStats(toks.drop(1 + k).mkString(" ")) = hs
         case "psid" =>
           val sp2 = rest.indexOf(' ')
           specIds(rest.substring(sp2 + 1)) = rest.substring(0, sp2).toInt
@@ -634,7 +706,8 @@ object TableLog {
     val withCols = adds.result().map { a0 =>
       val a1 = colStats.get(a0.relPath).fold(a0)(cs => a0.copy(cols = cs))
       val a2 = dvStats.get(a1.relPath).fold(a1)(d => a1.copy(dv = Some(d)))
-      specIds.get(a2.relPath).fold(a2)(i => a2.copy(specId = i))
+      val a3 = ndvStats.get(a2.relPath).fold(a2)(h => a2.copy(ndvs = h))
+      specIds.get(a3.relPath).fold(a3)(i => a3.copy(specId = i))
     }
     Commit(version, op, withCols, removes.result(), ddl, key,
       txns.result(), bloom, ts, partCols, props, colMap, defaults, pspecs)
@@ -1233,18 +1306,39 @@ object TableLog {
     def colsOf(r: org.apache.spark.sql.Row, base: Int): Seq[ColStat] =
       sCols.zipWithIndex.flatMap { case ((c, t), j) =>
         mkColStat(c, t, r.get(base + 2 * j), r.get(base + 2 * j + 1)) }
+    // NDV sketches ride the SAME stats pass: one HLL agg cell per
+    // eligible column (key + integral/string stat columns — the types
+    // hll_sketch_agg hashes; doubles stay un-sketched, disclosed)
+    val ndvCols: Seq[String] = (keyCol +: sCols.collect {
+      case (c, t) if t == 'l' || t == 's' => c }).filter(_.nonEmpty).distinct
+    // per column: the HLL sketch cell plus an exact null-count cell
+    // (join-cardinality estimation demands the pair; nulls are
+    // additive across files, so the fold stays metadata-only)
+    val ndvExprs = ndvCols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.hll_sketch_agg(col(c), ndvLgK),
+      sum(when(col(c).isNull, 1L).otherwise(0L))))
+    def b64(bytes: Array[Byte]): String =
+      java.util.Base64.getEncoder.encodeToString(bytes)
+    def ndvsOf(r: org.apache.spark.sql.Row, base: Int): Seq[(String, String)] =
+      ndvCols.zipWithIndex.flatMap { case (c, j) =>
+        Option(r.get(base + 2 * j)).map(b =>
+          c -> (b64(b.asInstanceOf[Array[Byte]]) + ":" +
+            r.getLong(base + 2 * j + 1)))
+      }
     val written: Seq[AddFile] =
       if (partCols.isEmpty)
         spark.read.parquet(partFiles: _*)
           .groupBy(input_file_name().as("f"))
           .agg(count(lit(1)).as("rows"),
             Seq(min(col(keyCol)).cast("long").as("mn"),
-              max(col(keyCol)).cast("long").as("mx")) ++ statExprs: _*)
+              max(col(keyCol)).cast("long").as("mx")) ++
+              statExprs ++ ndvExprs: _*)
           .collect() // file-grain: ≤ numFiles rows
           .map { r =>
             val name = fileNameOf(r.getString(0))
             AddFile(s"data/$stageId/$name", r.getLong(1), r.getLong(2),
-              r.getLong(3), cols = colsOf(r, 4), specId = specId)
+              r.getLong(3), cols = colsOf(r, 4), specId = specId,
+              ndvs = ndvsOf(r, 4 + 2 * sCols.length))
           }.toSeq
       else {
         // one stats pass at (file, partition-tuple) grain — the fold
@@ -1257,7 +1351,8 @@ object TableLog {
           .groupBy(input_file_name().as("f"), tupleExpr.as("t"))
           .agg(count(lit(1)).as("rows"),
             Seq(min(col(keyCol)).cast("long").as("mn"),
-              max(col(keyCol)).cast("long").as("mx")) ++ statExprs: _*)
+              max(col(keyCol)).cast("long").as("mx")) ++
+              statExprs ++ ndvExprs: _*)
           .collect()
           .groupBy(r => fileNameOf(r.getString(0)))
           .map { case (name, rs) =>
@@ -1279,9 +1374,27 @@ object TableLog {
                 mns.reduce((a, b) => if (cmpStat(t, a, b) <= 0) a else b),
                 mxs.reduce((a, b) => if (cmpStat(t, a, b) >= 0) a else b))
             }
+            // per-tuple sketches UNION to file grain by register max;
+            // null counts sum exactly
+            val ndvBase = 5 + 2 * sCols.length
+            val ndvs = ndvCols.zipWithIndex.flatMap { case (c, j) =>
+              val cells = rs.map(r =>
+                (r.get(ndvBase + 2 * j), r.getLong(ndvBase + 2 * j + 1)))
+              val bs = cells.map(_._1).filter(_ != null)
+                .map(_.asInstanceOf[Array[Byte]])
+              if (bs.isEmpty) None
+              else {
+                val u = new org.apache.datasketches.hll.Union(ndvLgK)
+                bs.foreach(b => u.update(
+                  org.apache.datasketches.hll.HllSketch.heapify(b)))
+                Some(c -> (java.util.Base64.getEncoder.encodeToString(
+                  u.getResult(org.apache.datasketches.hll.TgtHllType.HLL_4)
+                    .toCompactByteArray) + ":" + cells.map(_._2).sum))
+              }
+            }
             AddFile(s"data/$stageId/$name", rs.map(_.getLong(2)).sum,
               rs.map(_.getLong(3)).min, rs.map(_.getLong(4)).max, parts,
-              cols = cols, specId = specId)
+              cols = cols, specId = specId, ndvs = ndvs)
           }.toSeq
       }
     written.sortBy(_.relPath)
