@@ -76,6 +76,33 @@ object GraftTableFunctions {
           graft.tablelog.TableLog
             .diffVersions(SparkSession.active, path, from, to)
             .queryExecution.logical
+        }),
+      /* `graft_table_changes_between('<path>', fromMillis, toMillis)`
+       * — the TIMESTAMP-bounded change feed: the diff of the table's
+       * snapshots AS OF the two instants (each bound resolves through
+       * [[graft.tablelog.TableLog.versionAtTimestamp]]'s O(log
+       * history) search over the monotone commit stamps; the diff
+       * itself reads only files active in exactly one snapshot). The
+       * operational shape: "what changed between yesterday's load and
+       * now" without the consumer bookkeeping version numbers. */
+      (FunctionIdentifier("graft_table_changes_between"),
+        new ExpressionInfo(graft.tablelog.TableLog.getClass.getName,
+          "graft_table_changes_between"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "usage: graft_table_changes_between(" +
+            "path, from_epoch_millis, to_epoch_millis)")
+          val path = literal(args(0), "path").toString
+          val fromTs = asLong(literal(args(1), "from_epoch_millis"),
+            "from_epoch_millis")
+          val toTs = asLong(literal(args(2), "to_epoch_millis"),
+            "to_epoch_millis")
+          require(fromTs <= toTs,
+            s"graft_table_changes_between: from $fromTs > to $toTs")
+          val from = graft.tablelog.TableLog.versionAtTimestamp(path, fromTs)
+          val to = graft.tablelog.TableLog.versionAtTimestamp(path, toTs)
+          graft.tablelog.TableLog
+            .diffVersions(SparkSession.active, path, from, to)
+            .queryExecution.logical
         }))
 }
 

@@ -3252,7 +3252,55 @@ object TableOps {
       |FROM v_counts
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q491
+  /** TIMESTAMP-BOUNDED CHANGE FEED
+    * (`graft_table_changes_between('<path>', fromMillis, toMillis)` +
+    * the streaming source's `startingTimestamp` — Delta's pair of the
+    * same shape): each instant resolves to a snapshot version via the
+    * monotone commit stamps' O(log history) binary search
+    * ([[TableLog.versionAtTimestamp]]; stamps are non-decreasing BY
+    * CONSTRUCTION — the commit path clamps against the previous
+    * stamp, so clock step-back cannot corrupt resolution), then the
+    * change-exact diff reads only files active in exactly one of the
+    * two snapshots. The operational question it answers at 100 TB:
+    * "what changed between yesterday's load and now" priced at the
+    * day's files, with no consumer-side version bookkeeping. The
+    * fixture captures the REAL commit stamps and the oracle replays
+    * the two appended slices as inserts. */
+  private val tsFeedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+
+  def q491ChangesBetweenTimestamps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    graft.GraftFunctions.install(s)
+    val (t, fromTs, toTs) = tsFeedCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogtsf_").toString + "/t"
+      val slice = ordersSlice(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      TableLog.create(slice.where($"o_orderkey" % 7 === 0),
+        path, "o_orderkey", numFiles = 2)                              // v1
+      Thread.sleep(15) // distinct millisecond stamps between commits
+      TableLog.append(slice.where($"o_orderkey" % 7 === 1), path, 2)   // v2
+      Thread.sleep(15)
+      TableLog.append(slice.where($"o_orderkey" % 7 === 2), path, 2)   // v3
+      (path, TableLog.commitStamp(path, 1L), TableLog.commitStamp(path, 3L))
+    })
+    s.sql(
+      s"""SELECT action, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graft_table_changes_between('$t', $fromTs, $toTs)
+         |GROUP BY action ORDER BY action""".stripMargin)
+  }
+
+  private val q491Oracle =
+    """SELECT 'insert' AS action, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderkey % 7 IN (1, 2)
+      |ORDER BY action""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q491_changes_between_ts" -> (q491ChangesBetweenTimestamps _),
     "q490_persistent_view" -> (q490PersistentView _),
     "q482_branch_wap" -> (q482BranchWap _),
     "q486_branches_meta" -> (q486BranchesMeta _),
@@ -3318,6 +3366,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q491_changes_between_ts" -> q491Oracle,
     "q490_persistent_view" -> q490Oracle,
     "q482_branch_wap" -> q482Oracle,
     "q486_branches_meta" -> q486Oracle,

@@ -2121,7 +2121,7 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
           "readStream.format(\"graft.sources.GraftLogStreamProvider\")")
     new GraftLogMicroBatchStream(tablePath,
       StructType(required.fields.map(_.copy(nullable = true))),
-      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+      GraftLogStartingBound.resolve(tablePath, options.get),
       maxFilesPerTrigger =
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       maxBytesPerTrigger =

@@ -55,6 +55,30 @@ import graft.tablelog.TableLog
   * columns absent from pre-evolution files — primitive columns
   * (long/int/double/float/boolean/string), which is what the log's
   * key-stats design supports. */
+/** Shared resolution of a stream's starting bound: `startingVersion`
+  * (a committed version; the feed emits commits AFTER it) or
+  * `startingTimestamp` (epoch millis, or a UTC `yyyy-MM-dd HH:mm:ss`
+  * literal — the feed emits every commit stamped at-or-after the
+  * instant, resolved against the manifest stamps via
+  * [[TableLog.firstVersionAtOrAfter]]'s O(log history) search).
+  * Mutually exclusive, like Delta's pair of the same name. */
+private[sources] object GraftLogStartingBound {
+  def parseMillis(s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  /** The offset-version to start AFTER (0 = table's beginning). */
+  def resolve(path: String, get: String => String): Long = {
+    val sv = Option(get("startingVersion")).map(_.toLong)
+    val st = Option(get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty, "graftlog stream: startingVersion " +
+      "and startingTimestamp are mutually exclusive")
+    sv.getOrElse(st.fold(0L)(s =>
+      math.max(0L, TableLog.firstVersionAtOrAfter(path, parseMillis(s)) - 1L)))
+  }
+}
+
 class GraftLogStreamProvider extends TableProvider {
   /** Nullability is RELAXED on read, the same contract Spark's file
     * sources apply: a column added by schema evolution may be NOT
@@ -101,7 +125,7 @@ class GraftLogStreamTable(path: String, tblSchema: StructType)
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream =
         new GraftLogMicroBatchStream(path, tblSchema,
-          Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+          GraftLogStartingBound.resolve(path, options.get),
           maxFilesPerTrigger =
             Option(options.get("maxFilesPerTrigger")).map(_.toInt),
           maxBytesPerTrigger =
@@ -1154,7 +1178,7 @@ class GraftLogChangeFeedTable(path: String, outSchema: StructType)
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream =
         new GraftLogChangeFeedStream(path,
-          Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+          GraftLogStartingBound.resolve(path, options.get),
           maxFilesPerTrigger =
             Option(options.get("maxFilesPerTrigger")).map(_.toInt),
           maxBytesPerTrigger =

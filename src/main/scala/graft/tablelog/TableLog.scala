@@ -840,6 +840,24 @@ object TableLog {
     lo
   }
 
+  /** The wall-clock stamp of commit `v` (0 on pre-tag manifests). */
+  def commitStamp(table: String, v: Long): Long =
+    parse(v, Files.readString(commitPath(table, v))).tsMillis
+
+  /** First version whose commit stamp is ≥ `epochMillis` — the Delta
+    * `startingTimestamp` contract ("changes committed at or after the
+    * instant"). Returns latest+1 when every commit predates it: a
+    * feed started at a future instant begins empty and waits. Same
+    * O(log history) binary search as [[versionAtTimestamp]], sound on
+    * the same monotone-stamp invariant [[commit]] enforces. */
+  def firstVersionAtOrAfter(table: String, epochMillis: Long): Long = {
+    val last = latestVersion(table)
+    require(last > 0, s"$table has no committed version")
+    if (commitStamp(table, 1L) >= epochMillis) 1L
+    else if (commitStamp(table, last) < epochMillis) last + 1L
+    else versionAtTimestamp(table, epochMillis - 1L) + 1L
+  }
+
   /** Table state at `version` (default: latest). Resolves the newest
     * checkpoint ≤ version plus the commits after it. On a CHUNKED
     * checkpoint the returned snapshot is metadata-eager but
