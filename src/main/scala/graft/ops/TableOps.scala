@@ -3299,7 +3299,72 @@ object TableOps {
       |FROM orders WHERE o_orderkey % 7 IN (1, 2)
       |ORDER BY action""".stripMargin
 
+  // ---------------------------------------------------------------- q492
+  /** MERGE WITH SCHEMA EVOLUTION ([[TableLog.merge]] `evolve = true`,
+    * Delta's `autoMerge` lineage): the changes frame carries a column
+    * the table has never seen (`prio`), and ONE atomic merge commit
+    * lands the upserts, the inserts AND the widened DDL — matched
+    * rows' files rewrite with the new column, every untouched file
+    * null-fills it through the explicit-schema read, and no reader
+    * can observe the schema without the data or the data without the
+    * schema (two commits would expose both torn states). At 100 TB
+    * this is how a feed adds a field without a coordinated
+    * stop-the-world migration: the merge prices at the matched files,
+    * the schema ride-along is free metadata. Oracle replays the
+    * upsert arithmetic in SQL. */
+  private val mergeEvoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q492MergeEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = mergeEvoCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogmev_").toString + "/t"
+      val slice = ordersSlice(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      TableLog.create(slice.where($"o_orderkey" % 6 === 0),
+        path, "o_orderkey", numFiles = 3)                              // v1
+      // updates (keys % 12 == 0, price doubled) + inserts (% 6 == 3),
+      // PLUS a never-seen column — one atomic evolving merge commit
+      val changes = slice
+        .where($"o_orderkey" % 12 === 0 || $"o_orderkey" % 6 === 3)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 12 === 0, $"o_totalprice" * 2)
+            .otherwise($"o_totalprice"))
+        .withColumn("prio", $"o_orderkey" % 5)
+      TableLog.merge(s, path, changes, numFiles = 3, evolve = true)    // v2
+      require(TableLog.latestVersion(path) == 2L,
+        "evolving merge must be ONE commit")
+      path
+    })
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  CAST(sum(prio) AS BIGINT) AS prio_sum
+         |FROM graftlog.`$t`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q492Oracle =
+    """WITH merged AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    CASE WHEN o_orderkey % 12 = 0 OR o_orderkey % 6 = 3
+      |         THEN o_orderkey % 5 END AS prio
+      |  FROM orders WHERE o_orderkey % 6 IN (0, 3)
+      |)
+      |SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  CAST(sum(prio) AS BIGINT) AS prio_sum
+      |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q492_merge_evolve" -> (q492MergeEvolve _),
     "q491_changes_between_ts" -> (q491ChangesBetweenTimestamps _),
     "q490_persistent_view" -> (q490PersistentView _),
     "q482_branch_wap" -> (q482BranchWap _),
@@ -3366,6 +3431,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q492_merge_evolve" -> q492Oracle,
     "q491_changes_between_ts" -> q491Oracle,
     "q490_persistent_view" -> q490Oracle,
     "q482_branch_wap" -> q482Oracle,

@@ -2848,11 +2848,48 @@ object TableLog {
     * files containing a matched key are rewritten (changes' keys
     * broadcast into one scan of the active set); inserts land as
     * fresh files. The q90 full-outer-join semantics, landed as a
-    * transactional commit. */
-  def merge(spark: SparkSession, table: String, changes: DataFrame,
-      numFiles: Int): Long = {
+    * transactional commit.
+    *
+    * `evolve = true` is Delta's `autoMerge` shape: UNSEEN source
+    * columns widen the target schema IN THE SAME atomic merge commit
+    * (the commit carries both the data files and the merged DDL, so
+    * readers never see the schema without the data or vice versa);
+    * survivors of rewritten files and all untouched files null-fill
+    * the new columns through the explicit-schema read, exactly the
+    * appendEvolve contract. Existing columns must keep their exact
+    * type and must all be present (a merge replaces WHOLE rows —
+    * an absent column would silently null matched rows' data);
+    * columns declared with a DEFAULT may be omitted and fill per the
+    * write-default contract. Without `evolve`, unseen columns refuse
+    * loudly — schema drift in a pipeline should be an explicit
+    * decision, not an accident. */
+  def merge(spark: SparkSession, table: String, changes0: DataFrame,
+      numFiles: Int, evolve: Boolean = false): Long = {
     val snap = state(table)
     val k = snap.keyCol
+    val changes = withWriteDefaults(changes0, snap)
+    val old = StructType.fromDDL(snap.schemaDdl)
+    val byName = changes.schema.map(f => f.name -> f).toMap
+    old.foreach { f =>
+      byName.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"merge into $table: changes omit column '${f.name}' — a merge " +
+            "replaces whole rows, so every table column must be present")
+        case Some(g) if g.dataType != f.dataType =>
+          throw new IllegalArgumentException(
+            s"merge into $table: type conflict on '${f.name}': " +
+              s"table ${f.dataType.sql} vs changes ${g.dataType.sql}")
+        case _ => ()
+      }
+    }
+    val oldNames = old.map(_.name).toSet
+    val extra = changes.schema.filterNot(f => oldNames(f.name))
+    if (extra.nonEmpty && !evolve) throw new IllegalArgumentException(
+      s"merge into $table: changes carry unknown column(s) " +
+        s"${extra.map(_.name).mkString(", ")} — pass evolve = true to " +
+        "widen the schema with the merge")
+    extra.foreach(f => checkPhysCollision(snap, f.name, "merge(evolve)"))
+    val merged = StructType(old ++ extra)
     validateChecks(changes, checksOf(snap.props), s"merge into $table")
     val changeKeys = changes.select(col(k)).distinct()
     val scan = readFiles(spark, table, snap, snap.active)
@@ -2862,14 +2899,16 @@ object TableLog {
       .collect().map(r => fileIdOfUri(r.getString(0))).toSet
     val touched = snap.active.filter(a => touchedNames(fileIdOf(a.relPath)))
     val touchedRows = readFiles(spark, table, snap, touched)
-    // survivors of touched files + every change row (replaces + inserts)
+    // survivors of touched files + every change row (replaces +
+    // inserts); under evolution the survivors null-fill the new cols
     val rewritten = touchedRows
       .join(broadcast(changeKeys), Seq(k), "left_anti")
-      .unionByName(changes)
+      .unionByName(changes, allowMissingColumns = extra.nonEmpty)
     val adds = stage(rewritten, table, k, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap,
       specId = snap.specId)
-    commit(table, snap.version, "merge", adds, touched.map(_.relPath), "", "")
+    commit(table, snap.version, "merge", adds, touched.map(_.relPath),
+      if (extra.nonEmpty) merged.toDDL else "", "")
   }
 
   /** OPTIMIZE ZORDER: [[compact]] whose output files follow the
