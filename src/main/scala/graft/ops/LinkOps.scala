@@ -1635,7 +1635,96 @@ object LinkOps {
        |ORDER BY u, v""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q493
+  /** [NS] PREFERENCE-DATA TRANSITIVITY AUDIT — the consistency gate
+    * RLHF/DPO pair collection needs before training a reward model:
+    * how many CYCLIC TRIADS (a≻b, b≻c, c≻a) does the labeled
+    * tournament contain? Annotator noise shows up exactly here —
+    * Bradley–Terry (q443) fits strengths ASSUMING near-transitivity;
+    * this operator measures whether that assumption holds.
+    *
+    * The scale shape is the whole point: triads are O(n³) and are
+    * NEVER materialized. For a complete antisymmetric tournament,
+    * Kendall's identity prices the census at out-degrees alone —
+    * cyclic = C(n,3) − Σᵢ C(winsᵢ, 2) — so the plan is ONE scan of
+    * the pair set (the data RLHF collection already has), one
+    * hash-agg to per-item win counts, and a two-term fold. At 100 TB
+    * of preference pairs that is a groupBy and arithmetic; the n³
+    * triad space is touched by algebra, not by the engine.
+    *
+    * Two planted arms pin the math end-to-end: `ordered` (lower id
+    * always wins — perfectly transitive) must census to EXACTLY zero
+    * cycles, while `hashed` (winner = md5 parity per pair, an
+    * adversarially inconsistent annotator) sits near the random
+    * tournament's expected 25% of triads. Both engines compute the
+    * same md5 parity digit-for-digit, all arithmetic exact BIGINT. */
+  def q493PreferenceCycles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.part(s, dir).where($"p_partkey" % 7 === 1)
+      .select($"p_partkey".cast("long").as("id"))
+    val pairs = items.as("a").crossJoin(items.as("b"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("lo"), col("b.id").as("hi"))
+      .withColumn("par", expr(
+        "cast(conv(substring(md5(concat(cast(lo as string), '~', " +
+          "cast(hi as string))), 1, 4), 16, 10) as bigint) % 2"))
+      .localCheckpoint(true)
+    val nDf = items.agg(count(lit(1)).as("n"))
+    def arm(wins: DataFrame, label: String): DataFrame = {
+      val c2 = wins.agg(coalesce(
+        sum(expr("wins * (wins - 1) div 2")), lit(0L)).as("sum_c2"))
+      nDf.crossJoin(c2).select(
+        lit(label).as("variant"),
+        $"n".as("n_items"),
+        expr("n * (n - 1) * (n - 2) div 6 - sum_c2").as("cyclic_triads"),
+        expr("(n * (n - 1) * (n - 2) div 6 - sum_c2) * 1000000 div " +
+          "greatest(1L, n * (n - 1) * (n - 2) div 6)").as("cyclic_ppm"))
+    }
+    val hashed = arm(
+      pairs.select(when($"par" === 0, $"lo").otherwise($"hi").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("wins")), "hashed")
+    val ordered = arm(
+      pairs.groupBy($"lo".as("w")).agg(count(lit(1)).as("wins")), "ordered")
+    hashed.unionByName(ordered).orderBy($"variant")
+  }
+
+  private val q493Oracle =
+    """WITH items AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+      |  WHERE p_partkey % 7 = 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM items),
+      |pr AS (
+      |  SELECT a.id AS lo, b.id AS hi,
+      |    ('0x' || substr(md5(CAST(a.id AS VARCHAR) || '~' ||
+      |      CAST(b.id AS VARCHAR)), 1, 4))::BIGINT % 2 AS par
+      |  FROM items a JOIN items b ON a.id < b.id),
+      |wh AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS wins FROM (
+      |    SELECT CASE WHEN par = 0 THEN lo ELSE hi END AS w FROM pr)
+      |  GROUP BY w),
+      |wo AS (
+      |  SELECT lo AS w, CAST(count(*) AS BIGINT) AS wins FROM pr
+      |  GROUP BY lo),
+      |ch AS (SELECT CAST(coalesce(sum(wins * (wins - 1) // 2), 0)
+      |         AS BIGINT) AS sum_c2 FROM wh),
+      |co AS (SELECT CAST(coalesce(sum(wins * (wins - 1) // 2), 0)
+      |         AS BIGINT) AS sum_c2 FROM wo)
+      |SELECT 'hashed' AS variant, n AS n_items,
+      |  CAST(n * (n-1) * (n-2) // 6 - ch.sum_c2 AS BIGINT)
+      |    AS cyclic_triads,
+      |  CAST((n * (n-1) * (n-2) // 6 - ch.sum_c2) * 1000000 //
+      |    greatest(1, n * (n-1) * (n-2) // 6) AS BIGINT) AS cyclic_ppm
+      |FROM nn, ch
+      |UNION ALL
+      |SELECT 'ordered', n,
+      |  CAST(n * (n-1) * (n-2) // 6 - co.sum_c2 AS BIGINT),
+      |  CAST((n * (n-1) * (n-2) // 6 - co.sum_c2) * 1000000 //
+      |    greatest(1, n * (n-1) * (n-2) // 6) AS BIGINT)
+      |FROM nn, co
+      |ORDER BY variant""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q493_preference_cycles" -> (q493PreferenceCycles _),
     "q393_ktruss" -> (q393Ktruss _),
     "q378_rank1_als" -> (q378Rank1Als _),
     "q376_hyperball_anf" -> (q376HyperballAnf _),
@@ -1656,6 +1745,7 @@ object LinkOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q493_preference_cycles" -> q493Oracle,
     "q393_ktruss" -> q393Oracle,
     "q378_rank1_als" -> q378Oracle,
     "q376_hyperball_anf" -> q376Oracle,

@@ -3363,7 +3363,75 @@ object TableOps {
       |  CAST(sum(prio) AS BIGINT) AS prio_sum
       |FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q494
+  /** GENERATED COLUMNS (Delta `GENERATED ALWAYS AS` lineage,
+    * [[TableLog.genColsOf]]): `gencol.<name>` declared at CREATE maps
+    * a schema column to a deterministic expression over the row.
+    * Writers that OMIT the column get it computed on the write path
+    * (priced at the batch — the value is materialized in the files,
+    * so reads pay nothing and the column stats/pruning machinery
+    * sees a real column); writers that SUPPLY it are audited by a
+    * synthetic CHECK (`col <=> expr`) on every write path — a wrong
+    * explicit value refuses loudly, pinned in-fixture with main
+    * unmoved. Declaration validates the expression analyzes and is
+    * deterministic; SET TBLPROPERTIES refuses NEW generated columns
+    * (active files were not produced by the expression). The oracle
+    * replays the generation expression over the same slices. */
+  private val genColCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q494GeneratedColumns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = genColCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tloggen_").toString + "/t"
+      TableLog.createEmpty(path,
+        "o_orderkey BIGINT, o_totalprice DOUBLE, price_band STRING",
+        "o_orderkey",
+        props = Map("gencol.price_band" ->
+          "CASE WHEN o_totalprice >= 100000.0 THEN 'H' ELSE 'L' END"))  // v1
+      val slice = ordersSlice(s, dir).select($"o_orderkey", $"o_totalprice")
+      // writer A omits the column → computed on the write path
+      TableLog.append(slice.where($"o_orderkey" % 9 === 2), path, 2)    // v2
+      // writer B supplies it EXPLICITLY and correctly → audited, lands
+      TableLog.append(slice.where($"o_orderkey" % 9 === 5)
+        .withColumn("price_band",
+          when($"o_totalprice" >= 100000.0, "H").otherwise("L")),
+        path, 2)                                                        // v3
+      // writer C lies → the synthetic CHECK refuses; table unmoved
+      val before = TableLog.latestVersion(path)
+      val ex = try {
+        TableLog.append(slice.where($"o_orderkey" % 9 === 7)
+          .withColumn("price_band", lit("H")), path, 2)
+        null: Exception
+      } catch { case e: IllegalArgumentException => e }
+      require(ex != null && ex.getMessage.contains("price_band_generated"),
+        s"wrong explicit generated value must refuse, got $ex")
+      require(TableLog.latestVersion(path) == before,
+        "a refused generated-column write moved the table")
+      path
+    })
+    s.sql(
+      s"""SELECT price_band,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$t`
+         |GROUP BY price_band ORDER BY price_band""".stripMargin)
+  }
+
+  private val q494Oracle =
+    """SELECT
+      |  CASE WHEN o_totalprice >= 100000.0 THEN 'H' ELSE 'L' END
+      |    AS price_band,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders WHERE o_orderkey % 9 IN (2, 5)
+      |GROUP BY 1 ORDER BY price_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q494_generated_columns" -> (q494GeneratedColumns _),
     "q492_merge_evolve" -> (q492MergeEvolve _),
     "q491_changes_between_ts" -> (q491ChangesBetweenTimestamps _),
     "q490_persistent_view" -> (q490PersistentView _),
@@ -3431,6 +3499,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q494_generated_columns" -> q494Oracle,
     "q492_merge_evolve" -> q492Oracle,
     "q491_changes_between_ts" -> q491Oracle,
     "q490_persistent_view" -> q490Oracle,

@@ -1419,9 +1419,26 @@ object TableLog {
   }
 
   /** Declared CHECK constraints of a property map: (name, SQL). */
+  /** GENERATED COLUMNS declared on the table (Delta's `GENERATED
+    * ALWAYS AS` lineage): `gencol.<name>` properties mapping a schema
+    * column to its generation expression. Writers that OMIT the
+    * column get it computed ([[withWriteDefaults]]); writers that
+    * supply it are audited — the expression doubles as a synthetic
+    * CHECK (`col <=> expr`, null-safe) enforced on every write path
+    * through the same [[validateChecks]] gate as user constraints,
+    * so a wrong explicit value refuses loudly instead of landing a
+    * row whose column contradicts its own definition. Declared at
+    * CREATE only ([[setProps]] refuses new ones — existing files
+    * were not produced by the expression). */
+  private[graft] def genColsOf(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect { case (k, sql) if k.startsWith("gencol.") =>
+      (k.stripPrefix("gencol."), sql) }.sortBy(_._1)
+
   private[graft] def checksOf(props: Map[String, String]): Seq[(String, String)] =
-    props.toSeq.collect { case (k, sql) if k.startsWith("constraint.") =>
-      (k.stripPrefix("constraint."), sql) }.sortBy(_._1)
+    (props.toSeq.collect { case (k, sql) if k.startsWith("constraint.") =>
+      (k.stripPrefix("constraint."), sql) } ++
+      genColsOf(props).map { case (c, sql) =>
+        (s"${c}_generated", s"`$c` <=> ($sql)") }).sortBy(_._1)
 
   /** Validate a batch against declared CHECK constraints — the
     * enforcement gate for write paths OUTSIDE Spark's catalog
@@ -1682,9 +1699,26 @@ object TableLog {
       partCols: Seq[String] = Nil,
       props: Map[String, String] = Map.empty): Long = {
     require(latestVersion(table) == 0L, s"$table already exists")
-    require(StructType.fromDDL(schemaDdl).fieldNames.contains(keyCol),
+    val schema = StructType.fromDDL(schemaDdl)
+    require(schema.fieldNames.contains(keyCol),
       s"key column '$keyCol' not in schema: $schemaDdl")
     if (partCols.nonEmpty) checkPartCols(schemaDdl, partCols)
+    // generated columns validate at DECLARATION (the Delta posture):
+    // the name must be a non-key schema column and the expression
+    // must analyze against the schema and be deterministic — a
+    // nondeterministic generator would store irreproducible values
+    // on the fill path and always fail its own audit on the other
+    genColsOf(props).foreach { case (c, sql) =>
+      require(schema.fieldNames.contains(c),
+        s"gencol.$c: no such column in $schemaDdl")
+      require(c != keyCol, s"gencol.$c: the key column cannot be generated")
+      val probe = SparkSession.active.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .select(expr(sql))
+      probe.schema // force analysis: unknown columns / bad SQL throw here
+      require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+        s"gencol.$c: generation expression must be deterministic: $sql")
+    }
     commit(table, 0L, "create", Nil, Nil, schemaDdl, keyCol,
       partCols = partCols,
       props = if (props.isEmpty) None else Some(props))
@@ -1697,6 +1731,13 @@ object TableLog {
     * metadata must not silently overwrite a race winner's). */
   def setProps(table: String, props: Map[String, String]): Long = {
     val snap = state(table)
+    // generated columns are a CREATE-time declaration: files already
+    // active were not produced by the expression, so declaring one
+    // here would instantly contradict the audit it installs
+    val newGens = genColsOf(props).toSet -- genColsOf(snap.props).toSet
+    require(newGens.isEmpty,
+      s"$table: generated columns are declared at CREATE, not via " +
+        s"SET TBLPROPERTIES (new: ${newGens.map(_._1).mkString(", ")})")
     commit(table, snap.version, "setprops", Nil, Nil, "", "",
       props = Some(props))
   }
@@ -2400,17 +2441,23 @@ object TableLog {
     * column ABSENT from the frame fills with its declared value (the
     * write half of the initial-default contract); present columns —
     * explicit NULLs included — pass through untouched. */
-  private def withWriteDefaults(df: DataFrame, snap: Snapshot): DataFrame =
-    if (snap.defaults.isEmpty) df
-    else {
-      val schema = StructType.fromDDL(snap.schemaDdl)
-      val present = df.columns.toSet
-      snap.defaults.toSeq.sortBy(_._1).foldLeft(df) {
-        case (d, (c, (sql, _))) =>
-          if (present(c)) d
-          else d.withColumn(c, expr(sql).cast(schema(c).dataType))
-      }
+  private def withWriteDefaults(df: DataFrame, snap: Snapshot): DataFrame = {
+    val gens = genColsOf(snap.props)
+    if (snap.defaults.isEmpty && gens.isEmpty) return df
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val present = df.columns.toSet
+    val d1 = snap.defaults.toSeq.sortBy(_._1).foldLeft(df) {
+      case (d, (c, (sql, _))) =>
+        if (present(c)) d
+        else d.withColumn(c, expr(sql).cast(schema(c).dataType))
     }
+    // generated columns: compute when omitted (supplied values are
+    // audited by the synthetic CHECK in [[checksOf]] instead)
+    gens.foldLeft(d1) { case (d, (c, sql)) =>
+      if (present(c) || !schema.fieldNames.contains(c)) d
+      else d.withColumn(c, expr(sql).cast(schema(c).dataType))
+    }
+  }
 
   /** A new logical name must not collide with a PHYSICAL name still
     * present in active files (a rename's old name, or a dropped
@@ -2822,12 +2869,13 @@ object TableLog {
     * matching row rewrite; the new slice lands as fresh files in the
     * same commit. */
   def replaceWhere(spark: SparkSession, table: String, cond: Column,
-      incoming: DataFrame, numFiles: Int): Long = {
+      incoming0: DataFrame, numFiles: Int): Long = {
+    val snap = state(table)
+    val incoming = withWriteDefaults(incoming0, snap)
     val violating = incoming.where(!coalesce(cond, lit(false))).count()
     if (violating > 0) throw new IllegalArgumentException(
       s"replaceWhere: $violating incoming rows do not satisfy the replace " +
         "predicate — restating a slice must not smuggle rows outside it")
-    val snap = state(table)
     validateChecks(incoming, checksOf(snap.props), s"replaceWhere into $table")
     val scan = readFiles(spark, table, snap, snap.active)
       .withColumn("_file", input_file_name())

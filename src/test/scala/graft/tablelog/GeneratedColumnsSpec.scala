@@ -1,0 +1,81 @@
+package graft.tablelog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Generated columns ([[TableLog.genColsOf]], Delta GENERATED ALWAYS
+  * AS shape): compute-on-omit, audit-on-supply, declaration rules. */
+class GeneratedColumnsSpec extends SparkSuite {
+
+  private def freshTable(): String = {
+    spark.version // force the shared session (declaration probes need it)
+    val t = Files.createTempDirectory("tlog_gen_").toString + "/t"
+    TableLog.createEmpty(t, "k BIGINT, x BIGINT, band STRING", "k",
+      props = Map("gencol.band" ->
+        "CASE WHEN x >= 10 THEN 'hi' ELSE 'lo' END"))
+    t
+  }
+
+  test("omitted generated column computes and MATERIALIZES; supplied " +
+      "correct values land; wrong values refuse on every write path") {
+    import spark.implicits._
+    val t = freshTable()
+    TableLog.append(Seq((1L, 5L), (2L, 20L)).toDF("k", "x"), t, 1)
+    val got = TableLog.snapshot(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "lo"), (2L, "hi")))
+    // the value is physically in the file (not a read-time fiction):
+    // a raw parquet read without the table schema still sees it
+    val raw = spark.read.parquet(s"$t/data/*").select("band")
+      .collect().map(_.getString(0)).sorted
+    assert(raw.toSeq == Seq("hi", "lo"))
+    // correct explicit values pass the audit
+    TableLog.append(Seq((3L, 50L, "hi")).toDF("k", "x", "band"), t, 1)
+    // wrong explicit values refuse — append, merge and replaceWhere
+    val bad = Seq((4L, 1L, "hi")).toDF("k", "x", "band")
+    val e1 = intercept[IllegalArgumentException] {
+      TableLog.append(bad, t, 1)
+    }
+    assert(e1.getMessage.contains("band_generated"))
+    intercept[IllegalArgumentException] {
+      TableLog.merge(spark, t, bad, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.replaceWhere(spark, t, col("k") === 4L, bad, 1)
+    }
+    // merge with omitted gencol computes it (fill precedes the audit)
+    TableLog.merge(spark, t, Seq((2L, 3L)).toDF("k", "x"), 1)
+    val r2 = TableLog.snapshot(spark, t).where(col("k") === 2L).head()
+    assert(r2.getLong(1) == 3L && r2.getString(2) == "lo",
+      "merge must recompute the generated column for the new row image")
+  }
+
+  test("declaration rules: unknown column, key column, bad SQL and " +
+      "nondeterministic expressions refuse at CREATE; SET " +
+      "TBLPROPERTIES refuses NEW generated columns") {
+    spark.version // force the shared session (declaration probes need it)
+    def tryCreate(props: Map[String, String]): Exception =
+      intercept[Exception] {
+        TableLog.createEmpty(
+          Files.createTempDirectory("tlog_genr_").toString + "/t",
+          "k BIGINT, x BIGINT, band STRING", "k", props = props)
+      }
+    assert(tryCreate(Map("gencol.nope" -> "x + 1"))
+      .getMessage.contains("no such column"))
+    assert(tryCreate(Map("gencol.k" -> "x + 1"))
+      .getMessage.contains("key column"))
+    tryCreate(Map("gencol.band" -> "not_a_col + 1")) // analysis error
+    assert(tryCreate(Map("gencol.band" -> "cast(rand() as string)"))
+      .getMessage.contains("deterministic"))
+    val t = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      TableLog.setProps(t, TableLog.state(t).props +
+        ("gencol.x" -> "k * 2"))
+    }
+    assert(e.getMessage.contains("declared at CREATE"))
+    // re-setting UNCHANGED props (the branch/publish flow) still works
+    TableLog.setProps(t, TableLog.state(t).props + ("owner" -> "me"))
+  }
+}
