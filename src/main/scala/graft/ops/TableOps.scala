@@ -3430,7 +3430,70 @@ object TableOps {
       |FROM orders WHERE o_orderkey % 9 IN (2, 5)
       |GROUP BY 1 ORDER BY price_band""".stripMargin
 
+  // ---------------------------------------------------------------- q495
+  /** DEEP CLONE ([[TableLog.deepClone]], `CALL graftlog.deep_clone`):
+    * the INDEPENDENT fork shallow clone (q449) is not — every active
+    * file and sidecar hard-links into the clone's own data dir (zero
+    * bytes copied, O(files) metadata; an inode lives while ANY name
+    * reaches it), so the two tables' VACUUMS cannot break each other.
+    * Pinned in-fixture both directions: the source deletes a slice
+    * and vacuums at grace 0 — reclaiming every pre-delete file the
+    * clone links — and the clone still reads the full fork-time
+    * snapshot; then the clone deletes + vacuums and the source stays
+    * exact. At 100 TB a deep clone is the sanctioned way to hand a
+    * team a writable corpus copy with its own retention policy,
+    * priced at metadata. The oracle replays both tables' final
+    * states from the orders slices. */
+  private val deepCloneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def q495DeepClone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val (src, dst) = deepCloneCache.computeIfAbsent(dir, _ => {
+      val base = Files.createTempDirectory("graft_tlogdeep_").toString
+      val (srcP, dstP) = (base + "/src", base + "/dst")
+      val slice = ordersSlice(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      TableLog.create(slice.where($"o_orderkey" % 10 >= 6),
+        srcP, "o_orderkey", numFiles = 3)                              // src v1
+      s.sql(s"CALL graftlog.deep_clone('$srcP', '$dstP')")             // dst v1
+      // source moves on and RECLAIMS its fork-time files
+      TableLog.deleteWhere(s, srcP, $"o_orderkey" % 10 >= 8, 3)        // src v2
+      require(TableLog.vacuum(srcP, graceMillis = 0L) > 0,
+        "the source vacuum should reclaim its rewritten originals")
+      // the clone still reads the FULL fork-time snapshot
+      val cloneRows = TableLog.snapshot(s, dstP).count()
+      require(cloneRows == slice.where($"o_orderkey" % 10 >= 6).count(),
+        s"clone lost rows after the source vacuum: $cloneRows")
+      // clone evolves and vacuums independently; source stays exact
+      TableLog.append(slice.where($"o_orderkey" % 10 === 2), dstP, 2)  // dst v2
+      TableLog.deleteWhere(s, dstP, $"o_orderkey" % 10 === 9, 3)       // dst v3
+      TableLog.vacuum(dstP, graceMillis = 0L)
+      require(TableLog.snapshot(s, srcP).count() ==
+        slice.where($"o_orderkey" % 10 >= 6 && $"o_orderkey" % 10 < 8).count(),
+        "the clone vacuum must not reclaim files the source still reads")
+      (srcP, dstP)
+    })
+    def side(label: String, path: String): DataFrame = s.sql(
+      s"""SELECT '$label' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$path`""".stripMargin)
+    side("clone", dst).unionByName(side("source", src)).orderBy($"side")
+  }
+
+  private val q495Oracle =
+    """SELECT 'clone' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderkey % 10 IN (2, 6, 7, 8)
+      |UNION ALL
+      |SELECT 'source', CAST(count(*) AS BIGINT),
+      |  CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 10 IN (6, 7)
+      |ORDER BY side""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q495_deep_clone" -> (q495DeepClone _),
     "q494_generated_columns" -> (q494GeneratedColumns _),
     "q492_merge_evolve" -> (q492MergeEvolve _),
     "q491_changes_between_ts" -> (q491ChangesBetweenTimestamps _),
@@ -3499,6 +3562,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q495_deep_clone" -> q495Oracle,
     "q494_generated_columns" -> q494Oracle,
     "q492_merge_evolve" -> q492Oracle,
     "q491_changes_between_ts" -> q491Oracle,

@@ -2692,6 +2692,29 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** `CALL graftlog.deep_clone('<src>', '<dst>')` —
+    * [[TableLog.deepClone]]: an INDEPENDENT fork — every active file
+    * and sidecar hard-links into the clone's own data dir (zero bytes
+    * copied, O(files) metadata), so unlike `clone` the two tables'
+    * vacuums cannot break each other. Returns (version, n_files). */
+  object DeepClone extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "deep_clone"
+    override def description(): String =
+      "deep-clone a table: hard-linked independent fork of the snapshot"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType)
+        .comment("source table path").build(),
+      ProcedureParameter.in("target", StringType)
+        .comment("new table path (must not exist)").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (v, n) = TableLog.deepClone(
+        input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+      oneRow("version BIGINT, n_files BIGINT", Seq(v, n.toLong))
+    }
+  }
+
   /** `CALL graftlog.zorder('<path>', '<colX>', '<colY>', <num_files>)`
     * — [[TableLog.compactZorder]]: re-lay the table's files along the
     * interleaved (colX, colY) curve so BOTH columns get tight per-file
@@ -2856,6 +2879,7 @@ private[sources] object GraftLogProcedures {
   }
 
   val all: Seq[UnboundProcedure] =
-    Seq(Vacuum, Compact, CompactSmall, Restore, Clone, ZOrder, DeleteDv,
+    Seq(Vacuum, Compact, CompactSmall, Restore, Clone, DeepClone, ZOrder,
+      DeleteDv,
       Branch, Publish, SetPartitionSpec)
 }

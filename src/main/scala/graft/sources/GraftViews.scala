@@ -176,9 +176,12 @@ case class GraftShowViewsCommand(ns: Seq[String], dir: Path,
       s.iterator().asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".sql")).map(_.stripSuffix(".sql")).toSeq
     } finally s.close()
+    // SHOW VIEWS 'glob': literal text with * wildcards (Spark's
+    // SHOW TABLES convention) — quote everything else
     val re = pattern.map(p =>
       java.util.regex.Pattern.compile(
-        p.replace("*", ".*").replace("|", "|"), // SQL LIKE-ish glob
+        p.split("\\*", -1).map(java.util.regex.Pattern.quote)
+          .mkString(".*"),
         java.util.regex.Pattern.CASE_INSENSITIVE))
     names.sorted
       .filter(n => re.forall(_.matcher(n).matches()))

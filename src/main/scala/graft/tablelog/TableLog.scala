@@ -1984,6 +1984,49 @@ object TableLog {
     (v, adds.size)
   }
 
+  /** DEEP CLONE: an INDEPENDENT copy of the table's current snapshot
+    * at `dst`. Unlike [[shallowClone]] — whose entries are path
+    * references into the source and share its vacuum fate — every
+    * active data file, bloom sidecar and deletion-vector sidecar
+    * HARD-LINKS into the clone's own `data/` dir: same filesystem,
+    * ZERO bytes copied, O(files) driver metadata work, yet a fully
+    * independent lifecycle, because unlinking one name never reclaims
+    * an inode another name still reaches — vacuuming either table
+    * cannot break the other (spec-pinned both directions). Metadata
+    * (schema, key, props, column mapping, defaults, spec history)
+    * travels exactly as shallow clone's. A cross-filesystem deep
+    * clone would have to copy bytes; this engine's warehouse is
+    * single-FS (disclosed — the same constraint the WAP publish's
+    * adoption step rides). Returns (cloneVersion, filesLinked). */
+  def deepClone(src: String, dst: String): (Long, Int) = {
+    require(latestVersion(dst) == 0L, s"$dst already exists")
+    val s = state(src)
+    val adds = s.active.map { a =>
+      val id = fileIdOf(a.relPath) // <stage>/<name> — stages are UUID-fresh
+      val target = Paths.get(dst, "data", id)
+      Files.createDirectories(target.getParent)
+      def link(suffix: String): Unit = {
+        val from = Paths.get(src, a.relPath + suffix)
+        if (Files.exists(from) &&
+            !Files.exists(Paths.get(target.toString + suffix)))
+          Files.createLink(Paths.get(target.toString + suffix), from)
+      }
+      link("")
+      s.bloom.foreach { case (c, _) => link(s".$c.bloom") }
+      a.dv.foreach { case (token, _) => link(s".$token") }
+      a.copy(relPath = s"data/$id")
+    }
+    val v = commit(dst, 0L, "clone", adds, Nil, s.schemaDdl, s.keyCol,
+      bloom = s.bloom, partCols = s.partCols,
+      props = if (s.props.isEmpty) None else Some(s.props),
+      colMap =
+        if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
+        else Some((s.colMap, s.droppedPhys)),
+      defaults = if (s.defaults.isEmpty) None else Some(s.defaults),
+      pspecs = if (s.partSpecs.length > 1) Some(s.partSpecs) else None)
+    (v, adds.size)
+  }
+
   // ------------------------------------------------- write-audit-publish
 
   private def branchPath(table: String, name: String): String = {
