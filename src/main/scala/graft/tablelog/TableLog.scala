@@ -372,6 +372,20 @@ object TableLog {
     * O(10–100). */
   val checkpointEvery = 4
 
+  /** The manifest PROTOCOL version this engine reads and writes —
+    * Delta's minReaderVersion shape. Every manifest carries
+    * `protocol <n>`; a reader refuses a HIGHER version with a clear
+    * upgrade message instead of mis-parsing state it does not
+    * understand (unknown TAGS also refuse, but as corruption — the
+    * protocol line turns "future feature" into an actionable error).
+    * Bump when a change would make old readers return WRONG answers
+    * rather than merely missing an optimization: additive channels
+    * like column stats or NDV sketches did not bump it (old readers
+    * ignore nothing — they throw on unknown tags — but a table
+    * written entirely by new code is only read by new code here;
+    * cross-version fleets gate on THIS number). */
+  val protocolVersion = 1
+
   private val logDirName = "_log"
 
   private def logDir(table: String): Path = Paths.get(table, logDirName)
@@ -406,6 +420,7 @@ object TableLog {
       pspecs: Option[Seq[Seq[String]]] = None): String = {
     val sb = new StringBuilder
     sb ++= s"op $op\n"
+    sb ++= s"protocol $protocolVersion\n"
     if (tsMillis > 0L) sb ++= s"ts $tsMillis\n"
     sb ++= s"key $keyCol\n"
     sb ++= s"schema $schemaDdl\n"
@@ -626,6 +641,12 @@ object TableLog {
       val (tag, rest) = (line.substring(0, sp), line.substring(sp + 1))
       tag match {
         case "op"     => op = rest
+        case "protocol" =>
+          val n = rest.toInt
+          if (n > protocolVersion) throw new IllegalStateException(
+            s"manifest v$version requires table protocol $n; this engine " +
+              s"supports up to $protocolVersion — upgrade the engine " +
+              "before reading or writing this table")
         case "ts"     => ts = rest.toLong
         case "key"    => key = rest
         case "schema" => ddl = rest

@@ -838,4 +838,20 @@ class TableLogSpec extends SparkSuite {
         "", ""))
     assert(e.getMessage.contains("rewrote files"), e.getMessage)
   }
+  test("protocol gate: a manifest from a NEWER engine refuses with an " +
+      "upgrade message, not a wrong answer or a corruption error") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    // current-protocol manifests round-trip (every commit carries the line)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(t, "_log", f"v${1L}%016d.commit"))
+      .contains(s"protocol ${TableLog.protocolVersion}"))
+    // a future engine writes v2 with a higher protocol
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_log", f"v${2L}%016d.commit"),
+      "op append\nprotocol 99\nkey k\nschema \n")
+    val e = intercept[IllegalStateException] { TableLog.state(t) }
+    assert(e.getMessage.contains("protocol 99") &&
+      e.getMessage.contains("upgrade"), e.getMessage)
+  }
 }
