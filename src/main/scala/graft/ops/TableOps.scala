@@ -3492,7 +3492,85 @@ object TableOps {
       |FROM orders WHERE o_orderkey % 10 IN (6, 7)
       |ORDER BY side""".stripMargin
 
+  // ---------------------------------------------------------------- q496
+  /** IDENTITY COLUMNS ([[TableLog.appendIdentity]], Delta's
+    * GENERATED ALWAYS AS IDENTITY lineage): the table declares
+    * `identity.id` with a start value; each append assigns
+    * `hwm + rowIndex` and advances the high-water mark IN THE SAME
+    * commit — the props ride makes the commit metadata-bearing, so a
+    * concurrent allocator aborts instead of rebasing into duplicate
+    * ids (the serialization Delta pays for the same guarantee).
+    * Explicit values refuse (ALWAYS, not BY DEFAULT), as do the
+    * arbitrary-row write paths (append/merge/replaceWhere) — ids
+    * cannot be smuggled or skipped. The identity column doubles as
+    * the TABLE KEY, so allocation order feeds the per-file [min,max]
+    * envelope and id-range reads prune files. The fixture sorts each
+    * batch by o_orderkey, making assignment deterministic; the
+    * oracle replays it with row_number() and the pair-sum checksum
+    * Σ id·o_orderkey pins the exact row↔id PAIRING, not just the id
+    * set. */
+  private val identityCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q496IdentityColumn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = identityCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogid_").toString + "/t"
+      TableLog.createEmpty(path,
+        "id BIGINT, o_orderkey BIGINT, o_totalprice DOUBLE", "id",
+        props = Map("identity.id" -> "1000"))                          // v1
+      val slice = ordersSlice(s, dir).select($"o_orderkey", $"o_totalprice")
+      TableLog.appendIdentity(
+        slice.where($"o_orderkey" % 11 === 3).orderBy($"o_orderkey"),
+        path, numFiles = 2)                                            // v2
+      TableLog.appendIdentity(
+        slice.where($"o_orderkey" % 11 === 7).orderBy($"o_orderkey"),
+        path, numFiles = 2)                                            // v3
+      // ALWAYS: explicit ids refuse; so do the arbitrary-row paths
+      val before = TableLog.latestVersion(path)
+      def refused(f: => Unit): Boolean =
+        try { f; false } catch { case _: IllegalArgumentException => true }
+      require(refused(TableLog.appendIdentity(
+        slice.limit(1).withColumn("id", lit(1L)), path, 1)),
+        "explicit identity values must refuse")
+      require(refused(TableLog.append(
+        slice.limit(1).withColumn("id", lit(-5L))
+          .select($"id", $"o_orderkey", $"o_totalprice"), path, 1)),
+        "plain append on an identity table must refuse")
+      require(TableLog.latestVersion(path) == before,
+        "a refused identity write moved the table")
+      path
+    })
+    s.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(min(id) AS BIGINT) AS min_id,
+         |  CAST(max(id) AS BIGINT) AS max_id,
+         |  CAST(sum(id) AS BIGINT) AS id_sum,
+         |  CAST(sum(id * o_orderkey) AS BIGINT) AS pair_sum
+         |FROM graftlog.`$t`""".stripMargin)
+  }
+
+  private val q496Oracle =
+    """WITH s1 AS (
+      |  SELECT o_orderkey,
+      |    row_number() OVER (ORDER BY o_orderkey) + 999 AS id
+      |  FROM orders WHERE o_orderkey % 11 = 3),
+      |s2 AS (
+      |  SELECT o_orderkey,
+      |    row_number() OVER (ORDER BY o_orderkey) + 999 +
+      |      (SELECT count(*) FROM s1) AS id
+      |  FROM orders WHERE o_orderkey % 11 = 7),
+      |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(min(id) AS BIGINT) AS min_id,
+      |  CAST(max(id) AS BIGINT) AS max_id,
+      |  CAST(sum(id) AS BIGINT) AS id_sum,
+      |  CAST(sum(id * o_orderkey) AS BIGINT) AS pair_sum
+      |FROM u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q496_identity_column" -> (q496IdentityColumn _),
     "q495_deep_clone" -> (q495DeepClone _),
     "q494_generated_columns" -> (q494GeneratedColumns _),
     "q492_merge_evolve" -> (q492MergeEvolve _),
@@ -3562,6 +3640,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q496_identity_column" -> q496Oracle,
     "q495_deep_clone" -> q495Oracle,
     "q494_generated_columns" -> q494Oracle,
     "q492_merge_evolve" -> q492Oracle,

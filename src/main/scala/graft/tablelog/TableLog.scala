@@ -1740,6 +1740,16 @@ object TableLog {
       require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
         s"gencol.$c: generation expression must be deterministic: $sql")
     }
+    identityOf(props).foreach { case (c, start) =>
+      require(schema.fieldNames.contains(c),
+        s"identity.$c: no such column in $schemaDdl")
+      require(schema(c).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"identity.$c must be BIGINT, got ${schema(c).dataType.sql}")
+      require(!props.contains(s"gencol.$c"),
+        s"identity.$c: a column cannot be both IDENTITY and generated")
+      require(start >= 0L, s"identity.$c: negative start $start")
+    }
     commit(table, 0L, "create", Nil, Nil, schemaDdl, keyCol,
       partCols = partCols,
       props = if (props.isEmpty) None else Some(props))
@@ -1759,14 +1769,74 @@ object TableLog {
     require(newGens.isEmpty,
       s"$table: generated columns are declared at CREATE, not via " +
         s"SET TBLPROPERTIES (new: ${newGens.map(_._1).mkString(", ")})")
+    val newIds = identityOf(props).map(_._1).toSet --
+      identityOf(snap.props).map(_._1).toSet
+    require(newIds.isEmpty,
+      s"$table: identity columns are declared at CREATE, not via " +
+        s"SET TBLPROPERTIES (new: ${newIds.mkString(", ")})")
     commit(table, snap.version, "setprops", Nil, Nil, "", "",
       props = Some(props))
+  }
+
+  /** IDENTITY columns declared on the table (`identity.<col>` →
+    * next value to assign). Write paths that take ARBITRARY new rows
+    * refuse on identity tables and route to [[appendIdentity]];
+    * copy-on-write rewrites of EXISTING rows (delete/compact/DV
+    * update) pass through — their ids were already assigned. */
+  private def identityOf(props: Map[String, String]): Seq[(String, Long)] =
+    props.toSeq.collect { case (k, v) if k.startsWith("identity.") =>
+      (k.stripPrefix("identity."), v.toLong) }.sortBy(_._1)
+
+  private def requireNoIdentity(snap: Snapshot, op: String): Unit =
+    require(identityOf(snap.props).isEmpty,
+      s"$op: the table declares a GENERATED ALWAYS AS IDENTITY column — " +
+        "new rows must route through appendIdentity, which allocates ids " +
+        "transactionally")
+
+  /** GENERATED ALWAYS AS IDENTITY append (Delta's identity-column
+    * lineage): assign `hwm + rowIndex` to the declared identity
+    * column and advance the high-water mark IN THE SAME COMMIT — the
+    * props update makes the commit metadata-bearing, so a concurrent
+    * allocator ABORTS loudly instead of rebasing into duplicate ids
+    * (Delta pays the same serialization for the same guarantee;
+    * plain appends on non-identity tables keep their rebase). Ids
+    * are unique and increasing across commits, dense within one (the
+    * zipWithIndex pass costs one extra job over the batch, priced at
+    * the commit). Explicit values are refused — ALWAYS, not BY
+    * DEFAULT. Assignment order follows the frame's partition order:
+    * sort the frame first if id order must mirror a column. */
+  def appendIdentity(df: DataFrame, table: String, numFiles: Int): Long = {
+    val snap = state(table)
+    val ids = identityOf(snap.props)
+    require(ids.size == 1,
+      s"appendIdentity: table declares ${ids.size} identity columns (need 1)")
+    val (c, hwm) = ids.head
+    require(!df.columns.contains(c),
+      s"appendIdentity: '$c' is GENERATED ALWAYS AS IDENTITY — explicit " +
+        "values are refused")
+    val spark = df.sparkSession
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val n = df.count()
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + i)) }
+    val assigned = withWriteDefaults(
+      spark.createDataFrame(rdd, StructType(df.schema.fields :+
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType))), snap)
+      .select(schema.fieldNames.map(col): _*)
+    validateChecks(assigned, checksOf(snap.props),
+      s"appendIdentity into $table")
+    val adds = stage(assigned, table, snap.keyCol, numFiles, snap.bloom,
+      partCols = snap.partCols, colMap = snap.colMap, specId = snap.specId)
+    commit(table, snap.version, "append", adds, Nil, "", "",
+      props = Some(snap.props + (s"identity.$c" -> (hwm + n).toString)))
   }
 
   /** Append-only commit — the reference's daily load shape. Never
     * conflicts: a lost race rebases onto the new latest version. */
   def append(df: DataFrame, table: String, numFiles: Int): Long = {
     val snap = state(table)
+    requireNoIdentity(snap, s"append into $table")
     val df1 = withWriteDefaults(df, snap)
     validateChecks(df1, checksOf(snap.props), s"append into $table")
     val adds = stage(df1, table, snap.keyCol, numFiles, snap.bloom,
@@ -1789,6 +1859,7 @@ object TableLog {
   def appendTxn(df: DataFrame, table: String, numFiles: Int,
       appId: String, txnVersion: Long): Long = {
     val snap = state(table)
+    requireNoIdentity(snap, s"appendTxn into $table")
     if (snap.txns.get(appId).exists(_ >= txnVersion)) return snap.version
     val df1 = withWriteDefaults(df, snap)
     validateChecks(df1, checksOf(snap.props), s"appendTxn into $table")
@@ -1810,6 +1881,7 @@ object TableLog {
   def commitStagedAppend(table: String, adds: Seq[AddFile],
       txn: Option[(String, Long)] = None, specId: Int = 0): Long = {
     val snap = state(table)
+    requireNoIdentity(snap, s"staged append into $table")
     txn.foreach { case (app, tv) =>
       if (snap.txns.get(app).exists(_ >= tv)) return snap.version
     }
@@ -2357,6 +2429,7 @@ object TableLog {
     * append (the Delta mergeSchema posture). */
   def appendEvolve(df0: DataFrame, table: String, numFiles: Int): Long = {
     val snap = state(table)
+    requireNoIdentity(snap, s"appendEvolve into $table")
     // materialize write-defaults FIRST (same as append/appendTxn): a
     // frame omitting a defaulted column must stage files that
     // physically CARRY the default — post-declaration rows reading the
@@ -2935,6 +3008,7 @@ object TableLog {
   def replaceWhere(spark: SparkSession, table: String, cond: Column,
       incoming0: DataFrame, numFiles: Int): Long = {
     val snap = state(table)
+    requireNoIdentity(snap, s"replaceWhere into $table")
     val incoming = withWriteDefaults(incoming0, snap)
     val violating = incoming.where(!coalesce(cond, lit(false))).count()
     if (violating > 0) throw new IllegalArgumentException(
@@ -2978,6 +3052,7 @@ object TableLog {
   def merge(spark: SparkSession, table: String, changes0: DataFrame,
       numFiles: Int, evolve: Boolean = false): Long = {
     val snap = state(table)
+    requireNoIdentity(snap, s"merge into $table")
     val k = snap.keyCol
     val changes = withWriteDefaults(changes0, snap)
     val old = StructType.fromDDL(snap.schemaDdl)

@@ -1,0 +1,100 @@
+package graft.tablelog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** IDENTITY columns ([[TableLog.appendIdentity]]): transactional id
+  * allocation, ALWAYS semantics, routing guards, and the
+  * concurrency posture (hwm commits are metadata-bearing — a stale
+  * allocator aborts instead of rebasing into duplicates). */
+class IdentityColumnSpec extends SparkSuite {
+
+  private def freshTable(start: Long = 100L): String = {
+    spark.version
+    val t = Files.createTempDirectory("tlog_idc_").toString + "/t"
+    TableLog.createEmpty(t, "id BIGINT, v STRING", "id",
+      props = Map("identity.id" -> start.toString))
+    t
+  }
+
+  test("ids are unique, increasing across commits, dense within one; " +
+      "the high-water mark advances in the same commit; COW delete " +
+      "keeps assigned ids") {
+    import spark.implicits._
+    val t = freshTable()
+    TableLog.appendIdentity(Seq("a", "b", "c").toDF("v"), t, 1)
+    TableLog.appendIdentity(Seq("d", "e").toDF("v"), t, 1)
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._1).toSeq == (100L to 104L),
+      s"ids should be dense from the start value, got ${got.toSeq}")
+    assert(TableLog.state(t).props("identity.id") == "105")
+    // a rewrite of EXISTING rows preserves ids (no re-allocation)
+    TableLog.deleteWhere(spark, t, col("id") === 101L, 1)
+    val after = TableLog.snapshot(spark, t).collect()
+      .map(_.getLong(0)).sorted
+    assert(after.toSeq == Seq(100L, 102L, 103L, 104L))
+    // the next allocation continues past the mark, never reuses
+    TableLog.appendIdentity(Seq("f").toDF("v"), t, 1)
+    assert(TableLog.snapshot(spark, t).agg(max("id")).head().getLong(0) == 105L)
+  }
+
+  test("ALWAYS semantics and routing guards: explicit ids, plain " +
+      "append/merge/replaceWhere and staged appends all refuse; " +
+      "declaration rules hold") {
+    import spark.implicits._
+    val t = freshTable()
+    TableLog.appendIdentity(Seq("a").toDF("v"), t, 1)
+    intercept[IllegalArgumentException] {
+      TableLog.appendIdentity(Seq((9L, "x")).toDF("id", "v"), t, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.append(Seq((9L, "x")).toDF("id", "v"), t, 1)
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.merge(spark, t, Seq((9L, "x")).toDF("id", "v"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.replaceWhere(spark, t, col("id") === 9L,
+        Seq((9L, "x")).toDF("id", "v"), 1)
+    }
+    // declaration: must exist, be BIGINT, not also generated; no
+    // post-hoc declaration via SET TBLPROPERTIES
+    intercept[IllegalArgumentException] {
+      TableLog.createEmpty(
+        Files.createTempDirectory("tlog_idr_").toString + "/t",
+        "id BIGINT, v STRING", "id", props = Map("identity.nope" -> "0"))
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.createEmpty(
+        Files.createTempDirectory("tlog_idr_").toString + "/t",
+        "id BIGINT, v STRING", "id", props = Map("identity.v" -> "0"))
+    }
+    val e = intercept[IllegalArgumentException] {
+      TableLog.setProps(t, TableLog.state(t).props + ("identity.v" -> "0"))
+    }
+    assert(e.getMessage.contains("declared at CREATE"))
+  }
+
+  test("a stale allocator aborts instead of rebasing into duplicate " +
+      "ids: two appendIdentity calls from the SAME snapshot cannot " +
+      "both land") {
+    import spark.implicits._
+    val t = freshTable()
+    // simulate the race: capture the snapshot's hwm commit shape by
+    // landing one allocation, then hand-replay a commit that claims
+    // the same expected version with an identity-props ride
+    TableLog.appendIdentity(Seq("a", "b").toDF("v"), t, 1) // v2, hwm 102
+    val snap1 = TableLog.state(t)
+    TableLog.appendIdentity(Seq("c").toDF("v"), t, 1)      // v3, hwm 103
+    // an allocator still holding snap1 (hwm 102) must abort loudly —
+    // its props were computed against a superseded ledger
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.commit(t, snap1.version, "append", Nil, Nil, "", "",
+        props = Some(snap1.props + ("identity.id" -> "104")))
+    }
+    assert(TableLog.state(t).props("identity.id") == "103")
+  }
+}
