@@ -1677,8 +1677,16 @@ object LinkOps {
         lit(label).as("variant"),
         $"n".as("n_items"),
         expr("n * (n - 1) * (n - 2) div 6 - sum_c2").as("cyclic_triads"),
-        expr("(n * (n - 1) * (n - 2) div 6 - sum_c2) * 1000000 div " +
-          "greatest(1L, n * (n - 1) * (n - 2) div 6)").as("cyclic_ppm"))
+        // overflow-safe ppm: cyclic x 1e6 exceeds BIGINT once C(n,3)
+        // passes ~9e12 (n ~ 60k items), so large totals switch to the
+        // divide-the-denominator form -- both engines compute the SAME
+        // integer formula, so the metric stays hash-exact at any SF
+        expr("CASE WHEN n * (n - 1) * (n - 2) div 6 < 1000000 THEN " +
+          "(n * (n - 1) * (n - 2) div 6 - sum_c2) * 1000000 div " +
+          "greatest(1L, n * (n - 1) * (n - 2) div 6) ELSE " +
+          "(n * (n - 1) * (n - 2) div 6 - sum_c2) div " +
+          "(n * (n - 1) * (n - 2) div 6 div 1000000) END")
+          .as("cyclic_ppm"))
     }
     val hashed = arm(
       pairs.select(when($"par" === 0, $"lo").otherwise($"hi").as("w"))
@@ -1712,14 +1720,21 @@ object LinkOps {
       |SELECT 'hashed' AS variant, n AS n_items,
       |  CAST(n * (n-1) * (n-2) // 6 - ch.sum_c2 AS BIGINT)
       |    AS cyclic_triads,
-      |  CAST((n * (n-1) * (n-2) // 6 - ch.sum_c2) * 1000000 //
-      |    greatest(1, n * (n-1) * (n-2) // 6) AS BIGINT) AS cyclic_ppm
+      |  CAST(CASE WHEN n * (n-1) * (n-2) // 6 < 1000000 THEN
+      |    (n * (n-1) * (n-2) // 6 - ch.sum_c2) * 1000000 //
+      |      greatest(1, n * (n-1) * (n-2) // 6)
+      |  ELSE (n * (n-1) * (n-2) // 6 - ch.sum_c2) //
+      |    (n * (n-1) * (n-2) // 6 // 1000000) END AS BIGINT)
+      |    AS cyclic_ppm
       |FROM nn, ch
       |UNION ALL
       |SELECT 'ordered', n,
       |  CAST(n * (n-1) * (n-2) // 6 - co.sum_c2 AS BIGINT),
-      |  CAST((n * (n-1) * (n-2) // 6 - co.sum_c2) * 1000000 //
-      |    greatest(1, n * (n-1) * (n-2) // 6) AS BIGINT)
+      |  CAST(CASE WHEN n * (n-1) * (n-2) // 6 < 1000000 THEN
+      |    (n * (n-1) * (n-2) // 6 - co.sum_c2) * 1000000 //
+      |      greatest(1, n * (n-1) * (n-2) // 6)
+      |  ELSE (n * (n-1) * (n-2) // 6 - co.sum_c2) //
+      |    (n * (n-1) * (n-2) // 6 // 1000000) END AS BIGINT)
       |FROM nn, co
       |ORDER BY variant""".stripMargin
 

@@ -2340,6 +2340,12 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        // deletion vectors make the per-file sketches and null counts
+        // WRITE-time figures over live-row counts: nullCount can
+        // exceed numRows and the row-count clamp collapses NDV — skip
+        // the channel rather than feed the CBO inconsistent numbers
+        // (the delegate's estimates still flow)
+        if (chosen.exists(_.dv.isDefined)) return m
         required.fieldNames.foreach { c =>
           TableLog.ndvAndNulls(chosen, snap.physName(c)).foreach {
             case (n, nulls) =>

@@ -104,12 +104,15 @@ class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable
           if existingView(nameOf(m.targetTable)).isDefined =>
         refuseDml("MERGE into", nameOf(m.targetTable))
-      case r: UnresolvedRelation if !r.isStreaming &&
-          existingView(r.multipartIdentifier).isDefined =>
-        val text = Files.readString(
-          existingView(r.multipartIdentifier).get)
-        SubqueryAlias(r.multipartIdentifier.last,
-          session.sessionState.sqlParser.parsePlan(text))
+      case r: UnresolvedRelation if !r.isStreaming =>
+        // single lookup: a DROP VIEW racing the double-check pattern
+        // would turn the second .get into a bare NoSuchElementException
+        existingView(r.multipartIdentifier) match {
+          case Some(f) =>
+            SubqueryAlias(r.multipartIdentifier.last,
+              session.sessionState.sqlParser.parsePlan(Files.readString(f)))
+          case None => r
+        }
     }
   }
 

@@ -848,8 +848,7 @@ object TableLog {
     // decreasing pair; pre-tag manifests carry 0 = infinitely old.
     // Hence the latest version with ts ≤ epoch binary-searches in
     // O(log history) manifest reads instead of parsing every commit
-    def tsOf(v: Long): Long =
-      parse(v, Files.readString(commitPath(table, v))).tsMillis
+    def tsOf(v: Long): Long = commitStamp(table, v)
     val last = latestVersion(table)
     require(last > 0 && tsOf(1L) <= epochMillis,
       s"$table has no commit at or before epoch-millis $epochMillis")
@@ -861,9 +860,26 @@ object TableLog {
     lo
   }
 
-  /** The wall-clock stamp of commit `v` (0 on pre-tag manifests). */
-  def commitStamp(table: String, v: Long): Long =
-    parse(v, Files.readString(commitPath(table, v))).tsMillis
+  /** The wall-clock stamp of commit `v` (0 on pre-tag manifests).
+    * BOUNDED header scan: `ts` rides in the first lines of the render
+    * order (op, protocol, ts, key, …), so stamp probes — the commit
+    * path's clamp, time-travel binary searches — read a few hundred
+    * bytes instead of parsing a manifest that may carry O(files)
+    * add/cstat lines (MBs after a publish or legacy fork). */
+  def commitStamp(table: String, v: Long): Long = {
+    val br = Files.newBufferedReader(commitPath(table, v), UTF_8)
+    try {
+      var line = br.readLine()
+      while (line != null) {
+        if (line.startsWith("ts ")) return line.substring(3).toLong
+        // header ends at `key` — a manifest without ts by then is
+        // pre-tag (stamp 0, infinitely old)
+        if (line.startsWith("key ")) return 0L
+        line = br.readLine()
+      }
+      0L
+    } finally br.close()
+  }
 
   /** First version whose commit stamp is ≥ `epochMillis` — the Delta
     * `startingTimestamp` contract ("changes committed at or after the
@@ -960,9 +976,7 @@ object TableLog {
       // the binary search silently returns the wrong version (Delta's
       // timestamp-adjustment invariant, enforced at write).
       val prevTs =
-        if (attempt <= 1L) 0L
-        else parse(attempt - 1L,
-          Files.readString(commitPath(table, attempt - 1L))).tsMillis
+        if (attempt <= 1L) 0L else commitStamp(table, attempt - 1L)
       val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq,
         bloom, tsMillis = math.max(System.currentTimeMillis(), prevTs),
         partCols = partCols,
@@ -1816,11 +1830,17 @@ object TableLog {
         "values are refused")
     val spark = df.sparkSession
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val n = df.count()
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+    // FREEZE the batch before assignment: zipWithIndex and the
+    // downstream validate/stage jobs each re-evaluate their input,
+    // and a source that changes between evaluations (new files, any
+    // nondeterminism) would let the assigned ids diverge from the
+    // advanced mark — duplicates on the next allocation. One eager
+    // checkpoint makes every pass read the same materialized rows.
+    val frozen = df.localCheckpoint(true)
+    val rdd = frozen.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + i)) }
     val assigned = withWriteDefaults(
-      spark.createDataFrame(rdd, StructType(df.schema.fields :+
+      spark.createDataFrame(rdd, StructType(frozen.schema.fields :+
         org.apache.spark.sql.types.StructField(c,
           org.apache.spark.sql.types.LongType))), snap)
       .select(schema.fieldNames.map(col): _*)
@@ -1828,6 +1848,9 @@ object TableLog {
       s"appendIdentity into $table")
     val adds = stage(assigned, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap, specId = snap.specId)
+    // advance the mark by what was actually STAGED — the commit and
+    // the data cannot disagree
+    val n = adds.map(_.rows).sum
     commit(table, snap.version, "append", adds, Nil, "", "",
       props = Some(snap.props + (s"identity.$c" -> (hwm + n).toString)))
   }
@@ -1924,6 +1947,10 @@ object TableLog {
       pruneCandidates: Snapshot => Seq[AddFile] = _.active,
       extSpecId: Int = 0): Long = {
     val snap = state(table)
+    // INSERT OVERWRITE brings ARBITRARY new rows — on an identity
+    // table it would smuggle explicit ids past the ALWAYS refusal
+    // without advancing the high-water mark
+    requireNoIdentity(snap, s"staged overwrite into $table")
     val stamped = extAdds.map(a =>
       if (a.specId == extSpecId) a else a.copy(specId = extSpecId))
     val candidates = pruneCandidates(snap)
@@ -2237,8 +2264,20 @@ object TableLog {
           (clean ++ newRefs).map(renderChunkLine).mkString("\n") + "\n"
         // checkpoint FIRST (an orphan list without its commit is
         // unreadable — state() requires a committed version), then the
-        // v1 commit carrying only metadata
-        Files.write(checkpointPath(dst, 1L), text.getBytes(UTF_8))
+        // v1 commit carrying only metadata. The checkpoint lands by
+        // ATOMIC hard link, so of two racing branch() calls exactly
+        // one owns BOTH the checkpoint and the commit — the loser
+        // aborts here and can never shadow the winner's v1 state
+        // with a fork taken at a different base version.
+        val tmp = Files.createTempFile(logDir(dst), "tmp-brk-", ".inprogress")
+        try {
+          Files.write(tmp, text.getBytes(UTF_8))
+          Files.createLink(checkpointPath(dst, 1L), tmp)
+        } catch {
+          case _: FileAlreadyExistsException =>
+            throw new IllegalArgumentException(
+              s"branch '$name' already exists (lost a concurrent fork race)")
+        } finally Files.deleteIfExists(tmp)
         commit(dst, 0L, "branch", Nil, Nil, s.schemaDdl, s.keyCol,
           bloom = s.bloom, partCols = s.partCols, props = Some(bprops),
           colMap = colMapOpt, defaults = defaultsOpt, pspecs = pspecsOpt)
@@ -2325,10 +2364,20 @@ object TableLog {
         s"$table moved to v${m.version} since branch '$name' forked at " +
           s"v$base — publish is fast-forward only; re-branch and replay")
     val audit = publishAuditScope(table, dst, m, b)
-    if (audit.nonEmpty)
-      validateChecks(readFiles(spark, dst, b, audit),
-        checksOf(m.props ++ b.props),
+    if (audit.nonEmpty) {
+      // union of CHECK PAIRS, not a right-biased prop merge: a branch
+      // that REDEFINES a name (e.g. weakens its own per-batch gate to
+      // 'true') must still pass MAIN's predicate — pubProps restores
+      // main's governance below, so the audit has to evaluate it, or
+      // main would land declaring an ENFORCED constraint its rows
+      // violate. Colliding names alias-uniquify for the one-row agg;
+      // the original name stays in the violation message.
+      val union = (checksOf(m.props) ++ checksOf(b.props)).distinct
+      val uniq = union.zipWithIndex.map { case ((n0, sql), i) =>
+        if (union.count(_._1 == n0) > 1) (s"$n0~$i", sql) else (n0, sql) }
+      validateChecks(readFiles(spark, dst, b, audit), uniq,
         s"publish of branch '$name' into $table")
+    }
     val mainP = Paths.get(table).toAbsolutePath.normalize
     // rewrite to main-relative, adopting branch-born files by hard link
     val rewritten = b.active.map { a =>
@@ -2618,6 +2667,36 @@ object TableLog {
     * the old name. The key, partition-source and bloom columns are
     * structural (manifest stats, write routing and sidecar naming key
     * on them) and refuse to rename. */
+  /** Refuse schema surgery that would WEDGE the write path: the
+    * column itself carries a gencol/identity declaration (the
+    * declaration would go stale — every later write would fail its
+    * synthetic audit or silently lose ids), or some generation
+    * expression stops analyzing against the post-change schema
+    * because it references the dropped/renamed name. Zero-cost on
+    * tables without declarations. */
+  private def checkDerivedCols(snap: Snapshot, col0: String,
+      newSchema: StructType, op: String): Unit = {
+    require(!snap.props.contains(s"gencol.$col0"),
+      s"$op: '$col0' is a GENERATED column — its declaration would go " +
+        "stale; refusing")
+    require(!snap.props.contains(s"identity.$col0"),
+      s"$op: '$col0' is an IDENTITY column — its allocator would go " +
+        "stale; refusing")
+    genColsOf(snap.props).foreach { case (c, sql) =>
+      if (newSchema.fieldNames.contains(c)) {
+        val ok =
+          try {
+            SparkSession.active.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              newSchema).select(expr(sql)).schema
+            true
+          } catch { case scala.util.control.NonFatal(_) => false }
+        require(ok, s"$op: the generation expression of '$c' ($sql) " +
+          s"references '$col0' and would stop analyzing; refusing")
+      }
+    }
+  }
+
   def renameColumn(table: String, from: String, to: String): Long = {
     val snap = state(table)
     val old = StructType.fromDDL(snap.schemaDdl)
@@ -2645,6 +2724,7 @@ object TableLog {
       (if (phys == to) Map.empty[String, String] else Map(to -> phys))
     val renamed = StructType(old.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
+    checkDerivedCols(snap, from, renamed, "renameColumn")
     // an initial default follows its column's NEW name — the defaults
     // map keys logical names, and a stale key would both lose the
     // default at read and inject a spurious old-name column at write
@@ -2676,6 +2756,7 @@ object TableLog {
       s"dropColumn: '$name' is the bloom-indexed column; refusing")
     val phys = snap.physName(name)
     val narrowed = StructType(old.fields.filterNot(_.name == name))
+    checkDerivedCols(snap, name, narrowed, "dropColumn")
     // the dropped column's initial default dies with it — a stale
     // entry would resurrect on a later plain ADD COLUMN of the name
     val defaults =

@@ -146,6 +146,27 @@ class BranchWapSpec extends SparkSuite {
     assert(TableLog.latestVersion(t) == before)
   }
 
+  test("a branch cannot WEAKEN main's governance by redefining a " +
+      "constraint name: the publish audit evaluates BOTH predicates") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    TableLog.setProps(t, TableLog.state(t).props +
+      ("constraint.v_nonempty" -> "length(v) > 0"))
+    val br = TableLog.branch(t, "weak")
+    // redefine (not drop) the gate to a tautology, then violate it
+    TableLog.setProps(br, TableLog.state(br).props +
+      ("constraint.v_nonempty" -> "true"))
+    TableLog.append(kv(Seq(2L -> "")), br, 1)
+    val before = TableLog.latestVersion(t)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.publish(spark, t, "weak")
+    }
+    assert(e.getMessage.contains("v_nonempty"),
+      s"the audit must fire MAIN's predicate, got: ${e.getMessage}")
+    assert(TableLog.latestVersion(t) == before,
+      "a weakened-gate publish moved main")
+  }
+
   test("branch forks O(chunks): the v1 manifest re-references main's " +
       "checkpoint chunks instead of re-listing every active file") {
     val t = freshDir()

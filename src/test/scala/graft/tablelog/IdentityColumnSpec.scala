@@ -60,6 +60,10 @@ class IdentityColumnSpec extends SparkSuite {
       TableLog.replaceWhere(spark, t, col("id") === 9L,
         Seq((9L, "x")).toDF("id", "v"), 1)
     }
+    // INSERT OVERWRITE's staged path brings arbitrary rows too
+    intercept[IllegalArgumentException] {
+      TableLog.overwriteWhereStaged(spark, t, col("id") === 9L, Nil, 1)
+    }
     // declaration: must exist, be BIGINT, not also generated; no
     // post-hoc declaration via SET TBLPROPERTIES
     intercept[IllegalArgumentException] {
