@@ -892,6 +892,75 @@ object TextOps {
     * cheap proxy for "how many subword tokens will this cost". */
   val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  // ---------------------------------------------------------------- q497
+  /** [NS] DISTINCT-n GENERATION-DIVERSITY audit (Li et al. 2016's
+    * distinct-1/distinct-2 — Self-BLEU's scan-shaped cousin): per
+    * source, corpus-level distinct-unigram and distinct-bigram
+    * ratios in exact integer ppm. The MODE-COLLAPSE detector every
+    * synthetic-data pipeline runs before training on model
+    * generations: a looping generator emits few distinct bigrams per
+    * token, and the per-source ratio surfaces it without reading any
+    * model. One corpus scan; the distinct shuffle moves (source,
+    * gram) pairs bounded by per-source VOCABULARY (Heaps' law), not
+    * corpus tokens. Exact distinct counting here because the oracle
+    * demands bit-equality; the disclosed 100-TB path swaps
+    * `countDistinct` for `approx_count_distinct` (one line — the
+    * ratio tolerates the sketch error the way q40 does). */
+  def q497DistinctN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"source", split($"text", " ").as("ts"))
+    val uni = toks.select($"source", explode($"ts").as("g"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("total_unigrams"),
+        countDistinct($"g").as("distinct_unigrams"))
+    val bi = toks.where(size($"ts") >= 2)
+      .select($"source", explode(expr(
+        "transform(sequence(0, size(ts) - 2), " +
+          "i -> concat(ts[i], ' ', ts[i + 1]))")).as("g"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("total_bigrams"),
+        countDistinct($"g").as("distinct_bigrams"))
+    uni.join(bi, Seq("source"), "left")
+      .select($"source",
+        $"total_unigrams".cast("long").as("total_unigrams"),
+        $"distinct_unigrams".cast("long").as("distinct_unigrams"),
+        expr("distinct_unigrams * 1000000 div total_unigrams")
+          .as("uni_ppm"),
+        coalesce($"total_bigrams", lit(0L)).cast("long")
+          .as("total_bigrams"),
+        coalesce($"distinct_bigrams", lit(0L)).cast("long")
+          .as("distinct_bigrams"),
+        expr("coalesce(distinct_bigrams, 0L) * 1000000 div " +
+          "greatest(1L, coalesce(total_bigrams, 0L))").as("bi_ppm"))
+      .orderBy($"source")
+  }
+
+  private val q497Oracle =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS ts FROM documents),
+      |uni AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS total_unigrams,
+      |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_unigrams
+      |  FROM (SELECT source, unnest(ts) AS g FROM toks) GROUP BY source),
+      |bi AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS total_bigrams,
+      |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
+      |  FROM (
+      |    SELECT source, ts[i] || ' ' || ts[i + 1] AS g
+      |    FROM (SELECT source, ts,
+      |            unnest(generate_series(1, len(ts) - 1)) AS i
+      |          FROM toks WHERE len(ts) >= 2))
+      |  GROUP BY source)
+      |SELECT u.source, total_unigrams, distinct_unigrams,
+      |  CAST(distinct_unigrams * 1000000 // total_unigrams AS BIGINT)
+      |    AS uni_ppm,
+      |  CAST(coalesce(total_bigrams, 0) AS BIGINT) AS total_bigrams,
+      |  CAST(coalesce(distinct_bigrams, 0) AS BIGINT) AS distinct_bigrams,
+      |  CAST(coalesce(distinct_bigrams, 0) * 1000000 //
+      |    greatest(1, coalesce(total_bigrams, 0)) AS BIGINT) AS bi_ppm
+      |FROM uni u LEFT JOIN bi USING (source) ORDER BY source""".stripMargin
+
   def q72TokenCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -6982,6 +7051,7 @@ object TextOps {
     "q62_quality_score"       -> (q62QualityScore _),
     "q63_fingerprint"         -> (q63Fingerprint _),
     "q72_token_counts"        -> (q72TokenCounts _),
+    "q497_distinct_n"         -> (q497DistinctN _),
     "q77_rolling_fingerprint" -> (q77RollingFingerprint _),
     "q49_stratified_sample"   -> (q49StratifiedSample _),
     "q50_doc_chunks"          -> (q50DocChunks _),
@@ -7085,6 +7155,7 @@ object TextOps {
     "q62_quality_score"       -> q62Oracle,
     "q63_fingerprint"         -> q63Oracle,
     "q72_token_counts"        -> q72Oracle,
+    "q497_distinct_n"         -> q497Oracle,
     "q77_rolling_fingerprint" -> q77Oracle,
     "q49_stratified_sample"   -> q49Oracle,
     "q50_doc_chunks"          -> q50Oracle,
