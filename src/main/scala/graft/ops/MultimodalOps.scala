@@ -719,7 +719,69 @@ object MultimodalOps {
       |  md5(text) AS checksum
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q498
+  /** [NS] SCENE-CUT DETECTION over sampled video frames — the
+    * shot-boundary pass a VLM training pipeline runs so frame
+    * sampling happens PER SHOT, not per fixed stride (one keyframe
+    * per shot beats 10 near-identical frames of one static scene):
+    * consecutive frames whose 32-bit signature differs by ≥ 8 bits
+    * mark a cut (identical/near-identical frames — the static-scene
+    * case — differ by 0; independent content sits near the binomial
+    * mean of 16), and mean shot length = frames / (cuts + 1). Rides
+    * q76's frame extraction; the per-video lag window shuffles only
+    * (media_id, idx, 8-byte sig) — frame bytes never move — and
+    * each video's frame count bounds its partition. Both engines
+    * hex-parse the same md5 prefix and count the same xor bits, so
+    * the report is hash-exact. */
+  def q498SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val frames = q76FrameSample(s, dir)
+      .select($"media_id", $"frame_idx",
+        expr("cast(conv(substring(frame_hash, 1, 8), 16, 10) as bigint)")
+          .as("sig"))
+    val w = Window.partitionBy($"media_id").orderBy($"frame_idx")
+    frames
+      .withColumn("prev", lag($"sig", 1).over(w))
+      .withColumn("is_cut",
+        when($"prev".isNotNull &&
+          expr("bit_count(sig ^ prev)") >= 8, 1L).otherwise(0L))
+      .groupBy($"media_id")
+      .agg(count(lit(1)).as("n_frames"), sum($"is_cut").as("n_cuts"))
+      .select($"media_id", $"n_frames", $"n_cuts",
+        expr("n_frames * 1000 div (n_cuts + 1)").as("shot_len_milli"))
+      .orderBy($"media_id")
+  }
+
+  private val q498Oracle =
+    s"""WITH v AS (
+       |  SELECT doc_id AS media_id, text AS content FROM documents
+       |  WHERE doc_id % 3 = 2 AND length(text) >= $frameLen),
+       |f AS (
+       |  SELECT media_id, i AS frame_idx,
+       |    ('0x' || substr(md5(substr(content,
+       |      CAST(i * $frameStride AS INT) + 1, $frameLen)), 1, 8))::BIGINT
+       |      AS sig
+       |  FROM (
+       |    SELECT media_id, content,
+       |      unnest(range(0, (length(content) - $frameLen) // $frameStride + 1))
+       |        AS i
+       |    FROM v)),
+       |d AS (
+       |  SELECT media_id, sig,
+       |    lag(sig) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+       |  FROM f)
+       |SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+       |  CAST(sum(CASE WHEN prev IS NOT NULL AND
+       |    bit_count(xor(sig, prev)) >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cuts,
+       |  CAST(count(*) * 1000 // (sum(CASE WHEN prev IS NOT NULL AND
+       |    bit_count(xor(sig, prev)) >= 8 THEN 1 ELSE 0 END) + 1)
+       |    AS BIGINT) AS shot_len_milli
+       |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q498_scene_cuts" -> (q498SceneCuts _),
     "q373_binaryfile_ingest" -> (q373BinaryFileIngest _),
     "q360_phash_neardup" -> (q360PhashNeardup _),
     "q345_interleaved_pack" -> (q345InterleavedPack _),
@@ -733,6 +795,7 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q498_scene_cuts" -> q498Oracle,
     "q404_silence_trim"  -> q404Oracle,
     "q373_binaryfile_ingest" -> q373Oracle,
     "q360_phash_neardup" -> q360Oracle,
