@@ -719,16 +719,20 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     * constrained tables only). */
   override def constraints()
       : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-    snap.props.toSeq
-      .collect { case (k, sql) if k.startsWith("constraint.") =>
+    // checksOf = declared constraint.* PLUS the generated-column
+    // synthetic audits (`<col>_generated`): surfacing both here means
+    // Spark's own constraint rule enforces the generation expression
+    // on the catalog DML paths (INSERT/UPDATE/MERGE/OVERWRITE) that
+    // never pass through the TableLog API's validateChecks
+    graft.tablelog.TableLog.checksOf(snap.props)
+      .map { case (n, sql) =>
         org.apache.spark.sql.connector.catalog.constraints.Constraint
-          .check(k.stripPrefix("constraint."))
+          .check(n)
           .predicateSql(sql)
           .enforced(true)
           .build()
           : org.apache.spark.sql.connector.catalog.constraints.Constraint
       }
-      .sortBy(_.name())
       .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -2344,8 +2348,11 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
         // WRITE-time figures over live-row counts: nullCount can
         // exceed numRows and the row-count clamp collapses NDV — skip
         // the channel rather than feed the CBO inconsistent numbers
-        // (the delegate's estimates still flow)
-        if (chosen.exists(_.dv.isDefined)) return m
+        // (the delegate's estimates still flow). Filtered scans skip
+        // for the same reason: numRows is the delegate's selectivity
+        // estimate, and exact file-grain null/NDV figures beside it
+        // can exceed it (null fraction > 1) and derail the estimator.
+        if (filtered || chosen.exists(_.dv.isDefined)) return m
         required.fieldNames.foreach { c =>
           TableLog.ndvAndNulls(chosen, snap.physName(c)).foreach {
             case (n, nulls) =>

@@ -63,10 +63,12 @@ import graft.tablelog.TableLog
   * [[TableLog.firstVersionAtOrAfter]]'s O(log history) search).
   * Mutually exclusive, like Delta's pair of the same name. */
 private[sources] object GraftLogStartingBound {
-  def parseMillis(s: String): Long =
+  def parseMillis(s0: String): Long = {
+    val s = s0.trim
     if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
-    else java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'))
+    else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
 
   /** The offset-version to start AFTER (0 = table's beginning). */
   def resolve(path: String, get: String => String): Long = {

@@ -179,12 +179,14 @@ case class GraftShowViewsCommand(ns: Seq[String], dir: Path,
       s.iterator().asScala.map(_.getFileName.toString)
         .filter(_.endsWith(".sql")).map(_.stripSuffix(".sql")).toSeq
     } finally s.close()
-    // SHOW VIEWS 'glob': literal text with * wildcards (Spark's
-    // SHOW TABLES convention) — quote everything else
+    // SHOW VIEWS pattern: Spark's SHOW TABLES convention — literal
+    // text, `*` wildcards, and `|`-separated alternatives; everything
+    // else is quoted
     val re = pattern.map(p =>
       java.util.regex.Pattern.compile(
-        p.split("\\*", -1).map(java.util.regex.Pattern.quote)
-          .mkString(".*"),
+        p.split("\\|", -1).map(alt =>
+          alt.split("\\*", -1).map(java.util.regex.Pattern.quote)
+            .mkString(".*")).mkString("|"),
         java.util.regex.Pattern.CASE_INSENSITIVE))
     names.sorted
       .filter(n => re.forall(_.matcher(n).matches()))

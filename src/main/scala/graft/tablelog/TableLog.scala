@@ -774,7 +774,16 @@ object TableLog {
       fromExclusive: Long = 0L): Seq[Commit] = {
     val last = math.min(latestVersion(table), upTo)
     ((fromExclusive + 1L) to last).map { v =>
-      parse(v, Files.readString(commitPath(table, v)))
+      val c = parse(v, Files.readString(commitPath(table, v)))
+      // an O(chunks) branch fork carries its file set in the v1
+      // CHECKPOINT, not the commit — commit-grain consumers (the
+      // streaming sources' initial snapshot, history deltas, vacuum
+      // accounting) must see the fork's files as v1 adds exactly
+      // like the legacy re-listing fork did
+      if (v == 1L && c.op == "branch" && c.adds.isEmpty &&
+          Files.exists(checkpointPath(table, 1L)))
+        c.copy(adds = state(table, 1L).active)
+      else c
     }
   }
 
@@ -1715,10 +1724,24 @@ object TableLog {
 
   /** Create the table as version 1. Fails if a log already exists —
     * create is not an upsert. */
+  /** A view sidecar at the same identifier would MASK the new table:
+    * every catalog read resolves the view first. Refuse at create —
+    * the mirror of the view side's table-shadow refusal. */
+  private def requireNoViewShadow(table: String): Unit = {
+    val p = Paths.get(table).toAbsolutePath.normalize
+    val v = Option(p.getParent).map(_.resolve("_views")
+      .resolve(p.getFileName.toString + ".sql"))
+    require(!v.exists(Files.isRegularFile(_)),
+      s"$table: a VIEW of the same name exists (_views sidecar) — reads " +
+        "would resolve the view and silently mask this table; DROP VIEW " +
+        "first")
+  }
+
   def create(df: DataFrame, table: String, keyCol: String,
       numFiles: Int, bloomCol: Option[String] = None,
       bloomBits: Int = 1 << 17, partCols: Seq[String] = Nil): Long = {
     require(latestVersion(table) == 0L, s"$table already exists")
+    requireNoViewShadow(table)
     if (partCols.nonEmpty) checkPartCols(df.schema.toDDL, partCols)
     val bloom = bloomCol.map(c => (c, bloomBits))
     val adds = stage(df, table, keyCol, numFiles, bloom, partCols = partCols)
@@ -1734,6 +1757,7 @@ object TableLog {
       partCols: Seq[String] = Nil,
       props: Map[String, String] = Map.empty): Long = {
     require(latestVersion(table) == 0L, s"$table already exists")
+    requireNoViewShadow(table)
     val schema = StructType.fromDDL(schemaDdl)
     require(schema.fieldNames.contains(keyCol),
       s"key column '$keyCol' not in schema: $schemaDdl")
@@ -1747,8 +1771,15 @@ object TableLog {
       require(schema.fieldNames.contains(c),
         s"gencol.$c: no such column in $schemaDdl")
       require(c != keyCol, s"gencol.$c: the key column cannot be generated")
+      // analyze against the schema MINUS the other declared generated
+      // columns: generation expressions must reference only REGULAR
+      // columns — a gencol-on-gencol dependency would fold in
+      // declaration order, not dependency order, and wedge every
+      // omit-path write
+      val others = genColsOf(props).map(_._1).toSet - c
+      val probeSchema = StructType(schema.filterNot(f => others(f.name)))
       val probe = SparkSession.active.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        new java.util.ArrayList[org.apache.spark.sql.Row](), probeSchema)
         .select(expr(sql))
       probe.schema // force analysis: unknown columns / bad SQL throw here
       require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
@@ -1926,6 +1957,11 @@ object TableLog {
   def commitStagedRewrite(table: String, adds: Seq[AddFile],
       removes: Seq[String], op: String, specId: Int = 0): Long = {
     val snap = state(table)
+    // SQL UPDATE/MERGE and the truncate-form INSERT OVERWRITE can
+    // introduce or alter id values the allocator never issued; only
+    // DELETE is id-preserving by construction (it re-stages surviving
+    // EXISTING rows untouched)
+    if (op != "delete") requireNoIdentity(snap, s"staged $op into $table")
     commit(table, snap.version, op,
       adds.map(a => if (a.specId == specId) a else a.copy(specId = specId)),
       removes, "", "")
@@ -2269,6 +2305,12 @@ object TableLog {
         // one owns BOTH the checkpoint and the commit — the loser
         // aborts here and can never shadow the winner's v1 state
         // with a fork taken at a different base version.
+        // a CRASHED fork (died between its checkpoint link and its v1
+        // commit) leaves an orphan list that would wedge the name
+        // forever — the guard above proved no commit exists, so any
+        // v1 checkpoint here is garbage; clear it. (A fork racing in
+        // that microsecond window loses its link and aborts below.)
+        Files.deleteIfExists(checkpointPath(dst, 1L))
         val tmp = Files.createTempFile(logDir(dst), "tmp-brk-", ".inprogress")
         try {
           Files.write(tmp, text.getBytes(UTF_8))

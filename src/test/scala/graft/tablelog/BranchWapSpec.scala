@@ -202,6 +202,20 @@ class BranchWapSpec extends SparkSuite {
       s"post-publish state wrong: $pub")
   }
 
+  test("commit-grain consumers see an O(chunks) fork's inherited files " +
+      "as v1 adds: streams and history deltas keep the initial snapshot") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 7L).map(i => (i, s"x$i"))), t, "k", 4)
+    (1 to 4).foreach(i =>
+      TableLog.append(kv(Seq((100L + i) -> s"y$i")), t, 1))
+    val br = TableLog.branch(t, "feed") // chunked fork: empty v1 commit
+    val v1 = TableLog.commits(br, upTo = 1L).head
+    assert(v1.op == "branch" && v1.adds.nonEmpty &&
+      v1.adds.map(_.rows).sum == 12L,
+      s"hydrated v1 should carry the full inherited set, got " +
+        s"${v1.adds.size} adds")
+  }
+
   test("a forked branch's own later checkpoint stays incremental and " +
       "its reads stay exact across inherited-file rewrites") {
     val t = freshDir()

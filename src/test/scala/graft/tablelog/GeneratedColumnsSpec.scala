@@ -77,5 +77,57 @@ class GeneratedColumnsSpec extends SparkSuite {
     assert(e.getMessage.contains("declared at CREATE"))
     // re-setting UNCHANGED props (the branch/publish flow) still works
     TableLog.setProps(t, TableLog.state(t).props + ("owner" -> "me"))
+    // a generation expression referencing ANOTHER generated column
+    // would fold in declaration order, not dependency order — refuse
+    intercept[Exception] {
+      TableLog.createEmpty(
+        Files.createTempDirectory("tlog_genr_").toString + "/t",
+        "k BIGINT, a STRING, b STRING", "k",
+        props = Map("gencol.a" -> "concat(b, '!')",
+          "gencol.b" -> "cast(k as string)"))
+    }
+    // dropping/renaming the generated column (or a column its
+    // expression reads) refuses instead of wedging future writes
+    intercept[IllegalArgumentException] { TableLog.dropColumn(t, "band") }
+    intercept[IllegalArgumentException] { TableLog.dropColumn(t, "x") }
+    intercept[IllegalArgumentException] {
+      TableLog.renameColumn(t, "x", "x2")
+    }
+  }
+
+  test("the synthetic audit reaches catalog SQL DML: an UPDATE that " +
+      "contradicts the generation expression refuses") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshTable()
+    TableLog.append(Seq((1L, 5L), (2L, 20L)).toDF("k", "x"), t, 1)
+    // UPDATE that sets the generated column to a contradicting value
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graftlog.`$t` SET band = 'hi' WHERE k = 1")
+    }
+    assert(e.getMessage.contains("band_generated") ||
+      e.getMessage.toLowerCase.contains("check"), e.getMessage)
+    // an UPDATE that keeps the pair consistent lands
+    spark.sql(s"UPDATE graftlog.`$t` SET x = 50, band = 'hi' WHERE k = 1")
+    val r = TableLog.snapshot(spark, t).where(col("k") === 1L).head()
+    assert(r.getLong(1) == 50L && r.getString(2) == "hi")
+  }
+
+  test("a table cannot be created under an existing view's name — " +
+      "reads would silently resolve the view") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val base = Files.createTempDirectory("tlog_genv_").toString
+    val t0 = base + "/real"
+    TableLog.create(Seq((1L, "a")).toDF("k", "v"), t0, "k", 1)
+    spark.sql(s"CREATE VIEW graftlog.`$base/shadow` AS " +
+      s"SELECT k FROM graftlog.`$t0`")
+    val e = intercept[IllegalArgumentException] {
+      TableLog.create(Seq((9L, "z")).toDF("k", "v"),
+        base + "/shadow", "k", 1)
+    }
+    assert(e.getMessage.contains("VIEW"), e.getMessage)
   }
 }

@@ -64,6 +64,15 @@ class IdentityColumnSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       TableLog.overwriteWhereStaged(spark, t, col("id") === 9L, Nil, 1)
     }
+    // staged rewrites (SQL UPDATE/MERGE, truncate-form OVERWRITE)
+    // refuse; DELETE — id-preserving by construction — passes through
+    intercept[IllegalArgumentException] {
+      TableLog.commitStagedRewrite(t, Nil, Nil, "replace")
+    }
+    intercept[IllegalArgumentException] {
+      TableLog.commitStagedRewrite(t, Nil, Nil, "update")
+    }
+    TableLog.commitStagedRewrite(t, Nil, Nil, "delete") // no-op commit, allowed
     // declaration: must exist, be BIGINT, not also generated; no
     // post-hoc declaration via SET TBLPROPERTIES
     intercept[IllegalArgumentException] {
