@@ -91,7 +91,21 @@ class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
         .getOrElse(throw new IllegalArgumentException(
           s"graftlog: cannot enumerate views in ${parts.mkString(".")}"))
       GraftShowViewsCommand(parts.tail, dir, pattern, output)
-    case _ => plan.transformDown {
+    case _ => expand(plan, Set.empty)
+  }
+
+  /** Expand view references, carrying the set of view files already
+    * OPEN on this expansion path: expansion recurses inside ONE rule
+    * application (the parsed definition's own view references expand
+    * in the same pass), so the analyzer's max-iterations bound never
+    * sees a definition cycle — without the set it would end in
+    * StackOverflowError. A cycle is reachable despite create-time
+    * validation because CREATE OR REPLACE analyzes the NEW text
+    * against the OLD on-disk definitions (v1 → v2 → old-v1 analyzes
+    * fine; the atomic write then closes the loop), so the read side
+    * must cut it with a clear error. */
+  private def expand(plan: LogicalPlan, open: Set[Path]): LogicalPlan =
+    plan.transformDown {
       case i: InsertIntoStatement
           if existingView(nameOf(i.table)).isDefined =>
         refuseDml("INSERT into", nameOf(i.table))
@@ -109,12 +123,18 @@ class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
         // would turn the second .get into a bare NoSuchElementException
         existingView(r.multipartIdentifier) match {
           case Some(f) =>
+            val key = f.toAbsolutePath.normalize
+            if (open.contains(key)) throw new IllegalArgumentException(
+              s"graftlog: view definition cycle — " +
+                s"${r.multipartIdentifier.mkString(".")} is already " +
+                "being expanded on this path; redefine one of the " +
+                "views in the loop")
             SubqueryAlias(r.multipartIdentifier.last,
-              session.sessionState.sqlParser.parsePlan(Files.readString(f)))
+              expand(session.sessionState.sqlParser
+                .parsePlan(Files.readString(f)), open + key))
           case None => r
         }
     }
-  }
 
   private def nameOf(p: LogicalPlan): Seq[String] = p match {
     case r: UnresolvedRelation => r.multipartIdentifier

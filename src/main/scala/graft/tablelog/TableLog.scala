@@ -950,7 +950,22 @@ object TableLog {
         val tail = (1L to last).map { v =>
           parse(v, Files.readString(commitPath(table, v)))
         }
-        replay(Snapshot(0L, Nil, "", ""), tail)
+        val snap = replay(Snapshot(0L, Nil, "", ""), tail)
+        // a chunked branch fork commits v1 with a `branch.ckpt` marker
+        // and links its checkpoint list immediately after ([[branch]]'s
+        // commit-first ownership protocol); reaching this NO-checkpoint
+        // replay with the marker folded in means the fork crashed
+        // between the two steps — the replayed v1 carries no file
+        // entries, so returning it would silently read the branch as
+        // empty. Fail loudly with the recovery step instead.
+        snap.props.get("branch.ckpt").foreach { cv =>
+          if (Files.notExists(checkpointPath(table, cv.toLong)))
+            throw new IllegalStateException(
+              s"$table: a branch fork crashed before its v$cv " +
+                "checkpoint landed — the fork is unreadable; delete " +
+                "the branch directory and re-fork")
+        }
+        snap
     }
   }
 
@@ -999,25 +1014,28 @@ object TableLog {
         return attempt
       } catch {
         case _: FileAlreadyExistsException =>
+          // metadata-bearing commits (create, evolve, branch) must NOT
+          // rebase: their schema/declaration was computed against the
+          // OLD snapshot, and re-publishing it would silently overwrite
+          // a concurrent winner's metadata (two creates would union
+          // datasets; two evolves would drop each other's columns). The
+          // caller re-runs the operation, recomputing against the new
+          // snapshot. Decided BEFORE reading state(): a branch-fork
+          // race loser must abort here without replaying the winner's
+          // possibly still-checkpoint-less v1 (see [[branch]]'s
+          // commit-first ownership protocol).
+          if (op == "create" || schemaDdl.nonEmpty || props.isDefined ||
+              colMap.isDefined || defaults.isDefined || pspecs.isDefined)
+            throw new java.util.ConcurrentModificationException(
+              s"$table: lost a $op race at v${latestVersion(table)} — " +
+                "this commit carries snapshot-derived metadata and " +
+                "cannot rebase; re-run the operation on the new snapshot")
           val now = state(table)
           // a concurrent writer already landed this producer version →
           // redelivered batch: drop it (exactly-once), don't re-append
           txn.foreach { case (app, tv) =>
             if (now.txns.get(app).exists(_ >= tv)) return now.version
           }
-          // metadata-bearing commits (create, evolve) must NOT rebase:
-          // their schema/declaration was computed against the OLD
-          // snapshot, and re-publishing it would silently overwrite a
-          // concurrent winner's metadata (two creates would union
-          // datasets; two evolves would drop each other's columns).
-          // The caller re-runs the operation, recomputing against the
-          // new snapshot.
-          if (op == "create" || schemaDdl.nonEmpty || props.isDefined ||
-              colMap.isDefined || defaults.isDefined || pspecs.isDefined)
-            throw new java.util.ConcurrentModificationException(
-              s"$table: lost a $op race at v${now.version} — this commit " +
-                "carries snapshot-derived metadata and cannot rebase; " +
-                "re-run the operation on the new snapshot")
           val activeNow = now.active.map(_.relPath).toSet
           if (!removes.forall(activeNow)) throw new java.util.ConcurrentModificationException(
             s"$table: conflicting commit at v${now.version} rewrote files this " +
@@ -2298,31 +2316,43 @@ object TableLog {
           defaults = defaultsOpt, pspecs = pspecsOpt)
         val text = header +
           (clean ++ newRefs).map(renderChunkLine).mkString("\n") + "\n"
-        // checkpoint FIRST (an orphan list without its commit is
-        // unreadable — state() requires a committed version), then the
-        // v1 commit carrying only metadata. The checkpoint lands by
-        // ATOMIC hard link, so of two racing branch() calls exactly
-        // one owns BOTH the checkpoint and the commit — the loser
-        // aborts here and can never shadow the winner's v1 state
-        // with a fork taken at a different base version.
-        // a CRASHED fork (died between its checkpoint link and its v1
-        // commit) leaves an orphan list that would wedge the name
-        // forever — the guard above proved no commit exists, so any
-        // v1 checkpoint here is garbage; clear it. (A fork racing in
-        // that microsecond window loses its link and aborts below.)
+        // Ownership is decided by ONE atomic operation: the v1 COMMIT
+        // links first. Commit files are never deleted, so exactly one
+        // fork can ever own the name — there is no orphan-clearing
+        // delete left to race (the previous checkpoint-first protocol
+        // cleared "garbage" v1 checkpoints and could delete a
+        // concurrent fork's just-linked list, pairing one fork's
+        // commit with the other's file set). The commit carries a
+        // `branch.ckpt` marker so [[state]] turns a CRASHED fork
+        // (died between its commit and its checkpoint link) into a
+        // loud delete-and-re-fork error instead of a silently empty
+        // branch; the winner then links the checkpoint uncontended —
+        // only the unique commit owner ever writes that path.
+        try commit(dst, 0L, "branch", Nil, Nil, s.schemaDdl, s.keyCol,
+          bloom = s.bloom, partCols = s.partCols,
+          props = Some(bprops + ("branch.ckpt" -> "1")),
+          colMap = colMapOpt, defaults = defaultsOpt, pspecs = pspecsOpt)
+        catch {
+          case e: java.util.ConcurrentModificationException =>
+            // lost the fork race: reclaim this fork's chunk files (the
+            // winner's carry different UUID names, never these)
+            newRefs.foreach(r =>
+              Files.deleteIfExists(logDir(dst).resolve(r.relName)))
+            throw new IllegalArgumentException(
+              s"branch '$name' already exists (lost a concurrent fork " +
+                "race)", e)
+        }
+        // clear a pre-protocol orphan checkpoint if one survives (a
+        // checkpoint-first fork that crashed before its commit): safe
+        // NOW — owning the v1 commit means no concurrent fork can be
+        // writing this path
         Files.deleteIfExists(checkpointPath(dst, 1L))
         val tmp = Files.createTempFile(logDir(dst), "tmp-brk-", ".inprogress")
         try {
           Files.write(tmp, text.getBytes(UTF_8))
           Files.createLink(checkpointPath(dst, 1L), tmp)
-        } catch {
-          case _: FileAlreadyExistsException =>
-            throw new IllegalArgumentException(
-              s"branch '$name' already exists (lost a concurrent fork race)")
         } finally Files.deleteIfExists(tmp)
-        commit(dst, 0L, "branch", Nil, Nil, s.schemaDdl, s.keyCol,
-          bloom = s.bloom, partCols = s.partCols, props = Some(bprops),
-          colMap = colMapOpt, defaults = defaultsOpt, pspecs = pspecsOpt)
+        1L
       case None =>
         // base has no chunked checkpoint yet (young or legacy-monolith
         // table): the fork re-lists the active set — bounded by the
@@ -3047,6 +3077,17 @@ object TableLog {
     val snap = state(table)
     require(snap.partCols.isEmpty,
       s"$table is partitioned — use copy-on-write DML there")
+    // a DV update of EXISTING rows keeps its assigned ids (same
+    // rationale as DV deletes passing requireNoIdentity), but the
+    // set-expressions must not TARGET the identity column — rewriting
+    // it would mint arbitrary ids past the ALWAYS refusal without
+    // touching the high-water mark, breaking the allocator's
+    // uniqueness invariant every other write path enforces
+    val idTargets = identityOf(snap.props).map(_._1)
+      .filter(c => set.keySet.exists(_.equalsIgnoreCase(c)))
+    require(idTargets.isEmpty,
+      s"updateWhereDv into $table: ${idTargets.mkString(", ")} is " +
+        "GENERATED ALWAYS AS IDENTITY — its values cannot be updated")
     // same candidate pruning + position-domain guard as deleteWhereDv
     val candidates = (pruneKeys, pruneCandidates) match {
       case (Some((lo, hi)), _) => prunedFiles(snap, lo, hi)

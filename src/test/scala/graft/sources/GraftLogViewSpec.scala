@@ -97,4 +97,27 @@ class GraftLogViewSpec extends SparkSuite {
       .map(_.getString(1)).toSeq
     assert(shown == Seq("v1", "v2"), s"SHOW VIEWS listed $shown")
   }
+
+  test("a definition cycle closed by CREATE OR REPLACE fails with a " +
+      "clear cycle error, not a StackOverflowError") {
+    val t = freshTable()
+    val dir = Paths.get(t).getParent.toString
+    // v1 → base, then v2 → v1: both analyze fine at create time
+    spark.sql(s"CREATE VIEW graftlog.`$dir/cva` AS " +
+      s"SELECT k FROM graftlog.`$t`")
+    spark.sql(s"CREATE VIEW graftlog.`$dir/cvb` AS " +
+      s"SELECT k FROM graftlog.`$dir/cva`")
+    // the REPLACE analyzes against the OLD on-disk cva (→ base), then
+    // the atomic write closes the loop cva → cvb → cva
+    spark.sql(s"CREATE OR REPLACE VIEW graftlog.`$dir/cva` AS " +
+      s"SELECT k FROM graftlog.`$dir/cvb`")
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graftlog.`$dir/cva`").collect()
+    }
+    def messages(e: Throwable): Seq[String] =
+      if (e == null) Nil
+      else Option(e.getMessage).toSeq ++ messages(e.getCause)
+    assert(messages(ex).exists(_.contains("cycle")),
+      s"expected a cycle error, got: $ex")
+  }
 }

@@ -255,4 +255,39 @@ class BranchWapSpec extends SparkSuite {
       TableLog.append(kv(Seq(3L -> "")), t, 1)
     }
   }
+
+  test("fork ownership is the v1 COMMIT: a crashed chunked fork " +
+      "(commit landed, checkpoint never linked) reads LOUDLY, never " +
+      "as an empty branch; the name stays owned until cleared") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 7L).map(i => (i, s"x$i"))), t, "k", 4)  // v1
+    (1 to 4).foreach(i =>                                             // v2..v5
+      TableLog.append(kv(Seq((100L + i) -> s"y$i")), t, 2))
+    val br = TableLog.branch(t, "crashy") // chunked fork: ckpt + v1 commit
+    // the protocol marker is transient — it must NOT surface in a
+    // healthy branch's props (state reads the checkpoint header)
+    assert(!TableLog.state(br).props.contains("branch.ckpt"),
+      "the fork-protocol marker leaked into branch props")
+    // simulate the crash window: the v1 commit won ownership but the
+    // checkpoint link never landed
+    Files.delete(Paths.get(br, "_log", f"v${1L}%016d.checkpoint"))
+    val ex = intercept[IllegalStateException] { TableLog.state(br) }
+    assert(ex.getMessage.contains("crashed"),
+      s"crashed fork must fail loudly, got: ${ex.getMessage}")
+    // the crashed fork's commit still owns the name — a blind re-fork
+    // refuses instead of pairing a new commit with stale state
+    intercept[IllegalArgumentException] { TableLog.branch(t, "crashy") }
+    // recovery is the documented step: delete the branch dir, re-fork
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      } finally s.close()
+    }
+    rmTree(Paths.get(br))
+    val br2 = TableLog.branch(t, "crashy")
+    assert(TableLog.snapshot(spark, br2).count() == 12L,
+      "a re-fork after recovery must read the full base snapshot")
+  }
 }

@@ -110,4 +110,26 @@ class IdentityColumnSpec extends SparkSuite {
     }
     assert(TableLog.state(t).props("identity.id") == "103")
   }
+
+  test("a DV update may rewrite non-id columns but never TARGET the " +
+      "identity column — set-expressions cannot mint ids past the " +
+      "allocator") {
+    import spark.implicits._
+    val t = freshTable()
+    TableLog.appendIdentity(Seq("a", "b", "c").toDF("v"), t, 1)
+    val before = TableLog.latestVersion(t)
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.updateWhereDv(spark, t, col("v") === "b",
+        Map("id" -> lit(999L)))
+    }
+    assert(ex.getMessage.contains("IDENTITY"), ex.getMessage)
+    assert(TableLog.latestVersion(t) == before,
+      "a refused identity-targeting DV update moved the table")
+    // non-id set-expressions pass through — ids were already assigned
+    TableLog.updateWhereDv(spark, t, col("v") === "b",
+      Map("v" -> lit("B")))
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((100L, "a"), (101L, "B"), (102L, "c")), got.toString)
+  }
 }
