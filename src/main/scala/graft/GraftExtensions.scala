@@ -121,5 +121,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // for a non-session catalog, and view references expand before
     // relation resolution reports them missing
     ext.injectHintResolutionRule(s => new graft.sources.GraftViewRule(s))
+    // SQL INSERT INTO on identity / generated-column tables routes
+    // through the TableLog allocator/generator instead of the staged
+    // DSv2 append (which can only refuse identity tables)
+    ext.injectHintResolutionRule(s =>
+      new graft.sources.GraftGeneratedInsertRule(s))
   }
 }

@@ -3569,7 +3569,96 @@ object TableOps {
       |  CAST(sum(id * o_orderkey) AS BIGINT) AS pair_sum
       |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- q499
+  /** SQL-PATH identity + generated columns
+    * ([[graft.sources.GraftGeneratedInsertRule]]): the table declares
+    * BOTH a `GENERATED ALWAYS AS IDENTITY` id and a generated
+    * `price_band`, and is populated EXCLUSIVELY through
+    * `spark.sql("INSERT INTO …")` — the column-list form and the
+    * positional reduced form. The analyzer rewrite routes the
+    * statement through the q496 freeze-then-assign allocator (ids
+    * `hwm + rowIndex`, mark advanced in the same metadata-bearing
+    * commit) and the q494 generator (omitted band computed on the
+    * write; a supplied-but-wrong band refuses via the synthetic
+    * audit), so the SQL surface and the API surface cannot diverge.
+    * ALWAYS refusal pinned in-fixture: an INSERT naming the identity
+    * column aborts with the table unmoved. The oracle replays the
+    * allocation with row_number() and the generation CASE; the
+    * pair-sum pins the exact row↔id pairing through the SQL path. */
+  private val sqlInsertCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q499SqlGeneratedInsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = sqlInsertCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogsqlins_")
+        .toString + "/t"
+      TableLog.createEmpty(path,
+        "id BIGINT, o_orderkey BIGINT, o_totalprice DOUBLE, " +
+          "price_band STRING", "id",
+        props = Map(
+          "identity.id" -> "500",
+          "gencol.price_band" ->
+            "CASE WHEN o_totalprice >= 100000.0 THEN 'H' ELSE 'L' END"))
+      ordersSlice(s, dir).select($"o_orderkey", $"o_totalprice")
+        .createOrReplaceTempView("_q499_src")
+      // column-list form: identity + gencol omitted → allocated/computed
+      s.sql(s"""INSERT INTO graftlog.`$path` (o_orderkey, o_totalprice)
+               |SELECT o_orderkey, o_totalprice FROM _q499_src
+               |WHERE o_orderkey % 13 = 4 ORDER BY o_orderkey""".stripMargin)
+      // positional reduced form (the non-generated columns, in order)
+      s.sql(s"""INSERT INTO graftlog.`$path`
+               |SELECT o_orderkey, o_totalprice FROM _q499_src
+               |WHERE o_orderkey % 13 = 9 ORDER BY o_orderkey""".stripMargin)
+      // ALWAYS on the SQL path: naming the identity column refuses
+      // and a wrong explicit band fails its audit — table unmoved
+      val before = TableLog.latestVersion(path)
+      def refused(sql: String, needle: String): Unit = {
+        val ex = try { s.sql(sql); null: Exception }
+          catch { case e: Exception => e }
+        require(ex != null && ex.getMessage.contains(needle),
+          s"expected refusal containing '$needle', got $ex")
+      }
+      refused(s"INSERT INTO graftlog.`$path` (id, o_orderkey, " +
+        "o_totalprice) VALUES (1, 1, 1.0)", "IDENTITY")
+      refused(s"INSERT INTO graftlog.`$path` (o_orderkey, " +
+        "o_totalprice, price_band) VALUES (1, 1.0, 'H')",
+        "price_band_generated")
+      require(TableLog.latestVersion(path) == before,
+        "a refused SQL insert moved the table")
+      path
+    })
+    s.sql(
+      s"""SELECT price_band,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(id) AS BIGINT) AS id_sum,
+         |  CAST(sum(id * o_orderkey) AS BIGINT) AS pair_sum
+         |FROM graftlog.`$t`
+         |GROUP BY price_band ORDER BY price_band""".stripMargin)
+  }
+
+  private val q499Oracle =
+    """WITH s1 AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    row_number() OVER (ORDER BY o_orderkey) + 499 AS id
+      |  FROM orders WHERE o_orderkey % 13 = 4),
+      |s2 AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    row_number() OVER (ORDER BY o_orderkey) + 499 +
+      |      (SELECT count(*) FROM s1) AS id
+      |  FROM orders WHERE o_orderkey % 13 = 9),
+      |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      |SELECT
+      |  CASE WHEN o_totalprice >= 100000.0 THEN 'H' ELSE 'L' END
+      |    AS price_band,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(id) AS BIGINT) AS id_sum,
+      |  CAST(sum(id * o_orderkey) AS BIGINT) AS pair_sum
+      |FROM u GROUP BY 1 ORDER BY price_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q499_sql_generated_insert" -> (q499SqlGeneratedInsert _),
     "q496_identity_column" -> (q496IdentityColumn _),
     "q495_deep_clone" -> (q495DeepClone _),
     "q494_generated_columns" -> (q494GeneratedColumns _),
@@ -3640,6 +3729,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q499_sql_generated_insert" -> q499Oracle,
     "q496_identity_column" -> q496Oracle,
     "q495_deep_clone" -> q495Oracle,
     "q494_generated_columns" -> q494Oracle,

@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.util.Locale
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.graftbridge.SessionBridge
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.StructType
+
+import graft.tablelog.TableLog
+
+/** SQL `INSERT INTO` on IDENTITY and GENERATED-column tables — the
+  * reachability half of q494/q496: the allocator/generator semantics
+  * exist on the TableLog API ([[TableLog.appendIdentity]],
+  * `withWriteDefaults`), but the DSv2 staged-append path receives
+  * already-written files, so it can only REFUSE an identity table and
+  * must be handed generated columns precomputed. The reference's
+  * users speak SQL over the loaded table (`terraform/outputs.tf:13-15`
+  * exports the queryable table id), so the engine routes the
+  * statement itself: an analyzer rule (HINTS batch, before
+  * ResolveInsertInto turns the statement into a staged AppendData)
+  * rewrites `INSERT INTO graftlog.t …` on a declaring table into a
+  * command that runs the query and appends through the SAME TableLog
+  * write path every API writer uses — identity ids assigned
+  * `hwm + rowIndex` under the freeze-then-assign discipline with the
+  * high-water mark advanced IN the commit (metadata-bearing, so a
+  * racing allocator still aborts instead of rebasing into duplicate
+  * ids), omitted generated columns computed on the write, supplied
+  * ones audited by the synthetic CHECK. ALWAYS semantics hold on the
+  * SQL path exactly as on the API: an INSERT naming the identity
+  * column refuses loudly.
+  *
+  * Scale shape: the rewrite is plan-time; execution is ONE pass over
+  * the inserted rows (identity adds the zipWithIndex job q496 prices)
+  * staged into `max(1, input partitions)` files — the same
+  * one-file-per-task shape as the DSv2 batch writer. Plain INSERTs on
+  * tables declaring neither feature never match and keep the staged
+  * DSv2 path untouched. */
+class GraftGeneratedInsertRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def graftCatalog(name: String): Option[GraftLogCatalog] =
+    try session.sessionState.catalogManager.catalog(name) match {
+      case g: GraftLogCatalog => Some(g)
+      case _ => None
+    } catch { case NonFatal(_) => None }
+
+  /** (tablePath, identityCols, genCols) when `parts` names a LIVE
+    * graftlog table declaring identity or generated columns — one
+    * manifest read, paid only on INSERT statements over graftlog. */
+  private def declaring(parts: Seq[String])
+      : Option[(String, Seq[String], Seq[String])] =
+    if (parts.length < 2) None
+    else graftCatalog(parts.head).flatMap(_.tablePathOf(parts.tail))
+      .filter(TableLog.latestVersion(_) > 0L)
+      .flatMap { tp =>
+        val props = TableLog.state(tp).props
+        val ids = props.keys.filter(_.startsWith("identity."))
+          .map(_.stripPrefix("identity.")).toSeq.sorted
+        val gens = props.keys.filter(_.startsWith("gencol."))
+          .map(_.stripPrefix("gencol.")).toSeq.sorted
+        if (ids.isEmpty && gens.isEmpty) None else Some((tp, ids, gens))
+      }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // append-form only: INSERT OVERWRITE and static-partition inserts
+    // keep their existing (refusing) paths — an overwrite on an
+    // identity table smuggles arbitrary ids by construction
+    case i @ InsertIntoStatement(r: UnresolvedRelation, partSpec,
+        userCols, query, false, _, byName)
+        if partSpec.isEmpty && declaring(r.multipartIdentifier).isDefined =>
+      val (path, ids, gens) = declaring(r.multipartIdentifier).get
+      GraftGeneratedInsertCommand(path, userCols, query, byName, ids, gens)
+  }
+}
+
+/** Executes the rewritten INSERT: resolve the source query, map its
+  * columns to the target (BY NAME, the explicit column list, or
+  * positionally — full width, or the reduced width omitting the
+  * identity + generated columns), then append through
+  * [[TableLog.appendIdentity]] (identity tables) or
+  * [[TableLog.append]] (generated-only tables). Both paths run
+  * `withWriteDefaults` (omitted gencols/defaults computed) and
+  * `validateChecks` (synthetic audits gate supplied gencol values). */
+case class GraftGeneratedInsertCommand(path: String,
+    userCols: Seq[String], query: LogicalPlan, byName: Boolean,
+    idCols: Seq[String], genCols: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val snap = TableLog.state(path)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val src = SessionBridge.ofRows(session, query)
+    def lc(s: String): String = s.toLowerCase(Locale.ROOT)
+    val named: DataFrame =
+      if (byName) src
+      else if (userCols.nonEmpty) {
+        require(userCols.length == src.schema.length,
+          s"INSERT into graftlog table $path: column list names " +
+            s"${userCols.length} columns but the query produces " +
+            s"${src.schema.length}")
+        src.toDF(userCols: _*)
+      } else {
+        val omit = (idCols ++ genCols).map(lc).toSet
+        val reduced = schema.fieldNames.filterNot(f => omit(lc(f)))
+        if (src.schema.length == schema.length)
+          src.toDF(schema.fieldNames.toIndexedSeq: _*)
+        else if (src.schema.length == reduced.length)
+          src.toDF(reduced.toIndexedSeq: _*)
+        else throw new IllegalArgumentException(
+          s"INSERT into graftlog table $path: positional insert must " +
+            s"supply all ${schema.length} columns or the " +
+            s"${reduced.length} non-generated ones " +
+            s"(${reduced.mkString(", ")}); got ${src.schema.length}")
+      }
+    val provided = named.columns.map(lc).toSet
+    val explicitIds = idCols.filter(c => provided(lc(c)))
+    if (explicitIds.nonEmpty) throw new IllegalArgumentException(
+      s"INSERT into graftlog table $path: " +
+        s"${explicitIds.mkString(", ")} is GENERATED ALWAYS AS " +
+        "IDENTITY — explicit values are refused; omit the column and " +
+        "the table allocates ids transactionally")
+    // one file per input task, floor 1 — the DSv2 batch writer's shape
+    val numFiles =
+      math.max(1, named.queryExecution.toRdd.getNumPartitions)
+    if (idCols.nonEmpty) TableLog.appendIdentity(named, path, numFiles)
+    else TableLog.append(named, path, numFiles)
+    Nil
+  }
+}

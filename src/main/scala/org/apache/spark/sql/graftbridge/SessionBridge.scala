@@ -15,4 +15,13 @@ object SessionBridge {
       options: Map[String, String]): Configuration =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.newHadoopConfWithOptions(options)
+
+  /** `Dataset.ofRows` is `private[sql]` — the SQL-INSERT rewrite
+    * command needs it to turn the captured INSERT source plan back
+    * into a DataFrame for the TableLog write path. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

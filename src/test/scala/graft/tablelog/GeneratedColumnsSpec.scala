@@ -130,4 +130,28 @@ class GeneratedColumnsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("VIEW"), e.getMessage)
   }
+
+  test("SQL INSERT INTO computes an omitted generated column and " +
+      "audits a supplied one — the statement path matches the API") {
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshTable()
+    // column-list form omitting the gencol → computed on the write
+    spark.sql(s"INSERT INTO graftlog.`$t` (k, x) VALUES (1, 5), (2, 20)")
+    // positional reduced form (non-generated columns in order)
+    spark.sql(s"INSERT INTO graftlog.`$t` VALUES (3, 40)")
+    // full-width positional with a CORRECT supplied value → audited, lands
+    spark.sql(s"INSERT INTO graftlog.`$t` VALUES (4, 2, 'lo')")
+    val got = TableLog.snapshot(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((1L, "lo"), (2L, "hi"), (3L, "hi"), (4L, "lo")), got)
+    // a WRONG supplied value refuses via the synthetic audit; unmoved
+    val before = TableLog.latestVersion(t)
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO graftlog.`$t` VALUES (5, 1, 'hi')")
+    }
+    assert(ex.getMessage.contains("band_generated"), ex.getMessage)
+    assert(TableLog.latestVersion(t) == before,
+      "a refused SQL gencol insert moved the table")
+  }
 }

@@ -111,6 +111,44 @@ class IdentityColumnSpec extends SparkSuite {
     assert(TableLog.state(t).props("identity.id") == "103")
   }
 
+  test("SQL INSERT INTO allocates identity ids through the same " +
+      "freeze-then-assign path as appendIdentity: omit-forms land " +
+      "with the mark advanced in-commit; naming the column refuses") {
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshTable() // identity.id starts at 100
+    spark.sql(s"INSERT INTO graftlog.`$t` (v) VALUES ('a'), ('b')")
+    spark.sql(s"INSERT INTO graftlog.`$t` VALUES ('c')") // positional reduced
+    spark.sql(s"INSERT INTO graftlog.`$t` BY NAME SELECT 'd' AS v")
+    spark.sql(s"INSERT INTO graftlog.`$t` (v) " +
+      s"SELECT upper(v) FROM graftlog.`$t` WHERE id = 100") // SELECT form
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((100L, "a"), (101L, "b"), (102L, "c"),
+      (103L, "d"), (104L, "A")), got.toString)
+    assert(TableLog.state(t).props("identity.id") == "105",
+      "the high-water mark must advance with the SQL inserts")
+    // ALWAYS: an INSERT naming the identity column refuses, both the
+    // column-list and the full-width positional form; table unmoved
+    val before = TableLog.latestVersion(t)
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO graftlog.`$t` (id, v) VALUES (9, 'x')")
+    }
+    assert(e1.getMessage.contains("IDENTITY"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO graftlog.`$t` VALUES (9, 'x')")
+    }
+    assert(e2.getMessage.contains("IDENTITY"), e2.getMessage)
+    assert(TableLog.latestVersion(t) == before,
+      "a refused SQL identity insert moved the table")
+    // INSERT OVERWRITE keeps its staged-path refusal (arbitrary rows)
+    val e3 = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE graftlog.`$t` VALUES (9L, 'x')")
+    }
+    assert(e3.getMessage.contains("IDENTITY") ||
+      e3.getMessage.contains("identity"), e3.getMessage)
+  }
+
   test("a DV update may rewrite non-id columns but never TARGET the " +
       "identity column — set-expressions cannot mint ids past the " +
       "allocator") {
