@@ -3657,7 +3657,76 @@ object TableOps {
       |  CAST(sum(id * o_orderkey) AS BIGINT) AS pair_sum
       |FROM u GROUP BY 1 ORDER BY price_band""".stripMargin
 
+  // ---------------------------------------------------------------- q500
+  /** PUBLISH-REBASE ([[TableLog.publish]]'s cherry-pick arm): a WAP
+    * branch whose main moved in the interim no longer always aborts —
+    * when main's interim commits and the branch delta touch DISJOINT
+    * files (the busy-table common case: concurrent appends), the
+    * branch delta replays onto main's head in the one audited publish
+    * commit, so a long-lived drop can land without re-forking every
+    * time an ingest beats it. The refusals stay loud and are pinned
+    * in-fixture: both sides rewriting the SAME file aborts with main
+    * unmoved (replaying would resurrect deleted rows) — metadata
+    * moves are pinned in BranchWapSpec. Scale shape: the rebase is
+    * pure manifest algebra on the fork/branch/main file-id sets
+    * (O(files) driver metadata, no data I/O) and the audit stays
+    * priced at the branch delta. The oracle replays the surviving
+    * slices. */
+  private val rebaseCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q500PublishRebase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = rebaseCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogreb_").toString + "/t"
+      val slice = ordersSlice(s, dir)
+        .select($"o_orderkey", $"o_totalprice")
+      TableLog.create(slice.where($"o_orderkey" % 7 === 1),
+        path, "o_orderkey", numFiles = 1)                              // v1
+      // branch ingests one slice; main takes an interim append
+      val br = TableLog.branch(path, "grow")
+      TableLog.append(slice.where($"o_orderkey" % 7 === 3), br, 2)
+      TableLog.append(slice.where($"o_orderkey" % 7 === 5), path, 2)
+      s.sql(s"CALL graftlog.publish('$path', 'grow')") // disjoint → rebase
+      require(TableLog.history(path).last.op == "publish",
+        "the rebase must land as one publish commit")
+      // overlap refusal: both sides rewrite the single v1 file
+      val br2 = TableLog.branch(path, "clash")
+      TableLog.deleteWhere(s, br2,
+        $"o_orderkey" % 7 === 1 && $"o_orderkey" % 2 === 0, 1)
+      TableLog.deleteWhere(s, path,
+        $"o_orderkey" % 7 === 1 && $"o_orderkey" % 2 === 1, 1)
+      val before = TableLog.latestVersion(path)
+      val ex = try {
+        s.sql(s"CALL graftlog.publish('$path', 'clash')"); null: Exception
+      } catch { case e: Exception => e }
+      require(ex != null &&
+        Option(ex.getMessage).exists(_.contains("both sides touched")),
+        s"overlapping publish must refuse on the file overlap, got $ex")
+      require(TableLog.latestVersion(path) == before,
+        "a refused overlapping publish moved main")
+      path
+    })
+    s.sql(
+      s"""SELECT CAST(o_orderkey % 7 AS BIGINT) AS k_mod,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$t`
+         |GROUP BY o_orderkey % 7 ORDER BY k_mod""".stripMargin)
+  }
+
+  private val q500Oracle =
+    """SELECT CAST(o_orderkey % 7 AS BIGINT) AS k_mod,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders
+      |WHERE (o_orderkey % 7 = 1 AND o_orderkey % 2 = 0)
+      |   OR o_orderkey % 7 IN (3, 5)
+      |GROUP BY o_orderkey % 7 ORDER BY k_mod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q500_publish_rebase" -> (q500PublishRebase _),
     "q499_sql_generated_insert" -> (q499SqlGeneratedInsert _),
     "q496_identity_column" -> (q496IdentityColumn _),
     "q495_deep_clone" -> (q495DeepClone _),
@@ -3729,6 +3798,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q500_publish_rebase" -> q500Oracle,
     "q499_sql_generated_insert" -> q499Oracle,
     "q496_identity_column" -> q496Oracle,
     "q495_deep_clone" -> q495Oracle,

@@ -2366,13 +2366,18 @@ object TableLog {
   }
 
   /** PUBLISH branch `name` onto main as ONE atomic commit — the
-    * audit-gated fast-forward of write-audit-publish:
+    * audit-gated landing of write-audit-publish:
     *
-    *  1. **Fast-forward only**: main must still be at the branch's
-    *     fork version — a moved main aborts loudly (re-branch and
-    *     replay; silently merging would publish unaudited state).
-    *     The commit itself is metadata-bearing, so even a race inside
-    *     the publish window aborts rather than rebases.
+    *  1. **Fast-forward, or disjoint REBASE**: when main is still at
+    *     the branch's fork version the branch head lands as-is; when
+    *     main moved, the branch DELTA replays onto main's head
+    *     (Iceberg cherry-pick / Delta commit-rebase) — allowed only
+    *     if main's metadata is unmoved since the fork and the two
+    *     sides touched disjoint files; otherwise abort loudly
+    *     (re-branch and replay; silently merging overlapping rewrites
+    *     would resurrect deleted rows). The commit itself is
+    *     metadata-bearing, so even a race inside the publish window
+    *     aborts rather than rebases blindly.
     *  2. **Audit gate**: the branch head must pass every CHECK
     *     constraint declared on EITHER side (union of main's and the
     *     branch's `constraint.*` props) — the standard WAP shape
@@ -2431,11 +2436,53 @@ object TableLog {
       throw new IllegalArgumentException(
         s"$dst carries no branch.base marker — not a branch"))
     val m = state(table)
-    if (m.version != base.toLong)
-      throw new java.util.ConcurrentModificationException(
-        s"$table moved to v${m.version} since branch '$name' forked at " +
-          s"v$base — publish is fast-forward only; re-branch and replay")
-    val audit = publishAuditScope(table, dst, m, b)
+    val mainP = Paths.get(table).toAbsolutePath.normalize
+    def relOf(a: AddFile): String = mainP.relativize(
+      Paths.get(dst, a.relPath).toAbsolutePath.normalize).toString
+    // the 3-way-merge BASE: the fork-point snapshot (== m when main
+    // never moved — the fast-forward case costs no extra state read)
+    val f = if (m.version == base.toLong) m else state(table, base.toLong)
+    if (m.version != base.toLong) {
+      // REBASE (Iceberg cherry-pick / Delta commit-rebase shape): a
+      // moved main no longer always aborts — when main's interim
+      // commits and the branch delta touch DISJOINT files, the branch
+      // delta replays onto main's head in the one publish commit
+      // (appends under an open branch are the common busy-table case,
+      // and they conflict with nothing). Two loud refusals remain:
+      // (a) main's METADATA moved since the fork — the publish lands
+      // the branch's schema/props wholesale, which would silently
+      // clobber main's interim evolution; (b) any FILE was touched
+      // (removed, rewritten or DV-edited) by BOTH sides — replaying
+      // the branch's version would resurrect rows main deleted, or
+      // vice versa. Both re-branch and replay, exactly as before.
+      if (m.schemaDdl != f.schemaDdl || m.props != f.props ||
+          m.keyCol != f.keyCol || m.bloom != f.bloom ||
+          m.colMap != f.colMap || m.droppedPhys != f.droppedPhys ||
+          m.defaults != f.defaults || m.partSpecs != f.partSpecs)
+        throw new java.util.ConcurrentModificationException(
+          s"$table's metadata moved since branch '$name' forked at " +
+            s"v$base — publish cannot rebase across a schema/props " +
+            "change; re-branch and replay")
+      val bIds = b.active.map(a => (relOf(a), a.dv.map(_._1))).toSet
+      val mIds = m.active.map(_.contentId).toSet
+      val branchTouched = f.active.filterNot(a => bIds(a.contentId))
+        .map(_.relPath).toSet
+      val mainTouched = f.active.filterNot(a => mIds(a.contentId))
+        .map(_.relPath).toSet
+      val overlap = branchTouched.intersect(mainTouched)
+      if (overlap.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$table moved since branch '$name' forked at v$base and " +
+            s"both sides touched ${overlap.size} file(s), e.g. " +
+            s"${overlap.toSeq.sorted.take(3).mkString(", ")} — " +
+            "re-branch and replay")
+    }
+    // audit scope prices against the FORK snapshot, so a rebase still
+    // audits exactly the branch delta (fork-inherited files main
+    // compacted in the interim are not in the published adds and need
+    // no re-audit; under the no-metadata-move precondition f.props
+    // and m.props agree on the constraint set)
+    val audit = publishAuditScope(table, dst, f, b)
     if (audit.nonEmpty) {
       // union of CHECK PAIRS, not a right-biased prop merge: a branch
       // that REDEFINES a name (e.g. weakens its own per-batch gate to
@@ -2450,11 +2497,9 @@ object TableLog {
       validateChecks(readFiles(spark, dst, b, audit), uniq,
         s"publish of branch '$name' into $table")
     }
-    val mainP = Paths.get(table).toAbsolutePath.normalize
     // rewrite to main-relative, adopting branch-born files by hard link
     val rewritten = b.active.map { a =>
-      val rel = mainP.relativize(
-        Paths.get(dst, a.relPath).toAbsolutePath.normalize).toString
+      val rel = relOf(a)
       if (!rel.startsWith("_branches/")) a.copy(relPath = rel)
       else {
         val id = fileIdOf(rel) // <stage>/<name> — stages are UUID-fresh
@@ -2472,10 +2517,17 @@ object TableLog {
         a.copy(relPath = s"data/$id")
       }
     }
-    val mainIds = m.active.map(_.contentId).toSet
+    // three-way merge against the FORK snapshot: adds are what the
+    // branch changed or created (fork-unchanged files ride as main
+    // currently holds them — possibly compacted in the interim);
+    // removes are exactly the fork files the branch touched, which
+    // the disjointness gate proved still active and unchanged in m.
+    // When main never moved (f == m) these reduce to the plain
+    // fast-forward sets.
+    val forkIds = f.active.map(_.contentId).toSet
     val branchIds = rewritten.map(_.contentId).toSet
-    val adds = rewritten.filterNot(a => mainIds(a.contentId))
-    val removes = m.active.filterNot(a => branchIds(a.contentId))
+    val adds = rewritten.filterNot(a => forkIds(a.contentId))
+    val removes = f.active.filterNot(a => branchIds(a.contentId))
       .map(_.relPath)
     // published props are the branch's MINUS the branch markers,
     // PLUS main's constraint.* entries: the documented bulk-load

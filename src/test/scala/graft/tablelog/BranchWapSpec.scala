@@ -20,18 +20,59 @@ class BranchWapSpec extends SparkSuite {
     rows.toDF("k", "v")
   }
 
-  test("publish refuses a moved main (fast-forward only) and a " +
-      "non-branch path") {
+  test("publish REBASES a disjoint-moved main: interim appends and the " +
+      "branch delta both land; a non-branch path refuses") {
     val t = freshDir()
     TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
-    TableLog.branch(t, "b1")
-    TableLog.append(kv(Seq(2L -> "b")), t, 1) // main moves past the fork
-    val before = TableLog.latestVersion(t)
-    intercept[java.util.ConcurrentModificationException] {
-      TableLog.publish(spark, t, "b1")
-    }
-    assert(TableLog.latestVersion(t) == before, "a refused publish moved main")
+    val br = TableLog.branch(t, "b1")
+    TableLog.append(kv(Seq(3L -> "c")), br, 1)  // branch delta
+    TableLog.append(kv(Seq(2L -> "b")), t, 1)   // main moves past the fork
+    TableLog.publish(spark, t, "b1")            // disjoint → rebase lands
+    val got = TableLog.snapshot(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"rebase must keep BOTH sides' rows, got $got")
     intercept[IllegalArgumentException] { TableLog.branch(t, "no spaces") }
+  }
+
+  test("publish-rebase refusals: an overlapping file rewrite and a " +
+      "metadata move on main both abort loudly with main unmoved") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a", 2L -> "b")), t, "k", 1)
+    // overlap: both sides rewrite the file holding k=1
+    val br = TableLog.branch(t, "clash")
+    TableLog.deleteWhere(spark, br, col("k") === 1L, 1)
+    TableLog.deleteWhere(spark, t, col("k") === 2L, 1) // same file on main
+    val before = TableLog.latestVersion(t)
+    val e1 = intercept[java.util.ConcurrentModificationException] {
+      TableLog.publish(spark, t, "clash")
+    }
+    assert(e1.getMessage.contains("both sides touched"), e1.getMessage)
+    assert(TableLog.latestVersion(t) == before, "a refused publish moved main")
+    // metadata move: main evolves props after an independent fork
+    val br2 = TableLog.branch(t, "meta")
+    TableLog.append(kv(Seq(9L -> "z")), br2, 1)
+    TableLog.setProps(t, TableLog.state(t).props + ("owner" -> "ops"))
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      TableLog.publish(spark, t, "meta")
+    }
+    assert(e2.getMessage.contains("metadata moved"), e2.getMessage)
+  }
+
+  test("a rebase keeps main's interim compaction of files the branch " +
+      "left untouched, and a branch DV-delete rebases onto appends") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 7L).map(i => (i, s"x$i"))), t, "k", 4)
+    val br = TableLog.branch(t, "mor")
+    // branch: merge-on-read delete on an inherited file
+    TableLog.deleteWhereDv(spark, br, col("k") === 2L)
+    // main: interim APPEND (touches nothing the branch touched)
+    TableLog.append(kv(Seq(100L -> "new")), t, 1)
+    TableLog.publish(spark, t, "mor")
+    val got = TableLog.snapshot(spark, t).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L to 7L).filterNot(_ == 2L) :+ 100L).sorted,
+      s"rebased MoR publish wrong: $got")
   }
 
   test("branch-born files hard-link into main's data dir: the branch " +
