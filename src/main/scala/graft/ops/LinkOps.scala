@@ -1668,32 +1668,36 @@ object LinkOps {
       .withColumn("par", expr(
         "cast(conv(substring(md5(concat(cast(lo as string), '~', " +
           "cast(hi as string))), 1, 4), 16, 10) as bigint) % 2"))
-      .localCheckpoint(true)
     val nDf = items.agg(count(lit(1)).as("n"))
-    def arm(wins: DataFrame, label: String): DataFrame = {
-      val c2 = wins.agg(coalesce(
+    // BOTH tournament arms' winner keys are projections of the same
+    // pair row, so the pair set streams through ONE scan — explode to
+    // (variant, winner) and hash-agg — instead of materializing the
+    // O(n²) fixture pairs (the earlier eager checkpoint was ~10 GB of
+    // executor storage at 100× items). In production the pair set IS
+    // the input table and this is simply its single read.
+    val sumC2 = pairs.select(explode(array(
+        struct(lit("hashed").as("variant"),
+          when($"par" === 0, $"lo").otherwise($"hi").as("w")),
+        struct(lit("ordered").as("variant"), $"lo".as("w")))).as("e"))
+      .select($"e.variant".as("variant"), $"e.w".as("w"))
+      .groupBy($"variant", $"w").agg(count(lit(1)).as("wins"))
+      .groupBy($"variant").agg(coalesce(
         sum(expr("wins * (wins - 1) div 2")), lit(0L)).as("sum_c2"))
-      nDf.crossJoin(c2).select(
-        lit(label).as("variant"),
-        $"n".as("n_items"),
-        expr("n * (n - 1) * (n - 2) div 6 - sum_c2").as("cyclic_triads"),
-        // overflow-safe ppm: cyclic x 1e6 exceeds BIGINT once C(n,3)
-        // passes ~9e12 (n ~ 60k items), so large totals switch to the
-        // divide-the-denominator form -- both engines compute the SAME
-        // integer formula, so the metric stays hash-exact at any SF
-        expr("CASE WHEN n * (n - 1) * (n - 2) div 6 < 1000000 THEN " +
-          "(n * (n - 1) * (n - 2) div 6 - sum_c2) * 1000000 div " +
-          "greatest(1L, n * (n - 1) * (n - 2) div 6) ELSE " +
-          "(n * (n - 1) * (n - 2) div 6 - sum_c2) div " +
-          "(n * (n - 1) * (n - 2) div 6 div 1000000) END")
-          .as("cyclic_ppm"))
-    }
-    val hashed = arm(
-      pairs.select(when($"par" === 0, $"lo").otherwise($"hi").as("w"))
-        .groupBy($"w").agg(count(lit(1)).as("wins")), "hashed")
-    val ordered = arm(
-      pairs.groupBy($"lo".as("w")).agg(count(lit(1)).as("wins")), "ordered")
-    hashed.unionByName(ordered).orderBy($"variant")
+    nDf.crossJoin(sumC2).select(
+      $"variant",
+      $"n".as("n_items"),
+      expr("n * (n - 1) * (n - 2) div 6 - sum_c2").as("cyclic_triads"),
+      // overflow-safe ppm: cyclic x 1e6 exceeds BIGINT once C(n,3)
+      // passes ~9e12 (n ~ 60k items), so large totals switch to the
+      // divide-the-denominator form -- both engines compute the SAME
+      // integer formula, so the metric stays hash-exact at any SF
+      expr("CASE WHEN n * (n - 1) * (n - 2) div 6 < 1000000 THEN " +
+        "(n * (n - 1) * (n - 2) div 6 - sum_c2) * 1000000 div " +
+        "greatest(1L, n * (n - 1) * (n - 2) div 6) ELSE " +
+        "(n * (n - 1) * (n - 2) div 6 - sum_c2) div " +
+        "(n * (n - 1) * (n - 2) div 6 div 1000000) END")
+        .as("cyclic_ppm"))
+      .orderBy($"variant")
   }
 
   private val q493Oracle =

@@ -2344,18 +2344,25 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
         val m = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        // Filtered scans skip the channel: numRows is the delegate's
+        // selectivity estimate, and exact file-grain null/NDV figures
+        // beside it can exceed it (null fraction > 1) and derail the
+        // estimator (the delegate's estimates still flow).
+        if (filtered) return m
         // deletion vectors make the per-file sketches and null counts
-        // WRITE-time figures over live-row counts: nullCount can
-        // exceed numRows and the row-count clamp collapses NDV — skip
-        // the channel rather than feed the CBO inconsistent numbers
-        // (the delegate's estimates still flow). Filtered scans skip
-        // for the same reason: numRows is the delegate's selectivity
-        // estimate, and exact file-grain null/NDV figures beside it
-        // can exceed it (null fraction > 1) and derail the estimator.
-        if (filtered || chosen.exists(_.dv.isDefined)) return m
+        // WRITE-time figures; the live-row numbers stay derivable:
+        // written nulls minus ALL dead rows lower-bounds the live null
+        // count (consistent by construction — writtenNulls ≤ live +
+        // dead; understating nulls overstates join cardinality, the
+        // conservative direction), and the folded sketch
+        // over-approximates live NDV, clamped by the live row count
+        // below. A heavily MoR-updated table keeps its CBO distinct
+        // counts instead of going dark until compaction.
+        val deadRows = chosen.flatMap(_.dv).map(_._2).sum
         required.fieldNames.foreach { c =>
           TableLog.ndvAndNulls(chosen, snap.physName(c)).foreach {
-            case (n, nulls) =>
+            case (n, nulls0) =>
+              val nulls = math.max(0L, nulls0 - deadRows)
               // the sketch can overshoot the row count (±9% RSE);
               // NDV > rows is impossible and inconsistent stats derail
               // the estimator — clamp to the manifest's exact count

@@ -44,8 +44,10 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   *  - Views of views expand to fixed point; a definition cycle
   *    fails analysis (max-iterations), never hangs.
   *  - DML through a view (INSERT/DELETE/UPDATE/MERGE) refuses
-  *    loudly. `DROP VIEW [IF EXISTS]`, `SHOW VIEWS IN graftlog[.ds]`
-  *    complete the lifecycle.
+  *    loudly. `DROP VIEW [IF EXISTS]`, `SHOW VIEWS IN graftlog[.ds]`,
+  *    `ALTER VIEW … AS <query>` (validate-now, atomic swap) and
+  *    `SHOW CREATE TABLE <view>` (runnable DDL replay — Spark's
+  *    statement for views too) complete the lifecycle.
   */
 class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -85,6 +87,24 @@ class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
     case DropView(UnresolvedIdentifier(parts, _), ifExists)
         if viewFileOf(parts).isDefined =>
       GraftDropViewCommand(parts, viewFileOf(parts).get._2, ifExists)
+    // ALTER VIEW … AS <query>: same validate-now + atomic-sidecar
+    // discipline as CREATE OR REPLACE (a table name here correctly
+    // errors "view does not exist")
+    case AlterViewAs(target, originalText, _)
+        if partsOfTarget(target).exists(p => viewFileOf(p).isDefined) =>
+      val parts = partsOfTarget(target).get
+      val (g, file) = viewFileOf(parts).get
+      if (!Files.isRegularFile(file)) throw new IllegalArgumentException(
+        s"graftlog: view ${parts.mkString(".")} does not exist")
+      GraftCreateViewCommand(g, parts, file, originalText,
+        replace = true, allowExisting = false)
+    // SHOW CREATE TABLE on a view name (Spark's statement for views
+    // too — there is no separate SHOW CREATE VIEW grammar): replay
+    // the stored definition as runnable DDL
+    case ShowCreateTable(target, _, output)
+        if partsOfTarget(target).exists(p => existingView(p).isDefined) =>
+      val parts = partsOfTarget(target).get
+      GraftShowCreateViewCommand(parts, existingView(parts).get, output)
     case sv @ ShowViews(UnresolvedNamespace(parts, _), pattern, output)
         if parts.nonEmpty && graftCatalog(parts.head).isDefined =>
       val dir = graftCatalog(parts.head).flatMap(_.viewsDir(parts.tail))
@@ -140,6 +160,16 @@ class GraftViewRule(session: SparkSession) extends Rule[LogicalPlan] {
     case r: UnresolvedRelation => r.multipartIdentifier
     case _                     => Nil
   }
+
+  /** The name parts of a DDL statement's unresolved target node. */
+  private def partsOfTarget(p: LogicalPlan): Option[Seq[String]] = p match {
+    case v: org.apache.spark.sql.catalyst.analysis.UnresolvedView =>
+      Some(v.multipartIdentifier)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      Some(t.multipartIdentifier)
+    case UnresolvedIdentifier(parts, _) => Some(parts)
+    case _ => None
+  }
 }
 
 /** `CREATE [OR REPLACE] VIEW` execution: validate-now, refuse table
@@ -171,6 +201,16 @@ case class GraftCreateViewCommand(catalog: GraftLogCatalog,
         StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
     Nil
+  }
+}
+
+/** `SHOW CREATE TABLE` on a view: one row of runnable DDL replaying
+  * the stored definition — a sidecar read, no table state opened. */
+case class GraftShowCreateViewCommand(parts: Seq[String], file: Path,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val name = parts.map(p => s"`$p`").mkString(".")
+    Seq(Row(s"CREATE VIEW $name AS\n${Files.readString(file)}"))
   }
 }
 

@@ -1803,7 +1803,7 @@ object TableLog {
       require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
         s"gencol.$c: generation expression must be deterministic: $sql")
     }
-    identityOf(props).foreach { case (c, start) =>
+    identityOf(props).foreach { case (c, start, step) =>
       require(schema.fieldNames.contains(c),
         s"identity.$c: no such column in $schemaDdl")
       require(schema(c).dataType ==
@@ -1812,6 +1812,9 @@ object TableLog {
       require(!props.contains(s"gencol.$c"),
         s"identity.$c: a column cannot be both IDENTITY and generated")
       require(start >= 0L, s"identity.$c: negative start $start")
+      require(step != 0L,
+        s"identity.$c: INCREMENT BY 0 would assign every row the " +
+          "same id")
     }
     commit(table, 0L, "create", Nil, Nil, schemaDdl, keyCol,
       partCols = partCols,
@@ -1841,14 +1844,25 @@ object TableLog {
       props = Some(props))
   }
 
-  /** IDENTITY columns declared on the table (`identity.<col>` →
-    * next value to assign). Write paths that take ARBITRARY new rows
-    * refuse on identity tables and route to [[appendIdentity]];
-    * copy-on-write rewrites of EXISTING rows (delete/compact/DV
-    * update) pass through — their ids were already assigned. */
-  private def identityOf(props: Map[String, String]): Seq[(String, Long)] =
+  /** IDENTITY columns declared on the table: `identity.<col>` →
+    * `<next>` or `<next>:<step>` — the next value to assign and the
+    * INCREMENT BY step (1 when omitted — the common form; START WITH
+    * is simply the declared initial `<next>`). Write paths that take
+    * ARBITRARY new rows refuse on identity tables and route to
+    * [[appendIdentity]]; copy-on-write rewrites of EXISTING rows
+    * (delete/compact/DV update) pass through — their ids were
+    * already assigned. Returns (col, next, step). */
+  private def identityOf(props: Map[String, String])
+      : Seq[(String, Long, Long)] =
     props.toSeq.collect { case (k, v) if k.startsWith("identity.") =>
-      (k.stripPrefix("identity."), v.toLong) }.sortBy(_._1)
+      val cut = v.indexOf(':')
+      val (next, step) =
+        if (cut < 0) (v.toLong, 1L)
+        else (v.substring(0, cut).toLong, v.substring(cut + 1).toLong)
+      (k.stripPrefix("identity."), next, step) }.sortBy(_._1)
+
+  private def identityProp(next: Long, step: Long): String =
+    if (step == 1L) next.toString else s"$next:$step"
 
   private def requireNoIdentity(snap: Snapshot, op: String): Unit =
     require(identityOf(snap.props).isEmpty,
@@ -1873,7 +1887,7 @@ object TableLog {
     val ids = identityOf(snap.props)
     require(ids.size == 1,
       s"appendIdentity: table declares ${ids.size} identity columns (need 1)")
-    val (c, hwm) = ids.head
+    val (c, hwm, step) = ids.head
     require(!df.columns.contains(c),
       s"appendIdentity: '$c' is GENERATED ALWAYS AS IDENTITY — explicit " +
         "values are refused")
@@ -1887,7 +1901,7 @@ object TableLog {
     // checkpoint makes every pass read the same materialized rows.
     val frozen = df.localCheckpoint(true)
     val rdd = frozen.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + i)) }
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + i * step)) }
     val assigned = withWriteDefaults(
       spark.createDataFrame(rdd, StructType(frozen.schema.fields :+
         org.apache.spark.sql.types.StructField(c,
@@ -1901,7 +1915,8 @@ object TableLog {
     // the data cannot disagree
     val n = adds.map(_.rows).sum
     commit(table, snap.version, "append", adds, Nil, "", "",
-      props = Some(snap.props + (s"identity.$c" -> (hwm + n).toString)))
+      props = Some(snap.props +
+        (s"identity.$c" -> identityProp(hwm + n * step, step))))
   }
 
   /** Append-only commit — the reference's daily load shape. Never
@@ -2175,7 +2190,13 @@ object TableLog {
   def deepClone(src: String, dst: String): (Long, Int) = {
     require(latestVersion(dst) == 0L, s"$dst already exists")
     val s = state(src)
-    val adds = s.active.map { a =>
+    // PARALLEL link loop: each file is 1-3 hard-link syscalls with a
+    // unique target (stage dirs are UUID-fresh), so the O(files) pass
+    // fans across the default pool instead of serializing ~1M
+    // syscalls on one driver thread (minutes → seconds at 1M files);
+    // the metadata commit below stays single-threaded
+    import scala.collection.parallel.CollectionConverters._
+    val adds = s.active.par.map { a =>
       val id = fileIdOf(a.relPath) // <stage>/<name> — stages are UUID-fresh
       val target = Paths.get(dst, "data", id)
       Files.createDirectories(target.getParent)
@@ -2189,7 +2210,7 @@ object TableLog {
       s.bloom.foreach { case (c, _) => link(s".$c.bloom") }
       a.dv.foreach { case (token, _) => link(s".$token") }
       a.copy(relPath = s"data/$id")
-    }
+    }.seq.toSeq
     val v = commit(dst, 0L, "clone", adds, Nil, s.schemaDdl, s.keyCol,
       bloom = s.bloom, partCols = s.partCols,
       props = if (s.props.isEmpty) None else Some(s.props),
@@ -2497,10 +2518,15 @@ object TableLog {
       validateChecks(readFiles(spark, dst, b, audit), uniq,
         s"publish of branch '$name' into $table")
     }
-    // rewrite to main-relative, adopting branch-born files by hard link
-    val rewritten = b.active.map { a =>
-      val rel = relOf(a)
-      if (!rel.startsWith("_branches/")) a.copy(relPath = rel)
+    // rewrite to main-relative, adopting branch-born files by hard
+    // link — in PARALLEL: the adoption is per-file unique-target
+    // syscall work bounded by the branch delta, same shape as
+    // [[deepClone]]'s loop
+    val rewritten = {
+      import scala.collection.parallel.CollectionConverters._
+      b.active.par.map { a =>
+        val rel = relOf(a)
+        if (!rel.startsWith("_branches/")) a.copy(relPath = rel)
       else {
         val id = fileIdOf(rel) // <stage>/<name> — stages are UUID-fresh
         val target = Paths.get(table, "data", id)
@@ -2516,6 +2542,7 @@ object TableLog {
         a.dv.foreach { case (token, _) => link(s".$token") }
         a.copy(relPath = s"data/$id")
       }
+      }.seq.toSeq
     }
     // three-way merge against the FORK snapshot: adds are what the
     // branch changed or created (fork-unchanged files ride as main

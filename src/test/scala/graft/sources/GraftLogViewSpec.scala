@@ -98,6 +98,39 @@ class GraftLogViewSpec extends SparkSuite {
     assert(shown == Seq("v1", "v2"), s"SHOW VIEWS listed $shown")
   }
 
+  test("ALTER VIEW … AS swaps the definition atomically with " +
+      "validate-now; SHOW CREATE TABLE replays runnable DDL") {
+    val t = freshTable()
+    val v = Paths.get(t).getParent.toString + "/v_alter"
+    spark.sql(s"CREATE VIEW graftlog.`$v` AS " +
+      s"SELECT k, x FROM graftlog.`$t` WHERE k <= 2")
+    assert(spark.sql(s"SELECT sum(x) FROM graftlog.`$v`")
+      .head().getLong(0) == 30L)
+    spark.sql(s"ALTER VIEW graftlog.`$v` AS " +
+      s"SELECT k, x FROM graftlog.`$t` WHERE k >= 7")
+    assert(spark.sql(s"SELECT sum(x) FROM graftlog.`$v`")
+      .head().getLong(0) == 150L, "ALTER VIEW must swap the definition")
+    // validate-now: a bad new text refuses and the OLD definition holds
+    intercept[Exception] {
+      spark.sql(s"ALTER VIEW graftlog.`$v` AS SELECT nope FROM missing")
+    }
+    assert(spark.sql(s"SELECT sum(x) FROM graftlog.`$v`")
+      .head().getLong(0) == 150L, "a refused ALTER must keep the old text")
+    // a missing view refuses; a TABLE name refuses as not-a-view
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER VIEW graftlog.`$v-nope` AS SELECT 1 AS one")
+    }
+    intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER VIEW graftlog.`$t` AS SELECT 1 AS one")
+    }
+    // SHOW CREATE TABLE on the view replays runnable DDL
+    val ddl = spark.sql(s"SHOW CREATE TABLE graftlog.`$v`")
+      .head().getString(0)
+    assert(ddl.startsWith("CREATE VIEW") && ddl.contains("k >= 7"),
+      s"SHOW CREATE must replay the stored definition, got:\n$ddl")
+    spark.sql(s"DROP VIEW graftlog.`$v`")
+  }
+
   test("a definition cycle closed by CREATE OR REPLACE fails with a " +
       "clear cycle error, not a StackOverflowError") {
     val t = freshTable()

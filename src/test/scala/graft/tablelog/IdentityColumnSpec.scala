@@ -149,6 +149,30 @@ class IdentityColumnSpec extends SparkSuite {
       e3.getMessage.contains("identity"), e3.getMessage)
   }
 
+  test("START WITH / INCREMENT BY: identity.<col> = '<next>:<step>' " +
+      "allocates in steps, advances the mark by n*step, keeps the " +
+      "step across commits; step 0 refuses at CREATE") {
+    import spark.implicits._
+    spark.version
+    val t = Files.createTempDirectory("tlog_idst_").toString + "/t"
+    TableLog.createEmpty(t, "id BIGINT, v STRING", "id",
+      props = Map("identity.id" -> "100:5"))
+    TableLog.appendIdentity(Seq("a", "b", "c").toDF("v"), t, 1)
+    TableLog.appendIdentity(Seq("d").toDF("v"), t, 1)
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((100L, "a"), (105L, "b"), (110L, "c"),
+      (115L, "d")), got.toString)
+    assert(TableLog.state(t).props("identity.id") == "120:5",
+      "the mark must advance by n*step and keep the step")
+    intercept[IllegalArgumentException] {
+      TableLog.createEmpty(
+        Files.createTempDirectory("tlog_idst0_").toString + "/t",
+        "id BIGINT, v STRING", "id",
+        props = Map("identity.id" -> "100:0"))
+    }
+  }
+
   test("a DV update may rewrite non-id columns but never TARGET the " +
       "identity column — set-expressions cannot mint ids past the " +
       "allocator") {

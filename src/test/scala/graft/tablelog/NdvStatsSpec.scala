@@ -110,4 +110,36 @@ class NdvStatsSpec extends SparkSuite {
         v => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     }
   }
+
+  test("the NDV channel stays alive under deletion vectors: a MoR " +
+      "table still reports CBO distinct counts, clamped to live rows") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir()
+    TableLog.create((0L until 4000L).map(i => (i, i % 100))
+      .toDF("k", "j"), t, "k", 4)
+    TableLog.deleteWhereDv(spark, t, $"k" < 1000L) // 3000 live, no rewrite
+    val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.sql(s"SELECT k, j FROM graftlog.`$t`")
+        .queryExecution.optimizedPlan.stats
+      val kStats = stats.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStats.exists(_.distinctCount.isDefined),
+        s"MoR table lost its CBO distinct counts: $stats")
+      // the write-time sketch (≈4000 ±9%) over-approximates live NDV
+      // and the live-row clamp caps it at exactly the 3000 live rows
+      assert(kStats.get.distinctCount.get.toLong == 3000L,
+        s"expected the live-row clamp, got ${kStats.get.distinctCount}")
+      // null accounting stays consistent: j has no nulls; the dead-row
+      // subtraction must not go negative
+      val jStats = stats.attributeStats.find(_._1.name == "j").map(_._2)
+      assert(jStats.exists(_.nullCount.exists(_ == 0)),
+        s"MoR null clamp wrong: $jStats")
+    } finally {
+      prevCbo.fold(spark.conf.unset("spark.sql.cbo.enabled"))(v =>
+        spark.conf.set("spark.sql.cbo.enabled", v))
+    }
+  }
 }
