@@ -2590,7 +2590,157 @@ object DedupOps {
        |ORDER BY bands DESC""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q501
+  /** [NS] URL-CANONICALIZATION dedup audit — the crawl-hygiene step a
+    * CommonCrawl/C4-style pipeline runs BEFORE any content dedup: the
+    * same page arrives under case-noised schemes/hosts, explicit
+    * default ports, tracking (`utm_*`) query blocks, fragments and
+    * trailing slashes, and collapsing those aliases is pure string
+    * algebra — no content bytes hashed, no shingles. Canonicalization
+    * here: lowercase scheme+host, strip `:443`, strip the fragment,
+    * strip a trailing tracking-query block, strip the trailing slash.
+    * Output prices the crawl's URL-level duplication per source:
+    * URLs seen, distinct canonical URLs, and the rows a
+    * canonical-key dedup would drop. Scale shape: one scan, per-URL
+    * regex work inside codegen, then ONE (source, canonical)
+    * distinct — the standard dedup shuffle carrying keys only; at
+    * 100 TB this is the cheapest dedup pass in the funnel and runs
+    * first. The fixture synthesizes the URL mess deterministically
+    * from doc_id so the DuckDB oracle replays it digit-for-digit. */
+  def q501UrlCanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("_q501_docs")
+    s.sql(
+      """WITH urls AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+        |    '.example.com' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        |    '/docs/' || CAST(doc_id % 40 AS STRING) ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_medium=rss'
+        |         WHEN doc_id % 7 = 0 THEN '?q=' || CAST(doc_id % 4 AS STRING)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM _q501_docs),
+        |defrag AS (
+        |  SELECT source, regexp_replace(url, '#.*$', '') AS u FROM urls),
+        |hostp AS (
+        |  SELECT source, u,
+        |    regexp_extract(u, '^([a-zA-Z]+://[^/?#]*)', 1) AS hp FROM defrag),
+        |canon AS (
+        |  SELECT source,
+        |    replace(lower(hp), ':443', '') ||
+        |    regexp_replace(
+        |      regexp_replace(substring(u, length(hp) + 1),
+        |        '[?]utm_[a-z_=&]*$', ''),
+        |      '/$', '') AS canonical
+        |  FROM hostp)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+        |  CAST(count(*) - count(DISTINCT canonical) AS BIGINT) AS n_dups
+        |FROM canon GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  private val q501Oracle =
+    """WITH urls AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END ||
+      |    '.example.com' ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+      |    '/docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_medium=rss'
+      |         WHEN doc_id % 7 = 0 THEN '?q=' || CAST(doc_id % 4 AS VARCHAR)
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END AS url
+      |  FROM documents),
+      |defrag AS (
+      |  SELECT source, regexp_replace(url, '#.*$', '') AS u FROM urls),
+      |hostp AS (
+      |  SELECT source, u,
+      |    regexp_extract(u, '^([a-zA-Z]+://[^/?#]*)', 1) AS hp FROM defrag),
+      |canon AS (
+      |  SELECT source,
+      |    replace(lower(hp), ':443', '') ||
+      |    regexp_replace(
+      |      regexp_replace(substring(u, length(hp) + 1),
+      |        '[?]utm_[a-z_=&]*$', ''),
+      |      '/$', '') AS canonical
+      |  FROM hostp)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+      |  CAST(count(*) - count(DISTINCT canonical) AS BIGINT) AS n_dups
+      |FROM canon GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q503
+  /** [NS] SOFT-DEDUP WEIGHTS (the down-weight-don't-drop policy —
+    * SlimPajama/UniMax-adjacent): instead of keeping one member per
+    * duplicate cluster and dropping the rest, every member trains
+    * with weight 1/cluster_size, preserving coverage while removing
+    * the duplication bias. The operator prices BOTH policies per
+    * source in one pass over prefix-fingerprint clusters (md5 of the
+    * first 4 tokens — the cheap family key): raw tokens, hard-dedup
+    * tokens (the min-doc_id representative's), and the soft effective
+    * token mass Σ tokens/cluster_size in exact integer micro-tokens.
+    * The gap between hard and soft is the training-signal a drop
+    * policy forfeits. Scale shape: one scan, one shuffle on the
+    * fingerprint (two window functions over it), per-source fold —
+    * no pairs, no joins; clusters may span sources and each member's
+    * weight uses the GLOBAL cluster size. */
+  def q503SoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("_q503_docs")
+    s.sql(
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS nt,
+        |    md5(array_join(slice(split(text, ' '), 1, 4), ' ')) AS fp
+        |  FROM _q503_docs),
+        |c AS (
+        |  SELECT source, nt,
+        |    count(*)    OVER (PARTITION BY fp) AS csz,
+        |    min(doc_id) OVER (PARTITION BY fp) AS rep,
+        |    doc_id
+        |  FROM d)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clustered_docs,
+        |  CAST(sum(nt) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(CASE WHEN doc_id = rep THEN nt ELSE 0 END) AS BIGINT)
+        |    AS hard_tokens,
+        |  CAST(sum(nt * 1000000 div csz) AS BIGINT) AS soft_micro_tokens
+        |FROM c GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  private val q503Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(text, ' ')) AS nt,
+      |    md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS fp
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, nt,
+      |    count(*)    OVER (PARTITION BY fp) AS csz,
+      |    min(doc_id) OVER (PARTITION BY fp) AS rep,
+      |    doc_id
+      |  FROM d)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clustered_docs,
+      |  CAST(sum(nt) AS BIGINT) AS raw_tokens,
+      |  CAST(sum(CASE WHEN doc_id = rep THEN nt ELSE 0 END) AS BIGINT)
+      |    AS hard_tokens,
+      |  CAST(sum(nt * 1000000 // csz) AS BIGINT) AS soft_micro_tokens
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q501_url_canonical_dedup" -> (q501UrlCanonicalDedup _),
+    "q503_soft_dedup_weights" -> (q503SoftDedupWeights _),
     "q475_banding_sweep" -> (q475BandingSweep _),
     "q469_dedup_quality_eval" -> (q469DedupQualityEval _),
     "q359_exact_substr_dedup" -> (q359ExactSubstrDedup _),
@@ -2633,6 +2783,8 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q501_url_canonical_dedup" -> q501Oracle,
+    "q503_soft_dedup_weights" -> q503Oracle,
     "q256_dedup_roi"        -> q256Oracle,
     "q265_lsh_advisor"      -> q265Oracle,
     "q268_method_agreement" -> q268Oracle,

@@ -6982,7 +6982,71 @@ object TextOps {
        |  CAST(sum(doc_id * position) AS BIGINT) AS order_checksum
        |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
 
+  // ---------------------------------------------------------------- q502
+  /** [NS] TOKEN-BUDGET CORPUS FREEZE — the selection-under-budget
+    * pass that turns a scored corpus into a training snapshot: given
+    * a global token budget (here 40% of the corpus), keep documents
+    * in quality order until the budget is exhausted, and report per
+    * source what survived the cut. The quality proxy here is the
+    * integer chars-per-token density ((n_chars·1000) div (tokens+1))
+    * — deterministic and self-contained; a real pipeline plugs its
+    * classifier score (q352/q483) into the same ORDER BY. Scale
+    * shape: one scan to score, then ONE global quality-ordered
+    * cumulative sum — a range-partitioned sort, the same shape as
+    * any global ORDER BY at 100 TB (Spark samples range bounds; the
+    * cumsum is per-partition prefix + broadcast offsets). Per-source
+    * budgets would shard the sort by source; the GLOBAL greedy is
+    * the harder and more common contract (DoReMi/DSIR reweighting
+    * feeds it), so that is what ships. All arithmetic exact BIGINT —
+    * the cut line is reproducible to the document. */
+  def q502TokenBudgetFreeze(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("_q502_docs")
+    s.sql(
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS nt,
+        |    (n_chars * 1000) div
+        |      (CAST(size(split(text, ' ')) AS BIGINT) + 1) AS q
+        |  FROM _q502_docs),
+        |tot AS (SELECT sum(nt) * 2 div 5 AS budget FROM d),
+        |r AS (
+        |  SELECT source, nt,
+        |    sum(nt) OVER (ORDER BY q DESC, doc_id) AS cum
+        |  FROM d)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS raw_tokens,
+        |  CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN cum <= budget THEN nt ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens
+        |FROM r CROSS JOIN tot
+        |GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  private val q502Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(text, ' ')) AS nt,
+      |    (n_chars * 1000) // (len(string_split(text, ' ')) + 1) AS q
+      |  FROM documents),
+      |tot AS (SELECT sum(nt) * 2 // 5 AS budget FROM d),
+      |r AS (
+      |  SELECT source, nt,
+      |    sum(nt) OVER (ORDER BY q DESC, doc_id) AS cum
+      |  FROM d)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS raw_tokens,
+      |  CAST(sum(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(sum(CASE WHEN cum <= budget THEN nt ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens
+      |FROM r CROSS JOIN tot
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q502_token_budget_freeze" -> (q502TokenBudgetFreeze _),
     "q480_pipeline_capstone" -> (q480PipelineCapstone _),
     "q483_nb_quality_classifier" -> (q483NbQualityClassifier _),
     "q484_tokenizer_fertility" -> (q484TokenizerFertility _),
@@ -7087,6 +7151,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q502_token_budget_freeze" -> q502Oracle,
     "q480_pipeline_capstone" -> q480Oracle,
     "q483_nb_quality_classifier" -> q483Oracle,
     "q484_tokenizer_fertility" -> q484Oracle,

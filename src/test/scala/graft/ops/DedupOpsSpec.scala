@@ -885,4 +885,42 @@ class DedupOpsSpec extends SparkSuite {
     assert(r.getLong(4) == 2000000L / 6L)  // precision_ppm
     assert(r.getLong(5) == 2000000L / 3L)  // recall_ppm
   }
+
+  test("q501 url canonicalization: alias forms (case, default port, " +
+      "utm block, fragment, trailing slash) collapse; q params survive") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("urlcanon").toString
+    // docs 6 and 46 synthesize DIFFERENT raw urls (HTTPS://T... vs
+    // https://t...) with the same canonical image; doc 7 keeps its ?q=
+    Seq(
+      (6L, "x", "en", "t", 1L),
+      (46L, "x", "en", "t", 1L),
+      (7L, "x", "en", "t", 1L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DedupOps.q501UrlCanonicalDedup(spark, tmp).collect()
+    assert(r.length == 1)
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3))
+      == ((3L, 2L, 1L)), r.head.toString)
+  }
+
+  test("q503 soft-dedup weights: cluster members keep 1/size of their " +
+      "tokens; the hard policy keeps only the min-id representative") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("softdedup").toString
+    Seq(
+      (1L, "a b c d e", "en", "t", 9L),     // fp cluster {1,2}, rep
+      (2L, "a b c d z z", "en", "t", 11L),  // same 4-token prefix
+      (3L, "x y z w", "en", "t", 7L),       // singleton
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = DedupOps.q503SoftDedupWeights(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 3L && row.getLong(2) == 2L, row.toString)
+    assert(row.getLong(3) == 15L, s"raw ${row.getLong(3)}")
+    assert(row.getLong(4) == 9L, s"hard ${row.getLong(4)}")
+    // 5/2 + 6/2 + 4 tokens in micro-units
+    assert(row.getLong(5) == 9500000L, s"soft ${row.getLong(5)}")
+  }
 }

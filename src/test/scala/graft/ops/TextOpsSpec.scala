@@ -2247,4 +2247,23 @@ class TextOpsSpec extends SparkSuite {
       assert(x != y, "two epochs shuffled identically")
     }
   }
+
+  test("q502 token-budget freeze: the global quality-ordered greedy " +
+      "stops exactly at the 40% budget line") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("freeze").toString
+    // quality q = (n_chars*1000) div (nt+1): doc1 q=4000, doc3 q=3000,
+    // doc2 q=1250; total tokens 6, budget 6*2/5 = 2 -> only doc1 fits
+    Seq(
+      (1L, "aaaaaaaaa bb", "en", "t", 12L),
+      (2L, "a b c", "en", "t", 5L),
+      (3L, "abcdef", "en", "t", 6L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.q502TokenBudgetFreeze(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      == ((3L, 6L, 1L, 2L)), row.toString)
+  }
 }
