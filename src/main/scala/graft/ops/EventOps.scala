@@ -6764,7 +6764,73 @@ object EventOps {
        |FROM best WHERE rk2 = 1 ORDER BY tau_ppm""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q504
+  /** [NS] SFT TURN-FLATTENING accounting — the planning pass a
+    * supervised-fine-tuning pipeline runs before exploding multi-turn
+    * dialogs into per-assistant-turn training samples: each dialog of
+    * T turns yields one sample per assistant turn, whose input is the
+    * full conversation PREFIX — so sample cost is the prefix token
+    * sum, and the batch/packing planner needs (samples, total context
+    * tokens, how many exceed the context budget and truncate) BEFORE
+    * materializing O(T²/2) tokens of flattened text. The fixture
+    * models dialogs from the events stream (user_id = dialog, turns
+    * ordered by (ts, event_id), roles alternating user/assistant,
+    * per-turn token count derived deterministically from event_id)
+    * and reports the accounting per dialog cohort. Scale shape: ONE
+    * shuffle by dialog id, a window prefix-sum inside it, cohort
+    * fold — the flatten itself would ride the same window
+    * (collect_list prefix + concat), which is why the accounting
+    * operator shares its plan. Context budget [[sftContextBudget]]
+    * tokens; all arithmetic exact BIGINT. */
+  val sftContextBudget = 64L
+
+  def q504SftTurnFlatten(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("_q504_events")
+    s.sql(
+      s"""WITH t AS (
+         |  SELECT user_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |                       ORDER BY ts, event_id) AS turn,
+         |    1 + (event_id % 7) AS nt
+         |  FROM _q504_events),
+         |c AS (
+         |  SELECT user_id, turn, nt,
+         |    sum(nt) OVER (PARTITION BY user_id ORDER BY turn) AS ctx
+         |  FROM t)
+         |SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_dialogs,
+         |  CAST(sum(CASE WHEN turn % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_samples,
+         |  CAST(sum(CASE WHEN turn % 2 = 0 THEN ctx ELSE 0 END) AS BIGINT)
+         |    AS context_tokens,
+         |  CAST(sum(CASE WHEN turn % 2 = 0 AND ctx > $sftContextBudget
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+         |FROM c GROUP BY user_id % 10 ORDER BY cohort""".stripMargin)
+  }
+
+  private val q504Oracle =
+    """WITH t AS (
+      |  SELECT user_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS turn,
+      |    1 + (event_id % 7) AS nt
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, turn, nt,
+      |    sum(nt) OVER (PARTITION BY user_id ORDER BY turn) AS ctx
+      |  FROM t)
+      |SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_dialogs,
+      |  CAST(sum(CASE WHEN turn % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_samples,
+      |  CAST(sum(CASE WHEN turn % 2 = 0 THEN ctx ELSE 0 END) AS BIGINT)
+      |    AS context_tokens,
+      |  CAST(sum(CASE WHEN turn % 2 = 0 AND ctx > 64
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
+      |FROM c GROUP BY user_id % 10 ORDER BY cohort""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q504_sft_turn_flatten" -> (q504SftTurnFlatten _),
     "q411_quantile_regression" -> (q411QuantileRegression _),
     "q410_markov_attribution" -> (q410MarkovAttribution _),
     "q408_stratified_ate" -> (q408StratifiedAte _),
@@ -6852,6 +6918,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q504_sft_turn_flatten" -> q504Oracle,
     "q411_quantile_regression" -> q411Oracle,
     "q410_markov_attribution" -> q410Oracle,
     "q408_stratified_ate" -> q408Oracle,

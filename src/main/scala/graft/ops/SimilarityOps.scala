@@ -2745,7 +2745,109 @@ object SimilarityOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q505
+  /** [NS] IVF NPROBE-SWEEP recall advisor — the ANN-governance twin
+    * of q475's LSH banding sweep: before committing an index config,
+    * price the recall/cost dial by measuring, per nprobe ∈
+    * {1, 2, 4, 8}, exact recall@[[topK]] of q71's IVF against q70's
+    * brute-force truth. At nprobe = [[numCells]] the probe covers
+    * every cell, so the sweep's last row is PROVABLY recall 1.0 —
+    * the built-in self-check — and recall is monotone in nprobe by
+    * construction (candidate sets nest). Scale shape: the model and
+    * cell assignment are q71's zero-Exchange projections computed
+    * once; each arm joins the broadcast probe list and ranks — the
+    * brute-truth arm is the only corpus×query pass, and queries are
+    * [[nQueries]] broadcast rows. Recall is integer ppm over the
+    * truth-set size: hash-exact across engines, no float thresholds
+    * in the metric (ranking reuses q70/q71's bit-stable cosine). */
+  def q505NprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, dir)
+    val cents = centroidModel(s, dir)
+    val cells = c.withColumn("cell",
+      -array_max(centroidScores(cents, $"embedding", $"nrm"))
+        .getField("negcid"))
+    val q = c.where($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+        $"nrm".as("qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"vec_id".asc)
+    val truth = c.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        (VectorOps.dot($"embedding", $"qv") / ($"nrm" * $"qn"))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w)).where($"rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    val tcDf = truth.agg(count(lit(1)).as("tc"))
+    val arms = Seq(1, 2, 4, 8).map { np =>
+      val probes = q.select($"query_id", $"qv", $"qn",
+        explode(transform(
+          slice(reverse(array_sort(centroidScores(cents, $"qv", $"qn"))),
+            1, np),
+          x => -x.getField("negcid"))).as("cell"))
+      val ivfk = cells.join(broadcast(probes), Seq("cell"))
+        .where($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          (VectorOps.dot($"embedding", $"qv") / ($"nrm" * $"qn"))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w)).where($"rank" <= topK)
+        .select($"query_id", $"vec_id".as("neighbor_id"))
+      ivfk.join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(tcDf)
+        .select(lit(np.toLong).as("nprobe"), $"n_hits",
+          expr("n_hits * 1000000 div tc").as("recall_ppm"))
+    }
+    arms.reduce(_ unionByName _).orderBy($"nprobe")
+  }
+
+  private lazy val q505Oracle = {
+    val cos = s"${dotSql("ce.embedding", "qe.embedding")} / (ce.nrm * qe.nrm)"
+    s"""WITH $ivfCellsCte,
+       |nps AS (SELECT * FROM (VALUES (1), (2), (4), (8)) v(np)),
+       |rankc AS (
+       |  SELECT vec_id AS query_id, cid AS cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY cos DESC, cid ASC) AS crank
+       |  FROM sc WHERE vec_id < $nQueries),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qe.vec_id AS query_id, ce.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY qe.vec_id
+       |        ORDER BY $cos DESC, ce.vec_id ASC) AS rank
+       |    FROM e ce JOIN e qe
+       |      ON ce.vec_id <> qe.vec_id AND qe.vec_id < $nQueries)
+       |  WHERE rank <= $topK),
+       |tc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM truth),
+       |cand AS (
+       |  SELECT DISTINCT n.np, r.query_id, ce.vec_id
+       |  FROM nps n
+       |  JOIN rankc r ON r.crank <= n.np
+       |  JOIN cells ce ON r.cell = ce.cell
+       |  WHERE ce.vec_id <> r.query_id),
+       |ranked AS (
+       |  SELECT np, cand.query_id, cand.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY np, cand.query_id
+       |      ORDER BY $cos DESC, cand.vec_id ASC) AS rank
+       |  FROM cand
+       |  JOIN e ce ON cand.vec_id = ce.vec_id
+       |  JOIN e qe ON cand.query_id = qe.vec_id),
+       |hits AS (
+       |  SELECT np, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM (SELECT np, query_id, neighbor_id FROM ranked
+       |        WHERE rank <= $topK) k
+       |  JOIN truth USING (query_id, neighbor_id)
+       |  GROUP BY np)
+       |SELECT CAST(n.np AS BIGINT) AS nprobe,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) * 1000000 // tc.n AS BIGINT)
+       |    AS recall_ppm
+       |FROM nps n LEFT JOIN hits h ON n.np = h.np, tc
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q505_nprobe_sweep" -> (q505NprobeSweep _),
     "q406_triplet_mining" -> (q406TripletMining _),
     "q392_hbos_outliers" -> (q392HbosOutliers _),
     "q386_grid_density" -> (q386GridDensity _),
@@ -2777,6 +2879,7 @@ object SimilarityOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q505_nprobe_sweep" -> q505Oracle,
     "q406_triplet_mining" -> q406Oracle,
     "q392_hbos_outliers" -> q392Oracle,
     "q386_grid_density" -> q386Oracle,

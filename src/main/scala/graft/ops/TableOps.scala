@@ -3725,7 +3725,64 @@ object TableOps {
       |   OR o_orderkey % 7 IN (3, 5)
       |GROUP BY o_orderkey % 7 ORDER BY k_mod""".stripMargin
 
+  // ---------------------------------------------------------------- q506
+  /** SNAPSHOT TAGS ([[TableLog.tag]], `CALL graftlog.tag`, Iceberg
+    * tag lineage): an immutable named ref pinning a committed
+    * version — `VERSION AS OF 'name'` addresses "the corpus we
+    * trained on" from SQL with no version-number bookkeeping, and
+    * EVERY vacuum variant keeps the tagged version's files until
+    * `drop_tag` releases them (ref-reachability retention). The
+    * fixture tags v1 as 'baseline', then rewrites the table past it
+    * (delete + compact) and vacuums at grace 0 — the tagged read
+    * must still answer exactly; `#tags` lists the ref. One `tag.*`
+    * property per ref: O(1) metadata at any scale, and the vacuum
+    * pin costs one historical state() per distinct pinned version.
+    * The oracle replays both eras from the orders slices. */
+  private val tagCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q506SnapshotTags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = tagCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogtag_").toString + "/t"
+      val slice = ordersSlice(s, dir).select($"o_orderkey", $"o_totalprice")
+      TableLog.create(slice.where($"o_orderkey" % 6 === 1),
+        path, "o_orderkey", numFiles = 2)                              // v1
+      s.sql(s"CALL graftlog.tag('$path', 'baseline')")                 // v2
+      TableLog.append(slice.where($"o_orderkey" % 6 === 3), path, 2)   // v3
+      TableLog.deleteWhere(s, path,
+        $"o_orderkey" % 6 === 1 && $"o_orderkey" % 5 === 0, 2)         // v4
+      TableLog.compact(s, path, 1)                                     // v5
+      // the pin's teeth: a grace-0 vacuum reclaims the un-tagged
+      // intermediates but every baseline file survives
+      TableLog.vacuum(path, graceMillis = 0L)
+      val tagged = TableLog.listTags(path)
+      require(tagged == Seq(("baseline", 1L)), s"tags wrong: $tagged")
+      path
+    })
+    def side(label: String, asOf: String): DataFrame = s.sql(
+      s"""SELECT '$label' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$t` $asOf""".stripMargin)
+    side("baseline", "VERSION AS OF 'baseline'")
+      .unionByName(side("head", "")).orderBy($"side")
+  }
+
+  private val q506Oracle =
+    """SELECT 'baseline' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderkey % 6 = 1
+      |UNION ALL
+      |SELECT 'head', CAST(count(*) AS BIGINT),
+      |  CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders
+      |WHERE (o_orderkey % 6 = 1 AND o_orderkey % 5 <> 0)
+      |   OR o_orderkey % 6 = 3
+      |ORDER BY side""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q506_snapshot_tags" -> (q506SnapshotTags _),
     "q500_publish_rebase" -> (q500PublishRebase _),
     "q499_sql_generated_insert" -> (q499SqlGeneratedInsert _),
     "q496_identity_column" -> (q496IdentityColumn _),
@@ -3798,6 +3855,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q506_snapshot_tags" -> q506Oracle,
     "q500_publish_rebase" -> q500Oracle,
     "q499_sql_generated_insert" -> q499Oracle,
     "q496_identity_column" -> q496Oracle,

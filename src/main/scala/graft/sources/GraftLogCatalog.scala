@@ -214,6 +214,7 @@ class GraftLogCatalog extends TableCatalog
   private val detailSuffix = "#detail"
   private val filesSuffix = "#files"
   private val branchesSuffix = "#branches"
+  private val tagsSuffix = "#tags"
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val raw = pathOf(ident)
@@ -260,6 +261,21 @@ class GraftLogCatalog extends TableCatalog
         s"$catalogName: `$path` is not partitioned — $partitionsSuffix " +
           "is defined only for tables created PARTITIONED BY")
       return new GraftLogPartitionsTable(path, snap)
+    }
+    if (raw.endsWith(tagsSuffix)) {
+      // tag inventory — one row per immutable named ref with its
+      // pinned version and that version's commit stamp; the release
+      // dashboard of addressable corpus snapshots. Versionless like
+      // #history; zero data files open.
+      if (version.isDefined) throw new UnsupportedOperationException(
+        s"$catalogName: time travel over $tagsSuffix is not defined")
+      val path = raw.stripSuffix(tagsSuffix)
+      if (TableLog.latestVersion(path) == 0L)
+        throw new NoSuchTableException(ident)
+      val rows = TableLog.listTags(path).map { case (n, v) =>
+        (n, v, TableLog.commitStamp(path, v))
+      }
+      return new GraftLogTagsTable(path, rows)
     }
     if (raw.endsWith(branchesSuffix)) {
       // staging-branch inventory — the operational view of in-flight
@@ -313,12 +329,30 @@ class GraftLogCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
-  /** `VERSION AS OF v` — Spark routes the version string here. */
+  /** `VERSION AS OF v` — Spark routes the version string here. A
+    * non-numeric string resolves as a TAG ([[TableLog.tag]]): the
+    * `tag.<name>` property pins the version, so
+    * `VERSION AS OF 'corpus_v3'` reads the tagged era (tag names are
+    * never all-digits — enforced at declaration — so the two
+    * namespaces cannot collide). */
   override def loadTable(ident: Identifier, version: String): Table =
     load(ident, Some(
       try version.toLong
       catch { case _: NumberFormatException =>
-        throw new NoSuchTableException(ident)
+        val raw = pathOf(ident)
+        val props =
+          try TableLog.state(raw).props
+          catch { case _: Exception => throw new NoSuchTableException(ident) }
+        props.getOrElse(s"tag.$version",
+          throw new NoSuchTableException(
+            "TABLE_OR_VIEW_NOT_FOUND",
+            Map("relationName" ->
+              (s"$catalogName.`$raw` VERSION AS OF '$version' " +
+                s"(no such tag; tags: ${props.keys
+                  .filter(_.startsWith("tag."))
+                  .map(_.stripPrefix("tag.")).toSeq.sorted
+                  .mkString(", ")})")),
+            None)).toLong
       }))
 
   /** `TIMESTAMP AS OF t` — the image of the reference warehouse's
@@ -1115,6 +1149,62 @@ class GraftLogBranchesTable(tablePath: String,
           : org.apache.spark.sql.connector.read.PartitionReaderFactory =
         new GraftLogBranchesReaderFactory
     }
+}
+
+/** The tag-inventory metadata table (`graftlog.\`<path>#tags\``) —
+  * one row per immutable named ref ([[TableLog.tag]]) with its pinned
+  * version and that version's commit stamp; answered entirely from
+  * the manifest props, zero data files open. */
+class GraftLogTagsTable(tablePath: String, tags: Seq[(String, Long, Long)])
+    extends Table with SupportsRead {
+  override def name(): String = s"graftlog.`$tablePath#tags`"
+  override def schema(): StructType = GraftLogTagsTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with org.apache.spark.sql.connector.read.Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = GraftLogTagsTable.schema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        Array(GraftLogTagsPartition(tags))
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new GraftLogTagsReaderFactory
+    }
+}
+
+object GraftLogTagsTable {
+  val schema: StructType = StructType.fromDDL(
+    "tag_name STRING, version BIGINT, committed_at TIMESTAMP")
+}
+
+case class GraftLogTagsPartition(rows: Seq[(String, Long, Long)])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+class GraftLogTagsReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val it = p.asInstanceOf[GraftLogTagsPartition].rows.iterator
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val (n, v, ts) = it.next()
+        cur = org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          v, ts * 1000L) // millis → micros
+        true
+      }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 object GraftLogBranchesTable {
@@ -2898,8 +2988,57 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** `CALL graftlog.tag('<path>', '<name>'[, <version>])` —
+    * [[TableLog.tag]]: pin a committed version as an immutable named
+    * ref; `VERSION AS OF '<name>'` reads it and every vacuum variant
+    * keeps its files. version -1 = current head. Returns
+    * (version_pinned, table_version). */
+  object Tag extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "tag"
+    override def description(): String =
+      "pin a committed version as an immutable, vacuum-protected named ref"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("tag name (not all digits)").build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1")
+        .comment("version to pin; -1 = current head").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      TableLog.tag(table, name, input.getLong(2))
+      oneRow("version_pinned BIGINT, table_version BIGINT",
+        Seq(TableLog.listTags(table).find(_._1 == name).get._2,
+          TableLog.latestVersion(table)))
+    }
+  }
+
+  /** `CALL graftlog.drop_tag('<path>', '<name>')` —
+    * [[TableLog.dropTag]]: release the ref; its pinned files return
+    * to the ordinary vacuum rules. Returns (table_version). */
+  object DropTag extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_tag"
+    override def description(): String =
+      "release a named ref; its files return to ordinary vacuum rules"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("tag name").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val v = TableLog.dropTag(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString)
+      oneRow("table_version BIGINT", Seq(v))
+    }
+  }
+
   val all: Seq[UnboundProcedure] =
     Seq(Vacuum, Compact, CompactSmall, Restore, Clone, DeepClone, ZOrder,
       DeleteDv,
-      Branch, Publish, SetPartitionSpec)
+      Branch, Publish, SetPartitionSpec, Tag, DropTag)
 }

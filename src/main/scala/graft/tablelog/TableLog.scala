@@ -3595,10 +3595,68 @@ object TableLog {
     active.flatMap(a =>
       a.relPath +: a.dv.map(d => a.relPath + "." + d._1).toSeq).toSet
 
+  // ------------------------------------------------------------- tags
+
+  /** TAG `name` → pin `version` (default: the current head) as an
+    * IMMUTABLE named ref (the Iceberg tag lineage): one `tag.<name>`
+    * property committed as metadata — O(1) at any table scale,
+    * auditable in history. Two teeth: (a) `VERSION AS OF '<name>'`
+    * resolves through the tag on the SQL read path, so "the corpus
+    * we trained v3 on" is addressable without version-number
+    * bookkeeping; (b) VACUUM PINNING — every vacuum variant keeps
+    * the files active at every tagged version, so a tagged snapshot
+    * stays readable past retention until [[dropTag]] releases it
+    * (Iceberg's ref-reachability rule). Tags are immutable:
+    * re-tagging an existing name refuses. All-digit names refuse —
+    * `VERSION AS OF` must stay unambiguous between versions and
+    * tags. */
+  def tag(table: String, name: String, version: Long = -1L): Long = {
+    require(name.matches("[A-Za-z0-9._-]{1,64}"),
+      s"tag name must be token-shaped: '$name'")
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — VERSION AS OF could not " +
+        "distinguish it from a version number")
+    val snap = state(table)
+    val v = if (version < 0L) snap.version else version
+    require(v >= 1L && v <= snap.version,
+      s"tag '$name': version $v outside committed 1..${snap.version}")
+    snap.props.get(s"tag.$name").foreach(old =>
+      throw new IllegalArgumentException(
+        s"tag '$name' already pins v$old — tags are immutable; " +
+          "dropTag first"))
+    commit(table, snap.version, "tag", Nil, Nil, "", "",
+      props = Some(snap.props + (s"tag.$name" -> v.toString)))
+  }
+
+  /** Release tag `name` — its pinned version's files return to the
+    * ordinary vacuum rules on the next sweep. */
+  def dropTag(table: String, name: String): Long = {
+    val snap = state(table)
+    require(snap.props.contains(s"tag.$name"), s"no tag '$name' on $table")
+    commit(table, snap.version, "droptag", Nil, Nil, "", "",
+      props = Some(snap.props - s"tag.$name"))
+  }
+
+  /** Name-sorted (tag, pinned version) pairs of the current snapshot. */
+  def listTags(table: String): Seq[(String, Long)] =
+    state(table).props.toSeq.collect {
+      case (k, v) if k.startsWith("tag.") =>
+        (k.stripPrefix("tag."), v.toLong)
+    }.sortBy(_._1)
+
+  /** The union footprint of every TAGGED version — the keep-set the
+    * vacuum variants add so tagged snapshots stay readable. One
+    * historical state() per DISTINCT pinned version; zero data I/O. */
+  private def taggedFootprint(table: String, s: Snapshot): Set[String] =
+    s.props.collect { case (k, v) if k.startsWith("tag.") => v.toLong }
+      .toSet.flatMap((v: Long) => footprint(state(table, v).active))
+
   def vacuumList(table: String,
-      graceMillis: Long = defaultVacuumGraceMillis): Seq[String] =
+      graceMillis: Long = defaultVacuumGraceMillis): Seq[String] = {
+    val s = state(table)
     unreferencedOnDisk(table,
-      footprint(state(table).active), graceMillis)
+      footprint(s.active) ++ taggedFootprint(table, s), graceMillis)
+  }
 
   /** On-disk data files / sidecars outside `keep`, age-gated. */
   private def unreferencedOnDisk(table: String, keep: Set[String],
@@ -3657,7 +3715,8 @@ object TableLog {
     val last = latestVersion(table)
     val fromV = math.max(1L, last - retainVersions + 1)
     val keep = (fromV to last)
-      .flatMap(v => footprint(state(table, v).active)).toSet
+      .flatMap(v => footprint(state(table, v).active)).toSet ++
+      taggedFootprint(table, state(table)) // tags pin PAST retention
     unreferencedOnDisk(table, keep, graceMillis)
   }
 

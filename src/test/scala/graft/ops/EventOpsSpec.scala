@@ -2354,4 +2354,38 @@ class EventOpsSpec extends SparkSuite {
     assert(got(900000L)._1 == 300L, got(900000L).toString)
     assert(got(900000L)._1 > got(250000L)._1)
   }
+
+  test("q504 sft turn flatten: a planted dialog prices per-assistant-turn " +
+      "prefix contexts and the truncation line exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sft").toString
+    // one dialog (user 3, cohort 3): 4 turns with event_ids 0,1,2,3 ->
+    // nt = 1,2,3,4; assistant turns are 2 and 4 with ctx 3 and 10;
+    // budget 64 -> nothing truncates. Second dialog (user 13, same
+    // cohort): huge single-pair turns 70,71 -> nt 1+70%7=1, 1+71%7=2;
+    // ctx at turn 2 = 3 <= 64. Third dialog (user 23): event_ids
+    // 62,63 -> nt 7,1 ... keep it simple: plant one long dialog via
+    // many turns to cross 64.
+    val base = (0L to 3L).map(e => (e, java.sql.Timestamp.valueOf(
+      s"2024-01-01 00:0${e}:00"), 3L, "view", 0.0, "{}"))
+    // 20 turns of nt 1+e%7 for user 13: cumulative crosses 64
+    val long = (100L to 119L).map(e => (e, java.sql.Timestamp.valueOf(
+      s"2024-01-01 00:${10 + (e - 100)}:00"), 13L, "view", 0.0, "{}"))
+    (base ++ long).toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = EventOps.q504SftTurnFlatten(spark, tmp).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 3L)
+    val Array(_, nDialogs, nSamples, ctxTokens, nTrunc) =
+      (0 until 5).map(r.head.getLong).toArray
+    assert(nDialogs == 2L, s"dialogs $nDialogs")
+    // dialog 3: turns nt 1,2,3,4 -> assistant ctx 3, 10
+    // dialog 13: nt_i = 1 + (100+i-1+1)%7 for i=1..20
+    val nts = (100L to 119L).map(e => 1L + e % 7)
+    val cums = nts.scanLeft(0L)(_ + _).tail
+    val asst = cums.zipWithIndex.collect { case (c, j) if (j + 1) % 2 == 0 => c }
+    assert(nSamples == 2L + asst.size, s"samples $nSamples")
+    assert(ctxTokens == 3L + 10L + asst.sum, s"ctx $ctxTokens")
+    assert(nTrunc == asst.count(_ > 64L), s"trunc $nTrunc")
+  }
 }

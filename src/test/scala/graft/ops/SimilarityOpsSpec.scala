@@ -806,4 +806,16 @@ class SimilarityOpsSpec extends SparkSuite {
       .map(_.getLong(1)).toSet
     assert(rel == Set(5L, 6L, 7L), rel.toString)
   }
+
+  test("q505 nprobe sweep: recall is monotone in nprobe and exactly " +
+      "1.0 when every cell is probed") {
+    val r = SimilarityOps.q505NprobeSweep(spark, sf0001).collect()
+      .map(x => (x.getLong(0), x.getLong(2))).sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L), r.mkString(","))
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"recall not monotone: $a -> $b")
+    }
+    // nprobe = numCells probes every cell -> IVF == brute force
+    assert(r.last._2 == 1000000L, s"full probe must hit recall 1.0: ${r.last}")
+  }
 }
