@@ -5,9 +5,11 @@ import java.util.Locale
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.graftbridge.SessionBridge
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftbridge.{ColumnBridge, SessionBridge}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertIntoStatement, LogicalPlan, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.StructType
@@ -76,6 +78,80 @@ class GraftGeneratedInsertRule(session: SparkSession)
         if partSpec.isEmpty && declaring(r.multipartIdentifier).isDefined =>
       val (path, ids, gens) = declaring(r.multipartIdentifier).get
       GraftGeneratedInsertCommand(path, userCols, query, byName, ids, gens)
+    // SQL UPDATE on a declaring table: recompute omitted generated
+    // columns (with the NEW values of assigned source columns
+    // substituted into the generation expression — Delta's UPDATE
+    // semantics; assignments evaluate simultaneously against the old
+    // row, so without substitution the audit would refuse every
+    // source-column update), and on identity tables refuse an id
+    // assignment loudly while routing id-preserving updates through
+    // the merge-on-read DV path (the staged rewrite cannot prove ids
+    // unchanged and refuses wholesale).
+    case u @ UpdateTable(r: UnresolvedRelation, assignments, cond)
+        if declaring(r.multipartIdentifier).isDefined =>
+      val (path, ids, gens) = declaring(r.multipartIdentifier).get
+      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      def keyName(a: Assignment): Option[String] = a.key match {
+        case att: UnresolvedAttribute => Some(lc(att.nameParts.last))
+        case _ => None
+      }
+      val assigned = assignments.flatMap(keyName).toSet
+      val idHit = ids.filter(c => assigned(lc(c)))
+      if (idHit.nonEmpty) throw new IllegalArgumentException(
+        s"UPDATE on graftlog table $path: ${idHit.mkString(", ")} is " +
+          "GENERATED ALWAYS AS IDENTITY — its values cannot be updated")
+      val newValueOf = assignments
+        .flatMap(a => keyName(a).map(_ -> a.value)).toMap
+      val genAssigns = TableLog.state(path).props.toSeq.collect {
+        case (k, sql) if k.startsWith("gencol.") &&
+            !assigned(lc(k.stripPrefix("gencol."))) =>
+          val col = k.stripPrefix("gencol.")
+          val parsed = session.sessionState.sqlParser.parseExpression(sql)
+          // substitute assigned columns' NEW value expressions
+          val subst = parsed.transformUp {
+            case att: UnresolvedAttribute
+                if newValueOf.contains(lc(att.nameParts.last)) =>
+              newValueOf(lc(att.nameParts.last))
+          }
+          Assignment(UnresolvedAttribute.quoted(col), subst)
+      }
+      val full = assignments ++ genAssigns
+      if (ids.isEmpty) u.copy(assignments = full)
+      else {
+        val set = full.map { a =>
+          val name = a.key match {
+            case att: UnresolvedAttribute => att.nameParts.last
+            case other => throw new IllegalArgumentException(
+              s"UPDATE on graftlog identity table $path: unsupported " +
+                s"assignment target ${other.sql}")
+          }
+          name -> ExprBox(a.value)
+        }
+        GraftIdentityUpdateCommand(path, set, cond.map(ExprBox))
+      }
+  }
+}
+
+/** Opaque expression holder: keeps a (possibly unresolved) parsed
+  * expression as plain command STATE rather than a child expression —
+  * CheckAnalysis must not demand resolution (the command resolves its
+  * trees itself, against the target table's frame, at run time). */
+case class ExprBox(e: Expression)
+
+/** Executes an id-preserving UPDATE on an identity table through
+  * [[TableLog.updateWhereDv]] (merge-on-read: existing ids never
+  * rewrite, so the allocator invariant holds by construction; the
+  * id-targeting guard inside updateWhereDv backstops the analysis
+  * refusal). Set-expressions evaluate simultaneously against the old
+  * row — SQL UPDATE semantics. */
+case class GraftIdentityUpdateCommand(path: String,
+    set: Seq[(String, ExprBox)], cond: Option[ExprBox])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    TableLog.updateWhereDv(session, path,
+      cond.map(b => ColumnBridge.column(b.e)).getOrElse(lit(true)),
+      set.map { case (n, b) => n -> ColumnBridge.column(b.e) }.toMap)
+    Nil
   }
 }
 

@@ -3203,11 +3203,15 @@ object TableLog {
       .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2) }
     if (hits.isEmpty) return snap.version
     val schemaCols = StructType.fromDDL(snap.schemaDdl).fieldNames.toSeq
-    val updated = set.foldLeft(
-      matched.drop("__graft_f", "__graft_p")
-        .drop("__graft_dv_file", "__graft_dv_pos")) {
-      case (df, (c, v)) => df.withColumn(c, v)
-    }.select(schemaCols.map(col): _*)
+    // SIMULTANEOUS set semantics (SQL UPDATE's): every set-expression
+    // evaluates against the OLD row image — sequential withColumn
+    // would let one assignment observe another's new value, and
+    // `SET x = x + 1, band = f(x)` would double-apply
+    val setLc = set.map { case (k, v) => k.toLowerCase -> v }
+    val updated = matched.drop("__graft_f", "__graft_p")
+      .drop("__graft_dv_file", "__graft_dv_pos")
+      .select(schemaCols.map(c =>
+        setLc.get(c.toLowerCase).fold(col(c))(_.as(c))): _*)
     // The set-expressions produce NEW row images; a table that reports
     // ENFORCED CHECK constraints must gate them like every other write
     // path (append/merge/replaceWhere) — a DV update is not a side door.

@@ -114,6 +114,31 @@ class GeneratedColumnsSpec extends SparkSuite {
     assert(r.getLong(1) == 50L && r.getString(2) == "hi")
   }
 
+  test("SQL UPDATE recomputes an omitted generated column from the " +
+      "NEW source values — including self-referential assignments") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshTable()
+    TableLog.append(Seq((1L, 5L), (2L, 20L)).toDF("k", "x"), t, 1)
+    // plain source-column update: band recomputes (previously the
+    // audit refused any x update that omitted band)
+    spark.sql(s"UPDATE graftlog.`$t` SET x = 50 WHERE k = 1")
+    var r = TableLog.snapshot(spark, t).where(col("k") === 1L).head()
+    assert(r.getLong(1) == 50L && r.getString(2) == "hi", r.toString)
+    // self-referential: band's injected expression must see the NEW x
+    // (old x = 50 → new x = 5 → 'lo'; unsubstituted it would keep 'hi')
+    spark.sql(s"UPDATE graftlog.`$t` SET x = x - 45 WHERE k = 1")
+    r = TableLog.snapshot(spark, t).where(col("k") === 1L).head()
+    assert(r.getLong(1) == 5L && r.getString(2) == "lo", r.toString)
+    // untouched rows keep their pair; explicit wrong values still refuse
+    assert(TableLog.snapshot(spark, t).where(col("k") === 2L)
+      .head().getString(2) == "hi")
+    intercept[Exception] {
+      spark.sql(s"UPDATE graftlog.`$t` SET x = 1, band = 'hi' WHERE k = 2")
+    }
+  }
+
   test("a table cannot be created under an existing view's name — " +
       "reads would silently resolve the view") {
     import spark.implicits._

@@ -149,6 +149,23 @@ class IdentityColumnSpec extends SparkSuite {
       e3.getMessage.contains("identity"), e3.getMessage)
   }
 
+  test("SQL UPDATE on an identity table: id-preserving updates land " +
+      "through the merge-on-read path; assigning the id refuses") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshTable()
+    TableLog.appendIdentity(Seq("a", "b", "c").toDF("v"), t, 1)
+    spark.sql(s"UPDATE graftlog.`$t` SET v = upper(v) WHERE id = 101")
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((100L, "a"), (101L, "B"), (102L, "c")), got.toString)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graftlog.`$t` SET id = 5 WHERE v = 'a'")
+    }
+    assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+  }
+
   test("START WITH / INCREMENT BY: identity.<col> = '<next>:<step>' " +
       "allocates in steps, advances the mark by n*step, keeps the " +
       "step across commits; step 0 refuses at CREATE") {
