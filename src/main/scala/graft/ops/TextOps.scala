@@ -6991,14 +6991,19 @@ object TextOps {
     * integer chars-per-token density ((n_chars·1000) div (tokens+1))
     * — deterministic and self-contained; a real pipeline plugs its
     * classifier score (q352/q483) into the same ORDER BY. Scale
-    * shape: one scan to score, then ONE global quality-ordered
-    * cumulative sum — a range-partitioned sort, the same shape as
-    * any global ORDER BY at 100 TB (Spark samples range bounds; the
-    * cumsum is per-partition prefix + broadcast offsets). Per-source
-    * budgets would shard the sort by source; the GLOBAL greedy is
-    * the harder and more common contract (DoReMi/DSIR reweighting
-    * feeds it), so that is what ships. All arithmetic exact BIGINT —
-    * the cut line is reproducible to the document. */
+    * shape — the global greedy WITHOUT a global sort: a naive
+    * `sum() OVER (ORDER BY q, doc_id)` funnels every document
+    * through ONE window partition; instead the plan is two-level
+    * prefix sums — (1) fold token mass to QUALITY grain (one
+    * hash-agg; |Q| is bounded by the score's integer value domain,
+    * thousands, not by corpus size), (2) cumsum over those |Q| rows
+    * (the only single-partition window — bounded, broadcastable),
+    * (3) join the q-grain offsets back and finish each document's
+    * prefix with a cumsum PARTITIONED BY q, which parallelizes
+    * across quality values. Identical kept-set to the global
+    * (q DESC, doc_id) greedy — the oracle replays that directly.
+    * Per-quality skew is bounded by the docs sharing one score; all
+    * arithmetic exact BIGINT, the cut reproducible to the document. */
   def q502TokenBudgetFreeze(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir).createOrReplaceTempView("_q502_docs")
     s.sql(
@@ -7009,10 +7014,15 @@ object TextOps {
         |      (CAST(size(split(text, ' ')) AS BIGINT) + 1) AS q
         |  FROM _q502_docs),
         |tot AS (SELECT sum(nt) * 2 div 5 AS budget FROM d),
+        |qg AS (SELECT q, sum(nt) AS qmass FROM d GROUP BY q),
+        |qc AS (
+        |  SELECT q, sum(qmass) OVER (ORDER BY q DESC) - qmass AS prior
+        |  FROM qg),
         |r AS (
-        |  SELECT source, nt,
-        |    sum(nt) OVER (ORDER BY q DESC, doc_id) AS cum
-        |  FROM d)
+        |  SELECT d.source, d.nt,
+        |    qc.prior + sum(d.nt) OVER (PARTITION BY d.q
+        |                               ORDER BY d.doc_id) AS cum
+        |  FROM d JOIN qc ON d.q = qc.q)
         |SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(nt) AS BIGINT) AS raw_tokens,
