@@ -70,14 +70,28 @@ private[sources] object GraftLogStartingBound {
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
   }
 
-  /** The offset-version to start AFTER (0 = table's beginning). */
+  /** The offset-version to start AFTER (0 = table's beginning).
+    * `startingTag` resolves a [[TableLog.tag]] named ref and starts
+    * the feed AFTER the pinned version — "stream everything since
+    * the release we trained on", the tag-addressable incremental
+    * contract (and the tag's vacuum pin keeps the boundary snapshot
+    * itself readable for the batch side of the same job). */
   def resolve(path: String, get: String => String): Long = {
     val sv = Option(get("startingVersion")).map(_.toLong)
     val st = Option(get("startingTimestamp"))
-    require(sv.isEmpty || st.isEmpty, "graftlog stream: startingVersion " +
-      "and startingTimestamp are mutually exclusive")
-    sv.getOrElse(st.fold(0L)(s =>
-      math.max(0L, TableLog.firstVersionAtOrAfter(path, parseMillis(s)) - 1L)))
+    val sg = Option(get("startingTag"))
+    require(Seq(sv, st, sg).count(_.isDefined) <= 1,
+      "graftlog stream: startingVersion / startingTimestamp / " +
+        "startingTag are mutually exclusive")
+    sg.foreach { name =>
+      require(TableLog.listTags(path).exists(_._1 == name),
+        s"graftlog stream: no tag '$name' on $path (tags: " +
+          s"${TableLog.listTags(path).map(_._1).mkString(", ")})")
+    }
+    sv.orElse(sg.map(name =>
+        TableLog.listTags(path).find(_._1 == name).get._2))
+      .getOrElse(st.fold(0L)(s =>
+        math.max(0L, TableLog.firstVersionAtOrAfter(path, parseMillis(s)) - 1L)))
   }
 }
 
@@ -995,11 +1009,16 @@ class GraftLogMicroBatchStream(path: String, schema: StructType,
     // `skipChangeCommits` (Delta's escape hatch, same name): rewrite
     // commits DROP from the feed wholesale instead of failing it —
     // the consumer sees appends only and accepts missing the
-    // rewrites' row changes (the option's documented contract)
+    // rewrites' row changes (the option's documented contract).
+    // ZERO-DELTA commits (setprops, tag, droptag — no adds, no
+    // removes) are admissible by construction: nothing to emit,
+    // nothing to double-count.
+    def admissible(c: TableLog.Commit): Boolean =
+      appendOps(c.op) || (c.adds.isEmpty && c.removes.isEmpty)
     val window =
-      if (skipChangeCommits) window0.filter(c => appendOps(c.op))
+      if (skipChangeCommits) window0.filter(admissible)
       else window0
-    window.filterNot(c => appendOps(c.op)).foreach { c =>
+    window.filterNot(admissible).foreach { c =>
       throw new IllegalStateException(
         s"$path: v${c.version} is a ${c.op} (rewrite) — an appends-only " +
           "stream over this window would double-count; consume the " +

@@ -92,4 +92,32 @@ class TimestampBoundSpec extends SparkSuite {
     assert(TableLog.versionAtTimestamp(t, s3) == 3L)
     assert(TableLog.versionAtTimestamp(t, s2 - 1L) == 1L)
   }
+
+  test("startingTag resolves the feed boundary through a named ref: " +
+      "the stream replays exactly the commits AFTER the tag") {
+    val t = freshTable() // v1..v3
+    TableLog.tag(t, "trained_on", 2L) // v4 (metadata)
+    val cp = Files.createTempDirectory("tlog_tag_cp_").toString
+    val q = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).option("startingTag", "trained_on").load()
+      .writeStream.format("memory").queryName("tag_probe")
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      val keys = spark.table("tag_probe").collect().map(_.getLong(0)).sorted
+      assert(keys.toSeq == (20L until 30L),
+        s"expected only v3's rows (after the v2 tag), got ${keys.length}")
+    } finally q.stop()
+    // unknown tag refuses loudly; exclusivity holds
+    intercept[IllegalArgumentException] {
+      GraftLogStartingBound.resolve(t, Map("startingTag" -> "nope").get(_).orNull)
+    }
+    intercept[IllegalArgumentException] {
+      GraftLogStartingBound.resolve(t,
+        Map("startingTag" -> "trained_on", "startingVersion" -> "1")
+          .get(_).orNull)
+    }
+  }
 }
