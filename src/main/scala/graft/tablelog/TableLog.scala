@@ -2476,7 +2476,13 @@ object TableLog {
       // (removed, rewritten or DV-edited) by BOTH sides — replaying
       // the branch's version would resurrect rows main deleted, or
       // vice versa. Both re-branch and replay, exactly as before.
-      if (m.schemaDdl != f.schemaDdl || m.props != f.props ||
+      // tag.* props are exempt from the gate: a tag is a NAMED REF
+      // into main's own history, not table metadata the branch could
+      // clobber — pubProps below carries main's refs through
+      // unconditionally, so tagging main must not wedge open branches
+      def core(p: Map[String, String]): Map[String, String] =
+        p.filterNot(_._1.startsWith("tag."))
+      if (m.schemaDdl != f.schemaDdl || core(m.props) != core(f.props) ||
           m.keyCol != f.keyCol || m.bloom != f.bloom ||
           m.colMap != f.colMap || m.droppedPhys != f.droppedPhys ||
           m.defaults != f.defaults || m.partSpecs != f.partSpecs)
@@ -2556,14 +2562,20 @@ object TableLog {
     val adds = rewritten.filterNot(a => forkIds(a.contentId))
     val removes = f.active.filterNot(a => branchIds(a.contentId))
       .map(_.relPath)
-    // published props are the branch's MINUS the branch markers,
-    // PLUS main's constraint.* entries: the documented bulk-load
-    // posture drops the per-batch gate ON THE BRANCH, and the gate
-    // must return with the publish — main's governance must never be
-    // strippable through a staging branch (branch-ADDED constraints
-    // land too; the audit above validated the union)
-    val pubProps = (b.props - "branch.of" - "branch.base") ++
-      m.props.filter(_._1.startsWith("constraint."))
+    // published props are the branch's MINUS the branch markers and
+    // MINUS every tag.* entry, PLUS main's constraint.* and tag.*
+    // entries. Constraints: the documented bulk-load posture drops
+    // the per-batch gate ON THE BRANCH, and the gate must return with
+    // the publish — main's governance is never strippable through a
+    // staging branch (branch-ADDED constraints land too; the audit
+    // validated the union). Tags: a tag pins a version in ITS OWN
+    // table's history — a branch-created tag pins a branch-local
+    // version that means something else on main, so it must not
+    // travel, while main's refs (fork-time or interim) survive.
+    val pubProps = (b.props - "branch.of" - "branch.base")
+      .filterNot(_._1.startsWith("tag.")) ++
+      m.props.filter { case (k, _) =>
+        k.startsWith("constraint.") || k.startsWith("tag.") }
     val v = commit(table, m.version, "publish", adds, removes,
       b.schemaDdl, b.keyCol, bloom = b.bloom, partCols = b.partCols,
       props = Some(pubProps),

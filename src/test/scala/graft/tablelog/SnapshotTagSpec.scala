@@ -75,4 +75,24 @@ class SnapshotTagSpec extends SparkSuite {
     // head unaffected throughout
     assert(TableLog.snapshot(spark, t).count() == 4L)
   }
+
+  test("tags compose with WAP: tagging main never wedges an open " +
+      "branch's publish, main's refs survive it, and a branch-local " +
+      "tag does not travel") {
+    import spark.implicits._
+    val t = fresh()                                        // v1
+    val br = TableLog.branch(t, "drop")
+    TableLog.append(Seq((100L, "new")).toDF("k", "v"), br, 1)
+    TableLog.tag(br, "staging_probe")  // branch-local ref
+    TableLog.tag(t, "rel_a")           // main moves (tag-only) post-fork
+    TableLog.publish(spark, t, "drop") // tag-only interim → still lands
+    val names = TableLog.listTags(t).map(_._1)
+    assert(names == Seq("rel_a"),
+      s"main must keep its refs and never adopt branch-local ones: $names")
+    // main's ref still resolves and still reads its pinned era
+    assert(spark.sql(
+      s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 'rel_a'")
+      .head().getLong(0) == 8L)
+    assert(TableLog.snapshot(spark, t).count() == 9L)
+  }
 }
