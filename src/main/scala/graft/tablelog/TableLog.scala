@@ -2164,7 +2164,10 @@ object TableLog {
     }
     val v = commit(dst, 0L, "clone", adds, Nil, s.schemaDdl, s.keyCol,
       bloom = s.bloom, partCols = s.partCols,
-      props = if (s.props.isEmpty) None else Some(s.props),
+      props = { // tag refs pin the SOURCE's history — see [[branch]]
+        val p = s.props.filterNot(_._1.startsWith("tag."))
+        if (p.isEmpty) None else Some(p)
+      },
       colMap =
         if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
         else Some((s.colMap, s.droppedPhys)),
@@ -2213,7 +2216,10 @@ object TableLog {
     }.seq.toSeq
     val v = commit(dst, 0L, "clone", adds, Nil, s.schemaDdl, s.keyCol,
       bloom = s.bloom, partCols = s.partCols,
-      props = if (s.props.isEmpty) None else Some(s.props),
+      props = { // tag refs pin the SOURCE's history — see [[branch]]
+        val p = s.props.filterNot(_._1.startsWith("tag."))
+        if (p.isEmpty) None else Some(p)
+      },
       colMap =
         if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
         else Some((s.colMap, s.droppedPhys)),
@@ -2256,7 +2262,10 @@ object TableLog {
     val dataPrefix = dstP.relativize(tabP).toString + "/"
     def rebase(a: AddFile): AddFile =
       a.copy(relPath = dataPrefix + a.relPath)
-    val bprops = s.props +
+    // tag.* refs pin versions of the SOURCE's history; the fork
+    // renumbers from v1, so inherited refs would pin meaningless
+    // versions — strip them (same rule in both clones)
+    val bprops = s.props.filterNot(_._1.startsWith("tag.")) +
       ("branch.of" -> table, "branch.base" -> s.version.toString)
     val colMapOpt =
       if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None

@@ -81,13 +81,19 @@ class SnapshotTagSpec extends SparkSuite {
       "tag does not travel") {
     import spark.implicits._
     val t = fresh()                                        // v1
+    TableLog.tag(t, "pre_fork")        // inherited refs must NOT fork
     val br = TableLog.branch(t, "drop")
+    assert(TableLog.listTags(br).isEmpty,
+      "a fork renumbers history — inherited tag refs must strip")
+    TableLog.shallowClone(t, t + "_sc")
+    assert(TableLog.listTags(t + "_sc").isEmpty,
+      "a clone renumbers history — tag refs must strip")
     TableLog.append(Seq((100L, "new")).toDF("k", "v"), br, 1)
     TableLog.tag(br, "staging_probe")  // branch-local ref
     TableLog.tag(t, "rel_a")           // main moves (tag-only) post-fork
     TableLog.publish(spark, t, "drop") // tag-only interim → still lands
     val names = TableLog.listTags(t).map(_._1)
-    assert(names == Seq("rel_a"),
+    assert(names == Seq("pre_fork", "rel_a"),
       s"main must keep its refs and never adopt branch-local ones: $names")
     // main's ref still resolves and still reads its pinned era
     assert(spark.sql(
