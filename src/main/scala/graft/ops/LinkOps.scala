@@ -1683,7 +1683,13 @@ object LinkOps {
       .groupBy($"variant", $"w").agg(count(lit(1)).as("wins"))
       .groupBy($"variant").agg(coalesce(
         sum(expr("wins * (wins - 1) div 2")), lit(0L)).as("sum_c2"))
-    nDf.crossJoin(sumC2).select(
+    // both variant rows must exist even on an EMPTY pair set (< 2
+    // items): the grouped agg yields zero rows there, while the
+    // oracle's ungrouped aggregates always emit both
+    val variants = Seq("hashed", "ordered").toDF("variant")
+      .join(sumC2, Seq("variant"), "left")
+      .select($"variant", coalesce($"sum_c2", lit(0L)).as("sum_c2"))
+    nDf.crossJoin(variants).select(
       $"variant",
       $"n".as("n_items"),
       expr("n * (n - 1) * (n - 2) div 6 - sum_c2").as("cyclic_triads"),

@@ -2772,12 +2772,16 @@ object SimilarityOps {
         $"nrm".as("qn"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"vec_id".asc)
+    // materialize the brute truth ONCE (nQueries·topK rows): it feeds
+    // tcDf and all four arms' joins, and uncached it would re-run the
+    // corpus×query pass per consumer — 5× the documented single pass
     val truth = c.join(broadcast(q), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         (VectorOps.dot($"embedding", $"qv") / ($"nrm" * $"qn"))
           .as("cosine"))
       .withColumn("rank", row_number().over(w)).where($"rank" <= topK)
       .select($"query_id", $"vec_id".as("neighbor_id"))
+      .localCheckpoint(true)
     val tcDf = truth.agg(count(lit(1)).as("tc"))
     val arms = Seq(1, 2, 4, 8).map { np =>
       val probes = q.select($"query_id", $"qv", $"qn",

@@ -52,11 +52,12 @@ class GraftGeneratedInsertRule(session: SparkSession)
       case _ => None
     } catch { case NonFatal(_) => None }
 
-  /** (tablePath, identityCols, genCols) when `parts` names a LIVE
-    * graftlog table declaring identity or generated columns — one
-    * manifest read, paid only on INSERT statements over graftlog. */
+  /** (tablePath, identityCols, genCols, props) when `parts` names a
+    * LIVE graftlog table declaring identity or generated columns —
+    * one manifest read per matched statement (evaluated ONCE per
+    * node: the match body, not the guard, calls it). */
   private def declaring(parts: Seq[String])
-      : Option[(String, Seq[String], Seq[String])] =
+      : Option[(String, Seq[String], Seq[String], Map[String, String])] =
     if (parts.length < 2) None
     else graftCatalog(parts.head).flatMap(_.tablePathOf(parts.tail))
       .filter(TableLog.latestVersion(_) > 0L)
@@ -66,7 +67,8 @@ class GraftGeneratedInsertRule(session: SparkSession)
           .map(_.stripPrefix("identity.")).toSeq.sorted
         val gens = props.keys.filter(_.startsWith("gencol."))
           .map(_.stripPrefix("gencol.")).toSeq.sorted
-        if (ids.isEmpty && gens.isEmpty) None else Some((tp, ids, gens))
+        if (ids.isEmpty && gens.isEmpty) None
+        else Some((tp, ids, gens, props))
       }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -74,10 +76,13 @@ class GraftGeneratedInsertRule(session: SparkSession)
     // keep their existing (refusing) paths — an overwrite on an
     // identity table smuggles arbitrary ids by construction
     case i @ InsertIntoStatement(r: UnresolvedRelation, partSpec,
-        userCols, query, false, _, byName)
-        if partSpec.isEmpty && declaring(r.multipartIdentifier).isDefined =>
-      val (path, ids, gens) = declaring(r.multipartIdentifier).get
-      GraftGeneratedInsertCommand(path, userCols, query, byName, ids, gens)
+        userCols, query, false, _, byName) if partSpec.isEmpty =>
+      declaring(r.multipartIdentifier) match {
+        case None => i
+        case Some((path, ids, gens, _)) =>
+          GraftGeneratedInsertCommand(path, userCols, query, byName,
+            ids, gens)
+      }
     // SQL UPDATE on a declaring table: recompute omitted generated
     // columns (with the NEW values of assigned source columns
     // substituted into the generation expression — Delta's UPDATE
@@ -87,47 +92,51 @@ class GraftGeneratedInsertRule(session: SparkSession)
     // assignment loudly while routing id-preserving updates through
     // the merge-on-read DV path (the staged rewrite cannot prove ids
     // unchanged and refuses wholesale).
-    case u @ UpdateTable(r: UnresolvedRelation, assignments, cond)
-        if declaring(r.multipartIdentifier).isDefined =>
-      val (path, ids, gens) = declaring(r.multipartIdentifier).get
-      def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      def keyName(a: Assignment): Option[String] = a.key match {
-        case att: UnresolvedAttribute => Some(lc(att.nameParts.last))
-        case _ => None
-      }
-      val assigned = assignments.flatMap(keyName).toSet
-      val idHit = ids.filter(c => assigned(lc(c)))
-      if (idHit.nonEmpty) throw new IllegalArgumentException(
-        s"UPDATE on graftlog table $path: ${idHit.mkString(", ")} is " +
-          "GENERATED ALWAYS AS IDENTITY — its values cannot be updated")
-      val newValueOf = assignments
-        .flatMap(a => keyName(a).map(_ -> a.value)).toMap
-      val genAssigns = TableLog.state(path).props.toSeq.collect {
-        case (k, sql) if k.startsWith("gencol.") &&
-            !assigned(lc(k.stripPrefix("gencol."))) =>
-          val col = k.stripPrefix("gencol.")
-          val parsed = session.sessionState.sqlParser.parseExpression(sql)
-          // substitute assigned columns' NEW value expressions
-          val subst = parsed.transformUp {
-            case att: UnresolvedAttribute
-                if newValueOf.contains(lc(att.nameParts.last)) =>
-              newValueOf(lc(att.nameParts.last))
+    case u @ UpdateTable(r: UnresolvedRelation, assignments, cond) =>
+      declaring(r.multipartIdentifier) match {
+        case None => u
+        case Some((path, ids, _, props)) =>
+          def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+          def keyName(a: Assignment): Option[String] = a.key match {
+            case att: UnresolvedAttribute => Some(lc(att.nameParts.last))
+            case _ => None
           }
-          Assignment(UnresolvedAttribute.quoted(col), subst)
-      }
-      val full = assignments ++ genAssigns
-      if (ids.isEmpty) u.copy(assignments = full)
-      else {
-        val set = full.map { a =>
-          val name = a.key match {
-            case att: UnresolvedAttribute => att.nameParts.last
-            case other => throw new IllegalArgumentException(
-              s"UPDATE on graftlog identity table $path: unsupported " +
-                s"assignment target ${other.sql}")
+          val assigned = assignments.flatMap(keyName).toSet
+          val idHit = ids.filter(c => assigned(lc(c)))
+          if (idHit.nonEmpty) throw new IllegalArgumentException(
+            s"UPDATE on graftlog table $path: ${idHit.mkString(", ")} " +
+              "is GENERATED ALWAYS AS IDENTITY — its values cannot be " +
+              "updated")
+          val newValueOf = assignments
+            .flatMap(a => keyName(a).map(_ -> a.value)).toMap
+          val genAssigns = props.toSeq.collect {
+            case (k, sql) if k.startsWith("gencol.") &&
+                !assigned(lc(k.stripPrefix("gencol."))) =>
+              val col = k.stripPrefix("gencol.")
+              val parsed =
+                session.sessionState.sqlParser.parseExpression(sql)
+              // substitute assigned columns' NEW value expressions
+              val subst = parsed.transformUp {
+                case att: UnresolvedAttribute
+                    if newValueOf.contains(lc(att.nameParts.last)) =>
+                  newValueOf(lc(att.nameParts.last))
+              }
+              Assignment(UnresolvedAttribute.quoted(col), subst)
           }
-          name -> ExprBox(a.value)
-        }
-        GraftIdentityUpdateCommand(path, set, cond.map(ExprBox))
+          val full = assignments ++ genAssigns
+          if (ids.isEmpty) u.copy(assignments = full)
+          else {
+            val set = full.map { a =>
+              val name = a.key match {
+                case att: UnresolvedAttribute => att.nameParts.last
+                case other => throw new IllegalArgumentException(
+                  s"UPDATE on graftlog identity table $path: " +
+                    s"unsupported assignment target ${other.sql}")
+              }
+              name -> ExprBox(a.value)
+            }
+            GraftIdentityUpdateCommand(path, set, cond.map(ExprBox))
+          }
       }
   }
 }
@@ -201,11 +210,34 @@ case class GraftGeneratedInsertCommand(path: String,
         s"${explicitIds.mkString(", ")} is GENERATED ALWAYS AS " +
         "IDENTITY — explicit values are refused; omit the column and " +
         "the table allocates ids transactionally")
+    // the rewrite bypasses Spark's ResolveInsertInto, so it must do
+    // that rule's two jobs itself: (a) refuse unknown and missing
+    // columns loudly (a silent null-fill or a dropped typo both
+    // corrupt), (b) CAST every provided column to its declared type —
+    // stage() writes the frame verbatim, and an uncast INT literal
+    // into a DOUBLE column would stage INT32 parquet that poisons
+    // every later read of the table
+    val byLc = schema.fields.map(f => lc(f.name) -> f).toMap
+    named.columns.find(c => !byLc.contains(lc(c))).foreach(c =>
+      throw new IllegalArgumentException(
+        s"INSERT into graftlog table $path: unknown column '$c' " +
+          s"(table columns: ${schema.fieldNames.mkString(", ")})"))
+    val optional = (idCols ++ genCols).map(lc).toSet ++
+      snap.defaults.keys.map(lc)
+    schema.fieldNames
+      .find(f => !provided(lc(f)) && !optional(lc(f))).foreach(f =>
+        throw new IllegalArgumentException(
+          s"INSERT into graftlog table $path: column '$f' has no " +
+            "default and is not generated — it must be supplied"))
+    val casted = named.select(named.columns.map { c =>
+      val f = byLc(lc(c))
+      org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
     // one file per input task, floor 1 — the DSv2 batch writer's shape
     val numFiles =
-      math.max(1, named.queryExecution.toRdd.getNumPartitions)
-    if (idCols.nonEmpty) TableLog.appendIdentity(named, path, numFiles)
-    else TableLog.append(named, path, numFiles)
+      math.max(1, casted.queryExecution.toRdd.getNumPartitions)
+    if (idCols.nonEmpty) TableLog.appendIdentity(casted, path, numFiles)
+    else TableLog.append(casted, path, numFiles)
     Nil
   }
 }

@@ -83,13 +83,14 @@ private[sources] object GraftLogStartingBound {
     require(Seq(sv, st, sg).count(_.isDefined) <= 1,
       "graftlog stream: startingVersion / startingTimestamp / " +
         "startingTag are mutually exclusive")
-    sg.foreach { name =>
-      require(TableLog.listTags(path).exists(_._1 == name),
-        s"graftlog stream: no tag '$name' on $path (tags: " +
-          s"${TableLog.listTags(path).map(_._1).mkString(", ")})")
+    val tagV = sg.map { name =>
+      val tags = TableLog.listTags(path) // ONE state() replay
+      tags.find(_._1 == name).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"graftlog stream: no tag '$name' on $path (tags: " +
+            s"${tags.map(_._1).mkString(", ")})"))
     }
-    sv.orElse(sg.map(name =>
-        TableLog.listTags(path).find(_._1 == name).get._2))
+    sv.orElse(tagV)
       .getOrElse(st.fold(0L)(s =>
         math.max(0L, TableLog.firstVersionAtOrAfter(path, parseMillis(s)) - 1L)))
   }

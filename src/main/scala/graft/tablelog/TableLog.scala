@@ -959,11 +959,23 @@ object TableLog {
         // entries, so returning it would silently read the branch as
         // empty. Fail loudly with the recovery step instead.
         snap.props.get("branch.ckpt").foreach { cv =>
-          if (Files.notExists(checkpointPath(table, cv.toLong)))
-            throw new IllegalStateException(
+          if (Files.notExists(checkpointPath(table, cv.toLong))) {
+            // LOUD either way (the replayed v1 has no file entries),
+            // but the advice splits on the commit's age: a reader can
+            // race the fork's microseconds-wide commit→checkpoint
+            // window (e.g. a #branches listing), and telling IT to
+            // delete the branch would destroy a healthy in-flight fork
+            val ageMs = math.max(0L,
+              System.currentTimeMillis() - commitStamp(table, cv.toLong))
+            if (ageMs < 60000L) throw new IllegalStateException(
+              s"$table: a branch fork is IN PROGRESS (v$cv committed " +
+                s"${ageMs}ms ago; its checkpoint has not linked yet) — " +
+                "retry shortly")
+            else throw new IllegalStateException(
               s"$table: a branch fork crashed before its v$cv " +
                 "checkpoint landed — the fork is unreadable; delete " +
                 "the branch directory and re-fork")
+          }
         }
         snap
     }
@@ -3227,12 +3239,24 @@ object TableLog {
     // SIMULTANEOUS set semantics (SQL UPDATE's): every set-expression
     // evaluates against the OLD row image — sequential withColumn
     // would let one assignment observe another's new value, and
-    // `SET x = x + 1, band = f(x)` would double-apply
+    // `SET x = x + 1, band = f(x)` would double-apply. An unknown set
+    // key refuses (silently dropping a typo'd column name would
+    // report success while updating nothing), and every assigned
+    // value CASTS to the column's declared type — the staged files
+    // otherwise take the expression's own type and poison later reads
+    val schemaByLc = StructType.fromDDL(snap.schemaDdl).fields
+      .map(f => f.name.toLowerCase -> f).toMap
+    set.keys.find(k => !schemaByLc.contains(k.toLowerCase)).foreach(k =>
+      throw new IllegalArgumentException(
+        s"updateWhereDv into $table: no such column '$k' " +
+          s"(columns: ${schemaCols.mkString(", ")})"))
     val setLc = set.map { case (k, v) => k.toLowerCase -> v }
     val updated = matched.drop("__graft_f", "__graft_p")
       .drop("__graft_dv_file", "__graft_dv_pos")
       .select(schemaCols.map(c =>
-        setLc.get(c.toLowerCase).fold(col(c))(_.as(c))): _*)
+        setLc.get(c.toLowerCase)
+          .fold(col(c))(_.cast(schemaByLc(c.toLowerCase).dataType).as(c)))
+        : _*)
     // The set-expressions produce NEW row images; a table that reports
     // ENFORCED CHECK constraints must gate them like every other write
     // path (append/merge/replaceWhere) — a DV update is not a side door.

@@ -400,4 +400,15 @@ class LinkOpsSpec extends SparkSuite {
     assert(got.keySet == k4.toSet)
     assert(got.values.forall(_ == 2L))
   }
+
+  test("q493 emits both tournament arms even when the item slice has " +
+      "no pairs (smoke-scale fixtures)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("prefcyc").toString
+    Seq(1L).toDF("p_partkey") // one item with p_partkey % 7 = 1 -> 0 pairs
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val r = LinkOps.q493PreferenceCycles(spark, tmp).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(("hashed", 1L, 0L), ("ordered", 1L, 0L)), r.toString)
+  }
 }

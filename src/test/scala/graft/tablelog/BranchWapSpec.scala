@@ -310,8 +310,17 @@ class BranchWapSpec extends SparkSuite {
     assert(!TableLog.state(br).props.contains("branch.ckpt"),
       "the fork-protocol marker leaked into branch props")
     // simulate the crash window: the v1 commit won ownership but the
-    // checkpoint link never landed
+    // checkpoint link never landed. A FRESH marker reads as
+    // in-progress — a concurrent reader racing the fork's
+    // commit→checkpoint window must not be advised to delete it
     Files.delete(Paths.get(br, "_log", f"v${1L}%016d.checkpoint"))
+    val e0 = intercept[IllegalStateException] { TableLog.state(br) }
+    assert(e0.getMessage.contains("IN PROGRESS"), e0.getMessage)
+    // a STALE marker reads as crashed: backdate the v1 commit stamp
+    val v1c = Paths.get(br, "_log", f"v${1L}%016d.commit")
+    Files.writeString(v1c, Files.readString(v1c).linesIterator.map(l =>
+      if (l.startsWith("ts ")) s"ts ${System.currentTimeMillis() - 120000L}"
+      else l).mkString("\n") + "\n")
     val ex = intercept[IllegalStateException] { TableLog.state(br) }
     assert(ex.getMessage.contains("crashed"),
       s"crashed fork must fail loudly, got: ${ex.getMessage}")

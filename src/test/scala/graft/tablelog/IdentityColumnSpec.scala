@@ -166,6 +166,50 @@ class IdentityColumnSpec extends SparkSuite {
     assert(e.getMessage.contains("IDENTITY"), e.getMessage)
   }
 
+  test("the SQL INSERT rewrite does ResolveInsertInto's jobs itself: " +
+      "store-assignment casts, unknown-column and missing-column " +
+      "refusals") {
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    spark.version
+    val t = Files.createTempDirectory("tlog_idcast_").toString + "/t"
+    TableLog.createEmpty(t, "id BIGINT, p DOUBLE, s STRING", "id",
+      props = Map("identity.id" -> "1"))
+    // an INT literal into the DOUBLE column must CAST at write — an
+    // uncast insert stages INT32 parquet that poisons every later read
+    spark.sql(s"INSERT INTO graftlog.`$t` (p, s) VALUES (1, 'a')")
+    val r = TableLog.snapshot(spark, t).head()
+    assert(r.getLong(0) == 1L && r.getDouble(1) == 1.0 &&
+      r.getString(2) == "a", r.toString)
+    // unknown and missing columns refuse loudly
+    val e1 = intercept[Exception] {
+      spark.sql(s"INSERT INTO graftlog.`$t` (nope, s) VALUES (1, 'x')")
+    }
+    assert(e1.getMessage.contains("unknown column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO graftlog.`$t` (p) VALUES (2.0)")
+    }
+    assert(e2.getMessage.contains("must be supplied"), e2.getMessage)
+  }
+
+  test("updateWhereDv refuses an unknown set key and casts assigned " +
+      "values to the column's declared type") {
+    import spark.implicits._
+    spark.version
+    val t = Files.createTempDirectory("tlog_dvset_").toString + "/t"
+    TableLog.create(Seq((1L, 1.5), (2L, 2.5)).toDF("k", "p"), t, "k", 1)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.updateWhereDv(spark, t, col("k") === 1L,
+        Map("pp" -> lit(9.0)))
+    }
+    assert(e.getMessage.contains("no such column"), e.getMessage)
+    // INT literal into the DOUBLE column casts; later reads stay sound
+    TableLog.updateWhereDv(spark, t, col("k") === 1L, Map("p" -> lit(7)))
+    val got = TableLog.snapshot(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 7.0), (2L, 2.5)), got.toString)
+  }
+
   test("START WITH / INCREMENT BY: identity.<col> = '<next>:<step>' " +
       "allocates in steps, advances the mark by n*step, keeps the " +
       "step across commits; step 0 refuses at CREATE") {
