@@ -53,22 +53,35 @@ class GraftGeneratedInsertRule(session: SparkSession)
     } catch { case NonFatal(_) => None }
 
   /** (tablePath, identityCols, genCols, props) when `parts` names a
-    * LIVE graftlog table declaring identity or generated columns —
-    * one manifest read per matched statement (evaluated ONCE per
-    * node: the match body, not the guard, calls it). */
+    * LIVE graftlog table declaring identity or generated columns.
+    * Memoized by (path, latestVersion): the analyzer's fixed-point
+    * batch re-applies the rule several times per statement, and an
+    * uncached lookup would replay the manifest (a full state() parse)
+    * on every iteration — the version key keeps the cache exact under
+    * concurrent commits, at one directory listing per probe. */
+  private val declCache = scala.collection.mutable.HashMap.empty[
+    (String, Long),
+    Option[(String, Seq[String], Seq[String], Map[String, String])]]
+
   private def declaring(parts: Seq[String])
       : Option[(String, Seq[String], Seq[String], Map[String, String])] =
     if (parts.length < 2) None
     else graftCatalog(parts.head).flatMap(_.tablePathOf(parts.tail))
-      .filter(TableLog.latestVersion(_) > 0L)
       .flatMap { tp =>
-        val props = TableLog.state(tp).props
-        val ids = props.keys.filter(_.startsWith("identity."))
-          .map(_.stripPrefix("identity.")).toSeq.sorted
-        val gens = props.keys.filter(_.startsWith("gencol."))
-          .map(_.stripPrefix("gencol.")).toSeq.sorted
-        if (ids.isEmpty && gens.isEmpty) None
-        else Some((tp, ids, gens, props))
+        val v = TableLog.latestVersion(tp)
+        if (v <= 0L) None
+        else declCache.synchronized {
+          if (declCache.size > 256) declCache.clear()
+          declCache.getOrElseUpdate((tp, v), {
+            val props = TableLog.state(tp).props
+            val ids = props.keys.filter(_.startsWith("identity."))
+              .map(_.stripPrefix("identity.")).toSeq.sorted
+            val gens = props.keys.filter(_.startsWith("gencol."))
+              .map(_.stripPrefix("gencol.")).toSeq.sorted
+            if (ids.isEmpty && gens.isEmpty) None
+            else Some((tp, ids, gens, props))
+          })
+        }
       }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -92,8 +105,10 @@ class GraftGeneratedInsertRule(session: SparkSession)
     // assignment loudly while routing id-preserving updates through
     // the merge-on-read DV path (the staged rewrite cannot prove ids
     // unchanged and refuses wholesale).
-    case u @ UpdateTable(r: UnresolvedRelation, assignments, cond) =>
-      declaring(r.multipartIdentifier) match {
+    case u @ UpdateTable(target, assignments, cond)
+        if relationOf(target).isDefined =>
+      val (rel, alias) = relationOf(target).get
+      declaring(rel.multipartIdentifier) match {
         case None => u
         case Some((path, ids, _, props)) =>
           def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
@@ -126,6 +141,18 @@ class GraftGeneratedInsertRule(session: SparkSession)
           val full = assignments ++ genAssigns
           if (ids.isEmpty) u.copy(assignments = full)
           else {
+            // the DV-update path reads the bare table frame — strip
+            // the statement alias's qualifier from assignment values
+            // and the condition (`UPDATE t AS x SET v = upper(x.v)`)
+            def strip(e: Expression): Expression = alias match {
+              case None => e
+              case Some(a) => e.transformUp {
+                case att: UnresolvedAttribute
+                    if att.nameParts.length > 1 &&
+                      lc(att.nameParts.head) == lc(a) =>
+                  UnresolvedAttribute(att.nameParts.tail)
+              }
+            }
             val set = full.map { a =>
               val name = a.key match {
                 case att: UnresolvedAttribute => att.nameParts.last
@@ -133,11 +160,24 @@ class GraftGeneratedInsertRule(session: SparkSession)
                   s"UPDATE on graftlog identity table $path: " +
                     s"unsupported assignment target ${other.sql}")
               }
-              name -> ExprBox(a.value)
+              name -> ExprBox(strip(a.value))
             }
-            GraftIdentityUpdateCommand(path, set, cond.map(ExprBox))
+            GraftIdentityUpdateCommand(path, set,
+              cond.map(c => ExprBox(strip(c))))
           }
       }
+  }
+
+  /** The statement target's relation, seen through an optional alias
+    * (`UPDATE t AS x SET …` parses as SubqueryAlias over the
+    * relation — without this, aliased updates on declaring tables
+    * would silently fall through to the refusing staged path). */
+  private def relationOf(p: LogicalPlan)
+      : Option[(UnresolvedRelation, Option[String])] = p match {
+    case r: UnresolvedRelation => Some((r, None))
+    case org.apache.spark.sql.catalyst.plans.logical
+        .SubqueryAlias(id, r: UnresolvedRelation) => Some((r, Some(id.name)))
+    case _ => None
   }
 }
 

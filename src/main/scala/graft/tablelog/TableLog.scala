@@ -2165,6 +2165,36 @@ object TableLog {
     * clone still references (src knows nothing of its clones — Delta
     * documents the same); clone reads then fail loudly. Deep-copy via
     * CTAS when lifetime independence matters. Returns (v1, nFiles). */
+  /** Tag refs pin versions of the SOURCE's own history; forks and
+    * clones renumber from v1, so inherited `tag.*` entries would pin
+    * meaningless versions (and feed the vacuum pin wrong footprints).
+    * The one strip rule shared by [[shallowClone]], [[deepClone]] and
+    * [[branch]]. */
+  private def stripTagRefs(props: Map[String, String]): Map[String, String] =
+    props.filterNot(_._1.startsWith("tag."))
+
+  /** Adopt one file into `dstTable`'s own `data/` dir by HARD LINK
+    * (data + bloom + DV sidecars; zero bytes copied, unique targets —
+    * stage dirs are UUID-fresh). The shared per-file body of
+    * [[deepClone]]'s and [[publish]]'s parallel adoption loops, so a
+    * link-semantics fix can never apply to one and miss the other. */
+  private def adoptByLink(dstTable: String, srcBase: String, rel: String,
+      a: AddFile, bloom: Option[(String, Int)]): AddFile = {
+    val id = fileIdOf(rel) // <stage>/<name> — stages are UUID-fresh
+    val target = Paths.get(dstTable, "data", id)
+    Files.createDirectories(target.getParent)
+    def link(suffix: String): Unit = {
+      val from = Paths.get(srcBase, rel + suffix)
+      if (Files.exists(from) &&
+          !Files.exists(Paths.get(target.toString + suffix)))
+        Files.createLink(Paths.get(target.toString + suffix), from)
+    }
+    link("")
+    bloom.foreach { case (c, _) => link(s".$c.bloom") }
+    a.dv.foreach { case (token, _) => link(s".$token") }
+    a.copy(relPath = s"data/$id")
+  }
+
   def shallowClone(src: String, dst: String): (Long, Int) = {
     require(latestVersion(dst) == 0L, s"$dst already exists")
     val s = state(src)
@@ -2176,8 +2206,8 @@ object TableLog {
     }
     val v = commit(dst, 0L, "clone", adds, Nil, s.schemaDdl, s.keyCol,
       bloom = s.bloom, partCols = s.partCols,
-      props = { // tag refs pin the SOURCE's history — see [[branch]]
-        val p = s.props.filterNot(_._1.startsWith("tag."))
+      props = {
+        val p = stripTagRefs(s.props)
         if (p.isEmpty) None else Some(p)
       },
       colMap =
@@ -2211,25 +2241,12 @@ object TableLog {
     // syscalls on one driver thread (minutes → seconds at 1M files);
     // the metadata commit below stays single-threaded
     import scala.collection.parallel.CollectionConverters._
-    val adds = s.active.par.map { a =>
-      val id = fileIdOf(a.relPath) // <stage>/<name> — stages are UUID-fresh
-      val target = Paths.get(dst, "data", id)
-      Files.createDirectories(target.getParent)
-      def link(suffix: String): Unit = {
-        val from = Paths.get(src, a.relPath + suffix)
-        if (Files.exists(from) &&
-            !Files.exists(Paths.get(target.toString + suffix)))
-          Files.createLink(Paths.get(target.toString + suffix), from)
-      }
-      link("")
-      s.bloom.foreach { case (c, _) => link(s".$c.bloom") }
-      a.dv.foreach { case (token, _) => link(s".$token") }
-      a.copy(relPath = s"data/$id")
-    }.seq.toSeq
+    val adds = s.active.par
+      .map(a => adoptByLink(dst, src, a.relPath, a, s.bloom)).seq.toSeq
     val v = commit(dst, 0L, "clone", adds, Nil, s.schemaDdl, s.keyCol,
       bloom = s.bloom, partCols = s.partCols,
-      props = { // tag refs pin the SOURCE's history — see [[branch]]
-        val p = s.props.filterNot(_._1.startsWith("tag."))
+      props = {
+        val p = stripTagRefs(s.props)
         if (p.isEmpty) None else Some(p)
       },
       colMap =
@@ -2274,10 +2291,7 @@ object TableLog {
     val dataPrefix = dstP.relativize(tabP).toString + "/"
     def rebase(a: AddFile): AddFile =
       a.copy(relPath = dataPrefix + a.relPath)
-    // tag.* refs pin versions of the SOURCE's history; the fork
-    // renumbers from v1, so inherited refs would pin meaningless
-    // versions — strip them (same rule in both clones)
-    val bprops = s.props.filterNot(_._1.startsWith("tag.")) +
+    val bprops = stripTagRefs(s.props) +
       ("branch.of" -> table, "branch.base" -> s.version.toString)
     val colMapOpt =
       if (s.colMap.isEmpty && s.droppedPhys.isEmpty) None
@@ -2545,6 +2559,25 @@ object TableLog {
       validateChecks(readFiles(spark, dst, b, audit), uniq,
         s"publish of branch '$name' into $table")
     }
+    // REBASE-only second gate: a constraint the branch ADDED or
+    // REDEFINED since the fork was never checked against main's
+    // INTERIM files — under fast-forward main could not have any, but
+    // a rebase carries them into the published active set, and
+    // landing the branch's new predicate beside rows it never
+    // validated would declare an ENFORCED constraint the data
+    // violates. Priced at main's interim delta.
+    if (m.version != base.toLong) {
+      val branchNew = checksOf(b.props).toSet -- checksOf(f.props).toSet
+      if (branchNew.nonEmpty) {
+        val fIds = f.active.map(_.contentId).toSet
+        val interim = m.active.filterNot(a => fIds(a.contentId))
+        if (interim.nonEmpty)
+          validateChecks(readFiles(spark, table, m, interim),
+            branchNew.toSeq.sortBy(_._1),
+            s"publish of branch '$name' into $table (main's interim " +
+              "files vs the branch-added constraints)")
+      }
+    }
     // rewrite to main-relative, adopting branch-born files by hard
     // link — in PARALLEL: the adoption is per-file unique-target
     // syscall work bounded by the branch delta, same shape as
@@ -2554,21 +2587,7 @@ object TableLog {
       b.active.par.map { a =>
         val rel = relOf(a)
         if (!rel.startsWith("_branches/")) a.copy(relPath = rel)
-      else {
-        val id = fileIdOf(rel) // <stage>/<name> — stages are UUID-fresh
-        val target = Paths.get(table, "data", id)
-        Files.createDirectories(target.getParent)
-        def link(suffix: String): Unit = {
-          val src = Paths.get(table, rel + suffix)
-          if (Files.exists(src) &&
-              !Files.exists(Paths.get(target.toString + suffix)))
-            Files.createLink(Paths.get(target.toString + suffix), src)
-        }
-        link("")
-        b.bloom.foreach { case (c, _) => link(s".$c.bloom") }
-        a.dv.foreach { case (token, _) => link(s".$token") }
-        a.copy(relPath = s"data/$id")
-      }
+        else adoptByLink(table, table, rel, a, b.bloom)
       }.seq.toSeq
     }
     // three-way merge against the FORK snapshot: adds are what the
@@ -3250,6 +3269,13 @@ object TableLog {
       throw new IllegalArgumentException(
         s"updateWhereDv into $table: no such column '$k' " +
           s"(columns: ${schemaCols.mkString(", ")})"))
+    // duplicate targets differing only in case would silently
+    // last-win through the lowercased map — refuse like SQL UPDATE
+    set.keys.groupBy(_.toLowerCase).find(_._2.size > 1).foreach {
+      case (_, ks) => throw new IllegalArgumentException(
+        s"updateWhereDv into $table: duplicate assignment targets " +
+          ks.mkString(", "))
+    }
     val setLc = set.map { case (k, v) => k.toLowerCase -> v }
     val updated = matched.drop("__graft_f", "__graft_p")
       .drop("__graft_dv_file", "__graft_dv_pos")

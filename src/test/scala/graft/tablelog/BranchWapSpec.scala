@@ -59,6 +59,38 @@ class BranchWapSpec extends SparkSuite {
     assert(e2.getMessage.contains("metadata moved"), e2.getMessage)
   }
 
+  test("a rebase audits main's INTERIM files against branch-added " +
+      "constraints: violating interim rows refuse the landing, " +
+      "compliant ones land with the constraint installed") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    val br = TableLog.branch(t, "gate")
+    TableLog.setProps(br, TableLog.state(br).props +
+      ("constraint.v_nonempty" -> "length(v) > 0"))
+    TableLog.append(kv(Seq(2L -> "b")), br, 1)
+    // main's interim append VIOLATES the branch's new gate — landing
+    // it would declare an ENFORCED constraint over rows it never saw
+    TableLog.append(kv(Seq(3L -> "")), t, 1)
+    val before = TableLog.latestVersion(t)
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.publish(spark, t, "gate")
+    }
+    assert(ex.getMessage.contains("v_nonempty"), ex.getMessage)
+    assert(TableLog.latestVersion(t) == before,
+      "a refused interim-audit publish moved main")
+    // compliant interim rows: same shape, clean value → lands
+    val t2 = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t2, "k", 1)
+    val br2 = TableLog.branch(t2, "gate")
+    TableLog.setProps(br2, TableLog.state(br2).props +
+      ("constraint.v_nonempty" -> "length(v) > 0"))
+    TableLog.append(kv(Seq(2L -> "b")), br2, 1)
+    TableLog.append(kv(Seq(3L -> "c")), t2, 1)
+    TableLog.publish(spark, t2, "gate")
+    assert(TableLog.state(t2).props.contains("constraint.v_nonempty"))
+    assert(TableLog.snapshot(spark, t2).count() == 3L)
+  }
+
   test("a rebase keeps main's interim compaction of files the branch " +
       "left untouched, and a branch DV-delete rebases onto appends") {
     val t = freshDir()

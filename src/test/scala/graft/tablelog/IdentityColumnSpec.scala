@@ -192,6 +192,27 @@ class IdentityColumnSpec extends SparkSuite {
     assert(e2.getMessage.contains("must be supplied"), e2.getMessage)
   }
 
+  test("an ALIASED SQL UPDATE routes like the bare form: qualifiers " +
+      "strip for the MoR path; duplicate set targets refuse") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshTable()
+    TableLog.appendIdentity(Seq("a", "b").toDF("v"), t, 1)
+    spark.sql(
+      s"UPDATE graftlog.`$t` AS x SET v = upper(x.v) WHERE x.id = 101")
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((100L, "a"), (101L, "B")), got.toString)
+    // duplicate set targets differing only in case refuse, never
+    // silently last-win
+    val e = intercept[IllegalArgumentException] {
+      TableLog.updateWhereDv(spark, t, col("id") === 100L,
+        Map("v" -> lit("x"), "V" -> lit("y")))
+    }
+    assert(e.getMessage.contains("duplicate assignment"), e.getMessage)
+  }
+
   test("updateWhereDv refuses an unknown set key and casts assigned " +
       "values to the column's declared type") {
     import spark.implicits._
