@@ -372,4 +372,27 @@ class BranchWapSpec extends SparkSuite {
     assert(TableLog.snapshot(spark, br2).count() == 12L,
       "a re-fork after recovery must read the full base snapshot")
   }
+
+  test("publish-rebase on a PARTITIONED table: disjoint per-partition " +
+      "appends from branch and main both land with tuple stats intact") {
+    import spark.implicits._
+    val t = freshDir()
+    TableLog.create(
+      Seq((1L, "ca", "x1"), (2L, "ny", "x2")).toDF("k", "region", "v"),
+      t, "k", 1, partCols = Seq("region"))
+    val br = TableLog.branch(t, "drop")
+    TableLog.append(Seq((3L, "ca", "x3")).toDF("k", "region", "v"), br, 1)
+    TableLog.append(Seq((4L, "tx", "x4")).toDF("k", "region", "v"), t, 1)
+    TableLog.publish(spark, t, "drop") // disjoint files -> rebase
+    val got = TableLog.snapshot(spark, t).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L), got.toString)
+    // partition inventory still exact after the rebase adoption
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val parts = spark.sql(s"SELECT * FROM graftlog.`$t#partitions`")
+      .collect().map(r => (r.getString(0), r.getLong(2))).sorted.toSeq
+    assert(parts == Seq(("ca", 2L), ("ny", 1L), ("tx", 1L)),
+      s"partition stats wrong after rebase: $parts")
+  }
 }

@@ -276,4 +276,20 @@ class IdentityColumnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((100L, "a"), (101L, "B"), (102L, "c")), got.toString)
   }
+
+  test("stepped identity composes with the SQL INSERT path: ids " +
+      "allocate at the declared INCREMENT across statements") {
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    spark.version
+    val t = Files.createTempDirectory("tlog_idstep_").toString + "/t"
+    TableLog.createEmpty(t, "id BIGINT, v STRING", "id",
+      props = Map("identity.id" -> "10:10"))
+    spark.sql(s"INSERT INTO graftlog.`$t` (v) VALUES ('a'), ('b')")
+    spark.sql(s"INSERT INTO graftlog.`$t` (v) VALUES ('c')")
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((10L, "a"), (20L, "b"), (30L, "c")), got.toString)
+    assert(TableLog.state(t).props("identity.id") == "40:10")
+  }
 }
