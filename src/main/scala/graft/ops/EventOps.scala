@@ -6829,7 +6829,89 @@ object EventOps {
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated
       |FROM c GROUP BY user_id % 10 ORDER BY cohort""".stripMargin
 
+  // ---------------------------------------------------------------- q512
+  /** AGENT-TRAJECTORY INTEGRITY LINT — the admission gate agentic SFT
+    * data needs before tool-use traces become training rows: in a
+    * call/result protocol every RESULT must follow a CALL in its own
+    * stream, and a stream that only ever calls without observing a
+    * result is truncated. Framed on the fixture's event streams
+    * (view = the call, purchase = the result, per-user streams
+    * ordered by time): a PURCHASE with no strictly-earlier VIEW by
+    * the same user is an ORPHANED result (protocol violation — the
+    * whole stream is quarantined, not repaired), and a stream with
+    * views but zero purchases is DANGLING (truncated trajectory —
+    * usable for call-format training only). The readout buckets every
+    * stream into exactly one class, so the counts reconcile to the
+    * user universe. ONE user-grain shuffle of (user, ts, type)
+    * triples — the payload column never moves; at 100 TB the lint is
+    * a projection plus one aggregation keyed by the stream id. */
+  def q512TrajectoryLint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_type")
+      .where($"event_type".isin("view", "purchase"))
+    val perUser = ev.groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts")).as("first_view"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_res"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L))
+          .as("n_call"))
+    // orphaned = a result with NO strictly-earlier call: purchases
+    // at-or-before the stream's first view, or in view-less streams
+    val marked = ev.where($"event_type" === "purchase")
+      .join(perUser.select($"user_id", $"first_view"), Seq("user_id"),
+        "left")
+      .groupBy($"user_id")
+      .agg(sum(when($"first_view".isNull ||
+        $"ts" <= $"first_view", 1L).otherwise(0L)).as("orphans"))
+    val cls = perUser
+      .join(marked, Seq("user_id"), "left")
+      .withColumn("orphans", coalesce($"orphans", lit(0L)))
+      .withColumn("class",
+        when($"orphans" > 0L, lit("quarantined"))
+          .when($"n_call" > 0L && $"n_res" === 0L, lit("dangling"))
+          .when($"n_call" === 0L && $"n_res" === 0L, lit("empty"))
+          .otherwise(lit("clean")))
+    cls.groupBy($"class")
+      .agg(count(lit(1)).as("n_streams"),
+        sum($"n_call").as("n_calls"),
+        sum($"n_res").as("n_results"))
+      .orderBy($"class")
+  }
+
+  private val q512Oracle =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('view', 'purchase')),
+      |pu AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS n_res,
+      |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_call
+      |  FROM ev GROUP BY user_id),
+      |orph AS (
+      |  SELECT e.user_id,
+      |    sum(CASE WHEN p.first_view IS NULL OR e.ts <= p.first_view
+      |      THEN 1 ELSE 0 END) AS orphans
+      |  FROM ev e JOIN pu p USING (user_id)
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+      |cls AS (
+      |  SELECT p.user_id, p.n_call, p.n_res,
+      |    CASE WHEN coalesce(o.orphans, 0) > 0 THEN 'quarantined'
+      |      WHEN p.n_call > 0 AND p.n_res = 0 THEN 'dangling'
+      |      WHEN p.n_call = 0 AND p.n_res = 0 THEN 'empty'
+      |      ELSE 'clean' END AS class
+      |  FROM pu p LEFT JOIN orph o USING (user_id))
+      |SELECT class,
+      |  CAST(count(*) AS BIGINT) AS n_streams,
+      |  CAST(sum(n_call) AS BIGINT) AS n_calls,
+      |  CAST(sum(n_res) AS BIGINT) AS n_results
+      |FROM cls GROUP BY class ORDER BY class""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q512_trajectory_lint" -> (q512TrajectoryLint _),
     "q504_sft_turn_flatten" -> (q504SftTurnFlatten _),
     "q411_quantile_regression" -> (q411QuantileRegression _),
     "q410_markov_attribution" -> (q410MarkovAttribution _),
@@ -6918,6 +7000,7 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q512_trajectory_lint" -> q512Oracle,
     "q504_sft_turn_flatten" -> q504Oracle,
     "q411_quantile_regression" -> q411Oracle,
     "q410_markov_attribution" -> q410Oracle,

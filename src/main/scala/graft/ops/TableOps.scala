@@ -3781,7 +3781,242 @@ object TableOps {
       |   OR o_orderkey % 6 = 3
       |ORDER BY side""".stripMargin
 
+  // ---------------------------------------------------------------- q509
+  /** The COMPLETE WAP lifecycle from SQL — round 13 closes the loop
+    * the q482/q500 machinery opened: fork (`CALL graftlog.branch`),
+    * stage a corpus drop on the branch, AUDIT IT BY NAME
+    * (`VERSION AS OF 'branch:<name>'` — no `_branches/...` filesystem
+    * path in the audit query, Iceberg's branch-ref read), publish,
+    * then `CALL graftlog.drop_branch` to reclaim the staging
+    * directory — refused while unpublished work exists, safe after
+    * publish by the adoption-link design (main hard-links branch-born
+    * files into its own data dir, so the drop removes the LAST link
+    * to nothing main references). The readout pins the pre-publish
+    * branch preview, the published table, and the emptied `#branches`
+    * inventory against one oracle. Zero-copy at any scale: fork is
+    * O(chunks), publish O(delta), drop O(branch files). */
+  private val branchLifeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q509BranchLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = branchLifeCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogbl_").toString + "/t"
+      val slice = ordersSlice(s, dir).select($"o_orderkey", $"o_totalprice")
+      TableLog.create(slice.where($"o_orderkey" % 7 === 1),
+        path, "o_orderkey", numFiles = 2)                            // v1
+      s.sql(s"CALL graftlog.branch('$path', 'drop13')")
+      TableLog.append(slice.where($"o_orderkey" % 7 === 3),
+        s"$path/_branches/drop13", 2)
+      // the pre-publish audit reads the branch BY NAME and must see
+      // the staged drop while main is still unmoved
+      val preview = s.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS ks
+           |FROM graftlog.`$path` VERSION AS OF 'branch:drop13'"""
+          .stripMargin).head()
+      val mainBefore =
+        s.sql(s"SELECT count(*) FROM graftlog.`$path`").head().getLong(0)
+      require(preview.getLong(0) > mainBefore,
+        "branch-by-name read missed the staged drop")
+      s.sql(s"CALL graftlog.publish('$path', 'drop13')")
+      val n = s.sql(s"CALL graftlog.drop_branch('$path', 'drop13')")
+        .head().getLong(0)
+      require(n > 0L, "drop_branch reclaimed nothing")
+      path
+    })
+    val published = s.sql(
+      s"""SELECT 'published' AS side,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graftlog.`$t`""".stripMargin)
+    val left = s.sql(
+      s"""SELECT 'branches_left' AS side,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(0 AS BIGINT) AS key_sum
+         |FROM graftlog.`$t#branches`""".stripMargin)
+    published.unionByName(left).orderBy($"side")
+  }
+
+  private val q509Oracle =
+    """SELECT 'branches_left' AS side, CAST(0 AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS key_sum
+      |UNION ALL
+      |SELECT 'published', CAST(count(*) AS BIGINT),
+      |  CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 7 = 1 OR o_orderkey % 7 = 3
+      |ORDER BY side""".stripMargin
+
+  // ---------------------------------------------------------------- q507
+  /** IDENTITY + GENERATED columns on the engine's remaining write
+    * surfaces — the round-13 reachability close: a declaring table
+    * fed by the EXACTLY-ONCE STREAMING SINK (ids allocated per
+    * micro-batch inside the txn-ledger commit; the stream omits both
+    * ALWAYS columns and the commit's completion pass finishes them)
+    * and then mutated by a SQL `MERGE INTO` (matched arm updates a
+    * value column — the generated column recomputes with the NEW
+    * value substituted; the insert arm omits both ALWAYS columns —
+    * the analyzer rule injects the allocate-marker and the generation
+    * expression, and the staged commit audits every carried id
+    * against the rewritten files' pre-image before allocating the
+    * rest). The readout proves the allocator invariant END TO END
+    * without depending on allocation order: ids are UNIQUE
+    * (count distinct = count), DENSE from the declared START WITH
+    * (min = 1000, max − min + 1 = count) across both write surfaces,
+    * and the generated column agrees with its expression on every
+    * row. At 100 TB: the completion pass reads only each commit's
+    * own staged sliver; the audit joins are sliver-grain. */
+  private val idMergeStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q507IdentityMergeStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = idMergeStreamCache.computeIfAbsent(dir, _ => {
+      val root = Files.createTempDirectory("graft_tlogims_").toString
+      val path = s"$root/t"
+      TableLog.createEmpty(path,
+        "row_id BIGINT, o_orderkey BIGINT, o_orderstatus STRING, " +
+          "status_lc STRING", "o_orderkey",
+        props = Map("identity.row_id" -> "1000",
+          "gencol.status_lc" -> "lower(o_orderstatus)"))
+      val src = ordersSlice(s, dir).where($"o_orderkey" % 5 === 2)
+        .select($"o_orderkey", $"o_orderstatus")
+      src.write.parquet(s"$root/in")
+      val q = s.readStream.schema(src.schema).parquet(s"$root/in")
+        .writeStream.format("graft.sources.GraftLogStreamProvider")
+        .option("path", path).option("txnAppId", "q507-ingest")
+        .option("checkpointLocation", s"$root/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ordersSlice(s, dir)
+        .where($"o_orderkey" % 5 === 2 || $"o_orderkey" % 5 === 4)
+        .groupBy($"o_orderkey")
+        .agg(min($"o_orderstatus").as("st"))
+        .createOrReplaceTempView("q507_src")
+      s.sql(
+        s"""MERGE INTO graftlog.`$path` AS tgt USING q507_src AS src
+           |ON tgt.o_orderkey = src.o_orderkey
+           |WHEN MATCHED AND src.o_orderkey % 10 = 7
+           |  THEN UPDATE SET o_orderstatus = 'X'
+           |WHEN NOT MATCHED
+           |  THEN INSERT (o_orderkey, o_orderstatus)
+           |  VALUES (src.o_orderkey, src.st)""".stripMargin)
+      path
+    })
+    val perStatus = s.sql(
+      s"""SELECT o_orderstatus AS grp,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT row_id) AS BIGINT) AS n_ids,
+         |  CAST(count(CASE WHEN status_lc = lower(o_orderstatus)
+         |    THEN 1 END) AS BIGINT) AS n_gen
+         |FROM graftlog.`$t` GROUP BY o_orderstatus""".stripMargin)
+    val span = s.sql(
+      s"""SELECT '__span' AS grp,
+         |  CAST(count(DISTINCT row_id) AS BIGINT) AS n_rows,
+         |  CAST(min(row_id) AS BIGINT) AS n_ids,
+         |  CAST(max(row_id) - min(row_id) + 1 AS BIGINT) AS n_gen
+         |FROM graftlog.`$t`""".stripMargin)
+    perStatus.unionByName(span).orderBy($"grp")
+  }
+
+  private val q507Oracle =
+    """WITH t0 AS (
+      |  SELECT o_orderkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 5 = 2),
+      |src AS (
+      |  SELECT o_orderkey, min(o_orderstatus) AS st FROM orders
+      |  WHERE o_orderkey % 5 = 2 OR o_orderkey % 5 = 4
+      |  GROUP BY o_orderkey),
+      |upd AS (
+      |  SELECT CASE WHEN o_orderkey % 10 = 7 THEN 'X'
+      |    ELSE o_orderstatus END AS st FROM t0),
+      |ins AS (SELECT st FROM src WHERE o_orderkey % 5 = 4),
+      |allr AS (SELECT st FROM upd UNION ALL SELECT st FROM ins)
+      |SELECT st AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_ids,
+      |  CAST(count(*) AS BIGINT) AS n_gen
+      |FROM allr GROUP BY st
+      |UNION ALL
+      |SELECT '__span', CAST(count(*) AS BIGINT),
+      |  CAST(1000 AS BIGINT), CAST(count(*) AS BIGINT)
+      |FROM allr
+      |ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------- q508
+  /** GDPR erasure on the STANDARD 100-TB layout — a `days(ts)`-
+    * partitioned events table — via MERGE-ON-READ deletion vectors.
+    * Through round 12 the DV path refused partitioned tables, so a
+    * data-subject delete on exactly the layout a production events
+    * table uses (q461/q466's) downgraded to the full copy-on-write
+    * rewrite q468 exists to avoid. Now the erasure writes KB-scale
+    * position sidecars, rewrites NOTHING, and the commit decrements
+    * each touched file's per-(file, tuple) row stats by the dying
+    * rows' rendered UTC day ([[TableLog.deleteWhereDv]] →
+    * `dvCommitEntries`), so partition stats stay EXACT through the
+    * delete. The readout pins three planes against one oracle: the
+    * `#partitions` metadata fold (day-grain live counts straight off
+    * the manifest, zero data files opened), the data-plane day counts
+    * (full-outer-joined — any metadata/data drift breaks the hash),
+    * and the change-feed audit row enumerating exactly the erased
+    * rows. At 100 TB: candidate scan once, sidecars in KBs, metadata
+    * queries stay O(files) driver folds. */
+  private val gdprPartCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q508GdprErasurePartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = gdprPartCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tloggp_").toString + "/t"
+      val slice = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+        .where($"event_id" % 3 === 0)
+      TableLog.create(slice, path, "event_id", numFiles = 4,
+        partCols = Seq("days:ts"))                                    // v1
+      // the data subject: deterministic, SQL-expressible
+      val victim = slice.agg(min($"user_id")).collect().head.getLong(0)
+      TableLog.deleteWhereDv(s, path, col("user_id") === victim)     // v2
+      path
+    })
+    val meta = s.sql(
+      s"""SELECT `days(ts)` AS day, row_count
+         |FROM graftlog.`$t#partitions`""".stripMargin)
+    val data = s.sql(
+      s"""SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
+         |  CAST(count(*) AS BIGINT) AS n_live
+         |FROM graftlog.`$t` GROUP BY 1""".stripMargin)
+    val days = meta.join(data, Seq("day"), "full_outer")
+      .select($"day", $"row_count", $"n_live")
+    val audit = TableLog.diffVersions(s, t, 1L, 2L)
+      .where($"action" === "delete")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("__erased").as("day"), $"n".as("row_count"),
+        $"n".as("n_live"))
+    days.unionByName(audit).orderBy($"day")
+  }
+
+  private val q508Oracle =
+    """WITH sl AS (
+      |  SELECT event_id, ts, user_id, event_type FROM events
+      |  WHERE event_id % 3 = 0),
+      |v AS (SELECT min(user_id) AS victim FROM sl)
+      |SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
+      |  CAST(count(*) AS BIGINT) AS row_count,
+      |  CAST(count(*) AS BIGINT) AS n_live
+      |FROM sl, v WHERE user_id <> victim GROUP BY 1
+      |UNION ALL
+      |SELECT '__erased', CAST(count(*) AS BIGINT),
+      |  CAST(count(*) AS BIGINT)
+      |FROM sl, v WHERE user_id = victim
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q509_branch_lifecycle" -> (q509BranchLifecycle _),
+    "q508_gdpr_partitioned_mor" -> (q508GdprErasurePartitioned _),
+    "q507_identity_merge_stream" -> (q507IdentityMergeStream _),
     "q506_snapshot_tags" -> (q506SnapshotTags _),
     "q500_publish_rebase" -> (q500PublishRebase _),
     "q499_sql_generated_insert" -> (q499SqlGeneratedInsert _),
@@ -3855,6 +4090,9 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q509_branch_lifecycle" -> q509Oracle,
+    "q508_gdpr_partitioned_mor" -> q508Oracle,
+    "q507_identity_merge_stream" -> q507Oracle,
     "q506_snapshot_tags" -> q506Oracle,
     "q500_publish_rebase" -> q500Oracle,
     "q499_sql_generated_insert" -> q499Oracle,

@@ -7055,7 +7055,114 @@ object TextOps {
       |FROM r CROSS JOIN tot
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q510
+  /** FILL-IN-THE-MIDDLE transformation planning (Bavarian et al.
+    * 2022's FIM; the code-model pretraining staple): before rewriting
+    * a corpus into `<pre>prefix<suf>suffix<mid>middle` order, PRICE
+    * the transformation — per (lang, mode): how many documents
+    * transform under each mode (PSM / SPM split by a deterministic
+    * doc-id parity, the standard 50/50 mix), how many are too short
+    * and stay autoregressive, the middle-span mass the infill
+    * objective will train on, and the sentinel-token overhead the
+    * rewrite adds (3 per transformed doc). Split points are pure
+    * integer arithmetic on the character length (40%/80% — the
+    * uniform-split character-level FIM), so the plan costs ONE
+    * scan-side projection + a (lang, mode)-grain aggregate: at 100 TB
+    * no text ever shuffles — lengths do. The rewrite itself is then
+    * an embarrassingly parallel map the plan has already priced. */
+  def q510FimTransformPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", length($"text").cast("long").as("len"))
+      .withColumn("mode",
+        when($"len" < 50L, lit("ar"))
+          .when($"doc_id" % 2 === 0, lit("psm"))
+          .otherwise(lit("spm")))
+      .withColumn("mid_chars",
+        when($"mode" === "ar", lit(0L))
+          .otherwise(expr("len * 4 div 5 - len * 2 div 5")))
+      .groupBy($"lang", $"mode")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"len").as("total_chars"),
+        sum($"mid_chars").as("middle_chars"),
+        sum(when($"mode" === "ar", 0L).otherwise(3L))
+          .as("sentinel_tokens"))
+      .orderBy($"lang", $"mode")
+  }
+
+  private val q510Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
+      |    CASE WHEN length(text) < 50 THEN 'ar'
+      |      WHEN doc_id % 2 = 0 THEN 'psm' ELSE 'spm' END AS mode
+      |  FROM documents)
+      |SELECT lang, mode,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(len) AS BIGINT) AS total_chars,
+      |  CAST(sum(CASE WHEN mode = 'ar' THEN 0
+      |    ELSE len * 4 // 5 - len * 2 // 5 END) AS BIGINT)
+      |    AS middle_chars,
+      |  CAST(sum(CASE WHEN mode = 'ar' THEN 0 ELSE 3 END) AS BIGINT)
+      |    AS sentinel_tokens
+      |FROM d GROUP BY lang, mode ORDER BY lang, mode""".stripMargin
+
+  // ---------------------------------------------------------------- q511
+  /** SYNTHETIC-TEXT (model-output) MARKER AUDIT — the
+    * self-consumption gate a 2025-era corpus needs (Shumailov et al.
+    * 2023's model-collapse loop: web crawls increasingly contain
+    * model-generated text, and retraining on it degrades the model):
+    * score every source against a configured list of
+    * model-characteristic marker phrases and report, per source, the
+    * marker rate per 10k tokens and the share of documents over a
+    * flag threshold — the readout that decides which sources need a
+    * classifier pass or an exclusion rule before the next crawl
+    * lands. Occurrence counting is pure substring arithmetic
+    * ((len − len(remove)) / len(marker) — exact, no regex engine
+    * divergence between engines), so the audit is ONE scan-side
+    * projection + a source-grain aggregate: at 100 TB the text never
+    * shuffles and the marker list broadcasts as literals. The list
+    * here is the fixture's (words present in the synthetic corpus);
+    * production swaps in the published slop lexicons verbatim. */
+  def q511SyntheticMarkerAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val markers = Seq("slow", "merge", "spark")
+    val hits = markers.map(m =>
+      (length($"text") - length(expr(s"replace(text, '$m', '')")))
+        / lit(m.length)).reduce(_ + _).cast("long")
+    Tables.documents(s, dir)
+      .select($"source",
+        hits.as("hits"),
+        (length($"text") -
+          length(expr("replace(text, ' ', '')")) + 1L)
+          .cast("long").as("toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"hits").as("marker_hits"),
+        expr("sum(hits) * 10000 div sum(toks)").as("hits_per_10k"),
+        sum(when($"hits" >= 3L, 1L).otherwise(0L)).as("flagged_docs"))
+      .orderBy($"source")
+  }
+
+  private val q511Oracle =
+    """WITH d AS (
+      |  SELECT source,
+      |    (length(text) - length(replace(text, 'slow', ''))) // 4 +
+      |    (length(text) - length(replace(text, 'merge', ''))) // 5 +
+      |    (length(text) - length(replace(text, 'spark', ''))) // 5
+      |      AS hits,
+      |    length(text) - length(replace(text, ' ', '')) + 1 AS toks
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(hits) AS BIGINT) AS marker_hits,
+      |  CAST(sum(hits) * 10000 // sum(toks) AS BIGINT) AS hits_per_10k,
+      |  CAST(sum(CASE WHEN hits >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS flagged_docs
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q510_fim_transform_plan" -> (q510FimTransformPlan _),
+    "q511_synthetic_marker_audit" -> (q511SyntheticMarkerAudit _),
     "q502_token_budget_freeze" -> (q502TokenBudgetFreeze _),
     "q480_pipeline_capstone" -> (q480PipelineCapstone _),
     "q483_nb_quality_classifier" -> (q483NbQualityClassifier _),
@@ -7161,6 +7268,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q510_fim_transform_plan" -> q510Oracle,
+    "q511_synthetic_marker_audit" -> q511Oracle,
     "q502_token_budget_freeze" -> q502Oracle,
     "q480_pipeline_capstone" -> q480Oracle,
     "q483_nb_quality_classifier" -> q483Oracle,

@@ -8,8 +8,9 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graftbridge.{ColumnBridge, SessionBridge}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertIntoStatement, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.StructType
@@ -116,6 +117,17 @@ class GraftGeneratedInsertRule(session: SparkSession)
             case att: UnresolvedAttribute => Some(lc(att.nameParts.last))
             case _ => None
           }
+          // the rewrite runs BEFORE Spark's assignment resolution, so
+          // its duplicate-target check never fires on this path — and
+          // the identity route folds assignments Seq->Map, where a
+          // duplicate would silently collapse last-wins. Refuse
+          // (case-insensitively, exact dupes included) like SQL UPDATE.
+          assignments.flatMap(keyName).groupBy(identity)
+            .find(_._2.size > 1).foreach { case (k, _) =>
+              throw new IllegalArgumentException(
+                s"UPDATE on graftlog table $path: duplicate assignment " +
+                  s"target '$k'")
+            }
           val assigned = assignments.flatMap(keyName).toSet
           val idHit = ids.filter(c => assigned(lc(c)))
           if (idHit.nonEmpty) throw new IllegalArgumentException(
@@ -166,6 +178,145 @@ class GraftGeneratedInsertRule(session: SparkSession)
               cond.map(c => ExprBox(strip(c))))
           }
       }
+    // SQL MERGE on a declaring table: finish the arms (identity NULL
+    // injection + refusals, gencol compute/recompute) and leave the
+    // statement on Spark's own group-based rewrite — the staged
+    // commit's completion pass allocates and audits ids
+    case m: MergeIntoTable if relationOf(m.targetTable).isDefined =>
+      val (rel, alias) = relationOf(m.targetTable).get
+      declaring(rel.multipartIdentifier) match {
+        case None => m
+        case Some((path, ids, _, props)) =>
+          val gens = props.toSeq.collect {
+            case (k, sql) if k.startsWith("gencol.") =>
+              (k.stripPrefix("gencol."), sql) }.sortBy(_._1)
+          m.copy(
+            matchedActions =
+              completeMergeArms(path, ids, gens, alias, m.matchedActions),
+            notMatchedActions =
+              completeMergeArms(path, ids, gens, alias, m.notMatchedActions),
+            notMatchedBySourceActions = completeMergeArms(path, ids, gens,
+              alias, m.notMatchedBySourceActions))
+      }
+  }
+
+  /** SQL MERGE arms on a declaring table — the third statement the
+    * rule threads through the allocator/generator contracts (after
+    * INSERT and UPDATE). The plan stays on Spark's own group-based
+    * ReplaceData rewrite (arm semantics, cardinality check, runtime
+    * group filter all Spark's); the rule only FINISHES the arms:
+    *
+    *  - identity: any arm assigning the column a non-NULL value
+    *    refuses (ALWAYS); insert arms get an explicit NULL id
+    *    assignment injected so Spark's alignment passes — the commit
+    *    ([[graft.tablelog.TableLog.commitStagedRewrite]]'s completion
+    *    pass) allocates real ids transactionally and audits every
+    *    carried id against the rewritten files' pre-image;
+    *  - generated columns: insert arms omitting the column get it
+    *    computed from the arm's own assigned values (Delta's
+    *    compute-on-omit contract); update arms omitting it get a
+    *    recompute with assigned columns' NEW values substituted, so
+    *    simultaneous-assignment semantics hold and the synthetic
+    *    CHECK cannot refuse a consistent update.
+    *
+    * Idempotent under the analyzer's fixed-point re-application: an
+    * arm already assigning a column is never re-injected, and the
+    * injected NULL id literal is recognized as "allocate", not as an
+    * explicit value. Star actions refuse on identity tables (they
+    * would smuggle a source id column by name). */
+  private def completeMergeArms(path: String, ids: Seq[String],
+      gens: Seq[(String, String)], alias: Option[String],
+      actions: Seq[MergeAction]): Seq[MergeAction] = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val idSet = ids.map(lc).toSet
+    def keyName(a: Assignment): Option[String] = a.key match {
+      case att: UnresolvedAttribute => Some(lc(att.nameParts.last))
+      case _ => None
+    }
+    def qualify(e: Expression): Expression = alias match {
+      case None => e
+      case Some(a) => e.transformUp {
+        case att: UnresolvedAttribute if att.nameParts.length == 1 =>
+          UnresolvedAttribute(Seq(a) ++ att.nameParts)
+      }
+    }
+    actions.map {
+      case a @ (_: UpdateStarAction | _: InsertStarAction) =>
+        if (idSet.nonEmpty) throw new IllegalArgumentException(
+          s"MERGE into graftlog table $path: UPDATE */INSERT * on an " +
+            "identity table would smuggle a source id column by name — " +
+            "name the columns explicitly")
+        a
+      case d: DeleteAction => d
+      case u: UpdateAction =>
+        val assigns = u.assignments
+        checkNoIdAssign(path, idSet, assigns)
+        val newValueOf = assigns
+          .flatMap(a => keyName(a).map(_ -> a.value)).toMap
+        val assigned = newValueOf.keySet
+        val genAssigns = gens.collect {
+          case (g, sql) if !assigned(lc(g)) =>
+            val parsed =
+              session.sessionState.sqlParser.parseExpression(sql)
+            val subst = parsed.transformUp {
+              case att: UnresolvedAttribute
+                  if newValueOf.contains(lc(att.nameParts.last)) =>
+                newValueOf(lc(att.nameParts.last))
+              case att: UnresolvedAttribute => qualify(att)
+            }
+            Assignment(UnresolvedAttribute.quoted(g), subst)
+        }
+        u.copy(assignments = assigns ++ genAssigns)
+      case i: InsertAction =>
+        val assigns = i.assignments
+        checkNoIdAssign(path, idSet, assigns)
+        val assigned = assigns.flatMap(keyName).toSet
+        val valueOf = assigns
+          .flatMap(a => keyName(a).map(_ -> a.value)).toMap
+        val idAssigns = ids.collect {
+          case c if !assigned(lc(c)) =>
+            Assignment(UnresolvedAttribute.quoted(c),
+              Literal(null, LongType))
+        }
+        val genAssigns = gens.collect {
+          case (g, sql) if !assigned(lc(g)) =>
+            val parsed =
+              session.sessionState.sqlParser.parseExpression(sql)
+            // insert-arm context: the generated value is a function of
+            // the arm's OWN assignments (there is no target row); a
+            // reference to an unassigned column folds to NULL — the
+            // value that column lands as
+            val subst = parsed.transformUp {
+              case att: UnresolvedAttribute
+                  if valueOf.contains(lc(att.nameParts.last)) =>
+                valueOf(lc(att.nameParts.last))
+              case _: UnresolvedAttribute =>
+                Literal(null, org.apache.spark.sql.types.NullType)
+            }
+            Assignment(UnresolvedAttribute.quoted(g), subst)
+        }
+        i.copy(assignments = assigns ++ idAssigns ++ genAssigns)
+      case other => other
+    }
+  }
+
+  private def checkNoIdAssign(path: String, idSet: Set[String],
+      assigns: Seq[Assignment]): Unit = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    assigns.foreach { a =>
+      a.key match {
+        case att: UnresolvedAttribute
+            if idSet(lc(att.nameParts.last)) => a.value match {
+          case Literal(null, _) => () // the rule's own "allocate" marker
+          case _ => throw new IllegalArgumentException(
+            s"MERGE into graftlog table $path: " +
+              s"'${att.nameParts.last}' is GENERATED ALWAYS AS " +
+              "IDENTITY — arms cannot assign it; omit it (matched rows " +
+              "keep their ids, inserts allocate)")
+        }
+        case _ => ()
+      }
+    }
   }
 
   /** The statement target's relation, seen through an optional alias

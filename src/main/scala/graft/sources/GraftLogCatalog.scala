@@ -120,13 +120,23 @@ class GraftLogCatalog extends TableCatalog
     * [[graft.tablelog.TableLog.evolveSchemaDefault]]); without these
     * flags Spark refuses `ALTER TABLE … ADD CONSTRAINT` / `ADD COLUMN
     * … DEFAULT` before the catalog ever sees them. */
+  /** Plus the DDL-native `GENERATED ALWAYS AS (expr)` /
+    * `GENERATED ALWAYS AS IDENTITY [(START WITH n INCREMENT BY s)]`
+    * column spellings — the words every Delta/BigQuery user types
+    * first: [[createTable]] lowers the parsed column metadata onto
+    * the same `gencol.<col>` / `identity.<col>` properties the
+    * analyzer rule and the write paths already own. */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
     java.util.EnumSet.of(
       org.apache.spark.sql.connector.catalog
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** Maintenance PROCEDURES — `CALL graftlog.vacuum(...)` /
     * `CALL graftlog.compact(...)`: the table-maintenance verbs SQL
@@ -334,15 +344,41 @@ class GraftLogCatalog extends TableCatalog
     * `tag.<name>` property pins the version, so
     * `VERSION AS OF 'corpus_v3'` reads the tagged era (tag names are
     * never all-digits — enforced at declaration — so the two
-    * namespaces cannot collide). */
-  override def loadTable(ident: Identifier, version: String): Table =
+    * namespaces cannot collide). The `branch:<name>` form reads a
+    * STAGING BRANCH's head by name (Iceberg's branch-ref read): an
+    * audit query on an in-flight WAP drop needs no `_branches/...`
+    * filesystem path — read-only, like every AS OF relation (the
+    * write surface of a branch stays its own table path). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (version.startsWith("branch:")) {
+      val bname = version.stripPrefix("branch:")
+      val raw = pathOf(ident)
+      val bp = java.nio.file.Paths
+        .get(raw, "_branches", bname).toString
+      if (!bname.matches("[A-Za-z0-9._-]{1,64}") ||
+          TableLog.latestVersion(bp) == 0L)
+        throw new NoSuchTableException(
+          "TABLE_OR_VIEW_NOT_FOUND",
+          Map("relationName" ->
+            (s"$catalogName.`$raw` VERSION AS OF 'branch:$bname' " +
+              s"(no such branch; branches: ${TableLog.listBranches(raw)
+                .map(_._1).mkString(", ")})")),
+          None)
+      return new GraftLogTable(bp, TableLog.state(bp),
+        timeTraveled = true)
+    }
     load(ident, Some(
       try version.toLong
       catch { case _: NumberFormatException =>
         val raw = pathOf(ident)
+        // only the no-committed-version signal means "not a table" —
+        // a genuine state-read failure (IO error, crashed-fork
+        // IllegalStateException) must propagate with its own recovery
+        // advice, not masquerade as table-not-found
         val props =
           try TableLog.state(raw).props
-          catch { case _: Exception => throw new NoSuchTableException(ident) }
+          catch { case _: IllegalArgumentException =>
+            throw new NoSuchTableException(ident) }
         props.getOrElse(s"tag.$version",
           throw new NoSuchTableException(
             "TABLE_OR_VIEW_NOT_FOUND",
@@ -354,6 +390,7 @@ class GraftLogCatalog extends TableCatalog
                   .mkString(", ")})")),
             None)).toLong
       }))
+  }
 
   /** `TIMESTAMP AS OF t` — the image of the reference warehouse's
     * `FOR SYSTEM_TIME AS OF`: Spark hands the resolved timestamp in
@@ -555,6 +592,53 @@ class GraftLogCatalog extends TableCatalog
       bucketProp.map { case (n, _) => "bucket.count" -> n.toString }
     TableLog.createEmpty(path, schema.toDDL, key, partCols, userProps)
     new GraftLogTable(path, TableLog.state(path))
+  }
+
+  /** DDL-native GENERATED columns — the `Column[]` create path Spark
+    * routes to when the catalog declares the identity/generated
+    * capabilities (the StructType conversion DROPS this info, so it
+    * must be read here): `GENERATED ALWAYS AS (expr)` lowers onto
+    * `gencol.<col>`, `GENERATED ALWAYS AS IDENTITY (START WITH n
+    * INCREMENT BY s)` onto `identity.<col>` = `n[:s]` — the exact
+    * property spellings the analyzer rule and every write path
+    * already own, validated by createEmpty like any TBLPROPERTIES
+    * declaration. `GENERATED BY DEFAULT` refuses: the engine's
+    * allocator contract is ALWAYS. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val ddlProps: Map[String, String] = columns.flatMap { c =>
+      // CREATE-time column DEFAULTs refuse loudly here too (this
+      // path's StructType carries no default metadata, so the
+      // schema-based check below would never see one)
+      require(c.defaultValue() == null,
+        s"graftlog: column '${c.name}' declares a DEFAULT at CREATE — " +
+          "add defaults via ALTER TABLE ADD COLUMN ... DEFAULT instead")
+      val gen = Option(c.generationExpression())
+        .map(e => s"gencol.${c.name}" -> e)
+      val idp = Option(c.identityColumnSpec()).map { s =>
+        require(!s.isAllowExplicitInsert,
+          s"graftlog: column '${c.name}': GENERATED BY DEFAULT AS " +
+            "IDENTITY is not supported — the allocator contract is " +
+            "GENERATED ALWAYS")
+        s"identity.${c.name}" ->
+          (if (s.getStep == 1L) s.getStart.toString
+           else s"${s.getStart}:${s.getStep}")
+      }
+      gen.toSeq ++ idp.toSeq
+    }.toMap
+    val schema = StructType(columns.map { c =>
+      val md = Option(c.comment()).fold(
+        org.apache.spark.sql.types.Metadata.empty)(cm =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("comment", cm).build())
+      org.apache.spark.sql.types
+        .StructField(c.name, c.dataType, c.nullable, md)
+    })
+    val merged = new util.HashMap[String, String](properties)
+    ddlProps.foreach { case (k, v) => merged.put(k, v) }
+    createTable(ident, schema, partitions, merged)
   }
   /** `ALTER TABLE graftlog.\`<path>\` ADD COLUMN(S) …` — the SQL
     * surface of [[TableLog.evolveSchema]]: one metadata-only commit
@@ -2248,8 +2332,13 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
     // column value, so Spark cannot key-group rows on it — temporal
     // partitioning keeps its pruning layers and falls back to plain
     // file partitions here
+    // DV'd files plan as separate whole-file partitions (dvSplit), so
+    // a chosen DV'd file would leave rows of a tuple OUTSIDE its keyed
+    // group while outputPartitioning still claimed key-grouping —
+    // unsound SPJ results; fall back to plain partitions instead
     if (snap.partCols.isEmpty || snap.partCols.exists(_.contains(':')) ||
-        files.isEmpty || files.exists(_.parts.size != 1)) None
+        files.isEmpty || files.exists(_.parts.size != 1) ||
+        files.exists(_.dv.isDefined)) None
     else Some(files.groupBy(_.parts.head.values).toSeq
       .sortBy(_._1.mkString("/")))
 
@@ -2317,8 +2406,9 @@ class GraftLogDataScan(spark: SparkSession, tablePath: String,
   // vectorized scan; DV'd files plan as WHOLE-file partitions from a
   // scan with NO pushed filters (row-group skipping would break
   // position accounting) and read row-based with a position counter
-  // skipping dead bits. DVs are refused on partitioned tables at
-  // write, so this never interacts with key-grouped planning.
+  // skipping dead bits. Key-grouped planning (pureGroups/bucketGroups)
+  // gates itself off whenever a chosen file carries a DV, so the two
+  // devices never interact.
   private def dvSplit: (Seq[TableLog.AddFile], Seq[TableLog.AddFile]) =
     files.partition(_.dv.isDefined)
 
@@ -3037,8 +3127,36 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** `CALL graftlog.drop_branch('<path>', '<name>'[, force])` —
+    * [[TableLog.dropBranch]]: close the WAP loop from SQL — reclaim
+    * the branch directory (manifest + branch-born files). Refuses on
+    * unpublished work unless `force`; published state is safe by the
+    * adoption-link design. Returns (files_reclaimed). */
+  object DropBranch extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "reclaim a staging branch; refuses unpublished work unless force"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("name", StringType)
+        .comment("branch name").build(),
+      ProcedureParameter.in("force",
+          org.apache.spark.sql.types.BooleanType)
+        .defaultValue("false")
+        .comment("drop even with unpublished work").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val n = TableLog.dropBranch(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString,
+        force = !input.isNullAt(2) && input.getBoolean(2))
+      oneRow("files_reclaimed BIGINT", Seq(n.toLong))
+    }
+  }
+
   val all: Seq[UnboundProcedure] =
     Seq(Vacuum, Compact, CompactSmall, Restore, Clone, DeepClone, ZOrder,
       DeleteDv,
-      Branch, Publish, SetPartitionSpec, Tag, DropTag)
+      Branch, Publish, DropBranch, SetPartitionSpec, Tag, DropTag)
 }

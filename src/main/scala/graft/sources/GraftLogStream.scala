@@ -229,20 +229,64 @@ private[sources] object GraftLogAppendContract {
     * schema, but task writers stage files under the column mapping's
     * physical names so new files stay name-compatible with the
     * active set. */
-  def checkedMeta(table: String, writeSchema: StructType)
+  def checkedMeta(table: String, writeSchema: StructType,
+      admitIdentity: Boolean = false)
       : (String, Seq[String], Option[Int], String, Int) = {
     val snap = TableLog.state(table)
     val declared = StructType.fromDDL(snap.schemaDdl)
-    declared.fields.zip(writeSchema.fields).foreach { case (t, w) =>
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val idCols = snap.props.keys.filter(_.startsWith("identity."))
+      .map(k => lc(k.stripPrefix("identity."))).toSet
+    val genCols = snap.props.keys.filter(_.startsWith("gencol."))
+      .map(k => lc(k.stripPrefix("gencol."))).toSet
+    val provided = writeSchema.fieldNames.map(lc).toSet
+    // GENERATED ALWAYS AS IDENTITY: APPEND frames must OMIT the
+    // column — commitStagedAppend's completion pass allocates ids
+    // inside the commit. The group-based REWRITE write
+    // (`admitIdentity`, [[GraftLogReplaceData]]) legitimately carries
+    // it — its rows are whole-row images whose ids the commit AUDITS
+    // against the rewritten files' pre-image. Generated columns may
+    // be omitted (computed at commit) or supplied (audited by the
+    // synthetic CHECK) on either path.
+    if (!admitIdentity)
+      idCols.find(provided).foreach(c =>
+        throw new IllegalArgumentException(
+          s"graftlog sink: '$c' is GENERATED ALWAYS AS IDENTITY — " +
+            "explicit values are refused; omit the column and the " +
+            "commit allocates ids transactionally"))
+    val keep = declared.fields.zip(snap.physSchema.fields).filter {
+      case (lf, _) =>
+        val n = lc(lf.name)
+        if (idCols(n)) admitIdentity && provided(n)
+        else provided(n) || !genCols(n)
+    }
+    keep.map(_._1).zip(writeSchema.fields).foreach { case (t, w) =>
       require(t.name == w.name && t.dataType == w.dataType,
         s"graftlog sink: frame column '${w.name}: ${w.dataType.sql}' does " +
           s"not match table column '${t.name}: ${t.dataType.sql}'")
     }
-    require(declared.length == writeSchema.length,
+    require(keep.length == writeSchema.length,
       s"graftlog sink: frame has ${writeSchema.length} columns, table " +
-        s"declares ${declared.length}")
+        s"expects ${keep.length} " +
+        s"(${keep.map(_._1.name).mkString(", ")})")
     (snap.keyCol, snap.partCols, bucketCountOf(snap.props),
-      snap.physSchema.toDDL, snap.specId)
+      StructType(keep.map(_._2)).toDDL, snap.specId)
+  }
+
+  /** True when [[TableLog.commitStagedAppend]]'s completion pass will
+    * finish this write (identity allocation / omitted-gencol compute)
+    * — the caller then SKIPS its own pre-commit [[validateStaged]]:
+    * the staged files are transitional (unfinished ALWAYS columns
+    * read as null and would fail their own synthetic checks), and the
+    * completion pass re-validates the FINISHED rows against every
+    * declared check before staging. */
+  def needsCompletion(table: String, writeSchema: StructType): Boolean = {
+    val snap = TableLog.state(table)
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val provided = writeSchema.fieldNames.map(lc).toSet
+    snap.props.keys.exists(_.startsWith("identity.")) ||
+      snap.props.keys.exists(k => k.startsWith("gencol.") &&
+        !provided(lc(k.stripPrefix("gencol."))))
   }
 
   def checkedKeyCol(table: String, writeSchema: StructType): String =
@@ -352,9 +396,14 @@ class GraftLogStreamingWrite(table: String, appId: String,
     // CHECK constraints hold on THIS path too (the sink never rides
     // Spark's catalog constraint rule): the staged files validate
     // before the manifest moves — a violating epoch fails the query
-    // with zero rows landed, its files left as vacuumable orphans
-    GraftLogAppendContract.validateStaged(table, adds,
-      s"graftlog sink epoch $epochId into $table")
+    // with zero rows landed, its files left as vacuumable orphans.
+    // EXCEPT when the commit's completion pass (identity allocation /
+    // omitted-gencol compute) will finish the rows — unfinished
+    // ALWAYS columns read as null here and the completion pass
+    // re-validates the finished rows against every declared check.
+    if (!GraftLogAppendContract.needsCompletion(table, writeSchema))
+      GraftLogAppendContract.validateStaged(table, adds,
+        s"graftlog sink epoch $epochId into $table")
     // zero-row epochs still advance the txn ledger (an empty commit),
     // so a redelivery of them stays a no-op too; the writer's
     // partition-spec era labels the staged files
@@ -454,9 +503,12 @@ class GraftLogBatchAppend(table: String, writeSchema: StructType)
     // provider-path batch appends (df.write.format("graftlog")) never
     // meet Spark's catalog constraint rule — validate staged files
     // here; the catalog INSERT path validates rows up front through
-    // constraints(), so this re-check only costs on constrained tables
-    GraftLogAppendContract.validateStaged(table, adds,
-      s"graftlog append into $table")
+    // constraints(), so this re-check only costs on constrained
+    // tables. Skipped when the commit's completion pass will finish
+    // (and re-validate) the rows — see the streaming commit above.
+    if (!GraftLogAppendContract.needsCompletion(table, writeSchema))
+      GraftLogAppendContract.validateStaged(table, adds,
+        s"graftlog append into $table")
     TableLog.commitStagedAppend(table, adds, specId = writeSpecId)
   }
 
@@ -554,7 +606,8 @@ class GraftLogReplaceData(table: String, writeSchema: StructType,
   import org.apache.spark.sql.connector.write.{DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
 
   private val (keyCol, partCols, bucketN, physDdl, writeSpecId) =
-    GraftLogAppendContract.checkedMeta(table, writeSchema)
+    GraftLogAppendContract.checkedMeta(table, writeSchema,
+      admitIdentity = true)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -626,7 +679,15 @@ object GraftLogSinkWriterFactory {
       partCols: Seq[String] = Nil,
       bucketN: Option[Int] = None): DataWriter[InternalRow] = {
     val schema = StructType.fromDDL(schemaDdl)
-    val keyIdx = schema.fieldIndex(keyCol)
+    // an IDENTITY key column is legitimately ABSENT from the write
+    // schema (GENERATED ALWAYS — checkedMeta admits the reduced
+    // width): the writer then skips key tracking entirely; its
+    // AddFiles are transitional — commitStagedAppend's completion
+    // pass re-stages every file with allocated ids and exact stats,
+    // so the sentinel bounds never reach a manifest
+    val keyIdx =
+      if (schema.fieldNames.contains(keyCol)) schema.fieldIndex(keyCol)
+      else -1
     // partCols are SPECS (`c` / `days:c` / `months:c`): resolve each
     // to its source ordinal and a per-row value renderer — identity
     // stringification or the transform's UTC day/month rendering,
@@ -681,7 +742,7 @@ object GraftLogSinkWriterFactory {
           }
         }
       }
-    require(schema(keyIdx).dataType == LongType,
+    require(keyIdx < 0 || schema(keyIdx).dataType == LongType,
       s"graftlog sink: key column '$keyCol' must be BIGINT")
     val stageId = "stream-" + java.util.UUID.randomUUID().toString.take(8)
     val messageType = messageTypeOf(schema)
@@ -762,9 +823,13 @@ object GraftLogSinkWriterFactory {
             s"graftlog sink: row has ${r.numFields} fields, table " +
               s"declares ${schema.fields.length}")
         }
-        require(!r.isNullAt(keyIdx + off),
-          s"graftlog sink: key column '$keyCol' must not be null")
-        val k = r.getLong(keyIdx + off)
+        val k =
+          if (keyIdx < 0) 0L // identity key: allocated at commit
+          else {
+            require(!r.isNullAt(keyIdx + off),
+              s"graftlog sink: key column '$keyCol' must not be null")
+            r.getLong(keyIdx + off)
+          }
         // the routing tuple: partition values, OR the key's bucket id
         // (bucketed tables), OR null (one plain file per task)
         val tuple: List[String] =
@@ -797,7 +862,9 @@ object GraftLogSinkWriterFactory {
               s"graftlog sink: unsupported column type $o for '${f.name}'")
           }
         }
-        st.mn = math.min(st.mn, k); st.mx = math.max(st.mx, k)
+        if (keyIdx >= 0) {
+          st.mn = math.min(st.mn, k); st.mx = math.max(st.mx, k)
+        } else { st.mn = 0L; st.mx = 0L } // transitional: re-staged
         var j = 0
         while (j < sIdx.length) {
           val i = sIdx(j) + off

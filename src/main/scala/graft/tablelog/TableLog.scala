@@ -1847,11 +1847,41 @@ object TableLog {
     require(newGens.isEmpty,
       s"$table: generated columns are declared at CREATE, not via " +
         s"SET TBLPROPERTIES (new: ${newGens.map(_._1).mkString(", ")})")
-    val newIds = identityOf(props).map(_._1).toSet --
-      identityOf(snap.props).map(_._1).toSet
+    props.foreach { case (k, v) if k.startsWith("identity.") =>
+      try identityOf(Map(k -> v))
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$table: $k: unparseable identity value '$v' — expected " +
+            "'<next>' or '<next>:<step>'")
+      }
+    case _ => ()
+    }
+    val oldIds = identityOf(snap.props)
+      .map { case (c, n, s) => c -> (n, s) }.toMap
+    val newIds = identityOf(props).map(_._1).toSet -- oldIds.keySet
     require(newIds.isEmpty,
       s"$table: identity columns are declared at CREATE, not via " +
         s"SET TBLPROPERTIES (new: ${newIds.mkString(", ")})")
+    // MUTATING an existing identity entry re-runs the create-time
+    // validation plus a no-rewind rule: the allocator's uniqueness
+    // invariant rests on the stored next-value never re-entering
+    // already-assigned territory and the step never being zero — a
+    // rewound mark or a zero/sign-flipped step set through
+    // TBLPROPERTIES would mint duplicate ids on the very next
+    // appendIdentity, bypassing every write-path guard
+    identityOf(props).foreach { case (c, next, step) =>
+      require(step != 0L,
+        s"$table: identity.$c: INCREMENT BY 0 would assign every row " +
+          "the same id")
+      val (cur, curStep) = oldIds(c)
+      require(java.lang.Long.signum(step) == java.lang.Long.signum(curStep),
+        s"$table: identity.$c: changing the allocation direction " +
+          s"(step $curStep -> $step) would re-enter assigned ids")
+      require(if (curStep > 0L) next >= cur else next <= cur,
+        s"$table: identity.$c: next value $next rewinds the high-water " +
+          s"mark $cur — already-assigned ids would be re-minted as " +
+          "duplicates")
+    }
     commit(table, snap.version, "setprops", Nil, Nil, "", "",
       props = Some(props))
   }
@@ -1931,6 +1961,137 @@ object TableLog {
         (s"identity.$c" -> identityProp(hwm + n * step, step))))
   }
 
+  /** Completion pass for EXTERNALLY staged commits on tables declaring
+    * IDENTITY or GENERATED columns — the device that lets the DSv2
+    * streaming sink and the group-based SQL MERGE/UPDATE rewrite land
+    * on declaring tables with no side door around the allocator
+    * (Delta assigns identity on exactly these two surfaces).
+    * Externally staged files arrive as raw query rows, so the ALWAYS
+    * columns finish HERE, inside the same transaction that advances
+    * the high-water mark:
+    *
+    *  - rows whose identity value is NULL (a sink micro-batch that
+    *    omitted the column; a MERGE insert arm) allocate
+    *    `hwm + i*step` under the same freeze-then-assign discipline
+    *    as [[appendIdentity]] — the staged bytes on disk ARE the
+    *    freeze — and the commit advances the mark (metadata-bearing,
+    *    so a racing allocator aborts instead of rebasing into
+    *    duplicate ids);
+    *  - rows CARRYING an identity value are legal only on the
+    *    REWRITE path and only as the pre-image's own ids: every
+    *    carried id must appear live in the files the commit removes,
+    *    and no id may appear twice among the staged rows. Together
+    *    these PROVE the rewrite id-preserving — a MERGE arm assigning
+    *    the column is caught even if analysis-time refusals were
+    *    bypassed (a minted id is absent from the pre-image; a stolen
+    *    one either collides inside the sliver or is absent from it);
+    *  - generated columns the writer OMITTED (absent from the staged
+    *    parquet footer; the explicit-schema read null-fills them)
+    *    recompute from their declared expression — Delta's
+    *    compute-on-omit contract — and the finished rows re-validate
+    *    against EVERY declared check before staging.
+    *
+    * Only files needing work re-stage (a merge whose inserts touch 1%
+    * of the sliver re-stages ~1% of its files); superseded staged
+    * files are never referenced by a manifest and vacuum as orphans.
+    * Cost: one accounting agg over the staged sliver, (rewrite path)
+    * two id-audit joins over it, and one read+write of the needy
+    * files — proportional to the commit, never the table. Returns
+    * (completed adds, props advance when ids were allocated). */
+  private def completeStaged(spark: SparkSession, table: String,
+      snap: Snapshot, adds: Seq[AddFile],
+      removedFiles: Option[Seq[AddFile]], op: String)
+      : (Seq[AddFile], Option[Map[String, String]]) = {
+    val ids = identityOf(snap.props)
+    val gens = genColsOf(snap.props)
+    if ((ids.isEmpty && gens.isEmpty) || adds.isEmpty) return (adds, None)
+    require(ids.size <= 1,
+      s"$op: table declares ${ids.size} identity columns (at most 1)")
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    // the staged parquet footer says which declared columns the writer
+    // actually wrote — an omitted column null-fills through the
+    // explicit-schema read and must be FINISHED, a written one passes
+    // through to the audit gates
+    val present = spark.read.parquet(
+        Paths.get(table, adds.head.relPath).toString)
+      .schema.fieldNames.map(lc).toSet
+    val omittedGens = gens.filterNot { case (g, _) =>
+      present(lc(snap.physName(g))) }
+    val idInfo = ids.headOption
+    val frame0 = readFiles(spark, table, snap, adds)
+    // identity accounting at file grain: one agg over the staged sliver
+    val acct: Seq[(String, Long, Long)] = idInfo match {
+      case None => Nil
+      case Some((c, _, _)) =>
+        frame0.withColumn("__f", input_file_name())
+          .groupBy("__f")
+          .agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
+            count(lit(1)).as("rows"))
+          .collect()
+          .map(r => (fileIdOfUri(r.getString(0)), r.getLong(1),
+            r.getLong(2))).toSeq
+    }
+    val nAlloc = acct.map(_._2).sum
+    val carriedTotal = acct.map(x => x._3 - x._2).sum
+    idInfo.foreach { case (c, _, _) =>
+      if (carriedTotal > 0L) removedFiles match {
+        case None => throw new IllegalArgumentException(
+          s"$op: $carriedTotal staged rows carry explicit values for " +
+            s"identity column '$c' — GENERATED ALWAYS: omit the column " +
+            "and the table allocates ids transactionally")
+        case Some(rf) =>
+          val carried = frame0.where(col(c).isNotNull).select(col(c))
+          val dup = carried.groupBy(col(c)).count()
+            .where(col("count") > 1L).count()
+          require(dup == 0L,
+            s"$op: staged rows repeat $dup identity value(s) of '$c' — " +
+              "the rewrite is not id-preserving")
+          val pre = readFiles(spark, table, snap, rf)
+            .select(col(c)).where(col(c).isNotNull)
+          val strays = carried.join(pre, Seq(c), "left_anti").count()
+          require(strays == 0L,
+            s"$op: $strays staged rows carry values of identity column " +
+              s"'$c' absent from the rewritten files' pre-image — " +
+              "UPDATE/MERGE arms must not assign a GENERATED ALWAYS AS " +
+              "IDENTITY column")
+      }
+    }
+    val needyIdF: Set[String] =
+      acct.filter(_._2 > 0L).map(_._1).toSet
+    val needy =
+      if (omittedGens.nonEmpty) adds
+      else adds.filter(a => needyIdF(fileIdOf(a.relPath)))
+    if (needy.isEmpty) return (adds, None)
+    val clean = adds.filterNot(a => needy.exists(_.relPath == a.relPath))
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val frame = readFiles(spark, table, snap, needy).localCheckpoint(true)
+    val withGens = omittedGens.foldLeft(frame) { case (d, (g, sql)) =>
+      d.withColumn(g, expr(sql).cast(schema(g).dataType)) }
+    val out = idInfo match {
+      case Some((c, hwm, step)) if nAlloc > 0L =>
+        val keep = withGens.where(col(c).isNotNull)
+        val nulls = withGens.where(col(c).isNull).drop(c)
+        val rdd = nulls.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + i * step)) }
+        val assigned = spark.createDataFrame(rdd,
+          StructType(nulls.schema.fields :+
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.LongType)))
+        keep.select(schema.fieldNames.map(col): _*)
+          .unionByName(assigned.select(schema.fieldNames.map(col): _*))
+      case _ => withGens.select(schema.fieldNames.map(col): _*)
+    }
+    validateChecks(out, checksOf(snap.props), op)
+    val adds2 = stage(out, table, snap.keyCol, math.max(1, needy.size),
+      snap.bloom, partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
+    val propsOpt = idInfo.collect {
+      case (c, hwm, step) if nAlloc > 0L =>
+        snap.props + (s"identity.$c" -> identityProp(hwm + nAlloc * step, step))
+    }
+    (clean ++ adds2, propsOpt)
+  }
+
   /** Append-only commit — the reference's daily load shape. Never
     * conflicts: a lost race rebases onto the new latest version. */
   def append(df: DataFrame, table: String, numFiles: Int): Long = {
@@ -1976,19 +2137,26 @@ object TableLog {
     * supplies per-file stats it computed while writing; files of a
     * dropped duplicate delivery stay on disk as unreferenced
     * garbage, which [[vacuumList]]'s grace-gated sweep reclaims —
-    * never as table rows. */
+    * never as table rows. On IDENTITY/generated-column tables the
+    * commit runs [[completeStaged]]: null ids allocate under the
+    * freeze-then-assign discipline with the mark advanced in THIS
+    * commit (per micro-batch on the streaming sink — the txn ledger
+    * and the allocation are one transaction), omitted generated
+    * columns compute, and explicit identity values refuse (ALWAYS). */
   def commitStagedAppend(table: String, adds: Seq[AddFile],
       txn: Option[(String, Long)] = None, specId: Int = 0): Long = {
     val snap = state(table)
-    requireNoIdentity(snap, s"staged append into $table")
     txn.foreach { case (app, tv) =>
       if (snap.txns.get(app).exists(_ >= tv)) return snap.version
     }
     // specId is the WRITER's era (read when its partCols were) — a
     // rebase over a concurrent spec change keeps the honest label
-    commit(table, snap.version, "append",
-      adds.map(a => if (a.specId == specId) a else a.copy(specId = specId)),
-      Nil, "", "", txn = txn)
+    val stamped =
+      adds.map(a => if (a.specId == specId) a else a.copy(specId = specId))
+    val (completed, propsOpt) = completeStaged(SparkSession.active,
+      table, snap, stamped, None, s"staged append into $table")
+    commit(table, snap.version, "append", completed,
+      Nil, "", "", txn = txn, props = propsOpt)
   }
 
   /** Publish EXTERNALLY staged files as ONE copy-on-write REWRITE
@@ -2002,14 +2170,24 @@ object TableLog {
   def commitStagedRewrite(table: String, adds: Seq[AddFile],
       removes: Seq[String], op: String, specId: Int = 0): Long = {
     val snap = state(table)
-    // SQL UPDATE/MERGE and the truncate-form INSERT OVERWRITE can
-    // introduce or alter id values the allocator never issued; only
+    val stamped =
+      adds.map(a => if (a.specId == specId) a else a.copy(specId = specId))
     // DELETE is id-preserving by construction (it re-stages surviving
-    // EXISTING rows untouched)
-    if (op != "delete") requireNoIdentity(snap, s"staged $op into $table")
-    commit(table, snap.version, op,
-      adds.map(a => if (a.specId == specId) a else a.copy(specId = specId)),
-      removes, "", "")
+    // EXISTING rows untouched) and skips the completion pass; SQL
+    // UPDATE/MERGE rows run [[completeStaged]] — carried ids must be
+    // the pre-image's own (audited against the removed files), null
+    // ids (MERGE insert arms) allocate with the mark advanced in the
+    // same commit
+    val (completed, propsOpt) =
+      if (op == "delete") (stamped, None)
+      else {
+        val rs = removes.toSet
+        completeStaged(SparkSession.active, table, snap, stamped,
+          Some(snap.active.filter(a => rs(a.relPath))),
+          s"staged $op into $table")
+      }
+    commit(table, snap.version, op, completed, removes, "", "",
+      props = propsOpt)
   }
 
   /** `INSERT OVERWRITE … WHERE`-shaped commit over EXTERNALLY staged
@@ -2241,7 +2419,9 @@ object TableLog {
     // syscalls on one driver thread (minutes → seconds at 1M files);
     // the metadata commit below stays single-threaded
     import scala.collection.parallel.CollectionConverters._
-    val adds = s.active.par
+    val parFiles = s.active.par
+    parFiles.tasksupport = adoptTaskSupport
+    val adds = parFiles
       .map(a => adoptByLink(dst, src, a.relPath, a, s.bloom)).seq.toSeq
     val v = commit(dst, 0L, "clone", adds, Nil, s.schemaDdl, s.keyCol,
       bloom = s.bloom, partCols = s.partCols,
@@ -2256,6 +2436,17 @@ object TableLog {
       pspecs = if (s.partSpecs.length > 1) Some(s.partSpecs) else None)
     (v, adds.size)
   }
+
+  /** Fixed pool for the hard-link adoption loops (deepClone /
+    * publish): per-file unique-target syscall work — a SMALL pool of
+    * its own, because the default ForkJoinPool is shared with Spark's
+    * local-mode executor threads and contention there made the r12
+    * `.par` loops slower than sequential on busy hosts (the q495
+    * watch item). 8 link syscalls in flight saturate a local disk's
+    * metadata ops without fighting the query pool. */
+  private lazy val adoptTaskSupport =
+    new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(8))
 
   // ------------------------------------------------- write-audit-publish
 
@@ -2514,10 +2705,22 @@ object TableLog {
       // tag.* props are exempt from the gate: a tag is a NAMED REF
       // into main's own history, not table metadata the branch could
       // clobber — pubProps below carries main's refs through
-      // unconditionally, so tagging main must not wedge open branches
+      // unconditionally, so tagging main must not wedge open branches.
+      // constraint.* ADDITIONS on main are exempt too: pubProps
+      // restores main's constraints wholesale, and the union audit
+      // below validates the branch delta against them — the exact
+      // mirror of the branch-added-constraint gate — so an interim
+      // `ADD CONSTRAINT` on a busy table must not wedge open branches
+      // either. Constraint REMOVALS/REDEFINITIONS still abort: the
+      // branch may have staged rows under the fork-time predicate.
       def core(p: Map[String, String]): Map[String, String] =
-        p.filterNot(_._1.startsWith("tag."))
+        p.filterNot(kv => kv._1.startsWith("tag.") ||
+          kv._1.startsWith("constraint."))
+      def cons(p: Map[String, String]): Map[String, String] =
+        p.filter(_._1.startsWith("constraint."))
+      val consDroppedOrChanged = cons(f.props).toSet -- cons(m.props).toSet
       if (m.schemaDdl != f.schemaDdl || core(m.props) != core(f.props) ||
+          consDroppedOrChanged.nonEmpty ||
           m.keyCol != f.keyCol || m.bloom != f.bloom ||
           m.colMap != f.colMap || m.droppedPhys != f.droppedPhys ||
           m.defaults != f.defaults || m.partSpecs != f.partSpecs)
@@ -2584,7 +2787,9 @@ object TableLog {
     // [[deepClone]]'s loop
     val rewritten = {
       import scala.collection.parallel.CollectionConverters._
-      b.active.par.map { a =>
+      val parFiles = b.active.par
+      parFiles.tasksupport = adoptTaskSupport
+      parFiles.map { a =>
         val rel = relOf(a)
         if (!rel.startsWith("_branches/")) a.copy(relPath = rel)
         else adoptByLink(table, table, rel, a, b.bloom)
@@ -2626,6 +2831,71 @@ object TableLog {
       pspecs = if (b.partSpecs.length > 1 || m.partSpecs.length > 1)
         Some(b.partSpecs) else None)
     (v, adds.size, removes.size)
+  }
+
+  /** DROP BRANCH `name` — the verb that CLOSES the WAP loop: delete
+    * the branch directory outright (its manifest chunks, commit log
+    * and branch-born data files) and return the file count reclaimed.
+    * Refuses while the branch holds UNPUBLISHED work — active files
+    * main does not reference — unless `force`: abandoning a corpus
+    * drop must be an explicit decision, never a typo. Safe against
+    * main by construction: [[publish]] ADOPTS branch-born files into
+    * main's own `data/` dir by hard link (published state never
+    * references the branch directory — deleting the branch's link
+    * leaves main's inode intact), and fork-inherited files are
+    * base-relative references INTO main's directory that the branch
+    * dir holds no bytes for. A freshly-forked branch (head still at
+    * v1) always drops. */
+  def dropBranch(table: String, name: String,
+      force: Boolean = false): Int = {
+    val dst = branchPath(table, name)
+    require(latestVersion(dst) > 0L, s"$table has no branch '$name'")
+    if (!force) {
+      val b = state(dst)
+      if (b.version > 1L) {
+        val mainP = Paths.get(table).toAbsolutePath.normalize
+        val mainActive = state(table).active
+        val mIds = mainActive.map(_.contentId).toSet
+        // adopted branch-born files live under main's OWN data dir
+        // with fresh names — path identity can't see them, but the
+        // adoption is a HARD LINK: the filesystem fileKey (inode) is
+        // shared, so "published" = main references the same bytes
+        def keyOf(p: Path): Option[AnyRef] =
+          if (!Files.exists(p)) None
+          else Option(Files.readAttributes(p,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+            .fileKey())
+        lazy val mainKeys = mainActive
+          .flatMap(a => keyOf(Paths.get(table, a.relPath))).toSet
+        val unpublished = b.active.filterNot { a =>
+          val rel = mainP.relativize(
+            Paths.get(dst, a.relPath).toAbsolutePath.normalize).toString
+          mIds((rel, a.dv.map(_._1))) ||
+            keyOf(Paths.get(dst, a.relPath)).exists(mainKeys.contains)
+        }
+        require(unpublished.isEmpty,
+          s"branch '$name' holds ${unpublished.size} active file(s) " +
+            s"$table does not reference — unpublished work; publish " +
+            "first, or drop with force")
+      }
+    }
+    val root = Paths.get(dst)
+    var n = 0
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(root)
+    val all = try walk.iterator().asScala.toSeq finally walk.close()
+    all.reverse.foreach { p =>
+      if (Files.isRegularFile(p)) n += 1
+      Files.deleteIfExists(p)
+    }
+    // reap the now-empty _branches dir so #branches folds clean
+    val parent = root.getParent
+    if (Files.isDirectory(parent)) {
+      val s2 = Files.list(parent)
+      val empty = try !s2.iterator().hasNext finally s2.close()
+      if (empty) Files.deleteIfExists(parent)
+    }
+    n
   }
 
   /** The table's staging branches, name-sorted: (name, forkVersion,
@@ -3106,6 +3376,95 @@ object TableLog {
     commit(table, snap.version, "delete", adds, touched.map(_.relPath), "", "")
   }
 
+  /** Shared DV-commit tail of [[deleteWhereDv]]/[[updateWhereDv]]:
+    * union the newly-dead positions into each touched file's bitset
+    * sidecar and produce the manifest delta (removes, re-adds). On
+    * PARTITIONED tables the per-(file, tuple) dead counts decrement
+    * the file's tuple stats in the SAME manifest entry, so
+    * `#partitions` and tuple-stat pruning stay EXACT through
+    * merge-on-read DML: a DV'd file's [[PartStat]] rows are its LIVE
+    * per-tuple counts (summing to `liveRows`), and a tuple whose rows
+    * all die drops from the stats outright — pruning only ever
+    * TIGHTENS. Dying rows render their tuple through the same
+    * [[partValueCol]] the stage-time stats pass used; a rendered
+    * tuple the file's stats don't record refuses loudly (the two
+    * renderings diverged — silent drift would rot pruning exactness).
+    * `hits` maps fileId → (dead position, rendered tuple — Nil on
+    * unpartitioned tables); positions are disjoint from any prior
+    * DV's by the caller's anti-join, so deltas compose exactly across
+    * repeated deletes. */
+  private def dvCommitEntries(table: String, snap: Snapshot,
+      hits: Map[String, Seq[(Long, Seq[String])]],
+      candidates: Seq[AddFile]): (Seq[String], Seq[AddFile]) = {
+    val byId = candidates.map(a => fileIdOf(a.relPath) -> a).toMap
+    val (removes, adds) = hits.toSeq.sortBy(_._1).map { case (id, hs) =>
+      val a = byId(id)
+      val bits = a.dv match {
+        case Some(_) => java.util.BitSet.valueOf(
+          Files.readAllBytes(dvSidecar(table, a)))
+        case None => new java.util.BitSet()
+      }
+      hs.foreach { case (p, _) => bits.set(p.toInt) }
+      val dead = bits.cardinality().toLong
+      if (dead >= a.rows) (a.relPath, None) // fully dead: drop the file
+      else {
+        val newParts =
+          if (snap.partCols.isEmpty) a.parts
+          else {
+            val perTuple = hs.groupBy(_._2)
+              .map { case (t, xs) => t -> xs.size.toLong }
+            perTuple.foreach { case (t, d) =>
+              val rec = a.parts.find(_.values == t).getOrElse(
+                throw new IllegalStateException(
+                  s"$table: ${a.relPath}: $d dying rows render " +
+                    s"partition tuple '${t.mkString("/")}' which the " +
+                    "file's tuple stats do not record — the stage-time " +
+                    "and delete-time renderings diverged"))
+              require(d <= rec.rows,
+                s"$table: ${a.relPath}: tuple '${t.mkString("/")}' " +
+                  s"records ${rec.rows} live rows but $d are dying — " +
+                  "tuple-stat underflow")
+            }
+            a.parts.flatMap { p =>
+              val d = perTuple.getOrElse(p.values, 0L)
+              if (p.rows - d <= 0L) None
+              else Some(p.copy(rows = p.rows - d))
+            }
+          }
+        val token = "dv" + java.util.UUID.randomUUID().toString.take(8)
+        val u = a.copy(dv = Some((token, dead)), parts = newParts)
+        Files.write(dvSidecar(table, u), bits.toByteArray)
+        (a.relPath, Some(u))
+      }
+    }.unzip
+    (removes, adds.flatten)
+  }
+
+  /** DV candidates on a partitioned table must carry CURRENT-spec
+    * tuple stats — an older-era file's tuples are positional to ITS
+    * spec and cannot be decremented under the current rendering. */
+  private def requireDvPartStats(table: String, snap: Snapshot,
+      candidates: Seq[AddFile]): Unit =
+    if (snap.partCols.nonEmpty)
+      candidates.find(a =>
+        a.specId != snap.specId || (a.rows > 0L && a.parts.isEmpty))
+        .foreach(a => throw new IllegalArgumentException(
+          s"$table: ${a.relPath} predates the current partition spec " +
+            s"(file era ${a.specId}, current ${snap.specId}) or carries " +
+            "no tuple stats — merge-on-read DV keeps partition stats " +
+            "exact only on a single-spec layout; CALL graftlog.compact " +
+            "to migrate, or use copy-on-write DML"))
+
+  /** The rendered-partition-tuple column of `snap`'s spec over a
+    * LOGICAL frame — the same [[partValueCol]] rendering the
+    * stage-time stats pass records (partition source columns never
+    * rename, so logical = physical for them). */
+  private def dvTupleCol(snap: Snapshot): Column = {
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    array(snap.partCols.map(c =>
+      coalesce(partValueCol(c, schema), lit(NullPartValue))): _*)
+  }
+
   /** MERGE-ON-READ delete via DELETION VECTORS (Delta/Iceberg-v2's
     * DV lineage): instead of rewriting every touched file, record the
     * matching rows' POSITIONS in a per-file bitset sidecar and commit
@@ -3120,18 +3479,18 @@ object TableLog {
     * sidecar for vacuum. The dead set rides the driver: DVs suit
     * SMALL deletes (their real-world niche — GDPR erasure, dedup
     * kill-lists); bulk deletes should stay copy-on-write
-    * ([[deleteWhere]]). Refused on partitioned tables — per-tuple
-    * row stats would go stale (COW keeps them exact there). Key
-    * min/max stats survive as over-approximations: pruning stays
-    * sound, exact stats-answering refuses DV'd files. */
+    * ([[deleteWhere]]). On PARTITIONED tables (the standard 100-TB
+    * `days(ts)` layout — exactly where a GDPR point-delete must NOT
+    * pay a full file rewrite) the commit also decrements the touched
+    * files' per-tuple row stats by the dying rows' rendered tuples
+    * ([[dvCommitEntries]]), so `#partitions` and tuple-stat pruning
+    * stay EXACT through the delete. Key/column min/max stats survive
+    * as over-approximations: pruning stays sound, exact
+    * stats-answering refuses DV'd files. */
   def deleteWhereDv(spark: SparkSession, table: String,
       cond: Column, pruneKeys: Option[(Long, Long)] = None,
       pruneCandidates: Option[Snapshot => Seq[AddFile]] = None): Long = {
     val snap = state(table)
-    require(snap.partCols.isEmpty,
-      s"$table is partitioned — deletion vectors would let the " +
-        "per-tuple partition row stats go stale; use the " +
-        "copy-on-write deleteWhere, which keeps them exact")
     // candidate pruning — the SAME manifest stat layers the COW
     // delete takes: a key-ranged GDPR delete on a 100-TB table scans
     // the intersecting sliver, never the active set
@@ -3141,6 +3500,7 @@ object TableLog {
       case (None, None)        => snap.active
     }
     if (candidates.isEmpty) return snap.version
+    requireDvPartStats(table, snap, candidates)
     // the DV bitset's position domain is Int: refuse files whose ROW
     // COUNT exceeds it up front (not just the matched positions —
     // the read path indexes the bitset by running position, which
@@ -3168,30 +3528,19 @@ object TableLog {
       else base.join(broadcast(deadPositionsDf(spark, table, priorDv)),
         col("__graft_f") === col("__graft_dv_file") &&
           col("__graft_p") === col("__graft_dv_pos"), "left_anti")
+    val tupleCols: Seq[Column] =
+      if (snap.partCols.isEmpty) Nil
+      else Seq(dvTupleCol(snap).as("__graft_t"))
     val hits = live.where(cond)
-      .select(col("__graft_f"), col("__graft_p"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2) }
+      .select(col("__graft_f") +: col("__graft_p") +: tupleCols: _*)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (snap.partCols.isEmpty) Nil
+        else r.getSeq[String](2).toList))
+      .groupBy(_._1)
+      .map { case (f, xs) => f -> xs.toSeq.map(x => (x._2, x._3)) }
     if (hits.isEmpty) return snap.version
-    val byId = candidates.map(a => fileIdOf(a.relPath) -> a).toMap
-    val (removes, adds) = hits.toSeq.sortBy(_._1).map { case (id, ps) =>
-      val a = byId(id)
-      val bits = a.dv match {
-        case Some(_) => java.util.BitSet.valueOf(
-          Files.readAllBytes(dvSidecar(table, a)))
-        case None => new java.util.BitSet()
-      }
-      ps.foreach(p => bits.set(p.toInt))
-      val dead = bits.cardinality().toLong
-      if (dead >= a.rows) (a.relPath, None) // fully dead: drop the file
-      else {
-        val token = "dv" + java.util.UUID.randomUUID().toString.take(8)
-        val updated = a.copy(dv = Some((token, dead)))
-        Files.write(dvSidecar(table, updated), bits.toByteArray)
-        (a.relPath, Some(updated))
-      }
-    }.unzip
-    commit(table, snap.version, "delete", adds.flatten, removes, "", "")
+    val (removes, adds) = dvCommitEntries(table, snap, hits, candidates)
+    commit(table, snap.version, "delete", adds, removes, "", "")
   }
 
   /** MERGE-ON-READ update — deletion vectors + fresh-file append in
@@ -3199,15 +3548,16 @@ object TableLog {
     * matched rows' positions die via DV sidecars (their files never
     * rewrite) and the updated images land as new files in the same
     * atomic commit — an update of 0.1% of a 100-TB table writes KB of
-    * sidecars plus only the changed rows. Same niche and same refusals
-    * as [[deleteWhereDv]] (small slices; unpartitioned tables). */
+    * sidecars plus only the changed rows. Same niche and same
+    * guarantees as [[deleteWhereDv]] — on partitioned tables the DV
+    * side decrements per-tuple stats exactly and the updated images
+    * stage under the table's partition spec, so `#partitions` stays
+    * exact through the update. */
   def updateWhereDv(spark: SparkSession, table: String, cond: Column,
       set: Map[String, Column], numFiles: Int = 1,
       pruneKeys: Option[(Long, Long)] = None,
       pruneCandidates: Option[Snapshot => Seq[AddFile]] = None): Long = {
     val snap = state(table)
-    require(snap.partCols.isEmpty,
-      s"$table is partitioned — use copy-on-write DML there")
     // a DV update of EXISTING rows keeps its assigned ids (same
     // rationale as DV deletes passing requireNoIdentity), but the
     // set-expressions must not TARGET the identity column — rewriting
@@ -3226,6 +3576,7 @@ object TableLog {
       case (None, None)        => snap.active
     }
     if (candidates.isEmpty) return snap.version
+    requireDvPartStats(table, snap, candidates)
     candidates.find(_.rows > Int.MaxValue).foreach(a =>
       throw new IllegalArgumentException(
         s"$table: ${a.relPath} holds ${a.rows} rows — beyond the DV " +
@@ -3249,10 +3600,16 @@ object TableLog {
         col("__graft_f") === col("__graft_dv_file") &&
           col("__graft_p") === col("__graft_dv_pos"), "left_anti")
     val matched = live.where(cond).localCheckpoint(true)
+    val tupleCols: Seq[Column] =
+      if (snap.partCols.isEmpty) Nil
+      else Seq(dvTupleCol(snap).as("__graft_t"))
     val hits = matched
-      .select(col("__graft_f"), col("__graft_p"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2) }
+      .select(col("__graft_f") +: col("__graft_p") +: tupleCols: _*)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (snap.partCols.isEmpty) Nil
+        else r.getSeq[String](2).toList))
+      .groupBy(_._1)
+      .map { case (f, xs) => f -> xs.toSeq.map(x => (x._2, x._3)) }
     if (hits.isEmpty) return snap.version
     val schemaCols = StructType.fromDDL(snap.schemaDdl).fieldNames.toSeq
     // SIMULTANEOUS set semantics (SQL UPDATE's): every set-expression
@@ -3288,28 +3645,13 @@ object TableLog {
     // path (append/merge/replaceWhere) — a DV update is not a side door.
     validateChecks(updated, checksOf(snap.props),
       s"updateWhereDv into $table")
+    // the updated images stage under the table's OWN partition spec —
+    // their tuple stats land exact like any other partitioned write
     val staged = stage(updated, table, snap.keyCol, numFiles, snap.bloom,
-      colMap = snap.colMap, specId = snap.specId)
-    val byId = candidates.map(a => fileIdOf(a.relPath) -> a).toMap
-    val (removes, dvAdds) = hits.toSeq.sortBy(_._1).map { case (id, ps) =>
-      val a = byId(id)
-      val bits = a.dv match {
-        case Some(_) => java.util.BitSet.valueOf(
-          Files.readAllBytes(dvSidecar(table, a)))
-        case None => new java.util.BitSet()
-      }
-      ps.foreach(p => bits.set(p.toInt))
-      val dead = bits.cardinality().toLong
-      if (dead >= a.rows) (a.relPath, None)
-      else {
-        val token = "dv" + java.util.UUID.randomUUID().toString.take(8)
-        val u = a.copy(dv = Some((token, dead)))
-        Files.write(dvSidecar(table, u), bits.toByteArray)
-        (a.relPath, Some(u))
-      }
-    }.unzip
+      partCols = snap.partCols, colMap = snap.colMap, specId = snap.specId)
+    val (removes, dvAdds) = dvCommitEntries(table, snap, hits, candidates)
     commit(table, snap.version, "update",
-      dvAdds.flatten ++ staged, removes, "", "")
+      dvAdds ++ staged, removes, "", "")
   }
 
   /** Atomic slice restatement (Delta `replaceWhere` / dynamic
@@ -3370,23 +3712,43 @@ object TableLog {
   def merge(spark: SparkSession, table: String, changes0: DataFrame,
       numFiles: Int, evolve: Boolean = false): Long = {
     val snap = state(table)
-    requireNoIdentity(snap, s"merge into $table")
     val k = snap.keyCol
+    // IDENTITY tables merge like Delta's: changes OMIT the column
+    // (ALWAYS), matched rows inherit their existing id, insert rows
+    // allocate under the freeze-then-assign discipline with the mark
+    // advanced in the merge commit itself (metadata-bearing — a
+    // racing allocator aborts instead of rebasing into duplicates)
+    val identityCols = identityOf(snap.props)
+    require(identityCols.size <= 1,
+      s"merge into $table: ${identityCols.size} identity columns (max 1)")
+    val idOpt = identityCols.headOption
+    idOpt.foreach { case (c, _, _) =>
+      require(!c.equalsIgnoreCase(k),
+        s"merge into $table: the merge key '$k' is GENERATED ALWAYS AS " +
+          "IDENTITY — changes cannot reference ids they don't know; " +
+          "use appendIdentity for inserts and updateWhereDv for updates")
+      require(!changes0.columns.exists(_.equalsIgnoreCase(c)),
+        s"merge into $table: '$c' is GENERATED ALWAYS AS IDENTITY — " +
+          "explicit values are refused; omit the column (matched rows " +
+          "keep their ids, inserts allocate)")
+    }
+    val idNames = idOpt.map(_._1).toSeq
     val changes = withWriteDefaults(changes0, snap)
     val old = StructType.fromDDL(snap.schemaDdl)
     val byName = changes.schema.map(f => f.name -> f).toMap
-    old.foreach { f =>
-      byName.get(f.name) match {
-        case None => throw new IllegalArgumentException(
-          s"merge into $table: changes omit column '${f.name}' — a merge " +
-            "replaces whole rows, so every table column must be present")
-        case Some(g) if g.dataType != f.dataType =>
-          throw new IllegalArgumentException(
-            s"merge into $table: type conflict on '${f.name}': " +
-              s"table ${f.dataType.sql} vs changes ${g.dataType.sql}")
-        case _ => ()
+    old.filterNot(f => idNames.exists(_.equalsIgnoreCase(f.name)))
+      .foreach { f =>
+        byName.get(f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"merge into $table: changes omit column '${f.name}' — a merge " +
+              "replaces whole rows, so every table column must be present")
+          case Some(g) if g.dataType != f.dataType =>
+            throw new IllegalArgumentException(
+              s"merge into $table: type conflict on '${f.name}': " +
+                s"table ${f.dataType.sql} vs changes ${g.dataType.sql}")
+          case _ => ()
+        }
       }
-    }
     val oldNames = old.map(_.name).toSet
     val extra = changes.schema.filterNot(f => oldNames(f.name))
     if (extra.nonEmpty && !evolve) throw new IllegalArgumentException(
@@ -3395,7 +3757,8 @@ object TableLog {
         "widen the schema with the merge")
     extra.foreach(f => checkPhysCollision(snap, f.name, "merge(evolve)"))
     val merged = StructType(old ++ extra)
-    validateChecks(changes, checksOf(snap.props), s"merge into $table")
+    if (idOpt.isEmpty)
+      validateChecks(changes, checksOf(snap.props), s"merge into $table")
     val changeKeys = changes.select(col(k)).distinct()
     val scan = readFiles(spark, table, snap, snap.active)
       .withColumn("_file", input_file_name())
@@ -3404,16 +3767,46 @@ object TableLog {
       .collect().map(r => fileIdOfUri(r.getString(0))).toSet
     val touched = snap.active.filter(a => touchedNames(fileIdOf(a.relPath)))
     val touchedRows = readFiles(spark, table, snap, touched)
+    // identity completion of the change rows: matched keys inherit the
+    // pre-image's id (min per key — the whole-row replace collapses a
+    // duplicate-keyed group to one row, and the smallest id surviving
+    // is deterministic); unmatched (insert) rows allocate hwm + i*step
+    val (changes1, nAlloc) = idOpt match {
+      case None => (changes, 0L)
+      case Some((c, hwm, step)) =>
+        val oldIds = touchedRows.groupBy(col(k)).agg(min(col(c)).as(c))
+        val joined = changes.join(broadcast(oldIds), Seq(k), "left")
+          .localCheckpoint(true)
+        val keep = joined.where(col(c).isNotNull)
+        val nulls = joined.where(col(c).isNull).drop(c)
+        val n = nulls.count()
+        val out =
+          if (n == 0L) keep
+          else {
+            val rdd = nulls.rdd.zipWithIndex().map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + i * step)) }
+            val assigned = spark.createDataFrame(rdd,
+              StructType(nulls.schema.fields :+
+                org.apache.spark.sql.types.StructField(c,
+                  org.apache.spark.sql.types.LongType)))
+            keep.unionByName(assigned)
+          }
+        validateChecks(out, checksOf(snap.props), s"merge into $table")
+        (out, n)
+    }
     // survivors of touched files + every change row (replaces +
     // inserts); under evolution the survivors null-fill the new cols
     val rewritten = touchedRows
       .join(broadcast(changeKeys), Seq(k), "left_anti")
-      .unionByName(changes, allowMissingColumns = extra.nonEmpty)
+      .unionByName(changes1, allowMissingColumns = extra.nonEmpty)
     val adds = stage(rewritten, table, k, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap,
       specId = snap.specId)
+    val propsOpt = idOpt.collect { case (c, hwm, step) if nAlloc > 0L =>
+      snap.props + (s"identity.$c" -> identityProp(hwm + nAlloc * step, step))
+    }
     commit(table, snap.version, "merge", adds, touched.map(_.relPath),
-      if (extra.nonEmpty) merged.toDDL else "", "")
+      if (extra.nonEmpty) merged.toDDL else "", "", props = propsOpt)
   }
 
   /** OPTIMIZE ZORDER: [[compact]] whose output files follow the

@@ -395,4 +395,104 @@ class BranchWapSpec extends SparkSuite {
     assert(parts == Seq(("ca", 2L), ("ny", 1L), ("tx", 1L)),
       s"partition stats wrong after rebase: $parts")
   }
+
+  test("drop_branch closes the WAP loop: refuses unpublished work, " +
+      "reclaims after publish, main's adopted files survive, " +
+      "#branches empties") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    val br = TableLog.branch(t, "drop1")
+    TableLog.append(kv(Seq(2L -> "b")), br, 1)
+    // unpublished work refuses without force
+    val e = intercept[IllegalArgumentException] {
+      TableLog.dropBranch(t, "drop1")
+    }
+    assert(e.getMessage.contains("unpublished"), e.getMessage)
+    // publish, then drop: branch dir gone, adopted data intact
+    TableLog.publish(spark, t, "drop1")
+    val n = TableLog.dropBranch(t, "drop1")
+    assert(n > 0, "nothing reclaimed")
+    assert(!Files.exists(Paths.get(br)), "branch dir survived the drop")
+    assert(TableLog.listBranches(t).isEmpty)
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")),
+      s"published rows lost by the drop: $got")
+    // an abandoned drop needs force — and force works
+    val br2 = TableLog.branch(t, "drop2")
+    TableLog.append(kv(Seq(9L -> "z")), br2, 1)
+    TableLog.dropBranch(t, "drop2", force = true)
+    assert(TableLog.listBranches(t).isEmpty)
+    assert(TableLog.snapshot(spark, t).count() == 2)
+    // a fresh fork (no work) drops without force; unknown name refuses
+    TableLog.branch(t, "drop3")
+    TableLog.dropBranch(t, "drop3")
+    intercept[IllegalArgumentException] { TableLog.dropBranch(t, "nope") }
+  }
+
+  test("publish REBASES across a constraint main ADDED in the interim: " +
+      "the branch delta audits against it; a violating delta refuses") {
+    import spark.implicits._
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    val br = TableLog.branch(t, "cadd")
+    TableLog.append(kv(Seq(2L -> "bb")), br, 1)
+    // main ADDS a constraint after the fork (validates its own rows)
+    TableLog.setProps(t, TableLog.state(t).props +
+      ("constraint.nonempty" -> "length(v) > 0"))
+    // the branch delta satisfies it -> publish rebases and lands
+    TableLog.publish(spark, t, "cadd")
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "bb")), got.toString)
+    // main's added constraint SURVIVED the publish
+    assert(TableLog.state(t).props.get("constraint.nonempty")
+      .contains("length(v) > 0"))
+    // a delta VIOLATING main's constraint refuses at publish: the
+    // branch drops its inherited per-batch gate (the documented
+    // bulk-load posture), stages a violating row, and main's
+    // governance catches it at the landing
+    val br2 = TableLog.branch(t, "cadd2")
+    TableLog.setProps(br2,
+      TableLog.state(br2).props - "constraint.nonempty")
+    TableLog.append(kv(Seq(3L -> "")), br2, 1)
+    TableLog.setProps(t, TableLog.state(t).props +
+      ("constraint.short" -> "length(v) < 10"))
+    val e = intercept[IllegalArgumentException] {
+      TableLog.publish(spark, t, "cadd2")
+    }
+    assert(e.getMessage.contains("nonempty"), e.getMessage)
+    // a constraint DROPPED on main in the interim still aborts
+    val br3 = TableLog.branch(t, "cdrop")
+    TableLog.append(kv(Seq(4L -> "d")), br3, 1)
+    TableLog.setProps(t, TableLog.state(t).props - "constraint.short")
+    intercept[java.util.ConcurrentModificationException] {
+      TableLog.publish(spark, t, "cdrop")
+    }
+  }
+
+  test("VERSION AS OF 'branch:<name>' reads a staging branch head by " +
+      "name from SQL — read-only, no filesystem path needed") {
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    TableLog.branch(t, "staging")
+    TableLog.append(kv(Seq(2L -> "b")),
+      Paths.get(t, "_branches", "staging").toString, 1)
+    val main = spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .head().getLong(0)
+    val branch = spark.sql(
+      s"SELECT count(*) FROM graftlog.`$t` VERSION AS OF 'branch:staging'")
+      .head().getLong(0)
+    assert(main == 1L && branch == 2L, s"main=$main branch=$branch")
+    // unknown branch refuses as table-not-found (Spark rewraps the
+    // catalog's message; the refusal is the contract)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graftlog.`$t` VERSION AS OF 'branch:nope'")
+        .collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
+  }
 }

@@ -64,15 +64,13 @@ class IdentityColumnSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       TableLog.overwriteWhereStaged(spark, t, col("id") === 9L, Nil, 1)
     }
-    // staged rewrites (SQL UPDATE/MERGE, truncate-form OVERWRITE)
-    // refuse; DELETE — id-preserving by construction — passes through
-    intercept[IllegalArgumentException] {
-      TableLog.commitStagedRewrite(t, Nil, Nil, "replace")
-    }
-    intercept[IllegalArgumentException] {
-      TableLog.commitStagedRewrite(t, Nil, Nil, "update")
-    }
-    TableLog.commitStagedRewrite(t, Nil, Nil, "delete") // no-op commit, allowed
+    // staged rewrites (SQL UPDATE/MERGE, truncate-form OVERWRITE) no
+    // longer refuse wholesale: the commit's completion pass AUDITS
+    // carried ids against the pre-image and allocates nulls — an
+    // empty rewrite is a plain no-op commit on every op
+    TableLog.commitStagedRewrite(t, Nil, Nil, "replace")
+    TableLog.commitStagedRewrite(t, Nil, Nil, "update")
+    TableLog.commitStagedRewrite(t, Nil, Nil, "delete")
     // declaration: must exist, be BIGINT, not also generated; no
     // post-hoc declaration via SET TBLPROPERTIES
     intercept[IllegalArgumentException] {
@@ -291,5 +289,224 @@ class IdentityColumnSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((10L, "a"), (20L, "b"), (30L, "c")), got.toString)
     assert(TableLog.state(t).props("identity.id") == "40:10")
+  }
+
+  test("SQL UPDATE on a PARTITIONED identity table lands through the " +
+      "partitioned MoR path: ids preserved, tuple stats exact") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    spark.version
+    val t = Files.createTempDirectory("tlog_idpart_").toString + "/t"
+    TableLog.createEmpty(t, "id BIGINT, grp STRING, v STRING", "id",
+      partCols = Seq("grp"), props = Map("identity.id" -> "100"))
+    TableLog.appendIdentity(
+      Seq(("g0", "a"), ("g1", "b"), ("g0", "c")).toDF("grp", "v"), t, 1)
+    spark.sql(s"UPDATE graftlog.`$t` SET v = upper(v) WHERE grp = 'g0'")
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((100L, "g0", "A"), (101L, "g1", "b"),
+      (102L, "g0", "C")), got.toString)
+    // per-tuple stats stayed exact through the DV update
+    val tupleRows = TableLog.state(t).active.flatMap(_.parts)
+      .groupBy(_.values.head).map { case (k, ps) => k -> ps.map(_.rows).sum }
+    assert(tupleRows == Map("g0" -> 2L, "g1" -> 1L), tupleRows.toString)
+    // the allocator keeps working after the update
+    TableLog.appendIdentity(Seq(("g1", "d")).toDF("grp", "v"), t, 1)
+    assert(TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L, 103L))
+  }
+
+  test("EXACT-case duplicate SQL UPDATE targets refuse at analysis — " +
+      "never silently last-win through the set map") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshTable()
+    TableLog.appendIdentity(Seq("a").toDF("v"), t, 1)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graftlog.`$t` SET v = 'x', v = 'y' WHERE id = 100")
+    }
+    assert(e.getMessage.contains("duplicate assignment"), e.getMessage)
+    assert(TableLog.snapshot(spark, t).head().getString(1) == "a")
+  }
+
+  test("SQL MERGE on an identity+gencol table: insert arm allocates, " +
+      "update arm preserves ids and recomputes the gencol, arms " +
+      "assigning the id refuse") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    spark.version
+    val t = Files.createTempDirectory("tlog_idmrg_").toString + "/t"
+    TableLog.createEmpty(t, "id BIGINT, k BIGINT, v STRING, vu STRING",
+      "k", props = Map("identity.id" -> "100", "gencol.vu" -> "upper(v)"))
+    TableLog.appendIdentity(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, 1)
+    Seq((2L, "bee"), (3L, "cee")).toDF("k", "v")
+      .createOrReplaceTempView("idmrg_src")
+    spark.sql(
+      s"""MERGE INTO graftlog.`$t` AS tgt USING idmrg_src AS src
+         |ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (src.k, src.v)
+         |""".stripMargin)
+    val got = TableLog.snapshot(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(got == Seq((100L, 1L, "a", "A"), (101L, 2L, "bee", "BEE"),
+      (102L, 3L, "cee", "CEE")), got.toString)
+    // the mark advanced IN the merge commit: the next insert continues
+    spark.sql(s"INSERT INTO graftlog.`$t` (k, v) VALUES (4, 'd')")
+    assert(TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L, 103L))
+    // an arm ASSIGNING the identity column refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graftlog.`$t` AS tgt USING idmrg_src AS src
+           |ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET id = 5, v = src.v
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+  }
+
+  test("API merge on an identity table: matched keys inherit their " +
+      "ids, inserts allocate, the changes frame must omit the column") {
+    import spark.implicits._
+    spark.version
+    val t = Files.createTempDirectory("tlog_idamrg_").toString + "/t"
+    TableLog.createEmpty(t, "id BIGINT, k BIGINT, v STRING", "k",
+      props = Map("identity.id" -> "10"))
+    TableLog.appendIdentity(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, 1)
+    // k=2 updates (keeps id 11), k=3 inserts (allocates 12)
+    TableLog.merge(spark, t, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), 1)
+    val got = TableLog.snapshot(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((10L, 1L, "a"), (11L, 2L, "B"), (12L, 3L, "c")),
+      got.toString)
+    assert(TableLog.state(t).props("identity.id") == "13")
+    // explicit ids in the changes frame refuse — ALWAYS
+    val e = intercept[IllegalArgumentException] {
+      TableLog.merge(spark, t,
+        Seq((99L, 4L, "x")).toDF("id", "k", "v"), 1)
+    }
+    assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+    // a merge KEYED on the identity column refuses with guidance
+    val t2 = Files.createTempDirectory("tlog_idamrg2_").toString + "/t"
+    TableLog.createEmpty(t2, "id BIGINT, v STRING", "id",
+      props = Map("identity.id" -> "0"))
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.merge(spark, t2, Seq("x").toDF("v"), 1)
+    }
+    assert(e2.getMessage.contains("merge key"), e2.getMessage)
+  }
+
+  test("the exactly-once streaming sink feeds an identity-KEYED " +
+      "gencol table: ids allocate per micro-batch inside the txn " +
+      "commit, a redelivered epoch is a no-op, explicit ids refuse") {
+    import spark.implicits._
+    spark.version
+    val root = Files.createTempDirectory("tlog_idsink_").toString
+    val t = s"$root/t"
+    TableLog.createEmpty(t, "id BIGINT, v STRING, vu STRING", "id",
+      props = Map("identity.id" -> "0", "gencol.vu" -> "upper(v)"))
+    val src = Seq("a", "b", "c").toDF("v")
+    src.coalesce(1).write.parquet(s"$root/in")
+    def runOnce(cp: String): Unit = {
+      val q = spark.readStream.schema(src.schema).parquet(s"$root/in")
+        .writeStream.format("graft.sources.GraftLogStreamProvider")
+        .option("path", t).option("txnAppId", "idsink-spec")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce(s"$root/_cp1")
+    val v1 = TableLog.latestVersion(t)
+    runOnce(s"$root/_cp2") // fresh checkpoint: txn ledger drops epoch 0
+    assert(TableLog.latestVersion(t) == v1,
+      "a redelivered epoch must not even bump the version")
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == Seq((0L, "a", "A"), (1L, "b", "B"), (2L, "c", "C")),
+      got.toString)
+    assert(TableLog.state(t).props("identity.id") == "3")
+    // a second delivery of NEW data continues the sequence
+    Seq("d").toDF("v").coalesce(1).write.mode("append")
+      .parquet(s"$root/in")
+    runOnce(s"$root/_cp1")
+    assert(TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    // a stream SUPPLYING the identity column refuses at write build
+    val bad = intercept[Exception] {
+      val q = spark.readStream
+        .schema(Seq((9L, "x")).toDF("id", "v").schema)
+        .parquet(s"$root/in")
+        .writeStream.format("graft.sources.GraftLogStreamProvider")
+        .option("path", t).option("checkpointLocation", s"$root/_cp3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(bad.getMessage != null)
+  }
+
+  test("DDL-native spelling: GENERATED ALWAYS AS IDENTITY (START WITH " +
+      "/ INCREMENT BY) and GENERATED ALWAYS AS (expr) in the CREATE " +
+      "column list lower onto the engine's declarations") {
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    spark.version
+    val t = Files.createTempDirectory("tlog_idddl_").toString + "/t"
+    spark.sql(
+      s"""CREATE TABLE graftlog.`$t` (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY
+         |    (START WITH 7 INCREMENT BY 3),
+         |  k BIGINT,
+         |  v STRING,
+         |  vu STRING GENERATED ALWAYS AS (upper(v))
+         |) TBLPROPERTIES ('key' = 'k')""".stripMargin)
+    val props = TableLog.state(t).props
+    assert(props.get("identity.id").contains("7:3"), props.toString)
+    assert(props.get("gencol.vu").contains("upper(v)"), props.toString)
+    // the whole write surface works off the DDL declaration
+    spark.sql(s"INSERT INTO graftlog.`$t` (k, v) VALUES (1, 'a'), (2, 'b')")
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSeq
+    assert(got == Seq((7L, 1L, "a", "A"), (10L, 2L, "b", "B")),
+      got.toString)
+    // GENERATED BY DEFAULT refuses: the allocator contract is ALWAYS
+    val t2 = Files.createTempDirectory("tlog_idddl2_").toString + "/t"
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""CREATE TABLE graftlog.`$t2` (
+           |  id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+           |  k BIGINT
+           |) TBLPROPERTIES ('key' = 'k')""".stripMargin)
+    }
+    assert(e.getMessage.contains("ALWAYS"), e.getMessage)
+  }
+
+  test("SET TBLPROPERTIES cannot corrupt the allocator: rewound mark, " +
+      "zero step, flipped direction and unparseable values refuse; a " +
+      "legal advance commits") {
+    import spark.implicits._
+    val t = freshTable()
+    TableLog.appendIdentity(Seq("a", "b").toDF("v"), t, 1) // hwm -> 102
+    val props = TableLog.state(t).props
+    def trySet(v: String): IllegalArgumentException =
+      intercept[IllegalArgumentException] {
+        TableLog.setProps(t, props + ("identity.id" -> v))
+      }
+    assert(trySet("50").getMessage.contains("rewinds"))
+    assert(trySet("200:0").getMessage.contains("INCREMENT BY 0"))
+    assert(trySet("200:-1").getMessage.contains("direction"))
+    assert(trySet("abc").getMessage.contains("unparseable"))
+    // a legal forward move (e.g. reserving a gap) is allowed
+    TableLog.setProps(t, props + ("identity.id" -> "500"))
+    TableLog.appendIdentity(Seq("c").toDF("v"), t, 1)
+    assert(TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L, 101L, 500L))
   }
 }

@@ -324,14 +324,83 @@ class TableLogSpec extends SparkSuite {
     assert(st.active.forall(_.dv.isEmpty) && st.active.size == 2)
     assert(TableLog.snapshot(spark, t).count() == 79)
     assert(TableLog.statsOf(t)._1 == 79L) // exact stats return
-    // partitioned tables refuse DV deletes
+  }
+
+  test("partitioned merge-on-read delete: per-tuple stats decrement " +
+      "exactly, fully-dead tuples drop, no data rewrite") {
     import spark.implicits._
     val tp = freshDir()
-    TableLog.create((0L to 9L).map(i => (i, s"p${i % 2}")).toDF("k", "p"),
-      tp, "k", 1, partCols = Seq("p"))
-    intercept[IllegalArgumentException] {
-      TableLog.deleteWhereDv(spark, tp, col("k") === 1L)
+    // 100 rows over 4 partition values, 2 files → mixed-tuple files
+    TableLog.create((0L to 99L).map(i => (i, s"p${i % 4}")).toDF("k", "p"),
+      tp, "k", 2, partCols = Seq("p"))
+    def tupleRows: Map[String, Long] = TableLog.state(tp).active
+      .flatMap(_.parts).groupBy(_.values.head)
+      .map { case (t, ps) => t -> ps.map(_.rows).sum }
+    assert(tupleRows == Map("p0" -> 25L, "p1" -> 25L, "p2" -> 25L,
+      "p3" -> 25L))
+    val filesBefore = TableLog.state(tp).active.map(_.relPath).toSet
+    // GDPR-shaped point delete: 3 rows of one tuple, 2 of another
+    TableLog.deleteWhereDv(spark, tp,
+      col("k").isin(0L, 4L, 8L, 1L, 5L))
+    val st = TableLog.state(tp)
+    assert(st.active.map(_.relPath).toSet == filesBefore,
+      "DV delete must not rewrite data files")
+    // tuple stats are LIVE counts: p0 lost 3 (k=0,4,8), p1 lost 2
+    assert(tupleRows == Map("p0" -> 22L, "p1" -> 23L, "p2" -> 25L,
+      "p3" -> 25L))
+    // stats sum to liveRows per file — #partitions folds exactly
+    st.active.foreach(a =>
+      assert(a.parts.map(_.rows).sum == a.liveRows, a))
+    assert(TableLog.snapshot(spark, tp).count() == 95)
+    // a repeat delete composes the deltas
+    TableLog.deleteWhereDv(spark, tp, col("p") === "p2" && col("k") < 20L)
+    assert(tupleRows("p2") == 20L)
+    // kill an ENTIRE tuple: its stat drops from every file outright
+    TableLog.deleteWhereDv(spark, tp, col("p") === "p3")
+    assert(!tupleRows.contains("p3"))
+    assert(TableLog.snapshot(spark, tp).count() == 100 - 5 - 5 - 25)
+    // reads agree with the stats tuple-by-tuple
+    val got = TableLog.snapshot(spark, tp).groupBy("p").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == tupleRows)
+    // spec-era files refuse: evolve the spec, then DV must refuse
+    TableLog.setPartitionSpec(tp, Seq("p", "k"))
+    val e = intercept[IllegalArgumentException] {
+      TableLog.deleteWhereDv(spark, tp, col("k") === 50L)
     }
+    assert(e.getMessage.contains("partition spec"))
+  }
+
+  test("partitioned merge-on-read update: DV decrements the OLD " +
+      "tuple, fresh files stage partitioned, #partitions stays exact") {
+    import spark.implicits._
+    val tp = freshDir()
+    TableLog.create((0L to 59L).map(i => (i, s"d${i % 3}", s"v$i"))
+      .toDF("k", "p", "v"), tp, "k", 2, partCols = Seq("p"))
+    def tupleRows: Map[String, Long] = TableLog.state(tp).active
+      .flatMap(_.parts).groupBy(_.values.head)
+      .map { case (t, ps) => t -> ps.map(_.rows).sum }
+    val origFiles = TableLog.state(tp).active.map(_.relPath).toSet
+    // value-only update: tuples unchanged, counts conserved
+    TableLog.updateWhereDv(spark, tp, col("k") < 6L,
+      Map("v" -> concat(lit("UPD"), col("k").cast("string"))))
+    assert(tupleRows == Map("d0" -> 20L, "d1" -> 20L, "d2" -> 20L))
+    val st = TableLog.state(tp)
+    // staged fresh files carry their own tuple stats
+    assert(st.active.filter(a => !origFiles(a.relPath))
+      .forall(_.parts.nonEmpty), "updated images must stage partitioned")
+    val got = TableLog.snapshot(spark, tp).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 60 && got(3L) == "UPD3" && got(7L) == "v7")
+    // partition-moving update: rows leave the old tuple and land in
+    // the new one — both sides of the ledger stay exact
+    TableLog.updateWhereDv(spark, tp, col("k").isin(10L, 13L),
+      Map("p" -> lit("d9")))
+    val tr = tupleRows
+    assert(tr("d9") == 2L && tr.values.sum == 60L, tr)
+    val byP = TableLog.snapshot(spark, tp).groupBy("p").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byP == tr)
   }
 
   test("merge-on-read update: DV + fresh-file append in one commit; " +
