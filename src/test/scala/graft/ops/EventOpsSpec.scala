@@ -2388,4 +2388,30 @@ class EventOpsSpec extends SparkSuite {
     assert(ctxTokens == 3L + 10L + asst.sum, s"ctx $ctxTokens")
     assert(nTrunc == asst.count(_ > 64L), s"trunc $nTrunc")
   }
+
+  test("q512 trajectory lint: orphaned results quarantine the stream, " +
+      "call-only streams are dangling, classes partition the universe") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(m * 60000L)
+    val tmp = java.nio.file.Files.createTempDirectory("traj").toString
+    Seq(
+      (1L, t(1), "view"), (1L, t(2), "purchase"),      // clean
+      (2L, t(1), "purchase"), (2L, t(2), "view"),      // quarantined
+      (3L, t(1), "view"), (3L, t(2), "view"),          // dangling
+      (4L, t(1), "purchase"),                          // quarantined
+      (5L, t(1), "click"),                             // outside protocol
+      (6L, t(1), "view"), (6L, t(1), "purchase"),      // TIE -> quarantined
+    ).toDF("user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = EventOps.q512TrajectoryLint(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("clean", 1L, 1L, 1L),
+      ("dangling", 1L, 2L, 0L),
+      ("quarantined", 3L, 2L, 3L)), got.toString)
+    // every protocol stream lands in exactly one class
+    assert(got.map(_._2).sum == 5L)
+  }
 }

@@ -2266,4 +2266,44 @@ class TextOpsSpec extends SparkSuite {
     assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
       == ((3L, 6L, 1L, 2L)), row.toString)
   }
+
+  test("q510 FIM plan: 40/80 split geometry, PSM/SPM parity mix, " +
+      "short docs fall back to AR with zero sentinel overhead") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fim").toString
+    Seq(
+      (0L, "x" * 100, "en", "s", 100L), // even id, len 100 -> psm
+      (1L, "y" * 51, "en", "s", 51L),   // odd id -> spm
+      (2L, "z" * 10, "en", "s", 10L),   // < 50 chars -> ar
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q510FimTransformPlan(spark, tmp).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // psm len 100: middle = 80 - 40 = 40; spm len 51: 40 - 20 = 20
+    assert(got == Seq(
+      ("ar", 1L, 10L, 0L, 0L),
+      ("psm", 1L, 100L, 40L, 3L),
+      ("spm", 1L, 51L, 20L, 3L)), got.toString)
+  }
+
+  test("q511 synthetic-marker audit: substring hits count (including " +
+      "inside longer words), rate and flag threshold are exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("slop").toString
+    Seq(
+      // hits: slow x2 + merge x1 = 3 -> flagged; toks = 4
+      (0L, "slow slowmergely ok", "en", "sA", 19L),
+      (1L, "clean text here today", "en", "sA", 21L),
+      // 'sparkly' contains 'spark': 1 hit, not flagged
+      (2L, "sparkly words", "en", "sB", 13L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q511SyntheticMarkerAudit(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))).toSeq
+    // sA: 2 docs, 3 hits, 1 flagged; sB: 1 doc, 1 hit, 0 flagged
+    assert(got == Seq(("sA", 2L, 3L, 1L), ("sB", 1L, 1L, 0L)),
+      got.toString)
+  }
 }
