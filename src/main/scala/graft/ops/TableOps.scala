@@ -3976,9 +3976,16 @@ object TableOps {
         .where($"event_id" % 3 === 0)
       TableLog.create(slice, path, "event_id", numFiles = 4,
         partCols = Seq("days:ts"))                                    // v1
-      // the data subject: deterministic, SQL-expressible
+      TableLog.setProps(path,
+        Map("delete.mode" -> "merge-on-read"))                        // v2
+      // the data subject: deterministic, SQL-expressible — and the
+      // erasure is the PLAIN SQL DELETE every DSR runbook issues; the
+      // delete.mode gate routes it merge-on-read on the partitioned
+      // layout (round 13 lifted the partitioned-DV refusal)
       val victim = slice.agg(min($"user_id")).collect().head.getLong(0)
-      TableLog.deleteWhereDv(s, path, col("user_id") === victim)     // v2
+      s.sql(s"DELETE FROM graftlog.`$path` WHERE user_id = $victim") // v3
+      require(TableLog.state(path).active.exists(_.dv.isDefined),
+        "SQL DELETE did not route merge-on-read on the partitioned table")
       path
     })
     val meta = s.sql(
@@ -3990,7 +3997,7 @@ object TableOps {
          |FROM graftlog.`$t` GROUP BY 1""".stripMargin)
     val days = meta.join(data, Seq("day"), "full_outer")
       .select($"day", $"row_count", $"n_live")
-    val audit = TableLog.diffVersions(s, t, 1L, 2L)
+    val audit = TableLog.diffVersions(s, t, 2L, 3L)
       .where($"action" === "delete")
       .agg(count(lit(1)).as("n"))
       .select(lit("__erased").as("day"), $"n".as("row_count"),

@@ -79,7 +79,11 @@ class GraftGeneratedInsertRule(session: SparkSession)
               .map(_.stripPrefix("identity.")).toSeq.sorted
             val gens = props.keys.filter(_.startsWith("gencol."))
               .map(_.stripPrefix("gencol.")).toSeq.sorted
-            if (ids.isEmpty && gens.isEmpty) None
+            // tables routing merge-on-read UPDATEs are interesting
+            // too, even with no generated columns (the update.mode
+            // twin of the catalog's delete.mode gate)
+            if (ids.isEmpty && gens.isEmpty &&
+                !props.get("update.mode").contains("merge-on-read")) None
             else Some((tp, ids, gens, props))
           })
         }
@@ -92,10 +96,10 @@ class GraftGeneratedInsertRule(session: SparkSession)
     case i @ InsertIntoStatement(r: UnresolvedRelation, partSpec,
         userCols, query, false, _, byName) if partSpec.isEmpty =>
       declaring(r.multipartIdentifier) match {
-        case None => i
-        case Some((path, ids, gens, _)) =>
+        case Some((path, ids, gens, _)) if ids.nonEmpty || gens.nonEmpty =>
           GraftGeneratedInsertCommand(path, userCols, query, byName,
             ids, gens)
+        case _ => i // mor-update-only tables keep the staged INSERT
       }
     // SQL UPDATE on a declaring table: recompute omitted generated
     // columns (with the NEW values of assigned source columns
@@ -151,7 +155,15 @@ class GraftGeneratedInsertRule(session: SparkSession)
               Assignment(UnresolvedAttribute.quoted(col), subst)
           }
           val full = assignments ++ genAssigns
-          if (ids.isEmpty) u.copy(assignments = full)
+          // routing: identity tables MUST take the merge-on-read path
+          // (the staged rewrite can't prove ids unchanged without the
+          // commit-time audit); plain tables take it when they DECLARE
+          // update.mode = merge-on-read — the update.mode twin of the
+          // catalog's delete.mode gate, small updates paying sidecar
+          // KBs instead of file rewrites
+          val morDeclared =
+            props.get("update.mode").contains("merge-on-read")
+          if (ids.isEmpty && !morDeclared) u.copy(assignments = full)
           else {
             // the DV-update path reads the bare table frame — strip
             // the statement alias's qualifier from assignment values
@@ -190,7 +202,8 @@ class GraftGeneratedInsertRule(session: SparkSession)
           val gens = props.toSeq.collect {
             case (k, sql) if k.startsWith("gencol.") =>
               (k.stripPrefix("gencol."), sql) }.sortBy(_._1)
-          m.copy(
+          if (ids.isEmpty && gens.isEmpty) m // mor-update-only table
+          else m.copy(
             matchedActions =
               completeMergeArms(path, ids, gens, alias, m.matchedActions),
             notMatchedActions =
@@ -338,12 +351,16 @@ class GraftGeneratedInsertRule(session: SparkSession)
   * trees itself, against the target table's frame, at run time). */
 case class ExprBox(e: Expression)
 
-/** Executes an id-preserving UPDATE on an identity table through
-  * [[TableLog.updateWhereDv]] (merge-on-read: existing ids never
-  * rewrite, so the allocator invariant holds by construction; the
-  * id-targeting guard inside updateWhereDv backstops the analysis
-  * refusal). Set-expressions evaluate simultaneously against the old
-  * row — SQL UPDATE semantics. */
+/** Executes a merge-on-read SQL UPDATE through
+  * [[TableLog.updateWhereDv]] — the route for IDENTITY tables
+  * (existing ids never rewrite, so the allocator invariant holds by
+  * construction; the id-targeting guard inside updateWhereDv
+  * backstops the analysis refusal) and for tables declaring
+  * `update.mode = merge-on-read` (the update twin of the catalog's
+  * delete.mode gate: small updates pay KB-scale sidecars, not file
+  * rewrites — partitioned layouts included, their tuple stats
+  * decrement exactly). Set-expressions evaluate simultaneously
+  * against the old row — SQL UPDATE semantics. */
 case class GraftIdentityUpdateCommand(path: String,
     set: Seq[(String, ExprBox)], cond: Option[ExprBox])
     extends LeafRunnableCommand {

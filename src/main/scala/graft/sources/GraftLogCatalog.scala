@@ -1000,12 +1000,13 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     // merge-on-read routing: under TBLPROPERTIES('delete.mode' =
     // 'merge-on-read'), a plain SQL DELETE takes the deletion-vector
     // path — dead positions in sidecars, zero file rewrites (the
-    // Delta/Iceberg table-property gate; partitioned tables keep COW
-    // so their tuple stats stay exact)
+    // Delta/Iceberg table-property gate). Partitioned tables take it
+    // too: the DV commit decrements per-tuple row stats exactly
+    // (dvCommitEntries), so the days(ts) layout's GDPR deletes stop
+    // paying copy-on-write rewrites
     val prune = GraftLogTable.deletePrune(
       SparkSession.active, tablePath, snap, filters.toSeq)
-    if (snap.props.get("delete.mode").contains("merge-on-read") &&
-        snap.partCols.isEmpty) {
+    if (snap.props.get("delete.mode").contains("merge-on-read")) {
       // the DV route prunes its candidate scan with the SAME manifest
       // stat layers as the COW route — a key-ranged merge-on-read
       // delete reads the intersecting sliver, never the active set

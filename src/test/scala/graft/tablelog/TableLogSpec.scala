@@ -432,6 +432,43 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.latestVersion(t) == v)
   }
 
+  test("SQL UPDATE under update.mode=merge-on-read: originals keep " +
+      "their bytes (DV sidecars), updated images land as fresh files " +
+      "— on partitioned layouts too") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir()
+    TableLog.create((0L to 59L).map(i => (i, s"p${i % 3}", s"v$i"))
+      .toDF("k", "p", "v"), t, "k", 2, partCols = Seq("p"))
+    TableLog.setProps(t,
+      TableLog.state(t).props + ("update.mode" -> "merge-on-read"))
+    val origFiles = TableLog.state(t).active.map(_.relPath).toSet
+    spark.sql(s"UPDATE graftlog.`$t` SET v = upper(v) WHERE k < 4")
+    val st = TableLog.state(t)
+    assert(origFiles.subsetOf(st.active.map(_.relPath).toSet),
+      "merge-on-read UPDATE must not rewrite original files")
+    assert(st.active.exists(_.dv.isDefined), "no DV sidecar landed")
+    val got = TableLog.snapshot(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got.take(5) == Seq((0L, "V0"), (1L, "V1"), (2L, "V2"),
+      (3L, "V3"), (4L, "v4")), got.take(5).toString)
+    // tuple stats stayed exact through the SQL route
+    val tupleRows = st.active.flatMap(_.parts).groupBy(_.values.head)
+      .map { case (k2, ps) => k2 -> ps.map(_.rows).sum }
+    assert(tupleRows == Map("p0" -> 20L, "p1" -> 20L, "p2" -> 20L),
+      tupleRows.toString)
+    // a table WITHOUT the property keeps the copy-on-write route
+    val t2 = freshDir()
+    TableLog.create(kv(Seq(1L -> "a", 2L -> "b")), t2, "k", 1)
+    val orig2 = TableLog.state(t2).active.map(_.relPath).toSet
+    spark.sql(s"UPDATE graftlog.`$t2` SET v = upper(v) WHERE k = 1")
+    val st2 = TableLog.state(t2)
+    assert(!st2.active.exists(a => orig2(a.relPath)),
+      "COW update should rewrite the touched file")
+    assert(st2.active.forall(_.dv.isEmpty))
+  }
+
   test("empty append bumps the version without staging files") {
     val t = freshDir()
     TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
