@@ -3781,6 +3781,126 @@ object TableOps {
       |   OR o_orderkey % 6 = 3
       |ORDER BY side""".stripMargin
 
+  // ---------------------------------------------------------------- q513
+  /** `update.mode = merge-on-read` on the SQL surface — the UPDATE
+    * twin of q458's delete gate, landing on a PARTITIONED layout: a
+    * plain SQL UPDATE of a small slice routes through the
+    * deletion-vector path (the analyzer rule reads the table
+    * property), so the touched files' bytes never rewrite — dead
+    * positions land as KB-scale sidecars, the updated images as fresh
+    * files staged under the table's own partition spec, and the
+    * per-tuple row stats decrement exactly. The fixture PROVES the
+    * no-rewrite claim (original files all still active) and the
+    * oracle replays the update in pure SQL over the data plane. At
+    * 100 TB: updating 0.1% of a days(ts) table costs sidecar KBs plus
+    * the changed rows — the same economics q508 gives deletes. */
+  private val morUpdateSqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q513MorUpdateSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = morUpdateSqlCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogmu_").toString + "/t"
+      val slice = ordersSlice(s, dir).where($"o_orderkey" % 9 === 5)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      TableLog.create(slice, path, "o_orderkey", numFiles = 3,
+        partCols = Seq("o_orderstatus"))                             // v1
+      TableLog.setProps(path,
+        Map("update.mode" -> "merge-on-read"))                       // v2
+      val before = TableLog.state(path).active.map(_.relPath).toSet
+      s.sql(
+        s"""UPDATE graftlog.`$path` SET o_totalprice = o_totalprice * 2
+           |WHERE o_orderkey % 90 = 5""".stripMargin)                // v3
+      val st = TableLog.state(path)
+      require(before.subsetOf(st.active.map(_.relPath).toSet),
+        "merge-on-read SQL UPDATE rewrote an original file")
+      require(st.active.exists(_.dv.isDefined),
+        "merge-on-read SQL UPDATE landed no deletion vector")
+      path
+    })
+    s.sql(
+      s"""SELECT o_orderstatus,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM graftlog.`$t`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  private val q513Oracle =
+    """SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(CASE WHEN o_orderkey % 90 = 5
+      |    THEN o_totalprice * 2 ELSE o_totalprice END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 9 = 5
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- q514
+  /** DELETION-VECTOR DEBT ADVISOR — the housekeeping readout a
+    * merge-on-read table needs once q508/q513 start landing sidecars:
+    * per partition day, the WRITTEN row mass (the `#partitions` fold
+    * of the pre-delete era, read back through VERSION AS OF — exact,
+    * zero data files), the LIVE mass (the current fold, exact through
+    * the per-tuple DV accounting), the dead debt between them, and a
+    * compact advice flag where the dead fraction crosses 2% — the
+    * rewrite-when-it-pays loop (Delta's OPTIMIZE-on-DV-debt posture:
+    * sidecars are cheap to write but every read pays the anti-join,
+    * so debt should fold back down off-peak). BOTH planes are
+    * manifest folds: at 100 TB the advisor costs two O(files) driver
+    * reads and never opens a data file. */
+  private val dvDebtCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q514DvDebtAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = dvDebtCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogdd_").toString + "/t"
+      val slice = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+        .where($"event_id" % 4 === 1)
+      TableLog.create(slice, path, "event_id", numFiles = 4,
+        partCols = Seq("days:ts"))                                   // v1
+      // two erasure waves: the day-5 victim cohort, then a user
+      val w1 = slice.agg(min($"user_id")).collect().head.getLong(0)
+      TableLog.deleteWhereDv(s, path, col("user_id") === w1)         // v2
+      TableLog.deleteWhereDv(s, path,
+        col("user_id") === w1 + 1L && col("event_type") === "error") // v3
+      path
+    })
+    val written = s.sql(
+      s"""SELECT `days(ts)` AS day, row_count AS written
+         |FROM graftlog.`$t#partitions` VERSION AS OF 1""".stripMargin)
+    val live = s.sql(
+      s"""SELECT `days(ts)` AS day, row_count AS live
+         |FROM graftlog.`$t#partitions`""".stripMargin)
+    written.join(live, Seq("day"), "left")
+      .select($"day", $"written",
+        coalesce($"live", lit(0L)).as("live"),
+        ($"written" - coalesce($"live", lit(0L))).as("dead"),
+        (expr("(written - coalesce(live, 0L)) * 10000L div written")
+          >= 200L).as("compact_advised"))
+      .orderBy($"day")
+  }
+
+  private val q514Oracle =
+    """WITH sl AS (
+      |  SELECT event_id, ts, user_id, event_type FROM events
+      |  WHERE event_id % 4 = 1),
+      |v AS (SELECT min(user_id) AS victim FROM sl),
+      |w AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
+      |    CAST(count(*) AS BIGINT) AS written,
+      |    CAST(sum(CASE WHEN user_id <> victim AND NOT
+      |      (user_id = victim + 1 AND event_type = 'error')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS live
+      |  FROM sl, v GROUP BY 1)
+      |SELECT day, written, live, written - live AS dead,
+      |  (written - live) * 10000 // written >= 200 AS compact_advised
+      |FROM w ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- q509
   /** The COMPLETE WAP lifecycle from SQL — round 13 closes the loop
     * the q482/q500 machinery opened: fork (`CALL graftlog.branch`),
@@ -4021,6 +4141,8 @@ object TableOps {
       |ORDER BY day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q514_dv_debt_advisor" -> (q514DvDebtAdvisor _),
+    "q513_mor_update_sql" -> (q513MorUpdateSql _),
     "q509_branch_lifecycle" -> (q509BranchLifecycle _),
     "q508_gdpr_partitioned_mor" -> (q508GdprErasurePartitioned _),
     "q507_identity_merge_stream" -> (q507IdentityMergeStream _),
@@ -4097,6 +4219,8 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q514_dv_debt_advisor" -> q514Oracle,
+    "q513_mor_update_sql" -> q513Oracle,
     "q509_branch_lifecycle" -> q509Oracle,
     "q508_gdpr_partitioned_mor" -> q508Oracle,
     "q507_identity_merge_stream" -> q507Oracle,

@@ -258,14 +258,13 @@ class GraftLogCatalog extends TableCatalog
       // tuple with its exact file and row counts, folded from the
       // per-file [[TableLog.PartStat]]s. Zero data files open; at
       // 100 TB this is a driver fold over file-grain metadata.
-      // Versionless like #history (time travel composes by reading
-      // `t` VERSION AS OF v through the data path instead).
-      if (version.isDefined) throw new UnsupportedOperationException(
-        s"$catalogName: time travel over $partitionsSuffix is not defined — " +
-          "read the data table VERSION AS OF instead")
+      // Composes with VERSION AS OF like #files — that era's
+      // inventory folds from that era's active set, which is the
+      // device q514's DV-debt advisor diffs eras with (written vs
+      // live mass per tuple, both manifest-only).
       val path = raw.stripSuffix(partitionsSuffix)
       val snap =
-        try TableLog.state(path)
+        try TableLog.state(path, version.getOrElse(Long.MaxValue))
         catch { case _: Exception => throw new NoSuchTableException(ident) }
       if (snap.partCols.isEmpty) throw new UnsupportedOperationException(
         s"$catalogName: `$path` is not partitioned — $partitionsSuffix " +
