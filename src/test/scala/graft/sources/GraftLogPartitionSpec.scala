@@ -279,6 +279,44 @@ class GraftLogPartitionSpec extends SparkSuite {
     assert(j2.collect().map(_.getLong(1)).sum == 10000L)
   }
 
+  test("a deletion vector on a partitioned table GATES OFF key-grouped " +
+      "planning: the scan falls back to plain partitions, results stay " +
+      "exact, and a DV-free sibling keeps its SPJ elision") {
+    import spark.implicits._
+    val t1 = freshPartitioned()
+    val t2 = freshPartitioned()
+    // land a DV on t1 (merge-on-read delete of two rows of tuple 'a')
+    TableLog.deleteWhereDv(spark, t1, col("k").isin(0L, 4L))
+    assert(TableLog.state(t1).active.exists(_.dv.isDefined))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = spark.sql(
+        s"""SELECT a.p, count(*) AS n
+           |FROM graftlog.`$t1` a JOIN graftlog.`$t2` b ON a.p = b.p
+           |GROUP BY a.p ORDER BY a.p""".stripMargin)
+      // claiming KeyGroupedPartitioning while DV'd files plan as
+      // separate whole-file partitions would be UNSOUND — the gate
+      // trades the shuffle elision back for correctness
+      assert(j.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "DV'd partitioned scan must not claim key grouping")
+      // rows: tuple a lost 2 of 50 on t1 -> 48*50; b/c/d stay 50*50
+      assert(j.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        == Seq(("a", 2400L), ("b", 2500L), ("c", 2500L), ("d", 2500L)))
+      // the DV-free sibling keeps its exchange-free keyed agg
+      val g = spark.sql(
+        s"SELECT p, count(*) AS n FROM graftlog.`$t2` GROUP BY p")
+      assert(!g.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "DV-free sibling lost its SPJ elision")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("bucketed tables: co-bucketed KEY join runs with zero shuffle " +
       "under v2 bucketing; rewrites drop purity and the gate falls back") {
     import spark.implicits._
