@@ -2630,7 +2630,7 @@ object DedupOps {
         |    regexp_extract(u, '^([a-zA-Z]+://[^/?#]*)', 1) AS hp FROM defrag),
         |canon AS (
         |  SELECT source,
-        |    replace(lower(hp), ':443', '') ||
+        |    regexp_replace(lower(hp), ':443$', '') ||
         |    regexp_replace(
         |      regexp_replace(substring(u, length(hp) + 1),
         |        '[?]utm_[a-z_=&]*$', ''),
@@ -2664,7 +2664,7 @@ object DedupOps {
       |    regexp_extract(u, '^([a-zA-Z]+://[^/?#]*)', 1) AS hp FROM defrag),
       |canon AS (
       |  SELECT source,
-      |    replace(lower(hp), ':443', '') ||
+      |    regexp_replace(lower(hp), ':443$', '') ||
       |    regexp_replace(
       |      regexp_replace(substring(u, length(hp) + 1),
       |        '[?]utm_[a-z_=&]*$', ''),
