@@ -7160,7 +7160,99 @@ object TextOps {
       |    AS flagged_docs
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q515
+  /** UNIMAX language allocation (Chung et al. 2023 — the multilingual
+    * pretraining budgeter): spend a total token budget as UNIFORMLY
+    * across languages as possible, capping every language at a
+    * maximum epoch count of its available data (1.2 epochs here) so
+    * low-resource languages are never over-recycled into memorization
+    * while high-resource ones absorb the slack. The optimum is
+    * WATER-FILLING, and it has a closed rowwise form: with languages
+    * sorted by capped capacity ascending, a language is CAPPED iff
+    * `c_i·(L−i+1) + Σ_{j<i} c_j ≤ B` (even granting everyone from it
+    * upward its own cap fits the budget), and the uncapped share is
+    * θ = (B − Σ capped c) div (#uncapped) — one cumsum window over
+    * |langs| rows, NO iterative loop. Scale shape: the only
+    * data-proportional work is the lang-grain token fold (one
+    * scan-side projection + one tiny shuffle); the waterfill runs
+    * over the language cardinality. Exact BIGINT throughout. */
+  def q515UnimaxAllocation(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("_q515_docs")
+    s.sql(
+      """WITH avail AS (
+        |  SELECT lang, CAST(sum(length(text) -
+        |    length(replace(text, ' ', '')) + 1) AS BIGINT) AS avail
+        |  FROM _q515_docs GROUP BY lang),
+        |c AS (
+        |  SELECT lang, avail, avail * 12 div 10 AS cap_c,
+        |    CAST(sum(avail) OVER () AS BIGINT) AS budget,
+        |    COUNT(*) OVER () AS n_langs
+        |  FROM avail),
+        |ranked AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY cap_c, lang) AS i,
+        |    COALESCE(SUM(cap_c) OVER (ORDER BY cap_c, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0L)
+        |      AS cum_before
+        |  FROM c),
+        |marked AS (
+        |  SELECT *,
+        |    cap_c * (n_langs - i + 1) + cum_before <= budget AS capped
+        |  FROM ranked),
+        |theta AS (
+        |  SELECT (max(budget) - COALESCE(sum(CASE WHEN capped
+        |      THEN cap_c END), 0L))
+        |    div GREATEST(1L, count(CASE WHEN NOT capped THEN 1 END))
+        |    AS theta
+        |  FROM marked)
+        |SELECT lang, avail AS avail_tokens,
+        |  CAST(CASE WHEN capped THEN cap_c ELSE theta END AS BIGINT)
+        |    AS alloc_tokens,
+        |  capped,
+        |  CAST((CASE WHEN capped THEN cap_c ELSE theta END) * 10000
+        |    div avail AS BIGINT) AS epochs_bp
+        |FROM marked CROSS JOIN theta
+        |ORDER BY lang""".stripMargin)
+  }
+
+  private val q515Oracle =
+    """WITH avail AS (
+      |  SELECT lang, CAST(sum(length(text) -
+      |    length(replace(text, ' ', '')) + 1) AS BIGINT) AS avail
+      |  FROM documents GROUP BY lang),
+      |c AS (
+      |  SELECT lang, avail, avail * 12 // 10 AS cap_c,
+      |    CAST(sum(avail) OVER () AS BIGINT) AS budget,
+      |    COUNT(*) OVER () AS n_langs
+      |  FROM avail),
+      |ranked AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY cap_c, lang) AS i,
+      |    COALESCE(SUM(cap_c) OVER (ORDER BY cap_c, lang
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM c),
+      |marked AS (
+      |  SELECT *,
+      |    cap_c * (n_langs - i + 1) + cum_before <= budget AS capped
+      |  FROM ranked),
+      |theta AS (
+      |  SELECT (max(budget) - COALESCE(sum(CASE WHEN capped
+      |      THEN cap_c END), 0))
+      |    // GREATEST(1, count(CASE WHEN NOT capped THEN 1 END))
+      |    AS theta
+      |  FROM marked)
+      |SELECT lang, avail AS avail_tokens,
+      |  CAST(CASE WHEN capped THEN cap_c ELSE theta END AS BIGINT)
+      |    AS alloc_tokens,
+      |  capped,
+      |  CAST((CASE WHEN capped THEN cap_c ELSE theta END) * 10000
+      |    // avail AS BIGINT) AS epochs_bp
+      |FROM marked CROSS JOIN theta
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q515_unimax_allocation" -> (q515UnimaxAllocation _),
     "q510_fim_transform_plan" -> (q510FimTransformPlan _),
     "q511_synthetic_marker_audit" -> (q511SyntheticMarkerAudit _),
     "q502_token_budget_freeze" -> (q502TokenBudgetFreeze _),
@@ -7268,6 +7360,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q515_unimax_allocation" -> q515Oracle,
     "q510_fim_transform_plan" -> q510Oracle,
     "q511_synthetic_marker_audit" -> q511Oracle,
     "q502_token_budget_freeze" -> q502Oracle,

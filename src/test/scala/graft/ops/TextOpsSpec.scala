@@ -2287,6 +2287,29 @@ class TextOpsSpec extends SparkSuite {
       ("spm", 1L, 51L, 20L, 3L)), got.toString)
   }
 
+  test("q515 UNIMAX waterfill: low-resource langs cap at max epochs, " +
+      "the high-resource lang absorbs the slack, allocations fill the " +
+      "budget") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("unimax").toString
+    // token masses: lo=10, mid=20, hi=90 -> budget 120, caps (1.2x)
+    // 12/24/108; lo+mid cap, hi gets theta = (120-36)/1 = 84
+    def words(n: Int) = (1 to n).map(_ => "w").mkString(" ")
+    Seq((0L, words(10), "lo", "s", 10L), (1L, words(20), "mid", "s", 20L),
+      (2L, words(90), "hi", "s", 90L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.q515UnimaxAllocation(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("hi", 90L, 84L, false, 9333L),
+      ("lo", 10L, 12L, true, 12000L),
+      ("mid", 20L, 24L, true, 12000L)), got.toString)
+    // allocations spend exactly the budget (integer floor on theta)
+    assert(got.map(_._3).sum == 120L)
+  }
+
   test("q511 synthetic-marker audit: substring hits count (including " +
       "inside longer words), rate and flag threshold are exact") {
     import spark.implicits._
