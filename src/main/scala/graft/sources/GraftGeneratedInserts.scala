@@ -62,10 +62,12 @@ class GraftGeneratedInsertRule(session: SparkSession)
     * concurrent commits, at one directory listing per probe. */
   private val declCache = scala.collection.mutable.HashMap.empty[
     (String, Long),
-    Option[(String, Seq[String], Seq[String], Map[String, String])]]
+    Option[(String, Seq[String], Seq[String], Map[String, String],
+      Boolean)]]
 
   private def declaring(parts: Seq[String])
-      : Option[(String, Seq[String], Seq[String], Map[String, String])] =
+      : Option[(String, Seq[String], Seq[String], Map[String, String],
+        Boolean)] =
     if (parts.length < 2) None
     else graftCatalog(parts.head).flatMap(_.tablePathOf(parts.tail))
       .flatMap { tp =>
@@ -74,17 +76,22 @@ class GraftGeneratedInsertRule(session: SparkSession)
         else declCache.synchronized {
           if (declCache.size > 256) declCache.clear()
           declCache.getOrElseUpdate((tp, v), {
-            val props = TableLog.state(tp).props
+            val snap = TableLog.state(tp)
+            val props = snap.props
             val ids = props.keys.filter(_.startsWith("identity."))
               .map(_.stripPrefix("identity.")).toSeq.sorted
             val gens = props.keys.filter(_.startsWith("gencol."))
               .map(_.stripPrefix("gencol.")).toSeq.sorted
             // tables routing merge-on-read UPDATEs are interesting
             // too, even with no generated columns (the update.mode
-            // twin of the catalog's delete.mode gate)
+            // twin of the catalog's delete.mode gate); dvOk says the
+            // partitioned-DV precondition holds (current-spec tuple
+            // stats everywhere) so routing can fall back to COW
+            // mid-spec-evolution instead of refusing
             if (ids.isEmpty && gens.isEmpty &&
                 !props.get("update.mode").contains("merge-on-read")) None
-            else Some((tp, ids, gens, props))
+            else Some((tp, ids, gens, props,
+              GraftLogTable.dvSpecClean(snap)))
           })
         }
       }
@@ -96,7 +103,8 @@ class GraftGeneratedInsertRule(session: SparkSession)
     case i @ InsertIntoStatement(r: UnresolvedRelation, partSpec,
         userCols, query, false, _, byName) if partSpec.isEmpty =>
       declaring(r.multipartIdentifier) match {
-        case Some((path, ids, gens, _)) if ids.nonEmpty || gens.nonEmpty =>
+        case Some((path, ids, gens, _, _))
+            if ids.nonEmpty || gens.nonEmpty =>
           GraftGeneratedInsertCommand(path, userCols, query, byName,
             ids, gens)
         case _ => i // mor-update-only tables keep the staged INSERT
@@ -115,7 +123,7 @@ class GraftGeneratedInsertRule(session: SparkSession)
       val (rel, alias) = relationOf(target).get
       declaring(rel.multipartIdentifier) match {
         case None => u
-        case Some((path, ids, _, props)) =>
+        case Some((path, ids, _, props, dvOk)) =>
           def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
           def keyName(a: Assignment): Option[String] = a.key match {
             case att: UnresolvedAttribute => Some(lc(att.nameParts.last))
@@ -161,8 +169,13 @@ class GraftGeneratedInsertRule(session: SparkSession)
           // update.mode = merge-on-read — the update.mode twin of the
           // catalog's delete.mode gate, small updates paying sidecar
           // KBs instead of file rewrites
+          // mid-spec-evolution (!dvOk) the DV path would refuse on
+          // stale-era tuple stats — fall back to the COW route, which
+          // succeeds there (identity tables still route DV: their COW
+          // path can't prove ids unchanged, and the loud compact
+          // advice beats a silent wrong route)
           val morDeclared =
-            props.get("update.mode").contains("merge-on-read")
+            props.get("update.mode").contains("merge-on-read") && dvOk
           if (ids.isEmpty && !morDeclared) u.copy(assignments = full)
           else {
             // the DV-update path reads the bare table frame — strip
@@ -198,7 +211,7 @@ class GraftGeneratedInsertRule(session: SparkSession)
       val (rel, alias) = relationOf(m.targetTable).get
       declaring(rel.multipartIdentifier) match {
         case None => m
-        case Some((path, ids, _, props)) =>
+        case Some((path, ids, _, props, _)) =>
           val gens = props.toSeq.collect {
             case (k, sql) if k.startsWith("gencol.") =>
               (k.stripPrefix("gencol."), sql) }.sortBy(_._1)
@@ -263,7 +276,7 @@ class GraftGeneratedInsertRule(session: SparkSession)
       case d: DeleteAction => d
       case u: UpdateAction =>
         val assigns = u.assignments
-        checkNoIdAssign(path, idSet, assigns)
+        checkNoIdAssign(path, idSet, assigns, allowNullMarker = false)
         val newValueOf = assigns
           .flatMap(a => keyName(a).map(_ -> a.value)).toMap
         val assigned = newValueOf.keySet
@@ -282,7 +295,7 @@ class GraftGeneratedInsertRule(session: SparkSession)
         u.copy(assignments = assigns ++ genAssigns)
       case i: InsertAction =>
         val assigns = i.assignments
-        checkNoIdAssign(path, idSet, assigns)
+        checkNoIdAssign(path, idSet, assigns, allowNullMarker = true)
         val assigned = assigns.flatMap(keyName).toSet
         val valueOf = assigns
           .flatMap(a => keyName(a).map(_ -> a.value)).toMap
@@ -313,14 +326,21 @@ class GraftGeneratedInsertRule(session: SparkSession)
     }
   }
 
+  /** `allowNullMarker` is true only for INSERT arms — there a NULL id
+    * is the rule's own allocate marker (re-seen idempotently under
+    * the analyzer's fixed-point). An UPDATE arm assigning NULL must
+    * refuse like any explicit value: letting it through would
+    * re-allocate a FRESH id for an existing row at the staged commit,
+    * silently changing a GENERATED ALWAYS id external references may
+    * key on. */
   private def checkNoIdAssign(path: String, idSet: Set[String],
-      assigns: Seq[Assignment]): Unit = {
+      assigns: Seq[Assignment], allowNullMarker: Boolean): Unit = {
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     assigns.foreach { a =>
       a.key match {
         case att: UnresolvedAttribute
             if idSet(lc(att.nameParts.last)) => a.value match {
-          case Literal(null, _) => () // the rule's own "allocate" marker
+          case Literal(null, _) if allowNullMarker => ()
           case _ => throw new IllegalArgumentException(
             s"MERGE into graftlog table $path: " +
               s"'${att.nameParts.last}' is GENERATED ALWAYS AS " +

@@ -354,7 +354,10 @@ class GraftLogCatalog extends TableCatalog
       val raw = pathOf(ident)
       val bp = java.nio.file.Paths
         .get(raw, "_branches", bname).toString
+      // '.'/'..' pass the token regex but are PATH components —
+      // 'branch:..' would resolve to MAIN disguised as a branch read
       if (!bname.matches("[A-Za-z0-9._-]{1,64}") ||
+          bname == "." || bname == ".." ||
           TableLog.latestVersion(bp) == 0L)
         throw new NoSuchTableException(
           "TABLE_OR_VIEW_NOT_FOUND",
@@ -1002,10 +1005,15 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     // Delta/Iceberg table-property gate). Partitioned tables take it
     // too: the DV commit decrements per-tuple row stats exactly
     // (dvCommitEntries), so the days(ts) layout's GDPR deletes stop
-    // paying copy-on-write rewrites
+    // paying copy-on-write rewrites. EXCEPT mid-spec-evolution:
+    // old-era files' tuples can't decrement under the current
+    // rendering (deleteWhereDv would refuse), so the statement falls
+    // back to COW — which succeeds there, exactly as pre-r13 —
+    // until a compaction migrates the layout
     val prune = GraftLogTable.deletePrune(
       SparkSession.active, tablePath, snap, filters.toSeq)
-    if (snap.props.get("delete.mode").contains("merge-on-read")) {
+    if (snap.props.get("delete.mode").contains("merge-on-read") &&
+        GraftLogTable.dvSpecClean(snap)) {
       // the DV route prunes its candidate scan with the SAME manifest
       // stat layers as the COW route — a key-ranged merge-on-read
       // delete reads the intersecting sliver, never the active set
@@ -1024,6 +1032,16 @@ object GraftLogTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
+
+  /** True when every active file of a PARTITIONED table carries
+    * current-spec tuple stats — the precondition for merge-on-read
+    * DML keeping partition stats exact ([[TableLog.deleteWhereDv]]'s
+    * requireDvPartStats). Unpartitioned tables are trivially clean.
+    * SQL routing falls back to copy-on-write when this is false
+    * (mid-spec-evolution), matching pre-r13 behavior there. */
+  private[sources] def dvSpecClean(snap: TableLog.Snapshot): Boolean =
+    snap.partCols.isEmpty || snap.active.forall(a =>
+      a.specId == snap.specId && (a.rows == 0L || a.parts.nonEmpty))
 
   /** The pushed-DELETE candidate pruner — EVERY manifest skipping
     * layer the read path has, composed for the delete's file scan:

@@ -1862,6 +1862,23 @@ object TableLog {
     require(newIds.isEmpty,
       s"$table: identity columns are declared at CREATE, not via " +
         s"SET TBLPROPERTIES (new: ${newIds.mkString(", ")})")
+    // UNSET is refused too: every ALWAYS refusal and the allocator's
+    // high-water mark key off these properties — dropping one would
+    // open explicit-id writes AND lose the mark irrecoverably (the
+    // newIds guard above refuses re-declaration), and a dropped
+    // gencol declaration would orphan its synthetic audit while old
+    // files still claim the generation contract
+    val droppedIds = oldIds.keySet -- identityOf(props).map(_._1).toSet
+    require(droppedIds.isEmpty,
+      s"$table: identity declarations cannot be UNSET " +
+        s"(${droppedIds.mkString(", ")}) — the allocator state would " +
+        "be irrecoverably lost")
+    val droppedGens = genColsOf(snap.props).map(_._1).toSet --
+      genColsOf(props).map(_._1).toSet
+    require(droppedGens.isEmpty,
+      s"$table: generated-column declarations cannot be UNSET " +
+        s"(${droppedGens.mkString(", ")}) — existing files were " +
+        "produced under the generation contract")
     // MUTATING an existing identity entry re-runs the create-time
     // validation plus a no-rewind rule: the allocator's uniqueness
     // invariant rests on the stored next-value never re-entering
@@ -1906,6 +1923,24 @@ object TableLog {
   private def identityProp(next: Long, step: Long): String =
     if (step == 1L) next.toString else s"$next:$step"
 
+  /** The ONE freeze-then-assign allocation tail every identity write
+    * surface shares ([[appendIdentity]], [[completeStaged]], the API
+    * [[merge]]): append `hwm + i*step` as column `c` to a frame that
+    * does NOT yet carry it. Callers localCheckpoint their input first
+    * — zipWithIndex and the downstream stage jobs each re-evaluate
+    * the frame, and without the freeze a source changing between
+    * evaluations would let assigned ids diverge from the advanced
+    * mark. Kept in one place so the allocator invariant can never
+    * drift between surfaces. */
+  private def allocateIds(spark: SparkSession, nulls: DataFrame,
+      c: String, hwm: Long, step: Long): DataFrame = {
+    val rdd = nulls.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + i * step)) }
+    spark.createDataFrame(rdd, StructType(nulls.schema.fields :+
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType)))
+  }
+
   private def requireNoIdentity(snap: Snapshot, op: String): Unit =
     require(identityOf(snap.props).isEmpty,
       s"$op: the table declares a GENERATED ALWAYS AS IDENTITY column — " +
@@ -1942,12 +1977,8 @@ object TableLog {
     // advanced mark — duplicates on the next allocation. One eager
     // checkpoint makes every pass read the same materialized rows.
     val frozen = df.localCheckpoint(true)
-    val rdd = frozen.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + i * step)) }
     val assigned = withWriteDefaults(
-      spark.createDataFrame(rdd, StructType(frozen.schema.fields :+
-        org.apache.spark.sql.types.StructField(c,
-          org.apache.spark.sql.types.LongType))), snap)
+      allocateIds(spark, frozen, c, hwm, step), snap)
       .select(schema.fieldNames.map(col): _*)
     validateChecks(assigned, checksOf(snap.props),
       s"appendIdentity into $table")
@@ -2071,12 +2102,7 @@ object TableLog {
       case Some((c, hwm, step)) if nAlloc > 0L =>
         val keep = withGens.where(col(c).isNotNull)
         val nulls = withGens.where(col(c).isNull).drop(c)
-        val rdd = nulls.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + i * step)) }
-        val assigned = spark.createDataFrame(rdd,
-          StructType(nulls.schema.fields :+
-            org.apache.spark.sql.types.StructField(c,
-              org.apache.spark.sql.types.LongType)))
+        val assigned = allocateIds(spark, nulls, c, hwm, step)
         keep.select(schema.fieldNames.map(col): _*)
           .unionByName(assigned.select(schema.fieldNames.map(col): _*))
       case _ => withGens.select(schema.fieldNames.map(col): _*)
@@ -2451,7 +2477,11 @@ object TableLog {
   // ------------------------------------------------- write-audit-publish
 
   private def branchPath(table: String, name: String): String = {
-    require(name.matches("[A-Za-z0-9._-]{1,64}"),
+    // '.' and '..' pass the token regex but are PATH components:
+    // '_branches/..' resolves to the table root itself, and a
+    // dropBranch there would Files.walk-delete the whole table
+    require(name.matches("[A-Za-z0-9._-]{1,64}") &&
+        name != "." && name != "..",
       s"branch name must be token-shaped: '$name'")
     Paths.get(table, "_branches", name).toString
   }
@@ -2850,6 +2880,12 @@ object TableLog {
       force: Boolean = false): Int = {
     val dst = branchPath(table, name)
     require(latestVersion(dst) > 0L, s"$table has no branch '$name'")
+    // the fork-point marker proves dst IS a branch of this table —
+    // never delete a directory that merely looks like one (publish
+    // has the same gate)
+    require(state(dst).props.contains("branch.base"),
+      s"$dst carries no branch.base marker — not a branch; refusing " +
+        "to delete")
     if (!force) {
       val b = state(dst)
       if (b.version > 1L) {
@@ -3782,15 +3818,7 @@ object TableLog {
         val n = nulls.count()
         val out =
           if (n == 0L) keep
-          else {
-            val rdd = nulls.rdd.zipWithIndex().map { case (r, i) =>
-              org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hwm + i * step)) }
-            val assigned = spark.createDataFrame(rdd,
-              StructType(nulls.schema.fields :+
-                org.apache.spark.sql.types.StructField(c,
-                  org.apache.spark.sql.types.LongType)))
-            keep.unionByName(assigned)
-          }
+          else keep.unionByName(allocateIds(spark, nulls, c, hwm, step))
         validateChecks(out, checksOf(snap.props), s"merge into $table")
         (out, n)
     }

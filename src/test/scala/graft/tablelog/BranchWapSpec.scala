@@ -471,6 +471,37 @@ class BranchWapSpec extends SparkSuite {
     }
   }
 
+  test("path-component branch names refuse everywhere: '..' must " +
+      "never resolve to the table root (drop_branch would delete " +
+      "the whole table)") {
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    TableLog.branch(t, "real") // _branches exists, the attack surface
+    for (bad <- Seq("..", ".")) {
+      intercept[IllegalArgumentException] { TableLog.branch(t, bad) }
+      intercept[IllegalArgumentException] {
+        TableLog.dropBranch(t, bad, force = true)
+      }
+      intercept[IllegalArgumentException] { TableLog.publish(spark, t, bad) }
+      val e = intercept[Exception] {
+        spark.sql(
+          s"SELECT * FROM graftlog.`$t` VERSION AS OF 'branch:$bad'")
+          .collect()
+      }
+      assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"),
+        e.getMessage)
+    }
+    // the table survived every attempt
+    assert(TableLog.snapshot(spark, t).count() == 1)
+    // a non-branch directory under _branches refuses the drop too
+    Files.createDirectories(Paths.get(t, "_branches", "fake", "_log"))
+    intercept[IllegalArgumentException] {
+      TableLog.dropBranch(t, "fake", force = true)
+    }
+  }
+
   test("VERSION AS OF 'branch:<name>' reads a staging branch head by " +
       "name from SQL — read-only, no filesystem path needed") {
     spark.conf.set("spark.sql.catalog.graftlog",

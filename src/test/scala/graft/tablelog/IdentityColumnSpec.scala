@@ -368,6 +368,16 @@ class IdentityColumnSpec extends SparkSuite {
            |""".stripMargin)
     }
     assert(e.getMessage.contains("IDENTITY"), e.getMessage)
+    // ... including an explicit NULL on the UPDATE arm — letting it
+    // through would silently RE-allocate an existing row's id
+    val eNull = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graftlog.`$t` AS tgt USING idmrg_src AS src
+           |ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET id = NULL, v = src.v
+           |""".stripMargin)
+    }
+    assert(eNull.getMessage.contains("IDENTITY"), eNull.getMessage)
   }
 
   test("API merge on an identity table: matched keys inherit their " +
@@ -503,6 +513,12 @@ class IdentityColumnSpec extends SparkSuite {
     assert(trySet("200:0").getMessage.contains("INCREMENT BY 0"))
     assert(trySet("200:-1").getMessage.contains("direction"))
     assert(trySet("abc").getMessage.contains("unparseable"))
+    // UNSET is refused too: dropping the property would open
+    // explicit-id writes and lose the mark irrecoverably
+    val eUnset = intercept[IllegalArgumentException] {
+      TableLog.setProps(t, props - "identity.id")
+    }
+    assert(eUnset.getMessage.contains("UNSET"), eUnset.getMessage)
     // a legal forward move (e.g. reserving a gap) is allowed
     TableLog.setProps(t, props + ("identity.id" -> "500"))
     TableLog.appendIdentity(Seq("c").toDF("v"), t, 1)
