@@ -1376,7 +1376,8 @@ class GraftLogPartitionsTable(tablePath: String,
             s"graftlog: active file ${a.relPath} of $tablePath was " +
               s"written under partition-spec era ${a.specId} (current " +
               s"is ${snap.specId}) — #partitions is exact only on a " +
-              "single-spec layout; CALL graftlog.compact to migrate"))
+              "single-spec layout; CALL graftlog.migrate_stats " +
+              "(metadata-only) or graftlog.compact to migrate"))
         snap.active.filter(a => a.rows > 0L && a.parts.isEmpty)
           .foreach(a => throw new IllegalStateException(
             s"graftlog: active file ${a.relPath} of partitioned table " +
@@ -1717,8 +1718,10 @@ class GraftLogScanBuilder(spark: SparkSession, tablePath: String,
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     // count(*) subtracts deletion vectors and stays exact; min/max
-    // refuse DV'd files — a dead row may have carried the bound
-    def noDv = files.forall(_.dv.isEmpty)
+    // accept a DV'd file only when its bounds were re-derived over
+    // the survivors at DV-commit time (dvExact) — a legacy DV entry's
+    // dead row may have carried the bound, so it refuses
+    def noDv = files.forall(a => a.dv.isEmpty || a.dvExact)
     accepted.isEmpty && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
@@ -3173,8 +3176,32 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** `CALL graftlog.migrate_stats('<path>')` —
+    * [[TableLog.migrateStats]]: re-render partition-tuple stats for
+    * files predating the current partition spec in ONE read-only scan
+    * of only those files, committed as metadata (same relPaths, same
+    * bytes). Lifts the merge-on-read DV refusal on pre-evolution
+    * files without `compact`'s full-data rewrite. Returns
+    * (version, files_migrated). */
+  object MigrateStats extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "migrate_stats"
+    override def description(): String =
+      "re-render pre-evolution files' partition stats under the " +
+        "current spec — metadata-only, no data movement"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (v, n) = TableLog.migrateStats(SparkSession.active,
+        input.getUTF8String(0).toString)
+      oneRow("version BIGINT, files_migrated BIGINT", Seq(v, n.toLong))
+    }
+  }
+
   val all: Seq[UnboundProcedure] =
     Seq(Vacuum, Compact, CompactSmall, Restore, Clone, DeepClone, ZOrder,
-      DeleteDv,
+      DeleteDv, MigrateStats,
       Branch, Publish, DropBranch, SetPartitionSpec, Tag, DropTag)
 }

@@ -105,10 +105,29 @@ class GraftLogStreamProvider extends TableProvider {
   private def cdfRequested(get: String => String): Boolean =
     Option(get("readChangeFeed")).exists(_.equalsIgnoreCase("true"))
 
+  /** `option("branch", name)`: stream a STAGING BRANCH by name — the
+    * streaming twin of the batch `VERSION AS OF 'branch:<n>'` route,
+    * so a WAP audit stream needs no `_branches/...` filesystem path.
+    * Same name validation as the batch resolution: `.`/`..` pass the
+    * token regex but are PATH components into main disguised as a
+    * branch read, so they refuse. */
+  private def effectivePath(get: String => String, path: String): String =
+    Option(get("branch")) match {
+      case None => path
+      case Some(b) =>
+        val bp = java.nio.file.Paths.get(path, "_branches", b).toString
+        require(b.matches("[A-Za-z0-9._-]{1,64}") && b != "." &&
+          b != ".." && TableLog.latestVersion(bp) > 0L,
+          s"graftlog stream: no branch '$b' on $path (branches: " +
+            s"${TableLog.listBranches(path).map(_._1).mkString(", ")})")
+        bp
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     require(options.containsKey("path"),
       "graftlog stream: option 'path' (the table directory) is required")
-    val snap = TableLog.state(options.get("path"))
+    val snap = TableLog.state(
+      effectivePath(options.get, options.get("path")))
     val base = StructType(StructType.fromDDL(snap.schemaDdl)
       .fields.map(_.copy(nullable = true)))
     if (cdfRequested(options.get))
@@ -119,7 +138,7 @@ class GraftLogStreamProvider extends TableProvider {
       properties: util.Map[String, String]): Table = {
     require(properties.containsKey("path"),
       "graftlog stream: option 'path' (the table directory) is required")
-    val path = properties.get("path")
+    val path = effectivePath(properties.get, properties.get("path"))
     if (cdfRequested(properties.get))
       new GraftLogChangeFeedTable(path, schema)
     else new GraftLogStreamTable(path,

@@ -176,10 +176,16 @@ object TableLog {
     * files written before the channel existed; the fold is
     * all-or-nothing per column (a partial union would silently
     * understate NDV). */
+  /** `dvExact`: true when the file's key/column min-max stats were
+    * RE-DERIVED over its DV survivors at DV-commit time — the bounds
+    * are then exact for the live rows, so stats-only aggregates
+    * (statsOf, the SQL min/max pushdown) keep answering on a
+    * merge-on-read-heavy table. False on legacy DV entries, whose
+    * bounds are over-approximations (pruning-sound, answer-refusing). */
   final case class AddFile(relPath: String, rows: Long, min: Long, max: Long,
       parts: Seq[PartStat] = Nil, cols: Seq[ColStat] = Nil,
       dv: Option[(String, Long)] = None, specId: Int = 0,
-      ndvs: Seq[(String, String)] = Nil) {
+      ndvs: Seq[(String, String)] = Nil, dvExact: Boolean = false) {
     def liveRows: Long = rows - dv.fold(0L)(_._2)
     /** Identity for set-diff purposes: the same file under a new
       * deletion vector IS a different logical content. */
@@ -502,8 +508,12 @@ object TableLog {
       a.dv.foreach { case (token, dead) =>
         // `dvat`: the add's deletion vector — dead-row count and the
         // sidecar token (`<relPath>.<token>` holds the position
-        // bitset), relPath last like the other per-add lines
-        sb ++= s"dvat $dead $token ${a.relPath}\n"
+        // bitset), relPath last like the other per-add lines. An `x`
+        // marker before the relPath records that the entry's min/max
+        // stats were re-derived exactly over the survivors
+        // (relPaths start with a directory component, never bare `x`,
+        // so the forms stay unambiguous)
+        sb ++= s"dvat $dead $token ${if (a.dvExact) "x " else ""}${a.relPath}\n"
       }
       // `psid`: the add's partition-spec era (0 = default, unwritten)
       if (a.specId > 0) sb ++= s"psid ${a.specId} ${a.relPath}\n"
@@ -630,7 +640,7 @@ object TableLog {
     val colStats = scala.collection.mutable.HashMap
       .empty[String, Seq[ColStat]]
     val dvStats = scala.collection.mutable.HashMap
-      .empty[String, (String, Long)]
+      .empty[String, (String, Long, Boolean)]
     val ndvStats = scala.collection.mutable.HashMap
       .empty[String, Seq[(String, String)]]
     val specIds = scala.collection.mutable.HashMap.empty[String, Int]
@@ -683,7 +693,9 @@ object TableLog {
           colStats(toks.drop(1 + k).mkString(" ")) = cs
         case "dvat" =>
           val toks = rest.split(" ")
-          dvStats(toks.drop(2).mkString(" ")) = (toks(1), toks(0).toLong)
+          val exact = toks.length > 2 && toks(2) == "x"
+          val path = (if (exact) toks.drop(3) else toks.drop(2)).mkString(" ")
+          dvStats(path) = (toks(1), toks(0).toLong, exact)
         case "hll" =>
           val toks = rest.split(" ")
           val k = toks(0).toInt
@@ -726,7 +738,8 @@ object TableLog {
     }
     val withCols = adds.result().map { a0 =>
       val a1 = colStats.get(a0.relPath).fold(a0)(cs => a0.copy(cols = cs))
-      val a2 = dvStats.get(a1.relPath).fold(a1)(d => a1.copy(dv = Some(d)))
+      val a2 = dvStats.get(a1.relPath).fold(a1)(d =>
+        a1.copy(dv = Some((d._1, d._2)), dvExact = d._3))
       val a3 = ndvStats.get(a2.relPath).fold(a2)(h => a2.copy(ndvs = h))
       specIds.get(a3.relPath).fold(a3)(i => a3.copy(specId = i))
     }
@@ -1052,6 +1065,35 @@ object TableLog {
           if (!removes.forall(activeNow)) throw new java.util.ConcurrentModificationException(
             s"$table: conflicting commit at v${now.version} rewrote files this " +
               s"$op meant to remove — re-run the operation on the new snapshot")
+          // relPath-ACTIVE is not enough: a deletion-vector commit
+          // REMOVES and RE-ADDS the same relPath (new sidecar token),
+          // so a losing DV/rewrite commit whose plan was computed
+          // against the pre-race bitset would pass the active check
+          // and rebase over the winner — resurrecting its dead rows
+          // and drifting tuple stats. Conflict detection therefore
+          // replays the intervening commits: ANY touch (add or
+          // remove) of a file this commit removes aborts the rebase.
+          // Appends and disjoint rewrites still rebase freely.
+          if (removes.nonEmpty) {
+            val mine = removes.toSet
+            ((expected + 1L) to now.version).foreach { v =>
+              val c =
+                try parse(v, Files.readString(commitPath(table, v)))
+                catch { case _: java.io.IOException =>
+                  throw new java.util.ConcurrentModificationException(
+                    s"$table: cannot verify commit v$v for conflicts " +
+                      s"(manifest unreadable) — re-run the $op on the " +
+                      "new snapshot")
+                }
+              if (c.adds.exists(a => mine(a.relPath)) ||
+                  c.removes.exists(mine))
+                throw new java.util.ConcurrentModificationException(
+                  s"$table: commit v$v (${c.op}) touched files this $op " +
+                    "meant to remove — its content (deletion vectors, " +
+                    "stats) changed under the plan; re-run the " +
+                    "operation on the new snapshot")
+            }
+          }
           attempt = now.version + 1L
       } finally Files.deleteIfExists(tmp)
     }
@@ -2039,15 +2081,27 @@ object TableLog {
     require(ids.size <= 1,
       s"$op: table declares ${ids.size} identity columns (at most 1)")
     def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-    // the staged parquet footer says which declared columns the writer
-    // actually wrote — an omitted column null-fills through the
-    // explicit-schema read and must be FINISHED, a written one passes
-    // through to the audit gates
-    val present = spark.read.parquet(
-        Paths.get(table, adds.head.relPath).toString)
-      .schema.fieldNames.map(lc).toSet
-    val omittedGens = gens.filterNot { case (g, _) =>
-      present(lc(snap.physName(g))) }
+    // the staged parquet footers say which declared columns each
+    // writer actually wrote — an omitted column null-fills through
+    // the explicit-schema read and must be FINISHED, a written one
+    // passes through to the audit gates. Presence is PER FILE
+    // (commitStagedAppend/commitStagedRewrite are public APIs — a
+    // heterogeneous sliver where one file carries the gencol and
+    // another omits it must finish exactly the omitting files, never
+    // land silent null gencols or clobber supplied, audited values):
+    // driver-side footer reads, O(files-per-commit).
+    val presentByFile: Map[String, Set[String]] = adds.map { a =>
+      fileIdOf(a.relPath) -> spark.read.parquet(
+          Paths.get(table, a.relPath).toString)
+        .schema.fieldNames.map(lc).toSet
+    }.toMap
+    // a gencol's omitting-file set; empty = written everywhere
+    val genOmittedIn: Map[String, Set[String]] = gens.map { case (g, _) =>
+      g -> presentByFile.collect {
+        case (f, present) if !present(lc(snap.physName(g))) => f }.toSet
+    }.toMap
+    val omittedGens = gens.filter { case (g, _) =>
+      genOmittedIn(g).nonEmpty }
     val idInfo = ids.headOption
     val frame0 = readFiles(spark, table, snap, adds)
     // identity accounting at file grain: one agg over the staged sliver
@@ -2089,15 +2143,31 @@ object TableLog {
     }
     val needyIdF: Set[String] =
       acct.filter(_._2 > 0L).map(_._1).toSet
-    val needy =
-      if (omittedGens.nonEmpty) adds
-      else adds.filter(a => needyIdF(fileIdOf(a.relPath)))
+    // needy = files that must be FINISHED: null ids to allocate, or a
+    // gencol THAT FILE omitted. A file that wrote every declared
+    // column and carries no null id passes through byte-untouched.
+    val genNeedyF: Set[String] = genOmittedIn.values.flatten.toSet
+    val needy = adds.filter(a => {
+      val f = fileIdOf(a.relPath)
+      needyIdF(f) || genNeedyF(f)
+    })
     if (needy.isEmpty) return (adds, None)
     val clean = adds.filterNot(a => needy.exists(_.relPath == a.relPath))
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val frame = readFiles(spark, table, snap, needy).localCheckpoint(true)
+    // per-row file id (dir/name, the fileIdOf rendering) — computed
+    // BEFORE the checkpoint freeze so gencol fills stay per-file:
+    // only rows from files that OMITTED the column recompute; rows
+    // whose writer supplied it keep their values for the synthetic-
+    // CHECK audit (silently recomputing would mask a wrong value)
+    val segs = split(input_file_name(), "/")
+    val frame = readFiles(spark, table, snap, needy)
+      .withColumn("__cf",
+        concat(element_at(segs, -2), lit("/"), element_at(segs, -1)))
+      .localCheckpoint(true)
     val withGens = omittedGens.foldLeft(frame) { case (d, (g, sql)) =>
-      d.withColumn(g, expr(sql).cast(schema(g).dataType)) }
+      val omitted = genOmittedIn(g).toSeq.sorted
+      d.withColumn(g, when(col("__cf").isin(omitted: _*),
+        expr(sql).cast(schema(g).dataType)).otherwise(col(g))) }
     val out = idInfo match {
       case Some((c, hwm, step)) if nAlloc > 0L =>
         val keep = withGens.where(col(c).isNotNull)
@@ -2895,19 +2965,28 @@ object TableLog {
         // adopted branch-born files live under main's OWN data dir
         // with fresh names — path identity can't see them, but the
         // adoption is a HARD LINK: the filesystem fileKey (inode) is
-        // shared, so "published" = main references the same bytes
+        // shared, so "published" = main references the same bytes.
+        // Inode identity alone is NOT enough: a DV edit keeps the
+        // data file's inode (only the sidecar is new), so a branch
+        // entry counts as published only when main references the
+        // same bytes UNDER THE SAME deletion-vector token — otherwise
+        // the branch's staged merge-on-read deletes/updates are
+        // unpublished work and the drop must refuse without force.
         def keyOf(p: Path): Option[AnyRef] =
           if (!Files.exists(p)) None
           else Option(Files.readAttributes(p,
             classOf[java.nio.file.attribute.BasicFileAttributes])
             .fileKey())
-        lazy val mainKeys = mainActive
-          .flatMap(a => keyOf(Paths.get(table, a.relPath))).toSet
+        lazy val mainKeyDv: Map[AnyRef, Set[Option[String]]] = mainActive
+          .flatMap(a => keyOf(Paths.get(table, a.relPath))
+            .map(k => k -> a.dv.map(_._1)))
+          .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
         val unpublished = b.active.filterNot { a =>
           val rel = mainP.relativize(
             Paths.get(dst, a.relPath).toAbsolutePath.normalize).toString
           mIds((rel, a.dv.map(_._1))) ||
-            keyOf(Paths.get(dst, a.relPath)).exists(mainKeys.contains)
+            keyOf(Paths.get(dst, a.relPath)).exists(k =>
+              mainKeyDv.get(k).exists(_.contains(a.dv.map(_._1))))
         }
         require(unpublished.isEmpty,
           s"branch '$name' holds ${unpublished.size} active file(s) " +
@@ -2918,11 +2997,31 @@ object TableLog {
     val root = Paths.get(dst)
     var n = 0
     import scala.jdk.CollectionConverters._
-    val walk = Files.walk(root)
-    val all = try walk.iterator().asScala.toSeq finally walk.close()
-    all.reverse.foreach { p =>
-      if (Files.isRegularFile(p)) n += 1
-      Files.deleteIfExists(p)
+    // walk-then-delete is not atomic against a concurrent branch
+    // writer: a file created AFTER the walk snapshot leaves its
+    // parent non-empty and the directory delete throws — re-walk and
+    // retry (bounded), so a racing writer loses cleanly instead of
+    // leaving a half-deleted branch. A writer that keeps creating
+    // files past the retries propagates the refusal loudly.
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val walk = Files.walk(root)
+      val all = try walk.iterator().asScala.toSeq finally walk.close()
+      try {
+        all.reverse.foreach { p =>
+          if (Files.isRegularFile(p)) n += 1
+          Files.deleteIfExists(p)
+        }
+        done = true
+      } catch {
+        case e: java.nio.file.DirectoryNotEmptyException =>
+          if (attempts >= 3) throw new IllegalStateException(
+            s"dropBranch $dst: a concurrent writer kept creating files " +
+              s"during the delete ($attempts attempts) — stop the " +
+              "branch's writers and re-run drop_branch", e)
+      }
     }
     // reap the now-empty _branches dir so #branches folds clean
     val parent = root.getParent
@@ -3431,7 +3530,9 @@ object TableLog {
     * repeated deletes. */
   private def dvCommitEntries(table: String, snap: Snapshot,
       hits: Map[String, Seq[(Long, Seq[String])]],
-      candidates: Seq[AddFile]): (Seq[String], Seq[AddFile]) = {
+      candidates: Seq[AddFile],
+      survivorStats: Map[String, (Long, Long, Seq[ColStat])] = Map.empty)
+      : (Seq[String], Seq[AddFile]) = {
     val byId = candidates.map(a => fileIdOf(a.relPath) -> a).toMap
     val (removes, adds) = hits.toSeq.sortBy(_._1).map { case (id, hs) =>
       val a = byId(id)
@@ -3468,7 +3569,19 @@ object TableLog {
             }
           }
         val token = "dv" + java.util.UUID.randomUUID().toString.take(8)
-        val u = a.copy(dv = Some((token, dead)), parts = newParts)
+        // survivor-derived bounds make the entry's min/max EXACT over
+        // the live rows (item: stats-only aggregates keep answering
+        // on MoR-heavy tables); without them the old bounds stay as
+        // over-approximations and the entry drops out of exact
+        // stats-answering (dvExact = false)
+        val u = survivorStats.get(id) match {
+          case Some((mn, mx, cs)) =>
+            a.copy(dv = Some((token, dead)), parts = newParts,
+              min = mn, max = mx, cols = cs, dvExact = true)
+          case None =>
+            a.copy(dv = Some((token, dead)), parts = newParts,
+              dvExact = false)
+        }
         Files.write(dvSidecar(table, u), bits.toByteArray)
         (a.relPath, Some(u))
       }
@@ -3488,8 +3601,62 @@ object TableLog {
           s"$table: ${a.relPath} predates the current partition spec " +
             s"(file era ${a.specId}, current ${snap.specId}) or carries " +
             "no tuple stats — merge-on-read DV keeps partition stats " +
-            "exact only on a single-spec layout; CALL graftlog.compact " +
-            "to migrate, or use copy-on-write DML"))
+            "exact only on a single-spec layout; CALL " +
+            "graftlog.migrate_stats to re-render the stats (metadata-" +
+            "only, no data movement), CALL graftlog.compact to rewrite " +
+            "the layout, or use copy-on-write DML"))
+
+  /** STATS-ONLY partition-spec migration — lift [[requireDvPartStats]]
+    * WITHOUT the full-data rewrite `compact` is: for every active file
+    * whose tuple stats predate the current spec (or are missing),
+    * render the CURRENT spec's partition tuples over the file's LIVE
+    * rows in ONE read-only scan of only those files and commit the
+    * re-rendered [[PartStat]]s — same relPaths, same bytes, new
+    * metadata. After it, merge-on-read DML routes on pre-evolution
+    * files and current-spec predicates prune them exactly. At 100 TB
+    * this is the difference between a table rewrite and a scan of the
+    * stale sliver plus a manifest commit — Iceberg's migration story
+    * priced at metadata. Hidden transforms render from the data
+    * columns, so any era's file re-renders under any spec. Returns
+    * (version, filesMigrated) — a no-op (0 stale files, or an
+    * unpartitioned table) returns the current version unchanged. */
+  def migrateStats(spark: SparkSession, table: String): (Long, Int) = {
+    val snap = state(table)
+    if (snap.partCols.isEmpty) return (snap.version, 0)
+    val stale = snap.active.filter(a =>
+      a.specId != snap.specId || (a.rows > 0L && a.parts.isEmpty))
+    if (stale.isEmpty) return (snap.version, 0)
+    // live rows only: a stale file may carry a deletion vector from a
+    // pre-evolution MoR delete — its PartStat contract is LIVE
+    // per-tuple counts, so the rendering subtracts dead positions
+    val live = dvLiveFrame(spark, table, snap, stale)
+    val byFile = live
+      .groupBy(col("__graft_f"), dvTupleCol(snap).as("__graft_t"))
+      .agg(count(lit(1)).as("rows"))
+      .collect() // (stale files × tuples-per-file) cells, never data
+      .groupBy(_.getString(0))
+      .map { case (f, rs) =>
+        f -> rs.map(r =>
+            PartStat(r.getSeq[String](1).toList, r.getLong(2)))
+          .sortBy(_.values.mkString("/")).toSeq
+      }
+    val updated = stale.map { a =>
+      val parts = byFile.getOrElse(fileIdOf(a.relPath), Nil)
+      require(parts.size <= maxPartTuplesPerFile,
+        s"$table: ${a.relPath} renders ${parts.size} distinct tuples " +
+          s"under the current spec (cap $maxPartTuplesPerFile) — the " +
+          "partitioning is too fine for this file's row spread; " +
+          "compact instead")
+      require(parts.map(_.rows).sum == a.liveRows,
+        s"$table: ${a.relPath} rendered ${parts.map(_.rows).sum} live " +
+          s"rows but the manifest records ${a.liveRows} — refusing the " +
+          "inconsistent migration")
+      a.copy(parts = parts, specId = snap.specId)
+    }
+    val v = commit(table, snap.version, "stats", updated,
+      stale.map(_.relPath), "", "")
+    (v, stale.size)
+  }
 
   /** The rendered-partition-tuple column of `snap`'s spec over a
     * LOGICAL frame — the same [[partValueCol]] rendering the
@@ -3499,6 +3666,79 @@ object TableLog {
     val schema = StructType.fromDDL(snap.schemaDdl)
     array(snap.partCols.map(c =>
       coalesce(partValueCol(c, schema), lit(NullPartValue))): _*)
+  }
+
+  /** The LIVE rows of `candidates` with per-row provenance — logical
+    * columns plus `__graft_f` (file id) and `__graft_p` (row
+    * position), prior DV'd positions already subtracted. The shared
+    * front half of every merge-on-read DML path (delete / update /
+    * merge), factored so the three can never disagree on column
+    * mapping or prior-DV subtraction. */
+  private def dvLiveFrame(spark: SparkSession, table: String,
+      snap: Snapshot, candidates: Seq[AddFile]): DataFrame = {
+    val base = {
+      val b = spark.read.schema(snap.physSchema)
+        .parquet(candidates.map(a =>
+          Paths.get(table, a.relPath).toString): _*)
+        .withColumn("__graft_f", fileIdCol)
+        .withColumn("__graft_p", col("_metadata.row_index"))
+      if (snap.colMap.isEmpty) b
+      else b.select(snap.physSchema.fieldNames
+        .zip(StructType.fromDDL(snap.schemaDdl).fieldNames)
+        .map { case (p, l) => col(p).as(l) } :+
+        col("__graft_f") :+ col("__graft_p"): _*)
+    }
+    val priorDv = candidates.filter(_.dv.isDefined)
+    if (priorDv.isEmpty) base
+    else base.join(broadcast(deadPositionsDf(spark, table, priorDv)),
+      col("__graft_f") === col("__graft_dv_file") &&
+        col("__graft_p") === col("__graft_dv_pos"), "left_anti")
+      .drop("__graft_dv_file", "__graft_dv_pos")
+  }
+
+  /** Cap on the TOTAL matched rows a merge-on-read DML may collect to
+    * the driver (the bitset sidecars are driver-built — DVs suit the
+    * SMALL-delete niche; a predicate matching 10⁹ rows at 100 TB
+    * must refuse loudly with copy-on-write advice instead of OOMing
+    * the driver). Tunable per session. */
+  private def dvMaxMatched(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.maxMatchedRows")
+      .map(_.toLong).getOrElse(10000000L)
+
+  private def dvBulkRefusal(table: String, op: String, max: Long) =
+    new IllegalArgumentException(
+      s"$op into $table: more than $max matching rows — bulk DML; " +
+        "deletion vectors are driver-built and suit small slivers. " +
+        "Use the copy-on-write route, or raise " +
+        "spark.graft.dv.maxMatchedRows")
+
+  /** Per-touched-file EXACT key/column bounds over the rows that
+    * SURVIVE a merge-on-read DML — one aggregation over only the
+    * touched files' live survivors, priced at the sliver like the
+    * hit scan itself. Feeds [[dvCommitEntries]] so the re-added
+    * entries keep exact stats ([[AddFile.dvExact]]): the bounds a
+    * dead extremum row vacated tighten instead of rotting, and
+    * stats-only aggregates keep answering on MoR-heavy tables. */
+  private def dvSurvivorStats(snap: Snapshot, live: DataFrame,
+      cond: Column, touched: Set[String])
+      : Map[String, (Long, Long, Seq[ColStat])] = {
+    if (touched.isEmpty) return Map.empty
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val sCols = statCols(schema, snap.keyCol, snap.partCols)
+    val statExprs = sCols.flatMap { case (c, _) =>
+      Seq(min(col(c)), max(col(c))) }
+    val rows = live.where(!coalesce(cond, lit(false)))
+      .where(col("__graft_f").isin(touched.toSeq.sorted: _*))
+      .groupBy(col("__graft_f"))
+      .agg(min(col(snap.keyCol)).cast("long").as("__mn"),
+        max(col(snap.keyCol)).cast("long").as("__mx") +: statExprs: _*)
+      .collect()
+    rows.map { r =>
+      val cols = sCols.zipWithIndex.flatMap { case ((c, t), j) =>
+        mkColStat(snap.physName(c), t, r.get(3 + 2 * j),
+          r.get(3 + 2 * j + 1)) }
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), cols))
+    }.toMap
   }
 
   /** MERGE-ON-READ delete via DELETION VECTORS (Delta/Iceberg-v2's
@@ -3546,36 +3786,28 @@ object TableLog {
         s"$table: ${a.relPath} holds ${a.rows} rows — beyond the DV " +
           "bitset's 2^31 position domain; use the copy-on-write " +
           "deleteWhere"))
-    val base = {
-      val b = spark.read.schema(snap.physSchema)
-        .parquet(candidates.map(a =>
-          Paths.get(table, a.relPath).toString): _*)
-        .withColumn("__graft_f", fileIdCol)
-        .withColumn("__graft_p", col("_metadata.row_index"))
-      if (snap.colMap.isEmpty) b
-      else b.select(snap.physSchema.fieldNames
-        .zip(StructType.fromDDL(snap.schemaDdl).fieldNames)
-        .map { case (p, l) => col(p).as(l) } :+
-        col("__graft_f") :+ col("__graft_p"): _*)
-    }
-    val priorDv = candidates.filter(_.dv.isDefined)
-    val live =
-      if (priorDv.isEmpty) base
-      else base.join(broadcast(deadPositionsDf(spark, table, priorDv)),
-        col("__graft_f") === col("__graft_dv_file") &&
-          col("__graft_p") === col("__graft_dv_pos"), "left_anti")
+    val live = dvLiveFrame(spark, table, snap, candidates)
     val tupleCols: Seq[Column] =
       if (snap.partCols.isEmpty) Nil
       else Seq(dvTupleCol(snap).as("__graft_t"))
-    val hits = live.where(cond)
+    // bulk-matched guard: one limit-probe bounds the driver collect —
+    // a predicate matching the fleet refuses with copy-on-write
+    // advice instead of OOMing the driver at collect time
+    val maxM = dvMaxMatched(spark)
+    val raw = live.where(cond)
       .select(col("__graft_f") +: col("__graft_p") +: tupleCols: _*)
-      .collect().map(r => (r.getString(0), r.getLong(1),
+      .limit(math.min(maxM + 1L, Int.MaxValue.toLong).toInt)
+      .collect()
+    if (raw.length > maxM)
+      throw dvBulkRefusal(table, "deleteWhereDv", maxM)
+    val hits = raw.map(r => (r.getString(0), r.getLong(1),
         if (snap.partCols.isEmpty) Nil
         else r.getSeq[String](2).toList))
       .groupBy(_._1)
       .map { case (f, xs) => f -> xs.toSeq.map(x => (x._2, x._3)) }
     if (hits.isEmpty) return snap.version
-    val (removes, adds) = dvCommitEntries(table, snap, hits, candidates)
+    val (removes, adds) = dvCommitEntries(table, snap, hits, candidates,
+      dvSurvivorStats(snap, live, cond, hits.keySet))
     commit(table, snap.version, "delete", adds, removes, "", "")
   }
 
@@ -3617,25 +3849,14 @@ object TableLog {
       throw new IllegalArgumentException(
         s"$table: ${a.relPath} holds ${a.rows} rows — beyond the DV " +
           "bitset's 2^31 position domain; use copy-on-write DML"))
-    val base = {
-      val b = spark.read.schema(snap.physSchema)
-        .parquet(candidates.map(a =>
-          Paths.get(table, a.relPath).toString): _*)
-        .withColumn("__graft_f", fileIdCol)
-        .withColumn("__graft_p", col("_metadata.row_index"))
-      if (snap.colMap.isEmpty) b
-      else b.select(snap.physSchema.fieldNames
-        .zip(StructType.fromDDL(snap.schemaDdl).fieldNames)
-        .map { case (p, l) => col(p).as(l) } :+
-        col("__graft_f") :+ col("__graft_p"): _*)
-    }
-    val priorDv = candidates.filter(_.dv.isDefined)
-    val live =
-      if (priorDv.isEmpty) base
-      else base.join(broadcast(deadPositionsDf(spark, table, priorDv)),
-        col("__graft_f") === col("__graft_dv_file") &&
-          col("__graft_p") === col("__graft_dv_pos"), "left_anti")
+    val live = dvLiveFrame(spark, table, snap, candidates)
     val matched = live.where(cond).localCheckpoint(true)
+    // bulk-matched guard (the frozen frame makes the count free-ish):
+    // the hit positions AND the updated images both ride the driver/
+    // executor sliver path — a fleet-sized match refuses loudly
+    val maxM = dvMaxMatched(spark)
+    if (matched.count() > maxM)
+      throw dvBulkRefusal(table, "updateWhereDv", maxM)
     val tupleCols: Seq[Column] =
       if (snap.partCols.isEmpty) Nil
       else Seq(dvTupleCol(snap).as("__graft_t"))
@@ -3685,7 +3906,8 @@ object TableLog {
     // their tuple stats land exact like any other partitioned write
     val staged = stage(updated, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap, specId = snap.specId)
-    val (removes, dvAdds) = dvCommitEntries(table, snap, hits, candidates)
+    val (removes, dvAdds) = dvCommitEntries(table, snap, hits, candidates,
+      dvSurvivorStats(snap, live, cond, hits.keySet))
     commit(table, snap.version, "update",
       dvAdds ++ staged, removes, "", "")
   }
@@ -3704,7 +3926,10 @@ object TableLog {
   def replaceWhere(spark: SparkSession, table: String, cond: Column,
       incoming0: DataFrame, numFiles: Int): Long = {
     val snap = state(table)
-    requireNoIdentity(snap, s"replaceWhere into $table")
+    val identityCols = identityOf(snap.props)
+    require(identityCols.size <= 1,
+      s"replaceWhere into $table: ${identityCols.size} identity columns " +
+        "(max 1)")
     val incoming = withWriteDefaults(incoming0, snap)
     val violating = incoming.where(!coalesce(cond, lit(false))).count()
     if (violating > 0) throw new IllegalArgumentException(
@@ -3716,6 +3941,38 @@ object TableLog {
     val touchedNames = scan.where(cond).select("_file").distinct()
       .collect().map(r => fileIdOfUri(r.getString(0))).toSet
     val touched = snap.active.filter(a => touchedNames(fileIdOf(a.relPath)))
+    // IDENTITY tables: replaceWhere is admissible ONLY as an
+    // ID-PRESERVING slice restatement — the MERGE rewrite's
+    // carried-id audit, applied to the slice: incoming rows carry
+    // the ids they restate (explicitly — this is the one surface
+    // where carried values are the contract, not a smuggle), every
+    // id must exist in the replaced slice's pre-image, none may be
+    // null or repeat. A smuggled (new/changed) id refuses loudly —
+    // minting ids is appendIdentity/merge's job, under the
+    // allocator's freeze-then-assign discipline. The mark never
+    // moves: no id is allocated here.
+    identityCols.headOption.foreach { case (c, _, _) =>
+      require(incoming.columns.exists(_.equalsIgnoreCase(c)),
+        s"replaceWhere into $table: '$c' is GENERATED ALWAYS AS " +
+          "IDENTITY — a slice restatement must CARRY the ids it " +
+          "preserves (omit-and-allocate would re-key the slice)")
+      val ids = incoming.select(col(c))
+      require(ids.where(col(c).isNull).count() == 0L,
+        s"replaceWhere into $table: NULL values for identity column " +
+          s"'$c' — a restatement cannot allocate ids")
+      val dup = ids.groupBy(col(c)).count()
+        .where(col("count") > 1L).count()
+      require(dup == 0L,
+        s"replaceWhere into $table: incoming rows repeat $dup identity " +
+          s"value(s) of '$c' — the restatement is not id-preserving")
+      val pre = readFiles(spark, table, snap, touched)
+        .where(coalesce(cond, lit(false))).select(col(c))
+      val strays = ids.join(pre, Seq(c), "left_anti").count()
+      require(strays == 0L,
+        s"replaceWhere into $table: $strays incoming rows carry values " +
+          s"of identity column '$c' absent from the replaced slice's " +
+          "pre-image — a restatement preserves ids, never mints them")
+    }
     val survivors = readFiles(spark, table, snap, touched)
       .where(!coalesce(cond, lit(false)))
     val rewritten = survivors.unionByName(incoming)
@@ -4032,12 +4289,14 @@ object TableLog {
   def statsOf(table: String, version: Long = Long.MaxValue): (Long, Long, Long) = {
     val snap = state(table, version)
     require(snap.active.nonEmpty, s"$table has no data at v$version")
-    // rows subtract deletion vectors and stay EXACT; min/max refuse
-    // DV'd snapshots — a dead row may have carried the bound, and the
-    // stats contract here is exactness, not plausibility
-    require(snap.active.forall(_.dv.isEmpty),
-      s"$table v$version carries deletion vectors — key bounds are " +
-        "over-approximations; compact to materialize them exactly")
+    // rows subtract deletion vectors and stay EXACT; min/max accept a
+    // DV'd file ONLY when its bounds were re-derived over the
+    // survivors at DV-commit time (dvExact) — legacy DV entries'
+    // bounds are over-approximations (a dead row may have carried
+    // the bound) and refuse: the stats contract here is exactness
+    require(snap.active.forall(a => a.dv.isEmpty || a.dvExact),
+      s"$table v$version carries legacy deletion vectors — key bounds " +
+        "are over-approximations; compact to materialize them exactly")
     (snap.active.map(_.liveRows).sum,
       snap.active.map(_.min).min, snap.active.map(_.max).max)
   }

@@ -404,10 +404,13 @@ class GraftLogCatalogSpec extends SparkSuite {
     val c = spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
     assert(c.queryExecution.executedPlan.toString.contains("manifest-stats"))
     assert(c.collect().head.getLong(0) == 179L)
-    // min/max must NOT answer from stats (a dead row carried the min
-    // and the max): real scan, live-exact values
+    // min/max ALSO answer from stats: the dead rows carried the min
+    // and the max, but the DV commit re-derived the bounds over the
+    // survivors (dvExact), so the manifest fold stays live-exact —
+    // zero data files opened even on a MoR'd table
     val mm = spark.sql(s"SELECT min(k) AS mn, max(k) AS mx FROM graftlog.`$t`")
-    assert(!mm.queryExecution.executedPlan.toString.contains("manifest-stats"))
+    assert(mm.queryExecution.executedPlan.toString.contains("manifest-stats"),
+      "survivor-exact DV bounds must keep the stats pushdown answering")
     val row = mm.collect().head
     assert((row.getLong(0), row.getLong(1)) == ((1L, 198L)))
     // time travel composes: pre-delete version reads all physical rows

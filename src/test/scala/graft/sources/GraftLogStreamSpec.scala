@@ -419,4 +419,39 @@ class GraftLogStreamSpec extends SparkSuite {
       GraftLogVersionOffset(3L))
     assert(parts.length == 1)
   }
+
+  test("option(branch, name) streams a staging branch by name — the " +
+      "WAP audit stream needs no _branches path; bad names refuse") {
+    val t = Files.createTempDirectory("tlog_streambr_").toString
+    val cp = Files.createTempDirectory("tlog_streambr_cp_").toString
+    TableLog.create(kv(Seq(1L -> "main")), t, "k", 1)
+    TableLog.branch(t, "audit")
+    TableLog.append(kv(Seq(2L -> "staged")),
+      java.nio.file.Paths.get(t, "_branches", "audit").toString, 1)
+    // the branch's v1 is its FORK (rewrite-shaped to an appends-only
+    // reader), so the audit stream skips change commits — it audits
+    // the branch's OWN staged appends, which is the WAP shape
+    val q = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).option("branch", "audit")
+      .option("skipChangeCommits", "true").load()
+      .writeStream.format("memory").queryName("tlog_branch_probe")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("tlog_branch_probe").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "staged"),
+      s"branch audit stream must carry the staged appends: $got")
+    // unknown branch and path-component names refuse loudly
+    Seq("nope", "..").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        spark.readStream
+          .format("graft.sources.GraftLogStreamProvider")
+          .option("path", t).option("branch", bad).load()
+      }
+      assert(e.getMessage.contains("no branch"), e.getMessage)
+    }
+  }
 }

@@ -526,4 +526,25 @@ class BranchWapSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"), e.getMessage)
   }
+
+  test("drop_branch counts a DV edit on a fork-inherited file as " +
+      "UNPUBLISHED: the data inode is main's, the sidecar work is not") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 7L).map(i => (i, s"x$i"))), t, "k", 1)
+    val br = TableLog.branch(t, "dvgate")
+    // the branch's merge-on-read delete keeps the inherited data
+    // file's inode (only a sidecar lands) — inode identity alone
+    // would wrongly call this published and silently discard the
+    // staged erasure on drop
+    TableLog.deleteWhereDv(spark, br, col("k") === 2L)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.dropBranch(t, "dvgate")
+    }
+    assert(e.getMessage.contains("unpublished"), e.getMessage)
+    // after publish the DV state IS main's — the drop proceeds
+    TableLog.publish(spark, t, "dvgate")
+    TableLog.dropBranch(t, "dvgate")
+    assert(TableLog.snapshot(spark, t).collect().map(_.getLong(0)).toSet
+      == (0L to 7L).toSet - 2L)
+  }
 }

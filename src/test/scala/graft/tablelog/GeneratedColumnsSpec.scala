@@ -179,4 +179,43 @@ class GeneratedColumnsSpec extends SparkSuite {
     assert(TableLog.latestVersion(t) == before,
       "a refused SQL gencol insert moved the table")
   }
+
+  test("heterogeneous staged sliver: gencol omission is detected PER " +
+      "FILE — the omitting file finishes, the supplying file lands " +
+      "byte-untouched with its values intact") {
+    import java.nio.file.Paths
+    import spark.implicits._
+    val t = freshTable() // k BIGINT, x BIGINT, band STRING (gencol)
+    // externally stage two files: A supplies band, B omits it (the
+    // commitStagedAppend public-API shape — e.g. two different
+    // writer builds feeding one staged commit)
+    def stageOne(df: org.apache.spark.sql.DataFrame,
+        stage: String): (String, TableLog.AddFile) = {
+      val dir = Paths.get(t, "data", stage)
+      df.coalesce(1).write.parquet(dir.toString)
+      val s = Files.list(dir)
+      val f = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSeq.head
+      } finally s.close()
+      val ks = df.select("k").collect().map(_.getLong(0))
+      val rel = s"data/$stage/$f"
+      (rel, TableLog.AddFile(rel, ks.length.toLong, ks.min, ks.max))
+    }
+    val (relA, addA) =
+      stageOne(Seq((1L, 20L, "hi")).toDF("k", "x", "band"), "exta0001")
+    val (relB, addB) =
+      stageOne(Seq((2L, 3L)).toDF("k", "x"), "extb0001")
+    TableLog.commitStagedAppend(t, Seq(addA, addB))
+    val active = TableLog.state(t).active.map(_.relPath).toSet
+    assert(active.contains(relA),
+      s"the supplying file must land byte-untouched, active: $active")
+    assert(!active.contains(relB),
+      "the omitting file must be FINISHED (re-staged with the gencol)")
+    val got = TableLog.snapshot(spark, t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((1L, "hi"), (2L, "lo")),
+      s"per-file completion wrong: $got")
+  }
 }

@@ -525,4 +525,57 @@ class IdentityColumnSpec extends SparkSuite {
     assert(TableLog.snapshot(spark, t).orderBy("id").collect()
       .map(_.getLong(0)).toSeq == Seq(100L, 101L, 500L))
   }
+
+  test("replaceWhere admits an ID-PRESERVING slice restatement: ids " +
+      "stable, outside rows untouched, the mark unmoved; smuggled, " +
+      "null, duplicate or omitted ids refuse") {
+    import spark.implicits._
+    val t = freshTable()
+    TableLog.appendIdentity(Seq("a", "b", "c", "d").toDF("v"), t, 1)
+    // restate the slice id IN (101, 102) with corrected payloads,
+    // carrying the SAME ids — the backfill/correction shape
+    val cond = col("id").isin(101L, 102L)
+    TableLog.replaceWhere(spark, t, cond,
+      Seq((101L, "B"), (102L, "C")).toDF("id", "v"), 1)
+    val got = TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((100L, "a"), (101L, "B"), (102L, "C"),
+      (103L, "d")), s"restatement wrong: $got")
+    // the allocator mark never moved — no id was minted
+    assert(TableLog.state(t).props("identity.id") == "104")
+    // a restatement may DROP slice rows (ids stay a subset)
+    TableLog.replaceWhere(spark, t, col("id") === 103L,
+      Seq.empty[(Long, String)].toDF("id", "v"), 1)
+    assert(TableLog.snapshot(spark, t).count() == 3L)
+    // smuggled id (not in the slice pre-image) refuses
+    val e1 = intercept[IllegalArgumentException] {
+      TableLog.replaceWhere(spark, t, col("id") === 101L,
+        Seq((999L, "x")).toDF("id", "v"), 1)
+    }
+    assert(e1.getMessage.contains("satisfy the replace predicate") ||
+      e1.getMessage.contains("pre-image"), e1.getMessage)
+    // an in-slice-shaped smuggle: cond matches the id, but the row
+    // never existed — pre-image audit catches it
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.replaceWhere(spark, t, col("id") === 998L,
+        Seq((998L, "x")).toDF("id", "v"), 1)
+    }
+    assert(e2.getMessage.contains("pre-image"), e2.getMessage)
+    // duplicate ids refuse
+    val e3 = intercept[IllegalArgumentException] {
+      TableLog.replaceWhere(spark, t, col("id") === 101L,
+        Seq((101L, "x"), (101L, "y")).toDF("id", "v"), 1)
+    }
+    assert(e3.getMessage.contains("not id-preserving"), e3.getMessage)
+    // omitting the id column refuses (no omit-and-allocate) — the
+    // cond keys on the payload so the frame stays resolvable
+    val e4 = intercept[IllegalArgumentException] {
+      TableLog.replaceWhere(spark, t, col("v") === "B",
+        Seq("B").toDF("v"), 1)
+    }
+    assert(e4.getMessage.contains("CARRY the ids"), e4.getMessage)
+    // ids stable through all the refusals
+    assert(TableLog.snapshot(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L))
+  }
 }

@@ -121,4 +121,52 @@ class PartitionSpecEvolutionSpec extends SparkSuite {
     assert(cs.partSpecs == snap8.partSpecs &&
       cs.active.map(_.specId).toSet == Set(0, 1))
   }
+
+  test("migrate_stats lifts the DV refusal WITHOUT moving data: " +
+      "stale-era files re-render tuple stats metadata-only, a MoR " +
+      "DELETE then lands and #partitions stays exact") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir()
+    def day(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 06:00:00")
+    val ev = (0L until 32L).map(i => (i, day((i % 4).toInt + 1)))
+      .toDF("k", "ts")
+    TableLog.create(ev.where($"k" % 2 === 0), t, "k", numFiles = 2) // v1
+    TableLog.setPartitionSpec(t, Seq("days:ts"))                    // v2
+    TableLog.append(ev.where($"k" % 2 === 1), t, numFiles = 2)      // v3
+    // pre-migration: merge-on-read DML refuses on the stale era,
+    // naming the metadata-only remedy
+    val e = intercept[IllegalArgumentException] {
+      TableLog.deleteWhereDv(spark, t, $"k" === 0L)
+    }
+    assert(e.getMessage.contains("migrate_stats"), e.getMessage)
+    // record the physical layout: migration must not move a byte
+    val before = TableLog.state(t).active.map(a => a.relPath ->
+      java.nio.file.Files.size(java.nio.file.Paths.get(t, a.relPath)))
+      .toMap
+    val nStale = TableLog.state(t).active.count(_.specId == 0)
+    val r = spark.sql(s"CALL graftlog.migrate_stats('$t')").collect().head
+    assert(r.getLong(1) == nStale.toLong, r)
+    val snap = TableLog.state(t)
+    assert(snap.active.forall(a =>
+      a.specId == snap.specId && a.parts.nonEmpty), "migration incomplete")
+    val after = snap.active.map(a => a.relPath ->
+      java.nio.file.Files.size(java.nio.file.Paths.get(t, a.relPath)))
+      .toMap
+    assert(after == before, "migrate_stats must be metadata-only")
+    // idempotent no-op on a clean layout
+    assert(spark.sql(s"CALL graftlog.migrate_stats('$t')")
+      .collect().head.getLong(1) == 0L)
+    // the MoR delete now routes: zero rewrites, tuple stats exact
+    TableLog.deleteWhereDv(spark, t, $"k" === 0L) // k=0 → 2024-03-01
+    val st2 = TableLog.state(t)
+    assert(st2.active.map(_.relPath).toSet == before.keySet,
+      "the DV delete must not rewrite data files")
+    val parts = spark.sql(
+      s"SELECT * FROM graftlog.`$t#partitions`").collect()
+      .map(r2 => r2.getString(0) -> r2.getLong(2)).toMap
+    assert(parts == Map("2024-03-01" -> 7L, "2024-03-02" -> 8L,
+      "2024-03-03" -> 8L, "2024-03-04" -> 8L), parts)
+  }
 }

@@ -288,11 +288,16 @@ class TableLogSpec extends SparkSuite {
     assert(parquetCount == filesBefore, "DV delete must not rewrite data")
     val got = TableLog.snapshot(spark, t).collect().map(_.getLong(0)).toSet
     assert(got.size == 80 && !got.exists(_ % 10 < 2))
-    // accounting: live rows net out; physical min/max refuse
+    // accounting: live rows net out; min/max were RE-DERIVED over the
+    // survivors at DV-commit time (dvExact), so stats-only answering
+    // stays exact through the delete: k%10<2 killed 0 and 1 — the
+    // live minimum is 2, and every DV'd entry carries the marker
     assert(TableLog.liveRowsOf(t) == 80L)
     val h = TableLog.history(t).last
     assert(h.op == "delete" && h.totalRows == 80L, h)
-    intercept[IllegalArgumentException] { TableLog.statsOf(t) }
+    assert(TableLog.state(t).active.filter(_.dv.isDefined)
+      .forall(_.dvExact), "DV delete must re-derive exact bounds")
+    assert(TableLog.statsOf(t) == ((80L, 2L, 99L)))
     // time travel: v1 unaffected
     assert(TableLog.snapshot(spark, t, version = 1L).count() == 100)
     // change feed across the DV commit: exactly the dead rows
@@ -959,5 +964,59 @@ class TableLogSpec extends SparkSuite {
     val e = intercept[IllegalStateException] { TableLog.state(t) }
     assert(e.getMessage.contains("protocol 99") &&
       e.getMessage.contains("upgrade"), e.getMessage)
+  }
+
+  test("merge-on-read DML refuses a bulk match: the driver-collect " +
+      "guard bounds total matched rows, sliver DMLs still land") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"x$i"))), t, "k", 2)
+    spark.conf.set("spark.graft.dv.maxMatchedRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        TableLog.deleteWhereDv(spark, t, col("k") < 50L)
+      }
+      assert(e.getMessage.contains("bulk DML") &&
+        e.getMessage.contains("copy-on-write"), e.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        TableLog.updateWhereDv(spark, t, col("k") < 50L,
+          Map("v" -> lit("z")))
+      }
+      assert(e2.getMessage.contains("bulk DML"), e2.getMessage)
+      // nothing committed by the refusals
+      assert(TableLog.latestVersion(t) == 1L)
+      // a sliver under the cap lands normally
+      TableLog.deleteWhereDv(spark, t, col("k") < 5L)
+      assert(TableLog.liveRowsOf(t) == 95L)
+    } finally spark.conf.unset("spark.graft.dv.maxMatchedRows")
+  }
+
+  test("a rewrite planned before a concurrent DV commit on the same " +
+      "file ABORTS: relPath-active is not content-identity") {
+    val t = freshDir()
+    TableLog.create(kv((0L to 9L).map(i => (i, s"x$i"))), t, "k", 1)
+    val snap1 = TableLog.state(t) // v1: one file F
+    val f = snap1.active.head
+    // winner: merge-on-read delete — removes F, re-adds F under a new
+    // deletion-vector token (same relPath, different content)
+    TableLog.deleteWhereDv(spark, t, col("k") === 3L) // v2
+    // loser: a rewrite whose plan was computed against v1 — its
+    // replacement rows still contain k=3, so rebasing over the DV
+    // commit would resurrect the deleted row; F is still ACTIVE (the
+    // re-add), so only the intervening-commit replay can catch it
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TableLog.commit(t, snap1.version, "compact", Seq(f),
+        Seq(f.relPath), "", "")
+    }
+    assert(e.getMessage.contains("touched files"), e.getMessage)
+    assert(TableLog.snapshot(spark, t).count() == 9L,
+      "the DV state must survive the aborted rebase")
+    // the same stale-planned shape over an APPEND still rebases: the
+    // interim commit touches only its own new files
+    val snap2 = TableLog.state(t) // v2
+    TableLog.append(kv(Seq(100L -> "new")), t, 1) // v3
+    val v = TableLog.commit(t, snap2.version, "compact",
+      snap2.active, snap2.active.map(_.relPath), "", "")
+    assert(v == 4L, "append-only interim commits must keep rebasing")
+    assert(TableLog.snapshot(spark, t).count() == 10L)
   }
 }
