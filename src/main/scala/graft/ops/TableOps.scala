@@ -4140,7 +4140,108 @@ object TableOps {
       |FROM sl, v WHERE user_id = victim
       |ORDER BY day""".stripMargin
 
+  /** q516 — MERGE-ON-READ `MERGE INTO` (the sparse-CDC apply; closes
+    * the last copy-on-write-only DML surface): a tri-clause SQL MERGE
+    * on a PARTITIONED (`days(ts)`) IDENTITY table declaring
+    * `merge.mode = 'merge-on-read'` routes through
+    * [[graft.tablelog.TableLog.mergeDv]] — matched DELETE/UPDATE rows
+    * die via deletion-vector sidecars (KBs; the fixture REQUIRES that
+    * no original file rewrote), updated images and insert rows land
+    * as fresh files with identity ids preserved (updates) or
+    * allocated (inserts) in the SAME atomic commit. The result folds
+    * three proofs into one frame: `#partitions` day counts straight
+    * off the manifest (tuple stats decremented exactly through the
+    * merge), the data-plane event_type histogram, and the distinct-id
+    * count (allocator uniqueness through the merge). At 100 TB a
+    * 0.1%-sparse CDC batch costs one candidate scan + KB sidecars +
+    * the changed rows — not the full-file rewrites the COW MERGE
+    * pays. Reference: the BQ MERGE surface over the loaded table
+    * (`src/load/main.py:36-51` writes what users then MERGE-maintain). */
+  private val morMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q516MorMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = morMergeCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogmm_").toString + "/t"
+      val slice = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+        .where($"event_id" % 3 === 0)
+      TableLog.createEmpty(path, "sid BIGINT, " + slice.schema.toDDL,
+        "event_id", partCols = Seq("days:ts"),
+        props = Map("identity.sid" -> "1",
+          "merge.mode" -> "merge-on-read"))                           // v1
+      TableLog.appendIdentity(slice, path, 4)                         // v2
+      val before = TableLog.state(path).active.map(_.relPath).toSet
+      Tables.events(s, dir)
+        .where($"event_id" % 5 === 0)
+        .select($"event_id", $"ts", $"user_id",
+          when($"event_id" % 2 === 0, "d").otherwise("u").as("op"))
+        .createOrReplaceTempView("q516_src")
+      // the plain tri-clause MERGE a CDC runbook issues; merge.mode
+      // routes it merge-on-read
+      s.sql(
+        s"""MERGE INTO graftlog.`$path` tg USING q516_src s
+           |ON tg.event_id = s.event_id
+           |WHEN MATCHED AND s.op = 'd' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET event_type = 'corrected'
+           |WHEN NOT MATCHED THEN INSERT (event_id, ts, user_id, event_type)
+           |  VALUES (s.event_id, s.ts, s.user_id, 'fresh')
+           |""".stripMargin)                                          // v3
+      val st = TableLog.state(path)
+      require(st.active.exists(_.dv.isDefined),
+        "SQL MERGE did not route merge-on-read under merge.mode")
+      require(before.subsetOf(st.active.map(_.relPath).toSet),
+        "merge-on-read MERGE rewrote an original file")
+      path
+    })
+    val meta = s.sql(
+      s"""SELECT concat('day:', `days(ts)`) AS dim, row_count AS cnt
+         |FROM graftlog.`$t#partitions`""".stripMargin)
+    val types = s.sql(
+      s"""SELECT concat('type:', event_type) AS dim,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM graftlog.`$t` GROUP BY 1""".stripMargin)
+    val ids = s.sql(
+      s"""SELECT '__ids_distinct' AS dim,
+         |  CAST(count(DISTINCT sid) AS BIGINT) AS cnt
+         |FROM graftlog.`$t`""".stripMargin)
+    meta.unionByName(types).unionByName(ids).orderBy($"dim", $"cnt")
+  }
+
+  private val q516Oracle =
+    """WITH sl AS (
+      |  SELECT event_id, ts, user_id, event_type FROM events
+      |  WHERE event_id % 3 = 0),
+      |src AS (
+      |  SELECT event_id, ts, user_id,
+      |    CASE WHEN event_id % 2 = 0 THEN 'd' ELSE 'u' END AS op
+      |  FROM events WHERE event_id % 5 = 0),
+      |surv AS (
+      |  SELECT sl.event_id, sl.ts, sl.user_id,
+      |    CASE WHEN u.event_id IS NOT NULL THEN 'corrected'
+      |         ELSE sl.event_type END AS event_type
+      |  FROM sl
+      |  LEFT JOIN src u ON sl.event_id = u.event_id AND u.op = 'u'
+      |  WHERE NOT EXISTS (SELECT 1 FROM src d
+      |    WHERE d.event_id = sl.event_id AND d.op = 'd')),
+      |ins AS (
+      |  SELECT s.event_id, s.ts, s.user_id, 'fresh' AS event_type
+      |  FROM src s WHERE s.event_id % 3 <> 0),
+      |fin AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+      |SELECT 'day:' || CAST(CAST(ts AS DATE) AS STRING) AS dim,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM fin GROUP BY 1
+      |UNION ALL
+      |SELECT 'type:' || event_type, CAST(count(*) AS BIGINT)
+      |FROM fin GROUP BY 1
+      |UNION ALL
+      |SELECT '__ids_distinct', CAST(count(*) AS BIGINT) FROM fin
+      |ORDER BY dim, cnt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q516_mor_merge" -> (q516MorMerge _),
     "q514_dv_debt_advisor" -> (q514DvDebtAdvisor _),
     "q513_mor_update_sql" -> (q513MorUpdateSql _),
     "q509_branch_lifecycle" -> (q509BranchLifecycle _),
@@ -4219,6 +4320,7 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q516_mor_merge" -> q516Oracle,
     "q514_dv_debt_advisor" -> q514Oracle,
     "q513_mor_update_sql" -> q513Oracle,
     "q509_branch_lifecycle" -> q509Oracle,

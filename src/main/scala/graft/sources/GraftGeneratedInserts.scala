@@ -82,14 +82,16 @@ class GraftGeneratedInsertRule(session: SparkSession)
               .map(_.stripPrefix("identity.")).toSeq.sorted
             val gens = props.keys.filter(_.startsWith("gencol."))
               .map(_.stripPrefix("gencol.")).toSeq.sorted
-            // tables routing merge-on-read UPDATEs are interesting
-            // too, even with no generated columns (the update.mode
-            // twin of the catalog's delete.mode gate); dvOk says the
-            // partitioned-DV precondition holds (current-spec tuple
-            // stats everywhere) so routing can fall back to COW
+            // tables routing merge-on-read UPDATEs or MERGEs are
+            // interesting too, even with no generated columns (the
+            // update.mode/merge.mode twins of the catalog's
+            // delete.mode gate); dvOk says the partitioned-DV
+            // precondition holds (current-spec tuple stats
+            // everywhere) so routing can fall back to COW
             // mid-spec-evolution instead of refusing
             if (ids.isEmpty && gens.isEmpty &&
-                !props.get("update.mode").contains("merge-on-read")) None
+                !props.get("update.mode").contains("merge-on-read") &&
+                !props.get("merge.mode").contains("merge-on-read")) None
             else Some((tp, ids, gens, props,
               GraftLogTable.dvSpecClean(snap)))
           })
@@ -204,26 +206,97 @@ class GraftGeneratedInsertRule(session: SparkSession)
           }
       }
     // SQL MERGE on a declaring table: finish the arms (identity NULL
-    // injection + refusals, gencol compute/recompute) and leave the
-    // statement on Spark's own group-based rewrite — the staged
-    // commit's completion pass allocates and audits ids
+    // injection + refusals, gencol compute/recompute). Under
+    // TBLPROPERTIES('merge.mode' = 'merge-on-read') the statement
+    // then routes through [[TableLog.mergeDv]] — dead positions land
+    // as deletion-vector sidecars, images as fresh files, one atomic
+    // commit, NO file rewrites (the sparse-CDC shape). Otherwise it
+    // stays on Spark's own group-based copy-on-write rewrite — the
+    // staged commit's completion pass allocates and audits ids.
     case m: MergeIntoTable if relationOf(m.targetTable).isDefined =>
       val (rel, alias) = relationOf(m.targetTable).get
       declaring(rel.multipartIdentifier) match {
         case None => m
-        case Some((path, ids, _, props, _)) =>
+        case Some((path, ids, _, props, dvOk)) =>
           val gens = props.toSeq.collect {
             case (k, sql) if k.startsWith("gencol.") =>
               (k.stripPrefix("gencol."), sql) }.sortBy(_._1)
-          if (ids.isEmpty && gens.isEmpty) m // mor-update-only table
-          else m.copy(
-            matchedActions =
-              completeMergeArms(path, ids, gens, alias, m.matchedActions),
-            notMatchedActions =
-              completeMergeArms(path, ids, gens, alias, m.notMatchedActions),
-            notMatchedBySourceActions = completeMergeArms(path, ids, gens,
-              alias, m.notMatchedBySourceActions))
+          val completed =
+            if (ids.isEmpty && gens.isEmpty) m
+            else m.copy(
+              matchedActions =
+                completeMergeArms(path, ids, gens, alias, m.matchedActions),
+              notMatchedActions =
+                completeMergeArms(path, ids, gens, alias,
+                  m.notMatchedActions),
+              notMatchedBySourceActions = completeMergeArms(path, ids, gens,
+                alias, m.notMatchedBySourceActions))
+          // merge-on-read routing: mid-spec-evolution (!dvOk) and
+          // WITH SCHEMA EVOLUTION fall back to the COW route, which
+          // handles both — a silent wrong route beats nothing, a loud
+          // right route beats both
+          if (props.get("merge.mode").contains("merge-on-read") && dvOk &&
+              !m.withSchemaEvolution)
+            mergeDvCommand(path, completed, rel, alias, ids)
+          else completed
       }
+  }
+
+  /** Package a completed MergeIntoTable as a [[GraftMergeDvCommand]]:
+    * arms flatten to (kind, cond, assignments, isStar) with raw
+    * parsed expressions boxed — the command rewrites them against
+    * the merge frame's prefixed names at run time, where both sides'
+    * resolved column sets are known. The identity NULL markers
+    * [[completeMergeArms]] injected are dropped here: on the DV route
+    * "allocate" is the ABSENCE of the column (mergeDv omits it from
+    * insert images and allocates transactionally). */
+  private def mergeDvCommand(path: String, m: MergeIntoTable,
+      rel: UnresolvedRelation, alias: Option[String],
+      ids: Seq[String]): GraftMergeDvCommand = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val idSet = ids.map(lc).toSet
+    def flat(a: MergeAction)
+        : (String, Option[ExprBox], Seq[(String, ExprBox)], Boolean) =
+      a match {
+        case u: UpdateAction =>
+          ("update", u.condition.map(ExprBox), u.assignments.map(x =>
+            keyNameOf(path, x) -> ExprBox(x.value)), false)
+        case d: DeleteAction => ("delete", d.condition.map(ExprBox), Nil, false)
+        case i: InsertAction =>
+          val assigns = i.assignments.filterNot(x => x.key match {
+            // the completion pass's allocate marker: drop, never a value
+            case att: UnresolvedAttribute =>
+              idSet(lc(att.nameParts.last)) &&
+                x.value.isInstanceOf[Literal] &&
+                x.value.asInstanceOf[Literal].value == null
+            case _ => false
+          })
+          ("insert", i.condition.map(ExprBox), assigns.map(x =>
+            keyNameOf(path, x) -> ExprBox(x.value)), false)
+        case u: UpdateStarAction => ("update", u.condition.map(ExprBox), Nil, true)
+        case i: InsertStarAction => ("insert", i.condition.map(ExprBox), Nil, true)
+        case other => throw new IllegalArgumentException(
+          s"MERGE into graftlog table $path: unsupported action $other")
+      }
+    val srcQual: Seq[String] = m.sourceTable match {
+      case org.apache.spark.sql.catalyst.plans.logical
+          .SubqueryAlias(id, _) => Seq(id.name)
+      case r: UnresolvedRelation => Seq(r.multipartIdentifier.last)
+      case _ => Nil
+    }
+    val tgtQual: Seq[String] =
+      alias.map(Seq(_)).getOrElse(Seq(rel.multipartIdentifier.last))
+    GraftMergeDvCommand(path, m.sourceTable, ExprBox(m.mergeCondition),
+      tgtQual, srcQual,
+      m.matchedActions.map(flat), m.notMatchedActions.map(flat),
+      m.notMatchedBySourceActions.map(flat))
+  }
+
+  private def keyNameOf(path: String, a: Assignment): String = a.key match {
+    case att: UnresolvedAttribute => att.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"MERGE into graftlog table $path: unsupported assignment " +
+        s"target ${other.sql}")
   }
 
   /** SQL MERGE arms on a declaring table — the third statement the
@@ -388,6 +461,106 @@ case class GraftIdentityUpdateCommand(path: String,
     TableLog.updateWhereDv(session, path,
       cond.map(b => ColumnBridge.column(b.e)).getOrElse(lit(true)),
       set.map { case (n, b) => n -> ColumnBridge.column(b.e) }.toMap)
+    Nil
+  }
+}
+
+/** Executes a merge-on-read SQL MERGE through [[TableLog.mergeDv]] —
+  * the `merge.mode = 'merge-on-read'` route: matched UPDATE/DELETE
+  * (and not-matched-by-source) rows die via deletion-vector sidecars,
+  * updated images and insert rows land as fresh files, ONE atomic
+  * commit, zero file rewrites. Arm expressions arrive as raw parsed
+  * trees; this command resolves them against the merge frame's
+  * prefixed column names ([[TableLog.MergeTargetPrefix]]/
+  * [[TableLog.MergeSourcePrefix]]) using SQL MERGE's reference
+  * scoping: the ON condition and matched arms see both sides, insert
+  * arms the source only, not-matched-by-source arms the target only;
+  * unqualified names that exist on both visible sides refuse as
+  * ambiguous. */
+case class GraftMergeDvCommand(path: String, source: LogicalPlan,
+    on: ExprBox, tgtQual: Seq[String], srcQual: Seq[String],
+    matched: Seq[(String, Option[ExprBox], Seq[(String, ExprBox)], Boolean)],
+    notMatched: Seq[(String, Option[ExprBox], Seq[(String, ExprBox)], Boolean)],
+    nmbs: Seq[(String, Option[ExprBox], Seq[(String, ExprBox)], Boolean)])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.Column
+    def lc(s: String) = s.toLowerCase(Locale.ROOT)
+    val snap = TableLog.state(path)
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val tCols = schema.fieldNames.map(c => lc(c) -> c).toMap
+    val srcDf = SessionBridge.ofRows(session, source)
+    val sCols = srcDf.columns.map(c => lc(c) -> c).toMap
+    val tQ = tgtQual.map(lc).toSet
+    val sQ = srcQual.map(lc).toSet
+    def tRef(name: String): Expression =
+      UnresolvedAttribute.quoted(TableLog.MergeTargetPrefix +
+        tCols.getOrElse(lc(name), throw new IllegalArgumentException(
+          s"MERGE into graftlog table $path: no target column '$name' " +
+            s"(columns: ${schema.fieldNames.mkString(", ")})")))
+    def sRef(name: String): Expression =
+      UnresolvedAttribute.quoted(TableLog.MergeSourcePrefix +
+        sCols.getOrElse(lc(name), throw new IllegalArgumentException(
+          s"MERGE into graftlog table $path: no source column '$name' " +
+            s"(source columns: ${srcDf.columns.mkString(", ")})")))
+    def rewrite(e: Expression, allowT: Boolean, allowS: Boolean)
+        : Expression = e.transformUp {
+      case att: UnresolvedAttribute =>
+        val name = att.nameParts.last
+        val qual =
+          if (att.nameParts.length >= 2)
+            Some(lc(att.nameParts(att.nameParts.length - 2)))
+          else None
+        qual match {
+          case Some(q) if tQ(q) && sQ(q) && allowT && allowS =>
+            throw new IllegalArgumentException(
+              s"MERGE into graftlog table $path: qualifier '$q' names " +
+                "both the target and the source — alias one side")
+          case Some(q) if tQ(q) && allowT => tRef(name)
+          case Some(q) if sQ(q) && allowS => sRef(name)
+          case Some(q) => throw new IllegalArgumentException(
+            s"MERGE into graftlog table $path: unknown or out-of-scope " +
+              s"qualifier '$q' on '$name' (this clause sees " +
+              s"${if (allowT && allowS) "target and source"
+                 else if (allowT) "the target only"
+                 else "the source only"})")
+          case None =>
+            val inT = allowT && tCols.contains(lc(name))
+            val inS = allowS && sCols.contains(lc(name))
+            if (inT && inS) throw new IllegalArgumentException(
+              s"MERGE into graftlog table $path: reference '$name' is " +
+                "ambiguous — qualify it with the target or source alias")
+            else if (inT) tRef(name)
+            else if (inS) sRef(name)
+            else throw new IllegalArgumentException(
+              s"MERGE into graftlog table $path: cannot resolve '$name' " +
+                "in this clause's scope")
+        }
+    }
+    def toArms(
+        raw: Seq[(String, Option[ExprBox], Seq[(String, ExprBox)], Boolean)],
+        allowT: Boolean, allowS: Boolean): Seq[TableLog.MergeArm] =
+      raw.map { case (kind, cond, set, star) =>
+        val assigns: Map[String, Column] =
+          if (star) schema.fieldNames.map { c =>
+            require(sCols.contains(lc(c)),
+              s"MERGE into graftlog table $path: UPDATE */INSERT * " +
+                s"needs source column '$c', which the source lacks")
+            c -> ColumnBridge.column(sRef(c))
+          }.toMap
+          else set.map { case (k, b) =>
+            k -> ColumnBridge.column(rewrite(b.e, allowT, allowS))
+          }.toMap
+        TableLog.MergeArm(
+          cond.map(b => ColumnBridge.column(rewrite(b.e, allowT, allowS))),
+          kind, assigns)
+      }
+    TableLog.mergeDv(session, path, srcDf,
+      ColumnBridge.column(rewrite(on.e, allowT = true, allowS = true)),
+      matched = toArms(matched, allowT = true, allowS = true),
+      notMatched = toArms(notMatched, allowT = false, allowS = true),
+      notMatchedBySource = toArms(nmbs, allowT = true, allowS = false))
     Nil
   }
 }

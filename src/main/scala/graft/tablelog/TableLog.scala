@@ -3719,15 +3719,15 @@ object TableLog {
     * entries keep exact stats ([[AddFile.dvExact]]): the bounds a
     * dead extremum row vacated tighten instead of rotting, and
     * stats-only aggregates keep answering on MoR-heavy tables. */
-  private def dvSurvivorStats(snap: Snapshot, live: DataFrame,
-      cond: Column, touched: Set[String])
+  private def dvSurvivorStats(snap: Snapshot, survivors: DataFrame,
+      touched: Set[String])
       : Map[String, (Long, Long, Seq[ColStat])] = {
     if (touched.isEmpty) return Map.empty
     val schema = StructType.fromDDL(snap.schemaDdl)
     val sCols = statCols(schema, snap.keyCol, snap.partCols)
     val statExprs = sCols.flatMap { case (c, _) =>
       Seq(min(col(c)), max(col(c))) }
-    val rows = live.where(!coalesce(cond, lit(false)))
+    val rows = survivors
       .where(col("__graft_f").isin(touched.toSeq.sorted: _*))
       .groupBy(col("__graft_f"))
       .agg(min(col(snap.keyCol)).cast("long").as("__mn"),
@@ -3807,7 +3807,8 @@ object TableLog {
       .map { case (f, xs) => f -> xs.toSeq.map(x => (x._2, x._3)) }
     if (hits.isEmpty) return snap.version
     val (removes, adds) = dvCommitEntries(table, snap, hits, candidates,
-      dvSurvivorStats(snap, live, cond, hits.keySet))
+      dvSurvivorStats(snap, live.where(!coalesce(cond, lit(false))),
+        hits.keySet))
     commit(table, snap.version, "delete", adds, removes, "", "")
   }
 
@@ -3907,7 +3908,8 @@ object TableLog {
     val staged = stage(updated, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap, specId = snap.specId)
     val (removes, dvAdds) = dvCommitEntries(table, snap, hits, candidates,
-      dvSurvivorStats(snap, live, cond, hits.keySet))
+      dvSurvivorStats(snap, live.where(!coalesce(cond, lit(false))),
+        hits.keySet))
     commit(table, snap.version, "update",
       dvAdds ++ staged, removes, "", "")
   }
@@ -4092,6 +4094,253 @@ object TableLog {
     }
     commit(table, snap.version, "merge", adds, touched.map(_.relPath),
       if (extra.nonEmpty) merged.toDDL else "", "", props = propsOpt)
+  }
+
+  /** One arm of a tri-clause MERGE for [[mergeDv]]. `kind` is
+    * `update` / `delete` (matched and not-matched-by-source clauses)
+    * or `insert` (not-matched clauses); `cond` the arm's optional
+    * AND-condition; `set` the assignments (target column → value
+    * expression). Expressions reference the merge frame through the
+    * [[MergeTargetPrefix]]/[[MergeSourcePrefix]] naming contract. */
+  final case class MergeArm(cond: Option[Column], kind: String,
+      set: Map[String, Column] = Map.empty)
+
+  /** Column-name prefixes of the [[mergeDv]] frame: every target
+    * column is exposed as `__graft_t_<col>`, every source column as
+    * `__graft_s_<col>`, so the ON condition and arm expressions can
+    * reference both sides of a self-named join unambiguously. */
+  val MergeTargetPrefix = "__graft_t_"
+  val MergeSourcePrefix = "__graft_s_"
+
+  /** MERGE-ON-READ tri-clause MERGE — deletion vectors + fresh-file
+    * append in ONE commit, the Iceberg-v2/Delta-DV shape for the
+    * sparse 100-TB CDC apply: rows hit by a matched UPDATE/DELETE arm
+    * (or a not-matched-by-source arm) die via per-file bitset
+    * sidecars — their files NEVER rewrite — while the updated images
+    * and insert-arm rows land as fresh files in the same atomic
+    * manifest. A 0.1%-of-rows MERGE scattered across the fleet pays
+    * KB-scale sidecars plus only the changed rows, not the full-file
+    * rewrites the copy-on-write [[merge]] (and the group-based SQL
+    * route) would.
+    *
+    * Semantics are SQL MERGE's: the ON condition pairs target and
+    * source rows; FIRST matching arm wins per row; a target row
+    * modified by MORE than one source row refuses (the Delta/Spark
+    * cardinality violation — checked after arm resolution, so a pair
+    * excluded by every arm condition never trips it); unassigned
+    * columns of an UPDATE image carry the target's values, of an
+    * INSERT image fill declared defaults then NULL. On IDENTITY
+    * tables arms must omit the id column: update images CARRY the
+    * matched row's id by construction, insert rows allocate under the
+    * freeze-then-assign discipline with the mark advanced in this
+    * commit. CHECK constraints (and the synthetic gencol audits) gate
+    * every new image. Partition-tuple stats decrement per dying row
+    * and key/column bounds re-derive over survivors
+    * ([[dvCommitEntries]]), so `#partitions` and stats-only
+    * aggregates stay EXACT through the merge.
+    *
+    * Scale shape: ONE scan of the live candidate set joined against
+    * the source (broadcastable when small), dead positions bounded by
+    * the [[dvMaxMatched]] driver guard (DVs suit sparse DML — a bulk
+    * restatement should take the COW route), survivor stats priced at
+    * the touched sliver, images staged distributed. */
+  def mergeDv(spark: SparkSession, table: String, source0: DataFrame,
+      on: Column, matched: Seq[MergeArm] = Nil,
+      notMatched: Seq[MergeArm] = Nil,
+      notMatchedBySource: Seq[MergeArm] = Nil,
+      numFiles: Int = 1): Long = {
+    val snap = state(table)
+    matched.foreach(a => require(a.kind == "update" || a.kind == "delete",
+      s"mergeDv into $table: matched arms are update/delete, got '${a.kind}'"))
+    notMatched.foreach(a => require(a.kind == "insert",
+      s"mergeDv into $table: not-matched arms are insert, got '${a.kind}'"))
+    notMatchedBySource.foreach(a =>
+      require(a.kind == "update" || a.kind == "delete",
+        s"mergeDv into $table: not-matched-by-source arms are " +
+          s"update/delete, got '${a.kind}'"))
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, s"mergeDv into $table: no arms")
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val byLc = schema.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    (matched ++ notMatched ++ notMatchedBySource).foreach(_.set.keys
+      .foreach(k => require(byLc.contains(lc(k)),
+        s"mergeDv into $table: no such column '$k' " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})")))
+    val identityCols = identityOf(snap.props)
+    require(identityCols.size <= 1,
+      s"mergeDv into $table: ${identityCols.size} identity columns (max 1)")
+    val idOpt = identityCols.headOption
+    idOpt.foreach { case (c, _, _) =>
+      (matched ++ notMatched ++ notMatchedBySource).foreach(a =>
+        require(!a.set.keys.exists(_.equalsIgnoreCase(c)),
+          s"mergeDv into $table: '$c' is GENERATED ALWAYS AS IDENTITY — " +
+            "arms cannot assign it; omit it (matched rows keep their " +
+            "ids, inserts allocate)"))
+    }
+    val candidates = snap.active
+    requireDvPartStats(table, snap, candidates)
+    candidates.find(_.rows > Int.MaxValue).foreach(a =>
+      throw new IllegalArgumentException(
+        s"$table: ${a.relPath} holds ${a.rows} rows — beyond the DV " +
+          "bitset's 2^31 position domain; use the copy-on-write merge"))
+    // the live target frame, prefixed; rendered partition tuple and
+    // provenance ride alongside (computed BEFORE prefixing — the
+    // tuple renders from logical names)
+    val live0 =
+      if (candidates.nonEmpty) dvLiveFrame(spark, table, snap, candidates)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("__graft_f",
+            org.apache.spark.sql.types.StringType) :+
+          org.apache.spark.sql.types.StructField("__graft_p",
+            org.apache.spark.sql.types.LongType)))
+    val partitioned = snap.partCols.nonEmpty
+    val live =
+      if (partitioned) live0.withColumn("__graft_tuple", dvTupleCol(snap))
+      else live0
+    val provCols = Seq(col("__graft_f"), col("__graft_p")) ++
+      (if (partitioned) Seq(col("__graft_tuple")) else Nil)
+    val tgt = live.select(schema.fieldNames.toSeq.map(c =>
+      col(c).as(MergeTargetPrefix + c)) ++ provCols: _*)
+    val src = source0.select(source0.columns.toSeq.map(c =>
+      col(c).as(MergeSourcePrefix + c)): _*)
+    // first-matching-arm resolution: arm i applies iff its condition
+    // is TRUE and no earlier arm's was (SQL MERGE's clause order)
+    def armIdx(arms: Seq[MergeArm]): Column =
+      arms.zipWithIndex.foldRight(lit(null).cast("int")) {
+        case ((a, i), acc) =>
+          when(coalesce(a.cond.getOrElse(lit(true)), lit(false)), lit(i))
+            .otherwise(acc)
+      }
+    // ---- matched pairs: arm-resolved, frozen (cardinality check,
+    // hit collection and image build must see ONE evaluation)
+    val mArmed: Option[DataFrame] =
+      if (matched.isEmpty) None
+      else Some(tgt.join(src, on, "inner")
+        .withColumn("__graft_arm", armIdx(matched))
+        .where(col("__graft_arm").isNotNull)
+        .localCheckpoint(true))
+    mArmed.foreach { m =>
+      val dups = m.groupBy(col("__graft_f"), col("__graft_p")).count()
+        .where(col("count") > 1L).count()
+      require(dups == 0L,
+        s"mergeDv into $table: $dups target row(s) matched AND modified " +
+          "by multiple source rows — MERGE cardinality violation")
+    }
+    // ---- not-matched-by-source rows: target side of the anti-join
+    val nmbsArmed: Option[DataFrame] =
+      if (notMatchedBySource.isEmpty) None
+      else Some(tgt.join(src, on, "left_anti")
+        .withColumn("__graft_arm", armIdx(notMatchedBySource))
+        .where(col("__graft_arm").isNotNull)
+        .localCheckpoint(true))
+    // ---- insert rows: source side of the anti-join
+    val insArmed: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else Some(src.join(tgt, on, "left_anti")
+        .withColumn("__graft_arm", armIdx(notMatched)))
+    // image of one UPDATE arm: assigned columns cast to the declared
+    // type, the rest carried from the target (identity ids included —
+    // the carry IS the id-preservation proof)
+    def updateImage(frame: DataFrame, arm: MergeArm, i: Int): DataFrame = {
+      val setLc = arm.set.map { case (k, v) => lc(k) -> v }
+      frame.where(col("__graft_arm") === i)
+        .select(schema.fields.toSeq.map(f =>
+          setLc.get(lc(f.name)).fold(col(MergeTargetPrefix + f.name))(
+            _.cast(f.dataType)).as(f.name)): _*)
+    }
+    // image of one INSERT arm: assigned columns cast, identity
+    // omitted (allocated below), declared defaults fill, rest NULL
+    def insertImage(frame: DataFrame, arm: MergeArm, i: Int): DataFrame = {
+      val setLc = arm.set.map { case (k, v) => lc(k) -> v }
+      val idLc = idOpt.map(x => lc(x._1)).toSet
+      val cols = schema.fields.toSeq
+        .filterNot(f => idLc(lc(f.name))).map { f =>
+          setLc.get(lc(f.name))
+            .orElse(snap.defaults.get(f.name).map(d => expr(d._1)))
+            .getOrElse(lit(null))
+            .cast(f.dataType).as(f.name)
+        }
+      frame.where(col("__graft_arm") === i).select(cols: _*)
+    }
+    def imagesOf(frame: Option[DataFrame], arms: Seq[MergeArm])
+        : Seq[DataFrame] = frame match {
+      case None => Nil
+      case Some(fr) => arms.zipWithIndex.collect {
+        case (a, i) if a.kind == "update" => updateImage(fr, a, i)
+      }
+    }
+    val updateImages =
+      imagesOf(mArmed, matched) ++ imagesOf(nmbsArmed, notMatchedBySource)
+    // identity inserts: freeze-then-assign over ONLY the insert rows
+    val (insertImages, nAlloc) = insArmed match {
+      case None => (Nil, 0L)
+      case Some(fr) =>
+        val perArm = notMatched.zipWithIndex.map { case (a, i) =>
+          insertImage(fr, a, i) }
+        val merged0 = perArm.reduce(_.unionByName(_))
+        idOpt match {
+          case None => (Seq(merged0), 0L)
+          case Some((c, hwm, step)) =>
+            val frozen = merged0.localCheckpoint(true)
+            val n = frozen.count()
+            if (n == 0L) (Nil, 0L)
+            else (Seq(allocateIds(spark, frozen, c, hwm, step)
+              .select(schema.fieldNames.toSeq.map(col): _*)), n)
+        }
+    }
+    val images = (updateImages ++ insertImages)
+      .map(_.select(schema.fieldNames.toSeq.map(col): _*))
+      .reduceOption(_.unionByName(_))
+    images.foreach(df =>
+      validateChecks(df, checksOf(snap.props), s"mergeDv into $table"))
+    // ---- dead positions: matched-modified ∪ nmbs-modified, bounded
+    // by the bulk guard (the sidecars are driver-built)
+    val hitSel = Seq(col("__graft_f"), col("__graft_p")) ++
+      (if (partitioned) Seq(col("__graft_tuple")) else Nil)
+    val deadFrames = (mArmed.toSeq ++ nmbsArmed.toSeq)
+      .map(_.select(hitSel: _*))
+    val maxM = dvMaxMatched(spark)
+    val raw = deadFrames.reduceOption(_.unionByName(_)) match {
+      case None => Array.empty[org.apache.spark.sql.Row]
+      case Some(df) =>
+        val got = df.limit(math.min(maxM + 1L, Int.MaxValue.toLong).toInt)
+          .collect()
+        if (got.length > maxM) throw dvBulkRefusal(table, "mergeDv", maxM)
+        got
+    }
+    val hits = raw.map(r => (r.getString(0), r.getLong(1),
+        if (partitioned) r.getSeq[String](2).toList else Nil))
+      .groupBy(_._1)
+      .map { case (f, xs) => f -> xs.toSeq.map(x => (x._2, x._3)) }
+    if (hits.isEmpty && images.isEmpty) return snap.version
+    // survivor-exact bounds for the touched files: live rows minus
+    // this merge's dead positions
+    val survivorStats =
+      if (hits.isEmpty) Map.empty[String, (Long, Long, Seq[ColStat])]
+      else {
+        import spark.implicits._
+        val deadDf = raw.map(r => (r.getString(0), r.getLong(1))).toSeq
+          .toDF("__graft_dead_f", "__graft_dead_p")
+        val survivors = live.join(broadcast(deadDf),
+          col("__graft_f") === col("__graft_dead_f") &&
+            col("__graft_p") === col("__graft_dead_p"), "left_anti")
+        dvSurvivorStats(snap, survivors, hits.keySet)
+      }
+    val staged = images.fold(Seq.empty[AddFile])(df =>
+      stage(df, table, snap.keyCol, numFiles, snap.bloom,
+        partCols = snap.partCols, colMap = snap.colMap,
+        specId = snap.specId))
+    val (removes, dvAdds) =
+      dvCommitEntries(table, snap, hits, candidates, survivorStats)
+    val propsOpt = idOpt.collect { case (c, hwm, step) if nAlloc > 0L =>
+      snap.props + (s"identity.$c" -> identityProp(hwm + nAlloc * step, step))
+    }
+    commit(table, snap.version, "merge", dvAdds ++ staged, removes,
+      "", "", props = propsOpt)
   }
 
   /** OPTIMIZE ZORDER: [[compact]] whose output files follow the

@@ -112,6 +112,73 @@ class GraftLogRowLevelSpec extends SparkSuite {
       .collect().head.getLong(0) == 200L)
   }
 
+  test("merge.mode=merge-on-read routes SQL MERGE through deletion " +
+      "vectors on a PARTITIONED IDENTITY table: sidecars land, no " +
+      "file rewrites, ids preserve/allocate, #partitions exact") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_mordv_").toString + "/t"
+    def day(d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-05-$d%02d 08:00:00")
+    TableLog.createEmpty(t,
+      "sid BIGINT, k BIGINT, ts TIMESTAMP, v STRING", "k",
+      partCols = Seq("days:ts"),
+      props = Map("identity.sid" -> "1000",
+        "merge.mode" -> "merge-on-read"))
+    TableLog.appendIdentity((0L to 39L).map(i =>
+        (i, day((i % 4).toInt + 1), s"a$i")).toDF("k", "ts", "v"), t, 2)
+    val sidOf3 = spark.sql(s"SELECT sid FROM graftlog.`$t` WHERE k = 3")
+      .collect().head.getLong(0)
+    val before = TableLog.state(t).active.map(a => a.relPath ->
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(t, a.relPath)).toMillis).toMap
+    Seq((3L, day(1), "UPD", "u"), (5L, day(2), "", "d"),
+      (100L, day(9), "NEW", "i"))
+      .toDF("k", "ts", "v", "op").createOrReplaceTempView("mor_src")
+    try {
+      spark.sql(
+        s"""MERGE INTO graftlog.`$t` tg USING mor_src s ON tg.k = s.k
+           |WHEN MATCHED AND s.op = 'd' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, ts, v)
+           |  VALUES (s.k, s.ts, s.v)
+           |""".stripMargin)
+    } finally spark.catalog.dropTempView("mor_src")
+    val st = TableLog.state(t)
+    assert(TableLog.history(t).last.op == "merge")
+    // merge-on-read: DV sidecars present, every original file still
+    // active under its relPath, bytes untouched
+    assert(st.active.exists(_.dv.isDefined),
+      "SQL MERGE did not route merge-on-read under merge.mode")
+    assert(before.keySet.subsetOf(st.active.map(_.relPath).toSet),
+      "merge-on-read MERGE rewrote an original file")
+    before.foreach { case (r, ts0) =>
+      assert(java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(t, r)).toMillis == ts0,
+        s"merge-on-read MERGE touched bytes of $r") }
+    // readback: update landed with its id PRESERVED, delete gone,
+    // insert allocated the next id, mark advanced in the commit
+    val got = spark.sql(
+      s"SELECT k, sid, v FROM graftlog.`$t` ORDER BY k").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.size == 40 && !got.contains(5L), s"rows: ${got.size}")
+    assert(got(3L) == ((sidOf3, "UPD")), s"id not preserved: ${got(3L)}")
+    assert(got(100L) == ((1040L, "NEW")), s"insert id: ${got(100L)}")
+    assert(st.props("identity.sid") == "1041")
+    // ids stay unique through the merge
+    assert(spark.sql(s"SELECT count(DISTINCT sid) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 40L)
+    // #partitions folds exactly through the MoR merge (tuple stats
+    // decremented for the dead rows, fresh images staged partitioned)
+    val parts = spark.sql(
+      s"SELECT `days(ts)`, row_count FROM graftlog.`$t#partitions`")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts == Map("2024-05-01" -> 10L, "2024-05-02" -> 9L,
+      "2024-05-03" -> 10L, "2024-05-04" -> 10L, "2024-05-09" -> 1L),
+      parts.toString)
+  }
+
   test("DELETE with an untranslatable predicate takes the row-level " +
       "rewrite; survivors exact even when whole files die") {
     val t = freshTable()

@@ -990,6 +990,61 @@ class TableLogSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.dv.maxMatchedRows")
   }
 
+  test("merge-on-read MERGE: a sparse tri-clause merge lands DV " +
+      "sidecars plus fresh files — a 1-row match in an N-row file " +
+      "NEVER rewrites the file; arms, cardinality and stats exact") {
+    import spark.implicits._
+    import TableLog.{MergeArm, MergeTargetPrefix => T, MergeSourcePrefix => S}
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 4)
+    val filesBefore = TableLog.state(t).active.map(_.relPath).toSet
+    def mtime(rel: String) =
+      Files.getLastModifiedTime(Paths.get(t, rel)).toMillis
+    val stamps = filesBefore.map(r => r -> mtime(r)).toMap
+    // tri-clause: one update, one delete, one insert — all sparse
+    val changes = Seq((5L, "UPD", "u"), (7L, "", "d"), (200L, "NEW", "i"))
+      .toDF("k", "v", "op")
+    TableLog.mergeDv(spark, t, changes,
+      col(T + "k") === col(S + "k"),
+      matched = Seq(
+        MergeArm(Some(col(S + "op") === "d"), "delete"),
+        MergeArm(None, "update", Map("v" -> col(S + "v")))),
+      notMatched = Seq(MergeArm(None, "insert",
+        Map("k" -> col(S + "k"), "v" -> col(S + "v")))))
+    val st = TableLog.state(t)
+    // every original file is still ACTIVE under its own relPath — the
+    // matched ones under new DV tokens, the bytes untouched
+    assert(filesBefore.subsetOf(st.active.map(_.relPath).toSet))
+    filesBefore.foreach(r => assert(mtime(r) == stamps(r),
+      s"mergeDv rewrote $r — merge-on-read must never touch data bytes"))
+    // the two matched rows died via sidecars; images landed fresh
+    val dv = st.active.filter(_.dv.isDefined)
+    assert(dv.map(_.dv.get._2).sum == 2L, s"dead rows: $dv")
+    assert(dv.forall(_.dvExact), "merge DVs must re-derive exact bounds")
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 100 && got(5L) == "UPD" && got(200L) == "NEW" &&
+      !got.contains(7L) && got(6L) == "a6", s"merge readback wrong")
+    // stats stay answerable and exact through the MoR merge
+    assert(TableLog.statsOf(t) == ((100L, 0L, 200L)))
+    // cardinality: two source rows modifying one target row refuse
+    val e = intercept[IllegalArgumentException] {
+      TableLog.mergeDv(spark, t,
+        Seq((5L, "x", "u"), (5L, "y", "u")).toDF("k", "v", "op"),
+        col(T + "k") === col(S + "k"),
+        matched = Seq(MergeArm(None, "update", Map("v" -> col(S + "v")))))
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    // not-matched-by-source: rows no source row names get swept
+    TableLog.mergeDv(spark, t, Seq(5L).toDF("k"),
+      col(T + "k") === col(S + "k"),
+      notMatchedBySource = Seq(
+        MergeArm(Some(col(T + "k") >= 90L && col(T + "k") <= 99L),
+          "delete")))
+    assert(TableLog.snapshot(spark, t).count() == 90L)
+    assert(TableLog.snapshot(spark, t).where($"k" === 5L).count() == 1L)
+  }
+
   test("a rewrite planned before a concurrent DV commit on the same " +
       "file ABORTS: relPath-active is not content-identity") {
     val t = freshDir()
