@@ -2738,7 +2738,87 @@ object DedupOps {
       |  CAST(sum(nt * 1000000 // csz) AS BIGINT) AS soft_micro_tokens
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q518
+  /** Benchmark-suite count for the overlap matrix: the q53 benchmark
+    * docs (doc_id < [[contamBenchmarkIds]]) stratify into this many
+    * SUITES by doc_id — the suite-fleet generalization of q53/q56's
+    * single eval set. */
+  val overlapSuites = 3L
+
+  /** BENCHMARK-OVERLAP MATRIX — one pass scoring every
+    * (corpus source × benchmark suite) cell, the governance readout a
+    * training run signs off on: q53 answers "is THIS doc
+    * contaminated", this answers "how much of EACH benchmark leaks
+    * through EACH ingest source", which is what decides whether a
+    * source is quarantined or a benchmark is retired. Cell score =
+    * distinct suite 8-grams present anywhere in the source / the
+    * suite's distinct 8-gram count (containment, q160's measure, at
+    * (source, suite) grain), zero cells kept — a matrix with holes
+    * reads as "not measured".
+    *
+    * Scale shape: the benchmark side collapses to distinct
+    * (suite, 8-gram) rows and BROADCASTS (benchmark fleets are MBs —
+    * bounded by eval-set size, never corpus size); the corpus side
+    * dedups (source, gram) in one shuffle and joins map-side; the
+    * matrix itself is |sources|×|suites| driver-size arithmetic. Text
+    * never shuffles ([[Tables.documentsSpread]] scan-side explode);
+    * no all-pairs form exists — work is grams-grain, the q53/q55
+    * priced class. */
+  def q518BenchOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source", explode(shinglesN($"text", 8)).as("sh"))
+    val bench = sh.where($"doc_id" < contamBenchmarkIds)
+      .select(concat(lit("suite_"),
+        pmod($"doc_id", lit(overlapSuites)).cast("string")).as("suite"),
+        $"sh")
+      .distinct()
+    val suiteTotals = bench.groupBy($"suite")
+      .agg(count(lit(1)).as("suite_grams"))
+    val corpus = sh.where($"doc_id" >= contamBenchmarkIds)
+      .select($"source", $"sh").distinct()
+    val shared = corpus.join(broadcast(bench), Seq("sh"))
+      .groupBy($"source", $"suite").agg(count(lit(1)).as("n_shared"))
+    val srcs = corpus.select($"source").distinct()
+    srcs.crossJoin(suiteTotals)
+      .join(shared, Seq("source", "suite"), "left")
+      .select($"source", $"suite",
+        coalesce($"n_shared", lit(0L)).as("n_shared"), $"suite_grams",
+        (coalesce($"n_shared", lit(0L)).cast("double") /
+          $"suite_grams".cast("double")).as("containment"))
+      .orderBy($"source", $"suite")
+  }
+
+  private val q518Oracle =
+    s"""WITH $span8Cte,
+       |b AS (
+       |  SELECT DISTINCT
+       |    'suite_' || CAST(doc_id % $overlapSuites AS STRING) AS suite,
+       |    sh
+       |  FROM sh WHERE doc_id < $contamBenchmarkIds),
+       |st AS (
+       |  SELECT suite, CAST(count(*) AS BIGINT) AS suite_grams
+       |  FROM b GROUP BY 1),
+       |c AS (
+       |  SELECT DISTINCT d.source, sh.sh
+       |  FROM sh JOIN documents d USING (doc_id)
+       |  WHERE sh.doc_id >= $contamBenchmarkIds),
+       |shd AS (
+       |  SELECT c.source, b.suite, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM c JOIN b ON c.sh = b.sh GROUP BY 1, 2),
+       |srcs AS (
+       |  SELECT DISTINCT source FROM documents
+       |  WHERE doc_id >= $contamBenchmarkIds)
+       |SELECT srcs.source, st.suite,
+       |  COALESCE(shd.n_shared, 0) AS n_shared, st.suite_grams,
+       |  CAST(COALESCE(shd.n_shared, 0) AS DOUBLE) /
+       |    CAST(st.suite_grams AS DOUBLE) AS containment
+       |FROM srcs CROSS JOIN st
+       |LEFT JOIN shd ON shd.source = srcs.source AND shd.suite = st.suite
+       |ORDER BY srcs.source, st.suite""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q518_bench_overlap_matrix" -> (q518BenchOverlapMatrix _),
     "q501_url_canonical_dedup" -> (q501UrlCanonicalDedup _),
     "q503_soft_dedup_weights" -> (q503SoftDedupWeights _),
     "q475_banding_sweep" -> (q475BandingSweep _),
@@ -2783,6 +2863,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q518_bench_overlap_matrix" -> q518Oracle,
     "q501_url_canonical_dedup" -> q501Oracle,
     "q503_soft_dedup_weights" -> q503Oracle,
     "q256_dedup_roi"        -> q256Oracle,

@@ -612,6 +612,26 @@ object MultimodalOps {
     Seq((-1L, a), (-2L, a), (-3L, a.updated(30, 'z')), (-4L, ("ba" * 30 + "b").take(61)))
   }
 
+  /** The 60-bit dHash as a SQL expression over payload column `c` —
+    * bit i = is byte probe i brighter than probe i+1, over 61
+    * payload-proportional strided probes (the dHash gradient idea on
+    * the stub decode; a real codec would feed 8×8 luma here, changing
+    * no plan shape). ONE definition shared by q360 and q517 so the
+    * two operators' hashes can never drift. */
+  private[ops] def dhashCol(c: String) = expr(
+    s"""aggregate(sequence(0, 59), 0L, (acc, i) ->
+       |  acc + IF(ascii(substring($c, 1 + CAST((i * length($c)) div 61 AS INT), 1)) >
+       |           ascii(substring($c, 1 + CAST(((i + 1) * length($c)) div 61 AS INT), 1)),
+       |           shiftleft(1L, i), 0L))""".stripMargin)
+
+  /** The same dHash as a DuckDB scalar over column `c`. */
+  private[ops] def dhashSqlOf(c: String): String =
+    s"""(SELECT CAST(sum(CASE WHEN
+       |     ord(substr($c, 1 + ((i * length($c)) // 61), 1)) >
+       |     ord(substr($c, 1 + (((i + 1) * length($c)) // 61), 1))
+       |   THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
+       | FROM range(0, 60) t(i))""".stripMargin
+
   /** dHash-style perceptual near-duplicate detection over media
     * payloads — the IMAGE analogue of q67's SimHash text near-dup:
     * a 60-bit difference hash (bit i = is byte probe i brighter than
@@ -629,11 +649,7 @@ object MultimodalOps {
     val base = Tables.documents(s, dir)
       .select($"doc_id".as("media_id"), $"text")
       .unionByName(planted)
-    val hashed = base.select($"media_id", expr(
-      """aggregate(sequence(0, 59), 0L, (acc, i) ->
-        |  acc + IF(ascii(substring(text, 1 + CAST((i * length(text)) div 61 AS INT), 1)) >
-        |           ascii(substring(text, 1 + CAST(((i + 1) * length(text)) div 61 AS INT), 1)),
-        |           shiftleft(1L, i), 0L))""".stripMargin).as("ph"))
+    val hashed = base.select($"media_id", dhashCol("text").as("ph"))
     val bands = hashed.select($"media_id", $"ph",
         explode(sequence(lit(0), lit(phashBandCount - 1))).as("b"))
       .withColumn("bv", expr("(ph >> (b * 15)) & 32767"))
@@ -657,12 +673,7 @@ object MultimodalOps {
        |  SELECT doc_id AS media_id, text FROM documents
        |  UNION ALL $plants),
        |h AS (
-       |  SELECT media_id,
-       |    (SELECT CAST(sum(CASE WHEN
-       |         ord(substr(text, 1 + ((i * length(text)) // 61), 1)) >
-       |         ord(substr(text, 1 + (((i + 1) * length(text)) // 61), 1))
-       |       THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)
-       |     FROM range(0, 60) t(i)) AS ph
+       |  SELECT media_id, ${dhashSqlOf("text")} AS ph
        |  FROM base),
        |bands AS (
        |  SELECT media_id, ph, b, (ph >> (CAST(b AS INT) * 15)) & 32767 AS bv
@@ -780,7 +791,123 @@ object MultimodalOps {
        |    AS BIGINT) AS shot_len_milli
        |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q517
+  /** The planted poison pairs (q57's plant-in-query device): the
+    * first two share a CAPTION but carry perceptually opposite
+    * payloads (every gradient bit differs); the second two share a
+    * PAYLOAD under different captions. The two families use different
+    * gradient periods (`ab` alternation vs `aabb` steps) so they can
+    * never near-dup EACH OTHER — each plant fires exactly its own
+    * class. */
+  private[ops] val pairPlants: Seq[(Long, String, String)] = {
+    val a   = ("ab" * 30 + "a").take(61)
+    val inv = ("ba" * 30 + "b").take(61)
+    val b2  = ("aabb" * 16).take(61)
+    Seq(
+      (-11L, "a dog on a beach", a),
+      (-12L, "a dog on a beach", inv),
+      (-21L, "sunset over the bay", b2),
+      (-22L, "crowded market street", b2))
+  }
+
+  /** PAIR-INTEGRITY audit over (caption, image) training pairs — the
+    * web-scraped-pairs poison case a contrastive/caption model
+    * pipeline must gate on: alt-text copied verbatim across DIFFERENT
+    * images teaches the model a false equivalence, and one image
+    * re-hosted under DIFFERENT captions collapses its embedding
+    * target. Two classes, composed from the family's own primitives:
+    *
+    *  - `caption_copied_image_distinct`: pairs sharing an exact
+    *    normalized caption (md5 key — the q64 exact-dedup shape)
+    *    whose payload dHashes ([[dhashCol]], q360's) disagree beyond
+    *    [[phashTau]];
+    *  - `image_copied_caption_distinct`: payload near-dups from the
+    *    banded Hamming join (q360's 4×15-bit bands — guaranteed
+    *    recall at tau, never all-pairs) whose caption keys differ.
+    *
+    * Scale shape: only (pair_id, 32-byte caption key, 60-bit hash)
+    * longs move — captions and payloads stay in the scan. Class 1
+    * joins WITHIN caption-key groups (group sizes are the exact-dup
+    * distribution; a pathologically hot caption is exactly the
+    * boilerplate alt-text a pipeline wants flagged, and AQE skew-join
+    * handles its group); class 2 rides the banded join's bucket
+    * density. At 100 TB both are the priced q64/q360 shapes — no new
+    * shuffle class. */
+  def q517PairIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = pairPlants.toDF("pair_id", "caption", "img")
+    val base = Tables.documents(s, dir)
+      .select($"doc_id".as("pair_id"),
+        lower(substring($"text", 1, 64)).as("caption"),
+        $"text".as("img"))
+      .unionByName(planted)
+    val hashed = base.select($"pair_id", md5($"caption").as("ck"),
+      dhashCol("img").as("ph"))
+    // class 1: same caption key, images beyond tolerance
+    val capDup = hashed.as("l").join(hashed.as("r"),
+        col("l.ck") === col("r.ck") &&
+          col("l.pair_id") < col("r.pair_id"))
+      .select(col("l.pair_id").as("pair_a"),
+        col("r.pair_id").as("pair_b"),
+        col("l.ph").as("pa"), col("r.ph").as("pb"))
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .where($"hamming" > phashTau)
+      .select(lit("caption_copied_image_distinct").as("cls"),
+        $"pair_a", $"pair_b", $"hamming")
+    // class 2: banded payload near-dup, caption keys differ
+    val bands = hashed.select($"pair_id", $"ck", $"ph",
+        explode(sequence(lit(0), lit(phashBandCount - 1))).as("b"))
+      .withColumn("bv", expr("(ph >> (b * 15)) & 32767"))
+    val imgDup = bands.as("l").join(bands.as("r"),
+        col("l.b") === col("r.b") && col("l.bv") === col("r.bv") &&
+          col("l.pair_id") < col("r.pair_id"))
+      .select(col("l.pair_id").as("pair_a"),
+        col("r.pair_id").as("pair_b"),
+        col("l.ph").as("pa"), col("r.ph").as("pb"),
+        col("l.ck").as("cka"), col("r.ck").as("ckb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+      .where($"hamming" <= phashTau && $"cka" =!= $"ckb")
+      .select(lit("image_copied_caption_distinct").as("cls"),
+        $"pair_a", $"pair_b", $"hamming")
+    capDup.unionByName(imgDup).orderBy($"cls", $"pair_a", $"pair_b")
+  }
+
+  private val q517Oracle = {
+    val plants = pairPlants.map { case (id, cap, img) =>
+      s"SELECT CAST($id AS BIGINT) AS pair_id, '$cap' AS caption, '$img' AS img"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT doc_id AS pair_id, lower(substr(text, 1, 64)) AS caption,
+       |    text AS img
+       |  FROM documents
+       |  UNION ALL $plants),
+       |h AS (
+       |  SELECT pair_id, md5(caption) AS ck, ${dhashSqlOf("img")} AS ph
+       |  FROM base),
+       |cap AS (
+       |  SELECT 'caption_copied_image_distinct' AS cls,
+       |    l.pair_id AS pair_a, r.pair_id AS pair_b,
+       |    CAST(bit_count(xor(l.ph, r.ph)) AS BIGINT) AS hamming
+       |  FROM h l JOIN h r ON l.ck = r.ck AND l.pair_id < r.pair_id
+       |  WHERE bit_count(xor(l.ph, r.ph)) > $phashTau),
+       |bands AS (
+       |  SELECT pair_id, ck, ph, b,
+       |    (ph >> (CAST(b AS INT) * 15)) & 32767 AS bv
+       |  FROM h, range(0, $phashBandCount) r(b)),
+       |img AS (
+       |  SELECT DISTINCT 'image_copied_caption_distinct' AS cls,
+       |    l.pair_id AS pair_a, r.pair_id AS pair_b,
+       |    CAST(bit_count(xor(l.ph, r.ph)) AS BIGINT) AS hamming
+       |  FROM bands l JOIN bands r
+       |    ON l.b = r.b AND l.bv = r.bv AND l.pair_id < r.pair_id
+       |  WHERE bit_count(xor(l.ph, r.ph)) <= $phashTau AND l.ck <> r.ck)
+       |SELECT * FROM cap UNION ALL SELECT * FROM img
+       |ORDER BY cls, pair_a, pair_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q517_pair_integrity" -> (q517PairIntegrity _),
     "q498_scene_cuts" -> (q498SceneCuts _),
     "q373_binaryfile_ingest" -> (q373BinaryFileIngest _),
     "q360_phash_neardup" -> (q360PhashNeardup _),
@@ -795,6 +922,7 @@ object MultimodalOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q517_pair_integrity" -> q517Oracle,
     "q498_scene_cuts" -> q498Oracle,
     "q404_silence_trim"  -> q404Oracle,
     "q373_binaryfile_ingest" -> q373Oracle,
