@@ -556,11 +556,58 @@ case class GraftMergeDvCommand(path: String, source: LogicalPlan,
           cond.map(b => ColumnBridge.column(rewrite(b.e, allowT, allowS))),
           kind, assigns)
       }
+    // candidate pruning: when the ON condition is an equality on the
+    // TABLE KEY (the CDC shape) and no not-matched-by-source arm
+    // needs the full target, the source's key envelope (one agg over
+    // the small CDC side) prunes the candidate files through the
+    // manifest key ranges — a sparse merge on a 100-TB table scans
+    // the intersecting sliver, never the active set
+    val pruneKeys: Option[(Long, Long)] =
+      if (nmbs.nonEmpty) None
+      else on.e match {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+          def side(att: UnresolvedAttribute)
+              : Option[Either[String, String]] = {
+            val name = att.nameParts.last
+            val qual =
+              if (att.nameParts.length >= 2)
+                Some(lc(att.nameParts(att.nameParts.length - 2)))
+              else None
+            qual match {
+              case Some(q) if tQ(q) => tCols.get(lc(name)).map(Left(_))
+              case Some(q) if sQ(q) => sCols.get(lc(name)).map(Right(_))
+              case Some(_) => None
+              case None =>
+                val inT = tCols.contains(lc(name))
+                val inS = sCols.contains(lc(name))
+                if (inT && !inS) tCols.get(lc(name)).map(Left(_))
+                else if (inS && !inT) sCols.get(lc(name)).map(Right(_))
+                else None
+            }
+          }
+          def env(sc: String): Option[(Long, Long)] = {
+            import org.apache.spark.sql.functions.{col, max, min}
+            val r = srcDf.agg(min(col(sc)).cast("long"),
+              max(col(sc)).cast("long")).collect().head
+            if (r.isNullAt(0) || r.isNullAt(1)) None
+            else Some((r.getLong(0), r.getLong(1)))
+          }
+          (side(a), side(b)) match {
+            case (Some(Left(tc)), Some(Right(sc)))
+                if tc == snap.keyCol => env(sc)
+            case (Some(Right(sc)), Some(Left(tc)))
+                if tc == snap.keyCol => env(sc)
+            case _ => None
+          }
+        case _ => None
+      }
     TableLog.mergeDv(session, path, srcDf,
       ColumnBridge.column(rewrite(on.e, allowT = true, allowS = true)),
       matched = toArms(matched, allowT = true, allowS = true),
       notMatched = toArms(notMatched, allowT = false, allowS = true),
-      notMatchedBySource = toArms(nmbs, allowT = true, allowS = false))
+      notMatchedBySource = toArms(nmbs, allowT = true, allowS = false),
+      pruneKeys = pruneKeys)
     Nil
   }
 }

@@ -4144,12 +4144,26 @@ object TableLog {
     * the [[dvMaxMatched]] driver guard (DVs suit sparse DML — a bulk
     * restatement should take the COW route), survivor stats priced at
     * the touched sliver, images staged distributed. */
+  /** `pruneKeys`: the source's key envelope `[lo, hi]` when the ON
+    * condition is an equality on the table key — candidate files
+    * whose manifest range provably misses it are never read (a
+    * key-ranged CDC batch on a 100-TB table scans the intersecting
+    * sliver, the same layers the DV delete prunes with). SOUND only
+    * without not-matched-by-source arms: those must see every target
+    * row, so the combination refuses. Matched pairs and the insert
+    * anti-join are unaffected — a pruned file holds no key in the
+    * source's range, hence no possible match. The SQL route detects
+    * the key-equality ON shape and passes the envelope itself. */
   def mergeDv(spark: SparkSession, table: String, source0: DataFrame,
       on: Column, matched: Seq[MergeArm] = Nil,
       notMatched: Seq[MergeArm] = Nil,
       notMatchedBySource: Seq[MergeArm] = Nil,
-      numFiles: Int = 1): Long = {
+      numFiles: Int = 1,
+      pruneKeys: Option[(Long, Long)] = None): Long = {
     val snap = state(table)
+    require(pruneKeys.isEmpty || notMatchedBySource.isEmpty,
+      s"mergeDv into $table: key pruning cannot compose with " +
+        "not-matched-by-source arms — they must see every target row")
     matched.foreach(a => require(a.kind == "update" || a.kind == "delete",
       s"mergeDv into $table: matched arms are update/delete, got '${a.kind}'"))
     notMatched.foreach(a => require(a.kind == "insert",
@@ -4179,7 +4193,10 @@ object TableLog {
             "arms cannot assign it; omit it (matched rows keep their " +
             "ids, inserts allocate)"))
     }
-    val candidates = snap.active
+    val candidates = pruneKeys match {
+      case Some((lo, hi)) => prunedFiles(snap, lo, hi)
+      case None           => snap.active
+    }
     requireDvPartStats(table, snap, candidates)
     candidates.find(_.rows > Int.MaxValue).foreach(a =>
       throw new IllegalArgumentException(

@@ -1045,6 +1045,35 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.snapshot(spark, t).where($"k" === 5L).count() == 1L)
   }
 
+  test("mergeDv key pruning reads ONLY the intersecting sliver: a " +
+      "corrupted out-of-range file never opens; NMBS arms refuse it") {
+    import spark.implicits._
+    import TableLog.{MergeArm, MergeTargetPrefix => T, MergeSourcePrefix => S}
+    val t = freshDir()
+    TableLog.create(kv((0L to 99L).map(i => (i, s"a$i"))), t, "k", 4)
+    // vandalize the file holding the TOP key range — a merge whose
+    // source keys live at the bottom must never open it
+    val top = TableLog.state(t).active.maxBy(_.max)
+    Files.write(Paths.get(t, top.relPath), "not parquet".getBytes)
+    val changes = Seq((3L, "UPD")).toDF("k", "v")
+    TableLog.mergeDv(spark, t, changes, col(T + "k") === col(S + "k"),
+      matched = Seq(MergeArm(None, "update", Map("v" -> col(S + "v")))),
+      pruneKeys = Some((3L, 3L)))
+    // the update landed without touching the vandalized range
+    val live = TableLog.state(t).active
+      .filter(_.relPath != top.relPath)
+    assert(TableLog.readFiles(spark, t, TableLog.state(t), live)
+      .where($"k" === 3L).collect().head.getString(1) == "UPD")
+    // pruning + not-matched-by-source cannot compose: NMBS must see
+    // every target row
+    val e = intercept[IllegalArgumentException] {
+      TableLog.mergeDv(spark, t, changes, col(T + "k") === col(S + "k"),
+        notMatchedBySource = Seq(MergeArm(None, "delete")),
+        pruneKeys = Some((3L, 3L)))
+    }
+    assert(e.getMessage.contains("not-matched-by-source"), e.getMessage)
+  }
+
   test("a rewrite planned before a concurrent DV commit on the same " +
       "file ABORTS: relPath-active is not content-identity") {
     val t = freshDir()
