@@ -649,7 +649,10 @@ object MultimodalOps {
     val base = Tables.documents(s, dir)
       .select($"doc_id".as("media_id"), $"text")
       .unionByName(planted)
+    // evaluated ONCE (the banded self-join references it twice, and
+    // the 60-probe hash dominates the query at sf0.1)
     val hashed = base.select($"media_id", dhashCol("text").as("ph"))
+      .localCheckpoint(true)
     val bands = hashed.select($"media_id", $"ph",
         explode(sequence(lit(0), lit(phashBandCount - 1))).as("b"))
       .withColumn("bv", expr("(ph >> (b * 15)) & 32767"))
@@ -841,8 +844,12 @@ object MultimodalOps {
         lower(substring($"text", 1, 64)).as("caption"),
         $"text".as("img"))
       .unionByName(planted)
+    // hashes evaluate ONCE: the frame feeds four join sides (caption
+    // pairs l/r, bands l/r), and without the freeze the 60-probe
+    // dHash re-computes per reference — at sf0.1 that is 4× the
+    // query's dominant cost for identical results
     val hashed = base.select($"pair_id", md5($"caption").as("ck"),
-      dhashCol("img").as("ph"))
+      dhashCol("img").as("ph")).localCheckpoint(true)
     // class 1: same caption key, images beyond tolerance
     val capDup = hashed.as("l").join(hashed.as("r"),
         col("l.ck") === col("r.ck") &&
