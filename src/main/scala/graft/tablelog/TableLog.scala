@@ -3705,6 +3705,26 @@ object TableLog {
     spark.conf.getOption("spark.graft.dv.maxMatchedRows")
       .map(_.toLong).getOrElse(10000000L)
 
+  /** File count for STAGING a merge-on-read DML's image sliver on a
+    * PARTITIONED table: the range-clustered writer packs whole tuple
+    * runs per file, so a batch spanning many partitions (a CDC apply
+    * touching months of `days(ts)`) needs enough files to stay under
+    * [[maxPartTuplesPerFile]] — with the default 1 file a >64-day
+    * batch would REFUSE at stage time. One distinct-count over the
+    * sliver (KB-scale by the DV niche) sizes it; half the cap per
+    * file keeps headroom for uneven tuple runs. Unpartitioned tables
+    * keep the caller's count. */
+  private def dvImageNumFiles(images: DataFrame, snap: Snapshot,
+      numFiles: Int): Int =
+    if (snap.partCols.isEmpty) numFiles
+    else {
+      val schema = StructType.fromDDL(snap.schemaDdl)
+      val nTuples = images.select(snap.partCols.map(c =>
+        partValueCol(c, schema)): _*).distinct().count()
+      math.max(numFiles,
+        math.ceil(nTuples.toDouble / (maxPartTuplesPerFile / 2)).toInt)
+    }
+
   private def dvBulkRefusal(table: String, op: String, max: Long) =
     new IllegalArgumentException(
       s"$op into $table: more than $max matching rows — bulk DML; " +
@@ -3904,8 +3924,11 @@ object TableLog {
     validateChecks(updated, checksOf(snap.props),
       s"updateWhereDv into $table")
     // the updated images stage under the table's OWN partition spec —
-    // their tuple stats land exact like any other partitioned write
-    val staged = stage(updated, table, snap.keyCol, numFiles, snap.bloom,
+    // their tuple stats land exact like any other partitioned write;
+    // file count sized to the images' tuple spread (a broad update
+    // across many days must not trip the per-file tuple cap)
+    val staged = stage(updated, table, snap.keyCol,
+      dvImageNumFiles(updated, snap, numFiles), snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap, specId = snap.specId)
     val (removes, dvAdds) = dvCommitEntries(table, snap, hits, candidates,
       dvSurvivorStats(snap, live.where(!coalesce(cond, lit(false))),
@@ -4348,7 +4371,8 @@ object TableLog {
         dvSurvivorStats(snap, survivors, hits.keySet)
       }
     val staged = images.fold(Seq.empty[AddFile])(df =>
-      stage(df, table, snap.keyCol, numFiles, snap.bloom,
+      stage(df, table, snap.keyCol,
+        dvImageNumFiles(df, snap, numFiles), snap.bloom,
         partCols = snap.partCols, colMap = snap.colMap,
         specId = snap.specId))
     val (removes, dvAdds) =

@@ -1045,6 +1045,27 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.snapshot(spark, t).where($"k" === 5L).count() == 1L)
   }
 
+  test("merge-on-read image staging sizes itself to the tuple spread: " +
+      "a DML touching MORE partitions than the per-file cap lands") {
+    import spark.implicits._
+    val tp = freshDir()
+    // 100 distinct partition values — beyond maxPartTuplesPerFile (64)
+    TableLog.create((0L to 199L).map(i => (i, s"p${i % 100}", "old"))
+      .toDF("k", "p", "v"), tp, "k", 4, partCols = Seq("p"))
+    // a broad MoR update across every tuple: with the default single
+    // staged file this would refuse at the tuple cap; the spread-sized
+    // staging must land it
+    TableLog.updateWhereDv(spark, tp, col("v") === "old",
+      Map("v" -> lit("new")))
+    assert(TableLog.snapshot(spark, tp).where(col("v") === "new")
+      .count() == 200L)
+    // tuple stats stay exact through the wide update
+    val st = TableLog.state(tp)
+    st.active.foreach(a =>
+      assert(a.parts.map(_.rows).sum == a.liveRows, a))
+    assert(st.active.flatMap(_.parts).map(_.rows).sum == 200L)
+  }
+
   test("mergeDv key pruning reads ONLY the intersecting sliver: a " +
       "corrupted out-of-range file never opens; NMBS arms refuse it") {
     import spark.implicits._
