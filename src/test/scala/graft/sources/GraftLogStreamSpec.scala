@@ -375,6 +375,41 @@ class GraftLogStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("change feed rides through a MERGE-ON-READ MERGE commit: " +
+      "update, delete and insert arms emit change-exact in one batch") {
+    import spark.implicits._
+    import graft.tablelog.TableLog.{MergeArm, MergeTargetPrefix => T, MergeSourcePrefix => S}
+    val t = Files.createTempDirectory("tlog_cdfmm_").toString
+    val cp = Files.createTempDirectory("tlog_cdfmm_cp_").toString
+    TableLog.create(kv((0L to 19L).map(i => (i, s"a$i"))), t, "k", 2)
+    TableLog.mergeDv(spark, t,
+      Seq((5L, "UPD", "u"), (7L, "", "d"), (100L, "NEW", "i"))
+        .toDF("k", "v", "op"),
+      col(T + "k") === col(S + "k"),
+      matched = Seq(
+        MergeArm(Some(col(S + "op") === "d"), "delete"),
+        MergeArm(None, "update", Map("v" -> col(S + "v")))),
+      notMatched = Seq(MergeArm(None, "insert",
+        Map("k" -> col(S + "k"), "v" -> col(S + "v"))))) // v2
+    val q = spark.readStream
+      .format("graft.sources.GraftLogStreamProvider")
+      .option("path", t).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("tlog_cdfmm_probe")
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      val v2 = spark.table("tlog_cdfmm_probe").collect()
+        .filter(_.getLong(4) == 2L)
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2),
+          if (r.isNullAt(3)) null else r.getString(3))).sortBy(_._1)
+      assert(v2.toSeq == Seq((5L, "update", "a5", "UPD"),
+        (7L, "delete", "a7", null), (100L, "insert", null, "NEW")),
+        v2.mkString(","))
+    } finally q.stop()
+  }
+
   test("skipChangeCommits drops rewrite commits wholesale: appends " +
       "flow, DV and COW deletes never fail or double-count the stream") {
     import spark.implicits._

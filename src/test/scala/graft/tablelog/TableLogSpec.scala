@@ -1027,6 +1027,13 @@ class TableLogSpec extends SparkSuite {
       !got.contains(7L) && got(6L) == "a6", s"merge readback wrong")
     // stats stay answerable and exact through the MoR merge
     assert(TableLog.statsOf(t) == ((100L, 0L, 200L)))
+    // the change-exact diff reads the MoR merge commit exactly:
+    // contentId identity sees the DV re-adds, each side applies its
+    // own deletion vector — update, delete and insert all surface
+    val diff = TableLog.diffVersions(spark, t, 1L, 2L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(5L -> "update", 7L -> "delete", 200L -> "insert"),
+      s"MoR merge diff wrong: $diff")
     // cardinality: two source rows modifying one target row refuse
     val e = intercept[IllegalArgumentException] {
       TableLog.mergeDv(spark, t,
