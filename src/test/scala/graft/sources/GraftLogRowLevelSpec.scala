@@ -179,6 +179,48 @@ class GraftLogRowLevelSpec extends SparkSuite {
       parts.toString)
   }
 
+  test("merge-on-read SQL MERGE composes with GENERATED columns: " +
+      "update arms recompute an omitted gencol from NEW values, " +
+      "insert arms compute it from the arm's own assignments") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_mordvg_").toString + "/t"
+    TableLog.createEmpty(t, "sid BIGINT, k BIGINT, x BIGINT, band STRING",
+      "k", props = Map(
+        "identity.sid" -> "1",
+        "gencol.band" -> "CASE WHEN x >= 10 THEN 'hi' ELSE 'lo' END",
+        "merge.mode" -> "merge-on-read"))
+    TableLog.appendIdentity(
+      Seq((1L, 5L), (2L, 20L), (3L, 7L)).toDF("k", "x"), t, 1)
+    val before = TableLog.state(t).active.map(_.relPath).toSet
+    Seq((1L, 50L), (9L, 3L)).toDF("k", "x")
+      .createOrReplaceTempView("mordvg_src")
+    try {
+      // both arms OMIT band: the analyzer completion injects the
+      // recompute (update: NEW x substituted) / compute (insert: the
+      // arm's own x), and the synthetic CHECK gates the images
+      spark.sql(
+        s"""MERGE INTO graftlog.`$t` tg USING mordvg_src s ON tg.k = s.k
+           |WHEN MATCHED THEN UPDATE SET x = s.x
+           |WHEN NOT MATCHED THEN INSERT (k, x) VALUES (s.k, s.x)
+           |""".stripMargin)
+    } finally spark.catalog.dropTempView("mordvg_src")
+    val st = TableLog.state(t)
+    assert(st.active.exists(_.dv.isDefined) &&
+      before.subsetOf(st.active.map(_.relPath).toSet),
+      "gencol MERGE did not route merge-on-read")
+    val got = spark.sql(
+      s"SELECT k, sid, x, band FROM graftlog.`$t` ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    // k=1: updated x=50 -> band recomputed 'hi', sid preserved;
+    // k=9: inserted x=3 -> band 'lo', sid allocated (next = 4)
+    assert(got == Seq((1L, 1L, 50L, "hi"), (2L, 2L, 20L, "hi"),
+      (3L, 3L, 7L, "lo"), (9L, 4L, 3L, "lo")), got.toString)
+    assert(st.props("identity.sid") == "5")
+  }
+
   test("DELETE with an untranslatable predicate takes the row-level " +
       "rewrite; survivors exact even when whole files die") {
     val t = freshTable()
