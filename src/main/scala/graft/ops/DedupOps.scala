@@ -2779,7 +2779,14 @@ object DedupOps {
       .select($"source", $"sh").distinct()
     val shared = corpus.join(broadcast(bench), Seq("sh"))
       .groupBy($"source", $"suite").agg(count(lit(1)).as("n_shared"))
-    val srcs = corpus.select($"source").distinct()
+    // the source universe comes from the DOCUMENTS table, not the
+    // shingled frame — a source whose docs are all shorter than the
+    // 8-gram window sheds no shingles yet must still show its
+    // zero-containment row (the matrix contract: holes read as
+    // "not measured")
+    val srcs = Tables.documents(s, dir)
+      .where($"doc_id" >= contamBenchmarkIds)
+      .select($"source").distinct()
     srcs.crossJoin(suiteTotals)
       .join(shared, Seq("source", "suite"), "left")
       .select($"source", $"suite",

@@ -588,10 +588,24 @@ case class GraftMergeDvCommand(path: String, source: LogicalPlan,
           }
           def env(sc: String): Option[(Long, Long)] = {
             import org.apache.spark.sql.functions.{col, max, min}
-            val r = srcDf.agg(min(col(sc)).cast("long"),
-              max(col(sc)).cast("long")).collect().head
-            if (r.isNullAt(0) || r.isNullAt(1)) None
-            else Some((r.getLong(0), r.getLong(1)))
+            import org.apache.spark.sql.types.{IntegerType, LongType}
+            // integral source keys ONLY: a min/max over a string (or
+            // other) column is lexicographic, and casting the BOUNDS
+            // afterwards yields an envelope like ("10","9") → (10,9)
+            // that silently prunes files holding real matches. The
+            // manifest key domain is integral; anything else skips
+            // pruning rather than risking soundness.
+            val integral = srcDf.schema.fields
+              .find(_.name == sc)
+              .exists(f => f.dataType == LongType ||
+                f.dataType == IntegerType)
+            if (!integral) None
+            else {
+              val r = srcDf.agg(min(col(sc)).cast("long"),
+                max(col(sc)).cast("long")).collect().head
+              if (r.isNullAt(0) || r.isNullAt(1)) None
+              else Some((r.getLong(0), r.getLong(1)))
+            }
           }
           (side(a), side(b)) match {
             case (Some(Left(tc)), Some(Right(sc)))

@@ -136,10 +136,16 @@ class GraftLogStreamProvider extends TableProvider {
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(properties.containsKey("path"),
+    // Spark hands getTable the CASE-PRESERVING map while inferSchema
+    // got a CaseInsensitiveStringMap — reading the raw map here would
+    // let option("Branch", …) validate against the branch in
+    // inferSchema yet silently stream MAIN's data from getTable.
+    // Re-wrap so the two phases can never disagree on an option.
+    val opts = new CaseInsensitiveStringMap(properties)
+    require(opts.containsKey("path"),
       "graftlog stream: option 'path' (the table directory) is required")
-    val path = effectivePath(properties.get, properties.get("path"))
-    if (cdfRequested(properties.get))
+    val path = effectivePath(opts.get, opts.get("path"))
+    if (cdfRequested(opts.get))
       new GraftLogChangeFeedTable(path, schema)
     else new GraftLogStreamTable(path,
       StructType(schema.fields.map(_.copy(nullable = true))))

@@ -2102,6 +2102,38 @@ object TableLog {
     }.toMap
     val omittedGens = gens.filter { case (g, _) =>
       genOmittedIn(g).nonEmpty }
+    // SUPPLIED-value audit over the WHOLE sliver: a file that WROTE a
+    // gencol must satisfy the synthetic definition even when it needs
+    // no other finishing — otherwise a heterogeneous sliver lands a
+    // wrong supplied value in a byte-untouched file while the
+    // omitting files are finished around it. One aggregation over
+    // only the staged files; rows from files that OMITTED a column
+    // are excluded for that column (their null-fill is the
+    // completion pass's job, not a violation).
+    if (gens.nonEmpty) {
+      val segsA = split(input_file_name(), "/")
+      val audit = readFiles(spark, table, snap, adds)
+        .withColumn("__cf",
+          concat(element_at(segsA, -2), lit("/"), element_at(segsA, -1)))
+      val schemaA = StructType.fromDDL(snap.schemaDdl)
+      val cells = gens.map { case (g, sql) =>
+        val omitted = genOmittedIn(g).toSeq.sorted
+        val inOmitted =
+          if (omitted.isEmpty) lit(false)
+          else col("__cf").isin(omitted: _*)
+        sum(when(!inOmitted &&
+          !(col(g) <=> expr(sql).cast(schemaA(g).dataType)), 1L)
+          .otherwise(0L))
+      }
+      val row = audit.agg(cells.head, cells.tail: _*).collect().head
+      gens.zipWithIndex.foreach { case ((g, sql), i) =>
+        if (!row.isNullAt(i) && row.getLong(i) > 0L)
+          throw new IllegalArgumentException(
+            s"$op: ${row.getLong(i)} staged row(s) violate the " +
+              s"generated-column definition of '$g' ($sql) — nothing " +
+              "was committed")
+      }
+    }
     val idInfo = ids.headOption
     val frame0 = readFiles(spark, table, snap, adds)
     // identity accounting at file grain: one agg over the staged sliver
@@ -2981,12 +3013,19 @@ object TableLog {
           .flatMap(a => keyOf(Paths.get(table, a.relPath))
             .map(k => k -> a.dv.map(_._1)))
           .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).toSet }
+        // A DV-LESS branch entry whose bytes main references is
+        // published even when main's CURRENT entry carries a DV —
+        // main DV-editing an adopted file AFTER the publish is main's
+        // own work, not the branch's; only a branch-side token main
+        // lacks marks unpublished staged deletes/updates.
         val unpublished = b.active.filterNot { a =>
           val rel = mainP.relativize(
             Paths.get(dst, a.relPath).toAbsolutePath.normalize).toString
           mIds((rel, a.dv.map(_._1))) ||
+            (a.dv.isEmpty && mIds.exists(_._1 == rel)) ||
             keyOf(Paths.get(dst, a.relPath)).exists(k =>
-              mainKeyDv.get(k).exists(_.contains(a.dv.map(_._1))))
+              mainKeyDv.get(k).exists(s =>
+                a.dv.isEmpty || s.contains(a.dv.map(_._1))))
         }
         require(unpublished.isEmpty,
           s"branch '$name' holds ${unpublished.size} active file(s) " +
@@ -3725,6 +3764,17 @@ object TableLog {
         math.ceil(nTuples.toDouble / (maxPartTuplesPerFile / 2)).toInt)
     }
 
+  /** The bulk guard's limit-probe size: `maxM + 1` clamped into the
+    * Int domain WITHOUT overflow — a user raising the cap to
+    * Long.MaxValue (the refusal's own advice names the knob) must
+    * not wrap the probe to a zero/negative limit that silently
+    * collects NOTHING (a no-op delete, or a merge committing images
+    * with no dead positions — duplicated rows). At/above 2^31−1 the
+    * probe degenerates to the collect's own position-domain bound. */
+  private def dvProbeN(maxM: Long): Int =
+    if (maxM >= Int.MaxValue.toLong - 1L) Int.MaxValue
+    else math.max(1L, maxM + 1L).toInt
+
   private def dvBulkRefusal(table: String, op: String, max: Long) =
     new IllegalArgumentException(
       s"$op into $table: more than $max matching rows — bulk DML; " +
@@ -3816,7 +3866,7 @@ object TableLog {
     val maxM = dvMaxMatched(spark)
     val raw = live.where(cond)
       .select(col("__graft_f") +: col("__graft_p") +: tupleCols: _*)
-      .limit(math.min(maxM + 1L, Int.MaxValue.toLong).toInt)
+      .limit(dvProbeN(maxM))
       .collect()
     if (raw.length > maxM)
       throw dvBulkRefusal(table, "deleteWhereDv", maxM)
@@ -4321,11 +4371,15 @@ object TableLog {
       case Some(fr) =>
         val perArm = notMatched.zipWithIndex.map { case (a, i) =>
           insertImage(fr, a, i) }
-        val merged0 = perArm.reduce(_.unionByName(_))
+        // frozen for EVERY table, not just identity: the insert frame
+        // feeds the CHECK validation, the tuple-spread sizing and the
+        // stage write — three evaluations of the same anti-join, and
+        // a nondeterministic source would let committed rows diverge
+        // from the validated ones (the freeze-then-assign doctrine)
+        val frozen = perArm.reduce(_.unionByName(_)).localCheckpoint(true)
         idOpt match {
-          case None => (Seq(merged0), 0L)
+          case None => (Seq(frozen), 0L)
           case Some((c, hwm, step)) =>
-            val frozen = merged0.localCheckpoint(true)
             val n = frozen.count()
             if (n == 0L) (Nil, 0L)
             else (Seq(allocateIds(spark, frozen, c, hwm, step)
@@ -4347,8 +4401,7 @@ object TableLog {
     val raw = deadFrames.reduceOption(_.unionByName(_)) match {
       case None => Array.empty[org.apache.spark.sql.Row]
       case Some(df) =>
-        val got = df.limit(math.min(maxM + 1L, Int.MaxValue.toLong).toInt)
-          .collect()
+        val got = df.limit(dvProbeN(maxM)).collect()
         if (got.length > maxM) throw dvBulkRefusal(table, "mergeDv", maxM)
         got
     }

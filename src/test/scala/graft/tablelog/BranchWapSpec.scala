@@ -546,5 +546,14 @@ class BranchWapSpec extends SparkSuite {
     TableLog.dropBranch(t, "dvgate")
     assert(TableLog.snapshot(spark, t).collect().map(_.getLong(0)).toSet
       == (0L to 7L).toSet - 2L)
+    // MAIN's own post-publish DV edit is main's work, not the
+    // branch's: a fully published branch still drops after main
+    // DV-deletes from a file the branch references DV-less
+    val t2 = freshDir()
+    TableLog.create(kv((0L to 7L).map(i => (i, s"x$i"))), t2, "k", 1)
+    TableLog.branch(t2, "pubdv")
+    TableLog.deleteWhereDv(spark, t2, col("k") === 5L) // main's OWN edit
+    TableLog.dropBranch(t2, "pubdv") // must not read it as branch work
+    assert(TableLog.listBranches(t2).isEmpty)
   }
 }

@@ -987,6 +987,14 @@ class TableLogSpec extends SparkSuite {
       // a sliver under the cap lands normally
       TableLog.deleteWhereDv(spark, t, col("k") < 5L)
       assert(TableLog.liveRowsOf(t) == 95L)
+      // the refusal's own advice ("raise the knob") must not wrap the
+      // probe: at Long.MaxValue the delete still DELETES (a silent
+      // zero-limit no-op here would report success and remove nothing)
+      spark.conf.set("spark.graft.dv.maxMatchedRows",
+        Long.MaxValue.toString)
+      TableLog.deleteWhereDv(spark, t, col("k") === 7L)
+      assert(TableLog.liveRowsOf(t) == 94L,
+        "an un-capped DV delete must still delete")
     } finally spark.conf.unset("spark.graft.dv.maxMatchedRows")
   }
 
