@@ -1081,6 +1081,28 @@ class TableLogSpec extends SparkSuite {
     assert(st.active.flatMap(_.parts).map(_.rows).sum == 200L)
   }
 
+  test("mergeDv composes with COLUMN MAPPING: a renamed column's old " +
+      "bytes read and stage correctly through the merge-on-read merge") {
+    import spark.implicits._
+    import TableLog.{MergeArm, MergeTargetPrefix => T, MergeSourcePrefix => S}
+    val t = freshDir()
+    TableLog.create(kv((0L to 19L).map(i => (i, s"a$i"))), t, "k", 2)
+    TableLog.renameColumn(t, "v", "label") // metadata-only; files keep 'v'
+    TableLog.mergeDv(spark, t,
+      Seq((3L, "UPD"), (100L, "NEW")).toDF("k", "label"),
+      col(T + "k") === col(S + "k"),
+      matched = Seq(MergeArm(None, "update",
+        Map("label" -> col(S + "label")))),
+      notMatched = Seq(MergeArm(None, "insert",
+        Map("k" -> col(S + "k"), "label" -> col(S + "label")))))
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 21 && got(3L) == "UPD" && got(100L) == "NEW" &&
+      got(4L) == "a4", s"colMap merge readback wrong: $got")
+    // the DV'd pre-rename file still reads through the map
+    assert(TableLog.state(t).active.exists(_.dv.isDefined))
+  }
+
   test("mergeDv key pruning reads ONLY the intersecting sliver: a " +
       "corrupted out-of-range file never opens; NMBS arms refuse it") {
     import spark.implicits._
