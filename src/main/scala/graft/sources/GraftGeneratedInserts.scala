@@ -90,8 +90,8 @@ class GraftGeneratedInsertRule(session: SparkSession)
             // everywhere) so routing can fall back to COW
             // mid-spec-evolution instead of refusing
             if (ids.isEmpty && gens.isEmpty &&
-                !props.get("update.mode").contains("merge-on-read") &&
-                !props.get("merge.mode").contains("merge-on-read")) None
+                !GraftLogTable.morDeclared(props, "update.mode") &&
+                !GraftLogTable.morDeclared(props, "merge.mode")) None
             else Some((tp, ids, gens, props,
               GraftLogTable.dvSpecClean(snap)))
           })
@@ -177,7 +177,7 @@ class GraftGeneratedInsertRule(session: SparkSession)
           // path can't prove ids unchanged, and the loud compact
           // advice beats a silent wrong route)
           val morDeclared =
-            props.get("update.mode").contains("merge-on-read") && dvOk
+            GraftLogTable.morDeclared(props, "update.mode") && dvOk
           if (ids.isEmpty && !morDeclared) u.copy(assignments = full)
           else {
             // the DV-update path reads the bare table frame — strip
@@ -235,7 +235,7 @@ class GraftGeneratedInsertRule(session: SparkSession)
           // WITH SCHEMA EVOLUTION fall back to the COW route, which
           // handles both — a silent wrong route beats nothing, a loud
           // right route beats both
-          if (props.get("merge.mode").contains("merge-on-read") && dvOk &&
+          if (GraftLogTable.morDeclared(props, "merge.mode") && dvOk &&
               !m.withSchemaEvolution)
             mergeDvCommand(path, completed, rel, alias, ids)
           else completed

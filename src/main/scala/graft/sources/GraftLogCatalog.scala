@@ -1012,7 +1012,7 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
     // until a compaction migrates the layout
     val prune = GraftLogTable.deletePrune(
       SparkSession.active, tablePath, snap, filters.toSeq)
-    if (snap.props.get("delete.mode").contains("merge-on-read") &&
+    if (GraftLogTable.morDeclared(snap.props, "delete.mode") &&
         GraftLogTable.dvSpecClean(snap)) {
       // the DV route prunes its candidate scan with the SAME manifest
       // stat layers as the COW route — a key-ranged merge-on-read
@@ -1032,6 +1032,16 @@ object GraftLogTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
+
+  /** The per-operation merge-on-read gate with the `dv.mode`
+    * UMBRELLA fallback (Delta's single enableDeletionVectors knob):
+    * `op` (`delete.mode`/`update.mode`/`merge.mode`) wins when set —
+    * so one operation can opt out under the umbrella — and `dv.mode`
+    * covers the rest. ONE definition for all three routing sites so
+    * the umbrella can never drift per surface. */
+  private[sources] def morDeclared(props: Map[String, String],
+      op: String): Boolean =
+    props.get(op).orElse(props.get("dv.mode")).contains("merge-on-read")
 
   /** True when every active file of a PARTITIONED table carries
     * current-spec tuple stats — the precondition for merge-on-read

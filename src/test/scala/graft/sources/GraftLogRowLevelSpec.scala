@@ -221,6 +221,49 @@ class GraftLogRowLevelSpec extends SparkSuite {
     assert(st.props("identity.sid") == "5")
   }
 
+  test("dv.mode umbrella: ONE property routes SQL DELETE, UPDATE and " +
+      "MERGE merge-on-read; a per-operation mode overrides it") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_dvmode_").toString
+    TableLog.create((0L to 99L).map(i => (i, s"a$i")).toDF("k", "v"),
+      t, "k", numFiles = 4)
+    TableLog.setProps(t, TableLog.state(t).props +
+      ("dv.mode" -> "merge-on-read"))
+    val before = TableLog.state(t).active.map(_.relPath).toSet
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE k = 3")
+    spark.sql(s"UPDATE graftlog.`$t` SET v = 'upd' WHERE k = 5")
+    Seq((7L, "mrg"), (200L, "new")).toDF("k", "v")
+      .createOrReplaceTempView("dvmode_src")
+    try {
+      spark.sql(
+        s"""MERGE INTO graftlog.`$t` tg USING dvmode_src s ON tg.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+           |""".stripMargin)
+    } finally spark.catalog.dropTempView("dvmode_src")
+    val st = TableLog.state(t)
+    assert(before.subsetOf(st.active.map(_.relPath).toSet),
+      "umbrella-routed DML rewrote an original file")
+    assert(st.active.count(_.dv.isDefined) >= 1, "no DV landed")
+    val got = spark.sql(s"SELECT k, v FROM graftlog.`$t` ORDER BY k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 100 && !got.contains(3L) && got(5L) == "upd" &&
+      got(7L) == "mrg" && got(200L) == "new" && got(8L) == "a8", got.toString)
+    // a per-op mode OVERRIDES the umbrella: delete opts back to
+    // copy-on-write while update/merge stay merge-on-read
+    TableLog.setProps(t, TableLog.state(t).props +
+      ("delete.mode" -> "copy-on-write"))
+    val files2 = TableLog.state(t).active.map(_.relPath).toSet
+    spark.sql(s"DELETE FROM graftlog.`$t` WHERE k = 9")
+    assert(!files2.subsetOf(
+      TableLog.state(t).active.map(_.relPath).toSet),
+      "the per-op copy-on-write override did not rewrite")
+    assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+      .collect().head.getLong(0) == 99L)
+  }
+
   test("DELETE with an untranslatable predicate takes the row-level " +
       "rewrite; survivors exact even when whole files die") {
     val t = freshTable()
