@@ -543,10 +543,21 @@ case class GraftMergeDvCommand(path: String, source: LogicalPlan,
         allowT: Boolean, allowS: Boolean): Seq[TableLog.MergeArm] =
       raw.map { case (kind, cond, set, star) =>
         val assigns: Map[String, Column] =
+          // star arms require the source to carry EVERY target column
+          // — the SAME contract the copy-on-write route enforces
+          // (Spark's own merge resolution fails UNRESOLVED_COLUMN on a
+          // star arm whose source lacks a target column, verified
+          // against 4.1 and pinned by GraftLogRowLevelSpec), so
+          // flipping merge.mode changes the write shape, never which
+          // statements are accepted. Refusal is loud; a partial
+          // source names its columns explicitly on either route.
           if (star) schema.fieldNames.map { c =>
             require(sCols.contains(lc(c)),
               s"MERGE into graftlog table $path: UPDATE */INSERT * " +
-                s"needs source column '$c', which the source lacks")
+                s"needs source column '$c', which the source lacks — " +
+                "star arms require the full target width (the same " +
+                "contract as the copy-on-write route); name the " +
+                "columns explicitly for a partial-source merge")
             c -> ColumnBridge.column(sRef(c))
           }.toMap
           else set.map { case (k, b) =>
@@ -556,13 +567,18 @@ case class GraftMergeDvCommand(path: String, source: LogicalPlan,
           cond.map(b => ColumnBridge.column(rewrite(b.e, allowT, allowS))),
           kind, assigns)
       }
-    // candidate pruning: when the ON condition is an equality on the
-    // TABLE KEY (the CDC shape) and no not-matched-by-source arm
-    // needs the full target, the source's key envelope (one agg over
-    // the small CDC side) prunes the candidate files through the
-    // manifest key ranges — a sparse merge on a 100-TB table scans
-    // the intersecting sliver, never the active set
-    val pruneKeys: Option[(Long, Long)] =
+    // candidate pruning: when the ON condition is a plain cross-side
+    // equality and no not-matched-by-source arm needs the full
+    // target, pass the (targetCol, sourceCol) pair and let mergeDv
+    // aggregate the envelope over its OWN frozen source frame — the
+    // command computing it here on a separate evaluation of the
+    // source plan was both a double cost and a soundness hole (a
+    // nondeterministic source could drift outside a pre-computed
+    // envelope, silently pruning its match and re-inserting a
+    // duplicate). Integral keys prune by manifest key range; other
+    // integral and STRING columns by the per-file column stats —
+    // binary collation, the file-skip layer's own semantics.
+    val pruneOn: Option[(String, String)] =
       if (nmbs.nonEmpty) None
       else on.e match {
         case org.apache.spark.sql.catalyst.expressions.EqualTo(
@@ -586,32 +602,9 @@ case class GraftMergeDvCommand(path: String, source: LogicalPlan,
                 else None
             }
           }
-          def env(sc: String): Option[(Long, Long)] = {
-            import org.apache.spark.sql.functions.{col, max, min}
-            import org.apache.spark.sql.types.{IntegerType, LongType}
-            // integral source keys ONLY: a min/max over a string (or
-            // other) column is lexicographic, and casting the BOUNDS
-            // afterwards yields an envelope like ("10","9") → (10,9)
-            // that silently prunes files holding real matches. The
-            // manifest key domain is integral; anything else skips
-            // pruning rather than risking soundness.
-            val integral = srcDf.schema.fields
-              .find(_.name == sc)
-              .exists(f => f.dataType == LongType ||
-                f.dataType == IntegerType)
-            if (!integral) None
-            else {
-              val r = srcDf.agg(min(col(sc)).cast("long"),
-                max(col(sc)).cast("long")).collect().head
-              if (r.isNullAt(0) || r.isNullAt(1)) None
-              else Some((r.getLong(0), r.getLong(1)))
-            }
-          }
           (side(a), side(b)) match {
-            case (Some(Left(tc)), Some(Right(sc)))
-                if tc == snap.keyCol => env(sc)
-            case (Some(Right(sc)), Some(Left(tc)))
-                if tc == snap.keyCol => env(sc)
+            case (Some(Left(tc)), Some(Right(sc))) => Some((tc, sc))
+            case (Some(Right(sc)), Some(Left(tc))) => Some((tc, sc))
             case _ => None
           }
         case _ => None
@@ -621,7 +614,7 @@ case class GraftMergeDvCommand(path: String, source: LogicalPlan,
       matched = toArms(matched, allowT = true, allowS = true),
       notMatched = toArms(notMatched, allowT = false, allowS = true),
       notMatchedBySource = toArms(nmbs, allowT = true, allowS = false),
-      pruneKeys = pruneKeys)
+      pruneOn = pruneOn)
     Nil
   }
 }

@@ -1055,6 +1055,23 @@ object TableLog {
               s"$table: lost a $op race at v${latestVersion(table)} — " +
                 "this commit carries snapshot-derived metadata and " +
                 "cannot rebase; re-run the operation on the new snapshot")
+          // MERGE (and CDC-apply, its batch twin) commits never rebase:
+          // the remove-set replay below only protects files this commit
+          // REMOVES, but a merge's NOT-MATCHED (insert) and
+          // not-matched-by-source decisions read the WHOLE target — a
+          // concurrent append of rows matching the ON key invalidates
+          // them without touching any removed file, and rebasing would
+          // land duplicate-key inserts silently (the Delta/Iceberg
+          // serializable-merge conflict rule). An insert-only merge is
+          // exactly the case with an EMPTY remove set, so it must not
+          // slip through the replay either.
+          if (op == "merge" || op == "cdc")
+            throw new java.util.ConcurrentModificationException(
+              s"$table: lost a $op race at v${latestVersion(table)} — a " +
+                "merge's matched/not-matched decisions were computed " +
+                "against the old snapshot and a concurrent commit may " +
+                "have invalidated them; re-run the operation on the " +
+                "new snapshot")
           val now = state(table)
           // a concurrent writer already landed this producer version →
           // redelivered batch: drop it (exactly-once), don't re-append
@@ -3811,6 +3828,26 @@ object TableLog {
     }.toMap
   }
 
+  /** The rows of `live` that SURVIVE a merge-on-read DML — derived
+    * from the SAME collected (file, pos) hit rows the bitset sidecars
+    * are built from (one broadcast anti-join on the dead set), never
+    * from a second evaluation of the matching predicate: a
+    * nondeterministic condition (rand(), current_timestamp) could
+    * make a re-evaluated survivor set disagree with the recorded dead
+    * positions, and the dvExact bounds stamped from it would then
+    * answer stats-only aggregates silently wrong instead of refusing.
+    * Shared by all three DV DML verbs so none can regress alone. */
+  private def dvSurvivorsFrame(spark: SparkSession, live: DataFrame,
+      raw: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    val deadDf = raw.map(r => (r.getString(0), r.getLong(1))).toSeq
+      .toDF("__graft_dead_f", "__graft_dead_p")
+    live.join(broadcast(deadDf),
+      col("__graft_f") === col("__graft_dead_f") &&
+        col("__graft_p") === col("__graft_dead_p"), "left_anti")
+      .drop("__graft_dead_f", "__graft_dead_p")
+  }
+
   /** MERGE-ON-READ delete via DELETION VECTORS (Delta/Iceberg-v2's
     * DV lineage): instead of rewriting every touched file, record the
     * matching rows' POSITIONS in a per-file bitset sidecar and commit
@@ -3877,7 +3914,7 @@ object TableLog {
       .map { case (f, xs) => f -> xs.toSeq.map(x => (x._2, x._3)) }
     if (hits.isEmpty) return snap.version
     val (removes, adds) = dvCommitEntries(table, snap, hits, candidates,
-      dvSurvivorStats(snap, live.where(!coalesce(cond, lit(false))),
+      dvSurvivorStats(snap, dvSurvivorsFrame(spark, live, raw),
         hits.keySet))
     commit(table, snap.version, "delete", adds, removes, "", "")
   }
@@ -3931,9 +3968,10 @@ object TableLog {
     val tupleCols: Seq[Column] =
       if (snap.partCols.isEmpty) Nil
       else Seq(dvTupleCol(snap).as("__graft_t"))
-    val hits = matched
+    val rawHits = matched
       .select(col("__graft_f") +: col("__graft_p") +: tupleCols: _*)
-      .collect().map(r => (r.getString(0), r.getLong(1),
+      .collect()
+    val hits = rawHits.map(r => (r.getString(0), r.getLong(1),
         if (snap.partCols.isEmpty) Nil
         else r.getSeq[String](2).toList))
       .groupBy(_._1)
@@ -3981,7 +4019,7 @@ object TableLog {
       dvImageNumFiles(updated, snap, numFiles), snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap, specId = snap.specId)
     val (removes, dvAdds) = dvCommitEntries(table, snap, hits, candidates,
-      dvSurvivorStats(snap, live.where(!coalesce(cond, lit(false))),
+      dvSurvivorStats(snap, dvSurvivorsFrame(spark, live, rawHits),
         hits.keySet))
     commit(table, snap.version, "update",
       dvAdds ++ staged, removes, "", "")
@@ -4178,6 +4216,77 @@ object TableLog {
   final case class MergeArm(cond: Option[Column], kind: String,
       set: Map[String, Column] = Map.empty)
 
+  /** Candidate files for an equality-pruned [[mergeDv]] — the ON
+    * condition is a plain `target.tc = source.sc`, so a file whose
+    * recorded bounds for `tc` provably miss the SOURCE's value
+    * envelope can hold no matched pair, and the insert anti-join is
+    * equally unaffected by dropping it. Two bound sources:
+    *
+    *  - `tc` is the table KEY and `sc` integral → the always-present
+    *    per-file [min, max] key range ([[prunedFiles]]);
+    *  - otherwise the per-file COLUMN stats, when source and target
+    *    agree on the stat domain: integral ('l'), or STRING ('s' —
+    *    binary collation, the SAME over-approximated bounds the
+    *    file-skip layer trusts: the stored min is a prefix ≤ the true
+    *    min, the stored max rounds up or is unbounded, so
+    *    "keep iff min ≤ hi ∧ (max unbounded ∨ max ≥ lo)" never drops
+    *    a file holding a real match). String-vs-string comparison is
+    *    exactly what the old integral-only restriction forbade: the
+    *    unsoundness there was CASTING lexicographic bounds to longs,
+    *    not comparing strings as strings. Doubles never prune (an
+    *    equality envelope on floats is a smell, not a plan).
+    *
+    * The envelope aggregates over the ALREADY-frozen source (one tiny
+    * agg of the checkpointed CDC batch), so it can never disagree
+    * with the frame the joins read. Stat-less files, all-null
+    * envelopes and cross-domain stats keep everything — pruning only
+    * ever narrows where bounds PROVE absence. */
+  private def mergePruneCandidates(snap: Snapshot, source: DataFrame,
+      tc: String, sc: String): Seq[AddFile] = {
+    import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+    val sType: Option[DataType] =
+      source.schema.fields.find(_.name == sc).map(_.dataType)
+    val tType: Option[DataType] = StructType.fromDDL(snap.schemaDdl)
+      .fields.find(_.name == tc).map(_.dataType)
+    def intish(t: Option[DataType]) =
+      t.exists(x => x == LongType || x == IntegerType)
+    if (tc == snap.keyCol && intish(sType)) {
+      val r = source.agg(min(col(sc)).cast("long"),
+        max(col(sc)).cast("long")).collect().head
+      if (r.isNullAt(0) || r.isNullAt(1)) snap.active
+      else prunedFiles(snap, r.getLong(0), r.getLong(1))
+    } else {
+      val domain: Option[Char] =
+        if (intish(tType) && intish(sType)) Some('l')
+        else if (tType.contains(StringType) && sType.contains(StringType))
+          Some('s')
+        else None
+      domain match {
+        case None => snap.active
+        case Some(typ) =>
+          val r = source.agg(min(col(sc)), max(col(sc))).collect().head
+          if (r.isNullAt(0) || r.isNullAt(1)) snap.active
+          else {
+            val (lo, hi) = (r.get(0), r.get(1))
+            val phys = snap.physName(tc)
+            snap.active.filter { a =>
+              a.cols.find(_.col == phys) match {
+                case None => true
+                case Some(s) if s.typ != typ => true // domain drift: keep
+                case Some(s) =>
+                  val sMin: Any = if (s.typ == 'l') s.min.toLong else s.min
+                  val sMaxOpt: Option[Any] =
+                    if (s.typ == 's' && s.max == ColStatUnbounded) None
+                    else Some(if (s.typ == 'l') s.max.toLong else s.max)
+                  cmpStat(typ, sMin, hi) <= 0 &&
+                    sMaxOpt.forall(mx => cmpStat(typ, mx, lo) >= 0)
+              }
+            }
+          }
+      }
+    }
+  }
+
   /** Column-name prefixes of the [[mergeDv]] frame: every target
     * column is exposed as `__graft_t_<col>`, every source column as
     * `__graft_s_<col>`, so the ON condition and arm expressions can
@@ -4225,18 +4334,39 @@ object TableLog {
     * without not-matched-by-source arms: those must see every target
     * row, so the combination refuses. Matched pairs and the insert
     * anti-join are unaffected — a pruned file holds no key in the
-    * source's range, hence no possible match. The SQL route detects
-    * the key-equality ON shape and passes the envelope itself. */
+    * source's range, hence no possible match.
+    *
+    * `pruneOn = (targetCol, sourceCol)`: the generalized form the SQL
+    * route passes when the ON condition is a plain cross-side
+    * equality — mergeDv aggregates the envelope itself over the
+    * frozen source (so the bounds can never disagree with the join
+    * inputs) and prunes by the table-key range or the manifest's
+    * per-file COLUMN stats, integral and STRING domains alike (binary
+    * collation, the same over-approximated bounds the file-skip layer
+    * trusts) — see [[mergePruneCandidates]]. Same
+    * not-matched-by-source refusal. */
   def mergeDv(spark: SparkSession, table: String, source0: DataFrame,
       on: Column, matched: Seq[MergeArm] = Nil,
       notMatched: Seq[MergeArm] = Nil,
       notMatchedBySource: Seq[MergeArm] = Nil,
       numFiles: Int = 1,
-      pruneKeys: Option[(Long, Long)] = None): Long = {
+      pruneKeys: Option[(Long, Long)] = None,
+      pruneOn: Option[(String, String)] = None): Long = {
     val snap = state(table)
-    require(pruneKeys.isEmpty || notMatchedBySource.isEmpty,
+    require((pruneKeys.isEmpty && pruneOn.isEmpty) ||
+      notMatchedBySource.isEmpty,
       s"mergeDv into $table: key pruning cannot compose with " +
         "not-matched-by-source arms — they must see every target row")
+    // the source plan evaluates ONCE, before any join: the matched
+    // inner join, the not-matched-by-source anti-join, the insert
+    // anti-join and the prune envelope all read this frozen frame —
+    // a nondeterministic or concurrently-changing source must not be
+    // able to hand them mutually inconsistent row sets (a row both
+    // DV'd as matched AND re-inserted as a duplicate). Delta
+    // materializes the merge source for exactly this reason; the DV
+    // niche makes the checkpoint cheap (the source is the sparse CDC
+    // batch, not the table).
+    val source = source0.localCheckpoint(eager = true)
     matched.foreach(a => require(a.kind == "update" || a.kind == "delete",
       s"mergeDv into $table: matched arms are update/delete, got '${a.kind}'"))
     notMatched.foreach(a => require(a.kind == "insert",
@@ -4266,9 +4396,11 @@ object TableLog {
             "arms cannot assign it; omit it (matched rows keep their " +
             "ids, inserts allocate)"))
     }
-    val candidates = pruneKeys match {
-      case Some((lo, hi)) => prunedFiles(snap, lo, hi)
-      case None           => snap.active
+    val candidates = (pruneKeys, pruneOn) match {
+      case (Some((lo, hi)), _) => prunedFiles(snap, lo, hi)
+      case (None, Some((tc, sc))) =>
+        mergePruneCandidates(snap, source, tc, sc)
+      case (None, None) => snap.active
     }
     requireDvPartStats(table, snap, candidates)
     candidates.find(_.rows > Int.MaxValue).foreach(a =>
@@ -4295,7 +4427,7 @@ object TableLog {
       (if (partitioned) Seq(col("__graft_tuple")) else Nil)
     val tgt = live.select(schema.fieldNames.toSeq.map(c =>
       col(c).as(MergeTargetPrefix + c)) ++ provCols: _*)
-    val src = source0.select(source0.columns.toSeq.map(c =>
+    val src = source.select(source.columns.toSeq.map(c =>
       col(c).as(MergeSourcePrefix + c)): _*)
     // first-matching-arm resolution: arm i applies iff its condition
     // is TRUE and no earlier arm's was (SQL MERGE's clause order)
@@ -4414,15 +4546,8 @@ object TableLog {
     // this merge's dead positions
     val survivorStats =
       if (hits.isEmpty) Map.empty[String, (Long, Long, Seq[ColStat])]
-      else {
-        import spark.implicits._
-        val deadDf = raw.map(r => (r.getString(0), r.getLong(1))).toSeq
-          .toDF("__graft_dead_f", "__graft_dead_p")
-        val survivors = live.join(broadcast(deadDf),
-          col("__graft_f") === col("__graft_dead_f") &&
-            col("__graft_p") === col("__graft_dead_p"), "left_anti")
-        dvSurvivorStats(snap, survivors, hits.keySet)
-      }
+      else dvSurvivorStats(snap, dvSurvivorsFrame(spark, live, raw),
+        hits.keySet)
     val staged = images.fold(Seq.empty[AddFile])(df =>
       stage(df, table, snap.keyCol,
         dvImageNumFiles(df, snap, numFiles), snap.bloom,

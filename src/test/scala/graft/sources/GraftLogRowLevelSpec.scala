@@ -264,6 +264,87 @@ class GraftLogRowLevelSpec extends SparkSuite {
       .collect().head.getLong(0) == 99L)
   }
 
+  test("star MERGE arms enforce the SAME full-width source contract " +
+      "on the merge-on-read and copy-on-write routes: a partial " +
+      "source refuses on both, a full source lands on both") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    def mkTable(mor: Boolean): String = {
+      val t = Files.createTempDirectory("tlog_star_").toString
+      TableLog.create((0L to 19L).map(i => (i, s"a$i", i * 10L))
+        .toDF("k", "v", "w"), t, "k", numFiles = 2)
+      if (mor) TableLog.setProps(t, TableLog.state(t).props +
+        ("merge.mode" -> "merge-on-read"))
+      t
+    }
+    def starMerge(t: String, src: String): Unit = spark.sql(
+      s"""MERGE INTO graftlog.`$t` tg USING $src s ON tg.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val (tMor, tCow) = (mkTable(mor = true), mkTable(mor = false))
+    // a source LACKING 'w' refuses identically on both routes —
+    // Spark's own merge resolution fails the COW star arm, and the
+    // DV route mirrors the contract (flipping merge.mode must change
+    // the write shape, never which statements are accepted)
+    Seq((3L, "UPD")).toDF("k", "v").createOrReplaceTempView("star_part")
+    try {
+      intercept[Exception] { starMerge(tCow, "star_part") }
+      val e = intercept[Exception] { starMerge(tMor, "star_part") }
+      assert(e.getMessage.contains("w"), e.getMessage)
+    } finally spark.catalog.dropTempView("star_part")
+    // a FULL-width source lands the same result on both routes
+    Seq((3L, "UPD", 999L), (100L, "NEW", 5L)).toDF("k", "v", "w")
+      .createOrReplaceTempView("star_full")
+    def readback(t: String) =
+      spark.sql(s"SELECT k, v, w FROM graftlog.`$t` ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+    try {
+      starMerge(tMor, "star_full")
+      starMerge(tCow, "star_full")
+      val (gotMor, gotCow) = (readback(tMor), readback(tCow))
+      assert(gotMor == gotCow,
+        s"star-arm results drift across merge.mode:\n$gotMor\n$gotCow")
+      val byK = gotMor.map(x => x._1 -> ((x._2, x._3))).toMap
+      assert(byK(3L) == (("UPD", 999L)) && byK(100L) == (("NEW", 5L)),
+        byK.toString)
+      assert(TableLog.state(tMor).active.exists(_.dv.isDefined),
+        "the MoR table's star merge did not land deletion vectors")
+    } finally spark.catalog.dropTempView("star_full")
+  }
+
+  test("SQL MERGE on a STRING join column prunes candidates through " +
+      "the manifest's string column stats: a corrupted file outside " +
+      "the source's envelope never opens") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_strenv_").toString
+    TableLog.create((0L to 99L).map(i => (i, f"n$i%03d", "old"))
+      .toDF("k", "name", "v"), t, "k", numFiles = 4)
+    TableLog.setProps(t, TableLog.state(t).props +
+      ("merge.mode" -> "merge-on-read"))
+    val top = TableLog.state(t).active.maxBy(_.max)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(t, top.relPath), "not parquet".getBytes)
+    Seq(("n003", "UPD"), ("n021", "UPD21")).toDF("name", "nv")
+      .createOrReplaceTempView("strenv_src")
+    try {
+      spark.sql(
+        s"""MERGE INTO graftlog.`$t` tg USING strenv_src s
+           |ON tg.name = s.name
+           |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    } finally spark.catalog.dropTempView("strenv_src")
+    val st = TableLog.state(t)
+    val live = st.active.filter(_.relPath != top.relPath)
+    val got = TableLog.readFiles(spark, t, st, live)
+      .where($"k".isin(3L, 21L) || $"k" === 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(3L -> "UPD", 21L -> "UPD21", 5L -> "old"),
+      s"string-envelope SQL MERGE readback: $got")
+  }
+
   test("DELETE with an untranslatable predicate takes the row-level " +
       "rewrite; survivors exact even when whole files die") {
     val t = freshTable()

@@ -5,6 +5,13 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import graft.SparkSuite
 
+object TableLogSpec {
+  /** Shared mutable state for the nondeterministic-predicate pins —
+    * a companion static so the udf closure and the asserting test
+    * see the same counter in local mode. */
+  val ndFlips = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 class TableLogSpec extends SparkSuite {
 
   private def freshDir(): String =
@@ -1130,6 +1137,107 @@ class TableLogSpec extends SparkSuite {
         pruneKeys = Some((3L, 3L)))
     }
     assert(e.getMessage.contains("not-matched-by-source"), e.getMessage)
+  }
+
+  test("a MERGE losing a commit race NEVER rebases: its not-matched " +
+      "decisions read the whole target, so a concurrent append may " +
+      "have invalidated them without touching any removed file") {
+    val t = freshDir()
+    TableLog.create(kv(Seq(1L -> "a")), t, "k", 1)
+    val snap1 = TableLog.state(t)
+    // concurrent winner: appends k=2 while the merge below is in flight
+    TableLog.append(kv(Seq(2L -> "b")), t, 1) // v2
+    // loser: an INSERT-ONLY merge planned against v1 decided k=2 was
+    // NOT MATCHED — it removes nothing, so the remove-set replay
+    // cannot catch it; rebasing would land the duplicate key silently
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TableLog.commit(t, snap1.version, "merge",
+        adds = Seq(TableLog.AddFile("data/zz/m.parquet", 1L, 2L, 2L)),
+        removes = Nil, schemaDdl = "", keyCol = "")
+    }
+    assert(e.getMessage.contains("merge"), e.getMessage)
+    // appends against the same stale snapshot still rebase freely
+    val v = TableLog.commit(t, snap1.version, "append",
+      adds = Seq(TableLog.AddFile("data/zz/a.parquet", 1L, 9L, 9L)),
+      removes = Nil, schemaDdl = "", keyCol = "")
+    assert(v == 3L)
+  }
+
+  test("mergeDv materializes the source ONCE: the matched join, both " +
+      "anti-joins and the staged write all read the same frozen frame " +
+      "(a nondeterministic source stays self-consistent)") {
+    import spark.implicits._
+    import TableLog.{MergeArm, MergeTargetPrefix => T, MergeSourcePrefix => S}
+    val t = freshDir()
+    TableLog.create(kv((0L to 9L).map(i => (i, s"a$i"))), t, "k", 1)
+    val evals = spark.sparkContext.longAccumulator("graft-src-evals")
+    val tick = udf { (k: Long) => evals.add(1L); k }.asNondeterministic()
+    val src = Seq((3L, "UPD"), (100L, "NEW")).toDF("k0", "v")
+      .select(tick(col("k0")).as("k"), col("v"))
+    TableLog.mergeDv(spark, t, src, col(T + "k") === col(S + "k"),
+      matched = Seq(MergeArm(None, "update", Map("v" -> col(S + "v")))),
+      notMatched = Seq(MergeArm(None, "insert",
+        Map("k" -> col(S + "k"), "v" -> col(S + "v")))))
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 11 && got(3L) == "UPD" && got(100L) == "NEW", got)
+    assert(evals.value == 2L,
+      s"source plan evaluated ${evals.value} row-expressions for a " +
+        "2-row source — the source must freeze before any join")
+  }
+
+  test("DV DML survivor stats derive from the COLLECTED dead " +
+      "positions, never a second predicate evaluation: a cond that " +
+      "answers differently on re-evaluation still stamps EXACT bounds") {
+    import spark.implicits._
+    val t = freshDir()
+    TableLog.create(kv((0L to 9L).map(i => (i, s"a$i"))), t, "k", 1)
+    // true for k=9 on its FIRST evaluation only: a survivor pass that
+    // re-ran the predicate would see k=9 as a survivor and stamp
+    // max=9 as dvExact while the row is dead
+    val once = udf { (k: Long) =>
+      k == 9L && TableLogSpec.ndFlips.incrementAndGet() == 1L
+    }.asNondeterministic()
+    TableLog.deleteWhereDv(spark, t, once(col("k")))
+    assert(TableLog.snapshot(spark, t).count() == 9L)
+    assert(TableLog.statsOf(t) == ((9L, 0L, 8L)),
+      s"survivor bounds must exclude the dead extremum: " +
+        s"${TableLog.statsOf(t)}")
+  }
+
+  test("mergeDv STRING envelope pruning (pruneOn): an ON equality on " +
+      "a stat-covered string column reads ONLY the intersecting " +
+      "files — a corrupted out-of-range file never opens") {
+    import spark.implicits._
+    import TableLog.{MergeArm, MergeTargetPrefix => T, MergeSourcePrefix => S}
+    val t = freshDir()
+    // names correlate with the key, so the 4 range-partitioned files
+    // carry disjoint string stat ranges for 'name'
+    TableLog.create((0L to 99L).map(i => (i, f"n$i%03d", "old"))
+      .toDF("k", "name", "v"), t, "k", 4)
+    val top = TableLog.state(t).active.maxBy(_.max)
+    Files.write(Paths.get(t, top.relPath), "not parquet".getBytes)
+    TableLog.mergeDv(spark, t,
+      Seq(("n003", "UPD"), ("n004", "UPD4")).toDF("name", "nv"),
+      col(T + "name") === col(S + "name"),
+      matched = Seq(MergeArm(None, "update", Map("v" -> col(S + "nv")))),
+      pruneOn = Some(("name", "name")))
+    val st = TableLog.state(t)
+    val live = st.active.filter(_.relPath != top.relPath)
+    val got = TableLog.readFiles(spark, t, st, live)
+      .where($"k" === 3L).collect().head.getString(2)
+    assert(got == "UPD", s"string-envelope-pruned merge readback: $got")
+    // cross-domain / key-range forms still work: integral pruneOn on
+    // the table key takes the manifest key range
+    TableLog.mergeDv(spark, t, Seq((5L, "UPD5")).toDF("k", "nv"),
+      col(T + "k") === col(S + "k"),
+      matched = Seq(MergeArm(None, "update", Map("v" -> col(S + "nv")))),
+      pruneOn = Some(("k", "k")))
+    val st2 = TableLog.state(t)
+    val got5 = TableLog.readFiles(spark, t, st2,
+      st2.active.filter(_.relPath != top.relPath))
+      .where($"k" === 5L).collect().head.getString(2)
+    assert(got5 == "UPD5", s"key pruneOn readback: $got5")
   }
 
   test("a rewrite planned before a concurrent DV commit on the same " +
