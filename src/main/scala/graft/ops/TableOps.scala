@@ -3901,6 +3901,81 @@ object TableOps {
       |  (written - live) * 10000 // written >= 200 AS compact_advised
       |FROM w ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q519
+  /** PARTITION-SCOPED COMPACTION (`CALL graftlog.compact_where`) —
+    * acting on q514's advice at the cost of the named day, not the
+    * table: the fixture lands a GDPR-style DV erasure wave across
+    * four `days(ts)` partitions, then folds ONLY day 2's debt. The
+    * readout is the advisor's post-action view — per day, live rows
+    * (the `#partitions` fold, exact through both the DVs and the
+    * scoped rewrite) and the REMAINING sidecar debt (manifest-grain:
+    * `rows − liveRows` over the day's active files) — proving the
+    * folded day reads zero debt while every other day's debt (and
+    * bytes — spec-pinned by mtime) is untouched.
+    *
+    * Scale shape: the condition compiles to partition predicates and
+    * selects files from TUPLE STATS alone (no data file opens to
+    * plan); the rewrite reads exactly the selected day's files. Both
+    * readout planes are O(files) manifest folds. At 100 TB this is
+    * the difference between folding one day's debt and a full-table
+    * rewrite. */
+  private val compactWhereCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q519CompactWhere(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = compactWhereCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogcw_").toString + "/t"
+      val slice = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id", $"event_type")
+        .where($"event_id" % 4 === 3 &&
+          $"ts" < lit("2024-01-05").cast("timestamp"))
+      TableLog.createEmpty(path,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING",
+        "event_id", partCols = Seq("days:ts"))
+      // one append per day → per-file day attribution stays exact
+      (1 to 4).foreach { d =>
+        TableLog.append(slice.where(dayofmonth($"ts") === d), path, 1)
+      }
+      TableLog.deleteWhereDv(s, path, pmod($"user_id", lit(7)) === 2L)
+      s.sql(s"CALL graftlog.compact_where('$path', " +
+        "\"ts >= TIMESTAMP'2024-01-02 00:00:00' AND " +
+        "ts <= TIMESTAMP'2024-01-02 23:59:59'\", 1)")
+      path
+    })
+    // remaining sidecar debt per day: manifest fold, zero data reads
+    // (fixture files are single-day, so head-tuple attribution holds)
+    val dead = TableLog.state(t).active
+      .flatMap(a => a.parts.headOption.map(p =>
+        p.values.head -> (a.rows - a.liveRows)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val deadDf = dead.toDF("day", "dv_dead")
+    val liveDf = s.sql(s"SELECT `days(ts)` AS day, row_count AS live " +
+      s"FROM graftlog.`$t#partitions`")
+    liveDf.join(deadDf, Seq("day"))
+      .select($"day", $"live", $"dv_dead",
+        ($"dv_dead" === 0L).as("debt_zero"))
+      .orderBy($"day")
+  }
+
+  private val q519Oracle =
+    """WITH sl AS (
+      |  SELECT event_id, ts, user_id, event_type FROM events
+      |  WHERE event_id % 4 = 3 AND ts < TIMESTAMP '2024-01-05'),
+      |d AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
+      |    CAST(count(*) AS BIGINT) AS written,
+      |    CAST(sum(CASE WHEN user_id % 7 <> 2 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS live
+      |  FROM sl GROUP BY 1)
+      |SELECT day, live,
+      |  CAST(CASE WHEN day = '2024-01-02' THEN 0
+      |       ELSE written - live END AS BIGINT) AS dv_dead,
+      |  (CASE WHEN day = '2024-01-02' THEN 0
+      |   ELSE written - live END) = 0 AS debt_zero
+      |FROM d ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- q509
   /** The COMPLETE WAP lifecycle from SQL — round 13 closes the loop
     * the q482/q500 machinery opened: fork (`CALL graftlog.branch`),
@@ -4241,6 +4316,7 @@ object TableOps {
       |ORDER BY dim, cnt""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q519_compact_where" -> (q519CompactWhere _),
     "q516_mor_merge" -> (q516MorMerge _),
     "q514_dv_debt_advisor" -> (q514DvDebtAdvisor _),
     "q513_mor_update_sql" -> (q513MorUpdateSql _),
@@ -4321,6 +4397,7 @@ object TableOps {
 
   val oracles: Map[String, String] = Map(
     "q516_mor_merge" -> q516Oracle,
+    "q519_compact_where" -> q519Oracle,
     "q514_dv_debt_advisor" -> q514Oracle,
     "q513_mor_update_sql" -> q513Oracle,
     "q509_branch_lifecycle" -> q509Oracle,

@@ -3030,6 +3030,112 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** Compile a `compact_where` condition to partition predicates
+    * under a FULL-translation contract: every conjunct must translate
+    * to a pushable filter AND be consumed by the partition layer,
+    * otherwise the call refuses loudly — a term the tuple stats
+    * cannot decide would silently widen the rewrite past the promised
+    * scope, and the whole point of the verb is that unselected
+    * partitions stay byte-identical. The condition analyzes against
+    * the table's LOGICAL schema (an empty frame — no file is read to
+    * plan a maintenance call) and selection reuses the read path's
+    * own [[GraftLogScanBuilder.partitionKeeps]], so the maintenance
+    * verb and the scan can never disagree on what a partition
+    * predicate means. */
+  private def compactWherePreds(spark: SparkSession,
+      table: String, snap: TableLog.Snapshot, condSql: String)
+      : Seq[GraftLogScanBuilder.PartPred] = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType.fromDDL(snap.schemaDdl))
+    val analyzed = empty
+      .where(org.apache.spark.sql.functions.expr(condSql))
+      .queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"compact_where on $table: cannot analyze condition '$condSql'"))
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+    val terms = conjuncts(cond)
+    val filters = terms.map { t =>
+      org.apache.spark.sql.graftbridge.FilterBridge.translate(t)
+        .getOrElse(throw new IllegalArgumentException(
+          s"compact_where on $table: condition term '${t.sql}' is not " +
+            "a pushable predicate — the scope must be decidable from " +
+            "the manifest's partition-tuple stats alone"))
+    }
+    val (preds, consumed) =
+      GraftLogScanBuilder.partitionPreds(snap.partCols, filters)
+    val stray = filters.filterNot(consumed.toSet)
+    if (stray.nonEmpty) throw new IllegalArgumentException(
+      s"compact_where on $table: condition term(s) " +
+        s"${stray.mkString(", ")} do not constrain a partition column " +
+        s"(partitioning: ${snap.partCols.mkString(", ")}) through the " +
+        "tuple stats — a non-partition term would silently widen the " +
+        "rewrite past the promised scope")
+    require(preds.nonEmpty,
+      s"compact_where on $table: condition '$condSql' yields no " +
+        "partition predicate")
+    preds
+  }
+
+  /** `CALL graftlog.compact_where('<path>', '<condition sql>'
+    * [, <target_files>])` — PARTITION-SCOPED compaction, Delta's
+    * `OPTIMIZE … WHERE` shape: rewrite ONLY the active files whose
+    * partition-tuple stats say they can hold a matching row, into
+    * `target_files` range-partitioned files; every other file stays
+    * byte-identical. The act-on-the-advice verb for q514's DV-debt
+    * advisor: when it names a debt-heavy partition DAY, this folds
+    * THAT day's deletion vectors back into clean files
+    * ([[TableLog.compactScoped]] materializes DVs in the rewrite) at
+    * a cost proportional to the day — the full-table
+    * `CALL graftlog.compact` is the one operation a 100-TB `days(ts)`
+    * table cannot afford for one partition's debt. The condition must
+    * be FULLY partition-decidable (see [[compactWherePreds]]);
+    * stat-less or old-spec-era files conservatively select and
+    * migrate. Logically a no-op; `#partitions`, stats and time travel
+    * all hold through it. Returns (version, files_rewritten,
+    * n_files); a no-match scope commits nothing. */
+  object CompactWhere extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "compact_where"
+    override def description(): String =
+      "rewrite only the files whose partition tuples match the condition"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("condition", StringType)
+        .comment("SQL predicate over partition columns selecting " +
+          "the slice to rewrite").build(),
+      ProcedureParameter.in("target_files", IntegerType)
+        .defaultValue("1")
+        .comment("target file count for the rewritten slice").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val table = input.getUTF8String(0).toString
+      val condSql = input.getUTF8String(1).toString
+      val target = input.getInt(2)
+      val snap = TableLog.state(table)
+      require(snap.partCols.nonEmpty,
+        s"compact_where on $table: the table is not partitioned — " +
+          "use CALL graftlog.compact for a full rewrite")
+      val preds = compactWherePreds(spark, table, snap, condSql)
+      val (v, n) = TableLog.compactScoped(spark, table, target,
+        s => s.active.filter(a =>
+          GraftLogScanBuilder.partitionKeeps(a, preds, s.specId)))
+      oneRow("version BIGINT, files_rewritten BIGINT, n_files BIGINT",
+        Seq(v, n.toLong, TableLog.state(table).active.size.toLong))
+    }
+  }
+
   /** `CALL graftlog.branch('<path>', '<name>')` — [[TableLog.branch]]:
     * zero-copy staging fork under `<path>/_branches/<name>` (the
     * write side of write-audit-publish). Returns (branch_path,
@@ -3211,7 +3317,7 @@ private[sources] object GraftLogProcedures {
   }
 
   val all: Seq[UnboundProcedure] =
-    Seq(Vacuum, Compact, CompactSmall, Restore, Clone, DeepClone, ZOrder,
-      DeleteDv, MigrateStats,
+    Seq(Vacuum, Compact, CompactSmall, CompactWhere, Restore, Clone,
+      DeepClone, ZOrder, DeleteDv, MigrateStats,
       Branch, Publish, DropBranch, SetPartitionSpec, Tag, DropTag)
 }

@@ -4647,6 +4647,36 @@ object TableLog {
       small.map(_.relPath), "", "")
   }
 
+  /** SCOPED compaction — rewrite exactly the active files `scope`
+    * selects (manifest-grain selection; the caller decides from
+    * partition-tuple stats, sizes, or ages) into `numFiles`
+    * range-partitioned files, leaving every other file byte-identical.
+    * The transactional core of `CALL graftlog.compact_where`: on a
+    * 100-TB `days(ts)` table, folding ONE day's deletion-vector debt
+    * must be priced at that day, not at the table — the full
+    * [[compact]] rewrite is the one operation such a table cannot
+    * afford for a partition's worth of debt. Selected files' DVs
+    * MATERIALIZE in the rewrite ([[readFiles]] subtracts dead
+    * positions, so survivors re-stage without them and the re-staged
+    * tuple stats stay exact); logically a no-op like every
+    * compaction. Partial, so the column mapping is KEPT (only a full
+    * rewrite may clear it) and two scopes over disjoint files commit
+    * concurrently under the file-disjoint conflict rule. Returns
+    * (version, files rewritten) — (current, 0) when the scope is
+    * empty. */
+  def compactScoped(spark: SparkSession, table: String, numFiles: Int,
+      scope: Snapshot => Seq[AddFile]): (Long, Int) = {
+    val snap = state(table)
+    val sel = scope(snap)
+    if (sel.isEmpty) return (snap.version, 0)
+    val data = readFiles(spark, table, snap, sel)
+    val adds = stage(data, table, snap.keyCol, numFiles, snap.bloom,
+      partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
+    (commit(table, snap.version, "compact", adds,
+      sel.map(_.relPath), "", ""), sel.size)
+  }
+
   /** Rewrite the whole active set into `numFiles` range-partitioned
     * files — logically a no-op (the spec pins snapshot equality),
     * physically the small-file compaction a streaming-ingest table

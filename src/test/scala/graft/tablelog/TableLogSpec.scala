@@ -1240,6 +1240,70 @@ class TableLogSpec extends SparkSuite {
     assert(got5 == "UPD5", s"key pruneOn readback: $got5")
   }
 
+  test("CALL graftlog.compact_where folds ONE partition's DV debt: " +
+      "the scoped day rewrites (DVs materialize), every other file " +
+      "is byte-identical, #partitions exact, time travel intact") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir() + "/t"
+    def day(d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-06-$d%02d 10:00:00")
+    TableLog.createEmpty(t, "k BIGINT, ts TIMESTAMP, v STRING", "k",
+      partCols = Seq("days:ts"))
+    // one file per day — appends keep the attribution exact
+    (1 to 4).foreach { d =>
+      TableLog.append((0L to 9L).map(i =>
+        (d * 100L + i, day(d), s"v$d-$i")).toDF("k", "ts", "v"), t, 1)
+    }
+    TableLog.deleteWhereDv(spark, t, col("k") === 203L || col("k") === 305L)
+    val stDv = TableLog.state(t)
+    assert(stDv.active.count(_.dv.isDefined) == 2)
+    val vPre = stDv.version
+    def isDay(a: TableLog.AddFile, d: String) =
+      a.parts.exists(_.values.headOption.contains(s"2024-06-$d"))
+    def mtime(rel: String) =
+      Files.getLastModifiedTime(Paths.get(t, rel)).toMillis
+    val stamps = stDv.active.filterNot(isDay(_, "02"))
+      .map(a => a.relPath -> mtime(a.relPath)).toMap
+    val res = spark.sql(s"CALL graftlog.compact_where('$t', " +
+      "\"ts >= TIMESTAMP'2024-06-02 00:00:00' AND " +
+      "ts <= TIMESTAMP'2024-06-02 23:59:59'\", 1)").collect().head
+    assert(res.getLong(1) == 1L, s"files_rewritten: $res")
+    val st = TableLog.state(t)
+    // the scoped day's debt reads ZERO: its active files carry no DV
+    val day2 = st.active.filter(isDay(_, "02"))
+    assert(day2.nonEmpty && day2.forall(_.dv.isEmpty), day2.toString)
+    // day 3's debt remains, its bytes (and everyone else's) untouched
+    assert(st.active.exists(a => a.dv.isDefined && isDay(a, "03")))
+    stamps.foreach { case (r, ts0) =>
+      assert(mtime(r) == ts0, s"compact_where touched $r") }
+    // logical no-op; #partitions exact through the scoped rewrite
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 38 && !got.contains(203L) && !got.contains(305L)
+      && got(204L) == "v2-4", s"rows: ${got.size}")
+    val parts = spark.sql(
+      s"SELECT `days(ts)`, row_count FROM graftlog.`$t#partitions`")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts == Map("2024-06-01" -> 10L, "2024-06-02" -> 9L,
+      "2024-06-03" -> 9L, "2024-06-04" -> 10L), parts.toString)
+    // time travel: pre-compaction AND pre-delete snapshots intact
+    assert(TableLog.snapshot(spark, t, vPre).count() == 38L)
+    assert(TableLog.snapshot(spark, t, vPre - 1L).count() == 40L)
+    // a non-partition term must refuse — a silent widening would
+    // rewrite partitions the caller promised to leave alone
+    val e = intercept[Exception] {
+      spark.sql(s"""CALL graftlog.compact_where('$t', "v = 'x'", 1)""")
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // an out-of-scope condition is a version no-op
+    val vNow = TableLog.latestVersion(t)
+    spark.sql(s"CALL graftlog.compact_where('$t', " +
+      "\"ts >= TIMESTAMP'2030-01-01 00:00:00'\", 1)")
+    assert(TableLog.latestVersion(t) == vNow)
+  }
+
   test("a rewrite planned before a concurrent DV commit on the same " +
       "file ABORTS: relPath-active is not content-identity") {
     val t = freshDir()
