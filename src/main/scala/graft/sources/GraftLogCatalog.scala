@@ -1016,10 +1016,21 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
         GraftLogTable.dvSpecClean(snap)) {
       // the DV route prunes its candidate scan with the SAME manifest
       // stat layers as the COW route — a key-ranged merge-on-read
-      // delete reads the intersecting sliver, never the active set
-      TableLog.deleteWhereDv(SparkSession.active, tablePath, cond,
-        pruneCandidates = Some(prune))
-      return
+      // delete reads the intersecting sliver, never the active set.
+      // When the matched set overflows the sidecar niche (the
+      // dvMaxMatched driver guard), THIS statement re-routes through
+      // the copy-on-write rewrite below — the bulk restatement a
+      // 100-TB table wants anyway — logged, not failed; tables
+      // declaring dv.strict = true keep the hard refusal.
+      try {
+        TableLog.deleteWhereDv(SparkSession.active, tablePath, cond,
+          pruneCandidates = Some(prune))
+        return
+      } catch {
+        case e: TableLog.DvBulkRefusalException =>
+          if (GraftLogTable.dvStrict(snap.props)) throw e
+          GraftLogTable.logDvFallback(tablePath, "DELETE", e)
+      }
     }
     TableLog.deleteWhere(SparkSession.active, tablePath, cond,
       numFiles = math.max(1, snap.active.size),
@@ -1042,6 +1053,21 @@ object GraftLogTable {
   private[sources] def morDeclared(props: Map[String, String],
       op: String): Boolean =
     props.get(op).orElse(props.get("dv.mode")).contains("merge-on-read")
+
+  /** `dv.strict = true`: keep the hard [[TableLog.DvBulkRefusalException]]
+    * when a merge-on-read DML overflows the matched-row cap, instead
+    * of the default re-route of that one statement through the
+    * copy-on-write path. For tables where a bulk rewrite must be an
+    * explicit human decision (audit-frozen layouts), not a fallback. */
+  private[sources] def dvStrict(props: Map[String, String]): Boolean =
+    props.get("dv.strict").exists(_.equalsIgnoreCase("true"))
+
+  private[sources] def logDvFallback(table: String, op: String,
+      e: Throwable): Unit =
+    org.slf4j.LoggerFactory.getLogger(classOf[GraftLogTable])
+      .warn("graftlog: {} on {} overflowed the deletion-vector " +
+        "matched-row cap; falling back to copy-on-write for this " +
+        "statement ({})", op, table, e.getMessage)
 
   /** True when every active file of a PARTITIONED table carries
     * current-spec tuple stats — the precondition for merge-on-read

@@ -3567,6 +3567,81 @@ object TableLog {
     commit(table, snap.version, "delete", adds, touched.map(_.relPath), "", "")
   }
 
+  /** Validate UPDATE assignments against `snap`'s schema and return
+    * the full-width select list applying them SIMULTANEOUSLY against
+    * the old row image (SQL UPDATE's semantics — sequential
+    * withColumn would let one assignment observe another's new value,
+    * and `SET x = x + 1, band = f(x)` would double-apply). An unknown
+    * target refuses (silently dropping a typo'd column would report
+    * success while updating nothing), case-duplicate targets refuse
+    * (the lowercased fold would last-win silently), and every
+    * assigned value CASTS to the column's declared type — staged
+    * files otherwise take the expression's own type and poison later
+    * reads. ONE definition for the DV and copy-on-write update
+    * routes, so the two can never drift on assignment semantics. */
+  private def updateSelectList(op: String, table: String,
+      snap: Snapshot, set: Map[String, Column]): Seq[Column] = {
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val schemaByLc = schema.fields.map(f => f.name.toLowerCase -> f).toMap
+    set.keys.find(k => !schemaByLc.contains(k.toLowerCase)).foreach(k =>
+      throw new IllegalArgumentException(
+        s"$op into $table: no such column '$k' " +
+          s"(columns: ${schema.fieldNames.mkString(", ")})"))
+    set.keys.groupBy(_.toLowerCase).find(_._2.size > 1).foreach {
+      case (_, ks) => throw new IllegalArgumentException(
+        s"$op into $table: duplicate assignment targets " +
+          ks.mkString(", "))
+    }
+    val setLc = set.map { case (k, v) => k.toLowerCase -> v }
+    schema.fieldNames.toSeq.map(c =>
+      setLc.get(c.toLowerCase)
+        .fold(col(c))(_.cast(schemaByLc(c.toLowerCase).dataType).as(c)))
+  }
+
+  /** Copy-on-write UPDATE — [[deleteWhere]]'s cost shape with
+    * [[updateWhereDv]]'s assignment semantics: exactly the files
+    * holding a matching row rewrite; matched rows re-stage with the
+    * set-expressions applied simultaneously against their OLD image,
+    * survivors carry verbatim, one atomic commit. The BULK complement
+    * of the DV update — when a predicate matches past the
+    * [[dvMaxMatched]] sidecar niche, this prices the restatement at
+    * the touched files instead of collecting a fleet of positions to
+    * the driver (the SQL routing's fallback). Identity columns are
+    * safe by construction: the select list CARRIES the id for every
+    * row (assignments may not target it — checked), so no id mints or
+    * drifts and the allocator's mark never moves. CHECK constraints
+    * gate the new images like every write surface. */
+  def updateWhere(spark: SparkSession, table: String, cond: Column,
+      set: Map[String, Column], numFiles: Int,
+      pruneCandidates: Option[Snapshot => Seq[AddFile]] = None): Long = {
+    val snap = state(table)
+    val idTargets = identityOf(snap.props).map(_._1)
+      .filter(c => set.keySet.exists(_.equalsIgnoreCase(c)))
+    require(idTargets.isEmpty,
+      s"updateWhere into $table: ${idTargets.mkString(", ")} is " +
+        "GENERATED ALWAYS AS IDENTITY — its values cannot be updated")
+    val candidates = pruneCandidates.fold(snap.active)(f => f(snap))
+    if (candidates.isEmpty) return snap.version
+    val scan = readFiles(spark, table, snap, candidates)
+      .withColumn("_file", input_file_name())
+    val touchedNames = scan.where(cond).select("_file").distinct()
+      .collect().map(r => fileIdOfUri(r.getString(0))).toSet
+    val touched = candidates.filter(a => touchedNames(fileIdOf(a.relPath)))
+    if (touched.isEmpty) return snap.version
+    val sel = updateSelectList("updateWhere", table, snap, set)
+    val rows = readFiles(spark, table, snap, touched)
+    val updated = rows.where(coalesce(cond, lit(false))).select(sel: _*)
+    validateChecks(updated, checksOf(snap.props),
+      s"updateWhere into $table")
+    val rewritten = rows.where(!coalesce(cond, lit(false)))
+      .unionByName(updated)
+    val adds = stage(rewritten, table, snap.keyCol, numFiles, snap.bloom,
+      partCols = snap.partCols, colMap = snap.colMap,
+      specId = snap.specId)
+    commit(table, snap.version, "update", adds,
+      touched.map(_.relPath), "", "")
+  }
+
   /** Shared DV-commit tail of [[deleteWhereDv]]/[[updateWhereDv]]:
     * union the newly-dead positions into each touched file's bitset
     * sidecar and produce the manifest delta (removes, re-adds). On
@@ -3792,8 +3867,17 @@ object TableLog {
     if (maxM >= Int.MaxValue.toLong - 1L) Int.MaxValue
     else math.max(1L, maxM + 1L).toInt
 
+  /** Thrown when a merge-on-read DML matches more rows than
+    * [[dvMaxMatched]] — TYPED so the SQL routing layer can re-route
+    * that one statement through the copy-on-write path (the bulk
+    * restatement a 100-TB table wants anyway) instead of failing it,
+    * while tables declaring `dv.strict = true` keep the hard
+    * refusal. */
+  final class DvBulkRefusalException(msg: String)
+    extends IllegalArgumentException(msg)
+
   private def dvBulkRefusal(table: String, op: String, max: Long) =
-    new IllegalArgumentException(
+    new DvBulkRefusalException(
       s"$op into $table: more than $max matching rows — bulk DML; " +
         "deletion vectors are driver-built and suit small slivers. " +
         "Use the copy-on-write route, or raise " +
@@ -3977,35 +4061,9 @@ object TableLog {
       .groupBy(_._1)
       .map { case (f, xs) => f -> xs.toSeq.map(x => (x._2, x._3)) }
     if (hits.isEmpty) return snap.version
-    val schemaCols = StructType.fromDDL(snap.schemaDdl).fieldNames.toSeq
-    // SIMULTANEOUS set semantics (SQL UPDATE's): every set-expression
-    // evaluates against the OLD row image — sequential withColumn
-    // would let one assignment observe another's new value, and
-    // `SET x = x + 1, band = f(x)` would double-apply. An unknown set
-    // key refuses (silently dropping a typo'd column name would
-    // report success while updating nothing), and every assigned
-    // value CASTS to the column's declared type — the staged files
-    // otherwise take the expression's own type and poison later reads
-    val schemaByLc = StructType.fromDDL(snap.schemaDdl).fields
-      .map(f => f.name.toLowerCase -> f).toMap
-    set.keys.find(k => !schemaByLc.contains(k.toLowerCase)).foreach(k =>
-      throw new IllegalArgumentException(
-        s"updateWhereDv into $table: no such column '$k' " +
-          s"(columns: ${schemaCols.mkString(", ")})"))
-    // duplicate targets differing only in case would silently
-    // last-win through the lowercased map — refuse like SQL UPDATE
-    set.keys.groupBy(_.toLowerCase).find(_._2.size > 1).foreach {
-      case (_, ks) => throw new IllegalArgumentException(
-        s"updateWhereDv into $table: duplicate assignment targets " +
-          ks.mkString(", "))
-    }
-    val setLc = set.map { case (k, v) => k.toLowerCase -> v }
     val updated = matched.drop("__graft_f", "__graft_p")
       .drop("__graft_dv_file", "__graft_dv_pos")
-      .select(schemaCols.map(c =>
-        setLc.get(c.toLowerCase)
-          .fold(col(c))(_.cast(schemaByLc(c.toLowerCase).dataType).as(c)))
-        : _*)
+      .select(updateSelectList("updateWhereDv", table, snap, set): _*)
     // The set-expressions produce NEW row images; a table that reports
     // ENFORCED CHECK constraints must gate them like every other write
     // path (append/merge/replaceWhere) — a DV update is not a side door.

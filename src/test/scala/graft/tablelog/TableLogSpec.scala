@@ -1240,6 +1240,56 @@ class TableLogSpec extends SparkSuite {
     assert(got5 == "UPD5", s"key pruneOn readback: $got5")
   }
 
+  test("bulk DV DML falls back to COPY-ON-WRITE: over-cap SQL DELETE " +
+      "and UPDATE on a dv.mode table land rewrites (no sidecars) with " +
+      "exact results; dv.strict keeps the hard refusal") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir()
+    TableLog.create((0L to 99L).map(i => (i, s"a$i")).toDF("k", "v"),
+      t, "k", 2)
+    TableLog.setProps(t, TableLog.state(t).props +
+      ("dv.mode" -> "merge-on-read"))
+    try {
+      spark.conf.set("spark.graft.dv.maxMatchedRows", "5")
+      // 50 matches > cap 5: the statement re-routes copy-on-write
+      spark.sql(s"DELETE FROM graftlog.`$t` WHERE k < 50")
+      assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+        .collect().head.getLong(0) == 50L)
+      assert(TableLog.state(t).active.forall(_.dv.isEmpty),
+        "the fallback must land a rewrite, not sidecars")
+      assert(TableLog.history(t).last.op == "delete")
+      // an under-cap delete still takes the DV route
+      spark.sql(s"DELETE FROM graftlog.`$t` WHERE k = 55")
+      assert(TableLog.state(t).active.exists(_.dv.isDefined),
+        "an under-cap delete must stay merge-on-read")
+      // over-cap UPDATE falls back too (the COW updateWhere carries
+      // row identity by construction) and materializes the prior DV
+      // in its rewrite
+      spark.sql(s"UPDATE graftlog.`$t` SET v = 'upd' WHERE k >= 60")
+      assert(spark.sql(
+        s"SELECT count(*) FROM graftlog.`$t` WHERE v = 'upd'")
+        .collect().head.getLong(0) == 40L)
+      assert(spark.sql(s"SELECT count(*) FROM graftlog.`$t`")
+        .collect().head.getLong(0) == 49L)
+      assert(TableLog.history(t).last.op == "update")
+      // dv.strict: the hard refusal is back
+      TableLog.setProps(t, TableLog.state(t).props +
+        ("dv.strict" -> "true"))
+      def msgs(x: Throwable): String =
+        if (x == null) "" else s"${x.getMessage} | ${msgs(x.getCause)}"
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM graftlog.`$t` WHERE k >= 60")
+      }
+      assert(msgs(e).contains("maxMatchedRows"), msgs(e))
+      val e2 = intercept[Exception] {
+        spark.sql(s"UPDATE graftlog.`$t` SET v = 'x' WHERE k >= 60")
+      }
+      assert(msgs(e2).contains("maxMatchedRows"), msgs(e2))
+    } finally spark.conf.unset("spark.graft.dv.maxMatchedRows")
+  }
+
   test("CALL graftlog.compact_where folds ONE partition's DV debt: " +
       "the scoped day rewrites (DVs materialize), every other file " +
       "is byte-identical, #partitions exact, time travel intact") {
