@@ -85,13 +85,15 @@ class GraftGeneratedInsertRule(session: SparkSession)
             // tables routing merge-on-read UPDATEs or MERGEs are
             // interesting too, even with no generated columns (the
             // update.mode/merge.mode twins of the catalog's
-            // delete.mode gate); dvOk says the partitioned-DV
-            // precondition holds (current-spec tuple stats
-            // everywhere) so routing can fall back to COW
-            // mid-spec-evolution instead of refusing
+            // delete.mode gate), as are tables declaring
+            // schema.autoMerge (the MERGE evolution opt-in); dvOk
+            // says the partitioned-DV precondition holds
+            // (current-spec tuple stats everywhere) so routing can
+            // fall back to COW mid-spec-evolution instead of refusing
             if (ids.isEmpty && gens.isEmpty &&
                 !GraftLogTable.morDeclared(props, "update.mode") &&
-                !GraftLogTable.morDeclared(props, "merge.mode")) None
+                !GraftLogTable.morDeclared(props, "merge.mode") &&
+                !GraftLogTable.autoMergeDeclared(props)) None
             else Some((tp, ids, gens, props,
               GraftLogTable.dvSpecClean(snap)))
           })
@@ -231,12 +233,39 @@ class GraftGeneratedInsertRule(session: SparkSession)
                   m.notMatchedActions),
               notMatchedBySourceActions = completeMergeArms(path, ids, gens,
                 alias, m.notMatchedBySourceActions))
+          // schema.autoMerge (Delta's autoMerge lineage): when the
+          // table opts in and the SOURCE resolves with a column the
+          // target lacks, the statement behaves as if written WITH
+          // SCHEMA EVOLUTION — Spark's evolution rule then widens the
+          // schema through this catalog's alterTable and re-plans the
+          // merge against it (old files null-fill through the
+          // explicit-schema read, the q166/q492 contract). Disclosed:
+          // Spark's native path is an ALTER commit followed by the
+          // merge commit, so a merge that subsequently fails leaves
+          // the (additive, harmless) widened schema — the one-commit
+          // form stays on the TableLog.merge(evolve = true) API. The
+          // source-probe gate keeps evolution-free merges on their
+          // normal (incl. merge-on-read) routes; an unresolvable
+          // source changes nothing.
+          val autoEvolve = !m.withSchemaEvolution &&
+            GraftLogTable.autoMergeDeclared(props) && {
+            def lcx(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+            try {
+              val srcCols = SessionBridge
+                .ofRows(session, m.sourceTable).columns
+              val tgtCols = StructType
+                .fromDDL(TableLog.state(path).schemaDdl)
+                .fieldNames.map(lcx).toSet
+              srcCols.exists(c => !tgtCols(lcx(c)))
+            } catch { case NonFatal(_) => false }
+          }
           // merge-on-read routing: mid-spec-evolution (!dvOk) and
           // WITH SCHEMA EVOLUTION fall back to the COW route, which
           // handles both — a silent wrong route beats nothing, a loud
           // right route beats both
-          if (GraftLogTable.morDeclared(props, "merge.mode") && dvOk &&
-              !m.withSchemaEvolution)
+          if (autoEvolve) completed.copy(withSchemaEvolution = true)
+          else if (GraftLogTable.morDeclared(props, "merge.mode") &&
+              dvOk && !m.withSchemaEvolution)
             mergeDvCommand(path, completed, rel, alias, ids)
           else completed
       }

@@ -854,11 +854,24 @@ class GraftLogTable(tablePath: String, snap: TableLog.Snapshot,
           : org.apache.spark.sql.connector.catalog.constraints.Constraint
       }
       .toArray
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  // AUTOMATIC_SCHEMA_EVOLUTION is declared ONLY under the table's
+  // `schema.autoMerge = true` opt-in: it admits Spark's MERGE
+  // evolution rule (the schema widens through alterTable ADD COLUMN
+  // and the merge re-plans against it), but it ALSO changes star-arm
+  // resolution to expand by the MATCHING columns — on a table that
+  // has not opted in, that would let `INSERT *` silently DROP an
+  // unseen source column instead of refusing, exactly the accidental
+  // schema drift the default contract exists to catch (spec-pinned).
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    if (GraftLogTable.autoMergeDeclared(snap.props))
+      base.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    base
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLogScanBuilder(SparkSession.active, tablePath, snap, options)
 
@@ -1053,6 +1066,14 @@ object GraftLogTable {
   private[sources] def morDeclared(props: Map[String, String],
       op: String): Boolean =
     props.get(op).orElse(props.get("dv.mode")).contains("merge-on-read")
+
+  /** `schema.autoMerge = true`: a MERGE whose source carries a column
+    * the target lacks behaves as if written WITH SCHEMA EVOLUTION —
+    * the Delta autoMerge opt-in, per table rather than per statement.
+    * Without it, unseen source columns keep refusing loudly: schema
+    * drift in a pipeline should be an explicit decision. */
+  private[sources] def autoMergeDeclared(props: Map[String, String]): Boolean =
+    props.get("schema.autoMerge").exists(_.equalsIgnoreCase("true"))
 
   /** `dv.strict = true`: keep the hard [[TableLog.DvBulkRefusalException]]
     * when a merge-on-read DML overflows the matched-row cap, instead

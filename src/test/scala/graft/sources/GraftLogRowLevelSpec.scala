@@ -345,6 +345,69 @@ class GraftLogRowLevelSpec extends SparkSuite {
       s"string-envelope SQL MERGE readback: $got")
   }
 
+  test("schema.autoMerge: a star MERGE whose source carries a NEW " +
+      "column widens the schema and lands the data; without the " +
+      "property the unseen column is ignored (target-column star " +
+      "expansion — vanilla Spark's and Delta's non-autoMerge contract)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    def mkTable(auto: Boolean): String = {
+      val t = Files.createTempDirectory("tlog_am_").toString
+      TableLog.create((0L to 9L).map(i => (i, s"a$i")).toDF("k", "v"),
+        t, "k", numFiles = 1)
+      if (auto) TableLog.setProps(t, TableLog.state(t).props +
+        ("schema.autoMerge" -> "true"))
+      t
+    }
+    Seq((3L, "UPD", 33L), (100L, "NEW", 7L)).toDF("k", "v", "score")
+      .createOrReplaceTempView("am_src")
+    def merge(t: String): Unit = spark.sql(
+      s"""MERGE INTO graftlog.`$t` tg USING am_src s ON tg.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val tAuto = mkTable(auto = true)
+    try {
+      merge(tAuto)
+      val got = spark.sql(
+        s"SELECT k, v, score FROM graftlog.`$tAuto` ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      assert(got.size == 11, s"rows: ${got.size}")
+      assert(got.contains((3L, "UPD", 33L)) &&
+        got.contains((100L, "NEW", 7L)), got.toString)
+      // untouched rows null-fill the evolved column through the read
+      assert(got.filter(x => x._1 != 3L && x._1 != 100L)
+        .forall(x => x._2.startsWith("a") && x._3 == -1L), got.toString)
+      // an evolution-FREE merge on the same table keeps its normal
+      // route (the probe must not push every merge through evolution)
+      Seq((4L, "UPD4")).toDF("k", "v").createOrReplaceTempView("am_src2")
+      try {
+        spark.sql(
+          s"""MERGE INTO graftlog.`$tAuto` tg USING am_src2 s
+             |ON tg.k = s.k
+             |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+        assert(spark.sql(
+          s"SELECT v FROM graftlog.`$tAuto` WHERE k = 4")
+          .collect().head.getString(0) == "UPD4")
+      } finally spark.catalog.dropTempView("am_src2")
+      // without the property, star arms expand by TARGET columns
+      // (vanilla Spark = Delta-without-autoMerge): the unseen source
+      // column is ignored, the schema does NOT widen, and the data
+      // arms still land — evolution stays an explicit opt-in
+      val tPlain = mkTable(auto = false)
+      merge(tPlain)
+      assert(!TableLog.state(tPlain).schemaDdl.contains("score"),
+        "a non-opted-in star merge must not widen the schema: " +
+          TableLog.state(tPlain).schemaDdl)
+      val plain = spark.sql(
+        s"SELECT k, v FROM graftlog.`$tPlain` ORDER BY k").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(plain.size == 11 && plain(3L) == "UPD" &&
+        plain(100L) == "NEW", plain.toString)
+    } finally spark.catalog.dropTempView("am_src")
+  }
+
   test("DELETE with an untranslatable predicate takes the row-level " +
       "rewrite; survivors exact even when whole files die") {
     val t = freshTable()
