@@ -105,12 +105,19 @@ class GraftLogStreamProvider extends TableProvider {
   private def cdfRequested(get: String => String): Boolean =
     Option(get("readChangeFeed")).exists(_.equalsIgnoreCase("true"))
 
-  /** `option("branch", name)`: stream a STAGING BRANCH by name — the
+  /** `option("branch", name)`: address a STAGING BRANCH by name — the
     * streaming twin of the batch `VERSION AS OF 'branch:<n>'` route,
-    * so a WAP audit stream needs no `_branches/...` filesystem path.
-    * Same name validation as the batch resolution: `.`/`..` pass the
-    * token regex but are PATH components into main disguised as a
-    * branch read, so they refuse. */
+    * so a WAP pipeline needs no `_branches/...` filesystem path. The
+    * resolution is shared by the SOURCE and the SINK (getTable routes
+    * both): `writeStream.option("branch", n)` is exactly-once ingest
+    * INTO the branch — every epoch commits on the branch head with
+    * the (txnAppId, epochId) ledger kept in the BRANCH's own log,
+    * main untouched until `CALL graftlog.publish` fast-forwards it,
+    * and `drop_branch` refuses while unpublished sink commits exist
+    * (the WAP write side, spec-pinned). Same name validation as the
+    * batch resolution: `.`/`..` pass the token regex but are PATH
+    * components into main disguised as a branch read, so they
+    * refuse. */
   private def effectivePath(get: String => String, path: String): String =
     Option(get("branch")) match {
       case None => path

@@ -129,6 +129,61 @@ class GraftLogStreamSpec extends SparkSuite {
     assert(bad.getMessage != null)
   }
 
+  test("native sink option('branch', name): exactly-once ingest INTO " +
+      "a staging branch — commits land on the branch head, main " +
+      "untouched; publish lands them; unpublished drop refuses") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = Files.createTempDirectory("tlog_brsink_").toString
+    val landing = Files.createTempDirectory("tlog_brsink_land_").toString
+    TableLog.create(kv((0L to 9L).map(i => (i, s"m$i"))), t, "k", 1)
+    spark.sql(s"CALL graftlog.branch('$t', 'ingest')")
+    kv((100L to 149L).map(i => (i, s"s$i"))).coalesce(1)
+      .write.mode("overwrite").parquet(s"$landing/in")
+    def runOnce(cp: String): Unit = {
+      val q = spark.readStream.schema(kv(Nil).schema)
+        .parquet(s"$landing/in")
+        .writeStream.format("graft.sources.GraftLogStreamProvider")
+        .option("path", t).option("branch", "ingest")
+        .option("txnAppId", "spec-brsink")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce(s"$landing/_cp1")
+    val bp = s"$t/_branches/ingest"
+    // the epoch landed on the BRANCH head; main never moved
+    assert(TableLog.snapshot(spark, bp).count() == 60L,
+      "sink commits must land on the branch")
+    assert(TableLog.snapshot(spark, t).count() == 10L,
+      "the staging sink must not touch main")
+    // exactly-once rides the BRANCH's txn ledger: a redelivery from a
+    // fresh checkpoint (same txnAppId, epoch 0 again) commits nothing
+    val vb = TableLog.latestVersion(bp)
+    runOnce(s"$landing/_cp2")
+    assert(TableLog.latestVersion(bp) == vb &&
+      TableLog.snapshot(spark, bp).count() == 60L,
+      "a redelivered epoch must no-op on the branch ledger")
+    // WAP discipline: dropping the branch with unpublished sink work
+    // refuses; publish fast-forwards main, then the drop is safe
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graftlog.drop_branch('$t', 'ingest')")
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("publish") || e.getMessage.contains("force")),
+      e.getMessage)
+    spark.sql(s"CALL graftlog.publish('$t', 'ingest')")
+    val main = TableLog.snapshot(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(main.size == 60 && main(120L) == "s120" && main(3L) == "m3",
+      s"publish must land the sink's branch commits: ${main.size}")
+    spark.sql(s"CALL graftlog.drop_branch('$t', 'ingest')")
+    assert(TableLog.snapshot(spark, t).count() == 60L,
+      "published rows must survive the branch drop")
+  }
+
   test("change-feed admission control: a multi-commit backfill under " +
       "maxFilesPerTrigger drains in bounded batches, change-exact") {
     import spark.implicits._
