@@ -3976,6 +3976,116 @@ object TableOps {
       |   ELSE written - live END) = 0 AS debt_zero
       |FROM d ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q520
+  /** INCREMENTAL MATERIALIZED VIEW through MERGE-ON-READ DML — q144's
+    * self-merging aggregates upgraded with RETRACTIONS and fed from
+    * the table format's own change feed: the view (per-status count +
+    * exact cents sum) is maintained by folding [[TableLog.diffVersions]]
+    * deltas — insert = (+1, +cents), delete = (−1, −cents), update =
+    * both legs (the delete+insert pair a MoR MERGE's CDF exactness
+    * guarantees) — across an append, a merge-on-read SQL MERGE (DV
+    * sidecars + fresh images) and a merge-on-read SQL DELETE, without
+    * EVER rescanning history: each diff reads only the files that
+    * changed between the two versions (content-identity diff, so the
+    * KB-scale DV commits price at their slivers). The emitted
+    * `n_batches = 3` pins that the result really is three successive
+    * folds; the oracle recomputes the final state from scratch, so
+    * "incremental ≡ recompute" is hash-proven on every run. Count and
+    * fixed-point cents are the abelian-group aggregates incremental
+    * views with retraction need (q144's algebra closed under
+    * negation). At 100 TB: the MV is group-cardinality, each
+    * maintenance step is priced at the day's changed sliver, and the
+    * MoR DML that would poison an appends-only reader (double-counted
+    * re-adds) is exactly what the content-identity diff rides
+    * through. */
+  private val mvMorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q520IncrementalMvMor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = mvMorCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogmv_").toString + "/t"
+      val slice = ordersSlice(s, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      TableLog.create(slice.where($"o_orderkey" % 5 === 0),
+        path, "o_orderkey", numFiles = 3)                            // v1
+      TableLog.setProps(path, TableLog.state(path).props +
+        ("dv.mode" -> "merge-on-read"))                              // v2
+      TableLog.append(slice.where($"o_orderkey" % 5 === 1), path, 3) // v3
+      // MoR MERGE: matched %10==0 rows double their price via DV +
+      // fresh images; %5==2 rows insert — one atomic commit
+      slice.where($"o_orderkey" % 10 === 0 || $"o_orderkey" % 5 === 2)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 10 === 0, $"o_totalprice" * 2)
+            .otherwise($"o_totalprice"))
+        .createOrReplaceTempView("q520_src")
+      try s.sql(
+        s"""MERGE INTO graftlog.`$path` tg USING q520_src src
+           |ON tg.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = src.o_totalprice
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)          // v4
+      finally s.catalog.dropTempView("q520_src")
+      // the delete predicate must be PUSHABLE (plain comparisons) to
+      // take the delete.mode DV route — an untranslatable predicate
+      // legitimately falls to the group-based COW rewrite instead
+      s.sql(s"DELETE FROM graftlog.`$path` " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey <= 1199")           // v5
+      require(TableLog.state(path).active.exists(_.dv.isDefined),
+        "q520 fixture must exercise merge-on-read commits")
+      path
+    })
+    def cents(c: org.apache.spark.sql.Column) =
+      round(c * 100).cast("long")
+    // initial build: ONE scan of the creation-era snapshot (v1)
+    var mv = TableLog.snapshot(s, t, version = 1L)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(cents($"o_totalprice")).as("sum_cents"))
+      .localCheckpoint(true)
+    var nBatches = 0
+    // maintenance: fold each later commit's change-feed delta —
+    // the props-only v2 yields an empty diff and folds as a no-op
+    (2L to TableLog.latestVersion(t)).foreach { v =>
+      val d = TableLog.diffVersions(s, t, v - 1L, v).localCheckpoint(true)
+      if (d.count() > 0L) {
+        val plus = d.where($"action".isin("insert", "update"))
+          .select(col("new_o_orderstatus").as("o_orderstatus"),
+            lit(1L).as("dn"),
+            cents(col("new_o_totalprice")).as("dc"))
+        val minus = d.where($"action".isin("delete", "update"))
+          .select(col("old_o_orderstatus").as("o_orderstatus"),
+            lit(-1L).as("dn"),
+            (-cents(col("old_o_totalprice"))).as("dc"))
+        val delta = plus.unionByName(minus).groupBy($"o_orderstatus")
+          .agg(sum($"dn").as("n_rows"), sum($"dc").as("sum_cents"))
+        mv = mv.unionByName(delta).groupBy($"o_orderstatus")
+          .agg(sum($"n_rows").as("n_rows"),
+            sum($"sum_cents").as("sum_cents"))
+          .localCheckpoint(true)
+        nBatches += 1
+      }
+    }
+    mv.where($"n_rows" =!= 0L)
+      .select($"o_orderstatus", $"n_rows", $"sum_cents",
+        lit(nBatches).as("n_batches"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q520Oracle =
+    """WITH fin AS (
+      |  SELECT o_orderstatus,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS p
+      |  FROM orders
+      |  WHERE o_orderkey % 5 IN (0, 1, 2)
+      |    AND o_orderkey NOT BETWEEN 1000 AND 1199)
+      |SELECT o_orderstatus,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  3 AS n_batches
+      |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   // ---------------------------------------------------------------- q509
   /** The COMPLETE WAP lifecycle from SQL — round 13 closes the loop
     * the q482/q500 machinery opened: fork (`CALL graftlog.branch`),
@@ -4316,6 +4426,7 @@ object TableOps {
       |ORDER BY dim, cnt""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q520_incremental_mv_mor" -> (q520IncrementalMvMor _),
     "q519_compact_where" -> (q519CompactWhere _),
     "q516_mor_merge" -> (q516MorMerge _),
     "q514_dv_debt_advisor" -> (q514DvDebtAdvisor _),
@@ -4397,6 +4508,7 @@ object TableOps {
 
   val oracles: Map[String, String] = Map(
     "q516_mor_merge" -> q516Oracle,
+    "q520_incremental_mv_mor" -> q520Oracle,
     "q519_compact_where" -> q519Oracle,
     "q514_dv_debt_advisor" -> q514Oracle,
     "q513_mor_update_sql" -> q513Oracle,
