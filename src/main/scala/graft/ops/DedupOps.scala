@@ -2824,7 +2824,87 @@ object DedupOps {
        |LEFT JOIN shd ON shd.source = srcs.source AND shd.suite = st.suite
        |ORDER BY srcs.source, st.suite""".stripMargin
 
+  // ---------------------------------------------------------------- q522
+  /** CONTAMINATION TIME-PROFILE — q518's (source × suite) containment
+    * with an INGEST-WEEK axis: every (source, week, suite) cell's
+    * 8-gram containment in one pass, the "when did the leak start"
+    * readout that decides whether to quarantine a whole source or
+    * just a date range (a benchmark republished mid-crawl shows up as
+    * a containment step-function at its release week; a source dirty
+    * from week zero gets quarantined outright). Weeks are planted
+    * deterministically (`doc_id % 4` — the fixture's ingest
+    * stand-in); zero cells stay explicit per q518's matrix contract.
+    *
+    * Scale shape: IDENTICAL to q518's — the benchmark side collapses
+    * to distinct (suite, gram) and broadcasts; the corpus side dedups
+    * (source, week, gram) in ONE shuffle (the week key adds a
+    * grouping column, not a shuffle class); the profile itself is
+    * |sources|×|weeks|×|suites| driver-size arithmetic. Text never
+    * shuffles. */
+  def q522ContamTimeProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source", explode(shinglesN($"text", 8)).as("sh"))
+    val bench = sh.where($"doc_id" < contamBenchmarkIds)
+      .select(concat(lit("suite_"),
+        pmod($"doc_id", lit(overlapSuites)).cast("string")).as("suite"),
+        $"sh")
+      .distinct()
+    val suiteTotals = bench.groupBy($"suite")
+      .agg(count(lit(1)).as("suite_grams"))
+    val corpus = sh.where($"doc_id" >= contamBenchmarkIds)
+      .select($"source", pmod($"doc_id", lit(4)).as("week"), $"sh")
+      .distinct()
+    val shared = corpus.join(broadcast(bench), Seq("sh"))
+      .groupBy($"source", $"week", $"suite")
+      .agg(count(lit(1)).as("n_shared"))
+    // the (source, week) universe comes from the DOCUMENTS table so a
+    // shingle-free week still shows its zero row
+    val universe = Tables.documents(s, dir)
+      .where($"doc_id" >= contamBenchmarkIds)
+      .select($"source", pmod($"doc_id", lit(4)).as("week")).distinct()
+    universe.crossJoin(suiteTotals)
+      .join(shared, Seq("source", "week", "suite"), "left")
+      .select($"source", $"week", $"suite",
+        coalesce($"n_shared", lit(0L)).as("n_shared"), $"suite_grams",
+        (coalesce($"n_shared", lit(0L)).cast("double") /
+          $"suite_grams".cast("double")).as("containment"))
+      .orderBy($"source", $"week", $"suite")
+  }
+
+  private val q522Oracle =
+    s"""WITH $span8Cte,
+       |b AS (
+       |  SELECT DISTINCT
+       |    'suite_' || CAST(doc_id % $overlapSuites AS STRING) AS suite,
+       |    sh
+       |  FROM sh WHERE doc_id < $contamBenchmarkIds),
+       |st AS (
+       |  SELECT suite, CAST(count(*) AS BIGINT) AS suite_grams
+       |  FROM b GROUP BY 1),
+       |c AS (
+       |  SELECT DISTINCT d.source, d.doc_id % 4 AS week, sh.sh
+       |  FROM sh JOIN documents d USING (doc_id)
+       |  WHERE sh.doc_id >= $contamBenchmarkIds),
+       |shd AS (
+       |  SELECT c.source, c.week, b.suite,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM c JOIN b ON c.sh = b.sh GROUP BY 1, 2, 3),
+       |u AS (
+       |  SELECT DISTINCT source, doc_id % 4 AS week FROM documents
+       |  WHERE doc_id >= $contamBenchmarkIds)
+       |SELECT u.source, CAST(u.week AS BIGINT) AS week, st.suite,
+       |  CAST(COALESCE(shd.n_shared, 0) AS BIGINT) AS n_shared,
+       |  st.suite_grams,
+       |  CAST(COALESCE(shd.n_shared, 0) AS DOUBLE) /
+       |    CAST(st.suite_grams AS DOUBLE) AS containment
+       |FROM u CROSS JOIN st
+       |LEFT JOIN shd ON shd.source = u.source AND shd.week = u.week
+       |  AND shd.suite = st.suite
+       |ORDER BY u.source, week, st.suite""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q522_contam_time_profile" -> (q522ContamTimeProfile _),
     "q518_bench_overlap_matrix" -> (q518BenchOverlapMatrix _),
     "q501_url_canonical_dedup" -> (q501UrlCanonicalDedup _),
     "q503_soft_dedup_weights" -> (q503SoftDedupWeights _),
@@ -2870,6 +2950,7 @@ object DedupOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q522_contam_time_profile" -> q522Oracle,
     "q518_bench_overlap_matrix" -> q518Oracle,
     "q501_url_canonical_dedup" -> q501Oracle,
     "q503_soft_dedup_weights" -> q503Oracle,

@@ -7251,7 +7251,107 @@ object TextOps {
       |FROM marked CROSS JOIN theta
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q521
+  /** JUDGE-AGREEMENT MATRIX — pairwise Cohen's κ over shared
+    * (doc, verdict) judgments, the LLM-judge governance readout: a
+    * judge pair whose κ collapses toward 0 is agreeing no better than
+    * chance (one of them is broken, drifted, or prompt-regressed),
+    * and the matrix says WHICH pair — q453's κ machinery lifted from
+    * one classifier-vs-truth to every judge-vs-judge cell. Four
+    * planted judges each label a 4/5 subset of docs (doc_id % 5 skips
+    * one stratum per judge) with per-judge error rates, so every pair
+    * shares a distinct doc set and lands a distinct κ. All ratios are
+    * ppm floor-div — bit-identical cross-engine.
+    *
+    * Scale shape: ONE equi-join on doc_id builds the shared-judgment
+    * pairs (J·docs rows in, J²·docs pair rows only at the join — no
+    * all-pairs over DOCS, only over the J judges, and J is
+    * fleet-size-bounded), then one aggregation to the
+    * (pair, verdict, verdict) cell grid; everything after the grid is
+    * |J|²·|verdicts|² driver-size arithmetic. */
+  def q521JudgeAgreement(s: SparkSession, dir: String): DataFrame = {
+    Tables.documentsSpread(s, dir).select("doc_id")
+      .createOrReplaceTempView("_q521_docs")
+    s.sql(
+      """WITH j AS (
+        |  SELECT doc_id, judge,
+        |    CASE WHEN (doc_id * 13 + 7 * (judge + 1)) % 10 < judge + 1
+        |      THEN (doc_id % 3 + judge + 1) % 3
+        |      ELSE doc_id % 3 END AS verdict
+        |  FROM _q521_docs
+        |  LATERAL VIEW explode(sequence(0, 3)) AS judge
+        |  WHERE doc_id % 5 <> judge),
+        |cells AS (
+        |  SELECT a.judge AS ja, b.judge AS jb,
+        |    a.verdict AS va, b.verdict AS vb,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM j a JOIN j b ON a.doc_id = b.doc_id AND a.judge < b.judge
+        |  GROUP BY 1, 2, 3, 4),
+        |tot AS (
+        |  SELECT ja, jb, CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN va = vb THEN n ELSE 0 END) AS BIGINT)
+        |      AS agree
+        |  FROM cells GROUP BY 1, 2),
+        |marg AS (
+        |  SELECT r.ja, r.jb, CAST(sum(r.rm * c.cm) AS BIGINT) AS rc
+        |  FROM (SELECT ja, jb, va AS k, sum(n) AS rm FROM cells
+        |        GROUP BY 1, 2, 3) r
+        |  JOIN (SELECT ja, jb, vb AS k, sum(n) AS cm FROM cells
+        |        GROUP BY 1, 2, 3) c
+        |    ON r.ja = c.ja AND r.jb = c.jb AND r.k = c.k
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT t.ja, t.jb, t.nt,
+        |    (t.agree * 1000000) div t.nt AS po_ppm,
+        |    (m.rc * 1000000) div (t.nt * t.nt) AS pe_ppm
+        |  FROM tot t JOIN marg m ON t.ja = m.ja AND t.jb = m.jb)
+        |SELECT CAST(ja AS BIGINT) AS judge_a, CAST(jb AS BIGINT) AS judge_b,
+        |  nt AS n_shared, po_ppm, pe_ppm,
+        |  ((po_ppm - pe_ppm) * 1000000)
+        |    div greatest(1000000 - pe_ppm, 1L) AS kappa_ppm
+        |FROM scored ORDER BY judge_a, judge_b""".stripMargin)
+  }
+
+  private val q521Oracle =
+    """WITH j AS (
+      |  SELECT doc_id, judge,
+      |    CASE WHEN (doc_id * 13 + 7 * (judge + 1)) % 10 < judge + 1
+      |      THEN (doc_id % 3 + judge + 1) % 3
+      |      ELSE doc_id % 3 END AS verdict
+      |  FROM documents, (SELECT unnest([0, 1, 2, 3]) AS judge)
+      |  WHERE doc_id % 5 <> judge),
+      |cells AS (
+      |  SELECT a.judge AS ja, b.judge AS jb,
+      |    a.verdict AS va, b.verdict AS vb,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM j a JOIN j b ON a.doc_id = b.doc_id AND a.judge < b.judge
+      |  GROUP BY 1, 2, 3, 4),
+      |tot AS (
+      |  SELECT ja, jb, CAST(sum(n) AS BIGINT) AS nt,
+      |    CAST(sum(CASE WHEN va = vb THEN n ELSE 0 END) AS BIGINT)
+      |      AS agree
+      |  FROM cells GROUP BY 1, 2),
+      |marg AS (
+      |  SELECT r.ja, r.jb, CAST(sum(r.rm * c.cm) AS BIGINT) AS rc
+      |  FROM (SELECT ja, jb, va AS k, sum(n) AS rm FROM cells
+      |        GROUP BY 1, 2, 3) r
+      |  JOIN (SELECT ja, jb, vb AS k, sum(n) AS cm FROM cells
+      |        GROUP BY 1, 2, 3) c
+      |    ON r.ja = c.ja AND r.jb = c.jb AND r.k = c.k
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT t.ja, t.jb, t.nt,
+      |    (t.agree * 1000000) // t.nt AS po_ppm,
+      |    (m.rc * 1000000) // (t.nt * t.nt) AS pe_ppm
+      |  FROM tot t JOIN marg m ON t.ja = m.ja AND t.jb = m.jb)
+      |SELECT CAST(ja AS BIGINT) AS judge_a, CAST(jb AS BIGINT) AS judge_b,
+      |  nt AS n_shared, po_ppm, pe_ppm,
+      |  CAST(((po_ppm - pe_ppm) * 1000000)
+      |    // greatest(1000000 - pe_ppm, 1) AS BIGINT) AS kappa_ppm
+      |FROM scored ORDER BY judge_a, judge_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q521_judge_agreement" -> (q521JudgeAgreement _),
     "q515_unimax_allocation" -> (q515UnimaxAllocation _),
     "q510_fim_transform_plan" -> (q510FimTransformPlan _),
     "q511_synthetic_marker_audit" -> (q511SyntheticMarkerAudit _),
@@ -7360,6 +7460,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q521_judge_agreement" -> q521Oracle,
     "q515_unimax_allocation" -> q515Oracle,
     "q510_fim_transform_plan" -> q510Oracle,
     "q511_synthetic_marker_audit" -> q511Oracle,
