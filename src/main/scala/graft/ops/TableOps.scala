@@ -3927,10 +3927,13 @@ object TableOps {
     withCatalog(s)
     val t = compactWhereCache.computeIfAbsent(dir, _ => {
       val path = Files.createTempDirectory("graft_tlogcw_").toString + "/t"
+      // the slice materializes ONCE — the four per-day appends then
+      // filter the frozen frame instead of rescanning the source
       val slice = Tables.events(s, dir)
         .select($"event_id", $"ts", $"user_id", $"event_type")
         .where($"event_id" % 4 === 3 &&
           $"ts" < lit("2024-01-05").cast("timestamp"))
+        .localCheckpoint(true)
       TableLog.createEmpty(path,
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING",
         "event_id", partCols = Seq("days:ts"))
@@ -4006,8 +4009,11 @@ object TableOps {
     withCatalog(s)
     val t = mvMorCache.computeIfAbsent(dir, _ => {
       val path = Files.createTempDirectory("graft_tlogmv_").toString + "/t"
+      // frozen once: the fixture's create/append/merge-source frames
+      // all filter this slice — three source scans fold to one
       val slice = ordersSlice(s, dir)
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .localCheckpoint(true)
       TableLog.create(slice.where($"o_orderkey" % 5 === 0),
         path, "o_orderkey", numFiles = 3)                            // v1
       TableLog.setProps(path, TableLog.state(path).props +
