@@ -2738,6 +2738,144 @@ object DedupOps {
       |  CAST(sum(nt * 1000000 // csz) AS BIGINT) AS soft_micro_tokens
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q525
+  /** [NS] DEDUP SURVIVOR-BIAS AUDIT — what the drop policy does to
+    * the corpus DISTRIBUTION, not just its size: hard dedup keeps
+    * one representative per cluster (min doc_id, q503's canonical
+    * rule) and the audit compares the KEPT cohort against the
+    * DROPPED cohort per language — doc counts, exact token mass,
+    * exact mean length in millitokens, and how many kept docs
+    * actually had duplicates. The readout a curation review wants
+    * before signing a dedup config: "dedup deleted 40% of the zh
+    * token mass but 5% of en" or "the dropped docs are twice as
+    * long as the kept ones" is a composition shift the corpus-size
+    * counters (q64/q503) cannot see. Same prefix-fingerprint
+    * cluster family as q503, so the two operators' cluster
+    * definitions can never drift apart in a report that shows both.
+    * Scale shape: one scan, one shuffle on the fingerprint (two
+    * windows), then a (lang × cohort)-grain fold — no pairs, no
+    * joins; clusters spanning languages keep the GLOBAL min-id
+    * canonical, which is exactly the cross-language bias the audit
+    * exists to surface. */
+  def q525DedupSurvivorBias(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("_q525_docs")
+    s.sql(
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(size(split(text, ' ')) AS BIGINT) AS nt,
+        |    md5(array_join(slice(split(text, ' '), 1, 4), ' ')) AS fp
+        |  FROM _q525_docs),
+        |c AS (
+        |  SELECT lang, nt, doc_id,
+        |    count(*)    OVER (PARTITION BY fp) AS csz,
+        |    min(doc_id) OVER (PARTITION BY fp) AS rep
+        |  FROM d)
+        |SELECT lang,
+        |  CASE WHEN doc_id = rep THEN 'kept' ELSE 'dropped' END AS cohort,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS tokens,
+        |  CAST(sum(nt) * 1000 div count(*) AS BIGINT) AS mean_millitokens,
+        |  CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS in_cluster_docs
+        |FROM c GROUP BY 1, 2 ORDER BY lang, cohort""".stripMargin)
+  }
+
+  private val q525Oracle =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS nt,
+      |    md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS fp
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, nt, doc_id,
+      |    count(*)    OVER (PARTITION BY fp) AS csz,
+      |    min(doc_id) OVER (PARTITION BY fp) AS rep
+      |  FROM d)
+      |SELECT lang,
+      |  CASE WHEN doc_id = rep THEN 'kept' ELSE 'dropped' END AS cohort,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(nt) AS BIGINT) AS tokens,
+      |  CAST(sum(nt) * 1000 // count(*) AS BIGINT) AS mean_millitokens,
+      |  CAST(sum(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS in_cluster_docs
+      |FROM c GROUP BY 1, 2 ORDER BY lang, cohort""".stripMargin
+
+  // ---------------------------------------------------------------- q526
+  /** [NS] REFERENCE-CORPUS N-GRAM NOVELTY (the integer-exact core of
+    * a CCNet-style quality filter): score each ingest source by how
+    * much of its token stream is COVERED by a trusted reference
+    * slice — per (source, n-gram order ∈ {1,2,3}), the
+    * occurrence-weighted fraction of the source's n-grams that
+    * appear anywhere in the reference, in exact ppm. High unigram
+    * coverage + collapsing bigram/trigram coverage is the "right
+    * words, wrong order" signature of gibberish and MT slop; LOW
+    * unigram coverage flags out-of-domain or wrong-language
+    * ingest — the two failure classes a perplexity filter catches,
+    * here with no floats and no model, so the readout is
+    * cross-engine exact. Reference slice = doc_id % 10 == 0 (the
+    * deterministic held-out convention q120's splits use).
+    * Scale shape: occurrences fold to (source, order, gram, count)
+    * in ONE shuffle before any join (the q518 discipline), the
+    * reference side dedups to (order, gram), and the hit join is
+    * gram-hash — no pairs, no broadcast of corpus-scale state; text
+    * never shuffles ([[Tables.documentsSpread]] scan-side explode). */
+  def q526NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documentsSpread(s, dir)
+      .select($"doc_id", $"source", $"text")
+    val grams = Seq(1, 2, 3).map { n =>
+      docs.select($"doc_id", $"source", lit(n.toLong).as("ord"),
+        explode(spansN($"text", n)).as("g"))
+    }.reduce(_ unionByName _)
+    // occurrence counts fold BEFORE the join: (source, ord, gram)
+    // grain — the corpus token stream never reaches the join
+    val corp = grams.where($"doc_id" % 10 =!= 0)
+      .groupBy($"source", $"ord", $"g")
+      .agg(count(lit(1)).as("cnt"))
+    val ref = grams.where($"doc_id" % 10 === 0)
+      .select($"ord", $"g").distinct()
+      .withColumn("hit", lit(1L))
+    corp.join(ref, Seq("ord", "g"), "left")
+      .groupBy($"source", $"ord")
+      .agg(sum($"cnt").as("n_grams"),
+        sum($"cnt" * coalesce($"hit", lit(0L))).as("n_hits"))
+      .select($"source", $"ord",
+        $"n_grams".cast("long").as("n_grams"),
+        $"n_hits".cast("long").as("n_hits"),
+        expr("n_hits * 1000000 div n_grams").cast("long").as("hit_ppm"))
+      .orderBy($"source", $"ord")
+  }
+
+  private val q526Oracle =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, 1 AS ord, unnest(toks) AS g FROM t
+      |  UNION ALL
+      |  SELECT doc_id, source, 2 AS ord, unnest(list_transform(
+      |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+      |  FROM t
+      |  UNION ALL
+      |  SELECT doc_id, source, 3 AS ord, unnest(list_transform(
+      |    range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      |  FROM t),
+      |corp AS (
+      |  SELECT source, ord, g, count(*) AS cnt FROM g
+      |  WHERE doc_id % 10 <> 0 GROUP BY 1, 2, 3),
+      |ref AS (
+      |  SELECT DISTINCT ord, g FROM g WHERE doc_id % 10 = 0)
+      |SELECT corp.source, CAST(corp.ord AS BIGINT) AS ord,
+      |  CAST(sum(cnt) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN ref.g IS NULL THEN 0 ELSE cnt END)
+      |    AS BIGINT) AS n_hits,
+      |  CAST(sum(CASE WHEN ref.g IS NULL THEN 0 ELSE cnt END)
+      |    * 1000000 // sum(cnt) AS BIGINT) AS hit_ppm
+      |FROM corp LEFT JOIN ref
+      |  ON corp.ord = ref.ord AND corp.g = ref.g
+      |GROUP BY 1, 2 ORDER BY source, ord""".stripMargin
+
   // ---------------------------------------------------------------- q518
   /** Benchmark-suite count for the overlap matrix: the q53 benchmark
     * docs (doc_id < [[contamBenchmarkIds]]) stratify into this many
@@ -2908,6 +3046,8 @@ object DedupOps {
     "q518_bench_overlap_matrix" -> (q518BenchOverlapMatrix _),
     "q501_url_canonical_dedup" -> (q501UrlCanonicalDedup _),
     "q503_soft_dedup_weights" -> (q503SoftDedupWeights _),
+    "q525_dedup_survivor_bias" -> (q525DedupSurvivorBias _),
+    "q526_ngram_novelty" -> (q526NgramNovelty _),
     "q475_banding_sweep" -> (q475BandingSweep _),
     "q469_dedup_quality_eval" -> (q469DedupQualityEval _),
     "q359_exact_substr_dedup" -> (q359ExactSubstrDedup _),
@@ -2954,6 +3094,8 @@ object DedupOps {
     "q518_bench_overlap_matrix" -> q518Oracle,
     "q501_url_canonical_dedup" -> q501Oracle,
     "q503_soft_dedup_weights" -> q503Oracle,
+    "q525_dedup_survivor_bias" -> q525Oracle,
+    "q526_ngram_novelty" -> q526Oracle,
     "q256_dedup_roi"        -> q256Oracle,
     "q265_lsh_advisor"      -> q265Oracle,
     "q268_method_agreement" -> q268Oracle,

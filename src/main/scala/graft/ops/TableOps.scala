@@ -4092,6 +4092,162 @@ object TableOps {
       |  3 AS n_batches
       |FROM fin GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q523
+  /** SCOPED Z-ORDER (`CALL graftlog.compact_where(..., zorder =>
+    * 'x,y')`) — Delta's `OPTIMIZE … WHERE … ZORDER BY`, the layout
+    * sibling of q519's debt fold: ONE `days(ts)` partition re-lays
+    * along the (event_id, user_id) Z-curve while every other day's
+    * files stay byte-identical (spec pins mtimes and the per-file
+    * y-spread shrink; this query pins the transactional readout).
+    * The curve bounds collect over the SELECTED day only, so the
+    * interleave is tight for that day's value ranges — a full-table
+    * z-order would stretch the curve over the global domain and
+    * spend most of its bits on cross-day variance the layout can
+    * never exploit. Readout: per day, live rows (`#partitions`,
+    * exact through the rewrite) and active file count (manifest
+    * fold; the scoped day lands at the requested target, the others
+    * keep their single append file). At 100 TB: re-clustering one
+    * day for a new query pattern is priced at the day — the
+    * full-table `zorder` rewrite is unaffordable for a layout
+    * experiment, and the day-scoped one composes with q514's
+    * advisor naming WHICH days are read-hot. */
+  private val compactZorderWhereCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q523CompactWhereZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = compactZorderWhereCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogzw_").toString + "/t"
+      val slice = Tables.events(s, dir)
+        .select($"event_id", $"ts", $"user_id")
+        .where($"event_id" % 4 === 1 &&
+          $"ts" < lit("2024-01-04").cast("timestamp"))
+        .localCheckpoint(true)
+      TableLog.createEmpty(path,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT",
+        "event_id", partCols = Seq("days:ts"))
+      (1 to 3).foreach { d =>
+        TableLog.append(slice.where(dayofmonth($"ts") === d), path, 1)
+      }
+      s.sql(s"CALL graftlog.compact_where('$path', " +
+        "\"ts >= TIMESTAMP'2024-01-02 00:00:00' AND " +
+        "ts <= TIMESTAMP'2024-01-02 23:59:59'\", 2, " +
+        "zorder => 'event_id,user_id')")
+      path
+    })
+    // file count per day: manifest fold, zero data reads (files are
+    // single-day by construction — the zorder scope is single-tuple)
+    val nf = TableLog.state(t).active
+      .flatMap(_.parts.headOption.map(_.values.head -> 1L))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val nfDf = nf.toDF("day", "n_files")
+    val liveDf = s.sql(s"SELECT `days(ts)` AS day, row_count AS live " +
+      s"FROM graftlog.`$t#partitions`")
+    liveDf.join(nfDf, Seq("day"))
+      .select($"day", $"live", $"n_files")
+      .orderBy($"day")
+  }
+
+  private val q523Oracle =
+    """WITH sl AS (
+      |  SELECT event_id, ts, user_id FROM events
+      |  WHERE event_id % 4 = 1 AND ts < TIMESTAMP '2024-01-04'),
+      |d AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
+      |    CAST(count(*) AS BIGINT) AS live
+      |  FROM sl GROUP BY 1)
+      |SELECT day, live,
+      |  CAST(CASE WHEN day = '2024-01-02' THEN 2 ELSE 1 END
+      |    AS BIGINT) AS n_files
+      |FROM d ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- q524
+  /** IDEMPOTENT BULK FILE LOAD (`CALL graftlog.copy_into`) — Delta's
+    * `COPY INTO` shape, the missing third ingest surface beside
+    * batch append and the exactly-once streaming sink: an ingest
+    * directory of landed files loads into the table with each FILE
+    * loaded exactly once, because the loading commit itself carries
+    * one txn-ledger entry per source file (load-and-remember is one
+    * transaction — [[TableLog.copyInto]]). The fixture proves the
+    * three contract points inline: two files load, a VERBATIM re-run
+    * loads zero (no commit, version unchanged), and a late-arriving
+    * third file loads ALONE — the crashed-orchestrator-retries
+    * pattern every warehouse loader needs. Readout: per event_type
+    * row count + exact id sum over the loaded table; the oracle
+    * recomputes from the raw slice, so any double-load or dropped
+    * file breaks the hash. At 100 TB: skipping is decided from the
+    * replayed manifest (no data I/O for loaded files), fresh files
+    * read once, and the ledger rides the checkpointed manifest at
+    * O(loaded files) — the grain the active set already pays. */
+  private val copyIntoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q524CopyInto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = copyIntoCache.computeIfAbsent(dir, _ => {
+      val base = Files.createTempDirectory("graft_tlogci_")
+      val path = base.toString + "/t"
+      val src = Files.createDirectories(base.resolve("incoming"))
+      val slice = Tables.events(s, dir)
+        .select($"event_id", $"event_type")
+        .where(pmod($"event_id", lit(23)) === 2)
+        .localCheckpoint(true)
+      def dump(i: Int): Unit = {
+        val d = base.resolve(s"stage_$i")
+        slice.where(pmod($"event_id", lit(3)) === i).coalesce(1)
+          .write.mode("overwrite").json(d.toString)
+        val part = {
+          val l = Files.list(d)
+          try {
+            val it = l.iterator()
+            var found: java.nio.file.Path = null
+            while (it.hasNext && found == null) {
+              val p = it.next()
+              val n = p.getFileName.toString
+              if (n.startsWith("part-") && n.endsWith(".json")) found = p
+            }
+            require(found != null, s"q524: no part file under $d")
+            found
+          } finally l.close()
+        }
+        Files.copy(part, src.resolve(s"data_$i.json"))
+      }
+      TableLog.createEmpty(path,
+        "event_id BIGINT, event_type STRING", "event_id")
+      dump(0); dump(1)
+      def copy() = s.sql(
+        s"CALL graftlog.copy_into('$path', '$src', 'json', 2)")
+        .collect().head
+      val first = copy()
+      require(first.getLong(1) == 2L, s"q524: first load: $first")
+      // the verbatim re-run is a NO-OP: zero loads, version pinned
+      val rerun = copy()
+      require(rerun.getLong(1) == 0L && rerun.getLong(2) == 2L &&
+        rerun.getLong(0) == first.getLong(0),
+        s"q524: re-run must skip everything: $rerun")
+      // the late-arriving file loads ALONE
+      dump(2)
+      val late = copy()
+      require(late.getLong(1) == 1L && late.getLong(2) == 2L,
+        s"q524: late file must load alone: $late")
+      path
+    })
+    TableLog.snapshot(s, t)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"event_id").as("sum_id"))
+      .orderBy($"event_type")
+  }
+
+  private val q524Oracle =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_id
+      |FROM events WHERE event_id % 23 = 2
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q509
   /** The COMPLETE WAP lifecycle from SQL — round 13 closes the loop
     * the q482/q500 machinery opened: fork (`CALL graftlog.branch`),
@@ -4432,6 +4588,8 @@ object TableOps {
       |ORDER BY dim, cnt""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q524_copy_into" -> (q524CopyInto _),
+    "q523_compact_where_zorder" -> (q523CompactWhereZorder _),
     "q520_incremental_mv_mor" -> (q520IncrementalMvMor _),
     "q519_compact_where" -> (q519CompactWhere _),
     "q516_mor_merge" -> (q516MorMerge _),
@@ -4514,6 +4672,8 @@ object TableOps {
 
   val oracles: Map[String, String] = Map(
     "q516_mor_merge" -> q516Oracle,
+    "q524_copy_into" -> q524Oracle,
+    "q523_compact_where_zorder" -> q523Oracle,
     "q520_incremental_mv_mor" -> q520Oracle,
     "q519_compact_where" -> q519Oracle,
     "q514_dv_debt_advisor" -> q514Oracle,

@@ -3149,7 +3149,13 @@ private[sources] object GraftLogProcedures {
     * stat-less or old-spec-era files conservatively select and
     * migrate. Logically a no-op; `#partitions`, stats and time travel
     * all hold through it. Returns (version, files_rewritten,
-    * n_files); a no-match scope commits nothing. */
+    * n_files); a no-match scope commits nothing.
+    *
+    * `zorder => 'x,y'` re-lays the rewritten slice along the
+    * two-column Z-curve (Delta's `OPTIMIZE … WHERE … ZORDER BY`):
+    * curve bounds collect over the SELECTED slice only, so one day's
+    * re-layout is tight for that day's value ranges — see
+    * [[TableLog.compactScoped]] for the disclosed stat trades. */
   object CompactWhere extends UnboundProcedure with BoundProcedure {
     override def name(): String = "compact_where"
     override def description(): String =
@@ -3164,12 +3170,26 @@ private[sources] object GraftLogProcedures {
           "the slice to rewrite").build(),
       ProcedureParameter.in("target_files", IntegerType)
         .defaultValue("1")
-        .comment("target file count for the rewritten slice").build())
+        .comment("target file count for the rewritten slice").build(),
+      ProcedureParameter.in("zorder", StringType)
+        .defaultValue("''")
+        .comment("optional 'colX,colY' pair: re-lay the rewritten " +
+          "slice along the two-column Z-curve instead of the key " +
+          "range").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val table = input.getUTF8String(0).toString
       val condSql = input.getUTF8String(1).toString
       val target = input.getInt(2)
+      val zorderSpec = if (input.isNullAt(3)) ""
+        else input.getUTF8String(3).toString.trim
+      val zorder = if (zorderSpec.isEmpty) None else {
+        val parts = zorderSpec.split(",").map(_.trim).filter(_.nonEmpty)
+        require(parts.length == 2,
+          s"compact_where on $table: zorder must name exactly two " +
+            s"columns as 'colX,colY', got '$zorderSpec'")
+        Some((parts(0), parts(1)))
+      }
       val snap = TableLog.state(table)
       require(snap.partCols.nonEmpty,
         s"compact_where on $table: the table is not partitioned — " +
@@ -3177,7 +3197,8 @@ private[sources] object GraftLogProcedures {
       val preds = compactWherePreds(spark, table, snap, condSql)
       val (v, n) = TableLog.compactScoped(spark, table, target,
         s => s.active.filter(a =>
-          GraftLogScanBuilder.partitionKeeps(a, preds, s.specId)))
+          GraftLogScanBuilder.partitionKeeps(a, preds, s.specId)),
+        zorder = zorder)
       oneRow("version BIGINT, files_rewritten BIGINT, n_files BIGINT",
         Seq(v, n.toLong, TableLog.state(table).active.size.toLong))
     }
@@ -3363,8 +3384,55 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** `CALL graftlog.copy_into('<path>', '<src_dir>', '<format>'
+    * [, <target_files>, <pattern>])` — [[TableLog.copyInto]]:
+    * idempotent bulk file load, Delta's `COPY INTO` shape. Every
+    * source file not already in the table's txn ledger loads in ONE
+    * atomic commit that also records the per-file ledger entries
+    * (load-and-remember is one transaction); a re-run skips them
+    * all from the replayed manifest, no data I/O. `pattern` is an
+    * optional file-NAME regex (`data_.*\\.json`). Returns (version,
+    * files_loaded, files_skipped, rows_loaded). */
+  object CopyInto extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "copy_into"
+    override def description(): String =
+      "idempotently load source files not already in the txn ledger"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table path").build(),
+      ProcedureParameter.in("source_dir", StringType)
+        .comment("directory holding the files to load").build(),
+      ProcedureParameter.in("format", StringType)
+        .defaultValue("'parquet'")
+        .comment("source file format: parquet, json, csv, orc, avro")
+        .build(),
+      ProcedureParameter.in("target_files", IntegerType)
+        .defaultValue("1")
+        .comment("target table file count for the loaded batch")
+        .build(),
+      ProcedureParameter.in("pattern", StringType)
+        .defaultValue("''")
+        .comment("optional regex on the source file NAME").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (v, loaded, skipped, rows) = TableLog.copyInto(
+        SparkSession.active,
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString,
+        if (input.isNullAt(2)) "parquet"
+        else input.getUTF8String(2).toString,
+        numFiles = if (input.isNullAt(3)) 1 else input.getInt(3),
+        pattern = if (input.isNullAt(4)) ""
+        else input.getUTF8String(4).toString)
+      oneRow("version BIGINT, files_loaded BIGINT, " +
+        "files_skipped BIGINT, rows_loaded BIGINT",
+        Seq(v, loaded.toLong, skipped.toLong, rows))
+    }
+  }
+
   val all: Seq[UnboundProcedure] =
     Seq(Vacuum, Compact, CompactSmall, CompactWhere, Restore, Clone,
-      DeepClone, ZOrder, DeleteDv, MigrateStats,
+      DeepClone, ZOrder, DeleteDv, MigrateStats, CopyInto,
       Branch, Publish, DropBranch, SetPartitionSpec, Tag, DropTag)
 }

@@ -1010,7 +1010,8 @@ object TableLog {
       props: Option[Map[String, String]] = None,
       colMap: Option[(Map[String, String], Set[String])] = None,
       defaults: Option[Map[String, (String, Long)]] = None,
-      pspecs: Option[Seq[Seq[String]]] = None): Long = {
+      pspecs: Option[Seq[Seq[String]]] = None,
+      txns: Seq[(String, Long)] = Nil): Long = {
     Files.createDirectories(logDir(table))
     var attempt = expected + 1L
     while (true) {
@@ -1026,7 +1027,8 @@ object TableLog {
       // timestamp-adjustment invariant, enforced at write).
       val prevTs =
         if (attempt <= 1L) 0L else commitStamp(table, attempt - 1L)
-      val text = render(op, adds, removes, schemaDdl, keyCol, txn.toSeq,
+      val text = render(op, adds, removes, schemaDdl, keyCol,
+        txn.toSeq ++ txns,
         bloom, tsMillis = math.max(System.currentTimeMillis(), prevTs),
         partCols = partCols,
         props = props, colMap = colMap, defaults = defaults,
@@ -1074,9 +1076,21 @@ object TableLog {
                 "new snapshot")
           val now = state(table)
           // a concurrent writer already landed this producer version →
-          // redelivered batch: drop it (exactly-once), don't re-append
-          txn.foreach { case (app, tv) =>
-            if (now.txns.get(app).exists(_ >= tv)) return now.version
+          // redelivered batch: drop it (exactly-once), don't re-append.
+          // A multi-entry ledger (copyInto's per-file identities) is
+          // all-or-nothing: fully landed → duplicate delivery, drop;
+          // PARTIALLY landed → a concurrent copy loaded some of these
+          // files, and rebasing would land them twice — the caller
+          // must recompute the fresh set against the new snapshot.
+          val allTxns = txn.toSeq ++ txns
+          if (allTxns.nonEmpty) {
+            val landed = allTxns.count { case (app, tv) =>
+              now.txns.get(app).exists(_ >= tv) }
+            if (landed == allTxns.size) return now.version
+            if (landed > 0) throw new java.util.ConcurrentModificationException(
+              s"$table: a concurrent commit landed $landed/" +
+                s"${allTxns.size} of this $op's ledger entries — " +
+                "recompute the fresh set on the new snapshot")
           }
           val activeNow = now.active.map(_.relPath).toSet
           if (!removes.forall(activeNow)) throw new java.util.ConcurrentModificationException(
@@ -2273,6 +2287,103 @@ object TableLog {
       specId = snap.specId)
     commit(table, snap.version, "append", adds, Nil, "", "",
       txn = Some((appId, txnVersion)))
+  }
+
+  /** Idempotent bulk file load — Delta's `COPY INTO` shape: load
+    * every file under `srcDir` not already loaded into `table`, in
+    * ONE atomic commit, and remember what was loaded in that same
+    * commit's txn ledger, so a re-run (or a crashed-and-retried
+    * orchestrator job) is a no-op. File identity is
+    * (name, size, mtime) — object stores treat data files as
+    * immutable, so a REWRITTEN file (same name, new bytes) is a NEW
+    * file and loads again (disclosed; the safe direction, never
+    * silently stale). One `copy_<md5(identity)>` ledger entry per
+    * source file, all carried by the loading commit itself:
+    * load-and-remember is one transaction, so the crash window
+    * between "rows landed" and "ledger updated" that double-loads
+    * in ledger-on-the-side designs cannot exist. Skipping is decided
+    * from the replayed manifest alone (no data I/O for loaded
+    * files); the race where two concurrent copies pass the pre-check
+    * together closes in [[commit]]'s collision path — fully landed
+    * ledger → duplicate delivery, dropped; PARTIALLY landed →
+    * recompute the fresh set here and retry. Source columns align
+    * to the table schema BY NAME with casts (a CSV's string
+    * timestamps land as timestamps); columns absent from the source
+    * schema fall to their declared defaults / generated-column
+    * expressions; extra columns refuse loudly (the INSERT
+    * contract); CHECK constraints gate the load like every other
+    * write path. Identity tables refuse (allocation needs the
+    * append-side machinery — same contract as [[append]]). Returns
+    * (version, files_loaded, files_skipped, rows_loaded). At 100 TB:
+    * an ingest directory of thousands of files costs one listing
+    * plus one read of the FRESH files only, and the ledger rides the
+    * checkpointed manifest — O(loaded files) metadata, the grain the
+    * active set already pays. */
+  def copyInto(spark: SparkSession, table: String, srcDir: String,
+      format: String, numFiles: Int = 1,
+      pattern: String = ""): (Long, Int, Int, Long) = {
+    val rx = if (pattern.isEmpty) None else Some(pattern.r.pattern)
+    var attempts = 0
+    while (true) {
+      val snap = state(table)
+      requireNoIdentity(snap, s"copyInto $table")
+      val listed = {
+        val s = Files.list(Paths.get(srcDir))
+        try {
+          val it = s.iterator()
+          val b = Vector.newBuilder[Path]
+          while (it.hasNext) { val p = it.next(); b += p }
+          b.result()
+        } finally s.close()
+      }.filter(p => Files.isRegularFile(p) &&
+          rx.forall(_.matcher(p.getFileName.toString).matches()))
+        .sortBy(_.getFileName.toString)
+      val withIds = listed.map { p =>
+        val ident = s"${p.getFileName}|${Files.size(p)}|" +
+          s"${Files.getLastModifiedTime(p).toMillis}"
+        val md = java.security.MessageDigest.getInstance("MD5")
+        p -> ("copy_" + md.digest(ident.getBytes(UTF_8))
+          .map("%02x".format(_)).mkString.take(16))
+      }
+      val fresh = withIds.filterNot { case (_, id) => snap.txns.contains(id) }
+      if (fresh.isEmpty) return (snap.version, 0, withIds.size, 0L)
+      val raw = spark.read.format(format)
+        .option("header", "true").option("inferSchema", "true")
+        .load(fresh.map(_._1.toString): _*)
+      val schema = StructType.fromDDL(snap.schemaDdl)
+      val extra = raw.columns.filterNot(schema.fieldNames.contains)
+      require(extra.isEmpty,
+        s"copyInto $table: source carries column(s) " +
+          s"${extra.mkString(", ")} the table does not declare — " +
+          "ALTER TABLE first, or project them away in the source")
+      val cast = raw.select(raw.columns.map(c =>
+        col(c).cast(schema(c).dataType).as(c)): _*)
+      val df1 = withWriteDefaults(cast, snap)
+      val missing = schema.fieldNames.filterNot(df1.columns.contains)
+      require(missing.isEmpty,
+        s"copyInto $table: source is missing column(s) " +
+          s"${missing.mkString(", ")} with no declared default")
+      val ordered = df1.select(schema.fieldNames.map(col(_)).toSeq: _*)
+      validateChecks(ordered, checksOf(snap.props), s"copyInto $table")
+      val adds = stage(ordered, table, snap.keyCol, numFiles, snap.bloom,
+        partCols = snap.partCols, colMap = snap.colMap,
+        specId = snap.specId)
+      try {
+        val v = commit(table, snap.version, "append", adds, Nil, "", "",
+          txns = fresh.map(_._2 -> 1L))
+        return (v, fresh.size, withIds.size - fresh.size,
+          adds.map(_.rows).sum)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // partial ledger collision: a concurrent copy landed SOME
+          // of these files — recompute the fresh set and retry (the
+          // staged files of the lost attempt are vacuum-reclaimable
+          // garbage, never table rows)
+          attempts += 1
+          if (attempts >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Publish EXTERNALLY staged files (already written under
@@ -4721,17 +4832,53 @@ object TableLog {
     * rewrite may clear it) and two scopes over disjoint files commit
     * concurrently under the file-disjoint conflict rule. Returns
     * (version, files rewritten) — (current, 0) when the scope is
-    * empty. */
+    * empty.
+    *
+    * `zorder = Some((x, y))` re-lays the SELECTED slice along the
+    * two-column Z-curve instead of the key range (Delta's
+    * `OPTIMIZE … WHERE … ZORDER BY` — [[compactZorder]] priced at
+    * the scope, not the table): bounds are collected over the
+    * selected survivors only, so the curve is tight for the slice,
+    * and column names resolve through the column mapping (the scoped
+    * rewrite KEEPS the mapping, so the layout expression must speak
+    * the physical dialect the staged frame is written in — key,
+    * partition and bloom columns never rename, everything else may).
+    * Same disclosed trade as the full z-order: per-file key ranges
+    * widen to buy second-column locality; when the scope spans
+    * several partition tuples the z-clustering also mixes tuples
+    * per file (a one-day scope — the OPTIMIZE-WHERE use — has a
+    * single tuple, so its stats stay day-exact). */
   def compactScoped(spark: SparkSession, table: String, numFiles: Int,
-      scope: Snapshot => Seq[AddFile]): (Long, Int) = {
+      scope: Snapshot => Seq[AddFile],
+      zorder: Option[(String, String)] = None): (Long, Int) = {
     val snap = state(table)
     val sel = scope(snap)
     if (sel.isEmpty) return (snap.version, 0)
     val data = readFiles(spark, table, snap, sel)
+    val layout = zorder.map { case (colX, colY) =>
+      // bounds over the SELECTED slice only (one 4-cell driver row,
+      // compactZorder's posture) — logical names here, the frame is
+      // still logical; the rendered expression below is physical
+      // because stage applies it after the column-mapping rename
+      val b = data.agg(
+        min(col(colX)).cast("long"), max(col(colX)).cast("long"),
+        min(col(colY)).cast("long"), max(col(colY)).cast("long"))
+        .collect().head
+      val (minx, maxx, miny, maxy) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val px = snap.physName(colX)
+      val py = snap.physName(colY)
+      val sx = s"((($px) - $minx) * 65535) div ${math.max(1L, maxx - minx)}"
+      val sy = s"((($py) - $miny) * 65535) div ${math.max(1L, maxy - miny)}"
+      expr(graft.ops.ExtOps.zTerms(
+        (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)",
+        s"($sx)", s"($sy)"))
+    }
     val adds = stage(data, table, snap.keyCol, numFiles, snap.bloom,
-      partCols = snap.partCols, colMap = snap.colMap,
+      layout = layout, partCols = snap.partCols, colMap = snap.colMap,
       specId = snap.specId)
-    (commit(table, snap.version, "compact", adds,
+    (commit(table, snap.version,
+      if (zorder.isDefined) "zorder" else "compact", adds,
       sel.map(_.relPath), "", ""), sel.size)
   }
 

@@ -1354,6 +1354,137 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.latestVersion(t) == vNow)
   }
 
+  test("compact_where zorder => 'k,y' re-lays ONE day along the " +
+      "Z-curve: that day's per-file y-spread shrinks, other days' " +
+      "bytes untouched, logical no-op, tuple attribution exact") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir() + "/t"
+    def day(d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-06-$d%02d 10:00:00")
+    TableLog.createEmpty(t, "k BIGINT, ts TIMESTAMP, y BIGINT", "k",
+      partCols = Seq("days:ts"))
+    // day 2 carries the z-order candidate: y uncorrelated with k, so
+    // the key-range layout leaves every file spanning the full y
+    // domain (the compactZorder spec's construction, scoped)
+    TableLog.append((0L to 9L).map(i => (100L + i, day(1), i))
+      .toDF("k", "ts", "y"), t, 1)
+    TableLog.append((0L to 255L).map(i => (1000L + i, day(2), (i * 97L) % 256L))
+      .toDF("k", "ts", "y"), t, 1)
+    TableLog.append((0L to 9L).map(i => (300L + i, day(3), i))
+      .toDF("k", "ts", "y"), t, 1)
+    def isDay(a: TableLog.AddFile, d: String) =
+      a.parts.exists(_.values.headOption.contains(s"2024-06-$d"))
+    def ySpread(files: Seq[TableLog.AddFile]): Seq[Long] = files.map { a =>
+      val r = spark.read.parquet(Paths.get(t, a.relPath).toString)
+        .agg(org.apache.spark.sql.functions.min($"y"),
+          org.apache.spark.sql.functions.max($"y")).collect().head
+      r.getLong(1) - r.getLong(0)
+    }
+    val pre = TableLog.state(t)
+    val preDay2 = pre.active.filter(isDay(_, "02"))
+    val spreadBefore = ySpread(preDay2)
+    def mtime(rel: String) =
+      Files.getLastModifiedTime(Paths.get(t, rel)).toMillis
+    val stamps = pre.active.filterNot(isDay(_, "02"))
+      .map(a => a.relPath -> mtime(a.relPath)).toMap
+    val content = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val res = spark.sql(s"CALL graftlog.compact_where('$t', " +
+      "\"ts >= TIMESTAMP'2024-06-02 00:00:00' AND " +
+      "ts <= TIMESTAMP'2024-06-02 23:59:59'\", 4, " +
+      "zorder => 'k,y')").collect().head
+    assert(res.getLong(1) == 1L, s"files_rewritten: $res")
+    assert(TableLog.history(t).last.op == "zorder")
+    val st = TableLog.state(t)
+    // the scoped day re-laid into 4 files, every one day-2-attributed
+    val day2 = st.active.filter(isDay(_, "02"))
+    assert(day2.size == 4, day2.map(_.relPath).toString)
+    // z-locality: mean per-file y-spread shrinks vs the key layout
+    val spreadAfter = ySpread(day2)
+    assert(spreadAfter.sum.toDouble / spreadAfter.size <
+      spreadBefore.sum.toDouble / spreadBefore.size,
+      s"scoped z-order did not localize y: " +
+        s"before=$spreadBefore after=$spreadAfter")
+    // other days byte-identical; logical no-op; #partitions exact
+    stamps.foreach { case (r, ts0) =>
+      assert(mtime(r) == ts0, s"compact_where zorder touched $r") }
+    val after = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(after == content, "scoped z-order changed table contents")
+    val parts = spark.sql(
+      s"SELECT `days(ts)`, row_count FROM graftlog.`$t#partitions`")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts == Map("2024-06-01" -> 10L, "2024-06-02" -> 256L,
+      "2024-06-03" -> 10L), parts.toString)
+    // a malformed zorder pair refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graftlog.compact_where('$t', " +
+        "\"ts >= TIMESTAMP'2024-06-02 00:00:00' AND " +
+        "ts <= TIMESTAMP'2024-06-02 23:59:59'\", 4, zorder => 'k')")
+    }
+    assert(e.getMessage.contains("exactly two"), e.getMessage)
+  }
+
+  test("copy_into loads each source file exactly once: re-run no-op, " +
+      "new file loads alone, rewritten file is a NEW identity, " +
+      "pattern filters, CHECK gates, ledger rides the same commit") {
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir() + "/t"
+    TableLog.createEmpty(t, "k BIGINT, v STRING", "k")
+    val src = Files.createDirectories(
+      Paths.get(freshDir(), "incoming"))
+    def put(name: String, rows: Seq[(Long, String)]): Unit =
+      Files.write(src.resolve(name), rows.map { case (k, v) =>
+        s"""{"k":$k,"v":"$v"}""" }.mkString("\n").getBytes)
+    put("data_1.json", (0L to 4L).map(i => i -> s"a$i"))
+    put("data_2.json", (5L to 9L).map(i => i -> s"a$i"))
+    Files.write(src.resolve("notes.txt"), "not data".getBytes)
+    def copy() = spark.sql(s"CALL graftlog.copy_into('$t', '$src', " +
+      "'json', 1, 'data_.*\\\\.json')").collect().head
+    val r1 = copy()
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((2L, 0L, 10L)),
+      r1.toString)
+    // idempotent re-run: everything skips, NO commit lands
+    val r2 = copy()
+    assert((r2.getLong(1), r2.getLong(2)) == ((0L, 2L)), r2.toString)
+    assert(r2.getLong(0) == r1.getLong(0), "no-op re-run moved the version")
+    // a new file loads ALONE
+    put("data_3.json", (10L to 14L).map(i => i -> s"a$i"))
+    val r3 = copy()
+    assert((r3.getLong(1), r3.getLong(2), r3.getLong(3)) == ((1L, 2L, 5L)),
+      r3.toString)
+    assert(TableLog.snapshot(spark, t).count() == 15L)
+    // a REWRITTEN file (same name, new bytes+mtime) is a new identity
+    put("data_1.json", Seq(100L -> "fresh"))
+    Files.setLastModifiedTime(src.resolve("data_1.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000L))
+    val r4 = copy()
+    assert((r4.getLong(1), r4.getLong(2), r4.getLong(3)) == ((1L, 2L, 1L)),
+      r4.toString)
+    assert(TableLog.snapshot(spark, t).count() == 16L)
+    // ledger and rows are ONE transaction: each loading run is one
+    // commit; the no-op run left no trace
+    assert(TableLog.history(t).count(_.op == "append") == 3)
+    // an extra source column refuses loudly
+    Files.write(src.resolve("data_4.json"),
+      """{"k":200,"v":"x","stray":1}""".getBytes)
+    val e = intercept[Exception] { copy() }
+    assert(e.getMessage.contains("stray"), e.getMessage)
+    Files.delete(src.resolve("data_4.json"))
+    // CHECK constraints gate the load like every other write path
+    TableLog.setProps(t, TableLog.state(t).props +
+      ("constraint.k_pos" -> "k >= 0"))
+    put("data_5.json", Seq(-1L -> "bad"))
+    val e2 = intercept[Exception] { copy() }
+    assert(e2.getMessage.contains("k_pos"), e2.getMessage)
+    // the refused batch left no rows and no ledger entry
+    assert(TableLog.snapshot(spark, t).count() == 16L)
+  }
+
   test("a rewrite planned before a concurrent DV commit on the same " +
       "file ABORTS: relPath-active is not content-identity") {
     val t = freshDir()
