@@ -102,9 +102,17 @@ object DedupOps {
     * such non-trivial projections wherever they're referenced, and
     * interpreted HOF lambdas multiply that cost — measured 10-30× on
     * this pipeline.) */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = Tables.documentsSpread(s, dir)
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    minhashSignaturesFrom(Tables.documentsSpread(s, dir))
+
+  /** [[minhashSignatures]] over an arbitrary `(doc_id, text)` frame —
+    * the incremental-index maintenance path (q527) signatures only a
+    * CHANGED sliver, so the frame is a parameter, not the corpus
+    * scan; geometry and coefficients are the shared constants above,
+    * so batch and incremental signatures can never drift. */
+  private[ops] def minhashSignaturesFrom(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val sh = df
       .select($"doc_id", explode(shingles3($"text")).as("sh"))
       .withColumn("h0",
         expr("CAST(conv(substring(md5(sh), 1, 7), 16, 10) AS BIGINT)"))
@@ -119,7 +127,7 @@ object DedupOps {
     * `array<struct<doc_id,…>>` → `array<struct<a,b>>`. Caller must
     * guarantee `size(members) >= 2` (Spark's `sequence` turns
     * descending for start > stop). */
-  private def pairUp(members: Column): Column =
+  private[ops] def pairUp(members: Column): Column =
     flatten(transform(sequence(lit(1), size(members) - 1), i =>
       transform(sequence(i + 1, size(members)), j =>
         struct(element_at(members, i.cast("int")).as("a"),
@@ -132,10 +140,15 @@ object DedupOps {
     * for no shuffle saving worth having: keys are ~40 bytes). Shared
     * by q65's pair generation and q280's budget advisor so the band
     * geometry can never drift between them. */
-  private[ops] def minhashBanded(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private[ops] def minhashBanded(s: SparkSession, dir: String): DataFrame =
+    minhashBandedFrom(minhashSignatures(s, dir))
+
+  /** [[minhashBanded]]'s band explosion over an arbitrary
+    * `(doc_id, sig)` frame — same geometry, q527's sliver path. */
+  private[ops] def minhashBandedFrom(sigs: DataFrame): DataFrame = {
+    import sigs.sparkSession.implicits._
     val rows = minhashK / lshBands
-    minhashSignatures(s, dir).select($"doc_id", $"sig",
+    sigs.select($"doc_id", $"sig",
       explode(transform(sequence(lit(0), lit(lshBands - 1)), j =>
         struct(j.as("band"),
           array_join(transform(
@@ -180,12 +193,16 @@ object DedupOps {
     * q280 oracles so the band SQL can never drift between them. */
   /** The t/shd/h/sig signature sub-chain alone — shared with q475's
     * banding sweep, which re-bands the SAME signatures per config. */
-  private lazy val minhashSigCte = {
+  private lazy val minhashSigCte = minhashSigCteOver("documents")
+
+  /** [[minhashSigCte]] parametrized on the source relation — q527's
+    * oracle re-runs the chain over a DML-edited corpus CTE. */
+  private[ops] def minhashSigCteOver(rel: String): String = {
     val minExprs = minhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"min((h0 * $a + $b) % $minhashMod) AS m$i"
     }.mkString(",\n       |    ")
     s"""t AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') toks FROM documents),
+       |  SELECT doc_id, string_split(lower(text), ' ') toks FROM $rel),
        |shd AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, len(toks) - 1),
@@ -201,15 +218,18 @@ object DedupOps {
 
   /** One banding geometry's `SELECT doc_id, band, bucket` arms over
     * `sig` — `bands × rowsPerBand` must cover the signature. */
-  private def bandRowsSql(bands: Int, rowsPerBand: Int): String =
+  private[ops] def bandRowsSql(bands: Int, rowsPerBand: Int): String =
     (0 until bands).map { j =>
       val key = (j * rowsPerBand until (j + 1) * rowsPerBand)
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $j AS band, $key AS bucket FROM sig"
     }.mkString("\n       |  UNION ALL\n       |  ")
 
-  private lazy val minhashBandsCte =
-    s"""$minhashSigCte,
+  private lazy val minhashBandsCte = minhashBandsCteOver("documents")
+
+  /** [[minhashBandsCte]] parametrized on the source relation. */
+  private[ops] def minhashBandsCteOver(rel: String): String =
+    s"""${minhashSigCteOver(rel)},
        |bands AS (
        |  ${bandRowsSql(lshBands, minhashK / lshBands)})""".stripMargin
 

@@ -4248,6 +4248,144 @@ object TableOps {
       |FROM events WHERE event_id % 23 = 2
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q527
+  /** [NS] INCREMENTAL LSH INDEX THROUGH MoR DML — q520's
+    * maintain-from-the-change-feed discipline applied to the OTHER
+    * derived structure a curation stack keeps beside its tables: the
+    * near-dup band index. The q65 MinHash/LSH index (same
+    * coefficients, same 8×4 geometry — [[DedupOps.minhashBandedFrom]]
+    * is the one shared definition, so batch build and incremental
+    * maintenance can never drift) is built ONCE over the creation
+    * snapshot, then maintained purely from [[TableLog.diffVersions]]
+    * deltas across an append, a merge-on-read SQL MERGE (which
+    * plants duplicate texts — the pairs the index must START
+    * finding) and a merge-on-read SQL DELETE (whose victims' pairs
+    * must STOP appearing): delete/update-old rows anti-join out of
+    * the index, insert/update-new rows signature ONLY the changed
+    * sliver. No step rescans history; `n_batches = 3` pins the
+    * folds. The final candidate-pair emission is q65's shape over
+    * the maintained index, and the oracle re-runs the full LSH
+    * chain over the DML-edited corpus from scratch — incremental ≡
+    * recompute, hash-proven. At 100 TB this is the GDPR/refresh
+    * story for dedup infrastructure: a KB-scale MoR erasure updates
+    * the near-dup index at the cost of the changed rows, not a
+    * corpus re-signature. */
+  private val lshIndexMorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q527IncrementalLshIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = lshIndexMorCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tloglsh_").toString + "/t"
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        .localCheckpoint(true)
+      val corpus = docs.where($"doc_id" % 3 === 0)
+      TableLog.create(corpus.where($"doc_id" % 2 === 0),
+        path, "doc_id", numFiles = 2)                                // v1
+      TableLog.setProps(path, TableLog.state(path).props +
+        ("dv.mode" -> "merge-on-read"))                              // v2
+      TableLog.append(corpus.where($"doc_id" % 2 =!= 0), path, 2)    // v3
+      // MERGE plants duplicates: matched %33==0 rows take the text
+      // of corpus doc (id+3); inserts are NEW ids (%3==1, %11==0)
+      // carrying the text of corpus doc (id−1) — both arms create
+      // pairs the maintained index must surface
+      val donor3 = corpus.select($"doc_id".as("d_id"), $"text".as("d_text"))
+      val upd = corpus.where($"doc_id" % 33 === 0)
+        .join(donor3, $"d_id" === $"doc_id" + 3, "left")
+        .select($"doc_id", coalesce($"d_text", $"text").as("text"))
+      val ins = docs.where($"doc_id" % 3 === 1 && $"doc_id" % 11 === 0)
+        .join(donor3, $"d_id" === $"doc_id" - 1, "left")
+        .select($"doc_id", coalesce($"d_text", $"text").as("text"))
+      upd.unionByName(ins).createOrReplaceTempView("q527_src")
+      try s.sql(
+        s"""MERGE INTO graftlog.`$path` tg USING q527_src src
+           |ON tg.doc_id = src.doc_id
+           |WHEN MATCHED THEN UPDATE SET text = src.text
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)           // v4
+      finally s.catalog.dropTempView("q527_src")
+      s.sql(s"DELETE FROM graftlog.`$path` " +
+        "WHERE doc_id >= 120 AND doc_id <= 360")                     // v5
+      require(TableLog.state(path).active.exists(_.dv.isDefined),
+        "q527 fixture must exercise merge-on-read commits")
+      path
+    })
+    // index build: ONE signature pass over the creation-era snapshot
+    var idx = DedupOps.minhashBandedFrom(DedupOps.minhashSignaturesFrom(
+      TableLog.snapshot(s, t, version = 1L))).localCheckpoint(true)
+    var nBatches = 0
+    (2L to TableLog.latestVersion(t)).foreach { v =>
+      val d = TableLog.diffVersions(s, t, v - 1L, v).localCheckpoint(true)
+      if (d.count() > 0L) {
+        val gone = d.where($"action".isin("delete", "update"))
+          .select($"doc_id")
+        val fresh = d.where($"action".isin("insert", "update"))
+          .select($"doc_id", col("new_text").as("text"))
+        idx = idx.join(gone, Seq("doc_id"), "left_anti")
+          .unionByName(DedupOps.minhashBandedFrom(
+            DedupOps.minhashSignaturesFrom(fresh)))
+          .localCheckpoint(true)
+        nBatches += 1
+      }
+    }
+    // candidate pairs at the final state — q65's emission over the
+    // MAINTAINED index (bucket group → i<j pairs → signature match)
+    idx.groupBy($"band", $"bucket")
+      .agg(array_sort(collect_list(struct($"doc_id", $"sig"))).as("members"))
+      .where(size($"members") >= 2 &&
+        size($"members") <= DedupOps.maxGroupSize)
+      .select(explode(DedupOps.pairUp($"members")).as("p"))
+      .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
+        (aggregate(zip_with($"p.a.sig", $"p.b.sig",
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / DedupOps.minhashK)
+          .as("est_jaccard"))
+      .distinct()
+      .where($"est_jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"est_jaccard",
+        lit(nBatches).as("n_batches"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private lazy val q527Oracle = {
+    val k = DedupOps.minhashK
+    val matches = (0 until k)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH docs2 AS (
+       |  SELECT c.doc_id,
+       |    CASE WHEN c.doc_id % 33 = 0 THEN COALESCE(d3.text, c.text)
+       |         ELSE c.text END AS text
+       |  FROM documents c
+       |  LEFT JOIN documents d3 ON d3.doc_id = c.doc_id + 3
+       |  WHERE c.doc_id % 3 = 0
+       |    AND c.doc_id NOT BETWEEN 120 AND 360
+       |  UNION ALL
+       |  SELECT i.doc_id, COALESCE(dm.text, i.text) AS text
+       |  FROM documents i
+       |  LEFT JOIN documents dm ON dm.doc_id = i.doc_id - 1
+       |  WHERE i.doc_id % 3 = 1 AND i.doc_id % 11 = 0
+       |    AND i.doc_id NOT BETWEEN 120 AND 360),
+       |${DedupOps.minhashBandsCteOver("docs2")},
+       |ok AS (
+       |  SELECT band, bucket FROM bands GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND ${DedupOps.maxGroupSize}),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |    AND a.doc_id < b.doc_id
+       |  JOIN ok ON a.band = ok.band AND a.bucket = ok.bucket)
+       |SELECT doc_a, doc_b,
+       |  CAST($matches AS DOUBLE) / $k AS est_jaccard,
+       |  3 AS n_batches
+       |FROM cand
+       |JOIN sig sa ON doc_a = sa.doc_id
+       |JOIN sig sb ON doc_b = sb.doc_id
+       |WHERE CAST($matches AS DOUBLE) / $k >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q509
   /** The COMPLETE WAP lifecycle from SQL — round 13 closes the loop
     * the q482/q500 machinery opened: fork (`CALL graftlog.branch`),
@@ -4588,6 +4726,7 @@ object TableOps {
       |ORDER BY dim, cnt""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q527_incremental_lsh_index" -> (q527IncrementalLshIndex _),
     "q524_copy_into" -> (q524CopyInto _),
     "q523_compact_where_zorder" -> (q523CompactWhereZorder _),
     "q520_incremental_mv_mor" -> (q520IncrementalMvMor _),
@@ -4672,6 +4811,7 @@ object TableOps {
 
   val oracles: Map[String, String] = Map(
     "q516_mor_merge" -> q516Oracle,
+    "q527_incremental_lsh_index" -> q527Oracle,
     "q524_copy_into" -> q524Oracle,
     "q523_compact_where_zorder" -> q523Oracle,
     "q520_incremental_mv_mor" -> q520Oracle,
