@@ -464,9 +464,20 @@ object ExtOps {
     * same cost shape as any partitioned write. */
   private[graft] def zTerms(shiftL: (String, Int) => String,
       shiftR: (String, Int) => String, x: String, y: String): String =
-    (0 until 16).map { i =>
-      s"${shiftL(s"(${shiftR(x, i)} & 1)", 2 * i)} + " +
-        s"${shiftL(s"(${shiftR(y, i)} & 1)", 2 * i + 1)}"
+    zTermsN(shiftL, shiftR, Seq(x, y), 16)
+
+  /** N-column Morton interleave over pre-scaled `bits`-wide inputs:
+    * column j's bit i lands at position N·i + j (later columns more
+    * significant within each round, matching the historical 2-column
+    * x/y layout exactly). The caller picks `bits` so N·bits ≤ 62 —
+    * 16 bits through 3 columns, 15 at 4 (bit 63 is the sign). */
+  private[graft] def zTermsN(shiftL: (String, Int) => String,
+      shiftR: (String, Int) => String, cols: Seq[String],
+      bits: Int): String =
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftL(s"(${shiftR(c, i)} & 1)", cols.size * i + j)
+      }
     }.mkString(" + ")
 
   /** 16-bit × 16-bit Morton interleave over pre-scaled `sx`/`sy`

@@ -3151,11 +3151,12 @@ private[sources] object GraftLogProcedures {
     * all hold through it. Returns (version, files_rewritten,
     * n_files); a no-match scope commits nothing.
     *
-    * `zorder => 'x,y'` re-lays the rewritten slice along the
-    * two-column Z-curve (Delta's `OPTIMIZE … WHERE … ZORDER BY`):
-    * curve bounds collect over the SELECTED slice only, so one day's
-    * re-layout is tight for that day's value ranges — see
-    * [[TableLog.compactScoped]] for the disclosed stat trades. */
+    * `zorder => 'a,b[,c[,d]]'` (2–4 columns) re-lays the rewritten
+    * slice along the multi-column Z-curve (Delta's
+    * `OPTIMIZE … WHERE … ZORDER BY`): curve bounds collect over the
+    * SELECTED slice only, so one day's re-layout is tight for that
+    * day's value ranges — see [[TableLog.compactScoped]] for the
+    * bit budget and disclosed stat trades. */
   object CompactWhere extends UnboundProcedure with BoundProcedure {
     override def name(): String = "compact_where"
     override def description(): String =
@@ -3173,9 +3174,9 @@ private[sources] object GraftLogProcedures {
         .comment("target file count for the rewritten slice").build(),
       ProcedureParameter.in("zorder", StringType)
         .defaultValue("''")
-        .comment("optional 'colX,colY' pair: re-lay the rewritten " +
-          "slice along the two-column Z-curve instead of the key " +
-          "range").build())
+        .comment("optional 'colA,colB[,colC[,colD]]' list (2-4 " +
+          "columns): re-lay the rewritten slice along the " +
+          "multi-column Z-curve instead of the key range").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val spark = SparkSession.active
       val table = input.getUTF8String(0).toString
@@ -3185,10 +3186,10 @@ private[sources] object GraftLogProcedures {
         else input.getUTF8String(3).toString.trim
       val zorder = if (zorderSpec.isEmpty) None else {
         val parts = zorderSpec.split(",").map(_.trim).filter(_.nonEmpty)
-        require(parts.length == 2,
-          s"compact_where on $table: zorder must name exactly two " +
-            s"columns as 'colX,colY', got '$zorderSpec'")
-        Some((parts(0), parts(1)))
+        require(parts.length >= 2 && parts.length <= 4,
+          s"compact_where on $table: zorder must name two to four " +
+            s"columns as 'colA,colB[,colC[,colD]]', got '$zorderSpec'")
+        Some(parts.toSeq)
       }
       val snap = TableLog.state(table)
       require(snap.partCols.nonEmpty,

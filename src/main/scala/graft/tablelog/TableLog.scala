@@ -4834,45 +4834,51 @@ object TableLog {
     * (version, files rewritten) — (current, 0) when the scope is
     * empty.
     *
-    * `zorder = Some((x, y))` re-lays the SELECTED slice along the
-    * two-column Z-curve instead of the key range (Delta's
-    * `OPTIMIZE … WHERE … ZORDER BY` — [[compactZorder]] priced at
-    * the scope, not the table): bounds are collected over the
-    * selected survivors only, so the curve is tight for the slice,
-    * and column names resolve through the column mapping (the scoped
-    * rewrite KEEPS the mapping, so the layout expression must speak
-    * the physical dialect the staged frame is written in — key,
-    * partition and bloom columns never rename, everything else may).
-    * Same disclosed trade as the full z-order: per-file key ranges
-    * widen to buy second-column locality; when the scope spans
-    * several partition tuples the z-clustering also mixes tuples
-    * per file (a one-day scope — the OPTIMIZE-WHERE use — has a
-    * single tuple, so its stats stay day-exact). */
+    * `zorder = Some(cols)` (2–4 columns) re-lays the SELECTED slice
+    * along the multi-column Z-curve instead of the key range
+    * (Delta's `OPTIMIZE … WHERE … ZORDER BY` — [[compactZorder]]
+    * priced at the scope, not the table): bounds are collected over
+    * the selected survivors only, so the curve is tight for the
+    * slice, and column names resolve through the column mapping
+    * (the scoped rewrite KEEPS the mapping, so the layout expression
+    * must speak the physical dialect the staged frame is written
+    * in — key, partition and bloom columns never rename, everything
+    * else may). Bit budget: 16 interleave bits per column through 3
+    * columns, 15 at 4 (N·bits must stay under the sign bit) — more
+    * columns each get coarser locality, the standard Z-order trade,
+    * disclosed. Same stat trade as the full z-order: per-file key
+    * ranges widen to buy the extra columns' locality; when the
+    * scope spans several partition tuples the z-clustering also
+    * mixes tuples per file (a one-day scope — the OPTIMIZE-WHERE
+    * use — has a single tuple, so its stats stay day-exact). */
   def compactScoped(spark: SparkSession, table: String, numFiles: Int,
       scope: Snapshot => Seq[AddFile],
-      zorder: Option[(String, String)] = None): (Long, Int) = {
+      zorder: Option[Seq[String]] = None): (Long, Int) = {
     val snap = state(table)
     val sel = scope(snap)
     if (sel.isEmpty) return (snap.version, 0)
     val data = readFiles(spark, table, snap, sel)
-    val layout = zorder.map { case (colX, colY) =>
-      // bounds over the SELECTED slice only (one 4-cell driver row,
+    val layout = zorder.map { zcols =>
+      require(zcols.size >= 2 && zcols.size <= 4,
+        s"compactScoped on $table: zorder takes two to four columns, " +
+          s"got ${zcols.mkString(", ")}")
+      val bits = if (zcols.size <= 3) 16 else 15
+      val scaleMax = (1L << bits) - 1L
+      // bounds over the SELECTED slice only (one 2N-cell driver row,
       // compactZorder's posture) — logical names here, the frame is
       // still logical; the rendered expression below is physical
       // because stage applies it after the column-mapping rename
-      val b = data.agg(
-        min(col(colX)).cast("long"), max(col(colX)).cast("long"),
-        min(col(colY)).cast("long"), max(col(colY)).cast("long"))
-        .collect().head
-      val (minx, maxx, miny, maxy) =
-        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-      val px = snap.physName(colX)
-      val py = snap.physName(colY)
-      val sx = s"((($px) - $minx) * 65535) div ${math.max(1L, maxx - minx)}"
-      val sy = s"((($py) - $miny) * 65535) div ${math.max(1L, maxy - miny)}"
-      expr(graft.ops.ExtOps.zTerms(
+      val aggs = zcols.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+      val b = data.agg(aggs.head, aggs.tail: _*).collect().head
+      val scaled = zcols.zipWithIndex.map { case (c, i) =>
+        val (lo, hi) = (b.getLong(2 * i), b.getLong(2 * i + 1))
+        val p = snap.physName(c)
+        s"(((($p) - $lo) * $scaleMax) div ${math.max(1L, hi - lo)})"
+      }
+      expr(graft.ops.ExtOps.zTermsN(
         (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)",
-        s"($sx)", s"($sy)"))
+        scaled, bits))
     }
     val adds = stage(data, table, snap.keyCol, numFiles, snap.bloom,
       layout = layout, partCols = snap.partCols, colMap = snap.colMap,

@@ -1418,13 +1418,54 @@ class TableLogSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(parts == Map("2024-06-01" -> 10L, "2024-06-02" -> 256L,
       "2024-06-03" -> 10L), parts.toString)
-    // a malformed zorder pair refuses loudly
+    // a malformed zorder list refuses loudly
     val e = intercept[Exception] {
       spark.sql(s"CALL graftlog.compact_where('$t', " +
         "\"ts >= TIMESTAMP'2024-06-02 00:00:00' AND " +
         "ts <= TIMESTAMP'2024-06-02 23:59:59'\", 4, zorder => 'k')")
     }
-    assert(e.getMessage.contains("exactly two"), e.getMessage)
+    assert(e.getMessage.contains("two to four"), e.getMessage)
+  }
+
+  test("compact_where zorder with THREE columns: 8 files split on " +
+      "the three top interleave bits, both secondary columns " +
+      "localize, logical no-op") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir() + "/t"
+    val day2 = java.sql.Timestamp.valueOf("2024-06-02 10:00:00")
+    TableLog.createEmpty(t,
+      "k BIGINT, ts TIMESTAMP, y BIGINT, w BIGINT", "k",
+      partCols = Seq("days:ts"))
+    // y and w decorrelated from k and from each other: the key
+    // layout leaves each file spanning both full domains
+    TableLog.append((0L to 511L).map(i =>
+      (i, day2, (i * 97L) % 512L, (i * 53L) % 512L))
+      .toDF("k", "ts", "y", "w"), t, 1)
+    def spread(c: String): Seq[Long] = TableLog.state(t).active.map { a =>
+      val r = spark.read.parquet(Paths.get(t, a.relPath).toString)
+        .agg(org.apache.spark.sql.functions.min(col(c)),
+          org.apache.spark.sql.functions.max(col(c))).collect().head
+      r.getLong(1) - r.getLong(0)
+    }
+    def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    val (y0, w0) = (mean(spread("y")), mean(spread("w")))
+    val content = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    spark.sql(s"CALL graftlog.compact_where('$t', " +
+      "\"ts >= TIMESTAMP'2024-06-02 00:00:00' AND " +
+      "ts <= TIMESTAMP'2024-06-02 23:59:59'\", 8, " +
+      "zorder => 'k,y,w')").collect()
+    assert(TableLog.state(t).active.size == 8)
+    // with 8 range splits over the 3-way interleave the top three
+    // bits are one MSB per column — every column's spread shrinks
+    val (y1, w1) = (mean(spread("y")), mean(spread("w")))
+    assert(y1 < y0, s"y did not localize: $y0 -> $y1")
+    assert(w1 < w0, s"w did not localize: $w0 -> $w1")
+    val after = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(after == content, "3-column scoped z-order changed contents")
   }
 
   test("copy_into loads each source file exactly once: re-run no-op, " +
