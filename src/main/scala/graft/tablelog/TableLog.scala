@@ -2368,6 +2368,24 @@ object TableLog {
       val adds = stage(ordered, table, snap.keyCol, numFiles, snap.bloom,
         partCols = snap.partCols, colMap = snap.colMap,
         specId = snap.specId)
+      // the ledger identity was computed at LISTING time but the
+      // bytes were read during staging — a file mutated in between
+      // (a writer still appending to it) would land partial content
+      // under an identity its final form no longer carries, and the
+      // finished file would then RELOAD as "new" and duplicate.
+      // Immutable-landed-files is the contract; a caught violation
+      // refuses loudly instead of ledgering the torn read.
+      fresh.foreach { case (p, _) =>
+        val ident = s"${p.getFileName}|${Files.size(p)}|" +
+          s"${Files.getLastModifiedTime(p).toMillis}"
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val now = "copy_" + md.digest(ident.getBytes(UTF_8))
+          .map("%02x".format(_)).mkString.take(16)
+        require(withIds.exists { case (q, id) => q == p && id == now },
+          s"copyInto $table: source file $p changed while being " +
+            "loaded — landed files must be immutable; re-run once " +
+            "the writer has finished")
+      }
       try {
         val v = commit(table, snap.version, "append", adds, Nil, "", "",
           txns = fresh.map(_._2 -> 1L))
@@ -4864,6 +4882,22 @@ object TableLog {
           s"got ${zcols.mkString(", ")}")
       val bits = if (zcols.size <= 3) 16 else 15
       val scaleMax = (1L << bits) - 1L
+      // z-order columns must scale into an integer lattice: refuse
+      // non-integral (and missing) columns with a real message — a
+      // silent cast would null the bounds and NPE below
+      val schema = StructType.fromDDL(snap.schemaDdl)
+      zcols.foreach { c =>
+        val ok = schema.fields.find(_.name == c).exists(_.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType => true
+          case _ => false
+        })
+        require(ok, s"compactScoped on $table: z-order column '$c' " +
+          "must be an integral table column — the Z-curve scales " +
+          "values into a fixed-width integer lattice")
+      }
       // bounds over the SELECTED slice only (one 2N-cell driver row,
       // compactZorder's posture) — logical names here, the frame is
       // still logical; the rendered expression below is physical

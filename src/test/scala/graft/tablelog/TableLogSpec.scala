@@ -1425,6 +1425,14 @@ class TableLogSpec extends SparkSuite {
         "ts <= TIMESTAMP'2024-06-02 23:59:59'\", 4, zorder => 'k')")
     }
     assert(e.getMessage.contains("two to four"), e.getMessage)
+    // a non-integral z-order column refuses with a real message
+    // (a silent cast would null the bounds instead)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graftlog.compact_where('$t', " +
+        "\"ts >= TIMESTAMP'2024-06-02 00:00:00' AND " +
+        "ts <= TIMESTAMP'2024-06-02 23:59:59'\", 4, zorder => 'k,ts')")
+    }
+    assert(e2.getMessage.contains("integral"), e2.getMessage)
   }
 
   test("compact_where zorder with THREE columns: 8 files split on " +
