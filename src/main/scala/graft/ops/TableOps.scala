@@ -3931,7 +3931,7 @@ object TableOps {
       // filter the frozen frame instead of rescanning the source
       val slice = Tables.events(s, dir)
         .select($"event_id", $"ts", $"user_id", $"event_type")
-        .where($"event_id" % 4 === 3 &&
+        .where($"event_id" % 8 === 3 &&
           $"ts" < lit("2024-01-05").cast("timestamp"))
         .localCheckpoint(true)
       TableLog.createEmpty(path,
@@ -3965,7 +3965,7 @@ object TableOps {
   private val q519Oracle =
     """WITH sl AS (
       |  SELECT event_id, ts, user_id, event_type FROM events
-      |  WHERE event_id % 4 = 3 AND ts < TIMESTAMP '2024-01-05'),
+      |  WHERE event_id % 8 = 3 AND ts < TIMESTAMP '2024-01-05'),
       |d AS (
       |  SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
       |    CAST(count(*) AS BIGINT) AS written,
