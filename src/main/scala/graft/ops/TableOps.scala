@@ -4386,6 +4386,55 @@ object TableOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q528
+  /** ZERO-COPY ADOPTION (`CALL graftlog.adopt`) — Delta's
+    * `CONVERT TO DELTA` shape, the migration path INTO the format:
+    * a directory some plain `df.write.parquet` job produced becomes
+    * a v1 table without rewriting a byte (hard-linked references,
+    * one stats scan — [[TableLog.adopt]]), and then LIVES: the
+    * fixture appends a second slice through the transactional path
+    * after adoption, so the readout proves adopted files and
+    * post-adoption commits serve from one snapshot. At 100 TB this
+    * is the difference between "converting the lake costs a second
+    * lake" and "converting costs one stats pass": every byte the
+    * legacy pipeline wrote stays where it is, owned by its writer,
+    * while the table format takes over atomicity, stats and time
+    * travel from the next commit on. */
+  private val adoptCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def q528AdoptParquet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withCatalog(s)
+    val t = adoptCache.computeIfAbsent(dir, _ => {
+      val path = Files.createTempDirectory("graft_tlogad_").toString + "/t"
+      val ev = Tables.events(s, dir).select($"event_id", $"event_type")
+      // the legacy job: plain parquet, no log, no stats
+      ev.where(pmod($"event_id", lit(7)) === 1)
+        .repartition(2).write.parquet(path)
+      val res = s.sql(s"CALL graftlog.adopt('$path', 'event_id')")
+        .collect().head
+      require(res.getLong(0) == 1L && res.getLong(1) == 2L,
+        s"q528: adoption must reference the 2 legacy files: $res")
+      // the table lives on: a transactional append lands beside the
+      // adopted references in the same snapshot
+      TableLog.append(ev.where(pmod($"event_id", lit(7)) === 2), path, 2)
+      path
+    })
+    TableLog.snapshot(s, t)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"event_id").as("sum_id"))
+      .orderBy($"event_type")
+  }
+
+  private val q528Oracle =
+    """SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_id
+      |FROM events WHERE event_id % 7 IN (1, 2)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q509
   /** The COMPLETE WAP lifecycle from SQL — round 13 closes the loop
     * the q482/q500 machinery opened: fork (`CALL graftlog.branch`),
@@ -4726,6 +4775,7 @@ object TableOps {
       |ORDER BY dim, cnt""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q528_adopt_parquet" -> (q528AdoptParquet _),
     "q527_incremental_lsh_index" -> (q527IncrementalLshIndex _),
     "q524_copy_into" -> (q524CopyInto _),
     "q523_compact_where_zorder" -> (q523CompactWhereZorder _),
@@ -4811,6 +4861,7 @@ object TableOps {
 
   val oracles: Map[String, String] = Map(
     "q516_mor_merge" -> q516Oracle,
+    "q528_adopt_parquet" -> q528Oracle,
     "q527_incremental_lsh_index" -> q527Oracle,
     "q524_copy_into" -> q524Oracle,
     "q523_compact_where_zorder" -> q523Oracle,

@@ -3432,8 +3432,34 @@ private[sources] object GraftLogProcedures {
     }
   }
 
+  /** `CALL graftlog.adopt('<dir>', '<key_col>')` —
+    * [[TableLog.adopt]]: zero-copy in-place conversion of a plain
+    * parquet directory into a v1 table (Delta's `CONVERT TO DELTA`
+    * shape). One stats scan, hard-linked references, originals
+    * untouched. Returns (version, files_adopted, rows). */
+  object Adopt extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "adopt"
+    override def description(): String =
+      "zero-copy convert a plain parquet directory into a table"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("directory of top-level .parquet files; becomes " +
+          "the table path").build(),
+      ProcedureParameter.in("key_col", StringType)
+        .comment("key column for range stats and pruning").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (v, n, rows) = TableLog.adopt(SparkSession.active,
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString)
+      oneRow("version BIGINT, files_adopted BIGINT, rows BIGINT",
+        Seq(v, n.toLong, rows))
+    }
+  }
+
   val all: Seq[UnboundProcedure] =
     Seq(Vacuum, Compact, CompactSmall, CompactWhere, Restore, Clone,
-      DeepClone, ZOrder, DeleteDv, MigrateStats, CopyInto,
+      DeepClone, ZOrder, DeleteDv, MigrateStats, CopyInto, Adopt,
       Branch, Publish, DropBranch, SetPartitionSpec, Tag, DropTag)
 }

@@ -1852,6 +1852,84 @@ object TableLog {
       bloom = bloom, partCols = partCols)
   }
 
+  /** ZERO-COPY ADOPTION of a plain parquet directory — Delta's
+    * `CONVERT TO DELTA` shape, the migration path INTO the format: a
+    * directory of ordinary `df.write.parquet` files becomes a v1
+    * table WITHOUT rewriting a byte. Cost: ONE stats scan (per-file
+    * row count + key min/max via `input_file_name` grouping — the
+    * honest price of manifest stats over files we didn't write; at
+    * 100 TB that single scan replaces the full rewrite a
+    * read-into-create would pay). Each file HARD-LINKS into the
+    * table's own `data/` dir (same-filesystem zero-copy, the branch
+    * adoption-link design) and the commit references the links: the
+    * ORIGINALS stay untouched at the top level, still readable by
+    * whatever plain-parquet job produced them, and deletable by
+    * their owner whenever ready — vacuum only ever sweeps `data/`,
+    * so the table can never reclaim files it does not own. All-null
+    * or non-integral key values adopt with a FULL-RANGE key envelope
+    * (pruning-inert but sound — the first compact re-lays and
+    * re-stats them); zero-row files are skipped, not referenced;
+    * hive-partitioned subdirectories refuse (adopt the leaf dirs, or
+    * read-and-create for a partitioned layout). The commit is a
+    * "create" (metadata-bearing → never rebases), so two concurrent
+    * adoptions race safely. Returns (version, files_adopted, rows). */
+  def adopt(spark: SparkSession, table: String,
+      keyCol: String): (Long, Int, Long) = {
+    require(latestVersion(table) == 0L, s"$table already exists")
+    requireNoViewShadow(table)
+    val top = {
+      val s = Files.list(Paths.get(table))
+      try {
+        val it = s.iterator(); val b = Vector.newBuilder[Path]
+        while (it.hasNext) { val p = it.next(); b += p }
+        b.result()
+      } finally s.close()
+    }
+    require(!top.exists(p => Files.isDirectory(p) &&
+        p.getFileName.toString.contains("=")),
+      s"adopt $table: hive-partitioned subdirectories found — adopt " +
+        "the leaf directories individually, or read-and-create for " +
+        "a partitioned table")
+    val files = top.filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") &&
+        !n.startsWith(".") && !n.startsWith("_")
+    }.sortBy(_.getFileName.toString)
+    require(files.nonEmpty,
+      s"adopt $table: no top-level .parquet files to adopt")
+    val df = spark.read.parquet(files.map(_.toString): _*)
+    require(df.columns.contains(keyCol),
+      s"adopt $table: key column '$keyCol' not in the files' " +
+        s"schema: ${df.schema.toDDL}")
+    // per-file stats in ONE scan — no rewrite, no footer parsing
+    val stats = df.groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"),
+        min(col(keyCol)).cast("long").as("mn"),
+        max(col(keyCol)).cast("long").as("mx"))
+      .collect()
+      .map { r =>
+        val f = r.getString(0)
+        val name = java.net.URLDecoder
+          .decode(f.substring(f.lastIndexOf('/') + 1), "UTF-8")
+        name -> ((r.getLong(1),
+          if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
+          if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+      }.toMap
+    val stageId = "adopt-" + java.util.UUID.randomUUID().toString.take(8)
+    Files.createDirectories(Paths.get(table, "data", stageId))
+    val adds = files.flatMap { p =>
+      val name = p.getFileName.toString
+      stats.get(name).filter(_._1 > 0L).map { case (n, mn, mx) =>
+        Files.createLink(Paths.get(table, "data", stageId, name), p)
+        AddFile(s"data/$stageId/$name", n, mn, mx)
+      }
+    }
+    require(adds.nonEmpty,
+      s"adopt $table: every candidate file is empty — nothing to adopt")
+    val v = commit(table, 0L, "create", adds, Nil, df.schema.toDDL, keyCol)
+    (v, adds.size, adds.map(_.rows).sum)
+  }
+
   /** Create as version 1 with ZERO data files — the catalog's
     * `CREATE TABLE`: schema, key column and (identity) partition
     * columns are declared up front, the first INSERT/append brings

@@ -1534,6 +1534,62 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.snapshot(spark, t).count() == 16L)
   }
 
+  test("adopt converts a plain parquet dir zero-copy: hard-linked " +
+      "references, originals untouched and never vacuumed, stats " +
+      "real, append/prune/compact/time-travel all work after") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir() + "/t"
+    // a directory some OTHER job wrote with plain spark.write
+    (0L to 99L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(3).write.parquet(t)
+    val origs = {
+      val s = Files.list(Paths.get(t))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).toVector
+      } finally s.close()
+    }
+    assert(origs.size == 3)
+    val res = spark.sql(s"CALL graftlog.adopt('$t', 'k')").collect().head
+    assert(res.getLong(0) == 1L && res.getLong(1) == 3L &&
+      res.getLong(2) == 100L, res.toString)
+    // zero-copy: every adopted reference is a hard LINK to an
+    // original (nlink == 2), not a rewrite
+    val st = TableLog.state(t)
+    assert(st.active.size == 3)
+    st.active.foreach { a =>
+      val n = Files.getAttribute(
+        Paths.get(t, a.relPath), "unix:nlink").asInstanceOf[Integer]
+      assert(n == 2, s"${a.relPath} nlink=$n — expected a hard link")
+    }
+    // content + real key stats (pruned read answers exactly)
+    assert(TableLog.snapshot(spark, t).count() == 100L)
+    assert(TableLog.snapshotWhereKey(spark, t, 10L, 20L)
+      .collect().map(_.getLong(0)).sorted.toSeq == (10L to 20L))
+    // the table LIVES: append, then compact, then vacuum — the
+    // adopted links die with the rewrite but the ORIGINALS survive
+    // (vacuum only sweeps data/, the table never owns the top level)
+    TableLog.append((100L to 109L).map(i => (i, s"v$i")).toDF("k", "v"),
+      t, 1)
+    assert(TableLog.snapshot(spark, t).count() == 110L)
+    TableLog.compact(spark, t, 2)
+    TableLog.vacuum(t, graceMillis = 0L)
+    origs.foreach(p => assert(Files.exists(p),
+      s"vacuum must never touch the original $p"))
+    assert(TableLog.snapshot(spark, t).count() == 110L)
+    // time travel to the adoption snapshot still works (links gone
+    // after vacuum is the retention trade, v1 manifest remains)
+    assert(TableLog.history(t).head.op == "create")
+    // adopting an existing table refuses
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graftlog.adopt('$t', 'k')")
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+  }
+
   test("a rewrite planned before a concurrent DV commit on the same " +
       "file ABORTS: relPath-active is not content-identity") {
     val t = freshDir()
