@@ -1872,7 +1872,11 @@ object TableLog {
     * hive-partitioned subdirectories refuse (adopt the leaf dirs, or
     * read-and-create for a partitioned layout). The commit is a
     * "create" (metadata-bearing → never rebases), so two concurrent
-    * adoptions race safely. Returns (version, files_adopted, rows). */
+    * adoptions race safely — and it SEEDS the copy ledger with every
+    * adopted file's identity, so a later
+    * `copy_into(dir, dir, 'parquet')` is INCREMENTAL adoption:
+    * late-arriving top-level files load, adopted ones skip. Returns
+    * (version, files_adopted, rows). */
   def adopt(spark: SparkSession, table: String,
       keyCol: String): (Long, Int, Long) = {
     require(latestVersion(table) == 0L, s"$table already exists")
@@ -1926,7 +1930,21 @@ object TableLog {
     }
     require(adds.nonEmpty,
       s"adopt $table: every candidate file is empty — nothing to adopt")
-    val v = commit(table, 0L, "create", adds, Nil, df.schema.toDDL, keyCol)
+    // seed the COPY LEDGER with every adopted file's identity (the
+    // same (name|size|mtime) scheme [[copyInto]] uses), so
+    // `copy_into(dir, dir, 'parquet')` afterwards is INCREMENTAL
+    // adoption: late-arriving top-level files load, already-adopted
+    // ones skip — without this, a post-adoption copy_into would
+    // double-load everything the create commit already references
+    val ledger = files.map { p =>
+      val ident = s"${p.getFileName}|${Files.size(p)}|" +
+        s"${Files.getLastModifiedTime(p).toMillis}"
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ("copy_" + md.digest(ident.getBytes(UTF_8))
+        .map("%02x".format(_)).mkString.take(16)) -> 1L
+    }
+    val v = commit(table, 0L, "create", adds, Nil, df.schema.toDDL,
+      keyCol, txns = ledger)
     (v, adds.size, adds.map(_.rows).sum)
   }
 
@@ -2413,9 +2431,13 @@ object TableLog {
           while (it.hasNext) { val p = it.next(); b += p }
           b.result()
         } finally s.close()
-      }.filter(p => Files.isRegularFile(p) &&
-          rx.forall(_.matcher(p.getFileName.toString).matches()))
-        .sortBy(_.getFileName.toString)
+      }.filter { p =>
+        val n = p.getFileName.toString
+        // Spark's metadata-file convention: _SUCCESS markers, .crc
+        // droppings and other _/. prefixed files are never data
+        Files.isRegularFile(p) && !n.startsWith("_") &&
+          !n.startsWith(".") && rx.forall(_.matcher(n).matches())
+      }.sortBy(_.getFileName.toString)
       val withIds = listed.map { p =>
         val ident = s"${p.getFileName}|${Files.size(p)}|" +
           s"${Files.getLastModifiedTime(p).toMillis}"

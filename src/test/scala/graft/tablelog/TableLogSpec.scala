@@ -1588,6 +1588,27 @@ class TableLogSpec extends SparkSuite {
       spark.sql(s"CALL graftlog.adopt('$t', 'k')")
     }
     assert(e.getMessage.contains("already exists"), e.getMessage)
+    // INCREMENTAL adoption: adopt seeded the copy ledger, so a
+    // late-arriving top-level file loads ALONE via copy_into on the
+    // same directory — the adopted originals skip, never double-load
+    val lateDir = freshDir() + "/late"
+    (200L to 209L).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(lateDir)
+    val latePart = {
+      val s = Files.list(Paths.get(lateDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.find { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }.get
+      } finally s.close()
+    }
+    Files.copy(latePart, Paths.get(t, "late.parquet"))
+    val r2 = spark.sql(
+      s"CALL graftlog.copy_into('$t', '$t', 'parquet')").collect().head
+    assert((r2.getLong(1), r2.getLong(2)) == ((1L, 3L)), r2.toString)
+    assert(TableLog.snapshot(spark, t).count() == 120L)
   }
 
   test("a rewrite planned before a concurrent DV commit on the same " +
