@@ -1901,24 +1901,33 @@ object TableLog {
     }.sortBy(_.getFileName.toString)
     require(files.nonEmpty,
       s"adopt $table: no top-level .parquet files to adopt")
+    // identities FREEZE at listing time; the post-scan re-check
+    // below refuses a file mutated during adoption
+    val ids0 = files.map(p => p -> copyLedgerId(p)).toMap
     val df = spark.read.parquet(files.map(_.toString): _*)
     require(df.columns.contains(keyCol),
       s"adopt $table: key column '$keyCol' not in the files' " +
         s"schema: ${df.schema.toDDL}")
-    // per-file stats in ONE scan — no rewrite, no footer parsing
+    // per-file stats in ONE scan — no rewrite, no footer parsing;
+    // names decode through [[fileNameOf]], the one URI→name
+    // definition (an ad-hoc URLDecoder would turn '+' into space
+    // and silently drop the file from adoption)
     val stats = df.groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"),
         min(col(keyCol)).cast("long").as("mn"),
         max(col(keyCol)).cast("long").as("mx"))
       .collect()
       .map { r =>
-        val f = r.getString(0)
-        val name = java.net.URLDecoder
-          .decode(f.substring(f.lastIndexOf('/') + 1), "UTF-8")
-        name -> ((r.getLong(1),
+        fileNameOf(r.getString(0)) -> ((r.getLong(1),
           if (r.isNullAt(2)) Long.MinValue else r.getLong(2),
           if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
       }.toMap
+    // decode-drift guard: every stats name must match a listed file,
+    // or a file's rows would be silently attributed nowhere
+    val names = files.map(_.getFileName.toString).toSet
+    stats.keys.foreach(n => require(names(n),
+      s"adopt $table: stats computed for '$n' which matches no " +
+        "listed file — URI/name decode drift, refusing to adopt"))
     val stageId = "adopt-" + java.util.UUID.randomUUID().toString.take(8)
     Files.createDirectories(Paths.get(table, "data", stageId))
     val adds = files.flatMap { p =>
@@ -1930,19 +1939,23 @@ object TableLog {
     }
     require(adds.nonEmpty,
       s"adopt $table: every candidate file is empty — nothing to adopt")
-    // seed the COPY LEDGER with every adopted file's identity (the
-    // same (name|size|mtime) scheme [[copyInto]] uses), so
+    // mutation re-check (copyInto's torn-read discipline): the stats
+    // scan read the bytes, the hard links share the inode — a file a
+    // legacy writer appended to DURING adoption would carry stale
+    // manifest stats forever, and the ledger would record the final
+    // identity so incremental copy_into could never repair it
+    files.foreach { p =>
+      require(copyLedgerId(p) == ids0(p),
+        s"adopt $table: source file $p changed while being adopted — " +
+          "stop the writer (or adopt once it has finished) and re-run")
+    }
+    // seed the COPY LEDGER with every adopted file's LISTING-TIME
+    // identity (the [[copyLedgerId]] scheme), so
     // `copy_into(dir, dir, 'parquet')` afterwards is INCREMENTAL
     // adoption: late-arriving top-level files load, already-adopted
     // ones skip — without this, a post-adoption copy_into would
     // double-load everything the create commit already references
-    val ledger = files.map { p =>
-      val ident = s"${p.getFileName}|${Files.size(p)}|" +
-        s"${Files.getLastModifiedTime(p).toMillis}"
-      val md = java.security.MessageDigest.getInstance("MD5")
-      ("copy_" + md.digest(ident.getBytes(UTF_8))
-        .map("%02x".format(_)).mkString.take(16)) -> 1L
-    }
+    val ledger = files.map(p => ids0(p) -> 1L)
     val v = commit(table, 0L, "create", adds, Nil, df.schema.toDDL,
       keyCol, txns = ledger)
     (v, adds.size, adds.map(_.rows).sum)
@@ -2415,6 +2428,20 @@ object TableLog {
     * plus one read of the FRESH files only, and the ledger rides the
     * checkpointed manifest — O(loaded files) metadata, the grain the
     * active set already pays. */
+  /** ONE definition of the copy-ledger file identity —
+    * `copy_<md5(name|size|mtime)[0,16)>`. [[copyInto]]'s listing,
+    * its torn-read re-check and [[adopt]]'s ledger seeding all
+    * depend on this staying bit-identical: drift in any one site
+    * silently breaks either exactly-once skipping (double loads) or
+    * incremental adoption (reload of everything). */
+  private def copyLedgerId(p: Path): String = {
+    val ident = s"${p.getFileName}|${Files.size(p)}|" +
+      s"${Files.getLastModifiedTime(p).toMillis}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    "copy_" + md.digest(ident.getBytes(UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   def copyInto(spark: SparkSession, table: String, srcDir: String,
       format: String, numFiles: Int = 1,
       pattern: String = ""): (Long, Int, Int, Long) = {
@@ -2438,13 +2465,7 @@ object TableLog {
         Files.isRegularFile(p) && !n.startsWith("_") &&
           !n.startsWith(".") && rx.forall(_.matcher(n).matches())
       }.sortBy(_.getFileName.toString)
-      val withIds = listed.map { p =>
-        val ident = s"${p.getFileName}|${Files.size(p)}|" +
-          s"${Files.getLastModifiedTime(p).toMillis}"
-        val md = java.security.MessageDigest.getInstance("MD5")
-        p -> ("copy_" + md.digest(ident.getBytes(UTF_8))
-          .map("%02x".format(_)).mkString.take(16))
-      }
+      val withIds = listed.map(p => p -> copyLedgerId(p))
       val fresh = withIds.filterNot { case (_, id) => snap.txns.contains(id) }
       if (fresh.isEmpty) return (snap.version, 0, withIds.size, 0L)
       val raw = spark.read.format(format)
@@ -2475,13 +2496,8 @@ object TableLog {
       // finished file would then RELOAD as "new" and duplicate.
       // Immutable-landed-files is the contract; a caught violation
       // refuses loudly instead of ledgering the torn read.
-      fresh.foreach { case (p, _) =>
-        val ident = s"${p.getFileName}|${Files.size(p)}|" +
-          s"${Files.getLastModifiedTime(p).toMillis}"
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val now = "copy_" + md.digest(ident.getBytes(UTF_8))
-          .map("%02x".format(_)).mkString.take(16)
-        require(withIds.exists { case (q, id) => q == p && id == now },
+      fresh.foreach { case (p, id0) =>
+        require(copyLedgerId(p) == id0,
           s"copyInto $table: source file $p changed while being " +
             "loaded — landed files must be immutable; re-run once " +
             "the writer has finished")
@@ -3858,11 +3874,20 @@ object TableLog {
     val touched = candidates.filter(a => touchedNames(fileIdOf(a.relPath)))
     if (touched.isEmpty) return snap.version
     val sel = updateSelectList("updateWhere", table, snap, set)
+    // the condition evaluates ONCE per row (hit bit stamped, frame
+    // frozen) — matched and survivor sets then derive from the same
+    // evaluation, so a nondeterministic cond cannot land a row in
+    // both (duplicated) or neither (vanished). The freeze is bounded
+    // by the touched files — the set this path rewrites anyway. The
+    // dvSurvivorsFrame / mergeDv discipline, applied to the COW
+    // update.
     val rows = readFiles(spark, table, snap, touched)
-    val updated = rows.where(coalesce(cond, lit(false))).select(sel: _*)
+      .withColumn("__hit", coalesce(cond, lit(false)))
+      .localCheckpoint(true)
+    val updated = rows.where(col("__hit")).select(sel: _*)
     validateChecks(updated, checksOf(snap.props),
       s"updateWhere into $table")
-    val rewritten = rows.where(!coalesce(cond, lit(false)))
+    val rewritten = rows.where(!col("__hit")).drop("__hit")
       .unionByName(updated)
     val adds = stage(rewritten, table, snap.keyCol, numFiles, snap.bloom,
       partCols = snap.partCols, colMap = snap.colMap,
@@ -4976,7 +5001,7 @@ object TableLog {
     val sel = scope(snap)
     if (sel.isEmpty) return (snap.version, 0)
     val data = readFiles(spark, table, snap, sel)
-    val layout = zorder.map { zcols =>
+    val layout = zorder.flatMap { zcols =>
       require(zcols.size >= 2 && zcols.size <= 4,
         s"compactScoped on $table: zorder takes two to four columns, " +
           s"got ${zcols.mkString(", ")}")
@@ -5005,20 +5030,28 @@ object TableLog {
       val aggs = zcols.flatMap(c =>
         Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
       val b = data.agg(aggs.head, aggs.tail: _*).collect().head
-      val scaled = zcols.zipWithIndex.map { case (c, i) =>
-        val (lo, hi) = (b.getLong(2 * i), b.getLong(2 * i + 1))
-        val p = snap.physName(c)
-        s"(((($p) - $lo) * $scaleMax) div ${math.max(1L, hi - lo)})"
+      // a fully-DV-erased slice (zero live rows) or an all-NULL
+      // column yields null bounds — there is no curve to fit, and
+      // the fold itself is still exactly what the caller asked for
+      // (a q519-style erasure wave often empties the scoped day):
+      // fall back to the key layout instead of NPEing
+      if ((0 until 2 * zcols.size).exists(b.isNullAt)) None
+      else {
+        val scaled = zcols.zipWithIndex.map { case (c, i) =>
+          val (lo, hi) = (b.getLong(2 * i), b.getLong(2 * i + 1))
+          val p = snap.physName(c)
+          s"(((($p) - $lo) * $scaleMax) div ${math.max(1L, hi - lo)})"
+        }
+        Some(expr(graft.ops.ExtOps.zTermsN(
+          (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)",
+          scaled, bits)))
       }
-      expr(graft.ops.ExtOps.zTermsN(
-        (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)",
-        scaled, bits))
     }
     val adds = stage(data, table, snap.keyCol, numFiles, snap.bloom,
       layout = layout, partCols = snap.partCols, colMap = snap.colMap,
       specId = snap.specId)
     (commit(table, snap.version,
-      if (zorder.isDefined) "zorder" else "compact", adds,
+      if (layout.isDefined) "zorder" else "compact", adds,
       sel.map(_.relPath), "", ""), sel.size)
   }
 

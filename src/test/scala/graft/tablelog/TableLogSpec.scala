@@ -1611,6 +1611,63 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.snapshot(spark, t).count() == 120L)
   }
 
+  test("compact_where zorder over an all-NULL curve column falls " +
+      "back to the key layout instead of NPEing; a fully-DV-erased " +
+      "file is already dropped AT the delete commit") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graftlog",
+      "graft.sources.GraftLogCatalog")
+    val t = freshDir() + "/t"
+    def day(d: Int) =
+      java.sql.Timestamp.valueOf(f"2024-06-$d%02d 10:00:00")
+    TableLog.createEmpty(t, "k BIGINT, ts TIMESTAMP, y BIGINT", "k",
+      partCols = Seq("days:ts"))
+    TableLog.append((0L to 9L).map(i => (i, day(1), i))
+      .toDF("k", "ts", "y"), t, 1)
+    // day 2's curve column is ALL NULL — integral by type (the
+    // declared-type gate passes) but boundless by value
+    TableLog.append((100L to 119L).map(i => (i, day(2)))
+      .toDF("k", "ts")
+      .withColumn("y", lit(null).cast("bigint")), t, 1)
+    val res = spark.sql(s"CALL graftlog.compact_where('$t', " +
+      "\"ts >= TIMESTAMP'2024-06-02 00:00:00' AND " +
+      "ts <= TIMESTAMP'2024-06-02 23:59:59'\", 2, " +
+      "zorder => 'k,y')").collect().head
+    assert(res.getLong(1) == 1L, res.toString)
+    // null bounds → no curve to fit → key-layout fold, honestly
+    // labeled "compact", content and other days intact
+    assert(TableLog.history(t).last.op == "compact",
+      "a curve-less fold must not claim the zorder op")
+    val got = TableLog.snapshot(spark, t).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L to 9L) ++ (100L to 119L)), got.toString)
+    // and the degenerate q519 end: a file whose EVERY row dies is
+    // removed by the DV delete commit itself — no debt lingers for
+    // compact_where to miss
+    TableLog.deleteWhereDv(spark, t, col("k") >= 100L)
+    val st = TableLog.state(t)
+    assert(st.active.nonEmpty &&
+      st.active.forall(a => !a.parts.exists(
+        _.values.headOption.contains("2024-06-02"))),
+      s"fully-erased day still holds files: ${st.active.map(_.relPath)}")
+  }
+
+  test("copy-on-write updateWhere evaluates the condition ONCE: a " +
+      "nondeterministic cond can neither duplicate nor vanish rows") {
+    import spark.implicits._
+    val t = freshDir()
+    TableLog.create((0L to 199L).map(i => (i, "old")).toDF("k", "v"),
+      t, "k", numFiles = 2)
+    TableLog.updateWhere(spark, t, rand() < 0.5,
+      Map("v" -> lit("new")), numFiles = 2)
+    val rows = TableLog.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // every key exactly once; each row consistently old or new
+    assert(rows.length == 200, s"row count drifted: ${rows.length}")
+    assert(rows.map(_._1).distinct.length == 200, "duplicated keys")
+    assert(rows.forall(r => r._2 == "old" || r._2 == "new"))
+  }
+
   test("a rewrite planned before a concurrent DV commit on the same " +
       "file ABORTS: relPath-active is not content-identity") {
     val t = freshDir()
