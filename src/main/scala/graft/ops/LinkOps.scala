@@ -118,6 +118,10 @@ object LinkOps {
   private[ops] def pairOccurrences(items: DataFrame): DataFrame = {
     val s = items.sparkSession
     import s.implicits._
+    // r15 probe: dropping the distinct() is a plan NO-OP — Catalyst's
+    // RemoveRedundantAggregates already elides it under the
+    // duplicate-agnostic collect_set (verified by explain diff,
+    // OPTIMIZATION_r15.md)
     items.distinct()
       .groupBy($"ok").agg(sort_array(collect_set($"pk")).as("ps"))
       .select(explode(expr(
@@ -898,6 +902,11 @@ object LinkOps {
     * payloads. */
   def q308Assortativity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r15 probe: pinning the edge frame here measured NEUTRAL
+    // (7.3 vs 7.4 s isolated at sf0.1) despite the 24-scan static
+    // plan — AQE exchange reuse shares the pair-dedup shuffle across
+    // all of adj's consumers at runtime. Left unpinned; see
+    // OPTIMIZATION_r15.md.
     assortativityOf(coEdges(
       Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))))

@@ -1827,6 +1827,13 @@ object TextOps {
     * held-out LM is the same plan over a q91 split. */
   def q125LmScore(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r15 probe: folding to (doc_id, g, k) counts + localCheckpoint
+    // was MEASURED 4× WORSE (1.04 → 4.48 s isolated at sf0.1): AQE
+    // exchange reuse already shares the explode's by-g exchange
+    // between the lm branch and the scoring join, so the static
+    // plan's "second explode" never runs, and the checkpoint's
+    // materialization is pure added cost. Left as-is deliberately —
+    // see OPTIMIZATION_r15.md.
     val tri = Tables.documentsSpread(s, dir)
       .select($"doc_id", explode(DedupOps.spansN($"text", 3)).as("g"))
     val lm = tri.groupBy($"g").agg(count(lit(1)).as("c"))
@@ -1972,9 +1979,15 @@ object TextOps {
     * a second partial agg, two broadcast-sized scalar joins. */
   def q129SourceDivergence(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r15: the (source, g) count frame feeds THREE consumers (gc, ts
+    // and the divergence join) — without a cut each re-runs the
+    // corpus explode + count (the plan carried 8 scans / 4 Generate
+    // subtrees); one pin collapses them (q273's bounded-frame idiom —
+    // vocab-grain here, disclosed in OPTIMIZATION_r15.md)
     val sc = Tables.documentsSpread(s, dir)
       .select($"source", explode(DedupOps.spansN($"text", 3)).as("g"))
       .groupBy($"source", $"g").agg(count(lit(1)).as("cs"))
+      .localCheckpoint(true)
     val gc = sc.groupBy($"g").agg(sum($"cs").as("cg"))
     val tg = gc.agg(sum($"cg").cast("long").as("tg"))
     val ts = sc.groupBy($"source").agg(sum($"cs").as("ts"))
@@ -4202,16 +4215,33 @@ object TextOps {
     * source-grain fold. Text never shuffles; shingles do. */
   def q285SourceExclusivity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // r15: the old shape joined the carrier counts BACK onto the
+    // full (source, shingle) stream just to tag each row's ns — at
+    // bench scale Catalyst BROADCAST the vocab-grain carrier table
+    // (a driver-built hash relation over every distinct shingle; at
+    // corpus scale it would fall to a vocab-grain sort-merge join).
+    // But an exclusive shingle names its only carrier, so the
+    // carrier fold can emit (carrier, 1) directly when ns = 1:
+    // min(source) ≡ the source for single-carrier shingles. The
+    // whole back-join collapses to a source-grain left join of two
+    // folds (measured 5.9/5.6 → 4.6/4.7 s isolated at sf0.1 with a
+    // same-run q66 control moving only 5.3 → 5.0; the vocab-grain
+    // build side is gone — plans/r15/q285_*). Identical counts:
+    // n_shingles = |distinct (source, sh)| per source; n_exclusive =
+    // |sh carried by exactly this one source|.
     val ss = Tables.documents(s, dir)
       .select($"source", explode(DedupOps.shingles3($"text")).as("sh"))
       .distinct()
-    val carriers = ss.groupBy($"sh").agg(count(lit(1)).as("ns"))
-    ss.join(carriers, "sh")
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when($"ns" === 1L, 1L).otherwise(0L)).as("n_exclusive"))
-      .select($"source", $"n_shingles", $"n_exclusive",
-        expr("(1000000 * n_exclusive) div n_shingles")
+    val excl = ss.groupBy($"sh")
+      .agg(count(lit(1)).as("ns"), min($"source").as("only_src"))
+      .where($"ns" === 1L)
+      .groupBy($"only_src".as("source"))
+      .agg(count(lit(1)).as("n_exclusive"))
+    ss.groupBy($"source").agg(count(lit(1)).as("n_shingles"))
+      .join(excl, Seq("source"), "left")
+      .select($"source", $"n_shingles",
+        coalesce($"n_exclusive", lit(0L)).as("n_exclusive"),
+        expr("(1000000 * coalesce(n_exclusive, 0L)) div n_shingles")
           .as("exclusive_ppm"))
       .orderBy($"source")
   }
@@ -6859,6 +6889,11 @@ object TextOps {
       .select($"source", explode(DedupOps.spansN($"text", 3)).as("g"))
     val lm = tri.groupBy($"g").agg(count(lit(1)).as("c"))
     val total = lm.agg(sum($"c").cast("long").as("t"))
+    // r15 probes, both left as-is deliberately: (a) pre-folding to
+    // (source, g, k) multiplicities + pin measured neutral-to-worse
+    // (AQE exchange reuse already shares the explode's by-g shuffle
+    // between lm and this join); (b) pinning perSrc measured neutral
+    // (everything downstream is grid-sized). See OPTIMIZATION_r15.md.
     val perSrc = tri.join(lm, Seq("g")).crossJoin(broadcast(total))
       .select($"source",
         expr("CAST(floor(ln(CAST(t AS DOUBLE) / c) * 1000000.0) AS BIGINT)")
