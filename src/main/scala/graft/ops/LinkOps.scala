@@ -293,14 +293,24 @@ object LinkOps {
   private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val wNode = Window.partitionBy($"u")
-      .orderBy($"cnt".desc, $"label".asc)
+    // r15: the majority vote is an ARGMAX per node — max_by(label,
+    // (cnt, −label)) picks the most frequent label with smallest-
+    // label tie-break, exactly the old row_number() OVER (PARTITION
+    // BY u ORDER BY cnt DESC, label ASC) = 1 filter, WITHOUT the
+    // window's exchange-by-u + full sort of the (u, label, cnt)
+    // stream every round: the agg does map-side partial argmax and
+    // never sorts (labels are non-negative ids, so −label cannot
+    // overflow). Exchange count is unchanged (the argmax still
+    // re-keys by u); what goes away is the per-round full sort of
+    // the (u, label, cnt) stream plus the window's row_number pass.
+    // Wall time at sf0.1 is within noise (q143 3.7-4.3 both ways,
+    // q320 ~9.1 vs ~9.3-10.8 isolated) — node-grain streams are tiny
+    // here; the sort is the term that grows at corpus scale.
     edges
       .join(labels.withColumnRenamed("node", "v"), "v")
       .groupBy($"u", $"label").agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(wNode))
-      .where($"rn" === 1)
+      .groupBy($"u")
+      .agg(max_by($"label", struct($"cnt", -$"label")).as("label"))
       .select($"u".as("node"), $"label")
   }
 
@@ -1320,17 +1330,42 @@ object LinkOps {
     var merged = init
     var delta = init
     val nf = scala.collection.mutable.ArrayBuffer(nfOf(init))
+    // r15 round shape: the old body unioned the FULL state into the
+    // pushed stream and re-aggregated (merged ∪ pushed groupBy node)
+    // — re-shuffling every ball every round even though merged is
+    // already hash(node)-partitioned from the previous round's agg —
+    // and then found the delta with a 17-column anti-join plus a
+    // second checkpoint. Now only the pushed delta aggregates (the
+    // one shuffle a systolic round fundamentally needs); the merge is
+    // a co-partitioned left-outer join + per-register greatest()
+    // (register max is exactly max-merge; an unmatched node keeps its
+    // ball via coalesce 0), and the delta falls out of the SAME
+    // joined frame as "any register grew" — no anti-join, one
+    // checkpoint per round instead of two. Wall time at sf0.1 is
+    // NEUTRAL (12.2/15.8 vs 12.7/13.0 s isolated — node-grain state
+    // is a few MB here) — the win is shuffle BYTES at scale: the
+    // full register table no longer crosses the network every round
+    // (plan-verified: the merged side stays an ExistingRDD scan with
+    // no Exchange above it; the delta agg broadcasts below the
+    // session threshold and shuffle-joins above it). Identical
+    // estimator inputs; the oracle's plain row-grain recurrence is
+    // unchanged.
     for (_ <- 1 to hbRounds) {
       val pushed = dedges.join(
         delta.withColumnRenamed("node", "src"), "src")
         .select(($"dst".as("node") +: regCols.map(col)): _*)
-      val maxes = regCols.map(c => max(col(c)).as(c))
-      val next = merged.union(pushed)
-        .groupBy($"node")
-        .agg(maxes.head, maxes.tail: _*)
+      val maxes = regCols.map(c => max(col(c)).as(s"p$c"))
+      val pAgg = pushed.groupBy($"node").agg(maxes.head, maxes.tail: _*)
+      val joined = merged.join(pAgg, Seq("node"), "left_outer")
         .localCheckpoint(true)
-      delta = next.join(merged, "node" +: regCols, "left_anti")
-        .localCheckpoint(true)
+      val next = joined.select(
+        ($"node" +: regCols.map(c =>
+          greatest(col(c), coalesce(col(s"p$c"), lit(0L))).as(c))): _*)
+      delta = joined
+        .where(regCols.map(c => col(s"p$c") > col(c)).reduce(_ || _))
+        .select(
+          ($"node" +: regCols.map(c =>
+            greatest(col(c), coalesce(col(s"p$c"), lit(0L))).as(c))): _*)
       merged = next
       nf += nfOf(merged)
     }
