@@ -682,15 +682,30 @@ object LinkOps {
     // per-round semi joins map-side on small graphs (the edge frame
     // never shuffles), with the co-partitioned fallback at 10⁹ nodes
     var alive = sizeGated(edges.select($"u".as("node")).distinct())
+    var aliveCount = alive.count()
     var deg: DataFrame = null
-    (1 to kCoreRounds).foreach { _ =>
+    // r15: fixpoint early-exit, the q393 device — the alive set only
+    // ever SHRINKS, so an unchanged count means an unchanged set and
+    // every later round recomputes the identical deg frame (the
+    // margin rounds the unrolled oracle relies on are idempotent
+    // no-ops). Each skipped round saves two semi joins + one degree
+    // aggregation over the FULL edge set. The count rides the frame
+    // sizeGated just checkpointed, so the check reads in-memory
+    // blocks.
+    var round = 0
+    var stable = false
+    while (round < kCoreRounds && !stable) {
       val prev = alive
       val live = edges
         .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
       deg = live.groupBy($"u".as("node")).agg(count(lit(1)).as("core_degree"))
       alive = sizeGated(deg.where($"core_degree" >= k).select($"node"))
+      val n = alive.count()
+      stable = n == aliveCount
+      aliveCount = n
       prev.unpersist(blocking = false)
+      round += 1
     }
     val out = deg.where($"core_degree" >= k)
     edges.unpersist(blocking = false)
