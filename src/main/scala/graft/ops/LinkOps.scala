@@ -55,8 +55,12 @@ object LinkOps {
     val b = names.select($"blk", $"name".as("name_b"), $"n_rows".as("n_b"))
     a.join(broadcast(b), "blk")
       .where($"name_a" < $"name_b")
-      .withColumn("dist", levenshtein($"name_a", $"name_b"))
-      .where($"dist" <= matchDistance)
+      // r15: the threshold form runs the BANDED O(len·(2k+1))
+      // dynamic program instead of the full O(len²) table and
+      // returns −1 past the threshold — the emitted dist of every
+      // surviving pair is the true distance, unchanged
+      .withColumn("dist", levenshtein($"name_a", $"name_b", matchDistance))
+      .where($"dist" >= 0)
       .select($"name_a", $"name_b", $"dist", $"n_a", $"n_b")
       .orderBy($"name_a", $"name_b")
   }
@@ -1215,7 +1219,12 @@ object LinkOps {
     a.join(broadcast(b), Seq("nat", "seg"))
       .where($"id_a" < $"id_b")
       .select($"id_a", $"id_b",
-        (when(levenshtein($"name_a", $"name_b") <= 1, fsNameAgree)
+        // r15: threshold form = banded edit distance (O(3·len) at
+        // k = 1 instead of the full len² table); ≥ 0 ⟺ dist ≤ 1.
+        // Measured 6.1/6.1 → 4.1/3.5 s isolated at sf0.1 (the query
+        // is levenshtein-bound: every blocked pair pays the compare
+        // whether it agrees or not).
+        (when(levenshtein($"name_a", $"name_b", 1) >= 0, fsNameAgree)
           .otherwise(fsNameDis) +
          when($"bb_a" === $"bb_b", fsBalAgree).otherwise(fsBalDis))
           .as("score_micro"))
