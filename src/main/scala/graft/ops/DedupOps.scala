@@ -2110,17 +2110,22 @@ object DedupOps {
     * cap, so even the baseline cannot go quadratic on a hot token). */
   def q292PrefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // measured note: checkpointing this frame is a LOSS (16s -> 29s
-    // at sf0.1) — the shingle arrays are payload-heavy, so
-    // materializing them costs more than the second shingling pass;
-    // the bounded-frame checkpoint idiom (q273/q307) is for id/grain
-    // frames, not array payloads
-    val sets = docShingleSets(s, dir)
-    val a = sets.select($"doc_id".as("doc_a"), $"ss".as("sa"),
-      size($"ss").cast("long").as("na"))
-    val b = sets.select($"doc_id".as("doc_b"), $"ss".as("sb"),
-      size($"ss").cast("long").as("nb"))
-    prefixCandidates(s, dir)
+    // measured note (r15): checkpointing the shingle-set frame is a
+    // LOSS (16s -> 29s at sf0.1) — the shingle arrays are
+    // payload-heavy, so materializing them costs more than the second
+    // shingling pass; the bounded-frame checkpoint idiom (q273/q307)
+    // is for id/grain frames, not array payloads. r16 keeps that
+    // verdict: the shared [[prefixVectors]] frame is re-executed per
+    // consumer (runtime broadcast reuse collapses the a/b sides).
+    val vecs = prefixVectors(s, dir)
+    val a = vecs.select($"doc_id".as("doc_a"), $"ss".as("sa"), $"n".as("na"))
+    val b = vecs.select($"doc_id".as("doc_b"), $"ss".as("sb"), $"n".as("nb"))
+    // duplicate candidate occurrences (a pair sharing >= 2 prefix
+    // shingles) are deduped AFTER the jaccard gate: the survivors are
+    // a handful of rows, so the final distinct is near-free, while
+    // the old pre-verify distinct shuffled the full candidate stream
+    // one extra time for a ~5% dedup (430k -> 409k at sf0.1)
+    prefixCandidateOcc(vecs)
       .join(a, "doc_a").join(b, "doc_b")
       .select($"doc_a", $"doc_b",
         size(array_intersect($"sa", $"sb")).cast("long").as("inter"),
@@ -2129,42 +2134,83 @@ object DedupOps {
         ($"inter".cast("double") / ($"na" + $"nb" - $"inter"))
           .as("jaccard"))
       .where($"jaccard" >= 0.5)
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** (doc_id, ss): each doc's distinct shingle set. */
-  private def docShingleSets(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, ss, n, parr): each doc's distinct shingle set in global
+    * (df, shingle) rarity order, its size, and the t = 0.5 prefix
+    * slice with 1-based positions. ONE zero-exchange per-doc
+    * aggregate (documentsSpread is already hash(doc_id)-partitioned)
+    * replaces r15's row_number + count window pair — the windows
+    * sorted every doc partition as a whole, the aggregate sorts each
+    * doc's ~n-entry vector in place — and the same frame doubles as
+    * the verify side's full shingle set, retiring the separate
+    * collect_set subtree. */
+  private def prefixVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documentsSpread(s, dir)
-      .select($"doc_id", explode(shingles3($"text")).as("sh"))
-      .groupBy($"doc_id").agg(collect_set($"sh").as("ss"))
-  }
-
-  /** Candidate (doc_a, doc_b) pairs sharing ≥ 1 PREFIX token —
-    * exposed so the spec can measure the candidate reduction the
-    * filter buys over all-shingle blocking, and pin the
-    * [[maxGroupSize]] cap on the BASELINE's candidate stage with a
-    * planted hot-shingle corpus. */
-  private[ops] def prefixCandidates(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val sh = Tables.documentsSpread(s, dir)
       .select($"doc_id", explode(shingles3($"text")).as("sh"))
     val df = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
-    val prefix = sh.join(df, "sh")
-      .withColumn("pos", row_number().over(wDoc).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy($"doc_id")))
-      // t = 0.5: prefix length n − ⌈n/2⌉ + 1 = n div 2 + 1
-      .where($"pos" <= expr("n div 2 + 1"))
+    sh.join(df, "sh")
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"df", $"sh"))).as("arr"))
+      .select($"doc_id",
+        expr("transform(arr, x -> x.sh)").as("ss"),
+        size($"arr").cast("long").as("n"),
+        // t = 0.5: prefix length n − ⌈n/2⌉ + 1 = n div 2 + 1
+        expr("slice(arr, 1, size(arr) div 2 + 1)").as("parr"))
+  }
+
+  /** Candidate (doc_a, doc_b) OCCURRENCES from shared prefix tokens,
+    * pre-pruned by the PPJoin positional upper bound (Xiao et al.
+    * 2008): a token shared at sorted positions (pa, pb) of docs sized
+    * (na, nb) bounds the overlap by I ≤ min(pa,pb)−1 (common tokens
+    * strictly before it) + 1 + min(na−pa, nb−pb) (common tokens from
+    * it on) = min(pa,pb) + min(na−pa, nb−pb); J ≥ 0.5 ⟺ 3·I ≥ na+nb,
+    * so any occurrence whose bound fails 3·bound ≥ na+nb cannot come
+    * from a qualifying pair. Sound per occurrence — bound ≥ I always,
+    * so TRUE pairs survive in every occurrence and recall is exactly
+    * preserved (the bound at pa=pb=1 degenerates to the classic
+    * length filter 3·min(na,nb) ≥ na+nb, so that guard is subsumed).
+    * Measured at sf0.1: 430k occurrences → 310k verified candidates.
+    * NOT distinct — q292 dedups after the jaccard gate. */
+  private def prefixCandidateOcc(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val prefix = vecs
+      .select($"doc_id", $"n", posexplode($"parr").as(Seq("p0", "e")))
+      .select($"e.sh".as("sh"), $"doc_id",
+        ($"p0" + 1).cast("long").as("pos"), $"n")
+      // explicit exchange for the bucket aggregation (q66's fan-out
+      // rule): the prefix rows are a few MB, so AQE coalesces the
+      // ENSURE_REQUIREMENTS exchange to ~1-3 tasks — but each bucket
+      // fans out to |members|²/2 pairs of CPU-bound work downstream
+      // (measured r16: the coalesced candidate stage ran 3 tasks ×
+      // 5.4 s; fan-out stages are sized by downstream work, not
+      // input bytes)
+      .repartition(s.sparkContext.defaultParallelism, $"sh")
     prefix.groupBy($"sh")
-      .agg(array_sort(collect_list(struct($"doc_id", lit(0L).as("z"))))
+      .agg(array_sort(collect_list(struct($"doc_id", $"pos", $"n")))
         .as("members"))
       .where(size($"members") >= 2 && size($"members") <= maxGroupSize)
+      .repartition(s.sparkContext.defaultParallelism, $"sh")
       .select(explode(pairUp($"members")).as("p"))
-      .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"))
-      .distinct()
+      .select($"p.a.doc_id".as("doc_a"), $"p.b.doc_id".as("doc_b"),
+        $"p.a.pos".as("pa"), $"p.a.n".as("na"),
+        $"p.b.pos".as("pb"), $"p.b.n".as("nb"))
+      .where(lit(3L) * (least($"pa", $"pb")
+        + least($"na" - $"pa", $"nb" - $"pb")) >= $"na" + $"nb")
+      .select($"doc_a", $"doc_b")
   }
+
+  /** Candidate (doc_a, doc_b) pairs sharing ≥ 1 PREFIX token that
+    * survives the positional bound — exposed so the spec can measure
+    * the candidate reduction the filter buys over all-shingle
+    * blocking, and pin the [[maxGroupSize]] cap on the BASELINE's
+    * candidate stage with a planted hot-shingle corpus. */
+  private[ops] def prefixCandidates(s: SparkSession, dir: String): DataFrame =
+    prefixCandidateOcc(prefixVectors(s, dir)).distinct()
 
   // ---------------------------------------------------------------- q297
   /** Dedup threshold sweep — what each Jaccard cutoff would actually
