@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1338,19 +1338,27 @@ object LinkOps {
       .mkString(" + ")
     val vExpr = regCols.map(c => s"(CASE WHEN $c = 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    def nfOf(state: DataFrame): Long =
-      state
+    // (nf, grew-count) in ONE aggregate job: est per node over the
+    // state's register columns exactly as before, plus the sum of a
+    // 0/1 "any register grew" flag — the delta-emptiness probe rides
+    // the aggregate the round already pays for, so the early exit
+    // below costs zero extra jobs
+    def nfAndGrew(state: DataFrame, grewFlag: Column): (Long, Long) = {
+      val row = state
         .select(expr(s"CAST($zsumExpr AS BIGINT)").as("zsum"),
-          expr(s"CAST($vExpr AS BIGINT)").as("v"))
+          expr(s"CAST($vExpr AS BIGINT)").as("v"), grewFlag.as("_grew"))
         .select(
           expr(s"""CAST(floor(CAST(${hbAlphaPpm * m * m} AS DOUBLE)
             |  * 144115188075855872.0 / CAST(zsum AS DOUBLE) / 1000000.0)
-            |  AS BIGINT)""".stripMargin).as("raw_est"), $"v")
+            |  AS BIGINT)""".stripMargin).as("raw_est"), $"v", $"_grew")
         .select(
           when($"raw_est" <= lit((5L * m) / 2) && $"v" > 0L,
             expr(s"CAST(floor(${m}.0D * ln(${m}.0D / CAST(v AS DOUBLE))) AS BIGINT)"))
-            .otherwise($"raw_est").as("est"))
-        .agg(sum($"est")).head().getLong(0)
+            .otherwise($"raw_est").as("est"), $"_grew")
+        .agg(sum($"est"), sum($"_grew")).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    def nfOf(state: DataFrame): Long = nfAndGrew(state, lit(0L))._1
     var merged = init
     var delta = init
     val nf = scala.collection.mutable.ArrayBuffer(nfOf(init))
@@ -1374,24 +1382,47 @@ object LinkOps {
     // session threshold and shuffle-joins above it). Identical
     // estimator inputs; the oracle's plain row-grain recurrence is
     // unchanged.
+    // r16: empty-delta early exit (the q200/q393 fixpoint device).
+    // Once no register grew in a round, merged is a fixpoint of the
+    // push+max-merge map — push(∅) = ∅ and greatest(c, 0) = c — so
+    // every remaining round would recompute the identical state and
+    // the identical nf. Append the constant instead of running the
+    // join/checkpoint/agg. The emptiness signal is the grew-count the
+    // per-round aggregate already computes (see nfAndGrew) — the
+    // saturated case is detected for free, and an unsaturated run
+    // does exactly the same jobs as before.
+    var saturated = false
     for (_ <- 1 to hbRounds) {
-      val pushed = dedges.join(
-        delta.withColumnRenamed("node", "src"), "src")
-        .select(($"dst".as("node") +: regCols.map(col)): _*)
-      val maxes = regCols.map(c => max(col(c)).as(s"p$c"))
-      val pAgg = pushed.groupBy($"node").agg(maxes.head, maxes.tail: _*)
-      val joined = merged.join(pAgg, Seq("node"), "left_outer")
-        .localCheckpoint(true)
-      val next = joined.select(
-        ($"node" +: regCols.map(c =>
-          greatest(col(c), coalesce(col(s"p$c"), lit(0L))).as(c))): _*)
-      delta = joined
-        .where(regCols.map(c => col(s"p$c") > col(c)).reduce(_ || _))
-        .select(
-          ($"node" +: regCols.map(c =>
-            greatest(col(c), coalesce(col(s"p$c"), lit(0L))).as(c))): _*)
-      merged = next
-      nf += nfOf(merged)
+      if (saturated) nf += nf.last
+      else {
+        val pushed = dedges.join(
+          delta.withColumnRenamed("node", "src"), "src")
+          .select(($"dst".as("node") +: regCols.map(col)): _*)
+        val maxes = regCols.map(c => max(col(c)).as(s"p$c"))
+        val pAgg = pushed.groupBy($"node").agg(maxes.head, maxes.tail: _*)
+        val joined = merged.join(pAgg, Seq("node"), "left_outer")
+          .localCheckpoint(true)
+        // NULL p$c (no push reached the node) propagates to FALSE in
+        // the grew predicate, exactly the delta sieve's null-drop
+        // intent (see the r15 note on the filter below)
+        val grew = regCols.map(c => col(s"p$c") > col(c)).reduce(_ || _)
+        val mergedCols = regCols.map(c =>
+          greatest(col(c), coalesce(col(s"p$c"), lit(0L))).as(c))
+        val next = joined.select(($"node" +: mergedCols): _*)
+        delta = joined.where(grew).select(($"node" +: mergedCols): _*)
+        merged = next
+        // the grew flag is projected HERE, while the old registers and
+        // the p$c push columns are both still in scope — the merged
+        // projection renames the registers, so evaluating grew after
+        // it would compare the push against the already-merged value
+        // (always false) instead of against the pre-merge state
+        val (nfv, grewCnt) = nfAndGrew(
+          joined.select((mergedCols :+
+            when(grew, lit(1L)).otherwise(lit(0L)).as("_g")): _*),
+          col("_g"))
+        nf += nfv
+        saturated = grewCnt == 0L
+      }
     }
     val rows = nf.toSeq.zipWithIndex.map { case (v, h) =>
       (h.toLong, v,
