@@ -127,6 +127,14 @@ object LinkOps {
     // duplicate-agnostic collect_set (verified by explain diff,
     // OPTIMIZATION_r15.md)
     items.distinct()
+      // r16: fixed-width exchange for the group-and-pair stage (the
+      // q66/q292 fan-out rule): the distinct (ok, pk) rows are a few
+      // MB, so AQE coalesces the ENSURE_REQUIREMENTS exchange to ~3
+      // tasks — but this stage fans out to Σ|basket|²/2 pairs of
+      // CPU-bound work (measured r16: 0.7+1.1 s on 3-4 tasks in
+      // q136's event-log attribution). The groupBy below reuses this
+      // partitioning, so the exchange COUNT is unchanged.
+      .repartition(s.sparkContext.defaultParallelism, $"ok")
       .groupBy($"ok").agg(sort_array(collect_set($"pk")).as("ps"))
       .select(explode(expr(
         """flatten(transform(ps, (x, i) ->
@@ -163,15 +171,26 @@ object LinkOps {
     * a frame the gate hasn't measured as small. */
   private[graft] def sizeGated(df: DataFrame,
                                bytesPerRow: Long = 48L): DataFrame = {
-    val s = df.sparkSession
     val ckpt = df.localCheckpoint(true)
-    val raw = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    countGated(ckpt, ckpt.count(), bytesPerRow)
+  }
+
+  /** [[sizeGated]]'s decision applied to an ALREADY-KNOWN row count —
+    * for loop bodies whose frame keeps a loop-invariant key set (one
+    * row per node / per order), where the cardinality can be measured
+    * once before the loop instead of checkpoint-and-count every
+    * round. Same posture: broadcast only under the session threshold,
+    * shuffle fallback otherwise (and always when the threshold is
+    * disabled, the PlanSpec 100-TB stand-in). */
+  private[graft] def countGated(df: DataFrame, rows: Long,
+                                bytesPerRow: Long = 48L): DataFrame = {
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     val threshold =
       if (raw.trim.startsWith("-")) -1L
       else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-    if (threshold > 0 && ckpt.count() * bytesPerRow <= threshold)
-      broadcast(ckpt)
-    else ckpt
+    if (threshold > 0 && rows * bytesPerRow <= threshold) broadcast(df)
+    else df
   }
 
   /** The oriented-wedge closure on an already-materialized canonical
@@ -767,13 +786,29 @@ object LinkOps {
     val edges = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct().localCheckpoint(true)
-    var auth = edges.select($"pk").distinct()
-      .select($"pk", lit(1024L).as("av"))
-    (1 to hitsRounds).foreach { _ =>
-      val h = hitsHalfStep(edges, sizeGated(auth), "pk", "ok", "av", "hv")
+    // r16: the gate cardinalities are LOOP-INVARIANT — every round's
+    // hub table has exactly one row per distinct ok and the authority
+    // table one per distinct pk (hitsHalfStep groups the edge list by
+    // the out key, and the renorm is a projection). Measure them ONCE
+    // here instead of checkpoint-and-count per half-step (sizeGated
+    // 6×/run), and checkpoint once per ROUND instead of per
+    // half-step: the event-log attribution showed q201 spending its
+    // 10-14 s on ~26 sub-second barrier jobs, not on data. The join
+    // posture is unchanged — countGated applies the identical
+    // threshold test, so small graphs broadcast and the PlanSpec
+    // threshold-off fallback still shuffle-joins.
+    val pks = edges.select($"pk").distinct().localCheckpoint(true)
+    val nPk = pks.count()
+    val nOk = edges.select($"ok").distinct().count()
+    var auth = pks.select($"pk", lit(1024L).as("av"))
+    (1 to hitsRounds).foreach { i =>
+      val h = hitsHalfStep(edges, countGated(auth, nPk), "pk", "ok", "av", "hv")
       val hn = renormToGrid(h, "ok", "hv")
-      val a = hitsHalfStep(edges, sizeGated(hn), "ok", "pk", "hv", "av")
+      val a = hitsHalfStep(edges, countGated(hn, nOk), "ok", "pk", "hv", "av")
       auth = renormToGrid(a, "pk", "av")
+      // one lineage cut per round (the last round's frame flows
+      // straight into the final sort job)
+      if (i < hitsRounds) auth = auth.localCheckpoint(true)
     }
     val out = auth.select($"pk".as("p_partkey"), $"av".as("authority_grid"))
       .orderBy($"p_partkey")

@@ -2509,7 +2509,20 @@ object Relational {
     * materializes CTEs once, so the oracle states edges as a CTE —
     * same relation, each engine's idiomatic once-only form. */
   def q367RecursiveCte(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("g_rec_lineitem")
+    // r16: project to the two used columns and pre-spread the
+    // self-join's shuffle explicitly. The join's ENSURE_REQUIREMENTS
+    // exchange carries only a few MB at sf0.1, so AQE coalesced the
+    // reduce side to 3 tasks — but that stage's work is the per-order
+    // pair fan-out plus the distinct's partial aggregate, which is
+    // CPU-bound in ROWS PRODUCED, not input bytes (the q66/q292
+    // fan-out-sizing rule; measured 3.0 s on 3 tasks in the r16
+    // event-log attribution). An explicit fixed-width repartition on
+    // the join key is AQE-stable, and both self-join sides reuse the
+    // one exchange.
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+      .createOrReplaceTempView("g_rec_lineitem")
     s.sql(
       """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |FROM g_rec_lineitem a JOIN g_rec_lineitem b
