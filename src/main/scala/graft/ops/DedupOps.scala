@@ -1350,26 +1350,38 @@ object DedupOps {
       .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
       .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
       .select($"sa", $"sb")
+    // r16: the per-round loop used to re-join outW (loop-invariant —
+    // out-weight per source never changes) and cross-join a broadcast
+    // 1-row node count TWICE per round for the teleport term. Attach
+    // outw to the checkpointed edge frame once, and fold n into
+    // literals: nodes is already materialized, so counting it is a
+    // near-free RDD job, and both `prScale div n` and the teleport
+    // constant are plain Long divisions — identical integer arithmetic
+    // to the SQL `div` on positive operands, so the emitted ranks are
+    // bit-identical (the oracle confirms). Saves one join + two
+    // broadcast-exchange builds per round on a ~n_sources²-row graph.
     val edges = pairSrc.select($"sa".as("src"), $"sb".as("dst"))
       .unionAll(pairSrc.select($"sb".as("src"), $"sa".as("dst")))
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
       .localCheckpoint()
-    val outW = edges.groupBy($"src").agg(sum($"w").as("outw"))
+    // second pin is over the tiny checkpointed frame, not the pair
+    // build — the corpus-scale work runs exactly once
+    val edgesW = edges
+      .join(edges.groupBy($"src").agg(sum($"w").as("outw")), Seq("src"))
+      .localCheckpoint()
     val nodes = src.select($"source").distinct().localCheckpoint()
-    val nCnt = nodes.agg(count(lit(1)).as("n"))
-    var rank = nodes.crossJoin(broadcast(nCnt))
-      .select($"source", expr(s"${prScale}L div n").as("rank"))
+    val n = nodes.count()
+    val teleport = ((15L * prScale) / 100L) / n
+    var rank = nodes.select($"source", lit(prScale / n).as("rank"))
     for (_ <- 1 to prRounds) {
-      val inflow = edges
+      val inflow = edgesW
         .join(rank.select($"source".as("src"), $"rank"), Seq("src"))
-        .join(outW, Seq("src"))
         .select($"dst".as("source"), expr("(rank * w) div outw").as("c"))
         .groupBy($"source").agg(sum($"c").as("inflow"))
       rank = nodes.join(inflow, Seq("source"), "left")
-        .crossJoin(broadcast(nCnt))
-        .select($"source", expr(
-          s"((15 * ${prScale}L) div 100) div n + (85 * coalesce(inflow, 0L)) div 100")
-          .as("rank"))
+        .select($"source",
+          (lit(teleport) + expr("(85 * coalesce(inflow, 0L)) div 100"))
+            .as("rank"))
         .localCheckpoint()
     }
     rank.orderBy($"source")
