@@ -35,6 +35,23 @@ object Streaming {
   private val scratch = ThreadLocal.withInitial(() =>
     scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path])
 
+  /** Input bytes of the stream sources built for the current query
+    * (set by [[eventsStream]]), consumed by [[drain]] to size the
+    * stateful shuffle. Thread-local for the same reason as
+    * [[scratch]]. */
+  private val streamInputBytes = ThreadLocal.withInitial[Long](() => 0L)
+
+  /** Target stream-input bytes per state-store partition. Every
+    * stateful-operator partition is a state-store INSTANCE with a
+    * fixed per-micro-batch commit cost (delta file + snapshot
+    * maintenance + provider bookkeeping) that is paid whether or not
+    * the partition holds data, so a partition should own at least
+    * tens of MB of stream input to amortize it. r15/r16 measured the
+    * cost directly: the interval-join family ran 2.5–7× FASTER at 8
+    * cores than at 32 at sf0.1 (PERF_r15 scaling block — state work
+    * scaled with shuffle partitions = cpus, not with data). */
+  private val statePartitionBytes = 32L * 1024 * 1024
+
   /** Recursive delete that never follows symlinks — the landing dirs
     * link into the read-only testdata, and only the link dies. The
     * walk stream is closed before deleting (it holds a directory
@@ -63,6 +80,8 @@ object Streaming {
     java.nio.file.Files.createSymbolicLink(
       landing.resolve("events.parquet"), java.nio.file.Paths.get(path))
     val schema: StructType = s.read.parquet(path).schema
+    streamInputBytes.set(streamInputBytes.get() +
+      java.nio.file.Files.size(java.nio.file.Paths.get(path)))
     val raw = s.readStream.schema(schema).parquet(landing.toString)
     if (schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -97,10 +116,32 @@ object Streaming {
     * table plus temp dirs per streaming query for its whole life. */
   private def drain(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
     val name = s"graft_mem_${sinkId.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    try q.awaitTermination()
-    finally {
+    // r16: size the stateful shuffle by the stream's INPUT BYTES, not
+    // the session's core count (guide §2: scale-adaptive partitioning,
+    // never a constant tuned for local or cluster). Streaming state
+    // exchanges are AQE-exempt — shuffle.partitions at query start is
+    // the only lever — and each partition is a state-store instance
+    // with fixed per-batch commit cost (see statePartitionBytes). At
+    // 100 TB, bytes/32 MB vastly exceeds any cluster's
+    // defaultParallelism, so the clamp keeps full width; on a small
+    // stream the width follows the data instead of paying one store
+    // per core. The session conf is restored after the drain; the
+    // stream's cloned session keeps the sized value for all batches.
+    val inBytes = streamInputBytes.get()
+    streamInputBytes.set(0L)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    if (inBytes > 0L) {
+      val width = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong,
+        (inBytes + statePartitionBytes - 1) / statePartitionBytes))
+      s.conf.set("spark.sql.shuffle.partitions", width.toString)
+    }
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
       val dirs = scratch.get()
       dirs.foreach(rmTree)
       dirs.clear()
