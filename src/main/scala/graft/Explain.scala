@@ -27,6 +27,14 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val wanted = args.drop(2).toSet
+    // a typo'd name would otherwise filter to nothing and exit clean,
+    // leaving a silently missing plan file (ADVICE r15)
+    val unknown = wanted -- SparkEntry.queries.map(_._1).toSet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[explain] unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val selected =
       if (wanted.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => wanted(k) }

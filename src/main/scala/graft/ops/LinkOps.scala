@@ -316,6 +316,11 @@ object LinkOps {
   private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
+    // CONTRACT (ADVICE r15): node ids / labels must be NON-NEGATIVE —
+    // the argmax tie-break below negates the label, so a negative or
+    // Long.MinValue id would overflow or invert the smallest-label
+    // rule. Every current caller feeds part/doc ids (≥ 0); a reuse on
+    // signed ids must re-derive the tie-break.
     // r15: the majority vote is an ARGMAX per node — max_by(label,
     // (cnt, −label)) picks the most frequent label with smallest-
     // label tie-break, exactly the old row_number() OVER (PARTITION
