@@ -122,18 +122,21 @@ object LinkOps {
   private[ops] def pairOccurrences(items: DataFrame): DataFrame = {
     val s = items.sparkSession
     import s.implicits._
-    // r15 probe: dropping the distinct() is a plan NO-OP — Catalyst's
-    // RemoveRedundantAggregates already elides it under the
-    // duplicate-agnostic collect_set (verified by explain diff,
-    // OPTIMIZATION_r15.md)
-    items.distinct()
-      // r16: fixed-width exchange for the group-and-pair stage (the
-      // q66/q292 fan-out rule): the distinct (ok, pk) rows are a few
-      // MB, so AQE coalesces the ENSURE_REQUIREMENTS exchange to ~3
-      // tasks — but this stage fans out to Σ|basket|²/2 pairs of
-      // CPU-bound work (measured r16: 0.7+1.1 s on 3-4 tasks in
-      // q136's event-log attribution). The groupBy below reuses this
-      // partitioning, so the exchange COUNT is unchanged.
+    // r15 probe: a distinct() here is a plan NO-OP — Catalyst's
+    // RemoveRedundantAggregates elides it under the duplicate-agnostic
+    // collect_set (verified by explain diff, OPTIMIZATION_r15.md).
+    // r16 drops it EXPLICITLY, because the fixed-width repartition
+    // below would otherwise sit between the two aggregates and block
+    // that rewrite, resurrecting the (ok, pk) exchange (caught in
+    // q146's after-plan: 24 → 28 Exchange before this form).
+    // The repartition itself is the q66/q292 fan-out rule: the
+    // (ok, pk) rows are a few MB, so AQE coalesces the
+    // ENSURE_REQUIREMENTS exchange to ~3 tasks — but this stage fans
+    // out to Σ|basket|²/2 pairs of CPU-bound work (measured r16:
+    // 0.7+1.1 s on 3-4 tasks in q136's event-log attribution). The
+    // groupBy reuses the pinned partitioning: ONE exchange, full
+    // width, exactly the before-count.
+    items
       .repartition(s.sparkContext.defaultParallelism, $"ok")
       .groupBy($"ok").agg(sort_array(collect_set($"pk")).as("ps"))
       .select(explode(expr(
